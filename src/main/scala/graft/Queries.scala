@@ -1,0 +1,586 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GeoFunctions => G, TextFunctions => TF}
+import graft.plans.GeoConstants
+import graft.sources.Tables
+
+/** One registered query per implemented operator from SURVEY.md §2, each with
+  * a DuckDB oracle (the driver's correctness gate runs both and hash-compares).
+  *
+  * Parity conventions shared by every query here and its oracle:
+  *  - every DOUBLE output column is `round(x, 6)` in BOTH engines (both round
+  *    half-away-from-zero for doubles, and 6 dp absorbs fp-reorder noise);
+  *  - every result carries a total ORDER BY (driver compare may be
+  *    row-order-sensitive);
+  *  - `events.ts` is nanosecond-precision: exact values travel as `ts_ns`
+  *    (`epoch_ns(ts)` on the DuckDB side), buckets as truncated timestamps;
+  *  - counts stay BIGINT; DuckDB integer sums are cast to BIGINT (DuckDB
+  *    sums ints into HUGEINT, Spark into LONG).
+  */
+final case class Q(name: String, oracle: Option[String])(
+    val run: (SparkSession, String) => DataFrame)
+
+object Queries {
+  /** Synthetic "weather grid" view: maps the deterministic TPC-H-ish
+    * lineitem onto the mover's hypercube row model (one row per
+    * time/lat/lon point with data variables — SURVEY §1.1, bq.py:321-386).
+    * Same SQL text is valid in Spark and DuckDB, so both engines derive
+    * byte-identical coordinates. 0.05° grid step. */
+  private val gridCols = Seq(
+    "l_orderkey", "l_linenumber",
+    "l_shipdate AS time",
+    "(l_orderkey % 3600) / CAST(20 AS DOUBLE) - 90 AS latitude",
+    "((l_orderkey*7 + l_linenumber*131) % 7200) / CAST(20 AS DOUBLE) - 180 AS longitude",
+    "l_quantity AS temperature",
+    "l_discount * CAST(100 AS DOUBLE) AS humidity")
+  private val gridSql =
+    s"SELECT ${gridCols.mkString(", ")} FROM lineitem"
+
+  private def grid(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).selectExpr(gridCols: _*)
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------- A1 A3 A4 A5
+    Q("q01_pricing_summary", Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 6) AS sum_qty,
+             round(sum(l_extendedprice), 6) AS sum_base_price,
+             round(avg(l_quantity), 6) AS avg_qty,
+             round(avg(l_extendedprice), 6) AS avg_price,
+             round(avg(l_discount), 6) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 6).as("sum_qty"),
+          round(sum($"l_extendedprice"), 6).as("sum_base_price"),
+          round(avg($"l_quantity"), 6).as("avg_qty"),
+          round(avg($"l_extendedprice"), 6).as("avg_price"),
+          round(avg($"l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")),
+
+    // ---------------------------------------------------------------- P1 O1 O2
+    Q("q02_select_limit", Some("""
+      SELECT l_orderkey, l_linenumber, l_partkey,
+             round(l_extendedprice, 6) AS price
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber
+      LIMIT 20 OFFSET 10"""))(
+      (s, d) => Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey",
+          round($"l_extendedprice", 6).as("price"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+        .offset(10).limit(20)),
+
+    // ---------------------------------------------------------------- P4 P5
+    Q("q03_where_coords", Some("""
+      SELECT l_orderkey, l_linenumber,
+             round(l_quantity, 6) AS qty,
+             round(l_discount, 6) AS disc,
+             l_returnflag
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        AND l_quantity > 45.0 AND l_discount <= 0.05 AND l_returnflag = 'R'
+      ORDER BY l_orderkey, l_linenumber"""))(
+      (s, d) => Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1998-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1999-01-01").cast("timestamp") &&
+          $"l_quantity" > 45.0 && $"l_discount" <= 0.05 && $"l_returnflag" === "R")
+        .select($"l_orderkey", $"l_linenumber",
+          round($"l_quantity", 6).as("qty"),
+          round($"l_discount", 6).as("disc"), $"l_returnflag")
+        .orderBy($"l_orderkey", $"l_linenumber")),
+
+    // ---------------------------------------------------------------- P6 (both OR branches — fixes ref's first-term bug, where.py:229-238)
+    Q("q04_where_dnf", Some("""
+      SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 6) AS sum_qty
+      FROM lineitem
+      WHERE (l_returnflag = 'A' AND l_quantity > 48)
+         OR (l_returnflag = 'R' AND l_quantity < 2)
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))(
+      (s, d) => Tables.lineitem(s, d)
+        .filter(($"l_returnflag" === "A" && $"l_quantity" > 48) ||
+          ($"l_returnflag" === "R" && $"l_quantity" < 2))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 6).as("sum_qty"))
+        .orderBy($"l_returnflag")),
+
+    // ---------------------------------------------------------------- A2 A3 (GROUP BY time_date, apply.py:132-151)
+    Q("q05_bucket_day", Some("""
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS time_day,
+             round(avg(value), 6) AS avg_value,
+             round(sum(value), 6) AS sum_value,
+             count(*) AS n
+      FROM events GROUP BY 1 ORDER BY 1"""))(
+      (s, d) => Tables.events(s, d)
+        .groupBy(date_trunc("DAY", $"ts").cast("timestamp_ntz").as("time_day"))
+        .agg(round(avg($"value"), 6).as("avg_value"),
+          round(sum($"value"), 6).as("sum_value"),
+          count(lit(1)).as("n"))
+        .orderBy($"time_day")),
+
+    // ---------------------------------------------------------------- A2 (GROUP BY time_month + extra key)
+    Q("q06_bucket_month", Some("""
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS time_month,
+             o_orderpriority,
+             round(sum(o_totalprice), 6) AS sum_o_totalprice,
+             count(*) AS n
+      FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""))(
+      (s, d) => Tables.orders(s, d)
+        .groupBy(date_trunc("MONTH", $"o_orderdate").cast("timestamp_ntz").as("time_month"),
+          $"o_orderpriority")
+        .agg(round(sum($"o_totalprice"), 6).as("sum_o_totalprice"),
+          count(lit(1)).as("n"))
+        .orderBy($"time_month", $"o_orderpriority")),
+
+    // ---------------------------------------------------------------- A4 A5 (whole-table agg, apply.py:296-299)
+    Q("q07_global_agg", Some("""
+      SELECT round(avg(l_quantity), 6) AS avg_l_quantity,
+             round(min(l_extendedprice), 6) AS min_l_extendedprice,
+             round(max(l_extendedprice), 6) AS max_l_extendedprice,
+             round(sum(l_discount), 6) AS sum_l_discount,
+             count(*) AS n
+      FROM lineitem"""))(
+      (s, d) => Tables.lineitem(s, d)
+        .agg(round(avg($"l_quantity"), 6).as("avg_l_quantity"),
+          round(min($"l_extendedprice"), 6).as("min_l_extendedprice"),
+          round(max($"l_extendedprice"), 6).as("max_l_extendedprice"),
+          round(sum($"l_discount"), 6).as("sum_l_discount"),
+          count(lit(1)).as("n"))),
+
+    // ---------------------------------------------------------------- P3 (area [N,W,S,E] box, bq.py:332-335) over the hypercube grid (R2)
+    Q("q08_area_filter", Some(s"""
+      WITH grid AS ($gridSql)
+      SELECT latitude, longitude,
+             round(avg(temperature), 6) AS avg_temperature,
+             count(*) AS n
+      FROM grid
+      WHERE latitude BETWEEN 10 AND 45 AND longitude BETWEEN -120 AND -60
+      GROUP BY latitude, longitude
+      ORDER BY latitude, longitude"""))(
+      (s, d) => grid(s, d)
+        .filter($"latitude".between(10, 45) && $"longitude".between(-120, -60))
+        .groupBy($"latitude", $"longitude")
+        .agg(round(avg($"temperature"), 6).as("avg_temperature"),
+          count(lit(1)).as("n"))
+        .orderBy($"latitude", $"longitude")),
+
+    // ---------------------------------------------------------------- P7 (country='australia' -> bounding box, where.py:140-171 + constant.py)
+    Q("q09_country_filter", Some(s"""
+      WITH grid AS ($gridSql)
+      SELECT round(avg(temperature), 6) AS avg_temperature,
+             round(min(temperature), 6) AS min_temperature,
+             count(*) AS n
+      FROM grid
+      WHERE latitude BETWEEN -44 AND -10 AND longitude BETWEEN 113 AND 154"""))(
+      (s, d) => {
+        val box = GeoConstants.countries("australia")
+        grid(s, d)
+          .filter($"latitude".between(box.latMin, box.latMax) &&
+            $"longitude".between(box.lonMin, box.lonMax))
+          .agg(round(avg($"temperature"), 6).as("avg_temperature"),
+            round(min($"temperature"), 6).as("min_temperature"),
+            count(lit(1)).as("n"))
+      }),
+
+    // ---------------------------------------------------------------- J1 (broadcast dim joins)
+    Q("q10_join_dims", Some("""
+      SELECT r_name, n_name,
+             round(sum(o_totalprice), 6) AS revenue,
+             count(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name"""))(
+      (s, d) => Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(round(sum($"o_totalprice"), 6).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"r_name", $"n_name")),
+
+    // ---------------------------------------------------------------- J3 P8 (skip-existing as anti-join)
+    Q("q11_anti_join", Some("""
+      SELECT p_partkey, p_name
+      FROM part
+      WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
+                              WHERE l_returnflag = 'A' AND l_quantity >= 48)
+      ORDER BY p_partkey"""))(
+      (s, d) => Tables.part(s, d)
+        .join(Tables.lineitem(s, d)
+          .filter($"l_returnflag" === "A" && $"l_quantity" >= 48),
+          $"p_partkey" === $"l_partkey", "left_anti")
+        .select($"p_partkey", $"p_name")
+        .orderBy($"p_partkey")),
+
+    // ---------------------------------------------------------------- J3 (semi join / EXISTS)
+    Q("q12_semi_join", Some("""
+      SELECT s_suppkey, s_name
+      FROM supplier
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+      ORDER BY s_suppkey"""))(
+      (s, d) => Tables.supplier(s, d)
+        .join(Tables.lineitem(s, d).filter($"l_quantity" >= 49),
+          $"s_suppkey" === $"l_suppkey", "left_semi")
+        .select($"s_suppkey", $"s_name")
+        .orderBy($"s_suppkey")),
+
+    // ---------------------------------------------------------------- J2 (per-variable frames merged on coord key, sinks.py:326-340)
+    Q("q13_merge_outer", Some("""
+      SELECT user_id, click_value, view_value
+      FROM (SELECT user_id, round(sum(value), 6) AS click_value
+            FROM events WHERE event_type = 'click' GROUP BY user_id) a
+      FULL JOIN (SELECT user_id, round(sum(value), 6) AS view_value
+                 FROM events WHERE event_type = 'view' GROUP BY user_id) b
+      USING (user_id)
+      ORDER BY user_id"""))(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val a = ev.filter($"event_type" === "click").groupBy($"user_id")
+          .agg(round(sum($"value"), 6).as("click_value"))
+        val b = ev.filter($"event_type" === "view").groupBy($"user_id")
+          .agg(round(sum($"value"), 6).as("view_value"))
+        a.join(b, Seq("user_id"), "full_outer")
+          .select($"user_id", $"click_value", $"view_value")
+          .orderBy($"user_id")
+      }),
+
+    // ---------------------------------------------------------------- S3 (hypercube -> wide schema via pivot)
+    Q("q14_pivot_channels", Some("""
+      SELECT user_id,
+             round(sum(CASE WHEN event_type = 'click' THEN value END), 6) AS click,
+             round(sum(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
+             round(sum(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
+             round(sum(CASE WHEN event_type = 'signup' THEN value END), 6) AS signup,
+             round(sum(CASE WHEN event_type = 'view' THEN value END), 6) AS view
+      FROM events GROUP BY user_id ORDER BY user_id"""))(
+      (s, d) => Tables.events(s, d)
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum($"value"), 6))
+        .orderBy($"user_id")),
+
+    // ---------------------------------------------------------------- §2.7 (append-only ledger -> current state via row_number)
+    Q("q15_latest_state", Some("""
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             round(value, 6) AS value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1
+      ORDER BY user_id"""))(
+      (s, d) => {
+        // order on microsecond-truncated time (the oracle's DuckDB reader is
+        // µs-precision), tie-break by event_id
+        val w = Window.partitionBy($"user_id")
+          .orderBy(expr("ts_ns div 1000").desc, $"event_id".desc)
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"user_id", $"event_id", $"event_type",
+            expr("ts_ns div 1000").as("ts_us"),
+            round($"value", 6).as("value"))
+          .orderBy($"user_id")
+      }),
+
+    // ---------------------------------------------------------------- ST1 A6 (1-minute fixed windows, streaming.py:34-55; batch equivalent)
+    Q("q16_stream_window", Some("""
+      SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS win_start,
+             event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))(
+      (s, d) => Tables.events(s, d)
+        .groupBy(window($"ts", "1 minute"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 6).as("sum_value"))
+        .select($"window.start".cast("timestamp_ntz").as("win_start"),
+          $"event_type", $"n", $"sum_value")
+        .orderBy($"win_start", $"event_type")),
+
+    // ---------------------------------------------------------------- ST4 (message body parse, streaming.py:81-121)
+    Q("q17_parse_props", Some("""
+      SELECT TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT) % 10 AS k_bucket,
+             count(*) AS n, round(sum(value), 6) AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1"""))(
+      (s, d) => Tables.events(s, d)
+        .withColumn("k_bucket",
+          regexp_extract($"props", "[0-9]+", 0).cast("long") % 10)
+        .groupBy($"k_bucket")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 6).as("sum_value"))
+        .orderBy($"k_bucket")),
+
+    // ---------------------------------------------------------------- F12 F13 R5 R10 (MARS range fan-out + path templating)
+    Q("q18_mars_expand", Some("""
+      SELECT r_name, level, strftime(d, '%Y-%m-%d') AS date_str,
+             printf('req/%s/%d/%s', r_name, level, strftime(d, '%Y-%m-%d')) AS request
+      FROM region,
+           (SELECT unnest([500, 850]) AS level),
+           (SELECT unnest(generate_series(DATE '1994-01-01', DATE '1994-01-05',
+                                          INTERVAL 1 DAY)) AS d)
+      ORDER BY r_name, level, date_str"""))(
+      (s, d) => Tables.region(s, d)
+        .select($"r_name")
+        .crossJoin(s.range(1).select(
+          explode(array(lit(500), lit(850))).as("level")))
+        .crossJoin(s.range(1).select(explode(expr(
+          "sequence(DATE'1994-01-01', DATE'1994-01-05', interval 1 day)")).as("d")))
+        .select($"r_name", $"level",
+          date_format($"d", "yyyy-MM-dd").as("date_str"),
+          format_string("req/%s/%d/%s", $"r_name", $"level",
+            date_format($"d", "yyyy-MM-dd")).as("request"))
+        .orderBy($"r_name", $"level", $"date_str")),
+
+    // ---------------------------------------------------------------- F14 (hindcast dates; Feb 29 -> Feb 28 before subtracting)
+    Q("q19_hdate", Some("""
+      SELECT od, yrs,
+             strftime(CAST((CASE WHEN month(od) = 2 AND day(od) = 29
+                            THEN od - INTERVAL 1 DAY ELSE od END)
+                           - to_years(yrs) AS DATE), '%Y-%m-%d') AS hdate
+      FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS od FROM orders),
+           (SELECT unnest([1, 2, 3, 4]) AS yrs)
+      ORDER BY od, yrs"""))(
+      (s, d) => Tables.orders(s, d)
+        .select($"o_orderdate".cast("date").as("od")).distinct()
+        .crossJoin(s.range(1).select(
+          explode(array(lit(1), lit(2), lit(3), lit(4))).as("yrs")))
+        .withColumn("base",
+          when(month($"od") === 2 && dayofmonth($"od") === 29,
+            date_sub($"od", 1)).otherwise($"od"))
+        .select($"od", $"yrs",
+          date_format(expr("add_months(base, -12 * yrs)"), "yyyy-MM-dd").as("hdate"))
+        .orderBy($"od", $"yrs")),
+
+    // ---------------------------------------------------------------- F7 F8 F9 F18 (safe names, UTC strings, md5)
+    Q("q20_scalar_funcs", Some("""
+      SELECT o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS utc_str,
+             md5(o_orderpriority) AS prio_md5,
+             regexp_replace(o_orderpriority, '[^a-zA-Z0-9-_]+', '_', 'g') AS safe_name
+      FROM orders
+      ORDER BY o_orderkey
+      LIMIT 200"""))(
+      (s, d) => Tables.orders(s, d)
+        .select($"o_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd'T'HH:mm:ss'Z'").as("utc_str"),
+          md5($"o_orderpriority").as("prio_md5"),
+          regexp_replace($"o_orderpriority", "[^a-zA-Z0-9-_]+", "_").as("safe_name"))
+        .orderBy($"o_orderkey")
+        .limit(200)),
+
+    // ---------------------------------------------------------------- F4 (longitude sanitize)
+    Q("q21_lon_sanitize", Some("""
+      SELECT round(((raw % 360) + 540) % 360 - 180, 6) AS lon, count(*) AS n
+      FROM (SELECT (l_orderkey % 1000) * CAST(1.5 AS DOUBLE) - 400 AS raw FROM lineitem)
+      GROUP BY 1 ORDER BY 1"""))(
+      (s, d) => Tables.lineitem(s, d)
+        .selectExpr("(l_orderkey % 1000) * CAST(1.5 AS DOUBLE) - 400 AS raw")
+        .select(round(G.sanitizeLon($"raw"), 6).as("lon"))
+        .groupBy($"lon").agg(count(lit(1)).as("n"))
+        .orderBy($"lon")),
+
+    // ---------------------------------------------------------------- text analysis (token/punct/stopword/quality)
+    Q("q22_text_stats", Some("""
+      SELECT doc_id, n_tokens, bpeish_tokens, punct_cnt,
+             round(punct_ratio, 6) AS punct_ratio,
+             round(stop_ratio, 6) AS stop_ratio,
+             round((least(length(text)/500.0, 1.0) + least(punct_ratio*20, 1.0)
+                    + least(stop_ratio*5, 1.0)) / 3.0, 6) AS quality
+      FROM (
+        SELECT doc_id, text,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS bpeish_tokens,
+               length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct_cnt,
+               length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                 / greatest(length(text), 1) AS punct_ratio,
+               len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b'))::DOUBLE
+                 / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS stop_ratio
+        FROM documents)
+      ORDER BY doc_id"""))(
+      (s, d) => Tables.documents(s, d)
+        .select($"doc_id", $"text",
+          TF.tokenCount($"text").as("n_tokens"),
+          TF.bpeishTokenCount($"text").as("bpeish_tokens"),
+          TF.punctCount($"text").as("punct_cnt"),
+          TF.punctRatio($"text").as("punct_ratio"),
+          TF.stopwordRatio($"text").as("stop_ratio"))
+        .withColumn("quality", round(
+          (least(length($"text") / 500.0, lit(1.0)) +
+            least($"punct_ratio" * 20, lit(1.0)) +
+            least($"stop_ratio" * 5, lit(1.0))) / 3.0, 6))
+        .select($"doc_id", $"n_tokens", $"bpeish_tokens", $"punct_cnt",
+          round($"punct_ratio", 6).as("punct_ratio"),
+          round($"stop_ratio", 6).as("stop_ratio"), $"quality")
+        .orderBy($"doc_id")),
+
+    // ---------------------------------------------------------------- text analysis (n-gram/stopword language ID)
+    Q("q23_lang_id", Some("""
+      SELECT lang, lang_pred, count(*) AS n
+      FROM (
+        SELECT lang,
+               CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+                    WHEN en = greatest(en, de, es, fr) THEN 'en'
+                    WHEN de = greatest(en, de, es, fr) THEN 'de'
+                    WHEN es = greatest(en, de, es, fr) THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM (
+          SELECT lang,
+                 len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS en,
+                 len(regexp_extract_all(text, '\b(der|die|das|und|ist|ein)\b')) AS de,
+                 len(regexp_extract_all(text, '\b(el|la|de|y|es|un)\b')) AS es,
+                 len(regexp_extract_all(text, '\b(le|la|de|et|est|un)\b')) AS fr
+          FROM documents))
+      GROUP BY lang, lang_pred ORDER BY lang, lang_pred"""))(
+      (s, d) => Tables.documents(s, d)
+        .select($"lang", TF.langId($"text").as("lang_pred"))
+        .groupBy($"lang", $"lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"lang_pred")),
+
+    // ---------------------------------------------------------------- dedup: exact (hash groupBy)
+    Q("q24_dedup_exact", Some("""
+      SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_cnt
+      FROM documents GROUP BY 1 ORDER BY h"""))(
+      (s, d) => Tables.documents(s, d)
+        .groupBy(md5($"text").as("h"))
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
+        .orderBy($"h")),
+
+    // ---------------------------------------------------------------- text analysis (order-sensitive rolling fingerprint)
+    Q("q25_rolling_fingerprint", Some("""
+      SELECT doc_id, CAST(sum(p * (strpos('0123456789abcdef',
+                                          substr(md5(tok), 1, 1)) - 1)) AS BIGINT) AS fp
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok,
+                   unnest(generate_series(1, len(string_split_regex(trim(lower(text)), '\s+')))) AS p
+            FROM documents)
+      GROUP BY doc_id ORDER BY doc_id"""))(
+      (s, d) => Tables.documents(s, d)
+        .select($"doc_id", TF.rollingFingerprint($"text").as("fp"))
+        .orderBy($"doc_id")),
+
+    // ---------------------------------------------------------------- similarity: brute-force cosine top-k
+    Q("q26_ann_topk", Some("""
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      z AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x,
+                   unnest(q.qv)::DOUBLE AS y
+            FROM embeddings e CROSS JOIN q),
+      sums AS (SELECT vec_id, sum(x*y) AS dot, sqrt(sum(x*x)) AS na,
+                      sqrt(sum(y*y)) AS nb
+               FROM z GROUP BY vec_id)
+      SELECT vec_id, round(dot / (na * nb), 6) AS cos_sim
+      FROM sums ORDER BY cos_sim DESC, vec_id LIMIT 10"""))(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+        def dotd(a: Column, b: Column): Column =
+          aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0), (acc, v) => acc + v)
+        emb.crossJoin(broadcast(q))
+          .select($"vec_id",
+            round(dotd($"embedding", $"qv") /
+              (sqrt(dotd($"embedding", $"embedding")) * sqrt(dotd($"qv", $"qv"))), 6)
+              .as("cos_sim"))
+          .orderBy($"cos_sim".desc, $"vec_id")
+          .limit(10)
+      }),
+
+    // ---------------------------------------------------------------- multimodal: opaque binary column + typed metadata (stubbed decode)
+    Q("q27_multimodal_meta", Some("""
+      SELECT doc_id, n_bytes, md5(text) AS content_md5,
+             (n_bytes % 64) + 1 AS width,
+             ((n_bytes // 7) % 64) + 1 AS height,
+             CASE n_bytes % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                  ELSE 'webp' END AS format
+      FROM (SELECT doc_id, text, strlen(text) AS n_bytes FROM documents)
+      ORDER BY doc_id"""))(
+      (s, d) => Tables.documents(s, d)
+        .withColumn("content", $"text".cast("binary"))
+        .withColumn("n_bytes", octet_length($"text").cast("long"))
+        .select($"doc_id", $"n_bytes", md5($"content").as("content_md5"),
+          (($"n_bytes" % 64) + 1).as("width"),
+          (expr("n_bytes div 7") % 64 + 1).as("height"),
+          when($"n_bytes" % 3 === 0, "jpeg")
+            .when($"n_bytes" % 3 === 1, "png")
+            .otherwise("webp").as("format"))
+        .orderBy($"doc_id")),
+
+    // ---------------------------------------------------------------- R6 O4 (round-robin subsection assignment / fair scheduling)
+    // Note: single-partition window is fine here — the request space is
+    // driver-scale tiny (SURVEY §3.3); at 100 TB this stays thousands of rows.
+    Q("q28_round_robin", Some("""
+      SELECT pid, rn0 % 3 AS slot, rn0 // 3 AS round_idx,
+             'license-' || CAST(rn0 % 3 AS VARCHAR) AS subsection
+      FROM (SELECT o_orderkey AS pid,
+                   row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+            FROM orders)
+      ORDER BY pid"""))(
+      (s, d) => Tables.orders(s, d)
+        .select($"o_orderkey".as("pid"))
+        .withColumn("rn0",
+          (row_number().over(Window.orderBy($"pid")) - 1).cast("long"))
+        .select($"pid", ($"rn0" % 3).as("slot"),
+          expr("rn0 div 3").as("round_idx"),
+          concat(lit("license-"), ($"rn0" % 3).cast("string")).as("subsection"))
+        .orderBy($"pid")),
+
+    // ---------------------------------------------------------------- R2 F2 F3 F5 (mover long-format rows + GeoJSON + metadata cols)
+    Q("q29_mover_rows", Some(s"""
+      WITH grid AS ($gridSql),
+      g AS (SELECT * FROM grid
+            WHERE latitude BETWEEN -10 AND 10 AND longitude BETWEEN 0 AND 40)
+      SELECT l_orderkey, l_linenumber, time, latitude, longitude,
+             round(temperature, 6) AS temperature,
+             '{"type": "Point", "coordinates": [' || CAST(round(longitude, 6) AS VARCHAR)
+               || ', ' || CAST(round(latitude, 6) AS VARCHAR) || ']}' AS geo_point,
+             '{"type": "Polygon", "coordinates": [['
+               || '[' || CAST(round(longitude - 0.025, 6) AS VARCHAR) || ', ' || CAST(round(latitude - 0.025, 6) AS VARCHAR) || ']' || ', '
+               || '[' || CAST(round(longitude + 0.025, 6) AS VARCHAR) || ', ' || CAST(round(latitude - 0.025, 6) AS VARCHAR) || ']' || ', '
+               || '[' || CAST(round(longitude + 0.025, 6) AS VARCHAR) || ', ' || CAST(round(latitude + 0.025, 6) AS VARCHAR) || ']' || ', '
+               || '[' || CAST(round(longitude - 0.025, 6) AS VARCHAR) || ', ' || CAST(round(latitude + 0.025, 6) AS VARCHAR) || ']' || ', '
+               || '[' || CAST(round(longitude - 0.025, 6) AS VARCHAR) || ', ' || CAST(round(latitude - 0.025, 6) AS VARCHAR) || ']'
+               || ']]}' AS geo_polygon,
+             TIMESTAMP '2026-01-01 00:00:00' AS data_import_time,
+             'file://testdata/grid' AS data_uri,
+             min(time) OVER () AS data_first_step
+      FROM g
+      ORDER BY l_orderkey, l_linenumber"""))(
+      (s, d) => grid(s, d)
+        .filter($"latitude".between(-10, 10) && $"longitude".between(0, 40))
+        .select($"l_orderkey", $"l_linenumber",
+          $"time".cast("timestamp_ntz").as("time"), $"latitude", $"longitude",
+          round($"temperature", 6).as("temperature"),
+          G.geoPointJson($"latitude", $"longitude").as("geo_point"),
+          G.geoPolygonJson($"latitude", $"longitude", lit(0.025), lit(0.025))
+            .as("geo_polygon"),
+          lit("2026-01-01 00:00:00").cast("timestamp_ntz").as("data_import_time"),
+          lit("file://testdata/grid").as("data_uri"),
+          min($"time".cast("timestamp_ntz")).over(Window.partitionBy())
+            .as("data_first_step"))
+        .orderBy($"l_orderkey", $"l_linenumber"))
+  )
+
+  // Implicit $"…" interpolation without a session: resolved lazily by plans.
+  private implicit class ColInterp(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+
+  val byName: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+  val oracles: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap
+}

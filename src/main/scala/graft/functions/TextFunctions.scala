@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column expressions for the training-data pipeline surface.
+  *
+  * Everything here is a pure Catalyst expression (whole-stage-codegen'd, no
+  * UDFs) so the same logic scales from the 500-row fixture to billions of
+  * documents: per-row, shuffle-free, and pushdown-friendly.
+  *
+  * The heuristics are deliberately deterministic and cross-engine
+  * expressible so each has a DuckDB oracle (see SparkEntry.oracleSql).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (empty-safe). */
+  def tokens(text: Column): Column =
+    split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** BPE-ish subword count: word-characters runs and single non-space
+    * punctuation both count as tokens (a cheap stand-in for a real BPE;
+    * deliberately regex-only so it's codegen'd and oracle-checkable). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?]", ""))
+
+  def punctRatio(text: Column): Column =
+    punctCount(text).cast("double") / greatest(length(text), lit(1)).cast("double")
+
+  /** Tiny multilingual stopword lexicon used by both quality scoring and the
+    * language-ID heuristic. */
+  val stopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  val stopwordsDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "ein")
+  val stopwordsEs: Seq[String] = Seq("el", "la", "de", "y", "es", "un")
+  val stopwordsFr: Seq[String] = Seq("le", "la", "de", "et", "est", "un")
+
+  private def wordAlternation(ws: Seq[String]): String =
+    ws.mkString("\\b(", "|", ")\\b")
+
+  /** Count of matches of any word in `ws` (word-boundary anchored). */
+  def stopwordHits(text: Column, ws: Seq[String]): Column =
+    size(regexp_extract_all(text, lit(wordAlternation(ws)), lit(0)))
+
+  def stopwordRatio(text: Column, ws: Seq[String] = stopwordsEn): Column =
+    stopwordHits(text, ws).cast("double") / greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** Quality score in [0,1]: long-enough, some punctuation, native stopword
+    * density — the classic C4-style cheap filters folded into one number. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val punctScore = least(punctRatio(text) * 20.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    round((lenScore + punctScore + stopScore) / 3.0, 6)
+  }
+
+  /** Argmax language over per-language stopword hit counts, deterministic
+    * tie-break by priority order en > de > es > fr, 'und' (undetermined)
+    * when no lexicon hits at all. */
+  def langId(text: Column): Column = {
+    val en = stopwordHits(text, stopwordsEn)
+    val de = stopwordHits(text, stopwordsDe)
+    val es = stopwordHits(text, stopwordsEs)
+    val fr = stopwordHits(text, stopwordsFr)
+    val m = greatest(en, de, es, fr)
+    when(m === 0, lit("und"))
+      .when(en === m, lit("en"))
+      .when(de === m, lit("de"))
+      .when(es === m, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** 64-bit content fingerprint: xxhash64 of the normalized token stream.
+    * Scale path (not oracle-matched — DuckDB has no xxhash64). */
+  def fingerprint64(text: Column): Column =
+    xxhash64(array_join(tokens(lower(text)), " "))
+
+  /** Position-weighted rolling fingerprint that IS oracle-expressible: both
+    * engines share md5; each token contributes
+    * `position * nibble_value(first hex nibble of its md5)`. Small enough to
+    * never overflow, order-sensitive like a real rolling hash. */
+  def rollingFingerprint(text: Column): Column = {
+    val toks = tokens(lower(text))
+    // zip_with over token array and its 1-based positions
+    val positions = transform(toks, (_, i) => i + 1)
+    val contribs = zip_with(toks, positions, (t, p) =>
+      p * (instr(lit("0123456789abcdef"), substring(md5(t), 1, 1)) - 1))
+    aggregate(contribs, lit(0L), (acc, x) => acc + x)
+  }
+}
