@@ -33,8 +33,10 @@ object Queries {
   private val gridCols = Seq(
     "l_orderkey", "l_linenumber",
     "l_shipdate AS time",
-    "(l_orderkey % 3600) / CAST(20 AS DOUBLE) - 90 AS latitude",
-    "((l_orderkey*7 + l_linenumber*131) % 7200) / CAST(20 AS DOUBLE) - 180 AS longitude",
+    // multipliers coprime to the moduli so ANY contiguous key range (each
+    // scale factor's) spreads across the full grid
+    "((l_orderkey * 131 + l_linenumber * 17) % 3600) / CAST(20 AS DOUBLE) - 90 AS latitude",
+    "((l_orderkey * 89 + l_linenumber * 131) % 7200) / CAST(20 AS DOUBLE) - 180 AS longitude",
     "l_quantity AS temperature",
     "l_discount * CAST(100 AS DOUBLE) AS humidity")
   private val gridSql =

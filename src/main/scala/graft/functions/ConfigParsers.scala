@@ -126,10 +126,15 @@ object ConfigParsers {
 
     (asInt(startToken), asInt(endToken), asInt(incToken)) match {
       case (Some(s), Some(e), Some(inc)) =>
+        // Python range(start, end + offset, inc) semantics exactly: the int
+        // branch does NOT auto-correct direction (parsers.py:314-316) — a
+        // positive step with start > end yields an empty expansion.
+        require(inc != 0, s"Improper range syntax in '$block'.")
         val offset = if (s <= e) 1L else -1L
+        val stop = e + offset
         val out = scala.collection.mutable.ArrayBuffer.empty[String]
         var x = s
-        while (if (offset > 0) x < e + offset else x > e + offset) {
+        while (if (inc > 0) x < stop else x > stop) {
           out += padNum(x.toString, startToken.length)
           x += inc
         }

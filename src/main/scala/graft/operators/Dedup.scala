@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for the training-data pipeline surface: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard — all as declarative column
+  * algebra so every stage is distributed and shuffle-bounded.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - signatures/fingerprints are per-row expressions (no shuffle);
+  *  - candidate generation is a self-join on (band, bucket) keys — the join
+  *    key cardinality grows with corpus size, so the shuffle is spread, and
+  *    only near-duplicates collide (vs the quadratic all-pairs join);
+  *  - the exact-Jaccard verify runs only on LSH candidates.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one hash-partitioned aggregation. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** `n`-word shingles of a token array. */
+  def shingles(toks: Column, n: Int): Column =
+    transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+
+  /** MinHash signature: `numHashes` permutations approximated by seeded
+    * xxhash64; each signature slot is the min hash over the shingle set.
+    * Pure per-row expression — scales embarrassingly. */
+  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int = 3): Column = {
+    val sh = shingles(tokens(text), shingleSize)
+    array((0 until numHashes).map { seed =>
+      array_min(transform(sh, s => xxhash64(lit(seed), s)))
+    }: _*)
+  }
+
+  /** LSH banding: `bands` keys per row; two docs sharing any band key are
+    * candidates. rowsPerBand = numHashes / bands. */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand))).as("bucket"))
+    }: _*)
+
+  /** Candidate pairs from LSH buckets: explode band keys, self-join on the
+    * (band, bucket) key, keep each unordered pair once. */
+  def lshCandidates(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val keyed = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sig", minhashSignature(col("text"), numHashes, shingleSize))
+      .withColumn("bk", explode(bandKeys(col("sig"), bands, rowsPerBand)))
+      .select(col("id"), col("bk.band"), col("bk.bucket"))
+    val a = keyed.select(col("id").as("id_a"), col("band"), col("bucket"))
+    val b = keyed.select(col("id").as("id_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard over shingle sets — the verify stage, run on candidates
+    * only. Joins the candidate pairs back to the corpus twice. */
+  def jaccardVerify(candidates: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sets = df.select(col(idCol).as("id"),
+      array_distinct(shingles(tokens(col(textCol)), shingleSize)).as("sh"))
+    candidates
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") / greatest(col("uni"), lit(1)).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** End-to-end MinHash near-dup pipeline: signature -> bands -> candidate
+    * join -> exact verify. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+      threshold: Double = 0.8): DataFrame =
+    jaccardVerify(
+      lshCandidates(df, idCol, textCol, numHashes, bands, shingleSize),
+      df, idCol, textCol, shingleSize, threshold)
+
+  /** 64-bit SimHash: per-token xxhash64; fingerprint bit i is the sign of the
+    * token-count-weighted sum of bit i. Single pass, per-row. Built as a SQL
+    * expression because the SQL `shiftright`/`shiftleft` accept column shift
+    * amounts (the Scala wrappers only take Int literals).
+    *
+    * `textColSql` is a SQL expression for the text column (e.g. a column
+    * name). */
+  def simhashExpr(textColSql: String): Column = expr(s"""
+    aggregate(
+      zip_with(
+        aggregate(
+          split(trim(lower($textColSql)), '\\\\s+'),
+          array_repeat(0L, 64),
+          (acc, t) -> zip_with(acc,
+            transform(sequence(0, 63),
+              i -> CAST((shiftright(xxhash64(t), i) & 1) * 2 - 1 AS BIGINT)),
+            (a, b) -> a + b)),
+        sequence(0, 63),
+        (c, i) -> IF(c > 0, shiftleft(1L, i), 0L)),
+      0L, (acc, x) -> acc + x)""")
+
+  /** Hamming distance between two simhash fingerprints. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** n-gram Jaccard all-pairs within a bounded candidate scope: the caller
+    * pre-buckets (e.g. by length band or LSH); this computes exact Jaccard
+    * via a token-posting-list join — inverted-index style, not NxN. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sets = df.select(col(idCol).as("id"),
+      array_distinct(shingles(tokens(col(textCol)), n)).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val postings = sets.select(col("id"), col("sz"), explode(col("sh")).as("g"))
+    val a = postings.select(col("id").as("id_a"), col("sz").as("sz_a"), col("g"))
+    val b = postings.select(col("id").as("id_b"), col("sz").as("sz_b"), col("g"))
+    a.join(b, Seq("g")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"), first(col("sz_a")).as("sz_a"), first(col("sz_b")).as("sz_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeoFunctions
+
+/** The mover (`weather-mv bq`): hypercube -> denormalized rows -> sink.
+  *
+  * In the reference this is a Beam graph (Create(uris) -> prepare_coordinates
+  * -> Reshuffle -> extract_rows -> WriteToBigQuery, SURVEY §3.2). On Spark the
+  * prepare/Reshuffle/extract trio collapses into the scan's own partitioning:
+  * a long-format DataFrame IS the flattened hypercube, so extraction is pure
+  * column algebra — filter, project, append metadata/geo expressions — that
+  * Catalyst pushes into the parquet scan. No per-element reopen, no manual
+  * shuffle, no driver loops; at 100 TB each task streams its own row-groups.
+  */
+object Mover {
+
+  /** Area filter `[N, W, S, E]` (bq.py:332-335; inclusive box). */
+  final case class Area(north: Double, west: Double, south: Double, east: Double)
+
+  final case class Options(
+      variables: Seq[String] = Nil,       // data vars to keep ("" = all)
+      area: Option[Area] = None,
+      importTime: Option[String] = None,  // None = current_timestamp (ST7)
+      latCol: String = "latitude",
+      lonCol: String = "longitude",
+      timeCol: String = "time",
+      // half grid resolutions for the geo_polygon cell; None = infer (F5)
+      latRes: Option[Double] = None,
+      lonRes: Option[Double] = None)
+
+  /** `_only_target_vars` (util.py:133-191): keep coordinate columns plus the
+    * requested variables; for normalized GRIB schemas a target `t` also
+    * matches columns `*_t` / `t_*`. Throws when a target matches nothing,
+    * mirroring the reference's assert. */
+  def onlyTargetVars(df: DataFrame, targets: Seq[String], coordCols: Seq[String]): DataFrame = {
+    if (targets.isEmpty) return df
+    val dataCols = df.columns.filterNot(coordCols.contains)
+    val keep = targets.flatMap { t =>
+      val hits = dataCols.filter(c => c == t || c.endsWith("_" + t) || c.startsWith(t + "_"))
+      require(hits.nonEmpty, s"Target variable '$t' matches no column (have: ${dataCols.mkString(",")})")
+      hits
+    }.distinct
+    df.select((coordCols ++ keep).map(col): _*)
+  }
+
+  /** GRIB channel-name synthesis (sinks.py:295-324):
+    * `<level>_<height>_<stepType>_<shortName>`, heights below 10 rendered
+    * with 2 decimals and '.' replaced by '_' (e.g. depthBelowLandLayer_0_07). */
+  def channelName(level: String, height: Double, stepType: String, shortName: String): String = {
+    val h =
+      if (height < 10) f"$height%.2f".replace(".", "_")
+      else if (height == math.rint(height)) height.toLong.toString
+      else height.toString.replace(".", "_")
+    s"${level}_${h}_${stepType}_$shortName"
+  }
+
+  /** Merge a long-format (coordKeys..., channel, value) frame into the wide
+    * per-channel schema (S3/J2: `xr.merge` of per-variable arrays becomes a
+    * groupBy + pivot on the coordinate key — one shuffle, no N-way join). */
+  def mergeChannels(long: DataFrame, coordKeys: Seq[String], channelCol: String,
+      valueCol: String, channels: Seq[String]): DataFrame =
+    long.groupBy(coordKeys.map(col): _*)
+      .pivot(channelCol, channels)
+      .agg(first(col(valueCol)))
+
+  /** Half grid resolution per F5 (bq.py:248-264) — one tiny driver-side job
+    * over the distinct coordinate values of a *sample* (first-URI pattern,
+    * pipeline.py:56-57). */
+  def inferHalfRes(df: DataFrame, coordCol: String): Double =
+    df.select(GeoFunctions.halfResolution(col(coordCol)).cast("double")).head().getDouble(0)
+
+  /** The extract_rows core (bq.py:321-386) as a single declarative plan:
+    * area filter -> variable projection -> metadata columns (bq.py:50-54) ->
+    * geo_point/geo_polygon GeoJSON. */
+  def extractRows(ds: DataFrame, uri: String, opts: Options = Options()): DataFrame = {
+    val coordCols = Seq(opts.timeCol, opts.latCol, opts.lonCol).filter(ds.columns.contains)
+    val lat = col(opts.latCol)
+    val lon = col(opts.lonCol)
+
+    val filtered = opts.area match {
+      case Some(a) => ds.filter(lat.between(a.south, a.north) && lon.between(a.west, a.east))
+      case None => ds
+    }
+    val projected = onlyTargetVars(filtered, opts.variables, coordCols)
+
+    val latRes = opts.latRes.getOrElse(inferHalfRes(ds, opts.latCol))
+    val lonRes = opts.lonRes.getOrElse(inferHalfRes(ds, opts.lonCol))
+    val importTime: Column = opts.importTime
+      .map(t => lit(t).cast("timestamp_ntz"))
+      .getOrElse(current_timestamp().cast("timestamp_ntz"))
+
+    projected
+      .withColumn("data_import_time", importTime)
+      .withColumn("data_uri", lit(uri))
+      .withColumn("data_first_step",
+        min(col(opts.timeCol).cast("timestamp_ntz")).over(Window.partitionBy()))
+      .withColumn("geo_point", GeoFunctions.geoPointJson(lat, lon))
+      .withColumn("geo_polygon",
+        GeoFunctions.geoPolygonJson(lat, lon, lit(latRes), lit(lonRes)))
+  }
+
+  /** Reference type mapping for sink schemas (§1.2, bq.py:438-446). */
+  def sqlTypeFor(sparkType: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    sparkType match {
+      case FloatType | DoubleType => "FLOAT64"
+      case ByteType | ShortType | IntegerType | LongType => "INT64"
+      case TimestampType | TimestampNTZType | DateType => "TIMESTAMP"
+      case StringType => "STRING"
+      case _: ArrayType => "REPEATED"
+      case _ => "STRING"
+    }
+  }
+}

@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Corpus with planted exact + near duplicates.
+  private lazy val docs = {
+    val base = Tables.documents(spark, sfDir).select($"doc_id", $"text").limit(50)
+    val exactDup = base.filter($"doc_id" === 0)
+      .select(($"doc_id" + 1000).as("doc_id"), $"text")
+    // near-dup: same text with one word appended
+    val nearDup = base.filter($"doc_id" === 1)
+      .select(($"doc_id" + 2000).as("doc_id"), concat($"text", lit(" extra")).as("text"))
+    base.union(exactDup).union(nearDup)
+  }
+
+  test("exact dedup finds the planted duplicate") {
+    val groups = Dedup.exact(docs, "text", "doc_id").filter($"dup_cnt" > 1).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("keep_id") == 0L)
+    assert(groups.head.getAs[Long]("dup_cnt") == 2L)
+  }
+
+  test("minhash LSH surfaces near + exact dups and survives verify") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      numHashes = 32, bands = 16, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1000L)), s"exact pair missing from $pairs")
+    assert(pairs.contains((1L, 2001L)), s"near pair missing from $pairs")
+  }
+
+  test("jaccard verify kills low-similarity candidates") {
+    val fake = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val corpus = Seq((1L, "a b c d e f"), (2L, "x y z w v u")).toDF("doc_id", "text")
+    assert(Dedup.jaccardVerify(fake, corpus, "doc_id", "text", threshold = 0.3).count() == 0)
+  }
+
+  test("simhash: identical -> distance 0, near -> small, far -> large") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and once"),
+      (3L, "completely unrelated words about spark query engines at scale"))
+      .toDF("id", "text").withColumn("sh", Dedup.simhashExpr("text"))
+    val sh = df.select($"id", $"sh").as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(1L)) == 0)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
+  }
+
+  test("ngram jaccard posting-list join finds the near pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1000L)))
+    assert(pairs.contains((1L, 2001L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+  private lazy val queryVec: Seq[Float] =
+    emb.filter($"vec_id" === 0).select($"embedding").as[Seq[Float]].head()
+
+  test("brute force: self similarity tops at 1.0") {
+    val top = Similarity.bruteForceTopK(emb, "embedding", "vec_id", queryVec, 5).collect()
+    assert(top.head.getAs[Long]("vec_id") == 0L)
+    assert(math.abs(top.head.getAs[Double]("cos_sim") - 1.0) < 1e-6)
+    assert(top.length == 5)
+  }
+
+  test("LSH top-k recalls most of the brute-force top-k") {
+    val planes = emb.filter($"vec_id".isin(1, 2, 3, 4))
+      .orderBy($"vec_id").select($"embedding").as[Seq[Float]].collect().toSeq
+    val brute = Similarity.bruteForceTopK(emb, "embedding", "vec_id", queryVec, 10)
+      .select($"vec_id").as[Long].collect().toSet
+    val lsh = Similarity.lshTopK(emb, "embedding", "vec_id", queryVec, planes, 10)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(lsh.contains(0L))
+    assert((brute & lsh).size >= 3, s"recall too low: brute=$brute lsh=$lsh")
+  }
+
+  test("IVF probes nearest cells and finds the query's own vector") {
+    val centroids = emb.filter($"vec_id".isin(5, 6, 7, 8))
+      .orderBy($"vec_id").select($"embedding").as[Seq[Float]].collect().toSeq
+    val got = Similarity.ivfTopK(emb, "embedding", "vec_id", queryVec, centroids, 5, nprobe = 2)
+      .select($"vec_id").as[Long].collect()
+    assert(got.contains(0L))
+  }
+
+  test("cosineNearDupPairs finds planted duplicate vectors") {
+    val dup = emb.filter($"vec_id" === 3)
+      .select(($"vec_id" + 9000).as("vec_id"), $"embedding", $"label")
+    val planes = emb.filter($"vec_id".isin(1, 2)).orderBy($"vec_id")
+      .select($"embedding").as[Seq[Float]].collect().toSeq
+    val pairs = Similarity.cosineNearDupPairs(emb.union(dup), "embedding", "vec_id",
+      planes, threshold = 0.999)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 9003L)))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media = Multimodal.asMedia(
+    Tables.documents(spark, sfDir).limit(20), "doc_id", "text")
+
+  test("decode: deterministic stub metadata, row-count preserved") {
+    val out = Multimodal.decode(media)
+    assert(out.count() == 20)
+    val r = out.filter($"id" === 0).head()
+    assert(r.width >= 1 && r.width <= 64 && r.height >= 1 && r.height <= 64)
+    assert(r.contentMd5.length == 32)
+    assert(r.featNorm > 0)
+    // deterministic: same input, same output
+    val again = Multimodal.decode(media).filter($"id" === 0).head()
+    assert(again == r)
+  }
+
+  test("decode preserves partitioning (no shuffle)") {
+    val p0 = media.rdd.getNumPartitions
+    assert(Multimodal.decode(media).rdd.getNumPartitions == p0)
+  }
+
+  test("frame sampling explodes every k-th chunk") {
+    val frames = Multimodal.sampleFrames(media, chunkBytes = 64, everyK = 2)
+    assert(frames.count() > 0)
+    val idx = frames.select($"frame_idx").as[Int].collect()
+    assert(idx.forall(_ % 2 == 0))
+  }
+}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.streaming.FileEvents
+
+  test("parsePaths: JSON -> uri, pattern filter, malformed dropped") {
+    val msgs = Seq(
+      """{"bucket": "b1", "name": "data/x.grib"}""",
+      """{"bucket": "b1", "name": "data/y.nc"}""",
+      """not json at all""").toDF("body")
+    val got = FileEvents.parsePaths(msgs, "body", "gs://b1/data/*.grib")
+      .select("uri").as[String].collect().toSeq
+    assert(got == Seq("gs://b1/data/x.grib"))
+  }
+
+  test("streaming windowed counts equal the batch computation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val events = Tables.events(spark, sfDir)
+      .select($"ts", $"event_id").orderBy($"event_id").limit(200)
+      .as[(java.sql.Timestamp, Long)].collect()
+    val stream = MemoryStream[(java.sql.Timestamp, Long)]
+    stream.addData(events.toIndexedSeq)
+    val q = FileEvents.windowedCounts(stream.toDF().toDF("ts", "event_id"), "ts")
+      .writeStream.format("memory").queryName("win_counts").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("win_counts")
+      .select($"win_start", $"n").as[(java.sql.Timestamp, Long)].collect().toMap
+    val batch = Tables.events(spark, sfDir)
+      .select($"ts", $"event_id").orderBy($"event_id").limit(200)
+      .groupBy(window($"ts", "1 minute")).agg(count(lit(1)).as("n"))
+      .select($"window.start", $"n").as[(java.sql.Timestamp, Long)].collect().toMap
+    assert(streamed == batch)
+  }
+
+  test("idempotentAppend: re-ingesting a batch adds nothing") {
+    val tmp = java.nio.file.Files.createTempDirectory("ingest").toString + "/sink"
+    val batch = Tables.events(spark, sfDir).select($"event_id", $"event_type").limit(100)
+    FileEvents.idempotentAppend(spark, batch, "event_id", tmp)
+    assert(spark.read.parquet(tmp).count() == 100)
+    FileEvents.idempotentAppend(spark, batch, "event_id", tmp)
+    assert(spark.read.parquet(tmp).count() == 100)
+    val more = Tables.events(spark, sfDir).select($"event_id", $"event_type").limit(150)
+    FileEvents.idempotentAppend(spark, more, "event_id", tmp)
+    assert(spark.read.parquet(tmp).count() == 150)
+  }
+}
+
+class QueriesSpec extends SparkSpec {
+  test("every query runs on sf0.001 and returns rows") {
+    val failures = Queries.all.flatMap { q =>
+      try {
+        val n = q.run(spark, sfDir).count()
+        if (n > 0) None else Some(s"${q.name}: 0 rows")
+      } catch { case e: Throwable => Some(s"${q.name}: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+
+  test("oracle keys are a subset of query names and non-empty") {
+    assert(Queries.oracles.keySet.subsetOf(Queries.byName.keySet))
+    assert(Queries.oracles.nonEmpty)
+    assert(Queries.oracles.values.forall { o =>
+      val t = o.trim.toUpperCase
+      t.startsWith("SELECT") || t.startsWith("WITH")
+    })
+  }
+
+  test("entry returns rows on the smoke scale factor") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
