@@ -30,19 +30,19 @@ object Queries {
     * time/lat/lon point with data variables — SURVEY §1.1, bq.py:321-386).
     * Same SQL text is valid in Spark and DuckDB, so both engines derive
     * byte-identical coordinates. 0.05° grid step. */
-  private val gridCols = Seq(
+  // multipliers coprime to the moduli so ANY contiguous key range (each
+  // scale factor's) spreads across the full grid
+  private[graft] val gridCols = Seq(
     "l_orderkey", "l_linenumber",
     "l_shipdate AS time",
-    // multipliers coprime to the moduli so ANY contiguous key range (each
-    // scale factor's) spreads across the full grid
     "((l_orderkey * 131 + l_linenumber * 17) % 3600) / CAST(20 AS DOUBLE) - 90 AS latitude",
     "((l_orderkey * 89 + l_linenumber * 131) % 7200) / CAST(20 AS DOUBLE) - 180 AS longitude",
     "l_quantity AS temperature",
     "l_discount * CAST(100 AS DOUBLE) AS humidity")
-  private val gridSql =
+  private[graft] val gridSql =
     s"SELECT ${gridCols.mkString(", ")} FROM lineitem"
 
-  private def grid(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def grid(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir).selectExpr(gridCols: _*)
 
   val all: Seq[Q] = Seq(
@@ -75,12 +75,14 @@ object Queries {
       SELECT l_orderkey, l_linenumber, l_partkey,
              round(l_extendedprice, 6) AS price
       FROM lineitem
-      ORDER BY l_orderkey, l_linenumber
+      ORDER BY l_orderkey, l_linenumber, l_partkey, price
       LIMIT 20 OFFSET 10"""))(
       (s, d) => Tables.lineitem(s, d)
         .select($"l_orderkey", $"l_linenumber", $"l_partkey",
           round($"l_extendedprice", 6).as("price"))
-        .orderBy($"l_orderkey", $"l_linenumber")
+        // (l_orderkey, l_linenumber) is not unique in the synthetic lineitem:
+        // extend the sort to a total order so OFFSET/LIMIT picks identical rows
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"price")
         .offset(10).limit(20)),
 
     // ---------------------------------------------------------------- P4 P5
@@ -93,7 +95,7 @@ object Queries {
       WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
         AND l_quantity > 45.0 AND l_discount <= 0.05 AND l_returnflag = 'R'
-      ORDER BY l_orderkey, l_linenumber"""))(
+      ORDER BY l_orderkey, l_linenumber, qty, disc"""))(
       (s, d) => Tables.lineitem(s, d)
         .filter($"l_shipdate" >= lit("1998-01-01").cast("timestamp") &&
           $"l_shipdate" < lit("1999-01-01").cast("timestamp") &&
@@ -101,7 +103,7 @@ object Queries {
         .select($"l_orderkey", $"l_linenumber",
           round($"l_quantity", 6).as("qty"),
           round($"l_discount", 6).as("disc"), $"l_returnflag")
-        .orderBy($"l_orderkey", $"l_linenumber")),
+        .orderBy($"l_orderkey", $"l_linenumber", $"qty", $"disc")),
 
     // ---------------------------------------------------------------- P6 (both OR branches — fixes ref's first-term bug, where.py:229-238)
     Q("q04_where_dnf", Some("""
@@ -560,7 +562,7 @@ object Queries {
              'file://testdata/grid' AS data_uri,
              min(time) OVER () AS data_first_step
       FROM g
-      ORDER BY l_orderkey, l_linenumber"""))(
+      ORDER BY l_orderkey, l_linenumber, time, temperature, latitude, longitude"""))(
       (s, d) => grid(s, d)
         .filter($"latitude".between(-10, 10) && $"longitude".between(0, 40))
         .select($"l_orderkey", $"l_linenumber",
@@ -573,7 +575,8 @@ object Queries {
           lit("file://testdata/grid").as("data_uri"),
           min($"time".cast("timestamp_ntz")).over(Window.partitionBy())
             .as("data_first_step"))
-        .orderBy($"l_orderkey", $"l_linenumber"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"time", $"temperature",
+          $"latitude", $"longitude"))
   )
 
   // Implicit $"…" interpolation without a session: resolved lazily by plans.
@@ -581,8 +584,11 @@ object Queries {
     def $(args: Any*): Column = col(sc.s(args: _*))
   }
 
-  val byName: Map[String, (SparkSession, String) => DataFrame] =
-    all.map(q => q.name -> q.run).toMap
-  val oracles: Map[String, String] =
-    all.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap
+  /** Full inventory: core SQL surface + training-data pipeline operators. */
+  lazy val everything: Seq[Q] = all ++ QueriesML.all
+
+  lazy val byName: Map[String, (SparkSession, String) => DataFrame] =
+    everything.map(q => q.name -> q.run).toMap
+  lazy val oracles: Map[String, String] =
+    everything.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap
 }

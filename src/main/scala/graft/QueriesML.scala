@@ -1,0 +1,297 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Mover, Similarity, Splitter}
+import graft.sources.Tables
+
+/** Training-data-pipeline operator queries (dedup / similarity / text /
+  * multimodal / splitter), each with a DuckDB oracle. Where the operator's
+  * hash function matters, the md5-based variants are used (md5 is
+  * bit-identical in Spark and DuckDB; xxhash64 remains the library's scale
+  * path). Several oracles are generated programmatically so both dialects
+  * come from the same formula.
+  */
+object QueriesML {
+
+  private val MinhashSlots = 8
+  private val Bands = 4
+  private val RowsPerBand = MinhashSlots / Bands
+
+  // planted near/exact duplicates shared by the dedup queries:
+  // every 25th doc gets a near-copy (one appended token), every 50th an
+  // exact copy. Same derivation in both engines.
+  private val corpusSql = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text || ' graftdup' AS text
+    FROM documents WHERE doc_id % 25 = 0
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0"""
+
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    docs
+      .union(docs.filter($"doc_id" % 25 === 0)
+        .select(($"doc_id" + 100000).as("doc_id"), concat($"text", lit(" graftdup")).as("text")))
+      .union(docs.filter($"doc_id" % 50 === 0)
+        .select(($"doc_id" + 200000).as("doc_id"), $"text"))
+  }
+
+  // DuckDB fragments for tokens/shingles (3-word), mirroring Dedup.tokens /
+  // Dedup.shingles exactly.
+  private val toksSql = "string_split_regex(trim(lower(text)), '\\s+')"
+  private def shingleCte(src: String): String = s"""
+    toks AS (SELECT doc_id, $toksSql AS t FROM $src),
+    sh AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+           FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+                 FROM toks WHERE len(t) >= 3))"""
+
+  private def sigSelect: String =
+    (0 until MinhashSlots).map(k => s"min(md5('$k:' || s)) AS sig_$k").mkString(",\n             ")
+
+  val all: Seq[Q] = Seq(
+
+    // ------------------------------------------------------- dedup: MinHash signatures
+    Q("q30_minhash_sig", Some(s"""
+      WITH ${shingleCte("documents")}
+      SELECT doc_id,
+             $sigSelect
+      FROM sh GROUP BY doc_id ORDER BY doc_id"""))(
+      (s, d) => {
+        val sig = Dedup.md5MinhashSignature($"text", MinhashSlots)
+        Tables.documents(s, d)
+          .filter(size(Dedup.tokens($"text")) >= 3)
+          .select(($"doc_id" +: (0 until MinhashSlots).map(k =>
+            element_at(sig, k + 1).as(s"sig_$k"))): _*)
+          .orderBy($"doc_id")
+      }),
+
+    // ------------------------------------------------------- dedup: full LSH near-dup pipeline
+    Q("q31_minhash_near_dups", Some(s"""
+      WITH corpus AS ($corpusSql),
+      ${shingleCte("corpus")},
+      sig AS (SELECT doc_id,
+             $sigSelect
+             FROM sh GROUP BY doc_id),
+      bands AS (
+        ${(0 until Bands).map(b =>
+          s"SELECT doc_id, $b AS band, md5(sig_${b * RowsPerBand} || ',' || sig_${b * RowsPerBand + 1}) AS bucket FROM sig")
+          .mkString("\n        UNION ALL\n        ")}),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+               WHERE a.doc_id < b.doc_id),
+      sets AS (SELECT doc_id, list_distinct(list(s)) AS shs FROM sh GROUP BY doc_id),
+      verified AS (
+        SELECT id_a, id_b,
+               len(list_intersect(sa.shs, sb.shs))::DOUBLE
+                 / greatest(len(list_distinct(list_concat(sa.shs, sb.shs))), 1) AS j
+        FROM cand
+        JOIN sets sa ON sa.doc_id = id_a
+        JOIN sets sb ON sb.doc_id = id_b)
+      SELECT id_a, id_b, round(j, 6) AS jaccard
+      FROM verified WHERE j >= 0.5
+      ORDER BY id_a, id_b"""))(
+      (s, d) => {
+        val sigCol = Dedup.md5MinhashSignature($"text", MinhashSlots)
+        val keyed = corpus(s, d)
+          .filter(size(Dedup.tokens($"text")) >= 3)
+          .withColumn("sig", sigCol)
+          .withColumn("bk", explode(array((0 until Bands).map(b =>
+            struct(lit(b).as("band"), Dedup.md5BandKey($"sig", b, RowsPerBand).as("bucket"))): _*)))
+          .select($"doc_id", $"bk.band", $"bk.bucket")
+        val cand = keyed.as("a").join(keyed.as("b"), Seq("band", "bucket"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+        Dedup.jaccardVerify(cand, corpus(s, d), "doc_id", "text",
+            shingleSize = 3, threshold = 0.5)
+          .orderBy($"id_a", $"id_b")
+      }),
+
+    // ------------------------------------------------------- dedup: SimHash-16 fingerprint
+    Q("q32_simhash16", Some(s"""
+      WITH tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+      h AS (SELECT doc_id,
+                   (strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096
+                 + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256
+                 + (strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(md5(t), 4, 1)) - 1) AS hv
+            FROM tok),
+      bits AS (SELECT doc_id, j,
+                      sum(CASE WHEN (hv // CAST(power(2, j) AS INTEGER)) % 2 = 1
+                               THEN 1 ELSE -1 END) AS c
+               FROM h, (SELECT unnest(generate_series(0, 15)) AS j)
+               GROUP BY doc_id, j)
+      SELECT doc_id,
+             CAST(sum(CASE WHEN c > 0 THEN power(2, j) ELSE 0 END) AS BIGINT) AS fp16
+      FROM bits GROUP BY doc_id ORDER BY doc_id"""))(
+      (s, d) => {
+        def nib(t: Column, k: Int): Column =
+          instr(lit("0123456789abcdef"), substring(md5(t), k, 1)) - 1
+        def hv(t: Column): Column =
+          nib(t, 1) * 4096 + nib(t, 2) * 256 + nib(t, 3) * 16 + nib(t, 4)
+        def bitPm(t: Column, j: Int): Column =
+          ((hv(t).divide(lit(1 << j))).cast("int") % 2) * 2 - 1
+        val toks = Dedup.tokens($"text")
+        val counters = (0 until 16).map(j =>
+          aggregate(toks, lit(0), (acc, t) => acc + bitPm(t, j)))
+        val fp = (0 until 16).map(j =>
+          when(counters(j) > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+        Tables.documents(s, d)
+          .select($"doc_id", fp.as("fp16"))
+          .orderBy($"doc_id")
+      }),
+
+    // ------------------------------------------------------- similarity: hyperplane LSH buckets
+    Q("q33_ann_lsh_buckets", Some("""
+      WITH planes AS (SELECT vec_id AS pid, embedding::DOUBLE[] AS pv
+                      FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+      b AS (SELECT e.vec_id,
+                   CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pv) > 0
+                            THEN power(2, p.pid - 1) ELSE 0 END) AS BIGINT) AS bucket
+            FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id)
+      SELECT bucket, count(*) AS n, min(vec_id) AS min_id
+      FROM b GROUP BY bucket ORDER BY bucket"""))(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val planes = collectPlanes(emb, 1 to 4)
+        emb.withColumn("bucket", Similarity.hyperplaneBucket($"embedding", planes))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n"), min($"vec_id").as("min_id"))
+          .orderBy($"bucket")
+      }),
+
+    // ------------------------------------------------------- similarity: IVF cell assignment
+    Q("q34_ivf_cells", Some("""
+      WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                 FROM embeddings WHERE vec_id BETWEEN 5 AND 8),
+      z AS (SELECT e.vec_id, c.cid, unnest(e.embedding)::DOUBLE AS x, unnest(c.cv) AS y
+            FROM embeddings e CROSS JOIN c),
+      dist AS (SELECT vec_id, cid, sum((x - y) * (x - y)) AS d2
+               FROM z GROUP BY vec_id, cid),
+      r AS (SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM dist)
+      SELECT cid AS cell, count(*) AS n, min(vec_id) AS min_id
+      FROM r WHERE rn = 1 GROUP BY cell ORDER BY cell"""))(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val centroids = collectPlanes(emb, 5 to 8)
+        emb.withColumn("cell",
+            Similarity.ivfCell($"embedding", centroids) + 5)
+          .groupBy($"cell")
+          .agg(count(lit(1)).as("n"), min($"vec_id").as("min_id"))
+          .orderBy($"cell")
+      }),
+
+    // ------------------------------------------------------- text: quality filter pipeline
+    Q("q35_quality_filter", Some("""
+      WITH scored AS (
+        SELECT source,
+               round((least(length(text)/500.0, 1.0)
+                 + least((length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                          / greatest(length(text), 1)) * 20, 1.0)
+                 + least((len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b'))::DOUBLE
+                          / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                                     ELSE len(string_split_regex(trim(text), '\s+')) END, 1)) * 5,
+                         1.0)) / 3.0, 6) AS quality
+        FROM documents)
+      SELECT source, count(*) AS n_kept, round(avg(quality), 6) AS avg_quality
+      FROM scored WHERE quality >= 0.4
+      GROUP BY source ORDER BY source"""))(
+      (s, d) => {
+        import graft.functions.{TextFunctions => TF}
+        Tables.documents(s, d)
+          .withColumn("quality", TF.qualityScore($"text"))
+          .filter($"quality" >= 0.4)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_kept"), round(avg($"quality"), 6).as("avg_quality"))
+          .orderBy($"source")
+      }),
+
+    // ------------------------------------------------------- dedup: representative selection on planted corpus
+    Q("q36_dedup_reps", Some(s"""
+      WITH corpus AS ($corpusSql),
+      groups AS (SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_cnt
+                 FROM corpus GROUP BY 1)
+      SELECT count(*) AS n_groups,
+             CAST(sum(dup_cnt - 1) AS BIGINT) AS n_dropped,
+             CAST(sum(CASE WHEN dup_cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+      FROM groups"""))(
+      (s, d) => Dedup.exact(corpus(s, d), "text", "doc_id")
+        .agg(count(lit(1)).as("n_groups"),
+          sum($"dup_cnt" - 1).as("n_dropped"),
+          sum(when($"dup_cnt" > 1, 1L).otherwise(0L)).as("n_dup_groups"))),
+
+    // ------------------------------------------------------- ST3 R12: shard assignment for rate-limited sinks
+    Q("q37_shard_assign", Some("""
+      SELECT event_id % 5 AS shard,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             count(*) AS n, round(sum(value), 6) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))(
+      (s, d) => Tables.events(s, d)
+        .groupBy(($"event_id" % 5).as("shard"),
+          date_trunc("DAY", $"ts").cast("timestamp_ntz").as("day"))
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 6).as("sum_value"))
+        .orderBy($"shard", $"day")),
+
+    // ------------------------------------------------------- R8 R10: splitter enumeration + path templating
+    Q("q38_split_enumerate", Some("""
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             'out/' || event_type || '/' || strftime(date_trunc('day', ts), '%Y-%m-%d')
+               || '.parquet' AS output_path,
+             count(*) AS n
+      FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2"""))(
+      (s, d) => {
+        val enriched = Tables.events(s, d)
+          .withColumn("day", date_format(date_trunc("DAY", $"ts"), "yyyy-MM-dd"))
+        val counted = enriched.groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+        Splitter.withOutputPaths(counted, "out/{event_type}/{day}.parquet")
+          .select($"event_type", $"day", $"output_path", $"n")
+          .orderBy($"event_type", $"day")
+      }),
+
+    // ------------------------------------------------------- J2 S3: unpivot -> channel merge round-trip
+    Q("q39_channel_merge", Some(s"""
+      WITH grid AS (${Queries.gridSql}),
+      g AS (SELECT * FROM grid
+            WHERE latitude BETWEEN 30 AND 50 AND longitude BETWEEN -10 AND 30),
+      long AS (
+        SELECT l_orderkey, l_linenumber, 'temperature' AS channel, temperature AS value FROM g
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'humidity' AS channel, humidity AS value FROM g)
+      SELECT l_orderkey, l_linenumber,
+             round(max(CASE WHEN channel = 'temperature' THEN value END), 6) AS temperature,
+             round(max(CASE WHEN channel = 'humidity' THEN value END), 6) AS humidity
+      FROM long GROUP BY 1, 2 ORDER BY 1, 2"""))(
+      (s, d) => {
+        val g = Queries.grid(s, d)
+          .filter($"latitude".between(30, 50) && $"longitude".between(-10, 30))
+        val long = g.selectExpr("l_orderkey", "l_linenumber",
+          "stack(2, 'temperature', temperature, 'humidity', humidity) AS (channel, value)")
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem,
+        // so the merge must combine deterministically: max, mirroring the oracle
+        Mover.mergeChannels(long, Seq("l_orderkey", "l_linenumber"),
+            "channel", "value", Seq("temperature", "humidity"), max(_))
+          .select($"l_orderkey", $"l_linenumber",
+            round($"temperature", 6).as("temperature"),
+            round($"humidity", 6).as("humidity"))
+          .orderBy($"l_orderkey", $"l_linenumber")
+      })
+  )
+
+  /** Collect small plane/centroid vectors driver-side (they become literals
+    * in the per-row expressions — broadcast-free). */
+  private def collectPlanes(emb: DataFrame, ids: Range): Seq[Seq[Float]] = {
+    import emb.sparkSession.implicits._
+    emb.filter(col("vec_id").between(ids.head, ids.last))
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).as[Seq[Float]].collect().toSeq
+  }
+
+  private implicit class ColInterp(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}

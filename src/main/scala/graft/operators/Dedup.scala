@@ -39,6 +39,20 @@ object Dedup {
     }: _*)
   }
 
+  /** md5-based MinHash variant: slower than xxhash64 but bit-identical in
+    * any engine that ships md5 (the cross-engine-verifiable path; the
+    * lexicographic min over hex digests plays the role of the integer min). */
+  def md5MinhashSignature(text: Column, numHashes: Int, shingleSize: Int = 3): Column = {
+    val sh = shingles(tokens(text), shingleSize)
+    array((0 until numHashes).map { seed =>
+      array_min(transform(sh, s => md5(concat(lit(s"$seed:"), s))))
+    }: _*)
+  }
+
+  /** Band key for the md5 variant: md5 over the band's signature slice. */
+  def md5BandKey(sig: Column, band: Int, rowsPerBand: Int): Column =
+    md5(concat_ws(",", slice(sig, band * rowsPerBand + 1, rowsPerBand)))
+
   /** LSH banding: `bands` keys per row; two docs sharing any band key are
     * candidates. rowsPerBand = numHashes / bands. */
   def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =

@@ -62,10 +62,11 @@ object Mover {
     * per-channel schema (S3/J2: `xr.merge` of per-variable arrays becomes a
     * groupBy + pivot on the coordinate key — one shuffle, no N-way join). */
   def mergeChannels(long: DataFrame, coordKeys: Seq[String], channelCol: String,
-      valueCol: String, channels: Seq[String]): DataFrame =
+      valueCol: String, channels: Seq[String],
+      combine: Column => Column = first(_)): DataFrame =
     long.groupBy(coordKeys.map(col): _*)
       .pivot(channelCol, channels)
-      .agg(first(col(valueCol)))
+      .agg(combine(col(valueCol)))
 
   /** Half grid resolution per F5 (bq.py:248-264) — one tiny driver-side job
     * over the distinct coordinate values of a *sample* (first-URI pattern,

@@ -185,7 +185,7 @@ class StreamingSpec extends SparkSpec {
 
 class QueriesSpec extends SparkSpec {
   test("every query runs on sf0.001 and returns rows") {
-    val failures = Queries.all.flatMap { q =>
+    val failures = Queries.everything.flatMap { q =>
       try {
         val n = q.run(spark, sfDir).count()
         if (n > 0) None else Some(s"${q.name}: 0 rows")
