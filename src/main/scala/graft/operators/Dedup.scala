@@ -39,6 +39,26 @@ object Dedup {
     }: _*)
   }
 
+  /** Relational shingle extraction: one row per n-word shingle. posexplode +
+    * window leads stay inside whole-stage codegen; the array-HOF form
+    * ([[shingles]]) computes the same values but evaluates interpreted
+    * (~10x slower at corpus scale). One shuffle on the doc id; at 100 TB
+    * that shuffle is the unavoidable tokenize boundary and partitions by
+    * document, so it scales linearly. */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val toksDf = df.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+    val withLeads = (1 until n).foldLeft(toksDf) { (acc, k) =>
+      acc.withColumn(s"t_$k", lead(col("t"), k).over(w))
+    }
+    withLeads
+      .filter((1 until n).map(k => col(s"t_$k").isNotNull).reduceOption(_ && _).getOrElse(lit(true)))
+      .select(col("id"),
+        concat_ws(" ", col("t") +: (1 until n).map(k => col(s"t_$k")): _*).as("s"))
+  }
+
   /** md5-based MinHash variant: slower than xxhash64 but bit-identical in
     * any engine that ships md5 (the cross-engine-verifiable path; the
     * lexicographic min over hex digests plays the role of the integer min). */
