@@ -51,7 +51,7 @@ object QueriesML {
   private def sigSelect: String =
     (0 until MinhashSlots).map(k => s"min(md5('$k:' || s)) AS sig_$k").mkString(",\n             ")
 
-  val all: Seq[Q] = Seq(
+  lazy val all: Seq[Q] = Seq(
 
     // ------------------------------------------------------- dedup: MinHash signatures
     Q("q30_minhash_sig", Some(s"""
@@ -300,7 +300,66 @@ object QueriesML {
             round($"humidity", 6).as("humidity"))
           .orderBy($"l_orderkey", $"l_linenumber")
       })
-  )
+  ) ++ Seq(regridQ, matchDtQ, packedQ)
+
+  /** R13: conservative regrid 0.05° -> 1° as one hash aggregation. */
+  private lazy val regridQ = Q("q40_regrid_conservative", Some(s"""
+      WITH grid AS (${Queries.gridSql})
+      SELECT floor(latitude / 1.0) * 1.0 AS lat_cell,
+             floor(longitude / 1.0) * 1.0 AS lon_cell,
+             count(*) AS n_samples,
+             round(avg(temperature), 6) AS temperature
+      FROM grid GROUP BY 1, 2 ORDER BY 1, 2"""))(
+    (s, d) => {
+      import graft.operators.Regrid
+      Regrid.conservative(Queries.grid(s, d), "latitude", "longitude", 1.0, Seq("temperature"))
+        .select($"lat_cell", $"lon_cell", $"n_samples",
+          round($"temperature", 6).as("temperature"))
+        .orderBy($"lat_cell", $"lon_cell")
+    })
+
+  /** S5/F17: strftime-template datetime extraction from file names. */
+  private lazy val matchDtQ = Q("q42_match_datetime", Some("""
+      SELECT uri,
+             make_timestamp(
+               CAST(regexp_extract(uri, 'era5_([0-9]{4})([0-9]{2})([0-9]{2})\.nc', 1) AS INT),
+               CAST(regexp_extract(uri, 'era5_([0-9]{4})([0-9]{2})([0-9]{2})\.nc', 2) AS INT),
+               CAST(regexp_extract(uri, 'era5_([0-9]{4})([0-9]{2})([0-9]{2})\.nc', 3) AS INT),
+               0, 0, 0.0) AS file_time
+      FROM (SELECT DISTINCT 'gs://wx/era5_' || strftime(o_orderdate, '%Y%m%d') || '.nc' AS uri
+            FROM orders)
+      ORDER BY uri"""))(
+    (s, d) => {
+      import graft.functions.MoverFunctions
+      Tables.orders(s, d)
+        .select(concat(lit("gs://wx/era5_"),
+          date_format($"o_orderdate", "yyyyMMdd"), lit(".nc")).as("uri"))
+        .distinct()
+        .withColumn("file_time", MoverFunctions.matchDatetime($"uri", "era5_%Y%m%d.nc"))
+        .orderBy($"uri")
+    })
+
+  /** F20: packed-int16 scale/offset decode with missing-value masking. */
+  private lazy val packedQ = Q("q43_packed_decode", Some("""
+      SELECT raw,
+             round(CASE WHEN raw = -32767 THEN NULL
+                   ELSE raw * CAST(0.01 AS DOUBLE) + CAST(5 AS DOUBLE) END, 6) AS decoded,
+             count(*) AS n
+      FROM (SELECT CAST(CASE WHEN l_partkey % 97 = 0 THEN -32767
+                        ELSE l_partkey % 40000 - 20000 END AS INTEGER) AS raw
+            FROM lineitem)
+      GROUP BY raw ORDER BY raw"""))(
+    (s, d) => {
+      import graft.functions.MoverFunctions
+      Tables.lineitem(s, d)
+        .selectExpr("""CAST(CASE WHEN l_partkey % 97 = 0 THEN -32767
+                       ELSE l_partkey % 40000 - 20000 END AS INTEGER) AS raw""")
+        .groupBy($"raw").agg(count(lit(1)).as("n"))
+        .select($"raw",
+          round(MoverFunctions.packedDecode($"raw", 0.01, 5.0, -32767L), 6).as("decoded"),
+          $"n")
+        .orderBy($"raw")
+    })
 
   /** Collect small plane/centroid vectors driver-side (they become literals
     * in the per-row expressions — broadcast-free). */
