@@ -300,7 +300,31 @@ object QueriesML {
             round($"humidity", 6).as("humidity"))
           .orderBy($"l_orderkey", $"l_linenumber")
       })
-  ) ++ Seq(regridQ, matchDtQ, packedQ)
+  ) ++ Seq(regridQ, matchDtQ, packedQ, haversineQ)
+
+  /** Custom codegen Expression (§2.11): distances from London, top-50
+    * closest grid points. Both engines evaluate the same double formula;
+    * libm ulp differences are absorbed by round(…, 4) (~10 m). */
+  private lazy val haversineQ = Q("q44_haversine", Some(s"""
+      WITH grid AS (${Queries.gridSql}),
+      g AS (SELECT DISTINCT latitude, longitude FROM grid),
+      d AS (SELECT latitude, longitude,
+                   2 * 6371.0088 * asin(least(1.0, sqrt(
+                     pow(sin(radians(latitude - 51.5074) / 2), 2)
+                     + cos(radians(51.5074)) * cos(radians(latitude))
+                       * pow(sin(radians(longitude - (-0.1278)) / 2), 2)))) AS dist_km
+            FROM g)
+      SELECT latitude, longitude, round(dist_km, 4) AS dist_km
+      FROM d ORDER BY dist_km, latitude, longitude LIMIT 50"""))(
+    (s, d) => {
+      import graft.functions.HaversineDistance
+      Queries.grid(s, d)
+        .select($"latitude", $"longitude").distinct()
+        .withColumn("dist_km", round(HaversineDistance(
+          $"latitude", $"longitude", lit(51.5074), lit(-0.1278)), 4))
+        .orderBy($"dist_km", $"latitude", $"longitude")
+        .limit(50)
+    })
 
   /** R13: conservative regrid 0.05° -> 1° as one hash aggregation. */
   private lazy val regridQ = Q("q40_regrid_conservative", Some(s"""

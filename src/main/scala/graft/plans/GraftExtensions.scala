@@ -1,0 +1,30 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.HaversineDistance
+
+/** Session extensions registering the engine's Catalyst-level pieces:
+  *
+  *  - [[GeoPredicateRule]]: analysis-time rewrite of `city`/`country`
+  *    predicates into bounding boxes (P7);
+  *  - `haversine_km`: the custom codegen scalar [[HaversineDistance]]
+  *    available from SQL.
+  *
+  * Wire-up: `SparkSession.builder().withExtensions(new GraftExtensions)` —
+  * GraftSession.local does this; externally built sessions can use
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectResolutionRule(_ => GeoPredicateRule)
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("haversine_km"),
+      new ExpressionInfo(classOf[HaversineDistance].getName, "haversine_km"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4, "haversine_km(lat1, lon1, lat2, lon2)")
+        HaversineDistance(children(0), children(1), children(2), children(3))
+      }))
+  }
+}
