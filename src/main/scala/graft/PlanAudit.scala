@@ -24,6 +24,17 @@ object PlanAudit {
       println(s"AUDIT ${if (f(p)) "PASS" else "FAIL"} $q: $desc")
       if (!f(p)) println(p.linesIterator.take(40).mkString("\n"))
     }
+    // Plan lint over the WHOLE inventory: no unbounded cartesian products.
+    // Intentional tiny cross joins (literal fan-outs, 1-row query vectors,
+    // 4-row plane/centroid tables) plan as BroadcastNestedLoopJoin over a
+    // broadcast side bounded by a constant — allowed. A CartesianProduct
+    // node (both sides unbounded) would be a scale bug anywhere.
+    Queries.everything.foreach { q =>
+      val p = try plan(q.name) catch { case e: Throwable => s"ERROR ${e.getMessage}" }
+      val cartesian = p.contains("CartesianProduct")
+      println(s"LINT ${if (cartesian) "FAIL" else "ok"} ${q.name}" +
+        (if (cartesian) " — CartesianProduct in plan" else ""))
+    }
     // full dump for the two most scale-sensitive queries
     for (q <- Seq("q01_pricing_summary", "q31_minhash_near_dups"))
       println(s"==== $q ====\n" + plan(q).take(3000))

@@ -27,6 +27,16 @@ object FormatRegistry {
     if (base.contains('.')) base.substring(base.lastIndexOf('.') + 1).toLowerCase else ""
   }
 
+  /** F19 (`get_file_size`/`get_file_time`, weather_dl util.py:179-184,
+    * weather_mv sinks.py:522-540): object size in bytes and mtime (UTC ms)
+    * via the Hadoop FileSystem API — works for any supported scheme. */
+  def fileStatus(spark: SparkSession, uri: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(uri)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    (st.getLen, st.getModificationTime)
+  }
+
   /** Open a URI with format sniffing. `options` mirror the reference's
     * `open_dataset_kwargs`. */
   def open(spark: SparkSession, uri: String,

@@ -146,4 +146,9 @@ class FormatRegistrySpec extends SparkSpec {
     intercept[FormatRegistry.Unsupported](
       FormatRegistry.open(spark, s"$sfDir/lineitem.parquet", Map("engine" -> "zarr")))
   }
+
+  test("fileStatus returns size and mtime via Hadoop FS") {
+    val (size, mtime) = FormatRegistry.fileStatus(spark, s"$sfDir/lineitem.parquet")
+    assert(size > 1000 && mtime > 0)
+  }
 }
