@@ -13,7 +13,9 @@ import graft.sources.Tables
   *
   * Parity conventions shared by every query here and its oracle:
   *  - every DOUBLE output column is `round(x, 6)` in BOTH engines (both round
-  *    half-away-from-zero for doubles, and 6 dp absorbs fp-reorder noise);
+  *    half-away-from-zero for doubles, and 6 dp absorbs fp-reorder noise) —
+  *    EXCEPT billion-scale monetary sums, which use round(x, 2): at ~1e9
+  *    magnitude the reorder noise itself reaches 1e-6;
   *  - every result carries a total ORDER BY (driver compare may be
   *    row-order-sensitive);
   *  - `events.ts` is nanosecond-precision: exact values travel as `ts_ns`
@@ -51,7 +53,7 @@ object Queries {
     Q("q01_pricing_summary", Some("""
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 6) AS sum_qty,
-             round(sum(l_extendedprice), 6) AS sum_base_price,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
              round(avg(l_quantity), 6) AS avg_qty,
              round(avg(l_extendedprice), 6) AS avg_price,
              round(avg(l_discount), 6) AS avg_disc,
@@ -63,7 +65,7 @@ object Queries {
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
           round(sum($"l_quantity"), 6).as("sum_qty"),
-          round(sum($"l_extendedprice"), 6).as("sum_base_price"),
+          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
           round(avg($"l_quantity"), 6).as("avg_qty"),
           round(avg($"l_extendedprice"), 6).as("avg_price"),
           round(avg($"l_discount"), 6).as("avg_disc"),
@@ -138,13 +140,13 @@ object Queries {
     Q("q06_bucket_month", Some("""
       SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS time_month,
              o_orderpriority,
-             round(sum(o_totalprice), 6) AS sum_o_totalprice,
+             round(sum(o_totalprice), 2) AS sum_o_totalprice,
              count(*) AS n
       FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""))(
       (s, d) => Tables.orders(s, d)
         .groupBy(date_trunc("MONTH", $"o_orderdate").cast("timestamp_ntz").as("time_month"),
           $"o_orderpriority")
-        .agg(round(sum($"o_totalprice"), 6).as("sum_o_totalprice"),
+        .agg(round(sum($"o_totalprice"), 2).as("sum_o_totalprice"),
           count(lit(1)).as("n"))
         .orderBy($"time_month", $"o_orderpriority")),
 
@@ -201,7 +203,7 @@ object Queries {
     // ---------------------------------------------------------------- J1 (broadcast dim joins)
     Q("q10_join_dims", Some("""
       SELECT r_name, n_name,
-             round(sum(o_totalprice), 6) AS revenue,
+             round(sum(o_totalprice), 2) AS revenue,
              count(*) AS n_orders
       FROM orders
       JOIN customer ON o_custkey = c_custkey
@@ -214,7 +216,7 @@ object Queries {
         .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name", $"n_name")
-        .agg(round(sum($"o_totalprice"), 6).as("revenue"),
+        .agg(round(sum($"o_totalprice"), 2).as("revenue"),
           count(lit(1)).as("n_orders"))
         .orderBy($"r_name", $"n_name")),
 

@@ -60,6 +60,24 @@ object FileEvents {
     fresh.write.mode("append").parquet(sinkPath)
   }
 
+  /** ST6/ST8: start an idempotent micro-batch ingest of a stream into a
+    * parquet sink — `foreachBatch` + anti-join dedup on `keyCol`, fired on a
+    * processing-time trigger (the reference's
+    * `Repeatedly(AfterProcessingTime(5))`, metrics.py:279-283). */
+  def startIdempotentIngest(stream: DataFrame, keyCol: String, sinkPath: String,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        idempotentAppend(batch.sparkSession, batch.toDF(), keyCol, sinkPath)
+      }
+      .start()
+
   private def sinkExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

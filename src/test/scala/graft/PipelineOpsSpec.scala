@@ -170,6 +170,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("startIdempotentIngest: stream -> foreachBatch sink dedups across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val tmpRoot = java.nio.file.Files.createTempDirectory("stream_ingest").toString
+    val stream = MemoryStream[(Long, String)]
+    val q = FileEvents.startIdempotentIngest(
+      stream.toDF().toDF("event_id", "payload"), "event_id",
+      s"$tmpRoot/sink", s"$tmpRoot/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    stream.addData(Seq((1L, "a"), (2L, "b")))
+    q.processAllAvailable(); q.stop()
+    // second run re-delivers an overlapping batch (at-least-once upstream)
+    val stream2 = MemoryStream[(Long, String)]
+    stream2.addData(Seq((2L, "b"), (3L, "c")))
+    val q2 = FileEvents.startIdempotentIngest(
+      stream2.toDF().toDF("event_id", "payload"), "event_id",
+      s"$tmpRoot/sink", s"$tmpRoot/ckpt2",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q2.processAllAvailable(); q2.stop()
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$tmpRoot/sink").select($"event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L)) // no duplicate 2
+  }
+
   test("idempotentAppend: re-ingesting a batch adds nothing") {
     val tmp = java.nio.file.Files.createTempDirectory("ingest").toString + "/sink"
     val batch = Tables.events(spark, sfDir).select($"event_id", $"event_type").limit(100)
