@@ -93,42 +93,13 @@ object QueriesML {
       SELECT id_a, id_b, round(j, 6) AS jaccard
       FROM verified WHERE j >= 0.5
       ORDER BY id_a, id_b"""))(
-      (s, d) => {
-        // Relational formulation end-to-end: shingle rows via posexplode +
-        // window leads, then explode seeds, md5 inside whole-stage codegen,
-        // hash-aggregate min per slot. The array-HOF forms compute the same
-        // values but evaluate interpreted and re-run on both sides of the
-        // self-join — ~10x slower. Shingles/signatures/sets are persisted:
-        // tiny vs the corpus, and each feeds two join sides.
-        val sh = Dedup.shingleRows(corpus(s, d), "doc_id", "text", 3)
-          .withColumnRenamed("id", "doc_id").persist()
-        val sigAggs = (0 until MinhashSlots).map(k =>
-          min(when($"seed" === k, $"h")).as(s"sig_$k"))
-        val slotMins = sh
-          .withColumn("seed", explode(array((0 until MinhashSlots).map(lit): _*)))
-          .withColumn("h", md5(concat($"seed", lit(":"), $"s")))
-          .groupBy($"doc_id")
-          .agg(sigAggs.head, sigAggs.tail: _*)
-          .persist()
-        val bands = (0 until Bands).map { b =>
-          slotMins.select($"doc_id", lit(b).as("band"),
-            md5(concat_ws(",", col(s"sig_${b * RowsPerBand}"), col(s"sig_${b * RowsPerBand + 1}")))
-              .as("bucket"))
-        }.reduce(_ union _)
-        val cand = bands.as("a").join(bands.as("b"), Seq("band", "bucket"))
-          .filter(col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .distinct()
-        val sets = sh.groupBy($"doc_id").agg(collect_set($"s").as("sh")).persist()
-        cand
-          .join(sets.select($"doc_id".as("id_a"), $"sh".as("sh_a")), Seq("id_a"))
-          .join(sets.select($"doc_id".as("id_b"), $"sh".as("sh_b")), Seq("id_b"))
-          .withColumn("jaccard", size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-            greatest(size(array_union($"sh_a", $"sh_b")), lit(1)).cast("double"))
-          .filter($"jaccard" >= 0.5)
-          .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
-          .orderBy($"id_a", $"id_b")
-      }),
+      (s, d) =>
+        // The fully relational library pipeline (Dedup doc explains why the
+        // array-HOF formulation is ~10x slower); md5 hashing keeps it
+        // bit-identical to the DuckDB oracle.
+        Dedup.minhashNearDupsRelational(corpus(s, d), "doc_id", "text",
+            numHashes = MinhashSlots, bands = Bands, shingleSize = 3, threshold = 0.5)
+          .orderBy($"id_a", $"id_b")),
 
     // ------------------------------------------------------- dedup: SimHash-16 fingerprint
     Q("q32_simhash16", Some(s"""

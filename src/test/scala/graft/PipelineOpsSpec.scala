@@ -34,6 +34,20 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2001L)), s"near pair missing from $pairs")
   }
 
+  test("relational minhash pipeline agrees with the array-HOF formulation") {
+    val hof = Dedup.minhashNearDups(docs, "doc_id", "text",
+        numHashes = 8, bands = 4, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val rel = Dedup.minhashNearDupsRelational(docs, "doc_id", "text",
+        numHashes = 8, bands = 4, threshold = 0.5,
+        hashCol = (seed, s) => xxhash64(seed, s).cast("string"))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // both catch the planted pairs; the exact candidate sets can differ
+    // because the hash families differ, but verify keeps only real dups
+    assert(hof.contains((0L, 1000L)) && rel.contains((0L, 1000L)))
+    assert(hof.contains((1L, 2001L)) && rel.contains((1L, 2001L)))
+  }
+
   test("jaccard verify kills low-similarity candidates") {
     val fake = Seq((1L, 2L)).toDF("id_a", "id_b")
     val corpus = Seq((1L, "a b c d e f"), (2L, "x y z w v u")).toDF("doc_id", "text")
