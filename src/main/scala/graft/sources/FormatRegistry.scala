@@ -18,9 +18,10 @@ object FormatRegistry {
 
   val native: Map[String, String] = Map(
     "parquet" -> "parquet", "pq" -> "parquet",
-    "csv" -> "csv", "json" -> "json", "orc" -> "orc", "txt" -> "text")
+    "csv" -> "csv", "json" -> "json", "orc" -> "orc", "txt" -> "text",
+    "zarr" -> "zarr") // graft.sources.zarr.ZarrTableProvider (DSv2)
 
-  val scientific: Set[String] = Set("nc", "nc4", "cdf", "grib", "grib2", "grb", "tif", "tiff", "zarr")
+  val scientific: Set[String] = Set("nc", "nc4", "cdf", "grib", "grib2", "grb", "tif", "tiff")
 
   def extensionOf(uri: String): String = {
     val base = uri.stripSuffix("/").split('/').last

@@ -1,0 +1,282 @@
+package graft.sources.zarr
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import ZarrMeta.{ArrayMeta, Store}
+
+/** DataSource V2 reader for Zarr v2 hypercube stores — the "genuinely hard
+  * custom piece" SURVEY §4 calls for: a scientific-format reader whose
+  * chunk grid becomes Spark's partition planning and whose coordinate
+  * predicates push down to chunk pruning, exactly like xql's index-based
+  * `.sel` slicing (xql/src/xql/where.py:116-138) and xarray-beam's
+  * DatasetToChunks (weather_mv bq.py:407-421).
+  *
+  * `spark.read.format("zarr").load(store)` yields the long-format row model
+  * (SURVEY §1.5): one row per grid point, one column per coordinate
+  * (epoch-seconds time coordinates surface as TIMESTAMP_NTZ) and per data
+  * variable (FLOAT64 after scale/offset decode; missing -> NULL).
+  *
+  * Scale design: one input partition per (filter-surviving) chunk of the
+  * hypercube — reads parallelize over the chunk grid with no driver-side
+  * data movement; coordinate vectors (small by construction) ride inside
+  * the partition descriptors. Cell-level coordinate ranges are applied in
+  * the reader; Spark re-applies the full residual predicate, so pushdown is
+  * a pure pruning optimization, never a correctness dependency.
+  */
+class ZarrTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "zarr"
+
+  private def storePath(options: CaseInsensitiveStringMap): String = {
+    val p = Option(options.get("path")).orElse(Option(options.get("paths")))
+    p.getOrElse(throw new IllegalArgumentException("zarr source needs a path"))
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val store = ZarrMeta.open(new Configuration(), storePath(options))
+    ZarrTableProvider.schemaOf(store)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = properties.asScala.getOrElse("path",
+      throw new IllegalArgumentException("zarr source needs a path"))
+    new ZarrTable(path)
+  }
+}
+
+object ZarrTableProvider {
+  def schemaOf(store: Store): StructType = {
+    val coordFields = store.dims.map { d =>
+      val m = store.coordMeta.getOrElse(d,
+        throw new IllegalArgumentException(s"dimension '$d' has no coordinate array"))
+      StructField(d, if (m.epochSecondsTime) TimestampNTZType else DoubleType, nullable = false)
+    }
+    val varFields = store.dataVars.map(v => StructField(v.name, DoubleType, nullable = true))
+    StructType(coordFields ++ varFields)
+  }
+}
+
+class ZarrTable(path: String) extends Table with SupportsRead {
+  private lazy val store: Store = ZarrMeta.open(new Configuration(), path)
+  override def name(): String = s"zarr:$path"
+  override def schema(): StructType = ZarrTableProvider.schemaOf(store)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ZarrScanBuilder(store)
+}
+
+class ZarrScanBuilder(store: Store) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = ZarrTableProvider.schemaOf(store)
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.filter(f => ZarrScan.coordBound(store, f).isDefined)
+    filters // everything stays residual: pruning is an optimization only
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new ZarrScan(store, required, accepted)
+}
+
+object ZarrScan {
+  /** (dim, op, bound-as-double) for a filter this source can prune with. */
+  def coordBound(store: Store, f: Filter): Option[(String, String, Double)] = {
+    def num(v: Any): Option[Double] = v match {
+      case n: Number => Some(n.doubleValue())
+      case t: java.sql.Timestamp => Some(t.getTime / 1000.0)
+      case i: java.time.Instant => Some(i.toEpochMilli / 1000.0)
+      case d: java.time.LocalDateTime => Some(d.toEpochSecond(java.time.ZoneOffset.UTC).toDouble)
+      case _ => None
+    }
+    val x = f match {
+      case sources.GreaterThan(a, v) => Some((a, ">", v))
+      case sources.GreaterThanOrEqual(a, v) => Some((a, ">=", v))
+      case sources.LessThan(a, v) => Some((a, "<", v))
+      case sources.LessThanOrEqual(a, v) => Some((a, "<=", v))
+      case sources.EqualTo(a, v) => Some((a, "=", v))
+      case _ => None
+    }
+    x.flatMap { case (a, op, v) =>
+      if (!store.dims.contains(a)) None else num(v).map(b => (a, op, b))
+    }
+  }
+
+  /** Inclusive index range [lo, hi] of `coord` values satisfying all bounds
+    * on one dim (coords ascending — the xarray norm; descending coords would
+    * be handled the way xql does, by flipping the slice, where.py:109-114). */
+  def indexRange(coord: Array[Double], bounds: Seq[(String, Double)]): (Int, Int) = {
+    var lo = 0
+    var hi = coord.length - 1
+    bounds.foreach { case (op, b) =>
+      op match {
+        case ">" => while (lo <= hi && coord(lo) <= b) lo += 1
+        case ">=" => while (lo <= hi && coord(lo) < b) lo += 1
+        case "<" => while (hi >= lo && coord(hi) >= b) hi -= 1
+        case "<=" => while (hi >= lo && coord(hi) > b) hi -= 1
+        case "=" =>
+          while (lo <= hi && coord(lo) < b) lo += 1
+          while (hi >= lo && coord(hi) > b) hi -= 1
+      }
+    }
+    (lo, hi)
+  }
+}
+
+class ZarrScan(store: Store, required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ZarrScan ${store.path} pushed=[${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val shape = store.dataVars.head.shape
+    val chunks = store.dataVars.head.chunks
+    // per-dim inclusive index ranges after pushdown
+    val ranges: Seq[(Int, Int)] = store.dims.zipWithIndex.map { case (d, i) =>
+      val bounds = pushed.flatMap(f => ZarrScan.coordBound(store, f))
+        .filter(_._1 == d).map(b => (b._2, b._3)).toSeq
+      if (bounds.isEmpty) (0, shape(i) - 1)
+      else ZarrScan.indexRange(store.coords(d), bounds)
+    }
+    if (ranges.exists { case (lo, hi) => lo > hi }) return Array.empty
+    // chunks overlapping the ranges, cartesian across dims
+    val perDimChunks: Seq[Seq[Int]] = ranges.zipWithIndex.map { case ((lo, hi), i) =>
+      (lo / chunks(i)) to (hi / chunks(i))
+    }
+    val tuples = perDimChunks.foldLeft(Seq(Seq.empty[Int])) { (acc, cs) =>
+      for (t <- acc; c <- cs) yield t :+ c
+    }
+    val neededVars = store.dataVars.filter(v => required.fieldNames.contains(v.name))
+    tuples.map(t => ZarrInputPartition(store.path, store.dims.toArray,
+      shape.toArray, chunks.toArray, t.toArray,
+      ranges.map(_._1).toArray, ranges.map(_._2).toArray,
+      store.dims.map(d => store.coords(d)).toArray,
+      store.dims.map(d => store.coordMeta(d).epochSecondsTime).toArray,
+      neededVars.toArray, required.fieldNames): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new ZarrReaderFactory
+}
+
+final case class ZarrInputPartition(
+    storePath: String,
+    dims: Array[String],
+    shape: Array[Int],
+    chunks: Array[Int],
+    chunkIdx: Array[Int],
+    rangeLo: Array[Int],
+    rangeHi: Array[Int],
+    coords: Array[Array[Double]],
+    coordIsTime: Array[Boolean],
+    vars: Array[ArrayMeta],
+    outputCols: Array[String]) extends InputPartition
+
+class ZarrReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ZarrPartitionReader(partition.asInstanceOf[ZarrInputPartition])
+}
+
+class ZarrPartitionReader(p: ZarrInputPartition) extends PartitionReader[InternalRow] {
+  private val conf = new Configuration()
+  private val nDims = p.dims.length
+  // decoded chunk per needed var, loaded lazily on first next()
+  private var varData: Array[Array[Double]] = _
+  // output accessors: >=0 -> var index, (-1-d) -> coord of dim d
+  private val accessors: Array[Int] = p.outputCols.map { c =>
+    val d = p.dims.indexOf(c)
+    if (d >= 0) -1 - d else p.vars.indexWhere(_.name == c)
+  }
+
+  // local C-order iteration over the chunk, bounded by shape + pushed ranges
+  private val localShape = new Array[Int](nDims)
+  private val globalBase = new Array[Int](nDims)
+  private val cursor = new Array[Int](nDims)
+  private var started = false
+  private var finished = false
+  locally {
+    var d = 0
+    while (d < nDims) {
+      globalBase(d) = p.chunkIdx(d) * p.chunks(d)
+      localShape(d) = math.min(p.chunks(d), p.shape(d) - globalBase(d))
+      d += 1
+    }
+  }
+
+  private def inRange: Boolean = {
+    var d = 0
+    while (d < nDims) {
+      val g = globalBase(d) + cursor(d)
+      if (g < p.rangeLo(d) || g > p.rangeHi(d)) return false
+      d += 1
+    }
+    true
+  }
+
+  private def advance(): Boolean = {
+    if (!started) { started = true }
+    else {
+      var d = nDims - 1
+      var carry = true
+      while (carry && d >= 0) {
+        cursor(d) += 1
+        if (cursor(d) < localShape(d)) carry = false
+        else { cursor(d) = 0; d -= 1 }
+      }
+      if (carry) { finished = true; return false }
+    }
+    true
+  }
+
+  override def next(): Boolean = {
+    if (finished) return false
+    if (varData == null)
+      varData = p.vars.map(v => ZarrMeta.readChunk(conf, p.storePath, v, p.chunkIdx.toSeq))
+    while (advance()) if (inRange) return true
+    false
+  }
+
+  override def get(): InternalRow = {
+    // local linear index in chunk C-order
+    var li = 0
+    var d = 0
+    while (d < nDims) { li = li * p.chunks(d) + cursor(d); d += 1 }
+    val row = new Array[Any](accessors.length)
+    var i = 0
+    while (i < accessors.length) {
+      val a = accessors(i)
+      if (a >= 0) {
+        val v = varData(a)(li)
+        row(i) = if (v.isNaN) null else java.lang.Double.valueOf(v)
+      } else {
+        val dim = -1 - a
+        val c = p.coords(dim)(globalBase(dim) + cursor(dim))
+        row(i) =
+          if (p.coordIsTime(dim)) java.lang.Long.valueOf(math.round(c * 1e6))
+          else java.lang.Double.valueOf(c)
+      }
+      i += 1
+    }
+    new GenericInternalRow(row)
+  }
+
+  override def close(): Unit = { varData = null }
+}

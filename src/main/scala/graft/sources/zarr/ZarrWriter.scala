@@ -1,0 +1,120 @@
+package graft.sources.zarr
+
+import java.io.{ByteArrayOutputStream, File, FileOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.Deflater
+
+/** Minimal Zarr v2 writer (S15: `ChunksToZarr`, weather_mv regrid.py:128-162
+  * writes regridded chunks to a Zarr store). Writes xarray-convention
+  * stores (`_ARRAY_DIMENSIONS`) with raw or zlib chunks — enough to
+  * round-trip through [[ZarrTableProvider]] and to build test fixtures
+  * without zarr-python in the environment.
+  *
+  * Local-filesystem only: fixture/test scale. The distributed write path
+  * for hypercube data remains the partitioned parquet write (Splitter).
+  */
+object ZarrWriter {
+
+  final case class VarSpec(
+      name: String,
+      dims: Seq[String],
+      shape: Seq[Int],
+      chunks: Seq[Int],
+      dtype: String = "<f8",
+      data: Seq[Double],                    // C-order, pre-encode values
+      compressor: Option[String] = None,    // None | Some("zlib")
+      scaleFactor: Option[Double] = None,
+      addOffset: Option[Double] = None,
+      missingValue: Option[Double] = None,
+      units: Option[String] = None)
+
+  def write(storePath: String, vars: Seq[VarSpec]): Unit = {
+    val root = new File(storePath)
+    root.mkdirs()
+    writeString(new File(root, ".zgroup"), """{"zarr_format": 2}""")
+    vars.foreach(v => writeArray(root, v))
+  }
+
+  private def writeArray(root: File, v: VarSpec): Unit = {
+    require(v.data.size == v.shape.product, s"${v.name}: data size != shape product")
+    val dir = new File(root, v.name)
+    dir.mkdirs()
+    val compressorJson = v.compressor match {
+      case Some("zlib") => """{"id": "zlib", "level": 6}"""
+      case None => "null"
+      case Some(o) => throw new UnsupportedOperationException(s"compressor $o")
+    }
+    writeString(new File(dir, ".zarray"),
+      s"""{"zarr_format": 2, "shape": [${v.shape.mkString(", ")}],
+         | "chunks": [${v.chunks.mkString(", ")}], "dtype": "${v.dtype}",
+         | "compressor": $compressorJson, "fill_value": null, "order": "C",
+         | "filters": null}""".stripMargin)
+    val attrs = Seq(
+      Some(s""""_ARRAY_DIMENSIONS": [${v.dims.map("\"" + _ + "\"").mkString(", ")}]"""),
+      v.scaleFactor.map(x => s""""scale_factor": $x"""),
+      v.addOffset.map(x => s""""add_offset": $x"""),
+      v.missingValue.map(x => s""""missing_value": ${fmtMissing(x, v.dtype)}"""),
+      v.units.map(u => s""""units": "$u"""")).flatten
+    writeString(new File(dir, ".zattrs"), attrs.mkString("{", ", ", "}"))
+
+    val grid = v.shape.zip(v.chunks).map { case (s, c) => (s + c - 1) / c }
+    cartesian(grid.map(g => 0 until g)).foreach { chunkIdx =>
+      val bytes = encodeChunk(v, chunkIdx)
+      val out = v.compressor match {
+        case Some("zlib") => deflate(bytes)
+        case _ => bytes
+      }
+      val fos = new FileOutputStream(new File(dir, chunkIdx.mkString(".")))
+      try fos.write(out) finally fos.close()
+    }
+  }
+
+  private def fmtMissing(x: Double, dtype: String): String =
+    if (dtype.startsWith("<i") || dtype.endsWith("u1")) x.toLong.toString else x.toString
+
+  /** Full-chunk-size buffer (zarr pads edge chunks); cells beyond the array
+    * bounds get the raw value 0. */
+  private def encodeChunk(v: VarSpec, chunkIdx: Seq[Int]): Array[Byte] = {
+    val n = v.chunks.product
+    val width = ZarrMeta.dtypeBytes(v.dtype)
+    val bb = ByteBuffer.allocate(n * width).order(ByteOrder.LITTLE_ENDIAN)
+    cartesian(v.chunks.map(c => 0 until c)).foreach { local =>
+      val global = chunkIdx.zip(local).zip(v.chunks).map { case ((ci, l), c) => ci * c + l }
+      val inBounds = global.zip(v.shape).forall { case (g, s) => g < s }
+      val value = if (!inBounds) 0.0 else v.data(linearIndex(global, v.shape))
+      v.dtype match {
+        case "<f8" => bb.putDouble(value)
+        case "<f4" => bb.putFloat(value.toFloat)
+        case "<i8" => bb.putLong(value.toLong)
+        case "<i4" => bb.putInt(value.toInt)
+        case "<i2" => bb.putShort(value.toShort)
+        case "<u1" | "|u1" => bb.put(value.toInt.toByte)
+      }
+    }
+    bb.array()
+  }
+
+  private def linearIndex(global: Seq[Int], shape: Seq[Int]): Int =
+    global.zip(shape).foldLeft(0) { case (acc, (g, s)) => acc * s + g }
+
+  private def cartesian(ranges: Seq[Range]): Seq[Seq[Int]] =
+    ranges.foldLeft(Seq(Seq.empty[Int])) { (acc, r) =>
+      for (t <- acc; x <- r) yield t :+ x
+    }
+
+  private def deflate(bytes: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(6)
+    d.setInput(bytes)
+    d.finish()
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](64 * 1024)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def writeString(f: File, s: String): Unit = {
+    val fos = new FileOutputStream(f)
+    try fos.write(s.getBytes("UTF-8")) finally fos.close()
+  }
+}

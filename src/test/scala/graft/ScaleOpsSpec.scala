@@ -144,7 +144,7 @@ class FormatRegistrySpec extends SparkSpec {
 
   test("engine option overrides extension sniffing") {
     intercept[FormatRegistry.Unsupported](
-      FormatRegistry.open(spark, s"$sfDir/lineitem.parquet", Map("engine" -> "zarr")))
+      FormatRegistry.open(spark, s"$sfDir/lineitem.parquet", Map("engine" -> "grib")))
   }
 
   test("fileStatus returns size and mtime via Hadoop FS") {

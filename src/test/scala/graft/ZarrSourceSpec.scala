@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.zarr.{ZarrWriter => ZW}
+
+/** Golden tests for the Zarr DSv2 source: write a store with the pure-Scala
+  * writer, read it back through `spark.read.format("zarr")`, check values,
+  * chunk-grid partitioning, filter pushdown pruning, and the reference's
+  * packed-int16 decode (weather_mv test_data.zarr conventions). */
+class ZarrSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 x 5 x 6 hypercube (time x latitude x longitude), chunks 2 x 3 x 4
+  // (edge chunks non-dividing on every axis).
+  private val (nt, ny, nx) = (4, 5, 6)
+  private lazy val store: String = {
+    val dir = java.nio.file.Files.createTempDirectory("zarr").toString + "/store.zarr"
+    val times = (0 until nt).map(t => 86400.0 * t) // daily from 1970-01-01
+    val lats = (0 until ny).map(y => -10.0 + 5.0 * y)
+    val lons = (0 until nx).map(x => 100.0 + 10.0 * x)
+    def cube(f: (Int, Int, Int) => Double): Seq[Double] =
+      for (t <- 0 until nt; y <- 0 until ny; x <- 0 until nx) yield f(t, y, x)
+    ZW.write(dir, Seq(
+      ZW.VarSpec("time", Seq("time"), Seq(nt), Seq(3), "<i8", times,
+        units = Some("seconds since 1970-01-01")),
+      ZW.VarSpec("latitude", Seq("latitude"), Seq(ny), Seq(3), "<f8", lats),
+      ZW.VarSpec("longitude", Seq("longitude"), Seq(nx), Seq(4), "<f8", lons),
+      // float64 variable, zlib-compressed
+      ZW.VarSpec("t2m", Seq("time", "latitude", "longitude"),
+        Seq(nt, ny, nx), Seq(2, 3, 4),
+        data = cube((t, y, x) => 250.0 + t + 0.1 * y + 0.01 * x),
+        compressor = Some("zlib")),
+      // packed int16 with scale/offset + missing value (test_data.zarr style)
+      ZW.VarSpec("cape", Seq("time", "latitude", "longitude"),
+        Seq(nt, ny, nx), Seq(2, 3, 4), dtype = "<i2",
+        data = cube((t, y, x) => if (t == 0 && y == 0 && x == 0) -32767 else (100 * t + x).toDouble),
+        scaleFactor = Some(0.5), addOffset = Some(1000.0),
+        missingValue = Some(-32767))))
+    dir
+  }
+
+  private def ds = spark.read.format("zarr").load(store)
+
+  test("schema: coords (time as timestamp) + decoded float64 variables") {
+    val s = ds.schema
+    assert(s.fieldNames.toSeq == Seq("time", "latitude", "longitude", "cape", "t2m"))
+    assert(s("time").dataType.typeName == "timestamp_ntz")
+    assert(s("t2m").dataType.typeName == "double" && s("cape").dataType.typeName == "double")
+  }
+
+  test("values round-trip, scale/offset applied, missing -> null") {
+    assert(ds.count() == nt * ny * nx)
+    val r = ds.filter($"latitude" === -10.0 && $"longitude" === 110.0)
+      .filter(date_format($"time", "yyyy-MM-dd") === "1970-01-02")
+      .select($"t2m", $"cape").head()
+    assert(math.abs(r.getDouble(0) - (250.0 + 1 + 0.0 + 0.01)) < 1e-9)
+    assert(r.getDouble(1) == (100 * 1 + 1) * 0.5 + 1000.0)
+    // the planted missing cell decodes to NULL
+    val missing = ds.filter($"latitude" === -10.0 && $"longitude" === 100.0)
+      .orderBy($"time").select($"cape").head()
+    assert(missing.isNullAt(0))
+  }
+
+  test("partition planning follows the chunk grid") {
+    assert(ds.rdd.getNumPartitions == 2 * 2 * 2) // ceil(4/2) x ceil(5/3) x ceil(6/4)
+  }
+
+  test("coordinate filters push down and prune chunks") {
+    val filtered = ds.filter($"latitude" >= 5.0 && $"longitude" < 120.0)
+    // latitude >= 5 -> indices 3..4 -> chunk 1 only; longitude < 120 ->
+    // indices 0..1 -> chunk 0 only; time unfiltered -> 2 chunks
+    assert(filtered.rdd.getNumPartitions == 2 * 1 * 1)
+    assert(filtered.count() == nt * 2 * 2)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("ZarrScan"), plan.take(400))
+    // residual safety: selecting values matches a full-scan filter
+    val viaFull = ds.collect().filter(r =>
+      r.getAs[Double]("latitude") >= 5.0 && r.getAs[Double]("longitude") < 120.0).length
+    assert(viaFull == filtered.count())
+  }
+
+  test("column pruning only decodes requested variables") {
+    val one = ds.select($"latitude", $"t2m")
+    assert(one.columns.toSeq == Seq("latitude", "t2m"))
+    assert(one.agg(sum($"t2m")).head().getDouble(0) > 0)
+  }
+
+  test("empty selection yields zero partitions, not errors") {
+    val none = ds.filter($"latitude" > 1000.0)
+    assert(none.count() == 0)
+  }
+
+  test("FormatRegistry dispatches .zarr to the DSv2 source") {
+    val df = graft.sources.FormatRegistry.open(spark, store)
+    assert(df.count() == nt * ny * nx)
+  }
+}
