@@ -29,10 +29,11 @@ import graft.plans.GeoConstants
 class WxSql(spark: SparkSession) {
   private val aliases = mutable.Map.empty[String, String]
 
-  /** `.set alias uri` — alias a parquet path; registers a temp view. */
+  /** `.set alias uri` — alias a store path (parquet, zarr, csv, …; format
+    * sniffed like the reference's engine dispatch); registers a temp view. */
   def set(alias: String, path: String): Unit = {
     aliases(alias) = path
-    spark.read.parquet(path).createOrReplaceTempView(alias)
+    graft.sources.FormatRegistry.open(spark, path).createOrReplaceTempView(alias)
   }
 
   /** `.show` meta-command analog. */

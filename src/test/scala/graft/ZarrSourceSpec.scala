@@ -95,4 +95,33 @@ class ZarrSourceSpec extends SparkSpec {
     val df = graft.sources.FormatRegistry.open(spark, store)
     assert(df.count() == nt * ny * nx)
   }
+
+  test("flagship xql query end-to-end on a zarr store (README example shape)") {
+    // the reference's flagship: daily AVG over a spatial box on ERA5 zarr
+    // (xql/README.md:74-83); here: WxSql sugar -> date_trunc + box filter
+    val wx = graft.operators.WxSql(spark)
+    wx.set("era5", store)
+    val out = wx.sql(
+      "SELECT time_date, AVG(t2m) FROM era5 " +
+        "WHERE latitude >= -10 AND latitude <= 0 AND longitude >= 100 AND longitude <= 120 " +
+        "GROUP BY time_date ORDER BY time_date")
+    val rows = out.collect()
+    assert(out.columns.toSeq.contains("avg_t2m"))
+    assert(rows.length == nt) // one row per day
+    // day 0 box: lats {-10,-5,0} x lons {100,110,120}, t=0
+    val expected = (for (y <- 0 to 2; x <- 0 to 2) yield 250.0 + 0.1 * y + 0.01 * x).sum / 9
+    assert(math.abs(rows.head.getAs[Double]("avg_t2m") - expected) < 1e-9)
+  }
+
+  test("mover extract pipeline runs natively on the zarr hypercube") {
+    val out = graft.operators.Mover.extractRows(ds, s"file://$store",
+      graft.operators.Mover.Options(variables = Seq("t2m"),
+        area = Some(graft.operators.Mover.Area(north = 0, west = 100, south = -10, east = 120)),
+        importTime = Some("2026-01-01 00:00:00"),
+        latRes = Some(2.5), lonRes = Some(5.0)))
+    assert(out.count() == nt * 3 * 3)
+    val r = out.orderBy($"time", $"latitude", $"longitude").head()
+    assert(r.getAs[String]("geo_point").contains("\"coordinates\": [100.0, -10.0]"))
+    assert(!out.columns.contains("cape")) // variable projection applied
+  }
 }
