@@ -271,7 +271,32 @@ object QueriesML {
             round($"humidity", 6).as("humidity"))
           .orderBy($"l_orderkey", $"l_linenumber")
       })
-  ) ++ Seq(regridQ, matchDtQ, packedQ, haversineQ)
+  ) ++ Seq(regridQ, matchDtQ, packedQ, haversineQ, sessionizeQ)
+
+  /** Stateful-op family: gap-based sessionization, batch mirror (the
+    * streaming twin uses flatMapGroupsWithState — streaming/Sessionize). */
+  private lazy val sessionizeQ = Q("q45_sessionize", Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+      x AS (SELECT user_id, ts_us, value,
+                   CASE WHEN lag(ts_us) OVER w IS NULL
+                        OR ts_us - lag(ts_us) OVER w > 3600000000 THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      y AS (SELECT user_id, ts_us, value,
+                   CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                                         ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+            FROM x)
+      SELECT user_id, session_idx, count(*) AS n_events,
+             min(ts_us) AS start_us, max(ts_us) AS end_us,
+             round(sum(value), 6) AS sum_value
+      FROM y GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx"""))(
+    (s, d) => {
+      import graft.streaming.Sessionize
+      val ev = Tables.events(s, d)
+        .select($"user_id", expr("ts_ns div 1000").as("ts_us"), $"value")
+      Sessionize.summarizeBatch(ev, "user_id", "ts_us", "value", gapSeconds = 3600)
+        .orderBy($"user_id", $"session_idx")
+    })
 
   /** Custom codegen Expression (§2.11): distances from London, top-50
     * closest grid points. Both engines evaluate the same double formula;

@@ -221,6 +221,44 @@ class StreamingSpec extends SparkSpec {
   }
 }
 
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.streaming.Sessionize
+
+  test("streaming flatMapGroupsWithState matches the batch window mirror") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", expr("ts_ns div 1000").as("ts_us"), $"value")
+      .as[Sessionize.Event].collect().sortBy(_.ts_us)
+    val (first, second) = ev.splitAt(ev.length / 2)
+
+    val stream = MemoryStream[Sessionize.Event]
+    val q = Sessionize.assignStreaming(stream.toDS(), gapSeconds = 3600)
+      .writeStream.format("memory").queryName("sessionized")
+      .outputMode("append").start()
+    try {
+      stream.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(second.toIndexedSeq) // state must carry across batches
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("sessionized")
+      .groupBy($"user_id", $"session_idx")
+      .agg(count(lit(1)).as("n_events"), min($"ts_us").as("start_us"),
+        max($"ts_us").as("end_us"), round(sum($"value"), 6).as("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+    val batch = Sessionize.summarizeBatch(
+        Tables.events(spark, sfDir)
+          .select($"user_id", expr("ts_ns div 1000").as("ts_us"), $"value"),
+        "user_id", "ts_us", "value", gapSeconds = 3600)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+    assert(streamed.size == batch.size)
+    assert(streamed == batch)
+  }
+}
+
 class QueriesSpec extends SparkSpec {
   test("every query runs on sf0.001 and returns rows") {
     val failures = Queries.everything.flatMap { q =>
