@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cluster-scale join techniques that don't change results, only plans:
+  * bucketing (pre-shuffled co-located joins) and salting (skewed-key
+  * spreading). Kept engine-level so pipelines opt in per table/key.
+  */
+object ScaleToolkit {
+
+  /** Write a table bucketed+sorted by `key` into the session catalog.
+    * Repeated joins/aggregations on `key` then skip their shuffle+sort
+    * entirely (the classic fact-table pattern for 100 TB joins: pay the
+    * shuffle once at ingest, never again). */
+  def writeBucketed(df: DataFrame, key: String, buckets: Int, table: String): Unit =
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .mode("overwrite")
+      .saveAsTable(table) // managed table in the session warehouse
+
+  /** Join two bucketed tables on their bucket key — planner emits a
+    * sort-merge join with NO Exchange on either side when bucket counts
+    * match. */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+      key: String): DataFrame =
+    spark.table(left).join(spark.table(right), Seq(key))
+
+  /** Salted join for a skewed build side: the skewed (large) side gets a
+    * deterministic salt in [0, n); the small side is exploded n times so
+    * every salted key finds its match. Correct for inner/left joins on
+    * `key`; AQE's skew-join handles the same problem adaptively, this is
+    * the explicit form for engines/configs where it's off. */
+  def saltedJoin(skewed: DataFrame, dim: DataFrame, key: String, salt: Int,
+      joinType: String = "inner"): DataFrame = {
+    val saltedBig = skewed.withColumn("__salt", pmod(hash(monotonically_increasing_id()), lit(salt)))
+    val explodedDim = dim.withColumn("__salt", explode(array((0 until salt).map(lit): _*)))
+    saltedBig.join(explodedDim, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Count Exchange (shuffle) operators in a frame's executed plan — the
+    * evidence hook the specs and PlanAudit use. */
+  def shuffleCount(df: DataFrame): Int =
+    df.queryExecution.executedPlan.toString.linesIterator
+      .count(_.trim.startsWith("Exchange"))
+}
