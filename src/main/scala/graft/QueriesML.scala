@@ -271,7 +271,44 @@ object QueriesML {
             round($"humidity", 6).as("humidity"))
           .orderBy($"l_orderkey", $"l_linenumber")
       })
-  ) ++ Seq(regridQ, matchDtQ, packedQ, haversineQ, sessionizeQ)
+  ) ++ Seq(regridQ, matchDtQ, packedQ, haversineQ, sessionizeQ, embDupQ)
+
+  /** Embedding-cosine near-dup pairs within hyperplane-LSH buckets, on a
+    * corpus with planted duplicate vectors (every 100th vec copied). */
+  private lazy val embDupQ = Q("q46_embedding_near_dups", Some("""
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+      planes AS (SELECT vec_id AS pid, embedding::DOUBLE[] AS pv
+                 FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+      b AS (SELECT c.vec_id,
+                   CAST(sum(CASE WHEN list_dot_product(c.embedding::DOUBLE[], p.pv) > 0
+                            THEN power(2, p.pid - 1) ELSE 0 END) AS BIGINT) AS bucket
+            FROM corpus c CROSS JOIN planes p GROUP BY c.vec_id),
+      pairs AS (SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
+                FROM b a JOIN b bb ON a.bucket = bb.bucket
+                WHERE a.vec_id < bb.vec_id),
+      scored AS (
+        SELECT id_a, id_b,
+               round(list_dot_product(ca.embedding::DOUBLE[], cb.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(ca.embedding::DOUBLE[], ca.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(cb.embedding::DOUBLE[], cb.embedding::DOUBLE[]))),
+                 6) AS cos_sim
+        FROM pairs
+        JOIN corpus ca ON ca.vec_id = id_a
+        JOIN corpus cb ON cb.vec_id = id_b)
+      SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.99
+      ORDER BY id_a, id_b"""))(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.select($"vec_id", $"embedding")
+        .union(emb.filter($"vec_id" % 100 === 0)
+          .select(($"vec_id" + 10000).as("vec_id"), $"embedding"))
+      Similarity.cosineNearDupPairs(corpus, "embedding", "vec_id",
+          collectPlanes(emb, 1 to 4), threshold = 0.99)
+        .orderBy($"id_a", $"id_b")
+    })
 
   /** Stateful-op family: gap-based sessionization, batch mirror (the
     * streaming twin uses flatMapGroupsWithState — streaming/Sessionize). */
