@@ -89,12 +89,18 @@ object Similarity {
     * buckets (embedding-space analog of Dedup.minhashNearDups). */
   def cosineNearDupPairs(emb: DataFrame, vecCol: String, idCol: String,
       planes: Seq[Seq[Float]], threshold: Double): DataFrame = {
+    // norms precomputed once per vector (the pairwise stage would otherwise
+    // fold each 64-element array three times per candidate pair)
     val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", hyperplaneBucket(col("v"), planes))
-    val a = bucketed.select(col("id").as("id_a"), col("v").as("v_a"), col("bucket"))
-    val b = bucketed.select(col("id").as("id_b"), col("v").as("v_b"), col("bucket"))
+      .withColumn("nrm", norm(col("v")))
+    val a = bucketed.select(col("id").as("id_a"), col("v").as("v_a"),
+      col("nrm").as("n_a"), col("bucket"))
+    val b = bucketed.select(col("id").as("id_b"), col("v").as("v_b"),
+      col("nrm").as("n_b"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(cosine(col("v_a"), col("v_b")), 6))
+      .withColumn("cos_sim",
+        round(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim").distinct()
   }
