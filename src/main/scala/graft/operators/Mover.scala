@@ -104,6 +104,37 @@ object Mover {
         GeoFunctions.geoPolygonJson(lat, lon, lit(latRes), lit(lonRes)))
   }
 
+  /** Sink schema construction (§1.4, bq.py:244-296): either inferred from
+    * the sample frame's dtypes or from user-declared variables (declared
+    * variables are all FLOAT64 plus the coordinate columns, bq.py:287-292);
+    * the five fixed metadata columns are always appended (bq.py:50-54,
+    * 467-472). All columns nullable (NaN/NaT -> NULL semantics). */
+  def sinkSchema(sample: DataFrame, declaredVars: Seq[String] = Nil,
+      opts: Options = Options()): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val coordCols = Seq(opts.timeCol, opts.latCol, opts.lonCol)
+    val dataFields: Seq[StructField] =
+      if (declaredVars.nonEmpty)
+        declaredVars.map(v => StructField(v, DoubleType))
+      else sample.schema.fields.toSeq
+        .filterNot(f => coordCols.contains(f.name))
+        .map(f => StructField(f.name, f.dataType match {
+          case FloatType => DoubleType
+          case ByteType | ShortType | IntegerType => LongType
+          case other => other
+        }))
+    val coordFields = coordCols.flatMap { c =>
+      sample.schema.fields.find(_.name == c).map(f => StructField(f.name, f.dataType))
+    }
+    val metadataFields = Seq(
+      StructField("data_import_time", TimestampNTZType),
+      StructField("data_uri", StringType),
+      StructField("data_first_step", TimestampNTZType),
+      StructField("geo_point", StringType),
+      StructField("geo_polygon", StringType))
+    StructType((coordFields ++ dataFields ++ metadataFields).map(_.copy(nullable = true)))
+  }
+
   /** Reference type mapping for sink schemas (§1.2, bq.py:438-446). */
   def sqlTypeFor(sparkType: org.apache.spark.sql.types.DataType): String = {
     import org.apache.spark.sql.types._

@@ -110,6 +110,20 @@ class MoverSpec extends SparkSpec {
       Mover.onlyTargetVars(df, Seq("nope"), Seq("latitude")))
   }
 
+  test("sinkSchema: declared vars all FLOAT64 + 5 metadata columns; inference upcasts") {
+    val declared = Mover.sinkSchema(grid, declaredVars = Seq("temperature"))
+    assert(declared.fieldNames.toSeq == Seq("time", "latitude", "longitude",
+      "temperature", "data_import_time", "data_uri", "data_first_step",
+      "geo_point", "geo_polygon"))
+    assert(declared("temperature").dataType.typeName == "double")
+    assert(declared.fields.forall(_.nullable))
+    val inferred = Mover.sinkSchema(
+      Seq((1.0f, 2, "x")).toDF("v_f32", "v_i32", "name"))
+    assert(inferred("v_f32").dataType.typeName == "double")
+    assert(inferred("v_i32").dataType.typeName == "long")
+    assert(inferred("name").dataType.typeName == "string")
+  }
+
   test("channelName: height formatting matches the reference rules") {
     assert(Mover.channelName("isobaricInhPa", 500.0, "instant", "z")
       == "isobaricInhPa_500_instant_z")
