@@ -21,7 +21,9 @@ object FormatRegistry {
     "csv" -> "csv", "json" -> "json", "orc" -> "orc", "txt" -> "text",
     "zarr" -> "zarr") // graft.sources.zarr.ZarrTableProvider (DSv2)
 
-  val scientific: Set[String] = Set("nc", "nc4", "cdf", "grib", "grib2", "grb", "tif", "tiff")
+  val scientific: Set[String] = Set("nc4", "grib", "grib2", "grb", "tif", "tiff")
+
+  private val netcdf3: Set[String] = Set("nc", "cdf")
 
   def extensionOf(uri: String): String = {
     val base = uri.stripSuffix("/").split('/').last
@@ -46,6 +48,8 @@ object FormatRegistry {
     val reader: DataFrameReader = spark.read.options(options - "engine")
     native.get(ext) match {
       case Some(fmt) => reader.format(fmt).load(uri)
+      case None if netcdf3.contains(ext) =>
+        graft.sources.netcdf.NetCDF3Reader.readLongFormat(spark, uri)
       case None if scientific.contains(ext) => throw Unsupported(ext)
       case None => reader.parquet(uri) // the reference's final fallback is a guess
     }

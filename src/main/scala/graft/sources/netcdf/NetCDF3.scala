@@ -1,0 +1,181 @@
+package graft.sources.netcdf
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+/** Pure-JVM NetCDF-3 "classic" parser (public format spec: the NetCDF
+  * Classic Format Specification, versions 1 and 2 / 64-bit-offset). The
+  * reference's mover opens .nc files via xarray/netcdf4
+  * (weather_mv/loader_pipeline/sinks.py:345-389); this provides the same
+  * capability for classic files without native libraries.
+  *
+  * Layout: `CDF\x01|\x02` magic, numrecs, dim list, global attributes,
+  * variable list (name, dimids, attributes, type, vsize, begin offset),
+  * then big-endian data — fixed-size variables as contiguous blocks, record
+  * variables interleaved per record. CDL conventions honored:
+  * `scale_factor`, `add_offset`, `missing_value`/`_FillValue`, and
+  * `units = "seconds since 1970-01-01"` time coordinates.
+  */
+object NetCDF3 {
+
+  final case class Dim(name: String, size: Int, isRecord: Boolean)
+  final case class Var(
+      name: String,
+      dimIds: Seq[Int],
+      ncType: Int,
+      vsize: Int,
+      begin: Long,
+      attrs: Map[String, Any]) {
+    def scaleFactor: Double = num(attrs.get("scale_factor")).getOrElse(1.0)
+    def addOffset: Double = num(attrs.get("add_offset")).getOrElse(0.0)
+    def missing: Option[Double] =
+      num(attrs.get("missing_value")).orElse(num(attrs.get("_FillValue")))
+    def epochSecondsTime: Boolean =
+      attrs.get("units").collect { case s: String => s }.exists(_.startsWith("seconds since 1970-01-01"))
+    private def num(v: Option[Any]): Option[Double] = v.collect {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case i: Int => i.toDouble
+      case s: Short => s.toDouble
+      case b: Byte => b.toDouble
+    }
+  }
+  final case class Header(numRecs: Int, dims: Seq[Dim], gattrs: Map[String, Any],
+      vars: Seq[Var], recSize: Long)
+
+  // nc_type constants
+  val NC_BYTE = 1; val NC_CHAR = 2; val NC_SHORT = 3
+  val NC_INT = 4; val NC_FLOAT = 5; val NC_DOUBLE = 6
+
+  def typeBytes(t: Int): Int = t match {
+    case NC_BYTE | NC_CHAR => 1
+    case NC_SHORT => 2
+    case NC_INT | NC_FLOAT => 4
+    case NC_DOUBLE => 8
+    case other => throw new UnsupportedOperationException(s"nc_type $other")
+  }
+
+  def readBytes(conf: Configuration, path: String): Array[Byte] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    val out = new Array[Byte](st.getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, out) finally in.close()
+    out
+  }
+
+  /** Parse the header of a classic (v1) or 64-bit-offset (v2) file. */
+  def parseHeader(bytes: Array[Byte]): Header = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'H' &&
+        bytes(2) == 'D' && bytes(3) == 'F')
+      throw new UnsupportedOperationException(
+        "NetCDF-4 (HDF5-backed) file: needs a native HDF5 reader; this engine " +
+          "reads NetCDF-3 classic/64-bit-offset. Convert with `nccopy -k classic`.")
+    require(bb.get() == 'C' && bb.get() == 'D' && bb.get() == 'F', "not a NetCDF classic file")
+    val version = bb.get()
+    require(version == 1 || version == 2,
+      s"NetCDF version byte $version unsupported (classic/64-bit only; NetCDF-4/HDF5 needs a native lib)")
+    val numRecs = bb.getInt()
+
+    def readName(): String = {
+      val len = bb.getInt()
+      val b = new Array[Byte](len)
+      bb.get(b)
+      skipPad(len)
+      new String(b, "UTF-8")
+    }
+    def skipPad(len: Int): Unit = { val r = len % 4; if (r != 0) bb.position(bb.position() + (4 - r)) }
+
+    def readTaggedList(expectedTag: Int): Int = {
+      val tag = bb.getInt()
+      val n = bb.getInt()
+      require(tag == expectedTag || (tag == 0 && n == 0), s"bad list tag $tag")
+      n
+    }
+
+    val nDims = readTaggedList(0x0A)
+    val dims = (0 until nDims).map { _ =>
+      val name = readName()
+      val size = bb.getInt()
+      Dim(name, size, size == 0)
+    }
+
+    def readAttrs(): Map[String, Any] = {
+      val n = readTaggedList(0x0C)
+      (0 until n).map { _ =>
+        val name = readName()
+        val t = bb.getInt()
+        val ne = bb.getInt()
+        val value: Any = t match {
+          case NC_CHAR =>
+            val b = new Array[Byte](ne); bb.get(b); skipPad(ne); new String(b, "UTF-8")
+          case NC_BYTE =>
+            val b = new Array[Byte](ne); bb.get(b); skipPad(ne)
+            if (ne == 1) b(0) else b.toSeq
+          case NC_SHORT =>
+            val v = (0 until ne).map(_ => bb.getShort()); skipPad(ne * 2)
+            if (ne == 1) v.head else v
+          case NC_INT =>
+            val v = (0 until ne).map(_ => bb.getInt()); if (ne == 1) v.head else v
+          case NC_FLOAT =>
+            val v = (0 until ne).map(_ => bb.getFloat()); if (ne == 1) v.head else v
+          case NC_DOUBLE =>
+            val v = (0 until ne).map(_ => bb.getDouble()); if (ne == 1) v.head else v
+        }
+        name -> value
+      }.toMap
+    }
+
+    val gattrs = readAttrs()
+
+    val nVars = readTaggedList(0x0B)
+    val vars = (0 until nVars).map { _ =>
+      val name = readName()
+      val nd = bb.getInt()
+      val dimIds = (0 until nd).map(_ => bb.getInt())
+      val vattrs = readAttrs()
+      val t = bb.getInt()
+      val vsize = bb.getInt()
+      val begin = if (version == 1) bb.getInt().toLong else bb.getLong()
+      Var(name, dimIds, t, vsize, begin, vattrs)
+    }
+
+    val recSize = vars.filter(v => v.dimIds.headOption.exists(dims(_).isRecord))
+      .map(_.vsize.toLong).sum
+    Header(numRecs, dims, gattrs, vars, recSize)
+  }
+
+  /** Decode one variable entirely into doubles (C-order across its dims,
+    * record dim included), applying scale/offset and missing masking. */
+  def readVar(bytes: Array[Byte], h: Header, v: Var): Array[Double] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    val isRec = v.dimIds.headOption.exists(h.dims(_).isRecord)
+    val shape = v.dimIds.map(i => if (h.dims(i).isRecord) h.numRecs else h.dims(i).size)
+    val n = if (shape.isEmpty) 1 else shape.product
+    val perRec = if (isRec) n / math.max(h.numRecs, 1) else n
+    val w = typeBytes(v.ncType)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val offset: Long =
+        if (isRec) v.begin + (i / perRec).toLong * h.recSize + (i % perRec).toLong * w
+        else v.begin + i.toLong * w
+      val raw: Double = v.ncType match {
+        case NC_DOUBLE => bb.getDouble(offset.toInt)
+        case NC_FLOAT => bb.getFloat(offset.toInt).toDouble
+        case NC_INT => bb.getInt(offset.toInt).toDouble
+        case NC_SHORT => bb.getShort(offset.toInt).toDouble
+        case NC_BYTE | NC_CHAR => bb.get(offset.toInt).toDouble
+      }
+      out(i) =
+        if (v.missing.contains(raw) || raw.isNaN) Double.NaN
+        else raw * v.scaleFactor + v.addOffset
+      i += 1
+    }
+    out
+  }
+}

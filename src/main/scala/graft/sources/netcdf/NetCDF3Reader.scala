@@ -1,0 +1,165 @@
+package graft.sources.netcdf
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import NetCDF3._
+
+/** Distributed long-format reader for NetCDF-3 classic files: one row per
+  * grid point, coordinate columns + one FLOAT64 column per data variable
+  * (decoded), mirroring the Zarr DSv2 output and the mover's row model.
+  *
+  * Parallelism: tasks own ranges of the outermost dimension and perform
+  * ranged reads of exactly their byte spans (record-var spans via the
+  * record stride, fixed-var spans contiguously) — no driver-side data
+  * movement, so a multi-GB file scans in parallel. The header and the
+  * (small) coordinate vectors are parsed once on the driver.
+  */
+object NetCDF3Reader {
+
+  private val HeaderProbeBytes = 1 << 20
+
+  def schemaOf(h: Header, dataVars: Seq[Var], dims: Seq[Dim], coordVars: Map[String, Var]): StructType = {
+    val coordFields = dims.map { d =>
+      val isTime = coordVars.get(d.name).exists(_.epochSecondsTime)
+      StructField(d.name, if (isTime) TimestampNTZType else DoubleType, nullable = false)
+    }
+    StructType(coordFields ++ dataVars.map(v => StructField(v.name, DoubleType)))
+  }
+
+  def readLongFormat(spark: SparkSession, path: String,
+      partitions: Int = 0): DataFrame = {
+    val conf = new Configuration()
+    val head = {
+      // header lives at the front; probe enough bytes to parse it
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      val len = math.min(fs.getFileStatus(p).getLen, HeaderProbeBytes.toLong).toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      parseHeader(buf)
+    }
+    val dimById = head.dims.zipWithIndex.map(_.swap).toMap
+    val maxRank = head.vars.map(_.dimIds.size).max
+    val dataVars = head.vars.filter(_.dimIds.size == maxRank)
+    val hyperDims = dataVars.head.dimIds.map(dimById)
+    require(dataVars.forall(_.dimIds.map(dimById) == hyperDims),
+      "data variables disagree on dimensions")
+    val coordVars = head.vars.filter(v => v.dimIds.size == 1 &&
+      hyperDims.exists(_.name == v.name)).map(v => v.name -> v).toMap
+
+    // coordinate vectors: small, fetched with ranged reads on the driver
+    // (never the whole file), shipped inside the task closures
+    val coords: Map[String, Array[Double]] = {
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      val in = fs.open(p)
+      try coordVars.map { case (n, v) =>
+        val isRec = v.dimIds.headOption.exists(head.dims(_).isRecord)
+        val len = if (isRec) head.numRecs else head.dims(v.dimIds.head).size
+        val w = typeBytes(v.ncType)
+        val raw = new Array[Byte](len * w)
+        if (isRec) {
+          val one = new Array[Byte](w)
+          for (r <- 0 until len) {
+            in.readFully(v.begin + r.toLong * head.recSize, one)
+            System.arraycopy(one, 0, raw, r * w, w)
+          }
+        } else in.readFully(v.begin, raw)
+        n -> decodeSlice(raw, v, len)
+      } finally in.close()
+    }
+    val shape: Seq[Int] = hyperDims.map(d => if (d.isRecord) head.numRecs else d.size)
+    val schema = schemaOf(head, dataVars, hyperDims, coordVars)
+    val isTimeDim = hyperDims.map(d => coordVars.get(d.name).exists(_.epochSecondsTime))
+
+    val dim0 = shape.head
+    val nPart = if (partitions > 0) partitions
+      else math.min(dim0, spark.sparkContext.defaultParallelism)
+    val ranges = (0 until nPart).map { p =>
+      val lo = (dim0.toLong * p / nPart).toInt
+      val hi = (dim0.toLong * (p + 1) / nPart).toInt
+      (lo, hi)
+    }.filter { case (lo, hi) => hi > lo }
+
+    val restShape = shape.tail
+    val perSlice = if (restShape.isEmpty) 1 else restShape.product
+    val varsLocal = dataVars
+    val headLocal = head
+    val pathLocal = path
+    val coordsLocal = hyperDims.map(d => coords(d.name))
+    val isTimeLocal = isTimeDim
+
+    val rdd = spark.sparkContext.parallelize(ranges, math.max(ranges.size, 1))
+      .flatMap { case (lo, hi) =>
+        val conf = new Configuration()
+        val p = new Path(pathLocal)
+        val fs = p.getFileSystem(conf)
+        val in = fs.open(p)
+        val w = varsLocal.map(v => typeBytes(v.ncType))
+        def sliceOf(v: Var, vi: Int, t: Int): Array[Double] = {
+          val isRec = v.dimIds.headOption.exists(headLocal.dims(_).isRecord)
+          val bytesLen = perSlice * w(vi)
+          val offset =
+            if (isRec) v.begin + t.toLong * headLocal.recSize
+            else v.begin + t.toLong * bytesLen
+          val buf = new Array[Byte](bytesLen)
+          in.readFully(offset, buf)
+          decodeSlice(buf, v, perSlice)
+        }
+        val iter = (lo until hi).iterator.flatMap { t =>
+          val slices = varsLocal.zipWithIndex.map { case (v, vi) => sliceOf(v, vi, t) }
+          (0 until perSlice).iterator.map { li =>
+            // local index -> per-dim indices over restShape
+            var rem = li
+            val idx = new Array[Int](restShape.size)
+            var d = restShape.size - 1
+            while (d >= 0) { idx(d) = rem % restShape(d); rem /= restShape(d); d -= 1 }
+            val coordCells: Seq[Any] = coordsLocal.indices.map { ci =>
+              val pos = if (ci == 0) t else idx(ci - 1)
+              val c = coordsLocal(ci)(pos)
+              if (isTimeLocal(ci)) java.time.LocalDateTime.ofEpochSecond(
+                math.round(c), ((c - math.floor(c)) * 1e9).toInt, java.time.ZoneOffset.UTC)
+              else java.lang.Double.valueOf(c)
+            }
+            val cells: Seq[Any] = coordCells ++ slices.map { s =>
+              val v = s(li)
+              if (v.isNaN) null else java.lang.Double.valueOf(v)
+            }
+            Row.fromSeq(cells)
+          }
+        }
+        // NOTE: the stream must be fully consumed before close; wrap so the
+        // final hasNext closes the handle
+        new Iterator[Row] {
+          def hasNext: Boolean = { val h = iter.hasNext; if (!h) in.close(); h }
+          def next(): Row = iter.next()
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Decode a contiguous big-endian span of one variable. */
+  def decodeSlice(buf: Array[Byte], v: Var, n: Int): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(buf).order(java.nio.ByteOrder.BIG_ENDIAN)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val raw: Double = v.ncType match {
+        case NC_DOUBLE => bb.getDouble(i * 8)
+        case NC_FLOAT => bb.getFloat(i * 4).toDouble
+        case NC_INT => bb.getInt(i * 4).toDouble
+        case NC_SHORT => bb.getShort(i * 2).toDouble
+        case NC_BYTE | NC_CHAR => bb.get(i).toDouble
+      }
+      out(i) =
+        if (v.missing.contains(raw) || raw.isNaN) Double.NaN
+        else raw * v.scaleFactor + v.addOffset
+      i += 1
+    }
+    out
+  }
+}

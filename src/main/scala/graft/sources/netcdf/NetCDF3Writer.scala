@@ -1,0 +1,124 @@
+package graft.sources.netcdf
+
+import java.io.{DataOutputStream, FileOutputStream}
+
+/** Minimal NetCDF-3 classic (version 1) writer for fixtures and the
+  * mover's file-emitting paths. Supports an optional record (unlimited)
+  * first dimension, the numeric nc_types, and per-variable CDL attributes
+  * (scale/offset/missing, units). Layout follows the public classic spec:
+  * header, fixed-variable blocks, then the record section. */
+object NetCDF3Writer {
+
+  final case class DimSpec(name: String, size: Int, record: Boolean = false)
+  final case class VarSpec(
+      name: String,
+      dims: Seq[String],
+      ncType: Int,
+      data: Seq[Double],            // pre-encode (raw) values, C-order
+      attrs: Seq[(String, Any)] = Nil)
+
+  def write(path: String, dims: Seq[DimSpec], vars: Seq[VarSpec]): Unit = {
+    val numRecs = dims.find(_.record).map(_.size).getOrElse(0)
+    val dimIdx = dims.map(_.name).zipWithIndex.toMap
+
+    def isRecVar(v: VarSpec) = v.dims.headOption.exists(d => dims(dimIdx(d)).record)
+    def fixedCount(v: VarSpec): Int =
+      v.dims.filterNot(d => dims(dimIdx(d)).record).map(d => dims(dimIdx(d)).size).product
+    def pad4(n: Int): Int = (n + 3) / 4 * 4
+    def vsize(v: VarSpec): Int = pad4(fixedCount(v) * NetCDF3.typeBytes(v.ncType))
+
+    // header size: compute by serializing with dummy begins, twice
+    def headerBytes(begins: Map[String, Long]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.writeBytes("CDF"); out.writeByte(1)
+      out.writeInt(numRecs)
+      // dim list
+      out.writeInt(0x0A); out.writeInt(dims.size)
+      dims.foreach { d => writeName(out, d.name); out.writeInt(if (d.record) 0 else d.size) }
+      // no global attrs
+      out.writeInt(0); out.writeInt(0)
+      // var list
+      out.writeInt(0x0B); out.writeInt(vars.size)
+      vars.foreach { v =>
+        writeName(out, v.name)
+        out.writeInt(v.dims.size)
+        v.dims.foreach(d => out.writeInt(dimIdx(d)))
+        writeAttrs(out, v.attrs)
+        out.writeInt(v.ncType)
+        out.writeInt(vsize(v))
+        out.writeInt(begins.getOrElse(v.name, 0L).toInt)
+      }
+      out.flush()
+      bos.toByteArray
+    }
+
+    val headerLen = headerBytes(Map.empty).length
+    // fixed vars first, then record section
+    var offset = headerLen.toLong
+    val begins = scala.collection.mutable.Map.empty[String, Long]
+    vars.filterNot(isRecVar).foreach { v => begins(v.name) = offset; offset += vsize(v) }
+    val recStart = offset
+    var recOff = 0L
+    vars.filter(isRecVar).foreach { v => begins(v.name) = recStart + recOff; recOff += vsize(v) }
+    val recSize = recOff
+
+    val fos = new FileOutputStream(path)
+    val out = new DataOutputStream(fos)
+    try {
+      out.write(headerBytes(begins.toMap))
+      vars.filterNot(isRecVar).foreach(v => writeValues(out, v, v.data))
+      for (r <- 0 until numRecs)
+        vars.filter(isRecVar).foreach { v =>
+          val per = fixedCount(v)
+          writeValues(out, v, v.data.slice(r * per, (r + 1) * per))
+        }
+      // recSize referenced for clarity; readers recompute it from vsizes
+      require(recSize >= 0)
+    } finally out.close()
+  }
+
+  private def writeName(out: DataOutputStream, s: String): Unit = {
+    val b = s.getBytes("UTF-8")
+    out.writeInt(b.length); out.write(b); padTo4(out, b.length)
+  }
+
+  private def padTo4(out: DataOutputStream, written: Int): Unit = {
+    val r = written % 4
+    if (r != 0) (0 until 4 - r).foreach(_ => out.writeByte(0))
+  }
+
+  private def writeAttrs(out: DataOutputStream, attrs: Seq[(String, Any)]): Unit = {
+    if (attrs.isEmpty) { out.writeInt(0); out.writeInt(0); return }
+    out.writeInt(0x0C); out.writeInt(attrs.size)
+    attrs.foreach { case (name, value) =>
+      writeName(out, name)
+      value match {
+        case s: String =>
+          out.writeInt(NetCDF3.NC_CHAR); out.writeInt(s.length)
+          out.writeBytes(s); padTo4(out, s.length)
+        case d: Double =>
+          out.writeInt(NetCDF3.NC_DOUBLE); out.writeInt(1); out.writeDouble(d)
+        case i: Int =>
+          out.writeInt(NetCDF3.NC_INT); out.writeInt(1); out.writeInt(i)
+        case s: Short =>
+          out.writeInt(NetCDF3.NC_SHORT); out.writeInt(1); out.writeShort(s); out.writeShort(0)
+        case other =>
+          throw new UnsupportedOperationException(s"attr type ${other.getClass}")
+      }
+    }
+  }
+
+  private def writeValues(out: DataOutputStream, v: VarSpec, values: Seq[Double]): Unit = {
+    values.foreach { x =>
+      v.ncType match {
+        case NetCDF3.NC_DOUBLE => out.writeDouble(x)
+        case NetCDF3.NC_FLOAT => out.writeFloat(x.toFloat)
+        case NetCDF3.NC_INT => out.writeInt(x.toInt)
+        case NetCDF3.NC_SHORT => out.writeShort(x.toInt)
+        case NetCDF3.NC_BYTE | NetCDF3.NC_CHAR => out.writeByte(x.toInt)
+      }
+    }
+    padTo4(out, values.size * NetCDF3.typeBytes(v.ncType))
+  }
+}

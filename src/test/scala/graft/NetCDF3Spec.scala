@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.netcdf.{NetCDF3, NetCDF3Reader, NetCDF3Writer => NW}
+
+/** Golden tests for the NetCDF-3 classic reader: write a file with the
+  * pure-JVM writer (record time dimension + fixed coords, float64 and
+  * packed-int16 variables), read back distributed, check values. */
+class NetCDF3Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val (nt, ny, nx) = (3, 4, 5)
+  private lazy val file: String = {
+    val dir = java.nio.file.Files.createTempDirectory("nc3").toString
+    val path = s"$dir/test.nc"
+    def cube(f: (Int, Int, Int) => Double): Seq[Double] =
+      for (t <- 0 until nt; y <- 0 until ny; x <- 0 until nx) yield f(t, y, x)
+    NW.write(path,
+      dims = Seq(NW.DimSpec("time", nt, record = true),
+        NW.DimSpec("latitude", ny), NW.DimSpec("longitude", nx)),
+      vars = Seq(
+        NW.VarSpec("time", Seq("time"), NetCDF3.NC_DOUBLE,
+          (0 until nt).map(t => 3600.0 * t),
+          attrs = Seq("units" -> "seconds since 1970-01-01")),
+        NW.VarSpec("latitude", Seq("latitude"), NetCDF3.NC_DOUBLE,
+          (0 until ny).map(y => 40.0 + y)),
+        NW.VarSpec("longitude", Seq("longitude"), NetCDF3.NC_DOUBLE,
+          (0 until nx).map(x => -110.0 + 2.0 * x)),
+        NW.VarSpec("d2m", Seq("time", "latitude", "longitude"), NetCDF3.NC_DOUBLE,
+          cube((t, y, x) => 242.0 + t + 0.1 * y + 0.01 * x)),
+        NW.VarSpec("swvl1", Seq("time", "latitude", "longitude"), NetCDF3.NC_SHORT,
+          cube((t, y, x) => if (t == 1 && y == 1 && x == 1) -32767 else (10 * t + x).toDouble),
+          attrs = Seq("scale_factor" -> 0.25, "add_offset" -> 100.0,
+            "missing_value" -> (-32767.0)))))
+    path
+  }
+
+  private lazy val df = NetCDF3Reader.readLongFormat(spark, file)
+
+  test("header parses: dims, record count, var attrs") {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val h = NetCDF3.parseHeader(NetCDF3.readBytes(conf, file))
+    assert(h.numRecs == nt)
+    assert(h.dims.map(_.name) == Seq("time", "latitude", "longitude"))
+    assert(h.dims.head.isRecord)
+    val sw = h.vars.find(_.name == "swvl1").get
+    assert(sw.scaleFactor == 0.25 && sw.addOffset == 100.0)
+    assert(h.vars.find(_.name == "time").get.epochSecondsTime)
+  }
+
+  test("long-format read: schema, row count, exact values (ExtractRows-style golden)") {
+    assert(df.columns.toSeq == Seq("time", "latitude", "longitude", "d2m", "swvl1"))
+    assert(df.schema("time").dataType.typeName == "timestamp_ntz")
+    assert(df.count() == nt * ny * nx)
+    // golden row in the bq_test.py style: exact values at a known point
+    val r = df.filter($"latitude" === 42.0 && $"longitude" === -108.0 &&
+      date_format($"time", "HH") === "02").head()
+    assert(math.abs(r.getAs[Double]("d2m") - (242.0 + 2 + 0.2 + 0.01)) < 1e-9)
+    assert(r.getAs[Double]("swvl1") == (10 * 2 + 1) * 0.25 + 100.0)
+  }
+
+  test("packed short with missing value decodes to null") {
+    val m = df.filter($"latitude" === 41.0 && $"longitude" === -108.0)
+      .orderBy($"time").collect()
+    assert(m(1).isNullAt(m(1).fieldIndex("swvl1"))) // t=1,y=1,x=1 planted
+    assert(m(0).getAs[Double]("swvl1") == 1 * 0.25 + 100.0)
+  }
+
+  test("reads are distributed across outer-dimension ranges") {
+    val parts = NetCDF3Reader.readLongFormat(spark, file, partitions = 3)
+    assert(parts.rdd.getNumPartitions == 3)
+    assert(parts.count() == nt * ny * nx)
+    assert(parts.agg(round(sum($"d2m"), 6)).head().getDouble(0) ==
+      df.agg(round(sum($"d2m"), 6)).head().getDouble(0))
+  }
+
+  test("mover extract pipeline runs on the NetCDF hypercube") {
+    val out = graft.operators.Mover.extractRows(df, s"file://$file",
+      graft.operators.Mover.Options(variables = Seq("d2m"),
+        importTime = Some("2026-01-01 00:00:00"),
+        latRes = Some(0.5), lonRes = Some(1.0)))
+    assert(out.count() == nt * ny * nx)
+    assert(out.columns.contains("geo_polygon") && !out.columns.contains("swvl1"))
+  }
+
+  test("FormatRegistry dispatches .nc to the NetCDF3 reader") {
+    assert(graft.sources.FormatRegistry.open(spark, file).count() == nt * ny * nx)
+  }
+}
