@@ -87,4 +87,24 @@ class NetCDF3Spec extends SparkSpec {
   test("FormatRegistry dispatches .nc to the NetCDF3 reader") {
     assert(graft.sources.FormatRegistry.open(spark, file).count() == nt * ny * nx)
   }
+
+  test("splitter demuxes the NetCDF file by dimension value and by variable") {
+    import graft.operators.Splitter
+    val outRoot = java.nio.file.Files.createTempDirectory("ncsplit").toString
+    // by dimension value (weather-sp GribSplitter semantics: one output per
+    // time step), via the partitioned write
+    val byTime = df.withColumn("hour", date_format($"time", "HH"))
+    Splitter.split(byTime, Seq("hour"), s"$outRoot/by_time")
+    val timeDirs = new java.io.File(s"$outRoot/by_time").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(timeDirs == Set("hour=00", "hour=01", "hour=02"))
+    // by variable (NetCdfSplitter semantics): unpivot then partition
+    val byVar = df.selectExpr("time", "latitude", "longitude",
+      "stack(2, 'd2m', d2m, 'swvl1', swvl1) AS (variable, value)")
+    Splitter.split(byVar, Seq("variable"), s"$outRoot/by_var")
+    val varDirs = new java.io.File(s"$outRoot/by_var").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(varDirs == Set("variable=d2m", "variable=swvl1"))
+    assert(spark.read.parquet(s"$outRoot/by_var").count() == 2L * nt * ny * nx)
+  }
 }
