@@ -26,7 +26,7 @@ import graft.plans.GeoConstants
   * ORDER BY/LIMIT/OFFSET follow standard SQL semantics and stay distributed
   * instead of running in pandas on the driver.
   */
-class WxSql(spark: SparkSession) {
+class WxSql(spark: SparkSession, xqlCompat: Boolean = false) {
   private val aliases = mutable.Map.empty[String, String]
 
   /** `.set alias uri` — alias a store path (parquet, zarr, csv, …; format
@@ -39,11 +39,64 @@ class WxSql(spark: SparkSession) {
   /** `.show` meta-command analog. */
   def show: Map[String, String] = aliases.toMap
 
-  def sql(query: String): DataFrame = spark.sql(WxSql.rewrite(query))
+  def sql(query: String): DataFrame = {
+    val q = if (xqlCompat) WxSql.rewriteXqlCompat(query) else query
+    spark.sql(WxSql.rewrite(q))
+  }
 }
 
 object WxSql {
   def apply(spark: SparkSession): WxSql = new WxSql(spark)
+  def apply(spark: SparkSession, xqlCompat: Boolean): WxSql = new WxSql(spark, xqlCompat)
+
+  /** Opt-in bug-for-bug xql semantics (SURVEY §7.4 "known hazards") for
+    * users migrating result-exact workloads:
+    *  - WHERE evaluates only the FIRST top-level OR term (the reference
+    *    computes the full DNF but returns `or_ds[0]`, where.py:229-238);
+    *  - `LIMIT n OFFSET m` slices rows [m, n) of the ORIGINAL result —
+    *    xql applies `iloc[m:]` then `iloc[:n]` against the original start
+    *    (apply.py:326-364) — i.e. standard-SQL `LIMIT max(n-m,0) OFFSET m`.
+    * Default mode keeps correct SQL semantics (the DuckDB oracle's). */
+  def rewriteXqlCompat(query: String): String = {
+    var q = query
+    val lim = """(?is)\bLIMIT\s+(\d+)\s+OFFSET\s+(\d+)""".r
+    q = lim.replaceAllIn(q, m => {
+      val n = m.group(1).toLong
+      val off = m.group(2).toLong
+      s"LIMIT ${math.max(n - off, 0)} OFFSET $off"
+    })
+    val whereBody = """(?is)\bWHERE\b(.*?)(\bGROUP\s+BY\b|\bORDER\s+BY\b|\bLIMIT\b|$)""".r
+    q = whereBody.replaceAllIn(q, m => {
+      val body = m.group(1)
+      val firstTerm = splitTopLevelOr(body).head
+      java.util.regex.Matcher.quoteReplacement(s" WHERE $firstTerm ${m.group(2)}")
+    })
+    q
+  }
+
+  /** Split a predicate on top-level ORs (parenthesis-aware). */
+  private[operators] def splitTopLevelOr(s: String): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    val up = s.toUpperCase
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 && i + 4 <= s.length &&
+            up.regionMatches(i, " OR ", 0, 4) =>
+          out += s.substring(start, i).trim
+          start = i + 4
+          i += 3
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start).trim
+    out.toSeq
+  }
 
   private val GeoPred: Regex = """(?i)\b(city|country)\s*=\s*'([^']+)'""".r
   private val TimeBucket: Regex = """(?i)\btime_(date|month|year)\b""".r

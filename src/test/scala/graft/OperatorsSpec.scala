@@ -69,6 +69,24 @@ class WxSqlSpec extends SparkSpec {
     assert(WxSql.rewriteTimeBuckets("GROUP BY time_month")
       == "GROUP BY date_trunc('MONTH', time)")
   }
+
+  test("xqlCompat: LIMIT counts from the original start, OR keeps first term") {
+    assert(WxSql.rewriteXqlCompat("SELECT * FROM t LIMIT 20 OFFSET 10")
+      .contains("LIMIT 10 OFFSET 10"))
+    assert(WxSql.rewriteXqlCompat("SELECT * FROM t LIMIT 5 OFFSET 9")
+      .contains("LIMIT 0 OFFSET 9"))
+    val q = WxSql.rewriteXqlCompat(
+      "SELECT a FROM t WHERE (x > 1 AND y < 2) OR z = 3 ORDER BY a")
+    assert(q.contains("WHERE (x > 1 AND y < 2) ORDER BY a") && !q.contains("z = 3"))
+    // end-to-end: compat mode returns only the first OR branch
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("li_compat")
+    val compat = WxSql(spark, xqlCompat = true).sql(
+      "SELECT count(*) AS n FROM li_compat WHERE l_returnflag = 'A' OR l_returnflag = 'R'")
+      .head().getLong(0)
+    val firstOnly = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "A").count()
+    assert(compat == firstOnly)
+  }
 }
 
 class MoverSpec extends SparkSpec {
