@@ -282,4 +282,20 @@ class QueriesSpec extends SparkSpec {
   test("entry returns rows on the smoke scale factor") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("plan lint: no CartesianProduct anywhere in the inventory") {
+    val offenders = Queries.everything.flatMap { q =>
+      val plan = q.run(spark, sfDir).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      if (plan.contains("CartesianProduct")) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
+  }
+
+  test("plan lint: filters and pruning reach the parquet scan") {
+    val plan = Queries.byName("q03_where_coords")(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(!plan.contains("l_orderkey:bigint,l_partkey")) // pruned read schema
+  }
 }
