@@ -271,7 +271,36 @@ object QueriesML {
             round($"humidity", 6).as("humidity"))
           .orderBy($"l_orderkey", $"l_linenumber")
       })
-  ) ++ Seq(regridQ, matchDtQ, packedQ, haversineQ, sessionizeQ, embDupQ)
+  ) ++ Seq(regridQ, matchDtQ, packedQ, haversineQ, sessionizeQ, embDupQ, corpusStatsQ)
+
+  /** Corpus statistics per source: token-count distribution via exact
+    * interpolated percentiles (both engines use linear interpolation;
+    * round(6) absorbs formulation ulps). */
+  private lazy val corpusStatsQ = Q("q47_corpus_stats", Some("""
+      WITH t AS (
+        SELECT source,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS toks
+        FROM documents)
+      SELECT source, count(*) AS n_docs,
+             round(avg(toks), 6) AS avg_tokens,
+             round(quantile_cont(toks, 0.5), 6) AS p50_tokens,
+             round(quantile_cont(toks, 0.95), 6) AS p95_tokens,
+             round(min(toks), 6) AS min_tokens, round(max(toks), 6) AS max_tokens
+      FROM t GROUP BY source ORDER BY source"""))(
+    (s, d) => {
+      import graft.functions.{TextFunctions => TF}
+      Tables.documents(s, d)
+        .select($"source", TF.tokenCount($"text").cast("double").as("toks"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg($"toks"), 6).as("avg_tokens"),
+          round(expr("percentile(toks, 0.5)"), 6).as("p50_tokens"),
+          round(expr("percentile(toks, 0.95)"), 6).as("p95_tokens"),
+          round(min($"toks"), 6).as("min_tokens"),
+          round(max($"toks"), 6).as("max_tokens"))
+        .orderBy($"source")
+    })
 
   /** Embedding-cosine near-dup pairs within hyperplane-LSH buckets, on a
     * corpus with planted duplicate vectors (every 100th vec copied). */
