@@ -24,10 +24,14 @@ object Dedup {
   /** Whitespace tokens, lowercased. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
-  /** `n`-word shingles of a token array. */
+  /** `n`-word shingles of a token array. Docs with fewer than `n` tokens
+    * yield an empty array (`sequence(1, 0)` would count DOWN in Spark and
+    * produce out-of-range slice indices, so the short case is guarded). */
   def shingles(toks: Column, n: Int): Column =
-    transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
 
   /** MinHash signature: `numHashes` permutations approximated by seeded
     * xxhash64; each signature slot is the min hash over the shingle set.

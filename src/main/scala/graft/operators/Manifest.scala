@@ -47,11 +47,15 @@ object Manifest {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** Current state per location: latest transition wins (ties broken by
-    * status so a terminal state beats a concurrent schedule). */
+  /** Current state per location: latest transition wins (ties broken by an
+    * explicit terminal-state rank so a terminal state beats a concurrent
+    * schedule — raw string ordering would sort 'failure' BELOW 'in-progress'
+    * and mask a same-microsecond failure). */
   def currentState(ledger: DataFrame): DataFrame = {
+    val terminalRank = when(
+      col("status").isin(Status.Success, Status.Failure, Status.Skipped), 1).otherwise(0)
     val w = Window.partitionBy(col("location"))
-      .orderBy(col("eventTimeUs").desc, col("status").desc)
+      .orderBy(col("eventTimeUs").desc, terminalRank.desc, col("status").desc)
     ledger.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")

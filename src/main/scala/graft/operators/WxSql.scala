@@ -39,9 +39,18 @@ class WxSql(spark: SparkSession, xqlCompat: Boolean = false) {
   /** `.show` meta-command analog. */
   def show: Map[String, String] = aliases.toMap
 
+  /** When the session carries the graft Catalyst rules (GraftSession does),
+    * the sugar is applied at the PLAN level — [[graft.plans.GeoPredicateRule]],
+    * [[graft.plans.TimeBucketRule]], [[graft.plans.XqlAggNamingRule]] — which
+    * is immune to string-literal false positives. Sessions built without the
+    * extensions fall back to the (literal-aware) string rewrites. */
   def sql(query: String): DataFrame = {
     val q = if (xqlCompat) WxSql.rewriteXqlCompat(query) else query
-    spark.sql(WxSql.rewrite(q))
+    if (WxSql.hasPlanRules(spark)) {
+      spark.conf.set(graft.plans.XqlRules.AggNamingConf, "true")
+      try spark.sql(q)
+      finally spark.conf.unset(graft.plans.XqlRules.AggNamingConf)
+    } else spark.sql(WxSql.rewrite(q))
   }
 }
 
@@ -102,41 +111,101 @@ object WxSql {
   private val TimeBucket: Regex = """(?i)\btime_(date|month|year)\b""".r
   // AVG(x)/SUM(x)/MIN(x)/MAX(x) in the SELECT list without an explicit alias
   // don't rewrite when the user aliased it (AS) or when the aggregate is a
-  // sub-expression (followed by an arithmetic operator)
+  // sub-expression (followed by an arithmetic or comparison operator)
   private val AggNoAlias: Regex =
-    """(?i)\b(AVG|SUM|MIN|MAX)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)(?!\s*AS\b)(?!\s*[+\-*/%])""".r
+    """(?i)\b(AVG|SUM|MIN|MAX)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)(?!\s*AS\b)(?!\s*[+\-*/%<>=!])""".r
+  private val ClauseKw: Regex = """(?i)\b(SELECT|FROM|WHERE|GROUP|HAVING|ORDER)\b""".r
 
-  /** Apply all sugar rewrites; the result is plain Spark SQL. */
+  /** True when the session's analyzer carries the graft resolution rules
+    * (injected by [[graft.plans.GraftExtensions]]). */
+  def hasPlanRules(spark: SparkSession): Boolean =
+    spark.sessionState.analyzer.extendedResolutionRules
+      .exists(_ eq graft.plans.GeoPredicateRule)
+
+  /** Spans (start, endExclusive) of single-quoted string literals, honoring
+    * the SQL `''` escape. Regex rewrites skip matches starting inside one —
+    * sugar tokens inside literal CONTENT must survive untouched. */
+  private[operators] def literalSpans(q: String): Seq[(Int, Int)] = {
+    val out = mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = 0
+    while (i < q.length) {
+      if (q.charAt(i) == '\'') {
+        val start = i
+        i += 1
+        var done = false
+        while (i < q.length && !done) {
+          if (q.charAt(i) == '\'') {
+            if (i + 1 < q.length && q.charAt(i + 1) == '\'') i += 2
+            else { done = true; i += 1 }
+          } else i += 1
+        }
+        out += ((start, i))
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  private def inLiteral(spans: Seq[(Int, Int)], pos: Int): Boolean =
+    spans.exists { case (s, e) => pos > s && pos < e }
+
+  /** True when the nearest preceding clause keyword (outside literals) is
+    * SELECT — i.e. `pos` sits in a SELECT list, not in HAVING/ORDER BY/WHERE.
+    * Nested subqueries work because their own SELECT is then the nearest. */
+  private def inSelectList(q: String, spans: Seq[(Int, Int)], pos: Int): Boolean =
+    ClauseKw.findAllMatchIn(q)
+      .filter(m => m.start < pos && !inLiteral(spans, m.start))
+      .foldLeft(Option.empty[String])((_, m) => Some(m.group(1)))
+      .exists(_.equalsIgnoreCase("SELECT"))
+
+  /** Apply all sugar rewrites; the result is plain Spark SQL. (Fallback path
+    * for sessions without the graft Catalyst rules.) */
   def rewrite(query: String): String =
     rewriteAggNaming(rewriteTimeBuckets(rewriteGeoPredicates(query)))
 
   /** `city='new york'` -> bounding-box conjunction over latitude/longitude
     * (where.py:140-171). Unknown names raise, mirroring the reference. */
-  def rewriteGeoPredicates(query: String): String =
-    GeoPred.replaceAllIn(query, m => {
-      val kind = m.group(1).toLowerCase
-      val name = m.group(2)
-      val box = GeoConstants.lookup(kind, name).getOrElse(
-        throw new IllegalArgumentException(s"Unsupported $kind: '$name'"))
-      s"(latitude >= ${box.latMin} AND latitude <= ${box.latMax} " +
-        s"AND longitude >= ${box.lonMin} AND longitude <= ${box.lonMax})"
+  def rewriteGeoPredicates(query: String): String = {
+    val spans = literalSpans(query)
+    GeoPred.replaceSomeIn(query, m => {
+      if (inLiteral(spans, m.start)) None
+      else {
+        val kind = m.group(1).toLowerCase
+        val name = m.group(2)
+        val box = GeoConstants.lookup(kind, name).getOrElse(
+          throw new IllegalArgumentException(s"Unsupported $kind: '$name'"))
+        Some(s"(latitude >= ${box.latMin} AND latitude <= ${box.latMax} " +
+          s"AND longitude >= ${box.lonMin} AND longitude <= ${box.lonMax})")
+      }
     })
+  }
 
   /** `time_date|time_month|time_year` -> `date_trunc` over the `time`
     * coordinate (apply.py:56-60: strftime %Y-%m-%d / %Y-%m / %Y). */
-  def rewriteTimeBuckets(query: String): String =
-    TimeBucket.replaceAllIn(query, m => m.group(1).toLowerCase match {
-      case "date" => "date_trunc('DAY', time)"
-      case "month" => "date_trunc('MONTH', time)"
-      case "year" => "date_trunc('YEAR', time)"
+  def rewriteTimeBuckets(query: String): String = {
+    val spans = literalSpans(query)
+    TimeBucket.replaceSomeIn(query, m => {
+      if (inLiteral(spans, m.start)) None
+      else Some(m.group(1).toLowerCase match {
+        case "date" => "date_trunc('DAY', time)"
+        case "month" => "date_trunc('MONTH', time)"
+        case "year" => "date_trunc('YEAR', time)"
+      })
     })
+  }
 
-  /** Unaliased aggregates get the reference's `{func}_{variable}` output
-    * name (apply.py:155). */
-  def rewriteAggNaming(query: String): String =
-    AggNoAlias.replaceAllIn(query, m => {
-      val f = m.group(1).toUpperCase
-      val v = m.group(2)
-      s"$f($v) AS ${f.toLowerCase}_$v"
+  /** Unaliased aggregates in the SELECT list get the reference's
+    * `{func}_{variable}` output name (apply.py:155 — the reference names
+    * SELECT outputs only; HAVING/ORDER BY aggregates must stay as-is or the
+    * result is invalid SQL). */
+  def rewriteAggNaming(query: String): String = {
+    val spans = literalSpans(query)
+    AggNoAlias.replaceSomeIn(query, m => {
+      if (inLiteral(spans, m.start) || !inSelectList(query, spans, m.start)) None
+      else {
+        val f = m.group(1).toUpperCase
+        val v = m.group(2)
+        Some(s"$f($v) AS ${f.toLowerCase}_$v")
+      }
     })
+  }
 }

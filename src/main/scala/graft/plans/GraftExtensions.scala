@@ -9,6 +9,9 @@ import graft.functions.HaversineDistance
   *
   *  - [[GeoPredicateRule]]: analysis-time rewrite of `city`/`country`
   *    predicates into bounding boxes (P7);
+  *  - [[TimeBucketRule]]: `time_date|time_month|time_year` bucketing sugar;
+  *  - [[XqlAggNamingRule]]: conf-gated `{func}_{var}` aggregate naming for
+  *    WxSql queries;
   *  - `haversine_km`: the custom codegen scalar [[HaversineDistance]]
   *    available from SQL.
   *
@@ -19,6 +22,8 @@ import graft.functions.HaversineDistance
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(_ => GeoPredicateRule)
+    e.injectResolutionRule(_ => TimeBucketRule)
+    e.injectResolutionRule(_ => XqlAggNamingRule)
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("haversine_km"),
       new ExpressionInfo(classOf[HaversineDistance].getName, "haversine_km"),

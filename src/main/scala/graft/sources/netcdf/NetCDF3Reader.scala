@@ -43,8 +43,12 @@ object NetCDF3Reader {
       parseHeader(buf)
     }
     val dimById = head.dims.zipWithIndex.map(_.swap).toMap
-    val maxRank = head.vars.map(_.dimIds.size).max
-    val dataVars = head.vars.filter(_.dimIds.size == maxRank)
+    // coordinate variables (name == their own dim) are never data variables —
+    // in a 1-D file they'd otherwise tie the max rank and duplicate a column
+    val nonCoord = head.vars.filter(v =>
+      !(v.dimIds.size == 1 && dimById(v.dimIds.head).name == v.name))
+    val maxRank = nonCoord.map(_.dimIds.size).max
+    val dataVars = nonCoord.filter(_.dimIds.size == maxRank)
     val hyperDims = dataVars.head.dimIds.map(dimById)
     require(dataVars.forall(_.dimIds.map(dimById) == hyperDims),
       "data variables disagree on dimensions")
@@ -122,7 +126,7 @@ object NetCDF3Reader {
               val pos = if (ci == 0) t else idx(ci - 1)
               val c = coordsLocal(ci)(pos)
               if (isTimeLocal(ci)) java.time.LocalDateTime.ofEpochSecond(
-                math.round(c), ((c - math.floor(c)) * 1e9).toInt, java.time.ZoneOffset.UTC)
+                math.floor(c).toLong, ((c - math.floor(c)) * 1e9).toInt, java.time.ZoneOffset.UTC)
               else java.lang.Double.valueOf(c)
             }
             val cells: Seq[Any] = coordCells ++ slices.map { s =>

@@ -100,7 +100,11 @@ object ZarrMeta {
   def open(conf: Configuration, store: String): Store = {
     val metas = listArrays(conf, store).map(n => readArrayMeta(conf, store, n))
     require(metas.nonEmpty, s"empty zarr store: $store")
-    val dataVars = metas.filter(m => m.dims.size == metas.map(_.dims.size).max)
+    // coordinate arrays (1-d, named after their own dim) are never data vars —
+    // in a 1-D store they'd otherwise tie the max rank and duplicate a column
+    val nonCoord = metas.filter(m => !(m.dims.size == 1 && m.dims.head == m.name))
+    require(nonCoord.nonEmpty, s"zarr store has only coordinate arrays: $store")
+    val dataVars = nonCoord.filter(m => m.dims.size == nonCoord.map(_.dims.size).max)
     val dims = dataVars.head.dims
     require(dataVars.forall(_.dims == dims),
       s"data variables disagree on dimensions: ${dataVars.map(m => m.name -> m.dims)}")

@@ -100,9 +100,14 @@ object ZarrScan {
   def coordBound(store: Store, f: Filter): Option[(String, String, Double)] = {
     def num(v: Any): Option[Double] = v match {
       case n: Number => Some(n.doubleValue())
-      case t: java.sql.Timestamp => Some(t.getTime / 1000.0)
-      case i: java.time.Instant => Some(i.toEpochMilli / 1000.0)
-      case d: java.time.LocalDateTime => Some(d.toEpochSecond(java.time.ZoneOffset.UTC).toDouble)
+      // keep sub-second precision: truncating to whole seconds would SHRINK
+      // the pruned range for <, <=, = bounds and drop matching rows — the
+      // pruning must stay a pure optimization
+      case t: java.sql.Timestamp => Some(t.getTime / 1000.0 + t.getNanos % 1000000 / 1e9)
+      case i: java.time.Instant =>
+        Some(i.getEpochSecond.toDouble + i.getNano / 1e9)
+      case d: java.time.LocalDateTime =>
+        Some(d.toEpochSecond(java.time.ZoneOffset.UTC).toDouble + d.getNano / 1e9)
       case _ => None
     }
     val x = f match {

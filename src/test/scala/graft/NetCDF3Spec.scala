@@ -88,6 +88,22 @@ class NetCDF3Spec extends SparkSpec {
     assert(graft.sources.FormatRegistry.open(spark, file).count() == nt * ny * nx)
   }
 
+  test("fractional-second time coordinates decode exactly (no double-count)") {
+    val dir = java.nio.file.Files.createTempDirectory("nc3frac").toString
+    val path = s"$dir/frac.nc"
+    NW.write(path,
+      dims = Seq(NW.DimSpec("time", 2, record = true)),
+      vars = Seq(
+        NW.VarSpec("time", Seq("time"), NetCDF3.NC_DOUBLE, Seq(0.5, 1.6),
+          attrs = Seq("units" -> "seconds since 1970-01-01")),
+        NW.VarSpec("v", Seq("time"), NetCDF3.NC_DOUBLE, Seq(1.0, 2.0))))
+    val times = NetCDF3Reader.readLongFormat(spark, path)
+      .orderBy($"time").select(date_format($"time", "ss.SSS")).as[String].collect()
+    // the regression: 1.6s used round(1.6)=2 for the seconds AND re-added the
+    // 0.6 fraction, yielding 02.600 instead of 01.600
+    assert(times.toSeq == Seq("00.500", "01.600"))
+  }
+
   test("splitter demuxes the NetCDF file by dimension value and by variable") {
     import graft.operators.Splitter
     val outRoot = java.nio.file.Files.createTempDirectory("ncsplit").toString

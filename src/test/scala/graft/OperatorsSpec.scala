@@ -70,6 +70,46 @@ class WxSqlSpec extends SparkSpec {
       == "GROUP BY date_trunc('MONTH', time)")
   }
 
+  test("agg naming is SELECT-list only: HAVING/ORDER BY aggregates untouched") {
+    // the regression: rewriting 'HAVING AVG(q) > 5' into 'AVG(q) AS avg_q > 5'
+    // produced invalid SQL
+    assert(WxSql.rewriteAggNaming(
+      "SELECT AVG(t) FROM x GROUP BY g HAVING AVG(q) > 5 ORDER BY MAX(p)")
+      == "SELECT AVG(t) AS avg_t FROM x GROUP BY g HAVING AVG(q) > 5 ORDER BY MAX(p)")
+    // subquery SELECT lists still rewrite (nearest clause keyword is SELECT)
+    assert(WxSql.rewriteAggNaming("SELECT a, (SELECT SUM(b) FROM y) FROM x")
+      == "SELECT a, (SELECT SUM(b) AS sum_b FROM y) FROM x")
+  }
+
+  test("string rewrites never fire inside string literals") {
+    val geo = WxSql.rewriteGeoPredicates(
+      "SELECT 'city = ''atlantis''' AS note FROM t WHERE city = 'new york'")
+    assert(geo.contains("'city = ''atlantis'''"), geo) // literal intact
+    assert(geo.contains("latitude >= 40.4774"), geo)   // real predicate rewritten
+    assert(WxSql.rewriteTimeBuckets("SELECT 'time_month' AS s, time_month FROM t")
+      == "SELECT 'time_month' AS s, date_trunc('MONTH', time) FROM t")
+    assert(WxSql.rewriteAggNaming("SELECT 'AVG(x)' AS s FROM t")
+      == "SELECT 'AVG(x)' AS s FROM t")
+  }
+
+  test("plan-rule path: sugar in literal content survives; HAVING aggregates work") {
+    assert(WxSql.hasPlanRules(spark)) // GraftSession carries the rules
+    val wx = WxSql(spark)
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("li_wx")
+    // a literal whose CONTENT looks like the geo sugar must pass through
+    val lit1 = wx.sql("SELECT 'city = ''rome''' AS note FROM li_wx LIMIT 1").head()
+    assert(lit1.getString(0) == "city = 'rome'")
+    // unaliased aggregate in HAVING: parses and runs; SELECT list gets named
+    val hav = wx.sql(
+      "SELECT l_returnflag, AVG(l_quantity) FROM li_wx " +
+        "GROUP BY l_returnflag HAVING AVG(l_quantity) > 0 ORDER BY l_returnflag")
+    assert(hav.columns.toSeq == Seq("l_returnflag", "avg_l_quantity"))
+    assert(hav.count() == 3)
+    // the conf gate resets: plain spark.sql keeps default aggregate naming
+    val plain = spark.sql("SELECT AVG(l_quantity) FROM li_wx")
+    assert(plain.columns.head != "avg_l_quantity")
+  }
+
   test("xqlCompat: LIMIT counts from the original start, OR keeps first term") {
     assert(WxSql.rewriteXqlCompat("SELECT * FROM t LIMIT 20 OFFSET 10")
       .contains("LIMIT 10 OFFSET 10"))
@@ -252,5 +292,20 @@ class PartitionerSpec extends SparkSpec {
     assert(byLoc("gs://out/b.nc") == Manifest.Status.Failure)
     val ok = Manifest.succeeded(Manifest.read(spark, tmp))
     assert(ok.collect().map(_.getString(0)).toSeq == Seq("gs://out/a.nc"))
+  }
+
+  test("manifest: same-microsecond failure beats in-progress (terminal rank)") {
+    import spark.implicits._
+    // the regression: raw status-string DESC ordering sorted 'failure' below
+    // 'in-progress', masking a failure recorded in the same microsecond
+    val t = 1700000000000000L
+    val ledger = Seq(
+      ("era5", "loc", "u", Manifest.Status.InProgress, "fetch", "", "{}", 0L, t),
+      ("era5", "loc", "u", Manifest.Status.Failure, "upload", "boom", "{}", 0L, t))
+      .toDF("configName", "location", "user", "status", "stage", "error",
+        "selectionJson", "sizeBytes", "eventTimeUs")
+    val state = Manifest.currentState(ledger).collect()
+    assert(state.length == 1)
+    assert(state.head.getAs[String]("status") == Manifest.Status.Failure)
   }
 }

@@ -66,6 +66,19 @@ class DedupSpec extends SparkSpec {
     assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
   }
 
+  test("docs shorter than the shingle size yield empty shingles, not a crash") {
+    val short = Seq((1L, "one"), (2L, "two words"), (3L, "a b c d e f g h"),
+      (4L, "a b c d e f g h")).toDF("doc_id", "text")
+    // the regression: sequence(1, 0) counts DOWN in Spark, so slice() got an
+    // out-of-range index and the whole pipeline threw on any short doc
+    assert(short.select(size(Dedup.shingles(Dedup.tokens($"text"), 3)))
+      .as[Int].collect().toSeq == Seq(0, 0, 6, 6))
+    val pairs = Dedup.minhashNearDups(short, "doc_id", "text",
+      numHashes = 8, bands = 4, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((3L, 4L))) // short docs pass through, long dup found
+  }
+
   test("ngram jaccard posting-list join finds the near pair") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet

@@ -113,6 +113,24 @@ class ZarrSourceSpec extends SparkSpec {
     assert(math.abs(rows.head.getAs[Double]("avg_t2m") - expected) < 1e-9)
   }
 
+  test("sub-second timestamp bounds keep full precision in pushdown pruning") {
+    // the regression: LocalDateTime bounds truncated to whole seconds, so a
+    // `ts <= 00:00:00.5` filter pruned away the 0.3s row — pruning silently
+    // became a correctness dependency
+    val dir = java.nio.file.Files.createTempDirectory("zarrfrac").toString + "/frac.zarr"
+    ZW.write(dir, Seq(
+      ZW.VarSpec("time", Seq("time"), Seq(4), Seq(2), "<f8",
+        Seq(0.3, 0.5, 86400.0, 86400.5),
+        units = Some("seconds since 1970-01-01")),
+      ZW.VarSpec("v", Seq("time"), Seq(4), Seq(2), "<f8", Seq(1.0, 2.0, 3.0, 4.0))))
+    val df = spark.read.format("zarr").load(dir)
+    val kept = df.filter($"time" <= "1970-01-01 00:00:00.5")
+      .select($"v").as[Double].collect().sorted
+    assert(kept.toSeq == Seq(1.0, 2.0))
+    val eq = df.filter($"time" === "1970-01-02 00:00:00.5").select($"v").as[Double].collect()
+    assert(eq.toSeq == Seq(4.0))
+  }
+
   test("mover extract pipeline runs natively on the zarr hypercube") {
     val out = graft.operators.Mover.extractRows(ds, s"file://$store",
       graft.operators.Mover.Options(variables = Seq("t2m"),
