@@ -526,8 +526,10 @@ object Queries {
         .orderBy($"doc_id")),
 
     // ---------------------------------------------------------------- R6 O4 (round-robin subsection assignment / fair scheduling)
-    // Note: single-partition window is fine here — the request space is
-    // driver-scale tiny (SURVEY §3.3); at 100 TB this stays thousands of rows.
+    // Global rank without a single-partition window: range-partition + local
+    // sort gives a globally ordered RDD, and zipWithIndex derives the rank
+    // from per-partition counts (one lightweight count job) — every stage
+    // stays spread across the cluster even when the table is the full corpus.
     Q("q28_round_robin", Some("""
       SELECT pid, rn0 % 3 AS slot, rn0 // 3 AS round_idx,
              'license-' || CAST(rn0 % 3 AS VARCHAR) AS subsection
@@ -535,14 +537,14 @@ object Queries {
                    row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
             FROM orders)
       ORDER BY pid"""))(
-      (s, d) => Tables.orders(s, d)
-        .select($"o_orderkey".as("pid"))
-        .withColumn("rn0",
-          (row_number().over(Window.orderBy($"pid")) - 1).cast("long"))
-        .select($"pid", ($"rn0" % 3).as("slot"),
+      (s, d) => {
+        val ranked = graft.operators.ScaleToolkit.globalRank(
+          Tables.orders(s, d).select($"o_orderkey".as("pid")), "pid", "rn0")
+        ranked.select($"pid", ($"rn0" % 3).as("slot"),
           expr("rn0 div 3").as("round_idx"),
           concat(lit("license-"), ($"rn0" % 3).cast("string")).as("subsection"))
-        .orderBy($"pid")),
+          .orderBy($"pid")
+      }),
 
     // ---------------------------------------------------------------- R2 F2 F3 F5 (mover long-format rows + GeoJSON + metadata cols)
     Q("q29_mover_rows", Some(s"""
@@ -574,9 +576,13 @@ object Queries {
           G.geoPolygonJson($"latitude", $"longitude", lit(0.025), lit(0.025))
             .as("geo_polygon"),
           lit("2026-01-01 00:00:00").cast("timestamp_ntz").as("data_import_time"),
-          lit("file://testdata/grid").as("data_uri"),
-          min($"time".cast("timestamp_ntz")).over(Window.partitionBy())
-            .as("data_first_step"))
+          lit("file://testdata/grid").as("data_uri"))
+        // first-step as a broadcast 1-row aggregate, not `min() OVER ()`
+        // (the empty-partition window funnels every row into one task)
+        .crossJoin(broadcast(
+          grid(s, d)
+            .filter($"latitude".between(-10, 10) && $"longitude".between(0, 40))
+            .agg(min($"time".cast("timestamp_ntz")).as("data_first_step"))))
         .orderBy($"l_orderkey", $"l_linenumber", $"time", $"temperature",
           $"latitude", $"longitude"))
   )

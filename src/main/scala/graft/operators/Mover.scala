@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GeoFunctions
@@ -94,11 +93,17 @@ object Mover {
       .map(t => lit(t).cast("timestamp_ntz"))
       .getOrElse(current_timestamp().cast("timestamp_ntz"))
 
+    // data_first_step = first time step of this file (bq.py:325-327). As a
+    // 1-row scalar aggregate broadcast onto every row: partial aggregation
+    // over a column-pruned second scan, then a broadcast nested loop with a
+    // single build row. The obvious `min(time) OVER ()` instead moves EVERY
+    // row of the dataset into one task — a guaranteed OOM at 100 TB.
+    val firstStep = projected
+      .agg(min(col(opts.timeCol).cast("timestamp_ntz")).as("data_first_step"))
     projected
       .withColumn("data_import_time", importTime)
       .withColumn("data_uri", lit(uri))
-      .withColumn("data_first_step",
-        min(col(opts.timeCol).cast("timestamp_ntz")).over(Window.partitionBy()))
+      .crossJoin(broadcast(firstStep))
       .withColumn("geo_point", GeoFunctions.geoPointJson(lat, lon))
       .withColumn("geo_polygon",
         GeoFunctions.geoPolygonJson(lat, lon, lit(latRes), lit(lonRes)))

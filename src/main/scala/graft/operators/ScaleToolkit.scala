@@ -40,6 +40,22 @@ object ScaleToolkit {
     saltedBig.join(explodedDim, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Global 0-based rank over `keyCol` WITHOUT a single-partition window
+    * (`row_number() OVER (ORDER BY k)` funnels the whole table into one
+    * task). Range-repartition + in-partition sort yields a globally ordered
+    * RDD; `zipWithIndex` then turns per-partition counts (one lightweight
+    * count job) into contiguous global indices. Every stage stays spread
+    * across the cluster. Ties get an arbitrary but stable order within the
+    * range partition, so use a unique key for deterministic output. */
+  def globalRank(df: DataFrame, keyCol: String, rankCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val sorted = df.repartitionByRange(col(keyCol)).sortWithinPartitions(col(keyCol))
+    val schema = sorted.schema.add(StructField(rankCol, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    sorted.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Count Exchange (shuffle) operators in a frame's executed plan — the
     * evidence hook the specs and PlanAudit use. */
   def shuffleCount(df: DataFrame): Int =

@@ -305,6 +305,20 @@ class QueriesSpec extends SparkSpec {
     assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
   }
 
+  test("plan lint: no unpartitioned (single-task) Window anywhere in the inventory") {
+    // `f() OVER ()` / `OVER (ORDER BY ...)` with no PARTITION BY moves the
+    // whole input into one task — the classic 100 TB scale-killer. Every
+    // inventory plan must keep its windows partitioned.
+    val offenders = Queries.everything.flatMap { q =>
+      val windows = q.run(spark, sfDir).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      if (windows.nonEmpty) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, s"unpartitioned Window in: $offenders")
+  }
+
   test("plan lint: filters and pruning reach the parquet scan") {
     val plan = Queries.byName("q03_where_coords")(spark, sfDir).queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
