@@ -309,8 +309,11 @@ object QueriesML {
         SELECT vec_id, embedding FROM embeddings
         UNION ALL
         SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+      np AS (SELECT GREATEST(1, LEAST(16,
+                      LENGTH(bin((count(*) + 63) // 64 - 1)))) AS n
+             FROM corpus),
       planes AS (SELECT vec_id AS pid, embedding::DOUBLE[] AS pv
-                 FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+                 FROM embeddings WHERE vec_id BETWEEN 1 AND (SELECT n FROM np)),
       b AS (SELECT c.vec_id,
                    CAST(sum(CASE WHEN list_dot_product(c.embedding::DOUBLE[], p.pv) > 0
                             THEN power(2, p.pid - 1) ELSE 0 END) AS BIGINT) AS bucket
@@ -334,8 +337,13 @@ object QueriesML {
       val corpus = emb.select($"vec_id", $"embedding")
         .union(emb.filter($"vec_id" % 100 === 0)
           .select(($"vec_id" + 10000).as("vec_id"), $"embedding"))
+      // plane count scales with the corpus (2^p buckets ~ N/64) — a fixed
+      // count would make the within-bucket pairing quadratic in N; the
+      // oracle computes the identical integer formula via LENGTH(bin(k-1))
+      val nPlanes = Similarity.planeCountFor(corpus.count(),
+        targetBucketSize = 64, maxPlanes = 16)
       Similarity.cosineNearDupPairs(corpus, "embedding", "vec_id",
-          collectPlanes(emb, 1 to 4), threshold = 0.99)
+          collectPlanes(emb, 1 to nPlanes), threshold = 0.99)
         .orderBy($"id_a", $"id_b")
     })
 

@@ -85,23 +85,52 @@ object Similarity {
       .limit(k)
   }
 
+  /** Plane count for a near-dup corpus: enough hyperplanes that the EXPECTED
+    * bucket size stays near `targetBucketSize` — i.e. bucket count grows
+    * WITH the corpus (2^p >= corpusSize / targetBucketSize). A fixed plane
+    * count makes the within-bucket pairing quadratic in corpus size; this
+    * keeps it linear. Pure integer math so any engine computing the same
+    * formula (e.g. a SQL oracle via LENGTH(bin(k-1))) lands on the same
+    * count. */
+  def planeCountFor(corpusSize: Long, targetBucketSize: Int = 64,
+      maxPlanes: Int = 30): Int = {
+    val k = (corpusSize + targetBucketSize - 1) / targetBucketSize
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(k - 1, 0L))
+    math.max(1, math.min(maxPlanes, bits))
+  }
+
   /** All-pairs near-duplicate detection by embedding cosine within LSH
-    * buckets (embedding-space analog of Dedup.minhashNearDups). */
+    * buckets (embedding-space analog of Dedup.minhashNearDupsRelational).
+    *
+    * Scale shape: one aggregation per bucket, each bucket's member list
+    * capped at `maxBucketSize` BEFORE the pair explode, so the output is
+    * bounded by buckets * cap^2 — never quadratic in the corpus. A
+    * pathological bucket (a flood of identical embeddings) loses only
+    * redundant edges: its members are all mutual near-dups, so pairing a
+    * cap-sized sample still reports every member in some surviving pair
+    * group. Size `planes` with [[planeCountFor]] so bucket count tracks
+    * corpus size. */
   def cosineNearDupPairs(emb: DataFrame, vecCol: String, idCol: String,
-      planes: Seq[Seq[Float]], threshold: Double): DataFrame = {
+      planes: Seq[Seq[Float]], threshold: Double,
+      maxBucketSize: Int = 10000): DataFrame = {
     // norms precomputed once per vector (the pairwise stage would otherwise
     // fold each 64-element array three times per candidate pair)
     val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", hyperplaneBucket(col("v"), planes))
       .withColumn("nrm", norm(col("v")))
-    val a = bucketed.select(col("id").as("id_a"), col("v").as("v_a"),
-      col("nrm").as("n_a"), col("bucket"))
-    val b = bucketed.select(col("id").as("id_b"), col("v").as("v_b"),
-      col("nrm").as("n_b"), col("bucket"))
-    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim",
-        round(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6))
+    bucketed
+      .groupBy(col("bucket"))
+      .agg(slice(sort_array(collect_list(struct(col("id"), col("v"), col("nrm")))),
+        1, maxBucketSize).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ms, (x, i) -> " +
+          "transform(slice(ms, i + 2, size(ms) - i - 1), y -> struct(x AS a, y AS b))))"))
+        .as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        round(dot(col("p.a.v"), col("p.b.v")) / (col("p.a.nrm") * col("p.b.nrm")), 6)
+          .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-      .select("id_a", "id_b", "cos_sim").distinct()
+      .distinct()
   }
 }

@@ -130,6 +130,31 @@ class SimilaritySpec extends SparkSpec {
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((3L, 9003L)))
   }
+
+  test("cosineNearDupPairs bounds pair counts on a pathological bucket") {
+    // 200 identical vectors land in ONE bucket; with cap 20 the pair explode
+    // must emit C(20,2) = 190 pairs, not C(200,2) = 19900 — the quadratic
+    // blow-up the cap exists to prevent
+    val base = emb.filter($"vec_id" === 3).select($"embedding").as[Seq[Float]].head()
+    val flood = spark.createDataFrame(
+      (0 until 200).map(i => (i.toLong, base))).toDF("vec_id", "embedding")
+    val planes = emb.filter($"vec_id".isin(1, 2)).orderBy($"vec_id")
+      .select($"embedding").as[Seq[Float]].collect().toSeq
+    val n = Similarity.cosineNearDupPairs(flood, "embedding", "vec_id",
+      planes, threshold = 0.999, maxBucketSize = 20).count()
+    assert(n == 190L, s"expected capped 190 pairs, got $n")
+  }
+
+  test("planeCountFor scales bucket count with the corpus") {
+    assert(Similarity.planeCountFor(10) == 1)         // tiny corpus: 1 plane
+    assert(Similarity.planeCountFor(1010) == 4)       // ~16 buckets
+    assert(Similarity.planeCountFor(10100) == 8)      // ~256 buckets
+    assert(Similarity.planeCountFor(100000000L) == 21)
+    assert(Similarity.planeCountFor(1L << 40, maxPlanes = 16) == 16) // capped
+    // exact powers stay exact (no fp log2 off-by-one)
+    assert(Similarity.planeCountFor(64 * 16) == 4)
+    assert(Similarity.planeCountFor(64 * 16 + 1) == 5)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
