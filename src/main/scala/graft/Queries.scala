@@ -584,7 +584,41 @@ object Queries {
             .filter($"latitude".between(-10, 10) && $"longitude".between(0, 40))
             .agg(min($"time".cast("timestamp_ntz")).as("data_first_step"))))
         .orderBy($"l_orderkey", $"l_linenumber", $"time", $"temperature",
-          $"latitude", $"longitude"))
+          $"latitude", $"longitude")),
+
+    // ---------------------------------------------------------------- S1 S3 (GRIB1 codec end-to-end: pack -> file -> distributed decode)
+    // Deterministic values from `orders` round-trip through a REAL GRIB
+    // edition-1 file (IBM-float reference value, 16-bit simple packing, two
+    // messages); the oracle recomputes the grid directly from `orders` — any
+    // codec bit-slip breaks the hash match.
+    Q("q48_grib_extract", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200)
+      SELECT CASE WHEN rn0 // 100 = 0 THEN TIMESTAMP '2026-01-15 00:00:00'
+                  ELSE TIMESTAMP '2026-01-15 06:00:00' END AS time,
+             CAST(50 - (rn0 % 100) // 10 AS DOUBLE) AS latitude,
+             CAST(rn0 % 10 AS DOUBLE) AS longitude,
+             CAST(o_orderkey % 997 AS DOUBLE) AS value
+      FROM o
+      ORDER BY time, latitude, longitude"""))(
+      (s, d) => {
+        import graft.sources.grib.{Grib1Reader, Grib1Writer => GW}
+        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+          .select(($"o_orderkey" % 997).cast("double"))
+          .collect().map(_.getDouble(0)).toSeq
+        val t0 = java.time.LocalDateTime.of(2026, 1, 15, 0, 0)
+        val path = java.nio.file.Files.createTempDirectory("q48").toString + "/q48.grib"
+        def spec(v: Seq[Double], p1: Int) = GW.FieldSpec(
+          paramId = 167, levelType = 105, levelValue = 2, refTime = t0,
+          values = v, ni = 10, nj = 10,
+          la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0, p1 = p1,
+          decimalScale = 0)
+        GW.write(path, Seq(spec(vals.take(100), 0), spec(vals.drop(100), 6)))
+        Grib1Reader.readLongFormat(s, path)
+          .select($"time", $"latitude", $"longitude", $"value")
+          .orderBy($"time", $"latitude", $"longitude")
+      })
   )
 
   // Implicit $"…" interpolation without a session: resolved lazily by plans.

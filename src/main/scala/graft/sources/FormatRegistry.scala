@@ -5,10 +5,10 @@ import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
 /** Engine-sniffing reader dispatch (S1/S2, weather_mv/loader_pipeline/
   * sinks.py:345-389): the reference tries kwargs-engine, then rasterio for
   * .tif, a netcdf guess, and cfgrib fallbacks. Here the dispatch is by
-  * extension over Spark's source formats; scientific formats (NetCDF, GRIB,
-  * Zarr) are declared but deliberately unimplemented in this environment —
-  * the graded corpus is parquet, and the long-term path is a DataSource V2
-  * `TableProvider` with `SupportsPushDownFilters` (SURVEY §4 item 2). */
+  * extension over Spark's source formats plus the pure-JVM scientific
+  * readers: Zarr v2 (DSv2 with chunk pruning), NetCDF-3 classic, and GRIB
+  * edition 1 (decoded + channel-merged like the cfgrib fallback path).
+  * NetCDF-4/HDF5 and GeoTIFF pixel data still raise directed errors. */
 object FormatRegistry {
 
   final case class Unsupported(ext: String) extends
@@ -21,9 +21,10 @@ object FormatRegistry {
     "csv" -> "csv", "json" -> "json", "orc" -> "orc", "txt" -> "text",
     "zarr" -> "zarr") // graft.sources.zarr.ZarrTableProvider (DSv2)
 
-  val scientific: Set[String] = Set("nc4", "grib", "grib2", "grb", "tif", "tiff")
+  val scientific: Set[String] = Set("nc4", "tif", "tiff")
 
   private val netcdf3: Set[String] = Set("nc", "cdf")
+  private val grib: Set[String] = Set("grib", "grib1", "grib2", "grb", "grb1", "grb2")
 
   def extensionOf(uri: String): String = {
     val base = uri.stripSuffix("/").split('/').last
@@ -50,6 +51,10 @@ object FormatRegistry {
       case Some(fmt) => reader.format(fmt).load(uri)
       case None if netcdf3.contains(ext) =>
         graft.sources.netcdf.NetCDF3Reader.readLongFormat(spark, uri)
+      case None if grib.contains(ext) =>
+        // GRIB1 decode + the reference's normalize/merge path (sinks.py:251-342);
+        // an edition-2 payload raises a directed error from the parser
+        graft.sources.grib.Grib1Reader.readMerged(spark, uri)
       case None if scientific.contains(ext) => throw Unsupported(ext)
       case None => reader.parquet(uri) // the reference's final fallback is a guess
     }

@@ -1,0 +1,122 @@
+package graft.sources.grib
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Distributed long-format reader for GRIB edition 1 files, mirroring the
+  * NetCDF-3/Zarr readers' row model: one row per grid point per message,
+  * coordinate columns + cfgrib-style metadata + the decoded value.
+  *
+  * Parallelism: the driver indexes message HEADERS only (a few tiny ranged
+  * reads per message — bitmap/data bodies are never touched), then messages
+  * are spread across tasks and each task ranged-reads exactly its own
+  * packed-data spans. A multi-GB many-message file scans fully in parallel.
+  *
+  * [[readMerged]] is the reference's schema-normalization path (S3,
+  * weather_mv/loader_pipeline/sinks.py:251-342): per-message channel names
+  * via [[graft.operators.Mover.channelName]] synthesis, then the long->wide
+  * merge with [[graft.operators.Mover.mergeChannels]].
+  */
+object Grib1Reader {
+
+  val longSchema: StructType = StructType(Seq(
+    StructField("time", TimestampNTZType, nullable = false),
+    StructField("latitude", DoubleType, nullable = false),
+    StructField("longitude", DoubleType, nullable = false),
+    StructField("level", StringType, nullable = false),
+    StructField("height", DoubleType, nullable = false),
+    StructField("step_type", StringType, nullable = false),
+    StructField("short_name", StringType, nullable = false),
+    StructField("channel", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = true)))
+
+  /** Index all messages in a file by hopping section lengths — header-only
+    * ranged reads, no data-body IO. */
+  def indexMessages(conf: Configuration, path: String): Seq[Grib1.Message] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val fileLen = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    def read(off: Long, len: Int): Array[Byte] = {
+      val b = new Array[Byte](len)
+      in.readFully(off, b)
+      b
+    }
+    try {
+      val out = Seq.newBuilder[Grib1.Message]
+      var off = 0L
+      while (off + 8 <= fileLen) {
+        val m = Grib1.parseMessage(read _, off)
+        out += m
+        off += m.totalLength
+      }
+      out.result()
+    } finally in.close()
+  }
+
+  /** One row per (message, grid point). `partitions` <= 0 uses the default
+    * parallelism capped at the message count. */
+  def readLongFormat(spark: SparkSession, path: String,
+      partitions: Int = 0): DataFrame = {
+    val conf = new Configuration()
+    val msgs = indexMessages(conf, path)
+    require(msgs.nonEmpty, s"no GRIB messages in $path")
+    val nPart = if (partitions > 0) partitions
+      else math.max(1, math.min(msgs.size, spark.sparkContext.defaultParallelism))
+    val pathLocal = path
+    val rdd = spark.sparkContext.parallelize(msgs, nPart).mapPartitions { it =>
+      val conf = new Configuration()
+      val p = new Path(pathLocal)
+      val fs = p.getFileSystem(conf)
+      val in = fs.open(p)
+      val iter = it.flatMap { m =>
+        val data = new Array[Byte](m.dataBytes)
+        in.readFully(m.dataOffset, data)
+        val bitmap =
+          if (m.bitmapOffset >= 0) {
+            val b = new Array[Byte](m.bitmapBytes)
+            in.readFully(m.bitmapOffset, b)
+            b
+          } else null
+        val values = Grib1.decodeValues(m, data, bitmap)
+        val time = java.time.LocalDateTime.ofEpochSecond(
+          m.validTimeEpochSec, 0, java.time.ZoneOffset.UTC)
+        val level = m.levelName
+        val height = m.levelHeight
+        val stepType = m.stepType
+        val shortName = m.shortName
+        val channel = graft.operators.Mover.channelName(level, height, stepType, shortName)
+        (0 until m.nPoints).iterator.map { k =>
+          val j = k / m.ni
+          val i = k % m.ni
+          val v = values(k)
+          Row(time, m.latOf(j), m.lonOf(i), level, height, stepType, shortName,
+            channel, if (v.isNaN) null else java.lang.Double.valueOf(v))
+        }
+      }
+      // ranged-read handle must outlive the row stream; close on exhaustion
+      new Iterator[Row] {
+        def hasNext: Boolean = { val h = iter.hasNext; if (!h) in.close(); h }
+        def next(): Row = iter.next()
+      }
+    }
+    spark.createDataFrame(rdd, longSchema)
+  }
+
+  /** Wide per-channel frame: the GRIB normalize path (sinks.py:251-342) —
+    * long rows pivoted on the synthesized channel name over the coordinate
+    * key. Channel list comes from the driver-side index (no extra job). */
+  def readMerged(spark: SparkSession, path: String, partitions: Int = 0): DataFrame = {
+    val conf = new Configuration()
+    val channels = indexMessages(conf, path)
+      .map(m => graft.operators.Mover.channelName(
+        m.levelName, m.levelHeight, m.stepType, m.shortName))
+      .distinct
+    val long = readLongFormat(spark, path, partitions)
+      .select("time", "latitude", "longitude", "channel", "value")
+    graft.operators.Mover.mergeChannels(
+      long, Seq("time", "latitude", "longitude"), "channel", "value", channels)
+  }
+}

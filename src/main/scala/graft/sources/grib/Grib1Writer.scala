@@ -1,0 +1,171 @@
+package graft.sources.grib
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+/** Minimal GRIB edition 1 writer (regular lat/lon, simple packing, optional
+  * bitmap): enough of the public spec to produce real fixture files for the
+  * reader and the mover pipeline — the same role NetCDF3Writer plays for the
+  * NetCDF path. Binary scale is fixed at 0 and the reference value is the
+  * (integer) minimum of the scaled values, so round(v * 10^D) survives the
+  * pack/unpack cycle exactly.
+  */
+object Grib1Writer {
+
+  final case class FieldSpec(
+      paramId: Int,
+      levelType: Int,
+      levelValue: Int,                 // PDS octets 11-12 (u16)
+      refTime: java.time.LocalDateTime,
+      values: Seq[Double],             // row-major (j, i); NaN = missing
+      ni: Int, nj: Int,
+      la1: Double, lo1: Double, la2: Double, lo2: Double,
+      tableVersion: Int = 128,
+      centre: Int = 98,
+      timeUnit: Int = 1,               // hours
+      p1: Int = 0, p2: Int = 0,
+      timeRangeIndicator: Int = 0,
+      decimalScale: Int = 0,
+      bitsPerValue: Int = 16)
+
+  def write(path: String, fields: Seq[FieldSpec],
+      conf: Configuration = new Configuration()): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try fields.foreach(f => out.write(message(f)))
+    finally out.close()
+  }
+
+  def message(f: FieldSpec): Array[Byte] = {
+    require(f.values.size == f.ni * f.nj,
+      s"values size ${f.values.size} != ni*nj ${f.ni * f.nj}")
+    val pds = pdsBytes(f)
+    val gds = gdsBytes(f)
+    val missing = f.values.exists(_.isNaN)
+    val bms = if (missing) bmsBytes(f) else Array.emptyByteArray
+    val bds = bdsBytes(f)
+    val total = 8 + pds.length + gds.length + bms.length + bds.length + 4
+    val o = new ByteArrayOutputStream(total)
+    o.write('G'); o.write('R'); o.write('I'); o.write('B')
+    writeU24(o, total)
+    o.write(1) // edition
+    o.write(pds); o.write(gds); o.write(bms); o.write(bds)
+    o.write('7'); o.write('7'); o.write('7'); o.write('7')
+    o.toByteArray
+  }
+
+  private def pdsBytes(f: FieldSpec): Array[Byte] = {
+    val missing = f.values.exists(_.isNaN)
+    val b = new Array[Byte](28)
+    put24(b, 0, 28)
+    b(3) = f.tableVersion.toByte
+    b(4) = f.centre.toByte
+    b(5) = 1                                  // generating process
+    b(6) = 255.toByte                         // grid id: non-predefined
+    b(7) = ((if (missing) 0xc0 else 0x80) & 0xff).toByte // GDS [+ BMS]
+    b(8) = f.paramId.toByte
+    b(9) = f.levelType.toByte
+    b(10) = ((f.levelValue >> 8) & 0xff).toByte
+    b(11) = (f.levelValue & 0xff).toByte
+    val t = f.refTime
+    b(12) = (((t.getYear - 1) % 100) + 1).toByte  // year of century (1-100)
+    b(13) = t.getMonthValue.toByte
+    b(14) = t.getDayOfMonth.toByte
+    b(15) = t.getHour.toByte
+    b(16) = t.getMinute.toByte
+    b(17) = f.timeUnit.toByte
+    b(18) = f.p1.toByte
+    b(19) = f.p2.toByte
+    b(20) = f.timeRangeIndicator.toByte
+    b(24) = (((t.getYear - 1) / 100) + 1).toByte  // century
+    putS16(b, 26, f.decimalScale)
+    b
+  }
+
+  private def gdsBytes(f: FieldSpec): Array[Byte] = {
+    val b = new Array[Byte](32)
+    put24(b, 0, 32)
+    b(3) = 0                   // NV
+    b(4) = 255.toByte          // PV: none
+    b(5) = 0                   // regular lat/lon
+    putU16(b, 6, f.ni)
+    putU16(b, 8, f.nj)
+    putS24(b, 10, math.round(f.la1 * 1000).toInt)
+    putS24(b, 13, math.round(f.lo1 * 1000).toInt)
+    b(16) = 0x80.toByte        // resolution flags: increments given
+    putS24(b, 17, math.round(f.la2 * 1000).toInt)
+    putS24(b, 20, math.round(f.lo2 * 1000).toInt)
+    val di = if (f.ni > 1) math.abs(f.lo2 - f.lo1) / (f.ni - 1) else 0
+    val dj = if (f.nj > 1) math.abs(f.la2 - f.la1) / (f.nj - 1) else 0
+    putU16(b, 24, math.round(di * 1000).toInt)
+    putU16(b, 26, math.round(dj * 1000).toInt)
+    b(27) = 0                  // scan mode: +i, -j, i consecutive
+    b
+  }
+
+  private def bmsBytes(f: FieldSpec): Array[Byte] = {
+    val n = f.values.size
+    val bodyBytes = (n + 7) / 8
+    val len = 6 + bodyBytes
+    val b = new Array[Byte](len)
+    put24(b, 0, len)
+    b(3) = (bodyBytes * 8 - n).toByte  // unused trailing bits
+    putU16(b, 4, 0)                    // bitmap follows (no predefined table)
+    f.values.zipWithIndex.foreach { case (v, k) =>
+      if (!v.isNaN) b(6 + (k >> 3)) = (b(6 + (k >> 3)) | (0x80 >> (k & 7))).toByte
+    }
+    b
+  }
+
+  private def bdsBytes(f: FieldSpec): Array[Byte] = {
+    val dFactor = math.pow(10.0, f.decimalScale)
+    val present = f.values.filterNot(_.isNaN)
+    val scaled = present.map(v => math.round(v * dFactor))
+    val ref = if (scaled.isEmpty) 0L else scaled.min
+    val xs = scaled.map(_ - ref)
+    require(xs.forall(x => x >= 0 && (f.bitsPerValue == 64 || x < (1L << f.bitsPerValue))),
+      s"value range needs more than ${f.bitsPerValue} bits")
+    val dataBits = xs.size.toLong * f.bitsPerValue
+    val dataBytes = ((dataBits + 7) / 8).toInt
+    val len = 11 + dataBytes
+    val b = new Array[Byte](len)
+    put24(b, 0, len)
+    b(3) = ((dataBytes * 8 - dataBits) & 0x0f).toByte // flags 0 + unused bits
+    putS16(b, 4, 0)                                   // binary scale E = 0
+    System.arraycopy(Grib1.toIbmFloat(ref.toDouble), 0, b, 6, 4)
+    b(10) = f.bitsPerValue.toByte
+    var bitPos = 0L
+    xs.foreach { x =>
+      var i = f.bitsPerValue - 1
+      while (i >= 0) {
+        if (((x >> i) & 1L) != 0) {
+          val idx = 11 + (bitPos >> 3).toInt
+          b(idx) = (b(idx) | (0x80 >> (bitPos & 7).toInt)).toByte
+        }
+        bitPos += 1
+        i -= 1
+      }
+    }
+    b
+  }
+
+  private def writeU24(o: ByteArrayOutputStream, v: Int): Unit = {
+    o.write((v >> 16) & 0xff); o.write((v >> 8) & 0xff); o.write(v & 0xff)
+  }
+  private def put24(b: Array[Byte], i: Int, v: Int): Unit = {
+    b(i) = ((v >> 16) & 0xff).toByte
+    b(i + 1) = ((v >> 8) & 0xff).toByte
+    b(i + 2) = (v & 0xff).toByte
+  }
+  private def putU16(b: Array[Byte], i: Int, v: Int): Unit = {
+    b(i) = ((v >> 8) & 0xff).toByte
+    b(i + 1) = (v & 0xff).toByte
+  }
+  private def putS16(b: Array[Byte], i: Int, v: Int): Unit =
+    putU16(b, i, if (v < 0) 0x8000 | -v else v)
+  private def putS24(b: Array[Byte], i: Int, v: Int): Unit =
+    put24(b, i, if (v < 0) 0x800000 | -v else v)
+}

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.grib.{Grib1, Grib1Reader, Grib1Writer => GW}
+
+/** Golden tests for the pure-JVM GRIB1 reader: write edition-1 messages with
+  * the fixture writer (simple packing, IBM-float reference value, optional
+  * bitmap), read back distributed, and check exact values + the reference's
+  * channel normalization (sinks.py:251-342) end-to-end through the mover. */
+class Grib1Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val (ni, nj) = (5, 4)
+  private val t0 = java.time.LocalDateTime.of(2026, 1, 15, 0, 0)
+
+  private def gridVals(f: (Int, Int) => Double): Seq[Double] =
+    for (j <- 0 until nj; i <- 0 until ni) yield f(j, i)
+
+  // two channels x two forecast steps + one masked accumulation message
+  private lazy val file: String = {
+    val dir = java.nio.file.Files.createTempDirectory("grib1").toString
+    val path = s"$dir/test.grib"
+    def field(paramId: Int, levelType: Int, levelValue: Int, p1: Int,
+        vals: Seq[Double], d: Int = 2, tri: Int = 0, p2: Int = 0) =
+      GW.FieldSpec(paramId, levelType, levelValue, t0, vals,
+        ni, nj, la1 = 60.0, lo1 = -10.0, la2 = 45.0, lo2 = 10.0,
+        decimalScale = d, p1 = p1, timeRangeIndicator = tri, p2 = p2)
+    GW.write(path, Seq(
+      // 2t: 2-metre temperature (ECMWF 167, heightAboveGround 2)
+      field(167, 105, 2, p1 = 0, vals = gridVals((j, i) => 270.0 + j + 0.25 * i)),
+      field(167, 105, 2, p1 = 6, vals = gridVals((j, i) => 271.0 + j + 0.25 * i)),
+      // swvl-style depth layer var on the same grid (table 128 -> p39)
+      field(39, 112, 7 << 8, p1 = 0, vals = gridVals((j, i) => 0.05 * (j + i))),
+      field(39, 112, 7 << 8, p1 = 6, vals = gridVals((j, i) => 0.06 * (j + i))),
+      // tp: accumulated precip with a bitmap-masked cell
+      field(228, 1, 0, p1 = 0, tri = 4, p2 = 6,
+        vals = gridVals((j, i) => if (j == 1 && i == 2) Double.NaN else 0.5 * i))))
+    path
+  }
+
+  test("IBM float round-trips integers exactly and handles signs") {
+    for (v <- Seq(0.0, 1.0, 27000.0, 123456.0, -42.0, 0.0625)) {
+      val enc = Grib1.toIbmFloat(v)
+      assert(Grib1.ibmFloat(enc, 0) == v, s"round-trip of $v")
+    }
+  }
+
+  test("bit unpacking handles non-byte-aligned widths") {
+    // 12-bit values 0xABC, 0x123: bytes AB C1 23
+    val packed = Array(0xab.toByte, 0xc1.toByte, 0x23.toByte)
+    assert(Grib1.unpackBits(packed, 12, 2).toSeq == Seq(0xabcL, 0x123L))
+    assert(Grib1.unpackBits(Array[Byte](0), 0, 3).toSeq == Seq(0L, 0L, 0L))
+  }
+
+  test("message headers parse: PDS/GDS fields, channel metadata") {
+    val msgs = Grib1Reader.indexMessages(new org.apache.hadoop.conf.Configuration(), file)
+    assert(msgs.size == 5)
+    val m = msgs.head
+    assert(m.ni == ni && m.nj == nj)
+    assert(m.la1 == 60.0 && m.lo1 == -10.0 && m.la2 == 45.0 && m.lo2 == 10.0)
+    assert(m.shortName == "2t" && m.levelName == "heightAboveGround")
+    assert(m.levelHeight == 2.0 && m.stepType == "instant")
+    assert(m.decimalScale == 2)
+    // depth layer: top 7 cm -> 0.07 m (the reference's formatting example)
+    val d = msgs(2)
+    assert(d.levelName == "depthBelowLandLayer" && d.levelHeight == 0.07)
+    assert(graft.operators.Mover.channelName(
+      d.levelName, d.levelHeight, d.stepType, d.shortName)
+      == "depthBelowLandLayer_0_07_instant_p39")
+    // accumulation message: step ends at P2
+    val a = msgs(4)
+    assert(a.stepType == "accum" && a.validTimeEpochSec == m.refTimeEpochSec + 6 * 3600)
+  }
+
+  test("long-format read: exact values at golden points, valid times") {
+    val df = Grib1Reader.readLongFormat(spark, file)
+    assert(df.count() == 5L * ni * nj)
+    // golden row (bq_test.py:247-326 style): 2t at t0, grid corner and interior
+    val r = df.filter($"channel" === "heightAboveGround_2_00_instant_2t" &&
+      date_format($"time", "yyyy-MM-dd HH") === "2026-01-15 00" &&
+      $"latitude" === 55.0 && $"longitude" === 0.0).head()
+    // j: 60 -> 45 over 4 rows => lat 55 is j=1; lon 0 is i=2
+    assert(r.getAs[Double]("value") == 270.0 + 1 + 0.25 * 2)
+    assert(r.getAs[String]("short_name") == "2t")
+    // +6h message decodes under the same channel at the later valid time
+    val r6 = df.filter($"channel" === "heightAboveGround_2_00_instant_2t" &&
+      date_format($"time", "HH") === "06" &&
+      $"latitude" === 45.0 && $"longitude" === 10.0).head()
+    assert(r6.getAs[Double]("value") == 271.0 + 3 + 0.25 * 4)
+  }
+
+  test("bitmap-masked points decode to null, others to exact values") {
+    val tp = Grib1Reader.readLongFormat(spark, file)
+      .filter($"channel" === "surface_0_00_accum_tp")
+    assert(tp.count() == ni * nj)
+    assert(tp.filter($"value".isNull).count() == 1)
+    val masked = tp.filter($"value".isNull).head()
+    assert(masked.getAs[Double]("latitude") == 55.0) // j=1
+    assert(masked.getAs[Double]("longitude") == 0.0) // i=2
+    assert(tp.filter($"latitude" === 60.0 && $"longitude" === 10.0)
+      .head().getAs[Double]("value") == 0.5 * 4)
+  }
+
+  test("readMerged produces the wide per-channel schema (S3 normalize path)") {
+    val wide = graft.sources.FormatRegistry.open(spark, file)
+    assert(wide.columns.toSeq.sorted == Seq("depthBelowLandLayer_0_07_instant_p39",
+      "heightAboveGround_2_00_instant_2t", "latitude", "longitude",
+      "surface_0_00_accum_tp", "time").sorted)
+    // one row per (time, lat, lon); the accum's valid time is t0+6h (P2
+    // ends the interval), so tp is NULL on the t0 rows
+    assert(wide.count() == 2L * ni * nj)
+    val r00 = wide.filter(date_format($"time", "HH") === "00" &&
+      $"latitude" === 50.0 && $"longitude" === 5.0).head() // j=2, i=3
+    assert(r00.getAs[Double]("heightAboveGround_2_00_instant_2t") == 270.0 + 2 + 0.25 * 3)
+    assert(r00.getAs[Double]("depthBelowLandLayer_0_07_instant_p39") == 0.05 * 5)
+    assert(r00.isNullAt(r00.fieldIndex("surface_0_00_accum_tp")))
+    val r06 = wide.filter(date_format($"time", "HH") === "06" &&
+      $"latitude" === 50.0 && $"longitude" === 5.0).head()
+    assert(r06.getAs[Double]("heightAboveGround_2_00_instant_2t") == 271.0 + 2 + 0.25 * 3)
+    assert(r06.getAs[Double]("depthBelowLandLayer_0_07_instant_p39") == 0.06 * 5)
+    assert(r06.getAs[Double]("surface_0_00_accum_tp") == 0.5 * 3)
+  }
+
+  test("mover extract pipeline runs end-to-end on the GRIB hypercube") {
+    val wide = Grib1Reader.readMerged(spark, file)
+    val out = graft.operators.Mover.extractRows(wide, s"file://$file",
+      graft.operators.Mover.Options(variables = Seq("2t"),
+        importTime = Some("2026-01-15 12:00:00"),
+        latRes = Some(2.5), lonRes = Some(2.5)))
+    assert(out.count() == 2L * ni * nj)
+    assert(out.columns.contains("heightAboveGround_2_00_instant_2t"))
+    assert(!out.columns.contains("surface_0_00_accum_tp")) // projection applied
+    assert(out.columns.contains("geo_polygon") && out.columns.contains("data_first_step"))
+  }
+
+  test("reads are distributed across messages") {
+    val parts = Grib1Reader.readLongFormat(spark, file, partitions = 3)
+    assert(parts.rdd.getNumPartitions == 3)
+    assert(parts.agg(round(sum($"value"), 6)).head().getDouble(0) ==
+      Grib1Reader.readLongFormat(spark, file, partitions = 1)
+        .agg(round(sum($"value"), 6)).head().getDouble(0))
+  }
+
+  test("edition 2 and complex packing raise directed errors") {
+    val dir = java.nio.file.Files.createTempDirectory("grib2").toString
+    val p = s"$dir/fake.grib2"
+    val msg = GW.message(GW.FieldSpec(167, 1, 0, t0,
+      Seq(1.0, 2.0), 2, 1, 0.0, 0.0, 0.0, 1.0))
+    msg(7) = 2 // patch edition byte
+    val fs = new java.io.FileOutputStream(p); fs.write(msg); fs.close()
+    val e = intercept[Grib1.UnsupportedGrib](
+      Grib1Reader.indexMessages(new org.apache.hadoop.conf.Configuration(), p))
+    assert(e.getMessage.contains("edition 2"))
+  }
+}

@@ -137,14 +137,17 @@ class FormatRegistrySpec extends SparkSpec {
     val df = FormatRegistry.open(spark, s"$sfDir/lineitem.parquet")
     assert(df.count() > 0)
     val e = intercept[FormatRegistry.Unsupported](
-      FormatRegistry.open(spark, "gs://b/data.grib2"))
+      FormatRegistry.open(spark, "gs://b/data.tif"))
     assert(e.getMessage.contains("parquet"))
     assert(FormatRegistry.extensionOf("a/b/c.data.NC") == "nc")
   }
 
   test("engine option overrides extension sniffing") {
-    intercept[FormatRegistry.Unsupported](
+    // engine=grib on a parquet payload reaches the GRIB parser, which
+    // rejects the magic — proof the override routed past the extension
+    val e = intercept[IllegalArgumentException](
       FormatRegistry.open(spark, s"$sfDir/lineitem.parquet", Map("engine" -> "grib")))
+    assert(e.getMessage.contains("not a GRIB message"))
   }
 
   test("fileStatus returns size and mtime via Hadoop FS") {
