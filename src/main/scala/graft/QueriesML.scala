@@ -271,7 +271,8 @@ object QueriesML {
             round($"humidity", 6).as("humidity"))
           .orderBy($"l_orderkey", $"l_linenumber")
       })
-  ) ++ Seq(regridQ, matchDtQ, packedQ, haversineQ, sessionizeQ, embDupQ, corpusStatsQ)
+  ) ++ Seq(regridQ, nearestQ, matchDtQ, packedQ, haversineQ, sessionizeQ, embDupQ,
+    corpusStatsQ)
 
   /** Corpus statistics per source: token-count distribution via exact
     * interpolated percentiles (both engines use linear interpolation;
@@ -290,15 +291,9 @@ object QueriesML {
       FROM t GROUP BY source ORDER BY source"""))(
     (s, d) => {
       import graft.functions.{TextFunctions => TF}
-      Tables.documents(s, d)
-        .select($"source", TF.tokenCount($"text").cast("double").as("toks"))
-        .groupBy($"source")
-        .agg(count(lit(1)).as("n_docs"),
-          round(avg($"toks"), 6).as("avg_tokens"),
-          round(expr("percentile(toks, 0.5)"), 6).as("p50_tokens"),
-          round(expr("percentile(toks, 0.95)"), 6).as("p95_tokens"),
-          round(min($"toks"), 6).as("min_tokens"),
-          round(max($"toks"), 6).as("max_tokens"))
+      // exact percentiles for the oracle; TF.corpusStats(exact = false) is
+      // the approx_percentile (t-digest) path for unbounded groups
+      TF.corpusStats(Tables.documents(s, d), "source", "text", exact = true)
         .orderBy($"source")
     })
 
@@ -410,6 +405,43 @@ object QueriesML {
         .select($"lat_cell", $"lon_cell", $"n_samples",
           round($"temperature", 6).as("temperature"))
         .orderBy($"lat_cell", $"lon_cell")
+    })
+
+  /** R13 nearest-neighbor regrid: off-grid target points take the values of
+    * their nearest 0.05-degree source cell — an integer cell-index hash
+    * join (regrid.py's common non-conservative mode, relationally). */
+  private lazy val nearestQ = Q("q49_regrid_nearest", Some(s"""
+      WITH grid AS (${Queries.gridSql}),
+      src AS (SELECT CAST(round(latitude / 0.05) AS BIGINT) AS la_i,
+                     CAST(round(longitude / 0.05) AS BIGINT) AS lo_i,
+                     round(avg(temperature), 6) AS temperature
+              FROM grid GROUP BY 1, 2),
+      tgt AS (SELECT DISTINCT latitude + 0.013 AS latitude,
+                              longitude + 0.017 AS longitude
+              FROM grid WHERE l_orderkey % 20 = 0)
+      SELECT round(latitude, 6) AS latitude, round(longitude, 6) AS longitude,
+             temperature
+      FROM tgt JOIN src ON src.la_i = CAST(round(latitude / 0.05) AS BIGINT)
+                       AND src.lo_i = CAST(round(longitude / 0.05) AS BIGINT)
+      ORDER BY latitude, longitude"""))(
+    (s, d) => {
+      import graft.operators.Regrid
+      val src = Queries.grid(s, d)
+        .groupBy(Regrid.nearestIndex($"latitude", 0.05).as("la_i"),
+          Regrid.nearestIndex($"longitude", 0.05).as("lo_i"))
+        .agg(round(avg($"temperature"), 6).as("temperature"))
+        .select(($"la_i" * 0.05).as("latitude"), ($"lo_i" * 0.05).as("longitude"),
+          $"temperature")
+      // off-grid probe points (known-populated cells shifted off-center)
+      val tgt = Queries.grid(s, d)
+        .filter($"l_orderkey" % 20 === 0)
+        .select(($"latitude" + 0.013).as("latitude"),
+          ($"longitude" + 0.017).as("longitude"))
+        .distinct()
+      Regrid.nearest(src, tgt, "latitude", "longitude", 0.05, 0.05)
+        .select(round($"latitude", 6).as("latitude"),
+          round($"longitude", 6).as("longitude"), $"temperature")
+        .orderBy($"latitude", $"longitude")
     })
 
   /** S5/F17: strftime-template datetime extraction from file names. */

@@ -21,6 +21,30 @@ object TextFunctions {
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
 
+  /** Per-group token-count distribution (q47's corpus-stats shape).
+    *
+    * Percentile scale note: `exact = true` uses `percentile` — a SORT-BASED
+    * aggregate holding the whole group in memory; right for the oracle path
+    * (bit-comparable to DuckDB's quantile_cont) and for groups bounded in
+    * the thousands-to-millions. `exact = false` uses `approx_percentile`
+    * (t-digest sketch, CONSTANT memory per group, mergeable map-side) — the
+    * only safe choice when a group can be billions of rows at 100 TB. */
+  def corpusStats(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      textCol: String, exact: Boolean = false,
+      accuracy: Int = 10000): org.apache.spark.sql.DataFrame = {
+    def pct(q: Double): Column =
+      if (exact) expr(s"percentile(__toks, $q)")
+      else expr(s"approx_percentile(__toks, $q, $accuracy)")
+    df.select(col(groupCol), tokenCount(col(textCol)).cast("double").as("__toks"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("__toks")), 6).as("avg_tokens"),
+        round(pct(0.5), 6).as("p50_tokens"),
+        round(pct(0.95), 6).as("p95_tokens"),
+        round(min(col("__toks")), 6).as("min_tokens"),
+        round(max(col("__toks")), 6).as("max_tokens"))
+  }
+
   /** BPE-ish subword count: word-characters runs and single non-space
     * punctuation both count as tokens (a cheap stand-in for a real BPE;
     * deliberately regex-only so it's codegen'd and oracle-checkable). */

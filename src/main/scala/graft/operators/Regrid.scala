@@ -34,6 +34,30 @@ object Regrid {
     df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Index of the NEAREST `res`-degree grid cell (vs [[snap]]'s floor
+    * anchor). Integer, so joins on it are plain hash joins — never
+    * fp-equality keys. */
+  def nearestIndex(c: Column, res: Double): Column =
+    round(c / res).cast("long")
+
+  /** Nearest-neighbor regrid (regrid.py's common non-conservative mode):
+    * each target point takes the values of its nearest source grid cell.
+    * Shape: integer cell-index equi-join — broadcast-able when the target
+    * grid is small, AQE-skew-safe otherwise; no range join, no crossJoin.
+    * `source` must be unique per cell (pre-aggregate a long-format frame
+    * with [[conservative]] at the source resolution first if not). */
+  def nearest(source: DataFrame, targets: DataFrame, latCol: String,
+      lonCol: String, latRes: Double, lonRes: Double): DataFrame = {
+    val s = source
+      .withColumn("__la_i", nearestIndex(col(latCol), latRes))
+      .withColumn("__lo_i", nearestIndex(col(lonCol), lonRes))
+      .drop(latCol, lonCol)
+    val t = targets
+      .withColumn("__la_i", nearestIndex(col(latCol), latRes))
+      .withColumn("__lo_i", nearestIndex(col(lonCol), lonRes))
+    t.join(s, Seq("__la_i", "__lo_i")).drop("__la_i", "__lo_i")
+  }
+
   /** Bilinear interpolation weights of a target point (tLat, tLon) against a
     * source cell anchored at (sLat, sLon) with resolution `res`. */
   def bilinearWeight(tLat: Column, tLon: Column, sLat: Column, sLon: Column,

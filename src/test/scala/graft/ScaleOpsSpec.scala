@@ -27,6 +27,38 @@ class RegridSpec extends SparkSpec {
     assert(r.getAs[Double]("lat_cell") == -1.0 && r.getAs[Double]("lon_cell") == -1.0)
   }
 
+  test("nearest-neighbor regrid assigns each target its closest source cell") {
+    val src = Seq(
+      (0.0, 0.0, 1.0), (0.0, 0.5, 2.0),
+      (0.5, 0.0, 3.0), (0.5, 0.5, 4.0)).toDF("latitude", "longitude", "v")
+    val tgt = Seq(
+      (0.1, 0.1),   // nearest (0, 0)
+      (0.25, 0.4),  // lat ties round up -> (0.5, 0.5)
+      (0.45, 0.05), // nearest (0.5, 0)
+      (2.0, 2.0))   // no source cell -> dropped
+      .toDF("latitude", "longitude")
+    val got = Regrid.nearest(src, tgt, "latitude", "longitude", 0.5, 0.5)
+      .select($"latitude", $"longitude", $"v")
+      .orderBy($"v").collect().map(_.getDouble(2))
+    assert(got.toSeq == Seq(1.0, 3.0, 4.0))
+  }
+
+  test("corpus stats: approx percentile path tracks the exact one") {
+    import graft.functions.{TextFunctions => TF}
+    val docs = Tables.documents(spark, sfDir)
+    val exact = TF.corpusStats(docs, "source", "text", exact = true)
+      .orderBy($"source").collect()
+    val approx = TF.corpusStats(docs, "source", "text", exact = false)
+      .orderBy($"source").collect()
+    assert(exact.length == approx.length)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(e.getAs[Long]("n_docs") == a.getAs[Long]("n_docs"))
+      // t-digest is exact-rank-adjacent on small groups; allow one token
+      assert(math.abs(e.getAs[Double]("p50_tokens") - a.getAs[Double]("p50_tokens")) <= 1.0)
+      assert(math.abs(e.getAs[Double]("p95_tokens") - a.getAs[Double]("p95_tokens")) <= 2.0)
+    }
+  }
+
   test("bilinear interpolation reproduces values at grid points and midpoints") {
     val src = Seq(
       (0.0, 0.0, 0.0), (0.0, 1.0, 10.0),
