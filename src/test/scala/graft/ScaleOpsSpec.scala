@@ -182,6 +182,22 @@ class FormatRegistrySpec extends SparkSpec {
     assert(e.getMessage.contains("not a GRIB message"))
   }
 
+  test("NetCDF-4/HDF5 raises the decided-boundary error with the nccopy bridge") {
+    val e = intercept[UnsupportedOperationException](
+      FormatRegistry.open(spark, "gs://b/era5.nc4"))
+    assert(e.getMessage.contains("nccopy -k classic"))
+    // an HDF5 payload behind a .nc extension is sniffed by signature
+    val dir = java.nio.file.Files.createTempDirectory("h5").toString
+    val p = s"$dir/sneaky.nc"
+    val out = new java.io.FileOutputStream(p)
+    out.write(Array(0x89.toByte, 'H'.toByte, 'D'.toByte, 'F'.toByte,
+      '\r'.toByte, '\n'.toByte, 0x1a.toByte, '\n'.toByte))
+    out.write(new Array[Byte](64)); out.close()
+    val e2 = intercept[UnsupportedOperationException](
+      FormatRegistry.open(spark, p).count())
+    assert(e2.getMessage.contains("nccopy"))
+  }
+
   test("fileStatus returns size and mtime via Hadoop FS") {
     val (size, mtime) = FormatRegistry.fileStatus(spark, s"$sfDir/lineitem.parquet")
     assert(size > 1000 && mtime > 0)
