@@ -204,6 +204,25 @@ object Dedup {
         (c, i) -> IF(c > 0, shiftleft(1L, i), 0L)),
       0L, (acc, x) -> acc + x)""")
 
+  /** Relational 64-bit SimHash: one row per token, then 64 conditional sums
+    * (bit i set iff 2 * sum((h >> i) & 1) > token count). Everything stays
+    * inside whole-stage codegen — the scale path where [[simhashExpr]]'s
+    * nested array-HOF tower (interpreted, ~10 us/element) would become the
+    * bottleneck. One shuffle on the doc id (the unavoidable tokenize
+    * boundary). Returns (idCol, simhash64). */
+  def simhashRelational(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L))).as(s"b_$i"))
+    val fingerprint = (0 until 64).map(i =>
+      when(col(s"b_$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+      .select(col(idCol), fingerprint.as("simhash64"))
+  }
+
   /** Hamming distance between two simhash fingerprints. */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))

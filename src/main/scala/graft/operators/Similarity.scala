@@ -71,6 +71,44 @@ object Similarity {
     array_position(dists, array_min(dists)).cast("int") - 1
   }
 
+  /** Distributed Lloyd iterations to BUILD the IVF centroids (the reference
+    * of [[ivfCell]]/[[ivfTopK]] assumes centroids exist; real corpora need
+    * them trained). Scale shape per iteration: assignment is a per-row
+    * expression over centroid literals (no join, no shuffle), the update is
+    * ONE hash aggregation on (cell, dimension) — k*dim result rows, driver
+    * collect is tiny. Deterministic: seeds are the first k vectors by
+    * `idCol`; empty cells keep their previous centroid. */
+  def kmeansCentroids(emb: DataFrame, vecCol: String, idCol: String, k: Int,
+      iters: Int = 5): Seq[Seq[Float]] = {
+    var centroids: Seq[Seq[Float]] = emb.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toSeq).toSeq
+    for (_ <- 0 until iters) {
+      val means = emb.withColumn("cell", ivfCell(col(vecCol), centroids))
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        byCell.get(c) match {
+          case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+          case None => old
+        }
+      }
+    }
+    centroids
+  }
+
+  /** Mean squared distance of each vector to its assigned centroid — the
+    * k-means objective, for convergence checks. */
+  def distortion(emb: DataFrame, vecCol: String, centroids: Seq[Seq[Float]]): Double = {
+    def sq(c: Seq[Float]): Column =
+      aggregate(zip_with(col(vecCol), typedLit(c), (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }), lit(0.0), (acc, v) => acc + v)
+    emb.select(array_min(array(centroids.map(sq): _*)).as("d2"))
+      .agg(avg(col("d2"))).head().getDouble(0)
+  }
+
   /** IVF search: probe the `nprobe` cells closest to the query. */
   def ivfTopK(emb: DataFrame, vecCol: String, idCol: String,
       query: Seq[Float], centroids: Seq[Seq[Float]], k: Int,

@@ -66,6 +66,18 @@ class DedupSpec extends SparkSpec {
     assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
   }
 
+  test("relational simhash agrees bit-for-bit with the expression form") {
+    val base = Tables.documents(spark, sfDir).select($"doc_id", $"text").limit(100)
+    val viaExpr = base.withColumn("sh", Dedup.simhashExpr("text"))
+      .select($"doc_id", $"sh").as[(Long, Long)].collect().toMap
+    val viaRel = Dedup.simhashRelational(base, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(viaRel.size == viaExpr.size)
+    viaExpr.foreach { case (id, sh) =>
+      assert(viaRel(id) == sh, s"doc $id: rel=${viaRel(id)} expr=$sh")
+    }
+  }
+
   test("docs shorter than the shingle size yield empty shingles, not a crash") {
     val short = Seq((1L, "one"), (2L, "two words"), (3L, "a b c d e f g h"),
       (4L, "a b c d e f g h")).toDF("doc_id", "text")
@@ -129,6 +141,23 @@ class SimilaritySpec extends SparkSpec {
       planes, threshold = 0.999)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((3L, 9003L)))
+  }
+
+  test("kmeans centroid training reduces the IVF objective and stays deterministic") {
+    val k = 4
+    val seeds = emb.orderBy($"vec_id").limit(k)
+      .select($"embedding").as[Seq[Float]].collect().toSeq
+    val trained = Similarity.kmeansCentroids(emb, "embedding", "vec_id", k, iters = 3)
+    val before = Similarity.distortion(emb, "embedding", seeds)
+    val after = Similarity.distortion(emb, "embedding", trained)
+    assert(after < before, s"distortion did not improve: $before -> $after")
+    // deterministic: same seeds, same result
+    val again = Similarity.kmeansCentroids(emb, "embedding", "vec_id", k, iters = 3)
+    assert(again == trained)
+    // trained centroids drive the existing IVF search path
+    val got = Similarity.ivfTopK(emb, "embedding", "vec_id", queryVec, trained, 5)
+      .select($"vec_id").as[Long].collect()
+    assert(got.contains(0L))
   }
 
   test("cosineNearDupPairs bounds pair counts on a pathological bucket") {
