@@ -1,0 +1,184 @@
+package graft.sources.zarr
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.Deflater
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.HashPartitioner
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+/** DISTRIBUTED Zarr v2 store writer: the scale path for S15 (the reference's
+  * ChunksToZarr, weather_mv regrid.py:128-162). Takes a long-format
+  * hypercube frame (one row per grid point: dim columns + data-variable
+  * columns) and writes an xarray-convention store where
+  *
+  *  - the DRIVER only derives the (small) coordinate axes and writes
+  *    metadata (.zgroup / .zarray / .zattrs / coordinate arrays);
+  *  - rows are keyed by their chunk tuple and hash-partitioned, and each
+  *    TASK encodes + writes exactly its own chunk files — memory per task
+  *    is bounded by chunks.product, never by the dataset.
+  *
+  * Cells with no row (or a null value) encode as NaN; wholly absent chunks
+  * are simply not written (the reader fills them). Timestamp dims become
+  * epoch-second f8 axes with the `seconds since 1970-01-01` units
+  * convention, so a round-trip through [[ZarrTableProvider]] restores
+  * TIMESTAMP_NTZ. Duplicate rows for one cell resolve last-write-wins.
+  */
+object ZarrDistributedWriter {
+
+  def write(df: DataFrame, storePath: String, dims: Seq[String],
+      chunks: Seq[Int], compressor: Option[String] = Some("zlib")): Unit = {
+    require(dims.nonEmpty && dims.size == chunks.size, "dims and chunks must align")
+    val spark = df.sparkSession
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+
+    val isTimeDim: Seq[Boolean] = dims.map { d =>
+      df.schema(d).dataType match {
+        case TimestampNTZType | TimestampType => true
+        case _ => false
+      }
+    }
+    val dataVars = df.columns.filterNot(dims.contains).toSeq
+
+    // TIMESTAMP_NTZ has no direct double cast; route through TIMESTAMP
+    // (session is UTC) -> epoch seconds
+    def axis(d: String, i: Int): org.apache.spark.sql.Column =
+      if (isTimeDim(i)) col(d).cast("timestamp").cast("double") else col(d).cast("double")
+
+    // 1. coordinate axes: distinct + sorted, driver-side (they ARE small —
+    // hypercube axes, not the hypercube)
+    val coords: Seq[Array[Double]] = dims.zipWithIndex.map { case (d, i) =>
+      df.select(axis(d, i).as("__a")).distinct().orderBy(col("__a"))
+        .collect().map(_.getDouble(0))
+    }
+    val shape = coords.map(_.length)
+
+    // 2. metadata + coordinate arrays (driver)
+    writeText(conf, s"$storePath/.zgroup", """{"zarr_format": 2}""")
+    dims.zipWithIndex.foreach { case (d, i) =>
+      writeText(conf, s"$storePath/$d/.zarray", zarrayJson(
+        Seq(shape(i)), Seq(shape(i)), compressor = None))
+      writeText(conf, s"$storePath/$d/.zattrs", zattrsJson(Seq(d),
+        units = if (isTimeDim(i)) Some("seconds since 1970-01-01") else None))
+      writeBytes(conf, s"$storePath/$d/0", encodeF8(coords(i)))
+    }
+    dataVars.foreach { v =>
+      writeText(conf, s"$storePath/$v/.zarray", zarrayJson(shape, chunks, compressor))
+      writeText(conf, s"$storePath/$v/.zattrs", zattrsJson(dims))
+    }
+
+    // 3. distributed chunk encode+write
+    val chunkProd = chunks.product
+    val dimIndex: Seq[Map[Double, Int]] = coords.map(_.zipWithIndex.toMap)
+    val bcIdx = spark.sparkContext.broadcast(dimIndex)
+    val chunksLocal = chunks.toIndexedSeq
+    val nDims = dims.size
+    val varsLocal = dataVars.toIndexedSeq
+    val storeLocal = storePath
+    val compLocal = compressor
+    val nChunksUpper = shape.zip(chunks)
+      .map { case (s, c) => (s + c - 1) / c }.product * math.max(varsLocal.size, 1)
+
+    val projected = df.select(
+      dims.zipWithIndex.map { case (d, i) => axis(d, i) } ++
+        dataVars.map(v => col(v).cast("double")): _*)
+    val keyed = projected.rdd.flatMap { row =>
+      val idx = bcIdx.value
+      val gidx = new Array[Int](nDims)
+      var i = 0
+      while (i < nDims) { gidx(i) = idx(i)(row.getDouble(i)); i += 1 }
+      var localLinear = 0
+      val chunkIdx = new Array[Int](nDims)
+      i = 0
+      while (i < nDims) {
+        chunkIdx(i) = gidx(i) / chunksLocal(i)
+        localLinear = localLinear * chunksLocal(i) + gidx(i) % chunksLocal(i)
+        i += 1
+      }
+      val key = chunkIdx.mkString(".")
+      varsLocal.indices.iterator.filterNot(vi => row.isNullAt(nDims + vi)).map { vi =>
+        ((vi, key), (localLinear, row.getDouble(nDims + vi)))
+      }
+    }
+    keyed
+      .aggregateByKey(null: Array[Double],
+        new HashPartitioner(math.min(nChunksUpper,
+          spark.sparkContext.defaultParallelism * 4)))(
+        (acc, kv) => {
+          val a = if (acc == null) Array.fill(chunkProd)(Double.NaN) else acc
+          a(kv._1) = kv._2
+          a
+        },
+        (a, b) => {
+          if (a == null) b
+          else if (b == null) a
+          else {
+            var i = 0
+            while (i < a.length) { if (!b(i).isNaN) a(i) = b(i); i += 1 }
+            a
+          }
+        })
+      .foreachPartition { it =>
+        val conf = new Configuration()
+        it.foreach { case ((vi, key), values) =>
+          val raw = encodeF8(values)
+          val out = compLocal match {
+            case Some("zlib") => deflate(raw)
+            case _ => raw
+          }
+          writeBytes(conf, s"$storeLocal/${varsLocal(vi)}/$key", out)
+        }
+      }
+  }
+
+  private def zarrayJson(shape: Seq[Int], chunks: Seq[Int],
+      compressor: Option[String]): String = {
+    val comp = compressor match {
+      case Some("zlib") => """{"id": "zlib", "level": 6}"""
+      case None => "null"
+      case Some(o) => throw new UnsupportedOperationException(s"compressor $o")
+    }
+    s"""{"zarr_format": 2, "shape": [${shape.mkString(", ")}],
+       | "chunks": [${chunks.mkString(", ")}], "dtype": "<f8",
+       | "compressor": $comp, "fill_value": null, "order": "C",
+       | "filters": null}""".stripMargin
+  }
+
+  private def zattrsJson(dims: Seq[String], units: Option[String] = None): String = {
+    val fields = Seq(
+      Some(s""""_ARRAY_DIMENSIONS": [${dims.map("\"" + _ + "\"").mkString(", ")}]"""),
+      units.map(u => s""""units": "$u"""")).flatten
+    fields.mkString("{", ", ", "}")
+  }
+
+  private def encodeF8(values: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(values.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    values.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  private def deflate(bytes: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(6)
+    d.setInput(bytes)
+    d.finish()
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](64 * 1024)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def writeText(conf: Configuration, path: String, s: String): Unit =
+    writeBytes(conf, path, s.getBytes("UTF-8"))
+
+  private def writeBytes(conf: Configuration, path: String, b: Array[Byte]): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(b) finally out.close()
+  }
+}

@@ -131,6 +131,36 @@ class ZarrSourceSpec extends SparkSpec {
     assert(eq.toSeq == Seq(4.0))
   }
 
+  test("distributed writer round-trips a long-format frame through the DSv2 reader") {
+    import graft.sources.zarr.ZarrDistributedWriter
+    val out = java.nio.file.Files.createTempDirectory("zarrw").toString + "/rt.zarr"
+    ZarrDistributedWriter.write(ds, out,
+      Seq("time", "latitude", "longitude"), Seq(2, 3, 4))
+    val back = spark.read.format("zarr").load(out)
+    assert(back.columns.toSeq == ds.columns.toSeq)
+    val key = Seq($"time", $"latitude", $"longitude")
+    val a = ds.orderBy(key: _*).collect()
+    val b = back.orderBy(key: _*).collect()
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
+  }
+
+  test("distributed writer encodes absent cells as nulls (sparse input)") {
+    import graft.sources.zarr.ZarrDistributedWriter
+    val out = java.nio.file.Files.createTempDirectory("zarrs").toString + "/sparse.zarr"
+    // drop one specific grid point entirely
+    val sparse = ds.filter(!($"latitude" === -10.0 && $"longitude" === 100.0 &&
+      date_format($"time", "yyyy-MM-dd") === "1970-01-01"))
+    ZarrDistributedWriter.write(sparse, out,
+      Seq("time", "latitude", "longitude"), Seq(2, 3, 4))
+    val back = spark.read.format("zarr").load(out)
+    assert(back.count() == nt * ny * nx) // dense grid restored
+    val hole = back.filter($"latitude" === -10.0 && $"longitude" === 100.0)
+      .orderBy($"time").head()
+    assert(hole.isNullAt(hole.fieldIndex("t2m")))
+    assert(back.filter($"t2m".isNull).count() == 1)
+  }
+
   test("mover extract pipeline runs natively on the zarr hypercube") {
     val out = graft.operators.Mover.extractRows(ds, s"file://$store",
       graft.operators.Mover.Options(variables = Seq("t2m"),
