@@ -71,7 +71,8 @@ object WeatherMv {
       variables: Seq[String], area: Seq[Double], importTime: Option[String],
       topic: Option[String], subscription: Option[String],
       zarr: Boolean, dryRun: Boolean,
-      tifStartMeta: Option[String], tifEndMeta: Option[String])
+      tifStartMeta: Option[String], tifEndMeta: Option[String],
+      outputPath: String = "", assetLocation: String = "", regridRes: Double = 1.0)
 
   private val schema = Flags.Schema(
     value = Map("-i" -> "uris", "--uris" -> "uris",
@@ -82,7 +83,9 @@ object WeatherMv {
       "--topic" -> "topic", "--subscription" -> "subscription",
       "--window_size" -> "window_size", "--num_shards" -> "num_shards",
       "--tif_metadata_for_start_time" -> "tif_start",
-      "--tif_metadata_for_end_time" -> "tif_end"),
+      "--tif_metadata_for_end_time" -> "tif_end",
+      "--output_path" -> "output_path", "--regrid_kwargs" -> "regrid_kwargs",
+      "--asset_location" -> "asset_location", "--ee_asset" -> "ee_asset"),
     greedy = Set("variables", "area"),
     bool = Map("--zarr" -> "zarr", "-d" -> "dry_run", "--dry-run" -> "dry_run",
       "--infer_schema" -> "infer_schema"))
@@ -118,8 +121,22 @@ object WeatherMv {
       if (canon == "bq") throw CliError(
         "the following arguments are required: -o/--output_table") else ""
     }
+    val outputPath = p.get("output_path").getOrElse {
+      if (canon == "rg") throw CliError(
+        "the following arguments are required: --output_path") else ""
+    }
+    val assetLocation = p.get("asset_location").getOrElse {
+      if (canon == "ee") throw CliError(
+        "the following arguments are required: --asset_location") else ""
+    }
+    // reference: --regrid_kwargs '{"grid": [dy, dx]}' (regrid.py); dy is the
+    // target resolution for the conservative pool
+    val res = p.get("regrid_kwargs").flatMap(j =>
+      """"grid"\s*:\s*\[\s*([0-9.]+)""".r.findFirstMatchIn(j).map(_.group(1).toDouble))
+      .getOrElse(1.0)
     Config(canon, uris, out, p.all("variables"), area, p.get("import_time"),
-      topic, subscription, zarr, p.has("dry_run"), tifStart, p.get("tif_end"))
+      topic, subscription, zarr, p.has("dry_run"), tifStart, p.get("tif_end"),
+      outputPath, assetLocation, res)
   }
 
   def run(spark: SparkSession, cfg: Config): Unit = {
@@ -131,12 +148,37 @@ object WeatherMv {
         case _ => None
       },
       importTime = cfg.importTime)
-    if (cfg.dryRun) {
-      println(s"[dry-run] would extract ${ds.columns.length} columns from ${cfg.uris} " +
-        s"into ${cfg.outputTable}; sink schema: ${Mover.sinkSchema(ds, cfg.variables, opts).simpleString}")
-    } else {
-      Mover.extractRows(ds, cfg.uris, opts)
-        .write.mode("append").parquet(cfg.outputTable)
+    cfg.subcommand match {
+      case "bq" =>
+        if (cfg.dryRun) {
+          println(s"[dry-run] would extract ${ds.columns.length} columns from ${cfg.uris} " +
+            s"into ${cfg.outputTable}; sink schema: ${Mover.sinkSchema(ds, cfg.variables, opts).simpleString}")
+        } else {
+          Mover.extractRows(ds, cfg.uris, opts)
+            .write.mode("append").parquet(cfg.outputTable)
+        }
+      case "rg" =>
+        // reference: copy + regrid (regrid.py) — conservative pool onto the
+        // requested grid, written as a partitioned sink
+        val dataCols = ds.columns.filterNot(
+          Seq("time", "latitude", "longitude").contains).toSeq
+        val pooled = graft.operators.Regrid.conservative(
+          ds, "latitude", "longitude", cfg.regridRes, dataCols,
+          extraKeys = Seq("time").filter(ds.columns.contains))
+        if (cfg.dryRun) println(s"[dry-run] regrid to ${cfg.regridRes}°: " +
+          s"${pooled.columns.mkString(",")} -> ${cfg.outputPath}")
+        else pooled.write.mode("append").parquet(cfg.outputPath)
+      case "ee" =>
+        // reference: ToEarthEngine — asset extract + ingestion ledger; the
+        // REST client is external, so the asset lands as parquet and the
+        // transition ledger records the attempt (manifest.py semantics)
+        val rows = Mover.extractRows(ds, cfg.uris, opts)
+        if (cfg.dryRun) { println(s"[dry-run] would stage ${rows.columns.length} columns"); return }
+        Manifest.transact(spark, s"${cfg.assetLocation}/manifest", "weather-mv-ee",
+          cfg.uris, sys.props.getOrElse("user.name", "graft"), "{}") {
+          rows.write.mode("append").parquet(s"${cfg.assetLocation}/asset")
+        }
+        ()
     }
   }
 
@@ -271,18 +313,24 @@ object WeatherSp {
     val fs = pat.getFileSystem(conf)
     val files = Option(fs.globStatus(pat)).map(_.toSeq).getOrElse(Nil).map(_.getPath.toString)
     if (cfg.dryRun) { println(s"[dry-run] would split ${files.size} file(s)"); return }
+    val outRoot = cfg.outputDir.getOrElse(
+      cfg.outputTemplate.get.takeWhile(_ != '{'))
     files.foreach { f =>
-      val df = FormatRegistry.open(spark, f)
-      val outRoot = cfg.outputDir.getOrElse(
-        cfg.outputTemplate.get.takeWhile(_ != '{'))
-      // weather-sp default split: one output per (short-name-ish) variable —
-      // here the wide frame unpivots on data columns, then a partitioned write
-      val coords = Seq("time", "latitude", "longitude").filter(df.columns.contains)
-      val dataCols = df.columns.filterNot(coords.contains)
-      val stacked = df.selectExpr(coords ++ Seq(
-        s"stack(${dataCols.length}, ${dataCols.map(c => s"'$c', `$c`").mkString(", ")}) " +
-          "AS (variable, value)"): _*)
-      Splitter.split(stacked, Seq("variable"), outRoot, cfg.force)
+      if (Set("grib", "grb", "grib1", "grb1").contains(FormatRegistry.extensionOf(f))) {
+        // the reference's GribSplitter writes REAL per-key GRIB files —
+        // verbatim message byte spans, grouped by shortName
+        graft.sources.grib.Grib1Splitter.split(spark, f, outRoot)
+      } else {
+        // NetCDF/Zarr path: unpivot the wide frame on its data columns,
+        // then one partitioned write per variable
+        val df = FormatRegistry.open(spark, f)
+        val coords = Seq("time", "latitude", "longitude").filter(df.columns.contains)
+        val dataCols = df.columns.filterNot(coords.contains)
+        val stacked = df.selectExpr(coords ++ Seq(
+          s"stack(${dataCols.length}, ${dataCols.map(c => s"'$c', `$c`").mkString(", ")}) " +
+            "AS (variable, value)"): _*)
+        Splitter.split(stacked, Seq("variable"), outRoot, cfg.force)
+      }
     }
   }
 

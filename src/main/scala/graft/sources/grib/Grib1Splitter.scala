@@ -1,0 +1,60 @@
+package graft.sources.grib
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** weather-sp GRIB splitting with the reference's actual output semantics
+  * (weather_sp/splitter_pipeline/file_splitters.py:159-313): each output is
+  * a REAL GRIB file containing the group's messages — here produced by
+  * copying each message's byte span verbatim (offset + totalLength from the
+  * header index), so outputs are bit-identical to the inputs' messages and
+  * readable by any GRIB tool. No decode, no re-encode.
+  *
+  * Distribution: the driver indexes headers only; groups fan out across
+  * tasks, and each task ranged-reads exactly its own messages' spans and
+  * streams them into its output file. Memory per task is one copy buffer.
+  */
+object Grib1Splitter {
+
+  /** Split by a message-derived key (default: shortName, the reference's
+    * `--formatting {shortname}` mode). Returns key -> output path. */
+  def split(spark: SparkSession, path: String, outDir: String,
+      keyOf: Grib1.Message => String = _.shortName): Map[String, String] = {
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val msgs = Grib1Reader.indexMessages(conf, path)
+    val base = {
+      val n = new Path(path).getName
+      if (n.contains('.')) n.substring(0, n.lastIndexOf('.')) else n
+    }
+    val groups = msgs.groupBy(keyOf).toSeq.sortBy(_._1)
+    val pathLocal = path
+    val outLocal = outDir
+    val nPart = math.max(1, math.min(groups.size, spark.sparkContext.defaultParallelism))
+    val written = spark.sparkContext.parallelize(groups, nPart).map { case (key, ms) =>
+      val conf = new Configuration()
+      val in = new Path(pathLocal)
+      val fs = in.getFileSystem(conf)
+      val outPath = new Path(s"$outLocal/${base}_$key.grib")
+      val outFs = outPath.getFileSystem(conf)
+      val is = fs.open(in)
+      val os = outFs.create(outPath, true)
+      try {
+        val buf = new Array[Byte](1 << 16)
+        ms.sortBy(_.offset).foreach { m =>
+          var remaining = m.totalLength
+          var pos = m.offset
+          while (remaining > 0) {
+            val take = math.min(remaining, buf.length)
+            is.readFully(pos, buf, 0, take)
+            os.write(buf, 0, take)
+            pos += take
+            remaining -= take
+          }
+        }
+      } finally { is.close(); os.close() }
+      key -> outPath.toString
+    }.collect()
+    written.toMap
+  }
+}

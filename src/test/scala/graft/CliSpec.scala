@@ -31,7 +31,9 @@ class CliSpec extends AnyFunSuite {
       (Seq("bq", "-i", "in.nc", "-o", "t", "--tif_metadata_for_start_time", "m"),
         "can be specified only for tif files."),
       (Seq("bq", "-i", "in.nc", "-o", "t", "--bogus", "1"),
-        "unrecognized arguments: --bogus"))
+        "unrecognized arguments: --bogus"),
+      (Seq("rg", "-i", "in.grib"), "required: --output_path"),
+      (Seq("ee", "-i", "in.grib"), "required: --asset_location"))
     cases.foreach { case (argv, frag) =>
       val got = err(WeatherMv.parse(argv))
       assert(got.contains(frag), s"argv=$argv got='$got'")
@@ -115,6 +117,24 @@ class CliRunSpec extends SparkSpec {
       out.columns.contains("heightAboveGround_2_00_instant_2t"))
   }
 
+  test("weather-mv rg regrids onto the requested grid; ee stages asset + ledger") {
+    val dir = java.nio.file.Files.createTempDirectory("climvrg").toString
+    val grib = s"$dir/in.grib"
+    graft.sources.grib.Grib1Writer.write(grib, Seq(
+      graft.sources.grib.Grib1Writer.FieldSpec(167, 105, 2,
+        java.time.LocalDateTime.of(2026, 2, 1, 0, 0),
+        (0 until 12).map(_.toDouble), 4, 3, 50.0, 0.0, 48.0, 3.0)))
+    WeatherMv.run(spark, WeatherMv.parse(Seq("rg", "-i", grib,
+      "--output_path", s"$dir/rg", "--regrid_kwargs", """{"grid": [2, 2]}""")))
+    val pooled = spark.read.parquet(s"$dir/rg")
+    assert(pooled.columns.contains("lat_cell") && pooled.count() > 0)
+    WeatherMv.run(spark, WeatherMv.parse(Seq("ee", "-i", grib,
+      "--asset_location", s"$dir/ee", "--import_time", "2026-02-01 00:00:00")))
+    assert(spark.read.parquet(s"$dir/ee/asset").count() == 12)
+    val ledger = graft.operators.Manifest.read(spark, s"$dir/ee/manifest")
+    assert(ledger.filter(org.apache.spark.sql.functions.col("status") === "success").count() == 1)
+  }
+
   test("weather-dl dry-run fans out partitions from a cfg file") {
     val dir = java.nio.file.Files.createTempDirectory("clidl").toString
     val cfgPath = s"$dir/era5.cfg"
@@ -130,7 +150,7 @@ class CliRunSpec extends SparkSpec {
     WeatherDl.run(spark, WeatherDl.parse(Seq(cfgPath, "-d", "-s", "fair")))
   }
 
-  test("weather-sp splits a GRIB file by variable") {
+  test("weather-sp splits a GRIB file into per-shortName GRIB outputs") {
     val dir = java.nio.file.Files.createTempDirectory("clisp").toString
     val grib = s"$dir/in.grib"
     val t0 = java.time.LocalDateTime.of(2026, 2, 1, 0, 0)
@@ -141,9 +161,28 @@ class CliRunSpec extends SparkSpec {
       f(165, (0 until 12).map(i => i * 2.0))))
     WeatherSp.run(spark, WeatherSp.parse(
       Seq("-i", s"$dir/*.grib", "--output-dir", s"$dir/out")))
+    val outs = new java.io.File(s"$dir/out").listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet // drop Hadoop .crc sidecars
+    assert(outs == Set("in_2t.grib", "in_10u.grib"))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    assert(graft.sources.grib.Grib1Reader
+      .indexMessages(conf, s"$dir/out/in_2t.grib").head.shortName == "2t")
+  }
+
+  test("weather-sp splits a NetCDF file by variable (unpivot path)") {
+    import graft.sources.netcdf.{NetCDF3, NetCDF3Writer => NW}
+    val dir = java.nio.file.Files.createTempDirectory("clispnc").toString
+    NW.write(s"$dir/in.nc",
+      dims = Seq(NW.DimSpec("time", 2, record = true)),
+      vars = Seq(
+        NW.VarSpec("time", Seq("time"), NetCDF3.NC_DOUBLE, Seq(0.0, 3600.0),
+          attrs = Seq("units" -> "seconds since 1970-01-01")),
+        NW.VarSpec("a", Seq("time"), NetCDF3.NC_DOUBLE, Seq(1.0, 2.0)),
+        NW.VarSpec("b", Seq("time"), NetCDF3.NC_DOUBLE, Seq(3.0, 4.0))))
+    WeatherSp.run(spark, WeatherSp.parse(
+      Seq("-i", s"$dir/*.nc", "--output-dir", s"$dir/out")))
     val dirs = new java.io.File(s"$dir/out").listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
-    assert(dirs == Set("variable=heightAboveGround_2_00_instant_2t",
-      "variable=heightAboveGround_2_00_instant_10u"))
+    assert(dirs == Set("variable=a", "variable=b"))
   }
 }

@@ -142,6 +142,23 @@ class Grib1Spec extends SparkSpec {
         .agg(round(sum($"value"), 6)).head().getDouble(0))
   }
 
+  test("grib splitter writes per-key GRIB files by verbatim byte copy") {
+    import graft.sources.grib.Grib1Splitter
+    val outDir = java.nio.file.Files.createTempDirectory("gribsplit").toString
+    val outputs = Grib1Splitter.split(spark, file, outDir)
+    assert(outputs.keySet == Set("2t", "p39", "tp"))
+    // each output is a valid GRIB file with exactly its group's messages
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val by2t = Grib1Reader.indexMessages(conf, outputs("2t"))
+    assert(by2t.size == 2 && by2t.forall(_.shortName == "2t"))
+    assert(Grib1Reader.indexMessages(conf, outputs("tp")).size == 1)
+    // values survive bit-identically (byte copy, no re-encode)
+    val v = Grib1Reader.readLongFormat(spark, outputs("2t"))
+      .filter(date_format($"time", "HH") === "00" &&
+        $"latitude" === 55.0 && $"longitude" === 0.0).head()
+    assert(v.getAs[Double]("value") == 270.0 + 1 + 0.25 * 2)
+  }
+
   test("edition 2 and complex packing raise directed errors") {
     val dir = java.nio.file.Files.createTempDirectory("grib2").toString
     val p = s"$dir/fake.grib2"
