@@ -326,6 +326,8 @@ object WeatherSp {
         val df = FormatRegistry.open(spark, f)
         val coords = Seq("time", "latitude", "longitude").filter(df.columns.contains)
         val dataCols = df.columns.filterNot(coords.contains)
+        if (dataCols.isEmpty)
+          throw CliError(s"'$f' has no data variables to split (only ${df.columns.mkString(", ")})")
         val stacked = df.selectExpr(coords ++ Seq(
           s"stack(${dataCols.length}, ${dataCols.map(c => s"'$c', `$c`").mkString(", ")}) " +
             "AS (variable, value)"): _*)
@@ -358,8 +360,9 @@ object Xql {
     }
     val q = p.get("query").orElse(p.positional.headOption).getOrElse(
       throw CliError("the following arguments are required: -q/--query"))
-    Config(sets, q, p.has("xql-compat"),
-      p.get("num-rows").flatMap(_.toIntOption).getOrElse(20))
+    val n = p.get("num-rows").map(_.toIntOption.getOrElse(
+      throw CliError("argument -n/--num-rows: invalid int value"))).getOrElse(20)
+    Config(sets, q, p.has("xql-compat"), n)
   }
 
   def run(spark: SparkSession, cfg: Config): Unit = {

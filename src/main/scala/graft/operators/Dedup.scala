@@ -161,15 +161,21 @@ object Dedup {
     // (one shuffle; ~2.4x faster than the band self-join at equal output).
     // Buckets are near-dup groups, so lists stay small by construction; a
     // flood of identical documents would first be removed by exact dedup,
-    // and `maxBucketSize` guards the residual pathological bucket (its
-    // members are all mutual dups — pairing a cap-sized sample loses no
-    // dedup groups, only redundant edges).
+    // and `maxBucketSize` guards the residual pathological bucket: the
+    // first `maxBucketSize` members pair all-pairs, and every member
+    // BEYOND the cap still pairs with the bucket's first member — so no
+    // member silently escapes the verify stage, and the bound stays
+    // C(cap, 2) + (n - cap), linear in the overflow.
     val cand = bandsDf.groupBy(col("band"), col("bucket"))
-      .agg(sort_array(slice(collect_list(col("doc_id")), 1, maxBucketSize)).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> " +
-          "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS id_a, y AS id_b))))"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids_all"))
+      .filter(size(col("ids_all")) > 1)
+      .withColumn("ids", slice(col("ids_all"), 1, maxBucketSize))
+      .select(explode(concat(
+        expr("flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS id_a, y AS id_b))))"),
+        expr(s"transform(slice(ids_all, $maxBucketSize + 1, " +
+          s"greatest(size(ids_all) - $maxBucketSize, 0)), " +
+          "y -> struct(element_at(ids_all, 1) AS id_a, y AS id_b))")))
         .as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
@@ -211,16 +217,20 @@ object Dedup {
     * bottleneck. One shuffle on the doc id (the unavoidable tokenize
     * boundary). Returns (idCol, simhash64). */
   def simhashRelational(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+    // explode_outer + null-guarded hash: a NULL-text doc keeps its row (as a
+    // NULL fingerprint, matching simhashExpr) instead of vanishing from the
+    // output — xxhash64(null) would otherwise fold to the seed, not null
+    val toks = df.select(col(idCol), explode_outer(tokens(col(textCol))).as("t"))
+      .withColumn("h", when(col("t").isNotNull, xxhash64(col("t"))))
     val bitSums = (0 until 64).map(i =>
       sum(shiftright(col("h"), i).bitwiseAND(lit(1L))).as(s"b_$i"))
     val fingerprint = (0 until 64).map(i =>
       when(col(s"b_$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
     toks.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n"), bitSums: _*)
-      .select(col(idCol), fingerprint.as("simhash64"))
+      .agg(count(col("h")).as("n"), bitSums: _*)
+      .select(col(idCol),
+        when(col("n") > 0, fingerprint).as("simhash64"))
   }
 
   /** Hamming distance between two simhash fingerprints. */

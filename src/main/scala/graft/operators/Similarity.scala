@@ -140,14 +140,12 @@ object Similarity {
   /** All-pairs near-duplicate detection by embedding cosine within LSH
     * buckets (embedding-space analog of Dedup.minhashNearDupsRelational).
     *
-    * Scale shape: one aggregation per bucket, each bucket's member list
-    * capped at `maxBucketSize` BEFORE the pair explode, so the output is
-    * bounded by buckets * cap^2 — never quadratic in the corpus. A
-    * pathological bucket (a flood of identical embeddings) loses only
-    * redundant edges: its members are all mutual near-dups, so pairing a
-    * cap-sized sample still reports every member in some surviving pair
-    * group. Size `planes` with [[planeCountFor]] so bucket count tracks
-    * corpus size. */
+    * Scale shape: one aggregation per bucket; the first `maxBucketSize`
+    * members pair all-pairs and every member beyond the cap pairs with the
+    * bucket's first member, so the output is bounded by
+    * buckets * (cap^2 + overflow) — never quadratic in the corpus — while
+    * no member escapes the verify stage unpaired. Size `planes` with
+    * [[planeCountFor]] so bucket count tracks corpus size. */
   def cosineNearDupPairs(emb: DataFrame, vecCol: String, idCol: String,
       planes: Seq[Seq[Float]], threshold: Double,
       maxBucketSize: Int = 10000): DataFrame = {
@@ -158,12 +156,16 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
     bucketed
       .groupBy(col("bucket"))
-      .agg(slice(sort_array(collect_list(struct(col("id"), col("v"), col("nrm")))),
-        1, maxBucketSize).as("ms"))
-      .filter(size(col("ms")) > 1)
-      .select(explode(expr(
-        "flatten(transform(ms, (x, i) -> " +
-          "transform(slice(ms, i + 2, size(ms) - i - 1), y -> struct(x AS a, y AS b))))"))
+      .agg(sort_array(collect_list(struct(col("id"), col("v"), col("nrm"))))
+        .as("ms_all"))
+      .filter(size(col("ms_all")) > 1)
+      .withColumn("ms", slice(col("ms_all"), 1, maxBucketSize))
+      .select(explode(concat(
+        expr("flatten(transform(ms, (x, i) -> " +
+          "transform(slice(ms, i + 2, size(ms) - i - 1), y -> struct(x AS a, y AS b))))"),
+        expr(s"transform(slice(ms_all, $maxBucketSize + 1, " +
+          s"greatest(size(ms_all) - $maxBucketSize, 0)), " +
+          "y -> struct(element_at(ms_all, 1) AS a, y AS b))")))
         .as("p"))
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
         round(dot(col("p.a.v"), col("p.b.v")) / (col("p.a.nrm") * col("p.b.nrm")), 6)

@@ -148,14 +148,31 @@ object WxSql {
   private def inLiteral(spans: Seq[(Int, Int)], pos: Int): Boolean =
     spans.exists { case (s, e) => pos > s && pos < e }
 
-  /** True when the nearest preceding clause keyword (outside literals) is
-    * SELECT — i.e. `pos` sits in a SELECT list, not in HAVING/ORDER BY/WHERE.
-    * Nested subqueries work because their own SELECT is then the nearest. */
-  private def inSelectList(q: String, spans: Seq[(Int, Int)], pos: Int): Boolean =
+  /** True when the nearest preceding clause keyword (outside literals, at a
+    * parenthesis depth not deeper than `pos`) is SELECT — i.e. `pos` sits in
+    * a SELECT list, not in HAVING/ORDER BY/WHERE. The depth filter keeps a
+    * CLOSED sibling subquery's FROM from shadowing the outer SELECT
+    * (`SELECT (SELECT MAX(b) FROM y), AVG(c) FROM x`), while a containing
+    * subquery's own SELECT (same depth as `pos`) still wins. */
+  private def inSelectList(q: String, spans: Seq[(Int, Int)], pos: Int): Boolean = {
+    val depth = new Array[Int](q.length + 1)
+    var d = 0
+    var i = 0
+    while (i < q.length) {
+      depth(i) = d
+      val c = q.charAt(i)
+      if (!inLiteral(spans, i)) {
+        if (c == '(') d += 1 else if (c == ')') d -= 1
+      }
+      i += 1
+    }
+    depth(q.length) = d
     ClauseKw.findAllMatchIn(q)
-      .filter(m => m.start < pos && !inLiteral(spans, m.start))
+      .filter(m => m.start < pos && !inLiteral(spans, m.start) &&
+        depth(m.start) <= depth(pos))
       .foldLeft(Option.empty[String])((_, m) => Some(m.group(1)))
       .exists(_.equalsIgnoreCase("SELECT"))
+  }
 
   /** Apply all sugar rewrites; the result is plain Spark SQL. (Fallback path
     * for sessions without the graft Catalyst rules.) */

@@ -2,8 +2,11 @@ package graft.sources.grib
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
+
+import graft.sources.TaskConf
 
 /** Distributed long-format reader for GRIB edition 1 files, mirroring the
   * NetCDF-3/Zarr readers' row model: one row per grid point per message,
@@ -13,6 +16,9 @@ import org.apache.spark.sql.types._
   * reads per message — bitmap/data bodies are never touched), then messages
   * are spread across tasks and each task ranged-reads exactly its own
   * packed-data spans. A multi-GB many-message file scans fully in parallel.
+  * Tasks get the session's Hadoop configuration (via [[TaskConf]]) and close
+  * their input stream on task completion even when a consumer stops early
+  * (limit/head/failure).
   *
   * [[readMerged]] is the reference's schema-normalization path (S3,
   * weather_mv/loader_pipeline/sinks.py:251-342): per-message channel names
@@ -56,21 +62,33 @@ object Grib1Reader {
     } finally in.close()
   }
 
+  private def sessionConf(spark: SparkSession): Configuration =
+    new Configuration(spark.sparkContext.hadoopConfiguration)
+
   /** One row per (message, grid point). `partitions` <= 0 uses the default
     * parallelism capped at the message count. */
   def readLongFormat(spark: SparkSession, path: String,
+      partitions: Int = 0): DataFrame =
+    fromIndex(spark, path, indexMessages(sessionConf(spark), path), partitions)
+
+  /** [[readLongFormat]] over a pre-built message index (avoids re-reading
+    * headers when the caller already indexed the file). */
+  def fromIndex(spark: SparkSession, path: String, msgs: Seq[Grib1.Message],
       partitions: Int = 0): DataFrame = {
-    val conf = new Configuration()
-    val msgs = indexMessages(conf, path)
     require(msgs.nonEmpty, s"no GRIB messages in $path")
     val nPart = if (partitions > 0) partitions
       else math.max(1, math.min(msgs.size, spark.sparkContext.defaultParallelism))
     val pathLocal = path
+    val tconf = TaskConf(sessionConf(spark))
     val rdd = spark.sparkContext.parallelize(msgs, nPart).mapPartitions { it =>
-      val conf = new Configuration()
       val p = new Path(pathLocal)
-      val fs = p.getFileSystem(conf)
+      val fs = p.getFileSystem(tconf.value)
       val in = fs.open(p)
+      var closed = false
+      def closeOnce(): Unit =
+        if (!closed) { closed = true; try in.close() catch { case _: Throwable => () } }
+      // survive early-terminating consumers (limit/head/downstream failure)
+      Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
       val iter = it.flatMap { m =>
         val data = new Array[Byte](m.dataBytes)
         in.readFully(m.dataOffset, data)
@@ -96,9 +114,8 @@ object Grib1Reader {
             channel, if (v.isNaN) null else java.lang.Double.valueOf(v))
         }
       }
-      // ranged-read handle must outlive the row stream; close on exhaustion
       new Iterator[Row] {
-        def hasNext: Boolean = { val h = iter.hasNext; if (!h) in.close(); h }
+        def hasNext: Boolean = { val h = iter.hasNext; if (!h) closeOnce(); h }
         def next(): Row = iter.next()
       }
     }
@@ -107,14 +124,14 @@ object Grib1Reader {
 
   /** Wide per-channel frame: the GRIB normalize path (sinks.py:251-342) —
     * long rows pivoted on the synthesized channel name over the coordinate
-    * key. Channel list comes from the driver-side index (no extra job). */
+    * key. One header index serves both the channel list and the row scan. */
   def readMerged(spark: SparkSession, path: String, partitions: Int = 0): DataFrame = {
-    val conf = new Configuration()
-    val channels = indexMessages(conf, path)
+    val msgs = indexMessages(sessionConf(spark), path)
+    val channels = msgs
       .map(m => graft.operators.Mover.channelName(
         m.levelName, m.levelHeight, m.stepType, m.shortName))
       .distinct
-    val long = readLongFormat(spark, path, partitions)
+    val long = fromIndex(spark, path, msgs, partitions)
       .select("time", "latitude", "longitude", "channel", "value")
     graft.operators.Mover.mergeChannels(
       long, Seq("time", "latitude", "longitude"), "channel", "value", channels)

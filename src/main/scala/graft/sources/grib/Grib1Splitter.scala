@@ -30,9 +30,10 @@ object Grib1Splitter {
     val groups = msgs.groupBy(keyOf).toSeq.sortBy(_._1)
     val pathLocal = path
     val outLocal = outDir
+    val tconf = graft.sources.TaskConf(conf)
     val nPart = math.max(1, math.min(groups.size, spark.sparkContext.defaultParallelism))
     val written = spark.sparkContext.parallelize(groups, nPart).map { case (key, ms) =>
-      val conf = new Configuration()
+      val conf = tconf.value
       val in = new Path(pathLocal)
       val fs = in.getFileSystem(conf)
       val outPath = new Path(s"$outLocal/${base}_$key.grib")

@@ -100,9 +100,9 @@ object Grib1Writer {
     putS24(b, 20, math.round(f.lo2 * 1000).toInt)
     val di = if (f.ni > 1) math.abs(f.lo2 - f.lo1) / (f.ni - 1) else 0
     val dj = if (f.nj > 1) math.abs(f.la2 - f.la1) / (f.nj - 1) else 0
-    putU16(b, 24, math.round(di * 1000).toInt)
-    putU16(b, 26, math.round(dj * 1000).toInt)
-    b(27) = 0                  // scan mode: +i, -j, i consecutive
+    putU16(b, 23, math.round(di * 1000).toInt) // Di: octets 24-25
+    putU16(b, 25, math.round(dj * 1000).toInt) // Dj: octets 26-27
+    b(27) = 0                  // scan mode (octet 28): +i, -j, i consecutive
     b
   }
 

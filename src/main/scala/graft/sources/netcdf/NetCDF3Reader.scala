@@ -31,7 +31,7 @@ object NetCDF3Reader {
 
   def readLongFormat(spark: SparkSession, path: String,
       partitions: Int = 0): DataFrame = {
-    val conf = new Configuration()
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val head = {
       // header lives at the front; probe enough bytes to parse it
       val p = new Path(path)
@@ -47,6 +47,8 @@ object NetCDF3Reader {
     // in a 1-D file they'd otherwise tie the max rank and duplicate a column
     val nonCoord = head.vars.filter(v =>
       !(v.dimIds.size == 1 && dimById(v.dimIds.head).name == v.name))
+    require(nonCoord.nonEmpty,
+      s"$path contains only coordinate (axis) variables — no data variables to read")
     val maxRank = nonCoord.map(_.dimIds.size).max
     val dataVars = nonCoord.filter(_.dimIds.size == maxRank)
     val hyperDims = dataVars.head.dimIds.map(dimById)
@@ -97,12 +99,18 @@ object NetCDF3Reader {
     val coordsLocal = hyperDims.map(d => coords(d.name))
     val isTimeLocal = isTimeDim
 
+    val tconf = graft.sources.TaskConf(conf)
     val rdd = spark.sparkContext.parallelize(ranges, math.max(ranges.size, 1))
       .flatMap { case (lo, hi) =>
-        val conf = new Configuration()
         val p = new Path(pathLocal)
-        val fs = p.getFileSystem(conf)
+        val fs = p.getFileSystem(tconf.value)
         val in = fs.open(p)
+        var closed = false
+        def closeOnce(): Unit =
+          if (!closed) { closed = true; try in.close() catch { case _: Throwable => () } }
+        // survive early-terminating consumers (limit/head/downstream failure)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
         val w = varsLocal.map(v => typeBytes(v.ncType))
         def sliceOf(v: Var, vi: Int, t: Int): Array[Double] = {
           val isRec = v.dimIds.headOption.exists(headLocal.dims(_).isRecord)
@@ -136,10 +144,10 @@ object NetCDF3Reader {
             Row.fromSeq(cells)
           }
         }
-        // NOTE: the stream must be fully consumed before close; wrap so the
-        // final hasNext closes the handle
+        // close on exhaustion; the task-completion listener covers early
+        // termination
         new Iterator[Row] {
-          def hasNext: Boolean = { val h = iter.hasNext; if (!h) in.close(); h }
+          def hasNext: Boolean = { val h = iter.hasNext; if (!h) closeOnce(); h }
           def next(): Row = iter.next()
         }
       }

@@ -71,7 +71,8 @@ object ZarrDistributedWriter {
       writeText(conf, s"$storePath/$v/.zattrs", zattrsJson(dims))
     }
 
-    // 3. distributed chunk encode+write
+    // 3. distributed chunk encode+write (tasks get the session Hadoop conf)
+    val tconf = graft.sources.TaskConf(conf)
     val chunkProd = chunks.product
     val dimIndex: Seq[Map[Double, Int]] = coords.map(_.zipWithIndex.toMap)
     val bcIdx = spark.sparkContext.broadcast(dimIndex)
@@ -122,8 +123,8 @@ object ZarrDistributedWriter {
             a
           }
         })
-      .foreachPartition { it =>
-        val conf = new Configuration()
+      .foreachPartition { it: Iterator[((Int, String), Array[Double])] =>
+        val conf = tconf.value
         it.foreach { case ((vi, key), values) =>
           val raw = encodeF8(values)
           val out = compLocal match {

@@ -45,7 +45,7 @@ class ZarrTableProvider extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val store = ZarrMeta.open(new Configuration(), storePath(options))
+    val store = ZarrMeta.open(ZarrTableProvider.sessionConf(), storePath(options))
     ZarrTableProvider.schemaOf(store)
   }
 
@@ -58,6 +58,14 @@ class ZarrTableProvider extends TableProvider with DataSourceRegister {
 }
 
 object ZarrTableProvider {
+  /** Driver-side Hadoop conf honoring `spark.hadoopConfiguration` overrides
+    * (credentials, fs.defaultFS); bare `new Configuration()` would drop
+    * them. */
+  def sessionConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(s => new Configuration(s.sparkContext.hadoopConfiguration))
+      .getOrElse(new Configuration())
+
   def schemaOf(store: Store): StructType = {
     val coordFields = store.dims.map { d =>
       val m = store.coordMeta.getOrElse(d,
@@ -70,7 +78,7 @@ object ZarrTableProvider {
 }
 
 class ZarrTable(path: String) extends Table with SupportsRead {
-  private lazy val store: Store = ZarrMeta.open(new Configuration(), path)
+  private lazy val store: Store = ZarrMeta.open(ZarrTableProvider.sessionConf(), path)
   override def name(): String = s"zarr:$path"
   override def schema(): StructType = ZarrTableProvider.schemaOf(store)
   override def capabilities(): util.Set[TableCapability] =
@@ -171,12 +179,13 @@ class ZarrScan(store: Store, required: StructType, pushed: Array[Filter])
       for (t <- acc; c <- cs) yield t :+ c
     }
     val neededVars = store.dataVars.filter(v => required.fieldNames.contains(v.name))
+    val tconf = graft.sources.TaskConf(ZarrTableProvider.sessionConf())
     tuples.map(t => ZarrInputPartition(store.path, store.dims.toArray,
       shape.toArray, chunks.toArray, t.toArray,
       ranges.map(_._1).toArray, ranges.map(_._2).toArray,
       store.dims.map(d => store.coords(d)).toArray,
       store.dims.map(d => store.coordMeta(d).epochSecondsTime).toArray,
-      neededVars.toArray, required.fieldNames): InputPartition).toArray
+      neededVars.toArray, required.fieldNames, tconf): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new ZarrReaderFactory
@@ -193,7 +202,8 @@ final case class ZarrInputPartition(
     coords: Array[Array[Double]],
     coordIsTime: Array[Boolean],
     vars: Array[ArrayMeta],
-    outputCols: Array[String]) extends InputPartition
+    outputCols: Array[String],
+    tconf: graft.sources.TaskConf) extends InputPartition
 
 class ZarrReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -201,7 +211,7 @@ class ZarrReaderFactory extends PartitionReaderFactory {
 }
 
 class ZarrPartitionReader(p: ZarrInputPartition) extends PartitionReader[InternalRow] {
-  private val conf = new Configuration()
+  private val conf = p.tconf.value
   private val nDims = p.dims.length
   // decoded chunk per needed var, loaded lazily on first next()
   private var varData: Array[Array[Double]] = _

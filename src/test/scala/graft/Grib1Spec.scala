@@ -71,6 +71,13 @@ class Grib1Spec extends SparkSpec {
     // accumulation message: step ends at P2
     val a = msgs(4)
     assert(a.stepType == "accum" && a.validTimeEpochSec == m.refTimeEpochSec + 6 * 3600)
+    // GDS Di/Dj land at octets 24-25/26-27 (external tools honor the
+    // resolution flag; a one-octet slip corrupts the grid spacing)
+    val raw = java.nio.file.Files.readAllBytes(java.nio.file.Path.of(file))
+    val gds = 8 + 28
+    assert(Grib1.u16(raw, gds + 23) == 5000, "Di: lon step 5.0 deg in millidegrees")
+    assert(Grib1.u16(raw, gds + 25) == 5000, "Dj: lat step 5.0 deg in millidegrees")
+    assert(Grib1.u8(raw, gds + 27) == 0)     // scan mode intact
   }
 
   test("long-format read: exact values at golden points, valid times") {

@@ -79,6 +79,9 @@ class WxSqlSpec extends SparkSpec {
     // subquery SELECT lists still rewrite (nearest clause keyword is SELECT)
     assert(WxSql.rewriteAggNaming("SELECT a, (SELECT SUM(b) FROM y) FROM x")
       == "SELECT a, (SELECT SUM(b) AS sum_b FROM y) FROM x")
+    // a CLOSED sibling subquery's FROM must not shadow the outer SELECT
+    assert(WxSql.rewriteAggNaming("SELECT (SELECT MAX(b) FROM y) AS m, AVG(c) FROM x")
+      == "SELECT (SELECT MAX(b) AS max_b FROM y) AS m, AVG(c) AS avg_c FROM x")
   }
 
   test("string rewrites never fire inside string literals") {

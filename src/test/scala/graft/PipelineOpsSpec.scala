@@ -68,11 +68,15 @@ class DedupSpec extends SparkSpec {
 
   test("relational simhash agrees bit-for-bit with the expression form") {
     val base = Tables.documents(spark, sfDir).select($"doc_id", $"text").limit(100)
+      .union(Seq((9001L, null.asInstanceOf[String])).toDF("doc_id", "text"))
     val viaExpr = base.withColumn("sh", Dedup.simhashExpr("text"))
-      .select($"doc_id", $"sh").as[(Long, Long)].collect().toMap
+      .select($"doc_id", $"sh").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     val viaRel = Dedup.simhashRelational(base, "doc_id", "text")
-      .as[(Long, Long)].collect().toMap
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     assert(viaRel.size == viaExpr.size)
+    assert(viaRel(9001L).isEmpty) // null text stays a NULL fingerprint row
     viaExpr.foreach { case (id, sh) =>
       assert(viaRel(id) == sh, s"doc $id: rel=${viaRel(id)} expr=$sh")
     }
@@ -162,16 +166,20 @@ class SimilaritySpec extends SparkSpec {
 
   test("cosineNearDupPairs bounds pair counts on a pathological bucket") {
     // 200 identical vectors land in ONE bucket; with cap 20 the pair explode
-    // must emit C(20,2) = 190 pairs, not C(200,2) = 19900 — the quadratic
-    // blow-up the cap exists to prevent
+    // must emit C(20,2) + 180 representative pairs = 370, not C(200,2) =
+    // 19900 — AND every member must still appear in at least one pair (a
+    // member reported in zero pairs would silently survive dedup as unique)
     val base = emb.filter($"vec_id" === 3).select($"embedding").as[Seq[Float]].head()
     val flood = spark.createDataFrame(
       (0 until 200).map(i => (i.toLong, base))).toDF("vec_id", "embedding")
     val planes = emb.filter($"vec_id".isin(1, 2)).orderBy($"vec_id")
       .select($"embedding").as[Seq[Float]].collect().toSeq
-    val n = Similarity.cosineNearDupPairs(flood, "embedding", "vec_id",
-      planes, threshold = 0.999, maxBucketSize = 20).count()
-    assert(n == 190L, s"expected capped 190 pairs, got $n")
+    val pairs = Similarity.cosineNearDupPairs(flood, "embedding", "vec_id",
+      planes, threshold = 0.999, maxBucketSize = 20)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(pairs.length == 190 + 180, s"expected 370 capped pairs, got ${pairs.length}")
+    val covered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(covered == (0L until 200L).toSet, "some member escaped the verify stage")
   }
 
   test("planeCountFor scales bucket count with the corpus") {
