@@ -66,9 +66,10 @@ object FormatRegistry {
             "`nccopy -k classic file.nc4 file.nc` (classic + 64-bit-offset, Zarr, " +
             "and GRIB1 are read natively).")
       case None if grib.contains(ext) =>
-        // GRIB1 decode + the reference's normalize/merge path (sinks.py:251-342);
-        // an edition-2 payload raises a directed error from the parser
-        graft.sources.grib.Grib1Reader.readMerged(spark, uri)
+        // GRIB decode (edition sniffed from the indicator section: 1 and 2
+        // both read natively) + the reference's normalize/merge path
+        // (sinks.py:251-342)
+        graft.sources.grib.GribReader.readMerged(spark, uri)
       case None if scientific.contains(ext) => throw Unsupported(ext)
       case None => reader.parquet(uri) // the reference's final fallback is a guess
     }

@@ -1,0 +1,278 @@
+package graft.sources.grib
+
+/** GRIB edition 2 binary format (WMO FM 92 GRIB Edition 2, public spec) —
+  * the edition most operational centers emit today (the reference's cfgrib
+  * path reads both editions transparently; sinks.py:345-389).
+  *
+  * Supported surface, mirroring the edition-1 reader's scope: regular
+  * lat/lon grids (grid template 3.0), instant + statistically-processed
+  * products (product templates 4.0 / 4.8), simple packing (data template
+  * 5.0) with optional bitmap, multiple fields per message (repeated
+  * sections 3-7). Everything else raises a directed error.
+  *
+  * An edition-2 message is:
+  *   Section 0 (16 B): "GRIB", reserved(2), discipline, edition=2,
+  *                     total length (u64)
+  *   Sections 1..7:    [length u32, number u8, body]; sections 3-7 may
+  *                     repeat — each section 7 closes one FIELD using the
+  *                     most recent 3/4/5/6
+  *   "7777"
+  * Value decode is the same fixed-point scheme as edition 1 —
+  * (R + X * 2^E) / 10^D — but R is an IEEE float32, not IBM.
+  */
+object Grib2 {
+
+  /** One decodable field (a section-7 occurrence with its context). */
+  final case class Field(
+      discipline: Int,
+      refTimeEpochSec: Long,
+      // grid (template 3.0)
+      ni: Int, nj: Int,
+      la1: Double, lo1: Double, la2: Double, lo2: Double,
+      scanMode: Int,
+      // product (template 4.0 / 4.8)
+      paramCategory: Int,
+      paramNumber: Int,
+      timeUnit: Int,
+      forecastTime: Int,
+      levelTypeCode: Int,
+      levelValue: Double,       // scaledValue / 10^scaleFactor
+      statProcess: Int,         // -1 for template 4.0 (instant)
+      intervalEndEpochSec: Long, // template 4.8 only; else -1
+      // representation (template 5.0)
+      refValue: Double,
+      binaryScale: Int,
+      decimalScale: Int,
+      bitsPerValue: Int,
+      // spans for task-side ranged reads
+      bitmapOffset: Long,       // -1 when absent
+      bitmapBytes: Int,
+      dataOffset: Long,
+      dataBytes: Int) {
+
+    def nPoints: Int = ni * nj
+
+    /** cfgrib typeOfLevel names (GRIB2 code table 4.5 subset). */
+    def levelName: String = levelTypeCode match {
+      case 1 => "surface"
+      case 2 => "cloudBase"
+      case 3 => "cloudTop"
+      case 100 => "isobaricInhPa"
+      case 101 => "meanSea"
+      case 103 => "heightAboveGround"
+      case 106 => "depthBelowLandLayer"
+      case 200 => "entireAtmosphere"
+      case other => s"level$other"
+    }
+
+    /** Height in cfgrib's reporting unit: isobaric Pa -> hPa, else the
+      * scaled value as-is (metres). */
+    def levelHeight: Double =
+      if (levelTypeCode == 100) levelValue / 100.0 else levelValue
+
+    /** Statistical process (code table 4.10) -> cfgrib stepType. */
+    def stepType: String = statProcess match {
+      case -1 | 254 => "instant"
+      case 0 => "avg"
+      case 1 => "accum"
+      case 2 => "max"
+      case 3 => "min"
+      case _ => "instant"
+    }
+
+    /** Valid time: template 4.8 encodes the interval END explicitly; 4.0 is
+      * reference + forecastTime (code table 4.4 shares GRIB1's units). */
+    def validTimeEpochSec: Long =
+      if (intervalEndEpochSec >= 0) intervalEndEpochSec
+      else refTimeEpochSec + forecastTime.toLong * Grib1.timeUnitSeconds(timeUnit)
+
+    /** shortName from (discipline, category, number) — WMO table 4.2 subset
+      * — with cfgrib's surface-variable conventions (t at 2 m -> 2t, u/v at
+      * 10 m -> 10u/10v). Unknown parameters keep a synthesized name. */
+    def shortName: String = {
+      val base = (discipline, paramCategory, paramNumber) match {
+        case (0, 0, 0) => "t"
+        case (0, 0, 6) => "2d"
+        case (0, 1, 1) => "r"
+        case (0, 1, 8) => "tp"
+        case (0, 2, 2) => "u"
+        case (0, 2, 3) => "v"
+        case (0, 3, 0) => "pres"
+        case (0, 3, 1) => "msl"
+        case (0, 3, 5) => "gh"
+        case (0, 6, 1) => "tcc"
+        case (2, 0, 0) => "lsm"
+        case (d, c, n) => s"p${d}_${c}_$n"
+      }
+      (base, levelTypeCode, levelValue) match {
+        case ("t", 103, 2.0) => "2t"
+        case ("2d", 103, 2.0) => "2d"
+        case ("u", 103, 10.0) => "10u"
+        case ("v", 103, 10.0) => "10v"
+        case _ => base
+      }
+    }
+
+    def latOf(j: Int): Double =
+      if (nj == 1) la1 else la1 + (la2 - la1) * j / (nj - 1)
+    def lonOf(i: Int): Double =
+      if (ni == 1) lo1 else lo1 + (lo2 - lo1) * i / (ni - 1)
+  }
+
+  import Grib1.{u8, u16, UnsupportedGrib}
+
+  def u32(b: Array[Byte], i: Int): Long =
+    (u16(b, i).toLong << 16) | u16(b, i + 2)
+  def u64(b: Array[Byte], i: Int): Long =
+    (u32(b, i) << 32) | u32(b, i + 4)
+
+  /** GRIB2 signed fields are sign-and-magnitude, like edition 1. */
+  def s32(b: Array[Byte], i: Int): Long = {
+    val v = u32(b, i)
+    if ((v & 0x80000000L) != 0) -(v & 0x7fffffffL) else v
+  }
+
+  def ieee32(b: Array[Byte], i: Int): Double =
+    java.lang.Float.intBitsToFloat(u32(b, i).toInt).toDouble
+
+  /** Parse one edition-2 message starting at `fileOffset` through a
+    * positioned span reader; returns the fields and the total length. */
+  def parseMessage(read: (Long, Int) => Array[Byte],
+      fileOffset: Long): (Seq[Field], Long) = {
+    val is = read(fileOffset, 16)
+    require(is(0) == 'G' && is(1) == 'R' && is(2) == 'I' && is(3) == 'B',
+      s"not a GRIB message at offset $fileOffset")
+    val discipline = u8(is, 6)
+    val edition = u8(is, 7)
+    require(edition == 2, s"edition $edition handed to the edition-2 parser")
+    val total = u64(is, 8)
+
+    var refTime = 0L
+    // current 3/4/5/6 state
+    var grid: Option[(Int, Int, Double, Double, Double, Double, Int)] = None
+    var prod: Option[(Int, Int, Int, Int, Int, Double, Int, Long)] = None
+    var repr: Option[(Double, Int, Int, Int)] = None
+    var bitmapOffset = -1L
+    var bitmapBytes = 0
+
+    val fields = Seq.newBuilder[Field]
+    var cur = fileOffset + 16
+    val end = fileOffset + total - 4 // "7777"
+    while (cur < end) {
+      val head = read(cur, 5)
+      val secLen = u32(head, 0)
+      val secNum = u8(head, 4)
+      secNum match {
+        case 1 =>
+          val b = read(cur, math.min(secLen, 21L).toInt)
+          val year = u16(b, 12)
+          refTime = java.time.LocalDateTime.of(year, u8(b, 14), u8(b, 15),
+            u8(b, 16), u8(b, 17), u8(b, 18))
+            .toEpochSecond(java.time.ZoneOffset.UTC)
+        case 2 => // local use — skip
+        case 3 =>
+          val b = read(cur, math.min(secLen, 72L).toInt)
+          val template = u16(b, 12)
+          if (template != 0)
+            throw UnsupportedGrib(s"grid template 3.$template (only 3.0 regular lat/lon)")
+          val ni = u32(b, 30).toInt
+          val nj = u32(b, 34).toInt
+          val la1 = s32(b, 46) / 1e6
+          val lo1 = s32(b, 50) / 1e6
+          val la2 = s32(b, 55) / 1e6
+          val lo2 = s32(b, 59) / 1e6
+          val scan = u8(b, 71)
+          grid = Some((ni, nj, la1, lo1, la2, lo2, scan))
+        case 4 =>
+          val b = read(cur, math.min(secLen, 64L).toInt)
+          val template = u16(b, 7)
+          if (template != 0 && template != 8)
+            throw UnsupportedGrib(s"product template 4.$template (only 4.0/4.8)")
+          val cat = u8(b, 9)
+          val num = u8(b, 10)
+          val timeUnit = u8(b, 17)
+          val fcst = s32(b, 18).toInt
+          val levelType = u8(b, 22)
+          val levelScale = u8(b, 23)
+          val levelScaled = u32(b, 24)
+          val levelValue = levelScaled / math.pow(10.0, levelScale)
+          var statProcess = -1
+          var intervalEnd = -1L
+          if (template == 8) {
+            intervalEnd = java.time.LocalDateTime.of(u16(b, 34), u8(b, 36),
+              u8(b, 37), u8(b, 38), u8(b, 39), u8(b, 40))
+              .toEpochSecond(java.time.ZoneOffset.UTC)
+            statProcess = u8(b, 46)
+          }
+          prod = Some((cat, num, timeUnit, fcst, levelType, levelValue,
+            statProcess, intervalEnd))
+        case 5 =>
+          val b = read(cur, math.min(secLen, 22L).toInt)
+          val template = u16(b, 9)
+          if (template != 0)
+            throw UnsupportedGrib(s"data representation template 5.$template " +
+              "(only 5.0 simple packing)")
+          repr = Some((ieee32(b, 11), Grib1.s16(b, 15), Grib1.s16(b, 17), u8(b, 19)))
+        case 6 =>
+          val b = read(cur, 6)
+          u8(b, 5) match {
+            case 255 => bitmapOffset = -1; bitmapBytes = 0
+            case 0 => bitmapOffset = cur + 6; bitmapBytes = (secLen - 6).toInt
+            case 254 => // keep previously defined bitmap
+            case other => throw UnsupportedGrib(s"predefined bitmap indicator $other")
+          }
+        case 7 =>
+          val (ni, nj, la1, lo1, la2, lo2, scan) = grid.getOrElse(
+            throw UnsupportedGrib("section 7 before any grid definition"))
+          val (cat, num, timeUnit, fcst, levelType, levelValue, statP, intEnd) =
+            prod.getOrElse(throw UnsupportedGrib("section 7 before any product definition"))
+          val (refV, binS, decS, bits) = repr.getOrElse(
+            throw UnsupportedGrib("section 7 before any data representation"))
+          fields += Field(discipline, refTime, ni, nj, la1, lo1, la2, lo2, scan,
+            cat, num, timeUnit, fcst, levelType, levelValue, statP, intEnd,
+            refV, binS, decS, bits, bitmapOffset, bitmapBytes,
+            cur + 5, (secLen - 5).toInt)
+        case 8 => // should not appear as a section header; defensive
+          throw UnsupportedGrib(s"unexpected section number 8 at offset $cur")
+        case other =>
+          throw UnsupportedGrib(s"unknown section number $other at offset $cur")
+      }
+      cur += secLen
+    }
+    (fields.result(), total)
+  }
+
+  /** Decode a field's packed values (bitmap zeros -> NaN), grid scan order. */
+  def decodeValues(f: Field, data: Array[Byte], bitmap: Array[Byte]): Array[Double] = {
+    val dDiv = math.pow(10.0, f.decimalScale)
+    val eFactor = math.pow(2.0, f.binaryScale)
+    val out = new Array[Double](f.nPoints)
+    if (f.bitmapOffset >= 0) {
+      val present = new Array[Boolean](f.nPoints)
+      var nPresent = 0
+      var k = 0
+      while (k < f.nPoints) {
+        present(k) = (u8(bitmap, k >> 3) & (0x80 >> (k & 7))) != 0
+        if (present(k)) nPresent += 1
+        k += 1
+      }
+      val xs = Grib1.unpackBits(data, f.bitsPerValue, nPresent)
+      var xi = 0
+      k = 0
+      while (k < f.nPoints) {
+        out(k) =
+          if (present(k)) { val v = (f.refValue + xs(xi) * eFactor) / dDiv; xi += 1; v }
+          else Double.NaN
+        k += 1
+      }
+    } else {
+      val xs = Grib1.unpackBits(data, f.bitsPerValue, f.nPoints)
+      var k = 0
+      while (k < f.nPoints) {
+        out(k) = (f.refValue + xs(k) * eFactor) / dDiv
+        k += 1
+      }
+    }
+    out
+  }
+}

@@ -1,0 +1,207 @@
+package graft.sources.grib
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+/** Minimal GRIB edition 2 writer (grid template 3.0, product templates
+  * 4.0/4.8, data template 5.0 simple packing, optional bitmap) — fixture
+  * role, like [[Grib1Writer]] for edition 1. The reference value is the
+  * integer minimum of the scaled values encoded as IEEE float32 (exact
+  * below 2^24), so round(v * 10^D) survives the pack/unpack cycle. */
+object Grib2Writer {
+
+  final case class FieldSpec(
+      discipline: Int,
+      category: Int,
+      number: Int,
+      levelType: Int,
+      levelScaledValue: Long,          // value * 10^levelScaleFactor
+      refTime: java.time.LocalDateTime,
+      values: Seq[Double],             // row-major (j, i); NaN = missing
+      ni: Int, nj: Int,
+      la1: Double, lo1: Double, la2: Double, lo2: Double,
+      levelScaleFactor: Int = 0,
+      timeUnit: Int = 1,               // hours
+      forecastTime: Int = 0,
+      statProcess: Int = -1,           // -1 -> template 4.0; else 4.8
+      intervalEnd: Option[java.time.LocalDateTime] = None,
+      decimalScale: Int = 0,
+      bitsPerValue: Int = 16)
+
+  def write(path: String, fields: Seq[FieldSpec],
+      conf: Configuration = new Configuration()): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try fields.foreach(f => out.write(message(f)))
+    finally out.close()
+  }
+
+  def message(f: FieldSpec): Array[Byte] = {
+    require(f.values.size == f.ni * f.nj,
+      s"values size ${f.values.size} != ni*nj ${f.ni * f.nj}")
+    val s1 = section1(f)
+    val s3 = section3(f)
+    val s4 = section4(f)
+    val missing = f.values.exists(_.isNaN)
+    val s6 = section6(f, missing)
+    val (s5, s7) = sections57(f)
+    val total = 16L + s1.length + s3.length + s4.length + s5.length +
+      s6.length + s7.length + 4
+    val o = new ByteArrayOutputStream(total.toInt)
+    o.write('G'); o.write('R'); o.write('I'); o.write('B')
+    o.write(0); o.write(0)           // reserved
+    o.write(f.discipline)
+    o.write(2)                       // edition
+    writeU64(o, total)
+    o.write(s1); o.write(s3); o.write(s4); o.write(s5); o.write(s6); o.write(s7)
+    o.write('7'); o.write('7'); o.write('7'); o.write('7')
+    o.toByteArray
+  }
+
+  private def section1(f: FieldSpec): Array[Byte] = {
+    val b = new Array[Byte](21)
+    putU32(b, 0, 21); b(4) = 1
+    putU16(b, 5, 98)                 // centre: ECMWF
+    putU16(b, 7, 0)                  // subcentre
+    b(9) = 2; b(10) = 1              // tables versions
+    b(11) = 1                        // significance: start of forecast
+    val t = f.refTime
+    putU16(b, 12, t.getYear)
+    b(14) = t.getMonthValue.toByte; b(15) = t.getDayOfMonth.toByte
+    b(16) = t.getHour.toByte; b(17) = t.getMinute.toByte; b(18) = t.getSecond.toByte
+    b(19) = 0; b(20) = 1
+    b
+  }
+
+  private def section3(f: FieldSpec): Array[Byte] = {
+    val b = new Array[Byte](72)
+    putU32(b, 0, 72); b(4) = 3
+    b(5) = 0                         // grid source
+    putU32(b, 6, f.ni.toLong * f.nj) // number of data points
+    b(10) = 0; b(11) = 0
+    putU16(b, 12, 0)                 // template 3.0
+    b(14) = 6                        // shape of earth: WGS84-ish sphere
+    putU32(b, 30, f.ni); putU32(b, 34, f.nj)
+    putU32(b, 38, 0); putU32(b, 42, 0) // basic angle/subdivisions
+    putS32(b, 46, math.round(f.la1 * 1e6))
+    putS32(b, 50, math.round(f.lo1 * 1e6))
+    b(54) = 0x30                     // resolution flags: di/dj given
+    putS32(b, 55, math.round(f.la2 * 1e6))
+    putS32(b, 59, math.round(f.lo2 * 1e6))
+    val di = if (f.ni > 1) math.abs(f.lo2 - f.lo1) / (f.ni - 1) else 0
+    val dj = if (f.nj > 1) math.abs(f.la2 - f.la1) / (f.nj - 1) else 0
+    putU32(b, 63, math.round(di * 1e6))
+    putU32(b, 67, math.round(dj * 1e6))
+    b(71) = 0                        // scan mode: +i, -j
+    b
+  }
+
+  private def section4(f: FieldSpec): Array[Byte] = {
+    val template48 = f.statProcess >= 0
+    val b = new Array[Byte](if (template48) 58 else 34)
+    putU32(b, 0, b.length); b(4) = 4
+    putU16(b, 5, 0)                  // no extra coordinate values
+    putU16(b, 7, if (template48) 8 else 0)
+    b(9) = f.category.toByte
+    b(10) = f.number.toByte
+    b(11) = 2                        // generating process: forecast
+    putU16(b, 14, 0); b(16) = 0
+    b(17) = f.timeUnit.toByte
+    putS32(b, 18, f.forecastTime)
+    b(22) = f.levelType.toByte
+    b(23) = f.levelScaleFactor.toByte
+    putU32(b, 24, f.levelScaledValue)
+    b(28) = 255.toByte; b(29) = 0    // no second surface
+    if (template48) {
+      val e = f.intervalEnd.getOrElse(
+        f.refTime.plusSeconds(f.forecastTime.toLong * Grib1.timeUnitSeconds(f.timeUnit)))
+      putU16(b, 34, e.getYear)
+      b(36) = e.getMonthValue.toByte; b(37) = e.getDayOfMonth.toByte
+      b(38) = e.getHour.toByte; b(39) = e.getMinute.toByte; b(40) = e.getSecond.toByte
+      b(41) = 1                      // one time range
+      putU32(b, 42, 0)               // no missing values in interval
+      b(46) = f.statProcess.toByte
+      b(47) = 2                      // time increment type
+      b(48) = f.timeUnit.toByte
+      putU32(b, 49, f.forecastTime)  // length of range
+      b(53) = f.timeUnit.toByte
+      putU32(b, 54, 0)
+    }
+    b
+  }
+
+  private def sections57(f: FieldSpec): (Array[Byte], Array[Byte]) = {
+    val dFactor = math.pow(10.0, f.decimalScale)
+    val present = f.values.filterNot(_.isNaN)
+    val scaled = present.map(v => math.round(v * dFactor))
+    val ref = if (scaled.isEmpty) 0L else scaled.min
+    val xs = scaled.map(_ - ref)
+    require(xs.forall(x => x >= 0 && (f.bitsPerValue == 64 || x < (1L << f.bitsPerValue))),
+      s"value range needs more than ${f.bitsPerValue} bits")
+    require(math.abs(ref) < (1L << 24), "reference value must stay float32-exact")
+
+    val s5 = new Array[Byte](21)
+    putU32(s5, 0, 21); s5(4) = 5
+    putU32(s5, 5, f.values.size)
+    putU16(s5, 9, 0)                 // template 5.0
+    putU32(s5, 11, java.lang.Float.floatToIntBits(ref.toFloat).toLong & 0xffffffffL)
+    putS16(s5, 15, 0)                // binary scale E = 0
+    putS16(s5, 17, f.decimalScale)
+    s5(19) = f.bitsPerValue.toByte
+    s5(20) = 0                       // floating-point values
+
+    val dataBits = xs.size.toLong * f.bitsPerValue
+    val dataBytes = ((dataBits + 7) / 8).toInt
+    val s7 = new Array[Byte](5 + dataBytes)
+    putU32(s7, 0, s7.length); s7(4) = 7
+    var bitPos = 0L
+    xs.foreach { x =>
+      var i = f.bitsPerValue - 1
+      while (i >= 0) {
+        if (((x >> i) & 1L) != 0) {
+          val idx = 5 + (bitPos >> 3).toInt
+          s7(idx) = (s7(idx) | (0x80 >> (bitPos & 7).toInt)).toByte
+        }
+        bitPos += 1
+        i -= 1
+      }
+    }
+    (s5, s7)
+  }
+
+  private def section6(f: FieldSpec, missing: Boolean): Array[Byte] = {
+    if (!missing) {
+      val b = new Array[Byte](6)
+      putU32(b, 0, 6); b(4) = 6; b(5) = 255.toByte
+      b
+    } else {
+      val n = f.values.size
+      val bodyBytes = (n + 7) / 8
+      val b = new Array[Byte](6 + bodyBytes)
+      putU32(b, 0, b.length); b(4) = 6; b(5) = 0
+      f.values.zipWithIndex.foreach { case (v, k) =>
+        if (!v.isNaN) b(6 + (k >> 3)) = (b(6 + (k >> 3)) | (0x80 >> (k & 7))).toByte
+      }
+      b
+    }
+  }
+
+  private def putU16(b: Array[Byte], i: Int, v: Int): Unit = {
+    b(i) = ((v >> 8) & 0xff).toByte; b(i + 1) = (v & 0xff).toByte
+  }
+  private def putS16(b: Array[Byte], i: Int, v: Int): Unit =
+    putU16(b, i, if (v < 0) 0x8000 | -v else v)
+  private def putU32(b: Array[Byte], i: Int, v: Long): Unit = {
+    b(i) = ((v >> 24) & 0xff).toByte; b(i + 1) = ((v >> 16) & 0xff).toByte
+    b(i + 2) = ((v >> 8) & 0xff).toByte; b(i + 3) = (v & 0xff).toByte
+  }
+  private def putS32(b: Array[Byte], i: Int, v: Long): Unit =
+    putU32(b, i, if (v < 0) 0x80000000L | -v else v)
+  private def writeU64(o: ByteArrayOutputStream, v: Long): Unit = {
+    var i = 7
+    while (i >= 0) { o.write(((v >> (i * 8)) & 0xff).toInt); i -= 1 }
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.grib.{Grib2Reader, Grib2Writer => GW2, GribReader}
+
+/** Golden tests for the GRIB edition-2 reader: templates 3.0/4.0/4.8/5.0,
+  * IEEE-float32 reference value, bitmap, cfgrib naming conventions, and the
+  * edition-sniffing facade. */
+class Grib2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val (ni, nj) = (5, 4)
+  private val t0 = java.time.LocalDateTime.of(2026, 3, 1, 0, 0)
+
+  private def gridVals(f: (Int, Int) => Double): Seq[Double] =
+    for (j <- 0 until nj; i <- 0 until ni) yield f(j, i)
+
+  private lazy val file: String = {
+    val dir = java.nio.file.Files.createTempDirectory("grib2").toString
+    val path = s"$dir/test.grib2"
+    def field(disc: Int, cat: Int, num: Int, levelType: Int, levelScaled: Long,
+        fcst: Int, vals: Seq[Double], d: Int = 2, stat: Int = -1) =
+      GW2.FieldSpec(disc, cat, num, levelType, levelScaled, t0, vals,
+        ni, nj, la1 = 60.0, lo1 = -10.0, la2 = 45.0, lo2 = 10.0,
+        forecastTime = fcst, decimalScale = d, statProcess = stat)
+    GW2.write(path, Seq(
+      // 2-metre temperature: discipline 0, cat 0, num 0 at heightAboveGround 2
+      field(0, 0, 0, 103, 2, fcst = 0, vals = gridVals((j, i) => 270.0 + j + 0.25 * i)),
+      field(0, 0, 0, 103, 2, fcst = 6, vals = gridVals((j, i) => 271.0 + j + 0.25 * i)),
+      // accumulated total precipitation (template 4.8) with a masked cell
+      field(0, 1, 8, 1, 0, fcst = 6, stat = 1,
+        vals = gridVals((j, i) => if (j == 1 && i == 2) Double.NaN else 0.5 * i))))
+    path
+  }
+
+  test("field headers parse: grid, product, representation, conventions") {
+    val fs = Grib2Reader.indexFields(new org.apache.hadoop.conf.Configuration(), file)
+    assert(fs.size == 3)
+    val m = fs.head
+    assert(m.ni == ni && m.nj == nj)
+    assert(m.la1 == 60.0 && m.lo1 == -10.0 && m.la2 == 45.0 && m.lo2 == 10.0)
+    assert(m.shortName == "2t" && m.levelName == "heightAboveGround")
+    assert(m.levelHeight == 2.0 && m.stepType == "instant")
+    assert(m.decimalScale == 2 && m.bitsPerValue == 16)
+    val tp = fs(2)
+    assert(tp.shortName == "tp" && tp.stepType == "accum")
+    assert(tp.validTimeEpochSec == m.refTimeEpochSec + 6 * 3600)
+  }
+
+  test("values decode exactly through IEEE ref + simple packing") {
+    val df = Grib2Reader.readLongFormat(spark, file)
+    assert(df.count() == 3L * ni * nj)
+    val r = df.filter($"channel" === "heightAboveGround_2_00_instant_2t" &&
+      date_format($"time", "HH") === "00" &&
+      $"latitude" === 55.0 && $"longitude" === 0.0).head()
+    assert(r.getAs[Double]("value") == 270.0 + 1 + 0.25 * 2)
+    // bitmap-masked cell decodes to null; neighbors exact
+    val tp = df.filter($"channel" === "surface_0_00_accum_tp")
+    assert(tp.filter($"value".isNull).count() == 1)
+    assert(tp.filter($"latitude" === 60.0 && $"longitude" === 10.0)
+      .head().getAs[Double]("value") == 0.5 * 4)
+  }
+
+  test("edition-sniffing facade merges either edition through the mover path") {
+    val wide = graft.sources.FormatRegistry.open(spark, file)
+    assert(wide.columns.toSeq.sorted == Seq("heightAboveGround_2_00_instant_2t",
+      "latitude", "longitude", "surface_0_00_accum_tp", "time").sorted)
+    assert(wide.count() == 2L * ni * nj)
+    val out = graft.operators.Mover.extractRows(wide, s"file://$file",
+      graft.operators.Mover.Options(variables = Seq("2t"),
+        importTime = Some("2026-03-01 12:00:00"),
+        latRes = Some(2.5), lonRes = Some(2.5)))
+    assert(out.count() == 2L * ni * nj)
+    assert(out.columns.contains("heightAboveGround_2_00_instant_2t"))
+    // and the facade still reads edition-1 files
+    assert(GribReader.edition(new org.apache.hadoop.conf.Configuration(), file) == 2)
+  }
+
+  test("unsupported templates raise directed errors") {
+    val raw = GW2.message(GW2.FieldSpec(0, 0, 0, 103, 2, t0,
+      Seq(1.0, 2.0), 2, 1, 0.0, 0.0, 0.0, 1.0))
+    // patch grid template number (section 3 starts at 16+21; template at +12)
+    val dir = java.nio.file.Files.createTempDirectory("grib2bad").toString
+    raw(16 + 21 + 13) = 30 // template 3.30 Lambert
+    val p = s"$dir/bad.grib2"
+    val os = new java.io.FileOutputStream(p); os.write(raw); os.close()
+    val e = intercept[graft.sources.grib.Grib1.UnsupportedGrib](
+      Grib2Reader.indexFields(new org.apache.hadoop.conf.Configuration(), p))
+    assert(e.getMessage.contains("grid template"))
+  }
+}

@@ -179,7 +179,7 @@ class FormatRegistrySpec extends SparkSpec {
     // rejects the magic — proof the override routed past the extension
     val e = intercept[IllegalArgumentException](
       FormatRegistry.open(spark, s"$sfDir/lineitem.parquet", Map("engine" -> "grib")))
-    assert(e.getMessage.contains("not a GRIB message"))
+    assert(e.getMessage.contains("not a GRIB file"))
   }
 
   test("NetCDF-4/HDF5 raises the decided-boundary error with the nccopy bridge") {
