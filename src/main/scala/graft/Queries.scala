@@ -618,6 +618,36 @@ object Queries {
         Grib1Reader.readLongFormat(s, path)
           .select($"time", $"latitude", $"longitude", $"value")
           .orderBy($"time", $"latitude", $"longitude")
+      }),
+
+    // ---------------------------------------------------------------- S1 (GRIB edition-2 codec end-to-end, IEEE ref + templates 3.0/4.0/5.0)
+    Q("q50_grib2_extract", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200)
+      SELECT CASE WHEN rn0 // 100 = 0 THEN TIMESTAMP '2026-03-01 00:00:00'
+                  ELSE TIMESTAMP '2026-03-01 06:00:00' END AS time,
+             CAST(50 - (rn0 % 100) // 10 AS DOUBLE) AS latitude,
+             CAST(rn0 % 10 AS DOUBLE) AS longitude,
+             CAST(o_orderkey % 997 AS DOUBLE) AS value
+      FROM o
+      ORDER BY time, latitude, longitude"""))(
+      (s, d) => {
+        import graft.sources.grib.{Grib2Reader, Grib2Writer => GW2}
+        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+          .select(($"o_orderkey" % 997).cast("double"))
+          .collect().map(_.getDouble(0)).toSeq
+        val t0 = java.time.LocalDateTime.of(2026, 3, 1, 0, 0)
+        val path = java.nio.file.Files.createTempDirectory("q50").toString + "/q50.grib2"
+        def spec(v: Seq[Double], fcst: Int) = GW2.FieldSpec(
+          discipline = 0, category = 0, number = 0, levelType = 103,
+          levelScaledValue = 2, refTime = t0, values = v, ni = 10, nj = 10,
+          la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0,
+          forecastTime = fcst, decimalScale = 0)
+        GW2.write(path, Seq(spec(vals.take(100), 0), spec(vals.drop(100), 6)))
+        Grib2Reader.readLongFormat(s, path)
+          .select($"time", $"latitude", $"longitude", $"value")
+          .orderBy($"time", $"latitude", $"longitude")
       })
   )
 

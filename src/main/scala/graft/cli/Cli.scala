@@ -316,10 +316,11 @@ object WeatherSp {
     val outRoot = cfg.outputDir.getOrElse(
       cfg.outputTemplate.get.takeWhile(_ != '{'))
     files.foreach { f =>
-      if (Set("grib", "grb", "grib1", "grb1").contains(FormatRegistry.extensionOf(f))) {
+      if (Set("grib", "grb", "grib1", "grb1", "grib2", "grb2")
+          .contains(FormatRegistry.extensionOf(f))) {
         // the reference's GribSplitter writes REAL per-key GRIB files —
-        // verbatim message byte spans, grouped by shortName
-        graft.sources.grib.Grib1Splitter.split(spark, f, outRoot)
+        // verbatim message byte spans, grouped by shortName (either edition)
+        graft.sources.grib.GribSplitter.split(spark, f, outRoot)
       } else {
         // NetCDF/Zarr path: unpivot the wide frame on its data columns,
         // then one partitioned write per variable

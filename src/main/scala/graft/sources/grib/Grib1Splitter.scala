@@ -6,10 +6,13 @@ import org.apache.spark.sql.SparkSession
 
 /** weather-sp GRIB splitting with the reference's actual output semantics
   * (weather_sp/splitter_pipeline/file_splitters.py:159-313): each output is
-  * a REAL GRIB file containing the group's messages — here produced by
-  * copying each message's byte span verbatim (offset + totalLength from the
-  * header index), so outputs are bit-identical to the inputs' messages and
-  * readable by any GRIB tool. No decode, no re-encode.
+  * a REAL GRIB file containing the group's messages — produced by copying
+  * message byte spans verbatim (offset + length from the header index), so
+  * outputs are bit-identical to the inputs' messages and readable by any
+  * GRIB tool. No decode, no re-encode. Both editions are supported via
+  * [[GribSplitter]]; an edition-2 message carrying fields with DIFFERENT
+  * keys is copied into every matching group (fields sharing a message
+  * travel together — the message is the atomic unit of a byte-copy split).
   *
   * Distribution: the driver indexes headers only; groups fan out across
   * tasks, and each task ranged-reads exactly its own messages' spans and
@@ -17,22 +20,31 @@ import org.apache.spark.sql.SparkSession
   */
 object Grib1Splitter {
 
-  /** Split by a message-derived key (default: shortName, the reference's
-    * `--formatting {shortname}` mode). Returns key -> output path. */
+  /** Split an edition-1 file by a message-derived key (default: shortName,
+    * the reference's `--formatting {shortname}` mode). Returns
+    * key -> output path. */
   def split(spark: SparkSession, path: String, outDir: String,
       keyOf: Grib1.Message => String = _.shortName): Map[String, String] = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val msgs = Grib1Reader.indexMessages(conf, path)
+    val groups = msgs.groupBy(keyOf).view
+      .mapValues(_.map(m => (m.offset, m.totalLength.toLong))).toSeq
+    copyGroups(spark, path, outDir, groups, conf)
+  }
+
+  /** Shared span-copy executor: one output GRIB file per (key, spans). */
+  private[grib] def copyGroups(spark: SparkSession, path: String, outDir: String,
+      groups: Seq[(String, Seq[(Long, Long)])], conf: Configuration): Map[String, String] = {
     val base = {
       val n = new Path(path).getName
       if (n.contains('.')) n.substring(0, n.lastIndexOf('.')) else n
     }
-    val groups = msgs.groupBy(keyOf).toSeq.sortBy(_._1)
+    val sorted = groups.sortBy(_._1)
     val pathLocal = path
     val outLocal = outDir
     val tconf = graft.sources.TaskConf(conf)
-    val nPart = math.max(1, math.min(groups.size, spark.sparkContext.defaultParallelism))
-    val written = spark.sparkContext.parallelize(groups, nPart).map { case (key, ms) =>
+    val nPart = math.max(1, math.min(sorted.size, spark.sparkContext.defaultParallelism))
+    val written = spark.sparkContext.parallelize(sorted, nPart).map { case (key, spans) =>
       val conf = tconf.value
       val in = new Path(pathLocal)
       val fs = in.getFileSystem(conf)
@@ -42,11 +54,11 @@ object Grib1Splitter {
       val os = outFs.create(outPath, true)
       try {
         val buf = new Array[Byte](1 << 16)
-        ms.sortBy(_.offset).foreach { m =>
-          var remaining = m.totalLength
-          var pos = m.offset
+        spans.sortBy(_._1).foreach { case (offset, length) =>
+          var remaining = length
+          var pos = offset
           while (remaining > 0) {
-            val take = math.min(remaining, buf.length)
+            val take = math.min(remaining, buf.length.toLong).toInt
             is.readFully(pos, buf, 0, take)
             os.write(buf, 0, take)
             pos += take
@@ -57,5 +69,23 @@ object Grib1Splitter {
       key -> outPath.toString
     }.collect()
     written.toMap
+  }
+}
+
+/** Edition-sniffing splitter facade (mirrors [[GribReader]]). */
+object GribSplitter {
+  def split(spark: SparkSession, path: String, outDir: String): Map[String, String] = {
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    GribReader.edition(conf, path) match {
+      case 1 => Grib1Splitter.split(spark, path, outDir)
+      case 2 =>
+        val groups = Grib2Reader.indexMessages(conf, path)
+          .flatMap { case (off, len, fields) =>
+            fields.map(_.shortName).distinct.map(k => k -> ((off, len)))
+          }
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+        Grib1Splitter.copyGroups(spark, path, outDir, groups, conf)
+      case e => throw Grib1.UnsupportedGrib(s"edition $e")
+    }
   }
 }

@@ -13,8 +13,9 @@ import graft.sources.TaskConf
   * close on task completion). */
 object Grib2Reader {
 
-  /** Index every FIELD (messages may carry several) with header-only reads. */
-  def indexFields(conf: Configuration, path: String): Seq[Grib2.Field] = {
+  /** Index per MESSAGE: (offset, length, fields) — header-only reads. */
+  def indexMessages(conf: Configuration,
+      path: String): Seq[(Long, Long, Seq[Grib2.Field])] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val fileLen = fs.getFileStatus(p).getLen
@@ -25,16 +26,20 @@ object Grib2Reader {
       b
     }
     try {
-      val out = Seq.newBuilder[Grib2.Field]
+      val out = Seq.newBuilder[(Long, Long, Seq[Grib2.Field])]
       var off = 0L
       while (off + 16 <= fileLen) {
         val (fields, total) = Grib2.parseMessage(read _, off)
-        out ++= fields
+        out += ((off, total, fields))
         off += total
       }
       out.result()
     } finally in.close()
   }
+
+  /** Every FIELD of the file (messages may carry several). */
+  def indexFields(conf: Configuration, path: String): Seq[Grib2.Field] =
+    indexMessages(conf, path).flatMap(_._3)
 
   private def sessionConf(spark: SparkSession): Configuration =
     new Configuration(spark.sparkContext.hadoopConfiguration)

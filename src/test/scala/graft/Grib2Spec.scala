@@ -77,6 +77,21 @@ class Grib2Spec extends SparkSpec {
     assert(GribReader.edition(new org.apache.hadoop.conf.Configuration(), file) == 2)
   }
 
+  test("edition-2 split writes per-shortName GRIB files by message byte copy") {
+    import graft.sources.grib.GribSplitter
+    val outDir = java.nio.file.Files.createTempDirectory("grib2split").toString
+    val outputs = GribSplitter.split(spark, file, outDir)
+    assert(outputs.keySet == Set("2t", "tp"))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val t2 = Grib2Reader.indexFields(conf, outputs("2t"))
+    assert(t2.size == 2 && t2.forall(_.shortName == "2t"))
+    // outputs decode identically (verbatim copy)
+    val v = Grib2Reader.readLongFormat(spark, outputs("2t"))
+      .filter(date_format($"time", "HH") === "06" &&
+        $"latitude" === 45.0 && $"longitude" === 10.0).head()
+    assert(v.getAs[Double]("value") == 271.0 + 3 + 0.25 * 4)
+  }
+
   test("unsupported templates raise directed errors") {
     val raw = GW2.message(GW2.FieldSpec(0, 0, 0, 103, 2, t0,
       Seq(1.0, 2.0), 2, 1, 0.0, 0.0, 0.0, 1.0))
