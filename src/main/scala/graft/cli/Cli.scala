@@ -192,7 +192,8 @@ object WeatherMv {
 object WeatherDl {
   final case class Config(
       configs: Seq[String], force: Boolean, dryRun: Boolean,
-      numRequests: Int, schedule: String, manifestLocation: String)
+      numRequests: Int, schedule: String, manifestLocation: String,
+      localRun: Boolean)
 
   private val schema = Flags.Schema(
     value = Map("-m" -> "manifest-location", "--manifest-location" -> "manifest-location",
@@ -215,7 +216,8 @@ object WeatherDl {
     val n = p.get("num-requests-per-key").map(_.toIntOption.getOrElse(
       throw CliError("argument -n/--num-requests-per-key: invalid int value"))).getOrElse(-1)
     Config(p.positional, p.has("force-download"), p.has("dry-run"), n,
-      schedule, p.get("manifest-location").getOrElse("cli://manifest"))
+      schedule, p.get("manifest-location").getOrElse("cli://manifest"),
+      p.has("local-run"))
   }
 
   /** Reference-layout .cfg -> DlConfig (config.py:23-77): `[parameters]`
@@ -265,7 +267,23 @@ object WeatherDl {
       }
       if (cfg.schedule == "fair") parts = Partitioner.fairOrder(parts)
       if (cfg.dryRun) println(s"[dry-run] ${dl.name}: ${parts.count()} partitions")
-      else println(s"${dl.name}: ${parts.count()} partitions ready " +
+      else if (cfg.localRun && cfg.manifestLocation.startsWith("file:")) {
+        // full download lifecycle with the fake local client (the
+        // reference's -l mode): per partition, transact in-progress ->
+        // fetch (stubbed write) -> success into the manifest ledger
+        val ledger = cfg.manifestLocation.stripPrefix("file:")
+        val targets = parts.select("target").collect().map(_.getString(0))
+        targets.foreach { t =>
+          Manifest.transact(spark, ledger, dl.name, t,
+            sys.props.getOrElse("user.name", "graft"), "{}") {
+            val p = new org.apache.hadoop.fs.Path(t)
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val out = fs.create(p, true)
+            try out.write(Array[Byte]()) finally out.close()
+          }
+        }
+        println(s"${dl.name}: ${targets.length} partitions downloaded (local fake client)")
+      } else println(s"${dl.name}: ${parts.count()} partitions ready " +
         "(HTTP download clients are external; partitions materialized)")
     }
   }

@@ -150,6 +150,32 @@ class CliRunSpec extends SparkSpec {
     WeatherDl.run(spark, WeatherDl.parse(Seq(cfgPath, "-d", "-s", "fair")))
   }
 
+  test("weather-dl local-run executes the download lifecycle: targets + ledger + skip-existing") {
+    val dir = java.nio.file.Files.createTempDirectory("clidlrun").toString
+    val cfgPath = s"$dir/era5.cfg"
+    java.nio.file.Files.writeString(java.nio.file.Path.of(cfgPath), s"""
+      |[parameters]
+      |client = cds
+      |target_path = $dir/out/{year}-{month}.nc
+      |partition_keys = year, month
+      |[selection]
+      |year = 2020/to/2021
+      |month = 01/02
+      |""".stripMargin)
+    val argv = Seq(cfgPath, "-l", "-m", s"file:$dir/ledger")
+    WeatherDl.run(spark, WeatherDl.parse(argv))
+    val outs = new java.io.File(s"$dir/out").listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet
+    assert(outs == Set("2020-01.nc", "2020-02.nc", "2021-01.nc", "2021-02.nc"))
+    val ledger = graft.operators.Manifest.read(spark, s"$dir/ledger")
+    assert(ledger.filter(org.apache.spark.sql.functions.col("status") === "success")
+      .count() == 4)
+    // second invocation: everything skip-existing via the manifest
+    WeatherDl.run(spark, WeatherDl.parse(argv))
+    assert(graft.operators.Manifest.read(spark, s"$dir/ledger")
+      .filter(org.apache.spark.sql.functions.col("status") === "success").count() == 4)
+  }
+
   test("weather-sp splits a GRIB file into per-shortName GRIB outputs") {
     val dir = java.nio.file.Files.createTempDirectory("clisp").toString
     val grib = s"$dir/in.grib"

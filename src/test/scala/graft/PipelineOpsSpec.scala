@@ -229,6 +229,47 @@ class StreamingSpec extends SparkSpec {
   import spark.implicits._
   import graft.streaming.FileEvents
 
+  test("streaming file events drive GRIB extraction into an idempotent sink (ST8 e2e)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.grib.{GribReader, Grib1Writer => GW}
+    val dir = java.nio.file.Files.createTempDirectory("streamgrib").toString
+    val t0 = java.time.LocalDateTime.of(2026, 4, 1, 0, 0)
+    def mkGrib(name: String, base: Double): String = {
+      val p = s"$dir/$name"
+      GW.write(p, Seq(GW.FieldSpec(167, 105, 2, t0,
+        (0 until 12).map(base + _), 4, 3, 50.0, 0.0, 48.0, 3.0)))
+      p
+    }
+    val f1 = mkGrib("a.grib", 270.0)
+    val f2 = mkGrib("b.grib", 280.0)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = MemoryStream[String]
+    val sink = s"$dir/sink"
+    val q = events.toDF().withColumnRenamed("value", "uri").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        batch.collect().map(_.getString(0)).distinct.foreach { uri =>
+          val rows = Mover.extractRows(GribReader.readMerged(s, uri), uri,
+            Mover.Options(importTime = Some("2026-04-01 12:00:00"),
+              latRes = Some(0.5), lonRes = Some(0.5)))
+          FileEvents.idempotentAppend(s, rows, "data_uri", sink)
+        }
+      }.start()
+    try {
+      events.addData(f1)
+      q.processAllAvailable()
+      // duplicate arrival of f1 plus the new f2: only f2's rows append
+      events.addData(f1, f2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(sink)
+    assert(out.count() == 24) // 12 per file, no duplicates
+    assert(out.select("data_uri").distinct().count() == 2)
+    assert(out.columns.contains("heightAboveGround_2_00_instant_2t"))
+  }
+
   test("parsePaths: JSON -> uri, pattern filter, malformed dropped") {
     val msgs = Seq(
       """{"bucket": "b1", "name": "data/x.grib"}""",
