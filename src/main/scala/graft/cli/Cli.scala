@@ -358,10 +358,12 @@ object WeatherSp {
   def main(args: Array[String]): Unit = run(GraftSession.local(), parse(args.toSeq))
 }
 
-/** `graft-xql [--set alias=uri ...] -q QUERY` — the xql REPL surface
-  * (xql/README.md): alias catalog + sugar SQL, one shot per -q. */
+/** `graft-xql [--set alias=uri ...] [-q QUERY]` — the xql surface
+  * (xql/README.md): alias catalog + sugar SQL. With -q it runs one query;
+  * without, it enters the reference's REPL loop (`.set alias uri`, `.show`,
+  * `.exit`, bare SQL). */
 object Xql {
-  final case class Config(sets: Seq[(String, String)], query: String,
+  final case class Config(sets: Seq[(String, String)], query: Option[String],
       xqlCompat: Boolean, numRows: Int)
 
   private val schema = Flags.Schema(
@@ -377,17 +379,48 @@ object Xql {
         case _ => throw CliError(s"argument --set: expected alias=uri, got '$s'")
       }
     }
-    val q = p.get("query").orElse(p.positional.headOption).getOrElse(
-      throw CliError("the following arguments are required: -q/--query"))
     val n = p.get("num-rows").map(_.toIntOption.getOrElse(
       throw CliError("argument -n/--num-rows: invalid int value"))).getOrElse(20)
-    Config(sets, q, p.has("xql-compat"), n)
+    Config(sets, p.get("query").orElse(p.positional.headOption),
+      p.has("xql-compat"), n)
   }
 
-  def run(spark: SparkSession, cfg: Config): Unit = {
+  def run(spark: SparkSession, cfg: Config): Unit = cfg.query match {
+    case Some(q) =>
+      val wx = WxSql(spark, cfg.xqlCompat)
+      cfg.sets.foreach { case (a, u) => wx.set(a, u) }
+      wx.sql(q).show(cfg.numRows, truncate = false)
+    case None =>
+      repl(spark, cfg, scala.io.Source.stdin.getLines())
+  }
+
+  /** The REPL loop (apply.py:367-386 meta-commands + SQL): injectable line
+    * source and printer so it's testable headlessly. Query errors print and
+    * keep the session alive, like the reference. */
+  def repl(spark: SparkSession, cfg: Config,
+      lines: Iterator[String], out: String => Unit = println): Unit = {
     val wx = WxSql(spark, cfg.xqlCompat)
     cfg.sets.foreach { case (a, u) => wx.set(a, u) }
-    wx.sql(cfg.query).show(cfg.numRows, truncate = false)
+    lines.map(_.trim).filter(_.nonEmpty)
+      .takeWhile(l => l != ".exit" && l != ".quit")
+      .foreach {
+        case l if l.startsWith(".set") =>
+          l.split("\\s+") match {
+            case Array(_, a, u) => wx.set(a, u); out(s"$a -> $u")
+            case _ => out("usage: .set alias uri")
+          }
+        case ".show" =>
+          wx.show.toSeq.sortBy(_._1).foreach { case (a, u) => out(s"$a -> $u") }
+        case sql =>
+          try {
+            val df = wx.sql(sql).limit(cfg.numRows)
+            out(df.columns.mkString("\t"))
+            df.collect().foreach(r => out(r.toSeq.map(v =>
+              if (v == null) "NULL" else v.toString).mkString("\t")))
+          } catch {
+            case e: Exception => out(s"error: ${e.getMessage}")
+          }
+      }
   }
 
   def main(args: Array[String]): Unit = run(GraftSession.local(), parse(args.toSeq))

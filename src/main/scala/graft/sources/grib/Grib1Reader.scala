@@ -38,8 +38,29 @@ object Grib1Reader {
     StructField("channel", StringType, nullable = false),
     StructField("value", DoubleType, nullable = true)))
 
+  /** Scan forward from `from` for the next "GRIB" magic (real files carry
+    * WMO bulletin headers and padding between messages); -1 when none. */
+  private[grib] def nextMagic(read: (Long, Int) => Array[Byte], fileLen: Long,
+      from: Long): Long = {
+    val chunk = 64 * 1024
+    var off = from
+    while (off + 4 <= fileLen) {
+      val len = math.min(chunk.toLong, fileLen - off).toInt
+      val b = read(off, len)
+      var i = 0
+      while (i + 4 <= len) {
+        if (b(i) == 'G' && b(i + 1) == 'R' && b(i + 2) == 'I' && b(i + 3) == 'B')
+          return off + i
+        i += 1
+      }
+      off += math.max(len - 3, 1)
+    }
+    -1L
+  }
+
   /** Index all messages in a file by hopping section lengths — header-only
-    * ranged reads, no data-body IO. */
+    * ranged reads, no data-body IO. Non-GRIB bytes between messages are
+    * skipped via magic scan. */
   def indexMessages(conf: Configuration, path: String): Seq[Grib1.Message] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
@@ -52,11 +73,11 @@ object Grib1Reader {
     }
     try {
       val out = Seq.newBuilder[Grib1.Message]
-      var off = 0L
-      while (off + 8 <= fileLen) {
+      var off = nextMagic(read _, fileLen, 0L)
+      while (off >= 0 && off + 8 <= fileLen) {
         val m = Grib1.parseMessage(read _, off)
         out += m
-        off += m.totalLength
+        off = nextMagic(read _, fileLen, off + m.totalLength)
       }
       out.result()
     } finally in.close()

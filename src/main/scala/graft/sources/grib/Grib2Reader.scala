@@ -27,11 +27,11 @@ object Grib2Reader {
     }
     try {
       val out = Seq.newBuilder[(Long, Long, Seq[Grib2.Field])]
-      var off = 0L
-      while (off + 16 <= fileLen) {
+      var off = Grib1Reader.nextMagic(read _, fileLen, 0L)
+      while (off >= 0 && off + 16 <= fileLen) {
         val (fields, total) = Grib2.parseMessage(read _, off)
         out += ((off, total, fields))
-        off += total
+        off = Grib1Reader.nextMagic(read _, fileLen, off + total)
       }
       out.result()
     } finally in.close()
@@ -115,13 +115,18 @@ object GribReader {
   def edition(conf: Configuration, path: String): Int = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
+    val fileLen = fs.getFileStatus(p).getLen
     val in = fs.open(p)
+    def read(off: Long, len: Int): Array[Byte] = {
+      val b = new Array[Byte](len)
+      in.readFully(off, b)
+      b
+    }
     try {
-      val b = new Array[Byte](8)
-      in.readFully(0, b)
-      require(b(0) == 'G' && b(1) == 'R' && b(2) == 'I' && b(3) == 'B',
-        s"not a GRIB file: $path")
-      b(7) & 0xff
+      // magic scan: bulletin headers may precede the first message
+      val off = Grib1Reader.nextMagic(read _, fileLen, 0L)
+      require(off >= 0 && off + 8 <= fileLen, s"not a GRIB file: $path")
+      Grib1.u8(read(off, 8), 7)
     } finally in.close()
   }
 

@@ -69,12 +69,14 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("xql validation table") {
-    assert(err(Xql.parse(Seq("--set", "era5=/d/era5.zarr")))
-      .contains("required: -q/--query"))
+    assert(Xql.parse(Seq("--set", "era5=/d/era5.zarr")).query.isEmpty) // -> REPL
     assert(err(Xql.parse(Seq("--set", "noequals", "-q", "SELECT 1")))
       .contains("expected alias=uri"))
+    assert(err(Xql.parse(Seq("-q", "SELECT 1", "-n", "1o0")))
+      .contains("invalid int value"))
     val ok = Xql.parse(Seq("--set", "era5=/d.zarr", "-q", "SELECT 1", "--xql-compat"))
-    assert(ok.sets == Seq(("era5", "/d.zarr")) && ok.xqlCompat)
+    assert(ok.sets == Seq(("era5", "/d.zarr")) && ok.xqlCompat &&
+      ok.query.contains("SELECT 1"))
   }
 
   test("weather-dl cfg parser: reference INI layout with MARS expansion") {
@@ -101,6 +103,27 @@ class CliSpec extends AnyFunSuite {
 
 /** Execution smoke: the CLIs drive real operators end-to-end. */
 class CliRunSpec extends SparkSpec {
+
+  test("xql REPL: .set/.show meta-commands, SQL rows, error keeps session alive") {
+    val outLines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val lines = Iterator(
+      s".set li $sfDir/lineitem.parquet",
+      ".show",
+      "SELECT count(*) AS n FROM li",
+      "SELECT bogus FROM nowhere",  // error, session must survive
+      "SELECT count(*) AS n2 FROM li WHERE l_returnflag = 'A'",
+      ".exit",
+      "SELECT never_reached FROM li")
+    Xql.repl(spark, Xql.Config(Nil, None, xqlCompat = false, numRows = 5),
+      lines, l => { outLines += l; () })
+    assert(outLines.exists(_.startsWith("li -> ")))
+    assert(outLines.contains("n"))
+    val total = graft.sources.Tables.lineitem(spark, sfDir).count()
+    assert(outLines.contains(total.toString))
+    assert(outLines.exists(_.startsWith("error: ")))
+    assert(outLines.contains("n2")) // survived the error
+    assert(!outLines.exists(_.contains("never_reached")))
+  }
 
   test("weather-mv bq extracts a GRIB file into a parquet sink") {
     val dir = java.nio.file.Files.createTempDirectory("climv").toString

@@ -166,6 +166,25 @@ class Grib1Spec extends SparkSpec {
     assert(v.getAs[Double]("value") == 270.0 + 1 + 0.25 * 2)
   }
 
+  test("bulletin headers and padding between messages are skipped (magic scan)") {
+    val dir = java.nio.file.Files.createTempDirectory("bulletin").toString
+    val p = s"$dir/bulletin.grib"
+    val msg = GW.message(GW.FieldSpec(167, 105, 2, t0,
+      (0 until 12).map(_.toDouble), 4, 3, 50.0, 0.0, 48.0, 3.0))
+    val os = new java.io.FileOutputStream(p)
+    os.write("ZCZC 123\r\nTTAA00 ECMF\r\n".getBytes) // WMO bulletin header
+    os.write(msg)
+    os.write("\r\n\r\nNNNN\r\n".getBytes)            // bulletin trailer
+    os.write(msg)
+    os.write("NNNN".getBytes)
+    os.close()
+    val msgs = Grib1Reader.indexMessages(new org.apache.hadoop.conf.Configuration(), p)
+    assert(msgs.size == 2)
+    assert(Grib1Reader.readLongFormat(spark, p).count() == 2L * 12)
+    assert(graft.sources.grib.GribReader.edition(
+      new org.apache.hadoop.conf.Configuration(), p) == 1)
+  }
+
   test("edition 2 and complex packing raise directed errors") {
     val dir = java.nio.file.Files.createTempDirectory("grib2").toString
     val p = s"$dir/fake.grib2"
