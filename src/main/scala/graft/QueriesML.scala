@@ -271,8 +271,8 @@ object QueriesML {
             round($"humidity", 6).as("humidity"))
           .orderBy($"l_orderkey", $"l_linenumber")
       })
-  ) ++ Seq(regridQ, nearestQ, matchDtQ, packedQ, haversineQ, sessionizeQ, embDupQ,
-    corpusStatsQ)
+  ) ++ Seq(regridQ, nearestQ, bilinearQ, matchDtQ, packedQ, haversineQ, sessionizeQ,
+    embDupQ, corpusStatsQ)
 
   /** Corpus statistics per source: token-count distribution via exact
     * interpolated percentiles (both engines use linear interpolation;
@@ -442,6 +442,39 @@ object QueriesML {
         .select(round($"latitude", 6).as("latitude"),
           round($"longitude", 6).as("longitude"), $"temperature")
         .orderBy($"latitude", $"longitude")
+    })
+
+  /** R13 bilinear regrid: off-grid targets interpolate their 4 surrounding
+    * 1-degree anchors (corner-explode + equi-join on the Spark side; the
+    * oracle recomputes the same weights directly). */
+  private lazy val bilinearQ = Q("q51_regrid_bilinear", Some(s"""
+      WITH grid AS (${Queries.gridSql}),
+      src AS (SELECT floor(latitude) AS alat, floor(longitude) AS alon,
+                     avg(temperature) AS v
+              FROM grid GROUP BY 1, 2),
+      tgt AS (SELECT DISTINCT alat + 0.3 AS tlat, alon + 0.7 AS tlon
+              FROM src
+              WHERE CAST(alat AS BIGINT) % 7 = 0 AND CAST(alon AS BIGINT) % 11 = 0),
+      j AS (SELECT tlat, tlon, s.v,
+                   (1 - abs(tlat - s.alat)) * (1 - abs(tlon - s.alon)) AS w
+            FROM tgt JOIN src s
+              ON (s.alat = floor(tlat) OR s.alat = floor(tlat) + 1)
+             AND (s.alon = floor(tlon) OR s.alon = floor(tlon) + 1))
+      SELECT tlat, tlon, round(sum(w * v) / sum(w), 6) AS v
+      FROM j GROUP BY tlat, tlon
+      ORDER BY tlat, tlon"""))(
+    (s, d) => {
+      import graft.operators.Regrid
+      val src = Queries.grid(s, d)
+        .groupBy(floor($"latitude").as("latitude"), floor($"longitude").as("longitude"))
+        .agg(avg($"temperature").as("v"))
+      val tgt = src
+        .filter($"latitude".cast("long") % 7 === 0 && $"longitude".cast("long") % 11 === 0)
+        .select(($"latitude" + 0.3).as("latitude"), ($"longitude" + 0.7).as("longitude"))
+        .distinct()
+      Regrid.bilinear(src, tgt, "latitude", "longitude", "v", 1.0)
+        .select($"t_lat".as("tlat"), $"t_lon".as("tlon"), round($"v", 6).as("v"))
+        .orderBy($"tlat", $"tlon")
     })
 
   /** S5/F17: strftime-template datetime extraction from file names. */
