@@ -6,23 +6,22 @@ import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
   * sinks.py:345-389): the reference tries kwargs-engine, then rasterio for
   * .tif, a netcdf guess, and cfgrib fallbacks. Here the dispatch is by
   * extension over Spark's source formats plus the pure-JVM scientific
-  * readers: Zarr v2 (DSv2 with chunk pruning), NetCDF-3 classic, and GRIB
-  * edition 1 (decoded + channel-merged like the cfgrib fallback path).
-  * NetCDF-4/HDF5 and GeoTIFF pixel data still raise directed errors. */
+  * readers: Zarr v2 (DSv2 with chunk pruning), NetCDF-3 classic, GRIB
+  * editions 1 and 2 (decoded + channel-merged like the cfgrib fallback
+  * path), and GeoTIFF (pixel decode + affine/CRS reprojection). Only
+  * NetCDF-4/HDF5 raises a directed error (decided boundary). */
 object FormatRegistry {
 
   final case class Unsupported(ext: String) extends
     UnsupportedOperationException(
-      s"'$ext' needs a scientific-format DSv2 reader (planned: NetCDF/GRIB/Zarr " +
-        "TableProvider with filter pushdown); convert to parquet upstream meanwhile.")
+      s"'$ext' has no native reader; convert to parquet upstream meanwhile.")
 
   val native: Map[String, String] = Map(
     "parquet" -> "parquet", "pq" -> "parquet",
     "csv" -> "csv", "json" -> "json", "orc" -> "orc", "txt" -> "text",
     "zarr" -> "zarr") // graft.sources.zarr.ZarrTableProvider (DSv2)
 
-  val scientific: Set[String] = Set("tif", "tiff")
-
+  private val tiff: Set[String] = Set("tif", "tiff")
   private val netcdf3: Set[String] = Set("nc", "cdf")
   private val netcdf4: Set[String] = Set("nc4", "h5", "hdf5")
   private val grib: Set[String] = Set("grib", "grib1", "grib2", "grb", "grb1", "grb2")
@@ -70,7 +69,9 @@ object FormatRegistry {
         // both read natively) + the reference's normalize/merge path
         // (sinks.py:251-342)
         graft.sources.grib.GribReader.readMerged(spark, uri)
-      case None if scientific.contains(ext) => throw Unsupported(ext)
+      case None if tiff.contains(ext) =>
+        // GeoTIFF pixel decode + affine/CRS -> lat/lon (sinks.py:149-227)
+        graft.sources.tiff.TiffReader.readLongFormat(spark, uri)
       case None => reader.parquet(uri) // the reference's final fallback is a guess
     }
   }

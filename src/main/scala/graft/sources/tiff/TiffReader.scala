@@ -1,0 +1,111 @@
+package graft.sources.tiff
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.CrsTransform
+import graft.sources.TaskConf
+
+/** Distributed GeoTIFF reader: one row per pixel, `latitude`/`longitude`
+  * from the GeoTIFF affine + CRS, one column per band — completing the
+  * reference's tif path (sinks.py:149-227) with native pixel decode on top
+  * of [[graft.functions.CrsTransform]]'s reprojection.
+  *
+  * Parallelism: the driver parses the (small) IFD; strips/tiles fan out
+  * across tasks, each ranged-reading exactly its own block bytes. UTM
+  * rasters reproject per-point through the codegen'd column inverse; EPSG
+  * 4326 rasters pass model coordinates straight through. */
+object TiffReader {
+
+  private val HeaderProbeBytes = 1 << 20
+
+  def readMeta(conf: Configuration, path: String): Tiff.Meta = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val len = math.min(fs.getFileStatus(p).getLen, HeaderProbeBytes.toLong).toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    Tiff.parseMeta(buf)
+  }
+
+  def readLongFormat(spark: SparkSession, path: String): DataFrame = {
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val meta = readMeta(conf, path)
+    val bands = (1 to meta.samplesPerPixel).map(b => s"band_$b")
+    val schema = StructType(
+      Seq(StructField("x", DoubleType, nullable = false),
+        StructField("y", DoubleType, nullable = false)) ++
+        bands.map(b => StructField(b, DoubleType, nullable = true)))
+
+    // block index: strips are full-width row bands; tiles are a 2D grid
+    val blocks: Seq[(Long, Long, Int, Int)] = // (offset, bytes, row0, col0)
+      if (meta.tiled) {
+        val tilesAcross = (meta.width + meta.tileWidth - 1) / meta.tileWidth
+        meta.tileOffsets.indices.map { t =>
+          val row0 = (t / tilesAcross) * meta.tileLength
+          val col0 = (t % tilesAcross) * meta.tileWidth
+          (meta.tileOffsets(t), meta.tileByteCounts(t), row0, col0)
+        }
+      } else {
+        meta.stripOffsets.indices.map { s =>
+          (meta.stripOffsets(s), meta.stripByteCounts(s), s * meta.rowsPerStrip, 0)
+        }
+      }
+    val nPart = math.max(1, math.min(blocks.size, spark.sparkContext.defaultParallelism))
+    val pathLocal = path
+    val m = meta
+    val tconf = TaskConf(conf)
+    val rdd = spark.sparkContext.parallelize(blocks, nPart).mapPartitions { it =>
+      val p = new Path(pathLocal)
+      val fs = p.getFileSystem(tconf.value)
+      val in = fs.open(p)
+      var closed = false
+      def closeOnce(): Unit =
+        if (!closed) { closed = true; try in.close() catch { case _: Throwable => () } }
+      Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+      val iter = it.flatMap { case (offset, nBytes, row0, col0) =>
+        val raw = new Array[Byte](nBytes.toInt)
+        in.readFully(offset, raw)
+        val (bw, bh) =
+          if (m.tiled) (m.tileWidth, m.tileLength)
+          else (m.width, math.min(m.rowsPerStrip, m.height - row0))
+        val values = Tiff.decodeBlock(m, raw, bw * bh * m.samplesPerPixel)
+        for {
+          r <- (0 until bh).iterator
+          cIdx <- (0 until bw).iterator
+          row = row0 + r
+          col = col0 + cIdx
+          if row < m.height && col < m.width // tile edge padding
+        } yield {
+          val base = (r * bw + cIdx) * m.samplesPerPixel
+          Row.fromSeq(m.modelX(col) +: m.modelY(row) +:
+            (0 until m.samplesPerPixel).map(s => values(base + s): Any))
+        }
+      }
+      new Iterator[Row] {
+        def hasNext: Boolean = { val h = iter.hasNext; if (!h) closeOnce(); h }
+        def next(): Row = iter.next()
+      }
+    }
+    val df = spark.createDataFrame(rdd, schema)
+    meta.utmZone match {
+      case Some((zone, southern)) =>
+        val (lon, lat) = CrsTransform.utmToLonLat(col("x"), col("y"), zone, southern)
+        df.withColumn("latitude", lat).withColumn("longitude", lon)
+          .drop("x", "y")
+          .select((Seq("latitude", "longitude") ++ bands).map(col): _*)
+      case None if meta.epsg == 4326 || meta.epsg == 0 =>
+        // geographic (or unspecified): model space IS lon/lat
+        df.withColumnRenamed("y", "latitude").withColumnRenamed("x", "longitude")
+          .select((Seq("latitude", "longitude") ++ bands).map(col): _*)
+      case None =>
+        throw Tiff.UnsupportedTiff(
+          s"CRS EPSG:${meta.epsg} (supported: 4326 and UTM 326xx/327xx)")
+    }
+  }
+}
