@@ -72,7 +72,8 @@ object WeatherMv {
       topic: Option[String], subscription: Option[String],
       zarr: Boolean, dryRun: Boolean,
       tifStartMeta: Option[String], tifEndMeta: Option[String],
-      outputPath: String = "", assetLocation: String = "", regridRes: Double = 1.0)
+      outputPath: String = "", assetLocation: String = "",
+      regridLatRes: Double = 1.0, regridLonRes: Double = 1.0)
 
   private val schema = Flags.Schema(
     value = Map("-i" -> "uris", "--uris" -> "uris",
@@ -129,14 +130,24 @@ object WeatherMv {
       if (canon == "ee") throw CliError(
         "the following arguments are required: --asset_location") else ""
     }
-    // reference: --regrid_kwargs '{"grid": [dy, dx]}' (regrid.py); dy is the
-    // target resolution for the conservative pool
-    val res = p.get("regrid_kwargs").flatMap(j =>
-      """"grid"\s*:\s*\[\s*([0-9.]+)""".r.findFirstMatchIn(j).map(_.group(1).toDouble))
-      .getOrElse(1.0)
+    // reference: --regrid_kwargs '{"grid": [dy, dx]}' (regrid.py) — both
+    // axis resolutions; a present-but-unparsable value is an error, not a
+    // silent 1-degree fallback
+    val (latRes, lonRes) = p.get("regrid_kwargs") match {
+      case None => (1.0, 1.0)
+      case Some(j) =>
+        """"grid"\s*:\s*\[\s*([0-9.eE+-]+)\s*,\s*([0-9.eE+-]+)""".r
+          .findFirstMatchIn(j)
+          .flatMap(m => for {
+            dy <- m.group(1).toDoubleOption
+            dx <- m.group(2).toDoubleOption
+          } yield (dy, dx))
+          .getOrElse(throw CliError(
+            s"""argument --regrid_kwargs: expected {"grid": [dy, dx]}, got '$j'"""))
+    }
     Config(canon, uris, out, p.all("variables"), area, p.get("import_time"),
       topic, subscription, zarr, p.has("dry_run"), tifStart, p.get("tif_end"),
-      outputPath, assetLocation, res)
+      outputPath, assetLocation, latRes, lonRes)
   }
 
   def run(spark: SparkSession, cfg: Config): Unit = {
@@ -162,10 +173,11 @@ object WeatherMv {
         // requested grid, written as a partitioned sink
         val dataCols = ds.columns.filterNot(
           Seq("time", "latitude", "longitude").contains).toSeq
-        val pooled = graft.operators.Regrid.conservative(
-          ds, "latitude", "longitude", cfg.regridRes, dataCols,
+        val pooled = graft.operators.Regrid.conservativeXY(
+          ds, "latitude", "longitude", cfg.regridLatRes, cfg.regridLonRes, dataCols,
           extraKeys = Seq("time").filter(ds.columns.contains))
-        if (cfg.dryRun) println(s"[dry-run] regrid to ${cfg.regridRes}°: " +
+        if (cfg.dryRun) println(
+          s"[dry-run] regrid to ${cfg.regridLatRes}x${cfg.regridLonRes}°: " +
           s"${pooled.columns.mkString(",")} -> ${cfg.outputPath}")
         else pooled.write.mode("append").parquet(cfg.outputPath)
       case "ee" =>
@@ -177,8 +189,13 @@ object WeatherMv {
         Manifest.transact(spark, s"${cfg.assetLocation}/manifest", "weather-mv-ee",
           cfg.uris, sys.props.getOrElse("user.name", "graft"), "{}") {
           rows.write.mode("append").parquet(s"${cfg.assetLocation}/asset")
+        } match {
+          // a failed staging is recorded in the ledger AND surfaced —
+          // swallowing it would exit 0 on a botched ingest
+          case Left(e) => throw new RuntimeException(
+            s"earthengine asset staging failed for ${cfg.uris}: ${e.getMessage}", e)
+          case Right(_) => ()
         }
-        ()
     }
   }
 
@@ -273,8 +290,8 @@ object WeatherDl {
         // fetch (stubbed write) -> success into the manifest ledger
         val ledger = cfg.manifestLocation.stripPrefix("file:")
         val targets = parts.select("target").collect().map(_.getString(0))
-        targets.foreach { t =>
-          Manifest.transact(spark, ledger, dl.name, t,
+        val results = targets.map { t =>
+          t -> Manifest.transact(spark, ledger, dl.name, t,
             sys.props.getOrElse("user.name", "graft"), "{}") {
             val p = new org.apache.hadoop.fs.Path(t)
             val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -282,7 +299,12 @@ object WeatherDl {
             try out.write(Array[Byte]()) finally out.close()
           }
         }
-        println(s"${dl.name}: ${targets.length} partitions downloaded (local fake client)")
+        val failed = results.collect { case (t, Left(e)) => s"$t: ${e.getMessage}" }
+        println(s"${dl.name}: ${targets.length - failed.length} partitions " +
+          s"downloaded, ${failed.length} failed (local fake client)")
+        if (failed.nonEmpty) throw new RuntimeException(
+          s"${failed.length} download(s) failed; first: ${failed.head} " +
+            "(failures are recorded in the manifest ledger)")
       } else println(s"${dl.name}: ${parts.count()} partitions ready " +
         "(HTTP download clients are external; partitions materialized)")
     }

@@ -26,10 +26,17 @@ object Regrid {
   /** Downsample to a coarser regular grid by conservative (mean) pooling.
     * `valueCols` are averaged; output one row per (time?, cell). */
   def conservative(df: DataFrame, latCol: String, lonCol: String,
-      res: Double, valueCols: Seq[String], extraKeys: Seq[String] = Nil): DataFrame = {
+      res: Double, valueCols: Seq[String], extraKeys: Seq[String] = Nil): DataFrame =
+    conservativeXY(df, latCol, lonCol, res, res, valueCols, extraKeys)
+
+  /** [[conservative]] with independent lat/lon resolutions (anisotropic
+    * target grids, e.g. regrid_kwargs {"grid": [1, 0.25]}). */
+  def conservativeXY(df: DataFrame, latCol: String, lonCol: String,
+      latRes: Double, lonRes: Double, valueCols: Seq[String],
+      extraKeys: Seq[String] = Nil): DataFrame = {
     val keys = extraKeys.map(col) ++ Seq(
-      snap(col(latCol), res).as("lat_cell"),
-      snap(col(lonCol), res).as("lon_cell"))
+      snap(col(latCol), latRes).as("lat_cell"),
+      snap(col(lonCol), lonRes).as("lon_cell"))
     val aggs = count(lit(1)).as("n_samples") +: valueCols.map(v => avg(col(v)).as(v))
     df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
   }

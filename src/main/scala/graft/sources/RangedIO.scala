@@ -1,0 +1,28 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FSDataInputStream, Path}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.Row
+
+/** Task-side ranged-read stream lifecycle, shared by every distributed
+  * scientific-format reader: open through the session's [[TaskConf]], close
+  * on iterator exhaustion AND on task completion (so limit()/head()/failing
+  * consumers never leak the handle). */
+object RangedIO {
+
+  def rows(path: String, tconf: TaskConf)(
+      body: FSDataInputStream => Iterator[Row]): Iterator[Row] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(tconf.value)
+    val in = fs.open(p)
+    var closed = false
+    def closeOnce(): Unit =
+      if (!closed) { closed = true; try in.close() catch { case _: Throwable => () } }
+    Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+    val iter = body(in)
+    new Iterator[Row] {
+      def hasNext: Boolean = { val h = iter.hasNext; if (!h) closeOnce(); h }
+      def next(): Row = iter.next()
+    }
+  }
+}

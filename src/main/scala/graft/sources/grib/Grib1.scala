@@ -329,35 +329,42 @@ object Grib1 {
   /** Decode the packed values of `m` given its raw data (and bitmap) bytes:
     * X_k -> (R + X_k * 2^E) / 10^D, bitmap zeros -> NaN. Returned in grid
     * scan order (row-major j, i). */
-  def decodeValues(m: Message, data: Array[Byte], bitmap: Array[Byte]): Array[Double] = {
-    // divide by 10^D (not multiply by 10^-D): IEEE division gives the
-    // correctly-rounded result, so integer-scaled fixtures decode exactly
-    val dDiv = math.pow(10.0, m.decimalScale)
-    val eFactor = math.pow(2.0, m.binaryScale)
-    val out = new Array[Double](m.nPoints)
-    if (m.bitmapOffset >= 0) {
-      val present = new Array[Boolean](m.nPoints)
+  def decodeValues(m: Message, data: Array[Byte], bitmap: Array[Byte]): Array[Double] =
+    decodePacked(m.refValue, m.binaryScale, m.decimalScale, m.bitsPerValue,
+      m.nPoints, data, if (m.bitmapOffset >= 0) bitmap else null)
+
+  /** Shared fixed-point decode for BOTH editions: X -> (R + X * 2^E) / 10^D
+    * (divide, not multiply by 10^-D: IEEE division is correctly rounded, so
+    * integer-scaled fixtures decode exactly); bitmap zeros -> NaN. */
+  def decodePacked(refValue: Double, binaryScale: Int, decimalScale: Int,
+      bitsPerValue: Int, nPoints: Int, data: Array[Byte],
+      bitmap: Array[Byte]): Array[Double] = {
+    val dDiv = math.pow(10.0, decimalScale)
+    val eFactor = math.pow(2.0, binaryScale)
+    val out = new Array[Double](nPoints)
+    if (bitmap != null) {
+      val present = new Array[Boolean](nPoints)
       var nPresent = 0
       var k = 0
-      while (k < m.nPoints) {
+      while (k < nPoints) {
         present(k) = (u8(bitmap, k >> 3) & (0x80 >> (k & 7))) != 0
         if (present(k)) nPresent += 1
         k += 1
       }
-      val xs = unpackBits(data, m.bitsPerValue, nPresent)
+      val xs = unpackBits(data, bitsPerValue, nPresent)
       var xi = 0
       k = 0
-      while (k < m.nPoints) {
+      while (k < nPoints) {
         out(k) =
-          if (present(k)) { val v = (m.refValue + xs(xi) * eFactor) / dDiv; xi += 1; v }
+          if (present(k)) { val v = (refValue + xs(xi) * eFactor) / dDiv; xi += 1; v }
           else Double.NaN
         k += 1
       }
     } else {
-      val xs = unpackBits(data, m.bitsPerValue, m.nPoints)
+      val xs = unpackBits(data, bitsPerValue, nPoints)
       var k = 0
-      while (k < m.nPoints) {
-        out(k) = (m.refValue + xs(k) * eFactor) / dDiv
+      while (k < nPoints) {
+        out(k) = (refValue + xs(k) * eFactor) / dDiv
         k += 1
       }
     }

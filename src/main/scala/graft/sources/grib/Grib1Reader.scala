@@ -2,7 +2,6 @@ package graft.sources.grib
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
@@ -38,10 +37,31 @@ object Grib1Reader {
     StructField("channel", StringType, nullable = false),
     StructField("value", DoubleType, nullable = true)))
 
-  /** Scan forward from `from` for the next "GRIB" magic (real files carry
-    * WMO bulletin headers and padding between messages); -1 when none. */
-  private[grib] def nextMagic(read: (Long, Int) => Array[Byte], fileLen: Long,
+  /** Next offset >= `from` where a VALID GRIB message starts. Fast path:
+    * probe `from` directly, so contiguous-message files keep the
+    * header-only-IO indexing shape (no bulk scans). Fallback: scan forward
+    * for the magic (real files carry WMO bulletin wrappers and padding),
+    * validating each hit's edition + total length so ASCII "GRIB" inside
+    * bulletin text can't derail the index. -1 when none. */
+  private[grib] def nextMessage(read: (Long, Int) => Array[Byte], fileLen: Long,
       from: Long): Long = {
+    def valid(off: Long): Boolean = {
+      if (off + 8 > fileLen) return false
+      val b = read(off, math.min(16L, fileLen - off).toInt)
+      if (!(b(0) == 'G' && b(1) == 'R' && b(2) == 'I' && b(3) == 'B')) return false
+      (b(7) & 0xff) match {
+        case 1 =>
+          val total = Grib1.u24(b, 4)
+          total >= 40 && off + total <= fileLen
+        case 2 =>
+          b.length >= 16 && {
+            val total = Grib2.u64(b, 8)
+            total >= 30 && off + total <= fileLen
+          }
+        case _ => false
+      }
+    }
+    if (from + 4 <= fileLen && valid(from)) return from
     val chunk = 64 * 1024
     var off = from
     while (off + 4 <= fileLen) {
@@ -49,7 +69,8 @@ object Grib1Reader {
       val b = read(off, len)
       var i = 0
       while (i + 4 <= len) {
-        if (b(i) == 'G' && b(i + 1) == 'R' && b(i + 2) == 'I' && b(i + 3) == 'B')
+        if (b(i) == 'G' && b(i + 1) == 'R' && b(i + 2) == 'I' && b(i + 3) == 'B' &&
+            valid(off + i))
           return off + i
         i += 1
       }
@@ -73,11 +94,11 @@ object Grib1Reader {
     }
     try {
       val out = Seq.newBuilder[Grib1.Message]
-      var off = nextMagic(read _, fileLen, 0L)
+      var off = nextMessage(read _, fileLen, 0L)
       while (off >= 0 && off + 8 <= fileLen) {
         val m = Grib1.parseMessage(read _, off)
         out += m
-        off = nextMagic(read _, fileLen, off + m.totalLength)
+        off = nextMessage(read _, fileLen, off + m.totalLength)
       }
       out.result()
     } finally in.close()
@@ -102,42 +123,32 @@ object Grib1Reader {
     val pathLocal = path
     val tconf = TaskConf(sessionConf(spark))
     val rdd = spark.sparkContext.parallelize(msgs, nPart).mapPartitions { it =>
-      val p = new Path(pathLocal)
-      val fs = p.getFileSystem(tconf.value)
-      val in = fs.open(p)
-      var closed = false
-      def closeOnce(): Unit =
-        if (!closed) { closed = true; try in.close() catch { case _: Throwable => () } }
-      // survive early-terminating consumers (limit/head/downstream failure)
-      Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
-      val iter = it.flatMap { m =>
-        val data = new Array[Byte](m.dataBytes)
-        in.readFully(m.dataOffset, data)
-        val bitmap =
-          if (m.bitmapOffset >= 0) {
-            val b = new Array[Byte](m.bitmapBytes)
-            in.readFully(m.bitmapOffset, b)
-            b
-          } else null
-        val values = Grib1.decodeValues(m, data, bitmap)
-        val time = java.time.LocalDateTime.ofEpochSecond(
-          m.validTimeEpochSec, 0, java.time.ZoneOffset.UTC)
-        val level = m.levelName
-        val height = m.levelHeight
-        val stepType = m.stepType
-        val shortName = m.shortName
-        val channel = graft.operators.Mover.channelName(level, height, stepType, shortName)
-        (0 until m.nPoints).iterator.map { k =>
-          val j = k / m.ni
-          val i = k % m.ni
-          val v = values(k)
-          Row(time, m.latOf(j), m.lonOf(i), level, height, stepType, shortName,
-            channel, if (v.isNaN) null else java.lang.Double.valueOf(v))
+      graft.sources.RangedIO.rows(pathLocal, tconf) { in =>
+        it.flatMap { m =>
+          val data = new Array[Byte](m.dataBytes)
+          in.readFully(m.dataOffset, data)
+          val bitmap =
+            if (m.bitmapOffset >= 0) {
+              val b = new Array[Byte](m.bitmapBytes)
+              in.readFully(m.bitmapOffset, b)
+              b
+            } else null
+          val values = Grib1.decodeValues(m, data, bitmap)
+          val time = java.time.LocalDateTime.ofEpochSecond(
+            m.validTimeEpochSec, 0, java.time.ZoneOffset.UTC)
+          val level = m.levelName
+          val height = m.levelHeight
+          val stepType = m.stepType
+          val shortName = m.shortName
+          val channel = graft.operators.Mover.channelName(level, height, stepType, shortName)
+          (0 until m.nPoints).iterator.map { k =>
+            val j = k / m.ni
+            val i = k % m.ni
+            val v = values(k)
+            Row(time, m.latOf(j), m.lonOf(i), level, height, stepType, shortName,
+              channel, if (v.isNaN) null else java.lang.Double.valueOf(v))
+          }
         }
-      }
-      new Iterator[Row] {
-        def hasNext: Boolean = { val h = iter.hasNext; if (!h) closeOnce(); h }
-        def next(): Row = iter.next()
       }
     }
     spark.createDataFrame(rdd, longSchema)

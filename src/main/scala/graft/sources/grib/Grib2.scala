@@ -193,9 +193,16 @@ object Grib2 {
           val timeUnit = u8(b, 17)
           val fcst = s32(b, 18).toInt
           val levelType = u8(b, 22)
-          val levelScale = u8(b, 23)
-          val levelScaled = u32(b, 24)
-          val levelValue = levelScaled / math.pow(10.0, levelScale)
+          // sign-magnitude scale factor; 255 / all-ones scaled value = missing
+          val levelScaleRaw = u8(b, 23)
+          val levelScaledRaw = u32(b, 24)
+          val levelValue =
+            if (levelScaleRaw == 255 || levelScaledRaw == 0xffffffffL) 0.0
+            else {
+              val scale = if ((levelScaleRaw & 0x80) != 0) -(levelScaleRaw & 0x7f)
+                else levelScaleRaw
+              s32(b, 24) / math.pow(10.0, scale)
+            }
           var statProcess = -1
           var intervalEnd = -1L
           if (template == 8) {
@@ -242,37 +249,9 @@ object Grib2 {
     (fields.result(), total)
   }
 
-  /** Decode a field's packed values (bitmap zeros -> NaN), grid scan order. */
-  def decodeValues(f: Field, data: Array[Byte], bitmap: Array[Byte]): Array[Double] = {
-    val dDiv = math.pow(10.0, f.decimalScale)
-    val eFactor = math.pow(2.0, f.binaryScale)
-    val out = new Array[Double](f.nPoints)
-    if (f.bitmapOffset >= 0) {
-      val present = new Array[Boolean](f.nPoints)
-      var nPresent = 0
-      var k = 0
-      while (k < f.nPoints) {
-        present(k) = (u8(bitmap, k >> 3) & (0x80 >> (k & 7))) != 0
-        if (present(k)) nPresent += 1
-        k += 1
-      }
-      val xs = Grib1.unpackBits(data, f.bitsPerValue, nPresent)
-      var xi = 0
-      k = 0
-      while (k < f.nPoints) {
-        out(k) =
-          if (present(k)) { val v = (f.refValue + xs(xi) * eFactor) / dDiv; xi += 1; v }
-          else Double.NaN
-        k += 1
-      }
-    } else {
-      val xs = Grib1.unpackBits(data, f.bitsPerValue, f.nPoints)
-      var k = 0
-      while (k < f.nPoints) {
-        out(k) = (f.refValue + xs(k) * eFactor) / dDiv
-        k += 1
-      }
-    }
-    out
-  }
+  /** Decode a field's packed values (bitmap zeros -> NaN), grid scan order
+    * — shared fixed-point math with edition 1 ([[Grib1.decodePacked]]). */
+  def decodeValues(f: Field, data: Array[Byte], bitmap: Array[Byte]): Array[Double] =
+    Grib1.decodePacked(f.refValue, f.binaryScale, f.decimalScale, f.bitsPerValue,
+      f.nPoints, data, if (f.bitmapOffset >= 0) bitmap else null)
 }

@@ -2,7 +2,6 @@ package graft.sources.grib
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
 import graft.sources.TaskConf
@@ -27,11 +26,11 @@ object Grib2Reader {
     }
     try {
       val out = Seq.newBuilder[(Long, Long, Seq[Grib2.Field])]
-      var off = Grib1Reader.nextMagic(read _, fileLen, 0L)
+      var off = Grib1Reader.nextMessage(read _, fileLen, 0L)
       while (off >= 0 && off + 16 <= fileLen) {
         val (fields, total) = Grib2.parseMessage(read _, off)
         out += ((off, total, fields))
-        off = Grib1Reader.nextMagic(read _, fileLen, off + total)
+        off = Grib1Reader.nextMessage(read _, fileLen, off + total)
       }
       out.result()
     } finally in.close()
@@ -56,41 +55,32 @@ object Grib2Reader {
     val pathLocal = path
     val tconf = TaskConf(sessionConf(spark))
     val rdd = spark.sparkContext.parallelize(fields, nPart).mapPartitions { it =>
-      val p = new Path(pathLocal)
-      val fs = p.getFileSystem(tconf.value)
-      val in = fs.open(p)
-      var closed = false
-      def closeOnce(): Unit =
-        if (!closed) { closed = true; try in.close() catch { case _: Throwable => () } }
-      Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
-      val iter = it.flatMap { f =>
-        val data = new Array[Byte](f.dataBytes)
-        in.readFully(f.dataOffset, data)
-        val bitmap =
-          if (f.bitmapOffset >= 0) {
-            val b = new Array[Byte](f.bitmapBytes)
-            in.readFully(f.bitmapOffset, b)
-            b
-          } else null
-        val values = Grib2.decodeValues(f, data, bitmap)
-        val time = java.time.LocalDateTime.ofEpochSecond(
-          f.validTimeEpochSec, 0, java.time.ZoneOffset.UTC)
-        val level = f.levelName
-        val height = f.levelHeight
-        val stepType = f.stepType
-        val shortName = f.shortName
-        val channel = graft.operators.Mover.channelName(level, height, stepType, shortName)
-        (0 until f.nPoints).iterator.map { k =>
-          val j = k / f.ni
-          val i = k % f.ni
-          val v = values(k)
-          Row(time, f.latOf(j), f.lonOf(i), level, height, stepType, shortName,
-            channel, if (v.isNaN) null else java.lang.Double.valueOf(v))
+      graft.sources.RangedIO.rows(pathLocal, tconf) { in =>
+        it.flatMap { f =>
+          val data = new Array[Byte](f.dataBytes)
+          in.readFully(f.dataOffset, data)
+          val bitmap =
+            if (f.bitmapOffset >= 0) {
+              val b = new Array[Byte](f.bitmapBytes)
+              in.readFully(f.bitmapOffset, b)
+              b
+            } else null
+          val values = Grib2.decodeValues(f, data, bitmap)
+          val time = java.time.LocalDateTime.ofEpochSecond(
+            f.validTimeEpochSec, 0, java.time.ZoneOffset.UTC)
+          val level = f.levelName
+          val height = f.levelHeight
+          val stepType = f.stepType
+          val shortName = f.shortName
+          val channel = graft.operators.Mover.channelName(level, height, stepType, shortName)
+          (0 until f.nPoints).iterator.map { k =>
+            val j = k / f.ni
+            val i = k % f.ni
+            val v = values(k)
+            Row(time, f.latOf(j), f.lonOf(i), level, height, stepType, shortName,
+              channel, if (v.isNaN) null else java.lang.Double.valueOf(v))
+          }
         }
-      }
-      new Iterator[Row] {
-        def hasNext: Boolean = { val h = iter.hasNext; if (!h) closeOnce(); h }
-        def next(): Row = iter.next()
       }
     }
     spark.createDataFrame(rdd, Grib1Reader.longSchema)
@@ -124,7 +114,7 @@ object GribReader {
     }
     try {
       // magic scan: bulletin headers may precede the first message
-      val off = Grib1Reader.nextMagic(read _, fileLen, 0L)
+      val off = Grib1Reader.nextMessage(read _, fileLen, 0L)
       require(off >= 0 && off + 8 <= fileLen, s"not a GRIB file: $path")
       Grib1.u8(read(off, 8), 7)
     } finally in.close()

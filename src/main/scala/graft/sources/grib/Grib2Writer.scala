@@ -112,7 +112,8 @@ object Grib2Writer {
     b(17) = f.timeUnit.toByte
     putS32(b, 18, f.forecastTime)
     b(22) = f.levelType.toByte
-    b(23) = f.levelScaleFactor.toByte
+    b(23) = (if (f.levelScaleFactor < 0) 0x80 | -f.levelScaleFactor
+      else f.levelScaleFactor).toByte // sign-magnitude
     putU32(b, 24, f.levelScaledValue)
     b(28) = 255.toByte; b(29) = 0    // no second surface
     if (template48) {
@@ -145,7 +146,7 @@ object Grib2Writer {
 
     val s5 = new Array[Byte](21)
     putU32(s5, 0, 21); s5(4) = 5
-    putU32(s5, 5, f.values.size)
+    putU32(s5, 5, xs.size) // count of values actually packed (bitmap-aware)
     putU16(s5, 9, 0)                 // template 5.0
     putU32(s5, 11, java.lang.Float.floatToIntBits(ref.toFloat).toLong & 0xffffffffL)
     putS16(s5, 15, 0)                // binary scale E = 0

@@ -102,15 +102,7 @@ object NetCDF3Reader {
     val tconf = graft.sources.TaskConf(conf)
     val rdd = spark.sparkContext.parallelize(ranges, math.max(ranges.size, 1))
       .flatMap { case (lo, hi) =>
-        val p = new Path(pathLocal)
-        val fs = p.getFileSystem(tconf.value)
-        val in = fs.open(p)
-        var closed = false
-        def closeOnce(): Unit =
-          if (!closed) { closed = true; try in.close() catch { case _: Throwable => () } }
-        // survive early-terminating consumers (limit/head/downstream failure)
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+        graft.sources.RangedIO.rows(pathLocal, tconf) { in =>
         val w = varsLocal.map(v => typeBytes(v.ncType))
         def sliceOf(v: Var, vi: Int, t: Int): Array[Double] = {
           val isRec = v.dimIds.headOption.exists(headLocal.dims(_).isRecord)
@@ -122,7 +114,7 @@ object NetCDF3Reader {
           in.readFully(offset, buf)
           decodeSlice(buf, v, perSlice)
         }
-        val iter = (lo until hi).iterator.flatMap { t =>
+        (lo until hi).iterator.flatMap { t =>
           val slices = varsLocal.zipWithIndex.map { case (v, vi) => sliceOf(v, vi, t) }
           (0 until perSlice).iterator.map { li =>
             // local index -> per-dim indices over restShape
@@ -144,11 +136,6 @@ object NetCDF3Reader {
             Row.fromSeq(cells)
           }
         }
-        // close on exhaustion; the task-completion listener covers early
-        // termination
-        new Iterator[Row] {
-          def hasNext: Boolean = { val h = iter.hasNext; if (!h) closeOnce(); h }
-          def next(): Row = iter.next()
         }
       }
     spark.createDataFrame(rdd, schema)

@@ -150,6 +150,8 @@ object Tiff {
     if (!Set(1, 8, 32946).contains(comp))
       throw UnsupportedTiff(s"compression $comp (none/deflate only)")
     if (so.isEmpty && to.isEmpty) throw UnsupportedTiff("no strip or tile offsets")
+    // TIFF 6.0: a missing RowsPerStrip tag means one strip of all rows
+    if (so.nonEmpty && (rps <= 0 || rps > height)) rps = height
     require(scale.size >= 2 && tie.size >= 6,
       "GeoTIFF needs ModelPixelScale + ModelTiepoint")
 
@@ -210,8 +212,15 @@ object Tiff {
     inf.setInput(raw)
     val out = new Array[Byte](expected)
     var off = 0
-    while (!inf.finished() && off < expected)
-      off += inf.inflate(out, off, expected - off)
+    while (!inf.finished() && off < expected) {
+      val n = inf.inflate(out, off, expected - off)
+      if (n == 0 && (inf.needsInput() || inf.needsDictionary())) {
+        inf.end()
+        throw UnsupportedTiff(
+          s"truncated or corrupt deflate stream ($off of $expected bytes)")
+      }
+      off += n
+    }
     inf.end()
     out
   }

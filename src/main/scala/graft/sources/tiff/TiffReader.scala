@@ -2,7 +2,6 @@ package graft.sources.tiff
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -61,35 +60,26 @@ object TiffReader {
     val m = meta
     val tconf = TaskConf(conf)
     val rdd = spark.sparkContext.parallelize(blocks, nPart).mapPartitions { it =>
-      val p = new Path(pathLocal)
-      val fs = p.getFileSystem(tconf.value)
-      val in = fs.open(p)
-      var closed = false
-      def closeOnce(): Unit =
-        if (!closed) { closed = true; try in.close() catch { case _: Throwable => () } }
-      Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
-      val iter = it.flatMap { case (offset, nBytes, row0, col0) =>
-        val raw = new Array[Byte](nBytes.toInt)
-        in.readFully(offset, raw)
-        val (bw, bh) =
-          if (m.tiled) (m.tileWidth, m.tileLength)
-          else (m.width, math.min(m.rowsPerStrip, m.height - row0))
-        val values = Tiff.decodeBlock(m, raw, bw * bh * m.samplesPerPixel)
-        for {
-          r <- (0 until bh).iterator
-          cIdx <- (0 until bw).iterator
-          row = row0 + r
-          col = col0 + cIdx
-          if row < m.height && col < m.width // tile edge padding
-        } yield {
-          val base = (r * bw + cIdx) * m.samplesPerPixel
-          Row.fromSeq(m.modelX(col) +: m.modelY(row) +:
-            (0 until m.samplesPerPixel).map(s => values(base + s): Any))
+      graft.sources.RangedIO.rows(pathLocal, tconf) { in =>
+        it.flatMap { case (offset, nBytes, row0, col0) =>
+          val raw = new Array[Byte](nBytes.toInt)
+          in.readFully(offset, raw)
+          val (bw, bh) =
+            if (m.tiled) (m.tileWidth, m.tileLength)
+            else (m.width, math.min(m.rowsPerStrip, m.height - row0))
+          val values = Tiff.decodeBlock(m, raw, bw * bh * m.samplesPerPixel)
+          for {
+            r <- (0 until bh).iterator
+            cIdx <- (0 until bw).iterator
+            row = row0 + r
+            col = col0 + cIdx
+            if row < m.height && col < m.width // tile edge padding
+          } yield {
+            val base = (r * bw + cIdx) * m.samplesPerPixel
+            Row.fromSeq(m.modelX(col) +: m.modelY(row) +:
+              (0 until m.samplesPerPixel).map(s => values(base + s): Any))
+          }
         }
-      }
-      new Iterator[Row] {
-        def hasNext: Boolean = { val h = iter.hasNext; if (!h) closeOnce(); h }
-        def next(): Row = iter.next()
       }
     }
     val df = spark.createDataFrame(rdd, schema)

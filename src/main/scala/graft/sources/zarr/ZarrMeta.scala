@@ -163,8 +163,15 @@ object ZarrMeta {
     inf.setInput(raw)
     val out = new Array[Byte](expected)
     var off = 0
-    while (!inf.finished() && off < expected)
-      off += inf.inflate(out, off, expected - off)
+    while (!inf.finished() && off < expected) {
+      val n = inf.inflate(out, off, expected - off)
+      if (n == 0 && (inf.needsInput() || inf.needsDictionary())) {
+        inf.end()
+        throw new java.io.IOException(
+          s"truncated or corrupt zlib chunk ($off of $expected bytes)")
+      }
+      off += n
+    }
     inf.end()
     out
   }

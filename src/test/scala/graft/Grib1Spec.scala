@@ -186,14 +186,29 @@ class Grib1Spec extends SparkSpec {
   }
 
   test("edition 2 and complex packing raise directed errors") {
+    val conf = new org.apache.hadoop.conf.Configuration()
     val dir = java.nio.file.Files.createTempDirectory("grib2").toString
-    val p = s"$dir/fake.grib2"
+    // a REAL edition-2 message handed to the edition-1 reader
+    val p2 = s"$dir/real.grib2"
+    graft.sources.grib.Grib2Writer.write(p2, Seq(
+      graft.sources.grib.Grib2Writer.FieldSpec(0, 0, 0, 103, 2, t0,
+        Seq(1.0, 2.0), 2, 1, 0.0, 0.0, 0.0, 1.0)))
+    val e = intercept[Grib1.UnsupportedGrib](Grib1Reader.indexMessages(conf, p2))
+    assert(e.getMessage.contains("edition 2"))
+    // complex-packing flag in an otherwise valid edition-1 message
     val msg = GW.message(GW.FieldSpec(167, 1, 0, t0,
       Seq(1.0, 2.0), 2, 1, 0.0, 0.0, 0.0, 1.0))
-    msg(7) = 2 // patch edition byte
-    val fs = new java.io.FileOutputStream(p); fs.write(msg); fs.close()
-    val e = intercept[Grib1.UnsupportedGrib](
-      Grib1Reader.indexMessages(new org.apache.hadoop.conf.Configuration(), p))
-    assert(e.getMessage.contains("edition 2"))
+    val bdsOff = 8 + 28 + 32 // IS + PDS + GDS (no bitmap)
+    msg(bdsOff + 3) = (msg(bdsOff + 3) | 0x40).toByte
+    val p1 = s"$dir/complex.grib"
+    val fs = new java.io.FileOutputStream(p1); fs.write(msg); fs.close()
+    val e2 = intercept[Grib1.UnsupportedGrib](Grib1Reader.indexMessages(conf, p1))
+    assert(e2.getMessage.contains("complex"))
+    // pure garbage yields an empty index, not a crash (magic-scan validation)
+    val pg = s"$dir/garbage.grib"
+    val g = new java.io.FileOutputStream(pg)
+    g.write("GRIB but not really a message, just prose mentioning GRIB twice".getBytes)
+    g.close()
+    assert(Grib1Reader.indexMessages(conf, pg).isEmpty)
   }
 }

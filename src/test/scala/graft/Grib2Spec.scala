@@ -92,6 +92,19 @@ class Grib2Spec extends SparkSpec {
     assert(v.getAs[Double]("value") == 271.0 + 3 + 0.25 * 4)
   }
 
+  test("negative level scale factors decode sign-magnitude (and missing -> 0)") {
+    val dir = java.nio.file.Files.createTempDirectory("grib2lvl").toString
+    val p = s"$dir/lvl.grib2"
+    // isobaric level 320 hPa-equivalent encoded as scaled=32, scale=-1
+    GW2.write(p, Seq(GW2.FieldSpec(0, 0, 0, 100, 32, t0,
+      (0 until 4).map(_.toDouble), 2, 2, 50.0, 0.0, 49.0, 1.0,
+      levelScaleFactor = -1)))
+    val f = Grib2Reader.indexFields(new org.apache.hadoop.conf.Configuration(), p).head
+    // 32 / 10^-1 = 320 Pa -> isobaricInhPa reports /100
+    assert(f.levelValue == 320.0)
+    assert(f.levelHeight == 3.2)
+  }
+
   test("unsupported templates raise directed errors") {
     val raw = GW2.message(GW2.FieldSpec(0, 0, 0, 103, 2, t0,
       Seq(1.0, 2.0), 2, 1, 0.0, 0.0, 0.0, 1.0))
