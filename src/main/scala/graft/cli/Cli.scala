@@ -159,6 +159,11 @@ object WeatherMv {
         case _ => None
       },
       importTime = cfg.importTime)
+    if (cfg.topic.isDefined || cfg.subscription.isDefined)
+      throw CliError(
+        "streaming ingestion needs a Pub/Sub connector (external service); " +
+          "drive the same pipeline with graft.streaming.FileEvents over any " +
+          "streaming DataFrame of OBJECT_FINALIZE JSON bodies instead.")
     cfg.subcommand match {
       case "bq" =>
         if (cfg.dryRun) {

@@ -422,6 +422,18 @@ class QueriesSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unpartitioned Window in: $offenders")
   }
 
+  test("plan lint: regrid joins stay equi-joins (hash/sort-merge, never NL)") {
+    // q49/q51 join on integer cell indices / snapped anchors — if a key
+    // slips to an expression mismatch they'd degrade to a nested-loop join
+    for (q <- Seq("q49_regrid_nearest", "q51_regrid_bilinear")) {
+      val plan = Queries.byName(q)(spark, sfDir).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q plans a NL join")
+      assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+        s"$q has no equi-join operator")
+    }
+  }
+
   test("plan lint: filters and pruning reach the parquet scan") {
     val plan = Queries.byName("q03_where_coords")(spark, sfDir).queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
