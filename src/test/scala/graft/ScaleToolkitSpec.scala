@@ -6,6 +6,34 @@ import graft.operators.ScaleToolkit
 import graft.sources.Tables
 
 class ScaleToolkitSpec extends SparkSpec {
+
+  test("globalRank assigns contiguous 0-based ranks in key order, distributed") {
+    import spark.implicits._
+    import graft.operators.ScaleToolkit
+    val keys = scala.util.Random.shuffle((0 until 5000).map(_ * 3L)).toDF("k")
+      .repartition(16)
+    // (AQE coalesces the tiny range shuffle here; at scale the range
+    // partitioning spreads — the point is correctness of the derived ranks)
+    val ranked = ScaleToolkit.globalRank(keys, "k", "rn")
+    val rows = ranked.orderBy($"k").select($"k", $"rn").as[(Long, Long)].collect()
+    rows.zipWithIndex.foreach { case ((k, rn), i) =>
+      assert(rn == i && k == i * 3L, s"row $i: key $k rank $rn")
+    }
+  }
+
+  test("TaskConf round-trips session Hadoop configuration overrides") {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.set("graft.test.credential", "sekrit")
+    val shipped = graft.sources.TaskConf(conf)
+    assert(shipped.value.get("graft.test.credential") == "sekrit")
+    // serializable (the whole point: it rides into task closures)
+    val bos = new java.io.ByteArrayOutputStream()
+    new java.io.ObjectOutputStream(bos).writeObject(shipped)
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[graft.sources.TaskConf]
+    assert(back.value.get("graft.test.credential") == "sekrit")
+  }
   import spark.implicits._
 
   test("bucketed tables join without a shuffle") {
