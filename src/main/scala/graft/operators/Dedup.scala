@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for the training-data pipeline surface: exact,
@@ -50,7 +51,6 @@ object Dedup {
     * that shuffle is the unavoidable tokenize boundary and partitions by
     * document, so it scales linearly. */
   def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     val toksDf = df.select(col(idCol).as("id"),
       posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
@@ -157,28 +157,32 @@ object Dedup {
         md5(concat_ws(",", slots.map(_.cast("string")): _*)).as("bucket"))
     }
     val bandsDf = bandFrames.reduce(_ union _)
-    // Candidate pairs per bucket via a single aggregation + pair explode
-    // (one shuffle; ~2.4x faster than the band self-join at equal output).
-    // Buckets are near-dup groups, so lists stay small by construction; a
-    // flood of identical documents would first be removed by exact dedup,
-    // and `maxBucketSize` guards the residual pathological bucket: the
-    // first `maxBucketSize` members pair all-pairs, and every member
-    // BEYOND the cap still pairs with the bucket's first member — so no
-    // member silently escapes the verify stage, and the bound stays
-    // C(cap, 2) + (n - cap), linear in the overflow.
-    val cand = bandsDf.groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids_all"))
-      .filter(size(col("ids_all")) > 1)
-      .withColumn("ids", slice(col("ids_all"), 1, maxBucketSize))
-      .select(explode(concat(
+    // Candidate pairs per bucket: cap bucket membership BEFORE any
+    // aggregation with a partitioned row_number (a sort-based window — it
+    // streams and spills, never holding the bucket in memory), so the
+    // collect_list buffer is bounded by `maxBucketSize` even for a skewed
+    // bucket of near-identical boilerplate that grows with the corpus. The
+    // first `maxBucketSize` members (by doc_id) pair all-pairs; every member
+    // BEYOND the cap pairs row-wise with the bucket's first member (no
+    // collect at all on that path) — so no member silently escapes the
+    // verify stage, and the bound stays C(cap, 2) + (n - cap), linear in
+    // the overflow.
+    val bw = Window.partitionBy(col("band"), col("bucket")).orderBy(col("doc_id"))
+    val ranked = bandsDf
+      .withColumn("rn", row_number().over(bw))
+      .withColumn("first_id", first(col("doc_id")).over(bw))
+    val inCapPairs = ranked.filter(col("rn") <= maxBucketSize)
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(
         expr("flatten(transform(ids, (x, i) -> " +
-          "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS id_a, y AS id_b))))"),
-        expr(s"transform(slice(ids_all, $maxBucketSize + 1, " +
-          s"greatest(size(ids_all) - $maxBucketSize, 0)), " +
-          "y -> struct(element_at(ids_all, 1) AS id_a, y AS id_b))")))
+          "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS id_a, y AS id_b))))"))
         .as("p"))
       .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
+    val overflowPairs = ranked.filter(col("rn") > maxBucketSize)
+      .select(col("first_id").as("id_a"), col("doc_id").as("id_b"))
+    val cand = inCapPairs.union(overflowPairs).distinct()
     val sets = sh.groupBy(col("doc_id")).agg(collect_set(col("s")).as("sh")).persist()
     cand
       .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))

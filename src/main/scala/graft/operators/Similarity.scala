@@ -140,36 +140,47 @@ object Similarity {
   /** All-pairs near-duplicate detection by embedding cosine within LSH
     * buckets (embedding-space analog of Dedup.minhashNearDupsRelational).
     *
-    * Scale shape: one aggregation per bucket; the first `maxBucketSize`
-    * members pair all-pairs and every member beyond the cap pairs with the
-    * bucket's first member, so the output is bounded by
-    * buckets * (cap^2 + overflow) — never quadratic in the corpus — while
-    * no member escapes the verify stage unpaired. Size `planes` with
-    * [[planeCountFor]] so bucket count tracks corpus size. */
+    * Scale shape: bucket membership is capped BEFORE any aggregation with a
+    * partitioned row_number (a sort-based window — streams and spills, never
+    * holding the bucket's vectors in one task), so the collect_list buffer
+    * is bounded by `maxBucketSize` structs even when a skewed bucket grows
+    * with the corpus. The first `maxBucketSize` members (by id) pair
+    * all-pairs; every member beyond the cap pairs ROW-WISE with the bucket's
+    * first member (carried per-row by a running first_value — no collect on
+    * that path), so the output is bounded by buckets * (cap^2 + overflow) —
+    * never quadratic in the corpus — while no member escapes the verify
+    * stage unpaired. Size `planes` with [[planeCountFor]] so bucket count
+    * tracks corpus size. */
   def cosineNearDupPairs(emb: DataFrame, vecCol: String, idCol: String,
       planes: Seq[Seq[Float]], threshold: Double,
       maxBucketSize: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // norms precomputed once per vector (the pairwise stage would otherwise
     // fold each 64-element array three times per candidate pair)
     val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", hyperplaneBucket(col("v"), planes))
       .withColumn("nrm", norm(col("v")))
-    bucketed
+    val bw = Window.partitionBy(col("bucket")).orderBy(col("id"))
+    val ranked = bucketed
+      .withColumn("rn", row_number().over(bw))
+      .withColumn("first_m", first(struct(col("id"), col("v"), col("nrm"))).over(bw))
+    val inCapPairs = ranked.filter(col("rn") <= maxBucketSize)
       .groupBy(col("bucket"))
       .agg(sort_array(collect_list(struct(col("id"), col("v"), col("nrm"))))
-        .as("ms_all"))
-      .filter(size(col("ms_all")) > 1)
-      .withColumn("ms", slice(col("ms_all"), 1, maxBucketSize))
-      .select(explode(concat(
+        .as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(
         expr("flatten(transform(ms, (x, i) -> " +
-          "transform(slice(ms, i + 2, size(ms) - i - 1), y -> struct(x AS a, y AS b))))"),
-        expr(s"transform(slice(ms_all, $maxBucketSize + 1, " +
-          s"greatest(size(ms_all) - $maxBucketSize, 0)), " +
-          "y -> struct(element_at(ms_all, 1) AS a, y AS b))")))
+          "transform(slice(ms, i + 2, size(ms) - i - 1), y -> struct(x AS a, y AS b))))"))
         .as("p"))
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
         round(dot(col("p.a.v"), col("p.b.v")) / (col("p.a.nrm") * col("p.b.nrm")), 6)
           .as("cos_sim"))
+    val overflowPairs = ranked.filter(col("rn") > maxBucketSize)
+      .select(col("first_m.id").as("id_a"), col("id").as("id_b"),
+        round(dot(col("first_m.v"), col("v")) / (col("first_m.nrm") * col("nrm")), 6)
+          .as("cos_sim"))
+    inCapPairs.union(overflowPairs)
       .filter(col("cos_sim") >= threshold)
       .distinct()
   }

@@ -47,9 +47,10 @@ class WxSql(spark: SparkSession, xqlCompat: Boolean = false) {
   def sql(query: String): DataFrame = {
     val q = if (xqlCompat) WxSql.rewriteXqlCompat(query) else query
     if (WxSql.hasPlanRules(spark)) {
-      spark.conf.set(graft.plans.XqlRules.AggNamingConf, "true")
-      try spark.sql(q)
-      finally spark.conf.unset(graft.plans.XqlRules.AggNamingConf)
+      // analysis is eager on this thread, so the thread-local scopes the
+      // xql naming to this one query — concurrent spark.sql / WxSql calls
+      // on the same session are unaffected
+      graft.plans.XqlRules.withAggNaming(spark.sql(q))
     } else spark.sql(WxSql.rewrite(q))
   }
 }

@@ -15,10 +15,23 @@ import org.apache.spark.sql.catalyst.util.toPrettySQL
   * content.
   */
 object XqlRules {
-  /** Session conf gate for [[XqlAggNamingRule]]: the `{func}_{var}` output
+  /** Thread-local gate for [[XqlAggNamingRule]]: the `{func}_{var}` output
     * naming is an xql-dialect behavior, so it only fires while a WxSql query
-    * is being analyzed — never on plain `spark.sql`. */
-  val AggNamingConf = "spark.graft.xql.aggNaming"
+    * is being analyzed — never on plain `spark.sql`. Analysis is eager and
+    * runs on the calling thread, so a thread-local scopes the flag to exactly
+    * the one `spark.sql` call inside [[withAggNaming]]; a session-wide conf
+    * would leak the renaming into concurrent queries on the same session (or
+    * lose it for a parallel WxSql query when the first finally-unset ran). */
+  private val aggNaming = ThreadLocal.withInitial[java.lang.Boolean](() => false)
+
+  private[graft] def aggNamingEnabled: Boolean = aggNaming.get()
+
+  /** Run `f` with the xql aggregate-naming rule enabled on this thread. */
+  def withAggNaming[T](f: => T): T = {
+    val prev = aggNaming.get()
+    aggNaming.set(true)
+    try f finally aggNaming.set(prev)
+  }
 }
 
 /** `time_date` / `time_month` / `time_year` -> `date_trunc(unit, time)`
@@ -77,12 +90,12 @@ object TimeBucketRule extends Rule[LogicalPlan] {
   * touched, so aggregates inside HAVING or ORDER BY (which live in
   * Filter/Sort conditions, or as exprId-referenced extra columns) keep
   * working — the string-level rewrite used to corrupt those into invalid
-  * SQL. Conf-gated: see [[XqlRules.AggNamingConf]]. */
+  * SQL. Gated per-thread: see [[XqlRules.withAggNaming]]. */
 object XqlAggNamingRule extends Rule[LogicalPlan] {
   private val Fns = Set("avg", "sum", "min", "max")
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!conf.getConfString(XqlRules.AggNamingConf, "false").toBoolean) plan
+    if (!XqlRules.aggNamingEnabled) plan
     else plan.resolveOperatorsUp {
       case p: Project => p.copy(projectList = p.projectList.map(rename))
       case a: Aggregate => a.copy(aggregateExpressions = a.aggregateExpressions.map(rename))

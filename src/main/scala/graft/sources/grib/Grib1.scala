@@ -50,9 +50,12 @@ object Grib1 {
       bitsPerValue: Int,
       dataOffset: Long,        // first byte of packed values in the file
       dataBytes: Int,
-      unusedBitsAtEnd: Int) {
+      unusedBitsAtEnd: Int) extends GribUnit {
 
     def nPoints: Int = ni * nj
+
+    def decode(data: Array[Byte], bitmap: Array[Byte]): Array[Double] =
+      Grib1.decodeValues(this, data, bitmap)
 
     /** cfgrib-style typeOfLevel name + level height in the unit cfgrib
       * reports (sinks.py:295-324 builds channel names from these). */
@@ -260,9 +263,11 @@ object Grib1 {
     val hour = u8(b, 15)
     val minute = u8(b, 16)
     val timeUnit = u8(b, 17)
-    val p1 = u8(b, 18)
-    val p2 = u8(b, 19)
     val tri = u8(b, 20)
+    // time range indicator 10: P1 occupies octets 19-20 as ONE u16 (forecast
+    // steps beyond 255); every other indicator carries separate u8 P1/P2
+    val p1 = if (tri == 10) u16(b, 18) else u8(b, 18)
+    val p2 = if (tri == 10) 0 else u8(b, 19)
     val century = u8(b, 24)
     val decimalScale = s16(b, 26)
     val year = (century - 1) * 100 + yearOfCentury

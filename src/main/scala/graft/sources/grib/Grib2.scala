@@ -48,9 +48,12 @@ object Grib2 {
       bitmapOffset: Long,       // -1 when absent
       bitmapBytes: Int,
       dataOffset: Long,
-      dataBytes: Int) {
+      dataBytes: Int) extends GribUnit {
 
     def nPoints: Int = ni * nj
+
+    def decode(data: Array[Byte], bitmap: Array[Byte]): Array[Double] =
+      Grib2.decodeValues(this, data, bitmap)
 
     /** cfgrib typeOfLevel names (GRIB2 code table 4.5 subset). */
     def levelName: String = levelTypeCode match {

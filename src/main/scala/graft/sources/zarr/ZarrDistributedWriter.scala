@@ -143,9 +143,13 @@ object ZarrDistributedWriter {
       case None => "null"
       case Some(o) => throw new UnsupportedOperationException(s"compressor $o")
     }
+    // fill_value "NaN" (the Zarr v2 JSON encoding for an IEEE NaN fill), not
+    // null: this writer deliberately skips wholly-absent chunks, and
+    // zarr-python/xarray treat null as 'no fill' — absent chunks would read
+    // back as undefined data there instead of the NaN the sparse layout means
     s"""{"zarr_format": 2, "shape": [${shape.mkString(", ")}],
        | "chunks": [${chunks.mkString(", ")}], "dtype": "<f8",
-       | "compressor": $comp, "fill_value": null, "order": "C",
+       | "compressor": $comp, "fill_value": "NaN", "order": "C",
        | "filters": null}""".stripMargin
   }
 

@@ -79,7 +79,13 @@ object ZarrMeta {
       chunks = (za \ "chunks").extract[Seq[Int]],
       dtype = (za \ "dtype").extract[String],
       compressor = compressor,
-      fillValue = (za \ "fill_value").extractOpt[Double],
+      // Zarr v2 encodes non-finite float fills as the JSON STRINGS "NaN" /
+      // "Infinity" / "-Infinity" — handle those before the numeric case
+      fillValue = (za \ "fill_value") match {
+        case JString(s) => Some(java.lang.Double.parseDouble(s))
+        case JNull | JNothing => None
+        case v => v.extractOpt[Double]
+      },
       dims = (attrs \ "_ARRAY_DIMENSIONS").extractOpt[Seq[String]].getOrElse(Nil),
       scaleFactor = (attrs \ "scale_factor").extractOpt[Double],
       addOffset = (attrs \ "add_offset").extractOpt[Double],

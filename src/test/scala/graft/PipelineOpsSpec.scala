@@ -101,6 +101,43 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1000L)))
     assert(pairs.contains((1L, 2001L)))
   }
+
+  test("minhash near-dups bound a 50k-member skewed bucket before aggregation") {
+    // A boilerplate flood puts 50k docs in ONE (band, bucket) group. The
+    // candidate stage must never materialize that bucket in an aggregation
+    // buffer: membership is capped to `maxBucketSize` by a partitioned
+    // row_number BEFORE collect_list (the sort-based window streams and
+    // spills), and the overflow pairs row-wise with the bucket's first
+    // member. Identical text maximizes the skew deterministically; the
+    // buffer-bounding mechanics are the same for near-identical floods.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val peak = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) peak.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val flood = spark.range(50000).select($"id".as("doc_id"),
+        lit("alpha beta gamma delta epsilon zeta").as("text"))
+      val pairs = Dedup.minhashNearDupsRelational(flood, "doc_id", "text",
+        numHashes = 4, bands = 2, threshold = 0.9,
+        hashCol = (seed, s) => xxhash64(seed, s).cast("string"),
+        maxBucketSize = 64)
+      val n = pairs.count()
+      // C(64, 2) all-pairs inside the cap + one representative pair per
+      // overflow member — linear in the overflow, never C(50k, 2)
+      assert(n == 2016 + (50000 - 64), s"expected 51952 bounded pairs, got $n")
+      val covered = pairs.select(explode(array($"id_a", $"id_b"))).distinct().count()
+      assert(covered == 50000, "some member escaped the verify stage")
+      // sanity ceiling on per-task peak execution memory: a task that
+      // collected the whole bucket (ids + shingle sets) would blow past this
+      assert(peak.get() < 512L * 1024 * 1024,
+        s"per-task peak execution memory ${peak.get()} exceeds the 512 MiB ceiling")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -431,6 +468,40 @@ class QueriesSpec extends SparkSpec {
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q plans a NL join")
       assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
         s"$q has no equi-join operator")
+    }
+  }
+
+  test("plan lint: near-dup collect_list stages are pre-capped by a row_number filter") {
+    // The LSH candidate stages aggregate per (band, bucket); an UNCAPPED
+    // collect_list there materializes a whole skewed bucket in one task's
+    // aggregation buffer — the residual 100 TB scale-killer from round 2.
+    // Every collect_list in the near-dup plans must sit above a filter on a
+    // row_number window output (the pre-cap), never directly on raw buckets.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter, Window => LWindow}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, GreaterThanOrEqual, LessThanOrEqual, Literal, RowNumber, WindowExpression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectList}
+    for (q <- Seq("q31_minhash_near_dups", "q46_embedding_near_dups")) {
+      val plan = Queries.byName(q)(spark, sfDir).queryExecution.optimizedPlan
+      val collectAggs = plan.collect {
+        case a: Aggregate if a.aggregateExpressions.exists(_.exists {
+          case ae: AggregateExpression => ae.aggregateFunction.isInstanceOf[CollectList]
+          case _ => false
+        }) => a
+      }
+      assert(collectAggs.nonEmpty, s"$q: expected a collect_list candidate stage")
+      collectAggs.foreach { agg =>
+        val rnIds = agg.child.collect { case w: LWindow =>
+          w.windowExpressions.collect {
+            case al @ Alias(WindowExpression(_: RowNumber, _), _) => al.exprId
+          }
+        }.flatten.toSet
+        val gated = agg.child.collect { case f: LFilter => f }.exists(_.condition.exists {
+          case LessThanOrEqual(a: Attribute, _: Literal) => rnIds.contains(a.exprId)
+          case GreaterThanOrEqual(_: Literal, a: Attribute) => rnIds.contains(a.exprId)
+          case _ => false
+        })
+        assert(gated, s"$q: collect_list aggregation is not pre-capped by a row_number filter")
+      }
     }
   }
 
