@@ -648,6 +648,49 @@ object Queries {
         Grib2Reader.readLongFormat(s, path)
           .select($"time", $"latitude", $"longitude", $"value")
           .orderBy($"time", $"latitude", $"longitude")
+      }),
+
+    // ---------------------------------------------------------------- S1 S6 (glob -> distributed multi-file ingest, mixed editions, data_uri)
+    // The reference's PRIMARY invocation shape: a file pattern expanded to
+    // one work unit per URI (pattern_to_uris, pipeline.py:42-48). Four GRIB
+    // files — two edition-1, two edition-2 — are read through ONE glob with
+    // per-file index tasks; rows carry their file's data_uri, and the oracle
+    // recomputes every cell from `orders`, so any slip in glob expansion,
+    // per-message edition dispatch, file/value alignment, or uri plumbing
+    // breaks the hash.
+    Q("q52_grib_multifile", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 400)
+      SELECT 'f' || CAST(rn0 // 100 AS VARCHAR) AS file_stem,
+             TIMESTAMP '2026-05-01 00:00:00' + (rn0 // 100) * INTERVAL 6 HOUR AS time,
+             CAST(50 - (rn0 % 100) // 10 AS DOUBLE) AS latitude,
+             CAST(rn0 % 10 AS DOUBLE) AS longitude,
+             CAST(o_orderkey % 997 AS DOUBLE) AS value
+      FROM o
+      ORDER BY file_stem, time, latitude, longitude"""))(
+      (s, d) => {
+        import graft.sources.grib.{GribReader, Grib1Writer => GW, Grib2Writer => GW2}
+        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(400)
+          .select(($"o_orderkey" % 997).cast("double"))
+          .collect().map(_.getDouble(0)).toSeq
+        val t0 = java.time.LocalDateTime.of(2026, 5, 1, 0, 0)
+        val dir = java.nio.file.Files.createTempDirectory("q52").toString
+        def g1(i: Int) = GW.FieldSpec(167, 105, 2, t0.plusHours(6L * i),
+          vals.slice(i * 100, i * 100 + 100), ni = 10, nj = 10,
+          la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0, decimalScale = 0)
+        def g2(i: Int) = GW2.FieldSpec(0, 0, 0, 103, 2, t0.plusHours(6L * i),
+          vals.slice(i * 100, i * 100 + 100), ni = 10, nj = 10,
+          la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0, decimalScale = 0)
+        GW.write(s"$dir/f0.grib", Seq(g1(0)))
+        GW.write(s"$dir/f1.grib", Seq(g1(1)))
+        GW2.write(s"$dir/f2.grib", Seq(g2(2)))
+        GW2.write(s"$dir/f3.grib", Seq(g2(3)))
+        GribReader.readLongFormatGlob(s, s"$dir/*.grib")
+          .select(
+            regexp_extract($"data_uri", "([^/]+)\\.grib$", 1).as("file_stem"),
+            $"time", $"latitude", $"longitude", $"value")
+          .orderBy($"file_stem", $"time", $"latitude", $"longitude")
       })
   )
 

@@ -77,7 +77,11 @@ object Mover {
     * area filter -> variable projection -> metadata columns (bq.py:50-54) ->
     * geo_point/geo_polygon GeoJSON. */
   def extractRows(ds: DataFrame, uri: String, opts: Options = Options()): DataFrame = {
-    val coordCols = Seq(opts.timeCol, opts.latCol, opts.lonCol).filter(ds.columns.contains)
+    // a multi-file (glob) frame already carries per-file data_uri — preserve
+    // it through the variable projection and the per-file metadata below
+    val hasUri = ds.columns.contains("data_uri")
+    val coordCols = (Seq(opts.timeCol, opts.latCol, opts.lonCol) ++
+      (if (hasUri) Seq("data_uri") else Nil)).filter(ds.columns.contains)
     val lat = col(opts.latCol)
     val lon = col(opts.lonCol)
 
@@ -93,17 +97,22 @@ object Mover {
       .map(t => lit(t).cast("timestamp_ntz"))
       .getOrElse(current_timestamp().cast("timestamp_ntz"))
 
-    // data_first_step = first time step of this file (bq.py:325-327). As a
-    // 1-row scalar aggregate broadcast onto every row: partial aggregation
-    // over a column-pruned second scan, then a broadcast nested loop with a
-    // single build row. The obvious `min(time) OVER ()` instead moves EVERY
-    // row of the dataset into one task — a guaranteed OOM at 100 TB.
-    val firstStep = projected
-      .agg(min(col(opts.timeCol).cast("timestamp_ntz")).as("data_first_step"))
-    projected
-      .withColumn("data_import_time", importTime)
-      .withColumn("data_uri", lit(uri))
-      .crossJoin(broadcast(firstStep))
+    // data_first_step = first time step of this FILE (bq.py:325-327). As a
+    // broadcast aggregate: partial aggregation over a column-pruned second
+    // scan, then a broadcast join with one build row per file. The obvious
+    // `min(time) OVER ()` instead moves EVERY row of the dataset into one
+    // task — a guaranteed OOM at 100 TB. Multi-file frames aggregate per
+    // data_uri (the reference's per-URI semantics) and equi-join on it.
+    val stepCol = min(col(opts.timeCol).cast("timestamp_ntz")).as("data_first_step")
+    val base = projected.withColumn("data_import_time", importTime)
+    val withStep =
+      if (hasUri)
+        base.join(broadcast(projected.groupBy(col("data_uri")).agg(stepCol)),
+          Seq("data_uri"))
+      else
+        base.withColumn("data_uri", lit(uri))
+          .crossJoin(broadcast(projected.agg(stepCol)))
+    withStep
       .withColumn("geo_point", GeoFunctions.geoPointJson(lat, lon))
       .withColumn("geo_polygon",
         GeoFunctions.geoPolygonJson(lat, lon, lit(latRes), lit(lonRes)))

@@ -2,6 +2,8 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
 
+import graft.sources.grib.GribIndex
+
 /** Engine-sniffing reader dispatch (S1/S2, weather_mv/loader_pipeline/
   * sinks.py:345-389): the reference tries kwargs-engine, then rasterio for
   * .tif, a netcdf guess, and cfgrib fallbacks. Here the dispatch is by
@@ -41,18 +43,37 @@ object FormatRegistry {
     (st.getLen, st.getModificationTime)
   }
 
+  /** One DataFrame per matched file, each row stamped with its data_uri —
+    * the multi-file path for the per-file native readers (the reference's
+    * primary invocation is a glob, pipeline.py:42-48). Frames union by name
+    * so a file with extra variables doesn't sink the whole pattern. */
+  private def unionPerFile(spark: SparkSession, uri: String,
+      readOne: String => DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val paths = GribIndex.expand(conf, uri)
+    if (paths.isEmpty) throw new IllegalArgumentException(s"no files match: $uri")
+    paths.map(p => readOne(p).select(lit(p).as("data_uri"), col("*")))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Open a URI with format sniffing. `options` mirror the reference's
-    * `open_dataset_kwargs`. */
+    * `open_dataset_kwargs`. Globs and directories fan out per file for the
+    * native scientific formats (Spark's own sources glob natively). */
   def open(spark: SparkSession, uri: String,
       options: Map[String, String] = Map.empty): DataFrame = {
     val ext = options.getOrElse("engine", extensionOf(uri))
     val reader: DataFrameReader = spark.read.options(options - "engine")
+    def multi: Boolean =
+      GribIndex.isMulti(spark.sparkContext.hadoopConfiguration, uri)
     native.get(ext) match {
       case Some(fmt) => reader.format(fmt).load(uri)
       case None if netcdf3.contains(ext) =>
         // signature sniffing inside raises the NetCDF-4 directed error when
         // the payload is actually HDF5-backed
-        graft.sources.netcdf.NetCDF3Reader.readLongFormat(spark, uri)
+        if (multi) unionPerFile(spark, uri,
+          p => graft.sources.netcdf.NetCDF3Reader.readLongFormat(spark, p))
+        else graft.sources.netcdf.NetCDF3Reader.readLongFormat(spark, uri)
       case None if netcdf4.contains(ext) =>
         // DECIDED boundary (round 2): no pure-JVM HDF5 reader. The format's
         // complexity (superblock versions, v1/v2 B-trees, local/global
@@ -65,13 +86,16 @@ object FormatRegistry {
             "`nccopy -k classic file.nc4 file.nc` (classic + 64-bit-offset, Zarr, " +
             "and GRIB1 are read natively).")
       case None if grib.contains(ext) =>
-        // GRIB decode (edition sniffed from the indicator section: 1 and 2
-        // both read natively) + the reference's normalize/merge path
-        // (sinks.py:251-342)
-        graft.sources.grib.GribReader.readMerged(spark, uri)
+        // GRIB decode (per-message edition dispatch: editions 1, 2, and
+        // mixed files all read natively) + the reference's normalize/merge
+        // path (sinks.py:251-342); globs fan out one indexing task per file
+        if (multi) graft.sources.grib.GribReader.readMergedGlob(spark, uri)
+        else graft.sources.grib.GribReader.readMerged(spark, uri)
       case None if tiff.contains(ext) =>
         // GeoTIFF pixel decode + affine/CRS -> lat/lon (sinks.py:149-227)
-        graft.sources.tiff.TiffReader.readLongFormat(spark, uri)
+        if (multi) unionPerFile(spark, uri,
+          p => graft.sources.tiff.TiffReader.readLongFormat(spark, p))
+        else graft.sources.tiff.TiffReader.readLongFormat(spark, uri)
       case None => reader.parquet(uri) // the reference's final fallback is a guess
     }
   }

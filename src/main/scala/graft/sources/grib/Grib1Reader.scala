@@ -80,29 +80,18 @@ object Grib1Reader {
   }
 
   /** Index all messages in a file by hopping section lengths — header-only
-    * ranged reads, no data-body IO. Non-GRIB bytes between messages are
-    * skipped via magic scan. */
-  def indexMessages(conf: Configuration, path: String): Seq[Grib1.Message] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    val fileLen = fs.getFileStatus(p).getLen
-    val in = fs.open(p)
-    def read(off: Long, len: Int): Array[Byte] = {
-      val b = new Array[Byte](len)
-      in.readFully(off, b)
-      b
+    * ranged reads served from a [[BufferedReads]] 64 KiB window (a
+    * 10k-message file costs O(fileLen / 64 KiB) filesystem round-trips, not
+    * ~4 per message). Non-GRIB bytes between messages are skipped via magic
+    * scan. Edition-strict: an edition-2 message raises a directed error
+    * pointing at the edition-agnostic [[GribReader]]. */
+  def indexMessages(conf: Configuration, path: String): Seq[Grib1.Message] =
+    GribIndex.indexFile(conf, path).map {
+      case m: Grib1.Message => m
+      case f: Grib2.Field => throw Grib1.UnsupportedGrib(
+        s"edition 2 field (data at offset ${f.dataOffset}) in a GRIB1-only " +
+          s"index of $path — use GribReader, which reads mixed-edition files")
     }
-    try {
-      val out = Seq.newBuilder[Grib1.Message]
-      var off = nextMessage(read _, fileLen, 0L)
-      while (off >= 0 && off + 8 <= fileLen) {
-        val m = Grib1.parseMessage(read _, off)
-        out += m
-        off = nextMessage(read _, fileLen, off + m.totalLength)
-      }
-      out.result()
-    } finally in.close()
-  }
 
   private def sessionConf(spark: SparkSession): Configuration =
     new Configuration(spark.sparkContext.hadoopConfiguration)
@@ -116,43 +105,8 @@ object Grib1Reader {
   /** [[readLongFormat]] over a pre-built message index (avoids re-reading
     * headers when the caller already indexed the file). */
   def fromIndex(spark: SparkSession, path: String, msgs: Seq[Grib1.Message],
-      partitions: Int = 0): DataFrame = {
-    require(msgs.nonEmpty, s"no GRIB messages in $path")
-    val nPart = if (partitions > 0) partitions
-      else math.max(1, math.min(msgs.size, spark.sparkContext.defaultParallelism))
-    val pathLocal = path
-    val tconf = TaskConf(sessionConf(spark))
-    val rdd = spark.sparkContext.parallelize(msgs, nPart).mapPartitions { it =>
-      graft.sources.RangedIO.rows(pathLocal, tconf) { in =>
-        it.flatMap { m =>
-          val data = new Array[Byte](m.dataBytes)
-          in.readFully(m.dataOffset, data)
-          val bitmap =
-            if (m.bitmapOffset >= 0) {
-              val b = new Array[Byte](m.bitmapBytes)
-              in.readFully(m.bitmapOffset, b)
-              b
-            } else null
-          val values = Grib1.decodeValues(m, data, bitmap)
-          val time = java.time.LocalDateTime.ofEpochSecond(
-            m.validTimeEpochSec, 0, java.time.ZoneOffset.UTC)
-          val level = m.levelName
-          val height = m.levelHeight
-          val stepType = m.stepType
-          val shortName = m.shortName
-          val channel = graft.operators.Mover.channelName(level, height, stepType, shortName)
-          (0 until m.nPoints).iterator.map { k =>
-            val j = k / m.ni
-            val i = k % m.ni
-            val v = values(k)
-            Row(time, m.latOf(j), m.lonOf(i), level, height, stepType, shortName,
-              channel, if (v.isNaN) null else java.lang.Double.valueOf(v))
-          }
-        }
-      }
-    }
-    spark.createDataFrame(rdd, longSchema)
-  }
+      partitions: Int = 0): DataFrame =
+    GribIndex.fromUnits(spark, path, msgs, partitions)
 
   /** Wide per-channel frame: the GRIB normalize path (sinks.py:251-342) —
     * long rows pivoted on the synthesized channel name over the coordinate

@@ -12,25 +12,31 @@ import graft.sources.TaskConf
   * close on task completion). */
 object Grib2Reader {
 
-  /** Index per MESSAGE: (offset, length, fields) — header-only reads. */
+  /** Index per MESSAGE: (offset, length, fields) — header-only reads served
+    * from a [[BufferedReads]] 64 KiB window. */
   def indexMessages(conf: Configuration,
       path: String): Seq[(Long, Long, Seq[Grib2.Field])] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val fileLen = fs.getFileStatus(p).getLen
     val in = fs.open(p)
-    def read(off: Long, len: Int): Array[Byte] = {
+    val raw = (off: Long, len: Int) => {
       val b = new Array[Byte](len)
       in.readFully(off, b)
       b
     }
+    val read = new BufferedReads(raw, fileLen)
     try {
       val out = Seq.newBuilder[(Long, Long, Seq[Grib2.Field])]
-      var off = Grib1Reader.nextMessage(read _, fileLen, 0L)
+      var off = Grib1Reader.nextMessage(read, fileLen, 0L)
       while (off >= 0 && off + 16 <= fileLen) {
-        val (fields, total) = Grib2.parseMessage(read _, off)
+        if (Grib1.u8(read(off, 8), 7) != 2)
+          throw Grib1.UnsupportedGrib(
+            s"edition 1 message at offset $off in a GRIB2-only index of " +
+              s"$path — use GribReader, which reads mixed-edition files")
+        val (fields, total) = Grib2.parseMessage(read, off)
         out += ((off, total, fields))
-        off = Grib1Reader.nextMessage(read _, fileLen, off + total)
+        off = Grib1Reader.nextMessage(read, fileLen, off + total)
       }
       out.result()
     } finally in.close()
@@ -48,43 +54,8 @@ object Grib2Reader {
     fromIndex(spark, path, indexFields(sessionConf(spark), path), partitions)
 
   def fromIndex(spark: SparkSession, path: String, fields: Seq[Grib2.Field],
-      partitions: Int = 0): DataFrame = {
-    require(fields.nonEmpty, s"no GRIB2 fields in $path")
-    val nPart = if (partitions > 0) partitions
-      else math.max(1, math.min(fields.size, spark.sparkContext.defaultParallelism))
-    val pathLocal = path
-    val tconf = TaskConf(sessionConf(spark))
-    val rdd = spark.sparkContext.parallelize(fields, nPart).mapPartitions { it =>
-      graft.sources.RangedIO.rows(pathLocal, tconf) { in =>
-        it.flatMap { f =>
-          val data = new Array[Byte](f.dataBytes)
-          in.readFully(f.dataOffset, data)
-          val bitmap =
-            if (f.bitmapOffset >= 0) {
-              val b = new Array[Byte](f.bitmapBytes)
-              in.readFully(f.bitmapOffset, b)
-              b
-            } else null
-          val values = Grib2.decodeValues(f, data, bitmap)
-          val time = java.time.LocalDateTime.ofEpochSecond(
-            f.validTimeEpochSec, 0, java.time.ZoneOffset.UTC)
-          val level = f.levelName
-          val height = f.levelHeight
-          val stepType = f.stepType
-          val shortName = f.shortName
-          val channel = graft.operators.Mover.channelName(level, height, stepType, shortName)
-          (0 until f.nPoints).iterator.map { k =>
-            val j = k / f.ni
-            val i = k % f.ni
-            val v = values(k)
-            Row(time, f.latOf(j), f.lonOf(i), level, height, stepType, shortName,
-              channel, if (v.isNaN) null else java.lang.Double.valueOf(v))
-          }
-        }
-      }
-    }
-    spark.createDataFrame(rdd, Grib1Reader.longSchema)
-  }
+      partitions: Int = 0): DataFrame =
+    GribIndex.fromUnits(spark, path, fields, partitions)
 
   def readMerged(spark: SparkSession, path: String, partitions: Int = 0): DataFrame = {
     val fields = indexFields(sessionConf(spark), path)
@@ -99,9 +70,14 @@ object Grib2Reader {
   }
 }
 
-/** Edition-sniffing facade: byte 8 of the indicator section says 1 or 2;
-  * dispatch accordingly (cfgrib reads both transparently — so does this). */
+/** Edition-agnostic facade: the index dispatches PER MESSAGE on indicator
+  * octet 8, so pure edition-1, pure edition-2, and mixed-edition files all
+  * read through one path (cfgrib reads mixed archives transparently — so
+  * does this). Glob/directory patterns fan out one indexing task per file
+  * ([[GribIndex.readLongFormatFiles]]). */
 object GribReader {
+  /** Edition of the FIRST message (sniffing aid; the readers no longer
+    * depend on file-wide edition uniformity). */
   def edition(conf: Configuration, path: String): Int = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
@@ -120,20 +96,38 @@ object GribReader {
     } finally in.close()
   }
 
-  def readLongFormat(spark: SparkSession, path: String, partitions: Int = 0): DataFrame =
-    editionOf(spark, path) match {
-      case 1 => Grib1Reader.readLongFormat(spark, path, partitions)
-      case 2 => Grib2Reader.readLongFormat(spark, path, partitions)
-      case e => throw Grib1.UnsupportedGrib(s"edition $e")
-    }
+  private def sessionConf(spark: SparkSession): Configuration =
+    new Configuration(spark.sparkContext.hadoopConfiguration)
 
-  def readMerged(spark: SparkSession, path: String, partitions: Int = 0): DataFrame =
-    editionOf(spark, path) match {
-      case 1 => Grib1Reader.readMerged(spark, path, partitions)
-      case 2 => Grib2Reader.readMerged(spark, path, partitions)
-      case e => throw Grib1.UnsupportedGrib(s"edition $e")
-    }
+  def readLongFormat(spark: SparkSession, path: String, partitions: Int = 0): DataFrame = {
+    val units = GribIndex.indexFile(sessionConf(spark), path)
+    require(units.nonEmpty, s"not a GRIB file: $path")
+    GribIndex.fromUnits(spark, path, units, partitions)
+  }
 
-  private def editionOf(spark: SparkSession, path: String): Int =
-    edition(new Configuration(spark.sparkContext.hadoopConfiguration), path)
+  def readMerged(spark: SparkSession, path: String, partitions: Int = 0): DataFrame = {
+    val units = GribIndex.indexFile(sessionConf(spark), path)
+    require(units.nonEmpty, s"not a GRIB file: $path")
+    val channels = units.map(_.channel).distinct
+    val long = GribIndex.fromUnits(spark, path, units, partitions)
+      .select("time", "latitude", "longitude", "channel", "value")
+    graft.operators.Mover.mergeChannels(
+      long, Seq("time", "latitude", "longitude"), "channel", "value", channels)
+  }
+
+  /** Long format over a glob/directory pattern — one indexing+decoding task
+    * per file, rows carry data_uri (pattern_to_uris, pipeline.py:42-48). */
+  def readLongFormatGlob(spark: SparkSession, pattern: String): DataFrame = {
+    val paths = GribIndex.expand(sessionConf(spark), pattern)
+    require(paths.nonEmpty, s"no files match GRIB pattern: $pattern")
+    GribIndex.readLongFormatFiles(spark, paths)
+  }
+
+  /** Channel-merged frame over a glob/directory pattern; the pivot key
+    * includes data_uri (= the reference's per-URI extract then union). */
+  def readMergedGlob(spark: SparkSession, pattern: String): DataFrame = {
+    val paths = GribIndex.expand(sessionConf(spark), pattern)
+    require(paths.nonEmpty, s"no files match GRIB pattern: $pattern")
+    GribIndex.readMergedFiles(spark, paths)
+  }
 }
