@@ -691,6 +691,34 @@ object Queries {
             regexp_extract($"data_uri", "([^/]+)\\.grib$", 1).as("file_stem"),
             $"time", $"latitude", $"longitude", $"value")
           .orderBy($"file_stem", $"time", $"latitude", $"longitude")
+      }),
+
+    // ---------------------------------------------------------------- S4 (TIFF LZW + horizontal predictor end-to-end)
+    // Values from `orders` round-trip through a REAL LZW-compressed,
+    // predictor-2, uint16 GeoTIFF (what the reference's COG writer emits,
+    // ee.py:662); the oracle recomputes the raster from `orders` — any
+    // codec or predictor bit-slip breaks the hash.
+    Q("q53_tiff_lzw_extract", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200)
+      SELECT CAST(50 - (rn0 // 20) - 0.5 AS DOUBLE) AS latitude,
+             CAST((rn0 % 20) + 0.5 AS DOUBLE) AS longitude,
+             CAST(o_orderkey % 997 AS DOUBLE) AS band_1
+      FROM o
+      ORDER BY latitude, longitude"""))(
+      (s, d) => {
+        import graft.sources.tiff.{TiffReader, TiffWriter => TW}
+        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+          .select(($"o_orderkey" % 997).cast("double"))
+          .collect().map(_.getDouble(0)).toSeq
+        val path = java.nio.file.Files.createTempDirectory("q53").toString + "/q53.tif"
+        TW.write(path, TW.Spec(20, 10, 1, vals,
+          pixelScale = (1.0, 1.0), tiepointXY = (0.0, 50.0), epsg = 4326,
+          rowsPerStrip = 3, lzw = true, predictor = 2,
+          bitsPerSample = 16, sampleFormat = 1))
+        TiffReader.readLongFormat(s, path)
+          .orderBy($"latitude", $"longitude")
       })
   )
 

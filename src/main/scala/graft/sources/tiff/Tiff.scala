@@ -36,7 +36,8 @@ object Tiff {
       // georeferencing
       pixelScale: Seq[Double],   // (sx, sy, sz)
       tiepoint: Seq[Double],     // (i, j, k, x, y, z)
-      epsg: Int) {               // 4326 | 326xx | 327xx | 0 (unknown)
+      epsg: Int,                 // 4326 | 326xx | 327xx | 0 (unknown)
+      predictor: Int = 1) {      // 1 none, 2 horizontal differencing
 
     def tiled: Boolean = tileOffsets.nonEmpty
 
@@ -73,23 +74,38 @@ object Tiff {
     }
   }
 
-  /** Parse header + first IFD from the (small) head bytes of the file —
-    * offsets/bytecounts arrays included. `headBytes` must cover the IFD and
-    * any out-of-line tag values; 1 MB covers real headers. */
-  def parseMeta(head: Array[Byte]): Meta = {
-    require(head.length >= 8, "not a TIFF: too short")
-    val le = head(0) == 'I' && head(1) == 'I'
-    val be = head(0) == 'M' && head(1) == 'M'
+  /** Back-compat entry: parse from a fully in-memory file image. */
+  def parseMeta(head: Array[Byte]): Meta =
+    parseMeta((off, len) => java.util.Arrays.copyOfRange(
+      head, off.toInt, off.toInt + len), head.length.toLong)
+
+  /** Parse header + first IFD by FOLLOWING offsets with ranged reads — the
+    * IFD and out-of-line values can sit anywhere in the file (trailing-IFD
+    * writers put them at EOF), so no fixed-size head probe can cover them.
+    * Issues ~1 read per out-of-line tag; headers stay O(KiB) of IO total. */
+  def parseMeta(read: (Long, Int) => Array[Byte], fileLen: Long): Meta = {
+    require(fileLen >= 8, "not a TIFF: too short")
+    val hdr = read(0, 8)
+    val le = hdr(0) == 'I' && hdr(1) == 'I'
+    val be = hdr(0) == 'M' && hdr(1) == 'M'
     require(le || be, "not a TIFF: bad byte-order mark")
-    val c = new Cursor(head, le)
-    require(c.u16(2) == 42, s"not a classic TIFF (magic ${c.u16(2)}; BigTIFF unsupported)")
-    val ifd = c.u32(4)
-    val n = c.u16(ifd)
+    val h = new Cursor(hdr, le)
+    val magic = h.u16(2)
+    if (magic == 43)
+      throw UnsupportedTiff("BigTIFF (magic 43); use classic TIFF — " +
+        "convert with `gdal_translate -co BIGTIFF=NO`")
+    require(magic == 42, s"not a classic TIFF (magic $magic)")
+    val ifd = h.u32(4)
+    require(ifd + 2 <= fileLen, s"IFD offset $ifd beyond EOF $fileLen")
+    val n = new Cursor(read(ifd, 2), le).u16(0)
+    require(ifd + 2 + n * 12L <= fileLen, s"IFD ($n entries) truncated at EOF")
+    val ec = new Cursor(read(ifd + 2, n * 12), le)
     var width, height = 0
     var bits = 1
     var fmt = 1
     var spp = 1
     var comp = 1
+    var pred = 1
     var rps = 0
     var so, sbc, to, tbc = Seq.empty[Long]
     var tw, tl = 0
@@ -97,8 +113,8 @@ object Tiff {
     var geoKeys = Seq.empty[Int]
 
     def values(entry: Long): Seq[Long] = {
-      val typ = c.u16(entry + 2)
-      val count = c.u32(entry + 4)
+      val typ = ec.u16(entry + 2)
+      val count = ec.u32(entry + 4)
       val size = typ match {
         case 1 | 2 | 6 | 7 => 1
         case 3 => 2
@@ -106,8 +122,17 @@ object Tiff {
         case 12 => 8
         case other => throw UnsupportedTiff(s"tag type $other")
       }
-      val inline = size * count <= 4
-      val base = if (inline) entry + 8 else c.u32(entry + 8)
+      val total = size * count
+      // inline values live in the entry itself; out-of-line values get one
+      // ranged read at the offset the entry points to
+      val (c, base) =
+        if (total <= 4) (ec, entry + 8)
+        else {
+          val off = ec.u32(entry + 8)
+          require(off + total <= fileLen,
+            s"tag value span [$off, ${off + total}) beyond EOF $fileLen")
+          (new Cursor(read(off, total.toInt), le), 0L)
+        }
       (0L until count).map { k =>
         typ match {
           case 1 | 2 | 6 | 7 => c.u8(base + k).toLong
@@ -122,12 +147,13 @@ object Tiff {
 
     var i = 0
     while (i < n) {
-      val e = ifd + 2 + i * 12L
-      c.u16(e) match {
+      val e = i * 12L
+      ec.u16(e) match {
         case 256 => width = values(e).head.toInt
         case 257 => height = values(e).head.toInt
         case 258 => bits = values(e).head.toInt
         case 259 => comp = values(e).head.toInt
+        case 317 => pred = values(e).head.toInt
         case 273 => so = values(e)
         case 277 => spp = values(e).head.toInt
         case 278 => rps = values(e).head.toInt
@@ -147,8 +173,13 @@ object Tiff {
       i += 1
     }
     require(width > 0 && height > 0, "TIFF missing dimensions")
-    if (!Set(1, 8, 32946).contains(comp))
-      throw UnsupportedTiff(s"compression $comp (none/deflate only)")
+    if (!Set(1, 5, 8, 32946).contains(comp))
+      throw UnsupportedTiff(s"compression $comp (none/LZW/deflate only)")
+    if (pred == 2 && fmt == 3)
+      throw UnsupportedTiff("predictor 2 with floating-point samples " +
+        "(predictor 3 is the float predictor; not emitted by this engine)")
+    if (pred != 1 && pred != 2)
+      throw UnsupportedTiff(s"predictor $pred (none/horizontal only)")
     if (so.isEmpty && to.isEmpty) throw UnsupportedTiff("no strip or tile offsets")
     // TIFF 6.0: a missing RowsPerStrip tag means one strip of all rows
     if (so.nonEmpty && (rps <= 0 || rps > height)) rps = height
@@ -172,16 +203,20 @@ object Tiff {
       }
     }
     Meta(le, width, height, bits, fmt, spp, comp, rps, so, sbc, tw, tl, to, tbc,
-      scale, tie, epsg)
+      scale, tie, epsg, pred)
   }
 
-  /** Decode one strip/tile's raw bytes to doubles (sample-interleaved). */
-  def decodeBlock(m: Meta, raw: Array[Byte], nValues: Int): Array[Double] = {
+  /** Decode one strip/tile's raw bytes to doubles (sample-interleaved).
+    * `rowSamples` is the sample count of one scanline of THIS block (block
+    * width * samplesPerPixel) — the horizontal predictor resets per row. */
+  def decodeBlock(m: Meta, raw: Array[Byte], nValues: Int,
+      rowSamples: Int = 0): Array[Double] = {
     val bytes = m.compression match {
       case 1 => raw
+      case 5 => Lzw.decode(raw, nValues * (m.bitsPerSample / 8))
       case 8 | 32946 => inflate(raw, nValues * (m.bitsPerSample / 8))
     }
-    val out = new Array[Double](nValues)
+    val ints = new Array[Long](nValues)
     val w = m.bitsPerSample / 8
     var k = 0
     while (k < nValues) {
@@ -193,6 +228,30 @@ object Tiff {
         bits |= (if (m.littleEndian) byte << (8 * j) else byte << (8 * (w - 1 - j)))
         j += 1
       }
+      ints(k) = bits
+      k += 1
+    }
+    if (m.predictor == 2) {
+      // undo horizontal differencing: cumulative sum along each scanline,
+      // per sample component, modulo 2^bits (TIFF 6.0 §14)
+      require(rowSamples > 0, "predictor 2 needs the block's row width")
+      val mask = if (m.bitsPerSample == 64) -1L else (1L << m.bitsPerSample) - 1
+      val spp = m.samplesPerPixel
+      var row0 = 0
+      while (row0 < nValues) {
+        var k = row0 + spp
+        val end = math.min(row0 + rowSamples, nValues)
+        while (k < end) {
+          ints(k) = (ints(k) + ints(k - spp)) & mask
+          k += 1
+        }
+        row0 += rowSamples
+      }
+    }
+    val out = new Array[Double](nValues)
+    k = 0
+    while (k < nValues) {
+      val bits = ints(k)
       out(k) = (m.sampleFormat, m.bitsPerSample) match {
         case (3, 32) => java.lang.Float.intBitsToFloat(bits.toInt).toDouble
         case (3, 64) => java.lang.Double.longBitsToDouble(bits)

@@ -20,16 +20,20 @@ import graft.sources.TaskConf
   * 4326 rasters pass model coordinates straight through. */
 object TiffReader {
 
-  private val HeaderProbeBytes = 1 << 20
-
+  /** Parse the header + first IFD by FOLLOWING offsets with ranged reads —
+    * works wherever the IFD sits (trailing-IFD writers put it at EOF, which
+    * a fixed-size head probe cannot reach). */
   def readMeta(conf: Configuration, path: String): Tiff.Meta = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val len = math.min(fs.getFileStatus(p).getLen, HeaderProbeBytes.toLong).toInt
-    val buf = new Array[Byte](len)
+    val fileLen = fs.getFileStatus(p).getLen
     val in = fs.open(p)
-    try in.readFully(0, buf) finally in.close()
-    Tiff.parseMeta(buf)
+    try Tiff.parseMeta((off, len) => {
+      val b = new Array[Byte](len)
+      in.readFully(off, b)
+      b
+    }, fileLen)
+    finally in.close()
   }
 
   def readLongFormat(spark: SparkSession, path: String): DataFrame = {
@@ -67,7 +71,8 @@ object TiffReader {
           val (bw, bh) =
             if (m.tiled) (m.tileWidth, m.tileLength)
             else (m.width, math.min(m.rowsPerStrip, m.height - row0))
-          val values = Tiff.decodeBlock(m, raw, bw * bh * m.samplesPerPixel)
+          val values = Tiff.decodeBlock(m, raw, bw * bh * m.samplesPerPixel,
+            rowSamples = bw * m.samplesPerPixel)
           for {
             r <- (0 until bh).iterator
             cIdx <- (0 until bw).iterator

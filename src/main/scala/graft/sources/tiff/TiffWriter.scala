@@ -4,7 +4,8 @@ import java.io.FileOutputStream
 import java.util.zip.Deflater
 
 /** Minimal GeoTIFF fixture writer: little-endian classic TIFF, one IFD,
-  * float32 samples, stripped layout, compression none or deflate,
+  * stripped layout, compression none / deflate / LZW (with the horizontal
+  * predictor for integer samples), float32 or integer samples,
   * ModelPixelScale/ModelTiepoint + a GeoKeyDirectory carrying one EPSG
   * code. Enough to exercise [[TiffReader]] without rasterio/GDAL. */
 object TiffWriter {
@@ -18,7 +19,57 @@ object TiffWriter {
       tiepointXY: (Double, Double), // model x/y of pixel (0, 0) corner
       epsg: Int,
       rowsPerStrip: Int = 8,
-      deflate: Boolean = false)
+      deflate: Boolean = false,
+      lzw: Boolean = false,
+      predictor: Int = 1,          // 2 = horizontal differencing (int only)
+      bitsPerSample: Int = 32,
+      sampleFormat: Int = 3) {     // 1 uint, 2 int, 3 ieee float
+
+    def compressionCode: Int =
+      if (lzw) 5 else if (deflate) 8 else 1
+  }
+
+  /** One scanline-block of samples as packed little-endian bytes, predictor
+    * applied (TIFF 6.0 §14: difference per component along the row). */
+  private[tiff] def packSamples(s: Spec, values: Seq[Double], rowSamples: Int): Array[Byte] = {
+    require(!(s.predictor == 2 && s.sampleFormat == 3),
+      "predictor 2 applies to integer samples")
+    val w = s.bitsPerSample / 8
+    val ints = new Array[Long](values.size)
+    var k = 0
+    while (k < ints.length) {
+      ints(k) = (s.sampleFormat, s.bitsPerSample) match {
+        case (3, 32) => java.lang.Float.floatToIntBits(values(k).toFloat).toLong & 0xffffffffL
+        case (3, 64) => java.lang.Double.doubleToLongBits(values(k))
+        case (_, b) => values(k).toLong & (if (b == 64) -1L else (1L << b) - 1)
+      }
+      k += 1
+    }
+    if (s.predictor == 2) {
+      val mask = if (s.bitsPerSample == 64) -1L else (1L << s.bitsPerSample) - 1
+      var row0 = 0
+      while (row0 < ints.length) {
+        val end = math.min(row0 + rowSamples, ints.length)
+        var k = end - 1
+        while (k >= row0 + s.bands) {
+          ints(k) = (ints(k) - ints(k - s.bands)) & mask
+          k -= 1
+        }
+        row0 += rowSamples
+      }
+    }
+    val out = new Array[Byte](ints.length * w)
+    k = 0
+    while (k < ints.length) {
+      var j = 0
+      while (j < w) {
+        out(k * w + j) = ((ints(k) >> (8 * j)) & 0xff).toByte
+        j += 1
+      }
+      k += 1
+    }
+    out
+  }
 
   def write(path: String, s: Spec): Unit = {
     require(s.data.size == s.width * s.height * s.bands, "data size mismatch")
@@ -28,11 +79,11 @@ object TiffWriter {
     val stripBytes = (0 until nStrips).map { i =>
       val rows = math.min(s.rowsPerStrip, s.height - i * s.rowsPerStrip)
       val n = rows * s.width * s.bands
-      val bb = java.nio.ByteBuffer.allocate(n * 4)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       val base = i * s.rowsPerStrip * s.width * s.bands
-      (0 until n).foreach(k => bb.putFloat(s.data(base + k).toFloat))
-      if (s.deflate) deflate(bb.array()) else bb.array()
+      val raw = packSamples(s, s.data.slice(base, base + n), s.width * s.bands)
+      if (s.lzw) Lzw.encode(raw)
+      else if (s.deflate) deflate(raw)
+      else raw
     }
 
     val geoKeys: Seq[Int] = {
@@ -55,15 +106,19 @@ object TiffWriter {
     val sbcOff = off; off += nStrips * 4L
     val ifdOff = off
 
-    val entries = Seq[(Int, Int, Long, Long)](   // tag, type, count, value
+    val entries = (Seq[(Int, Int, Long, Long)](   // tag, type, count, value
       (256, 3, 1, s.width), (257, 3, 1, s.height),
-      (258, 3, 1, 32), (259, 3, 1, if (s.deflate) 8 else 1),
+      (258, 3, 1, s.bitsPerSample), (259, 3, 1, s.compressionCode),
       (273, 4, nStrips, if (nStrips == 1) stripOffsets.head else soOff),
       (277, 3, 1, s.bands), (278, 3, 1, s.rowsPerStrip),
       (279, 4, nStrips, if (nStrips == 1) stripBytes.head.length.toLong else sbcOff),
-      (284, 3, 1, 1), (339, 3, 1, 3),
-      (33550, 12, 3, scaleOff), (33922, 12, 6, tieOff),
-      (34735, 3, geoKeys.size, geoKeyOff))
+      (284, 3, 1, 1)) ++
+      (if (s.predictor != 1)
+        Seq[(Int, Int, Long, Long)]((317, 3, 1, s.predictor.toLong)) else Nil) ++
+      Seq[(Int, Int, Long, Long)](
+        (339, 3, 1, s.sampleFormat),
+        (33550, 12, 3, scaleOff), (33922, 12, 6, tieOff),
+        (34735, 3, geoKeys.size, geoKeyOff))).sortBy(_._1)
 
     val out = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }

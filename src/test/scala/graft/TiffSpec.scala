@@ -105,6 +105,171 @@ class TiffSpec extends SparkSpec {
     assert(extracted.count() == w * h)
   }
 
+  test("trailing IFD beyond 1 MiB parses via offset-following reads") {
+    // this writer lays strip data BEFORE the IFD, so any raster with > 1 MiB
+    // of pixels puts the IFD past the old fixed-size head probe — the
+    // regression that motivated ranged IFD parsing
+    val dir = java.nio.file.Files.createTempDirectory("tifbig").toString
+    val p = s"$dir/big.tif"
+    val (bw, bh) = (640, 520) // 640*520*4 B = 1.33 MB of float32 pixels
+    TW.write(p, TW.Spec(bw, bh, 1,
+      (0 until bw * bh).map(k => (k % 1000).toDouble),
+      pixelScale = (0.01, 0.01), tiepointXY = (0.0, 50.0), epsg = 4326,
+      rowsPerStrip = 256))
+    val meta = TiffReader.readMeta(
+      new org.apache.hadoop.conf.Configuration(
+        spark.sparkContext.hadoopConfiguration), p)
+    assert(meta.width == bw && meta.height == bh)
+    val df = TiffReader.readLongFormat(spark, p)
+    assert(df.count() == bw.toLong * bh)
+    assert(df.filter($"band_1" === 999.0).count() > 0)
+  }
+
+  test("BigTIFF raises a directed error") {
+    val dir = java.nio.file.Files.createTempDirectory("tifbigtiff").toString
+    val p = s"$dir/big.tif"
+    // II + magic 43 (BigTIFF) + 8-byte offset header stub
+    java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      Array[Byte]('I', 'I', 43, 0, 8, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0))
+    val e = intercept[graft.sources.tiff.Tiff.UnsupportedTiff] {
+      TiffReader.readMeta(new org.apache.hadoop.conf.Configuration(
+        spark.sparkContext.hadoopConfiguration), p)
+    }
+    assert(e.getMessage.contains("BigTIFF"))
+  }
+
+  test("LZW codec round-trips arbitrary payloads") {
+    import graft.sources.tiff.Lzw
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(1, 2, 255, 256, 4096, 70000)) {
+      // low-entropy payload exercises long table runs + width changes
+      val data = Array.tabulate(n)(i =>
+        ((i / 7) % 16 + (if (rnd.nextInt(10) == 0) rnd.nextInt(256) else 0)).toByte)
+      val round = Lzw.decode(Lzw.encode(data), n)
+      assert(java.util.Arrays.equals(round, data), s"LZW round-trip failed at n=$n")
+    }
+  }
+
+  test("LZW strips with the horizontal predictor decode identically") {
+    val dir = java.nio.file.Files.createTempDirectory("tiflzw").toString
+    val raw = s"$dir/raw.tif"
+    val lzw = s"$dir/lzw.tif"
+    // uint16 samples so predictor 2 applies; values wrap across rows
+    val data = vals((r, c) => ((r * 531 + c * 17) % 65536).toDouble)
+    val spec = TW.Spec(w, h, 1, data,
+      pixelScale = (0.5, 0.5), tiepointXY = (10.0, 55.0), epsg = 4326,
+      rowsPerStrip = 2, bitsPerSample = 16, sampleFormat = 1)
+    TW.write(raw, spec)
+    TW.write(lzw, spec.copy(lzw = true, predictor = 2))
+    val a = TiffReader.readLongFormat(spark, raw)
+      .orderBy($"latitude", $"longitude").collect()
+    val b = TiffReader.readLongFormat(spark, lzw)
+      .orderBy($"latitude", $"longitude").collect()
+    assert(a.toSeq == b.toSeq)
+    // float32 LZW without predictor also round-trips
+    val f32 = s"$dir/f32.tif"
+    TW.write(f32, TW.Spec(w, h, 1, vals((r, c) => r * 7.0 + c * 0.25),
+      pixelScale = (0.5, 0.5), tiepointXY = (10.0, 55.0), epsg = 4326,
+      rowsPerStrip = 2, lzw = true))
+    assert(TiffReader.readLongFormat(spark, f32)
+      .filter($"band_1" === (2 * 7.0 + 3 * 0.25)).count() == 1)
+  }
+
+  test("predictor 2 with float samples raises a directed error") {
+    val dir = java.nio.file.Files.createTempDirectory("tifpred").toString
+    val p = s"$dir/pf.tif"
+    intercept[IllegalArgumentException] {
+      TW.write(p, TW.Spec(w, h, 1, vals((r, c) => r + c * 0.5),
+        pixelScale = (0.5, 0.5), tiepointXY = (10.0, 55.0), epsg = 4326,
+        lzw = true, predictor = 2))
+    }
+  }
+
+  test("COG writer: tiled output reads back exactly through our own reader") {
+    import graft.sources.tiff.CogWriter
+    val dir = java.nio.file.Files.createTempDirectory("cog").toString
+    val p = s"$dir/c.tif"
+    val (bw, bh) = (300, 200)
+    val data = (0 until bw * bh).map(k => ((k * 31) % 4096).toDouble)
+    CogWriter.write(p, CogWriter.Spec(bw, bh, 1, data,
+      pixelScale = (0.01, 0.01), tiepointXY = (0.0, 50.0), epsg = 4326,
+      tileWidth = 128, tileLength = 128,
+      lzw = true, predictor = 2, bitsPerSample = 16, sampleFormat = 1))
+    val df = TiffReader.readLongFormat(spark, p)
+    assert(df.count() == bw.toLong * bh) // tile edge padding dropped
+    // spot-check pixel (r=3, c=7): value (3*300+7)*31 % 4096
+    val lat = 50.0 - 3.5 * 0.01
+    val lon = 7.5 * 0.01
+    val got = df.filter(abs($"latitude" - lat) < 1e-9 && abs($"longitude" - lon) < 1e-9)
+      .head().getAs[Double]("band_1")
+    assert(got == ((3 * 300 + 7) * 31 % 4096).toDouble)
+  }
+
+  test("COG golden layout: IFD chain first, overview pyramid, full-res data last") {
+    import graft.sources.tiff.{CogWriter, Tiff}
+    val dir = java.nio.file.Files.createTempDirectory("cogg").toString
+    val p = s"$dir/g.tif"
+    val (bw, bh) = (300, 200)
+    CogWriter.write(p, CogWriter.Spec(bw, bh, 1,
+      Seq.fill(bw * bh)(7.0),
+      pixelScale = (0.01, 0.01), tiepointXY = (0.0, 50.0), epsg = 4326,
+      tileWidth = 128, tileLength = 128,
+      lzw = true, predictor = 2, bitsPerSample = 16, sampleFormat = 1))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    def u16(i: Int) = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def u32(i: Int) = (u16(i).toLong) | (u16(i + 2).toLong << 16)
+    // walk the IFD chain: (ifdOff, width, subfileType, tileOffsets)
+    var ifd = u32(4)
+    var chain = Seq.empty[(Long, Int, Long, Seq[Long])]
+    while (ifd != 0) {
+      val n = u16(ifd.toInt)
+      var width = 0
+      var sub = -1L
+      var to = Seq.empty[Long]
+      (0 until n).foreach { k =>
+        val e = ifd.toInt + 2 + k * 12
+        u16(e) match {
+          case 254 => sub = u32(e + 8)
+          case 256 => width = u32(e + 8).toInt
+          case 324 =>
+            val cnt = u32(e + 4).toInt
+            val base = if (cnt == 1) e + 8 else u32(e + 8).toInt
+            to = (0 until cnt).map(t => u32(base + t * 4))
+          case _ =>
+        }
+      }
+      chain = chain :+ ((ifd, width, sub, to))
+      ifd = u32(ifd.toInt + 2 + n * 12)
+    }
+    // pyramid: 300 -> 150 -> 75 (fits 128) = 3 IFDs, full res first
+    assert(chain.map(_._2) == Seq(300, 150, 75))
+    assert(chain.map(_._3) == Seq(0L, 1L, 1L)) // NewSubfileType overview flags
+    // COG rule 1: every IFD structure sits before ALL tile data
+    val headEnd = chain.map(c => c._1).max
+    val allTileOffsets = chain.flatMap(_._4)
+    assert(allTileOffsets.forall(_ > headEnd), "tile data interleaved with IFDs")
+    // COG rule 2: smallest overview's data first, full resolution LAST
+    val mins = chain.map(_._4.min)
+    assert(mins == mins.sorted.reverse, s"data region not smallest-first: $mins")
+    assert(chain.head._4.min > chain.last._4.max, "full-res data not last")
+    // overview IFDs decode through parseMeta (patched header offset) and
+    // carry the averaged pyramid (uniform input -> uniform overviews)
+    val patched = bytes.clone()
+    val ov = chain(1)._1
+    patched(4) = (ov & 0xff).toByte
+    patched(5) = ((ov >> 8) & 0xff).toByte
+    patched(6) = ((ov >> 16) & 0xff).toByte
+    patched(7) = ((ov >> 24) & 0xff).toByte
+    val om = Tiff.parseMeta(patched)
+    assert(om.width == 150 && om.tiled && om.pixelScale.head == 0.02)
+    val t0 = om.tileOffsets.head
+    val raw = java.util.Arrays.copyOfRange(bytes, t0.toInt,
+      (t0 + om.tileByteCounts.head).toInt)
+    val vals = Tiff.decodeBlock(om, raw, om.tileWidth * om.tileLength,
+      om.tileWidth)
+    assert(vals.take(om.tileWidth).forall(_ == 7.0))
+  }
+
   test("non-TIFF bytes raise directed errors") {
     val e = intercept[IllegalArgumentException](
       graft.sources.tiff.Tiff.parseMeta("NOTATIFF0123456789".getBytes))
