@@ -719,6 +719,43 @@ object Queries {
           bitsPerSample = 16, sampleFormat = 1))
         TiffReader.readLongFormat(s, path)
           .orderBy($"latitude", $"longitude")
+      }),
+
+    // ---------------------------------------------------------------- S1 (GRIB2 complex packing, templates 5.2 + 5.3)
+    // Same `orders` grid as q50, but message 1 packs with template 5.2
+    // (grouped) and message 2 with 5.3 (grouped + second-order spatial
+    // differencing) — the operational ECMWF/NCEP packings the reference
+    // reads via eccodes (sinks.py:371-389). Any group/width/length or
+    // differencing slip breaks the hash against the DuckDB recomputation.
+    Q("q54_grib2_complex", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200)
+      SELECT CASE WHEN rn0 // 100 = 0 THEN TIMESTAMP '2026-06-01 00:00:00'
+                  ELSE TIMESTAMP '2026-06-01 06:00:00' END AS time,
+             CAST(50 - (rn0 % 100) // 10 AS DOUBLE) AS latitude,
+             CAST(rn0 % 10 AS DOUBLE) AS longitude,
+             CAST(o_orderkey % 997 AS DOUBLE) AS value
+      FROM o
+      ORDER BY time, latitude, longitude"""))(
+      (s, d) => {
+        import graft.sources.grib.{Grib2Reader, Grib2Writer => GW2}
+        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+          .select(($"o_orderkey" % 997).cast("double"))
+          .collect().map(_.getDouble(0)).toSeq
+        val t0 = java.time.LocalDateTime.of(2026, 6, 1, 0, 0)
+        val path = java.nio.file.Files.createTempDirectory("q54").toString + "/q54.grib2"
+        def spec(v: Seq[Double], fcst: Int, pack: Int) = GW2.FieldSpec(
+          discipline = 0, category = 0, number = 0, levelType = 103,
+          levelScaledValue = 2, refTime = t0, values = v, ni = 10, nj = 10,
+          la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0,
+          forecastTime = fcst, decimalScale = 0,
+          packing = pack, spatialOrder = 2, groupSize = 17)
+        GW2.write(path, Seq(spec(vals.take(100), 0, pack = 2),
+          spec(vals.drop(100), 6, pack = 3)))
+        Grib2Reader.readLongFormat(s, path)
+          .select($"time", $"latitude", $"longitude", $"value")
+          .orderBy($"time", $"latitude", $"longitude")
       })
   )
 

@@ -48,7 +48,10 @@ object Grib2 {
       bitmapOffset: Long,       // -1 when absent
       bitmapBytes: Int,
       dataOffset: Long,
-      dataBytes: Int) extends GribUnit {
+      dataBytes: Int,
+      // data representation: 0 simple, 2 complex, 3 complex + spatial diff
+      reprTemplate: Int = 0,
+      complex: Option[ComplexPacking] = None) extends GribUnit {
 
     def nPoints: Int = ni * nj
 
@@ -122,6 +125,20 @@ object Grib2 {
       if (ni == 1) lo1 else lo1 + (lo2 - lo1) * i / (ni - 1)
   }
 
+  /** Template 5.2/5.3 parameters (WMO FM 92 GRIB2 section 5). */
+  final case class ComplexPacking(
+      groupSplitting: Int,      // 1 = general group splitting
+      missingMgmt: Int,         // 0 = none (bitmap handles missing)
+      ng: Int,                  // number of groups
+      groupWidthRef: Int,
+      groupWidthBits: Int,
+      groupLengthRef: Long,
+      groupLengthInc: Int,
+      lastGroupLength: Long,
+      groupLengthBits: Int,
+      spatialOrder: Int,        // 0 for 5.2; 1|2 for 5.3
+      extraOctets: Int)         // width of 5.3's initial values + minimum
+
   import Grib1.{u8, u16, UnsupportedGrib}
 
   def u32(b: Array[Byte], i: Int): Long =
@@ -154,7 +171,7 @@ object Grib2 {
     // current 3/4/5/6 state
     var grid: Option[(Int, Int, Double, Double, Double, Double, Int)] = None
     var prod: Option[(Int, Int, Int, Int, Int, Double, Int, Long)] = None
-    var repr: Option[(Double, Int, Int, Int)] = None
+    var repr: Option[(Double, Int, Int, Int, Int, Option[ComplexPacking])] = None
     var bitmapOffset = -1L
     var bitmapBytes = 0
 
@@ -217,12 +234,39 @@ object Grib2 {
           prod = Some((cat, num, timeUnit, fcst, levelType, levelValue,
             statProcess, intervalEnd))
         case 5 =>
-          val b = read(cur, math.min(secLen, 22L).toInt)
+          val b = read(cur, math.min(secLen, 49L).toInt)
           val template = u16(b, 9)
-          if (template != 0)
-            throw UnsupportedGrib(s"data representation template 5.$template " +
-              "(only 5.0 simple packing)")
-          repr = Some((ieee32(b, 11), Grib1.s16(b, 15), Grib1.s16(b, 17), u8(b, 19)))
+          template match {
+            case 0 =>
+              repr = Some((ieee32(b, 11), Grib1.s16(b, 15), Grib1.s16(b, 17),
+                u8(b, 19), 0, None))
+            case 2 | 3 =>
+              val cp = ComplexPacking(
+                groupSplitting = u8(b, 21),
+                missingMgmt = u8(b, 22),
+                ng = u32(b, 31).toInt,
+                groupWidthRef = u8(b, 35),
+                groupWidthBits = u8(b, 36),
+                groupLengthRef = u32(b, 37),
+                groupLengthInc = u8(b, 41),
+                lastGroupLength = u32(b, 42),
+                groupLengthBits = u8(b, 46),
+                spatialOrder = if (template == 3) u8(b, 47) else 0,
+                extraOctets = if (template == 3) u8(b, 48) else 0)
+              if (cp.missingMgmt != 0)
+                throw UnsupportedGrib(
+                  s"complex packing missing-value management ${cp.missingMgmt} " +
+                    "(bitmap-signalled missing only)")
+              if (template == 3 && (cp.spatialOrder < 1 || cp.spatialOrder > 2))
+                throw UnsupportedGrib(
+                  s"spatial differencing order ${cp.spatialOrder} (1 or 2)")
+              repr = Some((ieee32(b, 11), Grib1.s16(b, 15), Grib1.s16(b, 17),
+                u8(b, 19), template, Some(cp)))
+            case other =>
+              throw UnsupportedGrib(s"data representation template 5.$other " +
+                "(supported: 5.0 simple, 5.2 complex, 5.3 complex + spatial " +
+                "differencing; 5.40 JPEG2000 / 5.42 CCSDS / 5.50 spectral are not)")
+          }
         case 6 =>
           val b = read(cur, 6)
           u8(b, 5) match {
@@ -236,12 +280,12 @@ object Grib2 {
             throw UnsupportedGrib("section 7 before any grid definition"))
           val (cat, num, timeUnit, fcst, levelType, levelValue, statP, intEnd) =
             prod.getOrElse(throw UnsupportedGrib("section 7 before any product definition"))
-          val (refV, binS, decS, bits) = repr.getOrElse(
+          val (refV, binS, decS, bits, reprT, cp) = repr.getOrElse(
             throw UnsupportedGrib("section 7 before any data representation"))
           fields += Field(discipline, refTime, ni, nj, la1, lo1, la2, lo2, scan,
             cat, num, timeUnit, fcst, levelType, levelValue, statP, intEnd,
             refV, binS, decS, bits, bitmapOffset, bitmapBytes,
-            cur + 5, (secLen - 5).toInt)
+            cur + 5, (secLen - 5).toInt, reprT, cp)
         case 8 => // should not appear as a section header; defensive
           throw UnsupportedGrib(s"unexpected section number 8 at offset $cur")
         case other =>
@@ -252,9 +296,112 @@ object Grib2 {
     (fields.result(), total)
   }
 
-  /** Decode a field's packed values (bitmap zeros -> NaN), grid scan order
-    * — shared fixed-point math with edition 1 ([[Grib1.decodePacked]]). */
+  /** Decode a field's packed values (bitmap zeros -> NaN), grid scan order.
+    * Simple packing shares the fixed-point math with edition 1
+    * ([[Grib1.decodePacked]]); templates 5.2/5.3 decode groups here. */
   def decodeValues(f: Field, data: Array[Byte], bitmap: Array[Byte]): Array[Double] =
-    Grib1.decodePacked(f.refValue, f.binaryScale, f.decimalScale, f.bitsPerValue,
-      f.nPoints, data, if (f.bitmapOffset >= 0) bitmap else null)
+    f.reprTemplate match {
+      case 0 =>
+        Grib1.decodePacked(f.refValue, f.binaryScale, f.decimalScale, f.bitsPerValue,
+          f.nPoints, data, if (f.bitmapOffset >= 0) bitmap else null)
+      case 2 | 3 => decodeComplex(f, data, bitmap)
+      case other => throw UnsupportedGrib(s"data representation template 5.$other")
+    }
+
+  /** MSB-first bit cursor over a section-7 payload. */
+  private[grib] final class BitReader(b: Array[Byte]) {
+    private var pos = 0L
+    def read(bits: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < bits) {
+        v = (v << 1) | ((b((pos >> 3).toInt) >> (7 - (pos & 7)).toInt) & 1)
+        pos += 1
+        i += 1
+      }
+      v
+    }
+    /** GRIB2 signed descriptors are sign-magnitude: top bit is the sign. */
+    def readSignMagnitude(octets: Int): Long = {
+      val raw = read(octets * 8)
+      val signBit = 1L << (octets * 8 - 1)
+      if ((raw & signBit) != 0) -(raw & (signBit - 1)) else raw
+    }
+  }
+
+  /** Templates 7.2/7.3: [5.3 extra descriptors:] initial value(s) + overall
+    * minimum, then NG group references / widths / scaled lengths, then the
+    * per-group packed increments. X = groupRef + increment (+ the spatial-
+    * differencing recurrence for 5.3); Y = (R + X * 2^E) / 10^D. */
+  private def decodeComplex(f: Field, data: Array[Byte],
+      bitmap: Array[Byte]): Array[Double] = {
+    val cp = f.complex.getOrElse(
+      throw UnsupportedGrib("complex field without packing parameters"))
+    val present: Array[Boolean] =
+      if (f.bitmapOffset >= 0 && bitmap != null)
+        Array.tabulate(f.nPoints)(k => (u8(bitmap, k >> 3) & (0x80 >> (k & 7))) != 0)
+      else null
+    val nPresent = if (present == null) f.nPoints else present.count(identity)
+    val r = new BitReader(data)
+    val order = cp.spatialOrder
+    val initial = new Array[Long](order)
+    var gmin = 0L
+    if (order > 0) {
+      var i = 0
+      while (i < order) { initial(i) = r.readSignMagnitude(cp.extraOctets); i += 1 }
+      gmin = r.readSignMagnitude(cp.extraOctets)
+    }
+    val refs = Array.fill(cp.ng)(r.read(f.bitsPerValue))
+    val widths = Array.fill(cp.ng)(cp.groupWidthRef + r.read(cp.groupWidthBits).toInt)
+    val lengths = Array.tabulate(cp.ng) { g =>
+      val scaled = r.read(cp.groupLengthBits)
+      if (g == cp.ng - 1) cp.lastGroupLength
+      else cp.groupLengthRef + scaled * cp.groupLengthInc
+    }
+    val xs = new Array[Long](nPresent)
+    var k = 0
+    var g = 0
+    while (g < cp.ng) {
+      val len = lengths(g).toInt
+      val w = widths(g)
+      var j = 0
+      while (j < len && k < nPresent) {
+        xs(k) = refs(g) + (if (w == 0) 0L else r.read(w))
+        k += 1
+        j += 1
+      }
+      g += 1
+    }
+    if (k != nPresent)
+      throw UnsupportedGrib(s"complex packing groups cover $k of $nPresent points")
+    if (order > 0) {
+      // first `order` values come from the extra descriptors verbatim; the
+      // rest add the overall minimum back and integrate the differences
+      var i = 0
+      while (i < math.min(order, nPresent)) { xs(i) = initial(i); i += 1 }
+      var k2 = order
+      while (k2 < nPresent) {
+        val d = xs(k2) + gmin
+        xs(k2) = if (order == 1) d + xs(k2 - 1) else d + 2 * xs(k2 - 1) - xs(k2 - 2)
+        k2 += 1
+      }
+    }
+    val dDiv = math.pow(10.0, f.decimalScale)
+    val eFactor = math.pow(2.0, f.binaryScale)
+    val out = new Array[Double](f.nPoints)
+    if (present == null) {
+      var i = 0
+      while (i < f.nPoints) { out(i) = (f.refValue + xs(i) * eFactor) / dDiv; i += 1 }
+    } else {
+      var xi = 0
+      var i = 0
+      while (i < f.nPoints) {
+        out(i) =
+          if (present(i)) { val v = (f.refValue + xs(xi) * eFactor) / dDiv; xi += 1; v }
+          else Double.NaN
+        i += 1
+      }
+    }
+    out
+  }
 }

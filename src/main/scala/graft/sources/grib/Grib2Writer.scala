@@ -28,7 +28,10 @@ object Grib2Writer {
       statProcess: Int = -1,           // -1 -> template 4.0; else 4.8
       intervalEnd: Option[java.time.LocalDateTime] = None,
       decimalScale: Int = 0,
-      bitsPerValue: Int = 16)
+      bitsPerValue: Int = 16,
+      packing: Int = 0,                // 0 -> 5.0 simple; 2 -> 5.2; 3 -> 5.3
+      spatialOrder: Int = 2,           // 5.3 differencing order (1 | 2)
+      groupSize: Int = 20)             // complex-packing group length
 
   def write(path: String, fields: Seq[FieldSpec],
       conf: Configuration = new Configuration()): Unit = {
@@ -134,7 +137,15 @@ object Grib2Writer {
     b
   }
 
-  private def sections57(f: FieldSpec): (Array[Byte], Array[Byte]) = {
+  private def sections57(f: FieldSpec): (Array[Byte], Array[Byte]) =
+    f.packing match {
+      case 0 => simple57(f)
+      case 2 | 3 => complex57(f)
+      case other => throw Grib1.UnsupportedGrib(
+        s"writer packing $other (0 simple, 2 complex, 3 complex+spatial diff)")
+    }
+
+  private def simple57(f: FieldSpec): (Array[Byte], Array[Byte]) = {
     val dFactor = math.pow(10.0, f.decimalScale)
     val present = f.values.filterNot(_.isNaN)
     val scaled = present.map(v => math.round(v * dFactor))
@@ -170,6 +181,112 @@ object Grib2Writer {
         i -= 1
       }
     }
+    (s5, s7)
+  }
+
+  /** Templates 5.2/5.3 + 7.2/7.3: fixed-size groups of `groupSize`, per-group
+    * reference + width, direct (unscaled-offset) group widths, and for 5.3
+    * the spatial differences with their initial values + overall minimum in
+    * sign-magnitude extra descriptors. Mirrors [[Grib2.decodeValues]]. */
+  private def complex57(f: FieldSpec): (Array[Byte], Array[Byte]) = {
+    val order = if (f.packing == 3) f.spatialOrder else 0
+    require(order == 0 || order == 1 || order == 2, s"spatial order $order")
+    val dFactor = math.pow(10.0, f.decimalScale)
+    val present = f.values.filterNot(_.isNaN)
+    val scaled = present.map(v => math.round(v * dFactor))
+    val n = scaled.size
+    val ref = if (scaled.isEmpty) 0L else scaled.min
+    require(math.abs(ref) < (1L << 24), "reference value must stay float32-exact")
+    val xs = scaled.map(_ - ref).toArray
+
+    // 5.3: difference the X sequence, keep the first `order` values verbatim
+    // as extra descriptors, shift the rest by the overall minimum
+    val initial = xs.take(math.min(order, n))
+    var gmin = 0L
+    val work: Array[Long] =
+      if (order == 0 || n <= order) xs
+      else {
+        val d = new Array[Long](n)
+        var k = order
+        while (k < n) {
+          d(k) = if (order == 1) xs(k) - xs(k - 1)
+            else xs(k) - 2 * xs(k - 1) + xs(k - 2)
+          k += 1
+        }
+        gmin = (order until n).map(d).min
+        (0 until n).map(k => if (k < order) 0L else d(k) - gmin).toArray
+      }
+
+    val groupSize = math.max(2, f.groupSize)
+    val ng = math.max(1, (n + groupSize - 1) / groupSize)
+    val groups = (0 until ng).map { g =>
+      val lo = g * groupSize
+      val hi = math.min(lo + groupSize, n)
+      val slice = work.slice(lo, hi)
+      val gref = if (slice.isEmpty) 0L else slice.min
+      val span = if (slice.isEmpty) 0L else slice.max - gref
+      val width = if (span == 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(span)
+      (gref, width, hi - lo, slice.map(_ - gref))
+    }
+    val refBits = {
+      val m = groups.map(_._1).max
+      if (m == 0) 1 else 64 - java.lang.Long.numberOfLeadingZeros(m)
+    }
+    require(groups.forall(_._2 <= 255) && refBits <= 255, "group span too wide")
+
+    val extraOctets = 4
+    val s5 = new Array[Byte](if (order > 0) 49 else 47)
+    putU32(s5, 0, s5.length); s5(4) = 5
+    putU32(s5, 5, n)
+    putU16(s5, 9, if (order > 0) 3 else 2)
+    putU32(s5, 11, java.lang.Float.floatToIntBits(ref.toFloat).toLong & 0xffffffffL)
+    putS16(s5, 15, 0)                // binary scale E = 0
+    putS16(s5, 17, f.decimalScale)
+    s5(19) = refBits.toByte          // bits per group reference
+    s5(20) = 0                       // floating-point original values
+    s5(21) = 1                       // general group splitting
+    s5(22) = 0                       // no missing-value management (bitmap)
+    putU32(s5, 23, 0); putU32(s5, 27, 0) // missing substitutes unused
+    putU32(s5, 31, ng)
+    s5(35) = 0                       // group width reference
+    s5(36) = 8                       // bits per group width (stored direct)
+    putU32(s5, 37, groupSize)        // group length reference
+    s5(41) = 1                       // length increment
+    putU32(s5, 42, groups.last._3)   // true length of last group
+    s5(46) = 8                       // bits per scaled group length
+    if (order > 0) { s5(47) = order.toByte; s5(48) = extraOctets.toByte }
+
+    val o = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L
+    var bitCnt = 0
+    def putBits(v: Long, bits: Int): Unit = {
+      var i = bits - 1
+      while (i >= 0) {
+        bitBuf = (bitBuf << 1) | ((v >> i) & 1L)
+        bitCnt += 1
+        if (bitCnt == 8) { o.write(bitBuf.toInt & 0xff); bitBuf = 0; bitCnt = 0 }
+        i -= 1
+      }
+    }
+    def putSignMagnitude(v: Long): Unit = {
+      val raw = if (v < 0) (1L << (extraOctets * 8 - 1)) | -v else v
+      putBits(raw, extraOctets * 8)
+    }
+    if (order > 0) {
+      initial.foreach(putSignMagnitude)
+      putSignMagnitude(gmin)
+    }
+    groups.foreach(g => putBits(g._1, refBits))
+    groups.foreach(g => putBits(g._2.toLong, 8))
+    groups.foreach(_ => putBits(0L, 8)) // scaled lengths: all = reference
+    groups.foreach { case (_, width, _, offsets) =>
+      if (width > 0) offsets.foreach(putBits(_, width))
+    }
+    if (bitCnt > 0) o.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    val body = o.toByteArray
+    val s7 = new Array[Byte](5 + body.length)
+    putU32(s7, 0, s7.length); s7(4) = 7
+    System.arraycopy(body, 0, s7, 5, body.length)
     (s5, s7)
   }
 

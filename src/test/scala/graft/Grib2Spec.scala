@@ -105,6 +105,50 @@ class Grib2Spec extends SparkSpec {
     assert(f.levelHeight == 3.2)
   }
 
+  test("complex packing (5.2) round-trips, including bitmap-masked cells") {
+    val dir = java.nio.file.Files.createTempDirectory("grib2cx").toString
+    val p = s"$dir/cx.grib2"
+    // values with locally-clustered magnitudes — the case group splitting
+    // compresses — plus a masked cell and a group-boundary-exact count
+    val vals = gridVals((j, i) =>
+      if (j == 2 && i == 3) Double.NaN
+      else (if (j < 2) 1000.0 + i else 20000.0 + 7 * i + j))
+    GW2.write(p, Seq(GW2.FieldSpec(0, 0, 0, 103, 2, t0, vals, ni, nj,
+      la1 = 60.0, lo1 = -10.0, la2 = 45.0, lo2 = 10.0,
+      decimalScale = 1, packing = 2, groupSize = 5)))
+    val fields = Grib2Reader.indexFields(new org.apache.hadoop.conf.Configuration(), p)
+    assert(fields.head.reprTemplate == 2)
+    assert(fields.head.complex.exists(_.spatialOrder == 0))
+    val got = Grib2Reader.readLongFormat(spark, p)
+      .orderBy($"latitude".desc, $"longitude")
+      .select($"value").collect()
+      .map(r => if (r.isNullAt(0)) Double.NaN else r.getDouble(0))
+    vals.zip(got).foreach { case (want, have) =>
+      if (want.isNaN) assert(have.isNaN) else assert(want == have)
+    }
+  }
+
+  test("complex packing with spatial differencing (5.3) round-trips at orders 1 and 2") {
+    for (order <- Seq(1, 2)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"grib2sd$order").toString
+      val p = s"$dir/sd.grib2"
+      // a smooth field plus jumps — differencing shrinks the packed widths,
+      // negative differences exercise the sign-magnitude minimum
+      val vals = gridVals((j, i) => 5000.0 - 13 * (j * ni + i) +
+        (if (i == 4) 250.0 else 0.0))
+      GW2.write(p, Seq(GW2.FieldSpec(0, 3, 5, 100, 50000, t0, vals, ni, nj,
+        la1 = 60.0, lo1 = -10.0, la2 = 45.0, lo2 = 10.0,
+        decimalScale = 0, packing = 3, spatialOrder = order, groupSize = 6)))
+      val fields = Grib2Reader.indexFields(new org.apache.hadoop.conf.Configuration(), p)
+      assert(fields.head.reprTemplate == 3)
+      assert(fields.head.complex.exists(_.spatialOrder == order))
+      val got = Grib2Reader.readLongFormat(spark, p)
+        .orderBy($"latitude".desc, $"longitude")
+        .select($"value").as[Double].collect()
+      assert(got.toSeq == vals, s"order-$order spatial differencing mismatch")
+    }
+  }
+
   test("unsupported templates raise directed errors") {
     val raw = GW2.message(GW2.FieldSpec(0, 0, 0, 103, 2, t0,
       Seq(1.0, 2.0), 2, 1, 0.0, 0.0, 0.0, 1.0))
@@ -116,5 +160,14 @@ class Grib2Spec extends SparkSpec {
     val e = intercept[graft.sources.grib.Grib1.UnsupportedGrib](
       Grib2Reader.indexFields(new org.apache.hadoop.conf.Configuration(), p))
     assert(e.getMessage.contains("grid template"))
+    // representation template 5.40 (JPEG2000) keeps its directed error
+    val raw2 = GW2.message(GW2.FieldSpec(0, 0, 0, 103, 2, t0,
+      Seq(1.0, 2.0), 2, 1, 0.0, 0.0, 0.0, 1.0))
+    raw2(16 + 21 + 72 + 34 + 10) = 40 // section-5 template number low byte
+    val p2 = s"$dir/bad40.grib2"
+    val os2 = new java.io.FileOutputStream(p2); os2.write(raw2); os2.close()
+    val e2 = intercept[graft.sources.grib.Grib1.UnsupportedGrib](
+      Grib2Reader.indexFields(new org.apache.hadoop.conf.Configuration(), p2))
+    assert(e2.getMessage.contains("5.40") || e2.getMessage.contains("template 5."))
   }
 }
