@@ -151,12 +151,17 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sigAggs.head, sigAggs.tail: _*)
       .persist()
-    val bandFrames = (0 until bands).map { b =>
+    // one scan of slotMins with an explode over band structs — the 4-frame
+    // union scanned the signature frame once per band and added a stage per
+    // branch (the q31 stage-count floor the round-2 bench flagged)
+    val bandStructs = (0 until bands).map { b =>
       val slots = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
-      slotMins.select(col("doc_id"), lit(b).as("band"),
+      struct(lit(b).as("band"),
         md5(concat_ws(",", slots.map(_.cast("string")): _*)).as("bucket"))
     }
-    val bandsDf = bandFrames.reduce(_ union _)
+    val bandsDf = slotMins
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     // Candidate pairs per bucket: cap bucket membership BEFORE any
     // aggregation with a partitioned row_number (a sort-based window — it
     // streams and spills, never holding the bucket in memory), so the

@@ -160,10 +160,12 @@ object Similarity {
     val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", hyperplaneBucket(col("v"), planes))
       .withColumn("nrm", norm(col("v")))
+    // rank-only window: carrying the bucket's first MEMBER (vector included)
+    // as a running first_value would double every row's width through the
+    // window — instead overflow rows join back to the rank-1 member, a join
+    // that only ever touches overflow rows + one row per bucket
     val bw = Window.partitionBy(col("bucket")).orderBy(col("id"))
-    val ranked = bucketed
-      .withColumn("rn", row_number().over(bw))
-      .withColumn("first_m", first(struct(col("id"), col("v"), col("nrm"))).over(bw))
+    val ranked = bucketed.withColumn("rn", row_number().over(bw))
     val inCapPairs = ranked.filter(col("rn") <= maxBucketSize)
       .groupBy(col("bucket"))
       .agg(sort_array(collect_list(struct(col("id"), col("v"), col("nrm"))))
@@ -176,9 +178,15 @@ object Similarity {
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
         round(dot(col("p.a.v"), col("p.b.v")) / (col("p.a.nrm") * col("p.b.nrm")), 6)
           .as("cos_sim"))
+    val firsts = ranked.filter(col("rn") === 1)
+      .select(col("bucket"), col("id").as("id_a"),
+        col("v").as("v_a"), col("nrm").as("nrm_a"))
     val overflowPairs = ranked.filter(col("rn") > maxBucketSize)
-      .select(col("first_m.id").as("id_a"), col("id").as("id_b"),
-        round(dot(col("first_m.v"), col("v")) / (col("first_m.nrm") * col("nrm")), 6)
+      .select(col("bucket"), col("id").as("id_b"),
+        col("v").as("v_b"), col("nrm").as("nrm_b"))
+      .join(firsts, Seq("bucket"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6)
           .as("cos_sim"))
     inCapPairs.union(overflowPairs)
       .filter(col("cos_sim") >= threshold)
