@@ -756,6 +756,41 @@ object Queries {
         Grib2Reader.readLongFormat(s, path)
           .select($"time", $"latitude", $"longitude", $"value")
           .orderBy($"time", $"latitude", $"longitude")
+      }),
+
+    // ---------------------------------------------------------------- S1 (GRIB1 second-order packing, WMO secondary-bitmap variant)
+    // Same `orders` grid as q48, but both messages pack second-order
+    // (grouped references + per-group deviation widths + secondary bitmap)
+    // — the GRIB1 complex packing operational archives carry, which the
+    // reference reads via eccodes. Hash-checked against the DuckDB
+    // recomputation.
+    Q("q55_grib1_second_order", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200)
+      SELECT CASE WHEN rn0 // 100 = 0 THEN TIMESTAMP '2026-07-01 00:00:00'
+                  ELSE TIMESTAMP '2026-07-01 06:00:00' END AS time,
+             CAST(50 - (rn0 % 100) // 10 AS DOUBLE) AS latitude,
+             CAST(rn0 % 10 AS DOUBLE) AS longitude,
+             CAST(o_orderkey % 997 AS DOUBLE) AS value
+      FROM o
+      ORDER BY time, latitude, longitude"""))(
+      (s, d) => {
+        import graft.sources.grib.{Grib1Reader, Grib1Writer => GW}
+        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+          .select(($"o_orderkey" % 997).cast("double"))
+          .collect().map(_.getDouble(0)).toSeq
+        val t0 = java.time.LocalDateTime.of(2026, 7, 1, 0, 0)
+        val path = java.nio.file.Files.createTempDirectory("q55").toString + "/q55.grib"
+        def spec(v: Seq[Double], p1: Int) = GW.FieldSpec(
+          paramId = 167, levelType = 105, levelValue = 2, refTime = t0,
+          values = v, ni = 10, nj = 10,
+          la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0, p1 = p1,
+          decimalScale = 0, secondOrder = true, groupSize = 23)
+        GW.write(path, Seq(spec(vals.take(100), 0), spec(vals.drop(100), 6)))
+        Grib1Reader.readLongFormat(s, path)
+          .select($"time", $"latitude", $"longitude", $"value")
+          .orderBy($"time", $"latitude", $"longitude")
       })
   )
 

@@ -49,8 +49,9 @@ object Grib1 {
       refValue: Double,
       bitsPerValue: Int,
       dataOffset: Long,        // first byte of packed values in the file
-      dataBytes: Int,
-      unusedBitsAtEnd: Int) extends GribUnit {
+      dataBytes: Int,          // (for second-order: the WHOLE BDS span)
+      unusedBitsAtEnd: Int,
+      secondOrder: Boolean = false) extends GribUnit {
 
     def nPoints: Int = ni * nj
 
@@ -309,19 +310,39 @@ object Grib1 {
     val bdsLen = u24(d, 0)
     val flag4 = u8(d, 3)
     if ((flag4 & 0x80) != 0) throw UnsupportedGrib("spherical-harmonic coefficients")
-    if ((flag4 & 0x40) != 0) throw UnsupportedGrib("complex/second-order packing")
+    val secondOrder = (flag4 & 0x40) != 0
+    if (secondOrder && (flag4 & 0x10) == 0)
+      throw UnsupportedGrib(
+        "second-order (complex) packing without the octet-14 extended flags")
     val unusedBits = flag4 & 0x0f
     val binScale = s16(d, 4)
     val refValue = ibmFloat(d, 6)
     val bitsPerValue = u8(d, 10)
-    val dataOffset = cur + 11
-    val dataBytes = bdsLen - 11
+    if (secondOrder) {
+      // validate the variant up front so the index fails fast with a
+      // DIRECTED error instead of a task-side decode failure
+      val ext = u8(read(cur + 13, 1), 0)
+      if ((ext & 0x40) != 0)
+        throw UnsupportedGrib("second-order packing: matrix of values at each point")
+      if ((ext & 0x20) == 0)
+        throw UnsupportedGrib("second-order packing without a secondary bitmap " +
+          "(row-by-row and ECMWF general extended variants unsupported)")
+      if ((ext & 0x0f) != 0)
+        throw UnsupportedGrib(
+          s"ECMWF extended second-order packing flags 0x${(ext & 0x0f).toHexString}" +
+            " (general extended / boustrophedonic / spatial differencing)")
+    }
+    // second-order layout is self-describing via its N1/N2 octet pointers,
+    // so the decoder gets the WHOLE BDS as its data span
+    val dataOffset = if (secondOrder) cur else cur + 11
+    val dataBytes = if (secondOrder) bdsLen else bdsLen - 11
 
     Message(fileOffset, total, tableVersion, centre, paramId, levelType, levelRaw,
       refTime, timeUnit, p1, p2, tri, decimalScale,
       ni, nj, la1, lo1, la2, lo2, scan,
       bitmapOffset, bitmapBytes,
-      binScale, refValue, bitsPerValue, dataOffset, dataBytes, unusedBits)
+      binScale, refValue, bitsPerValue, dataOffset, dataBytes, unusedBits,
+      secondOrder)
   }
 
   /** In-memory convenience form of [[parseMessage]] (tests, small buffers):
@@ -335,8 +356,75 @@ object Grib1 {
     * X_k -> (R + X_k * 2^E) / 10^D, bitmap zeros -> NaN. Returned in grid
     * scan order (row-major j, i). */
   def decodeValues(m: Message, data: Array[Byte], bitmap: Array[Byte]): Array[Double] =
-    decodePacked(m.refValue, m.binaryScale, m.decimalScale, m.bitsPerValue,
-      m.nPoints, data, if (m.bitmapOffset >= 0) bitmap else null)
+    if (m.secondOrder)
+      decodeSecondOrder(m, data, if (m.bitmapOffset >= 0) bitmap else null)
+    else
+      decodePacked(m.refValue, m.binaryScale, m.decimalScale, m.bitsPerValue,
+        m.nPoints, data, if (m.bitmapOffset >= 0) bitmap else null)
+
+  /** WMO second-order (complex) grid-point packing, secondary-bitmap
+    * variant (Manual on Codes, GRIB1 BDS octets 12-21 + Code Table 11):
+    * the secondary bitmap has one bit per PRESENT point and marks where a
+    * new group starts; first-order values (group references, octet-11 bits
+    * each) begin at octet N1, second-order deviations (per-group widths
+    * from octet 22) at octet N2; X = FO(group) + SO(point). `bds` is the
+    * whole Binary Data Section. */
+  private def decodeSecondOrder(m: Message, bds: Array[Byte],
+      bitmap: Array[Byte]): Array[Double] = {
+    val n1 = u16(bds, 11)
+    val ext = u8(bds, 13)
+    val n2 = u16(bds, 14)
+    val p1 = u16(bds, 16)
+    val p2 = u16(bds, 18)
+    val present: Array[Boolean] =
+      if (bitmap != null)
+        Array.tabulate(m.nPoints)(k => (u8(bitmap, k >> 3) & (0x80 >> (k & 7))) != 0)
+      else null
+    val nPresent = if (present == null) m.nPoints else present.count(identity)
+    if (p2 != nPresent)
+      throw UnsupportedGrib(s"second-order P2 $p2 != $nPresent present points")
+    if (nPresent == 0) return Array.fill(m.nPoints)(Double.NaN)
+    val sameWidth = (ext & 0x10) == 0
+    val widths: Array[Int] =
+      if (sameWidth) Array.fill(p1)(u8(bds, 21))
+      else Array.tabulate(p1)(g => u8(bds, 21 + g))
+    val sbOff = if (sameWidth) 22 else 21 + p1
+    def groupStarts(k: Int): Boolean =
+      (u8(bds, sbOff + (k >> 3)) & (0x80 >> (k & 7))) != 0
+    val fo = unpackBits(java.util.Arrays.copyOfRange(bds, n1 - 1, bds.length),
+      m.bitsPerValue, p1)
+    var soPos = (n2 - 1).toLong * 8
+    def readSo(bits: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < bits) {
+        v = (v << 1) | ((bds((soPos >> 3).toInt) >> (7 - (soPos & 7)).toInt) & 1)
+        soPos += 1
+        i += 1
+      }
+      v
+    }
+    val dDiv = math.pow(10.0, m.decimalScale)
+    val eFactor = math.pow(2.0, m.binaryScale)
+    val out = new Array[Double](m.nPoints)
+    var g = -1
+    var xi = 0
+    var k = 0
+    while (k < m.nPoints) {
+      if (present == null || present(k)) {
+        if (groupStarts(xi)) g += 1
+        if (g < 0 || g >= p1)
+          throw UnsupportedGrib(s"secondary bitmap walks outside the $p1 groups")
+        val x = fo(g) + readSo(widths(g))
+        out(k) = (m.refValue + x * eFactor) / dDiv
+        xi += 1
+      } else out(k) = Double.NaN
+      k += 1
+    }
+    if (g != p1 - 1)
+      throw UnsupportedGrib(s"secondary bitmap used ${g + 1} of $p1 groups")
+    out
+  }
 
   /** Shared fixed-point decode for BOTH editions: X -> (R + X * 2^E) / 10^D
     * (divide, not multiply by 10^-D: IEEE division is correctly rounded, so

@@ -28,7 +28,9 @@ object Grib1Writer {
       p1: Int = 0, p2: Int = 0,
       timeRangeIndicator: Int = 0,
       decimalScale: Int = 0,
-      bitsPerValue: Int = 16)
+      bitsPerValue: Int = 16,
+      secondOrder: Boolean = false,    // WMO second-order packing (BDS flag 2)
+      groupSize: Int = 20)             // second-order group length
 
   def write(path: String, fields: Seq[FieldSpec],
       conf: Configuration = new Configuration()): Unit = {
@@ -120,7 +122,79 @@ object Grib1Writer {
     b
   }
 
-  private def bdsBytes(f: FieldSpec): Array[Byte] = {
+  private def bdsBytes(f: FieldSpec): Array[Byte] =
+    if (f.secondOrder) bdsSecondOrder(f) else bdsSimple(f)
+
+  /** WMO second-order packing, secondary-bitmap variant (mirrors
+    * [[Grib1.decodeValues]]'s decoder): fixed-size groups, per-group
+    * reference (first-order values) + per-group widths, one secondary-bitmap
+    * bit per present point marking group starts, N1/N2 octet pointers. */
+  private def bdsSecondOrder(f: FieldSpec): Array[Byte] = {
+    val dFactor = math.pow(10.0, f.decimalScale)
+    val present = f.values.filterNot(_.isNaN)
+    val scaled = present.map(v => math.round(v * dFactor))
+    val n = scaled.size
+    val ref = if (scaled.isEmpty) 0L else scaled.min
+    val xs = scaled.map(_ - ref).toArray
+    val L = math.max(2, f.groupSize)
+    val ng = math.max(1, (n + L - 1) / L)
+    val groups = (0 until ng).map { g =>
+      val slice = xs.slice(g * L, math.min(g * L + L, n))
+      val fo = if (slice.isEmpty) 0L else slice.min
+      val span = if (slice.isEmpty) 0L else slice.max - fo
+      val width = if (span == 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(span)
+      (fo, width, slice.map(_ - fo))
+    }
+    require(groups.forall(_._2 <= 255), "group deviation span too wide")
+    val foBits = {
+      val m = groups.map(_._1).max
+      if (m == 0) 1 else (64 - java.lang.Long.numberOfLeadingZeros(m)).toInt
+    }
+    val sbBytes = (n + 7) / 8
+    val foBytes = (ng * foBits + 7) / 8
+    val soBits = groups.map(g => g._2.toLong * g._3.length).sum
+    val soBytes = ((soBits + 7) / 8).toInt
+    val n1 = 21 + ng + sbBytes + 1            // 1-indexed octet of FO values
+    val n2 = n1 + foBytes                     // 1-indexed octet of SO values
+    require(n2 <= 65535, "second-order BDS exceeds the u16 N1/N2 pointers")
+    val len = (n2 - 1) + soBytes
+    val b = new Array[Byte](len)
+    put24(b, 0, len)
+    // flags: bit 2 second-order + bit 4 extended flags; low nibble = unused
+    b(3) = (0x40 | 0x10 | ((soBytes * 8 - soBits) & 0x0f)).toByte
+    putS16(b, 4, 0)                           // binary scale E = 0
+    System.arraycopy(Grib1.toIbmFloat(ref.toDouble), 0, b, 6, 4)
+    b(10) = foBits.toByte                     // bits per first-order value
+    putU16(b, 11, n1)
+    b(13) = (0x20 | 0x10).toByte              // secondary bitmap + per-group widths
+    putU16(b, 14, n2)
+    putU16(b, 16, ng)                         // P1
+    putU16(b, 18, n)                          // P2
+    b(20) = 0
+    groups.zipWithIndex.foreach { case ((_, w, _), g) => b(21 + g) = w.toByte }
+    var k = 0
+    while (k < n) {                           // secondary bitmap: group starts
+      if (k % L == 0) b(21 + ng + (k >> 3)) =
+        (b(21 + ng + (k >> 3)) | (0x80 >> (k & 7))).toByte
+      k += 1
+    }
+    var bit = (n1 - 1).toLong * 8
+    def putBits(v: Long, bits: Int): Unit = {
+      var i = bits - 1
+      while (i >= 0) {
+        if (((v >> i) & 1L) != 0)
+          b((bit >> 3).toInt) = (b((bit >> 3).toInt) | (0x80 >> (bit & 7).toInt)).toByte
+        bit += 1
+        i -= 1
+      }
+    }
+    groups.foreach(g => putBits(g._1, foBits))
+    bit = (n2 - 1).toLong * 8
+    groups.foreach { case (_, w, devs) => if (w > 0) devs.foreach(putBits(_, w)) }
+    b
+  }
+
+  private def bdsSimple(f: FieldSpec): Array[Byte] = {
     val dFactor = math.pow(10.0, f.decimalScale)
     val present = f.values.filterNot(_.isNaN)
     val scaled = present.map(v => math.round(v * dFactor))

@@ -185,6 +185,38 @@ class Grib1Spec extends SparkSpec {
       new org.apache.hadoop.conf.Configuration(), p) == 1)
   }
 
+  test("second-order packing round-trips, including bitmap-masked cells") {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val dir = java.nio.file.Files.createTempDirectory("grib1so").toString
+    val p = s"$dir/so.grib"
+    // clustered magnitudes (what grouping compresses), a masked cell, and a
+    // non-multiple-of-groupSize count so the last group is short
+    val vals = (0 until 60).map { k =>
+      if (k == 17) Double.NaN
+      else if (k < 30) 1000.0 + (k % 7) else 50000.0 + 3 * k
+    }
+    GW.write(p, Seq(GW.FieldSpec(167, 105, 2, t0, vals, 10, 6,
+      la1 = 50.0, lo1 = 0.0, la2 = 45.0, lo2 = 9.0,
+      decimalScale = 1, secondOrder = true, groupSize = 13)))
+    val msgs = Grib1Reader.indexMessages(conf, p)
+    assert(msgs.head.secondOrder)
+    val got = Grib1Reader.readLongFormat(spark, p)
+      .orderBy($"latitude".desc, $"longitude")
+      .select($"value").collect()
+      .map(r => if (r.isNullAt(0)) Double.NaN else r.getDouble(0))
+    vals.zip(got).foreach { case (want, have) =>
+      if (want.isNaN) assert(have.isNaN) else assert(want == have, s"$want != $have")
+    }
+    // ECMWF general-extended flag bits keep a directed error
+    val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val bdsOff = 8 + 28 + 32 + ((60 + 7) / 8 + 6) // IS+PDS+GDS+BMS
+    raw(bdsOff + 13) = (raw(bdsOff + 13) | 0x08).toByte
+    val pe = s"$dir/ext.grib"
+    java.nio.file.Files.write(java.nio.file.Paths.get(pe), raw)
+    val e = intercept[Grib1.UnsupportedGrib](Grib1Reader.indexMessages(conf, pe))
+    assert(e.getMessage.contains("ECMWF"))
+  }
+
   test("edition 2 and complex packing raise directed errors") {
     val conf = new org.apache.hadoop.conf.Configuration()
     val dir = java.nio.file.Files.createTempDirectory("grib2").toString
