@@ -59,17 +59,32 @@ object ZarrDistributedWriter {
 
     // 2. metadata + coordinate arrays (driver)
     writeText(conf, s"$storePath/.zgroup", """{"zarr_format": 2}""")
+    val consolidated = Seq.newBuilder[(String, String)]
+    consolidated += ".zgroup" -> """{"zarr_format": 2}"""
     dims.zipWithIndex.foreach { case (d, i) =>
-      writeText(conf, s"$storePath/$d/.zarray", zarrayJson(
-        Seq(shape(i)), Seq(shape(i)), compressor = None))
-      writeText(conf, s"$storePath/$d/.zattrs", zattrsJson(Seq(d),
-        units = if (isTimeDim(i)) Some("seconds since 1970-01-01") else None))
+      val za = zarrayJson(Seq(shape(i)), Seq(shape(i)), compressor = None)
+      val zat = zattrsJson(Seq(d),
+        units = if (isTimeDim(i)) Some("seconds since 1970-01-01") else None)
+      writeText(conf, s"$storePath/$d/.zarray", za)
+      writeText(conf, s"$storePath/$d/.zattrs", zat)
+      consolidated += s"$d/.zarray" -> za
+      consolidated += s"$d/.zattrs" -> zat
       writeBytes(conf, s"$storePath/$d/0", encodeF8(coords(i)))
     }
     dataVars.foreach { v =>
-      writeText(conf, s"$storePath/$v/.zarray", zarrayJson(shape, chunks, compressor))
-      writeText(conf, s"$storePath/$v/.zattrs", zattrsJson(dims))
+      val za = zarrayJson(shape, chunks, compressor)
+      val zat = zattrsJson(dims)
+      writeText(conf, s"$storePath/$v/.zarray", za)
+      writeText(conf, s"$storePath/$v/.zattrs", zat)
+      consolidated += s"$v/.zarray" -> za
+      consolidated += s"$v/.zattrs" -> zat
     }
+    // consolidated metadata (zarr v2 convention): external readers (and our
+    // own open()) plan the whole store from ONE object read
+    writeText(conf, s"$storePath/.zmetadata",
+      consolidated.result()
+        .map { case (k, v) => s""""$k": $v""" }
+        .mkString("{\"metadata\": {", ", ", "}, \"zarr_consolidated_format\": 1}"))
 
     // 3. distributed chunk encode+write (tasks get the session Hadoop conf)
     val tconf = graft.sources.TaskConf(conf)

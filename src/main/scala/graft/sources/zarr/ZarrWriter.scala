@@ -32,10 +32,20 @@ object ZarrWriter {
     val root = new File(storePath)
     root.mkdirs()
     writeString(new File(root, ".zgroup"), """{"zarr_format": 2}""")
-    vars.foreach(v => writeArray(root, v))
+    val entries = (".zgroup" -> """{"zarr_format": 2}""") +:
+      vars.flatMap { v =>
+        val (za, zat) = writeArray(root, v)
+        Seq(s"${v.name}/.zarray" -> za, s"${v.name}/.zattrs" -> zat)
+      }
+    // consolidated metadata: one read plans the whole store
+    writeString(new File(root, ".zmetadata"),
+      entries.map { case (k, j) => s""""$k": $j""" }
+        .mkString("{\"metadata\": {", ", ", "}, \"zarr_consolidated_format\": 1}"))
   }
 
-  private def writeArray(root: File, v: VarSpec): Unit = {
+  /** Writes one array; returns its (.zarray, .zattrs) JSON for
+    * consolidation. */
+  private def writeArray(root: File, v: VarSpec): (String, String) = {
     require(v.data.size == v.shape.product, s"${v.name}: data size != shape product")
     val dir = new File(root, v.name)
     dir.mkdirs()
@@ -44,18 +54,20 @@ object ZarrWriter {
       case None => "null"
       case Some(o) => throw new UnsupportedOperationException(s"compressor $o")
     }
-    writeString(new File(dir, ".zarray"),
+    val za =
       s"""{"zarr_format": 2, "shape": [${v.shape.mkString(", ")}],
          | "chunks": [${v.chunks.mkString(", ")}], "dtype": "${v.dtype}",
          | "compressor": $compressorJson, "fill_value": null, "order": "C",
-         | "filters": null}""".stripMargin)
+         | "filters": null}""".stripMargin
+    writeString(new File(dir, ".zarray"), za)
     val attrs = Seq(
       Some(s""""_ARRAY_DIMENSIONS": [${v.dims.map("\"" + _ + "\"").mkString(", ")}]"""),
       v.scaleFactor.map(x => s""""scale_factor": $x"""),
       v.addOffset.map(x => s""""add_offset": $x"""),
       v.missingValue.map(x => s""""missing_value": ${fmtMissing(x, v.dtype)}"""),
       v.units.map(u => s""""units": "$u"""")).flatten
-    writeString(new File(dir, ".zattrs"), attrs.mkString("{", ", ", "}"))
+    val zat = attrs.mkString("{", ", ", "}")
+    writeString(new File(dir, ".zattrs"), zat)
 
     val grid = v.shape.zip(v.chunks).map { case (s, c) => (s + c - 1) / c }
     cartesian(grid.map(g => 0 until g)).foreach { chunkIdx =>
@@ -67,6 +79,7 @@ object ZarrWriter {
       val fos = new FileOutputStream(new File(dir, chunkIdx.mkString(".")))
       try fos.write(out) finally fos.close()
     }
+    (za, zat)
   }
 
   private def fmtMissing(x: Double, dtype: String): String =

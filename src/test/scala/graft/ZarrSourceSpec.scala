@@ -161,6 +161,39 @@ class ZarrSourceSpec extends SparkSpec {
     assert(back.filter($"t2m".isNull).count() == 1)
   }
 
+  test("consolidated metadata is written by both writers and is sufficient to open") {
+    import graft.sources.zarr.ZarrDistributedWriter
+    for ((name, mk) <- Seq[(String, String => Unit)](
+      "local" -> { out =>
+        ZW.write(out, Seq(
+          ZW.VarSpec("time", Seq("time"), Seq(2), Seq(2), "<f8", Seq(0.0, 3600.0),
+            units = Some("seconds since 1970-01-01")),
+          ZW.VarSpec("v", Seq("time"), Seq(2), Seq(2), "<f8", Seq(1.5, 2.5))))
+      },
+      "distributed" -> { out =>
+        ZarrDistributedWriter.write(ds, out,
+          Seq("time", "latitude", "longitude"), Seq(2, 3, 4))
+      })) {
+      val out = java.nio.file.Files.createTempDirectory(s"zarrcm$name").toString + "/c.zarr"
+      mk(out)
+      val zm = java.nio.file.Paths.get(out, ".zmetadata")
+      assert(java.nio.file.Files.exists(zm), s"$name writer wrote no .zmetadata")
+      val parsed = org.json4s.jackson.JsonMethods.parse(java.nio.file.Files.readString(zm))
+      assert((parsed \ "zarr_consolidated_format") != org.json4s.JNothing)
+      val expected = spark.read.format("zarr").load(out).orderBy($"time").collect()
+      // delete every per-array metadata file: if open() still plans the
+      // store, the metadata really came from .zmetadata alone
+      java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()
+        .forEachRemaining { p =>
+          val n = p.getFileName.toString
+          if (n == ".zarray" || n == ".zattrs") java.nio.file.Files.delete(p)
+        }
+      val viaConsolidated = spark.read.format("zarr").load(out).orderBy($"time").collect()
+      assert(viaConsolidated.toSeq == expected.toSeq,
+        s"$name store reads differently via consolidated metadata")
+    }
+  }
+
   test("mover extract pipeline runs natively on the zarr hypercube") {
     val out = graft.operators.Mover.extractRows(ds, s"file://$store",
       graft.operators.Mover.Options(variables = Seq("t2m"),
