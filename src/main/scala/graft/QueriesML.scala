@@ -272,7 +272,65 @@ object QueriesML {
           .orderBy($"l_orderkey", $"l_linenumber")
       })
   ) ++ Seq(regridQ, nearestQ, bilinearQ, matchDtQ, packedQ, haversineQ, sessionizeQ,
-    embDupQ, corpusStatsQ)
+    embDupQ, corpusStatsQ, hashSampleQ, stratifiedCapQ, decontaminateQ)
+
+  // ------------------------------------------------------- sampling: deterministic hash sample
+  // Hash-derived (not RNG) so the sampled set is reproducible across runs,
+  // retries, and engines — the DuckDB oracle runs the identical nibble
+  // arithmetic over md5.
+  private lazy val hashSampleQ = Q("q56_hash_sample", Some("""
+      WITH b AS (SELECT doc_id,
+          (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS h16
+        FROM documents)
+      SELECT doc_id FROM b WHERE h16 < 6554 ORDER BY doc_id"""))(
+    (s, d) => {
+      import graft.operators.Sampling
+      Sampling.hashSample(Tables.documents(s, d), col("doc_id"), 0.1)
+        .select($"doc_id").orderBy($"doc_id")
+    })
+
+  // ------------------------------------------------------- sampling: capped stratified sample
+  private lazy val stratifiedCapQ = Q("q57_stratified_cap", Some("""
+      WITH r AS (SELECT doc_id, doc_id % 7 AS stratum,
+                        row_number() OVER (PARTITION BY doc_id % 7
+                          ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS rn
+                 FROM documents)
+      SELECT stratum, doc_id FROM r WHERE rn <= 10
+      ORDER BY stratum, doc_id"""))(
+    (s, d) => {
+      import graft.operators.Sampling
+      Sampling.stratifiedCap(
+        Tables.documents(s, d).withColumn("stratum", $"doc_id" % 7),
+        col("stratum"), col("doc_id"), 10)
+        .select($"stratum", $"doc_id").orderBy($"stratum", $"doc_id")
+    })
+
+  // ------------------------------------------------------- decontamination: n-gram overlap vs benchmark
+  // Every 97th document plays the benchmark set; any training doc sharing a
+  // 3-word shingle with it (including the benchmark docs themselves) drops.
+  private lazy val decontaminateQ = Q("q58_decontaminate", Some(s"""
+      WITH btoks AS (SELECT doc_id, $toksSql AS t FROM documents WHERE doc_id % 97 = 0),
+      bsh AS (SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS s
+              FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+                    FROM btoks WHERE len(t) >= 3)),
+      ttoks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      tsh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+              FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+                    FROM ttoks WHERE len(t) >= 3)),
+      bad AS (SELECT DISTINCT tsh.doc_id FROM tsh JOIN bsh USING (s))
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+      ORDER BY doc_id"""))(
+    (s, d) => {
+      import graft.operators.Sampling
+      val docs = Tables.documents(s, d)
+      Sampling.decontaminate(docs, "doc_id", "text",
+          docs.filter($"doc_id" % 97 === 0), "doc_id", "text", n = 3)
+        .select($"doc_id").orderBy($"doc_id")
+    })
 
   /** Corpus statistics per source: token-count distribution via exact
     * interpolated percentiles (both engines use linear interpolation;

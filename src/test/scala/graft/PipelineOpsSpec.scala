@@ -140,6 +140,51 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+
+  test("hash sample is deterministic and tracks the rate") {
+    val a = Sampling.hashSample(docs, $"doc_id", 0.2).select($"doc_id").as[Long].collect().toSet
+    val b = Sampling.hashSample(docs, $"doc_id", 0.2).select($"doc_id").as[Long].collect().toSet
+    assert(a == b) // no RNG: same population -> same sample, every run
+    val n = docs.count().toDouble
+    assert(math.abs(a.size / n - 0.2) < 0.1, s"rate off: ${a.size / n}")
+    // nested property: a lower-rate sample is a subset of a higher-rate one
+    val small = Sampling.hashSample(docs, $"doc_id", 0.05)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(a))
+  }
+
+  test("stratified cap bounds every stratum deterministically") {
+    val out = Sampling.stratifiedCap(
+      docs.withColumn("stratum", $"doc_id" % 5), $"stratum", $"doc_id", 7)
+    val counts = out.groupBy($"stratum").count().as[(Long, Long)].collect().toMap
+    assert(counts.values.forall(_ <= 7))
+    assert(counts.size == 5)
+    val again = Sampling.stratifiedCap(
+      docs.withColumn("stratum", $"doc_id" % 5), $"stratum", $"doc_id", 7)
+    assert(out.collect().toSet == again.collect().toSet)
+  }
+
+  test("decontamination drops shingle-sharing docs via a broadcast probe") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated text about spark engines"),
+      (3L, "prefix words then the quick brown fox appears here")) // shares a shingle with bench
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "watch the quick brown fox run")).toDF("doc_id", "text")
+    val kept = Sampling.decontaminate(train, "doc_id", "text", bench, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L), s"expected only the clean doc, got $kept")
+    // scale shape: the benchmark probe must be a broadcast join
+    val plan = Sampling.decontaminate(train, "doc_id", "text", bench, "doc_id", "text")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("BroadcastHashJoin"), "bench shingle probe is not broadcast")
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
