@@ -272,7 +272,45 @@ object QueriesML {
           .orderBy($"l_orderkey", $"l_linenumber")
       })
   ) ++ Seq(regridQ, nearestQ, bilinearQ, matchDtQ, packedQ, haversineQ, sessionizeQ,
-    embDupQ, corpusStatsQ, hashSampleQ, stratifiedCapQ, decontaminateQ)
+    embDupQ, corpusStatsQ, hashSampleQ, stratifiedCapQ, decontaminateQ,
+    repetitionQ, quantizeQ)
+
+  // ------------------------------------------------------- text: within-doc repetition (Gopher-style filter signal)
+  private lazy val repetitionQ = Q("q59_repetition", Some(s"""
+      WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      g AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS s
+            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                  FROM toks WHERE len(t) >= 2)),
+      r AS (SELECT doc_id, count(*) AS n, count(DISTINCT s) AS nd FROM g GROUP BY doc_id)
+      SELECT d.doc_id,
+             round(CASE WHEN r.doc_id IS NULL THEN 0
+                        ELSE 1 - CAST(nd AS DOUBLE) / n END, 6) AS dup2
+      FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+      ORDER BY d.doc_id"""))(
+    (s, d) =>
+      Tables.documents(s, d)
+        .select($"doc_id",
+          round(graft.functions.TextFunctions.dupNgramRatio($"text", 2), 6).as("dup2"))
+        .orderBy($"doc_id"))
+
+  // ------------------------------------------------------- similarity: int8 scalar quantization
+  private lazy val quantizeQ = Q("q60_embedding_quantize", Some("""
+      WITH m AS (SELECT vec_id,
+                        list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+                 FROM embeddings)
+      SELECT e.vec_id,
+             round(m.mx / 127, 6) AS scale,
+             CASE WHEN m.mx = 0 THEN list_transform(e.embedding::DOUBLE[], x -> 0)
+                  ELSE list_transform(e.embedding::DOUBLE[],
+                                      x -> CAST(round(x * 127 / m.mx) AS INTEGER))
+             END AS q
+      FROM embeddings e JOIN m USING (vec_id)
+      ORDER BY e.vec_id"""))(
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .select($"vec_id", Similarity.quantizeInt8($"embedding").as("qz"))
+        .select($"vec_id", round($"qz.scale", 6).as("scale"), $"qz.q".as("q"))
+        .orderBy($"vec_id"))
 
   // ------------------------------------------------------- sampling: deterministic hash sample
   // Hash-derived (not RNG) so the sampled set is reproducible across runs,

@@ -21,6 +21,17 @@ object TextFunctions {
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
 
+  /** Within-document repetition: the fraction of duplicate word n-grams
+    * (1 - distinct/total; 0 for docs shorter than `n` tokens) — the
+    * Gopher-style repetition-filter signal for training-data quality.
+    * Pure per-row expression; no shuffle. */
+  def dupNgramRatio(text: Column, n: Int): Column = {
+    val sh = graft.operators.Dedup.shingles(graft.operators.Dedup.tokens(text), n)
+    when(size(sh) <= 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
+  }
+
   /** Per-group token-count distribution (q47's corpus-stats shape).
     *
     * Percentile scale note: `exact = true` uses `percentile` — a SORT-BASED

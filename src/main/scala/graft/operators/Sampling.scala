@@ -55,7 +55,13 @@ object Sampling {
     * form — NOT [[Dedup.shingleRows]], whose window would shuffle the whole
     * corpus before the probe — so contamination detection is a map-side hash
     * probe and only the (tiny) contaminated id set shuffles for the final
-    * anti-join on the doc id. */
+    * anti-join on the doc id.
+    *
+    * Cost note: the array-HOF shingle evaluates interpreted (~2x the wall
+    * time of the window-based [[Dedup.shingleRows]] at fixture scale) —
+    * accepted, because the window form would SHUFFLE the full corpus before
+    * the probe, which loses at 100 TB where shuffle, not CPU, is the
+    * bottleneck. */
   def decontaminate(train: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchIdCol: String, benchTextCol: String,
       n: Int = 3): DataFrame = {

@@ -15,6 +15,25 @@ object Similarity {
 
   /** Sequential-order dot product of two float arrays, accumulated in double
     * (fp-deterministic: index order, not reduction-tree order). */
+  /** Scalar int8 quantization of an embedding: per-vector symmetric scale
+    * (max |x| / 127), q_i = round(x_i * 127 / max|x|) — the standard
+    * memory-4x ANN compression. Pure per-row expressions (one scale + one
+    * transform); zero vectors quantize to zeros with scale 0. Returns
+    * struct(scale double, q array<int>). */
+  def quantizeInt8(vec: Column): Column = {
+    val v = transform(vec, _.cast("double"))
+    val mx = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x)))
+    struct(
+      (mx / 127.0).as("scale"),
+      when(mx === 0.0, transform(v, _ => lit(0)))
+        .otherwise(transform(v, x => round(x * 127.0 / mx).cast("int")))
+        .as("q"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: x_i ≈ q_i * scale. */
+  def dequantizeInt8(quant: Column): Column =
+    transform(quant.getField("q"), q => q.cast("double") * quant.getField("scale"))
+
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)

@@ -168,6 +168,36 @@ class SamplingSpec extends SparkSpec {
     assert(out.collect().toSet == again.collect().toSet)
   }
 
+  test("repetition ratio: 0 for unique text, high for boilerplate loops") {
+    import graft.functions.TextFunctions
+    val df = Seq(
+      (1L, "all words here are entirely different tokens"),
+      (2L, "spam spam spam spam spam spam spam spam"),
+      (3L, "x")) // shorter than the n-gram -> 0, not NaN
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextFunctions.dupNgramRatio($"text", 2).as("r"))
+    val r = df.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) == 0.0)
+    assert(r(2L) > 0.8)
+    assert(r(3L) == 0.0)
+  }
+
+  test("int8 quantization round-trips within one quantization step") {
+    val emb = Tables.embeddings(spark, sfDir).limit(50)
+    val back = emb.select($"vec_id", $"embedding",
+        Similarity.dequantizeInt8(Similarity.quantizeInt8($"embedding")).as("dq"))
+      .select($"vec_id",
+        expr("aggregate(zip_with(embedding, dq, (a, b) -> abs(CAST(a AS DOUBLE) - b)), " +
+          "CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, x))").as("maxErr"),
+        expr("aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))), " +
+          "CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, x))").as("mx"))
+      .collect()
+    back.foreach { r =>
+      val (err, mx) = (r.getDouble(1), r.getDouble(2))
+      assert(err <= mx / 127.0 * 0.5 + 1e-9, s"vec ${r.getLong(0)}: err $err vs scale ${mx / 127}")
+    }
+  }
+
   test("decontamination drops shingle-sharing docs via a broadcast probe") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
