@@ -65,9 +65,11 @@ object Sampling {
   def decontaminate(train: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchIdCol: String, benchTextCol: String,
       n: Int = 3): DataFrame = {
+    // no array_distinct: the broadcast probe + id distinct dedup anyway, and
+    // the per-doc distinct is another interpreted O(shingles^2) HOF pass
     def shingled(df: DataFrame, id: String, text: String): DataFrame =
       df.select(col(id).as("id"),
-        explode(array_distinct(Dedup.shingles(Dedup.tokens(col(text)), n))).as("s"))
+        explode(Dedup.shingles(Dedup.tokens(col(text)), n)).as("s"))
     val benchShingles = broadcast(
       shingled(bench, benchIdCol, benchTextCol).select(col("s")).distinct())
     val contaminated = shingled(train, idCol, textCol)
