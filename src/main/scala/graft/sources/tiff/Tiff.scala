@@ -37,7 +37,8 @@ object Tiff {
       pixelScale: Seq[Double],   // (sx, sy, sz)
       tiepoint: Seq[Double],     // (i, j, k, x, y, z)
       epsg: Int,                 // 4326 | 326xx | 327xx | 0 (unknown)
-      predictor: Int = 1) {      // 1 none, 2 horizontal differencing
+      predictor: Int = 1,        // 1 none, 2 horizontal differencing
+      nextIfd: Long = 0) {       // offset of the next IFD (0 = none)
 
     def tiled: Boolean = tileOffsets.nonEmpty
 
@@ -79,11 +80,15 @@ object Tiff {
     parseMeta((off, len) => java.util.Arrays.copyOfRange(
       head, off.toInt, off.toInt + len), head.length.toLong)
 
-  /** Parse header + first IFD by FOLLOWING offsets with ranged reads — the
+  /** Parse header + one IFD by FOLLOWING offsets with ranged reads — the
     * IFD and out-of-line values can sit anywhere in the file (trailing-IFD
     * writers put them at EOF), so no fixed-size head probe can cover them.
-    * Issues ~1 read per out-of-line tag; headers stay O(KiB) of IO total. */
-  def parseMeta(read: (Long, Int) => Array[Byte], fileLen: Long): Meta = {
+    * Issues ~1 read per out-of-line tag; headers stay O(KiB) of IO total.
+    * `ifdOffset` < 0 follows the header pointer (the primary image);
+    * otherwise it parses the IFD at that offset (overview pages — COG
+    * pyramids chain them via [[Meta.nextIfd]]). */
+  def parseMeta(read: (Long, Int) => Array[Byte], fileLen: Long,
+      ifdOffset: Long = -1L): Meta = {
     require(fileLen >= 8, "not a TIFF: too short")
     val hdr = read(0, 8)
     val le = hdr(0) == 'I' && hdr(1) == 'I'
@@ -95,7 +100,7 @@ object Tiff {
       throw UnsupportedTiff("BigTIFF (magic 43); use classic TIFF — " +
         "convert with `gdal_translate -co BIGTIFF=NO`")
     require(magic == 42, s"not a classic TIFF (magic $magic)")
-    val ifd = h.u32(4)
+    val ifd = if (ifdOffset >= 0) ifdOffset else h.u32(4)
     require(ifd + 2 <= fileLen, s"IFD offset $ifd beyond EOF $fileLen")
     val n = new Cursor(read(ifd, 2), le).u16(0)
     require(ifd + 2 + n * 12L <= fileLen, s"IFD ($n entries) truncated at EOF")
@@ -202,8 +207,11 @@ object Tiff {
         }
       }
     }
+    val nextPtr = ifd + 2 + n * 12L
     Meta(le, width, height, bits, fmt, spp, comp, rps, so, sbc, tw, tl, to, tbc,
-      scale, tie, epsg, pred)
+      scale, tie, epsg, pred,
+      nextIfd = if (nextPtr + 4 <= fileLen) new Cursor(read(nextPtr, 4), le).u32(0)
+        else 0L)
   }
 
   /** Decode one strip/tile's raw bytes to doubles (sample-interleaved).

@@ -23,22 +23,46 @@ object TiffReader {
   /** Parse the header + first IFD by FOLLOWING offsets with ranged reads —
     * works wherever the IFD sits (trailing-IFD writers put it at EOF, which
     * a fixed-size head probe cannot reach). */
-  def readMeta(conf: Configuration, path: String): Tiff.Meta = {
+  def readMeta(conf: Configuration, path: String): Tiff.Meta =
+    readMetaChain(conf, path, maxPages = 1).head
+
+  /** The file's whole IFD chain (page 0 = primary image; further pages are
+    * COG/overview or multi-page IFDs), following next-IFD pointers. */
+  def readMetaChain(conf: Configuration, path: String,
+      maxPages: Int = 64): Seq[Tiff.Meta] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val fileLen = fs.getFileStatus(p).getLen
     val in = fs.open(p)
-    try Tiff.parseMeta((off, len) => {
-      val b = new Array[Byte](len)
-      in.readFully(off, b)
-      b
-    }, fileLen)
-    finally in.close()
+    try {
+      val read = (off: Long, len: Int) => {
+        val b = new Array[Byte](len)
+        in.readFully(off, b)
+        b
+      }
+      val out = Seq.newBuilder[Tiff.Meta]
+      var off = -1L
+      var pages = 0
+      var done = false
+      while (!done && pages < maxPages) {
+        val m = Tiff.parseMeta(read, fileLen, off)
+        out += m
+        pages += 1
+        if (m.nextIfd > 0) off = m.nextIfd else done = true
+      }
+      out.result()
+    } finally in.close()
   }
 
-  def readLongFormat(spark: SparkSession, path: String): DataFrame = {
+  /** One row per pixel of IFD `page` (0 = full resolution; COG overview
+    * pages carry their own scaled georeferencing, so lat/lon stay right). */
+  def readLongFormat(spark: SparkSession, path: String,
+      page: Int = 0): DataFrame = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
-    val meta = readMeta(conf, path)
+    val chain = readMetaChain(conf, path, maxPages = page + 1)
+    require(chain.size > page,
+      s"$path has ${chain.size} IFD page(s); page $page requested")
+    val meta = chain(page)
     val bands = (1 to meta.samplesPerPixel).map(b => s"band_$b")
     val schema = StructType(
       Seq(StructField("x", DoubleType, nullable = false),

@@ -270,6 +270,34 @@ class TiffSpec extends SparkSpec {
     assert(vals.take(om.tileWidth).forall(_ == 7.0))
   }
 
+  test("COG overview pages read through the page API with scaled georeferencing") {
+    import graft.sources.tiff.CogWriter
+    val dir = java.nio.file.Files.createTempDirectory("cogov").toString
+    val p = s"$dir/ov.tif"
+    val (bw, bh) = (300, 200)
+    // constant field: every overview level averages to the same constant
+    CogWriter.write(p, CogWriter.Spec(bw, bh, 1, Seq.fill(bw * bh)(42.0),
+      pixelScale = (0.01, 0.01), tiepointXY = (0.0, 50.0), epsg = 4326,
+      tileWidth = 128, tileLength = 128,
+      lzw = true, predictor = 2, bitsPerSample = 16, sampleFormat = 1))
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    val chain = TiffReader.readMetaChain(conf, p)
+    assert(chain.map(_.width) == Seq(300, 150, 75))
+    assert(chain(1).pixelScale.head == 0.02) // overview georeferencing scales
+    val ov = TiffReader.readLongFormat(spark, p, page = 1)
+    assert(ov.count() == 150L * 100)
+    assert(ov.select($"band_1").distinct().as[Double].collect().toSeq == Seq(42.0))
+    // overview pixel centers live on the SCALED grid but span the same bbox
+    import org.apache.spark.sql.functions.{max => smax, min => smin}
+    val r = ov.agg(smin($"longitude"), smax($"longitude"),
+      smin($"latitude"), smax($"latitude")).head()
+    assert(math.abs(r.getDouble(0) - 0.01) < 1e-9)   // (0 + 0.5*0.02)
+    assert(math.abs(r.getDouble(3) - 49.99) < 1e-9)  // (50 - 0.5*0.02)
+    intercept[IllegalArgumentException](
+      TiffReader.readLongFormat(spark, p, page = 9))
+  }
+
   test("non-TIFF bytes raise directed errors") {
     val e = intercept[IllegalArgumentException](
       graft.sources.tiff.Tiff.parseMeta("NOTATIFF0123456789".getBytes))
