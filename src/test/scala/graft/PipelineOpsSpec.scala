@@ -341,6 +341,34 @@ class StreamingSpec extends SparkSpec {
   import spark.implicits._
   import graft.streaming.FileEvents
 
+  test("streaming exact dedup drops cross-batch duplicates with bounded state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamDedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(m: Int) = java.sql.Timestamp.valueOf(s"2026-04-01 10:0$m:00")
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val deduped = StreamDedup.dedupExact(
+      in.toDF().toDF("text", "ts"), "text", "ts", "10 minutes")
+    assert(deduped.isStreaming)
+    val q = deduped.select($"content_hash").writeStream
+      .format("memory").queryName("stream_dedup_out").outputMode("append").start()
+    try {
+      in.addData(("alpha doc", t(0)), ("beta doc", t(1)))
+      q.processAllAvailable()
+      // duplicate arrives in a LATER batch, inside the watermark horizon
+      in.addData(("alpha doc", t(2)), ("gamma doc", t(3)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("stream_dedup_out").collect()
+    assert(out.length == 3, s"expected 3 unique docs, got ${out.length}")
+    // batch path agrees on bounded input
+    val batch = Seq(("alpha doc", t(0)), ("beta doc", t(1)),
+      ("alpha doc", t(2)), ("gamma doc", t(3))).toDF("text", "ts")
+    val b = StreamDedup.dedupExact(batch, "text", "ts", "10 minutes")
+    assert(b.select($"content_hash").distinct().count() == 3)
+    assert(b.count() == 3)
+  }
+
   test("streaming file events drive GRIB extraction into an idempotent sink (ST8 e2e)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.sources.grib.{GribReader, Grib1Writer => GW}
