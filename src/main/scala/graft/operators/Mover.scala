@@ -127,11 +127,16 @@ object Mover {
       opts: Options = Options()): org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     val coordCols = Seq(opts.timeCol, opts.latCol, opts.lonCol)
+    // the five fixed metadata columns are appended below — a sample that
+    // already carries one (multi-file frames have data_uri) must not get it
+    // inferred as a data variable too
+    val metadataNames = Set("data_import_time", "data_uri", "data_first_step",
+      "geo_point", "geo_polygon")
     val dataFields: Seq[StructField] =
       if (declaredVars.nonEmpty)
         declaredVars.map(v => StructField(v, DoubleType))
       else sample.schema.fields.toSeq
-        .filterNot(f => coordCols.contains(f.name))
+        .filterNot(f => coordCols.contains(f.name) || metadataNames.contains(f.name))
         .map(f => StructField(f.name, f.dataType match {
           case FloatType => DoubleType
           case ByteType | ShortType | IntegerType => LongType

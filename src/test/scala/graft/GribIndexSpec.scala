@@ -117,5 +117,10 @@ class GribIndexSpec extends SparkSpec {
     val steps = out.select($"data_uri", $"data_first_step").distinct().collect()
     assert(steps.length == 2)
     assert(steps.map(_.get(1)).distinct.length == 2)
+    // sink schema on a multi-file frame carries data_uri exactly ONCE (it
+    // arrives in the sample AND in the fixed metadata columns)
+    val schema = graft.operators.Mover.sinkSchema(
+      graft.sources.FormatRegistry.open(spark, s"$dir/*.grib"))
+    assert(schema.fieldNames.count(_ == "data_uri") == 1)
   }
 }
