@@ -294,22 +294,28 @@ object QueriesML {
         .orderBy($"doc_id"))
 
   // ------------------------------------------------------- similarity: int8 scalar quantization
+  // The quantized vector is serialized to a comma-joined string on BOTH
+  // engines: the correctness harness canonicalizes results by sorting and
+  // hashing column values, which a raw array column defeats (round-3 q60
+  // failed with pandas "unhashable type: numpy.ndarray").
   private lazy val quantizeQ = Q("q60_embedding_quantize", Some("""
       WITH m AS (SELECT vec_id,
                         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
                  FROM embeddings)
       SELECT e.vec_id,
              round(m.mx / 127, 6) AS scale,
-             CASE WHEN m.mx = 0 THEN list_transform(e.embedding::DOUBLE[], x -> 0)
-                  ELSE list_transform(e.embedding::DOUBLE[],
-                                      x -> CAST(round(x * 127 / m.mx) AS INTEGER))
-             END AS q
+             array_to_string(
+               CASE WHEN m.mx = 0 THEN list_transform(e.embedding::DOUBLE[], x -> 0)
+                    ELSE list_transform(e.embedding::DOUBLE[],
+                                        x -> CAST(round(x * 127 / m.mx) AS INTEGER))
+               END, ',') AS q
       FROM embeddings e JOIN m USING (vec_id)
       ORDER BY e.vec_id"""))(
     (s, d) =>
       Tables.embeddings(s, d)
         .select($"vec_id", Similarity.quantizeInt8($"embedding").as("qz"))
-        .select($"vec_id", round($"qz.scale", 6).as("scale"), $"qz.q".as("q"))
+        .select($"vec_id", round($"qz.scale", 6).as("scale"),
+          array_join($"qz.q".cast("array<string>"), ",").as("q"))
         .orderBy($"vec_id"))
 
   // ------------------------------------------------------- sampling: deterministic hash sample

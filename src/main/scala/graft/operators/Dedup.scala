@@ -132,9 +132,7 @@ object Dedup {
   /** Corpus-scale MinHash near-dup pipeline, fully relational: shingle rows
     * (posexplode + window leads), explode-seeds signature aggregation, band
     * self-join, Jaccard verify on collected shingle sets. Everything stays
-    * in whole-stage codegen; the three reused frames (shingles, signatures,
-    * sets) are persisted because each feeds two join sides and is tiny
-    * relative to the corpus. ~10x faster than [[minhashNearDups]]'s
+    * in whole-stage codegen. ~10x faster than [[minhashNearDups]]'s
     * array-HOF formulation at 5k docs, and the ratio grows with corpus size.
     * `hashCol` picks md5 (cross-engine deterministic) or xxhash64 (faster). */
   def minhashNearDupsRelational(df: DataFrame, idCol: String, textCol: String,
@@ -143,16 +141,26 @@ object Dedup {
       hashCol: (Column, Column) => Column = (seed, s) => md5(concat(seed, lit(":"), s)),
       maxBucketSize: Int = 100000): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sh = shingleRows(df, idCol, textCol, shingleSize)
-      .withColumnRenamed("id", "doc_id").persist()
+    // Persist exactly the two small frames that are scanned twice: the
+    // per-doc shingle SETS (one compact row per doc; feeds both verify-join
+    // sides AND, re-exploded, the signature aggregation — min over distinct
+    // shingles is identical to min over all shingles) and the RANKED bucket
+    // membership (caps + overflow both read it). The raw shingle-row frame —
+    // the largest intermediate — is never cached, and the band-bucket window
+    // sort is paid once, not once per branch. (Round 3's shape cached the
+    // shingle rows and re-ran the window per branch; the driver bench billed
+    // those first materializations at 5.36 s vs the 3.9 s warmed local run.)
+    val sets = shingleRows(df, idCol, textCol, shingleSize)
+      .groupBy(col("id").as("doc_id")).agg(collect_set(col("s")).as("sh"))
+      .persist()
     val sigAggs = (0 until numHashes).map(k =>
       min(when(col("seed") === k, col("h"))).as(s"sig_$k"))
-    val slotMins = sh
+    val slotMins = sets
+      .select(col("doc_id"), explode(col("sh")).as("s"))
       .withColumn("seed", explode(array((0 until numHashes).map(lit): _*)))
       .withColumn("h", hashCol(col("seed"), col("s")))
       .groupBy(col("doc_id"))
       .agg(sigAggs.head, sigAggs.tail: _*)
-      .persist()
     // one scan of slotMins with an explode over band structs — the 4-frame
     // union scanned the signature frame once per band and added a stage per
     // branch (the q31 stage-count floor the round-2 bench flagged)
@@ -178,6 +186,7 @@ object Dedup {
     val ranked = bandsDf
       .withColumn("rn", row_number().over(bw))
       .withColumn("first_id", first(col("doc_id")).over(bw))
+      .persist()
     val inCapPairs = ranked.filter(col("rn") <= maxBucketSize)
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -190,7 +199,6 @@ object Dedup {
     val overflowPairs = ranked.filter(col("rn") > maxBucketSize)
       .select(col("first_id").as("id_a"), col("doc_id").as("id_b"))
     val cand = inCapPairs.union(overflowPairs).distinct()
-    val sets = sh.groupBy(col("doc_id")).agg(collect_set(col("s")).as("sh")).persist()
     cand
       .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

@@ -54,10 +54,14 @@ object ZarrWriter {
       case None => "null"
       case Some(o) => throw new UnsupportedOperationException(s"compressor $o")
     }
+    // float arrays declare the NaN fill (Zarr v2 JSON encoding "NaN") for
+    // parity with the distributed writer and xarray stores; int/coord
+    // arrays keep null (NaN is not representable in their dtype)
+    val fillJson = if (v.dtype.startsWith("<f")) "\"NaN\"" else "null"
     val za =
       s"""{"zarr_format": 2, "shape": [${v.shape.mkString(", ")}],
          | "chunks": [${v.chunks.mkString(", ")}], "dtype": "${v.dtype}",
-         | "compressor": $compressorJson, "fill_value": null, "order": "C",
+         | "compressor": $compressorJson, "fill_value": $fillJson, "order": "C",
          | "filters": null}""".stripMargin
     writeString(new File(dir, ".zarray"), za)
     val attrs = Seq(
