@@ -791,6 +791,50 @@ object Queries {
         Grib1Reader.readLongFormat(s, path)
           .select($"time", $"latitude", $"longitude", $"value")
           .orderBy($"time", $"latitude", $"longitude")
+      }),
+
+    // ---------------------------------------------------------------- S1 (GRIB2 PNG packing, template 5.41)
+    // Same `orders` grid as q54, but packed as template 5.41: the section-7
+    // payload is a PNG image of the scaled X values (the operational packing
+    // the reference reads via eccodes+libpng, sinks.py:371-389). Message 1
+    // is 16-bit grayscale; message 2 is 8-bit with a bitmap (every 7th point
+    // missing), so the pure-JVM PNG inflate + filter + bitmap paths are all
+    // hash-checked against the DuckDB recomputation.
+    Q("q61_grib2_png", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200)
+      SELECT CASE WHEN rn0 // 100 = 0 THEN TIMESTAMP '2026-08-01 00:00:00'
+                  ELSE TIMESTAMP '2026-08-01 06:00:00' END AS time,
+             CAST(50 - (rn0 % 100) // 10 AS DOUBLE) AS latitude,
+             CAST(rn0 % 10 AS DOUBLE) AS longitude,
+             CAST(CASE WHEN rn0 < 100 THEN o_orderkey % 997
+                       ELSE (o_orderkey % 997) % 251 END AS DOUBLE) AS value
+      FROM o
+      WHERE NOT (rn0 >= 100 AND rn0 % 7 = 0)
+      ORDER BY time, latitude, longitude"""))(
+      (s, d) => {
+        import graft.sources.grib.{Grib2Reader, Grib2Writer => GW2}
+        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+          .select(($"o_orderkey" % 997).cast("double"))
+          .collect().map(_.getDouble(0)).toSeq
+        val t0 = java.time.LocalDateTime.of(2026, 8, 1, 0, 0)
+        val path = java.nio.file.Files.createTempDirectory("q61").toString + "/q61.grib2"
+        def spec(v: Seq[Double], fcst: Int, bits: Int) = GW2.FieldSpec(
+          discipline = 0, category = 0, number = 0, levelType = 103,
+          levelScaledValue = 2, refTime = t0, values = v, ni = 10, nj = 10,
+          la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0,
+          forecastTime = fcst, decimalScale = 0,
+          packing = 41, bitsPerValue = bits)
+        val m2 = vals.drop(100).zipWithIndex.map { case (v, k) =>
+          if ((k + 100) % 7 == 0) Double.NaN else v % 251 // fits 8 bits
+        }
+        GW2.write(path, Seq(spec(vals.take(100), 0, bits = 16),
+          spec(m2, 6, bits = 8)))
+        Grib2Reader.readLongFormat(s, path)
+          .filter($"value".isNotNull) // bitmap-missing points decode as null
+          .select($"time", $"latitude", $"longitude", $"value")
+          .orderBy($"time", $"latitude", $"longitude")
       })
   )
 

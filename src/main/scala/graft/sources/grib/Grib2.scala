@@ -240,6 +240,10 @@ object Grib2 {
             case 0 =>
               repr = Some((ieee32(b, 11), Grib1.s16(b, 15), Grib1.s16(b, 17),
                 u8(b, 19), 0, None))
+            case 41 => // PNG packing: same R/E/D/depth layout as 5.0, the
+              // section-7 payload is a PNG image of the scaled X values
+              repr = Some((ieee32(b, 11), Grib1.s16(b, 15), Grib1.s16(b, 17),
+                u8(b, 19), 41, None))
             case 2 | 3 =>
               val cp = ComplexPacking(
                 groupSplitting = u8(b, 21),
@@ -265,7 +269,9 @@ object Grib2 {
             case other =>
               throw UnsupportedGrib(s"data representation template 5.$other " +
                 "(supported: 5.0 simple, 5.2 complex, 5.3 complex + spatial " +
-                "differencing; 5.40 JPEG2000 / 5.42 CCSDS / 5.50 spectral are not)")
+                "differencing, 5.41 PNG; 5.40 JPEG2000 / 5.42 CCSDS / 5.50 " +
+                "spectral are not — repack with `grib_set -r " +
+                "packingType=grid_simple`)")
           }
         case 6 =>
           val b = read(cur, 6)
@@ -305,8 +311,38 @@ object Grib2 {
         Grib1.decodePacked(f.refValue, f.binaryScale, f.decimalScale, f.bitsPerValue,
           f.nPoints, data, if (f.bitmapOffset >= 0) bitmap else null)
       case 2 | 3 => decodeComplex(f, data, bitmap)
+      case 41 => decodePng(f, data, bitmap)
       case other => throw UnsupportedGrib(s"data representation template 5.$other")
     }
+
+  /** Template 7.41: the payload is a PNG image; pixels in raster order are
+    * the scaled X values of the PRESENT points (bitmap zeros are not
+    * encoded, matching simple packing's bitmap semantics). */
+  private def decodePng(f: Field, data: Array[Byte],
+      bitmap: Array[Byte]): Array[Double] = {
+    val img = Png.decode(data)
+    val present: Array[Boolean] =
+      if (f.bitmapOffset >= 0 && bitmap != null)
+        Array.tabulate(f.nPoints)(k => (u8(bitmap, k >> 3) & (0x80 >> (k & 7))) != 0)
+      else null
+    val nPresent = if (present == null) f.nPoints else present.count(identity)
+    if (img.samples.length < nPresent)
+      throw UnsupportedGrib(
+        s"PNG packing carries ${img.samples.length} pixels for $nPresent points")
+    val dDiv = math.pow(10.0, f.decimalScale)
+    val eFactor = math.pow(2.0, f.binaryScale)
+    val out = new Array[Double](f.nPoints)
+    var xi = 0
+    var i = 0
+    while (i < f.nPoints) {
+      out(i) =
+        if (present == null || present(i)) {
+          val v = (f.refValue + img.samples(xi) * eFactor) / dDiv; xi += 1; v
+        } else Double.NaN
+      i += 1
+    }
+    out
+  }
 
   /** MSB-first bit cursor over a section-7 payload. */
   private[grib] final class BitReader(b: Array[Byte]) {

@@ -141,8 +141,9 @@ object Grib2Writer {
     f.packing match {
       case 0 => simple57(f)
       case 2 | 3 => complex57(f)
+      case 41 => png57(f)
       case other => throw Grib1.UnsupportedGrib(
-        s"writer packing $other (0 simple, 2 complex, 3 complex+spatial diff)")
+        s"writer packing $other (0 simple, 2 complex, 3 complex+spatial diff, 41 PNG)")
     }
 
   private def simple57(f: FieldSpec): (Array[Byte], Array[Byte]) = {
@@ -287,6 +288,41 @@ object Grib2Writer {
     val s7 = new Array[Byte](5 + body.length)
     putU32(s7, 0, s7.length); s7(4) = 7
     System.arraycopy(body, 0, s7, 5, body.length)
+    (s5, s7)
+  }
+
+  /** Template 5.41/7.41: scaled X values PNG-encoded, present points in
+    * raster order. Grid-shaped when nothing is missing (ni x nj image),
+    * else one nPresent x 1 row — either is legal; [[Grib2.decodeValues]]
+    * consumes pixels in raster order. */
+  private def png57(f: FieldSpec): (Array[Byte], Array[Byte]) = {
+    val dFactor = math.pow(10.0, f.decimalScale)
+    val present = f.values.filterNot(_.isNaN)
+    val scaled = present.map(v => math.round(v * dFactor))
+    val ref = if (scaled.isEmpty) 0L else scaled.min
+    val xs = scaled.map(_ - ref).toArray
+    require(xs.forall(x => x >= 0 && x < (1L << math.min(f.bitsPerValue, 62))),
+      s"value range needs more than ${f.bitsPerValue} bits")
+    require(math.abs(ref) < (1L << 24), "reference value must stay float32-exact")
+    val (w, h) =
+      if (present.size == f.values.size) (f.ni, f.nj) else (math.max(xs.length, 1), 1)
+    val png =
+      if (xs.isEmpty) Png.encode(1, 1, f.bitsPerValue, Array(0L))
+      else Png.encode(w, h, f.bitsPerValue, xs)
+
+    val s5 = new Array[Byte](21)
+    putU32(s5, 0, 21); s5(4) = 5
+    putU32(s5, 5, xs.length)
+    putU16(s5, 9, 41)                // template 5.41 PNG
+    putU32(s5, 11, java.lang.Float.floatToIntBits(ref.toFloat).toLong & 0xffffffffL)
+    putS16(s5, 15, 0)                // binary scale E = 0
+    putS16(s5, 17, f.decimalScale)
+    s5(19) = f.bitsPerValue.toByte
+    s5(20) = 0                       // floating-point values
+
+    val s7 = new Array[Byte](5 + png.length)
+    putU32(s7, 0, s7.length); s7(4) = 7
+    System.arraycopy(png, 0, s7, 5, png.length)
     (s5, s7)
   }
 

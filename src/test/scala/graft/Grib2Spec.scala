@@ -149,6 +149,90 @@ class Grib2Spec extends SparkSpec {
     }
   }
 
+  test("PNG packing (5.41) round-trips at every GRIB depth, with bitmap") {
+    for (bits <- Seq(1, 2, 4, 8, 16, 24, 32)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"grib2png$bits").toString
+      val p = s"$dir/png.grib2"
+      val span = math.min((1L << math.min(bits, 16)) - 1, 40000L).toDouble
+      val vals = gridVals((j, i) =>
+        if (bits >= 8 && j == 1 && i == 4) Double.NaN // bitmap path
+        else math.floor(span * (j * ni + i) / (ni * nj - 1)))
+      GW2.write(p, Seq(GW2.FieldSpec(0, 0, 0, 103, 2, t0, vals, ni, nj,
+        la1 = 60.0, lo1 = -10.0, la2 = 45.0, lo2 = 10.0,
+        decimalScale = 0, packing = 41, bitsPerValue = bits)))
+      val fields = Grib2Reader.indexFields(new org.apache.hadoop.conf.Configuration(), p)
+      assert(fields.head.reprTemplate == 41)
+      val got = Grib2Reader.readLongFormat(spark, p)
+        .orderBy($"latitude".desc, $"longitude")
+        .select($"value").collect()
+        .map(r => if (r.isNullAt(0)) Double.NaN else r.getDouble(0))
+      vals.zip(got).foreach { case (want, have) =>
+        if (want.isNaN) assert(have.isNaN) else assert(want == have, s"depth $bits")
+      }
+    }
+  }
+
+  test("PNG decode reverses every scanline filter (Sub/Up/Average/Paeth)") {
+    import graft.sources.grib.Png
+    // 16-bit grayscale 4x3 image, one scanline per filter type 1..4 after a
+    // type-0 first row — forward-filter by the spec, then decode must return
+    // the original samples
+    val w = 4; val h = 5
+    val xs = Array.tabulate(w * h)(k => ((k * 9173) % 65536).toLong)
+    val stride = w * 2
+    val bpp = 2
+    val unfiltered = Array.tabulate(h, stride) { (y, i) =>
+      val v = xs(y * w + i / 2)
+      (if (i % 2 == 0) (v >> 8) & 0xff else v & 0xff).toByte
+    }
+    def pred(ft: Int, y: Int, i: Int): Int = {
+      val a = if (i >= bpp) unfiltered(y)(i - bpp) & 0xff else 0
+      val b = if (y > 0) unfiltered(y - 1)(i) & 0xff else 0
+      val c = if (y > 0 && i >= bpp) unfiltered(y - 1)(i - bpp) & 0xff else 0
+      ft match {
+        case 0 => 0
+        case 1 => a
+        case 2 => b
+        case 3 => (a + b) >> 1
+        case 4 =>
+          val p = a + b - c
+          val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+          if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+      }
+    }
+    val raw = new java.io.ByteArrayOutputStream()
+    (0 until h).foreach { y =>
+      val ft = y % 5
+      raw.write(ft)
+      (0 until stride).foreach { i =>
+        raw.write(((unfiltered(y)(i) & 0xff) - pred(ft, y, i)) & 0xff)
+      }
+    }
+    val def_ = new java.util.zip.Deflater()
+    def_.setInput(raw.toByteArray); def_.finish()
+    val idat = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!def_.finished()) idat.write(buf, 0, def_.deflate(buf))
+    val png = new java.io.ByteArrayOutputStream()
+    png.write(Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte))
+    def chunk(t: String, body: Array[Byte]): Unit = {
+      def u32(v: Long): Array[Byte] = Array(
+        ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      png.write(u32(body.length))
+      val tb = t.getBytes("US-ASCII")
+      png.write(tb); png.write(body)
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(body)
+      png.write(u32(crc.getValue))
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(3) = w.toByte; ihdr(7) = h.toByte; ihdr(8) = 16; ihdr(9) = 0
+    chunk("IHDR", ihdr); chunk("IDAT", idat.toByteArray); chunk("IEND", Array.emptyByteArray)
+    val img = Png.decode(png.toByteArray)
+    assert(img.width == w && img.height == h && img.bitDepth == 16)
+    assert(img.samples.toSeq == xs.toSeq)
+  }
+
   test("unsupported templates raise directed errors") {
     val raw = GW2.message(GW2.FieldSpec(0, 0, 0, 103, 2, t0,
       Seq(1.0, 2.0), 2, 1, 0.0, 0.0, 0.0, 1.0))
