@@ -371,8 +371,11 @@ object QueriesML {
     (s, d) => {
       import graft.operators.Sampling
       val docs = Tables.documents(s, d)
-      Sampling.decontaminate(docs, "doc_id", "text",
-          docs.filter($"doc_id" % 97 === 0), "doc_id", "text", n = 3)
+      // Bloom-prefiltered path: identical result (no false negatives; false
+      // positives die in the exact join), but clean shingles skip the join
+      Sampling.decontaminateBloom(docs, "doc_id", "text",
+          docs.filter($"doc_id" % 97 === 0), "doc_id", "text", n = 3,
+          expectedShingles = 100000L)
         .select($"doc_id").orderBy($"doc_id")
     })
 

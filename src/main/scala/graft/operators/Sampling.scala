@@ -65,15 +65,68 @@ object Sampling {
   def decontaminate(train: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchIdCol: String, benchTextCol: String,
       n: Int = 3): DataFrame = {
-    // no array_distinct: the broadcast probe + id distinct dedup anyway, and
-    // the per-doc distinct is another interpreted O(shingles^2) HOF pass
-    def shingled(df: DataFrame, id: String, text: String): DataFrame =
-      df.select(col(id).as("id"),
-        explode(Dedup.shingles(Dedup.tokens(col(text)), n)).as("s"))
     val benchShingles = broadcast(
-      shingled(bench, benchIdCol, benchTextCol).select(col("s")).distinct())
-    val contaminated = shingled(train, idCol, textCol)
+      shingled(bench, benchIdCol, benchTextCol, n).select(col("s")).distinct())
+    val contaminated = shingled(train, idCol, textCol, n)
       .join(benchShingles, Seq("s"))
+      .select(col("id").as(idCol)).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  // no array_distinct: the probe + id distinct dedup anyway, and the per-doc
+  // distinct is another interpreted O(shingles^2) HOF pass
+  private def shingled(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    df.select(col(id).as("id"),
+      explode(Dedup.shingles(Dedup.tokens(col(text)), n)).as("s"))
+
+  /** [[decontaminate]] with a Bloom prefilter: the benchmark shingle set is
+    * aggregated into a Bloom filter (Spark's `bloom_filter_agg`, one
+    * distributed pass), the training side probes it MAP-SIDE with the native
+    * `BloomFilterMightContain` predicate, and only probable hits reach the
+    * exact shingle join — correctness stays exact because Bloom filters have
+    * no false negatives (a row that fails the probe provably shares no
+    * shingle) and false positives are eliminated by the exact join.
+    *
+    * Scale: the filter is ~`-ln(fpp)/ln(2)^2` bits per expected shingle
+    * (~7.3 bits at the 3 % default) vs the hundreds of bits a broadcast hash
+    * relation costs per entry, so a 10 M-shingle benchmark suite probes from
+    * a ~9 MB plan literal instead of a multi-GB broadcast; at the default
+    * false-positive rate 97 % of clean corpus shingles skip the join
+    * entirely. Both sides hash with SQL `xxhash64` (seed 42), so build and
+    * probe agree by construction. */
+  def decontaminateBloom(train: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int = 3, expectedShingles: Long = 1000000L,
+      fpp: Double = 0.03): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp $fpp outside (0, 1)")
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, XxHash64, Literal => CLit}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    // persisted: scanned by the bloom build (an eager .head job) and again
+    // by the exact verify join — benchmark suites are the small side
+    val benchSh = shingled(bench, benchIdCol, benchTextCol, n)
+      .select(col("s")).distinct().persist()
+    val numBits = math.max(64L,
+      math.ceil(-expectedShingles * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // bloom_filter_agg lives in the INTERNAL function registry (it exists
+    // for the optimizer's runtime join filters), so build the aggregate
+    // expression directly rather than through SQL resolution
+    val bfRow = benchSh
+      .agg(GraftColumnBridge.column(
+        new BloomFilterAggregate(
+          XxHash64(Seq(GraftColumnBridge.expression(col("s"))), 42L),
+          CLit.create(expectedShingles, org.apache.spark.sql.types.LongType),
+          CLit.create(numBits, org.apache.spark.sql.types.LongType))
+          .toAggregateExpression()))
+      .head()
+    if (bfRow.isNullAt(0)) return train // empty benchmark: nothing to drop
+    val bloom = bfRow.getAs[Array[Byte]](0)
+    val probe = GraftColumnBridge.column(BloomFilterMightContain(
+      CLit.create(bloom, org.apache.spark.sql.types.BinaryType),
+      XxHash64(Seq(GraftColumnBridge.expression(col("s"))), 42L)))
+    val contaminated = shingled(train, idCol, textCol, n)
+      .filter(probe)
+      .join(broadcast(benchSh), Seq("s"))
       .select(col("id").as(idCol)).distinct()
     train.join(contaminated, Seq(idCol), "left_anti")
   }

@@ -213,6 +213,30 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(plan.contains("BroadcastHashJoin"), "bench shingle probe is not broadcast")
   }
+
+  test("bloom-prefiltered decontamination never false-drops, even saturated") {
+    // corpus big enough that a 64-bit filter (the expectedShingles=1 floor)
+    // saturates — nearly every probe is a Bloom false positive, so this
+    // asserts the exact join kills them all: the result must equal the
+    // exact variant's on both the kept and dropped sides
+    val train = docs.limit(300)
+    val bench = docs.filter($"doc_id" % 29 === 0).limit(10)
+    val exact = Sampling.decontaminate(train, "doc_id", "text",
+      bench, "doc_id", "text").select($"doc_id").as[Long].collect().toSet
+    val saturated = Sampling.decontaminateBloom(train, "doc_id", "text",
+      bench, "doc_id", "text", expectedShingles = 1L, fpp = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(saturated == exact, "saturated Bloom diverged from the exact result")
+    // and a well-sized filter agrees too (the q58 configuration)
+    val sized = Sampling.decontaminateBloom(train, "doc_id", "text",
+      bench, "doc_id", "text", expectedShingles = 100000L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(sized == exact)
+    // empty benchmark: nothing drops
+    val none = Sampling.decontaminateBloom(train, "doc_id", "text",
+      bench.filter(lit(false)), "doc_id", "text")
+    assert(none.count() == train.count())
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
