@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Mover, Similarity, Splitter}
+import graft.operators.{Dedup, Mover, Multimodal, Similarity, Splitter}
 import graft.sources.Tables
 
 /** Training-data-pipeline operator queries (dedup / similarity / text /
@@ -273,7 +273,45 @@ object QueriesML {
       })
   ) ++ Seq(regridQ, nearestQ, bilinearQ, matchDtQ, packedQ, haversineQ, sessionizeQ,
     embDupQ, corpusStatsQ, hashSampleQ, stratifiedCapQ, decontaminateQ,
-    repetitionQ, quantizeQ)
+    repetitionQ, quantizeQ, imageDupsQ)
+
+  // ------------------------------------------------------- multimodal: real JDK image decode + dHash near-dups
+  // No DuckDB oracle can decode PNG bytes, so this records the weaker
+  // rows-only check; the pixel-level correctness lives in MultimodalSpec
+  // (encoding-invariance PNG==BMP, locality, banded-LSH recall).
+  private lazy val imageDupsQ = Q("q62_image_near_dups", None)(
+    (s, d) => {
+      import org.apache.spark.sql.Encoders
+      val orders = Tables.orders(s, d).orderBy($"o_orderkey").limit(96)
+        .select($"o_orderkey".cast("long")).as[java.lang.Long](Encoders.LONG)
+      // deterministic per-row PNG: structure from the group id, brightness
+      // from the member id — members of a group are near-dups of each other
+      val media = orders.map { id =>
+        val grp = (id % 8L).toInt
+        val shift = ((id / 8L) % 6L).toInt
+        val img = new java.awt.image.BufferedImage(48, 32,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 32) {
+          var x = 0
+          while (x < 48) {
+            val stripe = if ((x / (2 + grp)) % 2 == 0) 40 else 0
+            val v = x * 170 / 48 + stripe + shift
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id.toLong, bos.toByteArray)
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+        .toDF("doc_id", "content")
+      val decoded = Multimodal.decode(
+        Multimodal.asMedia(media, "doc_id", "content"))
+      Multimodal.imageNearDups(decoded, maxHamming = 3)
+        .orderBy($"id_a", $"id_b")
+    })
 
   // ------------------------------------------------------- text: within-doc repetition (Gopher-style filter signal)
   private lazy val repetitionQ = Q("q59_repetition", Some(s"""

@@ -359,6 +359,88 @@ class MultimodalSpec extends SparkSpec {
     val idx = frames.select($"frame_idx").as[Int].collect()
     assert(idx.forall(_ % 2 == 0))
   }
+
+  // deterministic gradient-with-blobs test image: distinct dHash structure
+  private def testImage(w: Int, h: Int, shift: Int = 0): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      // headroom: max 180 + 40 + shift stays under 255, so a brightness
+      // shift adds a constant to every pixel and preserves cell ordering
+      val v = (x * 180 / w) + shift + (if ((x / 8 + y / 8) % 2 == 0) 40 else 0)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("real PNG decodes via the JDK: true dims/format, luma feature, dHash") {
+    val png = encode(testImage(64, 48), "png")
+    val m = Multimodal.MediaCodec.probe(png)
+    assert(m.width == 64 && m.height == 48 && m.format == "png")
+    val df = Multimodal.decode(Multimodal.asMedia(
+      Seq((1L, png)).toDF("doc_id", "content"), "doc_id", "content"))
+    val r = df.head()
+    assert(r.decoded && r.width == 64 && r.height == 48 && r.format == "png")
+    assert(r.featNorm > 0 && r.featNorm < 255) // mean luminance, not byte mean
+    assert(r.dhash != 0L)
+    // undecodable bytes keep the deterministic fallback, marked as such
+    val junk = Multimodal.decode(Multimodal.asMedia(
+      Seq((2L, "not an image at all".getBytes("UTF-8")))
+        .toDF("doc_id", "content"), "doc_id", "content")).head()
+    assert(!junk.decoded && junk.dhash == 0L)
+  }
+
+  test("dHash is encoding-invariant and locality-sensitive") {
+    val img = testImage(96, 64)
+    val hPng = Multimodal.MediaCodec.dHash64(
+      Multimodal.MediaCodec.decodeImage(encode(img, "png")).get)
+    val hBmp = Multimodal.MediaCodec.dHash64(
+      Multimodal.MediaCodec.decodeImage(encode(img, "bmp")).get)
+    assert(hPng == hBmp, "same pixels, different hash across PNG/BMP")
+    // a small brightness shift preserves the structure (hamming ~ 0)
+    val near = Multimodal.MediaCodec.dHash64(testImage(96, 64, shift = 6))
+    assert(java.lang.Long.bitCount(hPng ^ near) <= 3)
+    // a different structure is far
+    val far = Multimodal.MediaCodec.dHash64 {
+      val i2 = new java.awt.image.BufferedImage(96, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 96) {
+        val v = (y * 255 / 64 + (if (x % 16 < 8) 120 else 0)) % 256
+        i2.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      i2
+    }
+    assert(java.lang.Long.bitCount(hPng ^ far) > 10)
+  }
+
+  test("image near-dup pairs via banded dHash LSH") {
+    val rows = Seq(
+      (1L, encode(testImage(64, 48), "png")),
+      (2L, encode(testImage(64, 48, shift = 6), "png")), // near-dup of 1
+      (3L, encode(testImage(64, 48, shift = 5), "bmp")), // near-dup of 1 & 2
+      (4L, {                                              // structurally different
+        val i2 = testImage(64, 48)
+        for (y <- 0 until 48; x <- 0 until 64)
+          if (x % 12 < 6) i2.setRGB(x, y, 0xffffff - i2.getRGB(x, y))
+        encode(i2, "png")
+      }),
+      (5L, "definitely not an image".getBytes("UTF-8"))) // excluded (undecoded)
+      .toDF("doc_id", "content")
+    val decoded = Multimodal.decode(
+      Multimodal.asMedia(rows, "doc_id", "content"))
+    val pairs = Multimodal.imageNearDups(decoded, maxHamming = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      s"missing near-dup pairs: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"false positive with 4: $pairs")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), "undecodable row leaked into LSH")
+  }
 }
 
 class StreamingSpec extends SparkSpec {
