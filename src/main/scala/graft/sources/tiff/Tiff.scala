@@ -5,7 +5,8 @@ import java.util.zip.Inflater
 /** Minimal TIFF 6.0 + GeoTIFF 1.1 structure parsing (public specs) — the
   * pixel-data half of the reference's tif path (S4,
   * weather_mv/loader_pipeline/sinks.py:149-227, which delegates to
-  * rasterio). Classic TIFF, either byte order, single IFD; stripped or
+  * rasterio). Classic TIFF (magic 42) and BigTIFF (magic 43 — 8-byte
+  * offsets for > 4 GiB rasters), either byte order, IFD chains; stripped or
   * tiled layout; compression none (1) or deflate (8/32946); sample formats
   * uint/int/float at 8/16/32/64 bits; one or more samples per pixel
   * (PlanarConfiguration 1, interleaved).
@@ -63,6 +64,8 @@ object Tiff {
     def u32(i: Long): Long =
       if (le) u16(i).toLong | (u16(i + 2).toLong << 16)
       else (u16(i).toLong << 16) | u16(i + 2)
+    def u64(i: Long): Long =
+      if (le) u32(i) | (u32(i + 4) << 32) else (u32(i) << 32) | u32(i + 4)
     def f64(i: Long): Double = {
       var bits = 0L
       var k = 0
@@ -96,15 +99,25 @@ object Tiff {
     require(le || be, "not a TIFF: bad byte-order mark")
     val h = new Cursor(hdr, le)
     val magic = h.u16(2)
-    if (magic == 43)
-      throw UnsupportedTiff("BigTIFF (magic 43); use classic TIFF — " +
-        "convert with `gdal_translate -co BIGTIFF=NO`")
-    require(magic == 42, s"not a classic TIFF (magic $magic)")
-    val ifd = if (ifdOffset >= 0) ifdOffset else h.u32(4)
-    require(ifd + 2 <= fileLen, s"IFD offset $ifd beyond EOF $fileLen")
-    val n = new Cursor(read(ifd, 2), le).u16(0)
-    require(ifd + 2 + n * 12L <= fileLen, s"IFD ($n entries) truncated at EOF")
-    val ec = new Cursor(read(ifd + 2, n * 12), le)
+    // magic 43 = BigTIFF: 8-byte offsets, 20-byte IFD entries, u64 counts —
+    // the format 100 TB-era rasters (> 4 GiB) actually ship in
+    val big = magic == 43
+    require(big || magic == 42, s"not a TIFF (magic $magic; 42 classic, 43 BigTIFF)")
+    val (firstIfd, entrySize, cntSize) =
+      if (big) {
+        require(fileLen >= 16, "not a BigTIFF: too short")
+        val h2 = new Cursor(read(4, 12), le) // offsetSize, pad, first-IFD u64
+        require(h2.u16(0) == 8 && h2.u16(2) == 0,
+          s"BigTIFF offset size ${h2.u16(0)}/${h2.u16(2)} (must be 8/0)")
+        (h2.u64(4), 20, 8)
+      } else (h.u32(4), 12, 2)
+    val ifd = if (ifdOffset >= 0) ifdOffset else firstIfd
+    require(ifd + cntSize <= fileLen, s"IFD offset $ifd beyond EOF $fileLen")
+    val n = (if (big) new Cursor(read(ifd, 8), le).u64(0)
+      else new Cursor(read(ifd, 2), le).u16(0).toLong).toInt
+    require(ifd + cntSize + n.toLong * entrySize <= fileLen,
+      s"IFD ($n entries) truncated at EOF")
+    val ec = new Cursor(read(ifd + cntSize, n * entrySize), le)
     var width, height = 0
     var bits = 1
     var fmt = 1
@@ -119,21 +132,23 @@ object Tiff {
 
     def values(entry: Long): Seq[Long] = {
       val typ = ec.u16(entry + 2)
-      val count = ec.u32(entry + 4)
+      val count = if (big) ec.u64(entry + 4) else ec.u32(entry + 4)
       val size = typ match {
         case 1 | 2 | 6 | 7 => 1
         case 3 => 2
         case 4 => 4
         case 12 => 8
+        case 16 | 17 | 18 => 8 // BigTIFF LONG8 / SLONG8 / IFD8
         case other => throw UnsupportedTiff(s"tag type $other")
       }
       val total = size * count
+      val valField = entry + (if (big) 12 else 8)
       // inline values live in the entry itself; out-of-line values get one
       // ranged read at the offset the entry points to
       val (c, base) =
-        if (total <= 4) (ec, entry + 8)
+        if (total <= (if (big) 8 else 4)) (ec, valField)
         else {
-          val off = ec.u32(entry + 8)
+          val off = if (big) ec.u64(valField) else ec.u32(valField)
           require(off + total <= fileLen,
             s"tag value span [$off, ${off + total}) beyond EOF $fileLen")
           (new Cursor(read(off, total.toInt), le), 0L)
@@ -143,6 +158,7 @@ object Tiff {
           case 1 | 2 | 6 | 7 => c.u8(base + k).toLong
           case 3 => c.u16(base + k * 2).toLong
           case 4 => c.u32(base + k * 4)
+          case 16 | 17 | 18 => c.u64(base + k * 8)
           case 12 => java.lang.Double.doubleToLongBits(c.f64(base + k * 8))
         }
       }
@@ -152,7 +168,7 @@ object Tiff {
 
     var i = 0
     while (i < n) {
-      val e = i * 12L
+      val e = i.toLong * entrySize
       ec.u16(e) match {
         case 256 => width = values(e).head.toInt
         case 257 => height = values(e).head.toInt
@@ -207,11 +223,12 @@ object Tiff {
         }
       }
     }
-    val nextPtr = ifd + 2 + n * 12L
+    val nextPtr = ifd + cntSize + n.toLong * entrySize
+    val nextIfd =
+      if (big) { if (nextPtr + 8 <= fileLen) new Cursor(read(nextPtr, 8), le).u64(0) else 0L }
+      else { if (nextPtr + 4 <= fileLen) new Cursor(read(nextPtr, 4), le).u32(0) else 0L }
     Meta(le, width, height, bits, fmt, spp, comp, rps, so, sbc, tw, tl, to, tbc,
-      scale, tie, epsg, pred,
-      nextIfd = if (nextPtr + 4 <= fileLen) new Cursor(read(nextPtr, 4), le).u32(0)
-        else 0L)
+      scale, tie, epsg, pred, nextIfd = nextIfd)
   }
 
   /** Decode one strip/tile's raw bytes to doubles (sample-interleaved).

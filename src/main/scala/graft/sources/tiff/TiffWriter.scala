@@ -3,7 +3,8 @@ package graft.sources.tiff
 import java.io.FileOutputStream
 import java.util.zip.Deflater
 
-/** Minimal GeoTIFF fixture writer: little-endian classic TIFF, one IFD,
+/** Minimal GeoTIFF fixture writer: little-endian classic TIFF or BigTIFF
+  * (`bigTiff = true`: magic 43, 8-byte offsets, LONG8 arrays), one IFD,
   * stripped layout, compression none / deflate / LZW (with the horizontal
   * predictor for integer samples), float32 or integer samples,
   * ModelPixelScale/ModelTiepoint + a GeoKeyDirectory carrying one EPSG
@@ -23,7 +24,8 @@ object TiffWriter {
       lzw: Boolean = false,
       predictor: Int = 1,          // 2 = horizontal differencing (int only)
       bitsPerSample: Int = 32,
-      sampleFormat: Int = 3) {     // 1 uint, 2 int, 3 ieee float
+      sampleFormat: Int = 3,       // 1 uint, 2 int, 3 ieee float
+      bigTiff: Boolean = false) {  // magic 43, 8-byte offsets, LONG8 arrays
 
     def compressionCode: Int =
       if (lzw) 5 else if (deflate) 8 else 1
@@ -73,7 +75,8 @@ object TiffWriter {
 
   def write(path: String, s: Spec): Unit = {
     require(s.data.size == s.width * s.height * s.bands, "data size mismatch")
-    val header = 8
+    val big = s.bigTiff
+    val header = if (big) 16 else 8
     // strips
     val nStrips = (s.height + s.rowsPerStrip - 1) / s.rowsPerStrip
     val stripBytes = (0 until nStrips).map { i =>
@@ -96,22 +99,26 @@ object TiffWriter {
       s.pixelScale._1, s.pixelScale._2, 0.0,
       0.0, 0.0, 0.0, s.tiepointXY._1, s.tiepointXY._2, 0.0)
 
+    // BigTIFF arrays carry 8-byte LONG8 elements (type 16) and entries
+    // inline up to 8 bytes; classic stays LONG/4-byte
+    val arrElem = if (big) 8L else 4L
+    val arrType = if (big) 16 else 4
     // layout: header | strip data | geokeys | doubles | strip arrays | IFD
     var off = header.toLong
     val stripOffsets = stripBytes.map { b => val o = off; off += b.length; o }
     val geoKeyOff = off; off += geoKeys.size * 2L
     val scaleOff = off; off += 3 * 8L
     val tieOff = off; off += 6 * 8L
-    val soOff = off; off += nStrips * 4L
-    val sbcOff = off; off += nStrips * 4L
+    val soOff = off; off += nStrips * arrElem
+    val sbcOff = off; off += nStrips * arrElem
     val ifdOff = off
 
     val entries = (Seq[(Int, Int, Long, Long)](   // tag, type, count, value
       (256, 3, 1, s.width), (257, 3, 1, s.height),
       (258, 3, 1, s.bitsPerSample), (259, 3, 1, s.compressionCode),
-      (273, 4, nStrips, if (nStrips == 1) stripOffsets.head else soOff),
+      (273, arrType, nStrips, if (nStrips == 1) stripOffsets.head else soOff),
       (277, 3, 1, s.bands), (278, 3, 1, s.rowsPerStrip),
-      (279, 4, nStrips, if (nStrips == 1) stripBytes.head.length.toLong else sbcOff),
+      (279, arrType, nStrips, if (nStrips == 1) stripBytes.head.length.toLong else sbcOff),
       (284, 3, 1, 1)) ++
       (if (s.predictor != 1)
         Seq[(Int, Int, Long, Long)]((317, 3, 1, s.predictor.toLong)) else Nil) ++
@@ -123,23 +130,27 @@ object TiffWriter {
     val out = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
-    def w64d(v: Double): Unit = {
-      val bits = java.lang.Double.doubleToLongBits(v)
-      (0 until 8).foreach(i => out.write(((bits >> (8 * i)) & 0xff).toInt))
-    }
-    out.write('I'); out.write('I'); w16(42); w32(ifdOff)
+    def w64(v: Long): Unit = { w32(v & 0xffffffffL); w32((v >> 32) & 0xffffffffL) }
+    def wArr(v: Long): Unit = if (big) w64(v) else w32(v)
+    def w64d(v: Double): Unit = w64(java.lang.Double.doubleToLongBits(v))
+    if (big) { out.write('I'); out.write('I'); w16(43); w16(8); w16(0); w64(ifdOff) }
+    else { out.write('I'); out.write('I'); w16(42); w32(ifdOff) }
     stripBytes.foreach(out.write)
     geoKeys.foreach(w16)
     doubleValues.take(3).foreach(w64d)
     doubleValues.drop(3).foreach(w64d)
-    stripOffsets.foreach(w32)
-    stripBytes.foreach(b => w32(b.length))
-    w16(entries.size)
+    stripOffsets.foreach(wArr)
+    stripBytes.foreach(b => wArr(b.length))
+    if (big) w64(entries.size) else w16(entries.size)
     entries.foreach { case (tag, typ, count, value) =>
-      w16(tag); w16(typ); w32(count)
-      if (typ == 3 && count == 1) { w16(value.toInt); w16(0) } else w32(value)
+      w16(tag); w16(typ)
+      if (big) w64(count) else w32(count)
+      // inline scalars pack into the value field's low bytes (LE)
+      if (typ == 3 && count == 1) {
+        w16(value.toInt); w16(0); if (big) w32(0)
+      } else if (big) w64(value) else w32(value)
     }
-    w32(0) // no next IFD
+    if (big) w64(0) else w32(0) // no next IFD
 
     val fos = new FileOutputStream(path)
     try fos.write(out.toByteArray) finally fos.close()

@@ -475,6 +475,44 @@ class StreamingSpec extends SparkSpec {
     assert(b.count() == 3)
   }
 
+  test("streaming near-dup dedup == batch on planted near-dups, bounded state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamDedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2026-04-01 10:$m%02d:00")
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, base, t(0)),
+      (2L, base.replace(" mu", " nu"), t(1)),           // near-dup of 1
+      (3L, "entirely different prose describing spark catalyst rules and codegen stages here", t(2)),
+      (4L, base.replace("delta", "delta prime"), t(3)), // near-dup of 1, later batch
+      (5L, "yet another unrelated document covering zarr chunk grids and consolidated metadata", t(4)))
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val survivors = StreamDedup.dedupNearMinhash(
+      in.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts", "10 minutes")
+    assert(survivors.isStreaming)
+    val q = survivors.writeStream
+      .format("memory").queryName("near_dedup_bands").outputMode("append").start()
+    try {
+      in.addData(docs.take(3))
+      q.processAllAvailable()
+      in.addData(docs.drop(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamKept = StreamDedup.novelDocs(
+      spark.table("near_dedup_bands"), "doc_id", bands = 4)
+      .as[Long].collect().toSet
+    // batch equivalent on the same bounded corpus
+    val batchKept = StreamDedup.novelDocs(
+      StreamDedup.dedupNearMinhash(docs.toDF("doc_id", "text", "ts"),
+        "doc_id", "text", "ts", "10 minutes"), "doc_id", bands = 4)
+      .as[Long].collect().toSet
+    assert(streamKept == batchKept, s"stream $streamKept != batch $batchKept")
+    assert(!streamKept.contains(2L) && !streamKept.contains(4L),
+      s"planted near-dups survived: $streamKept")
+    assert(streamKept.contains(1L) && streamKept.contains(3L) && streamKept.contains(5L))
+  }
+
   test("streaming file events drive GRIB extraction into an idempotent sink (ST8 e2e)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.sources.grib.{GribReader, Grib1Writer => GW}

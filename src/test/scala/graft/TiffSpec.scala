@@ -125,17 +125,43 @@ class TiffSpec extends SparkSpec {
     assert(df.filter($"band_1" === 999.0).count() > 0)
   }
 
-  test("BigTIFF raises a directed error") {
+  test("BigTIFF (magic 43) reads back identically to classic TIFF") {
     val dir = java.nio.file.Files.createTempDirectory("tifbigtiff").toString
-    val p = s"$dir/big.tif"
-    // II + magic 43 (BigTIFF) + 8-byte offset header stub
+    // same pixels through both container formats — deflate + horizontal
+    // predictor + multi-strip int16 exercises LONG8 offset/count arrays,
+    // 20-byte IFD entries, and u64 counts on the BigTIFF side
+    val spec = TW.Spec(w, h, 1, vals((r, c) => (r * 31 + c * 3).toDouble),
+      pixelScale = (0.5, 0.5), tiepointXY = (10.0, 55.0), epsg = 4326,
+      rowsPerStrip = 2, deflate = true, predictor = 2,
+      bitsPerSample = 16, sampleFormat = 1)
+    val classic = s"$dir/classic.tif"
+    val big = s"$dir/big.tif"
+    TW.write(classic, spec)
+    TW.write(big, spec.copy(bigTiff = true))
+    // the headers really differ: classic magic 42, BigTIFF 43 + offset size 8
+    val hdr = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(big)).take(6)
+    assert(hdr(2) == 43 && hdr(4) == 8)
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    val meta = TiffReader.readMeta(conf, big)
+    assert(meta.width == w && meta.height == h && meta.stripOffsets.size > 1)
+    val a = TiffReader.readLongFormat(spark, classic)
+      .orderBy($"latitude", $"longitude").collect()
+    val b = TiffReader.readLongFormat(spark, big)
+      .orderBy($"latitude", $"longitude").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("non-TIFF magic raises a directed error naming both magics") {
+    val dir = java.nio.file.Files.createTempDirectory("tifbadmagic").toString
+    val p = s"$dir/bad.tif"
     java.nio.file.Files.write(java.nio.file.Paths.get(p),
-      Array[Byte]('I', 'I', 43, 0, 8, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0))
-    val e = intercept[graft.sources.tiff.Tiff.UnsupportedTiff] {
+      Array[Byte]('I', 'I', 44, 0, 8, 0, 0, 0))
+    val e = intercept[IllegalArgumentException] {
       TiffReader.readMeta(new org.apache.hadoop.conf.Configuration(
         spark.sparkContext.hadoopConfiguration), p)
     }
-    assert(e.getMessage.contains("BigTIFF"))
+    assert(e.getMessage.contains("42") && e.getMessage.contains("43"))
   }
 
   test("LZW codec round-trips arbitrary payloads") {
