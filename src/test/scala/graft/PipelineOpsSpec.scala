@@ -737,11 +737,32 @@ class QueriesSpec extends SparkSpec {
       }
       assert(collectAggs.nonEmpty, s"$q: expected a collect_list candidate stage")
       collectAggs.foreach { agg =>
-        val rnIds = agg.child.collect { case w: LWindow =>
+        // row_number aliases directly in the logical child, plus those
+        // inside persisted frames: cache substitution swaps the Window into
+        // an InMemoryRelation's cached PHYSICAL plan, but output exprIds
+        // are preserved, so the outer cap filter still references them
+        val logicalRnIds = agg.child.collect { case w: LWindow =>
           w.windowExpressions.collect {
             case al @ Alias(WindowExpression(_: RowNumber, _), _) => al.exprId
           }
         }.flatten.toSet
+        val cachedRnIds = agg.child.collect {
+          case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+            // under AQE the cached plan is an AdaptiveSparkPlanExec leaf;
+            // its real tree hangs off inputPlan
+            val phys = imr.cachedPlan match {
+              case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+                a.inputPlan
+              case p => p
+            }
+            phys.collect {
+              case w: org.apache.spark.sql.execution.window.WindowExec =>
+                w.windowExpression.collect {
+                  case al @ Alias(WindowExpression(_: RowNumber, _), _) => al.exprId
+                }
+            }.flatten
+        }.flatten.toSet
+        val rnIds = logicalRnIds ++ cachedRnIds
         val gated = agg.child.collect { case f: LFilter => f }.exists(_.condition.exists {
           case LessThanOrEqual(a: Attribute, _: Literal) => rnIds.contains(a.exprId)
           case GreaterThanOrEqual(_: Literal, a: Attribute) => rnIds.contains(a.exprId)
