@@ -835,6 +835,57 @@ object Queries {
           .filter($"value".isNotNull) // bitmap-missing points decode as null
           .select($"time", $"latitude", $"longitude", $"value")
           .orderBy($"time", $"latitude", $"longitude")
+      }),
+
+    // ---------------------------------------------------------------- S1 (NetCDF-4 / HDF5)
+    // Same `orders` grid as q48/q61, but through the pure-JVM HDF5 reader:
+    // chunked layout (v1 chunk B-tree), deflate + shuffle filters, packed
+    // int16 with CDL scale/offset decode, fill-value masking, and an
+    // epoch-seconds time coordinate — the reference's NetCDF-4 path
+    // (sinks.py:345-389 via xarray/netcdf4), previously a directed-error
+    // boundary. Hash-checked against the DuckDB recomputation.
+    Q("q63_netcdf4_extract", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200)
+      SELECT CASE WHEN rn0 // 100 = 0 THEN TIMESTAMP '2026-09-01 00:00:00'
+                  ELSE TIMESTAMP '2026-09-01 06:00:00' END AS time,
+             CAST(50 - (rn0 % 100) // 10 AS DOUBLE) AS latitude,
+             CAST(rn0 % 10 AS DOUBLE) AS longitude,
+             CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                  ELSE round(CAST(o_orderkey % 997 AS DOUBLE) * 0.25 + 200, 6)
+             END AS t2m
+      FROM o
+      ORDER BY time, latitude, longitude"""))(
+      (s, d) => {
+        import graft.sources.hdf5.{Hdf5Writer => HW}
+        import graft.sources.netcdf.NetCDF4Reader
+        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+          .select(when($"o_orderkey" % 11 === 0, lit(-1.0))
+            .otherwise(($"o_orderkey" % 997).cast("double")).as("v"))
+          .collect().map(_.getDouble(0)).toSeq
+        val t0 = java.time.LocalDateTime.of(2026, 9, 1, 0, 0)
+          .toEpochSecond(java.time.ZoneOffset.UTC)
+        val path = java.nio.file.Files.createTempDirectory("q63").toString + "/q63.nc"
+        HW.write(path, Seq(
+          HW.VarSpec("time", Seq("time"), Seq(2),
+            Seq(t0.toDouble, t0 + 21600.0), dtype = "f8",
+            units = Some("seconds since 1970-01-01")),
+          HW.VarSpec("latitude", Seq("latitude"), Seq(10),
+            (0 until 10).map(50.0 - _), dtype = "f8"),
+          HW.VarSpec("longitude", Seq("longitude"), Seq(10),
+            (0 until 10).map(_.toDouble), dtype = "f8"),
+          // packed int16: stored = o_orderkey % 997 (or -1 = fill);
+          // decode = stored * 0.25 + 200
+          HW.VarSpec("t2m", Seq("time", "latitude", "longitude"), Seq(2, 10, 10),
+            vals, dtype = "i2", chunks = Some(Seq(1, 4, 10)),
+            deflate = true, shuffle = true,
+            scaleFactor = Some(0.25), addOffset = Some(200.0),
+            fillValue = Some(-1.0), units = Some("K"))))
+        NetCDF4Reader.readLongFormat(s, path)
+          .select(col("time").cast("timestamp_ntz").as("time"),
+            $"latitude", $"longitude", round($"t2m", 6).as("t2m"))
+          .orderBy($"time", $"latitude", $"longitude")
       })
   )
 

@@ -1,0 +1,607 @@
+package graft.sources.hdf5
+
+import scala.collection.mutable
+
+/** Pure-JVM HDF5 structure parser — the subset netCDF-4 files actually use
+  * (public spec: HDF5 File Format Specification III, versions 0-3). Closes
+  * the reference's NetCDF-4 path (weather_mv/loader_pipeline/
+  * sinks.py:345-389, which delegates to xarray/netcdf4) without native
+  * libraries, the same way the GRIB/TIFF/Zarr codecs do.
+  *
+  * Supported surface:
+  *  - superblock versions 0/1 (symbol-table root) and 2/3 (root object
+  *    header address), 8-byte offsets/lengths;
+  *  - object headers v1 (with continuation blocks) and v2 (`OHDR`/`OCHK`);
+  *  - groups: old-style symbol tables (v1 B-tree + local heap + `SNOD`
+  *    nodes) and new-style COMPACT link messages; dense (fractal-heap)
+  *    link storage raises a directed error;
+  *  - datasets: contiguous, compact, and chunked (v1 B-tree chunk index)
+  *    layouts; filters deflate(1), shuffle(2), fletcher32(3);
+  *  - datatypes: fixed-point 1/2/4/8 (either endian, signed or not), IEEE
+  *    float 4/8, fixed strings, object references, vlen sequences
+  *    (via the global heap `GCOL`, as `DIMENSION_LIST` needs);
+  *  - attributes v1/v2/v3 with scalar or simple dataspaces.
+  * Everything else raises [[UnsupportedHdf5]] naming the feature.
+  */
+object Hdf5 {
+
+  final case class UnsupportedHdf5(detail: String) extends
+    UnsupportedOperationException(s"HDF5 feature not supported: $detail")
+
+  val Undef: Long = -1L // all-ones addresses mean "undefined"
+
+  final case class Dtype(clazz: Int, size: Int, littleEndian: Boolean,
+      signed: Boolean) {
+    def isNumeric: Boolean = clazz == 0 || clazz == 1
+  }
+
+  sealed trait Layout
+  final case class Contiguous(addr: Long, size: Long) extends Layout
+  final case class Compact(data: Array[Byte]) extends Layout
+  final case class Chunked(btreeAddr: Long, chunkDims: Seq[Int],
+      elemSize: Int) extends Layout
+
+  /** One filter pipeline entry: (filter id, client values). */
+  final case class Filter(id: Int, clientValues: Seq[Int])
+
+  final case class ChunkRef(offsets: Seq[Long], addr: Long, nBytes: Long,
+      filterMask: Int)
+
+  final case class DatasetMeta(
+      path: String,
+      objAddr: Long,
+      shape: Seq[Long],
+      dtype: Dtype,
+      layout: Layout,
+      filters: Seq[Filter],
+      attrs: Map[String, Any]) {
+    def nPoints: Long = if (shape.isEmpty) 1L else shape.product
+  }
+
+  final case class FileMeta(datasets: Seq[DatasetMeta]) {
+    def byPath: Map[String, DatasetMeta] = datasets.map(d => d.path -> d).toMap
+    def byAddr: Map[Long, DatasetMeta] = datasets.map(d => d.objAddr -> d).toMap
+  }
+
+  // ---------------------------------------------------------------- cursor
+
+  private[hdf5] class Cur(val b: Array[Byte]) {
+    def u8(i: Long): Int = b(i.toInt) & 0xff
+    def u16(i: Long): Int = u8(i) | (u8(i + 1) << 8)
+    def u32(i: Long): Long = u16(i).toLong | (u16(i + 2).toLong << 16)
+    def u64(i: Long): Long = u32(i) | (u32(i + 4) << 32)
+    def ascii(i: Long, n: Int): String = new String(b, i.toInt, n, "US-ASCII")
+  }
+
+  // ---------------------------------------------------------------- parse
+
+  /** Parse the file's structure through a positioned span reader (header
+    * reads only — chunk/contiguous DATA is never touched here, so the
+    * driver-side cost is O(metadata)). */
+  def parse(read: (Long, Int) => Array[Byte], fileLen: Long): FileMeta = {
+    val sig = read(0, 8)
+    require(sig(0) == 0x89.toByte && sig(1) == 'H' && sig(2) == 'D' &&
+      sig(3) == 'F', "not an HDF5 file (bad signature)")
+    val sb = new Cur(read(8, 56))
+    val sbVer = sb.u8(0)
+    val rootObjAddr = sbVer match {
+      case 0 | 1 =>
+        if (sb.u8(5) != 8 || sb.u8(6) != 8)
+          throw UnsupportedHdf5(
+            s"offset/length sizes ${sb.u8(5)}/${sb.u8(6)} (8/8 only)")
+        // superblock v0: root symbol table entry at file offset 24+base
+        // fields; entry's object header address sits 8 bytes into the entry
+        val entryOff = if (sbVer == 0) 24L + 24 + 8 else 24L + 24 + 8 + 4 // v1 adds 4
+        new Cur(read(entryOff + 8, 8)).u64(0)
+      case 2 | 3 =>
+        if (sb.u8(1) != 8 || sb.u8(2) != 8)
+          throw UnsupportedHdf5(
+            s"offset/length sizes ${sb.u8(1)}/${sb.u8(2)} (8/8 only)")
+        // v2/3: base(8+4..), superblock ext, EOF, root object header addr
+        new Cur(read(8 + 28, 8)).u64(0)
+      case v => throw UnsupportedHdf5(s"superblock version $v")
+    }
+    val out = Seq.newBuilder[DatasetMeta]
+    val visited = mutable.Set.empty[Long]
+    walkGroup(read, fileLen, rootObjAddr, "", out, visited)
+    FileMeta(out.result())
+  }
+
+  // -------------------------------------------------------- object headers
+
+  /** All messages of the object header at `addr`: (type, body cursor base
+    * within its block, body length, block bytes). Returned as materialized
+    * byte arrays per message for simplicity — headers are small. */
+  private[hdf5] def messages(read: (Long, Int) => Array[Byte],
+      addr: Long): Seq[(Int, Array[Byte])] = {
+    val head = read(addr, 16)
+    val out = Seq.newBuilder[(Int, Array[Byte])]
+    if (head(0) == 'O' && head(1) == 'H' && head(2) == 'D' && head(3) == 'R') {
+      // version 2 header
+      val flags = head(5) & 0xff
+      var off = 6L
+      if ((flags & 0x20) != 0) off += 8 // times
+      if ((flags & 0x10) != 0) off += 4 // attr phase change
+      val sizeLen = 1 << (flags & 0x3)
+      val szC = new Cur(read(addr + off, sizeLen))
+      val chunkSize = sizeLen match {
+        case 1 => szC.u8(0).toLong
+        case 2 => szC.u16(0).toLong
+        case 4 => szC.u32(0)
+        case 8 => szC.u64(0)
+      }
+      off += sizeLen
+      val creationTracked = (flags & 0x4) != 0
+      parseV2Block(read, addr + off, chunkSize, creationTracked, out, read)
+    } else {
+      require((head(0) & 0xff) == 1, s"object header version ${head(0)} at $addr")
+      val c = new Cur(head)
+      val headerSize = c.u32(8)
+      parseV1Block(read, addr + 16, headerSize, out)
+    }
+    out.result()
+  }
+
+  private def parseV1Block(read: (Long, Int) => Array[Byte], start: Long,
+      size: Long, out: mutable.Builder[(Int, Array[Byte]), Seq[(Int, Array[Byte])]]): Unit = {
+    val blk = new Cur(read(start, size.toInt))
+    var p = 0L
+    while (p + 8 <= size) {
+      val typ = blk.u16(p)
+      val len = blk.u16(p + 2)
+      val body = java.util.Arrays.copyOfRange(blk.b, (p + 8).toInt, (p + 8 + len).toInt)
+      if (typ == 0x10) { // continuation: offset + length
+        val cc = new Cur(body)
+        parseV1Block(read, cc.u64(0), cc.u64(8), out)
+      } else if (typ != 0) out += ((typ, body))
+      p += 8 + len
+    }
+  }
+
+  private def parseV2Block(read: (Long, Int) => Array[Byte], start: Long,
+      size: Long, creationTracked: Boolean,
+      out: mutable.Builder[(Int, Array[Byte]), Seq[(Int, Array[Byte])]],
+      reread: (Long, Int) => Array[Byte]): Unit = {
+    // block ends with a 4-byte checksum (not verified)
+    val blk = new Cur(read(start, size.toInt))
+    var p = 0L
+    val end = size - 4
+    val msgHead = 4 + (if (creationTracked) 2 else 0)
+    while (p + msgHead <= end) {
+      val typ = blk.u8(p)
+      val len = blk.u16(p + 1)
+      if (typ == 0 && len == 0) { p = end } // gap padding
+      else {
+        val bodyOff = p + msgHead
+        val body = java.util.Arrays.copyOfRange(blk.b, bodyOff.toInt, (bodyOff + len).toInt)
+        if (typ == 0x10) {
+          val cc = new Cur(body)
+          val caddr = cc.u64(0)
+          val clen = cc.u64(8)
+          // continuation block: OCHK signature + messages + checksum
+          val sub = read(caddr, clen.toInt)
+          require(sub(0) == 'O' && sub(1) == 'C' && sub(2) == 'H' && sub(3) == 'K',
+            s"bad OCHK continuation at $caddr")
+          parseV2BlockBytes(java.util.Arrays.copyOfRange(sub, 4, (clen - 4).toInt),
+            creationTracked, out, reread)
+        } else if (typ != 0) out += ((typ, body))
+        p = bodyOff + len
+      }
+    }
+  }
+
+  private def parseV2BlockBytes(bytes: Array[Byte], creationTracked: Boolean,
+      out: mutable.Builder[(Int, Array[Byte]), Seq[(Int, Array[Byte])]],
+      reread: (Long, Int) => Array[Byte]): Unit = {
+    val blk = new Cur(bytes)
+    var p = 0L
+    val msgHead = 4 + (if (creationTracked) 2 else 0)
+    while (p + msgHead <= bytes.length) {
+      val typ = blk.u8(p)
+      val len = blk.u16(p + 1)
+      if (typ == 0 && len == 0) { p = bytes.length }
+      else {
+        val bodyOff = p + msgHead
+        val body = java.util.Arrays.copyOfRange(bytes, bodyOff.toInt, (bodyOff + len).toInt)
+        if (typ == 0x10) {
+          val cc = new Cur(body)
+          val sub = reread(cc.u64(0), cc.u64(8).toInt)
+          parseV2BlockBytes(java.util.Arrays.copyOfRange(sub, 4, sub.length - 4),
+            creationTracked, out, reread)
+        } else if (typ != 0) out += ((typ, body))
+        p = bodyOff + len
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- groups
+
+  private def walkGroup(read: (Long, Int) => Array[Byte], fileLen: Long,
+      objAddr: Long, prefix: String,
+      out: mutable.Builder[DatasetMeta, Seq[DatasetMeta]],
+      visited: mutable.Set[Long]): Unit = {
+    if (!visited.add(objAddr)) return
+    val msgs = messages(read, objAddr)
+    val types = msgs.map(_._1).toSet
+    val isDataset = types.contains(0x08) // layout message => dataset
+    if (isDataset) {
+      out += datasetOf(read, objAddr, prefix, msgs)
+      return
+    }
+    // children: old-style symbol table and/or compact link messages
+    msgs.foreach {
+      case (0x11, body) => // symbol table: btree + heap
+        val c = new Cur(body)
+        symbolTableChildren(read, c.u64(0), c.u64(8)).foreach { case (name, addr) =>
+          walkGroup(read, fileLen, addr, s"$prefix/$name", out, visited)
+        }
+      case (0x02, body) => // link info: dense storage check
+        val c = new Cur(body)
+        val flags = c.u8(1)
+        var off = 2L
+        if ((flags & 1) != 0) off += 8 // max creation index
+        val fheap = c.u64(off)
+        if (fheap != Undef)
+          throw UnsupportedHdf5("dense (fractal-heap) group link storage — " +
+            "repack with `h5repack` or keep groups under the compact limit")
+      case (0x06, body) => // link message (compact storage)
+        linkTarget(body).foreach { case (name, addr) =>
+          walkGroup(read, fileLen, addr, s"$prefix/$name", out, visited)
+        }
+      case _ =>
+    }
+  }
+
+  /** (name, object header address) of a compact Link message; None for
+    * soft/external links (netCDF-4 does not emit them for data objects). */
+  private def linkTarget(body: Array[Byte]): Option[(String, Long)] = {
+    val c = new Cur(body)
+    require(c.u8(0) == 1, s"link message version ${c.u8(0)}")
+    val flags = c.u8(1)
+    var off = 2L
+    val linkType = if ((flags & 0x8) != 0) { val t = c.u8(off); off += 1; t } else 0
+    if ((flags & 0x4) != 0) off += 8 // creation order
+    if ((flags & 0x10) != 0) off += 1 // charset
+    val lenSize = 1 << (flags & 0x3)
+    val nameLen = lenSize match {
+      case 1 => c.u8(off).toLong
+      case 2 => c.u16(off).toLong
+      case 4 => c.u32(off)
+      case 8 => c.u64(off)
+    }
+    off += lenSize
+    val name = c.ascii(off, nameLen.toInt)
+    off += nameLen
+    if (linkType == 0) Some((name, c.u64(off))) else None
+  }
+
+  /** Children of an old-style group: walk the v1 B-tree to SNOD leaves and
+    * resolve names through the local heap. */
+  private def symbolTableChildren(read: (Long, Int) => Array[Byte],
+      btreeAddr: Long, heapAddr: Long): Seq[(String, Long)] = {
+    val heap = new Cur(read(heapAddr, 32))
+    require(heap.ascii(0, 4) == "HEAP", s"bad local heap at $heapAddr")
+    val dataSize = heap.u64(8)
+    val dataAddr = heap.u64(24)
+    val names = new Cur(read(dataAddr, dataSize.toInt))
+    def nameAt(off: Long): String = {
+      var end = off
+      while (end < dataSize && names.u8(end) != 0) end += 1
+      names.ascii(off, (end - off).toInt)
+    }
+    val out = Seq.newBuilder[(String, Long)]
+    def walk(addr: Long): Unit = {
+      val head = read(addr, 24)
+      val c = new Cur(head)
+      c.ascii(0, 4) match {
+        case "TREE" =>
+          val level = c.u8(5)
+          val n = c.u16(6)
+          // keys/children: n+1 keys (heap offsets, 8 B) interleaved with n
+          // children (8 B)
+          val body = new Cur(read(addr + 24, (n * 16 + 8).toInt))
+          (0 until n).foreach { k =>
+            val child = body.u64(8 + k * 16L)
+            if (level > 0) walk(child) else walkSnod(child)
+          }
+        case "SNOD" => walkSnod(addr)
+        case other => throw UnsupportedHdf5(s"group node '$other' at $addr")
+      }
+    }
+    def walkSnod(addr: Long): Unit = {
+      val head = new Cur(read(addr, 8))
+      require(head.ascii(0, 4) == "SNOD", s"bad SNOD at $addr")
+      val n = head.u16(6)
+      val entries = new Cur(read(addr + 8, n * 40))
+      (0 until n).foreach { k =>
+        val nameOff = entries.u64(k * 40L)
+        val objAddr = entries.u64(k * 40L + 8)
+        out += ((nameAt(nameOff), objAddr))
+      }
+    }
+    walk(btreeAddr)
+    out.result()
+  }
+
+  // -------------------------------------------------------------- datasets
+
+  private def datasetOf(read: (Long, Int) => Array[Byte], objAddr: Long,
+      path: String, msgs: Seq[(Int, Array[Byte])]): DatasetMeta = {
+    var shape: Seq[Long] = Nil
+    var dtype: Option[Dtype] = None
+    var layout: Option[Layout] = None
+    var filters: Seq[Filter] = Nil
+    val attrs = Map.newBuilder[String, Any]
+    msgs.foreach {
+      case (0x01, body) => shape = parseDataspace(body)
+      case (0x03, body) => dtype = Some(parseDatatype(new Cur(body), 0L)._1)
+      case (0x08, body) => layout = Some(parseLayout(body))
+      case (0x0B, body) => filters = parseFilters(body)
+      case (0x0C, body) => parseAttribute(read, body).foreach(attrs += _)
+      case _ =>
+    }
+    DatasetMeta(path, objAddr, shape,
+      dtype.getOrElse(throw UnsupportedHdf5(s"dataset $path without datatype")),
+      layout.getOrElse(throw UnsupportedHdf5(s"dataset $path without layout")),
+      filters, attrs.result())
+  }
+
+  private[hdf5] def parseDataspace(body: Array[Byte]): Seq[Long] = {
+    val c = new Cur(body)
+    val version = c.u8(0)
+    val rank = c.u8(1)
+    val base = version match {
+      case 1 => 8L
+      case 2 => 4L
+      case v => throw UnsupportedHdf5(s"dataspace version $v")
+    }
+    (0 until rank).map(k => c.u64(base + k * 8L))
+  }
+
+  /** Parse one (possibly nested) datatype; returns (dtype, bytes consumed). */
+  private def parseDatatype(c: Cur, at: Long): (Dtype, Long) = {
+    val cv = c.u8(at)
+    val clazz = cv & 0x0f
+    val bits0 = c.u8(at + 1)
+    val size = c.u32(at + 4).toInt
+    clazz match {
+      case 0 => // fixed-point
+        (Dtype(0, size, (bits0 & 1) == 0, (bits0 & 0x08) != 0), 8 + 4)
+      case 1 => // float (IEEE assumed; properties not re-derived)
+        (Dtype(1, size, (bits0 & 1) == 0, signed = true), 8 + 12)
+      case 3 => // string
+        (Dtype(3, size, littleEndian = true, signed = false), 8)
+      case 7 => // reference
+        (Dtype(7, size, littleEndian = true, signed = false), 8)
+      case 9 => // vlen: base type follows
+        val (_, baseLen) = parseDatatype(c, at + 8)
+        (Dtype(9, size, littleEndian = true, signed = false), 8 + baseLen)
+      case other => throw UnsupportedHdf5(s"datatype class $other")
+    }
+  }
+
+  private def parseLayout(body: Array[Byte]): Layout = {
+    val c = new Cur(body)
+    val version = c.u8(0)
+    if (version != 3)
+      throw UnsupportedHdf5(s"data layout message version $version (3 only)")
+    c.u8(1) match {
+      case 0 =>
+        val n = c.u16(2)
+        Compact(java.util.Arrays.copyOfRange(body, 4, 4 + n))
+      case 1 => Contiguous(c.u64(2), c.u64(10))
+      case 2 =>
+        val dimensionality = c.u8(2) // rank + 1 (trailing element-size dim)
+        val btree = c.u64(3)
+        val dims = (0 until dimensionality - 1).map(k => c.u32(11 + k * 4L).toInt)
+        val elem = c.u32(11 + (dimensionality - 1) * 4L).toInt
+        Chunked(btree, dims, elem)
+      case other => throw UnsupportedHdf5(s"layout class $other")
+    }
+  }
+
+  private def parseFilters(body: Array[Byte]): Seq[Filter] = {
+    val c = new Cur(body)
+    val version = c.u8(0)
+    val n = c.u8(1)
+    var off = if (version == 1) 8L else 2L
+    (0 until n).map { _ =>
+      val id = c.u16(off)
+      val nameLen = if (version == 1 || id >= 256) c.u16(off + 2) else 0
+      val nClient = c.u16(off + 6)
+      off += 8
+      if (nameLen > 0) off += (if (version == 1) (nameLen + 7) / 8 * 8 else nameLen)
+      val vals = (0 until nClient).map(k => c.u32(off + k * 4L).toInt)
+      off += nClient * 4L
+      if (version == 1 && nClient % 2 == 1) off += 4
+      Filter(id, vals)
+    }
+  }
+
+  /** Attribute name/value; vlen values resolve through the global heap. */
+  private def parseAttribute(read: (Long, Int) => Array[Byte],
+      body: Array[Byte]): Option[(String, Any)] = {
+    val c = new Cur(body)
+    val version = c.u8(0)
+    val (nameSize, dtSize, dsSize) = (c.u16(2), c.u16(4), c.u16(6))
+    var off = 8L
+    if (version == 3) off += 1 // name character-set encoding
+    def padded(n: Int): Int = if (version == 1) (n + 7) / 8 * 8 else n
+    val name = c.ascii(off, math.max(nameSize - 1, 0)) // NUL-terminated
+    off += padded(nameSize)
+    val dtAt = off
+    val (dt, _) = parseDatatype(c, dtAt)
+    off += padded(dtSize)
+    val shape = parseDataspace(
+      java.util.Arrays.copyOfRange(body, off.toInt, (off + dsSize).toInt))
+    off += padded(dsSize)
+    val n = if (shape.isEmpty) 1 else shape.product.toInt
+    val value: Any = dt.clazz match {
+      case 3 =>
+        val raw = c.ascii(off, dt.size * n)
+        raw.takeWhile(_ != '\u0000')
+      case 0 | 1 =>
+        val vs = (0 until n).map(k => numericAt(c, off + k.toLong * dt.size, dt))
+        if (n == 1) vs.head else vs
+      case 7 =>
+        val vs = (0 until n).map(k => c.u64(off + k.toLong * dt.size))
+        if (n == 1) vs.head else vs
+      case 9 =>
+        // vlen elements: {count u32, gheap collection addr, gheap index u32};
+        // flattened — base type assumed 8-byte (object references / u64,
+        // the DIMENSION_LIST case), exposed as raw longs
+        (0 until n).flatMap { k =>
+          val base = off + k * 16L
+          val cnt = c.u32(base).toInt
+          val gaddr = c.u64(base + 4)
+          val gidx = c.u32(base + 12).toInt
+          globalHeapObject(read, gaddr, gidx).toSeq.flatMap { data =>
+            val gc = new Cur(data)
+            (0 until cnt).map(j => gc.u64(j * 8L))
+          }
+        }
+      case _ => return None
+    }
+    Some((name, value))
+  }
+
+  private def numericAt(c: Cur, at: Long, dt: Dtype): Double = {
+    var bits = 0L
+    var k = 0
+    while (k < dt.size) {
+      val byte = c.u8(at + k).toLong
+      bits |= (if (dt.littleEndian) byte << (8 * k) else byte << (8 * (dt.size - 1 - k)))
+      k += 1
+    }
+    decodeBits(bits, dt)
+  }
+
+  private[hdf5] def decodeBits(bits: Long, dt: Dtype): Double = (dt.clazz, dt.size) match {
+    case (1, 4) => java.lang.Float.intBitsToFloat(bits.toInt).toDouble
+    case (1, 8) => java.lang.Double.longBitsToDouble(bits)
+    case (0, 1) => if (dt.signed) bits.toByte.toDouble else (bits & 0xffL).toDouble
+    case (0, 2) => if (dt.signed) bits.toShort.toDouble else (bits & 0xffffL).toDouble
+    case (0, 4) => if (dt.signed) bits.toInt.toDouble else (bits & 0xffffffffL).toDouble
+    case (0, 8) => bits.toDouble
+    case (cl, sz) => throw UnsupportedHdf5(s"numeric datatype class $cl size $sz")
+  }
+
+  /** One object from a global heap collection (`GCOL`). */
+  private def globalHeapObject(read: (Long, Int) => Array[Byte],
+      collectionAddr: Long, index: Int): Option[Array[Byte]] = {
+    if (collectionAddr == Undef || collectionAddr == 0) return None
+    val head = new Cur(read(collectionAddr, 16))
+    require(head.ascii(0, 4) == "GCOL", s"bad global heap at $collectionAddr")
+    val size = head.u64(8)
+    val blk = new Cur(read(collectionAddr, size.toInt))
+    var off = 16L
+    while (off + 16 <= size) {
+      val idx = blk.u16(off)
+      val objSize = blk.u64(off + 8)
+      if (idx == index)
+        return Some(java.util.Arrays.copyOfRange(blk.b, (off + 16).toInt,
+          (off + 16 + objSize).toInt))
+      if (idx == 0) return None // free space terminator
+      off += 16 + (objSize + 7) / 8 * 8
+    }
+    None
+  }
+
+  // ------------------------------------------------------------ chunk maps
+
+  /** Every chunk of a chunked dataset: v1 B-tree walk (node type 1). */
+  def chunkRefs(read: (Long, Int) => Array[Byte], ds: DatasetMeta): Seq[ChunkRef] = {
+    val chunked = ds.layout match {
+      case ck: Chunked => ck
+      case other => throw UnsupportedHdf5(s"chunkRefs on $other layout")
+    }
+    val rank = chunked.chunkDims.size
+    val keySize = 8 + (rank + 1) * 8 // size u32 + mask u32 + (rank+1) u64 offsets
+    val out = Seq.newBuilder[ChunkRef]
+    def walk(addr: Long): Unit = {
+      if (addr == Undef) return
+      val head = new Cur(read(addr, 24))
+      require(head.ascii(0, 4) == "TREE", s"bad chunk B-tree node at $addr")
+      require(head.u8(4) == 1, s"B-tree node type ${head.u8(4)} (chunk = 1)")
+      val level = head.u8(5)
+      val n = head.u16(6)
+      val body = new Cur(read(addr + 24, n * (keySize + 8) + keySize))
+      (0 until n).foreach { k =>
+        val keyAt = k.toLong * (keySize + 8)
+        val nBytes = body.u32(keyAt)
+        val mask = body.u32(keyAt + 4).toInt
+        val offs = (0 until rank).map(d => body.u64(keyAt + 8 + d * 8L))
+        val child = body.u64(keyAt + keySize)
+        if (level > 0) walk(child)
+        else out += ChunkRef(offs, child, nBytes, mask)
+      }
+    }
+    walk(chunked.btreeAddr)
+    out.result()
+  }
+
+  // ------------------------------------------------------------ raw decode
+
+  /** Reverse the filter pipeline over one chunk/contiguous span. */
+  def defilter(raw: Array[Byte], filters: Seq[Filter], filterMask: Int,
+      elemSize: Int, expected: Int): Array[Byte] = {
+    var data = raw
+    // pipeline applies in order on write; reverse on read
+    filters.zipWithIndex.reverse.foreach { case (f, i) =>
+      if ((filterMask & (1 << i)) == 0) f.id match {
+        case 1 => data = inflate(data, expected)
+        case 2 => data = deshuffle(data, elemSize)
+        case 3 => data = java.util.Arrays.copyOfRange(data, 0, data.length - 4)
+        case other => throw UnsupportedHdf5(
+          s"filter id $other (deflate/shuffle/fletcher32 only)")
+      }
+    }
+    data
+  }
+
+  private def inflate(raw: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(raw)
+    val out = new java.io.ByteArrayOutputStream(expected)
+    val buf = new Array[Byte](64 * 1024)
+    while (!inf.finished() && !inf.needsInput()) {
+      val n = inf.inflate(buf)
+      if (n > 0) out.write(buf, 0, n)
+      else if (inf.needsDictionary())
+        throw UnsupportedHdf5("deflate preset dictionary")
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  private def deshuffle(data: Array[Byte], elemSize: Int): Array[Byte] = {
+    if (elemSize <= 1) return data
+    val n = data.length / elemSize
+    val out = new Array[Byte](data.length)
+    var j = 0
+    while (j < elemSize) {
+      var i = 0
+      while (i < n) {
+        out(i * elemSize + j) = data(j * n + i)
+        i += 1
+      }
+      j += 1
+    }
+    // trailing bytes (length not divisible) copied as-is
+    var t = n * elemSize
+    while (t < data.length) { out(t) = data(t); t += 1 }
+    out
+  }
+
+  /** Decode a defiltered byte span as `n` doubles of `dt`. */
+  def decodeValues(bytes: Array[Byte], dt: Dtype, n: Int): Array[Double] = {
+    val c = new Cur(bytes)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = numericAt(c, i.toLong * dt.size, dt)
+      i += 1
+    }
+    out
+  }
+}

@@ -1,0 +1,392 @@
+package graft.sources.hdf5
+
+import java.io.FileOutputStream
+import java.util.zip.Deflater
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal netCDF-4-flavored HDF5 fixture writer (public spec: HDF5 File
+  * Format Specification III + the netCDF-4 dimension-scale conventions).
+  * Little-endian, superblock v0, v1 object headers, old-style symbol-table
+  * root group; coordinate variables contiguous; data variables contiguous
+  * or chunked (v1 chunk B-tree) with optional deflate/shuffle filters;
+  * `DIMENSION_LIST` attributes through a real global heap, `CLASS`/`NAME`
+  * dimension-scale markers, CDL attrs (`units`, `scale_factor`,
+  * `add_offset`, `_FillValue`). Fixture role — enough to exercise
+  * [[Hdf5]] + [[NetCDF4Reader]] without libhdf5. */
+object Hdf5Writer {
+
+  final case class VarSpec(
+      name: String,
+      dims: Seq[String],
+      shape: Seq[Int],
+      data: Seq[Double],                 // C-order
+      dtype: String = "f8",              // f8 | f4 | i4 | i2
+      chunks: Option[Seq[Int]] = None,
+      deflate: Boolean = false,
+      shuffle: Boolean = false,
+      scaleFactor: Option[Double] = None,
+      addOffset: Option[Double] = None,
+      fillValue: Option[Double] = None,
+      units: Option[String] = None)
+
+  private def elemSize(dtype: String): Int = dtype match {
+    case "f8" => 8
+    case "f4" | "i4" => 4
+    case "i2" => 2
+    case other => throw new IllegalArgumentException(s"dtype $other")
+  }
+
+  def write(path: String, vars: Seq[VarSpec]): Unit = {
+    require(vars.map(_.name).distinct.size == vars.size, "duplicate var names")
+    val out = new ArrayBuffer[Byte](1 << 16)
+    def appendAt(bytes: Array[Byte]): Long = { val a = out.size.toLong; out ++= bytes; a }
+    def pad8(): Unit = while (out.size % 8 != 0) out += 0
+
+    // ---- helpers to build little-endian pieces
+    def b16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def b32(v: Long): Array[Byte] = b16((v & 0xffff).toInt) ++ b16(((v >> 16) & 0xffff).toInt)
+    def b64(v: Long): Array[Byte] = b32(v & 0xffffffffL) ++ b32((v >> 32) & 0xffffffffL)
+
+    // dims in declaration order across all vars
+    val dimNames = vars.flatMap(_.dims).distinct
+    val dimSizes: Map[String, Int] = dimNames.map { d =>
+      val owners = vars.filter(v => v.dims.contains(d))
+      d -> owners.head.shape(owners.head.dims.indexOf(d))
+    }.toMap
+    // a dim var: rank-1 var named like its dim (netCDF coordinate variable)
+    val coordVars = vars.filter(v => v.dims.size == 1 && v.dims.head == v.name)
+    val dataVars = vars.filterNot(coordVars.contains)
+    // pure dims (no coordinate variable): synthesized empty dimension scales
+    val phonyDims = dimNames.filterNot(coordVars.map(_.name).contains)
+
+    // superblock placeholder (96 bytes, patched at the end)
+    appendAt(new Array[Byte](96))
+
+    // ---- encode payloads
+    def packValues(v: VarSpec, values: Seq[Double]): Array[Byte] = {
+      val w = elemSize(v.dtype)
+      val bytes = new Array[Byte](values.size * w)
+      values.zipWithIndex.foreach { case (x, i) =>
+        val bits = v.dtype match {
+          case "f8" => java.lang.Double.doubleToLongBits(x)
+          case "f4" => java.lang.Float.floatToIntBits(x.toFloat).toLong & 0xffffffffL
+          case "i4" => x.toLong & 0xffffffffL
+          case "i2" => x.toLong & 0xffffL
+        }
+        var j = 0
+        while (j < w) { bytes(i * w + j) = ((bits >> (8 * j)) & 0xff).toByte; j += 1 }
+      }
+      bytes
+    }
+
+    def shuffleBytes(data: Array[Byte], w: Int): Array[Byte] = {
+      if (w <= 1) return data
+      val n = data.length / w
+      val o = new Array[Byte](data.length)
+      var j = 0
+      while (j < w) {
+        var i = 0
+        while (i < n) { o(j * n + i) = data(i * w + j); i += 1 }
+        j += 1
+      }
+      o
+    }
+
+    def deflateBytes(data: Array[Byte]): Array[Byte] = {
+      val d = new Deflater(6)
+      d.setInput(data); d.finish()
+      val o = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+      val buf = new Array[Byte](64 * 1024)
+      while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+      d.end()
+      o.toByteArray
+    }
+
+    // ---- per-var storage: write data blocks (+ btree for chunked)
+    // name -> (layout message body maker given nothing, filters present)
+    final case class Storage(layoutBody: Array[Byte], filtered: Boolean)
+    val storage: Map[String, Storage] = vars.map { v =>
+      require(v.data.size == v.shape.product, s"${v.name}: data size mismatch")
+      val w = elemSize(v.dtype)
+      v.chunks match {
+        case None =>
+          val raw = packValues(v, v.data)
+          val addr = appendAt(raw)
+          // layout v3 class 1: contiguous
+          val body = Array[Byte](3, 1) ++ b64(addr) ++ b64(raw.length.toLong)
+          v.name -> Storage(body, filtered = false)
+        case Some(chunkDims) =>
+          require(chunkDims.size == v.shape.size, s"${v.name}: chunk rank")
+          val rank = v.shape.size
+          val grid = v.shape.zip(chunkDims).map { case (s, c) => (s + c - 1) / c }
+          val chunkRefs = ArrayBuffer.empty[(Seq[Long], Long, Int)] // offsets, addr, nbytes
+          def rec(dim: Int, idx: List[Int]): Unit =
+            if (dim == rank) {
+              val offsets = idx.zip(chunkDims).map { case (ci, c) => ci.toLong * c }
+              // gather the chunk's cells (edge chunks zero-padded like HDF5)
+              val cells = new Array[Double](chunkDims.product)
+              val localShape = chunkDims
+              def gather(d: Int, gIdx: Array[Int], lIdx: Array[Int]): Unit =
+                if (d == rank) {
+                  val inBounds = gIdx.zip(v.shape).forall { case (g, s) => g < s }
+                  val li = lIdx.zip(localShape).foldLeft(0) { case (acc, (l, c)) => acc * c + l }
+                  if (inBounds) {
+                    val gi = gIdx.zip(v.shape).foldLeft(0) { case (acc, (g, s)) => acc * s + g }
+                    cells(li) = v.data(gi)
+                  }
+                } else {
+                  var l = 0
+                  while (l < localShape(d)) {
+                    gIdx(d) = offsets(d).toInt + l
+                    lIdx(d) = l
+                    gather(d + 1, gIdx, lIdx)
+                    l += 1
+                  }
+                }
+              gather(0, new Array[Int](rank), new Array[Int](rank))
+              var bytes = packValues(v.copy(), cells)
+              if (v.shuffle) bytes = shuffleBytes(bytes, w)
+              if (v.deflate) bytes = deflateBytes(bytes)
+              val addr = appendAt(bytes)
+              chunkRefs += ((offsets, addr, bytes.length))
+            } else (0 until grid(dim)).foreach(ci => rec(dim + 1, idx :+ ci))
+          rec(0, Nil)
+          // v1 chunk B-tree, single level-0 node
+          val keySize = 8 + (rank + 1) * 8
+          val node = ArrayBuffer.empty[Byte]
+          node ++= "TREE".getBytes("US-ASCII")
+          node += 1 // node type: chunk
+          node += 0 // level
+          node ++= b16(chunkRefs.size)
+          node ++= b64(Hdf5.Undef) ++ b64(Hdf5.Undef) // siblings
+          chunkRefs.foreach { case (offsets, addr, n) =>
+            node ++= b32(n.toLong) ++ b32(0L) // size, filter mask
+            offsets.foreach(o => node ++= b64(o))
+            node ++= b64(0L) // trailing element-size offset
+            node ++= b64(addr)
+          }
+          // final key
+          node ++= b32(0L) ++ b32(0L)
+          (0 to rank).foreach(_ => node ++= b64(0L))
+          val btreeAddr = appendAt(node.toArray)
+          val body = (ArrayBuffer[Byte](3, 2, (rank + 1).toByte) ++= b64(btreeAddr)).toArray ++
+            chunkDims.flatMap(c => b32(c.toLong)) ++ b32(w.toLong)
+          v.name -> Storage(body, filtered = v.deflate || v.shuffle)
+      }
+    }.toMap
+
+    // ---- message builders
+    def dataspaceMsg(shape: Seq[Int]): Array[Byte] =
+      (Array[Byte](1, shape.size.toByte, 0) ++ new Array[Byte](5)) ++
+        shape.flatMap(s => b64(s.toLong))
+
+    def datatypeMsg(dtype: String): Array[Byte] = dtype match {
+      case "f8" | "f4" =>
+        val sz = elemSize(dtype)
+        // class 1 float, LE; IEEE properties (exp/mantissa spans)
+        val (expLoc, expSz, manSz, bias) =
+          if (sz == 8) (52, 11, 52, 1023L) else (23, 8, 23, 127L)
+        Array[Byte](0x11, 0x20, (if (sz == 8) 63 else 31).toByte, 0) ++
+          b32(sz.toLong) ++
+          b16(0) ++ b16(sz * 8) ++
+          Array[Byte](expLoc.toByte, expSz.toByte, 0, manSz.toByte) ++ b32(bias)
+      case "i4" | "i2" =>
+        val sz = elemSize(dtype)
+        // class 0 fixed, LE, signed
+        Array[Byte](0x10, 0x08, 0, 0) ++ b32(sz.toLong) ++ b16(0) ++ b16(sz * 8)
+    }
+
+    def stringDtMsg(len: Int): Array[Byte] =
+      Array[Byte](0x13, 0, 0, 0) ++ b32(len.toLong) // class 3, NUL-terminated
+
+    def refDtMsg(): Array[Byte] =
+      Array[Byte](0x17, 0, 0, 0) ++ b32(8L) // class 7, object reference
+
+    def vlenRefDtMsg(): Array[Byte] =
+      Array[Byte](0x19, 0, 0, 0) ++ b32(16L) ++ refDtMsg() // class 9 sequence of refs
+
+    def filtersMsg(v: VarSpec): Array[Byte] = {
+      val fs = ArrayBuffer.empty[Byte]
+      var n = 0
+      def add(id: Int, clientVals: Seq[Int]): Unit = {
+        n += 1
+        fs ++= b16(id) ++ b16(0) /* no name */ ++ b16(0) ++ b16(clientVals.size)
+        clientVals.foreach(cv => fs ++= b32(cv.toLong))
+        if (clientVals.size % 2 == 1) fs ++= b32(0L)
+      }
+      if (v.shuffle) add(2, Seq(elemSize(v.dtype)))
+      if (v.deflate) add(1, Seq(6))
+      (Array[Byte](1, n.toByte) ++ new Array[Byte](6)) ++ fs.toArray
+    }
+
+    def attr(name: String, dtMsg: Array[Byte], dsMsg: Array[Byte],
+        value: Array[Byte]): Array[Byte] = {
+      def p8(a: Array[Byte]): Array[Byte] =
+        a ++ new Array[Byte]((8 - a.length % 8) % 8)
+      val nameBytes = name.getBytes("US-ASCII") :+ 0.toByte
+      Array[Byte](1, 0) ++ b16(nameBytes.length) ++ b16(dtMsg.length) ++
+        b16(dsMsg.length) ++ p8(nameBytes) ++ p8(dtMsg) ++ p8(dsMsg) ++ value
+    }
+
+    def strAttr(name: String, s: String): Array[Byte] = {
+      val bytes = s.getBytes("US-ASCII") :+ 0.toByte
+      attr(name, stringDtMsg(bytes.length), dataspaceMsg(Nil), bytes)
+    }
+    def dblAttr(name: String, x: Double): Array[Byte] =
+      attr(name, datatypeMsg("f8"), dataspaceMsg(Nil),
+        b64(java.lang.Double.doubleToLongBits(x)))
+    def intAttr(name: String, x: Int): Array[Byte] =
+      attr(name, datatypeMsg("i4"), dataspaceMsg(Nil), b32(x.toLong))
+
+    // ---- object headers
+    def objectHeader(msgs: Seq[(Int, Array[Byte])]): Long = {
+      pad8()
+      val body = ArrayBuffer.empty[Byte]
+      msgs.foreach { case (typ, m) =>
+        val padded = m ++ new Array[Byte]((8 - m.length % 8) % 8)
+        body ++= b16(typ) ++ b16(padded.length) ++ Array[Byte](0, 0, 0, 0) ++ padded
+      }
+      val hdr = ArrayBuffer.empty[Byte]
+      hdr += 1; hdr += 0                   // version, reserved
+      hdr ++= b16(msgs.size)
+      hdr ++= b32(1L)                      // reference count
+      hdr ++= b32(body.size.toLong)        // header size
+      hdr ++= b32(0L)                      // pad to 8-byte boundary (12 -> 16)
+      appendAt(hdr.toArray ++ body.toArray)
+    }
+
+    // 1) dimension-scale headers (coordinate vars + phony dims)
+    val dimAddr = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    coordVars.foreach { v =>
+      val msgs = ArrayBuffer.empty[(Int, Array[Byte])]
+      msgs += ((0x01, dataspaceMsg(v.shape)))
+      msgs += ((0x03, datatypeMsg(v.dtype)))
+      if (storage(v.name).filtered) msgs += ((0x0B, filtersMsg(v)))
+      msgs += ((0x08, storage(v.name).layoutBody))
+      msgs += ((0x0C, strAttr("CLASS", "DIMENSION_SCALE")))
+      msgs += ((0x0C, strAttr("NAME", v.name)))
+      msgs += ((0x0C, intAttr("_Netcdf4Dimid", dimNames.indexOf(v.name))))
+      v.units.foreach(u => msgs += ((0x0C, strAttr("units", u))))
+      v.scaleFactor.foreach(s => msgs += ((0x0C, dblAttr("scale_factor", s))))
+      v.addOffset.foreach(o => msgs += ((0x0C, dblAttr("add_offset", o))))
+      dimAddr(v.name) = objectHeader(msgs.toSeq)
+    }
+    phonyDims.foreach { d =>
+      val size = dimSizes(d)
+      val zeros = packValues(VarSpec(d, Seq(d), Seq(size),
+        Seq.fill(size)(0.0), "f4"), Seq.fill(size)(0.0))
+      val addr = appendAt(zeros)
+      val layout = Array[Byte](3, 1) ++ b64(addr) ++ b64(zeros.length.toLong)
+      dimAddr(d) = objectHeader(Seq(
+        (0x01, dataspaceMsg(Seq(size))),
+        (0x03, datatypeMsg("f4")),
+        (0x08, layout),
+        (0x0C, strAttr("CLASS", "DIMENSION_SCALE")),
+        (0x0C, strAttr("NAME",
+          s"This is a netCDF dimension but not a netCDF variable.        $size")),
+        (0x0C, intAttr("_Netcdf4Dimid", dimNames.indexOf(d)))))
+    }
+
+    // 2) global heap: one object per (data var, dim) reference
+    pad8()
+    val gheapEntries = dataVars.flatMap(v => v.dims.map(d => (v.name, d)))
+    val gheapIndex: Map[(String, String), Int] =
+      gheapEntries.zipWithIndex.map { case (k, i) => k -> (i + 1) }.toMap
+    val gheapAddr: Long = {
+      val objs = ArrayBuffer.empty[Byte]
+      gheapEntries.zipWithIndex.foreach { case ((_, d), i) =>
+        objs ++= b16(i + 1) ++ b16(1) ++ b32(0L) ++ b64(8L) ++ b64(dimAddr(d))
+      }
+      objs ++= b16(0) ++ b16(0) ++ b32(0L) ++ b64(0L) // free-space terminator
+      val total = 16L + objs.size
+      val head = "GCOL".getBytes("US-ASCII") ++ Array[Byte](1, 0, 0, 0) ++ b64(total)
+      appendAt(head ++ objs.toArray)
+    }
+
+    // 3) data var headers (with DIMENSION_LIST into the global heap)
+    val varAddr = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    dataVars.foreach { v =>
+      val msgs = ArrayBuffer.empty[(Int, Array[Byte])]
+      msgs += ((0x01, dataspaceMsg(v.shape)))
+      msgs += ((0x03, datatypeMsg(v.dtype)))
+      if (storage(v.name).filtered) msgs += ((0x0B, filtersMsg(v)))
+      msgs += ((0x08, storage(v.name).layoutBody))
+      val dimList = v.dims.flatMap { d =>
+        b32(1L) ++ b64(gheapAddr) ++ b32(gheapIndex((v.name, d)).toLong)
+      }.toArray
+      msgs += ((0x0C, attr("DIMENSION_LIST", vlenRefDtMsg(),
+        dataspaceMsg(Seq(v.dims.size)), dimList)))
+      v.units.foreach(u => msgs += ((0x0C, strAttr("units", u))))
+      v.scaleFactor.foreach(s => msgs += ((0x0C, dblAttr("scale_factor", s))))
+      v.addOffset.foreach(o => msgs += ((0x0C, dblAttr("add_offset", o))))
+      v.fillValue.foreach(f => msgs += ((0x0C, dblAttr("_FillValue", f))))
+      varAddr(v.name) = objectHeader(msgs.toSeq)
+    }
+
+    // 4) root group: local heap + SNOD + group B-tree + root object header
+    val allChildren: Seq[(String, Long)] =
+      (dimAddr.toSeq ++ varAddr.toSeq).sortBy(_._1)
+    pad8()
+    val (heapAddr, nameOffsets) = {
+      val data = ArrayBuffer.empty[Byte]
+      data ++= new Array[Byte](8) // offset 0: the empty name
+      val offs = allChildren.map { case (n, _) =>
+        val o = data.size.toLong
+        data ++= n.getBytes("US-ASCII") :+ 0.toByte
+        o
+      }
+      while (data.size % 8 != 0) data += 0
+      val dataAddr = out.size.toLong + 32
+      val head = "HEAP".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+        b64(data.size.toLong) ++ b64(Hdf5.Undef) ++ b64(dataAddr)
+      appendAt(head ++ data.toArray)
+      (dataAddr - 32, offs)
+    }
+    pad8()
+    val snodAddr = {
+      val body = ArrayBuffer.empty[Byte]
+      body ++= "SNOD".getBytes("US-ASCII") ++ Array[Byte](1, 0)
+      body ++= b16(allChildren.size)
+      allChildren.zip(nameOffsets).foreach { case ((_, addr), nameOff) =>
+        body ++= b64(nameOff) ++ b64(addr) ++ b32(0L) ++ b32(0L) ++ new Array[Byte](16)
+      }
+      appendAt(body.toArray)
+    }
+    pad8()
+    val btreeAddr = {
+      val body = ArrayBuffer.empty[Byte]
+      body ++= "TREE".getBytes("US-ASCII") ++ Array[Byte](0, 0)
+      body ++= b16(1) // one child (the SNOD)
+      body ++= b64(Hdf5.Undef) ++ b64(Hdf5.Undef)
+      body ++= b64(0L)                    // key 0
+      body ++= b64(snodAddr)              // child 0
+      body ++= b64(nameOffsets.lastOption.getOrElse(0L)) // key 1
+      appendAt(body.toArray)
+    }
+    val rootAddr = objectHeader(Seq((0x11, b64(btreeAddr) ++ b64(heapAddr))))
+
+    // 5) patch the superblock
+    val sb = ArrayBuffer.empty[Byte]
+    sb ++= Array(0x89.toByte, 'H'.toByte, 'D'.toByte, 'F'.toByte,
+      '\r'.toByte, '\n'.toByte, 0x1a.toByte, '\n'.toByte)
+    sb ++= Array[Byte](0, 0, 0, 0, 0, 8, 8, 0) // versions + sizes
+    sb ++= b16(4) ++ b16(16)                   // leaf / internal k
+    sb ++= b32(0L)                             // consistency flags
+    sb ++= b64(0L)                             // base address
+    sb ++= b64(Hdf5.Undef)                     // free-space address
+    sb ++= b64(out.size.toLong)                // EOF
+    sb ++= b64(Hdf5.Undef)                     // driver info
+    // root symbol table entry
+    sb ++= b64(0L)                             // link name offset
+    sb ++= b64(rootAddr)                       // object header address
+    sb ++= b32(1L) ++ b32(0L)                  // cache type 1 + reserved
+    sb ++= b64(btreeAddr) ++ b64(heapAddr)     // scratch: btree + heap
+    require(sb.size == 96, s"superblock size ${sb.size}")
+    val bytes = out.toArray
+    System.arraycopy(sb.toArray, 0, bytes, 0, 96)
+
+    val fos = new FileOutputStream(path)
+    try fos.write(bytes) finally fos.close()
+  }
+}

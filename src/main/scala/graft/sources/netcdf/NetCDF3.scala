@@ -73,12 +73,12 @@ object NetCDF3 {
     if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'H' &&
         bytes(2) == 'D' && bytes(3) == 'F')
       throw new UnsupportedOperationException(
-        "NetCDF-4 (HDF5-backed) file: needs a native HDF5 reader; this engine " +
-          "reads NetCDF-3 classic/64-bit-offset. Convert with `nccopy -k classic`.")
+        "NetCDF-4 (HDF5-backed) file handed to the classic parser: use " +
+          "NetCDF4Reader (FormatRegistry.open dispatches on the signature).")
     require(bb.get() == 'C' && bb.get() == 'D' && bb.get() == 'F', "not a NetCDF classic file")
     val version = bb.get()
     require(version == 1 || version == 2,
-      s"NetCDF version byte $version unsupported (classic/64-bit only; NetCDF-4/HDF5 needs a native lib)")
+      s"NetCDF version byte $version unsupported (classic/64-bit-offset or HDF5-backed via NetCDF4Reader)")
     val numRecs = bb.getInt()
 
     def readName(): String = {

@@ -1,0 +1,258 @@
+package graft.sources.netcdf
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.sources.hdf5.Hdf5
+import graft.sources.hdf5.Hdf5.{Chunked, Contiguous, DatasetMeta, UnsupportedHdf5}
+
+/** Distributed long-format reader for NetCDF-4 (HDF5-backed) files: one row
+  * per grid point, coordinate columns + one FLOAT64 column per data
+  * variable, mirroring [[NetCDF3Reader]] and the Zarr DSv2 row model — the
+  * reference's remaining `.nc` capability (sinks.py:345-389 reads NetCDF-4
+  * through xarray/netcdf4; round 2/3 bridged it with a directed
+  * `nccopy -k classic` error, closed here).
+  *
+  * netCDF-4 conventions honored: dimension-scale datasets
+  * (`CLASS=DIMENSION_SCALE`) name the dims, `DIMENSION_LIST` attaches them
+  * to variables (resolved through the HDF5 global heap; falls back to
+  * `_Netcdf4Dimid`-ordered size matching when absent), CDL decode attrs
+  * (`scale_factor`/`add_offset`/`_FillValue`/`missing_value`) and
+  * epoch-second `units` time coordinates.
+  *
+  * Parallelism: the driver parses HEADERS only (object headers, chunk
+  * B-trees, the small coordinate vectors); tasks own chunk-grid indices
+  * (chunked layout) or outer-dimension slabs (contiguous layout) and
+  * ranged-read exactly their own byte spans. */
+object NetCDF4Reader {
+
+  private final case class VarPlan(
+      name: String,
+      ds: DatasetMeta,
+      chunks: Seq[Hdf5.ChunkRef]) extends Serializable {
+    def scaleFactor: Double = num(ds.attrs.get("scale_factor")).getOrElse(1.0)
+    def addOffset: Double = num(ds.attrs.get("add_offset")).getOrElse(0.0)
+    def missing: Option[Double] =
+      num(ds.attrs.get("missing_value")).orElse(num(ds.attrs.get("_FillValue")))
+    private def num(v: Option[Any]): Option[Double] = v.collect {
+      case d: Double => d
+      case s: Seq[_] if s.nonEmpty => s.head.asInstanceOf[Double]
+    }
+  }
+
+  private def isDimScale(d: DatasetMeta): Boolean =
+    d.attrs.get("CLASS").contains("DIMENSION_SCALE")
+
+  private def baseName(path: String): String = path.split('/').last
+
+  def readLongFormat(spark: SparkSession, path: String,
+      partitions: Int = 0): DataFrame = {
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val fileLen = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    val (meta, coordValues) = try {
+      val read = (off: Long, len: Int) => {
+        val b = new Array[Byte](len)
+        in.readFully(off, b)
+        b
+      }
+      val m = Hdf5.parse(read, fileLen)
+      // coordinate vectors decode on the driver (small, header-adjacent)
+      val cv = m.datasets.filter(isDimScale).map { d =>
+        d.objAddr -> decodeWhole(read, d)
+      }.toMap
+      (m, cv)
+    } finally in.close()
+
+    val dimScales = meta.datasets.filter(isDimScale)
+    val dimByAddr: Map[Long, DatasetMeta] = dimScales.map(d => d.objAddr -> d).toMap
+    val dataSets = meta.datasets.filterNot(isDimScale)
+      .filter(_.dtype.isNumeric)
+    require(dataSets.nonEmpty,
+      s"$path contains no data variables (only dimension scales)")
+
+    // dims of a variable: DIMENSION_LIST refs, else size matching in
+    // _Netcdf4Dimid order
+    def dimsOf(d: DatasetMeta): Seq[DatasetMeta] =
+      d.attrs.get("DIMENSION_LIST") match {
+        case Some(refs: Seq[_]) if refs.size == d.shape.size =>
+          refs.map(r => dimByAddr.getOrElse(r.asInstanceOf[Long],
+            throw UnsupportedHdf5(s"${d.path}: DIMENSION_LIST ref $r not a dimension scale")))
+        case _ =>
+          val byId = dimScales.sortBy(s =>
+            s.attrs.get("_Netcdf4Dimid").collect { case x: Double => x }.getOrElse(1e9))
+          d.shape.map { s =>
+            byId.find(_.shape.headOption.contains(s)).getOrElse(
+              throw UnsupportedHdf5(s"${d.path}: no dimension scale of size $s"))
+          }
+      }
+
+    val maxRank = dataSets.map(_.shape.size).max
+    val dataVars = dataSets.filter(_.shape.size == maxRank)
+    val hyperDims = dimsOf(dataVars.head)
+    require(dataVars.forall(v => dimsOf(v).map(_.objAddr) == hyperDims.map(_.objAddr)),
+      s"$path: data variables disagree on dimensions")
+
+    val shape: Seq[Int] = dataVars.head.shape.map(_.toInt)
+    val dimNames = hyperDims.map(d => baseName(d.path))
+    val isTimeDim = hyperDims.map(_.attrs.get("units")
+      .collect { case s: String => s }.exists(_.startsWith("seconds since 1970-01-01")))
+    val coords: Seq[Array[Double]] = hyperDims.map(d => coordValues(d.objAddr))
+
+    val schema = StructType(
+      dimNames.zip(isTimeDim).map { case (n, t) =>
+        StructField(n, if (t) TimestampNTZType else DoubleType, nullable = false)
+      } ++ dataVars.map(v => StructField(baseName(v.path), DoubleType)))
+
+    // chunk plan: every data var either contiguous (one whole-array "chunk")
+    // or chunked on a SHARED grid — tasks own grid cells across all vars
+    val conf2 = graft.sources.TaskConf(conf)
+    val plans = dataVars.map { v =>
+      val chunks = v.layout match {
+        case _: Chunked =>
+          // chunkRefs needs header reads; reopen (driver-side, metadata-only)
+          val in2 = fs.open(p)
+          try Hdf5.chunkRefs((off, len) => {
+            val b = new Array[Byte](len)
+            in2.readFully(off, b)
+            b
+          }, v)
+          finally in2.close()
+        case _ => Nil
+      }
+      VarPlan(baseName(v.path), v, chunks)
+    }
+    val chunkGrids = plans.map(pl => pl.ds.layout match {
+      case ck: Chunked => Some(ck.chunkDims)
+      case _ => None
+    }).distinct
+    require(chunkGrids.size == 1,
+      s"$path: data variables mix chunk grids $chunkGrids — " +
+        "repack to a shared chunking (nccopy -c) for the distributed scan")
+
+    val chunkDims: Seq[Int] = chunkGrids.head.getOrElse(shape)
+    // task units: chunk offsets present in the first var's map (contiguous =
+    // one synthetic all-zeros offset)
+    val cells: Seq[Seq[Long]] =
+      if (chunkGrids.head.isEmpty) Seq(shape.map(_ => 0L))
+      else plans.head.chunks.map(_.offsets)
+
+    val nPart = if (partitions > 0) partitions
+      else math.max(1, math.min(cells.size, spark.sparkContext.defaultParallelism))
+    val pathLocal = path
+    val shapeLocal = shape
+    val chunkLocal = chunkDims
+    val plansLocal = plans
+    val coordsLocal = coords
+    val isTimeLocal = isTimeDim
+
+    val rdd = spark.sparkContext.parallelize(cells, nPart).mapPartitions { it =>
+      graft.sources.RangedIO.rows(pathLocal, conf2) { fin =>
+        val read = (off: Long, len: Int) => {
+          val b = new Array[Byte](len)
+          fin.readFully(off, b)
+          b
+        }
+        it.flatMap { cellOffsets =>
+          // decode this grid cell for every var
+          val perVar: Seq[Array[Double]] = plansLocal.map { pl =>
+            pl.ds.layout match {
+              case Contiguous(addr, size) =>
+                val raw = Hdf5.defilter(read(addr, size.toInt), pl.ds.filters, 0,
+                  pl.ds.dtype.size, size.toInt)
+                applyCdl(Hdf5.decodeValues(raw, pl.ds.dtype, shapeLocal.product), pl)
+              case _: Chunked =>
+                val ref = pl.chunks.find(_.offsets == cellOffsets).getOrElse(
+                  throw UnsupportedHdf5(s"${pl.name}: missing chunk at $cellOffsets"))
+                val n = chunkLocal.product
+                val raw = Hdf5.defilter(read(ref.addr, ref.nBytes.toInt),
+                  pl.ds.filters, ref.filterMask, pl.ds.dtype.size, n * pl.ds.dtype.size)
+                applyCdl(Hdf5.decodeValues(raw, pl.ds.dtype, n), pl)
+              case other => throw UnsupportedHdf5(s"layout $other")
+            }
+          }
+          val rank = shapeLocal.size
+          val localShape = chunkLocal
+          val nLocal = localShape.product
+          (0 until nLocal).iterator.flatMap { li =>
+            // local C-order index -> global per-dim indices
+            var rem = li
+            val gIdx = new Array[Int](rank)
+            var d = rank - 1
+            var inBounds = true
+            while (d >= 0) {
+              val l = rem % localShape(d)
+              rem /= localShape(d)
+              gIdx(d) = cellOffsets(d).toInt + l
+              if (gIdx(d) >= shapeLocal(d)) inBounds = false
+              d -= 1
+            }
+            if (!inBounds) Iterator.empty // edge-chunk padding
+            else {
+              val coordCells: Seq[Any] = coordsLocal.indices.map { ci =>
+                val c = coordsLocal(ci)(gIdx(ci))
+                if (isTimeLocal(ci)) java.time.LocalDateTime.ofEpochSecond(
+                  math.floor(c).toLong, ((c - math.floor(c)) * 1e9).toInt,
+                  java.time.ZoneOffset.UTC)
+                else java.lang.Double.valueOf(c)
+              }
+              val dataCells: Seq[Any] = perVar.map { vals =>
+                val v = vals(li)
+                if (v.isNaN) null else java.lang.Double.valueOf(v)
+              }
+              Iterator.single(Row.fromSeq(coordCells ++ dataCells))
+            }
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Full decode of one (small) dataset on the driver — coordinate vectors. */
+  private def decodeWhole(read: (Long, Int) => Array[Byte],
+      d: DatasetMeta): Array[Double] = {
+    val n = d.nPoints.toInt
+    d.layout match {
+      case Contiguous(addr, size) =>
+        Hdf5.decodeValues(
+          Hdf5.defilter(read(addr, size.toInt), d.filters, 0, d.dtype.size, n * d.dtype.size),
+          d.dtype, n)
+      case ck: Chunked =>
+        val out = new Array[Double](n)
+        Hdf5.chunkRefs(read, d).foreach { ref =>
+          val cn = ck.chunkDims.product
+          val vals = Hdf5.decodeValues(
+            Hdf5.defilter(read(ref.addr, ref.nBytes.toInt), d.filters,
+              ref.filterMask, d.dtype.size, cn * d.dtype.size), d.dtype, cn)
+          // rank-1 coordinate chunks
+          val base = ref.offsets.head.toInt
+          var i = 0
+          while (i < cn && base + i < n) { out(base + i) = vals(i); i += 1 }
+        }
+        out
+      case Hdf5.Compact(data) =>
+        Hdf5.decodeValues(data, d.dtype, n)
+    }
+  }
+
+  private def applyCdl(vals: Array[Double], pl: VarPlan): Array[Double] = {
+    val sf = pl.scaleFactor
+    val ao = pl.addOffset
+    val miss = pl.missing
+    if (sf == 1.0 && ao == 0.0 && miss.isEmpty) return vals
+    var i = 0
+    while (i < vals.length) {
+      val raw = vals(i)
+      vals(i) =
+        if (miss.contains(raw) || raw.isNaN) Double.NaN
+        else raw * sf + ao
+      i += 1
+    }
+    vals
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.hdf5.{Hdf5, Hdf5Writer => HW}
+import graft.sources.netcdf.NetCDF4Reader
+
+/** Golden tests for the pure-JVM HDF5/NetCDF-4 reader: structure parsing
+  * (superblock, object headers, symbol tables, chunk B-trees, global heap),
+  * filters (deflate/shuffle), netCDF-4 dimension-scale conventions, and the
+  * distributed long-format scan. Fixtures come from [[Hdf5Writer]]. */
+class Hdf5Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory("hdf5").toString + s"/$name"
+
+  private val t0 = 1750000000L // epoch seconds
+
+  private def writeWeather(path: String, chunks: Option[Seq[Int]],
+      deflate: Boolean = false, shuffle: Boolean = false): Unit = {
+    val (nt, ny, nx) = (3, 4, 5)
+    HW.write(path, Seq(
+      HW.VarSpec("time", Seq("time"), Seq(nt),
+        (0 until nt).map(t => (t0 + 3600L * t).toDouble), dtype = "f8",
+        units = Some("seconds since 1970-01-01")),
+      HW.VarSpec("latitude", Seq("latitude"), Seq(ny),
+        (0 until ny).map(60.0 - _), dtype = "f8"),
+      HW.VarSpec("longitude", Seq("longitude"), Seq(nx),
+        (0 until nx).map(10.0 + _), dtype = "f8"),
+      HW.VarSpec("t2m", Seq("time", "latitude", "longitude"), Seq(nt, ny, nx),
+        (0 until nt * ny * nx).map(k => 250.0 + k * 0.25),
+        dtype = "f4", chunks = chunks, deflate = deflate, shuffle = shuffle,
+        units = Some("K")),
+      HW.VarSpec("tp", Seq("time", "latitude", "longitude"), Seq(nt, ny, nx),
+        (0 until nt * ny * nx).map(k => if (k % 17 == 0) -999.0 else k * 10.0),
+        dtype = "i2", chunks = chunks, deflate = deflate, shuffle = shuffle,
+        scaleFactor = Some(0.001), addOffset = Some(5.0),
+        fillValue = Some(-999.0))))
+  }
+
+  private def localRead(path: String): ((Long, Int) => Array[Byte], Long) = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    ((off: Long, len: Int) =>
+      java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len),
+      bytes.length.toLong)
+  }
+
+  test("structure parse: datasets, shapes, dtypes, dimension-scale attrs") {
+    val p = tmp("flat.nc")
+    writeWeather(p, chunks = None)
+    val (read, len) = localRead(p)
+    val meta = Hdf5.parse(read, len)
+    val byPath = meta.byPath
+    assert(byPath.keySet == Set("/time", "/latitude", "/longitude", "/t2m", "/tp"))
+    val t2m = byPath("/t2m")
+    assert(t2m.shape == Seq(3L, 4L, 5L))
+    assert(t2m.dtype.clazz == 1 && t2m.dtype.size == 4)
+    assert(byPath("/tp").dtype.clazz == 0 && byPath("/tp").dtype.size == 2)
+    assert(byPath("/time").attrs.get("CLASS").contains("DIMENSION_SCALE"))
+    assert(byPath("/time").attrs.get("units").contains("seconds since 1970-01-01"))
+    // DIMENSION_LIST resolves through the global heap to the dim datasets
+    val refs = t2m.attrs("DIMENSION_LIST").asInstanceOf[Seq[Long]]
+    assert(refs == Seq(byPath("/time").objAddr, byPath("/latitude").objAddr,
+      byPath("/longitude").objAddr))
+  }
+
+  test("long-format scan: contiguous layout, CDL decode, epoch time") {
+    val p = tmp("flat.nc")
+    writeWeather(p, chunks = None)
+    val df = NetCDF4Reader.readLongFormat(spark, p)
+    assert(df.columns.toSeq == Seq("time", "latitude", "longitude", "t2m", "tp"))
+    assert(df.count() == 3 * 4 * 5)
+    val r = df.filter($"latitude" === 59.0 && $"longitude" === 12.0)
+      .orderBy($"time").collect()
+    assert(r.length == 3)
+    // t2m value at (t=0, y=1, x=2): k = 0*20 + 1*5 + 2 = 7 -> 251.75
+    assert(math.abs(r(0).getAs[Double]("t2m") - 251.75) < 1e-6)
+    // time decodes as TimestampNTZ from epoch units
+    assert(r(0).getAs[java.time.LocalDateTime]("time") ==
+      java.time.LocalDateTime.ofEpochSecond(t0, 0, java.time.ZoneOffset.UTC))
+    // tp: k=7 -> 70 * 0.001 + 5.0 = 5.07; k=17 -> fill -> null
+    assert(math.abs(r(0).getAs[Double]("tp") - 5.07) < 1e-9)
+    val fills = df.filter($"tp".isNull).count()
+    assert(fills == (0 until 60).count(_ % 17 == 0))
+  }
+
+  test("chunked + deflate + shuffle: same values, one task unit per chunk") {
+    val flat = tmp("flat.nc")
+    writeWeather(flat, chunks = None)
+    val packed = tmp("packed.nc")
+    // 2x3x2 chunks over (3,4,5): edge chunks exercise the padding clip
+    writeWeather(packed, chunks = Some(Seq(2, 3, 2)), deflate = true, shuffle = true)
+    val a = NetCDF4Reader.readLongFormat(spark, flat)
+      .orderBy($"time", $"latitude", $"longitude").collect()
+    val b = NetCDF4Reader.readLongFormat(spark, packed)
+      .orderBy($"time", $"latitude", $"longitude").collect()
+    assert(a.sameElements(b), "chunked+filtered values diverge from contiguous")
+    // the chunk B-tree really fans out: ceil(3/2)*ceil(4/3)*ceil(5/2) = 12
+    val (read, len) = localRead(packed)
+    val meta = Hdf5.parse(read, len)
+    assert(Hdf5.chunkRefs(read, meta.byPath("/t2m")).size == 12)
+  }
+
+  test("phony dims (no coordinate variable) fall back to indices") {
+    val p = tmp("phony.nc")
+    HW.write(p, Seq(
+      HW.VarSpec("v", Seq("d0", "d1"), Seq(2, 3),
+        Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0), dtype = "f8")))
+    val df = NetCDF4Reader.readLongFormat(spark, p)
+    assert(df.count() == 6)
+    assert(df.columns.toSeq == Seq("d0", "d1", "v"))
+    // synthesized dimension scales read back as zeros (index placeholders)
+    assert(df.select(sum($"v")).head().getDouble(0) == 21.0)
+  }
+
+  test("directed errors: bad signature and dense group storage") {
+    val p = tmp("bad.nc")
+    java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      "not an hdf5 file at all".getBytes("UTF-8"))
+    val (read, len) = localRead(p)
+    val e = intercept[IllegalArgumentException](Hdf5.parse(read, len))
+    assert(e.getMessage.contains("HDF5"))
+  }
+}

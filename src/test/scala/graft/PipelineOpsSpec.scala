@@ -749,18 +749,25 @@ class QueriesSpec extends SparkSpec {
         val cachedRnIds = agg.child.collect {
           case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
             // under AQE the cached plan is an AdaptiveSparkPlanExec leaf;
-            // its real tree hangs off inputPlan
+            // its real tree hangs off inputPlan. Cache REUSE rewrites the
+            // IMR's output attr ids to the consuming plan while the inner
+            // physical plan keeps the ORIGINAL run's ids — so map matched
+            // window aliases to output POSITIONS, then back to the (possibly
+            // rewritten) IMR output ids.
             val phys = imr.cachedPlan match {
               case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
                 a.inputPlan
               case p => p
             }
-            phys.collect {
+            val innerRn = phys.collect {
               case w: org.apache.spark.sql.execution.window.WindowExec =>
                 w.windowExpression.collect {
                   case al @ Alias(WindowExpression(_: RowNumber, _), _) => al.exprId
                 }
-            }.flatten
+            }.flatten.toSet
+            phys.output.zipWithIndex.collect {
+              case (a, i) if innerRn.contains(a.exprId) => imr.output(i).exprId
+            }
         }.flatten.toSet
         val rnIds = logicalRnIds ++ cachedRnIds
         val gated = agg.child.collect { case f: LFilter => f }.exists(_.condition.exists {

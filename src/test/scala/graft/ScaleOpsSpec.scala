@@ -179,20 +179,21 @@ class FormatRegistrySpec extends SparkSpec {
     assert(e.getMessage.contains("not a GRIB file"))
   }
 
-  test("NetCDF-4/HDF5 raises the decided-boundary error with the nccopy bridge") {
-    val e = intercept[UnsupportedOperationException](
-      FormatRegistry.open(spark, "gs://b/era5.nc4"))
-    assert(e.getMessage.contains("nccopy -k classic"))
-    // an HDF5 payload behind a .nc extension is sniffed by signature
+  test("NetCDF-4/HDF5 routes to the native reader, by extension and signature") {
+    import graft.sources.hdf5.{Hdf5Writer => HW}
     val dir = java.nio.file.Files.createTempDirectory("h5").toString
-    val p = s"$dir/sneaky.nc"
-    val out = new java.io.FileOutputStream(p)
-    out.write(Array(0x89.toByte, 'H'.toByte, 'D'.toByte, 'F'.toByte,
-      '\r'.toByte, '\n'.toByte, 0x1a.toByte, '\n'.toByte))
-    out.write(new Array[Byte](64)); out.close()
-    val e2 = intercept[UnsupportedOperationException](
-      FormatRegistry.open(spark, p).count())
-    assert(e2.getMessage.contains("nccopy"))
+    def writeFixture(p: String): Unit = HW.write(p, Seq(
+      HW.VarSpec("x", Seq("x"), Seq(3), Seq(0.0, 1.0, 2.0), dtype = "f8"),
+      HW.VarSpec("v", Seq("x"), Seq(3), Seq(10.0, 11.0, 12.0), dtype = "f8")))
+    // .nc4 extension dispatches straight to the HDF5 reader
+    val p4 = s"$dir/data.nc4"
+    writeFixture(p4)
+    assert(FormatRegistry.open(spark, p4).count() == 3)
+    // an HDF5 payload behind a .nc extension is sniffed by signature
+    val pNc = s"$dir/sneaky.nc"
+    writeFixture(pNc)
+    val df = FormatRegistry.open(spark, pNc)
+    assert(df.columns.toSeq == Seq("x", "v") && df.count() == 3)
   }
 
   test("fileStatus returns size and mtime via Hadoop FS") {
