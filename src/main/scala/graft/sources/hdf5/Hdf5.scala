@@ -235,15 +235,17 @@ object Hdf5 {
         symbolTableChildren(read, c.u64(0), c.u64(8)).foreach { case (name, addr) =>
           walkGroup(read, fileLen, addr, s"$prefix/$name", out, visited)
         }
-      case (0x02, body) => // link info: dense storage check
+      case (0x02, body) => // link info: dense (fractal-heap) storage
         val c = new Cur(body)
         val flags = c.u8(1)
         var off = 2L
         if ((flags & 1) != 0) off += 8 // max creation index
         val fheap = c.u64(off)
+        val nameIndex = c.u64(off + 8)
         if (fheap != Undef)
-          throw UnsupportedHdf5("dense (fractal-heap) group link storage — " +
-            "repack with `h5repack` or keep groups under the compact limit")
+          denseLinks(read, fheap, nameIndex).foreach { case (name, addr) =>
+            walkGroup(read, fileLen, addr, s"$prefix/$name", out, visited)
+          }
       case (0x06, body) => // link message (compact storage)
         linkTarget(body).foreach { case (name, addr) =>
           walkGroup(read, fileLen, addr, s"$prefix/$name", out, visited)
@@ -273,6 +275,79 @@ object Hdf5 {
     val name = c.ascii(off, nameLen.toInt)
     off += nameLen
     if (linkType == 0) Some((name, c.u64(off))) else None
+  }
+
+  /** Dense group links: netCDF-4 tracks link creation order, so groups past
+    * the compact limit (8 links — any file with more than a handful of
+    * variables) store serialized Link messages as FRACTAL HEAP objects
+    * indexed by a v2 B-tree of (name hash, heap id) records. Supported
+    * subset: depth-0 name-index B-trees and single-direct-block heaps
+    * (node size 2048 / record 11 B = hundreds of links; one 4 KiB block
+    * holds ~100 link messages) — beyond that raises a directed error. */
+  private def denseLinks(read: (Long, Int) => Array[Byte],
+      fheapAddr: Long, btreeAddr: Long): Seq[(String, Long)] = {
+    // fractal heap header
+    val h = new Cur(read(fheapAddr, 150))
+    require(h.ascii(0, 4) == "FRHP", s"bad fractal heap at $fheapAddr")
+    val heapIdLen = h.u16(5)
+    val ioFilterLen = h.u16(7)
+    if (ioFilterLen != 0)
+      throw UnsupportedHdf5("filtered fractal heap (dense links)")
+    val maxManagedSize = h.u32(10)
+    // fixed-width (8-byte length) fields from "next huge id" through
+    // "number of tiny objects": 12 of them, then geometry
+    val geomAt = 14L + 12 * 8
+    val maxDirectSize = h.u64(geomAt + 10)
+    val maxHeapBits = h.u16(geomAt + 18)
+    val rootBlockAddr = h.u64(geomAt + 22)
+    val curRows = h.u16(geomAt + 30)
+    if (curRows != 0)
+      throw UnsupportedHdf5("fractal heap with an indirect root block " +
+        s"($curRows rows) — dense-link subset reads single-direct-block heaps")
+    val offsetSize = (maxHeapBits + 7) / 8
+    val lengthSize = bytesFor(maxManagedSize)
+    require(heapIdLen == 1 + offsetSize + lengthSize,
+      s"fractal heap id length $heapIdLen vs 1+$offsetSize+$lengthSize")
+    val blockBytes = new Cur(read(rootBlockAddr, maxDirectSize.toInt))
+    require(blockBytes.ascii(0, 4) == "FHDB", s"bad direct block at $rootBlockAddr")
+
+    // v2 B-tree header + depth-0 leaf of (hash u32, heap id) records
+    // sig(4) ver(1) type(1) nodeSize(4) recordSize(2) depth(2) split(1)
+    // merge(1) rootAddr(8) rootNRecords(2) totalRecords(8) checksum(4)
+    val bt = new Cur(read(btreeAddr, 38))
+    require(bt.ascii(0, 4) == "BTHD", s"bad v2 B-tree at $btreeAddr")
+    val recordSize = bt.u16(10)
+    val depth = bt.u16(12)
+    if (depth != 0)
+      throw UnsupportedHdf5(s"v2 B-tree depth $depth for dense links (0 only)")
+    val rootNodeAddr = bt.u64(16)
+    val nRecords = bt.u16(24)
+    val leaf = new Cur(read(rootNodeAddr, 6 + nRecords * recordSize))
+    require(leaf.ascii(0, 4) == "BTLF", s"bad B-tree leaf at $rootNodeAddr")
+    (0 until nRecords).map { r =>
+      val rec = 6L + r * recordSize
+      // record type 5: name hash (4) + heap id
+      val idAt = rec + 4
+      val idFlags = leaf.u8(idAt)
+      require((idFlags & 0x30) == 0, s"huge/tiny fractal heap object (flags $idFlags)")
+      var objOff = 0L
+      (0 until offsetSize).foreach(i => objOff |= leaf.u8(idAt + 1 + i).toLong << (8 * i))
+      var objLen = 0L
+      (0 until lengthSize).foreach(i =>
+        objLen |= leaf.u8(idAt + 1 + offsetSize + i).toLong << (8 * i))
+      // heap offsets are heap-space offsets; the root direct block starts
+      // the space at 0, header included
+      val body = java.util.Arrays.copyOfRange(blockBytes.b, objOff.toInt,
+        (objOff + objLen).toInt)
+      linkTarget(body).getOrElse(
+        throw UnsupportedHdf5("non-hard dense link"))
+    }
+  }
+
+  private def bytesFor(maxValue: Long): Int = {
+    var b = 1
+    while ((maxValue >> (8 * b)) != 0) b += 1
+    b
   }
 
   /** Children of an old-style group: walk the v1 B-tree to SNOD leaves and

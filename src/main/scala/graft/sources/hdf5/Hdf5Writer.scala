@@ -37,7 +37,11 @@ object Hdf5Writer {
     case other => throw new IllegalArgumentException(s"dtype $other")
   }
 
-  def write(path: String, vars: Seq[VarSpec]): Unit = {
+  /** `denseRoot = true` stores the root group's links the way netCDF-4
+    * writes groups past the compact limit: serialized Link messages in a
+    * fractal heap (single direct block) indexed by a depth-0 v2 B-tree —
+    * the layout [[Hdf5.parse]]'s dense-link path reads. */
+  def write(path: String, vars: Seq[VarSpec], denseRoot: Boolean = false): Unit = {
     require(vars.map(_.name).distinct.size == vars.size, "duplicate var names")
     val out = new ArrayBuffer[Byte](1 << 16)
     def appendAt(bytes: Array[Byte]): Long = { val a = out.size.toLong; out ++= bytes; a }
@@ -47,6 +51,30 @@ object Hdf5Writer {
     def b16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
     def b32(v: Long): Array[Byte] = b16((v & 0xffff).toInt) ++ b16(((v >> 16) & 0xffff).toInt)
     def b64(v: Long): Array[Byte] = b32(v & 0xffffffffL) ++ b32((v >> 32) & 0xffffffffL)
+
+    // superblock v0 + file flush, shared by both root-group layouts
+    def finish(rootAddr: Long, btreeScratch: Long, heapScratch: Long): Unit = {
+      val sb = ArrayBuffer.empty[Byte]
+      sb ++= Array(0x89.toByte, 'H'.toByte, 'D'.toByte, 'F'.toByte,
+        '\r'.toByte, '\n'.toByte, 0x1a.toByte, '\n'.toByte)
+      sb ++= Array[Byte](0, 0, 0, 0, 0, 8, 8, 0) // versions + sizes
+      sb ++= b16(4) ++ b16(16)                   // leaf / internal k
+      sb ++= b32(0L)                             // consistency flags
+      sb ++= b64(0L)                             // base address
+      sb ++= b64(Hdf5.Undef)                     // free-space address
+      sb ++= b64(out.size.toLong)                // EOF
+      sb ++= b64(Hdf5.Undef)                     // driver info
+      // root symbol table entry
+      sb ++= b64(0L)                             // link name offset
+      sb ++= b64(rootAddr)                       // object header address
+      sb ++= b32(if (btreeScratch == Hdf5.Undef) 0L else 1L) ++ b32(0L)
+      sb ++= b64(btreeScratch) ++ b64(heapScratch) // scratch (cache type 1)
+      require(sb.size == 96, s"superblock size ${sb.size}")
+      val bytes = out.toArray
+      System.arraycopy(sb.toArray, 0, bytes, 0, 96)
+      val fos = new FileOutputStream(path)
+      try fos.write(bytes) finally fos.close()
+    }
 
     // dims in declaration order across all vars
     val dimNames = vars.flatMap(_.dims).distinct
@@ -325,8 +353,85 @@ object Hdf5Writer {
     }
 
     // 4) root group: local heap + SNOD + group B-tree + root object header
+    //    (or, dense mode: fractal heap + v2 B-tree of Link messages)
     val allChildren: Seq[(String, Long)] =
       (dimAddr.toSeq ++ varAddr.toSeq).sortBy(_._1)
+    if (denseRoot) {
+      pad8()
+      // serialized hard-Link message bodies (v1, flags 0: 1-byte name len)
+      val bodies = allChildren.map { case (n, addr) =>
+        val nb = n.getBytes("US-ASCII")
+        require(nb.length < 256, s"dense link name too long: $n")
+        Array[Byte](1, 0, nb.length.toByte) ++ nb ++ b64(addr)
+      }
+      val offsetSize = 4 // max heap size 32 bits
+      val lengthSize = 2 // max managed object size 1024
+      val headerLen = 4 + 1 + 8 + offsetSize // FHDB header, no checksum
+      val blockSize = 4096L
+      val heapHdrAddr = out.size.toLong
+      val frhp = ArrayBuffer.empty[Byte]
+      frhp ++= "FRHP".getBytes("US-ASCII") += 0
+      frhp ++= b16(1 + offsetSize + lengthSize) // heap ID length
+      frhp ++= b16(0) // no I/O filters
+      frhp += 0       // flags: no block checksums
+      frhp ++= b32(1024L) // max managed object size
+      frhp ++= b64(0L) ++ b64(Hdf5.Undef)  // next huge id, huge btree
+      frhp ++= b64(0L) ++ b64(Hdf5.Undef)  // free space, free-space mgr
+      frhp ++= b64(blockSize) ++ b64(blockSize) // managed space, allocated
+      frhp ++= b64(headerLen.toLong)       // direct block iterator offset
+      frhp ++= b64(allChildren.size.toLong) // managed objects
+      frhp ++= b64(0L) ++ b64(0L) ++ b64(0L) ++ b64(0L) // huge/tiny stats
+      frhp ++= b16(4)                      // table width
+      frhp ++= b64(blockSize) ++ b64(blockSize) // starting/max direct size
+      frhp ++= b16(32)                     // max heap size (bits)
+      frhp ++= b16(0)                      // starting rows (root = direct)
+      val rootBlockAddrAt = frhp.size
+      frhp ++= b64(0L)                     // root block addr (patched below)
+      frhp ++= b16(0)                      // current rows: 0 = direct root
+      frhp ++= b32(0L)                     // checksum (unverified)
+      val frhpAddr = appendAt(frhp.toArray)
+      // single direct block: header + objects at their heap-space offsets
+      pad8()
+      val block = ArrayBuffer.empty[Byte]
+      block ++= "FHDB".getBytes("US-ASCII") += 0
+      block ++= b64(frhpAddr)
+      block ++= b32(0L) // block offset within heap space (offsetSize = 4)
+      val heapIds = bodies.map { body =>
+        val off = block.size
+        block ++= body
+        (off.toLong, body.length.toLong)
+      }
+      while (block.size < blockSize) block += 0
+      val blockAddr = appendAt(block.toArray)
+      // patch root block addr into the already-appended FRHP
+      val patched = b64(blockAddr)
+      (0 until 8).foreach(i => out((frhpAddr + rootBlockAddrAt + i).toInt) = patched(i))
+      // depth-0 v2 B-tree: header + one leaf of (hash, heap id) records
+      pad8()
+      val recordSize = 4 + 1 + offsetSize + lengthSize
+      val leaf = ArrayBuffer.empty[Byte]
+      leaf ++= "BTLF".getBytes("US-ASCII") += 0 += 5
+      heapIds.foreach { case (off, len) =>
+        leaf ++= b32(0L) // name hash (readers enumerate; lookup unused)
+        leaf += 0        // heap id flags: managed, version 0
+        leaf ++= b32(off)
+        leaf ++= b16(len.toInt)
+      }
+      leaf ++= b32(0L) // checksum (unverified)
+      val leafAddr = appendAt(leaf.toArray)
+      pad8()
+      val bthd = ArrayBuffer.empty[Byte]
+      bthd ++= "BTHD".getBytes("US-ASCII") += 0 += 5
+      bthd ++= b32(2048L) ++ b16(recordSize) ++ b16(0) // node size, record, depth
+      bthd += 100 += 40                                 // split/merge %
+      bthd ++= b64(leafAddr) ++ b16(heapIds.size)
+      bthd ++= b64(heapIds.size.toLong) ++ b32(0L)      // total records, checksum
+      val bthdAddr = appendAt(bthd.toArray)
+      val rootAddr = objectHeader(Seq(
+        (0x02, Array[Byte](0, 0) ++ b64(frhpAddr) ++ b64(bthdAddr))))
+      finish(rootAddr, Hdf5.Undef, Hdf5.Undef)
+      return
+    }
     pad8()
     val (heapAddr, nameOffsets) = {
       val data = ArrayBuffer.empty[Byte]
@@ -365,28 +470,6 @@ object Hdf5Writer {
       appendAt(body.toArray)
     }
     val rootAddr = objectHeader(Seq((0x11, b64(btreeAddr) ++ b64(heapAddr))))
-
-    // 5) patch the superblock
-    val sb = ArrayBuffer.empty[Byte]
-    sb ++= Array(0x89.toByte, 'H'.toByte, 'D'.toByte, 'F'.toByte,
-      '\r'.toByte, '\n'.toByte, 0x1a.toByte, '\n'.toByte)
-    sb ++= Array[Byte](0, 0, 0, 0, 0, 8, 8, 0) // versions + sizes
-    sb ++= b16(4) ++ b16(16)                   // leaf / internal k
-    sb ++= b32(0L)                             // consistency flags
-    sb ++= b64(0L)                             // base address
-    sb ++= b64(Hdf5.Undef)                     // free-space address
-    sb ++= b64(out.size.toLong)                // EOF
-    sb ++= b64(Hdf5.Undef)                     // driver info
-    // root symbol table entry
-    sb ++= b64(0L)                             // link name offset
-    sb ++= b64(rootAddr)                       // object header address
-    sb ++= b32(1L) ++ b32(0L)                  // cache type 1 + reserved
-    sb ++= b64(btreeAddr) ++ b64(heapAddr)     // scratch: btree + heap
-    require(sb.size == 96, s"superblock size ${sb.size}")
-    val bytes = out.toArray
-    System.arraycopy(sb.toArray, 0, bytes, 0, 96)
-
-    val fos = new FileOutputStream(path)
-    try fos.write(bytes) finally fos.close()
+    finish(rootAddr, btreeAddr, heapAddr)
   }
 }

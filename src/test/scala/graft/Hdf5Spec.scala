@@ -114,7 +114,24 @@ class Hdf5Spec extends SparkSpec {
     assert(df.select(sum($"v")).head().getDouble(0) == 21.0)
   }
 
-  test("directed errors: bad signature and dense group storage") {
+  test("dense (fractal-heap) root group: the >8-link layout netCDF-4 writes") {
+    val p = tmp("dense.nc")
+    // 12 data vars + 1 dim = 13 links, past HDF5's compact limit of 8
+    val n = 6
+    HW.write(p,
+      HW.VarSpec("x", Seq("x"), Seq(n), (0 until n).map(_.toDouble), dtype = "f8") +:
+        (0 until 12).map(k => HW.VarSpec(f"v$k%02d", Seq("x"), Seq(n),
+          (0 until n).map(i => k * 100.0 + i), dtype = "f8")),
+      denseRoot = true)
+    val (read, len) = localRead(p)
+    val meta = Hdf5.parse(read, len)
+    assert(meta.datasets.size == 13, s"got ${meta.datasets.map(_.path)}")
+    val df = NetCDF4Reader.readLongFormat(spark, p)
+    assert(df.columns.length == 13 && df.count() == n)
+    assert(df.filter($"x" === 3.0).head().getAs[Double]("v07") == 703.0)
+  }
+
+  test("directed error: non-HDF5 bytes name the format") {
     val p = tmp("bad.nc")
     java.nio.file.Files.write(java.nio.file.Paths.get(p),
       "not an hdf5 file at all".getBytes("UTF-8"))
