@@ -280,19 +280,38 @@ object Hdf5 {
   /** Dense group links: netCDF-4 tracks link creation order, so groups past
     * the compact limit (8 links — any file with more than a handful of
     * variables) store serialized Link messages as FRACTAL HEAP objects
-    * indexed by a v2 B-tree of (name hash, heap id) records. Supported
-    * subset: depth-0 name-index B-trees and single-direct-block heaps
-    * (node size 2048 / record 11 B = hundreds of links; one 4 KiB block
-    * holds ~100 link messages) — beyond that raises a directed error. */
+    * indexed by a v2 B-tree of (name hash, heap id) records. */
   private def denseLinks(read: (Long, Int) => Array[Byte],
-      fheapAddr: Long, btreeAddr: Long): Seq[(String, Long)] = {
+      fheapAddr: Long, btreeAddr: Long): Seq[(String, Long)] =
+    // record type 5: name hash (4) then the heap id
+    denseObjects(read, fheapAddr, btreeAddr, heapIdAt = 4).map { body =>
+      linkTarget(body).getOrElse(throw UnsupportedHdf5("non-hard dense link"))
+    }
+
+  /** Dense attributes (Attribute Info message past the 8-attr compact
+    * limit): same heap + B-tree machinery, record type 8 leads WITH the
+    * heap id; objects are serialized Attribute messages. */
+  private def denseAttrs(read: (Long, Int) => Array[Byte],
+      fheapAddr: Long, btreeAddr: Long): Seq[(String, Any)] =
+    denseObjects(read, fheapAddr, btreeAddr, heapIdAt = 0)
+      .flatMap(body => parseAttribute(read, body))
+
+  /** Enumerate every managed object of a dense-storage index: fractal heap
+    * (FRHP) + depth-0 name-index v2 B-tree (BTHD/BTLF). Supported subset:
+    * single-direct-block heaps and depth-0 trees (node size 2048 = hundreds
+    * of entries; one 4 KiB block holds ~100 messages) — beyond that raises
+    * a directed error. `heapIdAt` is the heap id's byte offset within a
+    * B-tree record (type 5 links put the name hash first; type 8
+    * attributes lead with the id). */
+  private def denseObjects(read: (Long, Int) => Array[Byte],
+      fheapAddr: Long, btreeAddr: Long, heapIdAt: Int): Seq[Array[Byte]] = {
     // fractal heap header
     val h = new Cur(read(fheapAddr, 150))
     require(h.ascii(0, 4) == "FRHP", s"bad fractal heap at $fheapAddr")
     val heapIdLen = h.u16(5)
     val ioFilterLen = h.u16(7)
     if (ioFilterLen != 0)
-      throw UnsupportedHdf5("filtered fractal heap (dense links)")
+      throw UnsupportedHdf5("filtered fractal heap (dense storage)")
     val maxManagedSize = h.u32(10)
     // fixed-width (8-byte length) fields from "next huge id" through
     // "number of tiny objects": 12 of them, then geometry
@@ -303,7 +322,7 @@ object Hdf5 {
     val curRows = h.u16(geomAt + 30)
     if (curRows != 0)
       throw UnsupportedHdf5("fractal heap with an indirect root block " +
-        s"($curRows rows) — dense-link subset reads single-direct-block heaps")
+        s"($curRows rows) — the dense-storage subset reads single-direct-block heaps")
     val offsetSize = (maxHeapBits + 7) / 8
     val lengthSize = bytesFor(maxManagedSize)
     require(heapIdLen == 1 + offsetSize + lengthSize,
@@ -311,7 +330,7 @@ object Hdf5 {
     val blockBytes = new Cur(read(rootBlockAddr, maxDirectSize.toInt))
     require(blockBytes.ascii(0, 4) == "FHDB", s"bad direct block at $rootBlockAddr")
 
-    // v2 B-tree header + depth-0 leaf of (hash u32, heap id) records
+    // v2 B-tree header + depth-0 leaf
     // sig(4) ver(1) type(1) nodeSize(4) recordSize(2) depth(2) split(1)
     // merge(1) rootAddr(8) rootNRecords(2) totalRecords(8) checksum(4)
     val bt = new Cur(read(btreeAddr, 38))
@@ -319,15 +338,13 @@ object Hdf5 {
     val recordSize = bt.u16(10)
     val depth = bt.u16(12)
     if (depth != 0)
-      throw UnsupportedHdf5(s"v2 B-tree depth $depth for dense links (0 only)")
+      throw UnsupportedHdf5(s"v2 B-tree depth $depth for dense storage (0 only)")
     val rootNodeAddr = bt.u64(16)
     val nRecords = bt.u16(24)
     val leaf = new Cur(read(rootNodeAddr, 6 + nRecords * recordSize))
     require(leaf.ascii(0, 4) == "BTLF", s"bad B-tree leaf at $rootNodeAddr")
     (0 until nRecords).map { r =>
-      val rec = 6L + r * recordSize
-      // record type 5: name hash (4) + heap id
-      val idAt = rec + 4
+      val idAt = 6L + r * recordSize + heapIdAt
       val idFlags = leaf.u8(idAt)
       require((idFlags & 0x30) == 0, s"huge/tiny fractal heap object (flags $idFlags)")
       var objOff = 0L
@@ -337,10 +354,8 @@ object Hdf5 {
         objLen |= leaf.u8(idAt + 1 + offsetSize + i).toLong << (8 * i))
       // heap offsets are heap-space offsets; the root direct block starts
       // the space at 0, header included
-      val body = java.util.Arrays.copyOfRange(blockBytes.b, objOff.toInt,
+      java.util.Arrays.copyOfRange(blockBytes.b, objOff.toInt,
         (objOff + objLen).toInt)
-      linkTarget(body).getOrElse(
-        throw UnsupportedHdf5("non-hard dense link"))
     }
   }
 
@@ -413,6 +428,15 @@ object Hdf5 {
       case (0x08, body) => layout = Some(parseLayout(body))
       case (0x0B, body) => filters = parseFilters(body)
       case (0x0C, body) => parseAttribute(read, body).foreach(attrs += _)
+      case (0x15, body) => // attribute info: dense attribute storage
+        val c = new Cur(body)
+        val flags = c.u8(1)
+        var off = 2L
+        if ((flags & 1) != 0) off += 2 // max creation index
+        val fheap = c.u64(off)
+        val nameIndex = c.u64(off + 8)
+        if (fheap != Undef)
+          denseAttrs(read, fheap, nameIndex).foreach(attrs += _)
       case _ =>
     }
     DatasetMeta(path, objAddr, shape,

@@ -28,7 +28,9 @@ object Hdf5Writer {
       scaleFactor: Option[Double] = None,
       addOffset: Option[Double] = None,
       fillValue: Option[Double] = None,
-      units: Option[String] = None)
+      units: Option[String] = None,
+      extraAttrs: Seq[(String, String)] = Nil, // extra string attrs
+      denseAttrs: Boolean = false)             // store attrs densely (0x15)
 
   private def elemSize(dtype: String): Int = dtype match {
     case "f8" => 8
@@ -284,6 +286,75 @@ object Hdf5Writer {
       appendAt(hdr.toArray ++ body.toArray)
     }
 
+    // dense-storage index (links or attributes): single-direct-block
+    // fractal heap + depth-0 v2 B-tree. `record` wraps a 7-byte heap id
+    // into the full B-tree record for the index type. Returns
+    // (fractal heap addr, B-tree header addr).
+    def denseIndex(bodies: Seq[Array[Byte]], btreeType: Int,
+        record: Array[Byte] => Array[Byte]): (Long, Long) = {
+      pad8()
+      val offsetSize = 4 // max heap size 32 bits
+      val lengthSize = 2 // max managed object size 1024
+      val blockSize = 4096L
+      val headerLen = 4 + 1 + 8 + offsetSize // FHDB header, no checksum
+      val frhp = ArrayBuffer.empty[Byte]
+      frhp ++= "FRHP".getBytes("US-ASCII") += 0
+      frhp ++= b16(1 + offsetSize + lengthSize) // heap ID length
+      frhp ++= b16(0) // no I/O filters
+      frhp += 0       // flags: no block checksums
+      frhp ++= b32(1024L) // max managed object size
+      frhp ++= b64(0L) ++ b64(Hdf5.Undef)  // next huge id, huge btree
+      frhp ++= b64(0L) ++ b64(Hdf5.Undef)  // free space, free-space mgr
+      frhp ++= b64(blockSize) ++ b64(blockSize) // managed space, allocated
+      frhp ++= b64(headerLen.toLong)       // direct block iterator offset
+      frhp ++= b64(bodies.size.toLong)     // managed objects
+      frhp ++= b64(0L) ++ b64(0L) ++ b64(0L) ++ b64(0L) // huge/tiny stats
+      frhp ++= b16(4)                      // table width
+      frhp ++= b64(blockSize) ++ b64(blockSize) // starting/max direct size
+      frhp ++= b16(32)                     // max heap size (bits)
+      frhp ++= b16(0)                      // starting rows (root = direct)
+      val rootBlockAddrAt = frhp.size
+      frhp ++= b64(0L)                     // root block addr (patched below)
+      frhp ++= b16(0)                      // current rows: 0 = direct root
+      frhp ++= b32(0L)                     // checksum (unverified)
+      val frhpAddr = appendAt(frhp.toArray)
+      // single direct block: header + objects at their heap-space offsets
+      pad8()
+      val block = ArrayBuffer.empty[Byte]
+      block ++= "FHDB".getBytes("US-ASCII") += 0
+      block ++= b64(frhpAddr)
+      block ++= b32(0L) // block offset within heap space (offsetSize = 4)
+      val heapIds = bodies.map { body =>
+        val off = block.size
+        block ++= body
+        // managed heap id: flags 0, offset u32 LE, length u16 LE
+        (Array[Byte](0) ++ b32(off.toLong) ++ b16(body.length)): Array[Byte]
+      }
+      require(block.size <= blockSize, s"dense index overflows one ${blockSize}B block")
+      while (block.size < blockSize) block += 0
+      val blockAddr = appendAt(block.toArray)
+      val patched = b64(blockAddr)
+      (0 until 8).foreach(i => out((frhpAddr + rootBlockAddrAt + i).toInt) = patched(i))
+      // depth-0 v2 B-tree: header + one leaf of records
+      pad8()
+      val records = heapIds.map(record)
+      val recordSize = records.headOption.map(_.length).getOrElse(11)
+      require(records.forall(_.length == recordSize), "ragged B-tree records")
+      val leaf = ArrayBuffer.empty[Byte]
+      leaf ++= "BTLF".getBytes("US-ASCII") += 0 += btreeType.toByte
+      records.foreach(leaf ++= _)
+      leaf ++= b32(0L) // checksum (unverified)
+      val leafAddr = appendAt(leaf.toArray)
+      pad8()
+      val bthd = ArrayBuffer.empty[Byte]
+      bthd ++= "BTHD".getBytes("US-ASCII") += 0 += btreeType.toByte
+      bthd ++= b32(2048L) ++ b16(recordSize) ++ b16(0) // node size, record, depth
+      bthd += 100 += 40                                 // split/merge %
+      bthd ++= b64(leafAddr) ++ b16(records.size)
+      bthd ++= b64(records.size.toLong) ++ b32(0L)      // total records, checksum
+      (frhpAddr, appendAt(bthd.toArray))
+    }
+
     // 1) dimension-scale headers (coordinate vars + phony dims)
     val dimAddr = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     coordVars.foreach { v =>
@@ -343,12 +414,22 @@ object Hdf5Writer {
       val dimList = v.dims.flatMap { d =>
         b32(1L) ++ b64(gheapAddr) ++ b32(gheapIndex((v.name, d)).toLong)
       }.toArray
-      msgs += ((0x0C, attr("DIMENSION_LIST", vlenRefDtMsg(),
-        dataspaceMsg(Seq(v.dims.size)), dimList)))
-      v.units.foreach(u => msgs += ((0x0C, strAttr("units", u))))
-      v.scaleFactor.foreach(s => msgs += ((0x0C, dblAttr("scale_factor", s))))
-      v.addOffset.foreach(o => msgs += ((0x0C, dblAttr("add_offset", o))))
-      v.fillValue.foreach(f => msgs += ((0x0C, dblAttr("_FillValue", f))))
+      val attrBodies = ArrayBuffer.empty[Array[Byte]]
+      attrBodies += attr("DIMENSION_LIST", vlenRefDtMsg(),
+        dataspaceMsg(Seq(v.dims.size)), dimList)
+      v.units.foreach(u => attrBodies += strAttr("units", u))
+      v.scaleFactor.foreach(s => attrBodies += dblAttr("scale_factor", s))
+      v.addOffset.foreach(o => attrBodies += dblAttr("add_offset", o))
+      v.fillValue.foreach(f => attrBodies += dblAttr("_FillValue", f))
+      v.extraAttrs.foreach { case (n, s) => attrBodies += strAttr(n, s) }
+      if (v.denseAttrs) {
+        // attribute-name B-tree record (type 8): heap id, msg flags,
+        // creation order, name hash
+        var order = -1
+        val (fheap, btree) = denseIndex(attrBodies.toSeq, btreeType = 8,
+          record = id => { order += 1; id ++ Array[Byte](0) ++ b32(order.toLong) ++ b32(0L) })
+        msgs += ((0x15, Array[Byte](0, 0) ++ b64(fheap) ++ b64(btree)))
+      } else attrBodies.foreach(a => msgs += ((0x0C, a)))
       varAddr(v.name) = objectHeader(msgs.toSeq)
     }
 
@@ -357,76 +438,15 @@ object Hdf5Writer {
     val allChildren: Seq[(String, Long)] =
       (dimAddr.toSeq ++ varAddr.toSeq).sortBy(_._1)
     if (denseRoot) {
-      pad8()
       // serialized hard-Link message bodies (v1, flags 0: 1-byte name len)
       val bodies = allChildren.map { case (n, addr) =>
         val nb = n.getBytes("US-ASCII")
         require(nb.length < 256, s"dense link name too long: $n")
         Array[Byte](1, 0, nb.length.toByte) ++ nb ++ b64(addr)
       }
-      val offsetSize = 4 // max heap size 32 bits
-      val lengthSize = 2 // max managed object size 1024
-      val headerLen = 4 + 1 + 8 + offsetSize // FHDB header, no checksum
-      val blockSize = 4096L
-      val heapHdrAddr = out.size.toLong
-      val frhp = ArrayBuffer.empty[Byte]
-      frhp ++= "FRHP".getBytes("US-ASCII") += 0
-      frhp ++= b16(1 + offsetSize + lengthSize) // heap ID length
-      frhp ++= b16(0) // no I/O filters
-      frhp += 0       // flags: no block checksums
-      frhp ++= b32(1024L) // max managed object size
-      frhp ++= b64(0L) ++ b64(Hdf5.Undef)  // next huge id, huge btree
-      frhp ++= b64(0L) ++ b64(Hdf5.Undef)  // free space, free-space mgr
-      frhp ++= b64(blockSize) ++ b64(blockSize) // managed space, allocated
-      frhp ++= b64(headerLen.toLong)       // direct block iterator offset
-      frhp ++= b64(allChildren.size.toLong) // managed objects
-      frhp ++= b64(0L) ++ b64(0L) ++ b64(0L) ++ b64(0L) // huge/tiny stats
-      frhp ++= b16(4)                      // table width
-      frhp ++= b64(blockSize) ++ b64(blockSize) // starting/max direct size
-      frhp ++= b16(32)                     // max heap size (bits)
-      frhp ++= b16(0)                      // starting rows (root = direct)
-      val rootBlockAddrAt = frhp.size
-      frhp ++= b64(0L)                     // root block addr (patched below)
-      frhp ++= b16(0)                      // current rows: 0 = direct root
-      frhp ++= b32(0L)                     // checksum (unverified)
-      val frhpAddr = appendAt(frhp.toArray)
-      // single direct block: header + objects at their heap-space offsets
-      pad8()
-      val block = ArrayBuffer.empty[Byte]
-      block ++= "FHDB".getBytes("US-ASCII") += 0
-      block ++= b64(frhpAddr)
-      block ++= b32(0L) // block offset within heap space (offsetSize = 4)
-      val heapIds = bodies.map { body =>
-        val off = block.size
-        block ++= body
-        (off.toLong, body.length.toLong)
-      }
-      while (block.size < blockSize) block += 0
-      val blockAddr = appendAt(block.toArray)
-      // patch root block addr into the already-appended FRHP
-      val patched = b64(blockAddr)
-      (0 until 8).foreach(i => out((frhpAddr + rootBlockAddrAt + i).toInt) = patched(i))
-      // depth-0 v2 B-tree: header + one leaf of (hash, heap id) records
-      pad8()
-      val recordSize = 4 + 1 + offsetSize + lengthSize
-      val leaf = ArrayBuffer.empty[Byte]
-      leaf ++= "BTLF".getBytes("US-ASCII") += 0 += 5
-      heapIds.foreach { case (off, len) =>
-        leaf ++= b32(0L) // name hash (readers enumerate; lookup unused)
-        leaf += 0        // heap id flags: managed, version 0
-        leaf ++= b32(off)
-        leaf ++= b16(len.toInt)
-      }
-      leaf ++= b32(0L) // checksum (unverified)
-      val leafAddr = appendAt(leaf.toArray)
-      pad8()
-      val bthd = ArrayBuffer.empty[Byte]
-      bthd ++= "BTHD".getBytes("US-ASCII") += 0 += 5
-      bthd ++= b32(2048L) ++ b16(recordSize) ++ b16(0) // node size, record, depth
-      bthd += 100 += 40                                 // split/merge %
-      bthd ++= b64(leafAddr) ++ b16(heapIds.size)
-      bthd ++= b64(heapIds.size.toLong) ++ b32(0L)      // total records, checksum
-      val bthdAddr = appendAt(bthd.toArray)
+      // link-name B-tree record (type 5): name hash, then heap id
+      val (frhpAddr, bthdAddr) = denseIndex(bodies, btreeType = 5,
+        record = id => b32(0L) ++ id)
       val rootAddr = objectHeader(Seq(
         (0x02, Array[Byte](0, 0) ++ b64(frhpAddr) ++ b64(bthdAddr))))
       finish(rootAddr, Hdf5.Undef, Hdf5.Undef)

@@ -131,6 +131,29 @@ class Hdf5Spec extends SparkSpec {
     assert(df.filter($"x" === 3.0).head().getAs[Double]("v07") == 703.0)
   }
 
+  test("dense attributes (>8 per object) resolve through the fractal heap") {
+    val p = tmp("denseattrs.nc")
+    val n = 4
+    HW.write(p, Seq(
+      HW.VarSpec("x", Seq("x"), Seq(n), (0 until n).map(_.toDouble), dtype = "f8"),
+      HW.VarSpec("v", Seq("x"), Seq(n), (0 until n).map(i => i * 2.0), dtype = "f8",
+        units = Some("K"), scaleFactor = Some(2.0), addOffset = Some(1.0),
+        denseAttrs = true,
+        extraAttrs = Seq("long_name" -> "test variable", "standard_name" -> "v",
+          "cell_methods" -> "time: mean", "grid_mapping" -> "crs",
+          "coordinates" -> "x", "comment" -> "dense attr fixture"))))
+    val (read, len) = localRead(p)
+    val v = Hdf5.parse(read, len).byPath("/v")
+    assert(v.attrs.get("units").contains("K"))
+    assert(v.attrs.get("long_name").contains("test variable"))
+    assert(v.attrs.get("scale_factor").contains(2.0))
+    assert(v.attrs.contains("DIMENSION_LIST"))
+    assert(v.attrs.size >= 9, s"only ${v.attrs.keySet}")
+    // CDL decode still applies through the densely-stored attrs
+    val df = NetCDF4Reader.readLongFormat(spark, p)
+    assert(df.filter($"x" === 3.0).head().getAs[Double]("v") == 13.0) // 6*2+1
+  }
+
   test("directed error: non-HDF5 bytes name the format") {
     val p = tmp("bad.nc")
     java.nio.file.Files.write(java.nio.file.Paths.get(p),
