@@ -20,6 +20,10 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // drop persisted frames from previous queries: every query measures
+      // cold-cache, and late-alphabet queries aren't taxed by accumulated
+      // cache memory pressure from the ones before them
+      spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
