@@ -162,10 +162,12 @@ object Hdf5 {
       size: Long, creationTracked: Boolean,
       out: mutable.Builder[(Int, Array[Byte]), Seq[(Int, Array[Byte])]],
       reread: (Long, Int) => Array[Byte]): Unit = {
-    // block ends with a 4-byte checksum (not verified)
+    // `size` counts the message data only; the 4-byte checksum FOLLOWS it
+    // (libhdf5 accounts it in the header size, not chunk-0 size) and is
+    // not verified here
     val blk = new Cur(read(start, size.toInt))
     var p = 0L
-    val end = size - 4
+    val end = size
     val msgHead = 4 + (if (creationTracked) 2 else 0)
     while (p + msgHead <= end) {
       val typ = blk.u8(p)

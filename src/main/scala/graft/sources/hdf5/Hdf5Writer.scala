@@ -42,8 +42,13 @@ object Hdf5Writer {
   /** `denseRoot = true` stores the root group's links the way netCDF-4
     * writes groups past the compact limit: serialized Link messages in a
     * fractal heap (single direct block) indexed by a depth-0 v2 B-tree —
-    * the layout [[Hdf5.parse]]'s dense-link path reads. */
-  def write(path: String, vars: Seq[VarSpec], denseRoot: Boolean = false): Unit = {
+    * the layout [[Hdf5.parse]]'s dense-link path reads.
+    *
+    * `latestFormat = true` emits the HDF5 "latest" container flavor
+    * (h5py/xarray with libver=latest): superblock v2 + v2 (`OHDR`) object
+    * headers, compact Link messages instead of symbol tables. */
+  def write(path: String, vars: Seq[VarSpec], denseRoot: Boolean = false,
+      latestFormat: Boolean = false): Unit = {
     require(vars.map(_.name).distinct.size == vars.size, "duplicate var names")
     val out = new ArrayBuffer[Byte](1 << 16)
     def appendAt(bytes: Array[Byte]): Long = { val a = out.size.toLong; out ++= bytes; a }
@@ -54,23 +59,33 @@ object Hdf5Writer {
     def b32(v: Long): Array[Byte] = b16((v & 0xffff).toInt) ++ b16(((v >> 16) & 0xffff).toInt)
     def b64(v: Long): Array[Byte] = b32(v & 0xffffffffL) ++ b32((v >> 32) & 0xffffffffL)
 
-    // superblock v0 + file flush, shared by both root-group layouts
+    // superblock (v0, or v2 in latest-format mode) + file flush
     def finish(rootAddr: Long, btreeScratch: Long, heapScratch: Long): Unit = {
       val sb = ArrayBuffer.empty[Byte]
       sb ++= Array(0x89.toByte, 'H'.toByte, 'D'.toByte, 'F'.toByte,
         '\r'.toByte, '\n'.toByte, 0x1a.toByte, '\n'.toByte)
-      sb ++= Array[Byte](0, 0, 0, 0, 0, 8, 8, 0) // versions + sizes
-      sb ++= b16(4) ++ b16(16)                   // leaf / internal k
-      sb ++= b32(0L)                             // consistency flags
-      sb ++= b64(0L)                             // base address
-      sb ++= b64(Hdf5.Undef)                     // free-space address
-      sb ++= b64(out.size.toLong)                // EOF
-      sb ++= b64(Hdf5.Undef)                     // driver info
-      // root symbol table entry
-      sb ++= b64(0L)                             // link name offset
-      sb ++= b64(rootAddr)                       // object header address
-      sb ++= b32(if (btreeScratch == Hdf5.Undef) 0L else 1L) ++ b32(0L)
-      sb ++= b64(btreeScratch) ++ b64(heapScratch) // scratch (cache type 1)
+      if (latestFormat) {
+        sb ++= Array[Byte](2, 8, 8, 0)           // version, sizes, flags
+        sb ++= b64(0L)                           // base address
+        sb ++= b64(Hdf5.Undef)                   // superblock extension
+        sb ++= b64(out.size.toLong)              // EOF
+        sb ++= b64(rootAddr)                     // root object header
+        sb ++= b32(0L)                           // checksum (unverified)
+        while (sb.size < 96) sb += 0             // placeholder was 96 B
+      } else {
+        sb ++= Array[Byte](0, 0, 0, 0, 0, 8, 8, 0) // versions + sizes
+        sb ++= b16(4) ++ b16(16)                   // leaf / internal k
+        sb ++= b32(0L)                             // consistency flags
+        sb ++= b64(0L)                             // base address
+        sb ++= b64(Hdf5.Undef)                     // free-space address
+        sb ++= b64(out.size.toLong)                // EOF
+        sb ++= b64(Hdf5.Undef)                     // driver info
+        // root symbol table entry
+        sb ++= b64(0L)                             // link name offset
+        sb ++= b64(rootAddr)                       // object header address
+        sb ++= b32(if (btreeScratch == Hdf5.Undef) 0L else 1L) ++ b32(0L)
+        sb ++= b64(btreeScratch) ++ b64(heapScratch) // scratch (cache type 1)
+      }
       require(sb.size == 96, s"superblock size ${sb.size}")
       val bytes = out.toArray
       System.arraycopy(sb.toArray, 0, bytes, 0, 96)
@@ -269,21 +284,38 @@ object Hdf5Writer {
     def intAttr(name: String, x: Int): Array[Byte] =
       attr(name, datatypeMsg("i4"), dataspaceMsg(Nil), b32(x.toLong))
 
-    // ---- object headers
+    // ---- object headers (v1, or v2 `OHDR` in latest-format mode)
     def objectHeader(msgs: Seq[(Int, Array[Byte])]): Long = {
       pad8()
-      val body = ArrayBuffer.empty[Byte]
-      msgs.foreach { case (typ, m) =>
-        val padded = m ++ new Array[Byte]((8 - m.length % 8) % 8)
-        body ++= b16(typ) ++ b16(padded.length) ++ Array[Byte](0, 0, 0, 0) ++ padded
+      if (latestFormat) {
+        val body = ArrayBuffer.empty[Byte]
+        msgs.foreach { case (typ, m) =>
+          // v2 message head: type u8, size u16, flags u8 — no alignment
+          body += typ.toByte
+          body ++= b16(m.length)
+          body += 0
+          body ++= m
+        }
+        val hdr = ArrayBuffer.empty[Byte]
+        hdr ++= "OHDR".getBytes("US-ASCII")
+        hdr += 2          // version
+        hdr += 0x02       // flags: 4-byte chunk-0 size, nothing optional
+        hdr ++= b32(body.size.toLong) // chunk 0 size (checksum NOT counted)
+        appendAt(hdr.toArray ++ body.toArray ++ b32(0L)) // trailing checksum
+      } else {
+        val body = ArrayBuffer.empty[Byte]
+        msgs.foreach { case (typ, m) =>
+          val padded = m ++ new Array[Byte]((8 - m.length % 8) % 8)
+          body ++= b16(typ) ++ b16(padded.length) ++ Array[Byte](0, 0, 0, 0) ++ padded
+        }
+        val hdr = ArrayBuffer.empty[Byte]
+        hdr += 1; hdr += 0                 // version, reserved
+        hdr ++= b16(msgs.size)
+        hdr ++= b32(1L)                    // reference count
+        hdr ++= b32(body.size.toLong)      // header size
+        hdr ++= b32(0L)                    // pad to 8-byte boundary (12 -> 16)
+        appendAt(hdr.toArray ++ body.toArray)
       }
-      val hdr = ArrayBuffer.empty[Byte]
-      hdr += 1; hdr += 0                   // version, reserved
-      hdr ++= b16(msgs.size)
-      hdr ++= b32(1L)                      // reference count
-      hdr ++= b32(body.size.toLong)        // header size
-      hdr ++= b32(0L)                      // pad to 8-byte boundary (12 -> 16)
-      appendAt(hdr.toArray ++ body.toArray)
     }
 
     // dense-storage index (links or attributes): single-direct-block
@@ -449,6 +481,16 @@ object Hdf5Writer {
         record = id => b32(0L) ++ id)
       val rootAddr = objectHeader(Seq(
         (0x02, Array[Byte](0, 0) ++ b64(frhpAddr) ++ b64(bthdAddr))))
+      finish(rootAddr, Hdf5.Undef, Hdf5.Undef)
+      return
+    }
+    if (latestFormat) {
+      // new-style group: compact hard-Link messages in the root header
+      val rootAddr = objectHeader(allChildren.map { case (n, addr) =>
+        val nb = n.getBytes("US-ASCII")
+        require(nb.length < 256, s"link name too long: $n")
+        (0x06, Array[Byte](1, 0, nb.length.toByte) ++ nb ++ b64(addr))
+      })
       finish(rootAddr, Hdf5.Undef, Hdf5.Undef)
       return
     }

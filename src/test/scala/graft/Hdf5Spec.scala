@@ -154,6 +154,36 @@ class Hdf5Spec extends SparkSpec {
     assert(df.filter($"x" === 3.0).head().getAs[Double]("v") == 13.0) // 6*2+1
   }
 
+  test("latest-format container (superblock v2, OHDR headers, compact links)") {
+    val flat = tmp("v0.nc")
+    writeWeather(flat, chunks = None)
+    val latest = tmp("v2.nc")
+    val (nt, ny, nx) = (3, 4, 5)
+    HW.write(latest, Seq(
+      HW.VarSpec("time", Seq("time"), Seq(nt),
+        (0 until nt).map(t => (t0 + 3600L * t).toDouble), dtype = "f8",
+        units = Some("seconds since 1970-01-01")),
+      HW.VarSpec("latitude", Seq("latitude"), Seq(ny),
+        (0 until ny).map(60.0 - _), dtype = "f8"),
+      HW.VarSpec("longitude", Seq("longitude"), Seq(nx),
+        (0 until nx).map(10.0 + _), dtype = "f8"),
+      HW.VarSpec("t2m", Seq("time", "latitude", "longitude"), Seq(nt, ny, nx),
+        (0 until nt * ny * nx).map(k => 250.0 + k * 0.25),
+        dtype = "f4", units = Some("K")),
+      HW.VarSpec("tp", Seq("time", "latitude", "longitude"), Seq(nt, ny, nx),
+        (0 until nt * ny * nx).map(k => if (k % 17 == 0) -999.0 else k * 10.0),
+        dtype = "i2", scaleFactor = Some(0.001), addOffset = Some(5.0),
+        fillValue = Some(-999.0))), latestFormat = true)
+    // the container version really differs
+    val hdr = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(latest))
+    assert(hdr(8) == 2, s"superblock version ${hdr(8)}")
+    val a = NetCDF4Reader.readLongFormat(spark, flat)
+      .orderBy($"time", $"latitude", $"longitude").collect()
+    val b = NetCDF4Reader.readLongFormat(spark, latest)
+      .orderBy($"time", $"latitude", $"longitude").collect()
+    assert(a.sameElements(b), "latest-format values diverge from v0 container")
+  }
+
   test("directed error: non-HDF5 bytes name the format") {
     val p = tmp("bad.nc")
     java.nio.file.Files.write(java.nio.file.Paths.get(p),
