@@ -886,6 +886,48 @@ object Queries {
           .select(col("time").cast("timestamp_ntz").as("time"),
             $"latitude", $"longitude", round($"t2m", 6).as("t2m"))
           .orderBy($"time", $"latitude", $"longitude")
+      }),
+
+    // ---------------------------------------------------------------- S1 (GRIB2 CCSDS packing, template 5.42)
+    // Same `orders` grid as q54/q61, packed with template 5.42 — the
+    // CCSDS/AEC adaptive entropy coding ECMWF uses operationally (the
+    // reference reads it via eccodes+libaec). Message 1 is dense 16-bit;
+    // message 2 masks every 7th point behind a bitmap; any slip in the
+    // Rice/FS/zero-block/second-extension decode or the unit-delay
+    // unmapping breaks the hash against the DuckDB recomputation.
+    Q("q64_grib2_ccsds", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200)
+      SELECT CASE WHEN rn0 // 100 = 0 THEN TIMESTAMP '2026-10-01 00:00:00'
+                  ELSE TIMESTAMP '2026-10-01 06:00:00' END AS time,
+             CAST(50 - (rn0 % 100) // 10 AS DOUBLE) AS latitude,
+             CAST(rn0 % 10 AS DOUBLE) AS longitude,
+             CAST(o_orderkey % 997 AS DOUBLE) AS value
+      FROM o
+      WHERE NOT (rn0 >= 100 AND rn0 % 7 = 0)
+      ORDER BY time, latitude, longitude"""))(
+      (s, d) => {
+        import graft.sources.grib.{Grib2Reader, Grib2Writer => GW2}
+        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+          .select(($"o_orderkey" % 997).cast("double"))
+          .collect().map(_.getDouble(0)).toSeq
+        val t0 = java.time.LocalDateTime.of(2026, 10, 1, 0, 0)
+        val path = java.nio.file.Files.createTempDirectory("q64").toString + "/q64.grib2"
+        def spec(v: Seq[Double], fcst: Int) = GW2.FieldSpec(
+          discipline = 0, category = 0, number = 0, levelType = 103,
+          levelScaledValue = 2, refTime = t0, values = v, ni = 10, nj = 10,
+          la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0,
+          forecastTime = fcst, decimalScale = 0,
+          packing = 42, bitsPerValue = 16)
+        val m2 = vals.drop(100).zipWithIndex.map { case (v, k) =>
+          if ((k + 100) % 7 == 0) Double.NaN else v
+        }
+        GW2.write(path, Seq(spec(vals.take(100), 0), spec(m2, 6)))
+        Grib2Reader.readLongFormat(s, path)
+          .filter($"value".isNotNull)
+          .select($"time", $"latitude", $"longitude", $"value")
+          .orderBy($"time", $"latitude", $"longitude")
       })
   )
 

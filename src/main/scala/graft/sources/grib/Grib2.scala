@@ -49,9 +49,12 @@ object Grib2 {
       bitmapBytes: Int,
       dataOffset: Long,
       dataBytes: Int,
-      // data representation: 0 simple, 2 complex, 3 complex + spatial diff
+      // data representation: 0 simple, 2 complex, 3 complex + spatial diff,
+      // 41 PNG, 42 CCSDS
       reprTemplate: Int = 0,
-      complex: Option[ComplexPacking] = None) extends GribUnit {
+      complex: Option[ComplexPacking] = None,
+      ccsds: Option[(Int, Int, Int)] = None) // (flags, blockSize, rsi)
+      extends GribUnit {
 
     def nPoints: Int = ni * nj
 
@@ -172,6 +175,7 @@ object Grib2 {
     var grid: Option[(Int, Int, Double, Double, Double, Double, Int)] = None
     var prod: Option[(Int, Int, Int, Int, Int, Double, Int, Long)] = None
     var repr: Option[(Double, Int, Int, Int, Int, Option[ComplexPacking])] = None
+    var ccsdsParams: Option[(Int, Int, Int)] = None
     var bitmapOffset = -1L
     var bitmapBytes = 0
 
@@ -244,6 +248,10 @@ object Grib2 {
               // section-7 payload is a PNG image of the scaled X values
               repr = Some((ieee32(b, 11), Grib1.s16(b, 15), Grib1.s16(b, 17),
                 u8(b, 19), 41, None))
+            case 42 => // CCSDS/AEC: R/E/D/bits + flags, block size, RSI
+              ccsdsParams = Some((u8(b, 21), u8(b, 22), u16(b, 23)))
+              repr = Some((ieee32(b, 11), Grib1.s16(b, 15), Grib1.s16(b, 17),
+                u8(b, 19), 42, None))
             case 2 | 3 =>
               val cp = ComplexPacking(
                 groupSplitting = u8(b, 21),
@@ -269,7 +277,7 @@ object Grib2 {
             case other =>
               throw UnsupportedGrib(s"data representation template 5.$other " +
                 "(supported: 5.0 simple, 5.2 complex, 5.3 complex + spatial " +
-                "differencing, 5.41 PNG; 5.40 JPEG2000 / 5.42 CCSDS / 5.50 " +
+                "differencing, 5.41 PNG, 5.42 CCSDS; 5.40 JPEG2000 / 5.50 " +
                 "spectral are not — repack with `grib_set -r " +
                 "packingType=grid_simple`)")
           }
@@ -291,7 +299,8 @@ object Grib2 {
           fields += Field(discipline, refTime, ni, nj, la1, lo1, la2, lo2, scan,
             cat, num, timeUnit, fcst, levelType, levelValue, statP, intEnd,
             refV, binS, decS, bits, bitmapOffset, bitmapBytes,
-            cur + 5, (secLen - 5).toInt, reprT, cp)
+            cur + 5, (secLen - 5).toInt, reprT, cp,
+            if (reprT == 42) ccsdsParams else None)
         case 8 => // should not appear as a section header; defensive
           throw UnsupportedGrib(s"unexpected section number 8 at offset $cur")
         case other =>
@@ -312,8 +321,39 @@ object Grib2 {
           f.nPoints, data, if (f.bitmapOffset >= 0) bitmap else null)
       case 2 | 3 => decodeComplex(f, data, bitmap)
       case 41 => decodePng(f, data, bitmap)
+      case 42 => decodeCcsds(f, data, bitmap)
       case other => throw UnsupportedGrib(s"data representation template 5.$other")
     }
+
+  /** Template 7.42: AEC-coded scaled X values of the present points. */
+  private def decodeCcsds(f: Field, data: Array[Byte],
+      bitmap: Array[Byte]): Array[Double] = {
+    val (flags, blockSize, rsi) = f.ccsds.getOrElse(
+      throw UnsupportedGrib("CCSDS field without coding parameters"))
+    if ((flags & 1) != 0)
+      throw UnsupportedGrib("CCSDS signed-sample flag in GRIB (unsigned X expected)")
+    val present: Array[Boolean] =
+      if (f.bitmapOffset >= 0 && bitmap != null)
+        Array.tabulate(f.nPoints)(k => (u8(bitmap, k >> 3) & (0x80 >> (k & 7))) != 0)
+      else null
+    val nPresent = if (present == null) f.nPoints else present.count(identity)
+    val xs = Ccsds.decode(data,
+      Ccsds.Params(f.bitsPerValue, blockSize, rsi, preprocess = (flags & 8) != 0),
+      nPresent)
+    val dDiv = math.pow(10.0, f.decimalScale)
+    val eFactor = math.pow(2.0, f.binaryScale)
+    val out = new Array[Double](f.nPoints)
+    var xi = 0
+    var i = 0
+    while (i < f.nPoints) {
+      out(i) =
+        if (present == null || present(i)) {
+          val v = (f.refValue + xs(xi) * eFactor) / dDiv; xi += 1; v
+        } else Double.NaN
+      i += 1
+    }
+    out
+  }
 
   /** Template 7.41: the payload is a PNG image; pixels in raster order are
     * the scaled X values of the PRESENT points (bitmap zeros are not

@@ -142,9 +142,46 @@ object Grib2Writer {
       case 0 => simple57(f)
       case 2 | 3 => complex57(f)
       case 41 => png57(f)
+      case 42 => ccsds57(f)
       case other => throw Grib1.UnsupportedGrib(
-        s"writer packing $other (0 simple, 2 complex, 3 complex+spatial diff, 41 PNG)")
+        s"writer packing $other (0 simple, 2 complex, 3 complex+spatial " +
+          "diff, 41 PNG, 42 CCSDS)")
     }
+
+  /** Template 5.42/7.42: AEC-coded scaled X values (eccodes-style
+    * parameters: preprocess+MSB flags, block size 32, RSI 128). */
+  private def ccsds57(f: FieldSpec): (Array[Byte], Array[Byte]) = {
+    val dFactor = math.pow(10.0, f.decimalScale)
+    val present = f.values.filterNot(_.isNaN)
+    val scaled = present.map(v => math.round(v * dFactor))
+    val ref = if (scaled.isEmpty) 0L else scaled.min
+    val xs = scaled.map(_ - ref).toArray
+    require(xs.forall(x => x >= 0 && x < (1L << math.min(f.bitsPerValue, 62))),
+      s"value range needs more than ${f.bitsPerValue} bits")
+    require(math.abs(ref) < (1L << 24), "reference value must stay float32-exact")
+    val (blockSize, rsi, flags) = (32, 128, 4 | 8) // MSB + preprocess
+    val coded = Ccsds.encode(
+      if (xs.isEmpty) Array(0L) else xs,
+      Ccsds.Params(f.bitsPerValue, blockSize, rsi, preprocess = true))
+
+    val s5 = new Array[Byte](25)
+    putU32(s5, 0, 25); s5(4) = 5
+    putU32(s5, 5, xs.length)
+    putU16(s5, 9, 42)                // template 5.42 CCSDS
+    putU32(s5, 11, java.lang.Float.floatToIntBits(ref.toFloat).toLong & 0xffffffffL)
+    putS16(s5, 15, 0)                // binary scale E = 0
+    putS16(s5, 17, f.decimalScale)
+    s5(19) = f.bitsPerValue.toByte
+    s5(20) = 0                       // original field type: floating point
+    s5(21) = flags.toByte
+    s5(22) = blockSize.toByte
+    putU16(s5, 23, rsi)
+
+    val s7 = new Array[Byte](5 + coded.length)
+    putU32(s7, 0, s7.length); s7(4) = 7
+    System.arraycopy(coded, 0, s7, 5, coded.length)
+    (s5, s7)
+  }
 
   private def simple57(f: FieldSpec): (Array[Byte], Array[Byte]) = {
     val dFactor = math.pow(10.0, f.decimalScale)

@@ -233,6 +233,46 @@ class Grib2Spec extends SparkSpec {
     assert(img.samples.toSeq == xs.toSeq)
   }
 
+  test("CCSDS codec round-trips every block-option regime") {
+    import graft.sources.grib.Ccsds
+    def rt(xs: Array[Long], bits: Int, j: Int = 16, rsi: Int = 8): Unit = {
+      val p = Ccsds.Params(bits, j, rsi, preprocess = true)
+      val got = Ccsds.decode(Ccsds.encode(xs, p), p, xs.length)
+      assert(got.toSeq == xs.toSeq, s"bits=$bits J=$j rsi=$rsi")
+    }
+    rt(Array.fill(100)(7L), 8)                       // constant -> zero runs
+    rt(Array.tabulate(257)(_.toLong % 251), 8)       // smooth ramps
+    rt(Array.tabulate(1000)(k => (k * 9173L) % 65536), 16) // noisy -> high k
+    rt(Array.tabulate(97)(k => if (k < 40) 3L else (k * 131L) % 256), 8)
+    rt(Array(0L), 8)                                 // single sample
+    rt(Array.tabulate(5000)(k =>                      // crosses RSI + segment
+      if (k % 700 < 300) 42L else (k * 37L) % 4096), 12, j = 32, rsi = 128)
+    // tiny deltas pick the second extension; spikes exercise the mapper's
+    // out-of-theta branch
+    rt(Array.tabulate(300)(k => 100L + (k % 2)), 8)
+    rt(Array.tabulate(128)(k => if (k == 64) 250L else 2L), 8)
+  }
+
+  test("CCSDS packing (5.42) round-trips through GRIB2, including bitmap") {
+    val dir = java.nio.file.Files.createTempDirectory("grib2ccsds").toString
+    val p = s"$dir/ccsds.grib2"
+    val vals = gridVals((j, i) =>
+      if (j == 2 && i == 1) Double.NaN else 1000.0 + 13 * j + i * (i % 3))
+    GW2.write(p, Seq(GW2.FieldSpec(0, 0, 0, 103, 2, t0, vals, ni, nj,
+      la1 = 60.0, lo1 = -10.0, la2 = 45.0, lo2 = 10.0,
+      decimalScale = 1, packing = 42, bitsPerValue = 16)))
+    val fields = Grib2Reader.indexFields(new org.apache.hadoop.conf.Configuration(), p)
+    assert(fields.head.reprTemplate == 42)
+    assert(fields.head.ccsds.contains((12, 32, 128))) // preprocess+MSB, J, RSI
+    val got = Grib2Reader.readLongFormat(spark, p)
+      .orderBy($"latitude".desc, $"longitude")
+      .select($"value").collect()
+      .map(r => if (r.isNullAt(0)) Double.NaN else r.getDouble(0))
+    vals.zip(got).foreach { case (want, have) =>
+      if (want.isNaN) assert(have.isNaN) else assert(want == have)
+    }
+  }
+
   test("unsupported templates raise directed errors") {
     val raw = GW2.message(GW2.FieldSpec(0, 0, 0, 103, 2, t0,
       Seq(1.0, 2.0), 2, 1, 0.0, 0.0, 0.0, 1.0))
