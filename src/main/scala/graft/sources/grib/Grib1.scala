@@ -51,7 +51,8 @@ object Grib1 {
       dataOffset: Long,        // first byte of packed values in the file
       dataBytes: Int,          // (for second-order: the WHOLE BDS span)
       unusedBitsAtEnd: Int,
-      secondOrder: Boolean = false) extends GribUnit {
+      secondOrder: Boolean = false,
+      gaussianN: Int = 0) extends GribUnit { // grid type 4: N; 0 = type 0
 
     def nPoints: Int = ni * nj
 
@@ -81,11 +82,16 @@ object Grib1 {
       refTimeEpochSec + step.toLong * timeUnitSeconds(timeUnit)
     }
 
+    @transient private lazy val gaussLats: Array[Double] =
+      if (gaussianN > 0) GaussianGrid.rowLatitudes(gaussianN, la1, nj) else null
+
     /** Latitude of row j / longitude of column i, by interpolating la1->la2
       * / lo1->lo2 (handles both scan directions without special-casing the
-      * scanning-mode flags for the regular grids we support). */
+      * scanning-mode flags for the regular grids we support); Gaussian
+      * grids (type 4) take the Legendre-root parallels instead. */
     def latOf(j: Int): Double =
-      if (nj == 1) la1 else la1 + (la2 - la1) * j / (nj - 1)
+      if (gaussianN > 0) gaussLats(j)
+      else if (nj == 1) la1 else la1 + (la2 - la1) * j / (nj - 1)
     def lonOf(i: Int): Double =
       if (ni == 1) lo1 else lo1 + (lo2 - lo1) * i / (ni - 1)
   }
@@ -280,11 +286,16 @@ object Grib1 {
     val g = read(gdsOff, 28)
     val gdsLen = u24(g, 0)
     val gridType = u8(g, 5)
-    if (gridType != 0 && gridType != 10)
-      throw UnsupportedGrib(s"grid type $gridType (only regular lat/lon)")
+    if (gridType != 0 && gridType != 10 && gridType != 4)
+      throw UnsupportedGrib(
+        s"grid type $gridType (regular lat/lon 0/10 and Gaussian 4)")
     val ni = u16(g, 6)
     val nj = u16(g, 8)
-    if (ni == 65535) throw UnsupportedGrib("quasi-regular (thinned) grid")
+    if (ni == 65535) throw UnsupportedGrib(
+      "quasi-regular (thinned) grid — interpolate upstream " +
+        "(`grib_set -s gridType=regular_gg`)")
+    // grid type 4 stores N (parallels pole->equator) where Dj sits
+    val gaussN = if (gridType == 4) u16(g, 25) else 0
     val la1 = s24(g, 10) / 1000.0
     val lo1 = s24(g, 13) / 1000.0
     val la2 = s24(g, 17) / 1000.0
@@ -342,7 +353,7 @@ object Grib1 {
       ni, nj, la1, lo1, la2, lo2, scan,
       bitmapOffset, bitmapBytes,
       binScale, refValue, bitsPerValue, dataOffset, dataBytes, unusedBits,
-      secondOrder)
+      secondOrder, gaussN)
   }
 
   /** In-memory convenience form of [[parseMessage]] (tests, small buffers):

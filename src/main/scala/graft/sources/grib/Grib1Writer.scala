@@ -30,7 +30,8 @@ object Grib1Writer {
       decimalScale: Int = 0,
       bitsPerValue: Int = 16,
       secondOrder: Boolean = false,    // WMO second-order packing (BDS flag 2)
-      groupSize: Int = 20)             // second-order group length
+      groupSize: Int = 20,             // second-order group length
+      gaussianN: Int = 0)              // > 0 -> grid type 4 (Gaussian)
 
   def write(path: String, fields: Seq[FieldSpec],
       conf: Configuration = new Configuration()): Unit = {
@@ -92,7 +93,7 @@ object Grib1Writer {
     put24(b, 0, 32)
     b(3) = 0                   // NV
     b(4) = 255.toByte          // PV: none
-    b(5) = 0                   // regular lat/lon
+    b(5) = if (f.gaussianN > 0) 4 else 0 // regular lat/lon | Gaussian
     putU16(b, 6, f.ni)
     putU16(b, 8, f.nj)
     putS24(b, 10, math.round(f.la1 * 1000).toInt)
@@ -103,7 +104,9 @@ object Grib1Writer {
     val di = if (f.ni > 1) math.abs(f.lo2 - f.lo1) / (f.ni - 1) else 0
     val dj = if (f.nj > 1) math.abs(f.la2 - f.la1) / (f.nj - 1) else 0
     putU16(b, 23, math.round(di * 1000).toInt) // Di: octets 24-25
-    putU16(b, 25, math.round(dj * 1000).toInt) // Dj: octets 26-27
+    // grid type 4 stores N (parallels pole->equator) in the Dj slot
+    if (f.gaussianN > 0) putU16(b, 25, f.gaussianN)
+    else putU16(b, 25, math.round(dj * 1000).toInt) // Dj: octets 26-27
     b(27) = 0                  // scan mode (octet 28): +i, -j, i consecutive
     b
   }

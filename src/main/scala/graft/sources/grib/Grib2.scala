@@ -53,7 +53,8 @@ object Grib2 {
       // 41 PNG, 42 CCSDS
       reprTemplate: Int = 0,
       complex: Option[ComplexPacking] = None,
-      ccsds: Option[(Int, Int, Int)] = None) // (flags, blockSize, rsi)
+      ccsds: Option[(Int, Int, Int)] = None, // (flags, blockSize, rsi)
+      gaussianN: Int = 0) // template 3.40: parallels pole->equator; 0 = 3.0
       extends GribUnit {
 
     def nPoints: Int = ni * nj
@@ -122,8 +123,12 @@ object Grib2 {
       }
     }
 
+    @transient private lazy val gaussLats: Array[Double] =
+      if (gaussianN > 0) GaussianGrid.rowLatitudes(gaussianN, la1, nj) else null
+
     def latOf(j: Int): Double =
-      if (nj == 1) la1 else la1 + (la2 - la1) * j / (nj - 1)
+      if (gaussianN > 0) gaussLats(j)
+      else if (nj == 1) la1 else la1 + (la2 - la1) * j / (nj - 1)
     def lonOf(i: Int): Double =
       if (ni == 1) lo1 else lo1 + (lo2 - lo1) * i / (ni - 1)
   }
@@ -172,7 +177,7 @@ object Grib2 {
 
     var refTime = 0L
     // current 3/4/5/6 state
-    var grid: Option[(Int, Int, Double, Double, Double, Double, Int)] = None
+    var grid: Option[(Int, Int, Double, Double, Double, Double, Int, Int)] = None
     var prod: Option[(Int, Int, Int, Int, Int, Double, Int, Long)] = None
     var repr: Option[(Double, Int, Int, Int, Int, Option[ComplexPacking])] = None
     var ccsdsParams: Option[(Int, Int, Int)] = None
@@ -197,16 +202,23 @@ object Grib2 {
         case 3 =>
           val b = read(cur, math.min(secLen, 72L).toInt)
           val template = u16(b, 12)
-          if (template != 0)
-            throw UnsupportedGrib(s"grid template 3.$template (only 3.0 regular lat/lon)")
+          if (template != 0 && template != 40)
+            throw UnsupportedGrib(s"grid template 3.$template " +
+              "(3.0 regular lat/lon and 3.40 regular Gaussian)")
           val ni = u32(b, 30).toInt
+          if (ni == 0xffffffff || ni <= 0)
+            throw UnsupportedGrib(
+              "reduced (quasi-regular) Gaussian grid — interpolate to a " +
+                "regular grid upstream (`grib_set -s gridType=regular_gg`)")
           val nj = u32(b, 34).toInt
           val la1 = s32(b, 46) / 1e6
           val lo1 = s32(b, 50) / 1e6
           val la2 = s32(b, 55) / 1e6
           val lo2 = s32(b, 59) / 1e6
           val scan = u8(b, 71)
-          grid = Some((ni, nj, la1, lo1, la2, lo2, scan))
+          // 3.40 stores N (parallels pole->equator) where 3.0 stores Dj
+          val n = if (template == 40) u32(b, 67).toInt else 0
+          grid = Some((ni, nj, la1, lo1, la2, lo2, scan, n))
         case 4 =>
           val b = read(cur, math.min(secLen, 64L).toInt)
           val template = u16(b, 7)
@@ -290,7 +302,7 @@ object Grib2 {
             case other => throw UnsupportedGrib(s"predefined bitmap indicator $other")
           }
         case 7 =>
-          val (ni, nj, la1, lo1, la2, lo2, scan) = grid.getOrElse(
+          val (ni, nj, la1, lo1, la2, lo2, scan, gaussN) = grid.getOrElse(
             throw UnsupportedGrib("section 7 before any grid definition"))
           val (cat, num, timeUnit, fcst, levelType, levelValue, statP, intEnd) =
             prod.getOrElse(throw UnsupportedGrib("section 7 before any product definition"))
@@ -300,7 +312,7 @@ object Grib2 {
             cat, num, timeUnit, fcst, levelType, levelValue, statP, intEnd,
             refV, binS, decS, bits, bitmapOffset, bitmapBytes,
             cur + 5, (secLen - 5).toInt, reprT, cp,
-            if (reprT == 42) ccsdsParams else None)
+            if (reprT == 42) ccsdsParams else None, gaussN)
         case 8 => // should not appear as a section header; defensive
           throw UnsupportedGrib(s"unexpected section number 8 at offset $cur")
         case other =>

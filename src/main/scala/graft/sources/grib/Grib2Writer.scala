@@ -31,7 +31,8 @@ object Grib2Writer {
       bitsPerValue: Int = 16,
       packing: Int = 0,                // 0 -> 5.0 simple; 2 -> 5.2; 3 -> 5.3
       spatialOrder: Int = 2,           // 5.3 differencing order (1 | 2)
-      groupSize: Int = 20)             // complex-packing group length
+      groupSize: Int = 20,             // complex-packing group length
+      gaussianN: Int = 0)              // > 0 -> grid template 3.40
 
   def write(path: String, fields: Seq[FieldSpec],
       conf: Configuration = new Configuration()): Unit = {
@@ -85,7 +86,7 @@ object Grib2Writer {
     b(5) = 0                         // grid source
     putU32(b, 6, f.ni.toLong * f.nj) // number of data points
     b(10) = 0; b(11) = 0
-    putU16(b, 12, 0)                 // template 3.0
+    putU16(b, 12, if (f.gaussianN > 0) 40 else 0) // template 3.0 | 3.40
     b(14) = 6                        // shape of earth: WGS84-ish sphere
     putU32(b, 30, f.ni); putU32(b, 34, f.nj)
     putU32(b, 38, 0); putU32(b, 42, 0) // basic angle/subdivisions
@@ -97,7 +98,9 @@ object Grib2Writer {
     val di = if (f.ni > 1) math.abs(f.lo2 - f.lo1) / (f.ni - 1) else 0
     val dj = if (f.nj > 1) math.abs(f.la2 - f.la1) / (f.nj - 1) else 0
     putU32(b, 63, math.round(di * 1e6))
-    putU32(b, 67, math.round(dj * 1e6))
+    // 3.40 stores N (parallels pole->equator) in the Dj slot
+    if (f.gaussianN > 0) putU32(b, 67, f.gaussianN)
+    else putU32(b, 67, math.round(dj * 1e6))
     b(71) = 0                        // scan mode: +i, -j
     b
   }

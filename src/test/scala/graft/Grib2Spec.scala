@@ -273,6 +273,65 @@ class Grib2Spec extends SparkSpec {
     }
   }
 
+  test("Gaussian latitudes match the published quadrature parallels") {
+    import graft.sources.grib.GaussianGrid
+    // N=1: P_2 roots +-1/sqrt(3) -> +-35.264390; N=2 (ECMWF N2):
+    // 59.44440 / 19.87572 and mirrors
+    val n1 = GaussianGrid.latitudes(1)
+    assert(n1.length == 2)
+    assert(math.abs(n1(0) - 35.264390) < 1e-5 && math.abs(n1(1) + 35.264390) < 1e-5)
+    val n2 = GaussianGrid.latitudes(2)
+    assert(math.abs(n2(0) - 59.44440) < 1e-4)
+    assert(math.abs(n2(1) - 19.87572) < 1e-4)
+    assert(math.abs(n2(2) + 19.87572) < 1e-4)
+    assert(math.abs(n2(3) + 59.44440) < 1e-4)
+    // north-to-south ordering and hemispheric symmetry at a real resolution
+    val n32 = GaussianGrid.latitudes(32)
+    assert(n32.length == 64 && n32.head > 85 && n32.last < -85)
+    assert(n32.zip(n32.reverse.map(-_)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    assert(n32.sliding(2).forall(p => p(0) > p(1)))
+  }
+
+  test("regular Gaussian grids (3.40 and GRIB1 type 4) read with root latitudes") {
+    import graft.sources.grib.{GaussianGrid, Grib1Reader, Grib1Writer => GW}
+    val gn = 4
+    val lats = GaussianGrid.latitudes(gn) // 8 parallels
+    val (gi, gj) = (5, lats.length)
+    val vals = (0 until gj).flatMap(j => (0 until gi).map(i => 100.0 * j + i))
+    // GRIB2 template 3.40
+    val dir = java.nio.file.Files.createTempDirectory("gauss").toString
+    val p2 = s"$dir/g.grib2"
+    GW2.write(p2, Seq(GW2.FieldSpec(0, 0, 0, 103, 2, t0, vals, gi, gj,
+      la1 = lats.head, lo1 = 0.0, la2 = lats.last, lo2 = 40.0,
+      decimalScale = 1, gaussianN = gn)))
+    val f2 = Grib2Reader.indexFields(new org.apache.hadoop.conf.Configuration(), p2).head
+    assert(f2.gaussianN == gn)
+    val got2 = Grib2Reader.readLongFormat(spark, p2)
+      .select($"latitude").distinct().orderBy($"latitude".desc)
+      .as[Double].collect()
+    got2.zip(lats).foreach { case (have, want) =>
+      assert(math.abs(have - want) < 1e-9, s"GRIB2 parallel $have vs $want")
+    }
+    // the linear-interp answer would differ: root spacing is non-uniform
+    assert(math.abs((got2(0) - got2(1)) - (got2(1) - got2(2))) > 1e-3)
+    // GRIB1 grid type 4
+    val p1 = s"$dir/g.grib"
+    GW.write(p1, Seq(GW.FieldSpec(167, 105, 2, t0, vals, gi, gj,
+      la1 = lats.head, lo1 = 0.0, la2 = lats.last, lo2 = 40.0,
+      gaussianN = gn)))
+    val got1 = Grib1Reader.readLongFormat(spark, p1)
+      .select($"latitude").distinct().orderBy($"latitude".desc)
+      .as[Double].collect()
+    got1.zip(lats).foreach { case (have, want) =>
+      assert(math.abs(have - want) < 1e-9, s"GRIB1 parallel $have vs $want")
+    }
+    // values land on the right parallels
+    val v = Grib2Reader.readLongFormat(spark, p2)
+      .filter($"longitude" === 10.0)
+      .orderBy($"latitude".desc).select($"value").as[Double].collect()
+    assert(v.toSeq == (0 until gj).map(100.0 * _ + 1.0))
+  }
+
   test("unsupported templates raise directed errors") {
     val raw = GW2.message(GW2.FieldSpec(0, 0, 0, 103, 2, t0,
       Seq(1.0, 2.0), 2, 1, 0.0, 0.0, 0.0, 1.0))
