@@ -54,10 +54,24 @@ object Grib2 {
       reprTemplate: Int = 0,
       complex: Option[ComplexPacking] = None,
       ccsds: Option[(Int, Int, Int)] = None, // (flags, blockSize, rsi)
-      gaussianN: Int = 0) // template 3.40: parallels pole->equator; 0 = 3.0
+      gaussianN: Int = 0, // template 3.40: parallels pole->equator; 0 = 3.0
+      pl: Option[Array[Int]] = None) // reduced grid: points per row
       extends GribUnit {
 
-    def nPoints: Int = ni * nj
+    def nPoints: Int = pl.map(_.sum).getOrElse(ni * nj)
+
+    @transient private lazy val rowStarts: Array[Int] =
+      pl.map(_.scanLeft(0)(_ + _)).getOrElse(Array.empty)
+
+    /** Reduced rows span the full circle from lo1 with per-row spacing. */
+    override def coordOf(k: Int): (Double, Double) = pl match {
+      case None => (latOf(k / ni), lonOf(k % ni))
+      case Some(counts) =>
+        var j = java.util.Arrays.binarySearch(rowStarts, k)
+        if (j < 0) j = -j - 2 // insertion point - 1 = containing row
+        val i = k - rowStarts(j)
+        (latOf(j), lo1 + i * 360.0 / counts(j))
+    }
 
     def decode(data: Array[Byte], bitmap: Array[Byte]): Array[Double] =
       Grib2.decodeValues(this, data, bitmap)
@@ -181,6 +195,7 @@ object Grib2 {
     var prod: Option[(Int, Int, Int, Int, Int, Double, Int, Long)] = None
     var repr: Option[(Double, Int, Int, Int, Int, Option[ComplexPacking])] = None
     var ccsdsParams: Option[(Int, Int, Int)] = None
+    var plList: Option[Array[Int]] = None
     var bitmapOffset = -1L
     var bitmapBytes = 0
 
@@ -204,12 +219,10 @@ object Grib2 {
           val template = u16(b, 12)
           if (template != 0 && template != 40)
             throw UnsupportedGrib(s"grid template 3.$template " +
-              "(3.0 regular lat/lon and 3.40 regular Gaussian)")
-          val ni = u32(b, 30).toInt
-          if (ni == 0xffffffff || ni <= 0)
-            throw UnsupportedGrib(
-              "reduced (quasi-regular) Gaussian grid — interpolate to a " +
-                "regular grid upstream (`grib_set -s gridType=regular_gg`)")
+              "(3.0 regular lat/lon and 3.40 regular/reduced Gaussian)")
+          val listOctets = u8(b, 10)
+          val listInterp = u8(b, 11)
+          val niRaw = u32(b, 30)
           val nj = u32(b, 34).toInt
           val la1 = s32(b, 46) / 1e6
           val lo1 = s32(b, 50) / 1e6
@@ -218,7 +231,29 @@ object Grib2 {
           val scan = u8(b, 71)
           // 3.40 stores N (parallels pole->equator) where 3.0 stores Dj
           val n = if (template == 40) u32(b, 67).toInt else 0
-          grid = Some((ni, nj, la1, lo1, la2, lo2, scan, n))
+          val missing = niRaw == 0xffffffffL || niRaw == 0
+          // reduced (quasi-regular) grid: ni missing + a points-per-row
+          // list (interpretation 1, code table 3.11) after the template
+          if (missing) {
+            if (listOctets == 0 || listInterp != 1)
+              throw UnsupportedGrib("grid with missing Ni and no " +
+                "points-per-row list (quasi-regular interpretation " +
+                s"$listInterp, list octets $listOctets)")
+            val lb = read(cur + 72, nj * listOctets)
+            val counts = Array.tabulate(nj) { r =>
+              listOctets match {
+                case 1 => u8(lb, r)
+                case 2 => u16(lb, r * 2)
+                case 4 => u32(lb, r * 4).toInt
+                case o => throw UnsupportedGrib(s"PL list entry width $o")
+              }
+            }
+            plList = Some(counts)
+            grid = Some((counts.max, nj, la1, lo1, la2, lo2, scan, n))
+          } else {
+            plList = None
+            grid = Some((niRaw.toInt, nj, la1, lo1, la2, lo2, scan, n))
+          }
         case 4 =>
           val b = read(cur, math.min(secLen, 64L).toInt)
           val template = u16(b, 7)
@@ -312,7 +347,7 @@ object Grib2 {
             cat, num, timeUnit, fcst, levelType, levelValue, statP, intEnd,
             refV, binS, decS, bits, bitmapOffset, bitmapBytes,
             cur + 5, (secLen - 5).toInt, reprT, cp,
-            if (reprT == 42) ccsdsParams else None, gaussN)
+            if (reprT == 42) ccsdsParams else None, gaussN, plList)
         case 8 => // should not appear as a section header; defensive
           throw UnsupportedGrib(s"unexpected section number 8 at offset $cur")
         case other =>

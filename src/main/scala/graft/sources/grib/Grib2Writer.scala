@@ -32,7 +32,8 @@ object Grib2Writer {
       packing: Int = 0,                // 0 -> 5.0 simple; 2 -> 5.2; 3 -> 5.3
       spatialOrder: Int = 2,           // 5.3 differencing order (1 | 2)
       groupSize: Int = 20,             // complex-packing group length
-      gaussianN: Int = 0)              // > 0 -> grid template 3.40
+      gaussianN: Int = 0,              // > 0 -> grid template 3.40
+      reducedPl: Option[Seq[Int]] = None) // reduced Gaussian: points per row
 
   def write(path: String, fields: Seq[FieldSpec],
       conf: Configuration = new Configuration()): Unit = {
@@ -44,8 +45,9 @@ object Grib2Writer {
   }
 
   def message(f: FieldSpec): Array[Byte] = {
-    require(f.values.size == f.ni * f.nj,
-      s"values size ${f.values.size} != ni*nj ${f.ni * f.nj}")
+    val expect = f.reducedPl.map(_.sum).getOrElse(f.ni * f.nj)
+    require(f.values.size == expect,
+      s"values size ${f.values.size} != grid points $expect")
     val s1 = section1(f)
     val s3 = section3(f)
     val s4 = section4(f)
@@ -81,14 +83,19 @@ object Grib2Writer {
   }
 
   private def section3(f: FieldSpec): Array[Byte] = {
-    val b = new Array[Byte](72)
-    putU32(b, 0, 72); b(4) = 3
+    val listBytes = f.reducedPl.map(_.size * 2).getOrElse(0)
+    val b = new Array[Byte](72 + listBytes)
+    putU32(b, 0, b.length); b(4) = 3
     b(5) = 0                         // grid source
-    putU32(b, 6, f.ni.toLong * f.nj) // number of data points
-    b(10) = 0; b(11) = 0
+    putU32(b, 6, f.reducedPl.map(_.sum.toLong).getOrElse(f.ni.toLong * f.nj))
+    b(10) = (if (f.reducedPl.isDefined) 2 else 0).toByte // list entry octets
+    b(11) = (if (f.reducedPl.isDefined) 1 else 0).toByte // points per row
     putU16(b, 12, if (f.gaussianN > 0) 40 else 0) // template 3.0 | 3.40
     b(14) = 6                        // shape of earth: WGS84-ish sphere
-    putU32(b, 30, f.ni); putU32(b, 34, f.nj)
+    putU32(b, 30, if (f.reducedPl.isDefined) 0xffffffffL else f.ni.toLong)
+    putU32(b, 34, f.nj)
+    f.reducedPl.foreach(pl =>
+      pl.zipWithIndex.foreach { case (c, r) => putU16(b, 72 + r * 2, c) })
     putU32(b, 38, 0); putU32(b, 42, 0) // basic angle/subdivisions
     putS32(b, 46, math.round(f.la1 * 1e6))
     putS32(b, 50, math.round(f.lo1 * 1e6))

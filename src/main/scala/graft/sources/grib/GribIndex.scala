@@ -33,6 +33,11 @@ trait GribUnit extends Serializable {
   /** Decode this unit's packed values (edition-specific codec). */
   def decode(data: Array[Byte], bitmap: Array[Byte]): Array[Double]
 
+  /** (lat, lon) of linear point index `k` in scan order. Rectangular grids
+    * derive row/column from `ni`; ragged grids (reduced Gaussian) override
+    * with their per-row geometry. */
+  def coordOf(k: Int): (Double, Double) = (latOf(k / ni), lonOf(k % ni))
+
   final def channel: String = graft.operators.Mover.channelName(
     levelName, levelHeight, stepType, shortName)
 }
@@ -156,14 +161,13 @@ object GribIndex {
     val shortName = u.shortName
     val channel = u.channel
     (0 until u.nPoints).iterator.map { k =>
-      val j = k / u.ni
-      val i = k % u.ni
+      val (lat, lon) = u.coordOf(k)
       val v = values(k)
       val boxed = if (v.isNaN) null else java.lang.Double.valueOf(v)
       uri match {
-        case Some(uq) => Row(uq, time, u.latOf(j), u.lonOf(i), level, height,
+        case Some(uq) => Row(uq, time, lat, lon, level, height,
           stepType, shortName, channel, boxed)
-        case None => Row(time, u.latOf(j), u.lonOf(i), level, height,
+        case None => Row(time, lat, lon, level, height,
           stepType, shortName, channel, boxed)
       }
     }

@@ -332,6 +332,45 @@ class Grib2Spec extends SparkSpec {
     assert(v.toSeq == (0 until gj).map(100.0 * _ + 1.0))
   }
 
+  test("reduced (quasi-regular) Gaussian grids read with ragged rows") {
+    import graft.sources.grib.GaussianGrid
+    val gn = 2
+    val lats = GaussianGrid.latitudes(gn) // 4 parallels
+    val pl = Seq(4, 8, 8, 4) // fewer points toward the poles (octahedral-ish)
+    val vals = pl.zipWithIndex.flatMap { case (c, j) =>
+      (0 until c).map(i => 100.0 * j + i)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("redgauss").toString
+    val p = s"$dir/red.grib2"
+    GW2.write(p, Seq(GW2.FieldSpec(0, 0, 0, 103, 2, t0, vals,
+      ni = 8, nj = pl.size,
+      la1 = lats.head, lo1 = 0.0, la2 = lats.last, lo2 = 315.0,
+      decimalScale = 0, gaussianN = gn, reducedPl = Some(pl))))
+    val f = Grib2Reader.indexFields(new org.apache.hadoop.conf.Configuration(), p).head
+    assert(f.pl.map(_.toSeq).contains(pl))
+    assert(f.nPoints == pl.sum)
+    val df = Grib2Reader.readLongFormat(spark, p)
+    assert(df.count() == pl.sum)
+    // per-row longitude spacing: 360 / pl(row)
+    val polar = df.filter($"latitude" > 50).orderBy($"longitude")
+      .select($"longitude", $"value").as[(Double, Double)].collect()
+    assert(polar.map(_._1).toSeq == Seq(0.0, 90.0, 180.0, 270.0))
+    assert(polar.map(_._2).toSeq == Seq(0.0, 1.0, 2.0, 3.0))
+    val tropical = df.filter($"latitude".between(10, 30)).orderBy($"longitude")
+      .select($"longitude").as[Double].collect()
+    assert(tropical.toSeq == (0 until 8).map(_ * 45.0))
+    // Gaussian parallels, not linear
+    val gotLats = df.select($"latitude").distinct()
+      .orderBy($"latitude".desc).as[Double].collect()
+    gotLats.zip(lats).foreach { case (have, want) =>
+      assert(math.abs(have - want) < 1e-9)
+    }
+    // value at the last point of the last (short) row
+    val last = df.orderBy($"latitude", $"longitude".desc).select($"value")
+      .as[Double].head()
+    assert(last == 303.0)
+  }
+
   test("unsupported templates raise directed errors") {
     val raw = GW2.message(GW2.FieldSpec(0, 0, 0, 103, 2, t0,
       Seq(1.0, 2.0), 2, 1, 0.0, 0.0, 0.0, 1.0))
