@@ -55,7 +55,9 @@ object Grib2 {
       complex: Option[ComplexPacking] = None,
       ccsds: Option[(Int, Int, Int)] = None, // (flags, blockSize, rsi)
       gaussianN: Int = 0, // template 3.40: parallels pole->equator; 0 = 3.0
-      pl: Option[Array[Int]] = None) // reduced grid: points per row
+      pl: Option[Array[Int]] = None, // reduced grid: points per row
+      projection: Option[GribProjection] = None, // 3.20/3.30 projected grids
+      dxMeters: Double = 0, dyMeters: Double = 0)
       extends GribUnit {
 
     def nPoints: Int = pl.map(_.sum).getOrElse(ni * nj)
@@ -63,14 +65,24 @@ object Grib2 {
     @transient private lazy val rowStarts: Array[Int] =
       pl.map(_.scanLeft(0)(_ + _)).getOrElse(Array.empty)
 
-    /** Reduced rows span the full circle from lo1 with per-row spacing. */
-    override def coordOf(k: Int): (Double, Double) = pl match {
-      case None => (latOf(k / ni), lonOf(k % ni))
-      case Some(counts) =>
-        var j = java.util.Arrays.binarySearch(rowStarts, k)
-        if (j < 0) j = -j - 2 // insertion point - 1 = containing row
-        val i = k - rowStarts(j)
-        (latOf(j), lo1 + i * 360.0 / counts(j))
+    @transient private lazy val projOrigin: (Double, Double) =
+      projection.map(_.forward(la1, lo1)).getOrElse((0.0, 0.0))
+
+    /** Projected grids walk meters from the first point; reduced rows span
+      * the full circle from lo1 with per-row spacing; rectangular grids
+      * interpolate. */
+    override def coordOf(k: Int): (Double, Double) = projection match {
+      case Some(proj) =>
+        val (x0, y0) = projOrigin
+        proj.inverse(x0 + (k % ni) * dxMeters, y0 + (k / ni) * dyMeters)
+      case None => pl match {
+        case None => (latOf(k / ni), lonOf(k % ni))
+        case Some(counts) =>
+          var j = java.util.Arrays.binarySearch(rowStarts, k)
+          if (j < 0) j = -j - 2 // insertion point - 1 = containing row
+          val i = k - rowStarts(j)
+          (latOf(j), lo1 + i * 360.0 / counts(j))
+      }
     }
 
     def decode(data: Array[Byte], bitmap: Array[Byte]): Array[Double] =
@@ -191,11 +203,14 @@ object Grib2 {
 
     var refTime = 0L
     // current 3/4/5/6 state
-    var grid: Option[(Int, Int, Double, Double, Double, Double, Int, Int)] = None
+    final case class GridDef(ni: Int, nj: Int, la1: Double, lo1: Double,
+      la2: Double, lo2: Double, scan: Int, gaussN: Int,
+      pl: Option[Array[Int]] = None, proj: Option[GribProjection] = None,
+      dx: Double = 0, dy: Double = 0)
+    var grid: Option[GridDef] = None
     var prod: Option[(Int, Int, Int, Int, Int, Double, Int, Long)] = None
     var repr: Option[(Double, Int, Int, Int, Int, Option[ComplexPacking])] = None
     var ccsdsParams: Option[(Int, Int, Int)] = None
-    var plList: Option[Array[Int]] = None
     var bitmapOffset = -1L
     var bitmapBytes = 0
 
@@ -215,44 +230,72 @@ object Grib2 {
             .toEpochSecond(java.time.ZoneOffset.UTC)
         case 2 => // local use — skip
         case 3 =>
-          val b = read(cur, math.min(secLen, 72L).toInt)
+          val b = read(cur, math.min(secLen, 82L).toInt)
           val template = u16(b, 12)
-          if (template != 0 && template != 40)
-            throw UnsupportedGrib(s"grid template 3.$template " +
-              "(3.0 regular lat/lon and 3.40 regular/reduced Gaussian)")
-          val listOctets = u8(b, 10)
-          val listInterp = u8(b, 11)
-          val niRaw = u32(b, 30)
-          val nj = u32(b, 34).toInt
-          val la1 = s32(b, 46) / 1e6
-          val lo1 = s32(b, 50) / 1e6
-          val la2 = s32(b, 55) / 1e6
-          val lo2 = s32(b, 59) / 1e6
-          val scan = u8(b, 71)
-          // 3.40 stores N (parallels pole->equator) where 3.0 stores Dj
-          val n = if (template == 40) u32(b, 67).toInt else 0
-          val missing = niRaw == 0xffffffffL || niRaw == 0
-          // reduced (quasi-regular) grid: ni missing + a points-per-row
-          // list (interpretation 1, code table 3.11) after the template
-          if (missing) {
-            if (listOctets == 0 || listInterp != 1)
-              throw UnsupportedGrib("grid with missing Ni and no " +
-                "points-per-row list (quasi-regular interpretation " +
-                s"$listInterp, list octets $listOctets)")
-            val lb = read(cur + 72, nj * listOctets)
-            val counts = Array.tabulate(nj) { r =>
-              listOctets match {
-                case 1 => u8(lb, r)
-                case 2 => u16(lb, r * 2)
-                case 4 => u32(lb, r * 4).toInt
-                case o => throw UnsupportedGrib(s"PL list entry width $o")
-              }
-            }
-            plList = Some(counts)
-            grid = Some((counts.max, nj, la1, lo1, la2, lo2, scan, n))
-          } else {
-            plList = None
-            grid = Some((niRaw.toInt, nj, la1, lo1, la2, lo2, scan, n))
+          template match {
+            case 0 | 40 =>
+              val listOctets = u8(b, 10)
+              val listInterp = u8(b, 11)
+              val niRaw = u32(b, 30)
+              val nj = u32(b, 34).toInt
+              val la1 = s32(b, 46) / 1e6
+              val lo1 = s32(b, 50) / 1e6
+              val la2 = s32(b, 55) / 1e6
+              val lo2 = s32(b, 59) / 1e6
+              val scan = u8(b, 71)
+              // 3.40 stores N (parallels pole->equator) where 3.0 stores Dj
+              val n = if (template == 40) u32(b, 67).toInt else 0
+              val missing = niRaw == 0xffffffffL || niRaw == 0
+              // reduced (quasi-regular) grid: ni missing + points-per-row
+              // list (interpretation 1, code table 3.11) after the template
+              if (missing) {
+                if (listOctets == 0 || listInterp != 1)
+                  throw UnsupportedGrib("grid with missing Ni and no " +
+                    "points-per-row list (quasi-regular interpretation " +
+                    s"$listInterp, list octets $listOctets)")
+                val lb = read(cur + 72, nj * listOctets)
+                val counts = Array.tabulate(nj) { r =>
+                  listOctets match {
+                    case 1 => u8(lb, r)
+                    case 2 => u16(lb, r * 2)
+                    case 4 => u32(lb, r * 4).toInt
+                    case o => throw UnsupportedGrib(s"PL list entry width $o")
+                  }
+                }
+                grid = Some(GridDef(counts.max, nj, la1, lo1, la2, lo2, scan,
+                  n, pl = Some(counts)))
+              } else grid = Some(GridDef(niRaw.toInt, nj, la1, lo1, la2, lo2,
+                scan, n))
+            case 20 | 30 =>
+              // polar stereographic / Lambert conformal: Nx/Ny + first
+              // point + LaD/LoV + Dx/Dy millimeters (+ Latin1/2 for 3.30)
+              val nx = u32(b, 30).toInt
+              val ny = u32(b, 34).toInt
+              val la1 = s32(b, 38) / 1e6
+              val lo1 = s32(b, 42) / 1e6
+              val lad = s32(b, 47) / 1e6
+              val lov = s32(b, 51) / 1e6
+              val dx = u32(b, 55) / 1000.0
+              val dy = u32(b, 59) / 1000.0
+              val centre = u8(b, 63)
+              val scan = u8(b, 64)
+              val proj: GribProjection =
+                if (template == 20)
+                  GribProjection.PolarStereographic(lad, lov,
+                    south = (centre & 0x80) != 0)
+                else {
+                  val latin1 = s32(b, 65) / 1e6
+                  val latin2 = s32(b, 69) / 1e6
+                  GribProjection.LambertConformal(latin1, latin2, lov)
+                }
+              // scan bit 0x40: +j (rows south->north); x assumed +i
+              val dySigned = if ((scan & 0x40) != 0) dy else -dy
+              grid = Some(GridDef(nx, ny, la1, lo1, la1, lo1, scan, 0,
+                proj = Some(proj), dx = dx, dy = dySigned))
+            case other =>
+              throw UnsupportedGrib(s"grid template 3.$other " +
+                "(3.0 lat/lon, 3.20 polar stereographic, 3.30 Lambert " +
+                "conformal, 3.40 regular/reduced Gaussian)")
           }
         case 4 =>
           val b = read(cur, math.min(secLen, 64L).toInt)
@@ -337,8 +380,9 @@ object Grib2 {
             case other => throw UnsupportedGrib(s"predefined bitmap indicator $other")
           }
         case 7 =>
-          val (ni, nj, la1, lo1, la2, lo2, scan, gaussN) = grid.getOrElse(
+          val gd = grid.getOrElse(
             throw UnsupportedGrib("section 7 before any grid definition"))
+          import gd.{ni, nj, la1, lo1, la2, lo2, scan, gaussN}
           val (cat, num, timeUnit, fcst, levelType, levelValue, statP, intEnd) =
             prod.getOrElse(throw UnsupportedGrib("section 7 before any product definition"))
           val (refV, binS, decS, bits, reprT, cp) = repr.getOrElse(
@@ -347,7 +391,8 @@ object Grib2 {
             cat, num, timeUnit, fcst, levelType, levelValue, statP, intEnd,
             refV, binS, decS, bits, bitmapOffset, bitmapBytes,
             cur + 5, (secLen - 5).toInt, reprT, cp,
-            if (reprT == 42) ccsdsParams else None, gaussN, plList)
+            if (reprT == 42) ccsdsParams else None, gaussN, gd.pl,
+            gd.proj, gd.dx, gd.dy)
         case 8 => // should not appear as a section header; defensive
           throw UnsupportedGrib(s"unexpected section number 8 at offset $cur")
         case other =>

@@ -33,7 +33,9 @@ object Grib2Writer {
       spatialOrder: Int = 2,           // 5.3 differencing order (1 | 2)
       groupSize: Int = 20,             // complex-packing group length
       gaussianN: Int = 0,              // > 0 -> grid template 3.40
-      reducedPl: Option[Seq[Int]] = None) // reduced Gaussian: points per row
+      reducedPl: Option[Seq[Int]] = None, // reduced Gaussian: points per row
+      projection: Option[GribProjection] = None, // 3.20/3.30
+      dxMeters: Double = 0, dyMeters: Double = 0)
 
   def write(path: String, fields: Seq[FieldSpec],
       conf: Configuration = new Configuration()): Unit = {
@@ -82,7 +84,45 @@ object Grib2Writer {
     b
   }
 
-  private def section3(f: FieldSpec): Array[Byte] = {
+  private def section3(f: FieldSpec): Array[Byte] =
+    f.projection match {
+      case Some(p) => section3Projected(f, p)
+      case None => section3LatLon(f)
+    }
+
+  /** Templates 3.20 (polar stereographic) / 3.30 (Lambert conformal). */
+  private def section3Projected(f: FieldSpec, proj: GribProjection): Array[Byte] = {
+    val (isLambert, lad, lov, south) = proj match {
+      case l: GribProjection.LambertConformal => (true, l.latin1, l.lov, false)
+      case s: GribProjection.PolarStereographic => (false, s.lad, s.lov, s.south)
+    }
+    val b = new Array[Byte](if (isLambert) 81 else 65)
+    putU32(b, 0, b.length); b(4) = 3
+    b(5) = 0
+    putU32(b, 6, f.ni.toLong * f.nj)
+    putU16(b, 12, if (isLambert) 30 else 20)
+    b(14) = 6                        // shape of earth: spherical 6371229
+    putU32(b, 30, f.ni); putU32(b, 34, f.nj)
+    putS32(b, 38, math.round(f.la1 * 1e6))
+    putS32(b, 42, math.round(f.lo1 * 1e6))
+    b(46) = 0x08                     // resolution flags
+    putS32(b, 47, math.round(lad * 1e6))
+    putS32(b, 51, math.round(lov * 1e6))
+    putU32(b, 55, math.round(f.dxMeters * 1000))
+    putU32(b, 59, math.round(math.abs(f.dyMeters) * 1000))
+    b(63) = (if (south) 0x80 else 0).toByte // projection centre flag
+    b(64) = (if (f.dyMeters >= 0) 0x40 else 0).toByte // scan: +i, +-j
+    if (isLambert) {
+      val l = proj.asInstanceOf[GribProjection.LambertConformal]
+      putS32(b, 65, math.round(l.latin1 * 1e6))
+      putS32(b, 69, math.round(l.latin2 * 1e6))
+      putS32(b, 73, math.round(-90 * 1e6)) // southern pole of projection
+      putS32(b, 77, 0)
+    }
+    b
+  }
+
+  private def section3LatLon(f: FieldSpec): Array[Byte] = {
     val listBytes = f.reducedPl.map(_.size * 2).getOrElse(0)
     val b = new Array[Byte](72 + listBytes)
     putU32(b, 0, b.length); b(4) = 3

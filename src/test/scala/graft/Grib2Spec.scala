@@ -371,12 +371,72 @@ class Grib2Spec extends SparkSpec {
     assert(last == 303.0)
   }
 
+  test("Lambert conformal and polar stereographic inverses round-trip") {
+    import graft.sources.grib.GribProjection._
+    val lcc = LambertConformal(latin1 = 38.5, latin2 = 38.5, lov = -97.5) // HRRR
+    val lcc2 = LambertConformal(latin1 = 30.0, latin2 = 60.0, lov = 10.0)
+    val psN = PolarStereographic(lad = 60.0, lov = -80.0, south = false)
+    val psS = PolarStereographic(lad = -60.0, lov = 100.0, south = true)
+    val pts = Seq((38.5, -97.5), (21.1, -122.7), (47.8, -60.9), (52.0, 15.0),
+      (75.0, -45.0), (-70.0, 120.0), (-55.0, -170.0))
+    for (proj <- Seq(lcc, lcc2, psN, psS); (lat, lon) <- pts
+         if (proj != psS || lat < 0) && (proj == psS || lat > 0)) {
+      val (x, y) = proj.forward(lat, lon)
+      val (la, lo) = proj.inverse(x, y)
+      assert(math.abs(la - lat) < 1e-9 && math.abs(lo - lon) < 1e-9,
+        s"$proj: ($lat, $lon) -> ($x, $y) -> ($la, $lo)")
+    }
+    // the projection origin behaves: along lov, x = 0 and y increases north
+    val (x0, y0) = lcc.forward(30.0, -97.5)
+    val (x1, y1) = lcc.forward(45.0, -97.5)
+    assert(math.abs(x0) < 1e-6 && math.abs(x1) < 1e-6 && y1 > y0)
+  }
+
+  test("projected grids (3.30 Lambert / 3.20 polar stereo) read via inverse projection") {
+    import graft.sources.grib.GribProjection
+    val lcc = GribProjection.LambertConformal(38.5, 38.5, -97.5)
+    val (gi, gj) = (6, 5)
+    val vals = (0 until gi * gj).map(_.toDouble)
+    val dir = java.nio.file.Files.createTempDirectory("lcc").toString
+    val p = s"$dir/lcc.grib2"
+    GW2.write(p, Seq(GW2.FieldSpec(0, 0, 0, 103, 2, t0, vals, gi, gj,
+      la1 = 35.0, lo1 = -105.0, la2 = 0, lo2 = 0, decimalScale = 0,
+      projection = Some(lcc), dxMeters = 3000.0, dyMeters = 3000.0)))
+    val f = Grib2Reader.indexFields(new org.apache.hadoop.conf.Configuration(), p).head
+    assert(f.projection.isDefined && f.dxMeters == 3000.0 && f.dyMeters == 3000.0)
+    val rows = Grib2Reader.readLongFormat(spark, p)
+      .orderBy($"value").select($"latitude", $"longitude", $"value").collect()
+    assert(rows.length == gi * gj)
+    // first point decodes back to (la1, lo1)
+    assert(math.abs(rows(0).getDouble(0) - 35.0) < 1e-6)
+    assert(math.abs(rows(0).getDouble(1) + 105.0) < 1e-6)
+    // an interior point matches the direct inverse computation
+    val (x0, y0) = lcc.forward(35.0, -105.0)
+    val k = 2 * gi + 4 // j = 2, i = 4
+    val (wantLat, wantLon) = lcc.inverse(x0 + 4 * 3000.0, y0 + 2 * 3000.0)
+    val r = rows(k)
+    assert(math.abs(r.getDouble(0) - wantLat) < 1e-9 &&
+      math.abs(r.getDouble(1) - wantLon) < 1e-9)
+    // +j scan: later rows sit further north
+    assert(rows(gi).getDouble(0) > rows(0).getDouble(0))
+    // polar stereographic variant
+    val ps = GribProjection.PolarStereographic(60.0, -80.0, south = false)
+    val p2 = s"$dir/ps.grib2"
+    GW2.write(p2, Seq(GW2.FieldSpec(0, 0, 0, 103, 2, t0, vals, gi, gj,
+      la1 = 50.0, lo1 = -100.0, la2 = 0, lo2 = 0, decimalScale = 0,
+      projection = Some(ps), dxMeters = 5000.0, dyMeters = 5000.0)))
+    val rows2 = Grib2Reader.readLongFormat(spark, p2)
+      .orderBy($"value").select($"latitude", $"longitude").collect()
+    assert(math.abs(rows2(0).getDouble(0) - 50.0) < 1e-6)
+    assert(math.abs(rows2(0).getDouble(1) + 100.0) < 1e-6)
+  }
+
   test("unsupported templates raise directed errors") {
     val raw = GW2.message(GW2.FieldSpec(0, 0, 0, 103, 2, t0,
       Seq(1.0, 2.0), 2, 1, 0.0, 0.0, 0.0, 1.0))
     // patch grid template number (section 3 starts at 16+21; template at +12)
     val dir = java.nio.file.Files.createTempDirectory("grib2bad").toString
-    raw(16 + 21 + 13) = 30 // template 3.30 Lambert
+    raw(16 + 21 + 13) = 10 // template 3.10 Mercator (unsupported)
     val p = s"$dir/bad.grib2"
     val os = new java.io.FileOutputStream(p); os.write(raw); os.close()
     val e = intercept[graft.sources.grib.Grib1.UnsupportedGrib](
