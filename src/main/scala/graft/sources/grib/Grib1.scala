@@ -52,9 +52,24 @@ object Grib1 {
       dataBytes: Int,          // (for second-order: the WHOLE BDS span)
       unusedBitsAtEnd: Int,
       secondOrder: Boolean = false,
-      gaussianN: Int = 0) extends GribUnit { // grid type 4: N; 0 = type 0
+      gaussianN: Int = 0,       // grid type 4: N; 0 = type 0
+      pl: Option[Array[Int]] = None) // reduced grid: points per row
+      extends GribUnit {
 
-    def nPoints: Int = ni * nj
+    def nPoints: Int = pl.map(_.sum).getOrElse(ni * nj)
+
+    @transient private lazy val rowStarts: Array[Int] =
+      pl.map(_.scanLeft(0)(_ + _)).getOrElse(Array.empty)
+
+    /** Reduced rows span the full circle from lo1 with per-row spacing. */
+    override def coordOf(k: Int): (Double, Double) = pl match {
+      case None => (latOf(k / ni), lonOf(k % ni))
+      case Some(counts) =>
+        var j = java.util.Arrays.binarySearch(rowStarts, k)
+        if (j < 0) j = -j - 2
+        val i = k - rowStarts(j)
+        (latOf(j), lo1 + i * 360.0 / counts(j))
+    }
 
     def decode(data: Array[Byte], bitmap: Array[Byte]): Array[Double] =
       Grib1.decodeValues(this, data, bitmap)
@@ -291,11 +306,21 @@ object Grib1 {
         s"grid type $gridType (regular lat/lon 0/10 and Gaussian 4)")
     val ni = u16(g, 6)
     val nj = u16(g, 8)
-    if (ni == 65535) throw UnsupportedGrib(
-      "quasi-regular (thinned) grid — interpolate upstream " +
-        "(`grib_set -s gridType=regular_gg`)")
     // grid type 4 stores N (parallels pole->equator) where Dj sits
     val gaussN = if (gridType == 4) u16(g, 25) else 0
+    // reduced (quasi-regular) grid: ni = missing, points-per-row list at
+    // the GDS octet the PV field points to (after NV vertical coords)
+    val plCounts: Option[Array[Int]] =
+      if (ni != 65535) None
+      else {
+        val nv = u8(g, 3)
+        val pv = u8(g, 4)
+        if (pv == 255) throw UnsupportedGrib(
+          "quasi-regular grid without a points-per-row list")
+        val listAt = gdsOff + (pv - 1) + nv * 4
+        val lb = read(listAt, nj * 2)
+        Some(Array.tabulate(nj)(r => u16(lb, r * 2)))
+      }
     val la1 = s24(g, 10) / 1000.0
     val lo1 = s24(g, 13) / 1000.0
     val la2 = s24(g, 17) / 1000.0
@@ -353,7 +378,7 @@ object Grib1 {
       ni, nj, la1, lo1, la2, lo2, scan,
       bitmapOffset, bitmapBytes,
       binScale, refValue, bitsPerValue, dataOffset, dataBytes, unusedBits,
-      secondOrder, gaussN)
+      secondOrder, gaussN, plCounts)
   }
 
   /** In-memory convenience form of [[parseMessage]] (tests, small buffers):

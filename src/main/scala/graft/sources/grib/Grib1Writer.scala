@@ -31,7 +31,8 @@ object Grib1Writer {
       bitsPerValue: Int = 16,
       secondOrder: Boolean = false,    // WMO second-order packing (BDS flag 2)
       groupSize: Int = 20,             // second-order group length
-      gaussianN: Int = 0)              // > 0 -> grid type 4 (Gaussian)
+      gaussianN: Int = 0,              // > 0 -> grid type 4 (Gaussian)
+      reducedPl: Option[Seq[Int]] = None) // reduced Gaussian: points per row
 
   def write(path: String, fields: Seq[FieldSpec],
       conf: Configuration = new Configuration()): Unit = {
@@ -43,7 +44,7 @@ object Grib1Writer {
   }
 
   def message(f: FieldSpec): Array[Byte] = {
-    require(f.values.size == f.ni * f.nj,
+    require(f.values.size == f.reducedPl.map(_.sum).getOrElse(f.ni * f.nj),
       s"values size ${f.values.size} != ni*nj ${f.ni * f.nj}")
     val pds = pdsBytes(f)
     val gds = gdsBytes(f)
@@ -89,13 +90,16 @@ object Grib1Writer {
   }
 
   private def gdsBytes(f: FieldSpec): Array[Byte] = {
-    val b = new Array[Byte](32)
-    put24(b, 0, 32)
+    val listBytes = f.reducedPl.map(_.size * 2).getOrElse(0)
+    val b = new Array[Byte](32 + listBytes)
+    put24(b, 0, b.length)
     b(3) = 0                   // NV
-    b(4) = 255.toByte          // PV: none
+    b(4) = (if (f.reducedPl.isDefined) 33 else 255).toByte // PV/PL octet
     b(5) = if (f.gaussianN > 0) 4 else 0 // regular lat/lon | Gaussian
-    putU16(b, 6, f.ni)
+    putU16(b, 6, if (f.reducedPl.isDefined) 65535 else f.ni)
     putU16(b, 8, f.nj)
+    f.reducedPl.foreach(pl =>
+      pl.zipWithIndex.foreach { case (c, r) => putU16(b, 32 + r * 2, c) })
     putS24(b, 10, math.round(f.la1 * 1000).toInt)
     putS24(b, 13, math.round(f.lo1 * 1000).toInt)
     b(16) = 0x80.toByte        // resolution flags: increments given

@@ -266,6 +266,19 @@ object Grib2 {
                   n, pl = Some(counts)))
               } else grid = Some(GridDef(niRaw.toInt, nj, la1, lo1, la2, lo2,
                 scan, n))
+            case 10 =>
+              // Mercator: Ni/Nj + first point + LaD true-scale + Di/Dj mm
+              val nx = u32(b, 30).toInt
+              val ny = u32(b, 34).toInt
+              val la1 = s32(b, 38) / 1e6
+              val lo1 = s32(b, 42) / 1e6
+              val lad = s32(b, 47) / 1e6
+              val scan = u8(b, 59)
+              val dx = u32(b, 64) / 1000.0
+              val dy = u32(b, 68) / 1000.0
+              val dySigned = if ((scan & 0x40) != 0) dy else -dy
+              grid = Some(GridDef(nx, ny, la1, lo1, la1, lo1, scan, 0,
+                proj = Some(GribProjection.Mercator(lad)), dx = dx, dy = dySigned))
             case 20 | 30 =>
               // polar stereographic / Lambert conformal: Nx/Ny + first
               // point + LaD/LoV + Dx/Dy millimeters (+ Latin1/2 for 3.30)
@@ -294,8 +307,8 @@ object Grib2 {
                 proj = Some(proj), dx = dx, dy = dySigned))
             case other =>
               throw UnsupportedGrib(s"grid template 3.$other " +
-                "(3.0 lat/lon, 3.20 polar stereographic, 3.30 Lambert " +
-                "conformal, 3.40 regular/reduced Gaussian)")
+                "(3.0 lat/lon, 3.10 Mercator, 3.20 polar stereographic, " +
+                "3.30 Lambert conformal, 3.40 regular/reduced Gaussian)")
           }
         case 4 =>
           val b = read(cur, math.min(secLen, 64L).toInt)

@@ -90,11 +90,30 @@ object Grib2Writer {
       case None => section3LatLon(f)
     }
 
-  /** Templates 3.20 (polar stereographic) / 3.30 (Lambert conformal). */
+  /** Templates 3.10/3.20/3.30 (Mercator / polar stereo / Lambert). */
   private def section3Projected(f: FieldSpec, proj: GribProjection): Array[Byte] = {
+    proj match {
+      case m: GribProjection.Mercator =>
+        val b = new Array[Byte](72)
+        putU32(b, 0, b.length); b(4) = 3
+        putU32(b, 6, f.ni.toLong * f.nj)
+        putU16(b, 12, 10)
+        b(14) = 6
+        putU32(b, 30, f.ni); putU32(b, 34, f.nj)
+        putS32(b, 38, math.round(f.la1 * 1e6))
+        putS32(b, 42, math.round(f.lo1 * 1e6))
+        b(46) = 0x08
+        putS32(b, 47, math.round(m.lad * 1e6))
+        b(59) = (if (f.dyMeters >= 0) 0x40 else 0).toByte // scan
+        putU32(b, 64, math.round(f.dxMeters * 1000))
+        putU32(b, 68, math.round(math.abs(f.dyMeters) * 1000))
+        return b
+      case _ =>
+    }
     val (isLambert, lad, lov, south) = proj match {
       case l: GribProjection.LambertConformal => (true, l.latin1, l.lov, false)
       case s: GribProjection.PolarStereographic => (false, s.lad, s.lov, s.south)
+      case m => throw Grib1.UnsupportedGrib(s"writer projection $m")
     }
     val b = new Array[Byte](if (isLambert) 81 else 65)
     putU32(b, 0, b.length); b(4) = 3

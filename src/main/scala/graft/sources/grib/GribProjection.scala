@@ -83,6 +83,24 @@ object GribProjection {
     }
   }
 
+  /** Mercator (template 3.10) with true scale at `lad`. */
+  final case class Mercator(lad: Double,
+      radius: Double = EarthRadius) extends GribProjection {
+    private val k = math.cos(math.toRadians(lad))
+
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      (radius * k * math.toRadians(lonDeg),
+        radius * k * math.log(math.tan(math.Pi / 4 + phi / 2)))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val phi = 2 * math.atan(math.exp(y / (radius * k))) - math.Pi / 2
+      (math.toDegrees(phi),
+        math.toDegrees(normalize(x / (radius * k))))
+    }
+  }
+
   private def normalize(lam: Double): Double = {
     var l = lam
     while (l > math.Pi) l -= 2 * math.Pi

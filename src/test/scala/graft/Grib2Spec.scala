@@ -431,12 +431,49 @@ class Grib2Spec extends SparkSpec {
     assert(math.abs(rows2(0).getDouble(1) + 100.0) < 1e-6)
   }
 
+  test("Mercator grids (3.10) and GRIB1 reduced Gaussian read natively") {
+    import graft.sources.grib.{GaussianGrid, GribProjection, Grib1Reader, Grib1Writer => GW}
+    val dir = java.nio.file.Files.createTempDirectory("merc").toString
+    // Mercator round-trip
+    val merc = GribProjection.Mercator(lad = 20.0)
+    val (mx, my) = merc.forward(12.3, 45.6)
+    val (la, lo) = merc.inverse(mx, my)
+    assert(math.abs(la - 12.3) < 1e-9 && math.abs(lo - 45.6) < 1e-9)
+    val vals = (0 until 12).map(_.toDouble)
+    val pm = s"$dir/m.grib2"
+    GW2.write(pm, Seq(GW2.FieldSpec(0, 0, 0, 103, 2, t0, vals, 4, 3,
+      la1 = -5.0, lo1 = 100.0, la2 = 0, lo2 = 0, decimalScale = 0,
+      projection = Some(merc), dxMeters = 20000.0, dyMeters = 20000.0)))
+    val rows = Grib2Reader.readLongFormat(spark, pm)
+      .orderBy($"value").select($"latitude", $"longitude").collect()
+    assert(math.abs(rows(0).getDouble(0) + 5.0) < 1e-6)
+    assert(math.abs(rows(0).getDouble(1) - 100.0) < 1e-6)
+    assert(rows(4).getDouble(0) > rows(0).getDouble(0)) // +j: north
+    // GRIB1 reduced Gaussian: ragged rows through the PV/PL mechanism
+    val gn = 2
+    val lats = GaussianGrid.latitudes(gn)
+    val pl = Seq(4, 8, 8, 4)
+    val rvals = pl.zipWithIndex.flatMap { case (c, j) => (0 until c).map(i => 100.0 * j + i) }
+    val p1 = s"$dir/red.grib"
+    GW.write(p1, Seq(GW.FieldSpec(167, 105, 2, t0, rvals, ni = 8, nj = pl.size,
+      la1 = lats.head, lo1 = 0.0, la2 = lats.last, lo2 = 315.0,
+      gaussianN = gn, reducedPl = Some(pl))))
+    val df = Grib1Reader.readLongFormat(spark, p1)
+    assert(df.count() == pl.sum)
+    val polar = df.filter($"latitude" > 50).orderBy($"longitude")
+      .select($"longitude").as[Double].collect()
+    assert(polar.toSeq == Seq(0.0, 90.0, 180.0, 270.0))
+    val gotLats = df.select($"latitude").distinct().orderBy($"latitude".desc)
+      .as[Double].collect()
+    gotLats.zip(lats).foreach { case (h, w) => assert(math.abs(h - w) < 1e-9) }
+  }
+
   test("unsupported templates raise directed errors") {
     val raw = GW2.message(GW2.FieldSpec(0, 0, 0, 103, 2, t0,
       Seq(1.0, 2.0), 2, 1, 0.0, 0.0, 0.0, 1.0))
     // patch grid template number (section 3 starts at 16+21; template at +12)
     val dir = java.nio.file.Files.createTempDirectory("grib2bad").toString
-    raw(16 + 21 + 13) = 10 // template 3.10 Mercator (unsupported)
+    raw(16 + 21 + 13) = 90 // template 3.90 space view (unsupported)
     val p = s"$dir/bad.grib2"
     val os = new java.io.FileOutputStream(p); os.write(raw); os.close()
     val e = intercept[graft.sources.grib.Grib1.UnsupportedGrib](
