@@ -56,8 +56,9 @@ object Grib2 {
       ccsds: Option[(Int, Int, Int)] = None, // (flags, blockSize, rsi)
       gaussianN: Int = 0, // template 3.40: parallels pole->equator; 0 = 3.0
       pl: Option[Array[Int]] = None, // reduced grid: points per row
-      projection: Option[GribProjection] = None, // 3.20/3.30 projected grids
-      dxMeters: Double = 0, dyMeters: Double = 0)
+      projection: Option[GribProjection] = None, // 3.10/3.20/3.30 grids
+      dxMeters: Double = 0, dyMeters: Double = 0,
+      ensembleMember: Int = -1) // templates 4.1/4.11; -1 = deterministic
       extends GribUnit {
 
     def nPoints: Int = pl.map(_.sum).getOrElse(ni * nj)
@@ -140,13 +141,17 @@ object Grib2 {
         case (2, 0, 0) => "lsm"
         case (d, c, n) => s"p${d}_${c}_$n"
       }
-      (base, levelTypeCode, levelValue) match {
+      val named = (base, levelTypeCode, levelValue) match {
         case ("t", 103, 2.0) => "2t"
         case ("2d", 103, 2.0) => "2d"
         case ("u", 103, 10.0) => "10u"
         case ("v", 103, 10.0) => "10v"
         case _ => base
       }
+      // ensemble members (templates 4.1/4.11) demux into per-member
+      // channels for the wide pivot — cfgrib's `number` coordinate
+      // re-expressed in the flat row model
+      if (ensembleMember >= 0) s"${named}_m$ensembleMember" else named
     }
 
     @transient private lazy val gaussLats: Array[Double] =
@@ -208,7 +213,7 @@ object Grib2 {
       pl: Option[Array[Int]] = None, proj: Option[GribProjection] = None,
       dx: Double = 0, dy: Double = 0)
     var grid: Option[GridDef] = None
-    var prod: Option[(Int, Int, Int, Int, Int, Double, Int, Long)] = None
+    var prod: Option[(Int, Int, Int, Int, Int, Double, Int, Long, Int)] = None
     var repr: Option[(Double, Int, Int, Int, Int, Option[ComplexPacking])] = None
     var ccsdsParams: Option[(Int, Int, Int)] = None
     var bitmapOffset = -1L
@@ -313,8 +318,13 @@ object Grib2 {
         case 4 =>
           val b = read(cur, math.min(secLen, 64L).toInt)
           val template = u16(b, 7)
-          if (template != 0 && template != 8)
-            throw UnsupportedGrib(s"product template 4.$template (only 4.0/4.8)")
+          // 4.0 instant / 4.1 individual ensemble member / 4.8 statistical
+          // interval / 4.11 ensemble member over an interval — the ensemble
+          // templates insert 3 octets (type, perturbation number, count)
+          // after octet 34 and shift the interval fields by that much
+          if (template != 0 && template != 1 && template != 8 && template != 11)
+            throw UnsupportedGrib(
+              s"product template 4.$template (4.0/4.1/4.8/4.11)")
           val cat = u8(b, 9)
           val num = u8(b, 10)
           val timeUnit = u8(b, 17)
@@ -330,16 +340,20 @@ object Grib2 {
                 else levelScaleRaw
               s32(b, 24) / math.pow(10.0, scale)
             }
+          val ensemble = template == 1 || template == 11
+          val member = if (ensemble) u8(b, 35) else -1
+          val shift = if (ensemble) 3 else 0
           var statProcess = -1
           var intervalEnd = -1L
-          if (template == 8) {
-            intervalEnd = java.time.LocalDateTime.of(u16(b, 34), u8(b, 36),
-              u8(b, 37), u8(b, 38), u8(b, 39), u8(b, 40))
+          if (template == 8 || template == 11) {
+            intervalEnd = java.time.LocalDateTime.of(
+              u16(b, 34 + shift), u8(b, 36 + shift), u8(b, 37 + shift),
+              u8(b, 38 + shift), u8(b, 39 + shift), u8(b, 40 + shift))
               .toEpochSecond(java.time.ZoneOffset.UTC)
-            statProcess = u8(b, 46)
+            statProcess = u8(b, 46 + shift)
           }
           prod = Some((cat, num, timeUnit, fcst, levelType, levelValue,
-            statProcess, intervalEnd))
+            statProcess, intervalEnd, member))
         case 5 =>
           val b = read(cur, math.min(secLen, 49L).toInt)
           val template = u16(b, 9)
@@ -396,8 +410,9 @@ object Grib2 {
           val gd = grid.getOrElse(
             throw UnsupportedGrib("section 7 before any grid definition"))
           import gd.{ni, nj, la1, lo1, la2, lo2, scan, gaussN}
-          val (cat, num, timeUnit, fcst, levelType, levelValue, statP, intEnd) =
-            prod.getOrElse(throw UnsupportedGrib("section 7 before any product definition"))
+          val (cat, num, timeUnit, fcst, levelType, levelValue, statP, intEnd,
+            member) = prod.getOrElse(
+            throw UnsupportedGrib("section 7 before any product definition"))
           val (refV, binS, decS, bits, reprT, cp) = repr.getOrElse(
             throw UnsupportedGrib("section 7 before any data representation"))
           fields += Field(discipline, refTime, ni, nj, la1, lo1, la2, lo2, scan,
@@ -405,7 +420,7 @@ object Grib2 {
             refV, binS, decS, bits, bitmapOffset, bitmapBytes,
             cur + 5, (secLen - 5).toInt, reprT, cp,
             if (reprT == 42) ccsdsParams else None, gaussN, gd.pl,
-            gd.proj, gd.dx, gd.dy)
+            gd.proj, gd.dx, gd.dy, member)
         case 8 => // should not appear as a section header; defensive
           throw UnsupportedGrib(s"unexpected section number 8 at offset $cur")
         case other =>

@@ -27,6 +27,7 @@ object Grib2Writer {
       forecastTime: Int = 0,
       statProcess: Int = -1,           // -1 -> template 4.0; else 4.8
       intervalEnd: Option[java.time.LocalDateTime] = None,
+      ensembleMember: Int = -1,        // >= 0 -> template 4.1 / 4.11
       decimalScale: Int = 0,
       bitsPerValue: Int = 16,
       packing: Int = 0,                // 0 -> 5.0 simple; 2 -> 5.2; 3 -> 5.3
@@ -173,10 +174,17 @@ object Grib2Writer {
 
   private def section4(f: FieldSpec): Array[Byte] = {
     val template48 = f.statProcess >= 0
-    val b = new Array[Byte](if (template48) 58 else 34)
+    val ens = f.ensembleMember >= 0
+    val shift = if (ens) 3 else 0
+    val b = new Array[Byte]((if (template48) 58 else 34) + shift)
     putU32(b, 0, b.length); b(4) = 4
     putU16(b, 5, 0)                  // no extra coordinate values
-    putU16(b, 7, if (template48) 8 else 0)
+    putU16(b, 7, (template48, ens) match {
+      case (false, false) => 0
+      case (false, true) => 1        // individual ensemble member
+      case (true, false) => 8
+      case (true, true) => 11        // ensemble member over an interval
+    })
     b(9) = f.category.toByte
     b(10) = f.number.toByte
     b(11) = 2                        // generating process: forecast
@@ -188,20 +196,26 @@ object Grib2Writer {
       else f.levelScaleFactor).toByte // sign-magnitude
     putU32(b, 24, f.levelScaledValue)
     b(28) = 255.toByte; b(29) = 0    // no second surface
+    if (ens) {
+      b(34) = 3                      // ensemble type: perturbed forecast
+      b(35) = f.ensembleMember.toByte
+      b(36) = 51                     // forecasts in the ensemble
+    }
     if (template48) {
       val e = f.intervalEnd.getOrElse(
         f.refTime.plusSeconds(f.forecastTime.toLong * Grib1.timeUnitSeconds(f.timeUnit)))
-      putU16(b, 34, e.getYear)
-      b(36) = e.getMonthValue.toByte; b(37) = e.getDayOfMonth.toByte
-      b(38) = e.getHour.toByte; b(39) = e.getMinute.toByte; b(40) = e.getSecond.toByte
-      b(41) = 1                      // one time range
-      putU32(b, 42, 0)               // no missing values in interval
-      b(46) = f.statProcess.toByte
-      b(47) = 2                      // time increment type
-      b(48) = f.timeUnit.toByte
-      putU32(b, 49, f.forecastTime)  // length of range
-      b(53) = f.timeUnit.toByte
-      putU32(b, 54, 0)
+      putU16(b, 34 + shift, e.getYear)
+      b(36 + shift) = e.getMonthValue.toByte; b(37 + shift) = e.getDayOfMonth.toByte
+      b(38 + shift) = e.getHour.toByte; b(39 + shift) = e.getMinute.toByte
+      b(40 + shift) = e.getSecond.toByte
+      b(41 + shift) = 1              // one time range
+      putU32(b, 42 + shift, 0)       // no missing values in interval
+      b(46 + shift) = f.statProcess.toByte
+      b(47 + shift) = 2              // time increment type
+      b(48 + shift) = f.timeUnit.toByte
+      putU32(b, 49 + shift, f.forecastTime) // length of range
+      b(53 + shift) = f.timeUnit.toByte
+      putU32(b, 54 + shift, 0)
     }
     b
   }

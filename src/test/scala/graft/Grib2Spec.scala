@@ -468,6 +468,29 @@ class Grib2Spec extends SparkSpec {
     gotLats.zip(lats).foreach { case (h, w) => assert(math.abs(h - w) < 1e-9) }
   }
 
+  test("ensemble templates (4.1/4.11) demux members into channels") {
+    val dir = java.nio.file.Files.createTempDirectory("ens").toString
+    val p = s"$dir/ens.grib2"
+    def member(m: Int, stat: Int) = GW2.FieldSpec(0, 0, 0, 103, 2, t0,
+      gridVals((j, i) => 270.0 + m * 10 + j + 0.25 * i), ni, nj,
+      la1 = 60.0, lo1 = -10.0, la2 = 45.0, lo2 = 10.0,
+      forecastTime = 6, decimalScale = 2, statProcess = stat,
+      ensembleMember = m)
+    GW2.write(p, Seq(member(0, -1), member(1, -1), member(2, 1)))
+    val fields = Grib2Reader.indexFields(new org.apache.hadoop.conf.Configuration(), p)
+    assert(fields.map(_.ensembleMember) == Seq(0, 1, 2))
+    assert(fields(0).shortName == "2t_m0" && fields(1).shortName == "2t_m1")
+    assert(fields(2).stepType == "accum") // 4.11 carries the interval stat
+    val merged = Grib2Reader.readMerged(spark, p)
+    val cols = merged.columns.filter(_.contains("_m"))
+    assert(cols.length == 3, s"member channels: ${cols.toSeq}")
+    // member values stay separate through the pivot
+    val r = merged.filter($"latitude" === 60.0 && $"longitude" === -10.0).head()
+    val c0 = merged.columns.find(_.contains("2t_m0")).get
+    val c1 = merged.columns.find(_.contains("2t_m1")).get
+    assert(r.getAs[Double](c1) - r.getAs[Double](c0) == 10.0)
+  }
+
   test("unsupported templates raise directed errors") {
     val raw = GW2.message(GW2.FieldSpec(0, 0, 0, 103, 2, t0,
       Seq(1.0, 2.0), 2, 1, 0.0, 0.0, 0.0, 1.0))
