@@ -452,6 +452,9 @@ object Grib2 {
       throw UnsupportedGrib("CCSDS field without coding parameters"))
     if ((flags & 1) != 0)
       throw UnsupportedGrib("CCSDS signed-sample flag in GRIB (unsigned X expected)")
+    if ((flags & 16) != 0)
+      throw UnsupportedGrib(
+        "CCSDS restricted coding option (flag 16) — low-range ID tables not implemented")
     val present: Array[Boolean] =
       if (f.bitmapOffset >= 0 && bitmap != null)
         Array.tabulate(f.nPoints)(k => (u8(bitmap, k >> 3) & (0x80 >> (k & 7))) != 0)
