@@ -150,8 +150,14 @@ object Grib2 {
       }
       // ensemble members (templates 4.1/4.11) demux into per-member
       // channels for the wide pivot — cfgrib's `number` coordinate
-      // re-expressed in the flat row model
-      if (ensembleMember >= 0) s"${named}_m$ensembleMember" else named
+      // re-expressed in the flat row model; derived products (4.2) name
+      // by the eccodes dataType convention (em = mean, es = spread)
+      if (ensembleMember >= 1000) ensembleMember - 1000 match {
+        case 0 => s"${named}_em"
+        case 4 => s"${named}_es"
+        case t => s"${named}_ed$t"
+      }
+      else if (ensembleMember >= 0) s"${named}_m$ensembleMember" else named
     }
 
     @transient private lazy val gaussLats: Array[Double] =
@@ -318,13 +324,15 @@ object Grib2 {
         case 4 =>
           val b = read(cur, math.min(secLen, 64L).toInt)
           val template = u16(b, 7)
-          // 4.0 instant / 4.1 individual ensemble member / 4.8 statistical
-          // interval / 4.11 ensemble member over an interval — the ensemble
-          // templates insert 3 octets (type, perturbation number, count)
-          // after octet 34 and shift the interval fields by that much
-          if (template != 0 && template != 1 && template != 8 && template != 11)
+          // 4.0 instant / 4.1 individual ensemble member / 4.2 derived
+          // ensemble (mean/spread) / 4.8 statistical interval / 4.11
+          // ensemble member over an interval — the ensemble templates
+          // insert octets after octet 34 (4.1/4.11: type + perturbation +
+          // count; 4.2: derived type + count) and shift interval fields
+          if (template != 0 && template != 1 && template != 2 &&
+            template != 8 && template != 11)
             throw UnsupportedGrib(
-              s"product template 4.$template (4.0/4.1/4.8/4.11)")
+              s"product template 4.$template (4.0/4.1/4.2/4.8/4.11)")
           val cat = u8(b, 9)
           val num = u8(b, 10)
           val timeUnit = u8(b, 17)
@@ -341,8 +349,13 @@ object Grib2 {
               s32(b, 24) / math.pow(10.0, scale)
             }
           val ensemble = template == 1 || template == 11
-          val member = if (ensemble) u8(b, 35) else -1
-          val shift = if (ensemble) 3 else 0
+          // derived ensemble (4.2): member slot carries 1000 + derived type
+          // (code table 4.7: 0 mean, 4 spread, ...) to keep channels distinct
+          val member =
+            if (ensemble) u8(b, 35)
+            else if (template == 2) 1000 + u8(b, 34)
+            else -1
+          val shift = if (ensemble) 3 else if (template == 2) 2 else 0
           var statProcess = -1
           var intervalEnd = -1L
           if (template == 8 || template == 11) {

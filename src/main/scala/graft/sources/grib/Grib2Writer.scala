@@ -27,7 +27,7 @@ object Grib2Writer {
       forecastTime: Int = 0,
       statProcess: Int = -1,           // -1 -> template 4.0; else 4.8
       intervalEnd: Option[java.time.LocalDateTime] = None,
-      ensembleMember: Int = -1,        // >= 0 -> template 4.1 / 4.11
+      ensembleMember: Int = -1,        // >= 0 -> 4.1/4.11; 1000+t -> 4.2
       decimalScale: Int = 0,
       bitsPerValue: Int = 16,
       packing: Int = 0,                // 0 -> 5.0 simple; 2 -> 5.2; 3 -> 5.3
@@ -174,17 +174,21 @@ object Grib2Writer {
 
   private def section4(f: FieldSpec): Array[Byte] = {
     val template48 = f.statProcess >= 0
-    val ens = f.ensembleMember >= 0
-    val shift = if (ens) 3 else 0
+    val derived = f.ensembleMember >= 1000
+    val ens = f.ensembleMember >= 0 && !derived
+    require(!(derived && template48), "derived-over-interval (4.12) not emitted")
+    val shift = if (ens) 3 else if (derived) 2 else 0
     val b = new Array[Byte]((if (template48) 58 else 34) + shift)
     putU32(b, 0, b.length); b(4) = 4
     putU16(b, 5, 0)                  // no extra coordinate values
-    putU16(b, 7, (template48, ens) match {
-      case (false, false) => 0
-      case (false, true) => 1        // individual ensemble member
-      case (true, false) => 8
-      case (true, true) => 11        // ensemble member over an interval
-    })
+    putU16(b, 7,
+      if (derived) 2
+      else (template48, ens) match {
+        case (false, false) => 0
+        case (false, true) => 1      // individual ensemble member
+        case (true, false) => 8
+        case (true, true) => 11      // ensemble member over an interval
+      })
     b(9) = f.category.toByte
     b(10) = f.number.toByte
     b(11) = 2                        // generating process: forecast
@@ -200,6 +204,9 @@ object Grib2Writer {
       b(34) = 3                      // ensemble type: perturbed forecast
       b(35) = f.ensembleMember.toByte
       b(36) = 51                     // forecasts in the ensemble
+    } else if (derived) {
+      b(34) = (f.ensembleMember - 1000).toByte // code table 4.7
+      b(35) = 51                     // forecasts in the ensemble
     }
     if (template48) {
       val e = f.intervalEnd.getOrElse(

@@ -481,6 +481,11 @@ class Grib2Spec extends SparkSpec {
     assert(fields.map(_.ensembleMember) == Seq(0, 1, 2))
     assert(fields(0).shortName == "2t_m0" && fields(1).shortName == "2t_m1")
     assert(fields(2).stepType == "accum") // 4.11 carries the interval stat
+    // derived ensemble products (4.2): mean and spread channels
+    val pd = s"$dir/derived.grib2"
+    GW2.write(pd, Seq(member(1000, -1), member(1004, -1)))
+    val dFields = Grib2Reader.indexFields(new org.apache.hadoop.conf.Configuration(), pd)
+    assert(dFields.map(_.shortName) == Seq("2t_em", "2t_es"))
     val merged = Grib2Reader.readMerged(spark, p)
     val cols = merged.columns.filter(_.contains("_m"))
     assert(cols.length == 3, s"member channels: ${cols.toSeq}")
