@@ -30,7 +30,8 @@ object Hdf5Writer {
       fillValue: Option[Double] = None,
       units: Option[String] = None,
       extraAttrs: Seq[(String, String)] = Nil, // extra string attrs
-      denseAttrs: Boolean = false)             // store attrs densely (0x15)
+      denseAttrs: Boolean = false,             // store attrs densely (0x15)
+      chunkBtreeFanout: Int = 256)             // chunk B-tree entries/node
 
   private def elemSize(dtype: String): Int = dtype match {
     case "f8" => 8
@@ -197,24 +198,39 @@ object Hdf5Writer {
               chunkRefs += ((offsets, addr, bytes.length))
             } else (0 until grid(dim)).foreach(ci => rec(dim + 1, idx :+ ci))
           rec(0, Nil)
-          // v1 chunk B-tree, single level-0 node
-          val keySize = 8 + (rank + 1) * 8
-          val node = ArrayBuffer.empty[Byte]
-          node ++= "TREE".getBytes("US-ASCII")
-          node += 1 // node type: chunk
-          node += 0 // level
-          node ++= b16(chunkRefs.size)
-          node ++= b64(Hdf5.Undef) ++ b64(Hdf5.Undef) // siblings
-          chunkRefs.foreach { case (offsets, addr, n) =>
-            node ++= b32(n.toLong) ++ b32(0L) // size, filter mask
-            offsets.foreach(o => node ++= b64(o))
-            node ++= b64(0L) // trailing element-size offset
-            node ++= b64(addr)
+          // v1 chunk B-tree: leaves of up to `chunkBtreeFanout` entries,
+          // stacked under internal nodes until one root remains — multi-GB
+          // files have thousands of chunks, so level > 0 trees are the
+          // shape readers meet at scale
+          def writeNode(level: Int,
+              entries: Seq[(Seq[Long], Long, Int)]): (Long, (Seq[Long], Long, Int)) = {
+            val node = ArrayBuffer.empty[Byte]
+            node ++= "TREE".getBytes("US-ASCII")
+            node += 1 // node type: chunk
+            node += level.toByte
+            node ++= b16(entries.size)
+            node ++= b64(Hdf5.Undef) ++ b64(Hdf5.Undef) // siblings (unused)
+            entries.foreach { case (offsets, addr, n) =>
+              node ++= b32(n.toLong) ++ b32(0L) // size, filter mask
+              offsets.foreach(o => node ++= b64(o))
+              node ++= b64(0L) // trailing element-size offset
+              node ++= b64(addr)
+            }
+            node ++= b32(0L) ++ b32(0L) // final key
+            (0 to rank).foreach(_ => node ++= b64(0L))
+            (appendAt(node.toArray), entries.head)
           }
-          // final key
-          node ++= b32(0L) ++ b32(0L)
-          (0 to rank).foreach(_ => node ++= b64(0L))
-          val btreeAddr = appendAt(node.toArray)
+          var layer: Seq[(Long, (Seq[Long], Long, Int))] =
+            chunkRefs.grouped(v.chunkBtreeFanout).map(g => writeNode(0, g.toSeq)).toSeq
+          var level = 1
+          while (layer.size > 1) {
+            layer = layer.grouped(v.chunkBtreeFanout).map { g =>
+              // internal entries: child's first key + the child node address
+              writeNode(level, g.map { case (addr, (offs, _, sz)) => (offs, addr, sz) })
+            }.toSeq
+            level += 1
+          }
+          val btreeAddr = layer.head._1
           val body = (ArrayBuffer[Byte](3, 2, (rank + 1).toByte) ++= b64(btreeAddr)).toArray ++
             chunkDims.flatMap(c => b32(c.toLong)) ++ b32(w.toLong)
           v.name -> Storage(body, filtered = v.deflate || v.shuffle)

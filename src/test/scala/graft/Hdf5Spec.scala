@@ -184,6 +184,26 @@ class Hdf5Spec extends SparkSpec {
     assert(a.sameElements(b), "latest-format values diverge from v0 container")
   }
 
+  test("multi-level chunk B-trees (the many-chunk shape of large files)") {
+    val p = tmp("deepbtree.nc")
+    val (nt, nx) = (30, 8) // 30 chunks of (1, 8) with fanout 4 -> level-2 tree
+    HW.write(p, Seq(
+      HW.VarSpec("t", Seq("t"), Seq(nt), (0 until nt).map(_.toDouble), dtype = "f8"),
+      HW.VarSpec("x", Seq("x"), Seq(nx), (0 until nx).map(_.toDouble), dtype = "f8"),
+      HW.VarSpec("v", Seq("t", "x"), Seq(nt, nx),
+        (0 until nt * nx).map(k => k * 1.5), dtype = "f8",
+        chunks = Some(Seq(1, nx)), deflate = true, chunkBtreeFanout = 4)))
+    val (read, len) = localRead(p)
+    val meta = Hdf5.parse(read, len)
+    val refs = Hdf5.chunkRefs(read, meta.byPath("/v"))
+    assert(refs.size == nt, s"walked ${refs.size} chunks") // through 2 levels
+    assert(refs.map(_.offsets.head).sorted == (0 until nt).map(_.toLong))
+    val df = NetCDF4Reader.readLongFormat(spark, p)
+    assert(df.count() == nt * nx)
+    assert(df.filter($"t" === 29.0 && $"x" === 7.0).head()
+      .getAs[Double]("v") == (29 * 8 + 7) * 1.5)
+  }
+
   test("directed error: non-HDF5 bytes name the format") {
     val p = tmp("bad.nc")
     java.nio.file.Files.write(java.nio.file.Paths.get(p),
