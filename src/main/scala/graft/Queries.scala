@@ -928,6 +928,50 @@ object Queries {
           .filter($"value".isNotNull)
           .select($"time", $"latitude", $"longitude", $"value")
           .orderBy($"time", $"latitude", $"longitude")
+      }),
+
+    // ---------------------------------------------------------------- S1 (GRIB2 JPEG2000 packing, template 5.40)
+    // Same `orders` grid as q54/q61/q64, packed with template 5.40 — the
+    // NCEP-operational JPEG2000 packing (GFS/HRRR distribute in it; the
+    // reference reads it via eccodes+openjpeg). The section-7 payload is a
+    // lossless single-tile JPEG 2000 codestream decoded by the pure-JVM
+    // MQ/EBCOT/5-3-wavelet codec. Message 1 is dense 16-bit (10x10 image,
+    // two wavelet levels); message 2 masks every 7th point behind a bitmap
+    // (n x 1 layout); any slip in the arithmetic coder, the coding passes,
+    // the tag trees or the lifting steps breaks the hash against DuckDB.
+    Q("q65_grib2_jpeg2000", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200)
+      SELECT CASE WHEN rn0 // 100 = 0 THEN TIMESTAMP '2026-11-01 00:00:00'
+                  ELSE TIMESTAMP '2026-11-01 06:00:00' END AS time,
+             CAST(50 - (rn0 % 100) // 10 AS DOUBLE) AS latitude,
+             CAST(rn0 % 10 AS DOUBLE) AS longitude,
+             CAST(o_orderkey % 1499 AS DOUBLE) AS value
+      FROM o
+      WHERE NOT (rn0 >= 100 AND rn0 % 7 = 0)
+      ORDER BY time, latitude, longitude"""))(
+      (s, d) => {
+        import graft.sources.grib.{Grib2Reader, Grib2Writer => GW2}
+        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+          .select(($"o_orderkey" % 1499).cast("double"))
+          .collect().map(_.getDouble(0)).toSeq
+        val t0 = java.time.LocalDateTime.of(2026, 11, 1, 0, 0)
+        val path = java.nio.file.Files.createTempDirectory("q65").toString + "/q65.grib2"
+        def spec(v: Seq[Double], fcst: Int) = GW2.FieldSpec(
+          discipline = 0, category = 0, number = 0, levelType = 103,
+          levelScaledValue = 2, refTime = t0, values = v, ni = 10, nj = 10,
+          la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0,
+          forecastTime = fcst, decimalScale = 0,
+          packing = 40, bitsPerValue = 16)
+        val m2 = vals.drop(100).zipWithIndex.map { case (v, k) =>
+          if ((k + 100) % 7 == 0) Double.NaN else v
+        }
+        GW2.write(path, Seq(spec(vals.take(100), 0), spec(m2, 6)))
+        Grib2Reader.readLongFormat(s, path)
+          .filter($"value".isNotNull)
+          .select($"time", $"latitude", $"longitude", $"value")
+          .orderBy($"time", $"latitude", $"longitude")
       })
   )
 

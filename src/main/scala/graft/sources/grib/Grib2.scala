@@ -404,11 +404,19 @@ object Grib2 {
                   s"spatial differencing order ${cp.spatialOrder} (1 or 2)")
               repr = Some((ieee32(b, 11), Grib1.s16(b, 15), Grib1.s16(b, 17),
                 u8(b, 19), template, Some(cp)))
+            case 40 => // JPEG2000: R/E/D/depth as 5.0, then compression type
+              val ctype = u8(b, 21)
+              if (ctype != 0)
+                throw UnsupportedGrib(
+                  s"JPEG2000 lossy compression (type $ctype) — only lossless " +
+                    "(type 0) is packed by operational centres and supported here")
+              repr = Some((ieee32(b, 11), Grib1.s16(b, 15), Grib1.s16(b, 17),
+                u8(b, 19), 40, None))
             case other =>
               throw UnsupportedGrib(s"data representation template 5.$other " +
                 "(supported: 5.0 simple, 5.2 complex, 5.3 complex + spatial " +
-                "differencing, 5.41 PNG, 5.42 CCSDS; 5.40 JPEG2000 / 5.50 " +
-                "spectral are not — repack with `grib_set -r " +
+                "differencing, 5.40 JPEG2000 lossless, 5.41 PNG, 5.42 CCSDS; " +
+                "5.50 spectral is not — repack with `grib_set -r " +
                 "packingType=grid_simple`)")
           }
         case 6 =>
@@ -453,10 +461,40 @@ object Grib2 {
         Grib1.decodePacked(f.refValue, f.binaryScale, f.decimalScale, f.bitsPerValue,
           f.nPoints, data, if (f.bitmapOffset >= 0) bitmap else null)
       case 2 | 3 => decodeComplex(f, data, bitmap)
+      case 40 => decodeJpeg2000(f, data, bitmap)
       case 41 => decodePng(f, data, bitmap)
       case 42 => decodeCcsds(f, data, bitmap)
       case other => throw UnsupportedGrib(s"data representation template 5.$other")
     }
+
+  /** Template 7.40: the payload is a JPEG 2000 codestream; samples in
+    * raster order are the scaled X values of the PRESENT points (same
+    * bitmap semantics as simple/PNG packing). */
+  private def decodeJpeg2000(f: Field, data: Array[Byte],
+      bitmap: Array[Byte]): Array[Double] = {
+    val img = Jpeg2000.decode(data)
+    val present: Array[Boolean] =
+      if (f.bitmapOffset >= 0 && bitmap != null)
+        Array.tabulate(f.nPoints)(k => (u8(bitmap, k >> 3) & (0x80 >> (k & 7))) != 0)
+      else null
+    val nPresent = if (present == null) f.nPoints else present.count(identity)
+    if (img.samples.length < nPresent)
+      throw UnsupportedGrib(
+        s"JPEG2000 packing carries ${img.samples.length} samples for $nPresent points")
+    val dDiv = math.pow(10.0, f.decimalScale)
+    val eFactor = math.pow(2.0, f.binaryScale)
+    val out = new Array[Double](f.nPoints)
+    var xi = 0
+    var i = 0
+    while (i < f.nPoints) {
+      out(i) =
+        if (present == null || present(i)) {
+          val v = (f.refValue + img.samples(xi) * eFactor) / dDiv; xi += 1; v
+        } else Double.NaN
+      i += 1
+    }
+    out
+  }
 
   /** Template 7.42: AEC-coded scaled X values of the present points. */
   private def decodeCcsds(f: Field, data: Array[Byte],

@@ -231,12 +231,54 @@ object Grib2Writer {
     f.packing match {
       case 0 => simple57(f)
       case 2 | 3 => complex57(f)
+      case 40 => jpeg57(f)
       case 41 => png57(f)
       case 42 => ccsds57(f)
       case other => throw Grib1.UnsupportedGrib(
         s"writer packing $other (0 simple, 2 complex, 3 complex+spatial " +
-          "diff, 41 PNG, 42 CCSDS)")
+          "diff, 40 JPEG2000, 41 PNG, 42 CCSDS)")
     }
+
+  /** Template 5.40/7.40: scaled X values as a lossless JPEG 2000
+    * codestream, present points in raster order. Grid-shaped when nothing
+    * is missing (ni x nj image), else one nPresent x 1 row — matching the
+    * PNG-packing layout convention. */
+  private def jpeg57(f: FieldSpec): (Array[Byte], Array[Byte]) = {
+    val dFactor = math.pow(10.0, f.decimalScale)
+    val present = f.values.filterNot(_.isNaN)
+    val scaled = present.map(v => math.round(v * dFactor))
+    val ref = if (scaled.isEmpty) 0L else scaled.min
+    val xs = scaled.map(_ - ref).toArray
+    require(xs.forall(x => x >= 0 && x < (1L << math.min(f.bitsPerValue, 62))),
+      s"value range needs more than ${f.bitsPerValue} bits")
+    require(math.abs(ref) < (1L << 24), "reference value must stay float32-exact")
+    val (w, h) =
+      if (present.size == f.values.size) (f.ni, f.nj) else (math.max(xs.length, 1), 1)
+    val levels = { // openjpeg-style default, capped for small grids
+      val m = math.min(w, h)
+      if (m >= 32) 5 else math.max(0, 31 - Integer.numberOfLeadingZeros(math.max(m, 1)))
+    }
+    val j2k =
+      if (xs.isEmpty) Jpeg2000.encode(1, 1, f.bitsPerValue, Array(0L), 0)
+      else Jpeg2000.encode(w, h, f.bitsPerValue, xs, levels)
+
+    val s5 = new Array[Byte](23)
+    putU32(s5, 0, 23); s5(4) = 5
+    putU32(s5, 5, xs.length)
+    putU16(s5, 9, 40)                // template 5.40 JPEG2000
+    putU32(s5, 11, java.lang.Float.floatToIntBits(ref.toFloat).toLong & 0xffffffffL)
+    putS16(s5, 15, 0)                // binary scale E = 0
+    putS16(s5, 17, f.decimalScale)
+    s5(19) = f.bitsPerValue.toByte
+    s5(20) = 0                       // floating-point values
+    s5(21) = 0                       // lossless
+    s5(22) = 255.toByte              // target ratio: n/a
+
+    val s7 = new Array[Byte](5 + j2k.length)
+    putU32(s7, 0, s7.length); s7(4) = 7
+    System.arraycopy(j2k, 0, s7, 5, j2k.length)
+    (s5, s7)
+  }
 
   /** Template 5.42/7.42: AEC-coded scaled X values (eccodes-style
     * parameters: preprocess+MSB flags, block size 32, RSI 128). */

@@ -172,6 +172,54 @@ class Grib2Spec extends SparkSpec {
     }
   }
 
+  test("JPEG2000 packing (5.40) round-trips at every GRIB depth, with bitmap") {
+    for (bits <- Seq(1, 2, 8, 16, 24)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"grib2j2k$bits").toString
+      val p = s"$dir/j2k.grib2"
+      val span = math.min((1L << math.min(bits, 16)) - 1, 40000L).toDouble
+      val vals = gridVals((j, i) =>
+        if (bits >= 8 && j == 1 && i == 4) Double.NaN // bitmap -> n x 1 layout
+        else math.floor(span * (j * ni + i) / (ni * nj - 1)))
+      GW2.write(p, Seq(GW2.FieldSpec(0, 0, 0, 103, 2, t0, vals, ni, nj,
+        la1 = 60.0, lo1 = -10.0, la2 = 45.0, lo2 = 10.0,
+        decimalScale = 0, packing = 40, bitsPerValue = bits)))
+      val fields = Grib2Reader.indexFields(new org.apache.hadoop.conf.Configuration(), p)
+      assert(fields.head.reprTemplate == 40)
+      val got = Grib2Reader.readLongFormat(spark, p)
+        .orderBy($"latitude".desc, $"longitude")
+        .select($"value").collect()
+        .map(r => if (r.isNullAt(0)) Double.NaN else r.getDouble(0))
+      vals.zip(got).foreach { case (want, have) =>
+        if (want.isNaN) assert(have.isNaN) else assert(want == have, s"depth $bits")
+      }
+    }
+  }
+
+  test("JPEG2000 lossy compression type raises a directed error") {
+    val dir = java.nio.file.Files.createTempDirectory("grib2j2klossy").toString
+    val p = s"$dir/lossy.grib2"
+    GW2.write(p, Seq(GW2.FieldSpec(0, 0, 0, 103, 2, t0,
+      gridVals((j, i) => j + i.toDouble), ni, nj,
+      la1 = 60.0, lo1 = -10.0, la2 = 45.0, lo2 = 10.0,
+      decimalScale = 0, packing = 40, bitsPerValue = 8)))
+    // Flip the section-5 compression-type octet (22) from 0 to 1 (lossy).
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    // section order: 16B indicator + s1; find section 5 by walking lengths
+    var off = 16
+    def u32at(i: Int): Int =
+      ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
+        ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+    while (bytes(off + 4) != 5) off += u32at(off)
+    bytes(off + 21) = 1
+    // fresh path: Hadoop's local FS would reject p against its stale .crc
+    val p2 = s"$dir/lossy2.grib2"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p2), bytes)
+    val e = intercept[graft.sources.grib.Grib1.UnsupportedGrib] {
+      Grib2Reader.indexFields(new org.apache.hadoop.conf.Configuration(), p2)
+    }
+    assert(e.getMessage.contains("lossy"))
+  }
+
   test("PNG decode reverses every scanline filter (Sub/Up/Average/Paeth)") {
     import graft.sources.grib.Png
     // 16-bit grayscale 4x3 image, one scanline per filter type 1..4 after a
@@ -507,14 +555,14 @@ class Grib2Spec extends SparkSpec {
     val e = intercept[graft.sources.grib.Grib1.UnsupportedGrib](
       Grib2Reader.indexFields(new org.apache.hadoop.conf.Configuration(), p))
     assert(e.getMessage.contains("grid template"))
-    // representation template 5.40 (JPEG2000) keeps its directed error
+    // representation template 5.50 (spectral) keeps its directed error
     val raw2 = GW2.message(GW2.FieldSpec(0, 0, 0, 103, 2, t0,
       Seq(1.0, 2.0), 2, 1, 0.0, 0.0, 0.0, 1.0))
-    raw2(16 + 21 + 72 + 34 + 10) = 40 // section-5 template number low byte
-    val p2 = s"$dir/bad40.grib2"
+    raw2(16 + 21 + 72 + 34 + 10) = 50 // section-5 template number low byte
+    val p2 = s"$dir/bad50.grib2"
     val os2 = new java.io.FileOutputStream(p2); os2.write(raw2); os2.close()
     val e2 = intercept[graft.sources.grib.Grib1.UnsupportedGrib](
       Grib2Reader.indexFields(new org.apache.hadoop.conf.Configuration(), p2))
-    assert(e2.getMessage.contains("5.40") || e2.getMessage.contains("template 5."))
+    assert(e2.getMessage.contains("5.50") || e2.getMessage.contains("template 5."))
   }
 }
