@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Mover, Multimodal, Similarity, Splitter}
+import graft.operators.{Dedup, Mover, Multimodal, Similarity, Splitter, Wav}
 import graft.sources.Tables
 
 /** Training-data-pipeline operator queries (dedup / similarity / text /
@@ -273,7 +273,60 @@ object QueriesML {
       })
   ) ++ Seq(regridQ, nearestQ, bilinearQ, matchDtQ, packedQ, haversineQ, sessionizeQ,
     embDupQ, corpusStatsQ, hashSampleQ, stratifiedCapQ, decontaminateQ,
-    repetitionQ, quantizeQ, imageDupsQ)
+    repetitionQ, quantizeQ, imageDupsQ, audioQ)
+
+  // ------------------------------------------------------- multimodal: real WAV audio decode
+  // The codec round-trip IS the test (same pattern as the GRIB packing
+  // queries q61/q64): per-doc square-wave PCM is encoded to real RIFF/WAVE
+  // bytes — every 5th with a LIST chunk ahead of fmt, exercising the
+  // chunk-walk — then decoded by Wav.decode, which must parse the container
+  // correctly for sample_rate/channels/duration/rms/zero_crossings to match
+  // the oracle's closed-form values. Sample rates are 8k/16k/32k so
+  // 1000/rate is binary-exact and round(,3) agrees across engines.
+  private lazy val audioQ = Q("q66_audio_meta", Some("""
+      WITH p AS (SELECT doc_id,
+             8000 * CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END AS sample_rate,
+             1 + doc_id % 2 AS channels,
+             800 + doc_id % 100 AS n_frames,
+             CAST(1000 + (doc_id % 50) * 100 AS DOUBLE) AS amp
+           FROM documents)
+      SELECT doc_id, sample_rate, channels, n_frames,
+             round(n_frames * 1000.0 / sample_rate, 3) AS duration_ms,
+             round(amp, 3) AS rms,
+             (n_frames - 1) // 4 AS zero_crossings
+      FROM p ORDER BY doc_id"""))(
+    (s, d) => {
+      import org.apache.spark.sql.Encoders
+      val ids = Tables.documents(s, d).select($"doc_id".cast("long"))
+        .as[Long](Encoders.scalaLong)
+      val media = ids.map { id =>
+        val rate = (8000L << (if (id % 3 == 0) 0 else if (id % 3 == 1) 1 else 2)).toInt
+        val channels = (1 + id % 2).toInt
+        val nFrames = (800 + id % 100).toInt
+        val amp = (1000 + (id % 50) * 100).toShort
+        val samples = new Array[Short](nFrames * channels)
+        var i = 0
+        while (i < nFrames) {
+          val v: Short = if ((i / 4) % 2 == 0) amp else (-amp).toShort
+          var c = 0
+          while (c < channels) { samples(i * channels + c) = v; c += 1 }
+          i += 1
+        }
+        (id, Wav.encode(Wav.Audio(rate, channels, samples),
+          withListChunk = id % 5 == 0))
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+        .toDF("doc_id", "content")
+      val decoded = Multimodal.decodeAudio(
+        Multimodal.asMedia(media, "doc_id", "content"))
+      decoded.select($"id".as("doc_id"),
+          $"sampleRate".cast("long").as("sample_rate"),
+          $"channels".cast("long").as("channels"),
+          $"nFrames".as("n_frames"),
+          round($"durationMs", 3).as("duration_ms"),
+          round($"rms", 3).as("rms"),
+          $"zeroCrossings".as("zero_crossings"))
+        .orderBy($"doc_id")
+    })
 
   // ------------------------------------------------------- multimodal: real JDK image decode + dHash near-dups
   // No DuckDB oracle can decode PNG bytes, so this records the weaker

@@ -142,6 +142,51 @@ object Multimodal {
       decodeImage(content).map(meanLuminance).getOrElse(
         if (content.isEmpty) 0.0
         else content.map(b => (b & 0xff).toDouble).sum / content.length)
+
+    /** Deterministic box-average resize (the thumbnail/feature-grid step of
+      * an image pipeline). Same cell walk as [[dHash64]] but per RGB channel
+      * and to an arbitrary grid, so output pixels are bit-stable across JVMs
+      * — unlike `Graphics2D` interpolation, which is renderer-dependent. */
+    def resizeBox(img: BufferedImage, outW: Int, outH: Int): BufferedImage = {
+      require(outW > 0 && outH > 0, "resize target must be positive")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new BufferedImage(outW, outH, BufferedImage.TYPE_INT_RGB)
+      var r = 0
+      while (r < outH) {
+        val y0 = math.min(r * h / outH, h - 1)
+        val yEnd = math.min(math.max((r + 1) * h / outH, y0 + 1), h)
+        var c = 0
+        while (c < outW) {
+          val x0 = math.min(c * w / outW, w - 1)
+          val xEnd = math.min(math.max((c + 1) * w / outW, x0 + 1), w)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var n = 0
+          var y = y0
+          while (y < yEnd) {
+            var x = x0
+            while (x < xEnd) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          out.setRGB(c, r,
+            ((sr / n).toInt << 16) | ((sg / n).toInt << 8) | (sb / n).toInt)
+          c += 1
+        }
+        r += 1
+      }
+      out
+    }
+
+    /** Re-encode to PNG bytes (JDK writer — lossless, so
+      * decode∘encode == identity on the pixel grid). */
+    def encodePng(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
   }
 
   /** Attach a binary column (the ingest shape: any string/blob source). */
@@ -195,6 +240,32 @@ object Multimodal {
         Dedup.hammingDistance(col("h_a"), col("h_b")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  final case class AudioRow(id: Long, nBytes: Long, sampleRate: Int,
+      channels: Int, nFrames: Long, durationMs: Double, rms: Double,
+      zeroCrossings: Long, decoded: Boolean)
+
+  /** Batch audio decode via the pure-JVM [[Wav]] codec — the audio-side
+    * mirror of [[decode]]: RIFF/WAVE bytes stream through `mapPartitions`,
+    * undecodable payloads keep the row with `decoded=false` (zeroed
+    * features) so one bad blob cannot fail a 100 TB scan. */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioRow] = {
+    implicit val enc = Encoders.product[AudioRow]
+    media.mapPartitions { it =>
+      it.map { r =>
+        try {
+          val a = Wav.decode(r.content)
+          AudioRow(r.id, r.content.length.toLong, a.sampleRate, a.channels,
+            a.nFrames.toLong, a.durationMs, a.rms, a.zeroCrossings.toLong,
+            decoded = true)
+        } catch {
+          case _: Wav.UnsupportedWav =>
+            AudioRow(r.id, r.content.length.toLong, 0, 0, 0L, 0.0, 0.0, 0L,
+              decoded = false)
+        }
+      }
+    }
   }
 
   /** Frame-sampling plumbing: every k-th chunk of the payload as a "frame"

@@ -441,6 +441,113 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"false positive with 4: $pairs")
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), "undecodable row leaked into LSH")
   }
+
+  test("box resize preserves mean luminance and dHash structure") {
+    val img = testImage(96, 64)
+    val small = Multimodal.MediaCodec.resizeBox(img, 12, 8)
+    assert(small.getWidth == 12 && small.getHeight == 8)
+    val lumaBig = Multimodal.MediaCodec.meanLuminance(img)
+    val lumaSmall = Multimodal.MediaCodec.meanLuminance(small)
+    assert(math.abs(lumaBig - lumaSmall) < 3.0,
+      s"box average drifted the mean: $lumaBig vs $lumaSmall")
+    // PNG re-encode is lossless: decode(encodePng(x)) has identical pixels
+    val rt = Multimodal.MediaCodec.decodeImage(
+      Multimodal.MediaCodec.encodePng(small)).get
+    for (y <- 0 until 8; x <- 0 until 12)
+      assert((rt.getRGB(x, y) & 0xffffff) == (small.getRGB(x, y) & 0xffffff))
+    // resize keeps the perceptual fingerprint close (structure survives)
+    val hFull = Multimodal.MediaCodec.dHash64(img)
+    val hHalf = Multimodal.MediaCodec.dHash64(
+      Multimodal.MediaCodec.resizeBox(img, 48, 32))
+    // the 8-px checkerboard aliases slightly against the 9x8 dHash grid at
+    // half size; ~8 of 64 bits move, structurally "near" (random is ~32)
+    assert(java.lang.Long.bitCount(hFull ^ hHalf) <= 12,
+      "downscale destroyed the dHash structure")
+  }
+
+  test("WAV codec: PCM16 round-trip, chunk walking, directed errors") {
+    import graft.operators.Wav
+    val sq = Array.tabulate[Short](800 * 2) { k =>
+      val frame = k / 2
+      if ((frame / 4) % 2 == 0) 2000 else -2000
+    }
+    val audio = Wav.Audio(16000, 2, sq)
+    // canonical layout and LIST-chunk layout both decode to identical PCM
+    for (list <- Seq(false, true)) {
+      val got = Wav.decode(Wav.encode(audio, withListChunk = list))
+      assert(got.sampleRate == 16000 && got.channels == 2 && got.nFrames == 800)
+      assert(got.samples.sameElements(sq), s"PCM mismatch (list=$list)")
+      assert(got.rms == 2000.0)
+      assert(got.zeroCrossings == (800 - 1) / 4)
+      assert(math.abs(got.durationMs - 50.0) < 1e-9)
+    }
+    // PCM8 widens to the signed 16-bit scale
+    val pcm8 = {
+      val a = Wav.encode(Wav.Audio(8000, 1, Array[Short](0)), withListChunk = false)
+      // patch bits-per-sample to 8 and rewrite data by hand: simpler to build
+      // the container directly
+      val fmt = new java.io.ByteArrayOutputStream()
+      def u16(v: Int) = { fmt.write(v & 0xff); fmt.write((v >> 8) & 0xff) }
+      def u32(v: Int) = { u16(v & 0xffff); u16((v >> 16) & 0xffff) }
+      u16(1); u16(1); u32(8000); u32(8000); u16(1); u16(8)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF".getBytes("US-ASCII"))
+      val body = new java.io.ByteArrayOutputStream()
+      body.write("WAVE".getBytes("US-ASCII"))
+      body.write("fmt ".getBytes("US-ASCII")); body.write(Array[Byte](16, 0, 0, 0))
+      fmt.writeTo(body)
+      body.write("data".getBytes("US-ASCII")); body.write(Array[Byte](3, 0, 0, 0))
+      body.write(Array[Byte](128.toByte, 255.toByte, 0)) // mid, +max, -max
+      body.write(0) // pad byte for the odd data size
+      out.write(Array[Byte]((body.size & 0xff).toByte, 0, 0, 0))
+      body.writeTo(out)
+      a.take(0) ++ out.toByteArray
+    }
+    val got8 = Wav.decode(pcm8)
+    assert(got8.samples.toSeq == Seq[Short](0, (127 << 8).toShort, (-128 << 8).toShort))
+    // directed errors name the problem
+    val junk = intercept[Wav.UnsupportedWav](Wav.decode("nope".getBytes))
+    assert(junk.getMessage.contains("RIFF"))
+    val flt = {
+      val b = Wav.encode(audio, withListChunk = false)
+      b(20) = 3 // format tag -> IEEE float
+      intercept[Wav.UnsupportedWav](Wav.decode(b))
+    }
+    assert(flt.getMessage.contains("float") && flt.getMessage.contains("pcm_s16le"))
+  }
+
+  test("q66 decoded audio features equal the closed-form oracle values") {
+    val rows = Queries.byName("q66_audio_meta")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val rate = 8000L * (if (id % 3 == 0) 1 else if (id % 3 == 1) 2 else 4)
+      val nFrames = 800 + id % 100
+      assert(r.getLong(1) == rate, s"doc $id sample_rate")
+      assert(r.getLong(2) == 1 + id % 2, s"doc $id channels")
+      assert(r.getLong(3) == nFrames, s"doc $id n_frames")
+      val dur3 = BigDecimal(nFrames * 1000.0 / rate)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) == dur3, s"doc $id duration")
+      assert(r.getDouble(5) == (1000 + (id % 50) * 100).toDouble, s"doc $id rms")
+      assert(r.getLong(6) == (nFrames - 1) / 4, s"doc $id zero_crossings")
+    }
+  }
+
+  test("decodeAudio: dataset plumbing, fallback rows, no shuffle") {
+    import graft.operators.Wav
+    val wav = Wav.encode(Wav.Audio(8000, 1,
+      Array.tabulate[Short](400)(i => if ((i / 4) % 2 == 0) 500 else -500)))
+    val rows = Seq((1L, wav), (2L, "not audio".getBytes("UTF-8")))
+      .toDF("doc_id", "content")
+    val media = Multimodal.asMedia(rows, "doc_id", "content")
+    val out = Multimodal.decodeAudio(media)
+    assert(out.rdd.getNumPartitions == media.rdd.getNumPartitions)
+    val byId = out.collect().map(r => r.id -> r).toMap
+    assert(byId(1L).decoded && byId(1L).sampleRate == 8000 &&
+      byId(1L).nFrames == 400 && byId(1L).rms == 500.0)
+    assert(!byId(2L).decoded && byId(2L).sampleRate == 0)
+  }
 }
 
 class StreamingSpec extends SparkSpec {
