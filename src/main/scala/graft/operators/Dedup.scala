@@ -36,6 +36,65 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
+  /** Compiled (plain-JVM) twin of `shingles(tokens(text), n)` for the hot
+    * flatMap paths: SQL `trim` semantics (strips SPACES only, not Java's
+    * `<= ' '` rule), lowercase, `\s+` split, n-token windows joined by
+    * single spaces. Bit-identical output to the Column form — keep the two
+    * in lockstep. */
+  private[operators] def shingleStringsOf(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty
+    var from = 0
+    var until = text.length
+    while (from < until && text.charAt(from) == ' ') from += 1
+    while (until > from && text.charAt(until - 1) == ' ') until -= 1
+    val toks = Whitespace.split(text.substring(from, until).toLowerCase)
+    if (toks.length < n) return Array.empty
+    Array.tabulate(toks.length - n + 1) { i =>
+      val sb = new java.lang.StringBuilder()
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      sb.toString
+    }
+  }
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+  private val Md5Digest = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Seeded md5 hex — the JVM twin of `md5(concat(lit(seed), lit(":"), s))`,
+    * bit-identical to DuckDB's `md5('seed:' || s)` (the cross-engine hash). */
+  val md5SeededHex: (Int, String) => String = (seed, s) => {
+    val md = Md5Digest.get()
+    md.reset()
+    val bytes = md.digest((seed.toString + ":" + s).getBytes("UTF-8"))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexDigits((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexDigits(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Seeded xxhash64 as a decimal string — the JVM twin of
+    * `xxhash64(lit(seed), s).cast("string")` (the fast single-engine path):
+    * same arg-chaining as the SQL function (int seed hashed at 42, string
+    * hashed at the result). */
+  val xxSeededStr: (Int, String) => String = (seed, s) => {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    val bytes = s.getBytes("UTF-8")
+    XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length,
+      XXH64.hashInt(seed, 42L)).toString
+  }
+
   /** MinHash signature: `numHashes` permutations approximated by seeded
     * xxhash64; each signature slot is the min hash over the shingle set.
     * Pure per-row expression — scales embarrassingly. */
@@ -46,23 +105,46 @@ object Dedup {
     }: _*)
   }
 
-  /** Relational shingle extraction: one row per n-word shingle. posexplode +
-    * window leads stay inside whole-stage codegen; the array-HOF form
-    * ([[shingles]]) computes the same values but evaluates interpreted
-    * (~10x slower at corpus scale). One shuffle on the doc id; at 100 TB
-    * that shuffle is the unavoidable tokenize boundary and partitions by
-    * document, so it scales linearly. */
-  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val toksDf = df.select(col(idCol).as("id"),
-      posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
-    val withLeads = (1 until n).foldLeft(toksDf) { (acc, k) =>
-      acc.withColumn(s"t_$k", lead(col("t"), k).over(w))
-    }
-    withLeads
-      .filter((1 until n).map(k => col(s"t_$k").isNotNull).reduceOption(_ && _).getOrElse(lit(true)))
-      .select(col("id"),
-        concat_ws(" ", col("t") +: (1 until n).map(k => col(s"t_$k")): _*).as("s"))
+  /** Per-doc shingle set + full MinHash signature in ONE compiled flatMap —
+    * zero shuffles: tokenize, shingle, and the min-over-shingles of every
+    * seeded hash are all functions of a single row. The earlier relational
+    * form (posexplode + window leads + explode-seeds aggregation) paid a
+    * full-corpus shuffle at the tokenize boundary plus a second aggregation
+    * exchange over numHashes x shingle rows; this computes the same values
+    * map-side and ships ONE compact row per document. Docs with fewer than
+    * `n` tokens (or null text) produce no row, matching the relational
+    * form's inner posexplode. One row per `idCol` value is assumed. */
+  private def docShingleSigs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, hashFn: (Int, String) => String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val in = df.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).cast("string").as("text"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("sh", ArrayType(StringType)),
+      StructField("sig", ArrayType(StringType))))
+    in.flatMap { row =>
+      val all = shingleStringsOf(row.getString(1), n)
+      if (all.isEmpty) Iterator.empty
+      else {
+        val set = new java.util.LinkedHashSet[String]()
+        var i = 0
+        while (i < all.length) { set.add(all(i)); i += 1 }
+        val sig = new Array[String](numHashes)
+        val it = set.iterator()
+        while (it.hasNext) {
+          val s = it.next()
+          var k = 0
+          while (k < numHashes) {
+            val h = hashFn(k, s)
+            if (sig(k) == null || h.compareTo(sig(k)) < 0) sig(k) = h
+            k += 1
+          }
+        }
+        Iterator.single(org.apache.spark.sql.Row(
+          row.getLong(0), set.toArray(new Array[String](set.size())), sig))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** md5-based MinHash variant: slower than xxhash64 but bit-identical in
@@ -129,47 +211,31 @@ object Dedup {
       lshCandidates(df, idCol, textCol, numHashes, bands, shingleSize),
       df, idCol, textCol, shingleSize, threshold)
 
-  /** Corpus-scale MinHash near-dup pipeline, fully relational: shingle rows
-    * (posexplode + window leads), explode-seeds signature aggregation, band
-    * self-join, Jaccard verify on collected shingle sets. Everything stays
-    * in whole-stage codegen. ~10x faster than [[minhashNearDups]]'s
-    * array-HOF formulation at 5k docs, and the ratio grows with corpus size.
-    * `hashCol` picks md5 (cross-engine deterministic) or xxhash64 (faster). */
+  /** Corpus-scale MinHash near-dup pipeline: compiled per-doc shingle-set +
+    * signature map ([[docShingleSigs]] — no shuffle), band explode, band
+    * self-join, Jaccard verify on the shingle sets. The only exchanges left
+    * are the (band, bucket) window, the candidate distinct, and the two
+    * verify joins — all over compact keyed rows, never raw token rows.
+    * `hashFn` picks [[md5SeededHex]] (cross-engine deterministic, default)
+    * or [[xxSeededStr]] (faster single-engine path). */
   def minhashNearDupsRelational(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, bands: Int = 4, shingleSize: Int = 3,
       threshold: Double = 0.8,
-      hashCol: (Column, Column) => Column = (seed, s) => md5(concat(seed, lit(":"), s)),
+      hashFn: (Int, String) => String = md5SeededHex,
       maxBucketSize: Int = 100000): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // Persist exactly the two small frames that are scanned twice: the
-    // per-doc shingle SETS (one compact row per doc; feeds both verify-join
-    // sides AND, re-exploded, the signature aggregation — min over distinct
-    // shingles is identical to min over all shingles) and the RANKED bucket
-    // membership (caps + overflow both read it). The raw shingle-row frame —
-    // the largest intermediate — is never cached, and the band-bucket window
-    // sort is paid once, not once per branch. (Round 3's shape cached the
-    // shingle rows and re-ran the window per branch; the driver bench billed
-    // those first materializations at 5.36 s vs the 3.9 s warmed local run.)
-    val sets = shingleRows(df, idCol, textCol, shingleSize)
-      .groupBy(col("id").as("doc_id")).agg(collect_set(col("s")).as("sh"))
+    // Persist the one frame every branch reads: per-doc (shingle set,
+    // signature) — one compact row per doc, scanned by the band explode and
+    // both verify-join sides. The raw shingle rows of the old relational
+    // form no longer exist at all.
+    val sets = docShingleSigs(df, idCol, textCol, shingleSize, numHashes, hashFn)
       .persist()
-    val sigAggs = (0 until numHashes).map(k =>
-      min(when(col("seed") === k, col("h"))).as(s"sig_$k"))
-    val slotMins = sets
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .withColumn("seed", explode(array((0 until numHashes).map(lit): _*)))
-      .withColumn("h", hashCol(col("seed"), col("s")))
-      .groupBy(col("doc_id"))
-      .agg(sigAggs.head, sigAggs.tail: _*)
-    // one scan of slotMins with an explode over band structs — the 4-frame
-    // union scanned the signature frame once per band and added a stage per
-    // branch (the q31 stage-count floor the round-2 bench flagged)
     val bandStructs = (0 until bands).map { b =>
-      val slots = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
+      val slots = (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r))
       struct(lit(b).as("band"),
-        md5(concat_ws(",", slots.map(_.cast("string")): _*)).as("bucket"))
+        md5(concat_ws(",", slots: _*)).as("bucket"))
     }
-    val bandsDf = slotMins
+    val bandsDf = sets
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     // Candidate pairs per bucket: cap bucket membership BEFORE any

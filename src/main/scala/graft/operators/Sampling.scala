@@ -78,18 +78,14 @@ object Sampling {
     df.select(col(id).as("id"),
       explode(Dedup.shingles(Dedup.tokens(col(text)), n)).as("s"))
 
-  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
-
   /** Same rows as [[shingled]], but through a typed `flatMap`: the shingle
-    * loop runs as ONE compiled JVM lambda instead of the interpreted
-    * `transform`/`slice`/`concat_ws` HOF chain (array HOFs never enter
-    * whole-stage codegen, every element evaluates down the expression-tree
-    * interpreter). Measured: q58 4.5 s -> 1.1 s warm at sf0.1 local[32].
-    * Still a pure map-side op — no shuffle, streams
-    * per-partition, column pruning unaffected (the select precedes it).
-    * Token/shingle semantics mirror `Dedup.tokens`/`Dedup.shingles`
-    * bit-for-bit: SQL `trim` strips SPACES only (not Java's `<= ' '` rule),
-    * then `\s+` split, then n-token windows joined by single spaces. */
+    * loop runs as ONE compiled JVM lambda ([[Dedup.shingleStringsOf]])
+    * instead of the interpreted `transform`/`slice`/`concat_ws` HOF chain
+    * (array HOFs never enter whole-stage codegen, every element evaluates
+    * down the expression-tree interpreter). Measured: q58 4.5 s -> 1.1 s
+    * warm at sf0.1 local[32]. Still a pure map-side op — no shuffle,
+    * streams per-partition, column pruning unaffected (the select precedes
+    * it). */
   private def shingledFlat(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
     val in = df.select(col(id).as("id"), col(text).cast("string").as("s"))
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -97,29 +93,9 @@ object Sampling {
       org.apache.spark.sql.types.StructField("s",
         org.apache.spark.sql.types.StringType)))
     in.flatMap { row =>
-      val txt = row.getString(1)
-      if (txt == null) Iterator.empty
-      else {
-        var from = 0
-        var until = txt.length
-        while (from < until && txt.charAt(from) == ' ') from += 1
-        while (until > from && txt.charAt(until - 1) == ' ') until -= 1
-        val toks = Whitespace.split(txt.substring(from, until).toLowerCase)
-        if (toks.length < n) Iterator.empty
-        else {
-          val docId = row.get(0)
-          (0 to toks.length - n).iterator.map { i =>
-            val sb = new java.lang.StringBuilder()
-            var k = 0
-            while (k < n) {
-              if (k > 0) sb.append(' ')
-              sb.append(toks(i + k))
-              k += 1
-            }
-            org.apache.spark.sql.Row(docId, sb.toString)
-          }
-        }
-      }
+      val docId = row.get(0)
+      Dedup.shingleStringsOf(row.getString(1), n).iterator
+        .map(s => org.apache.spark.sql.Row(docId, s))
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 

@@ -40,7 +40,7 @@ class DedupSpec extends SparkSpec {
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     val rel = Dedup.minhashNearDupsRelational(docs, "doc_id", "text",
         numHashes = 8, bands = 4, threshold = 0.5,
-        hashCol = (seed, s) => xxhash64(seed, s).cast("string"))
+        hashFn = Dedup.xxSeededStr)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     // both catch the planted pairs; the exact candidate sets can differ
     // because the hash families differ, but verify keeps only real dups
@@ -124,7 +124,7 @@ class DedupSpec extends SparkSpec {
         lit("alpha beta gamma delta epsilon zeta").as("text"))
       val pairs = Dedup.minhashNearDupsRelational(flood, "doc_id", "text",
         numHashes = 4, bands = 2, threshold = 0.9,
-        hashCol = (seed, s) => xxhash64(seed, s).cast("string"),
+        hashFn = Dedup.xxSeededStr,
         maxBucketSize = 64)
       val n = pairs.count()
       // C(64, 2) all-pairs inside the cap + one representative pair per
