@@ -493,9 +493,8 @@ object Queries {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
-        def dotd(a: Column, b: Column): Column =
-          aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-            lit(0.0), (acc, v) => acc + v)
+        // native codegen vec_dot, same sequential fp accumulation as the HOF
+        def dotd(a: Column, b: Column): Column = graft.operators.Similarity.dot(a, b)
         emb.crossJoin(broadcast(q))
           .select($"vec_id",
             round(dotd($"embedding", $"qv") /

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.HaversineDistance
+import graft.functions.{DotProduct, HaversineDistance, SquaredDistance}
 
 /** Session extensions registering the engine's Catalyst-level pieces:
   *
@@ -30,6 +30,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 4, "haversine_km(lat1, lon1, lat2, lon2)")
         HaversineDistance(children(0), children(1), children(2), children(3))
+      }))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "vec_dot(a, b)")
+        DotProduct(children(0), children(1))
+      }))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vec_sqdist"),
+      new ExpressionInfo(classOf[SquaredDistance].getName, "vec_sqdist"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "vec_sqdist(a, b)")
+        SquaredDistance(children(0), children(1))
       }))
   }
 }

@@ -70,4 +70,42 @@ class CatalystSpec extends SparkSpec {
     assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
       plan.take(500))
   }
+
+  test("vec_dot: codegen and interpreted agree with the HOF form bit-for-bit") {
+    import graft.functions.DotProduct
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)),
+      (2L, Seq(0.1f, -0.2f, 0.3f), Seq(-0.4f, 0.5f, 0.6f)))
+      .toDF("id", "a", "b")
+    val hof = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val rows = df.select(DotProduct($"a", $"b").as("fast"), hof($"a", $"b").as("slow"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"codegen ${r.getDouble(0)} != HOF ${r.getDouble(1)}"))
+    // interpreted path (eval) agrees: force it outside codegen via a filter
+    // on a literal-computed value
+    val ev = DotProduct(
+      org.apache.spark.sql.functions.typedLit(Seq(1.0f, 2.0f)),
+      org.apache.spark.sql.functions.typedLit(Seq(3.0f, 4.0f)))
+    assert(spark.range(1).select(ev.as("d")).head().getDouble(0) == 11.0)
+    // null semantics: null array, length mismatch, null element -> NULL
+    val nulls = spark.sql(
+      """SELECT vec_dot(CAST(NULL AS ARRAY<FLOAT>), array(1.0F)) AS a,
+        |       vec_dot(array(1.0F), array(1.0F, 2.0F)) AS b,
+        |       vec_dot(array(1.0F, CAST(NULL AS FLOAT)), array(1.0F, 2.0F)) AS c,
+        |       vec_dot(array(1, 2, 3), array(4, 5, 6)) AS ints""".stripMargin).head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1) && nulls.isNullAt(2))
+    assert(nulls.getDouble(3) == 32.0)
+  }
+
+  test("vec_dot stays inside whole-stage codegen") {
+    import graft.functions.DotProduct
+    val emb = Tables.embeddings(spark, sfDir)
+    val plan = emb.select(DotProduct($"embedding", $"embedding").as("d"))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+      plan.take(500))
+  }
 }
