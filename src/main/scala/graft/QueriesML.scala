@@ -273,7 +273,170 @@ object QueriesML {
       })
   ) ++ Seq(regridQ, nearestQ, bilinearQ, matchDtQ, packedQ, haversineQ, sessionizeQ,
     embDupQ, corpusStatsQ, hashSampleQ, stratifiedCapQ, decontaminateQ,
-    repetitionQ, quantizeQ, imageDupsQ, audioQ)
+    repetitionQ, quantizeQ, imageDupsQ, audioQ, piiQ, domainQ,
+    semDedupQ, dupShingleQ, tfidfQ)
+
+  // ------------------------------------------------------- similarity: SemDeDup survivor set
+  // Semantic dedup on the q46 planted-duplicate corpus: a vector survives
+  // iff it has no cosine-0.99 near-dup with a smaller id in its LSH bucket
+  // (keep-earliest, pairwise NOT EXISTS — order-independent).
+  private lazy val semDedupQ = Q("q69_semdedup", Some("""
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+      np AS (SELECT GREATEST(1, LEAST(16,
+                      LENGTH(bin((count(*) + 63) // 64 - 1)))) AS n
+             FROM corpus),
+      planes AS (SELECT vec_id AS pid, embedding::DOUBLE[] AS pv
+                 FROM embeddings WHERE vec_id BETWEEN 1 AND (SELECT n FROM np)),
+      b AS (SELECT c.vec_id,
+                   CAST(sum(CASE WHEN list_dot_product(c.embedding::DOUBLE[], p.pv) > 0
+                            THEN power(2, p.pid - 1) ELSE 0 END) AS BIGINT) AS bucket
+            FROM corpus c CROSS JOIN planes p GROUP BY c.vec_id),
+      pairs AS (SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
+                FROM b a JOIN b bb ON a.bucket = bb.bucket
+                WHERE a.vec_id < bb.vec_id),
+      dropped AS (SELECT DISTINCT id_b FROM pairs
+                  JOIN corpus ca ON ca.vec_id = id_a
+                  JOIN corpus cb ON cb.vec_id = id_b
+                  WHERE round(list_dot_product(ca.embedding::DOUBLE[], cb.embedding::DOUBLE[])
+                        / (sqrt(list_dot_product(ca.embedding::DOUBLE[], ca.embedding::DOUBLE[]))
+                           * sqrt(list_dot_product(cb.embedding::DOUBLE[], cb.embedding::DOUBLE[]))),
+                        6) >= 0.99)
+      SELECT vec_id FROM corpus
+      WHERE vec_id NOT IN (SELECT id_b FROM dropped)
+      ORDER BY vec_id"""))(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.select($"vec_id", $"embedding")
+        .union(emb.filter($"vec_id" % 100 === 0)
+          .select(($"vec_id" + 10000).as("vec_id"), $"embedding"))
+      val nPlanes = Similarity.planeCountFor(corpus.count(),
+        targetBucketSize = 64, maxPlanes = 16)
+      Similarity.semDedupSurvivors(corpus, "embedding", "vec_id",
+          collectPlanes(emb, 1 to nPlanes), threshold = 0.99)
+        .select($"vec_id").orderBy($"vec_id")
+    })
+
+  // ------------------------------------------------------- dedup: cross-doc duplicate shingles
+  // CCNet-style boilerplate signal: per doc, the fraction of its distinct
+  // 3-shingles that occur in at least one other document.
+  private lazy val dupShingleQ = Q("q70_crossdoc_dup_shingles", Some(s"""
+      WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+             FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+                   FROM toks WHERE len(t) >= 3)),
+      dfq AS (SELECT s, count(*) AS nd FROM sh GROUP BY s),
+      j AS (SELECT sh.doc_id, CASE WHEN dfq.nd > 1 THEN 1 ELSE 0 END AS dup
+            FROM sh JOIN dfq USING (s))
+      SELECT doc_id, count(*) AS n_shingles, CAST(sum(dup) AS BIGINT) AS n_dup,
+             round(sum(dup)::DOUBLE / count(*), 6) AS dup_frac
+      FROM j GROUP BY doc_id ORDER BY doc_id"""))(
+    (s, d) => {
+      Dedup.crossDocDupShingleStats(Tables.documents(s, d), "doc_id", "text", n = 3)
+        .select($"id".as("doc_id"), $"n_shingles", $"n_dup", $"dup_frac")
+        .orderBy($"doc_id")
+    })
+
+  // ------------------------------------------------------- text: TF-IDF keyword extraction
+  // Top-3 terms per doc by tf * ln(N/df); scores rounded before ranking so
+  // the (score desc, term asc) order is reproducible across engines.
+  private lazy val tfidfQ = Q("q71_tfidf_topk", Some(s"""
+      WITH tok AS (SELECT doc_id, unnest($toksSql) AS term
+                   FROM documents WHERE length(trim(text)) > 0),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+      scored AS (SELECT doc_id, term,
+                        round(tf * ln((SELECT n FROM n)::DOUBLE / df), 6) AS tfidf
+                 FROM tf JOIN dfq USING (term)),
+      r AS (SELECT doc_id, term, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, term) AS rk
+            FROM scored)
+      SELECT doc_id, term, tfidf, CAST(rk AS BIGINT) AS rk
+      FROM r WHERE rk <= 3 ORDER BY doc_id, rk"""))(
+    (s, d) => {
+      import graft.functions.{TextFunctions => TF}
+      TF.tfidfTopK(Tables.documents(s, d), "doc_id", "text", k = 3)
+        .select($"id".as("doc_id"), $"term", $"tfidf", $"rk".cast("long").as("rk"))
+        .orderBy($"doc_id", $"rk")
+    })
+
+  // ------------------------------------------------------- text: PII redaction (pre-training scrub)
+  // Synthetic PII is appended deterministically in BOTH engines (the corpus
+  // fixture has none), then counted and redacted with regexes restricted to
+  // the Java-regex/RE2 common subset — the per-row scrub step every
+  // training pipeline runs before tokenization.
+  private lazy val piiQ = {
+    import graft.functions.TextFunctions._
+    Q("q67_pii_scrub", Some(s"""
+      WITH aug AS (SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS t
+           FROM documents)
+      SELECT doc_id,
+             len(regexp_extract_all(t, '$emailRe')) AS n_emails,
+             len(regexp_extract_all(t, '$phoneRe')) AS n_phones,
+             len(regexp_extract_all(t, '$ipv4Re')) AS n_ips,
+             md5(regexp_replace(regexp_replace(regexp_replace(t,
+                 '$emailRe', '<EMAIL>', 'g'),
+                 '$phoneRe', '<PHONE>', 'g'),
+                 '$ipv4Re', '<IP>', 'g')) AS redacted_md5
+      FROM aug ORDER BY doc_id"""))(
+      (s, d) => {
+        val aug = concat($"text",
+          lit(" contact user"), $"doc_id".cast("string"),
+          lit("@example.com or +1-555-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+          lit(" from 10."), ($"doc_id" % 256).cast("string"), lit(".0.1"))
+        Tables.documents(s, d)
+          .select($"doc_id", aug.as("t"))
+          .select($"doc_id",
+            piiEmailCount($"t").cast("long").as("n_emails"),
+            piiPhoneCount($"t").cast("long").as("n_phones"),
+            piiIpCount($"t").cast("long").as("n_ips"),
+            md5(redactPii($"t")).as("redacted_md5"))
+          .orderBy($"doc_id")
+      })
+  }
+
+  // ------------------------------------------------------- text: URL extraction + per-domain stats
+  // C4-style domain accounting: extract URLs, key by registrable host,
+  // aggregate url/doc counts per domain — the table that drives per-domain
+  // caps and blocklist joins. Deterministic URLs appended in both engines.
+  private lazy val domainQ = {
+    import graft.functions.TextFunctions._
+    Q("q68_domain_stats", Some(s"""
+      WITH aug AS (SELECT doc_id,
+             text || ' see https://site' || CAST(doc_id % 20 AS VARCHAR)
+                  || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' plus http://cdn.example.net/lib.js?v=1'
+                          ELSE '' END AS t
+           FROM documents),
+      u AS (SELECT doc_id, unnest(regexp_extract_all(t, '$urlRe')) AS url FROM aug)
+      SELECT lower(regexp_extract(url, 'https?://([^/?#:\\s]+)', 1)) AS domain,
+             count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+      FROM u GROUP BY 1 ORDER BY domain"""))(
+      (s, d) => {
+        val aug = concat($"text",
+          lit(" see https://site"), ($"doc_id" % 20).cast("string"),
+          lit(".example.org/p/"), $"doc_id".cast("string"),
+          when($"doc_id" % 3 === 0, lit(" plus http://cdn.example.net/lib.js?v=1"))
+            .otherwise(lit("")))
+        Tables.documents(s, d)
+          .select($"doc_id", aug.as("t"))
+          .select($"doc_id", explode(extractUrls($"t")).as("url"))
+          .select($"doc_id", urlDomain($"url").as("domain"))
+          .groupBy($"domain")
+          .agg(count(lit(1)).as("n_urls"), countDistinct($"doc_id").as("n_docs"))
+          .orderBy($"domain")
+      })
+  }
 
   // ------------------------------------------------------- multimodal: real WAV audio decode
   // The codec round-trip IS the test (same pattern as the GRIB packing

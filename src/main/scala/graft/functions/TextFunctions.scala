@@ -110,6 +110,75 @@ object TextFunctions {
       .otherwise(lit("fr"))
   }
 
+  /** PII patterns for redaction/counting. Kept to constructs that parse and
+    * match identically under Java regex (Spark) and RE2 (DuckDB, C4's
+    * tooling): character classes, bounded repetition, `\b` word boundaries —
+    * no backreferences or lookaround. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}(-[0-9]{4})?"
+  val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  def piiEmailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(emailRe), lit(0)))
+  def piiPhoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(phoneRe), lit(0)))
+  def piiIpCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(ipv4Re), lit(0)))
+
+  /** PII redaction: emails, then phone numbers, then IPv4 literals replaced
+    * by typed placeholder tokens (the standard pre-training scrub step).
+    * Order matters — emails are redacted first so an address can never be
+    * partially eaten by the narrower patterns. Pure per-row regexp_replace
+    * chain: codegen'd, shuffle-free, linear scan at any corpus size. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipv4Re, "<IP>")
+
+  /** URLs in the text (`http`/`https`, up to the next whitespace). */
+  val urlRe = "https?://[^\\s]+"
+
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(urlRe), lit(0))
+
+  /** Registrable host of a URL: the authority part before any `/`, `?`,
+    * `#` or `:port`, lowercased — the C4-style domain key for per-domain
+    * quality stats, caps, and blocklists. */
+  def urlDomain(url: Column): Column =
+    lower(regexp_extract(url, "https?://([^/?#:\\s]+)", 1))
+
+  /** TF-IDF top-`k` keyword extraction per document: tf = in-doc term count,
+    * idf = ln(N / df) with N = distinct non-empty docs, top-k by
+    * (score desc, term asc). The classic two-level aggregation — per-(doc,
+    * term) counts roll up map-side before any exchange, the document
+    * frequency is one term-keyed agg whose partitioning the score join then
+    * reuses, and N rides in as a broadcast single-row cross join (never a
+    * driver collect). The top-k window partitions by doc — millions of
+    * small partitions, no global sort. Scores are rounded to 6 BEFORE
+    * ranking so the rank order is reproducible across engines. */
+  def tfidfTopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"),
+        explode(graft.operators.Dedup.tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = tok.agg(countDistinct(col("id")).as("n"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf").cast("double") *
+          log(col("n").cast("double") / col("df").cast("double")), 6))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rk") <= k)
+      .select(col("id"), col("term"), col("tfidf"), col("rk"))
+  }
+
   /** 64-bit content fingerprint: xxhash64 of the normalized token stream.
     * Scale path (not oracle-matched — DuckDB has no xxhash64). */
   def fingerprint64(text: Column): Column =

@@ -342,4 +342,39 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Cross-document duplicate-content statistics (the corpus-level cousin of
+    * the within-doc repetition score; CCNet §4.1 dedups on exactly this
+    * signal at paragraph granularity): for each doc, the fraction of its
+    * DISTINCT n-shingles that also occur in at least one other document.
+    * High `dup_frac` marks boilerplate-heavy docs worth dropping even when
+    * no single whole-doc near-dup exists.
+    *
+    * Scale shape: per-doc distinct shingling happens INSIDE one compiled
+    * flatMap (local hash set, no distinct exchange); what shuffles is one
+    * row per (doc, distinct shingle) — a shingle-keyed count with map-side
+    * combine, a join back on the same shingle key (partitioning reused),
+    * and a doc-keyed final agg. Because rows are per-doc-distinct, the
+    * document frequency is a plain `count(*)`, never `count(DISTINCT)`. */
+  def crossDocDupShingleStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val in = df.select(col(idCol).as("id"), col(textCol).cast("string").as("t"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      in.schema.fields(0),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    val sh = in.flatMap { row =>
+      val docId = row.get(0)
+      val seen = new scala.collection.mutable.LinkedHashSet[String]
+      shingleStringsOf(row.getString(1), n).foreach(seen += _)
+      seen.iterator.map(s => org.apache.spark.sql.Row(docId, s))
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("nd"))
+    sh.join(dfreq, Seq("s"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_shingles"), 6))
+  }
 }

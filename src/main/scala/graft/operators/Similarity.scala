@@ -211,4 +211,27 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .distinct()
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * a row survives iff it has no near-duplicate (cosine >= `threshold`)
+    * with a smaller id in its LSH bucket. The drop policy is "keep the
+    * earliest member of each near-dup relation", evaluated pairwise — a
+    * deterministic NOT EXISTS, not a transitive closure, so it is
+    * order-independent and expressible identically in plain SQL.
+    *
+    * Scale shape: all pairing work is [[cosineNearDupPairs]] (bucketed,
+    * pre-capped, never quadratic in the corpus); the survivor step is one
+    * distinct on the dropped ids + a left_anti join — both shuffle on the
+    * id key only, vectors never ride the anti-join. Returns the surviving
+    * rows of `emb` unchanged. */
+  def semDedupSurvivors(emb: DataFrame, vecCol: String, idCol: String,
+      planes: Seq[Seq[Float]], threshold: Double,
+      maxBucketSize: Int = 10000): DataFrame = {
+    // pairs are emitted with id_a < id_b, so id_b is always the later
+    // member — the one the keep-earliest policy drops
+    val dropped = cosineNearDupPairs(emb, vecCol, idCol, planes, threshold,
+        maxBucketSize)
+      .select(col("id_b").as(idCol)).distinct()
+    emb.join(dropped, Seq(idCol), "left_anti")
+  }
 }

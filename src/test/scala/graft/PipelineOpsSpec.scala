@@ -138,6 +138,44 @@ class DedupSpec extends SparkSpec {
         s"per-task peak execution memory ${peak.get()} exceeds the 512 MiB ceiling")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("crossDocDupShingleStats: shared shingles count once per doc") {
+    val tiny = Seq(
+      (1L, "a b c d"),                 // shingles {a b c, b c d}
+      (2L, "a b c x"),                 // shingles {a b c, b c x}
+      (3L, "p q r"),                   // shingles {p q r} — all unique
+      (4L, "a b c a b c a b c"),       // distinct shingles {a b c, b c a, c a b}
+      (5L, "too short")                // < 3 tokens: no shingles, no row
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossDocDupShingleStats(tiny, "doc_id", "text", n = 3)
+      .orderBy($"id").as[(Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, 0.5),    // "a b c" is shared with docs 2 and 4
+      (2L, 2L, 1L, 0.5),
+      (3L, 1L, 0L, 0.0),
+      (4L, 3L, 1L, 0.333333) // within-doc repeats counted once, only "a b c" shared
+    ))
+  }
+
+  test("tfidfTopK ranks in-doc-frequent, corpus-rare terms first") {
+    import graft.functions.{TextFunctions => TF}
+    val tiny = Seq(
+      (1L, "x x y"),
+      (2L, "y z"),
+      (3L, "z z z w")
+    ).toDF("doc_id", "text")
+    val got = TF.tfidfTopK(tiny, "doc_id", "text", k = 2)
+      .orderBy($"id", $"rk").as[(Long, String, Double, Int)].collect().toSeq
+    // N=3; df: x=1 y=2 z=2 w=1
+    assert(got.map(r => (r._1, r._2, r._4)) == Seq(
+      (1L, "x", 1), (1L, "y", 2),
+      (2L, "y", 1), (2L, "z", 2),
+      (3L, "z", 1), (3L, "w", 2)))
+    val byTerm = got.map(r => ((r._1, r._2), r._3)).toMap
+    assert(math.abs(byTerm((1L, "x")) - 2 * math.log(3.0)) < 1e-5)
+    assert(math.abs(byTerm((3L, "z")) - 3 * math.log(1.5)) < 1e-5)
+    assert(math.abs(byTerm((3L, "w")) - math.log(3.0)) < 1e-5)
+  }
 }
 
 class SamplingSpec extends SparkSpec {
@@ -316,6 +354,27 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.length == 190 + 180, s"expected 370 capped pairs, got ${pairs.length}")
     val covered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
     assert(covered == (0L until 200L).toSet, "some member escaped the verify stage")
+  }
+
+  test("semDedupSurvivors keeps the earliest member of each near-dup set") {
+    val dup = emb.filter($"vec_id" === 3)
+      .select(($"vec_id" + 9000).as("vec_id"), $"embedding", $"label")
+    val planes = emb.filter($"vec_id".isin(1, 2)).orderBy($"vec_id")
+      .select($"embedding").as[Seq[Float]].collect().toSeq
+    val kept = Similarity.semDedupSurvivors(emb.union(dup), "embedding", "vec_id",
+      planes, threshold = 0.999)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept.contains(3L), "earliest member must survive")
+    assert(!kept.contains(9003L), "the planted later copy must be dropped")
+    // a 200-member identical flood collapses to exactly its earliest id,
+    // even when the bucket cap routes most members through overflow pairs
+    val base = emb.filter($"vec_id" === 3).select($"embedding").as[Seq[Float]].head()
+    val flood = spark.createDataFrame(
+      (0 until 200).map(i => (i.toLong, base))).toDF("vec_id", "embedding")
+    val fkept = Similarity.semDedupSurvivors(flood, "embedding", "vec_id",
+      planes, threshold = 0.999, maxBucketSize = 20)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(fkept == Set(0L), s"flood should collapse to {0}, got $fkept")
   }
 
   test("planeCountFor scales bucket count with the corpus") {
