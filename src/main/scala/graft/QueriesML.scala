@@ -274,7 +274,146 @@ object QueriesML {
   ) ++ Seq(regridQ, nearestQ, bilinearQ, matchDtQ, packedQ, haversineQ, sessionizeQ,
     embDupQ, corpusStatsQ, hashSampleQ, stratifiedCapQ, decontaminateQ,
     repetitionQ, quantizeQ, imageDupsQ, audioQ, piiQ, domainQ,
-    semDedupQ, dupShingleQ, tfidfQ)
+    semDedupQ, dupShingleQ, tfidfQ, lmQualityQ, packQ,
+    chunkQ, domainCapQ, vocabQ)
+
+  // ------------------------------------------------------- text: context-window chunking
+  // Overlapping 16-token windows at stride 4; per-chunk start, token count,
+  // and content hash. Chunks explode map-side — nothing shuffles until the
+  // final ORDER BY.
+  private lazy val chunkQ = Q("q74_chunk_windows", Some("""
+      WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      c AS (SELECT doc_id, i AS start, t[i:i+15] AS ck
+            FROM (SELECT doc_id, t,
+                    unnest(generate_series(1, greatest(1, len(t) - 12), 4)) AS i
+                  FROM t))
+      SELECT doc_id, CAST(start AS BIGINT) AS start, CAST(len(ck) AS BIGINT) AS n_toks,
+             md5(array_to_string(ck, ' ')) AS chunk_md5
+      FROM c ORDER BY doc_id, start"""))(
+    (s, d) => {
+      import graft.functions.{TextFunctions => TF}
+      Tables.documents(s, d)
+        .select($"doc_id", explode(TF.chunkWindows($"text", 16, 4)).as("c"))
+        .select($"doc_id", $"c.start".cast("long").as("start"),
+          size(split($"c.chunk", " ")).cast("long").as("n_toks"),
+          md5($"c.chunk").as("chunk_md5"))
+        .orderBy($"doc_id", $"start")
+    })
+
+  // ------------------------------------------------------- sampling: per-domain cap
+  // Composition query: extract each doc's first URL domain (q68's synthetic
+  // augmentation), then keep at most 5 docs per domain in deterministic md5
+  // order — the per-domain quota every crawl-derived corpus enforces.
+  private lazy val domainCapQ = {
+    import graft.functions.TextFunctions._
+    Q("q75_domain_cap", Some(s"""
+      WITH aug AS (SELECT doc_id,
+             text || ' see https://site' || CAST(doc_id % 20 AS VARCHAR)
+                  || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' plus http://cdn.example.net/lib.js?v=1'
+                          ELSE '' END AS t
+           FROM documents),
+      dom AS (SELECT doc_id,
+                lower(regexp_extract(regexp_extract_all(t, '$urlRe')[1], '$domainRe', 1)) AS domain
+              FROM aug),
+      r AS (SELECT doc_id, domain,
+              row_number() OVER (PARTITION BY domain
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS rn
+            FROM dom)
+      SELECT domain, doc_id FROM r WHERE rn <= 5 ORDER BY domain, doc_id"""))(
+      (s, d) => {
+        import graft.operators.Sampling
+        val aug = concat($"text",
+          lit(" see https://site"), ($"doc_id" % 20).cast("string"),
+          lit(".example.org/p/"), $"doc_id".cast("string"),
+          when($"doc_id" % 3 === 0, lit(" plus http://cdn.example.net/lib.js?v=1"))
+            .otherwise(lit("")))
+        val dom = Tables.documents(s, d)
+          .select($"doc_id", urlDomain(element_at(extractUrls(aug), 1)).as("domain"))
+        Sampling.stratifiedCap(dom, $"domain", $"doc_id", maxPerStratum = 5)
+          .select($"domain", $"doc_id").orderBy($"domain", $"doc_id")
+      })
+  }
+
+  // ------------------------------------------------------- text: vocabulary / Zipf stats
+  // Per-source type-token accounting: hapax count and TTR flag templated
+  // text; the token stream never shuffles (two-level agg).
+  private lazy val vocabQ = Q("q76_vocab_stats", Some(s"""
+      WITH tok AS (SELECT source, unnest($toksSql) AS w FROM documents),
+      tc AS (SELECT source, w, count(*) AS c FROM tok GROUP BY source, w)
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+             round(count(*)::DOUBLE / sum(c), 6) AS ttr
+      FROM tc GROUP BY source ORDER BY source"""))(
+    (s, d) => {
+      import graft.functions.{TextFunctions => TF}
+      TF.vocabStats(Tables.documents(s, d), "source", "text")
+        .select($"g".as("source"), $"n_tokens", $"n_types", $"n_hapax", $"ttr")
+        .orderBy($"source")
+    })
+
+  // ------------------------------------------------------- text: bigram-LM quality score
+  // CCNet-style LM fluency signal: Laplace-smoothed bigram model trained on
+  // the doc_id % 7 == 0 "clean" subset, every doc scored by mean bigram NLL.
+  private lazy val lmQualityQ = Q("q72_lm_quality", Some(s"""
+      WITH tt AS (SELECT $toksSql AS t FROM documents WHERE doc_id % 7 = 0),
+      tb AS (SELECT array_to_string(t[i:i+1], ' ') AS s
+             FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                   FROM tt WHERE len(t) >= 2)),
+      c2 AS (SELECT s, count(*) AS c2 FROM tb GROUP BY s),
+      c1 AS (SELECT split_part(s, ' ', 1) AS w1, count(*) AS c1 FROM tb GROUP BY 1),
+      v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM tt)),
+      dt AS (SELECT doc_id, $toksSql AS t FROM documents),
+      db AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS s
+             FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                   FROM dt WHERE len(t) >= 2)),
+      j AS (SELECT db.doc_id,
+                   ln((COALESCE(c1.c1, 0) + (SELECT v FROM v))::DOUBLE
+                      / (COALESCE(c2.c2, 0) + 1)::DOUBLE) AS nll
+            FROM db LEFT JOIN c2 USING (s)
+                    LEFT JOIN c1 ON c1.w1 = split_part(db.s, ' ', 1))
+      SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 6) AS avg_nll
+      FROM j GROUP BY doc_id ORDER BY doc_id"""))(
+    (s, d) => {
+      import graft.functions.{TextFunctions => TF}
+      val docs = Tables.documents(s, d)
+      TF.bigramLmScore(docs, "doc_id", "text",
+          docs.filter($"doc_id" % 7 === 0), "text")
+        .select($"id".as("doc_id"), $"n_bigrams", $"avg_nll")
+        .orderBy($"doc_id")
+    })
+
+  // ------------------------------------------------------- sampling: sequence packing
+  // Training-example assembly: hash-shard docs, floor(prefix-tokens / 512)
+  // bin assignment within each shard; per-bin doc/token totals.
+  private lazy val packQ = Q("q73_pack_sequences", Some("""
+      WITH t AS (SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS tc,
+                   ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+                  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+                  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 8 AS shard
+                 FROM documents),
+      c AS (SELECT doc_id, shard, tc,
+                   COALESCE(sum(tc) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+            FROM t)
+      SELECT CAST(shard AS BIGINT) AS shard, CAST(cum // 512 AS BIGINT) AS bin,
+             count(*) AS n_docs, CAST(sum(tc) AS BIGINT) AS sum_tokens
+      FROM c GROUP BY 1, 2 ORDER BY shard, bin"""))(
+    (s, d) => {
+      import graft.functions.{TextFunctions => TF}
+      import graft.operators.Sampling
+      val withTc = Tables.documents(s, d)
+        .select($"doc_id", TF.tokenCount($"text").cast("long").as("tc"))
+      Sampling.packSequences(withTc, $"doc_id", $"tc",
+          maxTokensPerBin = 512L, shards = 8)
+        .groupBy($"shard".cast("long").as("shard"), $"bin")
+        .agg(count(lit(1)).as("n_docs"), sum($"tc").as("sum_tokens"))
+        .orderBy($"shard", $"bin")
+    })
 
   // ------------------------------------------------------- similarity: SemDeDup survivor set
   // Semantic dedup on the q46 planted-duplicate corpus: a vector survives

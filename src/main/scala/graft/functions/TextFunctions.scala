@@ -146,8 +146,10 @@ object TextFunctions {
   /** Registrable host of a URL: the authority part before any `/`, `?`,
     * `#` or `:port`, lowercased — the C4-style domain key for per-domain
     * quality stats, caps, and blocklists. */
+  val domainRe = "https?://([^/?#:\\s]+)"
+
   def urlDomain(url: Column): Column =
-    lower(regexp_extract(url, "https?://([^/?#:\\s]+)", 1))
+    lower(regexp_extract(url, domainRe, 1))
 
   /** TF-IDF top-`k` keyword extraction per document: tf = in-doc term count,
     * idf = ln(N / df) with N = distinct non-empty docs, top-k by
@@ -177,6 +179,81 @@ object TextFunctions {
         Window.partitionBy(col("id")).orderBy(col("tfidf").desc, col("term"))))
       .filter(col("rk") <= k)
       .select(col("id"), col("term"), col("tfidf"), col("rk"))
+  }
+
+  /** CCNet-style n-gram LM quality score (Wenzek et al. 2020 §3.3 uses a
+    * 5-gram KenLM; same signal, bigram order, exact arithmetic): each
+    * document scored by the mean negative log-likelihood of its word
+    * bigrams under a Laplace-smoothed bigram model trained on a reference
+    * "clean" corpus — low avg_nll ≈ fluent, high ≈ gibberish/boilerplate.
+    * nll(w1 w2) = ln((c(w1·) + V) / (c(w1 w2) + 1)); unseen contexts
+    * degrade smoothly to ln(V).
+    *
+    * Scale shape: the LM is a keyed TABLE, never a broadcast — both lookup
+    * joins shuffle on their own key (bigram, then first word), so a
+    * billion-bigram LM trains and serves with the same plan; only the
+    * single-row vocab count rides a broadcast cross join. Returns
+    * (id, n_bigrams, avg_nll); docs with fewer than 2 tokens drop out. */
+  def bigramLmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, train: org.apache.spark.sql.DataFrame,
+      trainTextCol: String): org.apache.spark.sql.DataFrame = {
+    import graft.operators.Dedup
+    val trainBigrams = train.select(
+      explode(Dedup.shingles(Dedup.tokens(col(trainTextCol)), 2)).as("s"))
+    val c2 = trainBigrams.groupBy(col("s")).agg(count(lit(1)).as("c2"))
+    val c1 = trainBigrams
+      .select(substring_index(col("s"), " ", 1).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = train
+      .select(explode(Dedup.tokens(col(trainTextCol))).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    df.select(col(idCol).as("id"),
+        explode(Dedup.shingles(Dedup.tokens(col(textCol)), 2)).as("s"))
+      .withColumn("w1", substring_index(col("s"), " ", 1))
+      .join(c2, Seq("s"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll",
+        log((coalesce(col("c1"), lit(0L)) + col("v")).cast("double")
+          / (coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll")), 6).as("avg_nll"))
+  }
+
+  /** Context-window chunking for training-example prep: overlapping token
+    * windows of `window` tokens at `stride` intervals (stride < window =
+    * overlap). Start positions run 1, 1+stride, ... up to len - window +
+    * stride, so every token lands in at least one chunk and the final chunk
+    * may be short; docs shorter than one window yield exactly one chunk.
+    * Pure per-row expression — chunks explode map-side, nothing shuffles
+    * until the caller aggregates. Returns array<struct<start int, chunk
+    * string>> (1-based starts). */
+  def chunkWindows(text: Column, window: Int, stride: Int): Column = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val t = tokens(text)
+    val starts = sequence(lit(1),
+      greatest(lit(1), size(t) - lit(window - stride)), lit(stride))
+    transform(starts, i =>
+      struct(i.as("start"), concat_ws(" ", slice(t, i, lit(window))).as("chunk")))
+  }
+
+  /** Per-group vocabulary statistics: total tokens, distinct types, hapax
+    * legomena (types occurring once in the group), and type-token ratio —
+    * the Zipf-shape summary that flags synthetic/templated text (low TTR,
+    * few hapaxes) vs natural prose. Two-level aggregation: per-(group,
+    * token) counts combine map-side before the exchange, then one row per
+    * type rolls up per group — the token stream itself never shuffles. */
+  def vocabStats(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val tc = df.select(col(groupCol).as("g"),
+        explode(graft.operators.Dedup.tokens(col(textCol))).as("w"))
+      .groupBy(col("g"), col("w")).agg(count(lit(1)).as("c"))
+    tc.groupBy(col("g"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr",
+        round(col("n_types").cast("double") / col("n_tokens"), 6))
   }
 
   /** 64-bit content fingerprint: xxhash64 of the normalized token stream.

@@ -150,4 +150,30 @@ object Sampling {
       .select(col("id").as(idCol)).distinct()
     train.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** Approximate sequence packing for training-example assembly: documents
+    * are hash-sharded deterministically (md5 bucket of the key, mod
+    * `shards`), ordered by key within each shard, and assigned
+    * `bin = floor(exclusive-prefix-token-sum / maxTokensPerBin)`. A bin may
+    * overrun its token budget by at most one document — the standard
+    * relaxation (t5-style packing-by-position) that keeps assignment fully
+    * relational: one sort-based window per shard, no sequential driver
+    * state, reproducible under retries.
+    *
+    * Scale shape: the only exchange is the shard hash partitioning; each
+    * shard's window sorts and spills. Size `shards` to a few times the
+    * cluster's core count so shard cumsums stay parallel — bin ids are
+    * local to a shard, so shard count changes bin GROUPING, never
+    * correctness of the token bound. Adds `shard`, `bin` columns. */
+  def packSequences(df: DataFrame, keyCol: Column, tokenCountCol: Column,
+      maxTokensPerBin: Long, shards: Int): DataFrame = {
+    require(maxTokensPerBin > 0 && shards > 0,
+      s"maxTokensPerBin $maxTokensPerBin / shards $shards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(keyCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("shard", md5Bucket16(keyCol.cast("string")) % shards)
+      .withColumn("__cum", coalesce(sum(tokenCountCol).over(w), lit(0L)))
+      .withColumn("bin", expr(s"__cum div $maxTokensPerBin"))
+      .drop("__cum")
+  }
 }

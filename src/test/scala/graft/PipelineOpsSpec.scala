@@ -275,6 +275,73 @@ class SamplingSpec extends SparkSpec {
       bench.filter(lit(false)), "doc_id", "text")
     assert(none.count() == train.count())
   }
+
+  test("packSequences bins by exclusive prefix sum within a shard") {
+    // one shard so the packing order is just doc_id; tc=100 each, budget 250:
+    // exclusive cums 0,100,200,300,400,500 -> bins 0,0,0,1,1,2
+    val docs6 = (0L until 6L).map(i => (i, 100L)).toDF("doc_id", "tc")
+    val got = Sampling.packSequences(docs6, $"doc_id", $"tc",
+        maxTokensPerBin = 250L, shards = 1)
+      .select($"doc_id", $"bin").as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
+    // multi-shard: every doc assigned exactly once, and within each shard a
+    // bin's token load never exceeds budget + one document (the documented
+    // overrun bound of floor-of-prefix packing)
+    val many = (0L until 500L).map(i => (i, 37L + i % 90)).toDF("doc_id", "tc")
+    val packed = Sampling.packSequences(many, $"doc_id", $"tc",
+      maxTokensPerBin = 400L, shards = 4)
+    assert(packed.count() == 500)
+    val over = packed.groupBy($"shard", $"bin")
+      .agg(sum($"tc").as("tot"), max($"tc").as("mx"))
+      .filter($"tot" >= lit(400L) + $"mx").count()
+    assert(over == 0, "a bin exceeded budget by more than one document")
+  }
+
+  test("chunkWindows covers every token; short docs yield one chunk") {
+    import graft.functions.{TextFunctions => TF}
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks
+      (2L, "a b"),                                    // shorter than a window
+      (3L, (1 to 8).map(i => s"u$i").mkString(" "))   // exact multiple
+    ).toDF("doc_id", "text")
+    val got = docs.select($"doc_id", explode(TF.chunkWindows($"text", 4, 2)).as("c"))
+      .select($"doc_id", $"c.start", $"c.chunk")
+      .as[(Long, Int, String)].collect().toSeq.sorted
+    assert(got.filter(_._1 == 1L).map(_._2) == Seq(1, 3, 5, 7),
+      "starts must stride to cover the tail")
+    assert(got.filter(_._1 == 1L).last._3 == "t7 t8 t9 t10")
+    assert(got.filter(_._1 == 2L) == Seq((2L, 1, "a b")))
+    assert(got.filter(_._1 == 3L).map(_._2) == Seq(1, 3, 5),
+      "an exact multiple must not emit a trailing empty chunk")
+    // every token appears in >= 1 chunk
+    val covered = got.filter(_._1 == 1L).flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+  }
+
+  test("vocabStats counts types, hapaxes, and TTR per group") {
+    import graft.functions.{TextFunctions => TF}
+    val docs = Seq(
+      ("s1", "a a b"), ("s1", "b c"),   // s1: 5 tokens, types {a,b,c}, hapax {c}
+      ("s2", "x y")                     // s2: 2 tokens, both hapax
+    ).toDF("source", "text")
+    val got = TF.vocabStats(docs, "source", "text")
+      .orderBy($"g").as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("s1", 5L, 3L, 1L, 0.6), ("s2", 2L, 2L, 2L, 1.0)))
+  }
+
+  test("bigramLmScore: Laplace-smoothed NLL matches hand computation") {
+    import graft.functions.{TextFunctions => TF}
+    val train = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    // c2: {a b: 2, b a: 1, a c: 1}; c1: {a: 3, b: 1}; V = 3
+    val score = Seq((10L, "a b c"), (11L, "z z"), (12L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TF.bigramLmScore(score, "doc_id", "text", train, "text")
+      .orderBy($"id").as[(Long, Long, Double)].collect().toSeq
+    // doc 10: ln((3+3)/(2+1)) + ln((1+3)/(0+1)) over 2 = 1.039721
+    // doc 11: unseen context -> ln((0+3)/(0+1)) = ln 3 = 1.098612
+    // doc 12: one token, no bigrams, drops out
+    assert(got == Seq((10L, 2L, 1.039721), (11L, 1L, 1.098612)))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
