@@ -275,7 +275,61 @@ object QueriesML {
     embDupQ, corpusStatsQ, hashSampleQ, stratifiedCapQ, decontaminateQ,
     repetitionQ, quantizeQ, imageDupsQ, audioQ, piiQ, domainQ,
     semDedupQ, dupShingleQ, tfidfQ, lmQualityQ, packQ,
-    chunkQ, domainCapQ, vocabQ)
+    chunkQ, domainCapQ, vocabQ, ccQ, mixQ)
+
+  // ------------------------------------------------------- sampling: source-mixture rebalance
+  // Data mixing: per-source target rates (deterministic {0.25,0.5,0.75,1.0}
+  // from the source name) applied as a map-side md5-bucket filter — integer
+  // thresholds, so both engines compare exactly.
+  private lazy val mixQ = Q("q78_source_mix", Some("""
+      WITH b AS (SELECT doc_id, source,
+          (1 + length(source) % 4) AS q4,
+          (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS h16
+        FROM documents)
+      SELECT source, round(min(q4) / 4.0, 6) AS target_rate, count(*) AS n_kept
+      FROM b WHERE h16 < q4 * 16384
+      GROUP BY source ORDER BY source"""))(
+    (s, d) => {
+      import graft.operators.Sampling
+      val withRate = Tables.documents(s, d)
+        .withColumn("rate", (lit(1) + length($"source") % 4) / lit(4.0))
+      Sampling.mixtureSample(withRate, $"doc_id", $"rate")
+        .groupBy($"source")
+        .agg(round(min($"rate"), 6).as("target_rate"), count(lit(1)).as("n_kept"))
+        .orderBy($"source")
+    })
+
+  // ------------------------------------------------------- dedup: transitive cluster closure
+  // Connected components over a pair list (chains 0-1-2-3 per decade): the
+  // step that turns pairwise near-dups into keep-one-per-cluster groups.
+  // The oracle walks the same graph with a recursive CTE; min-label
+  // propagation must agree with full transitive closure.
+  private lazy val ccQ = Q("q77_dedup_clusters", Some("""
+      WITH RECURSIVE e1 AS (
+        SELECT doc_id AS src, doc_id + 1 AS dst FROM documents
+        WHERE doc_id % 10 < 3
+          AND EXISTS (SELECT 1 FROM documents d2 WHERE d2.doc_id = documents.doc_id + 1)),
+      e AS (SELECT src, dst FROM e1 UNION SELECT dst, src FROM e1),
+      reach AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+      m AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src)
+      SELECT d.doc_id, LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS cluster
+      FROM documents d LEFT JOIN m ON m.src = d.doc_id
+      ORDER BY d.doc_id"""))(
+    (s, d) => {
+      val docs = Tables.documents(s, d).select($"doc_id")
+      val e1 = docs.filter($"doc_id" % 10 < 3)
+        .select($"doc_id".as("id_a"), ($"doc_id" + 1).as("id_b"))
+        .join(docs.select($"doc_id".as("id_b")), Seq("id_b"), "left_semi")
+      Dedup.connectedComponents(docs, "doc_id", e1)
+        .select($"id".as("doc_id"), $"cluster")
+        .orderBy($"doc_id")
+    })
 
   // ------------------------------------------------------- text: context-window chunking
   // Overlapping 16-token windows at stride 4; per-chunk start, token count,

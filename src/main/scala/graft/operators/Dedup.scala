@@ -343,6 +343,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Connected components over a near-dup pair list — the transitive-closure
+    * step that turns pairwise matches into dedup CLUSTERS (keep one doc per
+    * component, as The Stack / RedPajama do after MinHash): min-label
+    * propagation, label(v) <- min over {v} ∪ neighbours until fixpoint.
+    *
+    * Scale shape: each round is one edge-keyed join + one node-keyed min
+    * aggregation — both plain shuffles on ids, nothing collected. Round
+    * count is the component DIAMETER, which for near-dup graphs (cliques
+    * and short chains) is small and independent of corpus size; `maxIters`
+    * bounds pathologies. Convergence is one count per round (same
+    * driver-loop discipline as [[Similarity.kmeansCentroids]]); each
+    * generation is persisted and the previous unpersisted, so lineage stays
+    * O(1) across rounds instead of growing a join per iteration.
+    * Returns (id, cluster) with cluster = min id in the component. */
+  def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b",
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+    var labels = nodes
+      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("cluster"))
+      .persist()
+    labels.count()
+    var it = 0
+    var done = false
+    while (!done && it < maxIters) {
+      val next = edges
+        .join(labels.select(col("id").as("src"), col("cluster")), Seq("src"))
+        .select(col("dst").as("id"), col("cluster"))
+        .union(labels)
+        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+        .persist()
+      val changed = next
+        .join(labels.select(col("id"), col("cluster").as("prev_c")), Seq("id"))
+        .filter(col("cluster") =!= col("prev_c")).count()
+      labels.unpersist()
+      labels = next
+      done = changed == 0
+      it += 1
+    }
+    labels
+  }
+
   /** Cross-document duplicate-content statistics (the corpus-level cousin of
     * the within-doc repetition score; CCNet §4.1 dedups on exactly this
     * signal at paragraph granularity): for each doc, the fraction of its

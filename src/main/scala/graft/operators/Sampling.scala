@@ -31,6 +31,16 @@ object Sampling {
     df.filter(md5Bucket16(keyCol.cast("string")) < math.round(rate * 65536).toInt)
   }
 
+  /** Deterministic mixture sampling: per-row keep decision by md5 bucket
+    * against a PER-ROW rate — the source-weighting step that rebalances a
+    * corpus toward target proportions (e.g. upweight books, downsample
+    * crawl). `rateCol` typically joins in from a small weights table keyed
+    * by source. Map-side only: no shuffle, no RNG, stable under retries,
+    * and nested across rates (a 0.25 sample is a subset of the 0.5 sample
+    * for the same keys). */
+  def mixtureSample(df: DataFrame, keyCol: Column, rateCol: Column): DataFrame =
+    df.filter(md5Bucket16(keyCol.cast("string")) < (rateCol * 65536).cast("int"))
+
   /** Capped stratified sample: at most `maxPerStratum` rows per stratum,
     * chosen deterministically in md5 order of the key (key string as the
     * total tie-break). The partitioned window sorts and spills — a skewed

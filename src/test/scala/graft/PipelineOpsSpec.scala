@@ -139,6 +139,25 @@ class DedupSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("connectedComponents closes transitive chains and composes with minhash pairs") {
+    // chain 0-1-2-3 (diameter 3), star 10-{11,12,13}, singleton 99
+    val nodes = Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L, 13L, 99L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (10L, 13L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 99L -> 99L))
+    // end-to-end: minhash near-dup pairs on the planted corpus collapse the
+    // original, its near-copy, and its exact copy into one cluster
+    val mh = Dedup.minhashNearDups(docs, "doc_id", "text",
+      numHashes = 32, bands = 16, threshold = 0.5)
+    val clusters = Dedup.connectedComponents(docs.select($"doc_id"), "doc_id", mh)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(1000L) == 0L, "exact copy must join doc 0's cluster")
+    assert(clusters(2001L) == 1L, "near copy must join doc 1's cluster")
+  }
+
   test("crossDocDupShingleStats: shared shingles count once per doc") {
     val tiny = Seq(
       (1L, "a b c d"),                 // shingles {a b c, b c d}
@@ -274,6 +293,23 @@ class SamplingSpec extends SparkSpec {
     val none = Sampling.decontaminateBloom(train, "doc_id", "text",
       bench.filter(lit(false)), "doc_id", "text")
     assert(none.count() == train.count())
+  }
+
+  test("mixtureSample: per-row rates nest and match hashSample at equal rate") {
+    val docs500 = Tables.documents(spark, sfDir).select($"doc_id", $"source")
+    val half = Sampling.mixtureSample(docs500.withColumn("r", lit(0.5)), $"doc_id", $"r")
+      .select($"doc_id").as[Long].collect().toSet
+    val quarter = Sampling.mixtureSample(docs500.withColumn("r", lit(0.25)), $"doc_id", $"r")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(quarter.subsetOf(half), "lower-rate sample must nest inside higher")
+    val viaHash = Sampling.hashSample(docs500, $"doc_id", 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(half == viaHash, "constant-rate mixture must equal hashSample")
+    // rate 1.0 keeps everything, rate 0 keeps nothing
+    assert(Sampling.mixtureSample(docs500.withColumn("r", lit(1.0)), $"doc_id", $"r")
+      .count() == docs500.count())
+    assert(Sampling.mixtureSample(docs500.withColumn("r", lit(0.0)), $"doc_id", $"r")
+      .count() == 0)
   }
 
   test("packSequences bins by exclusive prefix sum within a shard") {
