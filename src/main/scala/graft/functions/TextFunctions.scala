@@ -198,17 +198,32 @@ object TextFunctions {
       textCol: String, train: org.apache.spark.sql.DataFrame,
       trainTextCol: String): org.apache.spark.sql.DataFrame = {
     import graft.operators.Dedup
-    val trainBigrams = train.select(
-      explode(Dedup.shingles(Dedup.tokens(col(trainTextCol)), 2)).as("s"))
+    // both bigram streams run the shingle loop as ONE compiled lambda
+    // (Dedup.shingleStringsOf) — the interpreted transform/slice/concat_ws
+    // HOF chain never enters whole-stage codegen (same trade as the q58
+    // decontamination reshape; measured 3.5 s -> ~1 s at sf0.1)
+    val trainBigrams = train.select(col(trainTextCol).cast("string").as("t"))
+      .flatMap(r => Dedup.shingleStringsOf(r.getString(0), 2))(
+        org.apache.spark.sql.Encoders.STRING).toDF("s")
     val c2 = trainBigrams.groupBy(col("s")).agg(count(lit(1)).as("c2"))
-    val c1 = trainBigrams
-      .select(substring_index(col("s"), " ", 1).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // context counts roll up from the bigram table (one row per TYPE), not
+    // from a second explode of the corpus — the training text is scanned
+    // once for the model, once for the vocab
+    val c1 = c2.groupBy(substring_index(col("s"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
     val vocab = train
       .select(explode(Dedup.tokens(col(trainTextCol))).as("w"))
       .agg(countDistinct(col("w")).as("v"))
-    df.select(col(idCol).as("id"),
-        explode(Dedup.shingles(Dedup.tokens(col(textCol)), 2)).as("s"))
+    val docIn = df.select(col(idCol).as("id"), col(textCol).cast("string").as("t"))
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      docIn.schema.fields(0),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    docIn.flatMap { row =>
+        val id = row.get(0)
+        Dedup.shingleStringsOf(row.getString(1), 2).iterator
+          .map(s => org.apache.spark.sql.Row(id, s))
+      }(org.apache.spark.sql.Encoders.row(docSchema))
       .withColumn("w1", substring_index(col("s"), " ", 1))
       .join(c2, Seq("s"), "left")
       .join(c1, Seq("w1"), "left")

@@ -43,7 +43,7 @@ object Dedup {
     * `<= ' '` rule), lowercase, `\s+` split, n-token windows joined by
     * single spaces. Bit-identical output to the Column form — keep the two
     * in lockstep. */
-  private[operators] def shingleStringsOf(text: String, n: Int): Array[String] = {
+  private[graft] def shingleStringsOf(text: String, n: Int): Array[String] = {
     if (text == null) return Array.empty
     var from = 0
     var until = text.length

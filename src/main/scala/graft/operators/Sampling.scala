@@ -161,6 +161,33 @@ object Sampling {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Balanced shard export for training data: write `df` as parquet with
+    * every output file holding at most `rowsPerShard` rows and rows routed
+    * to files DETERMINISTICALLY (md5 bucket of `keyCol` mod the shard-task
+    * count), so re-running the export reproduces byte-stable shard
+    * membership regardless of upstream partitioning or AQE decisions.
+    *
+    * Scale shape: one hash exchange on the shard key, then each task
+    * writes its shards sequentially with the engine's own
+    * `maxRecordsPerFile` rotation (no per-file task, no driver loop). Task
+    * count = ceil(expectedRows / rowsPerShard / filesPerTask) so a 100 TB
+    * export fans out to thousands of writers; `expectedRows` is a hint,
+    * not a correctness input — underestimating only makes files rotate
+    * more often within a task. */
+  def writeShards(df: DataFrame, keyCol: Column, outDir: String,
+      rowsPerShard: Long, expectedRows: Long, filesPerTask: Int = 4): Unit = {
+    require(rowsPerShard > 0 && expectedRows >= 0 && filesPerTask > 0,
+      s"bad shard sizing: rowsPerShard=$rowsPerShard expectedRows=$expectedRows")
+    val tasks = math.max(1L,
+      expectedRows / (rowsPerShard * filesPerTask)).toInt
+    df.withColumn("__shard_task", md5Bucket16(keyCol.cast("string")) % tasks)
+      .repartition(tasks, col("__shard_task"))
+      .drop("__shard_task")
+      .write.option("maxRecordsPerFile", rowsPerShard)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(outDir)
+  }
+
   /** Approximate sequence packing for training-example assembly: documents
     * are hash-sharded deterministically (md5 bucket of the key, mod
     * `shards`), ordered by key within each shard, and assigned

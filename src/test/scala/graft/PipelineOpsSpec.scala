@@ -295,6 +295,35 @@ class SamplingSpec extends SparkSpec {
     assert(none.count() == train.count())
   }
 
+  test("writeShards: bounded file sizes, deterministic membership") {
+    val tmp = java.nio.file.Files.createTempDirectory("shards").toString + "/out"
+    val docs500 = Tables.documents(spark, sfDir).select($"doc_id", $"source")
+    Sampling.writeShards(docs500, $"doc_id", tmp,
+      rowsPerShard = 60, expectedRows = 500, filesPerTask = 2)
+    val files = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).sorted
+    assert(files.length >= 500 / 60, s"too few shards: ${files.length}")
+    files.foreach { f =>
+      val n = spark.read.parquet(f.getPath).count()
+      assert(n <= 60, s"${f.getName} holds $n rows > rowsPerShard")
+    }
+    // nothing lost, nothing duplicated
+    val back = spark.read.parquet(tmp).select($"doc_id").as[Long].collect().sorted
+    val orig = docs500.select($"doc_id").as[Long].collect().sorted
+    assert(back.toSeq == orig.toSeq)
+    // deterministic: a rewrite produces identical per-file membership
+    val firstRun = files.map(f => spark.read.parquet(f.getPath)
+      .select($"doc_id").as[Long].collect().toSet).toSeq
+    Sampling.writeShards(docs500, $"doc_id", tmp,
+      rowsPerShard = 60, expectedRows = 500, filesPerTask = 2)
+    val files2 = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).sorted
+    val secondRun = files2.map(f => spark.read.parquet(f.getPath)
+      .select($"doc_id").as[Long].collect().toSet).toSeq
+    assert(firstRun.map(_.size).sum == secondRun.map(_.size).sum)
+    assert(firstRun.flatten.toSet == secondRun.flatten.toSet)
+  }
+
   test("mixtureSample: per-row rates nest and match hashSample at equal rate") {
     val docs500 = Tables.documents(spark, sfDir).select($"doc_id", $"source")
     val half = Sampling.mixtureSample(docs500.withColumn("r", lit(0.5)), $"doc_id", $"r")
@@ -858,11 +887,13 @@ class StreamingSpec extends SparkSpec {
     implicit val sq = spark.sqlContext
     val tmpRoot = java.nio.file.Files.createTempDirectory("stream_ingest").toString
     val stream = MemoryStream[(Long, String)]
+    // data must be present BEFORE the query starts: AvailableNow snapshots
+    // the available offsets at start, so late addData may miss the run
+    stream.addData(Seq((1L, "a"), (2L, "b")))
     val q = FileEvents.startIdempotentIngest(
       stream.toDF().toDF("event_id", "payload"), "event_id",
       s"$tmpRoot/sink", s"$tmpRoot/ckpt",
       trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
-    stream.addData(Seq((1L, "a"), (2L, "b")))
     q.processAllAvailable(); q.stop()
     // second run re-delivers an overlapping batch (at-least-once upstream)
     val stream2 = MemoryStream[(Long, String)]
