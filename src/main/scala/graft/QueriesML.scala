@@ -275,7 +275,43 @@ object QueriesML {
     embDupQ, corpusStatsQ, hashSampleQ, stratifiedCapQ, decontaminateQ,
     repetitionQ, quantizeQ, imageDupsQ, audioQ, piiQ, domainQ,
     semDedupQ, dupShingleQ, tfidfQ, lmQualityQ, packQ,
-    chunkQ, domainCapQ, vocabQ, ccQ, mixQ)
+    chunkQ, domainCapQ, vocabQ, ccQ, mixQ, pqQ)
+
+  // ------------------------------------------------------- similarity: product quantization
+  // PQ code assignment over two 32-dim subspaces with 4-centroid codebooks
+  // (embeddings 5..8 sliced, the q34 convention); per-(code_0, code_1)
+  // occupancy — the cell histogram an IVF-PQ index build reports.
+  private lazy val pqQ = Q("q79_pq_codes", Some("""
+      WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                 FROM embeddings WHERE vec_id BETWEEN 5 AND 8),
+      z0 AS (SELECT e.vec_id, c.cid, unnest(e.embedding[1:32])::DOUBLE AS x,
+                    unnest(c.cv[1:32]) AS y
+             FROM embeddings e CROSS JOIN c),
+      d0 AS (SELECT vec_id, cid, sum((x - y) * (x - y)) AS d2 FROM z0 GROUP BY vec_id, cid),
+      r0 AS (SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+             FROM d0),
+      a0 AS (SELECT vec_id, cid - 5 AS code_0 FROM r0 WHERE rn = 1),
+      z1 AS (SELECT e.vec_id, c.cid, unnest(e.embedding[33:64])::DOUBLE AS x,
+                    unnest(c.cv[33:64]) AS y
+             FROM embeddings e CROSS JOIN c),
+      d1 AS (SELECT vec_id, cid, sum((x - y) * (x - y)) AS d2 FROM z1 GROUP BY vec_id, cid),
+      r1 AS (SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+             FROM d1),
+      a1 AS (SELECT vec_id, cid - 5 AS code_1 FROM r1 WHERE rn = 1)
+      SELECT code_0, code_1, count(*) AS n, min(vec_id) AS min_id
+      FROM a0 JOIN a1 USING (vec_id)
+      GROUP BY code_0, code_1 ORDER BY code_0, code_1"""))(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = collectPlanes(emb, 5 to 8)
+      Similarity.pqCodes(emb, "embedding", "vec_id",
+          Seq(cb.map(_.slice(0, 32)), cb.map(_.slice(32, 64))))
+        .groupBy($"code_0".cast("long").as("code_0"), $"code_1".cast("long").as("code_1"))
+        .agg(count(lit(1)).as("n"), min($"vec_id").as("min_id"))
+        .orderBy($"code_0", $"code_1")
+    })
 
   // ------------------------------------------------------- sampling: source-mixture rebalance
   // Data mixing: per-source target rates (deterministic {0.25,0.5,0.75,1.0}
@@ -346,11 +382,10 @@ object QueriesML {
       FROM c ORDER BY doc_id, start"""))(
     (s, d) => {
       import graft.functions.{TextFunctions => TF}
-      Tables.documents(s, d)
-        .select($"doc_id", explode(TF.chunkWindows($"text", 16, 4)).as("c"))
-        .select($"doc_id", $"c.start".cast("long").as("start"),
-          size(split($"c.chunk", " ")).cast("long").as("n_toks"),
-          md5($"c.chunk").as("chunk_md5"))
+      TF.chunkWindowsFlat(Tables.documents(s, d), "doc_id", "text", 16, 4)
+        .select($"id".as("doc_id"), $"start".cast("long").as("start"),
+          $"n_toks".cast("long").as("n_toks"),
+          md5($"chunk").as("chunk_md5"))
         .orderBy($"doc_id", $"start")
     })
 

@@ -181,6 +181,53 @@ object TextFunctions {
       .select(col("id"), col("term"), col("tfidf"), col("rk"))
   }
 
+  private val WhitespaceRe = java.util.regex.Pattern.compile("\\s+")
+
+  /** Compiled twin of [[chunkWindows]] for the hot path: the window loop
+    * runs as one JVM lambda instead of the interpreted
+    * sequence/transform/slice HOF chain. SQL `trim` semantics (spaces
+    * only), `\s+` split, NO lowercasing — bit-identical rows to
+    * `explode(chunkWindows(...))`; keep the two in lockstep (spec asserts
+    * equality). Emits (id, start, n_toks, chunk). */
+  def chunkWindowsFlat(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, window: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val in = df.select(col(idCol).as("id"), col(textCol).cast("string").as("t"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      in.schema.fields(0),
+      org.apache.spark.sql.types.StructField("start",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_toks",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("chunk",
+        org.apache.spark.sql.types.StringType)))
+    in.flatMap { row =>
+      if (row.isNullAt(1)) Iterator.empty
+      else {
+        val id = row.get(0)
+        val text = row.getString(1)
+        var from = 0
+        var until = text.length
+        while (from < until && text.charAt(from) == ' ') from += 1
+        while (until > from && text.charAt(until - 1) == ' ') until -= 1
+        val toks = WhitespaceRe.split(text.substring(from, until))
+        val lastStart = math.max(1, toks.length - (window - stride))
+        Iterator.range(1, lastStart + 1, stride).map { start =>
+          val end = math.min(start - 1 + window, toks.length)
+          val sb = new java.lang.StringBuilder()
+          var k = start - 1
+          while (k < end) {
+            if (k > start - 1) sb.append(' ')
+            sb.append(toks(k))
+            k += 1
+          }
+          org.apache.spark.sql.Row(id, start, end - start + 1, sb.toString)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** CCNet-style n-gram LM quality score (Wenzek et al. 2020 §3.3 uses a
     * 5-gram KenLM; same signal, bigram order, exact arithmetic): each
     * document scored by the mean negative log-likelihood of its word

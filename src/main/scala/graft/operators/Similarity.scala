@@ -212,6 +212,27 @@ object Similarity {
       .distinct()
   }
 
+  /** Product-quantization code assignment (Jégou et al. 2011; the
+    * compression half of FAISS-style IVF-PQ): each vector splits into `m`
+    * contiguous subvectors, each subspace has its own `k`-centroid codebook
+    * (train with [[kmeansCentroids]] over sliced vectors), and the vector
+    * compresses to `m` small codes — 64 floats become 2 bytes at m=2, k<=256.
+    * Assignment is pure per-row expressions over codebook literals
+    * ([[ivfCell]] on a slice per subspace): no join, no shuffle, scan-speed
+    * at any corpus size. Returns (id, code_0..code_{m-1}). */
+  def pqCodes(emb: DataFrame, vecCol: String, idCol: String,
+      codebooks: Seq[Seq[Seq[Float]]]): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebook")
+    val offsets = codebooks.map(_.head.length).scanLeft(0)(_ + _)
+    val codes = codebooks.zipWithIndex.map { case (cb, j) =>
+      require(cb.forall(_.length == cb.head.length),
+        s"codebook $j has ragged centroid lengths")
+      ivfCell(slice(col(vecCol), offsets(j) + 1, cb.head.length), cb)
+        .as(s"code_$j")
+    }
+    emb.select(col(idCol) +: codes: _*)
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * a row survives iff it has no near-duplicate (cosine >= `threshold`)
     * with a smaller id in its LSH bucket. The drop policy is "keep the

@@ -383,6 +383,23 @@ class SamplingSpec extends SparkSpec {
     assert(covered == (1 to 10).map(i => s"t$i").toSet)
   }
 
+  test("chunkWindowsFlat is bit-identical to the Column form on the fixture") {
+    import graft.functions.{TextFunctions => TF}
+    val docs500 = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val viaColumn = docs500
+      .select($"doc_id", explode(TF.chunkWindows($"text", 16, 4)).as("c"))
+      .select($"doc_id", $"c.start", $"c.chunk")
+      .as[(Long, Int, String)].collect().toSet
+    val viaFlat = TF.chunkWindowsFlat(docs500, "doc_id", "text", 16, 4)
+      .select($"id", $"start", $"chunk")
+      .as[(Long, Int, String)].collect().toSet
+    assert(viaFlat == viaColumn)
+    // n_toks matches a re-split of the chunk
+    val bad = TF.chunkWindowsFlat(docs500, "doc_id", "text", 16, 4)
+      .filter(size(split($"chunk", " ")) =!= $"n_toks").count()
+    assert(bad == 0)
+  }
+
   test("vocabStats counts types, hapaxes, and TTR per group") {
     import graft.functions.{TextFunctions => TF}
     val docs = Seq(
@@ -486,6 +503,24 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.length == 190 + 180, s"expected 370 capped pairs, got ${pairs.length}")
     val covered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
     assert(covered == (0L until 200L).toSet, "some member escaped the verify stage")
+  }
+
+  test("pqCodes assigns per-subspace nearest codebook entries") {
+    val vecs = Seq(
+      (1L, Seq(0.0f, 10.0f)),
+      (2L, Seq(5.0f, -3.0f))
+    ).toDF("vec_id", "embedding")
+    val codebooks = Seq(
+      Seq(Seq(0.0f), Seq(4.0f)),   // subspace 0 (dim 1)
+      Seq(Seq(10.0f), Seq(0.0f)))  // subspace 1 (dim 2)
+    val rows = Similarity.pqCodes(vecs, "embedding", "vec_id", codebooks)
+      .as[(Long, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, 0, 0), (2L, 1, 1)))
+    // codebooks trained per-subspace with the existing kmeans compose
+    val emb = Tables.embeddings(spark, sfDir)
+    val sub0 = emb.select($"vec_id", expr("slice(embedding, 1, 32)").as("embedding"))
+    val trained0 = Similarity.kmeansCentroids(sub0, "embedding", "vec_id", k = 4, iters = 2)
+    assert(trained0.forall(_.length == 32))
   }
 
   test("semDedupSurvivors keeps the earliest member of each near-dup set") {
@@ -744,6 +779,32 @@ class MultimodalSpec extends SparkSpec {
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
   import graft.streaming.FileEvents
+
+  test("stateless pipeline ops run unchanged on a stream (stream == batch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.{TextFunctions => TF}
+    import graft.operators.Sampling
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = (1L to 60L).map(i =>
+      (i, s"user$i@example.com writes filler text number $i"))
+    def transform(df: org.apache.spark.sql.DataFrame) =
+      Sampling.mixtureSample(df.withColumn("r", lit(0.5)), col("doc_id"), col("r"))
+        .select($"doc_id", md5(TF.redactPii($"text")).as("red_md5"),
+          TF.tokenCount($"text").as("n_toks"))
+    val in = MemoryStream[(Long, String)]
+    in.addData(rows)
+    val streaming = transform(in.toDF().toDF("doc_id", "text"))
+    assert(streaming.isStreaming, "map-side ops must not force a batch plan")
+    val q = streaming.writeStream.format("memory")
+      .queryName("stateless_ops").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stateless_ops")
+      .as[(Long, String, Int)].collect().toSet
+    val batch = transform(rows.toDF("doc_id", "text"))
+      .as[(Long, String, Int)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed.size < rows.size, "mixture must subsample")
+  }
 
   test("streaming exact dedup drops cross-batch duplicates with bounded state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
