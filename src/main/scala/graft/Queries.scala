@@ -971,6 +971,54 @@ object Queries {
           .filter($"value".isNotNull)
           .select($"time", $"latitude", $"longitude", $"value")
           .orderBy($"time", $"latitude", $"longitude")
+      }),
+
+    // ---------------------------------------------------------------- S1 (GRIB2 IEEE packing, template 5.4)
+    // Same `orders` grid, packed with template 5.4 — raw IEEE floats, the
+    // packing centres use when fixed-point scaling would lose precision
+    // (the reference reads it via eccodes). Message 1 is 32-bit floats
+    // with a fractional part exactly representable in float32 (x + 0.25);
+    // message 2 is 64-bit doubles of x/7 behind a bitmap — both sides of
+    // the precision-code dispatch round-trip bit-exact against DuckDB's
+    // recomputation of the same arithmetic.
+    Q("q80_grib2_ieee", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200)
+      SELECT CASE WHEN rn0 // 100 = 0 THEN TIMESTAMP '2026-12-01 00:00:00'
+                  ELSE TIMESTAMP '2026-12-01 06:00:00' END AS time,
+             CAST(50 - (rn0 % 100) // 10 AS DOUBLE) AS latitude,
+             CAST(rn0 % 10 AS DOUBLE) AS longitude,
+             round(CASE WHEN rn0 < 100
+                        THEN (o_orderkey % 997) + CAST(0.25 AS DOUBLE)
+                        ELSE (o_orderkey % 997) / CAST(7 AS DOUBLE) END,
+                   6) AS value
+      FROM o
+      WHERE NOT (rn0 >= 100 AND rn0 % 7 = 0)
+      ORDER BY time, latitude, longitude"""))(
+      (s, d) => {
+        import graft.sources.grib.{Grib2Reader, Grib2Writer => GW2}
+        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+          .select(($"o_orderkey" % 997).cast("double"))
+          .collect().map(_.getDouble(0)).toSeq
+        val t0 = java.time.LocalDateTime.of(2026, 12, 1, 0, 0)
+        val path = java.nio.file.Files.createTempDirectory("q80").toString + "/q80.grib2"
+        def spec(v: Seq[Double], fcst: Int, bits: Int) = GW2.FieldSpec(
+          discipline = 0, category = 0, number = 0, levelType = 103,
+          levelScaledValue = 2, refTime = t0, values = v, ni = 10, nj = 10,
+          la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0,
+          forecastTime = fcst, decimalScale = 0,
+          packing = 4, bitsPerValue = bits)
+        val m2 = vals.drop(100).zipWithIndex.map { case (v, k) =>
+          if ((k + 100) % 7 == 0) Double.NaN else v / 7.0
+        }
+        GW2.write(path, Seq(spec(vals.take(100).map(_ + 0.25), 0, bits = 32),
+          spec(m2, 6, bits = 64)))
+        Grib2Reader.readLongFormat(s, path)
+          .filter($"value".isNotNull)
+          .select($"time", $"latitude", $"longitude",
+            round($"value", 6).as("value"))
+          .orderBy($"time", $"latitude", $"longitude")
       })
   )
 

@@ -374,6 +374,15 @@ object Grib2 {
             case 0 =>
               repr = Some((ieee32(b, 11), Grib1.s16(b, 15), Grib1.s16(b, 17),
                 u8(b, 19), 0, None))
+            case 4 => // IEEE floating point (code table 5.7 precision); the
+              // section-7 payload is raw big-endian floats, no R/E/D scaling
+              val precBits = u8(b, 11) match {
+                case 1 => 32
+                case 2 => 64
+                case p => throw UnsupportedGrib(
+                  s"IEEE packing precision code $p (1 = 32-bit, 2 = 64-bit)")
+              }
+              repr = Some((0.0f, 0, 0, precBits, 4, None))
             case 41 => // PNG packing: same R/E/D/depth layout as 5.0, the
               // section-7 payload is a PNG image of the scaled X values
               repr = Some((ieee32(b, 11), Grib1.s16(b, 15), Grib1.s16(b, 17),
@@ -415,9 +424,9 @@ object Grib2 {
             case other =>
               throw UnsupportedGrib(s"data representation template 5.$other " +
                 "(supported: 5.0 simple, 5.2 complex, 5.3 complex + spatial " +
-                "differencing, 5.40 JPEG2000 lossless, 5.41 PNG, 5.42 CCSDS; " +
-                "5.50 spectral is not — repack with `grib_set -r " +
-                "packingType=grid_simple`)")
+                "differencing, 5.4 IEEE float, 5.40 JPEG2000 lossless, " +
+                "5.41 PNG, 5.42 CCSDS; 5.50 spectral is not — repack with " +
+                "`grib_set -r packingType=grid_simple`)")
           }
         case 6 =>
           val b = read(cur, 6)
@@ -461,11 +470,47 @@ object Grib2 {
         Grib1.decodePacked(f.refValue, f.binaryScale, f.decimalScale, f.bitsPerValue,
           f.nPoints, data, if (f.bitmapOffset >= 0) bitmap else null)
       case 2 | 3 => decodeComplex(f, data, bitmap)
+      case 4 => decodeIeee(f, data, bitmap)
       case 40 => decodeJpeg2000(f, data, bitmap)
       case 41 => decodePng(f, data, bitmap)
       case 42 => decodeCcsds(f, data, bitmap)
       case other => throw UnsupportedGrib(s"data representation template 5.$other")
     }
+
+  /** Template 7.4: raw big-endian IEEE floats (32- or 64-bit per the
+    * section-5 precision code) for the PRESENT points, raster order —
+    * no reference/scale fixed-point step applies. */
+  private def decodeIeee(f: Field, data: Array[Byte],
+      bitmap: Array[Byte]): Array[Double] = {
+    val bytesPer = f.bitsPerValue / 8
+    val present: Array[Boolean] =
+      if (f.bitmapOffset >= 0 && bitmap != null)
+        Array.tabulate(f.nPoints)(k => (u8(bitmap, k >> 3) & (0x80 >> (k & 7))) != 0)
+      else null
+    val nPresent = if (present == null) f.nPoints else present.count(identity)
+    if (data.length < nPresent * bytesPer)
+      throw UnsupportedGrib(
+        s"IEEE packing carries ${data.length / bytesPer} values for $nPresent points")
+    val out = new Array[Double](f.nPoints)
+    var xi = 0
+    var i = 0
+    while (i < f.nPoints) {
+      out(i) =
+        if (present == null || present(i)) {
+          val off = xi * bytesPer
+          val v =
+            if (bytesPer == 4) java.lang.Float.intBitsToFloat(
+              ((data(off) & 0xff) << 24) | ((data(off + 1) & 0xff) << 16) |
+                ((data(off + 2) & 0xff) << 8) | (data(off + 3) & 0xff)).toDouble
+            else java.lang.Double.longBitsToDouble(
+              (0 until 8).foldLeft(0L)((acc, k) => (acc << 8) | (data(off + k) & 0xffL)))
+          xi += 1
+          v
+        } else Double.NaN
+      i += 1
+    }
+    out
+  }
 
   /** Template 7.40: the payload is a JPEG 2000 codestream; samples in
     * raster order are the scaled X values of the PRESENT points (same

@@ -231,12 +231,13 @@ object Grib2Writer {
     f.packing match {
       case 0 => simple57(f)
       case 2 | 3 => complex57(f)
+      case 4 => ieee57(f)
       case 40 => jpeg57(f)
       case 41 => png57(f)
       case 42 => ccsds57(f)
       case other => throw Grib1.UnsupportedGrib(
         s"writer packing $other (0 simple, 2 complex, 3 complex+spatial " +
-          "diff, 40 JPEG2000, 41 PNG, 42 CCSDS)")
+          "diff, 4 IEEE, 40 JPEG2000, 41 PNG, 42 CCSDS)")
     }
 
   /** Template 5.40/7.40: scaled X values as a lossless JPEG 2000
@@ -312,6 +313,38 @@ object Grib2Writer {
     val s7 = new Array[Byte](5 + coded.length)
     putU32(s7, 0, s7.length); s7(4) = 7
     System.arraycopy(coded, 0, s7, 5, coded.length)
+    (s5, s7)
+  }
+
+  /** Template 5.4/7.4: raw big-endian IEEE floats of the present points —
+    * `bitsPerValue` 32 or 64 selects the precision code; decimalScale does
+    * not apply (values are stored verbatim). */
+  private def ieee57(f: FieldSpec): (Array[Byte], Array[Byte]) = {
+    val prec = f.bitsPerValue match {
+      case 32 => 1
+      case 64 => 2
+      case other => throw Grib1.UnsupportedGrib(
+        s"IEEE packing bitsPerValue $other (32 or 64)")
+    }
+    val present = f.values.filterNot(_.isNaN)
+    val s5 = new Array[Byte](12)
+    putU32(s5, 0, 12); s5(4) = 5
+    putU32(s5, 5, present.size)
+    putU16(s5, 9, 4)                 // template 5.4
+    s5(11) = prec.toByte
+    val bytesPer = f.bitsPerValue / 8
+    val s7 = new Array[Byte](5 + present.size * bytesPer)
+    putU32(s7, 0, s7.length); s7(4) = 7
+    present.zipWithIndex.foreach { case (v, k) =>
+      val off = 5 + k * bytesPer
+      if (prec == 1)
+        putU32(s7, off, java.lang.Float.floatToIntBits(v.toFloat).toLong & 0xffffffffL)
+      else {
+        val bits = java.lang.Double.doubleToLongBits(v)
+        var i = 0
+        while (i < 8) { s7(off + i) = ((bits >>> (56 - 8 * i)) & 0xff).toByte; i += 1 }
+      }
+    }
     (s5, s7)
   }
 

@@ -172,6 +172,36 @@ class Grib2Spec extends SparkSpec {
     }
   }
 
+  test("IEEE packing (5.4) round-trips at both precisions, with bitmap") {
+    for (bits <- Seq(32, 64)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"grib2ieee$bits").toString
+      val p = s"$dir/ieee.grib2"
+      // negative, fractional, zero, and non-float32-representable values:
+      // the 64-bit path must carry full double precision verbatim
+      val vals = gridVals((j, i) =>
+        if (j == 1 && i == 4) Double.NaN // bitmap path
+        else if (j == 0 && i == 0) 0.0
+        else (j * ni + i - 7.5) / (if (bits == 64) 7.0 else 4.0))
+      GW2.write(p, Seq(GW2.FieldSpec(0, 0, 0, 103, 2, t0, vals, ni, nj,
+        la1 = 60.0, lo1 = -10.0, la2 = 45.0, lo2 = 10.0,
+        decimalScale = 0, packing = 4, bitsPerValue = bits)))
+      val fields = Grib2Reader.indexFields(new org.apache.hadoop.conf.Configuration(), p)
+      assert(fields.head.reprTemplate == 4)
+      assert(fields.head.bitsPerValue == bits)
+      val got = Grib2Reader.readLongFormat(spark, p)
+        .orderBy($"latitude".desc, $"longitude")
+        .select($"value").collect()
+        .map(r => if (r.isNullAt(0)) Double.NaN else r.getDouble(0))
+      vals.zip(got).foreach { case (want, have) =>
+        if (want.isNaN) assert(have.isNaN)
+        else {
+          val expected = if (bits == 32) want.toFloat.toDouble else want
+          assert(expected == have, s"precision $bits")
+        }
+      }
+    }
+  }
+
   test("JPEG2000 packing (5.40) round-trips at every GRIB depth, with bitmap") {
     for (bits <- Seq(1, 2, 8, 16, 24)) {
       val dir = java.nio.file.Files.createTempDirectory(s"grib2j2k$bits").toString
