@@ -275,7 +275,50 @@ object QueriesML {
     embDupQ, corpusStatsQ, hashSampleQ, stratifiedCapQ, decontaminateQ,
     repetitionQ, quantizeQ, imageDupsQ, audioQ, piiQ, domainQ,
     semDedupQ, dupShingleQ, tfidfQ, lmQualityQ, packQ,
-    chunkQ, domainCapQ, vocabQ, ccQ, mixQ, pqQ)
+    chunkQ, domainCapQ, vocabQ, ccQ, mixQ, pqQ, adcQ)
+
+  // ------------------------------------------------------- similarity: PQ ADC top-k search
+  // The search half of IVF-PQ: query vec_id=1 stays uncompressed; the corpus
+  // is searched through its PQ codes alone (two table lookups + one add per
+  // row). The oracle recomputes code assignment AND the per-subspace
+  // query-to-centroid distance tables from the same embeddings.
+  private lazy val adcQ = Q("q81_pq_adc_topk", Some("""
+      WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                 FROM embeddings WHERE vec_id BETWEEN 5 AND 8),
+      qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 1),
+      z0 AS (SELECT e.vec_id, c.cid, unnest(e.embedding[1:32])::DOUBLE AS x,
+                    unnest(c.cv[1:32]) AS y
+             FROM embeddings e CROSS JOIN c WHERE e.vec_id <> 1),
+      d0 AS (SELECT vec_id, cid, sum((x - y) * (x - y)) AS d2 FROM z0 GROUP BY vec_id, cid),
+      r0 AS (SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+             FROM d0),
+      a0 AS (SELECT vec_id, cid AS cell_0 FROM r0 WHERE rn = 1),
+      z1 AS (SELECT e.vec_id, c.cid, unnest(e.embedding[33:64])::DOUBLE AS x,
+                    unnest(c.cv[33:64]) AS y
+             FROM embeddings e CROSS JOIN c WHERE e.vec_id <> 1),
+      d1 AS (SELECT vec_id, cid, sum((x - y) * (x - y)) AS d2 FROM z1 GROUP BY vec_id, cid),
+      r1 AS (SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+             FROM d1),
+      a1 AS (SELECT vec_id, cid AS cell_1 FROM r1 WHERE rn = 1),
+      t0 AS (SELECT c.cid, unnest(qv.q[1:32]) AS x, unnest(c.cv[1:32]) AS y FROM c, qv),
+      dt0 AS (SELECT cid, sum((x - y) * (x - y)) AS d2 FROM t0 GROUP BY cid),
+      t1 AS (SELECT c.cid, unnest(qv.q[33:64]) AS x, unnest(c.cv[33:64]) AS y FROM c, qv),
+      dt1 AS (SELECT cid, sum((x - y) * (x - y)) AS d2 FROM t1 GROUP BY cid)
+      SELECT a0.vec_id, round(dt0.d2 + dt1.d2, 6) AS adc
+      FROM a0 JOIN a1 USING (vec_id)
+           JOIN dt0 ON dt0.cid = a0.cell_0
+           JOIN dt1 ON dt1.cid = a1.cell_1
+      ORDER BY dt0.d2 + dt1.d2, a0.vec_id LIMIT 10"""))(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = collectPlanes(emb, 5 to 8)
+      val query = collectPlanes(emb, 1 to 1).head
+      Similarity.pqAdcTopK(emb.filter($"vec_id" =!= 1), "embedding", "vec_id",
+          Seq(cb.map(_.slice(0, 32)), cb.map(_.slice(32, 64))), query, 10)
+        .select($"vec_id", round($"adc", 6).as("adc"))
+    })
 
   // ------------------------------------------------------- similarity: product quantization
   // PQ code assignment over two 32-dim subspaces with 4-centroid codebooks

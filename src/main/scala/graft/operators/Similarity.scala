@@ -233,6 +233,41 @@ object Similarity {
     emb.select(col(idCol) +: codes: _*)
   }
 
+  /** ADC (asymmetric distance computation) top-k over PQ codes — the search
+    * half of FAISS-style IVF-PQ (Jégou et al. 2011 §III.B): the query stays
+    * uncompressed; each subspace's distances to its codebook centroids are
+    * precomputed driver-side into an m × k table (tiny), and a row's
+    * approximate squared distance is m table lookups + adds over its codes.
+    * Per-row expressions over literal tables + `TakeOrderedAndProject`:
+    * no join, no shuffle, no vector column read past the code assignment —
+    * at 100 TB the scan touches only the m small code columns. */
+  def pqAdcTopK(emb: DataFrame, vecCol: String, idCol: String,
+      codebooks: Seq[Seq[Seq[Float]]], query: Seq[Float], k: Int): DataFrame = {
+    val offsets = codebooks.map(_.head.length).scanLeft(0)(_ + _)
+    require(offsets.last <= query.length,
+      s"codebooks span ${offsets.last} dims; query has ${query.length}")
+    // driver-side distance tables, sequential-index double accumulation
+    // (the fp order the oracle's per-element sum reproduces)
+    val tables = codebooks.zipWithIndex.map { case (cb, j) =>
+      val qs = query.slice(offsets(j), offsets(j) + cb.head.length)
+      cb.map { c =>
+        var acc = 0.0
+        var i = 0
+        while (i < c.length) {
+          val d = c(i).toDouble - qs(i).toDouble; acc += d * d; i += 1
+        }
+        acc
+      }
+    }
+    val codes = pqCodes(emb, vecCol, idCol, codebooks)
+    val adc = tables.zipWithIndex.map { case (dt, j) =>
+      element_at(array(dt.map(lit): _*), col(s"code_$j") + 1)
+    }.reduce(_ + _)
+    codes.select(col(idCol), adc.as("adc"))
+      .orderBy(col("adc"), col(idCol))
+      .limit(k)
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * a row survives iff it has no near-duplicate (cosine >= `threshold`)
     * with a smaller id in its LSH bucket. The drop policy is "keep the

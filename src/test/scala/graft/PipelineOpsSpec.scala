@@ -523,6 +523,26 @@ class SimilaritySpec extends SparkSpec {
     assert(trained0.forall(_.length == 32))
   }
 
+  test("pqAdcTopK ranks by table-lookup distance, never reading vectors past coding") {
+    val vecs = Seq(
+      (1L, Seq(0.1f, 9.9f)),   // codes (0,0): adc = (0-0.2)^2 + (10-9.8)^2
+      (2L, Seq(4.2f, 0.3f)),   // codes (1,1): adc = (4-0.2)^2 + (0-9.8)^2
+      (3L, Seq(3.9f, 9.7f))    // codes (1,0): adc = (4-0.2)^2 + (10-9.8)^2
+    ).toDF("vec_id", "embedding")
+    val codebooks = Seq(
+      Seq(Seq(0.0f), Seq(4.0f)),   // subspace 0 centroids
+      Seq(Seq(10.0f), Seq(0.0f))) // subspace 1 centroids
+    val query = Seq(0.2f, 9.8f)
+    val got = Similarity.pqAdcTopK(vecs, "embedding", "vec_id", codebooks, query, 3)
+      .as[(Long, Double)].collect().toSeq
+    // expected tables in the operator's own fp terms (float operands, double math)
+    def d2(c: Float, q: Float) = { val d = c.toDouble - q.toDouble; d * d }
+    assert(got.map(_._1) == Seq(1L, 3L, 2L)) // ~0.08 < ~14.48 < ~110.48
+    assert(got.head._2 == d2(0f, 0.2f) + d2(10f, 9.8f))
+    assert(got(1)._2 == d2(4f, 0.2f) + d2(10f, 9.8f))
+    assert(got(2)._2 == d2(4f, 0.2f) + d2(0f, 9.8f))
+  }
+
   test("semDedupSurvivors keeps the earliest member of each near-dup set") {
     val dup = emb.filter($"vec_id" === 3)
       .select(($"vec_id" + 9000).as("vec_id"), $"embedding", $"label")
