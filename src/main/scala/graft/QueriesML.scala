@@ -275,7 +275,27 @@ object QueriesML {
     embDupQ, corpusStatsQ, hashSampleQ, stratifiedCapQ, decontaminateQ,
     repetitionQ, quantizeQ, imageDupsQ, audioQ, piiQ, domainQ,
     semDedupQ, dupShingleQ, tfidfQ, lmQualityQ, packQ,
-    chunkQ, domainCapQ, vocabQ, ccQ, mixQ, pqQ, adcQ)
+    chunkQ, domainCapQ, vocabQ, ccQ, mixQ, pqQ, adcQ, bpeQ)
+
+  // ------------------------------------------------------- text: BPE merge-pair statistics
+  // The first iteration of BPE tokenizer training: adjacent character-pair
+  // frequencies over the distinct-word table, weighted by word frequency.
+  private lazy val bpeQ = Q("q82_bpe_pairs", Some("""
+      WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                    FROM documents),
+      words AS (SELECT w, count(*) AS freq FROM toks
+                WHERE length(w) >= 2 GROUP BY w),
+      pairs AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, freq
+                FROM (SELECT w, freq,
+                             unnest(generate_series(1, length(w) - 1)) AS i
+                      FROM words))
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+      FROM pairs GROUP BY pair
+      ORDER BY n DESC, pair LIMIT 30"""))(
+    (s, d) => {
+      import graft.functions.{TextFunctions => TF}
+      TF.bpePairStats(Tables.documents(s, d), "text", 30)
+    })
 
   // ------------------------------------------------------- similarity: PQ ADC top-k search
   // The search half of IVF-PQ: query vec_id=1 stays uncompressed; the corpus

@@ -181,6 +181,28 @@ object TextFunctions {
       .select(col("id"), col("term"), col("tfidf"), col("rk"))
   }
 
+  /** First BPE-training iteration (Sennrich et al. 2016 §3.2, the merge-pair
+    * count): frequency of adjacent character pairs, counted over DISTINCT
+    * words weighted by word frequency. The word-keyed pre-aggregation is the
+    * scale move BPE trainers rely on: pair counting is O(vocabulary), not
+    * O(corpus) — at 100 TB the char-pair explode runs over the (tiny)
+    * distinct-word table, and both aggregations combine map-side. Returns
+    * the top `k` (pair, n) merge candidates, count-desc then pair. */
+  def bpePairStats(df: org.apache.spark.sql.DataFrame, textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val words = df
+      .select(explode(tokens(col(textCol).cast("string"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    words
+      .select(col("freq"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
+
   private val WhitespaceRe = java.util.regex.Pattern.compile("\\s+")
 
   /** Compiled twin of [[chunkWindows]] for the hot path: the window loop

@@ -400,6 +400,19 @@ class SamplingSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("bpePairStats counts frequency-weighted adjacent char pairs") {
+    import graft.functions.{TextFunctions => TF}
+    val docs = Seq((1L, "low lower"), (2L, "low lowest"), (3L, "x")).toDF("doc_id", "text")
+    // words: low(2), lower(1), lowest(1); "x" dropped (length < 2)
+    // lo/ow: 2+1+1 = 4 each; we: 2; er/es/st: 1
+    val got = TF.bpePairStats(docs, "text", 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got.take(2) == Seq(("lo", 4L), ("ow", 4L)))
+    assert(got.contains(("we", 2L)))
+    assert(Seq("er", "es", "st").forall(p => got.contains((p, 1L))))
+    assert(!got.exists(_._1.contains("x")), "single-char words carry no pairs")
+  }
+
   test("vocabStats counts types, hapaxes, and TTR per group") {
     import graft.functions.{TextFunctions => TF}
     val docs = Seq(
