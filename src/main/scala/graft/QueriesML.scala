@@ -275,7 +275,45 @@ object QueriesML {
     embDupQ, corpusStatsQ, hashSampleQ, stratifiedCapQ, decontaminateQ,
     repetitionQ, quantizeQ, imageDupsQ, audioQ, piiQ, domainQ,
     semDedupQ, dupShingleQ, tfidfQ, lmQualityQ, packQ,
-    chunkQ, domainCapQ, vocabQ, ccQ, mixQ, pqQ, adcQ, bpeQ)
+    chunkQ, domainCapQ, vocabQ, ccQ, mixQ, pqQ, adcQ, bpeQ, dsirQ)
+
+  // ------------------------------------------------------- sampling: DSIR importance weights
+  // Importance weights toward the doc_id % 7 == 0 "target domain" (the q72
+  // clean-subset convention): per-doc log-ratio of Laplace-smoothed hashed
+  // unigram distributions, 64 md5 buckets.
+  private lazy val dsirQ = {
+    def bSql(expr: String) =
+      s"""((strpos('0123456789abcdef', substr(md5($expr), 1, 1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(md5($expr), 2, 1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(md5($expr), 3, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(md5($expr), 4, 1)) - 1)) % 64"""
+    Q("q83_dsir_weights", Some(s"""
+      WITH dtok AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+      d AS (SELECT doc_id, ${bSql("w")} AS b FROM dtok WHERE w <> ''),
+      db AS (SELECT doc_id, b, count(*) AS c FROM d GROUP BY doc_id, b),
+      cr AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM db GROUP BY b),
+      ttok AS (SELECT unnest($toksSql) AS w FROM documents WHERE doc_id % 7 = 0),
+      t AS (SELECT ${bSql("w")} AS b FROM ttok WHERE w <> ''),
+      ct AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM t GROUP BY b),
+      lr AS (SELECT cr.b,
+               ln((COALESCE(ct.ct, 0) + 1)::DOUBLE
+                  / ((SELECT CAST(sum(ct) AS BIGINT) FROM ct) + 64)::DOUBLE)
+             - ln((cr.cr + 1)::DOUBLE
+                  / ((SELECT CAST(sum(cr) AS BIGINT) FROM cr) + 64)::DOUBLE) AS lr
+             FROM cr LEFT JOIN ct USING (b))
+      SELECT db.doc_id, CAST(sum(db.c) AS BIGINT) AS n_toks,
+             round(sum(db.c * lr.lr), 6) AS dsir
+      FROM db JOIN lr USING (b)
+      GROUP BY db.doc_id ORDER BY db.doc_id"""))(
+      (s, d) => {
+        import graft.operators.Sampling
+        val docs = Tables.documents(s, d)
+        Sampling.dsirWeights(docs, "doc_id", "text",
+            docs.filter($"doc_id" % 7 === 0), "text", buckets = 64)
+          .select($"id".as("doc_id"), $"n_toks", $"dsir")
+          .orderBy($"doc_id")
+      })
+  }
 
   // ------------------------------------------------------- text: BPE merge-pair statistics
   // The first iteration of BPE tokenizer training: adjacent character-pair

@@ -213,4 +213,50 @@ object Sampling {
       .withColumn("bin", expr(s"__cum div $maxTokensPerBin"))
       .drop("__cum")
   }
+
+  /** DSIR importance weight (Xie et al. 2023, arXiv:2302.03169 §3): score
+    * each raw document by the log-likelihood ratio between a TARGET
+    * distribution (the domain you want more of) and the RAW distribution,
+    * both estimated over hashed token buckets (Laplace-smoothed). Sampling
+    * proportionally to these weights reshapes the corpus toward the target
+    * domain — the principled version of source-mixture upweighting.
+    *
+    * Scale shape: both distributions are `buckets`-row aggregates with
+    * map-side combine; totals derive from those same tiny tables (the
+    * corpus is scanned once per side). The per-doc score joins per-doc
+    * bucket counts to the broadcast `buckets`-row log-ratio table — no
+    * corpus-sized shuffle beyond the (id, bucket) count agg, and the sum
+    * is over counts*ratio (≤ `buckets` terms/doc), the form the oracle
+    * reproduces exactly. Returns (id, n_toks, dsir). */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String, buckets: Int = 64): DataFrame = {
+    require(buckets > 0 && buckets <= 65536, s"buckets $buckets outside (0, 65536]")
+    def bucketed(in: DataFrame, text: String): DataFrame = in
+      .select(explode(Dedup.tokens(col(text).cast("string"))).as("w"))
+      .filter(col("w") =!= "")
+      .select((md5Bucket16(col("w")) % buckets).as("b"))
+    val db = df
+      .select(col(idCol).as("id"),
+        explode(Dedup.tokens(col(textCol).cast("string"))).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("id"), (md5Bucket16(col("w")) % buckets).as("b"))
+      .groupBy(col("id"), col("b")).agg(count(lit(1)).as("c"))
+    val cr = db.groupBy(col("b")).agg(sum(col("c")).as("cr"))
+    val ct = bucketed(target, targetTextCol)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    // totals roll up from the bucket tables — no second corpus scan
+    val nt = ct.agg(sum(col("ct")).as("nt"))
+    val nr = cr.agg(sum(col("cr")).as("nr"))
+    val lr = cr.join(ct, Seq("b"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + 1L).cast("double")
+            / (col("nt") + buckets).cast("double"))
+          - log((col("cr") + 1L).cast("double")
+            / (col("nr") + buckets).cast("double"))).as("lr"))
+    db.join(broadcast(lr), Seq("b"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_toks"),
+        round(sum(col("c").cast("double") * col("lr")), 6).as("dsir"))
+  }
 }

@@ -400,6 +400,38 @@ class SamplingSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("dsirWeights scores target-domain docs above off-domain docs") {
+    import graft.operators.Sampling
+    val raw = Seq(
+      (1L, "alpha beta alpha beta"),     // pure target vocabulary
+      (2L, "zeta eta zeta eta"),         // pure off-domain vocabulary
+      (3L, "alpha beta zeta eta")        // mixed
+    ).toDF("doc_id", "text")
+    val target = Seq((10L, "alpha beta alpha beta alpha")).toDF("doc_id", "text")
+    val got = Sampling.dsirWeights(raw, "doc_id", "text", target, "text", buckets = 16)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(4L, 4L, 4L))
+    val byId = got.map(r => r._1 -> r._3).toMap
+    assert(byId(1L) > byId(3L) && byId(3L) > byId(2L),
+      s"expected target > mixed > off-domain, got $byId")
+    // hand check doc 1: buckets of alpha/beta, smoothed ratios
+    def bucket(w: String) = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString
+      Integer.parseInt(h, 16) % 16
+    }
+    val tCnt = Seq("alpha", "beta", "alpha", "beta", "alpha").map(bucket)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val rAll = raw.as[(Long, String)].collect().flatMap(_._2.split(" ")).map(bucket)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val expected1 = Seq("alpha", "beta").map { w =>
+      val b = bucket(w)
+      2.0 * (math.log((tCnt.getOrElse(b, 0) + 1.0) / (5 + 16.0))
+        - math.log((rAll(b) + 1.0) / (12 + 16.0)))
+    }.sum
+    assert(math.abs(byId(1L) - expected1) < 1e-5, s"${byId(1L)} vs $expected1")
+  }
+
   test("bpePairStats counts frequency-weighted adjacent char pairs") {
     import graft.functions.{TextFunctions => TF}
     val docs = Seq((1L, "low lower"), (2L, "low lowest"), (3L, "x")).toDF("doc_id", "text")
