@@ -275,7 +275,53 @@ object QueriesML {
     embDupQ, corpusStatsQ, hashSampleQ, stratifiedCapQ, decontaminateQ,
     repetitionQ, quantizeQ, imageDupsQ, audioQ, piiQ, domainQ,
     semDedupQ, dupShingleQ, tfidfQ, lmQualityQ, packQ,
-    chunkQ, domainCapQ, vocabQ, ccQ, mixQ, pqQ, adcQ, bpeQ, dsirQ)
+    chunkQ, domainCapQ, vocabQ, ccQ, mixQ, pqQ, adcQ, bpeQ, dsirQ,
+    deaccumQ, climQ)
+
+  // ------------------------------------------------------- weather: forecast de-accumulation
+  // eccodes' stepRange differencing for accumulated products (total
+  // precipitation): per-key ordered difference, negative diff = new
+  // accumulation cycle yields the raw value.
+  private lazy val deaccumQ = Q("q84_deaccumulate", Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+      d AS (SELECT user_id, event_id, ts_us, value,
+                   lag(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id) AS prev
+            FROM e)
+      SELECT user_id, event_id, ts_us,
+             round(CASE WHEN prev IS NULL OR value < prev THEN value
+                        ELSE value - prev END, 6) AS step_value
+      FROM d ORDER BY user_id, ts_us, event_id"""))(
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select($"user_id", $"event_id", expr("ts_ns div 1000").as("ts_us"), $"value")
+      Mover.deaccumulate(ev, Seq("user_id"), Seq("ts_us", "event_id"), "value")
+        .select($"user_id", $"event_id", $"ts_us",
+          round($"step_value", 6).as("step_value"))
+        .orderBy($"user_id", $"ts_us", $"event_id")
+    })
+
+  // ------------------------------------------------------- weather: climatology + anomaly
+  // Hour-of-day climatology per event_type (the events-table stand-in for
+  // grid-cell × day-of-year over years); anomaly = value - clim. The
+  // climatology is one keys-sized hash agg broadcast back — the corpus
+  // never shuffles.
+  private lazy val climQ = Q("q85_climatology", Some("""
+      WITH e AS (SELECT event_id, event_type,
+                        CAST(extract(hour FROM ts) AS BIGINT) AS hh, value
+                 FROM events),
+      c AS (SELECT event_type, hh, avg(value) AS clim FROM e GROUP BY 1, 2)
+      SELECT e.event_id, e.event_type, e.hh,
+             round(c.clim, 6) AS clim, round(e.value - c.clim, 6) AS anomaly
+      FROM e JOIN c USING (event_type, hh) ORDER BY e.event_id"""))(
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select($"event_id", $"event_type", hour($"ts").cast("long").as("hh"), $"value")
+      Mover.climatologyAnomaly(ev, Seq($"event_type", $"hh"), "value")
+        .select($"event_id", $"event_type", $"hh",
+          round($"clim", 6).as("clim"), round($"anomaly", 6).as("anomaly"))
+        .orderBy($"event_id")
+    })
 
   // ------------------------------------------------------- sampling: DSIR importance weights
   // Importance weights toward the doc_id % 7 == 0 "target domain" (the q72

@@ -154,6 +154,43 @@ object Mover {
     StructType((coordFields ++ dataFields ++ metadataFields).map(_.copy(nullable = true)))
   }
 
+  /** De-accumulation of cumulative forecast fields (the stepRange
+    * differencing eccodes applies to accumulated products like total
+    * precipitation): per key, the ordered difference `value - lag(value)`;
+    * a NEGATIVE difference marks a new accumulation cycle (the counter
+    * reset at each forecast start) and yields the raw value. One sort-based
+    * window per key partition — the exchange is on the grid-cell key, so
+    * at 100 TB each cell's (short) step series sorts locally; no global
+    * sort, no driver state. Adds `step_value`. */
+  def deaccumulate(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(orderCols.map(col): _*)
+    val prev = lag(col(valueCol), 1).over(w)
+    df.withColumn("step_value",
+      when(prev.isNull || col(valueCol) < prev, col(valueCol))
+        .otherwise(col(valueCol) - prev))
+  }
+
+  /** Climatology + anomaly: the mean of `valueCol` per climatology key
+    * (e.g. grid cell × day-of-year across years) joined back so each row
+    * carries `clim` and `anomaly = value - clim` — the standard first step
+    * of any reanalysis-era trend/extreme analysis. Scale shape: the
+    * climatology is ONE hash aggregation (map-side partials) whose result
+    * is keys-sized, broadcast back over the corpus — the full data never
+    * shuffles. */
+  def climatologyAnomaly(df: DataFrame, climKeys: Seq[Column],
+      valueCol: String): DataFrame = {
+    val keyed = df.withColumns(
+      climKeys.zipWithIndex.map { case (k, i) => s"__ck$i" -> k }.toMap)
+    val keyNames = climKeys.indices.map(i => s"__ck$i")
+    val clim = keyed.groupBy(keyNames.map(col): _*)
+      .agg(avg(col(valueCol)).as("clim"))
+    keyed.join(broadcast(clim), keyNames)
+      .withColumn("anomaly", col(valueCol) - col("clim"))
+      .drop(keyNames: _*)
+  }
+
   /** Reference type mapping for sink schemas (§1.2, bq.py:438-446). */
   def sqlTypeFor(sparkType: org.apache.spark.sql.types.DataType): String = {
     import org.apache.spark.sql.types._

@@ -141,6 +141,25 @@ class MoverSpec extends SparkSpec {
     "((l_orderkey * 89 + l_linenumber * 131) % 7200) / CAST(20 AS DOUBLE) - 180 AS longitude",
     "l_quantity AS temperature", "l_extendedprice AS pressure")
 
+  test("deaccumulate differences per key and restarts on counter reset") {
+    val df = Seq((1L, 1, 5.0), (1L, 2, 8.0), (1L, 3, 2.0), (1L, 4, 6.0),
+      (2L, 1, 3.0)).toDF("cell", "step", "acc")
+    val got = Mover.deaccumulate(df, Seq("cell"), Seq("step"), "acc")
+      .orderBy("cell", "step").select("step_value").as[Double].collect().toSeq
+    // 2.0 < 8.0 marks a new accumulation cycle: raw value, not a negative step
+    assert(got == Seq(5.0, 3.0, 2.0, 4.0, 3.0))
+  }
+
+  test("climatologyAnomaly joins the keys-sized means back broadcast") {
+    val df = Seq(("a", 0L, 1.0), ("a", 0L, 3.0), ("b", 1L, 10.0)).toDF("t", "h", "v")
+    val out = Mover.climatologyAnomaly(df, Seq(col("t"), col("h")), "v")
+    val rows = out.select("t", "h", "clim", "anomaly")
+      .as[(String, Long, Double, Double)].collect().toSet
+    assert(rows == Set(("a", 0L, 2.0, -1.0), ("a", 0L, 2.0, 1.0), ("b", 1L, 10.0, 0.0)))
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "climatology must broadcast, never shuffle the corpus")
+  }
+
   test("extractRows: area filter + metadata + geo columns (golden row)") {
     val out = Mover.extractRows(grid, "file://fixture",
       Mover.Options(variables = Seq("temperature"),
