@@ -276,7 +276,35 @@ object QueriesML {
     repetitionQ, quantizeQ, imageDupsQ, audioQ, piiQ, domainQ,
     semDedupQ, dupShingleQ, tfidfQ, lmQualityQ, packQ,
     chunkQ, domainCapQ, vocabQ, ccQ, mixQ, pqQ, adcQ, bpeQ, dsirQ,
-    deaccumQ, climQ)
+    deaccumQ, climQ, spansQ)
+
+  // ------------------------------------------------------- dedup: exact-substring spans
+  // Lee et al. ExactSubstr semantics relationally: maximal ≥3-token spans
+  // whose shingles occur ≥2 times corpus-wide, over the planted-dup corpus.
+  private lazy val spansQ = Q("q86_dup_spans", Some(s"""
+      WITH corpus AS ($corpusSql),
+      toks AS (SELECT doc_id, $toksSql AS t FROM corpus),
+      sh AS (SELECT doc_id, CAST(i AS INT) AS pos, array_to_string(t[i:i+2], ' ') AS s
+             FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+                   FROM toks WHERE len(t) >= 3)),
+      c AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2),
+      m AS (SELECT doc_id, pos FROM sh JOIN c USING (s)),
+      g AS (SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER w IS NULL
+                        OR pos > lag(pos) OVER w + 3 THEN 1 ELSE 0 END AS brk
+            FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      i AS (SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS grp
+            FROM g)
+      SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
+             CAST(max(pos) + 2 AS BIGINT) AS end_tok, count(*) AS n_dup_shingles
+      FROM i GROUP BY doc_id, grp
+      ORDER BY doc_id, start_tok"""))(
+    (s, d) =>
+      Dedup.dupSpans(corpus(s, d), "doc_id", "text", n = 3, minCount = 2)
+        .select($"id".as("doc_id"), $"start_tok", $"end_tok", $"n_dup_shingles")
+        .orderBy($"doc_id", $"start_tok"))
 
   // ------------------------------------------------------- weather: forecast de-accumulation
   // eccodes' stepRange differencing for accumulated products (total

@@ -420,4 +420,49 @@ object Dedup {
       .withColumn("dup_frac",
         round(col("n_dup").cast("double") / col("n_shingles"), 6))
   }
+
+  /** Span-level exact-substring duplication (the signal behind Lee et al.
+    * 2021's ExactSubstr dedup, arXiv:2107.06499 §4.1 — they build a suffix
+    * array; the shingle posting-list form below computes the same ≥`n`-token
+    * duplicated regions relationally): a token position is duplicated when
+    * its `n`-shingle occurs ≥ `minCount` times corpus-wide; runs of
+    * duplicated positions merge into maximal spans `[start_tok, end_tok]`
+    * (token coverage union). Downstream either cuts the spans out or drops
+    * docs whose spans cover too much.
+    *
+    * Scale shape: positions stream out of one compiled flatMap; the
+    * occurrence count is a shingle-keyed agg with map-side combine; the
+    * posting join reuses that partitioning; the span merge is one
+    * doc-keyed sort window (each doc's positions sort locally). No suffix
+    * array, no driver state, no quadratic stage. */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minCount: Long = 2): DataFrame = {
+    val in = df.select(col(idCol).as("id"), col(textCol).cast("string").as("t"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      in.schema.fields(0),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    val sh = in.flatMap { row =>
+      val docId = row.get(0)
+      shingleStringsOf(row.getString(1), n).iterator.zipWithIndex.map {
+        case (s, i) => org.apache.spark.sql.Row(docId, i + 1, s)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    val cnt = sh.groupBy(col("s")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+    val marked = sh.join(cnt, Seq("s")).select(col("id"), col("pos"))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val prev = lag(col("pos"), 1).over(w)
+    marked
+      .withColumn("brk", when(prev.isNull || col("pos") > prev + n, 1).otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("start_tok"),
+        (max(col("pos")) + (n - 1)).cast("long").as("end_tok"),
+        count(lit(1)).as("n_dup_shingles"))
+      .drop("grp")
+  }
 }

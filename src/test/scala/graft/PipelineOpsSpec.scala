@@ -176,6 +176,32 @@ class DedupSpec extends SparkSpec {
     ))
   }
 
+  test("dupSpans merges duplicated shingle runs into maximal token spans") {
+    val tiny = Seq(
+      (1L, "a b c d e x y z"),     // shares "a b c d e" with doc 2
+      (2L, "q q q a b c d e w"),   // ... at positions 4..6; "q q q" self-dups? no: one occurrence
+      (3L, "m m m m"),             // within-doc repeat: "m m m" at pos 1 and 2
+      (4L, "totally unique text here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpans(tiny, "doc_id", "text", n = 3, minCount = 2)
+      .orderBy($"id", $"start_tok")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 5L, 3L),   // shingles at pos 1,2,3 cover tokens [1,5]
+      (2L, 4L, 8L, 3L),   // same run at pos 4,5,6 covers [4,8]
+      (3L, 1L, 4L, 2L)    // "m m m" x2 merges to the whole doc [1,4]
+    ))
+    // distant duplicated runs stay separate spans
+    val far = Seq(
+      (1L, "u v w 1 2 3 4 5 6 7 8 9 u v w"),
+      (2L, "u v w")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(far, "doc_id", "text", n = 3, minCount = 2)
+      .filter($"id" === 1).orderBy($"start_tok")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(spans == Seq((1L, 1L, 3L, 1L), (1L, 13L, 15L, 1L)))
+  }
+
   test("tfidfTopK ranks in-doc-frequent, corpus-rare terms first") {
     import graft.functions.{TextFunctions => TF}
     val tiny = Seq(
