@@ -8,16 +8,25 @@ import org.apache.hadoop.fs.Path
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-/** Zarr v2 store metadata + chunk IO (public spec:
-  * zarr-specs v2; layout as produced by xarray/zarr-python — the reference's
-  * storage format, weather_mv/test_data/test_data.zarr).
+/** Zarr v2 AND v3 store metadata + chunk IO (public specs: zarr-specs v2 and
+  * v3; layouts as produced by xarray/zarr-python 2.x and 3.x — the
+  * reference's storage format, weather_mv/test_data/test_data.zarr).
   *
-  * Supported surface: C-order little-endian arrays, dtypes
+  * Supported surface (v2): C-order little-endian arrays, dtypes
   * `<f8 <f4 <i8 <i4 <i2 <u1`, compressor `null` or `{"id": "zlib"}`,
   * `.zattrs` conventions `_ARRAY_DIMENSIONS` (xarray), `scale_factor`,
   * `add_offset`, `missing_value`, and `units: "seconds since 1970-01-01"`
   * for epoch time coordinates. Blosc (the common default) is NOT available
   * in this environment — fixtures are written with zlib/raw via ZarrWriter.
+  *
+  * Supported surface (v3, sniffed by the root `zarr.json`): regular chunk
+  * grid, `default` ("c/0/1") and `v2` chunk-key encodings with either
+  * separator, `bytes` codec at both endians, `gzip` compression,
+  * `dimension_names`, numeric/"NaN" fill values, inline
+  * `consolidated_metadata` (zarr-python 3's successor to `.zmetadata`),
+  * and the same CDL attribute conventions. Sharding/blosc/zstd raise
+  * directed errors naming the rewrite (`zarr.copy_store` to a
+  * gzip-codec store).
   */
 object ZarrMeta {
 
@@ -32,8 +41,15 @@ object ZarrMeta {
       scaleFactor: Option[Double],
       addOffset: Option[Double],
       missingValue: Option[Double],
-      epochSecondsTime: Boolean) {
+      epochSecondsTime: Boolean,
+      // v3 chunk addressing: v2 keys are "0.1"; v3 default keys are
+      // "c/0/1" (separator configurable); v3 may also elect v2-style keys
+      v3DefaultKeys: Boolean = false,
+      keySep: String = ".") {
     def chunkGrid: Seq[Int] = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
+    def chunkKey(chunkIdx: Seq[Int]): String =
+      if (v3DefaultKeys) ("c" +: chunkIdx.map(_.toString)).mkString(keySep)
+      else chunkIdx.mkString(keySep)
   }
 
   final case class Store(
@@ -97,6 +113,62 @@ object ZarrMeta {
       epochSecondsTime = units.startsWith("seconds since 1970-01-01"))
   }
 
+  /** Parse a v3 array `zarr.json` into the common ArrayMeta. */
+  private def metaFromJsonV3(name: String, j: JValue): ArrayMeta = {
+    require((j \ "node_type").extractOpt[String].contains("array"),
+      s"$name/zarr.json is not an array node")
+    var endian = "little"
+    var comp: Option[String] = None
+    (j \ "codecs").extract[Seq[JValue]].foreach { c =>
+      (c \ "name").extract[String] match {
+        case "bytes" => endian =
+          (c \ "configuration" \ "endian").extractOpt[String].getOrElse("little")
+        case "gzip" => comp = Some("gzip")
+        case "zlib" => comp = Some("zlib")
+        case other => throw new UnsupportedOperationException(
+          s"zarr v3 codec '$other' on $name (supported: bytes, gzip; rewrite " +
+            "with zarr.copy_store to a gzip-codec store)")
+      }
+    }
+    val dt = (j \ "data_type").extract[String] match {
+      case "float64" => "f8"
+      case "float32" => "f4"
+      case "int64" => "i8"
+      case "int32" => "i4"
+      case "int16" => "i2"
+      case "uint8" => "u1"
+      case other => throw new UnsupportedOperationException(
+        s"zarr v3 data_type '$other' on $name")
+    }
+    val grid = j \ "chunk_grid"
+    require((grid \ "name").extractOpt[String].forall(_ == "regular"),
+      s"zarr v3 chunk grid '${(grid \ "name").extractOpt[String]}' (regular only)")
+    val cke = j \ "chunk_key_encoding"
+    val ckeName = (cke \ "name").extractOpt[String].getOrElse("default")
+    val sep = (cke \ "configuration" \ "separator").extractOpt[String]
+      .getOrElse(if (ckeName == "default") "/" else ".")
+    val attrs = (j \ "attributes") match { case JNothing => JObject(); case a => a }
+    val units = (attrs \ "units").extractOpt[String].getOrElse("")
+    ArrayMeta(
+      name = name,
+      shape = (j \ "shape").extract[Seq[Int]],
+      chunks = (grid \ "configuration" \ "chunk_shape").extract[Seq[Int]],
+      dtype = (if (endian == "big") ">" else "<") + dt,
+      compressor = comp,
+      fillValue = (j \ "fill_value") match {
+        case JString(s) => Some(java.lang.Double.parseDouble(s))
+        case JNull | JNothing => None
+        case v => v.extractOpt[Double]
+      },
+      dims = (j \ "dimension_names").extractOpt[Seq[String]].getOrElse(Nil),
+      scaleFactor = (attrs \ "scale_factor").extractOpt[Double],
+      addOffset = (attrs \ "add_offset").extractOpt[Double],
+      missingValue = (attrs \ "missing_value").extractOpt[Double],
+      epochSecondsTime = units.startsWith("seconds since 1970-01-01"),
+      v3DefaultKeys = ckeName == "default",
+      keySep = sep)
+  }
+
   /** List array names (children with a .zarray) of a store directory. */
   def listArrays(conf: Configuration, store: String): Seq[String] = {
     val p = new Path(store)
@@ -126,12 +198,42 @@ object ZarrMeta {
       }
     }
 
-  /** Open a store: data vars = arrays spanning the maximal dim set;
-    * coordinates = 1-d arrays named after a dimension. Consolidated
-    * metadata is preferred; absent that, the store is listed. */
+  /** v3 array metas: the root `zarr.json`'s inline `consolidated_metadata`
+    * when present (one read plans the store — zarr-python 3's successor to
+    * `.zmetadata`), else one `zarr.json` read per child directory. */
+  private def v3Metas(conf: Configuration, store: String,
+      root: JValue): Seq[ArrayMeta] = {
+    val consolidated = (root \ "consolidated_metadata" \ "metadata") match {
+      case JObject(fields) =>
+        Some(fields.collect {
+          case (name, j) if (j \ "node_type").extractOpt[String].contains("array") =>
+            metaFromJsonV3(name, j)
+        }.sortBy(_.name))
+      case _ => None
+    }
+    consolidated.getOrElse {
+      val p = new Path(store)
+      val fs = p.getFileSystem(conf)
+      fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).sorted.toSeq
+        .flatMap(n => readJson(conf, s"$store/$n/zarr.json")
+          .filter(j => (j \ "node_type").extractOpt[String].contains("array"))
+          .map(j => metaFromJsonV3(n, j)))
+    }
+  }
+
+  /** Open a store (v2 or v3, sniffed by the root `zarr.json`): data vars =
+    * arrays spanning the maximal dim set; coordinates = 1-d arrays named
+    * after a dimension. Consolidated metadata is preferred; absent that,
+    * the store is listed. */
   def open(conf: Configuration, store: String): Store = {
-    val metas = consolidatedMetas(conf, store).getOrElse(
-      listArrays(conf, store).map(n => readArrayMeta(conf, store, n)))
+    val metas = readJson(conf, s"$store/zarr.json") match {
+      case Some(root) =>
+        require((root \ "zarr_format").extractOpt[Int].contains(3),
+          s"unexpected zarr_format in $store/zarr.json")
+        v3Metas(conf, store, root)
+      case None => consolidatedMetas(conf, store).getOrElse(
+        listArrays(conf, store).map(n => readArrayMeta(conf, store, n)))
+    }
     require(metas.nonEmpty, s"empty zarr store: $store")
     // coordinate arrays (1-d, named after their own dim) are never data vars —
     // in a 1-D store they'd otherwise tie the max rank and duplicate a column
@@ -154,15 +256,16 @@ object ZarrMeta {
   def readChunk(conf: Configuration, store: String, meta: ArrayMeta,
       chunkIdx: Seq[Int]): Array[Double] = {
     val n = meta.chunks.product
-    readFile(conf, s"$store/${meta.name}/${chunkIdx.mkString(".")}") match {
+    readFile(conf, s"$store/${meta.name}/${meta.chunkKey(chunkIdx)}") match {
       case None =>
         Array.fill(n)(meta.fillValue.getOrElse(Double.NaN))
       case Some(raw) =>
         val bytes = meta.compressor match {
           case Some("zlib") => inflate(raw, n * dtypeBytes(meta.dtype))
+          case Some("gzip") => gunzip(raw, n * dtypeBytes(meta.dtype))
           case Some(other) =>
             throw new UnsupportedOperationException(
-              s"zarr compressor '$other' not supported (use zlib or null)")
+              s"zarr compressor '$other' not supported (use zlib, gzip, or null)")
           case None => raw
         }
         decode(bytes, meta, n)
@@ -183,12 +286,28 @@ object ZarrMeta {
     out
   }
 
-  def dtypeBytes(dtype: String): Int = dtype match {
-    case "<f8" | "<i8" => 8
-    case "<f4" | "<i4" => 4
-    case "<i2" => 2
-    case "<u1" | "|u1" => 1
-    case other => throw new UnsupportedOperationException(s"zarr dtype '$other'")
+  def dtypeBytes(dtype: String): Int = dtype.drop(1) match {
+    case "f8" | "i8" => 8
+    case "f4" | "i4" => 4
+    case "i2" => 2
+    case "u1" => 1
+    case _ => throw new UnsupportedOperationException(s"zarr dtype '$dtype'")
+  }
+
+  private def gunzip(raw: Array[Byte], expected: Int): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(raw))
+    try {
+      val out = new Array[Byte](expected)
+      var off = 0
+      var n = in.read(out, off, expected - off)
+      while (n > 0 && off + n < expected) { off += n; n = in.read(out, off, expected - off) }
+      if (n > 0) off += n
+      if (off < expected)
+        throw new java.io.IOException(
+          s"truncated gzip zarr chunk ($off of $expected bytes)")
+      out
+    } finally in.close()
   }
 
   private def inflate(raw: Array[Byte], expected: Int): Array[Byte] = {
@@ -210,17 +329,19 @@ object ZarrMeta {
   }
 
   private def decode(bytes: Array[Byte], meta: ArrayMeta, n: Int): Array[Double] = {
-    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val order =
+      if (meta.dtype.startsWith(">")) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+    val bb = ByteBuffer.wrap(bytes).order(order)
     val out = new Array[Double](n)
     var i = 0
     while (i < n) {
-      val raw: Double = meta.dtype match {
-        case "<f8" => bb.getDouble(i * 8)
-        case "<f4" => bb.getFloat(i * 4).toDouble
-        case "<i8" => bb.getLong(i * 8).toDouble
-        case "<i4" => bb.getInt(i * 4).toDouble
-        case "<i2" => bb.getShort(i * 2).toDouble
-        case "<u1" | "|u1" => (bb.get(i) & 0xff).toDouble
+      val raw: Double = meta.dtype.drop(1) match {
+        case "f8" => bb.getDouble(i * 8)
+        case "f4" => bb.getFloat(i * 4).toDouble
+        case "i8" => bb.getLong(i * 8).toDouble
+        case "i4" => bb.getInt(i * 4).toDouble
+        case "i2" => bb.getShort(i * 2).toDouble
+        case "u1" => (bb.get(i) & 0xff).toDouble
       }
       out(i) =
         if (meta.missingValue.contains(raw) || raw.isNaN) Double.NaN

@@ -43,6 +43,82 @@ object ZarrWriter {
         .mkString("{\"metadata\": {", ", ", "}, \"zarr_consolidated_format\": 1}"))
   }
 
+  /** Minimal Zarr V3 writer (spec: zarr-specs v3.0): root `zarr.json` group
+    * node with inline `consolidated_metadata`, per-array `zarr.json` (regular
+    * chunk grid, `default` chunk-key encoding with `sep`, `bytes` little +
+    * optional `gzip` codec, `dimension_names`), chunk files under
+    * `name/c<sep>0<sep>1`. Fixture scale, same VarSpec surface as v2
+    * (`compressor = Some("gzip")` selects the gzip codec). */
+  def writeV3(storePath: String, vars: Seq[VarSpec], sep: String = "/"): Unit = {
+    val root = new File(storePath)
+    root.mkdirs()
+    val arrayJsons = vars.map { v =>
+      require(v.data.size == v.shape.product, s"${v.name}: data size != shape product")
+      val dir = new File(root, v.name)
+      dir.mkdirs()
+      val dt = v.dtype match {
+        case "<f8" => "float64"
+        case "<f4" => "float32"
+        case "<i8" => "int64"
+        case "<i4" => "int32"
+        case "<i2" => "int16"
+        case "<u1" | "|u1" => "uint8"
+        case o => throw new UnsupportedOperationException(s"v3 writer dtype $o")
+      }
+      val codecs = Seq(Some("""{"name": "bytes", "configuration": {"endian": "little"}}"""),
+        v.compressor.map {
+          case "gzip" => """{"name": "gzip", "configuration": {"level": 6}}"""
+          case o => throw new UnsupportedOperationException(s"v3 writer codec $o")
+        }).flatten
+      val attrs = Seq(
+        v.scaleFactor.map(x => s""""scale_factor": $x"""),
+        v.addOffset.map(x => s""""add_offset": $x"""),
+        v.missingValue.map(x => s""""missing_value": ${fmtMissing(x, v.dtype)}"""),
+        v.units.map(u => s""""units": "$u"""")).flatten
+      val fillJson = if (v.dtype.startsWith("<f")) "\"NaN\"" else "0"
+      val j =
+        s"""{"zarr_format": 3, "node_type": "array",
+           | "shape": [${v.shape.mkString(", ")}], "data_type": "$dt",
+           | "chunk_grid": {"name": "regular",
+           |   "configuration": {"chunk_shape": [${v.chunks.mkString(", ")}]}},
+           | "chunk_key_encoding": {"name": "default",
+           |   "configuration": {"separator": "$sep"}},
+           | "fill_value": $fillJson,
+           | "codecs": [${codecs.mkString(", ")}],
+           | "attributes": {${attrs.mkString(", ")}},
+           | "dimension_names": [${v.dims.map("\"" + _ + "\"").mkString(", ")}]}"""
+          .stripMargin
+      writeString(new File(dir, "zarr.json"), j)
+      val grid = v.shape.zip(v.chunks).map { case (s, c) => (s + c - 1) / c }
+      cartesian(grid.map(g => 0 until g)).foreach { chunkIdx =>
+        val bytes = encodeChunk(v, chunkIdx)
+        val out = v.compressor match {
+          case Some("gzip") => gzip(bytes)
+          case _ => bytes
+        }
+        val f = new File(dir, ("c" +: chunkIdx.map(_.toString)).mkString(sep))
+        f.getParentFile.mkdirs()
+        val fos = new FileOutputStream(f)
+        try fos.write(out) finally fos.close()
+      }
+      v.name -> j
+    }
+    writeString(new File(root, "zarr.json"),
+      arrayJsons.map { case (k, j) => s""""$k": $j""" }
+        .mkString(
+          """{"zarr_format": 3, "node_type": "group", "attributes": {},
+            | "consolidated_metadata": {"kind": "inline", "must_understand": false,
+            | "metadata": {""".stripMargin,
+          ", ", "}}}"))
+  }
+
+  private def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(bytes); g.close()
+    bos.toByteArray
+  }
+
   /** Writes one array; returns its (.zarray, .zattrs) JSON for
     * consolidation. */
   private def writeArray(root: File, v: VarSpec): (String, String) = {

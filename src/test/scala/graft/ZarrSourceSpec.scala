@@ -42,6 +42,64 @@ class ZarrSourceSpec extends SparkSpec {
 
   private def ds = spark.read.format("zarr").load(store)
 
+  // the same hypercube written as Zarr v3 (zarr-python 3.x default format):
+  // gzip codec, default "c/0/1" chunk keys, dimension_names, inline
+  // consolidated_metadata in the root zarr.json
+  private lazy val storeV3: String = {
+    val dir = java.nio.file.Files.createTempDirectory("zarr3").toString + "/store.zarr"
+    val times = (0 until nt).map(t => 86400.0 * t)
+    val lats = (0 until ny).map(y => -10.0 + 5.0 * y)
+    val lons = (0 until nx).map(x => 100.0 + 10.0 * x)
+    def cube(f: (Int, Int, Int) => Double): Seq[Double] =
+      for (t <- 0 until nt; y <- 0 until ny; x <- 0 until nx) yield f(t, y, x)
+    ZW.writeV3(dir, Seq(
+      ZW.VarSpec("time", Seq("time"), Seq(nt), Seq(3), "<i8", times,
+        units = Some("seconds since 1970-01-01")),
+      ZW.VarSpec("latitude", Seq("latitude"), Seq(ny), Seq(3), "<f8", lats),
+      ZW.VarSpec("longitude", Seq("longitude"), Seq(nx), Seq(4), "<f8", lons),
+      ZW.VarSpec("t2m", Seq("time", "latitude", "longitude"),
+        Seq(nt, ny, nx), Seq(2, 3, 4),
+        data = cube((t, y, x) => 250.0 + t + 0.1 * y + 0.01 * x),
+        compressor = Some("gzip")),
+      ZW.VarSpec("cape", Seq("time", "latitude", "longitude"),
+        Seq(nt, ny, nx), Seq(2, 3, 4), dtype = "<i2",
+        data = cube((t, y, x) => if (t == 0 && y == 0 && x == 0) -32767 else (100 * t + x).toDouble),
+        scaleFactor = Some(0.5), addOffset = Some(1000.0),
+        missingValue = Some(-32767))))
+    dir
+  }
+
+  test("zarr v3 store reads identically to the v2 store (gzip, c/ keys, dims)") {
+    val v3 = spark.read.format("zarr").load(storeV3)
+    assert(v3.schema.fieldNames.toSeq == ds.schema.fieldNames.toSeq)
+    val a = ds.orderBy($"time", $"latitude", $"longitude").collect().toSeq
+    val b = v3.orderBy($"time", $"latitude", $"longitude").collect().toSeq
+    assert(a == b, "v3 rows must equal v2 rows")
+    // chunk pruning flows through the same scan machinery
+    val pruned = v3.filter($"latitude" === -10.0 && $"longitude" === 100.0)
+    assert(pruned.count() == nt)
+  }
+
+  test("zarr v3 opens without consolidated metadata (per-array zarr.json walk)") {
+    // strip the inline consolidated_metadata from the root node
+    val root = java.nio.file.Paths.get(storeV3, "zarr.json")
+    val stripped = java.nio.file.Files.createTempDirectory("zarr3nc").toString + "/s.zarr"
+    val src = new java.io.File(storeV3)
+    def copy(f: java.io.File, to: java.io.File): Unit = {
+      if (f.isDirectory) { to.mkdirs(); f.listFiles.foreach(c => copy(c, new java.io.File(to, c.getName))) }
+      else java.nio.file.Files.copy(f.toPath, to.toPath)
+    }
+    copy(src, new java.io.File(stripped))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(stripped, "zarr.json"),
+      """{"zarr_format": 3, "node_type": "group", "attributes": {}}""")
+    val v3 = spark.read.format("zarr").load(stripped)
+    assert(v3.count() == nt * ny * nx)
+    assert(v3.schema.fieldNames.contains("t2m"))
+    // keep the consolidated root intact for the other tests
+    assert(java.nio.file.Files.readString(root).contains("consolidated_metadata"))
+  }
+
   test("schema: coords (time as timestamp) + decoded float64 variables") {
     val s = ds.schema
     assert(s.fieldNames.toSeq == Seq("time", "latitude", "longitude", "cape", "t2m"))
