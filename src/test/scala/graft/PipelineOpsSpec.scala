@@ -1158,6 +1158,16 @@ class QueriesSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unpartitioned Window in: $offenders")
   }
 
+  test("plan lint: dsir and climatology join their stats tables broadcast") {
+    // q83's 64-row log-ratio table and q85's keys-sized climatology must
+    // broadcast — a shuffled join there would re-exchange the whole corpus
+    for (q <- Seq("q83_dsir_weights", "q85_climatology")) {
+      val plan = Queries.byName(q)(spark, sfDir).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(plan.contains("BroadcastHashJoin"), s"$q: stats join must broadcast")
+    }
+  }
+
   test("plan lint: regrid joins stay equi-joins (hash/sort-merge, never NL)") {
     // q49/q51 join on integer cell indices / snapped anchors — if a key
     // slips to an expression mismatch they'd degrade to a nested-loop join
