@@ -210,3 +210,53 @@ object SquaredDistance {
     column(SquaredDistance(expression(a), expression(b)))
   }
 }
+
+/** 16-bit md5 bucket of a string as a native codegen expression — the hash
+  * every deterministic-sampling operator keys on ([[graft.operators.Sampling]]).
+  *
+  * Bit-identical to the portable nibble-arithmetic column form the DuckDB
+  * oracles replay (`instr(hex, substring(md5(k), i, 1))` folded over the
+  * first four hex digits = the first two digest bytes big-endian), while
+  * computing ONE digest and ZERO hex strings per row; the column form pays
+  * an md5-to-hex allocation plus four UTF8String substring/instr scans. */
+case class Md5Bucket16Expr(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with Serializable {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "md5_bucket16"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_bucket16 expects STRING, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    Md5Bucket16Expr.bucket(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Bucket16Expr.bucket($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5Bucket16Expr {
+  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 16 bits of md5(utf8 bytes), big-endian — called from generated
+    * code; the digest instance is thread-local (MessageDigest is stateful). */
+  def bucket(s: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+  }
+
+  def apply(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(Md5Bucket16Expr(expression(c)))
+  }
+}

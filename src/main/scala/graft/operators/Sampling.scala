@@ -12,10 +12,17 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** 16-bit bucket of md5(key) via nibble arithmetic — portable to any
-    * engine with md5 and string functions (the DuckDB oracle runs the
-    * identical formula, digit by digit). */
-  def md5Bucket16(key: Column): Column = {
+  /** 16-bit bucket of md5(key) — the native codegen expression
+    * ([[graft.functions.Md5Bucket16Expr]]: one digest, no hex string).
+    * Bit-identical to [[md5Bucket16Portable]], the nibble-arithmetic form
+    * every DuckDB oracle replays digit by digit (spec-asserted). */
+  def md5Bucket16(key: Column): Column =
+    graft.functions.Md5Bucket16Expr(key)
+
+  /** The cross-engine-portable column form of [[md5Bucket16]] (md5 hex +
+    * string functions only) — kept as the executable specification of the
+    * hash the oracles reproduce. */
+  def md5Bucket16Portable(key: Column): Column = {
     def nib(k: Int): Column =
       instr(lit("0123456789abcdef"), substring(md5(key), k, 1)) - 1
     nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)

@@ -108,4 +108,27 @@ class CatalystSpec extends SparkSpec {
     assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
       plan.take(500))
   }
+
+  test("md5_bucket16: native expression matches the portable nibble form everywhere") {
+    import graft.operators.Sampling
+    // the whole fixture text + ids, plus unicode and empty-string edges
+    val docs = Tables.documents(spark, sfDir)
+      .select($"text".as("k"))
+      .union(Tables.documents(spark, sfDir).select($"doc_id".cast("string").as("k")))
+      .union(Seq("", "héllo wörld ☂", "a\tb\nc", " spaces ").toDF("k"))
+    val bad = docs.select(
+        Sampling.md5Bucket16($"k").as("fast"),
+        Sampling.md5Bucket16Portable($"k").as("portable"))
+      .filter($"fast" =!= $"portable" || $"fast".isNull =!= $"portable".isNull)
+      .count()
+    assert(bad == 0, "native md5_bucket16 diverged from the oracle-portable form")
+    // null in -> null out
+    assert(spark.range(1)
+      .select(Sampling.md5Bucket16(lit(null).cast("string")).as("b")).head().isNullAt(0))
+    // stays inside whole-stage codegen
+    val plan = docs.select(Sampling.md5Bucket16($"k").as("b"))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+      plan.take(500))
+  }
 }
