@@ -45,11 +45,22 @@ object ZarrMeta {
       // v3 chunk addressing: v2 keys are "0.1"; v3 default keys are
       // "c/0/1" (separator configurable); v3 may also elect v2-style keys
       v3DefaultKeys: Boolean = false,
-      keySep: String = ".") {
+      keySep: String = ".",
+      // v3 sharding_indexed: `chunks` above is the INNER chunk shape (the
+      // read/prune granularity); `shardChunks` is the outer shard shape in
+      // elements; inner chunks pack into one shard object with a binary
+      // index at `shardIndexAtEnd` (true = trailing), crc32c-checked when
+      // `shardIndexCrc`
+      shardChunks: Option[Seq[Int]] = None,
+      shardIndexAtEnd: Boolean = true,
+      shardIndexCrc: Boolean = true) {
     def chunkGrid: Seq[Int] = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     def chunkKey(chunkIdx: Seq[Int]): String =
       if (v3DefaultKeys) ("c" +: chunkIdx.map(_.toString)).mkString(keySep)
       else chunkIdx.mkString(keySep)
+    /** Inner chunks per shard, per dim (sharded arrays only). */
+    def innerPerShard: Seq[Int] =
+      shardChunks.get.zip(chunks).map { case (o, c) => (o + c - 1) / c }
   }
 
   final case class Store(
@@ -119,17 +130,33 @@ object ZarrMeta {
       s"$name/zarr.json is not an array node")
     var endian = "little"
     var comp: Option[String] = None
-    (j \ "codecs").extract[Seq[JValue]].foreach { c =>
+    var innerChunks: Option[Seq[Int]] = None
+    var indexAtEnd = true
+    var indexCrc = false
+    def applyCodecs(codecs: Seq[JValue]): Unit = codecs.foreach { c =>
       (c \ "name").extract[String] match {
         case "bytes" => endian =
           (c \ "configuration" \ "endian").extractOpt[String].getOrElse("little")
         case "gzip" => comp = Some("gzip")
         case "zlib" => comp = Some("zlib")
+        case "sharding_indexed" =>
+          val cfg = c \ "configuration"
+          innerChunks = Some((cfg \ "chunk_shape").extract[Seq[Int]])
+          indexAtEnd =
+            (cfg \ "index_location").extractOpt[String].forall(_ == "end")
+          val idxNames = (cfg \ "index_codecs").extract[Seq[JValue]]
+            .map(ic => (ic \ "name").extract[String])
+          require(idxNames.forall(n => n == "bytes" || n == "crc32c"),
+            s"zarr v3 shard index codecs $idxNames on $name (bytes [+ crc32c] only)")
+          indexCrc = idxNames.contains("crc32c")
+          applyCodecs((cfg \ "codecs").extract[Seq[JValue]])
         case other => throw new UnsupportedOperationException(
-          s"zarr v3 codec '$other' on $name (supported: bytes, gzip; rewrite " +
-            "with zarr.copy_store to a gzip-codec store)")
+          s"zarr v3 codec '$other' on $name (supported: bytes, gzip, " +
+            "sharding_indexed; rewrite with zarr.copy_store to a " +
+            "gzip-codec store)")
       }
     }
+    applyCodecs((j \ "codecs").extract[Seq[JValue]])
     val dt = (j \ "data_type").extract[String] match {
       case "float64" => "f8"
       case "float32" => "f4"
@@ -149,10 +176,12 @@ object ZarrMeta {
       .getOrElse(if (ckeName == "default") "/" else ".")
     val attrs = (j \ "attributes") match { case JNothing => JObject(); case a => a }
     val units = (attrs \ "units").extractOpt[String].getOrElse("")
+    val gridChunks = (grid \ "configuration" \ "chunk_shape").extract[Seq[Int]]
     ArrayMeta(
       name = name,
       shape = (j \ "shape").extract[Seq[Int]],
-      chunks = (grid \ "configuration" \ "chunk_shape").extract[Seq[Int]],
+      // sharded arrays: grid chunk = SHARD; read granularity = inner chunk
+      chunks = innerChunks.getOrElse(gridChunks),
       dtype = (if (endian == "big") ">" else "<") + dt,
       compressor = comp,
       fillValue = (j \ "fill_value") match {
@@ -166,7 +195,10 @@ object ZarrMeta {
       missingValue = (attrs \ "missing_value").extractOpt[Double],
       epochSecondsTime = units.startsWith("seconds since 1970-01-01"),
       v3DefaultKeys = ckeName == "default",
-      keySep = sep)
+      keySep = sep,
+      shardChunks = innerChunks.map(_ => gridChunks),
+      shardIndexAtEnd = indexAtEnd,
+      shardIndexCrc = indexCrc)
   }
 
   /** List array names (children with a .zarray) of a store directory. */
@@ -256,20 +288,72 @@ object ZarrMeta {
   def readChunk(conf: Configuration, store: String, meta: ArrayMeta,
       chunkIdx: Seq[Int]): Array[Double] = {
     val n = meta.chunks.product
-    readFile(conf, s"$store/${meta.name}/${meta.chunkKey(chunkIdx)}") match {
-      case None =>
-        Array.fill(n)(meta.fillValue.getOrElse(Double.NaN))
-      case Some(raw) =>
-        val bytes = meta.compressor match {
-          case Some("zlib") => inflate(raw, n * dtypeBytes(meta.dtype))
-          case Some("gzip") => gunzip(raw, n * dtypeBytes(meta.dtype))
-          case Some(other) =>
-            throw new UnsupportedOperationException(
-              s"zarr compressor '$other' not supported (use zlib, gzip, or null)")
-          case None => raw
-        }
-        decode(bytes, meta, n)
+    val fill = () => Array.fill(n)(meta.fillValue.getOrElse(Double.NaN))
+    def decompress(raw: Array[Byte]): Array[Byte] = meta.compressor match {
+      case Some("zlib") => inflate(raw, n * dtypeBytes(meta.dtype))
+      case Some("gzip") => gunzip(raw, n * dtypeBytes(meta.dtype))
+      case Some(other) =>
+        throw new UnsupportedOperationException(
+          s"zarr compressor '$other' not supported (use zlib, gzip, or null)")
+      case None => raw
     }
+    meta.shardChunks match {
+      case None =>
+        readFile(conf, s"$store/${meta.name}/${meta.chunkKey(chunkIdx)}") match {
+          case None => fill()
+          case Some(raw) => decode(decompress(raw), meta, n)
+        }
+      case Some(_) =>
+        val per = meta.innerPerShard
+        val shardIdx = chunkIdx.zip(per).map { case (ci, p) => ci / p }
+        val inner = chunkIdx.zip(per).map { case (ci, p) => ci % p }
+        val linear = inner.zip(per).foldLeft(0L) { case (acc, (i, p)) => acc * p + i }
+        readShardEntry(conf,
+          s"$store/${meta.name}/${meta.chunkKey(shardIdx)}",
+          meta, per.map(_.toLong).product, linear) match {
+          case None => fill()
+          case Some(raw) => decode(decompress(raw), meta, n)
+        }
+    }
+  }
+
+  /** One inner chunk's encoded bytes out of a shard object
+    * (`sharding_indexed` codec): parse the binary index (u64-LE
+    * offset/nbytes per inner chunk in C-order, 2^64-1 = missing, optional
+    * trailing crc32c), then ranged-read the entry. Two ranged reads per
+    * chunk — at fixture scale per call; a production task reads its
+    * shard's index once and serves all its inner chunks from it, which is
+    * exactly why sharding keeps 100 TB stores at sane object counts. */
+  private def readShardEntry(conf: Configuration, path: String, meta: ArrayMeta,
+      innerCount: Long, linear: Long): Option[Array[Byte]] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val fileLen = fs.getFileStatus(p).getLen
+    val indexLen = 16L * innerCount + (if (meta.shardIndexCrc) 4 else 0)
+    require(fileLen >= indexLen, s"shard $path shorter than its index")
+    val in = fs.open(p)
+    try {
+      val idx = new Array[Byte](indexLen.toInt)
+      in.readFully(if (meta.shardIndexAtEnd) fileLen - indexLen else 0L, idx)
+      if (meta.shardIndexCrc) {
+        val crc = new java.util.zip.CRC32C()
+        crc.update(idx, 0, idx.length - 4)
+        val stored = ByteBuffer.wrap(idx, idx.length - 4, 4)
+          .order(ByteOrder.LITTLE_ENDIAN).getInt & 0xffffffffL
+        require(crc.getValue == stored,
+          s"shard index crc32c mismatch in $path")
+      }
+      val bb = ByteBuffer.wrap(idx).order(ByteOrder.LITTLE_ENDIAN)
+      val off = bb.getLong((linear * 16).toInt)
+      val nbytes = bb.getLong((linear * 16).toInt + 8)
+      if (off == -1L && nbytes == -1L) None // 2^64-1: chunk not present
+      else {
+        val raw = new Array[Byte](nbytes.toInt)
+        in.readFully(off, raw)
+        Some(raw)
+      }
+    } finally in.close()
   }
 
   /** Read an entire (possibly multi-chunk) array — used for coordinates. */

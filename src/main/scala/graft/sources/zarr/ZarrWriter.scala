@@ -26,7 +26,8 @@ object ZarrWriter {
       scaleFactor: Option[Double] = None,
       addOffset: Option[Double] = None,
       missingValue: Option[Double] = None,
-      units: Option[String] = None)
+      units: Option[String] = None,
+      shard: Option[Seq[Int]] = None) // v3 only: outer shard shape (elements)
 
   def write(storePath: String, vars: Seq[VarSpec]): Unit = {
     val root = new File(storePath)
@@ -65,22 +66,35 @@ object ZarrWriter {
         case "<u1" | "|u1" => "uint8"
         case o => throw new UnsupportedOperationException(s"v3 writer dtype $o")
       }
-      val codecs = Seq(Some("""{"name": "bytes", "configuration": {"endian": "little"}}"""),
+      val innerCodecs = Seq(Some("""{"name": "bytes", "configuration": {"endian": "little"}}"""),
         v.compressor.map {
           case "gzip" => """{"name": "gzip", "configuration": {"level": 6}}"""
           case o => throw new UnsupportedOperationException(s"v3 writer codec $o")
         }).flatten
+      val codecs = v.shard match {
+        case None => innerCodecs
+        case Some(sh) =>
+          require(sh.zip(v.chunks).forall { case (s, c) => s % c == 0 },
+            s"${v.name}: inner chunks ${v.chunks} must evenly divide shard $sh")
+          Seq(s"""{"name": "sharding_indexed", "configuration": {
+             |  "chunk_shape": [${v.chunks.mkString(", ")}],
+             |  "codecs": [${innerCodecs.mkString(", ")}],
+             |  "index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+             |                   {"name": "crc32c"}],
+             |  "index_location": "end"}}""".stripMargin)
+      }
       val attrs = Seq(
         v.scaleFactor.map(x => s""""scale_factor": $x"""),
         v.addOffset.map(x => s""""add_offset": $x"""),
         v.missingValue.map(x => s""""missing_value": ${fmtMissing(x, v.dtype)}"""),
         v.units.map(u => s""""units": "$u"""")).flatten
       val fillJson = if (v.dtype.startsWith("<f")) "\"NaN\"" else "0"
+      val gridChunks = v.shard.getOrElse(v.chunks)
       val j =
         s"""{"zarr_format": 3, "node_type": "array",
            | "shape": [${v.shape.mkString(", ")}], "data_type": "$dt",
            | "chunk_grid": {"name": "regular",
-           |   "configuration": {"chunk_shape": [${v.chunks.mkString(", ")}]}},
+           |   "configuration": {"chunk_shape": [${gridChunks.mkString(", ")}]}},
            | "chunk_key_encoding": {"name": "default",
            |   "configuration": {"separator": "$sep"}},
            | "fill_value": $fillJson,
@@ -89,17 +103,59 @@ object ZarrWriter {
            | "dimension_names": [${v.dims.map("\"" + _ + "\"").mkString(", ")}]}"""
           .stripMargin
       writeString(new File(dir, "zarr.json"), j)
-      val grid = v.shape.zip(v.chunks).map { case (s, c) => (s + c - 1) / c }
-      cartesian(grid.map(g => 0 until g)).foreach { chunkIdx =>
+      def encodeInner(chunkIdx: Seq[Int]): Array[Byte] = {
         val bytes = encodeChunk(v, chunkIdx)
-        val out = v.compressor match {
+        v.compressor match {
           case Some("gzip") => gzip(bytes)
           case _ => bytes
         }
-        val f = new File(dir, ("c" +: chunkIdx.map(_.toString)).mkString(sep))
+      }
+      def writeKey(keyIdx: Seq[Int], out: Array[Byte]): Unit = {
+        val f = new File(dir, ("c" +: keyIdx.map(_.toString)).mkString(sep))
         f.getParentFile.mkdirs()
         val fos = new FileOutputStream(f)
         try fos.write(out) finally fos.close()
+      }
+      v.shard match {
+        case None =>
+          val grid = v.shape.zip(v.chunks).map { case (s, c) => (s + c - 1) / c }
+          cartesian(grid.map(g => 0 until g)).foreach { chunkIdx =>
+            writeKey(chunkIdx, encodeInner(chunkIdx))
+          }
+        case Some(sh) =>
+          // shard objects: encoded inner chunks concatenated, trailing
+          // u64-LE (offset, nbytes) index in inner C-order + crc32c;
+          // all-NaN inner chunks are omitted (index entry 2^64-1)
+          val shardGrid = v.shape.zip(sh).map { case (s, c) => (s + c - 1) / c }
+          val per = sh.zip(v.chunks).map { case (o, c) => o / c }
+          cartesian(shardGrid.map(g => 0 until g)).foreach { shardIdx =>
+            val body = new ByteArrayOutputStream()
+            val index = ByteBuffer.allocate(per.product * 16 + 4)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            cartesian(per.map(p => 0 until p)).foreach { inner =>
+              val globalChunk = shardIdx.zip(per).zip(inner)
+                .map { case ((s, p), i) => s * p + i }
+              val allMissing = v.dtype.startsWith("<f") && {
+                val starts = globalChunk.zip(v.chunks).map { case (g, c) => g * c }
+                cartesian(v.chunks.map(c => 0 until c)).forall { local =>
+                  val global = starts.zip(local).map { case (s, l) => s + l }
+                  val in = global.zip(v.shape).forall { case (g, s) => g < s }
+                  !in || v.data(linearIndex(global, v.shape)).isNaN
+                }
+              }
+              if (allMissing) { index.putLong(-1L); index.putLong(-1L) }
+              else {
+                val enc = encodeInner(globalChunk)
+                index.putLong(body.size().toLong); index.putLong(enc.length.toLong)
+                body.write(enc)
+              }
+            }
+            val crc = new java.util.zip.CRC32C()
+            crc.update(index.array(), 0, per.product * 16)
+            index.putInt(crc.getValue.toInt)
+            body.write(index.array())
+            writeKey(shardIdx, body.toByteArray)
+          }
       }
       v.name -> j
     }

@@ -80,6 +80,41 @@ class ZarrSourceSpec extends SparkSpec {
     assert(pruned.count() == nt)
   }
 
+  test("zarr v3 sharding_indexed: packed inner chunks read identically") {
+    val dir = java.nio.file.Files.createTempDirectory("zarr3sh").toString + "/s.zarr"
+    val times = (0 until nt).map(t => 86400.0 * t)
+    val lats = (0 until ny).map(y => -10.0 + 5.0 * y)
+    val lons = (0 until nx).map(x => 100.0 + 10.0 * x)
+    def cube(f: (Int, Int, Int) => Double): Seq[Double] =
+      for (t <- 0 until nt; y <- 0 until ny; x <- 0 until nx) yield f(t, y, x)
+    // one whole inner chunk (t in 0..1, y in 0..2, x in 0..1) all-NaN: the
+    // writer omits it (index entry 2^64-1) and the reader must fill nulls
+    val data = cube((t, y, x) =>
+      if (t < 2 && y < 3 && x < 2) Double.NaN else 300.0 + t + 0.1 * y + 0.01 * x)
+    ZW.writeV3(dir, Seq(
+      ZW.VarSpec("time", Seq("time"), Seq(nt), Seq(4), "<i8", times,
+        units = Some("seconds since 1970-01-01")),
+      ZW.VarSpec("latitude", Seq("latitude"), Seq(ny), Seq(5), "<f8", lats),
+      ZW.VarSpec("longitude", Seq("longitude"), Seq(nx), Seq(6), "<f8", lons),
+      // inner chunks 2x3x2 packed into 4x3x4 shards (2x1x2 inner per shard)
+      ZW.VarSpec("t2m", Seq("time", "latitude", "longitude"),
+        Seq(nt, ny, nx), Seq(2, 3, 2), data = data,
+        compressor = Some("gzip"), shard = Some(Seq(4, 3, 4)))))
+    val df = spark.read.format("zarr").load(dir)
+    assert(df.count() == nt * ny * nx)
+    // absent inner chunk -> nulls; the rest decodes exactly
+    assert(df.filter($"t2m".isNull).count() == 2 * 3 * 2)
+    val probe = df
+      .filter($"latitude" === 5.0 && $"longitude" === 120.0)
+      .filter(date_format($"time", "yyyy-MM-dd") === "1970-01-03")
+      .select($"t2m").head().getDouble(0)
+    assert(math.abs(probe - (300.0 + 2 + 0.1 * 3 + 0.01 * 2)) < 1e-9)
+    // partition planning runs at INNER-chunk granularity (prunable), not shard
+    val parts = df.filter($"longitude" === 100.0).rdd.getNumPartitions
+    assert(parts <= (nt / 2) * ((ny + 2) / 3) * 1,
+      s"expected inner-chunk partitions for one lon column, got $parts")
+  }
+
   test("zarr v3 opens without consolidated metadata (per-array zarr.json walk)") {
     // strip the inline consolidated_metadata from the root node
     val root = java.nio.file.Paths.get(storeV3, "zarr.json")
