@@ -13,8 +13,6 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-order dot product of two float arrays, accumulated in double
-    * (fp-deterministic: index order, not reduction-tree order). */
   /** Scalar int8 quantization of an embedding: per-vector symmetric scale
     * (max |x| / 127), q_i = round(x_i * 127 / max|x|) — the standard
     * memory-4x ANN compression. Pure per-row expressions (one scale + one
