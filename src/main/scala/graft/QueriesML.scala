@@ -276,7 +276,52 @@ object QueriesML {
     repetitionQ, quantizeQ, imageDupsQ, audioQ, piiQ, domainQ,
     semDedupQ, dupShingleQ, tfidfQ, lmQualityQ, packQ,
     chunkQ, domainCapQ, vocabQ, ccQ, mixQ, pqQ, adcQ, bpeQ, dsirQ,
-    deaccumQ, climQ, spansQ)
+    deaccumQ, climQ, spansQ, gopherQ)
+
+  // ------------------------------------------------------- text: Gopher quality-rule verdict
+  // The canonical pre-training rule filter: per-rule flags + conjunction.
+  private lazy val gopherQ = Q("q87_gopher_rules", Some(s"""
+      WITH b AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS nw,
+               length(regexp_replace(trim(text), '\\s+', '', 'g')) AS chars,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                         x -> regexp_matches(x, '[A-Za-z]'))) END AS aw,
+               length(text) - length(replace(text, '#', '')) AS hashes
+        FROM documents),
+      g AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS s
+            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                  FROM (SELECT doc_id, $toksSql AS t FROM documents)
+                  WHERE len(t) >= 2)),
+      r AS (SELECT doc_id, 1 - CAST(count(DISTINCT s) AS DOUBLE) / count(*) AS dup2
+            FROM g GROUP BY doc_id),
+      x AS (SELECT b.doc_id, b.nw,
+              CASE WHEN b.nw BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r_words,
+              CASE WHEN b.nw > 0 AND b.chars::DOUBLE / b.nw BETWEEN 3 AND 10
+                   THEN 1 ELSE 0 END AS r_mean_len,
+              CASE WHEN b.nw > 0 AND b.aw::DOUBLE / b.nw >= 0.8
+                   THEN 1 ELSE 0 END AS r_alpha,
+              CASE WHEN b.nw > 0 AND b.hashes::DOUBLE / b.nw <= 0.1
+                   THEN 1 ELSE 0 END AS r_symbol,
+              CASE WHEN COALESCE(r.dup2, 0) <= 0.3 THEN 1 ELSE 0 END AS r_dup
+            FROM b LEFT JOIN r USING (doc_id))
+      SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+             CAST(r_words AS BIGINT) AS r_words,
+             CAST(r_mean_len AS BIGINT) AS r_mean_len,
+             CAST(r_alpha AS BIGINT) AS r_alpha,
+             CAST(r_symbol AS BIGINT) AS r_symbol,
+             CAST(r_dup AS BIGINT) AS r_dup,
+             CAST(r_words * r_mean_len * r_alpha * r_symbol * r_dup AS BIGINT) AS keep
+      FROM x ORDER BY doc_id"""))(
+    (s, d) => {
+      import graft.functions.{TextFunctions => TF}
+      TF.gopherQualityRules(Tables.documents(s, d), "doc_id", "text")
+        .select($"id".as("doc_id"), $"n_words", $"r_words", $"r_mean_len",
+          $"r_alpha", $"r_symbol", $"r_dup", $"keep")
+        .orderBy($"doc_id")
+    })
 
   // ------------------------------------------------------- dedup: exact-substring spans
   // Lee et al. ExactSubstr semantics relationally: maximal ≥3-token spans

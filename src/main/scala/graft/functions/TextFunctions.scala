@@ -181,6 +181,45 @@ object TextFunctions {
       .select(col("id"), col("term"), col("tfidf"), col("rk"))
   }
 
+  /** Gopher-style quality-rule verdict (Rae et al. 2021 §A1.1 — the
+    * canonical pre-training document filter, also RedPajama/Dolma's rule
+    * core): per-doc booleans for the word-count band, mean-word-length
+    * band, alphabetic-word fraction, symbol ratio, and duplicate-bigram
+    * fraction, plus the conjunction `keep`. Emitting per-rule flags (not
+    * just the verdict) is what makes threshold sweeps and rejection
+    * accounting one aggregation instead of a recompute.
+    *
+    * Everything except the bigram stage is per-row expressions; the bigram
+    * distinct-fraction is the same per-row form as [[dupNgramRatio]] — no
+    * shuffle anywhere, scan-speed at any corpus size. */
+  def gopherQualityRules(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = trim(col(textCol).cast("string"))
+    val toks = split(t, "\\s+")
+    val nw = when(length(t) === 0, lit(0)).otherwise(size(toks))
+    val chars = length(regexp_replace(t, "\\s+", ""))
+    val alphaW = when(length(t) === 0, lit(0))
+      .otherwise(size(filter(toks, w => w.rlike("[A-Za-z]"))))
+    val hashes = length(col(textCol)) - length(regexp_replace(col(textCol), "#", ""))
+    val dup2 = dupNgramRatio(col(textCol), 2)
+    def flag(c: org.apache.spark.sql.Column) = when(c, 1L).otherwise(0L)
+    df.select(
+        col(idCol).as("id"), nw.as("nw"), chars.as("chars"), alphaW.as("aw"),
+        hashes.as("hashes"), dup2.as("dup2"))
+      .select(col("id"), col("nw").cast("long").as("n_words"),
+        flag(col("nw").between(50, 100000)).as("r_words"),
+        flag(col("nw") > 0 &&
+          (col("chars").cast("double") / col("nw")).between(3, 10)).as("r_mean_len"),
+        flag(col("nw") > 0 &&
+          col("aw").cast("double") / col("nw") >= 0.8).as("r_alpha"),
+        flag(col("nw") > 0 &&
+          col("hashes").cast("double") / col("nw") <= 0.1).as("r_symbol"),
+        flag(col("dup2") <= 0.3).as("r_dup"))
+      .withColumn("keep",
+        col("r_words") * col("r_mean_len") * col("r_alpha")
+          * col("r_symbol") * col("r_dup"))
+  }
+
   /** First BPE-training iteration (Sennrich et al. 2016 §3.2, the merge-pair
     * count): frequency of adjacent character pairs, counted over DISTINCT
     * words weighted by word frequency. The word-keyed pre-aggregation is the

@@ -426,6 +426,32 @@ class SamplingSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("gopherQualityRules flags each failure mode independently") {
+    import graft.functions.{TextFunctions => TF}
+    val good = ("ok " * 60).trim.replace("ok", "token") // 60 words, len 5, alpha
+    val docs = Seq(
+      (1L, good),                                    // passes everything... except dup (one word repeated!)
+      (2L, "too short"),                             // fails word-count band
+      (3L, ("x " * 60).trim),                        // mean word len 1 -> fails
+      (4L, (("99 " * 55).trim + " word word2 word3 word4 word5")), // mostly numeric -> fails alpha
+      (5L, ("word " * 50).trim + " " + ("# " * 10).trim), // 60 words, 10 hashes -> fails symbol
+      (6L, "")                                       // empty: every positive rule fails
+    ).toDF("doc_id", "text")
+    val got = TF.gopherQualityRules(docs, "doc_id", "text")
+      .orderBy($"id")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._3 == 1 && byId(1L)._4 == 1 && byId(1L)._5 == 1 && byId(1L)._6 == 1)
+    assert(byId(1L)._7 == 0, "a single repeated word is pure duplicate bigrams")
+    assert(byId(2L)._3 == 0, "word-count band")
+    assert(byId(3L)._4 == 0, "mean word length band")
+    assert(byId(4L)._5 == 0, "alphabetic-word fraction")
+    assert(byId(4L)._3 == 1, "60 words is in band")
+    assert(byId(5L)._6 == 0, "symbol ratio")
+    assert(byId(6L)._2 == 0 && byId(6L)._8 == 0, "empty doc never keeps")
+    assert(got.forall(r => r._8 == r._3 * r._4 * r._5 * r._6 * r._7), "keep is the conjunction")
+  }
+
   test("dsirWeights scores target-domain docs above off-domain docs") {
     import graft.operators.Sampling
     val raw = Seq(
