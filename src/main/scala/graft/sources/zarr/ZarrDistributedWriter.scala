@@ -30,6 +30,217 @@ import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
   */
 object ZarrDistributedWriter {
 
+  /** DISTRIBUTED Zarr v3 writer, optionally SHARDED (`sharding_indexed`):
+    * with `shard` set, inner chunks pack into one object per shard — the v3
+    * feature that keeps a 100 TB store at sane object counts (a 1 PB-era
+    * store with 1 MiB chunks is a billion objects unsharded; sharding
+    * divides that by `shard.product / chunks.product`). One task builds
+    * each (variable, shard): its inner chunks are hash-grouped to it, so
+    * task memory is bounded by the shard size, never the dataset. The
+    * driver writes only the root `zarr.json` (with inline
+    * `consolidated_metadata`) and the coordinate arrays. */
+  def writeV3(df: DataFrame, storePath: String, dims: Seq[String],
+      chunks: Seq[Int], shard: Option[Seq[Int]] = None,
+      compressor: Option[String] = Some("gzip")): Unit = {
+    require(dims.nonEmpty && dims.size == chunks.size, "dims and chunks must align")
+    shard.foreach(sh => require(sh.zip(chunks).forall { case (s, c) => s % c == 0 },
+      s"inner chunks $chunks must evenly divide shard $sh"))
+    require(compressor.forall(_ == "gzip"), "v3 writer compresses with gzip or null")
+    val spark = df.sparkSession
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val isTimeDim: Seq[Boolean] = dims.map { d =>
+      df.schema(d).dataType match {
+        case TimestampNTZType | TimestampType => true
+        case _ => false
+      }
+    }
+    val dataVars = df.columns.filterNot(dims.contains).toSeq
+    def axis(d: String, i: Int): org.apache.spark.sql.Column =
+      if (isTimeDim(i)) col(d).cast("timestamp").cast("double") else col(d).cast("double")
+    val coords: Seq[Array[Double]] = dims.zipWithIndex.map { case (d, i) =>
+      df.select(axis(d, i).as("__a")).distinct().orderBy(col("__a"))
+        .collect().map(_.getDouble(0))
+    }
+    val shape = coords.map(_.length)
+
+    // driver: coordinate arrays (one chunk each) + all metadata in the root
+    val nodes = Seq.newBuilder[(String, String)]
+    dims.zipWithIndex.foreach { case (d, i) =>
+      val j = arrayJsonV3(Seq(shape(i)), Seq(shape(i)), None, None, Seq(d),
+        units = if (isTimeDim(i)) Some("seconds since 1970-01-01") else None)
+      writeText(conf, s"$storePath/$d/zarr.json", j)
+      writeBytes(conf, s"$storePath/$d/c/0", encodeF8(coords(i)))
+      nodes += d -> j
+    }
+    dataVars.foreach { v =>
+      val j = arrayJsonV3(shape, chunks, shard, compressor, dims, None)
+      writeText(conf, s"$storePath/$v/zarr.json", j)
+      nodes += v -> j
+    }
+    writeText(conf, s"$storePath/zarr.json",
+      nodes.result().map { case (k, j) => s""""$k": $j""" }.mkString(
+        """{"zarr_format": 3, "node_type": "group", "attributes": {},
+          | "consolidated_metadata": {"kind": "inline", "must_understand": false,
+          | "metadata": {""".stripMargin, ", ", "}}}"))
+
+    // tasks: aggregate (var, inner-chunk) buffers, then write either one
+    // object per inner chunk or one indexed object per shard
+    val innerChunks = chunkBuffers(df, dims, chunks, coords, axis)
+    val tconf = graft.sources.TaskConf(conf)
+    val varsLocal = dataVars.toIndexedSeq
+    val storeLocal = storePath
+    val compLocal = compressor
+    shard match {
+      case None =>
+        innerChunks.foreachPartition {
+          it: Iterator[((Int, String), Array[Double])] =>
+            val c = tconf.value
+            it.foreach { case ((vi, key), values) =>
+              val raw = maybeGzip(encodeF8(values), compLocal)
+              writeBytes(c,
+                s"$storeLocal/${varsLocal(vi)}/c/${key.replace(".", "/")}", raw)
+            }
+        }
+      case Some(sh) =>
+        val per = sh.zip(chunks).map { case (s, c) => s / c }.toIndexedSeq
+        val nDims = dims.size
+        innerChunks
+          .map { case ((vi, key), values) =>
+            val ci = key.split('.').map(_.toInt)
+            val shardIdx = Array.tabulate(nDims)(i => ci(i) / per(i))
+            var linear = 0L
+            var i = 0
+            while (i < nDims) { linear = linear * per(i) + ci(i) % per(i); i += 1 }
+            ((vi, shardIdx.mkString(".")), (linear, values))
+          }
+          .groupByKey() // one (var, shard) group per task: memory = shard size
+          .foreachPartition {
+            it: Iterator[((Int, String), Iterable[(Long, Array[Double])])] =>
+              val c = tconf.value
+              val innerCount = per.product
+              it.foreach { case ((vi, shardKey), inners) =>
+                val present = inners.toMap
+                val body = new ByteArrayOutputStream()
+                val index = ByteBuffer.allocate(innerCount * 16 + 4)
+                  .order(ByteOrder.LITTLE_ENDIAN)
+                (0L until innerCount).foreach { linear =>
+                  present.get(linear) match {
+                    case Some(values) =>
+                      val enc = maybeGzip(encodeF8(values), compLocal)
+                      index.putLong(body.size().toLong)
+                      index.putLong(enc.length.toLong)
+                      body.write(enc)
+                    case None => // absent inner chunk: 2^64-1 sentinel
+                      index.putLong(-1L); index.putLong(-1L)
+                  }
+                }
+                val crc = new java.util.zip.CRC32C()
+                crc.update(index.array(), 0, innerCount * 16)
+                index.putInt(crc.getValue.toInt)
+                body.write(index.array())
+                writeBytes(c, s"$storeLocal/${varsLocal(vi)}/c/" +
+                  shardKey.replace(".", "/"), body.toByteArray)
+              }
+          }
+    }
+  }
+
+  private def maybeGzip(raw: Array[Byte], comp: Option[String]): Array[Byte] =
+    comp match {
+      case Some("gzip") =>
+        val bos = new ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(raw); g.close()
+        bos.toByteArray
+      case _ => raw
+    }
+
+  private def arrayJsonV3(shape: Seq[Int], chunks: Seq[Int],
+      shard: Option[Seq[Int]], comp: Option[String], dims: Seq[String],
+      units: Option[String]): String = {
+    val inner = Seq(Some("""{"name": "bytes", "configuration": {"endian": "little"}}"""),
+      comp.map(_ => """{"name": "gzip", "configuration": {"level": 6}}""")).flatten
+    val codecs = shard match {
+      case None => inner
+      case Some(_) => Seq(
+        s"""{"name": "sharding_indexed", "configuration": {
+           |  "chunk_shape": [${chunks.mkString(", ")}],
+           |  "codecs": [${inner.mkString(", ")}],
+           |  "index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+           |                   {"name": "crc32c"}],
+           |  "index_location": "end"}}""".stripMargin)
+    }
+    val gridChunks = shard.getOrElse(chunks)
+    val attrs = units.map(u => s""""units": "$u"""").toSeq
+    s"""{"zarr_format": 3, "node_type": "array",
+       | "shape": [${shape.mkString(", ")}], "data_type": "float64",
+       | "chunk_grid": {"name": "regular",
+       |   "configuration": {"chunk_shape": [${gridChunks.mkString(", ")}]}},
+       | "chunk_key_encoding": {"name": "default",
+       |   "configuration": {"separator": "/"}},
+       | "fill_value": "NaN",
+       | "codecs": [${codecs.mkString(", ")}],
+       | "attributes": {${attrs.mkString(", ")}},
+       | "dimension_names": [${dims.map("\"" + _ + "\"").mkString(", ")}]}"""
+      .stripMargin
+  }
+
+  /** The shared keyed-aggregation core: one (variable, inner-chunk-key)
+    * buffer per populated chunk, NaN-filled, last-write-wins on overlap. */
+  private def chunkBuffers(df: DataFrame, dims: Seq[String], chunks: Seq[Int],
+      coords: Seq[Array[Double]],
+      axis: (String, Int) => org.apache.spark.sql.Column)
+      : org.apache.spark.rdd.RDD[((Int, String), Array[Double])] = {
+    val spark = df.sparkSession
+    val dataVars = df.columns.filterNot(dims.contains).toSeq
+    val chunkProd = chunks.product
+    val dimIndex: Seq[Map[Double, Int]] = coords.map(_.zipWithIndex.toMap)
+    val bcIdx = spark.sparkContext.broadcast(dimIndex)
+    val chunksLocal = chunks.toIndexedSeq
+    val nDims = dims.size
+    val varsLocal = dataVars.toIndexedSeq
+    val shape = coords.map(_.length)
+    val nChunksUpper = shape.zip(chunks)
+      .map { case (s, c) => (s + c - 1) / c }.product * math.max(varsLocal.size, 1)
+    val projected = df.select(
+      dims.zipWithIndex.map { case (d, i) => axis(d, i) } ++
+        dataVars.map(v => col(v).cast("double")): _*)
+    projected.rdd.flatMap { row =>
+      val idx = bcIdx.value
+      val gidx = new Array[Int](nDims)
+      var i = 0
+      while (i < nDims) { gidx(i) = idx(i)(row.getDouble(i)); i += 1 }
+      var localLinear = 0
+      val chunkIdx = new Array[Int](nDims)
+      i = 0
+      while (i < nDims) {
+        chunkIdx(i) = gidx(i) / chunksLocal(i)
+        localLinear = localLinear * chunksLocal(i) + gidx(i) % chunksLocal(i)
+        i += 1
+      }
+      val key = chunkIdx.mkString(".")
+      varsLocal.indices.iterator.filterNot(vi => row.isNullAt(nDims + vi)).map { vi =>
+        ((vi, key), (localLinear, row.getDouble(nDims + vi)))
+      }
+    }.aggregateByKey(null: Array[Double],
+      new HashPartitioner(math.min(nChunksUpper,
+        spark.sparkContext.defaultParallelism * 4)))(
+      (acc, kv) => {
+        val a = if (acc == null) Array.fill(chunkProd)(Double.NaN) else acc
+        a(kv._1) = kv._2
+        a
+      },
+      (a, b) => {
+        if (a == null) b
+        else if (b == null) a
+        else {
+          var i = 0
+          while (i < a.length) { if (!b(i).isNaN) a(i) = b(i); i += 1 }
+          a
+        }
+      })
+  }
+
   def write(df: DataFrame, storePath: String, dims: Seq[String],
       chunks: Seq[Int], compressor: Option[String] = Some("zlib")): Unit = {
     require(dims.nonEmpty && dims.size == chunks.size, "dims and chunks must align")
@@ -88,56 +299,10 @@ object ZarrDistributedWriter {
 
     // 3. distributed chunk encode+write (tasks get the session Hadoop conf)
     val tconf = graft.sources.TaskConf(conf)
-    val chunkProd = chunks.product
-    val dimIndex: Seq[Map[Double, Int]] = coords.map(_.zipWithIndex.toMap)
-    val bcIdx = spark.sparkContext.broadcast(dimIndex)
-    val chunksLocal = chunks.toIndexedSeq
-    val nDims = dims.size
     val varsLocal = dataVars.toIndexedSeq
     val storeLocal = storePath
     val compLocal = compressor
-    val nChunksUpper = shape.zip(chunks)
-      .map { case (s, c) => (s + c - 1) / c }.product * math.max(varsLocal.size, 1)
-
-    val projected = df.select(
-      dims.zipWithIndex.map { case (d, i) => axis(d, i) } ++
-        dataVars.map(v => col(v).cast("double")): _*)
-    val keyed = projected.rdd.flatMap { row =>
-      val idx = bcIdx.value
-      val gidx = new Array[Int](nDims)
-      var i = 0
-      while (i < nDims) { gidx(i) = idx(i)(row.getDouble(i)); i += 1 }
-      var localLinear = 0
-      val chunkIdx = new Array[Int](nDims)
-      i = 0
-      while (i < nDims) {
-        chunkIdx(i) = gidx(i) / chunksLocal(i)
-        localLinear = localLinear * chunksLocal(i) + gidx(i) % chunksLocal(i)
-        i += 1
-      }
-      val key = chunkIdx.mkString(".")
-      varsLocal.indices.iterator.filterNot(vi => row.isNullAt(nDims + vi)).map { vi =>
-        ((vi, key), (localLinear, row.getDouble(nDims + vi)))
-      }
-    }
-    keyed
-      .aggregateByKey(null: Array[Double],
-        new HashPartitioner(math.min(nChunksUpper,
-          spark.sparkContext.defaultParallelism * 4)))(
-        (acc, kv) => {
-          val a = if (acc == null) Array.fill(chunkProd)(Double.NaN) else acc
-          a(kv._1) = kv._2
-          a
-        },
-        (a, b) => {
-          if (a == null) b
-          else if (b == null) a
-          else {
-            var i = 0
-            while (i < a.length) { if (!b(i).isNaN) a(i) = b(i); i += 1 }
-            a
-          }
-        })
+    chunkBuffers(df, dims, chunks, coords, axis)
       .foreachPartition { it: Iterator[((Int, String), Array[Double])] =>
         val conf = tconf.value
         it.foreach { case ((vi, key), values) =>

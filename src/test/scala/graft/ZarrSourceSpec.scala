@@ -238,6 +238,36 @@ class ZarrSourceSpec extends SparkSpec {
     a.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
   }
 
+  test("distributed v3 writer round-trips, sharded and unsharded, one object per shard") {
+    import graft.sources.zarr.ZarrDistributedWriter
+    val key = Seq($"time", $"latitude", $"longitude")
+    val expected = ds.orderBy(key: _*).collect()
+    // unsharded v3
+    val flat = java.nio.file.Files.createTempDirectory("zarrw3").toString + "/rt.zarr"
+    ZarrDistributedWriter.writeV3(ds, flat,
+      Seq("time", "latitude", "longitude"), Seq(2, 3, 4))
+    val backFlat = spark.read.format("zarr").load(flat).orderBy(key: _*).collect()
+    assert(expected.toSeq == backFlat.toSeq)
+    // sharded: 2x3x4 inner chunks packed into 4x3x4 shards
+    val sharded = java.nio.file.Files.createTempDirectory("zarrw3s").toString + "/rt.zarr"
+    ZarrDistributedWriter.writeV3(ds, sharded,
+      Seq("time", "latitude", "longitude"), Seq(2, 3, 4), shard = Some(Seq(4, 3, 4)))
+    val backSharded = spark.read.format("zarr").load(sharded).orderBy(key: _*).collect()
+    assert(expected.toSeq == backSharded.toSeq)
+    // object count: ceil(4/4) x ceil(5/3) x ceil(6/4) = 1*2*2 = 4 shards/var,
+    // vs 2*2*2 = 8 inner chunks/var unsharded
+    def chunkFiles(store: String, v: String): Int = {
+      // Hadoop LocalFileSystem writes .crc sidecars next to every object;
+      // count only the real chunk/shard objects
+      def walk(f: java.io.File): Int =
+        if (f.isFile) { if (f.getName.startsWith(".")) 0 else 1 }
+        else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0)
+      walk(new java.io.File(s"$store/$v/c"))
+    }
+    assert(chunkFiles(sharded, "t2m") == 4, "one object per shard")
+    assert(chunkFiles(flat, "t2m") == 8, "one object per inner chunk")
+  }
+
   test("distributed writer encodes absent cells as nulls (sparse input)") {
     import graft.sources.zarr.ZarrDistributedWriter
     val out = java.nio.file.Files.createTempDirectory("zarrs").toString + "/sparse.zarr"
