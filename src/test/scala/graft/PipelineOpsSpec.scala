@@ -923,6 +923,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.size < rows.size, "mixture must subsample")
   }
 
+  test("streaming de-accumulation differences across micro-batches (stream == batch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Deaccumulate
+    import graft.operators.Mover
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // two cells; cell 1 resets its accumulation mid-stream (8.0 -> 2.0),
+    // and the reset lands in the SECOND batch so state must carry over
+    val batch1 = Seq(Deaccumulate.Obs(1L, 1L, 5.0), Deaccumulate.Obs(1L, 2L, 8.0),
+      Deaccumulate.Obs(2L, 1L, 3.0))
+    val batch2 = Seq(Deaccumulate.Obs(1L, 3L, 2.0), Deaccumulate.Obs(1L, 4L, 6.0),
+      Deaccumulate.Obs(2L, 2L, 4.5))
+    val in = MemoryStream[Deaccumulate.Obs]
+    val q = Deaccumulate.assignStreaming(in.toDS()).writeStream
+      .format("memory").queryName("deaccum_stream").outputMode("append").start()
+    try {
+      in.addData(batch1); q.processAllAvailable()
+      in.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("deaccum_stream")
+      .select($"key", $"ts_us", $"step_value")
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = Mover.deaccumulate(
+        (batch1 ++ batch2).toDF(), Seq("key"), Seq("ts_us"), "value")
+      .select($"key", $"ts_us", $"step_value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.contains((1L, 3L, 2.0)), "cross-batch reset yields the raw value")
+    assert(streamed.contains((1L, 4L, 4.0)), "post-reset difference uses carried state")
+    assert(streamed.contains((2L, 2L, 1.5)), "cross-batch difference uses carried state")
+  }
+
   test("streaming exact dedup drops cross-batch duplicates with bounded state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamDedup
