@@ -115,6 +115,39 @@ class ZarrSourceSpec extends SparkSpec {
       s"expected inner-chunk partitions for one lon column, got $parts")
   }
 
+  test("zarr v3 big-endian bytes codec decodes (hand-crafted store)") {
+    val dir = java.nio.file.Files.createTempDirectory("zarr3be").toString + "/s.zarr"
+    def put(rel: String, bytes: Array[Byte]): Unit = {
+      val f = new java.io.File(dir, rel)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, bytes)
+    }
+    def putS(rel: String, s: String): Unit = put(rel, s.getBytes("UTF-8"))
+    putS("zarr.json", """{"zarr_format": 3, "node_type": "group", "attributes": {}}""")
+    def arr(name: String, shape: Int, dims: String, units: String): Unit = putS(
+      s"$name/zarr.json",
+      s"""{"zarr_format": 3, "node_type": "array", "shape": [$shape],
+         | "data_type": "float64",
+         | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [$shape]}},
+         | "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+         | "fill_value": "NaN",
+         | "codecs": [{"name": "bytes", "configuration": {"endian": "big"}}],
+         | "attributes": {$units}, "dimension_names": [$dims]}""".stripMargin)
+    def be(values: Seq[Double]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(values.size * 8)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      values.foreach(bb.putDouble)
+      bb.array()
+    }
+    arr("x", 3, "\"x\"", "")
+    put("x/c/0", be(Seq(0.0, 1.0, 2.0)))
+    arr("v", 3, "\"x\"", "")
+    put("v/c/0", be(Seq(10.5, 11.5, 12.5)))
+    val df = spark.read.format("zarr").load(dir)
+    assert(df.orderBy($"x").select($"v").as[Double].collect().toSeq ==
+      Seq(10.5, 11.5, 12.5))
+  }
+
   test("zarr v3 opens without consolidated metadata (per-array zarr.json walk)") {
     // strip the inline consolidated_metadata from the root node
     val root = java.nio.file.Paths.get(storeV3, "zarr.json")
