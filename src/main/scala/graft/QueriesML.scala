@@ -276,7 +276,43 @@ object QueriesML {
     repetitionQ, quantizeQ, imageDupsQ, audioQ, piiQ, domainQ,
     semDedupQ, dupShingleQ, tfidfQ, lmQualityQ, packQ,
     chunkQ, domainCapQ, vocabQ, ccQ, mixQ, pqQ, adcQ, bpeQ, dsirQ,
-    deaccumQ, climQ, spansQ, gopherQ)
+    deaccumQ, climQ, spansQ, gopherQ, cutQ)
+
+  // ------------------------------------------------------- dedup: cut duplicated spans
+  // The apply half of q86: remove every token inside a duplicated span,
+  // re-join the survivors per doc (md5'd for the hash compare).
+  private lazy val cutQ = Q("q88_cut_spans", Some(s"""
+      WITH corpus AS ($corpusSql),
+      toks AS (SELECT doc_id, $toksSql AS t FROM corpus),
+      sh AS (SELECT doc_id, CAST(i AS INT) AS pos, array_to_string(t[i:i+2], ' ') AS s
+             FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+                   FROM toks WHERE len(t) >= 3)),
+      c AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2),
+      m AS (SELECT doc_id, pos FROM sh JOIN c USING (s)),
+      g AS (SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER w IS NULL
+                        OR pos > lag(pos) OVER w + 3 THEN 1 ELSE 0 END AS brk
+            FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      i AS (SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS grp
+            FROM g),
+      spans AS (SELECT doc_id, min(pos) AS start_tok, max(pos) + 2 AS end_tok
+                FROM i GROUP BY doc_id, grp),
+      tok AS (SELECT doc_id, CAST(j AS BIGINT) AS pos, t[j] AS w
+              FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS j
+                    FROM toks)),
+      kept AS (SELECT tok.doc_id, pos, w FROM tok
+               WHERE NOT EXISTS (SELECT 1 FROM spans s
+                                 WHERE s.doc_id = tok.doc_id
+                                   AND tok.pos BETWEEN s.start_tok AND s.end_tok))
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(w, ' ' ORDER BY pos)) AS clean_md5
+      FROM kept GROUP BY doc_id ORDER BY doc_id"""))(
+    (s, d) =>
+      Dedup.removeDupSpans(corpus(s, d), "doc_id", "text", n = 3, minCount = 2)
+        .select($"id".as("doc_id"), $"n_kept", md5($"clean_text").as("clean_md5"))
+        .orderBy($"doc_id"))
 
   // ------------------------------------------------------- text: Gopher quality-rule verdict
   // The canonical pre-training rule filter: per-rule flags + conjunction.

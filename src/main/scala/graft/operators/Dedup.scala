@@ -465,4 +465,35 @@ object Dedup {
         count(lit(1)).as("n_dup_shingles"))
       .drop("grp")
   }
+
+  /** The apply half of [[dupSpans]] (Lee et al. 2021 CUT the duplicated
+    * region, keeping the rest of the document): tokens inside any
+    * duplicated span are removed; each surviving doc re-joins its kept
+    * tokens in order (the normalized token stream — same lowercase/`\s+`
+    * form the spans were computed on). Docs whose tokens are ALL inside
+    * spans drop entirely.
+    *
+    * Scale shape: the span anti-join is id-equi (range check rides as the
+    * join filter, never a nested loop over the corpus); the per-doc
+    * reassembly aggregates one token list bounded by the document's own
+    * length — the same bound as holding the document. Returns
+    * (id, n_kept, clean_text). */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minCount: Long = 2): DataFrame = {
+    val spans = dupSpans(df, idCol, textCol, n, minCount)
+      .select(col("id").as("sid"), col("start_tok"), col("end_tok"))
+    val toks = df
+      .select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol).cast("string"))).as(Seq("p0", "w")))
+      .select(col("id"), (col("p0") + 1).cast("long").as("pos"), col("w"))
+    toks
+      .join(spans, toks("id") === spans("sid")
+        && col("pos") >= col("start_tok") && col("pos") <= col("end_tok"),
+        "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x.getField("w")), " ").as("clean_text"))
+  }
 }

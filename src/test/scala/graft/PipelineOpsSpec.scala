@@ -202,6 +202,21 @@ class DedupSpec extends SparkSpec {
     assert(spans == Seq((1L, 1L, 3L, 1L), (1L, 13L, 15L, 1L)))
   }
 
+  test("removeDupSpans cuts duplicated regions and drops fully-duplicated docs") {
+    val tiny = Seq(
+      (1L, "a b c d e x y z"),   // span [1,5] cut -> "x y z"
+      (2L, "q w e a b c d e"),   // span [4,8] cut -> "q w e"
+      (3L, "m m m m"),           // whole doc duplicated -> dropped
+      (4L, "totally unique text here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDupSpans(tiny, "doc_id", "text", n = 3, minCount = 2)
+      .orderBy($"id").as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, "x y z"),
+      (2L, 3L, "q w e"),
+      (4L, 4L, "totally unique text here")))
+  }
+
   test("tfidfTopK ranks in-doc-frequent, corpus-rare terms first") {
     import graft.functions.{TextFunctions => TF}
     val tiny = Seq(
