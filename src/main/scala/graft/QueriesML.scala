@@ -276,7 +276,42 @@ object QueriesML {
     repetitionQ, quantizeQ, imageDupsQ, audioQ, piiQ, domainQ,
     semDedupQ, dupShingleQ, tfidfQ, lmQualityQ, packQ,
     chunkQ, domainCapQ, vocabQ, ccQ, mixQ, pqQ, adcQ, bpeQ, dsirQ,
-    deaccumQ, climQ, spansQ, gopherQ, cutQ)
+    deaccumQ, climQ, spansQ, gopherQ, cutQ, curriculumQ)
+
+  // ------------------------------------------------------- sampling: curriculum buckets
+  // Short-to-long curriculum: quintile tiers of token count via exact
+  // quantile thresholds (Spark `percentile` ≡ DuckDB `quantile_cont`, the
+  // q47 equivalence); per-tier doc counts and score band.
+  private lazy val curriculumQ = Q("q89_curriculum", Some("""
+      WITH s AS (SELECT doc_id,
+                        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len(string_split_regex(trim(text), '\s+')) END
+                             AS DOUBLE) AS score
+                 FROM documents),
+      t AS (SELECT quantile_cont(score, [0.2, 0.4, 0.6, 0.8]) AS th FROM s),
+      b AS (SELECT doc_id, score,
+                   (CASE WHEN score > th[1] THEN 1 ELSE 0 END
+                  + CASE WHEN score > th[2] THEN 1 ELSE 0 END
+                  + CASE WHEN score > th[3] THEN 1 ELSE 0 END
+                  + CASE WHEN score > th[4] THEN 1 ELSE 0 END) AS bucket
+            FROM s, t)
+      SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+             round(min(score), 6) AS min_score, round(max(score), 6) AS max_score,
+             min(doc_id) AS first_doc
+      FROM b GROUP BY bucket ORDER BY bucket"""))(
+    (s, d) => {
+      import graft.functions.{TextFunctions => TF}
+      import graft.operators.Sampling
+      val scored = Tables.documents(s, d)
+        .select($"doc_id", TF.tokenCount($"text").cast("double").as("score"))
+      Sampling.curriculumBuckets(scored, "score", k = 5)
+        .groupBy($"bucket".cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(min($"score"), 6).as("min_score"),
+          round(max($"score"), 6).as("max_score"),
+          min($"doc_id").as("first_doc"))
+        .orderBy($"bucket")
+    })
 
   // ------------------------------------------------------- dedup: cut duplicated spans
   // The apply half of q86: remove every token inside a duplicated span,

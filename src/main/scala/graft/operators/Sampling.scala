@@ -221,6 +221,29 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Curriculum bucket assignment: k difficulty tiers by exact quantile
+    * thresholds of `scoreCol` (e.g. token count for a short-to-long
+    * curriculum, or an LM quality score) — bucket b contains rows above
+    * exactly b of the k-1 thresholds, so tiers are equal-mass up to score
+    * ties. Thresholds are ONE sort-based percentile aggregate collected to
+    * the driver (k-1 doubles); assignment is per-row expressions over those
+    * literals. The percentile aggregate holds one group — at 100 TB switch
+    * `exact = false` for the t-digest sketch (same pattern as corpus
+    * stats). Adds `bucket`. */
+  def curriculumBuckets(df: DataFrame, scoreCol: String, k: Int,
+      exact: Boolean = true): DataFrame = {
+    require(k >= 2, s"need at least 2 buckets, got $k")
+    val qs = (1 until k).map(i => i.toDouble / k)
+    val fn = if (exact) "percentile" else "approx_percentile"
+    val thresholds = df
+      .agg(org.apache.spark.sql.functions.expr(
+        s"$fn(CAST($scoreCol AS DOUBLE), array(${qs.mkString(", ")}))"))
+      .head().getSeq[Double](0)
+    df.withColumn("bucket",
+      thresholds.map(t => when(col(scoreCol).cast("double") > t, 1).otherwise(0))
+        .reduce(_ + _))
+  }
+
   /** DSIR importance weight (Xie et al. 2023, arXiv:2302.03169 §3): score
     * each raw document by the log-likelihood ratio between a TARGET
     * distribution (the domain you want more of) and the RAW distribution,

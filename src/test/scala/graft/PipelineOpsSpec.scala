@@ -441,6 +441,25 @@ class SamplingSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("curriculumBuckets assigns equal-mass quantile tiers") {
+    import graft.operators.Sampling
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
+    val got = Sampling.curriculumBuckets(df, "score", k = 4)
+      .groupBy($"bucket").agg(count(lit(1)).as("n"),
+        min($"score").as("lo"), max($"score").as("hi"))
+      .orderBy($"bucket")
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(0, 1, 2, 3))
+    assert(got.map(_._2).sum == 100)
+    // quartiles of 1..100: interpolated thresholds 25.75/50.5/75.25
+    assert(got.map(_._2) == Seq(25L, 25L, 25L, 25L))
+    assert(got(1)._3 == 26.0 && got(2)._3 == 51.0)
+    // the t-digest path stays close to exact (same tier for most rows)
+    val approx = Sampling.curriculumBuckets(df, "score", k = 4, exact = false)
+      .filter($"bucket" === 0).count()
+    assert(math.abs(approx - 25L) <= 2)
+  }
+
   test("gopherQualityRules flags each failure mode independently") {
     import graft.functions.{TextFunctions => TF}
     val good = ("ok " * 60).trim.replace("ok", "token") // 60 words, len 5, alpha
