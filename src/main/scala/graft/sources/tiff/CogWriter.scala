@@ -16,7 +16,10 @@ import java.util.zip.Deflater
   *  - tile data ordered smallest-overview FIRST and full resolution LAST,
   *    so low-zoom readers never seek past data they don't need;
   *  - LZW or deflate compression with the horizontal predictor for integer
-  *    samples.
+  *    samples;
+  *  - classic TIFF (magic 42) or BigTIFF (`bigTiff = true`: magic 43,
+  *    8-byte offsets, 20-byte IFD entries, LONG8 tile arrays) — the form
+  *    rasters over 4 GiB require.
   *
   * Readable by [[TiffReader]] (tiled path; the first IFD is the full
   * resolution image). */
@@ -37,7 +40,8 @@ object CogWriter {
       predictor: Int = 1,
       bitsPerSample: Int = 32,
       sampleFormat: Int = 3,
-      maxOverviews: Int = 6)
+      maxOverviews: Int = 6,
+      bigTiff: Boolean = false)   // magic 43: 8-byte offsets, 20-byte entries
 
   private final case class Level(
       width: Int, height: Int, data: Array[Double],
@@ -154,15 +158,19 @@ object CogWriter {
         if (projected) 3072 else 2048, 0, 1, s.epsg)
     }
     def entryCount = 16 // fixed tag set, every level (predictor always written)
-    def ifdBytes = 2 + entryCount * 12 + 4
+    val big = s.bigTiff
+    // BigTIFF: u64 entry count + 20-byte entries + u64 next pointer;
+    // offset/bytecount arrays are LONG8
+    def ifdBytes = if (big) 8 + entryCount * 20 + 8 else 2 + entryCount * 12 + 4
+    val offW = if (big) 8L else 4L
 
     final case class Layout(ifdOff: Long, toOff: Long, tbcOff: Long,
       scaleOff: Long, tieOff: Long, geoOff: Long)
-    var off = 8L
+    var off = if (big) 16L else 8L
     val layouts = levels.zip(tilesPerLevel).map { case (lv, tiles) =>
       val ifdOff = off; off += ifdBytes
-      val toOff = off; off += tiles.size * 4L
-      val tbcOff = off; off += tiles.size * 4L
+      val toOff = off; off += tiles.size * offW
+      val tbcOff = off; off += tiles.size * offW
       val scaleOff = off; off += 3 * 8L
       val tieOff = off; off += 6 * 8L
       val geoOff = off; off += geoKeys.size * 2L
@@ -182,7 +190,10 @@ object CogWriter {
       val bits = java.lang.Double.doubleToLongBits(v)
       (0 until 8).foreach(i => out.write(((bits >> (8 * i)) & 0xff).toInt))
     }
-    out.write('I'); out.write('I'); w16(42); w32(layouts.head.ifdOff)
+    def w64(v: Long): Unit = { w32(v & 0xffffffffL); w32((v >>> 32) & 0xffffffffL) }
+    def wOff(v: Long): Unit = if (big) w64(v) else w32(v)
+    if (big) { out.write('I'); out.write('I'); w16(43); w16(8); w16(0); w64(layouts.head.ifdOff) }
+    else { out.write('I'); out.write('I'); w16(42); w32(layouts.head.ifdOff) }
     levels.indices.foreach { i =>
       val lv = levels(i)
       val lay = layouts(i)
@@ -194,22 +205,29 @@ object CogWriter {
         (277, 3, 1, s.bands), (284, 3, 1, 1),
         (317, 3, 1, s.predictor),
         (322, 3, 1, s.tileWidth), (323, 3, 1, s.tileLength),
-        (324, 4, tiles.size,
+        (324, if (big) 16 else 4, tiles.size,
           if (tiles.size == 1) tileOffsets(i).head else lay.toOff),
-        (325, 4, tiles.size,
+        (325, if (big) 16 else 4, tiles.size,
           if (tiles.size == 1) tiles.head.length.toLong else lay.tbcOff),
         (339, 3, 1, s.sampleFormat),
         (33550, 12, 3, lay.scaleOff), (33922, 12, 6, lay.tieOff),
         (34735, 3, geoKeys.size, lay.geoOff))
       require(entries.size == entryCount, s"entry count drift: ${entries.size}")
-      w16(entries.size)
+      if (big) w64(entries.size) else w16(entries.size)
       entries.foreach { case (tag, typ, count, value) =>
-        w16(tag); w16(typ); w32(count)
-        if (typ == 3 && count == 1) { w16(value.toInt); w16(0) } else w32(value)
+        w16(tag); w16(typ)
+        if (big) {
+          w64(count)
+          if (typ == 3 && count == 1) { w16(value.toInt); w16(0); w32(0) }
+          else w64(value)
+        } else {
+          w32(count)
+          if (typ == 3 && count == 1) { w16(value.toInt); w16(0) } else w32(value)
+        }
       }
-      w32(if (i + 1 < levels.size) layouts(i + 1).ifdOff else 0L) // IFD chain
-      tileOffsets(i).foreach(w32)
-      tiles.foreach(t => w32(t.length))
+      wOff(if (i + 1 < levels.size) layouts(i + 1).ifdOff else 0L) // IFD chain
+      tileOffsets(i).foreach(wOff)
+      tiles.foreach(t => wOff(t.length))
       Seq(lv.scaleX, lv.scaleY, 0.0).foreach(w64d)
       Seq(0.0, 0.0, 0.0, s.tiepointXY._1, s.tiepointXY._2, 0.0).foreach(w64d)
       geoKeys.foreach(w16)

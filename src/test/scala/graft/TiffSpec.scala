@@ -231,6 +231,36 @@ class TiffSpec extends SparkSpec {
     assert(got == ((3 * 300 + 7) * 31 % 4096).toDouble)
   }
 
+  test("BigTIFF COG: magic 43 layout round-trips with overview pages") {
+    import graft.sources.tiff.{CogWriter, Tiff}
+    val dir = java.nio.file.Files.createTempDirectory("cogbig").toString
+    val p = s"$dir/c.tif"
+    val (bw, bh) = (300, 200)
+    val data = (0 until bw * bh).map(k => ((k * 31) % 4096).toDouble)
+    CogWriter.write(p, CogWriter.Spec(bw, bh, 1, data,
+      pixelScale = (0.01, 0.01), tiepointXY = (0.0, 50.0), epsg = 4326,
+      tileWidth = 128, tileLength = 128,
+      lzw = true, predictor = 2, bitsPerSample = 16, sampleFormat = 1,
+      bigTiff = true))
+    // magic 43 header, 8-byte offsets
+    val head = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)).take(4)
+    assert(head(2) == 43 && head(3) == 0, "BigTIFF magic")
+    // full-res page decodes identically to the classic-COG test
+    val df = TiffReader.readLongFormat(spark, p)
+    assert(df.count() == bw.toLong * bh)
+    val got = df.filter(abs($"latitude" - (50.0 - 3.5 * 0.01)) < 1e-9 &&
+        abs($"longitude" - 7.5 * 0.01) < 1e-9)
+      .head().getAs[Double]("band_1")
+    assert(got == ((3 * 300 + 7) * 31 % 4096).toDouble)
+    // overview pyramid pages walk through the BigTIFF IFD chain
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val chain = TiffReader.readMetaChain(conf, p)
+    assert(chain.size >= 2, "expected at least one overview page")
+    assert(chain.head.width == bw && chain(1).width == (bw + 1) / 2)
+    val ov = TiffReader.readLongFormat(spark, p, page = 1)
+    assert(ov.count() == ((bw + 1) / 2).toLong * ((bh + 1) / 2))
+  }
+
   test("COG golden layout: IFD chain first, overview pyramid, full-res data last") {
     import graft.sources.tiff.{CogWriter, Tiff}
     val dir = java.nio.file.Files.createTempDirectory("cogg").toString
