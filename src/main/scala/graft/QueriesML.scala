@@ -276,7 +276,47 @@ object QueriesML {
     repetitionQ, quantizeQ, imageDupsQ, audioQ, piiQ, domainQ,
     semDedupQ, dupShingleQ, tfidfQ, lmQualityQ, packQ,
     chunkQ, domainCapQ, vocabQ, ccQ, mixQ, pqQ, adcQ, bpeQ, dsirQ,
-    deaccumQ, climQ, spansQ, gopherQ, cutQ, curriculumQ)
+    deaccumQ, climQ, spansQ, gopherQ, cutQ, curriculumQ, canonQ)
+
+  // ------------------------------------------------------- dedup: canonical per cluster
+  // The keep-one materialization after q77's cluster closure: longest doc
+  // (n_chars, doc_id tie-break) survives each cluster; per-cluster size.
+  private lazy val canonQ = Q("q90_canonical_docs", Some("""
+      WITH RECURSIVE e1 AS (
+        SELECT doc_id AS src, doc_id + 1 AS dst FROM documents
+        WHERE doc_id % 10 < 3
+          AND EXISTS (SELECT 1 FROM documents d2 WHERE d2.doc_id = documents.doc_id + 1)),
+      e AS (SELECT src, dst FROM e1 UNION SELECT dst, src FROM e1),
+      reach AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+      m AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src),
+      lab AS (SELECT d.doc_id, d.n_chars,
+                     LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS cluster
+              FROM documents d LEFT JOIN m ON m.src = d.doc_id),
+      r AS (SELECT doc_id, n_chars, cluster,
+                   row_number() OVER (PARTITION BY cluster
+                                      ORDER BY n_chars DESC, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY cluster) AS n_members
+            FROM lab)
+      SELECT cluster, doc_id AS keep_id, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(n_members AS BIGINT) AS n_members
+      FROM r WHERE rn = 1 ORDER BY cluster"""))(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val ids = docs.select($"doc_id")
+      val e1 = ids.filter($"doc_id" % 10 < 3)
+        .select($"doc_id".as("id_a"), ($"doc_id" + 1).as("id_b"))
+        .join(ids.select($"doc_id".as("id_b")), Seq("id_b"), "left_semi")
+      val labels = Dedup.connectedComponents(ids, "doc_id", e1)
+      val sizes = labels.groupBy($"cluster").agg(count(lit(1)).as("n_members"))
+      Dedup.canonicalPerCluster(labels, docs.select($"doc_id", $"n_chars"),
+          "doc_id", "n_chars")
+        .join(sizes, Seq("cluster"))
+        .select($"cluster", $"doc_id".as("keep_id"), $"n_chars", $"n_members")
+        .orderBy($"cluster")
+    })
 
   // ------------------------------------------------------- sampling: curriculum buckets
   // Short-to-long curriculum: quintile tiers of token count via exact

@@ -466,6 +466,22 @@ object Dedup {
       .drop("grp")
   }
 
+  /** Canonical-document selection — the materialization step after
+    * [[connectedComponents]]: each duplicate cluster keeps its single best
+    * member (highest `scoreCol`, id as the tie-break) and drops the rest.
+    * One partitioned row_number over the cluster key (sort-based, spills;
+    * the same skew-safe shape as the stratified cap). Returns the
+    * surviving rows of `docs` plus their `cluster`. */
+  def canonicalPerCluster(labels: DataFrame, docs: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    val joined = docs.join(labels.select(col("id").as(idCol), col("cluster")), Seq(idCol))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** The apply half of [[dupSpans]] (Lee et al. 2021 CUT the duplicated
     * region, keeping the rest of the document): tokens inside any
     * duplicated span are removed; each surviving doc re-joins its kept

@@ -202,6 +202,17 @@ class DedupSpec extends SparkSpec {
     assert(spans == Seq((1L, 1L, 3L, 1L), (1L, 13L, 15L, 1L)))
   }
 
+  test("canonicalPerCluster keeps one best-scored member per cluster") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L))
+      .toDF("id", "cluster")
+    val docs = Seq((1L, 10.0), (2L, 30.0), (3L, 30.0), (4L, 7.0), (5L, 2.0))
+      .toDF("doc_id", "score")
+    val got = Dedup.canonicalPerCluster(labels, docs, "doc_id", "score")
+      .select($"cluster", $"doc_id").as[(Long, Long)].collect().toSet
+    // cluster 1: docs 2 and 3 tie at 30.0 -> lower id wins
+    assert(got == Set((1L, 2L), (4L, 4L), (5L, 5L)))
+  }
+
   test("removeDupSpans cuts duplicated regions and drops fully-duplicated docs") {
     val tiny = Seq(
       (1L, "a b c d e x y z"),   // span [1,5] cut -> "x y z"
