@@ -276,7 +276,72 @@ object QueriesML {
     repetitionQ, quantizeQ, imageDupsQ, audioQ, piiQ, domainQ,
     semDedupQ, dupShingleQ, tfidfQ, lmQualityQ, packQ,
     chunkQ, domainCapQ, vocabQ, ccQ, mixQ, pqQ, adcQ, bpeQ, dsirQ,
-    deaccumQ, climQ, spansQ, gopherQ, cutQ, curriculumQ, canonQ)
+    deaccumQ, climQ, spansQ, gopherQ, cutQ, curriculumQ, canonQ, recipeQ)
+
+  // ------------------------------------------------------- pipeline: end-to-end recipe accounting
+  // A full preprocessing recipe composed from the library's own operators —
+  // Gopher rules -> deterministic 50% sample -> per-source cap (100, md5
+  // order) — with the per-stage survivor accounting every corpus report
+  // publishes. Each stage is the exact operator other queries verify alone;
+  // this one verifies the COMPOSITION.
+  private lazy val recipeQ = Q("q91_recipe_stages", Some(s"""
+      WITH b AS (
+        SELECT doc_id, source,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS nw,
+               length(regexp_replace(trim(text), '\\s+', '', 'g')) AS chars,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                         x -> regexp_matches(x, '[A-Za-z]'))) END AS aw,
+               length(text) - length(replace(text, '#', '')) AS hashes
+        FROM documents),
+      g AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS s
+            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                  FROM (SELECT doc_id, $toksSql AS t FROM documents)
+                  WHERE len(t) >= 2)),
+      r AS (SELECT doc_id, 1 - CAST(count(DISTINCT s) AS DOUBLE) / count(*) AS dup2
+            FROM g GROUP BY doc_id),
+      kept AS (SELECT b.doc_id, b.source FROM b LEFT JOIN r USING (doc_id)
+               WHERE b.nw BETWEEN 50 AND 100000
+                 AND b.nw > 0 AND b.chars::DOUBLE / b.nw BETWEEN 3 AND 10
+                 AND b.aw::DOUBLE / b.nw >= 0.8
+                 AND b.hashes::DOUBLE / b.nw <= 0.1
+                 AND COALESCE(r.dup2, 0) <= 0.3),
+      sampled AS (SELECT doc_id, source FROM kept
+                  WHERE ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+                       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+                       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1))
+                      < CAST(round(0.5 * 65536) AS INT)),
+      capped AS (SELECT doc_id FROM (
+                   SELECT doc_id, row_number() OVER (PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS rn
+                   FROM sampled) WHERE rn <= 100)
+      SELECT * FROM (
+        SELECT 0 AS stage, 'all' AS name, count(*) AS n_docs FROM documents
+        UNION ALL SELECT 1, 'gopher_keep', count(*) FROM kept
+        UNION ALL SELECT 2, 'hash_sample_50', count(*) FROM sampled
+        UNION ALL SELECT 3, 'source_cap_100', count(*) FROM capped)
+      ORDER BY stage"""))(
+    (s, d) => {
+      import graft.functions.{TextFunctions => TF}
+      import graft.operators.Sampling
+      val docs = Tables.documents(s, d)
+      val kept = TF.gopherQualityRules(docs, "doc_id", "text")
+        .filter($"keep" === 1).select($"id".as("doc_id"))
+        .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+      val sampled = Sampling.hashSample(kept, $"doc_id", 0.5)
+      val capped = Sampling.stratifiedCap(sampled, $"source", $"doc_id",
+        maxPerStratum = 100)
+      def stage(i: Int, name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(i).as("stage"), lit(name).as("name"), $"n_docs")
+      stage(0, "all", docs)
+        .union(stage(1, "gopher_keep", kept))
+        .union(stage(2, "hash_sample_50", sampled))
+        .union(stage(3, "source_cap_100", capped))
+        .orderBy($"stage")
+    })
 
   // ------------------------------------------------------- dedup: canonical per cluster
   // The keep-one materialization after q77's cluster closure: longest doc
