@@ -1,9 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Driver-run benchmark: every SparkEntry query timed at the target SF,
+  * one JSON line on stdout.
+  *
+  * Robustness against machine-window variance (the r4 lesson — ambient
+  * load on a shared host swung untouched queries >2x between runs): each
+  * query runs TWICE after the codegen warm-up and reports the MIN of the
+  * two wall-clocks, and the full per-query map is also written to
+  * `BENCH_DETAIL.json` (both reps + min) so a truncated stdout capture
+  * can never lose the per-query data. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "BENCH_DETAIL.json")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,19 +31,33 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // drop persisted frames from previous queries: every query measures
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // drop persisted frames from previous runs: every rep measures
       // cold-cache, and late-alphabet queries aren't taxed by accumulated
       // cache memory pressure from the ones before them
       spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val detail = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to reps).map(_ => timeOnce(fn))
+      name -> times
+    }
+    val results = detail.map { case (name, times) => name -> times.min }.toMap
+    def fmtQ(m: Map[String, Double]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // full per-query record to a file FIRST — stdout tails can truncate
+    val detailJson = detail.map { case (name, times) =>
+      s"\"" + name + "\":{\"reps\":[" + times.mkString(",") +
+        "],\"min\":" + times.min + "}"
+    }.mkString(
+      s"""{"sf":"$sfDir","reps_per_query":$reps,"total_min":$total,"queries":{""",
+      ",", "}}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detailJson)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmtQ(results)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -326,20 +326,31 @@ object QueriesML {
     (s, d) => {
       import graft.functions.{TextFunctions => TF}
       import graft.operators.Sampling
+      import org.apache.spark.sql.expressions.Window
+      // ONE corpus pass: stage membership rides as boolean columns instead
+      // of four count branches (the union-of-aggs form recomputed the
+      // Gopher chain 3x — at 100 TB, two wasted full-corpus scans). The
+      // flags are the SAME operators other queries verify alone: the
+      // per-row Gopher rules (carried `source`, so no re-join), the
+      // hashSample predicate (same md5Bucket16 expression + rate literal),
+      // and the stratifiedCap window — partitioned by (source, samp) so
+      // sampled rows rank exactly as the cap-on-sampled-only would.
       val docs = Tables.documents(s, d)
-      val kept = TF.gopherQualityRules(docs, "doc_id", "text")
-        .filter($"keep" === 1).select($"id".as("doc_id"))
-        .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
-      val sampled = Sampling.hashSample(kept, $"doc_id", 0.5)
-      val capped = Sampling.stratifiedCap(sampled, $"source", $"doc_id",
-        maxPerStratum = 100)
-      def stage(i: Int, name: String, df: DataFrame) =
-        df.agg(count(lit(1)).as("n_docs"))
-          .select(lit(i).as("stage"), lit(name).as("name"), $"n_docs")
-      stage(0, "all", docs)
-        .union(stage(1, "gopher_keep", kept))
-        .union(stage(2, "hash_sample_50", sampled))
-        .union(stage(3, "source_cap_100", capped))
+      val flagged = TF.gopherQualityRulesFlat(docs, "doc_id", "text",
+          carry = Seq("source"))
+        .withColumn("samp", $"keep" === 1 &&
+          Sampling.md5Bucket16($"id".cast("string")) < math.round(0.5 * 65536).toInt)
+      val w = Window.partitionBy($"source", $"samp")
+        .orderBy(md5($"id".cast("string")), $"id".cast("string"))
+      flagged
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cap", $"samp" && $"rn" <= 100)
+        .agg(count(lit(1)).as("n0"),
+          sum(when($"keep" === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when($"samp", 1L).otherwise(0L)).as("n2"),
+          sum(when($"cap", 1L).otherwise(0L)).as("n3"))
+        .select(expr("stack(4, 0, 'all', n0, 1, 'gopher_keep', n1, " +
+          "2, 'hash_sample_50', n2, 3, 'source_cap_100', n3) AS (stage, name, n_docs)"))
         .orderBy($"stage")
     })
 

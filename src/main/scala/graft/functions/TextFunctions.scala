@@ -191,9 +191,14 @@ object TextFunctions {
     *
     * Everything except the bigram stage is per-row expressions; the bigram
     * distinct-fraction is the same per-row form as [[dupNgramRatio]] — no
-    * shuffle anywhere, scan-speed at any corpus size. */
+    * shuffle anywhere, scan-speed at any corpus size.
+    *
+    * `carry` names extra input columns to pass through unchanged (e.g. the
+    * source label a downstream mixture stage partitions on) — carrying them
+    * here keeps composed pipelines join-free instead of re-joining flags
+    * back to the corpus on the doc id. */
   def gopherQualityRules(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String): org.apache.spark.sql.DataFrame = {
+      textCol: String, carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     val t = trim(col(textCol).cast("string"))
     val toks = split(t, "\\s+")
     val nw = when(length(t) === 0, lit(0)).otherwise(size(toks))
@@ -204,9 +209,9 @@ object TextFunctions {
     val dup2 = dupNgramRatio(col(textCol), 2)
     def flag(c: org.apache.spark.sql.Column) = when(c, 1L).otherwise(0L)
     df.select(
-        col(idCol).as("id"), nw.as("nw"), chars.as("chars"), alphaW.as("aw"),
-        hashes.as("hashes"), dup2.as("dup2"))
-      .select(col("id"), col("nw").cast("long").as("n_words"),
+        Seq(col(idCol).as("id"), nw.as("nw"), chars.as("chars"), alphaW.as("aw"),
+          hashes.as("hashes"), dup2.as("dup2")) ++ carry.map(col): _*)
+      .select(Seq(col("id"), col("nw").cast("long").as("n_words"),
         flag(col("nw").between(50, 100000)).as("r_words"),
         flag(col("nw") > 0 &&
           (col("chars").cast("double") / col("nw")).between(3, 10)).as("r_mean_len"),
@@ -214,10 +219,101 @@ object TextFunctions {
           col("aw").cast("double") / col("nw") >= 0.8).as("r_alpha"),
         flag(col("nw") > 0 &&
           col("hashes").cast("double") / col("nw") <= 0.1).as("r_symbol"),
-        flag(col("dup2") <= 0.3).as("r_dup"))
+        flag(col("dup2") <= 0.3).as("r_dup")) ++ carry.map(col): _*)
       .withColumn("keep",
         col("r_words") * col("r_mean_len") * col("r_alpha")
           * col("r_symbol") * col("r_dup"))
+  }
+
+  /** Compiled twin of [[gopherQualityRules]] for hot composed pipelines
+    * (q91 runs the rules as ONE stage of a multi-stage pass): the whole
+    * rule chain — tokenize, per-token alpha test, bigram distinct fraction
+    * — runs as one JVM map per row instead of the interpreted array-HOF
+    * tower (`transform`/`slice`/`concat_ws`/`array_distinct`/`filter`+
+    * `rlike` never enter whole-stage codegen; every element walks the
+    * expression interpreter). Bit-identical rows to [[gopherQualityRules]]
+    * — SQL `trim` (spaces only), Java-regex `\s` whitespace, split limit
+    * -1, [[graft.operators.Dedup.shingleStringsOf]] bigrams — and the spec
+    * asserts lockstep on the fixture. Same output schema, same `carry`
+    * contract. */
+  def gopherQualityRulesFlat(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val in = df.select(col(idCol).as("id") +:
+      col(textCol).cast("string").as("t") +: carry.map(col): _*)
+    val carryFields = carry.zipWithIndex.map { case (_, i) => in.schema.fields(2 + i) }
+    val schema = StructType(
+      Seq(in.schema.fields(0),
+        StructField("n_words", LongType),
+        StructField("r_words", LongType, nullable = false),
+        StructField("r_mean_len", LongType, nullable = false),
+        StructField("r_alpha", LongType, nullable = false),
+        StructField("r_symbol", LongType, nullable = false),
+        StructField("r_dup", LongType, nullable = false)) ++
+      carryFields :+ StructField("keep", LongType, nullable = false))
+    // Java-regex \s, the class Spark's split/regexp_replace compile
+    def isRe(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    in.map { row =>
+      val id = row.get(0)
+      val text = if (row.isNullAt(1)) null else row.getString(1)
+      val carryVals = carry.indices.map(i => row.get(2 + i))
+      if (text == null)
+        // NULL text: every nw-derived flag folds to 0, dup2 to 0.0 (r_dup 1)
+        org.apache.spark.sql.Row.fromSeq(
+          Seq(id, null, 0L, 0L, 0L, 0L, 1L) ++ carryVals :+ 0L)
+      else {
+        var from = 0
+        var until = text.length
+        while (from < until && text.charAt(from) == ' ') from += 1
+        while (until > from && text.charAt(until - 1) == ' ') until -= 1
+        val t = text.substring(from, until)
+        val toks: Array[String] =
+          if (t.isEmpty) null else WhitespaceRe.split(t, -1)
+        val nw = if (t.isEmpty) 0 else toks.length
+        var chars = 0
+        var k = 0
+        while (k < t.length) { if (!isRe(t.charAt(k))) chars += 1; k += 1 }
+        var aw = 0
+        if (toks != null) {
+          var i = 0
+          while (i < toks.length) {
+            val w = toks(i)
+            var j = 0
+            var hit = false
+            while (!hit && j < w.length) {
+              val c = w.charAt(j)
+              if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) hit = true
+              j += 1
+            }
+            if (hit) aw += 1
+            i += 1
+          }
+        }
+        var hashes = 0
+        k = 0
+        while (k < text.length) { if (text.charAt(k) == '#') hashes += 1; k += 1 }
+        val sh = graft.operators.Dedup.shingleStringsOf(text, 2)
+        val dup2 =
+          if (sh.isEmpty) 0.0
+          else {
+            val set = new java.util.HashSet[String]()
+            var i = 0
+            while (i < sh.length) { set.add(sh(i)); i += 1 }
+            1.0 - set.size.toDouble / sh.length.toDouble
+          }
+        def flag(b: Boolean) = if (b) 1L else 0L
+        val rWords = flag(nw >= 50 && nw <= 100000)
+        val rMean = flag(nw > 0 && {
+          val m = chars.toDouble / nw; m >= 3 && m <= 10 })
+        val rAlpha = flag(nw > 0 && aw.toDouble / nw >= 0.8)
+        val rSymbol = flag(nw > 0 && hashes.toDouble / nw <= 0.1)
+        val rDup = flag(dup2 <= 0.3)
+        org.apache.spark.sql.Row.fromSeq(
+          Seq(id, nw.toLong, rWords, rMean, rAlpha, rSymbol, rDup) ++
+            carryVals :+ (rWords * rMean * rAlpha * rSymbol * rDup))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
   }
 
   /** First BPE-training iteration (Sennrich et al. 2016 §3.2, the merge-pair
@@ -247,9 +343,12 @@ object TextFunctions {
   /** Compiled twin of [[chunkWindows]] for the hot path: the window loop
     * runs as one JVM lambda instead of the interpreted
     * sequence/transform/slice HOF chain. SQL `trim` semantics (spaces
-    * only), `\s+` split, NO lowercasing — bit-identical rows to
+    * only), `\s+` split with limit -1 (Spark's `split` keeps a trailing
+    * empty token for newline-terminated text; `Pattern.split`'s default
+    * limit 0 would drop it), NO lowercasing — bit-identical rows to
     * `explode(chunkWindows(...))`; keep the two in lockstep (spec asserts
-    * equality). Emits (id, start, n_toks, chunk). */
+    * equality, incl. trailing-newline input). Emits (id, start, n_toks,
+    * chunk). */
   def chunkWindowsFlat(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, window: Int, stride: Int): org.apache.spark.sql.DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,
@@ -272,7 +371,7 @@ object TextFunctions {
         var until = text.length
         while (from < until && text.charAt(from) == ' ') from += 1
         while (until > from && text.charAt(until - 1) == ' ') until -= 1
-        val toks = WhitespaceRe.split(text.substring(from, until))
+        val toks = WhitespaceRe.split(text.substring(from, until), -1)
         val lastStart = math.max(1, toks.length - (window - stride))
         Iterator.range(1, lastStart + 1, stride).map { start =>
           val end = math.min(start - 1 + window, toks.length)

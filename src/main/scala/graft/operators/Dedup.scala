@@ -40,16 +40,22 @@ object Dedup {
 
   /** Compiled (plain-JVM) twin of `shingles(tokens(text), n)` for the hot
     * flatMap paths: SQL `trim` semantics (strips SPACES only, not Java's
-    * `<= ' '` rule), lowercase, `\s+` split, n-token windows joined by
-    * single spaces. Bit-identical output to the Column form — keep the two
-    * in lockstep. */
+    * `<= ' '` rule), lowercase via `Locale.ROOT` (Spark's `lower` is
+    * locale-independent; the default-locale form would diverge under e.g. a
+    * Turkish JVM locale), `\s+` split with limit -1 (Spark's `split` keeps
+    * a trailing empty token for text ending in non-space whitespace — a
+    * newline-terminated doc — and `Pattern.split`'s default limit 0 would
+    * drop it), n-token windows joined by single spaces. Bit-identical
+    * output to the Column form — keep the two in lockstep (spec-asserted
+    * on trailing-newline input). */
   private[graft] def shingleStringsOf(text: String, n: Int): Array[String] = {
     if (text == null) return Array.empty
     var from = 0
     var until = text.length
     while (from < until && text.charAt(from) == ' ') from += 1
     while (until > from && text.charAt(until - 1) == ' ') until -= 1
-    val toks = Whitespace.split(text.substring(from, until).toLowerCase)
+    val toks = Whitespace.split(
+      text.substring(from, until).toLowerCase(java.util.Locale.ROOT), -1)
     if (toks.length < n) return Array.empty
     Array.tabulate(toks.length - n + 1) { i =>
       val sb = new java.lang.StringBuilder()
@@ -117,10 +123,13 @@ object Dedup {
   private def docShingleSigs(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, hashFn: (Int, String) => String): DataFrame = {
     import org.apache.spark.sql.types._
-    val in = df.select(col(idCol).cast("long").as("doc_id"),
+    // id stays its ORIGINAL type (string UUIDs/URLs included) — a long cast
+    // here would silently null non-numeric ids and the null equi-joins
+    // downstream would drop every row
+    val in = df.select(col(idCol).as("doc_id"),
       col(textCol).cast("string").as("text"))
     val outSchema = StructType(Seq(
-      StructField("doc_id", LongType),
+      in.schema.fields(0),
       StructField("sh", ArrayType(StringType)),
       StructField("sig", ArrayType(StringType))))
     in.flatMap { row =>
@@ -142,7 +151,7 @@ object Dedup {
           }
         }
         Iterator.single(org.apache.spark.sql.Row(
-          row.getLong(0), set.toArray(new Array[String](set.size())), sig))
+          row.get(0), set.toArray(new Array[String](set.size())), sig))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
@@ -360,10 +369,12 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b",
       maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+    // ids keep their original type (min-label works on any orderable type;
+    // a long cast would silently null string ids and collapse components)
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
     var labels = nodes
-      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("cluster"))
+      .select(col(idCol).as("id"), col(idCol).as("cluster"))
       .persist()
     labels.count()
     var it = 0

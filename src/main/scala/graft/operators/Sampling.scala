@@ -170,9 +170,12 @@ object Sampling {
 
   /** Balanced shard export for training data: write `df` as parquet with
     * every output file holding at most `rowsPerShard` rows and rows routed
-    * to files DETERMINISTICALLY (md5 bucket of `keyCol` mod the shard-task
-    * count), so re-running the export reproduces byte-stable shard
-    * membership regardless of upstream partitioning or AQE decisions.
+    * to files DETERMINISTICALLY (xxhash64 of `keyCol` mod the shard-task
+    * count — a full 64-bit key space, so writer parallelism never caps at
+    * the 65,536 distinct values an md5-bucket route would allow and the
+    * modulo bias at large task counts is negligible), so re-running the
+    * export reproduces byte-stable shard membership regardless of upstream
+    * partitioning or AQE decisions.
     *
     * Scale shape: one hash exchange on the shard key, then each task
     * writes its shards sequentially with the engine's own
@@ -187,7 +190,7 @@ object Sampling {
       s"bad shard sizing: rowsPerShard=$rowsPerShard expectedRows=$expectedRows")
     val tasks = math.max(1L,
       expectedRows / (rowsPerShard * filesPerTask)).toInt
-    df.withColumn("__shard_task", md5Bucket16(keyCol.cast("string")) % tasks)
+    df.withColumn("__shard_task", pmod(xxhash64(keyCol.cast("string")), lit(tasks)))
       .repartition(tasks, col("__shard_task"))
       .drop("__shard_task")
       .write.option("maxRecordsPerFile", rowsPerShard)
@@ -235,10 +238,16 @@ object Sampling {
     require(k >= 2, s"need at least 2 buckets, got $k")
     val qs = (1 until k).map(i => i.toDouble / k)
     val fn = if (exact) "percentile" else "approx_percentile"
-    val thresholds = df
+    val row = df
       .agg(org.apache.spark.sql.functions.expr(
         s"$fn(CAST($scoreCol AS DOUBLE), array(${qs.mkString(", ")}))"))
-      .head().getSeq[Double](0)
+      .head()
+    // all-null / empty input makes the percentile aggregate NULL — raise a
+    // directed error instead of an NPE deep in getSeq
+    if (row.isNullAt(0))
+      throw new IllegalArgumentException(
+        s"curriculumBuckets: no non-null '$scoreCol' values to derive quantile thresholds from")
+    val thresholds = row.getSeq[Double](0)
     df.withColumn("bucket",
       thresholds.map(t => when(col(scoreCol).cast("double") > t, 1).otherwise(0))
         .reduce(_ + _))

@@ -247,6 +247,66 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(byTerm((3L, "z")) - 3 * math.log(1.5)) < 1e-5)
     assert(math.abs(byTerm((3L, "w")) - math.log(3.0)) < 1e-5)
   }
+
+  test("compiled shingle twin stays in lockstep on trailing-whitespace text") {
+    // SQL trim strips SPACES only, so '...word\n' keeps its newline and
+    // Spark's split (limit -1) emits a trailing empty token. The compiled
+    // JVM twin must agree — Pattern.split's default limit 0 would drop it
+    // and the relational/HOF pipelines would diverge.
+    val tricky = Seq(
+      (1L, "alpha beta gamma delta\n"),
+      (2L, "alpha beta gamma delta"),      // same text, no newline
+      (3L, "one two three four\n"),
+      (4L, "one two three four"),
+      (5L, "Iİstanbul words here\n")  // locale-sensitive uppercase chars
+    ).toDF("doc_id", "text")
+    // the invariant is the SHINGLE computation (LSH banding uses different
+    // hash families across the two pipelines, so candidate sets may differ
+    // at mid-similarity): Column shingles == compiled shingles, in order,
+    // duplicates included
+    val viaColumn = tricky
+      .select($"doc_id", Dedup.shingles(Dedup.tokens($"text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    tricky.as[(Long, String)].collect().foreach { case (id, text) =>
+      val viaJvm = Dedup.shingleStringsOf(text, 3).toSeq
+      assert(viaJvm == viaColumn(id),
+        s"doc $id: compiled $viaJvm != Column ${viaColumn(id)}")
+    }
+    // the newline-terminated doc and its bare twin genuinely DIFFER by the
+    // trailing empty token (one extra shingle with a trailing space)
+    assert(viaColumn(1L).size == viaColumn(2L).size + 1)
+    assert(viaColumn(1L).last == "gamma delta ")
+    // removeDupSpans: flat-computed spans and Column-token positions agree.
+    // Doc 3 tokenizes to [one,two,three,four,""] (trailing empty from the
+    // newline), doc 4 to [one,two,three,four]; the two shared 3-shingles
+    // mark positions 1-2 => span [1,4] in BOTH docs. Doc 4 is fully covered
+    // and drops; doc 3 keeps exactly its position-5 empty token.
+    val cleaned = Dedup.removeDupSpans(tricky.filter($"doc_id".isin(3L, 4L)),
+        "doc_id", "text", n = 3, minCount = 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+    assert(cleaned == Map(3L -> ((1L, ""))),
+      s"span positions must align between flat and Column token forms: $cleaned")
+  }
+
+  test("relational minhash and connectedComponents accept STRING doc ids") {
+    // string UUID-ish ids: a silent long cast would null them all out and
+    // the null equi-joins would return empty — assert real results instead
+    val docs = Seq(
+      ("doc-aaa", "the quick brown fox jumps over the lazy dog"),
+      ("doc-bbb", "the quick brown fox jumps over the lazy dog"),
+      ("doc-ccc", "completely unrelated text with different words entirely")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupsRelational(docs, "doc_id", "text",
+        numHashes = 8, bands = 4, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(String, String)].collect().toSet
+    assert(pairs == Set(("doc-aaa", "doc-bbb")),
+      s"string-id near-dup pair missing: $pairs")
+    val labels = Dedup.connectedComponents(docs.select($"doc_id"), "doc_id",
+        pairs.toSeq.toDF("id_a", "id_b"))
+      .as[(String, String)].collect().toMap
+    assert(labels == Map("doc-aaa" -> "doc-aaa", "doc-bbb" -> "doc-aaa",
+      "doc-ccc" -> "doc-ccc"))
+  }
 }
 
 class SamplingSpec extends SparkSpec {
@@ -450,6 +510,30 @@ class SamplingSpec extends SparkSpec {
     val bad = TF.chunkWindowsFlat(docs500, "doc_id", "text", 16, 4)
       .filter(size(split($"chunk", " ")) =!= $"n_toks").count()
     assert(bad == 0)
+    // trailing-newline text: SQL trim keeps the newline, Spark split emits a
+    // trailing empty token — the compiled twin (split limit -1) must agree
+    val nl = Seq((1L, "a b c d e\n"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val nlCol = nl.select($"doc_id", explode(TF.chunkWindows($"text", 4, 2)).as("c"))
+      .select($"doc_id", $"c.start", $"c.chunk")
+      .as[(Long, Int, String)].collect().toSet
+    val nlFlat = TF.chunkWindowsFlat(nl, "doc_id", "text", 4, 2)
+      .select($"id", $"start", $"chunk")
+      .as[(Long, Int, String)].collect().toSet
+    assert(nlFlat == nlCol, s"flat $nlFlat != column $nlCol on trailing-newline text")
+    // doc 1 has 6 tokens (trailing empty counts): its start-3 window carries
+    // the empty token ("c d e " vs doc 2's "c d e")
+    assert(nlFlat.contains((1L, 3, "c d e ")) && nlFlat.contains((2L, 3, "c d e")),
+      s"trailing empty token must ride the final window: $nlFlat")
+  }
+
+  test("curriculumBuckets raises a directed error on all-null scores") {
+    import graft.operators.Sampling
+    val noScores = Seq((1L, null: java.lang.Double), (2L, null: java.lang.Double))
+      .toDF("id", "score")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.curriculumBuckets(noScores, "score", k = 4)
+    }
+    assert(e.getMessage.contains("no non-null"), e.getMessage)
   }
 
   test("curriculumBuckets assigns equal-mass quantile tiers") {
@@ -495,6 +579,34 @@ class SamplingSpec extends SparkSpec {
     assert(byId(5L)._6 == 0, "symbol ratio")
     assert(byId(6L)._2 == 0 && byId(6L)._8 == 0, "empty doc never keeps")
     assert(got.forall(r => r._8 == r._3 * r._4 * r._5 * r._6 * r._7), "keep is the conjunction")
+  }
+
+  test("gopherQualityRulesFlat is bit-identical to the Column form") {
+    import graft.functions.{TextFunctions => TF}
+    // fixture corpus + targeted edge docs: null text, empty, trailing
+    // newline (Spark split keeps the trailing empty token), tabs, hashes
+    val edge = Seq(
+      (900001L, null: String, "web"),
+      (900002L, "", "web"),
+      (900003L, ("word " * 60).trim + "\n", "book"),
+      (900004L, "a\tb\tc " + ("token " * 55).trim, "book"),
+      (900005L, ("# " * 30).trim + " " + ("w " * 30).trim, "web")
+    ).toDF("doc_id", "text", "source")
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text", $"source").union(edge)
+    val viaColumn = TF.gopherQualityRules(docs, "doc_id", "text",
+        carry = Seq("source"))
+      .collect().map(r => r.toSeq).toSet
+    val viaFlat = TF.gopherQualityRulesFlat(docs, "doc_id", "text",
+        carry = Seq("source"))
+      .collect().map(r => r.toSeq).toSet
+    assert(viaFlat == viaColumn,
+      s"flat vs Column diverge: ${(viaFlat -- viaColumn).take(3)} / ${(viaColumn -- viaFlat).take(3)}")
+    // schemas agree too (names, types, order)
+    assert(TF.gopherQualityRulesFlat(docs, "doc_id", "text", carry = Seq("source"))
+      .schema.map(f => (f.name, f.dataType)) ==
+      TF.gopherQualityRules(docs, "doc_id", "text", carry = Seq("source"))
+        .schema.map(f => (f.name, f.dataType)))
   }
 
   test("dsirWeights scores target-domain docs above off-domain docs") {
