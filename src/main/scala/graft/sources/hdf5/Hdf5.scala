@@ -13,10 +13,14 @@ import scala.collection.mutable
   *    header address), 8-byte offsets/lengths;
   *  - object headers v1 (with continuation blocks) and v2 (`OHDR`/`OCHK`);
   *  - groups: old-style symbol tables (v1 B-tree + local heap + `SNOD`
-  *    nodes) and new-style COMPACT link messages; dense (fractal-heap)
-  *    link storage raises a directed error;
-  *  - datasets: contiguous, compact, and chunked (v1 B-tree chunk index)
-  *    layouts; filters deflate(1), shuffle(2), fletcher32(3);
+  *    nodes), new-style COMPACT link messages, and dense (fractal-heap +
+  *    v2 B-tree) link storage for single-direct-block heaps (indirect
+  *    roots and filtered heaps raise directed errors);
+  *  - datasets: contiguous, compact, and chunked layouts — layout message
+  *    v3 (v1 B-tree chunk index) and v4 (HDF5 ≥1.10: single-chunk,
+  *    implicit, and fixed-array indexes; extensible-array and v2-B-tree
+  *    indexes raise directed errors); filters deflate(1), shuffle(2),
+  *    fletcher32(3);
   *  - datatypes: fixed-point 1/2/4/8 (either endian, signed or not), IEEE
   *    float 4/8, fixed strings, object references, vlen sequences
   *    (via the global heap `GCOL`, as `DIMENSION_LIST` needs);
@@ -38,8 +42,15 @@ object Hdf5 {
   sealed trait Layout
   final case class Contiguous(addr: Long, size: Long) extends Layout
   final case class Compact(data: Array[Byte]) extends Layout
+  /** Chunked layout. `indexType` 0 = v1 B-tree (layout message v3, the
+    * pre-1.10 shape; `btreeAddr` is the tree root). Layout message v4
+    * (HDF5 ≥1.10) re-uses `btreeAddr` as the index address with
+    * `indexType` 1 = single chunk (`singleSize`/`singleMask` carry the
+    * filtered size + mask when present), 2 = implicit (unfiltered chunks
+    * packed C-order at the address), 3 = fixed array (FAHD/FADB). */
   final case class Chunked(btreeAddr: Long, chunkDims: Seq[Int],
-      elemSize: Int) extends Layout
+      elemSize: Int, indexType: Int = 0,
+      singleSize: Long = -1L, singleMask: Int = 0) extends Layout
 
   /** One filter pipeline entry: (filter id, client values). */
   final case class Filter(id: Int, clientValues: Seq[Int])
@@ -441,10 +452,13 @@ object Hdf5 {
           denseAttrs(read, fheap, nameIndex).foreach(attrs += _)
       case _ =>
     }
-    DatasetMeta(path, objAddr, shape,
-      dtype.getOrElse(throw UnsupportedHdf5(s"dataset $path without datatype")),
-      layout.getOrElse(throw UnsupportedHdf5(s"dataset $path without layout")),
-      filters, attrs.result())
+    val dt = dtype.getOrElse(throw UnsupportedHdf5(s"dataset $path without datatype"))
+    val lay = layout.getOrElse(throw UnsupportedHdf5(s"dataset $path without layout")) match {
+      // v4 chunked messages carry no element-size dim — fill from the dtype
+      case ck: Chunked if ck.elemSize == 0 => ck.copy(elemSize = dt.size)
+      case other => other
+    }
+    DatasetMeta(path, objAddr, shape, dt, lay, filters, attrs.result())
   }
 
   private[hdf5] def parseDataspace(body: Array[Byte]): Seq[Long] = {
@@ -484,19 +498,51 @@ object Hdf5 {
   private def parseLayout(body: Array[Byte]): Layout = {
     val c = new Cur(body)
     val version = c.u8(0)
-    if (version != 3)
-      throw UnsupportedHdf5(s"data layout message version $version (3 only)")
+    if (version != 3 && version != 4)
+      throw UnsupportedHdf5(s"data layout message version $version (3/4 only)")
     c.u8(1) match {
       case 0 =>
         val n = c.u16(2)
         Compact(java.util.Arrays.copyOfRange(body, 4, 4 + n))
       case 1 => Contiguous(c.u64(2), c.u64(10))
-      case 2 =>
+      case 2 if version == 3 =>
         val dimensionality = c.u8(2) // rank + 1 (trailing element-size dim)
         val btree = c.u64(3)
         val dims = (0 until dimensionality - 1).map(k => c.u32(11 + k * 4L).toInt)
         val elem = c.u32(11 + (dimensionality - 1) * 4L).toInt
         Chunked(btree, dims, elem)
+      case 2 =>
+        // v4 chunked (HDF5 >= 1.10): flags, rank (NO trailing element-size
+        // dim), per-dim encoded size, then the chunk index description
+        val flags = c.u8(2)
+        val rank = c.u8(3)
+        val dimLen = c.u8(4)
+        val dims = (0 until rank).map { k =>
+          var v = 0L
+          (0 until dimLen).foreach(i => v |= c.u8(5 + k * dimLen + i).toLong << (8 * i))
+          v.toInt
+        }
+        var off = 5L + rank * dimLen
+        val indexType = c.u8(off)
+        off += 1
+        indexType match {
+          case 1 => // single chunk; flags bit 1 = filtered (size + mask first)
+            if ((flags & 0x02) != 0) {
+              val filteredSize = c.u64(off) // length-size bytes (8 here)
+              val mask = c.u32(off + 8).toInt
+              Chunked(c.u64(off + 12), dims, 0, indexType = 1,
+                singleSize = filteredSize, singleMask = mask)
+            } else Chunked(c.u64(off), dims, 0, indexType = 1)
+          case 2 => // implicit: unfiltered chunks packed C-order
+            Chunked(c.u64(off), dims, 0, indexType = 2)
+          case 3 => // fixed array: page bits byte, then the FAHD address
+            Chunked(c.u64(off + 1), dims, 0, indexType = 3)
+          case 4 => throw UnsupportedHdf5(
+            "v4 chunk index 'extensible array' (unlimited-dimension datasets)")
+          case 5 => throw UnsupportedHdf5(
+            "v4 chunk index 'version 2 B-tree' (multi-unlimited datasets)")
+          case other => throw UnsupportedHdf5(s"v4 chunk index type $other")
+        }
       case other => throw UnsupportedHdf5(s"layout class $other")
     }
   }
@@ -610,12 +656,14 @@ object Hdf5 {
 
   // ------------------------------------------------------------ chunk maps
 
-  /** Every chunk of a chunked dataset: v1 B-tree walk (node type 1). */
+  /** Every chunk of a chunked dataset: v1 B-tree walk (node type 1) for
+    * layout v3, or the v4 single-chunk / implicit / fixed-array indexes. */
   def chunkRefs(read: (Long, Int) => Array[Byte], ds: DatasetMeta): Seq[ChunkRef] = {
     val chunked = ds.layout match {
       case ck: Chunked => ck
       case other => throw UnsupportedHdf5(s"chunkRefs on $other layout")
     }
+    if (chunked.indexType != 0) return chunkRefsV4(read, ds, chunked)
     val rank = chunked.chunkDims.size
     val keySize = 8 + (rank + 1) * 8 // size u32 + mask u32 + (rank+1) u64 offsets
     val out = Seq.newBuilder[ChunkRef]
@@ -639,6 +687,72 @@ object Hdf5 {
     }
     walk(chunked.btreeAddr)
     out.result()
+  }
+
+  /** v4 chunk indexes (HDF5 >= 1.10). Chunk enumeration order is C-order
+    * over the chunk grid — the linear index every v4 index keys on. */
+  private def chunkRefsV4(read: (Long, Int) => Array[Byte], ds: DatasetMeta,
+      ck: Chunked): Seq[ChunkRef] = {
+    val grid = ds.shape.zip(ck.chunkDims).map { case (s, c) => ((s + c - 1) / c).toInt }
+    val nChunks = grid.product
+    val chunkBytes = ck.chunkDims.product.toLong * ck.elemSize
+    val filtered = ds.filters.nonEmpty
+    // linear index -> element offsets, C-order
+    def offsetsOf(linear: Int): Seq[Long] = {
+      var rem = linear
+      grid.indices.reverse.map { d =>
+        val i = rem % grid(d)
+        rem /= grid(d)
+        i.toLong * ck.chunkDims(d)
+      }.reverse
+    }
+    ck.indexType match {
+      case 1 => // single chunk
+        val (n, mask) =
+          if (ck.singleSize >= 0) (ck.singleSize, ck.singleMask) else (chunkBytes, 0)
+        Seq(ChunkRef(ck.chunkDims.map(_ => 0L), ck.btreeAddr, n, mask))
+      case 2 => // implicit: fixed-size unfiltered chunks packed back to back
+        (0 until nChunks).map(i =>
+          ChunkRef(offsetsOf(i), ck.btreeAddr + i * chunkBytes, chunkBytes, 0))
+      case 3 => // fixed array: FAHD header -> FADB data block of entries
+        // FAHD: sig(4) ver(1) clientId(1) entrySize(1) pageBits(1)
+        //       maxNumEntries(len=8) dataBlockAddr(off=8) checksum(4)
+        val h = new Cur(read(ck.btreeAddr, 28))
+        require(h.ascii(0, 4) == "FAHD", s"bad fixed-array header at ${ck.btreeAddr}")
+        val clientId = h.u8(5)
+        require(clientId == 0 || clientId == 1, s"fixed-array client id $clientId")
+        require((clientId == 1) == filtered,
+          s"fixed-array client id $clientId vs filter pipeline present=$filtered")
+        val entrySize = h.u8(6)
+        val pageBits = h.u8(7)
+        val nEntries = h.u64(8)
+        require(nEntries == nChunks,
+          s"fixed array holds $nEntries entries for a $nChunks-chunk grid")
+        val dblkAddr = h.u64(16)
+        if (nEntries > (1L << pageBits))
+          throw UnsupportedHdf5(s"paged fixed-array data block " +
+            s"($nEntries entries > 2^$pageBits per page)")
+        // FADB: sig(4) ver(1) clientId(1) headerAddr(8), then the elements
+        val elemsAt = 14L
+        val d = new Cur(read(dblkAddr, (elemsAt + nEntries * entrySize + 4).toInt))
+        require(d.ascii(0, 4) == "FADB", s"bad fixed-array data block at $dblkAddr")
+        (0 until nChunks).flatMap { i =>
+          val at = elemsAt + i.toLong * entrySize
+          val addr = d.u64(at)
+          if (addr == Undef) None // unallocated chunk (fill value)
+          else if (clientId == 0) Some(ChunkRef(offsetsOf(i), addr, chunkBytes, 0))
+          else {
+            // filtered element: addr(8) + chunk size (entrySize-12 bytes) +
+            // filter mask u32
+            val szLen = entrySize - 12
+            var sz = 0L
+            (0 until szLen).foreach(k => sz |= d.u8(at + 8 + k).toLong << (8 * k))
+            val mask = d.u32(at + 8 + szLen).toInt
+            Some(ChunkRef(offsetsOf(i), addr, sz, mask))
+          }
+        }
+      case other => throw UnsupportedHdf5(s"v4 chunk index type $other")
+    }
   }
 
   // ------------------------------------------------------------ raw decode

@@ -31,7 +31,11 @@ object Hdf5Writer {
       units: Option[String] = None,
       extraAttrs: Seq[(String, String)] = Nil, // extra string attrs
       denseAttrs: Boolean = false,             // store attrs densely (0x15)
-      chunkBtreeFanout: Int = 256)             // chunk B-tree entries/node
+      chunkBtreeFanout: Int = 256,             // chunk B-tree entries/node
+      // "btree1" = layout v3 + v1 chunk B-tree (pre-1.10 HDF5);
+      // "fixedarray" = layout v4 + fixed-array index (HDF5 >= 1.10's shape
+      // for fixed-dimension chunked datasets)
+      chunkIndex: String = "btree1")
 
   private def elemSize(dtype: String): Int = dtype match {
     case "f8" => 8
@@ -198,6 +202,47 @@ object Hdf5Writer {
               chunkRefs += ((offsets, addr, bytes.length))
             } else (0 until grid(dim)).foreach(ci => rec(dim + 1, idx :+ ci))
           rec(0, Nil)
+          if (v.chunkIndex == "fixedarray") {
+            // layout v4 + fixed-array index: FADB data block of per-chunk
+            // entries in C-order (the rec() emission order), then the FAHD
+            // header right after it. Filtered datasets use client id 1
+            // (addr + u32 stored size + u32 filter mask per entry).
+            val filtered = v.deflate || v.shuffle
+            val clientId = if (filtered) 1 else 0
+            val entrySize = if (filtered) 16 else 8
+            val nChunks = chunkRefs.size
+            var pageBits = 10
+            while ((1L << pageBits) < nChunks) pageBits += 1
+            val fadb = ArrayBuffer.empty[Byte]
+            fadb ++= "FADB".getBytes("US-ASCII")
+            fadb += 0                                   // version
+            fadb += clientId.toByte
+            val fadbAddr = out.size.toLong
+            val fahdAddr = fadbAddr + 14 + nChunks * entrySize + 4
+            fadb ++= b64(fahdAddr)                      // back-pointer to FAHD
+            chunkRefs.foreach { case (_, addr, n) =>
+              fadb ++= b64(addr)
+              if (filtered) fadb ++= b32(n.toLong) ++ b32(0L) // size + mask
+            }
+            fadb ++= b32(0L)                            // checksum (unverified)
+            appendAt(fadb.toArray)
+            val fahd = ArrayBuffer.empty[Byte]
+            fahd ++= "FAHD".getBytes("US-ASCII")
+            fahd += 0                                   // version
+            fahd += clientId.toByte
+            fahd += entrySize.toByte
+            fahd += pageBits.toByte
+            fahd ++= b64(nChunks.toLong)                // max num entries
+            fahd ++= b64(fadbAddr)
+            fahd ++= b32(0L)                            // checksum (unverified)
+            require(appendAt(fahd.toArray) == fahdAddr, "FAHD address drift")
+            val body = ArrayBuffer[Byte](4, 2, 0, rank.toByte, 4)
+            chunkDims.foreach(c => body ++= b32(c.toLong))
+            body += 3                                   // index type: fixed array
+            body += pageBits.toByte
+            body ++= b64(fahdAddr)
+            v.name -> Storage(body.toArray, filtered = filtered)
+          } else {
           // v1 chunk B-tree: leaves of up to `chunkBtreeFanout` entries,
           // stacked under internal nodes until one root remains — multi-GB
           // files have thousands of chunks, so level > 0 trees are the
@@ -234,6 +279,7 @@ object Hdf5Writer {
           val body = (ArrayBuffer[Byte](3, 2, (rank + 1).toByte) ++= b64(btreeAddr)).toArray ++
             chunkDims.flatMap(c => b32(c.toLong)) ++ b32(w.toLong)
           v.name -> Storage(body, filtered = v.deflate || v.shuffle)
+          }
       }
     }.toMap
 

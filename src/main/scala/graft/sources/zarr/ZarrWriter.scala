@@ -6,7 +6,7 @@ import java.util.zip.Deflater
 
 /** Minimal Zarr v2 writer (S15: `ChunksToZarr`, weather_mv regrid.py:128-162
   * writes regridded chunks to a Zarr store). Writes xarray-convention
-  * stores (`_ARRAY_DIMENSIONS`) with raw or zlib chunks — enough to
+  * stores (`_ARRAY_DIMENSIONS`) with raw, zlib, or blosc-lz4 chunks — enough to
   * round-trip through [[ZarrTableProvider]] and to build test fixtures
   * without zarr-python in the environment.
   *
@@ -22,7 +22,7 @@ object ZarrWriter {
       chunks: Seq[Int],
       dtype: String = "<f8",
       data: Seq[Double],                    // C-order, pre-encode values
-      compressor: Option[String] = None,    // None | Some("zlib")
+      compressor: Option[String] = None,    // None | Some("zlib") | Some("blosc")
       scaleFactor: Option[Double] = None,
       addOffset: Option[Double] = None,
       missingValue: Option[Double] = None,
@@ -69,6 +69,10 @@ object ZarrWriter {
       val innerCodecs = Seq(Some("""{"name": "bytes", "configuration": {"endian": "little"}}"""),
         v.compressor.map {
           case "gzip" => """{"name": "gzip", "configuration": {"level": 6}}"""
+          case "blosc" =>
+            s"""{"name": "blosc", "configuration": {"cname": "lz4", "clevel": 5,
+               | "shuffle": "shuffle", "typesize": ${ZarrMeta.dtypeBytes(v.dtype)},
+               | "blocksize": 0}}""".stripMargin
           case o => throw new UnsupportedOperationException(s"v3 writer codec $o")
         }).flatten
       val codecs = v.shard match {
@@ -107,6 +111,7 @@ object ZarrWriter {
         val bytes = encodeChunk(v, chunkIdx)
         v.compressor match {
           case Some("gzip") => gzip(bytes)
+          case Some("blosc") => Blosc.compress(bytes, ZarrMeta.dtypeBytes(v.dtype), shuffle = true)
           case _ => bytes
         }
       }
@@ -183,6 +188,9 @@ object ZarrWriter {
     dir.mkdirs()
     val compressorJson = v.compressor match {
       case Some("zlib") => """{"id": "zlib", "level": 6}"""
+      // the numcodecs default profile: lz4, byte-shuffle
+      case Some("blosc") =>
+        """{"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "blocksize": 0}"""
       case None => "null"
       case Some(o) => throw new UnsupportedOperationException(s"compressor $o")
     }
@@ -210,6 +218,7 @@ object ZarrWriter {
       val bytes = encodeChunk(v, chunkIdx)
       val out = v.compressor match {
         case Some("zlib") => deflate(bytes)
+        case Some("blosc") => Blosc.compress(bytes, ZarrMeta.dtypeBytes(v.dtype), shuffle = true)
         case _ => bytes
       }
       val fos = new FileOutputStream(new File(dir, chunkIdx.mkString(".")))

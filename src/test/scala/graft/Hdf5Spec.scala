@@ -18,7 +18,8 @@ class Hdf5Spec extends SparkSpec {
   private val t0 = 1750000000L // epoch seconds
 
   private def writeWeather(path: String, chunks: Option[Seq[Int]],
-      deflate: Boolean = false, shuffle: Boolean = false): Unit = {
+      deflate: Boolean = false, shuffle: Boolean = false,
+      chunkIndex: String = "btree1"): Unit = {
     val (nt, ny, nx) = (3, 4, 5)
     HW.write(path, Seq(
       HW.VarSpec("time", Seq("time"), Seq(nt),
@@ -31,12 +32,12 @@ class Hdf5Spec extends SparkSpec {
       HW.VarSpec("t2m", Seq("time", "latitude", "longitude"), Seq(nt, ny, nx),
         (0 until nt * ny * nx).map(k => 250.0 + k * 0.25),
         dtype = "f4", chunks = chunks, deflate = deflate, shuffle = shuffle,
-        units = Some("K")),
+        units = Some("K"), chunkIndex = chunkIndex),
       HW.VarSpec("tp", Seq("time", "latitude", "longitude"), Seq(nt, ny, nx),
         (0 until nt * ny * nx).map(k => if (k % 17 == 0) -999.0 else k * 10.0),
         dtype = "i2", chunks = chunks, deflate = deflate, shuffle = shuffle,
         scaleFactor = Some(0.001), addOffset = Some(5.0),
-        fillValue = Some(-999.0))))
+        fillValue = Some(-999.0), chunkIndex = chunkIndex)))
   }
 
   private def localRead(path: String): ((Long, Int) => Array[Byte], Long) = {
@@ -100,6 +101,31 @@ class Hdf5Spec extends SparkSpec {
     val (read, len) = localRead(packed)
     val meta = Hdf5.parse(read, len)
     assert(Hdf5.chunkRefs(read, meta.byPath("/t2m")).size == 12)
+  }
+
+  test("v4 fixed-array chunk index (HDF5 >= 1.10) reads identically to the v1 B-tree") {
+    val bt = tmp("bt.nc")
+    writeWeather(bt, chunks = Some(Seq(2, 3, 2)))
+    // plain fixed array (client id 0: address-only entries)
+    val fa = tmp("fa.nc")
+    writeWeather(fa, chunks = Some(Seq(2, 3, 2)), chunkIndex = "fixedarray")
+    // filtered fixed array (client id 1: address + stored size + mask)
+    val faf = tmp("faf.nc")
+    writeWeather(faf, chunks = Some(Seq(2, 3, 2)), deflate = true,
+      shuffle = true, chunkIndex = "fixedarray")
+    val a = NetCDF4Reader.readLongFormat(spark, bt)
+      .orderBy($"time", $"latitude", $"longitude").collect()
+    for (p <- Seq(fa, faf)) {
+      val b = NetCDF4Reader.readLongFormat(spark, p)
+        .orderBy($"time", $"latitude", $"longitude").collect()
+      assert(a.sameElements(b), s"fixed-array values diverge from v1 B-tree ($p)")
+      // the index enumerates the full grid: ceil(3/2)*ceil(4/3)*ceil(5/2) = 12
+      val (read, len) = localRead(p)
+      val meta = Hdf5.parse(read, len)
+      val refs = Hdf5.chunkRefs(read, meta.byPath("/t2m"))
+      assert(refs.size == 12)
+      assert(refs.map(_.offsets).distinct.size == 12, "C-order offsets must be unique")
+    }
   }
 
   test("phony dims (no coordinate variable) fall back to indices") {

@@ -942,6 +942,31 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), "undecodable row leaked into LSH")
   }
 
+  test("q62 golden file: the image near-dup result is pinned row for row") {
+    // q62 has no DuckDB oracle (the driver records rows-only), so decoder
+    // or banding regressions could hide behind rows>0. Pin the full result
+    // against a committed golden. Regenerate after an INTENDED change with:
+    //   sbt 'runMain graft.cli.QueryDump /root/testdata/sf0.001 \
+    //     q62_image_near_dups src/test/resources/golden/q62_image_near_dups_sf0001.csv'
+    val got = SparkEntry.queries("q62_image_near_dups")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue())) // hamming is bit_count's int
+    val golden = {
+      val src = scala.io.Source.fromInputStream(
+        getClass.getResourceAsStream("/golden/q62_image_near_dups_sf0001.csv"))
+      try src.getLines().drop(1).map { l =>
+        val Array(a, b, h) = l.split(",")
+        (a.toLong, b.toLong, h.toLong)
+      }.toVector
+      finally src.close()
+    }
+    assert(got.length == golden.length,
+      s"row count ${got.length} != golden ${golden.length}")
+    assert(got.toSeq == golden,
+      "q62 rows diverge from the committed golden (first diff: " +
+        got.toSeq.zip(golden).find { case (x, y) => x != y }.toString + ")")
+  }
+
   test("box resize preserves mean luminance and dHash structure") {
     val img = testImage(96, 64)
     val small = Multimodal.MediaCodec.resizeBox(img, 12, 8)

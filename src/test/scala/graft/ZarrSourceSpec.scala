@@ -115,6 +115,96 @@ class ZarrSourceSpec extends SparkSpec {
       s"expected inner-chunk partitions for one lon column, got $parts")
   }
 
+  test("blosc codec: lz4 + shuffle round-trips, raw-split fallback, directed errors") {
+    import graft.sources.zarr.Blosc
+    val rng = new scala.util.Random(42)
+    // compressible payload (repeating structure) across typesizes incl. odd
+    // lengths (leftover bytes ride past the shuffle)
+    for (typesize <- Seq(1, 2, 4, 8); n <- Seq(64, 4096, 4097, 30000)) {
+      val data = Array.tabulate(n)(i => ((i / 7) % 251).toByte)
+      val packed = Blosc.compress(data, typesize, shuffle = true)
+      if (n >= 4096)
+        assert(packed.length < n, s"compressible data must shrink (ts=$typesize n=$n got ${packed.length})")
+      assert(Blosc.decompress(packed).toSeq == data.toSeq, s"ts=$typesize n=$n")
+    }
+    // incompressible payload: per-split raw storage, still a valid chunk
+    val noise = Array.fill(10000)(rng.nextInt().toByte)
+    val packedNoise = Blosc.compress(noise, 8, shuffle = true)
+    assert(Blosc.decompress(packedNoise).toSeq == noise.toSeq)
+    // no shuffle path
+    val plain = Blosc.compress(noise, 4, shuffle = false)
+    assert(Blosc.decompress(plain).toSeq == noise.toSeq)
+    // memcpyed chunks (flag bit 1): payload verbatim after the header
+    val mem = new Array[Byte](16 + 100)
+    mem(0) = 2; mem(2) = 0x02; mem(3) = 8
+    def le(off: Int, v: Int): Unit = (0 until 4).foreach(i => mem(off + i) = (v >>> (8 * i)).toByte)
+    le(4, 100); le(8, 100); le(12, 116)
+    (0 until 100).foreach(i => mem(16 + i) = i.toByte)
+    assert(Blosc.decompress(mem).toSeq == (0 until 100).map(_.toByte))
+    // unsupported codec ids raise directed errors naming the rewrite (use a
+    // COMPRESSED chunk — raw-stored splits legitimately bypass the codec)
+    val zstd = Blosc.compress(Array.tabulate(8192)(i => ((i / 7) % 251).toByte),
+      8, shuffle = true)
+    zstd(2) = ((zstd(2) & 0x1f) | (4 << 5)).toByte
+    val e = intercept[graft.sources.zarr.Blosc.UnsupportedBlosc] { Blosc.decompress(zstd) }
+    assert(e.getMessage.contains("zstd"))
+  }
+
+  test("zarr v2 blosc-lz4 store (zarr-python default) reads identically") {
+    val dir = java.nio.file.Files.createTempDirectory("zarrbl").toString + "/store.zarr"
+    val times = (0 until nt).map(t => 86400.0 * t)
+    val lats = (0 until ny).map(y => -10.0 + 5.0 * y)
+    val lons = (0 until nx).map(x => 100.0 + 10.0 * x)
+    def cube(f: (Int, Int, Int) => Double): Seq[Double] =
+      for (t <- 0 until nt; y <- 0 until ny; x <- 0 until nx) yield f(t, y, x)
+    ZW.write(dir, Seq(
+      ZW.VarSpec("time", Seq("time"), Seq(nt), Seq(3), "<i8", times,
+        units = Some("seconds since 1970-01-01")),
+      ZW.VarSpec("latitude", Seq("latitude"), Seq(ny), Seq(3), "<f8", lats),
+      ZW.VarSpec("longitude", Seq("longitude"), Seq(nx), Seq(4), "<f8", lons),
+      ZW.VarSpec("t2m", Seq("time", "latitude", "longitude"),
+        Seq(nt, ny, nx), Seq(2, 3, 4),
+        data = cube((t, y, x) => 250.0 + t + 0.1 * y + 0.01 * x),
+        compressor = Some("blosc")),
+      // packed int16 + blosc — the reference fixture's exact profile
+      // (weather_mv/test_data/test_data.zarr cape/.zarray)
+      ZW.VarSpec("cape", Seq("time", "latitude", "longitude"),
+        Seq(nt, ny, nx), Seq(2, 3, 4), dtype = "<i2",
+        data = cube((t, y, x) => if (t == 0 && y == 0 && x == 0) -32767 else (100 * t + x).toDouble),
+        scaleFactor = Some(0.5), addOffset = Some(1000.0),
+        missingValue = Some(-32767))))
+    val bl = spark.read.format("zarr").load(dir)
+    val a = ds.orderBy($"time", $"latitude", $"longitude").collect().toSeq
+    val b = bl.orderBy($"time", $"latitude", $"longitude").collect().toSeq
+    assert(a == b, "blosc-compressed rows must equal the zlib store's rows")
+    // chunk pruning is unaffected by the compressor
+    assert(bl.filter($"latitude" === -10.0 && $"longitude" === 100.0).count() == nt)
+  }
+
+  test("zarr v3 blosc codec reads identically") {
+    val dir = java.nio.file.Files.createTempDirectory("zarr3bl").toString + "/store.zarr"
+    val times = (0 until nt).map(t => 86400.0 * t)
+    val lats = (0 until ny).map(y => -10.0 + 5.0 * y)
+    val lons = (0 until nx).map(x => 100.0 + 10.0 * x)
+    def cube(f: (Int, Int, Int) => Double): Seq[Double] =
+      for (t <- 0 until nt; y <- 0 until ny; x <- 0 until nx) yield f(t, y, x)
+    ZW.writeV3(dir, Seq(
+      ZW.VarSpec("time", Seq("time"), Seq(nt), Seq(3), "<i8", times,
+        units = Some("seconds since 1970-01-01")),
+      ZW.VarSpec("latitude", Seq("latitude"), Seq(ny), Seq(3), "<f8", lats),
+      ZW.VarSpec("longitude", Seq("longitude"), Seq(nx), Seq(4), "<f8", lons),
+      ZW.VarSpec("t2m", Seq("time", "latitude", "longitude"),
+        Seq(nt, ny, nx), Seq(2, 3, 4),
+        data = cube((t, y, x) => 250.0 + t + 0.1 * y + 0.01 * x),
+        compressor = Some("blosc"))))
+    val v3 = spark.read.format("zarr").load(dir)
+    val got = v3.filter($"latitude" === 5.0 && $"longitude" === 120.0)
+      .filter(date_format($"time", "yyyy-MM-dd") === "1970-01-03")
+      .select($"t2m").head().getDouble(0)
+    assert(math.abs(got - (250.0 + 2 + 0.1 * 3 + 0.01 * 2)) < 1e-9)
+    assert(v3.count() == nt * ny * nx)
+  }
+
   test("zarr v3 big-endian bytes codec decodes (hand-crafted store)") {
     val dir = java.nio.file.Files.createTempDirectory("zarr3be").toString + "/s.zarr"
     def put(rel: String, bytes: Array[Byte]): Unit = {
