@@ -358,13 +358,25 @@ object Dedup {
     * propagation, label(v) <- min over {v} ∪ neighbours until fixpoint.
     *
     * Scale shape: each round is one edge-keyed join + one node-keyed min
-    * aggregation — both plain shuffles on ids, nothing collected. Round
-    * count is the component DIAMETER, which for near-dup graphs (cliques
-    * and short chains) is small and independent of corpus size; `maxIters`
-    * bounds pathologies. Convergence is one count per round (same
+    * aggregation, then a POINTER-JUMP (label(v) <- label(label(v)), one
+    * label-keyed self-join — the Shiloach-Vishkin / large-star shortcutting
+    * move): the distance a label travels per round DOUBLES, so rounds are
+    * O(log diameter) instead of diameter — a 32-hop chain converges in 8
+    * rounds, not 31. All stages are plain shuffles on ids, nothing
+    * collected. For near-dup graphs (cliques and short chains) the
+    * diameter is small anyway; the jump makes the pathological long-chain
+    * case cheap too, and `maxIters` still bounds it. The jump preserves
+    * labels exactly: label(v) only ever decreases and every intermediate
+    * label is a node id inside v's component, so the fixpoint (component
+    * min) is unchanged. Convergence is one count per round (same
     * driver-loop discipline as [[Similarity.kmeansCentroids]]); each
-    * generation is persisted and the previous unpersisted, so lineage stays
-    * O(1) across rounds instead of growing a join per iteration.
+    * generation is EAGERLY local-checkpointed, which both caches the rows
+    * and TRUNCATES the logical plan — persist alone keeps the full
+    * lineage tree, which grows a join per round (and DOUBLES per round
+    * once the jump's self-join kicks in; the accumulated plan alone OOMs
+    * the driver near round 9). Executor loss mid-loop re-runs the query —
+    * the standard trade iterative Spark algorithms make (GraphFrames'
+    * connected components checkpoints the same way).
     * Returns (id, cluster) with cluster = min id in the component. */
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b",
@@ -375,17 +387,31 @@ object Dedup {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
     var labels = nodes
       .select(col(idCol).as("id"), col(idCol).as("cluster"))
-      .persist()
-    labels.count()
+      .localCheckpoint(true)
     var it = 0
     var done = false
     while (!done && it < maxIters) {
-      val next = edges
+      val propagated = edges
         .join(labels.select(col("id").as("src"), col("cluster")), Seq("src"))
         .select(col("dst").as("id"), col("cluster"))
         .union(labels)
         .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
-        .persist()
+      // Pointer jump from round 5 on: follow the label one more hop
+      // through the freshly propagated table (labels are node ids, so the
+      // self-join always resolves; coalesce only guards degenerate
+      // inputs). ADAPTIVE because near-dup graphs are cliques and short
+      // chains — any diameter <= 4 component converges in the plain
+      // rounds with the EXACT per-round job count this operator always
+      // had; only a graph still unconverged after four rounds (a
+      // genuinely deep component, the pathological case) pays the extra
+      // label-keyed join, and from there covered distance doubles per
+      // round, so total rounds are O(log diameter) instead of diameter.
+      val next = (if (it < 4) propagated
+        else propagated
+          .join(propagated.select(col("id").as("cluster"), col("cluster").as("c2")),
+            Seq("cluster"), "left")
+          .select(col("id"), coalesce(col("c2"), col("cluster")).as("cluster")))
+        .localCheckpoint(true) // eager: caches AND truncates lineage
       val changed = next
         .join(labels.select(col("id"), col("cluster").as("prev_c")), Seq("id"))
         .filter(col("cluster") =!= col("prev_c")).count()

@@ -288,6 +288,20 @@ class DedupSpec extends SparkSpec {
       s"span positions must align between flat and Column token forms: $cleaned")
   }
 
+  test("connectedComponents pointer-jumps: a 32-hop chain converges in O(log d) rounds") {
+    // plain min-label propagation needs 31 rounds for a 32-node chain; the
+    // adaptive label(label(v)) shortcut (4 plain rounds, then distance
+    // doubles per round: 4 -> 10 -> 22 -> 46) must finish within 9
+    // iterations including the no-change verify round
+    val n = 32
+    val nodes = (0L until n.toLong).toDF("doc_id")
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, "doc_id", chain, maxIters = 9)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.forall(_ == 0L),
+      s"chain must collapse to cluster 0 within 9 rounds: ${got.toSeq.sorted}")
+  }
+
   test("relational minhash and connectedComponents accept STRING doc ids") {
     // string UUID-ish ids: a silent long cast would null them all out and
     // the null equi-joins would return empty — assert real results instead
