@@ -18,8 +18,9 @@ import scala.collection.mutable
   *    roots and filtered heaps raise directed errors);
   *  - datasets: contiguous, compact, and chunked layouts — layout message
   *    v3 (v1 B-tree chunk index) and v4 (HDF5 ≥1.10: single-chunk,
-  *    implicit, and fixed-array indexes; extensible-array and v2-B-tree
-  *    indexes raise directed errors); filters deflate(1), shuffle(2),
+  *    implicit, fixed-array incl. paged data blocks, and depth-0
+  *    v2-B-tree indexes; extensible-array indexes and deeper v2 B-trees
+  *    raise directed errors); filters deflate(1), shuffle(2),
   *    fletcher32(3);
   *  - datatypes: fixed-point 1/2/4/8 (either endian, signed or not), IEEE
   *    float 4/8, fixed strings, object references, vlen sequences
@@ -539,8 +540,8 @@ object Hdf5 {
             Chunked(c.u64(off + 1), dims, 0, indexType = 3)
           case 4 => throw UnsupportedHdf5(
             "v4 chunk index 'extensible array' (unlimited-dimension datasets)")
-          case 5 => throw UnsupportedHdf5(
-            "v4 chunk index 'version 2 B-tree' (multi-unlimited datasets)")
+          case 5 => // v2 B-tree: node size u32 + split/merge bytes, then address
+            Chunked(c.u64(off + 6), dims, 0, indexType = 5)
           case other => throw UnsupportedHdf5(s"v4 chunk index type $other")
         }
       case other => throw UnsupportedHdf5(s"layout class $other")
@@ -729,27 +730,95 @@ object Hdf5 {
         require(nEntries == nChunks,
           s"fixed array holds $nEntries entries for a $nChunks-chunk grid")
         val dblkAddr = h.u64(16)
-        if (nEntries > (1L << pageBits))
-          throw UnsupportedHdf5(s"paged fixed-array data block " +
-            s"($nEntries entries > 2^$pageBits per page)")
-        // FADB: sig(4) ver(1) clientId(1) headerAddr(8), then the elements
-        val elemsAt = 14L
-        val d = new Cur(read(dblkAddr, (elemsAt + nEntries * entrySize + 4).toInt))
-        require(d.ascii(0, 4) == "FADB", s"bad fixed-array data block at $dblkAddr")
-        (0 until nChunks).flatMap { i =>
-          val at = elemsAt + i.toLong * entrySize
-          val addr = d.u64(at)
-          if (addr == Undef) None // unallocated chunk (fill value)
-          else if (clientId == 0) Some(ChunkRef(offsetsOf(i), addr, chunkBytes, 0))
+        // FADB: sig(4) ver(1) clientId(1) headerAddr(8). Small arrays store
+        // the elements inline; arrays past one page (2^pageBits entries —
+        // the >1024-chunk shape of genuinely large datasets) store a page
+        // BITMAP + checksum in the data block, with fixed-size element
+        // pages (each checksummed) packed consecutively after it. A clear
+        // bitmap bit marks a whole page of unallocated chunks.
+        val pageNelmts = 1L << pageBits
+        val paged = nEntries > pageNelmts
+        val elemAt: Int => Long =
+          if (!paged) { i => 14L + i.toLong * entrySize }
           else {
-            // filtered element: addr(8) + chunk size (entrySize-12 bytes) +
-            // filter mask u32
-            val szLen = entrySize - 12
-            var sz = 0L
-            (0 until szLen).foreach(k => sz |= d.u8(at + 8 + k).toLong << (8 * k))
-            val mask = d.u32(at + 8 + szLen).toInt
-            Some(ChunkRef(offsetsOf(i), addr, sz, mask))
+            val nPages = ((nEntries + pageNelmts - 1) / pageNelmts).toInt
+            val bitmapBytes = (nPages + 7) / 8
+            val pagesStart = 14L + bitmapBytes + 4 // after bitmap + checksum
+            val pageSize = pageNelmts * entrySize + 4 // + per-page checksum
+            i => {
+              val p = i / pageNelmts
+              pagesStart + p * pageSize + (i % pageNelmts) * entrySize
+            }
           }
+        val dblkLen =
+          if (!paged) 14L + nEntries * entrySize + 4
+          else elemAt(nChunks - 1) + entrySize + 4
+        val d = new Cur(read(dblkAddr, dblkLen.toInt))
+        require(d.ascii(0, 4) == "FADB", s"bad fixed-array data block at $dblkAddr")
+        val pageInit: Int => Boolean =
+          if (!paged) _ => true
+          else { i =>
+            val p = (i / pageNelmts).toInt
+            (d.u8(14 + p / 8) & (1 << (p % 8))) != 0
+          }
+        (0 until nChunks).flatMap { i =>
+          if (!pageInit(i)) None // uninitialized page: fill-value chunks
+          else {
+            val at = elemAt(i)
+            val addr = d.u64(at)
+            if (addr == Undef) None // unallocated chunk (fill value)
+            else if (clientId == 0) Some(ChunkRef(offsetsOf(i), addr, chunkBytes, 0))
+            else {
+              // filtered element: addr(8) + chunk size (entrySize-12 bytes) +
+              // filter mask u32
+              val szLen = entrySize - 12
+              var sz = 0L
+              (0 until szLen).foreach(k => sz |= d.u8(at + 8 + k).toLong << (8 * k))
+              val mask = d.u32(at + 8 + szLen).toInt
+              Some(ChunkRef(offsetsOf(i), addr, sz, mask))
+            }
+          }
+        }
+      case 5 =>
+        // v2 B-tree chunk index (types 10/11 — the shape libhdf5 writes
+        // for >1 unlimited dimension). Depth-0 trees only, the same
+        // bounded subset as dense link/attribute storage: node size 2048
+        // holds ~hundreds of chunk records per leaf.
+        val bt = new Cur(read(ck.btreeAddr, 38))
+        require(bt.ascii(0, 4) == "BTHD", s"bad v2 B-tree at ${ck.btreeAddr}")
+        val btType = bt.u8(5)
+        require(btType == 10 || btType == 11,
+          s"v2 B-tree record type $btType (chunk records are 10/11)")
+        require((btType == 11) == filtered,
+          s"v2 B-tree record type $btType vs filter pipeline present=$filtered")
+        val recordSize = bt.u16(10)
+        val depth = bt.u16(12)
+        if (depth != 0)
+          throw UnsupportedHdf5(s"v2 B-tree chunk index depth $depth (0 only)")
+        val rootAddr = bt.u64(16)
+        val nRecords = bt.u16(24)
+        val rank = ck.chunkDims.size
+        val leaf = new Cur(read(rootAddr, 6 + nRecords * recordSize))
+        require(leaf.ascii(0, 4) == "BTLF", s"bad B-tree leaf at $rootAddr")
+        (0 until nRecords).map { r =>
+          val at = 6L + r * recordSize
+          val addr = leaf.u64(at)
+          // type 10: addr + scaled offsets (8 each); type 11: addr +
+          // chunk size (recordSize-derived width) + filter mask u32 +
+          // scaled offsets
+          val (nBytes, mask, offsAt) =
+            if (btType == 10) (chunkBytes, 0, at + 8)
+            else {
+              val szLen = recordSize - 8 - 4 - rank * 8
+              var sz = 0L
+              (0 until szLen).foreach(k => sz |= leaf.u8(at + 8 + k).toLong << (8 * k))
+              (sz, leaf.u32(at + 8 + szLen).toInt, at + 8 + szLen + 4)
+            }
+          // scaled offsets are CHUNK coordinates; element offsets scale
+          // by the chunk dims
+          val offs = (0 until rank).map(d =>
+            leaf.u64(offsAt + d * 8) * ck.chunkDims(d))
+          ChunkRef(offs, addr, nBytes, mask)
         }
       case other => throw UnsupportedHdf5(s"v4 chunk index type $other")
     }

@@ -34,8 +34,13 @@ object Hdf5Writer {
       chunkBtreeFanout: Int = 256,             // chunk B-tree entries/node
       // "btree1" = layout v3 + v1 chunk B-tree (pre-1.10 HDF5);
       // "fixedarray" = layout v4 + fixed-array index (HDF5 >= 1.10's shape
-      // for fixed-dimension chunked datasets)
-      chunkIndex: String = "btree1")
+      // for fixed-dimension chunked datasets);
+      // "btree2" = layout v4 + depth-0 v2 B-tree index (the >1-unlimited-
+      // dimension shape)
+      chunkIndex: String = "btree1",
+      // fixed-array page size exponent (libhdf5 default 10 = 1024 entries);
+      // chunk counts past one page write the PAGED data block layout
+      faPageBits: Int = 10)
 
   private def elemSize(dtype: String): Int = dtype match {
     case "f8" => 8
@@ -211,20 +216,47 @@ object Hdf5Writer {
             val clientId = if (filtered) 1 else 0
             val entrySize = if (filtered) 16 else 8
             val nChunks = chunkRefs.size
-            var pageBits = 10
-            while ((1L << pageBits) < nChunks) pageBits += 1
+            val pageBits = v.faPageBits
+            val pageNelmts = 1 << pageBits
+            val paged = nChunks > pageNelmts
             val fadb = ArrayBuffer.empty[Byte]
             fadb ++= "FADB".getBytes("US-ASCII")
             fadb += 0                                   // version
             fadb += clientId.toByte
             val fadbAddr = out.size.toLong
-            val fahdAddr = fadbAddr + 14 + nChunks * entrySize + 4
+            def entry(ref: (Seq[Long], Long, Int)): Array[Byte] =
+              if (filtered) b64(ref._2) ++ b32(ref._3.toLong) ++ b32(0L)
+              else b64(ref._2)
+            val fadbLen =
+              if (!paged) 14 + nChunks * entrySize + 4
+              else {
+                val nPages = (nChunks + pageNelmts - 1) / pageNelmts
+                // header + bitmap + checksum, then full pages (elements +
+                // per-page checksum) with an unpadded last page
+                14 + (nPages + 7) / 8 + 4 + nChunks * entrySize + nPages * 4
+              }
+            val fahdAddr = fadbAddr + fadbLen
             fadb ++= b64(fahdAddr)                      // back-pointer to FAHD
-            chunkRefs.foreach { case (_, addr, n) =>
-              fadb ++= b64(addr)
-              if (filtered) fadb ++= b32(n.toLong) ++ b32(0L) // size + mask
+            if (!paged) {
+              chunkRefs.foreach(r => fadb ++= entry(r))
+              fadb ++= b32(0L)                          // checksum (unverified)
+            } else {
+              val nPages = (nChunks + pageNelmts - 1) / pageNelmts
+              // page bitmap: every page initialized
+              (0 until (nPages + 7) / 8).foreach { byteIdx =>
+                var bits = 0
+                (0 until 8).foreach { k =>
+                  if (byteIdx * 8 + k < nPages) bits |= 1 << k
+                }
+                fadb += bits.toByte
+              }
+              fadb ++= b32(0L)                          // data block checksum
+              chunkRefs.grouped(pageNelmts).foreach { page =>
+                page.foreach(r => fadb ++= entry(r))
+                fadb ++= b32(0L)                        // per-page checksum
+              }
             }
-            fadb ++= b32(0L)                            // checksum (unverified)
+            require(fadb.size == fadbLen, s"FADB length drift ${fadb.size} vs $fadbLen")
             appendAt(fadb.toArray)
             val fahd = ArrayBuffer.empty[Byte]
             fahd ++= "FAHD".getBytes("US-ASCII")
@@ -241,6 +273,34 @@ object Hdf5Writer {
             body += 3                                   // index type: fixed array
             body += pageBits.toByte
             body ++= b64(fahdAddr)
+            v.name -> Storage(body.toArray, filtered = filtered)
+          } else if (v.chunkIndex == "btree2") {
+            // layout v4 + depth-0 v2 B-tree chunk index (record type 10
+            // unfiltered / 11 filtered; scaled chunk coordinates)
+            val filtered = v.deflate || v.shuffle
+            val btType = if (filtered) 11 else 10
+            val recordSize = if (filtered) 8 + 8 + 4 + rank * 8 else 8 + rank * 8
+            val leaf = ArrayBuffer.empty[Byte]
+            leaf ++= "BTLF".getBytes("US-ASCII") += 0 += btType.toByte
+            chunkRefs.foreach { case (offsets, addr, n) =>
+              leaf ++= b64(addr)
+              if (filtered) leaf ++= b64(n.toLong) ++ b32(0L) // size + mask
+              offsets.zip(chunkDims).foreach { case (o, c) => leaf ++= b64(o / c) }
+            }
+            leaf ++= b32(0L)                            // checksum (unverified)
+            val leafAddr = appendAt(leaf.toArray)
+            val bthd = ArrayBuffer.empty[Byte]
+            bthd ++= "BTHD".getBytes("US-ASCII") += 0 += btType.toByte
+            bthd ++= b32(2048L) ++ b16(recordSize) ++ b16(0) // node, record, depth
+            bthd += 100 += 40                                // split/merge %
+            bthd ++= b64(leafAddr) ++ b16(chunkRefs.size)
+            bthd ++= b64(chunkRefs.size.toLong) ++ b32(0L)   // total, checksum
+            val bthdAddr = appendAt(bthd.toArray)
+            val body = ArrayBuffer[Byte](4, 2, 0, rank.toByte, 4)
+            chunkDims.foreach(c => body ++= b32(c.toLong))
+            body += 5                                   // index type: v2 B-tree
+            body ++= b32(2048L) += 100 += 40            // node size, split/merge
+            body ++= b64(bthdAddr)
             v.name -> Storage(body.toArray, filtered = filtered)
           } else {
           // v1 chunk B-tree: leaves of up to `chunkBtreeFanout` entries,

@@ -113,9 +113,33 @@ class Hdf5Spec extends SparkSpec {
     val faf = tmp("faf.nc")
     writeWeather(faf, chunks = Some(Seq(2, 3, 2)), deflate = true,
       shuffle = true, chunkIndex = "fixedarray")
+    // paged data block: 12 chunks at 4 entries/page = 3 pages (the layout
+    // libhdf5 writes past 1024 chunks; small page here to exercise it)
+    val fap = tmp("fap.nc")
+    HW.write(fap, Seq(
+      HW.VarSpec("time", Seq("time"), Seq(3),
+        (0 until 3).map(t => (t0 + 3600L * t).toDouble), dtype = "f8",
+        units = Some("seconds since 1970-01-01")),
+      HW.VarSpec("latitude", Seq("latitude"), Seq(4), (0 until 4).map(60.0 - _)),
+      HW.VarSpec("longitude", Seq("longitude"), Seq(5), (0 until 5).map(10.0 + _)),
+      HW.VarSpec("t2m", Seq("time", "latitude", "longitude"), Seq(3, 4, 5),
+        (0 until 60).map(k => 250.0 + k * 0.25), dtype = "f4",
+        chunks = Some(Seq(2, 3, 2)), deflate = true, shuffle = true,
+        units = Some("K"), chunkIndex = "fixedarray", faPageBits = 2),
+      HW.VarSpec("tp", Seq("time", "latitude", "longitude"), Seq(3, 4, 5),
+        (0 until 60).map(k => if (k % 17 == 0) -999.0 else k * 10.0),
+        dtype = "i2", chunks = Some(Seq(2, 3, 2)), deflate = true, shuffle = true,
+        scaleFactor = Some(0.001), addOffset = Some(5.0),
+        fillValue = Some(-999.0), chunkIndex = "fixedarray", faPageBits = 2)))
+    // v2 B-tree chunk index, unfiltered and filtered
+    val b2 = tmp("b2.nc")
+    writeWeather(b2, chunks = Some(Seq(2, 3, 2)), chunkIndex = "btree2")
+    val b2f = tmp("b2f.nc")
+    writeWeather(b2f, chunks = Some(Seq(2, 3, 2)), deflate = true,
+      shuffle = true, chunkIndex = "btree2")
     val a = NetCDF4Reader.readLongFormat(spark, bt)
       .orderBy($"time", $"latitude", $"longitude").collect()
-    for (p <- Seq(fa, faf)) {
+    for (p <- Seq(fa, faf, fap, b2, b2f)) {
       val b = NetCDF4Reader.readLongFormat(spark, p)
         .orderBy($"time", $"latitude", $"longitude").collect()
       assert(a.sameElements(b), s"fixed-array values diverge from v1 B-tree ($p)")
