@@ -18,10 +18,11 @@ import scala.collection.mutable
   *    roots and filtered heaps raise directed errors);
   *  - datasets: contiguous, compact, and chunked layouts — layout message
   *    v3 (v1 B-tree chunk index) and v4 (HDF5 ≥1.10: single-chunk,
-  *    implicit, fixed-array incl. paged data blocks, and depth-0
-  *    v2-B-tree indexes; extensible-array indexes and deeper v2 B-trees
-  *    raise directed errors); filters deflate(1), shuffle(2),
-  *    fletcher32(3);
+  *    implicit, fixed-array incl. paged data blocks, extensible-array
+  *    with unpaged data blocks — the one-unlimited-dimension /
+  *    time-appending shape — and depth-0 v2-B-tree indexes; paged EA
+  *    data blocks and deeper v2 B-trees raise directed errors); filters
+  *    deflate(1), shuffle(2), fletcher32(3);
   *  - datatypes: fixed-point 1/2/4/8 (either endian, signed or not), IEEE
   *    float 4/8, fixed strings, object references, vlen sequences
   *    (via the global heap `GCOL`, as `DIMENSION_LIST` needs);
@@ -538,8 +539,9 @@ object Hdf5 {
             Chunked(c.u64(off), dims, 0, indexType = 2)
           case 3 => // fixed array: page bits byte, then the FAHD address
             Chunked(c.u64(off + 1), dims, 0, indexType = 3)
-          case 4 => throw UnsupportedHdf5(
-            "v4 chunk index 'extensible array' (unlimited-dimension datasets)")
+          case 4 => // extensible array: 5 creation-param bytes (repeated in
+            // the EAHD header, which the reader trusts), then the address
+            Chunked(c.u64(off + 5), dims, 0, indexType = 4)
           case 5 => // v2 B-tree: node size u32 + split/merge bytes, then address
             Chunked(c.u64(off + 6), dims, 0, indexType = 5)
           case other => throw UnsupportedHdf5(s"v4 chunk index type $other")
@@ -779,6 +781,124 @@ object Hdf5 {
             }
           }
         }
+      case 4 =>
+        // Extensible array (EAHD/EAIB/EASB/EADB) — the index HDF5 >= 1.10
+        // writes for ONE unlimited dimension, i.e. every time-appending
+        // netCDF-4 file. Geometry (public HDF5 source, H5EApkg.h): after
+        // the first `idxBlkElmts` elements (stored inline in the index
+        // block), super block u holds 2^(u/2) data blocks of
+        // 2^((u+1)/2) * dataBlkMinElmts elements; the index block stores
+        // the data-block addresses of the 2*(supBlkMinDataPtrs-1) early
+        // data blocks directly and super-block addresses beyond. Unpaged
+        // data blocks only (default params: every data block up to 1024
+        // elements, ~65k chunks total) — paged EA data blocks raise a
+        // directed error.
+        val h = new Cur(read(ck.btreeAddr, 80))
+        require(h.ascii(0, 4) == "EAHD", s"bad extensible-array header at ${ck.btreeAddr}")
+        val clientId = h.u8(5)
+        require(clientId == 0 || clientId == 1, s"extensible-array client id $clientId")
+        require((clientId == 1) == filtered,
+          s"extensible-array client id $clientId vs filter pipeline present=$filtered")
+        val entrySize = h.u8(6)
+        val maxNelmtsBits = h.u8(7)
+        val idxBlkElmts = h.u8(8)
+        val dataBlkMinElmts = h.u8(9)
+        val supBlkMinDataPtrs = h.u8(10)
+        val maxDblkPageBits = h.u8(11)
+        // stats: 6 length fields, then the index block address
+        val iblkAddr = h.u64(12 + 6 * 8)
+        val arrOffSize = (maxNelmtsBits + 7) / 8
+        require(iblkAddr != Undef, "extensible array without an index block")
+        def log2(x: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(x)
+        // super-block geometry and the linear-index lookup
+        final case class Sblk(ndblks: Int, dblkNelmts: Int, startIdx: Long)
+        val sblks = {
+          val b = Seq.newBuilder[Sblk]
+          var start = 0L
+          var u = 0
+          while (start < nChunks.toLong && u < 64) {
+            val nd = 1 << (u / 2)
+            val ne = (1 << ((u + 1) / 2)) * dataBlkMinElmts
+            b += Sblk(nd, ne, start)
+            start += nd.toLong * ne
+            u += 1
+          }
+          b.result()
+        }
+        val iblkNdblkAddrs = 2 * (supBlkMinDataPtrs - 1) // sblks with ndblks < min ptrs
+        val sblkInIblk = sblks.indices.count(u => sblks(u).ndblks < supBlkMinDataPtrs)
+        val nsblkAddrs = math.max(0, sblks.size - sblkInIblk)
+        // index block: elements, then data block addrs, then super block addrs
+        val iblkLen = 14L + idxBlkElmts.toLong * entrySize +
+          iblkNdblkAddrs * 8L + nsblkAddrs * 8L + 4
+        val ib = new Cur(read(iblkAddr, iblkLen.toInt))
+        require(ib.ascii(0, 4) == "EAIB", s"bad extensible-array index block at $iblkAddr")
+        def parseEntry(cur: Cur, at: Long, i: Int): Option[ChunkRef] = {
+          val addr = cur.u64(at)
+          if (addr == Undef) None
+          else if (clientId == 0) Some(ChunkRef(offsetsOf(i), addr, chunkBytes, 0))
+          else {
+            val szLen = entrySize - 12
+            var sz = 0L
+            (0 until szLen).foreach(k => sz |= cur.u8(at + 8 + k).toLong << (8 * k))
+            val mask = cur.u32(at + 8 + szLen).toInt
+            Some(ChunkRef(offsetsOf(i), addr, sz, mask))
+          }
+        }
+        // data blocks: EADB header then elements (unpaged only)
+        def dblkEntries(addr: Long, nelmts: Int, firstIdx: Long): Seq[ChunkRef] = {
+          if (addr == Undef) return Nil // unallocated: fill-value chunks
+          if (nelmts > (1 << maxDblkPageBits))
+            throw UnsupportedHdf5(s"paged extensible-array data block " +
+              s"($nelmts elements > 2^$maxDblkPageBits per page)")
+          val headLen = 14L + arrOffSize
+          val upTo = math.min(nelmts.toLong, nChunks.toLong - firstIdx)
+          val d = new Cur(read(addr, (headLen + upTo * entrySize + 4).toInt))
+          require(d.ascii(0, 4) == "EADB", s"bad extensible-array data block at $addr")
+          (0L until upTo).flatMap(k =>
+            parseEntry(d, headLen + k * entrySize, (firstIdx + k).toInt))
+        }
+        val out = Seq.newBuilder[ChunkRef]
+        // 1) inline elements
+        (0 until math.min(idxBlkElmts, nChunks)).foreach(i =>
+          out ++= parseEntry(ib, 14L + i.toLong * entrySize, i))
+        if (nChunks > idxBlkElmts) {
+          val dblkAddrsAt = 14L + idxBlkElmts.toLong * entrySize
+          val sblkAddrsAt = dblkAddrsAt + iblkNdblkAddrs * 8L
+          // 2) early data blocks addressed straight from the index block
+          var dblkSlot = 0
+          sblks.indices.takeWhile(u => sblks(u).ndblks < supBlkMinDataPtrs).foreach { u =>
+            val s = sblks(u)
+            (0 until s.ndblks).foreach { d =>
+              val first = idxBlkElmts + s.startIdx + d.toLong * s.dblkNelmts
+              if (first < nChunks && dblkSlot < iblkNdblkAddrs) {
+                out ++= dblkEntries(ib.u64(dblkAddrsAt + dblkSlot * 8L), s.dblkNelmts, first)
+              }
+              dblkSlot += 1
+            }
+          }
+          // 3) super blocks (EASB: header + block offset + dblk addresses)
+          sblks.indices.drop(sblkInIblk).zipWithIndex.foreach { case (u, slot) =>
+            val s = sblks(u)
+            if (idxBlkElmts + s.startIdx < nChunks) {
+              val sbAddr = ib.u64(sblkAddrsAt + slot * 8L)
+              if (sbAddr != Undef) {
+                if (s.dblkNelmts > (1 << maxDblkPageBits))
+                  throw UnsupportedHdf5("extensible-array super block with " +
+                    "paged data blocks (page bitmap) — unpaged subset only")
+                val sbLen = 14L + arrOffSize + s.ndblks * 8L + 4
+                val sb = new Cur(read(sbAddr, sbLen.toInt))
+                require(sb.ascii(0, 4) == "EASB", s"bad extensible-array super block at $sbAddr")
+                (0 until s.ndblks).foreach { d =>
+                  val first = idxBlkElmts + s.startIdx + d.toLong * s.dblkNelmts
+                  if (first < nChunks)
+                    out ++= dblkEntries(sb.u64(14L + arrOffSize + d * 8L), s.dblkNelmts, first)
+                }
+              }
+            }
+          }
+        }
+        out.result()
       case 5 =>
         // v2 B-tree chunk index (types 10/11 — the shape libhdf5 writes
         // for >1 unlimited dimension). Depth-0 trees only, the same

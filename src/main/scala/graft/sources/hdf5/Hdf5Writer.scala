@@ -36,11 +36,18 @@ object Hdf5Writer {
       // "fixedarray" = layout v4 + fixed-array index (HDF5 >= 1.10's shape
       // for fixed-dimension chunked datasets);
       // "btree2" = layout v4 + depth-0 v2 B-tree index (the >1-unlimited-
-      // dimension shape)
+      // dimension shape);
+      // "extensible" = layout v4 + extensible-array index (the ONE-
+      // unlimited-dimension shape every time-appending netCDF-4 file uses)
       chunkIndex: String = "btree1",
       // fixed-array page size exponent (libhdf5 default 10 = 1024 entries);
       // chunk counts past one page write the PAGED data block layout
-      faPageBits: Int = 10)
+      faPageBits: Int = 10,
+      // extensible-array creation params (libhdf5 defaults); shrink in
+      // tests to exercise index-block/direct-dblk/super-block storage
+      eaIdxBlkElmts: Int = 4,
+      eaDataBlkMinElmts: Int = 16,
+      eaSupBlkMinDataPtrs: Int = 4)
 
   private def elemSize(dtype: String): Int = dtype match {
     case "f8" => 8
@@ -273,6 +280,103 @@ object Hdf5Writer {
             body += 3                                   // index type: fixed array
             body += pageBits.toByte
             body ++= b64(fahdAddr)
+            v.name -> Storage(body.toArray, filtered = filtered)
+          } else if (v.chunkIndex == "extensible") {
+            // layout v4 + extensible-array index: inline index-block
+            // elements, early data blocks addressed from the index block,
+            // super blocks beyond (H5EA geometry — super block u holds
+            // 2^(u/2) data blocks of 2^((u+1)/2)*minElmts entries)
+            val filtered = v.deflate || v.shuffle
+            val clientId = if (filtered) 1 else 0
+            val entrySize = if (filtered) 16 else 8
+            val nChunks = chunkRefs.size
+            val maxNelmtsBits = 32
+            val arrOffSize = 4
+            def entry(ref: (Seq[Long], Long, Int)): Array[Byte] =
+              if (filtered) b64(ref._2) ++ b32(ref._3.toLong) ++ b32(0L)
+              else b64(ref._2)
+            // super-block geometry truncated to the chunks we hold
+            final case class Sb(ndblks: Int, dblkNelmts: Int, startIdx: Long)
+            val sblks = {
+              val b = Seq.newBuilder[Sb]
+              var start = 0L
+              var u = 0
+              while (v.eaIdxBlkElmts + start < nChunks && u < 64) {
+                val nd = 1 << (u / 2)
+                val ne = (1 << ((u + 1) / 2)) * v.eaDataBlkMinElmts
+                b += Sb(nd, ne, start)
+                start += nd.toLong * ne
+                u += 1
+              }
+              b.result()
+            }
+            val patches = ArrayBuffer.empty[Long] // headerAddr fields to patch
+            def blockHead(sig: String, withOffset: Option[Long]): ArrayBuffer[Byte] = {
+              val bb = ArrayBuffer.empty[Byte]
+              bb ++= sig.getBytes("US-ASCII") += 0 += clientId.toByte
+              patches += out.size.toLong + bb.size // headerAddr position
+              bb ++= b64(0L)                       // patched to EAHD later
+              withOffset.foreach(o => bb ++= b32(o))
+              bb
+            }
+            // data blocks, in linear order; remember each one's address
+            def writeDblk(firstIdx: Int, nelmts: Int): Long = {
+              val slice = chunkRefs.slice(firstIdx, math.min(firstIdx + nelmts, nChunks))
+              if (slice.isEmpty) return Hdf5.Undef
+              val db = blockHead("EADB", Some(firstIdx.toLong))
+              slice.foreach(r => db ++= entry(r))
+              db ++= b32(0L) // checksum (unverified)
+              appendAt(db.toArray)
+            }
+            val iblkNdblkAddrs = 2 * (v.eaSupBlkMinDataPtrs - 1)
+            val sblkInIblk = sblks.indices.count(u => sblks(u).ndblks < v.eaSupBlkMinDataPtrs)
+            val earlyDblkAddrs = ArrayBuffer.empty[Long]
+            sblks.take(sblkInIblk).foreach { s =>
+              (0 until s.ndblks).foreach { d =>
+                val first = v.eaIdxBlkElmts + s.startIdx + d.toLong * s.dblkNelmts
+                earlyDblkAddrs +=
+                  (if (first < nChunks) writeDblk(first.toInt, s.dblkNelmts) else Hdf5.Undef)
+              }
+            }
+            while (earlyDblkAddrs.size < iblkNdblkAddrs) earlyDblkAddrs += Hdf5.Undef
+            val sblkAddrs = sblks.drop(sblkInIblk).map { s =>
+              val dblkAddrs = (0 until s.ndblks).map { d =>
+                val first = v.eaIdxBlkElmts + s.startIdx + d.toLong * s.dblkNelmts
+                if (first < nChunks) writeDblk(first.toInt, s.dblkNelmts) else Hdf5.Undef
+              }
+              val sb = blockHead("EASB", Some(s.startIdx))
+              dblkAddrs.foreach(a => sb ++= b64(a))
+              sb ++= b32(0L)
+              appendAt(sb.toArray)
+            }
+            val ib = blockHead("EAIB", None)
+            chunkRefs.take(math.min(v.eaIdxBlkElmts, nChunks)).foreach(r => ib ++= entry(r))
+            (nChunks until v.eaIdxBlkElmts).foreach { _ =>
+              ib ++= b64(Hdf5.Undef)
+              if (filtered) ib ++= b32(0L) ++ b32(0L) // full entry width
+            }
+            earlyDblkAddrs.foreach(a => ib ++= b64(a))
+            sblkAddrs.foreach(a => ib ++= b64(a))
+            ib ++= b32(0L)
+            val iblkAddr = appendAt(ib.toArray)
+            val eahd = ArrayBuffer.empty[Byte]
+            eahd ++= "EAHD".getBytes("US-ASCII") += 0 += clientId.toByte
+            eahd += entrySize.toByte += maxNelmtsBits.toByte
+            eahd += v.eaIdxBlkElmts.toByte += v.eaDataBlkMinElmts.toByte
+            eahd += v.eaSupBlkMinDataPtrs.toByte += 10 // max dblk page bits
+            (0 until 6).foreach(_ => eahd ++= b64(0L)) // stats (unread)
+            eahd ++= b64(iblkAddr) ++ b32(0L)          // index block, checksum
+            val eahdAddr = appendAt(eahd.toArray)
+            patches.foreach { pos =>
+              val pb = b64(eahdAddr)
+              (0 until 8).foreach(i => out((pos + i).toInt) = pb(i))
+            }
+            val body = ArrayBuffer[Byte](4, 2, 0, rank.toByte, 4)
+            chunkDims.foreach(c => body ++= b32(c.toLong))
+            body += 4                                   // index type: extensible array
+            body += maxNelmtsBits.toByte += v.eaIdxBlkElmts.toByte
+            body += v.eaDataBlkMinElmts.toByte += v.eaSupBlkMinDataPtrs.toByte += 10
+            body ++= b64(eahdAddr)
             v.name -> Storage(body.toArray, filtered = filtered)
           } else if (v.chunkIndex == "btree2") {
             // layout v4 + depth-0 v2 B-tree chunk index (record type 10

@@ -19,7 +19,8 @@ class Hdf5Spec extends SparkSpec {
 
   private def writeWeather(path: String, chunks: Option[Seq[Int]],
       deflate: Boolean = false, shuffle: Boolean = false,
-      chunkIndex: String = "btree1"): Unit = {
+      chunkIndex: String = "btree1", eaIdxBlkElmts: Int = 4,
+      eaDataBlkMinElmts: Int = 16, eaSupBlkMinDataPtrs: Int = 4): Unit = {
     val (nt, ny, nx) = (3, 4, 5)
     HW.write(path, Seq(
       HW.VarSpec("time", Seq("time"), Seq(nt),
@@ -32,12 +33,16 @@ class Hdf5Spec extends SparkSpec {
       HW.VarSpec("t2m", Seq("time", "latitude", "longitude"), Seq(nt, ny, nx),
         (0 until nt * ny * nx).map(k => 250.0 + k * 0.25),
         dtype = "f4", chunks = chunks, deflate = deflate, shuffle = shuffle,
-        units = Some("K"), chunkIndex = chunkIndex),
+        units = Some("K"), chunkIndex = chunkIndex,
+        eaIdxBlkElmts = eaIdxBlkElmts, eaDataBlkMinElmts = eaDataBlkMinElmts,
+        eaSupBlkMinDataPtrs = eaSupBlkMinDataPtrs),
       HW.VarSpec("tp", Seq("time", "latitude", "longitude"), Seq(nt, ny, nx),
         (0 until nt * ny * nx).map(k => if (k % 17 == 0) -999.0 else k * 10.0),
         dtype = "i2", chunks = chunks, deflate = deflate, shuffle = shuffle,
         scaleFactor = Some(0.001), addOffset = Some(5.0),
-        fillValue = Some(-999.0), chunkIndex = chunkIndex)))
+        fillValue = Some(-999.0), chunkIndex = chunkIndex,
+        eaIdxBlkElmts = eaIdxBlkElmts, eaDataBlkMinElmts = eaDataBlkMinElmts,
+        eaSupBlkMinDataPtrs = eaSupBlkMinDataPtrs)))
   }
 
   private def localRead(path: String): ((Long, Int) => Array[Byte], Long) = {
@@ -137,9 +142,23 @@ class Hdf5Spec extends SparkSpec {
     val b2f = tmp("b2f.nc")
     writeWeather(b2f, chunks = Some(Seq(2, 3, 2)), deflate = true,
       shuffle = true, chunkIndex = "btree2")
+    // extensible array (the one-unlimited-dimension / time-appending
+    // shape): tiny creation params so the 12 chunks spread across ALL
+    // THREE storage tiers — 2 inline index-block elements, 2 direct data
+    // blocks (super blocks 0-1), and real EASB super blocks beyond
+    val ea = tmp("ea.nc")
+    writeWeather(ea, chunks = Some(Seq(2, 3, 2)), chunkIndex = "extensible",
+      eaIdxBlkElmts = 2, eaDataBlkMinElmts = 2, eaSupBlkMinDataPtrs = 2)
+    val eaf = tmp("eaf.nc")
+    writeWeather(eaf, chunks = Some(Seq(2, 3, 2)), deflate = true,
+      shuffle = true, chunkIndex = "extensible",
+      eaIdxBlkElmts = 2, eaDataBlkMinElmts = 2, eaSupBlkMinDataPtrs = 2)
+    // libhdf5-default params: everything fits inline + direct data blocks
+    val ead = tmp("ead.nc")
+    writeWeather(ead, chunks = Some(Seq(2, 3, 2)), chunkIndex = "extensible")
     val a = NetCDF4Reader.readLongFormat(spark, bt)
       .orderBy($"time", $"latitude", $"longitude").collect()
-    for (p <- Seq(fa, faf, fap, b2, b2f)) {
+    for (p <- Seq(fa, faf, fap, b2, b2f, ea, eaf, ead)) {
       val b = NetCDF4Reader.readLongFormat(spark, p)
         .orderBy($"time", $"latitude", $"longitude").collect()
       assert(a.sameElements(b), s"fixed-array values diverge from v1 B-tree ($p)")
