@@ -18,11 +18,10 @@ import scala.collection.mutable
   *    roots and filtered heaps raise directed errors);
   *  - datasets: contiguous, compact, and chunked layouts — layout message
   *    v3 (v1 B-tree chunk index) and v4 (HDF5 ≥1.10: single-chunk,
-  *    implicit, fixed-array incl. paged data blocks, extensible-array
-  *    with unpaged data blocks — the one-unlimited-dimension /
-  *    time-appending shape — and depth-0 v2-B-tree indexes; paged EA
-  *    data blocks and deeper v2 B-trees raise directed errors); filters
-  *    deflate(1), shuffle(2), fletcher32(3);
+  *    implicit, fixed-array and extensible-array — both incl. paged data
+  *    blocks; EA is the one-unlimited-dimension / time-appending shape —
+  *    and depth-0 v2-B-tree indexes; deeper v2 B-trees raise directed
+  *    errors); filters deflate(1), shuffle(2), fletcher32(3);
   *  - datatypes: fixed-point 1/2/4/8 (either endian, signed or not), IEEE
   *    float 4/8, fixed strings, object references, vlen sequences
   *    (via the global heap `GCOL`, as `DIMENSION_LIST` needs);
@@ -789,10 +788,11 @@ object Hdf5 {
         // block), super block u holds 2^(u/2) data blocks of
         // 2^((u+1)/2) * dataBlkMinElmts elements; the index block stores
         // the data-block addresses of the 2*(supBlkMinDataPtrs-1) early
-        // data blocks directly and super-block addresses beyond. Unpaged
-        // data blocks only (default params: every data block up to 1024
-        // elements, ~65k chunks total) — paged EA data blocks raise a
-        // directed error.
+        // data blocks directly and super-block addresses beyond. Data
+        // blocks past one page (2^maxDblkPageBits elements — the deep
+        // super blocks decade-scale appended archives reach) read through
+        // the paged layout with the owning super block's page-init
+        // bitmap.
         val h = new Cur(read(ck.btreeAddr, 80))
         require(h.ascii(0, 4) == "EAHD", s"bad extensible-array header at ${ck.btreeAddr}")
         val clientId = h.u8(5)
@@ -845,18 +845,39 @@ object Hdf5 {
             Some(ChunkRef(offsetsOf(i), addr, sz, mask))
           }
         }
-        // data blocks: EADB header then elements (unpaged only)
-        def dblkEntries(addr: Long, nelmts: Int, firstIdx: Long): Seq[ChunkRef] = {
+        val pageNelmts = 1 << maxDblkPageBits
+        // Data blocks: EADB header then elements. Data blocks past one
+        // page (the shape decade-scale appended archives hit: dblk sizes
+        // grow with super-block depth) store NO inline elements — fixed
+        // `pageNelmts`-element pages, each checksummed, are packed right
+        // after the header+checksum; `pageInit(p)` comes from the owning
+        // super block's page bitmap (clear bit = unallocated page).
+        def dblkEntries(addr: Long, nelmts: Int, firstIdx: Long,
+            pageInit: Int => Boolean = _ => true): Seq[ChunkRef] = {
           if (addr == Undef) return Nil // unallocated: fill-value chunks
-          if (nelmts > (1 << maxDblkPageBits))
-            throw UnsupportedHdf5(s"paged extensible-array data block " +
-              s"($nelmts elements > 2^$maxDblkPageBits per page)")
           val headLen = 14L + arrOffSize
           val upTo = math.min(nelmts.toLong, nChunks.toLong - firstIdx)
-          val d = new Cur(read(addr, (headLen + upTo * entrySize + 4).toInt))
-          require(d.ascii(0, 4) == "EADB", s"bad extensible-array data block at $addr")
-          (0L until upTo).flatMap(k =>
-            parseEntry(d, headLen + k * entrySize, (firstIdx + k).toInt))
+          if (nelmts <= pageNelmts) {
+            val d = new Cur(read(addr, (headLen + upTo * entrySize + 4).toInt))
+            require(d.ascii(0, 4) == "EADB", s"bad extensible-array data block at $addr")
+            (0L until upTo).flatMap(k =>
+              parseEntry(d, headLen + k * entrySize, (firstIdx + k).toInt))
+          } else {
+            val pagesStart = headLen + 4 // after the data block checksum
+            val pageSize = pageNelmts.toLong * entrySize + 4
+            val lastPage = ((upTo - 1) / pageNelmts).toInt
+            val d = new Cur(read(addr,
+              (pagesStart + lastPage * pageSize +
+                (upTo - lastPage.toLong * pageNelmts) * entrySize + 4).toInt))
+            require(d.ascii(0, 4) == "EADB", s"bad extensible-array data block at $addr")
+            (0L until upTo).flatMap { k =>
+              val p = (k / pageNelmts).toInt
+              if (!pageInit(p)) None
+              else parseEntry(d,
+                pagesStart + p * pageSize + (k % pageNelmts) * entrySize,
+                (firstIdx + k).toInt)
+            }
+          }
         }
         val out = Seq.newBuilder[ChunkRef]
         // 1) inline elements
@@ -877,22 +898,34 @@ object Hdf5 {
               dblkSlot += 1
             }
           }
-          // 3) super blocks (EASB: header + block offset + dblk addresses)
+          // 3) super blocks (EASB: header + block offset + [page bitmap
+          //    when this super block's data blocks are paged] + dblk addrs)
           sblks.indices.drop(sblkInIblk).zipWithIndex.foreach { case (u, slot) =>
             val s = sblks(u)
             if (idxBlkElmts + s.startIdx < nChunks) {
               val sbAddr = ib.u64(sblkAddrsAt + slot * 8L)
               if (sbAddr != Undef) {
-                if (s.dblkNelmts > (1 << maxDblkPageBits))
-                  throw UnsupportedHdf5("extensible-array super block with " +
-                    "paged data blocks (page bitmap) — unpaged subset only")
-                val sbLen = 14L + arrOffSize + s.ndblks * 8L + 4
+                val dblkPaged = s.dblkNelmts > pageNelmts
+                val pagesPerDblk =
+                  if (dblkPaged) (s.dblkNelmts + pageNelmts - 1) / pageNelmts else 0
+                val bitmapBytes =
+                  if (dblkPaged) (s.ndblks * pagesPerDblk + 7) / 8 else 0
+                val addrsAt = 14L + arrOffSize + bitmapBytes
+                val sbLen = addrsAt + s.ndblks * 8L + 4
                 val sb = new Cur(read(sbAddr, sbLen.toInt))
                 require(sb.ascii(0, 4) == "EASB", s"bad extensible-array super block at $sbAddr")
                 (0 until s.ndblks).foreach { d =>
                   val first = idxBlkElmts + s.startIdx + d.toLong * s.dblkNelmts
-                  if (first < nChunks)
-                    out ++= dblkEntries(sb.u64(14L + arrOffSize + d * 8L), s.dblkNelmts, first)
+                  if (first < nChunks) {
+                    val pageInit: Int => Boolean =
+                      if (!dblkPaged) _ => true
+                      else { p =>
+                        val bit = d * pagesPerDblk + p
+                        (sb.u8(14L + arrOffSize + bit / 8) & (1 << (bit % 8))) != 0
+                      }
+                    out ++= dblkEntries(sb.u64(addrsAt + d * 8L), s.dblkNelmts,
+                      first, pageInit)
+                  }
                 }
               }
             }

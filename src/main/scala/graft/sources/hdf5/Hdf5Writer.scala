@@ -47,7 +47,8 @@ object Hdf5Writer {
       // tests to exercise index-block/direct-dblk/super-block storage
       eaIdxBlkElmts: Int = 4,
       eaDataBlkMinElmts: Int = 16,
-      eaSupBlkMinDataPtrs: Int = 4)
+      eaSupBlkMinDataPtrs: Int = 4,
+      eaMaxDblkPageBits: Int = 10) // data blocks past 2^bits elements page
 
   private def elemSize(dtype: String): Int = dtype match {
     case "f8" => 8
@@ -319,13 +320,25 @@ object Hdf5Writer {
               withOffset.foreach(o => bb ++= b32(o))
               bb
             }
-            // data blocks, in linear order; remember each one's address
+            // data blocks, in linear order; remember each one's address.
+            // Blocks past one page store pages (pageNelmts entries +
+            // checksum each) after the header+checksum instead of inline
+            // elements — the shape deep super blocks reach.
+            val pageNelmts = 1 << v.eaMaxDblkPageBits
             def writeDblk(firstIdx: Int, nelmts: Int): Long = {
               val slice = chunkRefs.slice(firstIdx, math.min(firstIdx + nelmts, nChunks))
               if (slice.isEmpty) return Hdf5.Undef
               val db = blockHead("EADB", Some(firstIdx.toLong))
-              slice.foreach(r => db ++= entry(r))
-              db ++= b32(0L) // checksum (unverified)
+              if (nelmts <= pageNelmts) {
+                slice.foreach(r => db ++= entry(r))
+                db ++= b32(0L) // checksum (unverified)
+              } else {
+                db ++= b32(0L) // data block checksum, pages follow
+                slice.grouped(pageNelmts).foreach { page =>
+                  page.foreach(r => db ++= entry(r))
+                  db ++= b32(0L) // per-page checksum
+                }
+              }
               appendAt(db.toArray)
             }
             val iblkNdblkAddrs = 2 * (v.eaSupBlkMinDataPtrs - 1)
@@ -345,6 +358,24 @@ object Hdf5Writer {
                 if (first < nChunks) writeDblk(first.toInt, s.dblkNelmts) else Hdf5.Undef
               }
               val sb = blockHead("EASB", Some(s.startIdx))
+              if (s.dblkNelmts > pageNelmts) {
+                // page-init bitmap: bit set for every page holding entries
+                val pagesPerDblk = (s.dblkNelmts + pageNelmts - 1) / pageNelmts
+                val bits = new Array[Boolean](s.ndblks * pagesPerDblk)
+                (0 until s.ndblks).foreach { d =>
+                  val first = v.eaIdxBlkElmts + s.startIdx + d.toLong * s.dblkNelmts
+                  val held = math.max(0L, math.min(s.dblkNelmts.toLong, nChunks - first))
+                  val np = ((held + pageNelmts - 1) / pageNelmts).toInt
+                  (0 until np).foreach(p => bits(d * pagesPerDblk + p) = true)
+                }
+                (0 until (bits.length + 7) / 8).foreach { byteIdx =>
+                  var b = 0
+                  (0 until 8).foreach { k =>
+                    if (byteIdx * 8 + k < bits.length && bits(byteIdx * 8 + k)) b |= 1 << k
+                  }
+                  sb += b.toByte
+                }
+              }
               dblkAddrs.foreach(a => sb ++= b64(a))
               sb ++= b32(0L)
               appendAt(sb.toArray)
@@ -363,7 +394,7 @@ object Hdf5Writer {
             eahd ++= "EAHD".getBytes("US-ASCII") += 0 += clientId.toByte
             eahd += entrySize.toByte += maxNelmtsBits.toByte
             eahd += v.eaIdxBlkElmts.toByte += v.eaDataBlkMinElmts.toByte
-            eahd += v.eaSupBlkMinDataPtrs.toByte += 10 // max dblk page bits
+            eahd += v.eaSupBlkMinDataPtrs.toByte += v.eaMaxDblkPageBits.toByte
             (0 until 6).foreach(_ => eahd ++= b64(0L)) // stats (unread)
             eahd ++= b64(iblkAddr) ++ b32(0L)          // index block, checksum
             val eahdAddr = appendAt(eahd.toArray)
@@ -375,7 +406,7 @@ object Hdf5Writer {
             chunkDims.foreach(c => body ++= b32(c.toLong))
             body += 4                                   // index type: extensible array
             body += maxNelmtsBits.toByte += v.eaIdxBlkElmts.toByte
-            body += v.eaDataBlkMinElmts.toByte += v.eaSupBlkMinDataPtrs.toByte += 10
+            body += v.eaDataBlkMinElmts.toByte += v.eaSupBlkMinDataPtrs.toByte += v.eaMaxDblkPageBits.toByte
             body ++= b64(eahdAddr)
             v.name -> Storage(body.toArray, filtered = filtered)
           } else if (v.chunkIndex == "btree2") {

@@ -20,7 +20,8 @@ class Hdf5Spec extends SparkSpec {
   private def writeWeather(path: String, chunks: Option[Seq[Int]],
       deflate: Boolean = false, shuffle: Boolean = false,
       chunkIndex: String = "btree1", eaIdxBlkElmts: Int = 4,
-      eaDataBlkMinElmts: Int = 16, eaSupBlkMinDataPtrs: Int = 4): Unit = {
+      eaDataBlkMinElmts: Int = 16, eaSupBlkMinDataPtrs: Int = 4,
+      eaMaxDblkPageBits: Int = 10): Unit = {
     val (nt, ny, nx) = (3, 4, 5)
     HW.write(path, Seq(
       HW.VarSpec("time", Seq("time"), Seq(nt),
@@ -35,14 +36,16 @@ class Hdf5Spec extends SparkSpec {
         dtype = "f4", chunks = chunks, deflate = deflate, shuffle = shuffle,
         units = Some("K"), chunkIndex = chunkIndex,
         eaIdxBlkElmts = eaIdxBlkElmts, eaDataBlkMinElmts = eaDataBlkMinElmts,
-        eaSupBlkMinDataPtrs = eaSupBlkMinDataPtrs),
+        eaSupBlkMinDataPtrs = eaSupBlkMinDataPtrs,
+        eaMaxDblkPageBits = eaMaxDblkPageBits),
       HW.VarSpec("tp", Seq("time", "latitude", "longitude"), Seq(nt, ny, nx),
         (0 until nt * ny * nx).map(k => if (k % 17 == 0) -999.0 else k * 10.0),
         dtype = "i2", chunks = chunks, deflate = deflate, shuffle = shuffle,
         scaleFactor = Some(0.001), addOffset = Some(5.0),
         fillValue = Some(-999.0), chunkIndex = chunkIndex,
         eaIdxBlkElmts = eaIdxBlkElmts, eaDataBlkMinElmts = eaDataBlkMinElmts,
-        eaSupBlkMinDataPtrs = eaSupBlkMinDataPtrs)))
+        eaSupBlkMinDataPtrs = eaSupBlkMinDataPtrs,
+        eaMaxDblkPageBits = eaMaxDblkPageBits)))
   }
 
   private def localRead(path: String): ((Long, Int) => Array[Byte], Long) = {
@@ -156,9 +159,15 @@ class Hdf5Spec extends SparkSpec {
     // libhdf5-default params: everything fits inline + direct data blocks
     val ead = tmp("ead.nc")
     writeWeather(ead, chunks = Some(Seq(2, 3, 2)), chunkIndex = "extensible")
+    // paged EA data blocks: 2-element pages force the super-block data
+    // blocks (4+ elements) through the page bitmap + page-chain layout
+    val eap = tmp("eap.nc")
+    writeWeather(eap, chunks = Some(Seq(2, 3, 2)), deflate = true,
+      shuffle = true, chunkIndex = "extensible", eaIdxBlkElmts = 2,
+      eaDataBlkMinElmts = 2, eaSupBlkMinDataPtrs = 2, eaMaxDblkPageBits = 1)
     val a = NetCDF4Reader.readLongFormat(spark, bt)
       .orderBy($"time", $"latitude", $"longitude").collect()
-    for (p <- Seq(fa, faf, fap, b2, b2f, ea, eaf, ead)) {
+    for (p <- Seq(fa, faf, fap, b2, b2f, ea, eaf, ead, eap)) {
       val b = NetCDF4Reader.readLongFormat(spark, p)
         .orderBy($"time", $"latitude", $"longitude").collect()
       assert(a.sameElements(b), s"fixed-array values diverge from v1 B-tree ($p)")
