@@ -275,7 +275,7 @@ object QueriesML {
     embDupQ, corpusStatsQ, hashSampleQ, stratifiedCapQ, decontaminateQ,
     repetitionQ, quantizeQ, imageDupsQ, audioQ, piiQ, domainQ,
     semDedupQ, dupShingleQ, tfidfQ, lmQualityQ, packQ,
-    chunkQ, domainCapQ, vocabQ, ccQ, mixQ, pqQ, adcQ, bpeQ, dsirQ,
+    chunkQ, domainCapQ, vocabQ, ccQ, mixQ, pqQ, adcQ, bpeQ, bpeEncodeQ, dsirQ,
     deaccumQ, climQ, spansQ, gopherQ, cutQ, curriculumQ, canonQ, recipeQ)
 
   // ------------------------------------------------------- pipeline: end-to-end recipe accounting
@@ -639,6 +639,25 @@ object QueriesML {
     (s, d) => {
       import graft.functions.{TextFunctions => TF}
       TF.bpePairStats(Tables.documents(s, d), "text", 30)
+    })
+
+  // ------------------------------------------------------- text: BPE train + encode
+  // Full tokenizer loop: 12 merges trained iteratively over the vocabulary
+  // table (one corpus pass, then O(vocabulary) per round with a 1-row
+  // driver collect), applied by the compiled greedy encoder; output is the
+  // corpus subword-frequency table. Iterative merge training is not
+  // SQL-expressible, so the driver records rows-only; exact output is
+  // pinned by a committed golden (SamplingSpec) like q62.
+  private lazy val bpeEncodeQ = Q("q92_bpe_encode", None)(
+    (s, d) => {
+      import graft.functions.{TextFunctions => TF}
+      val docs = Tables.documents(s, d)
+      val merges = TF.bpeTrainMerges(docs, "text", numMerges = 12)
+      TF.bpeEncode(docs, "doc_id", "text", merges)
+        .select(explode($"subwords").as("subword"))
+        .groupBy($"subword").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"subword")
+        .limit(50)
     })
 
   // ------------------------------------------------------- similarity: PQ ADC top-k search

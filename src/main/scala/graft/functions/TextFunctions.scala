@@ -338,6 +338,128 @@ object TextFunctions {
       .limit(k)
   }
 
+  /** Full iterative BPE merge training (Sennrich et al. 2016 §3.2): the
+    * corpus aggregates ONCE to the (word, freq) vocabulary table, then each
+    * of the `numMerges` rounds counts adjacent SYMBOL pairs over the
+    * current segmentations (frequency-weighted), collects the single most
+    * frequent pair (count-desc, pair asc tie-break — deterministic), and
+    * re-segments every word containing it. Returns the ordered merge list.
+    *
+    * Scale shape: the per-round work is O(vocabulary), never O(corpus) —
+    * the explode + agg runs over the distinct-word table, the driver
+    * collects exactly ONE row per round, and segmentations are eagerly
+    * local-checkpointed every round (same lineage discipline as
+    * [[graft.operators.Dedup.connectedComponents]]; a per-round join tree
+    * would otherwise stack `numMerges` deep). Real 32k-merge trainers
+    * batch non-overlapping merges per round — same plan, fewer rounds —
+    * documented here, not implemented: the per-round shape is what
+    * matters. No end-of-word marker (plain within-word BPE). */
+  def bpeTrainMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
+      numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges $numMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var seg = df
+      .select(explode(tokens(col(textCol).cast("string"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      // per-char segmentation via substring — a zero-width regex split
+      // would leave a trailing empty symbol under limit -1
+      .select(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("parts"), col("freq"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val top = seg
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(parts) - 1), " +
+            "i -> struct(parts[i - 1] AS a, parts[i] AS b))")).as("p"))
+        .groupBy(col("p.a"), col("p.b")).agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1)
+        .as[(String, String, Long)].collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, _) = top.head
+        merges += ((a, b))
+        val merged = a + b
+        // SQL string literal with backslash + quote escaping (symbols come
+        // from corpus text)
+        def q(s: String): String =
+          "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        val next = seg.select(expr(
+          // left-to-right single-pass merge of the chosen pair, as an
+          // aggregate fold: a trailing `a` merges when `b` follows. The
+          // merged element can never re-trigger (a+b = a would need an
+          // empty b), so whole-element equality is exactly the classic
+          // non-rescanning merge.
+          s"""aggregate(parts, CAST(array() AS array<string>), (acc, x) ->
+             |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = ${q(a)}
+             |            AND x = ${q(b)}
+             |       THEN concat(slice(acc, 1, size(acc) - 1), array(${q(merged)}))
+             |       ELSE concat(acc, array(x)) END)""".stripMargin)
+          .as("parts"), col("freq"))
+          // fully-merged (single-part) words are terminal: they can never
+          // contribute another pair, and sequence(1, 0) would count DOWN
+          .filter(size(col("parts")) >= 2)
+          .localCheckpoint(true)
+        seg.unpersist()
+        seg = next
+      }
+      round += 1
+    }
+    seg.unpersist()
+    merges.result()
+  }
+
+  /** Apply a trained merge list: classic BPE encoding — start from the
+    * character segmentation of each whitespace token and repeatedly merge
+    * the present pair with the lowest merge rank. Compiled per-row map
+    * (the merge table broadcasts in the closure, rank lookup is a hash
+    * map); O(word length^2 * merges-present) per word, no shuffle.
+    * Returns (id, n_subwords, subwords). */
+  def bpeEncode(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val in = df.select(col(idCol).as("id"), col(textCol).cast("string").as("t"))
+    val schema = StructType(Seq(
+      in.schema.fields(0),
+      StructField("n_subwords", LongType, nullable = false),
+      StructField("subwords", ArrayType(StringType), nullable = false)))
+    in.map { row =>
+      val text = if (row.isNullAt(1)) "" else row.getString(1)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      WhitespaceRe.split(text.trim, -1).foreach { w =>
+        if (w.nonEmpty) {
+          var parts = w.map(_.toString).toArray
+          var done = parts.length < 2
+          while (!done) {
+            var best = -1
+            var bestRank = Int.MaxValue
+            var i = 0
+            while (i < parts.length - 1) {
+              val r = ranks.getOrElse((parts(i), parts(i + 1)), Int.MaxValue)
+              if (r < bestRank) { bestRank = r; best = i }
+              i += 1
+            }
+            if (best < 0 || bestRank == Int.MaxValue) done = true
+            else {
+              parts = (parts.take(best) :+ (parts(best) + parts(best + 1))) ++
+                parts.drop(best + 2)
+              done = parts.length < 2
+            }
+          }
+          out ++= parts
+        }
+      }
+      org.apache.spark.sql.Row(row.get(0), out.length.toLong, out.toSeq)
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   private val WhitespaceRe = java.util.regex.Pattern.compile("\\s+")
 
   /** Compiled twin of [[chunkWindows]] for the hot path: the window loop

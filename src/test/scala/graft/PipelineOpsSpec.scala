@@ -668,6 +668,51 @@ class SamplingSpec extends SparkSpec {
     assert(!got.exists(_._1.contains("x")), "single-char words carry no pairs")
   }
 
+  test("bpeTrainMerges + bpeEncode reproduce classic BPE by hand") {
+    import graft.functions.{TextFunctions => TF}
+    // Sennrich's canonical example shape: 'low'x3, 'lower', 'lowest'.
+    // Round 1: (l,o) and (o,w) tie at 5 -> pair-asc tie-break picks (l,o);
+    // then (lo,w)=5, (low,e)=2, and a 3-way count-1 tie won by (lowe,r).
+    val docs = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val merges = TF.bpeTrainMerges(docs, "text", numMerges = 4)
+    assert(merges == Seq(("l", "o"), ("lo", "w"), ("low", "e"), ("lowe", "r")),
+      s"unexpected merge order: $merges")
+    val enc = TF.bpeEncode(Seq((1L, "lowest lower low")).toDF("doc_id", "text"),
+        "doc_id", "text", merges)
+      .select($"n_subwords", $"subwords").as[(Long, Seq[String])].head()
+    assert(enc == ((5L, Seq("lowe", "s", "t", "lower", "low"))), s"encoded: $enc")
+    // training exhausts gracefully when no pair repeats
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    assert(TF.bpeTrainMerges(tiny, "text", numMerges = 5) == Seq(("a", "b")))
+    // null text encodes to zero subwords
+    val nullEnc = TF.bpeEncode(Seq((1L, null: String)).toDF("doc_id", "text"),
+        "doc_id", "text", merges)
+      .select($"n_subwords").as[Long].head()
+    assert(nullEnc == 0L)
+  }
+
+  test("q92 golden file: BPE train+encode output is pinned row for row") {
+    // iterative merge training has no DuckDB oracle (driver records
+    // rows-only), so pin the subword-frequency result like q62. Regenerate
+    // after an INTENDED change with:
+    //   sbt 'runMain graft.cli.QueryDump /root/testdata/sf0.001 \
+    //     q92_bpe_encode src/test/resources/golden/q92_bpe_encode_sf0001.csv'
+    val got = SparkEntry.queries("q92_bpe_encode")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val golden = {
+      val src = scala.io.Source.fromInputStream(
+        getClass.getResourceAsStream("/golden/q92_bpe_encode_sf0001.csv"))
+      try src.getLines().drop(1).map { l =>
+        val i = l.lastIndexOf(',')
+        (l.substring(0, i), l.substring(i + 1).toLong)
+      }.toVector
+      finally src.close()
+    }
+    assert(got == golden,
+      s"q92 rows diverge from the committed golden (first diff: " +
+        got.zip(golden).find { case (x, y) => x != y }.toString + ")")
+  }
+
   test("vocabStats counts types, hapaxes, and TTR per group") {
     import graft.functions.{TextFunctions => TF}
     val docs = Seq(
