@@ -288,4 +288,148 @@ object Similarity {
       .select(col("id_b").as(idCol)).distinct()
     emb.join(dropped, Seq(idCol), "left_anti")
   }
+
+  /** PCA model: per-dimension mean, eigenvalues (variance per component,
+    * descending), and row-major principal components (k rows of dim). */
+  final case class PcaModel(mean: Array[Double], eigenvalues: Array[Double],
+      components: Array[Array[Double]])
+
+  /** Fit PCA over an embedding column — the standard dimensionality
+    * reduction before IVF/PQ indexing (and the core of OPQ-style
+    * rotations). Two corpus passes, both shuffle-free until a tiny agg:
+    *  1. mean: one per-dimension average (dim result rows);
+    *  2. covariance: each PARTITION accumulates its local centered
+    *     outer-product sum into one dim x dim buffer (`mapPartitions`, the
+    *     classic treeAggregate shape — per-row work is dim^2 flops, the
+    *     shuffle is one dim^2-length array PER PARTITION, not per row);
+    *     partial sums add element-wise in one final aggregation.
+    * The eigendecomposition runs on the DRIVER over the dim x dim matrix
+    * (cyclic Jacobi — embeddings are 64-1024 wide, so this is microseconds;
+    * the corpus never materializes). Components are sign-normalized
+    * (largest-|coordinate| positive) for determinism. */
+  def pcaFit(emb: DataFrame, vecCol: String, k: Int): PcaModel = {
+    val spark = emb.sparkSession
+    val first = emb.select(col(vecCol)).head()
+    val dim = first.getSeq[Float](0).size
+    require(k >= 1 && k <= dim, s"k $k outside [1, $dim]")
+    val meanRow = emb
+      .select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(avg(col("v")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val mean = Array.tabulate(dim)(meanRow)
+    val meanBc = spark.sparkContext.broadcast(mean)
+    import org.apache.spark.sql.Encoders
+    // one flattened (dim*dim + 1) accumulator per partition — the centered
+    // upper-triangle outer-product sum plus the row count — element-wise
+    // summed by reduce (few rows, dim^2 wide)
+    val summed = emb.select(col(vecCol).as("v"))
+      .mapPartitions { it =>
+        val m = meanBc.value
+        val d = m.length
+        val acc = new Array[Double](d * d + 1)
+        var any = false
+        it.foreach { row =>
+          val v = row.getSeq[Float](0)
+          any = true
+          acc(d * d) += 1
+          var i = 0
+          while (i < d) {
+            val xi = v(i) - m(i)
+            var j = i
+            while (j < d) {
+              acc(i * d + j) += xi * (v(j) - m(j))
+              j += 1
+            }
+            i += 1
+          }
+        }
+        if (any) Iterator.single(acc) else Iterator.empty
+      }(Encoders.javaSerialization[Array[Double]])
+      .reduce { (a, b) =>
+        val out = new Array[Double](a.length)
+        var i = 0
+        while (i < a.length) { out(i) = a(i) + b(i); i += 1 }
+        out
+      }
+    val n = summed(dim * dim)
+    require(n > 1, s"pcaFit needs at least 2 vectors, saw ${n.toLong}")
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      val v = if (i <= j) summed(i * dim + j) else summed(j * dim + i)
+      v / (n - 1)
+    }
+    val (eigVals, eigVecs) = jacobiEigen(cov)
+    val order = eigVals.indices.sortBy(i => -eigVals(i)).take(k)
+    val components = order.map { c =>
+      val vec = Array.tabulate(dim)(r => eigVecs(r)(c))
+      // deterministic sign: the largest-|coordinate| entry is positive
+      val pivot = vec.indices.maxBy(i => (math.abs(vec(i)), -i))
+      if (vec(pivot) < 0) vec.map(-_) else vec
+    }.toArray
+    PcaModel(mean, order.map(eigVals).toArray, components)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix — returns
+    * (eigenvalues, column eigenvectors). Driver-side, O(dim^3) per sweep;
+    * dims here are embedding widths (<= a few thousand). */
+  private[operators] def jacobiEigen(a0: Array[Array[Double]],
+      maxSweeps: Int = 64, tol: Double = 1e-12): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < maxSweeps && off > tol) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(a(p)(q)) > tol * 1e-3) {
+            off = math.max(off, math.abs(a(p)(q)))
+            val theta = (a(q)(q) - a(p)(p)) / (2 * a(p)(q))
+            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1))
+            val c = 1 / math.sqrt(t * t + 1)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Project embeddings onto a fitted [[PcaModel]]: per-row dot products
+    * against component literals (no shuffle, vectors read once). With
+    * `whiten = true` each coordinate scales by 1/sqrt(eigenvalue) —
+    * unit-variance output, the preconditioner PQ codebooks like. Returns
+    * `df` plus `pca` (array<double>, length k). */
+  def pcaProject(df: DataFrame, vecCol: String, model: PcaModel,
+      whiten: Boolean = false): DataFrame = {
+    val coords = model.components.zipWithIndex.map { case (comp, c) =>
+      val centeredDot = graft.functions.DotProduct(col(vecCol), typedLit(comp.toSeq)) -
+        lit(comp.zip(model.mean).map { case (w, m) => w * m }.sum)
+      if (whiten) centeredDot / math.sqrt(math.max(model.eigenvalues(c), 1e-12))
+      else centeredDot
+    }
+    df.withColumn("pca", array(coords: _*))
+  }
 }

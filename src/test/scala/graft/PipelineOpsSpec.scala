@@ -877,6 +877,54 @@ class SimilaritySpec extends SparkSpec {
     assert(fkept == Set(0L), s"flood should collapse to {0}, got $fkept")
   }
 
+  test("pcaFit recovers known principal axes; projection and whitening check out") {
+    // 2-D data stretched along the (1,1)/sqrt(2) diagonal: variance ~8
+    // along it, ~0.5 across it — the principal axis is unambiguous
+    val rng = new scala.util.Random(7)
+    val pts = (1 to 400).map { i =>
+      val t = rng.nextGaussian() * 2.0
+      val n = rng.nextGaussian() * 0.5
+      (i.toLong, Array(((t + n) / math.sqrt(2)).toFloat,
+        ((t - n) / math.sqrt(2)).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val model = Similarity.pcaFit(df, "embedding", k = 2)
+    val c0 = model.components(0)
+    assert(math.abs(math.abs(c0(0)) - math.sqrt(0.5)) < 0.05 &&
+      math.abs(math.abs(c0(1)) - math.sqrt(0.5)) < 0.05,
+      s"principal axis should be the diagonal: ${c0.toSeq}")
+    assert(model.eigenvalues(0) > 3.0 && model.eigenvalues(1) < 0.5,
+      s"eigenvalues must separate signal from noise: ${model.eigenvalues.toSeq}")
+    // components are orthonormal
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot(c0, c0) - 1) < 1e-9)
+    assert(math.abs(dot(c0, model.components(1))) < 1e-9)
+    // projection variance matches the eigenvalues; whitening normalizes it
+    val proj = Similarity.pcaProject(df, "embedding", model)
+      .select($"pca").as[Seq[Double]].collect()
+    def variance(xs: Seq[Double]) = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+    }
+    val v0 = variance(proj.map(_.head))
+    assert(math.abs(v0 - model.eigenvalues(0)) < 0.05 * model.eigenvalues(0),
+      s"first-coordinate variance $v0 vs eigenvalue ${model.eigenvalues(0)}")
+    val white = Similarity.pcaProject(df, "embedding", model, whiten = true)
+      .select($"pca").as[Seq[Double]].collect()
+    assert(math.abs(variance(white.map(_.head)) - 1.0) < 0.05)
+    assert(math.abs(variance(white.map(_(1))) - 1.0) < 0.05)
+    // fixture embeddings: k=4 projection runs end-to-end and is deterministic
+    val emb = Tables.embeddings(spark, sfDir)
+    val m4 = Similarity.pcaFit(emb, "embedding", k = 4)
+    val a = Similarity.pcaProject(emb, "embedding", m4)
+      .select($"vec_id", $"pca").collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = Similarity.pcaProject(emb, "embedding",
+        Similarity.pcaFit(emb, "embedding", k = 4))
+      .select($"vec_id", $"pca").collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a == b, "pcaFit must be deterministic across runs")
+  }
+
   test("planeCountFor scales bucket count with the corpus") {
     assert(Similarity.planeCountFor(10) == 1)         // tiny corpus: 1 plane
     assert(Similarity.planeCountFor(1010) == 4)       // ~16 buckets
