@@ -22,9 +22,15 @@ object QueryDump {
     spark.sparkContext.setLogLevel("WARN")
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     val rows = df.collect()
-    val sb = new StringBuilder(df.columns.mkString(",")).append('\n')
+    // RFC 4180 quoting: values with a comma/quote/newline are wrapped and
+    // internal quotes doubled, so free-text columns can't corrupt a golden
+    def csv(v: String): String =
+      if (v.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        "\"" + v.replace("\"", "\"\"") + "\""
+      else v
+    val sb = new StringBuilder(df.columns.map(csv).mkString(",")).append('\n')
     rows.foreach(r => sb.append(
-      (0 until r.length).map(i => String.valueOf(r.get(i))).mkString(",")).append('\n'))
+      (0 until r.length).map(i => csv(String.valueOf(r.get(i)))).mkString(",")).append('\n'))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), sb.toString)
     println(s"[dump] $name: ${rows.length} rows -> $outFile")
     spark.stop()

@@ -406,12 +406,20 @@ object Dedup {
       // genuinely deep component, the pathological case) pays the extra
       // label-keyed join, and from there covered distance doubles per
       // round, so total rounds are O(log diameter) instead of diameter.
-      val next = (if (it < 4) propagated
-        else propagated
-          .join(propagated.select(col("id").as("cluster"), col("cluster").as("c2")),
-            Seq("cluster"), "left")
-          .select(col("id"), coalesce(col("c2"), col("cluster")).as("cluster")))
-        .localCheckpoint(true) // eager: caches AND truncates lineage
+      val next = if (it < 4) propagated.localCheckpoint(true)
+        else {
+          // materialize the propagated table ONCE before the self-join —
+          // both join sides (and the jump output) read the checkpointed
+          // plan instead of recomputing the edge-join + min-aggregate
+          val p = propagated.localCheckpoint(true)
+          val jumped = p
+            .join(p.select(col("id").as("cluster"), col("cluster").as("c2")),
+              Seq("cluster"), "left")
+            .select(col("id"), coalesce(col("c2"), col("cluster")).as("cluster"))
+            .localCheckpoint(true) // eager: caches AND truncates lineage
+          p.unpersist()
+          jumped
+        }
       val changed = next
         .join(labels.select(col("id"), col("cluster").as("prev_c")), Seq("id"))
         .filter(col("cluster") =!= col("prev_c")).count()

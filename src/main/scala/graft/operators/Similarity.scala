@@ -309,8 +309,10 @@ object Similarity {
     * (largest-|coordinate| positive) for determinism. */
   def pcaFit(emb: DataFrame, vecCol: String, k: Int): PcaModel = {
     val spark = emb.sparkSession
-    val first = emb.select(col(vecCol)).head()
-    val dim = first.getSeq[Float](0).size
+    val firstRows = emb.select(col(vecCol)).head(1)
+    require(firstRows.nonEmpty,
+      s"pcaFit: input has no rows (vector column '$vecCol')")
+    val dim = firstRows(0).getSeq[Float](0).size
     require(k >= 1 && k <= dim, s"k $k outside [1, $dim]")
     val meanRow = emb
       .select(posexplode(col(vecCol)).as(Seq("pos", "v")))

@@ -816,7 +816,11 @@ object Hdf5 {
           val b = Seq.newBuilder[Sblk]
           var start = 0L
           var u = 0
-          while (start < nChunks.toLong && u < 64) {
+          // super blocks only cover indices past the index-block elements,
+          // so count them with the same idxBlkElmts offset the writer uses
+          // (a bare `start < nChunks` could admit one extra super block and
+          // size iblkLen past the written structure)
+          while (idxBlkElmts + start < nChunks.toLong && u < 64) {
             val nd = 1 << (u / 2)
             val ne = (1 << ((u + 1) / 2)) * dataBlkMinElmts
             b += Sblk(nd, ne, start)
