@@ -27,9 +27,10 @@ package graft.sources.zarr
   * byte i of every element (trailing `blocksize % typesize` bytes ride
   * verbatim).
   *
-  * Codecs: lz4 (the default cname; block format decoded here), zlib
-  * (java.util.zip), stored-raw splits. blosclz/snappy/zstd raise directed
-  * errors — rewrite those stores with `zarr.copy_store` to lz4/zlib.
+  * Codecs: lz4 (the default cname; block format decoded here), zstd
+  * (each split is a complete zstd frame — [[Zstd]]), zlib (java.util.zip),
+  * stored-raw splits. blosclz/snappy raise directed errors — rewrite those
+  * stores with `zarr.copy_store` to lz4/zstd/zlib.
   */
 object Blosc {
 
@@ -88,9 +89,9 @@ object Blosc {
         else codec match {
           case 1 => lz4Decompress(raw, src, csize, block, blockOff, neblock)
           case 3 => inflateInto(raw, src, csize, block, blockOff, neblock)
-          case 0 => throw UnsupportedBlosc("blosclz codec (rewrite with zarr.copy_store to lz4/zlib)")
-          case 2 => throw UnsupportedBlosc("snappy codec (rewrite with zarr.copy_store to lz4/zlib)")
-          case 4 => throw UnsupportedBlosc("zstd codec (rewrite with zarr.copy_store to lz4/zlib)")
+          case 4 => Zstd.decompressInto(raw, src, csize, block, blockOff, neblock)
+          case 0 => throw UnsupportedBlosc("blosclz codec (rewrite with zarr.copy_store to lz4/zstd/zlib)")
+          case 2 => throw UnsupportedBlosc("snappy codec (rewrite with zarr.copy_store to lz4/zstd/zlib)")
           case other => throw UnsupportedBlosc(s"codec id $other")
         }
         src += csize

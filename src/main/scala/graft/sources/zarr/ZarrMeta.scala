@@ -13,22 +13,22 @@ import org.json4s.jackson.JsonMethods
   * reference's storage format, weather_mv/test_data/test_data.zarr).
   *
   * Supported surface (v2): C-order little-endian arrays, dtypes
-  * `<f8 <f4 <i8 <i4 <i2 <u1`, compressor `null`, `{"id": "zlib"}`, or
-  * `{"id": "blosc"}` with cname lz4/zlib (zarr-python 2.x's DEFAULT
-  * compressor — decoded by [[Blosc]]; blosclz/snappy/zstd cnames raise
+  * `<f8 <f4 <i8 <i4 <i2 <u1`, compressor `null`, `{"id": "zlib"}`,
+  * `{"id": "zstd"}` (one frame per chunk — decoded by [[Zstd]]), or
+  * `{"id": "blosc"}` with cname lz4/zstd/zlib (zarr-python 2.x's DEFAULT
+  * compressor — decoded by [[Blosc]]; blosclz/snappy cnames raise
   * directed errors), `.zattrs` conventions `_ARRAY_DIMENSIONS` (xarray),
   * `scale_factor`, `add_offset`, `missing_value`, and
   * `units: "seconds since 1970-01-01"` for epoch time coordinates.
   *
   * Supported surface (v3, sniffed by the root `zarr.json`): regular chunk
   * grid, `default` ("c/0/1") and `v2` chunk-key encodings with either
-  * separator, `bytes` codec at both endians, `gzip`/`blosc` (lz4/zlib
-  * cnames) compression, `sharding_indexed` (read and write, bytes
-  * [+ crc32c] index codecs), `dimension_names`, numeric/"NaN" fill values,
-  * inline `consolidated_metadata` (zarr-python 3's successor to
-  * `.zmetadata`), and the same CDL attribute conventions. zstd raises a
-  * directed error naming the rewrite (`zarr.copy_store` to a gzip-codec
-  * store).
+  * separator, `bytes` codec at both endians, `gzip`/`zstd` (zarr-python
+  * 3's DEFAULT compressor)/`blosc` (lz4/zstd/zlib cnames) compression,
+  * `sharding_indexed` (read and write, bytes [+ crc32c] index codecs),
+  * `dimension_names`, numeric/"NaN" fill values, inline
+  * `consolidated_metadata` (zarr-python 3's successor to `.zmetadata`),
+  * and the same CDL attribute conventions.
   */
 object ZarrMeta {
 
@@ -141,6 +141,7 @@ object ZarrMeta {
           (c \ "configuration" \ "endian").extractOpt[String].getOrElse("little")
         case "gzip" => comp = Some("gzip")
         case "zlib" => comp = Some("zlib")
+        case "zstd" => comp = Some("zstd")
         case "blosc" => comp = Some("blosc")
         case "sharding_indexed" =>
           val cfg = c \ "configuration"
@@ -154,9 +155,9 @@ object ZarrMeta {
           indexCrc = idxNames.contains("crc32c")
           applyCodecs((cfg \ "codecs").extract[Seq[JValue]])
         case other => throw new UnsupportedOperationException(
-          s"zarr v3 codec '$other' on $name (supported: bytes, gzip, blosc, " +
-            "sharding_indexed; rewrite with zarr.copy_store to a " +
-            "gzip-codec store)")
+          s"zarr v3 codec '$other' on $name (supported: bytes, gzip, zstd, " +
+            "blosc, sharding_indexed; rewrite with zarr.copy_store to a " +
+            "supported-codec store)")
       }
     }
     applyCodecs((j \ "codecs").extract[Seq[JValue]])
@@ -295,12 +296,15 @@ object ZarrMeta {
     def decompress(raw: Array[Byte]): Array[Byte] = meta.compressor match {
       case Some("zlib") => inflate(raw, n * dtypeBytes(meta.dtype))
       case Some("gzip") => gunzip(raw, n * dtypeBytes(meta.dtype))
+      // whole chunk object = one zstd frame (numcodecs Zstd / v3 zstd codec)
+      case Some("zstd") =>
+        Zstd.decompress(raw, 0, raw.length, n * dtypeBytes(meta.dtype))
       // blosc chunks are self-describing (header carries codec/shuffle/
       // sizes), so one case covers every cname the codec supports
       case Some("blosc") => Blosc.decompress(raw)
       case Some(other) =>
         throw new UnsupportedOperationException(
-          s"zarr compressor '$other' not supported (use zlib, gzip, blosc, or null)")
+          s"zarr compressor '$other' not supported (use zlib, gzip, zstd, blosc, or null)")
       case None => raw
     }
     meta.shardChunks match {

@@ -69,6 +69,7 @@ object ZarrWriter {
       val innerCodecs = Seq(Some("""{"name": "bytes", "configuration": {"endian": "little"}}"""),
         v.compressor.map {
           case "gzip" => """{"name": "gzip", "configuration": {"level": 6}}"""
+          case "zstd" => """{"name": "zstd", "configuration": {"level": 0, "checksum": false}}"""
           case "blosc" =>
             s"""{"name": "blosc", "configuration": {"cname": "lz4", "clevel": 5,
                | "shuffle": "shuffle", "typesize": ${ZarrMeta.dtypeBytes(v.dtype)},
@@ -111,6 +112,7 @@ object ZarrWriter {
         val bytes = encodeChunk(v, chunkIdx)
         v.compressor match {
           case Some("gzip") => gzip(bytes)
+          case Some("zstd") => Zstd.compressStore(bytes)
           case Some("blosc") => Blosc.compress(bytes, ZarrMeta.dtypeBytes(v.dtype), shuffle = true)
           case _ => bytes
         }
@@ -188,6 +190,7 @@ object ZarrWriter {
     dir.mkdirs()
     val compressorJson = v.compressor match {
       case Some("zlib") => """{"id": "zlib", "level": 6}"""
+      case Some("zstd") => """{"id": "zstd", "level": 5}"""
       // the numcodecs default profile: lz4, byte-shuffle
       case Some("blosc") =>
         """{"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "blocksize": 0}"""
@@ -218,6 +221,7 @@ object ZarrWriter {
       val bytes = encodeChunk(v, chunkIdx)
       val out = v.compressor match {
         case Some("zlib") => deflate(bytes)
+        case Some("zstd") => Zstd.compressStore(bytes)
         case Some("blosc") => Blosc.compress(bytes, ZarrMeta.dtypeBytes(v.dtype), shuffle = true)
         case _ => bytes
       }

@@ -143,11 +143,85 @@ class ZarrSourceSpec extends SparkSpec {
     assert(Blosc.decompress(mem).toSeq == (0 until 100).map(_.toByte))
     // unsupported codec ids raise directed errors naming the rewrite (use a
     // COMPRESSED chunk — raw-stored splits legitimately bypass the codec)
-    val zstd = Blosc.compress(Array.tabulate(8192)(i => ((i / 7) % 251).toByte),
+    val snappy = Blosc.compress(Array.tabulate(8192)(i => ((i / 7) % 251).toByte),
       8, shuffle = true)
-    zstd(2) = ((zstd(2) & 0x1f) | (4 << 5)).toByte
-    val e = intercept[graft.sources.zarr.Blosc.UnsupportedBlosc] { Blosc.decompress(zstd) }
-    assert(e.getMessage.contains("zstd"))
+    snappy(2) = ((snappy(2) & 0x1f) | (2 << 5)).toByte
+    val e = intercept[graft.sources.zarr.Blosc.UnsupportedBlosc] { Blosc.decompress(snappy) }
+    assert(e.getMessage.contains("snappy"))
+  }
+
+  test("blosc-zstd chunks decode (splits are real zstd frames)") {
+    import graft.sources.zarr.Blosc
+    // build a blosc container whose splits are frames from the reference
+    // zstd encoder (zstd-jni rides on the Spark classpath in this sandbox)
+    val typesize = 8
+    val data = Array.tabulate(32768)(i => ((i / 11) % 253).toByte)
+    // byte-shuffle exactly as Blosc.compress does
+    val elems = data.length / typesize
+    val sh = new Array[Byte](data.length)
+    for (j <- 0 until typesize; i <- 0 until elems)
+      sh(j * elems + i) = data(i * typesize + j)
+    val neblock = data.length / typesize
+    val splits = (0 until typesize).map { s =>
+      val split = java.util.Arrays.copyOfRange(sh, s * neblock, (s + 1) * neblock)
+      com.github.luben.zstd.Zstd.compress(split, 3)
+    }
+    val payload = splits.map(_.length + 4).sum
+    val cbytes = 16 + 4 + payload
+    val out = new Array[Byte](cbytes)
+    def le(off: Int, v: Int): Unit = (0 until 4).foreach(i => out(off + i) = (v >>> (8 * i)).toByte)
+    out(0) = 2; out(1) = 1
+    out(2) = (0x01 | (4 << 5)).toByte // shuffle + zstd codec
+    out(3) = typesize.toByte
+    le(4, data.length); le(8, data.length); le(12, cbytes); le(16, 20)
+    var off = 20
+    splits.foreach { s =>
+      le(off, s.length); off += 4
+      System.arraycopy(s, 0, out, off, s.length); off += s.length
+    }
+    assert(Blosc.decompress(out).toSeq == data.toSeq)
+  }
+
+  test("zarr v2 zstd store and v3 zstd codec (zarr-python 3 default) read identically") {
+    val times = (0 until nt).map(t => 86400.0 * t)
+    val lats = (0 until ny).map(y => -10.0 + 5.0 * y)
+    val lons = (0 until nx).map(x => 100.0 + 10.0 * x)
+    def cube(f: (Int, Int, Int) => Double): Seq[Double] =
+      for (t <- 0 until nt; y <- 0 until ny; x <- 0 until nx) yield f(t, y, x)
+    val specs = Seq(
+      ZW.VarSpec("time", Seq("time"), Seq(nt), Seq(3), "<i8", times,
+        units = Some("seconds since 1970-01-01")),
+      ZW.VarSpec("latitude", Seq("latitude"), Seq(ny), Seq(3), "<f8", lats),
+      ZW.VarSpec("longitude", Seq("longitude"), Seq(nx), Seq(4), "<f8", lons),
+      ZW.VarSpec("t2m", Seq("time", "latitude", "longitude"),
+        Seq(nt, ny, nx), Seq(2, 3, 4),
+        data = cube((t, y, x) => 250.0 + t + 0.1 * y + 0.01 * x),
+        compressor = Some("zstd")))
+    val d2 = java.nio.file.Files.createTempDirectory("zarrzstd2").toString + "/s.zarr"
+    ZW.write(d2, specs)
+    val d3 = java.nio.file.Files.createTempDirectory("zarrzstd3").toString + "/s.zarr"
+    ZW.writeV3(d3, specs)
+    val cols = Seq($"time", $"latitude", $"longitude", $"t2m")
+    val expect = ds.select(cols: _*).orderBy($"time", $"latitude", $"longitude")
+      .collect().toSeq
+    for (dir <- Seq(d2, d3)) {
+      val got = spark.read.format("zarr").load(dir).select(cols: _*)
+        .orderBy($"time", $"latitude", $"longitude").collect().toSeq
+      assert(got == expect, s"zstd store $dir must equal the zlib store's rows")
+    }
+    // swap the v2 chunk objects for REAL reference-encoder frames (numcodecs
+    // Zstd writes one frame per chunk object, same as compressStore)
+    val t2m = new java.io.File(d2, "t2m")
+    for (f <- t2m.listFiles() if f.getName.matches("[0-9.]+")) {
+      val raw = graft.sources.zarr.Zstd.decompress(
+        java.nio.file.Files.readAllBytes(f.toPath), 0,
+        java.nio.file.Files.readAllBytes(f.toPath).length)
+      java.nio.file.Files.write(f.toPath,
+        com.github.luben.zstd.Zstd.compress(raw, 19))
+    }
+    val reread = spark.read.format("zarr").load(d2).select(cols: _*)
+      .orderBy($"time", $"latitude", $"longitude").collect().toSeq
+    assert(reread == expect, "level-19 reference-encoder chunks must decode identically")
   }
 
   test("zarr v2 blosc-lz4 store (zarr-python default) reads identically") {

@@ -1,0 +1,154 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.zarr.Zstd
+import com.github.luben.zstd.{Zstd => RefZstd, ZstdCompressCtx, ZstdOutputStream, ZstdDictCompress}
+
+/** The pure-JVM zstd decoder (RFC 8878) vs the REFERENCE encoder: zstd-jni
+  * ships on the Spark classpath (Spark's own shuffle codec), so every frame
+  * here is produced by real libzstd — levels 1..22 cover raw/RLE/compressed
+  * blocks, 1- and 4-stream Huffman literals, treeless literals, FSE and
+  * repeat sequence tables, and the repeat-offset history. The decoder must
+  * byte-match on all of them. */
+class ZstdSpec extends AnyFunSuite {
+
+  private def roundTrip(data: Array[Byte], level: Int): Unit = {
+    val packed = RefZstd.compress(data, level)
+    val out = Zstd.decompress(packed, 0, packed.length)
+    assert(out.length == data.length, s"level=$level n=${data.length}")
+    assert(java.util.Arrays.equals(out, data),
+      s"level=$level n=${data.length}: decoded bytes differ")
+  }
+
+  private val rng = new scala.util.Random(20260813)
+
+  // payload shapes chosen to force distinct literal/sequence modes
+  private def payloads: Seq[(String, Array[Byte])] = Seq(
+    "empty" -> Array.emptyByteArray,
+    "one-byte" -> Array[Byte](42),
+    "all-zero-200k" -> new Array[Byte](200 * 1024), // RLE blocks
+    "tiny-text" -> "the quick brown fox".getBytes("UTF-8"),
+    // repetitive text: long matches, repeat offsets, compressed literals
+    "repetitive-text-300k" -> {
+      val sb = new StringBuilder
+      var i = 0
+      while (sb.length < 300 * 1024) {
+        sb.append(s"station-${i % 97} reported temperature ${250 + i % 40}.${i % 10} kelvin at hour ${i % 24}\n")
+        i += 1
+      }
+      sb.toString.getBytes("UTF-8")
+    },
+    // skewed byte histogram but little structure: dense Huffman literals
+    "skewed-bytes-100k" -> Array.tabulate(100 * 1024) { _ =>
+      val r = rng.nextInt(100)
+      (if (r < 60) r / 10 else rng.nextInt(256)).toByte
+    },
+    // incompressible: raw blocks
+    "random-64k" -> Array.fill(64 * 1024)(rng.nextInt().toByte),
+    // shuffled little-endian doubles, the Zarr chunk shape
+    "zarr-chunk-512k" -> {
+      val bb = java.nio.ByteBuffer.allocate(512 * 1024)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until 64 * 1024).foreach(i => bb.putDouble(250.0 + (i % 1440) * 0.01))
+      bb.array()
+    })
+
+  test("decoder matches the reference encoder across levels and payloads") {
+    for ((name, data) <- payloads; level <- Seq(1, 3, 9, 19)) {
+      withClue(s"$name @ level $level: ") { roundTrip(data, level) }
+    }
+    // max level on the most structured payloads (large window, long matches)
+    roundTrip(payloads.find(_._1 == "repetitive-text-300k").get._2, 22)
+    roundTrip(payloads.find(_._1 == "zarr-chunk-512k").get._2, 22)
+  }
+
+  test("multi-megabyte frame (many blocks, cross-block repeat modes)") {
+    val n = 4 * 1024 * 1024
+    val data = Array.tabulate(n) { i =>
+      (((i / 3) % 251) ^ ((i / 7919) % 17)).toByte
+    }
+    roundTrip(data, 3)
+    roundTrip(data, 17)
+  }
+
+  test("checksum frames decode (checksum consumed, not verified)") {
+    val ctx = new ZstdCompressCtx()
+    try {
+      ctx.setLevel(6)
+      ctx.setChecksum(true)
+      val data = payloads.find(_._1 == "repetitive-text-300k").get._2
+      val packed = ctx.compress(data)
+      val out = Zstd.decompress(packed, 0, packed.length)
+      assert(java.util.Arrays.equals(out, data))
+    } finally ctx.close()
+  }
+
+  test("streaming frame without content size decodes against the size hint") {
+    val data = payloads.find(_._1 == "repetitive-text-300k").get._2
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new ZstdOutputStream(bos, 3)
+    zos.write(data); zos.close()
+    val packed = bos.toByteArray
+    val out = Zstd.decompress(packed, 0, packed.length, sizeHint = data.length)
+    assert(java.util.Arrays.equals(out, data))
+  }
+
+  test("leading skippable frame is skipped") {
+    val data = "payload behind a skippable frame".getBytes("UTF-8")
+    val packed = RefZstd.compress(data, 3)
+    val skip = new Array[Byte](8 + 5)
+    def le(off: Int, v: Int): Unit =
+      (0 until 4).foreach(i => skip(off + i) = (v >>> (8 * i)).toByte)
+    le(0, 0x184D2A53); le(4, 5) // magic 0x184D2A5?, 5-byte payload
+    val framed = skip ++ packed
+    val out = Zstd.decompress(framed, 0, framed.length)
+    assert(new String(out, "UTF-8") == "payload behind a skippable frame")
+  }
+
+  test("dictionary frames raise a directed error") {
+    val dictSrc = Array.tabulate(16 * 1024)(i => ((i * 31) % 251).toByte)
+    val samples = Array.tabulate(64)(k =>
+      java.util.Arrays.copyOfRange(dictSrc, k * 64, k * 64 + 4096))
+    val dictBuf = new Array[Byte](8 * 1024)
+    val dictLen = RefZstd.trainFromBuffer(samples, dictBuf)
+    assert(dictLen > 0, s"dict training failed: $dictLen")
+    val dict = java.util.Arrays.copyOf(dictBuf, dictLen.toInt)
+    val ctx = new ZstdCompressCtx()
+    try {
+      ctx.setLevel(3)
+      ctx.loadDict(new ZstdDictCompress(dict, 3))
+      val packed = ctx.compress("dict-coded payload".getBytes("UTF-8"))
+      val e = intercept[Zstd.UnsupportedZstd] {
+        Zstd.decompress(packed, 0, packed.length)
+      }
+      assert(e.getMessage.contains("dictionary"))
+    } finally ctx.close()
+  }
+
+  test("corrupt frames fail with directed errors, not garbage output") {
+    assert(intercept[IllegalArgumentException] {
+      Zstd.decompress(Array[Byte](1, 2, 3, 4, 5), 0, 5)
+    }.getMessage.contains("magic"))
+    val ok = RefZstd.compress("some zstd payload to corrupt".getBytes("UTF-8"), 3)
+    // truncation mid-frame must throw, never return a wrong-length buffer
+    for (cut <- Seq(ok.length / 2, ok.length - 1)) {
+      intercept[RuntimeException] { Zstd.decompress(ok, 0, cut) }
+    }
+  }
+
+  test("store-mode encoder emits frames the reference decoder accepts") {
+    for ((name, data) <- payloads) {
+      val packed = Zstd.compressStore(data)
+      withClue(s"$name: ") {
+        // our own decoder reads it back...
+        assert(java.util.Arrays.equals(Zstd.decompress(packed, 0, packed.length), data))
+        // ...and so does real libzstd (frame validity oracle)
+        val ref = RefZstd.decompress(packed, data.length)
+        assert(java.util.Arrays.equals(ref, data))
+      }
+    }
+    // RLE blocks actually shrink constant runs
+    assert(Zstd.compressStore(new Array[Byte](200 * 1024)).length < 64)
+  }
+}
