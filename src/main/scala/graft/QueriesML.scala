@@ -652,7 +652,10 @@ object QueriesML {
     (s, d) => {
       import graft.functions.{TextFunctions => TF}
       val docs = Tables.documents(s, d)
-      val merges = TF.bpeTrainMerges(docs, "text", numMerges = 12)
+      // exact two-level trainer: one vocab aggregation + driver-local
+      // incremental merge loop (the production 32k-merge architecture) —
+      // greedy order identical to the iterative path, golden-pinned
+      val merges = TF.bpeTrainMergesExact(docs, "text", numMerges = 12)
       TF.bpeEncode(docs, "doc_id", "text", merges)
         .select(explode($"subwords").as("subword"))
         .groupBy($"subword").agg(count(lit(1)).as("n"))

@@ -340,23 +340,50 @@ object TextFunctions {
 
   /** Full iterative BPE merge training (Sennrich et al. 2016 §3.2): the
     * corpus aggregates ONCE to the (word, freq) vocabulary table, then each
-    * of the `numMerges` rounds counts adjacent SYMBOL pairs over the
-    * current segmentations (frequency-weighted), collects the single most
-    * frequent pair (count-desc, pair asc tie-break — deterministic), and
-    * re-segments every word containing it. Returns the ordered merge list.
+    * round counts adjacent SYMBOL pairs over the current segmentations
+    * (frequency-weighted), selects merges (count-desc, pair asc tie-break —
+    * deterministic), and re-segments every word containing them. Returns
+    * the ordered merge list.
+    *
+    * `batchSize` > 1 applies the standard batched-trainer move: one round
+    * accepts up to `batchSize` pairs from the count-sorted candidate list,
+    * greedily, skipping any candidate that could INTERACT with an
+    * already-accepted pair. Two pairs (a,b), (c,d) interact only when an
+    * occurrence of one can overlap, destroy, create, or feed an occurrence
+    * of the other: d = a' (the candidate's right symbol sits where an
+    * accepted pair starts), c = b' (its left sits where one ends), either
+    * symbol equals an accepted MERGED token, or its merged token equals any
+    * accepted symbol or merged token. Sharing only a left (a = c) or only a
+    * right (b = d) symbol canNOT interact — "e r" and "o r" never overlap —
+    * so those batch together. Accepted pairs' counts are mutually invariant
+    * and the batch fold (one rule per pair, at most one fires per position)
+    * equals applying them sequentially. The one divergence from strict
+    * greedy order: a pair CREATED by an accepted merge (e.g. (p,ar) right
+    * after (a,r)) can outrank a later accepted pair; sequential training
+    * emits it in between. That reordering is the accepted batched-BPE
+    * approximation. When EXACT greedy order at production merge counts is
+    * required, use [[bpeTrainMergesExact]] — vocabulary-level collect +
+    * driver-local incremental trainer, zero Spark rounds per merge.
     *
     * Scale shape: the per-round work is O(vocabulary), never O(corpus) —
     * the explode + agg runs over the distinct-word table, the driver
-    * collects exactly ONE row per round, and segmentations are eagerly
+    * collects ≤ 4×batchSize rows per round, and segmentations are eagerly
     * local-checkpointed every round (same lineage discipline as
     * [[graft.operators.Dedup.connectedComponents]]; a per-round join tree
-    * would otherwise stack `numMerges` deep). Real 32k-merge trainers
-    * batch non-overlapping merges per round — same plan, fewer rounds —
-    * documented here, not implemented: the per-round shape is what
-    * matters. No end-of-word marker (plain within-word BPE). */
+    * would otherwise stack `numMerges` deep). No end-of-word marker (plain
+    * within-word BPE). */
   def bpeTrainMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
-      numMerges: Int): Seq[(String, String)] = {
+      numMerges: Int, batchSize: Int = 1): Seq[(String, String)] =
+    bpeTrainMergesWithRounds(df, textCol, numMerges, batchSize)._1
+
+  /** [[bpeTrainMerges]] plus the number of Spark rounds used (spec hook for
+    * the round-count bound: rounds ≤ ceil(numMerges / batchSize) unless
+    * symbol collisions shrink a batch). */
+  private[graft] def bpeTrainMergesWithRounds(
+      df: org.apache.spark.sql.DataFrame, textCol: String,
+      numMerges: Int, batchSize: Int = 1): (Seq[(String, String)], Int) = {
     require(numMerges >= 1, s"numMerges $numMerges")
+    require(batchSize >= 1, s"batchSize $batchSize")
     val spark = df.sparkSession
     import spark.implicits._
     var seg = df
@@ -369,36 +396,64 @@ object TextFunctions {
         .as("parts"), col("freq"))
       .localCheckpoint(true)
     val merges = Seq.newBuilder[(String, String)]
-    var round = 0
+    var taken = 0
+    var rounds = 0
     var exhausted = false
-    while (round < numMerges && !exhausted) {
+    while (taken < numMerges && !exhausted) {
+      val want = math.min(batchSize, numMerges - taken)
+      // over-fetch so collision-skipped candidates don't starve the batch
       val top = seg
         .select(col("freq"), explode(expr(
           "transform(sequence(1, size(parts) - 1), " +
             "i -> struct(parts[i - 1] AS a, parts[i] AS b))")).as("p"))
         .groupBy(col("p.a"), col("p.b")).agg(sum(col("freq")).as("n"))
         .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(1)
+        .limit(want * 4)
         .as[(String, String, Long)].collect()
       if (top.isEmpty) exhausted = true
       else {
-        val (a, b, _) = top.head
-        merges += ((a, b))
-        val merged = a + b
+        // greedy non-interacting selection in count order (see Scaladoc for
+        // the derivation): candidate (c,d)→m is compatible with accepted
+        // lefts A, rights B, outputs M iff d∉A (no overlap at an accepted
+        // start), c∉B (none at an accepted end), c,d∉M (an accepted output
+        // can't create/feed candidate occurrences mid-fold), m∉A∪B∪M (the
+        // candidate's output can't feed an accepted rule or collide).
+        // Shared left or shared right symbols alone are fine.
+        val lefts = scala.collection.mutable.HashSet.empty[String]
+        val rights = scala.collection.mutable.HashSet.empty[String]
+        val outs = scala.collection.mutable.HashSet.empty[String]
+        val accepted = Seq.newBuilder[(String, String)]
+        var nAccepted = 0
+        top.iterator.takeWhile(_ => nAccepted < want).foreach { case (a, b, _) =>
+          val m = a + b
+          if (!lefts(b) && !rights(a) && !outs(a) && !outs(b) &&
+              !lefts(m) && !rights(m) && !outs(m)) {
+            accepted += ((a, b))
+            lefts += a; rights += b; outs += m
+            nAccepted += 1
+          }
+        }
+        val batch = accepted.result()
+        merges ++= batch
+        taken += batch.size
         // SQL string literal with backslash + quote escaping (symbols come
         // from corpus text)
         def q(s: String): String =
           "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        // left-to-right single-pass merge fold: a trailing `a` merges when
+        // `b` follows. The merged element can never re-trigger its own rule
+        // (a+b = a would need an empty b), and disjointness stops it from
+        // triggering any other rule, so whole-element equality is exactly
+        // the classic non-rescanning merge, batch-wide.
+        val rules = batch.map { case (a, b) =>
+          s"""WHEN size(acc) > 0 AND element_at(acc, -1) = ${q(a)}
+             |     AND x = ${q(b)}
+             |THEN concat(slice(acc, 1, size(acc) - 1), array(${q(a + b)}))"""
+            .stripMargin
+        }.mkString("\n")
         val next = seg.select(expr(
-          // left-to-right single-pass merge of the chosen pair, as an
-          // aggregate fold: a trailing `a` merges when `b` follows. The
-          // merged element can never re-trigger (a+b = a would need an
-          // empty b), so whole-element equality is exactly the classic
-          // non-rescanning merge.
           s"""aggregate(parts, CAST(array() AS array<string>), (acc, x) ->
-             |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = ${q(a)}
-             |            AND x = ${q(b)}
-             |       THEN concat(slice(acc, 1, size(acc) - 1), array(${q(merged)}))
+             |  CASE $rules
              |       ELSE concat(acc, array(x)) END)""".stripMargin)
           .as("parts"), col("freq"))
           // fully-merged (single-part) words are terminal: they can never
@@ -408,9 +463,131 @@ object TextFunctions {
         seg.unpersist()
         seg = next
       }
-      round += 1
+      rounds += 1
     }
     seg.unpersist()
+    (merges.result(), rounds)
+  }
+
+  /** Exact BPE merge training at production merge counts. ONE Spark
+    * aggregation reduces the corpus to its (word, freq) vocabulary table
+    * (O(corpus), map-side combined); the table collects to the driver
+    * (guarded by `maxVocab` — a directed error, not an OOM); and the
+    * classic incremental-count trainer runs locally: a lazy max-heap over
+    * pair counts, each merge touching only the words that contain the
+    * merged pair. Zero Spark rounds per merge — 32k merges are driver-local
+    * work on the word-count summary instead of 32k sequential jobs. This is
+    * the two-level architecture production tokenizer trainers use
+    * (word-count reduction distributed once, merge loop in memory); greedy
+    * order and tie-break (count desc, pair asc) are IDENTICAL to
+    * [[bpeTrainMerges]] at batchSize = 1, spec-pinned on the q92 fixture.
+    * Use the distributed iterative path only when the vocabulary itself is
+    * too large to collect. */
+  def bpeTrainMergesExact(df: org.apache.spark.sql.DataFrame, textCol: String,
+      numMerges: Int, maxVocab: Int = 2000000): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges $numMerges")
+    require(maxVocab >= 1, s"maxVocab $maxVocab")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab = df
+      .select(explode(tokens(col(textCol).cast("string"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .limit(maxVocab + 1)
+      .as[(String, Long)].collect()
+    require(vocab.length <= maxVocab,
+      s"BPE vocabulary for column '$textCol' exceeds maxVocab=$maxVocab " +
+        "distinct words; raise maxVocab or train with the distributed " +
+        "bpeTrainMerges path")
+    import scala.collection.mutable
+    val words = vocab.map { case (w, _) => w.map(_.toString).toArray }
+    val freqs = vocab.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def bump(p: (String, String), d: Long): Unit = {
+      val n = counts.getOrElse(p, 0L) + d
+      if (n <= 0L) counts.remove(p) else counts(p) = n
+    }
+    var i = 0
+    while (i < words.length) {
+      val w = words(i); val f = freqs(i)
+      var j = 0
+      while (j < w.length - 1) {
+        val p = (w(j), w(j + 1))
+        bump(p, f)
+        where.getOrElseUpdate(p, mutable.HashSet.empty) += i
+        j += 1
+      }
+      i += 1
+    }
+    // max-heap with lazy invalidation: an entry is live iff its recorded
+    // count equals the pair's current count (every count change re-pushes,
+    // so the current count always has a live entry). Max = highest count,
+    // then lexicographically smallest pair — the same deterministic
+    // tie-break as the distributed ORDER BY n DESC, a, b.
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val ca = y._2.compareTo(x._2)
+          if (ca != 0) ca else y._3.compareTo(x._3)
+        }
+      }
+    }
+    val pq = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    counts.foreach { case ((a, b), n) => pq.enqueue((n, a, b)) }
+    val merges = Seq.newBuilder[(String, String)]
+    var taken = 0
+    var done = false
+    while (taken < numMerges && !done) {
+      var best: (String, String) = null
+      while (best == null && pq.nonEmpty) {
+        val (n, a, b) = pq.dequeue()
+        if (counts.getOrElse((a, b), 0L) == n) best = ((a, b))
+      }
+      if (best == null) done = true
+      else {
+        val (a, b) = best
+        merges += ((a, b)); taken += 1
+        val touched = mutable.HashSet.empty[(String, String)]
+        val affected = where.getOrElse((a, b), mutable.HashSet.empty).toArray
+        java.util.Arrays.sort(affected)
+        affected.foreach { wi =>
+          val w = words(wi); val f = freqs(wi)
+          var j = 0
+          while (j < w.length - 1) {
+            val p = (w(j), w(j + 1))
+            bump(p, -f)
+            where.get(p).foreach(_ -= wi)
+            touched += p
+            j += 1
+          }
+          // left-to-right non-rescanning merge — same semantics as the
+          // distributed fold (a just-merged token never re-triggers)
+          val out = mutable.ArrayBuffer.empty[String]
+          var k = 0
+          while (k < w.length) {
+            if (k < w.length - 1 && w(k) == a && w(k + 1) == b) {
+              out += a + b; k += 2
+            } else { out += w(k); k += 1 }
+          }
+          val nw = out.toArray
+          words(wi) = nw
+          j = 0
+          while (j < nw.length - 1) {
+            val p = (nw(j), nw(j + 1))
+            bump(p, f)
+            where.getOrElseUpdate(p, mutable.HashSet.empty) += wi
+            touched += p
+            j += 1
+          }
+        }
+        touched.foreach { p =>
+          counts.get(p).foreach(n => pq.enqueue((n, p._1, p._2)))
+        }
+      }
+    }
     merges.result()
   }
 

@@ -691,6 +691,63 @@ class SamplingSpec extends SparkSpec {
     assert(nullEnc == 0L)
   }
 
+  test("exact local BPE trainer matches sequential distributed greedy order") {
+    import graft.functions.{TextFunctions => TF}
+    // q92's own fixture: the two-level trainer (vocab collect + driver
+    // incremental merge loop — the production 32k-merge path) must
+    // reproduce the strict-greedy merge list the golden file pins.
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val seq12 = TF.bpeTrainMerges(docs, "text", numMerges = 12)
+    val loc12 = TF.bpeTrainMergesExact(docs, "text", numMerges = 12)
+    assert(loc12 == seq12, s"local trainer diverges:\n$loc12\nvs\n$seq12")
+    // cascade chain (each merge creates the next round's top pair) — the
+    // hardest order-preservation case
+    val casc = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    assert(TF.bpeTrainMergesExact(casc, "text", 4) ==
+      Seq(("l", "o"), ("lo", "w"), ("low", "e"), ("lowe", "r")))
+    // exhaustion + the maxVocab directed error
+    assert(TF.bpeTrainMergesExact(Seq((1L, "ab")).toDF("doc_id", "text"),
+      "text", 5) == Seq(("a", "b")))
+    val err = intercept[IllegalArgumentException] {
+      TF.bpeTrainMergesExact(docs, "text", 2, maxVocab = 3)
+    }
+    assert(err.getMessage.contains("maxVocab"), err.getMessage)
+  }
+
+  test("batched BPE training: non-interacting batches, bounded rounds") {
+    import graft.functions.{TextFunctions => TF}
+    // mutually non-interacting pairs: one round accepts the whole batch
+    val flat = Seq((1L, "ab ab ab cd cd cd ef ef ef gh gh gh"))
+      .toDF("doc_id", "text")
+    val (m4, r4) = TF.bpeTrainMergesWithRounds(flat, "text", 4, batchSize = 4)
+    assert(m4 == Seq(("a", "b"), ("c", "d"), ("e", "f"), ("g", "h")))
+    assert(r4 == 1, s"disjoint batch should be a single round, took $r4")
+    // shared RIGHT symbol does not interact: 'e r' and 'o r' can never
+    // overlap, so both batch in round 1 — the precise predicate, not the
+    // over-strict any-shared-symbol one
+    val shr = Seq((1L, "er er er or or xy")).toDF("doc_id", "text")
+    val (mShr, rShr) = TF.bpeTrainMergesWithRounds(shr, "text", 2, batchSize = 2)
+    assert(mShr == Seq(("e", "r"), ("o", "r")) && rShr == 1,
+      s"shared-right pairs should batch: $mShr in $rShr rounds")
+    // genuinely colliding pairs defer: (a,b) and (b,c) share the b
+    // position, so round 1 accepts only (a,b); round 2 recounts and picks
+    // the successor (ab,c) — exactly the sequential result
+    val clash = Seq((1L, "abc abc abc")).toDF("doc_id", "text")
+    val seqC = TF.bpeTrainMerges(clash, "text", numMerges = 2)
+    val (batC, _) = TF.bpeTrainMergesWithRounds(clash, "text", 2, batchSize = 2)
+    assert(seqC == Seq(("a", "b"), ("ab", "c")))
+    assert(batC == seqC, s"collision deferral diverged: $batC vs $seqC")
+    // round-count bound on the q92 fixture: 12 merges at batch 4 in <= the
+    // ceil(12/4)=3 rounds the batching contract promises (cascade-created
+    // pairs may reorder the LIST relative to strict greedy — that's the
+    // documented approximation; exact order lives in bpeTrainMergesExact)
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val (bat12, rounds12) =
+      TF.bpeTrainMergesWithRounds(docs, "text", numMerges = 12, batchSize = 4)
+    assert(bat12.size == 12 && rounds12 <= 3,
+      s"${bat12.size} merges in $rounds12 rounds")
+  }
+
   test("q92 golden file: BPE train+encode output is pinned row for row") {
     // iterative merge training has no DuckDB oracle (driver records
     // rows-only), so pin the subword-frequency result like q62. Regenerate
