@@ -3,12 +3,16 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: every SparkEntry query timed at the target SF,
   * one JSON line on stdout.
   *
-  * Robustness against machine-window variance (the r4 lesson — ambient
-  * load on a shared host swung untouched queries >2x between runs): each
-  * query runs TWICE after the codegen warm-up and reports the MIN of the
-  * two wall-clocks, and the full per-query map is also written to
-  * `BENCH_DETAIL.json` (both reps + min) so a truncated stdout capture
-  * can never lose the per-query data. */
+  * Robustness against machine-window variance (the r4/r5 lessons —
+  * ambient load on a shared host swung untouched queries >2x between
+  * runs): after the codegen warm-up the FULL inventory runs `reps` times
+  * as complete passes — pass 1 over every query, then pass 2 — and each
+  * query reports the MIN across passes. Interleaving the reps this way
+  * puts minutes between one query's two timings, so a single load spike
+  * can no longer contaminate BOTH reps of the same query (the r5 window's
+  * 12x q46 artifact). The full per-query map is also written to
+  * `BENCH_DETAIL.json` (all reps + min, schema unchanged) so a truncated
+  * stdout capture can never lose the per-query data. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -40,9 +44,13 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       (System.nanoTime() - t0) / 1e9
     }
-    val detail = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map(_ => timeOnce(fn))
-      name -> times
+    val inventory = SparkEntry.queries.toSeq.sortBy(_._1)
+    // rep i of every query runs before rep i+1 of any query — see Scaladoc
+    val passes = (1 to reps).map { _ =>
+      inventory.map { case (name, fn) => name -> timeOnce(fn) }.toMap
+    }
+    val detail = inventory.map { case (name, _) =>
+      name -> passes.map(_(name))
     }
     val results = detail.map { case (name, times) => name -> times.min }.toMap
     def fmtQ(m: Map[String, Double]): String =
