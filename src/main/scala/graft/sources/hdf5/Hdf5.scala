@@ -14,14 +14,16 @@ import scala.collection.mutable
   *  - object headers v1 (with continuation blocks) and v2 (`OHDR`/`OCHK`);
   *  - groups: old-style symbol tables (v1 B-tree + local heap + `SNOD`
   *    nodes), new-style COMPACT link messages, and dense (fractal-heap +
-  *    v2 B-tree) link storage for single-direct-block heaps (indirect
-  *    roots and filtered heaps raise directed errors);
+  *    v2 B-tree) link storage — direct-root AND indirect-root heaps
+  *    (doubling-table direct children; nested indirect blocks raise a
+  *    directed error), filtered (deflated) heap blocks, and name-index
+  *    v2 B-trees of any depth (H5B2 child-pointer arithmetic);
   *  - datasets: contiguous, compact, and chunked layouts — layout message
   *    v3 (v1 B-tree chunk index) and v4 (HDF5 ≥1.10: single-chunk,
   *    implicit, fixed-array and extensible-array — both incl. paged data
   *    blocks; EA is the one-unlimited-dimension / time-appending shape —
-  *    and depth-0 v2-B-tree indexes; deeper v2 B-trees raise directed
-  *    errors); filters deflate(1), shuffle(2), fletcher32(3);
+  *    and v2-B-tree indexes of any depth); filters deflate(1),
+  *    shuffle(2), fletcher32(3);
   *  - datatypes: fixed-point 1/2/4/8 (either endian, signed or not), IEEE
   *    float 4/8, fixed strings, object references, vlen sequences
   *    (via the global heap `GCOL`, as `DIMENSION_LIST` needs);
@@ -310,66 +312,185 @@ object Hdf5 {
     denseObjects(read, fheapAddr, btreeAddr, heapIdAt = 0)
       .flatMap(body => parseAttribute(read, body))
 
+  /** A fractal heap's managed object space (HDF5 spec III.G): parses the
+    * FRHP header, materializes every direct block — from a direct root, or
+    * from a root indirect block's direct children (the doubling table:
+    * `tableWidth` blocks per row, rows 0-1 at the starting block size, row
+    * r >= 2 at startingSize << (r-1)) — reverses the heap's I/O filter
+    * pipeline when one is present (direct blocks are filtered WHOLE, header
+    * included; the root-direct compressed size and mask live in the FRHP
+    * header, per-child sizes in the indirect block entries), and resolves
+    * heap-space offsets to bytes. Nested indirect blocks (heaps past
+    * width x maxDirectRows direct blocks, ~tens of MB of link/attribute
+    * messages) raise a directed error. */
+  private final class FractalHeap(read: (Long, Int) => Array[Byte], addr: Long) {
+    private val h = new Cur(read(addr, 256))
+    require(h.ascii(0, 4) == "FRHP", s"bad fractal heap at $addr")
+    val heapIdLen: Int = h.u16(5)
+    private val ioFilterLen = h.u16(7)
+    private val maxManagedSize = h.u32(10)
+    // fixed-width (8-byte length) fields from "next huge id" through
+    // "number of tiny objects": 12 of them, then geometry
+    private val geomAt = 14L + 12 * 8
+    private val allocatedSpace = h.u64(14L + 5 * 8)
+    private val tableWidth = h.u16(geomAt)
+    private val startBlockSize = h.u64(geomAt + 2)
+    private val maxDirectSize = h.u64(geomAt + 10)
+    private val maxHeapBits = h.u16(geomAt + 18)
+    private val rootBlockAddr = h.u64(geomAt + 22)
+    private val curRows = h.u16(geomAt + 30)
+    val offsetSize: Int = (maxHeapBits + 7) / 8
+    val lengthSize: Int = bytesFor(maxManagedSize)
+    require(heapIdLen == 1 + offsetSize + lengthSize,
+      s"fractal heap id length $heapIdLen vs 1+$offsetSize+$lengthSize")
+    // filtered heap: root-direct compressed size (file length size) + mask,
+    // then the encoded filter-pipeline message, follow the geometry fields
+    private val filters: Seq[Filter] =
+      if (ioFilterLen == 0) Nil
+      else parseFilters(java.util.Arrays.copyOfRange(h.b,
+        (geomAt + 44).toInt, (geomAt + 44 + ioFilterLen).toInt))
+    private val rootFilteredSize = if (ioFilterLen == 0) 0L else h.u64(geomAt + 32)
+    private val rootFilterMask = if (ioFilterLen == 0) 0 else h.u32(geomAt + 40).toInt
+
+    private def directBlock(at: Long, nominal: Long, filteredSize: Long,
+        mask: Int): (Long, Array[Byte]) = {
+      val data =
+        if (filters.isEmpty) read(at, nominal.toInt)
+        else defilter(read(at, filteredSize.toInt), filters, mask, 1, nominal.toInt)
+      val c = new Cur(data)
+      require(c.ascii(0, 4) == "FHDB", s"bad direct block at $at")
+      var heapOff = 0L
+      (0 until offsetSize).foreach(i => heapOff |= c.u8(13 + i).toLong << (8 * i))
+      (heapOff, data)
+    }
+
+    // every allocated direct block, ascending by heap-space offset
+    private val blocks: Array[(Long, Array[Byte])] =
+      if (curRows == 0)
+        Array(directBlock(rootBlockAddr, allocatedSpace, rootFilteredSize,
+          rootFilterMask))
+      else {
+        val maxDirectRows =
+          (63 - java.lang.Long.numberOfLeadingZeros(maxDirectSize / startBlockSize)) + 2
+        if (curRows > maxDirectRows)
+          throw UnsupportedHdf5(s"fractal heap with nested indirect blocks " +
+            s"($curRows rows > $maxDirectRows direct rows)")
+        val entrySize = 8L + (if (ioFilterLen != 0) 8 + 4 else 0)
+        val headLen = 4 + 1 + 8 + offsetSize
+        val ib = new Cur(read(rootBlockAddr,
+          (headLen + curRows * tableWidth * entrySize + 4).toInt))
+        require(ib.ascii(0, 4) == "FHIB", s"bad indirect block at $rootBlockAddr")
+        val out = Array.newBuilder[(Long, Array[Byte])]
+        (0 until curRows).foreach { r =>
+          val rowSize = if (r < 2) startBlockSize else startBlockSize << (r - 1)
+          (0 until tableWidth).foreach { c =>
+            val at = headLen + (r.toLong * tableWidth + c) * entrySize
+            val childAddr = ib.u64(at)
+            if (childAddr != Undef)
+              out += directBlock(childAddr, rowSize,
+                if (ioFilterLen != 0) ib.u64(at + 8) else 0L,
+                if (ioFilterLen != 0) ib.u32(at + 16).toInt else 0)
+          }
+        }
+        out.result().sortBy(_._1)
+      }
+
+    /** Managed object bytes at a heap-space offset (block headers are part
+      * of the space, so offsets index into raw block bytes directly). */
+    def slice(objOff: Long, objLen: Long): Array[Byte] = {
+      var lo = 0; var hi = blocks.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (blocks(mid)._1 <= objOff) lo = mid else hi = mid - 1
+      }
+      val (blockOff, bytes) = blocks(lo)
+      val rel = objOff - blockOff
+      require(rel >= 0 && rel + objLen <= bytes.length,
+        s"heap object [$objOff,+$objLen) outside block at $blockOff")
+      java.util.Arrays.copyOfRange(bytes, rel.toInt, (rel + objLen).toInt)
+    }
+  }
+
+  /** Walk a v2 B-tree (BTHD) of ANY depth in key order; returns (record
+    * type, record size, raw records). Internal (BTIN) child pointers use
+    * libhdf5's H5B2 arithmetic: the per-child record count is stored in
+    * bytesFor(leaf max records) bytes — the leaf holds the most records of
+    * any node type — and children that are themselves internal append the
+    * cumulative subtree total in bytesFor(cumMaxNrec(child depth)) bytes,
+    * where cumMaxNrec(d) = (maxNrec(d)+1)*cumMaxNrec(d-1) + maxNrec(d). */
+  private[hdf5] def v2BtreeRecords(read: (Long, Int) => Array[Byte],
+      btreeAddr: Long): (Int, Int, Seq[Array[Byte]]) = {
+    // header: sig(4) ver(1) type(1) nodeSize(4) recordSize(2) depth(2)
+    // split(1) merge(1) rootAddr(8) rootNRecords(2) totalRecords(8) csum(4)
+    val bt = new Cur(read(btreeAddr, 38))
+    require(bt.ascii(0, 4) == "BTHD", s"bad v2 B-tree at $btreeAddr")
+    val btType = bt.u8(5)
+    val nodeSize = bt.u32(6)
+    val recordSize = bt.u16(10)
+    val depth = bt.u16(12)
+    val rootAddr = bt.u64(16)
+    val rootN = bt.u16(24)
+    val maxNrecLeaf = ((nodeSize - 10) / recordSize).toInt
+    val maxNrecSize = bytesFor(maxNrecLeaf.toLong)
+    val cumMaxNrec = new Array[Long](depth + 1)
+    val cumSize = new Array[Int](depth + 1)
+    cumMaxNrec(0) = maxNrecLeaf.toLong
+    cumSize(0) = 0 // leaf pointers carry no subtree total
+    (1 to depth).foreach { u =>
+      val ptr = 8 + maxNrecSize + (if (u > 1) cumSize(u - 1) else 0)
+      val maxNrec = ((nodeSize - (10 + ptr)) / (recordSize + ptr)).toInt
+      cumMaxNrec(u) = (maxNrec + 1).toLong * cumMaxNrec(u - 1) + maxNrec
+      cumSize(u) = bytesFor(cumMaxNrec(u))
+    }
+    val out = Seq.newBuilder[Array[Byte]]
+    def record(node: Cur, at: Int): Unit =
+      out += java.util.Arrays.copyOfRange(node.b, at, at + recordSize)
+    def walk(addr: Long, nRec: Int, d: Int): Unit =
+      if (d == 0) {
+        val leaf = new Cur(read(addr, 6 + nRec * recordSize + 4))
+        require(leaf.ascii(0, 4) == "BTLF", s"bad B-tree leaf at $addr")
+        (0 until nRec).foreach(r => record(leaf, 6 + r * recordSize))
+      } else {
+        val ptrSize = 8 + maxNrecSize + (if (d > 1) cumSize(d - 1) else 0)
+        val node = new Cur(read(addr,
+          6 + nRec * recordSize + (nRec + 1) * ptrSize + 4))
+        require(node.ascii(0, 4) == "BTIN", s"bad B-tree internal node at $addr")
+        val ptrsAt = 6 + nRec * recordSize
+        def child(i: Int): Unit = {
+          val at = ptrsAt + i * ptrSize
+          var cn = 0
+          (0 until maxNrecSize).foreach(k => cn |= node.u8(at + 8 + k) << (8 * k))
+          walk(node.u64(at), cn, d - 1)
+        }
+        child(0)
+        (0 until nRec).foreach { r =>
+          record(node, 6 + r * recordSize)
+          child(r + 1)
+        }
+      }
+    if (rootN > 0 || depth > 0) walk(rootAddr, rootN, depth)
+    (btType, recordSize, out.result())
+  }
+
   /** Enumerate every managed object of a dense-storage index: fractal heap
-    * (FRHP) + depth-0 name-index v2 B-tree (BTHD/BTLF). Supported subset:
-    * single-direct-block heaps and depth-0 trees (node size 2048 = hundreds
-    * of entries; one 4 KiB block holds ~100 messages) — beyond that raises
-    * a directed error. `heapIdAt` is the heap id's byte offset within a
+    * (FRHP — direct or indirect root, filtered or not) + name-index v2
+    * B-tree of any depth. `heapIdAt` is the heap id's byte offset within a
     * B-tree record (type 5 links put the name hash first; type 8
     * attributes lead with the id). */
   private def denseObjects(read: (Long, Int) => Array[Byte],
       fheapAddr: Long, btreeAddr: Long, heapIdAt: Int): Seq[Array[Byte]] = {
-    // fractal heap header
-    val h = new Cur(read(fheapAddr, 150))
-    require(h.ascii(0, 4) == "FRHP", s"bad fractal heap at $fheapAddr")
-    val heapIdLen = h.u16(5)
-    val ioFilterLen = h.u16(7)
-    if (ioFilterLen != 0)
-      throw UnsupportedHdf5("filtered fractal heap (dense storage)")
-    val maxManagedSize = h.u32(10)
-    // fixed-width (8-byte length) fields from "next huge id" through
-    // "number of tiny objects": 12 of them, then geometry
-    val geomAt = 14L + 12 * 8
-    val maxDirectSize = h.u64(geomAt + 10)
-    val maxHeapBits = h.u16(geomAt + 18)
-    val rootBlockAddr = h.u64(geomAt + 22)
-    val curRows = h.u16(geomAt + 30)
-    if (curRows != 0)
-      throw UnsupportedHdf5("fractal heap with an indirect root block " +
-        s"($curRows rows) — the dense-storage subset reads single-direct-block heaps")
-    val offsetSize = (maxHeapBits + 7) / 8
-    val lengthSize = bytesFor(maxManagedSize)
-    require(heapIdLen == 1 + offsetSize + lengthSize,
-      s"fractal heap id length $heapIdLen vs 1+$offsetSize+$lengthSize")
-    val blockBytes = new Cur(read(rootBlockAddr, maxDirectSize.toInt))
-    require(blockBytes.ascii(0, 4) == "FHDB", s"bad direct block at $rootBlockAddr")
-
-    // v2 B-tree header + depth-0 leaf
-    // sig(4) ver(1) type(1) nodeSize(4) recordSize(2) depth(2) split(1)
-    // merge(1) rootAddr(8) rootNRecords(2) totalRecords(8) checksum(4)
-    val bt = new Cur(read(btreeAddr, 38))
-    require(bt.ascii(0, 4) == "BTHD", s"bad v2 B-tree at $btreeAddr")
-    val recordSize = bt.u16(10)
-    val depth = bt.u16(12)
-    if (depth != 0)
-      throw UnsupportedHdf5(s"v2 B-tree depth $depth for dense storage (0 only)")
-    val rootNodeAddr = bt.u64(16)
-    val nRecords = bt.u16(24)
-    val leaf = new Cur(read(rootNodeAddr, 6 + nRecords * recordSize))
-    require(leaf.ascii(0, 4) == "BTLF", s"bad B-tree leaf at $rootNodeAddr")
-    (0 until nRecords).map { r =>
-      val idAt = 6L + r * recordSize + heapIdAt
-      val idFlags = leaf.u8(idAt)
+    val heap = new FractalHeap(read, fheapAddr)
+    val (_, _, records) = v2BtreeRecords(read, btreeAddr)
+    records.map { rec =>
+      val idFlags = rec(heapIdAt) & 0xff
       require((idFlags & 0x30) == 0, s"huge/tiny fractal heap object (flags $idFlags)")
       var objOff = 0L
-      (0 until offsetSize).foreach(i => objOff |= leaf.u8(idAt + 1 + i).toLong << (8 * i))
+      (0 until heap.offsetSize).foreach(i =>
+        objOff |= (rec(heapIdAt + 1 + i) & 0xffL) << (8 * i))
       var objLen = 0L
-      (0 until lengthSize).foreach(i =>
-        objLen |= leaf.u8(idAt + 1 + offsetSize + i).toLong << (8 * i))
-      // heap offsets are heap-space offsets; the root direct block starts
-      // the space at 0, header included
-      java.util.Arrays.copyOfRange(blockBytes.b, objOff.toInt,
-        (objOff + objLen).toInt)
+      (0 until heap.lengthSize).foreach(i =>
+        objLen |= (rec(heapIdAt + 1 + heap.offsetSize + i) & 0xffL) << (8 * i))
+      heap.slice(objOff, objLen)
     }
   }
 
@@ -938,43 +1059,31 @@ object Hdf5 {
         out.result()
       case 5 =>
         // v2 B-tree chunk index (types 10/11 — the shape libhdf5 writes
-        // for >1 unlimited dimension). Depth-0 trees only, the same
-        // bounded subset as dense link/attribute storage: node size 2048
-        // holds ~hundreds of chunk records per leaf.
-        val bt = new Cur(read(ck.btreeAddr, 38))
-        require(bt.ascii(0, 4) == "BTHD", s"bad v2 B-tree at ${ck.btreeAddr}")
-        val btType = bt.u8(5)
+        // for >1 unlimited dimension), any depth via the shared walker.
+        val (btType, recordSize, records) = v2BtreeRecords(read, ck.btreeAddr)
         require(btType == 10 || btType == 11,
           s"v2 B-tree record type $btType (chunk records are 10/11)")
         require((btType == 11) == filtered,
           s"v2 B-tree record type $btType vs filter pipeline present=$filtered")
-        val recordSize = bt.u16(10)
-        val depth = bt.u16(12)
-        if (depth != 0)
-          throw UnsupportedHdf5(s"v2 B-tree chunk index depth $depth (0 only)")
-        val rootAddr = bt.u64(16)
-        val nRecords = bt.u16(24)
         val rank = ck.chunkDims.size
-        val leaf = new Cur(read(rootAddr, 6 + nRecords * recordSize))
-        require(leaf.ascii(0, 4) == "BTLF", s"bad B-tree leaf at $rootAddr")
-        (0 until nRecords).map { r =>
-          val at = 6L + r * recordSize
-          val addr = leaf.u64(at)
+        records.map { recBytes =>
+          val rec = new Cur(recBytes)
+          val addr = rec.u64(0)
           // type 10: addr + scaled offsets (8 each); type 11: addr +
           // chunk size (recordSize-derived width) + filter mask u32 +
           // scaled offsets
           val (nBytes, mask, offsAt) =
-            if (btType == 10) (chunkBytes, 0, at + 8)
+            if (btType == 10) (chunkBytes, 0, 8L)
             else {
               val szLen = recordSize - 8 - 4 - rank * 8
               var sz = 0L
-              (0 until szLen).foreach(k => sz |= leaf.u8(at + 8 + k).toLong << (8 * k))
-              (sz, leaf.u32(at + 8 + szLen).toInt, at + 8 + szLen + 4)
+              (0 until szLen).foreach(k => sz |= rec.u8(8L + k).toLong << (8 * k))
+              (sz, rec.u32(8L + szLen).toInt, 8L + szLen + 4)
             }
           // scaled offsets are CHUNK coordinates; element offsets scale
           // by the chunk dims
           val offs = (0 until rank).map(d =>
-            leaf.u64(offsAt + d * 8) * ck.chunkDims(d))
+            rec.u64(offsAt + d * 8) * ck.chunkDims(d))
           ChunkRef(offs, addr, nBytes, mask)
         }
       case other => throw UnsupportedHdf5(s"v4 chunk index type $other")

@@ -66,7 +66,8 @@ object Hdf5Writer {
     * (h5py/xarray with libver=latest): superblock v2 + v2 (`OHDR`) object
     * headers, compact Link messages instead of symbol tables. */
   def write(path: String, vars: Seq[VarSpec], denseRoot: Boolean = false,
-      latestFormat: Boolean = false): Unit = {
+      latestFormat: Boolean = false, denseFiltered: Boolean = false,
+      denseBtNodeSize: Int = 2048): Unit = {
     require(vars.map(_.name).distinct.size == vars.size, "duplicate var names")
     val out = new ArrayBuffer[Byte](1 << 16)
     def appendAt(bytes: Array[Byte]): Long = { val a = out.size.toLong; out ++= bytes; a }
@@ -575,71 +576,189 @@ object Hdf5Writer {
       }
     }
 
-    // dense-storage index (links or attributes): single-direct-block
-    // fractal heap + depth-0 v2 B-tree. `record` wraps a 7-byte heap id
-    // into the full B-tree record for the index type. Returns
-    // (fractal heap addr, B-tree header addr).
+    // dense-storage index (links or attributes): fractal heap + v2 B-tree.
+    // Objects lay into doubling-table direct blocks (width 4, rows 0-1 at
+    // 4096, row r >= 2 at 4096 << (r-1)); one block emits a direct root,
+    // more emit a root indirect block (FHIB). `filtered` deflates every
+    // direct block whole (header included) and records the pipeline +
+    // root-block compressed size in the heap header. The B-tree is depth 0
+    // while one leaf holds every record, else depth 1 (full leaves
+    // separated by internal-node records, H5B2 pointer arithmetic);
+    // `btNodeSize` shrinks in tests to force depth-1 trees cheaply.
+    // `record` wraps a 7-byte heap id into the full B-tree record for the
+    // index type. Returns (fractal heap addr, B-tree header addr).
     def denseIndex(bodies: Seq[Array[Byte]], btreeType: Int,
-        record: Array[Byte] => Array[Byte]): (Long, Long) = {
+        record: Array[Byte] => Array[Byte], filtered: Boolean = false,
+        btNodeSize: Int = 2048): (Long, Long) = {
       pad8()
       val offsetSize = 4 // max heap size 32 bits
       val lengthSize = 2 // max managed object size 1024
-      val blockSize = 4096L
+      val width = 4
+      val startBlock = 4096L
       val headerLen = 4 + 1 + 8 + offsetSize // FHDB header, no checksum
+      def rowSize(r: Int): Long = if (r < 2) startBlock else startBlock << (r - 1)
+      def rowStart(r: Int): Long = (0 until r).map(i => width * rowSize(i)).sum
+      // place objects into blocks in heap-space order (objects never span)
+      val blockObjs = ArrayBuffer(ArrayBuffer.empty[Array[Byte]])
+      val blockFill = ArrayBuffer(headerLen.toLong)
+      def blkIdx = blockObjs.size - 1
+      val heapIds = bodies.map { body =>
+        require(body.length <= 1024, s"dense object ${body.length}B > max managed 1024")
+        if (blockFill(blkIdx) - rowStart(blkIdx / width) -
+            (blkIdx % width) * rowSize(blkIdx / width) + body.length >
+            rowSize(blkIdx / width)) {
+          val next = blockObjs.size
+          blockObjs += ArrayBuffer.empty[Array[Byte]]
+          blockFill += rowStart(next / width) + (next % width) * rowSize(next / width) +
+            headerLen
+        }
+        val off = blockFill(blkIdx)
+        blockObjs(blkIdx) += body
+        blockFill(blkIdx) += body.length
+        // managed heap id: flags 0, offset u32 LE, length u16 LE
+        (Array[Byte](0) ++ b32(off) ++ b16(body.length)): Array[Byte]
+      }
+      val nBlocks = blockObjs.size
+      val curRows = if (nBlocks == 1) 0 else (nBlocks + width - 1) / width
+      val totalSpace =
+        if (nBlocks == 1) startBlock
+        else rowStart((nBlocks - 1) / width) +
+          ((nBlocks - 1) % width + 1) * rowSize((nBlocks - 1) / width)
+      // version-1 filter pipeline message body: deflate level 6
+      val pipeline: Array[Byte] =
+        if (!filtered) Array.emptyByteArray
+        else Array[Byte](1, 1, 0, 0, 0, 0, 0, 0) ++
+          b16(1) ++ b16(0) ++ b16(0) ++ b16(1) ++ b32(6L) ++ b32(0L)
+      def deflateAll(raw: Array[Byte]): Array[Byte] = {
+        val d = new Deflater(6)
+        d.setInput(raw); d.finish()
+        val buf = new Array[Byte](raw.length + 64)
+        val n = d.deflate(buf)
+        d.end()
+        java.util.Arrays.copyOfRange(buf, 0, n)
+      }
       val frhp = ArrayBuffer.empty[Byte]
       frhp ++= "FRHP".getBytes("US-ASCII") += 0
       frhp ++= b16(1 + offsetSize + lengthSize) // heap ID length
-      frhp ++= b16(0) // no I/O filters
+      frhp ++= b16(pipeline.length)             // I/O filter info length
       frhp += 0       // flags: no block checksums
       frhp ++= b32(1024L) // max managed object size
       frhp ++= b64(0L) ++ b64(Hdf5.Undef)  // next huge id, huge btree
       frhp ++= b64(0L) ++ b64(Hdf5.Undef)  // free space, free-space mgr
-      frhp ++= b64(blockSize) ++ b64(blockSize) // managed space, allocated
+      frhp ++= b64(totalSpace) ++ b64(totalSpace) // managed space, allocated
       frhp ++= b64(headerLen.toLong)       // direct block iterator offset
       frhp ++= b64(bodies.size.toLong)     // managed objects
       frhp ++= b64(0L) ++ b64(0L) ++ b64(0L) ++ b64(0L) // huge/tiny stats
-      frhp ++= b16(4)                      // table width
-      frhp ++= b64(blockSize) ++ b64(blockSize) // starting/max direct size
+      frhp ++= b16(width)                  // table width
+      frhp ++= b64(startBlock) ++ b64(65536L) // starting/max direct size
       frhp ++= b16(32)                     // max heap size (bits)
-      frhp ++= b16(0)                      // starting rows (root = direct)
+      frhp ++= b16(0)                      // starting rows
       val rootBlockAddrAt = frhp.size
       frhp ++= b64(0L)                     // root block addr (patched below)
-      frhp ++= b16(0)                      // current rows: 0 = direct root
+      frhp ++= b16(curRows)                // 0 = direct root, else indirect
+      val rootFsizeAt = frhp.size
+      if (filtered) {
+        frhp ++= b64(0L)                   // filtered root size (patched)
+        frhp ++= b32(0L)                   // root filter mask
+        frhp ++= pipeline
+      }
       frhp ++= b32(0L)                     // checksum (unverified)
       val frhpAddr = appendAt(frhp.toArray)
-      // single direct block: header + objects at their heap-space offsets
-      pad8()
-      val block = ArrayBuffer.empty[Byte]
-      block ++= "FHDB".getBytes("US-ASCII") += 0
-      block ++= b64(frhpAddr)
-      block ++= b32(0L) // block offset within heap space (offsetSize = 4)
-      val heapIds = bodies.map { body =>
-        val off = block.size
-        block ++= body
-        // managed heap id: flags 0, offset u32 LE, length u16 LE
-        (Array[Byte](0) ++ b32(off.toLong) ++ b16(body.length)): Array[Byte]
+      def patch64(at: Long, v: Long): Unit = {
+        val p = b64(v)
+        (0 until 8).foreach(i => out((at + i).toInt) = p(i))
       }
-      require(block.size <= blockSize, s"dense index overflows one ${blockSize}B block")
-      while (block.size < blockSize) block += 0
-      val blockAddr = appendAt(block.toArray)
-      val patched = b64(blockAddr)
-      (0 until 8).foreach(i => out((frhpAddr + rootBlockAddrAt + i).toInt) = patched(i))
-      // depth-0 v2 B-tree: header + one leaf of records
+      // direct blocks: header + objects at their heap-space offsets
+      val blockMeta = (0 until nBlocks).map { bi =>
+        pad8()
+        val nominal = rowSize(bi / width)
+        val heapOff = rowStart(bi / width) + (bi % width) * nominal
+        val block = ArrayBuffer.empty[Byte]
+        block ++= "FHDB".getBytes("US-ASCII") += 0
+        block ++= b64(frhpAddr)
+        block ++= b32(heapOff) // block offset in heap space (offsetSize = 4)
+        blockObjs(bi).foreach(block ++= _)
+        require(block.size <= nominal, s"block $bi overflows ${nominal}B")
+        while (block.size < nominal) block += 0
+        val raw = block.toArray
+        val payload = if (filtered) deflateAll(raw) else raw
+        (appendAt(payload), payload.length.toLong)
+      }
+      if (nBlocks == 1) {
+        patch64(frhpAddr + rootBlockAddrAt, blockMeta.head._1)
+        if (filtered) patch64(frhpAddr + rootFsizeAt, blockMeta.head._2)
+      } else {
+        // root indirect block: entries for curRows x width children
+        pad8()
+        val ib = ArrayBuffer.empty[Byte]
+        ib ++= "FHIB".getBytes("US-ASCII") += 0
+        ib ++= b64(frhpAddr)
+        ib ++= b32(0L) // block offset of the root indirect block
+        (0 until curRows * width).foreach { e =>
+          if (e < nBlocks) {
+            ib ++= b64(blockMeta(e)._1)
+            if (filtered) { ib ++= b64(blockMeta(e)._2); ib ++= b32(0L) }
+          } else {
+            ib ++= b64(Hdf5.Undef)
+            if (filtered) { ib ++= b64(0L); ib ++= b32(0L) }
+          }
+        }
+        ib ++= b32(0L) // checksum (unverified)
+        patch64(frhpAddr + rootBlockAddrAt, appendAt(ib.toArray))
+      }
+      // v2 B-tree of the records: depth 0 (one leaf) or depth 1
       pad8()
       val records = heapIds.map(record)
       val recordSize = records.headOption.map(_.length).getOrElse(11)
       require(records.forall(_.length == recordSize), "ragged B-tree records")
-      val leaf = ArrayBuffer.empty[Byte]
-      leaf ++= "BTLF".getBytes("US-ASCII") += 0 += btreeType.toByte
-      records.foreach(leaf ++= _)
-      leaf ++= b32(0L) // checksum (unverified)
-      val leafAddr = appendAt(leaf.toArray)
+      val leafCap = (btNodeSize - 10) / recordSize
+      require(leafCap >= 2, s"btNodeSize $btNodeSize too small for $recordSize-byte records")
+      def leafNode(recs: Seq[Array[Byte]]): Long = {
+        val leaf = ArrayBuffer.empty[Byte]
+        leaf ++= "BTLF".getBytes("US-ASCII") += 0 += btreeType.toByte
+        recs.foreach(leaf ++= _)
+        leaf ++= b32(0L) // checksum (unverified)
+        val a = appendAt(leaf.toArray); pad8(); a
+      }
+      val (rootNodeAddr, rootN, depth) =
+        if (records.size <= leafCap) (leafNode(records), records.size, 0)
+        else {
+          // depth 1: full leaves with separator records in the internal
+          // root; child-pointer count width = bytesFor(leaf capacity)
+          val maxNrecSize = if (leafCap < 256) 1 else 2
+          val ptrSize = 8 + maxNrecSize
+          val intCap = (btNodeSize - 10 - ptrSize) / (recordSize + ptrSize)
+          val leaves = ArrayBuffer.empty[(Long, Int)]
+          val seps = ArrayBuffer.empty[Array[Byte]]
+          var i = 0
+          val n = records.size
+          while (i < n) {
+            var take = math.min(leafCap, n - i)
+            if (n - i - take == 1) take -= 1 // a leaf must follow the separator
+            val chunk = records.slice(i, i + take)
+            leaves += ((leafNode(chunk), chunk.size))
+            i += take
+            if (i < n) { seps += records(i); i += 1 }
+          }
+          require(seps.size == leaves.size - 1 && seps.size <= intCap,
+            s"dense index needs v2 B-tree depth 2 (${records.size} records)")
+          val node = ArrayBuffer.empty[Byte]
+          node ++= "BTIN".getBytes("US-ASCII") += 0 += btreeType.toByte
+          seps.foreach(node ++= _)
+          leaves.foreach { case (a, nr) =>
+            node ++= b64(a)
+            node += (nr & 0xff).toByte
+            if (maxNrecSize == 2) node += ((nr >> 8) & 0xff).toByte
+          }
+          node ++= b32(0L) // checksum (unverified)
+          (appendAt(node.toArray), seps.size, 1)
+        }
       pad8()
       val bthd = ArrayBuffer.empty[Byte]
       bthd ++= "BTHD".getBytes("US-ASCII") += 0 += btreeType.toByte
-      bthd ++= b32(2048L) ++ b16(recordSize) ++ b16(0) // node size, record, depth
+      bthd ++= b32(btNodeSize.toLong) ++ b16(recordSize) ++ b16(depth)
       bthd += 100 += 40                                 // split/merge %
-      bthd ++= b64(leafAddr) ++ b16(records.size)
+      bthd ++= b64(rootNodeAddr) ++ b16(rootN)
       bthd ++= b64(records.size.toLong) ++ b32(0L)      // total records, checksum
       (frhpAddr, appendAt(bthd.toArray))
     }
@@ -735,7 +854,8 @@ object Hdf5Writer {
       }
       // link-name B-tree record (type 5): name hash, then heap id
       val (frhpAddr, bthdAddr) = denseIndex(bodies, btreeType = 5,
-        record = id => b32(0L) ++ id)
+        record = id => b32(0L) ++ id, filtered = denseFiltered,
+        btNodeSize = denseBtNodeSize)
       val rootAddr = objectHeader(Seq(
         (0x02, Array[Byte](0, 0) ++ b64(frhpAddr) ++ b64(bthdAddr))))
       finish(rootAddr, Hdf5.Undef, Hdf5.Undef)

@@ -232,6 +232,73 @@ class Hdf5Spec extends SparkSpec {
     assert(df.filter($"x" === 3.0).head().getAs[Double]("v") == 13.0) // 6*2+1
   }
 
+  test("depth-1 v2 B-tree dense storage (BTIN internal root + leaf fan-out)") {
+    val p = tmp("densebt1.nc")
+    val n = 6
+    // node size 64 caps a leaf at (64-10)/11 = 4 records, so 13 links force
+    // a depth-1 tree: 3 leaves + 2 separator records in the internal root
+    HW.write(p,
+      HW.VarSpec("x", Seq("x"), Seq(n), (0 until n).map(_.toDouble), dtype = "f8") +:
+        (0 until 12).map(k => HW.VarSpec(f"v$k%02d", Seq("x"), Seq(n),
+          (0 until n).map(i => k * 100.0 + i), dtype = "f8")),
+      denseRoot = true, denseBtNodeSize = 64)
+    val (read, len) = localRead(p)
+    val meta = Hdf5.parse(read, len)
+    assert(meta.datasets.size == 13, s"got ${meta.datasets.map(_.path)}")
+    val df = NetCDF4Reader.readLongFormat(spark, p)
+    assert(df.columns.length == 13 && df.count() == n)
+    assert(df.filter($"x" === 2.0).head().getAs[Double]("v11") == 1102.0)
+  }
+
+  test("indirect-root fractal heap: dense links spanning multiple direct blocks") {
+    val p = tmp("denseindirect.nc")
+    val n = 2
+    // ~300 link messages (~15 B each) overflow one 4096 B direct block, so
+    // the heap takes a root indirect block (row 0 of the doubling table);
+    // 300 records also overflow one default-node-size leaf -> depth-1 tree
+    val nVars = 300
+    HW.write(p,
+      HW.VarSpec("x", Seq("x"), Seq(n), (0 until n).map(_.toDouble), dtype = "f8") +:
+        (0 until nVars).map(k => HW.VarSpec(f"v$k%03d", Seq("x"), Seq(n),
+          (0 until n).map(i => k * 10.0 + i), dtype = "f8")),
+      denseRoot = true)
+    val (read, len) = localRead(p)
+    val meta = Hdf5.parse(read, len)
+    assert(meta.datasets.size == nVars + 1, s"got ${meta.datasets.size}")
+    assert(meta.datasets.exists(_.path == "/v000") &&
+      meta.datasets.exists(_.path == s"/v${nVars - 1}"))
+    val df = NetCDF4Reader.readLongFormat(spark, p)
+    assert(df.columns.length == nVars + 1)
+    assert(df.filter($"x" === 1.0).head().getAs[Double]("v123") == 1231.0)
+  }
+
+  test("filtered fractal heap: deflated dense-storage blocks, direct and indirect") {
+    // direct filtered root: compressed size + mask + pipeline in the header
+    val small = tmp("densefilt.nc")
+    val n = 6
+    HW.write(small,
+      HW.VarSpec("x", Seq("x"), Seq(n), (0 until n).map(_.toDouble), dtype = "f8") +:
+        (0 until 12).map(k => HW.VarSpec(f"v$k%02d", Seq("x"), Seq(n),
+          (0 until n).map(i => k * 100.0 + i), dtype = "f8")),
+      denseRoot = true, denseFiltered = true)
+    val (readS, lenS) = localRead(small)
+    assert(Hdf5.parse(readS, lenS).datasets.size == 13)
+    val dfS = NetCDF4Reader.readLongFormat(spark, small)
+    assert(dfS.filter($"x" === 3.0).head().getAs[Double]("v07") == 703.0)
+    // indirect filtered root: per-child compressed sizes in the FHIB entries
+    val big = tmp("densefiltbig.nc")
+    val nVars = 300
+    HW.write(big,
+      HW.VarSpec("x", Seq("x"), Seq(2), Seq(0.0, 1.0), dtype = "f8") +:
+        (0 until nVars).map(k => HW.VarSpec(f"v$k%03d", Seq("x"), Seq(2),
+          Seq(k * 10.0, k * 10.0 + 1), dtype = "f8")),
+      denseRoot = true, denseFiltered = true)
+    val (readB, lenB) = localRead(big)
+    val metaB = Hdf5.parse(readB, lenB)
+    assert(metaB.datasets.size == nVars + 1, s"got ${metaB.datasets.size}")
+    assert(metaB.datasets.exists(_.path == "/v299"))
+  }
+
   test("latest-format container (superblock v2, OHDR headers, compact links)") {
     val flat = tmp("v0.nc")
     writeWeather(flat, chunks = None)
