@@ -11,9 +11,11 @@ import graft.sources.grib.Grib1.UnsupportedGrib
   *
   * Scope: the profile eccodes emits and operational GRIB archives carry —
   * one tile, one component, one quality layer, reversible 5/3 wavelet
-  * (lossless), 64x64 codeblocks, default (whole-subband) precincts, no
-  * coder bypass/reset/termall options. Within that profile both directions
-  * are implemented from the public spec:
+  * (lossless) OR irreversible 9/7 (the lossy coding some archived ECMWF
+  * dissemination streams use) with expounded scalar quantization, 64x64
+  * codeblocks, default (whole-subband) precincts, no coder
+  * bypass/reset/termall options. Within that profile both directions are
+  * implemented from the public spec:
   *
   *  - MQ arithmetic coder (T.800 Annex C, the 47-state Qe table);
   *  - EBCOT Tier-1 bitplane coding (Annex D): significance propagation,
@@ -22,11 +24,13 @@ import graft.sources.grib.Grib1.UnsupportedGrib
   *  - Tier-2 packet headers (Annex B): inclusion + zero-bitplane tag
   *    trees, coding-pass codewords, Lblock length signalling, FF-stuffed
   *    bit packing;
-  *  - reversible 5/3 lifting DWT (Annex F) with symmetric extension;
+  *  - reversible 5/3 lifting DWT and irreversible 9/7 float lifting
+  *    (Annex F) with symmetric extension; deadzone quantization +
+  *    midpoint dequantization (Annex E, expounded style);
   *  - codestream markers: SOC/SIZ/COD/QCD/COM/SOT/SOD/EOC.
   *
-  * Anything outside the profile (9/7 irreversible, multiple components or
-  * tiles, precinct partitions, RGN/POC/PPM) raises a directed
+  * Anything outside the profile (multiple components or tiles, precinct
+  * partitions, derived quantization, RGN/POC/PPM) raises a directed
   * [[UnsupportedGrib]] naming the feature, same policy as the other GRIB
   * codecs here.
   */
@@ -408,6 +412,130 @@ private[graft] object Jpeg2000 {
     while (i < n) { a(off + i * stride) -= (g(i - 1) + g(i + 1) + 2) >> 2; i += 2 }
     i = 1
     while (i < n) { a(off + i * stride) += (g(i - 1) + g(i + 1)) >> 1; i += 2 }
+  }
+
+  // --------------------------------------- 9/7 irreversible DWT (Annex F)
+
+  // CDF 9/7 lifting constants (T.800 F.4.8.2). With the K scaling below the
+  // subband nominal ranges match the 5/3 convention: a constant signal maps
+  // to lowpass gain 1 (LL keeps the component's dynamic range) and a
+  // Nyquist signal to highpass gain 2 (HL/LH +1 bit, HH +2), which is what
+  // the QCD exponent arithmetic (Mb = eps_b + G - 1) assumes.
+  private val A97 = -1.586134342059924
+  private val B97 = -0.052980118572961
+  private val G97 = 0.882911075530934
+  private val D97 = 0.443506852043971
+  private val K97 = 1.230174104914001
+
+  private def fwd1d97(a: Array[Double], off: Int, stride: Int, n: Int): Unit = {
+    if (n <= 1) return
+    @inline def g(i: Int): Double = {
+      val j = if (i < 0) -i else if (i >= n) 2 * n - 2 - i else i
+      a(off + j * stride)
+    }
+    @inline def lift(start: Int, c: Double): Unit = {
+      var i = start
+      while (i < n) { a(off + i * stride) += c * (g(i - 1) + g(i + 1)); i += 2 }
+    }
+    lift(1, A97); lift(0, B97); lift(1, G97); lift(0, D97)
+    var i = 0
+    while (i < n) { a(off + i * stride) /= K97; i += 2 }
+    i = 1
+    while (i < n) { a(off + i * stride) *= K97; i += 2 }
+  }
+
+  private def inv1d97(a: Array[Double], off: Int, stride: Int, n: Int): Unit = {
+    if (n <= 1) return
+    var i = 0
+    while (i < n) { a(off + i * stride) *= K97; i += 2 }
+    i = 1
+    while (i < n) { a(off + i * stride) /= K97; i += 2 }
+    @inline def g(i: Int): Double = {
+      val j = if (i < 0) -i else if (i >= n) 2 * n - 2 - i else i
+      a(off + j * stride)
+    }
+    @inline def lift(start: Int, c: Double): Unit = {
+      var k = start
+      while (k < n) { a(off + k * stride) += c * (g(k - 1) + g(k + 1)); k += 2 }
+    }
+    lift(0, -D97); lift(1, -G97); lift(0, -B97); lift(1, -A97)
+  }
+
+  /** Forward 9/7 on doubles, same band split as [[fdwt]]. */
+  private def fdwt97(plane: Array[Double], w: Int, h: Int,
+      levels: Int): (Array[Array[Array[Double]]], Array[Double]) = {
+    var cur = plane
+    var cw = w; var ch = h
+    val hi = new Array[Array[Array[Double]]](levels + 1)
+    var l = 1
+    while (l <= levels) {
+      var x = 0
+      while (x < cw) { fwd1d97(cur, x, cw, ch); x += 1 }
+      var y = 0
+      while (y < ch) { fwd1d97(cur, y * cw, 1, cw); y += 1 }
+      val lw = ceilHalf(cw); val lh = ceilHalf(ch)
+      val ll = new Array[Double](lw * lh)
+      val hl = new Array[Double]((cw - lw) * lh)
+      val lv = new Array[Double](lw * (ch - lh))
+      val hh = new Array[Double]((cw - lw) * (ch - lh))
+      y = 0
+      while (y < ch) {
+        x = 0
+        while (x < cw) {
+          val v = cur(y * cw + x)
+          val ex = (x & 1) == 0; val ey = (y & 1) == 0
+          if (ex && ey) ll((y >> 1) * lw + (x >> 1)) = v
+          else if (!ex && ey) hl((y >> 1) * (cw - lw) + (x >> 1)) = v
+          else if (ex && !ey) lv((y >> 1) * lw + (x >> 1)) = v
+          else hh((y >> 1) * (cw - lw) + (x >> 1)) = v
+          x += 1
+        }
+        y += 1
+      }
+      hi(l) = Array(hl, lv, hh)
+      cur = ll; cw = lw; ch = lh
+      l += 1
+    }
+    (hi, cur)
+  }
+
+  /** Inverse 9/7 on doubles, mirror of [[idwt]]. */
+  private def idwt97(ll0: Array[Double], hi: Array[Array[Array[Double]]],
+      w: Int, h: Int, levels: Int): Array[Double] = {
+    def cdiv(n: Int, l: Int): Int = {
+      var v = n; var i = 0
+      while (i < l) { v = ceilHalf(v); i += 1 }
+      v
+    }
+    var cur = ll0
+    var l = levels
+    while (l >= 1) {
+      val pw = cdiv(w, l - 1); val ph = cdiv(h, l - 1)
+      val lw = ceilHalf(pw); val lh = ceilHalf(ph)
+      val Array(hl, lv, hh) = hi(l)
+      val out = new Array[Double](pw * ph)
+      var y = 0
+      while (y < ph) {
+        var x = 0
+        while (x < pw) {
+          val ex = (x & 1) == 0; val ey = (y & 1) == 0
+          out(y * pw + x) =
+            if (ex && ey) cur((y >> 1) * lw + (x >> 1))
+            else if (!ex && ey) hl((y >> 1) * (pw - lw) + (x >> 1))
+            else if (ex && !ey) lv((y >> 1) * lw + (x >> 1))
+            else hh((y >> 1) * (pw - lw) + (x >> 1))
+          x += 1
+        }
+        y += 1
+      }
+      y = 0
+      while (y < ph) { inv1d97(out, y * pw, 1, pw); y += 1 }
+      var x = 0
+      while (x < pw) { inv1d97(out, x, pw, ph); x += 1 }
+      cur = out
+      l -= 1
+    }
+    cur
   }
 
   private def ceilHalf(n: Int): Int = (n + 1) / 2
@@ -886,10 +1014,19 @@ private[graft] object Jpeg2000 {
 
   // ------------------------------------------------------------------ encode
 
-  /** Encode unsigned `depth`-bit samples (row-major w x h) as a lossless
-    * single-tile single-component JPEG 2000 codestream. */
+  // extra fractional precision bits the irreversible writer keeps: the
+  // quantization step for band b is 2^(R_b - eps_b) with eps_b = R_b + P97,
+  // i.e. a power-of-two step of 1/2^P97 (mantissa 0) — max reconstruction
+  // error 1/2^(P97+1) per coefficient, far inside the +-0.5 integer
+  // rounding budget after synthesis
+  private val P97 = 6
+
+  /** Encode unsigned `depth`-bit samples (row-major w x h) as a
+    * single-tile single-component JPEG 2000 codestream: reversible 5/3
+    * (lossless, the default) or, with `irreversible`, the 9/7 float
+    * wavelet + deadzone scalar quantization (expounded style, Annex E). */
   def encode(width: Int, height: Int, depth: Int, samples: Array[Long],
-      levels: Int = 5): Array[Byte] = {
+      levels: Int = 5, irreversible: Boolean = false): Array[Byte] = {
     require(width >= 1 && height >= 1 && width <= MaxDim && height <= MaxDim,
       s"image dims ${width}x$height")
     require(depth >= 1 && depth <= MaxDepth, s"sample depth $depth (1..$MaxDepth)")
@@ -898,16 +1035,47 @@ private[graft] object Jpeg2000 {
     require(levels >= 0 && levels <= 32, s"decomposition levels $levels")
 
     val shift = 1 << (depth - 1)
-    val plane = new Array[Int](samples.length)
-    var i = 0
-    while (i < samples.length) {
-      val v = samples(i)
-      require(v >= 0 && v < (1L << depth), s"sample $v exceeds $depth bits")
-      plane(i) = v.toInt - shift
-      i += 1
-    }
+    // per-band quantization exponent: reversible bands carry exact
+    // coefficients (exponent = nominal range, no quantization); 9/7 bands
+    // quantize by 2^-(P97) of the nominal range
+    def epsOf(orient: Int): Int =
+      depth + bandGain(orient) + (if (irreversible) P97 else 0)
 
-    val (hi, ll) = fdwt(plane, width, height, levels)
+    val (hi, ll) =
+      if (!irreversible) {
+        val plane = new Array[Int](samples.length)
+        var i = 0
+        while (i < samples.length) {
+          val v = samples(i)
+          require(v >= 0 && v < (1L << depth), s"sample $v exceeds $depth bits")
+          plane(i) = v.toInt - shift
+          i += 1
+        }
+        fdwt(plane, width, height, levels)
+      } else {
+        val planeD = new Array[Double](samples.length)
+        var i = 0
+        while (i < samples.length) {
+          val v = samples(i)
+          require(v >= 0 && v < (1L << depth), s"sample $v exceeds $depth bits")
+          planeD(i) = (v - shift).toDouble
+          i += 1
+        }
+        val (hiD, llD) = fdwt97(planeD, width, height, levels)
+        // deadzone quantizer (E.4): q = sign(c) * floor(|c| / delta)
+        def quant(a: Array[Double]): Array[Int] = {
+          val q = new Array[Int](a.length)
+          var k = 0
+          while (k < a.length) {
+            val c = a(k)
+            val m = math.floor(math.abs(c) * (1 << P97)).toInt
+            q(k) = if (c < 0) -m else m
+            k += 1
+          }
+          q
+        }
+        (hiD.map(l => if (l == null) null else l.map(quant)), quant(llD))
+      }
 
     val body = new ByteArrayOutputStream()
     var r = 0
@@ -924,7 +1092,7 @@ private[graft] object Jpeg2000 {
         bands.zip(bandArr).foreach { case ((orient, bw, bh), arr) =>
           val (nx, ny, cbs) = blocksOf(bw, bh)
           if (cbs.nonEmpty) {
-            val mb = depth + bandGain(orient) + GuardBits - 1
+            val mb = epsOf(orient) + GuardBits - 1
             val incl = new TagTree(nx, ny)
             val zbp = new TagTree(nx, ny)
             val coded = cbs.map { cb =>
@@ -956,7 +1124,7 @@ private[graft] object Jpeg2000 {
               if (numbps > 0) {
                 // zero-bitplane sweep until resolved
                 var t = 1
-                val missing = depth + bandGain(orient) + GuardBits - 1 - numbps
+                val missing = epsOf(orient) + GuardBits - 1 - numbps
                 while (t <= missing + 1) { zbp.encode(cx, cy, t, hw); t += 1 }
                 // number of coding passes (B.10.6)
                 if (npasses == 1) hw.bit(0)
@@ -1012,17 +1180,29 @@ private[graft] object Jpeg2000 {
     out.write(levels)
     out.write(CbExp - 2); out.write(CbExp - 2) // codeblock 64x64
     out.write(0) // codeblock style: none
-    out.write(1) // transform: 5/3 reversible
+    out.write(if (irreversible) 0 else 1) // transform: 0 = 9/7, 1 = 5/3
     u16(0xff5c) // QCD
-    u16(3 + (3 * levels + 1)) // Lqcd
-    out.write((GuardBits << 5) | 0) // Sqcd: no quantization, G guard bits
-    out.write((depth + 0) << 3) // LL exponent
-    var rr = 1
-    while (rr <= levels) {
-      out.write((depth + 1) << 3) // HL
-      out.write((depth + 1) << 3) // LH
-      out.write((depth + 2) << 3) // HH
-      rr += 1
+    if (!irreversible) {
+      u16(3 + (3 * levels + 1)) // Lqcd
+      out.write((GuardBits << 5) | 0) // Sqcd: no quantization, G guard bits
+      out.write((depth + 0) << 3) // LL exponent
+      var rr = 1
+      while (rr <= levels) {
+        out.write((depth + 1) << 3) // HL
+        out.write((depth + 1) << 3) // LH
+        out.write((depth + 2) << 3) // HH
+        rr += 1
+      }
+    } else {
+      // scalar expounded (style 2): u16 per band, exponent << 11 | mantissa
+      u16(3 + 2 * (3 * levels + 1)) // Lqcd
+      out.write((GuardBits << 5) | 2)
+      u16(epsOf(0) << 11) // LL, mantissa 0 (power-of-two steps)
+      var rr = 1
+      while (rr <= levels) {
+        u16(epsOf(1) << 11); u16(epsOf(2) << 11); u16(epsOf(3) << 11)
+        rr += 1
+      }
     }
     val data = body.toByteArray
     u16(0xff90) // SOT
@@ -1048,7 +1228,10 @@ private[graft] object Jpeg2000 {
     var levels = -1
     var layers = 1
     var guard = GuardBits
-    var qExps: Array[Int] = null // per-band exponents, SPqcd order
+    var irrev = false
+    var qStyle = 0
+    var qExps: Array[Int] = null  // per-band exponents, SPqcd order
+    var qMants: Array[Int] = null // per-band mantissas (style 2)
     var dataOff = -1; var dataLen = -1
 
     var pos = 2
@@ -1103,14 +1286,27 @@ private[graft] object Jpeg2000 {
               if (cbstyle != 0)
                 throw new UnsupportedGrib(f"JPEG2000 codeblock style 0x$cbstyle%02x (bypass/reset/termall/causal/segsym)")
               val xform = cs(body + 9) & 0xff
-              if (xform != 1)
-                throw new UnsupportedGrib("JPEG2000 9/7 irreversible transform (lossy; only 5/3 lossless)")
+              if (xform != 0 && xform != 1)
+                throw new UnsupportedGrib(s"JPEG2000 transform $xform (0 = 9/7, 1 = 5/3)")
+              irrev = xform == 0
             case 0xff5c => // QCD
               val sq = cs(body) & 0xff
-              if ((sq & 0x1f) != 0)
-                throw new UnsupportedGrib("JPEG2000 scalar quantization (reversible expects none)")
               guard = (sq >> 5) & 7
-              qExps = Array.tabulate(lseg - 3)(k => (cs(body + 1 + k) & 0xff) >> 3)
+              qStyle = sq & 0x1f
+              (sq & 0x1f) match {
+                case 0 => // no quantization (reversible): 8-bit exponents
+                  qExps = Array.tabulate(lseg - 3)(k => (cs(body + 1 + k) & 0xff) >> 3)
+                  qMants = Array.fill(lseg - 3)(0)
+                case 2 => // scalar expounded: u16 exponent/mantissa per band
+                  val n = (lseg - 3) / 2
+                  qExps = Array.tabulate(n)(k => u16(body + 1 + 2 * k) >> 11)
+                  qMants = Array.tabulate(n)(k => u16(body + 1 + 2 * k) & 0x7ff)
+                case 1 =>
+                  throw new UnsupportedGrib(
+                    "JPEG2000 scalar derived quantization (expounded only)")
+                case other =>
+                  throw new UnsupportedGrib(s"JPEG2000 quantization style $other")
+              }
             case 0xff90 => // SOT
               val psot = u32(body + 2)
               if ((cs(body + 6) & 0xff) != 0)
@@ -1230,11 +1426,56 @@ private[graft] object Jpeg2000 {
       r += 1
     }
 
-    val plane = idwt(ll0, hi, width, height, levels)
     val shift = 1 << (depth - 1)
-    val out = new Array[Long](plane.length)
-    var i = 0
-    while (i < plane.length) { out(i) = plane(i).toLong + shift; i += 1 }
-    Image(width, height, depth, out)
+    if (!irrev && qStyle != 0)
+      throw new UnsupportedGrib("JPEG2000 quantized 5/3 codestream (style " +
+        s"$qStyle with the reversible transform)")
+    if (!irrev) {
+      val plane = idwt(ll0, hi, width, height, levels)
+      val out = new Array[Long](plane.length)
+      var i = 0
+      while (i < plane.length) { out(i) = plane(i).toLong + shift; i += 1 }
+      Image(width, height, depth, out)
+    } else {
+      // dequantize (E.1.1: delta_b = 2^(R_b - eps_b) * (1 + mu_b/2^11)),
+      // midpoint reconstruction sign(q) * (|q| + 0.5) * delta, then the
+      // 9/7 float synthesis
+      def dequant(q: Array[Int], r: Int, orient: Int): Array[Double] = {
+        val bandIdx = if (r == 0) 0 else 1 + 3 * (r - 1) + (orient - 1)
+        if (qExps == null || bandIdx >= qExps.length)
+          throw new UnsupportedGrib("JPEG2000 QCD missing subband exponent")
+        val rb = depth + bandGain(orient)
+        val delta = math.pow(2.0, rb - qExps(bandIdx)) *
+          (1.0 + qMants(bandIdx) / 2048.0)
+        val d = new Array[Double](q.length)
+        var k = 0
+        while (k < q.length) {
+          val v = q(k)
+          d(k) = if (v == 0) 0.0
+            else if (v > 0) (v + 0.5) * delta
+            else (v - 0.5) * delta
+          k += 1
+        }
+        d
+      }
+      val hiD = new Array[Array[Array[Double]]](levels + 1)
+      var l = 1
+      while (l <= levels) {
+        val r = levels - l + 1
+        hiD(l) = Array(dequant(hi(l)(0), r, 1), dequant(hi(l)(1), r, 2),
+          dequant(hi(l)(2), r, 3))
+        l += 1
+      }
+      val plane = idwt97(dequant(ll0, 0, 0), hiD, width, height, levels)
+      val maxV = (1L << depth) - 1
+      val out = new Array[Long](plane.length)
+      var i = 0
+      while (i < plane.length) {
+        val v = math.rint(plane(i)).toLong + shift
+        out(i) = if (v < 0) 0L else if (v > maxV) maxV else v
+        i += 1
+      }
+      Image(width, height, depth, out)
+    }
   }
 }

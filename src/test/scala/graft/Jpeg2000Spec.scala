@@ -75,21 +75,47 @@ class Jpeg2000Spec extends AnyFunSuite {
     })
   }
 
-  test("directed error for the 9/7 irreversible (lossy) transform") {
-    val cs = Jpeg2000.encode(8, 8, 8, Array.fill(64)(5L), 1)
-    // Flip SPcod transform byte (last byte of COD) from 1 (5/3) to 0 (9/7).
-    val codAt = {
+  private def roundTrip97(w: Int, h: Int, depth: Int, levels: Int,
+      gen: Int => Long, tol: Long = 1L): Unit = {
+    val samples = Array.tabulate(w * h)(gen)
+    val cs = Jpeg2000.encode(w, h, depth, samples, levels, irreversible = true)
+    val img = Jpeg2000.decode(cs)
+    assert(img.width == w && img.height == h && img.depth == depth)
+    val maxErr = img.samples.zip(samples).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr <= tol,
+      s"9/7 max error $maxErr > $tol at ${w}x$h depth=$depth levels=$levels")
+  }
+
+  test("9/7 irreversible round-trip stays inside the quantizer tolerance") {
+    // smooth geophysical-style field: the archived-ECMWF lossy shape
+    roundTrip97(80, 60, 16, 5, i => {
+      val x = i % 80; val y = i / 80
+      (1000 + 40 * x + 25 * y + ((x * y) % 7)).toLong
+    })
+    // odd dims, shallow + deep cascades, multi-codeblock band
+    val rnd = new Random(19)
+    roundTrip97(65, 33, 12, 2, _ => rnd.nextInt(1 << 12).toLong, tol = 2L)
+    roundTrip97(150, 130, 10, 3, i => ((i % 150) * 3 + (i / 150) * 2).toLong)
+    roundTrip97(7, 5, 8, 1, i => (i * 9 % 251).toLong)
+    // constant field: only LL carries data, everything else run-length
+    roundTrip97(64, 64, 16, 5, _ => 12345L, tol = 0L)
+  }
+
+  test("directed error narrowed: derived quantization, not the 9/7 transform") {
+    val cs = Jpeg2000.encode(16, 16, 8,
+      Array.tabulate(256)(i => (i % 200).toLong), 2, irreversible = true)
+    // mutate Sqcd (first QCD body byte) from expounded (2) to derived (1)
+    val qcdAt = {
       var i = 0
-      while (!((cs(i) & 0xff) == 0xff && (cs(i + 1) & 0xff) == 0x52)) i += 1
+      while (!((cs(i) & 0xff) == 0xff && (cs(i + 1) & 0xff) == 0x5c)) i += 1
       i
     }
-    val lcod = ((cs(codAt + 2) & 0xff) << 8) | (cs(codAt + 3) & 0xff)
     val mutated = cs.clone()
-    mutated(codAt + 2 + lcod - 1) = 0
+    mutated(qcdAt + 4) = (((mutated(qcdAt + 4) & 0xff) & 0xe0) | 1).toByte
     val e = intercept[graft.sources.grib.Grib1.UnsupportedGrib] {
       Jpeg2000.decode(mutated)
     }
-    assert(e.getMessage.contains("9/7"))
+    assert(e.getMessage.contains("derived"), e.getMessage)
   }
 
   test("compression is real on smooth data (not a stored-bytes shell)") {
