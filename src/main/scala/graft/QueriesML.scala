@@ -276,7 +276,8 @@ object QueriesML {
     repetitionQ, quantizeQ, imageDupsQ, audioQ, piiQ, domainQ,
     semDedupQ, dupShingleQ, tfidfQ, lmQualityQ, packQ,
     chunkQ, domainCapQ, vocabQ, ccQ, mixQ, pqQ, adcQ, bpeQ, bpeEncodeQ, dsirQ,
-    deaccumQ, climQ, spansQ, gopherQ, cutQ, curriculumQ, canonQ, recipeQ)
+    deaccumQ, climQ, spansQ, gopherQ, cutQ, curriculumQ, canonQ, recipeQ,
+    pcaPqQ, ivfpqQ)
 
   // ------------------------------------------------------- pipeline: end-to-end recipe accounting
   // A full preprocessing recipe composed from the library's own operators —
@@ -703,6 +704,144 @@ object QueriesML {
       val query = collectPlanes(emb, 1 to 1).head
       Similarity.pqAdcTopK(emb.filter($"vec_id" =!= 1), "embedding", "vec_id",
           Seq(cb.map(_.slice(0, 32)), cb.map(_.slice(32, 64))), query, 10)
+        .select($"vec_id", round($"adc", 6).as("adc"))
+    })
+
+  // ------------------------------------------------------- similarity: PCA -> PQ -> ADC pipeline
+  // The FAISS OPQ-lite composition: whiten-project onto an offline-trained
+  // rotation (a literal PcaModel — 4 Hadamard-row components over 64 dims,
+  // exact-binary mean/eigenvalues so Spark and the oracle compute identical
+  // doubles), then PQ-assign the 4-dim projection in two 2-dim subspaces,
+  // then ADC-search against a literal query. Exercises pcaProject ->
+  // pqCodes -> pqAdcTopK end-to-end under one oracle.
+  private lazy val pcaPqQ = {
+    val dim = 64
+    val comps: Array[Array[Double]] = Array(1, 2, 4, 8).map(m =>
+      Array.tabulate(dim)(i =>
+        if (Integer.bitCount(i & m) % 2 == 0) 0.125 else -0.125))
+    val mean = Array.tabulate(dim)(i => ((i % 5) - 2) * 0.0625)
+    val eig = Array(4.0, 2.25, 1.0, 0.25)
+    val sds = Array(2.0, 1.5, 1.0, 0.5) // sqrt(eig), all exact binary
+    val mcs = comps.map(c => c.zip(mean).map { case (w, m) => w * m }.sum)
+    val cbGrid: Seq[Seq[Float]] =
+      Seq(Seq(-1f, -1f), Seq(-1f, 1f), Seq(1f, -1f), Seq(1f, 1f))
+    val qry = Seq(0.25f, -0.5f, 0.75f, 0.125f)
+    def arrLit(a: Array[Double]): String = a.mkString("[", ", ", "]::DOUBLE[]")
+    val compVals = comps.indices.map(c =>
+      s"($c, ${arrLit(comps(c))}, ${mcs(c)}, ${sds(c)})").mkString(",\n        ")
+    val Seq(q0, q1, q2, q3) = qry.map(_.toDouble)
+    Q("q93_pca_pq_adc", Some(s"""
+      WITH comp AS (SELECT c, v, mc, sd FROM (VALUES
+        $compVals) t(c, v, mc, sd)),
+      zz AS (SELECT e.vec_id, comp.c, comp.mc, comp.sd,
+                    unnest(e.embedding)::DOUBLE AS x, unnest(comp.v) AS y
+             FROM embeddings e CROSS JOIN comp),
+      z AS (SELECT vec_id, c, (sum(x * y) - mc) / sd AS zc
+            FROM zz GROUP BY vec_id, c, mc, sd),
+      p AS (SELECT vec_id,
+                   max(CASE WHEN c = 0 THEN zc END) AS z0,
+                   max(CASE WHEN c = 1 THEN zc END) AS z1,
+                   max(CASE WHEN c = 2 THEN zc END) AS z2,
+                   max(CASE WHEN c = 3 THEN zc END) AS z3
+            FROM z GROUP BY vec_id),
+      cb AS (SELECT code, u::DOUBLE AS u, w::DOUBLE AS w FROM (VALUES
+        (0, -1.0, -1.0), (1, -1.0, 1.0), (2, 1.0, -1.0), (3, 1.0, 1.0)) t(code, u, w)),
+      d0 AS (SELECT p.vec_id, cb.code,
+                    (z0 - u) * (z0 - u) + (z1 - w) * (z1 - w) AS d2
+             FROM p CROSS JOIN cb),
+      r0 AS (SELECT vec_id, code, d2,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d2, code) AS rn
+             FROM d0),
+      a0 AS (SELECT vec_id, code AS code0 FROM r0 WHERE rn = 1),
+      d1 AS (SELECT p.vec_id, cb.code,
+                    (z2 - u) * (z2 - u) + (z3 - w) * (z3 - w) AS d2
+             FROM p CROSS JOIN cb),
+      r1 AS (SELECT vec_id, code, d2,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d2, code) AS rn
+             FROM d1),
+      a1 AS (SELECT vec_id, code AS code1 FROM r1 WHERE rn = 1),
+      dt0 AS (SELECT code, ($q0 - u) * ($q0 - u) + ($q1 - w) * ($q1 - w) AS d2 FROM cb),
+      dt1 AS (SELECT code, ($q2 - u) * ($q2 - u) + ($q3 - w) * ($q3 - w) AS d2 FROM cb)
+      SELECT a0.vec_id, round(dt0.d2 + dt1.d2, 6) AS adc
+      FROM a0 JOIN a1 USING (vec_id)
+           JOIN dt0 ON dt0.code = a0.code0
+           JOIN dt1 ON dt1.code = a1.code1
+      ORDER BY dt0.d2 + dt1.d2, a0.vec_id LIMIT 10"""))(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val model = Similarity.PcaModel(mean, eig, comps)
+        val proj = Similarity.pcaProject(emb, "embedding", model, whiten = true)
+        Similarity.pqAdcTopK(proj, "pca", "vec_id", Seq(cbGrid, cbGrid), qry, 10)
+          .select($"vec_id", round($"adc", 6).as("adc"))
+      })
+  }
+
+  // ------------------------------------------------------- similarity: IVF-PQ residual coding
+  // The actual FAISS IVFPQ layout: coarse-assign each vector to its nearest
+  // centroid (embeddings 5..8, the q34 convention), PQ-encode the RESIDUAL
+  // (v - centroid) in two 32-dim subspaces against codebooks from
+  // embeddings 9..12, and ADC-search all cells for the query (vec_id 1)
+  // through (cell, code) distance tables alone. The oracle recomputes the
+  // coarse assignment, residual codes, and per-(cell, code) tables from the
+  // same rows.
+  private lazy val ivfpqQ = Q("q94_ivfpq_residual", Some("""
+      WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                 FROM embeddings WHERE vec_id BETWEEN 5 AND 8),
+      g AS (SELECT vec_id - 9 AS gid, embedding::DOUBLE[] AS gv
+            FROM embeddings WHERE vec_id BETWEEN 9 AND 12),
+      qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 1),
+      e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 1),
+      zc AS (SELECT e.vec_id, c.cid, unnest(e.embedding)::DOUBLE AS x, unnest(c.cv) AS y
+             FROM e CROSS JOIN c),
+      dc AS (SELECT vec_id, cid, sum((x - y) * (x - y)) AS d2 FROM zc GROUP BY vec_id, cid),
+      rc AS (SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+             FROM dc),
+      a AS (SELECT vec_id, cid AS cell FROM rc WHERE rn = 1),
+      z0 AS (SELECT e.vec_id, g.gid,
+                    unnest(e.embedding[1:32])::DOUBLE AS x,
+                    unnest(cc.cv[1:32]) AS y, unnest(g.gv[1:32]) AS w
+             FROM e JOIN a USING (vec_id) JOIN c cc ON cc.cid = a.cell CROSS JOIN g),
+      d0 AS (SELECT vec_id, gid, sum((x - y - w) * (x - y - w)) AS d2
+             FROM z0 GROUP BY vec_id, gid),
+      r0 AS (SELECT vec_id, gid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d2, gid) AS rn
+             FROM d0),
+      a0 AS (SELECT vec_id, gid AS code0 FROM r0 WHERE rn = 1),
+      z1 AS (SELECT e.vec_id, g.gid,
+                    unnest(e.embedding[33:64])::DOUBLE AS x,
+                    unnest(cc.cv[33:64]) AS y, unnest(g.gv[33:64]) AS w
+             FROM e JOIN a USING (vec_id) JOIN c cc ON cc.cid = a.cell CROSS JOIN g),
+      d1 AS (SELECT vec_id, gid, sum((x - y - w) * (x - y - w)) AS d2
+             FROM z1 GROUP BY vec_id, gid),
+      r1 AS (SELECT vec_id, gid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d2, gid) AS rn
+             FROM d1),
+      a1 AS (SELECT vec_id, gid AS code1 FROM r1 WHERE rn = 1),
+      t0 AS (SELECT c.cid, g.gid, unnest(qv.q[1:32]) AS x, unnest(c.cv[1:32]) AS y,
+                    unnest(g.gv[1:32]) AS w
+             FROM c CROSS JOIN g CROSS JOIN qv),
+      dt0 AS (SELECT cid, gid, sum((x - y - w) * (x - y - w)) AS d2
+              FROM t0 GROUP BY cid, gid),
+      t1 AS (SELECT c.cid, g.gid, unnest(qv.q[33:64]) AS x, unnest(c.cv[33:64]) AS y,
+                    unnest(g.gv[33:64]) AS w
+             FROM c CROSS JOIN g CROSS JOIN qv),
+      dt1 AS (SELECT cid, gid, sum((x - y - w) * (x - y - w)) AS d2
+              FROM t1 GROUP BY cid, gid)
+      SELECT a.vec_id, round(dt0.d2 + dt1.d2, 6) AS adc
+      FROM a JOIN a0 USING (vec_id) JOIN a1 USING (vec_id)
+           JOIN dt0 ON dt0.cid = a.cell AND dt0.gid = a0.code0
+           JOIN dt1 ON dt1.cid = a.cell AND dt1.gid = a1.code1
+      ORDER BY dt0.d2 + dt1.d2, a.vec_id LIMIT 10"""))(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = collectPlanes(emb, 5 to 8)
+      val gbooks = collectPlanes(emb, 9 to 12)
+      val query = collectPlanes(emb, 1 to 1).head
+      Similarity.pqAdcResidualTopK(emb.filter($"vec_id" =!= 1), "embedding",
+          "vec_id", cents,
+          Seq(gbooks.map(_.slice(0, 32)), gbooks.map(_.slice(32, 64))),
+          query, 10, nprobe = 4)
         .select($"vec_id", round($"adc", 6).as("adc"))
     })
 

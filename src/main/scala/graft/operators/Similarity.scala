@@ -53,12 +53,28 @@ object Similarity {
       .limit(k)
   }
 
+  /** Upper bound on model elements (plane/centroid/codebook/component
+    * floats) embedded as expression literals. Past this, a "trained model"
+    * belongs in a broadcast join, not in the plan — a directed error beats
+    * a megabyte-scale generated codegen unit that stalls janino or blows
+    * the 64 KB method limit. */
+  val MaxModelLiteralElems: Long = 1L << 20
+
+  private def guardModel(what: String, rows: Int, dim: Int): Unit =
+    require(rows.toLong * dim <= MaxModelLiteralElems,
+      s"$what: $rows x $dim = ${rows.toLong * dim} literal elements exceed " +
+        s"MaxModelLiteralElems=$MaxModelLiteralElems — train a smaller " +
+        "model or restructure as a broadcast join")
+
   /** Random-hyperplane LSH bucket id: bit i = sign(v · plane_i). Planes are
     * small and go into the expression as literals (broadcast-free). */
-  def hyperplaneBucket(vecCol: Column, planes: Seq[Seq[Float]]): Column =
+  def hyperplaneBucket(vecCol: Column, planes: Seq[Seq[Float]]): Column = {
+    guardModel("hyperplaneBucket planes", planes.size,
+      planes.headOption.map(_.size).getOrElse(0))
     planes.zipWithIndex.map { case (p, i) =>
       when(dot(vecCol, typedLit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** ANN via LSH: search only rows in the query's bucket (plus optional
     * neighbor probes by flipping one bit). */
@@ -82,6 +98,8 @@ object Similarity {
   /** IVF cell assignment: id of the nearest centroid (argmin squared L2).
     * Centroids are literals; per-row expression, no shuffle. */
   def ivfCell(vecCol: Column, centroids: Seq[Seq[Float]]): Column = {
+    guardModel("ivfCell centroids", centroids.size,
+      centroids.headOption.map(_.size).getOrElse(0))
     // native codegen expression; same fp values as the zip_with fold it
     // replaced, so the argmin tie-break (exact-double compare) is unchanged
     def sq(c: Seq[Float]): Column =
@@ -99,8 +117,14 @@ object Similarity {
     * `idCol`; empty cells keep their previous centroid. */
   def kmeansCentroids(emb: DataFrame, vecCol: String, idCol: String, k: Int,
       iters: Int = 5): Seq[Seq[Float]] = {
+    // seed collect is k x dim DRIVER-SIDE BY DESIGN: it plans as
+    // TakeOrderedAndProject (k rows cross the wire, never the corpus), and
+    // the centroids must live on the driver anyway to become expression
+    // literals for the assignment pass — guarded like every literal model
     var centroids: Seq[Seq[Float]] = emb.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect().map(_.getSeq[Float](0).toSeq).toSeq
+    guardModel("kmeansCentroids", k,
+      centroids.headOption.map(_.size).getOrElse(0))
     for (_ <- 0 until iters) {
       val means = emb.withColumn("cell", ivfCell(col(vecCol), centroids))
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
@@ -221,6 +245,8 @@ object Similarity {
   def pqCodes(emb: DataFrame, vecCol: String, idCol: String,
       codebooks: Seq[Seq[Seq[Float]]]): DataFrame = {
     require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebook")
+    guardModel("pqCodes codebooks", codebooks.map(_.size).sum,
+      codebooks.head.head.size)
     val offsets = codebooks.map(_.head.length).scanLeft(0)(_ + _)
     val codes = codebooks.zipWithIndex.map { case (cb, j) =>
       require(cb.forall(_.length == cb.head.length),
@@ -229,6 +255,96 @@ object Similarity {
         .as(s"code_$j")
     }
     emb.select(col(idCol) +: codes: _*)
+  }
+
+  /** IVF-PQ residual coding (Jégou et al. 2011 §III.A, the actual FAISS
+    * IVFPQ layout): each vector is assigned to its nearest coarse centroid,
+    * and PQ codes quantize the RESIDUAL (v - centroid) instead of v itself.
+    * Residual magnitudes are much smaller than vector magnitudes, so the
+    * same code budget buys finer resolution — better recall than plain PQ
+    * at equal bytes. Returns (id, cell, code_0..code_m-1).
+    *
+    * Scale shape: everything is per-row expression work over literal
+    * models (cell argmin, zip_with residual, per-subspace argmin) — no
+    * join, no shuffle; codes land in one projection. */
+  def pqCodesResidual(emb: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[Seq[Float]], codebooks: Seq[Seq[Seq[Float]]]): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebook")
+    val offsets = codebooks.map(_.head.length).scanLeft(0)(_ + _)
+    require(centroids.forall(_.length >= offsets.last),
+      s"centroids narrower than the ${offsets.last} dims codebooks span")
+    val withCell = emb.withColumn("cell", ivfCell(col(vecCol), centroids))
+    val codes = codebooks.zipWithIndex.map { case (cb, j) =>
+      require(cb.forall(_.length == cb.head.length),
+        s"codebook $j has ragged centroid lengths")
+      // residual in DOUBLE: float subtraction would round each element
+      // before the distance accumulates in double, diverging from the
+      // all-double arithmetic any SQL replay computes
+      val sub = slice(col(vecCol).cast("array<double>"), offsets(j) + 1,
+        cb.head.length)
+      val centSub: Seq[Seq[Double]] = centroids.map(
+        _.slice(offsets(j), offsets(j) + cb.head.length).map(_.toDouble))
+      val resid = zip_with(sub,
+        element_at(typedLit(centSub), col("cell") + 1), (x, y) => x - y)
+      val dists = array(cb.map(c =>
+        graft.functions.SquaredDistance(resid, typedLit(c))): _*)
+      (array_position(dists, array_min(dists)).cast("int") - 1).as(s"code_$j")
+    }
+    withCell.select(col(idCol) +: col("cell").cast("int").as("cell") +: codes: _*)
+  }
+
+  /** ADC search over residual PQ codes: for every (cell, code) pair the
+    * squared distance || (query - centroid_cell)[sub_j] - codebook_j[code] ||^2
+    * is precomputed driver-side (cells x m x k doubles — tiny), and a row's
+    * approximate distance is m nested-literal lookups keyed by its cell and
+    * codes. `nprobe` restricts the scan to the cells nearest the query
+    * (FAISS-style coarse pruning); rows outside probed cells are filtered
+    * BEFORE any distance work. */
+  def pqAdcResidualTopK(emb: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[Seq[Float]], codebooks: Seq[Seq[Seq[Float]]],
+      query: Seq[Float], k: Int, nprobe: Int = 2): DataFrame = {
+    val offsets = codebooks.map(_.head.length).scanLeft(0)(_ + _)
+    require(offsets.last <= query.length,
+      s"codebooks span ${offsets.last} dims; query has ${query.length}")
+    require(nprobe >= 1 && nprobe <= centroids.size, s"nprobe $nprobe")
+    guardModel("pqAdcResidualTopK tables", centroids.size,
+      codebooks.map(_.size).sum)
+    def qd(c: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < query.length) {
+        val d = c(i).toDouble - query(i).toDouble; acc += d * d; i += 1
+      }
+      acc
+    }
+    val probeCells = centroids.indices.sortBy(i => (qd(centroids(i)), i)).take(nprobe)
+    // tables(j)(cell)(code), sequential-index double accumulation (the fp
+    // order the oracle's per-element sum reproduces); unprobed cells carry
+    // empty rows (never dereferenced — the filter runs first)
+    val tables = codebooks.zipWithIndex.map { case (cb, j) =>
+      centroids.indices.map { cell =>
+        if (!probeCells.contains(cell)) Seq.empty[Double]
+        else {
+          val res = (offsets(j) until offsets(j) + cb.head.length).map(i =>
+            query(i).toDouble - centroids(cell)(i).toDouble)
+          cb.map { c =>
+            var acc = 0.0; var i = 0
+            while (i < c.length) {
+              val d = res(i) - c(i).toDouble; acc += d * d; i += 1
+            }
+            acc
+          }
+        }
+      }
+    }
+    val codes = pqCodesResidual(emb, vecCol, idCol, centroids, codebooks)
+      .filter(col("cell").isin(probeCells: _*))
+    val adc = tables.zipWithIndex.map { case (t, j) =>
+      element_at(element_at(typedLit(t.map(_.toSeq)), col("cell") + 1),
+        col(s"code_$j") + 1)
+    }.reduce(_ + _)
+    codes.select(col(idCol), adc.as("adc"))
+      .orderBy(col("adc"), col(idCol))
+      .limit(k)
   }
 
   /** ADC (asymmetric distance computation) top-k over PQ codes — the search
@@ -426,6 +542,8 @@ object Similarity {
     * `df` plus `pca` (array<double>, length k). */
   def pcaProject(df: DataFrame, vecCol: String, model: PcaModel,
       whiten: Boolean = false): DataFrame = {
+    guardModel("pcaProject components", model.components.length,
+      model.components.headOption.map(_.length).getOrElse(0))
     val coords = model.components.zipWithIndex.map { case (comp, c) =>
       val centeredDot = graft.functions.DotProduct(col(vecCol), typedLit(comp.toSeq)) -
         lit(comp.zip(model.mean).map { case (w, m) => w * m }.sum)

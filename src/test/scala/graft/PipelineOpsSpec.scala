@@ -875,6 +875,61 @@ class SimilaritySpec extends SparkSpec {
     assert(covered == (0L until 200L).toSet, "some member escaped the verify stage")
   }
 
+  test("residual PQ (IVF-PQ layout) beats plain PQ on off-center clusters") {
+    // two coarse cells far apart; every vector is centroid + a (+-1)^4
+    // offset, and the codebooks are exactly the offset grid — so residual
+    // coding reconstructs EXACTLY while plain PQ (same code budget) cannot
+    // represent the 100-offset cluster at all
+    val cents: Seq[Seq[Float]] = Seq(Seq(0f, 0f, 0f, 0f), Seq(100f, 100f, 100f, 100f))
+    val grid: Seq[Seq[Float]] = Seq(Seq(-1f, -1f), Seq(-1f, 1f), Seq(1f, -1f), Seq(1f, 1f))
+    val cbs = Seq(grid, grid)
+    val offs = for (a <- Seq(-1f, 1f); b <- Seq(-1f, 1f); c <- Seq(-1f, 1f);
+      d <- Seq(-1f, 1f)) yield Seq(a, b, c, d)
+    val rows = for ((cent, ci) <- cents.zipWithIndex; (o, oi) <- offs.zipWithIndex)
+      yield ((ci * 100 + oi).toLong, cent.zip(o).map { case (x, y) => x + y })
+    val df = rows.toDF("vec_id", "embedding")
+    val codes = Similarity.pqCodesResidual(df, "embedding", "vec_id", cents, cbs)
+      .as[(Long, Int, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(codes(115L) == ((1, 3, 3)), s"offset (1,1,1,1): ${codes(115L)}")
+    assert(codes(0L) == ((0, 0, 0)), s"offset (-1,-1,-1,-1): ${codes(0L)}")
+    // query near cell 1's (1,1,1,1) member: residual ADC ranks the true
+    // neighborhood exactly (reconstruction error is zero on this fixture)
+    val query = Seq(100.9f, 101f, 101f, 101f)
+    val res = Similarity.pqAdcResidualTopK(df, "embedding", "vec_id", cents,
+        cbs, query, 3, nprobe = 1)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(res == Seq(115L, 107L, 111L), s"residual top3: $res")
+    assert(res.forall(_ >= 100L), "nprobe=1 must stay inside the query's cell")
+    // plain PQ with the same codebooks: every cell-1 row collapses to code
+    // (3,3), ties break by id — the true nearest (115) is unreachable
+    val plain = Similarity.pqAdcTopK(df, "embedding", "vec_id", cbs, query, 3)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(!plain.contains(115L), s"plain PQ should not resolve the cluster: $plain")
+  }
+
+  test("literal-model guards: oversized models fail with a directed error") {
+    val fat = Seq.fill(1025)(Seq.fill(1024)(0f)) // 1025*1024 > 2^20
+    val df = Seq((1L, Seq.fill(1024)(0f))).toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.ivfCell(org.apache.spark.sql.functions.col("embedding"), fat)
+    }
+    assert(e1.getMessage.contains("MaxModelLiteralElems"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.hyperplaneBucket(org.apache.spark.sql.functions.col("embedding"), fat)
+    }
+    assert(e2.getMessage.contains("MaxModelLiteralElems"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.pqCodes(df, "embedding", "vec_id", Seq(fat, fat))
+    }
+    assert(e3.getMessage.contains("MaxModelLiteralElems"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      Similarity.pcaProject(df, "embedding",
+        Similarity.PcaModel(Array.fill(1024)(0.0), Array.fill(1025)(1.0),
+          Array.fill(1025)(Array.fill(1024)(0.0))))
+    }
+    assert(e4.getMessage.contains("MaxModelLiteralElems"), e4.getMessage)
+  }
+
   test("pqCodes assigns per-subspace nearest codebook entries") {
     val vecs = Seq(
       (1L, Seq(0.0f, 10.0f)),
