@@ -27,10 +27,11 @@ package graft.sources.zarr
   * byte i of every element (trailing `blocksize % typesize` bytes ride
   * verbatim).
   *
-  * Codecs: lz4 (the default cname; block format decoded here), zstd
-  * (each split is a complete zstd frame — [[Zstd]]), zlib (java.util.zip),
-  * stored-raw splits. blosclz/snappy raise directed errors — rewrite those
-  * stores with `zarr.copy_store` to lz4/zstd/zlib.
+  * Codecs — the FULL numcodecs cname surface: blosclz (FastLZ-derived
+  * opcode stream), lz4 (the default cname; block format decoded here),
+  * snappy (varint preamble + tagged elements), zlib (java.util.zip), zstd
+  * (each split is a complete zstd frame — [[Zstd]]), and stored-raw
+  * splits. Only bit-shuffle remains a directed error.
   */
 object Blosc {
 
@@ -87,11 +88,11 @@ object Blosc {
         if (csize == neblock) // stored-raw split
           System.arraycopy(raw, src, block, blockOff, neblock)
         else codec match {
+          case 0 => blosclzDecompress(raw, src, csize, block, blockOff, neblock)
           case 1 => lz4Decompress(raw, src, csize, block, blockOff, neblock)
+          case 2 => snappyDecompress(raw, src, csize, block, blockOff, neblock)
           case 3 => inflateInto(raw, src, csize, block, blockOff, neblock)
           case 4 => Zstd.decompressInto(raw, src, csize, block, blockOff, neblock)
-          case 0 => throw UnsupportedBlosc("blosclz codec (rewrite with zarr.copy_store to lz4/zstd/zlib)")
-          case 2 => throw UnsupportedBlosc("snappy codec (rewrite with zarr.copy_store to lz4/zstd/zlib)")
           case other => throw UnsupportedBlosc(s"codec id $other")
         }
         src += csize
@@ -118,6 +119,266 @@ object Blosc {
       b += 1
     }
     out
+  }
+
+  /** BloscLZ block decode (public source: c-blosc blosclz.c, the FastLZ-
+    * derived house codec and blosc's cname default before lz4). Opcode
+    * stream: the first control byte is a literal run (`& 31`, run = ctrl+1);
+    * a control >= 32 is a match with length code `ctrl >> 5` (1..6 mean
+    * len = code+2; 7 extends by 255-terminated bytes so len = 9 + sum),
+    * 13-bit distance `((ctrl & 31) << 8) + lowByte + 1`, and the reserved
+    * (31, 255) offset pattern switching to a 16-bit far distance
+    * `ofs16 + 8192`. */
+  private[graft] def blosclzDecompress(src: Array[Byte], srcOff: Int, srcLen: Int,
+      dst: Array[Byte], dstOff: Int, dstLen: Int): Unit = {
+    var s = srcOff
+    val sEnd = srcOff + srcLen
+    var d = dstOff
+    val dEnd = dstOff + dstLen
+    require(s < sEnd, "empty blosclz block")
+    var ctrl = src(s) & 0x1f // first op is always a literal run
+    s += 1
+    var done = false
+    while (!done) {
+      if (ctrl >= 32) {
+        var len = (ctrl >>> 5) - 1
+        val ofsHi = (ctrl & 31) << 8
+        if (len == 6) {
+          var code = 0
+          do {
+            require(s < sEnd, "truncated blosclz match extension")
+            code = src(s) & 0xff; s += 1; len += code
+          } while (code == 255)
+        }
+        require(s < sEnd, "truncated blosclz offset")
+        val low = src(s) & 0xff
+        s += 1
+        len += 3
+        var dist = ofsHi + low + 1
+        if (low == 255 && ofsHi == (31 << 8)) {
+          require(s + 2 <= sEnd, "truncated blosclz far offset")
+          dist = (((src(s) & 0xff) << 8) | (src(s + 1) & 0xff)) + 8192
+          s += 2
+        }
+        require(d - dist >= dstOff, s"blosclz match before block start (dist=$dist)")
+        require(d + len <= dEnd, s"blosclz match overruns (len=$len)")
+        var i = 0 // byte-wise: matches may overlap their own output
+        while (i < len) { dst(d + i) = dst(d + i - dist); i += 1 }
+        d += len
+      } else {
+        val run = ctrl + 1
+        require(s + run <= sEnd && d + run <= dEnd,
+          s"blosclz literal run overruns (run=$run)")
+        System.arraycopy(src, s, dst, d, run)
+        s += run
+        d += run
+      }
+      if (s >= sEnd) done = true
+      else { ctrl = src(s) & 0xff; s += 1 }
+    }
+    require(d == dEnd, s"blosclz block produced ${d - dstOff} of $dstLen bytes")
+  }
+
+  /** Greedy BloscLZ compressor (3-byte-hash single probe, short-distance
+    * matches only) — real fixtures for the decoder spec; the decoder also
+    * handles the far-distance form, covered by a handcrafted stream. */
+  private[graft] def blosclzCompress(src: Array[Byte], maxLen: Int): Array[Byte] = {
+    val n = src.length
+    val out = new Array[Byte](maxLen)
+    var d = 0
+    var anchor = 0
+    def flushLits(until: Int): Boolean = {
+      var a = anchor
+      while (a < until) {
+        val run = math.min(32, until - a)
+        if (d + 1 + run > maxLen) return false
+        out(d) = (run - 1).toByte
+        d += 1
+        System.arraycopy(src, a, out, d, run)
+        d += run
+        a += run
+      }
+      anchor = until
+      true
+    }
+    val table = new Array[Int](4096)
+    java.util.Arrays.fill(table, -1)
+    def hash(i: Int): Int = {
+      val v = (src(i) & 0xff) | ((src(i + 1) & 0xff) << 8) | ((src(i + 2) & 0xff) << 16)
+      (v * -1640531535) >>> 20
+    }
+    var i = 0
+    while (i < n - 3) {
+      val h = hash(i)
+      val cand = table(h)
+      table(h) = i
+      val dist = i - cand
+      if (cand >= 0 && dist <= 8191 &&
+          src(cand) == src(i) && src(cand + 1) == src(i + 1) &&
+          src(cand + 2) == src(i + 2)) {
+        var len = 3
+        while (i + len < n && src(cand + len) == src(i + len)) len += 1
+        if (!flushLits(i)) return null
+        val ofsVal = dist - 1 // <= 8190, so never the reserved (31, 255)
+        val lenCode = math.min(len - 2, 7)
+        if (d + 2 + (if (lenCode == 7) 1 + (len - 9) / 255 + 1 else 0) > maxLen)
+          return null
+        out(d) = ((lenCode << 5) | (ofsVal >>> 8)).toByte
+        d += 1
+        if (lenCode == 7) {
+          var rest = len - 9 // decoder: len = 9 + sum of extension bytes
+          while (rest >= 255) { out(d) = -1; d += 1; rest -= 255 }
+          out(d) = rest.toByte
+          d += 1
+        }
+        out(d) = (ofsVal & 0xff).toByte
+        d += 1
+        i += len
+        anchor = i
+      } else i += 1
+    }
+    if (!flushLits(n)) return null
+    java.util.Arrays.copyOf(out, d)
+  }
+
+  /** Raw snappy decode (public spec: snappy format_description.txt):
+    * little-endian varint uncompressed length, then tagged elements —
+    * literals (tag 00, 1-byte lengths < 61, else 1-4 extra LE length
+    * bytes), copies with 1-byte (tag 01, len 4-11, 11-bit offset), 2-byte
+    * (tag 10), or 4-byte (tag 11) little-endian offsets. */
+  private[graft] def snappyDecompress(src: Array[Byte], srcOff: Int, srcLen: Int,
+      dst: Array[Byte], dstOff: Int, dstLen: Int): Unit = {
+    var s = srcOff
+    val sEnd = srcOff + srcLen
+    // varint preamble
+    var expected = 0L
+    var shift = 0
+    var more = true
+    while (more) {
+      require(s < sEnd && shift <= 28, "bad snappy length varint")
+      val b = src(s) & 0xff
+      s += 1
+      expected |= (b & 0x7fL) << shift
+      shift += 7
+      more = (b & 0x80) != 0
+    }
+    require(expected == dstLen,
+      s"snappy preamble says $expected bytes, split expects $dstLen")
+    var d = dstOff
+    val dEnd = dstOff + dstLen
+    while (d < dEnd) {
+      require(s < sEnd, "truncated snappy stream")
+      val tag = src(s) & 0xff
+      s += 1
+      (tag & 3) match {
+        case 0 =>
+          var len = (tag >>> 2) + 1
+          if (len > 60) {
+            val extra = len - 60
+            require(s + extra <= sEnd, "truncated snappy literal length")
+            len = 0
+            (0 until extra).foreach(k => len |= (src(s + k) & 0xff) << (8 * k))
+            len += 1
+            s += extra
+          }
+          require(s + len <= sEnd && d + len <= dEnd,
+            s"snappy literal overruns (len=$len)")
+          System.arraycopy(src, s, dst, d, len)
+          s += len
+          d += len
+        case c =>
+          val (len, offset) = c match {
+            case 1 =>
+              require(s < sEnd, "truncated snappy copy1")
+              val o = ((tag >>> 5) << 8) | (src(s) & 0xff)
+              s += 1
+              (((tag >>> 2) & 7) + 4, o)
+            case 2 =>
+              require(s + 2 <= sEnd, "truncated snappy copy2")
+              val o = (src(s) & 0xff) | ((src(s + 1) & 0xff) << 8)
+              s += 2
+              ((tag >>> 2) + 1, o)
+            case _ =>
+              require(s + 4 <= sEnd, "truncated snappy copy4")
+              val o = le32(src, s)
+              s += 4
+              ((tag >>> 2) + 1, o)
+          }
+          require(offset > 0 && d - offset >= dstOff, s"bad snappy offset $offset")
+          require(d + len <= dEnd, s"snappy copy overruns (len=$len)")
+          var i = 0 // byte-wise: copies may overlap their own output
+          while (i < len) { dst(d + i) = dst(d + i - offset); i += 1 }
+          d += len
+      }
+    }
+  }
+
+  /** Greedy raw-snappy compressor (hash probe + 2-byte-offset copies) —
+    * real fixtures the reference snappy implementation also decodes. */
+  private[graft] def snappyCompress(src: Array[Byte], maxLen: Int): Array[Byte] = {
+    val n = src.length
+    val out = new Array[Byte](maxLen)
+    var d = 0
+    // varint preamble
+    var v = n
+    while (v >= 0x80) {
+      if (d >= maxLen) return null
+      out(d) = ((v & 0x7f) | 0x80).toByte; d += 1; v >>>= 7
+    }
+    if (d >= maxLen) return null
+    out(d) = v.toByte; d += 1
+    var anchor = 0
+    def flushLits(until: Int): Boolean = {
+      var a = anchor
+      while (a < until) {
+        val run = math.min(60, until - a)
+        if (d + 1 + run > maxLen) return false
+        out(d) = ((run - 1) << 2).toByte
+        d += 1
+        System.arraycopy(src, a, out, d, run)
+        d += run
+        a += run
+      }
+      anchor = until
+      true
+    }
+    val table = new Array[Int](4096)
+    java.util.Arrays.fill(table, -1)
+    def hash(i: Int): Int = {
+      val w = (src(i) & 0xff) | ((src(i + 1) & 0xff) << 8) |
+        ((src(i + 2) & 0xff) << 16) | ((src(i + 3) & 0xff) << 24)
+      (w * -1640531535) >>> 20
+    }
+    var i = 0
+    while (i < n - 4) {
+      val h = hash(i)
+      val cand = table(h)
+      table(h) = i
+      if (cand >= 0 && i - cand <= 0xffff &&
+          src(cand) == src(i) && src(cand + 1) == src(i + 1) &&
+          src(cand + 2) == src(i + 2) && src(cand + 3) == src(i + 3)) {
+        var len = 4
+        while (i + len < n && src(cand + len) == src(i + len)) len += 1
+        if (!flushLits(i)) return null
+        var rem = len
+        while (rem > 0) { // copy2 elements carry at most 64 bytes each
+          val take = math.min(64, rem)
+          if (take < 4) { anchor = i + len - rem; rem = 0 } // tail rides as literals
+          else {
+            if (d + 3 > maxLen) return null
+            out(d) = (((take - 1) << 2) | 2).toByte
+            out(d + 1) = ((i - cand) & 0xff).toByte
+            out(d + 2) = (((i - cand) >>> 8) & 0xff).toByte
+            d += 3
+            rem -= take
+            if (rem == 0) anchor = i + len
+          }
+        }
+        i += len
+      } else i += 1
+    }
+    if (!flushLits(n)) return null
+    java.util.Arrays.copyOf(out, d)
   }
 
   /** LZ4 BLOCK format decode (public spec: lz4_Block_format.md): token =
@@ -254,12 +515,23 @@ object Blosc {
     java.util.Arrays.copyOf(out, d)
   }
 
-  /** Compress `data` into one blosc-lz4 chunk (single block, c-blosc split
+  /** Compress `data` into one blosc chunk (single block, c-blosc split
     * mode when `typesize` divides the length, per-split stored-raw fallback
     * on incompressible data — exactly the states [[decompress]] handles).
-    * `shuffle` applies the per-block byte transpose real zarr stores use. */
-  def compress(data: Array[Byte], typesize: Int, shuffle: Boolean): Array[Byte] = {
+    * `shuffle` applies the per-block byte transpose real zarr stores use;
+    * `cname` picks the block codec (lz4 default; blosclz, snappy, zstd,
+    * zlib cover every cname numcodecs ships). */
+  def compress(data: Array[Byte], typesize: Int, shuffle: Boolean,
+      cname: String = "lz4"): Array[Byte] = {
     require(typesize >= 1 && typesize <= 255, s"typesize $typesize")
+    val codecId = cname match {
+      case "blosclz" => 0
+      case "lz4" | "lz4hc" => 1
+      case "snappy" => 2
+      case "zlib" => 3
+      case "zstd" => 4
+      case other => throw UnsupportedBlosc(s"cname $other")
+    }
     val nbytes = data.length
     val doShuffle = shuffle && typesize > 1
     val block =
@@ -281,18 +553,37 @@ object Blosc {
       } else data
     val nsplits = if (typesize > 1 && nbytes % typesize == 0) typesize else 1
     val neblock = nbytes / nsplits
+    def packSplit(split: Array[Byte]): Array[Byte] =
+      if (neblock < 16) null
+      else codecId match {
+        case 0 => blosclzCompress(split, neblock - 1)
+        case 1 => lz4Compress(split, neblock - 1)
+        case 2 => snappyCompress(split, neblock - 1)
+        case 3 =>
+          val d = new java.util.zip.Deflater()
+          d.setInput(split); d.finish()
+          val buf = new Array[Byte](neblock - 1)
+          val n = d.deflate(buf)
+          val done = d.finished()
+          d.end()
+          if (!done) null else java.util.Arrays.copyOf(buf, n)
+        case 4 =>
+          val z = Zstd.compressStore(split)
+          if (z.length >= neblock) null else z
+        case _ => null
+      }
     val sections = (0 until nsplits).map { s =>
       val split = java.util.Arrays.copyOfRange(block, s * neblock, (s + 1) * neblock)
-      val packed = if (neblock >= 16) lz4Compress(split, neblock - 1) else null
+      val packed = packSplit(split)
       if (packed == null) (neblock, split) else (packed.length, packed)
     }
     val payload = sections.map(_._1 + 4).sum
     val cbytes = 16 + 4 + payload // one block -> one bstart entry
     val out = new Array[Byte](cbytes)
     out(0) = 2 // format version (blosc 1.x)
-    out(1) = 1 // lz4 format version
+    out(1) = 1 // codec format version
     val splitFlag = if (nsplits == 1) 0x10 else 0
-    out(2) = ((if (doShuffle) 0x01 else 0) | splitFlag | (1 << 5)).toByte // lz4
+    out(2) = ((if (doShuffle) 0x01 else 0) | splitFlag | (codecId << 5)).toByte
     out(3) = typesize.toByte
     putLe32(out, 4, nbytes)
     putLe32(out, 8, math.max(nbytes, 1)) // blocksize = whole buffer

@@ -15,16 +15,16 @@ import org.json4s.jackson.JsonMethods
   * Supported surface (v2): C-order little-endian arrays, dtypes
   * `<f8 <f4 <i8 <i4 <i2 <u1`, compressor `null`, `{"id": "zlib"}`,
   * `{"id": "zstd"}` (one frame per chunk — decoded by [[Zstd]]), or
-  * `{"id": "blosc"}` with cname lz4/zstd/zlib (zarr-python 2.x's DEFAULT
-  * compressor — decoded by [[Blosc]]; blosclz/snappy cnames raise
-  * directed errors), `.zattrs` conventions `_ARRAY_DIMENSIONS` (xarray),
+  * `{"id": "blosc"}` with EVERY numcodecs cname — blosclz, lz4, snappy,
+  * zlib, zstd (zarr-python 2.x's DEFAULT compressor — decoded by
+  * [[Blosc]]), `.zattrs` conventions `_ARRAY_DIMENSIONS` (xarray),
   * `scale_factor`, `add_offset`, `missing_value`, and
   * `units: "seconds since 1970-01-01"` for epoch time coordinates.
   *
   * Supported surface (v3, sniffed by the root `zarr.json`): regular chunk
   * grid, `default` ("c/0/1") and `v2` chunk-key encodings with either
   * separator, `bytes` codec at both endians, `gzip`/`zstd` (zarr-python
-  * 3's DEFAULT compressor)/`blosc` (lz4/zstd/zlib cnames) compression,
+  * 3's DEFAULT compressor)/`blosc` (all five cnames) compression,
   * `sharding_indexed` (read and write, bytes [+ crc32c] index codecs),
   * `dimension_names`, numeric/"NaN" fill values, inline
   * `consolidated_metadata` (zarr-python 3's successor to `.zmetadata`),

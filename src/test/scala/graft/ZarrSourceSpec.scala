@@ -141,13 +141,81 @@ class ZarrSourceSpec extends SparkSpec {
     le(4, 100); le(8, 100); le(12, 116)
     (0 until 100).foreach(i => mem(16 + i) = i.toByte)
     assert(Blosc.decompress(mem).toSeq == (0 until 100).map(_.toByte))
-    // unsupported codec ids raise directed errors naming the rewrite (use a
-    // COMPRESSED chunk — raw-stored splits legitimately bypass the codec)
-    val snappy = Blosc.compress(Array.tabulate(8192)(i => ((i / 7) % 251).toByte),
+    // unknown codec ids raise directed errors (use a COMPRESSED chunk —
+    // raw-stored splits legitimately bypass the codec)
+    val bad = Blosc.compress(Array.tabulate(8192)(i => ((i / 7) % 251).toByte),
       8, shuffle = true)
-    snappy(2) = ((snappy(2) & 0x1f) | (2 << 5)).toByte
-    val e = intercept[graft.sources.zarr.Blosc.UnsupportedBlosc] { Blosc.decompress(snappy) }
-    assert(e.getMessage.contains("snappy"))
+    bad(2) = ((bad(2) & 0x1f) | (5 << 5)).toByte
+    val e = intercept[graft.sources.zarr.Blosc.UnsupportedBlosc] { Blosc.decompress(bad) }
+    assert(e.getMessage.contains("codec id"))
+  }
+
+  test("blosc codec surface: blosclz, snappy, zlib, zstd all round-trip") {
+    import graft.sources.zarr.Blosc
+    val rng = new scala.util.Random(7)
+    for (cname <- Seq("blosclz", "snappy", "zlib", "zstd");
+         typesize <- Seq(1, 4, 8); n <- Seq(64, 4096, 30000)) {
+      val data = Array.tabulate(n)(i => ((i / 7) % 251).toByte)
+      val packed = Blosc.compress(data, typesize, shuffle = true, cname = cname)
+      assert(Blosc.decompress(packed).toSeq == data.toSeq, s"$cname ts=$typesize n=$n")
+      // the byte transpose at typesize 8 leaves the greedy match-only
+      // codecs no 4-byte repeats (raw-split fallback is the correct
+      // outcome), and the zstd writer emits store-mode frames by design —
+      // the entropy coder and unshuffled match streams must shrink
+      if (n >= 4096 && (cname == "zlib" || (typesize == 1 && cname != "zstd")))
+        assert(packed.length < n, s"$cname must compress repeating data ($n -> ${packed.length})")
+      // incompressible: per-split raw fallback
+      val noise = Array.fill(n)(rng.nextInt().toByte)
+      val packedNoise = Blosc.compress(noise, typesize, shuffle = false, cname = cname)
+      assert(Blosc.decompress(packedNoise).toSeq == noise.toSeq, s"$cname noise n=$n")
+    }
+  }
+
+  test("snappy decode matches the reference implementation's output") {
+    import graft.sources.zarr.Blosc
+    // snappy-java rides on the Spark classpath: decode ITS streams (not our
+    // own encoder's) so the decoder is checked against real snappy, and
+    // check our encoder's streams decode under the reference as well
+    val rng = new scala.util.Random(13)
+    for (n <- Seq(1, 100, 4096, 70000)) {
+      val structured = Array.tabulate(n)(i => ((i / 9) % 250).toByte)
+      val noisy = Array.fill(n)(rng.nextInt(8).toByte)
+      for (data <- Seq(structured, noisy)) {
+        val ref = org.xerial.snappy.Snappy.compress(data)
+        val out = new Array[Byte](n)
+        Blosc.snappyDecompress(ref, 0, ref.length, out, 0, n)
+        assert(out.toSeq == data.toSeq, s"reference stream n=$n")
+        val mine = Blosc.snappyCompress(data, data.length * 2 + 64)
+        if (mine != null)
+          assert(org.xerial.snappy.Snappy.uncompress(mine).toSeq == data.toSeq,
+            s"our stream under reference decoder n=$n")
+      }
+    }
+  }
+
+  test("blosclz far-distance matches (the 16-bit offset form) decode") {
+    import graft.sources.zarr.Blosc
+    // handcraft: 9000 patterned literals, then a 5-byte match 9000 back —
+    // past the 8191 short-form limit, so the stream must use the reserved
+    // (31, 255) far form with ofs16 = 9000 - 8192 = 808
+    val lits = Array.tabulate(9000)(i => (i % 97).toByte)
+    val body = new scala.collection.mutable.ArrayBuffer[Byte]
+    var a = 0
+    while (a < 9000) {
+      val run = math.min(32, 9000 - a)
+      body += (run - 1).toByte
+      body ++= lits.slice(a, a + run)
+      a += run
+    }
+    body += (((5 - 2) << 5) | 31).toByte // lenCode 3 -> len 5; ofs high = 31
+    body += 255.toByte                   // low byte 255 -> far form
+    body += (808 >> 8).toByte
+    body += (808 & 0xff).toByte
+    val out = new Array[Byte](9005)
+    Blosc.blosclzDecompress(body.toArray, 0, body.length, out, 0, 9005)
+    assert(out.take(9000).toSeq == lits.toSeq)
+    assert(out.slice(9000, 9005).toSeq == lits.take(5).toSeq,
+      "far match must copy from 9000 bytes back")
   }
 
   test("blosc-zstd chunks decode (splits are real zstd frames)") {
