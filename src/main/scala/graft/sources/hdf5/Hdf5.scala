@@ -23,7 +23,8 @@ import scala.collection.mutable
   *    implicit, fixed-array and extensible-array — both incl. paged data
   *    blocks; EA is the one-unlimited-dimension / time-appending shape —
   *    and v2-B-tree indexes of any depth); filters deflate(1),
-  *    shuffle(2), fletcher32(3);
+  *    shuffle(2), fletcher32(3), szip(4) — the CCSDS/Rice coder shared
+  *    with GRIB template 5.42 ([[graft.sources.grib.Ccsds]]);
   *  - datatypes: fixed-point 1/2/4/8 (either endian, signed or not), IEEE
   *    float 4/8, fixed strings, object references, vlen sequences
   *    (via the global heap `GCOL`, as `DIMENSION_LIST` needs);
@@ -1102,8 +1103,38 @@ object Hdf5 {
         case 1 => data = inflate(data, expected)
         case 2 => data = deshuffle(data, elemSize)
         case 3 => data = java.util.Arrays.copyOfRange(data, 0, data.length - 4)
+        case 4 =>
+          // szip = the szip/libaec extended-Rice algorithm, i.e. CCSDS
+          // 121.0 — the same coder GRIB2 template 5.42 uses ([[Ccsds]]).
+          // Client values per H5Zszip.c: [options mask, bits/pixel,
+          // pixels/block, pixels/scanline]; each scanline is one
+          // reference-sample interval, mask bit 32 = the NN (predictive)
+          // preprocessor, bit 16 = MSB sample bytes.
+          val cv = f.clientValues
+          require(cv.length >= 4, s"szip filter with ${cv.length} client values")
+          val (mask, bpp, ppb, pps) = (cv(0), cv(1), cv(2), cv(3))
+          if (bpp <= 0 || bpp % 8 != 0 || bpp > 32)
+            throw UnsupportedHdf5(s"szip with $bpp bits/pixel (8/16/24/32 only)")
+          val bytesPer = bpp / 8
+          val nSamples = expected / bytesPer
+          val params = graft.sources.grib.Ccsds.Params(bpp, ppb,
+            math.max(1, pps / math.max(ppb, 1)), preprocess = (mask & 32) != 0)
+          val samples = graft.sources.grib.Ccsds.decode(data, params, nSamples)
+          val outB = new Array[Byte](expected)
+          val msb = (mask & 16) != 0
+          var si = 0
+          while (si < nSamples) {
+            var j = 0
+            while (j < bytesPer) {
+              val shift = if (msb) 8 * (bytesPer - 1 - j) else 8 * j
+              outB(si * bytesPer + j) = ((samples(si) >>> shift) & 0xff).toByte
+              j += 1
+            }
+            si += 1
+          }
+          data = outB
         case other => throw UnsupportedHdf5(
-          s"filter id $other (deflate/shuffle/fletcher32 only)")
+          s"filter id $other (deflate/shuffle/szip/fletcher32 only)")
       }
     }
     data

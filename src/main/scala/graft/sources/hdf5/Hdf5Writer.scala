@@ -25,6 +25,7 @@ object Hdf5Writer {
       chunks: Option[Seq[Int]] = None,
       deflate: Boolean = false,
       shuffle: Boolean = false,
+      szip: Boolean = false, // CCSDS/Rice coding (filter id 4), <= 32-bit dtypes
       scaleFactor: Option[Double] = None,
       addOffset: Option[Double] = None,
       fillValue: Option[Double] = None,
@@ -56,6 +57,11 @@ object Hdf5Writer {
     case "i2" => 2
     case other => throw new IllegalArgumentException(s"dtype $other")
   }
+
+  // szip geometry the writer emits: 16 pixels/block (libhdf5's common
+  // default), 32 blocks per scanline (= reference sample interval)
+  private val SzipPpb = 16
+  private val SzipPps = 512
 
   /** `denseRoot = true` stores the root group's links the way netCDF-4
     * writes groups past the compact limit: serialized Link messages in a
@@ -157,6 +163,22 @@ object Hdf5Writer {
       o
     }
 
+    def szipBytes(data: Array[Byte], es: Int): Array[Byte] = {
+      require(es <= 4, s"szip fixtures carry <= 32-bit samples, got $es bytes")
+      val n = data.length / es
+      val samples = new Array[Long](n)
+      var i = 0
+      while (i < n) { // little-endian unsigned samples (mask bit 8 = LSB)
+        var v = 0L
+        var j = 0
+        while (j < es) { v |= (data(i * es + j) & 0xffL) << (8 * j); j += 1 }
+        samples(i) = v
+        i += 1
+      }
+      graft.sources.grib.Ccsds.encode(samples, graft.sources.grib.Ccsds.Params(
+        es * 8, SzipPpb, SzipPps / SzipPpb, preprocess = true))
+    }
+
     def deflateBytes(data: Array[Byte]): Array[Byte] = {
       val d = new Deflater(6)
       d.setInput(data); d.finish()
@@ -212,6 +234,7 @@ object Hdf5Writer {
               var bytes = packValues(v.copy(), cells)
               if (v.shuffle) bytes = shuffleBytes(bytes, w)
               if (v.deflate) bytes = deflateBytes(bytes)
+              if (v.szip) bytes = szipBytes(bytes, elemSize(v.dtype))
               val addr = appendAt(bytes)
               chunkRefs += ((offsets, addr, bytes.length))
             } else (0 until grid(dim)).foreach(ci => rec(dim + 1, idx :+ ci))
@@ -221,7 +244,7 @@ object Hdf5Writer {
             // entries in C-order (the rec() emission order), then the FAHD
             // header right after it. Filtered datasets use client id 1
             // (addr + u32 stored size + u32 filter mask per entry).
-            val filtered = v.deflate || v.shuffle
+            val filtered = v.deflate || v.shuffle || v.szip
             val clientId = if (filtered) 1 else 0
             val entrySize = if (filtered) 16 else 8
             val nChunks = chunkRefs.size
@@ -288,7 +311,7 @@ object Hdf5Writer {
             // elements, early data blocks addressed from the index block,
             // super blocks beyond (H5EA geometry — super block u holds
             // 2^(u/2) data blocks of 2^((u+1)/2)*minElmts entries)
-            val filtered = v.deflate || v.shuffle
+            val filtered = v.deflate || v.shuffle || v.szip
             val clientId = if (filtered) 1 else 0
             val entrySize = if (filtered) 16 else 8
             val nChunks = chunkRefs.size
@@ -413,7 +436,7 @@ object Hdf5Writer {
           } else if (v.chunkIndex == "btree2") {
             // layout v4 + depth-0 v2 B-tree chunk index (record type 10
             // unfiltered / 11 filtered; scaled chunk coordinates)
-            val filtered = v.deflate || v.shuffle
+            val filtered = v.deflate || v.shuffle || v.szip
             val btType = if (filtered) 11 else 10
             val recordSize = if (filtered) 8 + 8 + 4 + rank * 8 else 8 + rank * 8
             val leaf = ArrayBuffer.empty[Byte]
@@ -474,7 +497,7 @@ object Hdf5Writer {
           val btreeAddr = layer.head._1
           val body = (ArrayBuffer[Byte](3, 2, (rank + 1).toByte) ++= b64(btreeAddr)).toArray ++
             chunkDims.flatMap(c => b32(c.toLong)) ++ b32(w.toLong)
-          v.name -> Storage(body, filtered = v.deflate || v.shuffle)
+          v.name -> Storage(body, filtered = v.deflate || v.shuffle || v.szip)
           }
       }
     }.toMap
@@ -520,6 +543,9 @@ object Hdf5Writer {
       }
       if (v.shuffle) add(2, Seq(elemSize(v.dtype)))
       if (v.deflate) add(1, Seq(6))
+      // szip client values (H5Zszip.c): [options mask, bits/pixel,
+      // pixels/block, pixels/scanline]; mask = RAW | NN | LSB = 168
+      if (v.szip) add(4, Seq(168, elemSize(v.dtype) * 8, SzipPpb, SzipPps))
       (Array[Byte](1, n.toByte) ++ new Array[Byte](6)) ++ fs.toArray
     }
 

@@ -232,6 +232,37 @@ class Hdf5Spec extends SparkSpec {
     assert(df.filter($"x" === 3.0).head().getAs[Double]("v") == 13.0) // 6*2+1
   }
 
+  test("szip filter (id 4, CCSDS/Rice coding) round-trips chunked integers") {
+    val p = tmp("szip.nc")
+    val (nt, ny, nx) = (3, 8, 10)
+    HW.write(p, Seq(
+      HW.VarSpec("time", Seq("time"), Seq(nt),
+        (0 until nt).map(t => (t0 + 3600L * t).toDouble), dtype = "f8"),
+      HW.VarSpec("y", Seq("y"), Seq(ny), (0 until ny).map(_.toDouble), dtype = "f8"),
+      HW.VarSpec("x", Seq("x"), Seq(nx), (0 until nx).map(_.toDouble), dtype = "f8"),
+      HW.VarSpec("tp", Seq("time", "y", "x"), Seq(nt, ny, nx),
+        (0 until nt * ny * nx).map(k => (k % 900).toDouble),
+        dtype = "i2", chunks = Some(Seq(2, 4, 5)), szip = true,
+        scaleFactor = Some(0.001)),
+      HW.VarSpec("cnt", Seq("time", "y", "x"), Seq(nt, ny, nx),
+        (0 until nt * ny * nx).map(k => (k * 7 % 100000).toDouble),
+        dtype = "i4", chunks = Some(Seq(2, 4, 5)), szip = true)))
+    val (read, len) = localRead(p)
+    val meta = Hdf5.parse(read, len)
+    assert(meta.byPath("/tp").filters.exists(_.id == 4), "szip filter recorded")
+    val df = NetCDF4Reader.readLongFormat(spark, p)
+    assert(df.count() == nt * ny * nx)
+    // k = t*80 + yy*10 + xx; spot-check mid-grid values through the filter
+    val r = df.filter($"y" === 3.0 && $"x" === 7.0)
+      .orderBy($"time").select($"tp", $"cnt").collect()
+    assert(r.length == nt)
+    (0 until nt).foreach { t =>
+      val k = t * 80 + 37
+      assert(math.abs(r(t).getDouble(0) - (k % 900) * 0.001) < 1e-9, s"tp at t=$t")
+      assert(r(t).getDouble(1) == (k * 7 % 100000).toDouble, s"cnt at t=$t")
+    }
+  }
+
   test("depth-1 v2 B-tree dense storage (BTIN internal root + leaf fan-out)") {
     val p = tmp("densebt1.nc")
     val n = 6
