@@ -16,8 +16,9 @@ package graft.sources.zarr
   * }}}
   *
   * flags: bit 0 byte-shuffle, bit 1 memcpyed (payload stored verbatim),
-  * bit 2 bit-shuffle (directed error), bit 4 dont-split, bits 5-7 the
-  * codec (0 blosclz, 1 lz4/lz4hc, 2 snappy, 3 zlib, 4 zstd).
+  * bit 2 bit-shuffle (the bitshuffle library's bit-plane transpose),
+  * bit 4 dont-split, bits 5-7 the codec (0 blosclz, 1 lz4/lz4hc,
+  * 2 snappy, 3 zlib, 4 zstd).
   *
   * Non-memcpyed payload: `nblocks` little-endian int32 block starts
   * (offsets from the chunk start), then per block `nsplits` sections of
@@ -31,7 +32,7 @@ package graft.sources.zarr
   * opcode stream), lz4 (the default cname; block format decoded here),
   * snappy (varint preamble + tagged elements), zlib (java.util.zip), zstd
   * (each split is a complete zstd frame — [[Zstd]]), and stored-raw
-  * splits. Only bit-shuffle remains a directed error.
+  * splits — with byte-shuffle (shuffle=1) AND bit-shuffle (shuffle=2).
   */
 object Blosc {
 
@@ -60,8 +61,8 @@ object Blosc {
     require(cbytes <= raw.length,
       s"blosc chunk truncated: header says $cbytes bytes, have ${raw.length}")
     require(nbytes >= 0 && blocksize > 0, s"bad blosc sizes nbytes=$nbytes blocksize=$blocksize")
-    if ((flags & 0x04) != 0) throw UnsupportedBlosc("bit-shuffle filter")
-    val shuffled = (flags & 0x01) != 0 && typesize > 1
+    val bitShuffled = (flags & 0x04) != 0
+    val shuffled = (flags & 0x01) != 0 && typesize > 1 && !bitShuffled
     val out = new Array[Byte](nbytes)
     if ((flags & 0x02) != 0) { // memcpyed: payload verbatim after the header
       System.arraycopy(raw, 16, out, 0, nbytes)
@@ -114,11 +115,85 @@ object Blosc {
         val tail = bsize % typesize
         if (tail > 0)
           System.arraycopy(block, bsize - tail, out, dstOff + bsize - tail, tail)
+      } else if (bitShuffled) {
+        bitUnshuffleBlock(block, bsize, typesize, out, dstOff)
       } else System.arraycopy(block, 0, out, dstOff, bsize)
       dstOff += bsize
       b += 1
     }
     out
+  }
+
+  /** Per-block bit-shuffle (numcodecs `Blosc(shuffle=2)`, the bitshuffle
+    * library's transform): the block's elements form an (nElem x 8*ts) bit
+    * matrix — rows are elements, columns run byte 0 MSB..LSB then byte 1,
+    * etc. — which transposes so bit-plane p holds bit p of every element,
+    * packed 8 elements per byte MSB-first. Blocks whose element count is
+    * not a multiple of 8 are stored verbatim (the c-blosc fallback), as
+    * are trailing `bsize % typesize` bytes. */
+  private[graft] def bitShuffleBlock(src: Array[Byte], srcOff: Int, bsize: Int,
+      typesize: Int, dst: Array[Byte], dstOff: Int): Unit = {
+    val nElem = bsize / typesize
+    if (nElem % 8 != 0 || nElem == 0) {
+      System.arraycopy(src, srcOff, dst, dstOff, bsize)
+      return
+    }
+    val planeBytes = nElem / 8
+    java.util.Arrays.fill(dst, dstOff, dstOff + nElem * typesize, 0.toByte)
+    var p = 0
+    while (p < 8 * typesize) {
+      val byteOf = p / 8
+      val shift = 7 - (p % 8)
+      var i = 0
+      while (i < planeBytes) {
+        var acc = 0
+        var j = 0
+        while (j < 8) {
+          val bit = (src(srcOff + (8 * i + j) * typesize + byteOf) >>> shift) & 1
+          acc |= bit << (7 - j)
+          j += 1
+        }
+        dst(dstOff + p * planeBytes + i) = acc.toByte
+        i += 1
+      }
+      p += 1
+    }
+    val tail = bsize % typesize
+    if (tail > 0)
+      System.arraycopy(src, srcOff + bsize - tail, dst, dstOff + bsize - tail, tail)
+  }
+
+  /** Inverse of [[bitShuffleBlock]]. */
+  private[graft] def bitUnshuffleBlock(block: Array[Byte], bsize: Int,
+      typesize: Int, dst: Array[Byte], dstOff: Int): Unit = {
+    val nElem = bsize / typesize
+    if (nElem % 8 != 0 || nElem == 0) {
+      System.arraycopy(block, 0, dst, dstOff, bsize)
+      return
+    }
+    val planeBytes = nElem / 8
+    java.util.Arrays.fill(dst, dstOff, dstOff + nElem * typesize, 0.toByte)
+    var p = 0
+    while (p < 8 * typesize) {
+      val byteOf = p / 8
+      val shift = 7 - (p % 8)
+      var i = 0
+      while (i < planeBytes) {
+        val b = block(p * planeBytes + i) & 0xff
+        var j = 0
+        while (j < 8) {
+          val bit = (b >>> (7 - j)) & 1
+          dst(dstOff + (8 * i + j) * typesize + byteOf) =
+            (dst(dstOff + (8 * i + j) * typesize + byteOf) | (bit << shift)).toByte
+          j += 1
+        }
+        i += 1
+      }
+      p += 1
+    }
+    val tail = bsize % typesize
+    if (tail > 0)
+      System.arraycopy(block, bsize - tail, dst, dstOff + bsize - tail, tail)
   }
 
   /** BloscLZ block decode (public source: c-blosc blosclz.c, the FastLZ-
@@ -522,8 +597,9 @@ object Blosc {
     * `cname` picks the block codec (lz4 default; blosclz, snappy, zstd,
     * zlib cover every cname numcodecs ships). */
   def compress(data: Array[Byte], typesize: Int, shuffle: Boolean,
-      cname: String = "lz4"): Array[Byte] = {
+      cname: String = "lz4", bitShuffle: Boolean = false): Array[Byte] = {
     require(typesize >= 1 && typesize <= 255, s"typesize $typesize")
+    require(!(shuffle && bitShuffle), "byte- and bit-shuffle are exclusive")
     val codecId = cname match {
       case "blosclz" => 0
       case "lz4" | "lz4hc" => 1
@@ -535,7 +611,11 @@ object Blosc {
     val nbytes = data.length
     val doShuffle = shuffle && typesize > 1
     val block =
-      if (doShuffle) {
+      if (bitShuffle) {
+        val sh = new Array[Byte](nbytes)
+        bitShuffleBlock(data, 0, nbytes, typesize, sh, 0)
+        sh
+      } else if (doShuffle) {
         val elems = nbytes / typesize
         val sh = new Array[Byte](nbytes)
         var j = 0
@@ -583,7 +663,8 @@ object Blosc {
     out(0) = 2 // format version (blosc 1.x)
     out(1) = 1 // codec format version
     val splitFlag = if (nsplits == 1) 0x10 else 0
-    out(2) = ((if (doShuffle) 0x01 else 0) | splitFlag | (codecId << 5)).toByte
+    out(2) = ((if (doShuffle) 0x01 else 0) | (if (bitShuffle) 0x04 else 0) |
+      splitFlag | (codecId << 5)).toByte
     out(3) = typesize.toByte
     putLe32(out, 4, nbytes)
     putLe32(out, 8, math.max(nbytes, 1)) // blocksize = whole buffer

@@ -193,6 +193,37 @@ class ZarrSourceSpec extends SparkSpec {
     }
   }
 
+  test("bit-shuffle (numcodecs shuffle=2) round-trips and lays planes out right") {
+    import graft.sources.zarr.Blosc
+    // hand-check the bit-plane layout: ts=1, 8 elements — plane p holds
+    // bit p (MSB-first within each source byte) of every element
+    val tiny = Array[Byte](0x80.toByte, 0, 0, 0, 0, 0, 0, 0x01)
+    val sh = new Array[Byte](8)
+    Blosc.bitShuffleBlock(tiny, 0, 8, 1, sh, 0)
+    assert(sh(0) == 0x80.toByte && sh(7) == 0x01.toByte &&
+      sh.slice(1, 7).forall(_ == 0), s"planes: ${sh.toSeq}")
+    val back = new Array[Byte](8)
+    Blosc.bitUnshuffleBlock(sh, 8, 1, back, 0)
+    assert(back.toSeq == tiny.toSeq)
+    // full-container round-trips across typesizes, codecs, and the
+    // nElem % 8 != 0 verbatim fallback
+    for (ts <- Seq(1, 2, 4, 8); n <- Seq(64, 4096, 4100, 30000);
+         cname <- Seq("lz4", "zstd")) {
+      val data = Array.tabulate(n)(i => ((i / 7) % 251).toByte)
+      val packed = Blosc.compress(data, ts, shuffle = false, cname = cname,
+        bitShuffle = true)
+      assert((packed(2) & 0x04) != 0, "bit-shuffle flag set")
+      assert(Blosc.decompress(packed).toSeq == data.toSeq,
+        s"bitshuffle $cname ts=$ts n=$n")
+    }
+    // low-entropy int16 data: bit-planes are mostly constant, so lz4 must
+    // compress far better than the unshuffled stream would
+    val small = Array.tabulate(8192)(i => (if (i % 2 == 0) (i / 64) % 3 else 0).toByte)
+    val packed = Blosc.compress(small, 2, shuffle = false, bitShuffle = true)
+    assert(packed.length < small.length / 4,
+      s"bit-planes should compress hard: ${packed.length}")
+  }
+
   test("blosclz far-distance matches (the 16-bit offset form) decode") {
     import graft.sources.zarr.Blosc
     // handcraft: 9000 patterned literals, then a 5-byte match 9000 back —
