@@ -365,7 +365,12 @@ object Hdf5 {
       (heapOff, data)
     }
 
-    // every allocated direct block, ascending by heap-space offset
+    // every allocated direct block, ascending by heap-space offset. Rows
+    // past maxDirectRows hold child INDIRECT blocks (recursively): a child
+    // at row r spans rowSize(r) bytes and re-partitions them through the
+    // same doubling table, with nrows = log2(rowSize(r)) -
+    // log2(startBlock x width) + 1 (the H5HF geometry). Indirect entries
+    // never carry filtered sizes — those live on the direct entries.
     private val blocks: Array[(Long, Array[Byte])] =
       if (curRows == 0)
         Array(directBlock(rootBlockAddr, allocatedSpace, rootFilteredSize,
@@ -373,26 +378,44 @@ object Hdf5 {
       else {
         val maxDirectRows =
           (63 - java.lang.Long.numberOfLeadingZeros(maxDirectSize / startBlockSize)) + 2
-        if (curRows > maxDirectRows)
-          throw UnsupportedHdf5(s"fractal heap with nested indirect blocks " +
-            s"($curRows rows > $maxDirectRows direct rows)")
-        val entrySize = 8L + (if (ioFilterLen != 0) 8 + 4 else 0)
+        val firstRowBits =
+          java.lang.Long.numberOfTrailingZeros(startBlockSize * tableWidth)
+        def rowSize(r: Int): Long =
+          if (r < 2) startBlockSize else startBlockSize << (r - 1)
+        val directEntry = 8L + (if (ioFilterLen != 0) 8 + 4 else 0)
         val headLen = 4 + 1 + 8 + offsetSize
-        val ib = new Cur(read(rootBlockAddr,
-          (headLen + curRows * tableWidth * entrySize + 4).toInt))
-        require(ib.ascii(0, 4) == "FHIB", s"bad indirect block at $rootBlockAddr")
         val out = Array.newBuilder[(Long, Array[Byte])]
-        (0 until curRows).foreach { r =>
-          val rowSize = if (r < 2) startBlockSize else startBlockSize << (r - 1)
-          (0 until tableWidth).foreach { c =>
-            val at = headLen + (r.toLong * tableWidth + c) * entrySize
-            val childAddr = ib.u64(at)
-            if (childAddr != Undef)
-              out += directBlock(childAddr, rowSize,
-                if (ioFilterLen != 0) ib.u64(at + 8) else 0L,
-                if (ioFilterLen != 0) ib.u32(at + 16).toInt else 0)
+        def walk(addr: Long, nrows: Int): Unit = {
+          val nDirect = math.min(nrows, maxDirectRows)
+          val len = headLen + nDirect * tableWidth * directEntry +
+            math.max(0, nrows - nDirect) * tableWidth * 8L + 4
+          val ib = new Cur(read(addr, len.toInt))
+          require(ib.ascii(0, 4) == "FHIB", s"bad indirect block at $addr")
+          var at = headLen.toLong
+          (0 until nDirect).foreach { r =>
+            (0 until tableWidth).foreach { _ =>
+              val childAddr = ib.u64(at)
+              if (childAddr != Undef)
+                out += directBlock(childAddr, rowSize(r),
+                  if (ioFilterLen != 0) ib.u64(at + 8) else 0L,
+                  if (ioFilterLen != 0) ib.u32(at + 16).toInt else 0)
+              at += directEntry
+            }
+          }
+          (nDirect until nrows).foreach { r =>
+            val childNrows =
+              (63 - java.lang.Long.numberOfLeadingZeros(rowSize(r))) -
+                firstRowBits + 1
+            require(childNrows >= 1, s"indirect child at row $r of a " +
+              s"${startBlockSize}B/$tableWidth-wide table")
+            (0 until tableWidth).foreach { _ =>
+              val childAddr = ib.u64(at)
+              if (childAddr != Undef) walk(childAddr, childNrows)
+              at += 8
+            }
           }
         }
+        walk(rootBlockAddr, curRows)
         out.result().sortBy(_._1)
       }
 

@@ -73,7 +73,8 @@ object Hdf5Writer {
     * headers, compact Link messages instead of symbol tables. */
   def write(path: String, vars: Seq[VarSpec], denseRoot: Boolean = false,
       latestFormat: Boolean = false, denseFiltered: Boolean = false,
-      denseBtNodeSize: Int = 2048): Unit = {
+      denseBtNodeSize: Int = 2048, denseStartBlock: Long = 4096L,
+      denseMaxDirect: Long = 65536L): Unit = {
     require(vars.map(_.name).distinct.size == vars.size, "duplicate var names")
     val out = new ArrayBuffer[Byte](1 << 16)
     def appendAt(bytes: Array[Byte]): Long = { val a = out.size.toLong; out ++= bytes; a }
@@ -615,41 +616,79 @@ object Hdf5Writer {
     // index type. Returns (fractal heap addr, B-tree header addr).
     def denseIndex(bodies: Seq[Array[Byte]], btreeType: Int,
         record: Array[Byte] => Array[Byte], filtered: Boolean = false,
-        btNodeSize: Int = 2048): (Long, Long) = {
+        btNodeSize: Int = 2048, startBlock: Long = 4096L,
+        maxDirect: Long = 65536L): (Long, Long) = {
       pad8()
       val offsetSize = 4 // max heap size 32 bits
       val lengthSize = 2 // max managed object size 1024
       val width = 4
-      val startBlock = 4096L
       val headerLen = 4 + 1 + 8 + offsetSize // FHDB header, no checksum
       def rowSize(r: Int): Long = if (r < 2) startBlock else startBlock << (r - 1)
-      def rowStart(r: Int): Long = (0 until r).map(i => width * rowSize(i)).sum
-      // place objects into blocks in heap-space order (objects never span)
+      val maxDirectRows =
+        (63 - java.lang.Long.numberOfLeadingZeros(maxDirect / startBlock)).toInt + 2
+      val firstRowBits = java.lang.Long.numberOfTrailingZeros(startBlock * width)
+      // structural enumeration of DIRECT blocks in heap-offset order: rows
+      // past maxDirectRows expand through one level of child indirect
+      // blocks, whose internal tables restart the doubling sequence
+      final case class Blk(heapOff: Long, size: Long)
+      val blkDefs = ArrayBuffer.empty[Blk]
+      // per root entry: Left(direct block idx) or Right((childHeapOff, idxs))
+      val rootEntries = ArrayBuffer.empty[Either[Int, (Long, Seq[Int])]]
+      var allocOff = 0L
+      var rowsAdded = 0
+      def addRow(): Unit = {
+        val r = rowsAdded
+        if (r < maxDirectRows) {
+          (0 until width).foreach { _ =>
+            rootEntries += Left(blkDefs.size)
+            blkDefs += Blk(allocOff, rowSize(r))
+            allocOff += rowSize(r)
+          }
+        } else {
+          val childNrows =
+            ((63 - java.lang.Long.numberOfLeadingZeros(rowSize(r))) -
+              firstRowBits + 1).toInt
+          require(childNrows >= 1 && childNrows <= maxDirectRows,
+            s"dense index needs ${if (childNrows < 1) "invalid" else "two"} " +
+              "nesting levels (unsupported writer)")
+          (0 until width).foreach { _ =>
+            val childOff = allocOff
+            val idxs = Seq.newBuilder[Int]
+            (0 until childNrows).foreach { cr =>
+              (0 until width).foreach { _ =>
+                idxs += blkDefs.size
+                blkDefs += Blk(allocOff, rowSize(cr))
+                allocOff += rowSize(cr)
+              }
+            }
+            rootEntries += Right((childOff, idxs.result()))
+          }
+        }
+        rowsAdded += 1
+      }
+      addRow()
+      // place objects into the block sequence (objects never span blocks)
       val blockObjs = ArrayBuffer(ArrayBuffer.empty[Array[Byte]])
-      val blockFill = ArrayBuffer(headerLen.toLong)
+      var fill = headerLen.toLong // fill within the current block
       def blkIdx = blockObjs.size - 1
       val heapIds = bodies.map { body =>
         require(body.length <= 1024, s"dense object ${body.length}B > max managed 1024")
-        if (blockFill(blkIdx) - rowStart(blkIdx / width) -
-            (blkIdx % width) * rowSize(blkIdx / width) + body.length >
-            rowSize(blkIdx / width)) {
-          val next = blockObjs.size
+        if (fill + body.length > blkDefs(blkIdx).size) {
           blockObjs += ArrayBuffer.empty[Array[Byte]]
-          blockFill += rowStart(next / width) + (next % width) * rowSize(next / width) +
-            headerLen
+          if (blkIdx >= blkDefs.size) addRow()
+          fill = headerLen.toLong
         }
-        val off = blockFill(blkIdx)
+        val off = blkDefs(blkIdx).heapOff + fill
         blockObjs(blkIdx) += body
-        blockFill(blkIdx) += body.length
+        fill += body.length
         // managed heap id: flags 0, offset u32 LE, length u16 LE
         (Array[Byte](0) ++ b32(off) ++ b16(body.length)): Array[Byte]
       }
       val nBlocks = blockObjs.size
-      val curRows = if (nBlocks == 1) 0 else (nBlocks + width - 1) / width
+      val curRows = if (nBlocks == 1) 0 else rowsAdded
       val totalSpace =
         if (nBlocks == 1) startBlock
-        else rowStart((nBlocks - 1) / width) +
-          ((nBlocks - 1) % width + 1) * rowSize((nBlocks - 1) / width)
+        else blkDefs(nBlocks - 1).heapOff + blkDefs(nBlocks - 1).size
       // version-1 filter pipeline message body: deflate level 6
       val pipeline: Array[Byte] =
         if (!filtered) Array.emptyByteArray
@@ -676,7 +715,7 @@ object Hdf5Writer {
       frhp ++= b64(bodies.size.toLong)     // managed objects
       frhp ++= b64(0L) ++ b64(0L) ++ b64(0L) ++ b64(0L) // huge/tiny stats
       frhp ++= b16(width)                  // table width
-      frhp ++= b64(startBlock) ++ b64(65536L) // starting/max direct size
+      frhp ++= b64(startBlock) ++ b64(maxDirect) // starting/max direct size
       frhp ++= b16(32)                     // max heap size (bits)
       frhp ++= b16(0)                      // starting rows
       val rootBlockAddrAt = frhp.size
@@ -697,12 +736,11 @@ object Hdf5Writer {
       // direct blocks: header + objects at their heap-space offsets
       val blockMeta = (0 until nBlocks).map { bi =>
         pad8()
-        val nominal = rowSize(bi / width)
-        val heapOff = rowStart(bi / width) + (bi % width) * nominal
+        val nominal = blkDefs(bi).size
         val block = ArrayBuffer.empty[Byte]
         block ++= "FHDB".getBytes("US-ASCII") += 0
         block ++= b64(frhpAddr)
-        block ++= b32(heapOff) // block offset in heap space (offsetSize = 4)
+        block ++= b32(blkDefs(bi).heapOff) // heap-space offset (offsetSize 4)
         blockObjs(bi).foreach(block ++= _)
         require(block.size <= nominal, s"block $bi overflows ${nominal}B")
         while (block.size < nominal) block += 0
@@ -710,24 +748,40 @@ object Hdf5Writer {
         val payload = if (filtered) deflateAll(raw) else raw
         (appendAt(payload), payload.length.toLong)
       }
+      def directEntry(ib: ArrayBuffer[Byte], idx: Int): Unit =
+        if (idx < nBlocks) {
+          ib ++= b64(blockMeta(idx)._1)
+          if (filtered) { ib ++= b64(blockMeta(idx)._2); ib ++= b32(0L) }
+        } else {
+          ib ++= b64(Hdf5.Undef)
+          if (filtered) { ib ++= b64(0L); ib ++= b32(0L) }
+        }
       if (nBlocks == 1) {
         patch64(frhpAddr + rootBlockAddrAt, blockMeta.head._1)
         if (filtered) patch64(frhpAddr + rootFsizeAt, blockMeta.head._2)
       } else {
-        // root indirect block: entries for curRows x width children
+        // child indirect blocks first (rows past maxDirectRows), then the
+        // root indirect block referencing direct children and child FHIBs
+        val childAddrs: Map[Int, Long] = rootEntries.zipWithIndex.collect {
+          case (Right((childOff, idxs)), e) if idxs.head < nBlocks =>
+            pad8()
+            val cib = ArrayBuffer.empty[Byte]
+            cib ++= "FHIB".getBytes("US-ASCII") += 0
+            cib ++= b64(frhpAddr)
+            cib ++= b32(childOff) // child's heap-space offset
+            idxs.foreach(directEntry(cib, _))
+            cib ++= b32(0L) // checksum (unverified)
+            e -> appendAt(cib.toArray)
+        }.toMap
         pad8()
         val ib = ArrayBuffer.empty[Byte]
         ib ++= "FHIB".getBytes("US-ASCII") += 0
         ib ++= b64(frhpAddr)
         ib ++= b32(0L) // block offset of the root indirect block
-        (0 until curRows * width).foreach { e =>
-          if (e < nBlocks) {
-            ib ++= b64(blockMeta(e)._1)
-            if (filtered) { ib ++= b64(blockMeta(e)._2); ib ++= b32(0L) }
-          } else {
-            ib ++= b64(Hdf5.Undef)
-            if (filtered) { ib ++= b64(0L); ib ++= b32(0L) }
-          }
+        rootEntries.zipWithIndex.take(curRows * width).foreach {
+          case (Left(idx), _) => directEntry(ib, idx)
+          case (Right(_), e) => // indirect entries carry no filter fields
+            ib ++= b64(childAddrs.getOrElse(e, Hdf5.Undef))
         }
         ib ++= b32(0L) // checksum (unverified)
         patch64(frhpAddr + rootBlockAddrAt, appendAt(ib.toArray))
@@ -881,7 +935,8 @@ object Hdf5Writer {
       // link-name B-tree record (type 5): name hash, then heap id
       val (frhpAddr, bthdAddr) = denseIndex(bodies, btreeType = 5,
         record = id => b32(0L) ++ id, filtered = denseFiltered,
-        btNodeSize = denseBtNodeSize)
+        btNodeSize = denseBtNodeSize, startBlock = denseStartBlock,
+        maxDirect = denseMaxDirect)
       val rootAddr = objectHeader(Seq(
         (0x02, Array[Byte](0, 0) ++ b64(frhpAddr) ++ b64(bthdAddr))))
       finish(rootAddr, Hdf5.Undef, Hdf5.Undef)

@@ -303,6 +303,38 @@ class Hdf5Spec extends SparkSpec {
     assert(df.filter($"x" === 1.0).head().getAs[Double]("v123") == 1231.0)
   }
 
+  test("nested indirect fractal heap blocks (two-level doubling table)") {
+    val p = tmp("densenested.nc")
+    // 512 B starting blocks, 1024 B max direct: rows 0-2 are direct (4 x
+    // 512, 4 x 512, 4 x 1024 = 8 KiB); ~9 KiB of padded link messages
+    // push row 3 into CHILD indirect blocks (each spanning 2048 B as one
+    // row of four 512 B direct blocks)
+    val nVars = 300
+    val pad = "x" * 12
+    HW.write(p,
+      HW.VarSpec("x", Seq("x"), Seq(2), Seq(0.0, 1.0), dtype = "f8") +:
+        (0 until nVars).map(k => HW.VarSpec(f"v$k%03d$pad", Seq("x"), Seq(2),
+          Seq(k * 10.0, k * 10.0 + 1), dtype = "f8")),
+      denseRoot = true, denseStartBlock = 512L, denseMaxDirect = 1024L)
+    val (read, len) = localRead(p)
+    val meta = Hdf5.parse(read, len)
+    assert(meta.datasets.size == nVars + 1, s"got ${meta.datasets.size}")
+    assert(meta.datasets.exists(_.path == s"/v000$pad") &&
+      meta.datasets.exists(_.path == s"/v299$pad"))
+    val df = NetCDF4Reader.readLongFormat(spark, p)
+    assert(df.filter($"x" === 1.0).head().getAs[Double](s"v123$pad") == 1231.0)
+    // filtered + nested compose: deflated direct blocks behind child FHIBs
+    val pf = tmp("densenestedfilt.nc")
+    HW.write(pf,
+      HW.VarSpec("x", Seq("x"), Seq(2), Seq(0.0, 1.0), dtype = "f8") +:
+        (0 until nVars).map(k => HW.VarSpec(f"v$k%03d$pad", Seq("x"), Seq(2),
+          Seq(k * 10.0, k * 10.0 + 1), dtype = "f8")),
+      denseRoot = true, denseFiltered = true,
+      denseStartBlock = 512L, denseMaxDirect = 1024L)
+    val (readF, lenF) = localRead(pf)
+    assert(Hdf5.parse(readF, lenF).datasets.size == nVars + 1)
+  }
+
   test("filtered fractal heap: deflated dense-storage blocks, direct and indirect") {
     // direct filtered root: compressed size + mask + pipeline in the header
     val small = tmp("densefilt.nc")
