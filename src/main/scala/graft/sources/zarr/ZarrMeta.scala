@@ -55,7 +55,11 @@ object ZarrMeta {
       // `shardIndexCrc`
       shardChunks: Option[Seq[Int]] = None,
       shardIndexAtEnd: Boolean = true,
-      shardIndexCrc: Boolean = true) {
+      shardIndexCrc: Boolean = true,
+      // v2 `filters`: a single numcodecs Delta (cumulative-sum inverse,
+      // applied between decompression and dtype decode) is supported;
+      // anything else raises a directed error at parse time
+      deltaFilter: Boolean = false) {
     def chunkGrid: Seq[Int] = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     def chunkKey(chunkIdx: Seq[Int]): String =
       if (v3DefaultKeys) ("c" +: chunkIdx.map(_.toString)).mkString(keySep)
@@ -105,6 +109,21 @@ object ZarrMeta {
       case JNull | JNothing => None
       case c => Some((c \ "id").extract[String])
     }
+    // `filters` apply between the compressor and the raw bytes; ignoring
+    // one would decode WRONG values silently, so anything unrecognized is
+    // a directed error, not a pass-through
+    val delta = (za \ "filters") match {
+      case JNull | JNothing | JArray(Nil) => false
+      case JArray(List(f)) if (f \ "id").extractOpt[String].contains("delta") =>
+        val dt = (f \ "dtype").extractOpt[String]
+        val at = (f \ "astype").extractOpt[String].orElse(dt)
+        require(at == dt, s"delta filter astype $at != dtype $dt (unsupported)")
+        true
+      case other =>
+        throw new UnsupportedOperationException(
+          s"zarr v2 filters ${JsonMethods.compact(JsonMethods.render(other))} " +
+            "— only a single numcodecs delta filter is supported")
+    }
     val units = (attrs \ "units").extractOpt[String].getOrElse("")
     ArrayMeta(
       name = name,
@@ -123,7 +142,8 @@ object ZarrMeta {
       scaleFactor = (attrs \ "scale_factor").extractOpt[Double],
       addOffset = (attrs \ "add_offset").extractOpt[Double],
       missingValue = (attrs \ "missing_value").extractOpt[Double],
-      epochSecondsTime = units.startsWith("seconds since 1970-01-01"))
+      epochSecondsTime = units.startsWith("seconds since 1970-01-01"),
+      deltaFilter = delta)
   }
 
   /** Parse a v3 array `zarr.json` into the common ArrayMeta. */
@@ -307,11 +327,14 @@ object ZarrMeta {
           s"zarr compressor '$other' not supported (use zlib, gzip, zstd, blosc, or null)")
       case None => raw
     }
+    def defilter(raw: Array[Byte]): Array[Byte] =
+      if (meta.deltaFilter) undelta(decompress(raw), meta.dtype)
+      else decompress(raw)
     meta.shardChunks match {
       case None =>
         readFile(conf, s"$store/${meta.name}/${meta.chunkKey(chunkIdx)}") match {
           case None => fill()
-          case Some(raw) => decode(decompress(raw), meta, n)
+          case Some(raw) => decode(defilter(raw), meta, n)
         }
       case Some(_) =>
         val per = meta.innerPerShard
@@ -322,7 +345,7 @@ object ZarrMeta {
           s"$store/${meta.name}/${meta.chunkKey(shardIdx)}",
           meta, per.map(_.toLong).product, linear) match {
           case None => fill()
-          case Some(raw) => decode(decompress(raw), meta, n)
+          case Some(raw) => decode(defilter(raw), meta, n)
         }
     }
   }
@@ -386,6 +409,48 @@ object ZarrMeta {
     case "i2" => 2
     case "u1" => 1
     case _ => throw new UnsupportedOperationException(s"zarr dtype '$dtype'")
+  }
+
+  /** Inverse of the numcodecs Delta filter: cumulative sum in the array's
+    * OWN dtype — integer wraparound and float32 rounding follow from doing
+    * the arithmetic at that width, exactly as numcodecs does. */
+  private[zarr] def undelta(bytes: Array[Byte], dtype: String): Array[Byte] = {
+    val order =
+      if (dtype.startsWith(">")) java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(order)
+    dtype.drop(1) match {
+      case "f8" =>
+        val b = bb.asDoubleBuffer()
+        var acc = 0.0
+        (0 until b.limit()).foreach { i => acc += b.get(i); b.put(i, acc) }
+      case "f4" =>
+        val b = bb.asFloatBuffer()
+        var acc = 0.0f
+        (0 until b.limit()).foreach { i => acc += b.get(i); b.put(i, acc) }
+      case "i8" =>
+        val b = bb.asLongBuffer()
+        var acc = 0L
+        (0 until b.limit()).foreach { i => acc += b.get(i); b.put(i, acc) }
+      case "i4" =>
+        val b = bb.asIntBuffer()
+        var acc = 0
+        (0 until b.limit()).foreach { i => acc += b.get(i); b.put(i, acc) }
+      case "i2" =>
+        val b = bb.asShortBuffer()
+        var acc: Short = 0
+        (0 until b.limit()).foreach { i =>
+          acc = (acc + b.get(i)).toShort; b.put(i, acc)
+        }
+      case "u1" =>
+        var acc = 0
+        bytes.indices.foreach { i =>
+          acc = (acc + (bytes(i) & 0xff)) & 0xff; bytes(i) = acc.toByte
+        }
+      case _ => throw new UnsupportedOperationException(
+        s"delta filter over zarr dtype '$dtype'")
+    }
+    bytes
   }
 
   private def gunzip(raw: Array[Byte], expected: Int): Array[Byte] = {

@@ -378,6 +378,52 @@ class ZarrSourceSpec extends SparkSpec {
     assert(v3.count() == nt * ny * nx)
   }
 
+  test("zarr v2 delta filter decodes; unknown filters raise, never pass through") {
+    import graft.sources.zarr.ZarrMeta
+    val dir = java.nio.file.Files.createTempDirectory("zarrdelta").toString + "/s.zarr"
+    def putS(rel: String, s: String): Unit = {
+      val f = new java.io.File(dir, rel)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, s.getBytes("UTF-8"))
+    }
+    putS(".zgroup", """{"zarr_format": 2}""")
+    putS("v/.zarray",
+      """{"zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<i4",
+        | "compressor": {"id": "zlib", "level": 1}, "order": "C",
+        | "filters": [{"id": "delta", "dtype": "<i4"}],
+        | "fill_value": null}""".stripMargin)
+    putS("v/.zattrs", """{"_ARRAY_DIMENSIONS": ["x"]}""")
+    // values [10, 13, 11, 20] delta-encode to [10, 3, -2, 9], then zlib
+    val deltas = Array(10, 3, -2, 9)
+    val raw = new Array[Byte](16)
+    deltas.zipWithIndex.foreach { case (v, i) =>
+      (0 until 4).foreach(j => raw(i * 4 + j) = ((v >> (8 * j)) & 0xff).toByte)
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](64)
+    val packed = java.util.Arrays.copyOf(buf, d.deflate(buf))
+    d.end()
+    java.nio.file.Files.write(new java.io.File(dir, "v/0").toPath, packed)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val meta = ZarrMeta.readArrayMeta(conf, dir, "v")
+    assert(meta.deltaFilter, "delta filter parsed")
+    val vals = ZarrMeta.readChunk(conf, dir, meta, Seq(0))
+    assert(vals.toSeq == Seq(10.0, 13.0, 11.0, 20.0), vals.toSeq)
+    // an unrecognized filter must be a directed error — silently ignoring
+    // it would decode wrong values
+    putS("w/.zarray",
+      """{"zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<i4",
+        | "compressor": null, "order": "C",
+        | "filters": [{"id": "fixedscaleoffset", "scale": 10}],
+        | "fill_value": null}""".stripMargin)
+    putS("w/.zattrs", """{"_ARRAY_DIMENSIONS": ["x"]}""")
+    val e = intercept[UnsupportedOperationException] {
+      ZarrMeta.readArrayMeta(conf, dir, "w")
+    }
+    assert(e.getMessage.contains("delta"), e.getMessage)
+  }
+
   test("zarr v3 big-endian bytes codec decodes (hand-crafted store)") {
     val dir = java.nio.file.Files.createTempDirectory("zarr3be").toString + "/s.zarr"
     def put(rel: String, bytes: Array[Byte]): Unit = {
