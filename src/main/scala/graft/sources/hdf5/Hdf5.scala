@@ -321,9 +321,8 @@ object Hdf5 {
     * pipeline when one is present (direct blocks are filtered WHOLE, header
     * included; the root-direct compressed size and mask live in the FRHP
     * header, per-child sizes in the indirect block entries), and resolves
-    * heap-space offsets to bytes. Nested indirect blocks (heaps past
-    * width x maxDirectRows direct blocks, ~tens of MB of link/attribute
-    * messages) raise a directed error. */
+    * heap-space offsets to bytes. Rows past maxDirectRows recurse through
+    * child indirect blocks (the two-level doubling table and beyond). */
   private final class FractalHeap(read: (Long, Int) => Array[Byte], addr: Long) {
     private val h = new Cur(read(addr, 256))
     require(h.ascii(0, 4) == "FRHP", s"bad fractal heap at $addr")
@@ -344,14 +343,21 @@ object Hdf5 {
     val lengthSize: Int = bytesFor(maxManagedSize)
     require(heapIdLen == 1 + offsetSize + lengthSize,
       s"fractal heap id length $heapIdLen vs 1+$offsetSize+$lengthSize")
-    // filtered heap: root-direct compressed size (file length size) + mask,
-    // then the encoded filter-pipeline message, follow the geometry fields
+    // filtered heap: the root-direct compressed size (file length size) +
+    // filter mask are present ONLY when the root is a direct block
+    // (curRows == 0, per H5HFcache's header decode); with an indirect root
+    // the encoded filter-pipeline message follows the geometry directly
+    private val rootFilteredSize =
+      if (ioFilterLen == 0 || curRows != 0) 0L else h.u64(geomAt + 32)
+    private val rootFilterMask =
+      if (ioFilterLen == 0 || curRows != 0) 0 else h.u32(geomAt + 40).toInt
     private val filters: Seq[Filter] =
       if (ioFilterLen == 0) Nil
-      else parseFilters(java.util.Arrays.copyOfRange(h.b,
-        (geomAt + 44).toInt, (geomAt + 44 + ioFilterLen).toInt))
-    private val rootFilteredSize = if (ioFilterLen == 0) 0L else h.u64(geomAt + 32)
-    private val rootFilterMask = if (ioFilterLen == 0) 0 else h.u32(geomAt + 40).toInt
+      else {
+        val at = geomAt + (if (curRows == 0) 44 else 32)
+        parseFilters(java.util.Arrays.copyOfRange(h.b,
+          at.toInt, (at + ioFilterLen).toInt))
+      }
 
     private def directBlock(at: Long, nominal: Long, filteredSize: Long,
         mask: Int): (Long, Array[Byte]) = {
@@ -1138,10 +1144,14 @@ object Hdf5 {
           val (mask, bpp, ppb, pps) = (cv(0), cv(1), cv(2), cv(3))
           if (bpp <= 0 || bpp % 8 != 0 || bpp > 32)
             throw UnsupportedHdf5(s"szip with $bpp bits/pixel (8/16/24/32 only)")
+          if (ppb <= 0 || pps <= 0 || pps % ppb != 0)
+            throw UnsupportedHdf5(s"szip scanline of $pps pixels is not a " +
+              s"multiple of the $ppb-pixel block (partial-block padding " +
+              "unsupported) — repack with h5repack to deflate")
           val bytesPer = bpp / 8
           val nSamples = expected / bytesPer
-          val params = graft.sources.grib.Ccsds.Params(bpp, ppb,
-            math.max(1, pps / math.max(ppb, 1)), preprocess = (mask & 32) != 0)
+          val params = graft.sources.grib.Ccsds.Params(bpp, ppb, pps / ppb,
+            preprocess = (mask & 32) != 0)
           val samples = graft.sources.grib.Ccsds.decode(data, params, nSamples)
           val outB = new Array[Byte](expected)
           val msb = (mask & 16) != 0

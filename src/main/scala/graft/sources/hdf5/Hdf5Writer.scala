@@ -723,8 +723,12 @@ object Hdf5Writer {
       frhp ++= b16(curRows)                // 0 = direct root, else indirect
       val rootFsizeAt = frhp.size
       if (filtered) {
-        frhp ++= b64(0L)                   // filtered root size (patched)
-        frhp ++= b32(0L)                   // root filter mask
+        // filtered-root size + mask exist ONLY for a direct root block
+        // (curRows == 0); indirect roots carry sizes in their FHIB entries
+        if (curRows == 0) {
+          frhp ++= b64(0L)                 // filtered root size (patched)
+          frhp ++= b32(0L)                 // root filter mask
+        }
         frhp ++= pipeline
       }
       frhp ++= b32(0L)                     // checksum (unverified)

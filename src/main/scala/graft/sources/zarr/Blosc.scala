@@ -130,7 +130,11 @@ object Blosc {
     * etc. — which transposes so bit-plane p holds bit p of every element,
     * packed 8 elements per byte MSB-first. Blocks whose element count is
     * not a multiple of 8 are stored verbatim (the c-blosc fallback), as
-    * are trailing `bsize % typesize` bytes. */
+    * are trailing `bsize % typesize` bytes. The bit order is pinned by the
+    * bitshuffle library's own numpy-equivalence definition
+    * (unpackbits/transpose/packbits, both MSB-first) and a hand-laid-out
+    * plane assertion in ZarrSourceSpec — no reference implementation is
+    * available in this sandbox to capture a chunk fixture from. */
   private[graft] def bitShuffleBlock(src: Array[Byte], srcOff: Int, bsize: Int,
       typesize: Int, dst: Array[Byte], dstOff: Int): Unit = {
     val nElem = bsize / typesize

@@ -52,11 +52,14 @@ object Zstd {
       sizeHint: Int = -1): Array[Byte] = {
     var off = srcOff
     val end = srcOff + srcLen
-    // skippable frames: magic 0x184D2A5?, u32 payload size
+    // skippable frames: magic 0x184D2A5?, u32 payload size (UNSIGNED — a
+    // signed read would let a crafted size >= 2^31 move `off` backwards or
+    // hold it in place, spinning this loop forever)
     while (off + 8 <= end && {
         val m = le32(src, off); m >= SkippableMin && m <= SkippableMax }) {
-      off += 8 + le32(src, off + 4)
-      if (off > end) bad("skippable frame overruns input")
+      val payload = le32(src, off + 4) & 0xffffffffL
+      if (off + 8 + payload > end) bad("skippable frame overruns input")
+      off += (8 + payload).toInt
     }
     if (off + 4 > end || le32(src, off) != Magic) bad("missing frame magic")
     off += 4
@@ -132,8 +135,9 @@ object Zstd {
     out
   }
 
-  /** Decode one frame directly into a caller buffer slice (the blosc-split
-    * shape: expected size known, no copy). */
+  /** Decode one frame into a caller buffer slice (the blosc-split shape:
+    * expected size known; decodes to a scratch array sized by the frame
+    * header, then copies the validated result in). */
   def decompressInto(src: Array[Byte], srcOff: Int, srcLen: Int,
       dst: Array[Byte], dstOff: Int, dstLen: Int): Unit = {
     val res = decompress(src, srcOff, srcLen, dstLen)

@@ -135,6 +135,14 @@ class ZstdSpec extends AnyFunSuite {
     for (cut <- Seq(ok.length / 2, ok.length - 1)) {
       intercept[RuntimeException] { Zstd.decompress(ok, 0, cut) }
     }
+    // skippable frame with a crafted size >= 2^31: the unsigned read +
+    // bound check must throw — a signed read would hold `off` in place
+    // (size -8) and spin forever
+    val spin = Array[Byte](0x50, 0x2A, 0x4D, 0x18,
+      0xF8.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte)
+    assert(intercept[IllegalArgumentException] {
+      Zstd.decompress(spin, 0, spin.length, 4)
+    }.getMessage.contains("skippable"))
   }
 
   test("store-mode encoder emits frames the reference decoder accepts") {
