@@ -6,12 +6,14 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 
 /** Pure-JVM NetCDF-3 "classic" parser (public format spec: the NetCDF
-  * Classic Format Specification, versions 1 and 2 / 64-bit-offset). The
+  * Classic Format Specification — versions 1, 2 / 64-bit-offset, and 5 /
+  * 64-bit-data, the PnetCDF large-file variant with widened counts and
+  * unsigned/64-bit integer types). The
   * reference's mover opens .nc files via xarray/netcdf4
   * (weather_mv/loader_pipeline/sinks.py:345-389); this provides the same
   * capability for classic files without native libraries.
   *
-  * Layout: `CDF\x01|\x02` magic, numrecs, dim list, global attributes,
+  * Layout: `CDF\x01|\x02|\x05` magic, numrecs, dim list, global attributes,
   * variable list (name, dimids, attributes, type, vsize, begin offset),
   * then big-endian data — fixed-size variables as contiguous blocks, record
   * variables interleaved per record. CDL conventions honored:
@@ -40,20 +42,23 @@ object NetCDF3 {
       case i: Int => i.toDouble
       case s: Short => s.toDouble
       case b: Byte => b.toDouble
+      case l: Long => l.toDouble
     }
   }
   final case class Header(numRecs: Int, dims: Seq[Dim], gattrs: Map[String, Any],
       vars: Seq[Var], recSize: Long)
 
-  // nc_type constants
+  // nc_type constants (7..11 are the CDF-5 / 64-bit-data additions)
   val NC_BYTE = 1; val NC_CHAR = 2; val NC_SHORT = 3
   val NC_INT = 4; val NC_FLOAT = 5; val NC_DOUBLE = 6
+  val NC_UBYTE = 7; val NC_USHORT = 8; val NC_UINT = 9
+  val NC_INT64 = 10; val NC_UINT64 = 11
 
   def typeBytes(t: Int): Int = t match {
-    case NC_BYTE | NC_CHAR => 1
-    case NC_SHORT => 2
-    case NC_INT | NC_FLOAT => 4
-    case NC_DOUBLE => 8
+    case NC_BYTE | NC_CHAR | NC_UBYTE => 1
+    case NC_SHORT | NC_USHORT => 2
+    case NC_INT | NC_FLOAT | NC_UINT => 4
+    case NC_DOUBLE | NC_INT64 | NC_UINT64 => 8
     case other => throw new UnsupportedOperationException(s"nc_type $other")
   }
 
@@ -67,7 +72,11 @@ object NetCDF3 {
     out
   }
 
-  /** Parse the header of a classic (v1) or 64-bit-offset (v2) file. */
+  /** Parse the header of a classic (v1), 64-bit-offset (v2), or 64-bit-data
+    * (v5, the PnetCDF/CDF-5 large-file variant) file. CDF-5 widens every
+    * size/count field (numrecs, list lengths, name lengths, dim sizes,
+    * attribute counts, rank, vsize) to 8 bytes and adds the unsigned and
+    * 64-bit integer nc_types. */
   def parseHeader(bytes: Array[Byte]): Header = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'H' &&
@@ -77,12 +86,19 @@ object NetCDF3 {
           "NetCDF4Reader (FormatRegistry.open dispatches on the signature).")
     require(bb.get() == 'C' && bb.get() == 'D' && bb.get() == 'F', "not a NetCDF classic file")
     val version = bb.get()
-    require(version == 1 || version == 2,
-      s"NetCDF version byte $version unsupported (classic/64-bit-offset or HDF5-backed via NetCDF4Reader)")
-    val numRecs = bb.getInt()
+    require(version == 1 || version == 2 || version == 5,
+      s"NetCDF version byte $version unsupported (classic/64-bit-offset/" +
+        "64-bit-data, or HDF5-backed via NetCDF4Reader)")
+    // every NON_NEG count is 8 bytes in CDF-5, 4 before
+    def count(): Int = {
+      val v = if (version == 5) bb.getLong() else bb.getInt().toLong
+      require(v >= 0 && v <= Int.MaxValue, s"count $v exceeds this reader")
+      v.toInt
+    }
+    val numRecs = count()
 
     def readName(): String = {
-      val len = bb.getInt()
+      val len = count()
       val b = new Array[Byte](len)
       bb.get(b)
       skipPad(len)
@@ -92,7 +108,7 @@ object NetCDF3 {
 
     def readTaggedList(expectedTag: Int): Int = {
       val tag = bb.getInt()
-      val n = bb.getInt()
+      val n = count()
       require(tag == expectedTag || (tag == 0 && n == 0), s"bad list tag $tag")
       n
     }
@@ -100,7 +116,7 @@ object NetCDF3 {
     val nDims = readTaggedList(0x0A)
     val dims = (0 until nDims).map { _ =>
       val name = readName()
-      val size = bb.getInt()
+      val size = count()
       Dim(name, size, size == 0)
     }
 
@@ -109,22 +125,24 @@ object NetCDF3 {
       (0 until n).map { _ =>
         val name = readName()
         val t = bb.getInt()
-        val ne = bb.getInt()
+        val ne = count()
         val value: Any = t match {
           case NC_CHAR =>
             val b = new Array[Byte](ne); bb.get(b); skipPad(ne); new String(b, "UTF-8")
-          case NC_BYTE =>
+          case NC_BYTE | NC_UBYTE =>
             val b = new Array[Byte](ne); bb.get(b); skipPad(ne)
             if (ne == 1) b(0) else b.toSeq
-          case NC_SHORT =>
+          case NC_SHORT | NC_USHORT =>
             val v = (0 until ne).map(_ => bb.getShort()); skipPad(ne * 2)
             if (ne == 1) v.head else v
-          case NC_INT =>
+          case NC_INT | NC_UINT =>
             val v = (0 until ne).map(_ => bb.getInt()); if (ne == 1) v.head else v
           case NC_FLOAT =>
             val v = (0 until ne).map(_ => bb.getFloat()); if (ne == 1) v.head else v
           case NC_DOUBLE =>
             val v = (0 until ne).map(_ => bb.getDouble()); if (ne == 1) v.head else v
+          case NC_INT64 | NC_UINT64 =>
+            val v = (0 until ne).map(_ => bb.getLong()); if (ne == 1) v.head else v
         }
         name -> value
       }.toMap
@@ -135,11 +153,11 @@ object NetCDF3 {
     val nVars = readTaggedList(0x0B)
     val vars = (0 until nVars).map { _ =>
       val name = readName()
-      val nd = bb.getInt()
+      val nd = count()
       val dimIds = (0 until nd).map(_ => bb.getInt())
       val vattrs = readAttrs()
       val t = bb.getInt()
-      val vsize = bb.getInt()
+      val vsize = count()
       val begin = if (version == 1) bb.getInt().toLong else bb.getLong()
       Var(name, dimIds, t, vsize, begin, vattrs)
     }
@@ -170,6 +188,13 @@ object NetCDF3 {
         case NC_INT => bb.getInt(offset.toInt).toDouble
         case NC_SHORT => bb.getShort(offset.toInt).toDouble
         case NC_BYTE | NC_CHAR => bb.get(offset.toInt).toDouble
+        case NC_UBYTE => (bb.get(offset.toInt) & 0xff).toDouble
+        case NC_USHORT => (bb.getShort(offset.toInt) & 0xffff).toDouble
+        case NC_UINT => (bb.getInt(offset.toInt) & 0xffffffffL).toDouble
+        case NC_INT64 => bb.getLong(offset.toInt).toDouble
+        case NC_UINT64 =>
+          val l = bb.getLong(offset.toInt)
+          if (l >= 0) l.toDouble else l.toDouble + 1.8446744073709552e19
       }
       out(i) =
         if (v.missing.contains(raw) || raw.isNaN) Double.NaN

@@ -153,6 +153,13 @@ object NetCDF3Reader {
         case NC_INT => bb.getInt(i * 4).toDouble
         case NC_SHORT => bb.getShort(i * 2).toDouble
         case NC_BYTE | NC_CHAR => bb.get(i).toDouble
+        case NC_UBYTE => (bb.get(i) & 0xff).toDouble
+        case NC_USHORT => (bb.getShort(i * 2) & 0xffff).toDouble
+        case NC_UINT => (bb.getInt(i * 4) & 0xffffffffL).toDouble
+        case NC_INT64 => bb.getLong(i * 8).toDouble
+        case NC_UINT64 =>
+          val l = bb.getLong(i * 8)
+          if (l >= 0) l.toDouble else l.toDouble + 1.8446744073709552e19
       }
       out(i) =
         if (v.missing.contains(raw) || raw.isNaN) Double.NaN

@@ -2,11 +2,13 @@ package graft.sources.netcdf
 
 import java.io.{DataOutputStream, FileOutputStream}
 
-/** Minimal NetCDF-3 classic (version 1) writer for fixtures and the
-  * mover's file-emitting paths. Supports an optional record (unlimited)
-  * first dimension, the numeric nc_types, and per-variable CDL attributes
-  * (scale/offset/missing, units). Layout follows the public classic spec:
-  * header, fixed-variable blocks, then the record section. */
+/** Minimal NetCDF-3 writer for fixtures and the mover's file-emitting
+  * paths — classic (version 1) or CDF-5 / 64-bit-data (version 5, every
+  * count field widened to 8 bytes, unsigned/int64 nc_types allowed).
+  * Supports an optional record (unlimited) first dimension, the numeric
+  * nc_types, and per-variable CDL attributes (scale/offset/missing,
+  * units). Layout follows the public classic spec: header, fixed-variable
+  * blocks, then the record section. */
 object NetCDF3Writer {
 
   final case class DimSpec(name: String, size: Int, record: Boolean = false)
@@ -17,7 +19,9 @@ object NetCDF3Writer {
       data: Seq[Double],            // pre-encode (raw) values, C-order
       attrs: Seq[(String, Any)] = Nil)
 
-  def write(path: String, dims: Seq[DimSpec], vars: Seq[VarSpec]): Unit = {
+  def write(path: String, dims: Seq[DimSpec], vars: Seq[VarSpec],
+      version: Int = 1): Unit = {
+    require(version == 1 || version == 5, s"writer emits CDF-1 or CDF-5, not $version")
     val numRecs = dims.find(_.record).map(_.size).getOrElse(0)
     val dimIdx = dims.map(_.name).zipWithIndex.toMap
 
@@ -31,23 +35,25 @@ object NetCDF3Writer {
     def headerBytes(begins: Map[String, Long]): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       val out = new DataOutputStream(bos)
-      out.writeBytes("CDF"); out.writeByte(1)
-      out.writeInt(numRecs)
+      def cnt(v: Long): Unit = if (version == 5) out.writeLong(v) else out.writeInt(v.toInt)
+      out.writeBytes("CDF"); out.writeByte(version)
+      cnt(numRecs)
       // dim list
-      out.writeInt(0x0A); out.writeInt(dims.size)
-      dims.foreach { d => writeName(out, d.name); out.writeInt(if (d.record) 0 else d.size) }
+      out.writeInt(0x0A); cnt(dims.size)
+      dims.foreach { d => writeName(out, d.name, version); cnt(if (d.record) 0 else d.size) }
       // no global attrs
-      out.writeInt(0); out.writeInt(0)
+      out.writeInt(0); cnt(0)
       // var list
-      out.writeInt(0x0B); out.writeInt(vars.size)
+      out.writeInt(0x0B); cnt(vars.size)
       vars.foreach { v =>
-        writeName(out, v.name)
-        out.writeInt(v.dims.size)
+        writeName(out, v.name, version)
+        cnt(v.dims.size)
         v.dims.foreach(d => out.writeInt(dimIdx(d)))
-        writeAttrs(out, v.attrs)
+        writeAttrs(out, v.attrs, version)
         out.writeInt(v.ncType)
-        out.writeInt(vsize(v))
-        out.writeInt(begins.getOrElse(v.name, 0L).toInt)
+        cnt(vsize(v))
+        if (version == 5) out.writeLong(begins.getOrElse(v.name, 0L))
+        else out.writeInt(begins.getOrElse(v.name, 0L).toInt)
       }
       out.flush()
       bos.toByteArray
@@ -78,9 +84,10 @@ object NetCDF3Writer {
     } finally out.close()
   }
 
-  private def writeName(out: DataOutputStream, s: String): Unit = {
+  private def writeName(out: DataOutputStream, s: String, version: Int = 1): Unit = {
     val b = s.getBytes("UTF-8")
-    out.writeInt(b.length); out.write(b); padTo4(out, b.length)
+    if (version == 5) out.writeLong(b.length.toLong) else out.writeInt(b.length)
+    out.write(b); padTo4(out, b.length)
   }
 
   private def padTo4(out: DataOutputStream, written: Int): Unit = {
@@ -88,21 +95,25 @@ object NetCDF3Writer {
     if (r != 0) (0 until 4 - r).foreach(_ => out.writeByte(0))
   }
 
-  private def writeAttrs(out: DataOutputStream, attrs: Seq[(String, Any)]): Unit = {
-    if (attrs.isEmpty) { out.writeInt(0); out.writeInt(0); return }
-    out.writeInt(0x0C); out.writeInt(attrs.size)
+  private def writeAttrs(out: DataOutputStream, attrs: Seq[(String, Any)],
+      version: Int = 1): Unit = {
+    def cnt(v: Long): Unit = if (version == 5) out.writeLong(v) else out.writeInt(v.toInt)
+    if (attrs.isEmpty) { out.writeInt(0); cnt(0); return }
+    out.writeInt(0x0C); cnt(attrs.size)
     attrs.foreach { case (name, value) =>
-      writeName(out, name)
+      writeName(out, name, version)
       value match {
         case s: String =>
-          out.writeInt(NetCDF3.NC_CHAR); out.writeInt(s.length)
+          out.writeInt(NetCDF3.NC_CHAR); cnt(s.length)
           out.writeBytes(s); padTo4(out, s.length)
         case d: Double =>
-          out.writeInt(NetCDF3.NC_DOUBLE); out.writeInt(1); out.writeDouble(d)
+          out.writeInt(NetCDF3.NC_DOUBLE); cnt(1); out.writeDouble(d)
         case i: Int =>
-          out.writeInt(NetCDF3.NC_INT); out.writeInt(1); out.writeInt(i)
+          out.writeInt(NetCDF3.NC_INT); cnt(1); out.writeInt(i)
         case s: Short =>
-          out.writeInt(NetCDF3.NC_SHORT); out.writeInt(1); out.writeShort(s); out.writeShort(0)
+          out.writeInt(NetCDF3.NC_SHORT); cnt(1); out.writeShort(s); out.writeShort(0)
+        case l: Long =>
+          out.writeInt(NetCDF3.NC_INT64); cnt(1); out.writeLong(l)
         case other =>
           throw new UnsupportedOperationException(s"attr type ${other.getClass}")
       }
@@ -117,6 +128,10 @@ object NetCDF3Writer {
         case NetCDF3.NC_INT => out.writeInt(x.toInt)
         case NetCDF3.NC_SHORT => out.writeShort(x.toInt)
         case NetCDF3.NC_BYTE | NetCDF3.NC_CHAR => out.writeByte(x.toInt)
+        case NetCDF3.NC_UBYTE => out.writeByte(x.toLong.toInt & 0xff)
+        case NetCDF3.NC_USHORT => out.writeShort(x.toLong.toInt & 0xffff)
+        case NetCDF3.NC_UINT => out.writeInt(x.toLong.toInt)
+        case NetCDF3.NC_INT64 | NetCDF3.NC_UINT64 => out.writeLong(x.toLong)
       }
     }
     padTo4(out, values.size * NetCDF3.typeBytes(v.ncType))

@@ -60,6 +60,41 @@ class NetCDF3Spec extends SparkSpec {
     assert(r.getAs[Double]("swvl1") == (10 * 2 + 1) * 0.25 + 100.0)
   }
 
+  test("CDF-5 (64-bit data) files parse and read identically to classic") {
+    val dir = java.nio.file.Files.createTempDirectory("nc5").toString
+    val path = s"$dir/test5.nc"
+    def cube(f: (Int, Int, Int) => Double): Seq[Double] =
+      for (t <- 0 until nt; y <- 0 until ny; x <- 0 until nx) yield f(t, y, x)
+    NW.write(path,
+      dims = Seq(NW.DimSpec("time", nt, record = true),
+        NW.DimSpec("latitude", ny), NW.DimSpec("longitude", nx)),
+      vars = Seq(
+        NW.VarSpec("time", Seq("time"), NetCDF3.NC_DOUBLE,
+          (0 until nt).map(t => 3600.0 * t),
+          attrs = Seq("units" -> "seconds since 1970-01-01")),
+        NW.VarSpec("latitude", Seq("latitude"), NetCDF3.NC_DOUBLE,
+          (0 until ny).map(y => 40.0 + y)),
+        NW.VarSpec("longitude", Seq("longitude"), NetCDF3.NC_DOUBLE,
+          (0 until nx).map(x => -110.0 + 2.0 * x)),
+        // CDF-5-only types: unsigned + 64-bit integers
+        NW.VarSpec("counts", Seq("time", "latitude", "longitude"), NetCDF3.NC_INT64,
+          cube((t, y, x) => (5000000000L + t * 100 + y * 10 + x).toDouble)),
+        NW.VarSpec("flags", Seq("time", "latitude", "longitude"), NetCDF3.NC_UBYTE,
+          cube((t, y, x) => ((t + y + x) % 250).toDouble))),
+      version = 5)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val bytes = NetCDF3.readBytes(conf, path)
+    assert(bytes(3) == 5, "CDF-5 magic byte")
+    val h = NetCDF3.parseHeader(bytes)
+    assert(h.numRecs == nt && h.dims.map(_.name) == Seq("time", "latitude", "longitude"))
+    val df5 = NetCDF3Reader.readLongFormat(spark, path)
+    assert(df5.count() == nt * ny * nx)
+    val r = df5.filter($"latitude" === 42.0 && $"longitude" === -108.0 &&
+      date_format($"time", "HH") === "02").head()
+    assert(r.getAs[Double]("counts") == 5.000000221e9, s"int64 value: $r")
+    assert(r.getAs[Double]("flags") == ((2 + 2 + 1) % 250).toDouble)
+  }
+
   test("packed short with missing value decodes to null") {
     val m = df.filter($"latitude" === 41.0 && $"longitude" === -108.0)
       .orderBy($"time").collect()
