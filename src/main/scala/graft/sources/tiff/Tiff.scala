@@ -194,13 +194,15 @@ object Tiff {
       i += 1
     }
     require(width > 0 && height > 0, "TIFF missing dimensions")
-    if (!Set(1, 5, 8, 32946).contains(comp))
-      throw UnsupportedTiff(s"compression $comp (none/LZW/deflate only)")
+    if (!Set(1, 5, 8, 32773, 32946).contains(comp))
+      throw UnsupportedTiff(s"compression $comp (none/LZW/deflate/PackBits only)")
     if (pred == 2 && fmt == 3)
       throw UnsupportedTiff("predictor 2 with floating-point samples " +
-        "(predictor 3 is the float predictor; not emitted by this engine)")
-    if (pred != 1 && pred != 2)
-      throw UnsupportedTiff(s"predictor $pred (none/horizontal only)")
+        "(predictor 3 is the float predictor)")
+    if (pred == 3 && fmt != 3)
+      throw UnsupportedTiff("predictor 3 (floating-point) with integer samples")
+    if (pred != 1 && pred != 2 && pred != 3)
+      throw UnsupportedTiff(s"predictor $pred (none/horizontal/floating-point only)")
     if (so.isEmpty && to.isEmpty) throw UnsupportedTiff("no strip or tile offsets")
     // TIFF 6.0: a missing RowsPerStrip tag means one strip of all rows
     if (so.nonEmpty && (rps <= 0 || rps > height)) rps = height
@@ -236,11 +238,15 @@ object Tiff {
     * width * samplesPerPixel) — the horizontal predictor resets per row. */
   def decodeBlock(m: Meta, raw: Array[Byte], nValues: Int,
       rowSamples: Int = 0): Array[Double] = {
-    val bytes = m.compression match {
+    val bytes0 = m.compression match {
       case 1 => raw
       case 5 => Lzw.decode(raw, nValues * (m.bitsPerSample / 8))
       case 8 | 32946 => inflate(raw, nValues * (m.bitsPerSample / 8))
+      case 32773 => unpackBits(raw, nValues * (m.bitsPerSample / 8))
     }
+    val bytes =
+      if (m.predictor == 3) fpUnpredict(bytes0, m, nValues, rowSamples)
+      else bytes0
     val ints = new Array[Long](nValues)
     val w = m.bitsPerSample / 8
     var k = 0
@@ -287,6 +293,78 @@ object Tiff {
         case (f, b) => throw UnsupportedTiff(s"sample format $f at $b bits")
       }
       k += 1
+    }
+    out
+  }
+
+  /** PackBits (TIFF 6.0 §9 / the classic Apple RLE): control byte n in
+    * 0..127 copies n+1 literals; -1..-127 repeats the next byte 1-n times;
+    * -128 is a no-op. */
+  private[tiff] def unpackBits(raw: Array[Byte], expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var s = 0
+    var d = 0
+    while (d < expected) {
+      require(s < raw.length, s"truncated PackBits stream ($d of $expected bytes)")
+      val n = raw(s)
+      s += 1
+      if (n >= 0) {
+        val run = n + 1
+        require(s + run <= raw.length && d + run <= expected,
+          s"PackBits literal run overruns (run=$run)")
+        System.arraycopy(raw, s, out, d, run)
+        s += run
+        d += run
+      } else if (n != -128) {
+        val run = 1 - n
+        require(s < raw.length && d + run <= expected,
+          s"PackBits repeat run overruns (run=$run)")
+        java.util.Arrays.fill(out, d, d + run, raw(s))
+        s += 1
+        d += run
+      }
+    }
+    out
+  }
+
+  /** Inverse of the TIFF floating-point predictor (predictor 3, TechNote 3
+    * / libtiff fpAcc): per scanline, the samples' bytes are split into
+    * byte-significance planes ordered most-significant first, then
+    * horizontally differenced byte-wise with a samples-per-pixel stride.
+    * Undo: cumulative byte sum across the row, then reassemble each sample
+    * from its planes. Returns bytes in the FILE's byte order so the
+    * caller's endian-aware sample read applies unchanged. */
+  private[tiff] def fpUnpredict(bytes: Array[Byte], m: Meta, nValues: Int,
+      rowSamples: Int): Array[Byte] = {
+    require(rowSamples > 0, "predictor 3 needs the block's row width")
+    val w = m.bitsPerSample / 8
+    val stride = m.samplesPerPixel
+    val out = new Array[Byte](bytes.length)
+    var row0 = 0
+    while (row0 < nValues) {
+      val rs = math.min(rowSamples, nValues - row0)
+      val base = row0 * w
+      val rb = rs * w
+      // byte-wise horizontal accumulation (stride = samples per pixel)
+      var i = base + stride
+      while (i < base + rb) {
+        bytes(i) = (bytes(i) + bytes(i - stride)).toByte
+        i += 1
+      }
+      // planes (MSB plane first) -> interleaved sample bytes, honoring the
+      // file's declared byte order
+      var k = 0
+      while (k < rs) {
+        var b = 0
+        while (b < w) {
+          val plane = bytes(base + b * rs + k)
+          val at = base + k * w + (if (m.littleEndian) w - 1 - b else b)
+          out(at) = plane
+          b += 1
+        }
+        k += 1
+      }
+      row0 += rowSamples
     }
     out
   }

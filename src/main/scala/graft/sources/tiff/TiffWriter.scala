@@ -22,13 +22,14 @@ object TiffWriter {
       rowsPerStrip: Int = 8,
       deflate: Boolean = false,
       lzw: Boolean = false,
-      predictor: Int = 1,          // 2 = horizontal differencing (int only)
+      packBits: Boolean = false,
+      predictor: Int = 1,          // 2 = horizontal (int), 3 = float planes
       bitsPerSample: Int = 32,
       sampleFormat: Int = 3,       // 1 uint, 2 int, 3 ieee float
       bigTiff: Boolean = false) {  // magic 43, 8-byte offsets, LONG8 arrays
 
     def compressionCode: Int =
-      if (lzw) 5 else if (deflate) 8 else 1
+      if (lzw) 5 else if (deflate) 8 else if (packBits) 32773 else 1
   }
 
   /** One scanline-block of samples as packed little-endian bytes, predictor
@@ -36,6 +37,8 @@ object TiffWriter {
   private[tiff] def packSamples(s: Spec, values: Seq[Double], rowSamples: Int): Array[Byte] = {
     require(!(s.predictor == 2 && s.sampleFormat == 3),
       "predictor 2 applies to integer samples")
+    require(!(s.predictor == 3 && s.sampleFormat != 3),
+      "predictor 3 applies to floating-point samples")
     val w = s.bitsPerSample / 8
     val ints = new Array[Long](values.size)
     var k = 0
@@ -70,7 +73,61 @@ object TiffWriter {
       }
       k += 1
     }
+    if (s.predictor == 3) {
+      // float predictor (TechNote 3): per row, split sample bytes into
+      // significance planes (MSB plane first), then difference byte-wise
+      var row0 = 0
+      while (row0 < ints.length) {
+        val rs = math.min(rowSamples, ints.length - row0)
+        val base = row0 * w
+        val planes = new Array[Byte](rs * w)
+        var kk = 0
+        while (kk < rs) {
+          var b = 0
+          while (b < w) {
+            // out is little-endian packed: byte (w-1-b) has significance b
+            planes(b * rs + kk) = out(base + kk * w + (w - 1 - b))
+            b += 1
+          }
+          kk += 1
+        }
+        var i = rs * w - 1
+        while (i >= s.bands) {
+          planes(i) = (planes(i) - planes(i - s.bands)).toByte
+          i -= 1
+        }
+        System.arraycopy(planes, 0, out, base, rs * w)
+        row0 += rowSamples
+      }
+    }
     out
+  }
+
+  /** PackBits encoder (TIFF 6.0 §9): repeat runs as (1-n, byte), literal
+    * stretches up to 128 bytes otherwise — every element the decoder's
+    * grammar accepts. */
+  private[tiff] def packBitsEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length + raw.length / 128 + 1)
+    var i = 0
+    while (i < raw.length) {
+      var run = 1
+      while (i + run < raw.length && run < 128 && raw(i + run) == raw(i)) run += 1
+      if (run >= 2) {
+        out.write(1 - run)
+        out.write(raw(i))
+        i += run
+      } else {
+        // literal until the next 3-byte repeat (or the 128-byte cap)
+        var j = i + 1
+        while (j < raw.length && j - i < 128 &&
+            !(j + 2 < raw.length && raw(j) == raw(j + 1) && raw(j) == raw(j + 2)))
+          j += 1
+        out.write(j - i - 1)
+        out.write(raw, i, j - i)
+        i = j
+      }
+    }
+    out.toByteArray
   }
 
   def write(path: String, s: Spec): Unit = {
@@ -86,6 +143,7 @@ object TiffWriter {
       val raw = packSamples(s, s.data.slice(base, base + n), s.width * s.bands)
       if (s.lzw) Lzw.encode(raw)
       else if (s.deflate) deflate(raw)
+      else if (s.packBits) packBitsEncode(raw)
       else raw
     }
 

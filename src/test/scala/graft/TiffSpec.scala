@@ -48,6 +48,38 @@ class TiffSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("PackBits strips and the floating-point predictor decode identically") {
+    val dir = java.nio.file.Files.createTempDirectory("tifpb").toString
+    val raw = s"$dir/raw.tif"
+    val spec = TW.Spec(w, h, 1, vals((r, c) => r * 7.0 + c * 0.25),
+      pixelScale = (1.0, 1.0), tiepointXY = (0.0, 10.0), epsg = 4326)
+    TW.write(raw, spec)
+    val a = TiffReader.readLongFormat(spark, raw)
+      .orderBy($"latitude", $"longitude").collect()
+    // PackBits (compression 32773): RLE-heavy constant regions + literals
+    val pb = s"$dir/pb.tif"
+    TW.write(pb, spec.copy(packBits = true))
+    val b = TiffReader.readLongFormat(spark, pb)
+      .orderBy($"latitude", $"longitude").collect()
+    assert(a.sameElements(b), "PackBits rows diverge")
+    // float predictor (3) under deflate AND lzw — the GDAL PREDICTOR=3
+    // float-raster profile; byte planes must reassemble exactly
+    for (variant <- Seq(spec.copy(deflate = true, predictor = 3),
+        spec.copy(lzw = true, predictor = 3))) {
+      val fp = s"$dir/fp${variant.lzw}.tif"
+      TW.write(fp, variant)
+      val c = TiffReader.readLongFormat(spark, fp)
+        .orderBy($"latitude", $"longitude").collect()
+      assert(a.sameElements(c), s"predictor-3 rows diverge (lzw=${variant.lzw})")
+    }
+    // f8 samples take the same plane path at width 8
+    val f8 = s"$dir/f8.tif"
+    TW.write(f8, spec.copy(deflate = true, predictor = 3, bitsPerSample = 64))
+    val d = TiffReader.readLongFormat(spark, f8)
+      .orderBy($"latitude", $"longitude").collect()
+    assert(a.sameElements(d), "64-bit predictor-3 rows diverge")
+  }
+
   test("UTM raster reprojects through the transverse-Mercator inverse") {
     // place the grid near 2E 41N in UTM zone 31: model coords from the
     // forward transform, so expected lat/lon are known
