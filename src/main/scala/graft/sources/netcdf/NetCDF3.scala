@@ -95,7 +95,12 @@ object NetCDF3 {
       require(v >= 0 && v <= Int.MaxValue, s"count $v exceeds this reader")
       v.toInt
     }
-    val numRecs = count()
+    // numrecs may be the STREAMING sentinel (all ones = indeterminate);
+    // resolved from the file length after the var list is known
+    val numRecsRaw = if (version == 5) bb.getLong() else bb.getInt().toLong
+    val streaming = numRecsRaw == -1L || (version != 5 && numRecsRaw == 0xffffffffL)
+    require(streaming || (numRecsRaw >= 0 && numRecsRaw <= Int.MaxValue),
+      s"numrecs $numRecsRaw exceeds this reader")
 
     def readName(): String = {
       val len = count()
@@ -126,23 +131,43 @@ object NetCDF3 {
         val name = readName()
         val t = bb.getInt()
         val ne = count()
+        // unsigned types decode to their UNSIGNED numeric values — the
+        // same domain the data path produces, so _FillValue/missing
+        // comparisons on unsigned variables actually match
         val value: Any = t match {
           case NC_CHAR =>
             val b = new Array[Byte](ne); bb.get(b); skipPad(ne); new String(b, "UTF-8")
-          case NC_BYTE | NC_UBYTE =>
+          case NC_BYTE =>
             val b = new Array[Byte](ne); bb.get(b); skipPad(ne)
             if (ne == 1) b(0) else b.toSeq
-          case NC_SHORT | NC_USHORT =>
+          case NC_UBYTE =>
+            val b = new Array[Byte](ne); bb.get(b); skipPad(ne)
+            val v = b.map(x => (x & 0xff): Int)
+            if (ne == 1) v.head else v.toSeq
+          case NC_SHORT =>
             val v = (0 until ne).map(_ => bb.getShort()); skipPad(ne * 2)
             if (ne == 1) v.head else v
-          case NC_INT | NC_UINT =>
+          case NC_USHORT =>
+            val v = (0 until ne).map(_ => (bb.getShort() & 0xffff): Int)
+            skipPad(ne * 2)
+            if (ne == 1) v.head else v
+          case NC_INT =>
             val v = (0 until ne).map(_ => bb.getInt()); if (ne == 1) v.head else v
+          case NC_UINT =>
+            val v = (0 until ne).map(_ => (bb.getInt() & 0xffffffffL): Long)
+            if (ne == 1) v.head else v
           case NC_FLOAT =>
             val v = (0 until ne).map(_ => bb.getFloat()); if (ne == 1) v.head else v
           case NC_DOUBLE =>
             val v = (0 until ne).map(_ => bb.getDouble()); if (ne == 1) v.head else v
-          case NC_INT64 | NC_UINT64 =>
+          case NC_INT64 =>
             val v = (0 until ne).map(_ => bb.getLong()); if (ne == 1) v.head else v
+          case NC_UINT64 =>
+            val v = (0 until ne).map { _ =>
+              val l = bb.getLong()
+              (if (l >= 0) l.toDouble else l.toDouble + 1.8446744073709552e19): Double
+            }
+            if (ne == 1) v.head else v
         }
         name -> value
       }.toMap
@@ -154,7 +179,8 @@ object NetCDF3 {
     val vars = (0 until nVars).map { _ =>
       val name = readName()
       val nd = count()
-      val dimIds = (0 until nd).map(_ => bb.getInt())
+      // dimids are NON_NEG too: 8 bytes in CDF-5 (netcdf-c/PnetCDF layout)
+      val dimIds = (0 until nd).map(_ => count())
       val vattrs = readAttrs()
       val t = bb.getInt()
       val vsize = count()
@@ -162,8 +188,17 @@ object NetCDF3 {
       Var(name, dimIds, t, vsize, begin, vattrs)
     }
 
-    val recSize = vars.filter(v => v.dimIds.headOption.exists(dims(_).isRecord))
-      .map(_.vsize.toLong).sum
+    val recVars = vars.filter(v => v.dimIds.headOption.exists(dims(_).isRecord))
+    val recSize = recVars.map(_.vsize.toLong).sum
+    val numRecs =
+      if (!streaming) numRecsRaw.toInt
+      else if (recVars.isEmpty || recSize == 0) 0
+      else {
+        // streaming sentinel: records run from the first record-var begin
+        // to end of file
+        val recStart = recVars.map(_.begin).min
+        ((bytes.length - recStart) / recSize).toInt
+      }
     Header(numRecs, dims, gattrs, vars, recSize)
   }
 

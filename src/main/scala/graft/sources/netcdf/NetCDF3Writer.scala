@@ -22,6 +22,12 @@ object NetCDF3Writer {
   def write(path: String, dims: Seq[DimSpec], vars: Seq[VarSpec],
       version: Int = 1): Unit = {
     require(version == 1 || version == 5, s"writer emits CDF-1 or CDF-5, not $version")
+    if (version == 1) {
+      require(vars.forall(_.ncType <= NetCDF3.NC_DOUBLE),
+        "unsigned/64-bit nc_types need a CDF-5 file (version = 5)")
+      require(vars.forall(_.attrs.forall(!_._2.isInstanceOf[Long])),
+        "int64 attributes need a CDF-5 file (version = 5)")
+    }
     val numRecs = dims.find(_.record).map(_.size).getOrElse(0)
     val dimIdx = dims.map(_.name).zipWithIndex.toMap
 
@@ -48,7 +54,7 @@ object NetCDF3Writer {
       vars.foreach { v =>
         writeName(out, v.name, version)
         cnt(v.dims.size)
-        v.dims.foreach(d => out.writeInt(dimIdx(d)))
+        v.dims.foreach(d => cnt(dimIdx(d))) // dimids are NON_NEG: 8B in CDF-5
         writeAttrs(out, v.attrs, version)
         out.writeInt(v.ncType)
         cnt(vsize(v))

@@ -334,11 +334,14 @@ object Tiff {
     * Undo: cumulative byte sum across the row, then reassemble each sample
     * from its planes. Returns bytes in the FILE's byte order so the
     * caller's endian-aware sample read applies unchanged. */
-  private[tiff] def fpUnpredict(bytes: Array[Byte], m: Meta, nValues: Int,
+  private[tiff] def fpUnpredict(bytes0: Array[Byte], m: Meta, nValues: Int,
       rowSamples: Int): Array[Byte] = {
     require(rowSamples > 0, "predictor 3 needs the block's row width")
     val w = m.bitsPerSample / 8
     val stride = m.samplesPerPixel
+    // copy before accumulating: for compression=1 the input IS the
+    // caller's raw buffer, and mutating it would corrupt a re-decode
+    val bytes = bytes0.clone()
     val out = new Array[Byte](bytes.length)
     var row0 = 0
     while (row0 < nValues) {

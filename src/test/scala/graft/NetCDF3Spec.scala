@@ -95,6 +95,15 @@ class NetCDF3Spec extends SparkSpec {
     assert(r.getAs[Double]("flags") == ((2 + 2 + 1) % 250).toDouble)
   }
 
+  test("streaming numrecs sentinel resolves the record count from file length") {
+    // the classic spec defines numrecs = 0xFFFFFFFF as "indeterminate"
+    // (streaming writers); records then run from the record start to EOF
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
+    (4 until 8).foreach(i => bytes(i) = 0xFF.toByte)
+    val h = NetCDF3.parseHeader(bytes)
+    assert(h.numRecs == nt, s"streaming numrecs resolved to ${h.numRecs}")
+  }
+
   test("packed short with missing value decodes to null") {
     val m = df.filter($"latitude" === 41.0 && $"longitude" === -108.0)
       .orderBy($"time").collect()

@@ -72,6 +72,13 @@ class TiffSpec extends SparkSpec {
         .orderBy($"latitude", $"longitude").collect()
       assert(a.sameElements(c), s"predictor-3 rows diverge (lzw=${variant.lzw})")
     }
+    // uncompressed predictor 3: fpUnpredict runs on the caller's raw
+    // buffer and must not mutate it (clone-before-accumulate)
+    val fpRaw = s"$dir/fpraw.tif"
+    TW.write(fpRaw, spec.copy(predictor = 3))
+    val e1 = TiffReader.readLongFormat(spark, fpRaw)
+      .orderBy($"latitude", $"longitude").collect()
+    assert(a.sameElements(e1), "uncompressed predictor-3 rows diverge")
     // f8 samples take the same plane path at width 8
     val f8 = s"$dir/f8.tif"
     TW.write(f8, spec.copy(deflate = true, predictor = 3, bitsPerSample = 64))
