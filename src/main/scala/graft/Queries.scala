@@ -887,6 +887,96 @@ object Queries {
           .orderBy($"time", $"latitude", $"longitude")
       }),
 
+    // ---------------------------------------------------------------- S1 (NetCDF CDF-5 / 64-bit data)
+    // Same `orders` grid through the CDF-5 (64-bit data) classic variant:
+    // widened header counts, an NC_INT64 variable and an NC_UBYTE variable
+    // on a record time dimension — the PnetCDF large-file layout. Every
+    // count/dimid width slip or unsigned decode slip breaks the hash.
+    Q("q95_cdf5_extract", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200)
+      SELECT CASE WHEN rn0 // 100 = 0 THEN TIMESTAMP '2026-11-01 00:00:00'
+                  ELSE TIMESTAMP '2026-11-01 06:00:00' END AS time,
+             CAST(50 - (rn0 % 100) // 10 AS DOUBLE) AS latitude,
+             CAST(rn0 % 10 AS DOUBLE) AS longitude,
+             CAST(5000000000 + o_orderkey % 997 AS DOUBLE) AS counts,
+             CAST(o_orderkey % 250 AS DOUBLE) AS flags
+      FROM o
+      ORDER BY time, latitude, longitude"""))(
+      (s, d) => {
+        import graft.sources.netcdf.{NetCDF3, NetCDF3Reader, NetCDF3Writer => NW}
+        val rows = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+          .select(($"o_orderkey" % 997).cast("double").as("c"),
+            ($"o_orderkey" % 250).cast("double").as("f"))
+          .collect()
+        val t0 = java.time.LocalDateTime.of(2026, 11, 1, 0, 0)
+          .toEpochSecond(java.time.ZoneOffset.UTC)
+        val path = java.nio.file.Files.createTempDirectory("q95").toString + "/q95.nc"
+        NW.write(path,
+          dims = Seq(NW.DimSpec("time", 2, record = true),
+            NW.DimSpec("latitude", 10), NW.DimSpec("longitude", 10)),
+          vars = Seq(
+            NW.VarSpec("time", Seq("time"), NetCDF3.NC_DOUBLE,
+              Seq(t0.toDouble, t0 + 21600.0),
+              attrs = Seq("units" -> "seconds since 1970-01-01")),
+            NW.VarSpec("latitude", Seq("latitude"), NetCDF3.NC_DOUBLE,
+              (0 until 10).map(50.0 - _)),
+            NW.VarSpec("longitude", Seq("longitude"), NetCDF3.NC_DOUBLE,
+              (0 until 10).map(_.toDouble)),
+            NW.VarSpec("counts", Seq("time", "latitude", "longitude"),
+              NetCDF3.NC_INT64, rows.map(r => 5000000000.0 + r.getDouble(0)).toSeq),
+            NW.VarSpec("flags", Seq("time", "latitude", "longitude"),
+              NetCDF3.NC_UBYTE, rows.map(_.getDouble(1)).toSeq)),
+          version = 5)
+        NetCDF3Reader.readLongFormat(s, path)
+          .select(col("time").cast("timestamp_ntz").as("time"),
+            $"latitude", $"longitude", $"counts", $"flags")
+          .orderBy($"time", $"latitude", $"longitude")
+      }),
+
+    // ---------------------------------------------------------------- S1 (HDF5 szip filter)
+    // The q63 grid packed behind the szip filter (id 4 — CCSDS/Rice via
+    // the shared Ccsds coder): chunked int16 with scale/offset decode.
+    // Any slip in the filter-param mapping, the Rice decode, or the
+    // little-endian sample reassembly breaks the hash.
+    Q("q96_netcdf4_szip", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200)
+      SELECT CASE WHEN rn0 // 100 = 0 THEN TIMESTAMP '2026-12-01 00:00:00'
+                  ELSE TIMESTAMP '2026-12-01 06:00:00' END AS time,
+             CAST(50 - (rn0 % 100) // 10 AS DOUBLE) AS latitude,
+             CAST(rn0 % 10 AS DOUBLE) AS longitude,
+             round(CAST(o_orderkey % 997 AS DOUBLE) * 0.5 + 250, 6) AS swvl
+      FROM o
+      ORDER BY time, latitude, longitude"""))(
+      (s, d) => {
+        import graft.sources.hdf5.{Hdf5Writer => HW}
+        import graft.sources.netcdf.NetCDF4Reader
+        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+          .select(($"o_orderkey" % 997).cast("double"))
+          .collect().map(_.getDouble(0)).toSeq
+        val t0 = java.time.LocalDateTime.of(2026, 12, 1, 0, 0)
+          .toEpochSecond(java.time.ZoneOffset.UTC)
+        val path = java.nio.file.Files.createTempDirectory("q96").toString + "/q96.nc"
+        HW.write(path, Seq(
+          HW.VarSpec("time", Seq("time"), Seq(2),
+            Seq(t0.toDouble, t0 + 21600.0), dtype = "f8",
+            units = Some("seconds since 1970-01-01")),
+          HW.VarSpec("latitude", Seq("latitude"), Seq(10),
+            (0 until 10).map(50.0 - _), dtype = "f8"),
+          HW.VarSpec("longitude", Seq("longitude"), Seq(10),
+            (0 until 10).map(_.toDouble), dtype = "f8"),
+          HW.VarSpec("swvl", Seq("time", "latitude", "longitude"), Seq(2, 10, 10),
+            vals, dtype = "i2", chunks = Some(Seq(1, 5, 10)), szip = true,
+            scaleFactor = Some(0.5), addOffset = Some(250.0))))
+        NetCDF4Reader.readLongFormat(s, path)
+          .select(col("time").cast("timestamp_ntz").as("time"),
+            $"latitude", $"longitude", round($"swvl", 6).as("swvl"))
+          .orderBy($"time", $"latitude", $"longitude")
+      }),
+
     // ---------------------------------------------------------------- S1 (GRIB2 CCSDS packing, template 5.42)
     // Same `orders` grid as q54/q61, packed with template 5.42 — the
     // CCSDS/AEC adaptive entropy coding ECMWF uses operationally (the
