@@ -128,17 +128,18 @@ object Blosc {
     * library's transform): the block's elements form an (nElem x 8*ts) bit
     * matrix — rows are elements, columns run byte 0 MSB..LSB then byte 1,
     * etc. — which transposes so bit-plane p holds bit p of every element,
-    * packed 8 elements per byte MSB-first. Blocks whose element count is
-    * not a multiple of 8 are stored verbatim (the c-blosc fallback), as
-    * are trailing `bsize % typesize` bytes. The bit order is pinned by the
-    * bitshuffle library's own numpy-equivalence definition
-    * (unpackbits/transpose/packbits, both MSB-first) and a hand-laid-out
-    * plane assertion in ZarrSourceSpec — no reference implementation is
-    * available in this sandbox to capture a chunk fixture from. */
+    * packed 8 elements per byte MSB-first. Matching c-blosc shuffle.c
+    * bitshuffle(): only the largest multiple-of-8 element prefix is
+    * transposed (`size -= size % 8`); the leftover elements AND the
+    * trailing `bsize % typesize` bytes are memcpyed verbatim after it.
+    * The bit order is pinned by the bitshuffle library's own
+    * numpy-equivalence definition (unpackbits/transpose/packbits, both
+    * MSB-first), an independent unpack/transpose/pack model in
+    * ZarrSourceSpec, and a hand-laid-out plane assertion. */
   private[graft] def bitShuffleBlock(src: Array[Byte], srcOff: Int, bsize: Int,
       typesize: Int, dst: Array[Byte], dstOff: Int): Unit = {
-    val nElem = bsize / typesize
-    if (nElem % 8 != 0 || nElem == 0) {
+    val nElem = (bsize / typesize) & ~7 // c-blosc: size -= size % 8
+    if (nElem == 0) {
       System.arraycopy(src, srcOff, dst, dstOff, bsize)
       return
     }
@@ -162,16 +163,18 @@ object Blosc {
       }
       p += 1
     }
-    val tail = bsize % typesize
-    if (tail > 0)
-      System.arraycopy(src, srcOff + bsize - tail, dst, dstOff + bsize - tail, tail)
+    // c-blosc copies everything past the transposed prefix verbatim:
+    // leftover (nElem % 8) whole elements plus any sub-typesize tail.
+    val prefix = nElem * typesize
+    if (bsize > prefix)
+      System.arraycopy(src, srcOff + prefix, dst, dstOff + prefix, bsize - prefix)
   }
 
   /** Inverse of [[bitShuffleBlock]]. */
   private[graft] def bitUnshuffleBlock(block: Array[Byte], bsize: Int,
       typesize: Int, dst: Array[Byte], dstOff: Int): Unit = {
-    val nElem = bsize / typesize
-    if (nElem % 8 != 0 || nElem == 0) {
+    val nElem = (bsize / typesize) & ~7 // c-blosc: size -= size % 8
+    if (nElem == 0) {
       System.arraycopy(block, 0, dst, dstOff, bsize)
       return
     }
@@ -195,9 +198,9 @@ object Blosc {
       }
       p += 1
     }
-    val tail = bsize % typesize
-    if (tail > 0)
-      System.arraycopy(block, bsize - tail, dst, dstOff + bsize - tail, tail)
+    val prefix = nElem * typesize
+    if (bsize > prefix)
+      System.arraycopy(block, prefix, dst, dstOff + prefix, bsize - prefix)
   }
 
   /** BloscLZ block decode (public source: c-blosc blosclz.c, the FastLZ-

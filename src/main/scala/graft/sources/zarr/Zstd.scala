@@ -63,6 +63,7 @@ object Zstd {
     }
     if (off + 4 > end || le32(src, off) != Magic) bad("missing frame magic")
     off += 4
+    if (off >= end) bad("truncated frame-header descriptor")
     val fhd = src(off) & 0xff
     off += 1
     if ((fhd & 0x08) != 0) bad("reserved frame-header bit set")
@@ -71,8 +72,12 @@ object Zstd {
     val dictIdBytes = (fhd & 0x03) match {
       case 0 => 0; case 1 => 1; case 2 => 2; case 3 => 4
     }
-    if (!singleSegment) off += 1 // window descriptor: irrelevant, full output in hand
+    if (!singleSegment) { // window descriptor: irrelevant, full output in hand
+      if (off >= end) bad("truncated window descriptor")
+      off += 1
+    }
     if (dictIdBytes > 0) {
+      if (off + dictIdBytes > end) bad("truncated dictionary id")
       var dictId = 0L
       var i = 0
       while (i < dictIdBytes) { dictId |= (src(off + i) & 0xffL) << (8 * i); i += 1 }
@@ -86,6 +91,7 @@ object Zstd {
     }
     var fcs = -1L
     if (fcsBytes > 0) {
+      if (off + fcsBytes > end) bad("truncated frame content size")
       fcs = 0L
       var i = 0
       while (i < fcsBytes) { fcs |= (src(off + i) & 0xffL) << (8 * i); i += 1 }
@@ -207,12 +213,15 @@ object Zstd {
     var off = blockOff
 
     // ---- literals section
+    if (off >= blockEnd) bad("missing literals section")
     val b0 = src(off) & 0xff
     val litType = b0 & 3
     val sizeFormat = (b0 >>> 2) & 3
     var literals: Array[Byte] = null
     litType match {
       case 0 | 1 => // raw | RLE
+        val hdrLen0 = if ((sizeFormat & 1) == 0) 1 else if (sizeFormat == 1) 2 else 3
+        if (off + hdrLen0 > blockEnd) bad("truncated literals header")
         val (regen, hdrLen) =
           if ((sizeFormat & 1) == 0) (b0 >>> 3, 1)
           else if (sizeFormat == 1)
@@ -227,11 +236,16 @@ object Zstd {
           System.arraycopy(src, off, literals, 0, regen)
           off += regen
         } else {
+          if (off >= blockEnd) bad("truncated RLE literal byte")
           java.util.Arrays.fill(literals, src(off))
           off += 1
         }
       case _ => // 2 compressed | 3 treeless
         val fourStreams = sizeFormat != 0
+        val hdrLen0 = sizeFormat match {
+          case 0 | 1 => 3; case 2 => 4; case _ => 5
+        }
+        if (off + hdrLen0 > blockEnd) bad("truncated literals header")
         val (regen, comp, hdrLen) = sizeFormat match {
           case 0 | 1 =>
             val h = (b0 | ((src(off + 1) & 0xff) << 8) |
@@ -287,9 +301,11 @@ object Zstd {
     if (s0 == 0) nbSeq = 0
     else if (s0 < 128) nbSeq = s0
     else if (s0 < 255) {
+      if (off >= blockEnd) bad("truncated sequences count")
       nbSeq = ((s0 - 128) << 8) | (src(off) & 0xff)
       off += 1
     } else {
+      if (off + 2 > blockEnd) bad("truncated sequences count")
       nbSeq = ((src(off) & 0xff) | ((src(off + 1) & 0xff) << 8)) + 0x7f00
       off += 2
     }
@@ -299,11 +315,12 @@ object Zstd {
       System.arraycopy(literals, 0, out, outPos, literals.length)
       return outPos + literals.length
     }
+    if (off >= blockEnd) bad("missing sequence-modes byte")
     val modes = src(off) & 0xff
     off += 1
     if ((modes & 3) != 0) bad("reserved sequence-mode bits set")
 
-    val fwd = new FwdBits(src, off)
+    val fwd = new FwdBits(src, off, blockEnd)
     ctx.llTable = readSeqTable((modes >>> 6) & 3, fwd, ctx.llTable,
       LlDefault, 6, 35, 9, "literals-length")
     ctx.offTable = readSeqTable((modes >>> 4) & 3, fwd, ctx.offTable,
@@ -421,10 +438,15 @@ object Zstd {
     }
   }
 
-  /** Forward bitstream (FSE table descriptions): values read LSB-first. */
-  private final class FwdBits(buf: Array[Byte], start: Int) {
+  /** Forward bitstream (FSE table descriptions): values read LSB-first.
+    * Bounded by `limit` — a table description that runs past its block (or
+    * Huffman-weights region) raises the directed corrupt-frame error rather
+    * than reading an adjacent split's bytes. */
+  private final class FwdBits(buf: Array[Byte], start: Int, limit: Int) {
     private var bit = 0
     def peek(n: Int): Int = {
+      if (start + ((bit + n - 1) >> 3) >= limit)
+        bad("FSE table description overruns its region")
       var v = 0
       var i = 0
       while (i < n) {
@@ -614,6 +636,7 @@ object Zstd {
     var consumed = 0
     if (hb >= 128) { // direct: two 4-bit weights per byte
       val n = hb - 127
+      if (off + 1 + (n + 1) / 2 > limit) bad("direct Huffman weights overrun")
       weights = new Array[Int](n)
       var i = 0
       while (i < n) {
@@ -625,7 +648,7 @@ object Zstd {
     } else {
       val compLen = hb
       if (off + 1 + compLen > limit) bad("Huffman weights overrun")
-      val fwd = new FwdBits(src, off + 1)
+      val fwd = new FwdBits(src, off + 1, off + 1 + compLen)
       val table = readFseTable(fwd, 255, 6, "huffman-weights")
       val payloadStart = fwd.bytePos
       val bits = new BackBits(src, payloadStart, off + 1 + compLen)

@@ -205,8 +205,41 @@ class ZarrSourceSpec extends SparkSpec {
     val back = new Array[Byte](8)
     Blosc.bitUnshuffleBlock(sh, 8, 1, back, 0)
     assert(back.toSeq == tiny.toSeq)
+    // independent model of c-blosc shuffle.c bitshuffle(): transpose the
+    // largest multiple-of-8 element prefix via unpackbits/transpose/packbits
+    // (MSB-first, the bitshuffle library's numpy equivalence), then copy the
+    // leftover elements and sub-typesize tail verbatim
+    def model(src: Array[Byte], bsize: Int, ts: Int): Array[Byte] = {
+      val out = new Array[Byte](bsize)
+      val nElem = (bsize / ts) & ~7
+      if (nElem == 0) { System.arraycopy(src, 0, out, 0, bsize); return out }
+      val planeBytes = nElem / 8
+      // bits(e)(p) = bit p of element e, p scanning byte 0 MSB..LSB, byte 1, ...
+      val bits = Array.tabulate(nElem, 8 * ts) { (e, p) =>
+        (src(e * ts + p / 8) >>> (7 - p % 8)) & 1
+      }
+      for (p <- 0 until 8 * ts; i <- 0 until planeBytes) {
+        var acc = 0
+        for (j <- 0 until 8) acc |= bits(8 * i + j)(p) << (7 - j)
+        out(p * planeBytes + i) = acc.toByte
+      }
+      System.arraycopy(src, nElem * ts, out, nElem * ts, bsize - nElem * ts)
+      out
+    }
+    val rng2 = new scala.util.Random(77)
+    for (ts <- Seq(1, 2, 3, 4, 8); nElemRaw <- Seq(5, 8, 100, 255, 1024)) {
+      val bsize = nElemRaw * ts + (if (ts > 1) 1 else 0) // force a sub-ts tail
+      val data = Array.fill(bsize)(rng2.nextInt(256).toByte)
+      val got = new Array[Byte](bsize)
+      Blosc.bitShuffleBlock(data, 0, bsize, ts, got, 0)
+      assert(got.toSeq == model(data, bsize, ts).toSeq,
+        s"c-blosc partial-block layout ts=$ts nElem=$nElemRaw")
+      val inv = new Array[Byte](bsize)
+      Blosc.bitUnshuffleBlock(got, bsize, ts, inv, 0)
+      assert(inv.toSeq == data.toSeq, s"inverse ts=$ts nElem=$nElemRaw")
+    }
     // full-container round-trips across typesizes, codecs, and the
-    // nElem % 8 != 0 verbatim fallback
+    // nElem % 8 != 0 partial-prefix path
     for (ts <- Seq(1, 2, 4, 8); n <- Seq(64, 4096, 4100, 30000);
          cname <- Seq("lz4", "zstd")) {
       val data = Array.tabulate(n)(i => ((i / 7) % 251).toByte)

@@ -145,6 +145,42 @@ class ZstdSpec extends AnyFunSuite {
     }.getMessage.contains("skippable"))
   }
 
+  test("truncated and bit-flipped frames never escape the directed error") {
+    // the blosc-split shape: the frame sits inside a larger array with live
+    // bytes after it, so any read past srcOff+srcLen would silently consume
+    // the adjacent split instead of failing — exactly the ADVICE defect
+    val payload = Array.tabulate(6000)(i => ((i * 131) % 253).toByte)
+    val frame = RefZstd.compress(payload, 19) // high level → FSE tables present
+    val padded = new Array[Byte](frame.length + 64)
+    System.arraycopy(frame, 0, padded, 0, frame.length)
+    java.util.Arrays.fill(padded, frame.length, padded.length, 0x5A.toByte)
+    def expectDirected(len: Int, what: String): Unit =
+      try {
+        val out = Zstd.decompress(padded, 0, len, payload.length)
+        // decoding "successfully" from a truncated prefix is only legal if
+        // the result is actually right (truncation past the frame end)
+        assert(len >= frame.length && java.util.Arrays.equals(out, payload), what)
+      } catch {
+        case _: IllegalArgumentException | _: Zstd.UnsupportedZstd => () // directed
+        case e: Throwable => fail(s"$what leaked ${e.getClass.getName}: ${e.getMessage}")
+      }
+    // every truncation point, including each header byte
+    for (cut <- 0 until frame.length) expectDirected(cut, s"truncated at $cut")
+    // bit-flip fuzz across the whole frame (headers, FSE tables, payload)
+    val rng = new scala.util.Random(42)
+    for (_ <- 0 until 2000) {
+      val mut = padded.clone()
+      val pos = rng.nextInt(frame.length)
+      mut(pos) = (mut(pos) ^ (1 << rng.nextInt(8))).toByte
+      try Zstd.decompress(mut, 0, frame.length, payload.length)
+      catch {
+        case _: IllegalArgumentException | _: Zstd.UnsupportedZstd => ()
+        case e: Throwable => fail(
+          s"bit flip at $pos leaked ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+
   test("store-mode encoder emits frames the reference decoder accepts") {
     for ((name, data) <- payloads) {
       val packed = Zstd.compressStore(data)
