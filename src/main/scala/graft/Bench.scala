@@ -12,8 +12,21 @@ import org.apache.spark.sql.SparkSession
   * can no longer contaminate BOTH reps of the same query (the r5 window's
   * 12x q46 artifact). The full per-query map is also written to
   * `BENCH_DETAIL.json` (all reps + min, schema unchanged) so a truncated
-  * stdout capture can never lose the per-query data. */
+  * stdout capture can never lose the per-query data. A query that throws
+  * records an `"error"` marker in its detail entry, is excluded from
+  * `total_min` and the stdout `queries` map, and prints a `BENCH ERROR`
+  * line to stderr — a broken query can't masquerade as a fast one. */
 object Bench {
+  private def firstLine(t: Throwable): String =
+    s"${t.getClass.getName}: ${Option(t.getMessage).getOrElse("")}"
+      .takeWhile(c => c != '\n' && c != '\r').take(300)
+  private[graft] def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -32,40 +45,82 @@ object Bench {
     // data-independent), shuffle machinery. Timed runs then measure the
     // queries, not JVM startup.
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, warmDir).count() catch {
+        case t: Throwable =>
+          // visible but non-fatal: the timed loop below is where a broken
+          // query must surface as an error marker, not a near-zero "win"
+          System.err.println(s"BENCH WARMUP ERROR $name: ${firstLine(t)}")
+      }
     }
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A rep either yields seconds or the failure's first line. A query that
+    // throws must NOT record its (near-zero) wall time as a timing — that
+    // would let a broken query silently IMPROVE the bench total.
+    def timeOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       // drop persisted frames from previous runs: every rep measures
       // cold-cache, and late-alphabet queries aren't taxed by accumulated
       // cache memory pressure from the ones before them
       spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      catch { case t: Throwable => Left(firstLine(t)) }
     }
     val inventory = SparkEntry.queries.toSeq.sortBy(_._1)
     // rep i of every query runs before rep i+1 of any query — see Scaladoc
     val passes = (1 to reps).map { _ =>
-      inventory.map { case (name, fn) => name -> timeOnce(fn) }.toMap
+      inventory.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
     }
     val detail = inventory.map { case (name, _) =>
       name -> passes.map(_(name))
     }
-    val results = detail.map { case (name, times) => name -> times.min }.toMap
+    val s = summarize(detail, sfDir, reps)
+    s.errors.foreach { case (name, e) => System.err.println(s"BENCH ERROR $name: $e") }
+    // full per-query record to a file FIRST — stdout tails can truncate
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), s.detailJson)
+    println(s.stdoutJson)
+    spark.stop()
+  }
+
+  private[graft] final case class Summary(
+      errors: Map[String, String],
+      results: Map[String, Double],
+      detailJson: String,
+      stdoutJson: String)
+
+  /** Fold per-rep outcomes into the two JSON artifacts. A query is errored
+    * if ANY rep threw — deterministic queries don't half-fail, and a
+    * half-failed timing is not a trustworthy min. Errored queries carry an
+    * `"error"` marker in the detail entry and are EXCLUDED from `total_min`
+    * and the stdout `queries` map. Pure — spec-covered with a fake broken
+    * query in BenchSummarySpec. */
+  private[graft] def summarize(
+      detail: Seq[(String, Seq[Either[String, Double]])],
+      sfDir: String, reps: Int): Summary = {
+    val errors = detail.collect { case (name, reps) if reps.exists(_.isLeft) =>
+      name -> reps.collectFirst { case Left(e) => e }.get
+    }.toMap
+    val results = detail.collect { case (name, reps) if !errors.contains(name) =>
+      name -> reps.collect { case Right(s) => s }.min
+    }.toMap
     def fmtQ(m: Map[String, Double]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // full per-query record to a file FIRST — stdout tails can truncate
-    val detailJson = detail.map { case (name, times) =>
-      s"\"" + name + "\":{\"reps\":[" + times.mkString(",") +
-        "],\"min\":" + times.min + "}"
+    val detailJson = detail.map { case (name, reps) =>
+      val times = reps.collect { case Right(s) => s }
+      // no "min" on errored queries: a min over the surviving reps would
+      // read as a trustworthy timing in round-over-round diffs
+      val timesPart = "\"reps\":[" + times.mkString(",") + "]" +
+        (if (times.nonEmpty && !errors.contains(name)) ",\"min\":" + times.min else "")
+      val errPart = errors.get(name)
+        .map(e => ",\"error\":\"" + jsonEscape(e) + "\"").getOrElse("")
+      s"\"" + name + "\":{" + timesPart + errPart + "}"
     }.mkString(
-      s"""{"sf":"$sfDir","reps_per_query":$reps,"total_min":$total,"queries":{""",
+      s"""{"sf":"$sfDir","reps_per_query":$reps,"error_count":${errors.size},"total_min":$total,"queries":{""",
       ",", "}}")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detailJson)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmtQ(results)},"sf":"$sfDir"}""")
-    spark.stop()
+    val stdoutJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmtQ(results)},"sf":"$sfDir"}"""
+    Summary(errors, results, detailJson, stdoutJson)
   }
 }

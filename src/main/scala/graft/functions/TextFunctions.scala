@@ -489,16 +489,23 @@ object TextFunctions {
     require(maxVocab >= 1, s"maxVocab $maxVocab")
     val spark = df.sparkSession
     import spark.implicits._
-    val vocab = df
+    val vocabDf = df
       .select(explode(tokens(col(textCol).cast("string"))).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .limit(maxVocab + 1)
-      .as[(String, Long)].collect()
-    require(vocab.length <= maxVocab,
-      s"BPE vocabulary for column '$textCol' exceeds maxVocab=$maxVocab " +
-        "distinct words; raise maxVocab or train with the distributed " +
-        "bpeTrainMerges path")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deterministic overflow guard: count the aggregate (cached, so the
+    // corpus pass runs once) BEFORE collecting — an unordered limit would
+    // retain an arbitrary subset when the vocab overflows
+    val vocab =
+      try {
+        val n = vocabDf.count()
+        require(n <= maxVocab,
+          s"BPE vocabulary for column '$textCol' has $n distinct words, " +
+            s"exceeding maxVocab=$maxVocab; raise maxVocab or train with " +
+            "the distributed bpeTrainMerges path")
+        vocabDf.as[(String, Long)].collect()
+      } finally vocabDf.unpersist()
     import scala.collection.mutable
     val words = vocab.map { case (w, _) => w.map(_.toString).toArray }
     val freqs = vocab.map(_._2)

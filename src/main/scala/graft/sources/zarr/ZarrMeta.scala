@@ -17,14 +17,17 @@ import org.json4s.jackson.JsonMethods
   * `{"id": "zstd"}` (one frame per chunk — decoded by [[Zstd]]), or
   * `{"id": "blosc"}` with EVERY numcodecs cname — blosclz, lz4, snappy,
   * zlib, zstd (zarr-python 2.x's DEFAULT compressor — decoded by
-  * [[Blosc]]), `.zattrs` conventions `_ARRAY_DIMENSIONS` (xarray),
+  * [[Blosc]]), `filters` chains of numcodecs Delta / FixedScaleOffset /
+  * Quantize / AsType (decoded in inverse list order, buffer re-typed per
+  * stage), `.zattrs` conventions `_ARRAY_DIMENSIONS` (xarray),
   * `scale_factor`, `add_offset`, `missing_value`, and
   * `units: "seconds since 1970-01-01"` for epoch time coordinates.
   *
   * Supported surface (v3, sniffed by the root `zarr.json`): regular chunk
   * grid, `default` ("c/0/1") and `v2` chunk-key encodings with either
-  * separator, `bytes` codec at both endians, `gzip`/`zstd` (zarr-python
-  * 3's DEFAULT compressor)/`blosc` (all five cnames) compression,
+  * separator, `bytes` codec at both endians, `transpose` (F-order arrays),
+  * `gzip`/`zstd` (zarr-python 3's DEFAULT compressor)/`blosc` (all five
+  * cnames) compression,
   * `sharding_indexed` (read and write, bytes [+ crc32c] index codecs),
   * `dimension_names`, numeric/"NaN" fill values, inline
   * `consolidated_metadata` (zarr-python 3's successor to `.zmetadata`),
@@ -56,10 +59,15 @@ object ZarrMeta {
       shardChunks: Option[Seq[Int]] = None,
       shardIndexAtEnd: Boolean = true,
       shardIndexCrc: Boolean = true,
-      // v2 `filters`: a single numcodecs Delta (cumulative-sum inverse,
-      // applied between decompression and dtype decode) is supported;
-      // anything else raises a directed error at parse time
-      deltaFilter: Boolean = false) {
+      // v2 `filters`: a numcodecs filter chain (Delta, FixedScaleOffset,
+      // Quantize, AsType) applied between decompression and dtype decode,
+      // inverse order on read, exactly as numcodecs composes them; any
+      // unrecognized filter raises a directed error at parse time
+      filters: Seq[V2Filter] = Nil,
+      // v3 `transpose` codec: the stored chunk is laid out C-order over the
+      // PERMUTED chunk shape (zarr-python emits this for F-order arrays);
+      // decode inverts the permutation back to C-order over `chunks`
+      transposeOrder: Option[Seq[Int]] = None) {
     def chunkGrid: Seq[Int] = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     def chunkKey(chunkIdx: Seq[Int]): String =
       if (v3DefaultKeys) ("c" +: chunkIdx.map(_.toString)).mkString(keySep)
@@ -67,6 +75,35 @@ object ZarrMeta {
     /** Inner chunks per shard, per dim (sharded arrays only). */
     def innerPerShard: Seq[Int] =
       shardChunks.get.zip(chunks).map { case (o, c) => (o + c - 1) / c }
+    /** The dtype the COMPRESSOR sees: each filter's encode re-types the
+      * buffer (Delta/FixedScaleOffset/Quantize to `astype`, AsType to
+      * `encode_dtype`), so the stored chunk's element width is the LAST
+      * filter's output, not the array dtype. */
+    def encodedDtype: String = filters.foldLeft(dtype) {
+      case (_, V2Filter.Delta(_, at)) => at
+      case (_, V2Filter.FixedScaleOffset(_, _, _, at)) => at
+      case (_, V2Filter.Quantize(_, at)) => at
+      case (_, V2Filter.AsType(enc, _)) => enc
+    }
+  }
+
+  /** One numcodecs v2 filter, as declared in `.zarray` `filters`. Field
+    * names follow the numcodecs JSON configs (public source: numcodecs
+    * delta.py / fixedscaleoffset.py / quantize.py / astype.py; the
+    * reference reads these stores through numcodecs for free,
+    * xql/src/xql/open.py:30-66). */
+  sealed trait V2Filter
+  object V2Filter {
+    /** decode = cumulative sum: enc viewed as `astype`, accumulated in
+      * `dtype` arithmetic (numcodecs: `np.cumsum(enc, out=empty(dtype))`). */
+    final case class Delta(dtype: String, astype: String) extends V2Filter
+    /** decode = `enc / scale + offset` then cast to `dtype`. */
+    final case class FixedScaleOffset(offset: Double, scale: Double,
+        dtype: String, astype: String) extends V2Filter
+    /** Lossy on encode only; decode is a pure `astype` → `dtype` cast. */
+    final case class Quantize(dtype: String, astype: String) extends V2Filter
+    /** decode = view as `encodeDtype`, cast to `decodeDtype`. */
+    final case class AsType(encodeDtype: String, decodeDtype: String) extends V2Filter
   }
 
   final case class Store(
@@ -112,17 +149,28 @@ object ZarrMeta {
     // `filters` apply between the compressor and the raw bytes; ignoring
     // one would decode WRONG values silently, so anything unrecognized is
     // a directed error, not a pass-through
-    val delta = (za \ "filters") match {
-      case JNull | JNothing | JArray(Nil) => false
-      case JArray(List(f)) if (f \ "id").extractOpt[String].contains("delta") =>
-        val dt = (f \ "dtype").extractOpt[String]
-        val at = (f \ "astype").extractOpt[String].orElse(dt)
-        require(at == dt, s"delta filter astype $at != dtype $dt (unsupported)")
-        true
-      case other =>
-        throw new UnsupportedOperationException(
-          s"zarr v2 filters ${JsonMethods.compact(JsonMethods.render(other))} " +
-            "— only a single numcodecs delta filter is supported")
+    def parseFilter(f: JValue): V2Filter = {
+      def dt = (f \ "dtype").extract[String]
+      def at = (f \ "astype").extractOpt[String].getOrElse(dt)
+      (f \ "id").extractOpt[String] match {
+        case Some("delta") => V2Filter.Delta(dt, at)
+        case Some("fixedscaleoffset") => V2Filter.FixedScaleOffset(
+          (f \ "offset").extract[Double], (f \ "scale").extract[Double], dt, at)
+        case Some("quantize") => V2Filter.Quantize(dt, at)
+        case Some("astype") => V2Filter.AsType(
+          (f \ "encode_dtype").extract[String], (f \ "decode_dtype").extract[String])
+        case other => throw new UnsupportedOperationException(
+          s"zarr v2 filter ${JsonMethods.compact(JsonMethods.render(f))} " +
+            s"(id $other) — supported numcodecs filters: delta, " +
+            "fixedscaleoffset, quantize, astype")
+      }
+    }
+    val filters = (za \ "filters") match {
+      case JNull | JNothing | JArray(Nil) => Nil
+      case JArray(fs) => fs.map(parseFilter)
+      case other => throw new UnsupportedOperationException(
+        s"zarr v2 filters ${JsonMethods.compact(JsonMethods.render(other))} " +
+          "is not a filter list")
     }
     val units = (attrs \ "units").extractOpt[String].getOrElse("")
     ArrayMeta(
@@ -143,7 +191,7 @@ object ZarrMeta {
       addOffset = (attrs \ "add_offset").extractOpt[Double],
       missingValue = (attrs \ "missing_value").extractOpt[Double],
       epochSecondsTime = units.startsWith("seconds since 1970-01-01"),
-      deltaFilter = delta)
+      filters = filters)
   }
 
   /** Parse a v3 array `zarr.json` into the common ArrayMeta. */
@@ -155,10 +203,17 @@ object ZarrMeta {
     var innerChunks: Option[Seq[Int]] = None
     var indexAtEnd = true
     var indexCrc = false
+    var transpose: Option[Seq[Int]] = None
     def applyCodecs(codecs: Seq[JValue]): Unit = codecs.foreach { c =>
       (c \ "name").extract[String] match {
         case "bytes" => endian =
           (c \ "configuration" \ "endian").extractOpt[String].getOrElse("little")
+        case "transpose" =>
+          val order = (c \ "configuration" \ "order").extract[Seq[Int]]
+          require(order.sorted == order.indices.toList,
+            s"zarr v3 transpose order $order on $name is not a permutation")
+          // identity permutations are a no-op; don't pay the rearrange
+          if (order != order.indices.toList) transpose = Some(order)
         case "gzip" => comp = Some("gzip")
         case "zlib" => comp = Some("zlib")
         case "zstd" => comp = Some("zstd")
@@ -175,9 +230,9 @@ object ZarrMeta {
           indexCrc = idxNames.contains("crc32c")
           applyCodecs((cfg \ "codecs").extract[Seq[JValue]])
         case other => throw new UnsupportedOperationException(
-          s"zarr v3 codec '$other' on $name (supported: bytes, gzip, zstd, " +
-            "blosc, sharding_indexed; rewrite with zarr.copy_store to a " +
-            "supported-codec store)")
+          s"zarr v3 codec '$other' on $name (supported: bytes, transpose, " +
+            "gzip, zstd, blosc, sharding_indexed; rewrite with " +
+            "zarr.copy_store to a supported-codec store)")
       }
     }
     applyCodecs((j \ "codecs").extract[Seq[JValue]])
@@ -222,7 +277,8 @@ object ZarrMeta {
       keySep = sep,
       shardChunks = innerChunks.map(_ => gridChunks),
       shardIndexAtEnd = indexAtEnd,
-      shardIndexCrc = indexCrc)
+      shardIndexCrc = indexCrc,
+      transposeOrder = transpose)
   }
 
   /** List array names (children with a .zarray) of a store directory. */
@@ -313,12 +369,15 @@ object ZarrMeta {
       chunkIdx: Seq[Int]): Array[Double] = {
     val n = meta.chunks.product
     val fill = () => Array.fill(n)(meta.fillValue.getOrElse(Double.NaN))
+    // filters re-type the stored buffer, so the decompressed size is the
+    // ENCODED dtype's width, not the array dtype's
+    val encBytes = n * dtypeBytes(meta.encodedDtype)
     def decompress(raw: Array[Byte]): Array[Byte] = meta.compressor match {
-      case Some("zlib") => inflate(raw, n * dtypeBytes(meta.dtype))
-      case Some("gzip") => gunzip(raw, n * dtypeBytes(meta.dtype))
+      case Some("zlib") => inflate(raw, encBytes)
+      case Some("gzip") => gunzip(raw, encBytes)
       // whole chunk object = one zstd frame (numcodecs Zstd / v3 zstd codec)
       case Some("zstd") =>
-        Zstd.decompress(raw, 0, raw.length, n * dtypeBytes(meta.dtype))
+        Zstd.decompress(raw, 0, raw.length, encBytes)
       // blosc chunks are self-describing (header carries codec/shuffle/
       // sizes), so one case covers every cname the codec supports
       case Some("blosc") => Blosc.decompress(raw)
@@ -327,14 +386,17 @@ object ZarrMeta {
           s"zarr compressor '$other' not supported (use zlib, gzip, zstd, blosc, or null)")
       case None => raw
     }
+    // numcodecs applies filter encodes in list order before the compressor,
+    // so decode runs the INVERSES in reverse list order after decompression
     def defilter(raw: Array[Byte]): Array[Byte] =
-      if (meta.deltaFilter) undelta(decompress(raw), meta.dtype)
-      else decompress(raw)
+      meta.filters.foldRight(decompress(raw))(decodeFilter)
+    def finish(raw: Array[Byte]): Array[Double] =
+      untranspose(decode(defilter(raw), meta, n), meta)
     meta.shardChunks match {
       case None =>
         readFile(conf, s"$store/${meta.name}/${meta.chunkKey(chunkIdx)}") match {
           case None => fill()
-          case Some(raw) => decode(defilter(raw), meta, n)
+          case Some(raw) => finish(raw)
         }
       case Some(_) =>
         val per = meta.innerPerShard
@@ -345,10 +407,45 @@ object ZarrMeta {
           s"$store/${meta.name}/${meta.chunkKey(shardIdx)}",
           meta, per.map(_.toLong).product, linear) match {
           case None => fill()
-          case Some(raw) => decode(defilter(raw), meta, n)
+          case Some(raw) => finish(raw)
         }
     }
   }
+
+  /** Invert the v3 `transpose` codec: the stored buffer is C-order over the
+    * permuted chunk shape; rearrange back to C-order over `meta.chunks`.
+    * Edge chunks are full-size in zarr, so the buffer is always
+    * `chunks.product` elements. */
+  private def untranspose(vals: Array[Double], meta: ArrayMeta): Array[Double] =
+    meta.transposeOrder match {
+      case None => vals
+      case Some(order) =>
+        val chunks = meta.chunks
+        val k = chunks.size
+        val permShape = order.map(chunks).toArray
+        // C-order strides of the OUTPUT (unpermuted) layout
+        val outStrides = new Array[Int](k)
+        var s = 1
+        var d = k - 1
+        while (d >= 0) { outStrides(d) = s; s *= chunks(d); d -= 1 }
+        val ordArr = order.toArray
+        val out = new Array[Double](vals.length)
+        val idx = new Array[Int](k)
+        var lin = 0
+        while (lin < vals.length) {
+          var outLin = 0
+          var j = 0
+          while (j < k) { outLin += idx(j) * outStrides(ordArr(j)); j += 1 }
+          out(outLin) = vals(lin)
+          // increment the permuted-shape multi-index (C-order, last fastest)
+          var c = k - 1
+          while (c >= 0 && { idx(c) += 1; idx(c) == permShape(c) && c > 0 }) {
+            idx(c) = 0; c -= 1
+          }
+          lin += 1
+        }
+        out
+    }
 
   /** One inner chunk's encoded bytes out of a shard object
     * (`sharding_indexed` codec): parse the binary index (u64-LE
@@ -403,12 +500,133 @@ object ZarrMeta {
     out
   }
 
-  def dtypeBytes(dtype: String): Int = dtype.drop(1) match {
-    case "f8" | "i8" => 8
-    case "f4" | "i4" => 4
-    case "i2" => 2
-    case "u1" => 1
+  def dtypeBytes(dtype: String): Int = codeOf(dtype) match {
+    case "f8" | "i8" | "u8" => 8
+    case "f4" | "i4" | "u4" => 4
+    case "i2" | "u2" => 2
+    case "i1" | "u1" => 1
     case _ => throw new UnsupportedOperationException(s"zarr dtype '$dtype'")
+  }
+
+  /** numpy dtype string → bare type code (strips the `< > | =` byte-order
+    * marker; numcodecs filter configs carry any of them). */
+  private def codeOf(dtype: String): String =
+    dtype.dropWhile(c => c == '<' || c == '>' || c == '|' || c == '=')
+
+  private def orderOf(dtype: String): ByteOrder =
+    if (dtype.startsWith(">")) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+
+  private def readD(bb: ByteBuffer, code: String, i: Int): Double = code match {
+    case "f8" => bb.getDouble(8 * i)
+    case "f4" => bb.getFloat(4 * i).toDouble
+    case _ => readL(bb, code, i).toDouble
+  }
+
+  private def readL(bb: ByteBuffer, code: String, i: Int): Long = code match {
+    case "i8" | "u8" => bb.getLong(8 * i)
+    case "i4" => bb.getInt(4 * i).toLong
+    case "u4" => bb.getInt(4 * i) & 0xffffffffL
+    case "i2" => bb.getShort(2 * i).toLong
+    case "u2" => (bb.getShort(2 * i) & 0xffff).toLong
+    case "i1" => bb.get(i).toLong
+    case "u1" => (bb.get(i) & 0xff).toLong
+    case other => throw new UnsupportedOperationException(
+      s"zarr filter integer dtype '$other'")
+  }
+
+  // numpy astype float→int truncates toward zero — Scala's .toLong agrees
+  private def writeD(bb: ByteBuffer, code: String, i: Int, v: Double): Unit = code match {
+    case "f8" => bb.putDouble(8 * i, v)
+    case "f4" => bb.putFloat(4 * i, v.toFloat)
+    case _ => writeL(bb, code, i, v.toLong)
+  }
+
+  // int→int narrowing wraps, as numpy astype does
+  private def writeL(bb: ByteBuffer, code: String, i: Int, v: Long): Unit = code match {
+    case "i8" | "u8" => bb.putLong(8 * i, v)
+    case "i4" | "u4" => bb.putInt(4 * i, v.toInt)
+    case "i2" | "u2" => bb.putShort(2 * i, v.toShort)
+    case "i1" | "u1" => bb.put(i, v.toByte)
+    case other => throw new UnsupportedOperationException(
+      s"zarr filter integer dtype '$other'")
+  }
+
+  /** numpy-style `astype` cast of a whole buffer: int↔int wraps, float→int
+    * truncates toward zero, byte order per each side's dtype marker. */
+  private[zarr] def convertCast(bytes: Array[Byte], from: String, to: String): Array[Byte] = {
+    if (from == to) return bytes
+    val fc = codeOf(from); val tc = codeOf(to)
+    val n = bytes.length / dtypeBytes(from)
+    val out = new Array[Byte](n * dtypeBytes(to))
+    val src = ByteBuffer.wrap(bytes).order(orderOf(from))
+    val dst = ByteBuffer.wrap(out).order(orderOf(to))
+    val bothInt = !fc.startsWith("f") && !tc.startsWith("f")
+    var i = 0
+    if (bothInt) while (i < n) { writeL(dst, tc, i, readL(src, fc, i)); i += 1 }
+    else while (i < n) { writeD(dst, tc, i, readD(src, fc, i)); i += 1 }
+    out
+  }
+
+  /** Apply one filter's DECODE to a buffer (numcodecs semantics). */
+  private[zarr] def decodeFilter(f: V2Filter, buf: Array[Byte]): Array[Byte] = f match {
+    case V2Filter.Delta(dt, at) =>
+      if (dt == at) undelta(buf, dt) else undeltaTo(buf, dt, at)
+    case V2Filter.FixedScaleOffset(offset, scale, dt, at) =>
+      // numcodecs: dec = enc / scale + offset, then astype(dtype)
+      val fc = codeOf(at); val tc = codeOf(dt)
+      val n = buf.length / dtypeBytes(at)
+      val out = new Array[Byte](n * dtypeBytes(dt))
+      val src = ByteBuffer.wrap(buf).order(orderOf(at))
+      val dst = ByteBuffer.wrap(out).order(orderOf(dt))
+      var i = 0
+      while (i < n) { writeD(dst, tc, i, readD(src, fc, i) / scale + offset); i += 1 }
+      out
+    case V2Filter.Quantize(dt, at) =>
+      // quantization is lossy on ENCODE; decode is just the astype cast
+      convertCast(buf, at, dt)
+    case V2Filter.AsType(encDt, decDt) =>
+      convertCast(buf, encDt, decDt)
+  }
+
+  /** Delta decode when `astype != dtype`: values are READ at `astype`
+    * width but ACCUMULATED at `dtype` width (numcodecs does
+    * `np.cumsum(enc, out=np.empty_like(enc, dtype=dtype))`). */
+  private def undeltaTo(buf: Array[Byte], dt: String, at: String): Array[Byte] = {
+    val fc = codeOf(at); val tc = codeOf(dt)
+    val n = buf.length / dtypeBytes(at)
+    val out = new Array[Byte](n * dtypeBytes(dt))
+    val src = ByteBuffer.wrap(buf).order(orderOf(at))
+    val dst = ByteBuffer.wrap(out).order(orderOf(dt))
+    var i = 0
+    if (tc == "f8") {
+      var acc = 0.0
+      while (i < n) { acc += readD(src, fc, i); dst.putDouble(8 * i, acc); i += 1 }
+    } else if (tc == "f4") {
+      var acc = 0.0f
+      while (i < n) { acc = (acc + readD(src, fc, i)).toFloat; dst.putFloat(4 * i, acc); i += 1 }
+    } else {
+      // integer accumulator wraps at the OUTPUT width every step, like a
+      // numpy cumsum into an int array
+      var acc = 0L
+      while (i < n) {
+        acc = wrapTo(tc, acc + readL(src, fc, i))
+        writeL(dst, tc, i, acc)
+        i += 1
+      }
+    }
+    out
+  }
+
+  private def wrapTo(code: String, v: Long): Long = code match {
+    case "i8" | "u8" => v
+    case "i4" => v.toInt.toLong
+    case "u4" => v & 0xffffffffL
+    case "i2" => v.toShort.toLong
+    case "u2" => v & 0xffffL
+    case "i1" => v.toByte.toLong
+    case "u1" => v & 0xffL
+    case other => throw new UnsupportedOperationException(
+      s"zarr filter integer dtype '$other'")
   }
 
   /** Inverse of the numcodecs Delta filter: cumulative sum in the array's

@@ -712,6 +712,16 @@ class SamplingSpec extends SparkSpec {
       TF.bpeTrainMergesExact(docs, "text", 2, maxVocab = 3)
     }
     assert(err.getMessage.contains("maxVocab"), err.getMessage)
+    // exact boundary, deterministically: maxVocab == distinct words trains;
+    // one fewer is the directed error naming the true count (the guard
+    // COUNTS the vocab — it no longer depends on which rows a limit kept)
+    val four = Seq((1L, "aa bb cc dd")).toDF("doc_id", "text")
+    assert(TF.bpeTrainMergesExact(four, "text", 1, maxVocab = 4) ==
+      Seq(("a", "a")))
+    val over = intercept[IllegalArgumentException] {
+      TF.bpeTrainMergesExact(four, "text", 1, maxVocab = 3)
+    }
+    assert(over.getMessage.contains("has 4 distinct words"), over.getMessage)
   }
 
   test("batched BPE training: non-interacting batches, bounded rounds") {

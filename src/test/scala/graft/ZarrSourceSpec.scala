@@ -440,7 +440,8 @@ class ZarrSourceSpec extends SparkSpec {
     java.nio.file.Files.write(new java.io.File(dir, "v/0").toPath, packed)
     val conf = new org.apache.hadoop.conf.Configuration()
     val meta = ZarrMeta.readArrayMeta(conf, dir, "v")
-    assert(meta.deltaFilter, "delta filter parsed")
+    assert(meta.filters == Seq(ZarrMeta.V2Filter.Delta("<i4", "<i4")),
+      "delta filter parsed")
     val vals = ZarrMeta.readChunk(conf, dir, meta, Seq(0))
     assert(vals.toSeq == Seq(10.0, 13.0, 11.0, 20.0), vals.toSeq)
     // an unrecognized filter must be a directed error — silently ignoring
@@ -448,13 +449,110 @@ class ZarrSourceSpec extends SparkSpec {
     putS("w/.zarray",
       """{"zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<i4",
         | "compressor": null, "order": "C",
-        | "filters": [{"id": "fixedscaleoffset", "scale": 10}],
+        | "filters": [{"id": "packbits"}],
         | "fill_value": null}""".stripMargin)
     putS("w/.zattrs", """{"_ARRAY_DIMENSIONS": ["x"]}""")
     val e = intercept[UnsupportedOperationException] {
       ZarrMeta.readArrayMeta(conf, dir, "w")
     }
-    assert(e.getMessage.contains("delta"), e.getMessage)
+    assert(e.getMessage.contains("fixedscaleoffset"), e.getMessage)
+  }
+
+  test("zarr v2 numcodecs FixedScaleOffset, Quantize, AsType, and chains decode") {
+    import graft.sources.zarr.ZarrMeta
+    val dir = java.nio.file.Files.createTempDirectory("zarrfilt").toString + "/s.zarr"
+    def putS(rel: String, s: String): Unit = {
+      val f = new java.io.File(dir, rel)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, s.getBytes("UTF-8"))
+    }
+    def put(rel: String, bytes: Array[Byte]): Unit = {
+      val f = new java.io.File(dir, rel)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, bytes)
+    }
+    putS(".zgroup", """{"zarr_format": 2}""")
+    val conf = new org.apache.hadoop.conf.Configuration()
+
+    // --- FixedScaleOffset: f8 data stored as i2 (offset 1000, scale 10)
+    // numcodecs encode: enc = around((x - offset) * scale).astype(astype);
+    // around is round-half-to-even = math.rint
+    val xs = Array(1000.0, 1001.7, 998.35, 1023.05)
+    putS("fso/.zarray",
+      """{"zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<f8",
+        | "compressor": null, "order": "C",
+        | "filters": [{"id": "fixedscaleoffset", "offset": 1000, "scale": 10,
+        |              "dtype": "<f8", "astype": "<i2"}],
+        | "fill_value": null}""".stripMargin)
+    putS("fso/.zattrs", """{"_ARRAY_DIMENSIONS": ["x"]}""")
+    val fsoEnc = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    xs.foreach(x => fsoEnc.putShort(math.rint((x - 1000.0) * 10.0).toShort))
+    put("fso/0", fsoEnc.array())
+    val fsoVals = ZarrMeta.readChunk(conf, dir,
+      ZarrMeta.readArrayMeta(conf, dir, "fso"), Seq(0))
+    // decode = enc/scale + offset: exact to the filter's 0.1 resolution
+    assert(fsoVals.zip(Array(1000.0, 1001.7, 998.4, 1023.0))
+      .forall { case (a, b) => math.abs(a - b) < 1e-9 }, fsoVals.toSeq)
+
+    // --- Quantize: lossy encode, decode is the astype→dtype cast (f4→f8)
+    putS("q/.zarray",
+      """{"zarr_format": 2, "shape": [3], "chunks": [3], "dtype": "<f8",
+        | "compressor": null, "order": "C",
+        | "filters": [{"id": "quantize", "digits": 1, "dtype": "<f8",
+        |              "astype": "<f4"}],
+        | "fill_value": null}""".stripMargin)
+    putS("q/.zattrs", """{"_ARRAY_DIMENSIONS": ["x"]}""")
+    val qEnc = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Array(1.5f, -2.25f, 0.125f).foreach(qEnc.putFloat)
+    put("q/0", qEnc.array())
+    val qVals = ZarrMeta.readChunk(conf, dir,
+      ZarrMeta.readArrayMeta(conf, dir, "q"), Seq(0))
+    assert(qVals.toSeq == Seq(1.5, -2.25, 0.125), qVals.toSeq)
+
+    // --- AsType: stored i1, decoded i4
+    putS("at/.zarray",
+      """{"zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<i4",
+        | "compressor": null, "order": "C",
+        | "filters": [{"id": "astype", "encode_dtype": "|i1",
+        |              "decode_dtype": "<i4"}],
+        | "fill_value": null}""".stripMargin)
+    putS("at/.zattrs", """{"_ARRAY_DIMENSIONS": ["x"]}""")
+    put("at/0", Array[Byte](5, -3, 127, -128))
+    val atVals = ZarrMeta.readChunk(conf, dir,
+      ZarrMeta.readArrayMeta(conf, dir, "at"), Seq(0))
+    assert(atVals.toSeq == Seq(5.0, -3.0, 127.0, -128.0), atVals.toSeq)
+
+    // --- chain under zlib: FixedScaleOffset (f8→i2) then Delta (i2→i2).
+    // Encode order = list order; decode must invert in REVERSE order, and
+    // the decompressed size must follow the LAST filter's astype (i2).
+    val cxs = Array(100.0, 100.3, 99.8, 101.2, 101.2)
+    putS("ch/.zarray",
+      """{"zarr_format": 2, "shape": [5], "chunks": [5], "dtype": "<f8",
+        | "compressor": {"id": "zlib", "level": 1}, "order": "C",
+        | "filters": [{"id": "fixedscaleoffset", "offset": 100, "scale": 10,
+        |              "dtype": "<f8", "astype": "<i2"},
+        |             {"id": "delta", "dtype": "<i2", "astype": "<i2"}],
+        | "fill_value": null}""".stripMargin)
+    putS("ch/.zattrs", """{"_ARRAY_DIMENSIONS": ["x"]}""")
+    val ints = cxs.map(x => math.rint((x - 100.0) * 10.0).toShort)
+    val deltas2 = ints.zipWithIndex.map { case (v, i) =>
+      if (i == 0) v else (v - ints(i - 1)).toShort
+    }
+    val chRaw = java.nio.ByteBuffer.allocate(10)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    deltas2.foreach(chRaw.putShort)
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(chRaw.array()); defl.finish()
+    val cbuf = new Array[Byte](64)
+    put("ch/0", java.util.Arrays.copyOf(cbuf, defl.deflate(cbuf)))
+    defl.end()
+    val chMeta = ZarrMeta.readArrayMeta(conf, dir, "ch")
+    assert(chMeta.encodedDtype == "<i2", chMeta.encodedDtype)
+    val chVals = ZarrMeta.readChunk(conf, dir, chMeta, Seq(0))
+    assert(chVals.zip(cxs).forall { case (a, b) => math.abs(a - b) < 1e-9 },
+      chVals.toSeq)
   }
 
   test("zarr v3 big-endian bytes codec decodes (hand-crafted store)") {
@@ -488,6 +586,67 @@ class ZarrSourceSpec extends SparkSpec {
     val df = spark.read.format("zarr").load(dir)
     assert(df.orderBy($"x").select($"v").as[Double].collect().toSeq ==
       Seq(10.5, 11.5, 12.5))
+  }
+
+  test("zarr v3 transpose codec decodes (F-order layout, multi-chunk with edge pad)") {
+    val dir = java.nio.file.Files.createTempDirectory("zarr3tr").toString + "/s.zarr"
+    def put(rel: String, bytes: Array[Byte]): Unit = {
+      val f = new java.io.File(dir, rel)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, bytes)
+    }
+    def putS(rel: String, s: String): Unit = put(rel, s.getBytes("UTF-8"))
+    def le(values: Seq[Double]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(values.size * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      values.foreach(bb.putDouble)
+      bb.array()
+    }
+    putS("zarr.json", """{"zarr_format": 3, "node_type": "group", "attributes": {}}""")
+    def coord(name: String, values: Seq[Double]): Unit = {
+      putS(s"$name/zarr.json",
+        s"""{"zarr_format": 3, "node_type": "array", "shape": [${values.size}],
+           | "data_type": "float64",
+           | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [${values.size}]}},
+           | "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+           | "fill_value": "NaN", "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+           | "attributes": {}, "dimension_names": ["$name"]}""".stripMargin)
+      put(s"$name/c/0", le(values))
+    }
+    coord("t", Seq(0.0, 1.0))
+    coord("x", Seq(0.0, 1.0, 2.0))
+    // v(t, x) = 10*t + x over shape [2, 3], chunk [2, 2] (edge chunk padded),
+    // transpose order [1, 0]: each stored chunk is C-order over [x, t]
+    putS("v/zarr.json",
+      """{"zarr_format": 3, "node_type": "array", "shape": [2, 3],
+        | "data_type": "float64",
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2, 2]}},
+        | "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        | "fill_value": "NaN",
+        | "codecs": [{"name": "transpose", "configuration": {"order": [1, 0]}},
+        |            {"name": "bytes", "configuration": {"endian": "little"}}],
+        | "attributes": {}, "dimension_names": ["t", "x"]}""".stripMargin)
+    // chunk (0,0): x-major (x0: t0,t1), (x1: t0,t1) = [0, 10, 1, 11]
+    put("v/c/0/0", le(Seq(0.0, 10.0, 1.0, 11.0)))
+    // chunk (0,1): x=2 real, x=3 pad = [2, 12, pad, pad]
+    put("v/c/0/1", le(Seq(2.0, 12.0, -1.0, -1.0)))
+    val df = spark.read.format("zarr").load(dir)
+    val got = df.orderBy($"t", $"x").select($"v").as[Double].collect().toSeq
+    assert(got == Seq(0.0, 1.0, 2.0, 10.0, 11.0, 12.0), got)
+    // a non-permutation order is a directed error
+    putS("v/zarr.json",
+      """{"zarr_format": 3, "node_type": "array", "shape": [2, 3],
+        | "data_type": "float64",
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2, 2]}},
+        | "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        | "fill_value": "NaN",
+        | "codecs": [{"name": "transpose", "configuration": {"order": [1, 1]}},
+        |            {"name": "bytes", "configuration": {"endian": "little"}}],
+        | "attributes": {}, "dimension_names": ["t", "x"]}""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("zarr").load(dir).collect()
+    }
+    assert(e.getMessage.contains("permutation"), e.getMessage)
   }
 
   test("zarr v3 opens without consolidated metadata (per-array zarr.json walk)") {
