@@ -24,7 +24,9 @@ import scala.collection.mutable
   *    blocks; EA is the one-unlimited-dimension / time-appending shape —
   *    and v2-B-tree indexes of any depth); filters deflate(1),
   *    shuffle(2), fletcher32(3), szip(4) — the CCSDS/Rice coder shared
-  *    with GRIB template 5.42 ([[graft.sources.grib.Ccsds]]);
+  *    with GRIB template 5.42 ([[graft.sources.grib.Ccsds]]) — nbit(5)
+  *    (atomic and no-op datatype classes) and scaleoffset(6) (int +
+  *    float D-scaling; E-scaling is unimplemented in HDF5 itself);
   *  - datatypes: fixed-point 1/2/4/8 (either endian, signed or not), IEEE
   *    float 4/8, fixed strings, object references, vlen sequences
   *    (via the global heap `GCOL`, as `DIMENSION_LIST` needs);
@@ -1122,9 +1124,11 @@ object Hdf5 {
 
   // ------------------------------------------------------------ raw decode
 
-  /** Reverse the filter pipeline over one chunk/contiguous span. */
+  /** Reverse the filter pipeline over one chunk/contiguous span.
+    * `signedElems` is the dataset dtype's two's-complement flag — needed
+    * only by nbit (filter 5), whose client values don't carry the sign. */
   def defilter(raw: Array[Byte], filters: Seq[Filter], filterMask: Int,
-      elemSize: Int, expected: Int): Array[Byte] = {
+      elemSize: Int, expected: Int, signedElems: Boolean = true): Array[Byte] = {
     var data = raw
     // pipeline applies in order on write; reverse on read
     filters.zipWithIndex.reverse.foreach { case (f, i) =>
@@ -1166,11 +1170,185 @@ object Hdf5 {
             si += 1
           }
           data = outB
+        case 5 =>
+          // nbit (public H5Znbit.c): cd[0]=#parms, cd[1]=need-not-compress
+          // flag, cd[2]=elements/chunk, cd[3]=datatype class (1 atomic,
+          // 4 no-op; array=2/compound=3 unsupported); atomic parms
+          // cd[4]=size, cd[5]=order (0 LE / 1 BE), cd[6]=precision,
+          // cd[7]=bit offset. The packed stream is each element's
+          // precision-bit field MSB-first, elements in order.
+          val cv = f.clientValues
+          require(cv.length >= 4, s"nbit filter with ${cv.length} client values")
+          if (cv(1) == 0) cv(3) match {
+            case 1 =>
+              require(cv.length >= 8, s"nbit atomic with ${cv.length} client values")
+              val size = cv(4); val be = cv(5) == 1
+              val precision = cv(6); val bitOffset = cv(7)
+              require(size > 0 && precision > 0 && precision <= 64 &&
+                precision + bitOffset <= size * 8,
+                s"nbit precision $precision + offset $bitOffset vs size $size bytes")
+              val n = expected / size
+              require(cv(2) == n, s"nbit nelmts ${cv(2)} vs chunk elements $n")
+              val fields = unpackMsb(data, 0, n, precision)
+              // H5Z's raw output is (field << offset) with zero padding;
+              // the field extraction is H5T's job via the datatype's
+              // precision/offset view. Downstream here decodes full-width
+              // elements, so that view is folded in: emit the field
+              // sign-extended (two's-complement dtypes) at full width.
+              val out = new Array[Byte](expected)
+              var i = 0
+              while (i < n) {
+                var v = fields(i)
+                if (signedElems && precision < 64)
+                  v = (v << (64 - precision)) >> (64 - precision)
+                var j = 0
+                while (j < size) {
+                  val shift = if (be) 8 * (size - 1 - j) else 8 * j
+                  out(i * size + j) = ((v >>> shift) & 0xff).toByte
+                  j += 1
+                }
+                i += 1
+              }
+              data = out
+            case 4 => // no-op datatype class: bytes stored verbatim
+            case other => throw UnsupportedHdf5(
+              s"nbit datatype class $other (atomic and no-op only)")
+          } // cd[1] != 0 = full-precision data stored verbatim: nothing to do
+        case 6 =>
+          // scaleoffset (public H5Zscaleoffset.c): cd[0]=scale type
+          // (0 float D-scale, 1 float E-scale — unimplemented in HDF5
+          // itself, 2 int), cd[1]=scale factor (D digits for floats),
+          // cd[2]=elements/chunk, cd[3]=class (0 int, 1 float),
+          // cd[4]=size, cd[5]=sign, cd[6]=order (0 LE / 1 BE),
+          // cd[7]=fill-value-defined flag, cd[8..]=fill value (native-LE
+          // bytes memcpy'd into the u32 parm slots). Chunk layout: u32-LE
+          // minbits, u8 minval byte width, LE minval, packed fields from
+          // fixed byte 21 (`buf_offset` in the C source) — minbits-bit
+          // fields MSB-first; all-ones sentinel = fill value.
+          val cv = f.clientValues
+          require(cv.length >= 8, s"scaleoffset filter with ${cv.length} client values")
+          if (cv(0) == 1) throw UnsupportedHdf5(
+            "scaleoffset E-scaling (unimplemented in HDF5 itself)")
+          val dVal = cv(1)
+          val isFloat = cv(3) == 1
+          val size = cv(4); val be = cv(6) == 1
+          val fillDefined = cv(7) != 0
+          require(size >= 1 && size <= 8, s"scaleoffset size $size")
+          require(!isFloat || size == 4 || size == 8,
+            s"scaleoffset float size $size")
+          val n = expected / size
+          require(cv(2) == n, s"scaleoffset nelmts ${cv(2)} vs chunk elements $n")
+          val minbits = (data(0) & 0xffL) | ((data(1) & 0xffL) << 8) |
+            ((data(2) & 0xffL) << 16) | ((data(3) & 0xffL) << 24)
+          require(minbits <= size * 8, s"scaleoffset minbits $minbits vs $size bytes")
+          val mvWidth = math.min(8, data(4) & 0xff)
+          var minval = 0L
+          var mvI = 0
+          while (mvI < mvWidth) { minval |= (data(5 + mvI) & 0xffL) << (8 * mvI); mvI += 1 }
+          val headerLen = 21
+          val fullWidth = minbits == size * 8
+          val sentinel = if (minbits == 64) -1L else (1L << minbits) - 1
+          val sizeMask = if (size == 8) -1L else (1L << (size * 8)) - 1
+          var fillBits = 0L
+          if (fillDefined) {
+            var j = 0
+            while (j < size) {
+              fillBits |= ((cv(8 + j / 4) >> (8 * (j % 4))) & 0xffL) << (8 * j)
+              j += 1
+            }
+          }
+          val fields: Array[Long] =
+            if (fullWidth) { // stored verbatim at full width, little-endian
+              val out = new Array[Long](n)
+              var i = 0
+              while (i < n) {
+                var v = 0L; var j = 0
+                while (j < size) { v |= (data(headerLen + i * size + j) & 0xffL) << (8 * j); j += 1 }
+                out(i) = v; i += 1
+              }
+              out
+            } else if (minbits == 0) new Array[Long](n)
+            else unpackMsb(data, headerLen, n, minbits.toInt)
+          val out = new Array[Byte](expected)
+          var i = 0
+          while (i < n) {
+            val raw0 = fields(i)
+            val outBits: Long =
+              if (fullWidth) raw0
+              else if (fillDefined && raw0 == sentinel) fillBits
+              else if (!isFloat) (raw0 + minval) & sizeMask
+              else if (size == 4) {
+                // float D-scale inverse: signed-int arithmetic at the
+                // element width, then /10^D (postdecompress_3 in the C)
+                val v = (raw0 + minval).toInt
+                java.lang.Float.floatToIntBits(
+                  (v.toDouble / math.pow(10, dVal)).toFloat).toLong & 0xffffffffL
+              } else {
+                val v = raw0 + minval
+                java.lang.Double.doubleToLongBits(v.toDouble / math.pow(10, dVal))
+              }
+            var j = 0
+            while (j < size) {
+              val shift = if (be) 8 * (size - 1 - j) else 8 * j
+              out(i * size + j) = ((outBits >>> shift) & 0xff).toByte
+              j += 1
+            }
+            i += 1
+          }
+          data = out
         case other => throw UnsupportedHdf5(
-          s"filter id $other (deflate/shuffle/szip/fletcher32 only)")
+          s"filter id $other (deflate/shuffle/fletcher32/szip/nbit/scaleoffset only)")
       }
     }
     data
+  }
+
+  /** MSB-first bit unpacking: `n` fields of `bits` bits each, starting at
+    * byte `byteOff` — the packing both H5Znbit and H5Zscaleoffset use (each
+    * element's field appended top bit first, stream filled into bytes
+    * MSB-first). */
+  private[hdf5] def unpackMsb(buf: Array[Byte], byteOff: Int, n: Int,
+      bits: Int): Array[Long] = {
+    require(bits >= 1 && bits <= 64, s"field width $bits")
+    val need = byteOff + (n.toLong * bits + 7) / 8
+    require(buf.length >= need, s"bit-packed stream ${buf.length} B < $need B")
+    val out = new Array[Long](n)
+    var bitPos = byteOff.toLong * 8
+    var i = 0
+    while (i < n) {
+      var v = 0L
+      var k = 0
+      while (k < bits) {
+        val b = buf((bitPos >> 3).toInt)
+        v = (v << 1) | ((b >> (7 - (bitPos & 7)).toInt) & 1)
+        bitPos += 1
+        k += 1
+      }
+      out(i) = v
+      i += 1
+    }
+    out
+  }
+
+  /** Inverse of [[unpackMsb]]: pack each field's low `bits` bits MSB-first
+    * into a byte stream (trailing bits of the last byte zero). */
+  private[hdf5] def packMsb(fields: Array[Long], bits: Int): Array[Byte] = {
+    require(bits >= 1 && bits <= 64, s"field width $bits")
+    val out = new Array[Byte](((fields.length.toLong * bits + 7) / 8).toInt)
+    var bitPos = 0L
+    var i = 0
+    while (i < fields.length) {
+      var k = bits - 1
+      while (k >= 0) {
+        val bit = (fields(i) >>> k) & 1L
+        out((bitPos >> 3).toInt) = (out((bitPos >> 3).toInt) |
+          (bit << (7 - (bitPos & 7)).toInt)).toByte
+        bitPos += 1
+        k -= 1
+      }
+      i += 1
+    }
+    out
   }
 
   private def inflate(raw: Array[Byte], expected: Int): Array[Byte] = {

@@ -9,7 +9,8 @@ import scala.collection.mutable.ArrayBuffer
   * Format Specification III + the netCDF-4 dimension-scale conventions).
   * Little-endian, superblock v0, v1 object headers, old-style symbol-table
   * root group; coordinate variables contiguous; data variables contiguous
-  * or chunked (v1 chunk B-tree) with optional deflate/shuffle filters;
+  * or chunked (v1 chunk B-tree) with optional deflate/shuffle/szip/nbit/
+  * scaleoffset filters;
   * `DIMENSION_LIST` attributes through a real global heap, `CLASS`/`NAME`
   * dimension-scale markers, CDL attrs (`units`, `scale_factor`,
   * `add_offset`, `_FillValue`). Fixture role — enough to exercise
@@ -26,6 +27,15 @@ object Hdf5Writer {
       deflate: Boolean = false,
       shuffle: Boolean = false,
       szip: Boolean = false, // CCSDS/Rice coding (filter id 4), <= 32-bit dtypes
+      // nbit (filter id 5): Some((precision, bitOffset)) packs each
+      // element's precision-bit field; the datatype message declares the
+      // reduced precision, as H5Tset_precision would
+      nbit: Option[(Int, Int)] = None,
+      // scaleoffset (filter id 6): int auto-minbits (H5Z_SO_INT with
+      // scale_factor 0) for i2/i4; float D-scaling with the given decimal
+      // digit count for f4/f8
+      scaleoffset: Boolean = false,
+      scaleoffsetD: Option[Int] = None,
       scaleFactor: Option[Double] = None,
       addOffset: Option[Double] = None,
       fillValue: Option[Double] = None,
@@ -56,6 +66,18 @@ object Hdf5Writer {
     case "f4" | "i4" => 4
     case "i2" => 2
     case other => throw new IllegalArgumentException(s"dtype $other")
+  }
+
+  private def hasFilters(v: VarSpec): Boolean =
+    v.deflate || v.shuffle || v.szip || v.nbit.isDefined ||
+      v.scaleoffset || v.scaleoffsetD.isDefined
+
+  /** H5Z__scaleoffset_log2: smallest v with 2^v >= num. */
+  private def log2Ceil(num: Long): Int = {
+    var v = 0
+    var lb = 1L
+    while (lb < num) { lb <<= 1; v += 1 }
+    v
   }
 
   // szip geometry the writer emits: 16 pixels/block (libhdf5's common
@@ -190,6 +212,62 @@ object Hdf5Writer {
       o.toByteArray
     }
 
+    // nbit (filter 5): each element's precision-bit field packed MSB-first
+    // (the H5Znbit.c atomic layout). Values are the logical field values.
+    def nbitBytes(v: VarSpec, cells: Seq[Double]): Array[Byte] = {
+      val (precision, bitOffset) = v.nbit.get
+      val w = elemSize(v.dtype)
+      require(v.dtype == "i2" || v.dtype == "i4",
+        s"nbit fixtures carry integer dtypes, got ${v.dtype}")
+      require(precision >= 1 && precision + bitOffset <= w * 8,
+        s"nbit precision $precision + offset $bitOffset vs ${w * 8} bits")
+      val lo = -(1L << (precision - 1))
+      val hi = (1L << (precision - 1)) - 1
+      val mask = (1L << precision) - 1
+      val fields = cells.map { x =>
+        val value = x.toLong
+        require(value >= lo && value <= hi,
+          s"${v.name}: $value outside $precision-bit two's complement")
+        value & mask
+      }.toArray
+      Hdf5.packMsb(fields, precision)
+    }
+
+    // scaleoffset (filter 6): H5Zscaleoffset.c chunk layout — u32-LE
+    // minbits, u8 minval width (8), LE minval, packed minbits-bit fields
+    // MSB-first from fixed byte 21. Int = H5Z_SO_INT auto-minbits;
+    // float = D-scaling via llround(x * 10^D).
+    def scaleoffsetBytes(v: VarSpec, cells: Seq[Double]): Array[Byte] = {
+      val w = elemSize(v.dtype)
+      val isFloat = v.dtype.startsWith("f")
+      require(!isFloat || v.scaleoffsetD.isDefined,
+        s"${v.name}: float scaleoffset needs scaleoffsetD")
+      val d = v.scaleoffsetD.getOrElse(0)
+      val pow = math.pow(10, d)
+      def isFill(x: Double) = v.fillValue.exists(_ == x)
+      val scaled: Array[Long] =
+        cells.map(x => if (isFloat) Math.round(x * pow) else x.toLong).toArray
+      val dataVals = cells.indices.filterNot(i => isFill(cells(i))).map(scaled)
+      val (minv, maxv) =
+        if (dataVals.isEmpty) (0L, 0L) else (dataVals.min, dataVals.max)
+      val span = maxv - minv + 1
+      val minbits =
+        if (v.fillValue.isDefined) log2Ceil(span + 1) else log2Ceil(span)
+      require(minbits < w * 8,
+        s"${v.name}: span $span needs full-width storage — widen the fixture")
+      val sentinel = (1L << minbits) - 1
+      val fields = cells.indices.map { i =>
+        if (isFill(cells(i))) sentinel else scaled(i) - minv
+      }.toArray
+      val header = new Array[Byte](21) // buf_offset = 21 in H5Zscaleoffset.c
+      var j = 0
+      while (j < 4) { header(j) = ((minbits >> (8 * j)) & 0xff).toByte; j += 1 }
+      header(4) = 8 // sizeof(unsigned long long) on the writing machine
+      j = 0
+      while (j < 8) { header(5 + j) = ((minv >> (8 * j)) & 0xff).toByte; j += 1 }
+      if (minbits == 0) header else header ++ Hdf5.packMsb(fields, minbits)
+    }
+
     // ---- per-var storage: write data blocks (+ btree for chunked)
     // name -> (layout message body maker given nothing, filters present)
     final case class Storage(layoutBody: Array[Byte], filtered: Boolean)
@@ -232,7 +310,11 @@ object Hdf5Writer {
                   }
                 }
               gather(0, new Array[Int](rank), new Array[Int](rank))
-              var bytes = packValues(v.copy(), cells)
+              var bytes =
+                if (v.nbit.isDefined) nbitBytes(v, cells)
+                else if (v.scaleoffset || v.scaleoffsetD.isDefined)
+                  scaleoffsetBytes(v, cells)
+                else packValues(v.copy(), cells)
               if (v.shuffle) bytes = shuffleBytes(bytes, w)
               if (v.deflate) bytes = deflateBytes(bytes)
               if (v.szip) bytes = szipBytes(bytes, elemSize(v.dtype))
@@ -245,7 +327,7 @@ object Hdf5Writer {
             // entries in C-order (the rec() emission order), then the FAHD
             // header right after it. Filtered datasets use client id 1
             // (addr + u32 stored size + u32 filter mask per entry).
-            val filtered = v.deflate || v.shuffle || v.szip
+            val filtered = hasFilters(v)
             val clientId = if (filtered) 1 else 0
             val entrySize = if (filtered) 16 else 8
             val nChunks = chunkRefs.size
@@ -312,7 +394,7 @@ object Hdf5Writer {
             // elements, early data blocks addressed from the index block,
             // super blocks beyond (H5EA geometry — super block u holds
             // 2^(u/2) data blocks of 2^((u+1)/2)*minElmts entries)
-            val filtered = v.deflate || v.shuffle || v.szip
+            val filtered = hasFilters(v)
             val clientId = if (filtered) 1 else 0
             val entrySize = if (filtered) 16 else 8
             val nChunks = chunkRefs.size
@@ -437,7 +519,7 @@ object Hdf5Writer {
           } else if (v.chunkIndex == "btree2") {
             // layout v4 + depth-0 v2 B-tree chunk index (record type 10
             // unfiltered / 11 filtered; scaled chunk coordinates)
-            val filtered = v.deflate || v.shuffle || v.szip
+            val filtered = hasFilters(v)
             val btType = if (filtered) 11 else 10
             val recordSize = if (filtered) 8 + 8 + 4 + rank * 8 else 8 + rank * 8
             val leaf = ArrayBuffer.empty[Byte]
@@ -498,7 +580,7 @@ object Hdf5Writer {
           val btreeAddr = layer.head._1
           val body = (ArrayBuffer[Byte](3, 2, (rank + 1).toByte) ++= b64(btreeAddr)).toArray ++
             chunkDims.flatMap(c => b32(c.toLong)) ++ b32(w.toLong)
-          v.name -> Storage(body, filtered = v.deflate || v.shuffle || v.szip)
+          v.name -> Storage(body, filtered = hasFilters(v))
           }
       }
     }.toMap
@@ -508,7 +590,7 @@ object Hdf5Writer {
       (Array[Byte](1, shape.size.toByte, 0) ++ new Array[Byte](5)) ++
         shape.flatMap(s => b64(s.toLong))
 
-    def datatypeMsg(dtype: String): Array[Byte] = dtype match {
+    def datatypeMsg(dtype: String, nbit: Option[(Int, Int)] = None): Array[Byte] = dtype match {
       case "f8" | "f4" =>
         val sz = elemSize(dtype)
         // class 1 float, LE; IEEE properties (exp/mantissa spans)
@@ -520,8 +602,10 @@ object Hdf5Writer {
           Array[Byte](expLoc.toByte, expSz.toByte, 0, manSz.toByte) ++ b32(bias)
       case "i4" | "i2" =>
         val sz = elemSize(dtype)
-        // class 0 fixed, LE, signed
-        Array[Byte](0x10, 0x08, 0, 0) ++ b32(sz.toLong) ++ b16(0) ++ b16(sz * 8)
+        // class 0 fixed, LE, signed; nbit datasets declare the reduced
+        // precision + bit offset (H5Tset_precision/H5Tset_offset view)
+        val (off, prec) = nbit.getOrElse((0, sz * 8))
+        Array[Byte](0x10, 0x08, 0, 0) ++ b32(sz.toLong) ++ b16(off) ++ b16(prec)
     }
 
     def stringDtMsg(len: Int): Array[Byte] =
@@ -541,6 +625,42 @@ object Hdf5Writer {
         fs ++= b16(id) ++ b16(0) /* no name */ ++ b16(0) ++ b16(clientVals.size)
         clientVals.foreach(cv => fs ++= b32(cv.toLong))
         if (clientVals.size % 2 == 1) fs ++= b32(0L)
+      }
+      val chunkElems = v.chunks.map(_.product).getOrElse(v.shape.product)
+      // nbit client values (H5Znbit.c): [#parms, need-not-compress,
+      // elements/chunk, class=1 atomic, size, order=0 LE, precision,
+      // bit offset]
+      v.nbit.foreach { case (precision, bitOffset) =>
+        add(5, Seq(8, 0, chunkElems, 1, elemSize(v.dtype), 0, precision, bitOffset))
+      }
+      // scaleoffset client values (H5Zscaleoffset.c, 20 parms): [scale
+      // type (2 int / 0 float D-scale), scale factor, elements/chunk,
+      // class, size, sign, order=0 LE, fill defined, fill bytes...]
+      if (v.scaleoffset || v.scaleoffsetD.isDefined) {
+        val w = elemSize(v.dtype)
+        val isFloat = v.dtype.startsWith("f")
+        val cvs = Array.fill(20)(0)
+        cvs(0) = if (isFloat) 0 else 2
+        cvs(1) = v.scaleoffsetD.getOrElse(0)
+        cvs(2) = chunkElems
+        cvs(3) = if (isFloat) 1 else 0
+        cvs(4) = w
+        cvs(5) = if (isFloat) 0 else 1 // our integer dtypes are signed
+        cvs(6) = 0
+        cvs(7) = if (v.fillValue.isDefined) 1 else 0
+        v.fillValue.foreach { f =>
+          val bits = v.dtype match {
+            case "f8" => java.lang.Double.doubleToLongBits(f)
+            case "f4" => java.lang.Float.floatToIntBits(f.toFloat).toLong & 0xffffffffL
+            case _ => f.toLong
+          }
+          var j = 0
+          while (j < w) {
+            cvs(8 + j / 4) |= (((bits >> (8 * j)) & 0xff) << (8 * (j % 4))).toInt
+            j += 1
+          }
+        }
+        add(6, cvs.toSeq)
       }
       if (v.shuffle) add(2, Seq(elemSize(v.dtype)))
       if (v.deflate) add(1, Seq(6))
@@ -852,7 +972,7 @@ object Hdf5Writer {
     coordVars.foreach { v =>
       val msgs = ArrayBuffer.empty[(Int, Array[Byte])]
       msgs += ((0x01, dataspaceMsg(v.shape)))
-      msgs += ((0x03, datatypeMsg(v.dtype)))
+      msgs += ((0x03, datatypeMsg(v.dtype, v.nbit)))
       if (storage(v.name).filtered) msgs += ((0x0B, filtersMsg(v)))
       msgs += ((0x08, storage(v.name).layoutBody))
       msgs += ((0x0C, strAttr("CLASS", "DIMENSION_SCALE")))
@@ -900,7 +1020,7 @@ object Hdf5Writer {
     dataVars.foreach { v =>
       val msgs = ArrayBuffer.empty[(Int, Array[Byte])]
       msgs += ((0x01, dataspaceMsg(v.shape)))
-      msgs += ((0x03, datatypeMsg(v.dtype)))
+      msgs += ((0x03, datatypeMsg(v.dtype, v.nbit)))
       if (storage(v.name).filtered) msgs += ((0x0B, filtersMsg(v)))
       msgs += ((0x08, storage(v.name).layoutBody))
       val dimList = v.dims.flatMap { d =>

@@ -163,14 +163,15 @@ object NetCDF4Reader {
             pl.ds.layout match {
               case Contiguous(addr, size) =>
                 val raw = Hdf5.defilter(read(addr, size.toInt), pl.ds.filters, 0,
-                  pl.ds.dtype.size, size.toInt)
+                  pl.ds.dtype.size, size.toInt, pl.ds.dtype.signed)
                 applyCdl(Hdf5.decodeValues(raw, pl.ds.dtype, shapeLocal.product), pl)
               case _: Chunked =>
                 val ref = pl.chunks.find(_.offsets == cellOffsets).getOrElse(
                   throw UnsupportedHdf5(s"${pl.name}: missing chunk at $cellOffsets"))
                 val n = chunkLocal.product
-                val raw = Hdf5.defilter(read(ref.addr, ref.nBytes.toInt),
-                  pl.ds.filters, ref.filterMask, pl.ds.dtype.size, n * pl.ds.dtype.size)
+                val raw = Hdf5.defilter(read(ref.addr, ref.nBytes.toInt), pl.ds.filters,
+                  ref.filterMask, pl.ds.dtype.size, n * pl.ds.dtype.size,
+                  pl.ds.dtype.signed)
                 applyCdl(Hdf5.decodeValues(raw, pl.ds.dtype, n), pl)
               case other => throw UnsupportedHdf5(s"layout $other")
             }
@@ -220,7 +221,8 @@ object NetCDF4Reader {
     d.layout match {
       case Contiguous(addr, size) =>
         Hdf5.decodeValues(
-          Hdf5.defilter(read(addr, size.toInt), d.filters, 0, d.dtype.size, n * d.dtype.size),
+          Hdf5.defilter(read(addr, size.toInt), d.filters, 0, d.dtype.size,
+            n * d.dtype.size, d.dtype.signed),
           d.dtype, n)
       case ck: Chunked =>
         val out = new Array[Double](n)
@@ -228,7 +230,8 @@ object NetCDF4Reader {
           val cn = ck.chunkDims.product
           val vals = Hdf5.decodeValues(
             Hdf5.defilter(read(ref.addr, ref.nBytes.toInt), d.filters,
-              ref.filterMask, d.dtype.size, cn * d.dtype.size), d.dtype, cn)
+              ref.filterMask, d.dtype.size, cn * d.dtype.size, d.dtype.signed),
+            d.dtype, cn)
           // rank-1 coordinate chunks
           val base = ref.offsets.head.toInt
           var i = 0

@@ -263,6 +263,108 @@ class Hdf5Spec extends SparkSpec {
     }
   }
 
+  test("nbit filter (id 5) round-trips reduced-precision ints, offset and edge chunks") {
+    val p = tmp("nbit.nc")
+    val (nt, ny, nx) = (3, 4, 5)
+    // 10-bit signed values (negative included) at bit offset 3 in i4, plus
+    // a 7-bit i2 variable; 2x3x2 chunks exercise zero-padded edge chunks
+    HW.write(p, Seq(
+      HW.VarSpec("time", Seq("time"), Seq(nt),
+        (0 until nt).map(t => (t0 + 3600L * t).toDouble), dtype = "f8"),
+      HW.VarSpec("y", Seq("y"), Seq(ny), (0 until ny).map(_.toDouble), dtype = "f8"),
+      HW.VarSpec("x", Seq("x"), Seq(nx), (0 until nx).map(_.toDouble), dtype = "f8"),
+      HW.VarSpec("a", Seq("time", "y", "x"), Seq(nt, ny, nx),
+        (0 until nt * ny * nx).map(k => (k * 13 % 1000 - 500).toDouble),
+        dtype = "i4", chunks = Some(Seq(2, 3, 2)), nbit = Some((10, 3))),
+      HW.VarSpec("b", Seq("time", "y", "x"), Seq(nt, ny, nx),
+        (0 until nt * ny * nx).map(k => (k % 120 - 60).toDouble),
+        dtype = "i2", chunks = Some(Seq(2, 3, 2)), nbit = Some((7, 0)))))
+    val (read, len) = localRead(p)
+    val meta = Hdf5.parse(read, len)
+    val fa = meta.byPath("/a").filters
+    assert(fa.exists(f => f.id == 5 && f.clientValues(6) == 10 &&
+      f.clientValues(7) == 3), s"nbit parms recorded: $fa")
+    // the chunk really shrank: 12 elems * 10 bits = 15 bytes, not 48
+    assert(Hdf5.chunkRefs(read, meta.byPath("/a")).forall(_.nBytes == 15))
+    val df = NetCDF4Reader.readLongFormat(spark, p)
+    assert(df.count() == nt * ny * nx)
+    val r = df.filter($"y" === 2.0 && $"x" === 3.0)
+      .orderBy($"time").select($"a", $"b").collect()
+    (0 until nt).foreach { t =>
+      val k = t * 20 + 2 * 5 + 3
+      assert(r(t).getDouble(0) == (k * 13 % 1000 - 500).toDouble, s"a at t=$t")
+      assert(r(t).getDouble(1) == (k % 120 - 60).toDouble, s"b at t=$t")
+    }
+  }
+
+  test("scaleoffset filter (id 6) round-trips ints with fill and float D-scaling") {
+    val p = tmp("so.nc")
+    val (nt, ny, nx) = (3, 4, 5)
+    HW.write(p, Seq(
+      HW.VarSpec("time", Seq("time"), Seq(nt),
+        (0 until nt).map(t => (t0 + 3600L * t).toDouble), dtype = "f8"),
+      HW.VarSpec("y", Seq("y"), Seq(ny), (0 until ny).map(_.toDouble), dtype = "f8"),
+      HW.VarSpec("x", Seq("x"), Seq(nx), (0 until nx).map(_.toDouble), dtype = "f8"),
+      // int auto-minbits with a fill value: fill encodes as the all-ones
+      // sentinel, data as offsets from the chunk min (negatives included)
+      HW.VarSpec("n", Seq("time", "y", "x"), Seq(nt, ny, nx),
+        (0 until nt * ny * nx).map(k =>
+          if (k % 11 == 0) -999.0 else (k * 37 % 5000 - 2500).toDouble),
+        dtype = "i4", chunks = Some(Seq(2, 3, 2)), scaleoffset = true,
+        fillValue = Some(-999.0)),
+      // float D-scaling (2 decimal digits) + deflate stacked after it
+      HW.VarSpec("t2m", Seq("time", "y", "x"), Seq(nt, ny, nx),
+        (0 until nt * ny * nx).map(k => 250.0 + (k % 400) * 0.25),
+        dtype = "f8", chunks = Some(Seq(2, 3, 2)), scaleoffsetD = Some(2),
+        deflate = true),
+      // constant chunks: minbits 0, header-only storage
+      HW.VarSpec("c", Seq("time", "y", "x"), Seq(nt, ny, nx),
+        Seq.fill(nt * ny * nx)(42.0), dtype = "i2", chunks = Some(Seq(2, 3, 2)),
+        scaleoffset = true)))
+    val (read, len) = localRead(p)
+    val meta = Hdf5.parse(read, len)
+    assert(meta.byPath("/n").filters.exists(f => f.id == 6 && f.clientValues(0) == 2))
+    assert(meta.byPath("/t2m").filters.map(_.id) == Seq(6, 1),
+      "D-scale before deflate in the pipeline")
+    // interior constant chunks (edge chunks carry zero padding, so only
+    // full chunks are single-valued) store just the 21-byte header
+    val cRefs = Hdf5.chunkRefs(read, meta.byPath("/c"))
+    assert(cRefs.filter(r => r.offsets == Seq(0L, 0L, 0L)).forall(_.nBytes == 21))
+    assert(cRefs.forall(_.nBytes >= 21))
+    val df = NetCDF4Reader.readLongFormat(spark, p)
+    assert(df.count() == nt * ny * nx)
+    val r = df.filter($"y" === 2.0 && $"x" === 3.0)
+      .orderBy($"time").select($"n", $"t2m", $"c").collect()
+    (0 until nt).foreach { t =>
+      val k = t * 20 + 2 * 5 + 3
+      val expectedN: Any =
+        if (k % 11 == 0) null else (k * 37 % 5000 - 2500).toDouble
+      assert(r(t).get(0) == expectedN, s"n at t=$t")
+      // D=2 digits preserve .25 steps exactly: round(x*100)/100
+      assert(math.abs(r(t).getDouble(1) - (250.0 + (k % 400) * 0.25)) < 1e-9,
+        s"t2m at t=$t")
+      assert(r(t).getDouble(2) == 42.0, s"c at t=$t")
+    }
+    // fill density survives the sentinel round-trip
+    assert(df.filter($"n".isNull).count() == (0 until 60).count(_ % 11 == 0))
+  }
+
+  test("scaleoffset full-width fallback decodes verbatim (minbits == elem bits)") {
+    // hand-built chunk: the H5Z layout when the span is too wide to pack —
+    // minbits = 32, values stored verbatim LE from byte 21
+    val vals = Seq(Int.MinValue, -7, 0, 42, Int.MaxValue)
+    val chunk = new Array[Byte](21 + vals.size * 4)
+    chunk(0) = 32; chunk(4) = 8 // minbits u32 LE; minval width (minval 0)
+    vals.zipWithIndex.foreach { case (v, i) =>
+      (0 until 4).foreach(j => chunk(21 + i * 4 + j) = ((v >> (8 * j)) & 0xff).toByte)
+    }
+    val f = Hdf5.Filter(6, Seq(2, 0, vals.size, 0, 4, 1, 0, 0) ++ Seq.fill(12)(0))
+    val out = Hdf5.defilter(chunk, Seq(f), 0, 4, vals.size * 4)
+    val decoded = Hdf5.decodeValues(out, Hdf5.Dtype(0, 4, littleEndian = true,
+      signed = true), vals.size)
+    assert(decoded.toSeq == vals.map(_.toDouble))
+  }
+
   test("depth-1 v2 B-tree dense storage (BTIN internal root + leaf fan-out)") {
     val p = tmp("densebt1.nc")
     val n = 6
