@@ -10,7 +10,8 @@ import graft.sources.grib.Grib1.UnsupportedGrib
   * (weather_mv/loader_pipeline/sinks.py:371-389).
   *
   * Scope: the profile eccodes emits and operational GRIB archives carry —
-  * one tile, one component, one quality layer, reversible 5/3 wavelet
+  * one tile (in any number of tile-parts, concatenated in TPsot order),
+  * one component, one quality layer, reversible 5/3 wavelet
   * (lossless) OR irreversible 9/7 (the lossy coding some archived ECMWF
   * dissemination streams use) with expounded scalar quantization, 64x64
   * codeblocks, default (whole-subband) precincts, no coder
@@ -29,7 +30,8 @@ import graft.sources.grib.Grib1.UnsupportedGrib
   *    midpoint dequantization (Annex E, expounded style);
   *  - codestream markers: SOC/SIZ/COD/QCD/COM/SOT/SOD/EOC.
   *
-  * Anything outside the profile (multiple components or tiles, precinct
+  * Anything outside the profile (multiple components or tiles — tile-parts
+  * of the one tile ARE supported — precinct
   * partitions, derived quantization, RGN/POC/PPM) raises a directed
   * [[UnsupportedGrib]] naming the feature, same policy as the other GRIB
   * codecs here.
@@ -1026,13 +1028,18 @@ private[graft] object Jpeg2000 {
     * (lossless, the default) or, with `irreversible`, the 9/7 float
     * wavelet + deadzone scalar quantization (expounded style, Annex E). */
   def encode(width: Int, height: Int, depth: Int, samples: Array[Long],
-      levels: Int = 5, irreversible: Boolean = false): Array[Byte] = {
+      levels: Int = 5, irreversible: Boolean = false,
+      tileParts: Int = 1): Array[Byte] = {
     require(width >= 1 && height >= 1 && width <= MaxDim && height <= MaxDim,
       s"image dims ${width}x$height")
     require(depth >= 1 && depth <= MaxDepth, s"sample depth $depth (1..$MaxDepth)")
     require(samples.length == width * height,
       s"${samples.length} samples for ${width}x$height")
     require(levels >= 0 && levels <= 32, s"decomposition levels $levels")
+    // tile-parts split the single tile's packet stream at packet
+    // (= resolution, in this one-layer profile) boundaries
+    require(tileParts >= 1 && tileParts <= levels + 1,
+      s"$tileParts tile-parts for ${levels + 1} packets")
 
     val shift = 1 << (depth - 1)
     // per-band quantization exponent: reversible bands carry exact
@@ -1078,6 +1085,7 @@ private[graft] object Jpeg2000 {
       }
 
     val body = new ByteArrayOutputStream()
+    val packetEnds = scala.collection.mutable.ArrayBuffer.empty[Int]
     var r = 0
     while (r <= levels) {
       val bands = bandsAt(r, levels, width, height)
@@ -1153,6 +1161,7 @@ private[graft] object Jpeg2000 {
       body.write(hdr, 0, hdr.length)
       val ch = chunks.toByteArray
       body.write(ch, 0, ch.length)
+      packetEnds += body.size()
       r += 1
     }
 
@@ -1205,12 +1214,24 @@ private[graft] object Jpeg2000 {
       }
     }
     val data = body.toByteArray
-    u16(0xff90) // SOT
-    u16(10); u16(0) // Lsot, Isot
-    u32(12 + 2 + data.length.toLong) // Psot
-    out.write(0); out.write(1) // TPsot, TNsot
-    u16(0xff93) // SOD
-    out.write(data, 0, data.length)
+    // split the packet stream across tileParts at packet boundaries:
+    // part k takes packets [k*(levels+1)/tileParts, (k+1)*(levels+1)/tileParts)
+    val nPackets = levels + 1
+    val cuts: Seq[Int] = 0 +: (1 to tileParts).map { k =>
+      if (k == tileParts) data.length
+      else packetEnds(k * nPackets / tileParts - 1)
+    }
+    var tp = 0
+    while (tp < tileParts) {
+      val (from, until) = (cuts(tp), cuts(tp + 1))
+      u16(0xff90) // SOT
+      u16(10); u16(0) // Lsot, Isot
+      u32(12 + 2 + (until - from).toLong) // Psot
+      out.write(tp); out.write(tileParts) // TPsot, TNsot
+      u16(0xff93) // SOD
+      out.write(data, from, until - from)
+      tp += 1
+    }
     u16(0xffd9) // EOC
     out.toByteArray
   }
@@ -1233,6 +1254,7 @@ private[graft] object Jpeg2000 {
     var qExps: Array[Int] = null  // per-band exponents, SPqcd order
     var qMants: Array[Int] = null // per-band mantissas (style 2)
     var dataOff = -1; var dataLen = -1
+    val dataSegs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
 
     var pos = 2
     var sawSiz = false
@@ -1308,9 +1330,16 @@ private[graft] object Jpeg2000 {
                   throw new UnsupportedGrib(s"JPEG2000 quantization style $other")
               }
             case 0xff90 => // SOT
+              if (u16(body) != 0)
+                throw new UnsupportedGrib("JPEG2000 multi-tile codestream (one tile expected)")
               val psot = u32(body + 2)
-              if ((cs(body + 6) & 0xff) != 0)
-                throw new UnsupportedGrib("JPEG2000 multiple tile-parts")
+              val tpsot = cs(body + 6) & 0xff
+              // tile-parts of the single tile must arrive in TPsot order —
+              // their data segments concatenate into the packet stream
+              // (ISO 15444-1 A.4.2: tile-parts split at packet boundaries)
+              if (tpsot != dataSegs.size)
+                throw new UnsupportedGrib(
+                  s"JPEG2000 tile-part order: TPsot $tpsot after ${dataSegs.size} part(s)")
               // scan forward to SOD
               var p2 = pos + 2 + lseg
               if (u16(p2) != 0xff93)
@@ -1319,6 +1348,9 @@ private[graft] object Jpeg2000 {
               dataLen =
                 if (psot == 0) cs.length - 2 - dataOff
                 else (pos + psot).toInt - dataOff
+              if (dataLen < 0 || dataOff + dataLen > cs.length)
+                throw new UnsupportedGrib("JPEG2000 tile-part overruns codestream")
+              dataSegs += ((dataOff, dataLen))
             case 0xff53 | 0xff5d =>
               throw new UnsupportedGrib("JPEG2000 per-component COC/QCC overrides")
             case 0xff5e => throw new UnsupportedGrib("JPEG2000 RGN (ROI) segment")
@@ -1333,17 +1365,31 @@ private[graft] object Jpeg2000 {
           } else pos = pos + 4 + (lseg - 2)
       }
     }
-    require(sawSiz && levels >= 0 && dataOff >= 0, "JPEG2000 missing SIZ/COD/SOT")
+    require(sawSiz && levels >= 0 && dataSegs.nonEmpty, "JPEG2000 missing SIZ/COD/SOT")
     require(width >= 1 && height >= 1 && width <= MaxDim && height <= MaxDim,
       s"JPEG2000 dims ${width}x$height")
     if (depth > MaxDepth)
       throw new UnsupportedGrib(s"JPEG2000 ${depth}-bit samples (max $MaxDepth)")
 
+    // one tile-part reads in place; several concatenate into the tile's
+    // packet stream (archived ECMWF fields split large tiles this way)
+    val (streamBuf, streamOff, streamLen) =
+      if (dataSegs.size == 1) (cs, dataSegs.head._1, dataSegs.head._2)
+      else {
+        val total = dataSegs.iterator.map(_._2).sum
+        val buf = new Array[Byte](total)
+        var o = 0
+        dataSegs.foreach { case (off, len) =>
+          System.arraycopy(cs, off, buf, o, len); o += len
+        }
+        (buf, 0, total)
+      }
+
     // ---- decode packets, resolution by resolution
     val hi = new Array[Array[Array[Int]]](levels + 1)
     var ll0: Array[Int] = null
-    val rdr = new HeadReader(cs, dataOff)
-    val dataEnd = dataOff + dataLen
+    val rdr = new HeadReader(streamBuf, streamOff)
+    val dataEnd = streamOff + streamLen
     var r = 0
     while (r <= levels) {
       val bands = bandsAt(r, levels, width, height)
@@ -1408,7 +1454,7 @@ private[graft] object Jpeg2000 {
       pending.result().foreach { case (arr, bw, orient, cb, numbps, npasses, clen) =>
         if (bodyPos + clen > dataEnd)
           throw new UnsupportedGrib("JPEG2000 codeblock chunk overruns tile data")
-        val coefs = decodeBlock(cs, bodyPos, clen, cb.w, cb.h, orient, numbps, npasses)
+        val coefs = decodeBlock(streamBuf, bodyPos, clen, cb.w, cb.h, orient, numbps, npasses)
         var yy = 0
         while (yy < cb.h) {
           var xx = 0

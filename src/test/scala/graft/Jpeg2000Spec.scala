@@ -118,6 +118,56 @@ class Jpeg2000Spec extends AnyFunSuite {
     assert(e.getMessage.contains("derived"), e.getMessage)
   }
 
+  test("multiple tile-parts of the single tile concatenate to the same image") {
+    val rnd = new Random(41)
+    val (w, h, depth, levels) = (90, 70, 12, 3)
+    val samples = Array.tabulate(w * h) { i =>
+      (800 + 40.0 * math.sin(i / 97.0) + rnd.nextInt(9)).toLong
+    }
+    val single = Jpeg2000.encode(w, h, depth, samples, levels)
+    // every legal split count: 2 parts up to one packet per part
+    (2 to levels + 1).foreach { parts =>
+      val cs = Jpeg2000.encode(w, h, depth, samples, levels, tileParts = parts)
+      // structurally: `parts` SOT markers, sequential TPsot, TNsot = parts
+      def u16(i: Int): Int = ((cs(i) & 0xff) << 8) | (cs(i + 1) & 0xff)
+      var sots = 0
+      var p = 0
+      while (p + 1 < cs.length) {
+        if (u16(p) == 0xff90) {
+          // SOT: Lsot(+2) Isot(+4) Psot(u32 at +6) TPsot(+10) TNsot(+11)
+          assert((cs(p + 10) & 0xff) == sots, s"TPsot order at part $sots")
+          assert((cs(p + 11) & 0xff) == parts, "TNsot")
+          sots += 1
+          val psot = ((cs(p + 6) & 0xff) << 24) | ((cs(p + 7) & 0xff) << 16) |
+            ((cs(p + 8) & 0xff) << 8) | (cs(p + 9) & 0xff)
+          p += psot // Psot spans SOT through the end of the tile-part
+        } else p += 1
+      }
+      assert(sots == parts, s"expected $parts SOT markers")
+      val img = Jpeg2000.decode(cs)
+      assert(img.samples.sameElements(samples), s"$parts tile-parts mismatch")
+      // the split stream carries the same packet bytes as the single-part one
+      assert(cs.length == single.length + (parts - 1) * 14,
+        "tile-parts add exactly one SOT+SOD header per extra part")
+    }
+    // out-of-order TPsot is a directed error, not silent misdecode
+    val two = Jpeg2000.encode(w, h, depth, samples, levels, tileParts = 2)
+    // find the second SOT and overwrite its TPsot with 0
+    var p = 2
+    var seen = 0
+    var secondSot = -1
+    while (secondSot < 0 && p + 1 < two.length) {
+      if (((two(p) & 0xff) << 8 | (two(p + 1) & 0xff)) == 0xff90) {
+        seen += 1
+        if (seen == 2) secondSot = p else p += 2
+      } else p += 1
+    }
+    assert(secondSot > 0)
+    two(secondSot + 10) = 0
+    val err = intercept[Exception](Jpeg2000.decode(two))
+    assert(err.getMessage.contains("tile-part order"), err.getMessage)
+  }
+
   test("compression is real on smooth data (not a stored-bytes shell)") {
     val w = 100; val h = 80
     val samples = Array.tabulate(w * h)(i => (500 + (i % w) + (i / w)).toLong)
