@@ -9,13 +9,15 @@ import org.apache.spark.sql.functions._
   * session alias maps a name to a store, xql/src/xql/apply.py:225-242): every
   * loader takes the scale-factor directory and resolves `<dir>/<name>.parquet`.
   *
-  * `events.ts` is TIMESTAMP(NANOS) in parquet. Spark's type system stops at
-  * microseconds, so the session reads it as a long (`nanosAsLong`) and we
-  * expose BOTH:
-  *   - `ts_ns` — exact nanosecond epoch (use for ordering / equality against
-  *     DuckDB's `epoch_ns(ts)`),
-  *   - `ts`   — microsecond-truncated TimestampType (use for bucketing; any
-  *     `date_trunc` coarser than microseconds is lossless vs the oracle).
+  * `events.ts` has shipped as either TIMESTAMP(NANOS) (read as a long via
+  * `nanosAsLong`) or TIMESTAMP(MICROS) (read as a timestamp, NTZ or LTZ)
+  * depending on the generator version, so the loader adapts to the physical
+  * type and exposes BOTH under stable names:
+  *   - `ts_ns` — nanosecond epoch as a long (exact for the nanos schema;
+  *     `micros * 1000` for the micros schema — ordering/equality match
+  *     DuckDB's `epoch_ns(ts)`/`epoch_us(ts)` either way),
+  *   - `ts`   — microsecond TimestampType (use for bucketing; the session
+  *     timezone is pinned UTC so NTZ→LTZ casts are wall-clock identities).
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -28,8 +30,14 @@ object Tables {
     val df = spark.read.parquet(path(dir, name))
     name match {
       case "events" =>
-        df.withColumnRenamed("ts", "ts_ns")
-          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+        df.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            df.withColumnRenamed("ts", "ts_ns")
+              .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+          case _ => // timestamp[us], with or without timezone
+            val ts = col("ts").cast(org.apache.spark.sql.types.TimestampType)
+            df.withColumn("ts", ts).withColumn("ts_ns", unix_micros(ts) * lit(1000L))
+        }
       case _ => df
     }
   }
