@@ -27,17 +27,30 @@ object Tables {
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = spark.read.parquet(path(dir, name))
     name match {
       case "events" =>
-        df.schema("ts").dataType match {
-          case org.apache.spark.sql.types.LongType =>
+        val converted = df.schema("ts").dataType match {
+          case LongType => // TIMESTAMP(NANOS) read as nanosecond epoch longs
             df.withColumnRenamed("ts", "ts_ns")
               .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-          case _ => // timestamp[us], with or without timezone
-            val ts = col("ts").cast(org.apache.spark.sql.types.TimestampType)
+          case TimestampType | TimestampNTZType => // timestamp[us]
+            val ts = col("ts").cast(TimestampType)
             df.withColumn("ts", ts).withColumn("ts_ns", unix_micros(ts) * lit(1000L))
+          case other =>
+            throw new IllegalArgumentException(
+              s"events.ts: unexpected physical type $other; expected LongType " +
+                "(nanosecond epoch) or TimestampType/TimestampNTZType (microseconds). " +
+                "Refusing to cast silently - update graft.sources.Tables for the new generator schema.")
         }
+        // Canonical column order regardless of which branch ran: original order
+        // with `ts` kept in place and `ts_ns` immediately after it.
+        val order = df.schema.fieldNames.toSeq.flatMap {
+          case "ts" => Seq("ts", "ts_ns")
+          case c    => Seq(c)
+        }
+        converted.select(order.map(col): _*)
       case _ => df
     }
   }
