@@ -977,6 +977,45 @@ object Queries {
           .orderBy($"time", $"latitude", $"longitude")
       }),
 
+    // ---------------------------------------------------------------- S1 (HDF5 string datatypes)
+    // netCDF-4 string label variables (station ids, CF label vars — the
+    // reference reads them through netCDF-C, sinks.py:345-389): one
+    // fixed-length (class 3, NUL-padded cells) and one variable-length
+    // (class 9 vlen-string through the global heap) variable, alongside a
+    // CHUNKED numeric sibling so contiguous label vars index globally while
+    // task cells come from the chunk grid. Values derive from `nation`.
+    Q("q97_netcdf4_strings", Some("""
+      SELECT CAST(n_nationkey AS DOUBLE) AS station,
+             n_name AS name_fix,
+             n_name || '-' || CAST(n_regionkey AS VARCHAR) AS name_vl,
+             CAST(n_regionkey AS DOUBLE) AS code
+      FROM nation ORDER BY station"""))(
+      (s, d) => {
+        import graft.sources.hdf5.{Hdf5Writer => HW}
+        import graft.sources.netcdf.NetCDF4Reader
+        val rows = Tables.nation(s, d).orderBy($"n_nationkey")
+          .select($"n_nationkey".cast("double"), $"n_name",
+            $"n_regionkey".cast("double"))
+          .collect()
+        val n = rows.length
+        val path = java.nio.file.Files.createTempDirectory("q97").toString + "/q97.nc"
+        HW.write(path, Seq(
+          HW.VarSpec("station", Seq("station"), Seq(n),
+            rows.map(_.getDouble(0)).toSeq, dtype = "f8"),
+          HW.VarSpec("name_fix", Seq("station"), Seq(n), Nil,
+            dtype = "s32", sdata = rows.map(_.getString(1)).toSeq),
+          HW.VarSpec("name_vl", Seq("station"), Seq(n), Nil,
+            dtype = "vls",
+            sdata = rows.map(r => r.getString(1) + "-" + r.getDouble(2).toLong).toSeq,
+            vlsAttrs = Seq("long_name" -> "station name with region")),
+          HW.VarSpec("code", Seq("station"), Seq(n),
+            rows.map(_.getDouble(2)).toSeq, dtype = "f8",
+            chunks = Some(Seq(8)))))
+        NetCDF4Reader.readLongFormat(s, path)
+          .select($"station", $"name_fix", $"name_vl", $"code")
+          .orderBy($"station")
+      }),
+
     // ---------------------------------------------------------------- S1 (GRIB2 CCSDS packing, template 5.42)
     // Same `orders` grid as q54/q61, packed with template 5.42 — the
     // CCSDS/AEC adaptive entropy coding ECMWF uses operationally (the

@@ -28,8 +28,9 @@ import scala.collection.mutable
   *    (atomic and no-op datatype classes) and scaleoffset(6) (int +
   *    float D-scaling; E-scaling is unimplemented in HDF5 itself);
   *  - datatypes: fixed-point 1/2/4/8 (either endian, signed or not), IEEE
-  *    float 4/8, fixed strings, object references, vlen sequences
-  *    (via the global heap `GCOL`, as `DIMENSION_LIST` needs);
+  *    float 4/8, fixed strings, variable-length strings (class 9 vlen-type
+  *    "string", resolved through the global heap), object references, vlen
+  *    sequences (via the global heap `GCOL`, as `DIMENSION_LIST` needs);
   *  - attributes v1/v2/v3 with scalar or simple dataspaces.
   * Everything else raises [[UnsupportedHdf5]] naming the feature.
   */
@@ -41,8 +42,11 @@ object Hdf5 {
   val Undef: Long = -1L // all-ones addresses mean "undefined"
 
   final case class Dtype(clazz: Int, size: Int, littleEndian: Boolean,
-      signed: Boolean) {
+      signed: Boolean, vlenString: Boolean = false) {
     def isNumeric: Boolean = clazz == 0 || clazz == 1
+    /** Fixed-length (class 3) or variable-length (class 9 with vlen-type
+      * "string", resolved through the global heap) character data. */
+    def isString: Boolean = clazz == 3 || (clazz == 9 && vlenString)
   }
 
   sealed trait Layout
@@ -642,9 +646,10 @@ object Hdf5 {
         (Dtype(3, size, littleEndian = true, signed = false), 8)
       case 7 => // reference
         (Dtype(7, size, littleEndian = true, signed = false), 8)
-      case 9 => // vlen: base type follows
+      case 9 => // vlen: bits 0-3 = vlen type (0 sequence, 1 string); base follows
         val (_, baseLen) = parseDatatype(c, at + 8)
-        (Dtype(9, size, littleEndian = true, signed = false), 8 + baseLen)
+        (Dtype(9, size, littleEndian = true, signed = false,
+          vlenString = (bits0 & 0x0f) == 1), 8 + baseLen)
       case other => throw UnsupportedHdf5(s"datatype class $other")
     }
   }
@@ -747,6 +752,11 @@ object Hdf5 {
         if (n == 1) vs.head else vs
       case 7 =>
         val vs = (0 until n).map(k => c.u64(off + k.toLong * dt.size))
+        if (n == 1) vs.head else vs
+      case 9 if dt.vlenString =>
+        val vs = decodeStrings(
+          java.util.Arrays.copyOfRange(body, off.toInt, (off + 16L * n).toInt),
+          dt, n, read).toSeq
         if (n == 1) vs.head else vs
       case 9 =>
         // vlen elements: {count u32, gheap collection addr, gheap index u32};
@@ -1395,5 +1405,34 @@ object Hdf5 {
       i += 1
     }
     out
+  }
+
+  /** Decode a byte span as `n` strings: fixed-length (class 3, NUL-padded
+    * cells of `dt.size` bytes) in place, or variable-length (class 9 string,
+    * 16-byte `{len u32, gheap addr u64, gheap idx u32}` descriptors) through
+    * the global heap via `read`. Undefined heap references decode as null
+    * (the unwritten-element case). */
+  def decodeStrings(bytes: Array[Byte], dt: Dtype, n: Int,
+      read: (Long, Int) => Array[Byte]): Array[String] = dt match {
+    case Dtype(3, size, _, _, _) =>
+      Array.tabulate(n) { i =>
+        val s = new String(bytes, i * size, size, java.nio.charset.StandardCharsets.UTF_8)
+        val cut = s.indexOf('\u0000')
+        if (cut >= 0) s.substring(0, cut) else s
+      }
+    case Dtype(9, _, _, _, true) =>
+      val c = new Cur(bytes)
+      Array.tabulate(n) { i =>
+        val base = i * 16L
+        val len = c.u32(base).toInt
+        val gaddr = c.u64(base + 4)
+        val gidx = c.u32(base + 12).toInt
+        if (gaddr == Undef || gaddr == 0 || gidx == 0) null
+        else globalHeapObject(read, gaddr, gidx)
+          .map(b => new String(b, 0, math.min(len, b.length),
+            java.nio.charset.StandardCharsets.UTF_8))
+          .orNull
+      }
+    case other => throw UnsupportedHdf5(s"decodeStrings on datatype $other")
   }
 }

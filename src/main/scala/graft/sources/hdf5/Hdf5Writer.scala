@@ -59,14 +59,26 @@ object Hdf5Writer {
       eaIdxBlkElmts: Int = 4,
       eaDataBlkMinElmts: Int = 16,
       eaSupBlkMinDataPtrs: Int = 4,
-      eaMaxDblkPageBits: Int = 10) // data blocks past 2^bits elements page
+      eaMaxDblkPageBits: Int = 10, // data blocks past 2^bits elements page
+      // string variables: dtype "s<N>" (fixed-length, NUL-padded N-byte
+      // cells) or "vls" (variable-length via the global heap); values come
+      // from `sdata` (`data` stays empty), contiguous layout only
+      sdata: Seq[String] = Nil,
+      // extra attributes stored as VARIABLE-LENGTH strings (the h5py/netCDF-4
+      // default for string attrs), each resolved through its own `GCOL`
+      vlsAttrs: Seq[(String, String)] = Nil)
 
   private def elemSize(dtype: String): Int = dtype match {
     case "f8" => 8
     case "f4" | "i4" => 4
     case "i2" => 2
+    case "vls" => 16 // vlen-string descriptor {len u32, gheap addr, idx u32}
+    case s if s.startsWith("s") && s.length > 1 => s.drop(1).toInt // fixed string
     case other => throw new IllegalArgumentException(s"dtype $other")
   }
+
+  private def isStringDtype(dtype: String): Boolean =
+    dtype == "vls" || (dtype.startsWith("s") && dtype.length > 1)
 
   private def hasFilters(v: VarSpec): Boolean =
     v.deflate || v.shuffle || v.szip || v.nbit.isDefined ||
@@ -268,10 +280,53 @@ object Hdf5Writer {
       if (minbits == 0) header else header ++ Hdf5.packMsb(fields, minbits)
     }
 
+    // one global-heap collection (`GCOL`) holding `objs` at indices 1..n,
+    // closed by the free-space terminator; returns its address
+    def writeGcol(objs: Seq[Array[Byte]]): Long = {
+      pad8()
+      val body = ArrayBuffer.empty[Byte]
+      objs.zipWithIndex.foreach { case (o, i) =>
+        body ++= b16(i + 1) ++ b16(1) ++ b32(0L) ++ b64(o.length.toLong) ++ o
+        while (body.size % 8 != 0) body += 0
+      }
+      body ++= b16(0) ++ b16(0) ++ b32(0L) ++ b64(0L) // free-space terminator
+      val head = "GCOL".getBytes("US-ASCII") ++ Array[Byte](1, 0, 0, 0) ++
+        b64(16L + body.size)
+      appendAt(head ++ body.toArray)
+    }
+
     // ---- per-var storage: write data blocks (+ btree for chunked)
     // name -> (layout message body maker given nothing, filters present)
     final case class Storage(layoutBody: Array[Byte], filtered: Boolean)
     val storage: Map[String, Storage] = vars.map { v =>
+      if (isStringDtype(v.dtype)) {
+        require(v.chunks.isEmpty, s"${v.name}: string variables are contiguous-only")
+        require(!hasFilters(v), s"${v.name}: string variables take no filters")
+        require(v.sdata.size == v.shape.product, s"${v.name}: sdata size mismatch")
+        val raw: Array[Byte] =
+          if (v.dtype == "vls") {
+            // strings land in one GCOL; the dataset stores 16-byte descriptors
+            val bytes = v.sdata.map(_.getBytes("UTF-8"))
+            val gaddr = writeGcol(bytes)
+            val desc = ArrayBuffer.empty[Byte]
+            bytes.zipWithIndex.foreach { case (b, i) =>
+              desc ++= b32(b.length.toLong) ++ b64(gaddr) ++ b32((i + 1).toLong)
+            }
+            desc.toArray
+          } else {
+            val n = elemSize(v.dtype)
+            val cells = new Array[Byte](v.sdata.size * n) // NUL-padded
+            v.sdata.zipWithIndex.foreach { case (s, i) =>
+              val b = s.getBytes("UTF-8")
+              require(b.length <= n, s"${v.name}: '$s' exceeds $n-byte cells")
+              System.arraycopy(b, 0, cells, i * n, b.length)
+            }
+            cells
+          }
+        val addr = appendAt(raw)
+        val body = Array[Byte](3, 1) ++ b64(addr) ++ b64(raw.length.toLong)
+        v.name -> Storage(body, filtered = false)
+      } else {
       require(v.data.size == v.shape.product, s"${v.name}: data size mismatch")
       val w = elemSize(v.dtype)
       v.chunks match {
@@ -583,6 +638,7 @@ object Hdf5Writer {
           v.name -> Storage(body, filtered = hasFilters(v))
           }
       }
+      }
     }.toMap
 
     // ---- message builders
@@ -606,6 +662,8 @@ object Hdf5Writer {
         // precision + bit offset (H5Tset_precision/H5Tset_offset view)
         val (off, prec) = nbit.getOrElse((0, sz * 8))
         Array[Byte](0x10, 0x08, 0, 0) ++ b32(sz.toLong) ++ b16(off) ++ b16(prec)
+      case "vls" => vlenStrDtMsg()
+      case s if isStringDtype(s) => stringDtMsg(elemSize(s))
     }
 
     def stringDtMsg(len: Int): Array[Byte] =
@@ -616,6 +674,9 @@ object Hdf5Writer {
 
     def vlenRefDtMsg(): Array[Byte] =
       Array[Byte](0x19, 0, 0, 0) ++ b32(16L) ++ refDtMsg() // class 9 sequence of refs
+
+    def vlenStrDtMsg(): Array[Byte] = // class 9, vlen type 1 = string
+      Array[Byte](0x19, 0x01, 0, 0) ++ b32(16L) ++ stringDtMsg(1)
 
     def filtersMsg(v: VarSpec): Array[Byte] = {
       val fs = ArrayBuffer.empty[Byte]
@@ -1034,6 +1095,12 @@ object Hdf5Writer {
       v.addOffset.foreach(o => attrBodies += dblAttr("add_offset", o))
       v.fillValue.foreach(f => attrBodies += dblAttr("_FillValue", f))
       v.extraAttrs.foreach { case (n, s) => attrBodies += strAttr(n, s) }
+      v.vlsAttrs.foreach { case (n, s) =>
+        val b = s.getBytes("UTF-8")
+        val ga = writeGcol(Seq(b))
+        attrBodies += attr(n, vlenStrDtMsg(), dataspaceMsg(Nil),
+          b32(b.length.toLong) ++ b64(ga) ++ b32(1L))
+      }
       if (v.denseAttrs) {
         // attribute-name B-tree record (type 8): heap id, msg flags,
         // creation order, name hash

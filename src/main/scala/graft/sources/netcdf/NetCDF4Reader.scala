@@ -71,7 +71,7 @@ object NetCDF4Reader {
     val dimScales = meta.datasets.filter(isDimScale)
     val dimByAddr: Map[Long, DatasetMeta] = dimScales.map(d => d.objAddr -> d).toMap
     val dataSets = meta.datasets.filterNot(isDimScale)
-      .filter(_.dtype.isNumeric)
+      .filter(d => d.dtype.isNumeric || d.dtype.isString)
     require(dataSets.nonEmpty,
       s"$path contains no data variables (only dimension scales)")
 
@@ -106,7 +106,8 @@ object NetCDF4Reader {
     val schema = StructType(
       dimNames.zip(isTimeDim).map { case (n, t) =>
         StructField(n, if (t) TimestampNTZType else DoubleType, nullable = false)
-      } ++ dataVars.map(v => StructField(baseName(v.path), DoubleType)))
+      } ++ dataVars.map(v => StructField(baseName(v.path),
+        if (v.dtype.isString) StringType else DoubleType)))
 
     // chunk plan: every data var either contiguous (one whole-array "chunk")
     // or chunked on a SHARED grid — tasks own grid cells across all vars
@@ -126,20 +127,25 @@ object NetCDF4Reader {
       }
       VarPlan(baseName(v.path), v, chunks)
     }
-    val chunkGrids = plans.map(pl => pl.ds.layout match {
-      case ck: Chunked => Some(ck.chunkDims)
-      case _ => None
-    }).distinct
-    require(chunkGrids.size == 1,
-      s"$path: data variables mix chunk grids $chunkGrids — " +
+    // CHUNKED vars must share one grid (their chunk maps define the task
+    // cells); contiguous/compact vars — label vars typically — decode whole
+    // once per partition and index globally, so they may mix freely
+    val chunkedGrids = plans.collect {
+      case pl if pl.ds.layout.isInstanceOf[Chunked] =>
+        pl.ds.layout.asInstanceOf[Chunked].chunkDims
+    }.distinct
+    require(chunkedGrids.size <= 1,
+      s"$path: data variables mix chunk grids $chunkedGrids — " +
         "repack to a shared chunking (nccopy -c) for the distributed scan")
 
-    val chunkDims: Seq[Int] = chunkGrids.head.getOrElse(shape)
-    // task units: chunk offsets present in the first var's map (contiguous =
-    // one synthetic all-zeros offset)
-    val cells: Seq[Seq[Long]] =
-      if (chunkGrids.head.isEmpty) Seq(shape.map(_ => 0L))
-      else plans.head.chunks.map(_.offsets)
+    val chunkDims: Seq[Int] = chunkedGrids.headOption.getOrElse(shape)
+    // task units: chunk offsets present in the first chunked var's map
+    // (all-contiguous = one synthetic all-zeros offset)
+    val cells: Seq[Seq[Long]] = chunkedGrids.headOption match {
+      case None => Seq(shape.map(_ => 0L))
+      case Some(_) =>
+        plans.find(_.ds.layout.isInstanceOf[Chunked]).get.chunks.map(_.offsets)
+    }
 
     val nPart = if (partitions > 0) partitions
       else math.max(1, math.min(cells.size, spark.sparkContext.defaultParallelism))
@@ -157,23 +163,44 @@ object NetCDF4Reader {
           fin.readFully(off, b)
           b
         }
+        // raw bytes -> typed cells (Array[Double] | Array[String])
+        def decodeAny(pl: VarPlan, raw: Array[Byte], n: Int, mask: Int): AnyRef = {
+          val de = Hdf5.defilter(raw, pl.ds.filters, mask, pl.ds.dtype.size,
+            n * pl.ds.dtype.size, pl.ds.dtype.signed)
+          if (pl.ds.dtype.isString) Hdf5.decodeStrings(de, pl.ds.dtype, n, read)
+          else applyCdl(Hdf5.decodeValues(de, pl.ds.dtype, n), pl)
+        }
+        // contiguous/compact vars decode whole ONCE per partition and index
+        // by global C-order position (cells from a chunked sibling's grid
+        // index into them globally)
+        val wholeCache = scala.collection.mutable.HashMap.empty[String, AnyRef]
+        def whole(pl: VarPlan): AnyRef = wholeCache.getOrElseUpdate(pl.name, {
+          val nTotal = shapeLocal.product
+          pl.ds.layout match {
+            case Contiguous(addr, size) =>
+              decodeAny(pl, read(addr, size.toInt), nTotal, 0)
+            case Hdf5.Compact(data) => decodeAny(pl, data, nTotal, 0)
+            case other => throw UnsupportedHdf5(s"layout $other")
+          }
+        })
+        val strides = { // global C-order strides of the hypercube
+          val st = new Array[Long](shapeLocal.size)
+          var acc = 1L
+          var d = shapeLocal.size - 1
+          while (d >= 0) { st(d) = acc; acc *= shapeLocal(d); d -= 1 }
+          st
+        }
         it.flatMap { cellOffsets =>
-          // decode this grid cell for every var
-          val perVar: Seq[Array[Double]] = plansLocal.map { pl =>
+          // decode this grid cell for every var; `true` = globally indexed
+          val perVar: Seq[(AnyRef, Boolean)] = plansLocal.map { pl =>
             pl.ds.layout match {
-              case Contiguous(addr, size) =>
-                val raw = Hdf5.defilter(read(addr, size.toInt), pl.ds.filters, 0,
-                  pl.ds.dtype.size, size.toInt, pl.ds.dtype.signed)
-                applyCdl(Hdf5.decodeValues(raw, pl.ds.dtype, shapeLocal.product), pl)
               case _: Chunked =>
                 val ref = pl.chunks.find(_.offsets == cellOffsets).getOrElse(
                   throw UnsupportedHdf5(s"${pl.name}: missing chunk at $cellOffsets"))
                 val n = chunkLocal.product
-                val raw = Hdf5.defilter(read(ref.addr, ref.nBytes.toInt), pl.ds.filters,
-                  ref.filterMask, pl.ds.dtype.size, n * pl.ds.dtype.size,
-                  pl.ds.dtype.signed)
-                applyCdl(Hdf5.decodeValues(raw, pl.ds.dtype, n), pl)
-              case other => throw UnsupportedHdf5(s"layout $other")
+                (decodeAny(pl, read(ref.addr, ref.nBytes.toInt), n, ref.filterMask),
+                  false)
+              case _ => (whole(pl), true)
             }
           }
           val rank = shapeLocal.size
@@ -194,6 +221,9 @@ object NetCDF4Reader {
             }
             if (!inBounds) Iterator.empty // edge-chunk padding
             else {
+              var gi = 0L // global C-order index
+              var k = 0
+              while (k < rank) { gi += gIdx(k) * strides(k); k += 1 }
               val coordCells: Seq[Any] = coordsLocal.indices.map { ci =>
                 val c = coordsLocal(ci)(gIdx(ci))
                 if (isTimeLocal(ci)) java.time.LocalDateTime.ofEpochSecond(
@@ -201,9 +231,14 @@ object NetCDF4Reader {
                   java.time.ZoneOffset.UTC)
                 else java.lang.Double.valueOf(c)
               }
-              val dataCells: Seq[Any] = perVar.map { vals =>
-                val v = vals(li)
-                if (v.isNaN) null else java.lang.Double.valueOf(v)
+              val dataCells: Seq[Any] = perVar.map { case (vals, global) =>
+                val idx = if (global) gi.toInt else li
+                vals match {
+                  case ds: Array[Double] =>
+                    val v = ds(idx)
+                    if (v.isNaN) null else java.lang.Double.valueOf(v)
+                  case ss: Array[String] => ss(idx)
+                }
               }
               Iterator.single(Row.fromSeq(coordCells ++ dataCells))
             }

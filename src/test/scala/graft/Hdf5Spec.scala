@@ -522,4 +522,44 @@ class Hdf5Spec extends SparkSpec {
     val e = intercept[IllegalArgumentException](Hdf5.parse(read, len))
     assert(e.getMessage.contains("HDF5"))
   }
+
+  test("string variables: fixed-length cells and vlen (global heap), mixed with chunked numerics") {
+    val p = tmp("strings.nc")
+    val n = 7
+    val names = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta")
+    HW.write(p, Seq(
+      HW.VarSpec("station", Seq("station"), Seq(n),
+        (0 until n).map(_.toDouble), dtype = "f8"),
+      // fixed-length: 8-byte NUL-padded cells, contiguous
+      HW.VarSpec("name_fix", Seq("station"), Seq(n), Nil,
+        dtype = "s8", sdata = names),
+      // variable-length: 16-byte descriptors -> GCOL, plus a vlen string attr
+      HW.VarSpec("name_vl", Seq("station"), Seq(n), Nil,
+        dtype = "vls", sdata = names.map(s => s + "-" + s.length),
+        vlsAttrs = Seq("long_name" -> "station identifier")),
+      // a CHUNKED numeric sibling: contiguous strings must index globally
+      // while cells come from this var's chunk grid (incl. the edge chunk)
+      HW.VarSpec("elev", Seq("station"), Seq(n),
+        (0 until n).map(k => 100.0 + k), dtype = "f8",
+        chunks = Some(Seq(3)))))
+    val (read, len) = localRead(p)
+    val meta = Hdf5.parse(read, len)
+    val fix = meta.byPath("/name_fix")
+    val vl = meta.byPath("/name_vl")
+    assert(fix.dtype.clazz == 3 && fix.dtype.size == 8 && fix.dtype.isString)
+    assert(vl.dtype.clazz == 9 && vl.dtype.vlenString && vl.dtype.isString)
+    assert(vl.attrs("long_name") == "station identifier")
+
+    val df = NetCDF4Reader.readLongFormat(spark, p)
+    // data-var order = root-group symbol-table (alphabetical) order
+    assert(df.columns.toSeq == Seq("station", "elev", "name_fix", "name_vl"))
+    assert(df.schema("name_fix").dataType.typeName == "string")
+    assert(df.schema("name_vl").dataType.typeName == "string")
+    val rows = df.orderBy($"station").collect()
+    assert(rows.map(_.getAs[String]("name_fix")).toSeq == names)
+    assert(rows.map(_.getAs[String]("name_vl")).toSeq ==
+      names.map(s => s + "-" + s.length))
+    assert(rows.map(_.getAs[Double]("elev")).toSeq ==
+      (0 until n).map(k => 100.0 + k))
+  }
 }
