@@ -239,12 +239,18 @@ object ZarrMeta {
     val dt = (j \ "data_type").extract[String] match {
       case "float64" => "f8"
       case "float32" => "f4"
+      case "float16" => "f2"
       case "int64" => "i8"
       case "int32" => "i4"
       case "int16" => "i2"
+      case "int8" => "i1"
+      case "uint64" => "u8"
+      case "uint32" => "u4"
+      case "uint16" => "u2"
       case "uint8" => "u1"
       case other => throw new UnsupportedOperationException(
-        s"zarr v3 data_type '$other' on $name")
+        s"zarr v3 data_type '$other' on $name (supported: float64/32/16, " +
+          "int64/32/16/8, uint64/32/16/8)")
     }
     val grid = j \ "chunk_grid"
     require((grid \ "name").extractOpt[String].forall(_ == "regular"),
@@ -503,7 +509,7 @@ object ZarrMeta {
   def dtypeBytes(dtype: String): Int = codeOf(dtype) match {
     case "f8" | "i8" | "u8" => 8
     case "f4" | "i4" | "u4" => 4
-    case "i2" | "u2" => 2
+    case "f2" | "i2" | "u2" => 2
     case "i1" | "u1" => 1
     case _ => throw new UnsupportedOperationException(s"zarr dtype '$dtype'")
   }
@@ -705,6 +711,16 @@ object ZarrMeta {
     out
   }
 
+  /** IEEE 754 binary16 → double (sign, 5-bit exponent, 10-bit fraction). */
+  private[zarr] def halfToDouble(h: Int): Double = {
+    val sign = if ((h & 0x8000) != 0) -1.0 else 1.0
+    val exp = (h >> 10) & 0x1f
+    val frac = h & 0x3ff
+    if (exp == 0x1f) { if (frac == 0) sign * Double.PositiveInfinity else Double.NaN }
+    else if (exp == 0) sign * frac * 5.960464477539063e-8 // 2^-24 subnormals
+    else sign * (1024 + frac) * math.pow(2, exp - 25)
+  }
+
   private def decode(bytes: Array[Byte], meta: ArrayMeta, n: Int): Array[Double] = {
     val order =
       if (meta.dtype.startsWith(">")) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
@@ -715,10 +731,19 @@ object ZarrMeta {
       val raw: Double = meta.dtype.drop(1) match {
         case "f8" => bb.getDouble(i * 8)
         case "f4" => bb.getFloat(i * 4).toDouble
+        case "f2" => halfToDouble(bb.getShort(i * 2) & 0xffff)
         case "i8" => bb.getLong(i * 8).toDouble
         case "i4" => bb.getInt(i * 4).toDouble
         case "i2" => bb.getShort(i * 2).toDouble
+        case "i1" => bb.get(i).toDouble
+        case "u8" => // top bit set would wrap; real u8 coords/data stay < 2^63
+          val v = bb.getLong(i * 8)
+          if (v >= 0) v.toDouble else (v & Long.MaxValue).toDouble + 9.223372036854776e18
+        case "u4" => (bb.getInt(i * 4) & 0xffffffffL).toDouble
+        case "u2" => (bb.getShort(i * 2) & 0xffff).toDouble
         case "u1" => (bb.get(i) & 0xff).toDouble
+        case other => throw new UnsupportedOperationException(
+          s"zarr dtype '${meta.dtype}' (array ${meta.name})")
       }
       out(i) =
         if (meta.missingValue.contains(raw) || raw.isNaN) Double.NaN

@@ -851,6 +851,70 @@ class ZarrSourceSpec extends SparkSpec {
     }
   }
 
+  test("zarr v3 dtype tail: int8, uint16/32/64, float16 round-trip") {
+    // one hand-crafted store per dtype: coord x (f8) + data var v
+    def mk(dataType: String, enc: Seq[Double] => Array[Byte],
+        values: Seq[Double], expect: Seq[Double]): Unit = {
+      val dir = java.nio.file.Files.createTempDirectory(s"zarr3-$dataType")
+        .toString + "/s.zarr"
+      def put(rel: String, bytes: Array[Byte]): Unit = {
+        val f = new java.io.File(dir, rel)
+        f.getParentFile.mkdirs()
+        java.nio.file.Files.write(f.toPath, bytes)
+      }
+      def putS(rel: String, s: String): Unit = put(rel, s.getBytes("UTF-8"))
+      putS("zarr.json",
+        """{"zarr_format": 3, "node_type": "group", "attributes": {}}""")
+      putS("x/zarr.json",
+        s"""{"zarr_format": 3, "node_type": "array", "shape": [${values.size}],
+           | "data_type": "float64",
+           | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [${values.size}]}},
+           | "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+           | "fill_value": "NaN", "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+           | "attributes": {}, "dimension_names": ["x"]}""".stripMargin)
+      val xb = java.nio.ByteBuffer.allocate(values.size * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      values.indices.foreach(i => xb.putDouble(i.toDouble))
+      put("x/c/0", xb.array())
+      putS("v/zarr.json",
+        s"""{"zarr_format": 3, "node_type": "array", "shape": [${values.size}],
+           | "data_type": "$dataType",
+           | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [${values.size}]}},
+           | "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+           | "fill_value": 0, "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+           | "attributes": {}, "dimension_names": ["x"]}""".stripMargin)
+      put("v/c/0", enc(values))
+      val got = spark.read.format("zarr").load(dir)
+        .orderBy($"x").select($"v").as[Double].collect().toSeq
+      assert(got == expect, s"$dataType: $got != $expect")
+    }
+    def leBuf(n: Int, w: Int): java.nio.ByteBuffer =
+      java.nio.ByteBuffer.allocate(n * w).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    mk("int8", vs => { val b = leBuf(vs.size, 1)
+      vs.foreach(v => b.put(v.toByte)); b.array() },
+      Seq(-128.0, -1.0, 0.0, 127.0), Seq(-128.0, -1.0, 0.0, 127.0))
+    mk("uint16", vs => { val b = leBuf(vs.size, 2)
+      vs.foreach(v => b.putShort(v.toInt.toShort)); b.array() },
+      Seq(1.0, 255.0, 65535.0), Seq(1.0, 255.0, 65535.0))
+    mk("uint32", vs => { val b = leBuf(vs.size, 4)
+      vs.foreach(v => b.putInt(v.toLong.toInt)); b.array() },
+      Seq(1.0, 4294967295.0), Seq(1.0, 4294967295.0))
+    mk("uint64", vs => { val b = leBuf(vs.size, 8)
+      vs.foreach(v => b.putLong(v.toLong)); b.array() },
+      Seq(1.0, 9007199254740992.0), Seq(1.0, 9007199254740992.0))
+    // float16 bit patterns: 1.0, 3.0, -4.0, 65504 (max), 2^-24 (subnormal)
+    mk("float16", _ => { val b = leBuf(5, 2)
+      Seq(0x3c00, 0x4200, 0xc400, 0x7bff, 0x0001)
+        .foreach(h => b.putShort(h.toShort)); b.array() },
+      Seq(0.0, 0.0, 0.0, 0.0, 0.0), // enc ignores values; bit patterns above
+      Seq(1.0, 3.0, -4.0, 65504.0, 5.960464477539063e-8))
+    // unknown dtype stays a directed error
+    val e = intercept[UnsupportedOperationException] {
+      mk("complex64", _ => Array[Byte](), Seq(1.0), Seq(1.0))
+    }
+    assert(e.getMessage.contains("complex64"), e.getMessage)
+  }
+
   test("mover extract pipeline runs natively on the zarr hypercube") {
     val out = graft.operators.Mover.extractRows(ds, s"file://$store",
       graft.operators.Mover.Options(variables = Seq("t2m"),
