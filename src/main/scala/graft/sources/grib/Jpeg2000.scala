@@ -10,7 +10,8 @@ import graft.sources.grib.Grib1.UnsupportedGrib
   * (weather_mv/loader_pipeline/sinks.py:371-389).
   *
   * Scope: the profile eccodes emits and operational GRIB archives carry —
-  * one tile (in any number of tile-parts, concatenated in TPsot order),
+  * any regular tile grid (each tile in any number of tile-parts,
+  * concatenated in TPsot order; tiles decode independently and stitch),
   * one component, one quality layer, reversible 5/3 wavelet
   * (lossless) OR irreversible 9/7 (the lossy coding some archived ECMWF
   * dissemination streams use) with expounded scalar quantization, 64x64
@@ -30,8 +31,7 @@ import graft.sources.grib.Grib1.UnsupportedGrib
   *    midpoint dequantization (Annex E, expounded style);
   *  - codestream markers: SOC/SIZ/COD/QCD/COM/SOT/SOD/EOC.
   *
-  * Anything outside the profile (multiple components or tiles — tile-parts
-  * of the one tile ARE supported — precinct
+  * Anything outside the profile (multiple components, precinct
   * partitions, derived quantization, RGN/POC/PPM) raises a directed
   * [[UnsupportedGrib]] naming the feature, same policy as the other GRIB
   * codecs here.
@@ -1029,7 +1029,7 @@ private[graft] object Jpeg2000 {
     * wavelet + deadzone scalar quantization (expounded style, Annex E). */
   def encode(width: Int, height: Int, depth: Int, samples: Array[Long],
       levels: Int = 5, irreversible: Boolean = false,
-      tileParts: Int = 1): Array[Byte] = {
+      tileParts: Int = 1, tileSize: Option[(Int, Int)] = None): Array[Byte] = {
     require(width >= 1 && height >= 1 && width <= MaxDim && height <= MaxDim,
       s"image dims ${width}x$height")
     require(depth >= 1 && depth <= MaxDepth, s"sample depth $depth (1..$MaxDepth)")
@@ -1040,6 +1040,14 @@ private[graft] object Jpeg2000 {
     // (= resolution, in this one-layer profile) boundaries
     require(tileParts >= 1 && tileParts <= levels + 1,
       s"$tileParts tile-parts for ${levels + 1} packets")
+    require(tileSize.isEmpty || tileParts == 1,
+      "tileParts splitting applies to single-tile codestreams")
+    val (xtsiz, ytsiz) = tileSize.getOrElse((width, height))
+    require(xtsiz >= 1 && ytsiz >= 1, s"tile size ${xtsiz}x$ytsiz")
+    val ntx = (width + xtsiz - 1) / xtsiz
+    val nty = (height + ytsiz - 1) / ytsiz
+    val ntiles = ntx * nty
+    require(ntiles <= 65535, s"$ntiles tiles exceed the 16-bit Isot space")
 
     val shift = 1 << (depth - 1)
     // per-band quantization exponent: reversible bands carry exact
@@ -1048,27 +1056,31 @@ private[graft] object Jpeg2000 {
     def epsOf(orient: Int): Int =
       depth + bandGain(orient) + (if (irreversible) P97 else 0)
 
+    // encode ONE tile's tw x th samples into its packet stream; returns
+    // (stream bytes, end offset of each packet — the tile-part cut points)
+    def encodeTileStream(tw: Int, th: Int,
+        tsamples: Array[Long]): (Array[Byte], Seq[Int]) = {
     val (hi, ll) =
       if (!irreversible) {
-        val plane = new Array[Int](samples.length)
+        val plane = new Array[Int](tsamples.length)
         var i = 0
-        while (i < samples.length) {
-          val v = samples(i)
+        while (i < tsamples.length) {
+          val v = tsamples(i)
           require(v >= 0 && v < (1L << depth), s"sample $v exceeds $depth bits")
           plane(i) = v.toInt - shift
           i += 1
         }
-        fdwt(plane, width, height, levels)
+        fdwt(plane, tw, th, levels)
       } else {
-        val planeD = new Array[Double](samples.length)
+        val planeD = new Array[Double](tsamples.length)
         var i = 0
-        while (i < samples.length) {
-          val v = samples(i)
+        while (i < tsamples.length) {
+          val v = tsamples(i)
           require(v >= 0 && v < (1L << depth), s"sample $v exceeds $depth bits")
           planeD(i) = (v - shift).toDouble
           i += 1
         }
-        val (hiD, llD) = fdwt97(planeD, width, height, levels)
+        val (hiD, llD) = fdwt97(planeD, tw, th, levels)
         // deadzone quantizer (E.4): q = sign(c) * floor(|c| / delta)
         def quant(a: Array[Double]): Array[Int] = {
           val q = new Array[Int](a.length)
@@ -1088,7 +1100,7 @@ private[graft] object Jpeg2000 {
     val packetEnds = scala.collection.mutable.ArrayBuffer.empty[Int]
     var r = 0
     while (r <= levels) {
-      val bands = bandsAt(r, levels, width, height)
+      val bands = bandsAt(r, levels, tw, th)
       val bandArr: Seq[Array[Int]] =
         if (r == 0) Seq(ll) else hi(levels - r + 1).toSeq
       val hw = new HeadWriter
@@ -1164,6 +1176,8 @@ private[graft] object Jpeg2000 {
       packetEnds += body.size()
       r += 1
     }
+    (body.toByteArray, packetEnds.toSeq)
+    } // encodeTileStream
 
     // ---- markers
     val out = new ByteArrayOutputStream()
@@ -1176,7 +1190,7 @@ private[graft] object Jpeg2000 {
     u16(0xff51) // SIZ
     u16(41); u16(0) // Lsiz, Rsiz
     u32(width); u32(height); u32(0); u32(0) // Xsiz..YOsiz
-    u32(width); u32(height); u32(0); u32(0) // tile grid == image
+    u32(xtsiz); u32(ytsiz); u32(0); u32(0)  // tile grid
     u16(1) // one component
     out.write(depth - 1) // Ssiz: unsigned, depth bits
     out.write(1); out.write(1) // XRsiz, YRsiz
@@ -1213,24 +1227,50 @@ private[graft] object Jpeg2000 {
         rr += 1
       }
     }
-    val data = body.toByteArray
-    // split the packet stream across tileParts at packet boundaries:
-    // part k takes packets [k*(levels+1)/tileParts, (k+1)*(levels+1)/tileParts)
-    val nPackets = levels + 1
-    val cuts: Seq[Int] = 0 +: (1 to tileParts).map { k =>
-      if (k == tileParts) data.length
-      else packetEnds(k * nPackets / tileParts - 1)
-    }
-    var tp = 0
-    while (tp < tileParts) {
-      val (from, until) = (cuts(tp), cuts(tp + 1))
-      u16(0xff90) // SOT
-      u16(10); u16(0) // Lsot, Isot
-      u32(12 + 2 + (until - from).toLong) // Psot
-      out.write(tp); out.write(tileParts) // TPsot, TNsot
-      u16(0xff93) // SOD
-      out.write(data, from, until - from)
-      tp += 1
+    if (ntiles == 1) {
+      val (data, packetEnds) = encodeTileStream(width, height, samples)
+      // split the packet stream across tileParts at packet boundaries:
+      // part k takes packets [k*(levels+1)/tileParts, (k+1)*(levels+1)/tileParts)
+      val nPackets = levels + 1
+      val cuts: Seq[Int] = 0 +: (1 to tileParts).map { k =>
+        if (k == tileParts) data.length
+        else packetEnds(k * nPackets / tileParts - 1)
+      }
+      var tp = 0
+      while (tp < tileParts) {
+        val (from, until) = (cuts(tp), cuts(tp + 1))
+        u16(0xff90) // SOT
+        u16(10); u16(0) // Lsot, Isot
+        u32(12 + 2 + (until - from).toLong) // Psot
+        out.write(tp); out.write(tileParts) // TPsot, TNsot
+        u16(0xff93) // SOD
+        out.write(data, from, until - from)
+        tp += 1
+      }
+    } else {
+      // true multi-tile: each tile's sub-image encodes independently into
+      // one tile-part (raster Isot order)
+      var t = 0
+      while (t < ntiles) {
+        val tx = t % ntx; val ty = t / ntx
+        val tw = math.min(xtsiz, width - tx * xtsiz)
+        val th = math.min(ytsiz, height - ty * ytsiz)
+        val sub = new Array[Long](tw * th)
+        var yy = 0
+        while (yy < th) {
+          System.arraycopy(samples, (ty * ytsiz + yy) * width + tx * xtsiz,
+            sub, yy * tw, tw)
+          yy += 1
+        }
+        val (data, _) = encodeTileStream(tw, th, sub)
+        u16(0xff90) // SOT
+        u16(10); u16(t) // Lsot, Isot
+        u32(12 + 2 + data.length.toLong) // Psot
+        out.write(0); out.write(1) // TPsot, TNsot
+        u16(0xff93) // SOD
+        out.write(data, 0, data.length)
+        t += 1
+      }
     }
     u16(0xffd9) // EOC
     out.toByteArray
@@ -1246,6 +1286,7 @@ private[graft] object Jpeg2000 {
     require(cs.length >= 4 && u16(0) == 0xff4f, "not a JPEG 2000 codestream")
 
     var width = 0; var height = 0; var depth = 0
+    var xtsiz = 0; var ytsiz = 0 // tile grid (== image for single-tile)
     var levels = -1
     var layers = 1
     var guard = GuardBits
@@ -1254,7 +1295,9 @@ private[graft] object Jpeg2000 {
     var qExps: Array[Int] = null  // per-band exponents, SPqcd order
     var qMants: Array[Int] = null // per-band mantissas (style 2)
     var dataOff = -1; var dataLen = -1
-    val dataSegs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    // per-tile data segments: tile-parts concatenate in TPsot order
+    val tileSegs = scala.collection.mutable.LinkedHashMap
+      .empty[Int, scala.collection.mutable.ArrayBuffer[(Int, Int)]]
 
     var pos = 2
     var sawSiz = false
@@ -1277,9 +1320,11 @@ private[graft] object Jpeg2000 {
               width = u32(body + 2).toInt; height = u32(body + 6).toInt
               if (u32(body + 10) != 0 || u32(body + 14) != 0)
                 throw new UnsupportedGrib("JPEG2000 image offset != 0")
-              if (u32(body + 18) < width || u32(body + 22) < height ||
-                u32(body + 26) != 0 || u32(body + 30) != 0)
-                throw new UnsupportedGrib("JPEG2000 multi-tile codestream (one tile expected)")
+              xtsiz = u32(body + 18).toInt; ytsiz = u32(body + 22).toInt
+              if (u32(body + 26) != 0 || u32(body + 30) != 0)
+                throw new UnsupportedGrib("JPEG2000 tile grid offset != 0")
+              if (xtsiz < 1 || ytsiz < 1)
+                throw new UnsupportedGrib("JPEG2000 zero tile size")
               val ncomp = u16(body + 34)
               if (ncomp != 1)
                 throw new UnsupportedGrib(s"JPEG2000 $ncomp components (GRIB carries 1)")
@@ -1330,16 +1375,18 @@ private[graft] object Jpeg2000 {
                   throw new UnsupportedGrib(s"JPEG2000 quantization style $other")
               }
             case 0xff90 => // SOT
-              if (u16(body) != 0)
-                throw new UnsupportedGrib("JPEG2000 multi-tile codestream (one tile expected)")
+              val isot = u16(body)
               val psot = u32(body + 2)
               val tpsot = cs(body + 6) & 0xff
-              // tile-parts of the single tile must arrive in TPsot order —
-              // their data segments concatenate into the packet stream
+              // tile-parts of a tile must arrive in TPsot order — their
+              // data segments concatenate into that tile's packet stream
               // (ISO 15444-1 A.4.2: tile-parts split at packet boundaries)
-              if (tpsot != dataSegs.size)
+              val segs = tileSegs.getOrElseUpdate(isot,
+                scala.collection.mutable.ArrayBuffer.empty)
+              if (tpsot != segs.size)
                 throw new UnsupportedGrib(
-                  s"JPEG2000 tile-part order: TPsot $tpsot after ${dataSegs.size} part(s)")
+                  s"JPEG2000 tile-part order: TPsot $tpsot after ${segs.size} " +
+                    s"part(s) of tile $isot")
               // scan forward to SOD
               var p2 = pos + 2 + lseg
               if (u16(p2) != 0xff93)
@@ -1350,7 +1397,7 @@ private[graft] object Jpeg2000 {
                 else (pos + psot).toInt - dataOff
               if (dataLen < 0 || dataOff + dataLen > cs.length)
                 throw new UnsupportedGrib("JPEG2000 tile-part overruns codestream")
-              dataSegs += ((dataOff, dataLen))
+              segs += ((dataOff, dataLen))
             case 0xff53 | 0xff5d =>
               throw new UnsupportedGrib("JPEG2000 per-component COC/QCC overrides")
             case 0xff5e => throw new UnsupportedGrib("JPEG2000 RGN (ROI) segment")
@@ -1365,26 +1412,43 @@ private[graft] object Jpeg2000 {
           } else pos = pos + 4 + (lseg - 2)
       }
     }
-    require(sawSiz && levels >= 0 && dataSegs.nonEmpty, "JPEG2000 missing SIZ/COD/SOT")
+    require(sawSiz && levels >= 0 && tileSegs.nonEmpty, "JPEG2000 missing SIZ/COD/SOT")
     require(width >= 1 && height >= 1 && width <= MaxDim && height <= MaxDim,
       s"JPEG2000 dims ${width}x$height")
     if (depth > MaxDepth)
       throw new UnsupportedGrib(s"JPEG2000 ${depth}-bit samples (max $MaxDepth)")
 
+    val ntx = (width + xtsiz - 1) / xtsiz
+    val nty = (height + ytsiz - 1) / ytsiz
+    val ntiles = ntx * nty
+    (0 until ntiles).foreach { t =>
+      if (!tileSegs.contains(t))
+        throw new UnsupportedGrib(s"JPEG2000 missing tile $t of $ntiles")
+    }
+    tileSegs.keys.foreach { t =>
+      if (t < 0 || t >= ntiles)
+        throw new UnsupportedGrib(s"JPEG2000 tile index $t outside ${ntx}x$nty grid")
+    }
+
     // one tile-part reads in place; several concatenate into the tile's
     // packet stream (archived ECMWF fields split large tiles this way)
-    val (streamBuf, streamOff, streamLen) =
-      if (dataSegs.size == 1) (cs, dataSegs.head._1, dataSegs.head._2)
+    def tileStream(t: Int): (Array[Byte], Int, Int) = {
+      val segs = tileSegs(t)
+      if (segs.size == 1) (cs, segs.head._1, segs.head._2)
       else {
-        val total = dataSegs.iterator.map(_._2).sum
+        val total = segs.iterator.map(_._2).sum
         val buf = new Array[Byte](total)
         var o = 0
-        dataSegs.foreach { case (off, len) =>
+        segs.foreach { case (off, len) =>
           System.arraycopy(cs, off, buf, o, len); o += len
         }
         (buf, 0, total)
       }
+    }
 
+    // decode ONE tile's packet stream into its tw x th sample plane
+    def decodeTilePlane(streamBuf: Array[Byte], streamOff: Int, streamLen: Int,
+        tw: Int, th: Int): Array[Long] = {
     // ---- decode packets, resolution by resolution
     val hi = new Array[Array[Array[Int]]](levels + 1)
     var ll0: Array[Int] = null
@@ -1392,7 +1456,7 @@ private[graft] object Jpeg2000 {
     val dataEnd = streamOff + streamLen
     var r = 0
     while (r <= levels) {
-      val bands = bandsAt(r, levels, width, height)
+      val bands = bandsAt(r, levels, tw, th)
       val perBand = bands.map { case (orient, bw, bh) =>
         (orient, bw, bh, new Array[Int](math.max(bw * bh, 0)))
       }
@@ -1477,11 +1541,11 @@ private[graft] object Jpeg2000 {
       throw new UnsupportedGrib("JPEG2000 quantized 5/3 codestream (style " +
         s"$qStyle with the reversible transform)")
     if (!irrev) {
-      val plane = idwt(ll0, hi, width, height, levels)
+      val plane = idwt(ll0, hi, tw, th, levels)
       val out = new Array[Long](plane.length)
       var i = 0
       while (i < plane.length) { out(i) = plane(i).toLong + shift; i += 1 }
-      Image(width, height, depth, out)
+      out
     } else {
       // dequantize (E.1.1: delta_b = 2^(R_b - eps_b) * (1 + mu_b/2^11)),
       // midpoint reconstruction sign(q) * (|q| + 0.5) * delta, then the
@@ -1512,7 +1576,7 @@ private[graft] object Jpeg2000 {
           dequant(hi(l)(2), r, 3))
         l += 1
       }
-      val plane = idwt97(dequant(ll0, 0, 0), hiD, width, height, levels)
+      val plane = idwt97(dequant(ll0, 0, 0), hiD, tw, th, levels)
       val maxV = (1L << depth) - 1
       val out = new Array[Long](plane.length)
       var i = 0
@@ -1520,6 +1584,31 @@ private[graft] object Jpeg2000 {
         val v = math.rint(plane(i)).toLong + shift
         out(i) = if (v < 0) 0L else if (v > maxV) maxV else v
         i += 1
+      }
+      out
+    }
+    } // decodeTilePlane
+
+    if (ntiles == 1) {
+      val (b, o, l) = tileStream(0)
+      Image(width, height, depth, decodeTilePlane(b, o, l, width, height))
+    } else {
+      // stitch each independently-coded tile into the image plane
+      val out = new Array[Long](width * height)
+      var t = 0
+      while (t < ntiles) {
+        val tx = t % ntx; val ty = t / ntx
+        val tw = math.min(xtsiz, width - tx * xtsiz)
+        val th = math.min(ytsiz, height - ty * ytsiz)
+        val (b, o, l) = tileStream(t)
+        val plane = decodeTilePlane(b, o, l, tw, th)
+        var yy = 0
+        while (yy < th) {
+          System.arraycopy(plane, yy * tw, out,
+            (ty * ytsiz + yy) * width + tx * xtsiz, tw)
+          yy += 1
+        }
+        t += 1
       }
       Image(width, height, depth, out)
     }

@@ -168,6 +168,68 @@ class Jpeg2000Spec extends AnyFunSuite {
     assert(err.getMessage.contains("tile-part order"), err.getMessage)
   }
 
+  test("multi-tile codestreams: tile grid round-trips bit-exact, edge tiles included") {
+    val rnd = new Random(43)
+    val (w, h, depth, levels) = (90, 70, 12, 3)
+    val samples = Array.tabulate(w * h) { i =>
+      (700 + 30.0 * math.cos(i / 53.0) + rnd.nextInt(17)).toLong
+    }
+    // 2x2 grid with ragged right/bottom tiles (48+42 x 40+30), and a
+    // degenerate-direction 3x1 grid; both must reproduce the image exactly
+    for ((txs, tys) <- Seq((48, 40), (32, 70))) {
+      val cs = Jpeg2000.encode(w, h, depth, samples, levels,
+        tileSize = Some((txs, tys)))
+      val ntx = (w + txs - 1) / txs
+      val nty = (h + tys - 1) / tys
+      def u16(i: Int): Int = ((cs(i) & 0xff) << 8) | (cs(i + 1) & 0xff)
+      // SIZ carries the tile grid (XTsiz at body+18, YTsiz at +22; SIZ body
+      // starts at offset 6: SOC(2) + marker(2) + Lsiz(2))
+      assert((u16(24) << 16 | u16(26)) == txs, "XTsiz")
+      assert((u16(28) << 16 | u16(30)) == tys, "YTsiz")
+      // one SOT per tile, raster Isot order, single tile-part each
+      var p = 0
+      var isots = List.empty[Int]
+      while (p + 1 < cs.length) {
+        if (u16(p) == 0xff90) {
+          isots ::= u16(p + 4)
+          assert((cs(p + 10) & 0xff) == 0 && (cs(p + 11) & 0xff) == 1,
+            "TPsot/TNsot of a one-part tile")
+          val psot = ((cs(p + 6) & 0xff) << 24) | ((cs(p + 7) & 0xff) << 16) |
+            ((cs(p + 8) & 0xff) << 8) | (cs(p + 9) & 0xff)
+          p += psot
+        } else p += 1
+      }
+      assert(isots.reverse == (0 until ntx * nty).toList,
+        s"Isot sequence for ${ntx}x$nty grid")
+      val img = Jpeg2000.decode(cs)
+      assert(img.width == w && img.height == h)
+      assert(img.samples.sameElements(samples),
+        s"multi-tile ${ntx}x$nty round-trip mismatch")
+    }
+    // a missing tile is a directed error, not a silently-black region:
+    // truncate the last tile (its SOT..EOC span) and re-terminate
+    val cs = Jpeg2000.encode(w, h, depth, samples, levels, tileSize = Some((48, 40)))
+    def u16At(a: Array[Byte], i: Int): Int = ((a(i) & 0xff) << 8) | (a(i + 1) & 0xff)
+    var p = 0
+    var lastSot = -1
+    while (p + 1 < cs.length) {
+      if (u16At(cs, p) == 0xff90) {
+        lastSot = p
+        val psot = ((cs(p + 6) & 0xff) << 24) | ((cs(p + 7) & 0xff) << 16) |
+          ((cs(p + 8) & 0xff) << 8) | (cs(p + 9) & 0xff)
+        p += psot
+      } else p += 1
+    }
+    val truncated = cs.take(lastSot) ++ Array[Byte](0xff.toByte, 0xd9.toByte)
+    val err = intercept[Exception](Jpeg2000.decode(truncated))
+    assert(err.getMessage.contains("missing tile"), err.getMessage)
+    // 9/7 lossy multi-tile stays inside the quantizer tolerance per tile
+    val lossy = Jpeg2000.decode(Jpeg2000.encode(w, h, depth, samples, levels,
+      irreversible = true, tileSize = Some((48, 40))))
+    val maxErr = samples.indices.map(i => math.abs(lossy.samples(i) - samples(i))).max
+    assert(maxErr <= 2, s"9/7 multi-tile max error $maxErr")
+  }
+
   test("compression is real on smooth data (not a stored-bytes shell)") {
     val w = 100; val h = 80
     val samples = Array.tabulate(w * h)(i => (500 + (i % w) + (i / w)).toLong)
