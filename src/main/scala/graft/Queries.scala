@@ -935,6 +935,44 @@ object Queries {
           .orderBy($"time", $"latitude", $"longitude")
       }),
 
+    // ---------------------------------------------------------------- S1 (NetCDF-3 NC_CHAR)
+    // Classic-format station labels: a `char name(station, strlen)` variable
+    // collapses its trailing strlen dim into a STRING column (the CF char
+    // convention xarray decodes; the reference reads these through
+    // xarray/netcdf4, sinks.py:345-389). NUL-padded cells, a record outer
+    // dim, and a numeric sibling on the same hypercube.
+    Q("q98_netcdf3_chars", Some("""
+      SELECT CAST(n_nationkey AS DOUBLE) AS station,
+             n_name AS station_name,
+             CAST(n_regionkey AS DOUBLE) AS code
+      FROM nation ORDER BY station"""))(
+      (s, d) => {
+        import graft.sources.netcdf.{NetCDF3, NetCDF3Reader, NetCDF3Writer => NW}
+        val rows = Tables.nation(s, d).orderBy($"n_nationkey")
+          .select($"n_nationkey".cast("double"), $"n_name",
+            $"n_regionkey".cast("double"))
+          .collect()
+        val strlen = 32
+        val path = java.nio.file.Files.createTempDirectory("q98").toString + "/q98.nc"
+        NW.write(path,
+          dims = Seq(NW.DimSpec("station", rows.length, record = true),
+            NW.DimSpec("name_strlen", strlen)),
+          vars = Seq(
+            NW.VarSpec("station", Seq("station"), NetCDF3.NC_DOUBLE,
+              rows.map(_.getDouble(0)).toSeq),
+            NW.VarSpec("station_name", Seq("station", "name_strlen"),
+              NetCDF3.NC_CHAR,
+              rows.flatMap { r =>
+                val b = r.getString(1).getBytes("UTF-8")
+                b.map(_.toDouble) ++ Seq.fill(strlen - b.length)(0.0)
+              }.toSeq),
+            NW.VarSpec("code", Seq("station"), NetCDF3.NC_INT,
+              rows.map(_.getDouble(2)).toSeq)))
+        NetCDF3Reader.readLongFormat(s, path)
+          .select($"station", $"station_name", $"code")
+          .orderBy($"station")
+      }),
+
     // ---------------------------------------------------------------- S1 (HDF5 szip filter)
     // The q63 grid packed behind the szip filter (id 4 — CCSDS/Rice via
     // the shared Ccsds coder): chunked int16 with scale/offset decode.

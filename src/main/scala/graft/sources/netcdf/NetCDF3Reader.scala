@@ -21,12 +21,20 @@ object NetCDF3Reader {
 
   private val HeaderProbeBytes = 1 << 20
 
+  /** CF char convention: an NC_CHAR variable's TRAILING dimension is the
+    * string length — it collapses into a StringType column (xarray's
+    * `char_dim_name` decode, the classic station-label layout). */
+  private def isCharVar(v: Var): Boolean = v.ncType == NC_CHAR
+  private def effRank(v: Var): Int =
+    if (isCharVar(v) && v.dimIds.nonEmpty) v.dimIds.size - 1 else v.dimIds.size
+
   def schemaOf(h: Header, dataVars: Seq[Var], dims: Seq[Dim], coordVars: Map[String, Var]): StructType = {
     val coordFields = dims.map { d =>
       val isTime = coordVars.get(d.name).exists(_.epochSecondsTime)
       StructField(d.name, if (isTime) TimestampNTZType else DoubleType, nullable = false)
     }
-    StructType(coordFields ++ dataVars.map(v => StructField(v.name, DoubleType)))
+    StructType(coordFields ++ dataVars.map(v =>
+      StructField(v.name, if (isCharVar(v)) StringType else DoubleType)))
   }
 
   def readLongFormat(spark: SparkSession, path: String,
@@ -49,10 +57,10 @@ object NetCDF3Reader {
       !(v.dimIds.size == 1 && dimById(v.dimIds.head).name == v.name))
     require(nonCoord.nonEmpty,
       s"$path contains only coordinate (axis) variables — no data variables to read")
-    val maxRank = nonCoord.map(_.dimIds.size).max
-    val dataVars = nonCoord.filter(_.dimIds.size == maxRank)
-    val hyperDims = dataVars.head.dimIds.map(dimById)
-    require(dataVars.forall(_.dimIds.map(dimById) == hyperDims),
+    val maxRank = nonCoord.map(effRank).max
+    val dataVars = nonCoord.filter(v => effRank(v) == maxRank)
+    val hyperDims = dataVars.head.dimIds.take(maxRank).map(dimById)
+    require(dataVars.forall(_.dimIds.take(maxRank).map(dimById) == hyperDims),
       "data variables disagree on dimensions")
     val coordVars = head.vars.filter(v => v.dimIds.size == 1 &&
       hyperDims.exists(_.name == v.name)).map(v => v.name -> v).toMap
@@ -99,20 +107,35 @@ object NetCDF3Reader {
     val coordsLocal = hyperDims.map(d => coords(d.name))
     val isTimeLocal = isTimeDim
 
+    // char vars: bytes per point = trailing string-length dim
+    val strLens: Seq[Int] = dataVars.map(v =>
+      if (isCharVar(v) && v.dimIds.nonEmpty) head.dims(v.dimIds.last).size else 0)
+    val strLensLocal = strLens
     val tconf = graft.sources.TaskConf(conf)
     val rdd = spark.sparkContext.parallelize(ranges, math.max(ranges.size, 1))
       .flatMap { case (lo, hi) =>
         graft.sources.RangedIO.rows(pathLocal, tconf) { in =>
         val w = varsLocal.map(v => typeBytes(v.ncType))
-        def sliceOf(v: Var, vi: Int, t: Int): Array[Double] = {
+        def rawSlice(v: Var, bytesPerPoint: Int, t: Int): Array[Byte] = {
           val isRec = v.dimIds.headOption.exists(headLocal.dims(_).isRecord)
-          val bytesLen = perSlice * w(vi)
+          val bytesLen = perSlice * bytesPerPoint
           val offset =
             if (isRec) v.begin + t.toLong * headLocal.recSize
             else v.begin + t.toLong * bytesLen
           val buf = new Array[Byte](bytesLen)
           in.readFully(offset, buf)
-          decodeSlice(buf, v, perSlice)
+          buf
+        }
+        def sliceOf(v: Var, vi: Int, t: Int): AnyRef = {
+          val sl = strLensLocal(vi)
+          if (sl > 0) {
+            val buf = rawSlice(v, sl, t)
+            Array.tabulate(perSlice) { i =>
+              val s = new String(buf, i * sl, sl, java.nio.charset.StandardCharsets.UTF_8)
+              val cut = s.indexOf('\u0000')
+              if (cut >= 0) s.substring(0, cut) else s
+            }
+          } else decodeSlice(rawSlice(v, w(vi), t), v, perSlice)
         }
         (lo until hi).iterator.flatMap { t =>
           val slices = varsLocal.zipWithIndex.map { case (v, vi) => sliceOf(v, vi, t) }
@@ -129,9 +152,11 @@ object NetCDF3Reader {
                 math.floor(c).toLong, ((c - math.floor(c)) * 1e9).toInt, java.time.ZoneOffset.UTC)
               else java.lang.Double.valueOf(c)
             }
-            val cells: Seq[Any] = coordCells ++ slices.map { s =>
-              val v = s(li)
-              if (v.isNaN) null else java.lang.Double.valueOf(v)
+            val cells: Seq[Any] = coordCells ++ slices.map {
+              case s: Array[Double] =>
+                val v = s(li)
+                if (v.isNaN) null else java.lang.Double.valueOf(v)
+              case s: Array[String] => s(li)
             }
             Row.fromSeq(cells)
           }

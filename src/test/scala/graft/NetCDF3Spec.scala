@@ -148,6 +148,53 @@ class NetCDF3Spec extends SparkSpec {
     assert(times.toSeq == Seq("00.500", "01.600"))
   }
 
+  test("NC_CHAR variables collapse the trailing strlen dim into StringType columns") {
+    val dir = java.nio.file.Files.createTempDirectory("nc3chars").toString
+    val path = s"$dir/stations.nc"
+    val names = Seq("oslo", "bergen", "tromso", "trondheim")
+    val strlen = 12
+    def charBytesN(ss: Seq[String], n: Int): Seq[Double] = ss.flatMap { s =>
+      val b = s.getBytes("UTF-8")
+      (b.map(_.toDouble) ++ Seq.fill(n - b.length)(0.0)).toSeq // NUL pad
+    }
+    def charBytes(ss: Seq[String]): Seq[Double] = charBytesN(ss, strlen)
+    NW.write(path,
+      dims = Seq(NW.DimSpec("station", names.size, record = true),
+        NW.DimSpec("name_strlen", strlen)),
+      vars = Seq(
+        NW.VarSpec("station", Seq("station"), NetCDF3.NC_DOUBLE,
+          names.indices.map(_.toDouble)),
+        // record char var: strlen bytes per record, record-stride reads
+        NW.VarSpec("station_name", Seq("station", "name_strlen"),
+          NetCDF3.NC_CHAR, charBytes(names)),
+        NW.VarSpec("elev", Seq("station"), NetCDF3.NC_INT,
+          names.indices.map(i => 100.0 + i))))
+    val got = NetCDF3Reader.readLongFormat(spark, path)
+    assert(got.schema("station_name").dataType.typeName == "string")
+    assert(got.schema("elev").dataType.typeName == "double")
+    val rows = got.orderBy($"station").collect()
+    assert(rows.map(_.getAs[String]("station_name")).toSeq == names)
+    assert(rows.map(_.getAs[Double]("elev")).toSeq ==
+      names.indices.map(i => 100.0 + i))
+
+    // fixed (non-record) char var over a 2-D grid: per-outer-index slices
+    val path2 = s"$dir/grid.nc"
+    val flags = for (t <- 0 until 3; s <- 0 until 2) yield s"f$t$s"
+    NW.write(path2,
+      dims = Seq(NW.DimSpec("t", 3), NW.DimSpec("s", 2), NW.DimSpec("len", 4)),
+      vars = Seq(
+        NW.VarSpec("t", Seq("t"), NetCDF3.NC_DOUBLE, Seq(0.0, 1.0, 2.0)),
+        NW.VarSpec("s", Seq("s"), NetCDF3.NC_DOUBLE, Seq(0.0, 1.0)),
+        NW.VarSpec("flag", Seq("t", "s", "len"), NetCDF3.NC_CHAR,
+          charBytesN(flags, 4)),
+        NW.VarSpec("v", Seq("t", "s"), NetCDF3.NC_DOUBLE,
+          (0 until 6).map(_.toDouble))))
+    val got2 = NetCDF3Reader.readLongFormat(spark, path2)
+    val rows2 = got2.orderBy($"t", $"s").collect()
+    assert(rows2.map(_.getAs[String]("flag")).toSeq == flags)
+    assert(rows2.map(_.getAs[Double]("v")).toSeq == (0 until 6).map(_.toDouble))
+  }
+
   test("splitter demuxes the NetCDF file by dimension value and by variable") {
     import graft.operators.Splitter
     val outRoot = java.nio.file.Files.createTempDirectory("ncsplit").toString
