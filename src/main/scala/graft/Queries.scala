@@ -935,6 +935,40 @@ object Queries {
           .orderBy($"time", $"latitude", $"longitude")
       }),
 
+    // ---------------------------------------------------------------- S1 (HDF5 compound datatype)
+    // A compound (class 6) observation-record variable — struct { double
+    // bal; int nation; char name[32]; } per point — flattens to one column
+    // per member in the mover's row model (netCDF-4 compound types read
+    // through netCDF-C in the reference, sinks.py:345-389). Values derive
+    // from `supplier`.
+    Q("q99_netcdf4_compound", Some("""
+      SELECT CAST(s_suppkey AS DOUBLE) AS obs,
+             round(CAST(s_acctbal AS DOUBLE), 6) AS site_bal,
+             CAST(s_nationkey AS DOUBLE) AS site_nation,
+             s_name AS site_name
+      FROM supplier ORDER BY obs"""))(
+      (s, d) => {
+        import graft.sources.hdf5.{Hdf5Writer => HW}
+        import graft.sources.netcdf.NetCDF4Reader
+        val rows = Tables.supplier(s, d).orderBy($"s_suppkey")
+          .select($"s_suppkey".cast("double"), $"s_acctbal".cast("double"),
+            $"s_nationkey".cast("double"), $"s_name")
+          .collect()
+        val n = rows.length
+        val path = java.nio.file.Files.createTempDirectory("q99").toString + "/q99.nc"
+        HW.write(path, Seq(
+          HW.VarSpec("obs", Seq("obs"), Seq(n),
+            rows.map(_.getDouble(0)).toSeq, dtype = "f8"),
+          HW.VarSpec("site", Seq("obs"), Seq(n), Nil,
+            compound = Seq("bal" -> "f8", "nation" -> "i4", "name" -> "s32"),
+            cdata = rows.map(r =>
+              Seq(r.getDouble(1), r.getDouble(2), r.getString(3))).toSeq)))
+        NetCDF4Reader.readLongFormat(s, path)
+          .select($"obs", round($"site_bal", 6).as("site_bal"),
+            $"site_nation", $"site_name")
+          .orderBy($"obs")
+      }),
+
     // ---------------------------------------------------------------- S1 (NetCDF-3 NC_CHAR)
     // Classic-format station labels: a `char name(station, strlen)` variable
     // collapses its trailing strlen dim into a STRING column (the CF char

@@ -41,12 +41,17 @@ object Hdf5 {
 
   val Undef: Long = -1L // all-ones addresses mean "undefined"
 
+  /** One member of a compound (class 6) datatype at its byte offset. */
+  final case class Member(name: String, offset: Int, dtype: Dtype)
+
   final case class Dtype(clazz: Int, size: Int, littleEndian: Boolean,
-      signed: Boolean, vlenString: Boolean = false) {
+      signed: Boolean, vlenString: Boolean = false,
+      members: Seq[Member] = Nil) {
     def isNumeric: Boolean = clazz == 0 || clazz == 1
     /** Fixed-length (class 3) or variable-length (class 9 with vlen-type
       * "string", resolved through the global heap) character data. */
     def isString: Boolean = clazz == 3 || (clazz == 9 && vlenString)
+    def isCompound: Boolean = clazz == 6
   }
 
   sealed trait Layout
@@ -650,6 +655,41 @@ object Hdf5 {
         val (_, baseLen) = parseDatatype(c, at + 8)
         (Dtype(9, size, littleEndian = true, signed = false,
           vlenString = (bits0 & 0x0f) == 1), 8 + baseLen)
+      case 6 => // compound: bits 0-15 = member count; members at byte offsets
+        val version = cv >> 4
+        val nmem = c.u8(at + 1) | (c.u8(at + 2) << 8)
+        var off = at + 8
+        def nulString(from: Long): String = {
+          var e = from
+          while (c.u8(e) != 0) e += 1
+          c.ascii(from, (e - from).toInt)
+        }
+        val members = (0 until nmem).map { _ =>
+          version match {
+            case 1 | 2 =>
+              val name = nulString(off)
+              off += (name.length / 8 + 1) * 8 // NUL-padded to 8 bytes
+              val mOff = c.u32(off).toInt
+              off += 4
+              if (version == 1) off += 28 // dimensionality/perm/dim sizes
+              val (mdt, mlen) = parseDatatype(c, off)
+              off += mlen
+              Member(name, mOff, mdt)
+            case 3 =>
+              val name = nulString(off)
+              off += name.length + 1 // NUL-terminated, unpadded
+              val offBytes = bytesFor(size.toLong) // min bytes for the size
+              var mOff = 0L
+              (0 until offBytes).foreach(k => mOff |= c.u8(off + k).toLong << (8 * k))
+              off += offBytes
+              val (mdt, mlen) = parseDatatype(c, off)
+              off += mlen
+              Member(name, mOff.toInt, mdt)
+            case v => throw UnsupportedHdf5(s"compound datatype version $v")
+          }
+        }
+        (Dtype(6, size, littleEndian = true, signed = false, members = members),
+          off - at)
       case other => throw UnsupportedHdf5(s"datatype class $other")
     }
   }
@@ -1414,13 +1454,13 @@ object Hdf5 {
     * (the unwritten-element case). */
   def decodeStrings(bytes: Array[Byte], dt: Dtype, n: Int,
       read: (Long, Int) => Array[Byte]): Array[String] = dt match {
-    case Dtype(3, size, _, _, _) =>
+    case Dtype(3, size, _, _, _, _) =>
       Array.tabulate(n) { i =>
         val s = new String(bytes, i * size, size, java.nio.charset.StandardCharsets.UTF_8)
         val cut = s.indexOf('\u0000')
         if (cut >= 0) s.substring(0, cut) else s
       }
-    case Dtype(9, _, _, _, true) =>
+    case Dtype(9, _, _, _, true, _) =>
       val c = new Cur(bytes)
       Array.tabulate(n) { i =>
         val base = i * 16L
@@ -1434,5 +1474,36 @@ object Hdf5 {
           .orNull
       }
     case other => throw UnsupportedHdf5(s"decodeStrings on datatype $other")
+  }
+
+  /** Decode `n` records of a compound (class 6) datatype into one column
+    * per member: numeric members become `Array[Double]`, fixed-string
+    * members `Array[String]`. */
+  def decodeMembers(bytes: Array[Byte], dt: Dtype, n: Int): Seq[(String, AnyRef)] = {
+    require(dt.isCompound, s"decodeMembers on datatype $dt")
+    val c = new Cur(bytes)
+    dt.members.map { m =>
+      val vals: AnyRef = m.dtype.clazz match {
+        case 0 | 1 =>
+          val a = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            a(i) = numericAt(c, i.toLong * dt.size + m.offset, m.dtype)
+            i += 1
+          }
+          a
+        case 3 =>
+          Array.tabulate(n) { i =>
+            val s = new String(bytes, i * dt.size + m.offset, m.dtype.size,
+              java.nio.charset.StandardCharsets.UTF_8)
+            val cut = s.indexOf('\u0000')
+            if (cut >= 0) s.substring(0, cut) else s
+          }
+        case other => throw UnsupportedHdf5(
+          s"compound member '${m.name}' datatype class $other " +
+            "(numeric and fixed-string members supported)")
+      }
+      m.name -> vals
+    }
   }
 }

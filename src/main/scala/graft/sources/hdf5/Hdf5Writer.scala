@@ -66,7 +66,12 @@ object Hdf5Writer {
       sdata: Seq[String] = Nil,
       // extra attributes stored as VARIABLE-LENGTH strings (the h5py/netCDF-4
       // default for string attrs), each resolved through its own `GCOL`
-      vlsAttrs: Seq[(String, String)] = Nil)
+      vlsAttrs: Seq[(String, String)] = Nil,
+      // compound (class 6) variables: member (name, dtype) pairs packed at
+      // sequential offsets; values come from `cdata` (one row per point,
+      // Double for numeric members, String for s<N>), contiguous only
+      compound: Seq[(String, String)] = Nil,
+      cdata: Seq[Seq[Any]] = Nil)
 
   private def elemSize(dtype: String): Int = dtype match {
     case "f8" => 8
@@ -299,7 +304,44 @@ object Hdf5Writer {
     // name -> (layout message body maker given nothing, filters present)
     final case class Storage(layoutBody: Array[Byte], filtered: Boolean)
     val storage: Map[String, Storage] = vars.map { v =>
-      if (isStringDtype(v.dtype)) {
+      if (v.compound.nonEmpty) {
+        require(v.chunks.isEmpty, s"${v.name}: compound variables are contiguous-only")
+        require(!hasFilters(v), s"${v.name}: compound variables take no filters")
+        require(v.cdata.size == v.shape.product, s"${v.name}: cdata size mismatch")
+        val sizes = v.compound.map(m => elemSize(m._2))
+        val msize = sizes.sum
+        val raw = new Array[Byte](v.cdata.size * msize)
+        v.cdata.zipWithIndex.foreach { case (row, i) =>
+          require(row.size == v.compound.size, s"${v.name}: row $i arity")
+          var off = i * msize
+          row.zip(v.compound).zip(sizes).foreach { case ((cell, (mn, mdt)), sz) =>
+            cell match {
+              case s: String =>
+                require(mdt.startsWith("s"), s"${v.name}.$mn: string for $mdt")
+                val b = s.getBytes("UTF-8")
+                require(b.length <= sz, s"${v.name}.$mn: '$s' exceeds $sz bytes")
+                System.arraycopy(b, 0, raw, off, b.length) // NUL-padded
+              case d: Double =>
+                val bits = mdt match {
+                  case "f8" => java.lang.Double.doubleToLongBits(d)
+                  case "f4" => java.lang.Float.floatToIntBits(d.toFloat).toLong & 0xffffffffL
+                  case "i4" => d.toLong & 0xffffffffL
+                  case "i2" => d.toLong & 0xffffL
+                  case other => throw new IllegalArgumentException(
+                    s"${v.name}.$mn: member dtype $other")
+                }
+                var j = 0
+                while (j < sz) { raw(off + j) = ((bits >> (8 * j)) & 0xff).toByte; j += 1 }
+              case other => throw new IllegalArgumentException(
+                s"${v.name}.$mn: cell ${other.getClass}")
+            }
+            off += sz
+          }
+        }
+        val addr = appendAt(raw)
+        val body = Array[Byte](3, 1) ++ b64(addr) ++ b64(raw.length.toLong)
+        v.name -> Storage(body, filtered = false)
+      } else if (isStringDtype(v.dtype)) {
         require(v.chunks.isEmpty, s"${v.name}: string variables are contiguous-only")
         require(!hasFilters(v), s"${v.name}: string variables take no filters")
         require(v.sdata.size == v.shape.product, s"${v.name}: sdata size mismatch")
@@ -677,6 +719,31 @@ object Hdf5Writer {
 
     def vlenStrDtMsg(): Array[Byte] = // class 9, vlen type 1 = string
       Array[Byte](0x19, 0x01, 0, 0) ++ b32(16L) ++ stringDtMsg(1)
+
+    // compound (class 6) v3: members at sequential packed offsets, each
+    // name NUL-terminated unpadded, offset in min-bytes-for-size width
+    def compoundDtMsg(members: Seq[(String, String)]): Array[Byte] = {
+      val sizes = members.map(m => elemSize(m._2))
+      val msize = sizes.sum
+      var offBytes = 1
+      while ((msize.toLong >> (8 * offBytes)) != 0) offBytes += 1
+      val buf = ArrayBuffer.empty[Byte]
+      buf += 0x36.toByte // version 3, class 6
+      buf += (members.size & 0xff).toByte
+      buf += ((members.size >> 8) & 0xff).toByte
+      buf += 0
+      buf ++= b32(msize.toLong)
+      var off = 0
+      members.zip(sizes).foreach { case ((name, dt), sz) =>
+        buf ++= name.getBytes("US-ASCII")
+        buf += 0
+        (0 until offBytes).foreach(k => buf += ((off >> (8 * k)) & 0xff).toByte)
+        buf ++= (if (dt.startsWith("s")) stringDtMsg(elemSize(dt))
+          else datatypeMsg(dt))
+        off += sz
+      }
+      buf.toArray
+    }
 
     def filtersMsg(v: VarSpec): Array[Byte] = {
       val fs = ArrayBuffer.empty[Byte]
@@ -1081,7 +1148,8 @@ object Hdf5Writer {
     dataVars.foreach { v =>
       val msgs = ArrayBuffer.empty[(Int, Array[Byte])]
       msgs += ((0x01, dataspaceMsg(v.shape)))
-      msgs += ((0x03, datatypeMsg(v.dtype, v.nbit)))
+      msgs += ((0x03, if (v.compound.nonEmpty) compoundDtMsg(v.compound)
+        else datatypeMsg(v.dtype, v.nbit)))
       if (storage(v.name).filtered) msgs += ((0x0B, filtersMsg(v)))
       msgs += ((0x08, storage(v.name).layoutBody))
       val dimList = v.dims.flatMap { d =>

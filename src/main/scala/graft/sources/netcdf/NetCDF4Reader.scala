@@ -71,7 +71,7 @@ object NetCDF4Reader {
     val dimScales = meta.datasets.filter(isDimScale)
     val dimByAddr: Map[Long, DatasetMeta] = dimScales.map(d => d.objAddr -> d).toMap
     val dataSets = meta.datasets.filterNot(isDimScale)
-      .filter(d => d.dtype.isNumeric || d.dtype.isString)
+      .filter(d => d.dtype.isNumeric || d.dtype.isString || d.dtype.isCompound)
     require(dataSets.nonEmpty,
       s"$path contains no data variables (only dimension scales)")
 
@@ -103,11 +103,19 @@ object NetCDF4Reader {
       .collect { case s: String => s }.exists(_.startsWith("seconds since 1970-01-01")))
     val coords: Seq[Array[Double]] = hyperDims.map(d => coordValues(d.objAddr))
 
+    // output columns per var: compound vars flatten to `var_member` columns
+    // (the mover's denormalized row model), others map 1:1
+    def columnsOf(v: DatasetMeta): Seq[StructField] =
+      if (v.dtype.isCompound)
+        v.dtype.members.map(m => StructField(s"${baseName(v.path)}_${m.name}",
+          if (m.dtype.clazz == 3) StringType else DoubleType))
+      else Seq(StructField(baseName(v.path),
+        if (v.dtype.isString) StringType else DoubleType))
+
     val schema = StructType(
       dimNames.zip(isTimeDim).map { case (n, t) =>
         StructField(n, if (t) TimestampNTZType else DoubleType, nullable = false)
-      } ++ dataVars.map(v => StructField(baseName(v.path),
-        if (v.dtype.isString) StringType else DoubleType)))
+      } ++ dataVars.flatMap(columnsOf))
 
     // chunk plan: every data var either contiguous (one whole-array "chunk")
     // or chunked on a SHARED grid — tasks own grid cells across all vars
@@ -163,18 +171,22 @@ object NetCDF4Reader {
           fin.readFully(off, b)
           b
         }
-        // raw bytes -> typed cells (Array[Double] | Array[String])
-        def decodeAny(pl: VarPlan, raw: Array[Byte], n: Int, mask: Int): AnyRef = {
+        // raw bytes -> one or more typed column arrays
+        // (Array[Double] | Array[String]; compound vars yield one per member)
+        def decodeAny(pl: VarPlan, raw: Array[Byte], n: Int,
+            mask: Int): Seq[AnyRef] = {
           val de = Hdf5.defilter(raw, pl.ds.filters, mask, pl.ds.dtype.size,
             n * pl.ds.dtype.size, pl.ds.dtype.signed)
-          if (pl.ds.dtype.isString) Hdf5.decodeStrings(de, pl.ds.dtype, n, read)
-          else applyCdl(Hdf5.decodeValues(de, pl.ds.dtype, n), pl)
+          if (pl.ds.dtype.isCompound) Hdf5.decodeMembers(de, pl.ds.dtype, n).map(_._2)
+          else if (pl.ds.dtype.isString)
+            Seq(Hdf5.decodeStrings(de, pl.ds.dtype, n, read))
+          else Seq(applyCdl(Hdf5.decodeValues(de, pl.ds.dtype, n), pl))
         }
         // contiguous/compact vars decode whole ONCE per partition and index
         // by global C-order position (cells from a chunked sibling's grid
         // index into them globally)
-        val wholeCache = scala.collection.mutable.HashMap.empty[String, AnyRef]
-        def whole(pl: VarPlan): AnyRef = wholeCache.getOrElseUpdate(pl.name, {
+        val wholeCache = scala.collection.mutable.HashMap.empty[String, Seq[AnyRef]]
+        def whole(pl: VarPlan): Seq[AnyRef] = wholeCache.getOrElseUpdate(pl.name, {
           val nTotal = shapeLocal.product
           pl.ds.layout match {
             case Contiguous(addr, size) =>
@@ -192,7 +204,7 @@ object NetCDF4Reader {
         }
         it.flatMap { cellOffsets =>
           // decode this grid cell for every var; `true` = globally indexed
-          val perVar: Seq[(AnyRef, Boolean)] = plansLocal.map { pl =>
+          val perVar: Seq[(Seq[AnyRef], Boolean)] = plansLocal.map { pl =>
             pl.ds.layout match {
               case _: Chunked =>
                 val ref = pl.chunks.find(_.offsets == cellOffsets).getOrElse(
@@ -231,9 +243,9 @@ object NetCDF4Reader {
                   java.time.ZoneOffset.UTC)
                 else java.lang.Double.valueOf(c)
               }
-              val dataCells: Seq[Any] = perVar.map { case (vals, global) =>
+              val dataCells: Seq[Any] = perVar.flatMap { case (cols, global) =>
                 val idx = if (global) gi.toInt else li
-                vals match {
+                cols.map {
                   case ds: Array[Double] =>
                     val v = ds(idx)
                     if (v.isNaN) null else java.lang.Double.valueOf(v)

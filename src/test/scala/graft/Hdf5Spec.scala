@@ -562,4 +562,40 @@ class Hdf5Spec extends SparkSpec {
     assert(rows.map(_.getAs[Double]("elev")).toSeq ==
       (0 until n).map(k => 100.0 + k))
   }
+
+  test("compound (class 6) variables flatten to one column per member") {
+    val p = tmp("compound.nc")
+    val n = 5
+    val names = Seq("ws-a", "ws-b", "ws-c", "ws-d", "ws-e")
+    HW.write(p, Seq(
+      HW.VarSpec("obs", Seq("obs"), Seq(n),
+        (0 until n).map(_.toDouble), dtype = "f8"),
+      // struct { double lat; float lon; int count; char id[8]; } per point
+      HW.VarSpec("sites", Seq("obs"), Seq(n), Nil,
+        compound = Seq("lat" -> "f8", "lon" -> "f4", "count" -> "i4", "id" -> "s8"),
+        cdata = (0 until n).map(i =>
+          Seq(50.0 + i * 0.5, -10.0 - i, (100 + i).toDouble, names(i)))),
+      // a chunked numeric sibling: compound vars stay contiguous
+      HW.VarSpec("qc", Seq("obs"), Seq(n),
+        (0 until n).map(k => k % 2.0), dtype = "f8", chunks = Some(Seq(2)))))
+    val (read, len) = localRead(p)
+    val meta = Hdf5.parse(read, len)
+    val dt = meta.byPath("/sites").dtype
+    assert(dt.isCompound && dt.size == 8 + 4 + 4 + 8)
+    assert(dt.members.map(_.name) == Seq("lat", "lon", "count", "id"))
+    assert(dt.members.map(_.offset) == Seq(0, 8, 12, 16))
+
+    val df = NetCDF4Reader.readLongFormat(spark, p)
+    assert(df.columns.toSeq ==
+      Seq("obs", "qc", "sites_lat", "sites_lon", "sites_count", "sites_id"))
+    val rows = df.orderBy($"obs").collect()
+    assert(rows.map(_.getAs[Double]("sites_lat")).toSeq ==
+      (0 until n).map(i => 50.0 + i * 0.5))
+    assert(rows.map(_.getAs[Double]("sites_lon")).toSeq ==
+      (0 until n).map(i => -10.0 - i.toDouble))
+    assert(rows.map(_.getAs[Double]("sites_count")).toSeq ==
+      (0 until n).map(i => 100.0 + i))
+    assert(rows.map(_.getAs[String]("sites_id")).toSeq == names)
+    assert(rows.map(_.getAs[Double]("qc")).toSeq == (0 until n).map(k => k % 2.0))
+  }
 }
