@@ -935,6 +935,43 @@ object Queries {
           .orderBy($"time", $"latitude", $"longitude")
       }),
 
+    // ---------------------------------------------------------------- S1 (GRIB2 spectral, templates 3.50 + 5.51)
+    // Spherical-harmonic spectral field (the IFS native representation the
+    // reference reads through eccodes): T9 triangular truncation, complex
+    // BIFS packing 5.51 — sub-truncation n <= 3 stored IEEE, the remainder
+    // Laplacian-scaled by (n(n+1))^1 and simple-packed. One row per
+    // coefficient; integer-valued coefficients keep the cycle exact.
+    Q("q100_grib2_spectral", Some("""
+      WITH o AS (SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0,
+                        CAST(o_orderkey % 997 - 400 AS DOUBLE) AS v
+                 FROM orders ORDER BY o_orderkey LIMIT 110),
+           mn AS (SELECT mv, nv,
+                         row_number() OVER (ORDER BY mv, nv) - 1 AS k
+                  FROM generate_series(0, 9) AS mt(mv),
+                       generate_series(0, 9) AS nt(nv)
+                  WHERE nv >= mv)
+      SELECT CAST(mn.mv AS BIGINT) AS m, CAST(mn.nv AS BIGINT) AS n,
+             re.v AS re, im.v AS im
+      FROM mn
+      JOIN o re ON re.rn0 = 2 * mn.k
+      JOIN o im ON im.rn0 = 2 * mn.k + 1
+      ORDER BY m, n"""))(
+      (s, d) => {
+        import graft.sources.grib.{Grib2Reader, Grib2Writer => GW2}
+        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(110)
+          .select(($"o_orderkey" % 997 - 400).cast("double"))
+          .collect().map(_.getDouble(0)).toSeq
+        val t0 = java.time.LocalDateTime.of(2026, 8, 1, 0, 0)
+        val path = java.nio.file.Files.createTempDirectory("q100").toString +
+          "/q100.grib2"
+        GW2.write(path, Seq(GW2.FieldSpec(0, 3, 5, 100, 50000, t0, vals,
+          110, 1, 0.0, 0.0, 0.0, 0.0, decimalScale = 0, bitsPerValue = 24,
+          packing = 51, spectralT = 9, subTruncation = 3, laplacianP = 1.0)))
+        Grib2Reader.readSpectral(s, path)
+          .select($"m", $"n", $"re", $"im")
+          .orderBy($"m", $"n")
+      }),
+
     // ---------------------------------------------------------------- S1 (HDF5 compound datatype)
     // A compound (class 6) observation-record variable — struct { double
     // bal; int nation; char name[32]; } per point — flattens to one column

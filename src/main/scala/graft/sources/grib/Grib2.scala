@@ -58,7 +58,8 @@ object Grib2 {
       pl: Option[Array[Int]] = None, // reduced grid: points per row
       projection: Option[GribProjection] = None, // 3.10/3.20/3.30 grids
       dxMeters: Double = 0, dyMeters: Double = 0,
-      ensembleMember: Int = -1) // templates 4.1/4.11; -1 = deterministic
+      ensembleMember: Int = -1, // templates 4.1/4.11; -1 = deterministic
+      spectral: Option[Spectral] = None) // 3.50 + 5.50/5.51 spectral fields
       extends GribUnit {
 
     def nPoints: Int = pl.map(_.sum).getOrElse(ni * nj)
@@ -170,6 +171,22 @@ object Grib2 {
       if (ni == 1) lo1 else lo1 + (lo2 - lo1) * i / (ni - 1)
   }
 
+  /** Spherical-harmonic spectral field (grid template 3.50 + data
+    * representation 5.50 simple / 5.51 complex BIFS). Triangular truncation
+    * (J = K = M) — what ECMWF's IFS emits; coefficients stream in
+    * m = 0..M, n = m..M order as (real, imaginary) pairs. */
+  final case class Spectral(
+      j: Int, k: Int, m: Int,
+      template: Int,            // 50 | 51
+      realPart00: Double = 0.0, // 5.50: stored in section 5, not packed
+      laplacianP: Double = 0.0, // 5.51: packed values scaled by (n(n+1))^p
+      subT: Int = -1,           // 5.51: sub-truncation (Js = Ks = Ms)
+      ts: Int = 0,              // 5.51: values stored unpacked (IEEE)
+      subPrecision: Int = 1) {  // 5.51: code table 5.7 (1 = IEEE-32)
+    def nCoeff: Int = (m + 1) * (m + 2) / 2
+    def nValues: Int = 2 * nCoeff
+  }
+
   /** Template 5.2/5.3 parameters (WMO FM 92 GRIB2 section 5). */
   final case class ComplexPacking(
       groupSplitting: Int,      // 1 = general group splitting
@@ -217,11 +234,13 @@ object Grib2 {
     final case class GridDef(ni: Int, nj: Int, la1: Double, lo1: Double,
       la2: Double, lo2: Double, scan: Int, gaussN: Int,
       pl: Option[Array[Int]] = None, proj: Option[GribProjection] = None,
-      dx: Double = 0, dy: Double = 0)
+      dx: Double = 0, dy: Double = 0, jkm: Option[(Int, Int, Int)] = None)
     var grid: Option[GridDef] = None
     var prod: Option[(Int, Int, Int, Int, Int, Double, Int, Long, Int)] = None
     var repr: Option[(Double, Int, Int, Int, Int, Option[ComplexPacking])] = None
     var ccsdsParams: Option[(Int, Int, Int)] = None
+    // 5.50: realPart00; 5.51: (p, subT, ts, precision)
+    var spectral5: Option[(Double, Double, Int, Int, Int)] = None
     var bitmapOffset = -1L
     var bitmapBytes = 0
 
@@ -316,10 +335,22 @@ object Grib2 {
               val dySigned = if ((scan & 0x40) != 0) dy else -dy
               grid = Some(GridDef(nx, ny, la1, lo1, la1, lo1, scan, 0,
                 proj = Some(proj), dx = dx, dy = dySigned))
+            case 50 =>
+              // spherical harmonics: J/K/M pentagonal resolution parameters
+              val j = u32(b, 14).toInt
+              val k = u32(b, 18).toInt
+              val m = u32(b, 22).toInt
+              if (!(j == k && k == m))
+                throw UnsupportedGrib(s"spectral pentagonal truncation " +
+                  s"J=$j K=$k M=$m (triangular J=K=M only)")
+              val nCoeff = (m + 1) * (m + 2) / 2
+              grid = Some(GridDef(2 * nCoeff, 1, 0, 0, 0, 0, 0, 0,
+                jkm = Some((j, k, m))))
             case other =>
               throw UnsupportedGrib(s"grid template 3.$other " +
                 "(3.0 lat/lon, 3.10 Mercator, 3.20 polar stereographic, " +
-                "3.30 Lambert conformal, 3.40 regular/reduced Gaussian)")
+                "3.30 Lambert conformal, 3.40 regular/reduced Gaussian, " +
+                "3.50 spherical harmonics)")
           }
         case 4 =>
           val b = read(cur, math.min(secLen, 64L).toInt)
@@ -421,12 +452,30 @@ object Grib2 {
                     "(type 0) is packed by operational centres and supported here")
               repr = Some((ieee32(b, 11), Grib1.s16(b, 15), Grib1.s16(b, 17),
                 u8(b, 19), 40, None))
+            case 50 => // spectral simple: R/E/D/bits + real part of (0,0)
+              if (b.length < 24)
+                throw UnsupportedGrib(
+                  s"truncated spectral 5.50 section (${b.length} bytes)")
+              spectral5 = Some((ieee32(b, 20), 0.0, -1, 0, 1))
+              repr = Some((ieee32(b, 11), Grib1.s16(b, 15), Grib1.s16(b, 17),
+                u8(b, 19), 50, None))
+            case 51 => // spectral complex (BIFS): Laplacian P + sub-truncation
+              if (b.length < 35)
+                throw UnsupportedGrib(
+                  s"truncated spectral 5.51 section (${b.length} bytes)")
+              val p = s32(b, 20) / 1e6
+              val js = u16(b, 24); val ks = u16(b, 26); val ms = u16(b, 28)
+              if (!(js == ks && ks == ms))
+                throw UnsupportedGrib(s"spectral sub-truncation Js=$js Ks=$ks " +
+                  s"Ms=$ms (triangular only)")
+              spectral5 = Some((0.0, p, js, u32(b, 30).toInt, u8(b, 34)))
+              repr = Some((ieee32(b, 11), Grib1.s16(b, 15), Grib1.s16(b, 17),
+                u8(b, 19), 51, None))
             case other =>
               throw UnsupportedGrib(s"data representation template 5.$other " +
                 "(supported: 5.0 simple, 5.2 complex, 5.3 complex + spatial " +
                 "differencing, 5.4 IEEE float, 5.40 JPEG2000 lossless, " +
-                "5.41 PNG, 5.42 CCSDS; 5.50 spectral is not — repack with " +
-                "`grib_set -r packingType=grid_simple`)")
+                "5.41 PNG, 5.42 CCSDS, 5.50/5.51 spectral)")
           }
         case 6 =>
           val b = read(cur, 6)
@@ -445,12 +494,20 @@ object Grib2 {
             throw UnsupportedGrib("section 7 before any product definition"))
           val (refV, binS, decS, bits, reprT, cp) = repr.getOrElse(
             throw UnsupportedGrib("section 7 before any data representation"))
+          val spectral: Option[Spectral] =
+            if (reprT == 50 || reprT == 51) {
+              val (j, k, m) = gd.jkm.getOrElse(throw UnsupportedGrib(
+                s"spectral representation 5.$reprT without a 3.50 grid"))
+              val (r00, p, subT, ts, prec) = spectral5.getOrElse(
+                throw UnsupportedGrib("spectral section 7 before section 5"))
+              Some(Spectral(j, k, m, reprT, r00, p, subT, ts, prec))
+            } else None
           fields += Field(discipline, refTime, ni, nj, la1, lo1, la2, lo2, scan,
             cat, num, timeUnit, fcst, levelType, levelValue, statP, intEnd,
             refV, binS, decS, bits, bitmapOffset, bitmapBytes,
             cur + 5, (secLen - 5).toInt, reprT, cp,
             if (reprT == 42) ccsdsParams else None, gaussN, gd.pl,
-            gd.proj, gd.dx, gd.dy, member)
+            gd.proj, gd.dx, gd.dy, member, spectral)
         case 8 => // should not appear as a section header; defensive
           throw UnsupportedGrib(s"unexpected section number 8 at offset $cur")
         case other =>
@@ -474,8 +531,63 @@ object Grib2 {
       case 40 => decodeJpeg2000(f, data, bitmap)
       case 41 => decodePng(f, data, bitmap)
       case 42 => decodeCcsds(f, data, bitmap)
+      case 50 | 51 => decodeSpectral(f, data)
       case other => throw UnsupportedGrib(s"data representation template 5.$other")
     }
+
+  /** Templates 7.50/7.51: spherical-harmonic coefficient values, stream
+    * order m = 0..M, n = m..M, (re, im) pairs.
+    *  - 5.50: the real part of (0,0) lives in section 5; the remaining
+    *    2I - 1 values are simple-packed.
+    *  - 5.51: the sub-truncation n <= subT is stored as raw IEEE-32 floats
+    *    (exact); the rest were multiplied by (n(n+1))^p and simple-packed —
+    *    decode divides the scaling back out. */
+  private def decodeSpectral(f: Field, data: Array[Byte]): Array[Double] = {
+    val sp = f.spectral.getOrElse(
+      throw UnsupportedGrib("spectral data without 3.50/5.50 context"))
+    val nVals = sp.nValues
+    val out = new Array[Double](nVals)
+    sp.template match {
+      case 50 =>
+        out(0) = sp.realPart00
+        val packed = Grib1.decodePacked(f.refValue, f.binaryScale,
+          f.decimalScale, f.bitsPerValue, nVals - 1, data, null)
+        System.arraycopy(packed, 0, out, 1, nVals - 1)
+      case 51 =>
+        if (sp.subPrecision != 1)
+          throw UnsupportedGrib(
+            s"spectral subset precision code ${sp.subPrecision} (1 = IEEE-32)")
+        val packedVals = nVals - sp.ts
+        val packed =
+          if (packedVals > 0)
+            Grib1.decodePacked(f.refValue, f.binaryScale, f.decimalScale,
+              f.bitsPerValue, packedVals,
+              java.util.Arrays.copyOfRange(data, sp.ts * 4, data.length), null)
+          else Array.empty[Double]
+        var vi = 0; var si = 0; var pi = 0
+        var m = 0
+        while (m <= sp.m) {
+          var n = m
+          while (n <= sp.m) {
+            val inSub = n <= sp.subT
+            var c = 0
+            while (c < 2) {
+              if (inSub) { out(vi) = ieee32(data, si * 4); si += 1 }
+              else {
+                out(vi) = packed(pi) / math.pow(n.toDouble * (n + 1), sp.laplacianP)
+                pi += 1
+              }
+              vi += 1; c += 1
+            }
+            n += 1
+          }
+          m += 1
+        }
+        if (si != sp.ts)
+          throw UnsupportedGrib(s"spectral subset carries $si values, Ts = ${sp.ts}")
+    }
+    out
+  }
 
   /** Template 7.4: raw big-endian IEEE floats (32- or 64-bit per the
     * section-5 precision code) for the PRESENT points, raster order —

@@ -36,7 +36,13 @@ object Grib2Writer {
       gaussianN: Int = 0,              // > 0 -> grid template 3.40
       reducedPl: Option[Seq[Int]] = None, // reduced Gaussian: points per row
       projection: Option[GribProjection] = None, // 3.20/3.30
-      dxMeters: Double = 0, dyMeters: Double = 0)
+      dxMeters: Double = 0, dyMeters: Double = 0,
+      // spectral (3.50 + 5.50/5.51): triangular truncation T; `values` are
+      // the 2*(T+1)(T+2)/2 interleaved (re, im) coefficients in
+      // m = 0..T, n = m..T order; set ni = values.size, nj = 1
+      spectralT: Int = -1,
+      laplacianP: Double = 0.0,        // 5.51 scaling exponent
+      subTruncation: Int = -1)         // 5.51 unpacked sub-truncation
 
   def write(path: String, fields: Seq[FieldSpec],
       conf: Configuration = new Configuration()): Unit = {
@@ -86,10 +92,25 @@ object Grib2Writer {
   }
 
   private def section3(f: FieldSpec): Array[Byte] =
-    f.projection match {
+    if (f.spectralT >= 0) section3Spectral(f)
+    else f.projection match {
       case Some(p) => section3Projected(f, p)
       case None => section3LatLon(f)
     }
+
+  /** Template 3.50: spherical harmonics, triangular truncation. */
+  private def section3Spectral(f: FieldSpec): Array[Byte] = {
+    val b = new Array[Byte](28)
+    putU32(b, 0, 28); b(4) = 3
+    b(5) = 0
+    putU32(b, 6, f.values.size / 2)  // complex coefficients
+    putU16(b, 12, 50)
+    putU32(b, 14, f.spectralT); putU32(b, 18, f.spectralT)
+    putU32(b, 22, f.spectralT)
+    b(26) = 1                        // representation type: spherical harmonics
+    b(27) = 1                        // representation mode
+    b
+  }
 
   /** Templates 3.10/3.20/3.30 (Mercator / polar stereo / Lambert). */
   private def section3Projected(f: FieldSpec, proj: GribProjection): Array[Byte] = {
@@ -235,10 +256,114 @@ object Grib2Writer {
       case 40 => jpeg57(f)
       case 41 => png57(f)
       case 42 => ccsds57(f)
+      case 50 | 51 => spectral57(f)
       case other => throw Grib1.UnsupportedGrib(
         s"writer packing $other (0 simple, 2 complex, 3 complex+spatial " +
-          "diff, 4 IEEE, 40 JPEG2000, 41 PNG, 42 CCSDS)")
+          "diff, 4 IEEE, 40 JPEG2000, 41 PNG, 42 CCSDS, 50/51 spectral)")
     }
+
+  /** Templates 5.50/7.50 and 5.51/7.51: spherical-harmonic coefficients.
+    * 5.50 keeps the (0,0) real part in section 5 and simple-packs the rest;
+    * 5.51 stores the n <= subTruncation subset as IEEE-32 and simple-packs
+    * the remainder scaled by (n(n+1))^laplacianP. */
+  private def spectral57(f: FieldSpec): (Array[Byte], Array[Byte]) = {
+    val t = f.spectralT
+    require(t >= 0, "spectral packing needs spectralT")
+    val nCoeff = (t + 1) * (t + 2) / 2
+    require(f.values.size == 2 * nCoeff,
+      s"${f.values.size} values for truncation T=$t (${2 * nCoeff} expected)")
+    require(!f.values.exists(_.isNaN), "spectral fields carry no bitmap")
+    val dFactor = math.pow(10.0, f.decimalScale)
+
+    def packBits(xs: Seq[Long]): Array[Byte] = {
+      val dataBits = xs.size.toLong * f.bitsPerValue
+      val body = new Array[Byte](((dataBits + 7) / 8).toInt)
+      var bitPos = 0L
+      xs.foreach { x =>
+        var i = f.bitsPerValue - 1
+        while (i >= 0) {
+          if (((x >> i) & 1L) != 0)
+            body((bitPos >> 3).toInt) =
+              (body((bitPos >> 3).toInt) | (0x80 >> (bitPos & 7).toInt)).toByte
+          bitPos += 1
+          i -= 1
+        }
+      }
+      body
+    }
+    def refAndXs(vals: Seq[Double]): (Long, Seq[Long]) = {
+      val scaled = vals.map(v => math.round(v * dFactor))
+      val ref = if (scaled.isEmpty) 0L else scaled.min
+      require(math.abs(ref) < (1L << 24), "reference value must stay float32-exact")
+      val xs = scaled.map(_ - ref)
+      require(xs.forall(x => x >= 0 && x < (1L << math.min(f.bitsPerValue, 62))),
+        s"value range needs more than ${f.bitsPerValue} bits")
+      (ref, xs)
+    }
+
+    if (f.packing == 50) {
+      val (ref, xs) = refAndXs(f.values.drop(1))
+      val s5 = new Array[Byte](24)
+      putU32(s5, 0, 24); s5(4) = 5
+      putU32(s5, 5, xs.size)
+      putU16(s5, 9, 50)
+      putU32(s5, 11, java.lang.Float.floatToIntBits(ref.toFloat).toLong & 0xffffffffL)
+      putS16(s5, 15, 0)              // binary scale E = 0
+      putS16(s5, 17, f.decimalScale)
+      s5(19) = f.bitsPerValue.toByte
+      putU32(s5, 20,
+        java.lang.Float.floatToIntBits(f.values.head.toFloat).toLong & 0xffffffffL)
+      val body = packBits(xs)
+      val s7 = new Array[Byte](5 + body.length)
+      putU32(s7, 0, s7.length); s7(4) = 7
+      System.arraycopy(body, 0, s7, 5, body.length)
+      (s5, s7)
+    } else { // 5.51
+      val sub = f.subTruncation
+      require(sub >= 0 && sub <= t, s"sub-truncation $sub for T=$t")
+      // stream order split: n <= sub -> IEEE subset; else Laplacian-scaled
+      val subVals = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val packVals = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var vi = 0
+      var m = 0
+      while (m <= t) {
+        var n = m
+        while (n <= t) {
+          val scale = math.pow(n.toDouble * (n + 1), f.laplacianP)
+          var c = 0
+          while (c < 2) {
+            if (n <= sub) subVals += f.values(vi)
+            else packVals += f.values(vi) * scale
+            vi += 1; c += 1
+          }
+          n += 1
+        }
+        m += 1
+      }
+      val (ref, xs) = refAndXs(packVals.toSeq)
+      val s5 = new Array[Byte](35)
+      putU32(s5, 0, 35); s5(4) = 5
+      putU32(s5, 5, xs.size)
+      putU16(s5, 9, 51)
+      putU32(s5, 11, java.lang.Float.floatToIntBits(ref.toFloat).toLong & 0xffffffffL)
+      putS16(s5, 15, 0)              // binary scale E = 0
+      putS16(s5, 17, f.decimalScale)
+      s5(19) = f.bitsPerValue.toByte
+      putS32(s5, 20, math.round(f.laplacianP * 1e6))
+      putU16(s5, 24, sub); putU16(s5, 26, sub); putU16(s5, 28, sub)
+      putU32(s5, 30, subVals.size)
+      s5(34) = 1                     // subset precision: IEEE-32
+      val body = new Array[Byte](subVals.size * 4) ++ packBits(xs.toSeq)
+      subVals.zipWithIndex.foreach { case (v, k) =>
+        putU32(body, k * 4,
+          java.lang.Float.floatToIntBits(v.toFloat).toLong & 0xffffffffL)
+      }
+      val s7 = new Array[Byte](5 + body.length)
+      putU32(s7, 0, s7.length); s7(4) = 7
+      System.arraycopy(body, 0, s7, 5, body.length)
+      (s5, s7)
+    }
+  }
 
   /** Template 5.40/7.40: scaled X values as a lossless JPEG 2000
     * codestream, present points in raster order. Grid-shaped when nothing

@@ -655,6 +655,21 @@ object Hdf5 {
         val (_, baseLen) = parseDatatype(c, at + 8)
         (Dtype(9, size, littleEndian = true, signed = false,
           vlenString = (bits0 & 0x0f) == 1), 8 + baseLen)
+      case 8 => // enum: base type + named values; data decodes as the base
+        val version = cv >> 4
+        val nmem = c.u8(at + 1) | (c.u8(at + 2) << 8)
+        val (base, baseLen) = parseDatatype(c, at + 8)
+        if (!base.isNumeric)
+          throw UnsupportedHdf5(s"enum base datatype class ${base.clazz}")
+        var off = at + 8 + baseLen
+        (0 until nmem).foreach { _ => // names (v3 unpadded, v1/2 8-padded)
+          var e = off
+          while (c.u8(e) != 0) e += 1
+          val nameLen = (e - off).toInt
+          off += (if (version == 3) nameLen + 1 else (nameLen / 8 + 1) * 8)
+        }
+        off += nmem.toLong * base.size // values, base-type sized
+        (base, off - at)
       case 6 => // compound: bits 0-15 = member count; members at byte offsets
         val version = cv >> 4
         val nmem = c.u8(at + 1) | (c.u8(at + 2) << 8)

@@ -71,7 +71,10 @@ object Hdf5Writer {
       // sequential offsets; values come from `cdata` (one row per point,
       // Double for numeric members, String for s<N>), contiguous only
       compound: Seq[(String, String)] = Nil,
-      cdata: Seq[Seq[Any]] = Nil)
+      cdata: Seq[Seq[Any]] = Nil,
+      // enum (class 8) variables: named values over the base `dtype`
+      // (i2/i4); `data` carries the raw base values as usual
+      enumMembers: Seq[(String, Long)] = Nil)
 
   private def elemSize(dtype: String): Int = dtype match {
     case "f8" => 8
@@ -720,6 +723,25 @@ object Hdf5Writer {
     def vlenStrDtMsg(): Array[Byte] = // class 9, vlen type 1 = string
       Array[Byte](0x19, 0x01, 0, 0) ++ b32(16L) ++ stringDtMsg(1)
 
+    // enum (class 8) v3: base type then NUL-terminated unpadded names and
+    // base-type-sized values
+    def enumDtMsg(base: String, members: Seq[(String, Long)]): Array[Byte] = {
+      val baseMsg = datatypeMsg(base)
+      val sz = elemSize(base)
+      val buf = ArrayBuffer.empty[Byte]
+      buf += 0x38.toByte // version 3, class 8
+      buf += (members.size & 0xff).toByte
+      buf += ((members.size >> 8) & 0xff).toByte
+      buf += 0
+      buf ++= b32(sz.toLong)
+      buf ++= baseMsg
+      members.foreach { case (n, _) => buf ++= n.getBytes("US-ASCII"); buf += 0 }
+      members.foreach { case (_, v) =>
+        (0 until sz).foreach(k => buf += ((v >> (8 * k)) & 0xff).toByte)
+      }
+      buf.toArray
+    }
+
     // compound (class 6) v3: members at sequential packed offsets, each
     // name NUL-terminated unpadded, offset in min-bytes-for-size width
     def compoundDtMsg(members: Seq[(String, String)]): Array[Byte] = {
@@ -1148,7 +1170,9 @@ object Hdf5Writer {
     dataVars.foreach { v =>
       val msgs = ArrayBuffer.empty[(Int, Array[Byte])]
       msgs += ((0x01, dataspaceMsg(v.shape)))
-      msgs += ((0x03, if (v.compound.nonEmpty) compoundDtMsg(v.compound)
+      msgs += ((0x03,
+        if (v.compound.nonEmpty) compoundDtMsg(v.compound)
+        else if (v.enumMembers.nonEmpty) enumDtMsg(v.dtype, v.enumMembers)
         else datatypeMsg(v.dtype, v.nbit)))
       if (storage(v.name).filtered) msgs += ((0x0B, filtersMsg(v)))
       msgs += ((0x08, storage(v.name).layoutBody))

@@ -585,7 +585,7 @@ class Grib2Spec extends SparkSpec {
     val e = intercept[graft.sources.grib.Grib1.UnsupportedGrib](
       Grib2Reader.indexFields(new org.apache.hadoop.conf.Configuration(), p))
     assert(e.getMessage.contains("grid template"))
-    // representation template 5.50 (spectral) keeps its directed error
+    // a 5.0-sized section claiming template 5.50 is malformed (truncated)
     val raw2 = GW2.message(GW2.FieldSpec(0, 0, 0, 103, 2, t0,
       Seq(1.0, 2.0), 2, 1, 0.0, 0.0, 0.0, 1.0))
     raw2(16 + 21 + 72 + 34 + 10) = 50 // section-5 template number low byte
@@ -594,5 +594,58 @@ class Grib2Spec extends SparkSpec {
     val e2 = intercept[graft.sources.grib.Grib1.UnsupportedGrib](
       Grib2Reader.indexFields(new org.apache.hadoop.conf.Configuration(), p2))
     assert(e2.getMessage.contains("5.50") || e2.getMessage.contains("template 5."))
+  }
+
+  test("spectral fields (3.50 + 5.50/5.51) round-trip coefficient-exact") {
+    import graft.sources.grib.Grib2
+    val dir = java.nio.file.Files.createTempDirectory("grib2sh").toString
+    val t = 9 // T9 triangular: 55 complex coefficients, 110 values
+    val nCoeff = (t + 1) * (t + 2) / 2
+    // integer-valued coefficients so E=0/D=0 packing is exact
+    val vals = (0 until 2 * nCoeff).map(k => ((k * 37) % 501 - 250).toDouble)
+    def spec(packing: Int, sub: Int = -1, p: Double = 0.0) =
+      GW2.FieldSpec(0, 3, 5, 100, 50000, t0, vals, 2 * nCoeff, 1,
+        0.0, 0.0, 0.0, 0.0, decimalScale = 0, bitsPerValue = 24,
+        packing = packing, spectralT = t, subTruncation = sub, laplacianP = p)
+    val p50 = s"$dir/t50.grib2"
+    GW2.write(p50, Seq(spec(50)))
+    val p51 = s"$dir/t51.grib2"
+    GW2.write(p51, Seq(spec(51, sub = 3, p = 1.0)))
+
+    // header parse: truncation + spectral params land on the Field
+    val f50 = Grib2Reader.indexFields(new org.apache.hadoop.conf.Configuration(), p50).head
+    assert(f50.spectral.exists(s => s.m == t && s.template == 50))
+    assert(f50.spectral.get.realPart00 == vals.head)
+    val f51 = Grib2Reader.indexFields(new org.apache.hadoop.conf.Configuration(), p51).head
+    val sp51 = f51.spectral.get
+    assert(sp51.template == 51 && sp51.subT == 3 && sp51.laplacianP == 1.0)
+    assert(sp51.ts == 2 * (3 + 1) * (3 + 2) / 2) // IEEE subset value count
+
+    // value decode: both packings reproduce every coefficient exactly
+    // (integer values, E=0, D=0, integer Laplacian scaling)
+    for (p <- Seq(p50, p51)) {
+      val df = Grib2Reader.readSpectral(spark, p)
+      assert(df.columns.toSeq ==
+        Seq("time", "short_name", "level", "m", "n", "re", "im"))
+      assert(df.count() == nCoeff)
+      val got = df.orderBy($"m", $"n").select($"re", $"im").collect()
+        .flatMap(r => Seq(r.getDouble(0), r.getDouble(1))).toSeq
+      // rows stream m-major: (m=0, n=0..9), (m=1, n=1..9), ... = write order
+      assert(got == vals, s"$p coefficient mismatch")
+      assert(df.head().getAs[String]("short_name") == "gh")
+      assert(df.head().getAs[Double]("level") == 500.0)
+    }
+    // the grid long-format reader refuses to fake lat/lon for spectral data
+    val eg = intercept[graft.sources.grib.Grib1.UnsupportedGrib](
+      Grib2Reader.readLongFormat(spark, p50))
+    assert(eg.getMessage.contains("readSpectral"), eg.getMessage)
+    // pentagonal (non-triangular) truncation is a directed error
+    val raw = GW2.message(spec(50))
+    raw(16 + 21 + 17) = (t + 1).toByte // K low byte != J
+    val pBad = s"$dir/pent.grib2"
+    val os = new java.io.FileOutputStream(pBad); os.write(raw); os.close()
+    val e = intercept[graft.sources.grib.Grib1.UnsupportedGrib](
+      Grib2Reader.indexFields(new org.apache.hadoop.conf.Configuration(), pBad))
+    assert(e.getMessage.contains("triangular"), e.getMessage)
   }
 }

@@ -563,6 +563,22 @@ class Hdf5Spec extends SparkSpec {
       (0 until n).map(k => 100.0 + k))
   }
 
+  test("enum (class 8) variables decode as their base numeric type") {
+    val p = tmp("enum.nc")
+    val n = 6
+    val codes = Seq(0.0, 1.0, 2.0, 1.0, 0.0, 2.0)
+    HW.write(p, Seq(
+      HW.VarSpec("x", Seq("x"), Seq(n), (0 until n).map(_.toDouble), dtype = "f8"),
+      HW.VarSpec("flag", Seq("x"), Seq(n), codes, dtype = "i2",
+        enumMembers = Seq("clear" -> 0L, "cloudy" -> 1L, "missing" -> 2L))))
+    val (read, len) = localRead(p)
+    val dt = Hdf5.parse(read, len).byPath("/flag").dtype
+    assert(dt.clazz == 0 && dt.size == 2) // exposed as the i2 base
+    val df = NetCDF4Reader.readLongFormat(spark, p)
+    assert(df.orderBy($"x").select($"flag").collect().map(_.getDouble(0)).toSeq
+      == codes)
+  }
+
   test("compound (class 6) variables flatten to one column per member") {
     val p = tmp("compound.nc")
     val n = 5
