@@ -935,6 +935,56 @@ object Queries {
           .orderBy($"time", $"latitude", $"longitude")
       }),
 
+    // ---------------------------------------------------------------- S1 (Zarr string dtypes)
+    // Fixed-width numpy string arrays in a v2 store (|S<n> label arrays —
+    // the xarray "object/bytes coordinate written as fixed strings" shape)
+    // read as StringType columns through the DSv2 reader, alongside a
+    // numeric sibling on the same chunk grid. Values derive from `nation`.
+    Q("q101_zarr_strings", Some("""
+      SELECT CAST(n_nationkey AS DOUBLE) AS station,
+             n_name AS name,
+             CAST(n_regionkey AS DOUBLE) AS code
+      FROM nation ORDER BY station"""))(
+      (s, d) => {
+        val rows = Tables.nation(s, d).orderBy($"n_nationkey")
+          .select($"n_nationkey".cast("double"), $"n_name",
+            $"n_regionkey".cast("double"))
+          .collect()
+        val n = rows.length
+        val dir = java.nio.file.Files.createTempDirectory("q101").toString + "/s.zarr"
+        def put(rel: String, bytes: Array[Byte]): Unit = {
+          val f = new java.io.File(dir, rel)
+          f.getParentFile.mkdirs()
+          java.nio.file.Files.write(f.toPath, bytes)
+        }
+        def zarray(dtype: String): String =
+          s"""{"zarr_format": 2, "shape": [$n], "chunks": [$n], "dtype": "$dtype",
+             | "compressor": null, "fill_value": null, "filters": null,
+             | "order": "C"}""".stripMargin
+        def dims(): String = """{"_ARRAY_DIMENSIONS": ["station"]}"""
+        def putDoubles(name: String, vs: Seq[Double]): Unit = {
+          put(s"$name/.zarray", zarray("<f8").getBytes("UTF-8"))
+          put(s"$name/.zattrs", dims().getBytes("UTF-8"))
+          val bb = java.nio.ByteBuffer.allocate(vs.size * 8)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          vs.foreach(bb.putDouble)
+          put(s"$name/0", bb.array())
+        }
+        putDoubles("station", rows.map(_.getDouble(0)).toSeq)
+        putDoubles("code", rows.map(_.getDouble(2)).toSeq)
+        put("name/.zarray", zarray("|S32").getBytes("UTF-8"))
+        put("name/.zattrs", dims().getBytes("UTF-8"))
+        val cells = new Array[Byte](n * 32) // NUL-padded
+        rows.zipWithIndex.foreach { case (r, i) =>
+          val b = r.getString(1).getBytes("UTF-8")
+          System.arraycopy(b, 0, cells, i * 32, b.length)
+        }
+        put("name/0", cells)
+        s.read.format("zarr").load(dir)
+          .select($"station", $"name", $"code")
+          .orderBy($"station")
+      }),
+
     // ---------------------------------------------------------------- S1 (GRIB2 spectral, templates 3.50 + 5.51)
     // Spherical-harmonic spectral field (the IFS native representation the
     // reference reads through eccodes): T9 triangular truncation, complex

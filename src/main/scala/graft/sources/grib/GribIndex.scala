@@ -96,7 +96,9 @@ object GribIndex {
           off = Grib1Reader.nextMessage(read, fileLen, off + m.totalLength)
         case 2 =>
           val (fields, total) = Grib2.parseMessage(read, off)
-          out ++= fields
+          // spectral (3.50) fields have no lat/lon row model — excluded from
+          // the gridded index; Grib2Reader.readSpectral reads them
+          out ++= fields.filterNot(_.spectral.isDefined)
           off = Grib1Reader.nextMessage(read, fileLen, off + total)
         case e => throw Grib1.UnsupportedGrib(s"edition $e at offset $off")
       }

@@ -369,15 +369,9 @@ object ZarrMeta {
     Store(store, dims, coords, coordMeta, dataVars)
   }
 
-  /** Decode one chunk file into doubles (scale/offset applied; missing and
-    * NaN become Double.NaN). Absent chunk files yield fill_value. */
-  def readChunk(conf: Configuration, store: String, meta: ArrayMeta,
-      chunkIdx: Seq[Int]): Array[Double] = {
-    val n = meta.chunks.product
-    val fill = () => Array.fill(n)(meta.fillValue.getOrElse(Double.NaN))
-    // filters re-type the stored buffer, so the decompressed size is the
-    // ENCODED dtype's width, not the array dtype's
-    val encBytes = n * dtypeBytes(meta.encodedDtype)
+  /** Decompressed + defiltered bytes of one chunk; None = absent chunk. */
+  private def chunkRaw(conf: Configuration, store: String, meta: ArrayMeta,
+      chunkIdx: Seq[Int], encBytes: Int): Option[Array[Byte]] = {
     def decompress(raw: Array[Byte]): Array[Byte] = meta.compressor match {
       case Some("zlib") => inflate(raw, encBytes)
       case Some("gzip") => gunzip(raw, encBytes)
@@ -396,14 +390,10 @@ object ZarrMeta {
     // so decode runs the INVERSES in reverse list order after decompression
     def defilter(raw: Array[Byte]): Array[Byte] =
       meta.filters.foldRight(decompress(raw))(decodeFilter)
-    def finish(raw: Array[Byte]): Array[Double] =
-      untranspose(decode(defilter(raw), meta, n), meta)
     meta.shardChunks match {
       case None =>
-        readFile(conf, s"$store/${meta.name}/${meta.chunkKey(chunkIdx)}") match {
-          case None => fill()
-          case Some(raw) => finish(raw)
-        }
+        readFile(conf, s"$store/${meta.name}/${meta.chunkKey(chunkIdx)}")
+          .map(defilter)
       case Some(_) =>
         val per = meta.innerPerShard
         val shardIdx = chunkIdx.zip(per).map { case (ci, p) => ci / p }
@@ -411,9 +401,63 @@ object ZarrMeta {
         val linear = inner.zip(per).foldLeft(0L) { case (acc, (i, p)) => acc * p + i }
         readShardEntry(conf,
           s"$store/${meta.name}/${meta.chunkKey(shardIdx)}",
-          meta, per.map(_.toLong).product, linear) match {
-          case None => fill()
-          case Some(raw) => finish(raw)
+          meta, per.map(_.toLong).product, linear)
+          .map(defilter)
+    }
+  }
+
+  /** Decode one chunk file into doubles (scale/offset applied; missing and
+    * NaN become Double.NaN). Absent chunk files yield fill_value. */
+  def readChunk(conf: Configuration, store: String, meta: ArrayMeta,
+      chunkIdx: Seq[Int]): Array[Double] = {
+    val n = meta.chunks.product
+    // filters re-type the stored buffer, so the decompressed size is the
+    // ENCODED dtype's width, not the array dtype's
+    val encBytes = n * dtypeBytes(meta.encodedDtype)
+    chunkRaw(conf, store, meta, chunkIdx, encBytes) match {
+      case None => Array.fill(n)(meta.fillValue.getOrElse(Double.NaN))
+      case Some(raw) => untranspose(decode(raw, meta, n), meta)
+    }
+  }
+
+  /** Fixed-width numpy string dtype: `|S<n>` bytes or `|U<n>` UTF-32. */
+  def isStringDtype(dtype: String): Boolean = {
+    val c = codeOf(dtype)
+    (c.startsWith("S") || c.startsWith("U")) && c.length > 1
+  }
+
+  /** Decode one chunk of a fixed-width string array (`|S<n>` NUL-padded
+    * bytes, `|U<n>` little-endian UTF-32 code points). Absent chunks yield
+    * nulls. */
+  def readChunkStrings(conf: Configuration, store: String, meta: ArrayMeta,
+      chunkIdx: Seq[Int]): Array[String] = {
+    require(meta.filters.isEmpty && meta.transposeOrder.isEmpty,
+      s"zarr string array ${meta.name} with filters/transpose")
+    val n = meta.chunks.product
+    val code = codeOf(meta.dtype)
+    val perElem = code.drop(1).toInt
+    val w = dtypeBytes(meta.dtype)
+    chunkRaw(conf, store, meta, chunkIdx, n * w) match {
+      case None => new Array[String](n)
+      case Some(raw) =>
+        Array.tabulate(n) { i =>
+          if (code.startsWith("S")) {
+            var len = perElem
+            while (len > 0 && raw(i * w + len - 1) == 0) len -= 1
+            new String(raw, i * w, len, java.nio.charset.StandardCharsets.UTF_8)
+          } else {
+            val sb = new java.lang.StringBuilder(perElem)
+            var k = 0
+            var stop = false
+            while (k < perElem && !stop) {
+              val off = i * w + k * 4
+              val cp = (raw(off) & 0xff) | ((raw(off + 1) & 0xff) << 8) |
+                ((raw(off + 2) & 0xff) << 16) | ((raw(off + 3) & 0xff) << 24)
+              if (cp == 0) stop = true else sb.appendCodePoint(cp)
+              k += 1
+            }
+            sb.toString
+          }
         }
     }
   }
@@ -511,6 +555,8 @@ object ZarrMeta {
     case "f4" | "i4" | "u4" => 4
     case "f2" | "i2" | "u2" => 2
     case "i1" | "u1" => 1
+    case s if s.startsWith("S") && s.length > 1 => s.drop(1).toInt // bytes
+    case u if u.startsWith("U") && u.length > 1 => u.drop(1).toInt * 4 // UTF-32
     case _ => throw new UnsupportedOperationException(s"zarr dtype '$dtype'")
   }
 

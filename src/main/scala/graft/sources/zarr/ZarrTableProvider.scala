@@ -72,7 +72,9 @@ object ZarrTableProvider {
         throw new IllegalArgumentException(s"dimension '$d' has no coordinate array"))
       StructField(d, if (m.epochSecondsTime) TimestampNTZType else DoubleType, nullable = false)
     }
-    val varFields = store.dataVars.map(v => StructField(v.name, DoubleType, nullable = true))
+    val varFields = store.dataVars.map(v => StructField(v.name,
+      if (ZarrMeta.isStringDtype(v.dtype)) StringType else DoubleType,
+      nullable = true))
     StructType(coordFields ++ varFields)
   }
 }
@@ -213,8 +215,9 @@ class ZarrReaderFactory extends PartitionReaderFactory {
 class ZarrPartitionReader(p: ZarrInputPartition) extends PartitionReader[InternalRow] {
   private val conf = p.tconf.value
   private val nDims = p.dims.length
-  // decoded chunk per needed var, loaded lazily on first next()
-  private var varData: Array[Array[Double]] = _
+  // decoded chunk per needed var (Array[Double] | Array[String]), loaded
+  // lazily on first next()
+  private var varData: Array[AnyRef] = _
   // output accessors: >=0 -> var index, (-1-d) -> coord of dim d
   private val accessors: Array[Int] = p.outputCols.map { c =>
     val d = p.dims.indexOf(c)
@@ -264,7 +267,11 @@ class ZarrPartitionReader(p: ZarrInputPartition) extends PartitionReader[Interna
   override def next(): Boolean = {
     if (finished) return false
     if (varData == null)
-      varData = p.vars.map(v => ZarrMeta.readChunk(conf, p.storePath, v, p.chunkIdx.toSeq))
+      varData = p.vars.map { v =>
+        if (ZarrMeta.isStringDtype(v.dtype))
+          ZarrMeta.readChunkStrings(conf, p.storePath, v, p.chunkIdx.toSeq)
+        else ZarrMeta.readChunk(conf, p.storePath, v, p.chunkIdx.toSeq)
+      }
     while (advance()) if (inRange) return true
     false
   }
@@ -279,8 +286,15 @@ class ZarrPartitionReader(p: ZarrInputPartition) extends PartitionReader[Interna
     while (i < accessors.length) {
       val a = accessors(i)
       if (a >= 0) {
-        val v = varData(a)(li)
-        row(i) = if (v.isNaN) null else java.lang.Double.valueOf(v)
+        row(i) = varData(a) match {
+          case ds: Array[Double] =>
+            val v = ds(li)
+            if (v.isNaN) null else java.lang.Double.valueOf(v)
+          case ss: Array[String] =>
+            val s = ss(li)
+            if (s == null) null
+            else org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        }
       } else {
         val dim = -1 - a
         val c = p.coords(dim)(globalBase(dim) + cursor(dim))

@@ -915,6 +915,62 @@ class ZarrSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("complex64"), e.getMessage)
   }
 
+  test("zarr v2 fixed-width string dtypes (|S<n> bytes, |U<n> UTF-32) read as StringType") {
+    val dir = java.nio.file.Files.createTempDirectory("zarrstr").toString + "/s.zarr"
+    def put(rel: String, bytes: Array[Byte]): Unit = {
+      val f = new java.io.File(dir, rel)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, bytes)
+    }
+    def putS(rel: String, s: String): Unit = put(rel, s.getBytes("UTF-8"))
+    val names = Seq("oslo", "bergen", "tromso")
+    def zarray(dtype: String, comp: String = "null"): String =
+      s"""{"zarr_format": 2, "shape": [3], "chunks": [3], "dtype": "$dtype",
+         | "compressor": $comp, "fill_value": null, "filters": null, "order": "C"}""".stripMargin
+    putS("x/.zarray", zarray("<f8"))
+    putS("x/.zattrs", """{"_ARRAY_DIMENSIONS": ["x"]}""")
+    val xb = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(0.0, 1.0, 2.0).foreach(xb.putDouble)
+    put("x/0", xb.array())
+    // |S8: NUL-padded bytes, zlib-compressed to exercise the shared path
+    putS("name/.zarray", zarray("|S8", comp = """{"id": "zlib", "level": 6}"""))
+    putS("name/.zattrs", """{"_ARRAY_DIMENSIONS": ["x"]}""")
+    val sCells = new Array[Byte](24)
+    names.zipWithIndex.foreach { case (s, i) =>
+      System.arraycopy(s.getBytes("UTF-8"), 0, sCells, i * 8, s.length)
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(sCells); deflater.finish()
+    val zbuf = new Array[Byte](256)
+    val zn = deflater.deflate(zbuf)
+    put("name/0", java.util.Arrays.copyOf(zbuf, zn))
+    // |U6: little-endian UTF-32 code points, NUL-padded
+    putS("uname/.zarray", zarray("<U6"))
+    putS("uname/.zattrs", """{"_ARRAY_DIMENSIONS": ["x"]}""")
+    val uCells = java.nio.ByteBuffer.allocate(3 * 24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    names.foreach { s =>
+      s.codePoints().toArray.foreach(uCells.putInt)
+      (s.length until 6).foreach(_ => uCells.putInt(0))
+    }
+    put("uname/0", uCells.array())
+    // numeric sibling on the same grid
+    putS("v/.zarray", zarray("<f8"))
+    putS("v/.zattrs", """{"_ARRAY_DIMENSIONS": ["x"]}""")
+    val vb = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(10.0, 11.0, 12.0).foreach(vb.putDouble)
+    put("v/0", vb.array())
+
+    val df = spark.read.format("zarr").load(dir)
+    assert(df.schema("name").dataType.typeName == "string")
+    assert(df.schema("uname").dataType.typeName == "string")
+    assert(df.schema("v").dataType.typeName == "double")
+    val rows = df.orderBy($"x").collect()
+    assert(rows.map(_.getAs[String]("name")).toSeq == names)
+    assert(rows.map(_.getAs[String]("uname")).toSeq == names)
+    assert(rows.map(_.getAs[Double]("v")).toSeq == Seq(10.0, 11.0, 12.0))
+  }
+
   test("mover extract pipeline runs natively on the zarr hypercube") {
     val out = graft.operators.Mover.extractRows(ds, s"file://$store",
       graft.operators.Mover.Options(variables = Seq("t2m"),
