@@ -1022,6 +1022,42 @@ object Queries {
           .orderBy($"m", $"n")
       }),
 
+    // ---------------------------------------------------------------- S1 (GRIB1 spectral, grid type 50)
+    // The GRIB1 spectral layout older ECMWF archives (ERA-15/40 era) carry:
+    // type-50 GDS, spherical-harmonic BDS flag, (0,0) real part as an IBM
+    // float leading the data section, remaining coefficients simple-packed.
+    Q("q102_grib1_spectral", Some("""
+      WITH o AS (SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0,
+                        CAST(o_orderkey % 811 - 300 AS DOUBLE) AS v
+                 FROM orders ORDER BY o_orderkey LIMIT 110),
+           mn AS (SELECT mv, nv,
+                         row_number() OVER (ORDER BY mv, nv) - 1 AS k
+                  FROM generate_series(0, 9) AS mt(mv),
+                       generate_series(0, 9) AS nt(nv)
+                  WHERE nv >= mv)
+      SELECT CAST(mn.mv AS BIGINT) AS m, CAST(mn.nv AS BIGINT) AS n,
+             re.v AS re, im.v AS im
+      FROM mn
+      JOIN o re ON re.rn0 = 2 * mn.k
+      JOIN o im ON im.rn0 = 2 * mn.k + 1
+      ORDER BY m, n"""))(
+      (s, d) => {
+        import graft.sources.grib.{Grib1Reader, Grib1Writer => GW}
+        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(110)
+          .select(($"o_orderkey" % 811 - 300).cast("double"))
+          .collect().map(_.getDouble(0)).toSeq
+        val t0 = java.time.LocalDateTime.of(2026, 8, 1, 0, 0)
+        val path = java.nio.file.Files.createTempDirectory("q102").toString +
+          "/q102.grib"
+        GW.write(path, Seq(GW.FieldSpec(129, 100, 500, t0, vals,
+          ni = 110, nj = 1, la1 = 0, lo1 = 0, la2 = 0, lo2 = 0,
+          tableVersion = 128, decimalScale = 0, bitsPerValue = 24,
+          spectralT = 9)))
+        Grib1Reader.readSpectral(s, path)
+          .select($"m", $"n", $"re", $"im")
+          .orderBy($"m", $"n")
+      }),
+
     // ---------------------------------------------------------------- S1 (HDF5 compound datatype)
     // A compound (class 6) observation-record variable — struct { double
     // bal; int nation; char name[32]; } per point — flattens to one column

@@ -53,7 +53,8 @@ object Grib1 {
       unusedBitsAtEnd: Int,
       secondOrder: Boolean = false,
       gaussianN: Int = 0,       // grid type 4: N; 0 = type 0
-      pl: Option[Array[Int]] = None) // reduced grid: points per row
+      pl: Option[Array[Int]] = None, // reduced grid: points per row
+      spectral: Option[(Int, Int, Int)] = None) // grid type 50: J/K/M truncation
       extends GribUnit {
 
     def nPoints: Int = pl.map(_.sum).getOrElse(ni * nj)
@@ -301,17 +302,30 @@ object Grib1 {
     val g = read(gdsOff, 28)
     val gdsLen = u24(g, 0)
     val gridType = u8(g, 5)
-    if (gridType != 0 && gridType != 10 && gridType != 4)
+    if (gridType != 0 && gridType != 10 && gridType != 4 && gridType != 50)
       throw UnsupportedGrib(
-        s"grid type $gridType (regular lat/lon 0/10 and Gaussian 4)")
-    val ni = u16(g, 6)
-    val nj = u16(g, 8)
+        s"grid type $gridType (regular lat/lon 0/10, Gaussian 4, spectral 50)")
+    // grid type 50: spherical harmonics — J/K/M truncation where Ni/Nj sit
+    val spectral: Option[(Int, Int, Int)] =
+      if (gridType != 50) None
+      else {
+        val j = u16(g, 6); val k = u16(g, 8); val m = u16(g, 10)
+        if (!(j == k && k == m))
+          throw UnsupportedGrib(s"spectral pentagonal truncation " +
+            s"J=$j K=$k M=$m (triangular J=K=M only)")
+        Some((j, k, m))
+      }
+    val ni = spectral match {
+      case Some((_, _, m)) => (m + 1) * (m + 2) // 2 * complex coefficients
+      case None => u16(g, 6)
+    }
+    val nj = if (spectral.isDefined) 1 else u16(g, 8)
     // grid type 4 stores N (parallels pole->equator) where Dj sits
     val gaussN = if (gridType == 4) u16(g, 25) else 0
     // reduced (quasi-regular) grid: ni = missing, points-per-row list at
     // the GDS octet the PV field points to (after NV vertical coords)
     val plCounts: Option[Array[Int]] =
-      if (ni != 65535) None
+      if (ni != 65535 || spectral.isDefined) None
       else {
         val nv = u8(g, 3)
         val pv = u8(g, 4)
@@ -321,11 +335,11 @@ object Grib1 {
         val lb = read(listAt, nj * 2)
         Some(Array.tabulate(nj)(r => u16(lb, r * 2)))
       }
-    val la1 = s24(g, 10) / 1000.0
-    val lo1 = s24(g, 13) / 1000.0
-    val la2 = s24(g, 17) / 1000.0
-    val lo2 = s24(g, 20) / 1000.0
-    val scan = u8(g, 27)
+    val la1 = if (spectral.isDefined) 0.0 else s24(g, 10) / 1000.0
+    val lo1 = if (spectral.isDefined) 0.0 else s24(g, 13) / 1000.0
+    val la2 = if (spectral.isDefined) 0.0 else s24(g, 17) / 1000.0
+    val lo2 = if (spectral.isDefined) 0.0 else s24(g, 20) / 1000.0
+    val scan = if (spectral.isDefined) 0 else u8(g, 27)
 
     // ---- BMS (optional)
     var cur = gdsOff + gdsLen
@@ -345,8 +359,13 @@ object Grib1 {
     val d = read(cur, 11)
     val bdsLen = u24(d, 0)
     val flag4 = u8(d, 3)
-    if ((flag4 & 0x80) != 0) throw UnsupportedGrib("spherical-harmonic coefficients")
+    if ((flag4 & 0x80) != 0 && spectral.isEmpty)
+      throw UnsupportedGrib("spherical-harmonic BDS flag without a type-50 GDS")
+    if ((flag4 & 0x80) == 0 && spectral.isDefined)
+      throw UnsupportedGrib("type-50 GDS without the spherical-harmonic BDS flag")
     val secondOrder = (flag4 & 0x40) != 0
+    if (secondOrder && spectral.isDefined)
+      throw UnsupportedGrib("GRIB1 complex spectral packing (simple spectral only)")
     if (secondOrder && (flag4 & 0x10) == 0)
       throw UnsupportedGrib(
         "second-order (complex) packing without the octet-14 extended flags")
@@ -378,7 +397,7 @@ object Grib1 {
       ni, nj, la1, lo1, la2, lo2, scan,
       bitmapOffset, bitmapBytes,
       binScale, refValue, bitsPerValue, dataOffset, dataBytes, unusedBits,
-      secondOrder, gaussN, plCounts)
+      secondOrder, gaussN, plCounts, spectral)
   }
 
   /** In-memory convenience form of [[parseMessage]] (tests, small buffers):
@@ -392,7 +411,19 @@ object Grib1 {
     * X_k -> (R + X_k * 2^E) / 10^D, bitmap zeros -> NaN. Returned in grid
     * scan order (row-major j, i). */
   def decodeValues(m: Message, data: Array[Byte], bitmap: Array[Byte]): Array[Double] =
-    if (m.secondOrder)
+    if (m.spectral.isDefined) {
+      // simple spectral (grid type 50): the (0,0) real part leads the data
+      // span as an IBM float of the DECIMAL-SCALED value; the remaining
+      // 2I - 1 coefficients are simple-packed
+      val n = m.nPoints
+      val out = new Array[Double](n)
+      out(0) = ibmFloat(data, 0) / math.pow(10.0, m.decimalScale)
+      val packed = decodePacked(m.refValue, m.binaryScale, m.decimalScale,
+        m.bitsPerValue, n - 1,
+        java.util.Arrays.copyOfRange(data, 4, data.length), null)
+      System.arraycopy(packed, 0, out, 1, n - 1)
+      out
+    } else if (m.secondOrder)
       decodeSecondOrder(m, data, if (m.bitmapOffset >= 0) bitmap else null)
     else
       decodePacked(m.refValue, m.binaryScale, m.decimalScale, m.bitsPerValue,

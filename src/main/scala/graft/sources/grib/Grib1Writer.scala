@@ -32,7 +32,10 @@ object Grib1Writer {
       secondOrder: Boolean = false,    // WMO second-order packing (BDS flag 2)
       groupSize: Int = 20,             // second-order group length
       gaussianN: Int = 0,              // > 0 -> grid type 4 (Gaussian)
-      reducedPl: Option[Seq[Int]] = None) // reduced Gaussian: points per row
+      reducedPl: Option[Seq[Int]] = None, // reduced Gaussian: points per row
+      // spectral (grid type 50): triangular truncation T; `values` are the
+      // (T+1)(T+2) interleaved (re, im) coefficients, m-major
+      spectralT: Int = -1)
 
   def write(path: String, fields: Seq[FieldSpec],
       conf: Configuration = new Configuration()): Unit = {
@@ -90,6 +93,19 @@ object Grib1Writer {
   }
 
   private def gdsBytes(f: FieldSpec): Array[Byte] = {
+    if (f.spectralT >= 0) {
+      val b = new Array[Byte](32)
+      put24(b, 0, b.length)
+      b(3) = 0                 // NV
+      b(4) = 255.toByte        // no PV/PL
+      b(5) = 50                // spherical harmonic coefficients
+      putU16(b, 6, f.spectralT)  // J
+      putU16(b, 8, f.spectralT)  // K
+      putU16(b, 10, f.spectralT) // M
+      b(12) = 1                // representation type: associated Legendre
+      b(13) = 1                // representation mode
+      return b
+    }
     val listBytes = f.reducedPl.map(_.size * 2).getOrElse(0)
     val b = new Array[Byte](32 + listBytes)
     put24(b, 0, b.length)
@@ -130,7 +146,48 @@ object Grib1Writer {
   }
 
   private def bdsBytes(f: FieldSpec): Array[Byte] =
-    if (f.secondOrder) bdsSecondOrder(f) else bdsSimple(f)
+    if (f.spectralT >= 0) bdsSpectral(f)
+    else if (f.secondOrder) bdsSecondOrder(f)
+    else bdsSimple(f)
+
+  /** Simple spectral BDS (flag 0x80): the decimal-scaled (0,0) real part as
+    * an IBM float at octets 12-15, then the remaining coefficients
+    * simple-packed from octet 16. */
+  private def bdsSpectral(f: FieldSpec): Array[Byte] = {
+    val t = f.spectralT
+    require(f.values.size == (t + 1) * (t + 2),
+      s"${f.values.size} values for truncation T=$t (${(t + 1) * (t + 2)} expected)")
+    require(!f.values.exists(_.isNaN), "spectral fields carry no bitmap")
+    val dFactor = math.pow(10.0, f.decimalScale)
+    val scaled = f.values.drop(1).map(v => math.round(v * dFactor))
+    val ref = if (scaled.isEmpty) 0L else scaled.min
+    val xs = scaled.map(_ - ref)
+    require(xs.forall(x => x >= 0 && x < (1L << math.min(f.bitsPerValue, 62))),
+      s"value range needs more than ${f.bitsPerValue} bits")
+    val dataBits = xs.size.toLong * f.bitsPerValue
+    val dataBytes = ((dataBits + 7) / 8).toInt
+    val len = 15 + dataBytes
+    val b = new Array[Byte](len)
+    put24(b, 0, len)
+    b(3) = (0x80 | ((dataBytes * 8 - dataBits) & 0x0f)).toByte
+    putS16(b, 4, 0)                                   // binary scale E = 0
+    System.arraycopy(Grib1.toIbmFloat(ref.toDouble), 0, b, 6, 4)
+    b(10) = f.bitsPerValue.toByte
+    System.arraycopy(Grib1.toIbmFloat(f.values.head * dFactor), 0, b, 11, 4)
+    var bitPos = 0L
+    xs.foreach { x =>
+      var i = f.bitsPerValue - 1
+      while (i >= 0) {
+        if (((x >> i) & 1L) != 0) {
+          val idx = 15 + (bitPos >> 3).toInt
+          b(idx) = (b(idx) | (0x80 >> (bitPos & 7).toInt)).toByte
+        }
+        bitPos += 1
+        i -= 1
+      }
+    }
+    b
+  }
 
   /** WMO second-order packing, secondary-bitmap variant (mirrors
     * [[Grib1.decodeValues]]'s decoder): fixed-size groups, per-group

@@ -92,7 +92,9 @@ object GribIndex {
       Grib1.u8(read(off, 8), 7) match {
         case 1 =>
           val m = Grib1.parseMessage(read, off)
-          out += m
+          // spectral (type-50) messages are excluded like their GRIB2 kin;
+          // Grib1Reader.readSpectral reads them
+          if (m.spectral.isEmpty) out += m
           off = Grib1Reader.nextMessage(read, fileLen, off + m.totalLength)
         case 2 =>
           val (fields, total) = Grib2.parseMessage(read, off)

@@ -243,4 +243,35 @@ class Grib1Spec extends SparkSpec {
     g.close()
     assert(Grib1Reader.indexMessages(conf, pg).isEmpty)
   }
+
+  test("spectral messages (grid type 50) round-trip coefficient-exact") {
+    import spark.implicits._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val dir = java.nio.file.Files.createTempDirectory("grib1sh").toString
+    val t = 9
+    val nVals = (t + 1) * (t + 2) // 110 interleaved (re, im) values
+    val vals = (0 until nVals).map(k => ((k * 53) % 401 - 200).toDouble)
+    val t0 = java.time.LocalDateTime.of(2026, 4, 1, 12, 0)
+    val p = s"$dir/sh.grib"
+    GW.write(p, Seq(GW.FieldSpec(129, 100, 500, t0, vals,
+      ni = nVals, nj = 1, la1 = 0, lo1 = 0, la2 = 0, lo2 = 0,
+      tableVersion = 128, decimalScale = 0, bitsPerValue = 24,
+      spectralT = t)))
+    val df = Grib1Reader.readSpectral(spark, p)
+    assert(df.count() == nVals / 2)
+    val got = df.orderBy($"m", $"n").select($"re", $"im").collect()
+      .flatMap(r => Seq(r.getDouble(0), r.getDouble(1))).toSeq
+    assert(got == vals)
+    assert(df.head().getAs[Double]("level") == 500.0)
+    // the gridded index excludes spectral messages (no fake lat/lon rows)
+    assert(Grib1Reader.indexMessages(conf, p).isEmpty)
+    // pentagonal truncation is a directed error
+    val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    raw(8 + 28 + 9) = (t + 1).toByte // K low byte != J in the GDS
+    val pBad = s"$dir/pent.grib"
+    java.nio.file.Files.write(java.nio.file.Paths.get(pBad), raw)
+    val e = intercept[Grib1.UnsupportedGrib](
+      Grib1Reader.readSpectral(spark, pBad))
+    assert(e.getMessage.contains("triangular"), e.getMessage)
+  }
 }
