@@ -77,9 +77,13 @@ object ScaleStress {
       println(s"[stress] building ${k}x replica under $workRoot/x$k")
       buildScaled(spark, base, s"$workRoot/x$k", k)
     }
-    // codegen warm-up, like Bench
-    queries.foreach(q =>
-      graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count())
+    // codegen warm-up, like Bench (falls back to the base dir when the
+    // default smoke-scale directory is absent)
+    val warmDir = {
+      val d = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+      if (new java.io.File(d).isDirectory) d else base
+    }
+    queries.foreach(q => graft.SparkEntry.queries(q)(spark, warmDir).count())
 
     val dirs = ("x1", base) +: factors.map(k => (s"x$k", s"$workRoot/x$k"))
     for ((tag, dir) <- dirs; q <- queries) {

@@ -59,6 +59,8 @@ object Grib1 {
 
     def nPoints: Int = pl.map(_.sum).getOrElse(ni * nj)
 
+    override def spectralM: Option[Int] = spectral.map(_._3)
+
     @transient private lazy val rowStarts: Array[Int] =
       pl.map(_.scanLeft(0)(_ + _)).getOrElse(Array.empty)
 
@@ -313,6 +315,8 @@ object Grib1 {
         if (!(j == k && k == m))
           throw UnsupportedGrib(s"spectral pentagonal truncation " +
             s"J=$j K=$k M=$m (triangular J=K=M only)")
+        if (m > 10000) // (m+1)(m+2) must stay far from Int overflow
+          throw UnsupportedGrib(s"spectral truncation M=$m out of range")
         Some((j, k, m))
       }
     val ni = spectral match {

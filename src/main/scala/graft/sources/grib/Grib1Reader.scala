@@ -109,14 +109,12 @@ object Grib1Reader {
     GribIndex.fromUnits(spark, path, msgs, partitions)
 
   /** Long format for SPECTRAL messages (grid type 50, simple spectral
-    * packing): one row per spherical-harmonic coefficient, same schema as
-    * [[Grib2Reader.readSpectral]] — (time, short_name, level, m, n, re, im)
-    * in m-major order. */
+    * packing): one row per spherical-harmonic coefficient —
+    * [[GribSpectral.fromUnits]]'s schema and ordering. */
   def readSpectral(spark: SparkSession, path: String,
       partitions: Int = 0): DataFrame = {
-    import org.apache.spark.sql.types._
     val conf = sessionConf(spark)
-    // raw index (GribIndex excludes spectral units from the gridded path)
+    // raw walk (GribIndex excludes spectral units from the gridded path)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     val fileLen = fs.getFileStatus(p).getLen
@@ -138,40 +136,7 @@ object Grib1Reader {
       out.result()
     } finally in.close()
     require(msgs.nonEmpty, s"no spectral (type-50) messages in $path")
-    val schema = StructType(Seq(
-      StructField("time", TimestampNTZType, nullable = false),
-      StructField("short_name", StringType, nullable = false),
-      StructField("level", DoubleType, nullable = false),
-      StructField("m", LongType, nullable = false),
-      StructField("n", LongType, nullable = false),
-      StructField("re", DoubleType, nullable = false),
-      StructField("im", DoubleType, nullable = false)))
-    val nPart = if (partitions > 0) partitions
-      else math.max(1, math.min(msgs.size, spark.sparkContext.defaultParallelism))
-    val tconf = graft.sources.TaskConf(conf)
-    val pathLocal = path
-    val rdd = spark.sparkContext.parallelize(msgs, nPart).flatMap { msg =>
-      graft.sources.RangedIO.rows(pathLocal, tconf) { fin =>
-        val data = new Array[Byte](msg.dataBytes)
-        fin.readFully(msg.dataOffset, data)
-        val vals = Grib1.decodeValues(msg, data, null)
-        val (_, _, mt) = msg.spectral.get
-        val t = java.time.LocalDateTime.ofEpochSecond(
-          msg.validTimeEpochSec, 0, java.time.ZoneOffset.UTC)
-        val name = msg.shortName
-        val level = msg.levelHeight
-        var vi = 0
-        (0 to mt).iterator.flatMap { m =>
-          (m to mt).iterator.map { n =>
-            val r = org.apache.spark.sql.Row(
-              t, name, level, m.toLong, n.toLong, vals(vi), vals(vi + 1))
-            vi += 2
-            r
-          }
-        }
-      }
-    }
-    spark.createDataFrame(rdd, schema)
+    GribSpectral.fromUnits(spark, path, msgs, partitions)
   }
 
   /** Wide per-channel frame: the GRIB normalize path (sinks.py:251-342) —

@@ -64,6 +64,8 @@ object Grib2 {
 
     def nPoints: Int = pl.map(_.sum).getOrElse(ni * nj)
 
+    override def spectralM: Option[Int] = spectral.map(_.m)
+
     @transient private lazy val rowStarts: Array[Int] =
       pl.map(_.scanLeft(0)(_ + _)).getOrElse(Array.empty)
 
@@ -343,6 +345,8 @@ object Grib2 {
               if (!(j == k && k == m))
                 throw UnsupportedGrib(s"spectral pentagonal truncation " +
                   s"J=$j K=$k M=$m (triangular J=K=M only)")
+              if (m < 0 || m > 10000) // TCo7999 is the operational ceiling
+                throw UnsupportedGrib(s"spectral truncation M=$m out of range")
               val nCoeff = (m + 1) * (m + 2) / 2
               grid = Some(GridDef(2 * nCoeff, 1, 0, 0, 0, 0, 0, 0,
                 jkm = Some((j, k, m))))
@@ -501,7 +505,11 @@ object Grib2 {
               val (r00, p, subT, ts, prec) = spectral5.getOrElse(
                 throw UnsupportedGrib("spectral section 7 before section 5"))
               Some(Spectral(j, k, m, reprT, r00, p, subT, ts, prec))
-            } else None
+            } else if (gd.jkm.isDefined)
+              throw UnsupportedGrib(
+                s"3.50 spectral grid with representation template 5.$reprT " +
+                  "(5.50/5.51 expected)")
+            else None
           fields += Field(discipline, refTime, ni, nj, la1, lo1, la2, lo2, scan,
             cat, num, timeUnit, fcst, levelType, levelValue, statP, intEnd,
             refV, binS, decS, bits, bitmapOffset, bitmapBytes,

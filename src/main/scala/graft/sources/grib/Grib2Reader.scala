@@ -63,47 +63,12 @@ object Grib2Reader {
 
   /** Long format for SPECTRAL fields (grid template 3.50 + representation
     * 5.50/5.51): one row per complex spherical-harmonic coefficient —
-    * (time, short_name, level, m, n, re, im) in m-major order, the layout
-    * eccodes exposes as the `values` array of a spectral message. */
+    * [[GribSpectral.fromUnits]]'s schema and ordering. */
   def readSpectral(spark: SparkSession, path: String,
       partitions: Int = 0): DataFrame = {
-    import org.apache.spark.sql.types._
-    val conf = sessionConf(spark)
-    val fields = indexFields(conf, path).filter(_.spectral.isDefined)
+    val fields = indexFields(sessionConf(spark), path).filter(_.spectral.isDefined)
     require(fields.nonEmpty, s"no spectral (3.50) fields in $path")
-    val schema = StructType(Seq(
-      StructField("time", TimestampNTZType, nullable = false),
-      StructField("short_name", StringType, nullable = false),
-      StructField("level", DoubleType, nullable = false),
-      StructField("m", LongType, nullable = false),
-      StructField("n", LongType, nullable = false),
-      StructField("re", DoubleType, nullable = false),
-      StructField("im", DoubleType, nullable = false)))
-    val nPart = if (partitions > 0) partitions
-      else math.max(1, math.min(fields.size, spark.sparkContext.defaultParallelism))
-    val tconf = TaskConf(conf)
-    val pathLocal = path
-    val rdd = spark.sparkContext.parallelize(fields, nPart).flatMap { f =>
-      graft.sources.RangedIO.rows(pathLocal, tconf) { in =>
-        val data = new Array[Byte](f.dataBytes)
-        in.readFully(f.dataOffset, data)
-        val vals = f.decode(data, null)
-        val sp = f.spectral.get
-        val t = java.time.LocalDateTime.ofEpochSecond(
-          f.validTimeEpochSec, 0, java.time.ZoneOffset.UTC)
-        val name = f.shortName
-        val level = f.levelHeight
-        var vi = 0
-        (0 to sp.m).iterator.flatMap { m =>
-          (m to sp.m).iterator.map { n =>
-            val r = Row(t, name, level, m.toLong, n.toLong, vals(vi), vals(vi + 1))
-            vi += 2
-            r
-          }
-        }
-      }
-    }
-    spark.createDataFrame(rdd, schema)
+    GribSpectral.fromUnits(spark, path, fields, partitions)
   }
 
   def fromIndex(spark: SparkSession, path: String, fields: Seq[Grib2.Field],

@@ -33,6 +33,9 @@ trait GribUnit extends Serializable {
   /** Decode this unit's packed values (edition-specific codec). */
   def decode(data: Array[Byte], bitmap: Array[Byte]): Array[Double]
 
+  /** Triangular truncation M of a spectral unit; None for gridded data. */
+  def spectralM: Option[Int] = None
+
   /** (lat, lon) of linear point index `k` in scan order. Rectangular grids
     * derive row/column from `ni`; ragged grids (reduced Gaussian) override
     * with their per-row geometry. */
@@ -40,6 +43,54 @@ trait GribUnit extends Serializable {
 
   final def channel: String = graft.operators.Mover.channelName(
     levelName, levelHeight, stepType, shortName)
+}
+
+/** Shared long-format builder for SPECTRAL units of either edition: one row
+  * per spherical-harmonic coefficient — (time, short_name, level, m, n, re,
+  * im) in m-major stream order (the layout eccodes exposes as a spectral
+  * message's `values`). One task per field/message. */
+object GribSpectral {
+  def fromUnits(spark: org.apache.spark.sql.SparkSession, path: String,
+      units: Seq[GribUnit], partitions: Int = 0): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    require(units.nonEmpty, s"no spectral fields in $path")
+    require(units.forall(_.spectralM.isDefined), "non-spectral unit in spectral read")
+    val schema = StructType(Seq(
+      StructField("time", TimestampNTZType, nullable = false),
+      StructField("short_name", StringType, nullable = false),
+      StructField("level", DoubleType, nullable = false),
+      StructField("m", LongType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("re", DoubleType, nullable = false),
+      StructField("im", DoubleType, nullable = false)))
+    val nPart = if (partitions > 0) partitions
+      else math.max(1, math.min(units.size, spark.sparkContext.defaultParallelism))
+    val tconf = graft.sources.TaskConf(
+      new Configuration(spark.sparkContext.hadoopConfiguration))
+    val pathLocal = path
+    val rdd = spark.sparkContext.parallelize(units, nPart).flatMap { u =>
+      graft.sources.RangedIO.rows(pathLocal, tconf) { fin =>
+        val data = new Array[Byte](u.dataBytes)
+        fin.readFully(u.dataOffset, data)
+        val vals = u.decode(data, null)
+        val mt = u.spectralM.get
+        val t = java.time.LocalDateTime.ofEpochSecond(
+          u.validTimeEpochSec, 0, java.time.ZoneOffset.UTC)
+        val name = u.shortName
+        val level = u.levelHeight
+        var vi = 0
+        (0 to mt).iterator.flatMap { m =>
+          (m to mt).iterator.map { n =>
+            val r = org.apache.spark.sql.Row(
+              t, name, level, m.toLong, n.toLong, vals(vi), vals(vi + 1))
+            vi += 2
+            r
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
 }
 
 /** Buffered ranged reader for header indexing: serves the indexer's many

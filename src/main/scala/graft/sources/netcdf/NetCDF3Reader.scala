@@ -21,20 +21,33 @@ object NetCDF3Reader {
 
   private val HeaderProbeBytes = 1 << 20
 
-  /** CF char convention: an NC_CHAR variable's TRAILING dimension is the
+  /** CF char convention: an NC_CHAR variable's TRAILING dimension is its
     * string length — it collapses into a StringType column (xarray's
-    * `char_dim_name` decode, the classic station-label layout). */
+    * `char_dim_name` decode, the classic station-label layout). The
+    * heuristic applies only when that trailing dim is PRIVATE to char
+    * variables: a char var whose last dim is shared with a numeric variable
+    * keeps its full rank and decodes as numeric char codes (the pre-CF
+    * behavior), so no variable is ever silently dropped. */
   private def isCharVar(v: Var): Boolean = v.ncType == NC_CHAR
-  private def effRank(v: Var): Int =
-    if (isCharVar(v) && v.dimIds.nonEmpty) v.dimIds.size - 1 else v.dimIds.size
+  private def charStrlenDims(vars: Seq[Var]): Set[Int] = {
+    val numericDims = vars.filterNot(isCharVar).flatMap(_.dimIds).toSet
+    vars.filter(v => isCharVar(v) && v.dimIds.nonEmpty)
+      .map(_.dimIds.last).filterNot(numericDims).toSet
+  }
+  private def collapses(v: Var, strlenDims: Set[Int]): Boolean =
+    isCharVar(v) && v.dimIds.nonEmpty && strlenDims(v.dimIds.last)
+  private def effRank(v: Var, strlenDims: Set[Int]): Int =
+    if (collapses(v, strlenDims)) v.dimIds.size - 1 else v.dimIds.size
 
-  def schemaOf(h: Header, dataVars: Seq[Var], dims: Seq[Dim], coordVars: Map[String, Var]): StructType = {
+  def schemaOf(h: Header, dataVars: Seq[Var], dims: Seq[Dim],
+      coordVars: Map[String, Var], strlenDims: Set[Int]): StructType = {
     val coordFields = dims.map { d =>
       val isTime = coordVars.get(d.name).exists(_.epochSecondsTime)
       StructField(d.name, if (isTime) TimestampNTZType else DoubleType, nullable = false)
     }
     StructType(coordFields ++ dataVars.map(v =>
-      StructField(v.name, if (isCharVar(v)) StringType else DoubleType)))
+      StructField(v.name,
+        if (collapses(v, strlenDims)) StringType else DoubleType)))
   }
 
   def readLongFormat(spark: SparkSession, path: String,
@@ -57,8 +70,11 @@ object NetCDF3Reader {
       !(v.dimIds.size == 1 && dimById(v.dimIds.head).name == v.name))
     require(nonCoord.nonEmpty,
       s"$path contains only coordinate (axis) variables — no data variables to read")
-    val maxRank = nonCoord.map(effRank).max
-    val dataVars = nonCoord.filter(v => effRank(v) == maxRank)
+    // numeric usage considers EVERY variable (coordinate vars included):
+    // a dim that any numeric variable indexes is never a string length
+    val strlenDims = charStrlenDims(head.vars)
+    val maxRank = nonCoord.map(effRank(_, strlenDims)).max
+    val dataVars = nonCoord.filter(v => effRank(v, strlenDims) == maxRank)
     val hyperDims = dataVars.head.dimIds.take(maxRank).map(dimById)
     require(dataVars.forall(_.dimIds.take(maxRank).map(dimById) == hyperDims),
       "data variables disagree on dimensions")
@@ -87,7 +103,7 @@ object NetCDF3Reader {
       } finally in.close()
     }
     val shape: Seq[Int] = hyperDims.map(d => if (d.isRecord) head.numRecs else d.size)
-    val schema = schemaOf(head, dataVars, hyperDims, coordVars)
+    val schema = schemaOf(head, dataVars, hyperDims, coordVars, strlenDims)
     val isTimeDim = hyperDims.map(d => coordVars.get(d.name).exists(_.epochSecondsTime))
 
     val dim0 = shape.head
@@ -109,7 +125,7 @@ object NetCDF3Reader {
 
     // char vars: bytes per point = trailing string-length dim
     val strLens: Seq[Int] = dataVars.map(v =>
-      if (isCharVar(v) && v.dimIds.nonEmpty) head.dims(v.dimIds.last).size else 0)
+      if (collapses(v, strlenDims)) head.dims(v.dimIds.last).size else 0)
     val strLensLocal = strLens
     val tconf = graft.sources.TaskConf(conf)
     val rdd = spark.sparkContext.parallelize(ranges, math.max(ranges.size, 1))

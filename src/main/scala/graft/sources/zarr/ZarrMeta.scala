@@ -446,13 +446,17 @@ object ZarrMeta {
             while (len > 0 && raw(i * w + len - 1) == 0) len -= 1
             new String(raw, i * w, len, java.nio.charset.StandardCharsets.UTF_8)
           } else {
+            val be = meta.dtype.startsWith(">") // UTF-32 honors the marker
             val sb = new java.lang.StringBuilder(perElem)
             var k = 0
             var stop = false
             while (k < perElem && !stop) {
               val off = i * w + k * 4
-              val cp = (raw(off) & 0xff) | ((raw(off + 1) & 0xff) << 8) |
-                ((raw(off + 2) & 0xff) << 16) | ((raw(off + 3) & 0xff) << 24)
+              val cp =
+                if (be) ((raw(off) & 0xff) << 24) | ((raw(off + 1) & 0xff) << 16) |
+                  ((raw(off + 2) & 0xff) << 8) | (raw(off + 3) & 0xff)
+                else (raw(off) & 0xff) | ((raw(off + 1) & 0xff) << 8) |
+                  ((raw(off + 2) & 0xff) << 16) | ((raw(off + 3) & 0xff) << 24)
               if (cp == 0) stop = true else sb.appendCodePoint(cp)
               k += 1
             }

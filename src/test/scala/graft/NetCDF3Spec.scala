@@ -193,6 +193,24 @@ class NetCDF3Spec extends SparkSpec {
     val rows2 = got2.orderBy($"t", $"s").collect()
     assert(rows2.map(_.getAs[String]("flag")).toSeq == flags)
     assert(rows2.map(_.getAs[Double]("v")).toSeq == (0 until 6).map(_.toDouble))
+
+    // a char var whose TRAILING dim is shared with a numeric variable is
+    // NOT a string: it keeps full rank and decodes as numeric char codes
+    // (no silent drop when its rank ties the hypercube)
+    val path3 = s"$dir/shareddim.nc"
+    NW.write(path3,
+      dims = Seq(NW.DimSpec("t", 2), NW.DimSpec("s", 3)),
+      vars = Seq(
+        NW.VarSpec("t", Seq("t"), NetCDF3.NC_DOUBLE, Seq(0.0, 1.0)),
+        NW.VarSpec("s", Seq("s"), NetCDF3.NC_DOUBLE, Seq(0.0, 1.0, 2.0)),
+        NW.VarSpec("grade", Seq("t", "s"), NetCDF3.NC_CHAR,
+          "ABCDEF".map(_.toDouble.toInt.toDouble)),
+        NW.VarSpec("v", Seq("t", "s"), NetCDF3.NC_DOUBLE,
+          (0 until 6).map(_.toDouble))))
+    val got3 = NetCDF3Reader.readLongFormat(spark, path3)
+    assert(got3.schema("grade").dataType.typeName == "double")
+    assert(got3.orderBy($"t", $"s").select($"grade").collect()
+      .map(_.getDouble(0)).toSeq == "ABCDEF".map(_.toInt.toDouble))
   }
 
   test("splitter demuxes the NetCDF file by dimension value and by variable") {

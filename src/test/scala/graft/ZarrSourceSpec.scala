@@ -961,6 +961,17 @@ class ZarrSourceSpec extends SparkSpec {
     Seq(10.0, 11.0, 12.0).foreach(vb.putDouble)
     put("v/0", vb.array())
 
+    // >U6: big-endian UTF-32 honors the byte-order marker
+    putS("buname/.zarray", zarray(">U6"))
+    putS("buname/.zattrs", """{"_ARRAY_DIMENSIONS": ["x"]}""")
+    val buCells = java.nio.ByteBuffer.allocate(3 * 24)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    names.foreach { s =>
+      s.codePoints().toArray.foreach(buCells.putInt)
+      (s.length until 6).foreach(_ => buCells.putInt(0))
+    }
+    put("buname/0", buCells.array())
+
     val df = spark.read.format("zarr").load(dir)
     assert(df.schema("name").dataType.typeName == "string")
     assert(df.schema("uname").dataType.typeName == "string")
@@ -968,6 +979,7 @@ class ZarrSourceSpec extends SparkSpec {
     val rows = df.orderBy($"x").collect()
     assert(rows.map(_.getAs[String]("name")).toSeq == names)
     assert(rows.map(_.getAs[String]("uname")).toSeq == names)
+    assert(rows.map(_.getAs[String]("buname")).toSeq == names)
     assert(rows.map(_.getAs[Double]("v")).toSeq == Seq(10.0, 11.0, 12.0))
   }
 
