@@ -181,17 +181,19 @@ object Similarity {
   /** All-pairs near-duplicate detection by embedding cosine within LSH
     * buckets (embedding-space analog of Dedup.minhashNearDupsRelational).
     *
-    * Scale shape: bucket membership is capped BEFORE any aggregation with a
+    * Scale shape: bucket membership is capped BEFORE any pairing with a
     * partitioned row_number (a sort-based window — streams and spills, never
-    * holding the bucket's vectors in one task), so the collect_list buffer
-    * is bounded by `maxBucketSize` structs even when a skewed bucket grows
-    * with the corpus. The first `maxBucketSize` members (by id) pair
-    * all-pairs; every member beyond the cap pairs ROW-WISE with the bucket's
-    * first member (carried per-row by a running first_value — no collect on
-    * that path), so the output is bounded by buckets * (cap^2 + overflow) —
-    * never quadratic in the corpus — while no member escapes the verify
-    * stage unpaired. Size `planes` with [[planeCountFor]] so bucket count
-    * tracks corpus size. */
+    * holding a bucket's vectors in one task). The first `maxBucketSize`
+    * members (by id) pair all-pairs through a bucket-keyed SELF-JOIN — a
+    * sort-merge join whose per-key group buffers spill to disk, so even a
+    * heavily skewed bucket (clustered embeddings concentrate: the r9 64x
+    * stress OOMed the previous collect_list+flatten shape, which
+    * materialized cap^2 pairs with full vectors inside ONE task) streams
+    * its pairs out incrementally. Every member beyond the cap pairs
+    * ROW-WISE with the bucket's rank-1 member, so output stays bounded by
+    * buckets * (cap^2 + overflow) — never quadratic in the corpus — while
+    * no member escapes the verify stage unpaired. Size `planes` with
+    * [[planeCountFor]] so bucket count tracks corpus size. */
   def cosineNearDupPairs(emb: DataFrame, vecCol: String, idCol: String,
       planes: Seq[Seq[Float]], threshold: Double,
       maxBucketSize: Int = 10000): DataFrame = {
@@ -207,17 +209,15 @@ object Similarity {
     // that only ever touches overflow rows + one row per bucket
     val bw = Window.partitionBy(col("bucket")).orderBy(col("id"))
     val ranked = bucketed.withColumn("rn", row_number().over(bw))
-    val inCapPairs = ranked.filter(col("rn") <= maxBucketSize)
-      .groupBy(col("bucket"))
-      .agg(sort_array(collect_list(struct(col("id"), col("v"), col("nrm"))))
-        .as("ms"))
-      .filter(size(col("ms")) > 1)
-      .select(explode(
-        expr("flatten(transform(ms, (x, i) -> " +
-          "transform(slice(ms, i + 2, size(ms) - i - 1), y -> struct(x AS a, y AS b))))"))
-        .as("p"))
-      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
-        round(dot(col("p.a.v"), col("p.b.v")) / (col("p.a.nrm") * col("p.b.nrm")), 6)
+    val inCap = ranked.filter(col("rn") <= maxBucketSize)
+    val inCapPairs = inCap
+      .select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"),
+        col("nrm").as("nrm_a"))
+      .join(inCap.select(col("bucket"), col("id").as("id_b"),
+        col("v").as("v_b"), col("nrm").as("nrm_b")), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6)
           .as("cos_sim"))
     val firsts = ranked.filter(col("rn") === 1)
       .select(col("bucket"), col("id").as("id_a"),

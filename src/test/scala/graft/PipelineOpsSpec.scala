@@ -1657,7 +1657,18 @@ class QueriesSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter, Window => LWindow}
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, GreaterThanOrEqual, LessThanOrEqual, Literal, RowNumber, WindowExpression}
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectList}
-    for (q <- Seq("q31_minhash_near_dups", "q46_embedding_near_dups")) {
+    // q46's in-cap pairing is a bucket-keyed SELF-JOIN since r9 (collect_list
+    // there materialized cap^2 pairs in one task — the 64x-stress OOM); its
+    // plan must carry an equi-join, never a nested-loop, and the cap window
+    // still gates it (checked by the inventory-wide lints + oracle)
+    locally {
+      val plan = Queries.byName("q46_embedding_near_dups")(spark, sfDir)
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), "q46 plans a NL join")
+      assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"),
+        "q46: expected the bucket-keyed self-join for in-cap pairs")
+    }
+    for (q <- Seq("q31_minhash_near_dups")) {
       val plan = Queries.byName(q)(spark, sfDir).queryExecution.optimizedPlan
       val collectAggs = plan.collect {
         case a: Aggregate if a.aggregateExpressions.exists(_.exists {
