@@ -1211,6 +1211,42 @@ object Queries {
           .orderBy($"station")
       }),
 
+    // ---------------------------------------------------------------- S1 (Zarr v2 string arrays)
+    // xarray's DEFAULT on-disk string encoding: object dtype (|O) with the
+    // numcodecs vlen-utf8 object codec at filters[0], plus a fixed-width
+    // |S variable. Variables deliberately use THREE different chunk grids
+    // so the DSv2 reader's per-var chunk resolution is oracle-gated (the
+    // head-var grid plans partitions; other vars resolve cells through
+    // their own grids).
+    Q("q103_zarr_vlen_strings", Some("""
+      SELECT CAST(n_nationkey AS DOUBLE) AS station,
+             n_name || '/' || CAST(n_regionkey AS VARCHAR) AS name_vl,
+             n_name AS name_fix,
+             CAST(n_regionkey AS DOUBLE) AS code
+      FROM nation ORDER BY station"""))(
+      (s, d) => {
+        import graft.sources.zarr.{ZarrWriter => ZW}
+        val rows = Tables.nation(s, d).orderBy($"n_nationkey")
+          .select($"n_nationkey".cast("double"), $"n_name",
+            $"n_regionkey".cast("double"))
+          .collect()
+        val n = rows.length
+        val dir = java.nio.file.Files.createTempDirectory("q103").toString + "/q103.zarr"
+        ZW.write(dir, Seq(
+          ZW.VarSpec("station", Seq("station"), Seq(n), Seq(n), "<f8",
+            rows.map(_.getDouble(0)).toSeq),
+          ZW.VarSpec("name_vl", Seq("station"), Seq(n), Seq(7), "|O", Nil,
+            sdata = rows.map(r => r.getString(1) + "/" + r.getDouble(2).toLong).toSeq,
+            compressor = Some("zlib")),
+          ZW.VarSpec("name_fix", Seq("station"), Seq(n), Seq(n), "|S32", Nil,
+            sdata = rows.map(_.getString(1)).toSeq),
+          ZW.VarSpec("code", Seq("station"), Seq(n), Seq(9), "<f8",
+            rows.map(_.getDouble(2)).toSeq, compressor = Some("zstd"))))
+        s.read.format("zarr").load(dir)
+          .select($"station", $"name_vl", $"name_fix", $"code")
+          .orderBy($"station")
+      }),
+
     // ---------------------------------------------------------------- S1 (GRIB2 CCSDS packing, template 5.42)
     // Same `orders` grid as q54/q61, packed with template 5.42 — the
     // CCSDS/AEC adaptive entropy coding ECMWF uses operationally (the

@@ -84,6 +84,9 @@ object ZarrMeta {
       case (_, V2Filter.FixedScaleOffset(_, _, _, at)) => at
       case (_, V2Filter.Quantize(_, at)) => at
       case (_, V2Filter.AsType(enc, _)) => enc
+      case (_, V2Filter.VlenUtf8) => throw new UnsupportedOperationException(
+        s"$name: vlen-utf8 produces a variable-length buffer — the fixed-width " +
+          "numeric chunk path cannot size it (string arrays route through readChunkStrings)")
     }
   }
 
@@ -104,6 +107,13 @@ object ZarrMeta {
     final case class Quantize(dtype: String, astype: String) extends V2Filter
     /** decode = view as `encodeDtype`, cast to `decodeDtype`. */
     final case class AsType(encodeDtype: String, decodeDtype: String) extends V2Filter
+    /** numcodecs VLenUTF8 object codec (vlen.pyx): the object→bytes step
+      * for `|O` string arrays — xarray's default string encoding. Layout:
+      * u32-LE item count, then per item u32-LE byte length + UTF-8 payload.
+      * numcodecs requires object codecs at `filters[0]`, so its decode runs
+      * LAST; the actual bytes→strings decode lives in [[readChunkStrings]]
+      * (the numeric chunk path can't hold strings). */
+    case object VlenUtf8 extends V2Filter
   }
 
   final case class Store(
@@ -159,10 +169,11 @@ object ZarrMeta {
         case Some("quantize") => V2Filter.Quantize(dt, at)
         case Some("astype") => V2Filter.AsType(
           (f \ "encode_dtype").extract[String], (f \ "decode_dtype").extract[String])
+        case Some("vlen-utf8") => V2Filter.VlenUtf8
         case other => throw new UnsupportedOperationException(
           s"zarr v2 filter ${JsonMethods.compact(JsonMethods.render(f))} " +
             s"(id $other) — supported numcodecs filters: delta, " +
-            "fixedscaleoffset, quantize, astype")
+            "fixedscaleoffset, quantize, astype, vlen-utf8")
       }
     }
     val filters = (za \ "filters") match {
@@ -204,10 +215,14 @@ object ZarrMeta {
     var indexAtEnd = true
     var indexCrc = false
     var transpose: Option[Seq[Int]] = None
+    var vlenUtf8 = false
     def applyCodecs(codecs: Seq[JValue]): Unit = codecs.foreach { c =>
       (c \ "name").extract[String] match {
         case "bytes" => endian =
           (c \ "configuration" \ "endian").extractOpt[String].getOrElse("little")
+        // array→bytes codec for variable-length strings (zarr-python 3's
+        // `string` data type); replaces `bytes` in the chain
+        case "vlen-utf8" => vlenUtf8 = true
         case "transpose" =>
           val order = (c \ "configuration" \ "order").extract[Seq[Int]]
           require(order.sorted == order.indices.toList,
@@ -248,10 +263,18 @@ object ZarrMeta {
       case "uint32" => "u4"
       case "uint16" => "u2"
       case "uint8" => "u1"
+      // variable-length strings: represented internally exactly like a v2
+      // |O array with the numcodecs vlen-utf8 object codec (same buffer
+      // layout on disk)
+      case "string" => "O"
       case other => throw new UnsupportedOperationException(
         s"zarr v3 data_type '$other' on $name (supported: float64/32/16, " +
-          "int64/32/16/8, uint64/32/16/8)")
+          "int64/32/16/8, uint64/32/16/8, string)")
     }
+    if (dt == "O") require(vlenUtf8,
+      s"zarr v3 string array $name has no vlen-utf8 codec in its chain")
+    else require(!vlenUtf8,
+      s"zarr v3 numeric array $name declares a vlen-utf8 codec")
     val grid = j \ "chunk_grid"
     require((grid \ "name").extractOpt[String].forall(_ == "regular"),
       s"zarr v3 chunk grid '${(grid \ "name").extractOpt[String]}' (regular only)")
@@ -267,13 +290,16 @@ object ZarrMeta {
       shape = (j \ "shape").extract[Seq[Int]],
       // sharded arrays: grid chunk = SHARD; read granularity = inner chunk
       chunks = innerChunks.getOrElse(gridChunks),
-      dtype = (if (endian == "big") ">" else "<") + dt,
+      dtype = if (dt == "O") "|O" else (if (endian == "big") ">" else "<") + dt,
       compressor = comp,
+      // string arrays carry a STRING fill (usually "") — not a number
       fillValue = (j \ "fill_value") match {
+        case _ if dt == "O" => None
         case JString(s) => Some(java.lang.Double.parseDouble(s))
         case JNull | JNothing => None
         case v => v.extractOpt[Double]
       },
+      filters = if (dt == "O") Seq(V2Filter.VlenUtf8) else Nil,
       dims = (j \ "dimension_names").extractOpt[Seq[String]].getOrElse(Nil),
       scaleFactor = (attrs \ "scale_factor").extractOpt[Double],
       addOffset = (attrs \ "add_offset").extractOpt[Double],
@@ -426,14 +452,39 @@ object ZarrMeta {
     (c.startsWith("S") || c.startsWith("U")) && c.length > 1
   }
 
+  /** String-valued array: fixed-width string dtype, or numpy object dtype
+    * (`|O`) whose first filter is the numcodecs VLenUTF8 object codec —
+    * xarray's default on-disk encoding for string coordinates/variables. */
+  def isStringMeta(meta: ArrayMeta): Boolean =
+    isStringDtype(meta.dtype) ||
+      (codeOf(meta.dtype) == "O" &&
+        meta.filters.headOption.contains(V2Filter.VlenUtf8))
+
   /** Decode one chunk of a fixed-width string array (`|S<n>` NUL-padded
     * bytes, `|U<n>` little-endian UTF-32 code points). Absent chunks yield
     * nulls. */
   def readChunkStrings(conf: Configuration, store: String, meta: ArrayMeta,
       chunkIdx: Seq[Int]): Array[String] = {
-    require(meta.filters.isEmpty && meta.transposeOrder.isEmpty,
-      s"zarr string array ${meta.name} with filters/transpose")
+    require(meta.transposeOrder.isEmpty,
+      s"zarr string array ${meta.name} with transpose")
     val n = meta.chunks.product
+    if (codeOf(meta.dtype) == "O") {
+      // |O object array: VLenUTF8 must be the whole filter chain (numcodecs
+      // mandates the object codec at filters[0]; nothing else composes with
+      // a string element type here)
+      require(meta.filters == Seq(V2Filter.VlenUtf8),
+        s"zarr object array ${meta.name}: filters must be exactly [vlen-utf8], " +
+          s"got ${meta.filters}")
+      // decompressed size is data-dependent — pass encBytes = -1 (zlib/gzip
+      // grow dynamically, zstd reads the frame content size, blosc headers
+      // are self-describing)
+      return chunkRaw(conf, store, meta, chunkIdx, -1) match {
+        case None => new Array[String](n)
+        case Some(raw) => decodeVlenUtf8(meta.name, raw, n)
+      }
+    }
+    require(meta.filters.isEmpty,
+      s"zarr string array ${meta.name} with filters")
     val code = codeOf(meta.dtype)
     val perElem = code.drop(1).toInt
     val w = dtypeBytes(meta.dtype)
@@ -463,6 +514,35 @@ object ZarrMeta {
             sb.toString
           }
         }
+    }
+  }
+
+  /** Parse a numcodecs VLenUTF8 buffer (vlen.pyx layout): u32-LE item
+    * count, then per item u32-LE byte length + UTF-8 payload. Zarr pads
+    * edge chunks to the full chunk grid, so the item count always equals
+    * `chunks.product`. */
+  private def decodeVlenUtf8(name: String, raw: Array[Byte], n: Int): Array[String] = {
+    def le32(off: Int): Int =
+      (raw(off) & 0xff) | ((raw(off + 1) & 0xff) << 8) |
+        ((raw(off + 2) & 0xff) << 16) | ((raw(off + 3) & 0xff) << 24)
+    if (raw.length < 4)
+      throw new java.io.IOException(s"$name: vlen-utf8 chunk shorter than its header")
+    val items = le32(0)
+    if (items != n)
+      throw new java.io.IOException(
+        s"$name: vlen-utf8 chunk declares $items items, chunk grid expects $n")
+    var off = 4
+    Array.tabulate(n) { _ =>
+      if (off + 4 > raw.length)
+        throw new java.io.IOException(s"$name: truncated vlen-utf8 item header at $off")
+      val len = le32(off)
+      off += 4
+      if (len < 0 || off + len > raw.length)
+        throw new java.io.IOException(
+          s"$name: vlen-utf8 item of $len bytes overruns chunk (${raw.length} bytes)")
+      val s = new String(raw, off, len, java.nio.charset.StandardCharsets.UTF_8)
+      off += len
+      s
     }
   }
 
@@ -642,6 +722,9 @@ object ZarrMeta {
       convertCast(buf, at, dt)
     case V2Filter.AsType(encDt, decDt) =>
       convertCast(buf, encDt, decDt)
+    // object→bytes codec: the buffer IS the decoded form at this layer;
+    // readChunkStrings parses the vlen layout into java Strings
+    case V2Filter.VlenUtf8 => buf
   }
 
   /** Delta decode when `astype != dtype`: values are READ at `astype`
@@ -731,6 +814,13 @@ object ZarrMeta {
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(raw))
     try {
+      if (expected < 0) { // vlen chunk: decompressed size is data-dependent
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64 * 1024)
+        var k = in.read(buf)
+        while (k > 0) { bos.write(buf, 0, k); k = in.read(buf) }
+        return bos.toByteArray
+      }
       val out = new Array[Byte](expected)
       var off = 0
       var n = in.read(out, off, expected - off)
@@ -746,6 +836,20 @@ object ZarrMeta {
   private def inflate(raw: Array[Byte], expected: Int): Array[Byte] = {
     val inf = new Inflater()
     inf.setInput(raw)
+    if (expected < 0) { // vlen chunk: decompressed size is data-dependent
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      while (!inf.finished()) {
+        val k = inf.inflate(buf)
+        if (k == 0 && (inf.needsInput() || inf.needsDictionary())) {
+          inf.end()
+          throw new java.io.IOException("truncated or corrupt zlib vlen chunk")
+        }
+        bos.write(buf, 0, k)
+      }
+      inf.end()
+      return bos.toByteArray
+    }
     val out = new Array[Byte](expected)
     var off = 0
     while (!inf.finished() && off < expected) {

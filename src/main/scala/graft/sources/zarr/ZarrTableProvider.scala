@@ -73,7 +73,7 @@ object ZarrTableProvider {
       StructField(d, if (m.epochSecondsTime) TimestampNTZType else DoubleType, nullable = false)
     }
     val varFields = store.dataVars.map(v => StructField(v.name,
-      if (ZarrMeta.isStringDtype(v.dtype)) StringType else DoubleType,
+      if (ZarrMeta.isStringMeta(v)) StringType else DoubleType,
       nullable = true))
     StructType(coordFields ++ varFields)
   }
@@ -215,9 +215,55 @@ class ZarrReaderFactory extends PartitionReaderFactory {
 class ZarrPartitionReader(p: ZarrInputPartition) extends PartitionReader[InternalRow] {
   private val conf = p.tconf.value
   private val nDims = p.dims.length
-  // decoded chunk per needed var (Array[Double] | Array[String]), loaded
-  // lazily on first next()
-  private var varData: Array[AnyRef] = _
+
+  /** Per-var chunk access. The partition grid is the HEAD data var's chunk
+    * grid; a var chunked identically (the normal xarray layout — every
+    * same-shape var shares one chunk scheme) reads exactly one chunk, as
+    * before. A var with a DIFFERENT chunk grid resolves each global cell
+    * through its own grid, caching decoded chunks — the cache is bounded by
+    * the var-chunks overlapping this partition's hyper-rectangle, so memory
+    * stays O(partition extent / var chunk extent) decoded chunks. */
+  private final class VarChunks(v: ArrayMeta) {
+    private val sameGrid = java.util.Arrays.equals(v.chunks.toArray, p.chunks)
+    private var single: AnyRef = _
+    private var cache: java.util.HashMap[java.util.List[Integer], AnyRef] = _
+    private def load(idx: Seq[Int]): AnyRef =
+      if (ZarrMeta.isStringMeta(v))
+        ZarrMeta.readChunkStrings(conf, p.storePath, v, idx)
+      else ZarrMeta.readChunk(conf, p.storePath, v, idx)
+    /** Raw cell (Double, String, or null) at the reader's global cursor. */
+    def value(globalBase: Array[Int], cursor: Array[Int]): Any = {
+      if (sameGrid) {
+        if (single == null) single = load(p.chunkIdx.toSeq)
+        var li = 0
+        var d = 0
+        while (d < nDims) { li = li * p.chunks(d) + cursor(d); d += 1 }
+        cell(single, li)
+      } else {
+        if (cache == null) cache = new java.util.HashMap()
+        val vIdx = new Array[Int](nDims)
+        val key = new java.util.ArrayList[Integer](nDims)
+        var li = 0
+        var d = 0
+        while (d < nDims) {
+          val g = globalBase(d) + cursor(d)
+          vIdx(d) = g / v.chunks(d)
+          key.add(Integer.valueOf(vIdx(d)))
+          li = li * v.chunks(d) + g % v.chunks(d)
+          d += 1
+        }
+        var chunk = cache.get(key)
+        if (chunk == null) { chunk = load(vIdx.toSeq); cache.put(key, chunk) }
+        cell(chunk, li)
+      }
+    }
+    private def cell(chunk: AnyRef, li: Int): Any = chunk match {
+      case ds: Array[Double] => ds(li)
+      case ss: Array[String] => ss(li)
+    }
+  }
+
+  private var varData: Array[VarChunks] = _
   // output accessors: >=0 -> var index, (-1-d) -> coord of dim d
   private val accessors: Array[Int] = p.outputCols.map { c =>
     val d = p.dims.indexOf(c)
@@ -266,34 +312,23 @@ class ZarrPartitionReader(p: ZarrInputPartition) extends PartitionReader[Interna
 
   override def next(): Boolean = {
     if (finished) return false
-    if (varData == null)
-      varData = p.vars.map { v =>
-        if (ZarrMeta.isStringDtype(v.dtype))
-          ZarrMeta.readChunkStrings(conf, p.storePath, v, p.chunkIdx.toSeq)
-        else ZarrMeta.readChunk(conf, p.storePath, v, p.chunkIdx.toSeq)
-      }
+    if (varData == null) varData = p.vars.map(new VarChunks(_))
     while (advance()) if (inRange) return true
     false
   }
 
   override def get(): InternalRow = {
-    // local linear index in chunk C-order
-    var li = 0
-    var d = 0
-    while (d < nDims) { li = li * p.chunks(d) + cursor(d); d += 1 }
     val row = new Array[Any](accessors.length)
     var i = 0
     while (i < accessors.length) {
       val a = accessors(i)
       if (a >= 0) {
-        row(i) = varData(a) match {
-          case ds: Array[Double] =>
-            val v = ds(li)
+        row(i) = varData(a).value(globalBase, cursor) match {
+          case v: Double =>
             if (v.isNaN) null else java.lang.Double.valueOf(v)
-          case ss: Array[String] =>
-            val s = ss(li)
-            if (s == null) null
-            else org.apache.spark.unsafe.types.UTF8String.fromString(s)
+          case s: String =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(s)
+          case _ => null
         }
       } else {
         val dim = -1 - a

@@ -22,6 +22,10 @@ object ZarrWriter {
       chunks: Seq[Int],
       dtype: String = "<f8",
       data: Seq[Double],                    // C-order, pre-encode values
+      // C-order string cells for string dtypes: "|O" writes the xarray
+      // default (object dtype + numcodecs vlen-utf8 filter); "|S<n>" writes
+      // NUL-padded fixed-width bytes. `data` must be Nil for string vars.
+      sdata: Seq[String] = Nil,
       compressor: Option[String] = None,    // None | Some("zlib") | Some("blosc")
       scaleFactor: Option[Double] = None,
       addOffset: Option[Double] = None,
@@ -54,7 +58,11 @@ object ZarrWriter {
     val root = new File(storePath)
     root.mkdirs()
     val arrayJsons = vars.map { v =>
-      require(v.data.size == v.shape.product, s"${v.name}: data size != shape product")
+      val isStringVar = v.dtype == "|O"
+      require((if (isStringVar) v.sdata else v.data).size == v.shape.product,
+        s"${v.name}: data size != shape product")
+      require(!(isStringVar && v.shard.isDefined),
+        s"${v.name}: sharded string arrays not supported by the fixture writer")
       val dir = new File(root, v.name)
       dir.mkdirs()
       val dt = v.dtype match {
@@ -64,9 +72,13 @@ object ZarrWriter {
         case "<i4" => "int32"
         case "<i2" => "int16"
         case "<u1" | "|u1" => "uint8"
+        case "|O" => "string" // variable-length strings, vlen-utf8 codec
         case o => throw new UnsupportedOperationException(s"v3 writer dtype $o")
       }
-      val innerCodecs = Seq(Some("""{"name": "bytes", "configuration": {"endian": "little"}}"""),
+      val arrayToBytes =
+        if (dt == "string") """{"name": "vlen-utf8"}"""
+        else """{"name": "bytes", "configuration": {"endian": "little"}}"""
+      val innerCodecs = Seq(Some(arrayToBytes),
         v.compressor.map {
           case "gzip" => """{"name": "gzip", "configuration": {"level": 6}}"""
           case "zstd" => """{"name": "zstd", "configuration": {"level": 0, "checksum": false}}"""
@@ -93,7 +105,9 @@ object ZarrWriter {
         v.addOffset.map(x => s""""add_offset": $x"""),
         v.missingValue.map(x => s""""missing_value": ${fmtMissing(x, v.dtype)}"""),
         v.units.map(u => s""""units": "$u"""")).flatten
-      val fillJson = if (v.dtype.startsWith("<f")) "\"NaN\"" else "0"
+      val fillJson =
+        if (isStringVar) "\"\""
+        else if (v.dtype.startsWith("<f")) "\"NaN\"" else "0"
       val gridChunks = v.shard.getOrElse(v.chunks)
       val j =
         s"""{"zarr_format": 3, "node_type": "array",
@@ -109,11 +123,13 @@ object ZarrWriter {
           .stripMargin
       writeString(new File(dir, "zarr.json"), j)
       def encodeInner(chunkIdx: Seq[Int]): Array[Byte] = {
-        val bytes = encodeChunk(v, chunkIdx)
+        val bytes =
+          if (isStringVar) encodeStringChunk(v, chunkIdx) else encodeChunk(v, chunkIdx)
+        val typesize = if (isStringVar) 1 else ZarrMeta.dtypeBytes(v.dtype)
         v.compressor match {
           case Some("gzip") => gzip(bytes)
           case Some("zstd") => Zstd.compressStore(bytes)
-          case Some("blosc") => Blosc.compress(bytes, ZarrMeta.dtypeBytes(v.dtype), shuffle = true)
+          case Some("blosc") => Blosc.compress(bytes, typesize, shuffle = true)
           case _ => bytes
         }
       }
@@ -185,7 +201,9 @@ object ZarrWriter {
   /** Writes one array; returns its (.zarray, .zattrs) JSON for
     * consolidation. */
   private def writeArray(root: File, v: VarSpec): (String, String) = {
-    require(v.data.size == v.shape.product, s"${v.name}: data size != shape product")
+    val isString = v.dtype == "|O" || v.dtype.drop(1).startsWith("S")
+    require((if (isString) v.sdata else v.data).size == v.shape.product,
+      s"${v.name}: data size != shape product")
     val dir = new File(root, v.name)
     dir.mkdirs()
     val compressorJson = v.compressor match {
@@ -201,11 +219,15 @@ object ZarrWriter {
     // parity with the distributed writer and xarray stores; int/coord
     // arrays keep null (NaN is not representable in their dtype)
     val fillJson = if (v.dtype.startsWith("<f")) "\"NaN\"" else "null"
+    // object dtype needs the vlen-utf8 object codec as filters[0], exactly
+    // as numcodecs/xarray declare it
+    val filtersJson =
+      if (v.dtype == "|O") """[{"id": "vlen-utf8"}]""" else "null"
     val za =
       s"""{"zarr_format": 2, "shape": [${v.shape.mkString(", ")}],
          | "chunks": [${v.chunks.mkString(", ")}], "dtype": "${v.dtype}",
          | "compressor": $compressorJson, "fill_value": $fillJson, "order": "C",
-         | "filters": null}""".stripMargin
+         | "filters": $filtersJson}""".stripMargin
     writeString(new File(dir, ".zarray"), za)
     val attrs = Seq(
       Some(s""""_ARRAY_DIMENSIONS": [${v.dims.map("\"" + _ + "\"").mkString(", ")}]"""),
@@ -218,17 +240,57 @@ object ZarrWriter {
 
     val grid = v.shape.zip(v.chunks).map { case (s, c) => (s + c - 1) / c }
     cartesian(grid.map(g => 0 until g)).foreach { chunkIdx =>
-      val bytes = encodeChunk(v, chunkIdx)
+      val bytes =
+        if (isString) encodeStringChunk(v, chunkIdx) else encodeChunk(v, chunkIdx)
+      // vlen buffers have no fixed element width; shuffle at typesize 1 is
+      // the numcodecs behavior for object arrays under blosc
+      val typesize = if (v.dtype == "|O") 1 else ZarrMeta.dtypeBytes(v.dtype)
       val out = v.compressor match {
         case Some("zlib") => deflate(bytes)
         case Some("zstd") => Zstd.compressStore(bytes)
-        case Some("blosc") => Blosc.compress(bytes, ZarrMeta.dtypeBytes(v.dtype), shuffle = true)
+        case Some("blosc") => Blosc.compress(bytes, typesize, shuffle = true)
         case _ => bytes
       }
       val fos = new FileOutputStream(new File(dir, chunkIdx.mkString(".")))
       try fos.write(out) finally fos.close()
     }
     (za, zat)
+  }
+
+  /** Encode one chunk of a string variable: `|O` as the numcodecs VLenUTF8
+    * layout (u32-LE item count, per item u32-LE length + UTF-8 bytes),
+    * `|S<n>` as NUL-padded fixed-width cells. Out-of-bounds edge-chunk
+    * cells encode as empty strings, matching zarr's padded edge chunks. */
+  private def encodeStringChunk(v: VarSpec, chunkIdx: Seq[Int]): Array[Byte] = {
+    val cells: Seq[String] = cartesian(v.chunks.map(c => 0 until c)).map { local =>
+      val global = chunkIdx.zip(local).zip(v.chunks).map { case ((ci, l), c) => ci * c + l }
+      val inBounds = global.zip(v.shape).forall { case (g, s) => g < s }
+      if (!inBounds) "" else v.sdata(linearIndex(global, v.shape))
+    }
+    if (v.dtype == "|O") {
+      val bos = new ByteArrayOutputStream()
+      def le32(x: Int): Unit = {
+        bos.write(x & 0xff); bos.write((x >>> 8) & 0xff)
+        bos.write((x >>> 16) & 0xff); bos.write((x >>> 24) & 0xff)
+      }
+      le32(cells.size)
+      cells.foreach { s =>
+        val b = s.getBytes("UTF-8")
+        le32(b.length)
+        bos.write(b)
+      }
+      bos.toByteArray
+    } else {
+      val w = ZarrMeta.dtypeBytes(v.dtype)
+      val out = new Array[Byte](cells.size * w)
+      cells.zipWithIndex.foreach { case (s, i) =>
+        val b = s.getBytes("UTF-8")
+        require(b.length <= w,
+          s"${v.name}: '$s' (${b.length} bytes) exceeds ${v.dtype} width $w")
+        System.arraycopy(b, 0, out, i * w, b.length)
+      }
+      out
+    }
   }
 
   private def fmtMissing(x: Double, dtype: String): String =

@@ -983,6 +983,109 @@ class ZarrSourceSpec extends SparkSpec {
     assert(rows.map(_.getAs[Double]("v")).toSeq == Seq(10.0, 11.0, 12.0))
   }
 
+  test("zarr v2 object dtype (|O) with numcodecs vlen-utf8 reads as StringType") {
+    // hand-built fixture first: exact numcodecs vlen.pyx byte layout
+    // (u32-LE item count, per item u32-LE length + UTF-8), independent of
+    // the writer so a writer/reader co-bug can't self-certify
+    val dir = java.nio.file.Files.createTempDirectory("zarrvlen").toString + "/s.zarr"
+    def put(rel: String, bytes: Array[Byte]): Unit = {
+      val f = new java.io.File(dir, rel)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, bytes)
+    }
+    def putS(rel: String, s: String): Unit = put(rel, s.getBytes("UTF-8"))
+    putS("x/.zarray",
+      """{"zarr_format": 2, "shape": [3], "chunks": [3], "dtype": "<f8",
+        | "compressor": null, "fill_value": null, "filters": null, "order": "C"}""".stripMargin)
+    putS("x/.zattrs", """{"_ARRAY_DIMENSIONS": ["x"]}""")
+    val xb = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(0.0, 1.0, 2.0).foreach(xb.putDouble)
+    put("x/0", xb.array())
+    putS("label/.zarray",
+      """{"zarr_format": 2, "shape": [3], "chunks": [3], "dtype": "|O",
+        | "compressor": null, "fill_value": null,
+        | "filters": [{"id": "vlen-utf8"}], "order": "C"}""".stripMargin)
+    putS("label/.zattrs", """{"_ARRAY_DIMENSIONS": ["x"]}""")
+    val names = Seq("oslo", "smørbrød", "") // multibyte + empty cell
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(x: Int): Unit = {
+      bos.write(x & 0xff); bos.write((x >>> 8) & 0xff)
+      bos.write((x >>> 16) & 0xff); bos.write((x >>> 24) & 0xff)
+    }
+    le32(3)
+    names.foreach { s => val b = s.getBytes("UTF-8"); le32(b.length); bos.write(b) }
+    put("label/0", bos.toByteArray)
+    val df = spark.read.format("zarr").load(dir)
+    assert(df.schema("label").dataType.typeName == "string")
+    assert(df.orderBy($"x").collect().map(_.getAs[String]("label")).toSeq == names)
+
+    // writer round-trip under every compressor (null/zlib/zstd/blosc —
+    // zlib/gzip exercise unknown-size inflate, zstd the frame content
+    // size, blosc the self-describing header), chunked so an edge chunk
+    // pads with empty cells, alongside a numeric sibling
+    val words = Seq("alpha", "år", "cézanne", "d", "雨天")
+    for (comp <- Seq(None, Some("zlib"), Some("zstd"), Some("blosc"))) {
+      val d2 = java.nio.file.Files.createTempDirectory(
+        s"zarrvlenw${comp.getOrElse("raw")}").toString + "/s.zarr"
+      ZW.write(d2, Seq(
+        ZW.VarSpec("x", Seq("x"), Seq(5), Seq(5), "<f8",
+          (0 until 5).map(_.toDouble)),
+        ZW.VarSpec("name", Seq("x"), Seq(5), Seq(2), "|O",
+          Nil, sdata = words, compressor = comp),
+        ZW.VarSpec("short", Seq("x"), Seq(5), Seq(5), "|S12",
+          Nil, sdata = words, compressor = comp),
+        ZW.VarSpec("v", Seq("x"), Seq(5), Seq(5), "<f8",
+          (0 until 5).map(i => i * 10.0))))
+      val rt = spark.read.format("zarr").load(d2).orderBy($"x").collect()
+      assert(rt.map(_.getAs[String]("name")).toSeq == words, s"compressor=$comp")
+      assert(rt.map(_.getAs[String]("short")).toSeq == words, s"compressor=$comp")
+      assert(rt.map(_.getAs[Double]("v")).toSeq == Seq(0.0, 10.0, 20.0, 30.0, 40.0))
+    }
+
+    // v3 `string` data type (zarr-python 3's native form): vlen-utf8 is
+    // the array→bytes codec, optional compression after it
+    for (comp <- Seq(None, Some("gzip"), Some("zstd"))) {
+      val d4 = java.nio.file.Files.createTempDirectory(
+        s"zarr3str${comp.getOrElse("raw")}").toString + "/s.zarr"
+      ZW.writeV3(d4, Seq(
+        ZW.VarSpec("x", Seq("x"), Seq(5), Seq(5), "<f8",
+          (0 until 5).map(_.toDouble)),
+        ZW.VarSpec("name", Seq("x"), Seq(5), Seq(2), "|O",
+          Nil, sdata = words, compressor = comp),
+        ZW.VarSpec("v", Seq("x"), Seq(5), Seq(5), "<f8",
+          (0 until 5).map(i => i * 10.0))))
+      val rt = spark.read.format("zarr").load(d4).orderBy($"x").collect()
+      assert(rt.map(_.getAs[String]("name")).toSeq == words, s"v3 compressor=$comp")
+      assert(rt.map(_.getAs[Double]("v")).toSeq == Seq(0.0, 10.0, 20.0, 30.0, 40.0))
+    }
+
+    // |O without the object codec is undecodable — directed error, not junk
+    val d3 = java.nio.file.Files.createTempDirectory("zarrvlenbad").toString + "/s.zarr"
+    def put3(rel: String, s: String): Unit = {
+      val f = new java.io.File(d3, rel)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, s.getBytes("UTF-8"))
+    }
+    put3("x/.zarray",
+      """{"zarr_format": 2, "shape": [1], "chunks": [1], "dtype": "<f8",
+        | "compressor": null, "fill_value": null, "filters": null, "order": "C"}""".stripMargin)
+    put3("x/.zattrs", """{"_ARRAY_DIMENSIONS": ["x"]}""")
+    java.nio.file.Files.write(new java.io.File(d3, "x/0").toPath,
+      java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putDouble(0.0).array())
+    put3("bad/.zarray",
+      """{"zarr_format": 2, "shape": [1], "chunks": [1], "dtype": "|O",
+        | "compressor": null, "fill_value": null, "filters": null, "order": "C"}""".stripMargin)
+    put3("bad/.zattrs", """{"_ARRAY_DIMENSIONS": ["x"]}""")
+    put3("bad/0", "junk")
+    val e = intercept[Exception] {
+      spark.read.format("zarr").load(d3).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("|O"), msgs)
+  }
+
   test("mover extract pipeline runs natively on the zarr hypercube") {
     val out = graft.operators.Mover.extractRows(ds, s"file://$store",
       graft.operators.Mover.Options(variables = Seq("t2m"),
