@@ -1172,6 +1172,54 @@ object Queries {
           .orderBy($"time", $"latitude", $"longitude")
       }),
 
+    // ---------------------------------------------------------------- S1 (netCDF-4 per-var chunk grids)
+    // Two data variables chunked on DIFFERENT grids (1x5x10 vs 2x10x5) in
+    // one file — netCDF-C accepts any per-variable chunking, so the
+    // distributed scan must too: the head var's grid plans task cells and
+    // the other var resolves cells through its OWN chunk map.
+    Q("q104_netcdf4_mixed_chunks", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200)
+      SELECT CASE WHEN rn0 // 100 = 0 THEN TIMESTAMP '2027-01-01 00:00:00'
+                  ELSE TIMESTAMP '2027-01-01 06:00:00' END AS time,
+             CAST(50 - (rn0 % 100) // 10 AS DOUBLE) AS latitude,
+             CAST(rn0 % 10 AS DOUBLE) AS longitude,
+             CAST(o_orderkey % 997 AS DOUBLE) AS t2m,
+             round(CAST(o_orderkey % 811 AS DOUBLE) * 0.25 + 100, 6) AS tp
+      FROM o
+      ORDER BY time, latitude, longitude"""))(
+      (s, d) => {
+        import graft.sources.hdf5.{Hdf5Writer => HW}
+        import graft.sources.netcdf.NetCDF4Reader
+        val rows = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+          .select(($"o_orderkey" % 997).cast("double"),
+            ($"o_orderkey" % 811).cast("double"))
+          .collect()
+        val t0 = java.time.LocalDateTime.of(2027, 1, 1, 0, 0)
+          .toEpochSecond(java.time.ZoneOffset.UTC)
+        val path = java.nio.file.Files.createTempDirectory("q104").toString + "/q104.nc"
+        HW.write(path, Seq(
+          HW.VarSpec("time", Seq("time"), Seq(2),
+            Seq(t0.toDouble, t0 + 21600.0), dtype = "f8",
+            units = Some("seconds since 1970-01-01")),
+          HW.VarSpec("latitude", Seq("latitude"), Seq(10),
+            (0 until 10).map(50.0 - _), dtype = "f8"),
+          HW.VarSpec("longitude", Seq("longitude"), Seq(10),
+            (0 until 10).map(_.toDouble), dtype = "f8"),
+          HW.VarSpec("t2m", Seq("time", "latitude", "longitude"), Seq(2, 10, 10),
+            rows.map(_.getDouble(0)).toSeq, dtype = "f8",
+            chunks = Some(Seq(1, 5, 10)), deflate = true, shuffle = true),
+          HW.VarSpec("tp", Seq("time", "latitude", "longitude"), Seq(2, 10, 10),
+            rows.map(_.getDouble(1)).toSeq, dtype = "i2",
+            chunks = Some(Seq(2, 10, 5)), deflate = true,
+            scaleFactor = Some(0.25), addOffset = Some(100.0))))
+        NetCDF4Reader.readLongFormat(s, path)
+          .select(col("time").cast("timestamp_ntz").as("time"),
+            $"latitude", $"longitude", $"t2m", round($"tp", 6).as("tp"))
+          .orderBy($"time", $"latitude", $"longitude")
+      }),
+
     // ---------------------------------------------------------------- S1 (HDF5 string datatypes)
     // netCDF-4 string label variables (station ids, CF label vars — the
     // reference reads them through netCDF-C, sinks.py:345-389): one
@@ -1209,6 +1257,40 @@ object Queries {
         NetCDF4Reader.readLongFormat(s, path)
           .select($"station", $"name_fix", $"name_vl", $"code")
           .orderBy($"station")
+      }),
+
+    // ---------------------------------------------------------------- S1 (netCDF-4 VLEN ragged arrays)
+    // Variable-length sequence datatype (HDF5 class 9 type 0 — netCDF-4
+    // VLEN types): ragged per-station observation lists decode through the
+    // global heap into ArrayType columns, then posexplode to long format.
+    // Station i carries i % 4 elements (empty lists stay row-less).
+    Q("q105_netcdf4_vlen", Some("""
+      WITH x AS (SELECT n_nationkey,
+                        UNNEST(range(0, CAST(n_nationkey % 4 AS BIGINT))) AS e
+                 FROM nation)
+      SELECT CAST(n_nationkey AS DOUBLE) AS station,
+             CAST(e AS DOUBLE) AS pos,
+             round(CAST(n_nationkey AS DOUBLE) * 10 + e * 0.5, 6) AS obs
+      FROM x ORDER BY station, pos"""))(
+      (s, d) => {
+        import graft.sources.hdf5.{Hdf5Writer => HW}
+        import graft.sources.netcdf.NetCDF4Reader
+        val keys = Tables.nation(s, d).orderBy($"n_nationkey")
+          .select($"n_nationkey".cast("double"))
+          .collect().map(_.getDouble(0)).toSeq
+        val n = keys.length
+        val ragged: Seq[Seq[Double]] =
+          keys.map(k => (0 until (k.toInt % 4)).map(e => k * 10 + e * 0.5))
+        val path = java.nio.file.Files.createTempDirectory("q105").toString + "/q105.nc"
+        HW.write(path, Seq(
+          HW.VarSpec("station", Seq("station"), Seq(n), keys, dtype = "f8"),
+          HW.VarSpec("obs", Seq("station"), Seq(n), Nil, dtype = "vld",
+            vdata = ragged)))
+        NetCDF4Reader.readLongFormat(s, path)
+          .select($"station", posexplode($"obs").as(Seq("pos", "obs")))
+          .select($"station", $"pos".cast("double").as("pos"),
+            round($"obs", 6).as("obs"))
+          .orderBy($"station", $"pos")
       }),
 
     // ---------------------------------------------------------------- S1 (Zarr v2 string arrays)

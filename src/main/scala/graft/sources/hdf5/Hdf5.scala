@@ -46,12 +46,15 @@ object Hdf5 {
 
   final case class Dtype(clazz: Int, size: Int, littleEndian: Boolean,
       signed: Boolean, vlenString: Boolean = false,
-      members: Seq[Member] = Nil) {
+      members: Seq[Member] = Nil, base: Option[Dtype] = None) {
     def isNumeric: Boolean = clazz == 0 || clazz == 1
     /** Fixed-length (class 3) or variable-length (class 9 with vlen-type
       * "string", resolved through the global heap) character data. */
     def isString: Boolean = clazz == 3 || (clazz == 9 && vlenString)
     def isCompound: Boolean = clazz == 6
+    /** Variable-length SEQUENCE (class 9, vlen type 0) — netCDF-4 VLEN
+      * types; elements live in the global heap, `base` is their type. */
+    def isVlenSeq: Boolean = clazz == 9 && !vlenString
   }
 
   sealed trait Layout
@@ -652,9 +655,9 @@ object Hdf5 {
       case 7 => // reference
         (Dtype(7, size, littleEndian = true, signed = false), 8)
       case 9 => // vlen: bits 0-3 = vlen type (0 sequence, 1 string); base follows
-        val (_, baseLen) = parseDatatype(c, at + 8)
+        val (baseDt, baseLen) = parseDatatype(c, at + 8)
         (Dtype(9, size, littleEndian = true, signed = false,
-          vlenString = (bits0 & 0x0f) == 1), 8 + baseLen)
+          vlenString = (bits0 & 0x0f) == 1, base = Some(baseDt)), 8 + baseLen)
       case 8 => // enum: base type + named values; data decodes as the base
         val version = cv >> 4
         val nmem = c.u8(at + 1) | (c.u8(at + 2) << 8)
@@ -1469,13 +1472,13 @@ object Hdf5 {
     * (the unwritten-element case). */
   def decodeStrings(bytes: Array[Byte], dt: Dtype, n: Int,
       read: (Long, Int) => Array[Byte]): Array[String] = dt match {
-    case Dtype(3, size, _, _, _, _) =>
+    case Dtype(3, size, _, _, _, _, _) =>
       Array.tabulate(n) { i =>
         val s = new String(bytes, i * size, size, java.nio.charset.StandardCharsets.UTF_8)
         val cut = s.indexOf('\u0000')
         if (cut >= 0) s.substring(0, cut) else s
       }
-    case Dtype(9, _, _, _, true, _) =>
+    case Dtype(9, _, _, _, true, _, _) =>
       val c = new Cur(bytes)
       Array.tabulate(n) { i =>
         val base = i * 16L
@@ -1489,6 +1492,33 @@ object Hdf5 {
           .orNull
       }
     case other => throw UnsupportedHdf5(s"decodeStrings on datatype $other")
+  }
+
+  /** Decode a byte span as `n` variable-length SEQUENCES (class 9, vlen
+    * type 0 — netCDF-4 VLEN/ragged types): 16-byte `{nelems u32, gheap
+    * addr u64, gheap idx u32}` descriptors; elements decode from the
+    * global heap at the vlen's BASE type. Undefined heap references decode
+    * as null (the unwritten-element case). */
+  def decodeVlenSeqs(bytes: Array[Byte], dt: Dtype, n: Int,
+      read: (Long, Int) => Array[Byte]): Array[Array[Double]] = {
+    require(dt.isVlenSeq, s"decodeVlenSeqs on datatype $dt")
+    val base = dt.base.getOrElse(
+      throw UnsupportedHdf5("vlen sequence without a base datatype"))
+    if (!base.isNumeric)
+      throw UnsupportedHdf5(
+        s"vlen sequence of datatype class ${base.clazz} (numeric bases only)")
+    val c = new Cur(bytes)
+    Array.tabulate(n) { i =>
+      val off = i * 16L
+      val nel = c.u32(off).toInt
+      val gaddr = c.u64(off + 4)
+      val gidx = c.u32(off + 12).toInt
+      if (gaddr == Undef || gaddr == 0 || gidx == 0) null
+      else globalHeapObject(read, gaddr, gidx).map { b =>
+        val bc = new Cur(b)
+        Array.tabulate(nel)(j => numericAt(bc, j.toLong * base.size, base))
+      }.orNull
+    }
   }
 
   /** Decode `n` records of a compound (class 6) datatype into one column

@@ -64,6 +64,9 @@ object Hdf5Writer {
       // cells) or "vls" (variable-length via the global heap); values come
       // from `sdata` (`data` stays empty), contiguous layout only
       sdata: Seq[String] = Nil,
+      // vlen-SEQUENCE variables (netCDF-4 VLEN of double): dtype "vld",
+      // ragged values from `vdata`, contiguous layout only
+      vdata: Seq[Seq[Double]] = Nil,
       // extra attributes stored as VARIABLE-LENGTH strings (the h5py/netCDF-4
       // default for string attrs), each resolved through its own `GCOL`
       vlsAttrs: Seq[(String, String)] = Nil,
@@ -81,6 +84,7 @@ object Hdf5Writer {
     case "f4" | "i4" => 4
     case "i2" => 2
     case "vls" => 16 // vlen-string descriptor {len u32, gheap addr, idx u32}
+    case "vld" => 16 // vlen-sequence descriptor {nelems u32, gheap addr, idx u32}
     case s if s.startsWith("s") && s.length > 1 => s.drop(1).toInt // fixed string
     case other => throw new IllegalArgumentException(s"dtype $other")
   }
@@ -343,6 +347,29 @@ object Hdf5Writer {
         }
         val addr = appendAt(raw)
         val body = Array[Byte](3, 1) ++ b64(addr) ++ b64(raw.length.toLong)
+        v.name -> Storage(body, filtered = false)
+      } else if (v.dtype == "vld") {
+        require(v.chunks.isEmpty, s"${v.name}: vlen variables are contiguous-only")
+        require(!hasFilters(v), s"${v.name}: vlen variables take no filters")
+        require(v.vdata.size == v.shape.product, s"${v.name}: vdata size mismatch")
+        // ragged element payloads land in one GCOL (f8 LE cells); the
+        // dataset stores 16-byte {nelems, gheap addr, gheap idx} descriptors
+        val objs = v.vdata.map { seq =>
+          val b = new Array[Byte](seq.size * 8)
+          seq.zipWithIndex.foreach { case (d, j) =>
+            val bits = java.lang.Double.doubleToLongBits(d)
+            var k = 0
+            while (k < 8) { b(j * 8 + k) = ((bits >> (8 * k)) & 0xff).toByte; k += 1 }
+          }
+          b
+        }
+        val gaddr = writeGcol(objs)
+        val desc = ArrayBuffer.empty[Byte]
+        v.vdata.zipWithIndex.foreach { case (seq, i) =>
+          desc ++= b32(seq.size.toLong) ++ b64(gaddr) ++ b32((i + 1).toLong)
+        }
+        val addr = appendAt(desc.toArray)
+        val body = Array[Byte](3, 1) ++ b64(addr) ++ b64(desc.size.toLong)
         v.name -> Storage(body, filtered = false)
       } else if (isStringDtype(v.dtype)) {
         require(v.chunks.isEmpty, s"${v.name}: string variables are contiguous-only")
@@ -708,6 +735,7 @@ object Hdf5Writer {
         val (off, prec) = nbit.getOrElse((0, sz * 8))
         Array[Byte](0x10, 0x08, 0, 0) ++ b32(sz.toLong) ++ b16(off) ++ b16(prec)
       case "vls" => vlenStrDtMsg()
+      case "vld" => vlenSeqDtMsg()
       case s if isStringDtype(s) => stringDtMsg(elemSize(s))
     }
 
@@ -722,6 +750,9 @@ object Hdf5Writer {
 
     def vlenStrDtMsg(): Array[Byte] = // class 9, vlen type 1 = string
       Array[Byte](0x19, 0x01, 0, 0) ++ b32(16L) ++ stringDtMsg(1)
+
+    def vlenSeqDtMsg(): Array[Byte] = // class 9, vlen type 0 = sequence, f8 base
+      Array[Byte](0x19, 0x00, 0, 0) ++ b32(16L) ++ datatypeMsg("f8")
 
     // enum (class 8) v3: base type then NUL-terminated unpadded names and
     // base-type-sized values

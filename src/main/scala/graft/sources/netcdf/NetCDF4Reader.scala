@@ -71,7 +71,8 @@ object NetCDF4Reader {
     val dimScales = meta.datasets.filter(isDimScale)
     val dimByAddr: Map[Long, DatasetMeta] = dimScales.map(d => d.objAddr -> d).toMap
     val dataSets = meta.datasets.filterNot(isDimScale)
-      .filter(d => d.dtype.isNumeric || d.dtype.isString || d.dtype.isCompound)
+      .filter(d => d.dtype.isNumeric || d.dtype.isString || d.dtype.isCompound ||
+        d.dtype.isVlenSeq)
     require(dataSets.nonEmpty,
       s"$path contains no data variables (only dimension scales)")
 
@@ -110,7 +111,9 @@ object NetCDF4Reader {
         v.dtype.members.map(m => StructField(s"${baseName(v.path)}_${m.name}",
           if (m.dtype.clazz == 3) StringType else DoubleType))
       else Seq(StructField(baseName(v.path),
-        if (v.dtype.isString) StringType else DoubleType))
+        if (v.dtype.isString) StringType
+        else if (v.dtype.isVlenSeq) ArrayType(DoubleType) // netCDF-4 VLEN
+        else DoubleType))
 
     val schema = StructType(
       dimNames.zip(isTimeDim).map { case (n, t) =>
@@ -135,24 +138,21 @@ object NetCDF4Reader {
       }
       VarPlan(baseName(v.path), v, chunks)
     }
-    // CHUNKED vars must share one grid (their chunk maps define the task
-    // cells); contiguous/compact vars — label vars typically — decode whole
-    // once per partition and index globally, so they may mix freely
-    val chunkedGrids = plans.collect {
-      case pl if pl.ds.layout.isInstanceOf[Chunked] =>
-        pl.ds.layout.asInstanceOf[Chunked].chunkDims
-    }.distinct
-    require(chunkedGrids.size <= 1,
-      s"$path: data variables mix chunk grids $chunkedGrids — " +
-        "repack to a shared chunking (nccopy -c) for the distributed scan")
-
-    val chunkDims: Seq[Int] = chunkedGrids.headOption.getOrElse(shape)
-    // task units: chunk offsets present in the first chunked var's map
+    // Task cells come from the FIRST chunked var's grid (the head grid).
+    // Vars chunked on a DIFFERENT grid resolve each cell through their own
+    // chunk map with a per-partition decoded-chunk cache; contiguous/compact
+    // vars — label vars typically — decode whole once per partition and
+    // index globally. So any mix of layouts and chunkings reads correctly
+    // (netCDF-C accepts them all; requiring an nccopy repack would be a
+    // usability regression vs the reference).
+    val headChunked = plans.find(_.ds.layout.isInstanceOf[Chunked])
+    val chunkDims: Seq[Int] = headChunked
+      .map(_.ds.layout.asInstanceOf[Chunked].chunkDims).getOrElse(shape)
+    // task units: chunk offsets present in the head var's map
     // (all-contiguous = one synthetic all-zeros offset)
-    val cells: Seq[Seq[Long]] = chunkedGrids.headOption match {
+    val cells: Seq[Seq[Long]] = headChunked match {
       case None => Seq(shape.map(_ => 0L))
-      case Some(_) =>
-        plans.find(_.ds.layout.isInstanceOf[Chunked]).get.chunks.map(_.offsets)
+      case Some(pl) => pl.chunks.map(_.offsets)
     }
 
     val nPart = if (partitions > 0) partitions
@@ -180,6 +180,8 @@ object NetCDF4Reader {
           if (pl.ds.dtype.isCompound) Hdf5.decodeMembers(de, pl.ds.dtype, n).map(_._2)
           else if (pl.ds.dtype.isString)
             Seq(Hdf5.decodeStrings(de, pl.ds.dtype, n, read))
+          else if (pl.ds.dtype.isVlenSeq)
+            Seq(Hdf5.decodeVlenSeqs(de, pl.ds.dtype, n, read))
           else Seq(applyCdl(Hdf5.decodeValues(de, pl.ds.dtype, n), pl))
         }
         // contiguous/compact vars decode whole ONCE per partition and index
@@ -202,19 +204,28 @@ object NetCDF4Reader {
           while (d >= 0) { st(d) = acc; acc *= shapeLocal(d); d -= 1 }
           st
         }
+        // decoded-chunk cache for vars chunked on their OWN grid (not the
+        // task grid): (var, chunk offsets) -> columns; bounded per partition
+        // by the var-chunks overlapping the partition's cells
+        val ownGridCache =
+          scala.collection.mutable.HashMap.empty[(String, Seq[Long]), Seq[AnyRef]]
         it.flatMap { cellOffsets =>
-          // decode this grid cell for every var; `true` = globally indexed
-          val perVar: Seq[(Seq[AnyRef], Boolean)] = plansLocal.map { pl =>
-            pl.ds.layout match {
-              case _: Chunked =>
-                val ref = pl.chunks.find(_.offsets == cellOffsets).getOrElse(
-                  throw UnsupportedHdf5(s"${pl.name}: missing chunk at $cellOffsets"))
-                val n = chunkLocal.product
-                (decodeAny(pl, read(ref.addr, ref.nBytes.toInt), n, ref.filterMask),
-                  false)
-              case _ => (whole(pl), true)
+          // decode this grid cell for every var: Left(cols, globallyIndexed)
+          // for head-grid/whole vars, Right(ownChunkDims) for vars resolved
+          // per row through their own grid
+          val perVar: Seq[Either[(Seq[AnyRef], Boolean), Seq[Int]]] =
+            plansLocal.map { pl =>
+              pl.ds.layout match {
+                case ck: Chunked if ck.chunkDims == chunkLocal =>
+                  val ref = pl.chunks.find(_.offsets == cellOffsets).getOrElse(
+                    throw UnsupportedHdf5(s"${pl.name}: missing chunk at $cellOffsets"))
+                  val n = chunkLocal.product
+                  Left((decodeAny(pl, read(ref.addr, ref.nBytes.toInt), n,
+                    ref.filterMask), false))
+                case ck: Chunked => Right(ck.chunkDims)
+                case _ => Left((whole(pl), true))
+              }
             }
-          }
           val rank = shapeLocal.size
           val localShape = chunkLocal
           val nLocal = localShape.product
@@ -243,14 +254,35 @@ object NetCDF4Reader {
                   java.time.ZoneOffset.UTC)
                 else java.lang.Double.valueOf(c)
               }
-              val dataCells: Seq[Any] = perVar.flatMap { case (cols, global) =>
-                val idx = if (global) gi.toInt else li
-                cols.map {
-                  case ds: Array[Double] =>
-                    val v = ds(idx)
-                    if (v.isNaN) null else java.lang.Double.valueOf(v)
-                  case ss: Array[String] => ss(idx)
-                }
+              def cellOf(col: AnyRef, idx: Int): Any = col match {
+                case ds: Array[Double] =>
+                  val v = ds(idx)
+                  if (v.isNaN) null else java.lang.Double.valueOf(v)
+                case ss: Array[String] => ss(idx)
+                case vs: Array[Array[Double]] => // vlen sequence cell
+                  val a = vs(idx)
+                  if (a == null) null else a.toSeq
+              }
+              val dataCells: Seq[Any] = perVar.zip(plansLocal).flatMap {
+                case (Left((cols, global)), _) =>
+                  cols.map(cellOf(_, if (global) gi.toInt else li))
+                case (Right(cdims), pl) =>
+                  // var on its own grid: chunk containing this global cell
+                  val vOff: Seq[Long] =
+                    (0 until rank).map(d => (gIdx(d) / cdims(d)).toLong * cdims(d))
+                  val cols = ownGridCache.getOrElseUpdate((pl.name, vOff), {
+                    val ref = pl.chunks.find(_.offsets == vOff).getOrElse(
+                      throw UnsupportedHdf5(s"${pl.name}: missing chunk at $vOff"))
+                    decodeAny(pl, read(ref.addr, ref.nBytes.toInt),
+                      cdims.product, ref.filterMask)
+                  })
+                  var vli = 0
+                  var d2 = 0
+                  while (d2 < rank) {
+                    vli = vli * cdims(d2) + (gIdx(d2) - vOff(d2).toInt)
+                    d2 += 1
+                  }
+                  cols.map(cellOf(_, vli))
               }
               Iterator.single(Row.fromSeq(coordCells ++ dataCells))
             }

@@ -111,6 +111,62 @@ class Hdf5Spec extends SparkSpec {
     assert(Hdf5.chunkRefs(read, meta.byPath("/t2m")).size == 12)
   }
 
+  test("mixed per-variable chunk grids read correctly (no repack requirement)") {
+    // netCDF-C accepts any per-variable chunking; t2m on a 2x3x2 grid and
+    // tp on 3x2x5 (plus a contiguous sibling via the flat file as the
+    // expected values) must read identically to the contiguous layout —
+    // non-head vars resolve cells through their OWN chunk maps
+    val flat = tmp("flat.nc")
+    writeWeather(flat, chunks = None)
+    val expected = NetCDF4Reader.readLongFormat(spark, flat)
+      .orderBy($"time", $"latitude", $"longitude").collect()
+    val mixed = tmp("mixed.nc")
+    val (nt, ny, nx) = (3, 4, 5)
+    HW.write(mixed, Seq(
+      HW.VarSpec("time", Seq("time"), Seq(nt),
+        (0 until nt).map(t => (t0 + 3600L * t).toDouble), dtype = "f8",
+        units = Some("seconds since 1970-01-01")),
+      HW.VarSpec("latitude", Seq("latitude"), Seq(ny),
+        (0 until ny).map(60.0 - _), dtype = "f8"),
+      HW.VarSpec("longitude", Seq("longitude"), Seq(nx),
+        (0 until nx).map(10.0 + _), dtype = "f8"),
+      HW.VarSpec("t2m", Seq("time", "latitude", "longitude"), Seq(nt, ny, nx),
+        (0 until nt * ny * nx).map(k => 250.0 + k * 0.25),
+        dtype = "f4", chunks = Some(Seq(2, 3, 2)), deflate = true,
+        shuffle = true, units = Some("K")),
+      HW.VarSpec("tp", Seq("time", "latitude", "longitude"), Seq(nt, ny, nx),
+        (0 until nt * ny * nx).map(k => if (k % 17 == 0) -999.0 else k * 10.0),
+        dtype = "i2", chunks = Some(Seq(3, 2, 5)), deflate = true,
+        scaleFactor = Some(0.001), addOffset = Some(5.0),
+        fillValue = Some(-999.0))))
+    val got = NetCDF4Reader.readLongFormat(spark, mixed)
+      .orderBy($"time", $"latitude", $"longitude").collect()
+    assert(got.sameElements(expected),
+      "mixed-chunk-grid values diverge from contiguous")
+  }
+
+  test("vlen-sequence (class 9 type 0, netCDF-4 VLEN) variables read as array columns") {
+    val p = tmp("vlen.nc")
+    val n = 4
+    val ragged = Seq(Seq(1.5, 2.5), Seq.empty[Double], Seq(7.0), Seq(3.0, 4.0, 5.0))
+    HW.write(p, Seq(
+      HW.VarSpec("station", Seq("station"), Seq(n),
+        (0 until n).map(_.toDouble), dtype = "f8"),
+      HW.VarSpec("obs", Seq("station"), Seq(n), Nil, dtype = "vld",
+        vdata = ragged),
+      HW.VarSpec("cnt", Seq("station"), Seq(n),
+        ragged.map(_.size.toDouble), dtype = "f8")))
+    val df = NetCDF4Reader.readLongFormat(spark, p)
+    assert(df.schema("obs").dataType.typeName == "array")
+    val rows = df.orderBy($"station").collect()
+    assert(rows.map(r => r.getSeq[Double](r.fieldIndex("obs")).toSeq).toSeq == ragged)
+    assert(rows.map(_.getAs[Double]("cnt")).toSeq == ragged.map(_.size.toDouble))
+    // the structure parse keeps the vlen base type
+    val (read, len) = localRead(p)
+    val obs = Hdf5.parse(read, len).byPath("/obs")
+    assert(obs.dtype.isVlenSeq && obs.dtype.base.exists(_.clazz == 1))
+  }
+
   test("v4 fixed-array chunk index (HDF5 >= 1.10) reads identically to the v1 B-tree") {
     val bt = tmp("bt.nc")
     writeWeather(bt, chunks = Some(Seq(2, 3, 2)))
