@@ -67,7 +67,11 @@ object ZarrMeta {
       // v3 `transpose` codec: the stored chunk is laid out C-order over the
       // PERMUTED chunk shape (zarr-python emits this for F-order arrays);
       // decode inverts the permutation back to C-order over `chunks`
-      transposeOrder: Option[Seq[Int]] = None) {
+      transposeOrder: Option[Seq[Int]] = None,
+      // v3 `crc32c` bytes→bytes codec on DATA chunks (must be the last
+      // codec): each stored chunk carries a trailing 4-byte little-endian
+      // CRC-32C, verified and stripped before decompression
+      v3DataCrc32c: Boolean = false) {
     def chunkGrid: Seq[Int] = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     def chunkKey(chunkIdx: Seq[Int]): String =
       if (v3DefaultKeys) ("c" +: chunkIdx.map(_.toString)).mkString(keySep)
@@ -216,8 +220,21 @@ object ZarrMeta {
     var indexCrc = false
     var transpose: Option[Seq[Int]] = None
     var vlenUtf8 = false
-    def applyCodecs(codecs: Seq[JValue]): Unit = codecs.foreach { c =>
+    var dataCrc = false
+    def applyCodecs(codecs: Seq[JValue], inShard: Boolean = false): Unit =
+      codecs.zipWithIndex.foreach { case (c, ci) =>
       (c \ "name").extract[String] match {
+        // bytes→bytes checksum: verified+stripped before any other decode,
+        // so it must be the LAST codec in its chain; a crc over whole SHARD
+        // objects would defeat ranged entry reads — put it in the inner
+        // chunk codecs instead
+        case "crc32c" =>
+          require(ci == codecs.size - 1,
+            s"zarr v3 crc32c codec on $name must be the last codec in the chain")
+          require(inShard || innerChunks.isEmpty,
+            s"zarr v3 crc32c over whole shard objects on $name unsupported " +
+              "(declare it inside the sharding_indexed inner codecs)")
+          dataCrc = true
         case "bytes" => endian =
           (c \ "configuration" \ "endian").extractOpt[String].getOrElse("little")
         // array→bytes codec for variable-length strings (zarr-python 3's
@@ -243,11 +260,11 @@ object ZarrMeta {
           require(idxNames.forall(n => n == "bytes" || n == "crc32c"),
             s"zarr v3 shard index codecs $idxNames on $name (bytes [+ crc32c] only)")
           indexCrc = idxNames.contains("crc32c")
-          applyCodecs((cfg \ "codecs").extract[Seq[JValue]])
+          applyCodecs((cfg \ "codecs").extract[Seq[JValue]], inShard = true)
         case other => throw new UnsupportedOperationException(
-          s"zarr v3 codec '$other' on $name (supported: bytes, transpose, " +
-            "gzip, zstd, blosc, sharding_indexed; rewrite with " +
-            "zarr.copy_store to a supported-codec store)")
+          s"zarr v3 codec '$other' on $name (supported: bytes, vlen-utf8, " +
+            "transpose, gzip, zstd, blosc, crc32c, sharding_indexed; rewrite " +
+            "with zarr.copy_store to a supported-codec store)")
       }
     }
     applyCodecs((j \ "codecs").extract[Seq[JValue]])
@@ -310,7 +327,8 @@ object ZarrMeta {
       shardChunks = innerChunks.map(_ => gridChunks),
       shardIndexAtEnd = indexAtEnd,
       shardIndexCrc = indexCrc,
-      transposeOrder = transpose)
+      transposeOrder = transpose,
+      v3DataCrc32c = dataCrc)
   }
 
   /** List array names (children with a .zarray) of a store directory. */
@@ -398,7 +416,11 @@ object ZarrMeta {
   /** Decompressed + defiltered bytes of one chunk; None = absent chunk. */
   private def chunkRaw(conf: Configuration, store: String, meta: ArrayMeta,
       chunkIdx: Seq[Int], encBytes: Int): Option[Array[Byte]] = {
-    def decompress(raw: Array[Byte]): Array[Byte] = meta.compressor match {
+    def decompress(raw0: Array[Byte]): Array[Byte] = {
+    // crc32c is the outermost (last-applied) codec: verify + strip its
+    // 4-byte little-endian trailer before any decompression
+    val raw = if (meta.v3DataCrc32c) stripCrc32c(meta.name, raw0) else raw0
+    meta.compressor match {
       case Some("zlib") => inflate(raw, encBytes)
       case Some("gzip") => gunzip(raw, encBytes)
       // whole chunk object = one zstd frame (numcodecs Zstd / v3 zstd codec)
@@ -411,6 +433,7 @@ object ZarrMeta {
         throw new UnsupportedOperationException(
           s"zarr compressor '$other' not supported (use zlib, gzip, zstd, blosc, or null)")
       case None => raw
+    }
     }
     // numcodecs applies filter encodes in list order before the compressor,
     // so decode runs the INVERSES in reverse list order after decompression
@@ -632,6 +655,23 @@ object ZarrMeta {
       System.arraycopy(chunk, 0, out, start, len)
     }
     out
+  }
+
+  /** Verify a chunk's trailing 4-byte LE CRC-32C (the v3 `crc32c` codec)
+    * and return the payload without it. */
+  private def stripCrc32c(name: String, raw: Array[Byte]): Array[Byte] = {
+    if (raw.length < 4)
+      throw new java.io.IOException(s"$name: chunk shorter than its crc32c trailer")
+    val n = raw.length - 4
+    val crc = new java.util.zip.CRC32C()
+    crc.update(raw, 0, n)
+    val stored = (raw(n) & 0xffL) | ((raw(n + 1) & 0xffL) << 8) |
+      ((raw(n + 2) & 0xffL) << 16) | ((raw(n + 3) & 0xffL) << 24)
+    if ((crc.getValue & 0xffffffffL) != stored)
+      throw new java.io.IOException(
+        s"$name: crc32c mismatch (stored ${stored.toHexString}, " +
+          s"computed ${(crc.getValue & 0xffffffffL).toHexString}) — corrupt chunk")
+    java.util.Arrays.copyOf(raw, n)
   }
 
   def dtypeBytes(dtype: String): Int = codeOf(dtype) match {

@@ -31,7 +31,8 @@ object ZarrWriter {
       addOffset: Option[Double] = None,
       missingValue: Option[Double] = None,
       units: Option[String] = None,
-      shard: Option[Seq[Int]] = None) // v3 only: outer shard shape (elements)
+      shard: Option[Seq[Int]] = None, // v3 only: outer shard shape (elements)
+      crc32c: Boolean = false) // v3 only: trailing CRC-32C on data chunks
 
   def write(storePath: String, vars: Seq[VarSpec]): Unit = {
     val root = new File(storePath)
@@ -87,7 +88,8 @@ object ZarrWriter {
                | "shuffle": "shuffle", "typesize": ${ZarrMeta.dtypeBytes(v.dtype)},
                | "blocksize": 0}}""".stripMargin
           case o => throw new UnsupportedOperationException(s"v3 writer codec $o")
-        }).flatten
+        },
+        if (v.crc32c) Some("""{"name": "crc32c"}""") else None).flatten
       val codecs = v.shard match {
         case None => innerCodecs
         case Some(sh) =>
@@ -126,11 +128,19 @@ object ZarrWriter {
         val bytes =
           if (isStringVar) encodeStringChunk(v, chunkIdx) else encodeChunk(v, chunkIdx)
         val typesize = if (isStringVar) 1 else ZarrMeta.dtypeBytes(v.dtype)
-        v.compressor match {
+        val out = v.compressor match {
           case Some("gzip") => gzip(bytes)
           case Some("zstd") => Zstd.compressStore(bytes)
           case Some("blosc") => Blosc.compress(bytes, typesize, shuffle = true)
           case _ => bytes
+        }
+        if (!v.crc32c) out
+        else { // crc32c codec: trailing 4-byte LE CRC-32C over the chunk
+          val crc = new java.util.zip.CRC32C()
+          crc.update(out, 0, out.length)
+          val c = crc.getValue
+          out ++ Array[Byte](c.toByte, (c >>> 8).toByte, (c >>> 16).toByte,
+            (c >>> 24).toByte)
         }
       }
       def writeKey(keyIdx: Seq[Int], out: Array[Byte]): Unit = {

@@ -1086,6 +1086,38 @@ class ZarrSourceSpec extends SparkSpec {
     assert(msgs.contains("|O"), msgs)
   }
 
+  test("zarr v3 crc32c data-chunk codec: verified on read, corruption is a directed error") {
+    val vals = (0 until 10).map(i => i * 1.5)
+    def store(comp: Option[String], shard: Option[Seq[Int]]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("zarr3crc").toString + "/s.zarr"
+      ZW.writeV3(dir, Seq(
+        ZW.VarSpec("x", Seq("x"), Seq(10), Seq(10), "<f8",
+          (0 until 10).map(_.toDouble)),
+        ZW.VarSpec("v", Seq("x"), Seq(10), Seq(4), "<f8", vals,
+          compressor = comp, shard = shard, crc32c = true)))
+      dir
+    }
+    for ((comp, shard) <- Seq((None, None), (Some("gzip"), None),
+        (None, Some(Seq(8))))) {
+      val dir = store(comp, shard)
+      val rt = spark.read.format("zarr").load(dir).orderBy($"x").collect()
+      assert(rt.map(_.getAs[Double]("v")).toSeq == vals,
+        s"comp=$comp shard=$shard")
+    }
+    // flip one payload byte: the crc must catch it loudly, not decode junk
+    val dir = store(None, None)
+    val chunk0 = new java.io.File(dir, "v/c/0")
+    val bytes = java.nio.file.Files.readAllBytes(chunk0.toPath)
+    bytes(3) = (bytes(3) ^ 0x40).toByte
+    java.nio.file.Files.write(chunk0.toPath, bytes)
+    val e = intercept[Exception] {
+      spark.read.format("zarr").load(dir).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("crc32c mismatch"), msgs)
+  }
+
   test("mover extract pipeline runs natively on the zarr hypercube") {
     val out = graft.operators.Mover.extractRows(ds, s"file://$store",
       graft.operators.Mover.Options(variables = Seq("t2m"),
