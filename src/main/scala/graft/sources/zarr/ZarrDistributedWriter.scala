@@ -9,7 +9,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.HashPartitioner
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{StringType, TimestampNTZType, TimestampType}
 
 /** DISTRIBUTED Zarr v2 store writer: the scale path for S15 (the reference's
   * ChunksToZarr, weather_mv regrid.py:128-162). Takes a long-format
@@ -55,6 +55,10 @@ object ZarrDistributedWriter {
       }
     }
     val dataVars = df.columns.filterNot(dims.contains).toSeq
+    val sv = dataVars.filter(v => df.schema(v).dataType == StringType)
+    require(sv.isEmpty,
+      s"v3 distributed writer: string columns ${sv.mkString(", ")} — " +
+        "write a v2 store (ZarrDistributedWriter.write) for vlen string variables")
     def axis(d: String, i: Int): org.apache.spark.sql.Column =
       if (isTimeDim(i)) col(d).cast("timestamp").cast("double") else col(d).cast("double")
     val coords: Seq[Array[Double]] = dims.zipWithIndex.map { case (d, i) =>
@@ -253,7 +257,13 @@ object ZarrDistributedWriter {
         case _ => false
       }
     }
-    val dataVars = df.columns.filterNot(dims.contains).toSeq
+    val allVars = df.columns.filterNot(dims.contains).toSeq
+    // string columns write as |O + vlen-utf8 (xarray's string encoding) in
+    // a SEPARATE column-pruned pass, so the numeric hot path keeps its
+    // specialized (Int, Double) shuffle records; missing/null cells encode
+    // as "" (zarr v2 object arrays have no null string)
+    val stringVars = allVars.filter(v => df.schema(v).dataType == StringType)
+    val dataVars = allVars.filterNot(stringVars.contains)
 
     // TIMESTAMP_NTZ has no direct double cast; route through TIMESTAMP
     // (session is UTC) -> epoch seconds
@@ -282,8 +292,8 @@ object ZarrDistributedWriter {
       consolidated += s"$d/.zattrs" -> zat
       writeBytes(conf, s"$storePath/$d/0", encodeF8(coords(i)))
     }
-    dataVars.foreach { v =>
-      val za = zarrayJson(shape, chunks, compressor)
+    (dataVars.map((_, "<f8")) ++ stringVars.map((_, "|O"))).foreach { case (v, dt) =>
+      val za = zarrayJson(shape, chunks, compressor, dtype = dt)
       val zat = zattrsJson(dims)
       writeText(conf, s"$storePath/$v/.zarray", za)
       writeText(conf, s"$storePath/$v/.zattrs", zat)
@@ -302,22 +312,113 @@ object ZarrDistributedWriter {
     val varsLocal = dataVars.toIndexedSeq
     val storeLocal = storePath
     val compLocal = compressor
-    chunkBuffers(df, dims, chunks, coords, axis)
-      .foreachPartition { it: Iterator[((Int, String), Array[Double])] =>
-        val conf = tconf.value
-        it.foreach { case ((vi, key), values) =>
-          val raw = encodeF8(values)
-          val out = compLocal match {
-            case Some("zlib") => deflate(raw)
-            case _ => raw
+    if (dataVars.nonEmpty)
+      chunkBuffers(df.drop(stringVars: _*), dims, chunks, coords, axis)
+        .foreachPartition { it: Iterator[((Int, String), Array[Double])] =>
+          val conf = tconf.value
+          it.foreach { case ((vi, key), values) =>
+            val raw = encodeF8(values)
+            val out = compLocal match {
+              case Some("zlib") => deflate(raw)
+              case _ => raw
+            }
+            writeBytes(conf, s"$storeLocal/${varsLocal(vi)}/$key", out)
           }
-          writeBytes(conf, s"$storeLocal/${varsLocal(vi)}/$key", out)
         }
+    if (stringVars.nonEmpty) {
+      val sVarsLocal = stringVars.toIndexedSeq
+      stringChunkBuffers(df, dims, stringVars, chunks, coords, axis)
+        .foreachPartition { it: Iterator[((Int, String), Array[String])] =>
+          val conf = tconf.value
+          it.foreach { case ((vi, key), cells) =>
+            val raw = encodeVlenUtf8(cells)
+            val out = compLocal match {
+              case Some("zlib") => deflate(raw)
+              case _ => raw
+            }
+            writeBytes(conf, s"$storeLocal/${sVarsLocal(vi)}/$key", out)
+          }
+        }
+    }
+  }
+
+  /** String-var counterpart of [[chunkBuffers]]: null-filled string cell
+    * buffers per (variable, chunk key); the projection carries ONLY the
+    * dims + string columns, so the scan prunes everything else. */
+  private def stringChunkBuffers(df: DataFrame, dims: Seq[String],
+      stringVars: Seq[String], chunks: Seq[Int], coords: Seq[Array[Double]],
+      axis: (String, Int) => org.apache.spark.sql.Column)
+      : org.apache.spark.rdd.RDD[((Int, String), Array[String])] = {
+    val spark = df.sparkSession
+    val chunkProd = chunks.product
+    val dimIndex: Seq[Map[Double, Int]] = coords.map(_.zipWithIndex.toMap)
+    val bcIdx = spark.sparkContext.broadcast(dimIndex)
+    val chunksLocal = chunks.toIndexedSeq
+    val nDims = dims.size
+    val varsLocal = stringVars.toIndexedSeq
+    val shape = coords.map(_.length)
+    val nChunksUpper = shape.zip(chunks)
+      .map { case (s, c) => (s + c - 1) / c }.product * math.max(varsLocal.size, 1)
+    val projected = df.select(
+      dims.zipWithIndex.map { case (d, i) => axis(d, i) } ++
+        stringVars.map(col): _*)
+    projected.rdd.flatMap { row =>
+      val idx = bcIdx.value
+      val gidx = new Array[Int](nDims)
+      var i = 0
+      while (i < nDims) { gidx(i) = idx(i)(row.getDouble(i)); i += 1 }
+      var localLinear = 0
+      val chunkIdx = new Array[Int](nDims)
+      i = 0
+      while (i < nDims) {
+        chunkIdx(i) = gidx(i) / chunksLocal(i)
+        localLinear = localLinear * chunksLocal(i) + gidx(i) % chunksLocal(i)
+        i += 1
       }
+      val key = chunkIdx.mkString(".")
+      varsLocal.indices.iterator.filterNot(vi => row.isNullAt(nDims + vi)).map { vi =>
+        ((vi, key), (localLinear, row.getString(nDims + vi)))
+      }
+    }.aggregateByKey(null: Array[String],
+      new HashPartitioner(math.min(nChunksUpper,
+        spark.sparkContext.defaultParallelism * 4)))(
+      (acc, kv) => {
+        val a = if (acc == null) new Array[String](chunkProd) else acc
+        a(kv._1) = kv._2
+        a
+      },
+      (a, b) => {
+        if (a == null) b
+        else if (b == null) a
+        else {
+          var i = 0
+          while (i < a.length) { if (b(i) != null) a(i) = b(i); i += 1 }
+          a
+        }
+      })
+  }
+
+  /** numcodecs VLenUTF8 layout; absent cells (null) encode as "". */
+  private def encodeVlenUtf8(cells: Array[String]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    def le32(x: Int): Unit = {
+      bos.write(x & 0xff); bos.write((x >>> 8) & 0xff)
+      bos.write((x >>> 16) & 0xff); bos.write((x >>> 24) & 0xff)
+    }
+    le32(cells.length)
+    cells.foreach { s =>
+      if (s == null) le32(0)
+      else {
+        val b = s.getBytes("UTF-8")
+        le32(b.length)
+        bos.write(b)
+      }
+    }
+    bos.toByteArray
   }
 
   private def zarrayJson(shape: Seq[Int], chunks: Seq[Int],
-      compressor: Option[String]): String = {
+      compressor: Option[String], dtype: String = "<f8"): String = {
     val comp = compressor match {
       case Some("zlib") => """{"id": "zlib", "level": 6}"""
       case None => "null"
@@ -327,10 +428,13 @@ object ZarrDistributedWriter {
     // null: this writer deliberately skips wholly-absent chunks, and
     // zarr-python/xarray treat null as 'no fill' — absent chunks would read
     // back as undefined data there instead of the NaN the sparse layout means
+    val (fill, filters) =
+      if (dtype == "|O") ("null", """[{"id": "vlen-utf8"}]""")
+      else ("\"NaN\"", "null")
     s"""{"zarr_format": 2, "shape": [${shape.mkString(", ")}],
-       | "chunks": [${chunks.mkString(", ")}], "dtype": "<f8",
-       | "compressor": $comp, "fill_value": "NaN", "order": "C",
-       | "filters": null}""".stripMargin
+       | "chunks": [${chunks.mkString(", ")}], "dtype": "$dtype",
+       | "compressor": $comp, "fill_value": $fill, "order": "C",
+       | "filters": $filters}""".stripMargin
   }
 
   private def zattrsJson(dims: Seq[String], units: Option[String] = None): String = {

@@ -802,6 +802,32 @@ class ZarrSourceSpec extends SparkSpec {
     assert(chunkFiles(flat, "t2m") == 8, "one object per inner chunk")
   }
 
+  test("distributed writer round-trips string columns as |O vlen-utf8 variables") {
+    import graft.sources.zarr.ZarrDistributedWriter
+    val out = java.nio.file.Files.createTempDirectory("zarrwstr").toString + "/rt.zarr"
+    // numeric + string data columns in one frame; the string pass is a
+    // separate column-pruned job, numeric encoding stays byte-identical
+    val withLabels = ds.withColumn("station",
+      concat(lit("st-"), ($"latitude" * 10).cast("int"), lit("/"),
+        ($"longitude" * 10).cast("int")))
+    ZarrDistributedWriter.write(withLabels, out,
+      Seq("time", "latitude", "longitude"), Seq(2, 3, 4))
+    val back = spark.read.format("zarr").load(out)
+    assert(back.schema("station").dataType.typeName == "string")
+    val key = Seq($"time", $"latitude", $"longitude")
+    val a = withLabels.orderBy(key: _*).collect()
+    val b = back.select(withLabels.columns.map(col): _*).orderBy(key: _*).collect()
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
+    // v3 distributed writer keeps strings a directed error (not silent drop)
+    val e = intercept[IllegalArgumentException] {
+      ZarrDistributedWriter.writeV3(withLabels,
+        java.nio.file.Files.createTempDirectory("zarrw3str").toString + "/s.zarr",
+        Seq("time", "latitude", "longitude"), Seq(2, 3, 4))
+    }
+    assert(e.getMessage.contains("station"), e.getMessage)
+  }
+
   test("distributed writer encodes absent cells as nulls (sparse input)") {
     import graft.sources.zarr.ZarrDistributedWriter
     val out = java.nio.file.Files.createTempDirectory("zarrs").toString + "/sparse.zarr"
