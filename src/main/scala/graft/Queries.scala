@@ -1293,6 +1293,36 @@ object Queries {
           .orderBy($"station", $"pos")
       }),
 
+    // ---------------------------------------------------------------- S1 (netCDF-4 opaque blobs)
+    // Opaque datatype (HDF5 class 5 — NC_OPAQUE): fixed-width raw byte
+    // cells surface as BinaryType, hex-encoded here so DuckDB can recompute
+    // the expected bytes. Station k carries the 4 bytes (k, k+1, k+2, k+3).
+    Q("q106_netcdf4_opaque", Some("""
+      SELECT CAST(n_nationkey AS DOUBLE) AS station,
+             upper(lpad(to_hex(n_nationkey), 2, '0') ||
+                   lpad(to_hex(n_nationkey + 1), 2, '0') ||
+                   lpad(to_hex(n_nationkey + 2), 2, '0') ||
+                   lpad(to_hex(n_nationkey + 3), 2, '0')) AS thumb_hex
+      FROM nation ORDER BY station"""))(
+      (s, d) => {
+        import graft.sources.hdf5.{Hdf5Writer => HW}
+        import graft.sources.netcdf.NetCDF4Reader
+        val keys = Tables.nation(s, d).orderBy($"n_nationkey")
+          .select($"n_nationkey".cast("double"))
+          .collect().map(_.getDouble(0)).toSeq
+        val n = keys.length
+        val blobs = keys.map(k =>
+          Array.tabulate(4)(j => (k.toInt + j).toByte))
+        val path = java.nio.file.Files.createTempDirectory("q106").toString + "/q106.nc"
+        HW.write(path, Seq(
+          HW.VarSpec("station", Seq("station"), Seq(n), keys, dtype = "f8"),
+          HW.VarSpec("thumb", Seq("station"), Seq(n), Nil, dtype = "o4",
+            bdata = blobs)))
+        NetCDF4Reader.readLongFormat(s, path)
+          .select($"station", hex($"thumb").as("thumb_hex"))
+          .orderBy($"station")
+      }),
+
     // ---------------------------------------------------------------- S1 (Zarr v2 string arrays)
     // xarray's DEFAULT on-disk string encoding: object dtype (|O) with the
     // numcodecs vlen-utf8 object codec at filters[0], plus a fixed-width

@@ -55,6 +55,8 @@ object Hdf5 {
     /** Variable-length SEQUENCE (class 9, vlen type 0) — netCDF-4 VLEN
       * types; elements live in the global heap, `base` is their type. */
     def isVlenSeq: Boolean = clazz == 9 && !vlenString
+    /** Opaque (class 5) — fixed-width raw byte cells (NC_OPAQUE). */
+    def isOpaque: Boolean = clazz == 5
   }
 
   sealed trait Layout
@@ -652,6 +654,8 @@ object Hdf5 {
         (Dtype(1, size, (bits0 & 1) == 0, signed = true), 8 + 12)
       case 3 => // string
         (Dtype(3, size, littleEndian = true, signed = false), 8)
+      case 5 => // opaque: bits 0-7 = ASCII tag length (8-padded); raw cells
+        (Dtype(5, size, littleEndian = true, signed = false), 8 + (bits0 & 0xff))
       case 7 => // reference
         (Dtype(7, size, littleEndian = true, signed = false), 8)
       case 9 => // vlen: bits 0-3 = vlen type (0 sequence, 1 string); base follows
@@ -1492,6 +1496,14 @@ object Hdf5 {
           .orNull
       }
     case other => throw UnsupportedHdf5(s"decodeStrings on datatype $other")
+  }
+
+  /** Decode a byte span as `n` opaque cells (class 5): `dt.size` raw bytes
+    * each — NC_OPAQUE / embedded binary blobs surface as BinaryType. */
+  def decodeOpaque(bytes: Array[Byte], dt: Dtype, n: Int): Array[Array[Byte]] = {
+    require(dt.isOpaque, s"decodeOpaque on datatype $dt")
+    Array.tabulate(n)(i =>
+      java.util.Arrays.copyOfRange(bytes, i * dt.size, (i + 1) * dt.size))
   }
 
   /** Decode a byte span as `n` variable-length SEQUENCES (class 9, vlen

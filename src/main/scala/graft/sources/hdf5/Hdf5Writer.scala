@@ -67,6 +67,9 @@ object Hdf5Writer {
       // vlen-SEQUENCE variables (netCDF-4 VLEN of double): dtype "vld",
       // ragged values from `vdata`, contiguous layout only
       vdata: Seq[Seq[Double]] = Nil,
+      // opaque variables (NC_OPAQUE): dtype "o<N>" (N-byte cells), raw
+      // values from `bdata`, contiguous layout only
+      bdata: Seq[Array[Byte]] = Nil,
       // extra attributes stored as VARIABLE-LENGTH strings (the h5py/netCDF-4
       // default for string attrs), each resolved through its own `GCOL`
       vlsAttrs: Seq[(String, String)] = Nil,
@@ -85,6 +88,7 @@ object Hdf5Writer {
     case "i2" => 2
     case "vls" => 16 // vlen-string descriptor {len u32, gheap addr, idx u32}
     case "vld" => 16 // vlen-sequence descriptor {nelems u32, gheap addr, idx u32}
+    case o if o.startsWith("o") && o.length > 1 => o.drop(1).toInt // opaque cells
     case s if s.startsWith("s") && s.length > 1 => s.drop(1).toInt // fixed string
     case other => throw new IllegalArgumentException(s"dtype $other")
   }
@@ -344,6 +348,19 @@ object Hdf5Writer {
             }
             off += sz
           }
+        }
+        val addr = appendAt(raw)
+        val body = Array[Byte](3, 1) ++ b64(addr) ++ b64(raw.length.toLong)
+        v.name -> Storage(body, filtered = false)
+      } else if (v.dtype.startsWith("o") && v.dtype.length > 1) {
+        require(v.chunks.isEmpty, s"${v.name}: opaque variables are contiguous-only")
+        require(!hasFilters(v), s"${v.name}: opaque variables take no filters")
+        require(v.bdata.size == v.shape.product, s"${v.name}: bdata size mismatch")
+        val w = elemSize(v.dtype)
+        val raw = new Array[Byte](v.bdata.size * w) // zero-padded cells
+        v.bdata.zipWithIndex.foreach { case (b, i) =>
+          require(b.length <= w, s"${v.name}: cell $i (${b.length} B) exceeds $w-byte cells")
+          System.arraycopy(b, 0, raw, i * w, b.length)
         }
         val addr = appendAt(raw)
         val body = Array[Byte](3, 1) ++ b64(addr) ++ b64(raw.length.toLong)
@@ -736,6 +753,7 @@ object Hdf5Writer {
         Array[Byte](0x10, 0x08, 0, 0) ++ b32(sz.toLong) ++ b16(off) ++ b16(prec)
       case "vls" => vlenStrDtMsg()
       case "vld" => vlenSeqDtMsg()
+      case o if o.startsWith("o") && o.length > 1 => opaqueDtMsg(elemSize(o))
       case s if isStringDtype(s) => stringDtMsg(elemSize(s))
     }
 
@@ -753,6 +771,10 @@ object Hdf5Writer {
 
     def vlenSeqDtMsg(): Array[Byte] = // class 9, vlen type 0 = sequence, f8 base
       Array[Byte](0x19, 0x00, 0, 0) ++ b32(16L) ++ datatypeMsg("f8")
+
+    def opaqueDtMsg(size: Int): Array[Byte] = // class 5, 8-byte ASCII tag
+      Array[Byte](0x15, 0x08, 0, 0) ++ b32(size.toLong) ++
+        "blob".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0)
 
     // enum (class 8) v3: base type then NUL-terminated unpadded names and
     // base-type-sized values

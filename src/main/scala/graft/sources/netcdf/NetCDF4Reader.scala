@@ -72,7 +72,7 @@ object NetCDF4Reader {
     val dimByAddr: Map[Long, DatasetMeta] = dimScales.map(d => d.objAddr -> d).toMap
     val dataSets = meta.datasets.filterNot(isDimScale)
       .filter(d => d.dtype.isNumeric || d.dtype.isString || d.dtype.isCompound ||
-        d.dtype.isVlenSeq)
+        d.dtype.isVlenSeq || d.dtype.isOpaque)
     require(dataSets.nonEmpty,
       s"$path contains no data variables (only dimension scales)")
 
@@ -113,6 +113,7 @@ object NetCDF4Reader {
       else Seq(StructField(baseName(v.path),
         if (v.dtype.isString) StringType
         else if (v.dtype.isVlenSeq) ArrayType(DoubleType) // netCDF-4 VLEN
+        else if (v.dtype.isOpaque) BinaryType // NC_OPAQUE blobs
         else DoubleType))
 
     val schema = StructType(
@@ -182,6 +183,8 @@ object NetCDF4Reader {
             Seq(Hdf5.decodeStrings(de, pl.ds.dtype, n, read))
           else if (pl.ds.dtype.isVlenSeq)
             Seq(Hdf5.decodeVlenSeqs(de, pl.ds.dtype, n, read))
+          else if (pl.ds.dtype.isOpaque)
+            Seq(Hdf5.decodeOpaque(de, pl.ds.dtype, n))
           else Seq(applyCdl(Hdf5.decodeValues(de, pl.ds.dtype, n), pl))
         }
         // contiguous/compact vars decode whole ONCE per partition and index
@@ -262,6 +265,7 @@ object NetCDF4Reader {
                 case vs: Array[Array[Double]] => // vlen sequence cell
                   val a = vs(idx)
                   if (a == null) null else a.toSeq
+                case bs: Array[Array[Byte]] => bs(idx) // opaque cell
               }
               val dataCells: Seq[Any] = perVar.zip(plansLocal).flatMap {
                 case (Left((cols, global)), _) =>

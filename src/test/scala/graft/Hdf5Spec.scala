@@ -167,6 +167,28 @@ class Hdf5Spec extends SparkSpec {
     assert(obs.dtype.isVlenSeq && obs.dtype.base.exists(_.clazz == 1))
   }
 
+  test("opaque (class 5) variables read as BinaryType columns") {
+    val p = tmp("opaque.nc")
+    val n = 3
+    val blobs = Seq(
+      Array[Byte](1, 2, 3, 4),
+      Array[Byte](-1, 0, 127, -128),
+      Array[Byte](9, 9, 9, 9))
+    HW.write(p, Seq(
+      HW.VarSpec("station", Seq("station"), Seq(n),
+        (0 until n).map(_.toDouble), dtype = "f8"),
+      HW.VarSpec("thumb", Seq("station"), Seq(n), Nil, dtype = "o4",
+        bdata = blobs)))
+    val df = NetCDF4Reader.readLongFormat(spark, p)
+    assert(df.schema("thumb").dataType.typeName == "binary")
+    val rows = df.orderBy($"station").collect()
+    rows.zip(blobs).foreach { case (r, b) =>
+      assert(r.getAs[Array[Byte]]("thumb").toSeq == b.toSeq)
+    }
+    val (read, len) = localRead(p)
+    assert(Hdf5.parse(read, len).byPath("/thumb").dtype.isOpaque)
+  }
+
   test("v4 fixed-array chunk index (HDF5 >= 1.10) reads identically to the v1 B-tree") {
     val bt = tmp("bt.nc")
     writeWeather(bt, chunks = Some(Seq(2, 3, 2)))
