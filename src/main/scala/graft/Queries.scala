@@ -1323,6 +1323,36 @@ object Queries {
           .orderBy($"station")
       }),
 
+    // ---------------------------------------------------------------- S1 (HDF5 array datatype)
+    // Array datatype (class 10): each cell holds a fixed 3-vector; reads as
+    // an ArrayType column, posexploded for the oracle compare. Station k's
+    // vector is [k, k+0.25, k+0.5].
+    Q("q107_netcdf4_array_dtype", Some("""
+      WITH x AS (SELECT n_nationkey, UNNEST(range(0, 3)) AS e FROM nation)
+      SELECT CAST(n_nationkey AS DOUBLE) AS station,
+             CAST(e AS DOUBLE) AS pos,
+             round(CAST(n_nationkey AS DOUBLE) + e * 0.25, 6) AS vec
+      FROM x ORDER BY station, pos"""))(
+      (s, d) => {
+        import graft.sources.hdf5.{Hdf5Writer => HW}
+        import graft.sources.netcdf.NetCDF4Reader
+        val keys = Tables.nation(s, d).orderBy($"n_nationkey")
+          .select($"n_nationkey".cast("double"))
+          .collect().map(_.getDouble(0)).toSeq
+        val n = keys.length
+        val cells = keys.map(k => (0 until 3).map(e => k + e * 0.25))
+        val path = java.nio.file.Files.createTempDirectory("q107").toString + "/q107.nc"
+        HW.write(path, Seq(
+          HW.VarSpec("station", Seq("station"), Seq(n), keys, dtype = "f8"),
+          HW.VarSpec("vec", Seq("station"), Seq(n), Nil, dtype = "a3",
+            vdata = cells)))
+        NetCDF4Reader.readLongFormat(s, path)
+          .select($"station", posexplode($"vec").as(Seq("pos", "vec")))
+          .select($"station", $"pos".cast("double").as("pos"),
+            round($"vec", 6).as("vec"))
+          .orderBy($"station", $"pos")
+      }),
+
     // ---------------------------------------------------------------- S1 (Zarr v2 string arrays)
     // xarray's DEFAULT on-disk string encoding: object dtype (|O) with the
     // numcodecs vlen-utf8 object codec at filters[0], plus a fixed-width

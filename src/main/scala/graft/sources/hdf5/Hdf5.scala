@@ -46,7 +46,8 @@ object Hdf5 {
 
   final case class Dtype(clazz: Int, size: Int, littleEndian: Boolean,
       signed: Boolean, vlenString: Boolean = false,
-      members: Seq[Member] = Nil, base: Option[Dtype] = None) {
+      members: Seq[Member] = Nil, base: Option[Dtype] = None,
+      arrayDims: Seq[Int] = Nil) {
     def isNumeric: Boolean = clazz == 0 || clazz == 1
     /** Fixed-length (class 3) or variable-length (class 9 with vlen-type
       * "string", resolved through the global heap) character data. */
@@ -57,6 +58,8 @@ object Hdf5 {
     def isVlenSeq: Boolean = clazz == 9 && !vlenString
     /** Opaque (class 5) — fixed-width raw byte cells (NC_OPAQUE). */
     def isOpaque: Boolean = clazz == 5
+    /** Array (class 10) — a fixed shape of `base` elements per cell. */
+    def isFixedArray: Boolean = clazz == 10
   }
 
   sealed trait Layout
@@ -662,6 +665,17 @@ object Hdf5 {
         val (baseDt, baseLen) = parseDatatype(c, at + 8)
         (Dtype(9, size, littleEndian = true, signed = false,
           vlenString = (bits0 & 0x0f) == 1, base = Some(baseDt)), 8 + baseLen)
+      case 10 => // array: fixed dims over a base type
+        val version = cv >> 4
+        val ndims = c.u8(at + 8)
+        var off = at + 9
+        if (version < 3) off += 3 // reserved (v1/v2 only)
+        val dims = (0 until ndims).map(i => c.u32(off + 4L * i).toInt)
+        off += 4L * ndims
+        if (version < 3) off += 4L * ndims // permutation indexes (never used)
+        val (baseDt, baseLen) = parseDatatype(c, off)
+        (Dtype(10, size, baseDt.littleEndian, baseDt.signed,
+          base = Some(baseDt), arrayDims = dims), (off - at) + baseLen)
       case 8 => // enum: base type + named values; data decodes as the base
         val version = cv >> 4
         val nmem = c.u8(at + 1) | (c.u8(at + 2) << 8)
@@ -1476,13 +1490,14 @@ object Hdf5 {
     * (the unwritten-element case). */
   def decodeStrings(bytes: Array[Byte], dt: Dtype, n: Int,
       read: (Long, Int) => Array[Byte]): Array[String] = dt match {
-    case Dtype(3, size, _, _, _, _, _) =>
+    case _ if dt.clazz == 3 =>
+      val size = dt.size
       Array.tabulate(n) { i =>
         val s = new String(bytes, i * size, size, java.nio.charset.StandardCharsets.UTF_8)
         val cut = s.indexOf('\u0000')
         if (cut >= 0) s.substring(0, cut) else s
       }
-    case Dtype(9, _, _, _, true, _, _) =>
+    case _ if dt.clazz == 9 && dt.vlenString =>
       val c = new Cur(bytes)
       Array.tabulate(n) { i =>
         val base = i * 16L
@@ -1496,6 +1511,24 @@ object Hdf5 {
           .orNull
       }
     case other => throw UnsupportedHdf5(s"decodeStrings on datatype $other")
+  }
+
+  /** Decode a byte span as `n` fixed-shape array cells (class 10): each
+    * cell is `arrayDims.product` elements of the numeric base, flattened
+    * C-order. */
+  def decodeFixedArrays(bytes: Array[Byte], dt: Dtype, n: Int): Array[Array[Double]] = {
+    require(dt.isFixedArray, s"decodeFixedArrays on datatype $dt")
+    val base = dt.base.getOrElse(
+      throw UnsupportedHdf5("array datatype without a base type"))
+    if (!base.isNumeric)
+      throw UnsupportedHdf5(
+        s"array datatype over class ${base.clazz} (numeric bases only)")
+    val k = dt.arrayDims.product
+    val c = new Cur(bytes)
+    Array.tabulate(n) { i =>
+      Array.tabulate(k)(j =>
+        numericAt(c, i.toLong * dt.size + j.toLong * base.size, base))
+    }
   }
 
   /** Decode a byte span as `n` opaque cells (class 5): `dt.size` raw bytes

@@ -70,6 +70,8 @@ object Hdf5Writer {
       // opaque variables (NC_OPAQUE): dtype "o<N>" (N-byte cells), raw
       // values from `bdata`, contiguous layout only
       bdata: Seq[Array[Byte]] = Nil,
+      // array-datatype variables (class 10): dtype "a<K>" (K f8 elements
+      // per cell), fixed-length rows from `vdata`, contiguous layout only
       // extra attributes stored as VARIABLE-LENGTH strings (the h5py/netCDF-4
       // default for string attrs), each resolved through its own `GCOL`
       vlsAttrs: Seq[(String, String)] = Nil,
@@ -89,6 +91,7 @@ object Hdf5Writer {
     case "vls" => 16 // vlen-string descriptor {len u32, gheap addr, idx u32}
     case "vld" => 16 // vlen-sequence descriptor {nelems u32, gheap addr, idx u32}
     case o if o.startsWith("o") && o.length > 1 => o.drop(1).toInt // opaque cells
+    case a if a.startsWith("a") && a.length > 1 => a.drop(1).toInt * 8 // array of K f8
     case s if s.startsWith("s") && s.length > 1 => s.drop(1).toInt // fixed string
     case other => throw new IllegalArgumentException(s"dtype $other")
   }
@@ -347,6 +350,26 @@ object Hdf5Writer {
                 s"${v.name}.$mn: cell ${other.getClass}")
             }
             off += sz
+          }
+        }
+        val addr = appendAt(raw)
+        val body = Array[Byte](3, 1) ++ b64(addr) ++ b64(raw.length.toLong)
+        v.name -> Storage(body, filtered = false)
+      } else if (v.dtype.startsWith("a") && v.dtype.length > 1) {
+        require(v.chunks.isEmpty, s"${v.name}: array-datatype variables are contiguous-only")
+        require(!hasFilters(v), s"${v.name}: array-datatype variables take no filters")
+        require(v.vdata.size == v.shape.product, s"${v.name}: vdata size mismatch")
+        val k = v.dtype.drop(1).toInt
+        val raw = new Array[Byte](v.vdata.size * k * 8)
+        v.vdata.zipWithIndex.foreach { case (row, i) =>
+          require(row.size == k, s"${v.name}: cell $i has ${row.size} of $k elements")
+          row.zipWithIndex.foreach { case (d, j) =>
+            val bits = java.lang.Double.doubleToLongBits(d)
+            var b = 0
+            while (b < 8) {
+              raw((i * k + j) * 8 + b) = ((bits >> (8 * b)) & 0xff).toByte
+              b += 1
+            }
           }
         }
         val addr = appendAt(raw)
@@ -754,6 +777,7 @@ object Hdf5Writer {
       case "vls" => vlenStrDtMsg()
       case "vld" => vlenSeqDtMsg()
       case o if o.startsWith("o") && o.length > 1 => opaqueDtMsg(elemSize(o))
+      case a if a.startsWith("a") && a.length > 1 => arrayDtMsg(a.drop(1).toInt)
       case s if isStringDtype(s) => stringDtMsg(elemSize(s))
     }
 
@@ -775,6 +799,10 @@ object Hdf5Writer {
     def opaqueDtMsg(size: Int): Array[Byte] = // class 5, 8-byte ASCII tag
       Array[Byte](0x15, 0x08, 0, 0) ++ b32(size.toLong) ++
         "blob".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0)
+
+    def arrayDtMsg(k: Int): Array[Byte] = // class 10 v3: 1-D of K f8 cells
+      Array[Byte](0x3A, 0, 0, 0) ++ b32(k.toLong * 8) ++
+        Array[Byte](1) ++ b32(k.toLong) ++ datatypeMsg("f8")
 
     // enum (class 8) v3: base type then NUL-terminated unpadded names and
     // base-type-sized values

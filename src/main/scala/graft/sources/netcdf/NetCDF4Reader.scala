@@ -72,7 +72,7 @@ object NetCDF4Reader {
     val dimByAddr: Map[Long, DatasetMeta] = dimScales.map(d => d.objAddr -> d).toMap
     val dataSets = meta.datasets.filterNot(isDimScale)
       .filter(d => d.dtype.isNumeric || d.dtype.isString || d.dtype.isCompound ||
-        d.dtype.isVlenSeq || d.dtype.isOpaque)
+        d.dtype.isVlenSeq || d.dtype.isOpaque || d.dtype.isFixedArray)
     require(dataSets.nonEmpty,
       s"$path contains no data variables (only dimension scales)")
 
@@ -114,6 +114,7 @@ object NetCDF4Reader {
         if (v.dtype.isString) StringType
         else if (v.dtype.isVlenSeq) ArrayType(DoubleType) // netCDF-4 VLEN
         else if (v.dtype.isOpaque) BinaryType // NC_OPAQUE blobs
+        else if (v.dtype.isFixedArray) ArrayType(DoubleType) // class 10
         else DoubleType))
 
     val schema = StructType(
@@ -185,6 +186,8 @@ object NetCDF4Reader {
             Seq(Hdf5.decodeVlenSeqs(de, pl.ds.dtype, n, read))
           else if (pl.ds.dtype.isOpaque)
             Seq(Hdf5.decodeOpaque(de, pl.ds.dtype, n))
+          else if (pl.ds.dtype.isFixedArray)
+            Seq(Hdf5.decodeFixedArrays(de, pl.ds.dtype, n))
           else Seq(applyCdl(Hdf5.decodeValues(de, pl.ds.dtype, n), pl))
         }
         // contiguous/compact vars decode whole ONCE per partition and index

@@ -189,6 +189,24 @@ class Hdf5Spec extends SparkSpec {
     assert(Hdf5.parse(read, len).byPath("/thumb").dtype.isOpaque)
   }
 
+  test("array datatype (class 10) variables read as fixed-length array columns") {
+    val p = tmp("arrdt.nc")
+    val n = 3
+    val cells = Seq(Seq(1.0, 2.0, 3.0), Seq(4.5, 5.5, 6.5), Seq(-1.0, 0.0, 1.0))
+    HW.write(p, Seq(
+      HW.VarSpec("station", Seq("station"), Seq(n),
+        (0 until n).map(_.toDouble), dtype = "f8"),
+      HW.VarSpec("vec", Seq("station"), Seq(n), Nil, dtype = "a3",
+        vdata = cells)))
+    val df = NetCDF4Reader.readLongFormat(spark, p)
+    assert(df.schema("vec").dataType.typeName == "array")
+    val rows = df.orderBy($"station").collect()
+    assert(rows.map(r => r.getSeq[Double](r.fieldIndex("vec")).toSeq).toSeq == cells)
+    val (read, len) = localRead(p)
+    val dt = Hdf5.parse(read, len).byPath("/vec").dtype
+    assert(dt.isFixedArray && dt.arrayDims == Seq(3) && dt.base.exists(_.clazz == 1))
+  }
+
   test("v4 fixed-array chunk index (HDF5 >= 1.10) reads identically to the v1 B-tree") {
     val bt = tmp("bt.nc")
     writeWeather(bt, chunks = Some(Seq(2, 3, 2)))
