@@ -657,6 +657,8 @@ object Hdf5 {
         (Dtype(1, size, (bits0 & 1) == 0, signed = true), 8 + 12)
       case 3 => // string
         (Dtype(3, size, littleEndian = true, signed = false), 8)
+      case 4 => // bitfield: reads as an unsigned fixed-point (h5py semantics)
+        (Dtype(0, size, (bits0 & 1) == 0, signed = false), 8 + 4)
       case 5 => // opaque: bits 0-7 = ASCII tag length (8-padded); raw cells
         (Dtype(5, size, littleEndian = true, signed = false), 8 + (bits0 & 0xff))
       case 7 => // reference
@@ -1560,6 +1562,10 @@ object Hdf5 {
       val gidx = c.u32(off + 12).toInt
       if (gaddr == Undef || gaddr == 0 || gidx == 0) null
       else globalHeapObject(read, gaddr, gidx).map { b =>
+        if (nel.toLong * base.size > b.length)
+          throw UnsupportedHdf5(
+            s"vlen descriptor declares $nel elements (${nel.toLong * base.size} B) " +
+              s"but its global-heap object holds ${b.length} B — corrupt file")
         val bc = new Cur(b)
         Array.tabulate(nel)(j => numericAt(bc, j.toLong * base.size, base))
       }.orNull

@@ -65,13 +65,13 @@ object Hdf5Writer {
       // from `sdata` (`data` stays empty), contiguous layout only
       sdata: Seq[String] = Nil,
       // vlen-SEQUENCE variables (netCDF-4 VLEN of double): dtype "vld",
-      // ragged values from `vdata`, contiguous layout only
+      // ragged values from `vdata`, contiguous layout only. Array-datatype
+      // variables (class 10) reuse `vdata` with dtype "a<K>" (K f8
+      // elements per cell, every row exactly K long)
       vdata: Seq[Seq[Double]] = Nil,
       // opaque variables (NC_OPAQUE): dtype "o<N>" (N-byte cells), raw
       // values from `bdata`, contiguous layout only
       bdata: Seq[Array[Byte]] = Nil,
-      // array-datatype variables (class 10): dtype "a<K>" (K f8 elements
-      // per cell), fixed-length rows from `vdata`, contiguous layout only
       // extra attributes stored as VARIABLE-LENGTH strings (the h5py/netCDF-4
       // default for string attrs), each resolved through its own `GCOL`
       vlsAttrs: Seq[(String, String)] = Nil,
@@ -380,9 +380,11 @@ object Hdf5Writer {
         require(!hasFilters(v), s"${v.name}: opaque variables take no filters")
         require(v.bdata.size == v.shape.product, s"${v.name}: bdata size mismatch")
         val w = elemSize(v.dtype)
-        val raw = new Array[Byte](v.bdata.size * w) // zero-padded cells
+        val raw = new Array[Byte](v.bdata.size * w)
         v.bdata.zipWithIndex.foreach { case (b, i) =>
-          require(b.length <= w, s"${v.name}: cell $i (${b.length} B) exceeds $w-byte cells")
+          // exact width: opaque cells are raw bytes — silent zero-padding
+          // would make a written blob read back != itself
+          require(b.length == w, s"${v.name}: cell $i is ${b.length} B, cells are $w B")
           System.arraycopy(b, 0, raw, i * w, b.length)
         }
         val addr = appendAt(raw)

@@ -211,10 +211,16 @@ object NetCDF4Reader {
           st
         }
         // decoded-chunk cache for vars chunked on their OWN grid (not the
-        // task grid): (var, chunk offsets) -> columns; bounded per partition
-        // by the var-chunks overlapping the partition's cells
+        // task grid): (var, chunk offsets) -> columns. LRU-bounded: C-order
+        // cell iteration has high chunk locality, but a partition may walk
+        // MANY head cells — an unbounded cache would retain every own-grid
+        // chunk it ever touched (full f8 arrays) until the partition ends
         val ownGridCache =
-          scala.collection.mutable.HashMap.empty[(String, Seq[Long]), Seq[AnyRef]]
+          new java.util.LinkedHashMap[(String, Seq[Long]), Seq[AnyRef]](16, 0.75f, true) {
+            override def removeEldestEntry(
+                e: java.util.Map.Entry[(String, Seq[Long]), Seq[AnyRef]]): Boolean =
+              size() > 8
+          }
         it.flatMap { cellOffsets =>
           // decode this grid cell for every var: Left(cols, globallyIndexed)
           // for head-grid/whole vars, Right(ownChunkDims) for vars resolved
@@ -277,12 +283,15 @@ object NetCDF4Reader {
                   // var on its own grid: chunk containing this global cell
                   val vOff: Seq[Long] =
                     (0 until rank).map(d => (gIdx(d) / cdims(d)).toLong * cdims(d))
-                  val cols = ownGridCache.getOrElseUpdate((pl.name, vOff), {
+                  val cacheKey = (pl.name, vOff)
+                  var cols = ownGridCache.get(cacheKey)
+                  if (cols == null) {
                     val ref = pl.chunks.find(_.offsets == vOff).getOrElse(
                       throw UnsupportedHdf5(s"${pl.name}: missing chunk at $vOff"))
-                    decodeAny(pl, read(ref.addr, ref.nBytes.toInt),
+                    cols = decodeAny(pl, read(ref.addr, ref.nBytes.toInt),
                       cdims.product, ref.filterMask)
-                  })
+                    ownGridCache.put(cacheKey, cols)
+                  }
                   var vli = 0
                   var d2 = 0
                   while (d2 < rank) {

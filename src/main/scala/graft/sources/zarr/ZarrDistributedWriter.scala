@@ -210,19 +210,7 @@ object ZarrDistributedWriter {
       dims.zipWithIndex.map { case (d, i) => axis(d, i) } ++
         dataVars.map(v => col(v).cast("double")): _*)
     projected.rdd.flatMap { row =>
-      val idx = bcIdx.value
-      val gidx = new Array[Int](nDims)
-      var i = 0
-      while (i < nDims) { gidx(i) = idx(i)(row.getDouble(i)); i += 1 }
-      var localLinear = 0
-      val chunkIdx = new Array[Int](nDims)
-      i = 0
-      while (i < nDims) {
-        chunkIdx(i) = gidx(i) / chunksLocal(i)
-        localLinear = localLinear * chunksLocal(i) + gidx(i) % chunksLocal(i)
-        i += 1
-      }
-      val key = chunkIdx.mkString(".")
+      val (key, localLinear) = cellIndex(row, nDims, bcIdx.value, chunksLocal)
       varsLocal.indices.iterator.filterNot(vi => row.isNullAt(nDims + vi)).map { vi =>
         ((vi, key), (localLinear, row.getDouble(nDims + vi)))
       }
@@ -331,7 +319,7 @@ object ZarrDistributedWriter {
         .foreachPartition { it: Iterator[((Int, String), Array[String])] =>
           val conf = tconf.value
           it.foreach { case ((vi, key), cells) =>
-            val raw = encodeVlenUtf8(cells)
+            val raw = ZarrMeta.encodeVlenUtf8(cells)
             val out = compLocal match {
               case Some("zlib") => deflate(raw)
               case _ => raw
@@ -340,6 +328,25 @@ object ZarrDistributedWriter {
           }
         }
     }
+  }
+
+  /** (chunk key, local linear index) of one row's grid point — the ONE
+    * copy of the chunk-index math; the numeric and string cell pipelines
+    * both call it so they cannot drift. */
+  private def cellIndex(row: org.apache.spark.sql.Row, nDims: Int,
+      idx: Seq[Map[Double, Int]], chunks: IndexedSeq[Int]): (String, Int) = {
+    val gidx = new Array[Int](nDims)
+    var i = 0
+    while (i < nDims) { gidx(i) = idx(i)(row.getDouble(i)); i += 1 }
+    var localLinear = 0
+    val chunkIdx = new Array[Int](nDims)
+    i = 0
+    while (i < nDims) {
+      chunkIdx(i) = gidx(i) / chunks(i)
+      localLinear = localLinear * chunks(i) + gidx(i) % chunks(i)
+      i += 1
+    }
+    (chunkIdx.mkString("."), localLinear)
   }
 
   /** String-var counterpart of [[chunkBuffers]]: null-filled string cell
@@ -363,19 +370,7 @@ object ZarrDistributedWriter {
       dims.zipWithIndex.map { case (d, i) => axis(d, i) } ++
         stringVars.map(col): _*)
     projected.rdd.flatMap { row =>
-      val idx = bcIdx.value
-      val gidx = new Array[Int](nDims)
-      var i = 0
-      while (i < nDims) { gidx(i) = idx(i)(row.getDouble(i)); i += 1 }
-      var localLinear = 0
-      val chunkIdx = new Array[Int](nDims)
-      i = 0
-      while (i < nDims) {
-        chunkIdx(i) = gidx(i) / chunksLocal(i)
-        localLinear = localLinear * chunksLocal(i) + gidx(i) % chunksLocal(i)
-        i += 1
-      }
-      val key = chunkIdx.mkString(".")
+      val (key, localLinear) = cellIndex(row, nDims, bcIdx.value, chunksLocal)
       varsLocal.indices.iterator.filterNot(vi => row.isNullAt(nDims + vi)).map { vi =>
         ((vi, key), (localLinear, row.getString(nDims + vi)))
       }
@@ -398,24 +393,7 @@ object ZarrDistributedWriter {
       })
   }
 
-  /** numcodecs VLenUTF8 layout; absent cells (null) encode as "". */
-  private def encodeVlenUtf8(cells: Array[String]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    def le32(x: Int): Unit = {
-      bos.write(x & 0xff); bos.write((x >>> 8) & 0xff)
-      bos.write((x >>> 16) & 0xff); bos.write((x >>> 24) & 0xff)
-    }
-    le32(cells.length)
-    cells.foreach { s =>
-      if (s == null) le32(0)
-      else {
-        val b = s.getBytes("UTF-8")
-        le32(b.length)
-        bos.write(b)
-      }
-    }
-    bos.toByteArray
-  }
+
 
   private def zarrayJson(shape: Seq[Int], chunks: Seq[Int],
       compressor: Option[String], dtype: String = "<f8"): String = {

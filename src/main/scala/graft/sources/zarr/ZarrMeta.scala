@@ -195,8 +195,14 @@ object ZarrMeta {
       dtype = (za \ "dtype").extract[String],
       compressor = compressor,
       // Zarr v2 encodes non-finite float fills as the JSON STRINGS "NaN" /
-      // "Infinity" / "-Infinity" — handle those before the numeric case
+      // "Infinity" / "-Infinity" — handle those before the numeric case.
+      // String arrays (|O / |S / |U) carry STRING fills (zarr-python 3
+      // writes "" for v2 string arrays) — never a number
       fillValue = (za \ "fill_value") match {
+        case _ if {
+          val dt = (za \ "dtype").extract[String]
+          dt == "|O" || isStringDtype(dt)
+        } => None
         case JString(s) => Some(java.lang.Double.parseDouble(s))
         case JNull | JNothing => None
         case v => v.extractOpt[Double]
@@ -567,6 +573,27 @@ object ZarrMeta {
       off += len
       s
     }
+  }
+
+  /** Encode cells in the numcodecs VLenUTF8 layout — the exact inverse of
+    * [[decodeVlenUtf8]], kept beside it so the two can't drift. Null cells
+    * encode as "" (zarr v2 object arrays have no null string). */
+  def encodeVlenUtf8(cells: Array[String]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(x: Int): Unit = {
+      bos.write(x & 0xff); bos.write((x >>> 8) & 0xff)
+      bos.write((x >>> 16) & 0xff); bos.write((x >>> 24) & 0xff)
+    }
+    le32(cells.length)
+    cells.foreach { s =>
+      if (s == null) le32(0)
+      else {
+        val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        le32(b.length)
+        bos.write(b)
+      }
+    }
+    bos.toByteArray
   }
 
   /** Invert the v3 `transpose` codec: the stored buffer is C-order over the

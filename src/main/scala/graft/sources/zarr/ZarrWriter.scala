@@ -84,8 +84,9 @@ object ZarrWriter {
           case "gzip" => """{"name": "gzip", "configuration": {"level": 6}}"""
           case "zstd" => """{"name": "zstd", "configuration": {"level": 0, "checksum": false}}"""
           case "blosc" =>
+            val ts = if (v.dtype == "|O") 1 else ZarrMeta.dtypeBytes(v.dtype)
             s"""{"name": "blosc", "configuration": {"cname": "lz4", "clevel": 5,
-               | "shuffle": "shuffle", "typesize": ${ZarrMeta.dtypeBytes(v.dtype)},
+               | "shuffle": "shuffle", "typesize": $ts,
                | "blocksize": 0}}""".stripMargin
           case o => throw new UnsupportedOperationException(s"v3 writer codec $o")
         },
@@ -278,18 +279,7 @@ object ZarrWriter {
       if (!inBounds) "" else v.sdata(linearIndex(global, v.shape))
     }
     if (v.dtype == "|O") {
-      val bos = new ByteArrayOutputStream()
-      def le32(x: Int): Unit = {
-        bos.write(x & 0xff); bos.write((x >>> 8) & 0xff)
-        bos.write((x >>> 16) & 0xff); bos.write((x >>> 24) & 0xff)
-      }
-      le32(cells.size)
-      cells.foreach { s =>
-        val b = s.getBytes("UTF-8")
-        le32(b.length)
-        bos.write(b)
-      }
-      bos.toByteArray
+      ZarrMeta.encodeVlenUtf8(cells.toArray)
     } else {
       val w = ZarrMeta.dtypeBytes(v.dtype)
       val out = new Array[Byte](cells.size * w)

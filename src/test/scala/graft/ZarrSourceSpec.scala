@@ -1027,9 +1027,11 @@ class ZarrSourceSpec extends SparkSpec {
     val xb = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     Seq(0.0, 1.0, 2.0).foreach(xb.putDouble)
     put("x/0", xb.array())
+    // fill_value "" is what zarr-python 3 writes for v2-format string
+    // arrays — it must parse as a string fill, not Double.parseDouble("")
     putS("label/.zarray",
       """{"zarr_format": 2, "shape": [3], "chunks": [3], "dtype": "|O",
-        | "compressor": null, "fill_value": null,
+        | "compressor": null, "fill_value": "",
         | "filters": [{"id": "vlen-utf8"}], "order": "C"}""".stripMargin)
     putS("label/.zattrs", """{"_ARRAY_DIMENSIONS": ["x"]}""")
     val names = Seq("oslo", "smørbrød", "") // multibyte + empty cell
