@@ -207,6 +207,44 @@ class Hdf5Spec extends SparkSpec {
     assert(dt.isFixedArray && dt.arrayDims == Seq(3) && dt.base.exists(_.clazz == 1))
   }
 
+  test("randomized per-variable chunk grids read identically to contiguous (fixed seed)") {
+    // deterministic fuzz over the newest reader path: two vars with
+    // INDEPENDENT random chunk grids (or contiguous) must always read
+    // identically to the all-contiguous layout — exercises the head-grid
+    // planning, the own-grid LRU cache, and edge-chunk clipping
+    val rnd = new scala.util.Random(97L)
+    val (nt, ny, nx) = (3, 4, 5)
+    def vars(c1: Option[Seq[Int]], c2: Option[Seq[Int]]) = Seq(
+      HW.VarSpec("time", Seq("time"), Seq(nt),
+        (0 until nt).map(t => (t0 + 3600L * t).toDouble), dtype = "f8",
+        units = Some("seconds since 1970-01-01")),
+      HW.VarSpec("latitude", Seq("latitude"), Seq(ny),
+        (0 until ny).map(60.0 - _), dtype = "f8"),
+      HW.VarSpec("longitude", Seq("longitude"), Seq(nx),
+        (0 until nx).map(10.0 + _), dtype = "f8"),
+      HW.VarSpec("a", Seq("time", "latitude", "longitude"), Seq(nt, ny, nx),
+        (0 until nt * ny * nx).map(k => k * 1.5 - 7), dtype = "f8",
+        chunks = c1, deflate = c1.isDefined),
+      HW.VarSpec("b", Seq("time", "latitude", "longitude"), Seq(nt, ny, nx),
+        (0 until nt * ny * nx).map(k => (k * 13 % 97).toDouble), dtype = "f8",
+        chunks = c2))
+    val flat = tmp("fuzzflat.nc")
+    HW.write(flat, vars(None, None))
+    val expected = NetCDF4Reader.readLongFormat(spark, flat)
+      .orderBy($"time", $"latitude", $"longitude").collect()
+    def randChunks(): Option[Seq[Int]] =
+      if (rnd.nextInt(4) == 0) None
+      else Some(Seq(1 + rnd.nextInt(nt), 1 + rnd.nextInt(ny), 1 + rnd.nextInt(nx)))
+    for (trial <- 0 until 6) {
+      val (c1, c2) = (randChunks(), randChunks())
+      val p = tmp(s"fuzz$trial.nc")
+      HW.write(p, vars(c1, c2))
+      val got = NetCDF4Reader.readLongFormat(spark, p)
+        .orderBy($"time", $"latitude", $"longitude").collect()
+      assert(got.sameElements(expected), s"trial $trial: c1=$c1 c2=$c2 diverged")
+    }
+  }
+
   test("v4 fixed-array chunk index (HDF5 >= 1.10) reads identically to the v1 B-tree") {
     val bt = tmp("bt.nc")
     writeWeather(bt, chunks = Some(Seq(2, 3, 2)))

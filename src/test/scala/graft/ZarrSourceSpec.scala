@@ -1146,6 +1146,56 @@ class ZarrSourceSpec extends SparkSpec {
     assert(msgs.contains("crc32c mismatch"), msgs)
   }
 
+  test("randomized round-trips: shapes x chunks x dtypes x compressors (fixed seed)") {
+    // deterministic fuzz over the writer->reader surface: random shapes
+    // with NON-dividing chunks (edge padding on every axis), every
+    // numeric dtype the writer supports, strings, all compressors, v2+v3
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 0 until 6) {
+      val rank = 1 + rnd.nextInt(3)
+      val shape = Seq.fill(rank)(2 + rnd.nextInt(6))
+      val chunks = shape.map(s => 1 + rnd.nextInt(s))
+      val n = shape.product
+      val dims = (0 until rank).map(i => s"d$i")
+      val comp = Seq(None, Some("zlib"), Some("zstd"), Some("blosc"))(rnd.nextInt(4))
+      val dtype = Seq("<f8", "<f4", "<i4", "<i2")(rnd.nextInt(4))
+      val vals = Seq.tabulate(n)(i => (i * 7 % 1000).toDouble)
+      val words = Seq.tabulate(n)(i => s"w$i${"x" * (i % 5)}")
+      val coordVars = dims.zipWithIndex.map { case (d, i) =>
+        ZW.VarSpec(d, Seq(d), Seq(shape(i)), Seq(shape(i)), "<f8",
+          (0 until shape(i)).map(_.toDouble))
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"zfuzz$trial").toString + "/s.zarr"
+      ZW.write(dir, coordVars ++ Seq(
+        ZW.VarSpec("v", dims, shape, chunks, dtype, vals, compressor = comp),
+        ZW.VarSpec("s", dims, shape, chunks, "|O", Nil, sdata = words,
+          compressor = comp)))
+      val back = spark.read.format("zarr").load(dir)
+        .orderBy(dims.map(col): _*).collect()
+      assert(back.length == n, s"trial $trial: ${back.length} != $n")
+      assert(back.map(_.getAs[Double]("v")).toSeq == vals,
+        s"trial $trial v2 $dtype $comp shape=$shape chunks=$chunks")
+      assert(back.map(_.getAs[String]("s")).toSeq == words,
+        s"trial $trial v2 strings $comp")
+
+      // v3 counterpart (writer dtype surface: f8/f4/i4/i2 + strings;
+      // compressor surface: gzip/zstd/blosc/none)
+      val comp3 = Seq(None, Some("gzip"), Some("zstd"), Some("blosc"))(rnd.nextInt(4))
+      val dir3 = java.nio.file.Files.createTempDirectory(s"zfuzz3$trial").toString + "/s.zarr"
+      ZW.writeV3(dir3, coordVars ++ Seq(
+        ZW.VarSpec("v", dims, shape, chunks, dtype, vals, compressor = comp3,
+          crc32c = rnd.nextBoolean()),
+        ZW.VarSpec("s", dims, shape, chunks, "|O", Nil, sdata = words,
+          compressor = comp3)))
+      val back3 = spark.read.format("zarr").load(dir3)
+        .orderBy(dims.map(col): _*).collect()
+      assert(back3.map(_.getAs[Double]("v")).toSeq == vals,
+        s"trial $trial v3 $dtype $comp3 shape=$shape chunks=$chunks")
+      assert(back3.map(_.getAs[String]("s")).toSeq == words,
+        s"trial $trial v3 strings $comp3")
+    }
+  }
+
   test("mover extract pipeline runs natively on the zarr hypercube") {
     val out = graft.operators.Mover.extractRows(ds, s"file://$store",
       graft.operators.Mover.Options(variables = Seq("t2m"),
