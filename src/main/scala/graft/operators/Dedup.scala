@@ -247,30 +247,31 @@ object Dedup {
     val bandsDf = sets
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    // Candidate pairs per bucket: cap bucket membership BEFORE any
-    // aggregation with a partitioned row_number (a sort-based window — it
-    // streams and spills, never holding the bucket in memory), so the
-    // collect_list buffer is bounded by `maxBucketSize` even for a skewed
-    // bucket of near-identical boilerplate that grows with the corpus. The
-    // first `maxBucketSize` members (by doc_id) pair all-pairs; every member
-    // BEYOND the cap pairs row-wise with the bucket's first member (no
-    // collect at all on that path) — so no member silently escapes the
-    // verify stage, and the bound stays C(cap, 2) + (n - cap), linear in
-    // the overflow.
+    // Candidate pairs per bucket: cap bucket membership BEFORE any pairing
+    // with a partitioned row_number (a sort-based window — it streams and
+    // spills, never holding the bucket in memory). The first
+    // `maxBucketSize` members (by doc_id) pair all-pairs through a
+    // bucket-keyed SELF-JOIN with id_a < id_b — the sort-merge join's
+    // per-key group buffers spill to disk and the C(cap, 2) pair stream is
+    // consumed incrementally (the previous collect_list + flatten shape
+    // materialized every pair of a bucket inside ONE task's explode buffer
+    // — at cap 100k that is ~5e9 structs, the exact failure class the r9
+    // 64x stress caught in the embedding twin). Every member BEYOND the cap
+    // pairs row-wise with the bucket's first member — so no member silently
+    // escapes the verify stage, and the bound stays C(cap, 2) + (n - cap),
+    // linear in the overflow.
     val bw = Window.partitionBy(col("band"), col("bucket")).orderBy(col("doc_id"))
     val ranked = bandsDf
       .withColumn("rn", row_number().over(bw))
       .withColumn("first_id", first(col("doc_id")).over(bw))
       .persist()
-    val inCapPairs = ranked.filter(col("rn") <= maxBucketSize)
-      .groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(
-        expr("flatten(transform(ids, (x, i) -> " +
-          "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS id_a, y AS id_b))))"))
-        .as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+    val inCap = ranked.filter(col("rn") <= maxBucketSize)
+    val inCapPairs = inCap
+      .select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+      .join(inCap.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
     val overflowPairs = ranked.filter(col("rn") > maxBucketSize)
       .select(col("first_id").as("id_a"), col("doc_id").as("id_b"))
     val cand = inCapPairs.union(overflowPairs).distinct()

@@ -193,7 +193,11 @@ object Similarity {
     * ROW-WISE with the bucket's rank-1 member, so output stays bounded by
     * buckets * (cap^2 + overflow) — never quadratic in the corpus — while
     * no member escapes the verify stage unpaired. Size `planes` with
-    * [[planeCountFor]] so bucket count tracks corpus size. */
+    * [[planeCountFor]] so bucket count tracks corpus size.
+    *
+    * Precondition: `idCol` values are DISTINCT (document ids). Rows sharing
+    * an id never pair with each other (the id_a < id_b join filter), so a
+    * duplicate-id corpus under-reports pairs rather than erroring. */
   def cosineNearDupPairs(emb: DataFrame, vecCol: String, idCol: String,
       planes: Seq[Seq[Float]], threshold: Double,
       maxBucketSize: Int = 10000): DataFrame = {
@@ -208,7 +212,11 @@ object Similarity {
     // window — instead overflow rows join back to the rank-1 member, a join
     // that only ever touches overflow rows + one row per bucket
     val bw = Window.partitionBy(col("bucket")).orderBy(col("id"))
-    val ranked = bucketed.withColumn("rn", row_number().over(bw))
+    // persisted: four consumers (both self-join sides, firsts, overflow)
+    // would otherwise each re-run the sort + window and re-shuffle every
+    // row's full vector — the sibling minhashNearDupsRelational persists
+    // its ranked frame for the same reason
+    val ranked = bucketed.withColumn("rn", row_number().over(bw)).persist()
     val inCap = ranked.filter(col("rn") <= maxBucketSize)
     val inCapPairs = inCap
       .select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"),

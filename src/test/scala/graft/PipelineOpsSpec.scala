@@ -1648,76 +1648,30 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
-  test("plan lint: near-dup collect_list stages are pre-capped by a row_number filter") {
-    // The LSH candidate stages aggregate per (band, bucket); an UNCAPPED
-    // collect_list there materializes a whole skewed bucket in one task's
-    // aggregation buffer — the residual 100 TB scale-killer from round 2.
-    // Every collect_list in the near-dup plans must sit above a filter on a
-    // row_number window output (the pre-cap), never directly on raw buckets.
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter, Window => LWindow}
-    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, GreaterThanOrEqual, LessThanOrEqual, Literal, RowNumber, WindowExpression}
+  test("plan lint: near-dup in-cap pairing streams through a bucket self-join") {
+    // Both LSH near-dup operators (MinHash q31, embedding-cosine q46) once
+    // built their in-cap pairs with collect_list + flatten — materializing
+    // C(cap, 2) pair structs inside ONE task's buffer, the failure class
+    // the r9 64x stress caught (executor OOM on skewed buckets). Since r9
+    // both pair through a bucket-keyed SELF-JOIN with id_a < id_b, whose
+    // per-key group buffers spill and whose pair stream is consumed
+    // incrementally. The lint pins that shape: an equi-join (never a
+    // nested-loop), and NO CollectList anywhere in the un-cached pair
+    // pipeline — a reintroduced collect_list pair stage fails here before
+    // it fails a scale stress. (Per-doc shingle sets live inside persisted
+    // frames and are bounded by document length, not bucket size.)
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectList}
-    // q46's in-cap pairing is a bucket-keyed SELF-JOIN since r9 (collect_list
-    // there materialized cap^2 pairs in one task — the 64x-stress OOM); its
-    // plan must carry an equi-join, never a nested-loop, and the cap window
-    // still gates it (checked by the inventory-wide lints + oracle)
-    locally {
-      val plan = Queries.byName("q46_embedding_near_dups")(spark, sfDir)
-        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
-      assert(!plan.contains("BroadcastNestedLoopJoin"), "q46 plans a NL join")
-      assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"),
-        "q46: expected the bucket-keyed self-join for in-cap pairs")
-    }
-    for (q <- Seq("q31_minhash_near_dups")) {
-      val plan = Queries.byName(q)(spark, sfDir).queryExecution.optimizedPlan
-      val collectAggs = plan.collect {
-        case a: Aggregate if a.aggregateExpressions.exists(_.exists {
-          case ae: AggregateExpression => ae.aggregateFunction.isInstanceOf[CollectList]
-          case _ => false
-        }) => a
-      }
-      assert(collectAggs.nonEmpty, s"$q: expected a collect_list candidate stage")
-      collectAggs.foreach { agg =>
-        // row_number aliases directly in the logical child, plus those
-        // inside persisted frames: cache substitution swaps the Window into
-        // an InMemoryRelation's cached PHYSICAL plan, but output exprIds
-        // are preserved, so the outer cap filter still references them
-        val logicalRnIds = agg.child.collect { case w: LWindow =>
-          w.windowExpressions.collect {
-            case al @ Alias(WindowExpression(_: RowNumber, _), _) => al.exprId
-          }
-        }.flatten.toSet
-        val cachedRnIds = agg.child.collect {
-          case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-            // under AQE the cached plan is an AdaptiveSparkPlanExec leaf;
-            // its real tree hangs off inputPlan. Cache REUSE rewrites the
-            // IMR's output attr ids to the consuming plan while the inner
-            // physical plan keeps the ORIGINAL run's ids — so map matched
-            // window aliases to output POSITIONS, then back to the (possibly
-            // rewritten) IMR output ids.
-            val phys = imr.cachedPlan match {
-              case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-                a.inputPlan
-              case p => p
-            }
-            val innerRn = phys.collect {
-              case w: org.apache.spark.sql.execution.window.WindowExec =>
-                w.windowExpression.collect {
-                  case al @ Alias(WindowExpression(_: RowNumber, _), _) => al.exprId
-                }
-            }.flatten.toSet
-            phys.output.zipWithIndex.collect {
-              case (a, i) if innerRn.contains(a.exprId) => imr.output(i).exprId
-            }
-        }.flatten.toSet
-        val rnIds = logicalRnIds ++ cachedRnIds
-        val gated = agg.child.collect { case f: LFilter => f }.exists(_.condition.exists {
-          case LessThanOrEqual(a: Attribute, _: Literal) => rnIds.contains(a.exprId)
-          case GreaterThanOrEqual(_: Literal, a: Attribute) => rnIds.contains(a.exprId)
-          case _ => false
-        })
-        assert(gated, s"$q: collect_list aggregation is not pre-capped by a row_number filter")
-      }
+    for (q <- Seq("q31_minhash_near_dups", "q46_embedding_near_dups")) {
+      val qe = Queries.byName(q)(spark, sfDir).queryExecution
+      val planStr = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(!planStr.contains("BroadcastNestedLoopJoin"), s"$q plans a NL join")
+      assert(planStr.contains("SortMergeJoin") || planStr.contains("HashJoin"),
+        s"$q: expected the bucket-keyed self-join for in-cap pairs")
+      val hasCollect = qe.optimizedPlan.exists(_.expressions.exists(_.exists {
+        case ae: AggregateExpression => ae.aggregateFunction.isInstanceOf[CollectList]
+        case _ => false
+      }))
+      assert(!hasCollect, s"$q: a collect_list pair stage reappeared")
     }
   }
 

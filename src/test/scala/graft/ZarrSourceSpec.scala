@@ -1087,6 +1087,22 @@ class ZarrSourceSpec extends SparkSpec {
       assert(rt.map(_.getAs[Double]("v")).toSeq == Seq(0.0, 10.0, 20.0, 30.0, 40.0))
     }
 
+    // sharded v3 string array: vlen inner chunks behind a sharding_indexed
+    // object (the 100 TB store layout with label vars)
+    val d5 = java.nio.file.Files.createTempDirectory("zarr3strsh").toString + "/s.zarr"
+    ZW.writeV3(d5, Seq(
+      ZW.VarSpec("x", Seq("x"), Seq(8), Seq(8), "<f8",
+        (0 until 8).map(_.toDouble)),
+      ZW.VarSpec("name", Seq("x"), Seq(8), Seq(2), "|O", Nil,
+        sdata = (0 until 8).map(i => s"label-$i"), compressor = Some("gzip"),
+        shard = Some(Seq(4))),
+      ZW.VarSpec("v", Seq("x"), Seq(8), Seq(2), "<f8",
+        (0 until 8).map(i => i * 2.0), shard = Some(Seq(4)))))
+    val rt5 = spark.read.format("zarr").load(d5).orderBy($"x").collect()
+    assert(rt5.map(_.getAs[String]("name")).toSeq ==
+      (0 until 8).map(i => s"label-$i"))
+    assert(rt5.map(_.getAs[Double]("v")).toSeq == (0 until 8).map(_ * 2.0))
+
     // |O without the object codec is undecodable — directed error, not junk
     val d3 = java.nio.file.Files.createTempDirectory("zarrvlenbad").toString + "/s.zarr"
     def put3(rel: String, s: String): Unit = {
