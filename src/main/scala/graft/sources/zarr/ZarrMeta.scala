@@ -411,6 +411,10 @@ object ZarrMeta {
     val dims = dataVars.head.dims
     require(dataVars.forall(_.dims == dims),
       s"data variables disagree on dimensions: ${dataVars.map(m => m.name -> m.dims)}")
+    // same dims must mean same shape — a malformed store violating this
+    // would silently misindex under per-var chunk resolution
+    require(dataVars.forall(_.shape == dataVars.head.shape),
+      s"data variables disagree on shape: ${dataVars.map(m => m.name -> m.shape)}")
     val coordMeta = metas.filter(m => m.dims.size == 1 && dims.contains(m.name))
       .map(m => m.name -> m).toMap
     val coords = coordMeta.map { case (n, m) =>
