@@ -290,9 +290,10 @@ object ZarrMeta {
       // |O array with the numcodecs vlen-utf8 object codec (same buffer
       // layout on disk)
       case "string" => "O"
+      case "bool" => "b1" // one byte per element, 0 = false
       case other => throw new UnsupportedOperationException(
         s"zarr v3 data_type '$other' on $name (supported: float64/32/16, " +
-          "int64/32/16/8, uint64/32/16/8, string)")
+          "int64/32/16/8, uint64/32/16/8, bool, string)")
     }
     if (dt == "O") require(vlenUtf8,
       s"zarr v3 string array $name has no vlen-utf8 codec in its chain")
@@ -709,7 +710,7 @@ object ZarrMeta {
     case "f8" | "i8" | "u8" => 8
     case "f4" | "i4" | "u4" => 4
     case "f2" | "i2" | "u2" => 2
-    case "i1" | "u1" => 1
+    case "i1" | "u1" | "b1" => 1
     case s if s.startsWith("S") && s.length > 1 => s.drop(1).toInt // bytes
     case u if u.startsWith("U") && u.length > 1 => u.drop(1).toInt * 4 // UTF-32
     case _ => throw new UnsupportedOperationException(s"zarr dtype '$dtype'")
@@ -967,6 +968,7 @@ object ZarrMeta {
         case "u4" => (bb.getInt(i * 4) & 0xffffffffL).toDouble
         case "u2" => (bb.getShort(i * 2) & 0xffff).toDouble
         case "u1" => (bb.get(i) & 0xff).toDouble
+        case "b1" => if (bb.get(i) == 0) 0.0 else 1.0 // numpy bool masks
         case other => throw new UnsupportedOperationException(
           s"zarr dtype '${meta.dtype}' (array ${meta.name})")
       }

@@ -74,6 +74,7 @@ object ZarrWriter {
         case "<i4" => "int32"
         case "<i2" => "int16"
         case "<u1" | "|u1" => "uint8"
+        case "|b1" => "bool"
         case "|O" => "string" // variable-length strings, vlen-utf8 codec
         case o => throw new UnsupportedOperationException(s"v3 writer dtype $o")
       }
@@ -314,6 +315,7 @@ object ZarrWriter {
         case "<i4" => bb.putInt(value.toInt)
         case "<i2" => bb.putShort(value.toShort)
         case "<u1" | "|u1" => bb.put(value.toInt.toByte)
+        case "|b1" => bb.put(if (value != 0.0) 1.toByte else 0.toByte)
       }
     }
     bb.array()

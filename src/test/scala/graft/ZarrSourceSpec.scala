@@ -1130,6 +1130,24 @@ class ZarrSourceSpec extends SparkSpec {
     assert(msgs.contains("|O"), msgs)
   }
 
+  test("bool arrays (|b1 v2, bool v3) read as 0/1 doubles — xarray mask variables") {
+    val mask = Seq(1.0, 0.0, 1.0, 1.0, 0.0)
+    val d2 = java.nio.file.Files.createTempDirectory("zarrbool").toString + "/s.zarr"
+    ZW.write(d2, Seq(
+      ZW.VarSpec("x", Seq("x"), Seq(5), Seq(5), "<f8", (0 until 5).map(_.toDouble)),
+      ZW.VarSpec("land", Seq("x"), Seq(5), Seq(2), "|b1", mask,
+        compressor = Some("zlib"))))
+    val rt2 = spark.read.format("zarr").load(d2).orderBy($"x").collect()
+    assert(rt2.map(_.getAs[Double]("land")).toSeq == mask)
+    val d3 = java.nio.file.Files.createTempDirectory("zarrbool3").toString + "/s.zarr"
+    ZW.writeV3(d3, Seq(
+      ZW.VarSpec("x", Seq("x"), Seq(5), Seq(5), "<f8", (0 until 5).map(_.toDouble)),
+      ZW.VarSpec("land", Seq("x"), Seq(5), Seq(2), "|b1", mask,
+        compressor = Some("gzip"))))
+    val rt3 = spark.read.format("zarr").load(d3).orderBy($"x").collect()
+    assert(rt3.map(_.getAs[Double]("land")).toSeq == mask)
+  }
+
   test("zarr v3 crc32c data-chunk codec: verified on read, corruption is a directed error") {
     val vals = (0 until 10).map(i => i * 1.5)
     def store(comp: Option[String], shard: Option[Seq[Int]]): String = {
