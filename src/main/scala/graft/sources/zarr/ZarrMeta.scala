@@ -212,6 +212,10 @@ object ZarrMeta {
       addOffset = (attrs \ "add_offset").extractOpt[Double],
       missingValue = (attrs \ "missing_value").extractOpt[Double],
       epochSecondsTime = units.startsWith("seconds since 1970-01-01"),
+      // v2 optional dimension_separator: "/" nests chunk files in
+      // directories (the cloud-store layout that keeps listings small);
+      // ignoring it would read every chunk as absent → silent all-fill
+      keySep = (za \ "dimension_separator").extractOpt[String].getOrElse("."),
       filters = filters)
   }
 

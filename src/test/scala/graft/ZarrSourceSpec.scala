@@ -1130,6 +1130,49 @@ class ZarrSourceSpec extends SparkSpec {
     assert(msgs.contains("|O"), msgs)
   }
 
+  test("v2 dimension_separator '/': nested chunk keys read correctly") {
+    // zarr-python writes dimension_separator "/" for cloud stores (nested
+    // chunk files keep object listings small); ignoring the field would
+    // read every chunk as absent -> silent all-fill
+    val dir = java.nio.file.Files.createTempDirectory("zarrsep").toString + "/s.zarr"
+    def put(rel: String, bytes: Array[Byte]): Unit = {
+      val f = new java.io.File(dir, rel)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, bytes)
+    }
+    def putS(rel: String, s: String): Unit = put(rel, s.getBytes("UTF-8"))
+    def f8(vals: Double*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(vals.size * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(bb.putDouble)
+      bb.array()
+    }
+    putS("x/.zarray",
+      """{"zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<f8",
+        | "compressor": null, "fill_value": null, "filters": null, "order": "C"}""".stripMargin)
+    putS("x/.zattrs", """{"_ARRAY_DIMENSIONS": ["x"]}""")
+    put("x/0", f8(0.0, 1.0))
+    putS("y/.zarray",
+      """{"zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<f8",
+        | "compressor": null, "fill_value": null, "filters": null, "order": "C"}""".stripMargin)
+    putS("y/.zattrs", """{"_ARRAY_DIMENSIONS": ["y"]}""")
+    put("y/0", f8(0.0, 1.0, 2.0, 3.0))
+    putS("v/.zarray",
+      """{"zarr_format": 2, "shape": [2, 4], "chunks": [1, 2], "dtype": "<f8",
+        | "compressor": null, "fill_value": "NaN", "order": "C",
+        | "filters": null, "dimension_separator": "/"}""".stripMargin)
+    putS("v/.zattrs", """{"_ARRAY_DIMENSIONS": ["x", "y"]}""")
+    for (cx <- 0 until 2; cy <- 0 until 2)
+      put(s"v/$cx/$cy", f8(cx * 100.0 + cy * 10, cx * 100.0 + cy * 10 + 1))
+    val rows = spark.read.format("zarr").load(dir)
+      .orderBy($"x", $"y").collect()
+    assert(rows.length == 8)
+    assert(rows.forall(r => !r.isNullAt(r.fieldIndex("v"))),
+      "nested chunk keys were not resolved")
+    assert(rows.map(_.getAs[Double]("v")).toSeq ==
+      Seq(0.0, 1.0, 10.0, 11.0, 100.0, 101.0, 110.0, 111.0))
+  }
+
   test("bool arrays (|b1 v2, bool v3) read as 0/1 doubles — xarray mask variables") {
     val mask = Seq(1.0, 0.0, 1.0, 1.0, 0.0)
     val d2 = java.nio.file.Files.createTempDirectory("zarrbool").toString + "/s.zarr"
