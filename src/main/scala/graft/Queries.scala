@@ -649,6 +649,50 @@ object Queries {
           .orderBy($"time", $"latitude", $"longitude")
       }),
 
+    // ---------------------------------------------------------------- S1 (GRIB2 rotated lat/lon, template 3.1)
+    // Rotated lat/lon — the COSMO / ICON-EU / HARMONIE regional-model grid
+    // (WMO GRIB2 template 3.1): the grid is regular in a frame whose south
+    // pole sits at true (-40, 10); the reader unrotates each point to true
+    // latitude/longitude. The oracle re-derives the unrotation with
+    // DuckDB's own trig (asin/atan2), so the spherical rotation math is
+    // verified by an independent evaluator; round(…, 6) absorbs libm ulps.
+    Q("q108_grib2_rotated", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 100),
+           g AS (SELECT CAST(rn0 * 1000 + o_orderkey % 997 AS DOUBLE) AS value,
+                        radians(4.5 - (rn0 // 10) * 1.0) AS phi,
+                        radians(-4.5 + (rn0 % 10) * 1.0) AS lam
+                 FROM o)
+      SELECT round(degrees(asin(cos(phi) * cos(lam) * sin(radians(50.0))
+                                + sin(phi) * cos(radians(50.0)))), 6) AS latitude,
+             round(degrees(atan2(cos(phi) * sin(lam),
+                                 cos(phi) * cos(lam) * cos(radians(50.0))
+                                 - sin(phi) * sin(radians(50.0)))
+                           + radians(10.0)), 6) AS longitude,
+             value
+      FROM g ORDER BY value"""))(
+      (s, d) => {
+        import graft.sources.grib.{Grib2Reader, GribProjection, Grib2Writer => GW2}
+        val ks = Tables.orders(s, d).orderBy($"o_orderkey").limit(100)
+          .select(($"o_orderkey" % 997).cast("double"))
+          .collect().map(_.getDouble(0))
+        val vals = ks.zipWithIndex.map { case (v, i) => i * 1000.0 + v }.toSeq
+        val t0 = java.time.LocalDateTime.of(2026, 4, 1, 0, 0)
+        val path = java.nio.file.Files.createTempDirectory("q108").toString +
+          "/q108.grib2"
+        GW2.write(path, Seq(GW2.FieldSpec(
+          discipline = 0, category = 0, number = 0, levelType = 103,
+          levelScaledValue = 2, refTime = t0, values = vals, ni = 10, nj = 10,
+          la1 = 4.5, lo1 = -4.5, la2 = -4.5, lo2 = 4.5,
+          decimalScale = 0, bitsPerValue = 24,
+          projection = Some(GribProjection.RotatedLatLon(-40.0, 10.0)))))
+        Grib2Reader.readLongFormat(s, path)
+          .select(round($"latitude", 6).as("latitude"),
+            round($"longitude", 6).as("longitude"), $"value")
+          .orderBy($"value")
+      }),
+
     // ---------------------------------------------------------------- S1 S6 (glob -> distributed multi-file ingest, mixed editions, data_uri)
     // The reference's PRIMARY invocation shape: a file pattern expanded to
     // one work unit per URI (pattern_to_uris, pipeline.py:42-48). Four GRIB

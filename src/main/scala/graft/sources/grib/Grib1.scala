@@ -54,7 +54,8 @@ object Grib1 {
       secondOrder: Boolean = false,
       gaussianN: Int = 0,       // grid type 4: N; 0 = type 0
       pl: Option[Array[Int]] = None, // reduced grid: points per row
-      spectral: Option[(Int, Int, Int)] = None) // grid type 50: J/K/M truncation
+      spectral: Option[(Int, Int, Int)] = None, // grid type 50: J/K/M truncation
+      rotated: Option[GribProjection.RotatedLatLon] = None) // grid type 10
       extends GribUnit {
 
     def nPoints: Int = pl.map(_.sum).getOrElse(ni * nj)
@@ -64,14 +65,22 @@ object Grib1 {
     @transient private lazy val rowStarts: Array[Int] =
       pl.map(_.scanLeft(0)(_ + _)).getOrElse(Array.empty)
 
-    /** Reduced rows span the full circle from lo1 with per-row spacing. */
-    override def coordOf(k: Int): (Double, Double) = pl match {
-      case None => (latOf(k / ni), lonOf(k % ni))
-      case Some(counts) =>
-        var j = java.util.Arrays.binarySearch(rowStarts, k)
-        if (j < 0) j = -j - 2
-        val i = k - rowStarts(j)
-        (latOf(j), lo1 + i * 360.0 / counts(j))
+    /** Reduced rows span the full circle from lo1 with per-row spacing;
+      * rotated grids (type 10) interpolate in the rotated frame then
+      * unrotate to true lat/lon. */
+    override def coordOf(k: Int): (Double, Double) = {
+      val (la, lo) = pl match {
+        case None => (latOf(k / ni), lonOf(k % ni))
+        case Some(counts) =>
+          var j = java.util.Arrays.binarySearch(rowStarts, k)
+          if (j < 0) j = -j - 2
+          val i = k - rowStarts(j)
+          (latOf(j), lo1 + i * 360.0 / counts(j))
+      }
+      rotated match {
+        case Some(r) => r.inverse(lo, la)
+        case None => (la, lo)
+      }
     }
 
     def decode(data: Array[Byte], bitmap: Array[Byte]): Array[Double] =
@@ -306,7 +315,21 @@ object Grib1 {
     val gridType = u8(g, 5)
     if (gridType != 0 && gridType != 10 && gridType != 4 && gridType != 50)
       throw UnsupportedGrib(
-        s"grid type $gridType (regular lat/lon 0/10, Gaussian 4, spectral 50)")
+        s"grid type $gridType (lat/lon 0, rotated lat/lon 10, Gaussian 4, " +
+          "spectral 50)")
+    // grid type 10 (rotated lat/lon): la1..lo2 are in the ROTATED frame;
+    // octets 33-42 carry the true-frame south pole of the rotated system
+    // (millidegrees) + the angle of rotation (an IBM-format float)
+    val rotated: Option[GribProjection.RotatedLatLon] =
+      if (gridType != 10) None
+      else {
+        if (gdsLen < 42) throw UnsupportedGrib(
+          s"rotated lat/lon GDS of $gdsLen bytes (42 minimum: octets 33-42 " +
+            "hold the pole of rotation)")
+        val rg = read(gdsOff + 32, 10)
+        Some(GribProjection.RotatedLatLon(
+          s24(rg, 0) / 1000.0, s24(rg, 3) / 1000.0, ibmFloat(rg, 6)))
+      }
     // grid type 50: spherical harmonics — J/K/M truncation where Ni/Nj sit
     val spectral: Option[(Int, Int, Int)] =
       if (gridType != 50) None
@@ -401,7 +424,7 @@ object Grib1 {
       ni, nj, la1, lo1, la2, lo2, scan,
       bitmapOffset, bitmapBytes,
       binScale, refValue, bitsPerValue, dataOffset, dataBytes, unusedBits,
-      secondOrder, gaussN, plCounts, spectral)
+      secondOrder, gaussN, plCounts, spectral, rotated)
   }
 
   /** In-memory convenience form of [[parseMessage]] (tests, small buffers):

@@ -35,7 +35,9 @@ object Grib1Writer {
       reducedPl: Option[Seq[Int]] = None, // reduced Gaussian: points per row
       // spectral (grid type 50): triangular truncation T; `values` are the
       // (T+1)(T+2) interleaved (re, im) coefficients, m-major
-      spectralT: Int = -1)
+      spectralT: Int = -1,
+      // rotated lat/lon (grid type 10): la1..lo2 are rotated-frame coords
+      rotated: Option[GribProjection.RotatedLatLon] = None)
 
   def write(path: String, fields: Seq[FieldSpec],
       conf: Configuration = new Configuration()): Unit = {
@@ -106,12 +108,21 @@ object Grib1Writer {
       b(13) = 1                // representation mode
       return b
     }
+    require(f.rotated.isEmpty || (f.reducedPl.isEmpty && f.gaussianN == 0),
+      "rotated grids are regular lat/lon only")
+    val rotBytes = if (f.rotated.isDefined) 10 else 0
     val listBytes = f.reducedPl.map(_.size * 2).getOrElse(0)
-    val b = new Array[Byte](32 + listBytes)
+    val b = new Array[Byte](32 + rotBytes + listBytes)
     put24(b, 0, b.length)
     b(3) = 0                   // NV
     b(4) = (if (f.reducedPl.isDefined) 33 else 255).toByte // PV/PL octet
-    b(5) = if (f.gaussianN > 0) 4 else 0 // regular lat/lon | Gaussian
+    b(5) = if (f.rotated.isDefined) 10
+      else if (f.gaussianN > 0) 4 else 0 // rotated | Gaussian | lat/lon
+    f.rotated.foreach { r =>   // octets 33-42: south pole + angle (IBM float)
+      putS24(b, 32, math.round(r.southPoleLat * 1000).toInt)
+      putS24(b, 35, math.round(r.southPoleLon * 1000).toInt)
+      Grib1.toIbmFloat(r.angle).copyToArray(b, 38)
+    }
     putU16(b, 6, if (f.reducedPl.isDefined) 65535 else f.ni)
     putU16(b, 8, f.nj)
     f.reducedPl.foreach(pl =>

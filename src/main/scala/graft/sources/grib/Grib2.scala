@@ -72,21 +72,29 @@ object Grib2 {
     @transient private lazy val projOrigin: (Double, Double) =
       projection.map(_.forward(la1, lo1)).getOrElse((0.0, 0.0))
 
-    /** Projected grids walk meters from the first point; reduced rows span
-      * the full circle from lo1 with per-row spacing; rectangular grids
+    /** Projected grids walk meters from the first point; rotated lat/lon
+      * grids (3.1) interpolate in the ROTATED frame (la1..lo2 are rotated
+      * coordinates) then unrotate to true lat/lon; reduced rows span the
+      * full circle from lo1 with per-row spacing; rectangular grids
       * interpolate. */
     override def coordOf(k: Int): (Double, Double) = projection match {
+      case Some(r: GribProjection.RotatedLatLon) =>
+        val (latR, lonR) = gridCoordOf(k)
+        r.inverse(lonR, latR)
       case Some(proj) =>
         val (x0, y0) = projOrigin
         proj.inverse(x0 + (k % ni) * dxMeters, y0 + (k / ni) * dyMeters)
-      case None => pl match {
-        case None => (latOf(k / ni), lonOf(k % ni))
-        case Some(counts) =>
-          var j = java.util.Arrays.binarySearch(rowStarts, k)
-          if (j < 0) j = -j - 2 // insertion point - 1 = containing row
-          val i = k - rowStarts(j)
-          (latOf(j), lo1 + i * 360.0 / counts(j))
-      }
+      case None => gridCoordOf(k)
+    }
+
+    /** (lat, lon) of point `k` in the grid's OWN frame (rotated for 3.1). */
+    private def gridCoordOf(k: Int): (Double, Double) = pl match {
+      case None => (latOf(k / ni), lonOf(k % ni))
+      case Some(counts) =>
+        var j = java.util.Arrays.binarySearch(rowStarts, k)
+        if (j < 0) j = -j - 2 // insertion point - 1 = containing row
+        val i = k - rowStarts(j)
+        (latOf(j), lo1 + i * 360.0 / counts(j))
     }
 
     def decode(data: Array[Byte], bitmap: Array[Byte]): Array[Double] =
@@ -262,10 +270,10 @@ object Grib2 {
             .toEpochSecond(java.time.ZoneOffset.UTC)
         case 2 => // local use — skip
         case 3 =>
-          val b = read(cur, math.min(secLen, 82L).toInt)
+          val b = read(cur, math.min(secLen, 85L).toInt)
           val template = u16(b, 12)
           template match {
-            case 0 | 40 =>
+            case 0 | 1 | 40 =>
               val listOctets = u8(b, 10)
               val listInterp = u8(b, 11)
               val niRaw = u32(b, 30)
@@ -277,6 +285,13 @@ object Grib2 {
               val scan = u8(b, 71)
               // 3.40 stores N (parallels pole->equator) where 3.0 stores Dj
               val n = if (template == 40) u32(b, 67).toInt else 0
+              // 3.1 (rotated lat/lon): la1..lo2 are in the ROTATED frame;
+              // the template appends the true-frame south pole of the
+              // rotated system + the angle of rotation (octets 73-84)
+              val rot: Option[GribProjection.RotatedLatLon] =
+                if (template != 1) None
+                else Some(GribProjection.RotatedLatLon(
+                  s32(b, 72) / 1e6, s32(b, 76) / 1e6, ieee32(b, 80)))
               val missing = niRaw == 0xffffffffL || niRaw == 0
               // reduced (quasi-regular) grid: ni missing + points-per-row
               // list (interpretation 1, code table 3.11) after the template
@@ -285,7 +300,8 @@ object Grib2 {
                   throw UnsupportedGrib("grid with missing Ni and no " +
                     "points-per-row list (quasi-regular interpretation " +
                     s"$listInterp, list octets $listOctets)")
-                val lb = read(cur + 72, nj * listOctets)
+                val lb = read(cur + (if (template == 1) 84 else 72),
+                  nj * listOctets)
                 val counts = Array.tabulate(nj) { r =>
                   listOctets match {
                     case 1 => u8(lb, r)
@@ -295,9 +311,9 @@ object Grib2 {
                   }
                 }
                 grid = Some(GridDef(counts.max, nj, la1, lo1, la2, lo2, scan,
-                  n, pl = Some(counts)))
+                  n, pl = Some(counts), proj = rot))
               } else grid = Some(GridDef(niRaw.toInt, nj, la1, lo1, la2, lo2,
-                scan, n))
+                scan, n, proj = rot))
             case 10 =>
               // Mercator: Ni/Nj + first point + LaD true-scale + Di/Dj mm
               val nx = u32(b, 30).toInt
@@ -352,9 +368,9 @@ object Grib2 {
                 jkm = Some((j, k, m))))
             case other =>
               throw UnsupportedGrib(s"grid template 3.$other " +
-                "(3.0 lat/lon, 3.10 Mercator, 3.20 polar stereographic, " +
-                "3.30 Lambert conformal, 3.40 regular/reduced Gaussian, " +
-                "3.50 spherical harmonics)")
+                "(3.0 lat/lon, 3.1 rotated lat/lon, 3.10 Mercator, " +
+                "3.20 polar stereographic, 3.30 Lambert conformal, " +
+                "3.40 regular/reduced Gaussian, 3.50 spherical harmonics)")
           }
         case 4 =>
           val b = read(cur, math.min(secLen, 64L).toInt)

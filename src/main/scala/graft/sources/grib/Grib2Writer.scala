@@ -35,7 +35,7 @@ object Grib2Writer {
       groupSize: Int = 20,             // complex-packing group length
       gaussianN: Int = 0,              // > 0 -> grid template 3.40
       reducedPl: Option[Seq[Int]] = None, // reduced Gaussian: points per row
-      projection: Option[GribProjection] = None, // 3.20/3.30
+      projection: Option[GribProjection] = None, // 3.1/3.10/3.20/3.30
       dxMeters: Double = 0, dyMeters: Double = 0,
       // spectral (3.50 + 5.50/5.51): triangular truncation T; `values` are
       // the 2*(T+1)(T+2)/2 interleaved (re, im) coefficients in
@@ -112,9 +112,39 @@ object Grib2Writer {
     b
   }
 
+  /** Template 3.1 (rotated lat/lon): the 3.0 layout with la1..lo2 in the
+    * ROTATED frame, followed by the south pole of rotation + angle. */
+  private def section3Rotated(f: FieldSpec,
+      r: GribProjection.RotatedLatLon): Array[Byte] = {
+    require(f.reducedPl.isEmpty, "reduced rotated grids not emitted")
+    val b = new Array[Byte](84)
+    putU32(b, 0, b.length); b(4) = 3
+    b(5) = 0                         // grid source
+    putU32(b, 6, f.ni.toLong * f.nj)
+    putU16(b, 12, 1)                 // template 3.1
+    b(14) = 6                        // shape of earth: sphere 6371229
+    putU32(b, 30, f.ni); putU32(b, 34, f.nj)
+    putU32(b, 38, 0); putU32(b, 42, 0) // basic angle/subdivisions
+    putS32(b, 46, math.round(f.la1 * 1e6))
+    putS32(b, 50, math.round(f.lo1 * 1e6))
+    b(54) = 0x30                     // resolution flags: di/dj given
+    putS32(b, 55, math.round(f.la2 * 1e6))
+    putS32(b, 59, math.round(f.lo2 * 1e6))
+    val di = if (f.ni > 1) math.abs(f.lo2 - f.lo1) / (f.ni - 1) else 0
+    val dj = if (f.nj > 1) math.abs(f.la2 - f.la1) / (f.nj - 1) else 0
+    putU32(b, 63, math.round(di * 1e6))
+    putU32(b, 67, math.round(dj * 1e6))
+    b(71) = 0                        // scan mode: +i, -j
+    putS32(b, 72, math.round(r.southPoleLat * 1e6))
+    putS32(b, 76, math.round(r.southPoleLon * 1e6))
+    putU32(b, 80, java.lang.Float.floatToIntBits(r.angle.toFloat) & 0xffffffffL)
+    b
+  }
+
   /** Templates 3.10/3.20/3.30 (Mercator / polar stereo / Lambert). */
   private def section3Projected(f: FieldSpec, proj: GribProjection): Array[Byte] = {
     proj match {
+      case r: GribProjection.RotatedLatLon => return section3Rotated(f, r)
       case m: GribProjection.Mercator =>
         val b = new Array[Byte](72)
         putU32(b, 0, b.length); b(4) = 3

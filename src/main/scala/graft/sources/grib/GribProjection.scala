@@ -101,6 +101,59 @@ object GribProjection {
     }
   }
 
+  /** Rotated latitude/longitude (GRIB2 template 3.1, GRIB1 grid type 10 —
+    * the COSMO / ICON-EU / HARMONIE regional-model grids). Unlike the
+    * projected grids this is not a meters walk: grid points are REGULAR in
+    * the rotated spherical frame, so "projected space" here is rotated
+    * DEGREES — `forward` maps true (lat, lon) to (rotated lon, rotated lat)
+    * and `inverse` maps rotated (lon, lat) back to true (lat, lon).
+    *
+    * The rotated frame is defined by the true-frame coordinates of its
+    * SOUTH pole (the GRIB convention) plus an optional rotation `angle`
+    * about the rotated polar axis. Composition (unit-sphere rotation
+    * matrices): v_true = Rz(lonPole) * Ry(-(90 + latPole)) * Rz(-angle) *
+    * v_rot, which reduces to the identity for the unrotated pole
+    * (-90, 0, 0). Spherical trig per WMO GRIB2 code table 3.1 notes /
+    * COSMO public documentation.
+    */
+  final case class RotatedLatLon(southPoleLat: Double, southPoleLon: Double,
+      angle: Double = 0.0) extends GribProjection {
+    private val theta = math.toRadians(90.0 + southPoleLat) // tilt from identity
+    private val lamP = math.toRadians(southPoleLon)
+    private val gamma = math.toRadians(angle)
+    private val ct = math.cos(theta)
+    private val st = math.sin(theta)
+
+    /** True (lat, lon) degrees -> (rotated lon, rotated lat) degrees. */
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val lam = normalize(math.toRadians(lonDeg) - lamP)
+      val x = math.cos(phi) * math.cos(lam)
+      val y = math.cos(phi) * math.sin(lam)
+      val z = math.sin(phi)
+      // Ry(theta) tilts the true pole onto the rotated pole axis
+      val x1 = x * ct + z * st
+      val z1 = -x * st + z * ct
+      val latR = math.toDegrees(math.asin(math.max(-1.0, math.min(1.0, z1))))
+      val lonR = math.toDegrees(normalize(math.atan2(y, x1) + gamma))
+      (lonR, latR)
+    }
+
+    /** Rotated (lon, lat) degrees -> true (lat, lon) degrees. */
+    def inverse(lonR: Double, latR: Double): (Double, Double) = {
+      val phi = math.toRadians(latR)
+      val lam = normalize(math.toRadians(lonR) - gamma)
+      val x = math.cos(phi) * math.cos(lam)
+      val y = math.cos(phi) * math.sin(lam)
+      val z = math.sin(phi)
+      val x1 = x * ct - z * st
+      val z1 = x * st + z * ct
+      val lat = math.toDegrees(math.asin(math.max(-1.0, math.min(1.0, z1))))
+      val lon = math.toDegrees(normalize(math.atan2(y, x1) + lamP))
+      (lat, lon)
+    }
+  }
+
   private def normalize(lam: Double): Double = {
     var l = lam
     while (l > math.Pi) l -= 2 * math.Pi

@@ -509,6 +509,69 @@ class Grib2Spec extends SparkSpec {
     assert(math.abs(rows2(0).getDouble(1) + 100.0) < 1e-6)
   }
 
+  test("rotated lat/lon: pole math, GRIB2 3.1 and GRIB1 type 10 read unrotated") {
+    import graft.sources.grib.{GribProjection, Grib1Reader, Grib1Writer => GW}
+    import GribProjection.RotatedLatLon
+    // unrotated pole is the identity
+    val id = RotatedLatLon(-90.0, 0.0)
+    for ((la, lo) <- Seq((0.0, 0.0), (48.2, 16.4), (-33.9, 151.2))) {
+      val (la2, lo2) = id.inverse(lo, la)
+      assert(math.abs(la2 - la) < 1e-12 && math.abs(lo2 - lo) < 1e-12)
+    }
+    // COSMO-EU pole: rotated origin sits at true (50, 10); the rotated
+    // north pole sits at true (40, -170)
+    val cosmo = RotatedLatLon(-40.0, 10.0)
+    val (oLat, oLon) = cosmo.inverse(0.0, 0.0)
+    assert(math.abs(oLat - 50.0) < 1e-9 && math.abs(oLon - 10.0) < 1e-9)
+    val (pLat, pLon) = cosmo.inverse(0.0, 90.0)
+    assert(math.abs(pLat - 40.0) < 1e-9 && math.abs(pLon + 170.0) < 1e-9)
+    // forward/inverse round-trip, with and without an angle of rotation
+    for (r <- Seq(cosmo, RotatedLatLon(-35.0, -15.0, 25.0));
+         (la, lo) <- Seq((50.0, 10.0), (62.3, -8.7), (37.1, 29.9))) {
+      val (xr, yr) = r.forward(la, lo)
+      val (la2, lo2) = r.inverse(xr, yr)
+      assert(math.abs(la2 - la) < 1e-9 && math.abs(lo2 - lo) < 1e-9,
+        s"$r: ($la, $lo) -> ($xr, $yr) -> ($la2, $lo2)")
+    }
+    // GRIB2 template 3.1: coordinates come back unrotated
+    val (gi, gj) = (5, 4)
+    val vals = (0 until gi * gj).map(_.toDouble)
+    val dir = java.nio.file.Files.createTempDirectory("rot").toString
+    val rot = RotatedLatLon(-40.0, 10.0, 15.0f)
+    val p2 = s"$dir/rot.grib2"
+    GW2.write(p2, Seq(GW2.FieldSpec(0, 0, 0, 103, 2, t0, vals, gi, gj,
+      la1 = 1.5, lo1 = -2.0, la2 = -1.5, lo2 = 2.0, decimalScale = 0,
+      projection = Some(rot))))
+    val f = Grib2Reader.indexFields(new org.apache.hadoop.conf.Configuration(), p2).head
+    assert(f.projection.contains(rot))
+    val rows = Grib2Reader.readLongFormat(spark, p2)
+      .orderBy($"value").select($"latitude", $"longitude", $"value").collect()
+    assert(rows.length == gi * gj)
+    rows.zipWithIndex.foreach { case (r, k) =>
+      val latR = 1.5 - (k / gi) * 1.0
+      val lonR = -2.0 + (k % gi) * 1.0
+      val (wantLat, wantLon) = rot.inverse(lonR, latR)
+      assert(math.abs(r.getDouble(0) - wantLat) < 1e-6 &&
+        math.abs(r.getDouble(1) - wantLon) < 1e-6,
+        s"k=$k got (${r.getDouble(0)}, ${r.getDouble(1)}) want ($wantLat, $wantLon)")
+    }
+    // GRIB1 grid type 10: same grid through the edition-1 path (angle 0 —
+    // the IBM-float angle octets round-trip exactly for 0)
+    val rot1 = RotatedLatLon(-40.0, 10.0)
+    val p1 = s"$dir/rot.grib"
+    GW.write(p1, Seq(GW.FieldSpec(167, 105, 2, t0, vals, ni = gi, nj = gj,
+      la1 = 1.5, lo1 = -2.0, la2 = -1.5, lo2 = 2.0, rotated = Some(rot1))))
+    val rows1 = Grib1Reader.readLongFormat(spark, p1)
+      .orderBy($"value").select($"latitude", $"longitude", $"value").collect()
+    assert(rows1.length == gi * gj)
+    rows1.zipWithIndex.foreach { case (r, k) =>
+      val (wantLat, wantLon) =
+        rot1.inverse(-2.0 + (k % gi) * 1.0, 1.5 - (k / gi) * 1.0)
+      assert(math.abs(r.getDouble(0) - wantLat) < 1e-6 &&
+        math.abs(r.getDouble(1) - wantLon) < 1e-6)
+    }
+  }
+
   test("Mercator grids (3.10) and GRIB1 reduced Gaussian read natively") {
     import graft.sources.grib.{GaussianGrid, GribProjection, Grib1Reader, Grib1Writer => GW}
     val dir = java.nio.file.Files.createTempDirectory("merc").toString
