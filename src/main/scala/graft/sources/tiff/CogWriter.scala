@@ -15,8 +15,8 @@ import java.util.zip.Deflater
   *    marked NewSubfileType=1, each carrying its own scaled georeferencing;
   *  - tile data ordered smallest-overview FIRST and full resolution LAST,
   *    so low-zoom readers never seek past data they don't need;
-  *  - LZW or deflate compression with the horizontal predictor for integer
-  *    samples;
+  *  - LZW, deflate, or ZSTD (50000) compression with the horizontal
+  *    predictor for integer samples;
   *  - classic TIFF (magic 42) or BigTIFF (`bigTiff = true`: magic 43,
   *    8-byte offsets, 20-byte IFD entries, LONG8 tile arrays) — the form
   *    rasters over 4 GiB require.
@@ -37,6 +37,7 @@ object CogWriter {
       tileLength: Int = 128,
       lzw: Boolean = true,
       deflate: Boolean = false,
+      zstd: Boolean = false,        // compression 50000 (GDAL/COG convention)
       predictor: Int = 1,
       bitsPerSample: Int = 32,
       sampleFormat: Int = 3,
@@ -88,7 +89,8 @@ object CogWriter {
 
   def write(path: String, s: Spec): Unit = {
     require(s.data.size == s.width * s.height * s.bands, "data size mismatch")
-    require(!(s.lzw && s.deflate), "pick one compression")
+    require(Seq(s.lzw, s.deflate, s.zstd).count(identity) <= 1,
+      "pick one compression")
 
     // 1. resolution pyramid: full res + 2x overviews until it fits one tile
     val levels = {
@@ -112,7 +114,8 @@ object CogWriter {
     // as TIFF requires)
     val packSpec = TiffWriter.Spec(s.width, s.height, s.bands, Nil,
       s.pixelScale, s.tiepointXY, s.epsg,
-      lzw = s.lzw, deflate = s.deflate, predictor = s.predictor,
+      lzw = s.lzw, deflate = s.deflate, zstd = s.zstd,
+      predictor = s.predictor,
       bitsPerSample = s.bitsPerSample, sampleFormat = s.sampleFormat)
     def encodeTiles(lv: Level): Seq[Array[Byte]] = {
       val across = (lv.width + s.tileWidth - 1) / s.tileWidth
@@ -143,6 +146,7 @@ object CogWriter {
           s.tileWidth * s.bands)
         if (s.lzw) Lzw.encode(raw)
         else if (s.deflate) deflate(raw)
+        else if (s.zstd) graft.sources.zarr.Zstd.compressStore(raw)
         else raw
       }
     }
@@ -150,7 +154,7 @@ object CogWriter {
 
     // 3. layout. Head: header | per-level (IFD, then its out-of-line tag
     // values). Data: levels smallest-first, full resolution LAST.
-    val compCode = if (s.lzw) 5 else if (s.deflate) 8 else 1
+    val compCode = if (s.lzw) 5 else if (s.deflate) 8 else if (s.zstd) 50000 else 1
     val geoKeys: Seq[Int] = {
       val projected = s.epsg >= 32000
       Seq(1, 1, 0, 2,

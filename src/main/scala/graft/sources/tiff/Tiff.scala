@@ -194,8 +194,9 @@ object Tiff {
       i += 1
     }
     require(width > 0 && height > 0, "TIFF missing dimensions")
-    if (!Set(1, 5, 8, 32773, 32946).contains(comp))
-      throw UnsupportedTiff(s"compression $comp (none/LZW/deflate/PackBits only)")
+    if (!Set(1, 5, 8, 32773, 32946, 50000).contains(comp))
+      throw UnsupportedTiff(
+        s"compression $comp (none/LZW/deflate/PackBits/ZSTD only)")
     if (pred == 2 && fmt == 3)
       throw UnsupportedTiff("predictor 2 with floating-point samples " +
         "(predictor 3 is the float predictor)")
@@ -243,6 +244,9 @@ object Tiff {
       case 5 => Lzw.decode(raw, nValues * (m.bitsPerSample / 8))
       case 8 | 32946 => inflate(raw, nValues * (m.bitsPerSample / 8))
       case 32773 => unpackBits(raw, nValues * (m.bitsPerSample / 8))
+      case 50000 => // ZSTD (GDAL/COG convention), one frame per block
+        graft.sources.zarr.Zstd.decompress(raw, 0, raw.length,
+          nValues * (m.bitsPerSample / 8))
     }
     val bytes =
       if (m.predictor == 3) fpUnpredict(bytes0, m, nValues, rowSamples)

@@ -23,13 +23,15 @@ object TiffWriter {
       deflate: Boolean = false,
       lzw: Boolean = false,
       packBits: Boolean = false,
+      zstd: Boolean = false,       // compression 50000 (GDAL/COG convention)
       predictor: Int = 1,          // 2 = horizontal (int), 3 = float planes
       bitsPerSample: Int = 32,
       sampleFormat: Int = 3,       // 1 uint, 2 int, 3 ieee float
       bigTiff: Boolean = false) {  // magic 43, 8-byte offsets, LONG8 arrays
 
     def compressionCode: Int =
-      if (lzw) 5 else if (deflate) 8 else if (packBits) 32773 else 1
+      if (lzw) 5 else if (deflate) 8 else if (packBits) 32773
+      else if (zstd) 50000 else 1
   }
 
   /** One scanline-block of samples as packed little-endian bytes, predictor
@@ -144,6 +146,7 @@ object TiffWriter {
       if (s.lzw) Lzw.encode(raw)
       else if (s.deflate) deflate(raw)
       else if (s.packBits) packBitsEncode(raw)
+      else if (s.zstd) graft.sources.zarr.Zstd.compressStore(raw)
       else raw
     }
 

@@ -48,6 +48,36 @@ class TiffSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("ZSTD strips (50000) and a ZSTD COG decode identically") {
+    import graft.sources.tiff.CogWriter
+    val dir = java.nio.file.Files.createTempDirectory("tifzstd").toString
+    val raw = s"$dir/raw.tif"
+    val zst = s"$dir/zst.tif"
+    val spec = TW.Spec(w, h, 1, vals((r, c) => r * 7.0 + c * 0.25),
+      pixelScale = (1.0, 1.0), tiepointXY = (0.0, 10.0), epsg = 4326)
+    TW.write(raw, spec)
+    TW.write(zst, spec.copy(zstd = true))
+    val a = TiffReader.readLongFormat(spark, raw)
+      .orderBy($"latitude", $"longitude").collect()
+    val b = TiffReader.readLongFormat(spark, zst)
+      .orderBy($"latitude", $"longitude").collect()
+    assert(a.sameElements(b))
+    // tiled path with the horizontal predictor through the COG writer
+    val p = s"$dir/c.tif"
+    val (bw, bh) = (150, 90)
+    val data = (0 until bw * bh).map(k => ((k * 17) % 2048).toDouble)
+    CogWriter.write(p, CogWriter.Spec(bw, bh, 1, data,
+      pixelScale = (0.01, 0.01), tiepointXY = (0.0, 50.0), epsg = 4326,
+      tileWidth = 64, tileLength = 64, lzw = false, zstd = true,
+      predictor = 2, bitsPerSample = 16, sampleFormat = 1))
+    val df = TiffReader.readLongFormat(spark, p)
+    assert(df.count() == bw.toLong * bh)
+    val got = df.filter(abs($"latitude" - (50.0 - 3.5 * 0.01)) < 1e-9 &&
+        abs($"longitude" - 7.5 * 0.01) < 1e-9)
+      .head().getAs[Double]("band_1")
+    assert(got == ((3 * bw + 7) * 17 % 2048).toDouble)
+  }
+
   test("PackBits strips and the floating-point predictor decode identically") {
     val dir = java.nio.file.Files.createTempDirectory("tifpb").toString
     val raw = s"$dir/raw.tif"
