@@ -693,6 +693,47 @@ object Queries {
           .orderBy($"value")
       }),
 
+    // ---------------------------------------------------------------- S1 (GRIB2 probability products, templates 4.5/4.9)
+    // ENS probability output (e.g. probability of precipitation above a
+    // threshold): the probability block demuxes into per-threshold
+    // channels (`tp_p<type>_l<lower>[_u<upper>]`), instant (4.5) and
+    // over-an-interval (4.9) variants side by side in one file.
+    Q("q109_grib2_probability", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200)
+      SELECT CASE WHEN rn0 < 100 THEN 'tp_p1_l1' ELSE 'tp_p2_l0p5_u2p5' END
+               AS short_name,
+             CASE WHEN rn0 < 100 THEN 'instant' ELSE 'accum' END AS step_type,
+             CAST(50 - (rn0 % 100) // 10 AS DOUBLE) AS latitude,
+             CAST(rn0 % 10 AS DOUBLE) AS longitude,
+             CAST(o_orderkey % 101 AS DOUBLE) AS value
+      FROM o
+      ORDER BY short_name, latitude, longitude"""))(
+      (s, d) => {
+        import graft.sources.grib.{Grib2Reader, Grib2Writer => GW2}
+        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+          .select(($"o_orderkey" % 101).cast("double"))
+          .collect().map(_.getDouble(0)).toSeq
+        val t0 = java.time.LocalDateTime.of(2026, 5, 1, 0, 0)
+        val path = java.nio.file.Files.createTempDirectory("q109").toString +
+          "/q109.grib2"
+        def spec(v: Seq[Double], prob: (Int, Double, Double), statP: Int) =
+          GW2.FieldSpec(
+            discipline = 0, category = 1, number = 8, levelType = 1,
+            levelScaledValue = 0, refTime = t0, values = v, ni = 10, nj = 10,
+            la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0,
+            forecastTime = 6, statProcess = statP, decimalScale = 0,
+            probability = Some(prob))
+        GW2.write(path, Seq(
+          spec(vals.take(100), (1, 1.0, Double.NaN), -1),
+          spec(vals.drop(100), (2, 0.5, 2.5), 1)))
+        Grib2Reader.readLongFormat(s, path)
+          .select($"short_name", $"step_type", $"latitude", $"longitude",
+            $"value")
+          .orderBy($"short_name", $"latitude", $"longitude")
+      }),
+
     // ---------------------------------------------------------------- S1 S6 (glob -> distributed multi-file ingest, mixed editions, data_uri)
     // The reference's PRIMARY invocation shape: a file pattern expanded to
     // one work unit per URI (pattern_to_uris, pipeline.py:42-48). Four GRIB

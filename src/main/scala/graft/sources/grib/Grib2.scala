@@ -4,11 +4,13 @@ package graft.sources.grib
   * the edition most operational centers emit today (the reference's cfgrib
   * path reads both editions transparently; sinks.py:345-389).
   *
-  * Supported surface, mirroring the edition-1 reader's scope: regular
-  * lat/lon grids (grid template 3.0), instant + statistically-processed
-  * products (product templates 4.0 / 4.8), simple packing (data template
-  * 5.0) with optional bitmap, multiple fields per message (repeated
-  * sections 3-7). Everything else raises a directed error.
+  * Supported surface, mirroring the edition-1 reader's scope: regular,
+  * rotated, Gaussian, projected, and spectral grids (templates 3.0/3.1/
+  * 3.10/3.20/3.30/3.40/3.50), instant / ensemble / probability /
+  * statistically-processed products (templates 4.0/4.1/4.2/4.5/4.8/4.9/
+  * 4.11), simple/complex/IEEE/JPEG2000/PNG/CCSDS/spectral packing with
+  * optional bitmap, multiple fields per message (repeated sections 3-7).
+  * Everything else raises a directed error.
   *
   * An edition-2 message is:
   *   Section 0 (16 B): "GRIB", reserved(2), discipline, edition=2,
@@ -59,7 +61,10 @@ object Grib2 {
       projection: Option[GribProjection] = None, // 3.10/3.20/3.30 grids
       dxMeters: Double = 0, dyMeters: Double = 0,
       ensembleMember: Int = -1, // templates 4.1/4.11; -1 = deterministic
-      spectral: Option[Spectral] = None) // 3.50 + 5.50/5.51 spectral fields
+      spectral: Option[Spectral] = None, // 3.50 + 5.50/5.51 spectral fields
+      // templates 4.5/4.9: (probability type per code table 4.9,
+      // lower limit, upper limit); NaN = limit not in use
+      probability: Option[(Int, Double, Double)] = None)
       extends GribUnit {
 
     def nPoints: Int = pl.map(_.sum).getOrElse(ni * nj)
@@ -163,12 +168,29 @@ object Grib2 {
       // channels for the wide pivot — cfgrib's `number` coordinate
       // re-expressed in the flat row model; derived products (4.2) name
       // by the eccodes dataType convention (em = mean, es = spread)
-      if (ensembleMember >= 1000) ensembleMember - 1000 match {
-        case 0 => s"${named}_em"
-        case 4 => s"${named}_es"
-        case t => s"${named}_ed$t"
+      val withEns =
+        if (ensembleMember >= 1000) ensembleMember - 1000 match {
+          case 0 => s"${named}_em"
+          case 4 => s"${named}_es"
+          case t => s"${named}_ed$t"
+        }
+        else if (ensembleMember >= 0) s"${named}_m$ensembleMember" else named
+      // probability products (4.5/4.9) demux into per-threshold channels:
+      // _p<type>[_l<lower>][_u<upper>], limits with '.'->'p' / '-'->'m'
+      // so the name stays a valid pivot column
+      probability match {
+        case Some((t, lo, up)) =>
+          def fmt(v: Double): String = {
+            val s0 =
+              if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
+              else v.toString
+            s0.replace('-', 'm').replace('.', 'p')
+          }
+          val l = if (lo.isNaN) "" else s"_l${fmt(lo)}"
+          val u = if (up.isNaN) "" else s"_u${fmt(up)}"
+          s"${withEns}_p$t$l$u"
+        case None => withEns
       }
-      else if (ensembleMember >= 0) s"${named}_m$ensembleMember" else named
     }
 
     @transient private lazy val gaussLats: Array[Double] =
@@ -247,6 +269,8 @@ object Grib2 {
       dx: Double = 0, dy: Double = 0, jkm: Option[(Int, Int, Int)] = None)
     var grid: Option[GridDef] = None
     var prod: Option[(Int, Int, Int, Int, Int, Double, Int, Long, Int)] = None
+    // 4.5/4.9: (probability type, lower limit, upper limit)
+    var prodProb: Option[(Int, Double, Double)] = None
     var repr: Option[(Double, Int, Int, Int, Int, Option[ComplexPacking])] = None
     var ccsdsParams: Option[(Int, Int, Int)] = None
     // 5.50: realPart00; 5.51: (p, subT, ts, precision)
@@ -376,14 +400,17 @@ object Grib2 {
           val b = read(cur, math.min(secLen, 64L).toInt)
           val template = u16(b, 7)
           // 4.0 instant / 4.1 individual ensemble member / 4.2 derived
-          // ensemble (mean/spread) / 4.8 statistical interval / 4.11
+          // ensemble (mean/spread) / 4.5 probability forecast / 4.8
+          // statistical interval / 4.9 probability over an interval / 4.11
           // ensemble member over an interval — the ensemble templates
           // insert octets after octet 34 (4.1/4.11: type + perturbation +
-          // count; 4.2: derived type + count) and shift interval fields
+          // count; 4.2: derived type + count; 4.5/4.9: the 13-octet
+          // probability block) and shift interval fields
           if (template != 0 && template != 1 && template != 2 &&
-            template != 8 && template != 11)
+            template != 5 && template != 8 && template != 9 &&
+            template != 11)
             throw UnsupportedGrib(
-              s"product template 4.$template (4.0/4.1/4.2/4.8/4.11)")
+              s"product template 4.$template (4.0/4.1/4.2/4.5/4.8/4.9/4.11)")
           val cat = u8(b, 9)
           val num = u8(b, 10)
           val timeUnit = u8(b, 17)
@@ -406,10 +433,30 @@ object Grib2 {
             if (ensemble) u8(b, 35)
             else if (template == 2) 1000 + u8(b, 34)
             else -1
-          val shift = if (ensemble) 3 else if (template == 2) 2 else 0
+          // probability templates (4.5/4.9): probability type (code table
+          // 4.9) + sign-magnitude-scaled lower/upper limits (255/all-ones
+          // scale/value = limit not in use -> NaN)
+          val probTmpl = template == 5 || template == 9
+          prodProb =
+            if (!probTmpl) None
+            else {
+              def limit(off: Int): Double = {
+                val sc = u8(b, off)
+                val raw = u32(b, off + 1)
+                if (sc == 255 || raw == 0xffffffffL) Double.NaN
+                else {
+                  val scale = if ((sc & 0x80) != 0) -(sc & 0x7f) else sc
+                  s32(b, off + 1) / math.pow(10.0, scale)
+                }
+              }
+              Some((u8(b, 36), limit(37), limit(42)))
+            }
+          val shift =
+            if (ensemble) 3 else if (template == 2) 2
+            else if (probTmpl) 13 else 0
           var statProcess = -1
           var intervalEnd = -1L
-          if (template == 8 || template == 11) {
+          if (template == 8 || template == 9 || template == 11) {
             intervalEnd = java.time.LocalDateTime.of(
               u16(b, 34 + shift), u8(b, 36 + shift), u8(b, 37 + shift),
               u8(b, 38 + shift), u8(b, 39 + shift), u8(b, 40 + shift))
@@ -531,7 +578,7 @@ object Grib2 {
             refV, binS, decS, bits, bitmapOffset, bitmapBytes,
             cur + 5, (secLen - 5).toInt, reprT, cp,
             if (reprT == 42) ccsdsParams else None, gaussN, gd.pl,
-            gd.proj, gd.dx, gd.dy, member, spectral)
+            gd.proj, gd.dx, gd.dy, member, spectral, prodProb)
         case 8 => // should not appear as a section header; defensive
           throw UnsupportedGrib(s"unexpected section number 8 at offset $cur")
         case other =>

@@ -42,7 +42,10 @@ object Grib2Writer {
       // m = 0..T, n = m..T order; set ni = values.size, nj = 1
       spectralT: Int = -1,
       laplacianP: Double = 0.0,        // 5.51 scaling exponent
-      subTruncation: Int = -1)         // 5.51 unpacked sub-truncation
+      subTruncation: Int = -1,         // 5.51 unpacked sub-truncation
+      // probability products (4.5 instant / 4.9 over an interval):
+      // (probability type per code table 4.9, lower, upper); NaN = not used
+      probability: Option[(Int, Double, Double)] = None)
 
   def write(path: String, fields: Seq[FieldSpec],
       conf: Configuration = new Configuration()): Unit = {
@@ -227,13 +230,17 @@ object Grib2Writer {
     val template48 = f.statProcess >= 0
     val derived = f.ensembleMember >= 1000
     val ens = f.ensembleMember >= 0 && !derived
+    val prob = f.probability.isDefined
     require(!(derived && template48), "derived-over-interval (4.12) not emitted")
-    val shift = if (ens) 3 else if (derived) 2 else 0
+    require(!(prob && (ens || derived)),
+      "probability + ensemble member (4.10x) not emitted")
+    val shift = if (ens) 3 else if (derived) 2 else if (prob) 13 else 0
     val b = new Array[Byte]((if (template48) 58 else 34) + shift)
     putU32(b, 0, b.length); b(4) = 4
     putU16(b, 5, 0)                  // no extra coordinate values
     putU16(b, 7,
-      if (derived) 2
+      if (prob) { if (template48) 9 else 5 }
+      else if (derived) 2
       else (template48, ens) match {
         case (false, false) => 0
         case (false, true) => 1      // individual ensemble member
@@ -258,6 +265,17 @@ object Grib2Writer {
     } else if (derived) {
       b(34) = (f.ensembleMember - 1000).toByte // code table 4.7
       b(35) = 51                     // forecasts in the ensemble
+    } else if (prob) {
+      val (t, lo, up) = f.probability.get
+      b(34) = 0                      // forecast probability number
+      b(35) = 1                      // total probabilities
+      b(36) = t.toByte               // probability type (code table 4.9)
+      // limits at scale factor 3 (millis — exact for fixture thresholds);
+      // NaN = limit not in use (255 scale + all-ones value)
+      def putLimit(off: Int, v: Double): Unit =
+        if (v.isNaN) { b(off) = 255.toByte; putU32(b, off + 1, 0xffffffffL) }
+        else { b(off) = 3; putS32(b, off + 1, math.round(v * 1000)) }
+      putLimit(37, lo); putLimit(42, up)
     }
     if (template48) {
       val e = f.intervalEnd.getOrElse(

@@ -509,6 +509,41 @@ class Grib2Spec extends SparkSpec {
     assert(math.abs(rows2(0).getDouble(1) + 100.0) < 1e-6)
   }
 
+  test("probability products (4.5/4.9) demux into per-threshold channels") {
+    val dir = java.nio.file.Files.createTempDirectory("prob").toString
+    val p = s"$dir/prob.grib2"
+    val vals = (0 until 12).map(k => (k * 7 % 101).toDouble)
+    def spec(prob: (Int, Double, Double), statP: Int) = GW2.FieldSpec(
+      discipline = 0, category = 1, number = 8, levelType = 1,
+      levelScaledValue = 0, refTime = t0, values = vals, ni = 4, nj = 3,
+      la1 = 50.0, lo1 = 0.0, la2 = 48.0, lo2 = 3.0,
+      forecastTime = 6, statProcess = statP, decimalScale = 0,
+      probability = Some(prob))
+    // 4.5 instant, above lower limit 1 mm; 4.9 accumulated, between
+    // 0.5 and 2.5 mm; 4.9 with an unused (NaN) upper limit
+    GW2.write(p, Seq(
+      spec((1, 1.0, Double.NaN), -1),
+      spec((2, 0.5, 2.5), 1),
+      spec((0, 0.25, Double.NaN), 1)))
+    val fs = Grib2Reader.indexFields(new org.apache.hadoop.conf.Configuration(), p)
+    assert(fs.map(_.shortName) ==
+      Seq("tp_p1_l1", "tp_p2_l0p5_u2p5", "tp_p0_l0p25"))
+    assert(fs(0).stepType == "instant" && fs(1).stepType == "accum")
+    assert(fs(0).probability.contains((1, 1.0, Double.NaN)) == false) // NaN != NaN
+    assert(fs(0).probability.get._1 == 1 && fs(0).probability.get._2 == 1.0 &&
+      fs(0).probability.get._3.isNaN)
+    assert(fs(1).probability.contains((2, 0.5, 2.5)))
+    // 4.9 carries the interval end: valid time = ref + 6 h
+    assert(fs(1).validTimeEpochSec == fs(0).validTimeEpochSec)
+    // values decode exactly; channels stay distinct through the long format
+    val df = Grib2Reader.readLongFormat(spark, p)
+    assert(df.select($"short_name").distinct().count() == 3)
+    val got = df.filter($"short_name" === "tp_p2_l0p5_u2p5")
+      .orderBy($"latitude".desc, $"longitude").select($"value")
+      .as[Double].collect()
+    assert(got.toSeq == vals)
+  }
+
   test("rotated lat/lon: pole math, GRIB2 3.1 and GRIB1 type 10 read unrotated") {
     import graft.sources.grib.{GribProjection, Grib1Reader, Grib1Writer => GW}
     import GribProjection.RotatedLatLon
