@@ -53,6 +53,34 @@ object QueriesML {
 
   lazy val all: Seq[Q] = Seq(
 
+    // ------------------------------------------------------- dedup: fuzzy (edit-distance) key join
+    // Entity-resolution primitive: every pair of derived 12-char document
+    // keys within Levenshtein distance 2, via complete q-gram count-filter
+    // candidates + codegen'd levenshtein verify (FuzzyJoin). The oracle
+    // cross-joins in DuckDB with its own levenshtein — an independent
+    // implementation of both the candidate completeness claim and the
+    // distance metric.
+    Q("q110_fuzzy_join", Some("""
+      WITH d AS (SELECT doc_id,
+                        lower(substr(regexp_replace(text, '[^a-zA-Z ]', '', 'g'),
+                                     1, 12)) AS s
+                 FROM documents ORDER BY doc_id LIMIT 300)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(levenshtein(a.s, b.s) AS INT) AS dist
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE abs(length(a.s) - length(b.s)) <= 2
+        AND levenshtein(a.s, b.s) <= 2
+      ORDER BY id_a, id_b"""))(
+      (s, d) => {
+        val keys = Tables.documents(s, d).orderBy($"doc_id").limit(300)
+          .select($"doc_id",
+            lower(substring(regexp_replace($"text", "[^a-zA-Z ]", ""), 1, 12))
+              .as("s"))
+        graft.operators.FuzzyJoin.editSelfJoin(keys, "doc_id", "s", maxDist = 2)
+          .select($"id_a", $"id_b", $"dist")
+          .orderBy($"id_a", $"id_b")
+      }),
+
     // ------------------------------------------------------- dedup: MinHash signatures
     Q("q30_minhash_sig", Some(s"""
       WITH ${shingleCte("documents")}
