@@ -649,6 +649,53 @@ object Queries {
           .orderBy($"time", $"latitude", $"longitude")
       }),
 
+    // ---------------------------------------------------------------- S1 (CF time units — the ERA5 netCDF time axis)
+    // Real netCDF archives encode time as "<unit> since <base>" (ERA5:
+    // "hours since 1900-01-01 00:00:0.0"); the reader converts the axis to
+    // epoch seconds at load. The oracle re-derives the same instants with
+    // DuckDB interval arithmetic from the hour offsets.
+    Q("q111_netcdf3_cftime", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200)
+      SELECT TIMESTAMP '2020-01-01 00:00:00'
+               + CAST(rn0 // 100 * 3 AS BIGINT) * INTERVAL 1 HOUR AS time,
+             CAST(50 - (rn0 % 100) // 10 AS DOUBLE) AS latitude,
+             CAST(rn0 % 10 AS DOUBLE) AS longitude,
+             CAST(o_orderkey % 997 AS DOUBLE) AS t2m
+      FROM o
+      ORDER BY time, latitude, longitude"""))(
+      (s, d) => {
+        import graft.sources.netcdf.{NetCDF3, NetCDF3Reader, NetCDF3Writer => NW}
+        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+          .select(($"o_orderkey" % 997).cast("double"))
+          .collect().map(_.getDouble(0)).toSeq
+        // 2020-01-01 in hours since 1900-01-01 (36889 days * 24)
+        val baseHours = java.time.Duration.between(
+          java.time.LocalDateTime.of(1900, 1, 1, 0, 0),
+          java.time.LocalDateTime.of(2020, 1, 1, 0, 0)).toHours.toDouble
+        val path = java.nio.file.Files.createTempDirectory("q111").toString +
+          "/q111.nc"
+        NW.write(path,
+          dims = Seq(NW.DimSpec("time", 2, record = true),
+            NW.DimSpec("latitude", 10), NW.DimSpec("longitude", 10)),
+          vars = Seq(
+            NW.VarSpec("time", Seq("time"), NetCDF3.NC_DOUBLE,
+              Seq(baseHours, baseHours + 3.0),
+              attrs = Seq("units" -> "hours since 1900-01-01 00:00:0.0",
+                "calendar" -> "gregorian")),
+            NW.VarSpec("latitude", Seq("latitude"), NetCDF3.NC_DOUBLE,
+              (0 until 10).map(50.0 - _)),
+            NW.VarSpec("longitude", Seq("longitude"), NetCDF3.NC_DOUBLE,
+              (0 until 10).map(_.toDouble)),
+            NW.VarSpec("t2m", Seq("time", "latitude", "longitude"),
+              NetCDF3.NC_DOUBLE, vals)))
+        NetCDF3Reader.readLongFormat(s, path)
+          .select(col("time").cast("timestamp_ntz").as("time"),
+            $"latitude", $"longitude", $"t2m")
+          .orderBy($"time", $"latitude", $"longitude")
+      }),
+
     // ---------------------------------------------------------------- S1 (GRIB2 rotated lat/lon, template 3.1)
     // Rotated lat/lon — the COSMO / ICON-EU / HARMONIE regional-model grid
     // (WMO GRIB2 template 3.1): the grid is regular in a frame whose south

@@ -18,7 +18,8 @@ import org.apache.hadoop.fs.Path
   * then big-endian data — fixed-size variables as contiguous blocks, record
   * variables interleaved per record. CDL conventions honored:
   * `scale_factor`, `add_offset`, `missing_value`/`_FillValue`, and
-  * `units = "seconds since 1970-01-01"` time coordinates.
+  * CF `units = "<unit> since <datetime>"` time coordinates (standard
+  * calendars; see [[graft.sources.CfTime]]).
   */
 object NetCDF3 {
 
@@ -34,8 +35,12 @@ object NetCDF3 {
     def addOffset: Double = num(attrs.get("add_offset")).getOrElse(0.0)
     def missing: Option[Double] =
       num(attrs.get("missing_value")).orElse(num(attrs.get("_FillValue")))
-    def epochSecondsTime: Boolean =
-      attrs.get("units").collect { case s: String => s }.exists(_.startsWith("seconds since 1970-01-01"))
+    /** CF time units ("<unit> since <datetime>", standard calendars). */
+    def timeUnits: Option[graft.sources.CfTime.Units] =
+      graft.sources.CfTime.parse(
+        attrs.get("units").collect { case s: String => s },
+        attrs.get("calendar").collect { case s: String => s })
+    def epochSecondsTime: Boolean = timeUnits.isDefined
     private def num(v: Option[Any]): Option[Double] = v.collect {
       case d: Double => d
       case f: Float => f.toDouble

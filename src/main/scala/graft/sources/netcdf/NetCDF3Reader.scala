@@ -99,7 +99,8 @@ object NetCDF3Reader {
             System.arraycopy(one, 0, raw, r * w, w)
           }
         } else in.readFully(v.begin, raw)
-        n -> decodeSlice(raw, v, len)
+        // CF time coords convert to epoch seconds here, once
+        n -> graft.sources.CfTime.convert(decodeSlice(raw, v, len), v.timeUnits)
       } finally in.close()
     }
     val shape: Seq[Int] = hyperDims.map(d => if (d.isRecord) head.numRecs else d.size)

@@ -20,7 +20,8 @@ import graft.sources.hdf5.Hdf5.{Chunked, Contiguous, DatasetMeta, UnsupportedHdf
   * to variables (resolved through the HDF5 global heap; falls back to
   * `_Netcdf4Dimid`-ordered size matching when absent), CDL decode attrs
   * (`scale_factor`/`add_offset`/`_FillValue`/`missing_value`) and
-  * epoch-second `units` time coordinates.
+  * CF `"<unit> since <datetime>"` time coordinates (standard calendars;
+  * [[graft.sources.CfTime]]).
   *
   * Parallelism: the driver parses HEADERS only (object headers, chunk
   * B-trees, the small coordinate vectors); tasks own chunk-grid indices
@@ -100,9 +101,14 @@ object NetCDF4Reader {
 
     val shape: Seq[Int] = dataVars.head.shape.map(_.toInt)
     val dimNames = hyperDims.map(d => baseName(d.path))
-    val isTimeDim = hyperDims.map(_.attrs.get("units")
-      .collect { case s: String => s }.exists(_.startsWith("seconds since 1970-01-01")))
-    val coords: Seq[Array[Double]] = hyperDims.map(d => coordValues(d.objAddr))
+    // CF time units ("<unit> since <datetime>", standard calendars):
+    // coord vectors convert to epoch seconds at load, once
+    val timeUnits = hyperDims.map(d => graft.sources.CfTime.parse(
+      d.attrs.get("units").collect { case s: String => s },
+      d.attrs.get("calendar").collect { case s: String => s }))
+    val isTimeDim = timeUnits.map(_.isDefined)
+    val coords: Seq[Array[Double]] = hyperDims.zip(timeUnits).map { case (d, u) =>
+      graft.sources.CfTime.convert(coordValues(d.objAddr), u) }
 
     // output columns per var: compound vars flatten to `var_member` columns
     // (the mover's denormalized row model), others map 1:1

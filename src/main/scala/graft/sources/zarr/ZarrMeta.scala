@@ -46,7 +46,9 @@ object ZarrMeta {
       scaleFactor: Option[Double],
       addOffset: Option[Double],
       missingValue: Option[Double],
-      epochSecondsTime: Boolean,
+      // CF time units ("<unit> since <datetime>", standard calendars):
+      // parsed once so coord vectors convert to epoch seconds at load
+      timeUnits: Option[graft.sources.CfTime.Units],
       // v3 chunk addressing: v2 keys are "0.1"; v3 default keys are
       // "c/0/1" (separator configurable); v3 may also elect v2-style keys
       v3DefaultKeys: Boolean = false,
@@ -72,6 +74,8 @@ object ZarrMeta {
       // codec): each stored chunk carries a trailing 4-byte little-endian
       // CRC-32C, verified and stripped before decompression
       v3DataCrc32c: Boolean = false) {
+    def epochSecondsTime: Boolean = timeUnits.isDefined
+
     def chunkGrid: Seq[Int] = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     def chunkKey(chunkIdx: Seq[Int]): String =
       if (v3DefaultKeys) ("c" +: chunkIdx.map(_.toString)).mkString(keySep)
@@ -211,7 +215,8 @@ object ZarrMeta {
       scaleFactor = (attrs \ "scale_factor").extractOpt[Double],
       addOffset = (attrs \ "add_offset").extractOpt[Double],
       missingValue = (attrs \ "missing_value").extractOpt[Double],
-      epochSecondsTime = units.startsWith("seconds since 1970-01-01"),
+      timeUnits = graft.sources.CfTime.parse(Some(units).filter(_.nonEmpty),
+        (attrs \ "calendar").extractOpt[String]),
       // v2 optional dimension_separator: "/" nests chunk files in
       // directories (the cloud-store layout that keeps listings small);
       // ignoring it would read every chunk as absent → silent all-fill
@@ -332,7 +337,8 @@ object ZarrMeta {
       scaleFactor = (attrs \ "scale_factor").extractOpt[Double],
       addOffset = (attrs \ "add_offset").extractOpt[Double],
       missingValue = (attrs \ "missing_value").extractOpt[Double],
-      epochSecondsTime = units.startsWith("seconds since 1970-01-01"),
+      timeUnits = graft.sources.CfTime.parse(Some(units).filter(_.nonEmpty),
+        (attrs \ "calendar").extractOpt[String]),
       v3DefaultKeys = ckeName == "default",
       keySep = sep,
       shardChunks = innerChunks.map(_ => gridChunks),
@@ -422,8 +428,10 @@ object ZarrMeta {
       s"data variables disagree on shape: ${dataVars.map(m => m.name -> m.shape)}")
     val coordMeta = metas.filter(m => m.dims.size == 1 && dims.contains(m.name))
       .map(m => m.name -> m).toMap
+    // CF time coords convert to epoch seconds HERE, once — pruning and
+    // row building downstream stay plain epoch-second math
     val coords = coordMeta.map { case (n, m) =>
-      n -> readWholeArray(conf, store, m)
+      n -> graft.sources.CfTime.convert(readWholeArray(conf, store, m), m.timeUnits)
     }
     Store(store, dims, coords, coordMeta, dataVars)
   }
