@@ -55,7 +55,8 @@ object Grib1 {
       gaussianN: Int = 0,       // grid type 4: N; 0 = type 0
       pl: Option[Array[Int]] = None, // reduced grid: points per row
       spectral: Option[(Int, Int, Int)] = None, // grid type 50: J/K/M truncation
-      rotated: Option[GribProjection.RotatedLatLon] = None) // grid type 10
+      rotated: Option[GribProjection.RotatedLatLon] = None, // grid type 10
+      ensembleMember: Int = -1) // ECMWF local def 1 perturbation; -1 = det
       extends GribUnit {
 
     def nPoints: Int = pl.map(_.sum).getOrElse(ni * nj)
@@ -93,7 +94,12 @@ object Grib1 {
 
     /** Short parameter name (WMO table 2 / ECMWF table 128 subset; unknown
       * ids render as `p<id>` so nothing is dropped). */
-    def shortName: String = Grib1.shortName(tableVersion, paramId)
+    def shortName: String = {
+      val base = Grib1.shortName(tableVersion, paramId)
+      // EPS members demux into per-member channels, same convention as the
+      // edition-2 reader (templates 4.1/4.11)
+      if (ensembleMember >= 0) s"${base}_m$ensembleMember" else base
+    }
 
     /** cfgrib stepType from the time range indicator (GRIB1 table 5). */
     def stepType: String = timeRangeIndicator match {
@@ -308,6 +314,20 @@ object Grib1 {
     val refTime = java.time.LocalDateTime.of(year, month, day, hour, minute, 0)
       .toEpochSecond(java.time.ZoneOffset.UTC)
 
+    // ---- ECMWF local extension (octets 41+): local definition 1 carries
+    // the EPS perturbation number — how edition-1 ensemble archives
+    // (ERA-interim EDA, EPS reforecasts) tag members. Other centres/defs
+    // read as deterministic (member -1) rather than erroring: the local
+    // section is additive metadata.
+    val ensembleMember: Int =
+      if (centre == 98 && pdsLen >= 52) {
+        val ext = read(pdsOff + 40, 12)     // PDS octets 41-52
+        val localDef = u8(ext, 0)
+        val total = u8(ext, 10)             // octet 51: forecasts in ensemble
+        if (localDef == 1 && total > 0) u8(ext, 9) // octet 50: perturbation
+        else -1
+      } else -1
+
     // ---- GDS
     val gdsOff = pdsOff + pdsLen
     val g = read(gdsOff, 28)
@@ -424,7 +444,7 @@ object Grib1 {
       ni, nj, la1, lo1, la2, lo2, scan,
       bitmapOffset, bitmapBytes,
       binScale, refValue, bitsPerValue, dataOffset, dataBytes, unusedBits,
-      secondOrder, gaussN, plCounts, spectral, rotated)
+      secondOrder, gaussN, plCounts, spectral, rotated, ensembleMember)
   }
 
   /** In-memory convenience form of [[parseMessage]] (tests, small buffers):

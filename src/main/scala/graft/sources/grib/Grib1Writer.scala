@@ -37,7 +37,9 @@ object Grib1Writer {
       // (T+1)(T+2) interleaved (re, im) coefficients, m-major
       spectralT: Int = -1,
       // rotated lat/lon (grid type 10): la1..lo2 are rotated-frame coords
-      rotated: Option[GribProjection.RotatedLatLon] = None)
+      rotated: Option[GribProjection.RotatedLatLon] = None,
+      // >= 0: ECMWF local definition 1 EPS perturbation number
+      ensembleMember: Int = -1)
 
   def write(path: String, fields: Seq[FieldSpec],
       conf: Configuration = new Configuration()): Unit = {
@@ -68,8 +70,9 @@ object Grib1Writer {
 
   private def pdsBytes(f: FieldSpec): Array[Byte] = {
     val missing = f.values.exists(_.isNaN)
-    val b = new Array[Byte](28)
-    put24(b, 0, 28)
+    val ens = f.ensembleMember >= 0
+    val b = new Array[Byte](if (ens) 52 else 28)
+    put24(b, 0, b.length)
     b(3) = f.tableVersion.toByte
     b(4) = f.centre.toByte
     b(5) = 1                                  // generating process
@@ -91,6 +94,17 @@ object Grib1Writer {
     b(20) = f.timeRangeIndicator.toByte
     b(24) = (((t.getYear - 1) / 100) + 1).toByte  // century
     putS16(b, 26, f.decimalScale)
+    if (ens) {
+      // ECMWF local definition 1 (octets 41-52): class/type/stream/expver
+      // + perturbation number / ensemble size
+      b(40) = 1                               // local definition number
+      b(41) = 1                               // class: operational
+      b(42) = 11                              // type: perturbed forecast
+      b(43) = 4; b(44) = 11                   // stream 1035 (enfo)
+      b(45) = '0'; b(46) = '0'; b(47) = '0'; b(48) = '1' // expver "0001"
+      b(49) = f.ensembleMember.toByte
+      b(50) = 51                              // forecasts in the ensemble
+    }
     b
   }
 

@@ -39,6 +39,27 @@ class Grib1Spec extends SparkSpec {
     path
   }
 
+  test("ECMWF local definition 1 demuxes EPS members into channels") {
+    val dir = java.nio.file.Files.createTempDirectory("grib1ens").toString
+    val path = s"$dir/eps.grib"
+    def f(member: Int, bump: Double) = GW.FieldSpec(167, 105, 2, t0,
+      gridVals((j, i) => 270.0 + bump + j + 0.25 * i),
+      ni, nj, la1 = 60.0, lo1 = -10.0, la2 = 45.0, lo2 = 10.0,
+      decimalScale = 2, ensembleMember = member)
+    GW.write(path, Seq(f(0, 0.0), f(1, 1.0), f(2, 2.0), f(-1, 5.0)))
+    val msgs = Grib1Reader.indexMessages(
+      new org.apache.hadoop.conf.Configuration(), path)
+    assert(msgs.map(_.ensembleMember) == Seq(0, 1, 2, -1))
+    assert(msgs.map(_.shortName) == Seq("2t_m0", "2t_m1", "2t_m2", "2t"))
+    // members stay distinct channels through the wide merge
+    val wide = Grib1Reader.readMerged(spark, path)
+    val chans = Seq("2t_m0", "2t_m1", "2t_m2", "2t")
+      .map(n => s"heightAboveGround_2_00_instant_$n")
+    assert(chans.forall(wide.columns.contains), wide.columns.mkString(","))
+    val r = wide.filter($"latitude" === 60.0 && $"longitude" === -10.0).head()
+    assert(r.getAs[Double](chans(1)) == 271.0 && r.getAs[Double](chans(3)) == 275.0)
+  }
+
   test("IBM float round-trips integers exactly and handles signs") {
     for (v <- Seq(0.0, 1.0, 27000.0, 123456.0, -42.0, 0.0625)) {
       val enc = Grib1.toIbmFloat(v)
