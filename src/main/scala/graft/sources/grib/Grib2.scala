@@ -408,9 +408,9 @@ object Grib2 {
           // probability block) and shift interval fields
           if (template != 0 && template != 1 && template != 2 &&
             template != 5 && template != 8 && template != 9 &&
-            template != 11)
+            template != 11 && template != 12)
             throw UnsupportedGrib(
-              s"product template 4.$template (4.0/4.1/4.2/4.5/4.8/4.9/4.11)")
+              s"product template 4.$template (4.0/4.1/4.2/4.5/4.8/4.9/4.11/4.12)")
           val cat = u8(b, 9)
           val num = u8(b, 10)
           val timeUnit = u8(b, 17)
@@ -431,7 +431,7 @@ object Grib2 {
           // (code table 4.7: 0 mean, 4 spread, ...) to keep channels distinct
           val member =
             if (ensemble) u8(b, 35)
-            else if (template == 2) 1000 + u8(b, 34)
+            else if (template == 2 || template == 12) 1000 + u8(b, 34)
             else -1
           // probability templates (4.5/4.9): probability type (code table
           // 4.9) + sign-magnitude-scaled lower/upper limits (255/all-ones
@@ -452,11 +452,12 @@ object Grib2 {
               Some((u8(b, 36), limit(37), limit(42)))
             }
           val shift =
-            if (ensemble) 3 else if (template == 2) 2
+            if (ensemble) 3 else if (template == 2 || template == 12) 2
             else if (probTmpl) 13 else 0
           var statProcess = -1
           var intervalEnd = -1L
-          if (template == 8 || template == 9 || template == 11) {
+          if (template == 8 || template == 9 || template == 11 ||
+            template == 12) {
             intervalEnd = java.time.LocalDateTime.of(
               u16(b, 34 + shift), u8(b, 36 + shift), u8(b, 37 + shift),
               u8(b, 38 + shift), u8(b, 39 + shift), u8(b, 40 + shift))

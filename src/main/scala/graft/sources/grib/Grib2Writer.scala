@@ -231,7 +231,6 @@ object Grib2Writer {
     val derived = f.ensembleMember >= 1000
     val ens = f.ensembleMember >= 0 && !derived
     val prob = f.probability.isDefined
-    require(!(derived && template48), "derived-over-interval (4.12) not emitted")
     require(!(prob && (ens || derived)),
       "probability + ensemble member (4.10x) not emitted")
     val shift = if (ens) 3 else if (derived) 2 else if (prob) 13 else 0
@@ -240,7 +239,7 @@ object Grib2Writer {
     putU16(b, 5, 0)                  // no extra coordinate values
     putU16(b, 7,
       if (prob) { if (template48) 9 else 5 }
-      else if (derived) 2
+      else if (derived) { if (template48) 12 else 2 }
       else (template48, ens) match {
         case (false, false) => 0
         case (false, true) => 1      // individual ensemble member

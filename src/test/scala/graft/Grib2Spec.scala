@@ -657,11 +657,16 @@ class Grib2Spec extends SparkSpec {
     assert(fields.map(_.ensembleMember) == Seq(0, 1, 2))
     assert(fields(0).shortName == "2t_m0" && fields(1).shortName == "2t_m1")
     assert(fields(2).stepType == "accum") // 4.11 carries the interval stat
-    // derived ensemble products (4.2): mean and spread channels
+    // derived ensemble products: instant (4.2) and over-interval (4.12 —
+    // ENS means of accumulations) mean/spread channels
     val pd = s"$dir/derived.grib2"
-    GW2.write(pd, Seq(member(1000, -1), member(1004, -1)))
+    GW2.write(pd, Seq(member(1000, -1), member(1004, -1), member(1000, 1)))
     val dFields = Grib2Reader.indexFields(new org.apache.hadoop.conf.Configuration(), pd)
-    assert(dFields.map(_.shortName) == Seq("2t_em", "2t_es"))
+    assert(dFields.map(_.shortName) == Seq("2t_em", "2t_es", "2t_em"))
+    assert(dFields.map(_.stepType) == Seq("instant", "instant", "accum"))
+    // 4.12 carries the interval end explicitly: valid = ref + 6 h
+    assert(dFields(2).intervalEndEpochSec ==
+      dFields(0).refTimeEpochSec + 6 * 3600)
     val merged = Grib2Reader.readMerged(spark, p)
     val cols = merged.columns.filter(_.contains("_m"))
     assert(cols.length == 3, s"member channels: ${cols.toSeq}")
