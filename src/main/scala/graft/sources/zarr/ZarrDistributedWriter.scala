@@ -54,11 +54,14 @@ object ZarrDistributedWriter {
         case _ => false
       }
     }
-    val dataVars = df.columns.filterNot(dims.contains).toSeq
-    val sv = dataVars.filter(v => df.schema(v).dataType == StringType)
-    require(sv.isEmpty,
-      s"v3 distributed writer: string columns ${sv.mkString(", ")} — " +
-        "write a v2 store (ZarrDistributedWriter.write) for vlen string variables")
+    val allVars = df.columns.filterNot(dims.contains).toSeq
+    // string columns write as the v3 `string` data type + vlen-utf8 codec
+    // (zarr-python 3's native form) in a separate column-pruned pass
+    val stringVars = allVars.filter(v => df.schema(v).dataType == StringType)
+    val dataVars = allVars.filterNot(stringVars.contains)
+    require(shard.isEmpty || stringVars.isEmpty,
+      s"v3 sharded writer: string columns ${stringVars.mkString(", ")} — " +
+        "variable-length chunks write unsharded (drop `shard` or the columns)")
     def axis(d: String, i: Int): org.apache.spark.sql.Column =
       if (isTimeDim(i)) col(d).cast("timestamp").cast("double") else col(d).cast("double")
     val coords: Seq[Array[Double]] = dims.zipWithIndex.map { case (d, i) =>
@@ -81,6 +84,12 @@ object ZarrDistributedWriter {
       writeText(conf, s"$storePath/$v/zarr.json", j)
       nodes += v -> j
     }
+    stringVars.foreach { v =>
+      val j = arrayJsonV3(shape, chunks, None, compressor, dims, None,
+        string = true)
+      writeText(conf, s"$storePath/$v/zarr.json", j)
+      nodes += v -> j
+    }
     writeText(conf, s"$storePath/zarr.json",
       nodes.result().map { case (k, j) => s""""$k": $j""" }.mkString(
         """{"zarr_format": 3, "node_type": "group", "attributes": {},
@@ -89,11 +98,25 @@ object ZarrDistributedWriter {
 
     // tasks: aggregate (var, inner-chunk) buffers, then write either one
     // object per inner chunk or one indexed object per shard
-    val innerChunks = chunkBuffers(df, dims, chunks, coords, axis)
+    val innerChunks =
+      chunkBuffers(df.drop(stringVars: _*), dims, chunks, coords, axis)
     val tconf = graft.sources.TaskConf(conf)
     val varsLocal = dataVars.toIndexedSeq
     val storeLocal = storePath
     val compLocal = compressor
+    if (stringVars.nonEmpty) {
+      val sVarsLocal = stringVars.toIndexedSeq
+      stringChunkBuffers(df, dims, stringVars, chunks, coords, axis)
+        .foreachPartition { it: Iterator[((Int, String), Array[String])] =>
+          val c = tconf.value
+          it.foreach { case ((vi, key), cells) =>
+            val raw = maybeGzip(ZarrMeta.encodeVlenUtf8(cells), compLocal)
+            writeBytes(c,
+              s"$storeLocal/${sVarsLocal(vi)}/c/${key.replace(".", "/")}", raw)
+          }
+        }
+    }
+    if (dataVars.isEmpty) return
     shard match {
       case None =>
         innerChunks.foreachPartition {
@@ -161,8 +184,11 @@ object ZarrDistributedWriter {
 
   private def arrayJsonV3(shape: Seq[Int], chunks: Seq[Int],
       shard: Option[Seq[Int]], comp: Option[String], dims: Seq[String],
-      units: Option[String]): String = {
-    val inner = Seq(Some("""{"name": "bytes", "configuration": {"endian": "little"}}"""),
+      units: Option[String], string: Boolean = false): String = {
+    val arrayToBytes =
+      if (string) """{"name": "vlen-utf8"}"""
+      else """{"name": "bytes", "configuration": {"endian": "little"}}"""
+    val inner = Seq(Some(arrayToBytes),
       comp.map(_ => """{"name": "gzip", "configuration": {"level": 6}}""")).flatten
     val codecs = shard match {
       case None => inner
@@ -177,12 +203,13 @@ object ZarrDistributedWriter {
     val gridChunks = shard.getOrElse(chunks)
     val attrs = units.map(u => s""""units": "$u"""").toSeq
     s"""{"zarr_format": 3, "node_type": "array",
-       | "shape": [${shape.mkString(", ")}], "data_type": "float64",
+       | "shape": [${shape.mkString(", ")}],
+       | "data_type": "${if (string) "string" else "float64"}",
        | "chunk_grid": {"name": "regular",
        |   "configuration": {"chunk_shape": [${gridChunks.mkString(", ")}]}},
        | "chunk_key_encoding": {"name": "default",
        |   "configuration": {"separator": "/"}},
-       | "fill_value": "NaN",
+       | "fill_value": ${if (string) "\"\"" else "\"NaN\""},
        | "codecs": [${codecs.mkString(", ")}],
        | "attributes": {${attrs.mkString(", ")}},
        | "dimension_names": [${dims.map("\"" + _ + "\"").mkString(", ")}]}"""

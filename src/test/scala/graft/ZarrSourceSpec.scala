@@ -819,11 +819,23 @@ class ZarrSourceSpec extends SparkSpec {
     val b = back.select(withLabels.columns.map(col): _*).orderBy(key: _*).collect()
     assert(a.length == b.length)
     a.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
-    // v3 distributed writer keeps strings a directed error (not silent drop)
+    // v3 distributed writer: strings as the native `string` data type +
+    // vlen-utf8 codec, same round-trip through the DSv2 reader
+    val out3 = java.nio.file.Files.createTempDirectory("zarrw3str").toString +
+      "/s.zarr"
+    ZarrDistributedWriter.writeV3(withLabels, out3,
+      Seq("time", "latitude", "longitude"), Seq(2, 3, 4))
+    val back3 = spark.read.format("zarr").load(out3)
+    assert(back3.schema("station").dataType.typeName == "string")
+    val b3 = back3.select(withLabels.columns.map(col): _*).orderBy(key: _*).collect()
+    assert(a.length == b3.length)
+    a.zip(b3).foreach { case (x, y) => assert(x == y, s"$x != $y") }
+    // sharded + strings stays a directed error (variable-length chunks)
     val e = intercept[IllegalArgumentException] {
       ZarrDistributedWriter.writeV3(withLabels,
-        java.nio.file.Files.createTempDirectory("zarrw3str").toString + "/s.zarr",
-        Seq("time", "latitude", "longitude"), Seq(2, 3, 4))
+        java.nio.file.Files.createTempDirectory("zarrw3sh").toString + "/s.zarr",
+        Seq("time", "latitude", "longitude"), Seq(2, 3, 4),
+        shard = Some(Seq(2, 3, 8)))
     }
     assert(e.getMessage.contains("station"), e.getMessage)
   }
