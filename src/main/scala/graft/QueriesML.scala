@@ -81,6 +81,32 @@ object QueriesML {
           .orderBy($"id_a", $"id_b")
       }),
 
+    // ------------------------------------------------------- dedup: fuzzy join, full corpus
+    // The same operator over EVERY distinct document key (no LIMIT): the
+    // scale shape the stress harness replicates at 16x. Keys act as their
+    // own ids, so the pair order matches DuckDB's string comparison.
+    Q("q112_fuzzy_join_corpus", Some("""
+      WITH d AS (SELECT DISTINCT
+                   lower(substr(regexp_replace(text, '[^a-zA-Z ]', '', 'g'),
+                                1, 12)) AS s
+                 FROM documents)
+      SELECT a.s AS id_a, b.s AS id_b,
+             CAST(levenshtein(a.s, b.s) AS INT) AS dist
+      FROM d a JOIN d b ON a.s < b.s
+      WHERE abs(length(a.s) - length(b.s)) <= 1
+        AND levenshtein(a.s, b.s) <= 1
+      ORDER BY id_a, id_b"""))(
+      (s, d) => {
+        val keys = Tables.documents(s, d)
+          .select(lower(substring(
+            regexp_replace($"text", "[^a-zA-Z ]", ""), 1, 12)).as("s"))
+          .distinct()
+        graft.operators.FuzzyJoin.editSelfJoin(
+          keys.select($"s".as("id"), $"s"), "id", "s", maxDist = 1)
+          .select($"id_a", $"id_b", $"dist")
+          .orderBy($"id_a", $"id_b")
+      }),
+
     // ------------------------------------------------------- dedup: MinHash signatures
     Q("q30_minhash_sig", Some(s"""
       WITH ${shingleCte("documents")}

@@ -64,7 +64,7 @@ object ScaleStress {
     val queries = Seq(
       "q31_minhash_near_dups", "q46_embedding_near_dups", "q69_semdedup",
       "q77_dedup_clusters", "q86_dup_spans", "q88_cut_spans",
-      "q90_canonical_docs")
+      "q90_canonical_docs", "q112_fuzzy_join_corpus")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -26,9 +26,8 @@ class FuzzyJoinSpec extends SparkSpec {
       if d <= k
     } yield (i1, i2, d)).toSet
 
-  private def run(rows: Seq[(Long, String)], k: Int, q: Int = 2,
-      freqCap: Int = 5000, maxDrop: Int = 3): Set[(Long, Long, Int)] =
-    FuzzyJoin.editSelfJoin(rows.toDF("id", "s"), "id", "s", k, q, freqCap, maxDrop)
+  private def run(rows: Seq[(Long, String)], k: Int, q: Int = 2): Set[(Long, Long, Int)] =
+    FuzzyJoin.editSelfJoin(rows.toDF("id", "s"), "id", "s", k, q)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
 
   private val names = Seq[(Long, String)](
@@ -44,13 +43,15 @@ class FuzzyJoinSpec extends SparkSpec {
       assert(run(names, k) == bruteForce(names, k), s"k=$k")
   }
 
-  test("completeness survives the frequent-gram skew guard") {
-    // freqCap=1 forces every repeated gram key over the cap; maxDrop
-    // bounds the drops and the relaxed thresholds + fallback keep the
-    // result exact
-    for (k <- 1 to 2; cap <- Seq(1, 2); drop <- Seq(0, 1, 3))
-      assert(run(names, k, freqCap = cap, maxDrop = drop) == bruteForce(names, k),
-        s"k=$k cap=$cap drop=$drop")
+  test("completeness survives heavy gram skew (shared boilerplate corpus)") {
+    // every string shares the same hot grams; the rarest-first prefix must
+    // still surface every true pair exactly
+    val skewed = (0L until 40L).map { i =>
+      val tail = if (i % 4 == 0) "x" else if (i % 4 == 1) "y" else ""
+      i -> (("ab" * 6) + tail + (i / 8))
+    }
+    for (k <- 1 to 2)
+      assert(run(skewed, k) == bruteForce(skewed, k), s"k=$k")
   }
 
   test("q=3 grams and longer strings agree with the oracle") {
