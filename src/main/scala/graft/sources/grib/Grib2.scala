@@ -249,6 +249,26 @@ object Grib2 {
   def ieee32(b: Array[Byte], i: Int): Double =
     java.lang.Float.intBitsToFloat(u32(b, i).toInt).toDouble
 
+  /** Earth radius from the grid definition's shape-of-earth octets (code
+    * table 3.2, octets 15-21). Spherical shapes only — the projection
+    * inverses are spherical (Snyder), so oblate ellipsoids (2/3/4/5/7)
+    * raise a directed error rather than projecting with the wrong figure. */
+  private def earthRadius(b: Array[Byte]): Double = u8(b, 14) match {
+    case 0 => 6367470.0
+    case 1 => // custom sphere: scale factor (sign-magnitude u8) + u32 value
+      val sfRaw = u8(b, 15)
+      val sf = if ((sfRaw & 0x80) != 0) -(sfRaw & 0x7f) else sfRaw
+      val v = u32(b, 16)
+      if (sfRaw == 255 || v == 0 || v == 0xffffffffL)
+        throw UnsupportedGrib("shape of earth 1 with a missing radius")
+      else v / math.pow(10.0, sf)
+    case 6 => 6371229.0
+    case 8 => 6371200.0
+    case other => throw UnsupportedGrib(
+      s"shape of earth $other (spherical 0/1/6/8 only; oblate ellipsoids " +
+        "would need ellipsoidal projection math)")
+  }
+
   /** Parse one edition-2 message starting at `fileOffset` through a
     * positioned span reader; returns the fields and the total length. */
   def parseMessage(read: (Long, Int) => Array[Byte],
@@ -350,7 +370,8 @@ object Grib2 {
               val dy = u32(b, 68) / 1000.0
               val dySigned = if ((scan & 0x40) != 0) dy else -dy
               grid = Some(GridDef(nx, ny, la1, lo1, la1, lo1, scan, 0,
-                proj = Some(GribProjection.Mercator(lad)), dx = dx, dy = dySigned))
+                proj = Some(GribProjection.Mercator(lad, earthRadius(b))),
+                dx = dx, dy = dySigned))
             case 20 | 30 =>
               // polar stereographic / Lambert conformal: Nx/Ny + first
               // point + LaD/LoV + Dx/Dy millimeters (+ Latin1/2 for 3.30)
@@ -367,11 +388,12 @@ object Grib2 {
               val proj: GribProjection =
                 if (template == 20)
                   GribProjection.PolarStereographic(lad, lov,
-                    south = (centre & 0x80) != 0)
+                    south = (centre & 0x80) != 0, radius = earthRadius(b))
                 else {
                   val latin1 = s32(b, 65) / 1e6
                   val latin2 = s32(b, 69) / 1e6
-                  GribProjection.LambertConformal(latin1, latin2, lov)
+                  GribProjection.LambertConformal(latin1, latin2, lov,
+                    radius = earthRadius(b))
                 }
               // scan bit 0x40: +j (rows south->north); x assumed +i
               val dySigned = if ((scan & 0x40) != 0) dy else -dy

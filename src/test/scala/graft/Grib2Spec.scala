@@ -544,6 +544,51 @@ class Grib2Spec extends SparkSpec {
     assert(got.toSeq == vals)
   }
 
+  test("shape of earth: projected grids honor the declared sphere radius") {
+    import graft.sources.grib.GribProjection
+    val dir = java.nio.file.Files.createTempDirectory("shape").toString
+    val vals = (0 until 12).map(_.toDouble)
+    // custom radius (shape 1, cm-scaled) round-trips and changes the
+    // inverse-projected coordinates of non-origin points
+    val r0 = GribProjection.EarthRadius
+    val rCustom = 6367470.0 // the shape-0 sphere, written as shape 1
+    def write(path: String, radius: Double): Unit =
+      GW2.write(path, Seq(GW2.FieldSpec(0, 0, 0, 103, 2, t0, vals, 4, 3,
+        la1 = 35.0, lo1 = -105.0, la2 = 0, lo2 = 0, decimalScale = 0,
+        projection = Some(GribProjection.LambertConformal(38.5, 38.5, -97.5,
+          radius = radius)),
+        dxMeters = 30000.0, dyMeters = 30000.0)))
+    val pStd = s"$dir/std.grib2"; val pCus = s"$dir/cus.grib2"
+    write(pStd, r0); write(pCus, rCustom)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fStd = Grib2Reader.indexFields(conf, pStd).head
+    val fCus = Grib2Reader.indexFields(conf, pCus).head
+    assert(fStd.projection.get
+      .asInstanceOf[GribProjection.LambertConformal].radius == r0)
+    assert(fCus.projection.get
+      .asInstanceOf[GribProjection.LambertConformal].radius == rCustom)
+    // same first point, different interior points (the radius matters)
+    assert(fStd.coordOf(0) == fCus.coordOf(0))
+    val (laS, loS) = fStd.coordOf(11)
+    val (laC, loC) = fCus.coordOf(11)
+    assert(math.abs(laS - laC) > 1e-4 || math.abs(loS - loC) > 1e-4)
+    // the custom point matches a direct inverse at the custom radius
+    val lccC = GribProjection.LambertConformal(38.5, 38.5, -97.5, rCustom)
+    val (x0, y0) = lccC.forward(35.0, -105.0)
+    val want = lccC.inverse(x0 + 3 * 30000.0, y0 + 2 * 30000.0)
+    assert(math.abs(laC - want._1) < 1e-9 && math.abs(loC - want._2) < 1e-9)
+    // oblate ellipsoids raise a directed error instead of wrong coords
+    val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(pStd))
+    // find section 3 (starts after 16-byte indicator + 21-byte section 1)
+    val s3 = 16 + 21
+    assert(raw(s3 + 4) == 3)
+    raw(s3 + 14) = 2 // oblate IAU-65
+    val pObl = s"$dir/obl.grib2"
+    java.nio.file.Files.write(java.nio.file.Paths.get(pObl), raw)
+    val e = intercept[Exception] { Grib2Reader.indexFields(conf, pObl) }
+    assert(e.getMessage.contains("shape of earth 2"), e.getMessage)
+  }
+
   test("rotated lat/lon: pole math, GRIB2 3.1 and GRIB1 type 10 read unrotated") {
     import graft.sources.grib.{GribProjection, Grib1Reader, Grib1Writer => GW}
     import GribProjection.RotatedLatLon
