@@ -322,10 +322,19 @@ object Grib2 {
               val listInterp = u8(b, 11)
               val niRaw = u32(b, 30)
               val nj = u32(b, 34).toInt
-              val la1 = s32(b, 46) / 1e6
-              val lo1 = s32(b, 50) / 1e6
-              val la2 = s32(b, 55) / 1e6
-              val lo2 = s32(b, 59) / 1e6
+              // basic angle (octets 39-46): when set, coordinate octets are
+              // in units of basic/subdivisions degrees instead of 1e-6 —
+              // ignoring it would read silently wrong coordinates
+              val basic = u32(b, 38)
+              val subdiv = u32(b, 42)
+              val unit =
+                if (basic == 0 || basic == 0xffffffffL ||
+                  subdiv == 0 || subdiv == 0xffffffffL) 1e-6
+                else basic.toDouble / subdiv.toDouble
+              val la1 = s32(b, 46) * unit
+              val lo1 = s32(b, 50) * unit
+              val la2 = s32(b, 55) * unit
+              val lo2 = s32(b, 59) * unit
               val scan = u8(b, 71)
               // 3.40 stores N (parallels pole->equator) where 3.0 stores Dj
               val n = if (template == 40) u32(b, 67).toInt else 0

@@ -589,6 +589,43 @@ class Grib2Spec extends SparkSpec {
     assert(e.getMessage.contains("shape of earth 2"), e.getMessage)
   }
 
+  test("basic angle (3.0 octets 39-46) rescales coordinate units") {
+    // a 1/3-degree grid encoded with basic angle 1 / subdivisions 3 must
+    // read the same coordinates as the equivalent microdegree encoding
+    val dir = java.nio.file.Files.createTempDirectory("bangle").toString
+    val p = s"$dir/micro.grib2"
+    val vals = (0 until 12).map(_.toDouble)
+    GW2.write(p, Seq(GW2.FieldSpec(0, 0, 0, 103, 2, t0, vals, 4, 3,
+      la1 = 50.0, lo1 = 0.0, la2 = 49.0 + 1.0 / 3, lo2 = 1.0,
+      decimalScale = 0)))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val s3 = 16 + 21
+    assert(raw(s3 + 4) == 3)
+    def putU32At(off: Int, v: Long): Unit = {
+      raw(off) = ((v >> 24) & 0xff).toByte; raw(off + 1) = ((v >> 16) & 0xff).toByte
+      raw(off + 2) = ((v >> 8) & 0xff).toByte; raw(off + 3) = (v & 0xff).toByte
+    }
+    putU32At(s3 + 38, 1L)   // basic angle
+    putU32At(s3 + 42, 3L)   // subdivisions: unit = 1/3 degree
+    putU32At(s3 + 46, 150L) // la1 = 50
+    putU32At(s3 + 50, 0L)   // lo1 = 0
+    putU32At(s3 + 55, 148L) // la2 = 49 1/3
+    putU32At(s3 + 59, 3L)   // lo2 = 1
+    val p2 = s"$dir/basic.grib2"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p2), raw)
+    val micro = Grib2Reader.indexFields(conf, p).head
+    val basic = Grib2Reader.indexFields(conf, p2).head
+    (0 until 12).foreach { k =>
+      val (la1c, lo1c) = micro.coordOf(k)
+      val (la2c, lo2c) = basic.coordOf(k)
+      assert(math.abs(la1c - la2c) < 1e-6 && math.abs(lo1c - lo2c) < 1e-6,
+        s"k=$k ($la1c,$lo1c) vs ($la2c,$lo2c)")
+    }
+    assert(math.abs(basic.la1 - 50.0) < 1e-12 &&
+      math.abs(basic.la2 - (49.0 + 1.0 / 3)) < 1e-9)
+  }
+
   test("rotated lat/lon: pole math, GRIB2 3.1 and GRIB1 type 10 read unrotated") {
     import graft.sources.grib.{GribProjection, Grib1Reader, Grib1Writer => GW}
     import GribProjection.RotatedLatLon
