@@ -387,6 +387,12 @@ object Grib1 {
     val la2 = if (spectral.isDefined) 0.0 else s24(g, 17) / 1000.0
     val lo2 = if (spectral.isDefined) 0.0 else s24(g, 20) / 1000.0
     val scan = if (spectral.isDefined) 0 else u8(g, 27)
+    // same bit layout as edition 2: interpolation covers +-i/+-j, but
+    // column-major (bit 3) / boustrophedonic (bit 4) orders must fail fast
+    if ((scan & 0x20) != 0) throw UnsupportedGrib(
+      "scan mode bit 3 (adjacent points consecutive in j / column-major)")
+    if ((scan & 0x10) != 0) throw UnsupportedGrib(
+      "scan mode bit 4 (boustrophedonic row order)")
 
     // ---- BMS (optional)
     var cur = gdsOff + gdsLen

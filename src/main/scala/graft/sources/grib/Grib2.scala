@@ -249,6 +249,16 @@ object Grib2 {
   def ieee32(b: Array[Byte], i: Int): Double =
     java.lang.Float.intBitsToFloat(u32(b, i).toInt).toDouble
 
+  /** Row-major +i/-i +j/-j scans are handled by coordinate interpolation;
+    * column-major (bit 3) and boustrophedonic (bit 4) orders would misplace
+    * every non-first row's coordinates, so they fail fast instead. */
+  private def checkScan(scan: Int): Unit = {
+    if ((scan & 0x20) != 0) throw UnsupportedGrib(
+      "scan mode bit 3 (adjacent points consecutive in j / column-major)")
+    if ((scan & 0x10) != 0) throw UnsupportedGrib(
+      "scan mode bit 4 (boustrophedonic row order)")
+  }
+
   /** Earth radius from the grid definition's shape-of-earth octets (code
     * table 3.2, octets 15-21). Spherical shapes only — the projection
     * inverses are spherical (Snyder), so oblate ellipsoids (2/3/4/5/7)
@@ -336,6 +346,7 @@ object Grib2 {
               val la2 = s32(b, 55) * unit
               val lo2 = s32(b, 59) * unit
               val scan = u8(b, 71)
+              checkScan(scan)
               // 3.40 stores N (parallels pole->equator) where 3.0 stores Dj
               val n = if (template == 40) u32(b, 67).toInt else 0
               // 3.1 (rotated lat/lon): la1..lo2 are in the ROTATED frame;
@@ -375,6 +386,7 @@ object Grib2 {
               val lo1 = s32(b, 42) / 1e6
               val lad = s32(b, 47) / 1e6
               val scan = u8(b, 59)
+              checkScan(scan)
               val dx = u32(b, 64) / 1000.0
               val dy = u32(b, 68) / 1000.0
               val dySigned = if ((scan & 0x40) != 0) dy else -dy
@@ -394,6 +406,7 @@ object Grib2 {
               val dy = u32(b, 59) / 1000.0
               val centre = u8(b, 63)
               val scan = u8(b, 64)
+              checkScan(scan)
               val proj: GribProjection =
                 if (template == 20)
                   GribProjection.PolarStereographic(lad, lov,

@@ -779,6 +779,28 @@ class Grib2Spec extends SparkSpec {
     val e2 = intercept[graft.sources.grib.Grib1.UnsupportedGrib](
       Grib2Reader.indexFields(new org.apache.hadoop.conf.Configuration(), p2))
     assert(e2.getMessage.contains("5.50") || e2.getMessage.contains("template 5."))
+    // column-major / boustrophedonic scan orders fail fast in both editions
+    // (interpolation would misplace every non-first row silently)
+    for (bit <- Seq(0x20, 0x10)) {
+      val r3 = GW2.message(GW2.FieldSpec(0, 0, 0, 103, 2, t0,
+        Seq(1.0, 2.0), 2, 1, 0.0, 0.0, 0.0, 1.0))
+      r3(16 + 21 + 71) = bit.toByte // section-3 scan mode octet 72
+      val p3 = s"$dir/scan$bit.grib2"
+      java.nio.file.Files.write(java.nio.file.Paths.get(p3), r3)
+      val e3 = intercept[graft.sources.grib.Grib1.UnsupportedGrib](
+        Grib2Reader.indexFields(new org.apache.hadoop.conf.Configuration(), p3))
+      assert(e3.getMessage.contains("scan mode"), e3.getMessage)
+      val g1 = graft.sources.grib.Grib1Writer.message(
+        graft.sources.grib.Grib1Writer.FieldSpec(167, 105, 2, t0,
+          Seq(1.0, 2.0), 2, 1, 60.0, 0.0, 59.0, 1.0))
+      g1(8 + 28 + 27) = bit.toByte // GDS scan mode octet 28
+      val p4 = s"$dir/scan$bit.grib"
+      java.nio.file.Files.write(java.nio.file.Paths.get(p4), g1)
+      val e4 = intercept[graft.sources.grib.Grib1.UnsupportedGrib](
+        graft.sources.grib.Grib1Reader.indexMessages(
+          new org.apache.hadoop.conf.Configuration(), p4))
+      assert(e4.getMessage.contains("scan mode"), e4.getMessage)
+    }
   }
 
   test("spectral fields (3.50 + 5.50/5.51) round-trip coefficient-exact") {
