@@ -107,6 +107,44 @@ object QueriesML {
           .orderBy($"id_a", $"id_b")
       }),
 
+    // ------------------------------------------------------- multimodal: MP4 container probe
+    // Video blobs yield duration/dims/frame-count from the ISO BMFF box
+    // walk alone (no codec decode) — the metadata that drives filtering
+    // and frame-sampling budgets. The oracle recomputes the planted
+    // parameters arithmetically.
+    Q("q113_mp4_meta", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 100)
+      SELECT rn0 AS id,
+             'isom' AS brand,
+             CAST((o_orderkey % 997 + 1) * 250 AS DOUBLE) / 1000 AS duration_sec,
+             CAST(320 + (rn0 % 8) * 160 AS INT) AS width,
+             CAST((320 + (rn0 % 8) * 160) * 9 // 16 AS INT) AS height,
+             rn0 + 10 AS video_frames,
+             CASE WHEN rn0 % 2 = 0 THEN (rn0 + 1) * 441 ELSE 0 END
+               AS audio_samples,
+             CASE WHEN rn0 % 2 = 0 THEN 2 ELSE 1 END AS track_count
+      FROM o ORDER BY id"""))(
+      (s, d) => {
+        import graft.operators.Mp4
+        val params = Tables.orders(s, d).orderBy($"o_orderkey").limit(100)
+          .select(($"o_orderkey" % 997 + 1).cast("long"))
+          .collect().map(_.getLong(0))
+        val rows = params.zipWithIndex.map { case (k, i) =>
+          val w = 320 + (i % 8) * 160
+          (i.toLong, Mp4.writeStub("isom", timescale = 1000,
+            duration = k * 250, width = w, height = w * 9 / 16,
+            videoFrames = i + 10L,
+            audioSamples = if (i % 2 == 0) (i + 1) * 441L else 0L))
+        }.toSeq
+        Mp4.mp4Meta(s.createDataFrame(rows).toDF("doc_id", "payload"),
+          "doc_id", "payload")
+          .select($"id", $"brand", $"duration_sec", $"width", $"height",
+            $"video_frames", $"audio_samples", $"track_count")
+          .orderBy($"id")
+      }),
+
     // ------------------------------------------------------- dedup: MinHash signatures
     Q("q30_minhash_sig", Some(s"""
       WITH ${shingleCte("documents")}
