@@ -145,6 +145,37 @@ object QueriesML {
           .orderBy($"id")
       }),
 
+    // ------------------------------------------------------- dedup: CCNet line-level boilerplate
+    // Lines duplicated across >= 3 documents (planted banner + per-bucket
+    // footers) are cut; blank and rare lines keep their order. The oracle
+    // rebuilds the same multi-line docs and reassembles with string_agg.
+    Q("q114_line_dedup", Some("""
+      WITH d AS (SELECT doc_id,
+                        'NOTICE: shared banner' || chr(10) || text || chr(10)
+                          || chr(10) || 'footer ' || CAST(doc_id % 5 AS VARCHAR)
+                          AS t
+                 FROM documents),
+      l AS (SELECT doc_id, i - 1 AS ord, ls[i] AS line
+            FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d),
+                 UNNEST(range(1, len(ls) + 1)) AS r(i)),
+      b AS (SELECT trim(line) AS key FROM l WHERE trim(line) <> ''
+            GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+      k AS (SELECT l.doc_id, l.ord, l.line FROM l
+            LEFT JOIN b ON trim(l.line) = b.key WHERE b.key IS NULL),
+      agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS tc
+              FROM k GROUP BY doc_id)
+      SELECT d.doc_id AS id, COALESCE(agg.tc, '') AS text_clean
+      FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+      ORDER BY id"""))(
+      (s, d) => {
+        val derived = Tables.documents(s, d).select($"doc_id",
+          concat(lit("NOTICE: shared banner\n"), $"text",
+            lit("\n\nfooter "), ($"doc_id" % 5).cast("string")).as("t"))
+        Dedup.dedupLines(derived, "doc_id", "t", minDf = 3)
+          .select($"id", $"text_clean")
+          .orderBy($"id")
+      }),
+
     // ------------------------------------------------------- dedup: MinHash signatures
     Q("q30_minhash_sig", Some(s"""
       WITH ${shingleCte("documents")}

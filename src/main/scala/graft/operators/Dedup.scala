@@ -445,6 +445,39 @@ object Dedup {
     * combine, a join back on the same shingle key (partitioning reused),
     * and a doc-keyed final agg. Because rows are per-doc-distinct, the
     * document frequency is a plain `count(*)`, never `count(DISTINCT)`. */
+  /** CCNet-style LINE-level boilerplate removal (Wenzek et al. 2020 §3.1 —
+    * they drop lines duplicated across the corpus before any model runs):
+    * a non-blank line whose TRIMMED content appears in at least `minDf`
+    * distinct documents is boilerplate (headers, footers, cookie banners)
+    * and is cut; blank lines and rare lines keep their original order.
+    * Returns (id, text_clean); documents whose every line is cut yield "".
+    *
+    * Scale shape: line document-frequency is one hash aggregation keyed by
+    * line content; the filter joins line rows to the (content, df >= minDf)
+    * set — ids and line hashes shuffle, whole documents never do; per-doc
+    * reassembly sorts only that document's surviving lines. */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      minDf: Int): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would cut every non-blank line")
+    val in = df.select(col(idCol).as("id"), col(textCol).cast("string").as("t"))
+    val lines = in.select(col("id"),
+      posexplode(split(col("t"), "\n", -1)).as(Seq("ord", "line")))
+      .withColumn("key", trim(col("line")))
+    val boiler = lines.filter(col("key") =!= "")
+      .groupBy(col("key"))
+      .agg(countDistinct(col("id")).as("df_docs"))
+      .filter(col("df_docs") >= minDf)
+      .select(col("key"))
+    val kept = lines.join(boiler, Seq("key"), "left_anti")
+    val reassembled = kept
+      .groupBy(col("id"))
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("ord"), col("line")))),
+          x => x.getField("line"))).as("text_clean"))
+    in.select(col("id")).join(reassembled, Seq("id"), "left")
+      .withColumn("text_clean", coalesce(col("text_clean"), lit("")))
+  }
+
   def crossDocDupShingleStats(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
     val in = df.select(col(idCol).as("id"), col(textCol).cast("string").as("t"))

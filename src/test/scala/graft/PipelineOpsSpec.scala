@@ -19,6 +19,25 @@ class DedupSpec extends SparkSpec {
     base.union(exactDup).union(nearDup)
   }
 
+  test("line-level dedup cuts corpus-frequent lines, keeps order and blanks") {
+    val rows = Seq(
+      (1L, "BANNER\nalpha text\n\nfooter x"),
+      (2L, "BANNER\nbeta text\n\nfooter x"),
+      (3L, "BANNER\ngamma text\n\nfooter x"),
+      (4L, "  BANNER  \ndelta text\nunique footer"), // trimmed match
+      (5L, "BANNER"))                                // everything cut
+    val got = Dedup.dedupLines(rows.toDF("doc_id", "text"), "doc_id", "text",
+      minDf = 3).orderBy($"id").collect()
+    // BANNER (df 5, trimmed) and "footer x" (df 3) are cut; blanks stay
+    assert(got.map(_.getString(1)).toSeq == Seq(
+      "alpha text\n", "beta text\n", "gamma text\n",
+      "delta text\nunique footer", ""))
+    // minDf above every df keeps everything byte-identical
+    val keep = Dedup.dedupLines(rows.toDF("doc_id", "text"), "doc_id", "text",
+      minDf = 9).orderBy($"id").collect()
+    assert(keep.map(_.getString(1)).toSeq == rows.map(_._2))
+  }
+
   test("exact dedup finds the planted duplicate") {
     val groups = Dedup.exact(docs, "text", "doc_id").filter($"dup_cnt" > 1).collect()
     assert(groups.length == 1)
