@@ -544,6 +544,64 @@ class Grib2Spec extends SparkSpec {
     assert(got.toSeq == vals)
   }
 
+  test("fuzz: rotated/probability/ensemble/radius combinations round-trip") {
+    import graft.sources.grib.GribProjection
+    val rnd = new scala.util.Random(2026)
+    val dir = java.nio.file.Files.createTempDirectory("g2fuzz").toString
+    val conf = new org.apache.hadoop.conf.Configuration()
+    (0 until 8).foreach { trial =>
+      val ni = 2 + rnd.nextInt(6)
+      val nj = 2 + rnd.nextInt(5)
+      val vals = (0 until ni * nj).map(_ => rnd.nextInt(4096).toDouble)
+      val rot =
+        if (trial % 2 == 0)
+          Some(GribProjection.RotatedLatLon(
+            -20.0 - rnd.nextInt(50), rnd.nextInt(360) - 180,
+            Array(0.0f, 10.0f, -35.0f)(rnd.nextInt(3)).toDouble))
+        else None
+      val prob =
+        if (trial % 4 < 2) None
+        else Some((rnd.nextInt(5),
+          if (rnd.nextBoolean()) rnd.nextInt(2000) / 1000.0 else Double.NaN,
+          if (rnd.nextBoolean()) 2.0 + rnd.nextInt(3000) / 1000.0 else Double.NaN))
+      val member = if (prob.isEmpty && trial % 4 == 1) rnd.nextInt(50) else -1
+      val statP = if (rnd.nextBoolean()) 1 else -1
+      val la1 = 30.0 + rnd.nextInt(30)
+      val lo1 = rnd.nextInt(90) - 45.0
+      val p = s"$dir/t$trial.grib2"
+      GW2.write(p, Seq(GW2.FieldSpec(0, 1, 8, 103, 2, t0, vals, ni, nj,
+        la1 = la1, lo1 = lo1, la2 = la1 - (nj - 1) * 0.5,
+        lo2 = lo1 + (ni - 1) * 0.5,
+        forecastTime = 3, statProcess = statP, decimalScale = 0,
+        ensembleMember = member, probability = prob, projection = rot)))
+      val f = Grib2Reader.indexFields(conf, p).head
+      // exact value decode regardless of the header combination
+      val data = {
+        val raf = new java.io.RandomAccessFile(p, "r")
+        val b = new Array[Byte](f.dataBytes); raf.seek(f.dataOffset)
+        raf.readFully(b); raf.close(); b
+      }
+      assert(f.decode(data, null).toSeq == vals, s"trial $trial values")
+      // metadata round-trips
+      assert(f.projection == rot, s"trial $trial rot")
+      prob.foreach { case (t, lo, up) =>
+        val (gt, glo, gup) = f.probability.get
+        assert(gt == t && (lo.isNaN && glo.isNaN || lo == glo) &&
+          (up.isNaN && gup.isNaN || up == gup), s"trial $trial prob")
+      }
+      assert(f.ensembleMember == member || prob.isDefined, s"trial $trial member")
+      // coords: rotated grids unrotate the interpolated rotated coords
+      rot.foreach { r =>
+        val k = rnd.nextInt(ni * nj)
+        val (wantLat, wantLon) =
+          r.inverse(lo1 + (k % ni) * 0.5, la1 - (k / ni) * 0.5)
+        val (gla, glo2) = f.coordOf(k)
+        assert(math.abs(gla - wantLat) < 1e-5 && math.abs(glo2 - wantLon) < 1e-5,
+          s"trial $trial coord $k")
+      }
+    }
+  }
+
   test("shape of earth: projected grids honor the declared sphere radius") {
     import graft.sources.grib.GribProjection
     val dir = java.nio.file.Files.createTempDirectory("shape").toString
