@@ -176,6 +176,47 @@ object QueriesML {
           .orderBy($"id")
       }),
 
+    // ------------------------------------------------------- multimodal: WebDataset tar shards
+    // Tar-shard ingestion (the WebDataset layout: members share a basename
+    // per sample). Two shards of derived img/txt members read back as one
+    // member table; the oracle recomputes keys, sizes, and md5 digests
+    // from the same derivation.
+    Q("q115_webdataset", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 100),
+      m AS (SELECT lpad(CAST(rn0 AS VARCHAR), 6, '0') AS key,
+                   'img' AS ext,
+                   'payload-' || CAST(rn0 AS VARCHAR) || '-'
+                     || repeat('x', CAST(o_orderkey % 50 AS INT)) AS body
+            FROM o
+            UNION ALL
+            SELECT lpad(CAST(rn0 AS VARCHAR), 6, '0'),
+                   'txt',
+                   'caption ' || CAST(o_orderkey % 997 AS VARCHAR)
+            FROM o)
+      SELECT key, ext, CAST(length(body) AS BIGINT) AS size,
+             md5(body) AS digest
+      FROM m ORDER BY key, ext"""))(
+      (s, d) => {
+        import graft.sources.TarShards
+        val params = Tables.orders(s, d).orderBy($"o_orderkey").limit(100)
+          .select(($"o_orderkey" % 50).cast("int"),
+            ($"o_orderkey" % 997).cast("long"))
+          .collect().map(r => (r.getInt(0), r.getLong(1)))
+        val entries = params.zipWithIndex.flatMap { case ((pad, cap), i) =>
+          val key = f"$i%06d"
+          Seq(s"$key.img" -> s"payload-$i-${"x" * pad}".getBytes("UTF-8"),
+            s"$key.txt" -> s"caption $cap".getBytes("UTF-8"))
+        }.toSeq
+        val dir = java.nio.file.Files.createTempDirectory("q115").toString
+        TarShards.write(s"$dir/shard-000.tar", entries.take(100))
+        TarShards.write(s"$dir/shard-001.tar", entries.drop(100))
+        TarShards.read(s, s"$dir/shard-*.tar")
+          .select($"key", $"ext", $"size", md5($"content").as("digest"))
+          .orderBy($"key", $"ext")
+      }),
+
     // ------------------------------------------------------- dedup: MinHash signatures
     Q("q30_minhash_sig", Some(s"""
       WITH ${shingleCte("documents")}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.TarShards
+
+class TarShardsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ustar shards round-trip members and group into samples") {
+    val dir = java.nio.file.Files.createTempDirectory("wds").toString
+    def blob(s: String): Array[Byte] = s.getBytes("UTF-8")
+    TarShards.write(s"$dir/shard-000.tar", Seq(
+      "000000.jpg" -> blob("fake-jpeg-0"),
+      "000000.txt" -> blob("a red square"),
+      "000001.jpg" -> blob("fake-jpeg-1-longer"),
+      "000001.txt" -> blob("a blue circle"),
+      "000001.json" -> blob("""{"w": 64}""")))
+    TarShards.write(s"$dir/shard-001.tar", Seq(
+      "000002.jpg" -> blob("fake-jpeg-2"),
+      "000002.txt" -> blob("")))
+    val df = TarShards.read(spark, s"$dir/shard-*.tar")
+    assert(df.count() == 7)
+    assert(df.select($"key").distinct().count() == 3)
+    val r = df.filter($"key" === "000001" && $"ext" === "txt").head()
+    assert(new String(r.getAs[Array[Byte]]("content"), "UTF-8") == "a blue circle")
+    assert(r.getLong(3) == 13)
+    // sample grouping: one row per (shard, key), ext -> content map
+    val s2 = TarShards.samples(df)
+    assert(s2.count() == 3)
+    val m = s2.filter($"key" === "000001").head()
+      .getAs[Map[String, Array[Byte]]]("parts")
+    assert(m.keySet == Set("jpg", "txt", "json"))
+    // empty member decodes as zero bytes, not a missing row
+    assert(df.filter($"key" === "000002" && $"ext" === "txt")
+      .head().getAs[Array[Byte]]("content").isEmpty)
+  }
+
+  test("GNU long names, pax headers, dirs, and garbage are handled") {
+    val dir = java.nio.file.Files.createTempDirectory("wdsx").toString
+    val p = s"$dir/x.tar"
+    TarShards.write(p, Seq("a.txt" -> "hello".getBytes))
+    val raw0 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    // hand-build: dir entry + GNU longname pair + pax-global + the file
+    val out = new java.io.ByteArrayOutputStream()
+    def header(name: String, size: Int, typ: Char): Array[Byte] = {
+      val src = raw0.take(512).clone()
+      java.util.Arrays.fill(src, 0, 100, 0.toByte)
+      name.getBytes.copyToArray(src, 0)
+      val szs = ("%011o".format(size)).getBytes
+      szs.copyToArray(src, 124)
+      src(156) = typ.toByte
+      // recompute checksum
+      java.util.Arrays.fill(src, 148, 156, ' '.toByte)
+      val sum = src.map(_ & 0xff).sum
+      ("%06o".format(sum)).getBytes.copyToArray(src, 148)
+      src(154) = 0; src(155) = ' '
+      src
+    }
+    def padded(b: Array[Byte]): Array[Byte] =
+      b ++ new Array[Byte]((512 - b.length % 512) % 512)
+    out.write(header("data/", 0, '5'))
+    val longName = ("d" * 60) + "/sample-42.cls"
+    out.write(header("././@LongLink", longName.length, 'L'))
+    out.write(padded(longName.getBytes))
+    out.write(header("ignored.cls", 4, '0'))
+    out.write(padded("九九九九".getBytes("UTF-8").take(4)))
+    val pax = "30 mtime=1700000000.123456789\n"
+    out.write(header("pax", pax.length, 'g'))
+    out.write(padded(pax.getBytes))
+    out.write(raw0) // the normal file + terminator
+    val p2 = s"$dir/mixed.tar"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p2), out.toByteArray)
+    val df = TarShards.read(spark, p2)
+    val rows = df.select($"key", $"ext").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("sample-42", "cls"), ("a", "txt")))
+    // non-tar bytes raise a directed error
+    val bad = s"$dir/bad.tar"
+    java.nio.file.Files.write(java.nio.file.Paths.get(bad), new Array[Byte](1024 * 3))
+    // all-zero file = empty archive, no members
+    assert(intercept[IllegalArgumentException] {
+      TarShards.read(spark, s"$dir/none-*.tar")
+    }.getMessage.contains("no tar shards"))
+    val junk = s"$dir/junk.tar"
+    java.nio.file.Files.write(java.nio.file.Paths.get(junk),
+      Array.fill[Byte](1024)('Z'.toByte))
+    val e = intercept[org.apache.spark.SparkException] {
+      TarShards.read(spark, junk).count()
+    }
+    assert(e.getMessage.contains("bad magic") ||
+      Option(e.getCause).exists(_.getMessage.contains("bad magic")))
+  }
+}
