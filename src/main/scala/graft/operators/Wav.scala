@@ -11,11 +11,12 @@ package graft.operators
   *
   * Decoding walks the chunk list in ANY order, skips unknown chunks (LIST,
   * fact, cue, bext...), honours the odd-size pad byte, and tolerates
-  * extended `fmt ` chunks (cbSize tail). Supported sample encodings: PCM16
-  * signed little-endian and PCM8 unsigned (format tag 1). Float (3), A-law
-  * (6), mu-law (7) and ADPCM raise a directed error naming the tag so a
-  * user knows to transcode, mirroring how the GRIB/TIFF readers treat
-  * unsupported packings.
+  * extended `fmt ` chunks (cbSize tail). Supported sample encodings:
+  * PCM16/PCM24 signed little-endian and PCM8 unsigned (format tag 1) plus
+  * IEEE float32 (tag 3, scaled to the 16-bit range). A-law (6), mu-law
+  * (7) and ADPCM raise a directed error naming the tag so a user knows to
+  * transcode, mirroring how the GRIB/TIFF readers treat unsupported
+  * packings.
   */
 object Wav {
 
@@ -134,9 +135,8 @@ object Wav {
 
     if (fmtTag == -1) throw UnsupportedWav("no fmt chunk")
     if (data == null) throw UnsupportedWav("no data chunk")
-    if (fmtTag != 1) {
+    if (fmtTag != 1 && fmtTag != 3) {
       val name = fmtTag match {
-        case 3 => "IEEE float"
         case 6 => "A-law"
         case 7 => "mu-law"
         case 0xfffe => "WAVE_FORMAT_EXTENSIBLE"
@@ -148,8 +148,8 @@ object Wav {
     if (channels <= 0 || sampleRate <= 0)
       throw UnsupportedWav(s"fmt declares channels=$channels rate=$sampleRate")
 
-    val samples = bitsPerSample match {
-      case 16 =>
+    val samples = (fmtTag, bitsPerSample) match {
+      case (1, 16) =>
         val out = new Array[Short](data.length / 2)
         var i = 0
         while (i < out.length) {
@@ -157,7 +157,7 @@ object Wav {
           i += 1
         }
         out
-      case 8 =>
+      case (1, 8) =>
         // PCM8 is unsigned, midpoint 128; widen to the signed 16-bit scale
         val out = new Array[Short](data.length)
         var i = 0
@@ -166,7 +166,33 @@ object Wav {
           i += 1
         }
         out
-      case b => throw UnsupportedWav(s"$b bits per sample (8/16 only)")
+      case (1, 24) =>
+        // PCM24 signed little-endian; keep the 16 most significant bits
+        val out = new Array[Short](data.length / 3)
+        var i = 0
+        while (i < out.length) {
+          val v = (data(3 * i) & 0xff) | ((data(3 * i + 1) & 0xff) << 8) |
+            (data(3 * i + 2) << 16)
+          out(i) = (v >> 8).toShort
+          i += 1
+        }
+        out
+      case (3, 32) =>
+        // IEEE float in [-1, 1]; scale to the signed 16-bit range, clamp
+        val out = new Array[Short](data.length / 4)
+        var i = 0
+        while (i < out.length) {
+          val bits = (data(4 * i) & 0xff) | ((data(4 * i + 1) & 0xff) << 8) |
+            ((data(4 * i + 2) & 0xff) << 16) | ((data(4 * i + 3) & 0xff) << 24)
+          val f = java.lang.Float.intBitsToFloat(bits)
+          val scaled = math.rint(f * 32767.0)
+          out(i) = math.max(-32768.0, math.min(32767.0, scaled)).toShort
+          i += 1
+        }
+        out
+      case (1, b) => throw UnsupportedWav(s"$b bits per sample (8/16/24 PCM only)")
+      case (3, b) => throw UnsupportedWav(s"IEEE float at $b bits (32 only)")
+      case _ => throw UnsupportedWav("unreachable format dispatch")
     }
     // drop a trailing partial frame rather than failing the whole file
     val whole = (samples.length / channels) * channels

@@ -1281,12 +1281,36 @@ class MultimodalSpec extends SparkSpec {
     // directed errors name the problem
     val junk = intercept[Wav.UnsupportedWav](Wav.decode("nope".getBytes))
     assert(junk.getMessage.contains("RIFF"))
-    val flt = {
-      val b = Wav.encode(audio, withListChunk = false)
-      b(20) = 3 // format tag -> IEEE float
-      intercept[Wav.UnsupportedWav](Wav.decode(b))
+    // hand-build a RIFF container with a given tag/bits and raw payload
+    def riff(tag: Int, bits: Int, payload: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+      def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+      o.write("RIFF".getBytes); w32(36 + payload.length); o.write("WAVE".getBytes)
+      o.write("fmt ".getBytes); w32(16)
+      w16(tag); w16(1); w32(8000)
+      w32(8000 * bits / 8); w16(bits / 8); w16(bits)
+      o.write("data".getBytes); w32(payload.length); o.write(payload)
+      o.toByteArray
     }
-    assert(flt.getMessage.contains("float") && flt.getMessage.contains("pcm_s16le"))
+    // IEEE float32 (tag 3) scales [-1, 1] to the 16-bit range, clamping
+    val f32 = Seq(0.0f, 0.5f, -1.0f, 1.5f).flatMap { f =>
+      val bits = java.lang.Float.floatToIntBits(f)
+      Seq(bits, bits >> 8, bits >> 16, bits >> 24).map(b => (b & 0xff).toByte)
+    }.toArray
+    val gotF = Wav.decode(riff(3, 32, f32))
+    assert(gotF.samples.toSeq ==
+      Seq[Short](0, 16384, -32767, 32767)) // rint(0.5*32767)=16384; clamp 1.5
+    // PCM24 keeps the top 16 bits
+    val p24 = Seq(0x000000, 0x7fff00, 0x800000, 0x400080).flatMap(v =>
+      Seq(v, v >> 8, v >> 16).map(b => (b & 0xff).toByte)).toArray
+    val got24 = Wav.decode(riff(1, 24, p24))
+    assert(got24.samples.toSeq == Seq[Short](0, 0x7fff, (0x8000 - 0x10000).toShort, 0x4000))
+    // float at a non-32 width and a-law still raise directed errors
+    val f16 = intercept[Wav.UnsupportedWav](Wav.decode(riff(3, 16, new Array[Byte](4))))
+    assert(f16.getMessage.contains("32 only"))
+    val alaw = intercept[Wav.UnsupportedWav](Wav.decode(riff(6, 8, new Array[Byte](4))))
+    assert(alaw.getMessage.contains("A-law") && alaw.getMessage.contains("pcm_s16le"))
   }
 
   test("q66 decoded audio features equal the closed-form oracle values") {
