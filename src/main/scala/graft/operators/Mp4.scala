@@ -74,39 +74,57 @@ object Mp4 {
         if (size < 8 || off + size > hi)
           throw UnsupportedMp4(s"box '$typ' at $off with size $size exceeds range $hi")
         val end = (off + size).toInt
+        // every fixed-offset read below is bounds-checked against the box
+        // end so truncated/corrupt boxes raise a DIRECTED error instead of
+        // reading neighboring bytes or throwing a raw index exception
+        def need(n: Int): Unit =
+          if (payload + n > end) throw UnsupportedMp4(
+            s"box '$typ' of ${end - payload} payload bytes (need $n)")
         typ match {
-          case "ftyp" => brand = cc(payload)
+          case "ftyp" => need(4); brand = cc(payload)
           case "moov" => walk(payload, end, trak)
           case "trak" =>
             tracks += walk(payload, end, Track())
           case "mdia" | "minf" | "stbl" => trak = walk(payload, end, trak)
           case "mvhd" =>
+            need(20)
             val v = bytes(payload) & 0xff
-            if (v == 1) { mvhdTimescale = u32(payload + 20); mvhdDuration = u64(payload + 24) }
+            if (v == 1) { need(32); mvhdTimescale = u32(payload + 20); mvhdDuration = u64(payload + 24) }
             else { mvhdTimescale = u32(payload + 12); mvhdDuration = u32(payload + 16) }
           case "tkhd" =>
             val v = bytes(payload) & 0xff
+            need(if (v == 1) 96 else 84)
             val base = if (v == 1) payload + 88 else payload + 76
             // 16.16 fixed point
             trak = trak.copy(width = (u32(base) >> 16).toInt,
               height = (u32(base + 4) >> 16).toInt)
           case "mdhd" =>
             val v = bytes(payload) & 0xff
+            need(if (v == 1) 24 else 16)
             val ts = if (v == 1) u32(payload + 20) else u32(payload + 12)
             trak = trak.copy(timescale = ts)
-          case "hdlr" =>
+          case "hdlr" if trak.handler.isEmpty =>
+            // only the FIRST hdlr per track wins: QuickTime layouts carry a
+            // second data-handler hdlr inside minf that must not clobber
+            // the mdia-level 'vide'/'soun' media handler
+            need(12)
             trak = trak.copy(handler = cc(payload + 8))
           case "stsz" =>
             // sample_size u32 (0 = per-sample table), sample_count u32
+            need(12)
             trak = trak.copy(samples = u32(payload + 8))
           case "stts" if trak.samples == 0 =>
             // fall back to summing (count, delta) entries when stsz absent
-            val n = u32(payload + 4).toInt
+            need(8)
+            val n0 = u32(payload + 4)
+            if (8 + n0 * 8 > (end - payload).toLong) throw UnsupportedMp4(
+              s"stts declares $n0 entries in ${end - payload} payload bytes")
+            val n = n0.toInt
             var total = 0L
             var i = 0
             while (i < n) { total += u32(payload + 8 + i * 8); i += 1 }
             trak = trak.copy(samples = total)
-          case _ => // skip unknown boxes (free, mdat, udta, ...)
+          case _ => // skip unknown boxes (free, mdat, udta, hdlr repeats ...)
         }
         off = end
       }

@@ -47,8 +47,11 @@ object CfTime {
     if (!calendar.forall(c => okCalendars(c.trim.toLowerCase))) return None
     units.flatMap {
       case Pattern(unit, y, mo, d, h, mi, sec, frac, tz) =>
-        val u = unit.toLowerCase.stripSuffix("s")
-        unitSeconds.get(u).flatMap { perUnit =>
+        // try the raw abbreviation BEFORE de-pluralizing: "s"/"ms"/"us"
+        // would otherwise strip to non-units
+        val lc = unit.toLowerCase
+        unitSeconds.get(lc).orElse(unitSeconds.get(lc.stripSuffix("s")))
+          .flatMap { perUnit =>
           try {
             val offSec = Option(tz).map(_.trim).filter(_.nonEmpty) match {
               case None | Some("Z") | Some("UTC") => 0
