@@ -217,6 +217,47 @@ object QueriesML {
           .orderBy($"key", $"ext")
       }),
 
+    // ------------------------------------------------------- multimodal: MP3 frame probe
+    // Speech-corpus blobs yield sample rate / channels / duration from the
+    // MPEG frame headers alone; the oracle recomputes the planted
+    // parameters (1152 samples per MPEG-1 frame, 576 for MPEG-2).
+    Q("q116_mp3_meta", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 60),
+      p AS (SELECT rn0,
+                   CASE WHEN rn0 % 3 = 0 THEN 44100
+                        WHEN rn0 % 3 = 1 THEN 22050 ELSE 8000 END AS rate,
+                   CASE WHEN rn0 % 2 = 0 THEN 2 ELSE 1 END AS chans,
+                   CASE WHEN rn0 % 3 = 0 THEN 128
+                        WHEN rn0 % 3 = 1 THEN 64 ELSE 16 END AS kbps,
+                   CAST(10 + o_orderkey % 90 AS BIGINT) AS frames
+            FROM o)
+      SELECT rn0 AS id, rate AS sample_rate, chans AS channels,
+             kbps AS bitrate_kbps, frames,
+             CAST(frames AS DOUBLE)
+               * (CASE WHEN rate = 44100 THEN 1152 ELSE 576 END) / rate
+               AS duration_sec
+      FROM p ORDER BY id"""))(
+      (s, d) => {
+        import graft.operators.Mp3
+        val params = Tables.orders(s, d).orderBy($"o_orderkey").limit(60)
+          .select(($"o_orderkey" % 90).cast("long"))
+          .collect().map(_.getLong(0))
+        val rows = params.zipWithIndex.map { case (k, i) =>
+          val rate = if (i % 3 == 0) 44100 else if (i % 3 == 1) 22050 else 8000
+          val chans = if (i % 2 == 0) 2 else 1
+          val kbps = if (i % 3 == 0) 128 else if (i % 3 == 1) 64 else 16
+          (i.toLong, Mp3.writeStub(rate, chans, kbps, frames = (10 + k).toInt,
+            xing = i % 4 == 0, id3Bytes = if (i % 5 == 0) 120 else 0))
+        }.toSeq
+        Mp3.mp3Meta(s.createDataFrame(rows).toDF("id", "payload"),
+            "id", "payload")
+          .select($"id", $"sample_rate", $"channels", $"bitrate_kbps",
+            $"frames", $"duration_sec")
+          .orderBy($"id")
+      }),
+
     // ------------------------------------------------------- dedup: MinHash signatures
     Q("q30_minhash_sig", Some(s"""
       WITH ${shingleCte("documents")}

@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Mp3
+
+class Mp3Spec extends AnyFunSuite {
+
+  test("CBR stubs probe exactly: rates, channels, frames, duration") {
+    val m = Mp3.probe(Mp3.writeStub(44100, 2, 128, frames = 100))
+    assert(m.sampleRate == 44100 && m.channels == 2 && m.bitrateKbps == 128)
+    assert(m.frames == 100 && !m.vbrTagged)
+    assert(math.abs(m.durationSec - 100.0 * 1152 / 44100) < 1e-12)
+    // MPEG-2 (22.05 kHz) halves the samples per frame
+    val m2 = Mp3.probe(Mp3.writeStub(22050, 1, 64, frames = 50))
+    assert(m2.sampleRate == 22050 && m2.channels == 1)
+    assert(math.abs(m2.durationSec - 50.0 * 576 / 22050) < 1e-12)
+    // MPEG-2.5 (8 kHz speech)
+    val m25 = Mp3.probe(Mp3.writeStub(8000, 1, 16, frames = 25))
+    assert(m25.sampleRate == 8000 && m25.frames == 25)
+  }
+
+  test("Xing tags, ID3 wrappers, and junk prefixes are handled") {
+    val x = Mp3.probe(Mp3.writeStub(48000, 2, 192, frames = 40, xing = true))
+    assert(x.vbrTagged && x.frames == 40)
+    val id3 = Mp3.probe(Mp3.writeStub(44100, 2, 128, frames = 10, id3Bytes = 300))
+    assert(id3.frames == 10 && id3.sampleRate == 44100)
+    // leading junk before the first sync is scanned past
+    val junked = "JUNKJUNK".getBytes ++ Mp3.writeStub(44100, 1, 96, frames = 8)
+    assert(Mp3.probe(junked).frames == 8)
+    // ID3v1 trailer is excluded from the walk
+    val v1tail = Mp3.writeStub(44100, 1, 96, frames = 8) ++
+      ("TAG" + "x" * 125).getBytes
+    assert(Mp3.probe(v1tail).frames == 8)
+    // no sync at all raises a directed error
+    val e = intercept[Mp3.UnsupportedMp3](Mp3.probe(new Array[Byte](64)))
+    assert(e.getMessage.contains("sync"))
+  }
+}
