@@ -258,6 +258,36 @@ object QueriesML {
           .orderBy($"id")
       }),
 
+    // ------------------------------------------------------- multimodal: FLAC STREAMINFO probe
+    // Lossless speech corpora (LibriSpeech) ship FLAC; STREAMINFO alone
+    // yields rate/channels/bits and the EXACT duration.
+    Q("q117_flac_meta", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 60),
+      p AS (SELECT rn0,
+                   CASE WHEN rn0 % 2 = 0 THEN 16000 ELSE 44100 END AS rate,
+                   CAST(1 + rn0 % 2 AS INT) AS chans,
+                   CAST(16000 + (o_orderkey % 997) * 160 AS BIGINT) AS samples
+            FROM o)
+      SELECT rn0 AS id, rate AS sample_rate, chans AS channels,
+             16 AS bits_per_sample, samples AS total_samples,
+             CAST(samples AS DOUBLE) / rate AS duration_sec
+      FROM p ORDER BY id"""))(
+      (s, d) => {
+        import graft.operators.Flac
+        val params = Tables.orders(s, d).orderBy($"o_orderkey").limit(60)
+          .select(($"o_orderkey" % 997).cast("long"))
+          .collect().map(_.getLong(0))
+        val rows = params.zipWithIndex.map { case (k, i) =>
+          val rate = if (i % 2 == 0) 16000 else 44100
+          (i.toLong, Flac.writeStub(rate, 1 + i % 2, 16, 16000 + k * 160))
+        }.toSeq
+        Flac.flacMeta(s.createDataFrame(rows).toDF("id", "payload"),
+            "id", "payload")
+          .orderBy($"id")
+      }),
+
     // ------------------------------------------------------- dedup: MinHash signatures
     Q("q30_minhash_sig", Some(s"""
       WITH ${shingleCte("documents")}

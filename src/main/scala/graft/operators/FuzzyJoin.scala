@@ -83,12 +83,15 @@ object FuzzyJoin {
 
     val candidates = prefixPairs.union(fallback).distinct()
 
-    // verify: re-attach strings by id, keep true matches only
+    // verify: re-attach strings by id, keep true matches only; the
+    // thresholded levenshtein abandons a pair as soon as the running
+    // distance exceeds k (returns -1), so verify cost is O(k * len) per
+    // candidate instead of O(len^2)
     candidates
       .join(docs.select($"id".as("id1"), $"s".as("s1")), "id1")
       .join(docs.select($"id".as("id2"), $"s".as("s2")), "id2")
-      .withColumn("dist", levenshtein($"s1", $"s2"))
-      .filter($"dist" <= maxDist)
+      .withColumn("dist", levenshtein($"s1", $"s2", maxDist))
+      .filter($"dist" >= 0)
       .select($"id1".as("id_a"), $"id2".as("id_b"), $"dist")
   }
 

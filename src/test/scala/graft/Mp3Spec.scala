@@ -37,3 +37,28 @@ class Mp3Spec extends AnyFunSuite {
     assert(e.getMessage.contains("sync"))
   }
 }
+
+class FlacSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.operators.Flac
+
+  test("STREAMINFO round-trips rate/channels/bits/samples exactly") {
+    val m = Flac.probe(Flac.writeStub(16000, 1, 16, totalSamples = 160000))
+    assert(m.sampleRate == 16000 && m.channels == 1 && m.bitsPerSample == 16)
+    assert(m.totalSamples == 160000 && m.durationSec == 10.0)
+    // 8-channel 24-bit 96 kHz with a > 32-bit sample count
+    val hi = Flac.probe(Flac.writeStub(96000, 8, 24, totalSamples = 5L << 32))
+    assert(hi.sampleRate == 96000 && hi.channels == 8 && hi.bitsPerSample == 24)
+    assert(hi.totalSamples == (5L << 32))
+    // unknown length streams report duration 0
+    assert(Flac.probe(Flac.writeStub(44100, 2, 16, 0)).durationSec == 0.0)
+  }
+
+  test("directed errors on junk and truncation") {
+    val e = intercept[Flac.UnsupportedFlac](Flac.probe("RIFF....".getBytes))
+    assert(e.getMessage.contains("fLaC"))
+    val ok = Flac.writeStub(44100, 2, 16, 1000)
+    val cut = java.util.Arrays.copyOf(ok, 20)
+    assert(intercept[Flac.UnsupportedFlac](Flac.probe(cut))
+      .getMessage.contains("STREAMINFO"))
+  }
+}
