@@ -35,9 +35,22 @@ object TarShards {
     StructField("size", LongType, nullable = false),
     StructField("content", BinaryType, nullable = false)))
 
+  val metaSchema: StructType = StructType(schema.fields.filterNot(_.name == "content"))
+
+  /** Member LISTING without content: headers are read, payload byte ranges
+    * are skipped — indexing a shard costs O(members) x 512 B of IO, not the
+    * shard's size. */
+  def readMeta(spark: SparkSession, pattern: String,
+      partitions: Int = 0): DataFrame =
+    readImpl(spark, pattern, partitions, withContent = false)
+
   /** One row per tar member across every shard matching `pattern`
     * (glob — one input task per shard). */
-  def read(spark: SparkSession, pattern: String, partitions: Int = 0): DataFrame = {
+  def read(spark: SparkSession, pattern: String, partitions: Int = 0): DataFrame =
+    readImpl(spark, pattern, partitions, withContent = true)
+
+  private def readImpl(spark: SparkSession, pattern: String, partitions: Int,
+      withContent: Boolean): DataFrame = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val p = new Path(pattern)
     val fs = p.getFileSystem(conf)
@@ -62,7 +75,7 @@ object TarShards {
         val b = new Array[Byte](len)
         in.readFully(off, b)
         b
-      }, fsys.getFileStatus(path).getLen)
+      }, fsys.getFileStatus(path).getLen, withContent)
       new Iterator[Row] {
         override def hasNext: Boolean = {
           val h = it.hasNext
@@ -72,7 +85,7 @@ object TarShards {
         override def next(): Row = it.next()
       }
     }
-    spark.createDataFrame(rdd, schema)
+    spark.createDataFrame(rdd, if (withContent) schema else metaSchema)
   }
 
   /** Group members into WebDataset samples: one row per (shard, key) with
@@ -86,7 +99,8 @@ object TarShards {
   }
 
   private def members(uri: String, readAt: (Long, Int) => Array[Byte],
-      fileLen: Long): Iterator[Row] = new Iterator[Row] {
+      fileLen: Long, withContent: Boolean = true): Iterator[Row] =
+    new Iterator[Row] {
     private var off = 0L
     private var pendingLongName: Option[String] = None
     private var pendingPaxPath: Option[String] = None
@@ -120,15 +134,18 @@ object TarShards {
           val name0 = pendingLongName.getOrElse(pendingPaxPath.getOrElse(
             if (prefix.nonEmpty) s"$prefix/$rawName" else rawName))
           pendingLongName = None; pendingPaxPath = None
-          if (size > Int.MaxValue - 8)
-            throw UnsupportedTar(s"member $name0 of $size bytes in $uri")
-          val content = if (size == 0) Array.emptyByteArray
-            else readAt(dataOff, size.toInt)
           val base = name0.substring(name0.lastIndexOf('/') + 1)
           val dot = base.indexOf('.')
           val (key, ext) =
             if (dot < 0) (base, "") else (base.substring(0, dot), base.substring(dot + 1))
-          Row(uri, key, ext, size, content)
+          if (!withContent) Row(uri, key, ext, size)
+          else {
+            if (size > Int.MaxValue - 8)
+              throw UnsupportedTar(s"member $name0 of $size bytes in $uri")
+            val content = if (size == 0) Array.emptyByteArray
+              else readAt(dataOff, size.toInt)
+            Row(uri, key, ext, size, content)
+          }
         case 'L' => // GNU long name: payload is the next member's name
           pendingLongName = Some(new String(readAt(dataOff, size.toInt),
             java.nio.charset.StandardCharsets.UTF_8).takeWhile(_ != '\u0000'))

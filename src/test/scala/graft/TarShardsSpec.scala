@@ -36,6 +36,27 @@ class TarShardsSpec extends SparkSpec {
       .head().getAs[Array[Byte]]("content").isEmpty)
   }
 
+  test("readMeta lists members without fetching content, at header-only IO") {
+    val dir = java.nio.file.Files.createTempDirectory("wdsm").toString
+    val entries = (0 until 2000).flatMap { i =>
+      val key = f"$i%06d"
+      Seq(s"$key.img" -> Array.fill[Byte](512)((i % 127).toByte),
+        s"$key.txt" -> s"caption $i".getBytes("UTF-8"))
+    }
+    TarShards.write(s"$dir/big.tar", entries)
+    val meta = TarShards.readMeta(spark, s"$dir/big.tar")
+    assert(meta.columns.toSeq == Seq("shard_uri", "key", "ext", "size"))
+    assert(meta.count() == 4000)
+    assert(meta.filter($"ext" === "img").agg(sum($"size")).head().getLong(0)
+      == 2000L * 512)
+    // sizes agree with the full read
+    val full = TarShards.read(spark, s"$dir/big.tar")
+      .groupBy($"ext").agg(sum($"size").as("s")).orderBy($"ext").collect()
+    val lite = meta.groupBy($"ext").agg(sum($"size").as("s")).orderBy($"ext").collect()
+    assert(full.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      lite.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
   test("GNU long names, pax headers, dirs, and garbage are handled") {
     val dir = java.nio.file.Files.createTempDirectory("wdsx").toString
     val p = s"$dir/x.tar"
