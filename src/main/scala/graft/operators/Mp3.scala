@@ -38,6 +38,7 @@ object Mp3 {
 
   def probe(bytes: Array[Byte]): Mp3Meta = {
     var off = 0
+    var sawOtherLayer = false
     // ID3v2 prefix: "ID3" + version(2) + flags + 4-byte syncsafe size
     if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
       val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
@@ -58,8 +59,14 @@ object Mp3 {
       val versionBits = (b2 >> 3) & 0x3 // 0=2.5, 2=2, 3=1
       val layerBits = (b2 >> 1) & 0x3   // 1 = Layer III
       if (versionBits == 1) return None // reserved
-      if (layerBits != 1)
-        throw UnsupportedMp3(s"MPEG Layer ${4 - layerBits} (Layer III only)")
+      if (layerBits != 1) {
+        // Layer I/II (or reserved): NOT a directed error here — this may
+        // be junk that happens to carry sync bits; the sync scan and the
+        // frame walk must skip it. probe() raises the directed error only
+        // when no Layer III frame exists at all.
+        if (layerBits == 2 || layerBits == 3) sawOtherLayer = true
+        return None
+      }
       val b3 = bytes(o + 2) & 0xff
       val bitrateIdx = (b3 >> 4) & 0xf
       val rateIdx = (b3 >> 2) & 0x3
@@ -86,15 +93,19 @@ object Mp3 {
       if (first.isEmpty) off += 1
     }
     val (fb0, rate, channels, kbps, spf) = first.getOrElse(
-      throw UnsupportedMp3("no MPEG audio frame sync found"))
+      throw UnsupportedMp3(
+        if (sawOtherLayer) "MPEG Layer I/II stream (Layer III only)"
+        else "no MPEG audio frame sync found"))
 
-    // Xing/Info tag: after the side info of the first frame
+    // Xing/Info tag: after the (optional CRC-16 and) side info of the
+    // first frame — protection bit 0 means a 2-byte CRC precedes side info
     val v1 = rate >= 32000
+    val crcBytes = if (((bytes(off + 1) & 0xff) & 0x1) == 0) 2 else 0
     val sideInfo = if (v1) { if (channels == 1) 17 else 32 }
       else { if (channels == 1) 9 else 17 }
-    val xingOff = off + 4 + sideInfo
+    val xingOff = off + 4 + crcBytes + sideInfo
     val xing =
-      if (xingOff + 8 <= end &&
+      if (xingOff + 12 <= end && // tag(4) + flags(4) + frames(4)
         (tag(bytes, xingOff) == "Xing" || tag(bytes, xingOff) == "Info") &&
         (bytes(xingOff + 7) & 0x1) == 1) // frames field present
         Some(u32(bytes, xingOff + 8))

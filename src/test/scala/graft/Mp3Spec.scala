@@ -36,6 +36,33 @@ class Mp3Spec extends AnyFunSuite {
     val e = intercept[Mp3.UnsupportedMp3](Mp3.probe(new Array[Byte](64)))
     assert(e.getMessage.contains("sync"))
   }
+
+  test("sync-bit junk, CRC frames, and truncation at the Xing field") {
+    // 0xFF 0xFF looks like a Layer I sync — the scan must skip it, not throw
+    val junked = Array(0xff.toByte, 0xff.toByte) ++
+      Mp3.writeStub(44100, 1, 96, frames = 6)
+    assert(Mp3.probe(junked).frames == 6)
+    // a pure Layer I/II stream names the layer in the directed error
+    val l1 = Array.tabulate[Byte](64)(i =>
+      if (i % 4 == 0) 0xff.toByte else if (i % 4 == 1) 0xfe.toByte else 0)
+    assert(intercept[Mp3.UnsupportedMp3](Mp3.probe(l1))
+      .getMessage.contains("Layer I/II"))
+    // CRC-protected first frame (protection bit 0): Xing sits 2 bytes later
+    val prot = Mp3.writeStub(44100, 2, 128, frames = 20, xing = true)
+    val moved = prot.clone()
+    moved(1) = (moved(1) & 0xfe).toByte // set protection (CRC present)
+    // shift the frame payload (incl. the Xing region) down by 2 to make
+    // room for the CRC — frame is zero-padded so the tail truncation is safe
+    val frameLen = 144 * 128 * 1000 / 44100
+    System.arraycopy(prot, 4, moved, 6, frameLen - 6)
+    val pm = Mp3.probe(moved)
+    assert(pm.vbrTagged && pm.frames == 20)
+    // truncated right after the Xing flags: no crash, CBR-walk fallback
+    val cut = java.util.Arrays.copyOf(
+      Mp3.writeStub(44100, 2, 128, frames = 2, xing = true), 4 + 32 + 8)
+    val cm = Mp3.probe(cut)
+    assert(!cm.vbrTagged)
+  }
 }
 
 class FlacSpec extends org.scalatest.funsuite.AnyFunSuite {
