@@ -288,6 +288,38 @@ object QueriesML {
           .orderBy($"id")
       }),
 
+    // ------------------------------------------------------- multimodal: OGG/Opus probe
+    // Opus granules always count 48 kHz samples (RFC 7845); duration =
+    // (last granule - pre-skip) / 48000 regardless of the input rate.
+    Q("q118_ogg_meta", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 60),
+      p AS (SELECT rn0,
+                   CASE WHEN rn0 % 2 = 0 THEN 16000 ELSE 48000 END AS rate,
+                   CAST(1 + rn0 % 2 AS INT) AS chans,
+                   CAST(4800 + (o_orderkey % 997) * 480 AS BIGINT) AS granule
+            FROM o)
+      SELECT rn0 AS id, 'opus' AS codec, rate AS sample_rate,
+             chans AS channels, 312 AS pre_skip,
+             granule - 312 AS total_samples,
+             CAST(granule - 312 AS DOUBLE) / 48000 AS duration_sec
+      FROM p ORDER BY id"""))(
+      (s, d) => {
+        import graft.operators.Ogg
+        val params = Tables.orders(s, d).orderBy($"o_orderkey").limit(60)
+          .select(($"o_orderkey" % 997).cast("long"))
+          .collect().map(_.getLong(0))
+        val rows = params.zipWithIndex.map { case (k, i) =>
+          val rate = if (i % 2 == 0) 16000 else 48000
+          (i.toLong, Ogg.writeStub("opus", rate, 1 + i % 2,
+            granule = 4800 + k * 480, preSkip = 312))
+        }.toSeq
+        Ogg.oggMeta(s.createDataFrame(rows).toDF("id", "payload"),
+            "id", "payload")
+          .orderBy($"id")
+      }),
+
     // ------------------------------------------------------- dedup: MinHash signatures
     Q("q30_minhash_sig", Some(s"""
       WITH ${shingleCte("documents")}

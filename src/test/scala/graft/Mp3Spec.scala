@@ -89,3 +89,37 @@ class FlacSpec extends org.scalatest.funsuite.AnyFunSuite {
       .getMessage.contains("STREAMINFO"))
   }
 }
+
+class OggSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.operators.Ogg
+
+  test("Opus and Vorbis id headers + last-granule durations probe exactly") {
+    // Opus: granule counts 48 kHz samples; duration excludes pre-skip
+    val o = Ogg.probe(Ogg.writeStub("opus", 16000, 1, granule = 48312, preSkip = 312))
+    assert(o.codec == "opus" && o.sampleRate == 16000 && o.channels == 1)
+    assert(o.preSkip == 312 && o.totalSamples == 48000)
+    assert(o.durationSec == 1.0)
+    // Vorbis: granule counts STREAM-rate samples
+    val v = Ogg.probe(Ogg.writeStub("vorbis", 44100, 2, granule = 88200))
+    assert(v.codec == "vorbis" && v.sampleRate == 44100 && v.channels == 2)
+    assert(v.durationSec == 2.0)
+  }
+
+  test("directed errors on junk, truncation, and unknown codecs") {
+    assert(intercept[Ogg.UnsupportedOgg](Ogg.probe("not ogg".getBytes))
+      .getMessage.contains("OggS"))
+    val ok = Ogg.writeStub("opus", 48000, 2, granule = 960)
+    // first packet neither OpusHead nor vorbis
+    val other = ok.clone()
+    "XXXXHead".getBytes.copyToArray(other, 27 + 1) // clobber the id packet
+    assert(intercept[Ogg.UnsupportedOgg](Ogg.probe(other))
+      .getMessage.contains("OpusHead"))
+    // id page only: the header page's granule 0 yields duration 0
+    // (an empty stream, not an error)
+    val idOnly = java.util.Arrays.copyOf(ok, 27 + 1 + 19)
+    assert(Ogg.probe(idOnly).durationSec == 0.0)
+    // truncated mid-lacing-table raises a directed error
+    assert(intercept[Ogg.UnsupportedOgg](Ogg.probe(
+      java.util.Arrays.copyOf(ok, 30))).getMessage.contains("truncated"))
+  }
+}
