@@ -172,34 +172,74 @@ object TarShards {
     private def advance(): Unit = nextRow = fetch()
   }
 
+  /** DISTRIBUTED WebDataset export: each input partition writes one
+    * `shard-NNNNN.tar` under `dir` with members named `<key>.<ext>` —
+    * the write-side mirror of [[read]]/[[samples]]. Rows need (key, ext,
+    * content) columns; repartition upstream to size shards (the usual
+    * recipe: `df.repartition(n)` for ~even shards, or range-partition by
+    * a sort key for curriculum-ordered shards). Returns shard count. */
+  def writeShards(df: DataFrame, dir: String, keyCol: String = "key",
+      extCol: String = "ext", contentCol: String = "content"): Int = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val tconf = TaskConf(conf)
+    val rows = df.select(col(keyCol).cast("string"), col(extCol).cast("string"),
+      col(contentCol))
+    val n = rows.rdd.getNumPartitions
+    rows.rdd.foreachPartition { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val c = tconf.value
+      val p = new Path(f"$dir/shard-$pid%05d.tar")
+      val out = p.getFileSystem(c).create(p, true)
+      try {
+        var wrote = false
+        it.foreach { r =>
+          val ext = r.getString(1)
+          val name = if (ext.isEmpty) r.getString(0) else s"${r.getString(0)}.$ext"
+          writeMember(out, name, r.getAs[Array[Byte]](2))
+          wrote = true
+        }
+        out.write(new Array[Byte](1024))
+        // empty partitions still leave a valid (empty) shard — deterministic
+        // shard numbering beats missing files for downstream loaders
+        if (!wrote) () // header-free archive: just the end-of-archive blocks
+      } finally out.close()
+    }
+    n
+  }
+
   /** Fixture/export writer: plain ustar, one member per (name, bytes). */
   def write(path: String, entries: Seq[(String, Array[Byte])],
       conf: Configuration = new Configuration()): Unit = {
     val p = new Path(path)
     val out = p.getFileSystem(conf).create(p, true)
     try {
-      entries.foreach { case (name, bytes) =>
-        require(name.getBytes("UTF-8").length <= 100,
-          s"writer emits plain ustar names <= 100 bytes: $name")
-        val h = new Array[Byte](512)
-        putStr(h, 0, name)
-        putOctal(h, 100, 7, 420)          // 0644
-        putOctal(h, 108, 7, 0); putOctal(h, 116, 7, 0)
-        putOctal(h, 124, 11, bytes.length)
-        putOctal(h, 136, 11, 0)           // mtime
-        java.util.Arrays.fill(h, 148, 156, ' '.toByte) // checksum spaces
-        h(156) = '0'
-        putStr(h, 257, "ustar"); h(263) = 0
-        h(264) = '0'; h(265) = '0'        // version
-        val sum = h.map(_ & 0xff).sum
-        putOctal(h, 148, 6, sum); h(154) = 0; h(155) = ' '
-        out.write(h)
-        out.write(bytes)
-        val pad = (512 - bytes.length % 512) % 512
-        if (pad > 0) out.write(new Array[Byte](pad))
-      }
+      entries.foreach { case (name, bytes) => writeMember(out, name, bytes) }
       out.write(new Array[Byte](1024))    // end-of-archive
     } finally out.close()
+  }
+
+  private def writeMember(out: java.io.OutputStream, name: String,
+      bytes: Array[Byte]): Unit = {
+    require(name.getBytes("UTF-8").length <= 100,
+      s"writer emits plain ustar names <= 100 bytes: $name")
+    val h = new Array[Byte](512)
+    putStr(h, 0, name)
+    putOctal(h, 100, 7, 420)          // 0644
+    putOctal(h, 108, 7, 0); putOctal(h, 116, 7, 0)
+    putOctal(h, 124, 11, bytes.length)
+    putOctal(h, 136, 11, 0)           // mtime
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // checksum spaces
+    h(156) = '0'
+    putStr(h, 257, "ustar"); h(263) = 0
+    h(264) = '0'; h(265) = '0'        // version
+    val sum = h.map(_ & 0xff).sum
+    putOctal(h, 148, 6, sum); h(154) = 0; h(155) = ' '
+    out.write(h)
+    out.write(bytes)
+    val pad = (512 - bytes.length % 512) % 512
+    if (pad > 0) out.write(new Array[Byte](pad))
   }
 
   private def cstr(b: Array[Byte], off: Int, len: Int): String = {

@@ -57,6 +57,37 @@ class TarShardsSpec extends SparkSpec {
       lite.map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
 
+  test("writeShards round-trips a binary frame through read, losslessly") {
+    val dir = java.nio.file.Files.createTempDirectory("wdsw").toString + "/out"
+    val rows = (0 until 500).flatMap { i =>
+      val key = f"$i%06d"
+      Seq((key, "img", Array.fill[Byte](32 + i % 7)((i % 100).toByte)),
+        (key, "txt", s"caption $i".getBytes("UTF-8")))
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3)), 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ext",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+    val n = TarShards.writeShards(df, dir)
+    assert(n == 4)
+    assert(new java.io.File(dir).list().count(_.endsWith(".tar")) == 4)
+    val back = TarShards.read(spark, s"$dir/shard-*.tar")
+    assert(back.count() == 1000)
+    // byte-lossless: md5 digests of every member match the input
+    val want = rows.map(r => (r._1, r._2,
+      java.security.MessageDigest.getInstance("MD5").digest(r._3)
+        .map("%02x".format(_)).mkString)).toSet
+    val got = back.select($"key", $"ext", md5($"content"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == want)
+  }
+
   test("GNU long names, pax headers, dirs, and garbage are handled") {
     val dir = java.nio.file.Files.createTempDirectory("wdsx").toString
     val p = s"$dir/x.tar"
