@@ -54,18 +54,36 @@ object Ogg {
     if (rate <= 0 || channels <= 0)
       throw UnsupportedOgg(s"id header declares rate=$rate channels=$channels")
 
-    // last granule: scan the TAIL for the final "OggS" page header
+    // last granule: scan the TAIL for the final page OF THIS LOGICAL
+    // STREAM (serial must match the id page's) — chained or multiplexed
+    // files carry other serials whose granules are on different clocks
+    val serial = u32le(bytes, 14)
     var lastGranule = -1L
     var o = bytes.length - 27
     var found = false
     while (!found && o >= 0) {
-      if (isPageAt(bytes, o)) {
+      if (isPageAt(bytes, o) && u32le(bytes, o + 14) == serial) {
         val g = i64le(bytes, o + 6)
         if (g >= 0) { lastGranule = g; found = true }
       }
       o -= 1
     }
     if (lastGranule < 0) throw UnsupportedOgg("no page with a granule position")
+    // a chained file (another BOS page after the first stream) would still
+    // undercount: this probe reports the FIRST chain's duration; detect the
+    // common concatenated-stream case and say so
+    if (found) {
+      var p2 = bytes.length - 27
+      var laterBos = false
+      while (!laterBos && p2 > 0) {
+        if (isPageAt(bytes, p2) && (bytes(p2 + 5) & 0x2) != 0 &&
+          u32le(bytes, p2 + 14) != serial) laterBos = true
+        p2 -= 1
+      }
+      if (laterBos) throw UnsupportedOgg(
+        "chained OGG (multiple logical streams) — per-chain durations need " +
+          "demuxing; split the chains first")
+    }
 
     val total = codec match {
       case "opus" => math.max(0L, lastGranule - preSkip)

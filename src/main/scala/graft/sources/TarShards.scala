@@ -183,28 +183,54 @@ object TarShards {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    // clear stale shards: a re-run with fewer partitions must not leave
+    // higher-numbered shards from the previous run for the read glob
+    val dirPath = new Path(dir)
+    val dfs = dirPath.getFileSystem(conf)
+    Option(dfs.globStatus(new Path(s"$dir/shard-*.tar")))
+      .foreach(_.foreach(st => dfs.delete(st.getPath, false)))
     val tconf = TaskConf(conf)
     val rows = df.select(col(keyCol).cast("string"), col(extCol).cast("string"),
       col(contentCol))
-    val n = rows.rdd.getNumPartitions
-    rows.rdd.foreachPartition { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+    // bind the RDD ONCE: a second .rdd call builds a new plan whose
+    // runtime partition count (AQE) could disagree with the one executed
+    val rdd = rows.rdd
+    val n = rdd.getNumPartitions
+    rdd.foreachPartition { it =>
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
       val c = tconf.value
-      val p = new Path(f"$dir/shard-$pid%05d.tar")
-      val out = p.getFileSystem(c).create(p, true)
+      val finalPath = new Path(f"$dir/shard-$pid%05d.tar")
+      // task-attempt temp file + rename: duplicate attempts (speculation,
+      // zombies) never interleave writes into the final shard
+      val tmp = new Path(f"$dir/.shard-$pid%05d.${tc.taskAttemptId()}%d.tmp")
+      val fs = finalPath.getFileSystem(c)
+      val out = fs.create(tmp, true)
       try {
-        var wrote = false
         it.foreach { r =>
+          val key = r.getString(0)
           val ext = r.getString(1)
-          val name = if (ext.isEmpty) r.getString(0) else s"${r.getString(0)}.$ext"
-          writeMember(out, name, r.getAs[Array[Byte]](2))
-          wrote = true
+          val content = r.getAs[Array[Byte]](2)
+          if (key == null || ext == null || content == null)
+            throw UnsupportedTar(
+              s"null ${if (key == null) "key" else if (ext == null) "ext"
+              else "content"} in shard $pid (use '' for members without an " +
+                "extension)")
+          if (key.contains('.')) throw UnsupportedTar(
+            s"key '$key' contains '.' — read() splits the member name at " +
+              "the first dot, so dotted keys would not round-trip")
+          val name = if (ext.isEmpty) key else s"$key.$ext"
+          writeMember(out, name, content)
         }
-        out.write(new Array[Byte](1024))
         // empty partitions still leave a valid (empty) shard — deterministic
         // shard numbering beats missing files for downstream loaders
-        if (!wrote) () // header-free archive: just the end-of-archive blocks
+        out.write(new Array[Byte](1024))
       } finally out.close()
+      if (fs.exists(finalPath)) fs.delete(finalPath, false)
+      if (!fs.rename(tmp, finalPath)) {
+        fs.delete(tmp, false)
+        throw UnsupportedTar(s"could not commit shard $pid to $finalPath")
+      }
     }
     n
   }

@@ -121,5 +121,15 @@ class OggSpec extends org.scalatest.funsuite.AnyFunSuite {
     // truncated mid-lacing-table raises a directed error
     assert(intercept[Ogg.UnsupportedOgg](Ogg.probe(
       java.util.Arrays.copyOf(ok, 30))).getMessage.contains("truncated"))
+    // chained streams (a second BOS with another serial) are refused
+    // rather than reporting one chain's duration as the file's
+    val chain2 = Ogg.writeStub("opus", 48000, 2, granule = 4800)
+    // give the second chain a different serial on both its pages
+    (0 until chain2.length - 27).foreach { o =>
+      if (chain2(o) == 'O' && chain2(o + 1) == 'g' && chain2(o + 2) == 'g' &&
+        chain2(o + 3) == 'S') chain2(o + 14) = 0x11
+    }
+    assert(intercept[Ogg.UnsupportedOgg](Ogg.probe(ok ++ chain2))
+      .getMessage.contains("chained"))
   }
 }
