@@ -71,11 +71,29 @@ object TarShards {
       Option(org.apache.spark.TaskContext.get())
         .foreach(_.addTaskCompletionListener[Unit](_ =>
           try in.close() catch { case _: java.io.IOException => }))
-      val it = members(uri, (off, len) => {
+      val fileLen = fsys.getFileStatus(path).getLen
+      // tar walks are strictly forward: serve the 512-byte headers (and
+      // small members) from a sliding 256 KiB window instead of one
+      // positioned read per header — object stores and NFS punish tiny
+      // random reads far more than one sequential refill
+      val bufSize = 256 * 1024
+      val buf = new Array[Byte](bufSize)
+      var bufStart = -1L
+      var bufLen = 0
+      val readAt = (off: Long, len: Int) => {
         val b = new Array[Byte](len)
-        in.readFully(off, b)
+        if (len >= bufSize) in.readFully(off, b)
+        else {
+          if (off < bufStart || off + len > bufStart + bufLen) {
+            bufStart = off
+            bufLen = math.min(bufSize.toLong, fileLen - off).toInt
+            in.readFully(off, buf, 0, bufLen)
+          }
+          System.arraycopy(buf, (off - bufStart).toInt, b, 0, len)
+        }
         b
-      }, fsys.getFileStatus(path).getLen, withContent)
+      }
+      val it = members(uri, readAt, fileLen, withContent)
       new Iterator[Row] {
         override def hasNext: Boolean = {
           val h = it.hasNext
