@@ -320,6 +320,54 @@ object QueriesML {
           .orderBy($"id")
       }),
 
+    // ------------------------------------------------------- text: Unicode script composition
+    // The multilingual pre-filter: per-document script fractions +
+    // dominant script over planted Cyrillic/Han/Arabic suffixes; the
+    // oracle recounts every class with RE2 \p{Script} regexes, an
+    // independent implementation of the Unicode script property.
+    Q("q119_script_stats", Some("""
+      WITH d AS (SELECT doc_id,
+                        text || CASE CAST(doc_id % 4 AS INT)
+                          WHEN 0 THEN ' Привет мир'
+                          WHEN 1 THEN ' 你好世界 123'
+                          WHEN 2 THEN ' مرحبا'
+                          ELSE ' hello' END AS t
+                 FROM documents),
+      c AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n,
+                   length(regexp_replace(t, '[^\p{Latin}]', '', 'g')) AS lat,
+                   length(regexp_replace(t, '[^\p{Cyrillic}]', '', 'g')) AS cyr,
+                   length(regexp_replace(t, '[^\p{Han}]', '', 'g')) AS han,
+                   length(regexp_replace(t, '[^\p{Arabic}]', '', 'g')) AS ar,
+                   length(regexp_replace(t, '[^0-9]', '', 'g')) AS dg,
+                   length(regexp_replace(t, '\S', '', 'g')) AS sp
+            FROM d)
+      SELECT doc_id, n AS n_codepoints,
+             CAST(lat AS DOUBLE) / n AS frac_latin,
+             CAST(cyr AS DOUBLE) / n AS frac_cyrillic,
+             CAST(han AS DOUBLE) / n AS frac_han,
+             CAST(ar AS DOUBLE) / n AS frac_arabic,
+             CAST(dg AS DOUBLE) / n AS frac_digit,
+             CAST(sp AS DOUBLE) / n AS frac_space,
+             CASE WHEN lat = 0 AND cyr = 0 AND han = 0 AND ar = 0 THEN 'none'
+                  WHEN lat >= cyr AND lat >= han AND lat >= ar THEN 'latin'
+                  WHEN cyr >= han AND cyr >= ar THEN 'cyrillic'
+                  WHEN han >= ar THEN 'han'
+                  ELSE 'arabic' END AS dominant_script
+      FROM c ORDER BY doc_id"""))(
+      (s, d) => {
+        val derived = Tables.documents(s, d).select($"doc_id",
+          concat($"text", expr("""CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN ' Привет мир'
+            WHEN 1 THEN ' 你好世界 123'
+            WHEN 2 THEN ' مرحبا'
+            ELSE ' hello' END""")).as("t"))
+        graft.functions.TextFunctions.scriptStats(derived, "doc_id", "t")
+          .select($"doc_id", $"n_codepoints", $"frac_latin", $"frac_cyrillic",
+            $"frac_han", $"frac_arabic", $"frac_digit", $"frac_space",
+            $"dominant_script")
+          .orderBy($"doc_id")
+      }),
+
     // ------------------------------------------------------- dedup: MinHash signatures
     Q("q30_minhash_sig", Some(s"""
       WITH ${shingleCte("documents")}

@@ -110,6 +110,60 @@ object TextFunctions {
       .otherwise(lit("fr"))
   }
 
+  /** Unicode SCRIPT composition of a document — the multilingual-corpus
+    * filter that runs before any language model: fractions of Latin,
+    * Cyrillic, Han (CJK), Arabic, Devanagari, Hangul, digits, and
+    * whitespace over all code points, plus the dominant script. Counted
+    * per CODE POINT in one compiled map (no per-char rows ever
+    * materialize); classes use `Character.UnicodeScript`, whose
+    * assignments for these majors agree with RE2's `\p{Script}` classes,
+    * so a DuckDB regexp oracle can recount them independently. */
+  def scriptStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val in = df.select(org.apache.spark.sql.functions.col(idCol),
+      org.apache.spark.sql.functions.col(textCol).cast("string"))
+    val names = Seq("latin", "cyrillic", "han", "arabic", "devanagari",
+      "hangul", "digit", "space", "other")
+    val schema = StructType(
+      in.schema.fields(0) +:
+        StructField("n_codepoints", LongType) +:
+        names.map(n => StructField(s"frac_$n", DoubleType)) :+
+        StructField("dominant_script", StringType))
+    in.map { row =>
+      val text = if (row.isNullAt(1)) "" else row.getString(1)
+      val counts = new Array[Long](names.size)
+      var i = 0
+      var n = 0L
+      while (i < text.length) {
+        val cp = text.codePointAt(i)
+        i += Character.charCount(cp)
+        n += 1
+        val k =
+          if (Character.isDigit(cp)) 6
+          else if (Character.isWhitespace(cp)) 7
+          else Character.UnicodeScript.of(cp) match {
+            case Character.UnicodeScript.LATIN => 0
+            case Character.UnicodeScript.CYRILLIC => 1
+            case Character.UnicodeScript.HAN => 2
+            case Character.UnicodeScript.ARABIC => 3
+            case Character.UnicodeScript.DEVANAGARI => 4
+            case Character.UnicodeScript.HANGUL => 5
+            case _ => 8
+          }
+        counts(k) += 1
+      }
+      val fracs = names.indices.map(k =>
+        if (n == 0) 0.0 else counts(k).toDouble / n)
+      // dominant = the largest SCRIPT class (digits/space/other excluded);
+      // ties break by class order; all-zero -> "none"
+      val scriptIdx = (0 until 6).maxBy(counts(_))
+      val dominant = if (counts(scriptIdx) == 0) "none" else names(scriptIdx)
+      org.apache.spark.sql.Row.fromSeq(
+        row.get(0) +: n +: fracs :+ dominant)
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** PII patterns for redaction/counting. Kept to constructs that parse and
     * match identically under Java regex (Spark) and RE2 (DuckDB, C4's
     * tooling): character classes, bounded repetition, `\b` word boundaries —

@@ -133,3 +133,31 @@ class OggSpec extends org.scalatest.funsuite.AnyFunSuite {
       .getMessage.contains("chained"))
   }
 }
+
+class ScriptStatsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.TextFunctions
+
+  test("script fractions and dominant script match hand counts") {
+    val rows = Seq(
+      (1L, "hello world"),             // 10 latin, 1 space
+      (2L, "Привет мир 42"),           // 9 cyrillic, 2 digit, 2 space
+      (3L, "你好 world"),               // 2 han, 5 latin, 1 space
+      (4L, "   "),                     // spaces only
+      (5L, ""))
+    val got = TextFunctions.scriptStats(rows.toDF("doc_id", "text"),
+      "doc_id", "text").orderBy($"doc_id").collect()
+    val r1 = got(0)
+    assert(r1.getLong(1) == 11 &&
+      r1.getDouble(2) == 10.0 / 11 && r1.getAs[String]("dominant_script") == "latin")
+    val r2 = got(1)
+    assert(r2.getDouble(3) == 9.0 / 13 && r2.getDouble(8) == 2.0 / 13 &&
+      r2.getAs[String]("dominant_script") == "cyrillic")
+    val r3 = got(2)
+    assert(r3.getDouble(4) == 2.0 / 8 &&
+      r3.getAs[String]("dominant_script") == "latin") // 5 latin beats 2 han
+    assert(got(3).getAs[String]("dominant_script") == "none")
+    assert(got(4).getLong(1) == 0L &&
+      got(4).getAs[String]("dominant_script") == "none")
+  }
+}
