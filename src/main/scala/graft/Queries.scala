@@ -1661,8 +1661,9 @@ object Queries {
     def $(args: Any*): Column = col(sc.s(args: _*))
   }
 
-  /** Full inventory: core SQL surface + training-data pipeline operators. */
-  lazy val everything: Seq[Q] = all ++ QueriesML.all
+  /** Full inventory: core SQL surface + training-data pipeline operators +
+    * web-corpus ingestion/extraction. */
+  lazy val everything: Seq[Q] = all ++ QueriesML.all ++ QueriesWeb.all
 
   lazy val byName: Map[String, (SparkSession, String) => DataFrame] =
     everything.map(q => q.name -> q.run).toMap

@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HtmlText
+import graft.sources.{Tables, Warc}
+
+/** Web-corpus (Common Crawl style) ingestion + extraction queries: WARC
+  * container reading, HTML → text extraction, boilerplate classification,
+  * and the composed crawl → clean-text accounting pipeline. Fixture blobs
+  * are synthesized from table-derived parameters (the established format-
+  * query pattern here), so every DuckDB oracle recomputes the planted
+  * values arithmetically.
+  */
+object QueriesWeb {
+
+  lazy val all: Seq[Q] = Seq(
+
+    // ------------------------------------------------------- source: WARC container
+    // Two gzip-per-record .warc.gz shards (the Common Crawl layout) of HTTP
+    // responses with table-derived URIs/statuses/bodies; every 5th body is
+    // stored in chunked transfer coding and must come back de-chunked. The
+    // oracle recomputes uri/status/length/md5 from the same derivation.
+    Q("q120_warc_meta", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 80),
+      p AS (SELECT rn0,
+                   'https://example-' || CAST(rn0 % 7 AS VARCHAR)
+                     || '.test/page/' || CAST(rn0 AS VARCHAR) AS uri,
+                   CASE WHEN rn0 % 4 = 3 THEN 404 ELSE 200 END AS status,
+                   'payload-' || CAST(rn0 AS VARCHAR) || '-'
+                     || repeat('y', CAST(o_orderkey % 211 AS INT)) AS body
+            FROM o)
+      SELECT uri AS target_uri, CAST(status AS INT) AS http_status,
+             CAST(length(body) AS BIGINT) AS payload_bytes,
+             md5(body) AS digest,
+             'text/html; charset=utf-8' AS http_content_type
+      FROM p ORDER BY target_uri"""))(
+      (s, d) => {
+        import s.implicits._
+        val params = Tables.orders(s, d).orderBy($"o_orderkey").limit(80)
+          .select(($"o_orderkey" % 211).cast("int"))
+          .collect().map(_.getInt(0))
+        val recs = params.zipWithIndex.map { case (pad, i) =>
+          val uri = s"https://example-${i % 7}.test/page/$i"
+          val status = if (i % 4 == 3) 404 else 200
+          val body = s"payload-$i-${"y" * pad}".getBytes("UTF-8")
+          Warc.WarcRec("response",
+            Warc.httpResponse(status, "text/html; charset=utf-8", body,
+              chunked = i % 5 == 0),
+            targetUri = uri,
+            contentType = "application/http; msgtype=response")
+        }.toSeq
+        val info = Warc.WarcRec("warcinfo", "software: graft\r\n".getBytes("UTF-8"),
+          contentType = "application/warc-fields")
+        val dir = java.nio.file.Files.createTempDirectory("q120").toString
+        Warc.write(s"$dir/crawl-000.warc.gz", info +: recs.take(40))
+        Warc.write(s"$dir/crawl-001.warc.gz", info +: recs.drop(40))
+        Warc.read(s, s"$dir/crawl-*.warc.gz")
+          .filter($"warc_type" === "response")
+          .select($"target_uri", $"http_status",
+            length($"payload").cast("long").as("payload_bytes"),
+            md5($"payload").as("digest"), $"http_content_type")
+          .orderBy($"target_uri")
+      }),
+
+    // ------------------------------------------------------- text: HTML -> text extraction
+    // Full extraction semantics over planted HTML: title/heading blocks,
+    // script+style+comment stripping, entity decoding, block-boundary
+    // newlines. The oracle rebuilds the expected text from `text` directly.
+    Q("q121_html_text", Some("""
+      SELECT doc_id AS id,
+             'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+             'Heading ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+             text || ' & more' || chr(10) ||
+             'tail ' || CAST(doc_id % 5 AS VARCHAR) AS text
+      FROM documents ORDER BY id"""))(
+      (s, d) => {
+        import s.implicits._
+        val derived = Tables.documents(s, d).select($"doc_id",
+          concat(lit("<html><head><title>Doc "), $"doc_id",
+            lit("</title><script>var x = \"<p>no</p>\";</script>" +
+              "<style>p{color:red}</style></head><body><!-- hidden -->" +
+              "<h1>Heading "), $"doc_id" % 7,
+            lit("</h1><p>"), $"text",
+            lit(" &amp; more</p><div>tail "), $"doc_id" % 5,
+            lit("</div></body></html>")).as("html"))
+        HtmlText.htmlTextFlat(derived, "doc_id", "html")
+          .orderBy($"id")
+      }),
+
+    // ------------------------------------------------------- text: boilerplate classification
+    // jusText-style main-content extraction: the nav block (link density
+    // 1.0) and the short footer fall out; both paragraphs survive. Block
+    // and survivor counts are structural constants of the planted page.
+    Q("q122_html_main", Some("""
+      SELECT doc_id AS id,
+             text || chr(10) || 'Second paragraph about topic '
+               || CAST(doc_id % 9 AS VARCHAR)
+               || ' with enough plain words here' AS main_text,
+             4 AS n_blocks, 2 AS n_good
+      FROM documents ORDER BY id"""))(
+      (s, d) => {
+        import s.implicits._
+        val derived = Tables.documents(s, d).select($"doc_id",
+          concat(lit("<body><nav><a href=\"/\">Home</a> " +
+              "<a href=\"/about\">About</a> <a href=\"/c\">Contact</a></nav><p>"),
+            $"text",
+            lit("</p><p>Second paragraph about topic "), $"doc_id" % 9,
+            lit(" with enough plain words here</p>" +
+              "<footer>(c) 2026 example site</footer></body>")).as("html"))
+        HtmlText.htmlMainTextFlat(derived, "doc_id", "html",
+            minWords = 5, maxLinkDensity = 0.4)
+          .orderBy($"id")
+      }),
+
+    // ------------------------------------------------------- composed: crawl -> clean-text accounting
+    // The end-to-end Common Crawl recipe in one plan: WARC shards -> HTTP
+    // 200 filter -> main-content extraction -> token accounting per source
+    // domain. Every 5th page 404s and must drop out; tokens per page =
+    // words(text) + the 10-word second paragraph.
+    Q("q123_cc_pipeline", Some("""
+      WITH d AS (SELECT doc_id, text,
+                        row_number() OVER (ORDER BY doc_id) - 1 AS rn0
+                 FROM documents ORDER BY doc_id LIMIT 500),
+      live AS (SELECT * FROM d WHERE rn0 % 5 <> 4),
+      t AS (SELECT 'site-' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS domain,
+                   len(string_split(text, ' ')) + 10 AS toks
+            FROM live)
+      SELECT domain, count(*) AS docs, CAST(sum(toks) AS BIGINT) AS tokens
+      FROM t GROUP BY domain ORDER BY domain"""))(
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).orderBy($"doc_id").limit(500)
+          .select($"doc_id", $"text").collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        val recs = docs.zipWithIndex.map { case ((id, text), i) =>
+          val host = s"site-${id % 7}.example"
+          val html = "<body><nav><a href=\"/\">Home</a> <a href=\"/x\">More</a>" +
+            s"</nav><p>$text</p><p>Second paragraph about topic ${id % 9} " +
+            "with enough plain words here</p><footer>(c) 2026</footer></body>"
+          Warc.WarcRec("response",
+            Warc.httpResponse(if (i % 5 == 4) 404 else 200,
+              "text/html; charset=utf-8", html.getBytes("UTF-8")),
+            targetUri = s"https://$host/doc/$id",
+            contentType = "application/http; msgtype=response")
+        }.toSeq
+        val dir = java.nio.file.Files.createTempDirectory("q123").toString
+        recs.grouped((recs.size + 3) / 4).zipWithIndex.foreach { case (g, k) =>
+          Warc.write(f"$dir/crawl-$k%03d.warc.gz", g)
+        }
+        val pages = Warc.read(s, s"$dir/crawl-*.warc.gz")
+          .filter($"warc_type" === "response" && $"http_status" === 200)
+          .select($"target_uri", $"payload".cast("string").as("html"))
+        val main = HtmlText.htmlMainTextFlat(pages, "target_uri", "html")
+        main
+          .select(
+            graft.functions.TextFunctions.urlDomain($"id").as("domain"),
+            graft.functions.TextFunctions.tokenCount($"main_text").as("toks"))
+          .groupBy($"domain")
+          .agg(count(lit(1)).as("docs"), sum($"toks").cast("long").as("tokens"))
+          .orderBy($"domain")
+      })
+  )
+}

@@ -1,0 +1,296 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** HTML → text extraction for web-corpus (Common Crawl) pipelines.
+  *
+  * A single-pass character state machine (no DOM, no external parser):
+  * comments / doctypes / processing instructions are skipped, the contents
+  * of `script`/`style`/`noscript`/`template`/`svg` are dropped wholesale,
+  * character references (named subset + numeric, incl. supplementary
+  * planes) are decoded, and text is segmented into BLOCKS at block-level
+  * tag boundaries. On top of the block stream sits a jusText/trafilatura
+  * style boilerplate classifier: a block is content when it has at least
+  * `minWords` words and link density (chars inside `<a>` / all chars) at
+  * most `maxLinkDensity` — nav bars, footers, and button rows fall out
+  * without any site-specific rules (Pomikálek 2011, public thesis;
+  * trafilatura: public, Barbaresi 2021).
+  *
+  * Everything is per-row compiled JVM code via `Dataset.map` with an
+  * explicit Row encoder — the established hot-path shape in this repo
+  * (zero `udf()` registrations); one pass per document, O(doc length).
+  */
+object HtmlText {
+
+  // ------------------------------------------------------------- core model
+
+  /** One text block: normalized text, total chars, chars emitted inside
+    * anchor elements (for link density). */
+  final case class Block(text: String, chars: Int, linkChars: Int) {
+    def words: Int = if (text.isEmpty) 0 else {
+      var n = 1
+      var i = 0
+      while (i < text.length) { if (text.charAt(i) == ' ') n += 1; i += 1 }
+      n
+    }
+    def linkDensity: Double = if (chars == 0) 0.0 else linkChars.toDouble / chars
+  }
+
+  private val BlockTags: Set[String] = Set(
+    "p", "div", "br", "hr", "li", "ul", "ol", "dl", "dt", "dd",
+    "h1", "h2", "h3", "h4", "h5", "h6", "table", "tr", "td", "th",
+    "thead", "tbody", "tfoot", "caption", "blockquote", "pre",
+    "section", "article", "header", "footer", "nav", "aside", "main",
+    "figure", "figcaption", "form", "fieldset", "title", "head", "body",
+    "html", "option", "select", "button")
+
+  /** Elements whose subtree is dropped entirely. */
+  private val RawSkipTags: Set[String] = Set(
+    "script", "style", "noscript", "template", "svg")
+
+  private val Entities: Map[String, String] = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> "\u00A0", "copy" -> "©", "reg" -> "®",
+    "trade" -> "™", "mdash" -> "—", "ndash" -> "–",
+    "hellip" -> "…", "lsquo" -> "‘", "rsquo" -> "’",
+    "ldquo" -> "“", "rdquo" -> "”", "middot" -> "·",
+    "laquo" -> "«", "raquo" -> "»", "deg" -> "°",
+    "times" -> "×", "plusmn" -> "±", "sect" -> "§",
+    "para" -> "¶", "bull" -> "•", "euro" -> "€",
+    "pound" -> "£", "yen" -> "¥", "cent" -> "¢")
+
+  /** Parse `html` into its non-empty text blocks, in document order. */
+  def blocks(html: String): Array[Block] = {
+    if (html == null) return Array.empty
+    val out = Array.newBuilder[Block]
+    val cur = new java.lang.StringBuilder(256)
+    var curLink = 0
+    var anchorDepth = 0
+
+    def flush(): Unit = {
+      val (text, chars) = normalize(cur)
+      if (chars > 0) out += Block(text, chars, math.min(curLink, chars))
+      cur.setLength(0)
+      curLink = 0
+    }
+    def emit(s: String): Unit = {
+      cur.append(s)
+      if (anchorDepth > 0) curLink += countNonSpace(s)
+    }
+
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (html.startsWith("<![CDATA[", i)) {
+          val end = html.indexOf("]]>", i + 9)
+          i = if (end < 0) n else end + 3
+        } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
+          val end = html.indexOf('>', i + 1)
+          i = if (end < 0) n else end + 1
+        } else if (i + 1 < n &&
+            (isTagStart(html.charAt(i + 1)) || html.charAt(i + 1) == '/')) {
+          val closing = html.charAt(i + 1) == '/'
+          val nameStart = if (closing) i + 2 else i + 1
+          var j = nameStart
+          while (j < n && isTagChar(html.charAt(j))) j += 1
+          val name = html.substring(nameStart, j).toLowerCase
+          // scan to the tag's '>' honoring quoted attribute values
+          var quote = 0.toChar
+          while (j < n && (quote != 0 || html.charAt(j) != '>')) {
+            val ch = html.charAt(j)
+            if (quote != 0) { if (ch == quote) quote = 0 }
+            else if (ch == '"' || ch == '\'') quote = ch
+            j += 1
+          }
+          val tagEnd = if (j < n) j + 1 else n
+          if (name.isEmpty) i = tagEnd
+          else if (!closing && RawSkipTags.contains(name)) {
+            // drop subtree: find the matching close tag, case-insensitive
+            val close = indexOfClose(html, tagEnd, name)
+            i = close
+          } else {
+            if (name == "a") {
+              val selfClosing = tagEnd >= 2 && html.charAt(tagEnd - 1) == '>' &&
+                html.charAt(tagEnd - 2) == '/'
+              if (closing) anchorDepth = math.max(0, anchorDepth - 1)
+              else if (!selfClosing) anchorDepth += 1
+            }
+            // unknown elements count as inline (spans, custom elements) —
+            // the conservative choice: a missed split merges blocks, never
+            // loses text
+            if (BlockTags.contains(name)) flush()
+            i = tagEnd
+          }
+        } else {
+          emit("<") // bare '<' in text ("a < b")
+          i += 1
+        }
+      } else if (c == '&') {
+        val (s, next) = entity(html, i)
+        emit(s)
+        i = next
+      } else {
+        emit(String.valueOf(c))
+        i += 1
+      }
+    }
+    flush()
+    out.result()
+  }
+
+  /** All text: non-empty normalized blocks joined by '\n'. */
+  def extract(html: String): String = blocks(html).map(_.text).mkString("\n")
+
+  /** Content text only: blocks passing the word-count + link-density
+    * classifier, joined by '\n'. */
+  def mainText(html: String, minWords: Int = 5,
+      maxLinkDensity: Double = 0.4): String =
+    blocks(html).filter(b => b.words >= minWords && b.linkDensity <= maxLinkDensity)
+      .map(_.text).mkString("\n")
+
+  private def isTagStart(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+  private def isTagChar(c: Char): Boolean =
+    isTagStart(c) || (c >= '0' && c <= '9') || c == '-' || c == ':'
+
+  private def indexOfClose(html: String, from: Int, name: String): Int = {
+    val n = html.length
+    var i = from
+    while (i < n) {
+      val hit = html.indexOf('<', i)
+      if (hit < 0 || hit + 1 >= n) return n
+      if (html.charAt(hit + 1) == '/' &&
+          html.regionMatches(true, hit + 2, name, 0, name.length)) {
+        val after = hit + 2 + name.length
+        if (after >= n) return n
+        val ch = html.charAt(after)
+        if (ch == '>' || ch == ' ' || ch == '\t' || ch == '\n' || ch == '\r') {
+          val end = html.indexOf('>', after)
+          return if (end < 0) n else end + 1
+        }
+      }
+      i = hit + 1
+    }
+    n
+  }
+
+  /** Decode one character reference at `i` (which points at '&'); returns
+    * (decoded text, next index). Unknown references stay literal. */
+  private def entity(html: String, i: Int): (String, Int) = {
+    val n = html.length
+    if (i + 1 >= n) return ("&", i + 1)
+    if (html.charAt(i + 1) == '#') {
+      val hex = i + 2 < n && (html.charAt(i + 2) == 'x' || html.charAt(i + 2) == 'X')
+      var j = if (hex) i + 3 else i + 2
+      var cp = 0L
+      val start = j
+      while (j < n && j - start < 7 && Character.digit(html.charAt(j), if (hex) 16 else 10) >= 0) {
+        cp = cp * (if (hex) 16 else 10) + Character.digit(html.charAt(j), if (hex) 16 else 10)
+        j += 1
+      }
+      if (j == start || j >= n || html.charAt(j) != ';' ||
+          cp <= 0 || cp > 0x10ffff || (cp >= 0xd800 && cp <= 0xdfff))
+        ("&", i + 1)
+      else (new String(Character.toChars(cp.toInt)), j + 1)
+    } else {
+      var j = i + 1
+      while (j < n && j - i <= 10 && html.charAt(j).isLetter) j += 1
+      if (j < n && html.charAt(j) == ';') {
+        Entities.get(html.substring(i + 1, j)) match {
+          case Some(s) => (s, j + 1)
+          case None => ("&", i + 1)
+        }
+      } else ("&", i + 1)
+    }
+  }
+
+  private def countNonSpace(s: String): Int = {
+    var n = 0
+    var i = 0
+    while (i < s.length) { if (!isWs(s.charAt(i))) n += 1; i += 1 }
+    n
+  }
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' ||
+      c == '\u000B' || c == '\u00A0'
+
+  /** Collapse whitespace runs to single spaces and trim; returns the text
+    * and its non-space char count. */
+  private def normalize(sb: java.lang.StringBuilder): (String, Int) = {
+    val out = new java.lang.StringBuilder(sb.length)
+    var chars = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < sb.length) {
+      val c = sb.charAt(i)
+      if (isWs(c)) pendingSpace = out.length() > 0
+      else {
+        if (pendingSpace) { out.append(' '); pendingSpace = false }
+        out.append(c)
+        chars += 1
+      }
+      i += 1
+    }
+    (out.toString, chars)
+  }
+
+  // ------------------------------------------------------ DataFrame surface
+
+  /** (id, text): all extracted text per document. */
+  def htmlTextFlat(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    mapDocs(df, idCol, htmlCol, "text")((h: String) => extract(h))
+
+  /** (id, main_text, n_blocks, n_good): boilerplate-classified content. */
+  def htmlMainTextFlat(df: DataFrame, idCol: String, htmlCol: String,
+      minWords: Int = 5, maxLinkDensity: Double = 0.4): DataFrame = {
+    val in = df.select(col(idCol).as("id"), col(htmlCol).cast("string").as("h"))
+    val schema = StructType(Seq(in.schema.fields(0),
+      StructField("main_text", StringType, nullable = false),
+      StructField("n_blocks", IntegerType, nullable = false),
+      StructField("n_good", IntegerType, nullable = false)))
+    in.map { row =>
+      val id = row.get(0)
+      val bs = if (row.isNullAt(1)) Array.empty[Block] else blocks(row.getString(1))
+      val good = bs.filter(b => b.words >= minWords && b.linkDensity <= maxLinkDensity)
+      Row(id, good.map(_.text).mkString("\n"), bs.length, good.length)
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** (id, block_idx, text, n_words, link_density): the raw block stream —
+    * the debugging / custom-classifier surface. */
+  def htmlBlocksFlat(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val in = df.select(col(idCol).as("id"), col(htmlCol).cast("string").as("h"))
+    val schema = StructType(Seq(in.schema.fields(0),
+      StructField("block_idx", IntegerType, nullable = false),
+      StructField("text", StringType, nullable = false),
+      StructField("n_words", IntegerType, nullable = false),
+      StructField("link_density", DoubleType, nullable = false)))
+    in.flatMap { row =>
+      if (row.isNullAt(1)) Iterator.empty
+      else {
+        val id = row.get(0)
+        blocks(row.getString(1)).iterator.zipWithIndex.map { case (b, k) =>
+          Row(id, k, b.text, b.words, b.linkDensity)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  private def mapDocs(df: DataFrame, idCol: String, htmlCol: String,
+      outName: String)(f: String => String): DataFrame = {
+    val in = df.select(col(idCol).as("id"), col(htmlCol).cast("string").as("h"))
+    val schema = StructType(Seq(in.schema.fields(0),
+      StructField(outName, StringType, nullable = false)))
+    in.map { row =>
+      Row(row.get(0), if (row.isNullAt(1)) "" else f(row.getString(1)))
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+}

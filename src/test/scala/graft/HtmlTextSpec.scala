@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.HtmlText
+
+class HtmlTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("extract: tags, raw-skip subtrees, comments, entities") {
+    val html =
+      """<!DOCTYPE html><html><head><title>My Page</title>
+        |<script>var x = "<p>not text</p>";</script>
+        |<style>p { color: red }</style></head>
+        |<body><!-- a comment --><h1>Heading</h1>
+        |<p>Tom &amp; Jerry &lt;3 &#65;&#x42;</p>
+        |<noscript><p>js off</p></noscript>
+        |<div>tail</div></body></html>""".stripMargin
+    assert(HtmlText.extract(html) ==
+      "My Page\nHeading\nTom & Jerry <3 AB\ntail")
+  }
+
+  test("extract: inline tags merge, block tags split, whitespace collapses") {
+    val html = "<p>one  <b>two</b>\n\t three</p><p>four</p>five<br>six"
+    assert(HtmlText.extract(html) == "one two three\nfour\nfive\nsix")
+  }
+
+  test("extract: quoted '>' in attributes, bare '<', CDATA, unknown entity") {
+    assert(HtmlText.extract("""<a title="a>b" href='c>d'>link</a> text""") ==
+      "link text")
+    assert(HtmlText.extract("x < y and z") == "x < y and z")
+    assert(HtmlText.extract("a<![CDATA[ hidden ]]>b") == "ab")
+    // unknown / unterminated references stay literal
+    assert(HtmlText.extract("<p>&nosuch; &amp</p>") == "&nosuch; &amp")
+    // supplementary-plane numeric reference
+    assert(HtmlText.extract("<p>&#x1F600;</p>") == new String(Character.toChars(0x1F600)))
+  }
+
+  test("extract: unterminated comment and raw element swallow the tail") {
+    assert(HtmlText.extract("a<!-- no end") == "a")
+    assert(HtmlText.extract("a<script>no end") == "a")
+    // close tag of a raw element found case-insensitively
+    assert(HtmlText.extract("a<SCRIPT>x=1</ScRiPt>b") == "ab")
+  }
+
+  test("blocks: link density flags nav/footer boilerplate") {
+    val html =
+      """<body><nav><a href="/">Home</a> <a href="/a">About</a></nav>
+        |<p>This paragraph has plenty of real content words in it.</p>
+        |<p>See <a href="/x">one link</a> amid much longer running text that
+        |clearly dominates the block character count here.</p>
+        |<footer>© 2026</footer></body>""".stripMargin
+    val bs = HtmlText.blocks(html)
+    assert(bs.length == 4)
+    assert(bs(0).linkDensity == 1.0) // nav: all chars inside anchors
+    assert(bs(1).linkDensity == 0.0)
+    assert(bs(2).linkDensity > 0 && bs(2).linkDensity < 0.2)
+    val main = HtmlText.mainText(html, minWords = 5, maxLinkDensity = 0.4)
+    assert(main ==
+      "This paragraph has plenty of real content words in it.\n" +
+        "See one link amid much longer running text that clearly dominates " +
+        "the block character count here.")
+  }
+
+  test("dataframe surface: htmlTextFlat / htmlMainTextFlat / htmlBlocksFlat") {
+    val df = Seq(
+      (1L, "<nav><a href='/'>Home Nav Bar</a></nav><p>six words of actual body content</p>"),
+      (2L, "<p>&copy; tiny</p>"),
+      (3L, null.asInstanceOf[String])).toDF("id", "html")
+    val all = HtmlText.htmlTextFlat(df, "id", "html")
+      .orderBy($"id").as[(Long, String)].collect()
+    assert(all(0)._2 == "Home Nav Bar\nsix words of actual body content")
+    assert(all(1)._2 == "© tiny")
+    assert(all(2)._2 == "")
+    val main = HtmlText.htmlMainTextFlat(df, "id", "html", minWords = 5)
+      .orderBy($"id").collect()
+    assert(main(0).getString(1) == "six words of actual body content")
+    assert(main(0).getInt(2) == 2 && main(0).getInt(3) == 1)
+    assert(main(1).getString(1) == "" && main(1).getInt(2) == 1)
+    assert(main(2).getInt(2) == 0)
+    val blocks = HtmlText.htmlBlocksFlat(df, "id", "html")
+    assert(blocks.count() == 3)
+    val b0 = blocks.filter($"id" === 1 && $"block_idx" === 0).head()
+    assert(b0.getString(2) == "Home Nav Bar" && b0.getDouble(4) == 1.0)
+  }
+
+  test("nested and self-closing anchors keep link accounting sane") {
+    // self-closing <a/> must not open an anchor scope
+    val b1 = HtmlText.blocks("<p>start <a/>plain tail text</p>")
+    assert(b1.head.linkDensity == 0.0)
+    // stray close never drives the depth negative
+    val b2 = HtmlText.blocks("</a><p>after stray close</p>")
+    assert(b2.head.linkDensity == 0.0)
+    val b3 = HtmlText.blocks("<p><a href='/'>all of it linked</a></p>")
+    assert(b3.head.linkDensity == 1.0)
+  }
+}
