@@ -116,6 +116,49 @@ object QueriesWeb {
           .orderBy($"id")
       }),
 
+    // ------------------------------------------------------- source: CDX index -> fetch -> charset decode
+    // The selective-read pattern: a full pass builds the (file, offset)
+    // index, then ONLY the HTTP-200 records are fetched back by positioned
+    // reads and decoded with their DECLARED charset (iso-8859-1 bodies
+    // carry an 0xE9 e-acute that a blind utf-8 cast would mangle). The
+    // oracle emits the decoded strings directly.
+    Q("q124_warc_fetch", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 60),
+      p AS (SELECT rn0,
+                   'https://example-' || CAST(rn0 % 5 AS VARCHAR)
+                     || '.test/doc/' || CAST(rn0 AS VARCHAR) AS uri,
+                   CASE WHEN rn0 % 4 = 3 THEN 404 ELSE 200 END AS status,
+                   'page ' || CAST(rn0 AS VARCHAR) || ' café '
+                     || repeat('z', CAST(o_orderkey % 97 AS INT)) AS body
+            FROM o)
+      SELECT uri AS target_uri, body AS text
+      FROM p WHERE status = 200 ORDER BY target_uri"""))(
+      (s, d) => {
+        import s.implicits._
+        val params = Tables.orders(s, d).orderBy($"o_orderkey").limit(60)
+          .select(($"o_orderkey" % 97).cast("int"))
+          .collect().map(_.getInt(0))
+        val recs = params.zipWithIndex.map { case (pad, i) =>
+          val body = s"page $i café ${"z" * pad}".getBytes("ISO-8859-1")
+          Warc.WarcRec("response",
+            Warc.httpResponse(if (i % 4 == 3) 404 else 200,
+              "text/html; charset=iso-8859-1", body),
+            targetUri = s"https://example-${i % 5}.test/doc/$i",
+            contentType = "application/http; msgtype=response")
+        }.toSeq
+        val dir = java.nio.file.Files.createTempDirectory("q124").toString
+        Warc.write(s"$dir/crawl-000.warc.gz", recs.take(30))
+        Warc.write(s"$dir/crawl-001.warc.gz", recs.drop(30))
+        val idx = Warc.read(s, s"$dir/crawl-*.warc.gz")
+          .filter($"warc_type" === "response" && $"http_status" === 200)
+          .select($"file_uri", $"offset")
+        Warc.withPayloadText(Warc.fetch(idx))
+          .select($"target_uri", $"text")
+          .orderBy($"target_uri")
+      }),
+
     // ------------------------------------------------------- composed: crawl -> clean-text accounting
     // The end-to-end Common Crawl recipe in one plan: WARC shards -> HTTP
     // 200 filter -> main-content extraction -> token accounting per source

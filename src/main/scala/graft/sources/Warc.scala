@@ -94,6 +94,62 @@ object Warc {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** CDX-style random access: fetch exactly the records named by
+    * `index` rows (`file_uri`, `offset`, and for `.gz` files optionally
+    * `length`) via positioned reads — the Common Crawl selective-read
+    * pattern, where a (tiny) index query names the records and only those
+    * byte ranges are ever read from the (huge) crawl.
+    *
+    * Scale shape: the index is repartitioned by `file_uri` and sorted by
+    * offset inside each partition, so each task opens a file once and walks
+    * its fetch list strictly forward. Cost is O(selected bytes), not
+    * O(crawl bytes). */
+  def fetch(index: DataFrame, partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = index.sparkSession
+    val tconf = TaskConf(new Configuration(spark.sparkContext.hadoopConfiguration))
+    val sel = index.select(col("file_uri").cast("string"),
+      col("offset").cast("long"))
+    val nPart = if (partitions > 0) partitions
+      else spark.sparkContext.defaultParallelism
+    val sorted = sel.repartition(nPart, col("file_uri"))
+      .sortWithinPartitions(col("file_uri"), col("offset"))
+    val rdd = sorted.rdd.mapPartitions { it =>
+      val c = tconf.value
+      var curUri: String = null
+      var in: org.apache.hadoop.fs.FSDataInputStream = null
+      var fileLen = 0L
+      def open(uri: String): Unit = {
+        if (uri != curUri) {
+          if (in != null) try in.close() catch { case _: java.io.IOException => }
+          val path = new Path(uri)
+          val fsys = path.getFileSystem(c)
+          in = fsys.open(path)
+          fileLen = fsys.getFileStatus(path).getLen
+          curUri = uri
+        }
+      }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ =>
+          if (in != null) try in.close() catch { case _: java.io.IOException => }))
+      it.flatMap { r =>
+        val uri = r.getString(0)
+        val off = r.getLong(1)
+        open(uri)
+        val feed = new Feed(in, fileLen, startAt = off)
+        if (feed.peek2() == 0x1f8b) {
+          val bytes = inflateMember(feed, uri)
+          parseAll(uri, bytes, off, feed.pos - off)
+        } else {
+          val start = feed.pos
+          val rec = parseOne(uri, new FeedStream(feed))
+          List(row(uri, start, feed.pos - start, rec))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   // ------------------------------------------------------------------ feed
 
   /** Buffered strictly-forward byte source over a Hadoop stream: refills a
@@ -101,11 +157,11 @@ object Warc {
     * exposes the internal buffer to the Inflater so member bytes are never
     * copied twice. */
   private final class Feed(in: org.apache.hadoop.fs.FSDataInputStream,
-      val fileLen: Long) {
+      val fileLen: Long, startAt: Long = 0L) {
     private val buf = new Array[Byte](256 * 1024)
     private var len = 0
     var ptr = 0
-    private var bufStart = 0L // absolute offset of buf(0)
+    private var bufStart = startAt // absolute offset of buf(0)
 
     def pos: Long = bufStart + ptr
 
@@ -445,6 +501,71 @@ object Warc {
     while (l != null && l.nonEmpty) l = line()
     Some(out.toByteArray)
   }
+
+  // -------------------------------------------------------- charset decode
+
+  /** Append a `text` column: the payload decoded with the charset the
+    * capture DECLARES — the `charset=` parameter of the HTTP Content-Type,
+    * else a `<meta charset=...>` / http-equiv sniff in the first 1 KiB,
+    * else UTF-8. Unknown charsets fall back to UTF-8; malformed input
+    * decodes with replacement characters (crawl payloads lie about their
+    * encoding constantly — a blind UTF-8 cast would mojibake every legacy
+    * windows-1252 page). Compiled per-row map; all input columns carried. */
+  def withPayloadText(df: DataFrame, payloadCol: String = "payload",
+      httpCtCol: String = "http_content_type", outCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, StringType, nullable = false))
+    val payIdx = df.schema.fieldIndex(payloadCol)
+    val ctIdx = df.schema.fieldIndex(httpCtCol)
+    df.map { r =>
+      val payload = if (r.isNullAt(payIdx)) Array.emptyByteArray
+        else r.getAs[Array[Byte]](payIdx)
+      val ct = if (r.isNullAt(ctIdx)) null else r.getString(ctIdx)
+      Row.fromSeq(r.toSeq :+ decodePayload(payload, ct))
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  private[graft] def decodePayload(payload: Array[Byte], httpCt: String): String = {
+    val declared = Option(httpCt).flatMap(charsetParam)
+      .orElse(sniffMetaCharset(payload))
+    val cs = declared.flatMap { name =>
+      try Some(java.nio.charset.Charset.forName(name.trim))
+      catch { case _: Exception => None }
+    }.getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+    cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+      .decode(java.nio.ByteBuffer.wrap(payload)).toString
+  }
+
+  private def charsetParam(ct: String): Option[String] = {
+    val lower = ct.toLowerCase
+    val i = lower.indexOf("charset=")
+    if (i < 0) None
+    else {
+      val j = i + 8
+      var end = j
+      while (end < ct.length && ct.charAt(end) != ';' && ct.charAt(end) != ' ')
+        end += 1
+      val v = ct.substring(j, end).stripPrefix("\"").stripSuffix("\"")
+      if (v.isEmpty) None else Some(v)
+    }
+  }
+
+  /** `<meta charset="x">` or `<meta http-equiv=... content="...charset=x">`
+    * in the first 1 KiB, matched over an ISO-8859-1 view (byte-transparent,
+    * and every charset name is ASCII). */
+  private def sniffMetaCharset(payload: Array[Byte]): Option[String] = {
+    val n = math.min(payload.length, 1024)
+    if (n == 0) return None
+    val head = new String(payload, 0, n, StandardCharsets.ISO_8859_1).toLowerCase
+    val m = MetaCharsetRe.findFirstMatchIn(head)
+    m.map(g => Option(g.group(1)).getOrElse(g.group(2)))
+  }
+
+  private val MetaCharsetRe =
+    """<meta[^>]*charset\s*=\s*["']?([a-z0-9_\-]+)["']?|<meta[^>]*content\s*=\s*["'][^"']*charset=([a-z0-9_\-]+)""".r
 
   // ---------------------------------------------------------------- writer
 

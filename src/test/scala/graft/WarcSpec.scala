@@ -136,6 +136,59 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("fetch: CDX-style random access reads only the indexed records") {
+    val dir = java.nio.file.Files.createTempDirectory("warcf").toString
+    val gzPath = fixture(dir, gz = true)
+    val plainPath = fixture(s"$dir/p", gz = false)
+    // index = full read projected to addresses; then fetch a SUBSET
+    val idx = Warc.read(spark, gzPath)
+      .filter($"warc_type" === "response")
+      .select($"file_uri", $"offset")
+    val fetched = Warc.fetch(idx)
+    assert(fetched.count() == 2)
+    assert(fetched.select($"http_status").as[Int].collect().sorted.toSeq ==
+      Seq(200, 404))
+    assert(new String(fetched.filter($"http_status" === 200).head()
+      .getAs[Array[Byte]]("payload"), UTF_8) == "<html><body>hello</body></html>")
+    // plain-file addresses resolve through the same API
+    val pidx = Warc.read(spark, plainPath)
+      .filter($"warc_type" === "resource").select($"file_uri", $"offset")
+    val p = Warc.fetch(pidx)
+    assert(p.count() == 1)
+    assert(new String(p.head().getAs[Array[Byte]]("payload"), UTF_8) == "raw bytes")
+  }
+
+  test("withPayloadText decodes by declared charset, meta sniff, utf-8 fallback") {
+    // windows-1252 declared in the HTTP header: 0x93/0x94 are curly quotes
+    val w1252 = Array[Byte]('a', 0x93.toByte, 'b', 0x94.toByte)
+    // meta-declared iso-8859-1: 0xE9 is e-acute
+    val metaDoc = ("<html><head><meta charset=\"iso-8859-1\"></head>" +
+      "<body>caf").getBytes(ISO_8859_1) ++ Array(0xE9.toByte)
+    // undeclared valid utf-8
+    val utf = "héllo".getBytes(UTF_8)
+    // undeclared INVALID utf-8: must replace, never throw
+    val junk = Array[Byte]('x', 0xFF.toByte, 'y')
+    val df = Seq(
+      (1L, w1252, "text/html; charset=windows-1252"),
+      (2L, metaDoc, "text/html"),
+      (3L, utf, null.asInstanceOf[String]),
+      (4L, junk, "text/plain")).toDF("id", "payload", "http_content_type")
+    val out = Warc.withPayloadText(df).orderBy($"id")
+      .select($"text").as[String].collect()
+    assert(out(0) == "a“b”")
+    assert(out(1).endsWith("café"))
+    assert(out(2) == "héllo")
+    assert(out(3) == "x�y")
+    // http-equiv form sniffs too
+    assert(Warc.decodePayload(
+      ("<meta http-equiv=\"Content-Type\" content=\"text/html; " +
+        "charset=iso-8859-1\">caf").getBytes(ISO_8859_1) ++ Array(0xE9.toByte),
+      null).endsWith("café"))
+    // unknown charset name falls back to utf-8 instead of throwing
+    assert(Warc.decodePayload("ok".getBytes(UTF_8),
+      "text/html; charset=no-such-charset") == "ok")
+  }
+
   test("one task per file: partition count tracks the file list") {
     val dir = java.nio.file.Files.createTempDirectory("warcn").toString
     (0 until 3).foreach { i =>
