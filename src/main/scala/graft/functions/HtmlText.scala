@@ -79,6 +79,12 @@ object HtmlText {
       cur.append(s)
       if (anchorDepth > 0) curLink += countNonSpace(s)
     }
+    // per-char fast path: the bulk of a document goes through here — one
+    // String per corpus character would dominate extraction cost
+    def emitChar(c: Char): Unit = {
+      cur.append(c)
+      if (anchorDepth > 0 && !isWs(c)) curLink += 1
+    }
 
     val n = html.length
     var i = 0
@@ -100,13 +106,29 @@ object HtmlText {
           val nameStart = if (closing) i + 2 else i + 1
           var j = nameStart
           while (j < n && isTagChar(html.charAt(j))) j += 1
-          val name = html.substring(nameStart, j).toLowerCase
-          // scan to the tag's '>' honoring quoted attribute values
+          val name = html.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+          // scan to the tag's '>' honoring quoted attribute values; track
+          // whether the char before '>' sits inside an UNQUOTED attribute
+          // value — there a '/' belongs to the value (`href=http://x/`),
+          // not to a self-closing solidus (HTML5 tokenizer semantics)
           var quote = 0.toChar
+          var inUnquoted = false
+          var prevInUnquoted = false
           while (j < n && (quote != 0 || html.charAt(j) != '>')) {
             val ch = html.charAt(j)
+            prevInUnquoted = inUnquoted
             if (quote != 0) { if (ch == quote) quote = 0 }
+            else if (inUnquoted) {
+              if (ch == ' ' || ch == '\t' || ch == '\n' || ch == '\r') inUnquoted = false
+            }
             else if (ch == '"' || ch == '\'') quote = ch
+            else if (ch == '=') {
+              var k = j + 1
+              while (k < n && (html.charAt(k) == ' ' || html.charAt(k) == '\t')) k += 1
+              if (k < n && html.charAt(k) != '"' && html.charAt(k) != '\'' &&
+                  html.charAt(k) != '>')
+                inUnquoted = true
+            }
             j += 1
           }
           val tagEnd = if (j < n) j + 1 else n
@@ -118,7 +140,7 @@ object HtmlText {
           } else {
             if (name == "a") {
               val selfClosing = tagEnd >= 2 && html.charAt(tagEnd - 1) == '>' &&
-                html.charAt(tagEnd - 2) == '/'
+                html.charAt(tagEnd - 2) == '/' && !prevInUnquoted
               if (closing) anchorDepth = math.max(0, anchorDepth - 1)
               else if (!selfClosing) anchorDepth += 1
             }
@@ -137,7 +159,7 @@ object HtmlText {
         emit(s)
         i = next
       } else {
-        emit(String.valueOf(c))
+        emitChar(c)
         i += 1
       }
     }

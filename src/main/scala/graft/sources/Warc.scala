@@ -37,6 +37,10 @@ import org.apache.spark.sql.types._
   */
 object Warc {
 
+  /** Hard cap on a single decompressed member — a corrupt or hostile
+    * length must fail as a directed format error, not an undirected OOM. */
+  private val MaxMemberBytes: Int = 1 << 30
+
   final case class UnsupportedWarc(msg: String)
       extends RuntimeException(s"unsupported warc: $msg")
 
@@ -108,8 +112,11 @@ object Warc {
     import org.apache.spark.sql.functions.col
     val spark = index.sparkSession
     val tconf = TaskConf(new Configuration(spark.sparkContext.hadoopConfiguration))
+    // a multi-record gzip member puts SEVERAL index rows at one offset and
+    // each parse emits every record in the member — dedup the addresses or
+    // those records would come back once per index row
     val sel = index.select(col("file_uri").cast("string"),
-      col("offset").cast("long"))
+      col("offset").cast("long")).dropDuplicates("file_uri", "offset")
     val nPart = if (partitions > 0) partitions
       else spark.sparkContext.defaultParallelism
     val sorted = sel.repartition(nPart, col("file_uri"))
@@ -118,16 +125,19 @@ object Warc {
       val c = tconf.value
       var curUri: String = null
       var in: org.apache.hadoop.fs.FSDataInputStream = null
-      var fileLen = 0L
-      def open(uri: String): Unit = {
+      var feed: Feed = null
+      def open(uri: String): Feed = {
         if (uri != curUri) {
           if (in != null) try in.close() catch { case _: java.io.IOException => }
           val path = new Path(uri)
           val fsys = path.getFileSystem(c)
           in = fsys.open(path)
-          fileLen = fsys.getFileStatus(path).getLen
+          // ONE feed per file: consecutive offsets walk forward and reuse
+          // the 256 KiB window, so clustered records cost one read
+          feed = new Feed(in, fsys.getFileStatus(path).getLen)
           curUri = uri
         }
+        feed
       }
       Option(org.apache.spark.TaskContext.get())
         .foreach(_.addTaskCompletionListener[Unit](_ =>
@@ -135,15 +145,15 @@ object Warc {
       it.flatMap { r =>
         val uri = r.getString(0)
         val off = r.getLong(1)
-        open(uri)
-        val feed = new Feed(in, fileLen, startAt = off)
-        if (feed.peek2() == 0x1f8b) {
-          val bytes = inflateMember(feed, uri)
-          parseAll(uri, bytes, off, feed.pos - off)
+        val f = open(uri)
+        f.seekTo(off)
+        if (f.peek2() == 0x1f8b) {
+          val bytes = inflateMember(f, uri)
+          parseAll(uri, bytes, off, f.pos - off)
         } else {
-          val start = feed.pos
-          val rec = parseOne(uri, new FeedStream(feed))
-          List(row(uri, start, feed.pos - start, rec))
+          val start = f.pos
+          val rec = parseOne(uri, new FeedStream(f))
+          List(row(uri, start, f.pos - start, rec))
         }
       }
     }
@@ -157,11 +167,11 @@ object Warc {
     * exposes the internal buffer to the Inflater so member bytes are never
     * copied twice. */
   private final class Feed(in: org.apache.hadoop.fs.FSDataInputStream,
-      val fileLen: Long, startAt: Long = 0L) {
+      val fileLen: Long) {
     private val buf = new Array[Byte](256 * 1024)
     private var len = 0
     var ptr = 0
-    private var bufStart = startAt // absolute offset of buf(0)
+    private var bufStart = 0L // absolute offset of buf(0)
 
     def pos: Long = bufStart + ptr
 
@@ -212,6 +222,12 @@ object Warc {
     def consume(n: Int): Unit = ptr += n
     def unconsume(n: Int): Unit = ptr -= n
     def atEof: Boolean = pos >= fileLen
+
+    /** Reposition; offsets inside the current window reuse it. */
+    def seekTo(off: Long): Unit = {
+      if (off >= bufStart && off <= bufStart + len) ptr = (off - bufStart).toInt
+      else { bufStart = off; ptr = 0; len = 0 }
+    }
   }
 
   // ------------------------------------------------------- gzip member walk
@@ -252,8 +268,9 @@ object Warc {
         if (n > 0) out.write(chunk, 0, n)
         else if (!inf.finished() && inf.needsDictionary())
           throw UnsupportedWarc(s"deflate preset dictionary in $uri")
-        if (out.size() < 0)
-          throw UnsupportedWarc(s"gzip member over 2 GiB at $start in $uri")
+        if (out.size() > MaxMemberBytes)
+          throw UnsupportedWarc(
+            s"gzip member over $MaxMemberBytes bytes at $start in $uri")
       }
       feed.unconsume(inf.getRemaining)
     } finally inf.end()
@@ -388,7 +405,7 @@ object Warc {
       else {
         val colon = line.indexOf(':')
         if (colon <= 0) throw UnsupportedWarc(s"bad header line '$line' in $uri")
-        last = line.substring(0, colon).trim.toLowerCase
+        last = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
         hdrs(last) = line.substring(colon + 1).trim
       }
       line = s.readLine()
@@ -405,12 +422,14 @@ object Warc {
   }
 
   private def row(uri: String, offset: Long, length: Long, r: Rec): Row = {
-    val wtype = r.headers.getOrElse("warc-type", "unknown").toLowerCase
+    val wtype = r.headers.getOrElse("warc-type", "unknown")
+      .toLowerCase(java.util.Locale.ROOT)
     val target = r.headers.get("warc-target-uri")
       .map(u => if (u.length >= 2 && u.head == '<' && u.last == '>')
         u.substring(1, u.length - 1) else u) // WARC/1.0 angle-bracket form
     val ctype = r.headers.get("content-type")
-    val isHttp = ctype.exists(_.toLowerCase.startsWith("application/http"))
+    val isHttp = ctype.exists(
+      _.toLowerCase(java.util.Locale.ROOT).startsWith("application/http"))
     val (status, httpCt, payload) =
       if (isHttp) parseHttp(r.block) else (None, None, r.block)
     Row(uri, offset, length, wtype,
@@ -443,10 +462,13 @@ object Warc {
       } else None
     val hdrs = lines.tail.flatMap { l =>
       val c = l.indexOf(':')
-      if (c <= 0) None else Some(l.substring(0, c).trim.toLowerCase -> l.substring(c + 1).trim)
+      if (c <= 0) None
+      else Some(l.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT) ->
+        l.substring(c + 1).trim)
     }.toMap
     var body = java.util.Arrays.copyOfRange(block, boundary + 4, block.length)
-    if (hdrs.get("transfer-encoding").exists(_.toLowerCase.contains("chunked")))
+    if (hdrs.get("transfer-encoding")
+        .exists(_.toLowerCase(java.util.Locale.ROOT).contains("chunked")))
       dechunk(body).foreach(b => body = b)
     (status, hdrs.get("content-type"), body)
   }
@@ -540,15 +562,18 @@ object Warc {
   }
 
   private def charsetParam(ct: String): Option[String] = {
-    val lower = ct.toLowerCase
+    // operate entirely on the lowered string: indices into the original can
+    // desynchronize under one-to-many lowercase mappings, and charset names
+    // are case-insensitive anyway
+    val lower = ct.toLowerCase(java.util.Locale.ROOT)
     val i = lower.indexOf("charset=")
     if (i < 0) None
     else {
       val j = i + 8
       var end = j
-      while (end < ct.length && ct.charAt(end) != ';' && ct.charAt(end) != ' ')
+      while (end < lower.length && lower.charAt(end) != ';' && lower.charAt(end) != ' ')
         end += 1
-      val v = ct.substring(j, end).stripPrefix("\"").stripSuffix("\"")
+      val v = lower.substring(j, end).stripPrefix("\"").stripSuffix("\"")
       if (v.isEmpty) None else Some(v)
     }
   }
@@ -559,7 +584,8 @@ object Warc {
   private def sniffMetaCharset(payload: Array[Byte]): Option[String] = {
     val n = math.min(payload.length, 1024)
     if (n == 0) return None
-    val head = new String(payload, 0, n, StandardCharsets.ISO_8859_1).toLowerCase
+    val head = new String(payload, 0, n, StandardCharsets.ISO_8859_1)
+      .toLowerCase(java.util.Locale.ROOT)
     val m = MetaCharsetRe.findFirstMatchIn(head)
     m.map(g => Option(g.group(1)).getOrElse(g.group(2)))
   }

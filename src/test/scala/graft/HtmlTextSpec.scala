@@ -84,6 +84,26 @@ class HtmlTextSpec extends SparkSpec {
     assert(b0.getString(2) == "Home Nav Bar" && b0.getDouble(4) == 1.0)
   }
 
+  test("unquoted href ending in '/' is not a self-closing tag") {
+    // HTML5 tokenizer semantics: inside an unquoted attribute value a '/'
+    // belongs to the value, so this anchor OPENS and its text counts
+    val bs = HtmlText.blocks("<p><a href=http://x.test/>Home</a> <a " +
+      "href=http://x.test/about/>About</a></p>")
+    assert(bs.head.linkDensity == 1.0)
+    // ... while a '/' after a quoted value or the name still self-closes
+    assert(HtmlText.blocks("<p><a href=\"x\"/>plain</p>").head.linkDensity == 0.0)
+  }
+
+  test("tag matching is locale-independent (Turkish dotless-i)") {
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      // "SCRIPT".toLowerCase would be "scrıpt" under tr — contents must
+      // still be dropped, and <DIV> must still split blocks
+      assert(HtmlText.extract("a<SCRIPT>x=1</SCRIPT>b<DIV>c</DIV>") == "ab\nc")
+    } finally java.util.Locale.setDefault(saved)
+  }
+
   test("nested and self-closing anchors keep link accounting sane") {
     // self-closing <a/> must not open an anchor scope
     val b1 = HtmlText.blocks("<p>start <a/>plain tail text</p>")

@@ -150,6 +150,9 @@ class WarcSpec extends SparkSpec {
       Seq(200, 404))
     assert(new String(fetched.filter($"http_status" === 200).head()
       .getAs[Array[Byte]]("payload"), UTF_8) == "<html><body>hello</body></html>")
+    // duplicated addresses (as a multi-record member's index rows would
+    // be) fetch each record exactly once
+    assert(Warc.fetch(idx.union(idx)).count() == 2)
     // plain-file addresses resolve through the same API
     val pidx = Warc.read(spark, plainPath)
       .filter($"warc_type" === "resource").select($"file_uri", $"offset")
@@ -179,6 +182,14 @@ class WarcSpec extends SparkSpec {
     assert(out(1).endsWith("café"))
     assert(out(2) == "héllo")
     assert(out(3) == "x�y")
+    // header matching is locale-independent (Turkish dotless-i) and the
+    // charset parameter parses case-insensitively
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      assert(Warc.decodePayload("caf".getBytes(ISO_8859_1) ++ Array(0xE9.toByte),
+        "text/html; CHARSET=ISO-8859-1") == "café")
+    } finally java.util.Locale.setDefault(saved)
     // http-equiv form sniffs too
     assert(Warc.decodePayload(
       ("<meta http-equiv=\"Content-Type\" content=\"text/html; " +
