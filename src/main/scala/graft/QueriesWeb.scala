@@ -159,6 +159,56 @@ object QueriesWeb {
           .orderBy($"target_uri")
       }),
 
+    // ------------------------------------------------------- text: SURT index keys
+    // The canonical CDX key transform: scheme/port/fragment dropped, www.
+    // stripped, host labels reversed comma-joined, lowercased. The oracle
+    // assembles the expected keys from the same planted URL components —
+    // an independent statement of the whole transform.
+    Q("q125_surt_keys", Some("""
+      SELECT doc_id AS id,
+             'com,example,site-' || CAST(doc_id % 7 AS VARCHAR)
+               || ')/page/' || CAST(doc_id AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '?ref=' || CAST(doc_id % 11 AS VARCHAR)
+                       ELSE '' END AS surt
+      FROM documents ORDER BY id"""))(
+      (s, d) => {
+        import s.implicits._
+        val urls = Tables.documents(s, d).select($"doc_id",
+          concat(lit("https://WWW.Site-"), $"doc_id" % 7,
+            lit(".Example.COM:443/Page/"), $"doc_id",
+            when($"doc_id" % 3 === 0,
+              concat(lit("?ref="), $"doc_id" % 11)).otherwise(lit("")),
+            lit("#Frag")).as("url"))
+        urls.select($"doc_id".as("id"),
+            graft.functions.TextFunctions.surtKey($"url").as("surt"))
+          .orderBy($"id")
+      }),
+
+    // ------------------------------------------------------- text: markdown-structured extraction
+    // Structure-preserving extraction: heading levels as '#' prefixes,
+    // list items as bullets, blockquotes as '> ' — the shape LLM training
+    // pipelines extract so document structure survives into the tokens.
+    Q("q126_html_markdown", Some("""
+      SELECT doc_id AS id,
+             '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+             '## Summary' || chr(10) ||
+             '- words ' || CAST(doc_id % 13 AS VARCHAR) || chr(10) ||
+             '- lang ' || CAST(doc_id % 4 AS VARCHAR) || chr(10) ||
+             '> ' || text || chr(10) || 'tail' AS markdown
+      FROM documents ORDER BY id"""))(
+      (s, d) => {
+        import s.implicits._
+        val derived = Tables.documents(s, d).select($"doc_id",
+          concat(lit("<html><body><h1>Doc "), $"doc_id",
+            lit("</h1><h2>Summary</h2><ul><li>words "), $"doc_id" % 13,
+            lit("</li><li>lang "), $"doc_id" % 4,
+            lit("</ul><blockquote>"), $"text",
+            lit("</blockquote><p>tail</p></body></html>")).as("html"))
+        graft.functions.HtmlText.htmlMarkdownFlat(derived, "doc_id", "html")
+          .orderBy($"id")
+      }),
+
     // ------------------------------------------------------- composed: crawl -> clean-text accounting
     // The end-to-end Common Crawl recipe in one plan: WARC shards -> HTTP
     // 200 filter -> main-content extraction -> token accounting per source

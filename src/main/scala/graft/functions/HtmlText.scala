@@ -27,8 +27,10 @@ object HtmlText {
   // ------------------------------------------------------------- core model
 
   /** One text block: normalized text, total chars, chars emitted inside
-    * anchor elements (for link density). */
-  final case class Block(text: String, chars: Int, linkChars: Int) {
+    * anchor elements (for link density), and the block-level tag that
+    * opened it (`"p"` when none did — e.g. bare text). */
+  final case class Block(text: String, chars: Int, linkChars: Int,
+      kind: String = "p") {
     def words: Int = if (text.isEmpty) 0 else {
       var n = 1
       var i = 0
@@ -50,6 +52,11 @@ object HtmlText {
   private val RawSkipTags: Set[String] = Set(
     "script", "style", "noscript", "template", "svg")
 
+  /** Block kinds that keep their identity for structured (markdown)
+    * output. */
+  private val StructureTags: Set[String] = Set(
+    "h1", "h2", "h3", "h4", "h5", "h6", "li", "blockquote")
+
   private val Entities: Map[String, String] = Map(
     "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
     "nbsp" -> "\u00A0", "copy" -> "©", "reg" -> "®",
@@ -68,10 +75,11 @@ object HtmlText {
     val cur = new java.lang.StringBuilder(256)
     var curLink = 0
     var anchorDepth = 0
+    var curKind = "p"
 
     def flush(): Unit = {
       val (text, chars) = normalize(cur)
-      if (chars > 0) out += Block(text, chars, math.min(curLink, chars))
+      if (chars > 0) out += Block(text, chars, math.min(curLink, chars), curKind)
       cur.setLength(0)
       curLink = 0
     }
@@ -147,7 +155,14 @@ object HtmlText {
             // unknown elements count as inline (spans, custom elements) —
             // the conservative choice: a missed split merges blocks, never
             // loses text
-            if (BlockTags.contains(name)) flush()
+            if (BlockTags.contains(name)) {
+              flush()
+              // the block that FOLLOWS an opening h*/li tag belongs to it;
+              // any closing block tag ends that scope
+              curKind = if (closing) "p"
+                else if (StructureTags.contains(name)) name
+                else "p"
+            }
             i = tagEnd
           }
         } else {
@@ -176,6 +191,22 @@ object HtmlText {
       maxLinkDensity: Double = 0.4): String =
     blocks(html).filter(b => b.words >= minWords && b.linkDensity <= maxLinkDensity)
       .map(_.text).mkString("\n")
+
+  /** Markdown-structured extraction: headings keep their level as `#`
+    * prefixes, list items become `- ` bullets, blockquotes `> ` — the
+    * document shape LLM training pipelines increasingly extract instead of
+    * flat text, because structure survives into the tokens. Everything
+    * else renders as plain paragraphs. */
+  def markdown(html: String): String =
+    blocks(html).map { b =>
+      b.kind match {
+        case k if k.length == 2 && k.charAt(0) == 'h' =>
+          "#" * (k.charAt(1) - '0') + " " + b.text
+        case "li" => "- " + b.text
+        case "blockquote" => "> " + b.text
+        case _ => b.text
+      }
+    }.mkString("\n")
 
   private def isTagStart(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
@@ -269,6 +300,10 @@ object HtmlText {
   /** (id, text): all extracted text per document. */
   def htmlTextFlat(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
     mapDocs(df, idCol, htmlCol, "text")((h: String) => extract(h))
+
+  /** (id, markdown): structure-preserving extraction per document. */
+  def htmlMarkdownFlat(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    mapDocs(df, idCol, htmlCol, "markdown")((h: String) => markdown(h))
 
   /** (id, main_text, n_blocks, n_good): boilerplate-classified content. */
   def htmlMainTextFlat(df: DataFrame, idCol: String, htmlCol: String,

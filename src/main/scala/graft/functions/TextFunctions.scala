@@ -205,6 +205,24 @@ object TextFunctions {
   def urlDomain(url: Column): Column =
     lower(regexp_extract(url, domainRe, 1))
 
+  /** SURT (Sort-friendly URI Reordering Transform) key — the canonical CDX
+    * index key (Internet Archive convention, public: pywb/OpenWayback
+    * docs): scheme and `:port` dropped, host lowercased, a leading `www.`
+    * stripped, host labels reversed comma-joined, then `)` and the
+    * lowercased path+query (`/` when empty). URLs sharing a registrable
+    * suffix sort adjacently — the property crawl indexes and per-site
+    * range scans rely on. Query-parameter reordering is intentionally NOT
+    * applied (parameter order is preserved). Pure Column expression. */
+  def surtKey(url: Column): Column = {
+    val u = lower(url)
+    val host = regexp_replace(regexp_extract(u, domainRe, 1), "^www\\.", "")
+    // path + query with the scheme/authority and any #fragment removed
+    val rest = regexp_replace(regexp_replace(u, "^https?://[^/?#]*", ""),
+      "#.*$", "")
+    concat(array_join(reverse(split(host, "\\.")), ","), lit(")"),
+      when(rest === "", lit("/")).otherwise(rest))
+  }
+
   /** TF-IDF top-`k` keyword extraction per document: tf = in-doc term count,
     * idf = ln(N / df) with N = distinct non-empty docs, top-k by
     * (score desc, term asc). The classic two-level aggregation — per-(doc,

@@ -104,6 +104,39 @@ class HtmlTextSpec extends SparkSpec {
     } finally java.util.Locale.setDefault(saved)
   }
 
+  test("markdown extraction keeps heading levels, bullets, and quotes") {
+    val html =
+      """<body><h1>Title</h1><p>Intro paragraph.</p>
+        |<h2>Section</h2><ul><li>first item</li><li>second item</ul>
+        |<blockquote>quoted wisdom</blockquote><p>tail</p></body>""".stripMargin
+    assert(HtmlText.markdown(html) ==
+      "# Title\nIntro paragraph.\n## Section\n- first item\n- second item\n" +
+        "> quoted wisdom\ntail")
+    // flat extraction is unchanged by the structure tracking
+    assert(HtmlText.extract(html) ==
+      "Title\nIntro paragraph.\nSection\nfirst item\nsecond item\n" +
+        "quoted wisdom\ntail")
+    val df = Seq((1L, "<h3>Deep</h3><li>x</li>")).toDF("id", "html")
+    assert(HtmlText.htmlMarkdownFlat(df, "id", "html")
+      .head().getString(1) == "### Deep\n- x")
+  }
+
+  test("surtKey canonicalizes URLs into sort-friendly CDX keys") {
+    import graft.functions.TextFunctions.surtKey
+    val df = Seq(
+      "https://WWW.Example.COM/Path/One?q=2",
+      "http://a.b.example.org:8080/x#frag",
+      "https://example.com",
+      "https://www.example.com/").toDF("url")
+    val keys = df.select(surtKey($"url")).as[String].collect()
+    assert(keys(0) == "com,example)/path/one?q=2")
+    assert(keys(1) == "org,example,b,a)/x")
+    assert(keys(2) == "com,example)/")
+    assert(keys(3) == "com,example)/")
+    // the sort-adjacency property: one host's pages group under one prefix
+    assert(keys(0).startsWith("com,example)") && keys(2).startsWith("com,example)"))
+  }
+
   test("nested and self-closing anchors keep link accounting sane") {
     // self-closing <a/> must not open an anchor scope
     val b1 = HtmlText.blocks("<p>start <a/>plain tail text</p>")
