@@ -209,6 +209,64 @@ object QueriesWeb {
           .orderBy($"id")
       }),
 
+    // ------------------------------------------------------- compliance: robots.txt replay
+    // RFC 9309 evaluation over the corpus: six domains share a robots body
+    // (Disallow /private, Allow /private/ok, Disallow *.pdf$), the seventh
+    // has no robots row. Path shapes cycle by doc_id so the expected
+    // verdict is pure arithmetic.
+    Q("q127_robots_replay", Some("""
+      SELECT doc_id AS id,
+             CASE WHEN doc_id % 7 = 6 THEN TRUE
+                  WHEN doc_id % 4 = 1 THEN FALSE
+                  WHEN doc_id % 4 = 3 THEN FALSE
+                  ELSE TRUE END AS allowed
+      FROM documents ORDER BY id"""))(
+      (s, d) => {
+        import s.implicits._
+        val body = "User-agent: graftbot\nDisallow: /private\n" +
+          "Allow: /private/ok\nDisallow: *.pdf$\n\n" +
+          "User-agent: *\nDisallow: /\n"
+        val robots = (0 until 6).map(k => (s"site-$k.example", body))
+          .toDF("domain", "robots_txt")
+        val urls = Tables.documents(s, d).select($"doc_id".as("id"),
+          concat(lit("https://site-"), $"doc_id" % 7, lit(".example"),
+            expr("""CASE CAST(doc_id % 4 AS INT)
+              WHEN 0 THEN '/page/' || doc_id
+              WHEN 1 THEN '/private/' || doc_id
+              WHEN 2 THEN '/private/ok/' || doc_id
+              ELSE '/files/' || doc_id || '.pdf' END""")).as("url"))
+        graft.operators.RobotsTxt.evaluate(urls, "url", robots,
+            "domain", "robots_txt", agent = "GraftBot/1.0")
+          .select($"id", $"allowed")
+          .orderBy($"id")
+      }),
+
+    // ------------------------------------------------------- text: page metadata extraction
+    // Title / meta-description / canonical / lang pulled from planted
+    // heads with mixed attribute orders and entities; the oracle rebuilds
+    // each field from the same derivation.
+    Q("q128_page_meta", Some("""
+      SELECT doc_id AS id,
+             'Doc ' || CAST(doc_id AS VARCHAR) || ' & friends' AS title,
+             'About topic ' || CAST(doc_id % 13 AS VARCHAR) AS description,
+             'https://canon.example/d/' || CAST(doc_id AS VARCHAR) AS canonical,
+             CASE WHEN doc_id % 3 = 0 THEN 'en' ELSE 'de' END AS lang
+      FROM documents ORDER BY id"""))(
+      (s, d) => {
+        import s.implicits._
+        val derived = Tables.documents(s, d).select($"doc_id",
+          concat(lit("<html lang=\""),
+            when($"doc_id" % 3 === 0, "en").otherwise("de"),
+            lit("\"><head><title>Doc "), $"doc_id",
+            lit(" &amp; friends</title><meta content=\"About topic "),
+            $"doc_id" % 13,
+            lit("\" name=\"description\"><link href=\"https://canon.example/d/"),
+            $"doc_id",
+            lit("\" rel=\"canonical\"></head><body>x</body></html>")).as("html"))
+        graft.functions.HtmlText.pageMetaFlat(derived, "doc_id", "html")
+          .orderBy($"id")
+      }),
+
     // ------------------------------------------------------- composed: crawl -> clean-text accounting
     // The end-to-end Common Crawl recipe in one plan: WARC shards -> HTTP
     // 200 filter -> main-content extraction -> token accounting per source

@@ -295,6 +295,92 @@ object HtmlText {
     (out.toString, chars)
   }
 
+  // --------------------------------------------------------- page metadata
+
+  /** Page-level metadata a crawl pipeline keys on: the `<title>` text,
+    * `<meta name="description">`, the `rel="canonical"` URL, and the
+    * `<html lang>` attribute — each None when absent. Scans only the
+    * document head region (first occurrence wins, matching browser
+    * behavior); attribute order inside the tags is free. */
+  final case class PageMeta(title: Option[String], description: Option[String],
+      canonical: Option[String], lang: Option[String])
+
+  def pageMeta(html: String): PageMeta = {
+    if (html == null) return PageMeta(None, None, None, None)
+    val title = TitleRe.findFirstMatchIn(html).map(m =>
+      normalizeString(decodeEntities(m.group(1))))
+    def attr(tagRe: scala.util.matching.Regex, valueAttr: String): Option[String] =
+      tagRe.findFirstMatchIn(html).flatMap { m =>
+        attrValue(m.group(0), valueAttr).map(v => normalizeString(decodeEntities(v)))
+      }
+    PageMeta(
+      title.filter(_.nonEmpty),
+      attr(MetaDescRe, "content").filter(_.nonEmpty),
+      attr(CanonicalRe, "href").filter(_.nonEmpty),
+      HtmlLangRe.findFirstMatchIn(html)
+        .flatMap(m => attrValue(m.group(0), "lang")).map(_.trim).filter(_.nonEmpty))
+  }
+
+  /** (id, title, description, canonical, lang): page metadata columns. */
+  def pageMetaFlat(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val in = df.select(col(idCol).as("id"), col(htmlCol).cast("string").as("h"))
+    val schema = StructType(Seq(in.schema.fields(0),
+      StructField("title", StringType, nullable = true),
+      StructField("description", StringType, nullable = true),
+      StructField("canonical", StringType, nullable = true),
+      StructField("lang", StringType, nullable = true)))
+    in.map { row =>
+      val m = if (row.isNullAt(1)) PageMeta(None, None, None, None)
+        else pageMeta(row.getString(1))
+      Row(row.get(0), m.title.orNull, m.description.orNull,
+        m.canonical.orNull, m.lang.orNull)
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  private val TitleRe =
+    "(?is)<title[^>]*>(.*?)</title".r
+  private val MetaDescRe =
+    "(?is)<meta\\b[^>]*\\bname\\s*=\\s*[\"']?description[\"']?[^>]*>".r
+  private val CanonicalRe =
+    "(?is)<link\\b[^>]*\\brel\\s*=\\s*[\"']?canonical[\"']?[^>]*>".r
+  private val HtmlLangRe =
+    "(?is)<html\\b[^>]*\\blang\\s*=[^>]*>".r
+
+  /** Value of `name=...` inside one tag string: double-quoted,
+    * single-quoted, or unquoted. */
+  private def attrValue(tag: String, name: String): Option[String] = {
+    val re = ("(?is)\\b" + name + "\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s>]+))").r
+    re.findFirstMatchIn(tag).map { m =>
+      if (m.group(1) != null) m.group(1)
+      else if (m.group(2) != null) m.group(2)
+      else m.group(3)
+    }
+  }
+
+  /** Entity-decode a short metadata string with the same tables the block
+    * scanner uses. */
+  private def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '&') {
+        val (t, next) = entity(s, i)
+        out.append(t)
+        i = next
+      } else {
+        out.append(s.charAt(i))
+        i += 1
+      }
+    }
+    out.toString
+  }
+
+  private def normalizeString(s: String): String = {
+    val sb = new java.lang.StringBuilder(s)
+    normalize(sb)._1
+  }
+
   // ------------------------------------------------------ DataFrame surface
 
   /** (id, text): all extracted text per document. */

@@ -137,6 +137,27 @@ class HtmlTextSpec extends SparkSpec {
     assert(keys(0).startsWith("com,example)") && keys(2).startsWith("com,example)"))
   }
 
+  test("pageMeta: title, description, canonical, lang in any attribute order") {
+    val html =
+      """<!DOCTYPE html><html LANG="en-US"><head>
+        |<title> Tom &amp; Jerry —  a retrospective </title>
+        |<meta content="Cats &amp; mice, reviewed." name="description">
+        |<link href="https://ex.test/canon" rel="canonical">
+        |</head><body>x</body></html>""".stripMargin
+    val m = HtmlText.pageMeta(html)
+    assert(m.title.contains("Tom & Jerry — a retrospective"))
+    assert(m.description.contains("Cats & mice, reviewed."))
+    assert(m.canonical.contains("https://ex.test/canon"))
+    assert(m.lang.contains("en-US"))
+    // absent pieces stay None; rows survive through the DataFrame surface
+    val none = HtmlText.pageMeta("<p>no head</p>")
+    assert(none == HtmlText.PageMeta(None, None, None, None))
+    val df = Seq((1L, html), (2L, "<p>bare</p>")).toDF("id", "html")
+    val rows = HtmlText.pageMetaFlat(df, "id", "html").orderBy($"id").collect()
+    assert(rows(0).getString(1) == "Tom & Jerry — a retrospective")
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(4))
+  }
+
   test("nested and self-closing anchors keep link accounting sane") {
     // self-closing <a/> must not open an anchor scope
     val b1 = HtmlText.blocks("<p>start <a/>plain tail text</p>")
