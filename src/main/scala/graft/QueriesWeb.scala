@@ -267,6 +267,30 @@ object QueriesWeb {
           .orderBy($"id")
       }),
 
+    // ------------------------------------------------------- sink: distributed WET export
+    // The write half of the crawl pipeline: extracted text exported as
+    // gzip-per-record conversion shards (one per partition) and read back
+    // through the same reader; the oracle recomputes uri + md5(text).
+    Q("q129_wet_export", Some("""
+      SELECT 'https://wet.example/doc/' || CAST(doc_id AS VARCHAR)
+               AS target_uri,
+             md5('clean ' || text) AS digest,
+             CAST(length('clean ' || text) AS BIGINT) AS n_bytes
+      FROM documents ORDER BY target_uri"""))(
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("q129").toString + "/wet"
+        val corpus = Tables.documents(s, d).select(
+          concat(lit("https://wet.example/doc/"), $"doc_id").as("target_uri"),
+          concat(lit("clean "), $"text").cast("binary").as("content"))
+          .repartition(3)
+        Warc.writeShards(corpus, dir)
+        Warc.read(s, s"$dir/crawl-*.warc.gz")
+          .select($"target_uri", md5($"payload").as("digest"),
+            length($"payload").cast("long").as("n_bytes"))
+          .orderBy($"target_uri")
+      }),
+
     // ------------------------------------------------------- composed: crawl -> clean-text accounting
     // The end-to-end Common Crawl recipe in one plan: WARC shards -> HTTP
     // 200 filter -> main-content extraction -> token accounting per source

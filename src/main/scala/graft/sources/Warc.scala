@@ -603,6 +603,65 @@ object Warc {
       date: String = "2026-01-01T00:00:00Z",
       recordId: String = null)
 
+  /** DISTRIBUTED WARC/WET export: each input partition writes one
+    * `crawl-NNNNN.warc.gz` under `dir` in the gzip-per-record layout, one
+    * record per row — the write-side mirror of [[read]]. With the
+    * defaults (`conversion` records, `text/plain`) this emits the WET
+    * convention for extracted-text corpora; repartition upstream to size
+    * shards. Task-attempt temp files + rename keep duplicate attempts
+    * from interleaving. Returns the shard count. */
+  def writeShards(df: DataFrame, dir: String,
+      uriCol: String = "target_uri", contentCol: String = "content",
+      warcType: String = "conversion", contentType: String = "text/plain",
+      date: String = "2026-01-01T00:00:00Z"): Int = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    // clear stale shards: a re-run with fewer partitions must not leave
+    // higher-numbered shards from the previous run for the read glob
+    val dirPath = new Path(dir)
+    val dfs = dirPath.getFileSystem(conf)
+    Option(dfs.globStatus(new Path(s"$dir/crawl-*.warc.gz")))
+      .foreach(_.foreach(st => dfs.delete(st.getPath, false)))
+    val tconf = TaskConf(conf)
+    val rows = df.select(col(uriCol).cast("string"),
+      col(contentCol).cast("binary"))
+    // bind the RDD once: a second .rdd call could re-plan to a different
+    // runtime partition count under AQE
+    val rdd = rows.rdd
+    val n = rdd.getNumPartitions
+    rdd.foreachPartition { it =>
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
+      val c = tconf.value
+      val finalPath = new Path(f"$dir/crawl-$pid%05d.warc.gz")
+      val tmp = new Path(f"$dir/.crawl-$pid%05d.${tc.taskAttemptId()}%d.tmp")
+      val fs = finalPath.getFileSystem(c)
+      val out = fs.create(tmp, true)
+      try {
+        var idx = 0
+        it.foreach { r =>
+          val uri = r.getString(0)
+          val content = r.getAs[Array[Byte]](1)
+          if (uri == null || content == null)
+            throw UnsupportedWarc(
+              s"null ${if (uri == null) "uri" else "content"} in shard $pid")
+          val rec = WarcRec(warcType, content, targetUri = uri,
+            contentType = contentType, date = date,
+            recordId = f"<urn:graft:shard-$pid%05d-rec-$idx%06d>")
+          out.write(gzipMember(recordBytes(rec, idx)))
+          idx += 1
+        }
+      } finally out.close()
+      if (fs.exists(finalPath)) fs.delete(finalPath, false)
+      if (!fs.rename(tmp, finalPath)) {
+        fs.delete(tmp, false)
+        throw UnsupportedWarc(s"could not commit shard $pid to $finalPath")
+      }
+    }
+    n
+  }
+
   /** Fixture/export writer. `gzipPerRecord = true` emits the Common Crawl
     * layout (one gzip member per record, independently fetchable);
     * `false` emits a plain `.warc`. */

@@ -200,6 +200,34 @@ class WarcSpec extends SparkSpec {
       "text/html; charset=no-such-charset") == "ok")
   }
 
+  test("writeShards exports WET-style conversion shards that round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("wet").toString + "/out"
+    val df = spark.range(0, 50)
+      .selectExpr("concat('https://w.test/d/', id) AS target_uri",
+        "cast(concat('extracted text ', id) AS BINARY) AS content")
+      .repartition(4)
+    assert(Warc.writeShards(df, dir) == 4)
+    val back = Warc.read(spark, s"$dir/crawl-*.warc.gz")
+    assert(back.count() == 50)
+    assert(back.select($"warc_type").distinct().as[String].collect().toSeq ==
+      Seq("conversion"))
+    assert(back.select($"content_type").distinct().as[String].head() ==
+      "text/plain")
+    val one = back.filter($"target_uri" === "https://w.test/d/7").head()
+    assert(new String(one.getAs[Array[Byte]]("payload"), UTF_8) ==
+      "extracted text 7")
+    // re-export over the same dir stays consistent (stale shards cleared)
+    assert(Warc.writeShards(df.repartition(2), dir) == 2)
+    assert(Warc.read(spark, s"$dir/crawl-*.warc.gz").count() == 50)
+    // an empty partition still leaves a readable (empty) shard
+    val empty = spark.range(0, 1)
+      .selectExpr("concat('u:', id) AS target_uri",
+        "cast('x' AS BINARY) AS content")
+      .repartition(3)
+    assert(Warc.writeShards(empty, s"$dir/e") == 3)
+    assert(Warc.read(spark, s"$dir/e/crawl-*.warc.gz").count() == 1)
+  }
+
   test("one task per file: partition count tracks the file list") {
     val dir = java.nio.file.Files.createTempDirectory("warcn").toString
     (0 until 3).foreach { i =>
