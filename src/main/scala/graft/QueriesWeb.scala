@@ -291,6 +291,45 @@ object QueriesWeb {
           .orderBy($"target_uri")
       }),
 
+    // ------------------------------------------------------- dedup: latest capture per canonical URL
+    // Multi-crawl URL dedup, the standard CC preprocessing step: two
+    // captures of every page (differing in www./case, which surtKey
+    // canonicalizes into ONE key) keep only the newest by WARC date via a
+    // per-key window. The oracle derives the winner arithmetically.
+    Q("q130_url_latest", Some("""
+      SELECT doc_id AS id,
+             'example,site-' || CAST(doc_id % 7 AS VARCHAR) || ')/p/'
+               || CAST(doc_id AS VARCHAR) AS surt,
+             CASE WHEN doc_id % 2 = 0 THEN 'crawl-B' ELSE 'crawl-A' END
+               AS crawl,
+             CASE WHEN doc_id % 2 = 0 THEN '2026-02-20T00:00:00Z'
+                  ELSE '2026-01-10T00:00:00Z' END AS warc_date
+      FROM documents ORDER BY id"""))(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val capA = docs.select($"doc_id".as("id"),
+          concat(lit("https://www.Site-"), $"doc_id" % 7,
+            lit(".Example/p/"), $"doc_id").as("url"),
+          lit("2026-01-10T00:00:00Z").as("warc_date"),
+          lit("crawl-A").as("crawl"))
+        val capB = docs.select($"doc_id".as("id"),
+          concat(lit("https://site-"), $"doc_id" % 7,
+            lit(".example/P/"), $"doc_id").as("url"),
+          when($"doc_id" % 2 === 0, "2026-02-20T00:00:00Z")
+            .otherwise("2026-01-05T00:00:00Z").as("warc_date"),
+          lit("crawl-B").as("crawl"))
+        val keyed = capA.union(capB).withColumn("surt",
+          graft.functions.TextFunctions.surtKey($"url"))
+        val w = Window.partitionBy($"surt")
+          .orderBy($"warc_date".desc, $"crawl".desc)
+        keyed.withColumn("__rn", row_number().over(w))
+          .filter($"__rn" === 1)
+          .select($"id", $"surt", $"crawl", $"warc_date")
+          .orderBy($"id")
+      }),
+
     // ------------------------------------------------------- composed: crawl -> clean-text accounting
     // The end-to-end Common Crawl recipe in one plan: WARC shards -> HTTP
     // 200 filter -> main-content extraction -> token accounting per source

@@ -81,7 +81,7 @@ object Warc {
       Option(org.apache.spark.TaskContext.get())
         .foreach(_.addTaskCompletionListener[Unit](_ =>
           try in.close() catch { case _: java.io.IOException => }))
-      val feed = new Feed(in, fsys.getFileStatus(path).getLen)
+      val feed = new Feed(in.readFully(_, _, _, _), fsys.getFileStatus(path).getLen)
       val head = feed.peek2()
       val recs =
         if (head == 0x1f8b) gzipRecords(uri, feed)
@@ -134,7 +134,9 @@ object Warc {
           in = fsys.open(path)
           // ONE feed per file: consecutive offsets walk forward and reuse
           // the 256 KiB window, so clustered records cost one read
-          feed = new Feed(in, fsys.getFileStatus(path).getLen)
+          val handle = in
+          feed = new Feed(handle.readFully(_, _, _, _),
+            fsys.getFileStatus(path).getLen)
           curUri = uri
         }
         feed
@@ -160,13 +162,37 @@ object Warc {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** One row per WARC record from whole-file BYTES columns — the
+    * streaming-ingest surface: `spark.readStream.format("binaryFile")`
+    * delivers newly-landed crawl files as (path, content) rows, and this
+    * stateless flatMap turns them into the same record schema as [[read]],
+    * so the whole downstream pipeline (HTTP filter, extraction, dedup)
+    * runs unchanged on a stream. Works on batch DataFrames too. */
+  def recordsFrom(df: DataFrame, uriCol: String = "path",
+      bytesCol: String = "content"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(col(uriCol).cast("string"), col(bytesCol))
+      .flatMap { r =>
+        val uri = r.getString(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        if (bytes == null || bytes.isEmpty) Iterator.empty
+        else {
+          val feed = new Feed(
+            (off, b, o, n) => System.arraycopy(bytes, off.toInt, b, o, n),
+            bytes.length.toLong)
+          if (feed.peek2() == 0x1f8b) gzipRecords(uri, feed)
+          else plainRecords(uri, feed)
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   // ------------------------------------------------------------------ feed
 
   /** Buffered strictly-forward byte source over a Hadoop stream: refills a
     * 256 KiB window sequentially (object stores punish tiny reads) and
     * exposes the internal buffer to the Inflater so member bytes are never
     * copied twice. */
-  private final class Feed(in: org.apache.hadoop.fs.FSDataInputStream,
+  private final class Feed(readAt: (Long, Array[Byte], Int, Int) => Unit,
       val fileLen: Long) {
     private val buf = new Array[Byte](256 * 1024)
     private var len = 0
@@ -182,7 +208,7 @@ object Warc {
       ptr = 0
       len = math.min(buf.length.toLong, fileLen - bufStart).toInt
       if (len <= 0) { len = 0; return false }
-      in.readFully(bufStart, buf, 0, len)
+      readAt(bufStart, buf, 0, len)
       true
     }
 
@@ -196,7 +222,7 @@ object Warc {
       if (fileLen - pos < 2) return -1
       val b0 = buf(ptr) & 0xff
       val b1 = new Array[Byte](1)
-      in.readFully(pos + 1, b1, 0, 1)
+      readAt(pos + 1, b1, 0, 1)
       (b0 << 8) | (b1(0) & 0xff)
     }
 

@@ -228,6 +228,32 @@ class WarcSpec extends SparkSpec {
     assert(Warc.read(spark, s"$dir/e/crawl-*.warc.gz").count() == 1)
   }
 
+  test("recordsFrom runs the warc pipeline on a STREAM of arriving files") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits.newProductEncoder
+    val dir = java.nio.file.Files.createTempDirectory("warcs").toString
+    val path = fixture(dir, gz = true)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    // batch parse of the same bytes is the reference result
+    val batch = Warc.recordsFrom(
+      Seq(("file:a", bytes)).toDF("path", "content"))
+      .select($"warc_type", $"target_uri", md5($"payload").as("d"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Array[Byte])]
+    val streamed = Warc.recordsFrom(in.toDF().toDF("path", "content"))
+      .select($"warc_type", $"target_uri", md5($"payload").as("d"))
+    val q = streamed.writeStream.format("memory").queryName("warc_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(("file:a", bytes))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("warc_stream").collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.toSeq == batch.toSeq) // stream == batch, record for record
+    assert(got.length == 5)
+  }
+
   test("one task per file: partition count tracks the file list") {
     val dir = java.nio.file.Files.createTempDirectory("warcn").toString
     (0 until 3).foreach { i =>
