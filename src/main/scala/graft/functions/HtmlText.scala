@@ -307,17 +307,28 @@ object HtmlText {
 
   def pageMeta(html: String): PageMeta = {
     if (html == null) return PageMeta(None, None, None, None)
-    val title = TitleRe.findFirstMatchIn(html).map(m =>
+    // scope to the head region: a <title> inside body SVG (an icon label)
+    // or <meta> soup after the body must not become page metadata
+    val bodyIdx = BodyStartRe.findFirstMatchIn(html).map(_.start)
+      .getOrElse(html.length)
+    val head = html.substring(0, bodyIdx)
+    val title = TitleRe.findFirstMatchIn(head).map(m =>
       normalizeString(decodeEntities(m.group(1))))
-    def attr(tagRe: scala.util.matching.Regex, valueAttr: String): Option[String] =
-      tagRe.findFirstMatchIn(html).flatMap { m =>
-        attrValue(m.group(0), valueAttr).map(v => normalizeString(decodeEntities(v)))
-      }
+    // match whole tags with quoted attributes allowed to contain '>', then
+    // select by EXACT attribute value — a prefix regex would take
+    // name="description-translated" for the description
+    def tagWith(tagRe: scala.util.matching.Regex, selAttr: String,
+        selValue: String, valueAttr: String): Option[String] =
+      tagRe.findAllMatchIn(head)
+        .find(m => attrValue(m.group(0), selAttr)
+          .exists(_.equalsIgnoreCase(selValue)))
+        .flatMap(m => attrValue(m.group(0), valueAttr)
+          .map(v => normalizeString(decodeEntities(v))))
     PageMeta(
       title.filter(_.nonEmpty),
-      attr(MetaDescRe, "content").filter(_.nonEmpty),
-      attr(CanonicalRe, "href").filter(_.nonEmpty),
-      HtmlLangRe.findFirstMatchIn(html)
+      tagWith(MetaTagRe, "name", "description", "content").filter(_.nonEmpty),
+      tagWith(LinkTagRe, "rel", "canonical", "href").filter(_.nonEmpty),
+      HtmlTagRe.findFirstMatchIn(head)
         .flatMap(m => attrValue(m.group(0), "lang")).map(_.trim).filter(_.nonEmpty))
   }
 
@@ -337,19 +348,23 @@ object HtmlText {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  private val BodyStartRe = "(?i)<body\\b".r
   private val TitleRe =
     "(?is)<title[^>]*>(.*?)</title".r
-  private val MetaDescRe =
-    "(?is)<meta\\b[^>]*\\bname\\s*=\\s*[\"']?description[\"']?[^>]*>".r
-  private val CanonicalRe =
-    "(?is)<link\\b[^>]*\\brel\\s*=\\s*[\"']?canonical[\"']?[^>]*>".r
-  private val HtmlLangRe =
-    "(?is)<html\\b[^>]*\\blang\\s*=[^>]*>".r
+  // a whole tag, with quoted attribute values free to contain '>'
+  private val MetaTagRe =
+    "(?is)<meta\\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*>".r
+  private val LinkTagRe =
+    "(?is)<link\\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*>".r
+  private val HtmlTagRe =
+    "(?is)<html\\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*>".r
 
   /** Value of `name=...` inside one tag string: double-quoted,
-    * single-quoted, or unquoted. */
+    * single-quoted, or unquoted. The lookbehind keeps `lang` from
+    * matching inside `xml:lang` or `data-lang`. */
   private def attrValue(tag: String, name: String): Option[String] = {
-    val re = ("(?is)\\b" + name + "\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s>]+))").r
+    val re = ("(?is)(?<![\\w:-])" + name +
+      "\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s>]+))").r
     re.findFirstMatchIn(tag).map { m =>
       if (m.group(1) != null) m.group(1)
       else if (m.group(2) != null) m.group(2)

@@ -205,6 +205,21 @@ object TextFunctions {
   def urlDomain(url: Column): Column =
     lower(regexp_extract(url, domainRe, 1))
 
+  /** Path + query of a URL with scheme/authority and any `#fragment`
+    * removed, normalized so the root is always `/` (a bare host, and a
+    * bare host with only a query, both get the leading slash — the same
+    * resource must never yield two keys). `lowercased = true` is the
+    * canonicalization flavor (SURT keys); `false` preserves case for
+    * case-sensitive consumers (robots.txt matching, RFC 9309). */
+  def urlPathQuery(url: Column, lowercased: Boolean): Column = {
+    val u = if (lowercased) lower(url) else url
+    val rest = regexp_replace(regexp_replace(u, "(?i)^https?://[^/?#]*", ""),
+      "#.*$", "")
+    when(rest === "", lit("/"))
+      .when(rest.startsWith("?"), concat(lit("/"), rest))
+      .otherwise(rest)
+  }
+
   /** SURT (Sort-friendly URI Reordering Transform) key — the canonical CDX
     * index key (Internet Archive convention, public: pywb/OpenWayback
     * docs): scheme and `:port` dropped, host lowercased, a leading `www.`
@@ -216,11 +231,8 @@ object TextFunctions {
   def surtKey(url: Column): Column = {
     val u = lower(url)
     val host = regexp_replace(regexp_extract(u, domainRe, 1), "^www\\.", "")
-    // path + query with the scheme/authority and any #fragment removed
-    val rest = regexp_replace(regexp_replace(u, "^https?://[^/?#]*", ""),
-      "#.*$", "")
     concat(array_join(reverse(split(host, "\\.")), ","), lit(")"),
-      when(rest === "", lit("/")).otherwise(rest))
+      urlPathQuery(url, lowercased = true))
   }
 
   /** TF-IDF top-`k` keyword extraction per document: tf = in-doc term count,

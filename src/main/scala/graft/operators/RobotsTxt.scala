@@ -69,9 +69,11 @@ object RobotsTxt {
         }
       }
     }
-    // longest agent token contained in the caller's agent; '*' fallback
+    // longest agent token contained in the caller's agent; '*' fallback.
+    // Blank tokens (malformed "User-agent:" lines) never apply — every
+    // agent contains "", so they would outrank the '*' group otherwise.
     val tokens = groups.map(_._1).distinct
-    val applicable = tokens.filter(t => t != "*" && agentLc.contains(t))
+    val applicable = tokens.filter(t => t.nonEmpty && t != "*" && agentLc.contains(t))
     val chosen =
       if (applicable.nonEmpty) applicable.maxBy(_.length)
       else if (tokens.contains("*")) "*"
@@ -136,7 +138,11 @@ object RobotsTxt {
 
   /** Append an `allowed` flag to `urls`: each URL is checked against its
     * domain's robots rules for `agent`. URLs whose domain has no robots
-    * row are allowed (the RFC default for an absent robots.txt). */
+    * row are allowed (the RFC default for an absent robots.txt).
+    * Robots domains are lowercased to match [[TextFunctions.urlDomain]],
+    * null domains are dropped, and duplicate captures of one domain keep
+    * the lexicographically greatest body — deterministic; pre-select the
+    * wanted capture (e.g. newest by date) upstream when it matters. */
   def evaluate(urls: DataFrame, urlCol: String, robots: DataFrame,
       domainCol: String, txtCol: String, agent: String): DataFrame = {
     val spark = urls.sparkSession
@@ -146,17 +152,17 @@ object RobotsTxt {
       StructField("__rules", ArrayType(StringType, containsNull = false),
         nullable = false)))
     val rules = robots
-      .select(col(domainCol).cast("string"), col(txtCol).cast("string"))
+      .select(lower(col(domainCol).cast("string")).as("d"),
+        col(txtCol).cast("string").as("t"))
+      .filter(col("d").isNotNull)
+      .groupBy(col("d")).agg(max(col("t")).as("t"))
       .map { r =>
-        val dom = r.getString(0)
-        Row(dom, rulesFor(if (r.isNullAt(1)) null else r.getString(1), agent).toSeq)
+        Row(r.getString(0),
+          rulesFor(if (r.isNullAt(1)) null else r.getString(1), agent).toSeq)
       }(org.apache.spark.sql.Encoders.row(rulesSchema))
-    val pathCol = when(
-      regexp_replace(regexp_replace(col(urlCol), "^https?://[^/?#]*", ""),
-        "#.*$", "") === "", lit("/"))
-      .otherwise(
-        regexp_replace(regexp_replace(col(urlCol), "^https?://[^/?#]*", ""),
-          "#.*$", ""))
+    // robots matching is case-SENSITIVE on paths (RFC 9309) — the
+    // non-lowercased flavor of the shared path extraction
+    val pathCol = TextFunctions.urlPathQuery(col(urlCol), lowercased = false)
     val joined = urls
       .withColumn("__domain", TextFunctions.urlDomain(col(urlCol)))
       .withColumn("__path", pathCol)

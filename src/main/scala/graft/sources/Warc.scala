@@ -171,7 +171,7 @@ object Warc {
   def recordsFrom(df: DataFrame, uriCol: String = "path",
       bytesCol: String = "content"): DataFrame = {
     import org.apache.spark.sql.functions.col
-    df.select(col(uriCol).cast("string"), col(bytesCol))
+    df.select(col(uriCol).cast("string"), col(bytesCol).cast("binary"))
       .flatMap { r =>
         val uri = r.getString(0)
         val bytes = r.getAs[Array[Byte]](1)

@@ -135,6 +135,11 @@ class HtmlTextSpec extends SparkSpec {
     assert(keys(3) == "com,example)/")
     // the sort-adjacency property: one host's pages group under one prefix
     assert(keys(0).startsWith("com,example)") && keys(2).startsWith("com,example)"))
+    // a bare host with only a query still gets the root slash — the same
+    // resource must never yield two keys
+    val rootQ = Seq("https://example.com?page=2", "https://example.com/?page=2")
+      .toDF("url").select(surtKey($"url")).as[String].collect()
+    assert(rootQ(0) == "com,example)/?page=2" && rootQ(1) == rootQ(0))
   }
 
   test("pageMeta: title, description, canonical, lang in any attribute order") {
@@ -156,6 +161,18 @@ class HtmlTextSpec extends SparkSpec {
     val rows = HtmlText.pageMetaFlat(df, "id", "html").orderBy($"id").collect()
     assert(rows(0).getString(1) == "Tom & Jerry — a retrospective")
     assert(rows(1).isNullAt(1) && rows(1).isNullAt(4))
+    // a <title> inside body SVG (an icon label) is NOT the page title
+    assert(HtmlText.pageMeta(
+      "<html><head></head><body><svg><title>Pie chart</title></svg></body>")
+      .title.isEmpty)
+    // quoted '>' inside content survives; prefix names don't match
+    val tricky = HtmlText.pageMeta("<head>" +
+      "<meta name=\"description-translated\" content=\"wrong\">" +
+      "<meta name=\"description\" content=\"5 > 3 wins\"></head><body>")
+    assert(tricky.description.contains("5 > 3 wins"))
+    // xml:lang / data-lang never shadow the real lang attribute
+    assert(HtmlText.pageMeta("<html xml:lang=\"fr\" lang=\"en\"><head></head>")
+      .lang.contains("en"))
   }
 
   test("nested and self-closing anchors keep link accounting sane") {

@@ -58,6 +58,9 @@ class RobotsTxtSpec extends SparkSpec {
     assert(RobotsTxt.rulesFor(stacked, "b").toSeq == Seq("D/x"))
     // empty Disallow (allow-all idiom) contributes no rule
     assert(RobotsTxt.rulesFor("User-agent: *\nDisallow:\n", "x").isEmpty)
+    // a malformed blank User-agent token never outranks the '*' group
+    val blankUa = "User-agent:\nDisallow: /\n\nUser-agent: *\nDisallow: /private\n"
+    assert(RobotsTxt.rulesFor(blankUa, "foobot").toSeq == Seq("D/private"))
   }
 
   test("ruleMatches: backtracking wildcard edge cases") {
@@ -85,5 +88,25 @@ class RobotsTxtSpec extends SparkSpec {
     val m = out.select($"id", $"allowed").as[(Long, Boolean)].collect().toMap
     assert(m == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false,
       5L -> true))
+  }
+
+  test("evaluate normalizes domain case, dedups captures, drops null domains") {
+    // robots domain recorded with mixed case + a duplicate capture + a
+    // null-domain junk row: one row per URL comes back, with the
+    // lexicographically greatest body deciding deterministically
+    val robots = Seq(
+      ("Example.COM", "User-agent: *\nDisallow: /\n"),
+      ("example.com", "User-agent: *\nDisallow: /private\n"),
+      (null.asInstanceOf[String], "User-agent: *\nDisallow: /\n"))
+      .toDF("domain", "robots_txt")
+    val urls = Seq(
+      (1L, "https://example.com/open"),
+      (2L, "https://EXAMPLE.com/private/x")).toDF("id", "url")
+    val out = RobotsTxt.evaluate(urls, "url", robots, "domain", "robots_txt",
+      agent = "bot")
+    assert(out.count() == 2) // no fan-out from the duplicate capture
+    val m = out.select($"id", $"allowed").as[(Long, Boolean)].collect().toMap
+    // max(body) deterministically picks the "/private" capture
+    assert(m(1L) && !m(2L))
   }
 }
