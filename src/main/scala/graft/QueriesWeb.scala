@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.HtmlText
-import graft.sources.{Tables, Warc}
+import graft.sources.{CdxIndex, Tables, Warc}
 
 /** Web-corpus (Common Crawl style) ingestion + extraction queries: WARC
   * container reading, HTML → text extraction, boilerplate classification,
@@ -328,6 +328,46 @@ object QueriesWeb {
           .filter($"__rn" === 1)
           .select($"id", $"surt", $"crawl", $"warc_date")
           .orderBy($"id")
+      }),
+
+    // ------------------------------------------------------- source: CDXJ capture index
+    // The lookup side of a web archive: gzipped `surt timestamp {json}`
+    // lines parse into typed capture rows (sparse fields null, addresses
+    // cast). The oracle recomputes every planted field.
+    Q("q131_cdx_index", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT 'test,site-' || CAST(rn0 % 9 AS VARCHAR) || ')/d/'
+               || CAST(rn0 AS VARCHAR) AS surt,
+             '2026010' || CAST(1 + rn0 % 9 AS VARCHAR) || '000000'
+               AS timestamp,
+             'https://site-' || CAST(rn0 % 9 AS VARCHAR) || '.test/d/'
+               || CAST(rn0 AS VARCHAR) AS url,
+             CASE WHEN rn0 % 4 = 3 THEN 404 ELSE 200 END AS status,
+             CAST((o_orderkey % 977) * 3 AS BIGINT) AS offset,
+             CAST(200 + o_orderkey % 977 AS BIGINT) AS length,
+             'seg/' || CAST(rn0 % 5 AS VARCHAR) || '/f.warc.gz' AS filename
+      FROM o ORDER BY surt"""))(
+      (s, d) => {
+        import s.implicits._
+        val params = Tables.orders(s, d).orderBy($"o_orderkey").limit(120)
+          .select(($"o_orderkey" % 977).cast("long"))
+          .collect().map(_.getLong(0))
+        val lines = params.zipWithIndex.map { case (k, i) =>
+          val status = if (i % 4 == 3) 404 else 200
+          s"""test,site-${i % 9})/d/$i 2026010${1 + i % 9}000000 """ +
+            s"""{"url": "https://site-${i % 9}.test/d/$i", "status": "$status", """ +
+            s""""offset": "${k * 3}", "length": "${200 + k}", """ +
+            s""""filename": "seg/${i % 5}/f.warc.gz"}"""
+        }
+        val dir = java.nio.file.Files.createTempDirectory("q131").toString
+        CdxIndex.writeGz(s"$dir/cdx-00000.gz", lines.take(60))
+        CdxIndex.writeGz(s"$dir/cdx-00001.gz", lines.drop(60))
+        CdxIndex.read(s, s"$dir/cdx-*.gz")
+          .select($"surt", $"timestamp", $"url", $"status", $"offset",
+            $"length", $"filename")
+          .orderBy($"surt")
       }),
 
     // ------------------------------------------------------- composed: crawl -> clean-text accounting
