@@ -61,10 +61,14 @@ object ScaleStress {
       if (args.length > 2) args(2).split(",").map(_.toInt).toSeq else Seq(4, 16)
     val reps = sys.env.getOrElse("SPARK_GRAFT_STRESS_REPS", "2").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val queries = Seq(
-      "q31_minhash_near_dups", "q46_embedding_near_dups", "q69_semdedup",
-      "q77_dedup_clusters", "q86_dup_spans", "q88_cut_spans",
-      "q90_canonical_docs", "q112_fuzzy_join_corpus")
+    // args(3): comma-separated query-name override (documents/embeddings-
+    // derived queries only — the replica scales just those two tables)
+    val queries =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSeq
+      else Seq(
+        "q31_minhash_near_dups", "q46_embedding_near_dups", "q69_semdedup",
+        "q77_dedup_clusters", "q86_dup_spans", "q88_cut_spans",
+        "q90_canonical_docs", "q112_fuzzy_join_corpus")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
