@@ -17,6 +17,9 @@ object WarcThroughputHarness {
   def main(args: Array[String]): Unit = {
     val shards = if (args.length > 0) args(0).toInt else 8
     val pages = if (args.length > 1) args(1).toInt else 2000
+    // "varied" -> per-page seeded word soup (~4x deflate, the realistic
+    // crawl ratio) instead of the repetitive lorem block (~36x)
+    val varied = args.length > 2 && args(2) == "varied"
 
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -31,13 +34,23 @@ object WarcThroughputHarness {
     // ~20 KB of HTML per page -> per-shard raw size ~= pages * 20 KB
     val para = ("lorem ipsum dolor sit amet consectetur adipiscing elit " +
       "sed do eiusmod tempor incididunt ut labore et dolore magna aliqua ") * 20
+    val vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega").split(" ")
     var rawBytes = 0L
     (0 until shards).foreach { s =>
       val recs = (0 until pages).map { i =>
         val id = s * pages + i
+        def soup(seed: Int): String = {
+          val rng = new scala.util.Random(seed)
+          val sb = new StringBuilder(2700)
+          while (sb.length < 2500)
+            sb.append(vocab(rng.nextInt(vocab.length))).append(rng.nextInt(1000)).append(' ')
+          sb.toString
+        }
         val html = "<html><head><title>Page " + id + "</title></head><body>" +
           "<nav><a href=\"/\">Home</a> <a href=\"/next\">Next</a></nav>" +
-          (0 until 8).map(k => s"<p>section $k of page $id: $para</p>").mkString +
+          (0 until 8).map(k => s"<p>section $k of page $id: " +
+            (if (varied) soup(id * 8 + k) else para) + "</p>").mkString +
           "<footer>(c) 2026</footer></body></html>"
         val body = html.getBytes("UTF-8")
         rawBytes += body.length
