@@ -39,7 +39,8 @@ object Tiff {
       tiepoint: Seq[Double],     // (i, j, k, x, y, z)
       epsg: Int,                 // 4326 | 326xx | 327xx | 0 (unknown)
       predictor: Int = 1,        // 1 none, 2 horizontal differencing
-      nextIfd: Long = 0) {       // offset of the next IFD (0 = none)
+      nextIfd: Long = 0,         // offset of the next IFD (0 = none)
+      jpegTables: Array[Byte] = null) { // tag 347 (abbreviated JPEG streams)
 
     def tiled: Boolean = tileOffsets.nonEmpty
 
@@ -129,6 +130,7 @@ object Tiff {
     var tw, tl = 0
     var scale, tie = Seq.empty[Double]
     var geoKeys = Seq.empty[Int]
+    var jpegTab: Array[Byte] = null
 
     def values(entry: Long): Seq[Long] = {
       val typ = ec.u16(entry + 2)
@@ -189,14 +191,18 @@ object Tiff {
         case 33550 => scale = doubles(e)
         case 33922 => tie = doubles(e)
         case 34735 => geoKeys = values(e).map(_.toInt)
+        case 347 => jpegTab = values(e).map(_.toByte).toArray
         case _ => // ignore unknown tags
       }
       i += 1
     }
     require(width > 0 && height > 0, "TIFF missing dimensions")
-    if (!Set(1, 5, 8, 32773, 32946, 50000).contains(comp))
+    if (!Set(1, 5, 7, 8, 32773, 32946, 50000).contains(comp))
       throw UnsupportedTiff(
-        s"compression $comp (none/LZW/deflate/PackBits/ZSTD only)")
+        s"compression $comp (none/LZW/JPEG/deflate/PackBits/ZSTD only)")
+    if (comp == 7 && (bits != 8 || fmt != 1))
+      throw UnsupportedTiff(
+        s"JPEG compression with $bits-bit format-$fmt samples (8-bit uint only)")
     if (pred == 2 && fmt == 3)
       throw UnsupportedTiff("predictor 2 with floating-point samples " +
         "(predictor 3 is the float predictor)")
@@ -231,7 +237,61 @@ object Tiff {
       if (big) { if (nextPtr + 8 <= fileLen) new Cursor(read(nextPtr, 8), le).u64(0) else 0L }
       else { if (nextPtr + 4 <= fileLen) new Cursor(read(nextPtr, 4), le).u32(0) else 0L }
     Meta(le, width, height, bits, fmt, spp, comp, rps, so, sbc, tw, tl, to, tbc,
-      scale, tie, epsg, pred, nextIfd = nextIfd)
+      scale, tie, epsg, pred, nextIfd = nextIfd, jpegTables = jpegTab)
+  }
+
+  /** Compression 7 (new-style JPEG, TIFF-EP / the RGB-imagery COG
+    * convention): each strip/tile is a JPEG codestream, optionally
+    * ABBREVIATED — quantization/Huffman tables then live once in the
+    * JPEGTables tag (347) and must be spliced in after the block's SOI.
+    * Decode goes through the JDK's own ImageIO JPEG reader (the repo
+    * already leans on it for multimodal decode); YCbCr photometric
+    * converts to RGB there. Lossy by nature — 8-bit unsigned only. */
+  private def jpegDecodeBlock(m: Meta, raw: Array[Byte], nValues: Int,
+      rowSamples: Int): Array[Double] = {
+    require(rowSamples > 0, "JPEG blocks need the block's row width")
+    val stream =
+      if (m.jpegTables == null || m.jpegTables.length <= 4 ||
+          raw.length < 2) raw
+      else {
+        // tables stream is SOI..tables..EOI; insert its body after the
+        // block's SOI (TIFF-EP abbreviated-stream convention)
+        val body = java.util.Arrays.copyOfRange(m.jpegTables, 2,
+          m.jpegTables.length - 2)
+        val out = new Array[Byte](2 + body.length + raw.length - 2)
+        out(0) = raw(0); out(1) = raw(1)
+        System.arraycopy(body, 0, out, 2, body.length)
+        System.arraycopy(raw, 2, out, 2 + body.length, raw.length - 2)
+        out
+      }
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(stream))
+    if (img == null) throw UnsupportedTiff("JPEG block failed to decode")
+    val r = img.getRaster
+    val spp = m.samplesPerPixel
+    if (r.getNumBands != spp)
+      throw UnsupportedTiff(
+        s"JPEG block decoded ${r.getNumBands} bands for $spp samples/pixel")
+    val blockW = rowSamples / spp
+    val blockH = nValues / rowSamples
+    val out = new Array[Double](nValues)
+    // edge blocks may decode smaller than the nominal block; the padding
+    // area stays 0.0 (the caller crops to the image bounds anyway)
+    val w = math.min(blockW, r.getWidth)
+    val h = math.min(blockH, r.getHeight)
+    var row = 0
+    while (row < h) {
+      var colS = 0
+      while (colS < w) {
+        var b = 0
+        while (b < spp) {
+          out(row * rowSamples + colS * spp + b) = r.getSample(colS, row, b)
+          b += 1
+        }
+        colS += 1
+      }
+      row += 1
+    }
+    out
   }
 
   /** Decode one strip/tile's raw bytes to doubles (sample-interleaved).
@@ -239,6 +299,7 @@ object Tiff {
     * width * samplesPerPixel) — the horizontal predictor resets per row. */
   def decodeBlock(m: Meta, raw: Array[Byte], nValues: Int,
       rowSamples: Int = 0): Array[Double] = {
+    if (m.compression == 7) return jpegDecodeBlock(m, raw, nValues, rowSamples)
     val bytes0 = m.compression match {
       case 1 => raw
       case 5 => Lzw.decode(raw, nValues * (m.bitsPerSample / 8))

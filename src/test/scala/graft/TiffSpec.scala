@@ -428,4 +428,139 @@ class TiffSpec extends SparkSpec {
       graft.sources.tiff.Tiff.parseMeta("NOTATIFF0123456789".getBytes))
     assert(e.getMessage.contains("byte-order"))
   }
+
+  test("compression 7 (JPEG) decodes full and JPEGTables-abbreviated blocks") {
+    import graft.sources.tiff.Tiff
+    // a 32x32 RGB tile of four uniform 16x16 quadrants — JPEG-friendly
+    // content (DC-dominant), encoded by the SAME codec the reader uses
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val colors = Seq((200, 40, 40), (40, 200, 40), (40, 40, 200), (180, 180, 60))
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val (cr, cg, cb) = colors((y / 16) * 2 + (x / 16))
+      img.setRGB(x, y, (cr << 16) | (cg << 8) | cb)
+    }
+    val full = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def meta(tables: Array[Byte]) = Tiff.Meta(littleEndian = true,
+      width = 32, height = 32, bitsPerSample = 8, sampleFormat = 1,
+      samplesPerPixel = 3, compression = 7, rowsPerStrip = 0,
+      stripOffsets = Nil, stripByteCounts = Nil,
+      tileWidth = 32, tileLength = 32, tileOffsets = Seq(0L),
+      tileByteCounts = Seq(full.length.toLong),
+      pixelScale = Seq(0.1, 0.1, 0), tiepoint = Seq(0, 0, 0, 10, 50, 0),
+      epsg = 4326, jpegTables = tables)
+    val vals = Tiff.decodeBlock(meta(null), full, 32 * 32 * 3, 32 * 3)
+    // JPEG is lossy: uniform quadrant interiors land within a few counts
+    def at(x: Int, y: Int) =
+      (vals((y * 32 + x) * 3), vals((y * 32 + x) * 3 + 1), vals((y * 32 + x) * 3 + 2))
+    for (((er, eg, eb), q) <- colors.zipWithIndex) {
+      val (x, y) = ((q % 2) * 16 + 8, (q / 2) * 16 + 8)
+      val (gr, gg, gb) = at(x, y)
+      assert(math.abs(gr - er) <= 8 && math.abs(gg - eg) <= 8 &&
+        math.abs(gb - eb) <= 8, s"quadrant $q got ($gr,$gg,$gb)")
+    }
+    // abbreviated form: DQT/DHT segments move to the JPEGTables tag and
+    // the per-tile stream drops them — decode must be BIT-identical
+    val (tables, bare) = splitJpegTables(full)
+    assert(tables.length > 4 && bare.length < full.length)
+    val vals2 = Tiff.decodeBlock(meta(tables), bare, 32 * 32 * 3, 32 * 3)
+    assert(vals2.sameElements(vals))
+  }
+
+  test("a JPEG-compressed tiled file reads end-to-end through TiffReader") {
+    import graft.sources.tiff.{Tiff, TiffReader}
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32) img.setRGB(x, y, (90 << 16) | (140 << 8) | 190)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val (tables, bare) = splitJpegTables(bos.toByteArray)
+    val bytes = buildJpegTiff(bare, tables)
+    val meta = Tiff.parseMeta(bytes)
+    assert(meta.compression == 7 && meta.jpegTables != null &&
+      meta.jpegTables.sameElements(tables))
+    val dir = java.nio.file.Files.createTempDirectory("jtiff").toString
+    val p = s"$dir/rgb.tif"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), bytes)
+    val df = TiffReader.readLongFormat(spark, p)
+    assert(df.count() == 32 * 32)
+    val r = df.orderBy(org.apache.spark.sql.functions.col("latitude").desc,
+      org.apache.spark.sql.functions.col("longitude")).head()
+    // uniform image: every pixel decodes within JPEG tolerance of the color
+    assert(math.abs(r.getDouble(2) - 90) <= 8 &&
+      math.abs(r.getDouble(3) - 140) <= 8 && math.abs(r.getDouble(4) - 190) <= 8)
+  }
+
+  /** Minimal little-endian classic TIFF: one 32x32 RGB tile, compression 7,
+    * JPEGTables tag, EPSG:4326 georeferencing. */
+  private def buildJpegTiff(tile: Array[Byte], tables: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
+    def w32(v: Long): Unit = { w16(v.toInt); w16((v >> 16).toInt) }
+    def entry(tag: Int, typ: Int, count: Long, value: Long): Unit = {
+      w16(tag); w16(typ); w32(count); w32(value)
+    }
+    val nEntries = 12
+    val ifdOff = 8
+    val valOff = ifdOff + 2 + nEntries * 12 + 4
+    val bitsOff = valOff                    // 3 shorts
+    val tablesOff = bitsOff + 6
+    val scaleOff = tablesOff + tables.length + (tables.length & 1)
+    val tieOff = scaleOff + 24
+    val tileOff = tieOff + 48
+    // header
+    w8('I'); w8('I'); w16(42); w32(ifdOff)
+    // IFD (tags ascending)
+    w16(nEntries)
+    entry(256, 3, 1, 32); entry(257, 3, 1, 32)
+    entry(258, 3, 3, bitsOff); entry(259, 3, 1, 7)
+    entry(277, 3, 1, 3)
+    entry(322, 3, 1, 32); entry(323, 3, 1, 32)
+    entry(324, 4, 1, tileOff); entry(325, 4, 1, tile.length)
+    entry(347, 7, tables.length, tablesOff)
+    entry(33550, 12, 3, scaleOff); entry(33922, 12, 6, tieOff)
+    w32(0) // next IFD
+    // values
+    w16(8); w16(8); w16(8)
+    out.write(tables); if ((tables.length & 1) == 1) w8(0)
+    def wf64(d: Double): Unit = {
+      val bits = java.lang.Double.doubleToLongBits(d)
+      (0 until 8).foreach(k => w8(((bits >> (8 * k)) & 0xff).toInt))
+    }
+    Seq(0.1, 0.1, 0.0).foreach(wf64)              // ModelPixelScale
+    Seq(0.0, 0.0, 0.0, 10.0, 50.0, 0.0).foreach(wf64) // ModelTiepoint
+    out.write(tile)
+    out.toByteArray
+  }
+
+  /** Move DQT/DHT segments of a JPEG stream into a standalone tables
+    * stream (SOI + tables + EOI), leaving the abbreviated remainder. */
+  private def splitJpegTables(jpeg: Array[Byte]): (Array[Byte], Array[Byte]) = {
+    val tables = new java.io.ByteArrayOutputStream()
+    val rest = new java.io.ByteArrayOutputStream()
+    tables.write(0xFF); tables.write(0xD8)
+    rest.write(0xFF); rest.write(0xD8)
+    var i = 2
+    var done = false
+    while (!done && i + 3 < jpeg.length) {
+      assert((jpeg(i) & 0xff) == 0xFF, "lost marker sync")
+      val marker = jpeg(i + 1) & 0xff
+      if (marker == 0xDA) { // SOS: entropy data through EOI, verbatim
+        rest.write(jpeg, i, jpeg.length - i)
+        done = true
+      } else {
+        val len = (((jpeg(i + 2) & 0xff) << 8) | (jpeg(i + 3) & 0xff)) + 2
+        if (marker == 0xDB || marker == 0xC4) tables.write(jpeg, i, len)
+        else rest.write(jpeg, i, len)
+        i += len
+      }
+    }
+    tables.write(0xFF); tables.write(0xD9)
+    (tables.toByteArray, rest.toByteArray)
+  }
 }
