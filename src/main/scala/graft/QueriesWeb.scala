@@ -370,6 +370,60 @@ object QueriesWeb {
           .orderBy($"surt")
       }),
 
+    // ------------------------------------------------------- multimodal: G.711 telephony audio
+    // A-law/mu-law WAVs (the telephony speech-corpus codings) decode
+    // through the same audio feature path as PCM; constant-companding
+    // payloads (A-law 0xD5/0x55 = +-8, mu-law 0x80/0x00 = +-32124) make
+    // every feature — including RMS — closed-form for the oracle.
+    Q("q132_g711_audio", Some("""
+      WITH p AS (SELECT doc_id,
+                        1 + doc_id % 2 AS channels,
+                        500 + doc_id % 200 AS n_frames,
+                        CASE WHEN doc_id % 2 = 0 THEN CAST(8 AS DOUBLE)
+                             ELSE CAST(32124 AS DOUBLE) END AS amp
+                 FROM documents)
+      SELECT doc_id, 8000 AS sample_rate, channels, n_frames,
+             round(n_frames * 1000.0 / 8000, 3) AS duration_ms,
+             round(amp, 3) AS rms,
+             (n_frames - 1) // 4 AS zero_crossings,
+             CASE WHEN doc_id % 2 = 0 THEN 'alaw' ELSE 'ulaw' END AS coding
+      FROM p ORDER BY doc_id"""))(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.Encoders
+        import graft.operators.{Multimodal, Wav}
+        val ids = Tables.documents(s, d).select($"doc_id".cast("long"))
+          .as[Long](Encoders.scalaLong)
+        val media = ids.map { id =>
+          val alaw = id % 2 == 0
+          val channels = (1 + id % 2).toInt
+          val nFrames = (500 + id % 200).toInt
+          val payload = new Array[Byte](nFrames * channels)
+          var i = 0
+          while (i < nFrames) {
+            val pos = (i / 4) % 2 == 0
+            val b: Byte =
+              if (alaw) (if (pos) 0xD5 else 0x55).toByte
+              else (if (pos) 0x80 else 0x00).toByte
+            var c = 0
+            while (c < channels) { payload(i * channels + c) = b; c += 1 }
+            i += 1
+          }
+          (id, Wav.encodeRaw(if (alaw) 6 else 7, 8, 8000, channels, payload))
+        }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+          .toDF("doc_id", "content")
+        Multimodal.decodeAudio(Multimodal.asMedia(media, "doc_id", "content"))
+          .select($"id".as("doc_id"),
+            $"sampleRate".cast("long").as("sample_rate"),
+            $"channels".cast("long").as("channels"),
+            $"nFrames".as("n_frames"),
+            round($"durationMs", 3).as("duration_ms"),
+            round($"rms", 3).as("rms"),
+            $"zeroCrossings".as("zero_crossings"),
+            when($"id" % 2 === 0, "alaw").otherwise("ulaw").as("coding"))
+          .orderBy($"doc_id")
+      }),
+
     // ------------------------------------------------------- composed: crawl -> clean-text accounting
     // The end-to-end Common Crawl recipe in one plan: WARC shards -> HTTP
     // 200 filter -> main-content extraction -> token accounting per source

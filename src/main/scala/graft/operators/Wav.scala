@@ -12,11 +12,12 @@ package graft.operators
   * Decoding walks the chunk list in ANY order, skips unknown chunks (LIST,
   * fact, cue, bext...), honours the odd-size pad byte, and tolerates
   * extended `fmt ` chunks (cbSize tail). Supported sample encodings:
-  * PCM16/PCM24 signed little-endian and PCM8 unsigned (format tag 1) plus
-  * IEEE float32 (tag 3, scaled to the 16-bit range). A-law (6), mu-law
-  * (7) and ADPCM raise a directed error naming the tag so a user knows to
-  * transcode, mirroring how the GRIB/TIFF readers treat unsupported
-  * packings.
+  * PCM16/PCM24 signed little-endian and PCM8 unsigned (format tag 1),
+  * IEEE float32 (tag 3, scaled to the 16-bit range), and ITU-T G.711
+  * A-law (6) / mu-law (7) — the telephony speech-corpus codings,
+  * expanded with the classic CCITT tables. ADPCM and extensible formats
+  * raise a directed error naming the tag so a user knows to transcode,
+  * mirroring how the GRIB/TIFF readers treat unsupported packings.
   */
 object Wav {
 
@@ -95,6 +96,30 @@ object Wav {
     out.toByteArray
   }
 
+  /** Fixture/export encoder for non-PCM16 codings: a RIFF/WAVE container
+    * with the given format tag and the raw data payload as-is (e.g. G.711
+    * bytes, one per sample). */
+  def encodeRaw(formatTag: Int, bitsPerSample: Int, sampleRate: Int,
+      channels: Int, payload: Array[Byte]): Array[Byte] = {
+    val bytesPerSample = math.max(1, bitsPerSample / 8)
+    val fmt = new java.io.ByteArrayOutputStream()
+    writeU16(fmt, formatTag)
+    writeU16(fmt, channels)
+    writeU32(fmt, sampleRate)
+    writeU32(fmt, sampleRate.toLong * channels * bytesPerSample)
+    writeU16(fmt, channels * bytesPerSample)
+    writeU16(fmt, bitsPerSample)
+    val body = new java.io.ByteArrayOutputStream()
+    body.write("WAVE".getBytes("US-ASCII"))
+    writeChunk(body, "fmt ", fmt.toByteArray)
+    writeChunk(body, "data", payload)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    writeU32(out, body.size())
+    body.writeTo(out)
+    out.toByteArray
+  }
+
   /** Decode RIFF/WAVE bytes. Throws [[UnsupportedWav]] with a directed
     * message for non-WAV bytes or unsupported encodings. */
   def decode(bytes: Array[Byte]): Audio = {
@@ -135,10 +160,8 @@ object Wav {
 
     if (fmtTag == -1) throw UnsupportedWav("no fmt chunk")
     if (data == null) throw UnsupportedWav("no data chunk")
-    if (fmtTag != 1 && fmtTag != 3) {
+    if (fmtTag != 1 && fmtTag != 3 && fmtTag != 6 && fmtTag != 7) {
       val name = fmtTag match {
-        case 6 => "A-law"
-        case 7 => "mu-law"
         case 0xfffe => "WAVE_FORMAT_EXTENSIBLE"
         case t => s"format tag $t"
       }
@@ -190,8 +213,35 @@ object Wav {
           i += 1
         }
         out
+      case (6, 8) =>
+        // ITU-T G.711 A-law (telephony speech corpora): classic CCITT
+        // expansion — toggle the even bits, then segment + mantissa
+        val out = new Array[Short](data.length)
+        var i = 0
+        while (i < out.length) {
+          val a = (data(i) & 0xff) ^ 0x55
+          var t = (a & 0x0f) << 4
+          val seg = (a & 0x70) >> 4
+          if (seg == 0) t += 8
+          else t = (t + 0x108) << (seg - 1)
+          out(i) = (if ((a & 0x80) != 0) t else -t).toShort
+          i += 1
+        }
+        out
+      case (7, 8) =>
+        // ITU-T G.711 mu-law: complement, biased mantissa, remove the bias
+        val out = new Array[Short](data.length)
+        var i = 0
+        while (i < out.length) {
+          val u = (~data(i)) & 0xff
+          val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+          out(i) = (if ((u & 0x80) != 0) 0x84 - t else t - 0x84).toShort
+          i += 1
+        }
+        out
       case (1, b) => throw UnsupportedWav(s"$b bits per sample (8/16/24 PCM only)")
       case (3, b) => throw UnsupportedWav(s"IEEE float at $b bits (32 only)")
+      case (6 | 7, b) => throw UnsupportedWav(s"G.711 at $b bits (8 only)")
       case _ => throw UnsupportedWav("unreachable format dispatch")
     }
     // drop a trailing partial frame rather than failing the whole file

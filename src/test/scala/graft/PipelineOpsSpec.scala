@@ -1306,11 +1306,21 @@ class MultimodalSpec extends SparkSpec {
       Seq(v, v >> 8, v >> 16).map(b => (b & 0xff).toByte)).toArray
     val got24 = Wav.decode(riff(1, 24, p24))
     assert(got24.samples.toSeq == Seq[Short](0, 0x7fff, (0x8000 - 0x10000).toShort, 0x4000))
-    // float at a non-32 width and a-law still raise directed errors
+    // float at a non-32 width and ADPCM still raise directed errors
     val f16 = intercept[Wav.UnsupportedWav](Wav.decode(riff(3, 16, new Array[Byte](4))))
     assert(f16.getMessage.contains("32 only"))
-    val alaw = intercept[Wav.UnsupportedWav](Wav.decode(riff(6, 8, new Array[Byte](4))))
-    assert(alaw.getMessage.contains("A-law") && alaw.getMessage.contains("pcm_s16le"))
+    val adpcm = intercept[Wav.UnsupportedWav](Wav.decode(riff(2, 4, new Array[Byte](4))))
+    assert(adpcm.getMessage.contains("format tag 2") &&
+      adpcm.getMessage.contains("pcm_s16le"))
+    // G.711 decodes against the published constants: A-law 0x55/0xD5 are
+    // -8/+8 and 0xAA is the +32256 maximum; mu-law 0xFF/0x7F are the two
+    // zeros and 0x80 is the +32124 maximum
+    val gotA = Wav.decode(riff(6, 8,
+      Array[Byte](0x55, 0xD5.toByte, 0xAA.toByte, 0x2A)))
+    assert(gotA.samples.toSeq == Seq[Short](-8, 8, 32256, -32256))
+    val gotU = Wav.decode(riff(7, 8,
+      Array[Byte](0xFF.toByte, 0x7F, 0x80.toByte, 0x00)))
+    assert(gotU.samples.toSeq == Seq[Short](0, 0, 32124, -32124))
   }
 
   test("q66 decoded audio features equal the closed-form oracle values") {
