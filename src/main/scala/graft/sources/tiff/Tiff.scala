@@ -40,7 +40,8 @@ object Tiff {
       epsg: Int,                 // 4326 | 326xx | 327xx | 0 (unknown)
       predictor: Int = 1,        // 1 none, 2 horizontal differencing
       nextIfd: Long = 0,         // offset of the next IFD (0 = none)
-      jpegTables: Array[Byte] = null) { // tag 347 (abbreviated JPEG streams)
+      jpegTables: Array[Byte] = null, // tag 347 (abbreviated JPEG streams)
+      planarConfig: Int = 1) {   // 1 interleaved (chunky), 2 band-separate planes
 
     def tiled: Boolean = tileOffsets.nonEmpty
 
@@ -131,6 +132,7 @@ object Tiff {
     var scale, tie = Seq.empty[Double]
     var geoKeys = Seq.empty[Int]
     var jpegTab: Array[Byte] = null
+    var planar = 1
 
     def values(entry: Long): Seq[Long] = {
       val typ = ec.u16(entry + 2)
@@ -181,8 +183,7 @@ object Tiff {
         case 277 => spp = values(e).head.toInt
         case 278 => rps = values(e).head.toInt
         case 279 => sbc = values(e)
-        case 284 => if (values(e).head != 1)
-          throw UnsupportedTiff("PlanarConfiguration 2 (planar bands)")
+        case 284 => planar = values(e).head.toInt
         case 322 => tw = values(e).head.toInt
         case 323 => tl = values(e).head.toInt
         case 324 => to = values(e)
@@ -203,6 +204,10 @@ object Tiff {
     if (comp == 7 && (bits != 8 || fmt != 1))
       throw UnsupportedTiff(
         s"JPEG compression with $bits-bit format-$fmt samples (8-bit uint only)")
+    if (planar != 1 && planar != 2)
+      throw UnsupportedTiff(s"PlanarConfiguration $planar (1 or 2 only)")
+    if (planar == 2 && comp == 7)
+      throw UnsupportedTiff("PlanarConfiguration 2 with JPEG compression")
     if (pred == 2 && fmt == 3)
       throw UnsupportedTiff("predictor 2 with floating-point samples " +
         "(predictor 3 is the float predictor)")
@@ -237,7 +242,8 @@ object Tiff {
       if (big) { if (nextPtr + 8 <= fileLen) new Cursor(read(nextPtr, 8), le).u64(0) else 0L }
       else { if (nextPtr + 4 <= fileLen) new Cursor(read(nextPtr, 4), le).u32(0) else 0L }
     Meta(le, width, height, bits, fmt, spp, comp, rps, so, sbc, tw, tl, to, tbc,
-      scale, tie, epsg, pred, nextIfd = nextIfd, jpegTables = jpegTab)
+      scale, tie, epsg, pred, nextIfd = nextIfd, jpegTables = jpegTab,
+      planarConfig = planar)
   }
 
   /** Compression 7 (new-style JPEG, TIFF-EP / the RGB-imagery COG

@@ -69,18 +69,27 @@ object TiffReader {
         StructField("y", DoubleType, nullable = false)) ++
         bands.map(b => StructField(b, DoubleType, nullable = true)))
 
-    // block index: strips are full-width row bands; tiles are a 2D grid
-    val blocks: Seq[(Long, Long, Int, Int)] = // (offset, bytes, row0, col0)
+    // block index: strips are full-width row bands; tiles are a 2D grid.
+    // PlanarConfiguration 2 stores each band's blocks separately,
+    // band-major (all of band 0's blocks, then band 1's...) — one task
+    // reads its block POSITION across every plane and interleaves, so the
+    // row shape is identical either way.
+    val planes = if (meta.planarConfig == 2) meta.samplesPerPixel else 1
+    val blocks: Seq[(Seq[(Long, Long)], Int, Int)] = // (per-plane (offset, bytes), row0, col0)
       if (meta.tiled) {
         val tilesAcross = (meta.width + meta.tileWidth - 1) / meta.tileWidth
-        meta.tileOffsets.indices.map { t =>
+        val perPlane = meta.tileOffsets.size / planes
+        (0 until perPlane).map { t =>
           val row0 = (t / tilesAcross) * meta.tileLength
           val col0 = (t % tilesAcross) * meta.tileWidth
-          (meta.tileOffsets(t), meta.tileByteCounts(t), row0, col0)
+          ((0 until planes).map(p => (meta.tileOffsets(p * perPlane + t),
+            meta.tileByteCounts(p * perPlane + t))), row0, col0)
         }
       } else {
-        meta.stripOffsets.indices.map { s =>
-          (meta.stripOffsets(s), meta.stripByteCounts(s), s * meta.rowsPerStrip, 0)
+        val perPlane = meta.stripOffsets.size / planes
+        (0 until perPlane).map { s =>
+          ((0 until planes).map(p => (meta.stripOffsets(p * perPlane + s),
+            meta.stripByteCounts(p * perPlane + s))), s * meta.rowsPerStrip, 0)
         }
       }
     val nPart = math.max(1, math.min(blocks.size, spark.sparkContext.defaultParallelism))
@@ -89,14 +98,33 @@ object TiffReader {
     val tconf = TaskConf(conf)
     val rdd = spark.sparkContext.parallelize(blocks, nPart).mapPartitions { it =>
       graft.sources.RangedIO.rows(pathLocal, tconf) { in =>
-        it.flatMap { case (offset, nBytes, row0, col0) =>
-          val raw = new Array[Byte](nBytes.toInt)
-          in.readFully(offset, raw)
+        it.flatMap { case (planeBlocks, row0, col0) =>
           val (bw, bh) =
             if (m.tiled) (m.tileWidth, m.tileLength)
             else (m.width, math.min(m.rowsPerStrip, m.height - row0))
-          val values = Tiff.decodeBlock(m, raw, bw * bh * m.samplesPerPixel,
-            rowSamples = bw * m.samplesPerPixel)
+          val spp = m.samplesPerPixel
+          val values: Array[Double] =
+            if (m.planarConfig != 2) {
+              val (offset, nBytes) = planeBlocks.head
+              val raw = new Array[Byte](nBytes.toInt)
+              in.readFully(offset, raw)
+              Tiff.decodeBlock(m, raw, bw * bh * spp, rowSamples = bw * spp)
+            } else {
+              // decode each plane as a single-band block, then interleave
+              val mPlane = m.copy(samplesPerPixel = 1)
+              val out = new Array[Double](bw * bh * spp)
+              planeBlocks.zipWithIndex.foreach { case ((offset, nBytes), p) =>
+                val raw = new Array[Byte](nBytes.toInt)
+                in.readFully(offset, raw)
+                val plane = Tiff.decodeBlock(mPlane, raw, bw * bh, rowSamples = bw)
+                var k = 0
+                while (k < bw * bh) {
+                  out(k * spp + p) = plane(k)
+                  k += 1
+                }
+              }
+              out
+            }
           for {
             r <- (0 until bh).iterator
             cIdx <- (0 until bw).iterator

@@ -538,6 +538,62 @@ class TiffSpec extends SparkSpec {
     out.toByteArray
   }
 
+  test("PlanarConfiguration 2 interleaves band-separate planes correctly") {
+    import graft.sources.tiff.{Tiff, TiffReader}
+    // 4x4, two uint8 bands, rps=2 -> 2 strips/band, stored band-major
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
+    def w32(v: Long): Unit = { w16(v.toInt); w16((v >> 16).toInt) }
+    def entry(tag: Int, typ: Int, count: Long, value: Long): Unit = {
+      w16(tag); w16(typ); w32(count); w32(value)
+    }
+    val nEntries = 12
+    val valOff = 8 + 2 + nEntries * 12 + 4
+    val soOff = valOff            // 4 longs
+    val sbcOff = soOff + 16
+    val scaleOff = sbcOff + 16
+    val tieOff = scaleOff + 24
+    val dataOff = tieOff + 48
+    w8('I'); w8('I'); w16(42); w32(8)
+    w16(nEntries)
+    entry(256, 3, 1, 4); entry(257, 3, 1, 4)
+    entry(258, 3, 1, 8); entry(259, 3, 1, 1)
+    entry(273, 4, 4, soOff); entry(277, 3, 1, 2)
+    entry(278, 3, 1, 2); entry(279, 4, 4, sbcOff)
+    entry(284, 3, 1, 2)
+    entry(338, 3, 1, 0) // ExtraSamples: unknown tag, must be ignored
+    entry(33550, 12, 3, scaleOff); entry(33922, 12, 6, tieOff)
+    w32(0)
+    (0 until 4).foreach(s => w32(dataOff + s * 8)) // strip offsets
+    (0 until 4).foreach(_ => w32(8))               // strip byte counts
+    def wf64(d: Double): Unit = {
+      val bits = java.lang.Double.doubleToLongBits(d)
+      (0 until 8).foreach(k => w8(((bits >> (8 * k)) & 0xff).toInt))
+    }
+    Seq(0.5, 0.5, 0.0).foreach(wf64)
+    Seq(0.0, 0.0, 0.0, 0.0, 2.0, 0.0).foreach(wf64)
+    // band 0 plane: v = row*4+col; band 1 plane: 100 + same
+    (0 until 16).foreach(w8)             // b0 strips 0..1 contiguous
+    (0 until 16).foreach(k => w8(100 + k))
+    val bytes = out.toByteArray
+    val meta = Tiff.parseMeta(bytes)
+    assert(meta.planarConfig == 2 && meta.samplesPerPixel == 2)
+    val dir = java.nio.file.Files.createTempDirectory("ptiff").toString
+    val p = s"$dir/planar.tif"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), bytes)
+    val df = TiffReader.readLongFormat(spark, p)
+    assert(df.count() == 16)
+    // pixel (row 1, col 2): v = 6 / 106; lat = 2 - 1.5*0.5, lon = 2.5*0.5
+    val r = df.filter(org.apache.spark.sql.functions.col("latitude") === 1.25 &&
+      org.apache.spark.sql.functions.col("longitude") === 1.25).head()
+    assert(r.getDouble(2) == 6.0 && r.getDouble(3) == 106.0)
+    // every pixel keeps the +100 band offset — planes never cross-wire
+    import spark.implicits._
+    assert(df.select(($"band_2" - $"band_1")).as[Double].collect()
+      .forall(_ == 100.0))
+  }
+
   /** Move DQT/DHT segments of a JPEG stream into a standalone tables
     * stream (SOI + tables + EOI), leaving the abbreviated remainder. */
   private def splitJpegTables(jpeg: Array[Byte]): (Array[Byte], Array[Byte]) = {
