@@ -424,6 +424,32 @@ object QueriesWeb {
           .orderBy($"doc_id")
       }),
 
+    // ------------------------------------------------------- source: NumPy .npy matrix
+    // The embedding-matrix container: a 2-D <f4 .npy written from
+    // table-derived values fans out row-range positioned reads and comes
+    // back as (row, values); posexplode flattens for the oracle, which
+    // recomputes every element (f4 storage keeps these values exact —
+    // quarters fit a float mantissa).
+    Q("q133_npy_matrix", Some("""
+      WITH o AS (SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS r
+                 FROM orders ORDER BY o_orderkey LIMIT 120),
+      c AS (SELECT unnest(range(0, 8)) AS c)
+      SELECT o.r AS row, c.c AS col,
+             CAST((o.r * 31 + c.c * 7) % 100 AS DOUBLE) / 4 AS value
+      FROM o, c ORDER BY row, col"""))(
+      (s, d) => {
+        import s.implicits._
+        val n = Tables.orders(s, d).orderBy($"o_orderkey").limit(120).count().toInt
+        val vals = for (r <- 0 until n; c <- 0 until 8)
+          yield ((r * 31 + c * 7) % 100) / 4.0
+        val dir = java.nio.file.Files.createTempDirectory("q133").toString
+        graft.sources.Npy.write(s"$dir/emb.npy", Seq(n, 8), vals, descr = "<f4")
+        graft.sources.Npy.read(s, s"$dir/emb.npy")
+          .select($"row", posexplode($"values").as(Seq("col", "value")))
+          .select($"row", $"col".cast("long").as("col"), $"value")
+          .orderBy($"row", $"col")
+      }),
+
     // ------------------------------------------------------- composed: crawl -> clean-text accounting
     // The end-to-end Common Crawl recipe in one plan: WARC shards -> HTTP
     // 200 filter -> main-content extraction -> token accounting per source
