@@ -450,6 +450,38 @@ object QueriesWeb {
           .orderBy($"row", $"col")
       }),
 
+    // ------------------------------------------------------- source: safetensors tensors
+    // The HF weight/activation container: a two-tensor file (a 2-D F32
+    // matrix + a 1-D bias) reads back tensor-tagged rows via header-planned
+    // positioned reads; eighths stay exact in F32 for the oracle.
+    Q("q134_safetensors", Some("""
+      WITH o AS (SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS r
+                 FROM orders ORDER BY o_orderkey LIMIT 90),
+      c AS (SELECT unnest(range(0, 6)) AS c),
+      emb AS (SELECT 'emb' AS tensor, o.r AS row, c.c AS col,
+                     CAST((o.r * 13 + c.c * 5) % 64 AS DOUBLE) / 8 AS value
+              FROM o, c),
+      bias AS (SELECT 'bias' AS tensor, c.c AS row, CAST(0 AS BIGINT) AS col,
+                      CAST(c.c AS DOUBLE) / 4 - 0.5 AS value
+               FROM c)
+      SELECT * FROM (SELECT * FROM emb UNION ALL SELECT * FROM bias)
+      ORDER BY tensor, row, col"""))(
+      (s, d) => {
+        import s.implicits._
+        val n = Tables.orders(s, d).orderBy($"o_orderkey").limit(90).count().toInt
+        val emb = for (r <- 0 until n; c <- 0 until 6)
+          yield ((r * 13 + c * 5) % 64) / 8.0
+        val bias = (0 until 6).map(c => c / 4.0 - 0.5)
+        val dir = java.nio.file.Files.createTempDirectory("q134").toString
+        graft.sources.Safetensors.write(s"$dir/acts.safetensors", Seq(
+          ("emb", Seq(n.toLong, 6L), emb), ("bias", Seq(6L), bias)))
+        graft.sources.Safetensors.read(s, s"$dir/acts.safetensors")
+          .select($"tensor", $"row",
+            posexplode($"values").as(Seq("col", "value")))
+          .select($"tensor", $"row", $"col".cast("long").as("col"), $"value")
+          .orderBy($"tensor", $"row", $"col")
+      }),
+
     // ------------------------------------------------------- composed: crawl -> clean-text accounting
     // The end-to-end Common Crawl recipe in one plan: WARC shards -> HTTP
     // 200 filter -> main-content extraction -> token accounting per source
