@@ -42,7 +42,11 @@ object CdxIndex {
     val jsonStart = instr(line, "{")
     val prefix = trim(line.substr(lit(1), (jsonStart - 1).cast("int")))
     val body = from_json(line.substr(jsonStart, lit(1 << 24)), BodySchema)
-    df.filter(jsonStart > 0)
+    // malformed JSON parses (PERMISSIVE) to an all-null struct; a capture
+    // line with neither url nor filename carries nothing addressable —
+    // both drop here, while sparse-but-valid records keep per-field nulls
+    df.filter(jsonStart > 0 &&
+        (body.getField("url").isNotNull || body.getField("filename").isNotNull))
       .select(
         substring_index(prefix, " ", 1).as("surt"),
         substring_index(prefix, " ", -1).as("timestamp"),
@@ -58,10 +62,13 @@ object CdxIndex {
   /** Project an index selection into the (file_uri, offset) shape
     * [[Warc.fetch]] takes, resolving relative CDX filenames against
     * `base` (Common Crawl filenames are paths relative to the data
-    * bucket). */
+    * bucket). Records without an address — revisit/screenshot entries
+    * with no filename or offset — are dropped here rather than handed to
+    * fetch as nulls. */
   def fetchIndex(cdx: DataFrame, base: String): DataFrame = {
     val sep = if (base.endsWith("/") || base.isEmpty) "" else "/"
-    cdx.select(
+    cdx.filter(col("filename").isNotNull && col("offset").isNotNull)
+      .select(
       when(col("filename").rlike("^[a-z][a-z0-9+.-]*:/") || lit(base.isEmpty),
         col("filename"))
         .otherwise(concat(lit(base + sep), col("filename"))).as("file_uri"),

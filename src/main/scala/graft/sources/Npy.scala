@@ -69,7 +69,14 @@ object Npy {
     if (!"fiub".contains(descr.charAt(1)))
       throw UnsupportedNpy(s"dtype class '${descr.charAt(1)}' " +
         "(float/int/uint/bool only — strings and objects have no row mapping)")
-    Header(descr, fortran, shape, hoff + hlen)
+    val h = Header(descr, fortran, shape, hoff + hlen)
+    // a lying or truncated file must fail HERE with context, not as a raw
+    // EOFException deep inside some executor task
+    if (h.dataOffset + shape.product * h.elemSize > fileLen)
+      throw UnsupportedNpy(s"truncated: shape ${shape.mkString("x")} " +
+        s"${h.descr} needs ${shape.product * h.elemSize} data bytes, file has " +
+        s"${fileLen - h.dataOffset}")
+    h
   }
 
   private[graft] def decodeValue(b: Array[Byte], off: Int, h: Header): Double = {
@@ -98,17 +105,8 @@ object Npy {
     }
   }
 
-  private def halfToDouble(h: Int): Double = {
-    val sign = (h >> 15) & 1
-    val exp = (h >> 10) & 0x1f
-    val frac = h & 0x3ff
-    val v =
-      if (exp == 0) frac / 1024.0 * math.pow(2, -14)
-      else if (exp == 0x1f) {
-        if (frac == 0) Double.PositiveInfinity else Double.NaN
-      } else (1 + frac / 1024.0) * math.pow(2, exp - 15)
-    if (sign == 1) -v else v
-  }
+  private def halfToDouble(h: Int): Double =
+    graft.sources.zarr.ZarrMeta.halfToDouble(h)
 
   // ------------------------------------------------------------- readers
 
@@ -153,71 +151,79 @@ object Npy {
       throw UnsupportedNpy(s"$rank-D array (1-D and 2-D only; reshape upstream)")
     val want = if (partitions > 0) partitions
       else spark.sparkContext.defaultParallelism
-    // task list: (uri, header, firstRow, rowCount)
+    // plan against the GLOBAL row count (per-file-x-want task lists explode
+    // on many-file globs), and cap every element's byte span so a single
+    // task buffer can never approach the 2 GiB array limit
+    val totalRows = heads.map(_._2.shape.head).sum
+    val rowsPerTask = math.max(1L, (totalRows + want - 1) / want)
+    // task list: (uri, header, firstRow, rowCount), file-major so each
+    // partition holds contiguous runs per file
     val tasks = heads.flatMap { case (uri, h) =>
       val rows = h.shape.head
-      if (rank == 2 && h.fortranOrder) Seq((uri, h, 0L, rows))
-      else {
-        val per = math.max(1L, (rows + want - 1) / want)
+      val esz = h.elemSize
+      val rowBytes = (if (rank == 2) h.shape(1) else 1L) * esz
+      if (rowBytes > MaxTaskBytes)
+        throw UnsupportedNpy(s"one row of $uri spans $rowBytes bytes " +
+          s"(cap $MaxTaskBytes)")
+      if (rank == 2 && h.fortranOrder) {
+        // fortran rows are strided across the whole body: one task must
+        // hold it all, so it has to fit one buffer
+        if (rows * rowBytes > MaxTaskBytes)
+          throw UnsupportedNpy(s"fortran-order $uri spans ${rows * rowBytes} " +
+            s"bytes (cap $MaxTaskBytes for strided reads — convert to C order)")
+        Seq((uri, h, 0L, rows))
+      } else {
+        val per = math.min(rowsPerTask, math.max(1L, MaxTaskBytes / rowBytes))
         (0L until rows by per).map(r0 => (uri, h, r0, math.min(per, rows - r0)))
       }
     }
     val nPart = math.max(1, math.min(tasks.size, want))
-    val rdd = spark.sparkContext.parallelize(tasks, nPart).flatMap {
-      case (uri, h, row0, nRows) =>
-        val c = tconf.value
-        val path = new Path(uri)
-        val in = path.getFileSystem(c).open(path)
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ =>
-            try in.close() catch { case _: java.io.IOException => }))
-        val esz = h.elemSize
-        if (rank == 1) {
-          val raw = new Array[Byte]((nRows * esz).toInt)
-          in.readFully(h.dataOffset + row0 * esz, raw)
-          val it = (0L until nRows).iterator.map { k =>
-            Row(uri, row0 + k, decodeValue(raw, (k * esz).toInt, h))
-          }
-          closeOnExhaust(it, in)
-        } else {
-          val cols = h.shape(1).toInt
-          if (!h.fortranOrder) {
-            val rowBytes = cols.toLong * esz
-            val raw = new Array[Byte]((nRows * rowBytes).toInt)
-            in.readFully(h.dataOffset + row0 * rowBytes, raw)
-            val it = (0L until nRows).iterator.map { k =>
-              val base = (k * rowBytes).toInt
-              Row(uri, row0 + k,
-                (0 until cols).map(j => decodeValue(raw, base + j * esz, h)))
+    val rdd = spark.sparkContext.parallelize(tasks, nPart).mapPartitions { it =>
+      // one open stream per contiguous per-file run, through the shared
+      // ranged-read lifecycle (close on exhaustion AND task completion)
+      RangedIO.contiguousRuns(it)(_._1).flatMap { case (uri, elems) =>
+        RangedIO.rows(uri, tconf) { in =>
+          elems.iterator.flatMap { case (_, h, row0, nRows) =>
+            val esz = h.elemSize
+            if (rank == 1) {
+              val raw = new Array[Byte]((nRows * esz).toInt)
+              in.readFully(h.dataOffset + row0 * esz, raw)
+              (0L until nRows).iterator.map { k =>
+                Row(uri, row0 + k, decodeValue(raw, (k * esz).toInt, h))
+              }
+            } else {
+              val cols = h.shape(1).toInt
+              if (!h.fortranOrder) {
+                val rowBytes = cols.toLong * esz
+                val raw = new Array[Byte]((nRows * rowBytes).toInt)
+                in.readFully(h.dataOffset + row0 * rowBytes, raw)
+                (0L until nRows).iterator.map { k =>
+                  val base = (k * rowBytes).toInt
+                  Row(uri, row0 + k,
+                    (0 until cols).map(j => decodeValue(raw, base + j * esz, h)))
+                }
+              } else {
+                // fortran order: element (r, c) sits at (c*rows + r); the
+                // single task walks the whole body strided
+                val rows = h.shape.head
+                val raw = new Array[Byte]((rows * cols * esz).toInt)
+                in.readFully(h.dataOffset, raw)
+                (0L until rows).iterator.map { r =>
+                  Row(uri, r, (0 until cols).map(j =>
+                    decodeValue(raw, ((j * rows + r) * esz).toInt, h)))
+                }
+              }
             }
-            closeOnExhaust(it, in)
-          } else {
-            // fortran order: element (r, c) sits at (c*rows + r); one task
-            // reads the whole body and walks it strided
-            val rows = h.shape.head
-            val raw = new Array[Byte]((rows * cols * esz).toInt)
-            in.readFully(h.dataOffset, raw)
-            val it = (0L until rows).iterator.map { r =>
-              Row(uri, r, (0 until cols).map(j =>
-                decodeValue(raw, ((j * rows + r) * esz).toInt, h)))
-            }
-            closeOnExhaust(it, in)
           }
         }
+      }
     }
     spark.createDataFrame(rdd, if (rank == 1) schema1d else schema2d)
   }
 
-  private def closeOnExhaust(it: Iterator[Row],
-      in: org.apache.hadoop.fs.FSDataInputStream): Iterator[Row] =
-    new Iterator[Row] {
-      override def hasNext: Boolean = {
-        val h = it.hasNext
-        if (!h) try in.close() catch { case _: java.io.IOException => }
-        h
-      }
-      override def next(): Row = it.next()
-    }
+  /** Per-task byte-span cap: keeps buffers far from the JVM's 2 GiB array
+    * limit and bounds executor memory per element. */
+  private val MaxTaskBytes: Long = 256L << 20
 
   private val schemaNpz = StructType(
     StructField("array_name", StringType, nullable = false) +: schema2d.fields)
@@ -323,8 +329,10 @@ object Npy {
     try os.write(out.toByteArray) finally os.close()
   }
 
-  /** Fixture `.npz` writer: stored (uncompressed) zip of `.npy` members. */
+  /** Fixture `.npz` writer. STORED entries by default (numpy's `np.savez`
+    * layout); `compressed = true` deflates them (`np.savez_compressed`). */
   def writeNpz(path: String, arrays: Seq[(String, Seq[Long], Seq[Double])],
+      compressed: Boolean = false,
       conf: Configuration = new Configuration()): Unit = {
     val hp = new Path(path)
     val os = hp.getFileSystem(conf).create(hp, true)
@@ -335,7 +343,17 @@ object Npy {
         write(tmp.toString, shape, values)
         val bytes = java.nio.file.Files.readAllBytes(tmp)
         java.nio.file.Files.delete(tmp)
-        zos.putNextEntry(new java.util.zip.ZipEntry(s"$name.npy"))
+        val entry = new java.util.zip.ZipEntry(s"$name.npy")
+        if (!compressed) {
+          // STORED needs size + crc declared up front
+          entry.setMethod(java.util.zip.ZipEntry.STORED)
+          entry.setSize(bytes.length.toLong)
+          entry.setCompressedSize(bytes.length.toLong)
+          val crc = new java.util.zip.CRC32
+          crc.update(bytes, 0, bytes.length)
+          entry.setCrc(crc.getValue)
+        }
+        zos.putNextEntry(entry)
         zos.write(bytes)
         zos.closeEntry()
       }

@@ -25,4 +25,19 @@ object RangedIO {
       def next(): Row = iter.next()
     }
   }
+
+  /** Group CONSECUTIVE elements sharing a key into runs — the shape a
+    * file-major task list has inside one partition, so each run opens its
+    * file once through [[rows]]. Plan tuples only; never buffers data. */
+  def contiguousRuns[T, K](it: Iterator[T])(key: T => K): Iterator[(K, Seq[T])] =
+    new Iterator[(K, Seq[T])] {
+      private val buf = it.buffered
+      def hasNext: Boolean = buf.hasNext
+      def next(): (K, Seq[T]) = {
+        val k = key(buf.head)
+        val run = Seq.newBuilder[T]
+        while (buf.hasNext && key(buf.head) == k) run += buf.next()
+        (k, run.result())
+      }
+    }
 }

@@ -77,16 +77,8 @@ object Safetensors {
     }
   }
 
-  private def half(h: Int): Double = {
-    val sign = (h >> 15) & 1
-    val exp = (h >> 10) & 0x1f
-    val frac = h & 0x3ff
-    val v =
-      if (exp == 0) frac / 1024.0 * math.pow(2, -14)
-      else if (exp == 0x1f) { if (frac == 0) Double.PositiveInfinity else Double.NaN }
-      else (1 + frac / 1024.0) * math.pow(2, exp - 15)
-    if (sign == 1) -v else v
-  }
+  private def half(h: Int): Double =
+    graft.sources.zarr.ZarrMeta.halfToDouble(h)
 
   /** Parse the header: tensor table + the absolute byte offset of the
     * data buffer. `__metadata__` is skipped (free-form string map). */
@@ -131,7 +123,15 @@ object Safetensors {
           s"tensor $name spans ${e - b} bytes for shape $shape $dtype")
       TensorInfo(name, dtype, shape, b, e)
     }
-    (tensors, 8 + hlen)
+    val dataStart = 8 + hlen
+    tensors.foreach { t =>
+      // a truncated download must fail HERE with tensor context, not as a
+      // raw EOFException deep inside some executor task
+      if (dataStart + t.end > fileLen)
+        throw UnsupportedSafetensors(s"truncated: tensor ${t.name} ends at " +
+          s"byte ${dataStart + t.end}, file has $fileLen")
+    }
+    (tensors, dataStart)
   }
 
   /** Header-only tensor listing across `pattern` — O(KiB) per file. */
@@ -152,14 +152,24 @@ object Safetensors {
     val tconf = TaskConf(conf)
     val want = if (partitions > 0) partitions
       else spark.sparkContext.defaultParallelism
-    // driver-side plan: (uri, dtype, rowElems, absolute byte start, row0, nRows)
-    val tasks = files.flatMap { uri =>
-      val (tensors, dataStart) = headerOf(conf, uri)
+    // plan against the GLOBAL row count (a 300-tensor checkpoint split
+    // per-tensor-x-want would fan out thousands of tiny reads), with a
+    // byte-span cap per element; file-major order keeps per-file runs
+    // contiguous inside partitions
+    val headers = files.map(uri => uri -> headerOf(conf, uri))
+    val totalRows = headers.flatMap(_._2._1)
+      .map(t => if (t.shape.isEmpty) 1L else t.shape.head).sum
+    val rowsPerTask = math.max(1L, (totalRows + want - 1) / want)
+    val tasks = headers.flatMap { case (uri, (tensors, dataStart)) =>
       tensors.flatMap { t =>
         val rows = if (t.shape.isEmpty) 1L else t.shape.head
         val rowElems =
           if (t.shape.size <= 1) 1L else t.shape.drop(1).product
-        val per = math.max(1L, (rows + want - 1) / want)
+        val rowBytes = rowElems * elemSize(t.dtype)
+        if (rowBytes > MaxTaskBytes)
+          throw UnsupportedSafetensors(s"one row of ${t.name} spans " +
+            s"$rowBytes bytes (cap $MaxTaskBytes)")
+        val per = math.min(rowsPerTask, math.max(1L, MaxTaskBytes / rowBytes))
         (0L until rows by per).map { r0 =>
           (uri, t.name, t.dtype, rowElems,
             dataStart + t.begin, r0, math.min(per, rows - r0))
@@ -168,34 +178,32 @@ object Safetensors {
     }
     require(tasks.nonEmpty, s"no tensors in $pattern")
     val nPart = math.max(1, math.min(tasks.size, want))
-    val rdd = spark.sparkContext.parallelize(tasks, nPart).flatMap {
-      case (uri, name, dtype, rowElems, byteStart, row0, nRows) =>
-        val c = tconf.value
-        val path = new Path(uri)
-        val in = path.getFileSystem(c).open(path)
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ =>
-            try in.close() catch { case _: java.io.IOException => }))
-        val esz = elemSize(dtype)
-        val rowBytes = rowElems * esz
-        val raw = new Array[Byte]((nRows * rowBytes).toInt)
-        in.readFully(byteStart + row0 * rowBytes, raw)
-        val it = (0L until nRows).iterator.map { k =>
-          val base = (k * rowBytes).toInt
-          Row(uri, name, row0 + k,
-            (0 until rowElems.toInt).map(j => decode(raw, base + j * esz, dtype)))
-        }
-        new Iterator[Row] {
-          override def hasNext: Boolean = {
-            val h = it.hasNext
-            if (!h) try in.close() catch { case _: java.io.IOException => }
-            h
+    val rdd = spark.sparkContext.parallelize(tasks, nPart).mapPartitions { it =>
+      // one open stream per contiguous per-file run (shared ranged-read
+      // lifecycle: close on exhaustion AND task completion)
+      RangedIO.contiguousRuns(it)(_._1).flatMap { case (uri, elems) =>
+        RangedIO.rows(uri, tconf) { in =>
+          elems.iterator.flatMap {
+            case (_, name, dtype, rowElems, byteStart, row0, nRows) =>
+              val esz = elemSize(dtype)
+              val rowBytes = rowElems * esz
+              val raw = new Array[Byte]((nRows * rowBytes).toInt)
+              in.readFully(byteStart + row0 * rowBytes, raw)
+              (0L until nRows).iterator.map { k =>
+                val base = (k * rowBytes).toInt
+                Row(uri, name, row0 + k, (0 until rowElems.toInt)
+                  .map(j => decode(raw, base + j * esz, dtype)))
+              }
           }
-          override def next(): Row = it.next()
         }
+      }
     }
     spark.createDataFrame(rdd, schema)
   }
+
+  /** Per-task byte-span cap (see [[Npy.read]]'s twin): buffers stay far
+    * from the JVM's 2 GiB array limit. */
+  private val MaxTaskBytes: Long = 256L << 20
 
   private def glob(spark: SparkSession, pattern: String): (Configuration, Seq[String]) = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)

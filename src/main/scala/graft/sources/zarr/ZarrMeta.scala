@@ -950,7 +950,7 @@ object ZarrMeta {
   }
 
   /** IEEE 754 binary16 → double (sign, 5-bit exponent, 10-bit fraction). */
-  private[zarr] def halfToDouble(h: Int): Double = {
+  private[graft] def halfToDouble(h: Int): Double = {
     val sign = if ((h & 0x8000) != 0) -1.0 else 1.0
     val exp = (h >> 10) & 0x1f
     val frac = h & 0x3ff

@@ -14,9 +14,10 @@ class CdxIndexSpec extends SparkSpec {
     CdxIndex.writeGz(s"$dir/cdx-00000.gz", Seq(
       """com,example)/a 20260101120000 {"url": "https://example.com/a", "mime": "text/html", "status": "200", "digest": "AAAA", "length": "512", "offset": "0", "filename": "crawl/seg/f.warc.gz"}""",
       """com,example)/b 20260102130000 {"url": "https://example.com/b", "status": "404", "offset": "512", "filename": "crawl/seg/f.warc.gz"}""",
-      "garbage line without json"))
+      "garbage line without json",
+      "com,example)/broken 20260101120000 {not valid json at all"))
     val cdx = CdxIndex.read(spark, s"$dir/cdx-*.gz").orderBy($"surt")
-    assert(cdx.count() == 2) // the garbage line drops
+    assert(cdx.count() == 2) // JSON-less AND malformed-JSON lines both drop
     val a = cdx.head()
     assert(a.getAs[String]("surt") == "com,example)/a")
     assert(a.getAs[String]("timestamp") == "20260101120000")
@@ -28,6 +29,15 @@ class CdxIndexSpec extends SparkSpec {
     // fetchIndex resolves relative filenames against the data base
     val fi = CdxIndex.fetchIndex(cdx, "file:/data").orderBy($"offset").head()
     assert(fi.getString(0) == "file:/data/crawl/seg/f.warc.gz")
+    // address-less records (revisit entries) drop instead of reaching
+    // fetch as nulls
+    val withRevisit = cdx.unionByName(spark.sql(
+      """SELECT 'com,example)/r' surt, '20260101120000' timestamp,
+        |'https://example.com/r' url, CAST(NULL AS STRING) mime,
+        |304 status, CAST(NULL AS STRING) digest, CAST(NULL AS BIGINT) length,
+        |CAST(NULL AS BIGINT) offset, CAST(NULL AS STRING) filename
+        |""".stripMargin))
+    assert(CdxIndex.fetchIndex(withRevisit, "file:/data").count() == 2)
   }
 
   test("index-build round-trip: crawl -> surt index -> selective fetch") {

@@ -57,19 +57,40 @@ class NpySpec extends SparkSpec {
     assert(got == logical)
   }
 
-  test("npz archives read all members with array names") {
+  test("npz archives read all members with array names, stored AND deflated") {
     val dir = java.nio.file.Files.createTempDirectory("npz").toString
-    Npy.writeNpz(s"$dir/bundle.npz", Seq(
+    val arrays = Seq(
       ("emb", Seq(4L, 3L), (0 until 12).map(_.toDouble)),
-      ("scores", Seq(2L), Seq(0.5, 0.75))))
-    val df = Npy.readNpz(spark, s"$dir/bundle.npz")
-    assert(df.count() == 6)
-    assert(df.select($"array_name").distinct().as[String].collect().sorted
-      .toSeq == Seq("emb", "scores"))
-    val e2 = df.filter($"array_name" === "emb" && $"row" === 2).head()
-    assert(e2.getSeq[Double](3) == Seq(6.0, 7.0, 8.0))
-    assert(df.filter($"array_name" === "scores" && $"row" === 1).head()
-      .getSeq[Double](3) == Seq(0.75))
+      ("scores", Seq(2L), Seq(0.5, 0.75)))
+    // STORED (np.savez layout) and DEFLATED (np.savez_compressed)
+    Npy.writeNpz(s"$dir/bundle.npz", arrays)
+    Npy.writeNpz(s"$dir/bundle_c.npz", arrays, compressed = true)
+    for (f <- Seq("bundle.npz", "bundle_c.npz")) {
+      val df = Npy.readNpz(spark, s"$dir/$f")
+      assert(df.count() == 6, f)
+      assert(df.select($"array_name").distinct().as[String].collect().sorted
+        .toSeq == Seq("emb", "scores"))
+      val e2 = df.filter($"array_name" === "emb" && $"row" === 2).head()
+      assert(e2.getSeq[Double](3) == Seq(6.0, 7.0, 8.0))
+      assert(df.filter($"array_name" === "scores" && $"row" === 1).head()
+        .getSeq[Double](3) == Seq(0.75))
+    }
+    // the default really is STORED: the zip central directory says so
+    val zf = new java.util.zip.ZipFile(s"$dir/bundle.npz")
+    try assert(zf.entries().nextElement().getMethod ==
+      java.util.zip.ZipEntry.STORED)
+    finally zf.close()
+  }
+
+  test("truncated npy fails at plan time with a directed shape/byte message") {
+    val dir = java.nio.file.Files.createTempDirectory("npyt").toString
+    Npy.write(s"$dir/full.npy", Seq(10, 4), (0 until 40).map(_.toDouble))
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/full.npy"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/cut.npy"),
+      java.util.Arrays.copyOf(bytes, bytes.length - 64))
+    val e = intercept[Npy.UnsupportedNpy] { Npy.read(spark, s"$dir/cut.npy") }
+    assert(e.getMessage.contains("truncated"))
   }
 
   test("directed errors: bad magic, 3-D arrays, string dtypes, mixed ranks") {

@@ -84,5 +84,15 @@ class SafetensorsSpec extends SparkSpec {
       Safetensors.read(spark, badSpan)
     }
     assert(e.getMessage.contains("spans"))
+    // truncated data buffer: directed error AT PLAN TIME, naming the tensor
+    val full = s"$dir/full.safetensors"
+    Safetensors.write(full, Seq(("w", Seq(8L, 4L), (0 until 32).map(_.toDouble))))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(full))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/cut.safetensors"),
+      java.util.Arrays.copyOf(bytes, bytes.length - 16))
+    val t = intercept[Safetensors.UnsupportedSafetensors] {
+      Safetensors.read(spark, s"$dir/cut.safetensors")
+    }
+    assert(t.getMessage.contains("truncated") && t.getMessage.contains("w"))
   }
 }
