@@ -482,6 +482,36 @@ object QueriesWeb {
           .orderBy($"tensor", $"row", $"col")
       }),
 
+    // ------------------------------------------------------- composed: npy embeddings -> ANN scoring
+    // The integration the npy reader exists for: an embedding matrix from
+    // disk scored against a query vector with the native codegen'd
+    // DotProduct expression, top-10 by score. Eighths and small integers
+    // keep every product exact for the oracle.
+    Q("q135_npy_topk", Some("""
+      WITH o AS (SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS r
+                 FROM orders ORDER BY o_orderkey LIMIT 200),
+      c AS (SELECT unnest(range(0, 6)) AS c),
+      s AS (SELECT o.r,
+                   sum(CAST((o.r * 17 + c.c * 3) % 32 AS DOUBLE) / 8
+                       * (c.c + 1)) AS score
+            FROM o, c GROUP BY o.r)
+      SELECT r AS row, round(score, 6) AS score
+      FROM s ORDER BY score DESC, row LIMIT 10"""))(
+      (s, d) => {
+        import s.implicits._
+        val n = Tables.orders(s, d).orderBy($"o_orderkey").limit(200).count().toInt
+        val vals = for (r <- 0 until n; c <- 0 until 6)
+          yield ((r * 17 + c * 3) % 32) / 8.0
+        val dir = java.nio.file.Files.createTempDirectory("q135").toString
+        graft.sources.Npy.write(s"$dir/emb.npy", Seq(n, 6), vals, descr = "<f4")
+        val q = array((1 to 6).map(k => lit(k.toDouble)): _*)
+        graft.sources.Npy.read(s, s"$dir/emb.npy")
+          .select($"row",
+            round(graft.functions.DotProduct($"values", q), 6).as("score"))
+          .orderBy($"score".desc, $"row")
+          .limit(10)
+      }),
+
     // ------------------------------------------------------- composed: crawl -> clean-text accounting
     // The end-to-end Common Crawl recipe in one plan: WARC shards -> HTTP
     // 200 filter -> main-content extraction -> token accounting per source
