@@ -15,6 +15,67 @@ import graft.sources.{CdxIndex, Tables, Warc}
   */
 object QueriesWeb {
 
+  /** q136 fixture: n rows of (id, score, name, emb[4]) across 3 ZSTD-
+    * compressed record batches, values derived arithmetically. */
+  private def writeArrowFixture(path: String, n: Int): Unit = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.complex.ListVector
+    import org.apache.arrow.vector.compression.CompressionUtil
+    import org.apache.arrow.compression.CommonsCompressionFactory
+    import org.apache.arrow.vector.ipc.ArrowFileWriter
+    import org.apache.arrow.vector.ipc.message.IpcOption
+    import org.apache.arrow.vector.types.FloatingPointPrecision
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+    val allocator = new RootAllocator()
+    val fields = Seq(
+      new Field("id", FieldType.nullable(new ArrowType.Int(64, true)), null),
+      new Field("score", FieldType.nullable(
+        new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)), null),
+      new Field("name", FieldType.nullable(new ArrowType.Utf8()), null),
+      new Field("emb", FieldType.nullable(new ArrowType.List()),
+        Seq(new Field("item", FieldType.nullable(
+          new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)),
+          null)).asJava))
+    val root = VectorSchemaRoot.create(new Schema(fields.asJava), allocator)
+    val idV = root.getVector("id").asInstanceOf[BigIntVector]
+    val scoreV = root.getVector("score").asInstanceOf[Float8Vector]
+    val nameV = root.getVector("name").asInstanceOf[VarCharVector]
+    val listV = root.getVector("emb").asInstanceOf[ListVector]
+    val ch = java.nio.channels.Channels.newChannel(
+      new java.io.FileOutputStream(path))
+    val writer = new ArrowFileWriter(root, null, ch, null, IpcOption.DEFAULT,
+      CommonsCompressionFactory.INSTANCE, CompressionUtil.CodecType.ZSTD)
+    writer.start()
+    val per = (n + 2) / 3
+    var base = 0
+    while (base < n) {
+      val rows = math.min(per, n - base)
+      idV.allocateNew(rows); scoreV.allocateNew(rows); nameV.allocateNew(rows)
+      val lw = listV.getWriter
+      lw.allocate()
+      var i = 0
+      while (i < rows) {
+        val r = base + i
+        idV.setSafe(i, r.toLong)
+        scoreV.setSafe(i, (r % 37) / 4.0)
+        nameV.setSafe(i, s"rec-$r".getBytes("UTF-8"))
+        lw.setPosition(i)
+        lw.startList()
+        (0 until 4).foreach(c => lw.float8().writeFloat8((r * 4 + c) / 8.0))
+        lw.endList()
+        i += 1
+      }
+      idV.setValueCount(rows); scoreV.setValueCount(rows)
+      nameV.setValueCount(rows); listV.setValueCount(rows)
+      root.setRowCount(rows)
+      writer.writeBatch()
+      base += rows
+    }
+    writer.end(); writer.close(); root.close(); allocator.close()
+  }
+
   lazy val all: Seq[Q] = Seq(
 
     // ------------------------------------------------------- source: WARC container
@@ -510,6 +571,34 @@ object QueriesWeb {
             round(graft.functions.DotProduct($"values", q), 6).as("score"))
           .orderBy($"score".desc, $"row")
           .limit(10)
+      }),
+
+    // ------------------------------------------------------- source: Arrow IPC / Feather v2
+    // The columnar interchange file (pyarrow feather, HF datasets cache),
+    // read batch-per-task through the bundled arrow-vector library with
+    // ZSTD buffer compression; the oracle recomputes ids, quarters-exact
+    // scores, names, and the exploded embedding elements.
+    Q("q136_arrow_ipc", Some("""
+      WITH o AS (SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS r
+                 FROM orders ORDER BY o_orderkey LIMIT 150),
+      c AS (SELECT unnest(range(0, 4)) AS c)
+      SELECT o.r AS id,
+             CAST(o.r % 37 AS DOUBLE) / 4 AS score,
+             'rec-' || CAST(o.r AS VARCHAR) AS name,
+             c.c AS pos,
+             CAST(o.r * 4 + c.c AS DOUBLE) / 8 AS elem
+      FROM o, c ORDER BY id, pos"""))(
+      (s, d) => {
+        import s.implicits._
+        val n = Tables.orders(s, d).orderBy($"o_orderkey").limit(150).count().toInt
+        val dir = java.nio.file.Files.createTempDirectory("q136").toString
+        writeArrowFixture(s"$dir/data.arrow", n)
+        graft.sources.ArrowIpc.read(s, s"$dir/data.arrow")
+          .select($"id", $"score", $"name",
+            posexplode($"emb").as(Seq("pos", "elem")))
+          .select($"id", $"score", $"name", $"pos".cast("long").as("pos"),
+            $"elem")
+          .orderBy($"id", $"pos")
       }),
 
     // ------------------------------------------------------- composed: crawl -> clean-text accounting
