@@ -17,64 +17,12 @@ object QueriesWeb {
 
   /** q136 fixture: n rows of (id, score, name, emb[4]) across 3 ZSTD-
     * compressed record batches, values derived arithmetically. */
-  private def writeArrowFixture(path: String, n: Int): Unit = {
-    import scala.jdk.CollectionConverters._
-    import org.apache.arrow.memory.RootAllocator
-    import org.apache.arrow.vector._
-    import org.apache.arrow.vector.complex.ListVector
-    import org.apache.arrow.vector.compression.CompressionUtil
-    import org.apache.arrow.compression.CommonsCompressionFactory
-    import org.apache.arrow.vector.ipc.ArrowFileWriter
-    import org.apache.arrow.vector.ipc.message.IpcOption
-    import org.apache.arrow.vector.types.FloatingPointPrecision
-    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
-    val allocator = new RootAllocator()
-    val fields = Seq(
-      new Field("id", FieldType.nullable(new ArrowType.Int(64, true)), null),
-      new Field("score", FieldType.nullable(
-        new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)), null),
-      new Field("name", FieldType.nullable(new ArrowType.Utf8()), null),
-      new Field("emb", FieldType.nullable(new ArrowType.List()),
-        Seq(new Field("item", FieldType.nullable(
-          new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)),
-          null)).asJava))
-    val root = VectorSchemaRoot.create(new Schema(fields.asJava), allocator)
-    val idV = root.getVector("id").asInstanceOf[BigIntVector]
-    val scoreV = root.getVector("score").asInstanceOf[Float8Vector]
-    val nameV = root.getVector("name").asInstanceOf[VarCharVector]
-    val listV = root.getVector("emb").asInstanceOf[ListVector]
-    val ch = java.nio.channels.Channels.newChannel(
-      new java.io.FileOutputStream(path))
-    val writer = new ArrowFileWriter(root, null, ch, null, IpcOption.DEFAULT,
-      CommonsCompressionFactory.INSTANCE, CompressionUtil.CodecType.ZSTD)
-    writer.start()
-    val per = (n + 2) / 3
-    var base = 0
-    while (base < n) {
-      val rows = math.min(per, n - base)
-      idV.allocateNew(rows); scoreV.allocateNew(rows); nameV.allocateNew(rows)
-      val lw = listV.getWriter
-      lw.allocate()
-      var i = 0
-      while (i < rows) {
-        val r = base + i
-        idV.setSafe(i, r.toLong)
-        scoreV.setSafe(i, (r % 37) / 4.0)
-        nameV.setSafe(i, s"rec-$r".getBytes("UTF-8"))
-        lw.setPosition(i)
-        lw.startList()
-        (0 until 4).foreach(c => lw.float8().writeFloat8((r * 4 + c) / 8.0))
-        lw.endList()
-        i += 1
-      }
-      idV.setValueCount(rows); scoreV.setValueCount(rows)
-      nameV.setValueCount(rows); listV.setValueCount(rows)
-      root.setRowCount(rows)
-      writer.writeBatch()
-      base += rows
-    }
-    writer.end(); writer.close(); root.close(); allocator.close()
-  }
+  private def writeArrowFixture(path: String, n: Int): Unit =
+    graft.sources.ArrowIpc.writeFixture(path,
+      (0 until n).map { r =>
+        (r.toLong, (r % 37) / 4.0, Some(s"rec-$r"),
+          (0 until 4).map(c => (r * 4 + c) / 8.0))
+      }, batchRows = (n + 2) / 3, zstd = true)
 
   lazy val all: Seq[Q] = Seq(
 

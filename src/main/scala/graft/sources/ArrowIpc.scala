@@ -99,6 +99,12 @@ object ArrowIpc {
     import org.apache.arrow.vector.types.pojo.ArrowType
     import scala.jdk.CollectionConverters._
     StructType(s.getFields.asScala.toSeq.map { f =>
+      // dictionary-encoded fields surface through the reader as their raw
+      // INDEX type — returning those codes as data would be silent
+      // corruption, so they are a plan-time directed error
+      if (f.getDictionary != null)
+        throw UnsupportedArrow(s"column ${f.getName} is dictionary-encoded " +
+          "(decode upstream, e.g. pyarrow combine/cast away categories)")
       val dt = f.getType match {
         case _: ArrowType.Bool => BooleanType
         case _: ArrowType.Int => LongType
@@ -109,6 +115,18 @@ object ArrowIpc {
         case _: ArrowType.Date | _: ArrowType.Time | _: ArrowType.Timestamp =>
           LongType
         case _: ArrowType.List | _: ArrowType.FixedSizeList =>
+          // validate the CHILD here, at plan time — the footer has it, and
+          // a per-row executor failure is the wrong place to learn a list
+          // carries strings
+          val child = f.getChildren.asScala.headOption.getOrElse(
+            throw UnsupportedArrow(s"list column ${f.getName} without a child"))
+          child.getType match {
+            case _: ArrowType.Int | _: ArrowType.FloatingPoint |
+                 _: ArrowType.Bool => ()
+            case other => throw UnsupportedArrow(
+              s"list column ${f.getName} of $other elements " +
+                "(numeric/bool lists only)")
+          }
           ArrayType(DoubleType, containsNull = false)
         case other => throw UnsupportedArrow(
           s"column ${f.getName} of type $other")
@@ -128,7 +146,11 @@ object ArrowIpc {
       case x: UInt1Vector => (x.get(i) & 0xff).toLong
       case x: UInt2Vector => x.get(i).toLong
       case x: UInt4Vector => x.get(i).toLong & 0xffffffffL
-      case x: UInt8Vector => x.get(i)
+      case x: UInt8Vector =>
+        val raw = x.get(i)
+        if (raw < 0) throw UnsupportedArrow(
+          s"uint64 value ${java.lang.Long.toUnsignedString(raw)} exceeds Long")
+        raw
       case x: Float2Vector =>
         graft.sources.zarr.ZarrMeta.halfToDouble(x.get(i) & 0xffff)
       case x: Float4Vector => x.get(i).toDouble
@@ -141,8 +163,10 @@ object ArrowIpc {
       case x: DateDayVector => x.get(i).toLong
       case x: DateMilliVector => x.get(i)
       case x: TimeStampVector => x.get(i)
+      case x: TimeSecVector => x.get(i).toLong
       case x: TimeMilliVector => x.get(i).toLong
       case x: TimeMicroVector => x.get(i)
+      case x: TimeNanoVector => x.get(i)
       case x: ListVector => listCells(x.getDataVector, x.getElementStartIndex(i),
         x.getElementEndIndex(i))
       case x: FixedSizeListVector => listCells(x.getDataVector,
@@ -163,6 +187,65 @@ object ArrowIpc {
           s"list element ${other.getClass.getSimpleName}")
       }
     }
+
+  /** Fixture/export writer for the (id, score, name, emb) test shape used
+    * by the spec and q136 — one file, `batchRows` rows per record batch,
+    * optional ZSTD buffer compression. `name = None` writes a null. */
+  def writeFixture(path: String,
+      rows: Seq[(Long, Double, Option[String], Seq[Double])],
+      batchRows: Int, zstd: Boolean): Unit = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.arrow.vector.compression.CompressionUtil
+    import org.apache.arrow.vector.ipc.ArrowFileWriter
+    import org.apache.arrow.vector.ipc.message.IpcOption
+    import org.apache.arrow.vector.types.FloatingPointPrecision
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+    val allocator = new RootAllocator()
+    val fields = Seq(
+      new Field("id", FieldType.nullable(new ArrowType.Int(64, true)), null),
+      new Field("score", FieldType.nullable(
+        new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)), null),
+      new Field("name", FieldType.nullable(new ArrowType.Utf8()), null),
+      new Field("emb", FieldType.nullable(new ArrowType.List()),
+        Seq(new Field("item", FieldType.nullable(
+          new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)),
+          null)).asJava))
+    val root = VectorSchemaRoot.create(new Schema(fields.asJava), allocator)
+    val idV = root.getVector("id").asInstanceOf[BigIntVector]
+    val scoreV = root.getVector("score").asInstanceOf[Float8Vector]
+    val nameV = root.getVector("name").asInstanceOf[VarCharVector]
+    val listV = root.getVector("emb").asInstanceOf[ListVector]
+    val ch = java.nio.channels.Channels.newChannel(
+      new java.io.FileOutputStream(path))
+    val writer =
+      if (zstd) new ArrowFileWriter(root, null, ch, null, IpcOption.DEFAULT,
+        CommonsCompressionFactory.INSTANCE, CompressionUtil.CodecType.ZSTD)
+      else new ArrowFileWriter(root, null, ch)
+    writer.start()
+    rows.grouped(batchRows).foreach { batch =>
+      val n = batch.size
+      idV.allocateNew(n); scoreV.allocateNew(n); nameV.allocateNew(n)
+      val lw = listV.getWriter
+      lw.allocate()
+      batch.zipWithIndex.foreach { case ((id, score, name, emb), i) =>
+        idV.setSafe(i, id)
+        scoreV.setSafe(i, score)
+        name match {
+          case Some(nm) => nameV.setSafe(i, nm.getBytes("UTF-8"))
+          case None => nameV.setNull(i)
+        }
+        lw.setPosition(i)
+        lw.startList()
+        emb.foreach(x => lw.float8().writeFloat8(x))
+        lw.endList()
+      }
+      idV.setValueCount(n); scoreV.setValueCount(n); nameV.setValueCount(n)
+      listV.setValueCount(n)
+      root.setRowCount(n)
+      writer.writeBatch()
+    }
+    writer.end(); writer.close(); root.close(); allocator.close()
+  }
 
   private def withReader[T](conf: Configuration, uri: String)(
       f: ArrowFileReader => T): T = {
@@ -190,9 +273,14 @@ object ArrowIpc {
     override def read(dst: ByteBuffer): Int = {
       if (pos >= len) return -1
       val n = math.min(dst.remaining().toLong, len - pos).toInt
-      val buf = new Array[Byte](n)
-      in.readFully(pos, buf, 0, n)
-      dst.put(buf, 0, n)
+      if (dst.hasArray) {
+        in.readFully(pos, dst.array(), dst.arrayOffset() + dst.position(), n)
+        dst.position(dst.position() + n)
+      } else {
+        val buf = new Array[Byte](n)
+        in.readFully(pos, buf, 0, n)
+        dst.put(buf, 0, n)
+      }
       pos += n
       n
     }

@@ -5,10 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
 import org.apache.arrow.vector.complex.ListVector
-import org.apache.arrow.vector.compression.{CompressionUtil}
-import org.apache.arrow.compression.CommonsCompressionFactory
 import org.apache.arrow.vector.ipc.ArrowFileWriter
-import org.apache.arrow.vector.ipc.message.IpcOption
 import org.apache.spark.sql.functions._
 
 import graft.sources.ArrowIpc
@@ -16,59 +13,15 @@ import graft.sources.ArrowIpc
 class ArrowIpcSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Two-batch fixture: id bigint, score float8, name utf8 (one null),
-    * emb list<float8>; optionally ZSTD-compressed buffers. */
-  private def writeFixture(path: String, zstd: Boolean): Unit = {
-    import org.apache.arrow.vector.types.FloatingPointPrecision
-    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
-    val allocator = new RootAllocator()
-    // the schema must declare the list's CHILD type before writer.start()
-    // captures it, or the file schema and the batch buffers disagree
-    val fields = Seq(
-      new Field("id", FieldType.nullable(new ArrowType.Int(64, true)), null),
-      new Field("score", FieldType.nullable(
-        new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)), null),
-      new Field("name", FieldType.nullable(new ArrowType.Utf8()), null),
-      new Field("emb", FieldType.nullable(new ArrowType.List()),
-        Seq(new Field("item", FieldType.nullable(
-          new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)),
-          null)).asJava))
-    val root = VectorSchemaRoot.create(new Schema(fields.asJava), allocator)
-    val idV = root.getVector("id").asInstanceOf[BigIntVector]
-    val scoreV = root.getVector("score").asInstanceOf[Float8Vector]
-    val nameV = root.getVector("name").asInstanceOf[VarCharVector]
-    val listV = root.getVector("emb").asInstanceOf[ListVector]
-    val ch = java.nio.channels.Channels.newChannel(
-      new java.io.FileOutputStream(path))
-    val writer =
-      if (zstd) new ArrowFileWriter(root, null, ch,
-        null, IpcOption.DEFAULT, CommonsCompressionFactory.INSTANCE,
-        CompressionUtil.CodecType.ZSTD)
-      else new ArrowFileWriter(root, null, ch)
-    writer.start()
-    for (batch <- 0 until 2) {
-      val n = 5
-      idV.allocateNew(n); scoreV.allocateNew(n); nameV.allocateNew(n)
-      val lw = listV.getWriter
-      lw.allocate()
-      for (i <- 0 until n) {
-        val id = batch * 5 + i
-        idV.setSafe(i, id.toLong)
-        scoreV.setSafe(i, id / 4.0)
-        if (id == 3) nameV.setNull(i)
-        else nameV.setSafe(i, s"doc-$id".getBytes("UTF-8"))
-        lw.setPosition(i)
-        lw.startList()
-        (0 until 3).foreach(k => lw.float8().writeFloat8(id * 10.0 + k))
-        lw.endList()
-      }
-      idV.setValueCount(n); scoreV.setValueCount(n); nameV.setValueCount(n)
-      listV.setValueCount(n)
-      root.setRowCount(n)
-      writer.writeBatch()
-    }
-    writer.end(); writer.close(); root.close(); allocator.close()
-  }
+  /** Two-batch fixture through the shared writer: id bigint, score
+    * float8, name utf8 (null at id 3), emb list<float8>. */
+  private def writeFixture(path: String, zstd: Boolean): Unit =
+    ArrowIpc.writeFixture(path,
+      (0 until 10).map { id =>
+        (id.toLong, id / 4.0,
+          if (id == 3) None else Some(s"doc-$id"),
+          (0 until 3).map(k => id * 10.0 + k))
+      }, batchRows = 5, zstd = zstd)
 
   test("feather v2 / arrow ipc reads batches as tasks with full type mapping") {
     val dir = java.nio.file.Files.createTempDirectory("arrow").toString
