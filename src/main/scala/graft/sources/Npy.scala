@@ -225,6 +225,39 @@ object Npy {
     * limit and bounds executor memory per element. */
   private val MaxTaskBytes: Long = 256L << 20
 
+  /** One row per array row from whole-file BYTES columns — the streaming
+    * surface: `readStream.format("binaryFile")` delivers newly-landed
+    * `.npy` files as (path, content) rows and this stateless flatMap
+    * yields the 2-D schema (1-D files become singleton `values`), so
+    * embedding deliveries stream through unchanged pipelines. Works on
+    * batch DataFrames too. */
+  def recordsFrom(df: DataFrame, uriCol: String = "path",
+      bytesCol: String = "content"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(col(uriCol).cast("string"), col(bytesCol).cast("binary"))
+      .flatMap { r =>
+        val uri = r.getString(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        if (bytes == null || bytes.isEmpty) Iterator.empty
+        else {
+          val h = parseHeader((off, n) => java.util.Arrays.copyOfRange(
+            bytes, off.toInt, off.toInt + n), bytes.length.toLong)
+          if (h.shape.size > 2)
+            throw UnsupportedNpy(s"${h.shape.size}-D array in $uri")
+          val esz = h.elemSize
+          val rows = if (h.shape.isEmpty) 1L else h.shape.head
+          val cols = if (h.shape.size == 2) h.shape(1).toInt else 1
+          (0L until rows).iterator.map { r0 =>
+            Row(uri, r0, (0 until cols).map { j =>
+              val flat = if (h.fortranOrder && h.shape.size == 2)
+                j * rows + r0 else r0 * cols + j
+              decodeValue(bytes, (h.dataOffset + flat * esz).toInt, h)
+            })
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(schema2d))
+  }
+
   private val schemaNpz = StructType(
     StructField("array_name", StringType, nullable = false) +: schema2d.fields)
 

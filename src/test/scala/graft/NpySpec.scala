@@ -93,6 +93,32 @@ class NpySpec extends SparkSpec {
     assert(e.getMessage.contains("truncated"))
   }
 
+  test("recordsFrom streams arriving .npy files: stream == batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits.newProductEncoder
+    val dir = java.nio.file.Files.createTempDirectory("npys").toString
+    Npy.write(s"$dir/e.npy", Seq(20, 3),
+      (0 until 60).map(k => (k % 13) / 4.0), descr = "<f4")
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/e.npy"))
+    val batch = Npy.recordsFrom(Seq(("f:a", bytes)).toDF("path", "content"))
+      .orderBy($"row").select($"values").as[Seq[Double]].collect().toSeq
+    assert(batch == (0 until 20).map(r =>
+      (0 until 3).map(c => ((r * 3 + c) % 13) / 4.0)))
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Array[Byte])]
+    val q = Npy.recordsFrom(in.toDF().toDF("path", "content"))
+      .writeStream.format("memory").queryName("npy_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(("f:a", bytes))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("npy_stream").orderBy($"row")
+      .select($"values").as[Seq[Double]].collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("directed errors: bad magic, 3-D arrays, string dtypes, mixed ranks") {
     val dir = java.nio.file.Files.createTempDirectory("npye").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/bad.npy"),
