@@ -595,6 +595,36 @@ object QueriesWeb {
           .groupBy($"domain")
           .agg(count(lit(1)).as("docs"), sum($"toks").cast("long").as("tokens"))
           .orderBy($"domain")
+      }),
+
+    // ------------------------------------------------------- source: .jsonl.zst corpora
+    // The dominant LLM-corpus shipping format (The Pile / RedPajama /
+    // Dolma layout): documents serialize to JSON lines, export as seekable
+    // zstd shards (distributed, one shard per partition), read back
+    // span-split through the own RFC 8878 decoder, and parse with
+    // from_json. Small frame/span targets force many frames per shard and
+    // many tasks per file, so mid-line span boundaries are really
+    // exercised; the oracle recomputes every field (and an md5 of the
+    // text) straight from the documents table.
+    Q("q137_jsonl_zst", Some("""
+      SELECT doc_id AS id, lang, n_chars, md5(text) AS digest
+      FROM documents ORDER BY id"""))(
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("q137").toString
+        val lines = Tables.documents(s, d)
+          .select(to_json(struct($"doc_id", $"lang", $"n_chars", $"text"))
+            .as("value"))
+        graft.sources.ZstdLines.writeShards(
+          lines.repartition(3), dir, frameBytes = 8192)
+        val schema = "doc_id BIGINT, lang STRING, n_chars BIGINT, text STRING"
+        graft.sources.ZstdLines.read(s, s"$dir/part-*.jsonl.zst",
+            targetSpanBytes = 16384)
+          .select(from_json($"value", org.apache.spark.sql.types.StructType
+            .fromDDL(schema)).as("j"))
+          .select($"j.doc_id".as("id"), $"j.lang".as("lang"),
+            $"j.n_chars".as("n_chars"), md5($"j.text").as("digest"))
+          .orderBy($"id")
       })
   )
 }

@@ -49,18 +49,34 @@ object Zstd {
     * decompressed size comes from the frame header when present, else from
     * `sizeHint` (the caller's known chunk size). */
   def decompress(src: Array[Byte], srcOff: Int, srcLen: Int,
-      sizeHint: Int = -1): Array[Byte] = {
-    var off = srcOff
-    val end = srcOff + srcLen
-    // skippable frames: magic 0x184D2A5?, u32 payload size (UNSIGNED — a
-    // signed read would let a crafted size >= 2^31 move `off` backwards or
-    // hold it in place, spinning this loop forever)
-    while (off + 8 <= end && {
-        val m = le32(src, off); m >= SkippableMin && m <= SkippableMax }) {
-      val payload = le32(src, off + 4) & 0xffffffffL
-      if (off + 8 + payload > end) bad("skippable frame overruns input")
-      off += (8 + payload).toInt
+      sizeHint: Int = -1): Array[Byte] =
+    decompressFrameAt(src, srcOff, srcOff + srcLen, sizeHint)._1
+
+  /** Skippable frames starting at `off`: total byte length of the run
+    * (0 when `off` does not start a skippable frame) — the walk a
+    * concatenated-frame file reader makes between data frames. The u32
+    * payload size is read UNSIGNED: a signed read would let a crafted
+    * size >= 2^31 move the caller's offset backwards, spinning its loop
+    * forever. */
+  def skippableRunLength(src: Array[Byte], off: Int, end: Int): Int = {
+    var o = off
+    while (o + 8 <= end && {
+        val m = le32(src, o); m >= SkippableMin && m <= SkippableMax }) {
+      val payload = le32(src, o + 4) & 0xffffffffL
+      if (o + 8 + payload > end) bad("skippable frame overruns input")
+      o += (8 + payload).toInt
     }
+    o - off
+  }
+
+  /** Decode the single data frame beginning at `off0` (leading skippable
+    * frames are skipped) and return (decoded bytes, offset just past the
+    * frame) — the unit step of a concatenated-frame walk. Unlike
+    * [[decompress]] with no hint, a frame that omits Frame_Content_Size
+    * decodes into a growing buffer, so foreign streaming frames work. */
+  def decompressFrameAt(src: Array[Byte], off0: Int, end: Int,
+      sizeHint: Int = -1): (Array[Byte], Int) = {
+    var off = off0 + skippableRunLength(src, off0, end)
     if (off + 4 > end || le32(src, off) != Magic) bad("missing frame magic")
     off += 4
     if (off >= end) bad("truncated frame-header descriptor")
@@ -98,15 +114,24 @@ object Zstd {
       if (fcsBytes == 2) fcs += 256
       off += fcsBytes
     }
-    val outLen =
+    // exact length when the header (or the caller) names it; otherwise a
+    // growing buffer sized up before each block (one block decodes at most
+    // Block_Maximum_Size = 128 KiB)
+    val exactLen: Int =
       if (fcs >= 0) {
         if (fcs > Int.MaxValue - 8) throw UnsupportedZstd(
           s"frame content size $fcs exceeds a JVM array")
         fcs.toInt
-      } else if (sizeHint >= 0) sizeHint
-      else bad("frame has no content size and caller gave no size hint")
-    val out = new Array[Byte](outLen)
+      } else sizeHint
+    var out = new Array[Byte](if (exactLen >= 0) exactLen else 1 << 17)
     var outPos = 0
+    def ensure(extra: Int): Unit =
+      if (exactLen < 0 && outPos + extra > out.length) {
+        var cap = out.length
+        while (cap < outPos + extra) cap =
+          if (cap > (Int.MaxValue - 8) / 2) Int.MaxValue - 8 else cap * 2
+        out = java.util.Arrays.copyOf(out, cap)
+      }
     val ctx = new FrameCtx
     var last = false
     while (!last) {
@@ -119,16 +144,19 @@ object Zstd {
       val bsize = bh >>> 3
       btype match {
         case 0 => // raw
-          if (off + bsize > end || outPos + bsize > outLen) bad("raw block overruns")
+          ensure(bsize)
+          if (off + bsize > end || outPos + bsize > out.length) bad("raw block overruns")
           System.arraycopy(src, off, out, outPos, bsize)
           off += bsize
           outPos += bsize
         case 1 => // RLE: one byte repeated bsize times
-          if (off >= end || outPos + bsize > outLen) bad("rle block overruns")
+          ensure(bsize)
+          if (off >= end || outPos + bsize > out.length) bad("rle block overruns")
           java.util.Arrays.fill(out, outPos, outPos + bsize, src(off))
           off += 1
           outPos += bsize
         case 2 =>
+          ensure(1 << 17)
           if (off + bsize > end) bad("compressed block overruns input")
           outPos = decodeCompressedBlock(src, off, bsize, out, outPos, ctx)
           off += bsize
@@ -136,9 +164,11 @@ object Zstd {
       }
     }
     if (checksum) off += 4 // xxh64 low bits: consumed, not verified
-    if (outPos != outLen)
-      bad(s"frame decoded $outPos of $outLen bytes")
-    out
+    if (exactLen >= 0 && outPos != exactLen)
+      bad(s"frame decoded $outPos of $exactLen bytes")
+    val res = if (outPos == out.length) out
+      else java.util.Arrays.copyOf(out, outPos)
+    (res, off)
   }
 
   /** Decode one frame into a caller buffer slice (the blosc-split shape:
