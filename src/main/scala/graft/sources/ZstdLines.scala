@@ -165,6 +165,8 @@ object ZstdLines {
       bad("footer names a seek table but the skippable magic is absent")
     if ((le32(head, 4) & 0xffffffffL) != tablePayload)
       bad(s"seek-table frame size disagrees with the footer frame count")
+    if (nFrames.toLong * entrySize > Int.MaxValue - 8)
+      bad(s"seek table with $nFrames frames exceeds a JVM array")
     val entries = new Array[Byte](nFrames * entrySize)
     readAt(tableStart + 8, entries, 0, entries.length)
     val out = Array.newBuilder[FrameEntry]
@@ -197,7 +199,14 @@ object ZstdLines {
       bad(s"frame decompresses to ${fe.decompLen} bytes (cap $MaxFrameBytes)")
     val comp = new Array[Byte](fe.compLen)
     readAt(fe.compOff, comp, 0, fe.compLen)
-    Zstd.decompress(comp, 0, fe.compLen, sizeHint = fe.decompLen)
+    val chunk = Zstd.decompress(comp, 0, fe.compLen, sizeHint = fe.decompLen)
+    // span ownership is computed from the seek table's decompressed sizes;
+    // a frame whose actual size disagrees would silently drift chunkGlobal
+    // and drop or duplicate lines across tasks — fail directed instead
+    if (chunk.length != fe.decompLen)
+      bad(s"frame at ${fe.compOff} decoded ${chunk.length} bytes, " +
+        s"seek table says ${fe.decompLen}")
+    chunk
   }
 
   /** Lines owned by frames [firstFrame, firstFrame+frameCount) — see the

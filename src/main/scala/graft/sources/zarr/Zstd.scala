@@ -126,11 +126,13 @@ object Zstd {
     var out = new Array[Byte](if (exactLen >= 0) exactLen else 1 << 17)
     var outPos = 0
     def ensure(extra: Int): Unit =
-      if (exactLen < 0 && outPos + extra > out.length) {
-        var cap = out.length
-        while (cap < outPos + extra) cap =
-          if (cap > (Int.MaxValue - 8) / 2) Int.MaxValue - 8 else cap * 2
-        out = java.util.Arrays.copyOf(out, cap)
+      if (exactLen < 0 && outPos.toLong + extra > out.length) {
+        val needed = outPos.toLong + extra
+        if (needed > Int.MaxValue - 8) throw UnsupportedZstd(
+          s"frame decompresses past $needed bytes — exceeds a JVM array")
+        var cap = out.length.toLong
+        while (cap < needed) cap = math.min(cap * 2, (Int.MaxValue - 8).toLong)
+        out = java.util.Arrays.copyOf(out, cap.toInt)
       }
     val ctx = new FrameCtx
     var last = false

@@ -39,6 +39,21 @@ class BenchSummarySpec extends AnyFunSuite {
     assert(s.stdoutJson.contains("\"queries\":{}"))
   }
 
+  test("stdout line stays tail-sized: headline cap keeps the slowest queries") {
+    val detail = (1 to 40).map { i =>
+      (f"q$i%02d", Seq[Either[String, Double]](Right(i * 0.1)))
+    }
+    val s = Bench.summarize(detail, "sfY", reps = 1)
+    // slowest HeadlineCap queries survive on stdout; the rest live in detail
+    assert(s.stdoutJson.contains("\"q40\""))
+    assert(s.stdoutJson.contains(s"\"q${41 - Bench.HeadlineCap}\""))
+    assert(!s.stdoutJson.contains(s"\"q${40 - Bench.HeadlineCap}\""))
+    assert(s.stdoutJson.contains("\"query_count\":40"))
+    assert(s.stdoutJson.length < 1200)
+    // the detail record still carries every query
+    assert((1 to 40).forall(i => s.detailJson.contains(f"q$i%02d")))
+  }
+
   test("error text is JSON-escaped") {
     assert(Bench.jsonEscape("a\"b\\c\nd") == "a\\\"b\\\\c\\u000ad")
     val s = Bench.summarize(
