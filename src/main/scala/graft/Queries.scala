@@ -696,6 +696,112 @@ object Queries {
           .orderBy($"time", $"latitude", $"longitude")
       }),
 
+    // ---------------------------------------------------------------- S1 + A2 (CF noleap calendar — the CMIP/CORDEX time axis)
+    // Climate-model output routinely declares calendar="noleap": every model
+    // year is 365 days, Feb 29 never exists. The reader resolves each offset
+    // with fixed-length-year arithmetic to (y, m, d, time-of-day) fields and
+    // re-expresses those fields as proleptic-Gregorian timestamps (cftime's
+    // field mapping; the reference gets it via xarray/cftime,
+    // weather_mv/loader_pipeline/sinks.py:345-389) — so date_trunc month
+    // buckets work on CMIP-class corpora. The oracle re-derives the mapping
+    // independently: day-of-year -> month/day via date arithmetic on a
+    // NON-leap Gregorian year (2001), whose month lengths equal noleap's.
+    Q("q138_netcdf3_noleap", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200),
+           g AS (SELECT rn0 // 5 AS ti,
+                        CAST(o_orderkey % 997 AS DOUBLE) AS tas
+                 FROM o),
+           t AS (SELECT tas, (1461 * ti) // 24 AS d, (1461 * ti) % 24 AS hr
+                 FROM g)
+      SELECT month, count(*) AS n, round(sum(tas), 6) AS sum_tas
+      FROM (SELECT CAST(date_trunc('month',
+                     make_timestamp(CAST(2000 + d // 365 AS BIGINT),
+                       CAST(month(DATE '2001-01-01'
+                                  + (d % 365) * INTERVAL 1 DAY) AS BIGINT),
+                       CAST(day(DATE '2001-01-01'
+                                + (d % 365) * INTERVAL 1 DAY) AS BIGINT),
+                       CAST(hr AS BIGINT), 0, CAST(0 AS DOUBLE)))
+                     AS TIMESTAMP) AS month,
+                   tas
+            FROM t) b
+      GROUP BY month ORDER BY month"""))(
+      (s, d) => {
+        import graft.sources.netcdf.{NetCDF3, NetCDF3Reader, NetCDF3Writer => NW}
+        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+          .select(($"o_orderkey" % 997).cast("double"))
+          .collect().map(_.getDouble(0)).toSeq
+        val path = java.nio.file.Files.createTempDirectory("q138").toString +
+          "/q138.nc"
+        NW.write(path,
+          dims = Seq(NW.DimSpec("time", 40, record = true),
+            NW.DimSpec("latitude", 5)),
+          vars = Seq(
+            NW.VarSpec("time", Seq("time"), NetCDF3.NC_DOUBLE,
+              (0 until 40).map(1461.0 * _), // 60 d 21 h steps: wraps months,
+                                            // years, and crosses noleap Feb
+              attrs = Seq("units" -> "hours since 2000-01-01",
+                "calendar" -> "noleap")),
+            NW.VarSpec("latitude", Seq("latitude"), NetCDF3.NC_DOUBLE,
+              (0 until 5).map(_.toDouble)),
+            NW.VarSpec("tas", Seq("time", "latitude"), NetCDF3.NC_DOUBLE,
+              vals)))
+        NetCDF3Reader.readLongFormat(s, path)
+          .groupBy(date_trunc("month", $"time").cast("timestamp_ntz").as("month"))
+          .agg(count(lit(1)).as("n"), round(sum($"tas"), 6).as("sum_tas"))
+          .orderBy($"month")
+      }),
+
+    // ---------------------------------------------------------------- S1 + A2 (CF 360_day calendar, Zarr DSv2 path)
+    // The 360_day model calendar (UKMO/HadGEM family): twelve 30-day months.
+    // Feb 29 maps when the Gregorian year is leap; Feb 30 has no Gregorian
+    // representation and becomes NULL (xarray convert_calendar align_on=
+    // "date" NaT policy) rather than silently landing on a nearby day. Runs
+    // through the Zarr DataSource-v2 reader, so NaT handling is exercised in
+    // the InternalRow path too.
+    Q("q139_zarr_360day", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200),
+           g AS (SELECT rn0 // 5 AS ti, rn0 % 5 AS li,
+                        CAST(o_orderkey % 997 AS DOUBLE) AS tas
+                 FROM o),
+           t AS (SELECT li, tas, 3 * ti + 38 AS d, 6 * (ti % 4) AS hr
+                 FROM g)
+      SELECT CASE WHEN (d % 360) // 30 + 1 = 2 AND (d % 360) % 30 + 1 > 29
+                  THEN NULL
+                  ELSE make_timestamp(CAST(2000 + d // 360 AS BIGINT),
+                                      CAST((d % 360) // 30 + 1 AS BIGINT),
+                                      CAST((d % 360) % 30 + 1 AS BIGINT),
+                                      CAST(hr AS BIGINT), 0,
+                                      CAST(0 AS DOUBLE)) END AS time,
+             CAST(li AS DOUBLE) AS latitude, tas
+      FROM t ORDER BY time NULLS FIRST, latitude"""))(
+      (s, d) => {
+        import graft.sources.zarr.{ZarrWriter => ZW}
+        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+          .select(($"o_orderkey" % 997).cast("double"))
+          .collect().map(_.getDouble(0)).toSeq
+        val store = java.nio.file.Files.createTempDirectory("q139").toString +
+          "/q139.zarr"
+        // 3-day steps from day 38 with 6 h sub-day offsets: ti=7 lands on
+        // 360_day Feb 30 (doy 59) -> NULL timestamp
+        val times = (0 until 40).map(i => 3.0 * i + 38.0 + 0.25 * (i % 4))
+        ZW.write(store, Seq(
+          ZW.VarSpec("time", Seq("time"), Seq(40), Seq(40),
+            data = times,
+            units = Some("days since 2000-01-01"),
+            calendar = Some("360_day")),
+          ZW.VarSpec("latitude", Seq("latitude"), Seq(5), Seq(5),
+            data = (0 until 5).map(_.toDouble)),
+          ZW.VarSpec("tas", Seq("time", "latitude"), Seq(40, 5), Seq(40, 5),
+            data = vals)))
+        s.read.format("zarr").load(store)
+          .select($"time", $"latitude", $"tas")
+          .orderBy($"time".asc_nulls_first, $"latitude")
+      }),
+
     // ---------------------------------------------------------------- S1 (GRIB2 rotated lat/lon, template 3.1)
     // Rotated lat/lon — the COSMO / ICON-EU / HARMONIE regional-model grid
     // (WMO GRIB2 template 3.1): the grid is regular in a frame whose south

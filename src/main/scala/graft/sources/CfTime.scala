@@ -9,20 +9,89 @@ package graft.sources
   * seconds ONCE at metadata load, so row building and predicate pruning
   * keep operating on plain epoch seconds.
   *
-  * Calendar handling: only absent/standard/gregorian/proleptic_gregorian
-  * calendars convert (Java epoch arithmetic is proleptic Gregorian, which
-  * matches udunits for post-1582 bases — all operational archives).
-  * Non-standard calendars (360_day, noleap, ...) are left as plain numeric
-  * columns rather than decoded wrong.
+  * Calendar handling:
+  *  - absent/standard/gregorian/proleptic_gregorian: plain epoch
+  *    arithmetic (Java's epoch is proleptic Gregorian, which matches
+  *    udunits for post-1582 bases — all operational archives).
+  *  - noleap/365_day, all_leap/366_day, 360_day (the CMIP/CORDEX
+  *    climate-model calendars, which the reference reads via cftime): the
+  *    offset is resolved to (year, month, day, time-of-day) with the
+  *    calendar's fixed-length-year arithmetic — the exact field mapping
+  *    cftime.num2date produces — and those FIELDS become a proleptic-
+  *    Gregorian UTC timestamp. Field-preservation is the mapping that
+  *    keeps `date_trunc('month', t)` / climatology buckets meaningful on
+  *    model output; it is xarray's `convert_calendar(..., align_on=
+  *    "date")`. Field combinations Gregorian cannot represent (360_day
+  *    Feb 29/30 in non-leap years) become NaN — the NaT policy of the
+  *    same xarray path — rather than silently landing on a nearby day.
+  *  - julian and mixed calendars stay numeric (decoding them with
+  *    Gregorian arithmetic would be wrong by the 1582 skip).
   */
 object CfTime {
 
-  /** `toEpochSeconds(v) = base + v * perUnit`. */
-  final case class Units(baseEpochSec: Double, secondsPerUnit: Double)
+  /** Fixed-length-year calendars: days per year + cumulative days at the
+    * start of each month (0-based month index). */
+  sealed abstract class FixedCalendar(
+      val daysPerYear: Int, monthLengths: Array[Int]) extends Serializable {
+    private val cumDays: Array[Int] = monthLengths.scanLeft(0)(_ + _)
+    /** (year, month 1-12, day 1-31) for a 0-based day-of-calendar count
+      * relative to year 0. */
+    final def civilFromDays(days: Long): (Int, Int, Int) = {
+      val year = Math.floorDiv(days, daysPerYear)
+      var doy = (days - year * daysPerYear).toInt
+      var m = 0
+      while (doy >= cumDays(m + 1)) m += 1
+      (year.toInt, m + 1, doy - cumDays(m) + 1)
+    }
+    /** 0-based day count relative to year 0 for calendar-civil fields. */
+    final def daysFromCivil(y: Int, m: Int, d: Int): Long =
+      y.toLong * daysPerYear + cumDays(m - 1) + (d - 1)
+  }
+  case object NoLeap extends FixedCalendar(365,
+    Array(31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31))
+  case object AllLeap extends FixedCalendar(366,
+    Array(31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31))
+  case object Day360 extends FixedCalendar(360, Array.fill(12)(30))
+
+  /** Proleptic-Gregorian epoch days for civil fields (Hinnant's
+    * days_from_civil closed form); Long.MinValue when the fields don't
+    * exist in the Gregorian calendar (Feb 30, Feb 29 off leap years). */
+  private def gregorianEpochDays(y: Int, m: Int, d: Int): Long = {
+    val maxDay = m match {
+      case 2 =>
+        if ((y % 4 == 0 && y % 100 != 0) || y % 400 == 0) 29 else 28
+      case 4 | 6 | 9 | 11 => 30
+      case _ => 31
+    }
+    if (d > maxDay) return Long.MinValue
+    val yy = if (m <= 2) y - 1 else y
+    val era = Math.floorDiv(yy, 400)
+    val yoe = yy - era * 400
+    val doy = (153 * (if (m > 2) m - 3 else m + 9) + 2) / 5 + d - 1
+    val doe = yoe * 365L + yoe / 4 - yoe / 100 + doy
+    era * 146097L + doe - 719468L
+  }
+
+  /** `toEpochSeconds(v) = base + v * perUnit`, where `base` is epoch
+    * seconds for Gregorian-family calendars and seconds-since-year-0 in
+    * the calendar's own day count for fixed calendars (the remap to
+    * Gregorian fields happens per value). */
+  final case class Units(baseEpochSec: Double, secondsPerUnit: Double,
+      calendar: Option[FixedCalendar] = None)
       extends Serializable {
-    def toEpochSeconds(v: Double): Double = baseEpochSec + v * secondsPerUnit
+    def toEpochSeconds(v: Double): Double = calendar match {
+      case None => baseEpochSec + v * secondsPerUnit
+      case Some(cal) =>
+        val t = baseEpochSec + v * secondsPerUnit
+        val days = math.floor(t / 86400.0).toLong
+        val sod = t - days * 86400.0
+        val (y, m, d) = cal.civilFromDays(days)
+        val gd = gregorianEpochDays(y, m, d)
+        if (gd == Long.MinValue) Double.NaN else gd * 86400.0 + sod
+    }
     /** Already plain epoch seconds — conversion would be a no-op. */
-    def isIdentity: Boolean = baseEpochSec == 0.0 && secondsPerUnit == 1.0
+    def isIdentity: Boolean =
+      calendar.isEmpty && baseEpochSec == 0.0 && secondsPerUnit == 1.0
   }
 
   private val unitSeconds: Map[String, Double] = Map(
@@ -40,11 +109,18 @@ object CfTime {
       """(?:[T ](\d{1,2}):(\d{1,2})(?::(\d{1,2})(?:\.(\d+))?)?)?""" +
       """\s*(Z|UTC|[+-]\d{1,2}(?::?\d{2})?)?\s*$""").r
 
-  private val okCalendars =
+  private val gregorianCalendars =
     Set("standard", "gregorian", "proleptic_gregorian")
+  private val fixedCalendars: Map[String, FixedCalendar] = Map(
+    "noleap" -> NoLeap, "365_day" -> NoLeap,
+    "all_leap" -> AllLeap, "366_day" -> AllLeap,
+    "360_day" -> Day360)
 
   def parse(units: Option[String], calendar: Option[String]): Option[Units] = {
-    if (!calendar.forall(c => okCalendars(c.trim.toLowerCase))) return None
+    val calName = calendar.map(_.trim.toLowerCase)
+    val fixed = calName.flatMap(fixedCalendars.get)
+    if (!calName.forall(c => gregorianCalendars(c) || fixedCalendars.contains(c)))
+      return None
     units.flatMap {
       case Pattern(unit, y, mo, d, h, mi, sec, frac, tz) =>
         // try the raw abbreviation BEFORE de-pluralizing: "s"/"ms"/"us"
@@ -63,15 +139,23 @@ object CfTime {
                   else (digits.dropRight(2).toInt, digits.takeRight(2).toInt)
                 sign * (hh * 3600 + mm * 60)
             }
-            val base = java.time.LocalDateTime.of(
-              y.toInt, mo.toInt, d.toInt,
-              Option(h).map(_.toInt).getOrElse(0),
-              Option(mi).map(_.toInt).getOrElse(0),
-              Option(sec).map(_.toInt).getOrElse(0))
-              .toEpochSecond(java.time.ZoneOffset.ofTotalSeconds(offSec))
+            val hh = Option(h).map(_.toInt).getOrElse(0)
+            val mm = Option(mi).map(_.toInt).getOrElse(0)
+            val ss = Option(sec).map(_.toInt).getOrElse(0)
+            val base = fixed match {
+              case Some(cal) =>
+                // a fixed-calendar base date may itself be un-Gregorian
+                // (360_day archives use "days since 1850-01-30"): count in
+                // the calendar's own days, offset by the declared zone
+                cal.daysFromCivil(y.toInt, mo.toInt, d.toInt) * 86400L +
+                  hh * 3600L + mm * 60L + ss - offSec
+              case None =>
+                java.time.LocalDateTime.of(y.toInt, mo.toInt, d.toInt, hh, mm, ss)
+                  .toEpochSecond(java.time.ZoneOffset.ofTotalSeconds(offSec))
+            }
             val fracSec = Option(frac)
               .map(f => f.toDouble / math.pow(10.0, f.length)).getOrElse(0.0)
-            Some(Units(base + fracSec, perUnit))
+            Some(Units(base + fracSec, perUnit, fixed))
           } catch { case _: java.time.DateTimeException => None }
         }
       case _ => None

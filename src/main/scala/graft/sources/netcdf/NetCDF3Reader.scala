@@ -43,7 +43,10 @@ object NetCDF3Reader {
       coordVars: Map[String, Var], strlenDims: Set[Int]): StructType = {
     val coordFields = dims.map { d =>
       val isTime = coordVars.get(d.name).exists(_.epochSecondsTime)
-      StructField(d.name, if (isTime) TimestampNTZType else DoubleType, nullable = false)
+      // time is nullable: fixed-calendar dates Gregorian can't represent
+      // (360_day Feb 30) decode to NaN -> null, see CfTime
+      StructField(d.name, if (isTime) TimestampNTZType else DoubleType,
+        nullable = isTime)
     }
     StructType(coordFields ++ dataVars.map(v =>
       StructField(v.name,
@@ -165,9 +168,12 @@ object NetCDF3Reader {
             val coordCells: Seq[Any] = coordsLocal.indices.map { ci =>
               val pos = if (ci == 0) t else idx(ci - 1)
               val c = coordsLocal(ci)(pos)
-              if (isTimeLocal(ci)) java.time.LocalDateTime.ofEpochSecond(
-                math.floor(c).toLong, ((c - math.floor(c)) * 1e9).toInt, java.time.ZoneOffset.UTC)
-              else java.lang.Double.valueOf(c)
+              if (isTimeLocal(ci)) {
+                if (c.isNaN) null
+                else java.time.LocalDateTime.ofEpochSecond(
+                  math.floor(c).toLong, ((c - math.floor(c)) * 1e9).toInt,
+                  java.time.ZoneOffset.UTC)
+              } else java.lang.Double.valueOf(c)
             }
             val cells: Seq[Any] = coordCells ++ slices.map {
               case s: Array[Double] =>

@@ -125,7 +125,9 @@ object NetCDF4Reader {
 
     val schema = StructType(
       dimNames.zip(isTimeDim).map { case (n, t) =>
-        StructField(n, if (t) TimestampNTZType else DoubleType, nullable = false)
+        // time is nullable: fixed-calendar dates Gregorian can't represent
+        // (360_day Feb 30) decode to NaN -> null, see CfTime
+        StructField(n, if (t) TimestampNTZType else DoubleType, nullable = t)
       } ++ dataVars.flatMap(columnsOf))
 
     // chunk plan: every data var either contiguous (one whole-array "chunk")
@@ -267,10 +269,12 @@ object NetCDF4Reader {
               while (k < rank) { gi += gIdx(k) * strides(k); k += 1 }
               val coordCells: Seq[Any] = coordsLocal.indices.map { ci =>
                 val c = coordsLocal(ci)(gIdx(ci))
-                if (isTimeLocal(ci)) java.time.LocalDateTime.ofEpochSecond(
-                  math.floor(c).toLong, ((c - math.floor(c)) * 1e9).toInt,
-                  java.time.ZoneOffset.UTC)
-                else java.lang.Double.valueOf(c)
+                if (isTimeLocal(ci)) {
+                  if (c.isNaN) null
+                  else java.time.LocalDateTime.ofEpochSecond(
+                    math.floor(c).toLong, ((c - math.floor(c)) * 1e9).toInt,
+                    java.time.ZoneOffset.UTC)
+                } else java.lang.Double.valueOf(c)
               }
               def cellOf(col: AnyRef, idx: Int): Any = col match {
                 case ds: Array[Double] =>

@@ -70,7 +70,10 @@ object ZarrTableProvider {
     val coordFields = store.dims.map { d =>
       val m = store.coordMeta.getOrElse(d,
         throw new IllegalArgumentException(s"dimension '$d' has no coordinate array"))
-      StructField(d, if (m.epochSecondsTime) TimestampNTZType else DoubleType, nullable = false)
+      // time is nullable: fixed-calendar dates Gregorian can't represent
+      // (360_day Feb 30) decode to NaN -> null, see CfTime
+      StructField(d, if (m.epochSecondsTime) TimestampNTZType else DoubleType,
+        nullable = m.epochSecondsTime)
     }
     val varFields = store.dataVars.map(v => StructField(v.name,
       if (ZarrMeta.isStringMeta(v)) StringType else DoubleType,
@@ -334,8 +337,9 @@ class ZarrPartitionReader(p: ZarrInputPartition) extends PartitionReader[Interna
         val dim = -1 - a
         val c = p.coords(dim)(globalBase(dim) + cursor(dim))
         row(i) =
-          if (p.coordIsTime(dim)) java.lang.Long.valueOf(math.round(c * 1e6))
-          else java.lang.Double.valueOf(c)
+          if (p.coordIsTime(dim)) {
+            if (c.isNaN) null else java.lang.Long.valueOf(math.round(c * 1e6))
+          } else java.lang.Double.valueOf(c)
       }
       i += 1
     }

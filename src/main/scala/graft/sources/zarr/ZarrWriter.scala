@@ -31,6 +31,7 @@ object ZarrWriter {
       addOffset: Option[Double] = None,
       missingValue: Option[Double] = None,
       units: Option[String] = None,
+      calendar: Option[String] = None,      // CF calendar attr for time axes
       shard: Option[Seq[Int]] = None, // v3 only: outer shard shape (elements)
       crc32c: Boolean = false) // v3 only: trailing CRC-32C on data chunks
 
@@ -109,7 +110,8 @@ object ZarrWriter {
         v.scaleFactor.map(x => s""""scale_factor": $x"""),
         v.addOffset.map(x => s""""add_offset": $x"""),
         v.missingValue.map(x => s""""missing_value": ${fmtMissing(x, v.dtype)}"""),
-        v.units.map(u => s""""units": "$u"""")).flatten
+        v.units.map(u => s""""units": "$u""""),
+        v.calendar.map(c => s""""calendar": "$c"""")).flatten
       val fillJson =
         if (isStringVar) "\"\""
         else if (v.dtype.startsWith("<f")) "\"NaN\"" else "0"
@@ -247,7 +249,8 @@ object ZarrWriter {
       v.scaleFactor.map(x => s""""scale_factor": $x"""),
       v.addOffset.map(x => s""""add_offset": $x"""),
       v.missingValue.map(x => s""""missing_value": ${fmtMissing(x, v.dtype)}"""),
-      v.units.map(u => s""""units": "$u"""")).flatten
+      v.units.map(u => s""""units": "$u""""),
+      v.calendar.map(c => s""""calendar": "$c"""")).flatten
     val zat = attrs.mkString("{", ", ", "}")
     writeString(new File(dir, ".zattrs"), zat)
 

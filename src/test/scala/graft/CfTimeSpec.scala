@@ -34,9 +34,10 @@ class CfTimeSpec extends SparkSpec {
     assert(CfTime.parse(Some("seconds since 1970-01-01"), None).get.isIdentity)
   }
 
-  test("non-standard calendars and non-time units stay numeric") {
-    assert(CfTime.parse(Some("hours since 1900-01-01"), Some("360_day")).isEmpty)
-    assert(CfTime.parse(Some("hours since 1900-01-01"), Some("noleap")).isEmpty)
+  test("unsupported calendars and non-time units stay numeric") {
+    // julian and mixed calendars differ from Gregorian by the 1582 skip —
+    // decoding them with Gregorian arithmetic would be silently wrong
+    assert(CfTime.parse(Some("hours since 1900-01-01"), Some("julian")).isEmpty)
     assert(CfTime.parse(Some("K"), None).isEmpty)
     assert(CfTime.parse(Some("degrees_north"), None).isEmpty)
     assert(CfTime.parse(Some("fortnights since 2000-01-01"), None).isEmpty)
@@ -100,16 +101,80 @@ class CfTimeSpec extends SparkSpec {
       .count() == 1)
   }
 
-  test("a non-standard-calendar axis stays a plain double column") {
+  test("fixed-length CF calendars decode to field-preserving timestamps") {
+    // CMIP noleap: day 59 of the model year is Mar 1 (Feb 29 never exists),
+    // even though Gregorian 2000 IS a leap year — the discriminating case
+    // plain epoch arithmetic gets wrong by a day
+    val nl = CfTime.parse(Some("days since 2000-01-01"), Some("noleap")).get
+    assert(nl.toEpochSeconds(58.0) == epoch("2000-02-28T00:00:00").toDouble)
+    assert(nl.toEpochSeconds(59.0) == epoch("2000-03-01T00:00:00").toDouble)
+    assert(nl.toEpochSeconds(365.0) == epoch("2001-01-01T00:00:00").toDouble)
+    assert(nl.toEpochSeconds(-1.0) == epoch("1999-12-31T00:00:00").toDouble)
+    assert(nl.toEpochSeconds(0.25) == epoch("2000-01-01T06:00:00").toDouble)
+
+    val al = CfTime.parse(Some("days since 2000-01-01"), Some("all_leap")).get
+    assert(al.toEpochSeconds(59.0) == epoch("2000-02-29T00:00:00").toDouble)
+    assert(al.toEpochSeconds(366.0) == epoch("2001-01-01T00:00:00").toDouble)
+    // 2001-02-29 exists in all_leap but not in Gregorian -> NaT
+    assert(al.toEpochSeconds(366.0 + 59.0).isNaN)
+
+    val d3 = CfTime.parse(Some("hours since 2000-01-01"), Some("360_day")).get
+    assert(d3.toEpochSeconds(24.0 * 360) == epoch("2001-01-01T00:00:00").toDouble)
+    assert(d3.toEpochSeconds(24.0 * 89 + 6) == epoch("2000-03-30T06:00:00").toDouble)
+    // Feb 29 exists in 360_day; Gregorian 2000 is leap, so it maps
+    assert(d3.toEpochSeconds(24.0 * 58) == epoch("2000-02-29T00:00:00").toDouble)
+    // Feb 30 never exists in Gregorian
+    assert(d3.toEpochSeconds(24.0 * 59).isNaN)
+
+    // aliases and un-Gregorian base dates (counted in the calendar's days)
+    assert(CfTime.parse(Some("days since 2000-01-01"), Some("365_day")).get
+      .calendar.contains(CfTime.NoLeap))
+    assert(CfTime.parse(Some("days since 2000-01-01"), Some("366_day")).get
+      .calendar.contains(CfTime.AllLeap))
+    val b30 = CfTime.parse(Some("days since 2000-02-30"), Some("360_day")).get
+    assert(b30.toEpochSeconds(0.0).isNaN)
+    assert(b30.toEpochSeconds(1.0) == epoch("2000-03-01T00:00:00").toDouble)
+  }
+
+  test("a noleap netCDF-3 axis reads as timestamps; 360_day Feb 30 is null") {
     import graft.sources.netcdf.{NetCDF3, NetCDF3Reader, NetCDF3Writer => NW}
     val dir = java.nio.file.Files.createTempDirectory("cfcal").toString
-    val path = s"$dir/noleap.nc"
+    def write(path: String, cal: String): Unit = NW.write(path,
+      dims = Seq(NW.DimSpec("time", 2, record = true), NW.DimSpec("x", 2)),
+      vars = Seq(
+        NW.VarSpec("time", Seq("time"), NetCDF3.NC_DOUBLE, Seq(58.0, 59.0),
+          attrs = Seq("units" -> "days since 2000-01-01",
+            "calendar" -> cal)),
+        NW.VarSpec("x", Seq("x"), NetCDF3.NC_DOUBLE, Seq(0.0, 1.0)),
+        NW.VarSpec("v", Seq("time", "x"), NetCDF3.NC_DOUBLE,
+          (0 until 4).map(_.toDouble))))
+    write(s"$dir/noleap.nc", "noleap")
+    val nl = NetCDF3Reader.readLongFormat(spark, s"$dir/noleap.nc")
+    assert(nl.schema("time").dataType.typeName == "timestamp_ntz")
+    assert(nl.select(date_format($"time", "yyyy-MM-dd")).distinct()
+      .as[String].collect().sorted.toSeq == Seq("2000-02-28", "2000-03-01"))
+    // date_trunc bucketing — the A2 path the decode exists for — works
+    assert(nl.groupBy(date_trunc("month", $"time")).count().count() == 2)
+
+    write(s"$dir/d360.nc", "360_day")
+    val d3 = NetCDF3Reader.readLongFormat(spark, s"$dir/d360.nc")
+    // day 58 = Feb 29 (Gregorian-2000 representable), day 59 = Feb 30 (NaT)
+    assert(d3.filter($"time".isNull).count() == 2)
+    assert(d3.filter($"time".isNotNull)
+      .select(date_format($"time", "yyyy-MM-dd")).distinct()
+      .as[String].collect().toSeq == Seq("2000-02-29"))
+  }
+
+  test("a julian-calendar axis stays a plain double column") {
+    import graft.sources.netcdf.{NetCDF3, NetCDF3Reader, NetCDF3Writer => NW}
+    val dir = java.nio.file.Files.createTempDirectory("cfjul").toString
+    val path = s"$dir/julian.nc"
     NW.write(path,
       dims = Seq(NW.DimSpec("time", 2, record = true), NW.DimSpec("x", 2)),
       vars = Seq(
         NW.VarSpec("time", Seq("time"), NetCDF3.NC_DOUBLE, Seq(10.0, 20.0),
           attrs = Seq("units" -> "days since 2000-01-01",
-            "calendar" -> "noleap")),
+            "calendar" -> "julian")),
         NW.VarSpec("x", Seq("x"), NetCDF3.NC_DOUBLE, Seq(0.0, 1.0)),
         NW.VarSpec("v", Seq("time", "x"), NetCDF3.NC_DOUBLE,
           (0 until 4).map(_.toDouble))))
