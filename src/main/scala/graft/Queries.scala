@@ -802,6 +802,72 @@ object Queries {
           .orderBy($"time".asc_nulls_first, $"latitude")
       }),
 
+    // ---------------------------------------------------------------- S1 (GRIB2 oblate shape-of-earth, ellipsoidal Mercator)
+    // Regional NWP products declare oblate figures (code table 3.2 shape 7
+    // here — custom WGS84-like axes); projecting them with a sphere would
+    // displace coordinates by kilometres. The reader runs Snyder's
+    // ellipsoidal Mercator inverse; the oracle re-derives every grid point
+    // with DuckDB's own trig: ts = exp(-y/(a k0)), then four unrolled
+    // rounds of the Snyder 7-9 fixed-point iteration for latitude
+    // (contraction ~e^2 per round: 4 rounds land far below the 1e-6
+    // rounding). Axes are cm-exact so writer -> reader -> oracle all use
+    // the identical figure.
+    Q("q140_grib2_oblate", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200),
+           c AS (SELECT 6378137.0 AS a,
+                        sqrt(1 - (6356752.31/6378137.0)
+                               * (6356752.31/6378137.0)) AS e),
+           k AS (SELECT a, e,
+                        a * cos(radians(20.0))
+                          / sqrt(1 - e*e*sin(radians(20.0))*sin(radians(20.0))) AS ak
+                 FROM c),
+           base AS (SELECT a, e, ak, ak * radians(-5.0) AS x0,
+                           -ak * ln(tan(pi()/4 - radians(10.0)/2)
+                                    / power((1 - e*sin(radians(10.0)))
+                                            / (1 + e*sin(radians(10.0))),
+                                            e/2)) AS y0
+                    FROM k),
+           g AS (SELECT rn0 % 10 AS i, rn0 // 10 AS j,
+                        CAST(o_orderkey % 997 AS DOUBLE) AS value
+                 FROM o),
+           p AS (SELECT value, e, ak, x0 + i * 50000.0 AS x,
+                        exp(-(y0 + j * 50000.0)/ak) AS ts
+                 FROM g, base),
+           i0 AS (SELECT *, pi()/2 - 2*atan(ts) AS phi FROM p),
+           i1 AS (SELECT * REPLACE (pi()/2 - 2*atan(ts*power(
+                    (1-e*sin(phi))/(1+e*sin(phi)), e/2)) AS phi) FROM i0),
+           i2 AS (SELECT * REPLACE (pi()/2 - 2*atan(ts*power(
+                    (1-e*sin(phi))/(1+e*sin(phi)), e/2)) AS phi) FROM i1),
+           i3 AS (SELECT * REPLACE (pi()/2 - 2*atan(ts*power(
+                    (1-e*sin(phi))/(1+e*sin(phi)), e/2)) AS phi) FROM i2),
+           i4 AS (SELECT * REPLACE (pi()/2 - 2*atan(ts*power(
+                    (1-e*sin(phi))/(1+e*sin(phi)), e/2)) AS phi) FROM i3)
+      SELECT round(degrees(phi), 6) AS latitude,
+             round(degrees(x/ak), 6) AS longitude,
+             value
+      FROM i4 ORDER BY latitude, longitude"""))(
+      (s, d) => {
+        import graft.sources.grib.{Grib2Reader, GribProjection, Grib2Writer => GW2}
+        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+          .select(($"o_orderkey" % 997).cast("double"))
+          .collect().map(_.getDouble(0)).toSeq
+        val t0 = java.time.LocalDateTime.of(2026, 3, 1, 0, 0)
+        val path = java.nio.file.Files.createTempDirectory("q140").toString +
+          "/q140.grib2"
+        // WGS84-like axes, centimetre-exact (the shape-7 wire precision)
+        val merc = GribProjection.Mercator(20.0, 6378137.0, 6356752.31)
+        GW2.write(path, Seq(GW2.FieldSpec(0, 0, 0, 103, 2, t0, vals,
+          ni = 10, nj = 20, la1 = 10.0, lo1 = -5.0, la2 = 0, lo2 = 0,
+          decimalScale = 0, projection = Some(merc),
+          dxMeters = 50000.0, dyMeters = 50000.0)))
+        Grib2Reader.readLongFormat(s, path)
+          .select(round($"latitude", 6).as("latitude"),
+            round($"longitude", 6).as("longitude"), $"value")
+          .orderBy($"latitude", $"longitude")
+      }),
+
     // ---------------------------------------------------------------- S1 (GRIB2 rotated lat/lon, template 3.1)
     // Rotated lat/lon — the COSMO / ICON-EU / HARMONIE regional-model grid
     // (WMO GRIB2 template 3.1): the grid is regular in a frame whose south

@@ -259,24 +259,37 @@ object Grib2 {
       "scan mode bit 4 (boustrophedonic row order)")
   }
 
-  /** Earth radius from the grid definition's shape-of-earth octets (code
-    * table 3.2, octets 15-21). Spherical shapes only — the projection
-    * inverses are spherical (Snyder), so oblate ellipsoids (2/3/4/5/7)
-    * raise a directed error rather than projecting with the wrong figure. */
-  private def earthRadius(b: Array[Byte]): Double = u8(b, 14) match {
-    case 0 => 6367470.0
-    case 1 => // custom sphere: scale factor (sign-magnitude u8) + u32 value
-      val sfRaw = u8(b, 15)
+  /** Earth figure (semi-major, semi-minor axis meters) from the grid
+    * definition's shape-of-earth octets (code table 3.2, octets 15-30).
+    * Spheres report equal axes; oblate shapes (2/3/4/5/7/9 — HARMONIE and
+    * other regional NWP declare these) carry distinct axes and select the
+    * ellipsoidal Snyder inverses in [[GribProjection]]. */
+  private def earthFigure(b: Array[Byte]): (Double, Double) = {
+    // sign-magnitude u8 scale factor + u32 scaled value
+    def scaled(sfOff: Int, vOff: Int, what: String): Double = {
+      val sfRaw = u8(b, sfOff)
       val sf = if ((sfRaw & 0x80) != 0) -(sfRaw & 0x7f) else sfRaw
-      val v = u32(b, 16)
+      val v = u32(b, vOff)
       if (sfRaw == 255 || v == 0 || v == 0xffffffffL)
-        throw UnsupportedGrib("shape of earth 1 with a missing radius")
-      else v / math.pow(10.0, sf)
-    case 6 => 6371229.0
-    case 8 => 6371200.0
-    case other => throw UnsupportedGrib(
-      s"shape of earth $other (spherical 0/1/6/8 only; oblate ellipsoids " +
-        "would need ellipsoidal projection math)")
+        throw UnsupportedGrib(s"shape of earth with a missing $what")
+      v / math.pow(10.0, sf)
+    }
+    u8(b, 14) match {
+      case 0 => (6367470.0, 6367470.0)
+      case 1 => val r = scaled(15, 16, "radius"); (r, r)
+      case 2 => (6378160.0, 6356775.0) // IAU 1965
+      case 3 => // custom oblate, axes in KM (octets 21-30)
+        (scaled(20, 21, "major axis") * 1000.0,
+          scaled(25, 26, "minor axis") * 1000.0)
+      case 4 => (6378137.0, 6356752.314) // IAG-GRS80
+      case 5 => (6378137.0, 6356752.3142) // WGS 84
+      case 6 => (6371229.0, 6371229.0)
+      case 7 => // custom oblate, axes in M (octets 21-30)
+        (scaled(20, 21, "major axis"), scaled(25, 26, "minor axis"))
+      case 8 => (6371200.0, 6371200.0)
+      case 9 => (6377563.396, 6356256.909) // OSGB Airy 1830
+      case other => throw UnsupportedGrib(s"shape of earth $other")
+    }
   }
 
   /** Parse one edition-2 message starting at `fileOffset` through a
@@ -390,8 +403,9 @@ object Grib2 {
               val dx = u32(b, 64) / 1000.0
               val dy = u32(b, 68) / 1000.0
               val dySigned = if ((scan & 0x40) != 0) dy else -dy
+              val (axA, axB) = earthFigure(b)
               grid = Some(GridDef(nx, ny, la1, lo1, la1, lo1, scan, 0,
-                proj = Some(GribProjection.Mercator(lad, earthRadius(b))),
+                proj = Some(GribProjection.Mercator(lad, axA, axB)),
                 dx = dx, dy = dySigned))
             case 20 | 30 =>
               // polar stereographic / Lambert conformal: Nx/Ny + first
@@ -407,15 +421,17 @@ object Grib2 {
               val centre = u8(b, 63)
               val scan = u8(b, 64)
               checkScan(scan)
+              val (axA, axB) = earthFigure(b)
               val proj: GribProjection =
                 if (template == 20)
                   GribProjection.PolarStereographic(lad, lov,
-                    south = (centre & 0x80) != 0, radius = earthRadius(b))
+                    south = (centre & 0x80) != 0, radius = axA,
+                    minorAxis = axB)
                 else {
                   val latin1 = s32(b, 65) / 1e6
                   val latin2 = s32(b, 69) / 1e6
                   GribProjection.LambertConformal(latin1, latin2, lov,
-                    radius = earthRadius(b))
+                    radius = axA, minorAxis = axB)
                 }
               // scan bit 0x40: +j (rows south->north); x assumed +i
               val dySigned = if ((scan & 0x40) != 0) dy else -dy

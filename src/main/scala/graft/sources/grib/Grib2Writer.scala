@@ -153,7 +153,7 @@ object Grib2Writer {
         putU32(b, 0, b.length); b(4) = 3
         putU32(b, 6, f.ni.toLong * f.nj)
         putU16(b, 12, 10)
-        putShape(b, m.radius)
+        putShape(b, m.radius, m.minorAxis)
         putU32(b, 30, f.ni); putU32(b, 34, f.nj)
         putS32(b, 38, math.round(f.la1 * 1e6))
         putS32(b, 42, math.round(f.lo1 * 1e6))
@@ -170,17 +170,17 @@ object Grib2Writer {
       case s: GribProjection.PolarStereographic => (false, s.lad, s.lov, s.south)
       case m => throw Grib1.UnsupportedGrib(s"writer projection $m")
     }
-    val radius = proj match {
-      case l: GribProjection.LambertConformal => l.radius
-      case s: GribProjection.PolarStereographic => s.radius
-      case _ => GribProjection.EarthRadius
+    val (radius, minorAxis) = proj match {
+      case l: GribProjection.LambertConformal => (l.radius, l.minorAxis)
+      case s: GribProjection.PolarStereographic => (s.radius, s.minorAxis)
+      case _ => (GribProjection.EarthRadius, Double.NaN)
     }
     val b = new Array[Byte](if (isLambert) 81 else 65)
     putU32(b, 0, b.length); b(4) = 3
     b(5) = 0
     putU32(b, 6, f.ni.toLong * f.nj)
     putU16(b, 12, if (isLambert) 30 else 20)
-    putShape(b, radius)              // shape of earth (code table 3.2)
+    putShape(b, radius, minorAxis)   // shape of earth (code table 3.2)
     putU32(b, 30, f.ni); putU32(b, 34, f.nj)
     putS32(b, 38, math.round(f.la1 * 1e6))
     putS32(b, 42, math.round(f.lo1 * 1e6))
@@ -733,14 +733,25 @@ object Grib2Writer {
   }
   private def putS32(b: Array[Byte], i: Int, v: Long): Unit =
     putU32(b, i, if (v < 0) 0x80000000L | -v else v)
-  /** Shape-of-earth octets 15-21: shape 6 for the standard sphere, else
-    * shape 1 with a centimetre-scaled custom radius. */
-  private def putShape(b: Array[Byte], radius: Double): Unit =
-    if (radius == GribProjection.EarthRadius) b(14) = 6
-    else {
-      b(14) = 1
-      b(15) = 2 // scale factor: value in centimetres
-      putU32(b, 16, math.round(radius * 100))
+  /** Shape-of-earth octets 15-30: shape 6 for the standard sphere, shape 1
+    * with a centimetre-scaled custom radius for other spheres, shape 7
+    * (custom oblate, metre axes, centimetre-scaled) when a minor axis is
+    * declared. */
+  private def putShape(b: Array[Byte], radius: Double,
+      minorAxis: Double = Double.NaN): Unit =
+    if (minorAxis.isNaN || minorAxis == radius) {
+      if (radius == GribProjection.EarthRadius) b(14) = 6
+      else {
+        b(14) = 1
+        b(15) = 2 // scale factor: value in centimetres
+        putU32(b, 16, math.round(radius * 100))
+      }
+    } else {
+      b(14) = 7
+      b(20) = 2 // major-axis scale factor: centimetres
+      putU32(b, 21, math.round(radius * 100))
+      b(25) = 2 // minor-axis scale factor: centimetres
+      putU32(b, 26, math.round(minorAxis * 100))
     }
 
   private def writeU64(o: ByteArrayOutputStream, v: Long): Unit = {

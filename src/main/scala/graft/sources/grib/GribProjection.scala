@@ -1,12 +1,18 @@
 package graft.sources.grib
 
 /** Inverse map projections for GRIB2 projected grids — Lambert conformal
-  * conic (template 3.30, the NCEP HRRR/NAM regional grids) and polar
-  * stereographic (template 3.20). Spherical formulas from Snyder, "Map
-  * Projections — A Working Manual" (USGS PP 1395, public; §15 and §21),
-  * matching GRIB's spherical earth conventions. The grid walks projected
-  * space from the FIRST point: forward-project (la1, lo1) once, then
-  * inverse-project x0 + i*Dx, y0 + j*Dy per point. */
+  * conic (template 3.30, the NCEP HRRR/NAM regional grids), polar
+  * stereographic (template 3.20), and Mercator (template 3.10). Spherical
+  * AND ellipsoidal formulas from Snyder, "Map Projections — A Working
+  * Manual" (USGS PP 1395, public; §7, §15, §21): regional NWP products
+  * (HARMONIE, some ICON/COSMO exports) declare oblate shapes of earth
+  * (code table 3.2 shapes 2/3/4/5/7/9), which eccodes handles via its
+  * geoiterator — projecting them with a sphere would displace coordinates
+  * by up to ~21 km. A projection is ellipsoidal when `minorAxis` differs
+  * from `radius` (the semi-major axis); the spherical code path is kept
+  * bit-identical for the e = 0 case. The grid walks projected space from
+  * the FIRST point: forward-project (la1, lo1) once, then inverse-project
+  * x0 + i*Dx, y0 + j*Dy per point. */
 sealed trait GribProjection extends Serializable {
   /** Projected meters of the first grid point. */
   def forward(latDeg: Double, lonDeg: Double): (Double, Double)
@@ -18,21 +24,72 @@ object GribProjection {
 
   val EarthRadius: Double = 6371229.0 // GRIB shape-of-earth 6 sphere
 
+  /** Eccentricity from semi-axes; NaN minor means spherical. */
+  private def eccOf(a: Double, b: Double): Double = {
+    val bb = if (b.isNaN) a else b
+    require(bb <= a && bb > 0, s"minor axis $bb exceeds major $a")
+    math.sqrt(1.0 - (bb / a) * (bb / a))
+  }
+
+  /** Snyder 15-9 / 21-? "t" function: the isometric-colatitude factor
+    * tan(pi/4 - phi/2) / [(1 - e sin phi)/(1 + e sin phi)]^(e/2).
+    * For e = 0 this is plain tan(pi/4 - phi/2). */
+  private def tsFun(phi: Double, e: Double): Double = {
+    val esin = e * math.sin(phi)
+    math.tan(math.Pi / 4 - phi / 2) /
+      math.pow((1 - esin) / (1 + esin), e / 2)
+  }
+
+  /** Snyder 14-15 "m": cos phi / sqrt(1 - e^2 sin^2 phi). */
+  private def mFun(phi: Double, e: Double): Double = {
+    val s = math.sin(phi)
+    math.cos(phi) / math.sqrt(1 - e * e * s * s)
+  }
+
+  /** Invert tsFun: latitude from t (Snyder 7-9 fixed-point iteration;
+    * converges in a handful of rounds for geodetic eccentricities). */
+  private def phiFromTs(ts: Double, e: Double): Double = {
+    var phi = math.Pi / 2 - 2 * math.atan(ts)
+    var i = 0
+    while (i < 12) {
+      val esin = e * math.sin(phi)
+      val next = math.Pi / 2 -
+        2 * math.atan(ts * math.pow((1 - esin) / (1 + esin), e / 2))
+      if (math.abs(next - phi) < 1e-13) { phi = next; i = 12 }
+      else { phi = next; i += 1 }
+    }
+    phi
+  }
+
   /** Lambert conformal conic, secant (latin1/latin2) or tangent
-    * (latin1 == latin2); lov = orientation meridian. */
+    * (latin1 == latin2); lov = orientation meridian. Ellipsoidal when
+    * `minorAxis` < `radius` (Snyder §15). */
   final case class LambertConformal(latin1: Double, latin2: Double,
-      lov: Double, radius: Double = EarthRadius) extends GribProjection {
+      lov: Double, radius: Double = EarthRadius,
+      minorAxis: Double = Double.NaN) extends GribProjection {
+    private val e = eccOf(radius, minorAxis)
     private val phi1 = math.toRadians(latin1)
     private val phi2 = math.toRadians(latin2)
     private val lam0 = math.toRadians(lov)
     private val n =
-      if (math.abs(latin1 - latin2) < 1e-9) math.sin(phi1)
-      else math.log(math.cos(phi1) / math.cos(phi2)) /
-        math.log(math.tan(math.Pi / 4 + phi2 / 2) / math.tan(math.Pi / 4 + phi1 / 2))
-    private val f = math.cos(phi1) * math.pow(math.tan(math.Pi / 4 + phi1 / 2), n) / n
+      if (e == 0) {
+        if (math.abs(latin1 - latin2) < 1e-9) math.sin(phi1)
+        else math.log(math.cos(phi1) / math.cos(phi2)) /
+          math.log(math.tan(math.Pi / 4 + phi2 / 2) / math.tan(math.Pi / 4 + phi1 / 2))
+      } else {
+        if (math.abs(latin1 - latin2) < 1e-9) math.sin(phi1)
+        else math.log(mFun(phi1, e) / mFun(phi2, e)) /
+          math.log(tsFun(phi1, e) / tsFun(phi2, e))
+      }
+    // spherical F keeps the historical formulation (cos phi1 tan^n); the
+    // ellipsoidal F is Snyder 15-10 on tsFun/mFun
+    private val f =
+      if (e == 0) math.cos(phi1) * math.pow(math.tan(math.Pi / 4 + phi1 / 2), n) / n
+      else mFun(phi1, e) / (n * math.pow(tsFun(phi1, e), n))
 
     private def rho(phi: Double): Double =
-      radius * f / math.pow(math.tan(math.Pi / 4 + phi / 2), n)
+      if (e == 0) radius * f / math.pow(math.tan(math.Pi / 4 + phi / 2), n)
+      else radius * f * math.pow(tsFun(phi, e), n)
 
     def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
       val r = rho(math.toRadians(latDeg))
@@ -43,28 +100,45 @@ object GribProjection {
     def inverse(x: Double, y: Double): (Double, Double) = {
       val r = math.signum(n) * math.sqrt(x * x + y * y)
       val theta = math.atan2(math.signum(n) * x, math.signum(n) * -y)
-      val phi = 2 * math.atan(math.pow(radius * f / r, 1 / n)) - math.Pi / 2
+      val phi =
+        if (e == 0) 2 * math.atan(math.pow(radius * f / r, 1 / n)) - math.Pi / 2
+        else phiFromTs(math.pow(r / (radius * f), 1 / n), e)
       (math.toDegrees(phi), math.toDegrees(normalize(lam0 + theta / n)))
     }
   }
 
   /** Polar stereographic; lad = the latitude of true scale (60N/60S in
-    * operational grids), lov = orientation, `south` for the S-pole aspect. */
+    * operational grids), lov = orientation, `south` for the S-pole aspect.
+    * Ellipsoidal when `minorAxis` < `radius` (Snyder §21). */
   final case class PolarStereographic(lad: Double, lov: Double,
-      south: Boolean, radius: Double = EarthRadius) extends GribProjection {
+      south: Boolean, radius: Double = EarthRadius,
+      minorAxis: Double = Double.NaN) extends GribProjection {
+    private val e = eccOf(radius, minorAxis)
     private val phiC = math.toRadians(lad)
     private val lam0 = math.toRadians(lov)
     // scale at true-scale latitude: k0 * 2R = R (1 + sin |phiC|)
     private val twoRk0 = radius * (1 + math.sin(math.abs(phiC)))
+    // ellipsoidal: rho = a * mC * ts(phi)/tsC (Snyder 21-34 with 14-15);
+    // true scale AT the pole is the 0/0 limit — Snyder 21-33 closed form
+    private val aMcOverTc =
+      if (e == 0) 0.0
+      else if (math.abs(math.abs(lad) - 90.0) < 1e-9)
+        2 * radius / math.sqrt(
+          math.pow(1 + e, 1 + e) * math.pow(1 - e, 1 - e))
+      else radius * mFun(math.abs(phiC), e) / tsFun(math.abs(phiC), e)
 
     def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
       val phi = math.toRadians(latDeg)
       val dLam = normalize(math.toRadians(lonDeg) - lam0)
       if (!south) {
-        val r = twoRk0 * math.tan(math.Pi / 4 - phi / 2)
+        val r =
+          if (e == 0) twoRk0 * math.tan(math.Pi / 4 - phi / 2)
+          else aMcOverTc * tsFun(phi, e)
         (r * math.sin(dLam), -r * math.cos(dLam))
       } else {
-        val r = twoRk0 * math.tan(math.Pi / 4 + phi / 2)
+        val r =
+          if (e == 0) twoRk0 * math.tan(math.Pi / 4 + phi / 2)
+          else aMcOverTc * tsFun(-phi, e) // mirror: S aspect on -phi
         (r * math.sin(dLam), r * math.cos(dLam))
       }
     }
@@ -72,30 +146,43 @@ object GribProjection {
     def inverse(x: Double, y: Double): (Double, Double) = {
       val r = math.sqrt(x * x + y * y)
       if (!south) {
-        val phi = math.Pi / 2 - 2 * math.atan(r / twoRk0)
+        val phi =
+          if (e == 0) math.Pi / 2 - 2 * math.atan(r / twoRk0)
+          else phiFromTs(r / aMcOverTc, e)
         val lam = lam0 + math.atan2(x, -y)
         (math.toDegrees(phi), math.toDegrees(normalize(lam)))
       } else {
-        val phi = 2 * math.atan(r / twoRk0) - math.Pi / 2
+        val phi =
+          if (e == 0) 2 * math.atan(r / twoRk0) - math.Pi / 2
+          else -phiFromTs(r / aMcOverTc, e)
         val lam = lam0 + math.atan2(x, y)
         (math.toDegrees(phi), math.toDegrees(normalize(lam)))
       }
     }
   }
 
-  /** Mercator (template 3.10) with true scale at `lad`. */
+  /** Mercator (template 3.10) with true scale at `lad`. Ellipsoidal when
+    * `minorAxis` < `radius` (Snyder §7). */
   final case class Mercator(lad: Double,
-      radius: Double = EarthRadius) extends GribProjection {
-    private val k = math.cos(math.toRadians(lad))
+      radius: Double = EarthRadius,
+      minorAxis: Double = Double.NaN) extends GribProjection {
+    private val e = eccOf(radius, minorAxis)
+    private val k =
+      if (e == 0) math.cos(math.toRadians(lad))
+      else mFun(math.toRadians(lad), e) // true scale along lad: k0 = m(lad)
 
     def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
       val phi = math.toRadians(latDeg)
-      (radius * k * math.toRadians(lonDeg),
-        radius * k * math.log(math.tan(math.Pi / 4 + phi / 2)))
+      val y =
+        if (e == 0) radius * k * math.log(math.tan(math.Pi / 4 + phi / 2))
+        else -radius * k * math.log(tsFun(phi, e)) // ln tan(pi/4+phi/2)*(..)
+      (radius * k * math.toRadians(lonDeg), y)
     }
 
     def inverse(x: Double, y: Double): (Double, Double) = {
-      val phi = 2 * math.atan(math.exp(y / (radius * k))) - math.Pi / 2
+      val phi =
+        if (e == 0) 2 * math.atan(math.exp(y / (radius * k))) - math.Pi / 2
+        else phiFromTs(math.exp(-y / (radius * k)), e)
       (math.toDegrees(phi),
         math.toDegrees(normalize(x / (radius * k))))
     }

@@ -470,6 +470,90 @@ class Grib2Spec extends SparkSpec {
     assert(math.abs(x0) < 1e-6 && math.abs(x1) < 1e-6 && y1 > y0)
   }
 
+  test("ellipsoidal (oblate) projection inverses round-trip and keep unit scale") {
+    import graft.sources.grib.GribProjection
+    import graft.sources.grib.GribProjection._
+    val a = 6378137.0; val bAx = 6356752.3142 // WGS 84
+    val e2 = 1.0 - (bAx / a) * (bAx / a)
+    val projs: Seq[(GribProjection, Double => Boolean)] = Seq(
+      (LambertConformal(38.5, 38.5, -97.5, a, bAx), (lat: Double) => lat > 0),
+      (LambertConformal(30.0, 60.0, 10.0, a, bAx), (lat: Double) => lat > 0),
+      (PolarStereographic(60.0, -80.0, south = false, a, bAx), (lat: Double) => lat > 0),
+      (PolarStereographic(-71.0, 100.0, south = true, a, bAx), (lat: Double) => lat < 0),
+      // true scale AT the pole: the Snyder 21-33 closed-form limit
+      (PolarStereographic(90.0, -45.0, south = false, a, bAx), (lat: Double) => lat > 0),
+      (Mercator(20.0, a, bAx), (lat: Double) => math.abs(lat) < 85))
+    val pts = Seq((38.5, -97.5), (21.1, -122.7), (52.0, 15.0), (75.0, -45.0),
+      (-70.0, 120.0), (-55.0, -170.0), (5.0, 33.0))
+    for ((proj, ok) <- projs; (lat, lon) <- pts if ok(lat)) {
+      val (x, y) = proj.forward(lat, lon)
+      val (la, lo) = proj.inverse(x, y)
+      assert(math.abs(la - lat) < 1e-9 && math.abs(lo - lon) < 1e-9,
+        s"$proj: ($lat, $lon) -> ($x, $y) -> ($la, $lo)")
+    }
+    // conformal normalization: the local scale factor is exactly 1 on the
+    // standard parallels / true-scale latitude. Measured numerically (finite
+    // difference along the parallel vs the ellipsoidal parallel radius
+    // nu cos phi), so it checks n/F/k0 against geometry, not themselves.
+    def scaleAt(p: GribProjection, lat: Double, lon: Double): Double = {
+      val d = 1e-5
+      val (x1, y1) = p.forward(lat, lon)
+      val (x2, y2) = p.forward(lat, lon + math.toDegrees(d))
+      val phi = math.toRadians(lat)
+      val nu = a / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+      math.hypot(x2 - x1, y2 - y1) / (nu * math.cos(phi) * d)
+    }
+    val lcc = LambertConformal(33.0, 45.0, -96.0, a, bAx)
+    assert(math.abs(scaleAt(lcc, 33.0, -96.0) - 1) < 1e-6)
+    assert(math.abs(scaleAt(lcc, 45.0, -96.0) - 1) < 1e-6)
+    assert(scaleAt(lcc, 39.0, -96.0) < 1.0) // secant: k < 1 between parallels
+    val ps = PolarStereographic(60.0, -80.0, south = false, a, bAx)
+    assert(math.abs(scaleAt(ps, 60.0, -80.0) - 1) < 1e-6)
+    val mc = Mercator(20.0, a, bAx)
+    assert(math.abs(scaleAt(mc, 20.0, 0.0) - 1) < 1e-6)
+    assert(math.abs(scaleAt(mc, -20.0, 0.0) - 1) < 1e-6) // symmetric lad
+    // equal axes collapse to the EXACT spherical code path
+    for ((lat, lon) <- pts if lat > 0) {
+      val sph = LambertConformal(30.0, 60.0, 10.0, a)
+      val ell = LambertConformal(30.0, 60.0, 10.0, a, a)
+      assert(sph.forward(lat, lon) == ell.forward(lat, lon))
+    }
+  }
+
+  test("an oblate-declared GRIB2 grid round-trips writer -> reader") {
+    import graft.sources.grib.GribProjection
+    val a = 6378137.0; val bAx = 6356752.3142
+    val lcc = GribProjection.LambertConformal(48.0, 48.0, 5.0, a, bAx)
+    val (gi, gj) = (5, 4)
+    val vals = (0 until gi * gj).map(_.toDouble)
+    val dir = java.nio.file.Files.createTempDirectory("oblate").toString
+    val p = s"$dir/oblate.grib2"
+    GW2.write(p, Seq(GW2.FieldSpec(0, 0, 0, 103, 2, t0, vals, gi, gj,
+      la1 = 45.0, lo1 = 0.0, la2 = 0, lo2 = 0, decimalScale = 0,
+      projection = Some(lcc), dxMeters = 2500.0, dyMeters = 2500.0)))
+    val f = Grib2Reader.indexFields(new org.apache.hadoop.conf.Configuration(), p).head
+    val got = f.projection.get.asInstanceOf[GribProjection.LambertConformal]
+    // axes survive the shape-7 centimetre encoding
+    assert(math.abs(got.radius - a) < 0.01 && math.abs(got.minorAxis - bAx) < 0.01)
+    val rows = Grib2Reader.readLongFormat(spark, p)
+      .orderBy($"value").select($"latitude", $"longitude", $"value").collect()
+    assert(rows.length == gi * gj)
+    assert(math.abs(rows(0).getDouble(0) - 45.0) < 1e-6)
+    assert(math.abs(rows(0).getDouble(1) - 0.0) < 1e-6)
+    // interior point agrees with the direct ellipsoidal inverse
+    val (x0, y0) = lcc.forward(45.0, 0.0)
+    val (wantLat, wantLon) = lcc.inverse(x0 + 3 * 2500.0, y0 + 2 * 2500.0)
+    val r = rows(2 * gi + 3)
+    assert(math.abs(r.getDouble(0) - wantLat) < 1e-7 &&
+      math.abs(r.getDouble(1) - wantLon) < 1e-7)
+    // the oblate figure MATTERS: a spherical read of the same walk would
+    // land ~km away (guards against silently ignoring the minor axis)
+    val sph = GribProjection.LambertConformal(48.0, 48.0, 5.0, a)
+    val (sx0, sy0) = sph.forward(45.0, 0.0)
+    val (sphLat, _) = sph.inverse(sx0 + 3 * 2500.0, sy0 + 2 * 2500.0)
+    assert(math.abs(sphLat - wantLat) > 1e-5)
+  }
+
   test("projected grids (3.30 Lambert / 3.20 polar stereo) read via inverse projection") {
     import graft.sources.grib.GribProjection
     val lcc = GribProjection.LambertConformal(38.5, 38.5, -97.5)
@@ -635,7 +719,7 @@ class Grib2Spec extends SparkSpec {
     val (x0, y0) = lccC.forward(35.0, -105.0)
     val want = lccC.inverse(x0 + 3 * 30000.0, y0 + 2 * 30000.0)
     assert(math.abs(laC - want._1) < 1e-9 && math.abs(loC - want._2) < 1e-9)
-    // oblate ellipsoids raise a directed error instead of wrong coords
+    // a fixed oblate shape code selects the named figure's axes
     val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(pStd))
     // find section 3 (starts after 16-byte indicator + 21-byte section 1)
     val s3 = 16 + 21
@@ -643,8 +727,18 @@ class Grib2Spec extends SparkSpec {
     raw(s3 + 14) = 2 // oblate IAU-65
     val pObl = s"$dir/obl.grib2"
     java.nio.file.Files.write(java.nio.file.Paths.get(pObl), raw)
-    val e = intercept[Exception] { Grib2Reader.indexFields(conf, pObl) }
-    assert(e.getMessage.contains("shape of earth 2"), e.getMessage)
+    val lObl = Grib2Reader.indexFields(conf, pObl).head.projection.get
+      .asInstanceOf[GribProjection.LambertConformal]
+    assert(lObl.radius == 6378160.0 && lObl.minorAxis == 6356775.0)
+    // and the figure changes interior coordinates vs the sphere
+    val (laO, loO) = Grib2Reader.indexFields(conf, pObl).head.coordOf(11)
+    assert(math.abs(laO - laS) > 1e-4 || math.abs(loO - loS) > 1e-4)
+    // a reserved shape code still fails directed
+    raw(s3 + 14) = 12
+    val pBad = s"$dir/bad.grib2"
+    java.nio.file.Files.write(java.nio.file.Paths.get(pBad), raw)
+    val e = intercept[Exception] { Grib2Reader.indexFields(conf, pBad) }
+    assert(e.getMessage.contains("shape of earth 12"), e.getMessage)
   }
 
   test("basic angle (3.0 octets 39-46) rescales coordinate units") {
