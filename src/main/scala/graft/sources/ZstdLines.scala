@@ -72,10 +72,25 @@ object ZstdLines {
 
   /** One row per text line across every file matching `pattern` (glob).
     * Seekable files fan out one task per ~`targetSpanBytes` of
-    * decompressed data; plain streams read as one task per file. */
+    * decompressed data; plain streams read as one task per file.
+    * `dictPath` names an RFC 8878 dictionary (`zstd --train` output or raw
+    * priming content) applied to every frame — the layout of dict-trained
+    * corpus shards; parsed once on the driver and shipped in the task
+    * closure (dictionaries are KBs). */
   def read(spark: SparkSession, pattern: String,
-      targetSpanBytes: Long = 64L << 20, partitions: Int = 0): DataFrame = {
+      targetSpanBytes: Long = 64L << 20, partitions: Int = 0,
+      dictPath: Option[String] = None): DataFrame = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val dict: Zstd.Dict = dictPath.map { dp =>
+      val dpPath = new Path(dp)
+      val dfs = dpPath.getFileSystem(conf)
+      val len = dfs.getFileStatus(dpPath).getLen
+      if (len > (8L << 20)) bad(s"dictionary $dp is ${len} bytes (cap 8 MiB)")
+      val buf = new Array[Byte](len.toInt)
+      val in = dfs.open(dpPath)
+      try in.readFully(0, buf) finally in.close()
+      Zstd.parseDictionary(buf)
+    }.orNull
     val p = new Path(pattern)
     val fs = p.getFileSystem(conf)
     val files = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
@@ -119,11 +134,13 @@ object ZstdLines {
         RangedIO.rows(uri, tconf) { in =>
           val fileLen = new Path(uri).getFileSystem(tconf.value)
             .getFileStatus(new Path(uri)).getLen
-          if (firstFrame < 0) streamLines(uri, in.readFully(_, _, _, _), fileLen)
+          if (firstFrame < 0)
+            streamLines(uri, in.readFully(_, _, _, _), fileLen, dict)
           else {
             val frames = readSeekTableWith(in.readFully(_, _, _, _), fileLen)
               .getOrElse(bad(s"$uri: seek table vanished between plan and task"))
-            spanLines(uri, in.readFully(_, _, _, _), frames, firstFrame, frameCount)
+            spanLines(uri, in.readFully(_, _, _, _), frames, firstFrame,
+              frameCount, dict)
           }
         }
     }
@@ -194,12 +211,13 @@ object ZstdLines {
 
   /** Decode one seek-table frame via a positioned read. */
   private def decodeFrame(readAt: (Long, Array[Byte], Int, Int) => Unit,
-      fe: FrameEntry): Array[Byte] = {
+      fe: FrameEntry, dict: Zstd.Dict): Array[Byte] = {
     if (fe.decompLen > MaxFrameBytes)
       bad(s"frame decompresses to ${fe.decompLen} bytes (cap $MaxFrameBytes)")
     val comp = new Array[Byte](fe.compLen)
     readAt(fe.compOff, comp, 0, fe.compLen)
-    val chunk = Zstd.decompress(comp, 0, fe.compLen, sizeHint = fe.decompLen)
+    val chunk =
+      Zstd.decompress(comp, 0, fe.compLen, sizeHint = fe.decompLen, dict = dict)
     // span ownership is computed from the seek table's decompressed sizes;
     // a frame whose actual size disagrees would silently drift chunkGlobal
     // and drop or duplicate lines across tasks — fail directed instead
@@ -213,15 +231,15 @@ object ZstdLines {
     * ownership rule in the object doc. */
   private def spanLines(uri: String,
       readAt: (Long, Array[Byte], Int, Int) => Unit,
-      frames: Array[FrameEntry], firstFrame: Int, frameCount: Int):
-      Iterator[Row] = {
+      frames: Array[FrameEntry], firstFrame: Int, frameCount: Int,
+      dict: Zstd.Dict = null): Iterator[Row] = {
     val spanStart = frames(firstFrame).decompOff
     val lastIdx = firstFrame + frameCount - 1
     val spanEnd = frames(lastIdx).decompOff + frames(lastIdx).decompLen
 
     // does a line start exactly at spanStart? (previous frame's last byte)
     val freshLineAtStart = spanStart == 0 || {
-      val prev = decodeFrame(readAt, frames(firstFrame - 1))
+      val prev = decodeFrame(readAt, frames(firstFrame - 1), dict)
       prev.length == 0 || prev(prev.length - 1) == '\n'
     }
 
@@ -239,7 +257,7 @@ object ZstdLines {
       private def loadNext(): Boolean = {
         if (frameIdx >= frames.length) return false
         val fe = frames(frameIdx)
-        chunk = decodeFrame(readAt, fe)
+        chunk = decodeFrame(readAt, fe, dict)
         chunkGlobal = fe.decompOff
         chunkPos = 0
         frameIdx += 1
@@ -304,7 +322,7 @@ object ZstdLines {
   /** Whole-file walk over concatenated frames (plain zstd streams). */
   private def streamLines(uri: String,
       readAt: (Long, Array[Byte], Int, Int) => Unit,
-      fileLen: Long): Iterator[Row] = {
+      fileLen: Long, dict: Zstd.Dict = null): Iterator[Row] = {
     if (fileLen > MaxFrameBytes)
       bad(s"$uri: ${fileLen}-byte non-seekable stream exceeds the " +
         s"single-task cap ($MaxFrameBytes); recompress with a seek table " +
@@ -324,7 +342,7 @@ object ZstdLines {
       private def loadNext(): Boolean = {
         off += Zstd.skippableRunLength(comp, off, comp.length)
         if (off >= comp.length) return false
-        val (data, next) = Zstd.decompressFrameAt(comp, off, comp.length)
+        val (data, next) = Zstd.decompressFrameAt(comp, off, comp.length, dict = dict)
         off = next
         chunk = data
         chunkPos = 0

@@ -49,8 +49,54 @@ object Zstd {
     * decompressed size comes from the frame header when present, else from
     * `sizeHint` (the caller's known chunk size). */
   def decompress(src: Array[Byte], srcOff: Int, srcLen: Int,
-      sizeHint: Int = -1): Array[Byte] =
-    decompressFrameAt(src, srcOff, srcOff + srcLen, sizeHint)._1
+      sizeHint: Int = -1, dict: Dict = null): Array[Byte] =
+    decompressFrameAt(src, srcOff, srcOff + srcLen, sizeHint, dict)._1
+
+  /** A parsed decoding dictionary (RFC 8878 §5): priming content for the
+    * match window plus optional pre-built entropy tables and initial
+    * repeat offsets. Built once via [[parseDictionary]] and shared across
+    * frames (read-only). */
+  final class Dict private[Zstd] (
+      val id: Long,
+      private[Zstd] val content: Array[Byte],
+      private[Zstd] val huf: HufTable,
+      private[Zstd] val llTable: FseTable,
+      private[Zstd] val mlTable: FseTable,
+      private[Zstd] val offTable: FseTable,
+      private[Zstd] val rep1: Long,
+      private[Zstd] val rep2: Long,
+      private[Zstd] val rep3: Long) extends Serializable
+
+  private val DictMagic = 0xec30a437
+
+  /** Parse a dictionary blob. With the `0xEC30A437` magic: dict id,
+    * entropy tables (Huffman literals, then FSE offsets / match lengths /
+    * literals lengths), three little-endian repeat offsets, then the
+    * priming content. Without the magic: a raw-content dictionary (id 0,
+    * whole blob primes the window — the RFC 8878 §5 fallback zstd's
+    * `-D` accepts). */
+  def parseDictionary(b: Array[Byte]): Dict = {
+    if (b.length < 8 || le32(b, 0) != DictMagic)
+      return new Dict(0L, b, null, null, null, null, 1L, 4L, 8L)
+    val id = le32(b, 4) & 0xffffffffL
+    if (id == 0) bad("dictionary declares reserved id 0")
+    val (huf, hufLen) = readHufTable(b, 8, b.length)
+    val fwd = new FwdBits(b, 8 + hufLen, b.length)
+    // RFC 8878 §5 order: offsets, match lengths, literals lengths
+    val offT = readFseTable(fwd, 31, 8, "dictionary offset")
+    val mlT = readFseTable(fwd, 52, 9, "dictionary match-length")
+    val llT = readFseTable(fwd, 35, 9, "dictionary literals-length")
+    val repOff = fwd.bytePos
+    if (repOff + 12 > b.length) bad("dictionary truncated before repeat offsets")
+    val r1 = le32(b, repOff) & 0xffffffffL
+    val r2 = le32(b, repOff + 4) & 0xffffffffL
+    val r3 = le32(b, repOff + 8) & 0xffffffffL
+    val content = java.util.Arrays.copyOfRange(b, repOff + 12, b.length)
+    if (r1 == 0 || r2 == 0 || r3 == 0 ||
+        r1 > content.length || r2 > content.length || r3 > content.length)
+      bad(s"dictionary repeat offsets ($r1, $r2, $r3) outside its content")
+    new Dict(id, content, huf, llT, mlT, offT, r1, r2, r3)
+  }
 
   /** Skippable frames starting at `off`: total byte length of the run
     * (0 when `off` does not start a skippable frame) — the walk a
@@ -75,7 +121,7 @@ object Zstd {
     * [[decompress]] with no hint, a frame that omits Frame_Content_Size
     * decodes into a growing buffer, so foreign streaming frames work. */
   def decompressFrameAt(src: Array[Byte], off0: Int, end: Int,
-      sizeHint: Int = -1): (Array[Byte], Int) = {
+      sizeHint: Int = -1, dict: Dict = null): (Array[Byte], Int) = {
     var off = off0 + skippableRunLength(src, off0, end)
     if (off + 4 > end || le32(src, off) != Magic) bad("missing frame magic")
     off += 4
@@ -98,8 +144,10 @@ object Zstd {
       var i = 0
       while (i < dictIdBytes) { dictId |= (src(off + i) & 0xffL) << (8 * i); i += 1 }
       off += dictIdBytes
-      if (dictId != 0) throw UnsupportedZstd(
-        s"dictionary frame (dict id $dictId) — Zarr chunk frames are dict-free")
+      if (dictId != 0 && (dict == null || dict.id != dictId))
+        throw UnsupportedZstd(s"frame references unknown dictionary id " +
+          s"$dictId" + (if (dict == null) " (no dictionary provided)"
+          else s" (provided dictionary has id ${dict.id})"))
     }
     val fcsBytes = (fhd >>> 6) match {
       case 0 => if (singleSegment) 1 else 0
@@ -134,7 +182,7 @@ object Zstd {
         while (cap < needed) cap = math.min(cap * 2, (Int.MaxValue - 8).toLong)
         out = java.util.Arrays.copyOf(out, cap.toInt)
       }
-    val ctx = new FrameCtx
+    val ctx = new FrameCtx(dict)
     var last = false
     while (!last) {
       if (off + 3 > end) bad("truncated block header")
@@ -229,14 +277,18 @@ object Zstd {
   /** Per-frame decoder state that persists across blocks: the previous
     * Huffman literals table (treeless literals), the previous sequence FSE
     * tables (Repeat_Mode), and the three-slot repeat-offset history. */
-  private final class FrameCtx {
-    var huf: HufTable = null
-    var llTable: FseTable = null
-    var mlTable: FseTable = null
-    var offTable: FseTable = null
-    var rep1 = 1L
-    var rep2 = 4L
-    var rep3 = 8L
+  private final class FrameCtx(dict: Dict = null) {
+    // dictionary state seeds the frame: entropy tables are valid targets
+    // for the first block's repeat/treeless modes, repeat offsets start
+    // from the dictionary's, and matches may reach into its content
+    var huf: HufTable = if (dict != null) dict.huf else null
+    var llTable: FseTable = if (dict != null) dict.llTable else null
+    var mlTable: FseTable = if (dict != null) dict.mlTable else null
+    var offTable: FseTable = if (dict != null) dict.offTable else null
+    var rep1 = if (dict != null) dict.rep1 else 1L
+    var rep2 = if (dict != null) dict.rep2 else 4L
+    var rep3 = if (dict != null) dict.rep3 else 8L
+    val dictContent: Array[Byte] = if (dict != null) dict.content else null
   }
 
   private def decodeCompressedBlock(src: Array[Byte], blockOff: Int,
@@ -409,12 +461,25 @@ object Zstd {
       System.arraycopy(literals, litPos, out, outPos, litLen)
       litPos += litLen
       outPos += litLen
-      if (offset > outPos) bad(s"match offset $offset before frame start")
       val o = offset.toInt
-      var i = 0
-      while (i < matchLen) {
-        out(outPos + i) = out(outPos + i - o)
-        i += 1
+      if (offset <= outPos) {
+        var i = 0
+        while (i < matchLen) {
+          out(outPos + i) = out(outPos + i - o)
+          i += 1
+        }
+      } else {
+        // the window extends backwards into the dictionary content
+        val dc = ctx.dictContent
+        val dcLen = if (dc == null) 0 else dc.length
+        if (offset > outPos + dcLen)
+          bad(s"match offset $offset before frame (and dictionary) start")
+        var i = 0
+        while (i < matchLen) {
+          val si = outPos + i - o
+          out(outPos + i) = if (si >= 0) out(si) else dc(dcLen + si)
+          i += 1
+        }
       }
       outPos += matchLen
       seq += 1
@@ -498,7 +563,7 @@ object Zstd {
 
   /** Decode table for one FSE symbol stream. */
   private final class FseTable(val log: Int, val symbol: Array[Int],
-      nbBits: Array[Int], newState: Array[Int]) {
+      nbBits: Array[Int], newState: Array[Int]) extends Serializable {
     def next(state: Int, bits: BackBits): Int =
       newState(state) + bits.read(nbBits(state)).toInt
   }
@@ -655,7 +720,7 @@ object Zstd {
   /** Canonical Huffman decode table: indexed by the next `maxBits` stream
     * bits (MSB-first), yielding (symbol, code length). */
   private final class HufTable(val maxBits: Int, val sym: Array[Byte],
-      val len: Array[Byte])
+      val len: Array[Byte]) extends Serializable
 
   /** Read a Huffman tree description (direct 4-bit weights, or
     * FSE-compressed weights via two interleaved states). Returns the table

@@ -84,6 +84,63 @@ class ZstdLinesSpec extends SparkSpec {
     assert(got == lines.sorted)
   }
 
+  test("dict-compressed seekable shards read with dictPath") {
+    import com.github.luben.zstd.{Zstd => RefZstd, ZstdCompressCtx, ZstdDictCompress}
+    val dir = tmpDir("zsld")
+    val r = new scala.util.Random(3)
+    val words = Array("the", "quick", "corpus", "shard", "zstd", "payload",
+      "record", "value", "spark", "training")
+    def rec(i: Int): String =
+      s"""{"id": $i, "kind": "event", "payload": "${
+        Seq.fill(5)(words(r.nextInt(words.length))).mkString(" ")
+      }"}"""
+    val samples = Array.tabulate(96)(k =>
+      (0 until 20).map(j => rec(k * 100 + j)).mkString("\n").getBytes("UTF-8"))
+    val dictBuf = new Array[Byte](8 * 1024)
+    val n = RefZstd.trainFromBuffer(samples, dictBuf)
+    assert(n > 0, s"dict training failed: $n")
+    val dictBytes = java.util.Arrays.copyOf(dictBuf, n.toInt)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/corpus.dict"), dictBytes)
+    val lines = (0 until 200).map(i => rec(90000 + i))
+    // the dict-trained shard layout: every data frame compressed against
+    // the shared dictionary, seek table appended per the public spec
+    val frames = lines.grouped(25).toSeq.map { g =>
+      val data = (g.mkString("\n") + "\n").getBytes("UTF-8")
+      val ctx = new ZstdCompressCtx()
+      try {
+        ctx.setLevel(3)
+        ctx.loadDict(new ZstdDictCompress(dictBytes, 3))
+        (ctx.compress(data), data.length)
+      } finally ctx.close()
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    frames.foreach { case (c, _) => out.write(c) }
+    le32(0x184D2A5E) // seek-table skippable frame
+    le32(frames.size * 8 + 9)
+    frames.foreach { case (c, d) => le32(c.length); le32(d) }
+    le32(frames.size); out.write(0) // footer: count, descriptor
+    le32(0x8F92EAB1L.toInt)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/d.jsonl.zst"), out.toByteArray)
+    val df = ZstdLines.read(spark, s"$dir/d.jsonl.zst",
+      targetSpanBytes = 2048, dictPath = Some(s"$dir/corpus.dict"))
+    assert(df.rdd.getNumPartitions > 1) // still span-splittable
+    assert(df.orderBy($"offset").select($"value").as[String].collect().toSeq
+      == lines)
+    // without the dictionary the shard fails directed, not with garbage
+    val e = intercept[Exception] {
+      ZstdLines.read(spark, s"$dir/d.jsonl.zst").collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    assert(chain(e).contains("unknown dictionary id"), chain(e))
+  }
+
   test("corrupt seek table is a directed error; absent table falls back") {
     val dir = tmpDir("zslc")
     val lines = (0 until 20).map(i => s"r$i")

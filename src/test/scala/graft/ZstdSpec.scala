@@ -106,24 +106,113 @@ class ZstdSpec extends AnyFunSuite {
     assert(new String(out, "UTF-8") == "payload behind a skippable frame")
   }
 
-  test("dictionary frames raise a directed error") {
-    val dictSrc = Array.tabulate(16 * 1024)(i => ((i * 31) % 251).toByte)
-    val samples = Array.tabulate(64)(k =>
-      java.util.Arrays.copyOfRange(dictSrc, k * 64, k * 64 + 4096))
+  // deterministic JSON-ish records sharing heavy structure — the classic
+  // dictionary-training distribution (corpus shards from `zstd --train`)
+  private def trainedDict(): Array[Byte] = {
+    val r = new scala.util.Random(7)
+    val words = Array("the", "quick", "brown", "shard", "zstd", "corpus",
+      "payload", "record", "field", "value", "spark", "entropy")
+    def rec(id: Int): String =
+      s"""{"id": $id, "kind": "event", "payload": "${
+        Seq.fill(6)(words(r.nextInt(words.length))).mkString(" ")
+      }", "score": ${r.nextInt(999)}}"""
+    val samples = Array.tabulate(96)(k =>
+      (0 until 24).map(j => rec(k * 100 + j)).mkString("\n").getBytes("UTF-8"))
     val dictBuf = new Array[Byte](8 * 1024)
     val dictLen = RefZstd.trainFromBuffer(samples, dictBuf)
     assert(dictLen > 0, s"dict training failed: $dictLen")
-    val dict = java.util.Arrays.copyOf(dictBuf, dictLen.toInt)
+    java.util.Arrays.copyOf(dictBuf, dictLen.toInt)
+  }
+
+  test("dictionary frames decode: entropy-table seeding + window priming") {
+    val dictBytes = trainedDict()
+    val dict = Zstd.parseDictionary(dictBytes)
+    assert(dict.id != 0)
+    val r = new scala.util.Random(11)
+    val words = Array("the", "quick", "brown", "shard", "zstd", "corpus",
+      "payload", "record", "field", "value", "spark", "entropy")
+    val payloads = (0 until 4).map { p =>
+      (0 until 50).map(j => s"""{"id": ${90000 + p * 100 + j}, "kind": """ +
+        s""""event", "payload": "${
+          Seq.fill(6)(words(r.nextInt(words.length))).mkString(" ")
+        }", "score": ${r.nextInt(999)}}""").mkString("\n").getBytes("UTF-8")
+    }
+    // every level family: fast (raw/rle-heavy), default, btopt, btultra2 —
+    // dict references (early small offsets into dict content, repeat-mode
+    // tables against the dict's, treeless literals on the dict's Huffman)
+    for (level <- Seq(1, 3, 9, 19); data <- payloads) {
+      val ctx = new ZstdCompressCtx()
+      try {
+        ctx.setLevel(level)
+        ctx.loadDict(new ZstdDictCompress(dictBytes, level))
+        val packed = ctx.compress(data)
+        assert(packed.length < data.length, s"level $level did not compress")
+        val out = Zstd.decompress(packed, 0, packed.length, dict = dict)
+        assert(java.util.Arrays.equals(out, data),
+          s"level=$level n=${data.length}: dict-decoded bytes differ")
+      } finally ctx.close()
+    }
+  }
+
+  test("raw-content dictionaries prime the window (no magic, no tables)") {
+    // zstd accepts any blob without the dict magic as pure window priming
+    val raw = ("""{"id": 1, "kind": "event", "payload": "the quick brown", """ +
+      """"score": 7}""" * 6).getBytes("UTF-8")
+    val data = ("""{"id": 2, "kind": "event", "payload": "the quick brown", """ +
+      """"score": 9}""" * 20).getBytes("UTF-8")
     val ctx = new ZstdCompressCtx()
     try {
       ctx.setLevel(3)
-      ctx.loadDict(new ZstdDictCompress(dict, 3))
-      val packed = ctx.compress("dict-coded payload".getBytes("UTF-8"))
+      ctx.loadDict(new ZstdDictCompress(raw, 3))
+      val packed = ctx.compress(data)
+      val dict = Zstd.parseDictionary(raw)
+      assert(dict.id == 0)
+      val out = Zstd.decompress(packed, 0, packed.length, dict = dict)
+      assert(java.util.Arrays.equals(out, data))
+    } finally ctx.close()
+  }
+
+  test("unknown or mismatched dictionary ids fail directed") {
+    val dictBytes = trainedDict()
+    val data = ("""{"id": 5, "kind": "event"}""" * 30).getBytes("UTF-8")
+    val ctx = new ZstdCompressCtx()
+    try {
+      ctx.setLevel(3)
+      ctx.loadDict(new ZstdDictCompress(dictBytes, 3))
+      val packed = ctx.compress(data)
       val e = intercept[Zstd.UnsupportedZstd] {
         Zstd.decompress(packed, 0, packed.length)
       }
-      assert(e.getMessage.contains("dictionary"))
+      assert(e.getMessage.contains("unknown dictionary id"), e.getMessage)
+      // a different dictionary (different id) is rejected, not misapplied
+      val other = dictBytes.clone()
+      other(4) = (other(4) ^ 1).toByte // flip a dict-id bit
+      val e2 = intercept[Zstd.UnsupportedZstd] {
+        Zstd.decompress(packed, 0, packed.length,
+          dict = Zstd.parseDictionary(other))
+      }
+      assert(e2.getMessage.contains("unknown dictionary id"), e2.getMessage)
     } finally ctx.close()
+  }
+
+  test("committed CLI fixtures decode (cross-version: zstd 1.5.7 -D frames)") {
+    def res(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/zstd/$name")
+      assert(in != null, s"missing fixture $name")
+      try in.readAllBytes() finally in.close()
+    }
+    val dict = Zstd.parseDictionary(res("corpus.dict"))
+    assert(dict.id == 7777L)
+    for (p <- Seq("a", "b", "c"); lvl <- Seq("l3", "l19")) {
+      val want = res(s"payload_$p.json")
+      val got = Zstd.decompress(res(s"payload_${p}_$lvl.zst"), 0,
+        res(s"payload_${p}_$lvl.zst").length, dict = dict)
+      assert(java.util.Arrays.equals(got, want), s"payload_$p $lvl")
+    }
+    val rawDict = Zstd.parseDictionary(res("rawdict.bin"))
+    val got = Zstd.decompress(res("payload_a_raw.zst"), 0,
+      res("payload_a_raw.zst").length, dict = rawDict)
+    assert(java.util.Arrays.equals(got, res("payload_a.json")))
   }
 
   test("corrupt frames fail with directed errors, not garbage output") {
