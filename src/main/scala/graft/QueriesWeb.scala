@@ -339,6 +339,44 @@ object QueriesWeb {
           .orderBy($"id")
       }),
 
+    // ------------------------------------------------------- source: CDX surt-prefix pushdown
+    // Host lookup over SURT-sorted plain index shards: the driver
+    // binary-searches each shard's byte range for the prefix run via small
+    // ranged reads and prunes shards outside it (CdxIndex.readPrefix) —
+    // the whole-shard scan never happens. The oracle recomputes the same
+    // host's captures with a LIKE filter over the full planted set.
+    Q("q141_cdx_prefix", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT 'test,site-' || CAST(rn0 % 9 AS VARCHAR) || ')/d/'
+               || lpad(CAST(rn0 AS VARCHAR), 4, '0') AS surt,
+             'https://site-' || CAST(rn0 % 9 AS VARCHAR) || '.test/d/'
+               || lpad(CAST(rn0 AS VARCHAR), 4, '0') AS url,
+             CAST((o_orderkey % 977) * 3 AS BIGINT) AS offset
+      FROM o
+      WHERE rn0 % 9 = 3
+      ORDER BY surt"""))(
+      (s, d) => {
+        import s.implicits._
+        val params = Tables.orders(s, d).orderBy($"o_orderkey").limit(120)
+          .select(($"o_orderkey" % 977).cast("long"))
+          .collect().map(_.getLong(0))
+        val dir = java.nio.file.Files.createTempDirectory("q141").toString
+        val sorted = params.zipWithIndex.map { case (k, i) =>
+          f"test,site-${i % 9})/d/$i%04d 20260101000000 " +
+            f"""{"url": "https://site-${i % 9}.test/d/$i%04d", """ +
+            s""""status": "200", "offset": "${k * 3}", """ +
+            s""""filename": "seg/f.warc.gz"}"""
+        }.sorted
+        val (lo, hi) = sorted.splitAt(sorted.size / 2)
+        CdxIndex.writePlain(s"$dir/part-0.cdx", lo)
+        CdxIndex.writePlain(s"$dir/part-1.cdx", hi)
+        CdxIndex.readPrefix(s, s"$dir/part-*.cdx", "test,site-3)")
+          .select($"surt", $"url", $"offset")
+          .orderBy($"surt")
+      }),
+
     // ------------------------------------------------------- source: CDXJ capture index
     // The lookup side of a web archive: gzipped `surt timestamp {json}`
     // lines parse into typed capture rows (sparse fields null, addresses

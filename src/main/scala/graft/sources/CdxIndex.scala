@@ -99,4 +99,339 @@ object CdxIndex {
       out.write('\n')
     } finally out.close()
   }
+
+  /** Fixture writer: one PLAIN (binary-searchable) CDXJ file. */
+  def writePlain(path: String, lines: Seq[String],
+      conf: Configuration = new Configuration()): Unit = {
+    val p = new Path(path)
+    val out = p.getFileSystem(conf).create(p, true)
+    try lines.foreach { l =>
+      out.write(l.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.write('\n')
+    } finally out.close()
+  }
+
+  // ------------------------------------------------- surt-prefix pushdown
+
+  /** [[read]] restricted to captures whose surt key starts with
+    * `surtPrefix` — the domain/host lookup every replay and fetch pipeline
+    * issues. Common Crawl index shards are SURT-sorted (the property its
+    * own cdx lookup API relies on), so PLAIN shards never scan: the driver
+    * binary-searches each shard's byte range for `[prefix, next(prefix))`
+    * with small ranged reads (~log2(size) probes of 64 KiB), prunes shards
+    * whose first/last keys don't straddle the prefix, and plans one task
+    * per ~`maxSpanBytes` of the matching range only. Gzip shards are not
+    * byte-addressable and fall back to scan + filter. Plain shards MUST be
+    * sorted (as shipped); an unsorted shard would silently miss rows, the
+    * same contract its real lookup clients assume. */
+  def readPrefix(spark: SparkSession, pattern: String, surtPrefix: String,
+      maxSpanBytes: Long = 64L << 20): DataFrame = {
+    require(surtPrefix.nonEmpty, "empty surt prefix would scan everything")
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(pattern)
+    val fs = p.getFileSystem(conf)
+    val files = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+      .filter(_.isFile).map(st => (st.getPath.toString, st.getLen))
+    require(files.nonEmpty, s"no CDX files match $pattern")
+    val (gzFiles, plainFiles) = files.partition(_._1.endsWith(".gz"))
+
+    val spans: Seq[(String, Long, Long, Boolean, Long)] = plainFiles.flatMap {
+      case (uri, len) =>
+        val path = new Path(uri)
+        val in = path.getFileSystem(conf).open(path)
+        val range =
+          try planFileRange(in.readFully(_, _, _, _), len, surtPrefix)
+          finally in.close()
+        range.toSeq.flatMap { case (s, e) =>
+          // split fat ranges; non-first chunks snap forward to a line start
+          val out = Seq.newBuilder[(String, Long, Long, Boolean, Long)]
+          var at = s
+          while (at < e) {
+            val to = math.min(at + maxSpanBytes, e)
+            out += ((uri, at, to, at == s, len))
+            at = to
+          }
+          out.result()
+        }
+    }
+    val tconf = TaskConf(conf)
+    val planned: DataFrame =
+      if (spans.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("line", StringType, nullable = false))))
+      else {
+        val nPart = math.max(1, math.min(spans.size,
+          spark.sparkContext.defaultParallelism))
+        val rdd = spark.sparkContext.parallelize(spans, nPart).flatMap {
+          case (uri, from, to, isFirst, fileLen) =>
+            RangedIO.rows(uri, tconf) { in =>
+              spanTextLines(in.readFully(_, _, _, _), fileLen, from, to, isFirst)
+                .map(org.apache.spark.sql.Row(_))
+            }
+        }
+        spark.createDataFrame(rdd,
+          StructType(Seq(StructField("line", StringType, nullable = false))))
+      }
+    val gzLines: Option[DataFrame] =
+      if (gzFiles.isEmpty) None
+      else Some(spark.read.textFile(gzFiles.map(_._1): _*).toDF("line"))
+    val lines = gzLines.map(planned.unionAll).getOrElse(planned)
+    // exact for sorted plain shards (the planned range IS the prefix run);
+    // does the real filtering for the gz fallback
+    parseLines(lines, col("line"))
+      .filter(col("surt").startsWith(surtPrefix))
+  }
+
+  /** The matching byte range of one sorted plain shard, or None when the
+    * shard's [first, last] keys don't straddle the prefix (pruned without
+    * a search). */
+  private[graft] def planFileRange(
+      readAt: (Long, Array[Byte], Int, Int) => Unit, fileLen: Long,
+      surtPrefix: String): Option[(Long, Long)] = {
+    if (fileLen == 0) return None
+    val prefix = surtPrefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // prune on the shard's first and last keys (two small reads)
+    val firstKey = keyAtLineStart(readAt, fileLen, 0)
+    val lastKey = lastKeyOf(readAt, fileLen)
+    if (lastKey.exists(cmpPrefix(_, prefix) < 0))
+      return None // every key sorts below the prefix
+    if (!startsWith(firstKey, prefix) && cmpPrefix(firstKey, prefix) > 0)
+      return None // every key sorts above the prefix run
+    val start =
+      if (cmpPrefix(firstKey, prefix) >= 0) 0L
+      else lowerBound(readAt, fileLen, prefix)
+    val end = succBytes(prefix) match {
+      case None => fileLen
+      case Some(s) =>
+        if (lastKey.exists(cmpPrefix(_, s) < 0)) fileLen
+        else lowerBound(readAt, fileLen, s)
+    }
+    if (end > start) Some((start, end)) else None
+  }
+
+  /** Data-read block for planned spans. */
+  private val ProbeBlock = 64 * 1024
+  /** Binary-search probe block: a probe only needs one line's key, so
+    * probes read small (CDX lines are a few hundred bytes) and the whole
+    * search costs O(log n) x 4 KiB — constant ~100 KiB per shard whatever
+    * its size. */
+  private val SearchBlock = 4 * 1024
+  /** Window below which the search goes linear (read once, walk lines). */
+  private val LinearWindow = 4 * SearchBlock
+
+  private def readBlock(readAt: (Long, Array[Byte], Int, Int) => Unit,
+      fileLen: Long, at: Long, size: Int): Array[Byte] = {
+    val n = math.min(size.toLong, fileLen - at).toInt
+    val b = new Array[Byte](math.max(n, 0))
+    if (n > 0) readAt(at, b, 0, n)
+    b
+  }
+
+  /** Key bytes of the line starting at `off` in `block` (to first space /
+    * newline / block end). */
+  private def keyOf(block: Array[Byte], off: Int): Array[Byte] = {
+    var i = off
+    while (i < block.length && block(i) != ' ' && block(i) != '\n') i += 1
+    java.util.Arrays.copyOfRange(block, off, i)
+  }
+
+  /** Complete key of the line starting at `s` — extends the read when the
+    * key outruns the small probe block. */
+  private def keyAtLineStart(readAt: (Long, Array[Byte], Int, Int) => Unit,
+      fileLen: Long, s: Long): Array[Byte] = {
+    var b = readBlock(readAt, fileLen, s, SearchBlock)
+    if (!hasFullKey(b, 0) && s + b.length < fileLen) {
+      b = readBlock(readAt, fileLen, s, ProbeBlock)
+      if (!hasFullKey(b, 0) && s + b.length < fileLen)
+        throw new IllegalArgumentException(
+          s"CDX key at offset $s exceeds $ProbeBlock bytes — not a CDX file")
+    }
+    keyOf(b, 0)
+  }
+
+  /** Key of the shard's LAST line; None when the final line outruns the
+    * probe blocks (pruning then falls back to the binary search, which
+    * stays correct). */
+  private def lastKeyOf(readAt: (Long, Array[Byte], Int, Int) => Unit,
+      fileLen: Long): Option[Array[Byte]] = {
+    def attempt(size: Int): Option[Long] = {
+      val at = math.max(0L, fileLen - size)
+      val tail = readBlock(readAt, fileLen, at, size)
+      var i = tail.length - 1
+      while (i >= 0 && (tail(i) == '\n' || tail(i) == '\r')) i -= 1
+      while (i >= 0 && tail(i) != '\n') i -= 1
+      if (i >= 0 || at == 0) Some(at + i + 1) else None
+    }
+    attempt(SearchBlock).orElse(attempt(ProbeBlock))
+      .map(keyAtLineStart(readAt, fileLen, _))
+  }
+
+  private def startsWith(key: Array[Byte], prefix: Array[Byte]): Boolean =
+    key.length >= prefix.length && {
+      var i = 0
+      while (i < prefix.length && key(i) == prefix(i)) i += 1
+      i == prefix.length
+    }
+
+  /** Unsigned bytewise compare (the `sort` order CDX shards ship in). */
+  private def cmpPrefix(a: Array[Byte], b: Array[Byte]): Int =
+    java.util.Arrays.compareUnsigned(a, b)
+
+  /** Smallest byte string strictly above every key with this prefix:
+    * increment the last non-0xFF byte; None when the prefix is all 0xFF
+    * (the run extends to end of file). */
+  private def succBytes(prefix: Array[Byte]): Option[Array[Byte]] = {
+    var i = prefix.length - 1
+    while (i >= 0 && prefix(i) == -1) i -= 1
+    if (i < 0) None
+    else {
+      val s = java.util.Arrays.copyOf(prefix, i + 1)
+      s(i) = (s(i) + 1).toByte
+      Some(s)
+    }
+  }
+
+  /** Offset of the first LINE START whose key is >= `key` (keys that start
+    * with a searched prefix compare >= bytewise, so this is the run start).
+    * The file must be key-sorted. O(log n) probe reads of [[SearchBlock]]
+    * bytes. */
+  private[graft] def lowerBound(
+      readAt: (Long, Array[Byte], Int, Int) => Unit, fileLen: Long,
+      key: Array[Byte]): Long = {
+    if (cmpPrefix(keyAtLineStart(readAt, fileLen, 0), key) >= 0) return 0L
+    var lo = 0L      // a line start with key < `key` (or 0, checked above)
+    var hi = fileLen // first line start at/after hi has key >= `key`
+    while (hi - lo > LinearWindow) {
+      val mid = (lo + hi) >>> 1
+      val ls = lineStartAtOrAfterFrom(readAt, fileLen, mid)
+      if (ls >= hi)
+        // no line start in [mid, hi): a line longer than the half-window;
+        // fall out to the linear tail scan from lo
+        return linearLowerBound(readAt, fileLen, lo, hi, key)
+      if (cmpPrefix(keyAtLineStart(readAt, fileLen, ls), key) >= 0) hi = ls
+      else lo = ls
+    }
+    linearLowerBound(readAt, fileLen, lo, hi, key)
+  }
+
+  /** First line start in [lo, hi) whose key >= `key`; hi when none. One
+    * window read, then an in-memory line walk (lo is a line start). */
+  private def linearLowerBound(
+      readAt: (Long, Array[Byte], Int, Int) => Unit, fileLen: Long,
+      lo: Long, hi: Long, key: Array[Byte]): Long = {
+    val end = math.min(hi, fileLen)
+    if (end <= lo) return hi
+    val b = new Array[Byte]((end - lo).toInt)
+    readAt(lo, b, 0, b.length)
+    var s = 0
+    while (s >= 0 && s < b.length) {
+      val ge =
+        if (hasFullKey(b, s)) cmpPrefix(keyOf(b, s), key) >= 0
+        // the line's key outruns the window: resolve it with its own read.
+        // (a truncated key that already compares >= is safely >=, but a
+        // truncated < could still be a full >=)
+        else cmpPrefix(keyAtLineStart(readAt, fileLen, lo + s), key) >= 0
+      if (ge) return lo + s
+      var i = s
+      while (i < b.length && b(i) != '\n') i += 1
+      s = if (i >= b.length) -1 else i + 1
+    }
+    // window ended mid-line or exactly at hi: no start in [lo, hi) matched
+    hi
+  }
+
+  private def hasFullKey(b: Array[Byte], off: Int): Boolean = {
+    var i = off
+    while (i < b.length) {
+      if (b(i) == ' ' || b(i) == '\n') return true
+      i += 1
+    }
+    false
+  }
+
+  private def lineStartAtOrAfterFrom(
+      readAt: (Long, Array[Byte], Int, Int) => Unit, fileLen: Long,
+      p: Long): Long = {
+    if (p <= 0) return 0L
+    var at = p - 1
+    while (at < fileLen) {
+      val b = readBlock(readAt, fileLen, at, SearchBlock)
+      var i = 0
+      while (i < b.length) {
+        if (b(i) == '\n') return at + i + 1
+        i += 1
+      }
+      at += b.length
+    }
+    fileLen
+  }
+
+  /** Text lines whose first byte lies in [from, to): non-first chunks snap
+    * forward past the partial line at `from`; the final line may read past
+    * `to` (bounded by `fileLen`). The ownership rule that makes chunked
+    * splits exact. */
+  private def spanTextLines(readAt: (Long, Array[Byte], Int, Int) => Unit,
+      fileLen: Long, from: Long, to: Long, isFirst: Boolean): Iterator[String] = {
+    val start =
+      if (isFirst) from
+      else lineStartAtOrAfterFrom(readAt, fileLen, from)
+    val limit = to // `to` would shadow Iterator.to inside the class below
+    if (start >= limit || start >= fileLen) return Iterator.empty
+    new Iterator[String] {
+      private val buf = new java.io.ByteArrayOutputStream()
+      private var at = start       // next unread byte
+      private var lineStart = start
+      private var block: Array[Byte] = null
+      private var bi = 0
+      private var done = false
+      private var pending: String = null
+
+      private def emit(bytes: Array[Byte]): String = {
+        val t =
+          if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r')
+            java.util.Arrays.copyOf(bytes, bytes.length - 1)
+          else bytes
+        new String(t, java.nio.charset.StandardCharsets.UTF_8)
+      }
+
+      private def advance(): Unit = {
+        while (pending == null && !done) {
+          if (block == null || bi >= block.length) {
+            if (at >= fileLen) { // EOF: flush an unterminated final line
+              if (buf.size() > 0) pending = emit(buf.toByteArray)
+              buf.reset()
+              done = true
+              return
+            }
+            val n = math.min(ProbeBlock.toLong, fileLen - at).toInt
+            val b = new Array[Byte](n)
+            readAt(at, b, 0, n)
+            block = b
+            bi = 0
+          }
+          while (bi < block.length && pending == null && !done) {
+            val c = block(bi)
+            bi += 1
+            at += 1
+            if (c == '\n') {
+              // invariant: lineStart < to (checked when the line started)
+              pending = emit(buf.toByteArray)
+              buf.reset()
+              lineStart = at
+              if (lineStart >= limit) done = true
+            } else buf.write(c)
+          }
+        }
+      }
+
+      def hasNext: Boolean = { advance(); pending != null }
+      def next(): String = {
+        advance()
+        val r = pending
+        pending = null
+        if (r == null) throw new NoSuchElementException
+        r
+      }
+    }
+  }
 }

@@ -40,6 +40,87 @@ class CdxIndexSpec extends SparkSpec {
     assert(CdxIndex.fetchIndex(withRevisit, "file:/data").count() == 2)
   }
 
+  // sorted CDXJ lines across `hosts` hosts, `perHost` captures each —
+  // the SURT-sorted shard layout Common Crawl ships
+  private def sortedLines(hosts: Int, perHost: Int): Seq[String] =
+    (0 until hosts).flatMap { h =>
+      val host = f"test,host-$h%04d)"
+      (0 until perHost).map { d =>
+        s"""$host/page/$d%05d 20260101000000 {"url": "https://host-$h.test/page/$d", """ +
+          s""""status": "200", "offset": "${h * 1000 + d}", "filename": "seg/f.warc.gz"}"""
+      }
+    }.sorted
+
+  private def countingReadAt(path: String): ((Long, Array[Byte], Int, Int) => Unit, () => Long) = {
+    val raf = new java.io.RandomAccessFile(path, "r")
+    var bytes = 0L
+    val readAt = (pos: Long, buf: Array[Byte], off: Int, len: Int) => {
+      raf.seek(pos); raf.readFully(buf, off, len); bytes += len
+    }
+    (readAt, () => bytes)
+  }
+
+  test("surt-prefix pushdown: binary search reads a sub-file slice") {
+    val dir = java.nio.file.Files.createTempDirectory("cdxbs").toString
+    val lines = sortedLines(hosts = 2000, perHost = 12)
+    val path = s"$dir/part-0.cdx"
+    CdxIndex.writePlain(path, lines)
+    val fileLen = new java.io.File(path).length()
+    assert(fileLen > 3000000, s"fixture too small to prove pruning: $fileLen")
+
+    // a mid-file host: the planned range covers just its run
+    val (readAt, probed) = countingReadAt(path)
+    val Some((s, e)) = CdxIndex.planFileRange(readAt, fileLen, "test,host-0207)")
+    val spanBytes = e - s
+    assert(spanBytes < fileLen / 50,
+      s"span $spanBytes of $fileLen is not a narrow slice")
+    // planning IO is O(log n) small probes, not a scan: ~100s of KiB
+    // whatever the shard size, here under a tenth of even this small shard
+    assert(probed() < math.min(fileLen / 10, 400L * 1024),
+      s"probed ${probed()} of $fileLen")
+    // the planned range is exact: decoding it yields the host's lines
+    val buf = new Array[Byte]((e - s).toInt)
+    readAt(s, buf, 0, buf.length)
+    val got = new String(buf, "UTF-8").split("\n").toSeq
+    assert(got.size == 12 && got.forall(_.startsWith("test,host-0207)")))
+
+    // a shard whose keys are all below/above the prefix is pruned outright
+    assert(CdxIndex.planFileRange(readAt, fileLen, "test,host-9999)").isEmpty)
+    assert(CdxIndex.planFileRange(readAt, fileLen, "aaa,").isEmpty)
+    // boundary hosts resolve too
+    assert(CdxIndex.planFileRange(readAt, fileLen, "test,host-0000)").get._1 == 0L)
+    assert(CdxIndex.planFileRange(readAt, fileLen, "test,host-1999)").get._2 == fileLen)
+  }
+
+  test("readPrefix equals scan+filter, splits spans, prunes shards, mixes gz") {
+    val dir = java.nio.file.Files.createTempDirectory("cdxrp").toString
+    val lines = sortedLines(hosts = 60, perHost = 10)
+    val (loHalf, hiHalf) = lines.splitAt(lines.size / 2)
+    CdxIndex.writePlain(s"$dir/part-0.cdx", loHalf)
+    CdxIndex.writePlain(s"$dir/part-1.cdx", hiHalf)
+    val full = CdxIndex.read(spark, s"$dir/part-*.cdx")
+    for (prefix <- Seq("test,host-0007)", "test,host-0042)", "test,host-0059)",
+        "test,host-00", "test,nosuch")) {
+      val pushed = CdxIndex.readPrefix(spark, s"$dir/part-*.cdx", prefix)
+        .orderBy($"surt").collect().toSeq
+      val scanned = full.filter($"surt".startsWith(prefix))
+        .orderBy($"surt").collect().toSeq
+      assert(pushed == scanned, s"prefix $prefix")
+    }
+    // tiny maxSpanBytes: the wide-prefix read fans out into several tasks
+    // and line ownership across chunk cuts stays exact
+    val chunked = CdxIndex.readPrefix(spark, s"$dir/part-*.cdx",
+      "test,host-00", maxSpanBytes = 4096)
+    assert(chunked.rdd.getNumPartitions > 1)
+    assert(chunked.count() == full.filter($"surt".startsWith("test,host-00")).count())
+    // gz shards join the result through the scan fallback
+    CdxIndex.writeGz(s"$dir/extra.gz", Seq(
+      """test,host-0007)/gz 20260101000000 {"url": "https://host-7.test/gz", "status": "200", "offset": "1", "filename": "seg/f.warc.gz"}"""))
+    val mixed = CdxIndex.readPrefix(spark, s"$dir/*", "test,host-0007)")
+    assert(mixed.count() == 11)
+    assert(mixed.filter($"url" === "https://host-7.test/gz").count() == 1)
+  }
+
   test("index-build round-trip: crawl -> surt index -> selective fetch") {
     val dir = java.nio.file.Files.createTempDirectory("cdxrt").toString
     // a small crawl
