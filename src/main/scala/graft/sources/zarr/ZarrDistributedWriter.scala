@@ -56,12 +56,12 @@ object ZarrDistributedWriter {
     }
     val allVars = df.columns.filterNot(dims.contains).toSeq
     // string columns write as the v3 `string` data type + vlen-utf8 codec
-    // (zarr-python 3's native form) in a separate column-pruned pass
+    // (zarr-python 3's native form) in a separate column-pruned pass;
+    // sharding composes with them because the sharding_indexed index is
+    // (offset, nbytes) per inner chunk — variable-length inner chunks are
+    // exactly what it addresses
     val stringVars = allVars.filter(v => df.schema(v).dataType == StringType)
     val dataVars = allVars.filterNot(stringVars.contains)
-    require(shard.isEmpty || stringVars.isEmpty,
-      s"v3 sharded writer: string columns ${stringVars.mkString(", ")} — " +
-        "variable-length chunks write unsharded (drop `shard` or the columns)")
     def axis(d: String, i: Int): org.apache.spark.sql.Column =
       if (isTimeDim(i)) col(d).cast("timestamp").cast("double") else col(d).cast("double")
     val coords: Seq[Array[Double]] = dims.zipWithIndex.map { case (d, i) =>
@@ -85,7 +85,7 @@ object ZarrDistributedWriter {
       nodes += v -> j
     }
     stringVars.foreach { v =>
-      val j = arrayJsonV3(shape, chunks, None, compressor, dims, None,
+      val j = arrayJsonV3(shape, chunks, shard, compressor, dims, None,
         string = true)
       writeText(conf, s"$storePath/$v/zarr.json", j)
       nodes += v -> j
@@ -96,64 +96,70 @@ object ZarrDistributedWriter {
           | "consolidated_metadata": {"kind": "inline", "must_understand": false,
           | "metadata": {""".stripMargin, ", ", "}}}"))
 
-    // tasks: aggregate (var, inner-chunk) buffers, then write either one
-    // object per inner chunk or one indexed object per shard
-    val innerChunks =
-      chunkBuffers(df.drop(stringVars: _*), dims, chunks, coords, axis)
+    // tasks: aggregate (var, inner-chunk) buffers, ENCODE them (f8+gzip or
+    // vlen-utf8+gzip), then write either one object per inner chunk or one
+    // indexed object per shard — numeric and string variables share the
+    // write path because a shard index addresses opaque byte extents
     val tconf = graft.sources.TaskConf(conf)
-    val varsLocal = dataVars.toIndexedSeq
     val storeLocal = storePath
     val compLocal = compressor
-    if (stringVars.nonEmpty) {
+    val encoded: org.apache.spark.rdd.RDD[((String, String), Array[Byte])] = {
+      val varsLocal = dataVars.toIndexedSeq
+      val num =
+        if (dataVars.isEmpty) None
+        else Some(chunkBuffers(df.drop(stringVars: _*), dims, chunks, coords, axis)
+          .map { case ((vi, key), values) =>
+            ((varsLocal(vi), key), maybeGzip(encodeF8(values), compLocal))
+          })
       val sVarsLocal = stringVars.toIndexedSeq
-      stringChunkBuffers(df, dims, stringVars, chunks, coords, axis)
-        .foreachPartition { it: Iterator[((Int, String), Array[String])] =>
-          val c = tconf.value
-          it.foreach { case ((vi, key), cells) =>
-            val raw = maybeGzip(ZarrMeta.encodeVlenUtf8(cells), compLocal)
-            writeBytes(c,
-              s"$storeLocal/${sVarsLocal(vi)}/c/${key.replace(".", "/")}", raw)
-          }
-        }
+      val str =
+        if (stringVars.isEmpty) None
+        else Some(stringChunkBuffers(df, dims, stringVars, chunks, coords, axis)
+          .map { case ((vi, key), cells) =>
+            ((sVarsLocal(vi), key),
+              maybeGzip(ZarrMeta.encodeVlenUtf8(cells), compLocal))
+          })
+      (num, str) match {
+        case (Some(a), Some(b)) => a.union(b)
+        case (Some(a), None) => a
+        case (None, Some(b)) => b
+        case (None, None) => return
+      }
     }
-    if (dataVars.isEmpty) return
     shard match {
       case None =>
-        innerChunks.foreachPartition {
-          it: Iterator[((Int, String), Array[Double])] =>
+        encoded.foreachPartition {
+          it: Iterator[((String, String), Array[Byte])] =>
             val c = tconf.value
-            it.foreach { case ((vi, key), values) =>
-              val raw = maybeGzip(encodeF8(values), compLocal)
-              writeBytes(c,
-                s"$storeLocal/${varsLocal(vi)}/c/${key.replace(".", "/")}", raw)
+            it.foreach { case ((v, key), raw) =>
+              writeBytes(c, s"$storeLocal/$v/c/${key.replace(".", "/")}", raw)
             }
         }
       case Some(sh) =>
         val per = sh.zip(chunks).map { case (s, c) => s / c }.toIndexedSeq
         val nDims = dims.size
-        innerChunks
-          .map { case ((vi, key), values) =>
+        encoded
+          .map { case ((v, key), raw) =>
             val ci = key.split('.').map(_.toInt)
             val shardIdx = Array.tabulate(nDims)(i => ci(i) / per(i))
             var linear = 0L
             var i = 0
             while (i < nDims) { linear = linear * per(i) + ci(i) % per(i); i += 1 }
-            ((vi, shardIdx.mkString(".")), (linear, values))
+            ((v, shardIdx.mkString(".")), (linear, raw))
           }
           .groupByKey() // one (var, shard) group per task: memory = shard size
           .foreachPartition {
-            it: Iterator[((Int, String), Iterable[(Long, Array[Double])])] =>
+            it: Iterator[((String, String), Iterable[(Long, Array[Byte])])] =>
               val c = tconf.value
               val innerCount = per.product
-              it.foreach { case ((vi, shardKey), inners) =>
+              it.foreach { case ((v, shardKey), inners) =>
                 val present = inners.toMap
                 val body = new ByteArrayOutputStream()
                 val index = ByteBuffer.allocate(innerCount * 16 + 4)
                   .order(ByteOrder.LITTLE_ENDIAN)
                 (0L until innerCount).foreach { linear =>
                   present.get(linear) match {
-                    case Some(values) =>
-                      val enc = maybeGzip(encodeF8(values), compLocal)
+                    case Some(enc) =>
                       index.putLong(body.size().toLong)
                       index.putLong(enc.length.toLong)
                       body.write(enc)
@@ -165,7 +171,7 @@ object ZarrDistributedWriter {
                 crc.update(index.array(), 0, innerCount * 16)
                 index.putInt(crc.getValue.toInt)
                 body.write(index.array())
-                writeBytes(c, s"$storeLocal/${varsLocal(vi)}/c/" +
+                writeBytes(c, s"$storeLocal/$v/c/" +
                   shardKey.replace(".", "/"), body.toByteArray)
               }
           }

@@ -830,14 +830,30 @@ class ZarrSourceSpec extends SparkSpec {
     val b3 = back3.select(withLabels.columns.map(col): _*).orderBy(key: _*).collect()
     assert(a.length == b3.length)
     a.zip(b3).foreach { case (x, y) => assert(x == y, s"$x != $y") }
-    // sharded + strings stays a directed error (variable-length chunks)
-    val e = intercept[IllegalArgumentException] {
-      ZarrDistributedWriter.writeV3(withLabels,
-        java.nio.file.Files.createTempDirectory("zarrw3sh").toString + "/s.zarr",
-        Seq("time", "latitude", "longitude"), Seq(2, 3, 4),
-        shard = Some(Seq(2, 3, 8)))
+    // sharded + strings: the sharding_indexed index addresses (offset,
+    // nbytes) extents, so variable-length vlen-utf8 inner chunks pack into
+    // shards like any other — numeric and string vars share shard objects
+    val outSh = java.nio.file.Files.createTempDirectory("zarrw3sh").toString +
+      "/s.zarr"
+    ZarrDistributedWriter.writeV3(withLabels, outSh,
+      Seq("time", "latitude", "longitude"), Seq(2, 3, 4),
+      shard = Some(Seq(2, 3, 8)))
+    val backSh = spark.read.format("zarr").load(outSh)
+    assert(backSh.schema("station").dataType.typeName == "string")
+    val bSh = backSh.select(withLabels.columns.map(col): _*).orderBy(key: _*)
+      .collect()
+    assert(a.length == bSh.length)
+    a.zip(bSh).foreach { case (x, y) => assert(x == y, s"$x != $y") }
+    // one object per (var, shard), strings included: lon 6 cells / shard 8
+    // -> 1; time 4/2 -> 2; lat 5/3 -> 2 shards per var
+    def objects(store: String, v: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      // count real shard objects, not Hadoop's local .crc sidecars
+      walk(new java.io.File(store, s"$v/c")).count(!_.getName.startsWith("."))
     }
-    assert(e.getMessage.contains("station"), e.getMessage)
+    assert(objects(outSh, "station") == 4)
+    assert(objects(outSh, "t2m") == 4)
   }
 
   test("distributed writer encodes absent cells as nulls (sparse input)") {
