@@ -182,6 +182,158 @@ object CdxIndex {
       .filter(col("surt").startsWith(surtPrefix))
   }
 
+  // -------------------------------------------- zipnum (cluster.idx) path
+
+  /** One cluster.idx entry: the first key of a gzip member and the
+    * member's byte extent inside its shard. */
+  private[graft] final case class ZipnumEntry(
+      key: String, file: String, offset: Long, length: Long)
+
+  /** Surt-prefix lookup over the REAL Common Crawl index layout ("zipnum"):
+    * `cdx-NNNNN.gz` shards of concatenated ~3000-line gzip members plus a
+    * sorted plain `cluster.idx` secondary index whose lines are
+    * `surt timestamp<TAB>shard<TAB>offset<TAB>length[<TAB>seq]` — one per
+    * member, keyed by the member's first line. The driver binary-searches
+    * cluster.idx itself with ranged reads (it is hundreds of MB for a real
+    * crawl), reads ONLY the entry range covering `[prefix, next(prefix))`
+    * plus the one preceding entry (the run may start mid-member), and
+    * plans one task per run of members in a shard. Tasks fetch each member
+    * by (offset, length) — cost is O(selected members), never a shard
+    * scan. Relative shard names resolve against cluster.idx's directory. */
+  def readPrefixZipnum(spark: SparkSession, clusterIdx: String,
+      surtPrefix: String, membersPerTask: Int = 64): DataFrame = {
+    require(surtPrefix.nonEmpty, "empty surt prefix would scan everything")
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val idxPath = new Path(clusterIdx)
+    val fs = idxPath.getFileSystem(conf)
+    val idxLen = fs.getFileStatus(idxPath).getLen
+    val in = fs.open(idxPath)
+    val entryBytes =
+      try {
+        val readAt: (Long, Array[Byte], Int, Int) => Unit = in.readFully
+        val prefix =
+          surtPrefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val lbP = lowerBound(readAt, idxLen, prefix)
+        val end = succBytes(prefix)
+          .map(lowerBound(readAt, idxLen, _)).getOrElse(idxLen)
+        // one entry back: the preceding member can hold the run's head
+        val start = previousLineStart(readAt, idxLen, lbP)
+        if (end <= start) Array.emptyByteArray
+        else {
+          val b = new Array[Byte]((end - start).toInt)
+          readAt(start, b, 0, b.length)
+          b
+        }
+      } finally in.close()
+    val base = {
+      val parent = idxPath.getParent
+      if (parent == null) "" else parent.toString
+    }
+    val entries = new String(entryBytes,
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty).flatMap { line =>
+        line.split("\t") match {
+          case Array(key, file, off, len, _*) =>
+            val uri =
+              if (file.contains(":/") || base.isEmpty) file
+              else s"$base/$file"
+            Some(ZipnumEntry(key, uri, off.toLong, len.toLong))
+          case _ => None
+        }
+      }
+    val lineSchema =
+      StructType(Seq(StructField("line", StringType, nullable = false)))
+    if (entries.isEmpty)
+      return parseLines(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], lineSchema),
+        col("line")).filter(col("surt").startsWith(surtPrefix))
+    // task = a run of members within one shard (opened once, read in
+    // offset order)
+    val tasks: Seq[(String, Seq[(Long, Long)])] = entries
+      .groupBy(_.file).toSeq.flatMap { case (file, es) =>
+        es.sortBy(_.offset).map(e => (e.offset, e.length))
+          .grouped(membersPerTask).map(g => (file, g.toSeq))
+      }
+    val tconf = TaskConf(conf)
+    val prefixLocal = surtPrefix
+    val nPart = math.max(1, math.min(tasks.size,
+      spark.sparkContext.defaultParallelism))
+    val rdd = spark.sparkContext.parallelize(tasks, nPart).flatMap {
+      case (uri, members) =>
+        RangedIO.rows(uri, tconf) { fin =>
+          members.iterator.flatMap { case (off, len) =>
+            val comp = new Array[Byte](len.toInt)
+            fin.readFully(off, comp, 0, comp.length)
+            val gz = new java.util.zip.GZIPInputStream(
+              new java.io.ByteArrayInputStream(comp))
+            val text = try new String(gz.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8) finally gz.close()
+            text.split("\n").iterator
+              .filter(l => l.nonEmpty && l.startsWith(prefixLocal))
+              .map(org.apache.spark.sql.Row(_))
+          }
+        }
+    }
+    parseLines(spark.createDataFrame(rdd, lineSchema), col("line"))
+  }
+
+  /** Start offset of the line PRECEDING the line at `at` (itself a line
+    * start); 0-clamped. */
+  private def previousLineStart(
+      readAt: (Long, Array[Byte], Int, Int) => Unit, fileLen: Long,
+      at: Long): Long = {
+    if (at <= 0) return 0L
+    var end = math.min(at, fileLen) - 1 // the '\n' closing the previous line
+    while (end > 0) {
+      val from = math.max(0L, end - ProbeBlock)
+      val b = new Array[Byte]((end - from).toInt)
+      if (b.length > 0) readAt(from, b, 0, b.length)
+      var i = b.length - 1
+      while (i >= 0) {
+        if (b(i) == '\n') return from + i + 1
+        i -= 1
+      }
+      end = from
+    }
+    0L
+  }
+
+  /** Fixture writer for the zipnum layout: `shards` gz files of
+    * `linesPerMember`-line gzip members + the sorted cluster.idx. */
+  def writeZipnum(dir: String, lines: Seq[String], linesPerMember: Int,
+      shards: Int, conf: Configuration = new Configuration()): Unit = {
+    val sorted = lines.sorted
+    val perShard = (sorted.size + shards - 1) / shards
+    val idx = Seq.newBuilder[String]
+    var seq = 0
+    sorted.grouped(math.max(perShard, 1)).zipWithIndex.foreach {
+      case (shardLines, si) =>
+        val name = f"cdx-$si%05d.gz"
+        val p = new Path(s"$dir/$name")
+        val out = p.getFileSystem(conf).create(p, true)
+        try {
+          var offset = 0L
+          shardLines.grouped(linesPerMember).foreach { member =>
+            val bos = new java.io.ByteArrayOutputStream()
+            val g = new GZIPOutputStream(bos)
+            member.foreach { l =>
+              g.write(l.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              g.write('\n')
+            }
+            g.close()
+            val bytes = bos.toByteArray
+            out.write(bytes)
+            // cluster key = the member's first line's "surt timestamp"
+            val key = member.head.split(" ").take(2).mkString(" ")
+            idx += s"$key\t$name\t$offset\t${bytes.length}\t$seq"
+            offset += bytes.length
+            seq += 1
+          }
+        } finally out.close()
+    }
+    writePlain(s"$dir/cluster.idx", idx.result(), conf)
+  }
+
   /** The matching byte range of one sorted plain shard, or None when the
     * shard's [first, last] keys don't straddle the prefix (pruned without
     * a search). */

@@ -24,18 +24,28 @@ package graft.sources
   *    "date")`. Field combinations Gregorian cannot represent (360_day
   *    Feb 29/30 in non-leap years) become NaN — the NaT policy of the
   *    same xarray path — rather than silently landing on a nearby day.
-  *  - julian and mixed calendars stay numeric (decoding them with
-  *    Gregorian arithmetic would be wrong by the 1582 skip).
+  *  - julian (proleptic, leap every 4 years) resolves fields with its own
+  *    leap arithmetic and maps them the same field-preserving way (julian
+  *    Feb 29 of years like 1900/2100 becomes NaN).
+  *  - unknown calendar names stay numeric rather than decoding wrong.
   */
 object CfTime {
+
+  /** A non-Gregorian CF calendar: converts between a 0-based day count
+    * relative to its own year 0 and (year, month 1-12, day) civil fields. */
+  sealed trait CfCalendar extends Serializable {
+    /** (year, month 1-12, day 1-31) for a 0-based day-of-calendar count
+      * relative to year 0. */
+    def civilFromDays(days: Long): (Int, Int, Int)
+    /** 0-based day count relative to year 0 for calendar-civil fields. */
+    def daysFromCivil(y: Int, m: Int, d: Int): Long
+  }
 
   /** Fixed-length-year calendars: days per year + cumulative days at the
     * start of each month (0-based month index). */
   sealed abstract class FixedCalendar(
-      val daysPerYear: Int, monthLengths: Array[Int]) extends Serializable {
+      val daysPerYear: Int, monthLengths: Array[Int]) extends CfCalendar {
     private val cumDays: Array[Int] = monthLengths.scanLeft(0)(_ + _)
-    /** (year, month 1-12, day 1-31) for a 0-based day-of-calendar count
-      * relative to year 0. */
     final def civilFromDays(days: Long): (Int, Int, Int) = {
       val year = Math.floorDiv(days, daysPerYear)
       var doy = (days - year * daysPerYear).toInt
@@ -43,7 +53,6 @@ object CfTime {
       while (doy >= cumDays(m + 1)) m += 1
       (year.toInt, m + 1, doy - cumDays(m) + 1)
     }
-    /** 0-based day count relative to year 0 for calendar-civil fields. */
     final def daysFromCivil(y: Int, m: Int, d: Int): Long =
       y.toLong * daysPerYear + cumDays(m - 1) + (d - 1)
   }
@@ -52,6 +61,32 @@ object CfTime {
   case object AllLeap extends FixedCalendar(366,
     Array(31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31))
   case object Day360 extends FixedCalendar(360, Array.fill(12)(30))
+
+  /** Proleptic Julian: a leap day every 4 years without exception (the
+    * cftime `julian` calendar, used by some paleo/reanalysis archives).
+    * Year 0 exists and is leap, matching cftime's astronomical numbering. */
+  case object Julian extends CfCalendar {
+    private val cum = Array(31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+      .scanLeft(0)(_ + _)
+    private def isLeap(y: Long): Boolean = Math.floorMod(y, 4L) == 0L
+    private def daysAtYear(y: Long): Long = 365L * y + Math.floorDiv(y + 3, 4)
+    def civilFromDays(days: Long): (Int, Int, Int) = {
+      var y = Math.floorDiv(4 * days, 1461L)
+      while (daysAtYear(y) > days) y -= 1
+      while (daysAtYear(y + 1) <= days) y += 1
+      var doy = (days - daysAtYear(y)).toInt
+      val leap = isLeap(y)
+      // Feb 29: doy 59 (0-based) in leap years
+      if (leap && doy == 59) return (y.toInt, 2, 29)
+      if (leap && doy > 59) doy -= 1
+      var m = 0
+      while (doy >= cum(m + 1)) m += 1
+      (y.toInt, m + 1, doy - cum(m) + 1)
+    }
+    def daysFromCivil(y: Int, m: Int, d: Int): Long =
+      daysAtYear(y) + cum(m - 1) + (d - 1) +
+        (if (m > 2 && isLeap(y)) 1 else 0)
+  }
 
   /** Proleptic-Gregorian epoch days for civil fields (Hinnant's
     * days_from_civil closed form); Long.MinValue when the fields don't
@@ -77,7 +112,7 @@ object CfTime {
     * the calendar's own day count for fixed calendars (the remap to
     * Gregorian fields happens per value). */
   final case class Units(baseEpochSec: Double, secondsPerUnit: Double,
-      calendar: Option[FixedCalendar] = None)
+      calendar: Option[CfCalendar] = None)
       extends Serializable {
     def toEpochSeconds(v: Double): Double = calendar match {
       case None => baseEpochSec + v * secondsPerUnit
@@ -111,10 +146,10 @@ object CfTime {
 
   private val gregorianCalendars =
     Set("standard", "gregorian", "proleptic_gregorian")
-  private val fixedCalendars: Map[String, FixedCalendar] = Map(
+  private val fixedCalendars: Map[String, CfCalendar] = Map(
     "noleap" -> NoLeap, "365_day" -> NoLeap,
     "all_leap" -> AllLeap, "366_day" -> AllLeap,
-    "360_day" -> Day360)
+    "360_day" -> Day360, "julian" -> Julian)
 
   def parse(units: Option[String], calendar: Option[String]): Option[Units] = {
     val calName = calendar.map(_.trim.toLowerCase)

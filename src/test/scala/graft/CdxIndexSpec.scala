@@ -121,6 +121,34 @@ class CdxIndexSpec extends SparkSpec {
     assert(mixed.filter($"url" === "https://host-7.test/gz").count() == 1)
   }
 
+  test("zipnum layout: cluster.idx plans member fetches, not shard scans") {
+    val dir = java.nio.file.Files.createTempDirectory("cdxzn").toString
+    val lines = sortedLines(hosts = 300, perHost = 10)
+    CdxIndex.writeZipnum(dir, lines, linesPerMember = 40, shards = 3)
+    // every gz shard is multi-member; cluster.idx is sorted and complete
+    val idxLines = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/cluster.idx")), "UTF-8")
+      .split("\n").toSeq
+    assert(idxLines.size == (lines.size + 39) / 40)
+    assert(idxLines == idxLines.sorted)
+
+    val full = CdxIndex.read(spark, s"$dir/cdx-*.gz")
+    for (prefix <- Seq("test,host-0123)", "test,host-0000)", "test,host-0299)",
+        "test,host-02", "test,nosuch")) {
+      val zn = CdxIndex.readPrefixZipnum(spark, s"$dir/cluster.idx", prefix)
+        .orderBy($"surt").collect().toSeq
+      val scanned = full.filter($"surt".startsWith(prefix))
+        .orderBy($"surt").collect().toSeq
+      assert(zn == scanned, s"prefix $prefix: ${zn.size} vs ${scanned.size}")
+    }
+    // IO shape: a one-host lookup touches at most 2 members (run + the
+    // preceding one), far under the 75-member inventory
+    val narrow = CdxIndex.readPrefixZipnum(spark, s"$dir/cluster.idx",
+      "test,host-0123)")
+    assert(narrow.rdd.getNumPartitions <= 2)
+    assert(narrow.count() == 10)
+  }
+
   test("index-build round-trip: crawl -> surt index -> selective fetch") {
     val dir = java.nio.file.Files.createTempDirectory("cdxrt").toString
     // a small crawl

@@ -35,9 +35,8 @@ class CfTimeSpec extends SparkSpec {
   }
 
   test("unsupported calendars and non-time units stay numeric") {
-    // julian and mixed calendars differ from Gregorian by the 1582 skip —
-    // decoding them with Gregorian arithmetic would be silently wrong
-    assert(CfTime.parse(Some("hours since 1900-01-01"), Some("julian")).isEmpty)
+    // unknown calendar names stay numeric instead of decoding wrong
+    assert(CfTime.parse(Some("hours since 1900-01-01"), Some("weird_cal")).isEmpty)
     assert(CfTime.parse(Some("K"), None).isEmpty)
     assert(CfTime.parse(Some("degrees_north"), None).isEmpty)
     assert(CfTime.parse(Some("fortnights since 2000-01-01"), None).isEmpty)
@@ -165,22 +164,25 @@ class CfTimeSpec extends SparkSpec {
       .as[String].collect().toSeq == Seq("2000-02-29"))
   }
 
-  test("a julian-calendar axis stays a plain double column") {
-    import graft.sources.netcdf.{NetCDF3, NetCDF3Reader, NetCDF3Writer => NW}
-    val dir = java.nio.file.Files.createTempDirectory("cfjul").toString
-    val path = s"$dir/julian.nc"
-    NW.write(path,
-      dims = Seq(NW.DimSpec("time", 2, record = true), NW.DimSpec("x", 2)),
-      vars = Seq(
-        NW.VarSpec("time", Seq("time"), NetCDF3.NC_DOUBLE, Seq(10.0, 20.0),
-          attrs = Seq("units" -> "days since 2000-01-01",
-            "calendar" -> "julian")),
-        NW.VarSpec("x", Seq("x"), NetCDF3.NC_DOUBLE, Seq(0.0, 1.0)),
-        NW.VarSpec("v", Seq("time", "x"), NetCDF3.NC_DOUBLE,
-          (0 until 4).map(_.toDouble))))
-    val df = NetCDF3Reader.readLongFormat(spark, path)
-    assert(df.schema("time").dataType.typeName == "double")
-    assert(df.select($"time").distinct().as[Double].collect().sorted.toSeq ==
-      Seq(10.0, 20.0))
+  test("proleptic-julian calendar decodes field-preserving; 1900 Feb 29 is NaT") {
+    // julian leaps every 4 years without exception: 1900 IS julian-leap
+    // but not Gregorian-leap — the discriminating year
+    val ju = CfTime.parse(Some("days since 1900-01-01"), Some("julian")).get
+    assert(ju.calendar.contains(CfTime.Julian))
+    assert(ju.toEpochSeconds(0.0) == epoch("1900-01-01T00:00:00").toDouble)
+    assert(ju.toEpochSeconds(58.0) == epoch("1900-02-28T00:00:00").toDouble)
+    assert(ju.toEpochSeconds(59.0).isNaN) // julian 1900-02-29: no Gregorian date
+    assert(ju.toEpochSeconds(60.0) == epoch("1900-03-01T00:00:00").toDouble)
+    assert(ju.toEpochSeconds(366.0) == epoch("1901-01-01T00:00:00").toDouble)
+    assert(ju.toEpochSeconds(-1.0) == epoch("1899-12-31T00:00:00").toDouble)
+    // 2000 is leap in both calendars: Feb 29 maps
+    val j2 = CfTime.parse(Some("days since 2000-01-01"), Some("julian")).get
+    assert(j2.toEpochSeconds(59.0) == epoch("2000-02-29T00:00:00").toDouble)
+    assert(j2.toEpochSeconds(59.25) == epoch("2000-02-29T06:00:00").toDouble)
+    // civil <-> days round-trips across leap structure and year sign
+    for (d <- -800L to 800L) {
+      val (y, m, dd) = CfTime.Julian.civilFromDays(d)
+      assert(CfTime.Julian.daysFromCivil(y, m, dd) == d, s"day $d -> ($y,$m,$dd)")
+    }
   }
 }
