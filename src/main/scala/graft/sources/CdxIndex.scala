@@ -298,6 +298,71 @@ object CdxIndex {
     0L
   }
 
+  /** DISTRIBUTED zipnum index build — the index-BUILD half at crawl
+    * scale: globally surt-sorts the rendered CDXJ lines (range partition
+    * + in-partition sort, so shard i's keys all precede shard i+1's), one
+    * task per shard streams `cdx-NNNNN.gz` as `linesPerMember`-line gzip
+    * members with task-attempt commit, and each task returns only its
+    * member entries (one per ~`linesPerMember` lines — KBs) for the
+    * driver to write as the sorted `cluster.idx`. Re-runs clear stale
+    * shards first. Returns the shard count written. */
+  def writeZipnumShards(lines: DataFrame, dir: String, shards: Int,
+      linesPerMember: Int = 3000): Int = {
+    val spark = lines.sparkSession
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val dirPath = new Path(dir)
+    val dfs = dirPath.getFileSystem(conf)
+    Option(dfs.globStatus(new Path(s"$dir/cdx-*.gz")))
+      .foreach(_.foreach(st => dfs.delete(st.getPath, false)))
+    val tconf = TaskConf(conf)
+    val sorted = lines.select(col("line").cast("string"))
+      .repartitionByRange(math.max(shards, 1), col("line"))
+      .sortWithinPartitions("line")
+    val entries = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val tc = org.apache.spark.TaskContext.get()
+        val c = tconf.value
+        val name = f"cdx-$pid%05d.gz"
+        val finalPath = new Path(s"$dir/$name")
+        val tmp = new Path(s"$dir/.$name.${tc.taskAttemptId()}.tmp")
+        val fs = finalPath.getFileSystem(c)
+        val out = fs.create(tmp, true)
+        val local = Seq.newBuilder[(String, String, Long, Long)]
+        try {
+          var offset = 0L
+          it.map(_.getString(0)).grouped(linesPerMember).foreach { member =>
+            val bos = new java.io.ByteArrayOutputStream()
+            val g = new GZIPOutputStream(bos)
+            member.foreach { l =>
+              g.write(l.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              g.write('\n')
+            }
+            g.close()
+            val bytes = bos.toByteArray
+            out.write(bytes)
+            val key = member.head.split(" ").take(2).mkString(" ")
+            local += ((key, name, offset, bytes.length.toLong))
+            offset += bytes.length
+          }
+        } finally out.close()
+        if (fs.exists(finalPath)) fs.delete(finalPath, false)
+        if (!fs.rename(tmp, finalPath)) {
+          fs.delete(tmp, false)
+          throw new java.io.IOException(s"could not commit shard $pid to $finalPath")
+        }
+        local.result().iterator
+      }
+    }.collect()
+    // collect preserves partition order and the range partitioner ordered
+    // the partitions, so the entries arrive globally sorted
+    val idxLines = entries.zipWithIndex.map {
+      case ((key, f, off, len), seq) => s"$key\t$f\t$off\t$len\t$seq"
+    }
+    writePlain(s"$dir/cluster.idx", idxLines.toSeq, conf)
+    entries.map(_._2).distinct.length
+  }
+
   /** Fixture writer for the zipnum layout: `shards` gz files of
     * `linesPerMember`-line gzip members + the sorted cluster.idx. */
   def writeZipnum(dir: String, lines: Seq[String], linesPerMember: Int,

@@ -147,6 +147,32 @@ object ZstdLines {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** One row per line from whole-file BYTES columns — the streaming
+    * surface: `readStream.format("binaryFile")` delivers newly-landed
+    * `.jsonl.zst` shards as (path, content) rows and this stateless
+    * flatMap walks their frames in memory (a trailing seekable-format
+    * seek table is skipped like any skippable frame), so corpus
+    * deliveries stream through unchanged pipelines. Works on batch
+    * DataFrames too. `dictBytes` applies an RFC 8878 dictionary to every
+    * frame (dict-trained shard deliveries). */
+  def linesFrom(df: DataFrame, uriCol: String = "path",
+      bytesCol: String = "content",
+      dictBytes: Option[Array[Byte]] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dict = dictBytes.map(Zstd.parseDictionary).orNull
+    df.select(col(uriCol).cast("string"), col(bytesCol).cast("binary"))
+      .flatMap { r =>
+        val uri = r.getString(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        if (bytes == null || bytes.isEmpty) Iterator.empty
+        else {
+          val readAt = (pos: Long, buf: Array[Byte], off: Int, len: Int) =>
+            System.arraycopy(bytes, pos.toInt, buf, off, len)
+          streamLines(uri, readAt, bytes.length.toLong, dict)
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** Parse the seekable-format footer + table, or None when the file is a
     * plain stream. Driver-side convenience over [[readSeekTableWith]]. */
   private def readSeekTable(conf: Configuration, uri: String,

@@ -149,6 +149,37 @@ class CdxIndexSpec extends SparkSpec {
     assert(narrow.count() == 10)
   }
 
+  test("distributed zipnum build: sorted shards + cluster.idx, lookups work") {
+    val dir = java.nio.file.Files.createTempDirectory("cdxznw").toString
+    val lines = sortedLines(hosts = 150, perHost = 8)
+    val shuffled = new scala.util.Random(5).shuffle(lines)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(shuffled.map(org.apache.spark.sql.Row(_)), 7),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("line",
+          org.apache.spark.sql.types.StringType))))
+    val n = CdxIndex.writeZipnumShards(df, dir, shards = 4, linesPerMember = 50)
+    assert(n == 4)
+    // the built index is globally sorted and complete
+    val idx = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/cluster.idx")), "UTF-8")
+      .split("\n").toSeq
+    assert(idx == idx.sorted)
+    assert(idx.size == lines.grouped(50).size ||
+      idx.size >= (lines.size + 49) / 50) // per-shard member rounding
+    // full content survives the build
+    val back = CdxIndex.read(spark, s"$dir/cdx-*.gz")
+    assert(back.count() == lines.size)
+    // and the lookup half reads it
+    val one = CdxIndex.readPrefixZipnum(spark, s"$dir/cluster.idx",
+      "test,host-0077)")
+    assert(one.count() == 8)
+    // a re-run with fewer shards clears the stale higher-numbered ones
+    assert(CdxIndex.writeZipnumShards(df, dir, shards = 2,
+      linesPerMember = 50) == 2)
+    assert(CdxIndex.read(spark, s"$dir/cdx-*.gz").count() == lines.size)
+  }
+
   test("index-build round-trip: crawl -> surt index -> selective fetch") {
     val dir = java.nio.file.Files.createTempDirectory("cdxrt").toString
     // a small crawl

@@ -141,6 +141,35 @@ class ZstdLinesSpec extends SparkSpec {
     assert(chain(e).contains("unknown dictionary id"), chain(e))
   }
 
+  test("linesFrom runs the corpus pipeline on a STREAM of arriving shards") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits.newProductEncoder
+    val dir = tmpDir("zslst")
+    val lines = (0 until 120).map(i => s"""{"id": $i, "text": "doc $i"}""")
+    // a SEEKABLE shard: linesFrom must skip its trailing seek table
+    ZstdLines.write(s"$dir/a.jsonl.zst", lines, frameBytes = 512)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/a.jsonl.zst"))
+    val batch = ZstdLines.linesFrom(
+      Seq(("file:a", bytes)).toDF("path", "content"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(batch.length == 120)
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Array[Byte])]
+    val streamed = ZstdLines.linesFrom(in.toDF().toDF("path", "content"))
+    val q = streamed.writeStream.format("memory").queryName("zsl_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(("file:a", bytes))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("zsl_stream").collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.toSeq == batch.toSeq) // stream == batch, line for line
+    // offsets survive: they're the uncompressed-file addresses
+    assert(got.map(_(1).asInstanceOf[Long]).sorted.toSeq ==
+      lines.scanLeft(0L)((acc, l) => acc + l.length + 1).init.sorted)
+  }
+
   test("corrupt seek table is a directed error; absent table falls back") {
     val dir = tmpDir("zslc")
     val lines = (0 until 20).map(i => s"r$i")
