@@ -377,6 +377,49 @@ object QueriesWeb {
           .orderBy($"surt")
       }),
 
+    // ------------------------------------------------------- source: CDX zipnum build + lookup
+    // The full Common Crawl index cycle: distributed zipnum BUILD (range-
+    // partitioned global surt sort, one task per gz shard of gzip members,
+    // driver writes cluster.idx from per-member entries) then the zipnum
+    // LOOKUP (binary-search cluster.idx, fetch only the covering members).
+    // The oracle recomputes the host's captures from the planted set.
+    Q("q142_cdx_zipnum", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT 'test,site-' || CAST(rn0 % 9 AS VARCHAR) || ')/d/'
+               || lpad(CAST(rn0 AS VARCHAR), 4, '0') AS surt,
+             'https://site-' || CAST(rn0 % 9 AS VARCHAR) || '.test/d/'
+               || lpad(CAST(rn0 AS VARCHAR), 4, '0') AS url,
+             CAST((o_orderkey % 977) * 3 AS BIGINT) AS offset
+      FROM o
+      WHERE rn0 % 9 = 4
+      ORDER BY surt"""))(
+      (s, d) => {
+        import s.implicits._
+        val params = Tables.orders(s, d).orderBy($"o_orderkey").limit(120)
+          .select(($"o_orderkey" % 977).cast("long"))
+          .collect().map(_.getLong(0))
+        val lines = params.zipWithIndex.map { case (k, i) =>
+          f"test,site-${i % 9})/d/$i%04d 20260101000000 " +
+            f"""{"url": "https://site-${i % 9}.test/d/$i%04d", """ +
+            s""""status": "200", "offset": "${k * 3}", """ +
+            s""""filename": "seg/f.warc.gz"}"""
+        }
+        val dir = java.nio.file.Files.createTempDirectory("q142").toString
+        // deliberately unsorted input: the BUILD owns the global sort
+        val df = s.createDataFrame(
+          s.sparkContext.parallelize(
+            lines.reverse.map(org.apache.spark.sql.Row(_)), 5),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("line",
+              org.apache.spark.sql.types.StringType))))
+        CdxIndex.writeZipnumShards(df, dir, shards = 2, linesPerMember = 10)
+        CdxIndex.readPrefixZipnum(s, s"$dir/cluster.idx", "test,site-4)")
+          .select($"surt", $"url", $"offset")
+          .orderBy($"surt")
+      }),
+
     // ------------------------------------------------------- source: CDXJ capture index
     // The lookup side of a web archive: gzipped `surt timestamp {json}`
     // lines parse into typed capture rows (sparse fields null, addresses

@@ -195,6 +195,40 @@ class ZstdSpec extends AnyFunSuite {
     } finally ctx.close()
   }
 
+  test("corrupt dictionary-coded frames fail directed, never emit garbage") {
+    val dictBytes = trainedDict()
+    val dict = Zstd.parseDictionary(dictBytes)
+    val data = ("""{"id": 9, "kind": "event", "payload": "x"}""" * 40)
+      .getBytes("UTF-8")
+    val ctx = new ZstdCompressCtx()
+    val packed = try {
+      ctx.setLevel(19)
+      ctx.loadDict(new ZstdDictCompress(dictBytes, 19))
+      ctx.compress(data)
+    } finally ctx.close()
+    // truncations at every length must raise SOMETHING typed, and a rare
+    // "successful" decode of a prefix must never silently pass as complete
+    for (len <- 8 until packed.length) {
+      try {
+        val out = Zstd.decompress(packed, 0, len, dict = dict)
+        assert(out.length != data.length ||
+          !java.util.Arrays.equals(out, data) || len == packed.length,
+          s"truncation at $len decoded 'successfully'")
+      } catch {
+        case _: Zstd.UnsupportedZstd | _: IllegalArgumentException |
+            _: ArrayIndexOutOfBoundsException => ()
+      }
+    }
+    // corrupt dictionaries: truncation inside the entropy tables is typed
+    for (len <- Seq(9, 16, 64, dictBytes.length / 2)) {
+      try Zstd.parseDictionary(java.util.Arrays.copyOf(dictBytes, len))
+      catch {
+        case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException |
+            _: Zstd.UnsupportedZstd => ()
+      }
+    }
+  }
+
   test("committed CLI fixtures decode (cross-version: zstd 1.5.7 -D frames)") {
     def res(name: String): Array[Byte] = {
       val in = getClass.getResourceAsStream(s"/zstd/$name")
