@@ -135,13 +135,34 @@ object CdxIndex {
     require(files.nonEmpty, s"no CDX files match $pattern")
     val (gzFiles, plainFiles) = files.partition(_._1.endsWith(".gz"))
 
-    val spans: Seq[(String, Long, Long, Boolean, Long)] = plainFiles.flatMap {
-      case (uri, len) =>
-        val path = new Path(uri)
-        val in = path.getFileSystem(conf).open(path)
-        val range =
-          try planFileRange(in.readFully(_, _, _, _), len, surtPrefix)
-          finally in.close()
+    // shards plan independently: on object storage each binary search is
+    // ~20 sequential ranged round-trips, so a 300-shard index planned
+    // serially would cost minutes of driver wall-clock — fan the per-shard
+    // searches across a bounded pool
+    val ranges: Seq[(String, Long, Option[(Long, Long)])] =
+      if (plainFiles.isEmpty) Nil
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, plainFiles.size))
+        try {
+          import scala.jdk.CollectionConverters._
+          val calls = plainFiles.map { case (uri, len) =>
+            new java.util.concurrent.Callable[(String, Long, Option[(Long, Long)])] {
+              def call() = {
+                val path = new Path(uri)
+                val in = path.getFileSystem(conf).open(path)
+                val r =
+                  try planFileRange(in.readFully(_, _, _, _), len, surtPrefix)
+                  finally in.close()
+                (uri, len, r)
+              }
+            }
+          }
+          pool.invokeAll(calls.asJava).asScala.map(_.get()).toSeq
+        } finally pool.shutdown()
+      }
+    val spans: Seq[(String, Long, Long, Boolean, Long)] = ranges.flatMap {
+      case (uri, len, range) =>
         range.toSeq.flatMap { case (s, e) =>
           // split fat ranges; non-first chunks snap forward to a line start
           val out = Seq.newBuilder[(String, Long, Long, Boolean, Long)]
@@ -220,6 +241,13 @@ object CdxIndex {
         val start = previousLineStart(readAt, idxLen, lbP)
         if (end <= start) Array.emptyByteArray
         else {
+          // the entry range is driver-side planning state — cap it so a
+          // too-broad prefix fails directed instead of OOMing the driver
+          // (also guards the Int cast: > 2 GiB would overflow)
+          if (end - start > MaxIdxSelectionBytes)
+            throw new IllegalArgumentException(
+              s"surt prefix '$surtPrefix' selects ${end - start} bytes of " +
+                s"$clusterIdx (cap $MaxIdxSelectionBytes) — narrow the prefix")
           val b = new Array[Byte]((end - start).toInt)
           readAt(start, b, 0, b.length)
           b
@@ -274,7 +302,11 @@ object CdxIndex {
           }
         }
     }
+    // the line filter above is the bulk cut; the surt filter makes the
+    // semantics exact (a line-prefix match is not a surt-prefix match
+    // when the prefix spans past the key)
     parseLines(spark.createDataFrame(rdd, lineSchema), col("line"))
+      .filter(col("surt").startsWith(surtPrefix))
   }
 
   /** Start offset of the line PRECEDING the line at `at` (itself a line
@@ -328,30 +360,16 @@ object CdxIndex {
         val tmp = new Path(s"$dir/.$name.${tc.taskAttemptId()}.tmp")
         val fs = finalPath.getFileSystem(c)
         val out = fs.create(tmp, true)
-        val local = Seq.newBuilder[(String, String, Long, Long)]
-        try {
-          var offset = 0L
-          it.map(_.getString(0)).grouped(linesPerMember).foreach { member =>
-            val bos = new java.io.ByteArrayOutputStream()
-            val g = new GZIPOutputStream(bos)
-            member.foreach { l =>
-              g.write(l.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-              g.write('\n')
-            }
-            g.close()
-            val bytes = bos.toByteArray
-            out.write(bytes)
-            val key = member.head.split(" ").take(2).mkString(" ")
-            local += ((key, name, offset, bytes.length.toLong))
-            offset += bytes.length
-          }
-        } finally out.close()
+        val local =
+          try writeMembers(out, it.map(_.getString(0)), linesPerMember)
+            .map { case (key, off, len) => (key, name, off, len) }
+          finally out.close()
         if (fs.exists(finalPath)) fs.delete(finalPath, false)
         if (!fs.rename(tmp, finalPath)) {
           fs.delete(tmp, false)
           throw new java.io.IOException(s"could not commit shard $pid to $finalPath")
         }
-        local.result().iterator
+        local.iterator
       }
     }.collect()
     // collect preserves partition order and the range partitioner ordered
@@ -361,6 +379,31 @@ object CdxIndex {
     }
     writePlain(s"$dir/cluster.idx", idxLines.toSeq, conf)
     entries.map(_._2).distinct.length
+  }
+
+  /** Gzip `linesPerMember`-line members of `lines` onto `out`; returns
+    * one (first-line "surt timestamp" key, member offset, member length)
+    * entry per member — the shared member framing of both zipnum writers. */
+  private def writeMembers(out: java.io.OutputStream,
+      lines: Iterator[String], linesPerMember: Int):
+      Seq[(String, Long, Long)] = {
+    val entries = Seq.newBuilder[(String, Long, Long)]
+    var offset = 0L
+    lines.grouped(linesPerMember).foreach { member =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new GZIPOutputStream(bos)
+      member.foreach { l =>
+        g.write(l.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        g.write('\n')
+      }
+      g.close()
+      val bytes = bos.toByteArray
+      out.write(bytes)
+      val key = member.head.split(" ").take(2).mkString(" ")
+      entries += ((key, offset, bytes.length.toLong))
+      offset += bytes.length
+    }
+    entries.result()
   }
 
   /** Fixture writer for the zipnum layout: `shards` gz files of
@@ -376,25 +419,13 @@ object CdxIndex {
         val name = f"cdx-$si%05d.gz"
         val p = new Path(s"$dir/$name")
         val out = p.getFileSystem(conf).create(p, true)
-        try {
-          var offset = 0L
-          shardLines.grouped(linesPerMember).foreach { member =>
-            val bos = new java.io.ByteArrayOutputStream()
-            val g = new GZIPOutputStream(bos)
-            member.foreach { l =>
-              g.write(l.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-              g.write('\n')
-            }
-            g.close()
-            val bytes = bos.toByteArray
-            out.write(bytes)
-            // cluster key = the member's first line's "surt timestamp"
-            val key = member.head.split(" ").take(2).mkString(" ")
-            idx += s"$key\t$name\t$offset\t${bytes.length}\t$seq"
-            offset += bytes.length
-            seq += 1
-          }
-        } finally out.close()
+        val entries =
+          try writeMembers(out, shardLines.iterator, linesPerMember)
+          finally out.close()
+        entries.foreach { case (key, offset, len) =>
+          idx += s"$key\t$name\t$offset\t$len\t$seq"
+          seq += 1
+        }
     }
     writePlain(s"$dir/cluster.idx", idx.result(), conf)
   }
@@ -428,6 +459,8 @@ object CdxIndex {
 
   /** Data-read block for planned spans. */
   private val ProbeBlock = 64 * 1024
+  /** Cap on the cluster.idx entry range a zipnum lookup may plan. */
+  private val MaxIdxSelectionBytes = 256L << 20
   /** Binary-search probe block: a probe only needs one line's key, so
     * probes read small (CDX lines are a few hundred bytes) and the whole
     * search costs O(log n) x 4 KiB — constant ~100 KiB per shard whatever

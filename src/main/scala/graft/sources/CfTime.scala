@@ -39,6 +39,14 @@ object CfTime {
     def civilFromDays(days: Long): (Int, Int, Int)
     /** 0-based day count relative to year 0 for calendar-civil fields. */
     def daysFromCivil(y: Int, m: Int, d: Int): Long
+    /** Last valid day of (year, month) in this calendar. */
+    def maxDay(y: Int, m: Int): Int
+    /** Whether this calendar defines dates in year `y` at all. */
+    def representableYear(y: Int): Boolean = true
+    /** Base-date validity: a malformed or un-calendar base must leave the
+      * axis numeric (None from parse), never crash or silently shift it. */
+    final def validCivil(y: Int, m: Int, d: Int): Boolean =
+      representableYear(y) && m >= 1 && m <= 12 && d >= 1 && d <= maxDay(y, m)
   }
 
   /** Fixed-length-year calendars: days per year + cumulative days at the
@@ -55,6 +63,7 @@ object CfTime {
     }
     final def daysFromCivil(y: Int, m: Int, d: Int): Long =
       y.toLong * daysPerYear + cumDays(m - 1) + (d - 1)
+    final def maxDay(y: Int, m: Int): Int = monthLengths(m - 1)
   }
   case object NoLeap extends FixedCalendar(365,
     Array(31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31))
@@ -64,7 +73,10 @@ object CfTime {
 
   /** Proleptic Julian: a leap day every 4 years without exception (the
     * cftime `julian` calendar, used by some paleo/reanalysis archives).
-    * Year 0 exists and is leap, matching cftime's astronomical numbering. */
+    * Decoding is restricted to years >= 1 CE: cftime's julian defaults to
+    * has_year_zero=False, whose BCE numbering diverges from astronomical
+    * numbering — rather than decode pre-1-CE dates one year off, they
+    * stay NaT and the restriction is explicit here. */
   case object Julian extends CfCalendar {
     private val cum = Array(31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
       .scanLeft(0)(_ + _)
@@ -86,6 +98,10 @@ object CfTime {
     def daysFromCivil(y: Int, m: Int, d: Int): Long =
       daysAtYear(y) + cum(m - 1) + (d - 1) +
         (if (m > 2 && isLeap(y)) 1 else 0)
+    def maxDay(y: Int, m: Int): Int =
+      if (m == 2 && isLeap(y)) 29
+      else Array(31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)(m - 1)
+    override def representableYear(y: Int): Boolean = y >= 1
   }
 
   /** Proleptic-Gregorian epoch days for civil fields (Hinnant's
@@ -121,6 +137,7 @@ object CfTime {
         val days = math.floor(t / 86400.0).toLong
         val sod = t - days * 86400.0
         val (y, m, d) = cal.civilFromDays(days)
+        if (!cal.representableYear(y)) return Double.NaN
         val gd = gregorianEpochDays(y, m, d)
         if (gd == Long.MinValue) Double.NaN else gd * 86400.0 + sod
     }
@@ -181,7 +198,11 @@ object CfTime {
               case Some(cal) =>
                 // a fixed-calendar base date may itself be un-Gregorian
                 // (360_day archives use "days since 1850-01-30"): count in
-                // the calendar's own days, offset by the declared zone
+                // the calendar's own days, offset by the declared zone.
+                // A base the CALENDAR can't represent (month 14, noleap
+                // Feb 30) leaves the axis numeric — decoding it would
+                // crash or silently shift every timestamp in the file
+                if (!cal.validCivil(y.toInt, mo.toInt, d.toInt)) return None
                 cal.daysFromCivil(y.toInt, mo.toInt, d.toInt) * 86400L +
                   hh * 3600L + mm * 60L + ss - offSec
               case None =>

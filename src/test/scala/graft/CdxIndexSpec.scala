@@ -46,7 +46,7 @@ class CdxIndexSpec extends SparkSpec {
     (0 until hosts).flatMap { h =>
       val host = f"test,host-$h%04d)"
       (0 until perHost).map { d =>
-        s"""$host/page/$d%05d 20260101000000 {"url": "https://host-$h.test/page/$d", """ +
+        f"""$host/page/$d%05d 20260101000000 {"url": "https://host-$h.test/page/$d", """ +
           s""""status": "200", "offset": "${h * 1000 + d}", "filename": "seg/f.warc.gz"}"""
       }
     }.sorted

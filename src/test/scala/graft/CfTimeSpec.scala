@@ -133,6 +133,14 @@ class CfTimeSpec extends SparkSpec {
     val b30 = CfTime.parse(Some("days since 2000-02-30"), Some("360_day")).get
     assert(b30.toEpochSeconds(0.0).isNaN)
     assert(b30.toEpochSeconds(1.0) == epoch("2000-03-01T00:00:00").toDouble)
+
+    // base dates the CALENDAR can't represent leave the axis numeric —
+    // neither a crash (month 14) nor a silent shift (noleap Feb 30)
+    assert(CfTime.parse(Some("days since 2000-14-01"), Some("noleap")).isEmpty)
+    assert(CfTime.parse(Some("days since 2000-02-30"), Some("noleap")).isEmpty)
+    assert(CfTime.parse(Some("days since 2000-02-29"), Some("noleap")).isEmpty)
+    assert(CfTime.parse(Some("days since 2000-02-29"), Some("all_leap")).isDefined)
+    assert(CfTime.parse(Some("days since 2000-01-32"), Some("360_day")).isEmpty)
   }
 
   test("a noleap netCDF-3 axis reads as timestamps; 360_day Feb 30 is null") {
@@ -184,5 +192,10 @@ class CfTimeSpec extends SparkSpec {
       val (y, m, dd) = CfTime.Julian.civilFromDays(d)
       assert(CfTime.Julian.daysFromCivil(y, m, dd) == d, s"day $d -> ($y,$m,$dd)")
     }
+    // pre-1-CE dates: cftime's julian has no year zero (its BCE numbering
+    // diverges from the astronomical arithmetic here), so they are NaT
+    // rather than one-year-off — and bases before 1 CE stay numeric
+    assert(ju.toEpochSeconds(-365.25 * 1902).isNaN)
+    assert(CfTime.parse(Some("days since 0000-01-01"), Some("julian")).isEmpty)
   }
 }
