@@ -1191,6 +1191,61 @@ object Queries {
           .orderBy($"time", $"latitude", $"longitude")
       }),
 
+    // ---------------------------------------------------------------- S1 (kerchunk virtual zarr over netCDF-4)
+    // The q63 netCDF-4 file served WITHOUT conversion: Kerchunk.scanNetCDF4
+    // indexes its chunk map once into a small refs JSON (the fsspec
+    // ReferenceFileSystem pattern) and the Zarr DataSource-V2 reader
+    // resolves every chunk as a byte extent of the ORIGINAL file — packed
+    // int16 + deflate + shuffle + scale/offset + fill all decode through
+    // the zarr codec path. Same oracle recomputation, different time base.
+    Q("q143_kerchunk_refs", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200)
+      SELECT CASE WHEN rn0 // 100 = 0 THEN TIMESTAMP '2026-10-01 00:00:00'
+                  ELSE TIMESTAMP '2026-10-01 06:00:00' END AS time,
+             CAST(50 - (rn0 % 100) // 10 AS DOUBLE) AS latitude,
+             CAST(rn0 % 10 AS DOUBLE) AS longitude,
+             CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                  ELSE round(CAST(o_orderkey % 997 AS DOUBLE) * 0.25 + 200, 6)
+             END AS t2m
+      FROM o
+      ORDER BY time, latitude, longitude"""))(
+      (s, d) => {
+        import graft.sources.hdf5.{Hdf5Writer => HW}
+        import graft.sources.zarr.Kerchunk
+        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+          .select(when($"o_orderkey" % 11 === 0, lit(-1.0))
+            .otherwise(($"o_orderkey" % 997).cast("double")).as("v"))
+          .collect().map(_.getDouble(0)).toSeq
+        val t0 = java.time.LocalDateTime.of(2026, 10, 1, 0, 0)
+          .toEpochSecond(java.time.ZoneOffset.UTC)
+        val dir = java.nio.file.Files.createTempDirectory("q143").toString
+        val path = s"$dir/q143.nc"
+        HW.write(path, Seq(
+          HW.VarSpec("time", Seq("time"), Seq(2),
+            Seq(t0.toDouble, t0 + 21600.0), dtype = "f8",
+            units = Some("seconds since 1970-01-01")),
+          HW.VarSpec("latitude", Seq("latitude"), Seq(10),
+            (0 until 10).map(50.0 - _), dtype = "f8"),
+          HW.VarSpec("longitude", Seq("longitude"), Seq(10),
+            (0 until 10).map(_.toDouble), dtype = "f8"),
+          HW.VarSpec("t2m", Seq("time", "latitude", "longitude"), Seq(2, 10, 10),
+            vals, dtype = "i2", chunks = Some(Seq(1, 4, 10)),
+            deflate = true, shuffle = true,
+            scaleFactor = Some(0.25), addOffset = Some(200.0),
+            fillValue = Some(-1.0), units = Some("K"))))
+        val refs = s"$dir/q143.refs.json"
+        java.nio.file.Files.write(java.nio.file.Paths.get(refs),
+          Kerchunk.scanNetCDF4(
+            new org.apache.hadoop.conf.Configuration(), path)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        s.read.format("zarr").load(refs)
+          .select($"time", $"latitude", $"longitude",
+            round($"t2m", 6).as("t2m"))
+          .orderBy($"time", $"latitude", $"longitude")
+      }),
+
     // ---------------------------------------------------------------- S1 (NetCDF CDF-5 / 64-bit data)
     // Same `orders` grid through the CDF-5 (64-bit data) classic variant:
     // widened header counts, an NC_INT64 variable and an NC_UBYTE variable

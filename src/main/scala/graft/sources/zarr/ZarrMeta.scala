@@ -73,7 +73,14 @@ object ZarrMeta {
       // v3 `crc32c` bytes→bytes codec on DATA chunks (must be the last
       // codec): each stored chunk carries a trailing 4-byte little-endian
       // CRC-32C, verified and stripped before decompression
-      v3DataCrc32c: Boolean = false) {
+      v3DataCrc32c: Boolean = false,
+      // kerchunk-style reference store: chunk keys resolve to byte extents
+      // of OTHER files (or inline bytes) instead of store-relative paths —
+      // the fsspec ReferenceFileSystem model that virtualizes native
+      // netCDF/HDF5 archives as zarr without rewriting them. Pruned to the
+      // partition's own chunk window at planning time (see
+      // [[prunedToWindow]]), so task closures never ship a whole index.
+      refs: Option[Map[String, RefLoc]] = None) {
     def epochSecondsTime: Boolean = timeUnits.isDefined
 
     def chunkGrid: Seq[Int] = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
@@ -87,11 +94,27 @@ object ZarrMeta {
       * buffer (Delta/FixedScaleOffset/Quantize to `astype`, AsType to
       * `encode_dtype`), so the stored chunk's element width is the LAST
       * filter's output, not the array dtype. */
+    /** Copy with `refs` narrowed to the var-chunks intersecting the
+      * GLOBAL cell window [lo, hi] (inclusive, per dim); identity for
+      * non-reference arrays. Bounded by ceil(window/chunk) per dim. */
+    def prunedToWindow(lo: Seq[Int], hi: Seq[Int]): ArrayMeta = refs match {
+      case None => this
+      case Some(m) =>
+        val perDim: Seq[Seq[Int]] = chunks.indices.map { i =>
+          (lo(i) / chunks(i)) to (hi(i) / chunks(i))
+        }
+        val keys = perDim.foldLeft(Seq(Seq.empty[Int])) { (acc, cs) =>
+          for (t <- acc; c <- cs) yield t :+ c
+        }.map(chunkKey)
+        copy(refs = Some(keys.flatMap(k => m.get(k).map(k -> _)).toMap))
+    }
+
     def encodedDtype: String = filters.foldLeft(dtype) {
       case (_, V2Filter.Delta(_, at)) => at
       case (_, V2Filter.FixedScaleOffset(_, _, _, at)) => at
       case (_, V2Filter.Quantize(_, at)) => at
       case (_, V2Filter.AsType(enc, _)) => enc
+      case (dt, _: V2Filter.Shuffle) => dt // byte shuffle keeps the dtype
       case (_, V2Filter.VlenUtf8) => throw new UnsupportedOperationException(
         s"$name: vlen-utf8 produces a variable-length buffer — the fixed-width " +
           "numeric chunk path cannot size it (string arrays route through readChunkStrings)")
@@ -122,7 +145,15 @@ object ZarrMeta {
       * LAST; the actual bytes→strings decode lives in [[readChunkStrings]]
       * (the numeric chunk path can't hold strings). */
     case object VlenUtf8 extends V2Filter
+    /** numcodecs Shuffle (byte shuffle, elementsize bytes/elem) — also the
+      * decode of HDF5 filter 2, which kerchunk references map onto it. */
+    final case class Shuffle(elementSize: Int) extends V2Filter
   }
+
+  /** One chunk's storage target in a reference store: a byte extent of
+    * `uri` (`inline == null`), or inline bytes. */
+  final case class RefLoc(uri: String, offset: Long, length: Long,
+      inline: Array[Byte]) extends Serializable
 
   final case class Store(
       path: String,
@@ -178,10 +209,12 @@ object ZarrMeta {
         case Some("astype") => V2Filter.AsType(
           (f \ "encode_dtype").extract[String], (f \ "decode_dtype").extract[String])
         case Some("vlen-utf8") => V2Filter.VlenUtf8
+        case Some("shuffle") => V2Filter.Shuffle(
+          (f \ "elementsize").extract[Int])
         case other => throw new UnsupportedOperationException(
           s"zarr v2 filter ${JsonMethods.compact(JsonMethods.render(f))} " +
             s"(id $other) — supported numcodecs filters: delta, " +
-            "fixedscaleoffset, quantize, astype, vlen-utf8")
+            "fixedscaleoffset, quantize, astype, shuffle, vlen-utf8")
       }
     }
     val filters = (za \ "filters") match {
@@ -404,6 +437,15 @@ object ZarrMeta {
     * arrays spanning the maximal dim set; coordinates = 1-d arrays named
     * after a dimension. Consolidated metadata is preferred; absent that,
     * the store is listed. */
+  /** Open a store DIRECTORY, or a kerchunk reference json when `path`
+    * names a regular file. */
+  def openAny(conf: Configuration, path: String): Store = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (fs.getFileStatus(p).isFile) openRefs(conf, path)
+    else open(conf, path)
+  }
+
   def open(conf: Configuration, store: String): Store = {
     val metas = readJson(conf, s"$store/zarr.json") match {
       case Some(root) =>
@@ -414,6 +456,11 @@ object ZarrMeta {
         listArrays(conf, store).map(n => readArrayMeta(conf, store, n)))
     }
     require(metas.nonEmpty, s"empty zarr store: $store")
+    assemble(conf, store, metas)
+  }
+
+  private def assemble(conf: Configuration, store: String,
+      metas: Seq[ArrayMeta]): Store = {
     // coordinate arrays (1-d, named after their own dim) are never data vars —
     // in a 1-D store they'd otherwise tie the max rank and duplicate a column
     val nonCoord = metas.filter(m => !(m.dims.size == 1 && m.dims.head == m.name))
@@ -434,6 +481,79 @@ object ZarrMeta {
       n -> graft.sources.CfTime.convert(readWholeArray(conf, store, m), m.timeUnits)
     }
     Store(store, dims, coords, coordMeta, dataVars)
+  }
+
+  /** Open a kerchunk-style reference store (fsspec ReferenceFileSystem
+    * JSON, versions 0/1 without templates): `.zarray`/`.zattrs` keys carry
+    * inline zarr v2 metadata, chunk keys `name/0.0` carry
+    * `[uri, offset, length]` extents of native files (or inline strings,
+    * `base64:`-prefixed for binary) — the public virtualization layer that
+    * serves netCDF/HDF5 archives as zarr without rewriting bytes. Relative
+    * target uris resolve against the refs file's directory. */
+  def openRefs(conf: Configuration, refsPath: String): Store = {
+    val root = readJson(conf, refsPath).getOrElse(
+      throw new IllegalArgumentException(s"cannot read refs json: $refsPath"))
+    val refsObj = (root \ "refs") match {
+      case JObject(fields) => fields
+      case _ if (root \ "version").extractOpt[Int].isEmpty =>
+        root match { // version 0: the whole document is the key map
+          case JObject(fields) => fields
+          case _ => throw new IllegalArgumentException(
+            s"$refsPath is not a reference-store json")
+        }
+      case _ => throw new IllegalArgumentException(
+        s"$refsPath: refs json without a refs object")
+    }
+    require((root \ "templates") == JNothing && (root \ "gen") == JNothing,
+      s"$refsPath uses jinja templates/gen — only expanded refs are supported")
+    val base = Option(new Path(refsPath).getParent).map(_.toString).getOrElse("")
+    def resolve(uri: String): String =
+      if (uri.contains(":/") || uri.startsWith("/") || base.isEmpty) uri
+      else s"$base/$uri"
+    def inlineBytes(s: String): Array[Byte] =
+      if (s.startsWith("base64:"))
+        java.util.Base64.getDecoder.decode(s.drop(7))
+      else s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val byKey: Map[String, JValue] = refsObj.map { case (k, v) => k -> v }.toMap
+    val arrayNames = byKey.keys.collect {
+      case k if k.endsWith("/.zarray") => k.dropRight("/.zarray".length)
+    }.toSeq.sorted
+    require(arrayNames.nonEmpty, s"$refsPath declares no zarr arrays")
+    def inlineJson(key: String): Option[JValue] = byKey.get(key).map {
+      case JString(s) => JsonMethods.parse(s)
+      case o => o // pre-parsed objects are tolerated
+    }
+    val metas = arrayNames.map { name =>
+      val za = inlineJson(s"$name/.zarray").getOrElse(
+        throw new IllegalArgumentException(s"$refsPath: $name/.zarray missing"))
+      val attrs = inlineJson(s"$name/.zattrs").getOrElse(JObject())
+      val m = metaFromJson(name, za, attrs)
+      val chunkRefs: Map[String, RefLoc] = byKey.collect {
+        case (k, v) if k.startsWith(name + "/") &&
+            !k.endsWith(".zarray") && !k.endsWith(".zattrs") =>
+          val key = k.drop(name.length + 1)
+          v match {
+            case JArray(JString(uri) :: rest) =>
+              val (off, len) = rest match {
+                case JInt(o) :: JInt(l) :: Nil => (o.toLong, l.toLong)
+                case Nil => (0L, -1L) // whole file
+                case _ => throw new IllegalArgumentException(
+                  s"$refsPath: malformed ref for $k")
+              }
+              val full = resolve(uri)
+              val length =
+                if (len >= 0) len
+                else new Path(full).getFileSystem(conf)
+                  .getFileStatus(new Path(full)).getLen
+              key -> RefLoc(full, off, length, null)
+            case JString(s) => key -> RefLoc(null, 0L, 0L, inlineBytes(s))
+            case _ => throw new IllegalArgumentException(
+              s"$refsPath: malformed ref for $k")
+          }
+      }
+      m.copy(refs = Some(chunkRefs))
+    }
+    assemble(conf, refsPath, metas)
   }
 
   /** Decompressed + defiltered bytes of one chunk; None = absent chunk. */
@@ -462,6 +582,22 @@ object ZarrMeta {
     // so decode runs the INVERSES in reverse list order after decompression
     def defilter(raw: Array[Byte]): Array[Byte] =
       meta.filters.foldRight(decompress(raw))(decodeFilter)
+    meta.refs match {
+      case Some(refMap) =>
+        return refMap.get(meta.chunkKey(chunkIdx)).map { loc =>
+          defilter(
+            if (loc.inline != null) loc.inline
+            else {
+              val p = new Path(loc.uri)
+              val fs = p.getFileSystem(conf)
+              val b = new Array[Byte](loc.length.toInt)
+              val in = fs.open(p)
+              try in.readFully(loc.offset, b) finally in.close()
+              b
+            })
+        }
+      case None =>
+    }
     meta.shardChunks match {
       case None =>
         readFile(conf, s"$store/${meta.name}/${meta.chunkKey(chunkIdx)}")
@@ -809,6 +945,20 @@ object ZarrMeta {
     // object→bytes codec: the buffer IS the decoded form at this layer;
     // readChunkStrings parses the vlen layout into java Strings
     case V2Filter.VlenUtf8 => buf
+    case V2Filter.Shuffle(w) =>
+      // inverse byte shuffle: encoded = all byte-0s, all byte-1s, ...
+      if (w <= 1 || buf.length % w != 0) buf
+      else {
+        val n = buf.length / w
+        val out = new Array[Byte](buf.length)
+        var j = 0
+        while (j < w) {
+          var i = 0
+          while (i < n) { out(i * w + j) = buf(j * n + i); i += 1 }
+          j += 1
+        }
+        out
+      }
   }
 
   /** Delta decode when `astype != dtype`: values are READ at `astype`

@@ -45,7 +45,7 @@ class ZarrTableProvider extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val store = ZarrMeta.open(ZarrTableProvider.sessionConf(), storePath(options))
+    val store = ZarrMeta.openAny(ZarrTableProvider.sessionConf(), storePath(options))
     ZarrTableProvider.schemaOf(store)
   }
 
@@ -83,7 +83,7 @@ object ZarrTableProvider {
 }
 
 class ZarrTable(path: String) extends Table with SupportsRead {
-  private lazy val store: Store = ZarrMeta.open(ZarrTableProvider.sessionConf(), path)
+  private lazy val store: Store = ZarrMeta.openAny(ZarrTableProvider.sessionConf(), path)
   override def name(): String = s"zarr:$path"
   override def schema(): StructType = ZarrTableProvider.schemaOf(store)
   override def capabilities(): util.Set[TableCapability] =
@@ -185,12 +185,21 @@ class ZarrScan(store: Store, required: StructType, pushed: Array[Filter])
     }
     val neededVars = store.dataVars.filter(v => required.fieldNames.contains(v.name))
     val tconf = graft.sources.TaskConf(ZarrTableProvider.sessionConf())
-    tuples.map(t => ZarrInputPartition(store.path, store.dims.toArray,
-      shape.toArray, chunks.toArray, t.toArray,
-      ranges.map(_._1).toArray, ranges.map(_._2).toArray,
-      store.dims.map(d => store.coords(d)).toArray,
-      store.dims.map(d => store.coordMeta(d).epochSecondsTime).toArray,
-      neededVars.toArray, required.fieldNames, tconf): InputPartition).toArray
+    tuples.map { t =>
+      // reference stores: narrow each var's chunk index to this
+      // partition's cell window, so the task closure ships O(window)
+      // entries instead of the whole archive index
+      val winLo = t.indices.map(i => math.max(t(i) * chunks(i), ranges(i)._1))
+      val winHi = t.indices.map(i =>
+        math.min((t(i) + 1) * chunks(i) - 1, ranges(i)._2))
+      val vars = neededVars.map(_.prunedToWindow(winLo, winHi))
+      ZarrInputPartition(store.path, store.dims.toArray,
+        shape.toArray, chunks.toArray, t.toArray,
+        ranges.map(_._1).toArray, ranges.map(_._2).toArray,
+        store.dims.map(d => store.coords(d)).toArray,
+        store.dims.map(d => store.coordMeta(d).epochSecondsTime).toArray,
+        vars.toArray, required.fieldNames, tconf): InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new ZarrReaderFactory

@@ -92,6 +92,48 @@ class CdxIndexSpec extends SparkSpec {
     assert(CdxIndex.planFileRange(readAt, fileLen, "test,host-1999)").get._2 == fileLen)
   }
 
+  test("fuzz: planFileRange equals brute force over random sorted shards") {
+    val rng = new scala.util.Random(20260814)
+    for (trial <- 0 until 20) {
+      val nKeys = 50 + rng.nextInt(400)
+      val keys = Seq.fill(nKeys) {
+        val host = s"${('a' + rng.nextInt(4)).toChar}${('a' + rng.nextInt(26)).toChar}"
+        s"com,$host)/p/${rng.nextInt(50)}"
+      }
+      // variable-length json tails exercise uneven line lengths
+      val lines = keys.map(k => s"""$k 20260101000000 {"url": "u", """ +
+        s""""filename": "${"x" * rng.nextInt(80)}"}""").sorted
+      val bytes = (lines.mkString("\n") + "\n").getBytes("UTF-8")
+      val readAt = (pos: Long, buf: Array[Byte], off: Int, len: Int) =>
+        System.arraycopy(bytes, pos.toInt, buf, off, len)
+      val offsets = lines.scanLeft(0L)((acc, l) =>
+        acc + l.getBytes("UTF-8").length + 1)
+      for (_ <- 0 until 12) {
+        val prefix = rng.nextInt(3) match {
+          case 0 =>
+            val k = lines(rng.nextInt(lines.size)).split(" ").head
+            k.take(1 + rng.nextInt(k.length))
+          case 1 => s"com,${('a' + rng.nextInt(5)).toChar}"
+          case _ =>
+            lines(rng.nextInt(lines.size)).split(" ").head +
+              (if (rng.nextBoolean()) "z" else "")
+        }
+        val surtOf = lines.map(_.split(" ").head)
+        val hits = surtOf.indices.filter(i => surtOf(i).startsWith(prefix))
+        val got = CdxIndex.planFileRange(readAt, bytes.length.toLong, prefix)
+        if (hits.isEmpty)
+          assert(got.isEmpty, s"trial $trial prefix '$prefix': got $got")
+        else {
+          // sortedness makes the matching run contiguous: the planned range
+          // must be exactly its byte extent
+          val want = (offsets(hits.head), offsets(hits.last + 1))
+          assert(got.contains(want),
+            s"trial $trial prefix '$prefix': got $got want $want")
+        }
+      }
+    }
+  }
+
   test("readPrefix equals scan+filter, splits spans, prunes shards, mixes gz") {
     val dir = java.nio.file.Files.createTempDirectory("cdxrp").toString
     val lines = sortedLines(hosts = 60, perHost = 10)

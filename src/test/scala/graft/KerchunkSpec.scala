@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.functions._
+
+import graft.sources.hdf5.{Hdf5Writer => HW}
+import graft.sources.netcdf.NetCDF4Reader
+import graft.sources.zarr.{Kerchunk, ZarrMeta}
+
+/** Kerchunk-style reference stores: a native netCDF-4/HDF5 file indexed
+  * ONCE into `zarr key -> [uri, offset, length]` JSON, then served through
+  * the Zarr DataSource-V2 reader without rewriting a byte — the fsspec
+  * ReferenceFileSystem pattern that virtualizes 100 TB archives. */
+class KerchunkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val conf = new Configuration()
+
+  private def fixture(dir: String, chunked: Boolean = true): String = {
+    val nc = s"$dir/t.nc"
+    val vals = (0 until 60).map(i => (i * 7 % 23).toDouble)
+    HW.write(nc, Seq(
+      HW.VarSpec("time", Seq("time"), Seq(3), (0 until 3).map(_ * 3600.0),
+        units = Some("seconds since 2020-01-01")),
+      HW.VarSpec("lat", Seq("lat"), Seq(4), (0 until 4).map(10.0 + _)),
+      HW.VarSpec("lon", Seq("lon"), Seq(5), (0 until 5).map(_ * 2.0)),
+      HW.VarSpec("t2m", Seq("time", "lat", "lon"), Seq(3, 4, 5), vals,
+        chunks = if (chunked) Some(Seq(2, 2, 3)) else None,
+        deflate = chunked, shuffle = chunked),
+      HW.VarSpec("p", Seq("time", "lat", "lon"), Seq(3, 4, 5),
+        vals.map(_ * 1.5),
+        chunks = if (chunked) Some(Seq(2, 2, 3)) else None)))
+    nc
+  }
+
+  test("refs over chunked deflate+shuffle netCDF-4 equal the direct read") {
+    val dir = java.nio.file.Files.createTempDirectory("kcs").toString
+    val nc = fixture(dir)
+    val refsJson = Kerchunk.scanNetCDF4(conf, nc)
+    val refsPath = s"$dir/t.refs.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(refsPath),
+      refsJson.getBytes("UTF-8"))
+    val k = Seq($"time", $"lat", $"lon")
+    val viaRefs = spark.read.format("zarr").load(refsPath)
+      .select($"time", $"lat", $"lon", $"t2m", $"p")
+      .orderBy(k: _*).collect().toSeq
+    val direct = NetCDF4Reader.readLongFormat(spark, nc)
+      .select($"time", $"lat", $"lon", $"t2m", $"p")
+      .orderBy(k: _*).collect().toSeq
+    assert(viaRefs.size == 60 && viaRefs == direct)
+    // partition planning = the referenced chunk grid (2x2x2 chunks)
+    assert(spark.read.format("zarr").load(refsPath).rdd.getNumPartitions == 8)
+    // no data bytes were copied: the only new artifact is the (small) json
+    assert(new java.io.File(refsPath).length() < 4096)
+  }
+
+  test("coordinate predicates prune referenced chunks like a real store") {
+    val dir = java.nio.file.Files.createTempDirectory("kcp").toString
+    val nc = fixture(dir)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/t.refs.json"),
+      Kerchunk.scanNetCDF4(conf, nc).getBytes("UTF-8"))
+    val df = spark.read.format("zarr").load(s"$dir/t.refs.json")
+      .filter($"lat" >= 12.0 && $"lon" < 4.0)
+    // lat 12,13 (chunk row 1), lon 0,2 (chunk col 0): 3 time x 2 lat x 2 lon
+    assert(df.count() == 12)
+    assert(df.rdd.getNumPartitions == 2) // (2 time chunks) x 1 x 1
+    assert(df.agg(sum($"t2m")).head().getDouble(0) ==
+      NetCDF4Reader.readLongFormat(spark, nc)
+        .filter($"lat" >= 12.0 && $"lon" < 4.0)
+        .agg(sum($"t2m")).head().getDouble(0))
+  }
+
+  test("contiguous layouts reference one whole-array extent") {
+    val dir = java.nio.file.Files.createTempDirectory("kcc").toString
+    val nc = fixture(dir, chunked = false)
+    val refsPath = s"$dir/t.refs.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(refsPath),
+      Kerchunk.scanNetCDF4(conf, nc).getBytes("UTF-8"))
+    val viaRefs = spark.read.format("zarr").load(refsPath)
+      .orderBy($"time", $"lat", $"lon").collect().toSeq
+    val direct = NetCDF4Reader.readLongFormat(spark, nc)
+      .select(viaRefs.head.schema.fieldNames.map(col): _*)
+      .orderBy($"time", $"lat", $"lon").collect().toSeq
+    assert(viaRefs == direct)
+  }
+
+  test("hand-written refs: inline strings, base64 chunks, whole-file refs") {
+    val dir = java.nio.file.Files.createTempDirectory("kch").toString
+    // a raw little-endian f8 chunk as its own file (whole-file ref, no
+    // offset/length) and one inline base64 chunk
+    val c0 = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putDouble(1.5).putDouble(2.5).array()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/c0.bin"), c0)
+    val c1 = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putDouble(3.5).putDouble(4.5).array()
+    val b64 = java.util.Base64.getEncoder.encodeToString(c1)
+    val xs = java.nio.ByteBuffer.allocate(32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putDouble(0).putDouble(1).putDouble(2).putDouble(3).array()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/x.bin"), xs)
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val za = """{"zarr_format": 2, "shape": [4], "chunks": [2], "dtype": "<f8", "compressor": null, "filters": null, "fill_value": "NaN", "order": "C"}"""
+    val refs =
+      s"""{"version": 1, "refs": {
+         |  ".zgroup": ${q("""{"zarr_format": 2}""")},
+         |  "x/.zarray": ${q(za)},
+         |  "x/.zattrs": ${q("""{"_ARRAY_DIMENSIONS": ["x"]}""")},
+         |  "x/0": ["x.bin", 0, 16], "x/1": ["x.bin", 16, 16],
+         |  "v/.zarray": ${q(za)},
+         |  "v/.zattrs": ${q("""{"_ARRAY_DIMENSIONS": ["x"]}""")},
+         |  "v/0": ["c0.bin"],
+         |  "v/1": "base64:$b64"
+         |}}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/r.json"),
+      refs.getBytes("UTF-8"))
+    val got = spark.read.format("zarr").load(s"$dir/r.json")
+      .orderBy($"x").select($"v").as[Double].collect().toSeq
+    assert(got == Seq(1.5, 2.5, 3.5, 4.5))
+  }
+
+  test("prunedToWindow ships only the partition's chunk references") {
+    val dir = java.nio.file.Files.createTempDirectory("kcw").toString
+    val nc = fixture(dir)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/t.refs.json"),
+      Kerchunk.scanNetCDF4(conf, nc).getBytes("UTF-8"))
+    val store = ZarrMeta.openRefs(conf, s"$dir/t.refs.json")
+    val t2m = store.dataVars.find(_.name == "t2m").get
+    assert(t2m.refs.get.size == 8) // full 2x2x2 chunk grid
+    val pruned = t2m.prunedToWindow(Seq(0, 0, 0), Seq(1, 1, 2))
+    assert(pruned.refs.get.keySet == Set("0.0.0")) // one chunk window
+    val pruned2 = t2m.prunedToWindow(Seq(2, 0, 3), Seq(2, 3, 4))
+    assert(pruned2.refs.get.keySet == Set("1.0.1", "1.1.1"))
+  }
+
+  test("unsupported shapes fail directed: odd filters and string vars") {
+    val dir = java.nio.file.Files.createTempDirectory("kcx").toString
+    val nc = s"$dir/f.nc"
+    HW.write(nc, Seq(
+      HW.VarSpec("x", Seq("x"), Seq(4), (0 until 4).map(_.toDouble)),
+      HW.VarSpec("v", Seq("x"), Seq(4), (0 until 4).map(_ * 2.0),
+        dtype = "i4", chunks = Some(Seq(2)), szip = true)))
+    val e = intercept[Exception] { Kerchunk.scanNetCDF4(conf, nc) }
+    assert(e.getMessage.contains("filter"), e.getMessage)
+  }
+
+  test("scanAll writes one refs json per matched file") {
+    val dir = java.nio.file.Files.createTempDirectory("kca").toString
+    fixture(dir)
+    val outs = Kerchunk.scanAll(conf, s"$dir/*.nc")
+    assert(outs.size == 1 && outs.head.endsWith("t.nc.refs.json"))
+    assert(spark.read.format("zarr").load(outs.head).count() == 60)
+  }
+}
