@@ -1246,6 +1246,58 @@ object Queries {
           .orderBy($"time", $"latitude", $"longitude")
       }),
 
+    // ---------------------------------------------------------------- S1 (kerchunk combine: daily files -> one virtual store)
+    // The open_mfdataset / MultiZarrToZarr shape: three "daily" netCDF-4
+    // files — each on its OWN CF time base ("hours since that day") —
+    // indexed in parallel (Kerchunk.scanAllSpark, one task per file) and
+    // concatenated along time into a single refs json. The combined store
+    // re-keys every chunk with its file's time offset and inlines the
+    // normalized (epoch-second) axis, so one query spans the archive and
+    // time predicates prune to the owning file's chunks.
+    Q("q144_kerchunk_combine", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 300)
+      SELECT CAST('2026-10-0' || CAST(rn0 // 100 + 1 AS VARCHAR) AS TIMESTAMP) AS time,
+             CAST(50 - (rn0 % 100) // 10 AS DOUBLE) AS latitude,
+             CAST(rn0 % 10 AS DOUBLE) AS longitude,
+             CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                  ELSE round(CAST(o_orderkey % 997 AS DOUBLE) * 0.25 + 200, 6)
+             END AS t2m
+      FROM o
+      ORDER BY time, latitude, longitude"""))(
+      (s, d) => {
+        import graft.sources.hdf5.{Hdf5Writer => HW}
+        import graft.sources.zarr.Kerchunk
+        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(300)
+          .select(when($"o_orderkey" % 11 === 0, lit(-1.0))
+            .otherwise(($"o_orderkey" % 997).cast("double")).as("v"))
+          .collect().map(_.getDouble(0)).toSeq
+        val dir = java.nio.file.Files.createTempDirectory("q144").toString
+        for (day <- 1 to 3) HW.write(s"$dir/d$day.nc", Seq(
+          HW.VarSpec("time", Seq("time"), Seq(1), Seq(0.0),
+            units = Some(s"hours since 2026-10-0$day")),
+          HW.VarSpec("latitude", Seq("latitude"), Seq(10),
+            (0 until 10).map(50.0 - _), dtype = "f8"),
+          HW.VarSpec("longitude", Seq("longitude"), Seq(10),
+            (0 until 10).map(_.toDouble), dtype = "f8"),
+          HW.VarSpec("t2m", Seq("time", "latitude", "longitude"),
+            Seq(1, 10, 10), vals.slice((day - 1) * 100, day * 100),
+            dtype = "i2", chunks = Some(Seq(1, 4, 10)),
+            deflate = true, shuffle = true,
+            scaleFactor = Some(0.25), addOffset = Some(200.0),
+            fillValue = Some(-1.0), units = Some("K"))))
+        val refs = Kerchunk.scanAllSpark(s, s"$dir/*.nc")
+        val combined = s"$dir/combined.json"
+        java.nio.file.Files.write(java.nio.file.Paths.get(combined),
+          Kerchunk.combine(new org.apache.hadoop.conf.Configuration(), refs)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        s.read.format("zarr").load(combined)
+          .select($"time", $"latitude", $"longitude",
+            round($"t2m", 6).as("t2m"))
+          .orderBy($"time", $"latitude", $"longitude")
+      }),
+
     // ---------------------------------------------------------------- S1 (NetCDF CDF-5 / 64-bit data)
     // Same `orders` grid through the CDF-5 (64-bit data) classic variant:
     // widened header counts, an NC_INT64 variable and an NC_UBYTE variable

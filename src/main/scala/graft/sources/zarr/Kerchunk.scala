@@ -101,6 +101,207 @@ object Kerchunk {
     }
   }
 
+  /** [[scanNetCDF4]] fanned out as a Spark job — one task per matched
+    * file, each writing `<file>.refs.json` (into `outDir` when given,
+    * alongside the file otherwise). The metadata pass over a 100 TB /
+    * 10k-file archive is itself embarrassingly parallel: each task touches
+    * only its own file's B-tree/header blocks (KBs of IO), and the driver
+    * collects nothing but the refs paths. Returns them sorted. */
+  def scanAllSpark(spark: org.apache.spark.sql.SparkSession, pattern: String,
+      outDir: String = null): Seq[String] = {
+    val p = new Path(pattern)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+      .filter(_.isFile).map(_.getPath.toString)
+    require(files.nonEmpty, s"no files match $pattern")
+    val tconf = graft.sources.TaskConf(spark.sparkContext.hadoopConfiguration)
+    val out = Option(outDir)
+    spark.sparkContext.parallelize(files, files.size).map { f =>
+      val conf = tconf.value
+      val json = scanNetCDF4(conf, f)
+      val fp = new Path(f)
+      val dest = out.map(d => new Path(d, fp.getName + ".refs.json"))
+        .getOrElse(new Path(fp.getParent, fp.getName + ".refs.json"))
+      val os = dest.getFileSystem(conf).create(dest, true)
+      try os.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+      dest.toString
+    }.collect().toSeq.sorted
+  }
+
+  /** Concatenate per-file reference stores along `concatDim` into ONE
+    * virtual store (the kerchunk `MultiZarrToZarr` / xarray
+    * `open_mfdataset` pattern): a daily-file archive becomes a single
+    * queryable hypercube with no byte rewritten — the combined refs json
+    * re-keys every chunk with its file's offset along the concat axis, so
+    * chunk-grid planning and coordinate pruning see one big store and a
+    * time-range predicate touches only the owning files' chunks.
+    *
+    * Files are ordered by their first concat-coordinate value (input order
+    * is irrelevant); overlapping coordinate ranges fail directed.
+    * Coordinates are inlined DECODED (CF-converted epoch seconds, scale /
+    * offset applied) — O(axis length) doubles in the json — which is what
+    * lets files with different per-file time bases ("hours since
+    * <that day>") combine into one well-ordered axis. Data variables must
+    * agree on dtype/codecs/attrs and per-file extents must tile the shared
+    * chunk size (a ragged tail is legal only in the last file), else the
+    * combined grid would mis-index: directed errors name the variable. */
+  def combine(conf: Configuration, refsPaths: Seq[String],
+      concatDim: String = "time"): String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    require(refsPaths.nonEmpty, "combine of zero reference stores")
+    val stores = refsPaths.map(p => p -> ZarrMeta.openRefs(conf, p))
+    stores.foreach { case (p, st) =>
+      require(st.dims.contains(concatDim),
+        s"$p: no '$concatDim' dimension (dims ${st.dims.mkString(",")})")
+    }
+    // order by the first concat-coordinate value; ranges must not overlap
+    val sorted = stores.sortBy(_._2.coords(concatDim).head)
+    sorted.sliding(2).foreach {
+      case Seq((pa, a), (pb, b)) =>
+        require(a.coords(concatDim).last < b.coords(concatDim).head,
+          s"$concatDim ranges overlap between $pa (max " +
+            s"${a.coords(concatDim).last}) and $pb (min " +
+            s"${b.coords(concatDim).head})")
+      case _ =>
+    }
+    val first = sorted.head._2
+    sorted.foreach { case (p, st) =>
+      require(st.dims == first.dims,
+        s"$p: dims ${st.dims.mkString(",")} != ${first.dims.mkString(",")}")
+      require(st.dataVars.map(_.name).sorted ==
+          first.dataVars.map(_.name).sorted,
+        s"$p: data variables ${st.dataVars.map(_.name).sorted.mkString(",")}" +
+          s" != ${first.dataVars.map(_.name).sorted.mkString(",")}")
+    }
+    val axis = first.dims.indexOf(concatDim)
+    val raws = sorted.map { case (p, _) =>
+      (p, ZarrMeta.rawRefs(conf, p), ZarrMeta.refsBase(p)) }
+
+    def inlineJson(raw: Map[String, JValue], key: String): Option[JValue] =
+      raw.get(key).map {
+        case JString(s) => JsonMethods.parse(s)
+        case o => o
+      }
+    // a chunk ref value, re-rendered with its uri absolutized against the
+    // SOURCE refs file's directory (the combined json may live elsewhere)
+    def rerender(base: String, v: JValue, key: String): String = v match {
+      case JArray(JString(uri) :: rest) =>
+        val abs = jsonQ(ZarrMeta.resolveRefTarget(base, uri))
+        rest match {
+          case Nil => s"[$abs]"
+          case JInt(o) :: JInt(l) :: Nil => s"[$abs, $o, $l]"
+          case _ => throw new IllegalArgumentException(s"malformed ref $key")
+        }
+      case JString(s) => jsonQ(s) // inline payload, location-independent
+      case _ => throw new IllegalArgumentException(s"malformed ref $key")
+    }
+
+    val entries = Seq.newBuilder[(String, String)]
+    entries += ".zgroup" -> jsonQ("""{"zarr_format": 2}""")
+
+    // ---- data variables: re-keyed chunk references
+    first.dataVars.map(_.name).foreach { name =>
+      val zas = raws.map { case (p, raw, _) =>
+        p -> inlineJson(raw, s"$name/.zarray").getOrElse(
+          throw new IllegalArgumentException(s"$p: $name/.zarray missing"))
+      }
+      val shapes = zas.map { case (p, za) => p -> (za \ "shape").extract[Seq[Int]] }
+      val chunks0 = (zas.head._2 \ "chunks").extract[Seq[Int]]
+      zas.zip(shapes).foreach { case ((p, za), (_, shape)) =>
+        require((za \ "chunks").extract[Seq[Int]] == chunks0,
+          s"$p: $name chunks ${(za \ "chunks").extract[Seq[Int]]}" +
+            s" != ${chunks0.mkString("[", ",", "]")}")
+        require(za.removeField(_._1 == "shape") ==
+            zas.head._2.removeField(_._1 == "shape"),
+          s"$p: $name codec/dtype metadata differs from ${zas.head._1}")
+        require(shape.indices.filter(_ != axis)
+            .forall(i => shape(i) == shapes.head._2(i)),
+          s"$p: $name non-$concatDim shape ${shape.mkString("x")}" +
+            s" != ${shapes.head._2.mkString("x")}")
+      }
+      val attrs0 = inlineJson(raws.head._2, s"$name/.zattrs").getOrElse(JObject())
+      raws.foreach { case (p, raw, _) =>
+        require(inlineJson(raw, s"$name/.zattrs").getOrElse(JObject()) == attrs0,
+          s"$p: $name attributes differ from ${raws.head._1} — scale/offset/" +
+            "units must agree for chunks to share one decode")
+      }
+      // per-file extents must tile the chunk size (ragged tail last only)
+      val extents = shapes.map(_._2(axis))
+      extents.init.zip(shapes.map(_._1)).foreach { case (e, p) =>
+        require(e % chunks0(axis) == 0,
+          s"$p: $name $concatDim extent $e is not a multiple of chunk " +
+            s"${chunks0(axis)} — only the LAST file may be ragged")
+      }
+      val total = extents.sum
+      val newShape = shapes.head._2.updated(axis, total)
+      val za1 = zas.head._2.removeField(_._1 == "shape") merge
+        JObject("shape" -> JArray(newShape.map(JInt(_)).toList))
+      entries += s"$name/.zarray" -> jsonQ(JsonMethods.compact(JsonMethods.render(za1)))
+      entries += s"$name/.zattrs" ->
+        jsonQ(JsonMethods.compact(JsonMethods.render(attrs0)))
+      var cum = 0
+      raws.zip(extents).foreach { case ((p, raw, base), extent) =>
+        val off = cum / chunks0(axis)
+        raw.foreach { case (k, v) =>
+          if (k.startsWith(name + "/") && !k.endsWith(".zarray") &&
+              !k.endsWith(".zattrs")) {
+            val idx = k.drop(name.length + 1).split('.').map(_.toInt)
+            require(idx.length == newShape.size, s"$p: malformed chunk key $k")
+            idx(axis) += off
+            entries += s"$name/${idx.mkString(".")}" -> rerender(base, v, k)
+          }
+        }
+        cum += extent
+      }
+    }
+
+    // ---- coordinates: inlined decoded values (small, O(axis) doubles).
+    // The concat axis concatenates across files; other axes must agree.
+    first.dims.foreach { d =>
+      val vals: Array[Double] =
+        if (d == concatDim) sorted.iterator.flatMap(_._2.coords(d)).toArray
+        else {
+          sorted.tail.foreach { case (p, st) =>
+            require(java.util.Arrays.equals(st.coords(d), first.coords(d)),
+              s"$p: coordinate $d differs from ${sorted.head._1}")
+          }
+          first.coords(d)
+        }
+      val isTime = first.coordMeta(d).timeUnits.isDefined
+      sorted.foreach { case (p, st) =>
+        require(st.coordMeta(d).timeUnits.isDefined == isTime,
+          s"$p: coordinate $d is ${if (isTime) "not " else ""}a CF time " +
+            s"axis but ${sorted.head._1}'s is" +
+            (if (isTime) "" else " not"))
+      }
+      val bb = java.nio.ByteBuffer.allocate(vals.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(bb.putDouble)
+      val b64 = java.util.Base64.getEncoder.encodeToString(bb.array())
+      val za =
+        s"""{"zarr_format": 2, "shape": [${vals.length}], """ +
+          s""""chunks": [${vals.length}], "dtype": "<f8", """ +
+          """"compressor": null, "filters": null, "fill_value": "NaN", """ +
+          """"order": "C"}"""
+      // values are already CF-decoded epoch seconds: the combined axis
+      // declares the epoch base itself, normalizing per-file bases
+      val units = if (isTime) """, "units": "seconds since 1970-01-01"""" else ""
+      entries += s"$d/.zarray" -> jsonQ(za)
+      entries += s"$d/.zattrs" ->
+        jsonQ(s"""{"_ARRAY_DIMENSIONS": ["$d"]$units}""")
+      entries += s"$d/0" -> jsonQ(s"base64:$b64")
+    }
+
+    val body = entries.result().map { case (k, v) => s""""$k": $v""" }
+      .mkString(", ")
+    s"""{"version": 1, "refs": {$body}}"""
+  }
+
+  private def jsonQ(s: String): String = "\"" + escape(s) + "\""
+
   private def datasetEntries(read: (Long, Int) => Array[Byte],
       ds: DatasetMeta, name: String, dims: Seq[String],
       uri: String): Seq[(String, String)] = {

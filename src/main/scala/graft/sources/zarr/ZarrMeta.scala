@@ -490,7 +490,10 @@ object ZarrMeta {
     * `base64:`-prefixed for binary) — the public virtualization layer that
     * serves netCDF/HDF5 archives as zarr without rewriting bytes. Relative
     * target uris resolve against the refs file's directory. */
-  def openRefs(conf: Configuration, refsPath: String): Store = {
+  /** The raw key -> value map of a reference json (version 0 or 1,
+    * templates rejected) — shared by [[openRefs]] and `Kerchunk.combine`. */
+  private[zarr] def rawRefs(conf: Configuration,
+      refsPath: String): Map[String, JValue] = {
     val root = readJson(conf, refsPath).getOrElse(
       throw new IllegalArgumentException(s"cannot read refs json: $refsPath"))
     val refsObj = (root \ "refs") match {
@@ -506,15 +509,25 @@ object ZarrMeta {
     }
     require((root \ "templates") == JNothing && (root \ "gen") == JNothing,
       s"$refsPath uses jinja templates/gen — only expanded refs are supported")
-    val base = Option(new Path(refsPath).getParent).map(_.toString).getOrElse("")
-    def resolve(uri: String): String =
-      if (uri.contains(":/") || uri.startsWith("/") || base.isEmpty) uri
-      else s"$base/$uri"
+    refsObj.map { case (k, v) => k -> v }.toMap
+  }
+
+  /** Directory relative ref targets resolve against. */
+  private[zarr] def refsBase(refsPath: String): String =
+    Option(new Path(refsPath).getParent).map(_.toString).getOrElse("")
+
+  private[zarr] def resolveRefTarget(base: String, uri: String): String =
+    if (uri.contains(":/") || uri.startsWith("/") || base.isEmpty) uri
+    else s"$base/$uri"
+
+  def openRefs(conf: Configuration, refsPath: String): Store = {
+    val byKey = rawRefs(conf, refsPath)
+    val base = refsBase(refsPath)
+    def resolve(uri: String): String = resolveRefTarget(base, uri)
     def inlineBytes(s: String): Array[Byte] =
       if (s.startsWith("base64:"))
         java.util.Base64.getDecoder.decode(s.drop(7))
       else s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val byKey: Map[String, JValue] = refsObj.map { case (k, v) => k -> v }.toMap
     val arrayNames = byKey.keys.collect {
       case k if k.endsWith("/.zarray") => k.dropRight("/.zarray".length)
     }.toSeq.sorted

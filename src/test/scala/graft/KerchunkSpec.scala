@@ -145,6 +145,85 @@ class KerchunkSpec extends SparkSpec {
     assert(e.getMessage.contains("filter"), e.getMessage)
   }
 
+  /** One "daily" file: `nt` time steps on a per-file CF base ("hours
+    * since 2021-01-0d") — the combine must normalize the bases. */
+  private def dayFile(dir: String, day: Int, nt: Int,
+      lat0: Double = 10.0): String = {
+    val nc = s"$dir/d$day.nc"
+    val vals = (0 until nt * 4 * 5).map(i => day * 1000.0 + (i * 7 % 23))
+    HW.write(nc, Seq(
+      HW.VarSpec("time", Seq("time"), Seq(nt), (0 until nt).map(_ * 6.0),
+        units = Some(f"hours since 2021-01-0$day")),
+      HW.VarSpec("lat", Seq("lat"), Seq(4), (0 until 4).map(lat0 + _)),
+      HW.VarSpec("lon", Seq("lon"), Seq(5), (0 until 5).map(_ * 2.0)),
+      HW.VarSpec("t2m", Seq("time", "lat", "lon"), Seq(nt, 4, 5), vals,
+        chunks = Some(Seq(2, 2, 3)), deflate = true, shuffle = true)))
+    nc
+  }
+
+  test("combine: daily files with different time bases read as one store") {
+    val dir = java.nio.file.Files.createTempDirectory("kcm").toString
+    val ncs = Seq(dayFile(dir, 1, 4), dayFile(dir, 2, 4), dayFile(dir, 3, 3))
+    val refs = Kerchunk.scanAllSpark(spark, s"$dir/*.nc")
+    assert(refs.size == 3)
+    // shuffled input order: combine sorts by the first time value
+    val combined = Kerchunk.combine(conf, Seq(refs(2), refs(0), refs(1)))
+    val cPath = s"$dir/combined.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(cPath),
+      combined.getBytes("UTF-8"))
+    val got = spark.read.format("zarr").load(cPath)
+      .orderBy($"time", $"lat", $"lon")
+      .select($"time", $"lat", $"lon", $"t2m").collect().toSeq
+    val want = ncs.flatMap(nc => NetCDF4Reader.readLongFormat(spark, nc)
+        .select($"time", $"lat", $"lon", $"t2m").collect())
+      .sortBy(r => (r.getAs[java.time.LocalDateTime](0)
+        .toEpochSecond(java.time.ZoneOffset.UTC), r.getDouble(1), r.getDouble(2)))
+    assert(got.size == 11 * 4 * 5 && got == want)
+    // partition grid: 11 time steps / chunk 2 = 6, x 2 lat x 2 lon
+    assert(spark.read.format("zarr").load(cPath).rdd.getNumPartitions == 24)
+    // a one-day predicate plans only the owning file's time chunks
+    val day2 = spark.read.format("zarr").load(cPath)
+      .filter($"time" >= java.time.LocalDateTime.of(2021,1,2,0,0) &&
+        $"time" < java.time.LocalDateTime.of(2021,1,3,0,0))
+    assert(day2.rdd.getNumPartitions == 8) // 2 time chunks x 2 x 2
+    assert(day2.count() == 4 * 4 * 5)
+  }
+
+  test("combine rejects overlap, grid drift, and mid-archive ragged tails") {
+    val dir = java.nio.file.Files.createTempDirectory("kcr").toString
+    val r1 = Kerchunk.scanAll(conf, dayFile(dir, 1, 4)).head
+    val r1b = {
+      val d2 = java.nio.file.Files.createTempDirectory("kcr1b").toString
+      Kerchunk.scanAll(conf, dayFile(d2, 1, 4)).head // same day again
+    }
+    val e1 = intercept[IllegalArgumentException] {
+      Kerchunk.combine(conf, Seq(r1, r1b))
+    }
+    assert(e1.getMessage.contains("overlap"), e1.getMessage)
+    val rShift = {
+      val d3 = java.nio.file.Files.createTempDirectory("kcr2").toString
+      Kerchunk.scanAll(conf, dayFile(d3, 2, 4, lat0 = 20.0)).head
+    }
+    val e2 = intercept[IllegalArgumentException] {
+      Kerchunk.combine(conf, Seq(r1, rShift))
+    }
+    assert(e2.getMessage.contains("coordinate lat"), e2.getMessage)
+    // a ragged (non-chunk-multiple) extent is legal only in the LAST file
+    val rRagged = {
+      val d4 = java.nio.file.Files.createTempDirectory("kcr3").toString
+      Kerchunk.scanAll(conf, dayFile(d4, 2, 3)).head
+    }
+    val r3 = {
+      val d5 = java.nio.file.Files.createTempDirectory("kcr4").toString
+      Kerchunk.scanAll(conf, dayFile(d5, 3, 4)).head
+    }
+    val e3 = intercept[IllegalArgumentException] {
+      Kerchunk.combine(conf, Seq(r1, rRagged, r3))
+    }
+    assert(e3.getMessage.contains("ragged"), e3.getMessage)
+    assert(Kerchunk.combine(conf, Seq(r1, rRagged)).nonEmpty) // tail ok
+  }
+
   test("scanAll writes one refs json per matched file") {
     val dir = java.nio.file.Files.createTempDirectory("kca").toString
     fixture(dir)
