@@ -1298,6 +1298,48 @@ object Queries {
           .orderBy($"time", $"latitude", $"longitude")
       }),
 
+    // ---------------------------------------------------------------- S1 (GRIB2 virtualized as zarr references)
+    // The q50 GRIB fixture served WITHOUT conversion: Kerchunk.scanGrib2
+    // references each message whole and the zarr reader's grib2 "codec"
+    // re-parses + decodes the selected field per chunk — GRIB archives
+    // (the bulk weather format) become one queryable hypercube with time
+    // chunk pruning, no bytes rewritten.
+    Q("q145_grib_virtual", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200)
+      SELECT CASE WHEN rn0 // 100 = 0 THEN TIMESTAMP '2026-03-01 00:00:00'
+                  ELSE TIMESTAMP '2026-03-01 06:00:00' END AS time,
+             CAST(50 - (rn0 % 100) // 10 AS DOUBLE) AS latitude,
+             CAST(rn0 % 10 AS DOUBLE) AS longitude,
+             CAST(o_orderkey % 997 AS DOUBLE) AS value
+      FROM o
+      ORDER BY time, latitude, longitude"""))(
+      (s, d) => {
+        import graft.sources.grib.{Grib2Writer => GW2}
+        import graft.sources.zarr.Kerchunk
+        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+          .select(($"o_orderkey" % 997).cast("double"))
+          .collect().map(_.getDouble(0)).toSeq
+        val t0 = java.time.LocalDateTime.of(2026, 3, 1, 0, 0)
+        val dir = java.nio.file.Files.createTempDirectory("q145").toString
+        val path = s"$dir/q145.grib2"
+        def spec(v: Seq[Double], fcst: Int) = GW2.FieldSpec(
+          discipline = 0, category = 0, number = 0, levelType = 103,
+          levelScaledValue = 2, refTime = t0, values = v, ni = 10, nj = 10,
+          la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0,
+          forecastTime = fcst, decimalScale = 0)
+        GW2.write(path, Seq(spec(vals.take(100), 0), spec(vals.drop(100), 6)))
+        val refs = s"$dir/q145.refs.json"
+        java.nio.file.Files.write(java.nio.file.Paths.get(refs),
+          Kerchunk.scanGrib2(
+            new org.apache.hadoop.conf.Configuration(), path)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        s.read.format("zarr").load(refs)
+          .select($"time", $"latitude", $"longitude", col("2t").as("value"))
+          .orderBy($"time", $"latitude", $"longitude")
+      }),
+
     // ---------------------------------------------------------------- S1 (NetCDF CDF-5 / 64-bit data)
     // Same `orders` grid through the CDF-5 (64-bit data) classic variant:
     // widened header counts, an NC_INT64 variable and an NC_UBYTE variable

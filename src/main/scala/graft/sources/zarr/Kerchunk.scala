@@ -277,22 +277,9 @@ object Kerchunk {
             s"axis but ${sorted.head._1}'s is" +
             (if (isTime) "" else " not"))
       }
-      val bb = java.nio.ByteBuffer.allocate(vals.length * 8)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      vals.foreach(bb.putDouble)
-      val b64 = java.util.Base64.getEncoder.encodeToString(bb.array())
-      val za =
-        s"""{"zarr_format": 2, "shape": [${vals.length}], """ +
-          s""""chunks": [${vals.length}], "dtype": "<f8", """ +
-          """"compressor": null, "filters": null, "fill_value": "NaN", """ +
-          """"order": "C"}"""
       // values are already CF-decoded epoch seconds: the combined axis
       // declares the epoch base itself, normalizing per-file bases
-      val units = if (isTime) """, "units": "seconds since 1970-01-01"""" else ""
-      entries += s"$d/.zarray" -> jsonQ(za)
-      entries += s"$d/.zattrs" ->
-        jsonQ(s"""{"_ARRAY_DIMENSIONS": ["$d"]$units}""")
-      entries += s"$d/0" -> jsonQ(s"base64:$b64")
+      entries ++= inlineF8Coord(d, vals, epochTime = isTime)
     }
 
     val body = entries.result().map { case (k, v) => s""""$k": $v""" }
@@ -301,6 +288,128 @@ object Kerchunk {
   }
 
   private def jsonQ(s: String): String = "\"" + escape(s) + "\""
+
+  /** A 1-D coordinate axis inlined into the refs json as one base64 <f8
+    * chunk (O(axis) doubles of metadata). `epochTime` axes declare the
+    * epoch base so the reader renders timestamps. */
+  private def inlineF8Coord(dim: String, vals: Array[Double],
+      epochTime: Boolean): Seq[(String, String)] = {
+    val bb = java.nio.ByteBuffer.allocate(vals.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(bb.putDouble)
+    val b64 = java.util.Base64.getEncoder.encodeToString(bb.array())
+    val za =
+      s"""{"zarr_format": 2, "shape": [${vals.length}], """ +
+        s""""chunks": [${vals.length}], "dtype": "<f8", """ +
+        """"compressor": null, "filters": null, "fill_value": "NaN", """ +
+        """"order": "C"}"""
+    val units =
+      if (epochTime) """, "units": "seconds since 1970-01-01"""" else ""
+    Seq(
+      s"$dim/.zarray" -> jsonQ(za),
+      s"$dim/.zattrs" -> jsonQ(s"""{"_ARRAY_DIMENSIONS": ["$dim"]$units}"""),
+      s"$dim/0" -> jsonQ(s"base64:$b64"))
+  }
+
+  /** Index a GRIB2 file into a reference store: every MESSAGE becomes the
+    * stored bytes of one `[time, latitude, longitude]` chunk (messages are
+    * self-describing, so the "codec" — `{"id": "grib2", ...}`, decoded by
+    * [[graft.sources.grib.GribChunkCodec]] — re-parses its message and
+    * extracts the array's field; per-message packing differences never
+    * leak into array metadata). Fields group into arrays by
+    * (shortName, level type, level value, statistical process); names
+    * take `_level`/`_stepType` suffixes only when needed. The time axis is
+    * the sorted distinct valid times, inlined as epoch seconds; a field
+    * missing at some step is an ABSENT chunk and reads as the NaN fill.
+    * Scope: rectangular lat/lon and Gaussian grids (reduced, spectral, and
+    * projected grids have no separable axes — directed errors), one grid
+    * per file. The result composes with [[combine]]: per-file GRIB refs
+    * concatenate along time like any other store. */
+  def scanGrib2(conf: Configuration, path: String,
+      uri: String = null): String = {
+    import graft.sources.grib.{Grib1, Grib2, Grib2Reader}
+    val target = Option(uri).getOrElse(path)
+    val msgs = Grib2Reader.indexMessages(conf, path)
+    val all = for ((off, len, fs) <- msgs; f <- fs) yield (off, len, f)
+    require(all.nonEmpty, s"no GRIB2 fields in $path")
+    all.foreach { case (_, _, f) =>
+      if (f.pl.isDefined) throw Grib1.UnsupportedGrib(
+        s"${f.shortName}: reduced grid rows vary in length — no " +
+          "rectangular zarr array to virtualize (read via GribReader)")
+      if (f.spectral.isDefined) throw Grib1.UnsupportedGrib(
+        s"${f.shortName}: spectral coefficients are not a lat/lon grid")
+      if (f.projection.isDefined) throw Grib1.UnsupportedGrib(
+        s"${f.shortName}: projected grid has no separable lat/lon axes " +
+          "(read via GribReader, which emits per-point coordinates)")
+    }
+    val g0 = all.head._3
+    all.foreach { case (off, _, f) =>
+      require(f.ni == g0.ni && f.nj == g0.nj && f.la1 == g0.la1 &&
+          f.lo1 == g0.lo1 && f.la2 == g0.la2 && f.lo2 == g0.lo2 &&
+          f.scanMode == g0.scanMode && f.gaussianN == g0.gaussianN,
+        s"$path: ${f.shortName} at offset $off is on a different grid " +
+          s"(${f.ni}x${f.nj} vs ${g0.ni}x${g0.nj}) — one grid per store")
+    }
+    val byKey = all.groupBy { case (_, _, f) =>
+      (f.shortName, f.levelTypeCode, f.levelValue, f.statProcess) }
+    def fmtH(v: Double): String = {
+      val s0 = if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
+        else v.toString
+      s0.replace('-', 'm').replace('.', 'p')
+    }
+    // name = shortName; peers sharing it get _<levelName>_<height>, and
+    // same-level peers differing only in statProcess get _<stepType> too
+    val bySn = byKey.keys.toSeq.groupBy(_._1)
+    val nameOf = byKey.keys.map { k =>
+      val f = byKey(k).head._3
+      val peers = bySn(k._1)
+      val name =
+        if (peers.size == 1) k._1
+        else {
+          val lvl = s"${k._1}_${f.levelName}_${fmtH(f.levelHeight)}"
+          if (peers.count(p => p._2 == k._2 && p._3 == k._3) == 1) lvl
+          else s"${lvl}_${f.stepType}"
+        }
+      k -> name
+    }.toMap
+    require(nameOf.values.toSeq.distinct.size == nameOf.size,
+      s"$path: field identities do not name uniquely: " +
+        nameOf.values.toSeq.diff(nameOf.values.toSeq.distinct).mkString(","))
+    val times = all.map(_._3.validTimeEpochSec).distinct.sorted
+    val tIdx = times.zipWithIndex.toMap
+
+    val entries = Seq.newBuilder[(String, String)]
+    entries += ".zgroup" -> jsonQ("""{"zarr_format": 2}""")
+    entries ++= inlineF8Coord("time", times.map(_.toDouble).toArray,
+      epochTime = true)
+    entries ++= inlineF8Coord("latitude",
+      (0 until g0.nj).map(g0.latOf).toArray, epochTime = false)
+    entries ++= inlineF8Coord("longitude",
+      (0 until g0.ni).map(g0.lonOf).toArray, epochTime = false)
+    byKey.toSeq.sortBy(k => nameOf(k._1)).foreach { case (k, fs) =>
+      val name = nameOf(k)
+      fs.groupBy(_._3.validTimeEpochSec).foreach { case (t, dups) =>
+        require(dups.size == 1,
+          s"$path: $name has ${dups.size} fields at valid time $t")
+      }
+      val za =
+        s"""{"zarr_format": 2, "shape": [${times.size}, ${g0.nj}, ${g0.ni}], """ +
+          s""""chunks": [1, ${g0.nj}, ${g0.ni}], "dtype": "<f8", """ +
+          s""""compressor": {"id": "grib2", "var": "${escape(k._1)}", """ +
+          s""""level_type": ${k._2}, "level": ${k._3}, "step": ${k._4}}, """ +
+          """"filters": null, "fill_value": "NaN", "order": "C"}"""
+      entries += s"$name/.zarray" -> jsonQ(za)
+      entries += s"$name/.zattrs" -> jsonQ(
+        """{"_ARRAY_DIMENSIONS": ["time", "latitude", "longitude"]}""")
+      fs.foreach { case (off, len, f) =>
+        entries += s"$name/${tIdx(f.validTimeEpochSec)}.0.0" ->
+          s"""["${escape(target)}", $off, $len]"""
+      }
+    }
+    val body = entries.result().map { case (k, v) => s""""$k": $v""" }
+      .mkString(", ")
+    s"""{"version": 1, "refs": {$body}}"""
+  }
 
   private def datasetEntries(read: (Long, Int) => Array[Byte],
       ds: DatasetMeta, name: String, dims: Seq[String],

@@ -80,7 +80,12 @@ object ZarrMeta {
       // netCDF/HDF5 archives as zarr without rewriting them. Pruned to the
       // partition's own chunk window at planning time (see
       // [[prunedToWindow]]), so task closures never ship a whole index.
-      refs: Option[Map[String, RefLoc]] = None) {
+      refs: Option[Map[String, RefLoc]] = None,
+      // compressor id "grib2": the chunk bytes are a WHOLE GRIB2 message;
+      // this selects the field to decode — (shortName, level type, level
+      // value, statistical process), constant per array while packing
+      // parameters vary per message (see grib.GribChunkCodec)
+      gribSelect: Option[(String, Int, Double, Int)] = None) {
     def epochSecondsTime: Boolean = timeUnits.isDefined
 
     def chunkGrid: Seq[Int] = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
@@ -195,6 +200,13 @@ object ZarrMeta {
       case JNull | JNothing => None
       case c => Some((c \ "id").extract[String])
     }
+    val gribSelect =
+      if (!compressor.contains("grib2")) None
+      else {
+        val c = za \ "compressor"
+        Some(((c \ "var").extract[String], (c \ "level_type").extract[Int],
+          (c \ "level").extract[Double], (c \ "step").extract[Int]))
+      }
     // `filters` apply between the compressor and the raw bytes; ignoring
     // one would decode WRONG values silently, so anything unrecognized is
     // a directed error, not a pass-through
@@ -254,7 +266,8 @@ object ZarrMeta {
       // directories (the cloud-store layout that keeps listings small);
       // ignoring it would read every chunk as absent → silent all-fill
       keySep = (za \ "dimension_separator").extractOpt[String].getOrElse("."),
-      filters = filters)
+      filters = filters,
+      gribSelect = gribSelect)
   }
 
   /** Parse a v3 array `zarr.json` into the common ArrayMeta. */
@@ -585,9 +598,17 @@ object ZarrMeta {
       // blosc chunks are self-describing (header carries codec/shuffle/
       // sizes), so one case covers every cname the codec supports
       case Some("blosc") => Blosc.decompress(raw)
+      // GRIB virtualization: the chunk bytes are a whole GRIB2 message;
+      // re-parse and decode the array's selected field (Kerchunk.scanGrib2)
+      case Some("grib2") =>
+        val (sn, lt, lv, sp) = meta.gribSelect.getOrElse(
+          throw new UnsupportedOperationException(
+            s"${meta.name}: grib2 codec without a field selector"))
+        graft.sources.grib.GribChunkCodec.decodeField(raw, sn, lt, lv, sp)
       case Some(other) =>
         throw new UnsupportedOperationException(
-          s"zarr compressor '$other' not supported (use zlib, gzip, zstd, blosc, or null)")
+          s"zarr compressor '$other' not supported " +
+            "(use zlib, gzip, zstd, blosc, grib2, or null)")
       case None => raw
     }
     }

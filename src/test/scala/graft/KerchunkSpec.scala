@@ -224,6 +224,127 @@ class KerchunkSpec extends SparkSpec {
     assert(Kerchunk.combine(conf, Seq(r1, rRagged)).nonEmpty) // tail ok
   }
 
+  // ------------------------------------------------------------ GRIB2
+  import graft.sources.grib.{Grib2Writer => GW2, Grib2Reader}
+
+  private def gSpec(values: Seq[Double], fcst: Int,
+      disc: Int = 0, cat: Int = 0, num: Int = 0, lvlType: Int = 103,
+      lvlScaled: Long = 2, packing: Int = 0) =
+    GW2.FieldSpec(disc, cat, num, lvlType, lvlScaled,
+      java.time.LocalDateTime.of(2026, 4, 1, 0, 0), values, 5, 4,
+      50.0, 0.0, 47.0, 4.0, forecastTime = fcst, packing = packing)
+
+  test("grib2 virtualization: refs equal the direct merged read") {
+    val dir = java.nio.file.Files.createTempDirectory("kcg").toString
+    val path = s"$dir/a.grib2"
+    def vals(seed: Int) = (0 until 20).map(i => ((seed * 31 + i * 7) % 211).toDouble)
+    // 3 times x 2 vars; msl complex-packed to prove per-message packing
+    // params stay out of the array metadata
+    GW2.write(path, (0 until 3).flatMap(t => Seq(
+      gSpec(vals(t), t * 6),
+      gSpec(vals(t + 10), t * 6, cat = 3, num = 1, lvlType = 101,
+        lvlScaled = 0, packing = 2))))
+    val refsPath = s"$dir/a.refs.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(refsPath),
+      Kerchunk.scanGrib2(conf, path).getBytes("UTF-8"))
+    val df = spark.read.format("zarr").load(refsPath)
+    assert(df.columns.toSet == Set("time", "latitude", "longitude", "2t", "msl"))
+    // chunk grid partitions: 3 time x 1 x 1
+    assert(df.rdd.getNumPartitions == 3)
+    val got = df.orderBy($"time", $"latitude", $"longitude")
+      .select($"time", $"latitude", $"longitude", $"2t", $"msl")
+      .collect().toSeq
+    val merged = Grib2Reader.readMerged(spark, path)
+    val c2t = graft.operators.Mover.channelName(
+      "heightAboveGround", 2.0, "instant", "2t")
+    val cMsl = graft.operators.Mover.channelName(
+      "meanSea", 0.0, "instant", "msl")
+    val want = merged.orderBy($"time", $"latitude", $"longitude")
+      .select($"time", $"latitude", $"longitude", col(c2t), col(cMsl))
+      .collect().toSeq
+    assert(got.size == 60 && got == want)
+    // a time predicate prunes to the owning message's chunk
+    val one = df.filter($"time" === java.time.LocalDateTime.of(2026, 4, 1, 6, 0))
+    assert(one.rdd.getNumPartitions == 1 && one.count() == 20)
+  }
+
+  test("grib2 virtualization: level demux, absent steps, combine over files") {
+    val dir = java.nio.file.Files.createTempDirectory("kcg2").toString
+    val path = s"$dir/b.grib2"
+    def tvals(seed: Int) = (0 until 20).map(i => (seed * 100 + i).toDouble)
+    // t at 850/500 hPa (same shortName, two levels) and msl missing the
+    // second step
+    GW2.write(path, Seq(
+      gSpec(tvals(1), 0, lvlType = 100, lvlScaled = 85000),
+      gSpec(tvals(2), 0, lvlType = 100, lvlScaled = 50000),
+      gSpec(tvals(3), 6, lvlType = 100, lvlScaled = 85000),
+      gSpec(tvals(4), 6, lvlType = 100, lvlScaled = 50000),
+      gSpec(tvals(5), 0, cat = 3, num = 1, lvlType = 101, lvlScaled = 0)))
+    val refsPath = s"$dir/b.refs.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(refsPath),
+      Kerchunk.scanGrib2(conf, path).getBytes("UTF-8"))
+    val df = spark.read.format("zarr").load(refsPath)
+    assert(df.columns.toSet == Set("time", "latitude", "longitude",
+      "t_isobaricInhPa_850", "t_isobaricInhPa_500", "msl"))
+    // msl has no field at t=6h: the chunk is absent -> fill
+    val atT6 = df.filter($"time" === java.time.LocalDateTime.of(2026, 4, 1, 6, 0))
+    assert(atT6.count() == 20)
+    assert(atT6.filter($"msl".isNull || $"msl".isNaN).count() == 20)
+    assert(atT6.filter($"t_isobaricInhPa_850".isNotNull).count() == 20)
+  }
+
+  test("grib2 virtualization composes with combine across daily files") {
+    val dir = java.nio.file.Files.createTempDirectory("kcg3").toString
+    def day(n: Int): String = {
+      val p = s"$dir/d$n.grib2"
+      GW2.write(p, (0 until 2).map { t =>
+        gSpec((0 until 20).map(i => (n * 1000 + t * 100 + i).toDouble), t * 12)
+          .copy(refTime = java.time.LocalDateTime.of(2026, 4, n, 0, 0))
+      })
+      p
+    }
+    val refs = (1 to 3).map { n =>
+      val rp = s"$dir/d$n.refs.json"
+      java.nio.file.Files.write(java.nio.file.Paths.get(rp),
+        Kerchunk.scanGrib2(conf, day(n)).getBytes("UTF-8"))
+      rp
+    }
+    val combined = s"$dir/c.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(combined),
+      Kerchunk.combine(conf, refs).getBytes("UTF-8"))
+    val df = spark.read.format("zarr").load(combined)
+    assert(df.count() == 3 * 2 * 20)
+    assert(df.rdd.getNumPartitions == 6)
+    val want = (1 to 3).flatMap { n =>
+      Grib2Reader.readMerged(spark, s"$dir/d$n.grib2")
+        .select($"time", $"latitude", $"longitude",
+          col(graft.operators.Mover.channelName(
+            "heightAboveGround", 2.0, "instant", "2t"))).collect()
+    }.sortBy(r => (r.getAs[java.time.LocalDateTime](0)
+      .toEpochSecond(java.time.ZoneOffset.UTC), r.getDouble(1), r.getDouble(2)))
+    val got = df.orderBy($"time", $"latitude", $"longitude")
+      .select($"time", $"latitude", $"longitude", $"2t").collect().toSeq
+    assert(got == want)
+  }
+
+  test("grib2 virtualization fails directed off the rectangular model") {
+    import graft.sources.grib.GaussianGrid
+    val dir = java.nio.file.Files.createTempDirectory("kcg4").toString
+    val reduced = s"$dir/r.grib2"
+    val gn = 2
+    val lats = GaussianGrid.latitudes(gn)
+    val pl = Seq(4, 8, 8, 4)
+    val vals = pl.zipWithIndex.flatMap { case (c, j) =>
+      (0 until c).map(i => 100.0 * j + i) }
+    GW2.write(reduced, Seq(GW2.FieldSpec(0, 0, 0, 103, 2,
+      java.time.LocalDateTime.of(2026, 4, 1, 0, 0), vals,
+      ni = 8, nj = pl.size, la1 = lats.head, lo1 = 0.0,
+      la2 = lats.last, lo2 = 315.0, decimalScale = 0,
+      gaussianN = gn, reducedPl = Some(pl))))
+    val e = intercept[Exception] { Kerchunk.scanGrib2(conf, reduced) }
+    assert(e.getMessage.contains("reduced"), e.getMessage)
+  }
+
   test("scanAll writes one refs json per matched file") {
     val dir = java.nio.file.Files.createTempDirectory("kca").toString
     fixture(dir)
