@@ -84,6 +84,60 @@ object KerchunkStress {
     val wk = timed("one-week mean")(week.agg(avg($"t2m")).head().getDouble(0))
     val rows = timed("full-year count")(df.count())
     println(f"[stress] year mean $full%.4f, week mean $wk%.4f, rows $rows")
+
+    // ---- the same year as daily GRIB2 files through scanGrib2 + combine
+    import graft.sources.grib.{Grib2Writer => GW2}
+    val gdir = s"$work/grib"
+    new java.io.File(gdir).mkdirs()
+    val tg0 = System.nanoTime()
+    val tconf = spark.sparkContext.hadoopConfiguration
+    for (d <- 0 until days) {
+      val day = start.plusDays(d)
+      GW2.write(s"$gdir/era_$day.grib2", (0 until nt).map { t =>
+        GW2.FieldSpec(0, 0, 0, 103, 2,
+          java.time.LocalDateTime.of(day.getYear, day.getMonthValue,
+            day.getDayOfMonth, 0, 0),
+          (0 until nlat * nlon).map(i => ((d * 7919 + t * 997 + i * 13) % 4001)
+            .toDouble / 10.0),
+          ni = nlon, nj = nlat, la1 = 60.0, lo1 = 0.0,
+          la2 = 60.0 - (nlat - 1), lo2 = (nlon - 1) * 0.5,
+          forecastTime = t * 6, decimalScale = 1)
+      })
+    }
+    val tgWrite = (System.nanoTime() - tg0) / 1e9
+    val tg1 = System.nanoTime()
+    val grefs = spark.sparkContext.parallelize(
+      new java.io.File(gdir).listFiles().map(_.toString)
+        .filter(_.endsWith(".grib2")).sorted.toSeq, days)
+      .map { f =>
+        val json = graft.sources.zarr.Kerchunk.scanGrib2(
+          new org.apache.hadoop.conf.Configuration(), f)
+        val out = f + ".refs.json"
+        java.nio.file.Files.write(java.nio.file.Paths.get(out),
+          json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out
+      }.collect().toSeq.sorted
+    val tgScan = (System.nanoTime() - tg1) / 1e9
+    val tg2 = System.nanoTime()
+    val gCombined = graft.sources.zarr.Kerchunk.combine(tconf, grefs)
+    val tgCombine = (System.nanoTime() - tg2) / 1e9
+    val gPath = s"$work/grib-combined.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(gPath),
+      gCombined.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(f"[stress] grib: $days files written in $tgWrite%.1f s; " +
+      f"scanGrib2 x$days $tgScan%.2f s; combine $tgCombine%.2f s; " +
+      f"refs json ${gCombined.length / 1024} KiB")
+    val gdf = spark.read.format("zarr").load(gPath)
+    println(s"[stress] grib combined partitions: ${gdf.rdd.getNumPartitions}")
+    val gFull = timed("grib full-year mean")(
+      gdf.agg(avg($"2t")).head().getDouble(0))
+    val gWeek = gdf.filter(
+      $"time" >= java.time.LocalDateTime.of(2025, 6, 1, 0, 0) &&
+        $"time" < java.time.LocalDateTime.of(2025, 6, 8, 0, 0))
+    println(s"[stress] grib one-week partitions: ${gWeek.rdd.getNumPartitions}")
+    val gWk = timed("grib one-week mean")(
+      gWeek.agg(avg($"2t")).head().getDouble(0))
+    println(f"[stress] grib year mean $gFull%.4f, week mean $gWk%.4f")
     spark.stop()
   }
 }
