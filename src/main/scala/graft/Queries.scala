@@ -1299,7 +1299,7 @@ object Queries {
       }),
 
     // ---------------------------------------------------------------- S1 (GRIB2 virtualized as zarr references)
-    // The q50 GRIB fixture served WITHOUT conversion: Kerchunk.scanGrib2
+    // The q50 GRIB fixture served WITHOUT conversion: Kerchunk.scanGrib
     // references each message whole and the zarr reader's grib2 "codec"
     // re-parses + decodes the selected field per chunk — GRIB archives
     // (the bulk weather format) become one queryable hypercube with time
@@ -1332,7 +1332,7 @@ object Queries {
         GW2.write(path, Seq(spec(vals.take(100), 0), spec(vals.drop(100), 6)))
         val refs = s"$dir/q145.refs.json"
         java.nio.file.Files.write(java.nio.file.Paths.get(refs),
-          Kerchunk.scanGrib2(
+          Kerchunk.scanGrib(
             new org.apache.hadoop.conf.Configuration(), path)
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         s.read.format("zarr").load(refs)

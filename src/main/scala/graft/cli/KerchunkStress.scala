@@ -110,7 +110,7 @@ object KerchunkStress {
       new java.io.File(gdir).listFiles().map(_.toString)
         .filter(_.endsWith(".grib2")).sorted.toSeq, days)
       .map { f =>
-        val json = graft.sources.zarr.Kerchunk.scanGrib2(
+        val json = graft.sources.zarr.Kerchunk.scanGrib(
           new org.apache.hadoop.conf.Configuration(), f)
         val out = f + ".refs.json"
         java.nio.file.Files.write(java.nio.file.Paths.get(out),

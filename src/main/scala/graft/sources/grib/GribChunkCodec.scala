@@ -2,34 +2,48 @@ package graft.sources.grib
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** The decode half of GRIB virtualization (`Kerchunk.scanGrib2`): a zarr
-  * chunk whose stored bytes are a WHOLE GRIB2 message. The kerchunk grib2
+/** The decode half of GRIB virtualization (`Kerchunk.scanGrib`): a zarr
+  * chunk whose stored bytes are a WHOLE GRIB message. The kerchunk grib
   * convention — messages are self-describing, so the reference carries the
   * message extent and the codec re-parses it in memory (KBs of header
-  * work) and selects ONE field by its primitive identity
-  * (shortName, level type, level value, statistical process), which is
-  * constant per zarr array even though packing parameters (reference
-  * value, scales, bits) vary per message. Output is the little-endian f8
-  * C-order buffer the numeric chunk path expects; bitmap gaps decode NaN,
-  * matching the array's declared fill. */
+  * work) and selects ONE field by identity, which is constant per zarr
+  * array even though packing parameters (reference value, scales, bits,
+  * representation template) vary per message. Output is the little-endian
+  * f8 C-order buffer the numeric chunk path expects; bitmap gaps decode
+  * NaN, matching the array's declared fill. */
 object GribChunkCodec {
-  def decodeField(msg: Array[Byte], shortName: String, levelType: Int,
-      level: Double, statProcess: Int): Array[Byte] = {
+  /** The selection is EDITION-AGNOSTIC — the cfgrib-style identity
+    * (shortName, typeOfLevel, level height, stepType) resolves on both
+    * editions' units, and the edition itself is sniffed from the message's
+    * indicator octet — so one zarr array can draw chunks from a mixed
+    * GRIB1/GRIB2 archive (mixed editions per variable are the NORM in
+    * long reanalysis archives). */
+  def decodeField(msg: Array[Byte], shortName: String, levelName: String,
+      level: Double, stepType: String): Array[Byte] = {
     val read = (off: Long, len: Int) =>
       java.util.Arrays.copyOfRange(msg, off.toInt, off.toInt + len)
-    val (fields, _) = Grib2.parseMessage(read, 0L)
-    val matches = fields.filter(f => f.shortName == shortName &&
-      f.levelTypeCode == levelType && f.levelValue == level &&
-      f.statProcess == statProcess)
+    val units: Seq[GribUnit] = Grib1.u8(msg, 7) match {
+      case 1 => Seq(Grib1.parseMessage(read, 0L))
+      case 2 => Grib2.parseMessage(read, 0L)._1
+      case e => throw Grib1.UnsupportedGrib(s"edition $e in a grib chunk")
+    }
+    val matches = units.filter(u => u.shortName == shortName &&
+      u.levelName == levelName && u.levelHeight == level &&
+      u.stepType == stepType)
     require(matches.size == 1,
-      s"grib2 chunk: ${matches.size} fields match ($shortName, " +
-        s"levelType=$levelType, level=$level, step=$statProcess) — " +
-        "the referenced message does not carry exactly this field")
-    val f = matches.head
-    val data = read(f.dataOffset, f.dataBytes)
+      s"grib chunk: ${matches.size} fields match ($shortName, $levelName, " +
+        s"$level, $stepType) — the referenced message does not carry " +
+        "exactly this field")
+    val u = matches.head
+    val data = read(u.dataOffset, u.dataBytes)
     val bitmap =
-      if (f.bitmapOffset >= 0) read(f.bitmapOffset, f.bitmapBytes) else null
-    val vals = f.decode(data, bitmap)
+      if (u.bitmapOffset >= 0) read(u.bitmapOffset, u.bitmapBytes) else null
+    val vals = u match {
+      case f: Grib2.Field => f.decode(data, bitmap)
+      case m: Grib1.Message => m.decode(data, bitmap)
+      case other => throw Grib1.UnsupportedGrib(
+        s"unexpected grib unit ${other.getClass.getName}")
+    }
     val bb = ByteBuffer.allocate(vals.length * 8).order(ByteOrder.LITTLE_ENDIAN)
     vals.foreach(bb.putDouble)
     bb.array()

@@ -159,6 +159,43 @@ object GribIndex {
     out.result()
   }
 
+  /** Mixed-edition walk that keeps each MESSAGE's byte span — the unit of
+    * GRIB virtualization (`Kerchunk.scanGrib` references messages whole).
+    * Returns (offset, length, units); edition-2 messages may carry several
+    * fields. Spectral fields are NOT excluded here — the caller decides. */
+  def indexMessageSpans(conf: Configuration,
+      path: String): Seq[(Long, Long, Seq[GribUnit])] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val fileLen = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    try {
+      val raw = (off: Long, len: Int) => {
+        val b = new Array[Byte](len)
+        in.readFully(off, b)
+        b
+      }
+      val read = new BufferedReads(raw, fileLen)
+      val out = Seq.newBuilder[(Long, Long, Seq[GribUnit])]
+      var off = Grib1Reader.nextMessage(read, fileLen, 0L)
+      while (off >= 0 && off + 8 <= fileLen) {
+        val total = Grib1.u8(read(off, 8), 7) match {
+          case 1 =>
+            val m = Grib1.parseMessage(read, off)
+            out += ((off, m.totalLength.toLong, Seq(m)))
+            m.totalLength.toLong
+          case 2 =>
+            val (fields, t) = Grib2.parseMessage(read, off)
+            out += ((off, t, fields))
+            t
+          case e => throw Grib1.UnsupportedGrib(s"edition $e at offset $off")
+        }
+        off = Grib1Reader.nextMessage(read, fileLen, off + total)
+      }
+      out.result()
+    } finally in.close()
+  }
+
   /** Header-only index of one file through a buffered reader. */
   def indexFile(conf: Configuration, path: String): Seq[GribUnit] = {
     val p = new Path(path)

@@ -311,64 +311,78 @@ object Kerchunk {
       s"$dim/0" -> jsonQ(s"base64:$b64"))
   }
 
-  /** Index a GRIB2 file into a reference store: every MESSAGE becomes the
+  /** Index a GRIB file (edition 1, 2, or MIXED — long reanalysis archives
+    * routinely mix them) into a reference store: every MESSAGE becomes the
     * stored bytes of one `[time, latitude, longitude]` chunk (messages are
-    * self-describing, so the "codec" — `{"id": "grib2", ...}`, decoded by
-    * [[graft.sources.grib.GribChunkCodec]] — re-parses its message and
-    * extracts the array's field; per-message packing differences never
-    * leak into array metadata). Fields group into arrays by
-    * (shortName, level type, level value, statistical process); names
-    * take `_level`/`_stepType` suffixes only when needed. The time axis is
-    * the sorted distinct valid times, inlined as epoch seconds; a field
-    * missing at some step is an ABSENT chunk and reads as the NaN fill.
-    * Scope: rectangular lat/lon and Gaussian grids (reduced, spectral, and
-    * projected grids have no separable axes — directed errors), one grid
-    * per file. The result composes with [[combine]]: per-file GRIB refs
-    * concatenate along time like any other store. */
-  def scanGrib2(conf: Configuration, path: String,
+    * self-describing, so the "codec" — `{"id": "grib", ...}`, decoded by
+    * [[graft.sources.grib.GribChunkCodec]] — sniffs the edition, re-parses
+    * its message, and extracts the array's field; per-message packing
+    * differences never leak into array metadata). Fields group into arrays
+    * by the edition-agnostic cfgrib identity (shortName, typeOfLevel,
+    * level height, stepType) — so one variable spanning both editions is
+    * ONE array — and names take `_level`/`_stepType` suffixes only when
+    * needed. The time axis is the sorted distinct valid times, inlined as
+    * epoch seconds; a field missing at some step is an ABSENT chunk and
+    * reads as the NaN fill. Scope: rectangular lat/lon and Gaussian grids
+    * (reduced, spectral, projected/rotated grids have no separable axes —
+    * directed errors), one grid per file (checked on the actual axis
+    * values, so editions may differ in encoding but not placement). The
+    * result composes with [[combine]]: per-file GRIB refs concatenate
+    * along time like any other store. */
+  def scanGrib(conf: Configuration, path: String,
       uri: String = null): String = {
-    import graft.sources.grib.{Grib1, Grib2, Grib2Reader}
+    import graft.sources.grib.{Grib1, Grib2, GribIndex, GribUnit}
     val target = Option(uri).getOrElse(path)
-    val msgs = Grib2Reader.indexMessages(conf, path)
-    val all = for ((off, len, fs) <- msgs; f <- fs) yield (off, len, f)
-    require(all.nonEmpty, s"no GRIB2 fields in $path")
-    all.foreach { case (_, _, f) =>
-      if (f.pl.isDefined) throw Grib1.UnsupportedGrib(
-        s"${f.shortName}: reduced grid rows vary in length — no " +
-          "rectangular zarr array to virtualize (read via GribReader)")
-      if (f.spectral.isDefined) throw Grib1.UnsupportedGrib(
-        s"${f.shortName}: spectral coefficients are not a lat/lon grid")
-      if (f.projection.isDefined) throw Grib1.UnsupportedGrib(
-        s"${f.shortName}: projected grid has no separable lat/lon axes " +
-          "(read via GribReader, which emits per-point coordinates)")
+    val msgs = GribIndex.indexMessageSpans(conf, path)
+    val all: Seq[(Long, Long, GribUnit)] =
+      for ((off, len, us) <- msgs; u <- us) yield (off, len, u)
+    require(all.nonEmpty, s"no GRIB fields in $path")
+    all.foreach { case (_, _, u) =>
+      def reject(what: String): Nothing = throw Grib1.UnsupportedGrib(
+        s"${u.shortName}: $what — no separable lat/lon axes to " +
+          "virtualize (read via GribReader, which emits per-point coordinates)")
+      u match {
+        case f: Grib2.Field =>
+          if (f.pl.isDefined) reject("reduced grid rows vary in length")
+          if (f.spectral.isDefined) reject("spectral coefficients are not a grid")
+          if (f.projection.isDefined) reject("projected grid")
+        case m: Grib1.Message =>
+          if (m.pl.isDefined) reject("reduced grid rows vary in length")
+          if (m.spectral.isDefined) reject("spectral coefficients are not a grid")
+          if (m.rotated.isDefined) reject("rotated grid")
+        case _ => reject(s"unexpected unit ${u.getClass.getName}")
+      }
     }
     val g0 = all.head._3
-    all.foreach { case (off, _, f) =>
-      require(f.ni == g0.ni && f.nj == g0.nj && f.la1 == g0.la1 &&
-          f.lo1 == g0.lo1 && f.la2 == g0.la2 && f.lo2 == g0.lo2 &&
-          f.scanMode == g0.scanMode && f.gaussianN == g0.gaussianN,
-        s"$path: ${f.shortName} at offset $off is on a different grid " +
-          s"(${f.ni}x${f.nj} vs ${g0.ni}x${g0.nj}) — one grid per store")
+    val lats = (0 until g0.nj).map(g0.latOf).toArray
+    val lons = (0 until g0.ni).map(g0.lonOf).toArray
+    all.foreach { case (off, _, u) =>
+      require(u.ni == g0.ni && u.nj == g0.nj &&
+          (0 until u.nj).forall(j => u.latOf(j) == lats(j)) &&
+          (0 until u.ni).forall(i => u.lonOf(i) == lons(i)),
+        s"$path: ${u.shortName} at offset $off is on a different grid " +
+          s"(${u.ni}x${u.nj} vs ${g0.ni}x${g0.nj}) — one grid per store")
     }
-    val byKey = all.groupBy { case (_, _, f) =>
-      (f.shortName, f.levelTypeCode, f.levelValue, f.statProcess) }
+    // edition-agnostic identity: one variable spanning GRIB1+GRIB2 epochs
+    // of an archive stays one array
+    val byKey = all.groupBy { case (_, _, u) =>
+      (u.shortName, u.levelName, u.levelHeight, u.stepType) }
     def fmtH(v: Double): String = {
       val s0 = if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
         else v.toString
       s0.replace('-', 'm').replace('.', 'p')
     }
     // name = shortName; peers sharing it get _<levelName>_<height>, and
-    // same-level peers differing only in statProcess get _<stepType> too
+    // same-level peers differing only in stepType get _<stepType> too
     val bySn = byKey.keys.toSeq.groupBy(_._1)
     val nameOf = byKey.keys.map { k =>
-      val f = byKey(k).head._3
       val peers = bySn(k._1)
       val name =
         if (peers.size == 1) k._1
         else {
-          val lvl = s"${k._1}_${f.levelName}_${fmtH(f.levelHeight)}"
+          val lvl = s"${k._1}_${k._2}_${fmtH(k._3)}"
           if (peers.count(p => p._2 == k._2 && p._3 == k._3) == 1) lvl
-          else s"${lvl}_${f.stepType}"
+          else s"${lvl}_${k._4}"
         }
       k -> name
     }.toMap
@@ -382,27 +396,26 @@ object Kerchunk {
     entries += ".zgroup" -> jsonQ("""{"zarr_format": 2}""")
     entries ++= inlineF8Coord("time", times.map(_.toDouble).toArray,
       epochTime = true)
-    entries ++= inlineF8Coord("latitude",
-      (0 until g0.nj).map(g0.latOf).toArray, epochTime = false)
-    entries ++= inlineF8Coord("longitude",
-      (0 until g0.ni).map(g0.lonOf).toArray, epochTime = false)
-    byKey.toSeq.sortBy(k => nameOf(k._1)).foreach { case (k, fs) =>
+    entries ++= inlineF8Coord("latitude", lats, epochTime = false)
+    entries ++= inlineF8Coord("longitude", lons, epochTime = false)
+    byKey.toSeq.sortBy(k => nameOf(k._1)).foreach { case (k, us) =>
       val name = nameOf(k)
-      fs.groupBy(_._3.validTimeEpochSec).foreach { case (t, dups) =>
+      us.groupBy(_._3.validTimeEpochSec).foreach { case (t, dups) =>
         require(dups.size == 1,
           s"$path: $name has ${dups.size} fields at valid time $t")
       }
       val za =
         s"""{"zarr_format": 2, "shape": [${times.size}, ${g0.nj}, ${g0.ni}], """ +
           s""""chunks": [1, ${g0.nj}, ${g0.ni}], "dtype": "<f8", """ +
-          s""""compressor": {"id": "grib2", "var": "${escape(k._1)}", """ +
-          s""""level_type": ${k._2}, "level": ${k._3}, "step": ${k._4}}, """ +
+          s""""compressor": {"id": "grib", "var": "${escape(k._1)}", """ +
+          s""""level_name": "${escape(k._2)}", "level": ${k._3}, """ +
+          s""""step": "${escape(k._4)}"}, """ +
           """"filters": null, "fill_value": "NaN", "order": "C"}"""
       entries += s"$name/.zarray" -> jsonQ(za)
       entries += s"$name/.zattrs" -> jsonQ(
         """{"_ARRAY_DIMENSIONS": ["time", "latitude", "longitude"]}""")
-      fs.foreach { case (off, len, f) =>
-        entries += s"$name/${tIdx(f.validTimeEpochSec)}.0.0" ->
+      us.foreach { case (off, len, u) =>
+        entries += s"$name/${tIdx(u.validTimeEpochSec)}.0.0" ->
           s"""["${escape(target)}", $off, $len]"""
       }
     }

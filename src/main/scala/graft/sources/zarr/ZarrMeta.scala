@@ -81,11 +81,12 @@ object ZarrMeta {
       // partition's own chunk window at planning time (see
       // [[prunedToWindow]]), so task closures never ship a whole index.
       refs: Option[Map[String, RefLoc]] = None,
-      // compressor id "grib2": the chunk bytes are a WHOLE GRIB2 message;
-      // this selects the field to decode — (shortName, level type, level
-      // value, statistical process), constant per array while packing
-      // parameters vary per message (see grib.GribChunkCodec)
-      gribSelect: Option[(String, Int, Double, Int)] = None) {
+      // compressor id "grib": the chunk bytes are a WHOLE GRIB message
+      // (either edition); this selects the field to decode — the cfgrib
+      // identity (shortName, typeOfLevel, level height, stepType),
+      // constant per array while packing parameters vary per message
+      // (see grib.GribChunkCodec)
+      gribSelect: Option[(String, String, Double, String)] = None) {
     def epochSecondsTime: Boolean = timeUnits.isDefined
 
     def chunkGrid: Seq[Int] = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
@@ -201,11 +202,11 @@ object ZarrMeta {
       case c => Some((c \ "id").extract[String])
     }
     val gribSelect =
-      if (!compressor.contains("grib2")) None
+      if (!compressor.contains("grib")) None
       else {
         val c = za \ "compressor"
-        Some(((c \ "var").extract[String], (c \ "level_type").extract[Int],
-          (c \ "level").extract[Double], (c \ "step").extract[Int]))
+        Some(((c \ "var").extract[String], (c \ "level_name").extract[String],
+          (c \ "level").extract[Double], (c \ "step").extract[String]))
       }
     // `filters` apply between the compressor and the raw bytes; ignoring
     // one would decode WRONG values silently, so anything unrecognized is
@@ -598,17 +599,18 @@ object ZarrMeta {
       // blosc chunks are self-describing (header carries codec/shuffle/
       // sizes), so one case covers every cname the codec supports
       case Some("blosc") => Blosc.decompress(raw)
-      // GRIB virtualization: the chunk bytes are a whole GRIB2 message;
-      // re-parse and decode the array's selected field (Kerchunk.scanGrib2)
-      case Some("grib2") =>
-        val (sn, lt, lv, sp) = meta.gribSelect.getOrElse(
+      // GRIB virtualization: the chunk bytes are a whole GRIB message of
+      // either edition; re-parse and decode the array's selected field
+      // (Kerchunk.scanGrib)
+      case Some("grib") =>
+        val (sn, ln, lv, st) = meta.gribSelect.getOrElse(
           throw new UnsupportedOperationException(
-            s"${meta.name}: grib2 codec without a field selector"))
-        graft.sources.grib.GribChunkCodec.decodeField(raw, sn, lt, lv, sp)
+            s"${meta.name}: grib codec without a field selector"))
+        graft.sources.grib.GribChunkCodec.decodeField(raw, sn, ln, lv, st)
       case Some(other) =>
         throw new UnsupportedOperationException(
           s"zarr compressor '$other' not supported " +
-            "(use zlib, gzip, zstd, blosc, grib2, or null)")
+            "(use zlib, gzip, zstd, blosc, grib, or null)")
       case None => raw
     }
     }

@@ -246,7 +246,7 @@ class KerchunkSpec extends SparkSpec {
         lvlScaled = 0, packing = 2))))
     val refsPath = s"$dir/a.refs.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(refsPath),
-      Kerchunk.scanGrib2(conf, path).getBytes("UTF-8"))
+      Kerchunk.scanGrib(conf, path).getBytes("UTF-8"))
     val df = spark.read.format("zarr").load(refsPath)
     assert(df.columns.toSet == Set("time", "latitude", "longitude", "2t", "msl"))
     // chunk grid partitions: 3 time x 1 x 1
@@ -282,7 +282,7 @@ class KerchunkSpec extends SparkSpec {
       gSpec(tvals(5), 0, cat = 3, num = 1, lvlType = 101, lvlScaled = 0)))
     val refsPath = s"$dir/b.refs.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(refsPath),
-      Kerchunk.scanGrib2(conf, path).getBytes("UTF-8"))
+      Kerchunk.scanGrib(conf, path).getBytes("UTF-8"))
     val df = spark.read.format("zarr").load(refsPath)
     assert(df.columns.toSet == Set("time", "latitude", "longitude",
       "t_isobaricInhPa_850", "t_isobaricInhPa_500", "msl"))
@@ -306,7 +306,7 @@ class KerchunkSpec extends SparkSpec {
     val refs = (1 to 3).map { n =>
       val rp = s"$dir/d$n.refs.json"
       java.nio.file.Files.write(java.nio.file.Paths.get(rp),
-        Kerchunk.scanGrib2(conf, day(n)).getBytes("UTF-8"))
+        Kerchunk.scanGrib(conf, day(n)).getBytes("UTF-8"))
       rp
     }
     val combined = s"$dir/c.json"
@@ -327,6 +327,39 @@ class KerchunkSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("mixed GRIB1+GRIB2 archive: one variable stays one array") {
+    import graft.sources.grib.{Grib1Writer => GW1, GribReader}
+    val dir = java.nio.file.Files.createTempDirectory("kcg5").toString
+    val path = s"$dir/mixed.grib"
+    val t0 = java.time.LocalDateTime.of(2026, 4, 1, 0, 0)
+    def v(seed: Int) = (0 until 12).map(i => (seed * 50 + i).toDouble)
+    // the reanalysis-archive shape: old epochs in edition 1, new in 2 —
+    // 2t = (ECMWF table 128 param 167, level 105/2) = (0/0/0, 103/2)
+    val b1a = GW1.message(GW1.FieldSpec(167, 105, 2, t0, v(1), 4, 3,
+      50.0, 0.0, 48.0, 3.0))
+    val b1b = GW1.message(GW1.FieldSpec(167, 105, 2, t0, v(2), 4, 3,
+      50.0, 0.0, 48.0, 3.0, p1 = 6))
+    val b2 = graft.sources.grib.Grib2Writer.message(
+      graft.sources.grib.Grib2Writer.FieldSpec(0, 0, 0, 103, 2,
+        t0, v(3), 4, 3, 50.0, 0.0, 48.0, 3.0, forecastTime = 12))
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), b1a ++ b1b ++ b2)
+    val refsPath = s"$dir/mixed.refs.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(refsPath),
+      Kerchunk.scanGrib(conf, path).getBytes("UTF-8"))
+    val df = spark.read.format("zarr").load(refsPath)
+    // ONE array spans both editions; the time axis has all three steps
+    assert(df.columns.toSet == Set("time", "latitude", "longitude", "2t"))
+    assert(df.rdd.getNumPartitions == 3)
+    val got = df.orderBy($"time", $"latitude", $"longitude")
+      .select($"time", $"latitude", $"longitude", $"2t").collect().toSeq
+    val want = GribReader.readLongFormat(spark, path)
+      .orderBy($"time", $"latitude", $"longitude")
+      .select($"time", $"latitude", $"longitude", $"value").collect().toSeq
+    assert(got.size == 36 &&
+      got.map(r => (r.get(0), r.get(1), r.get(2), r.get(3))) ==
+        want.map(r => (r.get(0), r.get(1), r.get(2), r.get(3))))
+  }
+
   test("grib2 virtualization fails directed off the rectangular model") {
     import graft.sources.grib.GaussianGrid
     val dir = java.nio.file.Files.createTempDirectory("kcg4").toString
@@ -341,7 +374,7 @@ class KerchunkSpec extends SparkSpec {
       ni = 8, nj = pl.size, la1 = lats.head, lo1 = 0.0,
       la2 = lats.last, lo2 = 315.0, decimalScale = 0,
       gaussianN = gn, reducedPl = Some(pl))))
-    val e = intercept[Exception] { Kerchunk.scanGrib2(conf, reduced) }
+    val e = intercept[Exception] { Kerchunk.scanGrib(conf, reduced) }
     assert(e.getMessage.contains("reduced"), e.getMessage)
   }
 
