@@ -14,9 +14,9 @@ import scala.collection.mutable
   *  - object headers v1 (with continuation blocks) and v2 (`OHDR`/`OCHK`);
   *  - groups: old-style symbol tables (v1 B-tree + local heap + `SNOD`
   *    nodes), new-style COMPACT link messages, and dense (fractal-heap +
-  *    v2 B-tree) link storage — direct-root AND indirect-root heaps
-  *    (doubling-table direct children; nested indirect blocks raise a
-  *    directed error), filtered (deflated) heap blocks, and name-index
+  *    v2 B-tree) link storage — direct-root AND indirect-root heaps,
+  *    including nested child indirect blocks (the recursive doubling
+  *    table), filtered (deflated) heap blocks, and name-index
   *    v2 B-trees of any depth (H5B2 child-pointer arithmetic);
   *  - datasets: contiguous, compact, and chunked layouts — layout message
   *    v3 (v1 B-tree chunk index) and v4 (HDF5 ≥1.10: single-chunk,

@@ -157,6 +157,20 @@ object Kerchunk {
       require(st.dims.contains(concatDim),
         s"$p: no '$concatDim' dimension (dims ${st.dims.mkString(",")})")
     }
+    // each input's concat axis must be strictly increasing INTERNALLY:
+    // the overlap check below compares head/last as min/max, and the
+    // combined axis drives indexRange partition pruning — an unsorted
+    // foreign axis would silently drop rows, never return wrong ones
+    stores.foreach { case (p, st) =>
+      val c = st.coords(concatDim)
+      var i = 1
+      while (i < c.length) {
+        require(c(i) > c(i - 1),
+          s"$p: $concatDim is not strictly increasing at index $i " +
+            s"(${c(i - 1)} then ${c(i)}) — sort the source before combining")
+        i += 1
+      }
+    }
     // order by the first concat-coordinate value; ranges must not overlap
     val sorted = stores.sortBy(_._2.coords(concatDim).head)
     sorted.sliding(2).foreach {
@@ -237,7 +251,18 @@ object Kerchunk {
       }
       val total = extents.sum
       val newShape = shapes.head._2.updated(axis, total)
-      val za1 = zas.head._2.removeField(_._1 == "shape") merge
+      // inputs may declare dimension_separator "/" (legal in kerchunk
+      // jsons; openRefs honors it via keySep) — chunk keys split on THAT
+      // separator, and the combined store normalizes to "." keys, so the
+      // declaration is dropped from the combined .zarray
+      val sep = (zas.head._2 \ "dimension_separator")
+        .extractOpt[String].getOrElse(".") match {
+        case s @ ("." | "/") => s.charAt(0)
+        case other => throw new IllegalArgumentException(
+          s"$name: dimension_separator '$other' (only '.' and '/')")
+      }
+      val za1 = zas.head._2.removeField(f =>
+          f._1 == "shape" || f._1 == "dimension_separator") merge
         JObject("shape" -> JArray(newShape.map(JInt(_)).toList))
       entries += s"$name/.zarray" -> jsonQ(JsonMethods.compact(JsonMethods.render(za1)))
       entries += s"$name/.zattrs" ->
@@ -248,7 +273,13 @@ object Kerchunk {
         raw.foreach { case (k, v) =>
           if (k.startsWith(name + "/") && !k.endsWith(".zarray") &&
               !k.endsWith(".zattrs")) {
-            val idx = k.drop(name.length + 1).split('.').map(_.toInt)
+            val idx =
+              try k.drop(name.length + 1).split(sep).map(_.toInt)
+              catch {
+                case _: NumberFormatException =>
+                  throw new IllegalArgumentException(s"$p: chunk key $k " +
+                    s"does not parse under dimension_separator '$sep'")
+              }
             require(idx.length == newShape.size, s"$p: malformed chunk key $k")
             idx(axis) += off
             entries += s"$name/${idx.mkString(".")}" -> rerender(base, v, k)
@@ -363,6 +394,19 @@ object Kerchunk {
         s"$path: ${u.shortName} at offset $off is on a different grid " +
           s"(${u.ni}x${u.nj} vs ${g0.ni}x${g0.nj}) — one grid per store")
     }
+    // within ONE message an identity must be unique regardless of valid
+    // time: the chunk codec re-selects the field from the whole message by
+    // identity alone, so a multi-field message carrying (say) the same
+    // variable at two forecast steps would make every read of either
+    // chunk ambiguous — reject at scan, never at read
+    all.groupBy { case (off, _, u) =>
+      (off, u.shortName, u.levelName, u.levelHeight, u.stepType) }
+      .foreach { case ((off, sn, _, _, _), dups) =>
+        require(dups.size == 1,
+          s"$path: message at offset $off carries $sn ${dups.size} times " +
+            "(multiple valid times of one field in one message) — split " +
+            "the message (Grib1Splitter) before virtualizing")
+      }
     // edition-agnostic identity: one variable spanning GRIB1+GRIB2 epochs
     // of an archive stays one array
     val byKey = all.groupBy { case (_, _, u) =>

@@ -521,9 +521,63 @@ object ZarrMeta {
       case _ => throw new IllegalArgumentException(
         s"$refsPath: refs json without a refs object")
     }
-    require((root \ "templates") == JNothing && (root \ "gen") == JNothing,
-      s"$refsPath uses jinja templates/gen — only expanded refs are supported")
-    refsObj.map { case (k, v) => k -> v }.toMap
+    // `gen` entries are genuinely dynamic (jinja loops generating keys) —
+    // directed error; `templates` are static named substitutions
+    // (kerchunk's MultiZarrToZarr URL dedup) and expand right here, so
+    // published third-party refs files load, not just self-produced ones
+    require((root \ "gen") == JNothing,
+      s"$refsPath uses jinja gen expressions — only static refs (with or " +
+        "without templates) are supported")
+    val templates: Map[String, String] = (root \ "templates") match {
+      case JNothing | JNull => Map.empty
+      case JObject(fs) => fs.map {
+        case (k, JString(v)) => k -> v
+        case (k, other) => throw new IllegalArgumentException(
+          s"$refsPath: template '$k' is not a string: $other")
+      }.toMap
+      case other => throw new IllegalArgumentException(
+        s"$refsPath: 'templates' is not an object: $other")
+    }
+    val pat = java.util.regex.Pattern.compile("""\{\{\s*([A-Za-z0-9_]+)\s*\}\}""")
+    def subst(s: String, vars: Map[String, String]): String = {
+      val m = pat.matcher(s)
+      val sb = new StringBuilder
+      while (m.find()) {
+        val v = vars.getOrElse(m.group(1), throw new IllegalArgumentException(
+          s"$refsPath: '{{${m.group(1)}}}' is not a declared template"))
+        m.appendReplacement(sb.underlying,
+          java.util.regex.Matcher.quoteReplacement(v))
+      }
+      m.appendTail(sb.underlying)
+      val out = sb.toString
+      if (out.contains("{{")) throw new IllegalArgumentException(
+        s"$refsPath: jinja expression beyond {{name}} substitution in '$s'")
+      out
+    }
+    // templates may reference each other one level deep; iterate to a
+    // fixpoint (bounded — a cycle fails directed on the residual braces)
+    var tv = templates
+    var round = 0
+    while (round < 4 && tv.values.exists(_.contains("{{"))) {
+      tv = tv.map { case (k, v) =>
+        k -> pat.matcher(v).replaceAll(mr =>
+          java.util.regex.Matcher.quoteReplacement(
+            tv.getOrElse(mr.group(1), mr.group(0))))
+      }
+      round += 1
+    }
+    tv.find(_._2.contains("{{")).foreach { case (k, v) =>
+      throw new IllegalArgumentException(
+        s"$refsPath: template '$k' does not expand statically: $v")
+    }
+    val expand: JValue => JValue =
+      if (tv.isEmpty) identity
+      else {
+        case JArray(JString(uri) :: rest) =>
+          JArray(JString(subst(uri, tv)) :: rest)
+        case other => other // inline payloads are never templated
+      }
+    refsObj.map { case (k, v) => k -> expand(v) }.toMap
   }
 
   /** Directory relative ref targets resolve against. */
@@ -572,6 +626,13 @@ object ZarrMeta {
                 if (len >= 0) len
                 else new Path(full).getFileSystem(conf)
                   .getFileStatus(new Path(full)).getLen
+              // chunk bytes materialize as one JVM array on read; a >2 GiB
+              // extent (whole-file ref of a huge native file) must fail
+              // directed here, not as NegativeArraySizeException later
+              if (length > Int.MaxValue - 8)
+                throw new UnsupportedOperationException(
+                  s"$refsPath: ref $k spans $length bytes — chunk extents " +
+                    "beyond 2 GiB cannot be buffered (re-chunk the source)")
               key -> RefLoc(full, off, length, null)
             case JString(s) => key -> RefLoc(null, 0L, 0L, inlineBytes(s))
             case _ => throw new IllegalArgumentException(

@@ -385,4 +385,183 @@ class KerchunkSpec extends SparkSpec {
     assert(outs.size == 1 && outs.head.endsWith("t.nc.refs.json"))
     assert(spark.read.format("zarr").load(outs.head).count() == 60)
   }
+
+  // -------------------------------------------- templates + edge guards
+
+  private def qj(s: String) =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def f8b64(vs: Double*): String = {
+    val bb = java.nio.ByteBuffer.allocate(vs.size * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vs.foreach(bb.putDouble)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  test("templated refs expand {{name}} url substitutions; gen stays directed") {
+    val dir = java.nio.file.Files.createTempDirectory("kcj").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/data"))
+    val xs = java.nio.ByteBuffer.allocate(32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putDouble(0).putDouble(1).putDouble(2).putDouble(3).array()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/data/x.bin"), xs)
+    val za = """{"zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<f8", "compressor": null, "filters": null, "fill_value": "NaN", "order": "C"}"""
+    // templates may reference each other (published MultiZarrToZarr jsons
+    // dedupe directory prefixes this way)
+    val refs =
+      s"""{"version": 1,
+         | "templates": {"u": "$dir/data", "f": "{{ u }}/x"},
+         | "refs": {
+         |  ".zgroup": ${qj("""{"zarr_format": 2}""")},
+         |  "x/.zarray": ${qj(za)},
+         |  "x/.zattrs": ${qj("""{"_ARRAY_DIMENSIONS": ["x"]}""")},
+         |  "x/0": "base64:${f8b64(0.0, 1.0, 2.0, 3.0)}",
+         |  "v/.zarray": ${qj(za)},
+         |  "v/.zattrs": ${qj("""{"_ARRAY_DIMENSIONS": ["x"]}""")},
+         |  "v/0": ["{{f}}.bin", 0, 32]
+         |}}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/r.json"),
+      refs.getBytes("UTF-8"))
+    val got = spark.read.format("zarr").load(s"$dir/r.json")
+      .orderBy($"x").select($"v").as[Double].collect().toSeq
+    assert(got == Seq(0.0, 1.0, 2.0, 3.0))
+    // an undeclared template name is a directed error, not a bad path
+    val bad = refs.replace("{{f}}", "{{nope}}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/bad.json"),
+      bad.getBytes("UTF-8"))
+    val e1 = intercept[Exception] {
+      spark.read.format("zarr").load(s"$dir/bad.json").collect()
+    }
+    assert(e1.getMessage.contains("not a declared template"), e1.getMessage)
+    // gen entries are genuinely dynamic: still directed
+    val gen = refs.replace(""""templates":""",
+      """"gen": [{"key": "x/{{i}}"}], "templates":""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/gen.json"),
+      gen.getBytes("UTF-8"))
+    val e2 = intercept[Exception] {
+      spark.read.format("zarr").load(s"$dir/gen.json").collect()
+    }
+    assert(e2.getMessage.contains("gen"), e2.getMessage)
+  }
+
+  /** A one-time-step hand-written refs store; `sep` is the declared v2
+    * dimension_separator (chunk keys follow it). */
+  private def sepStore(dir: String, name: String, t0: Double,
+      v: (Double, Double), sep: String): String = {
+    val sepDecl = if (sep == ".") "" else s""", "dimension_separator": "$sep""""
+    val zav = s"""{"zarr_format": 2, "shape": [1, 2], "chunks": [1, 2], "dtype": "<f8", "compressor": null, "filters": null, "fill_value": "NaN", "order": "C"$sepDecl}"""
+    val zac = """{"zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<f8", "compressor": null, "filters": null, "fill_value": "NaN", "order": "C"}"""
+    val zat = """{"zarr_format": 2, "shape": [1], "chunks": [1], "dtype": "<f8", "compressor": null, "filters": null, "fill_value": "NaN", "order": "C"}"""
+    val key = if (sep == "/") "v/0/0" else "v/0.0"
+    val refs =
+      s"""{"version": 1, "refs": {
+         |  ".zgroup": ${qj("""{"zarr_format": 2}""")},
+         |  "time/.zarray": ${qj(zat)},
+         |  "time/.zattrs": ${qj("""{"_ARRAY_DIMENSIONS": ["time"], "units": "seconds since 1970-01-01"}""")},
+         |  "time/0": "base64:${f8b64(t0)}",
+         |  "x/.zarray": ${qj(zac)},
+         |  "x/.zattrs": ${qj("""{"_ARRAY_DIMENSIONS": ["x"]}""")},
+         |  "x/0": "base64:${f8b64(0.0, 1.0)}",
+         |  "v/.zarray": ${qj(zav)},
+         |  "v/.zattrs": ${qj("""{"_ARRAY_DIMENSIONS": ["time", "x"]}""")},
+         |  "$key": "base64:${f8b64(v._1, v._2)}"
+         |}}""".stripMargin
+    val p = s"$dir/$name.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), refs.getBytes("UTF-8"))
+    p
+  }
+
+  test("combine handles dimension_separator '/' chunk keys") {
+    val dir = java.nio.file.Files.createTempDirectory("kcsep").toString
+    val a = sepStore(dir, "a", 0.0, (1.5, 2.5), "/")
+    val b = sepStore(dir, "b", 100.0, (3.5, 4.5), "/")
+    val cPath = s"$dir/c.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(cPath),
+      Kerchunk.combine(conf, Seq(b, a), concatDim = "time").getBytes("UTF-8"))
+    val got = spark.read.format("zarr").load(cPath)
+      .orderBy($"time", $"x").select($"v").as[Double].collect().toSeq
+    assert(got == Seq(1.5, 2.5, 3.5, 4.5))
+  }
+
+  test("combine rejects an internally unsorted concat axis") {
+    val dir = java.nio.file.Files.createTempDirectory("kcun").toString
+    // two time steps, DESCENDING — head/last would pass the old
+    // overlap check and pruning would silently drop rows
+    val zat = """{"zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<f8", "compressor": null, "filters": null, "fill_value": "NaN", "order": "C"}"""
+    val refs =
+      s"""{"version": 1, "refs": {
+         |  ".zgroup": ${qj("""{"zarr_format": 2}""")},
+         |  "time/.zarray": ${qj(zat)},
+         |  "time/.zattrs": ${qj("""{"_ARRAY_DIMENSIONS": ["time"], "units": "seconds since 1970-01-01"}""")},
+         |  "time/0": "base64:${f8b64(3.0, 1.0)}",
+         |  "v/.zarray": ${qj(zat)},
+         |  "v/.zattrs": ${qj("""{"_ARRAY_DIMENSIONS": ["time"]}""")},
+         |  "v/0": "base64:${f8b64(7.0, 8.0)}"
+         |}}""".stripMargin
+    val p = s"$dir/u.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), refs.getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      Kerchunk.combine(conf, Seq(p), concatDim = "time")
+    }
+    assert(e.getMessage.contains("strictly increasing"), e.getMessage)
+  }
+
+  test("a chunk extent beyond 2 GiB fails directed at openRefs") {
+    val dir = java.nio.file.Files.createTempDirectory("kcbig").toString
+    val za = """{"zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<f8", "compressor": null, "filters": null, "fill_value": "NaN", "order": "C"}"""
+    val refs =
+      s"""{"version": 1, "refs": {
+         |  ".zgroup": ${qj("""{"zarr_format": 2}""")},
+         |  "x/.zarray": ${qj(za)},
+         |  "x/.zattrs": ${qj("""{"_ARRAY_DIMENSIONS": ["x"]}""")},
+         |  "x/0": ["huge.bin", 0, 3000000000]
+         |}}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/r.json"),
+      refs.getBytes("UTF-8"))
+    val e = intercept[UnsupportedOperationException] {
+      ZarrMeta.openRefs(conf, s"$dir/r.json")
+    }
+    assert(e.getMessage.contains("2 GiB"), e.getMessage)
+  }
+
+  test("scanGrib rejects one message carrying a field at two valid times") {
+    val dir = java.nio.file.Files.createTempDirectory("kcmt").toString
+    val vals = (0 until 20).map(_.toDouble)
+    // splice two single-field messages of the SAME identity at different
+    // forecast times into ONE message (s1 + A's s3..s7 + B's s3..s7):
+    // multi-PDS messages like this are legal GRIB2 and reference-decodable
+    // per field only if identities stay unique within the message
+    val mA = GW2.message(gSpec(vals, 0))
+    val mB = GW2.message(gSpec(vals.map(_ + 1), 6))
+    def u32be(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    def sections(m: Array[Byte]): Seq[Array[Byte]] = {
+      val out = Seq.newBuilder[Array[Byte]]
+      var o = 16
+      while (o < m.length - 4) {
+        val len = u32be(m, o)
+        out += java.util.Arrays.copyOfRange(m, o, o + len)
+        o += len
+      }
+      out.result()
+    }
+    val bodyA = java.util.Arrays.copyOfRange(mA, 16, mA.length - 4)
+    val tailB = sections(mB).filter(_(4) != 1) // drop B's section 1
+    val total = 16L + bodyA.length + tailB.map(_.length).sum + 4
+    val o = new java.io.ByteArrayOutputStream(total.toInt)
+    o.write(mA, 0, 8) // GRIB + reserved + discipline + edition
+    (7 to 0 by -1).foreach(i => o.write(((total >> (8 * i)) & 0xff).toInt))
+    o.write(bodyA)
+    tailB.foreach(o.write)
+    o.write('7'); o.write('7'); o.write('7'); o.write('7')
+    val path = s"$dir/multi.grib2"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), o.toByteArray)
+    // sanity: the spliced message parses as TWO fields of one message
+    assert(Grib2Reader.readLongFormat(spark, path).count() == 40)
+    val e = intercept[IllegalArgumentException] {
+      Kerchunk.scanGrib(conf, path)
+    }
+    assert(e.getMessage.contains("valid times"), e.getMessage)
+  }
 }
