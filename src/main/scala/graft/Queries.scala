@@ -1340,6 +1340,123 @@ object Queries {
           .orderBy($"time", $"latitude", $"longitude")
       }),
 
+    // ---------------------------------------------------------------- S4 (GeoTIFF Lambert conformal conic, user-defined ProjCS GeoKeys)
+    // A Lambert-grid GeoTIFF (the HRRR/NAM-derived COG shape) declared via
+    // user-defined ProjCS GeoKeys — CT_LambertConfConic_2SP with explicit
+    // sphere axes, standard parallels 30/60, false origin (40N, 10E) at
+    // FE/FN (100, 200) km. The reader resolves the GeoKeys to the Snyder
+    // LCC inverse; the oracle re-derives every pixel with DuckDB's own
+    // trig (the spherical 2SP closed form, Snyder 15-1..15-5: no
+    // iteration needed on a sphere). round(…, 6) absorbs libm ulps.
+    Q("q146_tiff_lambert", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200),
+           c AS (SELECT 6371229.0 AS r_e,
+                        ln(cos(radians(30.0)) / cos(radians(60.0)))
+                          / ln(tan(pi()/4 + radians(60.0)/2)
+                               / tan(pi()/4 + radians(30.0)/2)) AS n),
+           k AS (SELECT r_e, n,
+                        cos(radians(30.0))
+                          * power(tan(pi()/4 + radians(30.0)/2), n) / n AS f
+                 FROM c),
+           b AS (SELECT r_e, n, f,
+                        r_e * f / power(tan(pi()/4 + radians(40.0)/2), n) AS rho0
+                 FROM k),
+           g AS (SELECT CAST(o_orderkey % 997 AS DOUBLE) AS band_1,
+                        (rn0 % 10) * 40000.0 AS xp,
+                        (rn0 // 10) * 30000.0 AS dy
+                 FROM o),
+           p AS (SELECT band_1, r_e, n, f,
+                        sqrt(xp*xp + (rho0 + dy)*(rho0 + dy)) AS rho,
+                        atan2(xp, rho0 + dy) AS theta
+                 FROM g, b)
+      SELECT round(degrees(2*atan(power(r_e*f/rho, 1/n)) - pi()/2), 6) AS latitude,
+             round(10.0 + degrees(theta/n), 6) AS longitude,
+             band_1
+      FROM p ORDER BY latitude, longitude"""))(
+      (s, d) => {
+        import graft.sources.tiff.{TiffReader, TiffWriter => TW}
+        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+          .select(($"o_orderkey" % 997).cast("double"))
+          .collect().map(_.getDouble(0)).toSeq
+        val path = java.nio.file.Files.createTempDirectory("q146").toString +
+          "/q146.tif"
+        // pixel CENTERS at model (100000 + i*40000, 200000 - j*30000)
+        TW.write(path, TW.Spec(10, 20, 1, vals,
+          pixelScale = (40000.0, 30000.0),
+          tiepointXY = (100000.0 - 20000.0, 200000.0 + 15000.0),
+          epsg = 32767, rowsPerStrip = 4, deflate = true,
+          extraShortKeys = Seq((3075, 8)),           // CT_LambertConfConic_2SP
+          doubleKeys = Seq((3078, 30.0), (3079, 60.0), // standard parallels
+            (3085, 40.0), (3084, 10.0),                // false origin lat/lon
+            (3086, 100000.0), (3087, 200000.0),        // FE / FN
+            (2057, 6371229.0), (2058, 6371229.0))))    // sphere axes
+        TiffReader.readLongFormat(s, path)
+          .select(round($"latitude", 6).as("latitude"),
+            round($"longitude", 6).as("longitude"), $"band_1")
+          .orderBy($"latitude", $"longitude")
+      }),
+
+    // ---------------------------------------------------------------- S4 (GeoTIFF polar stereographic by EPSG code, WGS84 ellipsoid)
+    // An NSIDC-style polar raster: EPSG 3413 (polar stereographic north,
+    // true scale 70N, central meridian 45W, WGS84). The reader resolves
+    // the bare EPSG code to the ELLIPSOIDAL Snyder inverse; the oracle
+    // recomputes every pixel in DuckDB — ts = r / (a·m70/ts70), then four
+    // unrolled rounds of the Snyder 7-9 fixed-point iteration (contraction
+    // ~e² per round lands far below the 1e-6 rounding).
+    Q("q147_tiff_polar", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200),
+           c AS (SELECT 6378137.0 AS a,
+                        sqrt(1 - (6356752.314245179/6378137.0)
+                               * (6356752.314245179/6378137.0)) AS e),
+           k AS (SELECT a, e,
+                        a * (cos(radians(70.0))
+                             / sqrt(1 - e*e*sin(radians(70.0))*sin(radians(70.0))))
+                          / (tan(pi()/4 - radians(70.0)/2)
+                             / power((1 - e*sin(radians(70.0)))
+                                     / (1 + e*sin(radians(70.0))), e/2)) AS amc
+                 FROM c),
+           g AS (SELECT CAST(o_orderkey % 997 AS DOUBLE) AS band_1,
+                        200000.0 + (rn0 % 10) * 50000.0 AS x,
+                        -2000000.0 - (rn0 // 10) * 50000.0 AS y
+                 FROM o),
+           p AS (SELECT band_1, e, sqrt(x*x + y*y) / amc AS ts,
+                        degrees(atan2(x, -y)) - 45.0 AS lon
+                 FROM g, k),
+           i0 AS (SELECT *, pi()/2 - 2*atan(ts) AS phi FROM p),
+           i1 AS (SELECT * REPLACE (pi()/2 - 2*atan(ts*power(
+                    (1-e*sin(phi))/(1+e*sin(phi)), e/2)) AS phi) FROM i0),
+           i2 AS (SELECT * REPLACE (pi()/2 - 2*atan(ts*power(
+                    (1-e*sin(phi))/(1+e*sin(phi)), e/2)) AS phi) FROM i1),
+           i3 AS (SELECT * REPLACE (pi()/2 - 2*atan(ts*power(
+                    (1-e*sin(phi))/(1+e*sin(phi)), e/2)) AS phi) FROM i2),
+           i4 AS (SELECT * REPLACE (pi()/2 - 2*atan(ts*power(
+                    (1-e*sin(phi))/(1+e*sin(phi)), e/2)) AS phi) FROM i3)
+      SELECT round(degrees(phi), 6) AS latitude,
+             round(lon, 6) AS longitude,
+             band_1
+      FROM i4 ORDER BY latitude, longitude"""))(
+      (s, d) => {
+        import graft.sources.tiff.{TiffReader, TiffWriter => TW}
+        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+          .select(($"o_orderkey" % 997).cast("double"))
+          .collect().map(_.getDouble(0)).toSeq
+        val path = java.nio.file.Files.createTempDirectory("q147").toString +
+          "/q147.tif"
+        // pixel CENTERS at model (200000 + i*50000, -2000000 - j*50000)
+        TW.write(path, TW.Spec(10, 20, 1, vals,
+          pixelScale = (50000.0, 50000.0),
+          tiepointXY = (200000.0 - 25000.0, -2000000.0 + 25000.0),
+          epsg = 3413, rowsPerStrip = 5, lzw = true))
+        TiffReader.readLongFormat(s, path)
+          .select(round($"latitude", 6).as("latitude"),
+            round($"longitude", 6).as("longitude"), $"band_1")
+          .orderBy($"latitude", $"longitude")
+      }),
+
     // ---------------------------------------------------------------- S1 (NetCDF CDF-5 / 64-bit data)
     // Same `orders` grid through the CDF-5 (64-bit data) classic variant:
     // widened header counts, an NC_INT64 variable and an NC_UBYTE variable

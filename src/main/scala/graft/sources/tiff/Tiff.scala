@@ -41,7 +41,12 @@ object Tiff {
       predictor: Int = 1,        // 1 none, 2 horizontal differencing
       nextIfd: Long = 0,         // offset of the next IFD (0 = none)
       jpegTables: Array[Byte] = null, // tag 347 (abbreviated JPEG streams)
-      planarConfig: Int = 1) {   // 1 interleaved (chunky), 2 band-separate planes
+      planarConfig: Int = 1,     // 1 interleaved (chunky), 2 band-separate planes
+      // the full GeoKey directory: inline SHORT keys, and keys whose
+      // values live in GeoDoubleParams (tag 34736) — projection parameters
+      // for user-defined CRS (TiffProjection resolves them)
+      geoShortKeys: Map[Int, Int] = Map.empty,
+      geoDoubleKeys: Map[Int, Double] = Map.empty) {
 
     def tiled: Boolean = tileOffsets.nonEmpty
 
@@ -131,6 +136,7 @@ object Tiff {
     var tw, tl = 0
     var scale, tie = Seq.empty[Double]
     var geoKeys = Seq.empty[Int]
+    var geoDoubles = Seq.empty[Double]
     var jpegTab: Array[Byte] = null
     var planar = 1
 
@@ -192,6 +198,7 @@ object Tiff {
         case 33550 => scale = doubles(e)
         case 33922 => tie = doubles(e)
         case 34735 => geoKeys = values(e).map(_.toInt)
+        case 34736 => geoDoubles = doubles(e)
         case 347 => jpegTab = values(e).map(_.toByte).toArray
         case _ => // ignore unknown tags
       }
@@ -222,8 +229,11 @@ object Tiff {
       "GeoTIFF needs ModelPixelScale + ModelTiepoint")
 
     // GeoKeyDirectory: header (version, rev, minor, count) then 4-short
-    // keys (id, location, count, value). Inline values have location 0.
+    // keys (id, location, count, value). Inline values have location 0;
+    // location 34736 indexes GeoDoubleParams (projection parameters).
     var epsg = 0
+    var shortKeys = Map.empty[Int, Int]
+    var dblKeys = Map.empty[Int, Double]
     if (geoKeys.size >= 4) {
       val count = geoKeys(3)
       (0 until count).foreach { k =>
@@ -231,9 +241,13 @@ object Tiff {
         if (off + 3 < geoKeys.size) {
           val id = geoKeys(off)
           val loc = geoKeys(off + 1)
+          val cnt = geoKeys(off + 2)
           val value = geoKeys(off + 3)
           if (loc == 0 && (id == 3072 || id == 2048) && epsg == 0) epsg = value
           if (loc == 0 && id == 3072) epsg = value // projected code wins
+          if (loc == 0) shortKeys += id -> value
+          else if (loc == 34736 && cnt == 1 && value < geoDoubles.size)
+            dblKeys += id -> geoDoubles(value)
         }
       }
     }
@@ -243,7 +257,7 @@ object Tiff {
       else { if (nextPtr + 4 <= fileLen) new Cursor(read(nextPtr, 4), le).u32(0) else 0L }
     Meta(le, width, height, bits, fmt, spp, comp, rps, so, sbc, tw, tl, to, tbc,
       scale, tie, epsg, pred, nextIfd = nextIfd, jpegTables = jpegTab,
-      planarConfig = planar)
+      planarConfig = planar, geoShortKeys = shortKeys, geoDoubleKeys = dblKeys)
   }
 
   /** Compression 7 (new-style JPEG, TIFF-EP / the RGB-imagery COG

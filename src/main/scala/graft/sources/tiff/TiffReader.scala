@@ -17,7 +17,10 @@ import graft.sources.TaskConf
   * Parallelism: the driver parses the (small) IFD; strips/tiles fan out
   * across tasks, each ranged-reading exactly its own block bytes. UTM
   * rasters reproject per-point through the codegen'd column inverse; EPSG
-  * 4326 rasters pass model coordinates straight through. */
+  * 4326 rasters pass model coordinates straight through; other projected
+  * CRS (Lambert conformal, polar stereographic, Mercator — by EPSG code or
+  * user-defined ProjCS GeoKeys) resolve via [[TiffProjection]] and invert
+  * inside the decode tasks. */
 object TiffReader {
 
   /** Parse the header + first IFD by FOLLOWING offsets with ranged reads —
@@ -64,9 +67,21 @@ object TiffReader {
       s"$path has ${chain.size} IFD page(s); page $page requested")
     val meta = chain(page)
     val bands = (1 to meta.samplesPerPixel).map(b => s"band_$b")
+    // model space disposition: geographic (x/y ARE lon/lat), UTM (codegen'd
+    // column inverse below), or a projected CRS resolved to a Snyder
+    // inverse applied per point inside the decode tasks
+    val geographic = meta.epsg == 4326 || meta.epsg == 0 ||
+      meta.geoShortKeys.get(1024).contains(2) // GTModelTypeGeoKey geographic
+    val projected: Option[TiffProjection.ModelTransform] =
+      if (geographic || meta.utmZone.isDefined) None
+      else Some(TiffProjection.resolve(meta)) // throws directed if unknown
     val schema = StructType(
-      Seq(StructField("x", DoubleType, nullable = false),
-        StructField("y", DoubleType, nullable = false)) ++
+      (if (projected.isDefined)
+        Seq(StructField("latitude", DoubleType, nullable = false),
+          StructField("longitude", DoubleType, nullable = false))
+      else
+        Seq(StructField("x", DoubleType, nullable = false),
+          StructField("y", DoubleType, nullable = false))) ++
         bands.map(b => StructField(b, DoubleType, nullable = true)))
 
     // block index: strips are full-width row bands; tiles are a 2D grid.
@@ -95,6 +110,7 @@ object TiffReader {
     val nPart = math.max(1, math.min(blocks.size, spark.sparkContext.defaultParallelism))
     val pathLocal = path
     val m = meta
+    val projLocal = projected
     val tconf = TaskConf(conf)
     val rdd = spark.sparkContext.parallelize(blocks, nPart).mapPartitions { it =>
       graft.sources.RangedIO.rows(pathLocal, tconf) { in =>
@@ -133,26 +149,32 @@ object TiffReader {
             if row < m.height && col < m.width // tile edge padding
           } yield {
             val base = (r * bw + cIdx) * m.samplesPerPixel
-            Row.fromSeq(m.modelX(col) +: m.modelY(row) +:
-              (0 until m.samplesPerPixel).map(s => values(base + s): Any))
+            val bandVals = (0 until m.samplesPerPixel)
+              .map(s => values(base + s): Any)
+            projLocal match {
+              case Some(t) =>
+                val (lat, lon) = t.toLatLon(m.modelX(col), m.modelY(row))
+                Row.fromSeq(lat +: lon +: bandVals)
+              case None =>
+                Row.fromSeq(m.modelX(col) +: m.modelY(row) +: bandVals)
+            }
           }
         }
       }
     }
     val df = spark.createDataFrame(rdd, schema)
-    meta.utmZone match {
+    if (projected.isDefined)
+      df.select((Seq("latitude", "longitude") ++ bands).map(col): _*)
+    else meta.utmZone match {
       case Some((zone, southern)) =>
         val (lon, lat) = CrsTransform.utmToLonLat(col("x"), col("y"), zone, southern)
         df.withColumn("latitude", lat).withColumn("longitude", lon)
           .drop("x", "y")
           .select((Seq("latitude", "longitude") ++ bands).map(col): _*)
-      case None if meta.epsg == 4326 || meta.epsg == 0 =>
+      case None =>
         // geographic (or unspecified): model space IS lon/lat
         df.withColumnRenamed("y", "latitude").withColumnRenamed("x", "longitude")
           .select((Seq("latitude", "longitude") ++ bands).map(col): _*)
-      case None =>
-        throw Tiff.UnsupportedTiff(
-          s"CRS EPSG:${meta.epsg} (supported: 4326 and UTM 326xx/327xx)")
     }
   }
 }

@@ -27,7 +27,12 @@ object TiffWriter {
       predictor: Int = 1,          // 2 = horizontal (int), 3 = float planes
       bitsPerSample: Int = 32,
       sampleFormat: Int = 3,       // 1 uint, 2 int, 3 ieee float
-      bigTiff: Boolean = false) {  // magic 43, 8-byte offsets, LONG8 arrays
+      bigTiff: Boolean = false,    // magic 43, 8-byte offsets, LONG8 arrays
+      // extra GeoKeys beyond the model-type + CRS-code pair: (id, value)
+      // SHORT keys, plus (id, double) keys stored in GeoDoubleParams (tag
+      // 34736) — enough to declare a user-defined ProjCS (epsg = 32767)
+      extraShortKeys: Seq[(Int, Int)] = Nil,
+      doubleKeys: Seq[(Int, Double)] = Nil) {
 
     def compressionCode: Int =
       if (lzw) 5 else if (deflate) 8 else if (packBits) 32773
@@ -150,11 +155,23 @@ object TiffWriter {
       else raw
     }
 
+    // GeoKey directory entries (id, location, count, value), sorted by id
+    // as the GeoTIFF spec requires; double-valued keys point into the
+    // GeoDoubleParams tag (34736) by index
+    val geoDoubleParams = s.doubleKeys.map(_._2)
     val geoKeys: Seq[Int] = {
-      val projected = s.epsg >= 32000
-      Seq(1, 1, 0, 2,                      // version, rev, minor, 2 keys
-        1024, 0, 1, if (projected) 1 else 2, // GTModelTypeGeoKey
-        if (projected) 3072 else 2048, 0, 1, s.epsg)
+      // geographic EPSG codes live in 4000-4999; anything else declared
+      // here is a projected CRS (UTM, national grids, polar codes, or the
+      // user-defined marker 32767)
+      val projected = s.epsg != 0 && !(s.epsg >= 4000 && s.epsg < 5000)
+      val entries: Seq[(Int, Int, Int, Int)] =
+        (Seq((1024, 0, 1, if (projected) 1 else 2), // GTModelTypeGeoKey
+          (if (projected) 3072 else 2048, 0, 1, s.epsg)) ++
+          s.extraShortKeys.map { case (id, v) => (id, 0, 1, v) } ++
+          s.doubleKeys.zipWithIndex.map { case ((id, _), i) =>
+            (id, 34736, 1, i) }).sortBy(_._1)
+      Seq(1, 1, 0, entries.size) ++
+        entries.flatMap { case (a, b, c, d) => Seq(a, b, c, d) }
     }
     val doubleValues = Seq(               // pixel scale (3) + tiepoint (6)
       s.pixelScale._1, s.pixelScale._2, 0.0,
@@ -167,9 +184,15 @@ object TiffWriter {
     // layout: header | strip data | geokeys | doubles | strip arrays | IFD
     var off = header.toLong
     val stripOffsets = stripBytes.map { b => val o = off; off += b.length; o }
+    // out-of-line double values must stay out of line: a single-entry
+    // GeoDoubleParams would fit a BigTIFF entry inline, which this writer
+    // does not emit — keep fixtures classic or give them 2+ double keys
+    require(!(big && geoDoubleParams.size == 1),
+      "BigTIFF with exactly one double GeoKey is not supported by this writer")
     val geoKeyOff = off; off += geoKeys.size * 2L
     val scaleOff = off; off += 3 * 8L
     val tieOff = off; off += 6 * 8L
+    val gdpOff = off; off += geoDoubleParams.size * 8L
     val soOff = off; off += nStrips * arrElem
     val sbcOff = off; off += nStrips * arrElem
     val ifdOff = off
@@ -183,6 +206,9 @@ object TiffWriter {
       (284, 3, 1, 1)) ++
       (if (s.predictor != 1)
         Seq[(Int, Int, Long, Long)]((317, 3, 1, s.predictor.toLong)) else Nil) ++
+      (if (geoDoubleParams.nonEmpty)
+        Seq[(Int, Int, Long, Long)](
+          (34736, 12, geoDoubleParams.size, gdpOff)) else Nil) ++
       Seq[(Int, Int, Long, Long)](
         (339, 3, 1, s.sampleFormat),
         (33550, 12, 3, scaleOff), (33922, 12, 6, tieOff),
@@ -200,6 +226,7 @@ object TiffWriter {
     geoKeys.foreach(w16)
     doubleValues.take(3).foreach(w64d)
     doubleValues.drop(3).foreach(w64d)
+    geoDoubleParams.foreach(w64d)
     stripOffsets.foreach(wArr)
     stripBytes.foreach(b => wArr(b.length))
     if (big) w64(entries.size) else w16(entries.size)

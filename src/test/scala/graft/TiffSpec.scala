@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.CrsTransform
+import graft.sources.grib.GribProjection
 import graft.sources.tiff.{TiffReader, TiffWriter => TW}
 
 /** Golden tests for the GeoTIFF reader: fixture files from the pure-JVM
@@ -592,6 +593,172 @@ class TiffSpec extends SparkSpec {
     import spark.implicits._
     assert(df.select(($"band_2" - $"band_1")).as[Double].collect()
       .forall(_ == 100.0))
+  }
+
+  // ---------------------------------------------- projected CRS beyond UTM
+
+  /** Write a 3x2 single-band tif whose pixel CENTERS sit at model
+    * (x0 + c*dx, y0 - r*dy); returns the reader's rows keyed by value. */
+  private def projTif(dir: String, x0: Double, y0: Double,
+      dx: Double, dy: Double, epsg: Int,
+      shortKeys: Seq[(Int, Int)] = Nil,
+      doubleKeys: Seq[(Int, Double)] = Nil): Map[Double, (Double, Double)] = {
+    val p = s"$dir/p.tif"
+    TW.write(p, TW.Spec(3, 2, 1, (0 until 6).map(_ * 10.0),
+      pixelScale = (dx, dy), tiepointXY = (x0 - dx / 2, y0 + dy / 2),
+      epsg = epsg, rowsPerStrip = 2,
+      extraShortKeys = shortKeys, doubleKeys = doubleKeys))
+    TiffReader.readLongFormat(spark, p).collect()
+      .map(r => r.getDouble(2) -> (r.getDouble(0), r.getDouble(1))).toMap
+  }
+
+  test("EPSG:3857 web-Mercator raster inverts to lon/lat (closed form)") {
+    val dir = java.nio.file.Files.createTempDirectory("tif3857").toString
+    val R = 6378137.0
+    val got = projTif(dir, x0 = 111319.0, y0 = 6800125.0,
+      dx = 50000, dy = 40000, epsg = 3857)
+    assert(got.size == 6)
+    // independent closed-form re-derivation of every pixel
+    for (r <- 0 until 2; c <- 0 until 3) {
+      val x = 111319.0 + c * 50000.0
+      val y = 6800125.0 - r * 40000.0
+      val wantLat = math.toDegrees(2 * math.atan(math.exp(y / R)) - math.Pi / 2)
+      val wantLon = math.toDegrees(x / R)
+      val (lat, lon) = got((r * 3 + c) * 10.0)
+      assert(math.abs(lat - wantLat) < 1e-9 && math.abs(lon - wantLon) < 1e-9,
+        s"pixel ($r,$c): got ($lat,$lon) want ($wantLat,$wantLon)")
+    }
+  }
+
+  test("EPSG:2154 Lambert-93: the projection origin reads back exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("tif2154").toString
+    // EPSG-published natural origin: (46.5N, 3E) -> E 700000, N 6600000
+    val got = projTif(dir, x0 = 700000, y0 = 6600000,
+      dx = 30000, dy = 30000, epsg = 2154)
+    val (lat0, lon0) = got(0.0)
+    assert(math.abs(lat0 - 46.5) < 1e-9 && math.abs(lon0 - 3.0) < 1e-9,
+      s"origin decoded as ($lat0, $lon0)")
+    // monotonic orientation: +x -> east, +y -> north
+    val (latE, lonE) = got(10.0) // pixel (0,1): x + 30 km
+    val (latS, lonS) = got(30.0) // pixel (1,0): y - 30 km
+    assert(lonE > lon0 && latS < lat0)
+    // full-grid round-trip through the ellipsoidal forward (GRS80)
+    val p = GribProjection.LambertConformal(49, 44, 3,
+      6378137.0, 6356752.314140356)
+    val y0off = p.forward(46.5, 3)._2
+    for (r <- 0 until 2; c <- 0 until 3) {
+      val (lat, lon) = got((r * 3 + c) * 10.0)
+      val (fx, fy) = p.forward(lat, lon)
+      assert(math.abs((700000 + fx) - (700000 + c * 30000.0)) < 1e-6 &&
+        math.abs((6600000 + fy - y0off) - (6600000 - r * 30000.0)) < 1e-6)
+    }
+  }
+
+  test("EPSG:3413 NSIDC polar stereographic round-trips the WGS84 inverse") {
+    val dir = java.nio.file.Files.createTempDirectory("tif3413").toString
+    val p = GribProjection.PolarStereographic(70, -45, south = false,
+      6378137.0, 6356752.314245179)
+    // anchor the grid at the forward image of (75N, 100W)
+    val (x0, y0) = p.forward(75, -100)
+    val got = projTif(dir, x0, y0, dx = 25000, dy = 25000, epsg = 3413)
+    val (latA, lonA) = got(0.0)
+    assert(math.abs(latA - 75.0) < 1e-9 && math.abs(lonA - (-100.0)) < 1e-9)
+    for (r <- 0 until 2; c <- 0 until 3) {
+      val (lat, lon) = got((r * 3 + c) * 10.0)
+      val (fx, fy) = p.forward(lat, lon)
+      assert(math.abs(fx - (x0 + c * 25000.0)) < 1e-6 &&
+        math.abs(fy - (y0 - r * 25000.0)) < 1e-6)
+    }
+  }
+
+  test("EPSG:32661 UPS north: k0=0.994, 2000 km false origin, pole exact") {
+    val dir = java.nio.file.Files.createTempDirectory("tifups").toString
+    // the pole IS the false origin
+    val got = projTif(dir, x0 = 2000000, y0 = 2000000 + 500000,
+      dx = 200000, dy = 500000, epsg = 32661)
+    val (latP, _) = got(30.0) // pixel (1,0): y back at 2000000, x at pole
+    assert(math.abs(latP - 90.0) < 1e-9, s"pole decoded at lat $latP")
+    // round-trip every pixel through the k0-scaled ellipsoidal forward
+    val p = GribProjection.PolarStereographic(90, 0, south = false,
+      6378137.0 * 0.994, 6356752.314245179 * 0.994)
+    for (r <- 0 until 2; c <- 0 until 3) {
+      val v = (r * 3 + c) * 10.0
+      if (v != 30.0) { // the pole itself has undefined longitude
+        val (lat, lon) = got(v)
+        val (fx, fy) = p.forward(lat, lon)
+        assert(math.abs((2000000 + fx) - (2000000 + c * 200000.0)) < 1e-6 &&
+          math.abs((2000000 + fy) - (2500000 - r * 500000.0)) < 1e-6)
+      }
+    }
+  }
+
+  test("user-defined Mercator GeoKeys: lat_ts, central meridian, WGS84") {
+    val dir = java.nio.file.Files.createTempDirectory("tifmrc").toString
+    val got = projTif(dir, x0 = 0.0, y0 = 200000.0,
+      dx = 100000, dy = 200000, epsg = 32767,
+      shortKeys = Seq((3075, 7), (2048, 4326)), // CT_Mercator on WGS84
+      doubleKeys = Seq((3078, 20.0), (3080, 150.0))) // lat_ts 20, lon0 150E
+    // pixel (1,0): model (0, 0) = the natural origin -> (0N, 150E)
+    val (lat0, lon0) = got(30.0)
+    assert(math.abs(lat0) < 1e-9 && math.abs(lon0 - 150.0) < 1e-9)
+    val p = GribProjection.Mercator(20.0, 6378137.0, 6356752.314245179)
+    for (r <- 0 until 2; c <- 0 until 3) {
+      val (lat, lon) = got((r * 3 + c) * 10.0)
+      val (fx, fy) = p.forward(lat, lon - 150.0)
+      assert(math.abs(fx - c * 100000.0) < 1e-6 &&
+        math.abs(fy - (200000.0 - r * 200000.0)) < 1e-6)
+    }
+  }
+
+  test("user-defined LCC-2SP GeoKeys with explicit sphere axes") {
+    val dir = java.nio.file.Files.createTempDirectory("tiflcc").toString
+    val R = 6371229.0
+    val got = projTif(dir, x0 = 100000.0, y0 = 200000.0,
+      dx = 50000, dy = 50000, epsg = 32767,
+      shortKeys = Seq((3075, 8)),
+      doubleKeys = Seq((3078, 30.0), (3079, 60.0), // standard parallels
+        (3085, 40.0), (3084, 10.0),                // false origin lat/lon
+        (3086, 100000.0), (3087, 200000.0),        // false easting/northing
+        (2057, R), (2058, R)))                     // sphere
+    // model (FE, FN) IS the false origin -> (40N, 10E)
+    val (lat0, lon0) = got(0.0)
+    assert(math.abs(lat0 - 40.0) < 1e-9 && math.abs(lon0 - 10.0) < 1e-9)
+    // independent spherical 2SP inverse (Snyder 15-1..15-5 closed form)
+    val phi1 = math.toRadians(30); val phi2 = math.toRadians(60)
+    val n = math.log(math.cos(phi1) / math.cos(phi2)) /
+      math.log(math.tan(math.Pi / 4 + phi2 / 2) / math.tan(math.Pi / 4 + phi1 / 2))
+    val fF = math.cos(phi1) * math.pow(math.tan(math.Pi / 4 + phi1 / 2), n) / n
+    val rho0 = R * fF / math.pow(math.tan(math.Pi / 4 + math.toRadians(40) / 2), n)
+    for (r <- 0 until 2; c <- 0 until 3) {
+      val xp = c * 50000.0            // E - FE
+      val yp = rho0 + r * 50000.0     // rho0 - (N - FN), N = FN - r*dy...
+      val rho = math.sqrt(xp * xp + yp * yp)
+      val theta = math.atan2(xp, yp)
+      val wantLat = math.toDegrees(
+        2 * math.atan(math.pow(R * fF / rho, 1 / n)) - math.Pi / 2)
+      val wantLon = 10.0 + math.toDegrees(theta / n)
+      val (lat, lon) = got((r * 3 + c) * 10.0)
+      assert(math.abs(lat - wantLat) < 1e-9 && math.abs(lon - wantLon) < 1e-9,
+        s"pixel ($r,$c): got ($lat,$lon) want ($wantLat,$wantLon)")
+    }
+  }
+
+  test("unsupported projected CRS fail directed with the supported list") {
+    val dir = java.nio.file.Files.createTempDirectory("tifbad").toString
+    val p = s"$dir/b.tif"
+    TW.write(p, TW.Spec(2, 2, 1, Seq(1.0, 2.0, 3.0, 4.0),
+      pixelScale = (1000, 1000), tiepointXY = (0, 0), epsg = 27700))
+    val e = intercept[Exception] { TiffReader.readLongFormat(spark, p) }
+    assert(e.getMessage.contains("27700") &&
+      e.getMessage.contains("GeoKeys"), e.getMessage)
+    // user-defined ProjCS without an ellipsoid: directed at the gap
+    val p2 = s"$dir/b2.tif"
+    TW.write(p2, TW.Spec(2, 2, 1, Seq(1.0, 2.0, 3.0, 4.0),
+      pixelScale = (1000, 1000), tiepointXY = (0, 0), epsg = 32767,
+      extraShortKeys = Seq((3075, 8)),
+      doubleKeys = Seq((3078, 30.0), (3081, 40.0))))
+    val e2 = intercept[Exception] { TiffReader.readLongFormat(spark, p2) }
+    assert(e2.getMessage.contains("ellipsoid"), e2.getMessage)
   }
 
   /** Move DQT/DHT segments of a JPEG stream into a standalone tables
