@@ -43,6 +43,14 @@ object Bench {
       .getOrCreate()
     GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
+    // FileStreamSink logs a WARN + full stack trace while probing freshly
+    // written fixture dirs for stream metadata (CdxIndex gz fixtures); the
+    // multi-line blob can land mid-capture in the driver's bounded stdout
+    // tail and break its JSON-line parse — silence that package for the
+    // timed region (errors still surface)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming",
+      org.apache.logging.log4j.Level.ERROR)
     // Warm the JVM on the smoke scale factor: classloading, whole-stage
     // codegen compilation (janino caches by generated source, which is
     // data-independent), shuffle machinery. Timed runs then measure the

@@ -121,6 +121,7 @@ object ZarrMeta {
       case (_, V2Filter.Quantize(_, at)) => at
       case (_, V2Filter.AsType(enc, _)) => enc
       case (dt, _: V2Filter.Shuffle) => dt // byte shuffle keeps the dtype
+      case (dt, _: V2Filter.BitRound) => dt // lossy encode, same dtype
       case (_, V2Filter.VlenUtf8) => throw new UnsupportedOperationException(
         s"$name: vlen-utf8 produces a variable-length buffer — the fixed-width " +
           "numeric chunk path cannot size it (string arrays route through readChunkStrings)")
@@ -154,6 +155,10 @@ object ZarrMeta {
     /** numcodecs Shuffle (byte shuffle, elementsize bytes/elem) — also the
       * decode of HDF5 filter 2, which kerchunk references map onto it. */
     final case class Shuffle(elementSize: Int) extends V2Filter
+    /** numcodecs BitRound (bitround.py): mantissa bits beyond `keepbits`
+      * are zeroed on ENCODE (lossy, improves compressibility); the stored
+      * dtype is unchanged and decode is the identity. */
+    final case class BitRound(keepBits: Int) extends V2Filter
   }
 
   /** One chunk's storage target in a reference store: a byte extent of
@@ -224,10 +229,12 @@ object ZarrMeta {
         case Some("vlen-utf8") => V2Filter.VlenUtf8
         case Some("shuffle") => V2Filter.Shuffle(
           (f \ "elementsize").extract[Int])
+        case Some("bitround") => V2Filter.BitRound(
+          (f \ "keepbits").extract[Int])
         case other => throw new UnsupportedOperationException(
           s"zarr v2 filter ${JsonMethods.compact(JsonMethods.render(f))} " +
             s"(id $other) — supported numcodecs filters: delta, " +
-            "fixedscaleoffset, quantize, astype, shuffle, vlen-utf8")
+            "fixedscaleoffset, quantize, bitround, astype, shuffle, vlen-utf8")
       }
     }
     val filters = (za \ "filters") match {
@@ -1042,6 +1049,8 @@ object ZarrMeta {
     // object→bytes codec: the buffer IS the decoded form at this layer;
     // readChunkStrings parses the vlen layout into java Strings
     case V2Filter.VlenUtf8 => buf
+    // rounding happened at encode; the stored floats are final
+    case _: V2Filter.BitRound => buf
     case V2Filter.Shuffle(w) =>
       // inverse byte shuffle: encoded = all byte-0s, all byte-1s, ...
       if (w <= 1 || buf.length % w != 0) buf

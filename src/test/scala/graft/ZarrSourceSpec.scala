@@ -553,6 +553,34 @@ class ZarrSourceSpec extends SparkSpec {
     val chVals = ZarrMeta.readChunk(conf, dir, chMeta, Seq(0))
     assert(chVals.zip(cxs).forall { case (a, b) => math.abs(a - b) < 1e-9 },
       chVals.toSeq)
+
+    // --- BitRound: mantissa rounding happens at encode; the stored floats
+    // ARE the array values (decode = identity, dtype unchanged), so the
+    // read must return them bit-exactly — climate stores chain it under a
+    // compressor for lossy-rounded-but-well-compressed chunks
+    putS("br/.zarray",
+      """{"zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<f4",
+        | "compressor": {"id": "zlib", "level": 1}, "order": "C",
+        | "filters": [{"id": "bitround", "keepbits": 6}],
+        | "fill_value": null}""".stripMargin)
+    putS("br/.zattrs", """{"_ARRAY_DIMENSIONS": ["x"]}""")
+    // zero the 17 mantissa bits beyond keepbits=6, as the encoder would
+    val rounded = Array(273.154f, -12.875f, 0.0313f, 1001.6f).map { v =>
+      java.lang.Float.intBitsToFloat(
+        java.lang.Float.floatToIntBits(v) & ~((1 << 17) - 1))
+    }
+    val brRaw = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    rounded.foreach(brRaw.putFloat)
+    val brDefl = new java.util.zip.Deflater()
+    brDefl.setInput(brRaw.array()); brDefl.finish()
+    val brBuf = new Array[Byte](64)
+    put("br/0", java.util.Arrays.copyOf(brBuf, brDefl.deflate(brBuf)))
+    brDefl.end()
+    val brMeta = ZarrMeta.readArrayMeta(conf, dir, "br")
+    assert(brMeta.encodedDtype == "<f4", brMeta.encodedDtype)
+    val brVals = ZarrMeta.readChunk(conf, dir, brMeta, Seq(0))
+    assert(brVals.toSeq == rounded.map(_.toDouble).toSeq, brVals.toSeq)
   }
 
   test("zarr v3 big-endian bytes codec decodes (hand-crafted store)") {
