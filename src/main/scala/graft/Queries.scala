@@ -603,17 +603,18 @@ object Queries {
       ORDER BY time, latitude, longitude"""))(
       (s, d) => {
         import graft.sources.grib.{Grib1Reader, Grib1Writer => GW}
-        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
-          .select(($"o_orderkey" % 997).cast("double"))
-          .collect().map(_.getDouble(0)).toSeq
-        val t0 = java.time.LocalDateTime.of(2026, 1, 15, 0, 0)
-        val path = java.nio.file.Files.createTempDirectory("q48").toString + "/q48.grib"
-        def spec(v: Seq[Double], p1: Int) = GW.FieldSpec(
-          paramId = 167, levelType = 105, levelValue = 2, refTime = t0,
-          values = v, ni = 10, nj = 10,
-          la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0, p1 = p1,
-          decimalScale = 0)
-        GW.write(path, Seq(spec(vals.take(100), 0), spec(vals.drop(100), 6)))
+        val path = Fixtures.path("q48", d, "q48.grib") { p =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 997).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          val t0 = java.time.LocalDateTime.of(2026, 1, 15, 0, 0)
+          def spec(v: Seq[Double], p1: Int) = GW.FieldSpec(
+            paramId = 167, levelType = 105, levelValue = 2, refTime = t0,
+            values = v, ni = 10, nj = 10,
+            la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0, p1 = p1,
+            decimalScale = 0)
+          GW.write(p, Seq(spec(vals.take(100), 0), spec(vals.drop(100), 6)))
+        }
         Grib1Reader.readLongFormat(s, path)
           .select($"time", $"latitude", $"longitude", $"value")
           .orderBy($"time", $"latitude", $"longitude")
@@ -633,17 +634,18 @@ object Queries {
       ORDER BY time, latitude, longitude"""))(
       (s, d) => {
         import graft.sources.grib.{Grib2Reader, Grib2Writer => GW2}
-        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
-          .select(($"o_orderkey" % 997).cast("double"))
-          .collect().map(_.getDouble(0)).toSeq
-        val t0 = java.time.LocalDateTime.of(2026, 3, 1, 0, 0)
-        val path = java.nio.file.Files.createTempDirectory("q50").toString + "/q50.grib2"
-        def spec(v: Seq[Double], fcst: Int) = GW2.FieldSpec(
-          discipline = 0, category = 0, number = 0, levelType = 103,
-          levelScaledValue = 2, refTime = t0, values = v, ni = 10, nj = 10,
-          la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0,
-          forecastTime = fcst, decimalScale = 0)
-        GW2.write(path, Seq(spec(vals.take(100), 0), spec(vals.drop(100), 6)))
+        val path = Fixtures.path("q50", d, "q50.grib2") { p =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 997).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          val t0 = java.time.LocalDateTime.of(2026, 3, 1, 0, 0)
+          def spec(v: Seq[Double], fcst: Int) = GW2.FieldSpec(
+            discipline = 0, category = 0, number = 0, levelType = 103,
+            levelScaledValue = 2, refTime = t0, values = v, ni = 10, nj = 10,
+            la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0,
+            forecastTime = fcst, decimalScale = 0)
+          GW2.write(p, Seq(spec(vals.take(100), 0), spec(vals.drop(100), 6)))
+        }
         Grib2Reader.readLongFormat(s, path)
           .select($"time", $"latitude", $"longitude", $"value")
           .orderBy($"time", $"latitude", $"longitude")
@@ -667,29 +669,29 @@ object Queries {
       ORDER BY time, latitude, longitude"""))(
       (s, d) => {
         import graft.sources.netcdf.{NetCDF3, NetCDF3Reader, NetCDF3Writer => NW}
-        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
-          .select(($"o_orderkey" % 997).cast("double"))
-          .collect().map(_.getDouble(0)).toSeq
-        // 2020-01-01 in hours since 1900-01-01 (36889 days * 24)
-        val baseHours = java.time.Duration.between(
-          java.time.LocalDateTime.of(1900, 1, 1, 0, 0),
-          java.time.LocalDateTime.of(2020, 1, 1, 0, 0)).toHours.toDouble
-        val path = java.nio.file.Files.createTempDirectory("q111").toString +
-          "/q111.nc"
-        NW.write(path,
-          dims = Seq(NW.DimSpec("time", 2, record = true),
-            NW.DimSpec("latitude", 10), NW.DimSpec("longitude", 10)),
-          vars = Seq(
-            NW.VarSpec("time", Seq("time"), NetCDF3.NC_DOUBLE,
-              Seq(baseHours, baseHours + 3.0),
-              attrs = Seq("units" -> "hours since 1900-01-01 00:00:0.0",
-                "calendar" -> "gregorian")),
-            NW.VarSpec("latitude", Seq("latitude"), NetCDF3.NC_DOUBLE,
-              (0 until 10).map(50.0 - _)),
-            NW.VarSpec("longitude", Seq("longitude"), NetCDF3.NC_DOUBLE,
-              (0 until 10).map(_.toDouble)),
-            NW.VarSpec("t2m", Seq("time", "latitude", "longitude"),
-              NetCDF3.NC_DOUBLE, vals)))
+        val path = Fixtures.path("q111", d, "q111.nc") { p =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 997).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          // 2020-01-01 in hours since 1900-01-01 (36889 days * 24)
+          val baseHours = java.time.Duration.between(
+            java.time.LocalDateTime.of(1900, 1, 1, 0, 0),
+            java.time.LocalDateTime.of(2020, 1, 1, 0, 0)).toHours.toDouble
+          NW.write(p,
+            dims = Seq(NW.DimSpec("time", 2, record = true),
+              NW.DimSpec("latitude", 10), NW.DimSpec("longitude", 10)),
+            vars = Seq(
+              NW.VarSpec("time", Seq("time"), NetCDF3.NC_DOUBLE,
+                Seq(baseHours, baseHours + 3.0),
+                attrs = Seq("units" -> "hours since 1900-01-01 00:00:0.0",
+                  "calendar" -> "gregorian")),
+              NW.VarSpec("latitude", Seq("latitude"), NetCDF3.NC_DOUBLE,
+                (0 until 10).map(50.0 - _)),
+              NW.VarSpec("longitude", Seq("longitude"), NetCDF3.NC_DOUBLE,
+                (0 until 10).map(_.toDouble)),
+              NW.VarSpec("t2m", Seq("time", "latitude", "longitude"),
+                NetCDF3.NC_DOUBLE, vals)))
+        }
         NetCDF3Reader.readLongFormat(s, path)
           .select(col("time").cast("timestamp_ntz").as("time"),
             $"latitude", $"longitude", $"t2m")
@@ -729,24 +731,24 @@ object Queries {
       GROUP BY month ORDER BY month"""))(
       (s, d) => {
         import graft.sources.netcdf.{NetCDF3, NetCDF3Reader, NetCDF3Writer => NW}
-        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
-          .select(($"o_orderkey" % 997).cast("double"))
-          .collect().map(_.getDouble(0)).toSeq
-        val path = java.nio.file.Files.createTempDirectory("q138").toString +
-          "/q138.nc"
-        NW.write(path,
-          dims = Seq(NW.DimSpec("time", 40, record = true),
-            NW.DimSpec("latitude", 5)),
-          vars = Seq(
-            NW.VarSpec("time", Seq("time"), NetCDF3.NC_DOUBLE,
-              (0 until 40).map(1461.0 * _), // 60 d 21 h steps: wraps months,
-                                            // years, and crosses noleap Feb
-              attrs = Seq("units" -> "hours since 2000-01-01",
-                "calendar" -> "noleap")),
-            NW.VarSpec("latitude", Seq("latitude"), NetCDF3.NC_DOUBLE,
-              (0 until 5).map(_.toDouble)),
-            NW.VarSpec("tas", Seq("time", "latitude"), NetCDF3.NC_DOUBLE,
-              vals)))
+        val path = Fixtures.path("q138", d, "q138.nc") { p =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 997).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          NW.write(p,
+            dims = Seq(NW.DimSpec("time", 40, record = true),
+              NW.DimSpec("latitude", 5)),
+            vars = Seq(
+              NW.VarSpec("time", Seq("time"), NetCDF3.NC_DOUBLE,
+                (0 until 40).map(1461.0 * _), // 60 d 21 h steps: wraps months,
+                                              // years, and crosses noleap Feb
+                attrs = Seq("units" -> "hours since 2000-01-01",
+                  "calendar" -> "noleap")),
+              NW.VarSpec("latitude", Seq("latitude"), NetCDF3.NC_DOUBLE,
+                (0 until 5).map(_.toDouble)),
+              NW.VarSpec("tas", Seq("time", "latitude"), NetCDF3.NC_DOUBLE,
+                vals)))
+        }
         NetCDF3Reader.readLongFormat(s, path)
           .groupBy(date_trunc("month", $"time").cast("timestamp_ntz").as("month"))
           .agg(count(lit(1)).as("n"), round(sum($"tas"), 6).as("sum_tas"))
@@ -780,23 +782,23 @@ object Queries {
       FROM t ORDER BY time NULLS FIRST, latitude"""))(
       (s, d) => {
         import graft.sources.zarr.{ZarrWriter => ZW}
-        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
-          .select(($"o_orderkey" % 997).cast("double"))
-          .collect().map(_.getDouble(0)).toSeq
-        val store = java.nio.file.Files.createTempDirectory("q139").toString +
-          "/q139.zarr"
-        // 3-day steps from day 38 with 6 h sub-day offsets: ti=7 lands on
-        // 360_day Feb 30 (doy 59) -> NULL timestamp
-        val times = (0 until 40).map(i => 3.0 * i + 38.0 + 0.25 * (i % 4))
-        ZW.write(store, Seq(
-          ZW.VarSpec("time", Seq("time"), Seq(40), Seq(40),
-            data = times,
-            units = Some("days since 2000-01-01"),
-            calendar = Some("360_day")),
-          ZW.VarSpec("latitude", Seq("latitude"), Seq(5), Seq(5),
-            data = (0 until 5).map(_.toDouble)),
-          ZW.VarSpec("tas", Seq("time", "latitude"), Seq(40, 5), Seq(40, 5),
-            data = vals)))
+        val store = Fixtures.path("q139", d, "q139.zarr") { p =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 997).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          // 3-day steps from day 38 with 6 h sub-day offsets: ti=7 lands on
+          // 360_day Feb 30 (doy 59) -> NULL timestamp
+          val times = (0 until 40).map(i => 3.0 * i + 38.0 + 0.25 * (i % 4))
+          ZW.write(p, Seq(
+            ZW.VarSpec("time", Seq("time"), Seq(40), Seq(40),
+              data = times,
+              units = Some("days since 2000-01-01"),
+              calendar = Some("360_day")),
+            ZW.VarSpec("latitude", Seq("latitude"), Seq(5), Seq(5),
+              data = (0 until 5).map(_.toDouble)),
+            ZW.VarSpec("tas", Seq("time", "latitude"), Seq(40, 5), Seq(40, 5),
+              data = vals)))
+        }
         s.read.format("zarr").load(store)
           .select($"time", $"latitude", $"tas")
           .orderBy($"time".asc_nulls_first, $"latitude")
@@ -850,18 +852,18 @@ object Queries {
       FROM i4 ORDER BY latitude, longitude"""))(
       (s, d) => {
         import graft.sources.grib.{Grib2Reader, GribProjection, Grib2Writer => GW2}
-        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
-          .select(($"o_orderkey" % 997).cast("double"))
-          .collect().map(_.getDouble(0)).toSeq
-        val t0 = java.time.LocalDateTime.of(2026, 3, 1, 0, 0)
-        val path = java.nio.file.Files.createTempDirectory("q140").toString +
-          "/q140.grib2"
-        // WGS84-like axes, centimetre-exact (the shape-7 wire precision)
-        val merc = GribProjection.Mercator(20.0, 6378137.0, 6356752.31)
-        GW2.write(path, Seq(GW2.FieldSpec(0, 0, 0, 103, 2, t0, vals,
-          ni = 10, nj = 20, la1 = 10.0, lo1 = -5.0, la2 = 0, lo2 = 0,
-          decimalScale = 0, projection = Some(merc),
-          dxMeters = 50000.0, dyMeters = 50000.0)))
+        val path = Fixtures.path("q140", d, "q140.grib2") { p =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 997).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          val t0 = java.time.LocalDateTime.of(2026, 3, 1, 0, 0)
+          // WGS84-like axes, centimetre-exact (the shape-7 wire precision)
+          val merc = GribProjection.Mercator(20.0, 6378137.0, 6356752.31)
+          GW2.write(p, Seq(GW2.FieldSpec(0, 0, 0, 103, 2, t0, vals,
+            ni = 10, nj = 20, la1 = 10.0, lo1 = -5.0, la2 = 0, lo2 = 0,
+            decimalScale = 0, projection = Some(merc),
+            dxMeters = 50000.0, dyMeters = 50000.0)))
+        }
         Grib2Reader.readLongFormat(s, path)
           .select(round($"latitude", 6).as("latitude"),
             round($"longitude", 6).as("longitude"), $"value")
@@ -893,19 +895,19 @@ object Queries {
       FROM g ORDER BY value"""))(
       (s, d) => {
         import graft.sources.grib.{Grib2Reader, GribProjection, Grib2Writer => GW2}
-        val ks = Tables.orders(s, d).orderBy($"o_orderkey").limit(100)
-          .select(($"o_orderkey" % 997).cast("double"))
-          .collect().map(_.getDouble(0))
-        val vals = ks.zipWithIndex.map { case (v, i) => i * 1000.0 + v }.toSeq
-        val t0 = java.time.LocalDateTime.of(2026, 4, 1, 0, 0)
-        val path = java.nio.file.Files.createTempDirectory("q108").toString +
-          "/q108.grib2"
-        GW2.write(path, Seq(GW2.FieldSpec(
-          discipline = 0, category = 0, number = 0, levelType = 103,
-          levelScaledValue = 2, refTime = t0, values = vals, ni = 10, nj = 10,
-          la1 = 4.5, lo1 = -4.5, la2 = -4.5, lo2 = 4.5,
-          decimalScale = 0, bitsPerValue = 24,
-          projection = Some(GribProjection.RotatedLatLon(-40.0, 10.0)))))
+        val path = Fixtures.path("q108", d, "q108.grib2") { p =>
+          val ks = Tables.orders(s, d).orderBy($"o_orderkey").limit(100)
+            .select(($"o_orderkey" % 997).cast("double"))
+            .collect().map(_.getDouble(0))
+          val vals = ks.zipWithIndex.map { case (v, i) => i * 1000.0 + v }.toSeq
+          val t0 = java.time.LocalDateTime.of(2026, 4, 1, 0, 0)
+          GW2.write(p, Seq(GW2.FieldSpec(
+            discipline = 0, category = 0, number = 0, levelType = 103,
+            levelScaledValue = 2, refTime = t0, values = vals, ni = 10, nj = 10,
+            la1 = 4.5, lo1 = -4.5, la2 = -4.5, lo2 = 4.5,
+            decimalScale = 0, bitsPerValue = 24,
+            projection = Some(GribProjection.RotatedLatLon(-40.0, 10.0)))))
+        }
         Grib2Reader.readLongFormat(s, path)
           .select(round($"latitude", 6).as("latitude"),
             round($"longitude", 6).as("longitude"), $"value")
@@ -931,22 +933,22 @@ object Queries {
       ORDER BY short_name, latitude, longitude"""))(
       (s, d) => {
         import graft.sources.grib.{Grib2Reader, Grib2Writer => GW2}
-        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
-          .select(($"o_orderkey" % 101).cast("double"))
-          .collect().map(_.getDouble(0)).toSeq
-        val t0 = java.time.LocalDateTime.of(2026, 5, 1, 0, 0)
-        val path = java.nio.file.Files.createTempDirectory("q109").toString +
-          "/q109.grib2"
-        def spec(v: Seq[Double], prob: (Int, Double, Double), statP: Int) =
-          GW2.FieldSpec(
-            discipline = 0, category = 1, number = 8, levelType = 1,
-            levelScaledValue = 0, refTime = t0, values = v, ni = 10, nj = 10,
-            la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0,
-            forecastTime = 6, statProcess = statP, decimalScale = 0,
-            probability = Some(prob))
-        GW2.write(path, Seq(
-          spec(vals.take(100), (1, 1.0, Double.NaN), -1),
-          spec(vals.drop(100), (2, 0.5, 2.5), 1)))
+        val path = Fixtures.path("q109", d, "q109.grib2") { p =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 101).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          val t0 = java.time.LocalDateTime.of(2026, 5, 1, 0, 0)
+          def spec(v: Seq[Double], prob: (Int, Double, Double), statP: Int) =
+            GW2.FieldSpec(
+              discipline = 0, category = 1, number = 8, levelType = 1,
+              levelScaledValue = 0, refTime = t0, values = v, ni = 10, nj = 10,
+              la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0,
+              forecastTime = 6, statProcess = statP, decimalScale = 0,
+              probability = Some(prob))
+          GW2.write(p, Seq(
+            spec(vals.take(100), (1, 1.0, Double.NaN), -1),
+            spec(vals.drop(100), (2, 0.5, 2.5), 1)))
+        }
         Grib2Reader.readLongFormat(s, path)
           .select($"short_name", $"step_type", $"latitude", $"longitude",
             $"value")
@@ -974,21 +976,22 @@ object Queries {
       ORDER BY file_stem, time, latitude, longitude"""))(
       (s, d) => {
         import graft.sources.grib.{GribReader, Grib1Writer => GW, Grib2Writer => GW2}
-        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(400)
-          .select(($"o_orderkey" % 997).cast("double"))
-          .collect().map(_.getDouble(0)).toSeq
-        val t0 = java.time.LocalDateTime.of(2026, 5, 1, 0, 0)
-        val dir = java.nio.file.Files.createTempDirectory("q52").toString
-        def g1(i: Int) = GW.FieldSpec(167, 105, 2, t0.plusHours(6L * i),
-          vals.slice(i * 100, i * 100 + 100), ni = 10, nj = 10,
-          la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0, decimalScale = 0)
-        def g2(i: Int) = GW2.FieldSpec(0, 0, 0, 103, 2, t0.plusHours(6L * i),
-          vals.slice(i * 100, i * 100 + 100), ni = 10, nj = 10,
-          la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0, decimalScale = 0)
-        GW.write(s"$dir/f0.grib", Seq(g1(0)))
-        GW.write(s"$dir/f1.grib", Seq(g1(1)))
-        GW2.write(s"$dir/f2.grib", Seq(g2(2)))
-        GW2.write(s"$dir/f3.grib", Seq(g2(3)))
+        val dir = Fixtures.dir("q52", d) { dir =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(400)
+            .select(($"o_orderkey" % 997).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          val t0 = java.time.LocalDateTime.of(2026, 5, 1, 0, 0)
+          def g1(i: Int) = GW.FieldSpec(167, 105, 2, t0.plusHours(6L * i),
+            vals.slice(i * 100, i * 100 + 100), ni = 10, nj = 10,
+            la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0, decimalScale = 0)
+          def g2(i: Int) = GW2.FieldSpec(0, 0, 0, 103, 2, t0.plusHours(6L * i),
+            vals.slice(i * 100, i * 100 + 100), ni = 10, nj = 10,
+            la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0, decimalScale = 0)
+          GW.write(s"$dir/f0.grib", Seq(g1(0)))
+          GW.write(s"$dir/f1.grib", Seq(g1(1)))
+          GW2.write(s"$dir/f2.grib", Seq(g2(2)))
+          GW2.write(s"$dir/f3.grib", Seq(g2(3)))
+        }
         GribReader.readLongFormatGlob(s, s"$dir/*.grib")
           .select(
             regexp_extract($"data_uri", "([^/]+)\\.grib$", 1).as("file_stem"),
@@ -1012,14 +1015,15 @@ object Queries {
       ORDER BY latitude, longitude"""))(
       (s, d) => {
         import graft.sources.tiff.{TiffReader, TiffWriter => TW}
-        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
-          .select(($"o_orderkey" % 997).cast("double"))
-          .collect().map(_.getDouble(0)).toSeq
-        val path = java.nio.file.Files.createTempDirectory("q53").toString + "/q53.tif"
-        TW.write(path, TW.Spec(20, 10, 1, vals,
-          pixelScale = (1.0, 1.0), tiepointXY = (0.0, 50.0), epsg = 4326,
-          rowsPerStrip = 3, lzw = true, predictor = 2,
-          bitsPerSample = 16, sampleFormat = 1))
+        val path = Fixtures.path("q53", d, "q53.tif") { p =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 997).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          TW.write(p, TW.Spec(20, 10, 1, vals,
+            pixelScale = (1.0, 1.0), tiepointXY = (0.0, 50.0), epsg = 4326,
+            rowsPerStrip = 3, lzw = true, predictor = 2,
+            bitsPerSample = 16, sampleFormat = 1))
+        }
         TiffReader.readLongFormat(s, path)
           .orderBy($"latitude", $"longitude")
       }),
@@ -1043,19 +1047,20 @@ object Queries {
       ORDER BY time, latitude, longitude"""))(
       (s, d) => {
         import graft.sources.grib.{Grib2Reader, Grib2Writer => GW2}
-        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
-          .select(($"o_orderkey" % 997).cast("double"))
-          .collect().map(_.getDouble(0)).toSeq
-        val t0 = java.time.LocalDateTime.of(2026, 6, 1, 0, 0)
-        val path = java.nio.file.Files.createTempDirectory("q54").toString + "/q54.grib2"
-        def spec(v: Seq[Double], fcst: Int, pack: Int) = GW2.FieldSpec(
-          discipline = 0, category = 0, number = 0, levelType = 103,
-          levelScaledValue = 2, refTime = t0, values = v, ni = 10, nj = 10,
-          la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0,
-          forecastTime = fcst, decimalScale = 0,
-          packing = pack, spatialOrder = 2, groupSize = 17)
-        GW2.write(path, Seq(spec(vals.take(100), 0, pack = 2),
-          spec(vals.drop(100), 6, pack = 3)))
+        val path = Fixtures.path("q54", d, "q54.grib2") { p =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 997).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          val t0 = java.time.LocalDateTime.of(2026, 6, 1, 0, 0)
+          def spec(v: Seq[Double], fcst: Int, pack: Int) = GW2.FieldSpec(
+            discipline = 0, category = 0, number = 0, levelType = 103,
+            levelScaledValue = 2, refTime = t0, values = v, ni = 10, nj = 10,
+            la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0,
+            forecastTime = fcst, decimalScale = 0,
+            packing = pack, spatialOrder = 2, groupSize = 17)
+          GW2.write(p, Seq(spec(vals.take(100), 0, pack = 2),
+            spec(vals.drop(100), 6, pack = 3)))
+        }
         Grib2Reader.readLongFormat(s, path)
           .select($"time", $"latitude", $"longitude", $"value")
           .orderBy($"time", $"latitude", $"longitude")
@@ -1080,17 +1085,18 @@ object Queries {
       ORDER BY time, latitude, longitude"""))(
       (s, d) => {
         import graft.sources.grib.{Grib1Reader, Grib1Writer => GW}
-        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
-          .select(($"o_orderkey" % 997).cast("double"))
-          .collect().map(_.getDouble(0)).toSeq
-        val t0 = java.time.LocalDateTime.of(2026, 7, 1, 0, 0)
-        val path = java.nio.file.Files.createTempDirectory("q55").toString + "/q55.grib"
-        def spec(v: Seq[Double], p1: Int) = GW.FieldSpec(
-          paramId = 167, levelType = 105, levelValue = 2, refTime = t0,
-          values = v, ni = 10, nj = 10,
-          la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0, p1 = p1,
-          decimalScale = 0, secondOrder = true, groupSize = 23)
-        GW.write(path, Seq(spec(vals.take(100), 0), spec(vals.drop(100), 6)))
+        val path = Fixtures.path("q55", d, "q55.grib") { p =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 997).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          val t0 = java.time.LocalDateTime.of(2026, 7, 1, 0, 0)
+          def spec(v: Seq[Double], p1: Int) = GW.FieldSpec(
+            paramId = 167, levelType = 105, levelValue = 2, refTime = t0,
+            values = v, ni = 10, nj = 10,
+            la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0, p1 = p1,
+            decimalScale = 0, secondOrder = true, groupSize = 23)
+          GW.write(p, Seq(spec(vals.take(100), 0), spec(vals.drop(100), 6)))
+        }
         Grib1Reader.readLongFormat(s, path)
           .select($"time", $"latitude", $"longitude", $"value")
           .orderBy($"time", $"latitude", $"longitude")
@@ -1118,22 +1124,23 @@ object Queries {
       ORDER BY time, latitude, longitude"""))(
       (s, d) => {
         import graft.sources.grib.{Grib2Reader, Grib2Writer => GW2}
-        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
-          .select(($"o_orderkey" % 997).cast("double"))
-          .collect().map(_.getDouble(0)).toSeq
-        val t0 = java.time.LocalDateTime.of(2026, 8, 1, 0, 0)
-        val path = java.nio.file.Files.createTempDirectory("q61").toString + "/q61.grib2"
-        def spec(v: Seq[Double], fcst: Int, bits: Int) = GW2.FieldSpec(
-          discipline = 0, category = 0, number = 0, levelType = 103,
-          levelScaledValue = 2, refTime = t0, values = v, ni = 10, nj = 10,
-          la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0,
-          forecastTime = fcst, decimalScale = 0,
-          packing = 41, bitsPerValue = bits)
-        val m2 = vals.drop(100).zipWithIndex.map { case (v, k) =>
-          if ((k + 100) % 7 == 0) Double.NaN else v % 251 // fits 8 bits
+        val path = Fixtures.path("q61", d, "q61.grib2") { p =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 997).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          val t0 = java.time.LocalDateTime.of(2026, 8, 1, 0, 0)
+          def spec(v: Seq[Double], fcst: Int, bits: Int) = GW2.FieldSpec(
+            discipline = 0, category = 0, number = 0, levelType = 103,
+            levelScaledValue = 2, refTime = t0, values = v, ni = 10, nj = 10,
+            la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0,
+            forecastTime = fcst, decimalScale = 0,
+            packing = 41, bitsPerValue = bits)
+          val m2 = vals.drop(100).zipWithIndex.map { case (v, k) =>
+            if ((k + 100) % 7 == 0) Double.NaN else v % 251 // fits 8 bits
+          }
+          GW2.write(p, Seq(spec(vals.take(100), 0, bits = 16),
+            spec(m2, 6, bits = 8)))
         }
-        GW2.write(path, Seq(spec(vals.take(100), 0, bits = 16),
-          spec(m2, 6, bits = 8)))
         Grib2Reader.readLongFormat(s, path)
           .filter($"value".isNotNull) // bitmap-missing points decode as null
           .select($"time", $"latitude", $"longitude", $"value")
@@ -1163,28 +1170,29 @@ object Queries {
       (s, d) => {
         import graft.sources.hdf5.{Hdf5Writer => HW}
         import graft.sources.netcdf.NetCDF4Reader
-        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
-          .select(when($"o_orderkey" % 11 === 0, lit(-1.0))
-            .otherwise(($"o_orderkey" % 997).cast("double")).as("v"))
-          .collect().map(_.getDouble(0)).toSeq
-        val t0 = java.time.LocalDateTime.of(2026, 9, 1, 0, 0)
-          .toEpochSecond(java.time.ZoneOffset.UTC)
-        val path = java.nio.file.Files.createTempDirectory("q63").toString + "/q63.nc"
-        HW.write(path, Seq(
-          HW.VarSpec("time", Seq("time"), Seq(2),
-            Seq(t0.toDouble, t0 + 21600.0), dtype = "f8",
-            units = Some("seconds since 1970-01-01")),
-          HW.VarSpec("latitude", Seq("latitude"), Seq(10),
-            (0 until 10).map(50.0 - _), dtype = "f8"),
-          HW.VarSpec("longitude", Seq("longitude"), Seq(10),
-            (0 until 10).map(_.toDouble), dtype = "f8"),
-          // packed int16: stored = o_orderkey % 997 (or -1 = fill);
-          // decode = stored * 0.25 + 200
-          HW.VarSpec("t2m", Seq("time", "latitude", "longitude"), Seq(2, 10, 10),
-            vals, dtype = "i2", chunks = Some(Seq(1, 4, 10)),
-            deflate = true, shuffle = true,
-            scaleFactor = Some(0.25), addOffset = Some(200.0),
-            fillValue = Some(-1.0), units = Some("K"))))
+        val path = Fixtures.path("q63", d, "q63.nc") { p =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(when($"o_orderkey" % 11 === 0, lit(-1.0))
+              .otherwise(($"o_orderkey" % 997).cast("double")).as("v"))
+            .collect().map(_.getDouble(0)).toSeq
+          val t0 = java.time.LocalDateTime.of(2026, 9, 1, 0, 0)
+            .toEpochSecond(java.time.ZoneOffset.UTC)
+          HW.write(p, Seq(
+            HW.VarSpec("time", Seq("time"), Seq(2),
+              Seq(t0.toDouble, t0 + 21600.0), dtype = "f8",
+              units = Some("seconds since 1970-01-01")),
+            HW.VarSpec("latitude", Seq("latitude"), Seq(10),
+              (0 until 10).map(50.0 - _), dtype = "f8"),
+            HW.VarSpec("longitude", Seq("longitude"), Seq(10),
+              (0 until 10).map(_.toDouble), dtype = "f8"),
+            // packed int16: stored = o_orderkey % 997 (or -1 = fill);
+            // decode = stored * 0.25 + 200
+            HW.VarSpec("t2m", Seq("time", "latitude", "longitude"), Seq(2, 10, 10),
+              vals, dtype = "i2", chunks = Some(Seq(1, 4, 10)),
+              deflate = true, shuffle = true,
+              scaleFactor = Some(0.25), addOffset = Some(200.0),
+              fillValue = Some(-1.0), units = Some("K"))))
+        }
         NetCDF4Reader.readLongFormat(s, path)
           .select(col("time").cast("timestamp_ntz").as("time"),
             $"latitude", $"longitude", round($"t2m", 6).as("t2m"))
@@ -1214,32 +1222,33 @@ object Queries {
       (s, d) => {
         import graft.sources.hdf5.{Hdf5Writer => HW}
         import graft.sources.zarr.Kerchunk
-        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
-          .select(when($"o_orderkey" % 11 === 0, lit(-1.0))
-            .otherwise(($"o_orderkey" % 997).cast("double")).as("v"))
-          .collect().map(_.getDouble(0)).toSeq
-        val t0 = java.time.LocalDateTime.of(2026, 10, 1, 0, 0)
-          .toEpochSecond(java.time.ZoneOffset.UTC)
-        val dir = java.nio.file.Files.createTempDirectory("q143").toString
-        val path = s"$dir/q143.nc"
-        HW.write(path, Seq(
-          HW.VarSpec("time", Seq("time"), Seq(2),
-            Seq(t0.toDouble, t0 + 21600.0), dtype = "f8",
-            units = Some("seconds since 1970-01-01")),
-          HW.VarSpec("latitude", Seq("latitude"), Seq(10),
-            (0 until 10).map(50.0 - _), dtype = "f8"),
-          HW.VarSpec("longitude", Seq("longitude"), Seq(10),
-            (0 until 10).map(_.toDouble), dtype = "f8"),
-          HW.VarSpec("t2m", Seq("time", "latitude", "longitude"), Seq(2, 10, 10),
-            vals, dtype = "i2", chunks = Some(Seq(1, 4, 10)),
-            deflate = true, shuffle = true,
-            scaleFactor = Some(0.25), addOffset = Some(200.0),
-            fillValue = Some(-1.0), units = Some("K"))))
-        val refs = s"$dir/q143.refs.json"
-        java.nio.file.Files.write(java.nio.file.Paths.get(refs),
-          Kerchunk.scanNetCDF4(
-            new org.apache.hadoop.conf.Configuration(), path)
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val refs = Fixtures.dir("q143", d) { dir =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(when($"o_orderkey" % 11 === 0, lit(-1.0))
+              .otherwise(($"o_orderkey" % 997).cast("double")).as("v"))
+            .collect().map(_.getDouble(0)).toSeq
+          val t0 = java.time.LocalDateTime.of(2026, 10, 1, 0, 0)
+            .toEpochSecond(java.time.ZoneOffset.UTC)
+          val path = s"$dir/q143.nc"
+          HW.write(path, Seq(
+            HW.VarSpec("time", Seq("time"), Seq(2),
+              Seq(t0.toDouble, t0 + 21600.0), dtype = "f8",
+              units = Some("seconds since 1970-01-01")),
+            HW.VarSpec("latitude", Seq("latitude"), Seq(10),
+              (0 until 10).map(50.0 - _), dtype = "f8"),
+            HW.VarSpec("longitude", Seq("longitude"), Seq(10),
+              (0 until 10).map(_.toDouble), dtype = "f8"),
+            HW.VarSpec("t2m", Seq("time", "latitude", "longitude"), Seq(2, 10, 10),
+              vals, dtype = "i2", chunks = Some(Seq(1, 4, 10)),
+              deflate = true, shuffle = true,
+              scaleFactor = Some(0.25), addOffset = Some(200.0),
+              fillValue = Some(-1.0), units = Some("K"))))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/q143.refs.json"),
+            Kerchunk.scanNetCDF4(
+              new org.apache.hadoop.conf.Configuration(), path)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        } + "/q143.refs.json"
         s.read.format("zarr").load(refs)
           .select($"time", $"latitude", $"longitude",
             round($"t2m", 6).as("t2m"))
@@ -1269,29 +1278,30 @@ object Queries {
       (s, d) => {
         import graft.sources.hdf5.{Hdf5Writer => HW}
         import graft.sources.zarr.Kerchunk
-        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(300)
-          .select(when($"o_orderkey" % 11 === 0, lit(-1.0))
-            .otherwise(($"o_orderkey" % 997).cast("double")).as("v"))
-          .collect().map(_.getDouble(0)).toSeq
-        val dir = java.nio.file.Files.createTempDirectory("q144").toString
-        for (day <- 1 to 3) HW.write(s"$dir/d$day.nc", Seq(
-          HW.VarSpec("time", Seq("time"), Seq(1), Seq(0.0),
-            units = Some(s"hours since 2026-10-0$day")),
-          HW.VarSpec("latitude", Seq("latitude"), Seq(10),
-            (0 until 10).map(50.0 - _), dtype = "f8"),
-          HW.VarSpec("longitude", Seq("longitude"), Seq(10),
-            (0 until 10).map(_.toDouble), dtype = "f8"),
-          HW.VarSpec("t2m", Seq("time", "latitude", "longitude"),
-            Seq(1, 10, 10), vals.slice((day - 1) * 100, day * 100),
-            dtype = "i2", chunks = Some(Seq(1, 4, 10)),
-            deflate = true, shuffle = true,
-            scaleFactor = Some(0.25), addOffset = Some(200.0),
-            fillValue = Some(-1.0), units = Some("K"))))
-        val refs = Kerchunk.scanAllSpark(s, s"$dir/*.nc")
-        val combined = s"$dir/combined.json"
-        java.nio.file.Files.write(java.nio.file.Paths.get(combined),
-          Kerchunk.combine(new org.apache.hadoop.conf.Configuration(), refs)
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val combined = Fixtures.dir("q144", d) { dir =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(300)
+            .select(when($"o_orderkey" % 11 === 0, lit(-1.0))
+              .otherwise(($"o_orderkey" % 997).cast("double")).as("v"))
+            .collect().map(_.getDouble(0)).toSeq
+          for (day <- 1 to 3) HW.write(s"$dir/d$day.nc", Seq(
+            HW.VarSpec("time", Seq("time"), Seq(1), Seq(0.0),
+              units = Some(s"hours since 2026-10-0$day")),
+            HW.VarSpec("latitude", Seq("latitude"), Seq(10),
+              (0 until 10).map(50.0 - _), dtype = "f8"),
+            HW.VarSpec("longitude", Seq("longitude"), Seq(10),
+              (0 until 10).map(_.toDouble), dtype = "f8"),
+            HW.VarSpec("t2m", Seq("time", "latitude", "longitude"),
+              Seq(1, 10, 10), vals.slice((day - 1) * 100, day * 100),
+              dtype = "i2", chunks = Some(Seq(1, 4, 10)),
+              deflate = true, shuffle = true,
+              scaleFactor = Some(0.25), addOffset = Some(200.0),
+              fillValue = Some(-1.0), units = Some("K"))))
+          val refs = Kerchunk.scanAllSpark(s, s"$dir/*.nc")
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/combined.json"),
+            Kerchunk.combine(new org.apache.hadoop.conf.Configuration(), refs)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        } + "/combined.json"
         s.read.format("zarr").load(combined)
           .select($"time", $"latitude", $"longitude",
             round($"t2m", 6).as("t2m"))
@@ -1318,23 +1328,24 @@ object Queries {
       (s, d) => {
         import graft.sources.grib.{Grib2Writer => GW2}
         import graft.sources.zarr.Kerchunk
-        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
-          .select(($"o_orderkey" % 997).cast("double"))
-          .collect().map(_.getDouble(0)).toSeq
-        val t0 = java.time.LocalDateTime.of(2026, 3, 1, 0, 0)
-        val dir = java.nio.file.Files.createTempDirectory("q145").toString
-        val path = s"$dir/q145.grib2"
-        def spec(v: Seq[Double], fcst: Int) = GW2.FieldSpec(
-          discipline = 0, category = 0, number = 0, levelType = 103,
-          levelScaledValue = 2, refTime = t0, values = v, ni = 10, nj = 10,
-          la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0,
-          forecastTime = fcst, decimalScale = 0)
-        GW2.write(path, Seq(spec(vals.take(100), 0), spec(vals.drop(100), 6)))
-        val refs = s"$dir/q145.refs.json"
-        java.nio.file.Files.write(java.nio.file.Paths.get(refs),
-          Kerchunk.scanGrib(
-            new org.apache.hadoop.conf.Configuration(), path)
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val refs = Fixtures.dir("q145", d) { dir =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 997).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          val t0 = java.time.LocalDateTime.of(2026, 3, 1, 0, 0)
+          val path = s"$dir/q145.grib2"
+          def spec(v: Seq[Double], fcst: Int) = GW2.FieldSpec(
+            discipline = 0, category = 0, number = 0, levelType = 103,
+            levelScaledValue = 2, refTime = t0, values = v, ni = 10, nj = 10,
+            la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0,
+            forecastTime = fcst, decimalScale = 0)
+          GW2.write(path, Seq(spec(vals.take(100), 0), spec(vals.drop(100), 6)))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/q145.refs.json"),
+            Kerchunk.scanGrib(
+              new org.apache.hadoop.conf.Configuration(), path)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        } + "/q145.refs.json"
         s.read.format("zarr").load(refs)
           .select($"time", $"latitude", $"longitude", col("2t").as("value"))
           .orderBy($"time", $"latitude", $"longitude")
@@ -1377,21 +1388,21 @@ object Queries {
       FROM p ORDER BY latitude, longitude"""))(
       (s, d) => {
         import graft.sources.tiff.{TiffReader, TiffWriter => TW}
-        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
-          .select(($"o_orderkey" % 997).cast("double"))
-          .collect().map(_.getDouble(0)).toSeq
-        val path = java.nio.file.Files.createTempDirectory("q146").toString +
-          "/q146.tif"
-        // pixel CENTERS at model (100000 + i*40000, 200000 - j*30000)
-        TW.write(path, TW.Spec(10, 20, 1, vals,
-          pixelScale = (40000.0, 30000.0),
-          tiepointXY = (100000.0 - 20000.0, 200000.0 + 15000.0),
-          epsg = 32767, rowsPerStrip = 4, deflate = true,
-          extraShortKeys = Seq((3075, 8)),           // CT_LambertConfConic_2SP
-          doubleKeys = Seq((3078, 30.0), (3079, 60.0), // standard parallels
-            (3085, 40.0), (3084, 10.0),                // false origin lat/lon
-            (3086, 100000.0), (3087, 200000.0),        // FE / FN
-            (2057, 6371229.0), (2058, 6371229.0))))    // sphere axes
+        val path = Fixtures.path("q146", d, "q146.tif") { p =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 997).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          // pixel CENTERS at model (100000 + i*40000, 200000 - j*30000)
+          TW.write(p, TW.Spec(10, 20, 1, vals,
+            pixelScale = (40000.0, 30000.0),
+            tiepointXY = (100000.0 - 20000.0, 200000.0 + 15000.0),
+            epsg = 32767, rowsPerStrip = 4, deflate = true,
+            extraShortKeys = Seq((3075, 8)),           // CT_LambertConfConic_2SP
+            doubleKeys = Seq((3078, 30.0), (3079, 60.0), // standard parallels
+              (3085, 40.0), (3084, 10.0),                // false origin lat/lon
+              (3086, 100000.0), (3087, 200000.0),        // FE / FN
+              (2057, 6371229.0), (2058, 6371229.0))))    // sphere axes
+        }
         TiffReader.readLongFormat(s, path)
           .select(round($"latitude", 6).as("latitude"),
             round($"longitude", 6).as("longitude"), $"band_1")
@@ -1441,16 +1452,16 @@ object Queries {
       FROM i4 ORDER BY latitude, longitude"""))(
       (s, d) => {
         import graft.sources.tiff.{TiffReader, TiffWriter => TW}
-        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
-          .select(($"o_orderkey" % 997).cast("double"))
-          .collect().map(_.getDouble(0)).toSeq
-        val path = java.nio.file.Files.createTempDirectory("q147").toString +
-          "/q147.tif"
-        // pixel CENTERS at model (200000 + i*50000, -2000000 - j*50000)
-        TW.write(path, TW.Spec(10, 20, 1, vals,
-          pixelScale = (50000.0, 50000.0),
-          tiepointXY = (200000.0 - 25000.0, -2000000.0 + 25000.0),
-          epsg = 3413, rowsPerStrip = 5, lzw = true))
+        val path = Fixtures.path("q147", d, "q147.tif") { p =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 997).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          // pixel CENTERS at model (200000 + i*50000, -2000000 - j*50000)
+          TW.write(p, TW.Spec(10, 20, 1, vals,
+            pixelScale = (50000.0, 50000.0),
+            tiepointXY = (200000.0 - 25000.0, -2000000.0 + 25000.0),
+            epsg = 3413, rowsPerStrip = 5, lzw = true))
+        }
         TiffReader.readLongFormat(s, path)
           .select(round($"latitude", 6).as("latitude"),
             round($"longitude", 6).as("longitude"), $"band_1")
@@ -1476,29 +1487,30 @@ object Queries {
       ORDER BY time, latitude, longitude"""))(
       (s, d) => {
         import graft.sources.netcdf.{NetCDF3, NetCDF3Reader, NetCDF3Writer => NW}
-        val rows = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
-          .select(($"o_orderkey" % 997).cast("double").as("c"),
-            ($"o_orderkey" % 250).cast("double").as("f"))
-          .collect()
-        val t0 = java.time.LocalDateTime.of(2026, 11, 1, 0, 0)
-          .toEpochSecond(java.time.ZoneOffset.UTC)
-        val path = java.nio.file.Files.createTempDirectory("q95").toString + "/q95.nc"
-        NW.write(path,
-          dims = Seq(NW.DimSpec("time", 2, record = true),
-            NW.DimSpec("latitude", 10), NW.DimSpec("longitude", 10)),
-          vars = Seq(
-            NW.VarSpec("time", Seq("time"), NetCDF3.NC_DOUBLE,
-              Seq(t0.toDouble, t0 + 21600.0),
-              attrs = Seq("units" -> "seconds since 1970-01-01")),
-            NW.VarSpec("latitude", Seq("latitude"), NetCDF3.NC_DOUBLE,
-              (0 until 10).map(50.0 - _)),
-            NW.VarSpec("longitude", Seq("longitude"), NetCDF3.NC_DOUBLE,
-              (0 until 10).map(_.toDouble)),
-            NW.VarSpec("counts", Seq("time", "latitude", "longitude"),
-              NetCDF3.NC_INT64, rows.map(r => 5000000000.0 + r.getDouble(0)).toSeq),
-            NW.VarSpec("flags", Seq("time", "latitude", "longitude"),
-              NetCDF3.NC_UBYTE, rows.map(_.getDouble(1)).toSeq)),
-          version = 5)
+        val path = Fixtures.path("q95", d, "q95.nc") { p =>
+          val rows = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 997).cast("double").as("c"),
+              ($"o_orderkey" % 250).cast("double").as("f"))
+            .collect()
+          val t0 = java.time.LocalDateTime.of(2026, 11, 1, 0, 0)
+            .toEpochSecond(java.time.ZoneOffset.UTC)
+          NW.write(p,
+            dims = Seq(NW.DimSpec("time", 2, record = true),
+              NW.DimSpec("latitude", 10), NW.DimSpec("longitude", 10)),
+            vars = Seq(
+              NW.VarSpec("time", Seq("time"), NetCDF3.NC_DOUBLE,
+                Seq(t0.toDouble, t0 + 21600.0),
+                attrs = Seq("units" -> "seconds since 1970-01-01")),
+              NW.VarSpec("latitude", Seq("latitude"), NetCDF3.NC_DOUBLE,
+                (0 until 10).map(50.0 - _)),
+              NW.VarSpec("longitude", Seq("longitude"), NetCDF3.NC_DOUBLE,
+                (0 until 10).map(_.toDouble)),
+              NW.VarSpec("counts", Seq("time", "latitude", "longitude"),
+                NetCDF3.NC_INT64, rows.map(r => 5000000000.0 + r.getDouble(0)).toSeq),
+              NW.VarSpec("flags", Seq("time", "latitude", "longitude"),
+                NetCDF3.NC_UBYTE, rows.map(_.getDouble(1)).toSeq)),
+            version = 5)
+        }
         NetCDF3Reader.readLongFormat(s, path)
           .select(col("time").cast("timestamp_ntz").as("time"),
             $"latitude", $"longitude", $"counts", $"flags")
@@ -1516,40 +1528,41 @@ object Queries {
              CAST(n_regionkey AS DOUBLE) AS code
       FROM nation ORDER BY station"""))(
       (s, d) => {
-        val rows = Tables.nation(s, d).orderBy($"n_nationkey")
-          .select($"n_nationkey".cast("double"), $"n_name",
-            $"n_regionkey".cast("double"))
-          .collect()
-        val n = rows.length
-        val dir = java.nio.file.Files.createTempDirectory("q101").toString + "/s.zarr"
-        def put(rel: String, bytes: Array[Byte]): Unit = {
-          val f = new java.io.File(dir, rel)
-          f.getParentFile.mkdirs()
-          java.nio.file.Files.write(f.toPath, bytes)
+        val dir = Fixtures.path("q101", d, "s.zarr") { store =>
+          val rows = Tables.nation(s, d).orderBy($"n_nationkey")
+            .select($"n_nationkey".cast("double"), $"n_name",
+              $"n_regionkey".cast("double"))
+            .collect()
+          val n = rows.length
+          def put(rel: String, bytes: Array[Byte]): Unit = {
+            val f = new java.io.File(store, rel)
+            f.getParentFile.mkdirs()
+            java.nio.file.Files.write(f.toPath, bytes)
+          }
+          def zarray(dtype: String): String =
+            s"""{"zarr_format": 2, "shape": [$n], "chunks": [$n], "dtype": "$dtype",
+               | "compressor": null, "fill_value": null, "filters": null,
+               | "order": "C"}""".stripMargin
+          def dims(): String = """{"_ARRAY_DIMENSIONS": ["station"]}"""
+          def putDoubles(name: String, vs: Seq[Double]): Unit = {
+            put(s"$name/.zarray", zarray("<f8").getBytes("UTF-8"))
+            put(s"$name/.zattrs", dims().getBytes("UTF-8"))
+            val bb = java.nio.ByteBuffer.allocate(vs.size * 8)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            vs.foreach(bb.putDouble)
+            put(s"$name/0", bb.array())
+          }
+          putDoubles("station", rows.map(_.getDouble(0)).toSeq)
+          putDoubles("code", rows.map(_.getDouble(2)).toSeq)
+          put("name/.zarray", zarray("|S32").getBytes("UTF-8"))
+          put("name/.zattrs", dims().getBytes("UTF-8"))
+          val cells = new Array[Byte](n * 32) // NUL-padded
+          rows.zipWithIndex.foreach { case (r, i) =>
+            val b = r.getString(1).getBytes("UTF-8")
+            System.arraycopy(b, 0, cells, i * 32, b.length)
+          }
+          put("name/0", cells)
         }
-        def zarray(dtype: String): String =
-          s"""{"zarr_format": 2, "shape": [$n], "chunks": [$n], "dtype": "$dtype",
-             | "compressor": null, "fill_value": null, "filters": null,
-             | "order": "C"}""".stripMargin
-        def dims(): String = """{"_ARRAY_DIMENSIONS": ["station"]}"""
-        def putDoubles(name: String, vs: Seq[Double]): Unit = {
-          put(s"$name/.zarray", zarray("<f8").getBytes("UTF-8"))
-          put(s"$name/.zattrs", dims().getBytes("UTF-8"))
-          val bb = java.nio.ByteBuffer.allocate(vs.size * 8)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          vs.foreach(bb.putDouble)
-          put(s"$name/0", bb.array())
-        }
-        putDoubles("station", rows.map(_.getDouble(0)).toSeq)
-        putDoubles("code", rows.map(_.getDouble(2)).toSeq)
-        put("name/.zarray", zarray("|S32").getBytes("UTF-8"))
-        put("name/.zattrs", dims().getBytes("UTF-8"))
-        val cells = new Array[Byte](n * 32) // NUL-padded
-        rows.zipWithIndex.foreach { case (r, i) =>
-          val b = r.getString(1).getBytes("UTF-8")
-          System.arraycopy(b, 0, cells, i * 32, b.length)
-        }
-        put("name/0", cells)
         s.read.format("zarr").load(dir)
           .select($"station", $"name", $"code")
           .orderBy($"station")
@@ -1578,15 +1591,15 @@ object Queries {
       ORDER BY m, n"""))(
       (s, d) => {
         import graft.sources.grib.{Grib2Reader, Grib2Writer => GW2}
-        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(110)
-          .select(($"o_orderkey" % 997 - 400).cast("double"))
-          .collect().map(_.getDouble(0)).toSeq
-        val t0 = java.time.LocalDateTime.of(2026, 8, 1, 0, 0)
-        val path = java.nio.file.Files.createTempDirectory("q100").toString +
-          "/q100.grib2"
-        GW2.write(path, Seq(GW2.FieldSpec(0, 3, 5, 100, 50000, t0, vals,
-          110, 1, 0.0, 0.0, 0.0, 0.0, decimalScale = 0, bitsPerValue = 24,
-          packing = 51, spectralT = 9, subTruncation = 3, laplacianP = 1.0)))
+        val path = Fixtures.path("q100", d, "q100.grib2") { p =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(110)
+            .select(($"o_orderkey" % 997 - 400).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          val t0 = java.time.LocalDateTime.of(2026, 8, 1, 0, 0)
+          GW2.write(p, Seq(GW2.FieldSpec(0, 3, 5, 100, 50000, t0, vals,
+            110, 1, 0.0, 0.0, 0.0, 0.0, decimalScale = 0, bitsPerValue = 24,
+            packing = 51, spectralT = 9, subTruncation = 3, laplacianP = 1.0)))
+        }
         Grib2Reader.readSpectral(s, path)
           .select($"m", $"n", $"re", $"im")
           .orderBy($"m", $"n")
@@ -1613,16 +1626,16 @@ object Queries {
       ORDER BY m, n"""))(
       (s, d) => {
         import graft.sources.grib.{Grib1Reader, Grib1Writer => GW}
-        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(110)
-          .select(($"o_orderkey" % 811 - 300).cast("double"))
-          .collect().map(_.getDouble(0)).toSeq
-        val t0 = java.time.LocalDateTime.of(2026, 8, 1, 0, 0)
-        val path = java.nio.file.Files.createTempDirectory("q102").toString +
-          "/q102.grib"
-        GW.write(path, Seq(GW.FieldSpec(129, 100, 500, t0, vals,
-          ni = 110, nj = 1, la1 = 0, lo1 = 0, la2 = 0, lo2 = 0,
-          tableVersion = 128, decimalScale = 0, bitsPerValue = 24,
-          spectralT = 9)))
+        val path = Fixtures.path("q102", d, "q102.grib") { p =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(110)
+            .select(($"o_orderkey" % 811 - 300).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          val t0 = java.time.LocalDateTime.of(2026, 8, 1, 0, 0)
+          GW.write(p, Seq(GW.FieldSpec(129, 100, 500, t0, vals,
+            ni = 110, nj = 1, la1 = 0, lo1 = 0, la2 = 0, lo2 = 0,
+            tableVersion = 128, decimalScale = 0, bitsPerValue = 24,
+            spectralT = 9)))
+        }
         Grib1Reader.readSpectral(s, path)
           .select($"m", $"n", $"re", $"im")
           .orderBy($"m", $"n")
@@ -1643,19 +1656,20 @@ object Queries {
       (s, d) => {
         import graft.sources.hdf5.{Hdf5Writer => HW}
         import graft.sources.netcdf.NetCDF4Reader
-        val rows = Tables.supplier(s, d).orderBy($"s_suppkey")
-          .select($"s_suppkey".cast("double"), $"s_acctbal".cast("double"),
-            $"s_nationkey".cast("double"), $"s_name")
-          .collect()
-        val n = rows.length
-        val path = java.nio.file.Files.createTempDirectory("q99").toString + "/q99.nc"
-        HW.write(path, Seq(
-          HW.VarSpec("obs", Seq("obs"), Seq(n),
-            rows.map(_.getDouble(0)).toSeq, dtype = "f8"),
-          HW.VarSpec("site", Seq("obs"), Seq(n), Nil,
-            compound = Seq("bal" -> "f8", "nation" -> "i4", "name" -> "s32"),
-            cdata = rows.map(r =>
-              Seq(r.getDouble(1), r.getDouble(2), r.getString(3))).toSeq)))
+        val path = Fixtures.path("q99", d, "q99.nc") { p =>
+          val rows = Tables.supplier(s, d).orderBy($"s_suppkey")
+            .select($"s_suppkey".cast("double"), $"s_acctbal".cast("double"),
+              $"s_nationkey".cast("double"), $"s_name")
+            .collect()
+          val n = rows.length
+          HW.write(p, Seq(
+            HW.VarSpec("obs", Seq("obs"), Seq(n),
+              rows.map(_.getDouble(0)).toSeq, dtype = "f8"),
+            HW.VarSpec("site", Seq("obs"), Seq(n), Nil,
+              compound = Seq("bal" -> "f8", "nation" -> "i4", "name" -> "s32"),
+              cdata = rows.map(r =>
+                Seq(r.getDouble(1), r.getDouble(2), r.getString(3))).toSeq)))
+        }
         NetCDF4Reader.readLongFormat(s, path)
           .select($"obs", round($"site_bal", 6).as("site_bal"),
             $"site_nation", $"site_name")
@@ -1675,26 +1689,27 @@ object Queries {
       FROM nation ORDER BY station"""))(
       (s, d) => {
         import graft.sources.netcdf.{NetCDF3, NetCDF3Reader, NetCDF3Writer => NW}
-        val rows = Tables.nation(s, d).orderBy($"n_nationkey")
-          .select($"n_nationkey".cast("double"), $"n_name",
-            $"n_regionkey".cast("double"))
-          .collect()
-        val strlen = 32
-        val path = java.nio.file.Files.createTempDirectory("q98").toString + "/q98.nc"
-        NW.write(path,
-          dims = Seq(NW.DimSpec("station", rows.length, record = true),
-            NW.DimSpec("name_strlen", strlen)),
-          vars = Seq(
-            NW.VarSpec("station", Seq("station"), NetCDF3.NC_DOUBLE,
-              rows.map(_.getDouble(0)).toSeq),
-            NW.VarSpec("station_name", Seq("station", "name_strlen"),
-              NetCDF3.NC_CHAR,
-              rows.flatMap { r =>
-                val b = r.getString(1).getBytes("UTF-8")
-                b.map(_.toDouble) ++ Seq.fill(strlen - b.length)(0.0)
-              }.toSeq),
-            NW.VarSpec("code", Seq("station"), NetCDF3.NC_INT,
-              rows.map(_.getDouble(2)).toSeq)))
+        val path = Fixtures.path("q98", d, "q98.nc") { p =>
+          val rows = Tables.nation(s, d).orderBy($"n_nationkey")
+            .select($"n_nationkey".cast("double"), $"n_name",
+              $"n_regionkey".cast("double"))
+            .collect()
+          val strlen = 32
+          NW.write(p,
+            dims = Seq(NW.DimSpec("station", rows.length, record = true),
+              NW.DimSpec("name_strlen", strlen)),
+            vars = Seq(
+              NW.VarSpec("station", Seq("station"), NetCDF3.NC_DOUBLE,
+                rows.map(_.getDouble(0)).toSeq),
+              NW.VarSpec("station_name", Seq("station", "name_strlen"),
+                NetCDF3.NC_CHAR,
+                rows.flatMap { r =>
+                  val b = r.getString(1).getBytes("UTF-8")
+                  b.map(_.toDouble) ++ Seq.fill(strlen - b.length)(0.0)
+                }.toSeq),
+              NW.VarSpec("code", Seq("station"), NetCDF3.NC_INT,
+                rows.map(_.getDouble(2)).toSeq)))
+        }
         NetCDF3Reader.readLongFormat(s, path)
           .select($"station", $"station_name", $"code")
           .orderBy($"station")
@@ -1719,23 +1734,24 @@ object Queries {
       (s, d) => {
         import graft.sources.hdf5.{Hdf5Writer => HW}
         import graft.sources.netcdf.NetCDF4Reader
-        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
-          .select(($"o_orderkey" % 997).cast("double"))
-          .collect().map(_.getDouble(0)).toSeq
-        val t0 = java.time.LocalDateTime.of(2026, 12, 1, 0, 0)
-          .toEpochSecond(java.time.ZoneOffset.UTC)
-        val path = java.nio.file.Files.createTempDirectory("q96").toString + "/q96.nc"
-        HW.write(path, Seq(
-          HW.VarSpec("time", Seq("time"), Seq(2),
-            Seq(t0.toDouble, t0 + 21600.0), dtype = "f8",
-            units = Some("seconds since 1970-01-01")),
-          HW.VarSpec("latitude", Seq("latitude"), Seq(10),
-            (0 until 10).map(50.0 - _), dtype = "f8"),
-          HW.VarSpec("longitude", Seq("longitude"), Seq(10),
-            (0 until 10).map(_.toDouble), dtype = "f8"),
-          HW.VarSpec("swvl", Seq("time", "latitude", "longitude"), Seq(2, 10, 10),
-            vals, dtype = "i2", chunks = Some(Seq(1, 5, 10)), szip = true,
-            scaleFactor = Some(0.5), addOffset = Some(250.0))))
+        val path = Fixtures.path("q96", d, "q96.nc") { p =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 997).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          val t0 = java.time.LocalDateTime.of(2026, 12, 1, 0, 0)
+            .toEpochSecond(java.time.ZoneOffset.UTC)
+          HW.write(p, Seq(
+            HW.VarSpec("time", Seq("time"), Seq(2),
+              Seq(t0.toDouble, t0 + 21600.0), dtype = "f8",
+              units = Some("seconds since 1970-01-01")),
+            HW.VarSpec("latitude", Seq("latitude"), Seq(10),
+              (0 until 10).map(50.0 - _), dtype = "f8"),
+            HW.VarSpec("longitude", Seq("longitude"), Seq(10),
+              (0 until 10).map(_.toDouble), dtype = "f8"),
+            HW.VarSpec("swvl", Seq("time", "latitude", "longitude"), Seq(2, 10, 10),
+              vals, dtype = "i2", chunks = Some(Seq(1, 5, 10)), szip = true,
+              scaleFactor = Some(0.5), addOffset = Some(250.0))))
+        }
         NetCDF4Reader.readLongFormat(s, path)
           .select(col("time").cast("timestamp_ntz").as("time"),
             $"latitude", $"longitude", round($"swvl", 6).as("swvl"))
@@ -1762,28 +1778,29 @@ object Queries {
       (s, d) => {
         import graft.sources.hdf5.{Hdf5Writer => HW}
         import graft.sources.netcdf.NetCDF4Reader
-        val rows = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
-          .select(($"o_orderkey" % 997).cast("double"),
-            ($"o_orderkey" % 811).cast("double"))
-          .collect()
-        val t0 = java.time.LocalDateTime.of(2027, 1, 1, 0, 0)
-          .toEpochSecond(java.time.ZoneOffset.UTC)
-        val path = java.nio.file.Files.createTempDirectory("q104").toString + "/q104.nc"
-        HW.write(path, Seq(
-          HW.VarSpec("time", Seq("time"), Seq(2),
-            Seq(t0.toDouble, t0 + 21600.0), dtype = "f8",
-            units = Some("seconds since 1970-01-01")),
-          HW.VarSpec("latitude", Seq("latitude"), Seq(10),
-            (0 until 10).map(50.0 - _), dtype = "f8"),
-          HW.VarSpec("longitude", Seq("longitude"), Seq(10),
-            (0 until 10).map(_.toDouble), dtype = "f8"),
-          HW.VarSpec("t2m", Seq("time", "latitude", "longitude"), Seq(2, 10, 10),
-            rows.map(_.getDouble(0)).toSeq, dtype = "f8",
-            chunks = Some(Seq(1, 5, 10)), deflate = true, shuffle = true),
-          HW.VarSpec("tp", Seq("time", "latitude", "longitude"), Seq(2, 10, 10),
-            rows.map(_.getDouble(1)).toSeq, dtype = "i2",
-            chunks = Some(Seq(2, 10, 5)), deflate = true,
-            scaleFactor = Some(0.25), addOffset = Some(100.0))))
+        val path = Fixtures.path("q104", d, "q104.nc") { p =>
+          val rows = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 997).cast("double"),
+              ($"o_orderkey" % 811).cast("double"))
+            .collect()
+          val t0 = java.time.LocalDateTime.of(2027, 1, 1, 0, 0)
+            .toEpochSecond(java.time.ZoneOffset.UTC)
+          HW.write(p, Seq(
+            HW.VarSpec("time", Seq("time"), Seq(2),
+              Seq(t0.toDouble, t0 + 21600.0), dtype = "f8",
+              units = Some("seconds since 1970-01-01")),
+            HW.VarSpec("latitude", Seq("latitude"), Seq(10),
+              (0 until 10).map(50.0 - _), dtype = "f8"),
+            HW.VarSpec("longitude", Seq("longitude"), Seq(10),
+              (0 until 10).map(_.toDouble), dtype = "f8"),
+            HW.VarSpec("t2m", Seq("time", "latitude", "longitude"), Seq(2, 10, 10),
+              rows.map(_.getDouble(0)).toSeq, dtype = "f8",
+              chunks = Some(Seq(1, 5, 10)), deflate = true, shuffle = true),
+            HW.VarSpec("tp", Seq("time", "latitude", "longitude"), Seq(2, 10, 10),
+              rows.map(_.getDouble(1)).toSeq, dtype = "i2",
+              chunks = Some(Seq(2, 10, 5)), deflate = true,
+              scaleFactor = Some(0.25), addOffset = Some(100.0))))
+        }
         NetCDF4Reader.readLongFormat(s, path)
           .select(col("time").cast("timestamp_ntz").as("time"),
             $"latitude", $"longitude", $"t2m", round($"tp", 6).as("tp"))
@@ -1806,24 +1823,25 @@ object Queries {
       (s, d) => {
         import graft.sources.hdf5.{Hdf5Writer => HW}
         import graft.sources.netcdf.NetCDF4Reader
-        val rows = Tables.nation(s, d).orderBy($"n_nationkey")
-          .select($"n_nationkey".cast("double"), $"n_name",
-            $"n_regionkey".cast("double"))
-          .collect()
-        val n = rows.length
-        val path = java.nio.file.Files.createTempDirectory("q97").toString + "/q97.nc"
-        HW.write(path, Seq(
-          HW.VarSpec("station", Seq("station"), Seq(n),
-            rows.map(_.getDouble(0)).toSeq, dtype = "f8"),
-          HW.VarSpec("name_fix", Seq("station"), Seq(n), Nil,
-            dtype = "s32", sdata = rows.map(_.getString(1)).toSeq),
-          HW.VarSpec("name_vl", Seq("station"), Seq(n), Nil,
-            dtype = "vls",
-            sdata = rows.map(r => r.getString(1) + "-" + r.getDouble(2).toLong).toSeq,
-            vlsAttrs = Seq("long_name" -> "station name with region")),
-          HW.VarSpec("code", Seq("station"), Seq(n),
-            rows.map(_.getDouble(2)).toSeq, dtype = "f8",
-            chunks = Some(Seq(8)))))
+        val path = Fixtures.path("q97", d, "q97.nc") { p =>
+          val rows = Tables.nation(s, d).orderBy($"n_nationkey")
+            .select($"n_nationkey".cast("double"), $"n_name",
+              $"n_regionkey".cast("double"))
+            .collect()
+          val n = rows.length
+          HW.write(p, Seq(
+            HW.VarSpec("station", Seq("station"), Seq(n),
+              rows.map(_.getDouble(0)).toSeq, dtype = "f8"),
+            HW.VarSpec("name_fix", Seq("station"), Seq(n), Nil,
+              dtype = "s32", sdata = rows.map(_.getString(1)).toSeq),
+            HW.VarSpec("name_vl", Seq("station"), Seq(n), Nil,
+              dtype = "vls",
+              sdata = rows.map(r => r.getString(1) + "-" + r.getDouble(2).toLong).toSeq,
+              vlsAttrs = Seq("long_name" -> "station name with region")),
+            HW.VarSpec("code", Seq("station"), Seq(n),
+              rows.map(_.getDouble(2)).toSeq, dtype = "f8",
+              chunks = Some(Seq(8)))))
+        }
         NetCDF4Reader.readLongFormat(s, path)
           .select($"station", $"name_fix", $"name_vl", $"code")
           .orderBy($"station")
@@ -1845,17 +1863,18 @@ object Queries {
       (s, d) => {
         import graft.sources.hdf5.{Hdf5Writer => HW}
         import graft.sources.netcdf.NetCDF4Reader
-        val keys = Tables.nation(s, d).orderBy($"n_nationkey")
-          .select($"n_nationkey".cast("double"))
-          .collect().map(_.getDouble(0)).toSeq
-        val n = keys.length
-        val ragged: Seq[Seq[Double]] =
-          keys.map(k => (0 until (k.toInt % 4)).map(e => k * 10 + e * 0.5))
-        val path = java.nio.file.Files.createTempDirectory("q105").toString + "/q105.nc"
-        HW.write(path, Seq(
-          HW.VarSpec("station", Seq("station"), Seq(n), keys, dtype = "f8"),
-          HW.VarSpec("obs", Seq("station"), Seq(n), Nil, dtype = "vld",
-            vdata = ragged)))
+        val path = Fixtures.path("q105", d, "q105.nc") { p =>
+          val keys = Tables.nation(s, d).orderBy($"n_nationkey")
+            .select($"n_nationkey".cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          val n = keys.length
+          val ragged: Seq[Seq[Double]] =
+            keys.map(k => (0 until (k.toInt % 4)).map(e => k * 10 + e * 0.5))
+          HW.write(p, Seq(
+            HW.VarSpec("station", Seq("station"), Seq(n), keys, dtype = "f8"),
+            HW.VarSpec("obs", Seq("station"), Seq(n), Nil, dtype = "vld",
+              vdata = ragged)))
+        }
         NetCDF4Reader.readLongFormat(s, path)
           .select($"station", posexplode($"obs").as(Seq("pos", "obs")))
           .select($"station", $"pos".cast("double").as("pos"),
@@ -1877,17 +1896,18 @@ object Queries {
       (s, d) => {
         import graft.sources.hdf5.{Hdf5Writer => HW}
         import graft.sources.netcdf.NetCDF4Reader
-        val keys = Tables.nation(s, d).orderBy($"n_nationkey")
-          .select($"n_nationkey".cast("double"))
-          .collect().map(_.getDouble(0)).toSeq
-        val n = keys.length
-        val blobs = keys.map(k =>
-          Array.tabulate(4)(j => (k.toInt + j).toByte))
-        val path = java.nio.file.Files.createTempDirectory("q106").toString + "/q106.nc"
-        HW.write(path, Seq(
-          HW.VarSpec("station", Seq("station"), Seq(n), keys, dtype = "f8"),
-          HW.VarSpec("thumb", Seq("station"), Seq(n), Nil, dtype = "o4",
-            bdata = blobs)))
+        val path = Fixtures.path("q106", d, "q106.nc") { p =>
+          val keys = Tables.nation(s, d).orderBy($"n_nationkey")
+            .select($"n_nationkey".cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          val n = keys.length
+          val blobs = keys.map(k =>
+            Array.tabulate(4)(j => (k.toInt + j).toByte))
+          HW.write(p, Seq(
+            HW.VarSpec("station", Seq("station"), Seq(n), keys, dtype = "f8"),
+            HW.VarSpec("thumb", Seq("station"), Seq(n), Nil, dtype = "o4",
+              bdata = blobs)))
+        }
         NetCDF4Reader.readLongFormat(s, path)
           .select($"station", hex($"thumb").as("thumb_hex"))
           .orderBy($"station")
@@ -1906,16 +1926,17 @@ object Queries {
       (s, d) => {
         import graft.sources.hdf5.{Hdf5Writer => HW}
         import graft.sources.netcdf.NetCDF4Reader
-        val keys = Tables.nation(s, d).orderBy($"n_nationkey")
-          .select($"n_nationkey".cast("double"))
-          .collect().map(_.getDouble(0)).toSeq
-        val n = keys.length
-        val cells = keys.map(k => (0 until 3).map(e => k + e * 0.25))
-        val path = java.nio.file.Files.createTempDirectory("q107").toString + "/q107.nc"
-        HW.write(path, Seq(
-          HW.VarSpec("station", Seq("station"), Seq(n), keys, dtype = "f8"),
-          HW.VarSpec("vec", Seq("station"), Seq(n), Nil, dtype = "a3",
-            vdata = cells)))
+        val path = Fixtures.path("q107", d, "q107.nc") { p =>
+          val keys = Tables.nation(s, d).orderBy($"n_nationkey")
+            .select($"n_nationkey".cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          val n = keys.length
+          val cells = keys.map(k => (0 until 3).map(e => k + e * 0.25))
+          HW.write(p, Seq(
+            HW.VarSpec("station", Seq("station"), Seq(n), keys, dtype = "f8"),
+            HW.VarSpec("vec", Seq("station"), Seq(n), Nil, dtype = "a3",
+              vdata = cells)))
+        }
         NetCDF4Reader.readLongFormat(s, path)
           .select($"station", posexplode($"vec").as(Seq("pos", "vec")))
           .select($"station", $"pos".cast("double").as("pos"),
@@ -1938,22 +1959,23 @@ object Queries {
       FROM nation ORDER BY station"""))(
       (s, d) => {
         import graft.sources.zarr.{ZarrWriter => ZW}
-        val rows = Tables.nation(s, d).orderBy($"n_nationkey")
-          .select($"n_nationkey".cast("double"), $"n_name",
-            $"n_regionkey".cast("double"))
-          .collect()
-        val n = rows.length
-        val dir = java.nio.file.Files.createTempDirectory("q103").toString + "/q103.zarr"
-        ZW.write(dir, Seq(
-          ZW.VarSpec("station", Seq("station"), Seq(n), Seq(n), "<f8",
-            rows.map(_.getDouble(0)).toSeq),
-          ZW.VarSpec("name_vl", Seq("station"), Seq(n), Seq(7), "|O", Nil,
-            sdata = rows.map(r => r.getString(1) + "/" + r.getDouble(2).toLong).toSeq,
-            compressor = Some("zlib")),
-          ZW.VarSpec("name_fix", Seq("station"), Seq(n), Seq(n), "|S32", Nil,
-            sdata = rows.map(_.getString(1)).toSeq),
-          ZW.VarSpec("code", Seq("station"), Seq(n), Seq(9), "<f8",
-            rows.map(_.getDouble(2)).toSeq, compressor = Some("zstd"))))
+        val dir = Fixtures.path("q103", d, "q103.zarr") { store =>
+          val rows = Tables.nation(s, d).orderBy($"n_nationkey")
+            .select($"n_nationkey".cast("double"), $"n_name",
+              $"n_regionkey".cast("double"))
+            .collect()
+          val n = rows.length
+          ZW.write(store, Seq(
+            ZW.VarSpec("station", Seq("station"), Seq(n), Seq(n), "<f8",
+              rows.map(_.getDouble(0)).toSeq),
+            ZW.VarSpec("name_vl", Seq("station"), Seq(n), Seq(7), "|O", Nil,
+              sdata = rows.map(r => r.getString(1) + "/" + r.getDouble(2).toLong).toSeq,
+              compressor = Some("zlib")),
+            ZW.VarSpec("name_fix", Seq("station"), Seq(n), Seq(n), "|S32", Nil,
+              sdata = rows.map(_.getString(1)).toSeq),
+            ZW.VarSpec("code", Seq("station"), Seq(n), Seq(9), "<f8",
+              rows.map(_.getDouble(2)).toSeq, compressor = Some("zstd"))))
+        }
         s.read.format("zarr").load(dir)
           .select($"station", $"name_vl", $"name_fix", $"code")
           .orderBy($"station")
@@ -1984,17 +2006,18 @@ object Queries {
           .select(($"o_orderkey" % 997).cast("double"))
           .collect().map(_.getDouble(0)).toSeq
         val t0 = java.time.LocalDateTime.of(2026, 10, 1, 0, 0)
-        val path = java.nio.file.Files.createTempDirectory("q64").toString + "/q64.grib2"
-        def spec(v: Seq[Double], fcst: Int) = GW2.FieldSpec(
-          discipline = 0, category = 0, number = 0, levelType = 103,
-          levelScaledValue = 2, refTime = t0, values = v, ni = 10, nj = 10,
-          la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0,
-          forecastTime = fcst, decimalScale = 0,
-          packing = 42, bitsPerValue = 16)
-        val m2 = vals.drop(100).zipWithIndex.map { case (v, k) =>
-          if ((k + 100) % 7 == 0) Double.NaN else v
+        val path = Fixtures.path("q64", d, "q64.grib2") { p =>
+          def spec(v: Seq[Double], fcst: Int) = GW2.FieldSpec(
+            discipline = 0, category = 0, number = 0, levelType = 103,
+            levelScaledValue = 2, refTime = t0, values = v, ni = 10, nj = 10,
+            la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0,
+            forecastTime = fcst, decimalScale = 0,
+            packing = 42, bitsPerValue = 16)
+          val m2 = vals.drop(100).zipWithIndex.map { case (v, k) =>
+            if ((k + 100) % 7 == 0) Double.NaN else v
+          }
+          GW2.write(p, Seq(spec(vals.take(100), 0), spec(m2, 6)))
         }
-        GW2.write(path, Seq(spec(vals.take(100), 0), spec(m2, 6)))
         Grib2Reader.readLongFormat(s, path)
           .filter($"value".isNotNull)
           .select($"time", $"latitude", $"longitude", $"value")
@@ -2028,17 +2051,18 @@ object Queries {
           .select(($"o_orderkey" % 1499).cast("double"))
           .collect().map(_.getDouble(0)).toSeq
         val t0 = java.time.LocalDateTime.of(2026, 11, 1, 0, 0)
-        val path = java.nio.file.Files.createTempDirectory("q65").toString + "/q65.grib2"
-        def spec(v: Seq[Double], fcst: Int) = GW2.FieldSpec(
-          discipline = 0, category = 0, number = 0, levelType = 103,
-          levelScaledValue = 2, refTime = t0, values = v, ni = 10, nj = 10,
-          la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0,
-          forecastTime = fcst, decimalScale = 0,
-          packing = 40, bitsPerValue = 16)
-        val m2 = vals.drop(100).zipWithIndex.map { case (v, k) =>
-          if ((k + 100) % 7 == 0) Double.NaN else v
+        val path = Fixtures.path("q65", d, "q65.grib2") { p =>
+          def spec(v: Seq[Double], fcst: Int) = GW2.FieldSpec(
+            discipline = 0, category = 0, number = 0, levelType = 103,
+            levelScaledValue = 2, refTime = t0, values = v, ni = 10, nj = 10,
+            la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0,
+            forecastTime = fcst, decimalScale = 0,
+            packing = 40, bitsPerValue = 16)
+          val m2 = vals.drop(100).zipWithIndex.map { case (v, k) =>
+            if ((k + 100) % 7 == 0) Double.NaN else v
+          }
+          GW2.write(p, Seq(spec(vals.take(100), 0), spec(m2, 6)))
         }
-        GW2.write(path, Seq(spec(vals.take(100), 0), spec(m2, 6)))
         Grib2Reader.readLongFormat(s, path)
           .filter($"value".isNotNull)
           .select($"time", $"latitude", $"longitude", $"value")
@@ -2074,18 +2098,19 @@ object Queries {
           .select(($"o_orderkey" % 997).cast("double"))
           .collect().map(_.getDouble(0)).toSeq
         val t0 = java.time.LocalDateTime.of(2026, 12, 1, 0, 0)
-        val path = java.nio.file.Files.createTempDirectory("q80").toString + "/q80.grib2"
-        def spec(v: Seq[Double], fcst: Int, bits: Int) = GW2.FieldSpec(
-          discipline = 0, category = 0, number = 0, levelType = 103,
-          levelScaledValue = 2, refTime = t0, values = v, ni = 10, nj = 10,
-          la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0,
-          forecastTime = fcst, decimalScale = 0,
-          packing = 4, bitsPerValue = bits)
-        val m2 = vals.drop(100).zipWithIndex.map { case (v, k) =>
-          if ((k + 100) % 7 == 0) Double.NaN else v / 7.0
+        val path = Fixtures.path("q80", d, "q80.grib2") { p =>
+          def spec(v: Seq[Double], fcst: Int, bits: Int) = GW2.FieldSpec(
+            discipline = 0, category = 0, number = 0, levelType = 103,
+            levelScaledValue = 2, refTime = t0, values = v, ni = 10, nj = 10,
+            la1 = 50.0, lo1 = 0.0, la2 = 41.0, lo2 = 9.0,
+            forecastTime = fcst, decimalScale = 0,
+            packing = 4, bitsPerValue = bits)
+          val m2 = vals.drop(100).zipWithIndex.map { case (v, k) =>
+            if ((k + 100) % 7 == 0) Double.NaN else v / 7.0
+          }
+          GW2.write(p, Seq(spec(vals.take(100).map(_ + 0.25), 0, bits = 32),
+            spec(m2, 6, bits = 64)))
         }
-        GW2.write(path, Seq(spec(vals.take(100).map(_ + 0.25), 0, bits = 32),
-          spec(m2, 6, bits = 64)))
         Grib2Reader.readLongFormat(s, path)
           .filter($"value".isNotNull)
           .select($"time", $"latitude", $"longitude",

@@ -200,18 +200,19 @@ object QueriesML {
       FROM m ORDER BY key, ext"""))(
       (s, d) => {
         import graft.sources.TarShards
-        val params = Tables.orders(s, d).orderBy($"o_orderkey").limit(100)
-          .select(($"o_orderkey" % 50).cast("int"),
-            ($"o_orderkey" % 997).cast("long"))
-          .collect().map(r => (r.getInt(0), r.getLong(1)))
-        val entries = params.zipWithIndex.flatMap { case ((pad, cap), i) =>
-          val key = f"$i%06d"
-          Seq(s"$key.img" -> s"payload-$i-${"x" * pad}".getBytes("UTF-8"),
-            s"$key.txt" -> s"caption $cap".getBytes("UTF-8"))
-        }.toSeq
-        val dir = java.nio.file.Files.createTempDirectory("q115").toString
-        TarShards.write(s"$dir/shard-000.tar", entries.take(100))
-        TarShards.write(s"$dir/shard-001.tar", entries.drop(100))
+        val dir = Fixtures.dir("q115", d) { dir =>
+          val params = Tables.orders(s, d).orderBy($"o_orderkey").limit(100)
+            .select(($"o_orderkey" % 50).cast("int"),
+              ($"o_orderkey" % 997).cast("long"))
+            .collect().map(r => (r.getInt(0), r.getLong(1)))
+          val entries = params.zipWithIndex.flatMap { case ((pad, cap), i) =>
+            val key = f"$i%06d"
+            Seq(s"$key.img" -> s"payload-$i-${"x" * pad}".getBytes("UTF-8"),
+              s"$key.txt" -> s"caption $cap".getBytes("UTF-8"))
+          }.toSeq
+          TarShards.write(s"$dir/shard-000.tar", entries.take(100))
+          TarShards.write(s"$dir/shard-001.tar", entries.drop(100))
+        }
         TarShards.read(s, s"$dir/shard-*.tar")
           .select($"key", $"ext", $"size", md5($"content").as("digest"))
           .orderBy($"key", $"ext")

@@ -49,24 +49,25 @@ object QueriesWeb {
       FROM p ORDER BY target_uri"""))(
       (s, d) => {
         import s.implicits._
-        val params = Tables.orders(s, d).orderBy($"o_orderkey").limit(80)
-          .select(($"o_orderkey" % 211).cast("int"))
-          .collect().map(_.getInt(0))
-        val recs = params.zipWithIndex.map { case (pad, i) =>
-          val uri = s"https://example-${i % 7}.test/page/$i"
-          val status = if (i % 4 == 3) 404 else 200
-          val body = s"payload-$i-${"y" * pad}".getBytes("UTF-8")
-          Warc.WarcRec("response",
-            Warc.httpResponse(status, "text/html; charset=utf-8", body,
-              chunked = i % 5 == 0),
-            targetUri = uri,
-            contentType = "application/http; msgtype=response")
-        }.toSeq
-        val info = Warc.WarcRec("warcinfo", "software: graft\r\n".getBytes("UTF-8"),
-          contentType = "application/warc-fields")
-        val dir = java.nio.file.Files.createTempDirectory("q120").toString
-        Warc.write(s"$dir/crawl-000.warc.gz", info +: recs.take(40))
-        Warc.write(s"$dir/crawl-001.warc.gz", info +: recs.drop(40))
+        val dir = Fixtures.dir("q120", d) { dir =>
+          val params = Tables.orders(s, d).orderBy($"o_orderkey").limit(80)
+            .select(($"o_orderkey" % 211).cast("int"))
+            .collect().map(_.getInt(0))
+          val recs = params.zipWithIndex.map { case (pad, i) =>
+            val uri = s"https://example-${i % 7}.test/page/$i"
+            val status = if (i % 4 == 3) 404 else 200
+            val body = s"payload-$i-${"y" * pad}".getBytes("UTF-8")
+            Warc.WarcRec("response",
+              Warc.httpResponse(status, "text/html; charset=utf-8", body,
+                chunked = i % 5 == 0),
+              targetUri = uri,
+              contentType = "application/http; msgtype=response")
+          }.toSeq
+          val info = Warc.WarcRec("warcinfo", "software: graft\r\n".getBytes("UTF-8"),
+            contentType = "application/warc-fields")
+          Warc.write(s"$dir/crawl-000.warc.gz", info +: recs.take(40))
+          Warc.write(s"$dir/crawl-001.warc.gz", info +: recs.drop(40))
+        }
         Warc.read(s, s"$dir/crawl-*.warc.gz")
           .filter($"warc_type" === "response")
           .select($"target_uri", $"http_status",
@@ -146,20 +147,21 @@ object QueriesWeb {
       FROM p WHERE status = 200 ORDER BY target_uri"""))(
       (s, d) => {
         import s.implicits._
-        val params = Tables.orders(s, d).orderBy($"o_orderkey").limit(60)
-          .select(($"o_orderkey" % 97).cast("int"))
-          .collect().map(_.getInt(0))
-        val recs = params.zipWithIndex.map { case (pad, i) =>
-          val body = s"page $i café ${"z" * pad}".getBytes("ISO-8859-1")
-          Warc.WarcRec("response",
-            Warc.httpResponse(if (i % 4 == 3) 404 else 200,
-              "text/html; charset=iso-8859-1", body),
-            targetUri = s"https://example-${i % 5}.test/doc/$i",
-            contentType = "application/http; msgtype=response")
-        }.toSeq
-        val dir = java.nio.file.Files.createTempDirectory("q124").toString
-        Warc.write(s"$dir/crawl-000.warc.gz", recs.take(30))
-        Warc.write(s"$dir/crawl-001.warc.gz", recs.drop(30))
+        val dir = Fixtures.dir("q124", d) { dir =>
+          val params = Tables.orders(s, d).orderBy($"o_orderkey").limit(60)
+            .select(($"o_orderkey" % 97).cast("int"))
+            .collect().map(_.getInt(0))
+          val recs = params.zipWithIndex.map { case (pad, i) =>
+            val body = s"page $i café ${"z" * pad}".getBytes("ISO-8859-1")
+            Warc.WarcRec("response",
+              Warc.httpResponse(if (i % 4 == 3) 404 else 200,
+                "text/html; charset=iso-8859-1", body),
+              targetUri = s"https://example-${i % 5}.test/doc/$i",
+              contentType = "application/http; msgtype=response")
+          }.toSeq
+          Warc.write(s"$dir/crawl-000.warc.gz", recs.take(30))
+          Warc.write(s"$dir/crawl-001.warc.gz", recs.drop(30))
+        }
         val idx = Warc.read(s, s"$dir/crawl-*.warc.gz")
           .filter($"warc_type" === "response" && $"http_status" === 200)
           .select($"file_uri", $"offset")
@@ -288,12 +290,13 @@ object QueriesWeb {
       FROM documents ORDER BY target_uri"""))(
       (s, d) => {
         import s.implicits._
-        val dir = java.nio.file.Files.createTempDirectory("q129").toString + "/wet"
-        val corpus = Tables.documents(s, d).select(
-          concat(lit("https://wet.example/doc/"), $"doc_id").as("target_uri"),
-          concat(lit("clean "), $"text").cast("binary").as("content"))
-          .repartition(3)
-        Warc.writeShards(corpus, dir)
+        val dir = Fixtures.path("q129", d, "wet") { out =>
+          val corpus = Tables.documents(s, d).select(
+            concat(lit("https://wet.example/doc/"), $"doc_id").as("target_uri"),
+            concat(lit("clean "), $"text").cast("binary").as("content"))
+            .repartition(3)
+          Warc.writeShards(corpus, out)
+        }
         Warc.read(s, s"$dir/crawl-*.warc.gz")
           .select($"target_uri", md5($"payload").as("digest"),
             length($"payload").cast("long").as("n_bytes"))
@@ -359,19 +362,20 @@ object QueriesWeb {
       ORDER BY surt"""))(
       (s, d) => {
         import s.implicits._
-        val params = Tables.orders(s, d).orderBy($"o_orderkey").limit(120)
-          .select(($"o_orderkey" % 977).cast("long"))
-          .collect().map(_.getLong(0))
-        val dir = java.nio.file.Files.createTempDirectory("q141").toString
-        val sorted = params.zipWithIndex.map { case (k, i) =>
-          f"test,site-${i % 9})/d/$i%04d 20260101000000 " +
-            f"""{"url": "https://site-${i % 9}.test/d/$i%04d", """ +
-            s""""status": "200", "offset": "${k * 3}", """ +
-            s""""filename": "seg/f.warc.gz"}"""
-        }.sorted
-        val (lo, hi) = sorted.splitAt(sorted.size / 2)
-        CdxIndex.writePlain(s"$dir/part-0.cdx", lo)
-        CdxIndex.writePlain(s"$dir/part-1.cdx", hi)
+        val dir = Fixtures.dir("q141", d) { dir =>
+          val params = Tables.orders(s, d).orderBy($"o_orderkey").limit(120)
+            .select(($"o_orderkey" % 977).cast("long"))
+            .collect().map(_.getLong(0))
+          val sorted = params.zipWithIndex.map { case (k, i) =>
+            f"test,site-${i % 9})/d/$i%04d 20260101000000 " +
+              f"""{"url": "https://site-${i % 9}.test/d/$i%04d", """ +
+              s""""status": "200", "offset": "${k * 3}", """ +
+              s""""filename": "seg/f.warc.gz"}"""
+          }.sorted
+          val (lo, hi) = sorted.splitAt(sorted.size / 2)
+          CdxIndex.writePlain(s"$dir/part-0.cdx", lo)
+          CdxIndex.writePlain(s"$dir/part-1.cdx", hi)
+        }
         CdxIndex.readPrefix(s, s"$dir/part-*.cdx", "test,site-3)")
           .select($"surt", $"url", $"offset")
           .orderBy($"surt")
@@ -397,24 +401,25 @@ object QueriesWeb {
       ORDER BY surt"""))(
       (s, d) => {
         import s.implicits._
-        val params = Tables.orders(s, d).orderBy($"o_orderkey").limit(120)
-          .select(($"o_orderkey" % 977).cast("long"))
-          .collect().map(_.getLong(0))
-        val lines = params.zipWithIndex.map { case (k, i) =>
-          f"test,site-${i % 9})/d/$i%04d 20260101000000 " +
-            f"""{"url": "https://site-${i % 9}.test/d/$i%04d", """ +
-            s""""status": "200", "offset": "${k * 3}", """ +
-            s""""filename": "seg/f.warc.gz"}"""
+        val dir = Fixtures.dir("q142", d) { dir =>
+          val params = Tables.orders(s, d).orderBy($"o_orderkey").limit(120)
+            .select(($"o_orderkey" % 977).cast("long"))
+            .collect().map(_.getLong(0))
+          val lines = params.zipWithIndex.map { case (k, i) =>
+            f"test,site-${i % 9})/d/$i%04d 20260101000000 " +
+              f"""{"url": "https://site-${i % 9}.test/d/$i%04d", """ +
+              s""""status": "200", "offset": "${k * 3}", """ +
+              s""""filename": "seg/f.warc.gz"}"""
+          }
+          // deliberately unsorted input: the BUILD owns the global sort
+          val df = s.createDataFrame(
+            s.sparkContext.parallelize(
+              lines.reverse.map(org.apache.spark.sql.Row(_)), 5),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("line",
+                org.apache.spark.sql.types.StringType))))
+          CdxIndex.writeZipnumShards(df, dir, shards = 2, linesPerMember = 10)
         }
-        val dir = java.nio.file.Files.createTempDirectory("q142").toString
-        // deliberately unsorted input: the BUILD owns the global sort
-        val df = s.createDataFrame(
-          s.sparkContext.parallelize(
-            lines.reverse.map(org.apache.spark.sql.Row(_)), 5),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("line",
-              org.apache.spark.sql.types.StringType))))
-        CdxIndex.writeZipnumShards(df, dir, shards = 2, linesPerMember = 10)
         CdxIndex.readPrefixZipnum(s, s"$dir/cluster.idx", "test,site-4)")
           .select($"surt", $"url", $"offset")
           .orderBy($"surt")
@@ -451,9 +456,10 @@ object QueriesWeb {
             s""""offset": "${k * 3}", "length": "${200 + k}", """ +
             s""""filename": "seg/${i % 5}/f.warc.gz"}"""
         }
-        val dir = java.nio.file.Files.createTempDirectory("q131").toString
-        CdxIndex.writeGz(s"$dir/cdx-00000.gz", lines.take(60))
-        CdxIndex.writeGz(s"$dir/cdx-00001.gz", lines.drop(60))
+        val dir = Fixtures.dir("q131", d) { dir =>
+          CdxIndex.writeGz(s"$dir/cdx-00000.gz", lines.take(60))
+          CdxIndex.writeGz(s"$dir/cdx-00001.gz", lines.drop(60))
+        }
         CdxIndex.read(s, s"$dir/cdx-*.gz")
           .select($"surt", $"timestamp", $"url", $"status", $"offset",
             $"length", $"filename")
@@ -529,12 +535,13 @@ object QueriesWeb {
       FROM o, c ORDER BY row, col"""))(
       (s, d) => {
         import s.implicits._
-        val n = Tables.orders(s, d).orderBy($"o_orderkey").limit(120).count().toInt
-        val vals = for (r <- 0 until n; c <- 0 until 8)
-          yield ((r * 31 + c * 7) % 100) / 4.0
-        val dir = java.nio.file.Files.createTempDirectory("q133").toString
-        graft.sources.Npy.write(s"$dir/emb.npy", Seq(n, 8), vals, descr = "<f4")
-        graft.sources.Npy.read(s, s"$dir/emb.npy")
+        val path = Fixtures.path("q133", d, "emb.npy") { p =>
+          val n = Tables.orders(s, d).orderBy($"o_orderkey").limit(120).count().toInt
+          val vals = for (r <- 0 until n; c <- 0 until 8)
+            yield ((r * 31 + c * 7) % 100) / 4.0
+          graft.sources.Npy.write(p, Seq(n, 8), vals, descr = "<f4")
+        }
+        graft.sources.Npy.read(s, path)
           .select($"row", posexplode($"values").as(Seq("col", "value")))
           .select($"row", $"col".cast("long").as("col"), $"value")
           .orderBy($"row", $"col")
@@ -558,14 +565,15 @@ object QueriesWeb {
       ORDER BY tensor, row, col"""))(
       (s, d) => {
         import s.implicits._
-        val n = Tables.orders(s, d).orderBy($"o_orderkey").limit(90).count().toInt
-        val emb = for (r <- 0 until n; c <- 0 until 6)
-          yield ((r * 13 + c * 5) % 64) / 8.0
-        val bias = (0 until 6).map(c => c / 4.0 - 0.5)
-        val dir = java.nio.file.Files.createTempDirectory("q134").toString
-        graft.sources.Safetensors.write(s"$dir/acts.safetensors", Seq(
-          ("emb", Seq(n.toLong, 6L), emb), ("bias", Seq(6L), bias)))
-        graft.sources.Safetensors.read(s, s"$dir/acts.safetensors")
+        val path = Fixtures.path("q134", d, "acts.safetensors") { p =>
+          val n = Tables.orders(s, d).orderBy($"o_orderkey").limit(90).count().toInt
+          val emb = for (r <- 0 until n; c <- 0 until 6)
+            yield ((r * 13 + c * 5) % 64) / 8.0
+          val bias = (0 until 6).map(c => c / 4.0 - 0.5)
+          graft.sources.Safetensors.write(p, Seq(
+            ("emb", Seq(n.toLong, 6L), emb), ("bias", Seq(6L), bias)))
+        }
+        graft.sources.Safetensors.read(s, path)
           .select($"tensor", $"row",
             posexplode($"values").as(Seq("col", "value")))
           .select($"tensor", $"row", $"col".cast("long").as("col"), $"value")
@@ -589,13 +597,14 @@ object QueriesWeb {
       FROM s ORDER BY score DESC, row LIMIT 10"""))(
       (s, d) => {
         import s.implicits._
-        val n = Tables.orders(s, d).orderBy($"o_orderkey").limit(200).count().toInt
-        val vals = for (r <- 0 until n; c <- 0 until 6)
-          yield ((r * 17 + c * 3) % 32) / 8.0
-        val dir = java.nio.file.Files.createTempDirectory("q135").toString
-        graft.sources.Npy.write(s"$dir/emb.npy", Seq(n, 6), vals, descr = "<f4")
+        val path = Fixtures.path("q135", d, "emb.npy") { p =>
+          val n = Tables.orders(s, d).orderBy($"o_orderkey").limit(200).count().toInt
+          val vals = for (r <- 0 until n; c <- 0 until 6)
+            yield ((r * 17 + c * 3) % 32) / 8.0
+          graft.sources.Npy.write(p, Seq(n, 6), vals, descr = "<f4")
+        }
         val q = array((1 to 6).map(k => lit(k.toDouble)): _*)
-        graft.sources.Npy.read(s, s"$dir/emb.npy")
+        graft.sources.Npy.read(s, path)
           .select($"row",
             round(graft.functions.DotProduct($"values", q), 6).as("score"))
           .orderBy($"score".desc, $"row")
@@ -619,10 +628,11 @@ object QueriesWeb {
       FROM o, c ORDER BY id, pos"""))(
       (s, d) => {
         import s.implicits._
-        val n = Tables.orders(s, d).orderBy($"o_orderkey").limit(150).count().toInt
-        val dir = java.nio.file.Files.createTempDirectory("q136").toString
-        writeArrowFixture(s"$dir/data.arrow", n)
-        graft.sources.ArrowIpc.read(s, s"$dir/data.arrow")
+        val path = Fixtures.path("q136", d, "data.arrow") { p =>
+          val n = Tables.orders(s, d).orderBy($"o_orderkey").limit(150).count().toInt
+          writeArrowFixture(p, n)
+        }
+        graft.sources.ArrowIpc.read(s, path)
           .select($"id", $"score", $"name",
             posexplode($"emb").as(Seq("pos", "elem")))
           .select($"id", $"score", $"name", $"pos".cast("long").as("pos"),
@@ -647,23 +657,24 @@ object QueriesWeb {
       FROM t GROUP BY domain ORDER BY domain"""))(
       (s, d) => {
         import s.implicits._
-        val docs = Tables.documents(s, d).orderBy($"doc_id").limit(500)
-          .select($"doc_id", $"text").collect()
-          .map(r => (r.getLong(0), r.getString(1)))
-        val recs = docs.zipWithIndex.map { case ((id, text), i) =>
-          val host = s"site-${id % 7}.example"
-          val html = "<body><nav><a href=\"/\">Home</a> <a href=\"/x\">More</a>" +
-            s"</nav><p>$text</p><p>Second paragraph about topic ${id % 9} " +
-            "with enough plain words here</p><footer>(c) 2026</footer></body>"
-          Warc.WarcRec("response",
-            Warc.httpResponse(if (i % 5 == 4) 404 else 200,
-              "text/html; charset=utf-8", html.getBytes("UTF-8")),
-            targetUri = s"https://$host/doc/$id",
-            contentType = "application/http; msgtype=response")
-        }.toSeq
-        val dir = java.nio.file.Files.createTempDirectory("q123").toString
-        recs.grouped((recs.size + 3) / 4).zipWithIndex.foreach { case (g, k) =>
-          Warc.write(f"$dir/crawl-$k%03d.warc.gz", g)
+        val dir = Fixtures.dir("q123", d) { dir =>
+          val docs = Tables.documents(s, d).orderBy($"doc_id").limit(500)
+            .select($"doc_id", $"text").collect()
+            .map(r => (r.getLong(0), r.getString(1)))
+          val recs = docs.zipWithIndex.map { case ((id, text), i) =>
+            val host = s"site-${id % 7}.example"
+            val html = "<body><nav><a href=\"/\">Home</a> <a href=\"/x\">More</a>" +
+              s"</nav><p>$text</p><p>Second paragraph about topic ${id % 9} " +
+              "with enough plain words here</p><footer>(c) 2026</footer></body>"
+            Warc.WarcRec("response",
+              Warc.httpResponse(if (i % 5 == 4) 404 else 200,
+                "text/html; charset=utf-8", html.getBytes("UTF-8")),
+              targetUri = s"https://$host/doc/$id",
+              contentType = "application/http; msgtype=response")
+          }.toSeq
+          recs.grouped((recs.size + 3) / 4).zipWithIndex.foreach { case (g, k) =>
+            Warc.write(f"$dir/crawl-$k%03d.warc.gz", g)
+          }
         }
         val pages = Warc.read(s, s"$dir/crawl-*.warc.gz")
           .filter($"warc_type" === "response" && $"http_status" === 200)
@@ -692,12 +703,13 @@ object QueriesWeb {
       FROM documents ORDER BY id"""))(
       (s, d) => {
         import s.implicits._
-        val dir = java.nio.file.Files.createTempDirectory("q137").toString
-        val lines = Tables.documents(s, d)
-          .select(to_json(struct($"doc_id", $"lang", $"n_chars", $"text"))
-            .as("value"))
-        graft.sources.ZstdLines.writeShards(
-          lines.repartition(3), dir, frameBytes = 8192)
+        val dir = Fixtures.dir("q137", d) { dir =>
+          val lines = Tables.documents(s, d)
+            .select(to_json(struct($"doc_id", $"lang", $"n_chars", $"text"))
+              .as("value"))
+          graft.sources.ZstdLines.writeShards(
+            lines.repartition(3), dir, frameBytes = 8192)
+        }
         val schema = "doc_id BIGINT, lang STRING, n_chars BIGINT, text STRING"
         graft.sources.ZstdLines.read(s, s"$dir/part-*.jsonl.zst",
             targetSpanBytes = 16384)
