@@ -1468,6 +1468,81 @@ object Queries {
           .orderBy($"latitude", $"longitude")
       }),
 
+    // ---------------------------------------------------------------- S4 (GeoTIFF transverse Mercator by EPSG code, Airy 1830)
+    // A British-National-Grid GeoTIFF (EPSG 27700 — transverse Mercator on
+    // Airy 1830 with k0 = 0.9996012717 and false origin 400/-100 km). The
+    // reader resolves the bare code to the Snyder §8 series inverse; the
+    // oracle re-derives every pixel in DuckDB — the footprint-latitude
+    // series (3-26) then the 8-17/8-18 inverse polynomials, all closed
+    // form. k0 folds in by scaling the semi-major axis (lengths are
+    // linear in a at fixed eccentricity).
+    Q("q148_tiff_osgb", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200),
+           c0 AS (SELECT CAST(6377563.396 AS DOUBLE)
+                           * CAST(0.9996012717 AS DOUBLE) AS a,
+                         1 - (CAST(6356256.909237285 AS DOUBLE)/6377563.396)
+                           * (CAST(6356256.909237285 AS DOUBLE)/6377563.396) AS e2),
+           c1 AS (SELECT a, e2, e2/(1-e2) AS ep2,
+                         1 - e2/4 - 3*e2*e2/64 - 5*e2*e2*e2/256 AS m0c,
+                         3*e2/8 + 3*e2*e2/32 + 45*e2*e2*e2/1024 AS m2c,
+                         15*e2*e2/256 + 45*e2*e2*e2/1024 AS m4c,
+                         35*e2*e2*e2/3072 AS m6c,
+                         (1-sqrt(1-e2))/(1+sqrt(1-e2)) AS e1
+                  FROM c0),
+           c2 AS (SELECT *, a*(m0c*radians(49.0) - m2c*sin(2*radians(49.0))
+                              + m4c*sin(4*radians(49.0))
+                              - m6c*sin(6*radians(49.0))) AS bigm0
+                  FROM c1),
+           g AS (SELECT CAST(o_orderkey % 997 AS DOUBLE) AS band_1,
+                        (rn0 % 10) * 25000.0 AS xp,
+                        300000.0 - (rn0 // 10) * 20000.0 AS yp
+                 FROM o),
+           mu AS (SELECT band_1, xp, a, e2, ep2, e1,
+                         (bigm0 + yp) / (a*m0c) AS mu
+                  FROM g, c2),
+           f1 AS (SELECT band_1, xp, a, e2, ep2,
+                         mu + (3*e1/2 - 27*e1*e1*e1/32)*sin(2*mu)
+                            + (21*e1*e1/16 - 55*e1*e1*e1*e1/32)*sin(4*mu)
+                            + (151*e1*e1*e1/96)*sin(6*mu)
+                            + (1097*e1*e1*e1*e1/512)*sin(8*mu) AS phi1
+                  FROM mu),
+           t AS (SELECT band_1, phi1, ep2,
+                        tan(phi1)*tan(phi1) AS t1,
+                        ep2*cos(phi1)*cos(phi1) AS cc1,
+                        a/sqrt(1 - e2*sin(phi1)*sin(phi1)) AS n1,
+                        a*(1-e2)/power(1 - e2*sin(phi1)*sin(phi1), 1.5) AS r1,
+                        xp/(a/sqrt(1 - e2*sin(phi1)*sin(phi1))) AS dd
+                 FROM f1)
+      SELECT round(degrees(phi1 - (n1*tan(phi1)/r1)*(dd*dd/2
+               - (5 + 3*t1 + 10*cc1 - 4*cc1*cc1 - 9*ep2)*power(dd, 4)/24
+               + (61 + 90*t1 + 298*cc1 + 45*t1*t1 - 252*ep2 - 3*cc1*cc1)
+                 *power(dd, 6)/720)), 6) AS latitude,
+             round(-2.0 + degrees((dd - (1 + 2*t1 + cc1)*power(dd, 3)/6
+               + (5 - 2*cc1 + 28*t1 - 3*cc1*cc1 + 8*ep2 + 24*t1*t1)
+                 *power(dd, 5)/120)/cos(phi1)), 6) AS longitude,
+             band_1
+      FROM t ORDER BY latitude, longitude"""))(
+      (s, d) => {
+        import graft.sources.tiff.{TiffReader, TiffWriter => TW}
+        val path = Fixtures.path("q148", d, "q148.tif") { p =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 997).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          // pixel CENTERS at grid E = 400000 + i*25000,
+          // N = -100000 + 300000 - j*20000 (xp/yp relative to false origin)
+          TW.write(p, TW.Spec(10, 20, 1, vals,
+            pixelScale = (25000.0, 20000.0),
+            tiepointXY = (400000.0 - 12500.0, 200000.0 + 10000.0),
+            epsg = 27700, rowsPerStrip = 5, packBits = true))
+        }
+        TiffReader.readLongFormat(s, path)
+          .select(round($"latitude", 6).as("latitude"),
+            round($"longitude", 6).as("longitude"), $"band_1")
+          .orderBy($"latitude", $"longitude")
+      }),
+
     // ---------------------------------------------------------------- S1 (NetCDF CDF-5 / 64-bit data)
     // Same `orders` grid through the CDF-5 (64-bit data) classic variant:
     // widened header counts, an NC_INT64 variable and an NC_UBYTE variable

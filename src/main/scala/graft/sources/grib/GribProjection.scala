@@ -188,6 +188,70 @@ object GribProjection {
     }
   }
 
+  /** Transverse Mercator (Snyder §8, the series forms) — the projection of
+    * the UTM zones and the national grids built on them (OSGB, ETRS89/TM,
+    * NZTM). `y` is measured from the EQUATOR (no M0 subtraction); callers
+    * with a non-zero natural-origin latitude fold `k0·M(lat0)` in as a
+    * false-northing offset, and scale-at-origin k0 folds in by scaling
+    * BOTH semi-axes (every length the series produces is linear in `a` at
+    * fixed eccentricity). Truncation: the standard 8-9..8-17 series,
+    * accurate to sub-mm within a zone's ±3° and to ~1 mm at ±5°. */
+  final case class TransverseMercator(lon0: Double,
+      radius: Double = EarthRadius,
+      minorAxis: Double = Double.NaN) extends GribProjection {
+    private val e2 = { val e = eccOf(radius, minorAxis); e * e }
+    private val ep2 = e2 / (1 - e2) // e'^2
+    private val lam0 = math.toRadians(lon0)
+    // meridional-arc coefficients (Snyder 3-21)
+    private val m0 = 1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256
+    private val m2 = 3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * e2 * e2 * e2 / 1024
+    private val m4 = 15 * e2 * e2 / 256 + 45 * e2 * e2 * e2 / 1024
+    private val m6 = 35 * e2 * e2 * e2 / 3072
+    private def arc(phi: Double): Double =
+      radius * (m0 * phi - m2 * math.sin(2 * phi) + m4 * math.sin(4 * phi) -
+        m6 * math.sin(6 * phi))
+    // footprint-latitude coefficients (Snyder 3-26)
+    private val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val sin = math.sin(phi); val cos = math.cos(phi)
+      val t = (sin / cos) * (sin / cos)
+      val c = ep2 * cos * cos
+      val bigA = normalize(math.toRadians(lonDeg) - lam0) * cos
+      val nu = radius / math.sqrt(1 - e2 * sin * sin)
+      val x = nu * (bigA + (1 - t + c) * math.pow(bigA, 3) / 6 +
+        (5 - 18 * t + t * t + 72 * c - 58 * ep2) * math.pow(bigA, 5) / 120)
+      val y = arc(phi) + nu * (sin / cos) * (bigA * bigA / 2 +
+        (5 - t + 9 * c + 4 * c * c) * math.pow(bigA, 4) / 24 +
+        (61 - 58 * t + t * t + 600 * c - 330 * ep2) * math.pow(bigA, 6) / 720)
+      (x, y)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val mu = y / (radius * m0)
+      val phi1 = mu +
+        (3 * e1 / 2 - 27 * math.pow(e1, 3) / 32) * math.sin(2 * mu) +
+        (21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * math.sin(4 * mu) +
+        (151 * math.pow(e1, 3) / 96) * math.sin(6 * mu) +
+        (1097 * math.pow(e1, 4) / 512) * math.sin(8 * mu)
+      val sin1 = math.sin(phi1); val cos1 = math.cos(phi1)
+      val t1 = (sin1 / cos1) * (sin1 / cos1)
+      val c1 = ep2 * cos1 * cos1
+      val n1 = radius / math.sqrt(1 - e2 * sin1 * sin1)
+      val r1 = radius * (1 - e2) / math.pow(1 - e2 * sin1 * sin1, 1.5)
+      val dd = x / n1
+      val phi = phi1 - (n1 * (sin1 / cos1) / r1) * (dd * dd / 2 -
+        (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * ep2) * math.pow(dd, 4) / 24 +
+        (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * ep2 - 3 * c1 * c1) *
+          math.pow(dd, 6) / 720)
+      val lam = lam0 + (dd - (1 + 2 * t1 + c1) * math.pow(dd, 3) / 6 +
+        (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * ep2 + 24 * t1 * t1) *
+          math.pow(dd, 5) / 120) / cos1
+      (math.toDegrees(phi), math.toDegrees(normalize(lam)))
+    }
+  }
+
   /** Rotated latitude/longitude (GRIB2 template 3.1, GRIB1 grid type 10 —
     * the COSMO / ICON-EU / HARMONIE regional-model grids). Unlike the
     * projected grids this is not a meters walk: grid points are REGULAR in

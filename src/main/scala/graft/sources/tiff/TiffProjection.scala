@@ -2,7 +2,7 @@ package graft.sources.tiff
 
 import graft.sources.grib.GribProjection
 import graft.sources.grib.GribProjection.{LambertConformal, Mercator,
-  PolarStereographic}
+  PolarStereographic, TransverseMercator}
 
 /** Projected-CRS resolution for GeoTIFF rasters beyond UTM — Lambert
   * conformal conic, polar stereographic, and Mercator, reusing the
@@ -25,10 +25,12 @@ import graft.sources.grib.GribProjection.{LambertConformal, Mercator,
   * radius the formulas produce scales linearly. */
 object TiffProjection {
 
-  // public geodetic figures (EPSG 7030 / 7019)
+  // public geodetic figures (EPSG 7030 / 7019 / 7001)
   private val Wgs84A = 6378137.0
   private val Wgs84B = 6356752.314245179
   private val Grs80B = 6356752.314140356
+  private val Airy1830A = 6377563.396
+  private val Airy1830B = 6356256.909237285 // a (1 - 1/299.3249646)
 
   /** Model (projected) x/y meters -> (lat, lon) degrees. `lonShiftDeg` is
     * the central meridian for projections whose GRIB form has none
@@ -60,6 +62,12 @@ object TiffProjection {
     ModelTransform(Mercator(latTs, a * k0, b * k0), fe, fn,
       yOrigin = 0.0, lonShiftDeg = lon0)
 
+  private def tm(lat0: Double, lon0: Double, fe: Double, fn: Double,
+      a: Double, b: Double, k0: Double): ModelTransform = {
+    val p = TransverseMercator(lon0, a * k0, b * k0)
+    ModelTransform(p, fe, fn, yOrigin = p.forward(lat0, lon0)._2)
+  }
+
   /** Well-known projected EPSG codes (parameters from the public EPSG
     * registry), or None for codes this table doesn't carry (the caller
     * falls through to user-defined GeoKeys, then to a directed error). */
@@ -81,6 +89,18 @@ object TiffProjection {
     case 2154 => Some(lcc(49, 44, 46.5, 3, 700000, 6600000, Wgs84A, Grs80B))
     // NAD83 / Canada Atlas Lambert (GRS80)
     case 3978 => Some(lcc(49, 77, 49, -95, 0, 0, Wgs84A, Grs80B))
+    // OSGB36 / British National Grid (Airy 1830)
+    case 27700 => Some(tm(49, -2, 400000, -100000,
+      Airy1830A, Airy1830B, k0 = 0.9996012717))
+    // ETRS89 / UTM zones 28N-38N (25828-25838) and NAD83 / UTM zones
+    // 1N-23N (26901-26923), both on GRS80; the WGS84 zones (326xx/327xx)
+    // keep their existing codegen'd column path in TiffReader
+    case z if z >= 25828 && z <= 25838 =>
+      Some(tm(0, (z - 25800) * 6 - 183, 500000, 0,
+        Wgs84A, Grs80B, k0 = 0.9996))
+    case z if z >= 26901 && z <= 26923 =>
+      Some(tm(0, (z - 26900) * 6 - 183, 500000, 0,
+        Wgs84A, Grs80B, k0 = 0.9996))
     case _ => None
   }
 
@@ -103,6 +123,8 @@ object TiffProjection {
     lazy val (a, b) = ellipsoidOf(meta)
     val k0 = d(3092).getOrElse(1.0) // ProjScaleAtNatOriginGeoKey
     meta.geoShortKeys.get(3075) match { // ProjCoordTransGeoKey
+      case Some(1) => // CT_TransverseMercator
+        tm(d0(3081, 3089), d0(3080, 3088), d0(3082), d0(3083), a, b, k0)
       case Some(7) => // CT_Mercator: true scale at StdParallel1 OR k0
         mercator(d0(3078, 3081), d0(3080, 3088), d0(3082), d0(3083),
           a, b, k0)
@@ -123,11 +145,12 @@ object TiffProjection {
         ps(latTs, d0(3095, 3088, 3080), d0(3082), d0(3083), a, b, k0)
       case Some(other) => throw Tiff.UnsupportedTiff(
         s"coordinate transformation $other (ProjCoordTransGeoKey; supported: " +
-          "7 Mercator, 8/9 Lambert conformal, 15 polar stereographic)")
+          "1 transverse Mercator, 7 Mercator, 8/9 Lambert conformal, " +
+          "15 polar stereographic)")
       case None => throw Tiff.UnsupportedTiff(
         s"CRS EPSG:${meta.epsg} (supported: 4326 geographic, UTM " +
-          "326xx/327xx, EPSG 3857/3395/3031/3976/3413/32661/32761/2154/" +
-          "3978, or user-defined ProjCS GeoKeys)")
+          "326xx/327xx/258xx/269xx, EPSG 3857/3395/3031/3976/3413/32661/" +
+          "32761/2154/3978/27700, or user-defined ProjCS GeoKeys)")
     }
   }
 

@@ -743,13 +743,73 @@ class TiffSpec extends SparkSpec {
     }
   }
 
+  test("EPSG:27700 British National Grid: origin exact, grid round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("tifbng").toString
+    // the natural origin (49N, 2W) maps to E 400000, N -100000 by
+    // definition of the grid's false origin
+    val got = projTif(dir, x0 = 400000, y0 = -100000 + 400000,
+      dx = 150000, dy = 400000, epsg = 27700)
+    // 1e-8 deg ~ 1 mm: the Snyder series' stated accuracy
+    val (lat0, lon0) = got(30.0) // pixel (1,0): back at the false origin
+    assert(math.abs(lat0 - 49.0) < 1e-8 && math.abs(lon0 - (-2.0)) < 1e-8,
+      s"origin decoded as ($lat0, $lon0)")
+    // full-grid round-trip through the k0-scaled Airy forward
+    val p = GribProjection.TransverseMercator(-2,
+      6377563.396 * 0.9996012717, 6356256.909237285 * 0.9996012717)
+    val y00 = p.forward(49, -2)._2
+    // 1 cm: forward/inverse truncations differ at the D^7 order, which at
+    // the grid's 300 km easting (4.3 degrees off the meridian) costs ~6 mm
+    for (r <- 0 until 2; c <- 0 until 3) {
+      val (lat, lon) = got((r * 3 + c) * 10.0)
+      val (fx, fy) = p.forward(lat, lon)
+      assert(math.abs((400000 + fx) - (400000 + c * 150000.0)) < 0.01 &&
+        math.abs((-100000 + fy - y00) - (300000 - r * 400000.0)) < 0.01,
+        s"pixel ($r,$c)")
+    }
+  }
+
+  test("EPSG:25832 agrees with the independent UTM column inverse") {
+    val dir = java.nio.file.Files.createTempDirectory("tifetrs").toString
+    // the same pixel grid declared as ETRS89/UTM32 (TM series path) and
+    // WGS84/UTM32 (CrsTransform's codegen'd column math): two independent
+    // implementations of the same projection (GRS80 vs WGS84 differ by
+    // 0.1 mm in the minor axis) must agree to well under 1e-7 degrees
+    val a = projTif(dir, x0 = 400000, y0 = 5700000,
+      dx = 40000, dy = 50000, epsg = 25832)
+    val dir2 = java.nio.file.Files.createTempDirectory("tifutm").toString
+    val b = projTif(dir2, x0 = 400000, y0 = 5700000,
+      dx = 40000, dy = 50000, epsg = 32632)
+    (0 until 6).foreach { k =>
+      val (la, lo) = a(k * 10.0); val (lb, lob) = b(k * 10.0)
+      assert(math.abs(la - lb) < 1e-7 && math.abs(lo - lob) < 1e-7,
+        s"pixel $k: TM series ($la,$lo) vs UTM columns ($lb,$lob)")
+    }
+  }
+
+  test("user-defined CT_TransverseMercator GeoKeys match the EPSG 27700 path") {
+    val dir = java.nio.file.Files.createTempDirectory("tiftmk").toString
+    val viaCode = projTif(dir, x0 = 500000, y0 = 200000,
+      dx = 60000, dy = 70000, epsg = 27700)
+    val dir2 = java.nio.file.Files.createTempDirectory("tiftmk2").toString
+    val viaKeys = projTif(dir2, x0 = 500000, y0 = 200000,
+      dx = 60000, dy = 70000, epsg = 32767,
+      shortKeys = Seq((3075, 1)),
+      doubleKeys = Seq((3081, 49.0), (3080, -2.0),
+        (3082, 400000.0), (3083, -100000.0), (3092, 0.9996012717),
+        (2057, 6377563.396), (2058, 6356256.909237285)))
+    (0 until 6).foreach { k =>
+      val (la, lo) = viaCode(k * 10.0); val (lb, lob) = viaKeys(k * 10.0)
+      assert(math.abs(la - lb) < 1e-12 && math.abs(lo - lob) < 1e-12)
+    }
+  }
+
   test("unsupported projected CRS fail directed with the supported list") {
     val dir = java.nio.file.Files.createTempDirectory("tifbad").toString
     val p = s"$dir/b.tif"
     TW.write(p, TW.Spec(2, 2, 1, Seq(1.0, 2.0, 3.0, 4.0),
-      pixelScale = (1000, 1000), tiepointXY = (0, 0), epsg = 27700))
+      pixelScale = (1000, 1000), tiepointXY = (0, 0), epsg = 5070))
     val e = intercept[Exception] { TiffReader.readLongFormat(spark, p) }
-    assert(e.getMessage.contains("27700") &&
+    assert(e.getMessage.contains("5070") &&
       e.getMessage.contains("GeoKeys"), e.getMessage)
     // user-defined ProjCS without an ellipsoid: directed at the gap
     val p2 = s"$dir/b2.tif"
