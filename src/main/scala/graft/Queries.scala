@@ -1543,6 +1543,62 @@ object Queries {
           .orderBy($"latitude", $"longitude")
       }),
 
+    // ---------------------------------------------------------------- S4 (GeoTIFF Albers equal-area, user-defined ProjCS GeoKeys)
+    // A Conus-Albers-shaped GeoTIFF declared via user-defined GeoKeys —
+    // CT_AlbersEqualArea on explicit sphere axes, the USGS-style false
+    // origin at (23N, 96W). The reader resolves the keys to the Snyder §14
+    // inverse; the oracle re-derives every pixel with DuckDB's own trig
+    // (the spherical closed form 14-3..14-11: no iteration on a sphere).
+    Q("q149_tiff_albers", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200),
+           c AS (SELECT CAST(6370997.0 AS DOUBLE) AS r_e,
+                        (sin(radians(29.5)) + sin(radians(45.5))) / 2 AS n),
+           k AS (SELECT r_e, n,
+                        cos(radians(29.5))*cos(radians(29.5))
+                          + 2*n*sin(radians(29.5)) AS cc
+                 FROM c),
+           b AS (SELECT r_e, n, cc,
+                        r_e * sqrt(cc - 2*n*sin(radians(23.0))) / n AS rho0
+                 FROM k),
+           g AS (SELECT CAST(o_orderkey % 997 AS DOUBLE) AS band_1,
+                        (rn0 % 10) * 60000.0 AS xp,
+                        100000.0 - (rn0 // 10) * 90000.0 AS yp
+                 FROM o),
+           p AS (SELECT band_1, r_e, n, cc,
+                        sqrt(xp*xp + (rho0 - yp)*(rho0 - yp)) AS rho,
+                        atan2(xp, rho0 - yp) AS theta
+                 FROM g, b)
+      SELECT round(degrees(asin((cc - (rho*n/r_e)*(rho*n/r_e)) / (2*n))), 6)
+               AS latitude,
+             round(-96.0 + degrees(theta/n), 6) AS longitude,
+             band_1
+      FROM p ORDER BY latitude, longitude"""))(
+      (s, d) => {
+        import graft.sources.tiff.{TiffReader, TiffWriter => TW}
+        val path = Fixtures.path("q149", d, "q149.tif") { p =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 997).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          // pixel CENTERS at xp = i*60000, yp = 100000 - j*90000 relative
+          // to the false origin (FE 70 km, FN 20 km)
+          TW.write(p, TW.Spec(10, 20, 1, vals,
+            pixelScale = (60000.0, 90000.0),
+            tiepointXY = (70000.0 - 30000.0, 120000.0 + 45000.0),
+            epsg = 32767, rowsPerStrip = 4, zstd = true,
+            extraShortKeys = Seq((3075, 11)),            // CT_AlbersEqualArea
+            doubleKeys = Seq((3078, 29.5), (3079, 45.5), // standard parallels
+              (3085, 23.0), (3084, -96.0),               // false origin lat/lon
+              (3086, 70000.0), (3087, 20000.0),          // FE / FN
+              (2057, 6370997.0), (2058, 6370997.0))))    // sphere axes
+        }
+        TiffReader.readLongFormat(s, path)
+          .select(round($"latitude", 6).as("latitude"),
+            round($"longitude", 6).as("longitude"), $"band_1")
+          .orderBy($"latitude", $"longitude")
+      }),
+
     // ---------------------------------------------------------------- S1 (NetCDF CDF-5 / 64-bit data)
     // Same `orders` grid through the CDF-5 (64-bit data) classic variant:
     // widened header counts, an NC_INT64 variable and an NC_UBYTE variable

@@ -188,6 +188,71 @@ object GribProjection {
     }
   }
 
+  /** Albers equal-area conic (Snyder §14) — the continental-statistics
+    * projection (CONUS EPSG 5070, Australian 3577, Canadian 3573-family).
+    * Spherical and ellipsoidal; the ellipsoidal inverse recovers latitude
+    * from the authalic q via the Snyder 3-16 fixed-point iteration. Like
+    * the other conics, `y` is measured from the APEX (no rho0 offset) so
+    * GRIB-style walks need no origin; map callers fold rho(lat0) in as a
+    * northing offset. */
+  final case class AlbersEqualArea(latin1: Double, latin2: Double,
+      lov: Double, radius: Double = EarthRadius,
+      minorAxis: Double = Double.NaN) extends GribProjection {
+    private val e = eccOf(radius, minorAxis)
+    private val e2 = e * e
+    private val phi1 = math.toRadians(latin1)
+    private val phi2 = math.toRadians(latin2)
+    private val lam0 = math.toRadians(lov)
+    /** Snyder 3-12: the authalic-latitude q of a geodetic latitude. */
+    private def qFun(phi: Double): Double = {
+      val s = math.sin(phi)
+      if (e == 0) 2 * s
+      else (1 - e2) * (s / (1 - e2 * s * s) -
+        (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+    }
+    private val n =
+      if (math.abs(latin1 - latin2) < 1e-9) math.sin(phi1)
+      else if (e == 0) (math.sin(phi1) + math.sin(phi2)) / 2
+      else (mFun(phi1, e) * mFun(phi1, e) - mFun(phi2, e) * mFun(phi2, e)) /
+        (qFun(phi2) - qFun(phi1))
+    private val cBig =
+      if (e == 0) math.pow(math.cos(phi1), 2) + 2 * n * math.sin(phi1)
+      else mFun(phi1, e) * mFun(phi1, e) + n * qFun(phi1)
+
+    private def rho(q: Double): Double =
+      radius * math.sqrt(cBig - n * q) / n
+
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val r = rho(qFun(math.toRadians(latDeg)))
+      val theta = n * normalize(math.toRadians(lonDeg) - lam0)
+      (r * math.sin(theta), -r * math.cos(theta)) // y from the apex
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val r = math.signum(n) * math.sqrt(x * x + y * y)
+      val theta = math.atan2(math.signum(n) * x, math.signum(n) * -y)
+      val q = (cBig - (r * n / radius) * (r * n / radius)) / n
+      val phi =
+        if (e == 0) math.asin(math.max(-1.0, math.min(1.0, q / 2)))
+        else {
+          // Snyder 3-16: iterate from the spherical seed
+          var p = math.asin(math.max(-1.0, math.min(1.0, q / 2)))
+          var i = 0
+          while (i < 12) {
+            val s = math.sin(p)
+            val om = 1 - e2 * s * s
+            val next = p + (om * om / (2 * math.cos(p))) *
+              (q / (1 - e2) - s / om +
+                (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+            if (math.abs(next - p) < 1e-13) { p = next; i = 12 }
+            else { p = next; i += 1 }
+          }
+          p
+        }
+      (math.toDegrees(phi), math.toDegrees(normalize(lam0 + theta / n)))
+    }
+  }
+
   /** Transverse Mercator (Snyder §8, the series forms) — the projection of
     * the UTM zones and the national grids built on them (OSGB, ETRS89/TM,
     * NZTM). `y` is measured from the EQUATOR (no M0 subtraction); callers

@@ -1,8 +1,8 @@
 package graft.sources.tiff
 
 import graft.sources.grib.GribProjection
-import graft.sources.grib.GribProjection.{LambertConformal, Mercator,
-  PolarStereographic, TransverseMercator}
+import graft.sources.grib.GribProjection.{AlbersEqualArea, LambertConformal,
+  Mercator, PolarStereographic, TransverseMercator}
 
 /** Projected-CRS resolution for GeoTIFF rasters beyond UTM — Lambert
   * conformal conic, polar stereographic, and Mercator, reusing the
@@ -68,6 +68,12 @@ object TiffProjection {
     ModelTransform(p, fe, fn, yOrigin = p.forward(lat0, lon0)._2)
   }
 
+  private def albers(sp1: Double, sp2: Double, lat0: Double, lon0: Double,
+      fe: Double, fn: Double, a: Double, b: Double): ModelTransform = {
+    val p = AlbersEqualArea(sp1, sp2, lon0, a, b)
+    ModelTransform(p, fe, fn, yOrigin = p.forward(lat0, lon0)._2)
+  }
+
   /** Well-known projected EPSG codes (parameters from the public EPSG
     * registry), or None for codes this table doesn't carry (the caller
     * falls through to user-defined GeoKeys, then to a directed error). */
@@ -92,6 +98,10 @@ object TiffProjection {
     // OSGB36 / British National Grid (Airy 1830)
     case 27700 => Some(tm(49, -2, 400000, -100000,
       Airy1830A, Airy1830B, k0 = 0.9996012717))
+    // NAD83 / Conus Albers (the USGS national-products grid, GRS80)
+    case 5070 => Some(albers(29.5, 45.5, 23, -96, 0, 0, Wgs84A, Grs80B))
+    // GDA94 / Australian Albers (GRS80)
+    case 3577 => Some(albers(-18, -36, 0, 132, 0, 0, Wgs84A, Grs80B))
     // ETRS89 / UTM zones 28N-38N (25828-25838) and NAD83 / UTM zones
     // 1N-23N (26901-26923), both on GRS80; the WGS84 zones (326xx/327xx)
     // keep their existing codegen'd column path in TiffReader
@@ -139,6 +149,12 @@ object TiffProjection {
           "LCC-1SP GeoKeys without ProjNatOriginLat (3081)"))
         lcc(lat0, lat0, lat0, d0(3080, 3088), d0(3082), d0(3083),
           a * k0, b * k0)
+      case Some(11) => // CT_AlbersEqualArea
+        albers(d(3078).getOrElse(throw Tiff.UnsupportedTiff(
+            "Albers GeoKeys without ProjStdParallel1 (3078)")),
+          d(3079).getOrElse(d0(3078)),
+          d0(3085, 3081, 3089), d0(3084, 3080, 3088),
+          d0(3086, 3082), d0(3087, 3083), a, b)
       case Some(15) => // CT_PolarStereographic
         val latTs = d(3081, 3078).getOrElse(throw Tiff.UnsupportedTiff(
           "polar-stereographic GeoKeys without ProjNatOriginLat (3081)"))
@@ -146,11 +162,11 @@ object TiffProjection {
       case Some(other) => throw Tiff.UnsupportedTiff(
         s"coordinate transformation $other (ProjCoordTransGeoKey; supported: " +
           "1 transverse Mercator, 7 Mercator, 8/9 Lambert conformal, " +
-          "15 polar stereographic)")
+          "11 Albers equal-area, 15 polar stereographic)")
       case None => throw Tiff.UnsupportedTiff(
         s"CRS EPSG:${meta.epsg} (supported: 4326 geographic, UTM " +
           "326xx/327xx/258xx/269xx, EPSG 3857/3395/3031/3976/3413/32661/" +
-          "32761/2154/3978/27700, or user-defined ProjCS GeoKeys)")
+          "32761/2154/3577/3978/5070/27700, or user-defined ProjCS GeoKeys)")
     }
   }
 

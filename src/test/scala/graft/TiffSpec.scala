@@ -803,13 +803,65 @@ class TiffSpec extends SparkSpec {
     }
   }
 
+  test("EPSG:5070 Conus Albers: origin exact, ellipsoidal grid round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("tifalb").toString
+    // natural origin (23N, 96W) IS model (0, 0)
+    val got = projTif(dir, x0 = 0, y0 = 2400000,
+      dx = 400000, dy = 2400000, epsg = 5070)
+    val (lat0, lon0) = got(30.0) // pixel (1,0): back at the origin
+    assert(math.abs(lat0 - 23.0) < 1e-9 && math.abs(lon0 - (-96.0)) < 1e-9,
+      s"origin decoded as ($lat0, $lon0)")
+    val p = GribProjection.AlbersEqualArea(29.5, 45.5, -96,
+      6378137.0, 6356752.314140356)
+    val y00 = p.forward(23, -96)._2
+    for (r <- 0 until 2; c <- 0 until 3) {
+      val (lat, lon) = got((r * 3 + c) * 10.0)
+      val (fx, fy) = p.forward(lat, lon)
+      assert(math.abs(fx - c * 400000.0) < 1e-5 &&
+        math.abs((fy - y00) - (2400000 - r * 2400000.0)) < 1e-5,
+        s"pixel ($r,$c)")
+    }
+  }
+
+  test("user-defined Albers GeoKeys with sphere axes match the closed form") {
+    val dir = java.nio.file.Files.createTempDirectory("tifalbs").toString
+    val R = 6370997.0
+    val got = projTif(dir, x0 = 50000.0, y0 = 150000.0,
+      dx = 80000, dy = 120000, epsg = 32767,
+      shortKeys = Seq((3075, 11)),
+      doubleKeys = Seq((3078, 29.5), (3079, 45.5),
+        (3085, 23.0), (3084, -96.0),
+        (3086, 50000.0), (3087, 30000.0),
+        (2057, R), (2058, R)))
+    // independent spherical Albers inverse (Snyder 14-3..14-11)
+    val phi1 = math.toRadians(29.5); val phi2 = math.toRadians(45.5)
+    val n = (math.sin(phi1) + math.sin(phi2)) / 2
+    val cC = math.cos(phi1) * math.cos(phi1) + 2 * n * math.sin(phi1)
+    def rhoOf(phi: Double) = R * math.sqrt(cC - 2 * n * math.sin(phi)) / n
+    val rho0 = rhoOf(math.toRadians(23.0))
+    for (r <- 0 until 2; c <- 0 until 3) {
+      val xp = 50000.0 + c * 80000.0 - 50000.0           // E - FE
+      val yp = 150000.0 - r * 120000.0 - 30000.0         // N - FN
+      val rho = math.sqrt(xp * xp + (rho0 - yp) * (rho0 - yp))
+      val theta = math.atan2(xp, rho0 - yp)
+      val wantLat = math.toDegrees(math.asin(
+        (cC - (rho * n / R) * (rho * n / R)) / (2 * n)))
+      val wantLon = -96.0 + math.toDegrees(theta / n)
+      val (lat, lon) = got((r * 3 + c) * 10.0)
+      assert(math.abs(lat - wantLat) < 1e-9 && math.abs(lon - wantLon) < 1e-9,
+        s"pixel ($r,$c): got ($lat,$lon) want ($wantLat,$wantLon)")
+    }
+  }
+
   test("unsupported projected CRS fail directed with the supported list") {
     val dir = java.nio.file.Files.createTempDirectory("tifbad").toString
     val p = s"$dir/b.tif"
+    // 2056 = CH1903+/LV95, an oblique (Hotine) Mercator this reader does
+    // not carry — must fail directed, naming the code and the alternatives
     TW.write(p, TW.Spec(2, 2, 1, Seq(1.0, 2.0, 3.0, 4.0),
-      pixelScale = (1000, 1000), tiepointXY = (0, 0), epsg = 5070))
+      pixelScale = (1000, 1000), tiepointXY = (0, 0), epsg = 2056))
     val e = intercept[Exception] { TiffReader.readLongFormat(spark, p) }
-    assert(e.getMessage.contains("5070") &&
+    assert(e.getMessage.contains("2056") &&
       e.getMessage.contains("GeoKeys"), e.getMessage)
     // user-defined ProjCS without an ellipsoid: directed at the gap
     val p2 = s"$dir/b2.tif"
