@@ -1599,6 +1599,73 @@ object Queries {
           .orderBy($"latitude", $"longitude")
       }),
 
+    // ---------------------------------------------------------------- S1 (GRIB2 transverse Mercator, template 3.12)
+    // The UKMO national-grid template: grid points step in centimetres of
+    // the transverse-Mercator plane. The first point sits AT the natural
+    // origin (la1 = 0 on the central meridian), so its plane coordinates
+    // are exactly (0, 0) on the wire and the oracle re-derives every
+    // point with DuckDB's own evaluation of the Snyder §8 inverse series
+    // (footprint latitude + the 8-17/8-18 polynomials) on the message's
+    // cm-exact oblate axes.
+    Q("q150_grib2_tm", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200),
+           c0 AS (SELECT CAST(6378137.0 AS DOUBLE) AS a,
+                         1 - (CAST(6356752.31 AS DOUBLE)/6378137.0)
+                           * (CAST(6356752.31 AS DOUBLE)/6378137.0) AS e2),
+           c1 AS (SELECT a, e2, e2/(1-e2) AS ep2,
+                         1 - e2/4 - 3*e2*e2/64 - 5*e2*e2*e2/256 AS m0c,
+                         (1-sqrt(1-e2))/(1+sqrt(1-e2)) AS e1
+                  FROM c0),
+           g AS (SELECT CAST(o_orderkey % 997 AS DOUBLE) AS value,
+                        (rn0 % 10) * 25000.0 AS xp,
+                        (rn0 // 10) * 20000.0 AS yp
+                 FROM o),
+           mu AS (SELECT value, xp, a, e2, ep2, e1, yp / (a*m0c) AS mu
+                  FROM g, c1),
+           f1 AS (SELECT value, xp, a, e2, ep2,
+                         mu + (3*e1/2 - 27*e1*e1*e1/32)*sin(2*mu)
+                            + (21*e1*e1/16 - 55*e1*e1*e1*e1/32)*sin(4*mu)
+                            + (151*e1*e1*e1/96)*sin(6*mu)
+                            + (1097*e1*e1*e1*e1/512)*sin(8*mu) AS phi1
+                  FROM mu),
+           t AS (SELECT value, phi1, ep2,
+                        tan(phi1)*tan(phi1) AS t1,
+                        ep2*cos(phi1)*cos(phi1) AS cc1,
+                        a/sqrt(1 - e2*sin(phi1)*sin(phi1)) AS n1,
+                        a*(1-e2)/power(1 - e2*sin(phi1)*sin(phi1), 1.5) AS r1,
+                        xp/(a/sqrt(1 - e2*sin(phi1)*sin(phi1))) AS dd
+                 FROM f1)
+      SELECT round(degrees(phi1 - (n1*tan(phi1)/r1)*(dd*dd/2
+               - (5 + 3*t1 + 10*cc1 - 4*cc1*cc1 - 9*ep2)*power(dd, 4)/24
+               + (61 + 90*t1 + 298*cc1 + 45*t1*t1 - 252*ep2 - 3*cc1*cc1)
+                 *power(dd, 6)/720)), 6) AS latitude,
+             round(-2.0 + degrees((dd - (1 + 2*t1 + cc1)*power(dd, 3)/6
+               + (5 - 2*cc1 + 28*t1 - 3*cc1*cc1 + 8*ep2 + 24*t1*t1)
+                 *power(dd, 5)/120)/cos(phi1)), 6) AS longitude,
+             value
+      FROM t ORDER BY latitude, longitude"""))(
+      (s, d) => {
+        import graft.sources.grib.{Grib2Reader, GribProjection, Grib2Writer => GW2}
+        val path = Fixtures.path("q150", d, "q150.grib2") { p =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 997).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          val t0 = java.time.LocalDateTime.of(2027, 2, 1, 0, 0)
+          val tm = GribProjection.TransverseMercator(-2.0,
+            6378137.0, 6356752.31)
+          GW2.write(p, Seq(GW2.FieldSpec(0, 0, 0, 103, 2, t0, vals,
+            ni = 10, nj = 20, la1 = 0.0, lo1 = -2.0, la2 = 0, lo2 = 0,
+            decimalScale = 0, projection = Some(tm),
+            dxMeters = 25000.0, dyMeters = 20000.0)))
+        }
+        Grib2Reader.readLongFormat(s, path)
+          .select(round($"latitude", 6).as("latitude"),
+            round($"longitude", 6).as("longitude"), $"value")
+          .orderBy($"latitude", $"longitude")
+      }),
+
     // ---------------------------------------------------------------- S1 (NetCDF CDF-5 / 64-bit data)
     // Same `orders` grid through the CDF-5 (64-bit data) classic variant:
     // widened header counts, an NC_INT64 variable and an NC_UBYTE variable

@@ -437,6 +437,36 @@ object Grib2 {
               val dySigned = if ((scan & 0x40) != 0) dy else -dy
               grid = Some(GridDef(nx, ny, la1, lo1, la1, lo1, scan, 0,
                 proj = Some(proj), dx = dx, dy = dySigned))
+            case 12 =>
+              // transverse Mercator (the UKMO national-grid template):
+              // reference point (lat0, lon0) with declared plane coords
+              // (XR, YR) and scale k0 (IEEE float); first point and steps
+              // in centimetres of the projected plane. k0 folds in by
+              // scaling the semi-axes (lengths are linear in `a` at fixed
+              // eccentricity); the first point's geodetic coordinates are
+              // recovered once here so the standard projected-grid walk
+              // (forward la1/lo1, step Di/Dj) applies unchanged.
+              val nx = u32(b, 30).toInt
+              val ny = u32(b, 34).toInt
+              val lat0 = s32(b, 38) / 1e6
+              val lon0 = s32(b, 42) / 1e6
+              val k0 = ieee32(b, 47)
+              val xr = s32(b, 51) / 100.0
+              val yr = s32(b, 55) / 100.0
+              val scan = u8(b, 59)
+              checkScan(scan)
+              val dx = u32(b, 60) / 100.0
+              val dy = u32(b, 64) / 100.0
+              val x1 = s32(b, 68) / 100.0
+              val y1 = s32(b, 72) / 100.0
+              val (axA, axB) = earthFigure(b)
+              val tm = GribProjection.TransverseMercator(lon0,
+                axA * k0, axB * k0)
+              val (fx0, fy0) = tm.forward(lat0, lon0)
+              val (la1, lo1) = tm.inverse(x1 - xr + fx0, y1 - yr + fy0)
+              val dySigned = if ((scan & 0x40) != 0) dy else -dy
+              grid = Some(GridDef(nx, ny, la1, lo1, la1, lo1, scan, 0,
+                proj = Some(tm), dx = dx, dy = dySigned))
             case 50 =>
               // spherical harmonics: J/K/M pentagonal resolution parameters
               val j = u32(b, 14).toInt
@@ -453,8 +483,9 @@ object Grib2 {
             case other =>
               throw UnsupportedGrib(s"grid template 3.$other " +
                 "(3.0 lat/lon, 3.1 rotated lat/lon, 3.10 Mercator, " +
-                "3.20 polar stereographic, 3.30 Lambert conformal, " +
-                "3.40 regular/reduced Gaussian, 3.50 spherical harmonics)")
+                "3.12 transverse Mercator, 3.20 polar stereographic, " +
+                "3.30 Lambert conformal, 3.40 regular/reduced Gaussian, " +
+                "3.50 spherical harmonics)")
           }
         case 4 =>
           val b = read(cur, math.min(secLen, 64L).toInt)

@@ -148,6 +148,31 @@ object Grib2Writer {
   private def section3Projected(f: FieldSpec, proj: GribProjection): Array[Byte] = {
     proj match {
       case r: GribProjection.RotatedLatLon => return section3Rotated(f, r)
+      case t: GribProjection.TransverseMercator =>
+        // template 3.12: reference point = the natural origin (0, lon0)
+        // with XR = YR = 0 and scale factor 1 (any k0 is already folded
+        // into the instance's axes and travels in the shape of earth);
+        // first/last points in centimetres of the projected plane
+        val b = new Array[Byte](84)
+        putU32(b, 0, b.length); b(4) = 3
+        putU32(b, 6, f.ni.toLong * f.nj)
+        putU16(b, 12, 12)
+        putShape(b, t.radius, t.minorAxis)
+        putU32(b, 30, f.ni); putU32(b, 34, f.nj)
+        putS32(b, 38, 0)                       // reference latitude 0
+        putS32(b, 42, math.round(t.lon0 * 1e6))
+        b(46) = 0x08
+        putU32(b, 47, java.lang.Float.floatToIntBits(1.0f).toLong & 0xffffffffL)
+        putS32(b, 51, 0); putS32(b, 55, 0)     // XR / YR
+        b(59) = (if (f.dyMeters >= 0) 0x40 else 0).toByte // scan
+        putU32(b, 60, math.round(f.dxMeters * 100))
+        putU32(b, 64, math.round(math.abs(f.dyMeters) * 100))
+        val (fx1, fy1) = t.forward(f.la1, f.lo1)
+        putS32(b, 68, math.round(fx1 * 100))
+        putS32(b, 72, math.round(fy1 * 100))
+        putS32(b, 76, math.round((fx1 + (f.ni - 1) * f.dxMeters) * 100))
+        putS32(b, 80, math.round((fy1 + (f.nj - 1) * f.dyMeters) * 100))
+        return b
       case m: GribProjection.Mercator =>
         val b = new Array[Byte](72)
         putU32(b, 0, b.length); b(4) = 3

@@ -1007,4 +1007,47 @@ class Grib2Spec extends SparkSpec {
       Grib2Reader.indexFields(new org.apache.hadoop.conf.Configuration(), pBad))
     assert(e.getMessage.contains("triangular"), e.getMessage)
   }
+
+  test("transverse Mercator (3.12): scale factor at the reference applies") {
+    import graft.sources.grib.GribProjection
+    val dir = java.nio.file.Files.createTempDirectory("g2tm").toString
+    val tm = GribProjection.TransverseMercator(-2.0, 6378137.0, 6356752.31)
+    val vals = (0 until 50).map(_.toDouble)
+    val spec = GW2.FieldSpec(0, 0, 0, 103, 2,
+      java.time.LocalDateTime.of(2027, 2, 1, 0, 0), vals,
+      ni = 10, nj = 5, la1 = 0.0, lo1 = -2.0, la2 = 0, lo2 = 0,
+      decimalScale = 0, projection = Some(tm),
+      dxMeters = 25000.0, dyMeters = 20000.0)
+    val msg = GW2.message(spec)
+    // locate section 3 (length-prefixed sections after the 16-byte
+    // indicator) and patch the IEEE scale-at-reference field from 1.0 to
+    // 0.9996 — the wire form real UKMO products carry
+    var off = 16
+    def u32be(o: Int): Int =
+      ((msg(o) & 0xff) << 24) | ((msg(o + 1) & 0xff) << 16) |
+        ((msg(o + 2) & 0xff) << 8) | (msg(o + 3) & 0xff)
+    while (msg(off + 4) != 3) off += u32be(off)
+    val k0At = off + 47
+    assert(u32be(k0At) == java.lang.Float.floatToIntBits(1.0f),
+      "scale-at-reference field not where expected")
+    val bits = java.lang.Float.floatToIntBits(0.9996f)
+    (0 until 4).foreach(i => msg(k0At + i) = ((bits >> (8 * (3 - i))) & 0xff).toByte)
+    val p = s"$dir/tm.grib2"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), msg)
+    val rows = Grib2Reader.readLongFormat(spark, p)
+      .orderBy($"value").select($"latitude", $"longitude", $"value")
+      .collect()
+    assert(rows.length == 50)
+    // expected: the k0-scaled projection (both axes x 0.9996f) applied to
+    // the plane walk from (0, 0) in 25/20 km steps
+    val k0 = 0.9996f.toDouble
+    val scaled = GribProjection.TransverseMercator(-2.0,
+      6378137.0 * k0, 6356752.31 * k0)
+    rows.foreach { r =>
+      val k = r.getDouble(2).toInt
+      val (lat, lon) = scaled.inverse((k % 10) * 25000.0, (k / 10) * 20000.0)
+      assert(math.abs(r.getDouble(0) - lat) < 1e-9 &&
+        math.abs(r.getDouble(1) - lon) < 1e-9, s"point $k")
+    }
+  }
 }
