@@ -1666,6 +1666,44 @@ object Queries {
           .orderBy($"latitude", $"longitude")
       }),
 
+    // ---------------------------------------------------------------- S1 (GeoTIFF virtualized as zarr references)
+    // The q53-style raster served WITHOUT conversion: Kerchunk.scanTiff
+    // references each deflate strip as one zarr chunk of a
+    // [latitude, longitude] array, read through the zarr DSv2 path with
+    // coordinate pruning on the DESCENDING latitude axis. The oracle
+    // recomputes the raster from `orders` — any strip/affine/codec slip
+    // breaks the hash.
+    Q("q151_tiff_virtual", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200)
+      SELECT CAST(50 - (rn0 // 20) - 0.5 AS DOUBLE) AS latitude,
+             CAST((rn0 % 20) + 0.5 AS DOUBLE) AS longitude,
+             CAST(o_orderkey % 997 AS DOUBLE) AS band_1
+      FROM o
+      ORDER BY latitude, longitude"""))(
+      (s, d) => {
+        import graft.sources.tiff.{TiffWriter => TW}
+        import graft.sources.zarr.Kerchunk
+        val refs = Fixtures.dir("q151", d) { dir =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 997).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          val tif = s"$dir/q151.tif"
+          TW.write(tif, TW.Spec(20, 10, 1, vals,
+            pixelScale = (1.0, 1.0), tiepointXY = (0.0, 50.0), epsg = 4326,
+            rowsPerStrip = 2, deflate = true))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/q151.refs.json"),
+            Kerchunk.scanTiff(
+              new org.apache.hadoop.conf.Configuration(), tif)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        } + "/q151.refs.json"
+        s.read.format("zarr").load(refs)
+          .select($"latitude", $"longitude", $"band_1")
+          .orderBy($"latitude", $"longitude")
+      }),
+
     // ---------------------------------------------------------------- S1 (NetCDF CDF-5 / 64-bit data)
     // Same `orders` grid through the CDF-5 (64-bit data) classic variant:
     // widened header counts, an NC_INT64 variable and an NC_UBYTE variable

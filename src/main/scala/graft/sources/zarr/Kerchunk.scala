@@ -468,6 +468,94 @@ object Kerchunk {
     s"""{"version": 1, "refs": {$body}}"""
   }
 
+  /** Index a GeoTIFF into a reference store: strips/tiles become zarr
+    * chunks of a `[latitude, longitude]` (or `[y, x]`) array read straight
+    * from the original file — the kerchunk tiff backend pattern. A COG
+    * stack virtualizes with zero bytes rewritten, and the zarr reader's
+    * chunk-grid planning + coordinate pruning apply to rasters.
+    *
+    * Scope (everything else fails directed, never decodes wrong): one
+    * sample per pixel, compression none / deflate / ZSTD (zarr null /
+    * zlib / zstd codecs — LZW, PackBits and JPEG have no zarr codec, and
+    * the TIFF horizontal/float predictors differ from numcodecs delta),
+    * no predictor, geographic or unspecified CRS (projected model spaces
+    * have no separable lat/lon axes — read those via TiffReader), and for
+    * stripped layouts a strip height dividing the image (zarr chunks are
+    * fixed-size; TIFF pads edge TILES but truncates the final strip). */
+  def scanTiff(conf: Configuration, path: String,
+      uri: String = null): String = {
+    import graft.sources.tiff.{Tiff, TiffReader}
+    val target = Option(uri).getOrElse(path)
+    val m = TiffReader.readMeta(conf, path)
+    def reject(what: String): Nothing =
+      throw Tiff.UnsupportedTiff(s"$path: $what — not virtualizable " +
+        "as zarr references (read via TiffReader)")
+    if (m.samplesPerPixel != 1) reject(s"${m.samplesPerPixel} samples/pixel")
+    if (m.predictor != 1) reject(s"predictor ${m.predictor}")
+    val geographic = m.epsg == 4326 || m.epsg == 0 ||
+      m.geoShortKeys.get(1024).contains(2)
+    if (!geographic) reject(s"projected CRS EPSG:${m.epsg}")
+    val compressor = m.compression match {
+      case 1 => "null"
+      case 8 | 32946 => """{"id": "zlib"}"""
+      case 50000 => """{"id": "zstd"}"""
+      case c => reject(s"compression $c (none/deflate/ZSTD only)")
+    }
+    val dtype = (m.sampleFormat, m.bitsPerSample) match {
+      case (3, 32) => "<f4"
+      case (3, 64) => "<f8"
+      case (1, w) if w >= 8 => s"<u${w / 8}"
+      case (2, w) if w >= 8 => s"<i${w / 8}"
+      case (f, w) => reject(s"sample format $f at $w bits")
+    }
+    if (!m.littleEndian && m.bitsPerSample > 8)
+      reject("big-endian samples (zarr dtype is declared per array, " +
+        "and mixed-file stacks must agree)")
+    val (chunkH, chunkW, blocks) =
+      if (m.tiled) {
+        val tilesAcross = (m.width + m.tileWidth - 1) / m.tileWidth
+        (m.tileLength, m.tileWidth,
+          m.tileOffsets.indices.map { t =>
+            (t / tilesAcross, t % tilesAcross,
+              m.tileOffsets(t), m.tileByteCounts(t))
+          })
+      } else {
+        if (m.height % m.rowsPerStrip != 0)
+          reject(s"final strip is ragged (${m.height} rows, " +
+            s"${m.rowsPerStrip} per strip) — zarr chunks are fixed-size")
+        (m.rowsPerStrip, m.width,
+          m.stripOffsets.indices.map { st =>
+            (st, 0, m.stripOffsets(st), m.stripByteCounts(st))
+          })
+      }
+    val entries = Seq.newBuilder[(String, String)]
+    entries += ".zgroup" -> jsonQ("""{"zarr_format": 2}""")
+    // coordinate axes from the affine (pixel centers); unspecified CRS
+    // keeps raster y/x names so nothing claims degrees that aren't
+    val (yName, xName) =
+      if (m.epsg == 4326) ("latitude", "longitude") else ("y", "x")
+    entries ++= inlineF8Coord(yName,
+      Array.tabulate(m.height)(m.modelY), epochTime = false)
+    entries ++= inlineF8Coord(xName,
+      Array.tabulate(m.width)(m.modelX), epochTime = false)
+    val za =
+      s"""{"zarr_format": 2, "shape": [${m.height}, ${m.width}], """ +
+        s""""chunks": [$chunkH, $chunkW], "dtype": "$dtype", """ +
+        s""""compressor": $compressor, "filters": null, """ +
+        s""""fill_value": ${if (dtype.startsWith("<f")) "\"NaN\"" else "0"}, """ +
+        """"order": "C"}"""
+    entries += "band_1/.zarray" -> jsonQ(za)
+    entries += "band_1/.zattrs" ->
+      jsonQ(s"""{"_ARRAY_DIMENSIONS": ["$yName", "$xName"]}""")
+    blocks.foreach { case (row, colChunk, off, len) =>
+      entries += s"band_1/$row.$colChunk" ->
+        s"""["${escape(target)}", $off, $len]"""
+    }
+    val body = entries.result().map { case (k, v) => s""""$k": $v""" }
+      .mkString(", ")
+    s"""{"version": 1, "refs": {$body}}"""
+  }
+
   private def datasetEntries(read: (Long, Int) => Array[Byte],
       ds: DatasetMeta, name: String, dims: Seq[String],
       uri: String): Seq[(String, String)] = {

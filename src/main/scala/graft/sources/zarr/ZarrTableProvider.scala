@@ -137,20 +137,48 @@ object ZarrScan {
   }
 
   /** Inclusive index range [lo, hi] of `coord` values satisfying all bounds
-    * on one dim (coords ascending — the xarray norm; descending coords would
-    * be handled the way xql does, by flipping the slice, where.py:109-114). */
+    * on one dim. Ascending coords are the xarray norm, but DESCENDING axes
+    * are the norm for latitude (north-to-south raster scan order, GRIB
+    * la1 > la2) — both prune; the descending case flips which end each
+    * operator shrinks (the xql slice flip, where.py:109-114). A
+    * non-monotonic axis gets no pruning (the residual filter still
+    * applies, so rows are never wrong — just not skipped). */
   def indexRange(coord: Array[Double], bounds: Seq[(String, Double)]): (Int, Int) = {
     var lo = 0
     var hi = coord.length - 1
+    val ascending = coord.length < 2 || coord(0) <= coord(coord.length - 1)
+    val monotonic = {
+      var i = 1
+      var ok = true
+      while (ok && i < coord.length) {
+        ok = if (ascending) coord(i) >= coord(i - 1) else coord(i) <= coord(i - 1)
+        i += 1
+      }
+      ok
+    }
+    if (!monotonic) return (lo, hi)
     bounds.foreach { case (op, b) =>
       op match {
-        case ">" => while (lo <= hi && coord(lo) <= b) lo += 1
-        case ">=" => while (lo <= hi && coord(lo) < b) lo += 1
-        case "<" => while (hi >= lo && coord(hi) >= b) hi -= 1
-        case "<=" => while (hi >= lo && coord(hi) > b) hi -= 1
+        case ">" =>
+          if (ascending) while (lo <= hi && coord(lo) <= b) lo += 1
+          else while (hi >= lo && coord(hi) <= b) hi -= 1
+        case ">=" =>
+          if (ascending) while (lo <= hi && coord(lo) < b) lo += 1
+          else while (hi >= lo && coord(hi) < b) hi -= 1
+        case "<" =>
+          if (ascending) while (hi >= lo && coord(hi) >= b) hi -= 1
+          else while (lo <= hi && coord(lo) >= b) lo += 1
+        case "<=" =>
+          if (ascending) while (hi >= lo && coord(hi) > b) hi -= 1
+          else while (lo <= hi && coord(lo) > b) lo += 1
         case "=" =>
-          while (lo <= hi && coord(lo) < b) lo += 1
-          while (hi >= lo && coord(hi) > b) hi -= 1
+          if (ascending) {
+            while (lo <= hi && coord(lo) < b) lo += 1
+            while (hi >= lo && coord(hi) > b) hi -= 1
+          } else {
+            while (lo <= hi && coord(lo) > b) lo += 1
+            while (hi >= lo && coord(hi) < b) hi -= 1
+          }
       }
     }
     (lo, hi)

@@ -524,6 +524,52 @@ class KerchunkSpec extends SparkSpec {
     assert(e.getMessage.contains("2 GiB"), e.getMessage)
   }
 
+  test("tiff virtualization: refs equal the direct read, chunks prune") {
+    import graft.sources.tiff.{TiffReader, TiffWriter => TW}
+    val dir = java.nio.file.Files.createTempDirectory("kctif").toString
+    val tif = s"$dir/r.tif"
+    // 12x8, deflate strips of 2 rows -> a 4x1 chunk grid
+    TW.write(tif, TW.Spec(12, 8, 1, (0 until 96).map(i => (i * 7 % 53).toDouble),
+      pixelScale = (0.5, 0.5), tiepointXY = (10.0, 55.0), epsg = 4326,
+      rowsPerStrip = 2, deflate = true))
+    val refsPath = s"$dir/r.refs.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(refsPath),
+      Kerchunk.scanTiff(conf, tif).getBytes("UTF-8"))
+    val viaRefs = spark.read.format("zarr").load(refsPath)
+      .select($"latitude", $"longitude", $"band_1")
+      .orderBy($"latitude", $"longitude").collect().toSeq
+    val direct = TiffReader.readLongFormat(spark, tif)
+      .orderBy($"latitude", $"longitude").collect().toSeq
+    assert(viaRefs.size == 96 && viaRefs == direct)
+    // chunk grid plans partitions; a lat predicate prunes strip chunks
+    // even though the latitude axis DESCENDS (north-to-south scan order)
+    val df = spark.read.format("zarr").load(refsPath)
+    assert(df.rdd.getNumPartitions == 4)
+    val top = df.filter($"latitude" > 54.2) // rows 0-1 -> strip 0 only
+    assert(top.rdd.getNumPartitions == 1 && top.count() == 24)
+    val mid = df.filter($"latitude" >= 53.0 && $"latitude" < 54.5)
+    assert(mid.rdd.getNumPartitions == 2 && mid.count() == 36) // rows 1-3
+    // unsupported shapes fail directed, naming the gap
+    val lzw = s"$dir/l.tif"
+    TW.write(lzw, TW.Spec(4, 4, 1, (0 until 16).map(_.toDouble),
+      pixelScale = (1, 1), tiepointXY = (0, 4), epsg = 4326,
+      rowsPerStrip = 2, lzw = true, bitsPerSample = 16, sampleFormat = 1))
+    val e1 = intercept[Exception] { Kerchunk.scanTiff(conf, lzw) }
+    assert(e1.getMessage.contains("compression"), e1.getMessage)
+    val proj = s"$dir/p.tif"
+    TW.write(proj, TW.Spec(4, 4, 1, (0 until 16).map(_.toDouble),
+      pixelScale = (1000, 1000), tiepointXY = (0, 0), epsg = 3857,
+      rowsPerStrip = 2))
+    val e2 = intercept[Exception] { Kerchunk.scanTiff(conf, proj) }
+    assert(e2.getMessage.contains("projected"), e2.getMessage)
+    val ragged = s"$dir/g.tif"
+    TW.write(ragged, TW.Spec(4, 5, 1, (0 until 20).map(_.toDouble),
+      pixelScale = (1, 1), tiepointXY = (0, 5), epsg = 4326,
+      rowsPerStrip = 2))
+    val e3 = intercept[Exception] { Kerchunk.scanTiff(conf, ragged) }
+    assert(e3.getMessage.contains("ragged"), e3.getMessage)
+  }
+
   test("scanGrib rejects one message carrying a field at two valid times") {
     val dir = java.nio.file.Files.createTempDirectory("kcmt").toString
     val vals = (0 until 20).map(_.toDouble)
