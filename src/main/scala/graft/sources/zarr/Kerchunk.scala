@@ -481,10 +481,15 @@ object Kerchunk {
     * no predictor, geographic or unspecified CRS (projected model spaces
     * have no separable lat/lon axes — read those via TiffReader), and for
     * stripped layouts a strip height dividing the image (zarr chunks are
-    * fixed-size; TIFF pads edge TILES but truncates the final strip). */
+    * fixed-size; TIFF pads edge TILES but truncates the final strip).
+    *
+    * `timeEpochSec` (when finite) adds a length-1 leading `time` axis so a
+    * directory of per-day COGs combines along time like any other store
+    * (`combine(refsPaths, "time")` — one virtual hypercube per stack). */
   def scanTiff(conf: Configuration, path: String,
-      uri: String = null): String = {
+      uri: String = null, timeEpochSec: Double = Double.NaN): String = {
     import graft.sources.tiff.{Tiff, TiffReader}
+    val withTime = !timeEpochSec.isNaN
     val target = Option(uri).getOrElse(path)
     val m = TiffReader.readMeta(conf, path)
     def reject(what: String): Nothing =
@@ -534,21 +539,26 @@ object Kerchunk {
     // keeps raster y/x names so nothing claims degrees that aren't
     val (yName, xName) =
       if (m.epsg == 4326) ("latitude", "longitude") else ("y", "x")
+    if (withTime)
+      entries ++= inlineF8Coord("time", Array(timeEpochSec), epochTime = true)
     entries ++= inlineF8Coord(yName,
       Array.tabulate(m.height)(m.modelY), epochTime = false)
     entries ++= inlineF8Coord(xName,
       Array.tabulate(m.width)(m.modelX), epochTime = false)
+    val dimPrefix = if (withTime) "1, " else ""
     val za =
-      s"""{"zarr_format": 2, "shape": [${m.height}, ${m.width}], """ +
-        s""""chunks": [$chunkH, $chunkW], "dtype": "$dtype", """ +
+      s"""{"zarr_format": 2, "shape": [$dimPrefix${m.height}, ${m.width}], """ +
+        s""""chunks": [$dimPrefix$chunkH, $chunkW], "dtype": "$dtype", """ +
         s""""compressor": $compressor, "filters": null, """ +
         s""""fill_value": ${if (dtype.startsWith("<f")) "\"NaN\"" else "0"}, """ +
         """"order": "C"}"""
     entries += "band_1/.zarray" -> jsonQ(za)
+    val namePrefix = if (withTime) "\"time\", " else ""
     entries += "band_1/.zattrs" ->
-      jsonQ(s"""{"_ARRAY_DIMENSIONS": ["$yName", "$xName"]}""")
+      jsonQ(s"""{"_ARRAY_DIMENSIONS": [$namePrefix"$yName", "$xName"]}""")
+    val keyPrefix = if (withTime) "0." else ""
     blocks.foreach { case (row, colChunk, off, len) =>
-      entries += s"band_1/$row.$colChunk" ->
+      entries += s"band_1/$keyPrefix$row.$colChunk" ->
         s"""["${escape(target)}", $off, $len]"""
     }
     val body = entries.result().map { case (k, v) => s""""$k": $v""" }

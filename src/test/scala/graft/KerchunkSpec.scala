@@ -570,6 +570,35 @@ class KerchunkSpec extends SparkSpec {
     assert(e3.getMessage.contains("ragged"), e3.getMessage)
   }
 
+  test("a daily COG stack combines into one virtual time/lat/lon store") {
+    import graft.sources.tiff.{TiffWriter => TW}
+    val dir = java.nio.file.Files.createTempDirectory("kctfs").toString
+    val day0 = java.time.LocalDate.of(2026, 7, 1).toEpochDay * 86400.0
+    val refs = (0 until 3).map { day =>
+      val tif = s"$dir/d$day.tif"
+      TW.write(tif, TW.Spec(6, 4, 1,
+        (0 until 24).map(i => day * 100.0 + i),
+        pixelScale = (1.0, 1.0), tiepointXY = (0.0, 50.0), epsg = 4326,
+        rowsPerStrip = 2, deflate = true))
+      val rp = s"$dir/d$day.refs.json"
+      java.nio.file.Files.write(java.nio.file.Paths.get(rp),
+        Kerchunk.scanTiff(conf, tif, timeEpochSec = day0 + day * 86400.0)
+          .getBytes("UTF-8"))
+      rp
+    }
+    val cPath = s"$dir/stack.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(cPath),
+      Kerchunk.combine(conf, refs, concatDim = "time").getBytes("UTF-8"))
+    val df = spark.read.format("zarr").load(cPath)
+    assert(df.count() == 72)
+    assert(df.rdd.getNumPartitions == 6) // 3 days x 2 strips
+    // one day's predicate prunes to that file's strip chunks
+    val d1 = df.filter($"time" === java.time.LocalDateTime.of(2026, 7, 2, 0, 0))
+    assert(d1.rdd.getNumPartitions == 2 && d1.count() == 24)
+    assert(d1.agg(org.apache.spark.sql.functions.sum($"band_1"))
+      .head().getDouble(0) == (0 until 24).map(_ + 100.0).sum)
+  }
+
   test("scanGrib rejects one message carrying a field at two valid times") {
     val dir = java.nio.file.Files.createTempDirectory("kcmt").toString
     val vals = (0 until 20).map(_.toDouble)
