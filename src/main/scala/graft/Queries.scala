@@ -1704,6 +1704,109 @@ object Queries {
           .orderBy($"latitude", $"longitude")
       }),
 
+    // ---------------------------------------------------------------- S4 (GeoTIFF sinusoidal — the MODIS land grid)
+    // A MODIS-style sinusoidal raster (user-defined GeoKeys: CT 24 on the
+    // MODIS sphere 6371007.181). The reader resolves the keys to the
+    // Snyder §30 inverse; the oracle re-derives every pixel with DuckDB's
+    // own trig (spherical sinusoidal is closed form).
+    Q("q152_tiff_sinusoidal", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200),
+           g AS (SELECT CAST(o_orderkey % 997 AS DOUBLE) AS band_1,
+                        1000000.0 + (rn0 % 10) * 200000.0 AS x,
+                        5000000.0 - (rn0 // 10) * 150000.0 AS y
+                 FROM o),
+           p AS (SELECT band_1, x, y,
+                        degrees(y / CAST(6371007.181 AS DOUBLE)) AS lat
+                 FROM g)
+      SELECT round(lat, 6) AS latitude,
+             round(-60.0 + degrees(x / (CAST(6371007.181 AS DOUBLE)
+                                        * cos(radians(lat)))), 6) AS longitude,
+             band_1
+      FROM p ORDER BY latitude, longitude"""))(
+      (s, d) => {
+        import graft.sources.tiff.{TiffReader, TiffWriter => TW}
+        val path = Fixtures.path("q152", d, "q152.tif") { p =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 997).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          // pixel CENTERS at (1000000 + i*200000, 5000000 - j*150000)
+          TW.write(p, TW.Spec(10, 20, 1, vals,
+            pixelScale = (200000.0, 150000.0),
+            tiepointXY = (1000000.0 - 100000.0, 5000000.0 + 75000.0),
+            epsg = 32767, rowsPerStrip = 5, deflate = true,
+            extraShortKeys = Seq((3075, 24)),         // CT_Sinusoidal
+            doubleKeys = Seq((3080, -60.0),           // central meridian
+              (2057, 6371007.181), (2058, 6371007.181)))) // MODIS sphere
+        }
+        TiffReader.readLongFormat(s, path)
+          .select(round($"latitude", 6).as("latitude"),
+            round($"longitude", 6).as("longitude"), $"band_1")
+          .orderBy($"latitude", $"longitude")
+      }),
+
+    // ---------------------------------------------------------------- S4 (geostationary navigation — GOES ABI fixed-grid netCDF)
+    // A GOES-R ABI-shaped netCDF-4: scan-angle coordinates in radians, a
+    // radiance variable on the (y, x) grid, navigated to geodetic lat/lon
+    // by the CF `geostationary` grid mapping (sweep axis x) as pure
+    // column algebra. The oracle re-derives every pixel with DuckDB's own
+    // trig — intersect the view ray with the ellipsoid (the quadratic of
+    // the GOES-R PUG navigation equations), then geocentric -> geodetic.
+    Q("q153_goes_geostationary", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200),
+           c AS (SELECT CAST(42164160.0 AS DOUBLE) AS h,
+                        CAST(6378137.0 AS DOUBLE) AS a,
+                        (6378137.0/CAST(6356752.31414245 AS DOUBLE))
+                          * (6378137.0/6356752.31414245) AS ratio),
+           g AS (SELECT CAST(o_orderkey % 997 AS DOUBLE) AS rad,
+                        -0.05 + (rn0 % 10) * 0.01 AS x,
+                        0.08 - (rn0 // 10) * 0.008 AS y
+                 FROM o),
+           q AS (SELECT rad, h, a, ratio,
+                        cos(x) AS cx, sin(x) AS sx,
+                        cos(y) AS cy, sin(y) AS sy
+                 FROM g, c),
+           v AS (SELECT rad, h, ratio, cx, cy, sx, sy,
+                        sx*sx + cx*cx*(cy*cy + ratio*sy*sy) AS av,
+                        -2*h*cx*cy AS bv, h*h - a*a AS cv
+                 FROM q),
+           t AS (SELECT rad, h, ratio, cx, cy, sx, sy,
+                        (-bv - sqrt(bv*bv - 4*av*cv)) / (2*av) AS ts
+                 FROM v),
+           p AS (SELECT rad, ratio, h - ts*cx*cy AS px,
+                        ts*sx AS py, ts*cx*sy AS pz
+                 FROM t)
+      SELECT round(degrees(atan(ratio*pz/sqrt(px*px + py*py))), 6) AS latitude,
+             round(-75.2 + degrees(atan(py/px)), 6) AS longitude,
+             rad
+      FROM p ORDER BY latitude, longitude"""))(
+      (s, d) => {
+        import graft.functions.CrsTransform
+        import graft.sources.hdf5.{Hdf5Writer => HW}
+        import graft.sources.netcdf.NetCDF4Reader
+        val path = Fixtures.path("q153", d, "q153.nc") { p =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 997).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          HW.write(p, Seq(
+            HW.VarSpec("y", Seq("y"), Seq(20),
+              (0 until 20).map(j => 0.08 - j * 0.008), dtype = "f8"),
+            HW.VarSpec("x", Seq("x"), Seq(10),
+              (0 until 10).map(i => -0.05 + i * 0.01), dtype = "f8"),
+            HW.VarSpec("Rad", Seq("y", "x"), Seq(20, 10), vals,
+              dtype = "f8", chunks = Some(Seq(5, 10)), deflate = true)))
+        }
+        val (lon, lat) = CrsTransform.geostationaryToLonLat(
+          $"x", $"y", lon0Deg = -75.2, height = 35786023.0)
+        NetCDF4Reader.readLongFormat(s, path)
+          .select(round(lat, 6).as("latitude"),
+            round(lon, 6).as("longitude"), $"Rad".as("rad"))
+          .orderBy($"latitude", $"longitude")
+      }),
+
     // ---------------------------------------------------------------- S1 (NetCDF CDF-5 / 64-bit data)
     // Same `orders` grid through the CDF-5 (64-bit data) classic variant:
     // widened header counts, an NC_INT64 variable and an NC_UBYTE variable

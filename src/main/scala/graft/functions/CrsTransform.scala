@@ -117,6 +117,63 @@ object CrsTransform {
     (easting, if (southern) northingRaw + 10000000.0 else northingRaw)
   }
 
+  /** Inverse geostationary navigation — the CF `geostationary` grid
+    * mapping of GOES-R ABI (sweep axis "x") and Meteosat SEVIRI (sweep
+    * axis "y") imagery: fixed-grid scan angles in RADIANS to geodetic
+    * (longitude, latitude) columns. Formulas are the public GOES-R PUG
+    * volume 3 §5.1.2.8 / CGMS LRIT-HRIT navigation equations: intersect
+    * the view ray from the satellite (at `height` above the ellipsoid
+    * over `lon0Deg`) with the ellipsoid, then convert geocentric to
+    * geodetic latitude. Scan angles whose ray MISSES the globe (beyond
+    * the limb — the corners of a full-disk image) yield NULL, matching
+    * the off-disk fill of the products themselves. Pure column algebra:
+    * codegen'd, no geo library, no shuffle. */
+  def geostationaryToLonLat(xRad: Column, yRad: Column, lon0Deg: Double,
+      height: Double, semiMajor: Double = SemiMajorAxis,
+      semiMinor: Double = 6356752.31414245,
+      sweepX: Boolean = true): (Column, Column) = {
+    val h = height + semiMajor // distance from earth centre
+    val ratio = (semiMajor / semiMinor) * (semiMajor / semiMinor)
+    val cx = cos(xRad); val sx = sin(xRad)
+    val cy = cos(yRad); val sy = sin(yRad)
+    // quadratic in the slant range t: |P|^2 constrained to the ellipsoid
+    val av =
+      if (sweepX) sx * sx + cx * cx * (cy * cy + lit(ratio) * sy * sy)
+      else cy * cy + lit(ratio) * sy * sy
+    val bv = lit(-2.0 * h) * cx * cy
+    val cv = lit(h * h - semiMajor * semiMajor)
+    val disc = bv * bv - lit(4.0) * av * cv
+    val t = (negate(bv) - sqrt(disc)) / (lit(2.0) * av)
+    val px = lit(h) - t * cx * cy
+    val (py, pz) =
+      if (sweepX) (t * sx, t * cx * sy)
+      else (t * sx * cy, t * sy)
+    val lat = degrees(atan(lit(ratio) * pz / sqrt(px * px + py * py)))
+    val lon = lit(lon0Deg) + degrees(atan(py / px))
+    (when(disc >= 0, lon), when(disc >= 0, lat))
+  }
+
+  /** Forward geostationary on plain doubles — the test anchor for the
+    * column inverse (round-trip identity) and the fixture generator.
+    * Returns the (x, y) scan angles in radians. */
+  def lonLatToGeostationary(lonDeg: Double, latDeg: Double, lon0Deg: Double,
+      height: Double, semiMajor: Double = SemiMajorAxis,
+      semiMinor: Double = 6356752.31414245,
+      sweepX: Boolean = true): (Double, Double) = {
+    val h = height + semiMajor
+    val e2 = 1.0 - (semiMinor / semiMajor) * (semiMinor / semiMajor)
+    val phiC = math.atan((semiMinor / semiMajor) * (semiMinor / semiMajor) *
+      math.tan(math.toRadians(latDeg)))
+    val rc = semiMinor / math.sqrt(1.0 - e2 * math.cos(phiC) * math.cos(phiC))
+    val dLam = math.toRadians(lonDeg - lon0Deg)
+    val pX = rc * math.cos(phiC) * math.cos(dLam)
+    val pY = rc * math.cos(phiC) * math.sin(dLam)
+    val pZ = rc * math.sin(phiC)
+    val r = math.sqrt((h - pX) * (h - pX) + pY * pY + pZ * pZ)
+    if (sweepX) (math.asin(pY / r), math.atan(pZ / (h - pX)))
+    else (math.atan(pY / (h - pX)), math.asin(pZ / r))
+  }
+
   /** The tif-preprocess composition (sinks.py:149-227) for a UTM-projected
     * frame: pixel/projected coords -> latitude/longitude columns, band
     * columns renamed to their long names, time coordinates attached from

@@ -253,6 +253,63 @@ object GribProjection {
     }
   }
 
+  /** Sinusoidal (Snyder §30) — the MODIS land-product tile grid (sphere
+    * R = 6371007.181) and other equal-area EO grids. Spherical and
+    * ellipsoidal (ellipsoidal y is the meridional arc; latitude recovers
+    * through the same footprint series transverse Mercator uses). */
+  final case class Sinusoidal(lon0: Double,
+      radius: Double = EarthRadius,
+      minorAxis: Double = Double.NaN) extends GribProjection {
+    private val e2 = { val e = eccOf(radius, minorAxis); e * e }
+    private val lam0 = math.toRadians(lon0)
+    private val m0 = 1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256
+    private val m2 = 3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * e2 * e2 * e2 / 1024
+    private val m4 = 15 * e2 * e2 / 256 + 45 * e2 * e2 * e2 / 1024
+    private val m6 = 35 * e2 * e2 * e2 / 3072
+    private val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val dLam = normalize(math.toRadians(lonDeg) - lam0)
+      val s = math.sin(phi)
+      val x = radius * dLam * math.cos(phi) / math.sqrt(1 - e2 * s * s)
+      val y = radius * (m0 * phi - m2 * math.sin(2 * phi) +
+        m4 * math.sin(4 * phi) - m6 * math.sin(6 * phi))
+      (x, y)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val mu = y / (radius * m0)
+      val phi =
+        if (e2 == 0) mu
+        else mu + (3 * e1 / 2 - 27 * math.pow(e1, 3) / 32) * math.sin(2 * mu) +
+          (21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * math.sin(4 * mu) +
+          (151 * math.pow(e1, 3) / 96) * math.sin(6 * mu) +
+          (1097 * math.pow(e1, 4) / 512) * math.sin(8 * mu)
+      val s = math.sin(phi)
+      val lam =
+        if (math.abs(math.cos(phi)) < 1e-12) lam0 // the pole row
+        else lam0 + x * math.sqrt(1 - e2 * s * s) / (radius * math.cos(phi))
+      (math.toDegrees(phi), math.toDegrees(normalize(lam)))
+    }
+  }
+
+  /** Equirectangular / plate carrée with true scale at `lat1` (Snyder §12)
+    * — the "meters that are really degrees" grids (EPSG 32662/54001-style
+    * exports). Linear both ways; spherical by definition (the EPSG method
+    * uses the sphere of the declared ellipsoid's semi-major axis). */
+  final case class Equirectangular(lat1: Double, lon0: Double,
+      radius: Double = EarthRadius) extends GribProjection {
+    private val k = math.cos(math.toRadians(lat1))
+    private val lam0 = math.toRadians(lon0)
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) =
+      (radius * k * normalize(math.toRadians(lonDeg) - lam0),
+        radius * math.toRadians(latDeg))
+    def inverse(x: Double, y: Double): (Double, Double) =
+      (math.toDegrees(y / radius),
+        math.toDegrees(normalize(lam0 + x / (radius * k))))
+  }
+
   /** Transverse Mercator (Snyder §8, the series forms) — the projection of
     * the UTM zones and the national grids built on them (OSGB, ETRS89/TM,
     * NZTM). `y` is measured from the EQUATOR (no M0 subtraction); callers

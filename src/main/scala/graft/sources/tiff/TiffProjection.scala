@@ -1,8 +1,9 @@
 package graft.sources.tiff
 
 import graft.sources.grib.GribProjection
-import graft.sources.grib.GribProjection.{AlbersEqualArea, LambertConformal,
-  Mercator, PolarStereographic, TransverseMercator}
+import graft.sources.grib.GribProjection.{AlbersEqualArea, Equirectangular,
+  LambertConformal, Mercator, PolarStereographic, Sinusoidal,
+  TransverseMercator}
 
 /** Projected-CRS resolution for GeoTIFF rasters beyond UTM — Lambert
   * conformal conic, polar stereographic, and Mercator, reusing the
@@ -149,6 +150,13 @@ object TiffProjection {
           "LCC-1SP GeoKeys without ProjNatOriginLat (3081)"))
         lcc(lat0, lat0, lat0, d0(3080, 3088), d0(3082), d0(3083),
           a * k0, b * k0)
+      case Some(17) => // CT_Equirectangular (plate carrée; sphere of a)
+        ModelTransform(
+          Equirectangular(d0(3078, 3081), d0(3080, 3088), a),
+          d0(3082), d0(3083), yOrigin = 0.0)
+      case Some(24) => // CT_Sinusoidal (the MODIS land grid)
+        ModelTransform(Sinusoidal(d0(3080, 3088), a, b),
+          d0(3082), d0(3083), yOrigin = 0.0)
       case Some(11) => // CT_AlbersEqualArea
         albers(d(3078).getOrElse(throw Tiff.UnsupportedTiff(
             "Albers GeoKeys without ProjStdParallel1 (3078)")),
@@ -162,7 +170,8 @@ object TiffProjection {
       case Some(other) => throw Tiff.UnsupportedTiff(
         s"coordinate transformation $other (ProjCoordTransGeoKey; supported: " +
           "1 transverse Mercator, 7 Mercator, 8/9 Lambert conformal, " +
-          "11 Albers equal-area, 15 polar stereographic)")
+          "11 Albers equal-area, 15 polar stereographic, " +
+          "17 equirectangular, 24 sinusoidal)")
       case None => throw Tiff.UnsupportedTiff(
         s"CRS EPSG:${meta.epsg} (supported: 4326 geographic, UTM " +
           "326xx/327xx/258xx/269xx, EPSG 3857/3395/3031/3976/3413/32661/" +

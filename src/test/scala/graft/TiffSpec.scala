@@ -853,6 +853,47 @@ class TiffSpec extends SparkSpec {
     }
   }
 
+  test("sinusoidal GeoKeys (the MODIS grid): closed-form sphere anchors") {
+    val dir = java.nio.file.Files.createTempDirectory("tifsin").toString
+    val R = 6371007.181 // the MODIS sphere
+    // pixel grid anchored at the image of (40N, lon0+10E)
+    val x0 = R * math.toRadians(10) * math.cos(math.toRadians(40))
+    val y0 = R * math.toRadians(40)
+    val got = projTif(dir, x0, y0, dx = 200000, dy = 150000, epsg = 32767,
+      shortKeys = Seq((3075, 24)),
+      doubleKeys = Seq((3080, -60.0), (2057, R), (2058, R)))
+    for (r <- 0 until 2; c <- 0 until 3) {
+      val x = x0 + c * 200000.0
+      val y = y0 - r * 150000.0
+      val wantLat = math.toDegrees(y / R)
+      val wantLon = -60.0 + math.toDegrees(
+        x / (R * math.cos(math.toRadians(wantLat))))
+      val (lat, lon) = got((r * 3 + c) * 10.0)
+      assert(math.abs(lat - wantLat) < 1e-9 && math.abs(lon - wantLon) < 1e-9,
+        s"pixel ($r,$c): got ($lat,$lon) want ($wantLat,$wantLon)")
+    }
+  }
+
+  test("equirectangular GeoKeys: linear plate-carree anchors") {
+    val dir = java.nio.file.Files.createTempDirectory("tifeqc").toString
+    val R = 6378137.0
+    val k = math.cos(math.toRadians(30))
+    val got = projTif(dir, x0 = R * math.toRadians(5) * k,
+      y0 = R * math.toRadians(45),
+      dx = 100000, dy = 100000, epsg = 32767,
+      shortKeys = Seq((3075, 17), (2048, 4326)),
+      doubleKeys = Seq((3078, 30.0), (3080, 0.0)))
+    for (r <- 0 until 2; c <- 0 until 3) {
+      val x = R * math.toRadians(5) * k + c * 100000.0
+      val y = R * math.toRadians(45) - r * 100000.0
+      val wantLat = math.toDegrees(y / R)
+      val wantLon = math.toDegrees(x / (R * k))
+      val (lat, lon) = got((r * 3 + c) * 10.0)
+      assert(math.abs(lat - wantLat) < 1e-9 && math.abs(lon - wantLon) < 1e-9,
+        s"pixel ($r,$c)")
+    }
+  }
+
   test("unsupported projected CRS fail directed with the supported list") {
     val dir = java.nio.file.Files.createTempDirectory("tifbad").toString
     val p = s"$dir/b.tif"
