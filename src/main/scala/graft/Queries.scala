@@ -1807,6 +1807,71 @@ object Queries {
           .orderBy($"latitude", $"longitude")
       }),
 
+    // ---------------------------------------------------------------- S1 (GRIB2 space view / geostationary, template 3.90)
+    // A Meteosat-style space-view sector: scan angles per pixel derive
+    // from the wire integers (camera distance Nr, disk diameter in grid
+    // lengths, sub-satellite millipixel), sweep axis y, -j scan. The
+    // oracle re-derives every pixel with DuckDB's own trig — the same
+    // ray-ellipsoid quadratic as q153 but with the SEVIRI gimbal order
+    // and the angular step computed from the raw wire values.
+    Q("q154_grib2_spaceview", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200),
+           c AS (SELECT CAST(6378137.0 AS DOUBLE) * 6.6107 AS h,
+                        CAST(6378137.0 AS DOUBLE) AS a,
+                        (6378137.0/CAST(6356752.31 AS DOUBLE))
+                          * (6378137.0/6356752.31) AS ratio,
+                        2*asin(CAST(1000000.0 AS DOUBLE)/6610700.0)/500 AS st),
+           g AS (SELECT CAST(o_orderkey % 997 AS DOUBLE) AS value,
+                        h, a, ratio,
+                        ((rn0 % 10) - 5) * st AS x,
+                        (10 - (rn0 // 10)) * st AS y
+                 FROM o, c),
+           q AS (SELECT value, h, a, ratio,
+                        cos(x) AS cx, sin(x) AS sx,
+                        cos(y) AS cy, sin(y) AS sy
+                 FROM g),
+           v AS (SELECT value, h, ratio, cx, cy, sx, sy,
+                        cy*cy + ratio*sy*sy AS av,
+                        -2*h*cx*cy AS bv, h*h - a*a AS cv
+                 FROM q),
+           t AS (SELECT value, h, ratio, cx, cy, sx, sy,
+                        (-bv - sqrt(bv*bv - 4*av*cv)) / (2*av) AS ts
+                 FROM v),
+           p AS (SELECT value, ratio, h - ts*cx*cy AS px,
+                        ts*sx*cy AS py, ts*sy AS pz
+                 FROM t)
+      SELECT round(degrees(atan(ratio*pz/sqrt(px*px + py*py))), 6) AS latitude,
+             round(9.5 + degrees(atan(py/px)), 6) AS longitude,
+             value
+      FROM p ORDER BY latitude, longitude"""))(
+      (s, d) => {
+        import graft.sources.grib.{Grib2Reader, GribProjection, Grib2Writer => GW2}
+        val path = Fixtures.path("q154", d, "q154.grib2") { p =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 997).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          val t0 = java.time.LocalDateTime.of(2027, 3, 1, 0, 0)
+          // Meteosat-like figures: Nr = 6.6107 semi-major axes, 9.5E,
+          // WGS84-like cm-exact axes; sub-satellite pixel (5, 10) of a
+          // 10x20 sector, 500-grid-length disk, -j scan (north first)
+          val geos = GribProjection.Geostationary(9.5,
+            (6.6107 - 1.0) * 6378137.0, sweepX = false,
+            6378137.0, 6356752.31)
+          GW2.write(p, Seq(GW2.FieldSpec(0, 0, 0, 103, 2, t0, vals,
+            ni = 10, nj = 20, la1 = 0, lo1 = 0, la2 = 0, lo2 = 0,
+            decimalScale = 0, projection = Some(geos),
+            dxMeters = 1.0, dyMeters = -1.0,
+            spaceView = Some(GW2.SpaceView(nrRaw = 6610700, dx = 500,
+              dy = 500, xpMilli = 5000, ypMilli = 10000)))))
+        }
+        Grib2Reader.readLongFormat(s, path)
+          .select(round($"latitude", 6).as("latitude"),
+            round($"longitude", 6).as("longitude"), $"value")
+          .orderBy($"latitude", $"longitude")
+      }),
+
     // ---------------------------------------------------------------- S1 (NetCDF CDF-5 / 64-bit data)
     // Same `orders` grid through the CDF-5 (64-bit data) classic variant:
     // widened header counts, an NC_INT64 variable and an NC_UBYTE variable

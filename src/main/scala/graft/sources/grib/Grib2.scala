@@ -5,8 +5,9 @@ package graft.sources.grib
   * path reads both editions transparently; sinks.py:345-389).
   *
   * Supported surface, mirroring the edition-1 reader's scope: regular,
-  * rotated, Gaussian, projected, and spectral grids (templates 3.0/3.1/
-  * 3.10/3.20/3.30/3.40/3.50), instant / ensemble / probability /
+  * rotated, Gaussian, projected, spectral, and space-view grids (templates
+  * 3.0/3.1/3.10/3.12/3.20/3.30/3.40/3.50/3.90), instant / ensemble /
+  * probability /
   * statistically-processed products (templates 4.0/4.1/4.2/4.5/4.8/4.9/
   * 4.11), simple/complex/IEEE/JPEG2000/PNG/CCSDS/spectral packing with
   * optional bitmap, multiple fields per message (repeated sections 3-7).
@@ -64,7 +65,10 @@ object Grib2 {
       spectral: Option[Spectral] = None, // 3.50 + 5.50/5.51 spectral fields
       // templates 4.5/4.9: (probability type per code table 4.9,
       // lower limit, upper limit); NaN = limit not in use
-      probability: Option[(Int, Double, Double)] = None)
+      probability: Option[(Int, Double, Double)] = None,
+      // scan-angle plane coords of the FIRST grid point (template 3.90,
+      // whose corners may be off-earth so forward(la1, lo1) cannot anchor)
+      planeOrigin: Option[(Double, Double)] = None)
       extends GribUnit {
 
     def nPoints: Int = pl.map(_.sum).getOrElse(ni * nj)
@@ -75,7 +79,8 @@ object Grib2 {
       pl.map(_.scanLeft(0)(_ + _)).getOrElse(Array.empty)
 
     @transient private lazy val projOrigin: (Double, Double) =
-      projection.map(_.forward(la1, lo1)).getOrElse((0.0, 0.0))
+      planeOrigin.getOrElse(
+        projection.map(_.forward(la1, lo1)).getOrElse((0.0, 0.0)))
 
     /** Projected grids walk meters from the first point; rotated lat/lon
       * grids (3.1) interpolate in the ROTATED frame (la1..lo2 are rotated
@@ -309,7 +314,8 @@ object Grib2 {
     final case class GridDef(ni: Int, nj: Int, la1: Double, lo1: Double,
       la2: Double, lo2: Double, scan: Int, gaussN: Int,
       pl: Option[Array[Int]] = None, proj: Option[GribProjection] = None,
-      dx: Double = 0, dy: Double = 0, jkm: Option[(Int, Int, Int)] = None)
+      dx: Double = 0, dy: Double = 0, jkm: Option[(Int, Int, Int)] = None,
+      planeOrigin: Option[(Double, Double)] = None)
     var grid: Option[GridDef] = None
     var prod: Option[(Int, Int, Int, Int, Int, Double, Int, Long, Int)] = None
     // 4.5/4.9: (probability type, lower limit, upper limit)
@@ -467,6 +473,47 @@ object Grib2 {
               val dySigned = if ((scan & 0x40) != 0) dy else -dy
               grid = Some(GridDef(nx, ny, la1, lo1, la1, lo1, scan, 0,
                 proj = Some(tm), dx = dx, dy = dySigned))
+            case 90 =>
+              // space view / geostationary (the Meteosat full-disk
+              // template): the grid is SCAN ANGLES from the satellite;
+              // per-pixel step = apparent disk diameter 2·asin(1/Nr) over
+              // `dx` grid lengths, sub-satellite pixel at (Xp, Yp) in
+              // millipixels. The first pixel's plane coords anchor the walk
+              // directly (disk corners are off-earth, so no geodetic first
+              // point exists); off-limb pixels decode NaN coordinates.
+              val nx = u32(b, 30).toInt
+              val ny = u32(b, 34).toInt
+              val lap = s32(b, 38) / 1e6
+              val lop = s32(b, 42) / 1e6
+              if (lap != 0) throw UnsupportedGrib(
+                s"space view with non-equatorial sub-satellite latitude $lap")
+              val dxRaw = u32(b, 47)
+              val dyRaw = u32(b, 51)
+              val xp = s32(b, 55) / 1000.0
+              val yp = s32(b, 59) / 1000.0
+              val scan = u8(b, 63)
+              checkScan(scan)
+              val orient = u32(b, 64)
+              if (orient != 0) throw UnsupportedGrib(
+                s"space view with grid orientation $orient")
+              val nrRaw = u32(b, 68)
+              if (nrRaw == 0xffffffffL || nrRaw == 0) throw UnsupportedGrib(
+                "space view from infinity (orthographic)")
+              val xo = u32(b, 72)
+              val yo = u32(b, 76)
+              val (axA, axB) = earthFigure(b)
+              val nr = nrRaw * 1e-6 // camera distance in semi-major axes
+              val geos = GribProjection.Geostationary(lop, (nr - 1.0) * axA,
+                sweepX = false, axA, axB)
+              val halfDisk = math.asin(1.0 / nr)
+              val rx = 2 * halfDisk / dxRaw
+              val ry = 2 * halfDisk / dyRaw
+              val plusJ = (scan & 0x40) != 0
+              val x1 = (xo - xp) * rx
+              val y1 = if (plusJ) (yo - yp) * ry else (yp - yo) * ry
+              grid = Some(GridDef(nx, ny, lap, lop, lap, lop, scan, 0,
+                proj = Some(geos), dx = rx, dy = if (plusJ) ry else -ry,
+                planeOrigin = Some((x1, y1))))
             case 50 =>
               // spherical harmonics: J/K/M pentagonal resolution parameters
               val j = u32(b, 14).toInt
@@ -485,7 +532,7 @@ object Grib2 {
                 "(3.0 lat/lon, 3.1 rotated lat/lon, 3.10 Mercator, " +
                 "3.12 transverse Mercator, 3.20 polar stereographic, " +
                 "3.30 Lambert conformal, 3.40 regular/reduced Gaussian, " +
-                "3.50 spherical harmonics)")
+                "3.50 spherical harmonics, 3.90 space view)")
           }
         case 4 =>
           val b = read(cur, math.min(secLen, 64L).toInt)
@@ -670,7 +717,8 @@ object Grib2 {
             refV, binS, decS, bits, bitmapOffset, bitmapBytes,
             cur + 5, (secLen - 5).toInt, reprT, cp,
             if (reprT == 42) ccsdsParams else None, gaussN, gd.pl,
-            gd.proj, gd.dx, gd.dy, member, spectral, prodProb)
+            gd.proj, gd.dx, gd.dy, member, spectral, prodProb,
+            gd.planeOrigin)
         case 8 => // should not appear as a section header; defensive
           throw UnsupportedGrib(s"unexpected section number 8 at offset $cur")
         case other =>

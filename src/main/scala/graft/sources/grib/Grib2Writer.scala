@@ -45,7 +45,17 @@ object Grib2Writer {
       subTruncation: Int = -1,         // 5.51 unpacked sub-truncation
       // probability products (4.5 instant / 4.9 over an interval):
       // (probability type per code table 4.9, lower, upper); NaN = not used
-      probability: Option[(Int, Double, Double)] = None)
+      probability: Option[(Int, Double, Double)] = None,
+      // template 3.90 wire parameters (projection = Geostationary):
+      // camera distance in semi-major axes x 1e6, apparent disk diameter
+      // in grid lengths (x, y), sub-satellite pixel in millipixels (x, y),
+      // sector origin offsets
+      spaceView: Option[SpaceView] = None)
+
+  /** The raw template 3.90 integers — carried verbatim so fixtures are
+    * wire-exact (per-pixel angular step derives from these on read). */
+  final case class SpaceView(nrRaw: Long, dx: Int, dy: Int,
+      xpMilli: Long, ypMilli: Long, xo: Int = 0, yo: Int = 0)
 
   def write(path: String, fields: Seq[FieldSpec],
       conf: Configuration = new Configuration()): Unit = {
@@ -148,6 +158,27 @@ object Grib2Writer {
   private def section3Projected(f: FieldSpec, proj: GribProjection): Array[Byte] = {
     proj match {
       case r: GribProjection.RotatedLatLon => return section3Rotated(f, r)
+      case g: GribProjection.Geostationary =>
+        // template 3.90: scan-angle grid; the raw wire integers come from
+        // the FieldSpec so read-side step derivation is exact
+        val sv = f.spaceView.getOrElse(throw Grib1.UnsupportedGrib(
+          "geostationary fields need FieldSpec.spaceView wire parameters"))
+        val b = new Array[Byte](80)
+        putU32(b, 0, b.length); b(4) = 3
+        putU32(b, 6, f.ni.toLong * f.nj)
+        putU16(b, 12, 90)
+        putShape(b, g.radius, g.minorAxis)
+        putU32(b, 30, f.ni); putU32(b, 34, f.nj)
+        putS32(b, 38, 0)                       // sub-satellite latitude
+        putS32(b, 42, math.round(g.lon0 * 1e6))
+        b(46) = 0x08
+        putU32(b, 47, sv.dx); putU32(b, 51, sv.dy)
+        putS32(b, 55, sv.xpMilli); putS32(b, 59, sv.ypMilli)
+        b(63) = (if (f.dyMeters >= 0) 0x40 else 0).toByte // scan
+        putU32(b, 64, 0)                       // orientation
+        putU32(b, 68, sv.nrRaw)
+        putU32(b, 72, sv.xo); putU32(b, 76, sv.yo)
+        return b
       case t: GribProjection.TransverseMercator =>
         // template 3.12: reference point = the natural origin (0, lon0)
         // with XR = YR = 0 and scale factor 1 (any k0 is already folded

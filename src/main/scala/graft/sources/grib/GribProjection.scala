@@ -253,6 +253,58 @@ object GribProjection {
     }
   }
 
+  /** Geostationary / space view (GRIB2 template 3.90, the CF
+    * `geostationary` mapping — Meteosat SEVIRI full disks, GOES fixed
+    * grids). Unlike the meter-walking projections this plane is SCAN
+    * ANGLES in radians: `forward` maps geodetic (lat, lon) to (x, y) view
+    * angles from the satellite (at `height` above the ellipsoid over
+    * `lon0`), `inverse` intersects the view ray with the ellipsoid
+    * (the GOES-R PUG / CGMS navigation equations) and converts geocentric
+    * to geodetic latitude. `sweepX` selects the gimbal order (GOES "x",
+    * Meteosat "y" — they agree on the scan axes and differ off-axis).
+    * Rays beyond the limb return NaN coordinates. */
+  final case class Geostationary(lon0: Double, height: Double,
+      sweepX: Boolean = false,
+      radius: Double = EarthRadius,
+      minorAxis: Double = Double.NaN) extends GribProjection {
+    private val b = if (minorAxis.isNaN) radius else minorAxis
+    private val h = height + radius
+    private val ratio = (radius / b) * (radius / b)
+    private val e2 = 1.0 - (b / radius) * (b / radius)
+    private val lam0 = math.toRadians(lon0)
+
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val phiC = math.atan(math.tan(math.toRadians(latDeg)) / ratio)
+      val rc = b / math.sqrt(1.0 - e2 * math.cos(phiC) * math.cos(phiC))
+      val dLam = normalize(math.toRadians(lonDeg) - lam0)
+      val pX = rc * math.cos(phiC) * math.cos(dLam)
+      val pY = rc * math.cos(phiC) * math.sin(dLam)
+      val pZ = rc * math.sin(phiC)
+      val r = math.sqrt((h - pX) * (h - pX) + pY * pY + pZ * pZ)
+      if (sweepX) (math.asin(pY / r), math.atan(pZ / (h - pX)))
+      else (math.atan(pY / (h - pX)), math.asin(pZ / r))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val cx = math.cos(x); val sx = math.sin(x)
+      val cy = math.cos(y); val sy = math.sin(y)
+      val av =
+        if (sweepX) sx * sx + cx * cx * (cy * cy + ratio * sy * sy)
+        else cy * cy + ratio * sy * sy
+      val bv = -2.0 * h * cx * cy
+      val cv = h * h - radius * radius
+      val disc = bv * bv - 4.0 * av * cv
+      if (disc < 0) return (Double.NaN, Double.NaN) // beyond the limb
+      val t = (-bv - math.sqrt(disc)) / (2.0 * av)
+      val pX = h - t * cx * cy
+      val (pY, pZ) =
+        if (sweepX) (t * sx, t * cx * sy)
+        else (t * sx * cy, t * sy)
+      (math.toDegrees(math.atan(ratio * pZ / math.sqrt(pX * pX + pY * pY))),
+        math.toDegrees(normalize(lam0 + math.atan2(pY, pX))))
+    }
+  }
+
   /** Sinusoidal (Snyder §30) — the MODIS land-product tile grid (sphere
     * R = 6371007.181) and other equal-area EO grids. Spherical and
     * ellipsoidal (ellipsoidal y is the meridional arc; latitude recovers

@@ -916,7 +916,7 @@ class Grib2Spec extends SparkSpec {
       Seq(1.0, 2.0), 2, 1, 0.0, 0.0, 0.0, 1.0))
     // patch grid template number (section 3 starts at 16+21; template at +12)
     val dir = java.nio.file.Files.createTempDirectory("grib2bad").toString
-    raw(16 + 21 + 13) = 90 // template 3.90 space view (unsupported)
+    raw(16 + 21 + 13) = 110 // template 3.110 azimuthal equidistant (unsupported)
     val p = s"$dir/bad.grib2"
     val os = new java.io.FileOutputStream(p); os.write(raw); os.close()
     val e = intercept[graft.sources.grib.Grib1.UnsupportedGrib](
@@ -1006,6 +1006,34 @@ class Grib2Spec extends SparkSpec {
     val e = intercept[graft.sources.grib.Grib1.UnsupportedGrib](
       Grib2Reader.indexFields(new org.apache.hadoop.conf.Configuration(), pBad))
     assert(e.getMessage.contains("triangular"), e.getMessage)
+  }
+
+  test("space view (3.90): off-limb pixels carry NaN coordinates") {
+    import graft.sources.grib.GribProjection
+    val dir = java.nio.file.Files.createTempDirectory("g2sv").toString
+    val geos = GribProjection.Geostationary(0.0, (6.6107 - 1.0) * 6378137.0,
+      sweepX = false, 6378137.0, 6356752.31)
+    // 4x1 sector straddling the eastern limb: disk = 500 grid lengths
+    // (half-disk = 250 pixels); columns sit at 248.5, 249.5, 250.5, 251.5
+    // pixels east of the sub-satellite point -> two on-disk, two beyond
+    val p = s"$dir/sv.grib2"
+    GW2.write(p, Seq(GW2.FieldSpec(0, 0, 0, 103, 2,
+      java.time.LocalDateTime.of(2027, 3, 1, 0, 0),
+      Seq(1.0, 2.0, 3.0, 4.0), ni = 4, nj = 1,
+      la1 = 0, lo1 = 0, la2 = 0, lo2 = 0, decimalScale = 0,
+      projection = Some(geos), dxMeters = 1.0, dyMeters = -1.0,
+      spaceView = Some(GW2.SpaceView(nrRaw = 6610700, dx = 500, dy = 500,
+        xpMilli = -248500, ypMilli = 0)))))
+    val rows = Grib2Reader.readLongFormat(spark, p)
+      .orderBy($"value")
+      .select($"latitude", $"longitude", $"value").collect()
+    assert(rows.length == 4)
+    // on-disk: equatorial points east of the sub-satellite meridian
+    assert(!rows(0).getDouble(0).isNaN && rows(0).getDouble(1) > 60.0)
+    assert(!rows(1).getDouble(0).isNaN && rows(1).getDouble(1) > rows(0).getDouble(1))
+    // beyond the limb: the ray misses the globe
+    assert(rows(2).getDouble(0).isNaN && rows(2).getDouble(1).isNaN)
+    assert(rows(3).getDouble(0).isNaN && rows(3).getDouble(1).isNaN)
   }
 
   test("transverse Mercator (3.12): scale factor at the reference applies") {
