@@ -2406,11 +2406,11 @@ object Queries {
       ORDER BY time, latitude, longitude"""))(
       (s, d) => {
         import graft.sources.grib.{Grib2Reader, Grib2Writer => GW2}
-        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
-          .select(($"o_orderkey" % 997).cast("double"))
-          .collect().map(_.getDouble(0)).toSeq
-        val t0 = java.time.LocalDateTime.of(2026, 10, 1, 0, 0)
         val path = Fixtures.path("q64", d, "q64.grib2") { p =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 997).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          val t0 = java.time.LocalDateTime.of(2026, 10, 1, 0, 0)
           def spec(v: Seq[Double], fcst: Int) = GW2.FieldSpec(
             discipline = 0, category = 0, number = 0, levelType = 103,
             levelScaledValue = 2, refTime = t0, values = v, ni = 10, nj = 10,
@@ -2451,11 +2451,11 @@ object Queries {
       ORDER BY time, latitude, longitude"""))(
       (s, d) => {
         import graft.sources.grib.{Grib2Reader, Grib2Writer => GW2}
-        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
-          .select(($"o_orderkey" % 1499).cast("double"))
-          .collect().map(_.getDouble(0)).toSeq
-        val t0 = java.time.LocalDateTime.of(2026, 11, 1, 0, 0)
         val path = Fixtures.path("q65", d, "q65.grib2") { p =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 1499).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          val t0 = java.time.LocalDateTime.of(2026, 11, 1, 0, 0)
           def spec(v: Seq[Double], fcst: Int) = GW2.FieldSpec(
             discipline = 0, category = 0, number = 0, levelType = 103,
             levelScaledValue = 2, refTime = t0, values = v, ni = 10, nj = 10,
@@ -2498,11 +2498,11 @@ object Queries {
       ORDER BY time, latitude, longitude"""))(
       (s, d) => {
         import graft.sources.grib.{Grib2Reader, Grib2Writer => GW2}
-        val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
-          .select(($"o_orderkey" % 997).cast("double"))
-          .collect().map(_.getDouble(0)).toSeq
-        val t0 = java.time.LocalDateTime.of(2026, 12, 1, 0, 0)
         val path = Fixtures.path("q80", d, "q80.grib2") { p =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 997).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          val t0 = java.time.LocalDateTime.of(2026, 12, 1, 0, 0)
           def spec(v: Seq[Double], fcst: Int, bits: Int) = GW2.FieldSpec(
             discipline = 0, category = 0, number = 0, levelType = 103,
             levelScaledValue = 2, refTime = t0, values = v, ni = 10, nj = 10,

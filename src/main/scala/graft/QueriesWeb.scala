@@ -446,17 +446,17 @@ object QueriesWeb {
       FROM o ORDER BY surt"""))(
       (s, d) => {
         import s.implicits._
-        val params = Tables.orders(s, d).orderBy($"o_orderkey").limit(120)
-          .select(($"o_orderkey" % 977).cast("long"))
-          .collect().map(_.getLong(0))
-        val lines = params.zipWithIndex.map { case (k, i) =>
-          val status = if (i % 4 == 3) 404 else 200
-          s"""test,site-${i % 9})/d/$i 2026010${1 + i % 9}000000 """ +
-            s"""{"url": "https://site-${i % 9}.test/d/$i", "status": "$status", """ +
-            s""""offset": "${k * 3}", "length": "${200 + k}", """ +
-            s""""filename": "seg/${i % 5}/f.warc.gz"}"""
-        }
         val dir = Fixtures.dir("q131", d) { dir =>
+          val params = Tables.orders(s, d).orderBy($"o_orderkey").limit(120)
+            .select(($"o_orderkey" % 977).cast("long"))
+            .collect().map(_.getLong(0))
+          val lines = params.zipWithIndex.map { case (k, i) =>
+            val status = if (i % 4 == 3) 404 else 200
+            s"""test,site-${i % 9})/d/$i 2026010${1 + i % 9}000000 """ +
+              s"""{"url": "https://site-${i % 9}.test/d/$i", "status": "$status", """ +
+              s""""offset": "${k * 3}", "length": "${200 + k}", """ +
+              s""""filename": "seg/${i % 5}/f.warc.gz"}"""
+          }
           CdxIndex.writeGz(s"$dir/cdx-00000.gz", lines.take(60))
           CdxIndex.writeGz(s"$dir/cdx-00001.gz", lines.drop(60))
         }

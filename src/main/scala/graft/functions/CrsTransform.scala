@@ -149,7 +149,10 @@ object CrsTransform {
       if (sweepX) (t * sx, t * cx * sy)
       else (t * sx * cy, t * sy)
     val lat = degrees(atan(lit(ratio) * pz / sqrt(px * px + py * py)))
-    val lon = lit(lon0Deg) + degrees(atan(py / px))
+    // wrap to (-180, 180]: satellites near the antimeridian (GOES-West at
+    // 137W, Himawari at 140.7E) otherwise emit longitudes past +-180
+    val lonRaw = lit(lon0Deg) + degrees(atan(py / px))
+    val lon = lonRaw - lit(360.0) * floor((lonRaw + lit(180.0)) / 360.0)
     (when(disc >= 0, lon), when(disc >= 0, lat))
   }
 

@@ -409,10 +409,11 @@ object Grib2 {
               val dx = u32(b, 64) / 1000.0
               val dy = u32(b, 68) / 1000.0
               val dySigned = if ((scan & 0x40) != 0) dy else -dy
+              val dxSigned = if ((scan & 0x80) == 0) dx else -dx
               val (axA, axB) = earthFigure(b)
               grid = Some(GridDef(nx, ny, la1, lo1, la1, lo1, scan, 0,
                 proj = Some(GribProjection.Mercator(lad, axA, axB)),
-                dx = dx, dy = dySigned))
+                dx = dxSigned, dy = dySigned))
             case 20 | 30 =>
               // polar stereographic / Lambert conformal: Nx/Ny + first
               // point + LaD/LoV + Dx/Dy millimeters (+ Latin1/2 for 3.30)
@@ -439,10 +440,11 @@ object Grib2 {
                   GribProjection.LambertConformal(latin1, latin2, lov,
                     radius = axA, minorAxis = axB)
                 }
-              // scan bit 0x40: +j (rows south->north); x assumed +i
+              // scan bits: 0x40 = +j (rows south->north), 0x80 = -i
               val dySigned = if ((scan & 0x40) != 0) dy else -dy
+              val dxSigned = if ((scan & 0x80) == 0) dx else -dx
               grid = Some(GridDef(nx, ny, la1, lo1, la1, lo1, scan, 0,
-                proj = Some(proj), dx = dx, dy = dySigned))
+                proj = Some(proj), dx = dxSigned, dy = dySigned))
             case 12 =>
               // transverse Mercator (the UKMO national-grid template):
               // reference point (lat0, lon0) with declared plane coords
@@ -471,8 +473,9 @@ object Grib2 {
               val (fx0, fy0) = tm.forward(lat0, lon0)
               val (la1, lo1) = tm.inverse(x1 - xr + fx0, y1 - yr + fy0)
               val dySigned = if ((scan & 0x40) != 0) dy else -dy
+              val dxSigned = if ((scan & 0x80) == 0) dx else -dx
               grid = Some(GridDef(nx, ny, la1, lo1, la1, lo1, scan, 0,
-                proj = Some(tm), dx = dx, dy = dySigned))
+                proj = Some(tm), dx = dxSigned, dy = dySigned))
             case 90 =>
               // space view / geostationary (the Meteosat full-disk
               // template): the grid is SCAN ANGLES from the satellite;
@@ -493,6 +496,9 @@ object Grib2 {
               val yp = s32(b, 59) / 1000.0
               val scan = u8(b, 63)
               checkScan(scan)
+              if ((scan & 0x80) != 0) throw UnsupportedGrib(
+                "space view with -i scan (bit 1) — sector anchoring is " +
+                  "defined for west-to-east rows only")
               val orient = u32(b, 64)
               if (orient != 0) throw UnsupportedGrib(
                 s"space view with grid orientation $orient")

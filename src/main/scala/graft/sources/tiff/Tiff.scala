@@ -59,6 +59,15 @@ object Tiff {
       if (epsg >= 32601 && epsg <= 32660) Some((epsg - 32600, false))
       else if (epsg >= 32701 && epsg <= 32760) Some((epsg - 32700, true))
       else None
+
+    /** Model space is geographic degrees: EPSG 4326, a declared geographic
+      * model type (GTModelTypeGeoKey 2), or nothing declared at all. A
+      * file declaring model type 1 (projected) with NO CRS code is NOT
+      * geographic — its meters must resolve through the GeoKeys (or fail
+      * directed), never be renamed latitude/longitude. */
+    def isGeographicModel: Boolean =
+      epsg == 4326 || geoShortKeys.get(1024).contains(2) ||
+        (epsg == 0 && !geoShortKeys.get(1024).contains(1))
   }
 
   final case class UnsupportedTiff(detail: String) extends

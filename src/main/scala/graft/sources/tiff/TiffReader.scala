@@ -70,10 +70,8 @@ object TiffReader {
     // model space disposition: geographic (x/y ARE lon/lat), UTM (codegen'd
     // column inverse below), or a projected CRS resolved to a Snyder
     // inverse applied per point inside the decode tasks
-    val geographic = meta.epsg == 4326 || meta.epsg == 0 ||
-      meta.geoShortKeys.get(1024).contains(2) // GTModelTypeGeoKey geographic
     val projected: Option[TiffProjection.ModelTransform] =
-      if (geographic || meta.utmZone.isDefined) None
+      if (meta.isGeographicModel || meta.utmZone.isDefined) None
       else Some(TiffProjection.resolve(meta)) // throws directed if unknown
     val schema = StructType(
       (if (projected.isDefined)

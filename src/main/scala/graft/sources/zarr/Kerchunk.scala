@@ -228,8 +228,13 @@ object Kerchunk {
         require((za \ "chunks").extract[Seq[Int]] == chunks0,
           s"$p: $name chunks ${(za \ "chunks").extract[Seq[Int]]}" +
             s" != ${chunks0.mkString("[", ",", "]")}")
-        require(za.removeField(_._1 == "shape") ==
-            zas.head._2.removeField(_._1 == "shape"),
+        // the separator is a KEY-layout declaration, not a codec: stores
+        // may legally differ in it (or omit it for ".") — each store's
+        // chunk keys parse under its OWN declaration below
+        require(za.removeField(f =>
+            f._1 == "shape" || f._1 == "dimension_separator") ==
+            zas.head._2.removeField(f =>
+              f._1 == "shape" || f._1 == "dimension_separator"),
           s"$p: $name codec/dtype metadata differs from ${zas.head._1}")
         require(shape.indices.filter(_ != axis)
             .forall(i => shape(i) == shapes.head._2(i)),
@@ -252,15 +257,18 @@ object Kerchunk {
       val total = extents.sum
       val newShape = shapes.head._2.updated(axis, total)
       // inputs may declare dimension_separator "/" (legal in kerchunk
-      // jsons; openRefs honors it via keySep) — chunk keys split on THAT
-      // separator, and the combined store normalizes to "." keys, so the
-      // declaration is dropped from the combined .zarray
-      val sep = (zas.head._2 \ "dimension_separator")
-        .extractOpt[String].getOrElse(".") match {
-        case s @ ("." | "/") => s.charAt(0)
-        case other => throw new IllegalArgumentException(
-          s"$name: dimension_separator '$other' (only '.' and '/')")
-      }
+      // jsons; openRefs honors it via keySep) — each store's chunk keys
+      // split on ITS OWN declaration, and the combined store normalizes
+      // to "." keys, so the declaration is dropped from the combined
+      // .zarray
+      val sepOf: Map[String, Char] = zas.map { case (p, za) =>
+        p -> ((za \ "dimension_separator")
+          .extractOpt[String].getOrElse(".") match {
+          case s @ ("." | "/") => s.charAt(0)
+          case other => throw new IllegalArgumentException(
+            s"$p: $name dimension_separator '$other' (only '.' and '/')")
+        })
+      }.toMap
       val za1 = zas.head._2.removeField(f =>
           f._1 == "shape" || f._1 == "dimension_separator") merge
         JObject("shape" -> JArray(newShape.map(JInt(_)).toList))
@@ -274,11 +282,11 @@ object Kerchunk {
           if (k.startsWith(name + "/") && !k.endsWith(".zarray") &&
               !k.endsWith(".zattrs")) {
             val idx =
-              try k.drop(name.length + 1).split(sep).map(_.toInt)
+              try k.drop(name.length + 1).split(sepOf(p)).map(_.toInt)
               catch {
                 case _: NumberFormatException =>
                   throw new IllegalArgumentException(s"$p: chunk key $k " +
-                    s"does not parse under dimension_separator '$sep'")
+                    s"does not parse under dimension_separator '${sepOf(p)}'")
               }
             require(idx.length == newShape.size, s"$p: malformed chunk key $k")
             idx(axis) += off
@@ -497,9 +505,7 @@ object Kerchunk {
         "as zarr references (read via TiffReader)")
     if (m.samplesPerPixel != 1) reject(s"${m.samplesPerPixel} samples/pixel")
     if (m.predictor != 1) reject(s"predictor ${m.predictor}")
-    val geographic = m.epsg == 4326 || m.epsg == 0 ||
-      m.geoShortKeys.get(1024).contains(2)
-    if (!geographic) reject(s"projected CRS EPSG:${m.epsg}")
+    if (!m.isGeographicModel) reject(s"projected CRS EPSG:${m.epsg}")
     val compressor = m.compression match {
       case 1 => "null"
       case 8 | 32946 => """{"id": "zlib"}"""

@@ -1008,6 +1008,37 @@ class Grib2Spec extends SparkSpec {
     assert(e.getMessage.contains("triangular"), e.getMessage)
   }
 
+  test("projected grids honor the -i scan bit (columns walk westward)") {
+    import graft.sources.grib.GribProjection
+    val dir = java.nio.file.Files.createTempDirectory("g2negi").toString
+    val merc = GribProjection.Mercator(20.0, 6378137.0, 6356752.31)
+    val msg = GW2.message(GW2.FieldSpec(0, 0, 0, 103, 2,
+      java.time.LocalDateTime.of(2027, 3, 1, 0, 0),
+      (0 until 20).map(_.toDouble), ni = 5, nj = 4,
+      la1 = 10.0, lo1 = 30.0, la2 = 0, lo2 = 0, decimalScale = 0,
+      projection = Some(merc), dxMeters = 50000.0, dyMeters = 40000.0))
+    // flip scan bit 1 (0x80): rows now run east -> west from the first
+    // point; template 3.10's scan octet is at section offset 59
+    var off = 16
+    def u32be(o: Int): Int =
+      ((msg(o) & 0xff) << 24) | ((msg(o + 1) & 0xff) << 16) |
+        ((msg(o + 2) & 0xff) << 8) | (msg(o + 3) & 0xff)
+    while (msg(off + 4) != 3) off += u32be(off)
+    msg(off + 59) = (msg(off + 59) | 0x80).toByte
+    val p = s"$dir/negi.grib2"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), msg)
+    val rows = Grib2Reader.readLongFormat(spark, p)
+      .orderBy($"value").select($"latitude", $"longitude", $"value").collect()
+    val (x0, y0) = merc.forward(10.0, 30.0)
+    rows.foreach { r =>
+      val k = r.getDouble(2).toInt
+      val (lat, lon) = merc.inverse(x0 - (k % 5) * 50000.0,
+        y0 + (k / 5) * 40000.0)
+      assert(math.abs(r.getDouble(0) - lat) < 1e-9 &&
+        math.abs(r.getDouble(1) - lon) < 1e-9, s"point $k")
+    }
+  }
+
   test("space view (3.90): off-limb pixels carry NaN coordinates") {
     import graft.sources.grib.GribProjection
     val dir = java.nio.file.Files.createTempDirectory("g2sv").toString

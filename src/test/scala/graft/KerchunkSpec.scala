@@ -471,7 +471,7 @@ class KerchunkSpec extends SparkSpec {
     p
   }
 
-  test("combine handles dimension_separator '/' chunk keys") {
+  test("combine handles dimension_separator '/' chunk keys, even mixed") {
     val dir = java.nio.file.Files.createTempDirectory("kcsep").toString
     val a = sepStore(dir, "a", 0.0, (1.5, 2.5), "/")
     val b = sepStore(dir, "b", 100.0, (3.5, 4.5), "/")
@@ -481,6 +481,16 @@ class KerchunkSpec extends SparkSpec {
     val got = spark.read.format("zarr").load(cPath)
       .orderBy($"time", $"x").select($"v").as[Double].collect().toSeq
     assert(got == Seq(1.5, 2.5, 3.5, 4.5))
+    // MIXED separators: a "/" store and a default-"." store combine —
+    // the declaration is key layout, not codec metadata, so each store's
+    // keys parse under its own separator
+    val c = sepStore(dir, "cc", 200.0, (5.5, 6.5), ".")
+    val mPath = s"$dir/m.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(mPath),
+      Kerchunk.combine(conf, Seq(a, c), concatDim = "time").getBytes("UTF-8"))
+    val mixed = spark.read.format("zarr").load(mPath)
+      .orderBy($"time", $"x").select($"v").as[Double].collect().toSeq
+    assert(mixed == Seq(1.5, 2.5, 5.5, 6.5))
   }
 
   test("combine rejects an internally unsorted concat axis") {

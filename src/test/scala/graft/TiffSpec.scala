@@ -912,6 +912,17 @@ class TiffSpec extends SparkSpec {
       doubleKeys = Seq((3078, 30.0), (3081, 40.0))))
     val e2 = intercept[Exception] { TiffReader.readLongFormat(spark, p2) }
     assert(e2.getMessage.contains("ellipsoid"), e2.getMessage)
+    // a file declaring GTModelType=1 (projected) but NO CRS code and no
+    // transform keys must not fall through to the geographic rename — its
+    // meters aren't degrees (a later duplicate 1024 key overrides the
+    // writer's geographic default, leaving epsg = 0 with model type 1)
+    val p3 = s"$dir/b3.tif"
+    TW.write(p3, TW.Spec(2, 2, 1, Seq(1.0, 2.0, 3.0, 4.0),
+      pixelScale = (1000, 1000), tiepointXY = (0, 0), epsg = 0,
+      extraShortKeys = Seq((1024, 1))))
+    val e3 = intercept[Exception] { TiffReader.readLongFormat(spark, p3) }
+    assert(e3.getMessage.contains("EPSG:0") &&
+      e3.getMessage.contains("GeoKeys"), e3.getMessage)
   }
 
   /** Move DQT/DHT segments of a JPEG stream into a standalone tables
