@@ -138,6 +138,58 @@ object KerchunkStress {
     val gWk = timed("grib one-week mean")(
       gWeek.agg(avg($"2t")).head().getDouble(0))
     println(f"[stress] grib year mean $gFull%.4f, week mean $gWk%.4f")
+
+    // ---- the same year as daily COGs (deflate strips) through scanTiff
+    // with a per-day time axis + combine: a raster stack becomes one
+    // virtual hypercube, day predicates pruning to the owning file
+    import graft.sources.tiff.{TiffWriter => TW}
+    val tdir = s"$work/cog"
+    new java.io.File(tdir).mkdirs()
+    val tt0 = System.nanoTime()
+    for (d <- 0 until days) {
+      val day = start.plusDays(d)
+      TW.write(f"$tdir/sst_$day.tif", TW.Spec(nlon, nlat, 1,
+        (0 until nlat * nlon).map(i => ((d * 7919 + i * 13) % 4001) / 10.0),
+        pixelScale = (0.5, 0.5), tiepointXY = (0.0, 60.0), epsg = 4326,
+        rowsPerStrip = nlat / 4, deflate = true))
+    }
+    val ttWrite = (System.nanoTime() - tt0) / 1e9
+    val tt1 = System.nanoTime()
+    val trefs = spark.sparkContext.parallelize(
+      new java.io.File(tdir).listFiles().map(_.toString)
+        .filter(_.endsWith(".tif")).sorted.toSeq, days)
+      .map { f =>
+        val day = java.time.LocalDate.parse(
+          f.substring(f.length - 14, f.length - 4))
+        val json = graft.sources.zarr.Kerchunk.scanTiff(
+          new org.apache.hadoop.conf.Configuration(), f,
+          timeEpochSec = day.toEpochDay * 86400.0)
+        val out = f + ".refs.json"
+        java.nio.file.Files.write(java.nio.file.Paths.get(out),
+          json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out
+      }.collect().toSeq.sorted
+    val ttScan = (System.nanoTime() - tt1) / 1e9
+    val tt2 = System.nanoTime()
+    val tCombined = graft.sources.zarr.Kerchunk.combine(tconf, trefs)
+    val ttCombine = (System.nanoTime() - tt2) / 1e9
+    val tPath = s"$work/cog-combined.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(tPath),
+      tCombined.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(f"[stress] cog: $days files written in $ttWrite%.1f s; " +
+      f"scanTiff x$days $ttScan%.2f s; combine $ttCombine%.2f s; " +
+      f"refs json ${tCombined.length / 1024} KiB")
+    val tdf = spark.read.format("zarr").load(tPath)
+    println(s"[stress] cog combined partitions: ${tdf.rdd.getNumPartitions}")
+    val tFull = timed("cog full-year mean")(
+      tdf.agg(avg($"band_1")).head().getDouble(0))
+    val tWeek = tdf.filter(
+      $"time" >= java.time.LocalDateTime.of(2025, 6, 1, 0, 0) &&
+        $"time" < java.time.LocalDateTime.of(2025, 6, 8, 0, 0))
+    println(s"[stress] cog one-week partitions: ${tWeek.rdd.getNumPartitions}")
+    val tWk = timed("cog one-week mean")(
+      tWeek.agg(avg($"band_1")).head().getDouble(0))
+    println(f"[stress] cog year mean $tFull%.4f, week mean $tWk%.4f")
     spark.stop()
   }
 }
