@@ -1872,6 +1872,64 @@ object Queries {
           .orderBy($"latitude", $"longitude")
       }),
 
+    // ---------------------------------------------------------------- S1 (GRIB1 Lambert conformal, grid type 3)
+    // The NCEP NAM/RUC-era GRIB1 projected archive shape: a Lambert grid
+    // on the GRIB1 sphere (6367.47 km), first point + Di/Dj meters. The
+    // oracle re-derives every point with DuckDB's own trig — the
+    // spherical 2SP closed form INCLUDING the forward projection of the
+    // first point (everything on the wire is millidegree/meter-exact).
+    Q("q155_grib1_lambert", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200),
+           c AS (SELECT CAST(6367470.0 AS DOUBLE) AS r_e,
+                        ln(cos(radians(30.0)) / cos(radians(60.0)))
+                          / ln(tan(pi()/4 + radians(60.0)/2)
+                               / tan(pi()/4 + radians(30.0)/2)) AS n),
+           k AS (SELECT r_e, n,
+                        cos(radians(30.0))
+                          * power(tan(pi()/4 + radians(30.0)/2), n) / n AS f
+                 FROM c),
+           b AS (SELECT r_e, n, f,
+                        r_e * f / power(tan(pi()/4 + radians(30.0)/2), n)
+                          AS rho1
+                 FROM k),
+           g AS (SELECT CAST(o_orderkey % 997 AS DOUBLE) AS value,
+                        r_e, n, f,
+                        rho1 * sin(n * radians(5.0 - 10.0))
+                          + (rn0 % 10) * 40000.0 AS x,
+                        -rho1 * cos(n * radians(5.0 - 10.0))
+                          + (rn0 // 10) * 30000.0 AS y
+                 FROM o, b),
+           p AS (SELECT value, r_e, n, f,
+                        sqrt(x*x + y*y) AS rho,
+                        atan2(x, -y) AS theta
+                 FROM g)
+      SELECT round(degrees(2*atan(power(r_e*f/rho, 1/n)) - pi()/2), 6)
+               AS latitude,
+             round(10.0 + degrees(theta/n), 6) AS longitude,
+             value
+      FROM p ORDER BY latitude, longitude"""))(
+      (s, d) => {
+        import graft.sources.grib.{Grib1Reader, GribProjection, Grib1Writer => GW}
+        val path = Fixtures.path("q155", d, "q155.grib") { p =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 997).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          val t0 = java.time.LocalDateTime.of(2027, 4, 1, 0, 0)
+          val lcc = GribProjection.LambertConformal(30.0, 60.0, 10.0,
+            6367470.0)
+          GW.write(p, Seq(GW.FieldSpec(167, 105, 2, t0, vals,
+            ni = 10, nj = 20, la1 = 30.0, lo1 = 5.0, la2 = 0, lo2 = 0,
+            decimalScale = 0, projection = Some(lcc),
+            dxMeters = 40000.0, dyMeters = 30000.0)))
+        }
+        Grib1Reader.readLongFormat(s, path)
+          .select(round($"latitude", 6).as("latitude"),
+            round($"longitude", 6).as("longitude"), $"value")
+          .orderBy($"latitude", $"longitude")
+      }),
+
     // ---------------------------------------------------------------- S1 (NetCDF CDF-5 / 64-bit data)
     // Same `orders` grid through the CDF-5 (64-bit data) classic variant:
     // widened header counts, an NC_INT64 variable and an NC_UBYTE variable

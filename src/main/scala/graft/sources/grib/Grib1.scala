@@ -56,7 +56,11 @@ object Grib1 {
       pl: Option[Array[Int]] = None, // reduced grid: points per row
       spectral: Option[(Int, Int, Int)] = None, // grid type 50: J/K/M truncation
       rotated: Option[GribProjection.RotatedLatLon] = None, // grid type 10
-      ensembleMember: Int = -1) // ECMWF local def 1 perturbation; -1 = det
+      ensembleMember: Int = -1, // ECMWF local def 1 perturbation; -1 = det
+      // grid types 1/3/5 (Mercator / Lambert conformal / polar stereo):
+      // the plane walk from the first point, like the edition-2 templates
+      projection: Option[GribProjection] = None,
+      dxMeters: Double = 0, dyMeters: Double = 0)
       extends GribUnit {
 
     def nPoints: Int = pl.map(_.sum).getOrElse(ni * nj)
@@ -66,10 +70,20 @@ object Grib1 {
     @transient private lazy val rowStarts: Array[Int] =
       pl.map(_.scanLeft(0)(_ + _)).getOrElse(Array.empty)
 
+    @transient private lazy val projOrigin: (Double, Double) =
+      projection.map(_.forward(la1, lo1)).getOrElse((0.0, 0.0))
+
     /** Reduced rows span the full circle from lo1 with per-row spacing;
       * rotated grids (type 10) interpolate in the rotated frame then
-      * unrotate to true lat/lon. */
+      * unrotate to true lat/lon; projected grids (types 1/3/5) walk
+      * meters from the first point. */
     override def coordOf(k: Int): (Double, Double) = {
+      projection match {
+        case Some(p) =>
+          val (x0, y0) = projOrigin
+          return p.inverse(x0 + (k % ni) * dxMeters, y0 + (k / ni) * dyMeters)
+        case None =>
+      }
       val (la, lo) = pl match {
         case None => (latOf(k / ni), lonOf(k % ni))
         case Some(counts) =>
@@ -333,10 +347,13 @@ object Grib1 {
     val g = read(gdsOff, 28)
     val gdsLen = u24(g, 0)
     val gridType = u8(g, 5)
-    if (gridType != 0 && gridType != 10 && gridType != 4 && gridType != 50)
+    if (gridType != 0 && gridType != 10 && gridType != 4 && gridType != 50 &&
+        gridType != 1 && gridType != 3 && gridType != 5)
       throw UnsupportedGrib(
-        s"grid type $gridType (lat/lon 0, rotated lat/lon 10, Gaussian 4, " +
+        s"grid type $gridType (lat/lon 0, Mercator 1, Lambert conformal 3, " +
+          "Gaussian 4, polar stereographic 5, rotated lat/lon 10, " +
           "spectral 50)")
+    val projectedType = gridType == 1 || gridType == 3 || gridType == 5
     // grid type 10 (rotated lat/lon): la1..lo2 are in the ROTATED frame;
     // octets 33-42 carry the true-frame south pole of the rotated system
     // (millidegrees) + the angle of rotation (an IBM-format float)
@@ -394,6 +411,36 @@ object Grib1 {
     if ((scan & 0x10) != 0) throw UnsupportedGrib(
       "scan mode bit 4 (boustrophedonic row order)")
 
+    // grid types 1/3/5 (the NCEP NAM/RUC-era projected archives): first
+    // point + Di/Dj meters, walking the plane like the edition-2
+    // templates; the resolution flag picks the figure (sphere 6367.47 km
+    // or the IAU-65 oblate spheroid)
+    val (projection, dxM, dyM): (Option[GribProjection], Double, Double) =
+      if (!projectedType) (None, 0.0, 0.0)
+      else {
+        val gp = read(gdsOff, 42)
+        val oblate = (u8(gp, 16) & 0x40) != 0
+        val (axA, axB) =
+          if (oblate) (6378160.0, 6356775.0) else (6367470.0, Double.NaN)
+        val proj: GribProjection = gridType match {
+          case 1 => // Mercator: Latin true-scale at octets 24-26
+            GribProjection.Mercator(s24(gp, 23) / 1000.0, axA, axB)
+          case 5 => // polar stereographic: LoV 18-20, centre flag octet 27
+            val south = (u8(gp, 26) & 0x80) != 0
+            // GRIB1 PS grid lengths are at 60 deg in the grid's hemisphere
+            GribProjection.PolarStereographic(if (south) -60 else 60,
+              s24(gp, 17) / 1000.0, south, axA, axB)
+          case _ => // Lambert conformal: LoV 18-20, Latin1/2 29-34
+            GribProjection.LambertConformal(s24(gp, 28) / 1000.0,
+              s24(gp, 31) / 1000.0, s24(gp, 17) / 1000.0, axA, axB)
+        }
+        val dx = (if (gridType == 1) u24(gp, 28) else u24(gp, 20)).toDouble
+        val dy = (if (gridType == 1) u24(gp, 31) else u24(gp, 23)).toDouble
+        (Some(proj),
+          if ((scan & 0x80) == 0) dx else -dx,
+          if ((scan & 0x40) != 0) dy else -dy)
+      }
+
     // ---- BMS (optional)
     var cur = gdsOff + gdsLen
     var bitmapOffset = -1L
@@ -450,7 +497,8 @@ object Grib1 {
       ni, nj, la1, lo1, la2, lo2, scan,
       bitmapOffset, bitmapBytes,
       binScale, refValue, bitsPerValue, dataOffset, dataBytes, unusedBits,
-      secondOrder, gaussN, plCounts, spectral, rotated, ensembleMember)
+      secondOrder, gaussN, plCounts, spectral, rotated, ensembleMember,
+      projection, dxM, dyM)
   }
 
   /** In-memory convenience form of [[parseMessage]] (tests, small buffers):

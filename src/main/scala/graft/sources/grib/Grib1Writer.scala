@@ -39,7 +39,11 @@ object Grib1Writer {
       // rotated lat/lon (grid type 10): la1..lo2 are rotated-frame coords
       rotated: Option[GribProjection.RotatedLatLon] = None,
       // >= 0: ECMWF local definition 1 EPS perturbation number
-      ensembleMember: Int = -1)
+      ensembleMember: Int = -1,
+      // grid types 1/3/5: plane walk from (la1, lo1) in Di/Dj meters;
+      // the figure must be the GRIB1 sphere (6367470) or IAU-65 oblate
+      projection: Option[GribProjection] = None,
+      dxMeters: Double = 0, dyMeters: Double = 0)
 
   def write(path: String, fields: Seq[FieldSpec],
       conf: Configuration = new Configuration()): Unit = {
@@ -124,6 +128,11 @@ object Grib1Writer {
     }
     require(f.rotated.isEmpty || (f.reducedPl.isEmpty && f.gaussianN == 0),
       "rotated grids are regular lat/lon only")
+    f.projection.foreach { p =>
+      require(f.rotated.isEmpty && f.reducedPl.isEmpty && f.gaussianN == 0 &&
+        f.spectralT < 0, "projected grids compose with nothing else")
+      return gdsProjected(f, p)
+    }
     val rotBytes = if (f.rotated.isDefined) 10 else 0
     val listBytes = f.reducedPl.map(_.size * 2).getOrElse(0)
     val b = new Array[Byte](32 + rotBytes + listBytes)
@@ -153,6 +162,55 @@ object Grib1Writer {
     if (f.gaussianN > 0) putU16(b, 25, f.gaussianN)
     else putU16(b, 25, math.round(dj * 1000).toInt) // Dj: octets 26-27
     b(27) = 0                  // scan mode (octet 28): +i, -j, i consecutive
+    b
+  }
+
+  /** GDS for grid types 1 (Mercator), 3 (Lambert conformal), 5 (polar
+    * stereographic): first point in millidegrees, steps in meters. The
+    * figure flag (resolution octet 17 bit 2) encodes sphere vs IAU-65. */
+  private def gdsProjected(f: FieldSpec, p: GribProjection): Array[Byte] = {
+    val (gridType, oblate) = p match {
+      case m: GribProjection.Mercator =>
+        (1, !(m.minorAxis.isNaN || m.minorAxis == m.radius))
+      case l: GribProjection.LambertConformal =>
+        (3, !(l.minorAxis.isNaN || l.minorAxis == l.radius))
+      case s: GribProjection.PolarStereographic =>
+        (5, !(s.minorAxis.isNaN || s.minorAxis == s.radius))
+      case other => throw Grib1.UnsupportedGrib(
+        s"GRIB1 writer projection $other (Mercator/Lambert/polar only)")
+    }
+    val b = new Array[Byte](42)
+    put24(b, 0, b.length)
+    b(3) = 0                   // NV
+    b(4) = 255.toByte          // no PV/PL
+    b(5) = gridType.toByte
+    putU16(b, 6, f.ni)
+    putU16(b, 8, f.nj)
+    putS24(b, 10, math.round(f.la1 * 1000).toInt)
+    putS24(b, 13, math.round(f.lo1 * 1000).toInt)
+    b(16) = (0x80 | (if (oblate) 0x40 else 0)).toByte // increments + figure
+    p match {
+      case m: GribProjection.Mercator =>
+        putS24(b, 17, math.round(f.la2 * 1000).toInt)
+        putS24(b, 20, math.round(f.lo2 * 1000).toInt)
+        putS24(b, 23, math.round(m.lad * 1000).toInt) // Latin
+        put24(b, 28, math.round(f.dxMeters).toInt)
+        put24(b, 31, math.round(math.abs(f.dyMeters)).toInt)
+      case l: GribProjection.LambertConformal =>
+        putS24(b, 17, math.round(l.lov * 1000).toInt)
+        put24(b, 20, math.round(f.dxMeters).toInt)
+        put24(b, 23, math.round(math.abs(f.dyMeters)).toInt)
+        putS24(b, 28, math.round(l.latin1 * 1000).toInt)
+        putS24(b, 31, math.round(l.latin2 * 1000).toInt)
+        putS24(b, 34, -90000) // south pole of the projection
+      case s: GribProjection.PolarStereographic =>
+        putS24(b, 17, math.round(s.lov * 1000).toInt)
+        put24(b, 20, math.round(f.dxMeters).toInt)
+        put24(b, 23, math.round(math.abs(f.dyMeters)).toInt)
+        b(26) = (if (s.south) 0x80 else 0).toByte // projection centre
+      case _ =>
+    }
+    b(27) = (if (f.dyMeters >= 0) 0x40 else 0).toByte // scan: +i, +-j
     b
   }
 

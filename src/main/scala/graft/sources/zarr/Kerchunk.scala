@@ -389,6 +389,7 @@ object Kerchunk {
           if (m.pl.isDefined) reject("reduced grid rows vary in length")
           if (m.spectral.isDefined) reject("spectral coefficients are not a grid")
           if (m.rotated.isDefined) reject("rotated grid")
+          if (m.projection.isDefined) reject("projected grid")
         case _ => reject(s"unexpected unit ${u.getClass.getName}")
       }
     }

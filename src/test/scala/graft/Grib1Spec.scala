@@ -295,4 +295,45 @@ class Grib1Spec extends SparkSpec {
       Grib1Reader.readSpectral(spark, pBad))
     assert(e.getMessage.contains("triangular"), e.getMessage)
   }
+
+  test("projected grids (types 1/5): plane walk matches the Snyder inverse") {
+    import graft.sources.grib.GribProjection
+    val dir = java.nio.file.Files.createTempDirectory("g1proj").toString
+    val vals = (0 until 50).map(_.toDouble)
+    // Mercator on the GRIB1 sphere, true scale 20N, first point (10N, 5W)
+    val merc = GribProjection.Mercator(20.0, 6367470.0)
+    val pM = s"$dir/merc.grib"
+    GW.write(pM, Seq(GW.FieldSpec(167, 105, 2, t0, vals,
+      ni = 10, nj = 5, la1 = 10.0, lo1 = -5.0, la2 = 0, lo2 = 0,
+      decimalScale = 0, projection = Some(merc),
+      dxMeters = 50000.0, dyMeters = 60000.0)))
+    val (mx0, my0) = merc.forward(10.0, -5.0)
+    Grib1Reader.readLongFormat(spark, pM)
+      .select($"latitude", $"longitude", $"value").collect().foreach { r =>
+        val k = r.getDouble(2).toInt
+        val (lat, lon) = merc.inverse(mx0 + (k % 10) * 50000.0,
+          my0 + (k / 10) * 60000.0)
+        assert(math.abs(r.getDouble(0) - lat) < 1e-9 &&
+          math.abs(r.getDouble(1) - lon) < 1e-9, s"mercator point $k")
+      }
+    // polar stereographic, IAU-65 oblate figure, southern aspect
+    val ps = GribProjection.PolarStereographic(-60.0, 140.0, south = true,
+      6378160.0, 6356775.0)
+    val pP = s"$dir/ps.grib"
+    val (px0, py0) = ps.forward(-70.0, 150.0)
+    GW.write(pP, Seq(GW.FieldSpec(167, 105, 2, t0, vals,
+      ni = 10, nj = 5, la1 = -70.0, lo1 = 150.0, la2 = 0, lo2 = 0,
+      decimalScale = 0, projection = Some(ps),
+      dxMeters = 25000.0, dyMeters = -25000.0)))
+    Grib1Reader.readLongFormat(spark, pP)
+      .select($"latitude", $"longitude", $"value").collect().foreach { r =>
+        val k = r.getDouble(2).toInt
+        // the writer quantizes the first point to MILLIDEGREES; -70/150
+        // are exact, so the walk anchors identically
+        val (lat, lon) = ps.inverse(px0 + (k % 10) * 25000.0,
+          py0 - (k / 10) * 25000.0)
+        assert(math.abs(r.getDouble(0) - lat) < 1e-9 &&
+          math.abs(r.getDouble(1) - lon) < 1e-9, s"ps point $k")
+      }
+  }
 }
