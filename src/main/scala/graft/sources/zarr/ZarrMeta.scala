@@ -275,7 +275,18 @@ object ZarrMeta {
       // ignoring it would read every chunk as absent → silent all-fill
       keySep = (za \ "dimension_separator").extractOpt[String].getOrElse("."),
       filters = filters,
-      gribSelect = gribSelect)
+      gribSelect = gribSelect,
+      // v2 "order": "F" = column-major chunks, i.e. C-order over the
+      // REVERSED index order — routed through the same inverse the v3
+      // transpose codec uses; ignoring it would transpose values silently
+      transposeOrder = (za \ "order").extractOpt[String].getOrElse("C") match {
+        case "C" => None
+        case "F" =>
+          val k = (za \ "chunks").extract[Seq[Int]].size
+          if (k > 1) Some((k - 1) to 0 by -1) else None
+        case other => throw new UnsupportedOperationException(
+          s"zarr v2 array $name: order '$other' (C or F)")
+      })
   }
 
   /** Parse a v3 array `zarr.json` into the common ArrayMeta. */

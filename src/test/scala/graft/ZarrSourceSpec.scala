@@ -581,6 +581,31 @@ class ZarrSourceSpec extends SparkSpec {
     assert(brMeta.encodedDtype == "<f4", brMeta.encodedDtype)
     val brVals = ZarrMeta.readChunk(conf, dir, brMeta, Seq(0))
     assert(brVals.toSeq == rounded.map(_.toDouble).toSeq, brVals.toSeq)
+
+    // --- v2 "order": "F": column-major chunk bytes must come back in
+    // C order — ignoring the declaration would TRANSPOSE values silently
+    putS("fo/.zarray",
+      """{"zarr_format": 2, "shape": [2, 3], "chunks": [2, 3], "dtype": "<f8",
+        | "compressor": null, "order": "F", "filters": null,
+        | "fill_value": null}""".stripMargin)
+    putS("fo/.zattrs", """{"_ARRAY_DIMENSIONS": ["r", "c"]}""")
+    // C-order values 1..6; F-order storage runs columns first
+    val fRaw = java.nio.ByteBuffer.allocate(48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(1.0, 4.0, 2.0, 5.0, 3.0, 6.0).foreach(fRaw.putDouble)
+    put("fo/0.0", fRaw.array())
+    val foVals = ZarrMeta.readChunk(conf, dir,
+      ZarrMeta.readArrayMeta(conf, dir, "fo"), Seq(0, 0))
+    assert(foVals.toSeq == Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0), foVals.toSeq)
+    // an unknown order string is a directed error
+    putS("fx/.zarray",
+      """{"zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<f8",
+        | "compressor": null, "order": "K", "filters": null,
+        | "fill_value": null}""".stripMargin)
+    val eOrd = intercept[UnsupportedOperationException] {
+      ZarrMeta.readArrayMeta(conf, dir, "fx")
+    }
+    assert(eOrd.getMessage.contains("order"), eOrd.getMessage)
   }
 
   test("zarr v3 big-endian bytes codec decodes (hand-crafted store)") {
