@@ -48,4 +48,35 @@ object GribChunkCodec {
     vals.foreach(bb.putDouble)
     bb.array()
   }
+
+  /** Synthesized 2-D coordinate chunks (the kerchunk grib convention for
+    * grids without separable lat/lon axes): the chunk's stored bytes are a
+    * whole GRIB message and the decoded buffer is the grid's latitude or
+    * longitude FIELD, computed from the message's own grid definition
+    * (projection inverse per point) — `[y, x]` C-order, matching the data
+    * arrays' scan order, no bytes stored anywhere. Off-earth points
+    * (space-view corners) yield NaN → null. */
+  def decodeCoord(msg: Array[Byte], which: String): Array[Byte] = {
+    val read = (off: Long, len: Int) =>
+      java.util.Arrays.copyOfRange(msg, off.toInt, off.toInt + len)
+    val u: GribUnit = Grib1.u8(msg, 7) match {
+      case 1 => Grib1.parseMessage(read, 0L)
+      case 2 => Grib2.parseMessage(read, 0L)._1.head
+      case e => throw Grib1.UnsupportedGrib(s"edition $e in a grib chunk")
+    }
+    val lonAxis = which match {
+      case "latitude" => false
+      case "longitude" => true
+      case other => throw Grib1.UnsupportedGrib(s"grib coord '$other'")
+    }
+    val n = u.ni * u.nj
+    val bb = ByteBuffer.allocate(n * 8).order(ByteOrder.LITTLE_ENDIAN)
+    var k = 0
+    while (k < n) {
+      val (la, lo) = u.coordOf(k)
+      bb.putDouble(if (lonAxis) lo else la)
+      k += 1
+    }
+    bb.array()
+  }
 }

@@ -86,7 +86,13 @@ object ZarrMeta {
       // identity (shortName, typeOfLevel, level height, stepType),
       // constant per array while packing parameters vary per message
       // (see grib.GribChunkCodec)
-      gribSelect: Option[(String, String, Double, String)] = None) {
+      gribSelect: Option[(String, String, Double, String)] = None,
+      // compressor id "grib" with "coord": the chunk bytes are a WHOLE
+      // GRIB message and the decoded buffer is the 2-D latitude or
+      // longitude FIELD of its grid (projected/curvilinear grids have no
+      // separable lat/lon axes; the message's own grid definition computes
+      // them) — the kerchunk grib convention's synthesized coordinates
+      gribCoord: Option[String] = None) {
     def epochSecondsTime: Boolean = timeUnits.isDefined
 
     def chunkGrid: Seq[Int] = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
@@ -171,7 +177,13 @@ object ZarrMeta {
       dims: Seq[String],                   // hypercube dimension order
       coords: Map[String, Array[Double]],  // decoded coordinate vectors
       coordMeta: Map[String, ArrayMeta],
-      dataVars: Seq[ArrayMeta])
+      dataVars: Seq[ArrayMeta],
+      // CF AUXILIARY coordinate variables: arrays whose dims are a proper
+      // order-preserving subsequence of the store dims (curvilinear 2-D
+      // lat/lon over [y, x], per-level pressure, cell bounds, ...) —
+      // surfaced as extra value columns, indexed by the matching subset of
+      // the row's cell cursor
+      auxVars: Seq[ArrayMeta] = Nil)
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -206,8 +218,15 @@ object ZarrMeta {
       case JNull | JNothing => None
       case c => Some((c \ "id").extract[String])
     }
-    val gribSelect =
+    val gribCoord =
       if (!compressor.contains("grib")) None
+      else (za \ "compressor" \ "coord").extractOpt[String].map {
+        case w @ ("latitude" | "longitude") => w
+        case other => throw new UnsupportedOperationException(
+          s"$name: grib coord '$other' (latitude or longitude)")
+      }
+    val gribSelect =
+      if (!compressor.contains("grib") || gribCoord.isDefined) None
       else {
         val c = za \ "compressor"
         Some(((c \ "var").extract[String], (c \ "level_name").extract[String],
@@ -276,6 +295,7 @@ object ZarrMeta {
       keySep = (za \ "dimension_separator").extractOpt[String].getOrElse("."),
       filters = filters,
       gribSelect = gribSelect,
+      gribCoord = gribCoord,
       // v2 "order": "F" = column-major chunks, i.e. C-order over the
       // REVERSED index order — routed through the same inverse the v3
       // transpose codec uses; ignoring it would transpose values silently
@@ -512,7 +532,23 @@ object ZarrMeta {
     val coords = coordMeta.map { case (n, m) =>
       n -> graft.sources.CfTime.convert(readWholeArray(conf, store, m), m.timeUnits)
     }
-    Store(store, dims, coords, coordMeta, dataVars)
+    // auxiliary coordinates: non-data arrays whose dims are an
+    // order-preserving subsequence of the store dims with matching sizes
+    // (a 2-D latitude[y, x] beside t2m[time, y, x]); anything else stays
+    // out of the relational view, as before
+    val dataNames = dataVars.map(_.name).toSet
+    val dimSize = dims.zip(dataVars.head.shape).toMap
+    def subsequenceOf(sub: Seq[String], full: Seq[String]): Boolean = {
+      var i = 0
+      full.foreach { d => if (i < sub.size && sub(i) == d) i += 1 }
+      i == sub.size
+    }
+    val auxVars = nonCoord.filter { m =>
+      !dataNames.contains(m.name) && m.dims.nonEmpty &&
+        subsequenceOf(m.dims, dims) && !dims.contains(m.name) &&
+        m.dims.zip(m.shape).forall { case (d, s) => dimSize(d) == s }
+    }
+    Store(store, dims, coords, coordMeta, dataVars, auxVars)
   }
 
   /** Open a kerchunk-style reference store (fsspec ReferenceFileSystem
@@ -681,11 +717,15 @@ object ZarrMeta {
       // GRIB virtualization: the chunk bytes are a whole GRIB message of
       // either edition; re-parse and decode the array's selected field
       // (Kerchunk.scanGrib)
-      case Some("grib") =>
-        val (sn, ln, lv, st) = meta.gribSelect.getOrElse(
-          throw new UnsupportedOperationException(
-            s"${meta.name}: grib codec without a field selector"))
-        graft.sources.grib.GribChunkCodec.decodeField(raw, sn, ln, lv, st)
+      case Some("grib") => meta.gribCoord match {
+        case Some(which) =>
+          graft.sources.grib.GribChunkCodec.decodeCoord(raw, which)
+        case None =>
+          val (sn, ln, lv, st) = meta.gribSelect.getOrElse(
+            throw new UnsupportedOperationException(
+              s"${meta.name}: grib codec without a field selector"))
+          graft.sources.grib.GribChunkCodec.decodeField(raw, sn, ln, lv, st)
+      }
       case Some(other) =>
         throw new UnsupportedOperationException(
           s"zarr compressor '$other' not supported " +

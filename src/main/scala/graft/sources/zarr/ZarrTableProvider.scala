@@ -75,9 +75,10 @@ object ZarrTableProvider {
       StructField(d, if (m.epochSecondsTime) TimestampNTZType else DoubleType,
         nullable = m.epochSecondsTime)
     }
-    val varFields = store.dataVars.map(v => StructField(v.name,
-      if (ZarrMeta.isStringMeta(v)) StringType else DoubleType,
-      nullable = true))
+    val varFields = (store.dataVars ++ store.auxVars).map(v =>
+      StructField(v.name,
+        if (ZarrMeta.isStringMeta(v)) StringType else DoubleType,
+        nullable = true))
     StructType(coordFields ++ varFields)
   }
 }
@@ -211,7 +212,11 @@ class ZarrScan(store: Store, required: StructType, pushed: Array[Filter])
     val tuples = perDimChunks.foldLeft(Seq(Seq.empty[Int])) { (acc, cs) =>
       for (t <- acc; c <- cs) yield t :+ c
     }
-    val neededVars = store.dataVars.filter(v => required.fieldNames.contains(v.name))
+    // aux vars ride the same partition descriptors: their window (for
+    // reference pruning) is the partition window projected onto THEIR dims
+    val neededVars = (store.dataVars ++ store.auxVars)
+      .filter(v => required.fieldNames.contains(v.name))
+    val dimIdx = store.dims.zipWithIndex.toMap
     val tconf = graft.sources.TaskConf(ZarrTableProvider.sessionConf())
     tuples.map { t =>
       // reference stores: narrow each var's chunk index to this
@@ -220,7 +225,10 @@ class ZarrScan(store: Store, required: StructType, pushed: Array[Filter])
       val winLo = t.indices.map(i => math.max(t(i) * chunks(i), ranges(i)._1))
       val winHi = t.indices.map(i =>
         math.min((t(i) + 1) * chunks(i) - 1, ranges(i)._2))
-      val vars = neededVars.map(_.prunedToWindow(winLo, winHi))
+      val vars = neededVars.map { v =>
+        val ds = v.dims.map(dimIdx)
+        v.prunedToWindow(ds.map(winLo), ds.map(winHi))
+      }
       ZarrInputPartition(store.path, store.dims.toArray,
         shape.toArray, chunks.toArray, t.toArray,
         ranges.map(_._1).toArray, ranges.map(_._2).toArray,
@@ -264,7 +272,13 @@ class ZarrPartitionReader(p: ZarrInputPartition) extends PartitionReader[Interna
     * the var-chunks overlapping this partition's hyper-rectangle, so memory
     * stays O(partition extent / var chunk extent) decoded chunks. */
   private final class VarChunks(v: ArrayMeta) {
-    private val sameGrid = java.util.Arrays.equals(v.chunks.toArray, p.chunks)
+    // AUXILIARY vars (2-D lat/lon beside 3-D data) carry a strict dim
+    // subset: each of its axes maps to the matching store dim, and cells
+    // index by that subset of the row cursor
+    private val dimsIdx: Array[Int] = v.dims.map(d => p.dims.indexOf(d)).toArray
+    private val nVDims = dimsIdx.length
+    private val sameGrid = nVDims == nDims &&
+      java.util.Arrays.equals(v.chunks.toArray, p.chunks)
     private var single: AnyRef = _
     private var cache: java.util.HashMap[java.util.List[Integer], AnyRef] = _
     private def load(idx: Seq[Int]): AnyRef =
@@ -281,16 +295,17 @@ class ZarrPartitionReader(p: ZarrInputPartition) extends PartitionReader[Interna
         cell(single, li)
       } else {
         if (cache == null) cache = new java.util.HashMap()
-        val vIdx = new Array[Int](nDims)
-        val key = new java.util.ArrayList[Integer](nDims)
+        val vIdx = new Array[Int](nVDims)
+        val key = new java.util.ArrayList[Integer](nVDims)
         var li = 0
-        var d = 0
-        while (d < nDims) {
+        var j = 0
+        while (j < nVDims) {
+          val d = dimsIdx(j)
           val g = globalBase(d) + cursor(d)
-          vIdx(d) = g / v.chunks(d)
-          key.add(Integer.valueOf(vIdx(d)))
-          li = li * v.chunks(d) + g % v.chunks(d)
-          d += 1
+          vIdx(j) = g / v.chunks(j)
+          key.add(Integer.valueOf(vIdx(j)))
+          li = li * v.chunks(j) + g % v.chunks(j)
+          j += 1
         }
         var chunk = cache.get(key)
         if (chunk == null) { chunk = load(vIdx.toSeq); cache.put(key, chunk) }

@@ -1365,4 +1365,46 @@ class ZarrSourceSpec extends SparkSpec {
     assert(r.getAs[String]("geo_point").contains("\"coordinates\": [100.0, -10.0]"))
     assert(!out.columns.contains("cape")) // variable projection applied
   }
+
+  test("auxiliary coordinate variables (curvilinear 2-D lat/lon) become columns") {
+    // the ROMS/WRF layout: dims are grid indices [time, y, x]; latitude and
+    // longitude are 2-D arrays over [y, x] — CF auxiliary coordinates
+    val dir = java.nio.file.Files.createTempDirectory("zarrcurv").toString + "/c.zarr"
+    val (nt2, ny2, nx2) = (2, 3, 4)
+    def plane(f: (Int, Int) => Double): Seq[Double] =
+      for (y <- 0 until ny2; x <- 0 until nx2) yield f(y, x)
+    def cube(f: (Int, Int, Int) => Double): Seq[Double] =
+      for (t <- 0 until nt2; y <- 0 until ny2; x <- 0 until nx2) yield f(t, y, x)
+    ZW.write(dir, Seq(
+      ZW.VarSpec("time", Seq("time"), Seq(nt2), Seq(1), "<f8",
+        (0 until nt2).map(t => 3600.0 * t),
+        units = Some("seconds since 1970-01-01")),
+      ZW.VarSpec("y", Seq("y"), Seq(ny2), Seq(3), "<f8",
+        (0 until ny2).map(_.toDouble)),
+      ZW.VarSpec("x", Seq("x"), Seq(nx2), Seq(4), "<f8",
+        (0 until nx2).map(_.toDouble)),
+      // curvilinear: lat depends on BOTH y and x (sheared grid)
+      ZW.VarSpec("latitude", Seq("y", "x"), Seq(ny2, nx2), Seq(2, 2), "<f8",
+        plane((y, x) => 40.0 + y + 0.1 * x), compressor = Some("zlib")),
+      ZW.VarSpec("longitude", Seq("y", "x"), Seq(ny2, nx2), Seq(2, 2), "<f8",
+        plane((y, x) => -100.0 + x + 0.2 * y)),
+      ZW.VarSpec("sst", Seq("time", "y", "x"), Seq(nt2, ny2, nx2),
+        Seq(1, 2, 2), data = cube((t, y, x) => 10.0 * t + y + 0.01 * x))))
+    val df = spark.read.format("zarr").load(dir)
+    assert(df.columns.toSeq == Seq("time", "y", "x", "sst", "latitude", "longitude"))
+    assert(df.count() == nt2 * ny2 * nx2)
+    // every row's aux values match the generating functions of ITS (y, x)
+    val bad = df.where(
+      abs($"latitude" - (lit(40.0) + $"y" + $"x" * 0.1)) > 1e-9 or
+      abs($"longitude" - (lit(-100.0) + $"x" + $"y" * 0.2)) > 1e-9 or
+      abs($"sst" - (unix_timestamp($"time") / 3600 * 10.0 + $"y" + $"x" * 0.01)) > 1e-9)
+    assert(bad.count() == 0)
+    // pushdown on the index dims still prunes, and aux columns stay correct
+    // in edge partitions
+    val sel = df.where($"y" >= 1 && $"x" >= 2)
+    assert(sel.count() == nt2 * 2 * 2)
+    assert(sel.where(abs($"latitude" - (lit(40.0) + $"y" + $"x" * 0.1)) > 1e-9).count() == 0)
+    // aux columns prune away when not selected
+    assert(df.select("time", "sst").columns.toSeq == Seq("time", "sst"))
+  }
 }
