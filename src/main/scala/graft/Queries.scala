@@ -1930,6 +1930,199 @@ object Queries {
           .orderBy($"latitude", $"longitude")
       }),
 
+    // ---------------------------------------------------------------- S1 (projected GRIB virtualized as zarr references)
+    // The HRRR archive shape: a Lambert-conformal GRIB2 file served as a
+    // virtual zarr store — dims [time, y, x] over plane-meter axes, true
+    // latitude/longitude as SYNTHESIZED auxiliary 2-D chunks the grib
+    // codec computes from the message's own grid definition (zero
+    // coordinate bytes stored anywhere). The oracle re-derives the axes
+    // (plane walk from the projected first point) AND every pixel's
+    // lat/lon with DuckDB's own trig (spherical Snyder 2SP inverse,
+    // 15-1..15-5), against the same wire-exact parameters.
+    Q("q156_grib_virtual_lambert", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200),
+           c AS (SELECT CAST(6367470.0 AS DOUBLE) AS r_e,
+                        ln(cos(radians(30.0)) / cos(radians(60.0)))
+                          / ln(tan(pi()/4 + radians(60.0)/2)
+                               / tan(pi()/4 + radians(30.0)/2)) AS n),
+           k AS (SELECT r_e, n,
+                        cos(radians(30.0))
+                          * power(tan(pi()/4 + radians(30.0)/2), n) / n AS f
+                 FROM c),
+           b AS (SELECT r_e, n, f,
+                        r_e * f / power(tan(pi()/4 + radians(30.0)/2), n)
+                          AS rho1
+                 FROM k),
+           u AS (SELECT TIMESTAMP '2026-05-01 00:00:00' AS time,
+                        CAST(o_orderkey % 997 AS DOUBLE) AS value, rn0
+                 FROM o
+                 UNION ALL
+                 SELECT TIMESTAMP '2026-05-01 06:00:00',
+                        CAST(o_orderkey % 499 AS DOUBLE), rn0
+                 FROM o),
+           g AS (SELECT time, value, r_e, n, f,
+                        rho1 * sin(n * radians(5.0 - 10.0))
+                          + (rn0 % 10) * 40000.0 AS x,
+                        -rho1 * cos(n * radians(5.0 - 10.0))
+                          + (rn0 // 10) * 30000.0 AS y
+                 FROM u, b),
+           p AS (SELECT time, value, r_e, n, f, x, y,
+                        sqrt(x*x + y*y) AS rho,
+                        atan2(x, -y) AS theta
+                 FROM g)
+      SELECT time, round(y, 6) AS y, round(x, 6) AS x,
+             round(degrees(2*atan(power(r_e*f/rho, 1/n)) - pi()/2), 6)
+               AS latitude,
+             round(10.0 + degrees(theta/n), 6) AS longitude,
+             value
+      FROM p ORDER BY time, y, x"""))(
+      (s, d) => {
+        import graft.sources.grib.{GribProjection, Grib2Writer => GW2}
+        import graft.sources.zarr.Kerchunk
+        val refs = Fixtures.dir("q156", d) { dir =>
+          val rows = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 997).cast("double"),
+              ($"o_orderkey" % 499).cast("double"))
+            .collect()
+          val t0 = java.time.LocalDateTime.of(2026, 5, 1, 0, 0)
+          val lcc = GribProjection.LambertConformal(30.0, 60.0, 10.0,
+            6367470.0)
+          val path = s"$dir/q156.grib2"
+          def spec(v: Seq[Double], fcst: Int) = GW2.FieldSpec(
+            discipline = 0, category = 0, number = 0, levelType = 103,
+            levelScaledValue = 2, refTime = t0, values = v,
+            ni = 10, nj = 20, la1 = 30.0, lo1 = 5.0, la2 = 0, lo2 = 0,
+            forecastTime = fcst, decimalScale = 0,
+            projection = Some(lcc), dxMeters = 40000.0, dyMeters = 30000.0)
+          GW2.write(path, Seq(
+            spec(rows.map(_.getDouble(0)).toSeq, 0),
+            spec(rows.map(_.getDouble(1)).toSeq, 6)))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/q156.refs.json"),
+            Kerchunk.scanGrib(
+              new org.apache.hadoop.conf.Configuration(), path)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        } + "/q156.refs.json"
+        s.read.format("zarr").load(refs)
+          .select($"time", round($"y", 6).as("y"), round($"x", 6).as("x"),
+            round($"latitude", 6).as("latitude"),
+            round($"longitude", 6).as("longitude"), col("2t").as("value"))
+          .orderBy($"time", $"y", $"x")
+      }),
+
+    // ---------------------------------------------------------------- S1 (rotated GRIB virtualized as zarr references)
+    // The COSMO/HARMONIE archive shape: a rotated-lat/lon GRIB2 file as a
+    // virtual store — dims [time, rlat, rlon] in the ROTATED frame (the
+    // frame the grid is regular in), true latitude/longitude synthesized
+    // by the grib codec from the rotation inverse. The oracle re-derives
+    // the unrotation with DuckDB's own trig (Ry(theta) back-rotation:
+    // x1 = x ct − z st, z1 = x st + z ct, then asin/atan2 + pole lon).
+    Q("q157_grib_virtual_rotated", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200),
+           g AS (SELECT CAST(o_orderkey % 997 AS DOUBLE) AS value,
+                        10.0 - (rn0 // 10) * 1.0 AS rlat,
+                        -15.0 + (rn0 % 10) * 3.0 AS rlon
+                 FROM o),
+           t AS (SELECT value, rlat, rlon,
+                        cos(radians(rlat))*cos(radians(rlon)) AS x,
+                        cos(radians(rlat))*sin(radians(rlon)) AS y,
+                        sin(radians(rlat)) AS z,
+                        cos(radians(50.0)) AS ct,
+                        sin(radians(50.0)) AS st
+                 FROM g)
+      SELECT TIMESTAMP '2026-06-01 00:00:00' AS time, rlat, rlon,
+             round(degrees(asin(x*st + z*ct)), 6) AS latitude,
+             round(degrees(atan2(y, x*ct - z*st) + radians(10.0)), 6)
+               AS longitude,
+             value
+      FROM t ORDER BY rlat DESC, rlon"""))(
+      (s, d) => {
+        import graft.sources.grib.{GribProjection, Grib2Writer => GW2}
+        import graft.sources.zarr.Kerchunk
+        val refs = Fixtures.dir("q157", d) { dir =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 997).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          val path = s"$dir/q157.grib2"
+          GW2.write(path, Seq(GW2.FieldSpec(
+            discipline = 0, category = 0, number = 0, levelType = 103,
+            levelScaledValue = 2,
+            refTime = java.time.LocalDateTime.of(2026, 6, 1, 0, 0),
+            values = vals, ni = 10, nj = 20,
+            la1 = 10.0, lo1 = -15.0, la2 = -9.0, lo2 = 12.0,
+            decimalScale = 0,
+            projection = Some(GribProjection.RotatedLatLon(-40.0, 10.0)))))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/q157.refs.json"),
+            Kerchunk.scanGrib(
+              new org.apache.hadoop.conf.Configuration(), path)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        } + "/q157.refs.json"
+        s.read.format("zarr").load(refs)
+          .select($"time", $"rlat", $"rlon",
+            round($"latitude", 6).as("latitude"),
+            round($"longitude", 6).as("longitude"), col("2t").as("value"))
+          .orderBy($"rlat".desc, $"rlon")
+      }),
+
+    // ---------------------------------------------------------------- S1 (netCDF-4 curvilinear grid: 2-D auxiliary lat/lon)
+    // The ROMS/WRF ocean-model layout: dims are grid indices [time, y, x],
+    // latitude/longitude are 2-D arrays over [y, x] (CF auxiliary
+    // coordinates). Virtualized through kerchunk refs, the aux arrays
+    // surface as value columns indexed by the row's (y, x) — the oracle
+    // recomputes them from the planted closed forms.
+    Q("q158_netcdf4_curvilinear", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200),
+           g AS (SELECT CAST(o_orderkey % 997 AS DOUBLE) AS sst,
+                        CAST(rn0 // 10 AS DOUBLE) AS y,
+                        CAST(rn0 % 10 AS DOUBLE) AS x
+                 FROM o)
+      SELECT TIMESTAMP '2026-07-01 00:00:00' AS time, y, x,
+             round(40.0 + y * 0.25 + x * 0.01, 6) AS latitude,
+             round(-100.0 + x * 0.5 + y * 0.02, 6) AS longitude,
+             sst
+      FROM g ORDER BY y, x"""))(
+      (s, d) => {
+        import graft.sources.hdf5.{Hdf5Writer => HW}
+        import graft.sources.zarr.Kerchunk
+        val refs = Fixtures.dir("q158", d) { dir =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 997).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          val nc = s"$dir/q158.nc"
+          def plane(f: (Int, Int) => Double): Seq[Double] =
+            for (y <- 0 until 20; x <- 0 until 10) yield f(y, x)
+          HW.write(nc, Seq(
+            HW.VarSpec("time", Seq("time"), Seq(1), Seq(0.0),
+              units = Some("seconds since 2026-07-01")),
+            HW.VarSpec("y", Seq("y"), Seq(20), (0 until 20).map(_.toDouble)),
+            HW.VarSpec("x", Seq("x"), Seq(10), (0 until 10).map(_.toDouble)),
+            HW.VarSpec("latitude", Seq("y", "x"), Seq(20, 10),
+              plane((y, x) => 40.0 + y * 0.25 + x * 0.01),
+              chunks = Some(Seq(8, 8)), deflate = true),
+            HW.VarSpec("longitude", Seq("y", "x"), Seq(20, 10),
+              plane((y, x) => -100.0 + x * 0.5 + y * 0.02)),
+            HW.VarSpec("sst", Seq("time", "y", "x"), Seq(1, 20, 10), vals,
+              chunks = Some(Seq(1, 10, 10)), deflate = true, shuffle = true)))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/q158.refs.json"),
+            Kerchunk.scanNetCDF4(
+              new org.apache.hadoop.conf.Configuration(), nc)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        } + "/q158.refs.json"
+        s.read.format("zarr").load(refs)
+          .select($"time", $"y", $"x",
+            round($"latitude", 6).as("latitude"),
+            round($"longitude", 6).as("longitude"), $"sst")
+          .orderBy($"y", $"x")
+      }),
+
     // ---------------------------------------------------------------- S1 (NetCDF CDF-5 / 64-bit data)
     // Same `orders` grid through the CDF-5 (64-bit data) classic variant:
     // widened header counts, an NC_INT64 variable and an NC_UBYTE variable

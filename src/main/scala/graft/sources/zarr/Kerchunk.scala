@@ -297,6 +297,64 @@ object Kerchunk {
       }
     }
 
+    // ---- auxiliary coordinate arrays (2-D lat/lon of projected grids,
+    // cell bounds): no concat axis, so every file must serve the SAME
+    // values — enforced through metadata + attrs equality (scanGrib's
+    // aux attrs carry the projection fingerprint, so same-plane
+    // different-projection mixes fail here) — and the first file's chunk
+    // references serve the combined store
+    val auxNames = first.auxVars.map(_.name).sorted
+    sorted.foreach { case (p, st) =>
+      require(st.auxVars.map(_.name).sorted == auxNames,
+        s"$p: auxiliary arrays ${st.auxVars.map(_.name).sorted.mkString(",")}" +
+          s" != ${auxNames.mkString(",")}")
+    }
+    auxNames.foreach { name =>
+      val zas = raws.map { case (p, raw, _) =>
+        p -> inlineJson(raw, s"$name/.zarray").getOrElse(
+          throw new IllegalArgumentException(s"$p: $name/.zarray missing"))
+      }
+      val attrs0 = inlineJson(raws.head._2, s"$name/.zattrs").getOrElse(JObject())
+      require(!(attrs0 \ "_ARRAY_DIMENSIONS").extract[Seq[String]]
+          .contains(concatDim),
+        s"$name: auxiliary array carries the concat dimension " +
+          s"'$concatDim' — concat-dependent auxiliaries are not supported")
+      raws.foreach { case (p, raw, _) =>
+        require(inlineJson(raw, s"$name/.zattrs").getOrElse(JObject()) == attrs0,
+          s"$p: $name attributes differ from ${raws.head._1}")
+      }
+      zas.foreach { case (p, za) =>
+        require(za.removeField(_._1 == "dimension_separator") ==
+            zas.head._2.removeField(_._1 == "dimension_separator"),
+          s"$p: $name metadata differs from ${zas.head._1}")
+      }
+      val sep1: Char = (zas.head._2 \ "dimension_separator")
+        .extractOpt[String].getOrElse(".") match {
+        case s @ ("." | "/") => s.charAt(0)
+        case other => throw new IllegalArgumentException(
+          s"${raws.head._1}: $name dimension_separator '$other' " +
+            "(only '.' and '/')")
+      }
+      entries += s"$name/.zarray" -> jsonQ(JsonMethods.compact(
+        JsonMethods.render(zas.head._2.removeField(_._1 == "dimension_separator"))))
+      entries += s"$name/.zattrs" -> jsonQ(JsonMethods.compact(
+        JsonMethods.render(attrs0)))
+      val (p1, raw1, base1) = raws.head
+      raw1.foreach { case (k, v) =>
+        if (k.startsWith(name + "/") && !k.endsWith(".zarray") &&
+            !k.endsWith(".zattrs")) {
+          val idx =
+            try k.drop(name.length + 1).split(sep1).map(_.toInt)
+            catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(s"$p1: chunk key $k " +
+                  s"does not parse under dimension_separator '$sep1'")
+            }
+          entries += s"$name/${idx.mkString(".")}" -> rerender(base1, v, k)
+        }
+      }
+    }
+
     // ---- coordinates: inlined decoded values (small, O(axis) doubles).
     // The concat axis concatenates across files; other axes must agree.
     first.dims.foreach { d =>
@@ -362,41 +420,93 @@ object Kerchunk {
     * ONE array — and names take `_level`/`_stepType` suffixes only when
     * needed. The time axis is the sorted distinct valid times, inlined as
     * epoch seconds; a field missing at some step is an ABSENT chunk and
-    * reads as the NaN fill. Scope: rectangular lat/lon and Gaussian grids
-    * (reduced, spectral, projected/rotated grids have no separable axes —
-    * directed errors), one grid per file (checked on the actual axis
-    * values, so editions may differ in encoding but not placement). The
+    * reads as the NaN fill. Scope: rectangular lat/lon and Gaussian grids,
+    * plus PROJECTED grids (Lambert conformal, polar stereographic,
+    * Mercator, transverse Mercator, Albers, space view — the HRRR/NAM/
+    * Meteosat layouts): those virtualize as `[time, y, x]` over plane-
+    * coordinate axes with true 2-D `latitude`/`longitude` served as
+    * SYNTHESIZED chunks (auxiliary coordinate columns computed by the grib
+    * codec from the message's own grid definition — zero coordinate bytes
+    * stored). ROTATED lat/lon grids (COSMO/HARMONIE) likewise: `[time,
+    * rlat, rlon]` rotated-frame axes + synthesized true lat/lon. Reduced
+    * and spectral fields have no grid — directed errors. One grid per
+    * file (checked on actual axis values / projection parameters, so
+    * editions may differ in encoding but not placement). The
     * result composes with [[combine]]: per-file GRIB refs concatenate
     * along time like any other store. */
   def scanGrib(conf: Configuration, path: String,
       uri: String = null): String = {
-    import graft.sources.grib.{Grib1, Grib2, GribIndex, GribUnit}
+    import graft.sources.grib.{Grib1, Grib2, GribIndex, GribUnit, GribProjection}
     val target = Option(uri).getOrElse(path)
     val msgs = GribIndex.indexMessageSpans(conf, path)
     val all: Seq[(Long, Long, GribUnit)] =
       for ((off, len, us) <- msgs; u <- us) yield (off, len, u)
     require(all.nonEmpty, s"no GRIB fields in $path")
+    // projected grids (Lambert conformal, polar stereo, Mercator, space
+    // view, ...) are regular in the projection PLANE: (projection params,
+    // first-point plane coords, per-step meters) — separable y/x axes
+    def projInfoOf(u: GribUnit): Option[(GribProjection, Double, Double, Double, Double)] =
+      u match {
+        case f: Grib2.Field => f.projection.collect {
+          case p if !p.isInstanceOf[GribProjection.RotatedLatLon] =>
+            val (x0, y0) = f.planeOrigin.getOrElse(p.forward(f.la1, f.lo1))
+            (p, x0, y0, f.dxMeters, f.dyMeters)
+        }
+        case m: Grib1.Message => m.projection.map { p =>
+          val (x0, y0) = p.forward(m.la1, m.lo1)
+          (p, x0, y0, m.dxMeters, m.dyMeters)
+        }
+        case _ => None
+      }
+    // rotated lat/lon grids (COSMO/HARMONIE): regular in the ROTATED
+    // frame — the frame's degrees are the separable axes; true lat/lon
+    // come from the rotation inverse, synthesized like the projected case
+    def rotOf(u: GribUnit): Option[GribProjection.RotatedLatLon] = u match {
+      case f: Grib2.Field =>
+        f.projection.collect { case r: GribProjection.RotatedLatLon => r }
+      case m: Grib1.Message => m.rotated
+      case _ => None
+    }
     all.foreach { case (_, _, u) =>
       def reject(what: String): Nothing = throw Grib1.UnsupportedGrib(
-        s"${u.shortName}: $what — no separable lat/lon axes to " +
+        s"${u.shortName}: $what — no separable axes to " +
           "virtualize (read via GribReader, which emits per-point coordinates)")
       u match {
         case f: Grib2.Field =>
           if (f.pl.isDefined) reject("reduced grid rows vary in length")
           if (f.spectral.isDefined) reject("spectral coefficients are not a grid")
-          if (f.projection.isDefined) reject("projected grid")
         case m: Grib1.Message =>
           if (m.pl.isDefined) reject("reduced grid rows vary in length")
           if (m.spectral.isDefined) reject("spectral coefficients are not a grid")
-          if (m.rotated.isDefined) reject("rotated grid")
-          if (m.projection.isDefined) reject("projected grid")
         case _ => reject(s"unexpected unit ${u.getClass.getName}")
       }
     }
     val g0 = all.head._3
-    val lats = (0 until g0.nj).map(g0.latOf).toArray
-    val lons = (0 until g0.ni).map(g0.lonOf).toArray
-    all.foreach { case (off, _, u) =>
+    val proj0 = projInfoOf(g0)
+    val rot0 = rotOf(g0)
+    if (proj0.isDefined) all.foreach { case (off, _, u) =>
+      // identical wire integers give identical derived doubles, so exact
+      // equality is the right agreement check
+      require(u.ni == g0.ni && u.nj == g0.nj && projInfoOf(u) == proj0,
+        s"$path: ${u.shortName} at offset $off is on a different " +
+          s"projected grid — one grid per store")
+    }
+    else all.foreach { case (off, _, u) =>
+      require(projInfoOf(u).isEmpty,
+        s"$path: ${u.shortName} at offset $off is projected but the first " +
+          "field is not — one grid per store")
+      require(rotOf(u) == rot0,
+        s"$path: ${u.shortName} at offset $off has a different rotated " +
+          "pole — one grid per store")
+    }
+    // axis values in the grid's OWN frame: true degrees for regular
+    // grids, rotated-frame degrees for rotated ones (latOf/lonOf report
+    // the frame the grid is regular in)
+    val lats = if (proj0.isDefined) Array.empty[Double]
+      else (0 until g0.nj).map(g0.latOf).toArray
+    val lons = if (proj0.isDefined) Array.empty[Double]
+      else (0 until g0.ni).map(g0.lonOf).toArray
+    if (proj0.isEmpty) all.foreach { case (off, _, u) =>
       require(u.ni == g0.ni && u.nj == g0.nj &&
           (0 until u.nj).forall(j => u.latOf(j) == lats(j)) &&
           (0 until u.ni).forall(i => u.lonOf(i) == lons(i)),
@@ -449,8 +559,44 @@ object Kerchunk {
     entries += ".zgroup" -> jsonQ("""{"zarr_format": 2}""")
     entries ++= inlineF8Coord("time", times.map(_.toDouble).toArray,
       epochTime = true)
-    entries ++= inlineF8Coord("latitude", lats, epochTime = false)
-    entries ++= inlineF8Coord("longitude", lons, epochTime = false)
+    val (dimY, dimX) =
+      if (proj0.isDefined) ("y", "x")
+      else if (rot0.isDefined) ("rlat", "rlon") // the CF/COSMO axis names
+      else ("latitude", "longitude")
+    // true 2-D lat/lon as SYNTHESIZED chunks (the kerchunk grib
+    // convention): the ref points at the first message; the codec
+    // computes the coordinate field from its grid definition. The
+    // grid fingerprint rides the attrs so combine's metadata agreement
+    // rejects same-axes different-mapping mixes.
+    def auxLatLon(fp: String): Unit = {
+      val (off0, len0) = (all.head._1, all.head._2)
+      Seq("latitude", "longitude").foreach { cn =>
+        val za =
+          s"""{"zarr_format": 2, "shape": [${g0.nj}, ${g0.ni}], """ +
+            s""""chunks": [${g0.nj}, ${g0.ni}], "dtype": "<f8", """ +
+            s""""compressor": {"id": "grib", "coord": "$cn"}, """ +
+            """"filters": null, "fill_value": "NaN", "order": "C"}"""
+        entries += s"$cn/.zarray" -> jsonQ(za)
+        entries += s"$cn/.zattrs" -> jsonQ(
+          s"""{"_ARRAY_DIMENSIONS": ["$dimY", "$dimX"], """ +
+            s""""grid_mapping": "${escape(fp)}"}""")
+        entries += s"$cn/0.0" -> s"""["${escape(target)}", $off0, $len0]"""
+      }
+    }
+    proj0 match {
+      case Some((p, x0, y0, dx, dy)) =>
+        // axes are plane coordinates (meters from the projection origin;
+        // scan-angle units for space view) — prunable like any axis
+        entries ++= inlineF8Coord("y",
+          (0 until g0.nj).map(j => y0 + j * dy).toArray, epochTime = false)
+        entries ++= inlineF8Coord("x",
+          (0 until g0.ni).map(i => x0 + i * dx).toArray, epochTime = false)
+        auxLatLon(s"$p origin=($x0,$y0) step=($dx,$dy)")
+      case None =>
+        entries ++= inlineF8Coord(dimY, lats, epochTime = false)
+        entries ++= inlineF8Coord(dimX, lons, epochTime = false)
+        rot0.foreach(r => auxLatLon(r.toString))
+    }
     byKey.toSeq.sortBy(k => nameOf(k._1)).foreach { case (k, us) =>
       val name = nameOf(k)
       us.groupBy(_._3.validTimeEpochSec).foreach { case (t, dups) =>
@@ -466,7 +612,7 @@ object Kerchunk {
           """"filters": null, "fill_value": "NaN", "order": "C"}"""
       entries += s"$name/.zarray" -> jsonQ(za)
       entries += s"$name/.zattrs" -> jsonQ(
-        """{"_ARRAY_DIMENSIONS": ["time", "latitude", "longitude"]}""")
+        s"""{"_ARRAY_DIMENSIONS": ["time", "$dimY", "$dimX"]}""")
       us.foreach { case (off, len, u) =>
         entries += s"$name/${tIdx(u.validTimeEpochSec)}.0.0" ->
           s"""["${escape(target)}", $off, $len]"""
@@ -487,10 +633,12 @@ object Kerchunk {
     * sample per pixel, compression none / deflate / ZSTD (zarr null /
     * zlib / zstd codecs — LZW, PackBits and JPEG have no zarr codec, and
     * the TIFF horizontal/float predictors differ from numcodecs delta),
-    * no predictor, geographic or unspecified CRS (projected model spaces
-    * have no separable lat/lon axes — read those via TiffReader), and for
-    * stripped layouts a strip height dividing the image (zarr chunks are
-    * fixed-size; TIFF pads edge TILES but truncates the final strip).
+    * no predictor, and for stripped layouts a strip height dividing the
+    * image (zarr chunks are fixed-size; TIFF pads edge TILES but
+    * truncates the final strip). Geographic rasters get lat/lon axes;
+    * PROJECTED rasters (UTM, Lambert, Web-Mercator COGs) virtualize over
+    * y/x model-unit axes — per-pixel lat/lon comes from CrsTransform
+    * columns downstream, as in TiffReader.
     *
     * `timeEpochSec` (when finite) adds a length-1 leading `time` axis so a
     * directory of per-day COGs combines along time like any other store
@@ -506,7 +654,6 @@ object Kerchunk {
         "as zarr references (read via TiffReader)")
     if (m.samplesPerPixel != 1) reject(s"${m.samplesPerPixel} samples/pixel")
     if (m.predictor != 1) reject(s"predictor ${m.predictor}")
-    if (!m.isGeographicModel) reject(s"projected CRS EPSG:${m.epsg}")
     val compressor = m.compression match {
       case 1 => "null"
       case 8 | 32946 => """{"id": "zlib"}"""
@@ -542,8 +689,13 @@ object Kerchunk {
       }
     val entries = Seq.newBuilder[(String, String)]
     entries += ".zgroup" -> jsonQ("""{"zarr_format": 2}""")
-    // coordinate axes from the affine (pixel centers); unspecified CRS
-    // keeps raster y/x names so nothing claims degrees that aren't
+    // coordinate axes from the affine (pixel centers). Geographic 4326
+    // axes ARE degrees and take lat/lon names; PROJECTED models (UTM,
+    // Lambert, polar stereo, Web-Mercator COGs — the HRRR-derived shape)
+    // keep y/x names with the affine's model units (meters), which prune
+    // like any axis — lat/lon per pixel comes from CrsTransform columns
+    // downstream, exactly as TiffReader derives them; unspecified CRS
+    // also keeps raster y/x names so nothing claims degrees that aren't
     val (yName, xName) =
       if (m.epsg == 4326) ("latitude", "longitude") else ("y", "x")
     if (withTime)

@@ -360,6 +360,134 @@ class KerchunkSpec extends SparkSpec {
         want.map(r => (r.get(0), r.get(1), r.get(2), r.get(3))))
   }
 
+  test("projected grib virtualizes as [time, y, x] with synthesized 2-D lat/lon") {
+    import graft.sources.grib.GribProjection
+    val dir = java.nio.file.Files.createTempDirectory("kcgp").toString
+    val path = s"$dir/l.grib2"
+    val (niP, njP) = (6, 5)
+    def vals(seed: Int) =
+      (0 until niP * njP).map(i => ((seed * 13 + i * 3) % 97).toDouble)
+    val lcc = GribProjection.LambertConformal(33.0, 45.0, 262.5, 6371229.0)
+    def spec(seed: Int, fcst: Int) = GW2.FieldSpec(0, 0, 0, 103, 2,
+      java.time.LocalDateTime.of(2026, 4, 1, 0, 0), vals(seed), niP, njP,
+      38.0, 262.0, 0, 0, forecastTime = fcst, projection = Some(lcc),
+      dxMeters = 3000.0, dyMeters = 3000.0)
+    GW2.write(path, Seq(spec(1, 0), spec(2, 6)))
+    val refsPath = s"$dir/l.refs.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(refsPath),
+      Kerchunk.scanGrib(conf, path).getBytes("UTF-8"))
+    val df = spark.read.format("zarr").load(refsPath)
+    assert(df.columns.toSet ==
+      Set("time", "y", "x", "2t", "latitude", "longitude"))
+    assert(df.count() == 2 * niP * njP)
+    // y/x axes walk plane meters from the projected first point
+    val (x0, y0) = lcc.forward(38.0, 262.0)
+    val row0 = df.orderBy($"time", $"y", $"x").head()
+    assert(math.abs(row0.getAs[Double]("x") - x0) < 1e-6)
+    assert(math.abs(row0.getAs[Double]("y") - y0) < 1e-6)
+    // the synthesized lat/lon equal the direct reader's per-point coords
+    val got = df.filter($"time" === java.time.LocalDateTime.of(2026, 4, 1, 0, 0))
+      .select($"latitude", $"longitude", $"2t")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val want = Grib2Reader.readMerged(spark, path)
+      .filter($"time" === java.time.LocalDateTime.of(2026, 4, 1, 0, 0))
+      .select($"latitude", $"longitude",
+        col(graft.operators.Mover.channelName("heightAboveGround", 2.0,
+          "instant", "2t")))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got.size == want.size)
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._1 - w._1) < 1e-9 && math.abs(g._2 - w._2) < 1e-9 &&
+        g._3 == w._3, s"$g != $w")
+    }
+    // plane-coordinate predicates prune chunks (1 time chunk of 2)
+    val one = df.filter($"time" === java.time.LocalDateTime.of(2026, 4, 1, 6, 0))
+    assert(one.rdd.getNumPartitions == 1 && one.count() == niP * njP)
+
+    // combine across daily projected files: aux lat/lon carried once
+    val p2 = s"$dir/l2.grib2"
+    GW2.write(p2, Seq(GW2.FieldSpec(0, 0, 0, 103, 2,
+      java.time.LocalDateTime.of(2026, 4, 2, 0, 0), vals(3), niP, njP,
+      38.0, 262.0, 0, 0, projection = Some(lcc),
+      dxMeters = 3000.0, dyMeters = 3000.0)))
+    val refs2 = s"$dir/l2.refs.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(refs2),
+      Kerchunk.scanGrib(conf, p2).getBytes("UTF-8"))
+    val combined = s"$dir/lc.refs.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(combined),
+      Kerchunk.combine(conf, Seq(refsPath, refs2)).getBytes("UTF-8"))
+    val cdf = spark.read.format("zarr").load(combined)
+    assert(cdf.count() == 3 * niP * njP)
+    assert(cdf.select(countDistinct($"time")).head().getLong(0) == 3)
+    // day-2 rows still carry correct synthesized lat/lon
+    val d2 = cdf.filter($"time" === java.time.LocalDateTime.of(2026, 4, 2, 0, 0))
+      .select($"latitude", $"longitude")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+      .sortBy(identity).toSeq
+    assert(d2 == got.map(t => (t._1, t._2)).sorted)
+
+    // a same-plane different-projection file fails combine directed
+    val p3 = s"$dir/l3.grib2"
+    GW2.write(p3, Seq(GW2.FieldSpec(0, 0, 0, 103, 2,
+      java.time.LocalDateTime.of(2026, 4, 3, 0, 0), vals(4), niP, njP,
+      38.0, 262.0, 0, 0,
+      projection = Some(GribProjection.LambertConformal(30.0, 45.0, 262.5,
+        6371229.0)),
+      dxMeters = 3000.0, dyMeters = 3000.0)))
+    val refs3 = s"$dir/l3.refs.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(refs3),
+      Kerchunk.scanGrib(conf, p3).getBytes("UTF-8"))
+    val e = intercept[Exception] {
+      Kerchunk.combine(conf, Seq(refsPath, refs3))
+    }
+    assert(e.getMessage.contains("attributes differ") ||
+      e.getMessage.contains("coordinate"), e.getMessage)
+  }
+
+  test("rotated grib virtualizes as [time, rlat, rlon] with synthesized lat/lon") {
+    import graft.sources.grib.GribProjection
+    val dir = java.nio.file.Files.createTempDirectory("kcgr").toString
+    val path = s"$dir/r.grib2"
+    val (niR, njR) = (7, 5)
+    val rot = GribProjection.RotatedLatLon(-40.0, 10.0)
+    def vals(seed: Int) =
+      (0 until niR * njR).map(i => ((seed * 17 + i * 5) % 83).toDouble)
+    GW2.write(path, Seq(GW2.FieldSpec(0, 0, 0, 103, 2,
+      java.time.LocalDateTime.of(2026, 4, 1, 0, 0), vals(1), niR, njR,
+      la1 = 10.0, lo1 = -15.0, la2 = -10.0, lo2 = 15.0,
+      decimalScale = 0, projection = Some(rot))))
+    val refsPath = s"$dir/r.refs.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(refsPath),
+      Kerchunk.scanGrib(conf, path).getBytes("UTF-8"))
+    val df = spark.read.format("zarr").load(refsPath)
+    assert(df.columns.toSet ==
+      Set("time", "rlat", "rlon", "2t", "latitude", "longitude"))
+    assert(df.count() == niR * njR)
+    // rlat axis descends from la1 (scan -j); rlon ascends from lo1
+    val r0 = df.orderBy($"rlat".desc, $"rlon").head()
+    assert(r0.getAs[Double]("rlat") == 10.0 && r0.getAs[Double]("rlon") == -15.0)
+    // synthesized true lat/lon equal the direct reader's unrotated coords
+    val got = df.select($"latitude", $"longitude", $"2t")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val want = Grib2Reader.readMerged(spark, path)
+      .select($"latitude", $"longitude",
+        col(graft.operators.Mover.channelName("heightAboveGround", 2.0,
+          "instant", "2t")))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got.size == want.size)
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._1 - w._1) < 1e-9 && math.abs(g._2 - w._2) < 1e-9 &&
+        g._3 == w._3, s"$g != $w")
+    }
+    // a rotated-frame predicate prunes like any axis predicate (residual
+    // filter correctness over the rotated frame)
+    assert(df.filter($"rlat" > 0.0 && $"rlon" < 0.0).count() == 2 * 3)
+  }
+
   test("grib2 virtualization fails directed off the rectangular model") {
     import graft.sources.grib.GaussianGrid
     val dir = java.nio.file.Files.createTempDirectory("kcg4").toString
@@ -376,6 +504,46 @@ class KerchunkSpec extends SparkSpec {
       gaussianN = gn, reducedPl = Some(pl))))
     val e = intercept[Exception] { Kerchunk.scanGrib(conf, reduced) }
     assert(e.getMessage.contains("reduced"), e.getMessage)
+  }
+
+  test("netCDF-4 curvilinear 2-D lat/lon virtualize as auxiliary columns") {
+    // the ROMS/WRF ocean-model layout in netCDF-4: dims are grid indices,
+    // latitude/longitude are 2-D arrays — they must surface as value
+    // columns through the refs store, not vanish from the row model
+    val dir = java.nio.file.Files.createTempDirectory("kcnc2").toString
+    val nc = s"$dir/c.nc"
+    def plane(f: (Int, Int) => Double): Seq[Double] =
+      for (y <- 0 until 3; x <- 0 until 4) yield f(y, x)
+    HW.write(nc, Seq(
+      HW.VarSpec("time", Seq("time"), Seq(2), Seq(0.0, 3600.0),
+        units = Some("seconds since 2020-01-01")),
+      HW.VarSpec("y", Seq("y"), Seq(3), (0 until 3).map(_.toDouble)),
+      HW.VarSpec("x", Seq("x"), Seq(4), (0 until 4).map(_.toDouble)),
+      HW.VarSpec("latitude", Seq("y", "x"), Seq(3, 4),
+        plane((y, x) => 40.0 + y + 0.1 * x), chunks = Some(Seq(2, 2)),
+        deflate = true),
+      HW.VarSpec("longitude", Seq("y", "x"), Seq(3, 4),
+        plane((y, x) => -100.0 + x + 0.2 * y)),
+      HW.VarSpec("sst", Seq("time", "y", "x"), Seq(2, 3, 4),
+        (for (t <- 0 until 2; y <- 0 until 3; x <- 0 until 4)
+          yield 10.0 * t + y + 0.01 * x),
+        chunks = Some(Seq(1, 2, 2)), deflate = true, shuffle = true)))
+    val refsPath = s"$dir/c.refs.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(refsPath),
+      Kerchunk.scanNetCDF4(conf, nc).getBytes("UTF-8"))
+    val df = spark.read.format("zarr").load(refsPath)
+    assert(df.columns.toSet ==
+      Set("time", "y", "x", "sst", "latitude", "longitude"))
+    assert(df.count() == 24)
+    val bad = df.where(
+      abs($"latitude" - (lit(40.0) + $"y" + $"x" * 0.1)) > 1e-9 or
+      abs($"longitude" - (lit(-100.0) + $"x" + $"y" * 0.2)) > 1e-9)
+    assert(bad.count() == 0)
+    // index-dim pruning composes with aux columns in edge partitions
+    val sel = df.where($"y" >= 1 && $"x" >= 2)
+    assert(sel.count() == 2 * 2 * 2)
+    assert(sel.where(abs($"latitude" - (lit(40.0) + $"y" + $"x" * 0.1)) > 1e-9)
+      .count() == 0)
   }
 
   test("scanAll writes one refs json per matched file") {
@@ -566,12 +734,28 @@ class KerchunkSpec extends SparkSpec {
       rowsPerStrip = 2, lzw = true, bitsPerSample = 16, sampleFormat = 1))
     val e1 = intercept[Exception] { Kerchunk.scanTiff(conf, lzw) }
     assert(e1.getMessage.contains("compression"), e1.getMessage)
+    // PROJECTED rasters virtualize over y/x model-unit axes (the
+    // HRRR-derived / Web-Mercator COG shape): values match the direct
+    // read, axes walk the affine, and y predicates prune strips
     val proj = s"$dir/p.tif"
-    TW.write(proj, TW.Spec(4, 4, 1, (0 until 16).map(_.toDouble),
+    TW.write(proj, TW.Spec(4, 4, 1, (0 until 16).map(i => (i * 3 % 11).toDouble),
       pixelScale = (1000, 1000), tiepointXY = (0, 0), epsg = 3857,
-      rowsPerStrip = 2))
-    val e2 = intercept[Exception] { Kerchunk.scanTiff(conf, proj) }
-    assert(e2.getMessage.contains("projected"), e2.getMessage)
+      rowsPerStrip = 2, deflate = true))
+    val pRefs = s"$dir/p.refs.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(pRefs),
+      Kerchunk.scanTiff(conf, proj).getBytes("UTF-8"))
+    val pdf = spark.read.format("zarr").load(pRefs)
+    assert(pdf.columns.toSeq == Seq("y", "x", "band_1"))
+    val prows = pdf.orderBy($"y".desc, $"x").collect().toSeq
+    assert(prows.size == 16)
+    prows.zipWithIndex.foreach { case (r, k) =>
+      val (j, i) = (k / 4, k % 4)
+      assert(r.getDouble(0) == -(j + 0.5) * 1000.0, r) // y descends from tiepoint
+      assert(r.getDouble(1) == (i + 0.5) * 1000.0, r)
+      assert(r.getDouble(2) == (k * 3 % 11).toDouble, r)
+    }
+    val pTop = pdf.filter($"y" > -2000.0) // rows 0-1 -> strip 0 only
+    assert(pTop.rdd.getNumPartitions == 1 && pTop.count() == 8)
     val ragged = s"$dir/g.tif"
     TW.write(ragged, TW.Spec(4, 5, 1, (0 until 20).map(_.toDouble),
       pixelScale = (1, 1), tiepointXY = (0, 5), epsg = 4326,
