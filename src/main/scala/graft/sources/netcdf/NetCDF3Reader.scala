@@ -83,6 +83,29 @@ object NetCDF3Reader {
       "data variables disagree on dimensions")
     val coordVars = head.vars.filter(v => v.dimIds.size == 1 &&
       hyperDims.exists(_.name == v.name)).map(v => v.name -> v).toMap
+    // AUXILIARY coordinate variables: numeric sub-rank vars whose dims
+    // form an order-preserving subsequence of the hypercube dims (the
+    // classic-format ROMS curvilinear layout — 2-D lat[y, x] beside
+    // 3-D data) — extra value columns indexed by the matching subset of
+    // the cell cursor. Record-dim aux vars are left out (their layout
+    // interleaves per record; no real curvilinear file has them).
+    val hyperIds = dataVars.head.dimIds.take(maxRank)
+    def subseqIdx(sub: Seq[Int]): Option[Seq[Int]] = {
+      val out = Seq.newBuilder[Int]
+      var i = 0
+      var ok = sub.nonEmpty
+      sub.foreach { a =>
+        while (i < hyperIds.size && hyperIds(i) != a) i += 1
+        if (i == hyperIds.size) ok = false
+        else { out += i; i += 1 }
+      }
+      if (ok) Some(out.result()) else None
+    }
+    val auxVars: Seq[(Var, Seq[Int])] = nonCoord
+      .filter(v => effRank(v, strlenDims) < maxRank &&
+        !collapses(v, strlenDims) && v.ncType != NC_CHAR &&
+        !v.dimIds.headOption.exists(head.dims(_).isRecord))
+      .flatMap(v => subseqIdx(v.dimIds).map(v -> _))
 
     // coordinate vectors: small, fetched with ranged reads on the driver
     // (never the whole file), shipped inside the task closures
@@ -107,7 +130,9 @@ object NetCDF3Reader {
       } finally in.close()
     }
     val shape: Seq[Int] = hyperDims.map(d => if (d.isRecord) head.numRecs else d.size)
-    val schema = schemaOf(head, dataVars, hyperDims, coordVars, strlenDims)
+    val schema = StructType(
+      schemaOf(head, dataVars, hyperDims, coordVars, strlenDims).fields ++
+        auxVars.map { case (v, _) => StructField(v.name, DoubleType) })
     val isTimeDim = hyperDims.map(d => coordVars.get(d.name).exists(_.epochSecondsTime))
 
     val dim0 = shape.head
@@ -131,11 +156,23 @@ object NetCDF3Reader {
     val strLens: Seq[Int] = dataVars.map(v =>
       if (collapses(v, strlenDims)) head.dims(v.dimIds.last).size else 0)
     val strLensLocal = strLens
+    val auxLocal = auxVars
+    val auxShapes: Seq[Seq[Int]] =
+      auxVars.map(_._1.dimIds.map(head.dims(_).size))
     val tconf = graft.sources.TaskConf(conf)
     val rdd = spark.sparkContext.parallelize(ranges, math.max(ranges.size, 1))
       .flatMap { case (lo, hi) =>
         graft.sources.RangedIO.rows(pathLocal, tconf) { in =>
         val w = varsLocal.map(v => typeBytes(v.ncType))
+        // aux arrays decode ONCE per partition (one ranged read each —
+        // non-record classic layout is a single contiguous block)
+        val auxData: Seq[Array[Double]] = auxLocal.zip(auxShapes).map {
+          case ((v, _), sh) =>
+            val n = sh.product
+            val buf = new Array[Byte](n * typeBytes(v.ncType))
+            in.readFully(v.begin, buf)
+            decodeSlice(buf, v, n)
+        }
         def rawSlice(v: Var, bytesPerPoint: Int, t: Int): Array[Byte] = {
           val isRec = v.dimIds.headOption.exists(headLocal.dims(_).isRecord)
           val bytesLen = perSlice * bytesPerPoint
@@ -175,12 +212,26 @@ object NetCDF3Reader {
                   java.time.ZoneOffset.UTC)
               } else java.lang.Double.valueOf(c)
             }
+            val auxCells: Seq[Any] = auxData.zip(auxLocal).zip(auxShapes).map {
+              case ((arr, (_, dIdx)), sh) =>
+                // C-order index over the aux var's OWN dims, from the
+                // matching subset of the (t, idx...) cursor
+                var giV = 0
+                var j = 0
+                while (j < sh.size) {
+                  val g = if (dIdx(j) == 0) t else idx(dIdx(j) - 1)
+                  giV = giV * sh(j) + g
+                  j += 1
+                }
+                val v = arr(giV)
+                if (v.isNaN) null else java.lang.Double.valueOf(v)
+            }
             val cells: Seq[Any] = coordCells ++ slices.map {
               case s: Array[Double] =>
                 val v = s(li)
                 if (v.isNaN) null else java.lang.Double.valueOf(v)
               case s: Array[String] => s(li)
-            }
+            } ++ auxCells
             Row.fromSeq(cells)
           }
         }

@@ -32,7 +32,12 @@ object NetCDF4Reader {
   private final case class VarPlan(
       name: String,
       ds: DatasetMeta,
-      chunks: Seq[Hdf5.ChunkRef]) extends Serializable {
+      chunks: Seq[Hdf5.ChunkRef],
+      // indices of this var's dims within the hypercube dims — identity
+      // for data variables; a strict subsequence for AUXILIARY coordinate
+      // variables (curvilinear 2-D lat/lon over [y, x] beside 3-D data)
+      dimsIdx: Seq[Int]) extends Serializable {
+    def shapeInts: Seq[Int] = ds.shape.map(_.toInt)
     def scaleFactor: Double = num(ds.attrs.get("scale_factor")).getOrElse(1.0)
     def addOffset: Double = num(ds.attrs.get("add_offset")).getOrElse(0.0)
     def missing: Option[Double] =
@@ -98,6 +103,29 @@ object NetCDF4Reader {
     val hyperDims = dimsOf(dataVars.head)
     require(dataVars.forall(v => dimsOf(v).map(_.objAddr) == hyperDims.map(_.objAddr)),
       s"$path: data variables disagree on dimensions")
+    // AUXILIARY coordinate variables: sub-rank vars whose dims form an
+    // order-preserving subsequence of the hypercube dims (the CF
+    // curvilinear layout — 2-D latitude[y, x] beside sst[time, y, x]) —
+    // extra value columns indexed by the matching subset of the cell
+    // cursor; anything else sub-rank stays out, as before
+    val hyperAddrs = hyperDims.map(_.objAddr)
+    def subseqIdx(sub: Seq[Long]): Option[Seq[Int]] = {
+      val out = Seq.newBuilder[Int]
+      var i = 0
+      var ok = true
+      sub.foreach { a =>
+        while (i < hyperAddrs.size && hyperAddrs(i) != a) i += 1
+        if (i == hyperAddrs.size) ok = false
+        else { out += i; i += 1 }
+      }
+      if (ok) Some(out.result()) else None
+    }
+    val auxVars: Seq[(DatasetMeta, Seq[Int])] = dataSets
+      .filter(_.shape.size < maxRank)
+      .flatMap { v =>
+        try subseqIdx(dimsOf(v).map(_.objAddr)).map(v -> _)
+        catch { case _: UnsupportedHdf5 => None }
+      }
 
     val shape: Seq[Int] = dataVars.head.shape.map(_.toInt)
     val dimNames = hyperDims.map(d => baseName(d.path))
@@ -128,12 +156,13 @@ object NetCDF4Reader {
         // time is nullable: fixed-calendar dates Gregorian can't represent
         // (360_day Feb 30) decode to NaN -> null, see CfTime
         StructField(n, if (t) TimestampNTZType else DoubleType, nullable = t)
-      } ++ dataVars.flatMap(columnsOf))
+      } ++ dataVars.flatMap(columnsOf) ++ auxVars.map(_._1).flatMap(columnsOf))
 
     // chunk plan: every data var either contiguous (one whole-array "chunk")
     // or chunked on a SHARED grid — tasks own grid cells across all vars
     val conf2 = graft.sources.TaskConf(conf)
-    val plans = dataVars.map { v =>
+    val plans = (dataVars.map(_ -> (0 until maxRank: Seq[Int])) ++ auxVars)
+      .map { case (v, dIdx) =>
       val chunks = v.layout match {
         case _: Chunked =>
           // chunkRefs needs header reads; reopen (driver-side, metadata-only)
@@ -146,7 +175,7 @@ object NetCDF4Reader {
           finally in2.close()
         case _ => Nil
       }
-      VarPlan(baseName(v.path), v, chunks)
+      VarPlan(baseName(v.path), v, chunks, dIdx)
     }
     // Task cells come from the FIRST chunked var's grid (the head grid).
     // Vars chunked on a DIFFERENT grid resolve each cell through their own
@@ -155,7 +184,10 @@ object NetCDF4Reader {
     // index globally. So any mix of layouts and chunkings reads correctly
     // (netCDF-C accepts them all; requiring an nccopy repack would be a
     // usability regression vs the reference).
-    val headChunked = plans.find(_.ds.layout.isInstanceOf[Chunked])
+    // the task grid must be a FULL-RANK var's grid — aux chunk grids
+    // span only their own dims
+    val headChunked = plans.find(pl =>
+      pl.ds.layout.isInstanceOf[Chunked] && pl.dimsIdx.size == maxRank)
     val chunkDims: Seq[Int] = headChunked
       .map(_.ds.layout.asInstanceOf[Chunked].chunkDims).getOrElse(shape)
     // task units: chunk offsets present in the head var's map
@@ -203,7 +235,7 @@ object NetCDF4Reader {
         // index into them globally)
         val wholeCache = scala.collection.mutable.HashMap.empty[String, Seq[AnyRef]]
         def whole(pl: VarPlan): Seq[AnyRef] = wholeCache.getOrElseUpdate(pl.name, {
-          val nTotal = shapeLocal.product
+          val nTotal = pl.shapeInts.product // own extent (aux vars are sub-rank)
           pl.ds.layout match {
             case Contiguous(addr, size) =>
               decodeAny(pl, read(addr, size.toInt), nTotal, 0)
@@ -287,12 +319,29 @@ object NetCDF4Reader {
                 case bs: Array[Array[Byte]] => bs(idx) // opaque cell
               }
               val dataCells: Seq[Any] = perVar.zip(plansLocal).flatMap {
-                case (Left((cols, global)), _) =>
-                  cols.map(cellOf(_, if (global) gi.toInt else li))
+                case (Left((cols, global)), pl) =>
+                  // whole vars index by C-order position over their OWN
+                  // dims — identical to gi for full-rank vars, the mapped
+                  // subset for aux vars
+                  val idx =
+                    if (!global) li
+                    else if (pl.dimsIdx.size == rank) gi.toInt
+                    else {
+                      val sh = pl.shapeInts
+                      var giV = 0
+                      var j = 0
+                      while (j < sh.length) {
+                        giV = giV * sh(j) + gIdx(pl.dimsIdx(j)); j += 1
+                      }
+                      giV
+                    }
+                  cols.map(cellOf(_, idx))
                 case (Right(cdims), pl) =>
-                  // var on its own grid: chunk containing this global cell
-                  val vOff: Seq[Long] =
-                    (0 until rank).map(d => (gIdx(d) / cdims(d)).toLong * cdims(d))
+                  // var on its own grid (incl. sub-rank aux): chunk
+                  // containing this cell's projection onto ITS dims
+                  val vRank = pl.dimsIdx.size
+                  val vOff: Seq[Long] = (0 until vRank).map(j =>
+                    (gIdx(pl.dimsIdx(j)) / cdims(j)).toLong * cdims(j))
                   val cacheKey = (pl.name, vOff)
                   var cols = ownGridCache.get(cacheKey)
                   if (cols == null) {
@@ -304,8 +353,8 @@ object NetCDF4Reader {
                   }
                   var vli = 0
                   var d2 = 0
-                  while (d2 < rank) {
-                    vli = vli * cdims(d2) + (gIdx(d2) - vOff(d2).toInt)
+                  while (d2 < vRank) {
+                    vli = vli * cdims(d2) + (gIdx(pl.dimsIdx(d2)) - vOff(d2).toInt)
                     d2 += 1
                   }
                   cols.map(cellOf(_, vli))

@@ -145,6 +145,40 @@ class Hdf5Spec extends SparkSpec {
       "mixed-chunk-grid values diverge from contiguous")
   }
 
+  test("curvilinear 2-D lat/lon (auxiliary coordinates) surface as columns") {
+    // the ROMS/WRF netCDF-4 layout: dims [time, y, x] are indices,
+    // latitude/longitude are 2-D arrays over [y, x]; the direct reader
+    // must surface them as value columns (chunked AND contiguous paths),
+    // indexed by each row's (y, x)
+    val nc = tmp("curv.nc")
+    val (nt, ny, nx) = (2, 3, 4)
+    def plane(f: (Int, Int) => Double): Seq[Double] =
+      for (y <- 0 until ny; x <- 0 until nx) yield f(y, x)
+    HW.write(nc, Seq(
+      HW.VarSpec("time", Seq("time"), Seq(nt),
+        (0 until nt).map(t => (t0 + 3600L * t).toDouble), dtype = "f8",
+        units = Some("seconds since 1970-01-01")),
+      HW.VarSpec("y", Seq("y"), Seq(ny), (0 until ny).map(_.toDouble)),
+      HW.VarSpec("x", Seq("x"), Seq(nx), (0 until nx).map(_.toDouble)),
+      HW.VarSpec("latitude", Seq("y", "x"), Seq(ny, nx),
+        plane((y, x) => 40.0 + y + 0.1 * x),
+        chunks = Some(Seq(2, 2)), deflate = true),
+      HW.VarSpec("longitude", Seq("y", "x"), Seq(ny, nx),
+        plane((y, x) => -100.0 + x + 0.2 * y)),
+      HW.VarSpec("sst", Seq("time", "y", "x"), Seq(nt, ny, nx),
+        (for (t <- 0 until nt; y <- 0 until ny; x <- 0 until nx)
+          yield 10.0 * t + y + 0.01 * x),
+        chunks = Some(Seq(1, 2, 2)), deflate = true, shuffle = true)))
+    val df = NetCDF4Reader.readLongFormat(spark, nc)
+    assert(df.columns.toSeq ==
+      Seq("time", "y", "x", "sst", "latitude", "longitude"))
+    assert(df.count() == nt * ny * nx)
+    val bad = df.where(
+      abs($"latitude" - (lit(40.0) + $"y" + $"x" * 0.1)) > 1e-6 or
+      abs($"longitude" - (lit(-100.0) + $"x" + $"y" * 0.2)) > 1e-6)
+    assert(bad.count() == 0)
+  }
+
   test("vlen-sequence (class 9 type 0, netCDF-4 VLEN) variables read as array columns") {
     val p = tmp("vlen.nc")
     val n = 4

@@ -95,6 +95,42 @@ class NetCDF3Spec extends SparkSpec {
     assert(r.getAs[Double]("flags") == ((2 + 2 + 1) % 250).toDouble)
   }
 
+  test("curvilinear 2-D lat/lon (auxiliary coordinates) surface as columns") {
+    // the classic-format ROMS layout: dims [time, y, x] are indices,
+    // lat/lon are 2-D non-record arrays — they must surface as value
+    // columns indexed by each row's (y, x), with CDL decode applied
+    val dir = java.nio.file.Files.createTempDirectory("nc3curv").toString
+    val path = s"$dir/curv.nc"
+    def plane(f: (Int, Int) => Double): Seq[Double] =
+      for (y <- 0 until 3; x <- 0 until 4) yield f(y, x)
+    NW.write(path,
+      dims = Seq(NW.DimSpec("time", 2, record = true),
+        NW.DimSpec("y", 3), NW.DimSpec("x", 4)),
+      vars = Seq(
+        NW.VarSpec("time", Seq("time"), NetCDF3.NC_DOUBLE, Seq(0.0, 3600.0),
+          attrs = Seq("units" -> "seconds since 1970-01-01")),
+        NW.VarSpec("y", Seq("y"), NetCDF3.NC_DOUBLE,
+          (0 until 3).map(_.toDouble)),
+        NW.VarSpec("x", Seq("x"), NetCDF3.NC_DOUBLE,
+          (0 until 4).map(_.toDouble)),
+        NW.VarSpec("lat", Seq("y", "x"), NetCDF3.NC_DOUBLE,
+          plane((y, x) => 40.0 + y + 0.1 * x)),
+        // packed aux: scale/offset decode must apply to aux columns too
+        NW.VarSpec("lon", Seq("y", "x"), NetCDF3.NC_SHORT,
+          plane((y, x) => (x * 10 + y).toDouble),
+          attrs = Seq("scale_factor" -> 0.5, "add_offset" -> (-100.0))),
+        NW.VarSpec("sst", Seq("time", "y", "x"), NetCDF3.NC_DOUBLE,
+          (for (t <- 0 until 2; y <- 0 until 3; x <- 0 until 4)
+            yield 10.0 * t + y + 0.01 * x))))
+    val cdf = NetCDF3Reader.readLongFormat(spark, path)
+    assert(cdf.columns.toSeq == Seq("time", "y", "x", "sst", "lat", "lon"))
+    assert(cdf.count() == 24)
+    val bad = cdf.where(
+      abs($"lat" - (lit(40.0) + $"y" + $"x" * 0.1)) > 1e-9 or
+      abs($"lon" - (($"x" * 10 + $"y") * 0.5 - 100.0)) > 1e-9)
+    assert(bad.count() == 0)
+  }
+
   test("streaming numrecs sentinel resolves the record count from file length") {
     // the classic spec defines numrecs = 0xFFFFFFFF as "indeterminate"
     // (streaming writers); records then run from the record start to EOF
