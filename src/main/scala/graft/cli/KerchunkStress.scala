@@ -190,6 +190,69 @@ object KerchunkStress {
     val tWk = timed("cog one-week mean")(
       tWeek.agg(avg($"band_1")).head().getDouble(0))
     println(f"[stress] cog year mean $tFull%.4f, week mean $tWk%.4f")
+
+    // ---- the same year as daily PROJECTED (Lambert conformal) GRIB2 —
+    // the HRRR archive shape: [time, y, x] plane axes, true lat/lon as
+    // SYNTHESIZED aux chunks. The aux columns must cost nothing at scan
+    // time (no coordinate bytes stored) and combine must carry them once.
+    import graft.sources.grib.GribProjection
+    val pdir = s"$work/hrrr"
+    new java.io.File(pdir).mkdirs()
+    val lcc = GribProjection.LambertConformal(38.5, 38.5, 262.5, 6371229.0)
+    val tp0 = System.nanoTime()
+    for (d <- 0 until days) {
+      val day = start.plusDays(d)
+      GW2.write(s"$pdir/hrrr_$day.grib2", (0 until nt).map { t =>
+        GW2.FieldSpec(0, 0, 0, 103, 2,
+          java.time.LocalDateTime.of(day.getYear, day.getMonthValue,
+            day.getDayOfMonth, 0, 0),
+          (0 until nlat * nlon).map(i => ((d * 7919 + t * 997 + i * 13) % 4001)
+            .toDouble / 10.0),
+          ni = nlon, nj = nlat, la1 = 38.0, lo1 = 262.0, la2 = 0, lo2 = 0,
+          forecastTime = t * 6, decimalScale = 1,
+          projection = Some(lcc), dxMeters = 3000.0, dyMeters = 3000.0)
+      })
+    }
+    val tpWrite = (System.nanoTime() - tp0) / 1e9
+    val tp1 = System.nanoTime()
+    val prefs = spark.sparkContext.parallelize(
+      new java.io.File(pdir).listFiles().map(_.toString)
+        .filter(_.endsWith(".grib2")).sorted.toSeq, days)
+      .map { f =>
+        val json = graft.sources.zarr.Kerchunk.scanGrib(
+          new org.apache.hadoop.conf.Configuration(), f)
+        val out = f + ".refs.json"
+        java.nio.file.Files.write(java.nio.file.Paths.get(out),
+          json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out
+      }.collect().toSeq.sorted
+    val tpScan = (System.nanoTime() - tp1) / 1e9
+    val tp2 = System.nanoTime()
+    val pCombined = graft.sources.zarr.Kerchunk.combine(tconf, prefs)
+    val tpCombine = (System.nanoTime() - tp2) / 1e9
+    val pPath = s"$work/hrrr-combined.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(pPath),
+      pCombined.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(f"[stress] hrrr: $days files written in $tpWrite%.1f s; " +
+      f"scanGrib x$days $tpScan%.2f s; combine $tpCombine%.2f s; " +
+      f"refs json ${pCombined.length / 1024} KiB")
+    val pdf = spark.read.format("zarr").load(pPath)
+    println(s"[stress] hrrr combined partitions: ${pdf.rdd.getNumPartitions}" +
+      s", columns ${pdf.columns.mkString(",")}")
+    val pFull = timed("hrrr full-year mean")(
+      pdf.agg(avg($"2t")).head().getDouble(0))
+    // aux lat/lon decode per partition from the referenced message — the
+    // bounded-box query every regional-model user runs
+    val pBox = timed("hrrr lat/lon box count")(
+      pdf.filter($"latitude" > 38.2 && $"longitude" < 262.6).count())
+    val pWeek = pdf.filter(
+      $"time" >= java.time.LocalDateTime.of(2025, 6, 1, 0, 0) &&
+        $"time" < java.time.LocalDateTime.of(2025, 6, 8, 0, 0))
+    println(s"[stress] hrrr one-week partitions: ${pWeek.rdd.getNumPartitions}")
+    val pWk = timed("hrrr one-week mean")(
+      pWeek.agg(avg($"2t")).head().getDouble(0))
+    println(f"[stress] hrrr year mean $pFull%.4f, week mean $pWk%.4f, " +
+      f"box rows $pBox")
     spark.stop()
   }
 }

@@ -351,6 +351,7 @@ object Hdf5 {
     // fixed-width (8-byte length) fields from "next huge id" through
     // "number of tiny objects": 12 of them, then geometry
     private val geomAt = 14L + 12 * 8
+    private val hugeBtreeAddr = h.u64(14L + 8)
     private val allocatedSpace = h.u64(14L + 5 * 8)
     private val tableWidth = h.u16(geomAt)
     private val startBlockSize = h.u64(geomAt + 2)
@@ -444,6 +445,44 @@ object Hdf5 {
         out.result().sortBy(_._1)
       }
 
+    /** A HUGE object (> max managed size, stored outside the heap): with
+      * this heap's id width huge ids are INDIRECT — the id keys the heap's
+      * huge-object v2 B-tree (record type 1 unfiltered {addr, len, id};
+      * type 2 filtered {addr, stored len, mask, memory size, id}, decoded
+      * through the heap's own pipeline). Directly-accessed variants
+      * (types 3/4) need ids wide enough for addr+len, which the id-length
+      * require above excludes. */
+    def hugeObject(hid: Long): Array[Byte] = {
+      require(hugeBtreeAddr != Undef,
+        s"huge heap object $hid but the heap has no huge-object B-tree")
+      val (btType, recSize, records) = v2BtreeRecords(read, hugeBtreeAddr)
+      def u64At(r: Array[Byte], at: Int): Long = {
+        var v = 0L
+        (0 until 8).foreach(i => v |= (r(at + i) & 0xffL) << (8 * i))
+        v
+      }
+      btType match {
+        case 1 =>
+          require(recSize == 24, s"huge-object record size $recSize (type 1)")
+          val rec = records.find(r => u64At(r, 16) == hid).getOrElse(
+            throw UnsupportedHdf5(s"huge object $hid not in the huge B-tree"))
+          read(u64At(rec, 0), u64At(rec, 8).toInt)
+        case 2 =>
+          require(recSize == 36, s"huge-object record size $recSize (type 2)")
+          val rec = records.find(r => u64At(r, 28) == hid).getOrElse(
+            throw UnsupportedHdf5(s"huge object $hid not in the huge B-tree"))
+          val mask = {
+            var v = 0
+            (0 until 4).foreach(i => v |= (rec(16 + i) & 0xff) << (8 * i))
+            v
+          }
+          defilter(read(u64At(rec, 0), u64At(rec, 8).toInt), filters, mask,
+            1, u64At(rec, 20).toInt)
+        case other => throw UnsupportedHdf5(
+          s"huge-object B-tree record type $other (indirect types 1/2)")
+      }
+    }
+
     /** Managed object bytes at a heap-space offset (block headers are part
       * of the space, so offsets index into raw block bytes directly). */
     def slice(objOff: Long, objLen: Long): Array[Byte] = {
@@ -530,17 +569,49 @@ object Hdf5 {
       fheapAddr: Long, btreeAddr: Long, heapIdAt: Int): Seq[Array[Byte]] = {
     val heap = new FractalHeap(read, fheapAddr)
     val (_, _, records) = v2BtreeRecords(read, btreeAddr)
-    records.map { rec =>
-      val idFlags = rec(heapIdAt) & 0xff
-      require((idFlags & 0x30) == 0, s"huge/tiny fractal heap object (flags $idFlags)")
-      var objOff = 0L
-      (0 until heap.offsetSize).foreach(i =>
-        objOff |= (rec(heapIdAt + 1 + i) & 0xffL) << (8 * i))
-      var objLen = 0L
-      (0 until heap.lengthSize).foreach(i =>
-        objLen |= (rec(heapIdAt + 1 + heap.offsetSize + i) & 0xffL) << (8 * i))
-      heap.slice(objOff, objLen)
+    records.map(rec => heapObjectOf(heap, rec, heapIdAt))
+  }
+
+  /** Resolve one fractal-heap id (at `heapIdAt` within a B-tree record) to
+    * object bytes — MANAGED (heap-space offset + length), TINY (the object
+    * lives inside the id itself: low flag nibble = length - 1; only the
+    * normal sub-case exists at this heap's id width), or HUGE (the id keys
+    * the heap's huge-object B-tree — the shape a > max-managed-size link
+    * name or dense attribute value produces). */
+  private def heapObjectOf(heap: FractalHeap, rec: Array[Byte],
+      heapIdAt: Int): Array[Byte] = {
+    val idFlags = rec(heapIdAt) & 0xff
+    require((idFlags & 0xc0) == 0, s"fractal heap id version ${idFlags >> 6}")
+    (idFlags & 0x30) match {
+      case 0x00 =>
+        var objOff = 0L
+        (0 until heap.offsetSize).foreach(i =>
+          objOff |= (rec(heapIdAt + 1 + i) & 0xffL) << (8 * i))
+        var objLen = 0L
+        (0 until heap.lengthSize).foreach(i =>
+          objLen |= (rec(heapIdAt + 1 + heap.offsetSize + i) & 0xffL) << (8 * i))
+        heap.slice(objOff, objLen)
+      case 0x20 => tinyObjectOf(rec, heapIdAt, heap.heapIdLen)
+      case 0x10 =>
+        var hid = 0L
+        (0 until heap.heapIdLen - 1).foreach(i =>
+          hid |= (rec(heapIdAt + 1 + i) & 0xffL) << (8 * i))
+        heap.hugeObject(hid)
+      case other =>
+        throw UnsupportedHdf5(s"fractal heap id type ${other >> 4}")
     }
+  }
+
+  /** A TINY heap object: the bytes live inside the id itself (spec III.G
+    * normal sub-case, id length <= 18: low flag nibble = length - 1, data
+    * follows the flag byte). Never produced for dense links/attributes —
+    * their messages exceed the id payload — but spec-complete. */
+  private[graft] def tinyObjectOf(rec: Array[Byte], heapIdAt: Int,
+      heapIdLen: Int): Array[Byte] = {
+    val n = ((rec(heapIdAt) & 0xff) & 0x0f) + 1
+    require(n <= heapIdLen - 1,
+      s"tiny heap object of $n bytes in a $heapIdLen-byte id")
+    java.util.Arrays.copyOfRange(rec, heapIdAt + 1, heapIdAt + 1 + n)
   }
 
   private def bytesFor(maxValue: Long): Int = {

@@ -1020,28 +1020,6 @@ object Hdf5Writer {
         rowsAdded += 1
       }
       addRow()
-      // place objects into the block sequence (objects never span blocks)
-      val blockObjs = ArrayBuffer(ArrayBuffer.empty[Array[Byte]])
-      var fill = headerLen.toLong // fill within the current block
-      def blkIdx = blockObjs.size - 1
-      val heapIds = bodies.map { body =>
-        require(body.length <= 1024, s"dense object ${body.length}B > max managed 1024")
-        if (fill + body.length > blkDefs(blkIdx).size) {
-          blockObjs += ArrayBuffer.empty[Array[Byte]]
-          if (blkIdx >= blkDefs.size) addRow()
-          fill = headerLen.toLong
-        }
-        val off = blkDefs(blkIdx).heapOff + fill
-        blockObjs(blkIdx) += body
-        fill += body.length
-        // managed heap id: flags 0, offset u32 LE, length u16 LE
-        (Array[Byte](0) ++ b32(off) ++ b16(body.length)): Array[Byte]
-      }
-      val nBlocks = blockObjs.size
-      val curRows = if (nBlocks == 1) 0 else rowsAdded
-      val totalSpace =
-        if (nBlocks == 1) startBlock
-        else blkDefs(nBlocks - 1).heapOff + blkDefs(nBlocks - 1).size
       // version-1 filter pipeline message body: deflate level 6
       val pipeline: Array[Byte] =
         if (!filtered) Array.emptyByteArray
@@ -1055,18 +1033,85 @@ object Hdf5Writer {
         d.end()
         java.util.Arrays.copyOfRange(buf, 0, n)
       }
+      // place objects into the block sequence (objects never span blocks).
+      // Bodies over the max managed size (1024) become HUGE objects: bytes
+      // written outside the heap (deflated whole when the heap is
+      // filtered), keyed by a huge-object v2 B-tree record (type 1
+      // unfiltered {addr, len, id} / type 2 filtered {addr, stored len,
+      // mask, memory size, id}); the heap id carries only the key. (TINY
+      // ids never arise here: link/attribute messages are always larger
+      // than the 6-byte id payload — the reader still decodes them.)
+      val blockObjs = ArrayBuffer(ArrayBuffer.empty[Array[Byte]])
+      var fill = headerLen.toLong // fill within the current block
+      def blkIdx = blockObjs.size - 1
+      val hugeRecs = ArrayBuffer.empty[Array[Byte]]
+      var hugeBytes = 0L
+      val heapIds = bodies.map { body =>
+        if (body.length > 1024) {
+          pad8()
+          val payload = if (filtered) deflateAll(body) else body
+          val addr = appendAt(payload)
+          val hid = hugeRecs.size + 1L // ids are 1-based, like H5HF
+          hugeBytes += body.length
+          hugeRecs +=
+            (if (filtered)
+              (b64(addr) ++ b64(payload.length.toLong) ++ b32(0L) ++
+                b64(body.length.toLong) ++ b64(hid)): Array[Byte]
+            else (b64(addr) ++ b64(body.length.toLong) ++ b64(hid)): Array[Byte])
+          (Array[Byte](0x10) ++ b32(hid) ++ b16(0)): Array[Byte]
+        } else {
+          if (fill + body.length > blkDefs(blkIdx).size) {
+            blockObjs += ArrayBuffer.empty[Array[Byte]]
+            if (blkIdx >= blkDefs.size) addRow()
+            fill = headerLen.toLong
+          }
+          val off = blkDefs(blkIdx).heapOff + fill
+          blockObjs(blkIdx) += body
+          fill += body.length
+          // managed heap id: flags 0, offset u32 LE, length u16 LE
+          (Array[Byte](0) ++ b32(off) ++ b16(body.length)): Array[Byte]
+        }
+      }
+      // the huge-object index: one v2 B-tree leaf (fixture scale)
+      val hugeBtree: Long =
+        if (hugeRecs.isEmpty) Hdf5.Undef
+        else {
+          pad8()
+          val hugeType = if (filtered) 2 else 1
+          require(hugeRecs.size <= (2048 - 10) / hugeRecs.head.length,
+            s"${hugeRecs.size} huge objects need a multi-node huge B-tree")
+          val leaf = ArrayBuffer.empty[Byte]
+          leaf ++= "BTLF".getBytes("US-ASCII") += 0 += hugeType.toByte
+          hugeRecs.foreach(leaf ++= _)
+          leaf ++= b32(0L) // checksum (unverified)
+          val leafAddr = appendAt(leaf.toArray)
+          pad8()
+          val hb = ArrayBuffer.empty[Byte]
+          hb ++= "BTHD".getBytes("US-ASCII") += 0 += hugeType.toByte
+          hb ++= b32(2048L) ++ b16(hugeRecs.head.length) ++ b16(0)
+          hb += 100 += 40 // split/merge %
+          hb ++= b64(leafAddr) ++ b16(hugeRecs.size)
+          hb ++= b64(hugeRecs.size.toLong) ++ b32(0L)
+          appendAt(hb.toArray)
+        }
+      val nBlocks = blockObjs.size
+      val curRows = if (nBlocks == 1) 0 else rowsAdded
+      val totalSpace =
+        if (nBlocks == 1) startBlock
+        else blkDefs(nBlocks - 1).heapOff + blkDefs(nBlocks - 1).size
       val frhp = ArrayBuffer.empty[Byte]
       frhp ++= "FRHP".getBytes("US-ASCII") += 0
       frhp ++= b16(1 + offsetSize + lengthSize) // heap ID length
       frhp ++= b16(pipeline.length)             // I/O filter info length
       frhp += 0       // flags: no block checksums
       frhp ++= b32(1024L) // max managed object size
-      frhp ++= b64(0L) ++ b64(Hdf5.Undef)  // next huge id, huge btree
+      frhp ++= b64(hugeRecs.size + 1L) ++ b64(hugeBtree) // next huge id, huge btree
       frhp ++= b64(0L) ++ b64(Hdf5.Undef)  // free space, free-space mgr
       frhp ++= b64(totalSpace) ++ b64(totalSpace) // managed space, allocated
       frhp ++= b64(headerLen.toLong)       // direct block iterator offset
-      frhp ++= b64(bodies.size.toLong)     // managed objects
-      frhp ++= b64(0L) ++ b64(0L) ++ b64(0L) ++ b64(0L) // huge/tiny stats
+      frhp ++= b64(bodies.size - hugeRecs.size.toLong) // managed objects
+      frhp ++= b64(hugeBytes) ++ b64(hugeRecs.size.toLong) // huge size, count
+      frhp ++= b64(0L) ++ b64(0L)                      // tiny size, count
       frhp ++= b16(width)                  // table width
       frhp ++= b64(startBlock) ++ b64(maxDirect) // starting/max direct size
       frhp ++= b16(32)                     // max heap size (bits)
@@ -1292,11 +1337,14 @@ object Hdf5Writer {
     val allChildren: Seq[(String, Long)] =
       (dimAddr.toSeq ++ varAddr.toSeq).sortBy(_._1)
     if (denseRoot) {
-      // serialized hard-Link message bodies (v1, flags 0: 1-byte name len)
+      // serialized hard-Link message bodies (v1; flags low bits pick the
+      // name-length width — names over 255 bytes take the 2-byte form,
+      // and a > max-managed-size name makes the whole body a HUGE object)
       val bodies = allChildren.map { case (n, addr) =>
         val nb = n.getBytes("US-ASCII")
-        require(nb.length < 256, s"dense link name too long: $n")
-        Array[Byte](1, 0, nb.length.toByte) ++ nb ++ b64(addr)
+        require(nb.length < 65536, s"dense link name too long: $n")
+        if (nb.length < 256) Array[Byte](1, 0, nb.length.toByte) ++ nb ++ b64(addr)
+        else Array[Byte](1, 1) ++ b16(nb.length) ++ nb ++ b64(addr)
       }
       // link-name B-tree record (type 5): name hash, then heap id
       val (frhpAddr, bthdAddr) = denseIndex(bodies, btreeType = 5,

@@ -533,6 +533,47 @@ class Hdf5Spec extends SparkSpec {
     assert(decoded.toSeq == vals.map(_.toDouble))
   }
 
+  test("huge fractal-heap objects (> max-managed links) resolve via the huge B-tree") {
+    // a link message whose name exceeds the heap's max managed object size
+    // (1024) is stored as a HUGE object: bytes outside the heap, keyed by
+    // the huge-object v2 B-tree (type 1 records; type 2 + whole-object
+    // deflate when the heap is filtered) — the layout HDF5 produces for
+    // programmatically-generated giant names
+    val longA = "a" * 1500
+    val longB = "b" * 2000
+    for (filtered <- Seq(false, true)) {
+      val p = tmp(s"huge$filtered.nc")
+      HW.write(p, Seq(
+        HW.VarSpec("x", Seq("x"), Seq(3), (0 until 3).map(_.toDouble),
+          dtype = "f8"),
+        HW.VarSpec(longA, Seq("x"), Seq(3), Seq(1.0, 2.0, 3.0), dtype = "f8"),
+        HW.VarSpec(longB, Seq("x"), Seq(3), Seq(4.0, 5.0, 6.0), dtype = "f8"),
+        HW.VarSpec("small", Seq("x"), Seq(3), Seq(7.0, 8.0, 9.0),
+          dtype = "f8")),
+        denseRoot = true, denseFiltered = filtered)
+      val df = NetCDF4Reader.readLongFormat(spark, p)
+      assert(df.columns.toSet == Set("x", longA, longB, "small"),
+        s"filtered=$filtered: ${df.columns.map(_.take(8)).mkString(",")}")
+      assert(df.count() == 3)
+      assert(df.agg(sum(col(longB))).head().getDouble(0) == 15.0,
+        s"filtered=$filtered")
+      assert(df.orderBy($"x").select(col(longA)).collect()
+        .map(_.getDouble(0)).toSeq == Seq(1.0, 2.0, 3.0))
+    }
+  }
+
+  test("tiny fractal-heap ids decode the object from the id bytes themselves") {
+    // no real link/attribute message fits the 6-byte id payload, so the
+    // tiny path is exercised at the byte level: a dense file's name-index
+    // record is re-pointed at a crafted tiny id and must yield its
+    // embedded bytes (spec III.G normal sub-case: low flag nibble =
+    // length - 1, data follows the flag byte)
+    val rec = Array[Byte](0, 0, 0, 0, // name-hash prefix (type 5 record)
+      (0x20 | 4).toByte, 1, 2, 3, 4, 5, 0) // tiny id: 5 bytes embedded
+    val got = Hdf5.tinyObjectOf(rec, 4, heapIdLen = 7)
+    assert(got.toSeq == Seq[Byte](1, 2, 3, 4, 5))
+  }
+
   test("depth-1 v2 B-tree dense storage (BTIN internal root + leaf fan-out)") {
     val p = tmp("densebt1.nc")
     val n = 6
