@@ -1704,6 +1704,42 @@ object Queries {
           .orderBy($"latitude", $"longitude")
       }),
 
+    // ---------------------------------------------------------------- S1 (projected COG virtualized as zarr references)
+    // The r12 projected scanTiff path: a Web-Mercator deflate-strip
+    // raster (the HRRR-derived / basemap COG shape) served as a virtual
+    // zarr store over y/x MODEL-UNIT axes from the affine — pixel centers
+    // re-derived arithmetically by the oracle.
+    Q("q159_tiff_virtual_projected", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200)
+      SELECT CAST(-((rn0 // 10) + 0.5) * 1000 AS DOUBLE) AS y,
+             CAST(((rn0 % 10) + 0.5) * 1000 AS DOUBLE) AS x,
+             CAST(o_orderkey % 997 AS DOUBLE) AS band_1
+      FROM o
+      ORDER BY y DESC, x"""))(
+      (s, d) => {
+        import graft.sources.tiff.{TiffWriter => TW}
+        import graft.sources.zarr.Kerchunk
+        val refs = Fixtures.dir("q159", d) { dir =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 997).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          val tif = s"$dir/q159.tif"
+          TW.write(tif, TW.Spec(10, 20, 1, vals,
+            pixelScale = (1000.0, 1000.0), tiepointXY = (0.0, 0.0),
+            epsg = 3857, rowsPerStrip = 5, deflate = true))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/q159.refs.json"),
+            Kerchunk.scanTiff(
+              new org.apache.hadoop.conf.Configuration(), tif)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        } + "/q159.refs.json"
+        s.read.format("zarr").load(refs)
+          .select($"y", $"x", $"band_1")
+          .orderBy($"y".desc, $"x")
+      }),
+
     // ---------------------------------------------------------------- S4 (GeoTIFF sinusoidal — the MODIS land grid)
     // A MODIS-style sinusoidal raster (user-defined GeoKeys: CT 24 on the
     // MODIS sphere 6371007.181). The reader resolves the keys to the

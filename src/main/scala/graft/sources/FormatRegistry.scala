@@ -78,7 +78,28 @@ object FormatRegistry {
     val reader: DataFrameReader = spark.read.options(options - "engine")
     def multi: Boolean =
       GribIndex.isMulti(spark.sparkContext.hadoopConfiguration, uri)
+    // kerchunk reference stores ship as .json: sniff the ReferenceFileSystem
+    // shape ({"version": ..., "refs": ...} / {"refs": ...}) so a refs file a
+    // user was handed opens as the virtual zarr store it describes, not as
+    // a JSON dataset of its own keys
+    def isRefsJson: Boolean = ext == "json" && !multi && {
+      val p = new org.apache.hadoop.fs.Path(uri)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getFileStatus(p).isFile && {
+        val head = new Array[Byte](
+          math.min(512L, fs.getFileStatus(p).getLen).toInt)
+        val in = fs.open(p)
+        try in.readFully(0, head) finally in.close()
+        val s = new String(head, java.nio.charset.StandardCharsets.UTF_8)
+        s.replaceAll("\\s", "").take(40) match {
+          case h if h.startsWith("{\"version\":") && s.contains("\"refs\"") => true
+          case h if h.startsWith("{\"refs\":") => true
+          case _ => false
+        }
+      }
+    }
     native.get(ext) match {
+      case Some("json") if isRefsJson => reader.format("zarr").load(uri)
       case Some(fmt) => reader.format(fmt).load(uri)
       case None if netcdf3.contains(ext) =>
         // .nc can be classic OR HDF5-backed: sniff the signature per file

@@ -546,6 +546,23 @@ class KerchunkSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("FormatRegistry sniffs refs .json files as virtual zarr stores") {
+    val dir = java.nio.file.Files.createTempDirectory("kcfr").toString
+    val nc = fixture(dir)
+    val refsPath = s"$dir/t.nc.refs.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(refsPath),
+      Kerchunk.scanNetCDF4(conf, nc).getBytes("UTF-8"))
+    val df = graft.sources.FormatRegistry.open(spark, refsPath)
+    assert(df.columns.toSet == Set("time", "lat", "lon", "t2m", "p"))
+    assert(df.count() == 60)
+    // an ordinary json file still routes to the JSON source
+    val plain = s"$dir/rows.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(plain),
+      "{\"a\": 1}\n{\"a\": 2}\n".getBytes("UTF-8"))
+    val jdf = graft.sources.FormatRegistry.open(spark, plain)
+    assert(jdf.columns.toSeq == Seq("a") && jdf.count() == 2)
+  }
+
   test("scanAll writes one refs json per matched file") {
     val dir = java.nio.file.Files.createTempDirectory("kca").toString
     fixture(dir)
