@@ -147,6 +147,7 @@ object CfTime {
   }
 
   private val unitSeconds: Map[String, Double] = Map(
+    "nanosecond" -> 1e-9, "ns" -> 1e-9,
     "microsecond" -> 1e-6, "us" -> 1e-6,
     "millisecond" -> 1e-3, "msec" -> 1e-3, "ms" -> 1e-3,
     "second" -> 1.0, "sec" -> 1.0, "s" -> 1.0,

@@ -81,23 +81,25 @@ object FormatRegistry {
     // kerchunk reference stores ship as .json: sniff the ReferenceFileSystem
     // shape ({"version": ..., "refs": ...} / {"refs": ...}) so a refs file a
     // user was handed opens as the virtual zarr store it describes, not as
-    // a JSON dataset of its own keys
-    def isRefsJson: Boolean = ext == "json" && !multi && {
-      val p = new org.apache.hadoop.fs.Path(uri)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.getFileStatus(p).isFile && {
-        val head = new Array[Byte](
-          math.min(512L, fs.getFileStatus(p).getLen).toInt)
-        val in = fs.open(p)
-        try in.readFully(0, head) finally in.close()
-        val s = new String(head, java.nio.charset.StandardCharsets.UTF_8)
-        s.replaceAll("\\s", "").take(40) match {
-          case h if h.startsWith("{\"version\":") && s.contains("\"refs\"") => true
-          case h if h.startsWith("{\"refs\":") => true
-          case _ => false
+    // a JSON dataset of its own keys. An EXPLICIT engine option always
+    // wins (the reference's kwargs-engine-first dispatch) — the sniff only
+    // applies to extension-derived routing. The head window is 64 KiB:
+    // v1 files may front-load a `templates` block before `"refs"`.
+    def isRefsJson: Boolean =
+      ext == "json" && !options.contains("engine") && !multi && {
+        val p = new org.apache.hadoop.fs.Path(uri)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val st = fs.getFileStatus(p)
+        st.isFile && {
+          val head = new Array[Byte](math.min(65536L, st.getLen).toInt)
+          val in = fs.open(p)
+          try in.readFully(0, head) finally in.close()
+          val s = new String(head, java.nio.charset.StandardCharsets.UTF_8)
+          val h = s.replaceAll("\\s", "").take(40)
+          (h.startsWith("{\"version\":") && s.contains("\"refs\"")) ||
+            h.startsWith("{\"refs\":")
         }
       }
-    }
     native.get(ext) match {
       case Some("json") if isRefsJson => reader.format("zarr").load(uri)
       case Some(fmt) => reader.format(fmt).load(uri)

@@ -452,10 +452,15 @@ object Hdf5 {
       * through the heap's own pipeline). Directly-accessed variants
       * (types 3/4) need ids wide enough for addr+len, which the id-length
       * require above excludes. */
+    // parsed once per heap — a k-huge-object group resolves all k against
+    // one B-tree walk, not k of them
+    private lazy val hugeRecords: (Int, Int, Seq[Array[Byte]]) =
+      v2BtreeRecords(read, hugeBtreeAddr)
+
     def hugeObject(hid: Long): Array[Byte] = {
       require(hugeBtreeAddr != Undef,
         s"huge heap object $hid but the heap has no huge-object B-tree")
-      val (btType, recSize, records) = v2BtreeRecords(read, hugeBtreeAddr)
+      val (btType, recSize, records) = hugeRecords
       def u64At(r: Array[Byte], at: Int): Long = {
         var v = 0L
         (0 until 8).foreach(i => v |= (r(at + i) & 0xffL) << (8 * i))

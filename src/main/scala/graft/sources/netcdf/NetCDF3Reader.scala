@@ -90,22 +90,12 @@ object NetCDF3Reader {
     // the cell cursor. Record-dim aux vars are left out (their layout
     // interleaves per record; no real curvilinear file has them).
     val hyperIds = dataVars.head.dimIds.take(maxRank)
-    def subseqIdx(sub: Seq[Int]): Option[Seq[Int]] = {
-      val out = Seq.newBuilder[Int]
-      var i = 0
-      var ok = sub.nonEmpty
-      sub.foreach { a =>
-        while (i < hyperIds.size && hyperIds(i) != a) i += 1
-        if (i == hyperIds.size) ok = false
-        else { out += i; i += 1 }
-      }
-      if (ok) Some(out.result()) else None
-    }
     val auxVars: Seq[(Var, Seq[Int])] = nonCoord
       .filter(v => effRank(v, strlenDims) < maxRank &&
         !collapses(v, strlenDims) && v.ncType != NC_CHAR &&
         !v.dimIds.headOption.exists(head.dims(_).isRecord))
-      .flatMap(v => subseqIdx(v.dimIds).map(v -> _))
+      .flatMap(v => graft.sources.Dims.subsequenceIdx(v.dimIds, hyperIds)
+        .map(v -> _))
 
     // coordinate vectors: small, fetched with ranged reads on the driver
     // (never the whole file), shipped inside the task closures

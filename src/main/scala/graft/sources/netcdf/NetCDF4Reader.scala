@@ -109,21 +109,11 @@ object NetCDF4Reader {
     // extra value columns indexed by the matching subset of the cell
     // cursor; anything else sub-rank stays out, as before
     val hyperAddrs = hyperDims.map(_.objAddr)
-    def subseqIdx(sub: Seq[Long]): Option[Seq[Int]] = {
-      val out = Seq.newBuilder[Int]
-      var i = 0
-      var ok = true
-      sub.foreach { a =>
-        while (i < hyperAddrs.size && hyperAddrs(i) != a) i += 1
-        if (i == hyperAddrs.size) ok = false
-        else { out += i; i += 1 }
-      }
-      if (ok) Some(out.result()) else None
-    }
     val auxVars: Seq[(DatasetMeta, Seq[Int])] = dataSets
-      .filter(_.shape.size < maxRank)
+      .filter(v => v.shape.nonEmpty && v.shape.size < maxRank)
       .flatMap { v =>
-        try subseqIdx(dimsOf(v).map(_.objAddr)).map(v -> _)
+        try graft.sources.Dims.subsequenceIdx(
+          dimsOf(v).map(_.objAddr), hyperAddrs).map(v -> _)
         catch { case _: UnsupportedHdf5 => None }
       }
 

@@ -328,6 +328,46 @@ object Kerchunk {
             zas.head._2.removeField(_._1 == "dimension_separator"),
           s"$p: $name metadata differs from ${zas.head._1}")
       }
+      // metadata equality cannot prove VALUE equality when the chunk refs
+      // point into different files (each per-file scan references its own
+      // bytes). A grid fingerprint in the attrs (scanGrib) settles it;
+      // otherwise, with differing refs, decode every store's array and
+      // require exact equality with the first — auxiliary arrays are
+      // coordinate-sized, so this is O(files x coordinate bytes) of
+      // driver work, paid only on this path. Without it, two same-shape
+      // curvilinear files over DIFFERENT domains would combine silently
+      // and serve the first file's lat/lon for every time step.
+      val metasOf: Seq[(String, ZarrMeta.ArrayMeta)] = sorted.map { case (p, st) =>
+        p -> st.auxVars.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(s"$p: $name not an auxiliary array"))
+      }
+      def refSig(m: ZarrMeta.ArrayMeta) = m.refs.map(_.map { case (k, l) =>
+        (k, l.uri, l.offset, l.length,
+          Option(l.inline).map(_.toSeq).getOrElse(Nil))
+      }.toSet)
+      val fingerprinted = (attrs0 \ "grid_mapping") match {
+        case JNothing | JNull => false
+        case _ => true
+      }
+      if (!fingerprinted && metasOf.map(x => refSig(x._2)).distinct.size > 1) {
+        val m0 = metasOf.head._2
+        require(!ZarrMeta.isStringMeta(m0),
+          s"$name: string auxiliary arrays with differing chunk refs " +
+            "cannot be value-checked — combine stores referencing the " +
+            "same bytes")
+        val idxs = m0.chunkGrid.foldLeft(Seq(Seq.empty[Int]))((acc, n) =>
+          for (t <- acc; c <- 0 until n) yield t :+ c)
+        val firstVals = idxs.map(ix =>
+          ZarrMeta.readChunk(conf, metasOf.head._1, m0, ix))
+        metasOf.tail.foreach { case (p, m) =>
+          idxs.zip(firstVals).foreach { case (ix, fv) =>
+            require(java.util.Arrays.equals(
+                ZarrMeta.readChunk(conf, p, m, ix), fv),
+              s"$p: auxiliary $name values differ from ${metasOf.head._1}" +
+                " — same metadata, different grids")
+          }
+        }
+      }
       val sep1: Char = (zas.head._2 \ "dimension_separator")
         .extractOpt[String].getOrElse(".") match {
         case s @ ("." | "/") => s.charAt(0)

@@ -287,8 +287,25 @@ object ZarrMeta {
       scaleFactor = (attrs \ "scale_factor").extractOpt[Double],
       addOffset = (attrs \ "add_offset").extractOpt[Double],
       missingValue = (attrs \ "missing_value").extractOpt[Double],
+      // numpy datetime64 ("<M8[ns]") carries its epoch encoding in the
+      // dtype itself (pandas/zarr-python direct writes, no CF attrs):
+      // synthesize the equivalent CF units; explicit units attrs win.
+      // Numpy codes translate to CF names HERE — 'm' means minutes in a
+      // dtype bracket but meters in a CF units attr, so the general map
+      // must never learn it; variable-length Y/M stay numeric.
       timeUnits = graft.sources.CfTime.parse(Some(units).filter(_.nonEmpty),
-        (attrs \ "calendar").extractOpt[String]),
+        (attrs \ "calendar").extractOpt[String]).orElse {
+        val code = (za \ "dtype").extract[String]
+          .dropWhile(c => c == '<' || c == '>' || c == '|' || c == '=')
+        if (code.startsWith("M8[") && code.endsWith("]"))
+          Map("ns" -> "nanoseconds", "us" -> "microseconds",
+            "ms" -> "milliseconds", "s" -> "seconds", "m" -> "minutes",
+            "h" -> "hours", "D" -> "days", "W" -> "weeks")
+            .get(code.stripPrefix("M8[").stripSuffix("]"))
+            .flatMap(u => graft.sources.CfTime.parse(
+              Some(s"$u since 1970-01-01"), None))
+        else None
+      },
       // v2 optional dimension_separator: "/" nests chunk files in
       // directories (the cloud-store layout that keeps listings small);
       // ignoring it would read every chunk as absent → silent all-fill
@@ -538,14 +555,9 @@ object ZarrMeta {
     // out of the relational view, as before
     val dataNames = dataVars.map(_.name).toSet
     val dimSize = dims.zip(dataVars.head.shape).toMap
-    def subsequenceOf(sub: Seq[String], full: Seq[String]): Boolean = {
-      var i = 0
-      full.foreach { d => if (i < sub.size && sub(i) == d) i += 1 }
-      i == sub.size
-    }
     val auxVars = nonCoord.filter { m =>
-      !dataNames.contains(m.name) && m.dims.nonEmpty &&
-        subsequenceOf(m.dims, dims) && !dims.contains(m.name) &&
+      !dataNames.contains(m.name) && !dims.contains(m.name) &&
+        graft.sources.Dims.subsequenceIdx(m.dims, dims).isDefined &&
         m.dims.zip(m.shape).forall { case (d, s) => dimSize(d) == s }
     }
     Store(store, dims, coords, coordMeta, dataVars, auxVars)
@@ -1010,6 +1022,9 @@ object ZarrMeta {
   }
 
   def dtypeBytes(dtype: String): Int = codeOf(dtype) match {
+    // numpy datetime64/timedelta64: an i8 count whose unit lives in the
+    // dtype brackets ("<M8[ns]")
+    case m if m.startsWith("M8[") || m.startsWith("m8[") => 8
     case "f8" | "i8" | "u8" => 8
     case "f4" | "i4" | "u4" => 4
     case "f2" | "i2" | "u2" => 2
@@ -1288,6 +1303,10 @@ object ZarrMeta {
         case "u2" => (bb.getShort(i * 2) & 0xffff).toDouble
         case "u1" => (bb.get(i) & 0xff).toDouble
         case "b1" => if (bb.get(i) == 0) 0.0 else 1.0 // numpy bool masks
+        case m if m.startsWith("M8[") || m.startsWith("m8[") =>
+          // datetime64/timedelta64 counts; NaT is Long.MinValue → NaN
+          val v = bb.getLong(i * 8)
+          if (v == Long.MinValue) Double.NaN else v.toDouble
         case other => throw new UnsupportedOperationException(
           s"zarr dtype '${meta.dtype}' (array ${meta.name})")
       }

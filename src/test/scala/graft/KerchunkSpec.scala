@@ -486,6 +486,18 @@ class KerchunkSpec extends SparkSpec {
     // a rotated-frame predicate prunes like any axis predicate (residual
     // filter correctness over the rotated frame)
     assert(df.filter($"rlat" > 0.0 && $"rlon" < 0.0).count() == 2 * 3)
+
+    // the mover extract pipeline (weather-mv's core path) composes
+    // unchanged: area filters and geo_point build from the SYNTHESIZED
+    // lat/lon columns of a grid with no lat/lon axes
+    val out = graft.operators.Mover.extractRows(df, refsPath,
+      graft.operators.Mover.Options(variables = Seq("2t"),
+        area = Some(graft.operators.Mover.Area(
+          north = 90, west = -180, south = 0, east = 180)),
+        importTime = Some("2026-04-02 00:00:00")))
+    val expected = want.count(_._1 >= 0.0)
+    assert(out.count() == expected && expected > 0)
+    assert(out.columns.contains("geo_point"))
   }
 
   test("grib2 virtualization fails directed off the rectangular model") {
@@ -544,6 +556,45 @@ class KerchunkSpec extends SparkSpec {
     assert(sel.count() == 2 * 2 * 2)
     assert(sel.where(abs($"latitude" - (lit(40.0) + $"y" + $"x" * 0.1)) > 1e-9)
       .count() == 0)
+
+    // combine: a second day on the SAME grid concatenates (aux values are
+    // decoded and compared — metadata alone cannot prove value equality
+    // when refs point into different files)...
+    def day(n: Int, latShift: Double): String = {
+      val f = s"$dir/d$n.nc"
+      HW.write(f, Seq(
+        HW.VarSpec("time", Seq("time"), Seq(2),
+          Seq(n * 86400.0, n * 86400.0 + 3600.0),
+          units = Some("seconds since 2020-01-01")),
+        HW.VarSpec("y", Seq("y"), Seq(3), (0 until 3).map(_.toDouble)),
+        HW.VarSpec("x", Seq("x"), Seq(4), (0 until 4).map(_.toDouble)),
+        HW.VarSpec("latitude", Seq("y", "x"), Seq(3, 4),
+          plane((y, x) => latShift + y + 0.1 * x)),
+        HW.VarSpec("longitude", Seq("y", "x"), Seq(3, 4),
+          plane((y, x) => -100.0 + x + 0.2 * y)),
+        HW.VarSpec("sst", Seq("time", "y", "x"), Seq(2, 3, 4),
+          (for (t <- 0 until 2; y <- 0 until 3; x <- 0 until 4)
+            yield n * 100.0 + 10.0 * t + y + 0.01 * x))))
+      val rp = s"$f.refs.json"
+      java.nio.file.Files.write(java.nio.file.Paths.get(rp),
+        Kerchunk.scanNetCDF4(conf, f).getBytes("UTF-8"))
+      rp
+    }
+    val good = Seq(day(1, 40.0), day(2, 40.0))
+    val cPath = s"$dir/stack.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(cPath),
+      Kerchunk.combine(conf, good).getBytes("UTF-8"))
+    val cdf = spark.read.format("zarr").load(cPath)
+    assert(cdf.count() == 2 * 24)
+    assert(cdf.where(
+      abs($"latitude" - (lit(40.0) + $"y" + $"x" * 0.1)) > 1e-9).count() == 0)
+    // ...but a same-shape file over a DIFFERENT domain fails directed
+    // instead of silently serving the first file's coordinates
+    val drifted = day(3, 45.0)
+    val e = intercept[Exception] {
+      Kerchunk.combine(conf, Seq(good.head, drifted))
+    }
+    assert(e.getMessage.contains("values differ"), e.getMessage)
   }
 
   test("FormatRegistry sniffs refs .json files as virtual zarr stores") {
@@ -561,6 +612,11 @@ class KerchunkSpec extends SparkSpec {
       "{\"a\": 1}\n{\"a\": 2}\n".getBytes("UTF-8"))
     val jdf = graft.sources.FormatRegistry.open(spark, plain)
     assert(jdf.columns.toSeq == Seq("a") && jdf.count() == 2)
+    // an EXPLICIT engine option always wins: the refs file inspected as
+    // JSON rows when the user asks for the JSON source
+    val forced = graft.sources.FormatRegistry.open(spark, refsPath,
+      Map("engine" -> "json"))
+    assert(forced.columns.contains("refs") || forced.columns.contains("version"))
   }
 
   test("scanAll writes one refs json per matched file") {

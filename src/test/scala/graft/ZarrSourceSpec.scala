@@ -1366,6 +1366,77 @@ class ZarrSourceSpec extends SparkSpec {
     assert(!out.columns.contains("cape")) // variable projection applied
   }
 
+  test("datetime64 time axes (<M8[ns]) decode as timestamps, NaT as null") {
+    // pandas/zarr-python direct writes carry no CF units attr — the epoch
+    // encoding lives in the dtype itself; NaT (Long.MinValue) must null
+    val dir = java.nio.file.Files.createTempDirectory("zarrm8").toString
+    def put(rel: String, bytes: Array[Byte]): Unit = {
+      val p = java.nio.file.Paths.get(dir, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, bytes)
+    }
+    def putS(rel: String, s: String): Unit = put(rel, s.getBytes("UTF-8"))
+    putS("time/.zarray",
+      """{"zarr_format": 2, "shape": [3], "chunks": [3], "dtype": "<M8[ns]",
+        | "compressor": null, "filters": null, "fill_value": null,
+        | "order": "C"}""".stripMargin)
+    putS("time/.zattrs", """{"_ARRAY_DIMENSIONS": ["time"]}""")
+    val tb = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tb.putLong(1700000000L * 1000000000L)       // 2023-11-14 22:13:20
+    tb.putLong(Long.MinValue)                    // NaT
+    tb.putLong(1700000000L * 1000000000L + 1500000000L) // +1.5 s
+    put("time/0", tb.array())
+    putS("v/.zarray",
+      """{"zarr_format": 2, "shape": [3], "chunks": [3], "dtype": "<f8",
+        | "compressor": null, "filters": null, "fill_value": null,
+        | "order": "C"}""".stripMargin)
+    putS("v/.zattrs", """{"_ARRAY_DIMENSIONS": ["time"]}""")
+    val vb = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(1.0, 2.0, 3.0).foreach(vb.putDouble)
+    put("v/0", vb.array())
+    val df = spark.read.format("zarr").load(dir)
+      .orderBy($"v").select($"time", $"v")
+    val rows = df.collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[java.time.LocalDateTime]("time") ==
+      java.time.LocalDateTime.of(2023, 11, 14, 22, 13, 20))
+    assert(rows(1).isNullAt(0)) // NaT
+    assert(rows(2).getAs[java.time.LocalDateTime]("time") ==
+      java.time.LocalDateTime.of(2023, 11, 14, 22, 13, 21, 500000000))
+
+    // numpy 'm' means MINUTES in a dtype bracket (meters in a CF units
+    // attr — the general parser must never learn it); M8[m] decodes too
+    val dir2 = java.nio.file.Files.createTempDirectory("zarrm8m").toString
+    def put2(rel: String, bytes: Array[Byte]): Unit = {
+      val p = java.nio.file.Paths.get(dir2, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, bytes)
+    }
+    put2("time/.zarray",
+      """{"zarr_format": 2, "shape": [1], "chunks": [1], "dtype": "<M8[m]",
+        | "compressor": null, "filters": null, "fill_value": null,
+        | "order": "C"}""".stripMargin.getBytes("UTF-8"))
+    put2("time/.zattrs", """{"_ARRAY_DIMENSIONS": ["time"]}""".getBytes("UTF-8"))
+    val mb = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    mb.putLong(28333333L) // minutes since epoch -> 2023-11-14 22:13:00
+    put2("time/0", mb.array())
+    put2("v/.zarray",
+      """{"zarr_format": 2, "shape": [1], "chunks": [1], "dtype": "<f8",
+        | "compressor": null, "filters": null, "fill_value": null,
+        | "order": "C"}""".stripMargin.getBytes("UTF-8"))
+    put2("v/.zattrs", """{"_ARRAY_DIMENSIONS": ["time"]}""".getBytes("UTF-8"))
+    val vb2 = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vb2.putDouble(9.0)
+    put2("v/0", vb2.array())
+    val r2 = spark.read.format("zarr").load(dir2).select($"time").head()
+    assert(r2.getAs[java.time.LocalDateTime]("time") ==
+      java.time.LocalDateTime.of(2023, 11, 14, 22, 13, 0))
+  }
+
   test("auxiliary coordinate variables (curvilinear 2-D lat/lon) become columns") {
     // the ROMS/WRF layout: dims are grid indices [time, y, x]; latitude and
     // longitude are 2-D arrays over [y, x] — CF auxiliary coordinates
