@@ -414,9 +414,10 @@ object Grib2 {
               grid = Some(GridDef(nx, ny, la1, lo1, la1, lo1, scan, 0,
                 proj = Some(GribProjection.Mercator(lad, axA, axB)),
                 dx = dxSigned, dy = dySigned))
-            case 20 | 30 =>
-              // polar stereographic / Lambert conformal: Nx/Ny + first
-              // point + LaD/LoV + Dx/Dy millimeters (+ Latin1/2 for 3.30)
+            case 20 | 30 | 31 =>
+              // polar stereographic / Lambert conformal / Albers equal
+              // area: Nx/Ny + first point + LaD/LoV + Dx/Dy millimeters
+              // (+ Latin1/2 for 3.30/3.31 — 3.31 shares 3.30's layout)
               val nx = u32(b, 30).toInt
               val ny = u32(b, 34).toInt
               val la1 = s32(b, 38) / 1e6
@@ -437,8 +438,12 @@ object Grib2 {
                 else {
                   val latin1 = s32(b, 65) / 1e6
                   val latin2 = s32(b, 69) / 1e6
-                  GribProjection.LambertConformal(latin1, latin2, lov,
-                    radius = axA, minorAxis = axB)
+                  if (template == 30)
+                    GribProjection.LambertConformal(latin1, latin2, lov,
+                      radius = axA, minorAxis = axB)
+                  else
+                    GribProjection.AlbersEqualArea(latin1, latin2, lov,
+                      radius = axA, minorAxis = axB)
                 }
               // scan bits: 0x40 = +j (rows south->north), 0x80 = -i
               val dySigned = if ((scan & 0x40) != 0) dy else -dy

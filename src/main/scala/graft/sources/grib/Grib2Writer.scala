@@ -221,13 +221,17 @@ object Grib2Writer {
         return b
       case _ =>
     }
-    val (isLambert, lad, lov, south) = proj match {
-      case l: GribProjection.LambertConformal => (true, l.latin1, l.lov, false)
-      case s: GribProjection.PolarStereographic => (false, s.lad, s.lov, s.south)
+    // template 31 (Albers) shares 30's (Lambert) wire layout
+    val (tmpl, lad, lov, south) = proj match {
+      case l: GribProjection.LambertConformal => (30, l.latin1, l.lov, false)
+      case a: GribProjection.AlbersEqualArea => (31, a.latin1, a.lov, false)
+      case s: GribProjection.PolarStereographic => (20, s.lad, s.lov, s.south)
       case m => throw Grib1.UnsupportedGrib(s"writer projection $m")
     }
+    val isLambert = tmpl != 20
     val (radius, minorAxis) = proj match {
       case l: GribProjection.LambertConformal => (l.radius, l.minorAxis)
+      case a: GribProjection.AlbersEqualArea => (a.radius, a.minorAxis)
       case s: GribProjection.PolarStereographic => (s.radius, s.minorAxis)
       case _ => (GribProjection.EarthRadius, Double.NaN)
     }
@@ -235,7 +239,7 @@ object Grib2Writer {
     putU32(b, 0, b.length); b(4) = 3
     b(5) = 0
     putU32(b, 6, f.ni.toLong * f.nj)
-    putU16(b, 12, if (isLambert) 30 else 20)
+    putU16(b, 12, tmpl)
     putShape(b, radius, minorAxis)   // shape of earth (code table 3.2)
     putU32(b, 30, f.ni); putU32(b, 34, f.nj)
     putS32(b, 38, math.round(f.la1 * 1e6))
@@ -248,9 +252,13 @@ object Grib2Writer {
     b(63) = (if (south) 0x80 else 0).toByte // projection centre flag
     b(64) = (if (f.dyMeters >= 0) 0x40 else 0).toByte // scan: +i, +-j
     if (isLambert) {
-      val l = proj.asInstanceOf[GribProjection.LambertConformal]
-      putS32(b, 65, math.round(l.latin1 * 1e6))
-      putS32(b, 69, math.round(l.latin2 * 1e6))
+      val (latin1, latin2) = proj match {
+        case l: GribProjection.LambertConformal => (l.latin1, l.latin2)
+        case a: GribProjection.AlbersEqualArea => (a.latin1, a.latin2)
+        case m => throw Grib1.UnsupportedGrib(s"writer projection $m")
+      }
+      putS32(b, 65, math.round(latin1 * 1e6))
+      putS32(b, 69, math.round(latin2 * 1e6))
       putS32(b, 73, math.round(-90 * 1e6)) // southern pole of projection
       putS32(b, 77, 0)
     }

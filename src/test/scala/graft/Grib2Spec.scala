@@ -593,6 +593,44 @@ class Grib2Spec extends SparkSpec {
     assert(math.abs(rows2(0).getDouble(1) + 100.0) < 1e-6)
   }
 
+  test("Albers equal-area grids (3.31) read via the Snyder inverse") {
+    // template 3.31 shares 3.30's wire layout with a different mapping —
+    // the NCEP conservation/land-products grid
+    import graft.sources.grib.GribProjection
+    val aea = GribProjection.AlbersEqualArea(29.5, 45.5, -96.0)
+    val (gi, gj) = (6, 5)
+    val vals = (0 until gi * gj).map(_.toDouble)
+    val dir = java.nio.file.Files.createTempDirectory("aea").toString
+    val p = s"$dir/aea.grib2"
+    GW2.write(p, Seq(GW2.FieldSpec(0, 0, 0, 103, 2, t0, vals, gi, gj,
+      la1 = 35.0, lo1 = -105.0, la2 = 0, lo2 = 0, decimalScale = 0,
+      projection = Some(aea), dxMeters = 4000.0, dyMeters = 4000.0)))
+    val f = Grib2Reader.indexFields(
+      new org.apache.hadoop.conf.Configuration(), p).head
+    assert(f.projection.exists(_.isInstanceOf[GribProjection.AlbersEqualArea]))
+    val rows = Grib2Reader.readLongFormat(spark, p)
+      .orderBy($"value").select($"latitude", $"longitude", $"value").collect()
+    assert(rows.length == gi * gj)
+    assert(math.abs(rows(0).getDouble(0) - 35.0) < 1e-6)
+    assert(math.abs(rows(0).getDouble(1) + 105.0) < 1e-6)
+    val (x0, y0) = aea.forward(35.0, -105.0)
+    val (wantLat, wantLon) = aea.inverse(x0 + 3 * 4000.0, y0 + 2 * 4000.0)
+    val r = rows(2 * gi + 3)
+    assert(math.abs(r.getDouble(0) - wantLat) < 1e-9 &&
+      math.abs(r.getDouble(1) - wantLon) < 1e-9)
+    // and it virtualizes through the projected scanGrib path
+    val refsPath = s"$dir/aea.refs.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(refsPath),
+      graft.sources.zarr.Kerchunk.scanGrib(
+        new org.apache.hadoop.conf.Configuration(), p).getBytes("UTF-8"))
+    val vdf = spark.read.format("zarr").load(refsPath)
+    assert(vdf.columns.toSet ==
+      Set("time", "y", "x", "2t", "latitude", "longitude"))
+    assert(vdf.count() == gi * gj)
+    assert(vdf.filter(abs($"latitude" - 35.0) < 1e-6 &&
+      abs($"longitude" + 105.0) < 1e-6).count() == 1)
+  }
+
   test("probability products (4.5/4.9) demux into per-threshold channels") {
     val dir = java.nio.file.Files.createTempDirectory("prob").toString
     val p = s"$dir/prob.grib2"
