@@ -2159,6 +2159,77 @@ object Queries {
           .orderBy($"y", $"x")
       }),
 
+    // ---------------------------------------------------------------- S1 (LAEA GRIB virtualized as zarr references)
+    // The EFAS/CEMS European-grid shape: a Lambert-azimuthal-equal-area
+    // GRIB2 file (template 3.140) as a virtual store. The oracle re-derives
+    // the plane origin (Snyder 24-1/24-2 forward at the first point) and
+    // every pixel's lat/lon (20-14..20-18 inverse) with DuckDB's own trig.
+    Q("q160_grib_virtual_laea", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200),
+           c AS (SELECT CAST(6367470.0 AS DOUBLE) AS r_e,
+                        radians(52.0) AS p1, radians(10.0) AS l0,
+                        radians(48.0) AS la1, radians(2.0) AS lo1),
+           k AS (SELECT r_e, p1, l0,
+                        sqrt(2 / (1 + sin(p1)*sin(la1)
+                                  + cos(p1)*cos(la1)*cos(lo1 - l0))) AS kp,
+                        la1, lo1
+                 FROM c),
+           b AS (SELECT r_e, p1, l0,
+                        r_e * kp * cos(la1) * sin(lo1 - l0) AS x0,
+                        r_e * kp * (cos(p1)*sin(la1)
+                                    - sin(p1)*cos(la1)*cos(lo1 - l0)) AS y0
+                 FROM k),
+           g AS (SELECT CAST(o_orderkey % 997 AS DOUBLE) AS value,
+                        r_e, p1, l0,
+                        x0 + (rn0 % 10) * 5000.0 AS x,
+                        y0 + (rn0 // 10) * 5000.0 AS y
+                 FROM o, b),
+           p AS (SELECT value, r_e, p1, l0, x, y,
+                        sqrt(x*x + y*y) AS rho
+                 FROM g),
+           q AS (SELECT value, r_e, p1, l0, x, y, rho,
+                        2 * asin(rho / (2 * r_e)) AS ce
+                 FROM p)
+      SELECT round(y, 6) AS y, round(x, 6) AS x,
+             round(degrees(asin(cos(ce)*sin(p1)
+                                + y*sin(ce)*cos(p1)/rho)), 6) AS latitude,
+             round(degrees(l0 + atan2(x*sin(ce),
+                     rho*cos(p1)*cos(ce) - y*sin(p1)*sin(ce))), 6)
+               AS longitude,
+             value
+      FROM q ORDER BY y, x"""))(
+      (s, d) => {
+        import graft.sources.grib.{GribProjection, Grib2Writer => GW2}
+        import graft.sources.zarr.Kerchunk
+        val refs = Fixtures.dir("q160", d) { dir =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 997).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          val path = s"$dir/q160.grib2"
+          GW2.write(path, Seq(GW2.FieldSpec(
+            discipline = 0, category = 0, number = 0, levelType = 103,
+            levelScaledValue = 2,
+            refTime = java.time.LocalDateTime.of(2026, 8, 1, 0, 0),
+            values = vals, ni = 10, nj = 20,
+            la1 = 48.0, lo1 = 2.0, la2 = 0, lo2 = 0, decimalScale = 0,
+            projection = Some(GribProjection.LambertAzimuthalEqualArea(
+              52.0, 10.0, 6367470.0)),
+            dxMeters = 5000.0, dyMeters = 5000.0)))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/q160.refs.json"),
+            Kerchunk.scanGrib(
+              new org.apache.hadoop.conf.Configuration(), path)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        } + "/q160.refs.json"
+        s.read.format("zarr").load(refs)
+          .select(round($"y", 6).as("y"), round($"x", 6).as("x"),
+            round($"latitude", 6).as("latitude"),
+            round($"longitude", 6).as("longitude"), col("2t").as("value"))
+          .orderBy($"y", $"x")
+      }),
+
     // ---------------------------------------------------------------- S1 (NetCDF CDF-5 / 64-bit data)
     // Same `orders` grid through the CDF-5 (64-bit data) classic variant:
     // widened header counts, an NC_INT64 variable and an NC_UBYTE variable

@@ -450,6 +450,27 @@ object Grib2 {
               val dxSigned = if ((scan & 0x80) == 0) dx else -dx
               grid = Some(GridDef(nx, ny, la1, lo1, la1, lo1, scan, 0,
                 proj = Some(proj), dx = dxSigned, dy = dySigned))
+            case 140 =>
+              // Lambert azimuthal equal area (the EFAS/CEMS EPSG:3035-
+              // style grids): Nx/Ny + first point + standard parallel +
+              // central longitude + Dx/Dy millimeters
+              val nx = u32(b, 30).toInt
+              val ny = u32(b, 34).toInt
+              val la1 = s32(b, 38) / 1e6
+              val lo1 = s32(b, 42) / 1e6
+              val sp = s32(b, 47) / 1e6
+              val cl = s32(b, 51) / 1e6
+              val dx = u32(b, 55) / 1000.0
+              val dy = u32(b, 59) / 1000.0
+              val scan = u8(b, 63)
+              checkScan(scan)
+              val (axA, axB) = earthFigure(b)
+              val dySigned = if ((scan & 0x40) != 0) dy else -dy
+              val dxSigned = if ((scan & 0x80) == 0) dx else -dx
+              grid = Some(GridDef(nx, ny, la1, lo1, la1, lo1, scan, 0,
+                proj = Some(GribProjection.LambertAzimuthalEqualArea(
+                  sp, cl, radius = axA, minorAxis = axB)),
+                dx = dxSigned, dy = dySigned))
             case 12 =>
               // transverse Mercator (the UKMO national-grid template):
               // reference point (lat0, lon0) with declared plane coords

@@ -221,6 +221,28 @@ object Grib2Writer {
         return b
       case _ =>
     }
+    proj match {
+      case z: GribProjection.LambertAzimuthalEqualArea =>
+        // template 3.140: first point + standard parallel + central
+        // longitude + Dx/Dy millimeters
+        val b = new Array[Byte](65)
+        putU32(b, 0, b.length); b(4) = 3
+        b(5) = 0
+        putU32(b, 6, f.ni.toLong * f.nj)
+        putU16(b, 12, 140)
+        putShape(b, z.radius, z.minorAxis)
+        putU32(b, 30, f.ni); putU32(b, 34, f.nj)
+        putS32(b, 38, math.round(f.la1 * 1e6))
+        putS32(b, 42, math.round(f.lo1 * 1e6))
+        b(46) = 0x08
+        putS32(b, 47, math.round(z.standardParallel * 1e6))
+        putS32(b, 51, math.round(z.centralLon * 1e6))
+        putU32(b, 55, math.round(f.dxMeters * 1000))
+        putU32(b, 59, math.round(math.abs(f.dyMeters) * 1000))
+        b(63) = (if (f.dyMeters >= 0) 0x40 else 0).toByte
+        return b
+      case _ =>
+    }
     // template 31 (Albers) shares 30's (Lambert) wire layout
     val (tmpl, lad, lov, south) = proj match {
       case l: GribProjection.LambertConformal => (30, l.latin1, l.lov, false)

@@ -263,6 +263,79 @@ object GribProjection {
     * to geodetic latitude. `sweepX` selects the gimbal order (GOES "x",
     * Meteosat "y" — they agree on the scan axes and differ off-axis).
     * Rays beyond the limb return NaN coordinates. */
+  /** Lambert azimuthal equal-area (GRIB2 template 3.140 — the EFAS/CEMS
+    * EPSG:3035-style European grids). Spherical: Snyder 24-1/24-2 forward,
+    * 20-14..20-18 inverse. Ellipsoidal: Snyder 24-19..24-26 with authalic
+    * latitudes (3-11/3-12), inverse 24-27..24-34 + the 3-16 fixed-point
+    * iteration; spherical path is the axes-equal limit. */
+  final case class LambertAzimuthalEqualArea(standardParallel: Double,
+      centralLon: Double, radius: Double = EarthRadius,
+      minorAxis: Double = Double.NaN) extends GribProjection {
+    private val e = eccOf(radius, minorAxis)
+    private val e2 = e * e
+    private val phi1 = math.toRadians(standardParallel)
+    private val lam0 = math.toRadians(centralLon)
+    /** Snyder 3-12: the authalic-latitude q of a geodetic latitude. */
+    private def qFun(phi: Double): Double = {
+      val s = math.sin(phi)
+      if (e == 0) 2 * s
+      else (1 - e2) * (s / (1 - e2 * s * s) -
+        (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+    }
+    private val qp = qFun(math.Pi / 2)
+    private val beta1 = if (e == 0) phi1 else math.asin(qFun(phi1) / qp)
+    private val rq = if (e == 0) radius else radius * math.sqrt(qp / 2)
+    private val dBig =
+      if (e == 0) 1.0
+      else radius * mFun(phi1, e) / (rq * math.cos(beta1))
+    private val sinB1 = math.sin(beta1)
+    private val cosB1 = math.cos(beta1)
+    private def clamp1(v: Double): Double = math.max(-1.0, math.min(1.0, v))
+
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val dLam = normalize(math.toRadians(lonDeg) - lam0)
+      val beta = if (e == 0) phi else math.asin(clamp1(qFun(phi) / qp))
+      val sinB = math.sin(beta)
+      val cosB = math.cos(beta)
+      val bBig = rq * math.sqrt(
+        2 / (1 + sinB1 * sinB + cosB1 * cosB * math.cos(dLam)))
+      (bBig * dBig * cosB * math.sin(dLam),
+        (bBig / dBig) * (cosB1 * sinB - sinB1 * cosB * math.cos(dLam)))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val rho = math.hypot(x / dBig, dBig * y)
+      if (rho < 1e-9)
+        return (math.toDegrees(phi1), math.toDegrees(normalize(lam0)))
+      val ce = 2 * math.asin(clamp1(rho / (2 * rq)))
+      val sinCe = math.sin(ce)
+      val cosCe = math.cos(ce)
+      val sinBeta = cosCe * sinB1 + dBig * y * sinCe * cosB1 / rho
+      val lam = lam0 + math.atan2(x * sinCe,
+        dBig * rho * cosB1 * cosCe - dBig * dBig * y * sinB1 * sinCe)
+      val phi =
+        if (e == 0) math.asin(clamp1(sinBeta))
+        else {
+          // q back from the authalic latitude, then Snyder 3-16
+          val q = qp * clamp1(sinBeta)
+          var p = math.asin(clamp1(q / 2))
+          var i = 0
+          while (i < 12) {
+            val s = math.sin(p)
+            val es = e * s
+            val next = p + math.pow(1 - e2 * s * s, 2) / (2 * math.cos(p)) *
+              (q / (1 - e2) - s / (1 - e2 * s * s) +
+                (1 / (2 * e)) * math.log((1 - es) / (1 + es)))
+            if (math.abs(next - p) < 1e-13) { p = next; i = 12 }
+            else { p = next; i += 1 }
+          }
+          p
+        }
+      (math.toDegrees(phi), math.toDegrees(normalize(lam)))
+    }
+  }
+
   final case class Geostationary(lon0: Double, height: Double,
       sweepX: Boolean = false,
       radius: Double = EarthRadius,

@@ -631,6 +631,69 @@ class Grib2Spec extends SparkSpec {
       abs($"longitude" + 105.0) < 1e-6).count() == 1)
   }
 
+  test("Lambert azimuthal equal-area grids (3.140) read via the Snyder inverse") {
+    import graft.sources.grib.GribProjection
+    // spherical round-trip over a lattice (Snyder 24-1/24-2 vs 20-14..18)
+    val sph = GribProjection.LambertAzimuthalEqualArea(52.0, 10.0)
+    for (lat <- Seq(35.0, 48.0, 52.0, 60.0, 71.5); lon <- Seq(-10.0, 0.0, 10.0, 31.0)) {
+      val (x, y) = sph.forward(lat, lon)
+      val (la, lo) = sph.inverse(x, y)
+      assert(math.abs(la - lat) < 1e-9 && math.abs(lo - lon) < 1e-9,
+        s"sph ($lat,$lon) -> ($x,$y) -> ($la,$lo)")
+    }
+    assert(sph.forward(52.0, 10.0) == (0.0, 0.0))
+    // ellipsoidal (GRS80, the EPSG:3035 figure): round-trips, anchors at
+    // the projection centre, and is NOT the spherical mapping
+    val grs = GribProjection.LambertAzimuthalEqualArea(52.0, 10.0,
+      radius = 6378137.0, minorAxis = 6356752.314140)
+    for (lat <- Seq(35.0, 48.0, 52.0, 60.0, 71.5); lon <- Seq(-10.0, 0.0, 10.0, 31.0)) {
+      val (x, y) = grs.forward(lat, lon)
+      val (la, lo) = grs.inverse(x, y)
+      assert(math.abs(la - lat) < 1e-9 && math.abs(lo - lon) < 1e-9,
+        s"grs ($lat,$lon) -> ($x,$y) -> ($la,$lo)")
+    }
+    val (gx, gy) = grs.forward(48.0, 2.0)
+    val (sx, sy) = sph.forward(48.0, 2.0)
+    assert(math.abs(gx - sx) > 100 || math.abs(gy - sy) > 100)
+    // axes-equal ellipsoid collapses to the spherical path bit-identically
+    val eq = GribProjection.LambertAzimuthalEqualArea(52.0, 10.0,
+      radius = GribProjection.EarthRadius,
+      minorAxis = GribProjection.EarthRadius)
+    assert(eq.forward(48.0, 2.0) == sph.forward(48.0, 2.0))
+
+    // wire round-trip through template 3.140 (EFAS-like grid)
+    val (gi, gj) = (6, 5)
+    val vals = (0 until gi * gj).map(_.toDouble)
+    val dir = java.nio.file.Files.createTempDirectory("laea").toString
+    val p = s"$dir/laea.grib2"
+    GW2.write(p, Seq(GW2.FieldSpec(0, 0, 0, 103, 2, t0, vals, gi, gj,
+      la1 = 48.0, lo1 = 2.0, la2 = 0, lo2 = 0, decimalScale = 0,
+      projection = Some(grs), dxMeters = 5000.0, dyMeters = 5000.0)))
+    val f = Grib2Reader.indexFields(
+      new org.apache.hadoop.conf.Configuration(), p).head
+    assert(f.projection.exists(
+      _.isInstanceOf[GribProjection.LambertAzimuthalEqualArea]))
+    val rows = Grib2Reader.readLongFormat(spark, p)
+      .orderBy($"value").select($"latitude", $"longitude", $"value").collect()
+    assert(rows.length == gi * gj)
+    assert(math.abs(rows(0).getDouble(0) - 48.0) < 1e-6)
+    assert(math.abs(rows(0).getDouble(1) - 2.0) < 1e-6)
+    val (x0, y0) = grs.forward(48.0, 2.0)
+    val (wantLat, wantLon) = grs.inverse(x0 + 4 * 5000.0, y0 + 3 * 5000.0)
+    val r = rows(3 * gi + 4)
+    assert(math.abs(r.getDouble(0) - wantLat) < 1e-9 &&
+      math.abs(r.getDouble(1) - wantLon) < 1e-9)
+    // and the virtual path serves it as [time, y, x] + synthesized lat/lon
+    val refsPath = s"$dir/laea.refs.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(refsPath),
+      graft.sources.zarr.Kerchunk.scanGrib(
+        new org.apache.hadoop.conf.Configuration(), p).getBytes("UTF-8"))
+    val vdf = spark.read.format("zarr").load(refsPath)
+    assert(vdf.count() == gi * gj)
+    assert(vdf.filter(abs($"latitude" - 48.0) < 1e-6 &&
+      abs($"longitude" - 2.0) < 1e-6).count() == 1)
+  }
+
   test("probability products (4.5/4.9) demux into per-threshold channels") {
     val dir = java.nio.file.Files.createTempDirectory("prob").toString
     val p = s"$dir/prob.grib2"
