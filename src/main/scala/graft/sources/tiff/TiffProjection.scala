@@ -2,8 +2,8 @@ package graft.sources.tiff
 
 import graft.sources.grib.GribProjection
 import graft.sources.grib.GribProjection.{AlbersEqualArea, Equirectangular,
-  LambertConformal, Mercator, PolarStereographic, Sinusoidal,
-  TransverseMercator}
+  LambertAzimuthalEqualArea, LambertConformal, Mercator, PolarStereographic,
+  Sinusoidal, TransverseMercator}
 
 /** Projected-CRS resolution for GeoTIFF rasters beyond UTM — Lambert
   * conformal conic, polar stereographic, and Mercator, reusing the
@@ -69,6 +69,13 @@ object TiffProjection {
     ModelTransform(p, fe, fn, yOrigin = p.forward(lat0, lon0)._2)
   }
 
+  private def laea(lat0: Double, lon0: Double, fe: Double, fn: Double,
+      a: Double, b: Double): ModelTransform =
+    // the azimuthal origin IS the projection centre: forward(lat0, lon0)
+    // is (0, 0) by construction, so only the false origin folds in
+    ModelTransform(LambertAzimuthalEqualArea(lat0, lon0, a, b),
+      fe, fn, yOrigin = 0.0)
+
   private def albers(sp1: Double, sp2: Double, lat0: Double, lon0: Double,
       fe: Double, fn: Double, a: Double, b: Double): ModelTransform = {
     val p = AlbersEqualArea(sp1, sp2, lon0, a, b)
@@ -99,6 +106,8 @@ object TiffProjection {
     // OSGB36 / British National Grid (Airy 1830)
     case 27700 => Some(tm(49, -2, 400000, -100000,
       Airy1830A, Airy1830B, k0 = 0.9996012717))
+    // ETRS89-extended / LAEA Europe (the EFAS/CLC/Copernicus grid, GRS80)
+    case 3035 => Some(laea(52, 10, 4321000, 3210000, Wgs84A, Grs80B))
     // NAD83 / Conus Albers (the USGS national-products grid, GRS80)
     case 5070 => Some(albers(29.5, 45.5, 23, -96, 0, 0, Wgs84A, Grs80B))
     // GDA94 / Australian Albers (GRS80)
@@ -163,6 +172,9 @@ object TiffProjection {
           d(3079).getOrElse(d0(3078)),
           d0(3085, 3081, 3089), d0(3084, 3080, 3088),
           d0(3086, 3082), d0(3087, 3083), a, b)
+      case Some(10) => // CT_LambertAzimEqualArea
+        laea(d0(3089, 3081), d0(3088, 3080), d0(3086, 3082), d0(3087, 3083),
+          a, b)
       case Some(15) => // CT_PolarStereographic
         val latTs = d(3081, 3078).getOrElse(throw Tiff.UnsupportedTiff(
           "polar-stereographic GeoKeys without ProjNatOriginLat (3081)"))
@@ -170,12 +182,13 @@ object TiffProjection {
       case Some(other) => throw Tiff.UnsupportedTiff(
         s"coordinate transformation $other (ProjCoordTransGeoKey; supported: " +
           "1 transverse Mercator, 7 Mercator, 8/9 Lambert conformal, " +
-          "11 Albers equal-area, 15 polar stereographic, " +
-          "17 equirectangular, 24 sinusoidal)")
+          "10 Lambert azimuthal equal-area, 11 Albers equal-area, " +
+          "15 polar stereographic, 17 equirectangular, 24 sinusoidal)")
       case None => throw Tiff.UnsupportedTiff(
         s"CRS EPSG:${meta.epsg} (supported: 4326 geographic, UTM " +
           "326xx/327xx/258xx/269xx, EPSG 3857/3395/3031/3976/3413/32661/" +
-          "32761/2154/3577/3978/5070/27700, or user-defined ProjCS GeoKeys)")
+          "32761/2154/3035/3577/3978/5070/27700, or user-defined ProjCS " +
+          "GeoKeys)")
     }
   }
 

@@ -823,6 +823,55 @@ class TiffSpec extends SparkSpec {
     }
   }
 
+  test("EPSG:3035 LAEA Europe: false origin exact, ellipsoidal grid round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("tiflaea").toString
+    // projection centre (52N, 10E) IS model (FE, FN) = (4321000, 3210000)
+    val got = projTif(dir, x0 = 4321000, y0 = 3210000 + 300000,
+      dx = 200000, dy = 300000, epsg = 3035)
+    val (lat0, lon0) = got(30.0) // pixel (1,0): back at the centre
+    assert(math.abs(lat0 - 52.0) < 1e-9 && math.abs(lon0 - 10.0) < 1e-9,
+      s"centre decoded as ($lat0, $lon0)")
+    val p = GribProjection.LambertAzimuthalEqualArea(52, 10,
+      6378137.0, 6356752.314140356)
+    for (r <- 0 until 2; c <- 0 until 3) {
+      val (lat, lon) = got((r * 3 + c) * 10.0)
+      val (fx, fy) = p.forward(lat, lon)
+      assert(math.abs(fx - c * 200000.0) < 1e-5 &&
+        math.abs(fy - (300000 - r * 300000.0)) < 1e-5, s"pixel ($r,$c)")
+    }
+  }
+
+  test("user-defined LAEA GeoKeys with sphere axes match the closed form") {
+    val dir = java.nio.file.Files.createTempDirectory("tiflaeas").toString
+    val R = 6370997.0
+    val got = projTif(dir, x0 = 40000.0, y0 = 160000.0,
+      dx = 90000, dy = 110000, epsg = 32767,
+      shortKeys = Seq((3075, 10)),
+      doubleKeys = Seq((3089, 45.0), (3088, -100.0),
+        (3086, 40000.0), (3087, 50000.0),
+        (2057, R), (2058, R)))
+    // independent spherical LAEA inverse (Snyder 20-14..20-18, 24-16)
+    val p1 = math.toRadians(45.0)
+    for (r <- 0 until 2; c <- 0 until 3) {
+      val xp = 40000.0 + c * 90000.0 - 40000.0           // E - FE
+      val yp = 160000.0 - r * 110000.0 - 50000.0         // N - FN
+      val rho = math.sqrt(xp * xp + yp * yp)
+      val (wantLat, wantLon) =
+        if (rho < 1e-9) (45.0, -100.0)
+        else {
+          val ce = 2 * math.asin(rho / (2 * R))
+          (math.toDegrees(math.asin(math.cos(ce) * math.sin(p1) +
+            yp * math.sin(ce) * math.cos(p1) / rho)),
+            -100.0 + math.toDegrees(math.atan2(xp * math.sin(ce),
+              rho * math.cos(p1) * math.cos(ce) -
+                yp * math.sin(p1) * math.sin(ce))))
+        }
+      val (lat, lon) = got((r * 3 + c) * 10.0)
+      assert(math.abs(lat - wantLat) < 1e-9 && math.abs(lon - wantLon) < 1e-9,
+        s"pixel ($r,$c): got ($lat,$lon) want ($wantLat,$wantLon)")
+    }
+  }
+
   test("user-defined Albers GeoKeys with sphere axes match the closed form") {
     val dir = java.nio.file.Files.createTempDirectory("tifalbs").toString
     val R = 6370997.0
