@@ -2230,6 +2230,50 @@ object Queries {
           .orderBy($"y", $"x")
       }),
 
+    // ---------------------------------------------------------------- S1 (netCDF-4 with hdf5plugin registered filters)
+    // The modern compressed-netCDF surface: one variable per registered
+    // dynamic filter — shuffle+zstd (32015), blosc (32001), bitshuffle+lz4
+    // (32008), and the HDF5-External-Filter lz4 (32004). The oracle
+    // recomputes every planted cell, so any framing or bit-transpose slip
+    // in any of the four decoders breaks the hash.
+    Q("q161_netcdf4_plugin_filters", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200),
+           g AS (SELECT CAST(o_orderkey % 997 AS DOUBLE) AS v,
+                        CAST(rn0 // 10 AS DOUBLE) AS y,
+                        CAST(rn0 % 10 AS DOUBLE) AS x
+                 FROM o)
+      SELECT y, x, v AS a_zstd, round(v * 1.5, 6) AS b_blosc,
+             v + 100 AS c_bshuf, v * 2 AS d_lz4
+      FROM g ORDER BY y, x"""))(
+      (s, d) => {
+        import graft.sources.hdf5.{Hdf5Writer => HW}
+        import graft.sources.netcdf.NetCDF4Reader
+        val nc = Fixtures.dir("q161", d) { dir =>
+          val vals = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+            .select(($"o_orderkey" % 997).cast("double"))
+            .collect().map(_.getDouble(0)).toSeq
+          def v(name: String, data: Seq[Double]) = HW.VarSpec(
+            name, Seq("y", "x"), Seq(20, 10), data, dtype = "f8",
+            chunks = Some(Seq(8, 10))) // 80-cell chunks: multi-block lz4,
+          // bitshuffle full blocks + a 16-element rounded tail, edge chunks
+          HW.write(s"$dir/q161.nc", Seq(
+            HW.VarSpec("y", Seq("y"), Seq(20), (0 until 20).map(_.toDouble)),
+            HW.VarSpec("x", Seq("x"), Seq(10), (0 until 10).map(_.toDouble)),
+            v("a_zstd", vals).copy(shuffle = true, zstd = true),
+            v("b_blosc", vals.map(x => math.rint(x * 1.5 * 1e6) / 1e6))
+              .copy(blosc = true),
+            v("c_bshuf", vals.map(_ + 100)).copy(
+              bitshuffle = Some(2), bitshuffleBlockElems = 16),
+            v("d_lz4", vals.map(_ * 2)).copy(lz4 = true)))
+        } + "/q161.nc"
+        NetCDF4Reader.readLongFormat(s, nc)
+          .select($"y", $"x", $"a_zstd", round($"b_blosc", 6).as("b_blosc"),
+            $"c_bshuf", $"d_lz4")
+          .orderBy($"y", $"x")
+      }),
+
     // ---------------------------------------------------------------- S1 (NetCDF CDF-5 / 64-bit data)
     // Same `orders` grid through the CDF-5 (64-bit data) classic variant:
     // widened header counts, an NC_INT64 variable and an NC_UBYTE variable

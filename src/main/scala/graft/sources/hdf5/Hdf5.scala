@@ -25,8 +25,12 @@ import scala.collection.mutable
   *    and v2-B-tree indexes of any depth); filters deflate(1),
   *    shuffle(2), fletcher32(3), szip(4) — the CCSDS/Rice coder shared
   *    with GRIB template 5.42 ([[graft.sources.grib.Ccsds]]) — nbit(5)
-  *    (atomic and no-op datatype classes) and scaleoffset(6) (int +
-  *    float D-scaling; E-scaling is unimplemented in HDF5 itself);
+  *    (atomic and no-op datatype classes), scaleoffset(6) (int +
+  *    float D-scaling; E-scaling is unimplemented in HDF5 itself), and
+  *    the registered dynamic filters the hdf5plugin/h5py ecosystem
+  *    installs: blosc(32001, self-describing frames), lz4(32004, the
+  *    HDF5-External-Filter blocked layout), bitshuffle(32008, plain /
+  *    lz4 / zstd block compression), zstd(32015, bare frames);
   *  - datatypes: fixed-point 1/2/4/8 (either endian, signed or not), IEEE
   *    float 4/8, fixed strings, variable-length strings (class 9 vlen-type
   *    "string", resolved through the global heap), object references, vlen
@@ -1460,8 +1464,62 @@ object Hdf5 {
             i += 1
           }
           data = out
+        case 32001 =>
+          // blosc (registered filter, hdf5plugin/PyTables H5Zblosc): the
+          // chunk payload is one self-describing blosc frame — the header
+          // carries codec/shuffle/sizes, so the client values (filter
+          // version, blosc format, typesize, chunk bytes, clevel, shuffle,
+          // compcode) are advisory on decode
+          data = graft.sources.zarr.Blosc.decompress(data)
+          require(data.length == expected,
+            s"blosc filter decoded ${data.length} bytes, chunk is $expected")
+        case 32004 =>
+          // lz4 (HDF5-External-Filter-Plugins H5Zlz4): 8-byte BE total
+          // decompressed size, 4-byte BE block size, then per block a
+          // 4-byte BE compressed length + LZ4 BLOCK data (a block whose
+          // compressed length equals its decompressed length is stored raw)
+          data = lz4BlockedDecode(data, expected)
+        case 32008 =>
+          // bitshuffle (kiyo-masui/bitshuffle bshuf_h5filter.c): client
+          // values [major, minor, elem size, block elements, flag]; flag
+          // 0 = bit-transpose only (no framing), 2 = per-block LZ4 with a
+          // 12-byte BE header (total bytes + block bytes), 3 = per-block
+          // zstd with the same framing
+          val cv = f.clientValues
+          require(cv.length >= 3, s"bitshuffle filter with ${cv.length} client values")
+          val es = cv(2)
+          require(es >= 1, s"bitshuffle element size $es")
+          val flag = if (cv.length > 4) cv(4) else 0
+          data = flag match {
+            case 0 =>
+              val blockElems0 = if (cv.length > 3) cv(3) else 0
+              val blockElems =
+                if (blockElems0 > 0) blockElems0 else (8192 / es) & ~7
+              bitshuffleDecode(data, expected, es, blockElems)
+            case 2 | 3 =>
+              require(data.length >= 12, "bitshuffle compressed chunk under 12 bytes")
+              val total = be64(data, 0)
+              require(total == expected,
+                s"bitshuffle header says $total bytes, chunk is $expected")
+              val blockBytes = be32(data, 8)
+              require(blockBytes > 0 && blockBytes % (8 * es) == 0,
+                s"bitshuffle block of $blockBytes bytes is not a multiple " +
+                  s"of 8 elements of $es bytes")
+              val shuffled = blockedFramesDecode(data, 12, expected, blockBytes,
+                es, zstd = flag == 3)
+              bitshuffleDecode(shuffled, expected, es, blockBytes / es)
+            case other => throw UnsupportedHdf5(
+              s"bitshuffle compression flag $other (none 0, lz4 2, zstd 3)")
+          }
+        case 32015 =>
+          // zstd (registered filter H5Zzstd, hdf5plugin/nc-zstd): the chunk
+          // payload is one bare zstd frame; client value = level (advisory)
+          data = graft.sources.zarr.Zstd.decompress(data, 0, data.length, expected)
+          require(data.length == expected,
+            s"zstd filter decoded ${data.length} bytes, chunk is $expected")
         case other => throw UnsupportedHdf5(
-          s"filter id $other (deflate/shuffle/fletcher32/szip/nbit/scaleoffset only)")
+          s"filter id $other (deflate/shuffle/fletcher32/szip/nbit/" +
+            "scaleoffset/blosc/lz4/bitshuffle/zstd only)")
       }
     }
     data
@@ -1471,6 +1529,116 @@ object Hdf5 {
     * byte `byteOff` — the packing both H5Znbit and H5Zscaleoffset use (each
     * element's field appended top bit first, stream filled into bytes
     * MSB-first). */
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def be64(b: Array[Byte], off: Int): Long =
+    ((be32(b, off) & 0xffffffffL) << 32) | (be32(b, off + 4) & 0xffffffffL)
+
+  /** H5Zlz4's chunk layout: u64-BE total size, u32-BE block size, then per
+    * block a u32-BE compressed length + LZ4 BLOCK bytes (equal lengths =
+    * stored raw). */
+  private[hdf5] def lz4BlockedDecode(data: Array[Byte], expected: Int): Array[Byte] = {
+    require(data.length >= 12, "lz4 chunk under 12 bytes")
+    val total = be64(data, 0)
+    require(total == expected,
+      s"lz4 header says $total bytes, chunk is $expected")
+    val blockSize0 = be32(data, 8)
+    val blockSize = if (blockSize0 > 0) blockSize0 else expected
+    val out = new Array[Byte](expected)
+    var s = 12
+    var d = 0
+    while (d < expected) {
+      val origLen = math.min(blockSize, expected - d)
+      require(s + 4 <= data.length, "lz4 chunk truncated at a block header")
+      val compLen = be32(data, s)
+      s += 4
+      require(compLen > 0 && s + compLen <= data.length,
+        s"lz4 block of $compLen bytes overruns the chunk")
+      if (compLen == origLen)
+        System.arraycopy(data, s, out, d, origLen)
+      else
+        graft.sources.zarr.Blosc.lz4Decompress(data, s, compLen, out, d, origLen)
+      s += compLen
+      d += origLen
+    }
+    out
+  }
+
+  /** The bitshuffle library's per-block compressed stream (after its
+    * 12-byte header): u32-BE compressed length + one LZ4 BLOCK (or zstd
+    * frame) per bit-transposed block. Full blocks of `blockBytes`, then a
+    * final partial block rounded DOWN to 8 elements, then the <8-element
+    * leftover stored raw (bshuf_blocked_wrap_fun). Returns the
+    * still-bit-shuffled bytes. */
+  private def blockedFramesDecode(data: Array[Byte], hdr: Int, expected: Int,
+      blockBytes: Int, elemSize: Int, zstd: Boolean): Array[Byte] = {
+    import graft.sources.zarr.{Blosc, Zstd}
+    val totalElems = expected / elemSize
+    val blockElems = blockBytes / elemSize
+    val leftoverElems = totalElems % 8
+    val out = new Array[Byte](expected)
+    var s = hdr
+    var d = 0
+    val blockedEnd = (totalElems - leftoverElems) * elemSize
+    while (d < blockedEnd) {
+      val origLen = math.min(blockBytes, blockedEnd - d)
+      require(s + 4 <= data.length, "bitshuffle chunk truncated at a block header")
+      val compLen = be32(data, s)
+      s += 4
+      require(compLen > 0 && s + compLen <= data.length,
+        s"bitshuffle block of $compLen bytes overruns the chunk")
+      if (zstd) {
+        val blk = Zstd.decompress(data, s, compLen, origLen)
+        require(blk.length == origLen,
+          s"bitshuffle zstd block decoded ${blk.length} bytes, wanted $origLen")
+        System.arraycopy(blk, 0, out, d, origLen)
+      } else Blosc.lz4Decompress(data, s, compLen, out, d, origLen)
+      s += compLen
+      d += origLen
+    }
+    // trailing <8-element remainder rides raw after the last block
+    val leftoverBytes = leftoverElems * elemSize
+    if (leftoverBytes > 0) {
+      require(s + leftoverBytes <= data.length,
+        "bitshuffle chunk truncated in the raw leftover")
+      System.arraycopy(data, s, out, d, leftoverBytes)
+    }
+    out
+  }
+
+  /** Undo the bitshuffle bit transpose over the blocked layout the library
+    * uses: full blocks of `blockElems` (a multiple of 8), one final partial
+    * block rounded down to 8 elements, raw leftover. */
+  private def bitshuffleDecode(shuffled: Array[Byte], expected: Int,
+      elemSize: Int, blockElems: Int): Array[Byte] = {
+    require(blockElems > 0 && blockElems % 8 == 0,
+      s"bitshuffle block of $blockElems elements is not a multiple of 8")
+    val totalElems = expected / elemSize
+    val out = new Array[Byte](expected)
+    var e = 0
+    while (e < totalElems) {
+      val nElem = {
+        val rem = totalElems - e
+        if (rem >= blockElems) blockElems else rem & ~7
+      }
+      if (nElem == 0) { // <8-element leftover: stored verbatim
+        System.arraycopy(shuffled, e * elemSize, out, e * elemSize,
+          (totalElems - e) * elemSize)
+        e = totalElems
+      } else {
+        val bsize = nElem * elemSize
+        val block = java.util.Arrays.copyOfRange(
+          shuffled, e * elemSize, e * elemSize + bsize)
+        graft.sources.zarr.Blosc.bitUnshuffleBlock(
+          block, bsize, elemSize, out, e * elemSize)
+        e += nElem
+      }
+    }
+    out
+  }
+
   private[hdf5] def unpackMsb(buf: Array[Byte], byteOff: Int, n: Int,
       bits: Int): Array[Long] = {
     require(bits >= 1 && bits <= 64, s"field width $bits")

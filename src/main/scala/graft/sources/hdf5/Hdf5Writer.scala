@@ -10,7 +10,8 @@ import scala.collection.mutable.ArrayBuffer
   * Little-endian, superblock v0, v1 object headers, old-style symbol-table
   * root group; coordinate variables contiguous; data variables contiguous
   * or chunked (v1 chunk B-tree) with optional deflate/shuffle/szip/nbit/
-  * scaleoffset filters;
+  * scaleoffset filters plus the registered blosc(32001)/lz4(32004)/
+  * bitshuffle(32008)/zstd(32015) dynamic filters;
   * `DIMENSION_LIST` attributes through a real global heap, `CLASS`/`NAME`
   * dimension-scale markers, CDL attrs (`units`, `scale_factor`,
   * `add_offset`, `_FillValue`). Fixture role — enough to exercise
@@ -36,6 +37,14 @@ object Hdf5Writer {
       // digit count for f4/f8
       scaleoffset: Boolean = false,
       scaleoffsetD: Option[Int] = None,
+      // registered dynamic filters (the hdf5plugin/h5py ecosystem)
+      zstd: Boolean = false,      // 32015: one bare zstd frame per chunk
+      blosc: Boolean = false,     // 32001: one self-describing blosc frame
+      lz4: Boolean = false,       // 32004: H5Zlz4 BE-blocked layout
+      // 32008: Some(flag) — 0 bit-transpose only, 2 lz4 blocks, 3 zstd
+      // blocks (bshuf_h5filter's compression flag)
+      bitshuffle: Option[Int] = None,
+      bitshuffleBlockElems: Int = 64, // multiple of 8; small to multi-block tests
       scaleFactor: Option[Double] = None,
       addOffset: Option[Double] = None,
       fillValue: Option[Double] = None,
@@ -101,7 +110,8 @@ object Hdf5Writer {
 
   private def hasFilters(v: VarSpec): Boolean =
     v.deflate || v.shuffle || v.szip || v.nbit.isDefined ||
-      v.scaleoffset || v.scaleoffsetD.isDefined
+      v.scaleoffset || v.scaleoffsetD.isDefined ||
+      v.zstd || v.blosc || v.lz4 || v.bitshuffle.isDefined
 
   /** H5Z__scaleoffset_log2: smallest v with 2^v >= num. */
   private def log2Ceil(num: Long): Int = {
@@ -115,6 +125,7 @@ object Hdf5Writer {
   // default), 32 blocks per scanline (= reference sample interval)
   private val SzipPpb = 16
   private val SzipPps = 512
+  private val Lz4BlockBytes = 1 << 8 // small enough to force multi-block chunks
 
   /** `denseRoot = true` stores the root group's links the way netCDF-4
     * writes groups past the compact limit: serialized Link messages in a
@@ -240,6 +251,78 @@ object Hdf5Writer {
       val buf = new Array[Byte](64 * 1024)
       while (!d.finished()) o.write(buf, 0, d.deflate(buf))
       d.end()
+      o.toByteArray
+    }
+
+    def be32b(v: Int): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def be64b(v: Long): Array[Byte] =
+      be32b((v >>> 32).toInt) ++ be32b(v.toInt)
+
+    // H5Zlz4's layout: u64-BE total, u32-BE block size, then per block a
+    // u32-BE length + LZ4 BLOCK (stored raw when lz4 doesn't shrink it)
+    def lz4Bytes(data: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream(data.length + 64)
+      o.write(be64b(data.length.toLong), 0, 8)
+      o.write(be32b(Lz4BlockBytes), 0, 4)
+      var d = 0
+      while (d < data.length) {
+        val origLen = math.min(Lz4BlockBytes, data.length - d)
+        val block = java.util.Arrays.copyOfRange(data, d, d + origLen)
+        val packed = graft.sources.zarr.Blosc.lz4Compress(block, origLen - 1)
+        val out = if (packed == null) block else packed
+        o.write(be32b(out.length), 0, 4)
+        o.write(out, 0, out.length)
+        d += origLen
+      }
+      o.toByteArray
+    }
+
+    // the bitshuffle library's blocked transform (+ optional per-block
+    // lz4/zstd with the 12-byte BE header) — bshuf_h5filter's write side
+    def bitshuffleBytes(data: Array[Byte], es: Int, blockElems: Int,
+        flag: Int): Array[Byte] = {
+      import graft.sources.zarr.{Blosc, Zstd}
+      require(blockElems > 0 && blockElems % 8 == 0,
+        s"bitshuffle block of $blockElems elements")
+      val totalElems = data.length / es
+      val leftoverElems = totalElems % 8
+      val blockedEnd = (totalElems - leftoverElems) * es
+      // bit-transpose block by block (full blocks, then the rounded-down
+      // partial block)
+      val shuffled = new Array[Byte](data.length)
+      var e = 0
+      while (e * es < blockedEnd) {
+        val nElem = math.min(blockElems, (blockedEnd - e * es) / es)
+        Blosc.bitShuffleBlock(data, e * es, nElem * es, es, shuffled, e * es)
+        e += nElem
+      }
+      System.arraycopy(data, blockedEnd, shuffled, blockedEnd,
+        data.length - blockedEnd)
+      if (flag == 0) return shuffled
+      val o = new java.io.ByteArrayOutputStream(data.length + 64)
+      o.write(be64b(data.length.toLong), 0, 8)
+      o.write(be32b(blockElems * es), 0, 4)
+      var d = 0
+      while (d < blockedEnd) {
+        val origLen = math.min(blockElems * es, blockedEnd - d)
+        val block = java.util.Arrays.copyOfRange(shuffled, d, d + origLen)
+        val out = flag match {
+          case 2 =>
+            val packed = Blosc.lz4Compress(block, origLen * 2 + 64)
+            if (packed == null) throw new IllegalStateException(
+              "lz4Compress rejected a generous bound") // 2x+64 always fits
+            packed
+          case 3 => Zstd.compressStore(block)
+          case other => throw new IllegalArgumentException(
+            s"bitshuffle fixture flag $other (0, 2, or 3)")
+        }
+        o.write(be32b(out.length), 0, 4)
+        o.write(out, 0, out.length)
+        d += origLen
+      }
+      // the <8-element leftover rides raw after the last block
+      o.write(shuffled, blockedEnd, data.length - blockedEnd)
       o.toByteArray
     }
 
@@ -487,6 +570,14 @@ object Hdf5Writer {
               if (v.shuffle) bytes = shuffleBytes(bytes, w)
               if (v.deflate) bytes = deflateBytes(bytes)
               if (v.szip) bytes = szipBytes(bytes, elemSize(v.dtype))
+              v.bitshuffle.foreach { flag =>
+                bytes = bitshuffleBytes(bytes, elemSize(v.dtype),
+                  v.bitshuffleBlockElems, flag)
+              }
+              if (v.blosc) bytes = graft.sources.zarr.Blosc.compress(
+                bytes, math.min(elemSize(v.dtype), 255), shuffle = true)
+              if (v.lz4) bytes = lz4Bytes(bytes)
+              if (v.zstd) bytes = graft.sources.zarr.Zstd.compressStore(bytes)
               val addr = appendAt(bytes)
               chunkRefs += ((offsets, addr, bytes.length))
             } else (0 until grid(dim)).foreach(ci => rec(dim + 1, idx :+ ci))
@@ -853,9 +944,18 @@ object Hdf5Writer {
     def filtersMsg(v: VarSpec): Array[Byte] = {
       val fs = ArrayBuffer.empty[Byte]
       var n = 0
-      def add(id: Int, clientVals: Seq[Int]): Unit = {
+      def add(id: Int, clientVals: Seq[Int], name: String = null): Unit = {
         n += 1
-        fs ++= b16(id) ++ b16(0) /* no name */ ++ b16(0) ++ b16(clientVals.size)
+        // registered filters (id >= 256) carry a NUL-padded name, as
+        // libhdf5 writes them (v1 message: length a multiple of 8)
+        val nameBytes =
+          if (name == null) Array.empty[Byte]
+          else {
+            val raw = name.getBytes("US-ASCII") :+ 0.toByte
+            raw ++ new Array[Byte]((8 - raw.length % 8) % 8)
+          }
+        fs ++= b16(id) ++ b16(nameBytes.length) ++ b16(0) ++ b16(clientVals.size)
+        fs ++= nameBytes
         clientVals.foreach(cv => fs ++= b32(cv.toLong))
         if (clientVals.size % 2 == 1) fs ++= b32(0L)
       }
@@ -900,6 +1000,20 @@ object Hdf5Writer {
       // szip client values (H5Zszip.c): [options mask, bits/pixel,
       // pixels/block, pixels/scanline]; mask = RAW | NN | LSB = 168
       if (v.szip) add(4, Seq(168, elemSize(v.dtype) * 8, SzipPpb, SzipPps))
+      // bitshuffle client values (bshuf_h5filter.c): [major, minor,
+      // elem size, block elements, compression flag]
+      v.bitshuffle.foreach { flag =>
+        add(32008, Seq(0, 4, elemSize(v.dtype), v.bitshuffleBlockElems, flag),
+          "bitshuffle; see https://github.com/kiyo-masui/bitshuffle")
+      }
+      // blosc client values (H5Zblosc.c): [filter version, blosc format,
+      // typesize, chunk bytes, clevel, shuffle, compcode]
+      if (v.blosc) {
+        val chunkBytes = chunkElems * elemSize(v.dtype)
+        add(32001, Seq(2, 2, elemSize(v.dtype), chunkBytes, 5, 1, 1), "blosc")
+      }
+      if (v.lz4) add(32004, Seq(Lz4BlockBytes), "HDF5 lz4 filter")
+      if (v.zstd) add(32015, Seq(3), "Zstandard compression: http://www.zstd.net")
       (Array[Byte](1, n.toByte) ++ new Array[Byte](6)) ++ fs.toArray
     }
 

@@ -466,7 +466,7 @@ object Blosc {
   /** LZ4 BLOCK format decode (public spec: lz4_Block_format.md): token =
     * (literal-length nibble, match-length nibble), 255-extension bytes,
     * little-endian 2-byte match offset, minimum match 4. */
-  private[zarr] def lz4Decompress(src: Array[Byte], srcOff: Int, srcLen: Int,
+  private[graft] def lz4Decompress(src: Array[Byte], srcOff: Int, srcLen: Int,
       dst: Array[Byte], dstOff: Int, dstLen: Int): Unit = {
     var s = srcOff
     val sEnd = srcOff + srcLen
@@ -532,7 +532,7 @@ object Blosc {
     * compressed fixtures for the decoder spec and blosc-packed stores other
     * blosc implementations can read. Returns null when `src` doesn't fit in
     * `maxLen` (caller then stores the split raw, as c-blosc does). */
-  private[zarr] def lz4Compress(src: Array[Byte], maxLen: Int): Array[Byte] = {
+  private[graft] def lz4Compress(src: Array[Byte], maxLen: Int): Array[Byte] = {
     val n = src.length
     val out = new Array[Byte](maxLen)
     var d = 0

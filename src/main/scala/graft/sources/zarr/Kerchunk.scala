@@ -779,22 +779,37 @@ object Kerchunk {
       case _ => throw UnsupportedHdf5(s"$name: unmapped numeric dtype " +
         s"(class ${dt.clazz}, ${dt.size} bytes)")
     }
-    // netCDF-4's default pipeline: optional shuffle (id 2) then deflate
-    // (id 1) — mapped to numcodecs shuffle filter + zarr zlib compressor.
-    // Anything else would decode WRONG through zarr codecs: directed error.
+    // netCDF-4's conventional pipeline: optional shuffle (id 2) then ONE
+    // compressor — deflate (1) maps to the zarr zlib codec, and the
+    // registered zstd (32015, bare frames) and blosc (32001,
+    // self-describing frames) filters store byte-identical payloads to
+    // the numcodecs zstd/blosc codecs, so they map 1:1. lz4 (32004) and
+    // bitshuffle (32008) frame their blocks differently from numcodecs —
+    // no zarr codec decodes those payloads, so they stay directed (the
+    // direct HDF5 reader handles them). Anything unmapped would decode
+    // WRONG through zarr codecs: directed error.
     var compressor = "null"
     var filters = "null"
+    def setCompressor(codec: String): Unit = {
+      if (compressor != "null") throw UnsupportedHdf5(
+        s"$name: two compression filters in one pipeline — zarr carries one compressor")
+      compressor = codec
+    }
     ds.filters.foreach { f =>
       f.id match {
         case 1 =>
           val lvl = f.clientValues.headOption.getOrElse(6)
-          compressor = s"""{"id": "zlib", "level": $lvl}"""
+          setCompressor(s"""{"id": "zlib", "level": $lvl}""")
         case 2 =>
           val esz = f.clientValues.headOption.getOrElse(dt.size)
           filters = s"""[{"id": "shuffle", "elementsize": $esz}]"""
+        case 32001 => setCompressor("""{"id": "blosc"}""")
+        case 32015 =>
+          val lvl = f.clientValues.headOption.getOrElse(3)
+          setCompressor(s"""{"id": "zstd", "level": $lvl}""")
         case other => throw UnsupportedHdf5(
           s"$name: HDF5 filter $other has no zarr codec equivalent " +
-            "(deflate + shuffle only)")
+            "(deflate, shuffle, blosc, and zstd only)")
       }
     }
     val shape = ds.shape.map(_.toInt)

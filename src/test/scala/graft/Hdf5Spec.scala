@@ -823,4 +823,50 @@ class Hdf5Spec extends SparkSpec {
     assert(rows.map(_.getAs[String]("sites_id")).toSeq == names)
     assert(rows.map(_.getAs[Double]("qc")).toSeq == (0 until n).map(k => k % 2.0))
   }
+
+  test("registered dynamic filters: blosc/lz4/bitshuffle/zstd round-trip") {
+    // the hdf5plugin/h5py ecosystem: one variable per filter, chunks sized
+    // so lz4 spans multiple 256-byte blocks (2*5*7 f8 cells = 560 B) and
+    // bitshuffle (block of 16 elements) leaves a 6-element <8 raw leftover
+    val p = tmp("plugins.nc")
+    val (nt, ny, nx) = (3, 5, 7)
+    def vals(seed: Int): Seq[Double] =
+      (0 until nt * ny * nx).map(k => seed * 1000.0 + (k * k % 977) * 0.5)
+    def spec(name: String, seed: Int) = HW.VarSpec(
+      name, Seq("time", "y", "x"), Seq(nt, ny, nx), vals(seed),
+      dtype = "f8", chunks = Some(Seq(2, 5, 7)))
+    HW.write(p, Seq(
+      HW.VarSpec("time", Seq("time"), Seq(nt),
+        (0 until nt).map(t => (t0 + 3600L * t).toDouble), dtype = "f8"),
+      HW.VarSpec("y", Seq("y"), Seq(ny), (0 until ny).map(_.toDouble), dtype = "f8"),
+      HW.VarSpec("x", Seq("x"), Seq(nx), (0 until nx).map(_.toDouble), dtype = "f8"),
+      spec("a_blosc", 1).copy(blosc = true),
+      spec("b_lz4", 2).copy(lz4 = true),
+      spec("c_bshuf_plain", 3).copy(bitshuffle = Some(0), bitshuffleBlockElems = 16),
+      spec("d_bshuf_lz4", 4).copy(bitshuffle = Some(2), bitshuffleBlockElems = 16),
+      spec("e_bshuf_zstd", 5).copy(bitshuffle = Some(3), bitshuffleBlockElems = 16),
+      spec("f_zstd", 6).copy(zstd = true),
+      // shuffle (2) composes before the registered compressor, the
+      // netCDF-4 convention
+      spec("g_shuffle_zstd", 7).copy(shuffle = true, zstd = true)))
+    val (read, len) = localRead(p)
+    val meta = Hdf5.parse(read, len)
+    assert(meta.byPath("/a_blosc").filters.map(_.id) == Seq(32001))
+    assert(meta.byPath("/b_lz4").filters.map(_.id) == Seq(32004))
+    assert(meta.byPath("/d_bshuf_lz4").filters.map(_.id) == Seq(32008))
+    assert(meta.byPath("/f_zstd").filters.map(_.id) == Seq(32015))
+    assert(meta.byPath("/g_shuffle_zstd").filters.map(_.id) == Seq(2, 32015))
+    val df = NetCDF4Reader.readLongFormat(spark, p)
+    assert(df.count() == nt * ny * nx)
+    val cols = Seq("a_blosc", "b_lz4", "c_bshuf_plain", "d_bshuf_lz4",
+      "e_bshuf_zstd", "f_zstd", "g_shuffle_zstd")
+    // ascending (time, y, x) is exactly the writer's C-order cell index
+    val byIdx = df.orderBy($"time", $"y", $"x").select(cols.map(col): _*).collect()
+    cols.zipWithIndex.foreach { case (c, ci) =>
+      val expect = vals(ci + 1)
+      byIdx.indices.foreach { k =>
+        assert(byIdx(k).getDouble(ci) == expect(k), s"$c at cell $k")
+      }
+    }
+  }
 }

@@ -134,6 +134,43 @@ class KerchunkSpec extends SparkSpec {
     assert(pruned2.refs.get.keySet == Set("1.0.1", "1.1.1"))
   }
 
+  test("zstd- and blosc-filtered netCDF-4 virtualize through zarr codecs") {
+    // hdf5plugin's registered filters store payloads byte-identical to the
+    // numcodecs zstd/blosc codecs, so refs decode them with no new code;
+    // shuffle composes before the compressor as in the deflate pipeline
+    val dir = java.nio.file.Files.createTempDirectory("kcz").toString
+    val nc = s"$dir/z.nc"
+    val vals = (0 until 60).map(i => (i * 11 % 37).toDouble)
+    HW.write(nc, Seq(
+      HW.VarSpec("time", Seq("time"), Seq(3), (0 until 3).map(_ * 3600.0),
+        units = Some("seconds since 2020-01-01")),
+      HW.VarSpec("lat", Seq("lat"), Seq(4), (0 until 4).map(10.0 + _)),
+      HW.VarSpec("lon", Seq("lon"), Seq(5), (0 until 5).map(_ * 2.0)),
+      HW.VarSpec("t2m", Seq("time", "lat", "lon"), Seq(3, 4, 5), vals,
+        chunks = Some(Seq(2, 2, 3)), shuffle = true, zstd = true),
+      HW.VarSpec("p", Seq("time", "lat", "lon"), Seq(3, 4, 5),
+        vals.map(_ * 1.5), chunks = Some(Seq(2, 2, 3)), blosc = true)))
+    val refsPath = s"$dir/z.refs.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(refsPath),
+      Kerchunk.scanNetCDF4(conf, nc).getBytes("UTF-8"))
+    val k = Seq($"time", $"lat", $"lon")
+    val viaRefs = spark.read.format("zarr").load(refsPath)
+      .select($"time", $"lat", $"lon", $"t2m", $"p")
+      .orderBy(k: _*).collect().toSeq
+    val direct = NetCDF4Reader.readLongFormat(spark, nc)
+      .select($"time", $"lat", $"lon", $"t2m", $"p")
+      .orderBy(k: _*).collect().toSeq
+    assert(viaRefs.size == 60 && viaRefs == direct)
+    // lz4 (32004) frames blocks unlike numcodecs lz4: directed, never wrong
+    val bad = s"$dir/bad.nc"
+    HW.write(bad, Seq(
+      HW.VarSpec("x", Seq("x"), Seq(8), (0 until 8).map(_.toDouble)),
+      HW.VarSpec("v", Seq("x"), Seq(8), (0 until 8).map(_ * 2.0),
+        chunks = Some(Seq(4)), lz4 = true)))
+    val e = intercept[Exception] { Kerchunk.scanNetCDF4(conf, bad) }
+    assert(e.getMessage.contains("32004"), e.getMessage)
+  }
+
   test("unsupported shapes fail directed: odd filters and string vars") {
     val dir = java.nio.file.Files.createTempDirectory("kcx").toString
     val nc = s"$dir/f.nc"
