@@ -218,6 +218,48 @@ object QueriesML {
           .orderBy($"key", $"ext")
       }),
 
+    // ------------------------------------------------------- TFRecord / tf.Example corpora
+    // The TensorFlow training-data container (TFDS exports): two shards —
+    // one plain, one GZIP (sniffed by magic) — of tf.Examples with int64 /
+    // float / int64-list / string features read back as typed columns; the
+    // oracle recomputes every planted feature. A float32 slip, a varint
+    // slip, or a CRC framing slip breaks the hash.
+    Q("q162_tfrecord", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT o_orderkey AS id,
+             CAST(o_orderkey % 997 AS DOUBLE) * 0.25 AS score,
+             o_orderkey * 6 AS tag_sum,
+             'doc-' || CAST(rn0 AS VARCHAR) AS name
+      FROM o ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.TfRecord
+        import graft.sources.TfRecord.FeatureSpec
+        val dir = Fixtures.dir("q162", d) { dir =>
+          val ks = Tables.orders(s, d).orderBy($"o_orderkey").limit(120)
+            .select($"o_orderkey".cast("long"))
+            .collect().map(_.getLong(0))
+          val recs = ks.zipWithIndex.map { case (k, i) =>
+            TfRecord.encodeExample(Seq(
+              "id" -> Seq(k),
+              "score" -> Seq((k % 997) * 0.25f),
+              "tags" -> Seq(k, k * 2, k * 3),
+              "name" -> Seq(s"doc-$i")))
+          }
+          TfRecord.write(s"$dir/a.tfrecord", recs.take(80).toSeq)
+          TfRecord.write(s"$dir/b.tfrecord.gz", recs.drop(80).toSeq, gzip = true)
+        }
+        TfRecord.examples(s, s"$dir/*.tfrecord*", Seq(
+            FeatureSpec("id", "int64"),
+            FeatureSpec("score", "float"),
+            FeatureSpec("tags", "int64", scalar = false),
+            FeatureSpec("name", "string")))
+          .select($"id", $"score".cast("double").as("score"),
+            ($"tags"(0) + $"tags"(1) + $"tags"(2)).as("tag_sum"), $"name")
+          .orderBy($"id")
+      }),
+
     // ------------------------------------------------------- multimodal: MP3 frame probe
     // Speech-corpus blobs yield sample rate / channels / duration from the
     // MPEG frame headers alone; the oracle recomputes the planted

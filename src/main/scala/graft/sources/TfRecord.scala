@@ -1,0 +1,517 @@
+package graft.sources
+
+import java.util.zip.{CRC32C, GZIPInputStream, GZIPOutputStream}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** TFRecord — the TensorFlow training-data container (TFDS exports,
+  * tf.data input pipelines, many published LLM corpora). Everything here
+  * is from the PUBLIC format documentation: the record framing
+  * (tensorflow/core/lib/io/record_writer docs: u64-LE length, u32-LE
+  * masked CRC-32C of the length bytes, payload, u32-LE masked CRC-32C of
+  * the payload; mask = ((crc >>> 15) | (crc << 17)) + 0xa282ead8) and the
+  * `tf.train.Example` protobuf schema (example.proto / feature.proto:
+  * Example{1: Features}, Features{1: map<string, Feature>},
+  * Feature{1: BytesList, 2: FloatList, 3: Int64List}), decoded by a
+  * hand-rolled proto-wire walk — no protobuf dependency.
+  *
+  * Scale model: TFRecord files carry no sync markers, so a file is NOT
+  * splittable — the parallelism unit is the FILE (exactly the WARC/tar
+  * shape; corpora ship as many ~100 MB–1 GB shards). Reads stream
+  * sequentially through a buffered window, never materializing a shard.
+  * GZIP-compressed shards (`tf.io.TFRecordOptions` GZIP) are sniffed by
+  * magic bytes and inflated on the fly. A length field that overruns the
+  * file or a CRC mismatch is a DIRECTED error (corrupt shard or a
+  * compression-option mismatch), never silent corruption.
+  *
+  * Reference scope note: the reference engine has no TFRecord surface;
+  * this is part of the beyond-reference training-data pipeline layer
+  * (SURVEY "training-data ops"). */
+object TfRecord {
+  final case class UnsupportedTfRecord(msg: String)
+    extends RuntimeException(msg)
+
+  /** One typed column pulled out of each record's tf.Example features.
+    * `kind`: int64 | float | bytes | string (string = UTF-8 bytes_list).
+    * `scalar` = first value (null when the feature is absent/empty);
+    * otherwise the whole list as an array column. */
+  final case class FeatureSpec(name: String, kind: String,
+      scalar: Boolean = true) {
+    require(Set("int64", "float", "bytes", "string")(kind),
+      s"feature kind '$kind' (int64/float/bytes/string)")
+  }
+
+  // ------------------------------------------------------------ framing
+
+  private def maskedCrc(b: Array[Byte], off: Int, len: Int): Int = {
+    val c = new CRC32C()
+    c.update(b, off, len)
+    val crc = c.getValue.toInt
+    ((crc >>> 15) | (crc << 17)) + 0xa282ead8
+  }
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def le64(b: Array[Byte], off: Int): Long =
+    (le32(b, off) & 0xffffffffL) | ((le32(b, off + 4) & 0xffffffffL) << 32)
+
+  private def putLe32(o: java.io.OutputStream, v: Int): Unit = {
+    o.write(v & 0xff); o.write((v >>> 8) & 0xff)
+    o.write((v >>> 16) & 0xff); o.write((v >>> 24) & 0xff)
+  }
+
+  /** Streaming record walk over one (possibly gzipped) shard. */
+  private def recordIterator(uri: String, in: java.io.InputStream,
+      maxRecordBytes: Long): Iterator[Array[Byte]] = new Iterator[Array[Byte]] {
+    private val din = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(in, 256 * 1024))
+    private var nextRec: Array[Byte] = _
+    private var done = false
+    private var recNo = 0L
+
+    private def readFullyOrNull(n: Int): Array[Byte] = {
+      val b = new Array[Byte](n)
+      var got = 0
+      while (got < n) {
+        val r = din.read(b, got, n - got)
+        if (r < 0) {
+          if (got == 0 && n == 12) return null // clean EOF at a record head
+          throw UnsupportedTfRecord(
+            s"$uri: truncated record $recNo ($got of $n bytes)")
+        }
+        got += r
+      }
+      b
+    }
+
+    private def fetch(): Array[Byte] = {
+      val head = readFullyOrNull(12)
+      if (head == null) return null
+      val len = le64(head, 0)
+      if (maskedCrc(head, 0, 8) != le32(head, 8))
+        throw UnsupportedTfRecord(s"$uri: record $recNo length CRC mismatch " +
+          "(corrupt shard, or a compression-option mismatch)")
+      if (len < 0 || len > maxRecordBytes)
+        throw UnsupportedTfRecord(
+          s"$uri: record $recNo declares $len bytes (cap $maxRecordBytes)")
+      val body = new Array[Byte](len.toInt + 4)
+      try din.readFully(body)
+      catch { case _: java.io.EOFException => throw UnsupportedTfRecord(
+        s"$uri: truncated record $recNo (wanted ${len + 4} bytes past the head)") }
+      if (maskedCrc(body, 0, len.toInt) != le32(body, len.toInt))
+        throw UnsupportedTfRecord(s"$uri: record $recNo data CRC mismatch")
+      recNo += 1
+      java.util.Arrays.copyOf(body, len.toInt)
+    }
+
+    override def hasNext: Boolean = {
+      if (!done && nextRec == null) {
+        nextRec = fetch()
+        if (nextRec == null) { done = true; din.close() }
+      }
+      !done
+    }
+    override def next(): Array[Byte] = {
+      if (!hasNext) throw new NoSuchElementException
+      val r = nextRec; nextRec = null; r
+    }
+  }
+
+  // ------------------------------------------------------- proto decode
+
+  /** One decoded feature: exactly one of the three lists is non-null —
+    * the tf.train.Feature oneof. */
+  final case class Decoded(longs: Array[Long], floats: Array[Float],
+      blobs: Seq[Array[Byte]])
+
+  private final class ProtoCur(val b: Array[Byte], var p: Int, val end: Int) {
+    def varint(): Long = {
+      var v = 0L
+      var shift = 0
+      while (shift < 64) {
+        if (p >= end) throw UnsupportedTfRecord("truncated varint")
+        val byte = b(p); p += 1
+        v |= (byte & 0x7fL) << shift
+        if ((byte & 0x80) == 0) return v
+        shift += 7
+      }
+      throw UnsupportedTfRecord("varint over 10 bytes")
+    }
+    def sub(len: Int): ProtoCur = {
+      if (len < 0 || p + len > end) throw UnsupportedTfRecord(
+        s"length-delimited field of $len bytes overruns the message")
+      val c = new ProtoCur(b, p, p + len)
+      p += len
+      c
+    }
+    def fixed32(): Int = {
+      if (p + 4 > end) throw UnsupportedTfRecord("truncated fixed32")
+      val v = le32(b, p); p += 4; v
+    }
+    def skip(wire: Int): Unit = wire match {
+      case 0 => varint()
+      case 1 => p += 8
+      case 2 => val n = varint().toInt; sub(n)
+      case 5 => p += 4
+      case w => throw UnsupportedTfRecord(s"proto wire type $w")
+    }
+    def hasMore: Boolean = p < end
+  }
+
+  /** Decode a tf.train.Example payload into feature name -> lists. Proto3
+    * allows both packed and expanded repeated scalars — both decode. */
+  def parseExample(record: Array[Byte]): Map[String, Decoded] = {
+    val out = Map.newBuilder[String, Decoded]
+    val ex = new ProtoCur(record, 0, record.length)
+    while (ex.hasMore) {
+      val tag = ex.varint()
+      val (field, wire) = ((tag >>> 3).toInt, (tag & 7).toInt)
+      if (field == 1 && wire == 2) { // Example.features
+        val features = ex.sub(ex.varint().toInt)
+        while (features.hasMore) {
+          val ftag = features.varint()
+          if ((ftag >>> 3).toInt == 1 && (ftag & 7) == 2) { // map entry
+            val entry = features.sub(features.varint().toInt)
+            var key: String = null
+            var value: Decoded = null
+            while (entry.hasMore) {
+              val etag = entry.varint()
+              ((etag >>> 3).toInt, (etag & 7).toInt) match {
+                case (1, 2) =>
+                  val kc = entry.sub(entry.varint().toInt)
+                  key = new String(kc.b, kc.p, kc.end - kc.p, "UTF-8")
+                case (2, 2) => value = parseFeature(entry.sub(entry.varint().toInt))
+                case (_, w) => entry.skip(w)
+              }
+            }
+            if (key != null && value != null) out += key -> value
+          } else features.skip((ftag & 7).toInt)
+        }
+      } else ex.skip(wire)
+    }
+    out.result()
+  }
+
+  private def parseFeature(c: ProtoCur): Decoded = {
+    var longs: ArrayBuffer[Long] = null
+    var floats: ArrayBuffer[Float] = null
+    var blobs: ArrayBuffer[Array[Byte]] = null
+    while (c.hasMore) {
+      val tag = c.varint()
+      ((tag >>> 3).toInt, (tag & 7).toInt) match {
+        case (1, 2) => // BytesList
+          val l = c.sub(c.varint().toInt)
+          if (blobs == null) blobs = ArrayBuffer.empty
+          while (l.hasMore) {
+            val ltag = l.varint()
+            if ((ltag >>> 3).toInt == 1 && (ltag & 7) == 2) {
+              val v = l.sub(l.varint().toInt)
+              blobs += java.util.Arrays.copyOfRange(v.b, v.p, v.end)
+            } else l.skip((ltag & 7).toInt)
+          }
+        case (2, 2) => // FloatList
+          val l = c.sub(c.varint().toInt)
+          if (floats == null) floats = ArrayBuffer.empty
+          while (l.hasMore) {
+            val ltag = l.varint()
+            ((ltag >>> 3).toInt, (ltag & 7).toInt) match {
+              case (1, 2) => // packed
+                val packed = l.sub(l.varint().toInt)
+                while (packed.hasMore)
+                  floats += java.lang.Float.intBitsToFloat(packed.fixed32())
+              case (1, 5) => // expanded
+                floats += java.lang.Float.intBitsToFloat(l.fixed32())
+              case (_, w) => l.skip(w)
+            }
+          }
+        case (3, 2) => // Int64List
+          val l = c.sub(c.varint().toInt)
+          if (longs == null) longs = ArrayBuffer.empty
+          while (l.hasMore) {
+            val ltag = l.varint()
+            ((ltag >>> 3).toInt, (ltag & 7).toInt) match {
+              case (1, 2) => // packed
+                val packed = l.sub(l.varint().toInt)
+                while (packed.hasMore) longs += packed.varint()
+              case (1, 0) => longs += l.varint() // expanded
+              case (_, w) => l.skip(w)
+            }
+          }
+        case (_, w) => c.skip(w)
+      }
+    }
+    Decoded(
+      if (longs == null) null else longs.toArray,
+      if (floats == null) null else floats.toArray,
+      if (blobs == null) null else blobs.toSeq)
+  }
+
+  // ------------------------------------------------------------- reads
+
+  private def shardsOf(spark: SparkSession, pattern: String): Seq[String] = {
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(pattern)
+    val fs = p.getFileSystem(conf)
+    val shards = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+      .filter(_.isFile).map(_.getPath.toString)
+    require(shards.nonEmpty, s"no tfrecord shards match $pattern")
+    shards
+  }
+
+  private def openShard(c: Configuration, uri: String): java.io.InputStream = {
+    val path = new Path(uri)
+    val fs = path.getFileSystem(c)
+    val raw = fs.open(path)
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ =>
+        try raw.close() catch { case _: java.io.IOException => }))
+    // GZIP option sniffed by magic, not extension — a mis-named shard
+    // must not garble the framing
+    val head = new Array[Byte](2)
+    val got = raw.read(head, 0, 2)
+    raw.seek(0L)
+    if (got == 2 && head(0) == 0x1f.toByte && head(1) == 0x8b.toByte)
+      new GZIPInputStream(raw, 64 * 1024)
+    else raw
+  }
+
+  private val recordsSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("record_index", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = false)))
+
+  /** One row per record across every shard matching `pattern` (glob —
+    * one input task per shard, the format's parallelism unit). */
+  def records(spark: SparkSession, pattern: String, partitions: Int = 0,
+      maxRecordBytes: Long = 256L << 20): DataFrame = {
+    val shards = shardsOf(spark, pattern)
+    val tconf = TaskConf(new Configuration(spark.sparkContext.hadoopConfiguration))
+    val nPart = if (partitions > 0) partitions
+      else math.max(1, math.min(shards.size, spark.sparkContext.defaultParallelism))
+    val rdd = spark.sparkContext.parallelize(shards, nPart).flatMap { uri =>
+      recordIterator(uri, openShard(tconf.value, uri), maxRecordBytes)
+        .zipWithIndex.map { case (rec, i) => Row(uri, i.toLong, rec) }
+    }
+    spark.createDataFrame(rdd, recordsSchema)
+  }
+
+  private def specField(s: FeatureSpec): StructField = {
+    val base: DataType = s.kind match {
+      case "int64" => LongType
+      case "float" => FloatType
+      case "bytes" => BinaryType
+      case "string" => StringType
+    }
+    StructField(s.name,
+      if (s.scalar) base else ArrayType(base, containsNull = false),
+      nullable = true)
+  }
+
+  /** Typed columns from each record's tf.Example features: `file`,
+    * `record_index`, then one column per [[FeatureSpec]]. A feature that
+    * is absent (or present with the wrong oneof kind) yields null —
+    * tf.io.parse_example's default-less behavior, made observable. */
+  def examples(spark: SparkSession, pattern: String, spec: Seq[FeatureSpec],
+      partitions: Int = 0, maxRecordBytes: Long = 256L << 20): DataFrame = {
+    require(spec.nonEmpty, "examples() needs at least one FeatureSpec")
+    val shards = shardsOf(spark, pattern)
+    val tconf = TaskConf(new Configuration(spark.sparkContext.hadoopConfiguration))
+    val nPart = if (partitions > 0) partitions
+      else math.max(1, math.min(shards.size, spark.sparkContext.defaultParallelism))
+    val specL = spec // serializable copy for the closure
+    val rdd = spark.sparkContext.parallelize(shards, nPart).flatMap { uri =>
+      recordIterator(uri, openShard(tconf.value, uri), maxRecordBytes)
+        .zipWithIndex.map { case (rec, i) =>
+          val feats = parseExample(rec)
+          val cols = specL.map { s =>
+            feats.get(s.name) match {
+              case None => null
+              case Some(d) => s.kind match {
+                case "int64" =>
+                  if (d.longs == null) null
+                  else if (s.scalar) {
+                    if (d.longs.isEmpty) null else java.lang.Long.valueOf(d.longs(0))
+                  } else d.longs.toSeq
+                case "float" =>
+                  if (d.floats == null) null
+                  else if (s.scalar) {
+                    if (d.floats.isEmpty) null else java.lang.Float.valueOf(d.floats(0))
+                  } else d.floats.toSeq
+                case "bytes" =>
+                  if (d.blobs == null) null
+                  else if (s.scalar) d.blobs.headOption.orNull
+                  else d.blobs
+                case "string" =>
+                  if (d.blobs == null) null
+                  else if (s.scalar)
+                    d.blobs.headOption.map(new String(_, "UTF-8")).orNull
+                  else d.blobs.map(new String(_, "UTF-8"))
+              }
+            }
+          }
+          Row.fromSeq(Seq(uri, i.toLong) ++ cols)
+        }
+    }
+    spark.createDataFrame(rdd, StructType(
+      StructField("file", StringType, nullable = false) +:
+        StructField("record_index", LongType, nullable = false) +:
+        specL.map(specField)))
+  }
+
+  // ------------------------------------------------------------ writes
+
+  private def varintBytes(v: Long): Array[Byte] = {
+    val out = new ArrayBuffer[Byte](10)
+    var x = v
+    var more = true
+    while (more) {
+      val b = (x & 0x7f).toInt
+      x = x >>> 7
+      more = x != 0
+      out += (if (more) (b | 0x80) else b).toByte
+    }
+    out.toArray
+  }
+
+  private def tagged(field: Int, wire: Int, body: Array[Byte]): Array[Byte] =
+    varintBytes(((field.toLong << 3) | wire)) ++ body
+
+  private def lenDelim(field: Int, body: Array[Byte]): Array[Byte] =
+    tagged(field, 2, varintBytes(body.length.toLong) ++ body)
+
+  /** Encode one tf.train.Example. Values per feature, by runtime type:
+    * Seq[Long] -> Int64List, Seq[Float] -> FloatList (packed, as the
+    * TensorFlow encoder emits), Seq[Array[Byte]] -> BytesList,
+    * Seq[String] -> UTF-8 BytesList. */
+  def encodeExample(features: Seq[(String, Seq[Any])]): Array[Byte] = {
+    val entries = features.map { case (name, values) =>
+      val list: Array[Byte] = values.headOption match {
+        case Some(_: Long) | None =>
+          lenDelim(3, lenDelim(1,
+            values.flatMap(v => varintBytes(v.asInstanceOf[Long])).toArray))
+        case Some(_: Float) =>
+          val packed = new Array[Byte](values.size * 4)
+          values.zipWithIndex.foreach { case (v, i) =>
+            val bits = java.lang.Float.floatToIntBits(v.asInstanceOf[Float])
+            packed(i * 4) = bits.toByte
+            packed(i * 4 + 1) = (bits >>> 8).toByte
+            packed(i * 4 + 2) = (bits >>> 16).toByte
+            packed(i * 4 + 3) = (bits >>> 24).toByte
+          }
+          lenDelim(2, lenDelim(1, packed))
+        case Some(_: Array[Byte]) =>
+          lenDelim(1, values.flatMap(v =>
+            lenDelim(1, v.asInstanceOf[Array[Byte]])).toArray)
+        case Some(_: String) =>
+          lenDelim(1, values.flatMap(v =>
+            lenDelim(1, v.asInstanceOf[String].getBytes("UTF-8"))).toArray)
+        case Some(other) => throw UnsupportedTfRecord(
+          s"feature '$name': unencodable value class ${other.getClass.getName}")
+      }
+      lenDelim(1, lenDelim(1, name.getBytes("UTF-8")) ++ lenDelim(2, list))
+    }
+    lenDelim(1, entries.flatten.toArray)
+  }
+
+  private def writeRecord(o: java.io.OutputStream, rec: Array[Byte]): Unit = {
+    val head = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { head(i) = ((rec.length.toLong >>> (8 * i)) & 0xff).toByte; i += 1 }
+    o.write(head)
+    putLe32(o, maskedCrc(head, 0, 8))
+    o.write(rec)
+    putLe32(o, maskedCrc(rec, 0, rec.length))
+  }
+
+  /** Fixture/export writer: one shard from in-memory records. */
+  def write(path: String, recordsSeq: Seq[Array[Byte]], gzip: Boolean = false,
+      conf: Configuration = new Configuration()): Unit = {
+    val p = new Path(path)
+    val raw = p.getFileSystem(conf).create(p, true)
+    val out: java.io.OutputStream =
+      if (gzip) new GZIPOutputStream(raw, 64 * 1024) else raw
+    try recordsSeq.foreach(writeRecord(out, _)) finally out.close()
+  }
+
+  /** Distributed TFRecord export: one shard per partition (repartition
+    * upstream to size shards), rows encoded to tf.Examples through `spec`,
+    * task-attempt temp + rename commit so speculative attempts never
+    * interleave. Returns the shard count. */
+  def writeShards(df: DataFrame, dir: String, spec: Seq[FeatureSpec],
+      gzip: Boolean = false): Int = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val ext = if (gzip) "tfrecord.gz" else "tfrecord"
+    val dirPath = new Path(dir)
+    val dfs = dirPath.getFileSystem(conf)
+    // clear stale shards: a re-run with fewer partitions must not leave
+    // higher-numbered shards behind for the read glob
+    Seq("tfrecord", "tfrecord.gz").foreach { e =>
+      Option(dfs.globStatus(new Path(s"$dir/shard-*.$e")))
+        .foreach(_.foreach(st => dfs.delete(st.getPath, false)))
+    }
+    val tconf = TaskConf(conf)
+    val specL = spec
+    // cast each column to the spec's exact element type up front, so the
+    // partition encoder sees the one runtime shape it expects
+    val rows = df.select(spec.map { s =>
+      val t = s.kind match {
+        case "int64" => "bigint"
+        case "float" => "float"
+        case "bytes" => "binary"
+        case "string" => "string"
+      }
+      (if (s.scalar) col(s.name).cast(t)
+       else col(s.name).cast(s"array<$t>")).as(s.name)
+    }: _*)
+    val rdd = rows.rdd // bind ONCE: AQE must not re-plan between count and run
+    val n = rdd.getNumPartitions
+    rdd.foreachPartition { it =>
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
+      val c = tconf.value
+      val finalPath = new Path(f"$dir/shard-$pid%05d.$ext")
+      val tmp = new Path(f"$dir/.shard-$pid%05d.${tc.taskAttemptId()}%d.tmp")
+      val fs = finalPath.getFileSystem(c)
+      val raw = fs.create(tmp, true)
+      val out: java.io.OutputStream =
+        if (gzip) new GZIPOutputStream(raw, 64 * 1024) else raw
+      try {
+        it.foreach { r =>
+          val feats = specL.zipWithIndex.flatMap { case (s, i) =>
+            if (r.isNullAt(i)) None
+            else Some(s.name -> (s.kind match {
+              case "int64" =>
+                if (s.scalar) Seq(r.getLong(i))
+                else r.getSeq[Long](i)
+              case "float" =>
+                if (s.scalar) Seq(r.getFloat(i))
+                else r.getSeq[Float](i)
+              case "bytes" =>
+                if (s.scalar) Seq(r.getAs[Array[Byte]](i))
+                else r.getSeq[Array[Byte]](i)
+              case "string" =>
+                if (s.scalar) Seq(r.getString(i))
+                else r.getSeq[String](i)
+            }))
+          }
+          writeRecord(out, encodeExample(feats))
+        }
+      } finally out.close()
+      if (fs.exists(finalPath)) fs.delete(finalPath, false)
+      if (!fs.rename(tmp, finalPath)) {
+        fs.delete(tmp, false)
+        throw UnsupportedTfRecord(s"could not commit shard $pid to $finalPath")
+      }
+    }
+    n
+  }
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.TfRecord
+import graft.sources.TfRecord.FeatureSpec
+
+/** TFRecord container: framing (length/data masked CRC-32C), the
+  * tf.train.Example proto walk (packed AND expanded repeated scalars),
+  * GZIP shard sniffing, typed feature extraction, and the distributed
+  * shard export. */
+class TfRecordSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("tfrec").toString
+
+  private def sampleRecords(n: Int, seed: Int = 0): Seq[Array[Byte]] =
+    (0 until n).map { i =>
+      val k = seed * 1000 + i
+      TfRecord.encodeExample(Seq(
+        "id" -> Seq(k.toLong),
+        "score" -> Seq(k * 0.25f),
+        "tags" -> Seq(k.toLong, k * 2L, k * 3L),
+        "name" -> Seq(s"doc-$k"),
+        "blob" -> Seq(Array[Byte](1, 2, (k % 127).toByte))))
+    }
+
+  private val spec = Seq(
+    FeatureSpec("id", "int64"),
+    FeatureSpec("score", "float"),
+    FeatureSpec("tags", "int64", scalar = false),
+    FeatureSpec("name", "string"),
+    FeatureSpec("blob", "bytes"),
+    FeatureSpec("absent", "float")) // never written: must read null
+
+  test("round-trip: records + typed examples, plain and gzip in one glob") {
+    val dir = tmp()
+    TfRecord.write(s"$dir/a.tfrecord", sampleRecords(5, seed = 1))
+    TfRecord.write(s"$dir/b.tfrecord.gz", sampleRecords(3, seed = 2), gzip = true)
+    val recs = TfRecord.records(spark, s"$dir/*.tfrecord*")
+    assert(recs.count() == 8)
+    assert(recs.rdd.getNumPartitions == 2) // one task per shard
+    val df = TfRecord.examples(spark, s"$dir/*.tfrecord*", spec)
+      .orderBy($"id")
+    val rows = df.collect()
+    assert(rows.length == 8)
+    val ks = Seq(1000, 1001, 1002, 1003, 1004, 2000, 2001, 2002)
+    rows.zip(ks).foreach { case (r, k) =>
+      assert(r.getAs[Long]("id") == k)
+      assert(r.getAs[Float]("score") == k * 0.25f)
+      assert(r.getSeq[Long](r.fieldIndex("tags")) == Seq(k.toLong, k * 2L, k * 3L))
+      assert(r.getAs[String]("name") == s"doc-$k")
+      assert(r.getAs[Array[Byte]]("blob").toSeq ==
+        Seq[Byte](1, 2, (k % 127).toByte))
+      assert(r.isNullAt(r.fieldIndex("absent")))
+    }
+  }
+
+  test("expanded (non-packed) repeated scalars decode like packed ones") {
+    // hand-assemble a tf.Example whose Int64List uses wire-type-0 repeats
+    // and whose FloatList uses wire-type-5 repeats — the proto2-era
+    // encoding some writers still emit
+    def varint(v: Long): Seq[Byte] = {
+      var x = v; val out = Seq.newBuilder[Byte]; var more = true
+      while (more) {
+        val b = (x & 0x7f).toInt; x = x >>> 7; more = x != 0
+        out += (if (more) b | 0x80 else b).toByte
+      }
+      out.result()
+    }
+    def ld(field: Int, body: Seq[Byte]): Seq[Byte] =
+      varint((field << 3) | 2) ++ varint(body.length.toLong) ++ body
+    def fl32(field: Int, f: Float): Seq[Byte] = {
+      val bits = java.lang.Float.floatToIntBits(f)
+      varint((field << 3) | 5) ++
+        Seq(bits.toByte, (bits >>> 8).toByte, (bits >>> 16).toByte,
+          (bits >>> 24).toByte)
+    }
+    def entry(name: String, featureBody: Seq[Byte]): Seq[Byte] =
+      ld(1, ld(1, name.getBytes("UTF-8").toSeq) ++ ld(2, featureBody))
+    // Feature { int64_list { value: 7  value: 9 } } — each value its own
+    // tag(1, varint) pair, no packed blob
+    val int64Feature = ld(3,
+      (varint((1 << 3) | 0) ++ varint(7L)) ++
+        (varint((1 << 3) | 0) ++ varint(9L)))
+    // Feature { float_list { value: 1.5  value: -2.25 } } — tag(1, fixed32)
+    val floatFeature = ld(2, fl32(1, 1.5f) ++ fl32(1, -2.25f))
+    val ex = ld(1, entry("xs", int64Feature) ++ entry("ys", floatFeature))
+    val parsed = TfRecord.parseExample(ex.toArray)
+    assert(parsed("xs").longs.toSeq == Seq(7L, 9L))
+    assert(parsed("ys").floats.toSeq == Seq(1.5f, -2.25f))
+  }
+
+  test("corrupt shards fail directed: CRC mismatch and truncation") {
+    val dir = tmp()
+    val path = s"$dir/c.tfrecord"
+    TfRecord.write(path, sampleRecords(3))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    bytes(20) = (bytes(20) ^ 0x40).toByte // inside record 0's payload
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/bad.tfrecord"), bytes)
+    val e = intercept[org.apache.spark.SparkException] {
+      TfRecord.records(spark, s"$dir/bad.tfrecord").count()
+    }
+    assert(e.getMessage.contains("CRC mismatch"), e.getMessage)
+    // truncation mid-record (from the CLEAN bytes, so the cut tail — not
+    // the flipped bit — is what trips)
+    val clean = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/trunc.tfrecord"),
+      java.util.Arrays.copyOf(clean, clean.length - 5))
+    val e2 = intercept[org.apache.spark.SparkException] {
+      TfRecord.records(spark, s"$dir/trunc.tfrecord").count()
+    }
+    assert(e2.getMessage.contains("truncated"), e2.getMessage)
+  }
+
+  test("distributed shard export round-trips; re-runs clear stale shards") {
+    val dir = tmp()
+    val df = spark.range(40).select(
+      $"id",
+      ($"id" * 0.5).cast("float").as("score"),
+      array($"id", $"id" * 2).as("tags"),
+      concat(lit("n"), $"id").as("name"))
+    val wspec = Seq(
+      FeatureSpec("id", "int64"),
+      FeatureSpec("score", "float"),
+      FeatureSpec("tags", "int64", scalar = false),
+      FeatureSpec("name", "string"))
+    val n1 = TfRecord.writeShards(df.repartition(4), s"$dir/out", wspec)
+    assert(n1 == 4)
+    val back = TfRecord.examples(spark, s"$dir/out/shard-*.tfrecord", wspec)
+    assert(back.count() == 40)
+    val r = back.orderBy($"id").collect()
+    (0 until 40).foreach { i =>
+      assert(r(i).getAs[Long]("id") == i)
+      assert(r(i).getAs[Float]("score") == i * 0.5f)
+      assert(r(i).getSeq[Long](r(i).fieldIndex("tags")) == Seq(i.toLong, i * 2L))
+      assert(r(i).getAs[String]("name") == s"n$i")
+    }
+    // fewer partitions on re-run: stale higher-numbered shards must vanish
+    val n2 = TfRecord.writeShards(df.repartition(2), s"$dir/out", wspec,
+      gzip = true)
+    assert(n2 == 2)
+    val again = TfRecord.examples(spark, s"$dir/out/shard-*.tfrecord*", wspec)
+    assert(again.count() == 40)
+  }
+}
