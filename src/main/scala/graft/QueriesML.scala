@@ -260,6 +260,46 @@ object QueriesML {
           .orderBy($"id")
       }),
 
+    // ------------------------------------------------------- Avro object-container files
+    // The data-lake row container, read on the avro library Spark bundles
+    // (no spark-avro DataSource needed): a deflate-coded file written with
+    // a tiny sync interval reads through BLOCK-ALIGNED range splits (sync
+    // markers are the split contract), so a records slip, a split-overlap
+    // slip, or a codec slip breaks count and hash alike.
+    Q("q163_avro", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 300)
+      SELECT o_orderkey AS id,
+             'doc-' || CAST(rn0 AS VARCHAR) AS name,
+             CAST(o_orderkey % 997 AS DOUBLE) * 0.5 AS score,
+             o_orderkey * 3 AS tag_sum
+      FROM o ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.AvroOcf
+        val dir = Fixtures.dir("q163", d) { dir =>
+          val ks = Tables.orders(s, d).orderBy($"o_orderkey").limit(300)
+            .select($"o_orderkey".cast("long"))
+            .collect().map(_.getLong(0))
+          val schema =
+            """{"type": "record", "name": "Doc", "fields": [
+                 {"name": "id", "type": "long"},
+                 {"name": "name", "type": "string"},
+                 {"name": "score", "type": "double"},
+                 {"name": "tags", "type": {"type": "array", "items": "long"}}
+               ]}"""
+          val rows = ks.zipWithIndex.map { case (k, i) =>
+            Seq(k, s"doc-$i", (k % 997) * 0.5, Seq(k, k * 2))
+          }
+          AvroOcf.write(s"$dir/q163.avro", schema, rows.toSeq,
+            codec = "deflate", syncInterval = 512)
+        }
+        AvroOcf.read(s, s"$dir/q163.avro", maxSplitBytes = 4096)
+          .select($"id", $"name", $"score",
+            ($"tags"(0) + $"tags"(1)).as("tag_sum"))
+          .orderBy($"id")
+      }),
+
     // ------------------------------------------------------- multimodal: MP3 frame probe
     // Speech-corpus blobs yield sample rate / channels / duration from the
     // MPEG frame headers alone; the oracle recomputes the planted

@@ -1,0 +1,292 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Avro object-container files (OCF) — the row container data lakes and
+  * event-log archives ship (Kafka dumps, Sqoop/Hive exports, HF dataset
+  * mirrors). Spark bundles the Avro LIBRARY (avro + avro-mapred jars) but
+  * not the spark-avro DataSource, so this reader builds the missing
+  * surface on the bundled library — no new dependency.
+  *
+  * Scale model: OCF is SPLITTABLE — every block ends with the file's
+  * 16-byte sync marker, so a byte range maps to whole blocks
+  * (`DataFileReader.sync(start)` + `pastSync(end)`, the same contract the
+  * Hadoop AvroInputFormat uses). Large files fan out one task per ~range;
+  * schema resolution runs per task against the driver's schema, so a
+  * directory written over time with COMPATIBLE schema evolution (added
+  * fields with defaults, reordered fields) reads as one table — exactly
+  * Avro's published resolution rules. Codecs: null, deflate, snappy,
+  * zstandard, bzip2, xz — whatever the bundled CodecFactory resolves;
+  * an unresolvable codec is the library's own directed error. */
+object AvroOcf {
+  final case class UnsupportedAvro(msg: String) extends RuntimeException(msg)
+
+  // ------------------------------------------------------- schema mapping
+
+  /** Avro schema → Spark type. Nullability is carried by [null, T] unions
+    * (the Avro idiom); any other union is a directed error. */
+  private def sparkType(s: Schema): (DataType, Boolean) = s.getType match {
+    case Schema.Type.BOOLEAN => (BooleanType, false)
+    case Schema.Type.INT =>
+      val lt = Option(s.getLogicalType).map(_.getName).getOrElse("")
+      (if (lt == "date") DateType else IntegerType, false)
+    case Schema.Type.LONG =>
+      val lt = Option(s.getLogicalType).map(_.getName).getOrElse("")
+      (if (lt == "timestamp-millis" || lt == "timestamp-micros" ||
+        lt == "local-timestamp-millis" || lt == "local-timestamp-micros")
+        TimestampNTZType
+      else LongType, false)
+    case Schema.Type.FLOAT => (FloatType, false)
+    case Schema.Type.DOUBLE => (DoubleType, false)
+    case Schema.Type.STRING | Schema.Type.ENUM => (StringType, false)
+    case Schema.Type.BYTES | Schema.Type.FIXED =>
+      Option(s.getLogicalType) match {
+        case Some(d: org.apache.avro.LogicalTypes.Decimal) =>
+          (DecimalType(d.getPrecision, d.getScale), false)
+        case _ => (BinaryType, false)
+      }
+    case Schema.Type.ARRAY =>
+      val (et, en) = sparkType(s.getElementType)
+      (ArrayType(et, containsNull = en), false)
+    case Schema.Type.MAP =>
+      val (vt, vn) = sparkType(s.getValueType)
+      (MapType(StringType, vt, valueContainsNull = vn), false)
+    case Schema.Type.RECORD =>
+      (StructType(s.getFields.asScala.toSeq.map { f =>
+        val (t, n) = sparkType(f.schema())
+        StructField(f.name(), t, nullable = n)
+      }), false)
+    case Schema.Type.UNION =>
+      val branches = s.getTypes.asScala.toSeq
+      val nonNull = branches.filter(_.getType != Schema.Type.NULL)
+      if (nonNull.size != 1) throw UnsupportedAvro(
+        s"union of ${branches.map(_.getType).mkString("/")} — only " +
+          "[null, T] nullable unions map to a column type")
+      val (t, _) = sparkType(nonNull.head)
+      (t, true)
+    case Schema.Type.NULL => (NullType, true)
+  }
+
+  def sparkSchema(avro: Schema): StructType = {
+    require(avro.getType == Schema.Type.RECORD,
+      s"top-level Avro type ${avro.getType} (record required)")
+    StructType(avro.getFields.asScala.toSeq.map { f =>
+      val (t, n) = sparkType(f.schema())
+      StructField(f.name(), t, nullable = n)
+    })
+  }
+
+  /** Avro runtime value → Spark external row value, by the FIELD schema
+    * (logical types decode here: date/timestamp/decimal). */
+  private def convert(v: Any, s: Schema): Any = {
+    if (v == null) return null
+    s.getType match {
+      case Schema.Type.UNION =>
+        val nonNull = s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+        convert(v, nonNull)
+      case Schema.Type.STRING => v.toString
+      case Schema.Type.ENUM => v.toString
+      case Schema.Type.BYTES | Schema.Type.FIXED =>
+        val bytes = v match {
+          case bb: java.nio.ByteBuffer =>
+            val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b); b
+          case f: org.apache.avro.generic.GenericFixed => f.bytes()
+          case other => throw UnsupportedAvro(
+            s"bytes value of class ${other.getClass.getName}")
+        }
+        Option(s.getLogicalType) match {
+          case Some(d: org.apache.avro.LogicalTypes.Decimal) =>
+            BigDecimal(new java.math.BigInteger(bytes), d.getScale)
+          case _ => bytes
+        }
+      case Schema.Type.INT =>
+        val lt = Option(s.getLogicalType).map(_.getName).getOrElse("")
+        if (lt == "date")
+          java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong)
+        else v
+      case Schema.Type.LONG =>
+        val lt = Option(s.getLogicalType).map(_.getName).getOrElse("")
+        val x = v.asInstanceOf[Long]
+        lt match {
+          case "timestamp-millis" | "local-timestamp-millis" =>
+            java.time.LocalDateTime.ofEpochSecond(
+              Math.floorDiv(x, 1000L), Math.floorMod(x, 1000L).toInt * 1000000,
+              java.time.ZoneOffset.UTC)
+          case "timestamp-micros" | "local-timestamp-micros" =>
+            java.time.LocalDateTime.ofEpochSecond(
+              Math.floorDiv(x, 1000000L),
+              Math.floorMod(x, 1000000L).toInt * 1000,
+              java.time.ZoneOffset.UTC)
+          case _ => x
+        }
+      case Schema.Type.ARRAY =>
+        v.asInstanceOf[java.util.Collection[Any]].asScala.toSeq
+          .map(convert(_, s.getElementType))
+      case Schema.Type.MAP =>
+        v.asInstanceOf[java.util.Map[Any, Any]].asScala.map {
+          case (k, x) => k.toString -> convert(x, s.getValueType)
+        }.toMap
+      case Schema.Type.RECORD =>
+        val r = v.asInstanceOf[GenericRecord]
+        Row.fromSeq(s.getFields.asScala.toSeq.map(f =>
+          convert(r.get(f.pos()), f.schema())))
+      case _ => v
+    }
+  }
+
+  private def toRow(rec: GenericRecord, schema: Schema): Row =
+    Row.fromSeq(schema.getFields.asScala.toSeq.map(f =>
+      convert(rec.get(f.pos()), f.schema())))
+
+  // --------------------------------------------------------------- reads
+
+  /** Read every OCF matching `pattern` (glob) as one DataFrame. Files
+    * larger than `maxSplitBytes` fan out several BLOCK-ALIGNED range tasks
+    * (sync-marker scan, the format's split contract); every file's records
+    * resolve against the FIRST file's schema, so compatible schema
+    * evolution across a directory reads as one table. */
+  def read(spark: SparkSession, pattern: String,
+      maxSplitBytes: Long = 32L << 20): DataFrame = {
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(pattern)
+    val fs = p.getFileSystem(conf)
+    val files = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+      .filter(_.isFile)
+    require(files.nonEmpty, s"no avro files match $pattern")
+    // driver: one header read gives the table schema
+    val schemaJson = {
+      val in = new FsInput(files.head.getPath, conf)
+      val r = DataFileReader.openReader(in, new GenericDatumReader[GenericRecord]())
+      try r.getSchema.toString finally r.close()
+    }
+    val schema = new Schema.Parser().parse(schemaJson)
+    val sSchema = sparkSchema(schema)
+    val splits: Seq[(String, Long, Long)] = files.flatMap { st =>
+      val len = st.getLen
+      val uri = st.getPath.toString
+      if (len <= maxSplitBytes) Seq((uri, 0L, len))
+      else {
+        val n = ((len + maxSplitBytes - 1) / maxSplitBytes).toInt
+        val step = len / n
+        (0 until n).map(i =>
+          (uri, i * step, if (i == n - 1) len else (i + 1) * step))
+      }
+    }
+    val tconf = TaskConf(conf)
+    val nPart = math.max(1, math.min(splits.size,
+      spark.sparkContext.defaultParallelism * 2))
+    val rdd = spark.sparkContext.parallelize(splits, nPart).flatMap {
+      case (uri, start, end) =>
+        val c = tconf.value
+        val in = new FsInput(new Path(uri), c)
+        // expected schema = the driver's: avro's resolution rules handle
+        // added-with-default / reordered fields per file
+        val reader = DataFileReader.openReader(in,
+          new GenericDatumReader[GenericRecord](
+            null, new Schema.Parser().parse(schemaJson)))
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ =>
+            try reader.close() catch { case _: java.io.IOException => }))
+        reader.sync(start) // first block AFTER start (0 -> first block)
+        val local = new Schema.Parser().parse(schemaJson)
+        new Iterator[Row] {
+          override def hasNext: Boolean = {
+            val h = reader.hasNext && !reader.pastSync(end)
+            if (!h) try reader.close() catch { case _: java.io.IOException => }
+            h
+          }
+          override def next(): Row = toRow(reader.next(), local)
+        }
+    }
+    spark.createDataFrame(rdd, sSchema)
+  }
+
+  /** Schema (as Avro JSON) + per-file block/record stats at header cost —
+    * the "what is in this directory" probe. */
+  def readMeta(spark: SparkSession, pattern: String): DataFrame = {
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(pattern)
+    val fs = p.getFileSystem(conf)
+    val files = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+      .filter(_.isFile).map(f => (f.getPath.toString, f.getLen))
+    require(files.nonEmpty, s"no avro files match $pattern")
+    val tconf = TaskConf(conf)
+    val rdd = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size,
+        spark.sparkContext.defaultParallelism))).map { case (uri, len) =>
+        val c = tconf.value
+        val in = new FsInput(new Path(uri), c)
+        val r = new DataFileReader[GenericRecord](in,
+          new GenericDatumReader[GenericRecord]())
+        val row: Row =
+          try Row(uri, len, r.getSchema.toString,
+            Option(r.getMetaString("avro.codec")).getOrElse("null"))
+          finally r.close()
+        row
+      }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("length", LongType, nullable = false),
+      StructField("schema_json", StringType, nullable = false),
+      StructField("codec", StringType, nullable = false))))
+  }
+
+  // -------------------------------------------------------------- writes
+
+  /** Fixture/export writer: one OCF from (schema JSON, row values aligned
+    * with the schema's fields). `codec`: null, deflate, snappy, zstandard,
+    * bzip2, xz. `syncInterval` shrinks block size so small fixtures still
+    * exercise multi-block splits. */
+  def write(path: String, schemaJson: String, rows: Seq[Seq[Any]],
+      codec: String = "null", syncInterval: Int = 0,
+      conf: Configuration = new Configuration()): Unit = {
+    val schema = new Schema.Parser().parse(schemaJson)
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    if (codec != "null") w.setCodec(CodecFactory.fromString(codec))
+    if (syncInterval > 0) w.setSyncInterval(syncInterval)
+    val p = new Path(path)
+    val out = p.getFileSystem(conf).create(p, true)
+    w.create(schema, out)
+    try rows.foreach { vals =>
+      val rec = new GenericData.Record(schema)
+      schema.getFields.asScala.zipWithIndex.foreach { case (f, i) =>
+        rec.put(f.pos(), toAvro(vals(i), f.schema()))
+      }
+      w.append(rec)
+    } finally w.close()
+  }
+
+  private def toAvro(v: Any, s: Schema): Any = {
+    if (v == null) return null
+    s.getType match {
+      case Schema.Type.UNION =>
+        toAvro(v, s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get)
+      case Schema.Type.BYTES => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case Schema.Type.ARRAY =>
+        v.asInstanceOf[Seq[Any]].map(toAvro(_, s.getElementType)).asJava
+      case Schema.Type.MAP =>
+        v.asInstanceOf[Map[String, Any]]
+          .map { case (k, x) => k -> toAvro(x, s.getValueType) }.asJava
+      case Schema.Type.ENUM =>
+        new GenericData.EnumSymbol(s, v.toString)
+      case Schema.Type.RECORD =>
+        val rec = new GenericData.Record(s)
+        val vals = v.asInstanceOf[Seq[Any]]
+        s.getFields.asScala.zipWithIndex.foreach { case (f, i) =>
+          rec.put(f.pos(), toAvro(vals(i), f.schema()))
+        }
+        rec
+      case _ => v
+    }
+  }
+}

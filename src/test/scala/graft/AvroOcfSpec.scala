@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.AvroOcf
+
+/** Avro object-container files on the bundled avro library: typed schema
+  * mapping (incl. logical types), block-aligned range splits via sync
+  * markers, codec matrix, and cross-file schema resolution. */
+class AvroOcfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("avro").toString
+
+  private val fullSchema =
+    """{"type": "record", "name": "Doc", "fields": [
+      |  {"name": "id", "type": "long"},
+      |  {"name": "name", "type": "string"},
+      |  {"name": "score", "type": ["null", "double"], "default": null},
+      |  {"name": "tags", "type": {"type": "array", "items": "long"}},
+      |  {"name": "counts", "type": {"type": "map", "values": "long"}},
+      |  {"name": "blob", "type": "bytes"},
+      |  {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+      |  {"name": "ts", "type": {"type": "long",
+      |    "logicalType": "timestamp-micros"}},
+      |  {"name": "dec", "type": {"type": "bytes", "logicalType": "decimal",
+      |    "precision": 10, "scale": 2}},
+      |  {"name": "color", "type": {"type": "enum", "name": "Color",
+      |    "symbols": ["RED", "GREEN", "BLUE"]}}
+      |]}""".stripMargin
+
+  private def decBytes(unscaled: Long): Array[Byte] =
+    java.math.BigInteger.valueOf(unscaled).toByteArray
+
+  test("typed round-trip: primitives, logical types, arrays, maps, enums") {
+    val dir = tmp()
+    val rows = (0 until 10).map { i =>
+      Seq(i.toLong, s"doc-$i",
+        if (i % 3 == 0) null else java.lang.Double.valueOf(i * 0.5),
+        Seq(i.toLong, i * 2L),
+        Map("a" -> i.toLong, "b" -> (i * 10L)),
+        Array[Byte](1, i.toByte),
+        java.lang.Integer.valueOf(19000 + i), // days since epoch
+        java.lang.Long.valueOf(1750000000000000L + i * 1000000L), // micros
+        decBytes(12345L + i), // 123.45 + i/100 at scale 2
+        if (i % 2 == 0) "RED" else "BLUE")
+    }
+    AvroOcf.write(s"$dir/a.avro", fullSchema, rows)
+    val df = AvroOcf.read(spark, s"$dir/a.avro")
+    assert(df.schema.fieldNames.toSeq == Seq("id", "name", "score", "tags",
+      "counts", "blob", "day", "ts", "dec", "color"))
+    assert(df.schema("score").nullable && !df.schema("id").nullable)
+    assert(df.schema("day").dataType.typeName == "date")
+    assert(df.schema("ts").dataType.typeName == "timestamp_ntz")
+    assert(df.schema("dec").dataType.typeName == "decimal(10,2)")
+    val got = df.orderBy($"id").collect()
+    assert(got.length == 10)
+    (0 until 10).foreach { i =>
+      val r = got(i)
+      assert(r.getAs[Long]("id") == i)
+      assert(r.getAs[String]("name") == s"doc-$i")
+      if (i % 3 == 0) assert(r.isNullAt(r.fieldIndex("score")))
+      else assert(r.getAs[Double]("score") == i * 0.5)
+      assert(r.getSeq[Long](r.fieldIndex("tags")) == Seq(i.toLong, i * 2L))
+      assert(r.getAs[Map[String, Long]]("counts") ==
+        Map("a" -> i.toLong, "b" -> i * 10L))
+      assert(r.getAs[Array[Byte]]("blob").toSeq == Seq[Byte](1, i.toByte))
+      assert(r.getAs[java.sql.Date]("day").toLocalDate ==
+        java.time.LocalDate.ofEpochDay(19000 + i))
+      assert(r.getAs[java.time.LocalDateTime]("ts") ==
+        java.time.LocalDateTime.ofEpochSecond(1750000000L + i, 0,
+          java.time.ZoneOffset.UTC))
+      assert(r.getAs[java.math.BigDecimal]("dec") ==
+        new java.math.BigDecimal(java.math.BigInteger.valueOf(12345 + i), 2))
+      assert(r.getAs[String]("color") == (if (i % 2 == 0) "RED" else "BLUE"))
+    }
+  }
+
+  private val flatSchema =
+    """{"type": "record", "name": "R", "fields": [
+      |  {"name": "id", "type": "long"},
+      |  {"name": "payload", "type": "string"}
+      |]}""".stripMargin
+
+  test("range splits are block-aligned: many tasks, no dup or loss") {
+    val dir = tmp()
+    val rows = (0 until 500).map(i => Seq(i.toLong, s"payload-$i-${"x" * 50}"))
+    // tiny sync interval -> many blocks -> many legal split points
+    AvroOcf.write(s"$dir/big.avro", flatSchema, rows, syncInterval = 256)
+    val whole = AvroOcf.read(spark, s"$dir/big.avro")
+    val split = AvroOcf.read(spark, s"$dir/big.avro", maxSplitBytes = 2048)
+    assert(split.rdd.getNumPartitions > 4,
+      s"expected many range tasks, got ${split.rdd.getNumPartitions}")
+    assert(split.count() == 500)
+    assert(whole.orderBy($"id").collect().toSeq ==
+      split.orderBy($"id").collect().toSeq)
+  }
+
+  test("codec matrix: deflate, snappy, zstandard round-trip identically") {
+    val dir = tmp()
+    val rows = (0 until 50).map(i => Seq(i.toLong, s"v-$i"))
+    Seq("deflate", "snappy", "zstandard").foreach { codec =>
+      AvroOcf.write(s"$dir/$codec.avro", flatSchema, rows, codec = codec)
+      val back = AvroOcf.read(spark, s"$dir/$codec.avro")
+        .orderBy($"id").collect()
+      assert(back.length == 50, codec)
+      assert(back(7).getString(1) == "v-7", codec)
+      val meta = AvroOcf.readMeta(spark, s"$dir/$codec.avro").head()
+      assert(meta.getAs[String]("codec") == codec)
+    }
+  }
+
+  test("schema evolution: later files with extra defaulted fields resolve") {
+    val dir = tmp()
+    AvroOcf.write(s"$dir/part-0.avro", flatSchema,
+      (0 until 5).map(i => Seq(i.toLong, s"old-$i")))
+    val evolved =
+      """{"type": "record", "name": "R", "fields": [
+        |  {"name": "id", "type": "long"},
+        |  {"name": "payload", "type": "string"},
+        |  {"name": "extra", "type": "long", "default": 0}
+        |]}""".stripMargin
+    AvroOcf.write(s"$dir/part-1.avro", evolved,
+      (5 until 10).map(i => Seq(i.toLong, s"new-$i", i * 100L)))
+    // the driver schema comes from the FIRST file: the evolved file's
+    // extra field is skipped by avro's resolution rules
+    val df = AvroOcf.read(spark, s"$dir/part-*.avro")
+    assert(df.columns.toSeq == Seq("id", "payload"))
+    val got = df.orderBy($"id").collect()
+    assert(got.length == 10)
+    assert(got(3).getString(1) == "old-3" && got(8).getString(1) == "new-8")
+  }
+
+  test("non-nullable multi-branch unions fail directed") {
+    val dir = tmp()
+    val s =
+      """{"type": "record", "name": "R", "fields": [
+        |  {"name": "v", "type": ["long", "string"]}
+        |]}""".stripMargin
+    AvroOcf.write(s"$dir/u.avro", s, Seq(Seq(1L)))
+    val e = intercept[Exception] { AvroOcf.read(spark, s"$dir/u.avro") }
+    assert(e.getMessage.contains("union"), e.getMessage)
+  }
+}
