@@ -266,6 +266,76 @@ object AvroOcf {
     } finally w.close()
   }
 
+  /** Distributed OCF export: one file per partition (repartition upstream
+    * to size shards), rows taken from the DataFrame columns matching the
+    * schema's field names, task-attempt temp + rename commit. Column
+    * types must already match the schema's Spark mapping (cast upstream).
+    * Returns the shard count. */
+  def writeShards(df: DataFrame, dir: String, schemaJson: String,
+      codec: String = "deflate", syncInterval: Int = 0): Int = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val schema = new Schema.Parser().parse(schemaJson)
+    val names = schema.getFields.asScala.toSeq.map(_.name())
+    val dirPath = new Path(dir)
+    val dfs = dirPath.getFileSystem(conf)
+    // clear stale shards: a re-run with fewer partitions must not leave
+    // higher-numbered shards behind for the read glob
+    Option(dfs.globStatus(new Path(s"$dir/shard-*.avro")))
+      .foreach(_.foreach(st => dfs.delete(st.getPath, false)))
+    val tconf = TaskConf(conf)
+    val rows = df.select(names.map(col): _*)
+    val rdd = rows.rdd // bind ONCE: AQE must not re-plan between count and run
+    val n = rdd.getNumPartitions
+    rdd.foreachPartition { it =>
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
+      val c = tconf.value
+      val local = new Schema.Parser().parse(schemaJson)
+      val finalPath = new Path(f"$dir/shard-$pid%05d.avro")
+      val tmp = new Path(f"$dir/.shard-$pid%05d.${tc.taskAttemptId()}%d.tmp")
+      val fs = finalPath.getFileSystem(c)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](local))
+      if (codec != "null") w.setCodec(CodecFactory.fromString(codec))
+      if (syncInterval > 0) w.setSyncInterval(syncInterval)
+      w.create(local, fs.create(tmp, true))
+      try {
+        val fields = local.getFields.asScala.toSeq
+        it.foreach { r =>
+          val rec = new GenericData.Record(local)
+          fields.zipWithIndex.foreach { case (f, i) =>
+            rec.put(f.pos(), toAvro(sparkToPlain(r.get(i)), f.schema()))
+          }
+          w.append(rec)
+        }
+      } finally w.close()
+      if (fs.exists(finalPath)) fs.delete(finalPath, false)
+      if (!fs.rename(tmp, finalPath)) {
+        fs.delete(tmp, false)
+        throw UnsupportedAvro(s"could not commit shard $pid to $finalPath")
+      }
+    }
+    n
+  }
+
+  /** Spark external row values → the plain shapes [[toAvro]] expects. */
+  private def sparkToPlain(v: Any): Any = v match {
+    case null => null
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+    case d: java.time.LocalDate => d.toEpochDay.toInt
+    case t: java.time.LocalDateTime =>
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        t.getNano / 1000L
+    case dec: java.math.BigDecimal => dec.unscaledValue().toByteArray
+    case s: scala.collection.Seq[_] => s.toSeq.map(sparkToPlain)
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, x) => k.toString -> sparkToPlain(x) }.toMap
+    case r: Row => r.toSeq.map(sparkToPlain)
+    case other => other
+  }
+
   private def toAvro(v: Any, s: Schema): Any = {
     if (v == null) return null
     s.getType match {

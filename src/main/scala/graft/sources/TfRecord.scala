@@ -168,35 +168,16 @@ object TfRecord {
   /** Decode a tf.train.Example payload into feature name -> lists. Proto3
     * allows both packed and expanded repeated scalars — both decode. */
   def parseExample(record: Array[Byte]): Map[String, Decoded] = {
-    val out = Map.newBuilder[String, Decoded]
+    var out = Map.empty[String, Decoded]
     val ex = new ProtoCur(record, 0, record.length)
     while (ex.hasMore) {
       val tag = ex.varint()
       val (field, wire) = ((tag >>> 3).toInt, (tag & 7).toInt)
-      if (field == 1 && wire == 2) { // Example.features
-        val features = ex.sub(ex.varint().toInt)
-        while (features.hasMore) {
-          val ftag = features.varint()
-          if ((ftag >>> 3).toInt == 1 && (ftag & 7) == 2) { // map entry
-            val entry = features.sub(features.varint().toInt)
-            var key: String = null
-            var value: Decoded = null
-            while (entry.hasMore) {
-              val etag = entry.varint()
-              ((etag >>> 3).toInt, (etag & 7).toInt) match {
-                case (1, 2) =>
-                  val kc = entry.sub(entry.varint().toInt)
-                  key = new String(kc.b, kc.p, kc.end - kc.p, "UTF-8")
-                case (2, 2) => value = parseFeature(entry.sub(entry.varint().toInt))
-                case (_, w) => entry.skip(w)
-              }
-            }
-            if (key != null && value != null) out += key -> value
-          } else features.skip((ftag & 7).toInt)
-        }
-      } else ex.skip(wire)
+      if (field == 1 && wire == 2) // Example.features
+        out = out ++ parseFeaturesMsg(ex.sub(ex.varint().toInt))
+      else ex.skip(wire)
     }
-    out.result()
+    out
   }
 
   private def parseFeature(c: ProtoCur): Decoded = {
@@ -365,6 +346,194 @@ object TfRecord {
         specL.map(specField)))
   }
 
+  /** Decode a tf.train.SequenceExample payload: (context features,
+    * feature_lists) — SequenceExample{1: Features context,
+    * 2: FeatureLists}, FeatureLists{1: map<string, FeatureList>},
+    * FeatureList{1: repeated Feature}. Each list entry is one per-STEP
+    * Feature (itself a value list). */
+  def parseSequenceExample(record: Array[Byte])
+      : (Map[String, Decoded], Map[String, Seq[Decoded]]) = {
+    var context = Map.empty[String, Decoded]
+    val lists = Map.newBuilder[String, Seq[Decoded]]
+    val ex = new ProtoCur(record, 0, record.length)
+    while (ex.hasMore) {
+      val tag = ex.varint()
+      ((tag >>> 3).toInt, (tag & 7).toInt) match {
+        case (1, 2) => // context: a Features message — reuse the map walk
+          val sub = ex.sub(ex.varint().toInt)
+          context = context ++ parseFeaturesMsg(sub)
+        case (2, 2) => // feature_lists
+          val fls = ex.sub(ex.varint().toInt)
+          while (fls.hasMore) {
+            val ftag = fls.varint()
+            if ((ftag >>> 3).toInt == 1 && (ftag & 7) == 2) { // map entry
+              val entry = fls.sub(fls.varint().toInt)
+              var key: String = null
+              val steps = Seq.newBuilder[Decoded]
+              while (entry.hasMore) {
+                val etag = entry.varint()
+                ((etag >>> 3).toInt, (etag & 7).toInt) match {
+                  case (1, 2) =>
+                    val kc = entry.sub(entry.varint().toInt)
+                    key = new String(kc.b, kc.p, kc.end - kc.p, "UTF-8")
+                  case (2, 2) => // FeatureList
+                    val fl = entry.sub(entry.varint().toInt)
+                    while (fl.hasMore) {
+                      val ltag = fl.varint()
+                      if ((ltag >>> 3).toInt == 1 && (ltag & 7) == 2)
+                        steps += parseFeature(fl.sub(fl.varint().toInt))
+                      else fl.skip((ltag & 7).toInt)
+                    }
+                  case (_, w) => entry.skip(w)
+                }
+              }
+              if (key != null) lists += key -> steps.result()
+            } else fls.skip((ftag & 7).toInt)
+          }
+        case (_, w) => ex.skip(w)
+      }
+    }
+    (context, lists.result())
+  }
+
+  /** The Features message walk shared by Example and SequenceExample
+    * context: map entries of (name, Feature). */
+  private def parseFeaturesMsg(features: ProtoCur): Map[String, Decoded] = {
+    val out = Map.newBuilder[String, Decoded]
+    while (features.hasMore) {
+      val ftag = features.varint()
+      if ((ftag >>> 3).toInt == 1 && (ftag & 7) == 2) {
+        val entry = features.sub(features.varint().toInt)
+        var key: String = null
+        var value: Decoded = null
+        while (entry.hasMore) {
+          val etag = entry.varint()
+          ((etag >>> 3).toInt, (etag & 7).toInt) match {
+            case (1, 2) =>
+              val kc = entry.sub(entry.varint().toInt)
+              key = new String(kc.b, kc.p, kc.end - kc.p, "UTF-8")
+            case (2, 2) => value = parseFeature(entry.sub(entry.varint().toInt))
+            case (_, w) => entry.skip(w)
+          }
+        }
+        if (key != null && value != null) out += key -> value
+      } else features.skip((ftag & 7).toInt)
+    }
+    out.result()
+  }
+
+  /** Typed columns from tf.train.SequenceExample records: context specs
+    * become the same columns [[examples]] emits; each list spec becomes a
+    * per-STEP array column — scalar list specs take each step's first
+    * value (`array<base>`, the common one-value-per-step layout), non-
+    * scalar specs keep each step's whole list (`array<array<base>>`). */
+  def sequenceExamples(spark: SparkSession, pattern: String,
+      contextSpec: Seq[FeatureSpec], listSpec: Seq[FeatureSpec],
+      partitions: Int = 0, maxRecordBytes: Long = 256L << 20): DataFrame = {
+    require(contextSpec.nonEmpty || listSpec.nonEmpty,
+      "sequenceExamples() needs at least one FeatureSpec")
+    val shards = shardsOf(spark, pattern)
+    val tconf = TaskConf(new Configuration(spark.sparkContext.hadoopConfiguration))
+    val nPart = if (partitions > 0) partitions
+      else math.max(1, math.min(shards.size, spark.sparkContext.defaultParallelism))
+    val (ctxL, listL) = (contextSpec, listSpec)
+    def scalarOf(s: FeatureSpec, d: Decoded): Any = s.kind match {
+      case "int64" =>
+        if (d.longs == null || d.longs.isEmpty) null
+        else java.lang.Long.valueOf(d.longs(0))
+      case "float" =>
+        if (d.floats == null || d.floats.isEmpty) null
+        else java.lang.Float.valueOf(d.floats(0))
+      case "bytes" => if (d.blobs == null) null else d.blobs.headOption.orNull
+      case "string" =>
+        if (d.blobs == null) null
+        else d.blobs.headOption.map(new String(_, "UTF-8")).orNull
+    }
+    def listOf(s: FeatureSpec, d: Decoded): Any = s.kind match {
+      case "int64" => if (d.longs == null) null else d.longs.toSeq
+      case "float" => if (d.floats == null) null else d.floats.toSeq
+      case "bytes" => d.blobs
+      case "string" =>
+        if (d.blobs == null) null else d.blobs.map(new String(_, "UTF-8"))
+    }
+    val rdd = spark.sparkContext.parallelize(shards, nPart).flatMap { uri =>
+      recordIterator(uri, openShard(tconf.value, uri), maxRecordBytes)
+        .zipWithIndex.map { case (rec, i) =>
+          val (ctx, lists) = parseSequenceExample(rec)
+          val ctxCols = ctxL.map { s =>
+            ctx.get(s.name) match {
+              case None => null
+              case Some(d) => if (s.scalar) scalarOf(s, d) else listOf(s, d)
+            }
+          }
+          val listCols = listL.map { s =>
+            lists.get(s.name) match {
+              case None => null
+              case Some(steps) =>
+                if (s.scalar) steps.map(scalarOf(s, _))
+                else steps.map(listOf(s, _))
+            }
+          }
+          Row.fromSeq(Seq(uri, i.toLong) ++ ctxCols ++ listCols)
+        }
+    }
+    def listField(s: FeatureSpec): StructField = {
+      val inner = specField(s) // scalar -> base, else array<base>
+      StructField(s.name, ArrayType(inner.dataType, containsNull = true),
+        nullable = true)
+    }
+    spark.createDataFrame(rdd, StructType(
+      StructField("file", StringType, nullable = false) +:
+        StructField("record_index", LongType, nullable = false) +:
+        (ctxL.map(specField) ++ listL.map(listField))))
+  }
+
+  /** Encode one tf.train.SequenceExample: context features as in
+    * [[encodeExample]], plus per-name step lists (each step a value
+    * list of one runtime type). */
+  def encodeSequenceExample(context: Seq[(String, Seq[Any])],
+      lists: Seq[(String, Seq[Seq[Any]])]): Array[Byte] = {
+    val ctxMsg =
+      if (context.isEmpty) Array.empty[Byte]
+      else {
+        // encodeExample emits Example{1: Features}; its payload body IS a
+        // Features message, which SequenceExample.context (field 1) reuses
+        encodeExample(context)
+      }
+    val listEntries = lists.map { case (name, steps) =>
+      val fl = steps.flatMap(step => lenDelim(1, featureBytes(name, step))).toArray
+      lenDelim(1, lenDelim(1, name.getBytes("UTF-8")) ++ lenDelim(2, fl))
+    }
+    ctxMsg ++ lenDelim(2, listEntries.flatten.toArray)
+  }
+
+  /** The Feature message body for one value list (shared by Example map
+    * entries and FeatureList steps). */
+  private def featureBytes(name: String, values: Seq[Any]): Array[Byte] =
+    values.headOption match {
+      case Some(_: Long) | None =>
+        lenDelim(3, lenDelim(1,
+          values.flatMap(v => varintBytes(v.asInstanceOf[Long])).toArray))
+      case Some(_: Float) =>
+        val packed = new Array[Byte](values.size * 4)
+        values.zipWithIndex.foreach { case (v, i) =>
+          val bits = java.lang.Float.floatToIntBits(v.asInstanceOf[Float])
+          packed(i * 4) = bits.toByte
+          packed(i * 4 + 1) = (bits >>> 8).toByte
+          packed(i * 4 + 2) = (bits >>> 16).toByte
+          packed(i * 4 + 3) = (bits >>> 24).toByte
+        }
+        lenDelim(2, lenDelim(1, packed))
+      case Some(_: Array[Byte]) =>
+        lenDelim(1, values.flatMap(v =>
+          lenDelim(1, v.asInstanceOf[Array[Byte]])).toArray)
+      case Some(_: String) =>
+        lenDelim(1, values.flatMap(v =>
+          lenDelim(1, v.asInstanceOf[String].getBytes("UTF-8"))).toArray)
+      case Some(other) => throw UnsupportedTfRecord(
+        s"feature '$name': unencodable value class ${other.getClass.getName}")
+    }
+
   // ------------------------------------------------------------ writes
 
   private def varintBytes(v: Long): Array[Byte] = {
@@ -392,30 +561,8 @@ object TfRecord {
     * Seq[String] -> UTF-8 BytesList. */
   def encodeExample(features: Seq[(String, Seq[Any])]): Array[Byte] = {
     val entries = features.map { case (name, values) =>
-      val list: Array[Byte] = values.headOption match {
-        case Some(_: Long) | None =>
-          lenDelim(3, lenDelim(1,
-            values.flatMap(v => varintBytes(v.asInstanceOf[Long])).toArray))
-        case Some(_: Float) =>
-          val packed = new Array[Byte](values.size * 4)
-          values.zipWithIndex.foreach { case (v, i) =>
-            val bits = java.lang.Float.floatToIntBits(v.asInstanceOf[Float])
-            packed(i * 4) = bits.toByte
-            packed(i * 4 + 1) = (bits >>> 8).toByte
-            packed(i * 4 + 2) = (bits >>> 16).toByte
-            packed(i * 4 + 3) = (bits >>> 24).toByte
-          }
-          lenDelim(2, lenDelim(1, packed))
-        case Some(_: Array[Byte]) =>
-          lenDelim(1, values.flatMap(v =>
-            lenDelim(1, v.asInstanceOf[Array[Byte]])).toArray)
-        case Some(_: String) =>
-          lenDelim(1, values.flatMap(v =>
-            lenDelim(1, v.asInstanceOf[String].getBytes("UTF-8"))).toArray)
-        case Some(other) => throw UnsupportedTfRecord(
-          s"feature '$name': unencodable value class ${other.getClass.getName}")
-      }
-      lenDelim(1, lenDelim(1, name.getBytes("UTF-8")) ++ lenDelim(2, list))
+      lenDelim(1, lenDelim(1, name.getBytes("UTF-8")) ++
+        lenDelim(2, featureBytes(name, values)))
     }
     lenDelim(1, entries.flatten.toArray)
   }

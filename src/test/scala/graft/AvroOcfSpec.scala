@@ -132,6 +132,25 @@ class AvroOcfSpec extends SparkSpec {
     assert(got(3).getString(1) == "old-3" && got(8).getString(1) == "new-8")
   }
 
+  test("distributed shard export round-trips; re-runs clear stale shards") {
+    val dir = tmp()
+    val df = spark.range(60).select(
+      $"id",
+      concat(lit("p"), $"id").as("payload"))
+    val n1 = AvroOcf.writeShards(df.repartition(4), s"$dir/out", flatSchema)
+    assert(n1 == 4)
+    val back = AvroOcf.read(spark, s"$dir/out/shard-*.avro")
+    assert(back.count() == 60)
+    val r = back.orderBy($"id").collect()
+    (0 until 60).foreach { i =>
+      assert(r(i).getLong(0) == i && r(i).getString(1) == s"p$i")
+    }
+    val n2 = AvroOcf.writeShards(df.repartition(2), s"$dir/out", flatSchema,
+      codec = "zstandard")
+    assert(n2 == 2)
+    assert(AvroOcf.read(spark, s"$dir/out/shard-*.avro").count() == 60)
+  }
+
   test("non-nullable multi-branch unions fail directed") {
     val dir = tmp()
     val s =

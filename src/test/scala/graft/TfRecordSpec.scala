@@ -92,6 +92,39 @@ class TfRecordSpec extends SparkSpec {
     assert(parsed("ys").floats.toSeq == Seq(1.5f, -2.25f))
   }
 
+  test("SequenceExample: context columns + per-step feature lists") {
+    val dir = tmp()
+    val recs = (0 until 6).map { i =>
+      TfRecord.encodeSequenceExample(
+        context = Seq("id" -> Seq(i.toLong), "lang" -> Seq(s"l$i")),
+        lists = Seq(
+          // one value per step — the common token-sequence layout
+          "tokens" -> (0 until 3).map(t => Seq((i * 10 + t).toLong)),
+          // multi-value steps keep their per-step lists
+          "pairs" -> (0 until 2).map(t => Seq(t.toLong, (t + i).toLong))))
+    }
+    TfRecord.write(s"$dir/seq.tfrecord", recs)
+    val df = TfRecord.sequenceExamples(spark, s"$dir/seq.tfrecord",
+      contextSpec = Seq(FeatureSpec("id", "int64"), FeatureSpec("lang", "string")),
+      listSpec = Seq(FeatureSpec("tokens", "int64"),
+        FeatureSpec("pairs", "int64", scalar = false)))
+    val rows = df.orderBy($"id").collect()
+    assert(rows.length == 6)
+    (0 until 6).foreach { i =>
+      val r = rows(i)
+      assert(r.getAs[Long]("id") == i)
+      assert(r.getAs[String]("lang") == s"l$i")
+      assert(r.getSeq[Long](r.fieldIndex("tokens")) ==
+        Seq(i * 10L, i * 10L + 1, i * 10L + 2))
+      assert(r.getSeq[scala.collection.Seq[Long]](r.fieldIndex("pairs"))
+        .map(_.toSeq).toSeq == Seq(Seq(0L, i.toLong), Seq(1L, i + 1L)))
+    }
+    // round-trip through the raw parser too
+    val (ctx, lists) = TfRecord.parseSequenceExample(recs(2))
+    assert(ctx("id").longs.toSeq == Seq(2L))
+    assert(lists("tokens").map(_.longs.toSeq) == Seq(Seq(20L), Seq(21L), Seq(22L)))
+  }
+
   test("corrupt shards fail directed: CRC mismatch and truncation") {
     val dir = tmp()
     val path = s"$dir/c.tfrecord"
