@@ -300,6 +300,75 @@ object QueriesML {
           .orderBy($"id")
       }),
 
+    // ------------------------------------------------------- Delta Lake snapshot
+    // A hand-authored Delta table (the public PROTOCOL.md shapes): v0 adds
+    // three partitioned files, v1 REMOVES one — the snapshot must serve
+    // exactly the surviving add-set with partition columns rebuilt from
+    // partitionValues. The oracle recomputes the surviving rows; a replay
+    // slip (ghost file, lost remove, wrong partition value) breaks rows
+    // and hash alike.
+    Q("q164_delta", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 150)
+      SELECT o_orderkey AS id,
+             'doc-' || CAST(rn0 AS VARCHAR) AS text,
+             CAST(o_orderkey % 3 AS VARCHAR) AS bucket
+      FROM o WHERE o_orderkey % 3 <> 2 ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.DeltaTable
+        val table = Fixtures.dir("q164", d) { dir =>
+          val rows = Tables.orders(s, d).orderBy($"o_orderkey").limit(150)
+            .select($"o_orderkey".cast("long")).collect().map(_.getLong(0))
+            .zipWithIndex
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("bucket",
+              org.apache.spark.sql.types.StringType)))
+          def part(b: Int): String = {
+            val ids = rows.filter(_._1 % 3 == b)
+            val df = s.createDataFrame(
+              s.sparkContext.parallelize(ids.map { case (k, i) =>
+                org.apache.spark.sql.Row(k, s"doc-$i")
+              }.toSeq, 1),
+              org.apache.spark.sql.types.StructType(schema.take(2)))
+            val rel = s"bucket=$b/part-00$b.parquet"
+            df.coalesce(1).write.mode("overwrite").parquet(s"$dir/tmp$b")
+            val f = new java.io.File(s"$dir/tmp$b").listFiles()
+              .find(_.getName.endsWith(".parquet")).get
+            new java.io.File(s"$dir/bucket=$b").mkdirs()
+            java.nio.file.Files.move(f.toPath,
+              java.nio.file.Paths.get(s"$dir/$rel"))
+            rel
+          }
+          val rels = (0 to 2).map(part)
+          val schemaStr = schema.json.replace("\"", "\\\"")
+          def add(rel: String, b: Int): String =
+            s"""{"add":{"path":"$rel","partitionValues":{"bucket":"$b"},""" +
+              s""""size":1000,"modificationTime":0,"dataChange":true}}"""
+          new java.io.File(s"$dir/_delta_log").mkdirs()
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/_delta_log/" + "0" * 20 + ".json"),
+            (Seq(
+              """{"commitInfo":{"timestamp":1750000000000,"operation":"WRITE"}}""",
+              """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+              s"""{"metaData":{"id":"q164","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":["bucket"],"configuration":{},"createdTime":0}}""") ++
+              rels.zipWithIndex.map { case (r, b) => add(r, b) })
+              .mkString("\n").getBytes("UTF-8"))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/_delta_log/" + "0" * 19 + "1.json"),
+            Seq(
+              """{"commitInfo":{"timestamp":1750000060000,"operation":"DELETE"}}""",
+              s"""{"remove":{"path":"${rels(2)}","deletionTimestamp":1750000060000,"dataChange":true}}""")
+              .mkString("\n").getBytes("UTF-8"))
+        }
+        DeltaTable.read(s, table).select($"id", $"text", $"bucket")
+          .orderBy($"id")
+      }),
+
     // ------------------------------------------------------- multimodal: MP3 frame probe
     // Speech-corpus blobs yield sample rate / channels / duration from the
     // MPEG frame headers alone; the oracle recomputes the planted

@@ -1,0 +1,271 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Delta Lake SNAPSHOT reads from the PUBLIC protocol spec
+  * (delta-io/delta PROTOCOL.md) — many training corpora and feature
+  * tables live in Delta, and Spark cannot read them without the
+  * delta-spark package. This implements the reader half that a corpus
+  * pipeline needs: log replay to a snapshot (latest or time-travel
+  * `versionAsOf`), checkpoint parquet + JSON commit tail, add/remove
+  * reconciliation, schema from the log's own `schemaString` (a Spark
+  * StructType JSON — `DataType.fromJson` is the official decoding), and
+  * partition-column reconstruction from each file's `partitionValues`.
+  *
+  * Scale model: the LOG is driver-side metadata — O(actions since last
+  * checkpoint) small JSON plus one parquet checkpoint, exactly what
+  * every Delta reader replays. The DATA is read by Spark's native
+  * parquet source (pushdown/pruning/codegen intact); files group by
+  * partition tuple so a snapshot plans one parquet relation per
+  * partition value set, unioned by name.
+  *
+  * Guard rails (directed, never silent): minReaderVersion > 1 is
+  * rejected unless it is version 3 whose `readerFeatures` are all
+  * understood-as-harmless here (`timestampNtz`, `v2Checkpoint` is NOT —
+  * see below); deletion vectors and column mapping change row/column
+  * decoding and are rejected by feature name. */
+object DeltaTable {
+  final case class UnsupportedDelta(msg: String) extends RuntimeException(msg)
+
+  private implicit val formats: Formats = DefaultFormats
+
+  /** Reader features that do not alter how a v1 reader decodes data
+    * files. Anything else in readerFeatures is a directed error. */
+  private val HarmlessReaderFeatures = Set("timestampNtz", "vacuumProtocolCheck")
+
+  private final case class AddFile(path: String,
+      partitionValues: Map[String, String], hasDv: Boolean)
+
+  private final case class Snapshot(version: Long, schemaJson: String,
+      partitionColumns: Seq[String], files: Seq[AddFile])
+
+  // ------------------------------------------------------------ log replay
+
+  private def logDir(table: String) = s"${table.stripSuffix("/")}/_delta_log"
+
+  private def versionOf(name: String): Option[Long] = {
+    val base = name.split('/').last
+    if (base.endsWith(".json") && base.length == 25)
+      base.stripSuffix(".json").toLongOption
+    else None
+  }
+
+  /** Replay the log to `versionAsOf` (or the latest version). */
+  private def replay(spark: SparkSession, table: String,
+      versionAsOf: Option[Long]): Snapshot = {
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(logDir(table))
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) throw UnsupportedDelta(
+      s"$table: no _delta_log — not a Delta table")
+    val entries = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+
+    val commitVersions = entries.flatMap(versionOf).sorted
+    if (commitVersions.isEmpty && !entries.exists(_.contains("checkpoint")))
+      throw UnsupportedDelta(s"$table: empty _delta_log")
+    val latest = versionAsOf match {
+      case Some(v) =>
+        val ok = commitVersions.contains(v) ||
+          entries.exists(_.startsWith(f"$v%020d.checkpoint"))
+        if (!ok) throw UnsupportedDelta(
+          s"$table: version $v is not in the log " +
+            s"(have ${commitVersions.headOption.getOrElse(-1L)}.." +
+            s"${commitVersions.lastOption.getOrElse(-1L)})")
+        v
+      case None => commitVersions.lastOption.getOrElse(
+        throw UnsupportedDelta(s"$table: no commit json in _delta_log"))
+    }
+
+    // newest checkpoint at or below the target version; multi-part
+    // checkpoints enumerate NNN.checkpoint.MMM.PPP.parquet parts
+    val ckptVersions = entries.flatMap { n =>
+      val base = n.split('/').last
+      val i = base.indexOf(".checkpoint")
+      if (i == 20 && base.endsWith(".parquet"))
+        base.take(20).toLongOption
+      else None
+    }.distinct.filter(_ <= latest).sorted
+    val ckpt = ckptVersions.lastOption
+    val ckptFiles: Seq[String] = ckpt.toSeq.flatMap { v =>
+      entries.filter { n =>
+        n.startsWith(f"$v%020d.checkpoint") && n.endsWith(".parquet")
+      }.sorted.map(n => s"${logDir(table)}/$n")
+    }
+
+    val tailVersions = commitVersions
+      .filter(v => v <= latest && ckpt.forall(_ < v))
+
+    // accumulated state, path-keyed (later actions win — the protocol's
+    // reconciliation rule)
+    val files = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    var schemaJson: String = null
+    var partitionColumns: Seq[String] = Nil
+    def applyProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
+      val bad = readerFeatures.filterNot(HarmlessReaderFeatures)
+      if (minReader > 3 || (minReader > 1 && minReader < 3))
+        throw UnsupportedDelta(
+          s"minReaderVersion $minReader (1, or 3 with harmless readerFeatures, only)")
+      if (minReader == 3 && bad.nonEmpty) throw UnsupportedDelta(
+        s"reader features ${bad.mkString(", ")} change data decoding " +
+          "(deletion vectors / column mapping are not implemented)")
+    }
+
+    // checkpoint first: one row per action, struct columns
+    if (ckptFiles.nonEmpty) {
+      val cp = spark.read.parquet(ckptFiles: _*)
+      val colsPresent = cp.columns.toSet
+      if (colsPresent.contains("protocol")) {
+        cp.select(col("protocol.minReaderVersion"),
+            if (cp.select(col("protocol.*")).columns.contains("readerFeatures"))
+              col("protocol.readerFeatures") else lit(null).cast("array<string>"))
+          .filter(col("minReaderVersion").isNotNull).collect()
+          .foreach(r => applyProtocol(r.getInt(0),
+            Option(r.getSeq[String](1)).getOrElse(Nil)))
+      }
+      if (colsPresent.contains("metaData")) {
+        cp.select(col("metaData.schemaString"), col("metaData.partitionColumns"))
+          .filter(col("schemaString").isNotNull).collect().foreach { r =>
+            schemaJson = r.getString(0)
+            partitionColumns = Option(r.getSeq[String](1)).getOrElse(Nil)
+          }
+      }
+      if (colsPresent.contains("add")) {
+        val addCols = cp.select(col("add.*")).columns.toSet
+        val dvCol =
+          if (addCols.contains("deletionVector"))
+            col("add.deletionVector").isNotNull
+          else lit(false)
+        cp.select(col("add.path"), col("add.partitionValues"), dvCol)
+          .filter(col("path").isNotNull).collect().foreach { r =>
+            files += r.getString(0) -> AddFile(r.getString(0),
+              Option(r.getAs[Map[String, String]](1)).getOrElse(Map.empty),
+              r.getBoolean(2))
+          }
+      }
+    }
+
+    // JSON commits after the checkpoint, in version order
+    tailVersions.foreach { v =>
+      val path = new Path(f"${logDir(table)}/$v%020d.json")
+      val in = fs.open(path)
+      val text = try {
+        val len = fs.getFileStatus(path).getLen.toInt
+        val b = new Array[Byte](len)
+        in.readFully(0, b)
+        new String(b, "UTF-8")
+      } finally in.close()
+      text.split('\n').filter(_.trim.nonEmpty).foreach { line =>
+        val j = JsonMethods.parse(line)
+        (j \ "protocol") match {
+          case JObject(_) =>
+            val minReader = (j \ "protocol" \ "minReaderVersion")
+              .extractOpt[Int].getOrElse(1)
+            val feats = (j \ "protocol" \ "readerFeatures")
+              .extractOpt[Seq[String]].getOrElse(Nil)
+            applyProtocol(minReader, feats)
+          case _ =>
+        }
+        (j \ "metaData") match {
+          case JObject(_) =>
+            schemaJson = (j \ "metaData" \ "schemaString").extract[String]
+            partitionColumns = (j \ "metaData" \ "partitionColumns")
+              .extractOpt[Seq[String]].getOrElse(Nil)
+          case _ =>
+        }
+        (j \ "add") match {
+          case JObject(_) =>
+            val path = (j \ "add" \ "path").extract[String]
+            val pv = (j \ "add" \ "partitionValues")
+              .extractOpt[Map[String, String]].getOrElse(Map.empty)
+            val dv = (j \ "add" \ "deletionVector") != JNothing
+            files += path -> AddFile(path, pv, dv)
+          case _ =>
+        }
+        (j \ "remove") match {
+          case JObject(_) =>
+            files -= (j \ "remove" \ "path").extract[String]
+          case _ =>
+        }
+      }
+    }
+
+    if (schemaJson == null) throw UnsupportedDelta(
+      s"$table: log replay found no metaData action")
+    val withDv = files.values.filter(_.hasDv)
+    if (withDv.nonEmpty) throw UnsupportedDelta(
+      s"$table: ${withDv.size} active files carry deletion vectors — " +
+        "row-level deletes are not implemented (compact the table)")
+    Snapshot(latest, schemaJson, partitionColumns, files.values.toSeq)
+  }
+
+  // ---------------------------------------------------------------- reads
+
+  /** Read a Delta table snapshot: the latest version, or `versionAsOf`
+    * for time travel. Partition columns come back as real columns cast
+    * to the schema's types (hive `__HIVE_DEFAULT_PARTITION__` and absent
+    * values read as null). */
+  def read(spark: SparkSession, table: String,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val snap = replay(spark, table, versionAsOf)
+    val full = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val partCols = snap.partitionColumns
+    val dataSchema = StructType(full.filterNot(f => partCols.contains(f.name)))
+    val base = table.stripSuffix("/")
+    def resolve(rel: String): String =
+      if (rel.contains("://") || rel.startsWith("/")) rel
+      else s"$base/${java.net.URLDecoder.decode(rel, "UTF-8")}"
+    if (snap.files.isEmpty) {
+      // an empty snapshot still has the table's schema
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+    }
+    // one parquet relation per distinct partition tuple, partition values
+    // injected as typed literals
+    val groups = snap.files.groupBy(_.partitionValues)
+    val parts = groups.toSeq.map { case (pv, fs) =>
+      var df = spark.read.schema(dataSchema).parquet(fs.map(f => resolve(f.path)): _*)
+      partCols.foreach { c =>
+        val t = full(c).dataType
+        val raw = pv.get(c).filterNot(_ == "__HIVE_DEFAULT_PARTITION__").orNull
+        df = df.withColumn(c, lit(raw).cast(t))
+      }
+      df.select(full.fieldNames.map(col): _*)
+    }
+    parts.reduce(_ unionByName _)
+  }
+
+  /** Commit history from the log's commitInfo actions: (version,
+    * timestamp ms, operation) — the `DESCRIBE HISTORY` essentials. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(logDir(table))
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) throw UnsupportedDelta(
+      s"$table: no _delta_log — not a Delta table")
+    val rows = fs.listStatus(dir).toSeq.map(_.getPath)
+      .flatMap(p => versionOf(p.getName).map(v => (v, p))).sortBy(_._1)
+      .map { case (v, p) =>
+        val in = fs.open(p)
+        val text = try {
+          val len = fs.getFileStatus(p).getLen.toInt
+          val b = new Array[Byte](len)
+          in.readFully(0, b)
+          new String(b, "UTF-8")
+        } finally in.close()
+        val ci = text.split('\n').map(_.trim).filter(_.nonEmpty)
+          .map(JsonMethods.parse(_)).map(_ \ "commitInfo")
+          .collectFirst { case o: JObject => o }
+        (v,
+          ci.flatMap(o => (o \ "timestamp").extractOpt[Long]).getOrElse(0L),
+          ci.flatMap(o => (o \ "operation").extractOpt[String]).getOrElse(""))
+      }
+    rows.toDF("version", "timestamp_ms", "operation")
+  }
+}

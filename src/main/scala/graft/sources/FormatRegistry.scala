@@ -127,6 +127,15 @@ object FormatRegistry {
         if (multi) unionPerFile(spark, uri,
           p => graft.sources.tiff.TiffReader.readLongFormat(spark, p))
         else graft.sources.tiff.TiffReader.readLongFormat(spark, uri)
+      case None if ext == "avro" =>
+        // Avro OCF through the splittable reader on the bundled library
+        // (spark-avro's DataSource is not shipped); globs and range splits
+        // are AvroOcf's own planning
+        AvroOcf.read(spark, uri)
+      case None if ext == "tfrecord" =>
+        // raw record rows (file, record_index, content); typed feature
+        // extraction needs a FeatureSpec — call TfRecord.examples directly
+        TfRecord.records(spark, uri)
       case None => reader.parquet(uri) // the reference's final fallback is a guess
     }
   }

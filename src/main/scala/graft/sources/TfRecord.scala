@@ -283,6 +283,32 @@ object TfRecord {
     spark.createDataFrame(rdd, recordsSchema)
   }
 
+  /** One row per record from whole-file BYTES columns — the streaming
+    * surface: `readStream.format("binaryFile")` delivers newly-landed
+    * shards as (path, content) rows and this stateless flatMap walks the
+    * framing in memory (gzip sniffed per file), so TFRecord deliveries
+    * stream through unchanged pipelines. Works on batch DataFrames too. */
+  def recordsFrom(df: DataFrame, uriCol: String = "path",
+      bytesCol: String = "content",
+      maxRecordBytes: Long = 256L << 20): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(col(uriCol).cast("string"), col(bytesCol).cast("binary"))
+      .flatMap { r =>
+        val uri = r.getString(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        if (bytes == null || bytes.isEmpty) Iterator.empty
+        else {
+          val raw: java.io.InputStream = new java.io.ByteArrayInputStream(bytes)
+          val in =
+            if (bytes.length >= 2 && bytes(0) == 0x1f.toByte &&
+              bytes(1) == 0x8b.toByte) new GZIPInputStream(raw, 64 * 1024)
+            else raw
+          recordIterator(uri, in, maxRecordBytes)
+            .zipWithIndex.map { case (rec, i) => Row(uri, i.toLong, rec) }
+        }
+      }(org.apache.spark.sql.Encoders.row(recordsSchema))
+  }
+
   private def specField(s: FeatureSpec): StructField = {
     val base: DataType = s.kind match {
       case "int64" => LongType

@@ -151,6 +151,20 @@ class AvroOcfSpec extends SparkSpec {
     assert(AvroOcf.read(spark, s"$dir/out/shard-*.avro").count() == 60)
   }
 
+  test("FormatRegistry routes .avro (and .tfrecord) to the native readers") {
+    val dir = tmp()
+    AvroOcf.write(s"$dir/r.avro", flatSchema,
+      (0 until 7).map(i => Seq(i.toLong, s"v$i")))
+    val viaRegistry = graft.sources.FormatRegistry.open(spark, s"$dir/r.avro")
+    assert(viaRegistry.columns.toSeq == Seq("id", "payload"))
+    assert(viaRegistry.count() == 7)
+    graft.sources.TfRecord.write(s"$dir/r.tfrecord", Seq(
+      graft.sources.TfRecord.encodeExample(Seq("id" -> Seq(1L)))))
+    val tf = graft.sources.FormatRegistry.open(spark, s"$dir/r.tfrecord")
+    assert(tf.columns.toSeq == Seq("file", "record_index", "content"))
+    assert(tf.count() == 1)
+  }
+
   test("non-nullable multi-branch unions fail directed") {
     val dir = tmp()
     val s =

@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.DeltaTable
+
+/** Delta Lake snapshot reads over hand-authored protocol fixtures (the
+  * PROTOCOL.md shapes): log replay, add/remove reconciliation, partition
+  * reconstruction, time travel, checkpoint + tail, and the directed
+  * guards for reader features that change data decoding. */
+class DeltaTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("delta").toString
+
+  private val fullSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType))) // partition column
+
+  private val dataSchema = StructType(fullSchema.filterNot(_.name == "lang"))
+
+  /** One data file under the table, returning its log-relative path. */
+  private def dataFile(table: String, rel: String, ids: Seq[Long]): String = {
+    val df = ids.toDF("id").select($"id", concat(lit("t"), $"id").as("text"))
+    val target = s"$table/$rel"
+    df.coalesce(1).write.mode("overwrite").parquet(s"$target.dir")
+    // single parquet part -> the exact path the log will reference
+    val part = new java.io.File(s"$target.dir").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    new java.io.File(s"$table/${rel.split('/').dropRight(1).mkString("/")}").mkdirs()
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(target))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$target.dir"))
+    rel
+  }
+
+  private def metaDataJson: String = {
+    val schemaStr = fullSchema.json.replace("\"", "\\\"")
+    s"""{"metaData":{"id":"t-1","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":"$schemaStr","partitionColumns":["lang"],""" +
+      s""""configuration":{},"createdTime":1750000000000}}"""
+  }
+
+  private def addJson(path: String, lang: String): String =
+    s"""{"add":{"path":"$path","partitionValues":{"lang":"$lang"},""" +
+      s""""size":1000,"modificationTime":1750000000000,"dataChange":true}}"""
+
+  private def writeCommit(table: String, version: Long,
+      lines: Seq[String]): Unit = {
+    val dir = s"$table/_delta_log"
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(f"$dir/$version%020d.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  private def commitInfo(op: String, ts: Long): String =
+    s"""{"commitInfo":{"timestamp":$ts,"operation":"$op"}}"""
+
+  test("snapshot read: replay, partitions, remove reconciliation, time travel") {
+    val table = tmp()
+    val f0 = dataFile(table, "lang=en/part-000.parquet", Seq(1L, 2L))
+    val f1 = dataFile(table, "lang=de/part-001.parquet", Seq(3L))
+    writeCommit(table, 0, Seq(
+      commitInfo("WRITE", 1750000000000L),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaDataJson,
+      addJson(f0, "en"), addJson(f1, "de")))
+    // v1: add another en file, remove the de file
+    val f2 = dataFile(table, "lang=en/part-002.parquet", Seq(4L, 5L))
+    writeCommit(table, 1, Seq(
+      commitInfo("MERGE", 1750000060000L),
+      addJson(f2, "en"),
+      s"""{"remove":{"path":"$f1","deletionTimestamp":1750000060000,"dataChange":true}}"""))
+
+    val latest = DeltaTable.read(spark, table).orderBy($"id")
+    assert(latest.columns.toSeq == Seq("id", "text", "lang"))
+    assert(latest.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq == Seq((1L, "t1", "en"), (2L, "t2", "en"),
+        (4L, "t4", "en"), (5L, "t5", "en")))
+
+    val v0 = DeltaTable.read(spark, table, versionAsOf = Some(0L)).orderBy($"id")
+    assert(v0.collect().map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "en"), (2L, "en"), (3L, "de")))
+
+    val hist = DeltaTable.history(spark, table).orderBy($"version").collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(hist.map(_.getString(2)).toSeq == Seq("WRITE", "MERGE"))
+
+    val e = intercept[Exception] {
+      DeltaTable.read(spark, table, versionAsOf = Some(9L))
+    }
+    assert(e.getMessage.contains("not in the log"), e.getMessage)
+  }
+
+  private val ckptDdl =
+    "protocol struct<minReaderVersion:int,minWriterVersion:int>, " +
+      "metaData struct<id:string,schemaString:string," +
+      "partitionColumns:array<string>>, " +
+      "add struct<path:string,partitionValues:map<string,string>," +
+      "size:bigint,modificationTime:bigint,dataChange:boolean>, " +
+      "remove struct<path:string,deletionTimestamp:bigint>"
+
+  test("checkpoint + commit tail: replay starts at the checkpoint") {
+    val table = tmp()
+    val f0 = dataFile(table, "lang=en/part-000.parquet", Seq(1L, 2L))
+    val f1 = dataFile(table, "lang=fr/part-001.parquet", Seq(7L))
+    writeCommit(table, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaDataJson, addJson(f0, "en")))
+    writeCommit(table, 1, Seq(addJson(f1, "fr")))
+    // checkpoint at v1: protocol + metaData + both adds as parquet rows
+    val actionLines = Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaDataJson,
+      addJson(f0, "en"), addJson(f1, "fr"))
+    val ckpt = spark.read.schema(ckptDdl).json(actionLines.toDS())
+    ckpt.coalesce(1).write.mode("overwrite")
+      .parquet(s"$table/_delta_log/ckpt.dir")
+    val part = new java.io.File(s"$table/_delta_log/ckpt.dir").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(
+      f"$table/_delta_log/${1L}%020d.checkpoint.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$table/_delta_log/ckpt.dir"))
+    // log cleanup: the pre-checkpoint commits vanish (the VACUUM shape);
+    // v2 then adds one more file
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      f"$table/_delta_log/${0L}%020d.json"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      f"$table/_delta_log/${1L}%020d.json"))
+    val f2 = dataFile(table, "lang=en/part-002.parquet", Seq(9L))
+    writeCommit(table, 2, Seq(addJson(f2, "en")))
+
+    val df = DeltaTable.read(spark, table).orderBy($"id")
+    assert(df.collect().map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "en"), (2L, "en"), (7L, "fr"), (9L, "en")))
+  }
+
+  test("reader guards are directed: versions, features, deletion vectors") {
+    val table = tmp()
+    val f0 = dataFile(table, "lang=en/part-000.parquet", Seq(1L))
+    writeCommit(table, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaDataJson, addJson(f0, "en")))
+    val e = intercept[Exception] { DeltaTable.read(spark, table) }
+    assert(e.getMessage.contains("minReaderVersion 2"), e.getMessage)
+
+    val t2 = tmp()
+    val g0 = dataFile(t2, "lang=en/part-000.parquet", Seq(1L))
+    writeCommit(t2, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      metaDataJson, addJson(g0, "en")))
+    val e2 = intercept[Exception] { DeltaTable.read(spark, t2) }
+    assert(e2.getMessage.contains("deletionVectors"), e2.getMessage)
+
+    // v3 with only harmless features reads fine
+    val t3 = tmp()
+    val h0 = dataFile(t3, "lang=en/part-000.parquet", Seq(5L))
+    writeCommit(t3, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}""",
+      metaDataJson, addJson(h0, "en")))
+    assert(DeltaTable.read(spark, t3).count() == 1)
+
+    // an add carrying a deletion vector is rejected even under v1
+    val t4 = tmp()
+    val k0 = dataFile(t4, "lang=en/part-000.parquet", Seq(5L))
+    writeCommit(t4, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaDataJson,
+      s"""{"add":{"path":"$k0","partitionValues":{"lang":"en"},"size":10,""" +
+        s""""modificationTime":0,"dataChange":true,"deletionVector":""" +
+        s"""{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":1,"cardinality":1}}}"""))
+    val e4 = intercept[Exception] { DeltaTable.read(spark, t4) }
+    assert(e4.getMessage.contains("deletion vectors"), e4.getMessage)
+
+    // not a delta table
+    val e5 = intercept[Exception] { DeltaTable.read(spark, tmp()) }
+    assert(e5.getMessage.contains("_delta_log"), e5.getMessage)
+  }
+}

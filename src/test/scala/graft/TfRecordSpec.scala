@@ -147,6 +147,30 @@ class TfRecordSpec extends SparkSpec {
     assert(e2.getMessage.contains("truncated"), e2.getMessage)
   }
 
+  test("recordsFrom streams arriving shards: stream == batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits.newProductEncoder
+    val dir = tmp()
+    TfRecord.write(s"$dir/s.tfrecord.gz", sampleRecords(4, seed = 3), gzip = true)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/s.tfrecord.gz"))
+    val batch = TfRecord.recordsFrom(Seq(("f:s", bytes)).toDF("path", "content"))
+      .orderBy($"record_index").select(md5($"content")).as[String].collect().toSeq
+    assert(batch.size == 4)
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Array[Byte])]
+    val q = TfRecord.recordsFrom(in.toDF().toDF("path", "content"))
+      .writeStream.format("memory").queryName("tfrec_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(("f:s", bytes))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("tfrec_stream").orderBy($"record_index")
+      .select(md5($"content")).as[String].collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("distributed shard export round-trips; re-runs clear stale shards") {
     val dir = tmp()
     val df = spark.range(40).select(
