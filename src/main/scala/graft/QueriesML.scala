@@ -369,6 +369,87 @@ object QueriesML {
           .orderBy($"id")
       }),
 
+    // ------------------------------------------------------- Iceberg snapshot
+    // A hand-authored Iceberg v2 table (the public table-spec shapes):
+    // Avro manifest list -> Avro manifest -> parquet data files, where the
+    // current snapshot marks one file DELETED (status 2). The snapshot
+    // must serve exactly the surviving files; the manifests themselves go
+    // through the in-repo AvroOcf reader, so this oracle also covers that
+    // chain end-to-end.
+    Q("q165_iceberg", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 150)
+      SELECT o_orderkey AS id, 'doc-' || CAST(rn0 AS VARCHAR) AS text
+      FROM o WHERE o_orderkey % 3 <> 1 ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{AvroOcf, IcebergTable}
+        val table = Fixtures.dir("q165", d) { dir =>
+          val rows = Tables.orders(s, d).orderBy($"o_orderkey").limit(150)
+            .select($"o_orderkey".cast("long")).collect().map(_.getLong(0))
+            .zipWithIndex
+          def part(b: Int): String = {
+            val ids = rows.filter(_._1 % 3 == b)
+            val df = s.createDataFrame(
+              s.sparkContext.parallelize(ids.map { case (k, i) =>
+                org.apache.spark.sql.Row(k, s"doc-$i")
+              }.toSeq, 1),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("id",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("text",
+                  org.apache.spark.sql.types.StringType))))
+            df.coalesce(1).write.mode("overwrite").parquet(s"$dir/tmp$b")
+            val f = new java.io.File(s"$dir/tmp$b").listFiles()
+              .find(_.getName.endsWith(".parquet")).get
+            new java.io.File(s"$dir/data").mkdirs()
+            val target = s"$dir/data/p$b.parquet"
+            java.nio.file.Files.move(f.toPath,
+              java.nio.file.Paths.get(target))
+            target
+          }
+          val files = (0 to 2).map(part)
+          new java.io.File(s"$dir/metadata").mkdirs()
+          val mSchema =
+            """{"type": "record", "name": "manifest_entry", "fields": [
+                 {"name": "status", "type": "int"},
+                 {"name": "data_file", "type": {"type": "record",
+                   "name": "r2", "fields": [
+                     {"name": "content", "type": "int"},
+                     {"name": "file_path", "type": "string"},
+                     {"name": "file_format", "type": "string"},
+                     {"name": "record_count", "type": "long"}]}}]}"""
+          // files 0 and 2 live; file 1 (id % 3 == 1) is deleted
+          AvroOcf.write(s"$dir/metadata/m0.avro", mSchema, Seq(
+            Seq(0, Seq(0, files(0), "PARQUET", 1L)),
+            Seq(2, Seq(0, files(1), "PARQUET", 1L)),
+            Seq(1, Seq(0, files(2), "PARQUET", 1L))))
+          AvroOcf.write(s"$dir/metadata/snap-200.avro",
+            """{"type": "record", "name": "manifest_file", "fields": [
+                 {"name": "manifest_path", "type": "string"},
+                 {"name": "manifest_length", "type": "long"},
+                 {"name": "content", "type": "int"}]}""",
+            Seq(Seq(s"$dir/metadata/m0.avro", 100L, 0)))
+          val schemaJson =
+            """{"type": "struct", "schema-id": 0, "fields": [
+                 {"id": 1, "name": "id", "required": true, "type": "long"},
+                 {"id": 2, "name": "text", "required": false, "type": "string"}]}"""
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json"),
+            s"""{"format-version": 2, "table-uuid": "q165", "location": "$dir",
+                 "current-snapshot-id": 200,
+                 "schemas": [$schemaJson], "current-schema-id": 0,
+                 "snapshots": [{"snapshot-id": 200, "timestamp-ms": 0,
+                   "summary": {"operation": "overwrite"},
+                   "manifest-list": "$dir/metadata/snap-200.avro"}]}"""
+              .getBytes("UTF-8"))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/metadata/version-hint.text"),
+            "1".getBytes("UTF-8"))
+        }
+        IcebergTable.read(s, table).select($"id", $"text").orderBy($"id")
+      }),
+
     // ------------------------------------------------------- multimodal: MP3 frame probe
     // Speech-corpus blobs yield sample rate / channels / duration from the
     // MPEG frame headers alone; the oracle recomputes the planted

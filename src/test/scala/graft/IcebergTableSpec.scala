@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{AvroOcf, IcebergTable}
+
+/** Iceberg snapshot reads over hand-authored spec fixtures: metadata
+  * json (v1 and v2 shapes), Avro manifest lists + manifests, status
+  * reconciliation, time travel, and the merge-on-read guards. */
+class IcebergTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("iceberg").toString
+
+  private val manifestSchema =
+    """{"type": "record", "name": "manifest_entry", "fields": [
+      |  {"name": "status", "type": "int"},
+      |  {"name": "data_file", "type": {"type": "record", "name": "r2",
+      |    "fields": [
+      |      {"name": "content", "type": "int"},
+      |      {"name": "file_path", "type": "string"},
+      |      {"name": "file_format", "type": "string"},
+      |      {"name": "record_count", "type": "long"}
+      |    ]}}
+      |]}""".stripMargin
+
+  private val manifestListSchema =
+    """{"type": "record", "name": "manifest_file", "fields": [
+      |  {"name": "manifest_path", "type": "string"},
+      |  {"name": "manifest_length", "type": "long"},
+      |  {"name": "content", "type": "int"}
+      |]}""".stripMargin
+
+  private def dataFile(table: String, name: String, ids: Seq[Long]): String = {
+    val df = ids.toDF("id").select($"id", concat(lit("t"), $"id").as("text"))
+    df.coalesce(1).write.mode("overwrite").parquet(s"$table/tmp-$name")
+    val part = new java.io.File(s"$table/tmp-$name").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    new java.io.File(s"$table/data").mkdirs()
+    val target = s"$table/data/$name"
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(target))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$table/tmp-$name"))
+    target
+  }
+
+  private def manifest(table: String, name: String,
+      entries: Seq[(Int, Int, String)]): String = {
+    val p = s"$table/metadata/$name"
+    new java.io.File(s"$table/metadata").mkdirs()
+    AvroOcf.write(p, manifestSchema, entries.map { case (status, content, path) =>
+      Seq(status, Seq(content, path, "PARQUET", 1L))
+    })
+    p
+  }
+
+  private def manifestList(table: String, name: String,
+      manifests: Seq[(String, Int)]): String = {
+    val p = s"$table/metadata/$name"
+    AvroOcf.write(p, manifestListSchema,
+      manifests.map { case (mp, content) => Seq(mp, 100L, content) })
+    p
+  }
+
+  private val schemaJson =
+    """{"type": "struct", "schema-id": 0, "fields": [
+      |  {"id": 1, "name": "id", "required": true, "type": "long"},
+      |  {"id": 2, "name": "text", "required": false, "type": "string"}
+      |]}""".stripMargin
+
+  private def writeMetadata(table: String, version: Int, body: String): Unit = {
+    new java.io.File(s"$table/metadata").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$table/metadata/v$version.metadata.json"),
+      body.getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$table/metadata/version-hint.text"),
+      version.toString.getBytes("UTF-8"))
+  }
+
+  test("v2 snapshot read: manifest list, status reconciliation, time travel") {
+    val table = tmp()
+    val f0 = dataFile(table, "p0.parquet", Seq(1L, 2L))
+    val f1 = dataFile(table, "p1.parquet", Seq(3L))
+    val f2 = dataFile(table, "p2.parquet", Seq(4L, 5L))
+    // snapshot 100: adds f0 + f1
+    val m0 = manifest(table, "m0.avro", Seq((1, 0, f0), (1, 0, f1)))
+    val ml0 = manifestList(table, "snap-100.avro", Seq((m0, 0)))
+    // snapshot 200: f0 existing, f1 DELETED, f2 added
+    val m1 = manifest(table, "m1.avro",
+      Seq((0, 0, f0), (2, 0, f1), (1, 0, f2)))
+    val ml1 = manifestList(table, "snap-200.avro", Seq((m1, 0)))
+    writeMetadata(table, 3, s"""{
+      "format-version": 2, "table-uuid": "u", "location": "$table",
+      "current-snapshot-id": 200,
+      "schemas": [$schemaJson], "current-schema-id": 0,
+      "snapshots": [
+        {"snapshot-id": 100, "timestamp-ms": 1750000000000,
+         "summary": {"operation": "append"}, "manifest-list": "$ml0"},
+        {"snapshot-id": 200, "timestamp-ms": 1750000060000,
+         "summary": {"operation": "overwrite"}, "manifest-list": "$ml1"}
+      ]}""")
+
+    val cur = IcebergTable.read(spark, table).orderBy($"id")
+    assert(cur.columns.toSeq == Seq("id", "text"))
+    assert(cur.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 5L))
+
+    val old = IcebergTable.read(spark, table, snapshotId = Some(100L))
+    assert(old.orderBy($"id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 3L))
+
+    val snaps = IcebergTable.snapshots(spark, table).orderBy($"snapshot_id")
+      .collect()
+    assert(snaps.map(_.getLong(0)).toSeq == Seq(100L, 200L))
+    assert(snaps.map(_.getString(2)).toSeq == Seq("append", "overwrite"))
+  }
+
+  test("v1 shape: inline schema and inline manifests array") {
+    val table = tmp()
+    val f0 = dataFile(table, "p0.parquet", Seq(7L, 8L))
+    // v1 manifests lack the content column entirely — exercise the default
+    val m0path = s"$table/metadata/m0.avro"
+    new java.io.File(s"$table/metadata").mkdirs()
+    AvroOcf.write(m0path,
+      """{"type": "record", "name": "manifest_entry", "fields": [
+        |  {"name": "status", "type": "int"},
+        |  {"name": "data_file", "type": {"type": "record", "name": "r2",
+        |    "fields": [
+        |      {"name": "file_path", "type": "string"},
+        |      {"name": "file_format", "type": "string"},
+        |      {"name": "record_count", "type": "long"}
+        |    ]}}
+        |]}""".stripMargin,
+      Seq(Seq(1, Seq(f0, "PARQUET", 2L))))
+    writeMetadata(table, 1, s"""{
+      "format-version": 1, "table-uuid": "u", "location": "$table",
+      "current-snapshot-id": 10,
+      "schema": $schemaJson,
+      "snapshots": [
+        {"snapshot-id": 10, "timestamp-ms": 1750000000000,
+         "summary": {"operation": "append"}, "manifests": ["$m0path"]}
+      ]}""")
+    val df = IcebergTable.read(spark, table).orderBy($"id")
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((7L, "t7"), (8L, "t8")))
+  }
+
+  test("guards are directed: delete manifests, delete files, version 3") {
+    val table = tmp()
+    val f0 = dataFile(table, "p0.parquet", Seq(1L))
+    val m0 = manifest(table, "m0.avro", Seq((1, 0, f0)))
+    val md = manifest(table, "md.avro", Seq((1, 1, f0))) // a delete file
+    val mlBad = manifestList(table, "snap-1.avro", Seq((m0, 0), (md, 1)))
+    writeMetadata(table, 2, s"""{
+      "format-version": 2, "table-uuid": "u", "location": "$table",
+      "current-snapshot-id": 1,
+      "schemas": [$schemaJson], "current-schema-id": 0,
+      "snapshots": [{"snapshot-id": 1, "timestamp-ms": 0,
+        "summary": {"operation": "delete"}, "manifest-list": "$mlBad"}]}""")
+    val e = intercept[Exception] { IcebergTable.read(spark, table) }
+    assert(e.getMessage.contains("DELETE manifests"), e.getMessage)
+
+    // delete DATA file inside a data manifest (content=1 entry)
+    val t2 = tmp()
+    val g0 = dataFile(t2, "p0.parquet", Seq(1L))
+    val m2 = manifest(t2, "m0.avro", Seq((1, 0, g0), (1, 1, g0)))
+    val ml2 = manifestList(t2, "snap-1.avro", Seq((m2, 0)))
+    writeMetadata(t2, 2, s"""{
+      "format-version": 2, "table-uuid": "u", "location": "$t2",
+      "current-snapshot-id": 1,
+      "schemas": [$schemaJson], "current-schema-id": 0,
+      "snapshots": [{"snapshot-id": 1, "timestamp-ms": 0,
+        "summary": {"operation": "append"}, "manifest-list": "$ml2"}]}""")
+    val e2 = intercept[Exception] { IcebergTable.read(spark, t2) }
+    assert(e2.getMessage.contains("delete files"), e2.getMessage)
+
+    val t3 = tmp()
+    writeMetadata(t3, 1, s"""{"format-version": 3, "location": "$t3",
+      "schemas": [$schemaJson], "current-schema-id": 0, "snapshots": []}""")
+    val e3 = intercept[Exception] { IcebergTable.read(spark, t3) }
+    assert(e3.getMessage.contains("format-version 3"), e3.getMessage)
+
+    val e4 = intercept[Exception] { IcebergTable.read(spark, tmp()) }
+    assert(e4.getMessage.contains("metadata"), e4.getMessage)
+  }
+}
