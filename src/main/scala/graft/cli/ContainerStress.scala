@@ -88,6 +88,98 @@ object ContainerStress {
       s"rows whole=$cWhole split=${aggAv.getLong(1)}, " +
       s"idSum ${aggAv.getLong(0)} (expect ${n * (n - 1) / 2})")
 
+    // ---- table formats: metadata replay at many-file scale
+    // 1000 active files through 200 JSON commits (Delta) and through one
+    // manifest list of 10 Avro manifests (Iceberg) — the replay cost a
+    // data-lake snapshot pays BEFORE any data byte moves
+    val dlDir = s"$root/delta"
+    val one = spark.range(2).selectExpr("id", "concat('t', id) AS text")
+    one.coalesce(1).write.mode("overwrite").parquet(s"$dlDir/seed")
+    val seed = new java.io.File(s"$dlDir/seed").listFiles()
+      .find(_.getName.endsWith(".parquet")).get.toPath
+    val schemaJsonSpark = one.schema
+      .add("bucket", org.apache.spark.sql.types.StringType).json
+      .replace("\"", "\\\"")
+    new java.io.File(s"$dlDir/_delta_log").mkdirs()
+    val files1000 = (0 until 1000).map { i =>
+      val rel = f"bucket=${i % 7}/part-$i%04d.parquet"
+      new java.io.File(s"$dlDir/bucket=${i % 7}").mkdirs()
+      java.nio.file.Files.copy(seed,
+        java.nio.file.Paths.get(s"$dlDir/$rel"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      rel
+    }
+    (0 until 200).foreach { v =>
+      val head =
+        if (v == 0) Seq(
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+          s"""{"metaData":{"id":"s","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJsonSpark","partitionColumns":["bucket"],"configuration":{},"createdTime":0}}""")
+        else Nil
+      val adds = (0 until 5).map { j =>
+        val rel = files1000(v * 5 + j)
+        val b = rel.takeWhile(_ != '/').stripPrefix("bucket=")
+        s"""{"add":{"path":"$rel","partitionValues":{"bucket":"$b"},"size":1,"modificationTime":0,"dataChange":true}}"""
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"$dlDir/_delta_log/$v%020d.json"),
+        (head ++ adds).mkString("\n").getBytes("UTF-8"))
+    }
+    val (dlDf, tReplay) = time(graft.sources.DeltaTable.read(spark, dlDir))
+    val (dlCnt, tCount) = time(dlDf.count())
+    println(f"[stress] delta: 1000 files / 200 commits — log replay + plan " +
+      f"$tReplay%.2f s, count $tCount%.2f s; rows $dlCnt (expect 2000)")
+
+    val ibDir = s"$root/iceberg"
+    new java.io.File(s"$ibDir/metadata").mkdirs()
+    new java.io.File(s"$ibDir/data").mkdirs()
+    val ibFiles = (0 until 1000).map { i =>
+      val p = f"$ibDir/data/p$i%04d.parquet"
+      java.nio.file.Files.copy(seed, java.nio.file.Paths.get(p),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      p
+    }
+    val mSchema =
+      """{"type": "record", "name": "manifest_entry", "fields": [
+           {"name": "status", "type": "int"},
+           {"name": "data_file", "type": {"type": "record", "name": "r2",
+             "fields": [
+               {"name": "content", "type": "int"},
+               {"name": "file_path", "type": "string"},
+               {"name": "file_format", "type": "string"},
+               {"name": "record_count", "type": "long"}]}}]}"""
+    val manifests = (0 until 10).map { m =>
+      val p = s"$ibDir/metadata/m$m.avro"
+      AvroOcf.write(p, mSchema, (0 until 100).map(j =>
+        Seq(1, Seq(0, ibFiles(m * 100 + j), "PARQUET", 2L))))
+      p
+    }
+    AvroOcf.write(s"$ibDir/metadata/snap-1.avro",
+      """{"type": "record", "name": "manifest_file", "fields": [
+           {"name": "manifest_path", "type": "string"},
+           {"name": "manifest_length", "type": "long"},
+           {"name": "content", "type": "int"}]}""",
+      manifests.map(p => Seq(p, 1L, 0)))
+    val ibSchema =
+      """{"type": "struct", "schema-id": 0, "fields": [
+           {"id": 1, "name": "id", "required": true, "type": "long"},
+           {"id": 2, "name": "text", "required": false, "type": "string"}]}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$ibDir/metadata/v1.metadata.json"),
+      s"""{"format-version": 2, "location": "$ibDir",
+           "current-snapshot-id": 1,
+           "schemas": [$ibSchema], "current-schema-id": 0,
+           "snapshots": [{"snapshot-id": 1, "timestamp-ms": 0,
+             "summary": {"operation": "append"},
+             "manifest-list": "$ibDir/metadata/snap-1.avro"}]}"""
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$ibDir/metadata/version-hint.text"),
+      "1".getBytes("UTF-8"))
+    val (ibDf, tIb) = time(graft.sources.IcebergTable.read(spark, ibDir))
+    val (ibCnt, tIbCount) = time(ibDf.count())
+    println(f"[stress] iceberg: 1000 files / 10 manifests — manifest replay " +
+      f"+ plan $tIb%.2f s, count $tIbCount%.2f s; rows $ibCnt (expect 2000)")
+
     spark.stop()
   }
 }

@@ -160,19 +160,25 @@ object AvroOcf {
     val p = new Path(pattern)
     val fs = p.getFileSystem(conf)
     val files = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
-      .filter(_.isFile)
+      .filter(_.isFile).map(_.getPath.toString)
     require(files.nonEmpty, s"no avro files match $pattern")
+    readResolved(spark, files, maxSplitBytes)
+  }
+
+  private def readResolved(spark: SparkSession, files: Seq[String],
+      maxSplitBytes: Long): DataFrame = {
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     // driver: one header read gives the table schema
     val schemaJson = {
-      val in = new FsInput(files.head.getPath, conf)
+      val in = new FsInput(new Path(files.head), conf)
       val r = DataFileReader.openReader(in, new GenericDatumReader[GenericRecord]())
       try r.getSchema.toString finally r.close()
     }
     val schema = new Schema.Parser().parse(schemaJson)
     val sSchema = sparkSchema(schema)
-    val splits: Seq[(String, Long, Long)] = files.flatMap { st =>
-      val len = st.getLen
-      val uri = st.getPath.toString
+    val splits: Seq[(String, Long, Long)] = files.flatMap { uri =>
+      val fp = new Path(uri)
+      val len = fp.getFileSystem(conf).getFileStatus(fp).getLen
       if (len <= maxSplitBytes) Seq((uri, 0L, len))
       else {
         val n = ((len + maxSplitBytes - 1) / maxSplitBytes).toInt
@@ -208,6 +214,27 @@ object AvroOcf {
         }
     }
     spark.createDataFrame(rdd, sSchema)
+  }
+
+  /** Read an explicit file list as ONE job per distinct writer schema:
+    * files group by their header schema (one small ranged read each,
+    * driver-side) and each group plans a single split-fanned read, so N
+    * files never cost N Spark jobs; groups union by name. The Iceberg
+    * manifest path — hundreds of small same-schema Avro files — reads in
+    * O(1) jobs this way. */
+  def readFiles(spark: SparkSession, files: Seq[String],
+      maxSplitBytes: Long = 32L << 20): DataFrame = {
+    require(files.nonEmpty, "readFiles: empty file list")
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    def headerSchema(uri: String): String = {
+      val in = new FsInput(new Path(uri), conf)
+      val r = DataFileReader.openReader(in, new GenericDatumReader[GenericRecord]())
+      try r.getSchema.toString finally r.close()
+    }
+    val bySchema = files.map(f => (headerSchema(f), f))
+      .groupBy(_._1).values.toSeq.map(_.map(_._2))
+    bySchema.map(group => readResolved(spark, group, maxSplitBytes))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Schema (as Avro JSON) + per-file block/record stats at header cost —

@@ -185,18 +185,19 @@ object IcebergTable {
         s"$targetId — merge-on-read row deletes are not implemented " +
         "(compact/rewrite the table)")
 
-    val dataFiles = manifestPaths.flatMap { case (mp, _) =>
-      val m = AvroOcf.read(spark, resolvePath(table, location, mp))
-      val dfCols = m.select(col("data_file.*")).columns.toSet
-      val contentCol =
-        if (dfCols.contains("content")) col("data_file.content")
-        else org.apache.spark.sql.functions.lit(0)
-      m.select(col("status"), contentCol.as("content"),
-          col("data_file.file_path"), col("data_file.file_format"))
-        .collect().map { r =>
-          (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3))
-        }.toSeq
-    }
+    // ALL manifests in one fan-out (grouped by writer schema inside
+    // readFiles) — a snapshot with hundreds of manifests costs O(1) jobs
+    val m = AvroOcf.readFiles(spark,
+      manifestPaths.map(p => resolvePath(table, location, p._1)))
+    val dfCols = m.select(col("data_file.*")).columns.toSet
+    val contentCol =
+      if (dfCols.contains("content")) col("data_file.content")
+      else org.apache.spark.sql.functions.lit(0)
+    val dataFiles = m.select(col("status"), contentCol.as("content"),
+        col("data_file.file_path"), col("data_file.file_format"))
+      .collect().map { r =>
+        (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3))
+      }.toSeq
     val deletes = dataFiles.filter(f => f._1 != 2 && f._2 != 0)
     if (deletes.nonEmpty) throw UnsupportedIceberg(
       s"$table: ${deletes.size} delete files in snapshot $targetId — " +
