@@ -450,6 +450,43 @@ object QueriesML {
         IcebergTable.read(s, table).select($"id", $"text").orderBy($"id")
       }),
 
+    // ------------------------------------------------------- HF tokenizer.json encode
+    // A hand-authored tokenizer.json (the huggingface/tokenizers file
+    // format, byte-level BPE) over planted "ab"*k words: greedy merge
+    // order gives the closed form floor(k/2) x "abab" + (k%2) x "ab", so
+    // the oracle recomputes count, first/last ids, and the id sum. A
+    // regex slip, a merge-order slip, or a byte-mapping slip breaks it.
+    Q("q166_hf_tokenizer", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        o_orderkey % 7 + 1 AS k
+                 FROM orders ORDER BY o_orderkey LIMIT 200)
+      SELECT o_orderkey AS id,
+             (k + 1) // 2 AS n_tokens,
+             CASE WHEN k >= 2 THEN 3 ELSE 2 END AS first_id,
+             CASE WHEN k % 2 = 1 THEN 2 ELSE 3 END AS last_id,
+             (k // 2) * 3 + (k % 2) * 2 AS id_sum
+      FROM o ORDER BY id"""))(
+      (s, d) => {
+        import graft.functions.HfTokenizer
+        val spec = HfTokenizer.parse(
+          """{"model": {"type": "BPE", "unk_token": null,
+               "vocab": {"a": 0, "b": 1, "ab": 2, "abab": 3},
+               "merges": ["a b", "ab ab"]},
+             "pre_tokenizer": {"type": "ByteLevel",
+               "add_prefix_space": false, "use_regex": true},
+             "normalizer": null}""")
+        val in = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+          .select($"o_orderkey".cast("long").as("doc_id"),
+            repeat(lit("ab"), ($"o_orderkey" % 7 + 1).cast("int")).as("text"))
+        HfTokenizer.encode(in, "doc_id", "text", spec)
+          .select($"id", $"n_tokens",
+            element_at($"token_ids", 1).cast("long").as("first_id"),
+            element_at($"token_ids", -1).cast("long").as("last_id"),
+            aggregate($"token_ids", lit(0L),
+              (acc, x) => acc + x.cast("long")).as("id_sum"))
+          .orderBy($"id")
+      }),
+
     // ------------------------------------------------------- multimodal: MP3 frame probe
     // Speech-corpus blobs yield sample rate / channels / duration from the
     // MPEG frame headers alone; the oracle recomputes the planted
