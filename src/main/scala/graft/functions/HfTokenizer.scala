@@ -15,12 +15,18 @@ import org.json4s.jackson.JsonMethods
   * packing budgets, per-document costs, and length filters all key on
   * the deployed tokenizer's ids, not a whitespace proxy.
   *
-  * Scope (directed, never silently wrong): model.type "BPE";
-  * pre_tokenizer ByteLevel (regex on/off, add_prefix_space honored) or
-  * Whitespace; normalizer absent or any Sequence of NFC/NFKC/NFD/NFKD/
-  * Lowercase; added/special tokens split out greedily BEFORE
-  * pre-tokenization (longest first) and map to their own ids. WordPiece/
-  * Unigram models are named rejections.
+  * All three model families decode: "BPE" (greedy lowest-rank merges,
+  * byte-level or character symbols), "WordPiece" (the published BERT
+  * greedy longest-match with "##" continuations and the one-unk-per-bad-
+  * word rule), and "Unigram" (the SentencePiece Viterbi lattice over
+  * piece log-probs, with "<0xNN>" byte fallback when the model declares
+  * it). Pre-tokenizers: ByteLevel (regex on/off, add_prefix_space),
+  * Whitespace, BertPreTokenizer (punctuation isolation), and Metaspace
+  * (the SentencePiece "▁" scheme, prepend honored). Normalizers: NFC/
+  * NFKC/NFD/NFKD/Lowercase/StripAccents, with BertNormalizer expanding
+  * to its published steps. Added/special tokens split out greedily
+  * BEFORE pre-tokenization (longest first) and map to their own ids.
+  * Anything else is a NAMED rejection, never a silent mis-tokenization.
   *
   * Scale model: the spec is a driver-side object (vocab + ranks, a few
   * MB for a 50k vocab) that ships ONCE into a compiled `Dataset.map` —
@@ -30,6 +36,7 @@ object HfTokenizer {
     extends RuntimeException(msg)
 
   final case class Spec(
+      modelType: String,                 // BPE | WordPiece | Unigram
       vocab: Map[String, Int],
       ranks: Map[(String, String), Int],
       byteLevel: Boolean,
@@ -37,7 +44,17 @@ object HfTokenizer {
       useRegex: Boolean,
       normalizers: Seq[String],          // applied in order
       specials: Seq[(String, Int)],      // longest-first at encode time
-      unkId: Option[Int]) extends Serializable
+      unkId: Option[Int],
+      // WordPiece (BERT): the "##" continuation prefix + the per-word cap
+      contPrefix: String = "##",
+      maxInputChars: Int = 100,
+      bertPre: Boolean = false,          // BertPreTokenizer punct isolation
+      // Unigram (SentencePiece): piece log-probs, the Metaspace
+      // replacement char, and byte fallback ("<0xNN>" pieces)
+      logProbs: Map[String, Double] = Map.empty,
+      metaspace: Boolean = false,
+      metaReplacement: Char = '▁',
+      byteFallback: Boolean = false) extends Serializable
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -61,6 +78,9 @@ object HfTokenizer {
   private val ByteLevelRe = java.util.regex.Pattern.compile(
     """'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
   private val WhitespaceRe2 = java.util.regex.Pattern.compile("""\w+|[^\w\s]+""")
+  // BertPreTokenizer: whitespace split + every punctuation char isolated
+  private val BertPreRe =
+    java.util.regex.Pattern.compile("""[^\s\p{P}]+|\p{P}""")
 
   // ------------------------------------------------------------- loading
 
@@ -72,10 +92,21 @@ object HfTokenizer {
     val j = JsonMethods.parse(json)
     val model = j \ "model"
     val mType = (model \ "type").extractOpt[String].getOrElse("BPE")
-    if (mType != "BPE") throw UnsupportedTokenizer(
-      s"model.type $mType (BPE only — WordPiece/Unigram are different algorithms)")
-    val vocab = (model \ "vocab") match {
-      case JObject(fields) => fields.map { case (k, v) => k -> v.extract[Int] }.toMap
+    if (!Set("BPE", "WordPiece", "Unigram")(mType))
+      throw UnsupportedTokenizer(
+        s"model.type $mType (BPE / WordPiece / Unigram only)")
+    // BPE and WordPiece carry {token: id}; Unigram carries [[piece, logp]]
+    val (vocab, logProbs) = (model \ "vocab") match {
+      case JObject(fields) =>
+        (fields.map { case (k, v) => k -> v.extract[Int] }.toMap,
+          Map.empty[String, Double])
+      case JArray(entries) if mType == "Unigram" =>
+        val pieces = entries.map {
+          case JArray(List(JString(p), lp)) => p -> lp.extract[Double]
+          case other => throw UnsupportedTokenizer(s"malformed unigram entry $other")
+        }
+        (pieces.zipWithIndex.map { case ((p, _), i) => p -> i }.toMap,
+          pieces.toMap)
       case _ => throw UnsupportedTokenizer("model.vocab missing")
     }
     // merges ship as "a b" strings (classic) or ["a", "b"] pairs (newer)
@@ -90,7 +121,8 @@ object HfTokenizer {
       }.toMap
       case _ => Map.empty[(String, String), Int]
     }
-    // pre_tokenizer: ByteLevel, Whitespace, or a Sequence containing them
+    // pre_tokenizer: ByteLevel / Whitespace / BertPreTokenizer /
+    // Metaspace, possibly inside a Sequence
     def flat(p: JValue): Seq[JValue] = (p \ "type").extractOpt[String] match {
       case Some("Sequence") =>
         (p \ "pretokenizers").extract[Seq[JValue]].flatMap(flat)
@@ -100,41 +132,68 @@ object HfTokenizer {
     val pres = flat(j \ "pre_tokenizer")
     val byteLevelPre = pres.find(p =>
       (p \ "type").extractOpt[String].contains("ByteLevel"))
-    val whitespacePre = pres.exists(p => (p \ "type").extractOpt[String]
-      .exists(t => t == "Whitespace" || t == "WhitespaceSplit"))
+    val metaspacePre = pres.find(p =>
+      (p \ "type").extractOpt[String].contains("Metaspace"))
+    val bertPre = pres.exists(p =>
+      (p \ "type").extractOpt[String].contains("BertPreTokenizer"))
     pres.foreach { p =>
       val t = (p \ "type").extract[String]
-      if (t != "ByteLevel" && t != "Whitespace" && t != "WhitespaceSplit")
+      if (!Set("ByteLevel", "Whitespace", "WhitespaceSplit",
+        "BertPreTokenizer", "Metaspace")(t))
         throw UnsupportedTokenizer(s"pre_tokenizer $t " +
-          "(ByteLevel / Whitespace only)")
+          "(ByteLevel / Whitespace / BertPreTokenizer / Metaspace only)")
     }
-    if (byteLevelPre.isEmpty && !whitespacePre && pres.nonEmpty)
-      throw UnsupportedTokenizer("unrecognized pre_tokenizer stack")
-    // normalizer: absent, a single named one, or a Sequence
+    // normalizer: absent, a single named one, or a Sequence; BertNormalizer
+    // expands to its published steps (lowercase + NFD-strip-accents)
     def flatN(p: JValue): Seq[String] = (p \ "type").extractOpt[String] match {
       case Some("Sequence") =>
         (p \ "normalizers").extract[Seq[JValue]].flatMap(flatN)
+      case Some("BertNormalizer") =>
+        val lower = (p \ "lowercase").extractOpt[Boolean].getOrElse(true)
+        val strip = (p \ "strip_accents").extractOpt[Boolean].getOrElse(lower)
+        (if (strip) Seq("StripAccents") else Nil) ++
+          (if (lower) Seq("Lowercase") else Nil)
       case Some(t) => Seq(t)
       case None => Nil
     }
     val norms = flatN(j \ "normalizer")
     norms.foreach { n =>
-      if (!Set("NFC", "NFKC", "NFD", "NFKD", "Lowercase")(n))
+      if (!Set("NFC", "NFKC", "NFD", "NFKD", "Lowercase", "StripAccents")(n))
         throw UnsupportedTokenizer(s"normalizer $n " +
-          "(NFC/NFKC/NFD/NFKD/Lowercase only)")
+          "(NFC/NFKC/NFD/NFKD/Lowercase/StripAccents only)")
     }
     val specials = (j \ "added_tokens").extractOpt[Seq[JValue]].getOrElse(Nil)
       .map(t => ((t \ "content").extract[String], (t \ "id").extract[Int]))
       .sortBy(-_._1.length)
-    val unk = (model \ "unk_token").extractOpt[String]
-      .flatMap(u => vocab.get(u))
-    Spec(vocab, ranks,
+    val unk = (model \ "unk_token").extractOpt[String].flatMap(vocab.get)
+      .orElse((model \ "unk_id").extractOpt[Int]) // Unigram declares an index
+    // Metaspace prepend: new "prepend_scheme" or legacy "add_prefix_space"
+    val metaPrepend = metaspacePre.exists { p =>
+      (p \ "prepend_scheme").extractOpt[String] match {
+        case Some(s) => s != "never"
+        case None => (p \ "add_prefix_space").extractOpt[Boolean].getOrElse(true)
+      }
+    }
+    Spec(mType, vocab, ranks,
       byteLevel = byteLevelPre.isDefined,
       addPrefixSpace = byteLevelPre.exists(p =>
-        (p \ "add_prefix_space").extractOpt[Boolean].getOrElse(false)),
+        (p \ "add_prefix_space").extractOpt[Boolean].getOrElse(false)) ||
+        metaPrepend,
       useRegex = byteLevelPre.forall(p =>
         (p \ "use_regex").extractOpt[Boolean].getOrElse(true)),
-      normalizers = norms, specials = specials, unkId = unk)
+      normalizers = norms, specials = specials, unkId = unk,
+      contPrefix = (model \ "continuing_subword_prefix")
+        .extractOpt[String].getOrElse("##"),
+      maxInputChars = (model \ "max_input_chars_per_word")
+        .extractOpt[Int].getOrElse(100),
+      bertPre = bertPre,
+      logProbs = logProbs,
+      metaspace = metaspacePre.isDefined,
+      metaReplacement = metaspacePre.flatMap(p =>
+        (p \ "replacement").extractOpt[String].flatMap(_.headOption))
+        .getOrElse('▁'),
+      byteFallback = (model \ "byte_fallback")
+        .extractOpt[Boolean].getOrElse(false))
   }
 
   // ------------------------------------------------------------ encoding
@@ -145,59 +204,154 @@ object HfTokenizer {
     if (text0 == null || text0.isEmpty) return Nil
     // specials split out first, longest-first, never normalized
     val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def idOf(p: String): Int = spec.vocab.get(p) match {
+      case Some(id) => id
+      case None => spec.unkId.getOrElse(throw UnsupportedTokenizer(
+        s"token '$p' not in vocab and no unk_token declared"))
+    }
+    def bpePiece(piece: String): Unit = {
+      val sym =
+        if (spec.byteLevel)
+          piece.getBytes("UTF-8").map(b => byteToChar(b & 0xff).toString)
+        else piece.map(_.toString).toArray
+      var parts = sym
+      var done = parts.length < 2
+      while (!done) {
+        var best = -1
+        var bestRank = Int.MaxValue
+        var i = 0
+        while (i < parts.length - 1) {
+          val r = spec.ranks.getOrElse((parts(i), parts(i + 1)), Int.MaxValue)
+          if (r < bestRank) { bestRank = r; best = i }
+          i += 1
+        }
+        if (best < 0 || bestRank == Int.MaxValue) done = true
+        else {
+          parts = (parts.take(best) :+ (parts(best) + parts(best + 1))) ++
+            parts.drop(best + 2)
+          done = parts.length < 2
+        }
+      }
+      parts.foreach(p => out += idOf(p))
+    }
+    // the published WordPiece algorithm (BERT tokenization.py): greedy
+    // longest-match, continuation pieces carry the "##" prefix, any
+    // unmatchable word collapses to ONE unk
+    def wordPiece(piece: String): Unit = {
+      if (piece.length > spec.maxInputChars) {
+        out += spec.unkId.getOrElse(throw UnsupportedTokenizer(
+          s"word over max_input_chars_per_word and no unk_token"))
+        return
+      }
+      val found = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var start = 0
+      var bad = false
+      while (start < piece.length && !bad) {
+        var end = piece.length
+        var cur = -1
+        while (end > start && cur < 0) {
+          val sub = (if (start > 0) spec.contPrefix else "") +
+            piece.substring(start, end)
+          spec.vocab.get(sub) match {
+            case Some(id) => cur = id
+            case None => end -= 1
+          }
+        }
+        if (cur < 0) bad = true
+        else { found += cur; start = end }
+      }
+      if (bad) out += spec.unkId.getOrElse(throw UnsupportedTokenizer(
+        s"word '$piece' has no WordPiece segmentation and no unk_token"))
+      else out ++= found
+    }
+    // Unigram Viterbi (the SentencePiece lattice): best log-prob
+    // segmentation over vocabulary pieces; characters no piece covers take
+    // byte-fallback "<0xNN>" pieces when declared, else one unk each
+    lazy val unknownPenalty =
+      spec.logProbs.values.foldLeft(0.0)(math.min) - 10.0
+    def unigram(piece: String): Unit = {
+      val n = piece.length
+      val NegInf = Double.NegativeInfinity
+      val UnknownPenalty = unknownPenalty
+      val best = Array.fill(n + 1)(NegInf)
+      val back = new Array[Int](n + 1) // start index of the piece ending here
+      val backUnk = new Array[Boolean](n + 1)
+      best(0) = 0.0
+      var i = 1
+      while (i <= n) {
+        var jj = 0
+        while (jj < i) {
+          if (best(jj) != NegInf) {
+            val sub = piece.substring(jj, i)
+            spec.logProbs.get(sub) match {
+              case Some(lp) if best(jj) + lp > best(i) =>
+                best(i) = best(jj) + lp; back(i) = jj; backUnk(i) = false
+              case _ =>
+                // single-char unknown edge keeps the lattice connected
+                if (i - jj == 1 && best(jj) + UnknownPenalty > best(i)) {
+                  best(i) = best(jj) + UnknownPenalty
+                  back(i) = jj; backUnk(i) = true
+                }
+            }
+          }
+          jj += 1
+        }
+        i += 1
+      }
+      val rev = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+      var pos = n
+      while (pos > 0) {
+        rev += ((piece.substring(back(pos), pos), backUnk(pos)))
+        pos = back(pos)
+      }
+      rev.reverse.foreach { case (p, unk) =>
+        if (!unk) out += spec.vocab(p)
+        else if (spec.byteFallback) {
+          p.getBytes("UTF-8").foreach { b =>
+            val bp = f"<0x${b & 0xff}%02X>"
+            out += spec.vocab.getOrElse(bp, throw UnsupportedTokenizer(
+              s"byte_fallback piece $bp missing from the unigram vocab"))
+          }
+        } else out += spec.unkId.getOrElse(throw UnsupportedTokenizer(
+          s"'$p' has no unigram piece and no unk id"))
+      }
+    }
     def encodePlain(raw: String): Unit = {
       if (raw.isEmpty) return
       var text = raw
       spec.normalizers.foreach {
         case "Lowercase" => text = text.toLowerCase(java.util.Locale.ROOT)
+        case "StripAccents" => text = java.text.Normalizer
+          .normalize(text, java.text.Normalizer.Form.NFD)
+          .replaceAll("\\p{Mn}", "")
         case nf => text = java.text.Normalizer.normalize(text,
           java.text.Normalizer.Form.valueOf(nf))
       }
       if (spec.byteLevel && spec.addPrefixSpace && !text.startsWith(" "))
         text = " " + text
+      if (spec.metaspace) {
+        text = text.replace(' ', spec.metaReplacement)
+        if (spec.addPrefixSpace && text.head != spec.metaReplacement)
+          text = spec.metaReplacement + text
+      }
+      def matches(p: java.util.regex.Pattern): Iterator[String] = {
+        val m = p.matcher(text)
+        Iterator.continually(if (m.find()) m.group() else null)
+          .takeWhile(_ != null)
+      }
       val pieces: Iterator[String] =
-        if (spec.byteLevel && spec.useRegex) {
-          val m = ByteLevelRe.matcher(text)
-          Iterator.continually(if (m.find()) m.group() else null)
-            .takeWhile(_ != null)
-        } else if (spec.byteLevel) Iterator.single(text)
-        else {
-          val m = WhitespaceRe2.matcher(text)
-          Iterator.continually(if (m.find()) m.group() else null)
-            .takeWhile(_ != null)
-        }
+        if (spec.byteLevel && spec.useRegex) matches(ByteLevelRe)
+        else if (spec.byteLevel) Iterator.single(text)
+        else if (spec.metaspace) {
+          val r = java.util.regex.Pattern.quote(spec.metaReplacement.toString)
+          matches(java.util.regex.Pattern.compile(s"$r[^$r]*|[^$r]+"))
+        } else if (spec.bertPre) matches(BertPreRe)
+        else matches(WhitespaceRe2)
       pieces.foreach { piece =>
-        val sym =
-          if (spec.byteLevel)
-            piece.getBytes("UTF-8").map(b => byteToChar(b & 0xff).toString)
-          else piece.map(_.toString).toArray
-        var parts = sym
-        var done = parts.length < 2
-        while (!done) {
-          var best = -1
-          var bestRank = Int.MaxValue
-          var i = 0
-          while (i < parts.length - 1) {
-            val r = spec.ranks.getOrElse((parts(i), parts(i + 1)), Int.MaxValue)
-            if (r < bestRank) { bestRank = r; best = i }
-            i += 1
-          }
-          if (best < 0 || bestRank == Int.MaxValue) done = true
-          else {
-            parts = (parts.take(best) :+ (parts(best) + parts(best + 1))) ++
-              parts.drop(best + 2)
-            done = parts.length < 2
-          }
-        }
-        parts.foreach { p =>
-          spec.vocab.get(p) match {
-            case Some(id) => out += id
-            case None => spec.unkId match {
-              case Some(u) => out += u
-              case None => throw UnsupportedTokenizer(
-                s"token '$p' not in vocab and no unk_token declared")
-            }
-          }
+        spec.modelType match {
+          case "BPE" => bpePiece(piece)
+          case "WordPiece" => wordPiece(piece)
+          case "Unigram" => unigram(piece)
         }
       }
     }

@@ -86,13 +86,73 @@ class HfTokenizerSpec extends SparkSpec {
     assert(out(2).getLong(1) == 0)
   }
 
-  test("non-BPE models and exotic pre-tokenizers are named rejections") {
-    val wp = wsJson.replace("\"type\": \"BPE\"", "\"type\": \"WordPiece\"")
-    val e = intercept[Exception] { HfTokenizer.parse(wp) }
-    assert(e.getMessage.contains("WordPiece"), e.getMessage)
-    val metaspace = byteLevelJson.replace("\"type\": \"ByteLevel\"",
-      "\"type\": \"Metaspace\"")
-    val e2 = intercept[Exception] { HfTokenizer.parse(metaspace) }
-    assert(e2.getMessage.contains("Metaspace"), e2.getMessage)
+  private val wordPieceJson =
+    """{
+      |  "model": {"type": "WordPiece", "unk_token": "[UNK]",
+      |    "continuing_subword_prefix": "##",
+      |    "max_input_chars_per_word": 10,
+      |    "vocab": {"[UNK]": 0, "un": 1, "##aff": 2, "##able": 3,
+      |              "##ably": 4, "runn": 5, "##ing": 6, "!": 7, "the": 8}},
+      |  "pre_tokenizer": {"type": "BertPreTokenizer"},
+      |  "normalizer": {"type": "BertNormalizer", "lowercase": true,
+      |    "strip_accents": true}
+      |}""".stripMargin
+
+  test("WordPiece: greedy longest-match, ## continuations, bad-word unk") {
+    val spec = HfTokenizer.parse(wordPieceJson)
+    assert(spec.modelType == "WordPiece" && spec.bertPre)
+    assert(spec.normalizers == Seq("StripAccents", "Lowercase"))
+    // the classic example shape: unaffable -> un ##aff ##able
+    assert(HfTokenizer.encodeString(spec, "unaffable") == Seq(1, 2, 3))
+    // BertNormalizer folds case and accents: "Unaffáble" matches too
+    assert(HfTokenizer.encodeString(spec, "Unaffáble") == Seq(1, 2, 3))
+    // punctuation isolates; an unsegmentable word is ONE unk
+    assert(HfTokenizer.encodeString(spec, "running zzz!") ==
+      Seq(5, 6, 0, 7))
+    // a word over max_input_chars_per_word collapses to unk outright
+    assert(HfTokenizer.encodeString(spec, "x" * 11) == Seq(0))
+  }
+
+  private val unigramJson =
+    """{
+      |  "model": {"type": "Unigram", "unk_id": 0, "byte_fallback": false,
+      |    "vocab": [["<unk>", -8.0], ["▁", -3.0], ["▁the", -1.0],
+      |              ["▁th", -4.0], ["e", -2.5], ["th", -3.5],
+      |              ["▁cat", -1.5], ["c", -5.0], ["▁ca", -4.5],
+      |              ["t", -5.0]]},
+      |  "pre_tokenizer": {"type": "Metaspace", "replacement": "▁",
+      |    "prepend_scheme": "always"},
+      |  "normalizer": null
+      |}""".stripMargin
+
+  test("Unigram: Viterbi picks the max-log-prob segmentation") {
+    val spec = HfTokenizer.parse(unigramJson)
+    assert(spec.modelType == "Unigram" && spec.metaspace && spec.addPrefixSpace)
+    // "the cat" -> ▁the (-1.0) beats ▁th+e (-6.5); ▁cat (-1.5) beats
+    // ▁ca+t (-9.5)
+    assert(HfTokenizer.encodeString(spec, "the cat") == Seq(2, 6))
+    // unknown char takes the unk id (no byte_fallback here)
+    assert(HfTokenizer.encodeString(spec, "the q") == Seq(2, 1, 0))
+  }
+
+  test("Unigram byte fallback emits <0xNN> pieces for uncovered chars") {
+    val spec = HfTokenizer.parse(unigramJson
+      .replace("\"byte_fallback\": false", "\"byte_fallback\": true")
+      .replace("[\"t\", -5.0]",
+        "[\"t\", -5.0], [\"<0x71>\", -9.0], [\"<0xC3>\", -9.0], [\"<0xA9>\", -9.0]"))
+    // 'q' = 0x71 -> its byte piece (id 10)
+    assert(HfTokenizer.encodeString(spec, "the q") == Seq(2, 1, 10))
+    // 'é' = 0xC3 0xA9 -> two byte pieces
+    assert(HfTokenizer.encodeString(spec, "the é") == Seq(2, 1, 11, 12))
+  }
+
+  test("unsupported models and pre-tokenizers are named rejections") {
+    val lg = wsJson.replace("\"type\": \"BPE\"", "\"type\": \"Marian\"")
+    val e = intercept[Exception] { HfTokenizer.parse(lg) }
+    assert(e.getMessage.contains("Marian"), e.getMessage)
+    val digits = byteLevelJson.replace("\"type\": \"ByteLevel\"",
+      "\"type\": \"Digits\"")
+    val e2 = intercept[Exception] { HfTokenizer.parse(digits) }
+    assert(e2.getMessage.contains("Digits"), e2.getMessage)
   }
 }
