@@ -129,8 +129,23 @@ object IcebergTable {
 
   /** Read an Iceberg table snapshot: the current snapshot, or an explicit
     * `snapshotId` for time travel. */
+  /** [[read]] with FILE-LEVEL partition pruning: `partitionFilter` names
+    * identity-partition values (stringified compare) that every served
+    * data file must match in its manifest `partition` struct — the
+    * Iceberg-native way to skip files before any parquet footer is
+    * touched. Files whose manifests carry no partition struct never
+    * match a non-empty filter. */
+  def readPartitions(spark: SparkSession, table: String,
+      partitionFilter: Map[String, String],
+      snapshotId: Option[Long] = None): DataFrame =
+    readImpl(spark, table, snapshotId, partitionFilter)
+
   def read(spark: SparkSession, table: String,
-      snapshotId: Option[Long] = None): DataFrame = {
+      snapshotId: Option[Long] = None): DataFrame =
+    readImpl(spark, table, snapshotId, Map.empty)
+
+  private def readImpl(spark: SparkSession, table: String,
+      snapshotId: Option[Long], partitionFilter: Map[String, String]): DataFrame = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val fs = new Path(table).getFileSystem(conf)
     val metaPath = latestMetadata(fs, table)
@@ -193,11 +208,25 @@ object IcebergTable {
     val contentCol =
       if (dfCols.contains("content")) col("data_file.content")
       else org.apache.spark.sql.functions.lit(0)
-    val dataFiles = m.select(col("status"), contentCol.as("content"),
-        col("data_file.file_path"), col("data_file.file_format"))
+    // identity-partition pruning at the MANIFEST level: the match rides
+    // as a boolean so the delete-file GUARD still sees every entry (a
+    // delete file outside the filter still invalidates matching rows)
+    val matchCol =
+      if (partitionFilter.isEmpty) org.apache.spark.sql.functions.lit(true)
+      else if (!dfCols.contains("partition"))
+        org.apache.spark.sql.functions.lit(false)
+      else partitionFilter.map { case (k, v) =>
+        col(s"data_file.partition.$k").cast("string") === v
+      }.reduce(_ && _)
+    val allEntries = m.select(col("status"), contentCol.as("content"),
+        col("data_file.file_path"), col("data_file.file_format"),
+        matchCol.as("matches"))
       .collect().map { r =>
-        (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3))
+        (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3),
+          r.getBoolean(4))
       }.toSeq
+    val dataFiles = allEntries.filter(e => e._5 || e._2 != 0)
+      .map(e => (e._1, e._2, e._3, e._4))
     val deletes = dataFiles.filter(f => f._1 != 2 && f._2 != 0)
     if (deletes.nonEmpty) throw UnsupportedIceberg(
       s"$table: ${deletes.size} delete files in snapshot $targetId — " +

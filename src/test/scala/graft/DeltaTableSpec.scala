@@ -139,6 +139,25 @@ class DeltaTableSpec extends SparkSpec {
       Seq((1L, "en"), (2L, "en"), (7L, "fr"), (9L, "en")))
   }
 
+  test("partition predicates prune whole file groups via constant folding") {
+    val table = tmp()
+    val f0 = dataFile(table, "lang=en/part-000.parquet", Seq(1L, 2L))
+    val f1 = dataFile(table, "lang=de/part-001.parquet", Seq(3L, 4L))
+    val f2 = dataFile(table, "lang=fr/part-002.parquet", Seq(5L))
+    writeCommit(table, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaDataJson,
+      addJson(f0, "en"), addJson(f1, "de"), addJson(f2, "fr")))
+    // partition columns are per-group literals, so a partition predicate
+    // constant-folds every other group's union branch away — the file
+    // set Spark touches shrinks to the matching partition
+    val pruned = DeltaTable.read(spark, table).filter($"lang" === "de")
+    val files = pruned.inputFiles
+    assert(files.length == 1 && files.head.contains("lang=de"),
+      s"expected only the de file, got ${files.toSeq}")
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+  }
+
   test("reader guards are directed: versions, features, deletion vectors") {
     val table = tmp()
     val f0 = dataFile(table, "lang=en/part-000.parquet", Seq(1L))

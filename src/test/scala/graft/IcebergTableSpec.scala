@@ -145,6 +145,48 @@ class IcebergTableSpec extends SparkSpec {
       Seq((7L, "t7"), (8L, "t8")))
   }
 
+  test("manifest-level identity-partition pruning skips whole files") {
+    val table = tmp()
+    val fEn = dataFile(table, "pen.parquet", Seq(1L, 2L))
+    val fDe = dataFile(table, "pde.parquet", Seq(3L))
+    new java.io.File(s"$table/metadata").mkdirs()
+    // manifest entries carry a partition struct (identity transform)
+    val mp = s"$table/metadata/m0.avro"
+    AvroOcf.write(mp,
+      """{"type": "record", "name": "manifest_entry", "fields": [
+        |  {"name": "status", "type": "int"},
+        |  {"name": "data_file", "type": {"type": "record", "name": "r2",
+        |    "fields": [
+        |      {"name": "content", "type": "int"},
+        |      {"name": "file_path", "type": "string"},
+        |      {"name": "file_format", "type": "string"},
+        |      {"name": "record_count", "type": "long"},
+        |      {"name": "partition", "type": {"type": "record",
+        |        "name": "p", "fields": [
+        |          {"name": "lang", "type": "string"}]}}
+        |    ]}}
+        |]}""".stripMargin,
+      Seq(Seq(1, Seq(0, fEn, "PARQUET", 2L, Seq("en"))),
+        Seq(1, Seq(0, fDe, "PARQUET", 1L, Seq("de")))))
+    val ml = manifestList(table, "snap-1.avro", Seq((mp, 0)))
+    writeMetadata(table, 1, s"""{
+      "format-version": 2, "table-uuid": "u", "location": "$table",
+      "current-snapshot-id": 1,
+      "schemas": [$schemaJson], "current-schema-id": 0,
+      "snapshots": [{"snapshot-id": 1, "timestamp-ms": 0,
+        "summary": {"operation": "append"}, "manifest-list": "$ml"}]}""")
+    val all = IcebergTable.read(spark, table)
+    assert(all.count() == 3)
+    val pruned = IcebergTable.readPartitions(spark, table, Map("lang" -> "de"))
+    // the en file is never even listed: one input file, one row
+    assert(pruned.inputFiles.length == 1 &&
+      pruned.inputFiles.head.contains("pde"))
+    assert(pruned.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // a filter nothing matches yields the empty typed table
+    assert(IcebergTable.readPartitions(spark, table,
+      Map("lang" -> "xx")).count() == 0)
+  }
+
   test("guards are directed: delete manifests, delete files, version 3") {
     val table = tmp()
     val f0 = dataFile(table, "p0.parquet", Seq(1L))
