@@ -74,13 +74,20 @@ object HfTokenizer {
 
   // the ByteLevel pre-tokenization regex (tokenizers' ByteLevel, from
   // GPT-2): contractions, optional-space letter runs, number runs,
-  // punctuation runs, trailing-space handling
+  // punctuation runs, trailing-space handling. UNICODE_CHARACTER_CLASS
+  // makes Java's \s and \w match the Rust/Python regex semantics the
+  // reference implementations use (NBSP is whitespace, é is a word char)
+  private val UFlag = java.util.regex.Pattern.UNICODE_CHARACTER_CLASS
   private val ByteLevelRe = java.util.regex.Pattern.compile(
-    """'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
-  private val WhitespaceRe2 = java.util.regex.Pattern.compile("""\w+|[^\w\s]+""")
-  // BertPreTokenizer: whitespace split + every punctuation char isolated
-  private val BertPreRe =
-    java.util.regex.Pattern.compile("""[^\s\p{P}]+|\p{P}""")
+    """'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""",
+    UFlag)
+  private val WhitespaceRe2 =
+    java.util.regex.Pattern.compile("""\w+|[^\w\s]+""", UFlag)
+  // BertPreTokenizer: whitespace split + every punctuation char isolated —
+  // BERT's _is_punctuation also counts the ASCII SYMBOL ranges
+  // ($ + < = > ^ ` | ~) as punctuation regardless of Unicode category
+  private val BertPreRe = java.util.regex.Pattern.compile(
+    """[^\s\p{P}$+<=>^`|~]+|[\p{P}$+<=>^`|~]""", UFlag)
 
   // ------------------------------------------------------------- loading
 
@@ -176,8 +183,10 @@ object HfTokenizer {
     }
     Spec(mType, vocab, ranks,
       byteLevel = byteLevelPre.isDefined,
+      // huggingface/tokenizers' ByteLevel DEFAULT is add_prefix_space =
+      // true (GPT-2's shipped json sets false explicitly)
       addPrefixSpace = byteLevelPre.exists(p =>
-        (p \ "add_prefix_space").extractOpt[Boolean].getOrElse(false)) ||
+        (p \ "add_prefix_space").extractOpt[Boolean].getOrElse(true)) ||
         metaPrepend,
       useRegex = byteLevelPre.forall(p =>
         (p \ "use_regex").extractOpt[Boolean].getOrElse(true)),
@@ -327,6 +336,7 @@ object HfTokenizer {
         case nf => text = java.text.Normalizer.normalize(text,
           java.text.Normalizer.Form.valueOf(nf))
       }
+      if (text.isEmpty) return // normalizers can empty the segment
       if (spec.byteLevel && spec.addPrefixSpace && !text.startsWith(" "))
         text = " " + text
       if (spec.metaspace) {

@@ -100,6 +100,16 @@ object DeltaTable {
 
     val tailVersions = commitVersions
       .filter(v => v <= latest && ckpt.forall(_ < v))
+    // the replay is only valid over a CONTIGUOUS version range: a missing
+    // intermediate commit (lost json, directory synced mid-write) would
+    // silently drop its adds/removes — directed error instead
+    val replayStart = ckpt.map(_ + 1).getOrElse(0L)
+    val missing = (replayStart to latest).filterNot(tailVersions.contains)
+    if (missing.nonEmpty) throw UnsupportedDelta(
+      s"$table: commit json missing for version(s) " +
+        s"${missing.take(5).mkString(", ")}${if (missing.size > 5) ", …" else ""} " +
+        s"— the log is not contiguous from " +
+        s"${ckpt.map(c => s"checkpoint $c").getOrElse("version 0")} to $latest")
 
     // accumulated state, path-keyed (later actions win — the protocol's
     // reconciliation rule)

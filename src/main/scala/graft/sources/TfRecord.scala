@@ -254,9 +254,15 @@ object TfRecord {
       .foreach(_.addTaskCompletionListener[Unit](_ =>
         try raw.close() catch { case _: java.io.IOException => }))
     // GZIP option sniffed by magic, not extension — a mis-named shard
-    // must not garble the framing
+    // must not garble the framing. Loop the read: a single read() may
+    // legally return one byte and misclassify a gzip shard.
     val head = new Array[Byte](2)
-    val got = raw.read(head, 0, 2)
+    var got = 0
+    var r = 0
+    while (got < 2 && r >= 0) {
+      r = raw.read(head, got, 2 - got)
+      if (r > 0) got += r
+    }
     raw.seek(0L)
     if (got == 2 && head(0) == 0x1f.toByte && head(1) == 0x8b.toByte)
       new GZIPInputStream(raw, 64 * 1024)

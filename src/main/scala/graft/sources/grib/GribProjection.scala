@@ -61,6 +61,53 @@ object GribProjection {
     phi
   }
 
+  /** Snyder 3-12: the authalic-latitude q of a geodetic latitude —
+    * shared by the equal-area projections (Albers, LAEA). */
+  private def qFun(phi: Double, e: Double): Double = {
+    val e2 = e * e
+    val s = math.sin(phi)
+    if (e == 0) 2 * s
+    else (1 - e2) * (s / (1 - e2 * s * s) -
+      (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+  }
+
+  /** Invert [[qFun]]: the Snyder 3-16 fixed-point iteration from the
+    * spherical seed (which IS the answer for e = 0). */
+  private def phiFromQ(q: Double, e: Double): Double = {
+    val e2 = e * e
+    var p = math.asin(math.max(-1.0, math.min(1.0, q / 2)))
+    if (e == 0) return p
+    var i = 0
+    while (i < 12) {
+      val s = math.sin(p)
+      val om = 1 - e2 * s * s
+      val next = p + (om * om / (2 * math.cos(p))) *
+        (q / (1 - e2) - s / om +
+          (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+      if (math.abs(next - p) < 1e-13) { p = next; i = 12 }
+      else { p = next; i += 1 }
+    }
+    p
+  }
+
+  /** Snyder 3-21 meridional-arc coefficients (m0, m2, m4, m6) — shared
+    * by transverse Mercator and ellipsoidal sinusoidal. */
+  private def arcCoeffs(e2: Double): (Double, Double, Double, Double) = (
+    1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256,
+    3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * e2 * e2 * e2 / 1024,
+    15 * e2 * e2 / 256 + 45 * e2 * e2 * e2 / 1024,
+    35 * e2 * e2 * e2 / 3072)
+
+  /** Snyder 3-26: footprint latitude from the rectifying latitude mu. */
+  private def footprintLat(mu: Double, e2: Double): Double = {
+    if (e2 == 0) return mu
+    val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    mu + (3 * e1 / 2 - 27 * math.pow(e1, 3) / 32) * math.sin(2 * mu) +
+      (21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * math.sin(4 * mu) +
+      (151 * math.pow(e1, 3) / 96) * math.sin(6 * mu) +
+      (1097 * math.pow(e1, 4) / 512) * math.sin(8 * mu)
+  }
+
   /** Lambert conformal conic, secant (latin1/latin2) or tangent
     * (latin1 == latin2); lov = orientation meridian. Ellipsoidal when
     * `minorAxis` < `radius` (Snyder §15). */
@@ -203,27 +250,20 @@ object GribProjection {
     private val phi1 = math.toRadians(latin1)
     private val phi2 = math.toRadians(latin2)
     private val lam0 = math.toRadians(lov)
-    /** Snyder 3-12: the authalic-latitude q of a geodetic latitude. */
-    private def qFun(phi: Double): Double = {
-      val s = math.sin(phi)
-      if (e == 0) 2 * s
-      else (1 - e2) * (s / (1 - e2 * s * s) -
-        (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
-    }
     private val n =
       if (math.abs(latin1 - latin2) < 1e-9) math.sin(phi1)
       else if (e == 0) (math.sin(phi1) + math.sin(phi2)) / 2
       else (mFun(phi1, e) * mFun(phi1, e) - mFun(phi2, e) * mFun(phi2, e)) /
-        (qFun(phi2) - qFun(phi1))
+        (qFun(phi2, e) - qFun(phi1, e))
     private val cBig =
       if (e == 0) math.pow(math.cos(phi1), 2) + 2 * n * math.sin(phi1)
-      else mFun(phi1, e) * mFun(phi1, e) + n * qFun(phi1)
+      else mFun(phi1, e) * mFun(phi1, e) + n * qFun(phi1, e)
 
     private def rho(q: Double): Double =
       radius * math.sqrt(cBig - n * q) / n
 
     def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
-      val r = rho(qFun(math.toRadians(latDeg)))
+      val r = rho(qFun(math.toRadians(latDeg), e))
       val theta = n * normalize(math.toRadians(lonDeg) - lam0)
       (r * math.sin(theta), -r * math.cos(theta)) // y from the apex
     }
@@ -232,23 +272,7 @@ object GribProjection {
       val r = math.signum(n) * math.sqrt(x * x + y * y)
       val theta = math.atan2(math.signum(n) * x, math.signum(n) * -y)
       val q = (cBig - (r * n / radius) * (r * n / radius)) / n
-      val phi =
-        if (e == 0) math.asin(math.max(-1.0, math.min(1.0, q / 2)))
-        else {
-          // Snyder 3-16: iterate from the spherical seed
-          var p = math.asin(math.max(-1.0, math.min(1.0, q / 2)))
-          var i = 0
-          while (i < 12) {
-            val s = math.sin(p)
-            val om = 1 - e2 * s * s
-            val next = p + (om * om / (2 * math.cos(p))) *
-              (q / (1 - e2) - s / om +
-                (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
-            if (math.abs(next - p) < 1e-13) { p = next; i = 12 }
-            else { p = next; i += 1 }
-          }
-          p
-        }
+      val phi = phiFromQ(q, e)
       (math.toDegrees(phi), math.toDegrees(normalize(lam0 + theta / n)))
     }
   }
@@ -275,15 +299,8 @@ object GribProjection {
     private val e2 = e * e
     private val phi1 = math.toRadians(standardParallel)
     private val lam0 = math.toRadians(centralLon)
-    /** Snyder 3-12: the authalic-latitude q of a geodetic latitude. */
-    private def qFun(phi: Double): Double = {
-      val s = math.sin(phi)
-      if (e == 0) 2 * s
-      else (1 - e2) * (s / (1 - e2 * s * s) -
-        (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
-    }
-    private val qp = qFun(math.Pi / 2)
-    private val beta1 = if (e == 0) phi1 else math.asin(qFun(phi1) / qp)
+    private val qp = qFun(math.Pi / 2, e)
+    private val beta1 = if (e == 0) phi1 else math.asin(qFun(phi1, e) / qp)
     private val rq = if (e == 0) radius else radius * math.sqrt(qp / 2)
     private val dBig =
       if (e == 0) 1.0
@@ -295,7 +312,7 @@ object GribProjection {
     def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
       val phi = math.toRadians(latDeg)
       val dLam = normalize(math.toRadians(lonDeg) - lam0)
-      val beta = if (e == 0) phi else math.asin(clamp1(qFun(phi) / qp))
+      val beta = if (e == 0) phi else math.asin(clamp1(qFun(phi, e) / qp))
       val sinB = math.sin(beta)
       val cosB = math.cos(beta)
       val bBig = rq * math.sqrt(
@@ -314,24 +331,10 @@ object GribProjection {
       val sinBeta = cosCe * sinB1 + dBig * y * sinCe * cosB1 / rho
       val lam = lam0 + math.atan2(x * sinCe,
         dBig * rho * cosB1 * cosCe - dBig * dBig * y * sinB1 * sinCe)
-      val phi =
-        if (e == 0) math.asin(clamp1(sinBeta))
-        else {
-          // q back from the authalic latitude, then Snyder 3-16
-          val q = qp * clamp1(sinBeta)
-          var p = math.asin(clamp1(q / 2))
-          var i = 0
-          while (i < 12) {
-            val s = math.sin(p)
-            val es = e * s
-            val next = p + math.pow(1 - e2 * s * s, 2) / (2 * math.cos(p)) *
-              (q / (1 - e2) - s / (1 - e2 * s * s) +
-                (1 / (2 * e)) * math.log((1 - es) / (1 + es)))
-            if (math.abs(next - p) < 1e-13) { p = next; i = 12 }
-            else { p = next; i += 1 }
-          }
-          p
-        }
+      // q back from the authalic latitude, then the shared Snyder 3-16
+      // (for e = 0, qp = 2 and the spherical seed asin(q/2) = asin(sinBeta)
+      // IS the answer)
+      val phi = phiFromQ(qp * clamp1(sinBeta), e)
       (math.toDegrees(phi), math.toDegrees(normalize(lam)))
     }
   }
@@ -387,11 +390,7 @@ object GribProjection {
       minorAxis: Double = Double.NaN) extends GribProjection {
     private val e2 = { val e = eccOf(radius, minorAxis); e * e }
     private val lam0 = math.toRadians(lon0)
-    private val m0 = 1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256
-    private val m2 = 3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * e2 * e2 * e2 / 1024
-    private val m4 = 15 * e2 * e2 / 256 + 45 * e2 * e2 * e2 / 1024
-    private val m6 = 35 * e2 * e2 * e2 / 3072
-    private val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    private val (m0, m2, m4, m6) = arcCoeffs(e2)
 
     def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
       val phi = math.toRadians(latDeg)
@@ -404,13 +403,7 @@ object GribProjection {
     }
 
     def inverse(x: Double, y: Double): (Double, Double) = {
-      val mu = y / (radius * m0)
-      val phi =
-        if (e2 == 0) mu
-        else mu + (3 * e1 / 2 - 27 * math.pow(e1, 3) / 32) * math.sin(2 * mu) +
-          (21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * math.sin(4 * mu) +
-          (151 * math.pow(e1, 3) / 96) * math.sin(6 * mu) +
-          (1097 * math.pow(e1, 4) / 512) * math.sin(8 * mu)
+      val phi = footprintLat(y / (radius * m0), e2)
       val s = math.sin(phi)
       val lam =
         if (math.abs(math.cos(phi)) < 1e-12) lam0 // the pole row
@@ -449,16 +442,10 @@ object GribProjection {
     private val e2 = { val e = eccOf(radius, minorAxis); e * e }
     private val ep2 = e2 / (1 - e2) // e'^2
     private val lam0 = math.toRadians(lon0)
-    // meridional-arc coefficients (Snyder 3-21)
-    private val m0 = 1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256
-    private val m2 = 3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * e2 * e2 * e2 / 1024
-    private val m4 = 15 * e2 * e2 / 256 + 45 * e2 * e2 * e2 / 1024
-    private val m6 = 35 * e2 * e2 * e2 / 3072
+    private val (m0, m2, m4, m6) = arcCoeffs(e2)
     private def arc(phi: Double): Double =
       radius * (m0 * phi - m2 * math.sin(2 * phi) + m4 * math.sin(4 * phi) -
         m6 * math.sin(6 * phi))
-    // footprint-latitude coefficients (Snyder 3-26)
-    private val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
 
     def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
       val phi = math.toRadians(latDeg)
@@ -476,12 +463,7 @@ object GribProjection {
     }
 
     def inverse(x: Double, y: Double): (Double, Double) = {
-      val mu = y / (radius * m0)
-      val phi1 = mu +
-        (3 * e1 / 2 - 27 * math.pow(e1, 3) / 32) * math.sin(2 * mu) +
-        (21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * math.sin(4 * mu) +
-        (151 * math.pow(e1, 3) / 96) * math.sin(6 * mu) +
-        (1097 * math.pow(e1, 4) / 512) * math.sin(8 * mu)
+      val phi1 = footprintLat(y / (radius * m0), e2)
       val sin1 = math.sin(phi1); val cos1 = math.cos(phi1)
       val t1 = (sin1 / cos1) * (sin1 / cos1)
       val c1 = ep2 * cos1 * cos1

@@ -526,8 +526,13 @@ object Kerchunk {
     val rot0 = rotOf(g0)
     if (proj0.isDefined) all.foreach { case (off, _, u) =>
       // identical wire integers give identical derived doubles, so exact
-      // equality is the right agreement check
-      require(u.ni == g0.ni && u.nj == g0.nj && projInfoOf(u) == proj0,
+      // agreement is the right check — compared via toString because the
+      // GRIB1 spherical figure carries minorAxis = NaN, and Scala
+      // case-class equality on a NaN primitive field is FALSE between
+      // distinct instances (it would spuriously reject every multi-field
+      // GRIB1 projected file); "NaN" == "NaN" as text
+      require(u.ni == g0.ni && u.nj == g0.nj &&
+          projInfoOf(u).toString == proj0.toString,
         s"$path: ${u.shortName} at offset $off is on a different " +
           s"projected grid — one grid per store")
     }
@@ -703,8 +708,10 @@ object Kerchunk {
     val dtype = (m.sampleFormat, m.bitsPerSample) match {
       case (3, 32) => "<f4"
       case (3, 64) => "<f8"
-      case (1, w) if w >= 8 => s"<u${w / 8}"
-      case (2, w) if w >= 8 => s"<i${w / 8}"
+      // only whole power-of-two byte widths have a zarr dtype: a 12-bit
+      // or 24-bit sample must fail HERE, not decode as the wrong width
+      case (1, w) if Set(8, 16, 32, 64)(w) => s"<u${w / 8}"
+      case (2, w) if Set(8, 16, 32, 64)(w) => s"<i${w / 8}"
       case (f, w) => reject(s"sample format $f at $w bits")
     }
     if (!m.littleEndian && m.bitsPerSample > 8)

@@ -146,6 +146,50 @@ class HfTokenizerSpec extends SparkSpec {
     assert(HfTokenizer.encodeString(spec, "the é") == Seq(2, 1, 11, 12))
   }
 
+  test("Unicode character classes match the reference regex semantics") {
+    // \w and \s must be Unicode-aware like the Rust/Python engines:
+    // "café" is ONE Whitespace pre-token, not caf + é
+    val ws = HfTokenizer.parse(
+      """{"model": {"type": "BPE", "unk_token": "[UNK]",
+           "vocab": {"c": 0, "a": 1, "f": 2, "ca": 3, "caf": 4, "é": 5,
+                     "café": 6, "[UNK]": 7},
+           "merges": ["c a", "ca f", "caf é"]},
+         "pre_tokenizer": {"type": "Whitespace"}, "normalizer": null}""")
+    assert(HfTokenizer.encodeString(ws, "café") == Seq(6))
+    // ByteLevel: NBSP (\u00A0) is \s under the Unicode flag, so it
+    // splits into its own run instead of folding into the following
+    // punctuation run - the (l-stroke, !) merge can then never fire
+    // across the boundary (NBSP's UTF-8 bytes 0xC2 0xA0 map to the
+    // GPT-2 byte table chars below)
+    val bl = HfTokenizer.parse(
+      """{"model": {"type": "BPE", "unk_token": null,
+           "vocab": {"x": 0, "\u00C2": 1, "\u0142": 2, "!": 3,
+                     "\u0142!": 4},
+           "merges": ["\u0142 !"]},
+         "pre_tokenizer": {"type": "ByteLevel", "add_prefix_space": false,
+           "use_regex": true}, "normalizer": null}""")
+    assert(HfTokenizer.encodeString(bl, "x\u00A0!") == Seq(0, 1, 2, 3))
+  }
+
+  test("BERT punctuation includes the ASCII symbol ranges") {
+    // '+' is \p{S}, but BERT's _is_punctuation splits on it: "1+2" must
+    // pre-tokenize to three pieces, not collapse to one unk word
+    val spec = HfTokenizer.parse(
+      """{"model": {"type": "WordPiece", "unk_token": "[UNK]",
+           "vocab": {"[UNK]": 0, "1": 1, "+": 2, "2": 3, "$": 4}},
+         "pre_tokenizer": {"type": "BertPreTokenizer"},
+         "normalizer": null}""")
+    assert(HfTokenizer.encodeString(spec, "1+2") == Seq(1, 2, 3))
+    assert(HfTokenizer.encodeString(spec, "$1") == Seq(4, 1))
+  }
+
+  test("ByteLevel add_prefix_space DEFAULTS to true when the key is absent") {
+    val spec = HfTokenizer.parse(byteLevelJson
+      .replace(""""add_prefix_space": false,""", ""))
+    assert(spec.addPrefixSpace)
+    assert(HfTokenizer.encodeString(spec, "ab") == Seq(4)) // Ġab
+  }
+
   test("unsupported models and pre-tokenizers are named rejections") {
     val lg = wsJson.replace("\"type\": \"BPE\"", "\"type\": \"Marian\"")
     val e = intercept[Exception] { HfTokenizer.parse(lg) }

@@ -903,6 +903,29 @@ class KerchunkSpec extends SparkSpec {
       .head().getDouble(0) == (0 until 24).map(_ + 100.0).sum)
   }
 
+  test("multi-field GRIB1 projected files scan: NaN minor axis is not a grid mismatch") {
+    // the GRIB1 spherical figure carries minorAxis = NaN; Scala case-class
+    // equality on a NaN field is FALSE between distinct instances, so the
+    // grid-agreement check must not compare projections with ==
+    import graft.sources.grib.{Grib1Writer => GW1, GribProjection}
+    val dir = java.nio.file.Files.createTempDirectory("kg1p").toString
+    val path = s"$dir/m.grib1"
+    val t0 = java.time.LocalDateTime.of(2026, 5, 1, 0, 0)
+    def field(param: Int, hourOff: Int) = GW1.FieldSpec(
+      param, 105, 2, t0.plusHours(hourOff),
+      (0 until 50).map(k => 250.0 + k), ni = 10, nj = 5,
+      la1 = 10.0, lo1 = -5.0, la2 = 0, lo2 = 0,
+      projection = Some(GribProjection.Mercator(20.0, 6367470.0)),
+      dxMeters = 25000.0, dyMeters = 25000.0)
+    GW1.write(path, Seq(field(167, 0), field(167, 6))) // two messages
+    val refs = Kerchunk.scanGrib(conf, path) // must not throw
+    val refsPath = s"$dir/m.refs.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(refsPath),
+      refs.getBytes("UTF-8"))
+    val df = spark.read.format("zarr").load(refsPath)
+    assert(df.count() == 100) // 2 times x 5 x 10
+  }
+
   test("scanGrib rejects one message carrying a field at two valid times") {
     val dir = java.nio.file.Files.createTempDirectory("kcmt").toString
     val vals = (0 until 20).map(_.toDouble)
