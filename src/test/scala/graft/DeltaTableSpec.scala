@@ -200,5 +200,16 @@ class DeltaTableSpec extends SparkSpec {
     // not a delta table
     val e5 = intercept[Exception] { DeltaTable.read(spark, tmp()) }
     assert(e5.getMessage.contains("_delta_log"), e5.getMessage)
+
+    // a GAP in the commit log (lost json, mid-sync listing) is a directed
+    // error, never a silently wrong snapshot
+    val t5 = tmp()
+    val m0 = dataFile(t5, "lang=en/part-000.parquet", Seq(1L))
+    writeCommit(t5, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaDataJson, addJson(m0, "en")))
+    writeCommit(t5, 2, Seq(addJson(m0, "en"))) // version 1 missing
+    val e6 = intercept[Exception] { DeltaTable.read(spark, t5) }
+    assert(e6.getMessage.contains("not contiguous"), e6.getMessage)
   }
 }
