@@ -127,8 +127,6 @@ object IcebergTable {
 
   // --------------------------------------------------------------- reads
 
-  /** Read an Iceberg table snapshot: the current snapshot, or an explicit
-    * `snapshotId` for time travel. */
   /** [[read]] with FILE-LEVEL partition pruning: `partitionFilter` names
     * identity-partition values (stringified compare) that every served
     * data file must match in its manifest `partition` struct — the
@@ -140,12 +138,27 @@ object IcebergTable {
       snapshotId: Option[Long] = None): DataFrame =
     readImpl(spark, table, snapshotId, partitionFilter)
 
+  /** Read an Iceberg table snapshot: the current snapshot, or an explicit
+    * `snapshotId` for time travel. */
   def read(spark: SparkSession, table: String,
       snapshotId: Option[Long] = None): DataFrame =
     readImpl(spark, table, snapshotId, Map.empty)
 
   private def readImpl(spark: SparkSession, table: String,
       snapshotId: Option[Long], partitionFilter: Map[String, String]): DataFrame = {
+    val (sparkSchema, paths) =
+      activeFiles(spark, table, snapshotId, partitionFilter)
+    if (paths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
+    else spark.read.schema(sparkSchema).parquet(paths: _*)
+  }
+
+  /** The snapshot's (table schema, resolved active data-file paths) —
+    * pure metadata work: manifest-list + manifest replay, no data IO. */
+  private def activeFiles(spark: SparkSession, table: String,
+      snapshotId: Option[Long], partitionFilter: Map[String, String])
+      : (StructType, Seq[String]) = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val fs = new Path(table).getFileSystem(conf)
     val metaPath = latestMetadata(fs, table)
@@ -167,8 +180,7 @@ object IcebergTable {
 
     val snaps = (meta \ "snapshots").extractOpt[Seq[JValue]].getOrElse(Nil)
     if (snaps.isEmpty) // a created-but-never-written table: empty, typed
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
+      return (sparkSchema, Nil)
     val targetId = snapshotId.getOrElse {
       (meta \ "current-snapshot-id").extractOpt[Long].getOrElse(
         throw UnsupportedIceberg(s"$table: no current-snapshot-id"))
@@ -236,11 +248,26 @@ object IcebergTable {
       throw UnsupportedIceberg(
         s"$table: data file format ${f._4} (parquet only)")
     }
-    if (active.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
-    spark.read.schema(sparkSchema)
-      .parquet(active.map(f => resolvePath(table, location, f._3)): _*)
+    (sparkSchema, active.map(f => resolvePath(table, location, f._3)))
+  }
+
+  /** Incremental consumption: rows of the data files ACTIVE in
+    * `toSnapshotId` (default current) but not in `fromSnapshotId` — the
+    * "process only the new shards" pattern between scheduled pipeline
+    * passes. File-granular like every file-based incremental consumer:
+    * a compaction rewrite re-surfaces its rows. */
+  def readAppended(spark: SparkSession, table: String, fromSnapshotId: Long,
+      toSnapshotId: Option[Long] = None): DataFrame = {
+    // both active sets are METADATA (manifest replays); the diff costs
+    // zero data reads
+    val (_, before) = activeFiles(spark, table, Some(fromSnapshotId), Map.empty)
+    val (schema, after) = activeFiles(spark, table, toSnapshotId, Map.empty)
+    val beforeSet = before.toSet
+    val fresh = after.filterNot(beforeSet)
+    if (fresh.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(fresh: _*)
   }
 
   /** Snapshot log from the metadata: (snapshot id, timestamp ms,

@@ -139,6 +139,32 @@ class DeltaTableSpec extends SparkSpec {
       Seq((1L, "en"), (2L, "en"), (7L, "fr"), (9L, "en")))
   }
 
+  test("readChanges serves exactly the files newly active in the range") {
+    val table = tmp()
+    val f0 = dataFile(table, "lang=en/part-000.parquet", Seq(1L, 2L))
+    writeCommit(table, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaDataJson, addJson(f0, "en")))
+    val f1 = dataFile(table, "lang=de/part-001.parquet", Seq(3L))
+    val f2 = dataFile(table, "lang=en/part-002.parquet", Seq(4L))
+    writeCommit(table, 1, Seq(addJson(f1, "de"), addJson(f2, "en"),
+      s"""{"remove":{"path":"$f0","deletionTimestamp":1,"dataChange":true}}"""))
+    val f3 = dataFile(table, "lang=en/part-003.parquet", Seq(5L))
+    writeCommit(table, 2, Seq(addJson(f3, "en"),
+      s"""{"remove":{"path":"$f1","deletionTimestamp":2,"dataChange":true}}"""))
+    // since v0: f1 added-then-removed never appears; f2 + f3 do; f0 is old
+    val delta01 = DeltaTable.readChanges(spark, table, fromVersion = 0L)
+    assert(delta01.collect().map(_.getLong(0)).sorted.toSeq == Seq(4L, 5L))
+    // since v1: only f3
+    val delta12 = DeltaTable.readChanges(spark, table, fromVersion = 1L)
+    assert(delta12.collect().map(_.getLong(0)).toSeq == Seq(5L))
+    // a bounded range: v0 -> v1 sees f1 and f2 (f1 was active AT v1)
+    val bounded = DeltaTable.readChanges(spark, table, 0L, Some(1L))
+    assert(bounded.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+    // nothing new: empty but typed
+    assert(DeltaTable.readChanges(spark, table, 2L).count() == 0)
+  }
+
   test("partition predicates prune whole file groups via constant folding") {
     val table = tmp()
     val f0 = dataFile(table, "lang=en/part-000.parquet", Seq(1L, 2L))

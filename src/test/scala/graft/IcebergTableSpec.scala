@@ -115,6 +115,35 @@ class IcebergTableSpec extends SparkSpec {
     assert(snaps.map(_.getString(2)).toSeq == Seq("append", "overwrite"))
   }
 
+  test("readAppended diffs two snapshots' active sets, metadata-only") {
+    val table = tmp()
+    val f0 = dataFile(table, "p0.parquet", Seq(1L, 2L))
+    val f1 = dataFile(table, "p1.parquet", Seq(3L))
+    val f2 = dataFile(table, "p2.parquet", Seq(4L, 5L))
+    val m0 = manifest(table, "m0.avro", Seq((1, 0, f0), (1, 0, f1)))
+    val ml0 = manifestList(table, "snap-100.avro", Seq((m0, 0)))
+    val m1 = manifest(table, "m1.avro",
+      Seq((0, 0, f0), (2, 0, f1), (1, 0, f2)))
+    val ml1 = manifestList(table, "snap-200.avro", Seq((m1, 0)))
+    writeMetadata(table, 3, s"""{
+      "format-version": 2, "table-uuid": "u", "location": "$table",
+      "current-snapshot-id": 200,
+      "schemas": [$schemaJson], "current-schema-id": 0,
+      "snapshots": [
+        {"snapshot-id": 100, "timestamp-ms": 0,
+         "summary": {"operation": "append"}, "manifest-list": "$ml0"},
+        {"snapshot-id": 200, "timestamp-ms": 1,
+         "summary": {"operation": "overwrite"}, "manifest-list": "$ml1"}
+      ]}""")
+    // 100 -> current: only f2 is new (f0 persists, f1 was deleted)
+    val appended = IcebergTable.readAppended(spark, table, fromSnapshotId = 100L)
+    assert(appended.orderBy($"id").collect().map(_.getLong(0)).toSeq ==
+      Seq(4L, 5L))
+    // same snapshot twice: empty but typed
+    val none = IcebergTable.readAppended(spark, table, 200L, Some(200L))
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "text"))
+  }
+
   test("v1 shape: inline schema and inline manifests array") {
     val table = tmp()
     val f0 = dataFile(table, "p0.parquet", Seq(7L, 8L))
