@@ -237,6 +237,44 @@ object AvroOcf {
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** One row per record from whole-file BYTES columns — the streaming
+    * surface: `readStream.format("binaryFile")` delivers newly-landed
+    * OCFs as (path, content) rows and this stateless flatMap decodes
+    * them in memory (SeekableByteArrayInput), so avro deliveries stream
+    * through unchanged pipelines. All files must carry ONE schema — the
+    * caller passes it (stream schemas must be known up front). */
+  def recordsFrom(df: DataFrame, schemaJson: String, uriCol: String = "path",
+      bytesCol: String = "content"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val expected = new Schema.Parser().parse(schemaJson)
+    val sSchema = sparkSchema(expected)
+    val out = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType, nullable = false) +:
+        sSchema.fields.toSeq)
+    df.select(col(uriCol).cast("string"), col(bytesCol).cast("binary"))
+      .flatMap { r =>
+        val uri = r.getString(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        if (bytes == null || bytes.isEmpty) Iterator.empty
+        else {
+          val local = new Schema.Parser().parse(schemaJson)
+          val reader = new DataFileReader[GenericRecord](
+            new org.apache.avro.file.SeekableByteArrayInput(bytes),
+            new GenericDatumReader[GenericRecord](null, local))
+          new Iterator[Row] {
+            override def hasNext: Boolean = {
+              val h = reader.hasNext
+              if (!h) reader.close()
+              h
+            }
+            override def next(): Row =
+              Row.fromSeq(uri +: toRow(reader.next(), local).toSeq)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(out))
+  }
+
   /** Schema (as Avro JSON) + per-file block/record stats at header cost —
     * the "what is in this directory" probe. */
   def readMeta(spark: SparkSession, pattern: String): DataFrame = {

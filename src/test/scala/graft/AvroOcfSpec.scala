@@ -151,6 +151,32 @@ class AvroOcfSpec extends SparkSpec {
     assert(AvroOcf.read(spark, s"$dir/out/shard-*.avro").count() == 60)
   }
 
+  test("recordsFrom streams arriving OCFs: stream == batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits.newProductEncoder
+    val dir = tmp()
+    AvroOcf.write(s"$dir/s.avro", flatSchema,
+      (0 until 8).map(i => Seq(i.toLong, s"s$i")), codec = "deflate")
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/s.avro"))
+    val batch = AvroOcf.recordsFrom(
+      Seq(("f:s", bytes)).toDF("path", "content"), flatSchema)
+      .orderBy($"id").select($"payload").as[String].collect().toSeq
+    assert(batch == (0 until 8).map(i => s"s$i"))
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Array[Byte])]
+    val q = AvroOcf.recordsFrom(in.toDF().toDF("path", "content"), flatSchema)
+      .writeStream.format("memory").queryName("avro_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(("f:s", bytes))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("avro_stream").orderBy($"id")
+      .select($"payload").as[String].collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("FormatRegistry routes .avro (and .tfrecord) to the native readers") {
     val dir = tmp()
     AvroOcf.write(s"$dir/r.avro", flatSchema,
