@@ -487,6 +487,42 @@ object QueriesML {
           .orderBy($"id")
       }),
 
+    // ------------------------------------------------------- mojibake repair
+    // The ftfy core case: UTF-8 bytes mis-decoded as Windows-1252 ("Ã©"
+    // for "é") repair by re-encoding + strict UTF-8 decode; even rows are
+    // planted broken (one of them DOUBLY broken), odd rows are clean and
+    // must pass through untouched. The oracle recomputes the repaired
+    // text from the same derivation.
+    Q("q167_mojibake", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200)
+      SELECT o_orderkey AS id,
+             CASE WHEN rn0 % 2 = 0 THEN 'café € naïve #' || CAST(rn0 AS VARCHAR)
+                  ELSE 'clean ascii #' || CAST(rn0 AS VARCHAR) END AS text_fixed,
+             rn0 % 2 = 0 AS changed
+      FROM o ORDER BY id"""))(
+      (s, d) => {
+        import graft.functions.TextFunctions
+        def mangle(x: String): String =
+          new String(x.getBytes("UTF-8"), "windows-1252")
+        val once = mangle("café € naïve #")
+        val twice = mangle(once) // stacked: two repair rounds
+        val in = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+          .select($"o_orderkey".cast("long").as("doc_id"),
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy($"o_orderkey")).minus(1).as("rn0"))
+          .select($"doc_id",
+            when($"rn0" % 2 === 0,
+              concat(lit(""), when($"rn0" % 4 === 0, twice).otherwise(once),
+                $"rn0".cast("string")))
+              .otherwise(concat(lit("clean ascii #"), $"rn0".cast("string")))
+              .as("text"))
+        TextFunctions.fixMojibakeFlat(in, "doc_id", "text")
+          .select($"id", $"text_fixed", $"changed")
+          .orderBy($"id")
+      }),
+
     // ------------------------------------------------------- multimodal: MP3 frame probe
     // Speech-corpus blobs yield sample rate / channels / duration from the
     // MPEG frame headers alone; the oracle recomputes the planted

@@ -885,4 +885,79 @@ object TextFunctions {
       p * (instr(lit("0123456789abcdef"), substring(md5(t), 1, 1)) - 1))
     aggregate(contribs, lit(0L), (acc, x) => acc + x)
   }
+
+  // ------------------------------------------------------ mojibake repair
+
+  // Windows-1252's 0x80–0x9F graphic characters (the NON-Latin-1 slots):
+  // the reverse map lets a string be re-encoded to the exact byte the
+  // broken decoder read
+  private val Cp1252Reverse: Map[Char, Byte] = Map(
+    '€' -> 0x80, '‚' -> 0x82, 'ƒ' -> 0x83, '„' -> 0x84,
+    '…' -> 0x85, '†' -> 0x86, '‡' -> 0x87, 'ˆ' -> 0x88,
+    '‰' -> 0x89, 'Š' -> 0x8A, '‹' -> 0x8B, 'Œ' -> 0x8C,
+    'Ž' -> 0x8E, '‘' -> 0x91, '’' -> 0x92, '“' -> 0x93,
+    '”' -> 0x94, '•' -> 0x95, '–' -> 0x96, '—' -> 0x97,
+    '˜' -> 0x98, '™' -> 0x99, 'š' -> 0x9A, '›' -> 0x9B,
+    'œ' -> 0x9C, 'ž' -> 0x9E, 'Ÿ' -> 0x9F
+  ).map { case (c, b) => c -> b.toByte }
+
+  /** One round of the classic mojibake repair (the core ftfy case): if
+    * the WHOLE string re-encodes to Windows-1252 bytes that form strictly
+    * valid UTF-8 with at least one multi-byte sequence, that decoding is
+    * what the original writer meant ("Ã©" → "é"). Conservative by
+    * construction: any unmappable character (CJK, emoji, …) or any
+    * byte-sequence error leaves the text untouched. */
+  private def repairOnce(s: String): Option[String] = {
+    // cheap gate: mojibake needs a UTF-8 lead byte read as Latin-1/1252
+    if (!s.exists(c => c >= 'Â' && c <= 'ô')) return None
+    val bytes = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c < 0x100) bytes(i) = c.toByte
+      else Cp1252Reverse.get(c) match {
+        case Some(b) => bytes(i) = b
+        case None => return None // genuine non-Latin text: never touch
+      }
+      i += 1
+    }
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try {
+      val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      if (out.length < s.length) Some(out) else None // real multi-byte seen
+    } catch { case _: java.nio.charset.CharacterCodingException => None }
+  }
+
+  /** Repair double-encoded text, iterating for stacked mojibake ("Ã©"
+    * encoded wrong twice reads "ÃƒÂ©"); bounded rounds, conservative
+    * no-op on anything that is not a perfect re-encoding. */
+  def fixMojibakeString(s: String, maxRounds: Int = 3): String = {
+    var cur = s
+    var i = 0
+    while (i < maxRounds) {
+      repairOnce(cur) match {
+        case Some(next) => cur = next; i += 1
+        case None => i = maxRounds
+      }
+    }
+    cur
+  }
+
+  /** (id, text_fixed, changed) per row — one compiled map. */
+  def fixMojibakeFlat(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val in = df.select(col(idCol).as("id"), col(textCol).cast("string").as("t"))
+    val schema = StructType(Seq(
+      in.schema.fields(0),
+      StructField("text_fixed", StringType),
+      StructField("changed", BooleanType, nullable = false)))
+    in.map { row =>
+      val t = if (row.isNullAt(1)) null else row.getString(1)
+      val fixed = if (t == null) null else fixMojibakeString(t)
+      org.apache.spark.sql.Row(row.get(0), fixed, t != null && fixed != t)
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
 }

@@ -1734,4 +1734,31 @@ class QueriesSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"))
     assert(!plan.contains("l_orderkey:bigint,l_partkey")) // pruned read schema
   }
+
+  test("mojibake repair: classic, stacked, CP1252 slots, conservative no-ops") {
+    import graft.functions.TextFunctions
+    def mangle(s: String): String = new String(
+      s.getBytes("UTF-8"), "windows-1252")
+    // the classic single round: é, ü, €, a CJK char
+    assert(TextFunctions.fixMojibakeString(mangle("café")) == "café")
+    assert(TextFunctions.fixMojibakeString(mangle("über 5€")) == "über 5€")
+    assert(TextFunctions.fixMojibakeString(mangle("中文 ok")) == "中文 ok")
+    // STACKED: mangled twice repairs in two rounds
+    assert(TextFunctions.fixMojibakeString(mangle(mangle("café"))) == "café")
+    // conservative no-ops: plain ASCII, genuine accented text, genuine
+    // CJK, and strings whose high chars do not form valid UTF-8
+    assert(TextFunctions.fixMojibakeString("plain ascii") == "plain ascii")
+    assert(TextFunctions.fixMojibakeString("café único") == "café único")
+    assert(TextFunctions.fixMojibakeString("中文") == "中文")
+    assert(TextFunctions.fixMojibakeString("Âx") == "Âx") // C2 'x': invalid
+    // the DataFrame surface flags what changed
+    import spark.implicits._
+    val df = Seq((1L, mangle("naïve")), (2L, "clean"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val out = TextFunctions.fixMojibakeFlat(df, "doc_id", "text")
+      .orderBy($"id").collect()
+    assert(out(0).getString(1) == "naïve" && out(0).getBoolean(2))
+    assert(out(1).getString(1) == "clean" && !out(1).getBoolean(2))
+    assert(out(2).isNullAt(1) && !out(2).getBoolean(2))
+  }
 }
