@@ -523,6 +523,50 @@ object QueriesML {
           .orderBy($"id")
       }),
 
+    // ------------------------------------------------------- token-budget chunking
+    // chunkByTokens under a real vocabulary: every doc is W copies of one
+    // "ab"*k word (ceil(k/2) tokens each under the planted merges), so
+    // greedy packing has the closed form words-per-chunk = budget//cost —
+    // the oracle regenerates every chunk row, text included.
+    Q("q168_token_chunks", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120),
+           d AS (SELECT o_orderkey AS id,
+                        o_orderkey % 5 + 1 AS k,
+                        rn0 % 6 + 3 AS w
+                 FROM o),
+           p AS (SELECT id, k, w, (k + 1) // 2 AS t,
+                        8 // ((k + 1) // 2) AS wpc
+                 FROM d),
+           c AS (SELECT id, k, w, t, wpc,
+                        (w + wpc - 1) // wpc AS n_chunks
+                 FROM p)
+      SELECT id, CAST(i AS INTEGER) AS chunk_idx,
+             least(wpc, w - i * wpc) * t AS n_tokens,
+             rtrim(repeat(repeat('ab', CAST(k AS INT)) || ' ',
+                          CAST(least(wpc, w - i * wpc) AS INT))) AS chunk
+      FROM c, UNNEST(range(n_chunks)) AS r(i)
+      ORDER BY id, chunk_idx"""))(
+      (s, d) => {
+        import graft.functions.HfTokenizer
+        val spec = HfTokenizer.parse(
+          """{"model": {"type": "BPE", "unk_token": null,
+               "vocab": {"a": 0, "b": 1, "ab": 2, "abab": 3},
+               "merges": ["a b", "ab ab"]},
+             "pre_tokenizer": {"type": "Whitespace"}, "normalizer": null}""")
+        val in = Tables.orders(s, d).orderBy($"o_orderkey").limit(120)
+          .select($"o_orderkey".cast("long").as("doc_id"),
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy($"o_orderkey")).minus(1).as("rn0"))
+          .selectExpr("doc_id",
+            """trim(repeat(concat(repeat('ab', cast(doc_id % 5 + 1 as int)),
+               ' '), cast(rn0 % 6 + 3 as int))) AS text""")
+        HfTokenizer.chunkByTokens(in, "doc_id", "text", spec, maxTokens = 8)
+          .select($"id", $"chunk_idx", $"n_tokens", $"chunk")
+          .orderBy($"id", $"chunk_idx")
+      }),
+
     // ------------------------------------------------------- multimodal: MP3 frame probe
     // Speech-corpus blobs yield sample rate / channels / duration from the
     // MPEG frame headers alone; the oracle recomputes the planted

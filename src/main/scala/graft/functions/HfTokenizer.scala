@@ -387,6 +387,54 @@ object HfTokenizer {
     out.toSeq
   }
 
+  /** Word-aligned chunking under the DEPLOYED token budget: split each
+    * document at whitespace, count every word's tokens under `spec`, and
+    * pack GREEDILY into chunks of at most `maxTokens` — the context-window
+    * slicing step run with the real vocabulary instead of a whitespace
+    * proxy. A single word over the budget still emits (alone, flagged by
+    * its count) — word-aligned chunking cannot split it, the same one-item
+    * overrun contract as sequence packing. Emits (id, chunk_idx, n_tokens,
+    * chunk) from one compiled flatMap. */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+      spec: Spec, maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens $maxTokens")
+    import org.apache.spark.sql.types._
+    val in = df.select(col(idCol).as("id"), col(textCol).cast("string").as("t"))
+    val schema = StructType(Seq(
+      in.schema.fields(0),
+      StructField("chunk_idx", IntegerType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("chunk", StringType, nullable = false)))
+    in.flatMap { row =>
+      if (row.isNullAt(1)) Iterator.empty
+      else {
+        val id = row.get(0)
+        val words = row.getString(1).trim.split("\\s+").filter(_.nonEmpty)
+        val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+        val cur = new StringBuilder
+        var curTokens = 0L
+        var idx = 0
+        def flush(): Unit = if (cur.nonEmpty) {
+          out += org.apache.spark.sql.Row(id, idx, curTokens, cur.toString)
+          idx += 1; cur.clear(); curTokens = 0L
+        }
+        words.foreach { w =>
+          // counting the word in isolation is the word-aligned contract;
+          // space-sensitive byte-level specs see their mid-text shape via
+          // the standalone-word prefix space
+          val n = encodeString(spec,
+            if (spec.byteLevel && !spec.addPrefixSpace) " " + w else w).length
+          if (curTokens > 0 && curTokens + n > maxTokens) flush()
+          if (cur.nonEmpty) cur.append(' ')
+          cur.append(w)
+          curTokens += n
+        }
+        flush()
+        out.iterator
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** (id, n_tokens, token_ids) per row — one compiled map, spec shipped
     * once in the closure. */
   def encode(df: DataFrame, idCol: String, textCol: String,

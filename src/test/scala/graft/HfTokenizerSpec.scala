@@ -190,6 +190,26 @@ class HfTokenizerSpec extends SparkSpec {
     assert(HfTokenizer.encodeString(spec, "ab") == Seq(4)) // Ġab
   }
 
+  test("chunkByTokens packs words greedily under the real token budget") {
+    val spec = HfTokenizer.parse(wsJson) // a=1tok ab=1tok abab=1tok c=1tok
+    // word token counts under wsJson: "abab"->1, "ab"->1, "c"->1, "az"->2
+    val df = Seq((1L, "abab ab c az abab"), (2L, ""), (3L, "abab")).toDF("doc_id", "text")
+    val out = HfTokenizer.chunkByTokens(df, "doc_id", "text", spec, maxTokens = 3)
+      .orderBy($"id", $"chunk_idx").collect()
+    // doc 1 counts: 1,1,1,2,1 -> chunks [abab ab c](3), [az abab](3)
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getString(3)).toSeq == Seq("abab ab c", "az abab"))
+    assert(d1.map(_.getLong(2)).toSeq == Seq(3L, 3L))
+    assert(!out.exists(_.getLong(0) == 2L)) // empty doc: no chunks
+    assert(out.filter(_.getLong(0) == 3L).map(_.getString(3)).toSeq == Seq("abab"))
+    // a single over-budget word still emits alone, flagged by its count
+    val big = Seq((9L, "azazaz ab")).toDF("doc_id", "text") // azazaz = 6 toks
+    val o2 = HfTokenizer.chunkByTokens(big, "doc_id", "text", spec, maxTokens = 3)
+      .orderBy($"chunk_idx").collect()
+    assert(o2.map(_.getString(3)).toSeq == Seq("azazaz", "ab"))
+    assert(o2.head.getLong(2) == 6L)
+  }
+
   test("unsupported models and pre-tokenizers are named rejections") {
     val lg = wsJson.replace("\"type\": \"BPE\"", "\"type\": \"Marian\"")
     val e = intercept[Exception] { HfTokenizer.parse(lg) }
