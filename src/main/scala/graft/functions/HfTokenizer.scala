@@ -54,7 +54,13 @@ object HfTokenizer {
       logProbs: Map[String, Double] = Map.empty,
       metaspace: Boolean = false,
       metaReplacement: Char = '▁',
-      byteFallback: Boolean = false) extends Serializable
+      byteFallback: Boolean = false) extends Serializable {
+    /** The Unigram lattice's unknown-edge score: one fold over the piece
+      * log-probs, computed once per Spec instance (per JVM after
+      * deserialization), never per word. */
+    @transient lazy val unknownPenalty: Double =
+      logProbs.values.foldLeft(0.0)(math.min) - 10.0
+  }
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -276,12 +282,10 @@ object HfTokenizer {
     // Unigram Viterbi (the SentencePiece lattice): best log-prob
     // segmentation over vocabulary pieces; characters no piece covers take
     // byte-fallback "<0xNN>" pieces when declared, else one unk each
-    lazy val unknownPenalty =
-      spec.logProbs.values.foldLeft(0.0)(math.min) - 10.0
     def unigram(piece: String): Unit = {
       val n = piece.length
       val NegInf = Double.NegativeInfinity
-      val UnknownPenalty = unknownPenalty
+      val UnknownPenalty = spec.unknownPenalty
       val best = Array.fill(n + 1)(NegInf)
       val back = new Array[Int](n + 1) // start index of the piece ending here
       val backUnk = new Array[Boolean](n + 1)
@@ -388,16 +392,27 @@ object HfTokenizer {
   }
 
   /** Word-aligned chunking under the DEPLOYED token budget: split each
-    * document at whitespace, count every word's tokens under `spec`, and
-    * pack GREEDILY into chunks of at most `maxTokens` — the context-window
-    * slicing step run with the real vocabulary instead of a whitespace
-    * proxy. A single word over the budget still emits (alone, flagged by
-    * its count) — word-aligned chunking cannot split it, the same one-item
-    * overrun contract as sequence packing. Emits (id, chunk_idx, n_tokens,
-    * chunk) from one compiled flatMap. */
+    * document at whitespace, count every word's tokens under `spec` IN
+    * ITS IN-CHUNK POSITION (a chunk's first word encodes bare, later
+    * words with their joining space — exactly how the emitted text
+    * re-encodes, since merges never cross pre-token boundaries), and
+    * pack GREEDILY into chunks of at most `maxTokens`.
+    *
+    * Contract: the `chunk` column is whitespace-NORMALIZED (words joined
+    * by single spaces; newlines/tabs/space runs collapse) and `n_tokens`
+    * is the EXACT token count of that emitted text — re-encoding a chunk
+    * reproduces its count, and no chunk exceeds the budget except a
+    * single word that alone exceeds it (emitted alone, flagged by its
+    * count — word-aligned chunking cannot split it, the same one-item
+    * overrun contract as sequence packing). Byte-level specs with
+    * `use_regex = false` are rejected directed: their merges CAN cross
+    * spaces, so word-positional counting would lie. */
   def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
       spec: Spec, maxTokens: Int): DataFrame = {
     require(maxTokens >= 1, s"maxTokens $maxTokens")
+    if (spec.byteLevel && !spec.useRegex) throw UnsupportedTokenizer(
+      "chunkByTokens under ByteLevel use_regex=false: merges can cross " +
+        "whitespace, so word-aligned counting cannot be exact")
     import org.apache.spark.sql.types._
     val in = df.select(col(idCol).as("id"), col(textCol).cast("string").as("t"))
     val schema = StructType(Seq(
@@ -405,6 +420,9 @@ object HfTokenizer {
       StructField("chunk_idx", IntegerType, nullable = false),
       StructField("n_tokens", LongType, nullable = false),
       StructField("chunk", StringType, nullable = false)))
+    // whether a word's encoding depends on a preceding space (byte-level
+    // keeps the space as Ġ; Metaspace turns it into the replacement char)
+    val spaceSensitive = spec.byteLevel || spec.metaspace
     in.flatMap { row =>
       if (row.isNullAt(1)) Iterator.empty
       else {
@@ -419,15 +437,20 @@ object HfTokenizer {
           idx += 1; cur.clear(); curTokens = 0L
         }
         words.foreach { w =>
-          // counting the word in isolation is the word-aligned contract;
-          // space-sensitive byte-level specs see their mid-text shape via
-          // the standalone-word prefix space
-          val n = encodeString(spec,
-            if (spec.byteLevel && !spec.addPrefixSpace) " " + w else w).length
-          if (curTokens > 0 && curTokens + n > maxTokens) flush()
-          if (cur.nonEmpty) cur.append(' ')
-          cur.append(w)
-          curTokens += n
+          lazy val nFirst = encodeString(spec, w).length
+          val nMid =
+            if (spaceSensitive) encodeString(spec, " " + w).length else nFirst
+          val asMid = cur.nonEmpty
+          val n = if (asMid) nMid else nFirst
+          if (curTokens > 0 && curTokens + n > maxTokens) {
+            flush()
+            cur.append(w)
+            curTokens = nFirst.toLong // it now STARTS a chunk: bare shape
+          } else {
+            if (asMid) cur.append(' ')
+            cur.append(w)
+            curTokens += n
+          }
         }
         flush()
         out.iterator

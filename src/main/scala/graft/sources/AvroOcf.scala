@@ -256,6 +256,10 @@ object AvroOcf {
       .flatMap { r =>
         val uri = r.getString(0)
         val bytes = r.getAs[Array[Byte]](1)
+        if (uri == null) throw UnsupportedAvro(
+          s"recordsFrom: null $uriCol value (content ${
+            if (bytes == null) "null" else s"${bytes.length} B"}) — every " +
+            "row needs a non-null path to stamp its records")
         if (bytes == null || bytes.isEmpty) Iterator.empty
         else {
           val local = new Schema.Parser().parse(schemaJson)

@@ -56,9 +56,14 @@ object DeltaTable {
     else None
   }
 
-  /** Replay the log to `versionAsOf` (or the latest version). */
+  /** Replay the log to `versionAsOf` (or latest). `captureAt`: also
+    * snapshot the active path set as the fold passes that version (right
+    * after the checkpoint when they coincide) — None in the result when
+    * the capture point was consumed inside a later checkpoint or lies
+    * outside the replayed range. */
   private def replay(spark: SparkSession, table: String,
-      versionAsOf: Option[Long]): Snapshot = {
+      versionAsOf: Option[Long],
+      captureAt: Option[Long] = None): (Snapshot, Option[Set[String]]) = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val dir = new Path(logDir(table))
     val fs = dir.getFileSystem(conf)
@@ -114,6 +119,7 @@ object DeltaTable {
     // accumulated state, path-keyed (later actions win — the protocol's
     // reconciliation rule)
     val files = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    var captured: Option[Set[String]] = None
     var schemaJson: String = null
     var partitionColumns: Seq[String] = Nil
     def applyProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
@@ -160,6 +166,10 @@ object DeltaTable {
       }
     }
 
+    // the checkpoint state IS the snapshot at the checkpoint version
+    if (ckpt.isDefined && captureAt == ckpt)
+      captured = Some(files.keySet.toSet)
+
     // JSON commits after the checkpoint, in version order
     tailVersions.foreach { v =>
       val path = new Path(f"${logDir(table)}/$v%020d.json")
@@ -203,6 +213,7 @@ object DeltaTable {
           case _ =>
         }
       }
+      if (captureAt.contains(v)) captured = Some(files.keySet.toSet)
     }
 
     if (schemaJson == null) throw UnsupportedDelta(
@@ -211,7 +222,8 @@ object DeltaTable {
     if (withDv.nonEmpty) throw UnsupportedDelta(
       s"$table: ${withDv.size} active files carry deletion vectors — " +
         "row-level deletes are not implemented (compact the table)")
-    Snapshot(latest, schemaJson, partitionColumns, files.values.toSeq)
+    (Snapshot(latest, schemaJson, partitionColumns, files.values.toSeq),
+      captured)
   }
 
   // ---------------------------------------------------------------- reads
@@ -222,7 +234,7 @@ object DeltaTable {
     * values read as null). */
   def read(spark: SparkSession, table: String,
       versionAsOf: Option[Long] = None): DataFrame =
-    assemble(spark, table, replay(spark, table, versionAsOf))
+    assemble(spark, table, replay(spark, table, versionAsOf)._1)
 
   private def assemble(spark: SparkSession, table: String,
       snap: Snapshot): DataFrame = {
@@ -263,9 +275,17 @@ object DeltaTable {
     * reader does not implement. */
   def readChanges(spark: SparkSession, table: String, fromVersion: Long,
       toVersion: Option[Long] = None): DataFrame = {
-    val fromSnap = replay(spark, table, Some(fromVersion))
-    val toSnap = replay(spark, table, toVersion)
-    val before = fromSnap.files.map(_.path).toSet
+    // ONE replay when the checkpoint doesn't cover past fromVersion: the
+    // sequential fold snapshots the active set as it passes fromVersion
+    // (incremental polls call this on a schedule — the metadata cost
+    // matters); otherwise fall back to two replays
+    val (toSnap, captured) =
+      replay(spark, table, toVersion, captureAt = Some(fromVersion))
+    if (toSnap.version < fromVersion) throw UnsupportedDelta(
+      s"$table: readChanges range is reversed (from $fromVersion, " +
+        s"to ${toSnap.version}) — a reversed diff would serve DELETED files")
+    val before = captured.getOrElse(
+      replay(spark, table, Some(fromVersion))._1.files.map(_.path).toSet)
     val fresh = toSnap.files.filterNot(f => before(f.path))
     assemble(spark, table, toSnap.copy(files = fresh))
   }

@@ -258,6 +258,22 @@ object IcebergTable {
     * a compaction rewrite re-surfaces its rows. */
   def readAppended(spark: SparkSession, table: String, fromSnapshotId: Long,
       toSnapshotId: Option[Long] = None): DataFrame = {
+    // snapshot ids are arbitrary — ORDER is the timestamp's; a reversed
+    // range would serve already-superseded files, so it fails directed
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(table).getFileSystem(conf)
+    val meta = JsonMethods.parse(readText(fs, latestMetadata(fs, table)))
+    val toId = toSnapshotId.orElse(
+      (meta \ "current-snapshot-id").extractOpt[Long])
+    def tsOf(id: Long): Option[Long] =
+      (meta \ "snapshots").extractOpt[Seq[JValue]].getOrElse(Nil)
+        .find(sn => (sn \ "snapshot-id").extractOpt[Long].contains(id))
+        .flatMap(sn => (sn \ "timestamp-ms").extractOpt[Long])
+    for (t <- toId; fromTs <- tsOf(fromSnapshotId); toTs <- tsOf(t))
+      if (fromTs > toTs) throw UnsupportedIceberg(
+        s"$table: readAppended range is reversed (from snapshot " +
+          s"$fromSnapshotId at $fromTs ms, to $t at $toTs ms) — a " +
+          "reversed diff would serve superseded files")
     // both active sets are METADATA (manifest replays); the diff costs
     // zero data reads
     val (_, before) = activeFiles(spark, table, Some(fromSnapshotId), Map.empty)

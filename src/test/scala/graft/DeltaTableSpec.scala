@@ -163,6 +163,11 @@ class DeltaTableSpec extends SparkSpec {
     assert(bounded.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
     // nothing new: empty but typed
     assert(DeltaTable.readChanges(spark, table, 2L).count() == 0)
+    // a REVERSED range would serve deleted files: directed error
+    val e = intercept[Exception] {
+      DeltaTable.readChanges(spark, table, 2L, Some(0L))
+    }
+    assert(e.getMessage.contains("reversed"), e.getMessage)
   }
 
   test("partition predicates prune whole file groups via constant folding") {

@@ -208,6 +208,19 @@ class HfTokenizerSpec extends SparkSpec {
       .orderBy($"chunk_idx").collect()
     assert(o2.map(_.getString(3)).toSeq == Seq("azazaz", "ab"))
     assert(o2.head.getLong(2) == 6L)
+    // byte-level POSITIONAL counting: n_tokens equals the emitted chunk's
+    // own re-encoded count (first word bare, later words space-joined)
+    val bl = HfTokenizer.parse(byteLevelJson)
+    val df3 = Seq((7L, "ab ab ab ab ab")).toDF("doc_id", "text")
+    val o3 = HfTokenizer.chunkByTokens(df3, "doc_id", "text", bl, maxTokens = 3)
+      .orderBy($"chunk_idx").collect()
+    o3.foreach { r =>
+      assert(r.getLong(2) ==
+        HfTokenizer.encodeString(bl, r.getString(3)).length,
+        s"chunk '${r.getString(3)}' count mismatch")
+      assert(r.getLong(2) <= 3)
+    }
+    assert(o3.map(_.getString(3)).mkString(" ") == "ab ab ab ab ab")
   }
 
   test("unsupported models and pre-tokenizers are named rejections") {

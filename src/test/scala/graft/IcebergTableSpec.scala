@@ -142,6 +142,11 @@ class IcebergTableSpec extends SparkSpec {
     // same snapshot twice: empty but typed
     val none = IcebergTable.readAppended(spark, table, 200L, Some(200L))
     assert(none.count() == 0 && none.columns.toSeq == Seq("id", "text"))
+    // a REVERSED range (by snapshot timestamp) is a directed error
+    val e = intercept[Exception] {
+      IcebergTable.readAppended(spark, table, 200L, Some(100L))
+    }
+    assert(e.getMessage.contains("reversed"), e.getMessage)
   }
 
   test("v1 shape: inline schema and inline manifests array") {
