@@ -567,6 +567,91 @@ object QueriesML {
           .orderBy($"id", $"chunk_idx")
       }),
 
+    // ------------------------------------------------------- sentence segmentation
+    // Rule-based splitting (terminator run + optional closing quote, then
+    // whitespace): docs are planted as k sentences cycling . ! ? and one
+    // quoted terminator, so the oracle regenerates every (id, idx,
+    // sentence) row.
+    Q("q169_sentences", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 100),
+           d AS (SELECT o_orderkey AS id, rn0 % 4 + 2 AS k FROM o)
+      SELECT id, CAST(i AS INTEGER) AS sentence_idx,
+             'sent ' || CAST(i AS VARCHAR) || ' end' ||
+             CASE CAST(i % 4 AS INTEGER) WHEN 0 THEN '.' WHEN 1 THEN '!'
+                  WHEN 2 THEN '?' ELSE '."' END AS sentence
+      FROM d, UNNEST(range(k)) AS r(i)
+      ORDER BY id, sentence_idx"""))(
+      (s, d) => {
+        import graft.functions.TextFunctions
+        val in = Tables.orders(s, d).orderBy($"o_orderkey").limit(100)
+          .select($"o_orderkey".cast("long").as("doc_id"),
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy($"o_orderkey")).minus(1).as("rn0"))
+          .selectExpr("doc_id",
+            """array_join(transform(sequence(0, cast(rn0 % 4 + 1 as int)),
+               i -> concat('sent ', i, ' end',
+                 case cast(i % 4 as int) when 0 then '.' when 1 then '!'
+                      when 2 then '?' else '."' end)), ' ') AS text""")
+        TextFunctions.splitSentencesFlat(in, "doc_id", "text")
+          .select($"id", $"sentence_idx", $"sentence")
+          .orderBy($"id", $"sentence_idx")
+      }),
+
+    // ------------------------------------------------------- linear quality classifier
+    // fastText-style inference: mean of md5-hashed per-token weights +
+    // bias through the logistic link — pure Column expressions over the
+    // same 16-bit digest the samplers use, so DuckDB recomputes every
+    // probability from the planted three-token docs.
+    Q("q170_linear_score", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200),
+           t AS (SELECT o_orderkey AS id,
+                        'alpha' AS t1,
+                        'beta' || CAST(rn0 AS VARCHAR) AS t2,
+                        'gamma' AS t3
+                 FROM o),
+           h AS (SELECT id, t1, t2, t3,
+             ((strpos('0123456789abcdef', substr(md5(t1), 1, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substr(md5(t1), 2, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(md5(t1), 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5(t1), 4, 1)) - 1)) % 16 AS b1,
+             ((strpos('0123456789abcdef', substr(md5(t2), 1, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substr(md5(t2), 2, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(md5(t2), 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5(t2), 4, 1)) - 1)) % 16 AS b2,
+             ((strpos('0123456789abcdef', substr(md5(t3), 1, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substr(md5(t3), 2, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(md5(t3), 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5(t3), 4, 1)) - 1)) % 16 AS b3
+             FROM t),
+           sc AS (SELECT id,
+             -0.2 + ((b1 * 0.125 - 1.0) + (b2 * 0.125 - 1.0)
+                     + (b3 * 0.125 - 1.0)) / 3 AS score
+             FROM h)
+      SELECT id, round(score, 6) AS score,
+             round(1.0 / (1.0 + exp(-score)), 6) AS keep_prob
+      FROM sc ORDER BY id"""))(
+      (s, d) => {
+        import graft.functions.TextFunctions
+        val weights = (0 until 16).map(j => j * 0.125 - 1.0)
+        val in = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
+          .select($"o_orderkey".cast("long").as("id"),
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy($"o_orderkey")).minus(1).as("rn0"))
+          .select($"id",
+            concat(lit("alpha beta"), $"rn0".cast("string"),
+              lit(" gamma")).as("text"))
+        in.select($"id",
+            round(TextFunctions.linearTextScore($"text", weights, bias = -0.2),
+              6).as("score"),
+            round(TextFunctions.linearTextProb($"text", weights, bias = -0.2),
+              6).as("keep_prob"))
+          .orderBy($"id")
+      }),
+
     // ------------------------------------------------------- multimodal: MP3 frame probe
     // Speech-corpus blobs yield sample rate / channels / duration from the
     // MPEG frame headers alone; the oracle recomputes the planted

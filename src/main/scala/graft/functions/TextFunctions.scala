@@ -886,6 +886,64 @@ object TextFunctions {
     aggregate(contribs, lit(0L), (acc, x) => acc + x)
   }
 
+  // -------------------------------------------- linear text classification
+
+  /** fastText-style linear classifier INFERENCE: logit = bias + the mean
+    * of per-token weights looked up through the hashing trick (md5 16-bit
+    * bucket mod the weight count — the same codegen digest the samplers
+    * use, so an oracle can recompute every score). The weight vector is a
+    * plain literal array (train it anywhere); this is the shape of the
+    * CCNet/RefinedWeb-style quality-filter models applied at corpus
+    * scale: pure Column expressions, no UDF, no shuffle, whole-stage
+    * codegen. Empty/blank docs score exactly `bias`. */
+  def linearTextScore(text: Column, weights: Seq[Double],
+      bias: Double = 0.0): Column = {
+    require(weights.nonEmpty, "linearTextScore needs at least one weight")
+    val toks = tokens(lower(text))
+    val w = array(weights.map(x => lit(x)): _*)
+    val contribs = transform(toks, t => element_at(w,
+      (graft.operators.Sampling.md5Bucket16(t) % weights.size).cast("int") + 1))
+    when(length(trim(text)) === 0, lit(bias)).otherwise(
+      lit(bias) + aggregate(contribs, lit(0.0d), (a, x) => a + x) / size(toks))
+  }
+
+  /** [[linearTextScore]] through the logistic link: the keep-probability
+    * a binary quality filter thresholds on. */
+  def linearTextProb(text: Column, weights: Seq[Double],
+      bias: Double = 0.0): Column =
+    lit(1.0) / (lit(1.0) + exp(-linearTextScore(text, weights, bias)))
+
+  // -------------------------------------------------- sentence segmentation
+
+  private val SentenceEndRe = java.util.regex.Pattern.compile(
+    """(?<=[.!?][")»’”]?)\s+""")
+
+  /** Rule-based sentence segmentation: split AFTER a run of `.`/`!`/`?`
+    * (plus one optional closing quote/bracket) followed by whitespace —
+    * the terminator stays with its sentence. Deliberately dictionary-free
+    * (no abbreviation list): deterministic, language-agnostic, and cheap,
+    * the right shape for chunk-boundary and per-sentence dedup work where
+    * a rare "Dr. Smith" over-split is harmless. Emits (id, sentence_idx,
+    * sentence) from one compiled flatMap; blank docs emit nothing. */
+  def splitSentencesFlat(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val in = df.select(col(idCol).as("id"), col(textCol).cast("string").as("t"))
+    val schema = StructType(Seq(
+      in.schema.fields(0),
+      StructField("sentence_idx", IntegerType, nullable = false),
+      StructField("sentence", StringType, nullable = false)))
+    in.flatMap { row =>
+      if (row.isNullAt(1)) Iterator.empty
+      else {
+        val id = row.get(0)
+        SentenceEndRe.split(row.getString(1).trim, -1).iterator
+          .map(_.trim).filter(_.nonEmpty).zipWithIndex
+          .map { case (s, i) => org.apache.spark.sql.Row(id, i, s) }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   // ------------------------------------------------------ mojibake repair
 
   // Windows-1252's 0x80–0x9F graphic characters (the NON-Latin-1 slots):

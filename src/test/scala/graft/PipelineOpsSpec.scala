@@ -1735,6 +1735,48 @@ class QueriesSpec extends SparkSpec {
     assert(!plan.contains("l_orderkey:bigint,l_partkey")) // pruned read schema
   }
 
+  test("sentence segmentation: terminators, quotes, runs, blanks") {
+    import graft.functions.TextFunctions
+    import spark.implicits._
+    val df = Seq(
+      (1L, "One two. Three! Four? Five"),
+      (2L, "He said \"stop.\" Then left... Done"),
+      (3L, "   "),
+      (4L, null: String)).toDF("doc_id", "text")
+    val out = TextFunctions.splitSentencesFlat(df, "doc_id", "text")
+      .orderBy($"id", $"sentence_idx").collect()
+    val d1 = out.filter(_.getLong(0) == 1L).map(_.getString(2)).toSeq
+    assert(d1 == Seq("One two.", "Three!", "Four?", "Five"))
+    val d2 = out.filter(_.getLong(0) == 2L).map(_.getString(2)).toSeq
+    // the closing quote stays with its sentence; an ellipsis run is one end
+    assert(d2 == Seq("He said \"stop.\"", "Then left...", "Done"))
+    assert(!out.exists(r => r.getLong(0) == 3L || r.getLong(0) == 4L))
+  }
+
+  test("linear text classifier: hashed-weight mean, bias, blank docs") {
+    import graft.functions.TextFunctions
+    import graft.operators.Sampling
+    import spark.implicits._
+    val weights = (0 until 8).map(_ * 0.25 - 1.0)
+    val df = Seq((1L, "Alpha beta"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+      TextFunctions.linearTextScore($"text", weights, bias = 0.5).as("s"))
+      .orderBy($"doc_id").collect()
+    // recompute by hand through the same digest (lowercased tokens)
+    def b(tok: String): Int = spark.range(1)
+      .select((Sampling.md5Bucket16(lit(tok)) % 8).cast("int"))
+      .head().getInt(0)
+    val expect1 = 0.5 + (weights(b("alpha")) + weights(b("beta"))) / 2
+    assert(math.abs(got(0).getDouble(1) - expect1) < 1e-12)
+    assert(got(1).getDouble(1) == 0.5) // blank -> bias exactly
+    val expect3 = 0.5 + weights(b("x"))
+    assert(math.abs(got(2).getDouble(1) - expect3) < 1e-12)
+    // the logistic link is monotone in the score
+    val p = df.select(TextFunctions.linearTextProb($"text", weights, 0.5))
+      .collect().map(_.getDouble(0))
+    assert(p.forall(x => x > 0 && x < 1))
+  }
+
   test("mojibake repair: classic, stacked, CP1252 slots, conservative no-ops") {
     import graft.functions.TextFunctions
     def mangle(s: String): String = new String(
