@@ -61,6 +61,17 @@ object ContainerStress {
       f"(${bytesTf / 1e6 / tRaw}%.0f MB/s), typed extract $tTyped%.2f s " +
       f"(${bytesTf / 1e6 / tTyped}%.0f MB/s); rows $cRaw, " +
       s"idSum ${agg.getLong(0)}")
+    // .idx sidecars: index build + range-split typed read over the same
+    // shards at an 8 MiB split budget
+    val (nIdx, wIdx) = time(TfRecord.writeIndex(spark, s"$tfDir/shard-*.tfrecord"))
+    val splitDf2 = TfRecord.examples(spark, s"$tfDir/shard-*.tfrecord", tfSpec,
+      maxSplitBytes = 8L << 20)
+    val parts2 = splitDf2.rdd.getNumPartitions
+    val (agg2, tSplit2) = time(splitDf2.agg(sum($"id"), count(lit(1))).head())
+    println(f"[stress] tfrecord+idx: $nIdx indexes in $wIdx%.2f s; " +
+      f"$parts2-way split typed extract $tSplit2%.2f s " +
+      f"(${bytesTf / 1e6 / tSplit2}%.0f MB/s); rows ${agg2.getLong(1)}, " +
+      s"idSum ${agg2.getLong(0)}")
 
     // ---- Avro: one big deflate file, whole vs range-split reads
     val avroDir = s"$root/avro"

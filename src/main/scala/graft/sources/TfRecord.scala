@@ -20,9 +20,13 @@ import org.apache.spark.sql.types._
   * Feature{1: BytesList, 2: FloatList, 3: Int64List}), decoded by a
   * hand-rolled proto-wire walk — no protobuf dependency.
   *
-  * Scale model: TFRecord files carry no sync markers, so a file is NOT
-  * splittable — the parallelism unit is the FILE (exactly the WARC/tar
-  * shape; corpora ship as many ~100 MB–1 GB shards). Reads stream
+  * Scale model: TFRecord files carry no sync markers, so a bare file is
+  * NOT splittable — the parallelism unit is the FILE (exactly the
+  * WARC/tar shape; corpora ship as many ~100 MB–1 GB shards). With the
+  * ecosystem-standard `.idx` SIDECAR beside a plain shard (the DALI
+  * `tfrecord2idx` text convention, written here by [[writeIndex]]),
+  * large shards fan out as record-aligned byte-range tasks instead —
+  * the splittable path for coarse-sharded archives. Reads stream
   * sequentially through a buffered window, never materializing a shard.
   * GZIP-compressed shards (`tf.io.TFRecordOptions` GZIP) are sniffed by
   * magic bytes and inflated on the fly. A length field that overruns the
@@ -274,17 +278,154 @@ object TfRecord {
     StructField("record_index", LongType, nullable = false),
     StructField("content", BinaryType, nullable = false)))
 
-  /** One row per record across every shard matching `pattern` (glob —
-    * one input task per shard, the format's parallelism unit). */
+  /** Write the ecosystem-standard `.idx` SIDECAR (the public DALI
+    * `tfrecord2idx` convention: one "offset size" text line per record,
+    * size covering the 16 framing bytes) for every PLAIN shard matching
+    * `pattern` — one task per shard, walked with full CRC verification.
+    * GZIP shards are skipped (an index cannot make an unseekable stream
+    * splittable). With sidecars present, [[records]]/[[examples]] fan
+    * large shards out as record-aligned byte-range tasks. Returns the
+    * number of sidecars written. */
+  def writeIndex(spark: SparkSession, pattern: String): Int = {
+    val shards = shardsOf(spark, pattern).filterNot(_.endsWith(".idx"))
+    val tconf = TaskConf(new Configuration(spark.sparkContext.hadoopConfiguration))
+    val n = spark.sparkContext.parallelize(shards,
+      math.max(1, math.min(shards.size, spark.sparkContext.defaultParallelism)))
+      .map { uri =>
+        val c = tconf.value
+        val path = new Path(uri)
+        val fs = path.getFileSystem(c)
+        val head = new Array[Byte](2)
+        val probe = fs.open(path)
+        val got = try probe.read(head, 0, 2) finally probe.close()
+        if (got == 2 && head(0) == 0x1f.toByte && head(1) == 0x8b.toByte) 0
+        else {
+          val tmp = new Path(s"$uri.idx.tmp")
+          val out = fs.create(tmp, true)
+          var off = 0L
+          try {
+            recordIterator(uri, fs.open(path), 256L << 20).foreach { rec =>
+              val size = rec.length.toLong + 16
+              out.write(s"$off $size\n".getBytes("US-ASCII"))
+              off += size
+            }
+          } finally out.close()
+          val fin = new Path(s"$uri.idx")
+          if (fs.exists(fin)) fs.delete(fin, false)
+          if (!fs.rename(tmp, fin)) throw UnsupportedTfRecord(
+            s"could not commit index for $uri")
+          1
+        }
+      }.sum().toInt
+    n
+  }
+
+  /** Record-aligned splits for one shard from its `.idx` sidecar:
+    * (startOffset, startOrdinal) per ~`maxSplitBytes`, parsed streaming
+    * (O(1) memory however many records). None = no sidecar / too small. */
+  private def plannedSplits(fs: org.apache.hadoop.fs.FileSystem, uri: String,
+      shardLen: Long, maxSplitBytes: Long): Option[Seq[(Long, Long, Long)]] = {
+    val idx = new Path(s"$uri.idx")
+    if (shardLen <= maxSplitBytes || !fs.exists(idx)) return None
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(idx), "US-ASCII"))
+    try {
+      val starts = Seq.newBuilder[(Long, Long)] // (byte offset, ordinal)
+      starts += ((0L, 0L))
+      var nextBoundary = maxSplitBytes
+      var ordinal = 0L
+      var line = in.readLine()
+      while (line != null) {
+        val sp = line.indexOf(' ')
+        if (sp > 0) {
+          val off = line.substring(0, sp).toLong
+          if (off >= nextBoundary) {
+            starts += ((off, ordinal))
+            nextBoundary = off + maxSplitBytes
+          }
+          ordinal += 1
+        }
+        line = in.readLine()
+      }
+      val s = starts.result()
+      Some(s.zipWithIndex.map { case ((off, ord), i) =>
+        (off, if (i + 1 < s.size) s(i + 1)._1 else shardLen, ord)
+      })
+    } finally in.close()
+  }
+
+  /** The (uri, startOffset, endOffset, startOrdinal) task list: one task
+    * per shard, or record-aligned ranges when an `.idx` sidecar covers a
+    * large plain shard. */
+  private def planTasks(spark: SparkSession, shards: Seq[String],
+      maxSplitBytes: Long): Seq[(String, Long, Long, Long)] = {
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    shards.filterNot(_.endsWith(".idx")).flatMap { uri =>
+      val path = new Path(uri)
+      val fs = path.getFileSystem(conf)
+      val len = fs.getFileStatus(path).getLen
+      plannedSplits(fs, uri, len, maxSplitBytes) match {
+        case Some(splits) => splits.map { case (s, e, ord) => (uri, s, e, ord) }
+        case None => Seq((uri, 0L, len, 0L))
+      }
+    }
+  }
+
+  /** Stream a shard's records over [start, end): seek once, then walk the
+    * framing; `record_index` stays the FILE-level ordinal (stable ids
+    * across split plans). */
+  private def rangeIterator(c: Configuration, uri: String, start: Long,
+      end: Long, baseOrdinal: Long,
+      maxRecordBytes: Long): Iterator[(Array[Byte], Long)] = {
+    val path = new Path(uri)
+    val fs = path.getFileSystem(c)
+    if (start == 0L) {
+      // whole file (or leading range): gzip sniff applies
+      val bounded = recordIterator(uri, openShard(c, uri), maxRecordBytes)
+        .zipWithIndex.map { case (r, i) => (r, i.toLong) }
+      if (end >= fs.getFileStatus(path).getLen) bounded
+      else {
+        // leading split of an indexed plain shard: stop at the boundary
+        var consumed = 0L
+        bounded.takeWhile { case (r, _) =>
+          val keep = consumed < end
+          consumed += r.length.toLong + 16
+          keep
+        }
+      }
+    } else {
+      val raw = fs.open(path)
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ =>
+          try raw.close() catch { case _: java.io.IOException => }))
+      raw.seek(start)
+      var consumed = start
+      recordIterator(uri, raw, maxRecordBytes)
+        .zipWithIndex.map { case (r, i) => (r, baseOrdinal + i) }
+        .takeWhile { case (r, _) =>
+          val keep = consumed < end
+          consumed += r.length.toLong + 16
+          keep
+        }
+    }
+  }
+
+  /** One row per record across every shard matching `pattern`. One task
+    * per shard by default; plain shards with a `.idx` sidecar (see
+    * [[writeIndex]]) larger than `maxSplitBytes` fan out record-aligned
+    * byte-range tasks — the splittable 100 TB read path. */
   def records(spark: SparkSession, pattern: String, partitions: Int = 0,
-      maxRecordBytes: Long = 256L << 20): DataFrame = {
+      maxRecordBytes: Long = 256L << 20,
+      maxSplitBytes: Long = 64L << 20): DataFrame = {
     val shards = shardsOf(spark, pattern)
+    val tasks = planTasks(spark, shards, maxSplitBytes)
     val tconf = TaskConf(new Configuration(spark.sparkContext.hadoopConfiguration))
     val nPart = if (partitions > 0) partitions
-      else math.max(1, math.min(shards.size, spark.sparkContext.defaultParallelism))
-    val rdd = spark.sparkContext.parallelize(shards, nPart).flatMap { uri =>
-      recordIterator(uri, openShard(tconf.value, uri), maxRecordBytes)
-        .zipWithIndex.map { case (rec, i) => Row(uri, i.toLong, rec) }
+      else math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism))
+    val rdd = spark.sparkContext.parallelize(tasks, nPart).flatMap {
+      case (uri, s, e, ord) =>
+        rangeIterator(tconf.value, uri, s, e, ord, maxRecordBytes)
+          .map { case (rec, i) => Row(uri, i, rec) }
     }
     spark.createDataFrame(rdd, recordsSchema)
   }
@@ -332,16 +473,19 @@ object TfRecord {
     * is absent (or present with the wrong oneof kind) yields null —
     * tf.io.parse_example's default-less behavior, made observable. */
   def examples(spark: SparkSession, pattern: String, spec: Seq[FeatureSpec],
-      partitions: Int = 0, maxRecordBytes: Long = 256L << 20): DataFrame = {
+      partitions: Int = 0, maxRecordBytes: Long = 256L << 20,
+      maxSplitBytes: Long = 64L << 20): DataFrame = {
     require(spec.nonEmpty, "examples() needs at least one FeatureSpec")
     val shards = shardsOf(spark, pattern)
+    val tasks = planTasks(spark, shards, maxSplitBytes)
     val tconf = TaskConf(new Configuration(spark.sparkContext.hadoopConfiguration))
     val nPart = if (partitions > 0) partitions
-      else math.max(1, math.min(shards.size, spark.sparkContext.defaultParallelism))
+      else math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism))
     val specL = spec // serializable copy for the closure
-    val rdd = spark.sparkContext.parallelize(shards, nPart).flatMap { uri =>
-      recordIterator(uri, openShard(tconf.value, uri), maxRecordBytes)
-        .zipWithIndex.map { case (rec, i) =>
+    val rdd = spark.sparkContext.parallelize(tasks, nPart).flatMap {
+      case (uri, st, en, ord) =>
+      rangeIterator(tconf.value, uri, st, en, ord, maxRecordBytes)
+        .map { case (rec, i) =>
           val feats = parseExample(rec)
           val cols = specL.map { s =>
             feats.get(s.name) match {
@@ -369,7 +513,7 @@ object TfRecord {
               }
             }
           }
-          Row.fromSeq(Seq(uri, i.toLong) ++ cols)
+          Row.fromSeq(Seq(uri, i) ++ cols)
         }
     }
     spark.createDataFrame(rdd, StructType(

@@ -147,6 +147,40 @@ class TfRecordSpec extends SparkSpec {
     assert(e2.getMessage.contains("truncated"), e2.getMessage)
   }
 
+  test(".idx sidecars make large plain shards range-splittable") {
+    val dir = tmp()
+    // ~200 records x ~1 KB: big enough to split at a 32 KiB budget
+    val recs = (0 until 200).map { i =>
+      TfRecord.encodeExample(Seq(
+        "id" -> Seq(i.toLong), "pad" -> Seq("x" * 1000)))
+    }
+    TfRecord.write(s"$dir/big.tfrecord", recs)
+    TfRecord.write(s"$dir/small.tfrecord.gz", sampleRecords(3), gzip = true)
+    assert(TfRecord.writeIndex(spark, s"$dir/*.tfrecord*") == 1) // gz skipped
+    assert(new java.io.File(s"$dir/big.tfrecord.idx").exists())
+    // the DALI line shape: "offset size", sizes include the 16 frame bytes
+    val first = scala.io.Source.fromFile(s"$dir/big.tfrecord.idx")
+      .getLines().next().split(' ')
+    assert(first(0) == "0" && first(1).toLong == recs.head.length + 16)
+    val spec2 = Seq(FeatureSpec("id", "int64"))
+    val unsplit = TfRecord.examples(spark, s"$dir/big.tfrecord", spec2,
+      maxSplitBytes = Long.MaxValue)
+    val split = TfRecord.examples(spark, s"$dir/big.tfrecord", spec2,
+      maxSplitBytes = 32 * 1024)
+    assert(unsplit.rdd.getNumPartitions == 1)
+    assert(split.rdd.getNumPartitions > 3,
+      s"expected several range tasks, got ${split.rdd.getNumPartitions}")
+    // identical rows, identical FILE-level ordinals
+    val a = unsplit.orderBy($"record_index")
+      .select($"record_index", $"id").collect().toSeq
+    val b = split.orderBy($"record_index")
+      .select($"record_index", $"id").collect().toSeq
+    assert(a == b && a.size == 200)
+    // the glob read still serves the gz shard as one task beside the splits
+    assert(TfRecord.records(spark, s"$dir/*.tfrecord*",
+      maxSplitBytes = 32 * 1024).count() == 203)
+  }
+
   test("recordsFrom streams arriving shards: stream == batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits.newProductEncoder
