@@ -508,10 +508,7 @@ object QueriesML {
           new String(x.getBytes("UTF-8"), "windows-1252")
         val once = mangle("café € naïve #")
         val twice = mangle(once) // stacked: two repair rounds
-        val in = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
-          .select($"o_orderkey".cast("long").as("doc_id"),
-            row_number().over(org.apache.spark.sql.expressions.Window
-              .orderBy($"o_orderkey")).minus(1).as("rn0"))
+        val in = orderedKeys(s, d, 200)
           .select($"doc_id",
             when($"rn0" % 2 === 0,
               concat(lit(""), when($"rn0" % 4 === 0, twice).otherwise(once),
@@ -555,10 +552,7 @@ object QueriesML {
                "vocab": {"a": 0, "b": 1, "ab": 2, "abab": 3},
                "merges": ["a b", "ab ab"]},
              "pre_tokenizer": {"type": "Whitespace"}, "normalizer": null}""")
-        val in = Tables.orders(s, d).orderBy($"o_orderkey").limit(120)
-          .select($"o_orderkey".cast("long").as("doc_id"),
-            row_number().over(org.apache.spark.sql.expressions.Window
-              .orderBy($"o_orderkey")).minus(1).as("rn0"))
+        val in = orderedKeys(s, d, 120)
           .selectExpr("doc_id",
             """trim(repeat(concat(repeat('ab', cast(doc_id % 5 + 1 as int)),
                ' '), cast(rn0 % 6 + 3 as int))) AS text""")
@@ -585,10 +579,7 @@ object QueriesML {
       ORDER BY id, sentence_idx"""))(
       (s, d) => {
         import graft.functions.TextFunctions
-        val in = Tables.orders(s, d).orderBy($"o_orderkey").limit(100)
-          .select($"o_orderkey".cast("long").as("doc_id"),
-            row_number().over(org.apache.spark.sql.expressions.Window
-              .orderBy($"o_orderkey")).minus(1).as("rn0"))
+        val in = orderedKeys(s, d, 100)
           .selectExpr("doc_id",
             """array_join(transform(sequence(0, cast(rn0 % 4 + 1 as int)),
                i -> concat('sent ', i, ' end',
@@ -637,11 +628,8 @@ object QueriesML {
       (s, d) => {
         import graft.functions.TextFunctions
         val weights = (0 until 16).map(j => j * 0.125 - 1.0)
-        val in = Tables.orders(s, d).orderBy($"o_orderkey").limit(200)
-          .select($"o_orderkey".cast("long").as("id"),
-            row_number().over(org.apache.spark.sql.expressions.Window
-              .orderBy($"o_orderkey")).minus(1).as("rn0"))
-          .select($"id",
+        val in = orderedKeys(s, d, 200)
+          .select($"doc_id".as("id"),
             concat(lit("alpha beta"), $"rn0".cast("string"),
               lit(" gamma")).as("text"))
         in.select($"id",
@@ -2424,6 +2412,23 @@ object QueriesML {
           $"n")
         .orderBy($"raw")
     })
+
+
+  /** (doc_id, rn0) fixture keys: the first `n` order keys with their rank,
+    * built driver-side (a few hundred rows) so derived queries never need
+    * a global window in the distributed plan. */
+  private def orderedKeys(s: org.apache.spark.sql.SparkSession, d: String,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val ks = Tables.orders(s, d).orderBy(col("o_orderkey")).limit(n)
+      .select(col("o_orderkey").cast("long")).collect().map(_.getLong(0))
+    s.createDataFrame(
+      s.sparkContext.parallelize(ks.zipWithIndex.map { case (k, i) =>
+        org.apache.spark.sql.Row(k, i.toLong)
+      }.toSeq, 4),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("rn0", LongType, nullable = false))))
+  }
 
   /** Collect small plane/centroid vectors driver-side (they become literals
     * in the per-row expressions — broadcast-free). */

@@ -916,7 +916,7 @@ object TextFunctions {
   // -------------------------------------------------- sentence segmentation
 
   private val SentenceEndRe = java.util.regex.Pattern.compile(
-    """(?<=[.!?][")»’”]?)\s+""")
+    """(?<=[.!?]['")\]»’”]?)\s+""")
 
   /** Rule-based sentence segmentation: split AFTER a run of `.`/`!`/`?`
     * (plus one optional closing quote/bracket) followed by whitespace —

@@ -240,12 +240,18 @@ object TfRecord {
 
   // ------------------------------------------------------------- reads
 
-  private def shardsOf(spark: SparkSession, pattern: String): Seq[String] = {
+  private def shardsOf(spark: SparkSession, pattern: String): Seq[String] =
+    shardsWithLen(spark, pattern).map(_._1)
+
+  /** The glob's (path, length) pairs — lengths ride along so planning
+    * never re-stats what the listing already returned. */
+  private def shardsWithLen(spark: SparkSession,
+      pattern: String): Seq[(String, Long)] = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val p = new Path(pattern)
     val fs = p.getFileSystem(conf)
     val shards = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
-      .filter(_.isFile).map(_.getPath.toString)
+      .filter(_.isFile).map(st => (st.getPath.toString, st.getLen))
     require(shards.nonEmpty, s"no tfrecord shards match $pattern")
     shards
   }
@@ -258,8 +264,13 @@ object TfRecord {
       .foreach(_.addTaskCompletionListener[Unit](_ =>
         try raw.close() catch { case _: java.io.IOException => }))
     // GZIP option sniffed by magic, not extension — a mis-named shard
-    // must not garble the framing. Loop the read: a single read() may
-    // legally return one byte and misclassify a gzip shard.
+    // must not garble the framing
+    if (sniffGzip(raw)) new GZIPInputStream(raw, 64 * 1024) else raw
+  }
+
+  /** Looped 2-byte magic probe (a single read() may legally return one
+    * byte); leaves the stream positioned at 0. */
+  private def sniffGzip(raw: org.apache.hadoop.fs.FSDataInputStream): Boolean = {
     val head = new Array[Byte](2)
     var got = 0
     var r = 0
@@ -268,10 +279,15 @@ object TfRecord {
       if (r > 0) got += r
     }
     raw.seek(0L)
-    if (got == 2 && head(0) == 0x1f.toByte && head(1) == 0x8b.toByte)
-      new GZIPInputStream(raw, 64 * 1024)
-    else raw
+    got == 2 && head(0) == 0x1f.toByte && head(1) == 0x8b.toByte
   }
+
+  /** `.idx` sidecars and their (attempt-unique) temp files are never
+    * shards themselves. */
+  private def isIndexArtifact(uri: String): Boolean =
+    uri.endsWith(".idx") || IdxTmpRe.matcher(uri).find()
+  private val IdxTmpRe =
+    java.util.regex.Pattern.compile("""\.idx(\.\d+)?\.tmp$""")
 
   private val recordsSchema = StructType(Seq(
     StructField("file", StringType, nullable = false),
@@ -287,7 +303,7 @@ object TfRecord {
     * large shards out as record-aligned byte-range tasks. Returns the
     * number of sidecars written. */
   def writeIndex(spark: SparkSession, pattern: String): Int = {
-    val shards = shardsOf(spark, pattern).filterNot(_.endsWith(".idx"))
+    val shards = shardsOf(spark, pattern).filterNot(isIndexArtifact)
     val tconf = TaskConf(new Configuration(spark.sparkContext.hadoopConfiguration))
     val n = spark.sparkContext.parallelize(shards,
       math.max(1, math.min(shards.size, spark.sparkContext.defaultParallelism)))
@@ -295,16 +311,25 @@ object TfRecord {
         val c = tconf.value
         val path = new Path(uri)
         val fs = path.getFileSystem(c)
-        val head = new Array[Byte](2)
         val probe = fs.open(path)
-        val got = try probe.read(head, 0, 2) finally probe.close()
-        if (got == 2 && head(0) == 0x1f.toByte && head(1) == 0x8b.toByte) 0
+        val gz = try sniffGzip(probe) finally probe.close()
+        if (gz) 0
         else {
-          val tmp = new Path(s"$uri.idx.tmp")
+          // attempt-unique temp + rename: speculative/zombie attempts must
+          // never interleave writes into one file (the writeShards rule)
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
+          val tmp = new Path(s"$uri.idx.$attempt.tmp")
+          val in = fs.open(path)
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit] { _ =>
+              try in.close() catch { case _: java.io.IOException => }
+              try fs.delete(tmp, false) catch { case _: java.io.IOException => }
+            })
           val out = fs.create(tmp, true)
           var off = 0L
           try {
-            recordIterator(uri, fs.open(path), 256L << 20).foreach { rec =>
+            recordIterator(uri, in, 256L << 20).foreach { rec =>
               val size = rec.length.toLong + 16
               out.write(s"$off $size\n".getBytes("US-ASCII"))
               off += size
@@ -334,19 +359,35 @@ object TfRecord {
       starts += ((0L, 0L))
       var nextBoundary = maxSplitBytes
       var ordinal = 0L
+      var tail = 0L // last offset + size: must land exactly on shardLen
       var line = in.readLine()
       while (line != null) {
-        val sp = line.indexOf(' ')
-        if (sp > 0) {
-          val off = line.substring(0, sp).toLong
+        if (line.nonEmpty) {
+          val sp = line.indexOf(' ')
+          // a malformed index silently shifts every later ordinal —
+          // directed error, never a silent mis-keying
+          val (off, size) =
+            try {
+              require(sp > 0)
+              (line.substring(0, sp).toLong, line.substring(sp + 1).trim.toLong)
+            } catch { case _: Exception => throw UnsupportedTfRecord(
+              s"$uri.idx: malformed index line '$line' — regenerate with " +
+                "writeIndex (stale or interrupted sidecar)") }
+          if (off != tail) throw UnsupportedTfRecord(
+            s"$uri.idx: record offset $off does not follow $tail — the " +
+              "index does not describe this shard (regenerate with writeIndex)")
           if (off >= nextBoundary) {
             starts += ((off, ordinal))
             nextBoundary = off + maxSplitBytes
           }
+          tail = off + size
           ordinal += 1
         }
         line = in.readLine()
       }
+      if (tail != shardLen) throw UnsupportedTfRecord(
+        s"$uri.idx: index covers $tail bytes but the shard is $shardLen — " +
+          "STALE sidecar (the shard was rewritten); regenerate with writeIndex")
       val s = starts.result()
       Some(s.zipWithIndex.map { case ((off, ord), i) =>
         (off, if (i + 1 < s.size) s(i + 1)._1 else shardLen, ord)
@@ -357,13 +398,11 @@ object TfRecord {
   /** The (uri, startOffset, endOffset, startOrdinal) task list: one task
     * per shard, or record-aligned ranges when an `.idx` sidecar covers a
     * large plain shard. */
-  private def planTasks(spark: SparkSession, shards: Seq[String],
+  private def planTasks(spark: SparkSession, shards: Seq[(String, Long)],
       maxSplitBytes: Long): Seq[(String, Long, Long, Long)] = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
-    shards.filterNot(_.endsWith(".idx")).flatMap { uri =>
-      val path = new Path(uri)
-      val fs = path.getFileSystem(conf)
-      val len = fs.getFileStatus(path).getLen
+    shards.filterNot(x => isIndexArtifact(x._1)).flatMap { case (uri, len) =>
+      val fs = new Path(uri).getFileSystem(conf)
       plannedSplits(fs, uri, len, maxSplitBytes) match {
         case Some(splits) => splits.map { case (s, e, ord) => (uri, s, e, ord) }
         case None => Seq((uri, 0L, len, 0L))
@@ -375,38 +414,37 @@ object TfRecord {
     * framing; `record_index` stays the FILE-level ordinal (stable ids
     * across split plans). */
   private def rangeIterator(c: Configuration, uri: String, start: Long,
-      end: Long, baseOrdinal: Long,
+      end: Long, fileLen: Long, baseOrdinal: Long,
       maxRecordBytes: Long): Iterator[(Array[Byte], Long)] = {
-    val path = new Path(uri)
-    val fs = path.getFileSystem(c)
-    if (start == 0L) {
-      // whole file (or leading range): gzip sniff applies
-      val bounded = recordIterator(uri, openShard(c, uri), maxRecordBytes)
-        .zipWithIndex.map { case (r, i) => (r, i.toLong) }
-      if (end >= fs.getFileStatus(path).getLen) bounded
-      else {
-        // leading split of an indexed plain shard: stop at the boundary
-        var consumed = 0L
-        bounded.takeWhile { case (r, _) =>
-          val keep = consumed < end
+    // bound the walk BEFORE fetching: boundaries are record-aligned, so a
+    // split must never read (or CRC-verify) its neighbor's first record
+    def bounded(under: Iterator[Array[Byte]],
+        startConsumed: Long): Iterator[(Array[Byte], Long)] =
+      new Iterator[(Array[Byte], Long)] {
+        private var consumed = startConsumed
+        private var i = baseOrdinal
+        override def hasNext: Boolean = consumed < end && under.hasNext
+        override def next(): (Array[Byte], Long) = {
+          val r = under.next()
           consumed += r.length.toLong + 16
-          keep
+          val out = (r, i)
+          i += 1
+          out
         }
       }
+    if (start == 0L) {
+      // whole file (or leading range): gzip sniff applies
+      val under = recordIterator(uri, openShard(c, uri), maxRecordBytes)
+      if (end >= fileLen)
+        under.zipWithIndex.map { case (r, i) => (r, i.toLong) }
+      else bounded(under, 0L)
     } else {
-      val raw = fs.open(path)
+      val raw = new Path(uri).getFileSystem(c).open(new Path(uri))
       Option(org.apache.spark.TaskContext.get())
         .foreach(_.addTaskCompletionListener[Unit](_ =>
           try raw.close() catch { case _: java.io.IOException => }))
       raw.seek(start)
-      var consumed = start
-      recordIterator(uri, raw, maxRecordBytes)
-        .zipWithIndex.map { case (r, i) => (r, baseOrdinal + i) }
-        .takeWhile { case (r, _) =>
-          val keep = consumed < end
-          consumed += r.length.toLong + 16
-          keep
-        }
+      bounded(recordIterator(uri, raw, maxRecordBytes), start)
     }
   }
 
@@ -417,14 +455,16 @@ object TfRecord {
   def records(spark: SparkSession, pattern: String, partitions: Int = 0,
       maxRecordBytes: Long = 256L << 20,
       maxSplitBytes: Long = 64L << 20): DataFrame = {
-    val shards = shardsOf(spark, pattern)
+    val shards = shardsWithLen(spark, pattern)
+    val lens = shards.toMap
     val tasks = planTasks(spark, shards, maxSplitBytes)
+      .map { case (uri, st, en, ord) => (uri, st, en, lens(uri), ord) }
     val tconf = TaskConf(new Configuration(spark.sparkContext.hadoopConfiguration))
     val nPart = if (partitions > 0) partitions
       else math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism))
     val rdd = spark.sparkContext.parallelize(tasks, nPart).flatMap {
-      case (uri, s, e, ord) =>
-        rangeIterator(tconf.value, uri, s, e, ord, maxRecordBytes)
+      case (uri, st, en, len, ord) =>
+        rangeIterator(tconf.value, uri, st, en, len, ord, maxRecordBytes)
           .map { case (rec, i) => Row(uri, i, rec) }
     }
     spark.createDataFrame(rdd, recordsSchema)
@@ -476,15 +516,17 @@ object TfRecord {
       partitions: Int = 0, maxRecordBytes: Long = 256L << 20,
       maxSplitBytes: Long = 64L << 20): DataFrame = {
     require(spec.nonEmpty, "examples() needs at least one FeatureSpec")
-    val shards = shardsOf(spark, pattern)
+    val shards = shardsWithLen(spark, pattern)
+    val lens = shards.toMap
     val tasks = planTasks(spark, shards, maxSplitBytes)
+      .map { case (uri, st, en, ord) => (uri, st, en, lens(uri), ord) }
     val tconf = TaskConf(new Configuration(spark.sparkContext.hadoopConfiguration))
     val nPart = if (partitions > 0) partitions
       else math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism))
     val specL = spec // serializable copy for the closure
     val rdd = spark.sparkContext.parallelize(tasks, nPart).flatMap {
-      case (uri, st, en, ord) =>
-      rangeIterator(tconf.value, uri, st, en, ord, maxRecordBytes)
+      case (uri, st, en, len, ord) =>
+      rangeIterator(tconf.value, uri, st, en, len, ord, maxRecordBytes)
         .map { case (rec, i) =>
           val feats = parseExample(rec)
           val cols = specL.map { s =>
@@ -777,10 +819,11 @@ object TfRecord {
     val dfs = dirPath.getFileSystem(conf)
     // clear stale shards: a re-run with fewer partitions must not leave
     // higher-numbered shards behind for the read glob
-    Seq("tfrecord", "tfrecord.gz").foreach { e =>
-      Option(dfs.globStatus(new Path(s"$dir/shard-*.$e")))
-        .foreach(_.foreach(st => dfs.delete(st.getPath, false)))
-    }
+    Seq("tfrecord", "tfrecord.gz", "tfrecord.idx", "tfrecord.idx.*.tmp")
+      .foreach { e =>
+        Option(dfs.globStatus(new Path(s"$dir/shard-*.$e")))
+          .foreach(_.foreach(st => dfs.delete(st.getPath, false)))
+      }
     val tconf = TaskConf(conf)
     val specL = spec
     // cast each column to the spec's exact element type up front, so the

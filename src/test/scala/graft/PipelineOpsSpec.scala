@@ -1751,6 +1751,12 @@ class QueriesSpec extends SparkSpec {
     // the closing quote stays with its sentence; an ellipsis run is one end
     assert(d2 == Seq("He said \"stop.\"", "Then left...", "Done"))
     assert(!out.exists(r => r.getLong(0) == 3L || r.getLong(0) == 4L))
+    // straight apostrophes and closing brackets close sentences too
+    val more = TextFunctions.splitSentencesFlat(
+      Seq((5L, "He said 'stop.' Then [left.] Done")).toDF("doc_id", "text"),
+      "doc_id", "text").orderBy($"sentence_idx").collect()
+    assert(more.map(_.getString(2)).toSeq ==
+      Seq("He said 'stop.'", "Then [left.]", "Done"))
   }
 
   test("linear text classifier: hashed-weight mean, bias, blank docs") {

@@ -179,7 +179,29 @@ class TfRecordSpec extends SparkSpec {
     // the glob read still serves the gz shard as one task beside the splits
     assert(TfRecord.records(spark, s"$dir/*.tfrecord*",
       maxSplitBytes = 32 * 1024).count() == 203)
+    // a STALE sidecar (shard rewritten underneath it) is a directed error
+    // at PLAN time, before any task launches
+    TfRecord.write(s"$dir/big.tfrecord", recs.take(50))
+    val e = intercept[TfRecord.UnsupportedTfRecord] {
+      TfRecord.examples(spark, s"$dir/big.tfrecord", spec2,
+        maxSplitBytes = 32 * 1024).count()
+    }
+    assert(e.getMessage.contains("STALE"), e.getMessage)
+    // writeShards clears sidecars along with the shards they described
+    val df40 = spark.range(40).selectExpr("id", "'x' AS text",
+      "cast(id as float) AS score", "array(id) AS tags", "'n' AS name")
+    TfRecord.writeShards(df40.repartition(2), dir2(dir), tfShardSpec)
+    TfRecord.writeIndex(spark, s"${dir2(dir)}/shard-*.tfrecord")
+    TfRecord.writeShards(df40.repartition(2), dir2(dir), tfShardSpec)
+    assert(!new java.io.File(dir2(dir)).listFiles()
+      .exists(_.getName.endsWith(".idx")), "stale sidecars must be cleared")
   }
+
+  private def dir2(dir: String): String = s"$dir/re"
+  private val tfShardSpec = Seq(
+    FeatureSpec("id", "int64"), FeatureSpec("text", "string"),
+    FeatureSpec("score", "float"), FeatureSpec("tags", "int64", scalar = false),
+    FeatureSpec("name", "string"))
 
   test("recordsFrom streams arriving shards: stream == batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
