@@ -43,6 +43,22 @@ object FormatRegistry {
     (st.getLen, st.getModificationTime)
   }
 
+  /** Avro OCF magic (`Obj\x01`) on a single file with no recognized
+    * extension — cheap (4 bytes), and never consulted for known formats. */
+  private def isAvroMagic(spark: SparkSession, uri: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(uri)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val st = fs.getFileStatus(p)
+      st.isFile && st.getLen >= 4 && {
+        val head = new Array[Byte](4)
+        val in = fs.open(p)
+        try in.readFully(0, head) finally in.close()
+        head(0) == 'O' && head(1) == 'b' && head(2) == 'j' && head(3) == 1
+      }
+    } catch { case _: java.io.IOException => false } // globs/dirs: not ours
+  }
+
   /** `.nc` signature sniff: `\x89HDF` -> NetCDF-4 reader, `CDF` -> classic. */
   private def openNetcdf(spark: SparkSession, uri: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(uri)
@@ -136,6 +152,10 @@ object FormatRegistry {
         // raw record rows (file, record_index, content); typed feature
         // extraction needs a FeatureSpec — call TfRecord.examples directly
         TfRecord.records(spark, uri)
+      case None if isAvroMagic(spark, uri) =>
+        // extension-less/odd-named OCFs sniff by the 'Obj\x01' magic
+        // before the parquet guess ever runs
+        AvroOcf.read(spark, uri)
       case None => reader.parquet(uri) // the reference's final fallback is a guess
     }
   }

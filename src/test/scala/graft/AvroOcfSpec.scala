@@ -189,6 +189,13 @@ class AvroOcfSpec extends SparkSpec {
     val tf = graft.sources.FormatRegistry.open(spark, s"$dir/r.tfrecord")
     assert(tf.columns.toSeq == Seq("file", "record_index", "content"))
     assert(tf.count() == 1)
+    // an extension-less OCF sniffs by the Obj\x01 magic before the
+    // parquet guess runs
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/r.avro"),
+      java.nio.file.Paths.get(s"$dir/mystery_dump"))
+    val sniffed = graft.sources.FormatRegistry.open(spark, s"$dir/mystery_dump")
+    assert(sniffed.columns.toSeq == Seq("id", "payload") && sniffed.count() == 7)
   }
 
   test("non-nullable multi-branch unions fail directed") {
