@@ -43,20 +43,23 @@ object FormatRegistry {
     (st.getLen, st.getModificationTime)
   }
 
-  /** Avro OCF magic (`Obj\x01`) on a single file with no recognized
-    * extension — cheap (4 bytes), and never consulted for known formats. */
+  /** Avro OCF magic (`Obj\x01`) on the FIRST file the uri expands to
+    * (single file, glob, or directory) — cheap (4 bytes), and never
+    * consulted for known formats or explicit-engine calls. */
   private def isAvroMagic(spark: SparkSession, uri: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(uri)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
     try {
-      val st = fs.getFileStatus(p)
-      st.isFile && st.getLen >= 4 && {
-        val head = new Array[Byte](4)
-        val in = fs.open(p)
-        try in.readFully(0, head) finally in.close()
-        head(0) == 'O' && head(1) == 'b' && head(2) == 'j' && head(3) == 1
+      GribIndex.expand(conf, uri).headOption.exists { first =>
+        val p = new org.apache.hadoop.fs.Path(first)
+        val fs = p.getFileSystem(conf)
+        fs.getFileStatus(p).getLen >= 4 && {
+          val head = new Array[Byte](4)
+          val in = fs.open(p)
+          try in.readFully(0, head) finally in.close()
+          head(0) == 'O' && head(1) == 'b' && head(2) == 'j' && head(3) == 1
+        }
       }
-    } catch { case _: java.io.IOException => false } // globs/dirs: not ours
+    } catch { case _: java.io.IOException => false }
   }
 
   /** `.nc` signature sniff: `\x89HDF` -> NetCDF-4 reader, `CDF` -> classic. */
@@ -152,10 +155,13 @@ object FormatRegistry {
         // raw record rows (file, record_index, content); typed feature
         // extraction needs a FeatureSpec — call TfRecord.examples directly
         TfRecord.records(spark, uri)
-      case None if isAvroMagic(spark, uri) =>
-        // extension-less/odd-named OCFs sniff by the 'Obj\x01' magic
-        // before the parquet guess ever runs
-        AvroOcf.read(spark, uri)
+      case None if !options.contains("engine") && isAvroMagic(spark, uri) =>
+        // extension-less/odd-named OCFs (single, glob, or directory) sniff
+        // by the 'Obj\x01' magic before the parquet guess ever runs; an
+        // EXPLICIT engine option always wins, as with the refs-json sniff
+        if (multi) AvroOcf.readFiles(spark,
+          GribIndex.expand(spark.sparkContext.hadoopConfiguration, uri))
+        else AvroOcf.read(spark, uri)
       case None => reader.parquet(uri) // the reference's final fallback is a guess
     }
   }

@@ -31,11 +31,19 @@ object ParquetMeta {
     * `pattern` (glob) — footer reads only. */
   def readMeta(spark: SparkSession, pattern: String): DataFrame = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
-    val p = new Path(pattern)
-    val fs = p.getFileSystem(conf)
-    val files = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
-      .map(st => (st.getPath.toString, st.getLen))
+    // glob-or-directory expansion (the Spark output layout IS a directory
+    // of part files), then Spark's own hidden-file convention: both '_'
+    // and '.' prefixes are committer/marker artifacts, never data
+    val files = graft.sources.grib.GribIndex
+      .expand(conf, pattern)
+      .filter { uri =>
+        val name = uri.split('/').last
+        !name.startsWith("_") && !name.startsWith(".")
+      }
+      .map { uri =>
+        val fp = new Path(uri)
+        (uri, fp.getFileSystem(conf).getFileStatus(fp).getLen)
+      }
     require(files.nonEmpty, s"no parquet files match $pattern")
     val tconf = TaskConf(conf)
     val rdd = spark.sparkContext.parallelize(files,

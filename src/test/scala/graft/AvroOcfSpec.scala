@@ -196,6 +196,18 @@ class AvroOcfSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/mystery_dump"))
     val sniffed = graft.sources.FormatRegistry.open(spark, s"$dir/mystery_dump")
     assert(sniffed.columns.toSeq == Seq("id", "payload") && sniffed.count() == 7)
+    // a GLOB of extension-less OCFs sniffs off the first expanded file
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/r.avro"),
+      java.nio.file.Paths.get(s"$dir/mystery_dump2"))
+    val many = graft.sources.FormatRegistry.open(spark, s"$dir/mystery_dump*")
+    assert(many.count() == 14)
+    // an explicit engine option disables the sniff (the registry rule)
+    val forced = intercept[Exception] {
+      graft.sources.FormatRegistry.open(spark, s"$dir/mystery_dump",
+        Map("engine" -> "pq")).count()
+    }
+    assert(forced != null) // parquet reader rejects the avro bytes
   }
 
   test("non-nullable multi-branch unions fail directed") {
