@@ -450,6 +450,114 @@ object QueriesML {
         IcebergTable.read(s, table).select($"id", $"text").orderBy($"id")
       }),
 
+    // ----------------------------------------- Iceberg v2 positional deletes
+    // Merge-on-read: a DELETE manifest names a parquet delete file of
+    // (file_path, pos) rows — positions WITHIN each data file. Files are
+    // written in id order, so the oracle recomputes every surviving row
+    // from the per-bucket rank: bucket 0 loses every 5th row, bucket 1
+    // loses its first. A row-position slip, a path-normalization slip, or
+    // a dropped delete file breaks rows and hash alike.
+    Q("q171_iceberg_pos_deletes", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 150),
+           b AS (SELECT o_orderkey AS id,
+                        'doc-' || CAST(rn0 AS VARCHAR) AS text,
+                        o_orderkey % 3 AS bucket,
+                        row_number() OVER (PARTITION BY o_orderkey % 3
+                                           ORDER BY o_orderkey) - 1 AS pos
+                 FROM o)
+      SELECT id, text FROM b
+      WHERE NOT (bucket = 0 AND pos % 5 = 0)
+        AND NOT (bucket = 1 AND pos = 0)
+      ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{AvroOcf, IcebergTable}
+        val table = Fixtures.dir("q171", d) { dir =>
+          val rows = Tables.orders(s, d).orderBy($"o_orderkey").limit(150)
+            .select($"o_orderkey".cast("long")).collect().map(_.getLong(0))
+            .zipWithIndex
+          def part(b: Int): (String, Int) = {
+            val ids = rows.filter(_._1 % 3 == b)
+            val df = s.createDataFrame(
+              s.sparkContext.parallelize(ids.map { case (k, i) =>
+                org.apache.spark.sql.Row(k, s"doc-$i")
+              }.toSeq, 1),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("id",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("text",
+                  org.apache.spark.sql.types.StringType))))
+            df.coalesce(1).write.mode("overwrite").parquet(s"$dir/tmp$b")
+            val f = new java.io.File(s"$dir/tmp$b").listFiles()
+              .find(_.getName.endsWith(".parquet")).get
+            new java.io.File(s"$dir/data").mkdirs()
+            val target = s"$dir/data/p$b.parquet"
+            java.nio.file.Files.move(f.toPath,
+              java.nio.file.Paths.get(target))
+            (target, ids.length)
+          }
+          val files = (0 to 2).map(part)
+          // the delete file: bucket 0 positions 0,5,10,…; bucket 1 pos 0
+          val delRows =
+            (0 until files(0)._2 by 5).map(p => (files(0)._1, p.toLong)) :+
+              ((files(1)._1, 0L))
+          val delDf = s.createDataFrame(
+            s.sparkContext.parallelize(delRows.map { case (p, i) =>
+              org.apache.spark.sql.Row(p, i)
+            }.toSeq, 1),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("file_path",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("pos",
+                org.apache.spark.sql.types.LongType))))
+          delDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/tmpdel")
+          val delPart = new java.io.File(s"$dir/tmpdel").listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val delPath = s"$dir/data/del0.parquet"
+          java.nio.file.Files.move(delPart.toPath,
+            java.nio.file.Paths.get(delPath))
+          new java.io.File(s"$dir/metadata").mkdirs()
+          val mSchema =
+            """{"type": "record", "name": "manifest_entry", "fields": [
+                 {"name": "status", "type": "int"},
+                 {"name": "data_file", "type": {"type": "record",
+                   "name": "r2", "fields": [
+                     {"name": "content", "type": "int"},
+                     {"name": "file_path", "type": "string"},
+                     {"name": "file_format", "type": "string"},
+                     {"name": "record_count", "type": "long"}]}}]}"""
+          AvroOcf.write(s"$dir/metadata/m0.avro", mSchema,
+            files.map(f => Seq(1, Seq(0, f._1, "PARQUET", f._2.toLong))))
+          AvroOcf.write(s"$dir/metadata/md.avro", mSchema, Seq(
+            Seq(1, Seq(1, delPath, "PARQUET", delRows.length.toLong))))
+          AvroOcf.write(s"$dir/metadata/snap-300.avro",
+            """{"type": "record", "name": "manifest_file", "fields": [
+                 {"name": "manifest_path", "type": "string"},
+                 {"name": "manifest_length", "type": "long"},
+                 {"name": "content", "type": "int"}]}""",
+            Seq(Seq(s"$dir/metadata/m0.avro", 100L, 0),
+              Seq(s"$dir/metadata/md.avro", 100L, 1)))
+          val schemaJson =
+            """{"type": "struct", "schema-id": 0, "fields": [
+                 {"id": 1, "name": "id", "required": true, "type": "long"},
+                 {"id": 2, "name": "text", "required": false, "type": "string"}]}"""
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json"),
+            s"""{"format-version": 2, "table-uuid": "q171", "location": "$dir",
+                 "current-snapshot-id": 300,
+                 "schemas": [$schemaJson], "current-schema-id": 0,
+                 "snapshots": [{"snapshot-id": 300, "timestamp-ms": 0,
+                   "summary": {"operation": "delete"},
+                   "manifest-list": "$dir/metadata/snap-300.avro"}]}"""
+              .getBytes("UTF-8"))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/metadata/version-hint.text"),
+            "1".getBytes("UTF-8"))
+        }
+        IcebergTable.read(s, table).select($"id", $"text").orderBy($"id")
+      }),
+
     // ------------------------------------------------------- HF tokenizer.json encode
     // A hand-authored tokenizer.json (the huggingface/tokenizers file
     // format, byte-level BPE) over planted "ab"*k words: greedy merge

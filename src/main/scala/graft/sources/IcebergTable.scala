@@ -25,12 +25,25 @@ import org.json4s.jackson.JsonMethods
   *    files CONTAIN their partition source columns — partitioning is
   *    hidden metadata — so no column reconstruction is needed).
   *
+  * v2 merge-on-read POSITIONAL deletes are applied: delete manifests
+  * (manifest-list `content = 1`) name parquet delete files of
+  * `(file_path, pos)` rows — per the table spec, the positions of deleted
+  * rows WITHIN the named data file. The read serves
+  * `data LEFT ANTI JOIN deletes ON (file, row-position)`, with the data
+  * side's row position coming from Spark's parquet `_metadata.row_index`
+  * (zero extra IO) and both paths normalized through [[PathUris]]. Delete
+  * rows are data-scale, not driver-scale: the delete parquet is read by
+  * Spark, never collected, and AQE broadcasts the (typically tiny) delete
+  * side. Sequence-number scoping is unnecessary for positional deletes —
+  * data file paths are never reused, so a delete row either names an
+  * active file or matches nothing.
+  *
   * Scale model: metadata is O(manifests + entries) driver work — the same
   * replay every Iceberg reader performs — and the data path is Spark's
   * parquet source with pushdown/pruning intact. Guard rails (directed):
-  * format-version > 2; v2 DELETE manifests / delete data files
-  * (merge-on-read row deletes change results — compact first); non-parquet
-  * data file formats. */
+  * format-version > 2; v2 EQUALITY delete files (they need full
+  * field-id-based column matching — compact first); non-parquet data or
+  * delete file formats. */
 object IcebergTable {
   final case class UnsupportedIceberg(msg: String) extends RuntimeException(msg)
 
@@ -146,19 +159,41 @@ object IcebergTable {
 
   private def readImpl(spark: SparkSession, table: String,
       snapshotId: Option[Long], partitionFilter: Map[String, String]): DataFrame = {
-    val (sparkSchema, paths) =
+    val (sparkSchema, paths, deletePaths) =
       activeFiles(spark, table, snapshotId, partitionFilter)
-    if (paths.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
-    else spark.read.schema(sparkSchema).parquet(paths: _*)
+    assemble(spark, sparkSchema, paths, deletePaths)
   }
 
-  /** The snapshot's (table schema, resolved active data-file paths) —
-    * pure metadata work: manifest-list + manifest replay, no data IO. */
+  /** `data ANTI JOIN positional-deletes` — or the plain parquet scan when
+    * the snapshot carries no deletes (the metadata columns and the join
+    * never enter that plan). */
+  private def assemble(spark: SparkSession, sparkSchema: StructType,
+      paths: Seq[String], deletePaths: Seq[String]): DataFrame = {
+    if (paths.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
+    val data = spark.read.schema(sparkSchema).parquet(paths: _*)
+    if (deletePaths.isEmpty) return data
+    // the delete files' spec schema: file_path (string), pos (long); a
+    // delete file may also carry the deleted `row` struct — not selected
+    val dels = spark.read.parquet(deletePaths: _*)
+      .select(PathUris.canonCol(col("file_path")).as("__del_path"),
+        col("pos").cast("long").as("__del_pos"))
+    val withMeta = data
+      .withColumn("__row_path", PathUris.canonCol(col("_metadata.file_path")))
+      .withColumn("__row_pos", col("_metadata.row_index"))
+    withMeta.join(dels,
+        withMeta("__row_path") === dels("__del_path") &&
+          withMeta("__row_pos") === dels("__del_pos"), "left_anti")
+      .drop("__row_path", "__row_pos")
+  }
+
+  /** The snapshot's (table schema, resolved active data-file paths,
+    * resolved active positional-delete-file paths) — pure metadata work:
+    * manifest-list + manifest replay, no data IO. */
   private def activeFiles(spark: SparkSession, table: String,
       snapshotId: Option[Long], partitionFilter: Map[String, String])
-      : (StructType, Seq[String]) = {
+      : (StructType, Seq[String], Seq[String]) = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val fs = new Path(table).getFileSystem(conf)
     val metaPath = latestMetadata(fs, table)
@@ -180,7 +215,7 @@ object IcebergTable {
 
     val snaps = (meta \ "snapshots").extractOpt[Seq[JValue]].getOrElse(Nil)
     if (snaps.isEmpty) // a created-but-never-written table: empty, typed
-      return (sparkSchema, Nil)
+      return (sparkSchema, Nil, Nil)
     val targetId = snapshotId.getOrElse {
       (meta \ "current-snapshot-id").extractOpt[Long].getOrElse(
         throw UnsupportedIceberg(s"$table: no current-snapshot-id"))
@@ -206,14 +241,10 @@ object IcebergTable {
             s"$table: snapshot $targetId has neither manifest-list nor manifests"))
           .map(p => (p, 0))
     }
-    val deleteManifests = manifestPaths.filter(_._2 != 0)
-    if (deleteManifests.nonEmpty) throw UnsupportedIceberg(
-      s"$table: ${deleteManifests.size} DELETE manifests in snapshot " +
-        s"$targetId — merge-on-read row deletes are not implemented " +
-        "(compact/rewrite the table)")
-
     // ALL manifests in one fan-out (grouped by writer schema inside
-    // readFiles) — a snapshot with hundreds of manifests costs O(1) jobs
+    // readFiles) — a snapshot with hundreds of manifests costs O(1) jobs.
+    // DELETE manifests (list content = 1) replay exactly like data
+    // manifests: their entries' data_file.content distinguishes the kind.
     val m = AvroOcf.readFiles(spark,
       manifestPaths.map(p => resolvePath(table, location, p._1)))
     val dfCols = m.select(col("data_file.*")).columns.toSet
@@ -221,15 +252,18 @@ object IcebergTable {
       if (dfCols.contains("content")) col("data_file.content")
       else org.apache.spark.sql.functions.lit(0)
     // identity-partition pruning at the MANIFEST level: the match rides
-    // as a boolean so the delete-file GUARD still sees every entry (a
-    // delete file outside the filter still invalidates matching rows)
+    // as a boolean so DELETE files still see every entry (a delete file
+    // outside the filter still invalidates matching rows); coalesce makes
+    // a NULL partition value (legal per spec) read as non-matching
+    // instead of blowing up the collected row
     val matchCol =
       if (partitionFilter.isEmpty) org.apache.spark.sql.functions.lit(true)
       else if (!dfCols.contains("partition"))
         org.apache.spark.sql.functions.lit(false)
-      else partitionFilter.map { case (k, v) =>
-        col(s"data_file.partition.$k").cast("string") === v
-      }.reduce(_ && _)
+      else org.apache.spark.sql.functions.coalesce(
+        partitionFilter.map { case (k, v) =>
+          col(s"data_file.partition.$k").cast("string") === v
+        }.reduce(_ && _), org.apache.spark.sql.functions.lit(false))
     val allEntries = m.select(col("status"), contentCol.as("content"),
         col("data_file.file_path"), col("data_file.file_format"),
         matchCol.as("matches"))
@@ -237,18 +271,23 @@ object IcebergTable {
         (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3),
           r.getBoolean(4))
       }.toSeq
-    val dataFiles = allEntries.filter(e => e._5 || e._2 != 0)
+    // content: 0 data, 1 position deletes, 2 equality deletes
+    val kept = allEntries.filter(e => e._5 || e._2 != 0)
       .map(e => (e._1, e._2, e._3, e._4))
-    val deletes = dataFiles.filter(f => f._1 != 2 && f._2 != 0)
-    if (deletes.nonEmpty) throw UnsupportedIceberg(
-      s"$table: ${deletes.size} delete files in snapshot $targetId — " +
-        "merge-on-read row deletes are not implemented")
-    val active = dataFiles.filter(_._1 != 2) // 0 existing, 1 added, 2 deleted
+    val active = kept.filter(_._1 != 2) // status 0 existing, 1 added, 2 deleted
+    val equality = active.filter(_._2 == 2)
+    if (equality.nonEmpty) throw UnsupportedIceberg(
+      s"$table: ${equality.size} EQUALITY delete files in snapshot " +
+        s"$targetId — only positional deletes are implemented " +
+        "(compact/rewrite the table)")
     active.find(!_._4.equalsIgnoreCase("PARQUET")).foreach { f =>
       throw UnsupportedIceberg(
         s"$table: data file format ${f._4} (parquet only)")
     }
-    (sparkSchema, active.map(f => resolvePath(table, location, f._3)))
+    val (posDeletes, dataFiles) = active.partition(_._2 == 1)
+    (sparkSchema,
+      dataFiles.map(f => resolvePath(table, location, f._3)),
+      posDeletes.map(f => resolvePath(table, location, f._3)))
   }
 
   /** Incremental consumption: rows of the data files ACTIVE in
@@ -275,15 +314,16 @@ object IcebergTable {
           s"$fromSnapshotId at $fromTs ms, to $t at $toTs ms) — a " +
           "reversed diff would serve superseded files")
     // both active sets are METADATA (manifest replays); the diff costs
-    // zero data reads
-    val (_, before) = activeFiles(spark, table, Some(fromSnapshotId), Map.empty)
-    val (schema, after) = activeFiles(spark, table, toSnapshotId, Map.empty)
+    // zero data reads. The TO snapshot's positional deletes apply to the
+    // fresh files (a row added and deleted within the range never
+    // existed for a consumer of the range's end state).
+    val (_, before, _) =
+      activeFiles(spark, table, Some(fromSnapshotId), Map.empty)
+    val (schema, after, deletes) =
+      activeFiles(spark, table, toSnapshotId, Map.empty)
     val beforeSet = before.toSet
     val fresh = after.filterNot(beforeSet)
-    if (fresh.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(fresh: _*)
+    assemble(spark, schema, fresh, if (fresh.isEmpty) Nil else deletes)
   }
 
   /** Snapshot log from the metadata: (snapshot id, timestamp ms,

@@ -221,25 +221,120 @@ class IcebergTableSpec extends SparkSpec {
       Map("lang" -> "xx")).count() == 0)
   }
 
-  test("guards are directed: delete manifests, delete files, version 3") {
+  /** A positional-delete parquet: spec schema (file_path string, pos long),
+    * one file under data/, returning its path. */
+  private def posDeleteFile(table: String, name: String,
+      rows: Seq[(String, Long)]): String = {
+    val df = rows.toDF("file_path", "pos")
+    df.coalesce(1).write.mode("overwrite").parquet(s"$table/tmp-$name")
+    val part = new java.io.File(s"$table/tmp-$name").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    new java.io.File(s"$table/data").mkdirs()
+    val target = s"$table/data/$name"
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(target))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$table/tmp-$name"))
+    target
+  }
+
+  test("v2 positional deletes: merge-on-read anti-join, time travel back") {
     val table = tmp()
-    val f0 = dataFile(table, "p0.parquet", Seq(1L))
-    val m0 = manifest(table, "m0.avro", Seq((1, 0, f0)))
-    val md = manifest(table, "md.avro", Seq((1, 1, f0))) // a delete file
-    val mlBad = manifestList(table, "snap-1.avro", Seq((m0, 0), (md, 1)))
-    writeMetadata(table, 2, s"""{
+    val f0 = dataFile(table, "p0.parquet", Seq(1L, 2L, 3L))
+    val f1 = dataFile(table, "p1.parquet", Seq(4L, 5L))
+    val m0 = manifest(table, "m0.avro", Seq((1, 0, f0), (1, 0, f1)))
+    val ml0 = manifestList(table, "snap-100.avro", Seq((m0, 0)))
+    // snapshot 200 deletes p0 row 1 (id=2) and p1 row 0 (id=4); the
+    // file_path spellings intentionally MIX bare and file: forms — the
+    // join must normalize both sides
+    val dl = posDeleteFile(table, "del0.parquet",
+      Seq((f0, 1L), (s"file:$f1", 0L)))
+    val md = manifest(table, "md.avro", Seq((1, 1, dl)))
+    val ml1 = manifestList(table, "snap-200.avro", Seq((m0, 0), (md, 1)))
+    writeMetadata(table, 3, s"""{
+      "format-version": 2, "table-uuid": "u", "location": "$table",
+      "current-snapshot-id": 200,
+      "schemas": [$schemaJson], "current-schema-id": 0,
+      "snapshots": [
+        {"snapshot-id": 100, "timestamp-ms": 0,
+         "summary": {"operation": "append"}, "manifest-list": "$ml0"},
+        {"snapshot-id": 200, "timestamp-ms": 1,
+         "summary": {"operation": "delete"}, "manifest-list": "$ml1"}
+      ]}""")
+    val cur = IcebergTable.read(spark, table).orderBy($"id")
+    assert(cur.columns.toSeq == Seq("id", "text"))
+    assert(cur.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "t1"), (3L, "t3"), (5L, "t5")))
+    // pre-delete snapshot still serves every row
+    val old = IcebergTable.read(spark, table, snapshotId = Some(100L))
+    assert(old.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+    // partition-free readAppended across the delete-only snapshot: no new
+    // data files, empty but typed
+    val appended = IcebergTable.readAppended(spark, table, 100L)
+    assert(appended.count() == 0 && appended.columns.toSeq == Seq("id", "text"))
+  }
+
+  test("positional deletes compose with identity-partition pruning") {
+    val table = tmp()
+    val fEn = dataFile(table, "pen.parquet", Seq(1L, 2L))
+    val fDe = dataFile(table, "pde.parquet", Seq(3L, 6L))
+    new java.io.File(s"$table/metadata").mkdirs()
+    val mp = s"$table/metadata/m0.avro"
+    AvroOcf.write(mp,
+      """{"type": "record", "name": "manifest_entry", "fields": [
+        |  {"name": "status", "type": "int"},
+        |  {"name": "data_file", "type": {"type": "record", "name": "r2",
+        |    "fields": [
+        |      {"name": "content", "type": "int"},
+        |      {"name": "file_path", "type": "string"},
+        |      {"name": "file_format", "type": "string"},
+        |      {"name": "record_count", "type": "long"},
+        |      {"name": "partition", "type": {"type": "record",
+        |        "name": "p", "fields": [
+        |          {"name": "lang", "type": ["null", "string"]}]}}
+        |    ]}}
+        |]}""".stripMargin,
+      Seq(Seq(1, Seq(0, fEn, "PARQUET", 2L, Seq("en"))),
+        Seq(1, Seq(0, fDe, "PARQUET", 2L, Seq("de")))))
+    // the delete file kills id=6 in the de partition; its own manifest
+    // entry carries a NULL partition value (spec-legal for delete files)
+    val dl = posDeleteFile(table, "del0.parquet", Seq((fDe, 1L)))
+    val md = s"$table/metadata/md.avro"
+    AvroOcf.write(md,
+      """{"type": "record", "name": "manifest_entry", "fields": [
+        |  {"name": "status", "type": "int"},
+        |  {"name": "data_file", "type": {"type": "record", "name": "r2",
+        |    "fields": [
+        |      {"name": "content", "type": "int"},
+        |      {"name": "file_path", "type": "string"},
+        |      {"name": "file_format", "type": "string"},
+        |      {"name": "record_count", "type": "long"},
+        |      {"name": "partition", "type": {"type": "record",
+        |        "name": "p", "fields": [
+        |          {"name": "lang", "type": ["null", "string"]}]}}
+        |    ]}}
+        |]}""".stripMargin,
+      Seq(Seq(1, Seq(1, dl, "PARQUET", 1L, Seq(null)))))
+    val ml = manifestList(table, "snap-1.avro", Seq((mp, 0), (md, 1)))
+    writeMetadata(table, 1, s"""{
       "format-version": 2, "table-uuid": "u", "location": "$table",
       "current-snapshot-id": 1,
       "schemas": [$schemaJson], "current-schema-id": 0,
       "snapshots": [{"snapshot-id": 1, "timestamp-ms": 0,
-        "summary": {"operation": "delete"}, "manifest-list": "$mlBad"}]}""")
-    val e = intercept[Exception] { IcebergTable.read(spark, table) }
-    assert(e.getMessage.contains("DELETE manifests"), e.getMessage)
+        "summary": {"operation": "append"}, "manifest-list": "$ml"}]}""")
+    // pruned to de: one data file served, the delete still applied
+    val pruned = IcebergTable.readPartitions(spark, table, Map("lang" -> "de"))
+    assert(pruned.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // unfiltered: everything minus the deleted row
+    assert(IcebergTable.read(spark, table).collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 2L, 3L))
+  }
 
-    // delete DATA file inside a data manifest (content=1 entry)
+  test("guards are directed: equality deletes, version 3, not-a-table") {
     val t2 = tmp()
     val g0 = dataFile(t2, "p0.parquet", Seq(1L))
-    val m2 = manifest(t2, "m0.avro", Seq((1, 0, g0), (1, 1, g0)))
+    // content=2 entry: an EQUALITY delete file
+    val m2 = manifest(t2, "m0.avro", Seq((1, 0, g0), (1, 2, g0)))
     val ml2 = manifestList(t2, "snap-1.avro", Seq((m2, 0)))
     writeMetadata(t2, 2, s"""{
       "format-version": 2, "table-uuid": "u", "location": "$t2",
@@ -248,7 +343,7 @@ class IcebergTableSpec extends SparkSpec {
       "snapshots": [{"snapshot-id": 1, "timestamp-ms": 0,
         "summary": {"operation": "append"}, "manifest-list": "$ml2"}]}""")
     val e2 = intercept[Exception] { IcebergTable.read(spark, t2) }
-    assert(e2.getMessage.contains("delete files"), e2.getMessage)
+    assert(e2.getMessage.contains("EQUALITY delete"), e2.getMessage)
 
     val t3 = tmp()
     writeMetadata(t3, 1, s"""{"format-version": 3, "location": "$t3",
