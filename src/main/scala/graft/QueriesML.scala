@@ -450,6 +450,97 @@ object QueriesML {
         IcebergTable.read(s, table).select($"id", $"text").orderBy($"id")
       }),
 
+    // --------------------------------------------- Delta deletion vectors
+    // Merge-on-read the Databricks-default way: adds carry DV descriptors
+    // (one uuid-pathed .bin sidecar, one inline z85 payload) whose
+    // RoaringBitmapArray bitmaps name deleted row positions. Files are
+    // written in id order, so the oracle recomputes survivors from the
+    // per-bucket rank: bucket 0 loses every 4th row, bucket 1 its first
+    // two, bucket 2 is untouched (mixed clean/DV'd table).
+    Q("q172_delta_dv", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 150),
+           b AS (SELECT o_orderkey AS id,
+                        'doc-' || CAST(rn0 AS VARCHAR) AS text,
+                        o_orderkey % 3 AS bucket,
+                        row_number() OVER (PARTITION BY o_orderkey % 3
+                                           ORDER BY o_orderkey) - 1 AS pos
+                 FROM o)
+      SELECT id, text, CAST(bucket AS VARCHAR) AS bucket FROM b
+      WHERE NOT (bucket = 0 AND pos % 4 = 0)
+        AND NOT (bucket = 1 AND pos <= 1)
+      ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{DeletionVector, DeltaTable}
+        val table = Fixtures.dir("q172", d) { dir =>
+          val rows = Tables.orders(s, d).orderBy($"o_orderkey").limit(150)
+            .select($"o_orderkey".cast("long")).collect().map(_.getLong(0))
+            .zipWithIndex
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("bucket",
+              org.apache.spark.sql.types.StringType)))
+          def part(b: Int): (String, Int) = {
+            val ids = rows.filter(_._1 % 3 == b)
+            val df = s.createDataFrame(
+              s.sparkContext.parallelize(ids.map { case (k, i) =>
+                org.apache.spark.sql.Row(k, s"doc-$i")
+              }.toSeq, 1),
+              org.apache.spark.sql.types.StructType(schema.take(2)))
+            val rel = s"bucket=$b/part-00$b.parquet"
+            df.coalesce(1).write.mode("overwrite").parquet(s"$dir/tmp$b")
+            val f = new java.io.File(s"$dir/tmp$b").listFiles()
+              .find(_.getName.endsWith(".parquet")).get
+            new java.io.File(s"$dir/bucket=$b").mkdirs()
+            java.nio.file.Files.move(f.toPath,
+              java.nio.file.Paths.get(s"$dir/$rel"))
+            (rel, ids.length)
+          }
+          val parts = (0 to 2).map(part)
+          // bucket 0: uuid-pathed sidecar DV killing positions 0,4,8,…
+          val uuid = new java.util.UUID(0x7121000071210000L, 42L)
+          val uuidBytes = java.nio.ByteBuffer.allocate(16)
+            .putLong(uuid.getMostSignificantBits)
+            .putLong(uuid.getLeastSignificantBits).array()
+          val del0 = (0 until parts(0)._2 by 4).map(_.toLong).toArray
+          val (off0, size0) = DeletionVector.writeFile(
+            s"$dir/deletion_vector_$uuid.bin",
+            DeletionVector.serialize(del0),
+            s.sparkContext.hadoopConfiguration)
+          val pod0 = DeletionVector.z85Encode(uuidBytes)
+          // bucket 1: inline DV killing positions 0 and 1
+          val data1 = DeletionVector.serialize(Array(0L, 1L))
+          val pod1 = DeletionVector.z85Encode(
+            data1 ++ Array.fill((4 - data1.length % 4) % 4)(0.toByte))
+          val schemaStr = schema.json.replace("\"", "\\\"")
+          def add(rel: String, b: Int, dv: String): String =
+            s"""{"add":{"path":"$rel","partitionValues":{"bucket":"$b"},""" +
+              s""""size":1000,"modificationTime":0,"dataChange":true$dv}}"""
+          new java.io.File(s"$dir/_delta_log").mkdirs()
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/_delta_log/" + "0" * 20 + ".json"),
+            (Seq(
+              """{"commitInfo":{"timestamp":1750000000000,"operation":"WRITE"}}""",
+              """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+                """"readerFeatures":["deletionVectors"],""" +
+                """"writerFeatures":["deletionVectors"]}}""",
+              s"""{"metaData":{"id":"q172","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":["bucket"],"configuration":{},"createdTime":0}}""") ++
+              Seq(
+                add(parts(0)._1, 0,
+                  s""","deletionVector":{"storageType":"u","pathOrInlineDv":"$pod0","offset":$off0,"sizeInBytes":$size0,"cardinality":${del0.length}}"""),
+                add(parts(1)._1, 1,
+                  s""","deletionVector":{"storageType":"i","pathOrInlineDv":"$pod1","sizeInBytes":${data1.length},"cardinality":2}"""),
+                add(parts(2)._1, 2, "")))
+              .mkString("\n").getBytes("UTF-8"))
+        }
+        DeltaTable.read(s, table).select($"id", $"text", $"bucket")
+          .orderBy($"id")
+      }),
+
     // ----------------------------------------- Iceberg v2 positional deletes
     // Merge-on-read: a DELETE manifest names a parquet delete file of
     // (file_path, pos) rows — positions WITHIN each data file. Files are

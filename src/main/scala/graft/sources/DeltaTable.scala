@@ -25,22 +25,35 @@ import org.json4s.jackson.JsonMethods
   * partition tuple so a snapshot plans one parquet relation per
   * partition value set, unioned by name.
   *
+  * Deletion vectors ARE read (PROTOCOL.md "Deletion Vectors" — the
+  * Databricks-default row-delete mechanism since 2023): each active
+  * add's DV descriptor is decoded through [[DeletionVector]] on
+  * EXECUTORS (z85 → framed blob → portable RoaringBitmapArray) into
+  * `(file, deleted row index)` rows, and the scan serves
+  * `data LEFT ANTI JOIN deletes ON (file, _metadata.row_index)` — the
+  * same plan shape as the Iceberg positional-delete path, paths
+  * normalized by [[PathUris]]. DV row counts are data-scale, never
+  * collected to the driver.
+  *
   * Guard rails (directed, never silent): minReaderVersion > 1 is
   * rejected unless it is version 3 whose `readerFeatures` are all
-  * understood-as-harmless here (`timestampNtz`, `v2Checkpoint` is NOT —
-  * see below); deletion vectors and column mapping change row/column
-  * decoding and are rejected by feature name. */
+  * either implemented (`deletionVectors`) or understood-as-harmless
+  * here (`timestampNtz`; `v2Checkpoint` is NOT — see below); column
+  * mapping changes column decoding and is rejected by feature name. */
 object DeltaTable {
   final case class UnsupportedDelta(msg: String) extends RuntimeException(msg)
 
   private implicit val formats: Formats = DefaultFormats
 
   /** Reader features that do not alter how a v1 reader decodes data
-    * files. Anything else in readerFeatures is a directed error. */
-  private val HarmlessReaderFeatures = Set("timestampNtz", "vacuumProtocolCheck")
+    * files, plus the features this reader IMPLEMENTS. Anything else in
+    * readerFeatures is a directed error. */
+  private val HarmlessReaderFeatures =
+    Set("timestampNtz", "vacuumProtocolCheck", "deletionVectors")
 
   private final case class AddFile(path: String,
-      partitionValues: Map[String, String], hasDv: Boolean)
+      partitionValues: Map[String, String],
+      dv: Option[DeletionVector.Descriptor])
 
   private final case class Snapshot(version: Long, schemaJson: String,
       partitionColumns: Seq[String], files: Seq[AddFile])
@@ -129,7 +142,7 @@ object DeltaTable {
           s"minReaderVersion $minReader (1, or 3 with harmless readerFeatures, only)")
       if (minReader == 3 && bad.nonEmpty) throw UnsupportedDelta(
         s"reader features ${bad.mkString(", ")} change data decoding " +
-          "(deletion vectors / column mapping are not implemented)")
+          "(column mapping / v2 checkpoints are not implemented)")
     }
 
     // checkpoint first: one row per action, struct columns
@@ -153,15 +166,27 @@ object DeltaTable {
       }
       if (colsPresent.contains("add")) {
         val addCols = cp.select(col("add.*")).columns.toSet
-        val dvCol =
+        val dvSel: Seq[org.apache.spark.sql.Column] =
           if (addCols.contains("deletionVector"))
-            col("add.deletionVector").isNotNull
-          else lit(false)
-        cp.select(col("add.path"), col("add.partitionValues"), dvCol)
+            Seq(col("add.deletionVector.storageType"),
+              col("add.deletionVector.pathOrInlineDv"),
+              col("add.deletionVector.offset"),
+              col("add.deletionVector.sizeInBytes"),
+              col("add.deletionVector.cardinality"))
+          else Seq(lit(null).cast("string"), lit(null).cast("string"),
+            lit(null).cast("int"), lit(null).cast("int"),
+            lit(null).cast("long"))
+        cp.select(Seq(col("add.path"), col("add.partitionValues")) ++ dvSel: _*)
           .filter(col("path").isNotNull).collect().foreach { r =>
+            val dv =
+              if (r.isNullAt(2)) None
+              else Some(DeletionVector.Descriptor(r.getString(2),
+                r.getString(3),
+                if (r.isNullAt(4)) None else Some(r.getInt(4)),
+                r.getInt(5), r.getLong(6)))
             files += r.getString(0) -> AddFile(r.getString(0),
               Option(r.getAs[Map[String, String]](1)).getOrElse(Map.empty),
-              r.getBoolean(2))
+              dv)
           }
       }
     }
@@ -203,7 +228,15 @@ object DeltaTable {
             val path = (j \ "add" \ "path").extract[String]
             val pv = (j \ "add" \ "partitionValues")
               .extractOpt[Map[String, String]].getOrElse(Map.empty)
-            val dv = (j \ "add" \ "deletionVector") != JNothing
+            val dv = (j \ "add" \ "deletionVector") match {
+              case o: JObject => Some(DeletionVector.Descriptor(
+                (o \ "storageType").extract[String],
+                (o \ "pathOrInlineDv").extract[String],
+                (o \ "offset").extractOpt[Int],
+                (o \ "sizeInBytes").extract[Int],
+                (o \ "cardinality").extract[Long]))
+              case _ => None
+            }
             files += path -> AddFile(path, pv, dv)
           case _ =>
         }
@@ -218,10 +251,6 @@ object DeltaTable {
 
     if (schemaJson == null) throw UnsupportedDelta(
       s"$table: log replay found no metaData action")
-    val withDv = files.values.filter(_.hasDv)
-    if (withDv.nonEmpty) throw UnsupportedDelta(
-      s"$table: ${withDv.size} active files carry deletion vectors — " +
-        "row-level deletes are not implemented (compact the table)")
     (Snapshot(latest, schemaJson, partitionColumns, files.values.toSeq),
       captured)
   }
@@ -242,19 +271,54 @@ object DeltaTable {
     val partCols = snap.partitionColumns
     val dataSchema = StructType(full.filterNot(f => partCols.contains(f.name)))
     val base = table.stripSuffix("/")
+    // add.path is percent-encoded whether relative OR absolute
+    // (PROTOCOL.md); strict RFC 3986 decoding, '+' untouched
     def resolve(rel: String): String =
-      if (rel.contains("://") || rel.startsWith("/")) rel
-      else s"$base/${java.net.URLDecoder.decode(rel, "UTF-8")}"
+      if (rel.contains("://") || rel.startsWith("/")) PathUris.pctDecode(rel)
+      else s"$base/${PathUris.pctDecode(rel)}"
     if (snap.files.isEmpty) {
       // an empty snapshot still has the table's schema
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
     }
+    // deletion vectors decode on executors: descriptors (driver metadata,
+    // one row per DV'd file) flat-map into (file, deleted row index) rows
+    val dvFiles = snap.files.filter(_.dv.isDefined)
+    val deletes: Option[DataFrame] = if (dvFiles.isEmpty) None else {
+      val tconf = TaskConf(
+        new Configuration(spark.sparkContext.hadoopConfiguration))
+      import spark.implicits._
+      val descs = dvFiles.map { f =>
+        val d = f.dv.get
+        (PathUris.canon(resolve(f.path)), d.storageType, d.pathOrInlineDv,
+          d.offset.getOrElse(-1), d.sizeInBytes, d.cardinality)
+      }
+      Some(spark.createDataset(descs)
+        .repartition(math.min(descs.size, 32))
+        .flatMap { case (dataPath, st, pod, off, size, card) =>
+          DeletionVector.positions(
+            DeletionVector.Descriptor(st, pod,
+              if (off < 0) None else Some(off), size, card),
+            base, tconf).iterator.map(pos => (dataPath, pos))
+        }.toDF("__del_path", "__del_pos"))
+    }
     // one parquet relation per distinct partition tuple, partition values
     // injected as typed literals
     val groups = snap.files.groupBy(_.partitionValues)
     val parts = groups.toSeq.map { case (pv, fs) =>
-      var df = spark.read.schema(dataSchema).parquet(fs.map(f => resolve(f.path)): _*)
+      var df = spark.read.schema(dataSchema)
+        .parquet(fs.map(f => resolve(f.path)): _*)
+      if (fs.exists(_.dv.isDefined)) {
+        val dels = deletes.get
+        val withMeta = df
+          .withColumn("__row_path",
+            PathUris.canonCol(col("_metadata.file_path")))
+          .withColumn("__row_pos", col("_metadata.row_index"))
+        df = withMeta.join(dels,
+            withMeta("__row_path") === dels("__del_path") &&
+              withMeta("__row_pos") === dels("__del_pos"), "left_anti")
+          .drop("__row_path", "__row_pos")
+      }
       partCols.foreach { c =>
         val t = full(c).dataType
         val raw = pv.get(c).filterNot(_ == "__HIVE_DEFAULT_PARTITION__").orNull

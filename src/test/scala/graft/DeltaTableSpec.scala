@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.sources.DeltaTable
+import graft.sources.{DeletionVector, DeltaTable}
 
 /** Delta Lake snapshot reads over hand-authored protocol fixtures (the
   * PROTOCOL.md shapes): log replay, add/remove reconciliation, partition
@@ -189,7 +189,7 @@ class DeltaTableSpec extends SparkSpec {
     assert(pruned.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
   }
 
-  test("reader guards are directed: versions, features, deletion vectors") {
+  test("reader guards are directed: versions, features") {
     val table = tmp()
     val f0 = dataFile(table, "lang=en/part-000.parquet", Seq(1L))
     writeCommit(table, 0, Seq(
@@ -198,14 +198,15 @@ class DeltaTableSpec extends SparkSpec {
     val e = intercept[Exception] { DeltaTable.read(spark, table) }
     assert(e.getMessage.contains("minReaderVersion 2"), e.getMessage)
 
+    // v3 with the deletionVectors feature (and no actual DVs) reads fine —
+    // the feature is implemented, not merely tolerated
     val t2 = tmp()
     val g0 = dataFile(t2, "lang=en/part-000.parquet", Seq(1L))
     writeCommit(t2, 0, Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
         """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
       metaDataJson, addJson(g0, "en")))
-    val e2 = intercept[Exception] { DeltaTable.read(spark, t2) }
-    assert(e2.getMessage.contains("deletionVectors"), e2.getMessage)
+    assert(DeltaTable.read(spark, t2).count() == 1)
 
     // v3 with only harmless features reads fine
     val t3 = tmp()
@@ -216,17 +217,15 @@ class DeltaTableSpec extends SparkSpec {
       metaDataJson, addJson(h0, "en")))
     assert(DeltaTable.read(spark, t3).count() == 1)
 
-    // an add carrying a deletion vector is rejected even under v1
+    // column mapping changes COLUMN decoding: still a directed error
     val t4 = tmp()
     val k0 = dataFile(t4, "lang=en/part-000.parquet", Seq(5L))
     writeCommit(t4, 0, Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-      metaDataJson,
-      s"""{"add":{"path":"$k0","partitionValues":{"lang":"en"},"size":10,""" +
-        s""""modificationTime":0,"dataChange":true,"deletionVector":""" +
-        s"""{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":1,"cardinality":1}}}"""))
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}""",
+      metaDataJson, addJson(k0, "en")))
     val e4 = intercept[Exception] { DeltaTable.read(spark, t4) }
-    assert(e4.getMessage.contains("deletion vectors"), e4.getMessage)
+    assert(e4.getMessage.contains("columnMapping"), e4.getMessage)
 
     // not a delta table
     val e5 = intercept[Exception] { DeltaTable.read(spark, tmp()) }
@@ -242,5 +241,130 @@ class DeltaTableSpec extends SparkSpec {
     writeCommit(t5, 2, Seq(addJson(m0, "en"))) // version 1 missing
     val e6 = intercept[Exception] { DeltaTable.read(spark, t5) }
     assert(e6.getMessage.contains("not contiguous"), e6.getMessage)
+  }
+
+  test("deletion vector codec: z85 + portable roaring round trips") {
+    // z85: the ZeroMQ spec-32 reference vector
+    assert(DeletionVector.z85Encode(
+      Array(0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B)
+        .map(_.toByte)) == "HelloWorld")
+    assert(DeletionVector.z85Decode("HelloWorld").toSeq ==
+      Seq(0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B).map(_.toByte))
+    // array container + a second 32-bit key (row index above 2^32)
+    val small = Array(0L, 1L, 5L, 70000L, (1L << 32) + 3L, (1L << 32) + 9L)
+    assert(DeletionVector.deserialize(
+      DeletionVector.serialize(small)).toSeq == small.toSeq)
+    // bitmap container: > 4096 values inside one 16-bit chunk
+    val dense = (0 until 5000).map(i => (i * 13 % 65536).toLong)
+      .distinct.sorted.toArray
+    assert(dense.length > 4096)
+    assert(DeletionVector.deserialize(
+      DeletionVector.serialize(dense)).toSeq == dense.toSeq)
+    // magic guard
+    val bad = DeletionVector.serialize(small)
+    bad(0) = 0x7f
+    val e = intercept[Exception] { DeletionVector.deserialize(bad) }
+    assert(e.getMessage.contains("magic"), e.getMessage)
+  }
+
+  test("deletion vectors applied: on-disk uuid path, inline, mixed groups") {
+    val table = tmp()
+    val f0 = dataFile(table, "lang=en/part-000.parquet",
+      Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    val f1 = dataFile(table, "lang=de/part-001.parquet", Seq(10L, 11L, 12L))
+    val f2 = dataFile(table, "lang=en/part-002.parquet", Seq(20L, 21L))
+    // DV for f0 (storageType u): kill positions 1 and 3 (ids 2, 4)
+    val uuid = new java.util.UUID(0x0123456789abcdefL, 0x0fedcba987654321L)
+    val uuidBytes = java.nio.ByteBuffer.allocate(16)
+      .putLong(uuid.getMostSignificantBits)
+      .putLong(uuid.getLeastSignificantBits).array()
+    val data0 = DeletionVector.serialize(Array(1L, 3L))
+    new java.io.File(s"$table/ab").mkdirs()
+    val (off0, size0) = DeletionVector.writeFile(
+      s"$table/ab/deletion_vector_$uuid.bin", data0,
+      spark.sparkContext.hadoopConfiguration)
+    val pod0 = "ab" + DeletionVector.z85Encode(uuidBytes)
+    // DV for f1 (inline): kill position 0 (id 10)
+    val data1 = DeletionVector.serialize(Array(0L))
+    val pod1 = DeletionVector.z85Encode(
+      data1 ++ Array.fill((4 - data1.length % 4) % 4)(0.toByte))
+    def addDv(path: String, lang: String, dv: String): String =
+      s"""{"add":{"path":"$path","partitionValues":{"lang":"$lang"},""" +
+        s""""size":1000,"modificationTime":0,"dataChange":true,""" +
+        s""""deletionVector":$dv}}"""
+    writeCommit(table, 0, Seq(
+      commitInfo("WRITE", 0),
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      metaDataJson,
+      addDv(f0, "en",
+        s"""{"storageType":"u","pathOrInlineDv":"$pod0","offset":$off0,""" +
+          s""""sizeInBytes":$size0,"cardinality":2}"""),
+      addDv(f1, "de",
+        s"""{"storageType":"i","pathOrInlineDv":"$pod1",""" +
+          s""""sizeInBytes":${data1.length},"cardinality":1}"""),
+      addJson(f2, "en"))) // the en group MIXES DV'd and clean files
+    val df = DeltaTable.read(spark, table).orderBy($"id")
+    assert(df.collect().map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "en"), (3L, "en"), (5L, "en"), (6L, "en"),
+        (11L, "de"), (12L, "de"), (20L, "en"), (21L, "en")))
+  }
+
+  test("deletion vectors: checkpoint descriptors and the crc guard") {
+    val table = tmp()
+    val f0 = dataFile(table, "lang=en/part-000.parquet", Seq(1L, 2L, 3L))
+    val data = DeletionVector.serialize(Array(2L)) // kill id 3
+    val (off, size) = DeletionVector.writeFile(
+      s"$table/dv0.bin", data, spark.sparkContext.hadoopConfiguration)
+    val dvJson =
+      s"""{"storageType":"p","pathOrInlineDv":"$table/dv0.bin",""" +
+        s""""offset":$off,"sizeInBytes":$size,"cardinality":1}"""
+    // checkpoint at v0 carrying the DV struct; no json tail survives
+    val ckptDvDdl =
+      "protocol struct<minReaderVersion:int,minWriterVersion:int," +
+        "readerFeatures:array<string>>, " +
+        "metaData struct<id:string,schemaString:string," +
+        "partitionColumns:array<string>>, " +
+        "add struct<path:string,partitionValues:map<string,string>," +
+        "size:bigint,modificationTime:bigint,dataChange:boolean," +
+        "deletionVector:struct<storageType:string,pathOrInlineDv:string," +
+        "offset:int,sizeInBytes:int,cardinality:bigint>>"
+    val actionLines = Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"]}}""",
+      metaDataJson,
+      s"""{"add":{"path":"$f0","partitionValues":{"lang":"en"},"size":10,""" +
+        s""""modificationTime":0,"dataChange":true,"deletionVector":$dvJson}}""")
+    val ckpt = spark.read.schema(ckptDvDdl).json(actionLines.toDS())
+    ckpt.coalesce(1).write.mode("overwrite")
+      .parquet(s"$table/_delta_log/ckpt.dir")
+    val part = new java.io.File(s"$table/_delta_log/ckpt.dir").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    new java.io.File(s"$table/_delta_log").mkdirs()
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(
+      f"$table/_delta_log/${0L}%020d.checkpoint.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$table/_delta_log/ckpt.dir"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$table/_delta_log/_last_checkpoint"),
+      """{"version":0,"size":3}""".getBytes("UTF-8"))
+    writeCommit(table, 1, Seq(commitInfo("OPTIMIZE", 1)))
+    assert(DeltaTable.read(spark, table).collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 2L))
+
+    // corrupt one DV byte: the checksum guard must refuse, directed
+    val raf = new java.io.RandomAccessFile(s"$table/dv0.bin", "rw")
+    raf.seek(off + 4 + 2); val b = raf.read(); raf.seek(off + 4 + 2)
+    raf.write(b ^ 0x40); raf.close()
+    // drop hadoop's LocalFS .crc sidecar so the DV-level guard (not the
+    // filesystem's) is what fires
+    new java.io.File(s"$table/.dv0.bin.crc").delete()
+    val e = intercept[Exception] {
+      DeltaTable.read(spark, table).collect()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("checksum") ||
+        Option(e.getCause).exists(_.getMessage.contains("checksum"))),
+      s"${e.getMessage} / ${Option(e.getCause).map(_.getMessage)}")
   }
 }
