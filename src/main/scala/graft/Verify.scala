@@ -22,6 +22,13 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      if (sys.env.contains("SPARK_GRAFT_VERIFY_TRACE"))
+        System.err.println(s"[verify] running $name")
+      // queries are independent: drop persisted frames so one query's
+      // cache never collides with an identically-canonicalized persist in
+      // a later one (q46/q69 share a ranked-bucket plan) or taxes its
+      // memory budget
+      spark.sharedState.cacheManager.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -389,14 +389,15 @@ object AvroOcf {
     n
   }
 
-  /** Spark external row values → the plain shapes [[toAvro]] expects. */
+  /** Spark external row values → the plain shapes [[toAvro]] expects.
+    * Temporals pass THROUGH unconverted: only [[toAvro]] sees the field
+    * schema, and a timestamp's long encoding depends on its logical type
+    * (millis vs micros) — converting here once stored micros into
+    * timestamp-millis fields, values 1000x wrong on read-back. */
   private def sparkToPlain(v: Any): Any = v match {
     case null => null
     case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
     case d: java.time.LocalDate => d.toEpochDay.toInt
-    case t: java.time.LocalDateTime =>
-      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
-        t.getNano / 1000L
     case dec: java.math.BigDecimal => dec.unscaledValue().toByteArray
     case s: scala.collection.Seq[_] => s.toSeq.map(sparkToPlain)
     case m: scala.collection.Map[_, _] =>
@@ -410,6 +411,26 @@ object AvroOcf {
     s.getType match {
       case Schema.Type.UNION =>
         toAvro(v, s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get)
+      case Schema.Type.LONG =>
+        // temporal encoding follows the FIELD's logical type: millis
+        // fields get epoch millis, everything else micros (the Avro spec
+        // defaults). Plain longs pass through — the caller owns their
+        // semantics ("cast upstream").
+        val millis = Option(s.getLogicalType).map(_.getName).exists(n =>
+          n == "timestamp-millis" || n == "local-timestamp-millis")
+        def fromMicros(us: Long): Long =
+          if (millis) Math.floorDiv(us, 1000L) else us
+        v match {
+          case t: java.time.LocalDateTime => fromMicros(
+            t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+              t.getNano / 1000L)
+          case t: java.time.Instant => fromMicros(
+            t.getEpochSecond * 1000000L + t.getNano / 1000L)
+          case t: java.sql.Timestamp =>
+            val i = t.toInstant
+            fromMicros(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+          case other => other
+        }
       case Schema.Type.BYTES => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
       case Schema.Type.ARRAY =>
         v.asInstanceOf[Seq[Any]].map(toAvro(_, s.getElementType)).asJava

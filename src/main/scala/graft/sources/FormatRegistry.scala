@@ -149,8 +149,12 @@ object FormatRegistry {
       case None if ext == "avro" =>
         // Avro OCF through the splittable reader on the bundled library
         // (spark-avro's DataSource is not shipped); globs and range splits
-        // are AvroOcf's own planning
-        AvroOcf.read(spark, uri)
+        // are AvroOcf's own planning. A DIRECTORY named *.avro (the
+        // writeShards out.avro/ layout) expands like the sniff branch —
+        // AvroOcf.read's file filter would otherwise see nothing in it
+        if (multi) AvroOcf.readFiles(spark,
+          GribIndex.expand(spark.sparkContext.hadoopConfiguration, uri))
+        else AvroOcf.read(spark, uri)
       case None if ext == "tfrecord" =>
         // raw record rows (file, record_index, content); typed feature
         // extraction needs a FeatureSpec — call TfRecord.examples directly

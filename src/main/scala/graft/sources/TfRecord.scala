@@ -28,8 +28,9 @@ import org.apache.spark.sql.types._
   * large shards fan out as record-aligned byte-range tasks instead —
   * the splittable path for coarse-sharded archives. Reads stream
   * sequentially through a buffered window, never materializing a shard.
-  * GZIP-compressed shards (`tf.io.TFRecordOptions` GZIP) are sniffed by
-  * magic bytes and inflated on the fly. A length field that overruns the
+  * Compressed shards (`tf.io.TFRecordOptions` GZIP or ZLIB) are sniffed
+  * by content — a verified plain-framing CRC beats any header byte — and
+  * inflated on the fly. A length field that overruns the
   * file or a CRC mismatch is a DIRECTED error (corrupt shard or a
   * compression-option mismatch), never silent corruption.
   *
@@ -263,23 +264,44 @@ object TfRecord {
     Option(org.apache.spark.TaskContext.get())
       .foreach(_.addTaskCompletionListener[Unit](_ =>
         try raw.close() catch { case _: java.io.IOException => }))
-    // GZIP option sniffed by magic, not extension — a mis-named shard
-    // must not garble the framing
-    if (sniffGzip(raw)) new GZIPInputStream(raw, 64 * 1024) else raw
+    // compression option (tf.io.TFRecordOptions: GZIP or ZLIB) sniffed by
+    // content, not extension — a mis-named shard must not garble the
+    // framing. A PLAIN shard is recognized positively by its first
+    // record's length CRC-32C, so a record whose length bytes happen to
+    // spell a zlib/gzip header can never be mis-inflated.
+    sniffHead(raw) match {
+      case ShardGzip => new GZIPInputStream(raw, 64 * 1024)
+      case ShardZlib => new java.util.zip.InflaterInputStream(raw,
+        new java.util.zip.Inflater(), 64 * 1024)
+      case ShardPlain => raw
+    }
   }
 
-  /** Looped 2-byte magic probe (a single read() may legally return one
-    * byte); leaves the stream positioned at 0. */
-  private def sniffGzip(raw: org.apache.hadoop.fs.FSDataInputStream): Boolean = {
-    val head = new Array[Byte](2)
+  private sealed trait ShardEncoding
+  private case object ShardPlain extends ShardEncoding
+  private case object ShardGzip extends ShardEncoding
+  private case object ShardZlib extends ShardEncoding
+
+  /** Looped 12-byte head probe (a single read() may legally return one
+    * byte); leaves the stream positioned at 0. Plain framing wins when
+    * the first record's length CRC verifies; otherwise the gzip magic,
+    * then the zlib header (0x78 CMF with a valid FCHECK). */
+  private def sniffHead(
+      raw: org.apache.hadoop.fs.FSDataInputStream): ShardEncoding = {
+    val head = new Array[Byte](12)
     var got = 0
     var r = 0
-    while (got < 2 && r >= 0) {
-      r = raw.read(head, got, 2 - got)
+    while (got < 12 && r >= 0) {
+      r = raw.read(head, got, 12 - got)
       if (r > 0) got += r
     }
     raw.seek(0L)
-    got == 2 && head(0) == 0x1f.toByte && head(1) == 0x8b.toByte
+    if (got >= 12 && maskedCrc(head, 0, 8) == le32(head, 8)) ShardPlain
+    else if (got >= 2 && head(0) == 0x1f.toByte && head(1) == 0x8b.toByte)
+      ShardGzip
+    else if (got >= 2 && head(0) == 0x78.toByte &&
+      ((head(0) & 0xff) * 256 + (head(1) & 0xff)) % 31 == 0) ShardZlib
+    else ShardPlain // let the framing CRC produce the directed error
   }
 
   /** `.idx` sidecars and their (attempt-unique) temp files are never
@@ -312,8 +334,8 @@ object TfRecord {
         val path = new Path(uri)
         val fs = path.getFileSystem(c)
         val probe = fs.open(path)
-        val gz = try sniffGzip(probe) finally probe.close()
-        if (gz) 0
+        val compressed = try sniffHead(probe) != ShardPlain finally probe.close()
+        if (compressed) 0
         else {
           // attempt-unique temp + rename: speculative/zombie attempts must
           // never interleave writes into one file (the writeShards rule)
@@ -797,11 +819,16 @@ object TfRecord {
 
   /** Fixture/export writer: one shard from in-memory records. */
   def write(path: String, recordsSeq: Seq[Array[Byte]], gzip: Boolean = false,
-      conf: Configuration = new Configuration()): Unit = {
+      conf: Configuration = new Configuration(),
+      zlib: Boolean = false): Unit = {
+    require(!(gzip && zlib), "gzip and zlib are exclusive TFRecordOptions")
     val p = new Path(path)
     val raw = p.getFileSystem(conf).create(p, true)
     val out: java.io.OutputStream =
-      if (gzip) new GZIPOutputStream(raw, 64 * 1024) else raw
+      if (gzip) new GZIPOutputStream(raw, 64 * 1024)
+      else if (zlib) new java.util.zip.DeflaterOutputStream(raw,
+        new java.util.zip.Deflater(), 64 * 1024)
+      else raw
     try recordsSeq.foreach(writeRecord(out, _)) finally out.close()
   }
 

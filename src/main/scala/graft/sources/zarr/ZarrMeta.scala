@@ -587,13 +587,12 @@ object ZarrMeta {
       case _ => throw new IllegalArgumentException(
         s"$refsPath: refs json without a refs object")
     }
-    // `gen` entries are genuinely dynamic (jinja loops generating keys) —
-    // directed error; `templates` are static named substitutions
-    // (kerchunk's MultiZarrToZarr URL dedup) and expand right here, so
-    // published third-party refs files load, not just self-produced ones
-    require((root \ "gen") == JNothing,
-      s"$refsPath uses jinja gen expressions — only static refs (with or " +
-        "without templates) are supported")
+    // `templates` are static named substitutions (kerchunk's
+    // MultiZarrToZarr URL dedup) and expand right here; `gen` entries
+    // (declared integer/value ranges over {{name}} placeholders) expand
+    // below, so published third-party refs files load, not just
+    // self-produced ones. Jinja beyond plain {{name}} substitution stays
+    // a directed error.
     val templates: Map[String, String] = (root \ "templates") match {
       case JNothing | JNull => Map.empty
       case JObject(fs) => fs.map {
@@ -643,7 +642,172 @@ object ZarrMeta {
           JArray(JString(subst(uri, tv)) :: rest)
         case other => other // inline payloads are never templated
       }
-    refsObj.map { case (k, v) => k -> expand(v) }.toMap
+    // `gen` (reference-spec v1): each entry is a key/url template over a
+    // cartesian product of declared dimensions — start/stop/step ranges
+    // or explicit value lists. Pure {{name}} substitution, statically
+    // expanded; arithmetic jinja ({{(i+1)*1000}}) fails directed on the
+    // residual braces inside subst. Generated keys never shadow explicit
+    // refs (the store's own keys win).
+    val genRefs: Seq[(String, JValue)] = (root \ "gen") match {
+      case JNothing | JNull => Nil
+      case JArray(entries) => entries.flatMap { e =>
+        val keyT = (e \ "key").extractOpt[String].getOrElse(
+          throw new IllegalArgumentException(
+            s"$refsPath: gen entry without a key template"))
+        val urlT = (e \ "url").extractOpt[String].getOrElse(
+          throw new IllegalArgumentException(
+            s"$refsPath: gen entry without a url template"))
+        def numT(field: String): Option[String] = (e \ field) match {
+          case JNothing | JNull => None
+          case JString(s) => Some(s)
+          case JInt(n) => Some(n.toString)
+          case other => throw new IllegalArgumentException(
+            s"$refsPath: gen $field is neither string nor integer: $other")
+        }
+        val offT = numT("offset")
+        val lenT = numT("length")
+        val dimVals: Seq[(String, Seq[String])] = (e \ "dimensions") match {
+          case JObject(ds) => ds.map { case (n, spec) =>
+            spec match {
+              case JArray(vs) => n -> vs.map {
+                case JString(s) => s
+                case JInt(i) => i.toString
+                case other => throw new IllegalArgumentException(
+                  s"$refsPath: gen dimension '$n' value $other is neither " +
+                    "string nor integer")
+              }
+              case o: JObject =>
+                val start = (o \ "start").extractOpt[Long].getOrElse(0L)
+                val stop = (o \ "stop").extractOpt[Long].getOrElse(
+                  throw new IllegalArgumentException(
+                    s"$refsPath: gen dimension '$n' range without stop"))
+                val step = (o \ "step").extractOpt[Long].getOrElse(1L)
+                require(step > 0,
+                  s"$refsPath: gen dimension '$n' step $step must be > 0")
+                n -> (start until stop by step).map(_.toString)
+              case other => throw new IllegalArgumentException(
+                s"$refsPath: gen dimension '$n' is neither a range object " +
+                  s"nor a value list: $other")
+            }
+          }
+          case other => throw new IllegalArgumentException(
+            s"$refsPath: gen entry dimensions is not an object: $other")
+        }
+        val product = dimVals.map(_._2.size.toLong).product
+        require(product < 5000000L,
+          s"$refsPath: gen expansion of $product keys exceeds the " +
+            "5M-key materialization bound")
+        val combos = dimVals.foldLeft(Seq(Map.empty[String, String])) {
+          case (acc, (n, vals)) =>
+            acc.flatMap(m => vals.map(v => m + (n -> v)))
+        }
+        // gen placeholders allow integer arithmetic over the dimension
+        // variables ({{(i + 1) * 1000}} is the reference-spec's own
+        // example) beside plain {{name}} lookup; anything else (jinja
+        // loops, filters, string ops) fails directed
+        val genPat = java.util.regex.Pattern.compile("""\{\{(.*?)\}\}""")
+        def genSubst(s: String, svars: Map[String, String]): String = {
+          val nvars = svars.flatMap { case (k, v) =>
+            v.toLongOption.map(k -> _)
+          }
+          val m = genPat.matcher(s)
+          val sb = new StringBuilder
+          while (m.find()) {
+            val body = m.group(1).trim
+            val rep = svars.getOrElse(body,
+              evalIntExpr(body, nvars).map(_.toString).getOrElse(
+                throw new IllegalArgumentException(
+                  s"$refsPath: gen expression '{{$body}}' is neither a " +
+                    "declared name nor integer arithmetic over the " +
+                    "entry's dimensions")))
+            m.appendReplacement(sb.underlying,
+              java.util.regex.Matcher.quoteReplacement(rep))
+          }
+          m.appendTail(sb.underlying)
+          sb.toString
+        }
+        combos.map { vars =>
+          val all = tv ++ vars
+          val key = genSubst(keyT, all)
+          val url = genSubst(urlT, all)
+          (offT, lenT) match {
+            case (Some(o), Some(l)) => key -> (JArray(List(JString(url),
+              JInt(BigInt(genSubst(o, all))),
+              JInt(BigInt(genSubst(l, all))))): JValue)
+            case _ => key -> (JArray(List(JString(url))): JValue)
+          }
+        }
+      }
+      case other => throw new IllegalArgumentException(
+        s"$refsPath: 'gen' is not an array: $other")
+    }
+    val explicit = refsObj.map { case (k, v) => k -> expand(v) }.toMap
+    genRefs.filterNot(g => explicit.contains(g._1)).toMap ++ explicit
+  }
+
+  /** Integer arithmetic over named variables: `+ - * / %`, parens, unary
+    * minus. Returns None on any syntax/name/type failure — the caller
+    * owns the directed error. */
+  private def evalIntExpr(s: String, vars: Map[String, Long]): Option[Long] = {
+    var i = 0
+    final class Bail extends RuntimeException
+    def bail(): Nothing = throw new Bail
+    def skip(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    def expr(): Long = {
+      var v = term()
+      skip()
+      while (i < s.length && (s.charAt(i) == '+' || s.charAt(i) == '-')) {
+        val op = s.charAt(i); i += 1
+        val t = term()
+        v = if (op == '+') v + t else v - t
+        skip()
+      }
+      v
+    }
+    def term(): Long = {
+      var v = factor()
+      skip()
+      while (i < s.length && "*/%".indexOf(s.charAt(i)) >= 0) {
+        val op = s.charAt(i); i += 1
+        val f = factor()
+        if ((op == '/' || op == '%') && f == 0) bail()
+        v = op match {
+          case '*' => v * f
+          case '/' => v / f
+          case _ => v % f
+        }
+        skip()
+      }
+      v
+    }
+    def factor(): Long = {
+      skip()
+      if (i >= s.length) bail()
+      val c = s.charAt(i)
+      if (c == '(') {
+        i += 1
+        val v = expr()
+        skip()
+        if (i >= s.length || s.charAt(i) != ')') bail()
+        i += 1
+        v
+      } else if (c == '-') { i += 1; -factor() }
+      else if (c.isDigit) {
+        val st = i
+        while (i < s.length && s.charAt(i).isDigit) i += 1
+        s.substring(st, i).toLong
+      } else if (c.isLetter || c == '_') {
+        val st = i
+        while (i < s.length &&
+          (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        vars.getOrElse(s.substring(st, i), bail())
+      } else bail()
+    }
+    try {
+      val v = expr()
+      skip()
+      if (i == s.length) Some(v) else None
+    } catch { case _: Bail | _: NumberFormatException => None }
   }
 
   /** Directory relative ref targets resolve against. */

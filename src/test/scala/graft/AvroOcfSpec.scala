@@ -151,6 +151,46 @@ class AvroOcfSpec extends SparkSpec {
     assert(AvroOcf.read(spark, s"$dir/out/shard-*.avro").count() == 60)
   }
 
+  test("writeShards temporal encoding follows the field's logical type") {
+    val dir = tmp()
+    val ts = "2026-02-03 04:05:06.789"
+    val df = spark.range(3).select(
+      $"id",
+      (to_timestamp_ntz(lit(ts)) + make_interval(
+        lit(0), lit(0), lit(0), lit(0), lit(0), lit(0), $"id")).as("t_ms"),
+      (to_timestamp_ntz(lit(ts)) + make_interval(
+        lit(0), lit(0), lit(0), lit(0), lit(0), lit(0), $"id")).as("t_us"))
+    val schema =
+      """{"type": "record", "name": "T", "fields": [
+           {"name": "id", "type": "long"},
+           {"name": "t_ms", "type": {"type": "long",
+             "logicalType": "local-timestamp-millis"}},
+           {"name": "t_us", "type": {"type": "long",
+             "logicalType": "local-timestamp-micros"}}
+         ]}"""
+    AvroOcf.writeShards(df.repartition(1), s"$dir/t", schema)
+    // read back through the logical-type mapping: BOTH columns must carry
+    // the original wall-clock instant — a micros value stored into the
+    // millis field would read 1000x off
+    val back = AvroOcf.read(spark, s"$dir/t/shard-*.avro").orderBy($"id")
+      .collect()
+    (0 until 3).foreach { i =>
+      val want = java.time.LocalDateTime.parse(s"2026-02-03T04:05:0${6 + i}.789")
+      assert(back(i).getAs[java.time.LocalDateTime]("t_ms") == want,
+        s"t_ms row $i: ${back(i).get(1)}")
+      assert(back(i).getAs[java.time.LocalDateTime]("t_us") == want,
+        s"t_us row $i: ${back(i).get(2)}")
+    }
+  }
+
+  test("FormatRegistry opens a DIRECTORY named *.avro (writeShards layout)") {
+    val dir = tmp()
+    val df = spark.range(20).select($"id", concat(lit("p"), $"id").as("payload"))
+    AvroOcf.writeShards(df.repartition(3), s"$dir/out.avro", flatSchema)
+    val got = graft.sources.FormatRegistry.open(spark, s"$dir/out.avro")
+    assert(got.columns.toSeq == Seq("id", "payload") && got.count() == 20)
+  }
+
   test("recordsFrom streams arriving OCFs: stream == batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits.newProductEncoder

@@ -676,7 +676,7 @@ class KerchunkSpec extends SparkSpec {
     java.util.Base64.getEncoder.encodeToString(bb.array())
   }
 
-  test("templated refs expand {{name}} url substitutions; gen stays directed") {
+  test("templated refs expand {{name}} url substitutions") {
     val dir = java.nio.file.Files.createTempDirectory("kcj").toString
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/data"))
     val xs = java.nio.ByteBuffer.allocate(32)
@@ -711,15 +711,73 @@ class KerchunkSpec extends SparkSpec {
       spark.read.format("zarr").load(s"$dir/bad.json").collect()
     }
     assert(e1.getMessage.contains("not a declared template"), e1.getMessage)
-    // gen entries are genuinely dynamic: still directed
-    val gen = refs.replace(""""templates":""",
-      """"gen": [{"key": "x/{{i}}"}], "templates":""")
+  }
+
+  test("gen refs expand ranges with arithmetic offsets; jinja stays directed") {
+    val dir = java.nio.file.Files.createTempDirectory("kcgen").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/data"))
+    // 6 doubles; chunks 1..4 of a shape-[4] array live at offsets
+    // (i + 1) * 8 — the reference spec's own arithmetic example shape
+    val bb = java.nio.ByteBuffer.allocate(48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(9.9, 10.0, 11.0, 12.0, 13.0, 9.9).foreach(bb.putDouble)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/data/g.bin"), bb.array())
+    val za1 = """{"zarr_format": 2, "shape": [4], "chunks": [1], "dtype": "<f8", "compressor": null, "filters": null, "fill_value": "NaN", "order": "C"}"""
+    val refs =
+      s"""{"version": 1,
+         | "templates": {"u": "$dir/data"},
+         | "gen": [{
+         |   "key": "w/{{i}}",
+         |   "url": "{{u}}/g.bin",
+         |   "offset": "{{(i + 1) * 8}}",
+         |   "length": "8",
+         |   "dimensions": {"i": {"stop": 4}}
+         | }],
+         | "refs": {
+         |  ".zgroup": ${qj("""{"zarr_format": 2}""")},
+         |  "x/.zarray": ${qj(za1)},
+         |  "x/.zattrs": ${qj("""{"_ARRAY_DIMENSIONS": ["x"]}""")},
+         |  "x/0": "base64:${f8b64(0.0)}",
+         |  "x/1": "base64:${f8b64(1.0)}",
+         |  "x/2": "base64:${f8b64(2.0)}",
+         |  "x/3": "base64:${f8b64(3.0)}",
+         |  "w/.zarray": ${qj(za1)},
+         |  "w/.zattrs": ${qj("""{"_ARRAY_DIMENSIONS": ["x"]}""")}
+         |}}""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/gen.json"),
-      gen.getBytes("UTF-8"))
-    val e2 = intercept[Exception] {
-      spark.read.format("zarr").load(s"$dir/gen.json").collect()
+      refs.getBytes("UTF-8"))
+    val got = spark.read.format("zarr").load(s"$dir/gen.json")
+      .orderBy($"x").select($"w").as[Double].collect().toSeq
+    assert(got == Seq(10.0, 11.0, 12.0, 13.0))
+    // an explicit ref SHADOWS a generated key (x/3 worth of w/3 override)
+    val shadowed = refs.replace(
+      s""""w/.zattrs"""",
+      s""""w/3": "base64:${f8b64(99.0)}",
+         |  "w/.zattrs"""".stripMargin)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/shadow.json"),
+      shadowed.getBytes("UTF-8"))
+    val got2 = spark.read.format("zarr").load(s"$dir/shadow.json")
+      .orderBy($"x").select($"w").as[Double].collect().toSeq
+    assert(got2 == Seq(10.0, 11.0, 12.0, 99.0))
+    // a value-LIST dimension expands too
+    val listDim = refs.replace(
+      """"dimensions": {"i": {"stop": 4}}""",
+      """"dimensions": {"i": [0, 1, 2, 3]}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/list.json"),
+      listDim.getBytes("UTF-8"))
+    val got3 = spark.read.format("zarr").load(s"$dir/list.json")
+      .orderBy($"x").select($"w").as[Double].collect().toSeq
+    assert(got3 == Seq(10.0, 11.0, 12.0, 13.0))
+    // jinja beyond names/arithmetic is still a directed error
+    val bad = refs.replace("{{(i + 1) * 8}}", "{{ i | int * 8 }}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/bad.json"),
+      bad.getBytes("UTF-8"))
+    val e = intercept[Exception] {
+      spark.read.format("zarr").load(s"$dir/bad.json").collect()
     }
-    assert(e2.getMessage.contains("gen"), e2.getMessage)
+    assert(e.getMessage.contains("gen expression"), e.getMessage)
   }
 
   /** A one-time-step hand-written refs store; `sep` is the declared v2

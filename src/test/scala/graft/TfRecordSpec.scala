@@ -34,18 +34,21 @@ class TfRecordSpec extends SparkSpec {
     FeatureSpec("blob", "bytes"),
     FeatureSpec("absent", "float")) // never written: must read null
 
-  test("round-trip: records + typed examples, plain and gzip in one glob") {
+  test("round-trip: records + typed examples, plain/gzip/zlib in one glob") {
     val dir = tmp()
     TfRecord.write(s"$dir/a.tfrecord", sampleRecords(5, seed = 1))
     TfRecord.write(s"$dir/b.tfrecord.gz", sampleRecords(3, seed = 2), gzip = true)
+    // ZLIB option, deliberately MIS-NAMED .gz: sniffing must go by content
+    TfRecord.write(s"$dir/c.tfrecord.gz", sampleRecords(2, seed = 3),
+      zlib = true)
     val recs = TfRecord.records(spark, s"$dir/*.tfrecord*")
-    assert(recs.count() == 8)
-    assert(recs.rdd.getNumPartitions == 2) // one task per shard
+    assert(recs.count() == 10)
+    assert(recs.rdd.getNumPartitions == 3) // one task per shard
     val df = TfRecord.examples(spark, s"$dir/*.tfrecord*", spec)
       .orderBy($"id")
     val rows = df.collect()
-    assert(rows.length == 8)
-    val ks = Seq(1000, 1001, 1002, 1003, 1004, 2000, 2001, 2002)
+    assert(rows.length == 10)
+    val ks = Seq(1000, 1001, 1002, 1003, 1004, 2000, 2001, 2002, 3000, 3001)
     rows.zip(ks).foreach { case (r, k) =>
       assert(r.getAs[Long]("id") == k)
       assert(r.getAs[Float]("score") == k * 0.25f)
