@@ -389,14 +389,24 @@ object Dedup {
     var labels = nodes
       .select(col(idCol).as("id"), col(idCol).as("cluster"))
       .localCheckpoint(true)
+    val clusterType = labels.schema("cluster").dataType
     var it = 0
     var done = false
     while (!done && it < maxIters) {
+      // the node's PREVIOUS label rides through the aggregate (its labels
+      // row is unique per id, so min-over-non-null recovers it exactly):
+      // the convergence count below becomes a filter over the round's
+      // already-checkpointed blocks instead of a per-round shuffle join
+      // back against `labels` (the r12->r13 q90 profile: that join was
+      // the single largest per-round cost)
       val propagated = edges
         .join(labels.select(col("id").as("src"), col("cluster")), Seq("src"))
-        .select(col("dst").as("id"), col("cluster"))
-        .union(labels)
-        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+        .select(col("dst").as("id"), col("cluster"),
+          lit(null).cast(clusterType).as("prev"))
+        .union(labels.select(col("id"), col("cluster"),
+          col("cluster").as("prev")))
+        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"),
+          min(col("prev")).as("prev"))
       // Pointer jump from round 5 on: follow the label one more hop
       // through the freshly propagated table (labels are node ids, so the
       // self-join always resolves; coalesce only guards degenerate
@@ -416,20 +426,20 @@ object Dedup {
           val jumped = p
             .join(p.select(col("id").as("cluster"), col("cluster").as("c2")),
               Seq("cluster"), "left")
-            .select(col("id"), coalesce(col("c2"), col("cluster")).as("cluster"))
+            .select(col("id"),
+              coalesce(col("c2"), col("cluster")).as("cluster"), col("prev"))
             .localCheckpoint(true) // eager: caches AND truncates lineage
           p.unpersist()
           jumped
         }
-      val changed = next
-        .join(labels.select(col("id"), col("cluster").as("prev_c")), Seq("id"))
-        .filter(col("cluster") =!= col("prev_c")).count()
+      // join-free convergence test: prev rode through the round
+      val changed = next.filter(col("cluster") =!= col("prev")).count()
       labels.unpersist()
       labels = next
       done = changed == 0
       it += 1
     }
-    labels
+    labels.select(col("id"), col("cluster"))
   }
 
   /** Cross-document duplicate-content statistics (the corpus-level cousin of

@@ -354,6 +354,19 @@ object DeltaTable {
     assemble(spark, table, toSnap.copy(files = fresh))
   }
 
+  /** The latest commit version — one log LISTING, no replay. The cheap
+    * "did anything change" probe an incremental poller runs each tick. */
+  def latestVersion(spark: SparkSession, table: String): Long = {
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(logDir(table))
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) throw UnsupportedDelta(
+      s"$table: no _delta_log — not a Delta table")
+    fs.listStatus(dir).toSeq.flatMap(st => versionOf(st.getPath.getName))
+      .sorted.lastOption.getOrElse(
+        throw UnsupportedDelta(s"$table: no commit json in _delta_log"))
+  }
+
   /** Commit history from the log's commitInfo actions: (version,
     * timestamp ms, operation) — the `DESCRIBE HISTORY` essentials. */
   def history(spark: SparkSession, table: String): DataFrame = {

@@ -326,6 +326,16 @@ object IcebergTable {
     assemble(spark, schema, fresh, if (fresh.isEmpty) Nil else deletes)
   }
 
+  /** The current snapshot id (None on a never-written table) — one
+    * metadata-json read, no manifest IO. The cheap "did anything change"
+    * probe an incremental poller runs each tick. */
+  def currentSnapshotId(spark: SparkSession, table: String): Option[Long] = {
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(table).getFileSystem(conf)
+    val meta = JsonMethods.parse(readText(fs, latestMetadata(fs, table)))
+    (meta \ "current-snapshot-id").extractOpt[Long].filter(_ != -1L)
+  }
+
   /** Snapshot log from the metadata: (snapshot id, timestamp ms,
     * operation) — the time-travel picker. */
   def snapshots(spark: SparkSession, table: String): DataFrame = {

@@ -1,0 +1,171 @@
+package graft
+
+import graft.functions.FastText
+import graft.functions.FastText.Model
+
+/** fastText `.bin` loading + supervised inference over hand-authored
+  * planted-weight models: byte-level round trip, the signed-FNV hash and
+  * unsigned-modulo bucketing, subword/word-ngram row sets, softmax/ova
+  * prediction, and the directed guards (quantized, pruned, hs/ns, non-sup,
+  * bad magic). */
+class FastTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("fasttext").toString
+
+  private val conf = new org.apache.hadoop.conf.Configuration()
+
+  /** dim-4 planted model: identity-ish word vectors, no subwords. */
+  private def flatModel(loss: String = "softmax",
+      wordNgrams: Int = 1, maxn: Int = 0, bucket: Int = 0,
+      extraRows: Int = 0): Model = {
+    def e(i: Int): Array[Float] = {
+      val a = new Array[Float](4); a(i) = 1.0f; a
+    }
+    Model(dim = 4, minn = 0, maxn = maxn, bucket = bucket,
+      wordNgrams = wordNgrams, loss = loss,
+      words = Map("alpha" -> 0, "beta" -> 1, "gamma" -> 2, "</s>" -> 3),
+      labels = Array("good", "bad"),
+      input = Array.tabulate(4 + extraRows)(i =>
+        if (i < 4) e(i) else Array.fill(4)(0.25f)),
+      output = Array(
+        Array(1.0f, 2.0f, -1.0f, 0.5f),
+        Array(0.25f, -0.25f, 2.5f, -0.125f)))
+  }
+
+  test("bin round trip: args, dictionary, matrices, label order") {
+    val dir = tmp()
+    val m = flatModel()
+    FastText.write(s"$dir/m.bin", m, conf)
+    val back = FastText.load(s"$dir/m.bin", conf)
+    assert(back.dim == 4 && back.maxn == 0 && back.wordNgrams == 1)
+    assert(back.loss == "softmax")
+    assert(back.words == m.words)
+    assert(back.labels.toSeq == Seq("good", "bad"))
+    assert(back.input.map(_.toSeq).toSeq == m.input.map(_.toSeq).toSeq)
+    assert(back.output.map(_.toSeq).toSeq == m.output.map(_.toSeq).toSeq)
+  }
+
+  test("hash matches fastText's signed-FNV-1a reference values") {
+    // reference values computed from the published algorithm
+    // (h = 2166136261; h ^= int8(c); h *= 16777619), which every
+    // conforming implementation reproduces
+    def ref(s: String): Int = {
+      var h = 0x811c9dc5
+      s.getBytes("UTF-8").foreach { b => h ^= b.toInt; h *= 16777619 }
+      h
+    }
+    Seq("hello", "über", "", "日本語").foreach { w =>
+      assert(FastText.hash(w) == ref(w))
+    }
+    // the sign extension matters: a byte >= 0x80 must flip high bits
+    assert(FastText.hash("ü") != {
+      var h = 0x811c9dc5
+      "ü".getBytes("UTF-8").foreach { b => h ^= (b & 0xff); h *= 16777619 }
+      h
+    })
+  }
+
+  test("softmax prediction: closed-form scores, OOV ignored when maxn=0") {
+    val m = flatModel()
+    // "alpha beta": rows alpha, beta, eos -> hidden (1/3, 1/3, 0, 1/3)
+    val scored = FastText.scoreLine("alpha beta", m)
+    val sg = (1.0 / 3) * 1.0 + (1.0 / 3) * 2.0 + (1.0 / 3) * 0.5
+    val sb = (1.0 / 3) * 0.25 + (1.0 / 3) * -0.25 + (1.0 / 3) * -0.125
+    val zg = math.exp(sg) / (math.exp(sg) + math.exp(sb))
+    assert(scored.head._1 == "good")
+    assert(math.abs(scored.head._2 - zg) < 1e-12, s"${scored.head._2} vs $zg")
+    // OOV token contributes nothing with maxn=0: same scores
+    assert(FastText.scoreLine("alpha zzz beta", m).head._2 == scored.head._2)
+    // gamma-heavy text flips to bad (output row 2 dominates)
+    assert(FastText.scoreLine("gamma gamma", m).head._1 == "bad")
+  }
+
+  test("ova prediction applies the per-label sigmoid") {
+    val m = flatModel(loss = "ova")
+    val scored = FastText.scoreLine("alpha", m).toMap
+    // hidden (1/2, 0, 0, 1/2); s_good .75, s_bad .0625
+    assert(math.abs(scored("good") - 1.0 / (1 + math.exp(-0.75))) < 1e-12)
+    assert(math.abs(scored("bad") - 1.0 / (1 + math.exp(-0.0625))) < 1e-12)
+  }
+
+  test("subword rows: boundaries, UTF-8 starts, unsigned bucketing") {
+    val bucket = 7
+    val m = flatModel(maxn = 3, bucket = bucket, extraRows = bucket)
+      .copy(minn = 2)
+    // an OOV word contributes hashed ngram rows (plus the EOS id 3)
+    val rows = FastText.lineRows("qq", m)
+    assert(rows.count(_ == 3) == 1 &&
+      rows.filter(_ != 3).forall(r => r >= 4 && r < 4 + bucket) &&
+      rows.count(_ >= 4) > 0, rows.toSeq.toString)
+    // known words carry their id AND their ngram rows; EOS only its id
+    val rows2 = FastText.lineRows("alpha", m)
+    assert(rows2.contains(0) && rows2.contains(3))
+    assert(rows2.count(_ >= 4) > 0)
+    assert(FastText.lineRows("", m).toSeq == Seq(3)) // just EOS
+  }
+
+  test("wordNgrams=2 adds one rolled-hash row per adjacent pair") {
+    val bucket = 101
+    val m = flatModel(wordNgrams = 2, bucket = bucket, extraRows = bucket)
+    val rows = FastText.lineRows("alpha beta", m)
+    // words alpha, beta, eos + 2 bigram rows (alpha-beta, beta-eos)
+    assert(rows.count(_ < 4) == 3 && rows.count(_ >= 4) == 2, rows.toSeq)
+    val expected = {
+      def u(s: String): Long = FastText.hash(s).toLong & 0xffffffffL
+      Seq(u("alpha") * 116049371L + u("beta"),
+        u("beta") * 116049371L + u("</s>"))
+        .map(h => 4 + java.lang.Long.remainderUnsigned(h, bucket).toInt)
+    }
+    assert(rows.filter(_ >= 4).toSeq == expected)
+  }
+
+  test("predictTop runs distributed and matches scoreLine") {
+    val m = flatModel()
+    val df = Seq((1L, "alpha beta"), (2L, "gamma gamma"), (3L, "alpha"))
+      .toDF("doc_id", "text")
+    val got = FastText.predictTop(df, "doc_id", "text", m)
+      .orderBy($"id").collect()
+    assert(got.map(_.getString(1)).toSeq == Seq("good", "bad", "good"))
+    assert(got(0).getDouble(2) ==
+      FastText.scoreLine("alpha beta", m).head._2)
+  }
+
+  test("guards are directed: quant, pruned, hs, cbow, magic, version") {
+    val dir = tmp()
+    FastText.write(s"$dir/m.bin", flatModel(), conf)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/m.bin"))
+    def patched(f: Array[Byte] => Unit): Array[Byte] = {
+      val b = bytes.clone(); f(b); b
+    }
+    def le32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >>> 8) & 0xff).toByte
+      b(off + 2) = ((v >>> 16) & 0xff).toByte
+      b(off + 3) = ((v >>> 24) & 0xff).toByte
+    }
+    def expect(b: Array[Byte], needle: String): Unit = {
+      val e = intercept[Exception] { FastText.loadBytes(b, "t") }
+      assert(e.getMessage.contains(needle), e.getMessage)
+    }
+    expect(patched(b => le32(b, 0, 42)), "magic")
+    expect(patched(b => le32(b, 4, 99)), "version")
+    expect(patched(b => le32(b, 32, 1)), "hs") // loss = hs
+    expect(patched(b => le32(b, 36, 1)), "supervised") // model = cbow
+    // pruneidx_size lives at dict offset + 12 (after size/nwords/nlabels);
+    // args block is 56 bytes after the 8-byte header
+    val dictOff = 8 + 56
+    expect(patched { b =>
+      le32(b, dictOff + 12 + 8, 0); le32(b, dictOff + 12 + 8 + 4, 0)
+    }, "pruned")
+    // the quant flag is the first byte after the dictionary entries
+    val entriesBytes = (Seq("alpha", "beta", "gamma", "</s>")
+      .map(_.getBytes("UTF-8").length + 1 + 9) ++
+      Seq("__label__good", "__label__bad")
+        .map(_.getBytes("UTF-8").length + 1 + 9)).sum
+    val quantOff = dictOff + 28 + entriesBytes
+    assert(bytes(quantOff) == 0)
+    expect(patched(b => b(quantOff) = 1), "quantized")
+  }
+}
