@@ -56,17 +56,7 @@ object FastText {
 
   /** fastText's FNV-1a variant: the byte is SIGN-EXTENDED before the
     * xor (dictionary.cc `Dictionary::hash` casts through int8_t). */
-  def hash(s: String): Int = {
-    var h = 0x811c9dc5 // 2166136261
-    val bytes = s.getBytes("UTF-8")
-    var i = 0
-    while (i < bytes.length) {
-      h = h ^ bytes(i).toInt // sign-extended
-      h = h * 16777619
-      i += 1
-    }
-    h
-  }
+  def hash(s: String): Int = hashBytes(s.getBytes("UTF-8"))
 
   /** Character n-grams of `<word>` between minn..maxn, skipping UTF-8
     * continuation bytes as start positions and extending each step to a
@@ -102,10 +92,10 @@ object FastText {
   }
 
   private def hashBytes(bytes: Array[Byte]): Int = {
-    var h = 0x811c9dc5
+    var h = 0x811c9dc5 // 2166136261
     var i = 0
     while (i < bytes.length) {
-      h = h ^ bytes(i).toInt
+      h = h ^ bytes(i).toInt // sign-extended byte, per dictionary.cc
       h = h * 16777619
       i += 1
     }
@@ -132,7 +122,10 @@ object FastText {
       } else if (m.maxn > 0 && t != "</s>") {
         rows ++= subwordRows(t, m.minn, m.maxn, m.bucket, nwords)
       }
-      tokenHashes += (hash(t).toLong & 0xffffffffL)
+      // fastText stores token hashes as int32_t and converts to uint64_t
+      // for the roll — SIGN-extended, not zero-extended (dictionary.cc:
+      // `uint64_t h = hashes[i]`); toLong reproduces that exactly
+      tokenHashes += hash(t).toLong
     }
     if (m.wordNgrams > 1) {
       val hs = tokenHashes.result()

@@ -108,12 +108,22 @@ object DeletionVector {
     if (nMaps < 0 || nMaps > Int.MaxValue) throw BadDeletionVector(
       s"DV bitmap count $nMaps out of range")
     val out = Array.newBuilder[Long]
-    var m = 0L
-    while (m < nMaps) {
-      val key = bb.getInt.toLong & 0xffffffffL
-      val high = key << 32
-      readBitmap32(bb, v => out += (high | v))
-      m += 1
+    try {
+      var m = 0L
+      while (m < nMaps) {
+        val key = bb.getInt.toLong & 0xffffffffL
+        val high = key << 32
+        readBitmap32(bb, v => out += (high | v))
+        m += 1
+      }
+    } catch {
+      // a count/header that overruns the buffer must stay a DIRECTED
+      // error, not a bare BufferUnderflowException from a task
+      case _: java.nio.BufferUnderflowException |
+          _: IllegalArgumentException | _: NegativeArraySizeException =>
+        throw BadDeletionVector(
+          s"DV data malformed: declared bitmaps/containers overrun the " +
+            s"${data.length}-byte payload")
     }
     out.result()
   }

@@ -312,7 +312,7 @@ object DeltaTable {
         val dels = deletes.get
         val withMeta = df
           .withColumn("__row_path",
-            PathUris.canonCol(col("_metadata.file_path")))
+            PathUris.canonMetaCol(col("_metadata.file_path")))
           .withColumn("__row_pos", col("_metadata.row_index"))
         df = withMeta.join(dels,
             withMeta("__row_path") === dels("__del_path") &&

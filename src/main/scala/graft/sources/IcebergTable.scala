@@ -180,7 +180,8 @@ object IcebergTable {
       .select(PathUris.canonCol(col("file_path")).as("__del_path"),
         col("pos").cast("long").as("__del_pos"))
     val withMeta = data
-      .withColumn("__row_path", PathUris.canonCol(col("_metadata.file_path")))
+      .withColumn("__row_path",
+        PathUris.canonMetaCol(col("_metadata.file_path")))
       .withColumn("__row_pos", col("_metadata.row_index"))
     withMeta.join(dels,
         withMeta("__row_path") === dels("__del_path") &&

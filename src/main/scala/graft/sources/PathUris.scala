@@ -34,6 +34,18 @@ object PathUris {
     regexp_replace(withScheme, "^file:/+", "file:///")
   }
 
+  /** Normalization for Spark's `_metadata.file_path`, which is a
+    * percent-ENCODED URI string (`Path.toUri.toString` — a space in a
+    * partition directory arrives as `%20`), while manifest/log paths are
+    * raw strings: decode first, then normalize, or the delete anti-join
+    * silently matches nothing on any URI-escapable character. `+` is
+    * protected before `url_decode` because that function implements the
+    * form-encoding variant (`+` → space), and `+` is a legal raw path
+    * byte that `Path.toUri` leaves unescaped. */
+  def canonMetaCol(c: Column): Column =
+    canonCol(org.apache.spark.sql.functions.url_decode(
+      regexp_replace(c, "\\+", "%2B")))
+
   /** Strict RFC 3986 percent-decoding: `%41` → `A`, multi-byte UTF-8
     * sequences reassembled, `+` left ALONE (it is a legal path byte —
     * `java.net.URLDecoder` is the form-encoding variant and would corrupt

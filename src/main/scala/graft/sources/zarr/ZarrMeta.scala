@@ -684,6 +684,13 @@ object ZarrMeta {
                 val step = (o \ "step").extractOpt[Long].getOrElse(1L)
                 require(step > 0,
                   s"$refsPath: gen dimension '$n' step $step must be > 0")
+                // bound BEFORE materializing: one oversized range must not
+                // OOM the driver on its way to the product guard
+                val count =
+                  if (stop > start) (stop - start + step - 1) / step else 0L
+                require(count < 5000000L,
+                  s"$refsPath: gen dimension '$n' expands to $count values, " +
+                    "over the 5M-key materialization bound")
                 n -> (start until stop by step).map(_.toString)
               case other => throw new IllegalArgumentException(
                 s"$refsPath: gen dimension '$n' is neither a range object " +
@@ -706,10 +713,8 @@ object ZarrMeta {
         // example) beside plain {{name}} lookup; anything else (jinja
         // loops, filters, string ops) fails directed
         val genPat = java.util.regex.Pattern.compile("""\{\{(.*?)\}\}""")
-        def genSubst(s: String, svars: Map[String, String]): String = {
-          val nvars = svars.flatMap { case (k, v) =>
-            v.toLongOption.map(k -> _)
-          }
+        def genSubst(s: String, svars: Map[String, String],
+            nvars: Map[String, Long]): String = {
           val m = genPat.matcher(s)
           val sb = new StringBuilder
           while (m.find()) {
@@ -726,14 +731,20 @@ object ZarrMeta {
           m.appendTail(sb.underlying)
           sb.toString
         }
+        // numeric template vars hoisted once per entry; per combo only the
+        // dim variables (always numeric-or-string) merge in
+        val tvNum = tv.flatMap { case (k, v) => v.toLongOption.map(k -> _) }
         combos.map { vars =>
           val all = tv ++ vars
-          val key = genSubst(keyT, all)
-          val url = genSubst(urlT, all)
+          val nvars = tvNum ++ vars.flatMap { case (k, v) =>
+            v.toLongOption.map(k -> _)
+          }
+          val key = genSubst(keyT, all, nvars)
+          val url = genSubst(urlT, all, nvars)
           (offT, lenT) match {
             case (Some(o), Some(l)) => key -> (JArray(List(JString(url),
-              JInt(BigInt(genSubst(o, all))),
-              JInt(BigInt(genSubst(l, all))))): JValue)
+              JInt(BigInt(genSubst(o, all, nvars))),
+              JInt(BigInt(genSubst(l, all, nvars))))): JValue)
             case _ => key -> (JArray(List(JString(url))): JValue)
           }
         }

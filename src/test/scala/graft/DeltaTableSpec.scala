@@ -310,6 +310,40 @@ class DeltaTableSpec extends SparkSpec {
         (11L, "de"), (12L, "de"), (20L, "en"), (21L, "en")))
   }
 
+  test("deletion vectors apply across percent-encoded paths (space in dir)") {
+    // the silent-resurrection trap: add.path is percent-encoded in the
+    // log, Spark's _metadata.file_path is a percent-ENCODED URI, and the
+    // DV descriptor keys deletes by the file — all three spellings must
+    // meet in the anti-join or deleted rows come back
+    val table = tmp()
+    val f0 = dataFile(table, "lang=a b/part-000.parquet", Seq(1L, 2L, 3L))
+    val data = DeletionVector.serialize(Array(1L)) // kill id 2
+    val (off, size) = DeletionVector.writeFile(
+      s"$table/dv0.bin", data, spark.sparkContext.hadoopConfiguration)
+    writeCommit(table, 0, Seq(
+      commitInfo("WRITE", 0),
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      metaDataJson,
+      s"""{"add":{"path":"lang=a%20b/part-000.parquet","partitionValues":{"lang":"a b"},""" +
+        s""""size":1000,"modificationTime":0,"dataChange":true,""" +
+        s""""deletionVector":{"storageType":"p","pathOrInlineDv":"$table/dv0.bin",""" +
+        s""""offset":$off,"sizeInBytes":$size,"cardinality":1}}}"""))
+    val got = DeltaTable.read(spark, table).orderBy($"id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 3L),
+      got.map(_.getLong(0)).toSeq.toString)
+    assert(got.map(_.getString(2)).distinct.toSeq == Seq("a b"))
+  }
+
+  test("malformed DV payloads fail directed, not with a raw buffer error") {
+    // an intact-CRC blob whose body lies about its bitmap count
+    val data = DeletionVector.serialize(Array(1L, 2L))
+    data(4) = 99 // nMaps LE low byte: declare 99 bitmaps
+    val e = intercept[Exception] { DeletionVector.deserialize(data) }
+    assert(e.isInstanceOf[DeletionVector.BadDeletionVector] &&
+      e.getMessage.contains("malformed"), e.toString)
+  }
+
   test("deletion vectors: checkpoint descriptors and the crc guard") {
     val table = tmp()
     val f0 = dataFile(table, "lang=en/part-000.parquet", Seq(1L, 2L, 3L))

@@ -113,7 +113,8 @@ class FastTextSpec extends SparkSpec {
     // words alpha, beta, eos + 2 bigram rows (alpha-beta, beta-eos)
     assert(rows.count(_ < 4) == 3 && rows.count(_ >= 4) == 2, rows.toSeq)
     val expected = {
-      def u(s: String): Long = FastText.hash(s).toLong & 0xffffffffL
+      // int32 -> uint64 is SIGN-extended in fastText's roll
+      def u(s: String): Long = FastText.hash(s).toLong
       Seq(u("alpha") * 116049371L + u("beta"),
         u("beta") * 116049371L + u("</s>"))
         .map(h => 4 + java.lang.Long.remainderUnsigned(h, bucket).toInt)

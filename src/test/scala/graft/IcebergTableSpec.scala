@@ -330,6 +330,25 @@ class IcebergTableSpec extends SparkSpec {
       .sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("positional deletes match files with URI-escapable names") {
+    // manifests store RAW paths while Spark's _metadata.file_path is a
+    // percent-encoded URI — a space in the file name must still delete
+    val table = tmp()
+    val f0 = dataFile(table, "p 0.parquet", Seq(1L, 2L, 3L))
+    val dl = posDeleteFile(table, "del0.parquet", Seq((f0, 0L)))
+    val m0 = manifest(table, "m0.avro", Seq((1, 0, f0)))
+    val md = manifest(table, "md.avro", Seq((1, 1, dl)))
+    val ml = manifestList(table, "snap-1.avro", Seq((m0, 0), (md, 1)))
+    writeMetadata(table, 1, s"""{
+      "format-version": 2, "table-uuid": "u", "location": "$table",
+      "current-snapshot-id": 1,
+      "schemas": [$schemaJson], "current-schema-id": 0,
+      "snapshots": [{"snapshot-id": 1, "timestamp-ms": 0,
+        "summary": {"operation": "delete"}, "manifest-list": "$ml"}]}""")
+    assert(IcebergTable.read(spark, table).collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(2L, 3L))
+  }
+
   test("guards are directed: equality deletes, version 3, not-a-table") {
     val t2 = tmp()
     val g0 = dataFile(t2, "p0.parquet", Seq(1L))

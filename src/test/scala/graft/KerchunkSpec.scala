@@ -778,6 +778,15 @@ class KerchunkSpec extends SparkSpec {
       spark.read.format("zarr").load(s"$dir/bad.json").collect()
     }
     assert(e.getMessage.contains("gen expression"), e.getMessage)
+    // ONE oversized dimension is bounded BEFORE any materialization
+    val huge = refs.replace(""""dimensions": {"i": {"stop": 4}}""",
+      """"dimensions": {"i": {"stop": 10000000000}}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/huge.json"),
+      huge.getBytes("UTF-8"))
+    val e2 = intercept[Exception] {
+      spark.read.format("zarr").load(s"$dir/huge.json").collect()
+    }
+    assert(e2.getMessage.contains("materialization bound"), e2.getMessage)
   }
 
   /** A one-time-step hand-written refs store; `sep` is the declared v2
