@@ -541,6 +541,82 @@ object QueriesML {
           .orderBy($"id")
       }),
 
+    // ---------------------------------------- Delta column mapping (name mode)
+    // The Databricks-default physical-name indirection: the log's schema
+    // carries delta.columnMapping.physicalName metadata at every nesting
+    // level, the parquet files store ONLY physical names (here c1/c2/c3/c4
+    // and partition key c5), and partitionValues are keyed physically. The
+    // read must rebuild logical names — including through the struct — or
+    // columns come back null/misnamed; the oracle recomputes every value.
+    Q("q174_delta_column_mapping", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 150)
+      SELECT o_orderkey AS id,
+             'doc-' || CAST(rn0 AS VARCHAR) AS text,
+             round(o_orderkey * 0.5, 6) AS score,
+             CAST(o_orderkey % 3 AS VARCHAR) AS bucket
+      FROM o ORDER BY id"""))(
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        import graft.sources.DeltaTable
+        val table = Fixtures.dir("q174", d) { dir =>
+          val rows = Tables.orders(s, d).orderBy($"o_orderkey").limit(150)
+            .select($"o_orderkey".cast("long")).collect().map(_.getLong(0))
+            .zipWithIndex
+          def meta(phys: String, id: Int): Metadata = new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", phys)
+            .putLong("delta.columnMapping.id", id.toLong).build()
+          val logical = StructType(Seq(
+            StructField("id", LongType, nullable = true, meta("c1", 1)),
+            StructField("text", StringType, nullable = true, meta("c2", 2)),
+            StructField("info", StructType(Seq(
+              StructField("score", DoubleType, nullable = true,
+                meta("c4", 4)))), nullable = true, meta("c3", 3)),
+            StructField("bucket", StringType, nullable = true, meta("c5", 5))))
+          val physSchema = StructType(Seq(
+            StructField("c1", LongType),
+            StructField("c2", StringType),
+            StructField("c3", StructType(Seq(
+              StructField("c4", DoubleType))))))
+          def part(b: Int): String = {
+            val ids = rows.filter(_._1 % 3 == b)
+            val df = s.createDataFrame(
+              s.sparkContext.parallelize(ids.map { case (k, i) =>
+                org.apache.spark.sql.Row(k, s"doc-$i",
+                  org.apache.spark.sql.Row(k * 0.5))
+              }.toSeq, 1), physSchema)
+            val rel = s"b$b/part-00$b.parquet"
+            df.coalesce(1).write.mode("overwrite").parquet(s"$dir/tmp$b")
+            val f = new java.io.File(s"$dir/tmp$b").listFiles()
+              .find(_.getName.endsWith(".parquet")).get
+            new java.io.File(s"$dir/b$b").mkdirs()
+            java.nio.file.Files.move(f.toPath,
+              java.nio.file.Paths.get(s"$dir/$rel"))
+            rel
+          }
+          val rels = (0 to 2).map(part)
+          val schemaStr = logical.json.replace("\\", "\\\\")
+            .replace("\"", "\\\"")
+          new java.io.File(s"$dir/_delta_log").mkdirs()
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/_delta_log/" + "0" * 20 + ".json"),
+            (Seq(
+              """{"commitInfo":{"timestamp":0,"operation":"WRITE"}}""",
+              """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+                """"readerFeatures":["columnMapping"],""" +
+                """"writerFeatures":["columnMapping"]}}""",
+              s"""{"metaData":{"id":"q174","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":["bucket"],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"5"},"createdTime":0}}""") ++
+              rels.zipWithIndex.map { case (r, b) =>
+                s"""{"add":{"path":"$r","partitionValues":{"c5":"$b"},"size":10,"modificationTime":0,"dataChange":true}}"""
+              }).mkString("\n").getBytes("UTF-8"))
+        }
+        DeltaTable.read(s, table)
+          .select($"id", $"text", round($"info.score", 6).as("score"),
+            $"bucket")
+          .orderBy($"id")
+      }),
+
     // ---------------------------------------------- fastText .bin inference
     // A planted-weight supervised model written in the PUBLIC .bin layout,
     // loaded back through the parser, and run distributed: identity word

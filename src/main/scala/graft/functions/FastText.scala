@@ -25,12 +25,17 @@ import org.apache.spark.sql.DataFrame
   * averaged hidden vector, and a softmax (or one-vs-all sigmoid) over
   * the output matrix.
   *
+  * Product-quantized `.ftz` models (quantmatrix.cc/productquantizer.cc:
+  * per-row subquantizer codes + 256-centroid codebooks, optional norm
+  * quantizer) DEQUANTIZE to dense at load, and pruned dictionaries
+  * (`quantize -cutoff`) remap surviving bucket hashes through the stored
+  * prune index — the distributed lid.176.ftz shape loads as-is.
+  *
   * Execution model: the model is a DRIVER-side object broadcast once;
   * scoring is a compiled `Dataset.map` (the HfTokenizer pattern — no
   * UDF registration, no per-row interpretation). Guard rails (directed):
-  * product-quantized models (`.ftz` — requant with fastText or export
-  * dense), pruned dictionaries, hierarchical-softmax / negative-sampling
-  * losses, non-supervised models. */
+  * hierarchical-softmax / negative-sampling losses, non-supervised
+  * models, bad magic/version. */
 object FastText {
   final case class UnsupportedFastText(msg: String)
     extends RuntimeException(msg)
@@ -38,18 +43,30 @@ object FastText {
   val Magic = 793712314
   val Version = 12
 
-  /** A loaded dense supervised model. `input` rows: word ids
-    * (0..nwords-1) then `bucket` hash rows; `output` rows: one per
+  /** A loaded supervised model (dense or dequantized). `input` rows:
+    * word ids (0..nwords-1) then hash rows — all `bucket` of them for an
+    * unpruned model, or the retained compact set when `pruneIdx` maps
+    * surviving bucket hashes to compact indexes (the `quantize -cutoff`
+    * shape every distributed .ftz carries). `output` rows: one per
     * label, in label-id order. */
   final case class Model(dim: Int, minn: Int, maxn: Int, bucket: Int,
       wordNgrams: Int, loss: String,
       words: Map[String, Int], labels: Array[String],
-      input: Array[Array[Float]], output: Array[Array[Float]])
+      input: Array[Array[Float]], output: Array[Array[Float]],
+      pruneIdx: Option[Map[Int, Int]] = None)
     extends Serializable {
-    require(input.length >= words.size + (if (maxn > 0 || wordNgrams > 1) bucket else 0),
+    require(pruneIdx.isDefined ||
+      input.length >= words.size + (if (maxn > 0 || wordNgrams > 1) bucket else 0),
       s"input matrix has ${input.length} rows for ${words.size} words + $bucket buckets")
     require(output.length == labels.length,
       s"output matrix has ${output.length} rows for ${labels.length} labels")
+
+    /** dictionary.cc pushHash: a raw bucket hash -> input row, or -1 when
+      * the bucket was pruned away. */
+    private[graft] def bucketRow(h: Int): Int = pruneIdx match {
+      case None => words.size + h
+      case Some(m) => m.get(h).map(words.size + _).getOrElse(-1)
+    }
   }
 
   // ------------------------------------------------------------- hashing
@@ -63,8 +80,7 @@ object FastText {
     * codepoint boundary; the whole-token 1-gram cases fastText skips are
     * skipped here too (dictionary.cc computeSubwords). Emits bucket-row
     * indexes (nwords + hash % bucket). */
-  private def subwordRows(word: String, minn: Int, maxn: Int, bucket: Int,
-      nwords: Int): Seq[Int] = {
+  private def subwordRows(word: String, m: Model): Seq[Int] = {
     val w = ("<" + word + ">").getBytes("UTF-8")
     val out = Seq.newBuilder[Int]
     var i = 0
@@ -73,15 +89,17 @@ object FastText {
         var j = i
         var n = 1
         val ngram = new java.io.ByteArrayOutputStream()
-        while (j < w.length && n <= maxn) {
+        while (j < w.length && n <= m.maxn) {
           ngram.write(w(j)); j += 1
           while (j < w.length && (w(j) & 0xc0) == 0x80) {
             ngram.write(w(j)); j += 1
           }
-          if (n >= minn && !(n == 1 && (i == 0 || j == w.length))) {
+          if (n >= m.minn && !(n == 1 && (i == 0 || j == w.length))) {
             val h = hashBytes(ngram.toByteArray)
             // uint32 % int32 in fastText — unsigned remainder, not floorMod
-            out += nwords + java.lang.Integer.remainderUnsigned(h, bucket)
+            val row = m.bucketRow(
+              java.lang.Integer.remainderUnsigned(h, m.bucket))
+            if (row >= 0) out += row
           }
           n += 1
         }
@@ -117,10 +135,10 @@ object FastText {
         if (m.maxn <= 0) rows += wid
         else {
           rows += wid
-          if (t != "</s>") rows ++= subwordRows(t, m.minn, m.maxn, m.bucket, nwords)
+          if (t != "</s>") rows ++= subwordRows(t, m)
         }
       } else if (m.maxn > 0 && t != "</s>") {
-        rows ++= subwordRows(t, m.minn, m.maxn, m.bucket, nwords)
+        rows ++= subwordRows(t, m)
       }
       // fastText stores token hashes as int32_t and converts to uint64_t
       // for the roll — SIGN-extended, not zero-extended (dictionary.cc:
@@ -136,8 +154,9 @@ object FastText {
         while (j < hs.length && j < i + m.wordNgrams) {
           h = h * 116049371L + hs(j)
           // uint64 % bucket in fastText — unsigned remainder
-          rows += nwords +
-            java.lang.Long.remainderUnsigned(h, m.bucket.toLong).toInt
+          val row = m.bucketRow(
+            java.lang.Long.remainderUnsigned(h, m.bucket.toLong).toInt)
+          if (row >= 0) rows += row
           j += 1
         }
         i += 1
@@ -282,16 +301,13 @@ object FastText {
     if (wi != nwords || size - wi != nlabels) throw UnsupportedFastText(
       s"$what: dictionary counts disagree (declared $nwords words/" +
         s"$nlabels labels, read $wi/${size - wi})")
-    // pruneidx_size >= 0 marks a PRUNED dictionary (even 0: every ngram
-    // bucket dropped); bucket rows then remap through pruneidx and a
-    // straight read would silently mis-bucket
-    if (pruneIdxSize >= 0) throw UnsupportedFastText(
-      s"$what: pruned dictionary ($pruneIdxSize prune entries) is not " +
-        "implemented — export an unpruned model")
+    // pruneidx_size >= 0 marks a PRUNED dictionary (quantize -cutoff —
+    // every distributed .ftz): surviving bucket hashes remap to compact
+    // input rows through the stored (hash, index) pairs
+    val pruneIdx: Option[Map[Int, Int]] =
+      if (pruneIdxSize < 0) None
+      else Some((0L until pruneIdxSize).map(_ => c.i32() -> c.i32()).toMap)
     val quantInput = c.i8() != 0
-    if (quantInput) throw UnsupportedFastText(
-      s"$what: product-quantized input matrix (.ftz) is not implemented " +
-        "— load the dense .bin export")
     def denseMatrix(): Array[Array[Float]] = {
       val m = c.i64()
       val n = c.i64()
@@ -304,11 +320,69 @@ object FastText {
         row
       }
     }
-    val input = denseMatrix()
-    c.i8() // qout flag — meaningless when the input is dense
-    val output = denseMatrix()
+    // productquantizer.cc load: dim, nsubq, dsub, lastdsub (int32), then
+    // dim * 256 float32 centroids
+    def pqLoad(): (Int, Int, Int, Int, Array[Float]) = {
+      val pdim = c.i32(); val nsubq = c.i32()
+      val dsub = c.i32(); val lastdsub = c.i32()
+      require(pdim > 0 && pdim < (1 << 26), s"$what: pq dim $pdim")
+      val cent = new Array[Float](pdim * 256)
+      var i = 0
+      while (i < cent.length) { cent(i) = c.bb.getFloat; i += 1 }
+      (pdim, nsubq, dsub, lastdsub, cent)
+    }
+    // quantmatrix.cc load (.ftz): qnorm flag, m/n (int64), codes, the
+    // product quantizer, and when qnorm the per-row norm codes + their
+    // one-dim quantizer. Dequantized to a dense matrix at load — the
+    // model is MBs; the corpus it scores is what stays distributed.
+    def quantMatrix(): Array[Array[Float]] = {
+      val qnorm = c.i8() != 0
+      val m = c.i64()
+      val n = c.i64()
+      require(n == dim, s"$what: quant matrix cols $n != dim $dim")
+      require(m >= 0 && m < Int.MaxValue / 8, s"$what: quant matrix rows $m")
+      val codesize = c.i32()
+      val codes = new Array[Byte](codesize)
+      c.bb.get(codes)
+      val (pdim, nsubq, dsub, lastdsub, cent) = pqLoad()
+      require(pdim == dim,
+        s"$what: product quantizer dim $pdim != model dim $dim")
+      require(codesize.toLong == m * nsubq,
+        s"$what: $codesize code bytes for $m rows x $nsubq subquantizers")
+      val (normCodes, normCent) =
+        if (!qnorm) (null: Array[Byte], null: Array[Float])
+        else {
+          val nc = new Array[Byte](m.toInt)
+          c.bb.get(nc)
+          val (nd, _, _, _, ncent) = pqLoad()
+          require(nd == 1, s"$what: norm quantizer dim $nd != 1")
+          (nc, ncent)
+        }
+      Array.tabulate(m.toInt) { r =>
+        val row = new Array[Float](dim)
+        val norm = if (normCodes == null) 1.0f
+          else normCent(normCodes(r) & 0xff)
+        var sub = 0
+        while (sub < nsubq) {
+          val code = codes(r * nsubq + sub) & 0xff
+          val d = if (sub == nsubq - 1) lastdsub else dsub
+          // get_centroids: (sub*256 + code)*dsub, except the LAST
+          // subquantizer strides by lastdsub within its block
+          val base =
+            if (sub == nsubq - 1) sub * 256 * dsub + code * lastdsub
+            else (sub * 256 + code) * dsub
+          var j = 0
+          while (j < d) { row(sub * dsub + j) = norm * cent(base + j); j += 1 }
+          sub += 1
+        }
+        row
+      }
+    }
+    val input = if (quantInput) quantMatrix() else denseMatrix()
+    val qout = c.i8() != 0
+    val output = if (quantInput && qout) quantMatrix() else denseMatrix()
     Model(dim, minn, maxn, bucket, wordNgrams, loss,
-      words.result(), labels.result(), input, output)
+      words.result(), labels.result(), input, output, pruneIdx)
   }
 
   // ----------------------------------------------------------- bin write

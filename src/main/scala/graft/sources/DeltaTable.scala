@@ -3,8 +3,9 @@ package graft.sources
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{col, lit, struct, transform, transform_values, when}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, StructType}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -49,14 +50,16 @@ object DeltaTable {
     * files, plus the features this reader IMPLEMENTS. Anything else in
     * readerFeatures is a directed error. */
   private val HarmlessReaderFeatures =
-    Set("timestampNtz", "vacuumProtocolCheck", "deletionVectors")
+    Set("timestampNtz", "vacuumProtocolCheck", "deletionVectors",
+      "columnMapping") // mode-checked after replay (name ok, id directed)
 
   private final case class AddFile(path: String,
       partitionValues: Map[String, String],
       dv: Option[DeletionVector.Descriptor])
 
   private final case class Snapshot(version: Long, schemaJson: String,
-      partitionColumns: Seq[String], files: Seq[AddFile])
+      partitionColumns: Seq[String], files: Seq[AddFile],
+      configuration: Map[String, String])
 
   // ------------------------------------------------------------ log replay
 
@@ -135,6 +138,7 @@ object DeltaTable {
     var captured: Option[Set[String]] = None
     var schemaJson: String = null
     var partitionColumns: Seq[String] = Nil
+    var configuration: Map[String, String] = Map.empty
     def applyProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
       val bad = readerFeatures.filterNot(HarmlessReaderFeatures)
       if (minReader > 3 || (minReader > 1 && minReader < 3))
@@ -142,7 +146,7 @@ object DeltaTable {
           s"minReaderVersion $minReader (1, or 3 with harmless readerFeatures, only)")
       if (minReader == 3 && bad.nonEmpty) throw UnsupportedDelta(
         s"reader features ${bad.mkString(", ")} change data decoding " +
-          "(column mapping / v2 checkpoints are not implemented)")
+          "(v2 checkpoints are not implemented)")
     }
 
     // checkpoint first: one row per action, struct columns
@@ -158,10 +162,17 @@ object DeltaTable {
             Option(r.getSeq[String](1)).getOrElse(Nil)))
       }
       if (colsPresent.contains("metaData")) {
-        cp.select(col("metaData.schemaString"), col("metaData.partitionColumns"))
+        val metaCols = cp.select(col("metaData.*")).columns.toSet
+        val confCol =
+          if (metaCols.contains("configuration")) col("metaData.configuration")
+          else lit(null).cast("map<string,string>")
+        cp.select(col("metaData.schemaString"),
+            col("metaData.partitionColumns"), confCol)
           .filter(col("schemaString").isNotNull).collect().foreach { r =>
             schemaJson = r.getString(0)
             partitionColumns = Option(r.getSeq[String](1)).getOrElse(Nil)
+            configuration =
+              Option(r.getAs[Map[String, String]](2)).getOrElse(Map.empty)
           }
       }
       if (colsPresent.contains("add")) {
@@ -221,6 +232,8 @@ object DeltaTable {
             schemaJson = (j \ "metaData" \ "schemaString").extract[String]
             partitionColumns = (j \ "metaData" \ "partitionColumns")
               .extractOpt[Seq[String]].getOrElse(Nil)
+            configuration = (j \ "metaData" \ "configuration")
+              .extractOpt[Map[String, String]].getOrElse(Map.empty)
           case _ =>
         }
         (j \ "add") match {
@@ -251,8 +264,14 @@ object DeltaTable {
 
     if (schemaJson == null) throw UnsupportedDelta(
       s"$table: log replay found no metaData action")
-    (Snapshot(latest, schemaJson, partitionColumns, files.values.toSeq),
-      captured)
+    configuration.get("delta.columnMapping.mode").foreach {
+      case "name" | "none" => // name mode decodes below; none is trivial
+      case other => throw UnsupportedDelta(
+        s"$table: columnMapping mode '$other' is not implemented " +
+          "(name mode only — id mode needs parquet field-id matching)")
+    }
+    (Snapshot(latest, schemaJson, partitionColumns, files.values.toSeq,
+      configuration), captured)
   }
 
   // ---------------------------------------------------------------- reads
@@ -265,11 +284,62 @@ object DeltaTable {
       versionAsOf: Option[Long] = None): DataFrame =
     assemble(spark, table, replay(spark, table, versionAsOf)._1)
 
+  // ------------------------------------------------- column mapping (name)
+
+  private def physFieldName(f: StructField): String =
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+
+  /** The logical schema re-labeled with physical names, recursively —
+    * what the parquet files actually store under name-mode column
+    * mapping. */
+  private def physType(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      StructField(physFieldName(f), physType(f.dataType), f.nullable)))
+    case ArrayType(et, n) => ArrayType(physType(et), n)
+    case MapType(k, v, n) => MapType(physType(k), physType(v), n)
+    case o => o
+  }
+
+  private def hasStruct(dt: DataType): Boolean = dt match {
+    case _: StructType => true
+    case ArrayType(et, _) => hasStruct(et)
+    case MapType(k, v, _) => hasStruct(k) || hasStruct(v)
+    case _ => false
+  }
+
+  /** A physical-named column value rebuilt under its logical names. */
+  private def toLogical(c: Column, phys: DataType,
+      logical: DataType): Column = (phys, logical) match {
+    case _ if !hasStruct(phys) => c
+    case (ps: StructType, ls: StructType) =>
+      val rebuilt = struct(ps.fields.zip(ls.fields).map { case (pf, lf) =>
+        toLogical(c.getField(pf.name), pf.dataType, lf.dataType).as(lf.name)
+      }: _*)
+      when(c.isNotNull, rebuilt)
+    case (ArrayType(pe, _), ArrayType(le, _)) =>
+      transform(c, x => toLogical(x, pe, le))
+    case (MapType(pk, pv, _), MapType(lk, lv, _)) =>
+      if (hasStruct(pk)) throw UnsupportedDelta(
+        "column mapping over struct-typed MAP KEYS is not implemented")
+      transform_values(c, (_, v) => toLogical(v, pv, lv))
+    case _ => c
+  }
+
   private def assemble(spark: SparkSession, table: String,
       snap: Snapshot): DataFrame = {
     val full = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val partCols = snap.partitionColumns
+    val mapped = snap.configuration
+      .get("delta.columnMapping.mode").contains("name")
     val dataSchema = StructType(full.filterNot(f => partCols.contains(f.name)))
+    // name-mode column mapping: files store PHYSICAL names at every
+    // nesting level; read with the physical schema, then rebuild logical
+    // names column-by-column (nulls preserved via isNotNull guards)
+    val readSchema =
+      if (mapped) physType(dataSchema).asInstanceOf[StructType]
+      else dataSchema
     val base = table.stripSuffix("/")
     // add.path is percent-encoded whether relative OR absolute
     // (PROTOCOL.md); strict RFC 3986 decoding, '+' untouched
@@ -306,7 +376,7 @@ object DeltaTable {
     // injected as typed literals
     val groups = snap.files.groupBy(_.partitionValues)
     val parts = groups.toSeq.map { case (pv, fs) =>
-      var df = spark.read.schema(dataSchema)
+      var df = spark.read.schema(readSchema)
         .parquet(fs.map(f => resolve(f.path)): _*)
       if (fs.exists(_.dv.isDefined)) {
         val dels = deletes.get
@@ -319,9 +389,20 @@ object DeltaTable {
               withMeta("__row_pos") === dels("__del_pos"), "left_anti")
           .drop("__row_path", "__row_pos")
       }
+      if (mapped) {
+        // rebuild logical names (the DV metadata columns are gone by now)
+        df = df.select(readSchema.fields.zip(dataSchema.fields).map {
+          case (pf, lf) =>
+            toLogical(col(s"`${pf.name}`"), pf.dataType, lf.dataType)
+              .as(lf.name)
+        }: _*)
+      }
       partCols.foreach { c =>
         val t = full(c).dataType
-        val raw = pv.get(c).filterNot(_ == "__HIVE_DEFAULT_PARTITION__").orNull
+        // partitionValues are keyed by PHYSICAL name under column mapping
+        val key = if (mapped) physFieldName(full(c)) else c
+        val raw = pv.get(key).orElse(pv.get(c))
+          .filterNot(_ == "__HIVE_DEFAULT_PARTITION__").orNull
         df = df.withColumn(c, lit(raw).cast(t))
       }
       df.select(full.fieldNames.map(col): _*)

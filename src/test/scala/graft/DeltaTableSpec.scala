@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -217,15 +218,23 @@ class DeltaTableSpec extends SparkSpec {
       metaDataJson, addJson(h0, "en")))
     assert(DeltaTable.read(spark, t3).count() == 1)
 
-    // column mapping changes COLUMN decoding: still a directed error
+    // the columnMapping FEATURE with no mode set reads fine (mode none);
+    // v2Checkpoint still changes log decoding: directed
     val t4 = tmp()
     val k0 = dataFile(t4, "lang=en/part-000.parquet", Seq(5L))
     writeCommit(t4, 0, Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
         """"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}""",
       metaDataJson, addJson(k0, "en")))
-    val e4 = intercept[Exception] { DeltaTable.read(spark, t4) }
-    assert(e4.getMessage.contains("columnMapping"), e4.getMessage)
+    assert(DeltaTable.read(spark, t4).count() == 1)
+    val t4b = tmp()
+    val k1 = dataFile(t4b, "lang=en/part-000.parquet", Seq(5L))
+    writeCommit(t4b, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+      metaDataJson, addJson(k1, "en")))
+    val e4 = intercept[Exception] { DeltaTable.read(spark, t4b) }
+    assert(e4.getMessage.contains("v2Checkpoint"), e4.getMessage)
 
     // not a delta table
     val e5 = intercept[Exception] { DeltaTable.read(spark, tmp()) }
@@ -241,6 +250,70 @@ class DeltaTableSpec extends SparkSpec {
     writeCommit(t5, 2, Seq(addJson(m0, "en"))) // version 1 missing
     val e6 = intercept[Exception] { DeltaTable.read(spark, t5) }
     assert(e6.getMessage.contains("not contiguous"), e6.getMessage)
+  }
+
+  test("column mapping (name mode): nested physical names decode to logical") {
+    val table = tmp()
+    def meta(phys: String, id: Int): Metadata = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id.toLong).build()
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta("col-aa", 1)),
+      StructField("info", StructType(Seq(
+        StructField("score", DoubleType, nullable = true, meta("col-cc", 3)),
+        StructField("tags", ArrayType(StructType(Seq(
+          StructField("k", StringType, nullable = true, meta("col-ee", 5))))),
+          nullable = true, meta("col-dd", 4)))),
+        nullable = true, meta("col-bb", 2)),
+      StructField("lang", StringType, nullable = true, meta("col-ff", 6))))
+    // the parquet file stores PHYSICAL names at every level
+    val physRows = Seq(
+      Row(1L, Row(0.5, Seq(Row("x"), Row("y")))),
+      Row(2L, null)) // a null struct must stay null, not become a row of nulls
+    val physSchema = StructType(Seq(
+      StructField("col-aa", LongType),
+      StructField("col-bb", StructType(Seq(
+        StructField("col-cc", DoubleType),
+        StructField("col-dd", ArrayType(StructType(Seq(
+          StructField("col-ee", StringType))))))))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(physRows, 1), physSchema)
+    df.coalesce(1).write.mode("overwrite").parquet(s"$table/tmp0")
+    val part = new java.io.File(s"$table/tmp0").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    new java.io.File(s"$table/p").mkdirs()
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$table/p/part-000.parquet"))
+    val schemaStr = logical.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    writeCommit(table, 0, Seq(
+      commitInfo("WRITE", 0),
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$schemaStr","partitionColumns":["lang"],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"6"},""" +
+        s""""createdTime":0}}""",
+      // partitionValues keyed by the PHYSICAL partition-column name
+      s"""{"add":{"path":"p/part-000.parquet","partitionValues":{"col-ff":"en"},""" +
+        s""""size":10,"modificationTime":0,"dataChange":true}}"""))
+    val got = DeltaTable.read(spark, table).orderBy($"id")
+    assert(got.columns.toSeq == Seq("id", "info", "lang"))
+    val rows = got.collect()
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(2) == "en")
+    val info = rows(0).getStruct(1)
+    assert(info.getDouble(0) == 0.5)
+    assert(info.getSeq[Row](1).map(_.getString(0)) == Seq("x", "y"))
+    assert(rows(1).isNullAt(1), "null struct must survive the relabel")
+    // id mode stays a directed error
+    val t2 = tmp()
+    writeCommit(t2, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$schemaStr","partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"id"},"createdTime":0}}"""))
+    val e = intercept[Exception] { DeltaTable.read(spark, t2) }
+    assert(e.getMessage.contains("columnMapping mode 'id'"), e.getMessage)
   }
 
   test("deletion vector codec: z85 + portable roaring round trips") {

@@ -133,7 +133,7 @@ class FastTextSpec extends SparkSpec {
       FastText.scoreLine("alpha beta", m).head._2)
   }
 
-  test("guards are directed: quant, pruned, hs, cbow, magic, version") {
+  test("guards are directed: hs loss, cbow model, magic, version") {
     val dir = tmp()
     FastText.write(s"$dir/m.bin", flatModel(), conf)
     val bytes = java.nio.file.Files.readAllBytes(
@@ -154,19 +154,96 @@ class FastTextSpec extends SparkSpec {
     expect(patched(b => le32(b, 4, 99)), "version")
     expect(patched(b => le32(b, 32, 1)), "hs") // loss = hs
     expect(patched(b => le32(b, 36, 1)), "supervised") // model = cbow
-    // pruneidx_size lives at dict offset + 12 (after size/nwords/nlabels);
-    // args block is 56 bytes after the 8-byte header
-    val dictOff = 8 + 56
-    expect(patched { b =>
-      le32(b, dictOff + 12 + 8, 0); le32(b, dictOff + 12 + 8 + 4, 0)
-    }, "pruned")
-    // the quant flag is the first byte after the dictionary entries
-    val entriesBytes = (Seq("alpha", "beta", "gamma", "</s>")
-      .map(_.getBytes("UTF-8").length + 1 + 9) ++
-      Seq("__label__good", "__label__bad")
-        .map(_.getBytes("UTF-8").length + 1 + 9)).sum
-    val quantOff = dictOff + 28 + entriesBytes
-    assert(bytes(quantOff) == 0)
-    expect(patched(b => b(quantOff) = 1), "quantized")
+  }
+
+  test(".ftz: product-quantized matrices + pruned dictionary load exactly") {
+    // Hand-author the quantize(-qnorm -cutoff) byte layout: per-row
+    // subquantizer codes select planted codebook centroids, per-row norm
+    // codes scale them, and the pruned dictionary remaps two surviving
+    // word-ngram buckets to compact rows 4 and 5.
+    val bucket = 100
+    def u(sx: String): Long = FastText.hash(sx).toLong
+    val hAB = java.lang.Long.remainderUnsigned(
+      u("alpha") * 116049371L + u("beta"), bucket).toInt
+    val hBE = java.lang.Long.remainderUnsigned(
+      u("beta") * 116049371L + u("</s>"), bucket).toInt
+    assert(hAB != hBE) // the fixture relies on distinct buckets
+    val pruneIdx = Map(hAB -> 0, hBE -> 1)
+    // target decoded rows: identity words (norm 1), bucket rows
+    // 0.5 * (0.5, 0.5, 0.5, 0.5) through the norm quantizer
+    val out = new java.io.ByteArrayOutputStream()
+    def i32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+      out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+    }
+    def i64(v: Long): Unit = { i32(v.toInt); i32((v >>> 32).toInt) }
+    def f32(v: Float): Unit = i32(java.lang.Float.floatToIntBits(v))
+    i32(FastText.Magic); i32(FastText.Version)
+    i32(4); i32(5); i32(5); i32(1); i32(5) // dim ws epoch minCount neg
+    i32(2) // wordNgrams
+    i32(3); i32(3) // loss softmax, model sup
+    i32(bucket); i32(0); i32(0); i32(100) // bucket minn maxn lrUpdateRate
+    i64(java.lang.Double.doubleToLongBits(1e-4))
+    i32(6); i32(4); i32(2) // dict size, nwords, nlabels
+    i64(1000L)
+    i64(2L) // pruneidx_size
+    def entry(w: String, tpe: Int): Unit = {
+      out.write(w.getBytes("UTF-8")); out.write(0); i64(1L); out.write(tpe)
+    }
+    Seq("alpha", "beta", "gamma", "</s>").foreach(entry(_, 0))
+    Seq("__label__good", "__label__bad").foreach(entry(_, 1))
+    pruneIdx.toSeq.sortBy(_._2).foreach { case (h, cidx) =>
+      i32(h); i32(cidx)
+    }
+    out.write(1) // quant_input
+    // QuantMatrix: qnorm, m=6, n=4, codes, pq, norm codes, npq
+    out.write(1) // qnorm
+    i64(6L); i64(4L)
+    i32(12) // codesize = 6 rows x 2 subq
+    (0 until 6).foreach { r => out.write(r); out.write(r) } // codes (r, r)
+    i32(4); i32(2); i32(2); i32(2) // pq: dim nsubq dsub lastdsub
+    // centroids: 4 * 256 floats; subq s centroid c lives at (s*256+c)*2
+    val cent = new Array[Float](4 * 256)
+    def e(i: Int): Array[Float] = {
+      val a = new Array[Float](4); a(i) = 1.0f; a
+    }
+    val wantRows = Array(e(0), e(1), e(2), e(3),
+      Array(0.25f, 0.25f, 0.25f, 0.25f), Array(0.25f, 0.25f, 0.25f, 0.25f))
+    val norms = Array(1.0f, 1.0f, 1.0f, 1.0f, 0.5f, 0.5f)
+    (0 until 6).foreach { r =>
+      cent((0 * 256 + r) * 2) = wantRows(r)(0) / norms(r)
+      cent((0 * 256 + r) * 2 + 1) = wantRows(r)(1) / norms(r)
+      cent((1 * 256 + r) * 2) = wantRows(r)(2) / norms(r)
+      cent((1 * 256 + r) * 2 + 1) = wantRows(r)(3) / norms(r)
+    }
+    cent.foreach(f32)
+    (0 until 6).foreach(r => out.write(r)) // norm codes (r)
+    i32(1); i32(1); i32(1); i32(1) // npq: dim nsubq dsub lastdsub
+    val ncent = new Array[Float](256)
+    (0 until 6).foreach(r => ncent(r) = norms(r))
+    ncent.foreach(f32)
+    out.write(0) // qout
+    i64(2L); i64(4L) // dense output 2 x 4
+    Seq(1.0f, 2.0f, -1.0f, 0.5f, 0.25f, -0.25f, 2.5f, -0.125f).foreach(f32)
+
+    val m = FastText.loadBytes(out.toByteArray, "ftz")
+    assert(m.pruneIdx.contains(pruneIdx))
+    (0 until 6).foreach { r =>
+      assert(m.input(r).toSeq == wantRows(r).toSeq, s"row $r: ${m.input(r).toSeq}")
+    }
+    // scoring equals an equivalent hand-built dense model
+    val dense = Model(dim = 4, minn = 0, maxn = 0, bucket = bucket,
+      wordNgrams = 2, loss = "softmax",
+      words = Map("alpha" -> 0, "beta" -> 1, "gamma" -> 2, "</s>" -> 3),
+      labels = Array("good", "bad"),
+      input = wantRows, output = m.output, pruneIdx = Some(pruneIdx))
+    Seq("alpha beta", "beta gamma", "alpha qq gamma").foreach { line =>
+      assert(FastText.scoreLine(line, m).toSeq ==
+        FastText.scoreLine(line, dense).toSeq, line)
+    }
+    // a PRUNED-AWAY word-ngram bucket contributes nothing: "gamma </s>"
+    // bigram is not in pruneIdx, so only word rows participate
+    val rows = FastText.lineRows("gamma", m)
+    assert(rows.toSeq == Seq(2, 3), rows.toSeq)
   }
 }
