@@ -541,6 +541,116 @@ object QueriesML {
           .orderBy($"id")
       }),
 
+    // ------------------------------------------- Iceberg v2 equality deletes
+    // Merge-on-read the Flink-CDC/upsert way: an equality delete file at
+    // sequence 2 names id values; it removes matching rows ONLY from the
+    // sequence-1 data file — the sequence-3 file RE-ADDS some of the same
+    // ids and those survive (the table-spec scoping rule). The oracle
+    // recomputes both sides: f0 minus the deleted id set, plus all of f1.
+    Q("q175_iceberg_eq_deletes", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 150),
+           f0 AS (SELECT o_orderkey AS id, 'doc-' || CAST(rn0 AS VARCHAR) AS text
+                  FROM o WHERE o_orderkey % 3 <> 0),
+           f1 AS (SELECT o_orderkey AS id, 're-' || CAST(rn0 AS VARCHAR) AS text
+                  FROM o WHERE o_orderkey % 5 = 0)
+      SELECT id, text FROM (SELECT * FROM f0 UNION ALL SELECT * FROM f1) u
+      ORDER BY id, text"""))(
+      (s, d) => {
+        import graft.sources.{AvroOcf, IcebergTable}
+        val table = Fixtures.dir("q175", d) { dir =>
+          val rows = Tables.orders(s, d).orderBy($"o_orderkey").limit(150)
+            .select($"o_orderkey".cast("long")).collect().map(_.getLong(0))
+            .zipWithIndex
+          def file(name: String, data: Seq[(Long, String)]): String = {
+            val df = s.createDataFrame(
+              s.sparkContext.parallelize(data.map { case (k, t) =>
+                org.apache.spark.sql.Row(k, t)
+              }, 1),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("id",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("text",
+                  org.apache.spark.sql.types.StringType))))
+            df.coalesce(1).write.mode("overwrite").parquet(s"$dir/tmp-$name")
+            val f = new java.io.File(s"$dir/tmp-$name").listFiles()
+              .find(_.getName.endsWith(".parquet")).get
+            new java.io.File(s"$dir/data").mkdirs()
+            val target = s"$dir/data/$name"
+            java.nio.file.Files.move(f.toPath,
+              java.nio.file.Paths.get(target))
+            target
+          }
+          val f0 = file("p0.parquet",
+            rows.map { case (k, i) => (k, s"doc-$i") }.toSeq)
+          val f1 = file("p1.parquet",
+            rows.filter(_._1 % 5 == 0)
+              .map { case (k, i) => (k, s"re-$i") }.toSeq)
+          // the equality delete: all ids divisible by 3 (only the id col)
+          val eqDf = s.createDataFrame(
+            s.sparkContext.parallelize(rows.filter(_._1 % 3 == 0)
+              .map(r => org.apache.spark.sql.Row(r._1)).toSeq, 1),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("id",
+                org.apache.spark.sql.types.LongType))))
+          eqDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/tmp-eq")
+          val eqPart = new java.io.File(s"$dir/tmp-eq").listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val eqPath = s"$dir/data/eq0.parquet"
+          java.nio.file.Files.move(eqPart.toPath,
+            java.nio.file.Paths.get(eqPath))
+          new java.io.File(s"$dir/metadata").mkdirs()
+          val mSchema =
+            """{"type": "record", "name": "manifest_entry", "fields": [
+                 {"name": "status", "type": "int"},
+                 {"name": "sequence_number",
+                  "type": ["null", "long"], "default": null},
+                 {"name": "data_file", "type": {"type": "record",
+                   "name": "r2", "fields": [
+                     {"name": "content", "type": "int"},
+                     {"name": "file_path", "type": "string"},
+                     {"name": "file_format", "type": "string"},
+                     {"name": "record_count", "type": "long"},
+                     {"name": "equality_ids", "type": ["null",
+                       {"type": "array", "items": "int"}],
+                      "default": null}]}}]}"""
+          AvroOcf.write(s"$dir/metadata/m0.avro", mSchema, Seq(
+            Seq(1, null, Seq(0, f0, "PARQUET", 150L, null))))
+          AvroOcf.write(s"$dir/metadata/m1.avro", mSchema, Seq(
+            Seq(1, null, Seq(0, f1, "PARQUET", 30L, null))))
+          AvroOcf.write(s"$dir/metadata/md.avro", mSchema, Seq(
+            Seq(1, null, Seq(2, eqPath, "PARQUET", 50L, Seq(1)))))
+          AvroOcf.write(s"$dir/metadata/snap-400.avro",
+            """{"type": "record", "name": "manifest_file", "fields": [
+                 {"name": "manifest_path", "type": "string"},
+                 {"name": "manifest_length", "type": "long"},
+                 {"name": "content", "type": "int"},
+                 {"name": "sequence_number", "type": "long"}]}""",
+            Seq(Seq(s"$dir/metadata/m0.avro", 100L, 0, 1L),
+              Seq(s"$dir/metadata/md.avro", 100L, 1, 2L),
+              Seq(s"$dir/metadata/m1.avro", 100L, 0, 3L)))
+          val schemaJson =
+            """{"type": "struct", "schema-id": 0, "fields": [
+                 {"id": 1, "name": "id", "required": true, "type": "long"},
+                 {"id": 2, "name": "text", "required": false, "type": "string"}]}"""
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json"),
+            s"""{"format-version": 2, "table-uuid": "q175", "location": "$dir",
+                 "current-snapshot-id": 400,
+                 "schemas": [$schemaJson], "current-schema-id": 0,
+                 "snapshots": [{"snapshot-id": 400, "timestamp-ms": 0,
+                   "summary": {"operation": "overwrite"},
+                   "manifest-list": "$dir/metadata/snap-400.avro"}]}"""
+              .getBytes("UTF-8"))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/metadata/version-hint.text"),
+            "1".getBytes("UTF-8"))
+        }
+        IcebergTable.read(s, table).select($"id", $"text")
+          .orderBy($"id", $"text")
+      }),
+
     // ---------------------------------------- Delta column mapping (name mode)
     // The Databricks-default physical-name indirection: the log's schema
     // carries delta.columnMapping.physicalName metadata at every nesting

@@ -166,7 +166,8 @@ object AvroOcf {
   }
 
   private def readResolved(spark: SparkSession, files: Seq[String],
-      maxSplitBytes: Long): DataFrame = {
+      maxSplitBytes: Long,
+      sourceFileCol: Option[String] = None): DataFrame = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     // driver: one header read gives the table schema
     val schemaJson = {
@@ -175,7 +176,15 @@ object AvroOcf {
       try r.getSchema.toString finally r.close()
     }
     val schema = new Schema.Parser().parse(schemaJson)
-    val sSchema = sparkSchema(schema)
+    val sSchema0 = sparkSchema(schema)
+    val sSchema = sourceFileCol match {
+      case Some(n) => org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.StringType, nullable = false) +:
+          sSchema0.fields.toSeq)
+      case None => sSchema0
+    }
+    val withSource = sourceFileCol.isDefined
     val splits: Seq[(String, Long, Long)] = files.flatMap { uri =>
       val fp = new Path(uri)
       val len = fp.getFileSystem(conf).getFileStatus(fp).getLen
@@ -210,7 +219,10 @@ object AvroOcf {
             if (!h) try reader.close() catch { case _: java.io.IOException => }
             h
           }
-          override def next(): Row = toRow(reader.next(), local)
+          override def next(): Row = {
+            val r = toRow(reader.next(), local)
+            if (withSource) Row.fromSeq(uri +: r.toSeq) else r
+          }
         }
     }
     spark.createDataFrame(rdd, sSchema)
@@ -223,7 +235,8 @@ object AvroOcf {
     * manifest path — hundreds of small same-schema Avro files — reads in
     * O(1) jobs this way. */
   def readFiles(spark: SparkSession, files: Seq[String],
-      maxSplitBytes: Long = 32L << 20): DataFrame = {
+      maxSplitBytes: Long = 32L << 20,
+      sourceFileCol: Option[String] = None): DataFrame = {
     require(files.nonEmpty, "readFiles: empty file list")
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     def headerSchema(uri: String): String = {
@@ -233,7 +246,8 @@ object AvroOcf {
     }
     val bySchema = files.map(f => (headerSchema(f), f))
       .groupBy(_._1).values.toSeq.map(_.map(_._2))
-    bySchema.map(group => readResolved(spark, group, maxSplitBytes))
+    bySchema.map(group =>
+        readResolved(spark, group, maxSplitBytes, sourceFileCol))
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 

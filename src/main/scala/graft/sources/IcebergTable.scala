@@ -25,25 +25,30 @@ import org.json4s.jackson.JsonMethods
   *    files CONTAIN their partition source columns — partitioning is
   *    hidden metadata — so no column reconstruction is needed).
   *
-  * v2 merge-on-read POSITIONAL deletes are applied: delete manifests
-  * (manifest-list `content = 1`) name parquet delete files of
-  * `(file_path, pos)` rows — per the table spec, the positions of deleted
-  * rows WITHIN the named data file. The read serves
+  * v2 merge-on-read deletes are applied, BOTH kinds. POSITIONAL delete
+  * files hold `(file_path, pos)` rows — the read serves
   * `data LEFT ANTI JOIN deletes ON (file, row-position)`, with the data
-  * side's row position coming from Spark's parquet `_metadata.row_index`
-  * (zero extra IO) and both paths normalized through [[PathUris]]. Delete
-  * rows are data-scale, not driver-scale: the delete parquet is read by
-  * Spark, never collected, and AQE broadcasts the (typically tiny) delete
-  * side. Sequence-number scoping is unnecessary for positional deletes —
-  * data file paths are never reused, so a delete row either names an
-  * active file or matches nothing.
+  * side's position coming from Spark's parquet `_metadata.row_index`
+  * (zero extra IO) and both paths normalized through [[PathUris]]
+  * (sequence scoping is unnecessary there: data file paths are never
+  * reused). EQUALITY delete files (the Flink-CDC/upsert shape) hold
+  * values of their declared `equality_ids` columns and apply by the
+  * table-spec's sequence rule — matching rows are removed only from data
+  * files with a STRICTLY SMALLER data sequence number, so a re-insert
+  * after a delete stays alive. Implementation: one anti-join per
+  * distinct equality-id set with null-safe (`<=>`) key equality and the
+  * sequence scope as a join condition (never one join per commit); each
+  * row's data sequence arrives from a broadcast (file, seq) lookup, and
+  * entry sequence numbers inherit from their manifest's when null.
+  * Delete rows are data-scale, not driver-scale: delete parquet is read
+  * by Spark, never collected, and AQE broadcasts the (typically tiny)
+  * delete side.
   *
   * Scale model: metadata is O(manifests + entries) driver work — the same
   * replay every Iceberg reader performs — and the data path is Spark's
   * parquet source with pushdown/pruning intact. Guard rails (directed):
-  * format-version > 2; v2 EQUALITY delete files (they need full
-  * field-id-based column matching — compact first); non-parquet data or
-  * delete file formats. */
+  * format-version > 2; equality ids naming non-top-level columns;
+  * non-parquet data or delete file formats. */
 object IcebergTable {
   final case class UnsupportedIceberg(msg: String) extends RuntimeException(msg)
 
@@ -159,42 +164,86 @@ object IcebergTable {
 
   private def readImpl(spark: SparkSession, table: String,
       snapshotId: Option[Long], partitionFilter: Map[String, String]): DataFrame = {
-    val (sparkSchema, paths, deletePaths) =
-      activeFiles(spark, table, snapshotId, partitionFilter)
-    assemble(spark, sparkSchema, paths, deletePaths)
+    val a = activeFiles(spark, table, snapshotId, partitionFilter)
+    assemble(spark, a)
   }
 
-  /** `data ANTI JOIN positional-deletes` — or the plain parquet scan when
-    * the snapshot carries no deletes (the metadata columns and the join
-    * never enter that plan). */
-  private def assemble(spark: SparkSession, sparkSchema: StructType,
-      paths: Seq[String], deletePaths: Seq[String]): DataFrame = {
-    if (paths.isEmpty)
+  /** A snapshot's active file sets: data files with their data sequence
+    * numbers, positional-delete files, equality-delete files with their
+    * sequence numbers + equality field ids, and the schema's top-level
+    * field-id → name map. */
+  private final case class ActiveSet(schema: StructType,
+      fieldNames: Map[Int, String],
+      data: Seq[(String, Long)],
+      posDeletes: Seq[String],
+      eqDeletes: Seq[(String, Long, Seq[Int])])
+
+  /** Merge-on-read assembly: positional deletes anti-join on
+    * (file, `_metadata.row_index`); equality deletes anti-join on the
+    * null-safe equality columns SCOPED by sequence number (a delete at
+    * sequence s removes matching rows only from data files with a
+    * strictly smaller data sequence — the table-spec rule that keeps a
+    * re-insert after a delete alive). One anti-join per distinct
+    * equality-id set, each with the scope as a join-side condition —
+    * never one join per commit. A snapshot with no deletes keeps the
+    * plain parquet scan. */
+  private def assemble(spark: SparkSession, a: ActiveSet): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, lit}
+    if (a.data.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
-    val data = spark.read.schema(sparkSchema).parquet(paths: _*)
-    if (deletePaths.isEmpty) return data
-    // the delete files' spec schema: file_path (string), pos (long); a
-    // delete file may also carry the deleted `row` struct — not selected
-    val dels = spark.read.parquet(deletePaths: _*)
-      .select(PathUris.canonCol(col("file_path")).as("__del_path"),
-        col("pos").cast("long").as("__del_pos"))
-    val withMeta = data
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], a.schema)
+    val data = spark.read.schema(a.schema).parquet(a.data.map(_._1): _*)
+    if (a.posDeletes.isEmpty && a.eqDeletes.isEmpty) return data
+    var withMeta = data
       .withColumn("__row_path",
         PathUris.canonMetaCol(col("_metadata.file_path")))
       .withColumn("__row_pos", col("_metadata.row_index"))
-    withMeta.join(dels,
+    if (a.posDeletes.nonEmpty) {
+      // the delete files' spec schema: file_path (string), pos (long); a
+      // delete file may also carry the deleted `row` struct — not selected
+      val dels = spark.read.parquet(a.posDeletes: _*)
+        .select(PathUris.canonCol(col("file_path")).as("__del_path"),
+          col("pos").cast("long").as("__del_pos"))
+      withMeta = withMeta.join(dels,
         withMeta("__row_path") === dels("__del_path") &&
           withMeta("__row_pos") === dels("__del_pos"), "left_anti")
-      .drop("__row_path", "__row_pos")
+    }
+    if (a.eqDeletes.nonEmpty) {
+      import spark.implicits._
+      // per-row data sequence number: a broadcast (path, seq) lookup —
+      // O(files) metadata, joined map-side
+      val seqDf = a.data.map { case (p, sq) => (PathUris.canon(p), sq) }
+        .toDF("__sp", "__file_seq")
+      withMeta = withMeta.join(broadcast(seqDf),
+        withMeta("__row_path") === seqDf("__sp"), "left").drop("__sp")
+      a.eqDeletes.groupBy(_._3.sorted).toSeq.sortBy(_._1.mkString(","))
+        .foreach { case (ids, group) =>
+          val cols = ids.map(id => a.fieldNames.getOrElse(id,
+            throw UnsupportedIceberg(
+              s"equality delete field id $id is not a top-level column " +
+                "(nested equality deletes are not implemented)")))
+          val delSeq = group.map(g => (PathUris.canon(g._1), g._2))
+            .toDF("__dsp", "__eq_seq")
+          val delRows = spark.read.parquet(group.map(_._1): _*)
+            .withColumn("__dp",
+              PathUris.canonMetaCol(col("_metadata.file_path")))
+            .join(broadcast(delSeq), col("__dp") === col("__dsp"))
+            .select(cols.map(c => col(c).as(s"__eq_$c")) :+
+              col("__eq_seq"): _*)
+          val cond = cols.map(c => withMeta(c) <=> delRows(s"__eq_$c"))
+            .reduce(_ && _) && withMeta("__file_seq") < delRows("__eq_seq")
+          withMeta = withMeta.join(delRows, cond, "left_anti")
+        }
+      withMeta = withMeta.drop("__file_seq")
+    }
+    withMeta.drop("__row_path", "__row_pos")
   }
 
-  /** The snapshot's (table schema, resolved active data-file paths,
-    * resolved active positional-delete-file paths) — pure metadata work:
-    * manifest-list + manifest replay, no data IO. */
+  /** The snapshot's [[ActiveSet]] — pure metadata work: manifest-list +
+    * manifest replay, no data IO. */
   private def activeFiles(spark: SparkSession, table: String,
       snapshotId: Option[Long], partitionFilter: Map[String, String])
-      : (StructType, Seq[String], Seq[String]) = {
+      : ActiveSet = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val fs = new Path(table).getFileSystem(conf)
     val metaPath = latestMetadata(fs, table)
@@ -213,10 +262,17 @@ object IcebergTable {
       case _ => meta \ "schema"
     }
     val sparkSchema = structOf(schemaJson)
+    // top-level field-id -> name (equality-delete column resolution)
+    val fieldNames: Map[Int, String] =
+      (schemaJson \ "fields").extractOpt[Seq[JValue]].getOrElse(Nil)
+        .flatMap { f =>
+          for (id <- (f \ "id").extractOpt[Int];
+            n <- (f \ "name").extractOpt[String]) yield id -> n
+        }.toMap
 
     val snaps = (meta \ "snapshots").extractOpt[Seq[JValue]].getOrElse(Nil)
     if (snaps.isEmpty) // a created-but-never-written table: empty, typed
-      return (sparkSchema, Nil, Nil)
+      return ActiveSet(sparkSchema, fieldNames, Nil, Nil, Nil)
     val targetId = snapshotId.getOrElse {
       (meta \ "current-snapshot-id").extractOpt[Long].getOrElse(
         throw UnsupportedIceberg(s"$table: no current-snapshot-id"))
@@ -226,28 +282,41 @@ object IcebergTable {
       .getOrElse(throw UnsupportedIceberg(
         s"$table: snapshot $targetId is not in the metadata"))
 
-    // manifests: v2 manifest-list avro; v1 may inline a manifests array
-    val manifestPaths: Seq[(String, Int)] = (snap \ "manifest-list") match {
+    // manifests: v2 manifest-list avro; v1 may inline a manifests array.
+    // sequence_number rides along (0 when the list predates v2): entries
+    // with a null sequence inherit their manifest's.
+    val manifestPaths: Seq[(String, Int, Long)] = (snap \ "manifest-list") match {
       case JString(ml) =>
         val mlPath = resolvePath(table, location, ml)
         val rows = AvroOcf.read(spark, mlPath)
-        val hasContent = rows.columns.contains("content")
-        rows.select(col("manifest_path"),
-            if (hasContent) col("content")
-            else org.apache.spark.sql.functions.lit(0))
-          .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+        val mlCols = rows.columns.toSet
+        val contentC =
+          if (mlCols.contains("content")) col("content")
+          else org.apache.spark.sql.functions.lit(0)
+        val seqC =
+          if (mlCols.contains("sequence_number")) col("sequence_number")
+          else org.apache.spark.sql.functions.lit(0L)
+        rows.select(col("manifest_path"), contentC, seqC.cast("long"))
+          .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+          .toSeq
       case _ =>
         (snap \ "manifests").extractOpt[Seq[String]].getOrElse(
           throw UnsupportedIceberg(
             s"$table: snapshot $targetId has neither manifest-list nor manifests"))
-          .map(p => (p, 0))
+          .map(p => (p, 0, 0L))
     }
     // ALL manifests in one fan-out (grouped by writer schema inside
     // readFiles) — a snapshot with hundreds of manifests costs O(1) jobs.
     // DELETE manifests (list content = 1) replay exactly like data
-    // manifests: their entries' data_file.content distinguishes the kind.
+    // manifests: their entries' data_file.content distinguishes the kind;
+    // the source-file column keys sequence-number inheritance.
+    val manifestSeq: Map[String, Long] = manifestPaths.map { p =>
+      PathUris.canon(resolvePath(table, location, p._1)) -> p._3
+    }.toMap
     val m = AvroOcf.readFiles(spark,
-      manifestPaths.map(p => resolvePath(table, location, p._1)))
+      manifestPaths.map(p => resolvePath(table, location, p._1)),
+      sourceFileCol = Some("__manifest"))
+    val mCols = m.columns.toSet
     val dfCols = m.select(col("data_file.*")).columns.toSet
     val contentCol =
       if (dfCols.contains("content")) col("data_file.content")
@@ -265,30 +334,44 @@ object IcebergTable {
         partitionFilter.map { case (k, v) =>
           col(s"data_file.partition.$k").cast("string") === v
         }.reduce(_ && _), org.apache.spark.sql.functions.lit(false))
+    val seqCol =
+      if (mCols.contains("sequence_number")) col("sequence_number")
+      else org.apache.spark.sql.functions.lit(null).cast("long")
+    val eqIdsCol =
+      if (dfCols.contains("equality_ids")) col("data_file.equality_ids")
+      else org.apache.spark.sql.functions.lit(null).cast("array<int>")
+    final case class Entry(status: Int, content: Int, path: String,
+      format: String, matches: Boolean, seq: Long, eqIds: Seq[Int])
     val allEntries = m.select(col("status"), contentCol.as("content"),
         col("data_file.file_path"), col("data_file.file_format"),
-        matchCol.as("matches"))
+        matchCol.as("matches"), seqCol.as("seq"), eqIdsCol.as("eq_ids"),
+        col("__manifest"))
       .collect().map { r =>
-        (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3),
-          r.getBoolean(4))
+        val inherited =
+          if (!r.isNullAt(5)) r.getLong(5)
+          else manifestSeq.getOrElse(PathUris.canon(r.getString(7)), 0L)
+        Entry(r.getInt(0), r.getInt(1), r.getString(2), r.getString(3),
+          r.getBoolean(4), inherited,
+          if (r.isNullAt(6)) Nil else r.getSeq[Int](6))
       }.toSeq
     // content: 0 data, 1 position deletes, 2 equality deletes
-    val kept = allEntries.filter(e => e._5 || e._2 != 0)
-      .map(e => (e._1, e._2, e._3, e._4))
-    val active = kept.filter(_._1 != 2) // status 0 existing, 1 added, 2 deleted
-    val equality = active.filter(_._2 == 2)
-    if (equality.nonEmpty) throw UnsupportedIceberg(
-      s"$table: ${equality.size} EQUALITY delete files in snapshot " +
-        s"$targetId — only positional deletes are implemented " +
-        "(compact/rewrite the table)")
-    active.find(!_._4.equalsIgnoreCase("PARQUET")).foreach { f =>
+    val kept = allEntries.filter(e => e.matches || e.content != 0)
+    val active = kept.filter(_.status != 2) // 0 existing, 1 added, 2 deleted
+    active.find(!_.format.equalsIgnoreCase("PARQUET")).foreach { f =>
       throw UnsupportedIceberg(
-        s"$table: data file format ${f._4} (parquet only)")
+        s"$table: data file format ${f.format} (parquet only)")
     }
-    val (posDeletes, dataFiles) = active.partition(_._2 == 1)
-    (sparkSchema,
-      dataFiles.map(f => resolvePath(table, location, f._3)),
-      posDeletes.map(f => resolvePath(table, location, f._3)))
+    active.find(e => e.content == 2 && e.eqIds.isEmpty).foreach { e =>
+      throw UnsupportedIceberg(
+        s"$table: equality delete file ${e.path} declares no equality_ids")
+    }
+    ActiveSet(sparkSchema, fieldNames,
+      active.filter(_.content == 0)
+        .map(f => (resolvePath(table, location, f.path), f.seq)),
+      active.filter(_.content == 1)
+        .map(f => resolvePath(table, location, f.path)),
+      active.filter(_.content == 2)
+        .map(f => (resolvePath(table, location, f.path), f.seq, f.eqIds)))
   }
 
   /** Incremental consumption: rows of the data files ACTIVE in
@@ -315,16 +398,16 @@ object IcebergTable {
           s"$fromSnapshotId at $fromTs ms, to $t at $toTs ms) — a " +
           "reversed diff would serve superseded files")
     // both active sets are METADATA (manifest replays); the diff costs
-    // zero data reads. The TO snapshot's positional deletes apply to the
-    // fresh files (a row added and deleted within the range never
-    // existed for a consumer of the range's end state).
-    val (_, before, _) =
-      activeFiles(spark, table, Some(fromSnapshotId), Map.empty)
-    val (schema, after, deletes) =
-      activeFiles(spark, table, toSnapshotId, Map.empty)
-    val beforeSet = before.toSet
-    val fresh = after.filterNot(beforeSet)
-    assemble(spark, schema, fresh, if (fresh.isEmpty) Nil else deletes)
+    // zero data reads. The TO snapshot's deletes apply to the fresh
+    // files (a row added and deleted within the range never existed for
+    // a consumer of the range's end state).
+    val before = activeFiles(spark, table, Some(fromSnapshotId), Map.empty)
+    val after = activeFiles(spark, table, toSnapshotId, Map.empty)
+    val beforeSet = before.data.map(_._1).toSet
+    val fresh = after.data.filterNot(f => beforeSet(f._1))
+    assemble(spark, after.copy(data = fresh,
+      posDeletes = if (fresh.isEmpty) Nil else after.posDeletes,
+      eqDeletes = if (fresh.isEmpty) Nil else after.eqDeletes))
   }
 
   /** The current snapshot id (None on a never-written table) — one

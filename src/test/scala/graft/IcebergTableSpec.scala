@@ -349,21 +349,125 @@ class IcebergTableSpec extends SparkSpec {
       .sorted.toSeq == Seq(2L, 3L))
   }
 
-  test("guards are directed: equality deletes, version 3, not-a-table") {
-    val t2 = tmp()
-    val g0 = dataFile(t2, "p0.parquet", Seq(1L))
-    // content=2 entry: an EQUALITY delete file
-    val m2 = manifest(t2, "m0.avro", Seq((1, 0, g0), (1, 2, g0)))
-    val ml2 = manifestList(t2, "snap-1.avro", Seq((m2, 0)))
-    writeMetadata(t2, 2, s"""{
-      "format-version": 2, "table-uuid": "u", "location": "$t2",
+  /** Manifest schema carrying sequence_number + equality_ids (the v2
+    * shape); null sequence inherits the manifest's own. */
+  private val seqManifestSchema =
+    """{"type": "record", "name": "manifest_entry", "fields": [
+      |  {"name": "status", "type": "int"},
+      |  {"name": "sequence_number", "type": ["null", "long"], "default": null},
+      |  {"name": "data_file", "type": {"type": "record", "name": "r2",
+      |    "fields": [
+      |      {"name": "content", "type": "int"},
+      |      {"name": "file_path", "type": "string"},
+      |      {"name": "file_format", "type": "string"},
+      |      {"name": "record_count", "type": "long"},
+      |      {"name": "equality_ids", "type": ["null",
+      |        {"type": "array", "items": "int"}], "default": null}
+      |    ]}}
+      |]}""".stripMargin
+
+  private val seqListSchema =
+    """{"type": "record", "name": "manifest_file", "fields": [
+      |  {"name": "manifest_path", "type": "string"},
+      |  {"name": "manifest_length", "type": "long"},
+      |  {"name": "content", "type": "int"},
+      |  {"name": "sequence_number", "type": "long"}
+      |]}""".stripMargin
+
+  test("equality deletes: sequence-scoped, null-safe, per-id-set joins") {
+    val table = tmp()
+    // f0 at sequence 1 (ids 1..3), f1 at sequence 3 (ids 2 and 4 RE-added)
+    val f0 = dataFile(table, "p0.parquet", Seq(1L, 2L, 3L))
+    val f1 = dataFile(table, "p1.parquet", Seq(2L, 4L))
+    new java.io.File(s"$table/metadata").mkdirs()
+    val m0 = s"$table/metadata/m0.avro"
+    AvroOcf.write(m0, seqManifestSchema, Seq(
+      Seq(1, null, Seq(0, f0, "PARQUET", 3L, null))))
+    val m1 = s"$table/metadata/m1.avro"
+    AvroOcf.write(m1, seqManifestSchema, Seq(
+      Seq(1, null, Seq(0, f1, "PARQUET", 2L, null))))
+    // the equality delete at sequence 2 on field id 1 ("id"): values 2, 4
+    val dl = {
+      val df = Seq(2L, 4L).toDF("id")
+      df.coalesce(1).write.mode("overwrite").parquet(s"$table/tmp-eq")
+      val part = new java.io.File(s"$table/tmp-eq").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = s"$table/data/eq0.parquet"
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(target))
+      target
+    }
+    val md = s"$table/metadata/md.avro"
+    AvroOcf.write(md, seqManifestSchema, Seq(
+      Seq(1, null, Seq(2, dl, "PARQUET", 2L, Seq(1)))))
+    val ml = s"$table/metadata/snap-1.avro"
+    AvroOcf.write(ml, seqListSchema, Seq(
+      Seq(m0, 100L, 0, 1L), Seq(md, 100L, 1, 2L), Seq(m1, 100L, 0, 3L)))
+    writeMetadata(table, 1, s"""{
+      "format-version": 2, "table-uuid": "u", "location": "$table",
       "current-snapshot-id": 1,
       "schemas": [$schemaJson], "current-schema-id": 0,
       "snapshots": [{"snapshot-id": 1, "timestamp-ms": 0,
-        "summary": {"operation": "append"}, "manifest-list": "$ml2"}]}""")
-    val e2 = intercept[Exception] { IcebergTable.read(spark, t2) }
-    assert(e2.getMessage.contains("EQUALITY delete"), e2.getMessage)
+        "summary": {"operation": "overwrite"}, "manifest-list": "$ml"}]}""")
+    // id=2 dies in f0 (seq 1 < 2) but SURVIVES in f1 (seq 3 >= 2 — the
+    // re-insert); id=4 only ever existed at seq 3 and survives
+    val got = IcebergTable.read(spark, table).orderBy($"id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L),
+      got.map(_.getLong(0)).toSeq.toString)
+    // a non-top-level equality id is a directed error
+    val mdBad = s"$table/metadata/mdbad.avro"
+    AvroOcf.write(mdBad, seqManifestSchema, Seq(
+      Seq(1, null, Seq(2, dl, "PARQUET", 2L, Seq(99)))))
+    val mlBad = s"$table/metadata/snap-2.avro"
+    AvroOcf.write(mlBad, seqListSchema, Seq(
+      Seq(m0, 100L, 0, 1L), Seq(mdBad, 100L, 1, 2L)))
+    writeMetadata(table, 2, s"""{
+      "format-version": 2, "table-uuid": "u", "location": "$table",
+      "current-snapshot-id": 2,
+      "schemas": [$schemaJson], "current-schema-id": 0,
+      "snapshots": [{"snapshot-id": 2, "timestamp-ms": 0,
+        "summary": {"operation": "overwrite"}, "manifest-list": "$mlBad"}]}""")
+    val e = intercept[Exception] { IcebergTable.read(spark, table) }
+    assert(e.getMessage.contains("not a top-level column"), e.getMessage)
+  }
 
+  test("equality and positional deletes compose in one snapshot") {
+    val table = tmp()
+    val f0 = dataFile(table, "p0.parquet", Seq(1L, 2L, 3L, 4L))
+    new java.io.File(s"$table/metadata").mkdirs()
+    val m0 = s"$table/metadata/m0.avro"
+    AvroOcf.write(m0, seqManifestSchema, Seq(
+      Seq(1, null, Seq(0, f0, "PARQUET", 4L, null))))
+    // positional delete kills row 0 (id 1); equality delete kills id 3
+    val pd = posDeleteFile(table, "pd.parquet", Seq((f0, 0L)))
+    val eq = {
+      val df = Seq(3L).toDF("id")
+      df.coalesce(1).write.mode("overwrite").parquet(s"$table/tmp-eq")
+      val part = new java.io.File(s"$table/tmp-eq").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = s"$table/data/eq0.parquet"
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(target))
+      target
+    }
+    val md = s"$table/metadata/md.avro"
+    AvroOcf.write(md, seqManifestSchema, Seq(
+      Seq(1, null, Seq(1, pd, "PARQUET", 1L, null)),
+      Seq(1, null, Seq(2, eq, "PARQUET", 1L, Seq(1)))))
+    val ml = s"$table/metadata/snap-1.avro"
+    AvroOcf.write(ml, seqListSchema, Seq(
+      Seq(m0, 100L, 0, 1L), Seq(md, 100L, 1, 2L)))
+    writeMetadata(table, 1, s"""{
+      "format-version": 2, "table-uuid": "u", "location": "$table",
+      "current-snapshot-id": 1,
+      "schemas": [$schemaJson], "current-schema-id": 0,
+      "snapshots": [{"snapshot-id": 1, "timestamp-ms": 0,
+        "summary": {"operation": "overwrite"}, "manifest-list": "$ml"}]}""")
+    assert(IcebergTable.read(spark, table).collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(2L, 4L))
+  }
+
+  test("guards are directed: version 3, not-a-table") {
     val t3 = tmp()
     writeMetadata(t3, 1, s"""{"format-version": 3, "location": "$t3",
       "schemas": [$schemaJson], "current-schema-id": 0, "snapshots": []}""")
