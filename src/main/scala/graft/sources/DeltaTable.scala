@@ -36,11 +36,17 @@ import org.json4s.jackson.JsonMethods
   * normalized by [[PathUris]]. DV row counts are data-scale, never
   * collected to the driver.
   *
+  * V2 CHECKPOINTS read too: the top-level `<v>.checkpoint.<uuid>`
+  * parquet or json carries checkpointMetadata plus `sidecar` actions
+  * naming the `_delta_log/_sidecars/` parquets that hold the file
+  * actions — processed with the same handler as classic checkpoints
+  * (checkpoint `remove` tombstones never replay). Column mapping in
+  * name mode decodes (see assemble); id mode is a directed error.
+  *
   * Guard rails (directed, never silent): minReaderVersion > 1 is
-  * rejected unless it is version 3 whose `readerFeatures` are all
-  * either implemented (`deletionVectors`) or understood-as-harmless
-  * here (`timestampNtz`; `v2Checkpoint` is NOT — see below); column
-  * mapping changes column decoding and is rejected by feature name. */
+  * rejected unless it is version 3 whose readerFeatures are all either
+  * implemented (deletionVectors, columnMapping-name, v2Checkpoint) or
+  * understood-as-harmless (timestampNtz, vacuumProtocolCheck). */
 object DeltaTable {
   final case class UnsupportedDelta(msg: String) extends RuntimeException(msg)
 
@@ -51,7 +57,8 @@ object DeltaTable {
     * readerFeatures is a directed error. */
   private val HarmlessReaderFeatures =
     Set("timestampNtz", "vacuumProtocolCheck", "deletionVectors",
-      "columnMapping") // mode-checked after replay (name ok, id directed)
+      "columnMapping", // mode-checked after replay (name ok, id directed)
+      "v2Checkpoint")
 
   private final case class AddFile(path: String,
       partitionValues: Map[String, String],
@@ -103,21 +110,24 @@ object DeltaTable {
         throw UnsupportedDelta(s"$table: no commit json in _delta_log"))
     }
 
-    // newest checkpoint at or below the target version; multi-part
-    // checkpoints enumerate NNN.checkpoint.MMM.PPP.parquet parts
+    // newest checkpoint at or below the target version: classic
+    // single-file, multi-part (NNN.checkpoint.MMM.PPP.parquet), or V2
+    // (NNN.checkpoint.<uuid>.{parquet|json} + sidecars in _sidecars/)
     val ckptVersions = entries.flatMap { n =>
       val base = n.split('/').last
       val i = base.indexOf(".checkpoint")
-      if (i == 20 && base.endsWith(".parquet"))
+      if (i == 20 && (base.endsWith(".parquet") || base.endsWith(".json")))
         base.take(20).toLongOption
       else None
     }.distinct.filter(_ <= latest).sorted
     val ckpt = ckptVersions.lastOption
-    val ckptFiles: Seq[String] = ckpt.toSeq.flatMap { v =>
+    val allCkptFiles: Seq[String] = ckpt.toSeq.flatMap { v =>
       entries.filter { n =>
-        n.startsWith(f"$v%020d.checkpoint") && n.endsWith(".parquet")
+        n.startsWith(f"$v%020d.checkpoint") &&
+          (n.endsWith(".parquet") || n.endsWith(".json"))
       }.sorted.map(n => s"${logDir(table)}/$n")
     }
+    val (ckptJsonFiles, ckptFiles) = allCkptFiles.partition(_.endsWith(".json"))
 
     val tailVersions = commitVersions
       .filter(v => v <= latest && ckpt.forall(_ < v))
@@ -145,13 +155,63 @@ object DeltaTable {
         throw UnsupportedDelta(
           s"minReaderVersion $minReader (1, or 3 with harmless readerFeatures, only)")
       if (minReader == 3 && bad.nonEmpty) throw UnsupportedDelta(
-        s"reader features ${bad.mkString(", ")} change data decoding " +
-          "(v2 checkpoints are not implemented)")
+        s"reader features ${bad.mkString(", ")} change data decoding")
+    }
+    // one JSON action line (commit tail, or a V2 json checkpoint —
+    // checkpoint removes are tombstones and never replay)
+    def applyJsonAction(j: JValue, applyRemoves: Boolean): Unit = {
+      (j \ "protocol") match {
+        case JObject(_) =>
+          val minReader = (j \ "protocol" \ "minReaderVersion")
+            .extractOpt[Int].getOrElse(1)
+          val feats = (j \ "protocol" \ "readerFeatures")
+            .extractOpt[Seq[String]].getOrElse(Nil)
+          applyProtocol(minReader, feats)
+        case _ =>
+      }
+      (j \ "metaData") match {
+        case JObject(_) =>
+          schemaJson = (j \ "metaData" \ "schemaString").extract[String]
+          partitionColumns = (j \ "metaData" \ "partitionColumns")
+            .extractOpt[Seq[String]].getOrElse(Nil)
+          configuration = (j \ "metaData" \ "configuration")
+            .extractOpt[Map[String, String]].getOrElse(Map.empty)
+        case _ =>
+      }
+      (j \ "add") match {
+        case JObject(_) =>
+          val path = (j \ "add" \ "path").extract[String]
+          val pv = (j \ "add" \ "partitionValues")
+            .extractOpt[Map[String, String]].getOrElse(Map.empty)
+          val dv = (j \ "add" \ "deletionVector") match {
+            case o: JObject => Some(DeletionVector.Descriptor(
+              (o \ "storageType").extract[String],
+              (o \ "pathOrInlineDv").extract[String],
+              (o \ "offset").extractOpt[Int],
+              (o \ "sizeInBytes").extract[Int],
+              (o \ "cardinality").extract[Long]))
+            case _ => None
+          }
+          files += path -> AddFile(path, pv, dv)
+        case _ =>
+      }
+      if (applyRemoves) (j \ "remove") match {
+        case JObject(_) =>
+          files -= (j \ "remove" \ "path").extract[String]
+        case _ =>
+      }
     }
 
-    // checkpoint first: one row per action, struct columns
-    if (ckptFiles.nonEmpty) {
-      val cp = spark.read.parquet(ckptFiles: _*)
+    // ------------------------------ checkpoint: classic, multi-part, or V2
+    // one row per action, struct columns; V2 top-levels additionally name
+    // SIDECAR parquets (in _delta_log/_sidecars/) that carry the file
+    // actions — processed with the same handler. Checkpoint `remove`
+    // tombstones are vacuum bookkeeping, never replayed.
+    def resolveSidecar(pth: String): String =
+      if (pth.contains("://") || pth.startsWith("/")) pth
+      else s"${logDir(table)}/_sidecars/$pth"
+    def processActionParquet(paths: Seq[String]): Unit = {
+      val cp = spark.read.parquet(paths: _*)
       val colsPresent = cp.columns.toSet
       if (colsPresent.contains("protocol")) {
         cp.select(col("protocol.minReaderVersion"),
@@ -200,6 +260,35 @@ object DeltaTable {
               dv)
           }
       }
+      if (colsPresent.contains("sidecar")) {
+        val sidecars = cp.select(col("sidecar.path"))
+          .filter(col("path").isNotNull)
+          .collect().map(r => resolveSidecar(r.getString(0))).toSeq
+        if (sidecars.nonEmpty) processActionParquet(sidecars)
+      }
+    }
+    if (ckptFiles.nonEmpty) processActionParquet(ckptFiles)
+    // a V2 top-level may also be JSON: action-per-line, same semantics
+    ckptJsonFiles.foreach { cj =>
+      val cjPath = new Path(cj)
+      val text = {
+        val in = fs.open(cjPath)
+        try {
+          val len = fs.getFileStatus(cjPath).getLen.toInt
+          val b = new Array[Byte](len)
+          in.readFully(0, b)
+          new String(b, "UTF-8")
+        } finally in.close()
+      }
+      val sidecars = Seq.newBuilder[String]
+      text.split('\n').filter(_.trim.nonEmpty).foreach { line =>
+        val j = JsonMethods.parse(line)
+        applyJsonAction(j, applyRemoves = false)
+        (j \ "sidecar" \ "path").extractOpt[String]
+          .foreach(pth => sidecars += resolveSidecar(pth))
+      }
+      val sc = sidecars.result()
+      if (sc.nonEmpty) processActionParquet(sc)
     }
 
     // the checkpoint state IS the snapshot at the checkpoint version
@@ -217,47 +306,7 @@ object DeltaTable {
         new String(b, "UTF-8")
       } finally in.close()
       text.split('\n').filter(_.trim.nonEmpty).foreach { line =>
-        val j = JsonMethods.parse(line)
-        (j \ "protocol") match {
-          case JObject(_) =>
-            val minReader = (j \ "protocol" \ "minReaderVersion")
-              .extractOpt[Int].getOrElse(1)
-            val feats = (j \ "protocol" \ "readerFeatures")
-              .extractOpt[Seq[String]].getOrElse(Nil)
-            applyProtocol(minReader, feats)
-          case _ =>
-        }
-        (j \ "metaData") match {
-          case JObject(_) =>
-            schemaJson = (j \ "metaData" \ "schemaString").extract[String]
-            partitionColumns = (j \ "metaData" \ "partitionColumns")
-              .extractOpt[Seq[String]].getOrElse(Nil)
-            configuration = (j \ "metaData" \ "configuration")
-              .extractOpt[Map[String, String]].getOrElse(Map.empty)
-          case _ =>
-        }
-        (j \ "add") match {
-          case JObject(_) =>
-            val path = (j \ "add" \ "path").extract[String]
-            val pv = (j \ "add" \ "partitionValues")
-              .extractOpt[Map[String, String]].getOrElse(Map.empty)
-            val dv = (j \ "add" \ "deletionVector") match {
-              case o: JObject => Some(DeletionVector.Descriptor(
-                (o \ "storageType").extract[String],
-                (o \ "pathOrInlineDv").extract[String],
-                (o \ "offset").extractOpt[Int],
-                (o \ "sizeInBytes").extract[Int],
-                (o \ "cardinality").extract[Long]))
-              case _ => None
-            }
-            files += path -> AddFile(path, pv, dv)
-          case _ =>
-        }
-        (j \ "remove") match {
-          case JObject(_) =>
-            files -= (j \ "remove" \ "path").extract[String]
-          case _ =>
-        }
+        applyJsonAction(JsonMethods.parse(line), applyRemoves = true)
       }
       if (captureAt.contains(v)) captured = Some(files.keySet.toSet)
     }

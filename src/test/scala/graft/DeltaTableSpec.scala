@@ -140,6 +140,86 @@ class DeltaTableSpec extends SparkSpec {
       Seq((1L, "en"), (2L, "en"), (7L, "fr"), (9L, "en")))
   }
 
+  test("v2 checkpoint: sidecar parquets carry the file actions") {
+    val table = tmp()
+    val f0 = dataFile(table, "lang=en/part-000.parquet", Seq(1L, 2L))
+    val f1 = dataFile(table, "lang=fr/part-001.parquet", Seq(7L))
+    // two sidecars under _delta_log/_sidecars/, one add each
+    val scDdl = "add struct<path:string,partitionValues:map<string,string>," +
+      "size:bigint,modificationTime:bigint,dataChange:boolean>"
+    def sidecar(name: String, addLine: String): Unit = {
+      val df = spark.read.schema(scDdl).json(Seq(addLine).toDS())
+      df.coalesce(1).write.mode("overwrite")
+        .parquet(s"$table/_delta_log/_sidecars/$name.dir")
+      val part = new java.io.File(s"$table/_delta_log/_sidecars/$name.dir")
+        .listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$table/_delta_log/_sidecars/$name"))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$table/_delta_log/_sidecars/$name.dir"))
+    }
+    sidecar("sc-1.parquet", addJson(f0, "en"))
+    sidecar("sc-2.parquet", addJson(f1, "fr"))
+    // the V2 top-level parquet: protocol + metaData + checkpointMetadata
+    // + the two sidecar pointers
+    val topDdl =
+      "protocol struct<minReaderVersion:int,minWriterVersion:int," +
+        "readerFeatures:array<string>>, " +
+        "metaData struct<id:string,schemaString:string," +
+        "partitionColumns:array<string>>, " +
+        "checkpointMetadata struct<version:bigint>, " +
+        "sidecar struct<path:string,sizeInBytes:bigint,modificationTime:bigint>"
+    val topLines = Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"]}}""",
+      metaDataJson,
+      """{"checkpointMetadata":{"version":1}}""",
+      """{"sidecar":{"path":"sc-1.parquet","sizeInBytes":10,"modificationTime":0}}""",
+      """{"sidecar":{"path":"sc-2.parquet","sizeInBytes":10,"modificationTime":0}}""")
+    val top = spark.read.schema(topDdl).json(topLines.toDS())
+    top.coalesce(1).write.mode("overwrite")
+      .parquet(s"$table/_delta_log/top.dir")
+    val tp = new java.io.File(s"$table/_delta_log/top.dir").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(tp.toPath, java.nio.file.Paths.get(
+      f"$table/_delta_log/${1L}%020d.checkpoint.80a083e8.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$table/_delta_log/top.dir"))
+    // json tail past the checkpoint adds one more file
+    val f2 = dataFile(table, "lang=en/part-002.parquet", Seq(9L))
+    writeCommit(table, 2, Seq(addJson(f2, "en")))
+    val df = DeltaTable.read(spark, table).orderBy($"id")
+    assert(df.collect().map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "en"), (2L, "en"), (7L, "fr"), (9L, "en")))
+  }
+
+  test("v2 checkpoint: JSON top-level with a sidecar") {
+    val table = tmp()
+    val f0 = dataFile(table, "lang=en/part-000.parquet", Seq(4L, 5L))
+    val scDdl = "add struct<path:string,partitionValues:map<string,string>," +
+      "size:bigint,modificationTime:bigint,dataChange:boolean>"
+    val df0 = spark.read.schema(scDdl).json(Seq(addJson(f0, "en")).toDS())
+    df0.coalesce(1).write.mode("overwrite")
+      .parquet(s"$table/_delta_log/_sidecars/sc.dir")
+    val part = new java.io.File(s"$table/_delta_log/_sidecars/sc.dir")
+      .listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$table/_delta_log/_sidecars/sc-0.parquet"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      f"$table/_delta_log/${0L}%020d.checkpoint.11112222.json"),
+      (Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["v2Checkpoint"]}}""",
+        metaDataJson,
+        """{"checkpointMetadata":{"version":0}}""",
+        """{"sidecar":{"path":"sc-0.parquet","sizeInBytes":10,"modificationTime":0}}""")
+        .mkString("\n")).getBytes("UTF-8"))
+    writeCommit(table, 1, Seq(commitInfo("OPTIMIZE", 1)))
+    val got = DeltaTable.read(spark, table).orderBy($"id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(4L, 5L))
+    assert(got.map(_.getString(2)).distinct.toSeq == Seq("en"))
+  }
+
   test("readChanges serves exactly the files newly active in the range") {
     val table = tmp()
     val f0 = dataFile(table, "lang=en/part-000.parquet", Seq(1L, 2L))
@@ -218,23 +298,25 @@ class DeltaTableSpec extends SparkSpec {
       metaDataJson, addJson(h0, "en")))
     assert(DeltaTable.read(spark, t3).count() == 1)
 
-    // the columnMapping FEATURE with no mode set reads fine (mode none);
-    // v2Checkpoint still changes log decoding: directed
+    // the columnMapping FEATURE with no mode set reads fine (mode none),
+    // as does v2Checkpoint (implemented); an UNKNOWN reader feature that
+    // could change data decoding stays directed
     val t4 = tmp()
     val k0 = dataFile(t4, "lang=en/part-000.parquet", Seq(5L))
     writeCommit(t4, 0, Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}""",
+        """"readerFeatures":["columnMapping","v2Checkpoint"],""" +
+        """"writerFeatures":["columnMapping","v2Checkpoint"]}}""",
       metaDataJson, addJson(k0, "en")))
     assert(DeltaTable.read(spark, t4).count() == 1)
     val t4b = tmp()
     val k1 = dataFile(t4b, "lang=en/part-000.parquet", Seq(5L))
     writeCommit(t4b, 0, Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+        """"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}""",
       metaDataJson, addJson(k1, "en")))
     val e4 = intercept[Exception] { DeltaTable.read(spark, t4b) }
-    assert(e4.getMessage.contains("v2Checkpoint"), e4.getMessage)
+    assert(e4.getMessage.contains("typeWidening"), e4.getMessage)
 
     // not a delta table
     val e5 = intercept[Exception] { DeltaTable.read(spark, tmp()) }
