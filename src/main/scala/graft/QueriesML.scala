@@ -492,12 +492,7 @@ object QueriesML {
               }.toSeq, 1),
               org.apache.spark.sql.types.StructType(schema.take(2)))
             val rel = s"bucket=$b/part-00$b.parquet"
-            df.coalesce(1).write.mode("overwrite").parquet(s"$dir/tmp$b")
-            val f = new java.io.File(s"$dir/tmp$b").listFiles()
-              .find(_.getName.endsWith(".parquet")).get
-            new java.io.File(s"$dir/bucket=$b").mkdirs()
-            java.nio.file.Files.move(f.toPath,
-              java.nio.file.Paths.get(s"$dir/$rel"))
+            singleParquet(df, s"$dir/$rel")
             (rel, ids.length)
           }
           val parts = (0 to 2).map(part)
@@ -573,14 +568,7 @@ object QueriesML {
                   org.apache.spark.sql.types.LongType),
                 org.apache.spark.sql.types.StructField("text",
                   org.apache.spark.sql.types.StringType))))
-            df.coalesce(1).write.mode("overwrite").parquet(s"$dir/tmp-$name")
-            val f = new java.io.File(s"$dir/tmp-$name").listFiles()
-              .find(_.getName.endsWith(".parquet")).get
-            new java.io.File(s"$dir/data").mkdirs()
-            val target = s"$dir/data/$name"
-            java.nio.file.Files.move(f.toPath,
-              java.nio.file.Paths.get(target))
-            target
+            singleParquet(df, s"$dir/data/$name")
           }
           val f0 = file("p0.parquet",
             rows.map { case (k, i) => (k, s"doc-$i") }.toSeq)
@@ -594,12 +582,7 @@ object QueriesML {
             org.apache.spark.sql.types.StructType(Seq(
               org.apache.spark.sql.types.StructField("id",
                 org.apache.spark.sql.types.LongType))))
-          eqDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/tmp-eq")
-          val eqPart = new java.io.File(s"$dir/tmp-eq").listFiles()
-            .find(_.getName.endsWith(".parquet")).get
-          val eqPath = s"$dir/data/eq0.parquet"
-          java.nio.file.Files.move(eqPart.toPath,
-            java.nio.file.Paths.get(eqPath))
+          val eqPath = singleParquet(eqDf, s"$dir/data/eq0.parquet")
           new java.io.File(s"$dir/metadata").mkdirs()
           val mSchema =
             """{"type": "record", "name": "manifest_entry", "fields": [
@@ -697,12 +680,7 @@ object QueriesML {
                   org.apache.spark.sql.Row(k * 0.5))
               }.toSeq, 1), physSchema)
             val rel = s"b$b/part-00$b.parquet"
-            df.coalesce(1).write.mode("overwrite").parquet(s"$dir/tmp$b")
-            val f = new java.io.File(s"$dir/tmp$b").listFiles()
-              .find(_.getName.endsWith(".parquet")).get
-            new java.io.File(s"$dir/b$b").mkdirs()
-            java.nio.file.Files.move(f.toPath,
-              java.nio.file.Paths.get(s"$dir/$rel"))
+            singleParquet(df, s"$dir/$rel")
             rel
           }
           val rels = (0 to 2).map(part)
@@ -819,14 +797,7 @@ object QueriesML {
                   org.apache.spark.sql.types.LongType),
                 org.apache.spark.sql.types.StructField("text",
                   org.apache.spark.sql.types.StringType))))
-            df.coalesce(1).write.mode("overwrite").parquet(s"$dir/tmp$b")
-            val f = new java.io.File(s"$dir/tmp$b").listFiles()
-              .find(_.getName.endsWith(".parquet")).get
-            new java.io.File(s"$dir/data").mkdirs()
-            val target = s"$dir/data/p$b.parquet"
-            java.nio.file.Files.move(f.toPath,
-              java.nio.file.Paths.get(target))
-            (target, ids.length)
+            (singleParquet(df, s"$dir/data/p$b.parquet"), ids.length)
           }
           val files = (0 to 2).map(part)
           // the delete file: bucket 0 positions 0,5,10,…; bucket 1 pos 0
@@ -842,12 +813,7 @@ object QueriesML {
                 org.apache.spark.sql.types.StringType),
               org.apache.spark.sql.types.StructField("pos",
                 org.apache.spark.sql.types.LongType))))
-          delDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/tmpdel")
-          val delPart = new java.io.File(s"$dir/tmpdel").listFiles()
-            .find(_.getName.endsWith(".parquet")).get
-          val delPath = s"$dir/data/del0.parquet"
-          java.nio.file.Files.move(delPart.toPath,
-            java.nio.file.Paths.get(delPath))
+          val delPath = singleParquet(delDf, s"$dir/data/del0.parquet")
           new java.io.File(s"$dir/metadata").mkdirs()
           val mSchema =
             """{"type": "record", "name": "manifest_entry", "fields": [
@@ -2856,6 +2822,20 @@ object QueriesML {
   /** (doc_id, rn0) fixture keys: the first `n` order keys with their rank,
     * built driver-side (a few hundred rows) so derived queries never need
     * a global window in the distributed plan. */
+  /** Write `df` as exactly ONE parquet file at `target` — the fixture
+    * helper for table-format logs/manifests that reference individual
+    * files; the temp write dir is cleaned up. */
+  private def singleParquet(df: DataFrame, target: String): String = {
+    val tmp = target + ".tmpdir"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Option(new java.io.File(target).getParentFile).foreach(_.mkdirs())
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(target))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    target
+  }
+
   private def orderedKeys(s: org.apache.spark.sql.SparkSession, d: String,
       n: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types._

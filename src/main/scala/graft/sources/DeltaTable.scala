@@ -72,6 +72,15 @@ object DeltaTable {
 
   private def logDir(table: String) = s"${table.stripSuffix("/")}/_delta_log"
 
+  private def readText(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): String = {
+    val len = fs.getFileStatus(p).getLen.toInt
+    val b = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, b) finally in.close()
+    new String(b, "UTF-8")
+  }
+
   private def versionOf(name: String): Option[Long] = {
     val base = name.split('/').last
     if (base.endsWith(".json") && base.length == 25)
@@ -207,9 +216,12 @@ object DeltaTable {
     // SIDECAR parquets (in _delta_log/_sidecars/) that carry the file
     // actions — processed with the same handler. Checkpoint `remove`
     // tombstones are vacuum bookkeeping, never replayed.
-    def resolveSidecar(pth: String): String =
-      if (pth.contains("://") || pth.startsWith("/")) pth
-      else s"${logDir(table)}/_sidecars/$pth"
+    // sidecar.path is URI-encoded like add.path (PROTOCOL.md)
+    def resolveSidecar(pth: String): String = {
+      val dec = PathUris.pctDecode(pth)
+      if (pth.contains("://") || pth.startsWith("/")) dec
+      else s"${logDir(table)}/_sidecars/$dec"
+    }
     def processActionParquet(paths: Seq[String]): Unit = {
       val cp = spark.read.parquet(paths: _*)
       val colsPresent = cp.columns.toSet
@@ -270,16 +282,7 @@ object DeltaTable {
     if (ckptFiles.nonEmpty) processActionParquet(ckptFiles)
     // a V2 top-level may also be JSON: action-per-line, same semantics
     ckptJsonFiles.foreach { cj =>
-      val cjPath = new Path(cj)
-      val text = {
-        val in = fs.open(cjPath)
-        try {
-          val len = fs.getFileStatus(cjPath).getLen.toInt
-          val b = new Array[Byte](len)
-          in.readFully(0, b)
-          new String(b, "UTF-8")
-        } finally in.close()
-      }
+      val text = readText(fs, new Path(cj))
       val sidecars = Seq.newBuilder[String]
       text.split('\n').filter(_.trim.nonEmpty).foreach { line =>
         val j = JsonMethods.parse(line)
@@ -297,14 +300,7 @@ object DeltaTable {
 
     // JSON commits after the checkpoint, in version order
     tailVersions.foreach { v =>
-      val path = new Path(f"${logDir(table)}/$v%020d.json")
-      val in = fs.open(path)
-      val text = try {
-        val len = fs.getFileStatus(path).getLen.toInt
-        val b = new Array[Byte](len)
-        in.readFully(0, b)
-        new String(b, "UTF-8")
-      } finally in.close()
+      val text = readText(fs, new Path(f"${logDir(table)}/$v%020d.json"))
       text.split('\n').filter(_.trim.nonEmpty).foreach { line =>
         applyJsonAction(JsonMethods.parse(line), applyRemoves = true)
       }
@@ -509,13 +505,7 @@ object DeltaTable {
     val rows = fs.listStatus(dir).toSeq.map(_.getPath)
       .flatMap(p => versionOf(p.getName).map(v => (v, p))).sortBy(_._1)
       .map { case (v, p) =>
-        val in = fs.open(p)
-        val text = try {
-          val len = fs.getFileStatus(p).getLen.toInt
-          val b = new Array[Byte](len)
-          in.readFully(0, b)
-          new String(b, "UTF-8")
-        } finally in.close()
+        val text = readText(fs, p)
         val ci = text.split('\n').map(_.trim).filter(_.nonEmpty)
           .map(JsonMethods.parse(_)).map(_ \ "commitInfo")
           .collectFirst { case o: JObject => o }

@@ -174,9 +174,9 @@ object IcebergTable {
     * field-id → name map. */
   private final case class ActiveSet(schema: StructType,
       fieldNames: Map[Int, String],
-      data: Seq[(String, Long)],
+      data: Seq[(String, Long, String)], // (path, seq, partition scope)
       posDeletes: Seq[String],
-      eqDeletes: Seq[(String, Long, Seq[Int])])
+      eqDeletes: Seq[(String, Long, Seq[Int], Option[String])])
 
   /** Merge-on-read assembly: positional deletes anti-join on
     * (file, `_metadata.row_index`); equality deletes anti-join on the
@@ -188,7 +188,7 @@ object IcebergTable {
     * never one join per commit. A snapshot with no deletes keeps the
     * plain parquet scan. */
   private def assemble(spark: SparkSession, a: ActiveSet): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, lit}
+    import org.apache.spark.sql.functions.broadcast
     if (a.data.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], a.schema)
@@ -210,10 +210,11 @@ object IcebergTable {
     }
     if (a.eqDeletes.nonEmpty) {
       import spark.implicits._
-      // per-row data sequence number: a broadcast (path, seq) lookup —
-      // O(files) metadata, joined map-side
-      val seqDf = a.data.map { case (p, sq) => (PathUris.canon(p), sq) }
-        .toDF("__sp", "__file_seq")
+      // per-row data sequence number AND partition scope: one broadcast
+      // (path, seq, scope) lookup — O(files) metadata, joined map-side
+      val seqDf = a.data.map { case (p, sq, scope) =>
+        (PathUris.canon(p), sq, scope)
+      }.toDF("__sp", "__file_seq", "__file_scope")
       withMeta = withMeta.join(broadcast(seqDf),
         withMeta("__row_path") === seqDf("__sp"), "left").drop("__sp")
       a.eqDeletes.groupBy(_._3.sorted).toSeq.sortBy(_._1.mkString(","))
@@ -222,19 +223,26 @@ object IcebergTable {
             throw UnsupportedIceberg(
               s"equality delete field id $id is not a top-level column " +
                 "(nested equality deletes are not implemented)")))
-          val delSeq = group.map(g => (PathUris.canon(g._1), g._2))
-            .toDF("__dsp", "__eq_seq")
+          val delSeq = group.map(g =>
+              (PathUris.canon(g._1), g._2, g._4.orNull))
+            .toDF("__dsp", "__eq_seq", "__eq_scope")
           val delRows = spark.read.parquet(group.map(_._1): _*)
             .withColumn("__dp",
               PathUris.canonMetaCol(col("_metadata.file_path")))
             .join(broadcast(delSeq), col("__dp") === col("__dsp"))
             .select(cols.map(c => col(c).as(s"__eq_$c")) :+
-              col("__eq_seq"): _*)
+              col("__eq_seq") :+ col("__eq_scope"): _*)
+          // the table-spec application rule: strictly-smaller data
+          // sequence AND (the delete is partition-UNSCOPED, or the data
+          // file's partition tuple equals the delete file's)
           val cond = cols.map(c => withMeta(c) <=> delRows(s"__eq_$c"))
-            .reduce(_ && _) && withMeta("__file_seq") < delRows("__eq_seq")
+            .reduce(_ && _) &&
+            withMeta("__file_seq") < delRows("__eq_seq") &&
+            (delRows("__eq_scope").isNull ||
+              delRows("__eq_scope") === withMeta("__file_scope"))
           withMeta = withMeta.join(delRows, cond, "left_anti")
         }
-      withMeta = withMeta.drop("__file_seq")
+      withMeta = withMeta.drop("__file_seq", "__file_scope")
     }
     withMeta.drop("__row_path", "__row_pos")
   }
@@ -285,7 +293,7 @@ object IcebergTable {
     // manifests: v2 manifest-list avro; v1 may inline a manifests array.
     // sequence_number rides along (0 when the list predates v2): entries
     // with a null sequence inherit their manifest's.
-    val manifestPaths: Seq[(String, Int, Long)] = (snap \ "manifest-list") match {
+    val manifestPaths: Seq[(String, Int, Long, Int)] = (snap \ "manifest-list") match {
       case JString(ml) =>
         val mlPath = resolvePath(table, location, ml)
         val rows = AvroOcf.read(spark, mlPath)
@@ -296,22 +304,27 @@ object IcebergTable {
         val seqC =
           if (mlCols.contains("sequence_number")) col("sequence_number")
           else org.apache.spark.sql.functions.lit(0L)
-        rows.select(col("manifest_path"), contentC, seqC.cast("long"))
-          .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        val specC =
+          if (mlCols.contains("partition_spec_id")) col("partition_spec_id")
+          else org.apache.spark.sql.functions.lit(0)
+        rows.select(col("manifest_path"), contentC, seqC.cast("long"),
+            specC.cast("int"))
+          .collect()
+          .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3)))
           .toSeq
       case _ =>
         (snap \ "manifests").extractOpt[Seq[String]].getOrElse(
           throw UnsupportedIceberg(
             s"$table: snapshot $targetId has neither manifest-list nor manifests"))
-          .map(p => (p, 0, 0L))
+          .map(p => (p, 0, 0L, 0))
     }
     // ALL manifests in one fan-out (grouped by writer schema inside
     // readFiles) — a snapshot with hundreds of manifests costs O(1) jobs.
     // DELETE manifests (list content = 1) replay exactly like data
     // manifests: their entries' data_file.content distinguishes the kind;
     // the source-file column keys sequence-number inheritance.
-    val manifestSeq: Map[String, Long] = manifestPaths.map { p =>
-      PathUris.canon(resolvePath(table, location, p._1)) -> p._3
+    val manifestSeq: Map[String, (Long, Int)] = manifestPaths.map { p =>
+      PathUris.canon(resolvePath(table, location, p._1)) -> ((p._3, p._4))
     }.toMap
     val m = AvroOcf.readFiles(spark,
       manifestPaths.map(p => resolvePath(table, location, p._1)),
@@ -340,19 +353,30 @@ object IcebergTable {
     val eqIdsCol =
       if (dfCols.contains("equality_ids")) col("data_file.equality_ids")
       else org.apache.spark.sql.functions.lit(null).cast("array<int>")
+    // partition tuple as compact json (null fields dropped): with the
+    // manifest's partition_spec_id it forms the SCOPE key the
+    // equality-delete application rule compares
+    val partJsonCol =
+      if (dfCols.contains("partition"))
+        org.apache.spark.sql.functions.to_json(col("data_file.partition"))
+      else org.apache.spark.sql.functions.lit(null).cast("string")
     final case class Entry(status: Int, content: Int, path: String,
-      format: String, matches: Boolean, seq: Long, eqIds: Seq[Int])
+      format: String, matches: Boolean, seq: Long, eqIds: Seq[Int],
+      scope: Option[String])
     val allEntries = m.select(col("status"), contentCol.as("content"),
         col("data_file.file_path"), col("data_file.file_format"),
         matchCol.as("matches"), seqCol.as("seq"), eqIdsCol.as("eq_ids"),
-        col("__manifest"))
+        col("__manifest"), partJsonCol.as("part_json"))
       .collect().map { r =>
-        val inherited =
-          if (!r.isNullAt(5)) r.getLong(5)
-          else manifestSeq.getOrElse(PathUris.canon(r.getString(7)), 0L)
+        val (mSeq, mSpec) = manifestSeq.getOrElse(
+          PathUris.canon(r.getString(7)), (0L, 0))
+        val inherited = if (!r.isNullAt(5)) r.getLong(5) else mSeq
+        val partJson = if (r.isNullAt(8)) None
+          else Some(r.getString(8)).filter(j => j.nonEmpty && j != "{}")
         Entry(r.getInt(0), r.getInt(1), r.getString(2), r.getString(3),
           r.getBoolean(4), inherited,
-          if (r.isNullAt(6)) Nil else r.getSeq[Int](6))
+          if (r.isNullAt(6)) Nil else r.getSeq[Int](6),
+          partJson.map(j => s"$mSpec:$j"))
       }.toSeq
     // content: 0 data, 1 position deletes, 2 equality deletes
     val kept = allEntries.filter(e => e.matches || e.content != 0)
@@ -367,11 +391,13 @@ object IcebergTable {
     }
     ActiveSet(sparkSchema, fieldNames,
       active.filter(_.content == 0)
-        .map(f => (resolvePath(table, location, f.path), f.seq)),
+        .map(f => (resolvePath(table, location, f.path), f.seq,
+          f.scope.getOrElse(""))),
       active.filter(_.content == 1)
         .map(f => resolvePath(table, location, f.path)),
       active.filter(_.content == 2)
-        .map(f => (resolvePath(table, location, f.path), f.seq, f.eqIds)))
+        .map(f => (resolvePath(table, location, f.path), f.seq, f.eqIds,
+          f.scope)))
   }
 
   /** Incremental consumption: rows of the data files ACTIVE in

@@ -431,6 +431,64 @@ class IcebergTableSpec extends SparkSpec {
     assert(e.getMessage.contains("not a top-level column"), e.getMessage)
   }
 
+  test("equality deletes honor the delete file's PARTITION scope") {
+    // spec rule: a partition-scoped equality delete applies only to data
+    // files in the SAME partition; ids here deliberately collide across
+    // partitions so a scope slip silently kills the wrong row
+    val table = tmp()
+    val fEn = dataFile(table, "pen.parquet", Seq(1L, 2L))
+    val fDe = dataFile(table, "pde.parquet", Seq(1L, 3L))
+    val partSchema =
+      """{"type": "record", "name": "manifest_entry", "fields": [
+        |  {"name": "status", "type": "int"},
+        |  {"name": "sequence_number", "type": ["null", "long"], "default": null},
+        |  {"name": "data_file", "type": {"type": "record", "name": "r2",
+        |    "fields": [
+        |      {"name": "content", "type": "int"},
+        |      {"name": "file_path", "type": "string"},
+        |      {"name": "file_format", "type": "string"},
+        |      {"name": "record_count", "type": "long"},
+        |      {"name": "equality_ids", "type": ["null",
+        |        {"type": "array", "items": "int"}], "default": null},
+        |      {"name": "partition", "type": {"type": "record",
+        |        "name": "p", "fields": [
+        |          {"name": "lang", "type": ["null", "string"]}]}}
+        |    ]}}
+        |]}""".stripMargin
+    new java.io.File(s"$table/metadata").mkdirs()
+    val m0 = s"$table/metadata/m0.avro"
+    AvroOcf.write(m0, partSchema, Seq(
+      Seq(1, null, Seq(0, fEn, "PARQUET", 2L, null, Seq("en"))),
+      Seq(1, null, Seq(0, fDe, "PARQUET", 2L, null, Seq("de")))))
+    // the delete: id=1, SCOPED to lang=en, at sequence 2
+    val dl = {
+      val df = Seq(1L).toDF("id")
+      df.coalesce(1).write.mode("overwrite").parquet(s"$table/tmp-eq")
+      val part = new java.io.File(s"$table/tmp-eq").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = s"$table/data/eq0.parquet"
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(target))
+      target
+    }
+    val md = s"$table/metadata/md.avro"
+    AvroOcf.write(md, partSchema, Seq(
+      Seq(1, null, Seq(2, dl, "PARQUET", 1L, Seq(1), Seq("en")))))
+    val ml = s"$table/metadata/snap-1.avro"
+    AvroOcf.write(ml, seqListSchema, Seq(
+      Seq(m0, 100L, 0, 1L), Seq(md, 100L, 1, 2L)))
+    writeMetadata(table, 1, s"""{
+      "format-version": 2, "table-uuid": "u", "location": "$table",
+      "current-snapshot-id": 1,
+      "schemas": [$schemaJson], "current-schema-id": 0,
+      "snapshots": [{"snapshot-id": 1, "timestamp-ms": 0,
+        "summary": {"operation": "overwrite"}, "manifest-list": "$ml"}]}""")
+    // en loses id=1; de keeps BOTH its rows (incl. its own id=1)
+    val got = IcebergTable.read(spark, table).collect().map(_.getLong(0))
+      .sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L), got.toString)
+  }
+
   test("equality and positional deletes compose in one snapshot") {
     val table = tmp()
     val f0 = dataFile(table, "p0.parquet", Seq(1L, 2L, 3L, 4L))
