@@ -191,6 +191,114 @@ object ContainerStress {
     println(f"[stress] iceberg: 1000 files / 10 manifests — manifest replay " +
       f"+ plan $tIb%.2f s, count $tIbCount%.2f s; rows $ibCnt (expect 2000)")
 
+    // ---- merge-on-read deletes at data scale: the anti-join tax
+    // The same n-row corpus with 10% of rows deleted — Delta deletion
+    // vectors (roaring sidecars decoded on executors) and Iceberg
+    // positional deletes (a delete parquet) — measured against the plain
+    // scan of identical bytes.
+    val morRoot = s"$root/mor"
+    val morData = df.select($"id", $"score")
+    morData.repartition(shards).write.mode("overwrite")
+      .parquet(s"$morRoot/plain")
+    val morFiles = new java.io.File(s"$morRoot/plain").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted.toSeq
+    val (plainAgg, tPlain) = time(
+      spark.read.parquet(s"$morRoot/plain").agg(
+        count(lit(1)), sum($"id")).head())
+    // per-file row counts -> exact deleted-position sets (every 10th row)
+    val fileCounts = spark.read.parquet(morFiles: _*)
+      .groupBy(col("_metadata.file_path").as("f")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    def positionsOf(canonLen: Long): Array[Long] =
+      (0L until canonLen by 10L).toArray
+
+    // Delta DV table over the same files
+    val dvDir = s"$morRoot/delta"
+    new java.io.File(s"$dvDir/_delta_log").mkdirs()
+    val morSchemaStr = morData.schema.json.replace("\"", "\\\"")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dvAdds = morFiles.zipWithIndex.map { case (f, i) =>
+      val cnt = fileCounts.find(_._1.endsWith(
+        f.split('/').last)).map(_._2).getOrElse(0L)
+      val data = graft.sources.DeletionVector.serialize(positionsOf(cnt))
+      val (off, size) = graft.sources.DeletionVector.writeFile(
+        s"$dvDir/dv-$i.bin", data, hconf)
+      s"""{"add":{"path":"$f","partitionValues":{},"size":1,""" +
+        s""""modificationTime":0,"dataChange":true,"deletionVector":""" +
+        s"""{"storageType":"p","pathOrInlineDv":"$dvDir/dv-$i.bin",""" +
+        s""""offset":$off,"sizeInBytes":$size,"cardinality":${(cnt + 9) / 10}}}}"""
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dvDir/_delta_log/" + "0" * 20 + ".json"),
+      (Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+        s"""{"metaData":{"id":"mor","format":{"provider":"parquet","options":{}},"schemaString":"$morSchemaStr","partitionColumns":[],"configuration":{},"createdTime":0}}""") ++
+        dvAdds).mkString("\n").getBytes("UTF-8"))
+    val (dvAgg, tDv) = time(
+      graft.sources.DeltaTable.read(spark, dvDir)
+        .agg(count(lit(1)), sum($"id")).head())
+    println(f"[stress] delta-dv: $n rows, 10%% DV-deleted across $shards " +
+      f"files — plain scan $tPlain%.2f s, DV scan $tDv%.2f s " +
+      f"(${tDv / tPlain}%.2fx); rows ${plainAgg.getLong(0)} -> " +
+      s"${dvAgg.getLong(0)}")
+
+    // Iceberg positional deletes over the same files
+    val ipDir = s"$morRoot/iceberg"
+    new java.io.File(s"$ipDir/metadata").mkdirs()
+    import spark.implicits._
+    val delDf = morFiles.flatMap { f =>
+      val cnt = fileCounts.find(_._1.endsWith(
+        f.split('/').last)).map(_._2).getOrElse(0L)
+      positionsOf(cnt).map(p => (f, p))
+    }.toDF("file_path", "pos")
+    delDf.coalesce(1).write.mode("overwrite").parquet(s"$ipDir/deltmp")
+    val delFile = new java.io.File(s"$ipDir/deltmp").listFiles()
+      .find(_.getName.endsWith(".parquet")).get.toString
+    val ipManifestSchema =
+      """{"type": "record", "name": "manifest_entry", "fields": [
+           {"name": "status", "type": "int"},
+           {"name": "data_file", "type": {"type": "record", "name": "r2",
+             "fields": [
+               {"name": "content", "type": "int"},
+               {"name": "file_path", "type": "string"},
+               {"name": "file_format", "type": "string"},
+               {"name": "record_count", "type": "long"}]}}]}"""
+    AvroOcf.write(s"$ipDir/metadata/m0.avro", ipManifestSchema,
+      morFiles.map(f => Seq(1, Seq(0, f, "PARQUET", 1L))))
+    AvroOcf.write(s"$ipDir/metadata/md.avro", ipManifestSchema,
+      Seq(Seq(1, Seq(1, delFile, "PARQUET", 1L))))
+    AvroOcf.write(s"$ipDir/metadata/snap-1.avro",
+      """{"type": "record", "name": "manifest_file", "fields": [
+           {"name": "manifest_path", "type": "string"},
+           {"name": "manifest_length", "type": "long"},
+           {"name": "content", "type": "int"}]}""",
+      Seq(Seq(s"$ipDir/metadata/m0.avro", 1L, 0),
+        Seq(s"$ipDir/metadata/md.avro", 1L, 1)))
+    val ipSchema =
+      """{"type": "struct", "schema-id": 0, "fields": [
+           {"id": 1, "name": "id", "required": true, "type": "long"},
+           {"id": 2, "name": "score", "required": false, "type": "float"}]}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$ipDir/metadata/v1.metadata.json"),
+      s"""{"format-version": 2, "location": "$ipDir",
+           "current-snapshot-id": 1,
+           "schemas": [$ipSchema], "current-schema-id": 0,
+           "snapshots": [{"snapshot-id": 1, "timestamp-ms": 0,
+             "summary": {"operation": "delete"},
+             "manifest-list": "$ipDir/metadata/snap-1.avro"}]}"""
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$ipDir/metadata/version-hint.text"),
+      "1".getBytes("UTF-8"))
+    val (ipAgg, tIp) = time(
+      graft.sources.IcebergTable.read(spark, ipDir)
+        .agg(count(lit(1)), sum($"id")).head())
+    println(f"[stress] iceberg-pos: $n rows, 10%% position-deleted — " +
+      f"plain scan $tPlain%.2f s, delete-applied scan $tIp%.2f s " +
+      f"(${tIp / tPlain}%.2fx); rows ${plainAgg.getLong(0)} -> " +
+      s"${ipAgg.getLong(0)}")
+
     spark.stop()
   }
 }
