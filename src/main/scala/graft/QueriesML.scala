@@ -536,6 +536,94 @@ object QueriesML {
           .orderBy($"id")
       }),
 
+    // ---------------------------------------------- Delta change data feed
+    // table_changes semantics: version 0 inserts come from the add;
+    // version 1 is an UPDATE whose cdc file is authoritative (pre/post
+    // images — the accompanying add must NOT synthesize inserts); version
+    // 2 has no cdc, so its dataChange remove re-reads the removed file as
+    // deletes and its add becomes inserts. The oracle rebuilds the feed.
+    Q("q176_delta_cdf", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 100),
+           feed AS (
+             SELECT o_orderkey AS id, 'doc-' || CAST(rn0 AS VARCHAR) AS text,
+                    'insert' AS ct, 0 AS v FROM o
+             UNION ALL
+             SELECT o_orderkey, 'doc-' || CAST(rn0 AS VARCHAR),
+                    'update_preimage', 1 FROM o WHERE o_orderkey % 10 = 0
+             UNION ALL
+             SELECT o_orderkey, 'new-' || CAST(rn0 AS VARCHAR),
+                    'update_postimage', 1 FROM o WHERE o_orderkey % 10 = 0
+             UNION ALL
+             SELECT o_orderkey, 'doc-' || CAST(rn0 AS VARCHAR),
+                    'delete', 2 FROM o
+             UNION ALL
+             SELECT o_orderkey, 'v2-' || CAST(rn0 AS VARCHAR),
+                    'insert', 2 FROM o WHERE o_orderkey % 2 = 0)
+      SELECT id, text, ct AS _change_type,
+             CAST(v AS BIGINT) AS _commit_version
+      FROM feed ORDER BY _commit_version, _change_type, id"""))(
+      (s, d) => {
+        import graft.sources.DeltaTable
+        val table = Fixtures.dir("q176", d) { dir =>
+          val rows = Tables.orders(s, d).orderBy($"o_orderkey").limit(100)
+            .select($"o_orderkey".cast("long")).collect().map(_.getLong(0))
+            .zipWithIndex
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType)))
+          def rowsDf(data: Seq[(Long, String)]) = s.createDataFrame(
+            s.sparkContext.parallelize(data.map { case (k, t) =>
+              org.apache.spark.sql.Row(k, t)
+            }, 1), schema)
+          val f0 = "part-000.parquet"
+          singleParquet(rowsDf(rows.map { case (k, i) => (k, s"doc-$i") }
+            .toSeq), s"$dir/$f0")
+          val f1 = "part-001.parquet"
+          singleParquet(rowsDf(rows.filter(_._1 % 2 == 0)
+            .map { case (k, i) => (k, s"v2-$i") }.toSeq), s"$dir/$f1")
+          // the v1 cdc file: pre/post images for ids % 10 == 0
+          val cdcDf = s.createDataFrame(
+            s.sparkContext.parallelize(rows.filter(_._1 % 10 == 0).flatMap {
+              case (k, i) => Seq(
+                org.apache.spark.sql.Row(k, s"doc-$i", "update_preimage"),
+                org.apache.spark.sql.Row(k, s"new-$i", "update_postimage"))
+            }.toSeq, 1),
+            org.apache.spark.sql.types.StructType(schema.fields :+
+              org.apache.spark.sql.types.StructField("_change_type",
+                org.apache.spark.sql.types.StringType)))
+          singleParquet(cdcDf, s"$dir/_change_data/cdc-000.parquet")
+          val schemaStr = schema.json.replace("\"", "\\\"")
+          def commit(v: Int, lines: Seq[String]): Unit =
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(
+                f"$dir/_delta_log/$v%020d.json"),
+              lines.mkString("\n").getBytes("UTF-8"))
+          new java.io.File(s"$dir/_delta_log").mkdirs()
+          def add(rel: String): String =
+            s"""{"add":{"path":"$rel","partitionValues":{},"size":1,""" +
+              s""""modificationTime":0,"dataChange":true}}"""
+          commit(0, Seq(
+            """{"commitInfo":{"timestamp":1000,"operation":"WRITE"}}""",
+            """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+            s"""{"metaData":{"id":"q176","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}""",
+            add(f0)))
+          commit(1, Seq(
+            """{"commitInfo":{"timestamp":2000,"operation":"UPDATE"}}""",
+            s"""{"cdc":{"path":"_change_data/cdc-000.parquet","partitionValues":{},"size":1,"dataChange":false}}"""))
+          commit(2, Seq(
+            """{"commitInfo":{"timestamp":3000,"operation":"MERGE"}}""",
+            add(f1),
+            s"""{"remove":{"path":"$f0","deletionTimestamp":3000,"dataChange":true,"partitionValues":{}}}"""))
+        }
+        DeltaTable.readCdf(s, table, 0L)
+          .select($"id", $"text", $"_change_type", $"_commit_version")
+          .orderBy($"_commit_version", $"_change_type", $"id")
+      }),
+
     // ------------------------------------------- Iceberg v2 equality deletes
     // Merge-on-read the Flink-CDC/upsert way: an equality delete file at
     // sequence 2 names id values; it removes matching rows ONLY from the

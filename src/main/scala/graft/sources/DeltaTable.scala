@@ -461,8 +461,8 @@ object DeltaTable {
     * pipeline runs between scheduled passes. File-granular by design:
     * a compaction that rewrites old rows into new files surfaces those
     * rows again (the same caveat every file-based incremental consumer
-    * documents); row-level change feeds need the CDF writer, which this
-    * reader does not implement. */
+    * documents); for row-level semantics on CDF-enabled tables use
+    * [[readCdf]]. */
   def readChanges(spark: SparkSession, table: String, fromVersion: Long,
       toVersion: Option[Long] = None): DataFrame = {
     // ONE replay when the checkpoint doesn't cover past fromVersion: the
@@ -478,6 +478,111 @@ object DeltaTable {
       replay(spark, table, Some(fromVersion))._1.files.map(_.path).toSet)
     val fresh = toSnap.files.filterNot(f => before(f.path))
     assemble(spark, table, toSnap.copy(files = fresh))
+  }
+
+  /** Row-level CHANGE DATA FEED (PROTOCOL.md "Add CDC File", the
+    * `table_changes` surface): for each version in [fromVersion,
+    * toVersion], a commit carrying `cdc` actions serves exactly its
+    * `_change_data/` files' rows (their `_change_type` column verbatim —
+    * insert / delete / update_preimage / update_postimage); a commit
+    * without cdc actions synthesizes inserts from its dataChange adds
+    * and deletes by re-reading its dataChange removes. Rows carry
+    * `_change_type`, `_commit_version`, `_commit_timestamp`. Requires
+    * `delta.enableChangeDataFeed` — without the writer-side flag the log
+    * has no update-level change files and a synthesized feed would
+    * misreport updates as delete+insert pairs, so that is a directed
+    * error. Partition columns rebuild from each action's
+    * partitionValues; column mapping applies as in snapshot reads. */
+  def readCdf(spark: SparkSession, table: String, fromVersion: Long,
+      toVersion: Option[Long] = None): DataFrame = {
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(logDir(table)).getFileSystem(conf)
+    val (snap, _) = replay(spark, table, toVersion)
+    if (!snap.configuration.get("delta.enableChangeDataFeed")
+      .exists(_.equalsIgnoreCase("true"))) throw UnsupportedDelta(
+      s"$table: delta.enableChangeDataFeed is not set — the log carries " +
+        "no change files and a synthesized feed would misreport updates")
+    if (fromVersion > snap.version) throw UnsupportedDelta(
+      s"$table: readCdf range is reversed (from $fromVersion, " +
+        s"to ${snap.version})")
+    val full = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val cdcSchemaJson = StructType(full.fields :+
+      StructField("_change_type", org.apache.spark.sql.types.StringType)).json
+    def tagged(df: DataFrame, v: Long, ts: Long): DataFrame = df
+      .withColumn("_commit_version", lit(v))
+      .withColumn("_commit_timestamp",
+        lit(new java.sql.Timestamp(ts)))
+    val frames = (fromVersion to snap.version).flatMap { v =>
+      val p = new Path(f"${logDir(table)}/$v%020d.json")
+      if (!fs.exists(p)) throw UnsupportedDelta(
+        s"$table: commit json for version $v is gone (log cleanup) — " +
+          "the change feed over this range is unrecoverable")
+      var ts = 0L
+      val cdc = Seq.newBuilder[AddFile]
+      val adds = Seq.newBuilder[AddFile]
+      val removes = Seq.newBuilder[AddFile]
+      readText(fs, p).split('\n').filter(_.trim.nonEmpty).foreach { line =>
+        val j = JsonMethods.parse(line)
+        (j \ "commitInfo" \ "timestamp").extractOpt[Long].foreach(ts = _)
+        def fileOf(node: JValue): AddFile = AddFile(
+          (node \ "path").extract[String],
+          (node \ "partitionValues").extractOpt[Map[String, String]]
+            .getOrElse(Map.empty), None)
+        (j \ "cdc") match {
+          case o: JObject => cdc += fileOf(o)
+          case _ =>
+        }
+        (j \ "add") match {
+          case o: JObject if (o \ "dataChange").extractOpt[Boolean]
+            .getOrElse(true) => adds += fileOf(o)
+          case _ =>
+        }
+        (j \ "remove") match {
+          case o: JObject if (o \ "dataChange").extractOpt[Boolean]
+            .getOrElse(true) =>
+            val f = fileOf(o)
+            if (snap.partitionColumns.nonEmpty && f.partitionValues.isEmpty)
+              throw UnsupportedDelta(
+                s"$table: remove of ${f.path} at version $v carries no " +
+                  "partitionValues — its delete rows cannot rebuild " +
+                  "partition columns")
+            removes += f
+          case _ =>
+        }
+      }
+      val cdcFiles = cdc.result()
+      if (cdcFiles.nonEmpty) {
+        // cdc files carry the _change_type column themselves
+        Seq(tagged(assemble(spark, table,
+          snap.copy(schemaJson = cdcSchemaJson, files = cdcFiles)), v, ts))
+      } else {
+        val ins = adds.result() match {
+          case Nil => Nil
+          case fsAdd => Seq(tagged(
+            assemble(spark, table, snap.copy(files = fsAdd))
+              .withColumn("_change_type", lit("insert")), v, ts))
+        }
+        val del = removes.result() match {
+          case Nil => Nil
+          case fsRm => Seq(tagged(
+            assemble(spark, table, snap.copy(files = fsRm))
+              .withColumn("_change_type", lit("delete")), v, ts))
+        }
+        ins ++ del
+      }
+    }
+    if (frames.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(full.fields ++ Seq(
+          StructField("_change_type", org.apache.spark.sql.types.StringType),
+          StructField("_commit_version", org.apache.spark.sql.types.LongType),
+          StructField("_commit_timestamp",
+            org.apache.spark.sql.types.TimestampType))))
+    else frames.map(_.select(
+        (full.fieldNames.toSeq :+ "_change_type" :+ "_commit_version" :+
+          "_commit_timestamp").map(col): _*))
+      .reduce(_ unionByName _)
   }
 
   /** The latest commit version — one log LISTING, no replay. The cheap

@@ -398,6 +398,70 @@ class DeltaTableSpec extends SparkSpec {
     assert(e.getMessage.contains("columnMapping mode 'id'"), e.getMessage)
   }
 
+  test("change data feed: cdc files verbatim, synthesized insert/delete") {
+    val table = tmp()
+    val cdfMeta = {
+      val schemaStr = fullSchema.json.replace("\"", "\\\"")
+      s"""{"metaData":{"id":"t-1","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$schemaStr","partitionColumns":["lang"],""" +
+        s""""configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}"""
+    }
+    // v0: plain insert of f0
+    val f0 = dataFile(table, "lang=en/part-000.parquet", Seq(1L, 2L))
+    writeCommit(table, 0, Seq(
+      commitInfo("WRITE", 1000L),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      cdfMeta, addJson(f0, "en")))
+    // v1: an UPDATE with a cdc file (pre/post images) — the cdc rows are
+    // authoritative; the accompanying add must NOT synthesize inserts
+    val cdcRows = Seq((2L, "t2", "update_preimage"),
+      (2L, "t2b", "update_postimage"))
+      .toDF("id", "text", "_change_type")
+    cdcRows.coalesce(1).write.mode("overwrite")
+      .parquet(s"$table/_change_data/tmp")
+    val cdcPart = new java.io.File(s"$table/_change_data/tmp").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(cdcPart.toPath, java.nio.file.Paths.get(
+      s"$table/_change_data/cdc-000.parquet"))
+    val f1 = dataFile(table, "lang=en/part-001.parquet", Seq(1L, 2L))
+    writeCommit(table, 1, Seq(
+      commitInfo("UPDATE", 2000L),
+      s"""{"cdc":{"path":"_change_data/cdc-000.parquet","partitionValues":{"lang":"en"},"size":1,"dataChange":false}}""",
+      addJson(f1, "en"),
+      s"""{"remove":{"path":"$f0","deletionTimestamp":2000,"dataChange":true,"partitionValues":{"lang":"en"}}}"""))
+    // v2: no cdc — a dataChange add + remove synthesize insert + delete
+    val f2 = dataFile(table, "lang=de/part-002.parquet", Seq(9L))
+    writeCommit(table, 2, Seq(
+      commitInfo("MERGE", 3000L),
+      addJson(f2, "de"),
+      s"""{"remove":{"path":"$f1","deletionTimestamp":3000,"dataChange":true,"partitionValues":{"lang":"en"}}}"""))
+
+    val feed = DeltaTable.readCdf(spark, table, 0L)
+      .orderBy($"_commit_version", $"_change_type", $"id")
+    assert(feed.columns.toSeq == Seq("id", "text", "lang",
+      "_change_type", "_commit_version", "_commit_timestamp"))
+    val got = feed.collect().map(r => (r.getLong(4), r.getString(3),
+      r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      (0L, "insert", 1L, "t1", "en"),
+      (0L, "insert", 2L, "t2", "en"),
+      (1L, "update_postimage", 2L, "t2b", "en"),
+      (1L, "update_preimage", 2L, "t2", "en"),
+      (2L, "delete", 1L, "t1", "en"),
+      (2L, "delete", 2L, "t2", "en"),
+      (2L, "insert", 9L, "t9", "de")), got.toSeq.toString)
+    // bounded range: version 2 only
+    assert(DeltaTable.readCdf(spark, table, 2L).count() == 3)
+    // the feed is directed-off without the table property
+    val t2 = tmp()
+    val g0 = dataFile(t2, "lang=en/part-000.parquet", Seq(1L))
+    writeCommit(t2, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaDataJson, addJson(g0, "en")))
+    val e = intercept[Exception] { DeltaTable.readCdf(spark, t2, 0L) }
+    assert(e.getMessage.contains("enableChangeDataFeed"), e.getMessage)
+  }
+
   test("deletion vector codec: z85 + portable roaring round trips") {
     // z85: the ZeroMQ spec-32 reference vector
     assert(DeletionVector.z85Encode(
