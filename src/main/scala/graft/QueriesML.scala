@@ -2910,20 +2910,6 @@ object QueriesML {
   /** (doc_id, rn0) fixture keys: the first `n` order keys with their rank,
     * built driver-side (a few hundred rows) so derived queries never need
     * a global window in the distributed plan. */
-  /** Write `df` as exactly ONE parquet file at `target` — the fixture
-    * helper for table-format logs/manifests that reference individual
-    * files; the temp write dir is cleaned up. */
-  private def singleParquet(df: DataFrame, target: String): String = {
-    val tmp = target + ".tmpdir"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = new java.io.File(tmp).listFiles()
-      .find(_.getName.endsWith(".parquet")).get
-    Option(new java.io.File(target).getParentFile).foreach(_.mkdirs())
-    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(target))
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-    target
-  }
-
   private def orderedKeys(s: org.apache.spark.sql.SparkSession, d: String,
       n: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types._
@@ -2935,6 +2921,20 @@ object QueriesML {
       }.toSeq, 4),
       StructType(Seq(StructField("doc_id", LongType, nullable = false),
         StructField("rn0", LongType, nullable = false))))
+  }
+
+  /** Write `df` as exactly ONE parquet file at `target` — the fixture
+    * helper for table-format logs/manifests that reference individual
+    * files; the temp write dir is cleaned up. */
+  private[graft] def singleParquet(df: DataFrame, target: String): String = {
+    val tmp = target + ".tmpdir"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Option(new java.io.File(target).getParentFile).foreach(_.mkdirs())
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(target))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    target
   }
 
   /** Collect small plane/centroid vectors driver-side (they become literals

@@ -252,9 +252,8 @@ object ContainerStress {
         f.split('/').last)).map(_._2).getOrElse(0L)
       positionsOf(cnt).map(p => (f, p))
     }.toDF("file_path", "pos")
-    delDf.coalesce(1).write.mode("overwrite").parquet(s"$ipDir/deltmp")
-    val delFile = new java.io.File(s"$ipDir/deltmp").listFiles()
-      .find(_.getName.endsWith(".parquet")).get.toString
+    val delFile = graft.QueriesML.singleParquet(delDf,
+      s"$ipDir/data/del0.parquet")
     val ipManifestSchema =
       """{"type": "record", "name": "manifest_entry", "fields": [
            {"name": "status", "type": "int"},

@@ -72,15 +72,6 @@ object DeltaTable {
 
   private def logDir(table: String) = s"${table.stripSuffix("/")}/_delta_log"
 
-  private def readText(fs: org.apache.hadoop.fs.FileSystem,
-      p: Path): String = {
-    val len = fs.getFileStatus(p).getLen.toInt
-    val b = new Array[Byte](len)
-    val in = fs.open(p)
-    try in.readFully(0, b) finally in.close()
-    new String(b, "UTF-8")
-  }
-
   private def versionOf(name: String): Option[Long] = {
     val base = name.split('/').last
     if (base.endsWith(".json") && base.length == 25)
@@ -282,7 +273,7 @@ object DeltaTable {
     if (ckptFiles.nonEmpty) processActionParquet(ckptFiles)
     // a V2 top-level may also be JSON: action-per-line, same semantics
     ckptJsonFiles.foreach { cj =>
-      val text = readText(fs, new Path(cj))
+      val text = FsText.read(fs, new Path(cj))
       val sidecars = Seq.newBuilder[String]
       text.split('\n').filter(_.trim.nonEmpty).foreach { line =>
         val j = JsonMethods.parse(line)
@@ -300,7 +291,7 @@ object DeltaTable {
 
     // JSON commits after the checkpoint, in version order
     tailVersions.foreach { v =>
-      val text = readText(fs, new Path(f"${logDir(table)}/$v%020d.json"))
+      val text = FsText.read(fs, new Path(f"${logDir(table)}/$v%020d.json"))
       text.split('\n').filter(_.trim.nonEmpty).foreach { line =>
         applyJsonAction(JsonMethods.parse(line), applyRemoves = true)
       }
@@ -498,13 +489,15 @@ object DeltaTable {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val fs = new Path(logDir(table)).getFileSystem(conf)
     val (snap, _) = replay(spark, table, toVersion)
-    if (!snap.configuration.get("delta.enableChangeDataFeed")
-      .exists(_.equalsIgnoreCase("true"))) throw UnsupportedDelta(
-      s"$table: delta.enableChangeDataFeed is not set — the log carries " +
-        "no change files and a synthesized feed would misreport updates")
     if (fromVersion > snap.version) throw UnsupportedDelta(
       s"$table: readCdf range is reversed (from $fromVersion, " +
         s"to ${snap.version})")
+    // the flag must hold at EVERY version in the range (delta's own CDC
+    // reader errors likewise): a pre-enablement commit has no cdc files
+    // and synthesizing it would misreport updates as delete+insert
+    var cdfEnabled = replay(spark, table, Some(fromVersion))._1
+      .configuration.get("delta.enableChangeDataFeed")
+      .exists(_.equalsIgnoreCase("true"))
     val full = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val cdcSchemaJson = StructType(full.fields :+
       StructField("_change_type", org.apache.spark.sql.types.StringType)).json
@@ -517,52 +510,89 @@ object DeltaTable {
       if (!fs.exists(p)) throw UnsupportedDelta(
         s"$table: commit json for version $v is gone (log cleanup) — " +
           "the change feed over this range is unrecoverable")
-      var ts = 0L
+      // commitInfo is optional: the commit file's mtime is the fallback
+      var ts = fs.getFileStatus(p).getModificationTime
       val cdc = Seq.newBuilder[AddFile]
       val adds = Seq.newBuilder[AddFile]
       val removes = Seq.newBuilder[AddFile]
-      readText(fs, p).split('\n').filter(_.trim.nonEmpty).foreach { line =>
+      FsText.read(fs, p).split('\n').filter(_.trim.nonEmpty).foreach { line =>
         val j = JsonMethods.parse(line)
         (j \ "commitInfo" \ "timestamp").extractOpt[Long].foreach(ts = _)
-        def fileOf(node: JValue): AddFile = AddFile(
-          (node \ "path").extract[String],
-          (node \ "partitionValues").extractOpt[Map[String, String]]
-            .getOrElse(Map.empty), None)
+        (j \ "metaData" \ "configuration" \ "delta.enableChangeDataFeed")
+          .extractOpt[String]
+          .foreach(flag => cdfEnabled = flag.equalsIgnoreCase("true"))
+        def fileOf(node: JValue, kind: String): AddFile = {
+          val f = AddFile(
+            (node \ "path").extract[String],
+            (node \ "partitionValues").extractOpt[Map[String, String]]
+              .getOrElse(Map.empty),
+            (node \ "deletionVector") match {
+              case o: JObject => Some(DeletionVector.Descriptor(
+                (o \ "storageType").extract[String],
+                (o \ "pathOrInlineDv").extract[String],
+                (o \ "offset").extractOpt[Int],
+                (o \ "sizeInBytes").extract[Int],
+                (o \ "cardinality").extract[Long]))
+              case _ => None
+            })
+          if (snap.partitionColumns.nonEmpty && f.partitionValues.isEmpty)
+            throw UnsupportedDelta(
+              s"$table: $kind of ${f.path} at version $v carries no " +
+                "partitionValues — its feed rows cannot rebuild " +
+                "partition columns")
+          f
+        }
         (j \ "cdc") match {
-          case o: JObject => cdc += fileOf(o)
+          case o: JObject => cdc += fileOf(o, "cdc")
           case _ =>
         }
         (j \ "add") match {
           case o: JObject if (o \ "dataChange").extractOpt[Boolean]
-            .getOrElse(true) => adds += fileOf(o)
+            .getOrElse(true) => adds += fileOf(o, "add")
           case _ =>
         }
         (j \ "remove") match {
           case o: JObject if (o \ "dataChange").extractOpt[Boolean]
-            .getOrElse(true) =>
-            val f = fileOf(o)
-            if (snap.partitionColumns.nonEmpty && f.partitionValues.isEmpty)
-              throw UnsupportedDelta(
-                s"$table: remove of ${f.path} at version $v carries no " +
-                  "partitionValues — its delete rows cannot rebuild " +
-                  "partition columns")
-            removes += f
+            .getOrElse(true) => removes += fileOf(o, "remove")
           case _ =>
         }
       }
       val cdcFiles = cdc.result()
+      val addFiles = adds.result()
+      val rmFiles = removes.result()
+      if (!cdfEnabled && (cdcFiles.nonEmpty || addFiles.nonEmpty ||
+          rmFiles.nonEmpty)) throw UnsupportedDelta(
+        s"$table: version $v changed data while " +
+          "delta.enableChangeDataFeed was not set — the log carries no " +
+          "change files there and a synthesized feed would misreport " +
+          "updates")
       if (cdcFiles.nonEmpty) {
-        // cdc files carry the _change_type column themselves
+        // cdc files carry the _change_type column themselves; they apply
+        // no DVs (change rows are written verbatim)
         Seq(tagged(assemble(spark, table,
-          snap.copy(schemaJson = cdcSchemaJson, files = cdcFiles)), v, ts))
+          snap.copy(schemaJson = cdcSchemaJson,
+            files = cdcFiles.map(_.copy(dv = None)))), v, ts))
       } else {
-        val ins = adds.result() match {
+        // a cdc-less DV update (same path added and removed, DVs moving)
+        // cannot be reconstructed from file reads alone — directed
+        val both = addFiles.map(_.path).toSet
+          .intersect(rmFiles.map(_.path).toSet)
+        if (both.nonEmpty &&
+          (addFiles.exists(f => both(f.path) && f.dv.isDefined) ||
+            rmFiles.exists(f => both(f.path) && f.dv.isDefined)))
+          throw UnsupportedDelta(
+            s"$table: version $v rewrites deletion vectors on " +
+              s"${both.size} file(s) without cdc files — the row-level " +
+              "diff is not reconstructible (enable CDF on the writer)")
+        // synthesized rows honor each action's DV: an insert serves the
+        // add's LIVE rows, a delete the rows live at removal
+        val ins = addFiles match {
           case Nil => Nil
           case fsAdd => Seq(tagged(
             assemble(spark, table, snap.copy(files = fsAdd))
               .withColumn("_change_type", lit("insert")), v, ts))
         }
-        val del = removes.result() match {
+        val del = rmFiles match {
           case Nil => Nil
           case fsRm => Seq(tagged(
             assemble(spark, table, snap.copy(files = fsRm))
@@ -610,7 +640,7 @@ object DeltaTable {
     val rows = fs.listStatus(dir).toSeq.map(_.getPath)
       .flatMap(p => versionOf(p.getName).map(v => (v, p))).sortBy(_._1)
       .map { case (v, p) =>
-        val text = readText(fs, p)
+        val text = FsText.read(fs, p)
         val ci = text.split('\n').map(_.trim).filter(_.nonEmpty)
           .map(JsonMethods.parse(_)).map(_ \ "commitInfo")
           .collectFirst { case o: JObject => o }

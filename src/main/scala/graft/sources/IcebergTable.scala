@@ -98,14 +98,6 @@ object IcebergTable {
 
   // ----------------------------------------------------------- metadata
 
-  private def readText(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
-    val len = fs.getFileStatus(p).getLen.toInt
-    val b = new Array[Byte](len)
-    val in = fs.open(p)
-    try in.readFully(0, b) finally in.close()
-    new String(b, "UTF-8")
-  }
-
   private def latestMetadata(fs: org.apache.hadoop.fs.FileSystem,
       table: String): Path = {
     val metaDir = new Path(s"${table.stripSuffix("/")}/metadata")
@@ -113,7 +105,7 @@ object IcebergTable {
       s"$table: no metadata directory — not an Iceberg table")
     val hint = new Path(metaDir, "version-hint.text")
     if (fs.exists(hint)) {
-      val v = readText(fs, hint).trim
+      val v = FsText.read(fs, hint).trim
       val cand = Seq(s"v$v.metadata.json", s"$v.metadata.json")
         .map(new Path(metaDir, _)).find(fs.exists)
       cand.getOrElse(throw UnsupportedIceberg(
@@ -255,7 +247,7 @@ object IcebergTable {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val fs = new Path(table).getFileSystem(conf)
     val metaPath = latestMetadata(fs, table)
-    val meta = JsonMethods.parse(readText(fs, metaPath))
+    val meta = JsonMethods.parse(FsText.read(fs, metaPath))
     val fv = (meta \ "format-version").extract[Int]
     if (fv > 2) throw UnsupportedIceberg(
       s"format-version $fv (1 and 2 only)")
@@ -353,12 +345,15 @@ object IcebergTable {
     val eqIdsCol =
       if (dfCols.contains("equality_ids")) col("data_file.equality_ids")
       else org.apache.spark.sql.functions.lit(null).cast("array<int>")
-    // partition tuple as compact json (null fields dropped): with the
+    // partition tuple as compact json — null fields KEPT, so an all-null
+    // partition value still reads as a scoped tuple and only a truly
+    // EMPTY struct (an unpartitioned spec) means table-wide; with the
     // manifest's partition_spec_id it forms the SCOPE key the
     // equality-delete application rule compares
     val partJsonCol =
       if (dfCols.contains("partition"))
-        org.apache.spark.sql.functions.to_json(col("data_file.partition"))
+        org.apache.spark.sql.functions.to_json(col("data_file.partition"),
+          java.util.Collections.singletonMap("ignoreNullFields", "false"))
       else org.apache.spark.sql.functions.lit(null).cast("string")
     final case class Entry(status: Int, content: Int, path: String,
       format: String, matches: Boolean, seq: Long, eqIds: Seq[Int],
@@ -411,7 +406,7 @@ object IcebergTable {
     // range would serve already-superseded files, so it fails directed
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val fs = new Path(table).getFileSystem(conf)
-    val meta = JsonMethods.parse(readText(fs, latestMetadata(fs, table)))
+    val meta = JsonMethods.parse(FsText.read(fs, latestMetadata(fs, table)))
     val toId = toSnapshotId.orElse(
       (meta \ "current-snapshot-id").extractOpt[Long])
     def tsOf(id: Long): Option[Long] =
@@ -442,7 +437,7 @@ object IcebergTable {
   def currentSnapshotId(spark: SparkSession, table: String): Option[Long] = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val fs = new Path(table).getFileSystem(conf)
-    val meta = JsonMethods.parse(readText(fs, latestMetadata(fs, table)))
+    val meta = JsonMethods.parse(FsText.read(fs, latestMetadata(fs, table)))
     (meta \ "current-snapshot-id").extractOpt[Long].filter(_ != -1L)
   }
 
@@ -452,7 +447,7 @@ object IcebergTable {
     import spark.implicits._
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val fs = new Path(table).getFileSystem(conf)
-    val meta = JsonMethods.parse(readText(fs, latestMetadata(fs, table)))
+    val meta = JsonMethods.parse(FsText.read(fs, latestMetadata(fs, table)))
     (meta \ "snapshots").extractOpt[Seq[JValue]].getOrElse(Nil).map { s =>
       ((s \ "snapshot-id").extract[Long],
         (s \ "timestamp-ms").extractOpt[Long].getOrElse(0L),
