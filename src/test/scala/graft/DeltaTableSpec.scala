@@ -460,6 +460,70 @@ class DeltaTableSpec extends SparkSpec {
       metaDataJson, addJson(g0, "en")))
     val e = intercept[Exception] { DeltaTable.readCdf(spark, t2, 0L) }
     assert(e.getMessage.contains("enableChangeDataFeed"), e.getMessage)
+    // …and a range REACHING BACK before enablement is directed too, even
+    // when the final configuration carries the flag
+    val cdfMeta2 = {
+      val schemaStr = fullSchema.json.replace("\"", "\\\"")
+      s"""{"metaData":{"id":"t-1","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$schemaStr","partitionColumns":["lang"],""" +
+        s""""configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}"""
+    }
+    val g1 = dataFile(t2, "lang=en/part-001.parquet", Seq(2L))
+    writeCommit(t2, 1, Seq(cdfMeta2, addJson(g1, "en")))
+    val e2 = intercept[Exception] { DeltaTable.readCdf(spark, t2, 0L) }
+    assert(e2.getMessage.contains("was not set"), e2.getMessage)
+    // from the enablement version on, the feed serves
+    assert(DeltaTable.readCdf(spark, t2, 1L).collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("change data feed honors deletion vectors in synthesized rows") {
+    val table = tmp()
+    val cdfMeta = {
+      val schemaStr = fullSchema.json.replace("\"", "\\\"")
+      s"""{"metaData":{"id":"t-1","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$schemaStr","partitionColumns":["lang"],""" +
+        s""""configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}"""
+    }
+    val f0 = dataFile(table, "lang=en/part-000.parquet", Seq(1L, 2L, 3L))
+    val dv = DeletionVector.serialize(Array(1L)) // id 2 already dead
+    val (off, size) = DeletionVector.writeFile(
+      s"$table/dv0.bin", dv, spark.sparkContext.hadoopConfiguration)
+    val dvJson =
+      s""","deletionVector":{"storageType":"p","pathOrInlineDv":"$table/dv0.bin",""" +
+        s""""offset":$off,"sizeInBytes":$size,"cardinality":1}"""
+    writeCommit(table, 0, Seq(
+      commitInfo("WRITE", 1000L),
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      cdfMeta,
+      s"""{"add":{"path":"$f0","partitionValues":{"lang":"en"},"size":10,""" +
+        s""""modificationTime":0,"dataChange":true$dvJson}}"""))
+    // v0 synthesized inserts = the add's LIVE rows only
+    val v0 = DeltaTable.readCdf(spark, table, 0L, Some(0L))
+    assert(v0.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // v1 removes the file (same DV): deletes = rows live at removal
+    writeCommit(table, 1, Seq(
+      commitInfo("DELETE", 2000L),
+      s"""{"remove":{"path":"$f0","deletionTimestamp":2000,"dataChange":true,""" +
+        s""""partitionValues":{"lang":"en"}$dvJson}}"""))
+    val v1 = DeltaTable.readCdf(spark, table, 1L)
+    assert(v1.collect().map(r => (r.getLong(0), r.getString(3))).sorted
+      .toSeq == Seq((1L, "delete"), (3L, "delete")))
+    // a cdc-less DV REWRITE (same path in add+remove with DVs) is directed
+    val dv2 = DeletionVector.serialize(Array(0L, 1L))
+    val (off2, size2) = DeletionVector.writeFile(
+      s"$table/dv1.bin", dv2, spark.sparkContext.hadoopConfiguration)
+    writeCommit(table, 2, Seq(
+      commitInfo("DELETE", 3000L),
+      s"""{"add":{"path":"$f0","partitionValues":{"lang":"en"},"size":10,""" +
+        s""""modificationTime":0,"dataChange":true,"deletionVector":""" +
+        s"""{"storageType":"p","pathOrInlineDv":"$table/dv1.bin",""" +
+        s""""offset":$off2,"sizeInBytes":$size2,"cardinality":2}}}""",
+      s"""{"remove":{"path":"$f0","deletionTimestamp":3000,"dataChange":true,""" +
+        s""""partitionValues":{"lang":"en"}$dvJson}}"""))
+    val e = intercept[Exception] { DeltaTable.readCdf(spark, table, 2L) }
+    assert(e.getMessage.contains("rewrites deletion vectors"), e.getMessage)
   }
 
   test("deletion vector codec: z85 + portable roaring round trips") {
