@@ -489,15 +489,18 @@ object DeltaTable {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val fs = new Path(logDir(table)).getFileSystem(conf)
     val (snap, _) = replay(spark, table, toVersion)
-    if (fromVersion > snap.version) throw UnsupportedDelta(
+    // fromVersion == version + 1 is the legal EMPTY feed (a poller's
+    // baseline tick); anything further is a reversed range
+    if (fromVersion > snap.version + 1) throw UnsupportedDelta(
       s"$table: readCdf range is reversed (from $fromVersion, " +
         s"to ${snap.version})")
     // the flag must hold at EVERY version in the range (delta's own CDC
     // reader errors likewise): a pre-enablement commit has no cdc files
     // and synthesizing it would misreport updates as delete+insert
-    var cdfEnabled = replay(spark, table, Some(fromVersion))._1
-      .configuration.get("delta.enableChangeDataFeed")
-      .exists(_.equalsIgnoreCase("true"))
+    var cdfEnabled = fromVersion <= snap.version &&
+      replay(spark, table, Some(fromVersion))._1
+        .configuration.get("delta.enableChangeDataFeed")
+        .exists(_.equalsIgnoreCase("true"))
     val full = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val cdcSchemaJson = StructType(full.fields :+
       StructField("_change_type", org.apache.spark.sql.types.StringType)).json

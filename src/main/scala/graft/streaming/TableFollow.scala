@@ -80,6 +80,29 @@ object TableFollow {
     }
   }
 
+  /** One Delta poll serving the row-level CHANGE FEED instead of whole
+    * new files: the increment is `readCdf(cursor + 1, latest)` — inserts,
+    * deletes, and update pre/post images with their commit versions. A
+    * None cursor starts at the NEXT commit (change feeds consume changes,
+    * not history; seed the cursor explicitly to replay from a version). */
+  def pollDeltaCdf(spark: SparkSession, table: String,
+      cursor: Option[Long]): Option[Increment] = {
+    val latest = DeltaTable.latestVersion(spark, table)
+    cursor match {
+      case Some(v) if latest < v => throw FollowError(
+        s"$table: cursor $v is ahead of the log's latest $latest — " +
+          "wrong table or a reset log")
+      case Some(v) if latest == v => None // no change: zero-IO tick
+      case Some(v) => Some(Increment(
+        DeltaTable.readCdf(spark, table, v + 1, Some(latest)), latest))
+      case None => // baseline tick: an EMPTY typed feed establishes the
+        // cursor at `latest` so only post-subscription changes ever serve
+        Some(Increment(
+          DeltaTable.readCdf(spark, table, latest + 1, Some(latest)),
+          latest))
+    }
+  }
+
   /** One Iceberg poll; the cursor is a snapshot id. */
   def pollIceberg(spark: SparkSession, table: String,
       cursor: Option[Long]): Option[Increment] = {
@@ -103,6 +126,12 @@ object TableFollow {
   def followDeltaOnce(spark: SparkSession, table: String,
       checkpoint: String)(process: (DataFrame, Long) => Unit): Option[Long] =
     followOnce(spark, checkpoint, c => pollDelta(spark, table, c))(process)
+
+  /** [[followDeltaOnce]] serving the row-level change feed. */
+  def followDeltaCdfOnce(spark: SparkSession, table: String,
+      checkpoint: String)(process: (DataFrame, Long) => Unit): Option[Long] =
+    followOnce(spark, checkpoint,
+      c => pollDeltaCdf(spark, table, c))(process)
 
   /** [[followDeltaOnce]] for Iceberg (cursor = snapshot id). */
   def followIcebergOnce(spark: SparkSession, table: String,

@@ -83,6 +83,47 @@ class TableFollowSpec extends SparkSpec {
     assert(batches.flatMap(_._2) == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("delta CDF follow: baseline tick, then row-level increments only") {
+    val table = tmp()
+    val ckpt = s"$table/cursor"
+    val cdfMeta = {
+      val schemaStr = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+        .json.replace("\"", "\\\"")
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$schemaStr","partitionColumns":[],""" +
+        s""""configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}"""
+    }
+    val f0 = dataFile(table, "part-000.parquet", Seq(1L, 2L))
+    writeCommit(table, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      cdfMeta, add(f0)))
+
+    var batches = Vector.empty[(Long, Seq[(Long, String)])]
+    def proc(df: org.apache.spark.sql.DataFrame, cur: Long): Unit =
+      batches :+= (cur, df.select($"id", $"_change_type")
+        .as[(Long, String)].collect().sorted.toSeq)
+
+    // baseline tick: cursor lands at v0 with an EMPTY feed — history
+    // before the subscription never serves
+    assert(TableFollow.followDeltaCdfOnce(spark, table, ckpt)(proc) ==
+      Some(0L))
+    assert(batches == Vector((0L, Seq())))
+    // idle tick
+    assert(TableFollow.followDeltaCdfOnce(spark, table, ckpt)(proc).isEmpty)
+    // v1 removes f0 and adds f1: the increment is ROW-level
+    val f1 = dataFile(table, "part-001.parquet", Seq(3L))
+    writeCommit(table, 1, Seq(add(f1),
+      s"""{"remove":{"path":"$f0","deletionTimestamp":1,"dataChange":true,"partitionValues":{}}}"""))
+    assert(TableFollow.followDeltaCdfOnce(spark, table, ckpt)(proc) ==
+      Some(1L))
+    assert(batches.last == ((1L, Seq((1L, "delete"), (2L, "delete"),
+      (3L, "insert")))), batches.last.toString)
+  }
+
   test("delta follow: a cursor ahead of the log fails directed") {
     val table = tmp()
     val f0 = dataFile(table, "part-000.parquet", Seq(1L))
