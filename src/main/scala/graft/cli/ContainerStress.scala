@@ -205,10 +205,19 @@ object ContainerStress {
     val (plainAgg, tPlain) = time(
       spark.read.parquet(s"$morRoot/plain").agg(
         count(lit(1)), sum($"id")).head())
-    // per-file row counts -> exact deleted-position sets (every 10th row)
-    val fileCounts = spark.read.parquet(morFiles: _*)
-      .groupBy(col("_metadata.file_path").as("f")).count()
+    // per-file row counts at FOOTER cost (ParquetMeta — no data re-read
+    // perturbing the timed sections) -> exact deleted-position sets
+    val fileCounts = graft.sources.ParquetMeta
+      .readMeta(spark, s"$morRoot/plain/*.parquet")
+      .groupBy(col("file")).agg(sum(col("rows")).as("rows"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    def countOf(f: String): Long = {
+      val name = f.split('/').last
+      fileCounts.collectFirst { case (k, v) if k.endsWith(name) => v }
+        .getOrElse(sys.error(
+          s"[stress] no footer row count matched $name — the mor arm " +
+            "would silently benchmark a zero-delete table"))
+    }
     def positionsOf(canonLen: Long): Array[Long] =
       (0L until canonLen by 10L).toArray
 
@@ -218,8 +227,7 @@ object ContainerStress {
     val morSchemaStr = morData.schema.json.replace("\"", "\\\"")
     val hconf = spark.sparkContext.hadoopConfiguration
     val dvAdds = morFiles.zipWithIndex.map { case (f, i) =>
-      val cnt = fileCounts.find(_._1.endsWith(
-        f.split('/').last)).map(_._2).getOrElse(0L)
+      val cnt = countOf(f)
       val data = graft.sources.DeletionVector.serialize(positionsOf(cnt))
       val (off, size) = graft.sources.DeletionVector.writeFile(
         s"$dvDir/dv-$i.bin", data, hconf)
@@ -248,9 +256,7 @@ object ContainerStress {
     new java.io.File(s"$ipDir/metadata").mkdirs()
     import spark.implicits._
     val delDf = morFiles.flatMap { f =>
-      val cnt = fileCounts.find(_._1.endsWith(
-        f.split('/').last)).map(_._2).getOrElse(0L)
-      positionsOf(cnt).map(p => (f, p))
+      positionsOf(countOf(f)).map(p => (f, p))
     }.toDF("file_path", "pos")
     val delFile = graft.QueriesML.singleParquet(delDf,
       s"$ipDir/data/del0.parquet")

@@ -86,7 +86,8 @@ object DeltaTable {
     * outside the replayed range. */
   private def replay(spark: SparkSession, table: String,
       versionAsOf: Option[Long],
-      captureAt: Option[Long] = None): (Snapshot, Option[Set[String]]) = {
+      captureAt: Option[Long] = None)
+      : (Snapshot, Option[Set[String]], Option[Map[String, String]]) = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val dir = new Path(logDir(table))
     val fs = dir.getFileSystem(conf)
@@ -146,6 +147,7 @@ object DeltaTable {
     // reconciliation rule)
     val files = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     var captured: Option[Set[String]] = None
+    var capturedConf: Option[Map[String, String]] = None
     var schemaJson: String = null
     var partitionColumns: Seq[String] = Nil
     var configuration: Map[String, String] = Map.empty
@@ -286,8 +288,10 @@ object DeltaTable {
     }
 
     // the checkpoint state IS the snapshot at the checkpoint version
-    if (ckpt.isDefined && captureAt == ckpt)
+    if (ckpt.isDefined && captureAt == ckpt) {
       captured = Some(files.keySet.toSet)
+      capturedConf = Some(configuration)
+    }
 
     // JSON commits after the checkpoint, in version order
     tailVersions.foreach { v =>
@@ -295,7 +299,10 @@ object DeltaTable {
       text.split('\n').filter(_.trim.nonEmpty).foreach { line =>
         applyJsonAction(JsonMethods.parse(line), applyRemoves = true)
       }
-      if (captureAt.contains(v)) captured = Some(files.keySet.toSet)
+      if (captureAt.contains(v)) {
+        captured = Some(files.keySet.toSet)
+        capturedConf = Some(configuration)
+      }
     }
 
     if (schemaJson == null) throw UnsupportedDelta(
@@ -307,7 +314,7 @@ object DeltaTable {
           "(name mode only — id mode needs parquet field-id matching)")
     }
     (Snapshot(latest, schemaJson, partitionColumns, files.values.toSeq,
-      configuration), captured)
+      configuration), captured, capturedConf)
   }
 
   // ---------------------------------------------------------------- reads
@@ -460,7 +467,7 @@ object DeltaTable {
     // sequential fold snapshots the active set as it passes fromVersion
     // (incremental polls call this on a schedule — the metadata cost
     // matters); otherwise fall back to two replays
-    val (toSnap, captured) =
+    val (toSnap, captured, _) =
       replay(spark, table, toVersion, captureAt = Some(fromVersion))
     if (toSnap.version < fromVersion) throw UnsupportedDelta(
       s"$table: readChanges range is reversed (from $fromVersion, " +
@@ -488,7 +495,11 @@ object DeltaTable {
       toVersion: Option[Long] = None): DataFrame = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val fs = new Path(logDir(table)).getFileSystem(conf)
-    val (snap, _) = replay(spark, table, toVersion)
+    // ONE replay: the fold captures the configuration as it passes
+    // fromVersion (the readChanges trick); the rare capture miss (point
+    // consumed inside a later checkpoint) falls back to a second replay
+    val (snap, _, confAtFrom) =
+      replay(spark, table, toVersion, captureAt = Some(fromVersion))
     // fromVersion == version + 1 is the legal EMPTY feed (a poller's
     // baseline tick); anything further is a reversed range
     if (fromVersion > snap.version + 1) throw UnsupportedDelta(
@@ -498,8 +509,9 @@ object DeltaTable {
     // reader errors likewise): a pre-enablement commit has no cdc files
     // and synthesizing it would misreport updates as delete+insert
     var cdfEnabled = fromVersion <= snap.version &&
-      replay(spark, table, Some(fromVersion))._1
-        .configuration.get("delta.enableChangeDataFeed")
+      confAtFrom.getOrElse(
+        replay(spark, table, Some(fromVersion))._1.configuration)
+        .get("delta.enableChangeDataFeed")
         .exists(_.equalsIgnoreCase("true"))
     val full = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val cdcSchemaJson = StructType(full.fields :+
@@ -521,9 +533,26 @@ object DeltaTable {
       FsText.read(fs, p).split('\n').filter(_.trim.nonEmpty).foreach { line =>
         val j = JsonMethods.parse(line)
         (j \ "commitInfo" \ "timestamp").extractOpt[Long].foreach(ts = _)
-        (j \ "metaData" \ "configuration" \ "delta.enableChangeDataFeed")
-          .extractOpt[String]
-          .foreach(flag => cdfEnabled = flag.equalsIgnoreCase("true"))
+        (j \ "metaData") match {
+          case JObject(_) =>
+            // key ABSENCE disables too (UNSET TBLPROPERTIES writes a
+            // metaData action without the key) — recompute, don't patch
+            cdfEnabled = (j \ "metaData" \ "configuration" \
+              "delta.enableChangeDataFeed").extractOpt[String]
+              .exists(_.equalsIgnoreCase("true"))
+            // the feed is served under the END version's schema; a
+            // schema or partition-layout change inside the range would
+            // silently misrepresent earlier rows — directed instead
+            val sch = (j \ "metaData" \ "schemaString").extractOpt[String]
+            val pc = (j \ "metaData" \ "partitionColumns")
+              .extractOpt[Seq[String]].getOrElse(Nil)
+            if (sch.exists(_ != snap.schemaJson) ||
+              pc != snap.partitionColumns) throw UnsupportedDelta(
+              s"$table: the schema or partition layout changes at " +
+                s"version $v inside the readCdf range — rows before the " +
+                "change cannot be represented under the end schema")
+          case _ =>
+        }
         def fileOf(node: JValue, kind: String): AddFile = {
           val f = AddFile(
             (node \ "path").extract[String],

@@ -37,11 +37,7 @@ object TableFollow {
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) None
     else {
-      val len = fs.getFileStatus(p).getLen.toInt
-      val b = new Array[Byte](len)
-      val in = fs.open(p)
-      try in.readFully(0, b) finally in.close()
-      val s = new String(b, "UTF-8").trim
+      val s = graft.sources.FsText.read(fs, p).trim
       s.toLongOption.orElse(throw FollowError(
         s"$path: checkpoint holds '$s', not a cursor"))
     }
