@@ -357,8 +357,10 @@ object DeltaTable {
       logical: DataType): Column = (phys, logical) match {
     case _ if !hasStruct(phys) => c
     case (ps: StructType, ls: StructType) =>
-      val rebuilt = struct(ps.fields.zip(ls.fields).map { case (pf, lf) =>
-        toLogical(c.getField(pf.name), pf.dataType, lf.dataType).as(lf.name)
+      val rebuilt = struct(ps.fields.zip(ls.fields).toIndexedSeq.map {
+        case (pf, lf) =>
+          toLogical(c.getField(pf.name), pf.dataType, lf.dataType)
+            .as(lf.name)
       }: _*)
       when(c.isNotNull, rebuilt)
     case (ArrayType(pe, _), ArrayType(le, _)) =>
@@ -434,8 +436,8 @@ object DeltaTable {
       }
       if (mapped) {
         // rebuild logical names (the DV metadata columns are gone by now)
-        df = df.select(readSchema.fields.zip(dataSchema.fields).map {
-          case (pf, lf) =>
+        df = df.select(readSchema.fields.zip(dataSchema.fields)
+          .toIndexedSeq.map { case (pf, lf) =>
             toLogical(col(s"`${pf.name}`"), pf.dataType, lf.dataType)
               .as(lf.name)
         }: _*)
@@ -448,7 +450,7 @@ object DeltaTable {
           .filterNot(_ == "__HIVE_DEFAULT_PARTITION__").orNull
         df = df.withColumn(c, lit(raw).cast(t))
       }
-      df.select(full.fieldNames.map(col): _*)
+      df.select(full.fieldNames.toIndexedSeq.map(col): _*)
     }
     parts.reduce(_ unionByName _)
   }
