@@ -80,14 +80,15 @@ object DeltaTable {
   }
 
   /** Replay the log to `versionAsOf` (or latest). `captureAt`: also
-    * snapshot the active path set as the fold passes that version (right
-    * after the checkpoint when they coincide) — None in the result when
-    * the capture point was consumed inside a later checkpoint or lies
-    * outside the replayed range. */
+    * snapshot the active FILE STATE (path → add, with partition values
+    * and DV descriptor) as the fold passes that version (right after the
+    * checkpoint when they coincide) — None in the result when the capture
+    * point was consumed inside a later checkpoint or lies outside the
+    * replayed range. */
   private def replay(spark: SparkSession, table: String,
       versionAsOf: Option[Long],
       captureAt: Option[Long] = None)
-      : (Snapshot, Option[Set[String]], Option[Map[String, String]]) = {
+      : (Snapshot, Option[Map[String, AddFile]], Option[Map[String, String]]) = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val dir = new Path(logDir(table))
     val fs = dir.getFileSystem(conf)
@@ -146,7 +147,7 @@ object DeltaTable {
     // accumulated state, path-keyed (later actions win — the protocol's
     // reconciliation rule)
     val files = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
-    var captured: Option[Set[String]] = None
+    var captured: Option[Map[String, AddFile]] = None
     var capturedConf: Option[Map[String, String]] = None
     var schemaJson: String = null
     var partitionColumns: Seq[String] = Nil
@@ -289,7 +290,7 @@ object DeltaTable {
 
     // the checkpoint state IS the snapshot at the checkpoint version
     if (ckpt.isDefined && captureAt == ckpt) {
-      captured = Some(files.keySet.toSet)
+      captured = Some(files.toMap)
       capturedConf = Some(configuration)
     }
 
@@ -300,7 +301,7 @@ object DeltaTable {
         applyJsonAction(JsonMethods.parse(line), applyRemoves = true)
       }
       if (captureAt.contains(v)) {
-        captured = Some(files.keySet.toSet)
+        captured = Some(files.toMap)
         capturedConf = Some(configuration)
       }
     }
@@ -474,7 +475,7 @@ object DeltaTable {
     if (toSnap.version < fromVersion) throw UnsupportedDelta(
       s"$table: readChanges range is reversed (from $fromVersion, " +
         s"to ${toSnap.version}) — a reversed diff would serve DELETED files")
-    val before = captured.getOrElse(
+    val before = captured.map(_.keySet).getOrElse(
       replay(spark, table, Some(fromVersion))._1.files.map(_.path).toSet)
     val fresh = toSnap.files.filterNot(f => before(f.path))
     assemble(spark, table, toSnap.copy(files = fresh))
@@ -497,24 +498,42 @@ object DeltaTable {
       toVersion: Option[Long] = None): DataFrame = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val fs = new Path(logDir(table)).getFileSystem(conf)
-    // ONE replay: the fold captures the configuration as it passes
-    // fromVersion (the readChanges trick); the rare capture miss (point
-    // consumed inside a later checkpoint) falls back to a second replay
-    val (snap, _, confAtFrom) =
-      replay(spark, table, toVersion, captureAt = Some(fromVersion))
+    // ONE replay: the fold captures the configuration AND active file
+    // state as it passes fromVersion - 1 (the readChanges trick); the
+    // rare capture miss (point consumed inside a later checkpoint) falls
+    // back to a lazily-computed second replay
+    val capturePoint = if (fromVersion > 0) Some(fromVersion - 1) else None
+    val (snap, stateAtFrom, confAtFrom) =
+      replay(spark, table, toVersion, captureAt = capturePoint)
     // fromVersion == version + 1 is the legal EMPTY feed (a poller's
     // baseline tick); anything further is a reversed range
     if (fromVersion > snap.version + 1) throw UnsupportedDelta(
       s"$table: readCdf range is reversed (from $fromVersion, " +
         s"to ${snap.version})")
+    lazy val fallbackAtFrom: Snapshot =
+      replay(spark, table, Some(fromVersion - 1))._1
     // the flag must hold at EVERY version in the range (delta's own CDC
     // reader errors likewise): a pre-enablement commit has no cdc files
-    // and synthesizing it would misreport updates as delete+insert
-    var cdfEnabled = fromVersion <= snap.version &&
-      confAtFrom.getOrElse(
-        replay(spark, table, Some(fromVersion))._1.configuration)
+    // and synthesizing it would misreport updates as delete+insert.
+    // Initialized from the config at fromVersion - 1 — a metaData action
+    // AT fromVersion recomputes it inside the loop before any of that
+    // commit's files are checked.
+    var cdfEnabled = fromVersion > 0 && fromVersion <= snap.version &&
+      confAtFrom.getOrElse(fallbackAtFrom.configuration)
         .get("delta.enableChangeDataFeed")
         .exists(_.equalsIgnoreCase("true"))
+    // running active-add state across the range: a delta overlay over the
+    // state at fromVersion - 1, consulted when a dataChange remove omits
+    // fields PROTOCOL.md only says "should" mirror the add (the deletion
+    // vector, partitionValues) — the replayed add is authoritative, and
+    // trusting a bare remove would report already-deleted rows as deletes
+    lazy val baseState: Map[String, AddFile] =
+      if (fromVersion == 0) Map.empty
+      else stateAtFrom.getOrElse(
+        fallbackAtFrom.files.map(f => f.path -> f).toMap)
+    val overlay = scala.collection.mutable.Map.empty[String, Option[AddFile]]
+    def activeAdd(path: String): Option[AddFile] =
+      overlay.getOrElse(path, baseState.get(path))
     val full = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val cdcSchemaJson = StructType(full.fields :+
       StructField("_change_type", org.apache.spark.sql.types.StringType)).json
@@ -531,7 +550,11 @@ object DeltaTable {
       var ts = fs.getFileStatus(p).getModificationTime
       val cdc = Seq.newBuilder[AddFile]
       val adds = Seq.newBuilder[AddFile]
-      val removes = Seq.newBuilder[AddFile]
+      val rawRemoves = Seq.newBuilder[AddFile]
+      // state tracking sees EVERY add/remove (dataChange=false compaction
+      // moves files too); the feed itself serves only dataChange actions
+      val stateAdds = Seq.newBuilder[AddFile]
+      val stateRemoves = Seq.newBuilder[String]
       FsText.read(fs, p).split('\n').filter(_.trim.nonEmpty).foreach { line =>
         val j = JsonMethods.parse(line)
         (j \ "commitInfo" \ "timestamp").extractOpt[Long].foreach(ts = _)
@@ -555,7 +578,7 @@ object DeltaTable {
                 "change cannot be represented under the end schema")
           case _ =>
         }
-        def fileOf(node: JValue, kind: String): AddFile = {
+        def fileOf(node: JValue, kind: String, guard: Boolean): AddFile = {
           val f = AddFile(
             (node \ "path").extract[String],
             (node \ "partitionValues").extractOpt[Map[String, String]]
@@ -569,7 +592,8 @@ object DeltaTable {
                 (o \ "cardinality").extract[Long]))
               case _ => None
             })
-          if (snap.partitionColumns.nonEmpty && f.partitionValues.isEmpty)
+          if (guard && snap.partitionColumns.nonEmpty &&
+            f.partitionValues.isEmpty)
             throw UnsupportedDelta(
               s"$table: $kind of ${f.path} at version $v carries no " +
                 "partitionValues — its feed rows cannot rebuild " +
@@ -577,23 +601,49 @@ object DeltaTable {
           f
         }
         (j \ "cdc") match {
-          case o: JObject => cdc += fileOf(o, "cdc")
+          case o: JObject => cdc += fileOf(o, "cdc", guard = true)
           case _ =>
         }
         (j \ "add") match {
-          case o: JObject if (o \ "dataChange").extractOpt[Boolean]
-            .getOrElse(true) => adds += fileOf(o, "add")
+          case o: JObject =>
+            val dataChange =
+              (o \ "dataChange").extractOpt[Boolean].getOrElse(true)
+            val f = fileOf(o, "add", guard = dataChange)
+            stateAdds += f
+            if (dataChange) adds += f
           case _ =>
         }
         (j \ "remove") match {
-          case o: JObject if (o \ "dataChange").extractOpt[Boolean]
-            .getOrElse(true) => removes += fileOf(o, "remove")
+          case o: JObject =>
+            // removes resolve against the pre-commit add state below, so
+            // the partitionValues guard waits until after that fallback
+            val f = fileOf(o, "remove", guard = false)
+            stateRemoves += f.path
+            if ((o \ "dataChange").extractOpt[Boolean].getOrElse(true))
+              rawRemoves += f
           case _ =>
         }
       }
       val cdcFiles = cdc.result()
       val addFiles = adds.result()
-      val rmFiles = removes.result()
+      val rmFiles = rawRemoves.result().map { f =>
+        val prior = activeAdd(f.path)
+        val resolved = AddFile(f.path,
+          if (f.partitionValues.nonEmpty) f.partitionValues
+          else prior.map(_.partitionValues).getOrElse(Map.empty),
+          f.dv.orElse(prior.flatMap(_.dv)))
+        if (snap.partitionColumns.nonEmpty &&
+          resolved.partitionValues.isEmpty) throw UnsupportedDelta(
+          s"$table: remove of ${f.path} at version $v carries no " +
+            "partitionValues (and no replayed add has them) — its feed " +
+            "rows cannot rebuild partition columns")
+        resolved
+      }
+      // advance the running state AFTER this commit's removes resolved
+      // against the pre-commit view; removes first so a same-path
+      // remove+add pair (a DV rewrite) nets to the add
+      stateRemoves.result().foreach(p => overlay(p) = None)
+      stateAdds.result().foreach(f => overlay(f.path) = Some(f))
       if (!cdfEnabled && (cdcFiles.nonEmpty || addFiles.nonEmpty ||
           rmFiles.nonEmpty)) throw UnsupportedDelta(
         s"$table: version $v changed data while " +

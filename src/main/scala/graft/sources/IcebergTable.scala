@@ -363,12 +363,34 @@ object IcebergTable {
         matchCol.as("matches"), seqCol.as("seq"), eqIdsCol.as("eq_ids"),
         col("__manifest"), partJsonCol.as("part_json"))
       .collect().map { r =>
+        // a lookup miss here means the source-file column and the list's
+        // resolvePath spell the same manifest differently — defaulting to
+        // sequence 0 would make every data file LOSE to every equality
+        // delete (silent over-deletion), so fail directed instead
         val (mSeq, mSpec) = manifestSeq.getOrElse(
-          PathUris.canon(r.getString(7)), (0L, 0))
-        val inherited = if (!r.isNullAt(5)) r.getLong(5) else mSeq
+          PathUris.canon(r.getString(7)),
+          throw UnsupportedIceberg(
+            s"manifest entry source ${r.getString(7)} is not in the " +
+              "manifest list — path spelling drift between the list and " +
+              "the reader"))
+        val status = r.getInt(0)
+        // sequence-number inheritance is for ADDED (status 1) entries
+        // only; the spec requires EXISTING entries to carry explicit
+        // sequences — inheriting the newer manifest's would inflate the
+        // data sequence and silently suppress equality deletes. (A
+        // manifest with no sequence_number column at all is v1-style
+        // metadata: everything is sequence 0 by definition.)
+        val inherited =
+          if (!r.isNullAt(5)) r.getLong(5)
+          else if (status == 0 && fv >= 2 && mCols.contains("sequence_number"))
+            throw UnsupportedIceberg(
+              s"EXISTING manifest entry for ${r.getString(2)} has a null " +
+                "sequence_number — v2 requires explicit sequences on " +
+                "EXISTING entries")
+          else mSeq
         val partJson = if (r.isNullAt(8)) None
           else Some(r.getString(8)).filter(j => j.nonEmpty && j != "{}")
-        Entry(r.getInt(0), r.getInt(1), r.getString(2), r.getString(3),
+        Entry(status, r.getInt(1), r.getString(2), r.getString(3),
           r.getBoolean(4), inherited,
           if (r.isNullAt(6)) Nil else r.getSeq[Int](6),
           partJson.map(j => s"$mSpec:$j"))

@@ -19,19 +19,38 @@ import org.apache.spark.sql.functions.{concat, lit, regexp_replace, when}
   */
 object PathUris {
 
-  /** `/x` | `file:/x` | `file://x` | `file:///x` → `file:///x`. */
+  /** `/x` | `file:/x` | `file:///x` | `file://localhost/x` → `file:///x`.
+    * A non-local authority (`file://host/x`) is PRESERVED verbatim rather
+    * than folded into the path — host and first path segment are different
+    * things, and conflating them would silently mismatch the delete
+    * anti-join's other side. Both [[canon]] and [[canonCol]] apply the
+    * same rule, so two authority-bearing spellings of the same file still
+    * match each other. */
   def canon(s: String): String = {
     val withScheme = if (s.startsWith("/")) "file:" + s else s
-    if (withScheme.startsWith("file:"))
-      "file:///" + withScheme.drop(5).dropWhile(_ == '/')
-    else withScheme
+    if (!withScheme.startsWith("file:")) withScheme
+    else {
+      val rest = withScheme.drop(5) // after "file:"
+      if (rest.startsWith("//") && !rest.startsWith("///")) {
+        // authority form: file://<authority>/<path>
+        val authority = rest.drop(2).takeWhile(_ != '/')
+        if (authority.isEmpty || authority == "localhost")
+          "file:///" + rest.drop(2 + authority.length).dropWhile(_ == '/')
+        else withScheme // foreign authority: a different location — keep
+      } else "file:///" + rest.dropWhile(_ == '/')
+    }
   }
 
   /** The same normalization as [[canon]], as a Catalyst expression. */
   def canonCol(c: Column): Column = {
     val withScheme =
       when(c.startsWith("/"), concat(lit("file:"), c)).otherwise(c)
-    regexp_replace(withScheme, "^file:/+", "file:///")
+    // file://localhost/x → file:///x; then file:/x | file:///+x →
+    // file:///x, but NOT file://host/x (the lookahead keeps a non-empty
+    // authority untouched, mirroring canon)
+    regexp_replace(
+      regexp_replace(withScheme, "^file://localhost/", "file:///"),
+      "^file:(/(?!/)|///+)", "file:///")
   }
 
   /** Normalization for Spark's `_metadata.file_path`, which is a

@@ -49,10 +49,17 @@ object TableFollow {
     val fs = p.getFileSystem(conf)
     val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p)) {
-      fs.delete(tmp, false)
-      throw FollowError(s"could not commit cursor $v to $path")
+    // ATOMIC overwrite — a delete-then-rename pair has a crash window with
+    // NO cursor on disk, which would re-serve the full table as a baseline
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, conf)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case e: java.io.IOException =>
+        fs.delete(tmp, false)
+        throw FollowError(s"could not commit cursor $v to $path: $e")
     }
   }
 

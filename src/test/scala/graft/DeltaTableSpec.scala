@@ -526,6 +526,61 @@ class DeltaTableSpec extends SparkSpec {
     assert(e.getMessage.contains("rewrites deletion vectors"), e.getMessage)
   }
 
+  test("cdf: a bare remove falls back to the replayed add's deletion vector") {
+    // PROTOCOL.md only says remove fields "should" mirror the add — a
+    // writer may emit a bare remove of a DV-carrying file. Trusting the
+    // remove verbatim would report the already-deleted row as a delete;
+    // the replayed add state is authoritative.
+    val table = tmp()
+    val cdfMeta = {
+      val schemaStr = fullSchema.json.replace("\"", "\\\"")
+      s"""{"metaData":{"id":"t-1","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$schemaStr","partitionColumns":["lang"],""" +
+        s""""configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}"""
+    }
+    val f0 = dataFile(table, "lang=en/part-000.parquet", Seq(1L, 2L, 3L))
+    val dv = DeletionVector.serialize(Array(1L)) // id 2 already dead
+    val (off, size) = DeletionVector.writeFile(
+      s"$table/dv0.bin", dv, spark.sparkContext.hadoopConfiguration)
+    writeCommit(table, 0, Seq(
+      commitInfo("WRITE", 1000L),
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      cdfMeta,
+      s"""{"add":{"path":"$f0","partitionValues":{"lang":"en"},"size":10,""" +
+        s""""modificationTime":0,"dataChange":true,"deletionVector":""" +
+        s"""{"storageType":"p","pathOrInlineDv":"$table/dv0.bin",""" +
+        s""""offset":$off,"sizeInBytes":$size,"cardinality":1}}}"""))
+    // the bare remove also omits partitionValues — both resolve from the
+    // replayed add
+    writeCommit(table, 1, Seq(
+      commitInfo("DELETE", 2000L),
+      s"""{"remove":{"path":"$f0","deletionTimestamp":2000,"dataChange":true}}"""))
+    val v1 = DeltaTable.readCdf(spark, table, 1L)
+    val got = v1.collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getString(2))).sorted
+    assert(got.toSeq == Seq((1L, "delete", "en"), (3L, "delete", "en")),
+      got.toSeq.toString)
+  }
+
+  test("path canonicalization: authority-bearing file URIs keep the host") {
+    import graft.sources.PathUris
+    assert(PathUris.canon("/a/b") == "file:///a/b")
+    assert(PathUris.canon("file:/a/b") == "file:///a/b")
+    assert(PathUris.canon("file:///a/b") == "file:///a/b")
+    assert(PathUris.canon("file:////a/b") == "file:///a/b")
+    assert(PathUris.canon("file://localhost/a/b") == "file:///a/b")
+    // a non-local authority is a DIFFERENT location, not a path segment
+    assert(PathUris.canon("file://host/a/b") == "file://host/a/b")
+    assert(PathUris.canon("s3a://bucket/k") == "s3a://bucket/k")
+    // the Column twin agrees on every spelling
+    val vals = Seq("/a/b", "file:/a/b", "file:///a/b", "file:////a/b",
+      "file://localhost/a/b", "file://host/a/b", "s3a://bucket/k")
+    val got = vals.toDF("p").select(PathUris.canonCol($"p").as("c"))
+      .as[String].collect()
+    assert(got.toSeq == vals.map(PathUris.canon), got.toSeq.toString)
+  }
+
   test("deletion vector codec: z85 + portable roaring round trips") {
     // z85: the ZeroMQ spec-32 reference vector
     assert(DeletionVector.z85Encode(

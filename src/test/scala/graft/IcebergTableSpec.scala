@@ -525,6 +525,32 @@ class IcebergTableSpec extends SparkSpec {
       .sorted.toSeq == Seq(2L, 4L))
   }
 
+  test("v2 EXISTING entries must carry explicit sequence numbers") {
+    // inheriting the newer manifest's sequence for an EXISTING entry
+    // would inflate the data sequence and silently suppress equality
+    // deletes — the spec requires explicit sequences there
+    val table = tmp()
+    val f0 = dataFile(table, "p0.parquet", Seq(1L, 2L))
+    new java.io.File(s"$table/metadata").mkdirs()
+    val m0 = s"$table/metadata/m0.avro"
+    AvroOcf.write(m0, seqManifestSchema, Seq(
+      Seq(0, null, Seq(0, f0, "PARQUET", 2L, null)))) // EXISTING, null seq
+    val ml = s"$table/metadata/snap-1.avro"
+    AvroOcf.write(ml, seqListSchema, Seq(Seq(m0, 100L, 0, 5L)))
+    writeMetadata(table, 1, s"""{
+      "format-version": 2, "table-uuid": "u", "location": "$table",
+      "current-snapshot-id": 1,
+      "schemas": [$schemaJson], "current-schema-id": 0,
+      "snapshots": [{"snapshot-id": 1, "timestamp-ms": 0,
+        "summary": {"operation": "append"}, "manifest-list": "$ml"}]}""")
+    val e = intercept[Exception] { IcebergTable.read(spark, table) }
+    assert(e.getMessage.contains("EXISTING"), e.getMessage)
+    // the same entry marked ADDED inherits and reads fine
+    AvroOcf.write(m0, seqManifestSchema, Seq(
+      Seq(1, null, Seq(0, f0, "PARQUET", 2L, null))))
+    assert(IcebergTable.read(spark, table).count() == 2)
+  }
+
   test("guards are directed: version 3, not-a-table") {
     val t3 = tmp()
     writeMetadata(t3, 1, s"""{"format-version": 3, "location": "$t3",
