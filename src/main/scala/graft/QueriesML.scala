@@ -943,6 +943,113 @@ object QueriesML {
         IcebergTable.read(s, table).select($"id", $"text").orderBy($"id")
       }),
 
+    // ---------------------------------------- Iceberg v3: Puffin deletion vectors
+    // The 2025-adopted format: positional-delete parquet is replaced by
+    // deletion-vector blobs inside a Puffin container, located by the
+    // manifest's (referenced_data_file, content_offset,
+    // content_size_in_bytes) fields. Same planted deletes as q171 —
+    // bucket 0 loses every 5th row, bucket 1 its first — but served
+    // through the Puffin framing + roaring decode + row_index anti-join.
+    Q("q177_iceberg_v3_dv", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 150),
+           b AS (SELECT o_orderkey AS id,
+                        'doc-' || CAST(rn0 AS VARCHAR) AS text,
+                        o_orderkey % 3 AS bucket,
+                        row_number() OVER (PARTITION BY o_orderkey % 3
+                                           ORDER BY o_orderkey) - 1 AS pos
+                 FROM o)
+      SELECT id, text FROM b
+      WHERE NOT (bucket = 0 AND pos % 5 = 0)
+        AND NOT (bucket = 1 AND pos = 0)
+      ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{AvroOcf, IcebergTable, Puffin}
+        val table = Fixtures.dir("q177", d) { dir =>
+          val rows = Tables.orders(s, d).orderBy($"o_orderkey").limit(150)
+            .select($"o_orderkey".cast("long")).collect().map(_.getLong(0))
+            .zipWithIndex
+          def part(b: Int): (String, Int) = {
+            val ids = rows.filter(_._1 % 3 == b)
+            val df = s.createDataFrame(
+              s.sparkContext.parallelize(ids.map { case (k, i) =>
+                org.apache.spark.sql.Row(k, s"doc-$i")
+              }.toSeq, 1),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("id",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("text",
+                  org.apache.spark.sql.types.StringType))))
+            (singleParquet(df, s"$dir/data/p$b.parquet"), ids.length)
+          }
+          val files = (0 to 2).map(part)
+          new java.io.File(s"$dir/metadata").mkdirs()
+          // one puffin file, two DV blobs (bucket 0: 0,5,10,…; bucket 1: 0)
+          val dv0 = (0 until files(0)._2 by 5).map(_.toLong).toArray
+          val puffin = s"$dir/metadata/dv-1.puffin"
+          val conf = s.sparkContext.hadoopConfiguration
+          val placed = Puffin.writeFile(puffin, Seq(
+            Puffin.Blob("deletion-vector-v1", Seq(2147483546), 1L, 1L,
+              Map("referenced-data-file" -> files(0)._1,
+                "cardinality" -> dv0.length.toString), Puffin.dvBlob(dv0)),
+            Puffin.Blob("deletion-vector-v1", Seq(2147483546), 1L, 1L,
+              Map("referenced-data-file" -> files(1)._1,
+                "cardinality" -> "1"), Puffin.dvBlob(Array(0L)))),
+            Map.empty, conf)
+          val mSchema =
+            """{"type": "record", "name": "manifest_entry", "fields": [
+                 {"name": "status", "type": "int"},
+                 {"name": "sequence_number",
+                  "type": ["null", "long"], "default": null},
+                 {"name": "data_file", "type": {"type": "record",
+                   "name": "r2", "fields": [
+                     {"name": "content", "type": "int"},
+                     {"name": "file_path", "type": "string"},
+                     {"name": "file_format", "type": "string"},
+                     {"name": "record_count", "type": "long"},
+                     {"name": "referenced_data_file",
+                      "type": ["null", "string"], "default": null},
+                     {"name": "content_offset",
+                      "type": ["null", "long"], "default": null},
+                     {"name": "content_size_in_bytes",
+                      "type": ["null", "long"], "default": null}]}}]}"""
+          AvroOcf.write(s"$dir/metadata/m0.avro", mSchema,
+            files.map(f => Seq(1, null,
+              Seq(0, f._1, "PARQUET", f._2.toLong, null, null, null))))
+          AvroOcf.write(s"$dir/metadata/md.avro", mSchema, Seq(
+            Seq(1, null, Seq(1, puffin, "PUFFIN", dv0.length.toLong,
+              files(0)._1, placed(0)._1, placed(0)._2)),
+            Seq(1, null, Seq(1, puffin, "PUFFIN", 1L,
+              files(1)._1, placed(1)._1, placed(1)._2))))
+          AvroOcf.write(s"$dir/metadata/snap-500.avro",
+            """{"type": "record", "name": "manifest_file", "fields": [
+                 {"name": "manifest_path", "type": "string"},
+                 {"name": "manifest_length", "type": "long"},
+                 {"name": "content", "type": "int"},
+                 {"name": "sequence_number", "type": "long"}]}""",
+            Seq(Seq(s"$dir/metadata/m0.avro", 100L, 0, 1L),
+              Seq(s"$dir/metadata/md.avro", 100L, 1, 1L)))
+          val schemaJson =
+            """{"type": "struct", "schema-id": 0, "fields": [
+                 {"id": 1, "name": "id", "required": true, "type": "long"},
+                 {"id": 2, "name": "text", "required": false, "type": "string"}]}"""
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json"),
+            s"""{"format-version": 3, "table-uuid": "q177", "location": "$dir",
+                 "current-snapshot-id": 500, "next-row-id": 150,
+                 "schemas": [$schemaJson], "current-schema-id": 0,
+                 "snapshots": [{"snapshot-id": 500, "timestamp-ms": 0,
+                   "summary": {"operation": "delete"},
+                   "manifest-list": "$dir/metadata/snap-500.avro"}]}"""
+              .getBytes("UTF-8"))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/metadata/version-hint.text"),
+            "1".getBytes("UTF-8"))
+        }
+        IcebergTable.read(s, table).select($"id", $"text").orderBy($"id")
+      }),
+
     // ------------------------------------------------------- HF tokenizer.json encode
     // A hand-authored tokenizer.json (the huggingface/tokenizers file
     // format, byte-level BPE) over planted "ab"*k words: greedy merge

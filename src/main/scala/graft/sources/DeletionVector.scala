@@ -283,26 +283,49 @@ object DeletionVector {
     case "u" | "p" =>
       val p = new Path(filePath(d, tableRoot))
       val fs = p.getFileSystem(tconf.value)
-      val in = fs.open(p)
-      try {
-        val off = d.offset.getOrElse(1)
-        val head = new Array[Byte](4)
-        in.readFully(off, head)
-        val size = ByteBuffer.wrap(head).getInt // big-endian framing
-        if (size != d.sizeInBytes) throw BadDeletionVector(
-          s"$p: framed DV size $size != descriptor sizeInBytes " +
-            s"${d.sizeInBytes} at offset $off")
-        val data = new Array[Byte](size)
-        in.readFully(off + 4L, data)
-        val tail = new Array[Byte](4)
-        in.readFully(off + 4L + size, tail)
-        val stored = ByteBuffer.wrap(tail).getInt
-        val crc = new CRC32(); crc.update(data)
-        if (stored != crc.getValue.toInt) throw BadDeletionVector(
-          s"$p: DV checksum mismatch (stored $stored, computed " +
-            s"${crc.getValue.toInt}) — refusing to decode a corrupt vector")
-        deserialize(data)
-      } finally in.close()
+      readFramedFile(fs, p, d.offset.getOrElse(1).toLong, d.sizeInBytes)
     case other => throw BadDeletionVector(s"unknown DV storageType '$other'")
+  }
+
+  /** Read + CRC-check one framed DV blob (`i32 BE size · data · i32 BE
+    * CRC-32 of data`) at a byte offset — the layout Delta DV files and
+    * Iceberg v3 Puffin `deletion-vector-v1` blobs share. `expectSize` is
+    * the data length the descriptor/manifest declares. */
+  def readFramedFile(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      off: Long, expectSize: Int): Array[Long] = {
+    val in = fs.open(p)
+    try {
+      val head = new Array[Byte](4)
+      in.readFully(off, head)
+      val size = ByteBuffer.wrap(head).getInt // big-endian framing
+      if (size != expectSize) throw BadDeletionVector(
+        s"$p: framed DV size $size != declared $expectSize at offset $off")
+      val data = new Array[Byte](size)
+      in.readFully(off + 4L, data)
+      val tail = new Array[Byte](4)
+      in.readFully(off + 4L + size, tail)
+      val stored = ByteBuffer.wrap(tail).getInt
+      val crc = new CRC32(); crc.update(data)
+      if (stored != crc.getValue.toInt) throw BadDeletionVector(
+        s"$p: DV checksum mismatch (stored $stored, computed " +
+          s"${crc.getValue.toInt}) — refusing to decode a corrupt vector")
+      deserialize(data)
+    } finally in.close()
+  }
+
+  /** Iceberg v3 entry point: decode the DV blob a manifest entry locates
+    * by `(content_offset, content_size_in_bytes)` inside a Puffin file.
+    * `content_size_in_bytes` covers the whole framed blob (4-byte length
+    * prefix + magic+bitmap data + 4-byte CRC), so the data length is
+    * size − 8. Runs on EXECUTORS in the read path. */
+  def puffinDvPositions(path: String, contentOffset: Long,
+      contentSize: Long,
+      conf: org.apache.hadoop.conf.Configuration): Array[Long] = {
+    if (contentSize < 12 || contentSize > Int.MaxValue)
+      throw BadDeletionVector(
+        s"$path: deletion-vector blob size $contentSize out of range")
+    val p = new Path(path)
+    readFramedFile(p.getFileSystem(conf), p, contentOffset,
+      contentSize.toInt - 8)
   }
 }

@@ -11,7 +11,7 @@ import org.json4s.jackson.JsonMethods
 /** Apache Iceberg SNAPSHOT reads from the PUBLIC table-spec
   * (iceberg.apache.org/spec) — the other table format corpus and feature
   * stores ship in, unreadable by stock Spark without the iceberg-spark
-  * runtime. Format versions 1 and 2, reader half:
+  * runtime. Format versions 1, 2 and 3, reader half:
   *
   *  - latest metadata json via `version-hint.text` or the numbered
   *    `vN.metadata.json` listing; snapshots by `current-snapshot-id`, or
@@ -44,11 +44,22 @@ import org.json4s.jackson.JsonMethods
   * by Spark, never collected, and AQE broadcasts the (typically tiny)
   * delete side.
   *
+  * v3 DELETION VECTORS (the Puffin-stored replacement for positional
+  * delete files, spec adopted 2025) are applied too: a content=1 manifest
+  * entry carrying `referenced_data_file`/`content_offset`/
+  * `content_size_in_bytes` locates one `deletion-vector-v1` blob inside a
+  * [[Puffin]] file; blobs decode on EXECUTORS (the framed roaring layout
+  * [[DeletionVector]] already speaks — it is byte-identical to Delta's)
+  * and feed the same (file, `_metadata.row_index`) anti-join as
+  * positional deletes. v3 row-lineage fields are metadata-only and
+  * ignored.
+  *
   * Scale model: metadata is O(manifests + entries) driver work — the same
   * replay every Iceberg reader performs — and the data path is Spark's
   * parquet source with pushdown/pruning intact. Guard rails (directed):
-  * format-version > 2; equality ids naming non-top-level columns;
-  * non-parquet data or delete file formats. */
+  * format-version > 3; equality ids naming non-top-level columns;
+  * non-parquet data or delete file formats; DV entries missing their
+  * locator fields. */
 object IcebergTable {
   final case class UnsupportedIceberg(msg: String) extends RuntimeException(msg)
 
@@ -162,13 +173,15 @@ object IcebergTable {
 
   /** A snapshot's active file sets: data files with their data sequence
     * numbers, positional-delete files, equality-delete files with their
-    * sequence numbers + equality field ids, and the schema's top-level
-    * field-id → name map. */
+    * sequence numbers + equality field ids, v3 deletion vectors
+    * (Puffin-stored, one per referenced data file), and the schema's
+    * top-level field-id → name map. */
   private final case class ActiveSet(schema: StructType,
       fieldNames: Map[Int, String],
       data: Seq[(String, Long, String)], // (path, seq, partition scope)
       posDeletes: Seq[String],
-      eqDeletes: Seq[(String, Long, Seq[Int], Option[String])])
+      eqDeletes: Seq[(String, Long, Seq[Int], Option[String])],
+      dvDeletes: Seq[(String, String, Long, Long)] = Nil) // (puffin, ref, off, size)
 
   /** Merge-on-read assembly: positional deletes anti-join on
     * (file, `_metadata.row_index`); equality deletes anti-join on the
@@ -185,17 +198,40 @@ object IcebergTable {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], a.schema)
     val data = spark.read.schema(a.schema).parquet(a.data.map(_._1): _*)
-    if (a.posDeletes.isEmpty && a.eqDeletes.isEmpty) return data
+    if (a.posDeletes.isEmpty && a.eqDeletes.isEmpty && a.dvDeletes.isEmpty)
+      return data
     var withMeta = data
       .withColumn("__row_path",
         PathUris.canonMetaCol(col("_metadata.file_path")))
       .withColumn("__row_pos", col("_metadata.row_index"))
-    if (a.posDeletes.nonEmpty) {
-      // the delete files' spec schema: file_path (string), pos (long); a
-      // delete file may also carry the deleted `row` struct — not selected
-      val dels = spark.read.parquet(a.posDeletes: _*)
+    // positional delete parquet (v2) and Puffin deletion vectors (v3)
+    // both key deleted rows by (data file, row position) — they feed ONE
+    // anti-join. DV blobs decode on EXECUTORS: the driver holds only the
+    // (puffin, referenced file, offset, size) descriptors.
+    val posDels: Option[DataFrame] =
+      if (a.posDeletes.isEmpty) None
+      else Some(spark.read.parquet(a.posDeletes: _*)
+        // spec schema: file_path (string), pos (long); a delete file may
+        // also carry the deleted `row` struct — not selected
         .select(PathUris.canonCol(col("file_path")).as("__del_path"),
-          col("pos").cast("long").as("__del_pos"))
+          col("pos").cast("long").as("__del_pos")))
+    val dvDels: Option[DataFrame] =
+      if (a.dvDeletes.isEmpty) None
+      else {
+        import spark.implicits._
+        val tconf = TaskConf(
+          new Configuration(spark.sparkContext.hadoopConfiguration))
+        val descs = a.dvDeletes.map { case (pf, ref, off, size) =>
+          (pf, PathUris.canon(ref), off, size)
+        }
+        Some(spark.createDataset(descs)
+          .repartition(math.min(descs.size, 32))
+          .flatMap { case (pf, ref, off, size) =>
+            DeletionVector.puffinDvPositions(pf, off, size, tconf.value)
+              .iterator.map(pos => (ref, pos))
+          }.toDF("__del_path", "__del_pos"))
+      }
+    (posDels ++ dvDels).reduceOption(_ unionByName _).foreach { dels =>
       withMeta = withMeta.join(dels,
         withMeta("__row_path") === dels("__del_path") &&
           withMeta("__row_pos") === dels("__del_pos"), "left_anti")
@@ -249,8 +285,8 @@ object IcebergTable {
     val metaPath = latestMetadata(fs, table)
     val meta = JsonMethods.parse(FsText.read(fs, metaPath))
     val fv = (meta \ "format-version").extract[Int]
-    if (fv > 2) throw UnsupportedIceberg(
-      s"format-version $fv (1 and 2 only)")
+    if (fv > 3) throw UnsupportedIceberg(
+      s"format-version $fv (1, 2 and 3 only)")
     val location = (meta \ "location").extractOpt[String].getOrElse(table)
 
     // table schema: v2 schemas[current-schema-id], v1 inline schema
@@ -355,13 +391,30 @@ object IcebergTable {
         org.apache.spark.sql.functions.to_json(col("data_file.partition"),
           java.util.Collections.singletonMap("ignoreNullFields", "false"))
       else org.apache.spark.sql.functions.lit(null).cast("string")
+    // v3 deletion-vector columns (manifest fields 143–145): present only
+    // in v3-written manifests; a non-null referenced_data_file marks a
+    // content=1 entry as a Puffin DV rather than a positional-delete file
+    val refFileCol =
+      if (dfCols.contains("referenced_data_file"))
+        col("data_file.referenced_data_file")
+      else org.apache.spark.sql.functions.lit(null).cast("string")
+    val cOffCol =
+      if (dfCols.contains("content_offset")) col("data_file.content_offset")
+      else org.apache.spark.sql.functions.lit(null).cast("long")
+    val cSizeCol =
+      if (dfCols.contains("content_size_in_bytes"))
+        col("data_file.content_size_in_bytes")
+      else org.apache.spark.sql.functions.lit(null).cast("long")
     final case class Entry(status: Int, content: Int, path: String,
       format: String, matches: Boolean, seq: Long, eqIds: Seq[Int],
-      scope: Option[String])
+      scope: Option[String], refFile: Option[String],
+      contentOffset: Option[Long], contentSize: Option[Long])
     val allEntries = m.select(col("status"), contentCol.as("content"),
         col("data_file.file_path"), col("data_file.file_format"),
         matchCol.as("matches"), seqCol.as("seq"), eqIdsCol.as("eq_ids"),
-        col("__manifest"), partJsonCol.as("part_json"))
+        col("__manifest"), partJsonCol.as("part_json"),
+        refFileCol.as("ref_file"), cOffCol.as("c_off"),
+        cSizeCol.as("c_size"))
       .collect().map { r =>
         // a lookup miss here means the source-file column and the list's
         // resolvePath spell the same manifest differently — defaulting to
@@ -393,14 +446,28 @@ object IcebergTable {
         Entry(status, r.getInt(1), r.getString(2), r.getString(3),
           r.getBoolean(4), inherited,
           if (r.isNullAt(6)) Nil else r.getSeq[Int](6),
-          partJson.map(j => s"$mSpec:$j"))
+          partJson.map(j => s"$mSpec:$j"),
+          if (r.isNullAt(9)) None else Some(r.getString(9)),
+          if (r.isNullAt(10)) None else Some(r.getLong(10)),
+          if (r.isNullAt(11)) None else Some(r.getLong(11)))
       }.toSeq
-    // content: 0 data, 1 position deletes, 2 equality deletes
+    // content: 0 data, 1 position deletes (parquet files in v2, Puffin
+    // deletion vectors in v3), 2 equality deletes
     val kept = allEntries.filter(e => e.matches || e.content != 0)
     val active = kept.filter(_.status != 2) // 0 existing, 1 added, 2 deleted
-    active.find(!_.format.equalsIgnoreCase("PARQUET")).foreach { f =>
-      throw UnsupportedIceberg(
-        s"$table: data file format ${f.format} (parquet only)")
+    def isDv(e: Entry): Boolean =
+      e.content == 1 && (e.refFile.isDefined ||
+        e.format.equalsIgnoreCase("PUFFIN"))
+    active.find(e => !e.format.equalsIgnoreCase("PARQUET") && !isDv(e))
+      .foreach { f =>
+        throw UnsupportedIceberg(
+          s"$table: data file format ${f.format} (parquet only)")
+      }
+    active.filter(isDv).foreach { e =>
+      if (e.refFile.isEmpty || e.contentOffset.isEmpty ||
+        e.contentSize.isEmpty) throw UnsupportedIceberg(
+        s"$table: deletion-vector entry ${e.path} is missing " +
+          "referenced_data_file/content_offset/content_size_in_bytes")
     }
     active.find(e => e.content == 2 && e.eqIds.isEmpty).foreach { e =>
       throw UnsupportedIceberg(
@@ -410,11 +477,15 @@ object IcebergTable {
       active.filter(_.content == 0)
         .map(f => (resolvePath(table, location, f.path), f.seq,
           f.scope.getOrElse(""))),
-      active.filter(_.content == 1)
+      active.filter(e => e.content == 1 && !isDv(e))
         .map(f => resolvePath(table, location, f.path)),
       active.filter(_.content == 2)
         .map(f => (resolvePath(table, location, f.path), f.seq, f.eqIds,
-          f.scope)))
+          f.scope)),
+      active.filter(isDv)
+        .map(f => (resolvePath(table, location, f.path),
+          resolvePath(table, location, f.refFile.get),
+          f.contentOffset.get, f.contentSize.get)))
   }
 
   /** Incremental consumption: rows of the data files ACTIVE in
@@ -450,7 +521,8 @@ object IcebergTable {
     val fresh = after.data.filterNot(f => beforeSet(f._1))
     assemble(spark, after.copy(data = fresh,
       posDeletes = if (fresh.isEmpty) Nil else after.posDeletes,
-      eqDeletes = if (fresh.isEmpty) Nil else after.eqDeletes))
+      eqDeletes = if (fresh.isEmpty) Nil else after.eqDeletes,
+      dvDeletes = if (fresh.isEmpty) Nil else after.dvDeletes))
   }
 
   /** The current snapshot id (None on a never-written table) — one
