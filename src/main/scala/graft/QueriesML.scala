@@ -793,6 +793,80 @@ object QueriesML {
           .orderBy($"id")
       }),
 
+    // ------------------------------------- Delta column mapping (id mode)
+    // The upgraded-table shape: resolution is by parquet FIELD ID — the
+    // files' column names here (pq1/pq2/pq3/pq4) match neither the
+    // logical nor the physical names, so any name-based read would come
+    // back empty; only the field ids (written into the parquet schema,
+    // matched by Spark's field-id reader path) connect log to data. Same
+    // value oracle as q174.
+    Q("q178_delta_cm_id", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 150)
+      SELECT o_orderkey AS id,
+             'doc-' || CAST(rn0 AS VARCHAR) AS text,
+             round(o_orderkey * 0.5, 6) AS score,
+             CAST(o_orderkey % 3 AS VARCHAR) AS bucket
+      FROM o ORDER BY id"""))(
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        import graft.sources.DeltaTable
+        val table = Fixtures.dir("q178", d) { dir =>
+          val rows = Tables.orders(s, d).orderBy($"o_orderkey").limit(150)
+            .select($"o_orderkey".cast("long")).collect().map(_.getLong(0))
+            .zipWithIndex
+          def meta(phys: String, id: Int): Metadata = new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", phys)
+            .putLong("delta.columnMapping.id", id.toLong).build()
+          val logical = StructType(Seq(
+            StructField("id", LongType, nullable = true, meta("c1", 1)),
+            StructField("text", StringType, nullable = true, meta("c2", 2)),
+            StructField("info", StructType(Seq(
+              StructField("score", DoubleType, nullable = true,
+                meta("c4", 4)))), nullable = true, meta("c3", 3)),
+            StructField("bucket", StringType, nullable = true, meta("c5", 5))))
+          def fid(id: Int): Metadata = new MetadataBuilder()
+            .putLong("parquet.field.id", id.toLong).build()
+          val fileSchema = StructType(Seq(
+            StructField("pq1", LongType, nullable = true, fid(1)),
+            StructField("pq2", StringType, nullable = true, fid(2)),
+            StructField("pq3", StructType(Seq(
+              StructField("pq4", DoubleType, nullable = true, fid(4)))),
+              nullable = true, fid(3))))
+          def part(b: Int): String = {
+            val ids = rows.filter(_._1 % 3 == b)
+            val df = s.createDataFrame(
+              s.sparkContext.parallelize(ids.map { case (k, i) =>
+                org.apache.spark.sql.Row(k, s"doc-$i",
+                  org.apache.spark.sql.Row(k * 0.5))
+              }.toSeq, 1), fileSchema)
+            val rel = s"b$b/part-00$b.parquet"
+            singleParquet(df, s"$dir/$rel")
+            rel
+          }
+          val rels = (0 to 2).map(part)
+          val schemaStr = logical.json.replace("\\", "\\\\")
+            .replace("\"", "\\\"")
+          new java.io.File(s"$dir/_delta_log").mkdirs()
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/_delta_log/" + "0" * 20 + ".json"),
+            (Seq(
+              """{"commitInfo":{"timestamp":0,"operation":"WRITE"}}""",
+              """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+                """"readerFeatures":["columnMapping"],""" +
+                """"writerFeatures":["columnMapping"]}}""",
+              s"""{"metaData":{"id":"q178","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":["bucket"],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"5"},"createdTime":0}}""") ++
+              rels.zipWithIndex.map { case (r, b) =>
+                s"""{"add":{"path":"$r","partitionValues":{"c5":"$b"},"size":10,"modificationTime":0,"dataChange":true}}"""
+              }).mkString("\n").getBytes("UTF-8"))
+        }
+        DeltaTable.read(s, table)
+          .select($"id", $"text", round($"info.score", 6).as("score"),
+            $"bucket")
+          .orderBy($"id")
+      }),
+
     // ---------------------------------------------- fastText .bin inference
     // A planted-weight supervised model written in the PUBLIC .bin layout,
     // loaded back through the parser, and run distributed: identity word

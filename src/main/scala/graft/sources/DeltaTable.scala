@@ -40,8 +40,11 @@ import org.json4s.jackson.JsonMethods
   * parquet or json carries checkpointMetadata plus `sidecar` actions
   * naming the `_delta_log/_sidecars/` parquets that hold the file
   * actions — processed with the same handler as classic checkpoints
-  * (checkpoint `remove` tombstones never replay). Column mapping in
-  * name mode decodes (see assemble); id mode is a directed error.
+  * (checkpoint `remove` tombstones never replay). Column mapping decodes
+  * in BOTH modes (see assemble): name mode reads by the schema's
+  * physical names; id mode resolves by parquet FIELD ID (the files'
+  * column names are not authoritative there) through Spark's native
+  * field-id matching, then both rebuild logical names recursively.
   *
   * Guard rails (directed, never silent): minReaderVersion > 1 is
   * rejected unless it is version 3 whose readerFeatures are all either
@@ -309,10 +312,9 @@ object DeltaTable {
     if (schemaJson == null) throw UnsupportedDelta(
       s"$table: log replay found no metaData action")
     configuration.get("delta.columnMapping.mode").foreach {
-      case "name" | "none" => // name mode decodes below; none is trivial
+      case "name" | "id" | "none" => // both mapped modes decode in assemble
       case other => throw UnsupportedDelta(
-        s"$table: columnMapping mode '$other' is not implemented " +
-          "(name mode only — id mode needs parquet field-id matching)")
+        s"$table: columnMapping mode '$other' is not implemented")
     }
     (Snapshot(latest, schemaJson, partitionColumns, files.values.toSeq,
       configuration), captured, capturedConf)
@@ -337,12 +339,27 @@ object DeltaTable {
 
   /** The logical schema re-labeled with physical names, recursively —
     * what the parquet files actually store under name-mode column
-    * mapping. */
-  private def physType(dt: DataType): DataType = dt match {
-    case st: StructType => StructType(st.fields.map(f =>
-      StructField(physFieldName(f), physType(f.dataType), f.nullable)))
-    case ArrayType(et, n) => ArrayType(physType(et), n)
-    case MapType(k, v, n) => MapType(physType(k), physType(v), n)
+    * mapping. With `withIds`, each field additionally carries its
+    * `delta.columnMapping.id` as `parquet.field.id` metadata — the key
+    * Spark's parquet reader uses for FIELD-ID resolution (id mode, where
+    * the files' column names are not authoritative). */
+  private def physType(dt: DataType, withIds: Boolean): DataType = dt match {
+    case st: StructType => StructType(st.fields.map { f =>
+      val md =
+        if (withIds && f.metadata.contains("delta.columnMapping.id"))
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id",
+              f.metadata.getLong("delta.columnMapping.id")).build()
+        else if (withIds) throw UnsupportedDelta(
+          s"column mapping mode 'id': field '${f.name}' carries no " +
+            "delta.columnMapping.id — the schema cannot resolve by field id")
+        else org.apache.spark.sql.types.Metadata.empty
+      StructField(physFieldName(f), physType(f.dataType, withIds),
+        f.nullable, md)
+    })
+    case ArrayType(et, n) => ArrayType(physType(et, withIds), n)
+    case MapType(k, v, n) =>
+      MapType(physType(k, withIds), physType(v, withIds), n)
     case o => o
   }
 
@@ -377,14 +394,22 @@ object DeltaTable {
       snap: Snapshot): DataFrame = {
     val full = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val partCols = snap.partitionColumns
-    val mapped = snap.configuration
-      .get("delta.columnMapping.mode").contains("name")
+    val mappingMode = snap.configuration
+      .get("delta.columnMapping.mode").filterNot(_ == "none")
+    val mapped = mappingMode.isDefined
+    val idMode = mappingMode.contains("id")
     val dataSchema = StructType(full.filterNot(f => partCols.contains(f.name)))
-    // name-mode column mapping: files store PHYSICAL names at every
-    // nesting level; read with the physical schema, then rebuild logical
-    // names column-by-column (nulls preserved via isNotNull guards)
+    // column mapping: files store PHYSICAL names at every nesting level;
+    // read with the physical schema, then rebuild logical names
+    // column-by-column (nulls preserved via isNotNull guards). In ID mode
+    // the files' column names are not authoritative — the read schema
+    // carries parquet.field.id metadata and Spark's parquet reader
+    // resolves by FIELD ID (a session conf, sticky and harmless: schemas
+    // without ids keep resolving by name everywhere else).
+    if (idMode)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val readSchema =
-      if (mapped) physType(dataSchema).asInstanceOf[StructType]
+      if (mapped) physType(dataSchema, idMode).asInstanceOf[StructType]
       else dataSchema
     val base = table.stripSuffix("/")
     // add.path is percent-encoded whether relative OR absolute

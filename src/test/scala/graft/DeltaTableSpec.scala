@@ -386,16 +386,71 @@ class DeltaTableSpec extends SparkSpec {
     assert(info.getDouble(0) == 0.5)
     assert(info.getSeq[Row](1).map(_.getString(0)) == Seq("x", "y"))
     assert(rows(1).isNullAt(1), "null struct must survive the relabel")
-    // id mode stays a directed error
+  }
+
+  test("column mapping (id mode): parquet field ids resolve renamed columns") {
+    // the id-mode contract: the files' column NAMES are not authoritative
+    // — only field ids connect the log schema to the parquet columns.
+    // This fixture's parquet names (pq_x/pq_y/pq_z) match NEITHER the
+    // logical nor the physical names, so a name-based read would miss
+    // every column; field-id resolution must carry it.
+    val table = tmp()
+    def meta(phys: String, id: Int): Metadata = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id.toLong).build()
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta("col-aa", 1)),
+      StructField("info", StructType(Seq(
+        StructField("score", DoubleType, nullable = true, meta("col-cc", 3)))),
+        nullable = true, meta("col-bb", 2)),
+      StructField("lang", StringType, nullable = true, meta("col-ff", 6))))
+    def fid(id: Int): Metadata = new MetadataBuilder()
+      .putLong("parquet.field.id", id.toLong).build()
+    val fileSchema = StructType(Seq(
+      StructField("pq_x", LongType, nullable = true, fid(1)),
+      StructField("pq_y", StructType(Seq(
+        StructField("pq_z", DoubleType, nullable = true, fid(3)))),
+        nullable = true, fid(2))))
+    val rows = Seq(Row(1L, Row(0.5)), Row(2L, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), fileSchema)
+    df.coalesce(1).write.mode("overwrite").parquet(s"$table/tmp0")
+    val part = new java.io.File(s"$table/tmp0").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    new java.io.File(s"$table/p").mkdirs()
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$table/p/part-000.parquet"))
+    val schemaStr = logical.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    writeCommit(table, 0, Seq(
+      commitInfo("WRITE", 0),
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$schemaStr","partitionColumns":["lang"],""" +
+        s""""configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"6"},""" +
+        s""""createdTime":0}}""",
+      s"""{"add":{"path":"p/part-000.parquet","partitionValues":{"col-ff":"en"},""" +
+        s""""size":10,"modificationTime":0,"dataChange":true}}"""))
+    val got = DeltaTable.read(spark, table).orderBy($"id")
+    assert(got.columns.toSeq == Seq("id", "info", "lang"))
+    val out = got.collect()
+    assert(out(0).getLong(0) == 1L && out(0).getString(2) == "en")
+    assert(out(0).getStruct(1).getDouble(0) == 0.5)
+    assert(out(1).isNullAt(1), "null struct must survive the relabel")
+    // a schema field with no columnMapping id cannot resolve — directed
     val t2 = tmp()
+    val noId = StructType(Seq(StructField("id", LongType)))
+    val noIdStr = noId.json.replace("\\", "\\\\").replace("\"", "\\\"")
     writeCommit(t2, 0, Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
         """"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}""",
       s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
-        s""""schemaString":"$schemaStr","partitionColumns":[],""" +
-        s""""configuration":{"delta.columnMapping.mode":"id"},"createdTime":0}}"""))
+        s""""schemaString":"$noIdStr","partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"id"},"createdTime":0}}""",
+      s"""{"add":{"path":"p/x.parquet","partitionValues":{},""" +
+        s""""size":10,"modificationTime":0,"dataChange":true}}"""))
     val e = intercept[Exception] { DeltaTable.read(spark, t2) }
-    assert(e.getMessage.contains("columnMapping mode 'id'"), e.getMessage)
+    assert(e.getMessage.contains("delta.columnMapping.id"), e.getMessage)
   }
 
   test("change data feed: cdc files verbatim, synthesized insert/delete") {
