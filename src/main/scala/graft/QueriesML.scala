@@ -1124,6 +1124,114 @@ object QueriesML {
         IcebergTable.read(s, table).select($"id", $"text").orderBy($"id")
       }),
 
+    // ------------------------------------------ Iceberg row-level changelog
+    // readChangelog between two snapshots: snapshot 2 appends a re-insert
+    // file (ids % 5 = 0, new text) AND a positional delete killing every
+    // 3rd position of the original file. The feed must serve exactly the
+    // net inserts + newly-dead rows; the oracle rebuilds it from the
+    // planted patterns. A diff slip (re-served file, missed delete,
+    // resurrected row) breaks rows and hash alike.
+    Q("q179_iceberg_changelog", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 150),
+           feed AS (
+             SELECT o_orderkey AS id, 're-' || CAST(rn0 AS VARCHAR) AS text,
+                    'insert' AS ct FROM o WHERE o_orderkey % 5 = 0
+             UNION ALL
+             SELECT o_orderkey, 'doc-' || CAST(rn0 AS VARCHAR), 'delete'
+             FROM o WHERE rn0 % 3 = 0)
+      SELECT id, text, ct AS _change_type, CAST(200 AS BIGINT) AS _snapshot_id
+      FROM feed ORDER BY _change_type, id, text"""))(
+      (s, d) => {
+        import graft.sources.{AvroOcf, IcebergTable}
+        val table = Fixtures.dir("q179", d) { dir =>
+          val rows = Tables.orders(s, d).orderBy($"o_orderkey").limit(150)
+            .select($"o_orderkey".cast("long")).collect().map(_.getLong(0))
+            .zipWithIndex
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType)))
+          def file(name: String, data: Seq[(Long, String)]): String = {
+            val df = s.createDataFrame(
+              s.sparkContext.parallelize(data.map { case (k, t) =>
+                org.apache.spark.sql.Row(k, t)
+              }, 1), schema)
+            singleParquet(df, s"$dir/data/$name")
+          }
+          val f0 = file("p0.parquet",
+            rows.map { case (k, i) => (k, s"doc-$i") }.toSeq)
+          val f1 = file("p1.parquet",
+            rows.filter(_._1 % 5 == 0)
+              .map { case (k, i) => (k, s"re-$i") }.toSeq)
+          // positional delete: every 3rd position of f0
+          val delRows = rows.indices.filter(_ % 3 == 0)
+            .map(p => (f0, p.toLong))
+          val delDf = s.createDataFrame(
+            s.sparkContext.parallelize(delRows.map { case (p, i) =>
+              org.apache.spark.sql.Row(p, i)
+            }, 1),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("file_path",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("pos",
+                org.apache.spark.sql.types.LongType))))
+          val delPath = singleParquet(delDf, s"$dir/data/del0.parquet")
+          new java.io.File(s"$dir/metadata").mkdirs()
+          val mSchema =
+            """{"type": "record", "name": "manifest_entry", "fields": [
+                 {"name": "status", "type": "int"},
+                 {"name": "data_file", "type": {"type": "record",
+                   "name": "r2", "fields": [
+                     {"name": "content", "type": "int"},
+                     {"name": "file_path", "type": "string"},
+                     {"name": "file_format", "type": "string"},
+                     {"name": "record_count", "type": "long"}]}}]}"""
+          val mlSchema =
+            """{"type": "record", "name": "manifest_file", "fields": [
+                 {"name": "manifest_path", "type": "string"},
+                 {"name": "manifest_length", "type": "long"},
+                 {"name": "content", "type": "int"}]}"""
+          AvroOcf.write(s"$dir/metadata/m0.avro", mSchema, Seq(
+            Seq(1, Seq(0, f0, "PARQUET", 150L))))
+          AvroOcf.write(s"$dir/metadata/m1.avro", mSchema, Seq(
+            Seq(0, Seq(0, f0, "PARQUET", 150L)),
+            Seq(1, Seq(0, f1, "PARQUET", 30L))))
+          AvroOcf.write(s"$dir/metadata/md.avro", mSchema, Seq(
+            Seq(1, Seq(1, delPath, "PARQUET", delRows.length.toLong))))
+          AvroOcf.write(s"$dir/metadata/snap-100.avro", mlSchema,
+            Seq(Seq(s"$dir/metadata/m0.avro", 100L, 0)))
+          AvroOcf.write(s"$dir/metadata/snap-200.avro", mlSchema,
+            Seq(Seq(s"$dir/metadata/m1.avro", 100L, 0),
+              Seq(s"$dir/metadata/md.avro", 100L, 1)))
+          val schemaJson =
+            """{"type": "struct", "schema-id": 0, "fields": [
+                 {"id": 1, "name": "id", "required": true, "type": "long"},
+                 {"id": 2, "name": "text", "required": false, "type": "string"}]}"""
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/metadata/v2.metadata.json"),
+            s"""{"format-version": 2, "table-uuid": "q179", "location": "$dir",
+                 "current-snapshot-id": 200,
+                 "schemas": [$schemaJson], "current-schema-id": 0,
+                 "snapshots": [
+                   {"snapshot-id": 100, "timestamp-ms": 1000,
+                    "summary": {"operation": "append"},
+                    "manifest-list": "$dir/metadata/snap-100.avro"},
+                   {"snapshot-id": 200, "timestamp-ms": 2000,
+                    "summary": {"operation": "overwrite"},
+                    "manifest-list": "$dir/metadata/snap-200.avro"}]}"""
+              .getBytes("UTF-8"))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/metadata/version-hint.text"),
+            "2".getBytes("UTF-8"))
+        }
+        IcebergTable.readChangelog(s, table, 100L, Some(200L))
+          .select($"id", $"text", $"_change_type", $"_snapshot_id")
+          .orderBy($"_change_type", $"id", $"text")
+      }),
+
     // ------------------------------------------------------- HF tokenizer.json encode
     // A hand-authored tokenizer.json (the huggingface/tokenizers file
     // format, byte-level BPE) over planted "ab"*k words: greedy merge

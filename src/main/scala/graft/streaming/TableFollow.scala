@@ -121,6 +121,25 @@ object TableFollow {
     }
   }
 
+  /** One Iceberg poll serving the row-level CHANGELOG instead of whole
+    * appended files — parity with [[pollDeltaCdf]] for merge-on-read
+    * tables where a DV/delete churn would otherwise re-serve entire
+    * files. A None cursor starts at the NEXT snapshot (changelogs consume
+    * changes, not history): the baseline tick serves an empty typed
+    * frame that establishes the cursor at the current snapshot. */
+  def pollIcebergChangelog(spark: SparkSession, table: String,
+      cursor: Option[Long]): Option[Increment] = {
+    val current = IcebergTable.currentSnapshotId(spark, table)
+    (cursor, current) match {
+      case (_, None) => None // never-written table: nothing to serve yet
+      case (None, Some(cur)) => Some(Increment(
+        IcebergTable.readChangelog(spark, table, cur, Some(cur)), cur))
+      case (Some(v), Some(cur)) if cur != v => Some(Increment(
+        IcebergTable.readChangelog(spark, table, v, Some(cur)), cur))
+      case _ => None
+    }
+  }
+
   // ------------------------------------------------- checkpointed follow
 
   /** Poll once with a durable cursor: load the checkpoint, serve the
@@ -140,6 +159,12 @@ object TableFollow {
   def followIcebergOnce(spark: SparkSession, table: String,
       checkpoint: String)(process: (DataFrame, Long) => Unit): Option[Long] =
     followOnce(spark, checkpoint, c => pollIceberg(spark, table, c))(process)
+
+  /** [[followIcebergOnce]] serving the row-level changelog. */
+  def followIcebergChangelogOnce(spark: SparkSession, table: String,
+      checkpoint: String)(process: (DataFrame, Long) => Unit): Option[Long] =
+    followOnce(spark, checkpoint,
+      c => pollIcebergChangelog(spark, table, c))(process)
 
   private def followOnce(spark: SparkSession, checkpoint: String,
       poll: Option[Long] => Option[Increment])(

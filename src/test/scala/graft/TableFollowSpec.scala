@@ -216,4 +216,79 @@ class TableFollowSpec extends SparkSpec {
     assert(batches.last == ((200L, Seq(3L, 4L))))
     assert(batches.flatMap(_._2) == Seq(1L, 2L, 3L, 4L))
   }
+
+  test("iceberg changelog follow: baseline, delete+insert rows, appends") {
+    val table = tmp()
+    val ckpt = s"$table/cursor"
+    def parquetFile(name: String, ids: Seq[Long]): String =
+      s"$table/" + dataFile(table, name, ids)
+    val f0 = parquetFile("p0.parquet", Seq(1L, 2L, 3L))
+    val m0 = s"$table/metadata/m0.avro"
+    new java.io.File(s"$table/metadata").mkdirs()
+    AvroOcf.write(m0, mSchema, Seq(Seq(1, Seq(0, f0, "PARQUET", 3L))))
+    val ml0 = s"$table/metadata/snap-100.avro"
+    AvroOcf.write(ml0, mlSchema, Seq(Seq(m0, 100L, 0)))
+    icebergMeta(table, 1, 100L, Seq((100L, ml0)))
+
+    var batches = Vector.empty[(Long, Seq[(Long, String)])]
+    def proc(df: org.apache.spark.sql.DataFrame, cur: Long): Unit =
+      batches :+= (cur, df.select($"id", $"_change_type")
+        .as[(Long, String)].collect().sorted.toSeq)
+
+    // baseline tick: empty typed changelog, cursor at snapshot 100 —
+    // history before the subscription never serves
+    assert(TableFollow.followIcebergChangelogOnce(spark, table, ckpt)(proc)
+      == Some(100L))
+    assert(batches == Vector((100L, Seq())))
+    assert(TableFollow.followIcebergChangelogOnce(spark, table, ckpt)(proc)
+      .isEmpty)
+
+    // snapshot 200: f1 (ids 4,5) added AND a positional delete kills f0's
+    // position 1 (id 2) — the increment is ROW-level: insert 4,5 + delete 2
+    val f1 = parquetFile("p1.parquet", Seq(4L, 5L))
+    val delDf = Seq((f0, 1L)).toDF("file_path", "pos")
+    delDf.coalesce(1).write.mode("overwrite").parquet(s"$table/tmp-del")
+    val delPart = new java.io.File(s"$table/tmp-del").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val delPath = s"$table/del0.parquet"
+    java.nio.file.Files.move(delPart.toPath,
+      java.nio.file.Paths.get(delPath))
+    val m1 = s"$table/metadata/m1.avro"
+    AvroOcf.write(m1, mSchema, Seq(
+      Seq(0, Seq(0, f0, "PARQUET", 3L)),
+      Seq(1, Seq(0, f1, "PARQUET", 2L))))
+    val md = s"$table/metadata/md.avro"
+    AvroOcf.write(md, mSchema, Seq(Seq(1, Seq(1, delPath, "PARQUET", 1L))))
+    val ml1 = s"$table/metadata/snap-200.avro"
+    AvroOcf.write(ml1, mlSchema, Seq(Seq(m1, 100L, 0), Seq(md, 100L, 1)))
+    icebergMeta(table, 2, 200L, Seq((100L, ml0), (200L, ml1)))
+    assert(TableFollow.followIcebergChangelogOnce(spark, table, ckpt)(proc)
+      == Some(200L))
+    assert(batches.last == ((200L,
+      Seq((2L, "delete"), (4L, "insert"), (5L, "insert")))),
+      batches.last.toString)
+
+    // snapshot 300: appends only — the increment is inserts, and the
+    // common-file diff takes the zero-IO fast path (delete sets unchanged)
+    val f2 = parquetFile("p2.parquet", Seq(9L))
+    val m2 = s"$table/metadata/m2.avro"
+    AvroOcf.write(m2, mSchema, Seq(
+      Seq(0, Seq(0, f0, "PARQUET", 3L)),
+      Seq(0, Seq(0, f1, "PARQUET", 2L)),
+      Seq(1, Seq(0, f2, "PARQUET", 1L))))
+    val ml2 = s"$table/metadata/snap-300.avro"
+    AvroOcf.write(ml2, mlSchema, Seq(Seq(m2, 100L, 0), Seq(md, 100L, 1)))
+    icebergMeta(table, 3, 300L,
+      Seq((100L, ml0), (200L, ml1), (300L, ml2)))
+    assert(TableFollow.followIcebergChangelogOnce(spark, table, ckpt)(proc)
+      == Some(300L))
+    assert(batches.last == ((300L, Seq((9L, "insert")))),
+      batches.last.toString)
+    // a row deleted and a row inserted in the SAME range never cross:
+    // accumulated feed rebuilds the table exactly
+    val inserted = batches.flatMap(_._2).collect { case (id, "insert") => id }
+    val deleted = batches.flatMap(_._2).collect { case (id, "delete") => id }
+    assert((Seq(1L, 2L, 3L) ++ inserted).diff(deleted).sorted ==
+      Seq(1L, 3L, 4L, 5L, 9L))
+  }
 }
