@@ -1232,6 +1232,71 @@ object QueriesML {
           .orderBy($"_change_type", $"id", $"text")
       }),
 
+    // ----------------------------------------- Delta writer: publish half
+    // The table is WRITTEN by this engine's own transactional writer
+    // (create partitioned by bucket, then a second append commit) and
+    // read back through the reader — log layout, partition dirs, add
+    // actions, and version numbering all round-trip. The oracle
+    // recomputes both batches from the planted patterns.
+    Q("q180_delta_write", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT o_orderkey AS id,
+             CASE WHEN o_orderkey % 4 = 0 THEN 'v2-' || CAST(rn0 AS VARCHAR)
+                  ELSE 'doc-' || CAST(rn0 AS VARCHAR) END AS text,
+             o_orderkey % 3 AS bucket
+      FROM o ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{DeltaTable, DeltaWriter}
+        val table = Fixtures.dir("q180", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          DeltaWriter.writeAppend(s,
+            base.filter($"id" % 4 =!= 0)
+              .select($"id", concat(lit("doc-"), $"rn0").as("text"),
+                ($"id" % 3).as("bucket")),
+            t, partitionBy = Seq("bucket"))
+          DeltaWriter.writeAppend(s,
+            base.filter($"id" % 4 === 0)
+              .select($"id", concat(lit("v2-"), $"rn0").as("text"),
+                ($"id" % 3).as("bucket")),
+            t)
+        }
+        DeltaTable.read(s, s"$table/table")
+          .select($"id", $"text", $"bucket").orderBy($"id")
+      }),
+
+    // --------------------------------------- Iceberg writer: publish half
+    // Two append snapshots written by the engine's own writer (manifest,
+    // manifest list carrying the prior snapshot's manifests, metadata
+    // json + version-hint swap), read back through the reader.
+    Q("q181_iceberg_write", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT o_orderkey AS id,
+             CASE WHEN o_orderkey % 4 = 0 THEN 'v2-' || CAST(rn0 AS VARCHAR)
+                  ELSE 'doc-' || CAST(rn0 AS VARCHAR) END AS text
+      FROM o ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{IcebergTable, IcebergWriter}
+        val table = Fixtures.dir("q181", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          IcebergWriter.writeAppend(s,
+            base.filter($"id" % 4 =!= 0)
+              .select($"id", concat(lit("doc-"), $"rn0").as("text")), t)
+          IcebergWriter.writeAppend(s,
+            base.filter($"id" % 4 === 0)
+              .select($"id", concat(lit("v2-"), $"rn0").as("text")), t)
+        }
+        IcebergTable.read(s, s"$table/table")
+          .select($"id", $"text").orderBy($"id")
+      }),
+
     // ------------------------------------------------------- HF tokenizer.json encode
     // A hand-authored tokenizer.json (the huggingface/tokenizers file
     // format, byte-level BPE) over planted "ab"*k words: greedy merge

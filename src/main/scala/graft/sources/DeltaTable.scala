@@ -724,6 +724,15 @@ object DeltaTable {
       .reduce(_ unionByName _)
   }
 
+  /** (version, schemaString, partitionColumns, configuration) of the
+    * latest snapshot — the append-compatibility probe [[DeltaWriter]]
+    * runs before committing. */
+  private[sources] def snapshotInfo(spark: SparkSession, table: String)
+      : (Long, String, Seq[String], Map[String, String]) = {
+    val s = replay(spark, table, None)._1
+    (s.version, s.schemaJson, s.partitionColumns, s.configuration)
+  }
+
   /** The latest commit version — one log LISTING, no replay. The cheap
     * "did anything change" probe an incremental poller runs each tick. */
   def latestVersion(spark: SparkSession, table: String): Long = {

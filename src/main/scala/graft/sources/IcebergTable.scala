@@ -101,7 +101,7 @@ object IcebergTable {
     case other => throw UnsupportedIceberg(s"malformed iceberg type: $other")
   }
 
-  private def structOf(o: JValue): StructType = StructType(
+  private[sources] def structOf(o: JValue): StructType = StructType(
     (o \ "fields").extract[Seq[JValue]].map { f =>
       StructField((f \ "name").extract[String], sparkType(f \ "type"),
         nullable = !(f \ "required").extractOpt[Boolean].getOrElse(false))
@@ -109,7 +109,7 @@ object IcebergTable {
 
   // ----------------------------------------------------------- metadata
 
-  private def latestMetadata(fs: org.apache.hadoop.fs.FileSystem,
+  private[sources] def latestMetadata(fs: org.apache.hadoop.fs.FileSystem,
       table: String): Path = {
     val metaDir = new Path(s"${table.stripSuffix("/")}/metadata")
     if (!fs.exists(metaDir)) throw UnsupportedIceberg(

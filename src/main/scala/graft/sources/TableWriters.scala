@@ -1,0 +1,411 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Minimal TRANSACTIONAL APPEND writers for the two open table formats —
+  * the publish half that lets a pipeline emit datasets the same engine
+  * (and any stock Delta/Iceberg reader) consumes, instead of bare parquet
+  * directories. Both follow the formats' own commit protocols:
+  *
+  *  - [[DeltaWriter]]: distributed parquet write (partitionBy-aware, data
+  *    files exclude partition columns per PROTOCOL.md), then ONE
+  *    `_delta_log/N.json` commit — protocol + metaData on create, add
+  *    actions with partitionValues and sizes, commitInfo — placed with an
+  *    EXCLUSIVE create (hard-link on local FS, fail-on-existing rename on
+  *    HDFS-class stores), so a concurrent commit of the same version is a
+  *    directed [[TableCommit.CommitConflict]], never a silent overwrite.
+  *  - [[IcebergWriter]]: data files under `data/`, a new Avro manifest
+  *    (ADDED entries with explicit data sequence numbers), a manifest
+  *    list carrying the previous snapshot's manifests plus the new one,
+  *    and a `v(N+1).metadata.json` committed exclusively before the
+  *    `version-hint.text` swap (the HadoopTableOperations protocol).
+  *
+  * Scale model: the DATA write is Spark's native distributed parquet
+  * sink; driver work is O(files) metadata (moves, footer row counts, log
+  * lines) — the same bookkeeping every Delta/Iceberg writer performs.
+  * Deliberately out of scope (directed errors, never silent): schema
+  * evolution on append, column-mapped Delta tables, partitioned Iceberg
+  * writes, nested types in new Iceberg schemas. */
+object TableCommit {
+  final case class CommitConflict(msg: String) extends RuntimeException(msg)
+  final case class UnsupportedWrite(msg: String) extends RuntimeException(msg)
+
+  /** Place `tmp` at `dest` EXCLUSIVELY: false (and tmp removed) when dest
+    * already exists — the loser of a concurrent commit must see the
+    * conflict, not overwrite the winner. Local FS uses a hard link (the
+    * POSIX atomic create-exclusive; plain rename overwrites there); other
+    * stores use Hadoop rename, which fails on an existing destination. */
+  private[graft] def exclusivePut(fs: FileSystem, tmp: Path,
+      dest: Path): Boolean = {
+    if ("file".equalsIgnoreCase(fs.getUri.getScheme)) {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dest.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        fs.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(tmp, false)
+          false
+      }
+    } else if (fs.exists(dest)) { fs.delete(tmp, false); false }
+    else fs.rename(tmp, dest)
+  }
+
+  /** Write UTF-8 `text` to a temp sibling and [[exclusivePut]] it. */
+  private[graft] def putText(fs: FileSystem, dest: Path,
+      text: String): Boolean = {
+    val tmp = new Path(dest.getParent,
+      s".${dest.getName}.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+    exclusivePut(fs, tmp, dest)
+  }
+
+  /** Distributed parquet write of `df` into a temp dir under `table`,
+    * then O(files) driver moves into place. Returns one entry per data
+    * file: (relative path with partition dirs, absolute path, size). */
+  private[sources] def writeData(df: DataFrame, table: String,
+      partitionBy: Seq[String], targetSubdir: String, conf: Configuration)
+      : Seq[(String, String, Long)] = {
+    val base = table.stripSuffix("/")
+    val uuid = java.util.UUID.randomUUID().toString
+    val tmpDir = s"$base/_tmp_commit_$uuid"
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tmpDir)
+    val fs = new Path(base).getFileSystem(conf)
+    val tmpPath = new Path(tmpDir)
+    val files = Seq.newBuilder[(String, String, Long)]
+    val it = fs.listFiles(tmpPath, true)
+    var i = 0
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (name.endsWith(".parquet") && !name.startsWith("_") &&
+        !name.startsWith(".")) {
+        // the path under tmpDir carries the partition dirs Spark built
+        val rel = st.getPath.toUri.getPath
+          .stripPrefix(new Path(tmpDir).toUri.getPath).stripPrefix("/")
+        val subdirs = rel.split('/').dropRight(1)
+        val fileName = f"part-$i%05d-$uuid.parquet"
+        val outRel = (subdirs :+ fileName).mkString("/")
+        val dest = new Path(s"$base/${if (targetSubdir.isEmpty) ""
+          else targetSubdir + "/"}$outRel")
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(st.getPath, dest))
+          throw UnsupportedWrite(s"could not place data file at $dest")
+        val relOut = s"${if (targetSubdir.isEmpty) "" else targetSubdir + "/"}$outRel"
+        files += ((relOut, dest.toString, st.getLen))
+        i += 1
+      }
+    }
+    fs.delete(tmpPath, true)
+    files.result()
+  }
+
+  /** Per-file row counts from the parquet FOOTERS — O(KB) per file, the
+    * same stat collection every table-format writer performs at commit. */
+  private[sources] def rowCounts(files: Seq[String],
+      conf: Configuration): Seq[Long] =
+    files.map { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(f), conf))
+      try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally reader.close()
+    }
+
+  /** Delete already-placed data files after a lost commit race — the
+    * loser leaves no orphans behind. */
+  private[sources] def cleanup(fs: FileSystem, files: Seq[String]): Unit =
+    files.foreach(f => fs.delete(new Path(f), false))
+
+  /** Structural schema equality: names and types, ignoring nullability
+    * and metadata — the append-compatibility check. */
+  private[sources] def sameSchema(a: StructType, b: StructType): Boolean = {
+    def canon(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        StructField(f.name, canon(f.dataType))))
+      case ArrayType(et, _) => ArrayType(canon(et))
+      case MapType(k, v, _) => MapType(canon(k), canon(v))
+      case o => o
+    }
+    canon(a) == canon(b)
+  }
+
+  /** Segment-wise percent-encoding for a log-relative path (PROTOCOL.md:
+    * `add.path` is a URL-encoded relative path). */
+  private[sources] def pctEncodeRel(rel: String): String =
+    rel.split('/').map { seg =>
+      new java.net.URI(null, null, seg, null).getRawPath
+    }.mkString("/")
+}
+
+/** Transactional Delta append — see [[TableCommit]]. */
+object DeltaWriter {
+  import TableCommit._
+
+  /** Append `df` to (or create) the Delta table at `table`. Returns the
+    * committed version. `partitionBy` applies on CREATE only — appends
+    * inherit the table's existing partition layout and must present the
+    * same schema (schema evolution is a directed error). */
+  def writeAppend(spark: SparkSession, df: DataFrame, table: String,
+      partitionBy: Seq[String] = Nil): Long = {
+    val base = table.stripSuffix("/")
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val logPath = new Path(s"$base/_delta_log")
+    val fs = logPath.getFileSystem(conf)
+    val exists = fs.exists(logPath) &&
+      fs.listStatus(logPath).exists(_.getPath.getName.endsWith(".json"))
+    val (version, schema, partCols) =
+      if (!exists) (0L, df.schema, partitionBy)
+      else {
+        val (v, schemaJson, pc, cfg) = DeltaTable.snapshotInfo(spark, table)
+        if (cfg.get("delta.columnMapping.mode").exists(_ != "none"))
+          throw UnsupportedWrite(
+            s"$table: appending to a column-mapped table is not implemented")
+        val existing = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        if (!sameSchema(existing, df.schema)) throw UnsupportedWrite(
+          s"$table: append schema ${df.schema.simpleString} != table " +
+            s"schema ${existing.simpleString} (schema evolution is not " +
+            "implemented)")
+        (v + 1, existing, pc)
+      }
+    partCols.foreach { c =>
+      if (!schema.fieldNames.contains(c)) throw UnsupportedWrite(
+        s"$table: partition column '$c' is not in the schema")
+    }
+    val files = writeData(df, base, partCols, "", conf)
+    // partitionValues from the k=v dirs Spark built (its own escaping)
+    def partValues(rel: String): Map[String, String] =
+      rel.split('/').dropRight(1).flatMap { seg =>
+        val i = seg.indexOf('=')
+        if (i <= 0) None
+        else Some(seg.take(i) -> PathUris.pctDecode(seg.drop(i + 1)))
+      }.toMap
+    val ts = System.currentTimeMillis()
+    val adds = files.map { case (rel, _, size) =>
+      val pv = partValues(rel).map { case (k, v) =>
+        s""""${k}":"${v.replace("\\", "\\\\").replace("\"", "\\\"")}""""
+      }.mkString(",")
+      s"""{"add":{"path":"${pctEncodeRel(rel)}","partitionValues":{$pv},""" +
+        s""""size":$size,"modificationTime":$ts,"dataChange":true}}"""
+    }
+    val head =
+      if (version > 0L)
+        Seq(s"""{"commitInfo":{"timestamp":$ts,"operation":"WRITE"}}""")
+      else {
+        val schemaStr = schema.json.replace("\\", "\\\\")
+          .replace("\"", "\\\"")
+        Seq(
+          s"""{"commitInfo":{"timestamp":$ts,"operation":"CREATE TABLE AS SELECT"}}""",
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+          s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}",""" +
+            s""""format":{"provider":"parquet","options":{}},""" +
+            s""""schemaString":"$schemaStr",""" +
+            s""""partitionColumns":[${partCols.map(c => s""""$c"""").mkString(",")}],""" +
+            s""""configuration":{},"createdTime":$ts}}""")
+      }
+    fs.mkdirs(logPath)
+    val dest = new Path(logPath, f"$version%020d.json")
+    if (!putText(fs, dest, (head ++ adds).mkString("\n"))) {
+      cleanup(fs, files.map(_._2))
+      throw CommitConflict(
+        s"$table: version $version was committed concurrently — " +
+          "re-read the table and retry the append")
+    }
+    version
+  }
+}
+
+/** Transactional Iceberg append snapshot — see [[TableCommit]]. */
+object IcebergWriter {
+  import TableCommit._
+
+  private implicit val formats: Formats = DefaultFormats
+
+  private def icebergType(dt: DataType): String = dt match {
+    case BooleanType => "boolean"
+    case IntegerType => "int"
+    case LongType => "long"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case DateType => "date"
+    case TimestampNTZType => "timestamp"
+    case TimestampType => "timestamptz"
+    case StringType => "string"
+    case BinaryType => "binary"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case other => throw UnsupportedWrite(
+      s"iceberg writer: type ${other.simpleString} is not implemented " +
+        "(flat primitive schemas only)")
+  }
+
+  private def schemaJsonOf(schema: StructType): String = {
+    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+      s"""{"id": ${i + 1}, "name": "${f.name}", """ +
+        s""""required": ${!f.nullable}, "type": "${icebergType(f.dataType)}"}"""
+    }.mkString(", ")
+    s"""{"type": "struct", "schema-id": 0, "fields": [$fields]}"""
+  }
+
+  private val manifestAvroSchema =
+    """{"type": "record", "name": "manifest_entry", "fields": [
+         {"name": "status", "type": "int"},
+         {"name": "sequence_number", "type": ["null", "long"],
+          "default": null},
+         {"name": "data_file", "type": {"type": "record", "name": "r2",
+           "fields": [
+             {"name": "content", "type": "int"},
+             {"name": "file_path", "type": "string"},
+             {"name": "file_format", "type": "string"},
+             {"name": "record_count", "type": "long"}]}}]}"""
+
+  private val listAvroSchema =
+    """{"type": "record", "name": "manifest_file", "fields": [
+         {"name": "manifest_path", "type": "string"},
+         {"name": "manifest_length", "type": "long"},
+         {"name": "content", "type": "int"},
+         {"name": "sequence_number", "type": "long"},
+         {"name": "partition_spec_id", "type": "int"}]}"""
+
+  /** Append `df` to (or create) the Iceberg table at `table` as one new
+    * snapshot. Returns the snapshot id. Unpartitioned flat-schema tables
+    * only (directed otherwise). */
+  def writeAppend(spark: SparkSession, df: DataFrame, table: String): Long = {
+    val base = table.stripSuffix("/")
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(base).getFileSystem(conf)
+    val metaDir = new Path(s"$base/metadata")
+    val exists = fs.exists(metaDir) &&
+      fs.listStatus(metaDir).exists(_.getPath.getName.endsWith(".metadata.json"))
+
+    // prior state: schema check, snapshot log, last sequence, prior
+    // manifest-list rows to carry forward
+    var tableUuid = java.util.UUID.randomUUID().toString
+    var lastSeq = 0L
+    var metaVersion = 0L
+    var snapshots: Seq[JValue] = Nil
+    var priorManifests: Seq[(String, Long, Int, Long, Int)] = Nil
+    var schemaJson: String = null
+    if (exists) {
+      val metaPath = IcebergTable.latestMetadata(fs, base)
+      val meta = JsonMethods.parse(FsText.read(fs, metaPath))
+      val fv = (meta \ "format-version").extract[Int]
+      if (fv > 2) throw UnsupportedWrite(
+        s"$table: appending to a format-version $fv table is not implemented")
+      if ((meta \ "partition-specs").extractOpt[Seq[JValue]].getOrElse(Nil)
+        .exists(sp => (sp \ "fields").extractOpt[Seq[JValue]]
+          .exists(_.nonEmpty)))
+        throw UnsupportedWrite(
+          s"$table: appending to a PARTITIONED table is not implemented")
+      val schemas = (meta \ "schemas") match {
+        case JArray(ss) =>
+          val cur = (meta \ "current-schema-id").extractOpt[Int].getOrElse(0)
+          ss.find(x => (x \ "schema-id").extractOpt[Int].contains(cur))
+            .getOrElse(ss.head)
+        case _ => meta \ "schema"
+      }
+      val existing = IcebergTable.structOf(schemas)
+      if (!sameSchema(existing, df.schema)) throw UnsupportedWrite(
+        s"$table: append schema ${df.schema.simpleString} != table " +
+          s"schema ${existing.simpleString}")
+      schemaJson = JsonMethods.compact(JsonMethods.render(schemas))
+      tableUuid = (meta \ "table-uuid").extractOpt[String].getOrElse(tableUuid)
+      lastSeq = (meta \ "last-sequence-number").extractOpt[Long].getOrElse(0L)
+      snapshots = (meta \ "snapshots").extractOpt[Seq[JValue]].getOrElse(Nil)
+      metaVersion = metaPath.getName.stripSuffix(".metadata.json")
+        .stripPrefix("v").toLongOption.getOrElse(0L)
+      // the CURRENT snapshot's manifest list carries forward
+      (meta \ "current-snapshot-id").extractOpt[Long].filter(_ != -1L)
+        .foreach { cur =>
+          snapshots.find(sn =>
+            (sn \ "snapshot-id").extractOpt[Long].contains(cur))
+            .flatMap(sn => (sn \ "manifest-list").extractOpt[String])
+            .foreach { ml =>
+              val rows = AvroOcf.read(spark, ml)
+              val cols = rows.columns.toSet
+              def colOr(n: String, d: org.apache.spark.sql.Column) =
+                if (cols.contains(n)) org.apache.spark.sql.functions.col(n)
+                else d
+              import org.apache.spark.sql.functions.lit
+              priorManifests = rows.select(
+                  org.apache.spark.sql.functions.col("manifest_path"),
+                  colOr("manifest_length", lit(0L)).cast("long"),
+                  colOr("content", lit(0)).cast("int"),
+                  colOr("sequence_number", lit(0L)).cast("long"),
+                  colOr("partition_spec_id", lit(0)).cast("int"))
+                .collect().toSeq.map(r => (r.getString(0), r.getLong(1),
+                  r.getInt(2), r.getLong(3), r.getInt(4)))
+            }
+        }
+    } else {
+      schemaJson = schemaJsonOf(df.schema)
+    }
+
+    val files = writeData(df, base, Nil, "data", conf)
+    val counts = rowCounts(files.map(_._2), conf)
+    val newSeq = lastSeq + 1
+    val snapIds = snapshots.flatMap(sn =>
+      (sn \ "snapshot-id").extractOpt[Long])
+    val snapId = (snapIds :+ 0L).max + 1
+    val ts = System.currentTimeMillis()
+
+    // new manifest: ADDED entries with the explicit data sequence
+    val manifestPath = s"$base/metadata/m-$snapId.avro"
+    AvroOcf.write(manifestPath, manifestAvroSchema,
+      files.zip(counts).map { case ((_, abs, _), n) =>
+        Seq(1, newSeq, Seq(0, abs, "PARQUET", n))
+      })
+    val manifestLen = fs.getFileStatus(new Path(manifestPath)).getLen
+    val listPath = s"$base/metadata/snap-$snapId.avro"
+    AvroOcf.write(listPath, listAvroSchema,
+      Seq(Seq(manifestPath, manifestLen, 0, newSeq, 0)) ++
+        priorManifests.map(m => Seq(m._1, m._2, m._3, m._4, m._5)))
+
+    val snapJson =
+      s"""{"snapshot-id": $snapId, "timestamp-ms": $ts,
+           "sequence-number": $newSeq,
+           "summary": {"operation": "append"},
+           "manifest-list": "$listPath"}"""
+    val allSnaps = (snapshots.map(sn =>
+      JsonMethods.compact(JsonMethods.render(sn))) :+ snapJson)
+      .mkString(", ")
+    val metaJson =
+      s"""{"format-version": 2, "table-uuid": "$tableUuid",
+           "location": "$base", "last-sequence-number": $newSeq,
+           "current-snapshot-id": $snapId,
+           "schemas": [$schemaJson], "current-schema-id": 0,
+           "partition-specs": [{"spec-id": 0, "fields": []}],
+           "default-spec-id": 0,
+           "snapshots": [$allSnaps]}"""
+    fs.mkdirs(metaDir)
+    val newVersion = metaVersion + 1
+    val dest = new Path(metaDir, s"v$newVersion.metadata.json")
+    if (!putText(fs, dest, metaJson)) {
+      cleanup(fs, files.map(_._2) :+ manifestPath :+ listPath)
+      throw CommitConflict(
+        s"$table: metadata version $newVersion was committed " +
+          "concurrently — re-read the table and retry the append")
+    }
+    // the version-hint swap is an OVERWRITING rename (the winner is
+    // already durable in the numbered metadata file)
+    val hint = new Path(metaDir, "version-hint.text")
+    val hintTmp = new Path(metaDir, s".version-hint.$snapId.tmp")
+    val out = fs.create(hintTmp, true)
+    try out.write(newVersion.toString.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+    fc.rename(fs.makeQualified(hintTmp), fs.makeQualified(hint),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    snapId
+  }
+}

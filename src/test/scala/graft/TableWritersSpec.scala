@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.sources.{DeltaTable, DeltaWriter, IcebergTable, IcebergWriter, TableCommit}
+import graft.streaming.TableFollow
+
+/** The writer half of the table formats: transactional Delta/Iceberg
+  * appends whose commits are read back by THIS ENGINE'S OWN readers —
+  * write→read round trips, version/snapshot numbering, incremental
+  * consumption over self-written tables, exclusive-commit conflicts, and
+  * the directed guards (schema evolution, partitioned Iceberg,
+  * column-mapped Delta). */
+class TableWritersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("writer").toString
+
+  test("delta writer: create partitioned, append, read back, time travel") {
+    val table = tmp()
+    val batch1 = Seq((1L, "t1", "en"), (2L, "t2", "en"), (3L, "t3", "de"))
+      .toDF("id", "text", "lang")
+    val v0 = DeltaWriter.writeAppend(spark, batch1, table,
+      partitionBy = Seq("lang"))
+    assert(v0 == 0L)
+    val r0 = DeltaTable.read(spark, table).orderBy($"id")
+    assert(r0.columns.toSeq.sorted == Seq("id", "lang", "text"))
+    assert(r0.select($"id", $"lang").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "en"), (2L, "en"), (3L, "de")))
+    // the data files exclude the partition column (PROTOCOL.md layout)
+    // and live under k=v dirs
+    assert(r0.inputFiles.forall(_.contains("lang=")), r0.inputFiles.toSeq)
+
+    val batch2 = Seq((4L, "t4", "fr")).toDF("id", "text", "lang")
+    val v1 = DeltaWriter.writeAppend(spark, batch2, table)
+    assert(v1 == 1L)
+    assert(DeltaTable.read(spark, table).count() == 4)
+    // time travel: version 0 sees only batch 1
+    assert(DeltaTable.read(spark, table, versionAsOf = Some(0L))
+      .count() == 3)
+    // incremental consumption over the self-written table
+    val inc = DeltaTable.readChanges(spark, table, fromVersion = 0L)
+    assert(inc.select($"id").as[Long].collect().toSeq == Seq(4L))
+    // partition predicates still prune to one file group
+    val pruned = DeltaTable.read(spark, table).filter($"lang" === "de")
+    assert(pruned.inputFiles.length == 1 &&
+      pruned.inputFiles.head.contains("lang=de"))
+  }
+
+  test("delta writer: schema evolution and column-mapped tables directed") {
+    val table = tmp()
+    DeltaWriter.writeAppend(spark,
+      Seq((1L, "a")).toDF("id", "text"), table)
+    val e = intercept[Exception] {
+      DeltaWriter.writeAppend(spark,
+        Seq((1L, 2.0)).toDF("id", "score"), table)
+    }
+    assert(e.getMessage.contains("schema"), e.getMessage)
+    // appending the SAME schema with different nullability is fine
+    assert(DeltaWriter.writeAppend(spark,
+      Seq((2L, "b")).toDF("id", "text"), table) == 1L)
+    assert(DeltaTable.read(spark, table).count() == 2)
+  }
+
+  test("exclusive commit: the loser of a version race fails directed") {
+    val dir = tmp()
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val dest = new Path(s"$dir/00000000000000000001.json")
+    assert(TableCommit.putText(fs, dest, "winner"))
+    // the second writer of the SAME version must lose, not overwrite
+    assert(!TableCommit.putText(fs, dest, "loser"))
+    assert(graft.sources.FsText.read(fs, dest) == "winner")
+    // no tmp litter from the loser
+    assert(fs.listStatus(new Path(dir)).map(_.getPath.getName).toSet ==
+      Set("00000000000000000001.json"))
+  }
+
+  test("iceberg writer: create, append snapshot, own-reader round trip") {
+    val table = tmp()
+    val batch1 = Seq((1L, "t1"), (2L, "t2")).toDF("id", "text")
+    val s1 = IcebergWriter.writeAppend(spark, batch1, table)
+    val r1 = IcebergTable.read(spark, table).orderBy($"id")
+    assert(r1.as[(Long, String)].collect().toSeq ==
+      Seq((1L, "t1"), (2L, "t2")))
+    assert(IcebergTable.currentSnapshotId(spark, table).contains(s1))
+
+    val batch2 = Seq((3L, "t3")).toDF("id", "text")
+    val s2 = IcebergWriter.writeAppend(spark, batch2, table)
+    assert(s2 != s1)
+    assert(IcebergTable.read(spark, table).count() == 3)
+    // time travel to the first snapshot
+    assert(IcebergTable.read(spark, table, Some(s1)).count() == 2)
+    // incremental: only the second batch's file is new
+    val inc = IcebergTable.readAppended(spark, table, s1, Some(s2))
+    assert(inc.select($"id").as[Long].collect().toSeq == Seq(3L))
+    // the snapshot log shows both appends
+    val snaps = IcebergTable.snapshots(spark, table)
+      .orderBy($"timestamp_ms").collect()
+    assert(snaps.map(_.getLong(0)).toSeq == Seq(s1, s2))
+    assert(snaps.map(_.getString(2)).distinct.toSeq == Seq("append"))
+    // the follow loop consumes the self-written table incrementally
+    val ckpt = s"$table/cursor"
+    var got = Vector.empty[Seq[Long]]
+    TableFollow.followIcebergOnce(spark, table, ckpt)((df, _) =>
+      got :+= df.select($"id").as[Long].collect().sorted.toSeq)
+    val s3 = IcebergWriter.writeAppend(spark,
+      Seq((9L, "t9")).toDF("id", "text"), table)
+    TableFollow.followIcebergOnce(spark, table, ckpt)((df, _) =>
+      got :+= df.select($"id").as[Long].collect().sorted.toSeq)
+    assert(got == Vector(Seq(1L, 2L, 3L), Seq(9L)), got.toString)
+    assert(IcebergTable.currentSnapshotId(spark, table).contains(s3))
+  }
+
+  test("iceberg writer: guards directed — schema, partitioned, nested") {
+    val table = tmp()
+    IcebergWriter.writeAppend(spark, Seq((1L, "a")).toDF("id", "text"), table)
+    val e1 = intercept[Exception] {
+      IcebergWriter.writeAppend(spark,
+        Seq((1L, 2.0)).toDF("id", "score"), table)
+    }
+    assert(e1.getMessage.contains("schema"), e1.getMessage)
+    // nested types in a NEW table's schema are directed
+    val e2 = intercept[Exception] {
+      IcebergWriter.writeAppend(spark,
+        Seq((1L, Seq("x"))).toDF("id", "tags"), tmp())
+    }
+    assert(e2.getMessage.contains("not implemented"), e2.getMessage)
+    // a partitioned table refuses appends
+    val t2 = tmp()
+    new java.io.File(s"$t2/metadata").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t2/metadata/v1.metadata.json"),
+      s"""{"format-version": 2, "table-uuid": "u", "location": "$t2",
+           "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+             {"id": 1, "name": "id", "required": false, "type": "long"},
+             {"id": 2, "name": "text", "required": false, "type": "string"}]}],
+           "current-schema-id": 0,
+           "partition-specs": [{"spec-id": 0, "fields": [
+             {"name": "id", "transform": "identity",
+              "source-id": 1, "field-id": 1000}]}],
+           "snapshots": []}""".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t2/metadata/version-hint.text"),
+      "1".getBytes("UTF-8"))
+    val e3 = intercept[Exception] {
+      IcebergWriter.writeAppend(spark,
+        Seq((1L, "a")).toDF("id", "text"), t2)
+    }
+    assert(e3.getMessage.contains("PARTITIONED"), e3.getMessage)
+  }
+}
