@@ -921,6 +921,68 @@ object QueriesML {
           .orderBy($"id")
       }),
 
+    // ------------------------------------ fastText hierarchical softmax
+    // The hs loss: a Huffman tree built from the planted label counts
+    // (5,3,2 → internal node 0 splits c|b, root splits (that)|a), leaf
+    // probability = the root-to-leaf sigmoid product. Identity word
+    // vectors make every internal-node score a closed form the oracle
+    // recomputes — a tree-shape slip, a left/right slip, or a sigmoid
+    // slip breaks label and probability alike.
+    Q("q182_fasttext_hs", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200),
+           c AS (SELECT o_orderkey AS id, rn0 % 3 AS v FROM o),
+           s AS (SELECT id,
+                   CASE CAST(v AS INTEGER)
+                     WHEN 0 THEN (1.0 + 0.5) / 2
+                     WHEN 1 THEN (1.0 + 2.0 + 0.5) / 3
+                     ELSE (2.0 - 1.0 + 0.5) / 3 END AS r0,
+                   CASE CAST(v AS INTEGER)
+                     WHEN 0 THEN (-2.0 + 0.5) / 2
+                     WHEN 1 THEN (-2.0 + 1.0 + 0.5) / 3
+                     ELSE (1.0 - 1.5 + 0.5) / 3 END AS r1
+                 FROM c),
+           p AS (SELECT id,
+                   1 / (1 + exp(-r1)) AS pa,
+                   (1 - 1 / (1 + exp(-r1))) * (1 / (1 + exp(-r0))) AS pb,
+                   (1 - 1 / (1 + exp(-r1))) * (1 - 1 / (1 + exp(-r0))) AS pc
+                 FROM s)
+      SELECT id,
+             CASE WHEN pa >= pb AND pa >= pc THEN 'a'
+                  WHEN pb >= pc THEN 'b' ELSE 'c' END AS label,
+             round(CASE WHEN pa >= pb AND pa >= pc THEN pa
+                        WHEN pb >= pc THEN pb ELSE pc END, 6) AS prob
+      FROM p ORDER BY id"""))(
+      (s, d) => {
+        import graft.functions.FastText
+        val binPath = Fixtures.path("q182", d, "hs.bin") { p =>
+          def e(i: Int): Array[Float] = {
+            val a = new Array[Float](4); a(i) = 1.0f; a
+          }
+          val m = FastText.Model(dim = 4, minn = 0, maxn = 0, bucket = 0,
+            wordNgrams = 1, loss = "hs",
+            words = Map("alpha" -> 0, "beta" -> 1, "gamma" -> 2, "</s>" -> 3),
+            labels = Array("a", "b", "c"),
+            input = Array.tabulate(4)(e),
+            output = Array(
+              Array(1.0f, 2.0f, -1.0f, 0.5f),     // internal node 0 (c|b)
+              Array(-2.0f, 1.0f, -1.5f, 0.5f),    // root (node0|a)
+              new Array[Float](4)),               // unused leaf row
+            labelCounts = Array(5L, 3L, 2L))
+          FastText.write(p, m, s.sparkContext.hadoopConfiguration)
+        }
+        val model = FastText.load(binPath, s.sparkContext.hadoopConfiguration)
+        val in = orderedKeys(s, d, 200)
+          .select($"doc_id",
+            when($"rn0" % 3 === 0, lit("alpha"))
+              .when($"rn0" % 3 === 1, lit("alpha beta"))
+              .otherwise(concat(lit("beta gamma zz"), $"rn0")).as("text"))
+        FastText.predictTop(in, "doc_id", "text", model)
+          .select($"id", $"label", round($"prob", 6).as("prob"))
+          .orderBy($"id")
+      }),
+
     // ----------------------------------------- Iceberg v2 positional deletes
     // Merge-on-read: a DELETE manifest names a parquet delete file of
     // (file_path, pos) rows — positions WITHIN each data file. Files are

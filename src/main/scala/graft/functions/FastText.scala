@@ -33,9 +33,13 @@ import org.apache.spark.sql.DataFrame
   *
   * Execution model: the model is a DRIVER-side object broadcast once;
   * scoring is a compiled `Dataset.map` (the HfTokenizer pattern — no
-  * UDF registration, no per-row interpretation). Guard rails (directed):
-  * hierarchical-softmax / negative-sampling losses, non-supervised
-  * models, bad magic/version. */
+  * UDF registration, no per-row interpretation). Losses: softmax,
+  * one-vs-all sigmoid, and HIERARCHICAL SOFTMAX — the hs Huffman tree
+  * rebuilds from the dictionary's label counts exactly as loss.cc
+  * buildTree does (two-pointer merge, strict-< tie-breaks), and
+  * prediction is the root-to-leaf sigmoid product. Guard rails
+  * (directed): negative-sampling loss, non-supervised models, bad
+  * magic/version. */
 object FastText {
   final case class UnsupportedFastText(msg: String)
     extends RuntimeException(msg)
@@ -48,12 +52,16 @@ object FastText {
     * unpruned model, or the retained compact set when `pruneIdx` maps
     * surviving bucket hashes to compact indexes (the `quantize -cutoff`
     * shape every distributed .ftz carries). `output` rows: one per
-    * label, in label-id order. */
+    * label, in label-id order (for `hs` only the first nlabels−1 rows
+    * are used — they score the Huffman tree's INTERNAL nodes).
+    * `labelCounts` (label-id order) rebuild that tree exactly as
+    * training did. */
   final case class Model(dim: Int, minn: Int, maxn: Int, bucket: Int,
       wordNgrams: Int, loss: String,
       words: Map[String, Int], labels: Array[String],
       input: Array[Array[Float]], output: Array[Array[Float]],
-      pruneIdx: Option[Map[Int, Int]] = None)
+      pruneIdx: Option[Map[Int, Int]] = None,
+      labelCounts: Array[Long] = Array.empty)
     extends Serializable {
     require(pruneIdx.isDefined ||
       input.length >= words.size + (if (maxn > 0 || wordNgrams > 1) bucket else 0),
@@ -61,12 +69,54 @@ object FastText {
     require(output.length == labels.length,
       s"output matrix has ${output.length} rows for ${labels.length} labels")
 
+    /** The Huffman tree over the label counts, rebuilt lazily per JVM
+      * (loss.cc stores no tree in the file — every loader rebuilds it
+      * from the dictionary counts). `(left, right)` per internal node,
+      * indexed `node − nlabels`; hand-built models without counts get
+      * uniform ones (deterministic, same builder). */
+    @transient lazy val hsTree: Array[(Int, Int)] =
+      FastText.buildHuffman(
+        if (labelCounts.length == labels.length) labelCounts
+        else Array.fill(labels.length)(1L))
+
     /** dictionary.cc pushHash: a raw bucket hash -> input row, or -1 when
       * the bucket was pruned away. */
     private[graft] def bucketRow(h: Int): Int = pruneIdx match {
       case None => words.size + h
       case Some(m) => m.get(h).map(words.size + _).getOrElse(-1)
     }
+  }
+
+  /** loss.cc `HierarchicalSoftmaxLoss::buildTree`, faithfully: counts in
+    * dictionary order (descending — the dictionary is count-sorted), the
+    * two-pointer merge over [leaves | internal], STRICT `<` tie-breaks,
+    * internal nodes pre-seeded with 1e15. Returns `(left, right)` per
+    * internal node; the root is the last one (tree node 2·n−2). */
+  private[graft] def buildHuffman(counts: Array[Long]): Array[(Int, Int)] = {
+    val osz = counts.length
+    if (osz <= 1) return Array.empty
+    val n = 2 * osz - 1
+    val cnt = new Array[Long](n)
+    Array.copy(counts, 0, cnt, 0, osz)
+    java.util.Arrays.fill(cnt, osz, n, 1000000000000000L) // 1e15, as in C++
+    val left = new Array[Int](osz - 1)
+    val right = new Array[Int](osz - 1)
+    var leaf = osz - 1
+    var node = osz
+    var i = osz
+    while (i < n) {
+      var mini0 = 0
+      var mini1 = 0
+      if (leaf >= 0 && cnt(leaf) < cnt(node)) { mini0 = leaf; leaf -= 1 }
+      else { mini0 = node; node += 1 }
+      if (leaf >= 0 && cnt(leaf) < cnt(node)) { mini1 = leaf; leaf -= 1 }
+      else { mini1 = node; node += 1 }
+      left(i - osz) = mini0
+      right(i - osz) = mini1
+      cnt(i) = cnt(mini0) + cnt(mini1)
+      i += 1
+    }
+    left.zip(right)
   }
 
   // ------------------------------------------------------------- hashing
@@ -191,8 +241,30 @@ object FastText {
         val z = ex.sum
         ex.map(_ / z)
       case "ova" => raw.map(s => 1.0 / (1.0 + math.exp(-s)))
+      case "hs" =>
+        // loss.cc dfs: each INTERNAL node's sigmoid splits probability
+        // between its left (1−f) and right (f) subtrees; a leaf's
+        // probability is the product along its root path. Exhaustive
+        // walk — label counts are small, and serving every label's
+        // probability matches the softmax/ova arms.
+        val osz = m.labels.length
+        if (osz == 1) Array(1.0)
+        else {
+          val tree = m.hsTree
+          val out = new Array[Double](osz)
+          def dfs(node: Int, logp: Double): Unit =
+            if (node < osz) out(node) = math.exp(logp)
+            else {
+              val f = 1.0 / (1.0 + math.exp(-raw(node - osz)))
+              val (l, r) = tree(node - osz)
+              dfs(l, logp + math.log(1.0 - f))
+              dfs(r, logp + math.log(f))
+            }
+          dfs(2 * osz - 2, 0.0)
+          out
+        }
       case other => throw UnsupportedFastText(
-        s"loss '$other' prediction is not implemented (softmax/ova only)")
+        s"loss '$other' prediction is not implemented (softmax/ova/hs only)")
     }
     m.labels.zip(probs).sortBy(-_._2)
   }
@@ -277,10 +349,12 @@ object FastText {
     c.i32() // lrUpdateRate
     c.f64() // t
     if (version == 11) maxn = 0 // fasttext.cc back-compat rule for sup
-    if (loss == "hs" || loss == "ns") throw UnsupportedFastText(
-      s"$what: $loss-trained prediction is not implemented " +
-        "(softmax/ova models only)")
-    // Dictionary (dictionary.cc save order)
+    if (loss == "ns") throw UnsupportedFastText(
+      s"$what: negative-sampling prediction is not implemented " +
+        "(softmax/ova/hs models only)")
+    // Dictionary (dictionary.cc save order). Label COUNTS are kept: the
+    // hs loss rebuilds its Huffman tree from them at load, exactly as
+    // fastText's own loader does.
     val size = c.i32()
     val nwords = c.i32()
     val nlabels = c.i32()
@@ -288,14 +362,15 @@ object FastText {
     val pruneIdxSize = c.i64()
     val words = Map.newBuilder[String, Int]
     val labels = Array.newBuilder[String]
+    val labelCounts = Array.newBuilder[Long]
     var wi = 0
     var i = 0
     while (i < size) {
       val w = c.cstr()
-      c.i64() // count
+      val count = c.i64()
       val tpe = c.i8()
       if (tpe == 0) { words += w -> wi; wi += 1 }
-      else labels += w.stripPrefix("__label__")
+      else { labels += w.stripPrefix("__label__"); labelCounts += count }
       i += 1
     }
     if (wi != nwords || size - wi != nlabels) throw UnsupportedFastText(
@@ -382,7 +457,8 @@ object FastText {
     val qout = c.i8() != 0
     val output = if (quantInput && qout) quantMatrix() else denseMatrix()
     Model(dim, minn, maxn, bucket, wordNgrams, loss,
-      words.result(), labels.result(), input, output, pruneIdx)
+      words.result(), labels.result(), input, output, pruneIdx,
+      labelCounts.result())
   }
 
   // ----------------------------------------------------------- bin write
@@ -411,12 +487,16 @@ object FastText {
     i32(wordList.size); i32(m.labels.length)
     i64(1000L) // ntokens
     i64(-1L) // pruneidx_size: -1 = never pruned
-    def entry(w: String, tpe: Int): Unit = {
+    def entry(w: String, tpe: Int, count: Long): Unit = {
       out.write(w.getBytes("UTF-8")); out.write(0)
-      i64(1L); out.write(tpe)
+      i64(count); out.write(tpe)
     }
-    wordList.foreach { case (w, _) => entry(w, 0) }
-    m.labels.foreach(l => entry("__label__" + l, 1))
+    wordList.foreach { case (w, _) => entry(w, 0, 1L) }
+    m.labels.zipWithIndex.foreach { case (l, i) =>
+      // label counts persist — the hs Huffman tree rebuilds from them
+      entry("__label__" + l, 1,
+        if (i < m.labelCounts.length) m.labelCounts(i) else 1L)
+    }
     out.write(0) // quant_input = false
     def mat(rows: Array[Array[Float]]): Unit = {
       i64(rows.length.toLong); i64(m.dim.toLong)

@@ -6,7 +6,7 @@ import graft.functions.FastText.Model
 /** fastText `.bin` loading + supervised inference over hand-authored
   * planted-weight models: byte-level round trip, the signed-FNV hash and
   * unsigned-modulo bucketing, subword/word-ngram row sets, softmax/ova
-  * prediction, and the directed guards (quantized, pruned, hs/ns, non-sup,
+  * prediction, hierarchical softmax, and the directed guards (quantized, pruned, ns, non-sup,
   * bad magic). */
 class FastTextSpec extends SparkSpec {
   import spark.implicits._
@@ -133,7 +133,7 @@ class FastTextSpec extends SparkSpec {
       FastText.scoreLine("alpha beta", m).head._2)
   }
 
-  test("guards are directed: hs loss, cbow model, magic, version") {
+  test("guards are directed: ns loss, cbow model, magic, version") {
     val dir = tmp()
     FastText.write(s"$dir/m.bin", flatModel(), conf)
     val bytes = java.nio.file.Files.readAllBytes(
@@ -152,8 +152,47 @@ class FastTextSpec extends SparkSpec {
     }
     expect(patched(b => le32(b, 0, 42)), "magic")
     expect(patched(b => le32(b, 4, 99)), "version")
-    expect(patched(b => le32(b, 32, 1)), "hs") // loss = hs
+    expect(patched(b => le32(b, 32, 2)), "negative-sampling") // loss = ns
     expect(patched(b => le32(b, 36, 1)), "supervised") // model = cbow
+  }
+
+  test("hierarchical softmax: Huffman tree from counts, sigmoid products") {
+    // counts (5,3,2) descending, fastText dictionary order. loss.cc
+    // buildTree gives internal node 0 = (left leaf 2, right leaf 1) and
+    // the root = (left node 3, right leaf 0) — pinned exactly:
+    assert(FastText.buildHuffman(Array(5L, 3L, 2L)).toSeq ==
+      Seq((2, 1), (3, 0)))
+    val dir = tmp()
+    def e(i: Int): Array[Float] = { val a = new Array[Float](2); a(i) = 1f; a }
+    val m = FastText.Model(dim = 2, minn = 0, maxn = 0, bucket = 0,
+      wordNgrams = 1, loss = "hs",
+      words = Map("alpha" -> 0, "beta" -> 1, "</s>" -> 2),
+      labels = Array("a", "b", "c"),
+      input = Array(e(0), e(1), new Array[Float](2)),
+      // rows 0 and 1 score internal nodes; row 2 exists but is unused
+      // (real hs models carry nlabels output rows)
+      output = Array(Array(0.8f, -0.4f), Array(-0.2f, 0.6f),
+        new Array[Float](2)),
+      labelCounts = Array(5L, 3L, 2L))
+    // write → load round trip persists loss AND label counts
+    FastText.write(s"$dir/hs.bin", m, conf)
+    val back = FastText.load(s"$dir/hs.bin", conf)
+    assert(back.loss == "hs")
+    assert(back.labelCounts.toSeq == Seq(5L, 3L, 2L))
+    // closed form for "alpha beta": hidden = (e0 + e1 + 0)/3;
+    // P(a) = f_root, P(b) = (1−f_root)·f_int, P(c) = (1−f_root)·(1−f_int)
+    val h = 1.0 / 3
+    def sig(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    val fInt = sig(0.8f * h - 0.4f * h)
+    val fRoot = sig(-0.2f * h + 0.6f * h)
+    val got = FastText.scoreLine("alpha beta", back).toMap
+    assert(math.abs(got("a") - fRoot) < 1e-9, got.toString)
+    assert(math.abs(got("b") - (1 - fRoot) * fInt) < 1e-9, got.toString)
+    assert(math.abs(got("c") - (1 - fRoot) * (1 - fInt)) < 1e-9, got.toString)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // a model without stored counts still predicts (uniform tree)
+    val uniform = m.copy(labelCounts = Array.empty)
+    assert(FastText.scoreLine("alpha", uniform).map(_._2).sum > 0.999)
   }
 
   test(".ftz: product-quantized matrices + pruned dictionary load exactly") {
