@@ -1,0 +1,182 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.graft.StreamingBatch
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+
+import graft.sources.{DeltaTable, IcebergTable}
+
+/** Delta and Iceberg tables as NATIVE Structured Streaming sources — the
+  * [[TableFollow]] poll loop lifted into the engine's own micro-batch
+  * machinery, so table increments compose with watermarks, stream-stream
+  * joins, and stateful operators instead of living in a callback:
+  *
+  * {{{
+  * spark.readStream
+  *   .format("graft.streaming.DeltaStreamSource")   // or IcebergStreamSource
+  *   .option("path", "/data/my_table")
+  *   .option("mode", "files")                       // delta: files | cdf
+  *   .load()                                        // iceberg: files | changelog
+  * }}}
+  *
+  * Offsets ARE the table cursors (Delta version / Iceberg snapshot id),
+  * checkpointed and recovered by Spark itself — restart continuity and
+  * exactly-once sink pairing come from the engine, not hand-rolled
+  * cursor files. `getOffset` is the same metadata-only probe the poll
+  * loop uses (one log listing / one metadata-json read per trigger);
+  * `getBatch` serves [[DeltaTable.readChanges]]/[[DeltaTable.readCdf]]/
+  * [[IcebergTable.readAppended]]/[[IcebergTable.readChangelog]] over the
+  * offset range — batches replay deterministically because table
+  * versions are immutable.
+  *
+  * Initial batch semantics match [[TableFollow]]: `files` mode serves
+  * the full snapshot at the first offset; the row-level modes (`cdf`,
+  * `changelog`) start EMPTY at the current cursor — change feeds consume
+  * changes, not history. */
+private[streaming] abstract class TableSource(spark: SparkSession)
+    extends Source {
+  /** The cursor at `offset`-json granularity (LongOffset on the live
+    * path, SerializedOffset after checkpoint recovery — both carry the
+    * number in their json form). */
+  protected def cursor(o: Offset): Long = o.json.trim.toLong
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame =
+    StreamingBatch.asStreaming(batch(start.map(cursor), cursor(end)))
+
+  protected def batch(start: Option[Long], end: Long): DataFrame
+
+  override def stop(): Unit = {}
+}
+
+/** `spark.readStream.format("graft.streaming.DeltaStreamSource")`.
+  * Options: `path` (table root, required); `mode` = `files` (default —
+  * whole newly-active files via readChanges, initial batch = the full
+  * snapshot) or `cdf` (the row-level change feed via readCdf, initial
+  * batch empty; requires `delta.enableChangeDataFeed`). */
+class DeltaStreamSource extends StreamSourceProvider with DataSourceRegister {
+  import DeltaStreamSource._
+
+  override def shortName(): String = "graft-delta"
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String])
+      : (String, StructType) =
+    (shortName(), schemaFor(ctx.sparkSession, tableOf(parameters),
+      modeOf(parameters)))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val spark = ctx.sparkSession
+    val table = tableOf(parameters)
+    val mode = modeOf(parameters)
+    val srcSchema = schemaFor(spark, table, mode)
+    new TableSource(spark) {
+      override def schema: StructType = srcSchema
+      override def getOffset: Option[Offset] =
+        try Some(LongOffset(DeltaTable.latestVersion(spark, table)))
+        catch { case _: DeltaTable.UnsupportedDelta => None }
+      override protected def batch(start: Option[Long],
+          end: Long): DataFrame = (mode, start) match {
+        case ("files", None) =>
+          DeltaTable.read(spark, table, versionAsOf = Some(end))
+        case ("files", Some(s)) =>
+          DeltaTable.readChanges(spark, table, s, Some(end))
+        case ("cdf", s) =>
+          // None = the empty baseline feed at `end` (history never serves)
+          DeltaTable.readCdf(spark, table, s.getOrElse(end) + 1, Some(end))
+      }
+    }
+  }
+}
+
+private object DeltaStreamSource {
+  def tableOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", parameters.getOrElse("table",
+      throw new IllegalArgumentException(
+        "graft-delta stream needs option(\"path\", <table root>)")))
+
+  def modeOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("mode", "files") match {
+      case m @ ("files" | "cdf") => m
+      case other => throw new IllegalArgumentException(
+        s"graft-delta stream mode '$other' (files/cdf only)")
+    }
+
+  def schemaFor(spark: SparkSession, table: String,
+      mode: String): StructType = {
+    val base = DeltaTable.read(spark, table).schema
+    if (mode == "files") base
+    else StructType(base.fields ++ Seq(
+      StructField("_change_type", StringType),
+      StructField("_commit_version", LongType),
+      StructField("_commit_timestamp", TimestampType)))
+  }
+}
+
+/** `spark.readStream.format("graft.streaming.IcebergStreamSource")`.
+  * Options: `path` (table root, required); `mode` = `files` (default —
+  * newly-active files via readAppended, initial batch = the full
+  * snapshot) or `changelog` (row-level net insert/delete rows via
+  * readChangelog, initial batch empty). */
+class IcebergStreamSource extends StreamSourceProvider with DataSourceRegister {
+  import IcebergStreamSource._
+
+  override def shortName(): String = "graft-iceberg"
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String])
+      : (String, StructType) =
+    (shortName(), schemaFor(ctx.sparkSession, tableOf(parameters),
+      modeOf(parameters)))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val spark = ctx.sparkSession
+    val table = tableOf(parameters)
+    val mode = modeOf(parameters)
+    val srcSchema = schemaFor(spark, table, mode)
+    new TableSource(spark) {
+      override def schema: StructType = srcSchema
+      override def getOffset: Option[Offset] =
+        IcebergTable.currentSnapshotId(spark, table).map(LongOffset(_))
+      override protected def batch(start: Option[Long],
+          end: Long): DataFrame = (mode, start) match {
+        case ("files", None) =>
+          IcebergTable.read(spark, table, Some(end))
+        case ("files", Some(s)) =>
+          IcebergTable.readAppended(spark, table, s, Some(end))
+        case ("changelog", s) =>
+          // None = the empty baseline changelog at `end`
+          IcebergTable.readChangelog(spark, table, s.getOrElse(end), Some(end))
+      }
+    }
+  }
+}
+
+private object IcebergStreamSource {
+  def tableOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", parameters.getOrElse("table",
+      throw new IllegalArgumentException(
+        "graft-iceberg stream needs option(\"path\", <table root>)")))
+
+  def modeOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("mode", "files") match {
+      case m @ ("files" | "changelog") => m
+      case other => throw new IllegalArgumentException(
+        s"graft-iceberg stream mode '$other' (files/changelog only)")
+    }
+
+  def schemaFor(spark: SparkSession, table: String,
+      mode: String): StructType = {
+    val base = IcebergTable.read(spark, table).schema
+    if (mode == "files") base
+    else StructType(base.fields ++ Seq(
+      StructField("_change_type", StringType),
+      StructField("_snapshot_id", LongType)))
+  }
+}
