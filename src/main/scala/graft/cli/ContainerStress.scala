@@ -3,7 +3,7 @@ package graft.cli
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.sources.{AvroOcf, TfRecord}
+import graft.sources.{AvroOcf, DeltaWriter, IcebergWriter, TfRecord}
 import graft.sources.TfRecord.FeatureSpec
 
 /** Throughput evidence for the r12 row-container sources (the PERF_NOTES
@@ -303,6 +303,117 @@ object ContainerStress {
       f"plain scan $tPlain%.2f s, delete-applied scan $tIp%.2f s " +
       f"(${tIp / tPlain}%.2fx); rows ${plainAgg.getLong(0)} -> " +
       s"${ipAgg.getLong(0)}")
+
+    // ---- Iceberg v3: the SAME deletes as Puffin deletion-vector blobs
+    // (one container, `shards` blobs) — the 2025 replacement for the
+    // positional-delete parquet above; survivors must match both paths
+    val v3Dir = s"$morRoot/icebergv3"
+    new java.io.File(s"$v3Dir/metadata").mkdirs()
+    val puffin = s"$v3Dir/metadata/dv.puffin"
+    val blobs = morFiles.map { f =>
+      graft.sources.Puffin.Blob("deletion-vector-v1", Seq(2147483546),
+        1L, 1L, Map("referenced-data-file" -> f,
+          "cardinality" -> ((countOf(f) + 9) / 10).toString),
+        graft.sources.Puffin.dvBlob(positionsOf(countOf(f))))
+    }
+    val placed = graft.sources.Puffin.writeFile(puffin, blobs,
+      Map.empty, hconf)
+    val v3ManifestSchema =
+      """{"type": "record", "name": "manifest_entry", "fields": [
+           {"name": "status", "type": "int"},
+           {"name": "data_file", "type": {"type": "record", "name": "r2",
+             "fields": [
+               {"name": "content", "type": "int"},
+               {"name": "file_path", "type": "string"},
+               {"name": "file_format", "type": "string"},
+               {"name": "record_count", "type": "long"},
+               {"name": "referenced_data_file", "type": ["null", "string"],
+                "default": null},
+               {"name": "content_offset", "type": ["null", "long"],
+                "default": null},
+               {"name": "content_size_in_bytes", "type": ["null", "long"],
+                "default": null}]}}]}"""
+    AvroOcf.write(s"$v3Dir/metadata/m0.avro", v3ManifestSchema,
+      morFiles.map(f => Seq(1, Seq(0, f, "PARQUET", 1L, null, null, null))))
+    AvroOcf.write(s"$v3Dir/metadata/md.avro", v3ManifestSchema,
+      morFiles.zip(placed).map { case (f, (off, len)) =>
+        Seq(1, Seq(1, puffin, "PUFFIN", 1L, f, off, len))
+      })
+    AvroOcf.write(s"$v3Dir/metadata/snap-1.avro",
+      """{"type": "record", "name": "manifest_file", "fields": [
+           {"name": "manifest_path", "type": "string"},
+           {"name": "manifest_length", "type": "long"},
+           {"name": "content", "type": "int"}]}""",
+      Seq(Seq(s"$v3Dir/metadata/m0.avro", 1L, 0),
+        Seq(s"$v3Dir/metadata/md.avro", 1L, 1)))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$v3Dir/metadata/v1.metadata.json"),
+      s"""{"format-version": 3, "location": "$v3Dir",
+           "current-snapshot-id": 1,
+           "schemas": [$ipSchema], "current-schema-id": 0,
+           "snapshots": [{"snapshot-id": 1, "timestamp-ms": 0,
+             "summary": {"operation": "delete"},
+             "manifest-list": "$v3Dir/metadata/snap-1.avro"}]}"""
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$v3Dir/metadata/version-hint.text"),
+      "1".getBytes("UTF-8"))
+    val (v3Agg, tV3) = time(
+      graft.sources.IcebergTable.read(spark, v3Dir)
+        .agg(count(lit(1)), sum($"id")).head())
+    require(v3Agg.getLong(0) == ipAgg.getLong(0) &&
+      v3Agg.getLong(1) == ipAgg.getLong(1),
+      s"[stress] v3 DV survivors ${v3Agg.getLong(0)} disagree with the " +
+        s"positional-delete path ${ipAgg.getLong(0)}")
+    println(f"[stress] iceberg-v3-dv: same 10%% deletes as ONE Puffin " +
+      f"container ($shards blobs) — scan $tV3%.2f s (${tV3 / tPlain}%.2fx " +
+      f"plain, vs positional ${tIp}%.2f s); survivors cross-validated")
+
+    // ---- writer half: N append commits through the engine's own
+    // writers, then snapshot + incremental reads over the result
+    val nCommits = 8
+    val slice = n / nCommits
+    val wDelta = s"$morRoot/wdelta"
+    val (_, tWd) = time {
+      (0 until nCommits).foreach { i =>
+        DeltaWriter.writeAppend(spark,
+          morData.filter($"id" >= i * slice && $"id" < (i + 1) * slice),
+          wDelta)
+      }
+    }
+    val (wdAgg, tWdRead) = time(
+      graft.sources.DeltaTable.read(spark, wDelta)
+        .agg(count(lit(1)), sum($"id")).head())
+    val (wdInc, tWdInc) = time(
+      graft.sources.DeltaTable.readChanges(spark, wDelta,
+        (nCommits - 2).toLong).count())
+    println(f"[stress] delta-writer: $nCommits commits / ${wdAgg.getLong(0)} " +
+      f"rows written in $tWd%.2f s, snapshot read $tWdRead%.2f s " +
+      f"(plain $tPlain%.2f s), last-commit increment $tWdInc%.2f s " +
+      s"($wdInc rows)")
+    val wIce = s"$morRoot/wiceberg"
+    var lastSnaps = List.empty[Long]
+    val (_, tWi) = time {
+      (0 until nCommits).foreach { i =>
+        lastSnaps = IcebergWriter.writeAppend(spark,
+          morData.filter($"id" >= i * slice && $"id" < (i + 1) * slice),
+          wIce) :: lastSnaps
+      }
+    }
+    val (wiAgg, tWiRead) = time(
+      graft.sources.IcebergTable.read(spark, wIce)
+        .agg(count(lit(1)), sum($"id")).head())
+    // the appends-only changelog fast path: zero data IO on common files
+    val (wiChg, tWiChg) = time(
+      graft.sources.IcebergTable.readChangelog(spark, wIce,
+        lastSnaps(1), Some(lastSnaps.head)).count())
+    println(f"[stress] iceberg-writer: $nCommits append snapshots / " +
+      f"${wiAgg.getLong(0)} rows in $tWi%.2f s, snapshot read " +
+      f"$tWiRead%.2f s, last-snapshot changelog $tWiChg%.2f s " +
+      s"($wiChg insert rows)")
+    require(wdAgg.getLong(0) == n && wiAgg.getLong(0) == n,
+      s"[stress] writer round trip lost rows: delta ${wdAgg.getLong(0)}, " +
+        s"iceberg ${wiAgg.getLong(0)} of $n")
 
     spark.stop()
   }

@@ -406,8 +406,16 @@ object DeltaTable {
     // carries parquet.field.id metadata and Spark's parquet reader
     // resolves by FIELD ID (a session conf, sticky and harmless: schemas
     // without ids keep resolving by name everywhere else).
-    if (idMode)
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    if (idMode) {
+      val k = "spark.sql.parquet.fieldId.read.enabled"
+      // a user who EXPLICITLY pinned the flag off gets a directed error,
+      // not a silent override of their session (getAll lists set keys
+      // only — getOption would report the "false" default as set)
+      if (spark.conf.getAll.get(k).contains("false")) throw UnsupportedDelta(
+        s"$table: column mapping mode 'id' needs $k=true, but the " +
+          "session explicitly sets it false")
+      spark.conf.set(k, "true")
+    }
     val readSchema =
       if (mapped) physType(dataSchema, idMode).asInstanceOf[StructType]
       else dataSchema
@@ -726,11 +734,35 @@ object DeltaTable {
 
   /** (version, schemaString, partitionColumns, configuration) of the
     * latest snapshot — the append-compatibility probe [[DeltaWriter]]
-    * runs before committing. */
-  private[sources] def snapshotInfo(spark: SparkSession, table: String)
+    * runs before committing, and the metadata-only schema source for the
+    * streaming wrapper. */
+  private[graft] def snapshotInfo(spark: SparkSession, table: String)
       : (Long, String, Seq[String], Map[String, String]) = {
     val s = replay(spark, table, None)._1
     (s.version, s.schemaJson, s.partitionColumns, s.configuration)
+  }
+
+  /** True when any commit in (fromExclusive, to] carries a dataChange
+    * remove — a [[readChanges]] over such a range re-serves every row of
+    * the REWRITTEN files (and drops the deletes), which a streaming
+    * consumer must opt into explicitly. O(commits) small text reads. */
+  private[graft] def rangeHasDataChangeRemoves(spark: SparkSession,
+      table: String, fromExclusive: Long, to: Long): Boolean = {
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(logDir(table)).getFileSystem(conf)
+    ((fromExclusive + 1) to to).exists { v =>
+      val p = new Path(f"${logDir(table)}/$v%020d.json")
+      fs.exists(p) && FsText.read(fs, p).split('\n').exists { line =>
+        line.contains("\"remove\"") && {
+          val j = JsonMethods.parse(line)
+          (j \ "remove") match {
+            case JObject(_) => (j \ "remove" \ "dataChange")
+              .extractOpt[Boolean].getOrElse(true)
+            case _ => false
+          }
+        }
+      }
+    }
   }
 
   /** The latest commit version — one log LISTING, no replay. The cheap

@@ -615,6 +615,46 @@ object IcebergTable {
     else frames.reduce(_ unionByName _)
   }
 
+  /** The current schema as a Spark StructType — one metadata-json read,
+    * no manifest IO (the streaming wrapper's schema source). */
+  private[graft] def tableSchema(spark: SparkSession,
+      table: String): StructType = {
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(table).getFileSystem(conf)
+    val meta = JsonMethods.parse(FsText.read(fs, latestMetadata(fs, table)))
+    val schemaJson: JValue = (meta \ "schemas") match {
+      case JArray(ss) =>
+        val cur = (meta \ "current-schema-id").extractOpt[Int].getOrElse(0)
+        ss.find(s => (s \ "schema-id").extractOpt[Int].contains(cur))
+          .getOrElse(ss.head)
+      case _ => meta \ "schema"
+    }
+    structOf(schemaJson)
+  }
+
+  /** Summary operations of the snapshots STRICTLY AFTER `fromSnapshotId`
+    * up to and including `toSnapshotId`, by timestamp order — the
+    * streaming wrapper's probe for non-append churn in a range.
+    * Metadata-json only. */
+  private[graft] def rangeOperations(spark: SparkSession, table: String,
+      fromSnapshotId: Long, toSnapshotId: Long): Seq[String] = {
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(table).getFileSystem(conf)
+    val meta = JsonMethods.parse(FsText.read(fs, latestMetadata(fs, table)))
+    val snaps = (meta \ "snapshots").extractOpt[Seq[JValue]].getOrElse(Nil)
+      .flatMap { s =>
+        for (id <- (s \ "snapshot-id").extractOpt[Long];
+          ts <- (s \ "timestamp-ms").extractOpt[Long])
+          yield (id, ts,
+            (s \ "summary" \ "operation").extractOpt[String].getOrElse(""))
+      }
+    val fromTs = snaps.collectFirst { case (id, ts, _)
+      if id == fromSnapshotId => ts }.getOrElse(Long.MinValue)
+    val toTs = snaps.collectFirst { case (id, ts, _)
+      if id == toSnapshotId => ts }.getOrElse(Long.MaxValue)
+    snaps.filter(s => s._2 > fromTs && s._2 <= toTs).sortBy(_._2).map(_._3)
+  }
+
   /** The current snapshot id (None on a never-written table) — one
     * metadata-json read, no manifest IO. The cheap "did anything change"
     * probe an incremental poller runs each tick. */

@@ -57,7 +57,47 @@ object TableCommit {
           false
       }
     } else if (fs.exists(dest)) { fs.delete(tmp, false); false }
-    else fs.rename(tmp, dest)
+    else {
+      val ok = fs.rename(tmp, dest)
+      // dest can appear between the exists probe and the rename — the
+      // loser still cleans its tmp up
+      if (!ok) fs.delete(tmp, false)
+      ok
+    }
+  }
+
+  /** Atomic OVERWRITING placement of small text (version hints, cursors):
+    * write a tmp sibling, then FileContext rename with OVERWRITE — a
+    * delete-then-rename pair would have a crash window with no file on
+    * disk. Shared by the Iceberg version-hint swap and the TableFollow
+    * cursor commit.
+    *
+    * On the local FS the tmp is written through the RAW filesystem so no
+    * `.crc` sidecar ever exists for these files: the checksummed local
+    * FS renames data and sidecar as TWO steps, and a concurrent reader
+    * (a streaming source's getOffset probe) landing between them sees a
+    * checksum mismatch. One file + one atomic rename has no such
+    * window. */
+  private[graft] def overwriteText(fs: FileSystem,
+      conf: Configuration, dest: Path, text: String): Unit = {
+    val tmp = new Path(dest.getParent,
+      s".${dest.getName}.${java.util.UUID.randomUUID()}.tmp")
+    val writeFs = fs match {
+      case local: org.apache.hadoop.fs.LocalFileSystem => local.getRaw
+      case other => other
+    }
+    val out = writeFs.create(tmp, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, conf)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(dest),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case e: java.io.IOException =>
+        writeFs.delete(tmp, false)
+        throw e
+    }
   }
 
   /** Write UTF-8 `text` to a temp sibling and [[exclusivePut]] it. */
@@ -195,7 +235,10 @@ object DeltaWriter {
     val ts = System.currentTimeMillis()
     val adds = files.map { case (rel, _, size) =>
       val pv = partValues(rel).map { case (k, v) =>
-        s""""${k}":"${v.replace("\\", "\\\\").replace("\"", "\\\"")}""""
+        // Spark's null-partition sentinel directory becomes the
+        // protocol's JSON null, not a literal string
+        if (v == "__HIVE_DEFAULT_PARTITION__") s""""${k}":null"""
+        else s""""${k}":"${v.replace("\\", "\\\\").replace("\"", "\\\"")}""""
       }.mkString(",")
       s"""{"add":{"path":"${pctEncodeRel(rel)}","partitionValues":{$pv},""" +
         s""""size":$size,"modificationTime":$ts,"dataChange":true}}"""
@@ -291,18 +334,29 @@ object IcebergWriter {
 
     // prior state: schema check, snapshot log, last sequence, prior
     // manifest-list rows to carry forward
-    var tableUuid = java.util.UUID.randomUUID().toString
     var lastSeq = 0L
     var metaVersion = 0L
     var snapshots: Seq[JValue] = Nil
     var priorManifests: Seq[(String, Long, Int, Long, Int)] = Nil
     var schemaJson: String = null
+    // every metadata field this writer does not manage carries forward
+    // VERBATIM (properties, refs, sort-orders, snapshot-log, …) — an
+    // append must never silently erase table state it did not parse
+    var carried: Seq[JField] = Nil
     if (exists) {
       val metaPath = IcebergTable.latestMetadata(fs, base)
       val meta = JsonMethods.parse(FsText.read(fs, metaPath))
       val fv = (meta \ "format-version").extract[Int]
-      if (fv > 2) throw UnsupportedWrite(
-        s"$table: appending to a format-version $fv table is not implemented")
+      if (fv != 2) throw UnsupportedWrite(
+        s"$table: appending to a format-version $fv table is not " +
+          "implemented (v2 only — a v1 target would be silently upgraded)")
+      carried = meta match {
+        case JObject(fields) => fields.filterNot { case (k, _) =>
+          Set("last-sequence-number", "current-snapshot-id",
+            "snapshots")(k)
+        }
+        case _ => Nil
+      }
       if ((meta \ "partition-specs").extractOpt[Seq[JValue]].getOrElse(Nil)
         .exists(sp => (sp \ "fields").extractOpt[Seq[JValue]]
           .exists(_.nonEmpty)))
@@ -320,7 +374,6 @@ object IcebergWriter {
         s"$table: append schema ${df.schema.simpleString} != table " +
           s"schema ${existing.simpleString}")
       schemaJson = JsonMethods.compact(JsonMethods.render(schemas))
-      tableUuid = (meta \ "table-uuid").extractOpt[String].getOrElse(tableUuid)
       lastSeq = (meta \ "last-sequence-number").extractOpt[Long].getOrElse(0L)
       snapshots = (meta \ "snapshots").extractOpt[Seq[JValue]].getOrElse(Nil)
       metaVersion = metaPath.getName.stripSuffix(".metadata.json")
@@ -360,14 +413,18 @@ object IcebergWriter {
     val snapId = (snapIds :+ 0L).max + 1
     val ts = System.currentTimeMillis()
 
-    // new manifest: ADDED entries with the explicit data sequence
-    val manifestPath = s"$base/metadata/m-$snapId.avro"
+    // new manifest: ADDED entries with the explicit data sequence. File
+    // names carry a PER-ATTEMPT uuid (as Iceberg's own writers do) — a
+    // deterministic name would let a losing concurrent appender
+    // overwrite, then clean up, files the winner's commit references.
+    val attempt = java.util.UUID.randomUUID().toString
+    val manifestPath = s"$base/metadata/m-$attempt.avro"
     AvroOcf.write(manifestPath, manifestAvroSchema,
       files.zip(counts).map { case ((_, abs, _), n) =>
         Seq(1, newSeq, Seq(0, abs, "PARQUET", n))
       })
     val manifestLen = fs.getFileStatus(new Path(manifestPath)).getLen
-    val listPath = s"$base/metadata/snap-$snapId.avro"
+    val listPath = s"$base/metadata/snap-$snapId-$attempt.avro"
     AvroOcf.write(listPath, listAvroSchema,
       Seq(Seq(manifestPath, manifestLen, 0, newSeq, 0)) ++
         priorManifests.map(m => Seq(m._1, m._2, m._3, m._4, m._5)))
@@ -380,14 +437,26 @@ object IcebergWriter {
     val allSnaps = (snapshots.map(sn =>
       JsonMethods.compact(JsonMethods.render(sn))) :+ snapJson)
       .mkString(", ")
-    val metaJson =
-      s"""{"format-version": 2, "table-uuid": "$tableUuid",
-           "location": "$base", "last-sequence-number": $newSeq,
-           "current-snapshot-id": $snapId,
-           "schemas": [$schemaJson], "current-schema-id": 0,
-           "partition-specs": [{"spec-id": 0, "fields": []}],
-           "default-spec-id": 0,
-           "snapshots": [$allSnaps]}"""
+    // managed keys replaced; everything else (or the fresh-table
+    // defaults) verbatim
+    val baseFields: Seq[(String, String)] =
+      if (exists) carried.map { case (k, v) =>
+        k -> JsonMethods.compact(JsonMethods.render(v))
+      }
+      else Seq(
+        "format-version" -> "2",
+        "table-uuid" -> s""""${java.util.UUID.randomUUID()}"""",
+        "location" -> s""""$base"""",
+        "schemas" -> s"[$schemaJson]",
+        "current-schema-id" -> "0",
+        "partition-specs" -> """[{"spec-id": 0, "fields": []}]""",
+        "default-spec-id" -> "0")
+    val allFields = baseFields ++ Seq(
+      "last-sequence-number" -> newSeq.toString,
+      "current-snapshot-id" -> snapId.toString,
+      "snapshots" -> s"[$allSnaps]")
+    val metaJson = allFields
+      .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
     fs.mkdirs(metaDir)
     val newVersion = metaVersion + 1
     val dest = new Path(metaDir, s"v$newVersion.metadata.json")
@@ -399,13 +468,8 @@ object IcebergWriter {
     }
     // the version-hint swap is an OVERWRITING rename (the winner is
     // already durable in the numbered metadata file)
-    val hint = new Path(metaDir, "version-hint.text")
-    val hintTmp = new Path(metaDir, s".version-hint.$snapId.tmp")
-    val out = fs.create(hintTmp, true)
-    try out.write(newVersion.toString.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
-    fc.rename(fs.makeQualified(hintTmp), fs.makeQualified(hint),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    overwriteText(fs, conf, new Path(metaDir, "version-hint.text"),
+      newVersion.toString)
     snapId
   }
 }

@@ -45,20 +45,12 @@ object TableFollow {
 
   private def writeCursor(conf: Configuration, path: String, v: Long): Unit = {
     val p = new Path(path)
-    val tmp = new Path(path + s".${System.nanoTime()}.tmp")
-    val fs = p.getFileSystem(conf)
-    val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
     // ATOMIC overwrite — a delete-then-rename pair has a crash window with
     // NO cursor on disk, which would re-serve the full table as a baseline
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        fs.getUri, conf)
-      fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch {
+    try graft.sources.TableCommit.overwriteText(
+      p.getFileSystem(conf), conf, p, v.toString)
+    catch {
       case e: java.io.IOException =>
-        fs.delete(tmp, false)
         throw FollowError(s"could not commit cursor $v to $path: $e")
     }
   }

@@ -55,7 +55,12 @@ private[streaming] abstract class TableSource(spark: SparkSession)
   * Options: `path` (table root, required); `mode` = `files` (default —
   * whole newly-active files via readChanges, initial batch = the full
   * snapshot) or `cdf` (the row-level change feed via readCdf, initial
-  * batch empty; requires `delta.enableChangeDataFeed`). */
+  * batch empty; requires `delta.enableChangeDataFeed`);
+  * `ignoreChanges` (files mode) — a commit that REWRITES files
+  * (dataChange removes) would re-serve every row of the rewritten files
+  * and drop the deletes, so it is a directed error unless this opt-in is
+  * set, matching delta-spark's own streaming contract. Use `cdf` mode
+  * for row-level correctness over updating tables. */
 class DeltaStreamSource extends StreamSourceProvider with DataSourceRegister {
   import DeltaStreamSource._
 
@@ -73,6 +78,8 @@ class DeltaStreamSource extends StreamSourceProvider with DataSourceRegister {
     val spark = ctx.sparkSession
     val table = tableOf(parameters)
     val mode = modeOf(parameters)
+    val ignoreChanges = parameters.get("ignoreChanges")
+      .exists(_.equalsIgnoreCase("true"))
     val srcSchema = schemaFor(spark, table, mode)
     new TableSource(spark) {
       override def schema: StructType = srcSchema
@@ -84,6 +91,17 @@ class DeltaStreamSource extends StreamSourceProvider with DataSourceRegister {
         case ("files", None) =>
           DeltaTable.read(spark, table, versionAsOf = Some(end))
         case ("files", Some(s)) =>
+          // a rewrite in the range would re-serve unchanged rows and
+          // drop deletes — directed unless the caller opted in
+          // (delta-spark's own streaming contract)
+          if (!ignoreChanges &&
+            DeltaTable.rangeHasDataChangeRemoves(spark, table, s, end))
+            throw new IllegalStateException(
+              s"$table: versions ${s + 1}..$end remove data files — " +
+                "files-mode streaming would re-serve rewritten rows. " +
+                "Set option(\"ignoreChanges\", \"true\") to accept " +
+                "duplicates, or use option(\"mode\", \"cdf\") for " +
+                "row-level changes")
           DeltaTable.readChanges(spark, table, s, Some(end))
         case ("cdf", s) =>
           // None = the empty baseline feed at `end` (history never serves)
@@ -108,7 +126,11 @@ private object DeltaStreamSource {
 
   def schemaFor(spark: SparkSession, table: String,
       mode: String): StructType = {
-    val base = DeltaTable.read(spark, table).schema
+    // metadata-only: the log's schemaString IS a StructType json — no
+    // snapshot assembly at stream-construction time
+    val base = org.apache.spark.sql.types.DataType
+      .fromJson(DeltaTable.snapshotInfo(spark, table)._2)
+      .asInstanceOf[StructType]
     if (mode == "files") base
     else StructType(base.fields ++ Seq(
       StructField("_change_type", StringType),
@@ -121,7 +143,10 @@ private object DeltaStreamSource {
   * Options: `path` (table root, required); `mode` = `files` (default —
   * newly-active files via readAppended, initial batch = the full
   * snapshot) or `changelog` (row-level net insert/delete rows via
-  * readChangelog, initial batch empty). */
+  * readChangelog, initial batch empty); `ignoreChanges` (files mode) —
+  * a non-append snapshot in the range (overwrite/delete/replace) would
+  * re-serve rewritten files' rows, so it is a directed error unless the
+  * opt-in is set; use `changelog` mode for row-level correctness. */
 class IcebergStreamSource extends StreamSourceProvider with DataSourceRegister {
   import IcebergStreamSource._
 
@@ -139,6 +164,8 @@ class IcebergStreamSource extends StreamSourceProvider with DataSourceRegister {
     val spark = ctx.sparkSession
     val table = tableOf(parameters)
     val mode = modeOf(parameters)
+    val ignoreChanges = parameters.get("ignoreChanges")
+      .exists(_.equalsIgnoreCase("true"))
     val srcSchema = schemaFor(spark, table, mode)
     new TableSource(spark) {
       override def schema: StructType = srcSchema
@@ -149,6 +176,14 @@ class IcebergStreamSource extends StreamSourceProvider with DataSourceRegister {
         case ("files", None) =>
           IcebergTable.read(spark, table, Some(end))
         case ("files", Some(s)) =>
+          val ops = IcebergTable.rangeOperations(spark, table, s, end)
+          if (!ignoreChanges && ops.exists(o => o != "append" && o != ""))
+            throw new IllegalStateException(
+              s"$table: the range after snapshot $s contains " +
+                s"non-append snapshots (${ops.distinct.mkString(", ")}) — " +
+                "files-mode streaming would re-serve rewritten rows. Set " +
+                "option(\"ignoreChanges\", \"true\") to accept " +
+                "duplicates, or use option(\"mode\", \"changelog\")")
           IcebergTable.readAppended(spark, table, s, Some(end))
         case ("changelog", s) =>
           // None = the empty baseline changelog at `end`
@@ -173,7 +208,8 @@ private object IcebergStreamSource {
 
   def schemaFor(spark: SparkSession, table: String,
       mode: String): StructType = {
-    val base = IcebergTable.read(spark, table).schema
+    // metadata-json only — no manifest replay at stream construction
+    val base = IcebergTable.tableSchema(spark, table)
     if (mode == "files") base
     else StructType(base.fields ++ Seq(
       StructField("_change_type", StringType),

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -119,6 +120,66 @@ class TableStreamSourceSpec extends SparkSpec {
       assert(got.all == Vector(Seq((1L, "delete"), (2L, "delete"),
         (3L, "insert"))), got.all.toString)
     } finally q.stop()
+  }
+
+  test("files-mode streams fail directed on rewrites unless opted in") {
+    // a commit that removes data files would make files-mode streaming
+    // re-serve rewritten rows and drop deletes — directed, matching
+    // delta-spark's own contract; ignoreChanges is the explicit opt-in
+    val table = tmp() + "/t"
+    val ckpt = tmp() + "/ckpt"
+    DeltaWriter.writeAppend(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "text"), table)
+    val got = new Batches[Long]
+    def run(ignore: Boolean)(
+        during: org.apache.spark.sql.streaming.StreamingQuery => Unit)
+        : Either[Throwable, Vector[Seq[Long]]] = {
+      val reader = spark.readStream
+        .format("graft.streaming.DeltaStreamSource").option("path", table)
+      val q = (if (ignore) reader.option("ignoreChanges", "true") else reader)
+        .load().writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch((df: DataFrame, _: Long) =>
+          got.add(df.select($"id").as[Long].collect().sorted.toSeq))
+        .start()
+      try { during(q); Right(got.all) }
+      catch { case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+        Left(e) }
+      finally q.stop()
+    }
+    // consume the initial snapshot, then land a REWRITE commit mid-stream:
+    // remove every v0 file, re-add the same rows in one new file
+    val denied = run(ignore = false) { q =>
+      q.processAllAvailable()
+      assert(got.all == Vector(Seq(1L, 2L)), got.all.toString)
+      val fs = new Path(table).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val v0 = graft.sources.FsText.read(fs,
+        new Path(s"$table/_delta_log/00000000000000000000.json"))
+      val oldPaths = v0.split('\n').filter(_.contains("\"add\""))
+        .map(_.split("\"path\":\"")(1).split("\"")(0)).toSeq
+      val df = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+      df.coalesce(1).write.mode("overwrite").parquet(s"$table/rw.dir")
+      val part = new java.io.File(s"$table/rw.dir").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$table/rewrite-000.parquet"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(
+          s"$table/_delta_log/00000000000000000001.json"),
+        (Seq(s"""{"add":{"path":"rewrite-000.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""") ++
+          oldPaths.map(p =>
+            s"""{"remove":{"path":"$p","deletionTimestamp":1,"dataChange":true}}"""))
+          .mkString("\n").getBytes("UTF-8"))
+      q.processAllAvailable()
+    }
+    assert(denied.isLeft &&
+      denied.left.exists(_.getMessage.contains("ignoreChanges")),
+      denied.toString)
+    // the opt-in resumes from the same checkpoint and accepts the
+    // re-served rewritten rows
+    val allowed = run(ignore = true)(_.processAllAvailable())
+    assert(allowed.isRight, allowed.toString)
+    assert(got.all.last.sorted == Seq(1L, 2L), got.all.toString)
   }
 
   test("iceberg stream: snapshot then appended files; changelog mode") {

@@ -64,6 +64,62 @@ class TableWritersSpec extends SparkSpec {
     assert(DeltaTable.read(spark, table).count() == 2)
   }
 
+  test("delta writer: null partition values become protocol JSON null") {
+    val table = tmp()
+    val df = Seq((1L, Some("en")), (2L, None), (3L, Some("de")))
+      .toDF("id", "lang")
+    DeltaWriter.writeAppend(spark, df, table, partitionBy = Seq("lang"))
+    // the add action must carry JSON null, not the hive sentinel string
+    // (the DIRECTORY keeps Spark's sentinel name — that part is layout)
+    val log = graft.sources.FsText.read(
+      new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new Path(s"$table/_delta_log/00000000000000000000.json"))
+    assert(log.contains(""""lang":null"""), log)
+    assert(!log.contains(""""lang":"__HIVE_DEFAULT_PARTITION__""""), log)
+    val got = DeltaTable.read(spark, table).orderBy($"id")
+      .select($"id", $"lang").collect()
+    assert(got.map(r => (r.getLong(0), Option(r.getString(1)))).toSeq ==
+      Seq((1L, Some("en")), (2L, None), (3L, Some("de"))))
+  }
+
+  test("iceberg writer: unmanaged metadata fields carry forward verbatim") {
+    val table = tmp()
+    IcebergWriter.writeAppend(spark, Seq((1L, "a")).toDF("id", "text"), table)
+    // plant fields the writer does not manage into the live metadata
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val metaPath = s"$table/metadata/v1.metadata.json"
+    val meta = graft.sources.FsText.read(fs, new Path(metaPath))
+    java.nio.file.Files.write(java.nio.file.Paths.get(metaPath),
+      meta.replaceFirst("\\{",
+        """{"properties": {"commit.retry.num-retries": "7"},
+           "refs": {"main": {"snapshot-id": 1, "type": "branch"}},""")
+        .getBytes("UTF-8"))
+    IcebergWriter.writeAppend(spark, Seq((2L, "b")).toDF("id", "text"), table)
+    val after = graft.sources.FsText.read(fs,
+      new Path(s"$table/metadata/v2.metadata.json"))
+    assert(after.contains("commit.retry.num-retries"), after)
+    assert(after.contains("\"refs\""), after)
+    assert(IcebergTable.read(spark, table).count() == 2)
+    // a format-version 1 target is directed, never silently upgraded
+    val t1 = tmp()
+    new java.io.File(s"$t1/metadata").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t1/metadata/v1.metadata.json"),
+      s"""{"format-version": 1, "location": "$t1",
+           "schema": {"type": "struct", "fields": [
+             {"id": 1, "name": "id", "required": false, "type": "long"},
+             {"id": 2, "name": "text", "required": false, "type": "string"}]},
+           "snapshots": []}""".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t1/metadata/version-hint.text"),
+      "1".getBytes("UTF-8"))
+    val e = intercept[Exception] {
+      IcebergWriter.writeAppend(spark, Seq((1L, "a")).toDF("id", "text"), t1)
+    }
+    assert(e.getMessage.contains("format-version 1"), e.getMessage)
+  }
+
   test("exclusive commit: the loser of a version race fails directed") {
     val dir = tmp()
     val fs = new Path(dir).getFileSystem(
