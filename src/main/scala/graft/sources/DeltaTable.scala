@@ -69,7 +69,7 @@ object DeltaTable {
 
   private final case class Snapshot(version: Long, schemaJson: String,
       partitionColumns: Seq[String], files: Seq[AddFile],
-      configuration: Map[String, String])
+      configuration: Map[String, String], metaId: String = "")
 
   // ------------------------------------------------------------ log replay
 
@@ -102,6 +102,16 @@ object DeltaTable {
     val commitVersions = entries.flatMap(versionOf).sorted
     if (commitVersions.isEmpty && !entries.exists(_.contains("checkpoint")))
       throw UnsupportedDelta(s"$table: empty _delta_log")
+    // checkpoint versions: classic single-file, multi-part
+    // (NNN.checkpoint.MMM.PPP.parquet), or V2
+    // (NNN.checkpoint.<uuid>.{parquet|json} + sidecars in _sidecars/)
+    val allCkptVersions = entries.flatMap { n =>
+      val base = n.split('/').last
+      val i = base.indexOf(".checkpoint")
+      if (i == 20 && (base.endsWith(".parquet") || base.endsWith(".json")))
+        base.take(20).toLongOption
+      else None
+    }.distinct.sorted
     val latest = versionAsOf match {
       case Some(v) =>
         val ok = commitVersions.contains(v) ||
@@ -111,20 +121,15 @@ object DeltaTable {
             s"(have ${commitVersions.headOption.getOrElse(-1L)}.." +
             s"${commitVersions.lastOption.getOrElse(-1L)})")
         v
-      case None => commitVersions.lastOption.getOrElse(
-        throw UnsupportedDelta(s"$table: no commit json in _delta_log"))
+      case None =>
+        // a fully cleaned-up log (every commit json vacuumed) is still
+        // readable when a checkpoint IS the tip
+        (commitVersions ++ allCkptVersions).maxOption.getOrElse(
+          throw UnsupportedDelta(s"$table: no commit json in _delta_log"))
     }
 
-    // newest checkpoint at or below the target version: classic
-    // single-file, multi-part (NNN.checkpoint.MMM.PPP.parquet), or V2
-    // (NNN.checkpoint.<uuid>.{parquet|json} + sidecars in _sidecars/)
-    val ckptVersions = entries.flatMap { n =>
-      val base = n.split('/').last
-      val i = base.indexOf(".checkpoint")
-      if (i == 20 && (base.endsWith(".parquet") || base.endsWith(".json")))
-        base.take(20).toLongOption
-      else None
-    }.distinct.filter(_ <= latest).sorted
+    // newest checkpoint at or below the target version
+    val ckptVersions = allCkptVersions.filter(_ <= latest)
     val ckpt = ckptVersions.lastOption
     val allCkptFiles: Seq[String] = ckpt.toSeq.flatMap { v =>
       entries.filter { n =>
@@ -155,6 +160,7 @@ object DeltaTable {
     var schemaJson: String = null
     var partitionColumns: Seq[String] = Nil
     var configuration: Map[String, String] = Map.empty
+    var metaId: String = ""
     def applyProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
       val bad = readerFeatures.filterNot(HarmlessReaderFeatures)
       if (minReader > 3 || (minReader > 1 && minReader < 3))
@@ -178,6 +184,7 @@ object DeltaTable {
       (j \ "metaData") match {
         case JObject(_) =>
           schemaJson = (j \ "metaData" \ "schemaString").extract[String]
+          metaId = (j \ "metaData" \ "id").extractOpt[String].getOrElse("")
           partitionColumns = (j \ "metaData" \ "partitionColumns")
             .extractOpt[Seq[String]].getOrElse(Nil)
           configuration = (j \ "metaData" \ "configuration")
@@ -235,13 +242,17 @@ object DeltaTable {
         val confCol =
           if (metaCols.contains("configuration")) col("metaData.configuration")
           else lit(null).cast("map<string,string>")
+        val idCol =
+          if (metaCols.contains("id")) col("metaData.id")
+          else lit(null).cast("string")
         cp.select(col("metaData.schemaString"),
-            col("metaData.partitionColumns"), confCol)
+            col("metaData.partitionColumns"), confCol, idCol)
           .filter(col("schemaString").isNotNull).collect().foreach { r =>
             schemaJson = r.getString(0)
             partitionColumns = Option(r.getSeq[String](1)).getOrElse(Nil)
             configuration =
               Option(r.getAs[Map[String, String]](2)).getOrElse(Map.empty)
+            metaId = Option(r.getString(3)).getOrElse("")
           }
       }
       if (colsPresent.contains("add")) {
@@ -317,7 +328,7 @@ object DeltaTable {
         s"$table: columnMapping mode '$other' is not implemented")
     }
     (Snapshot(latest, schemaJson, partitionColumns, files.values.toSeq,
-      configuration), captured, capturedConf)
+      configuration, metaId), captured, capturedConf)
   }
 
   // ---------------------------------------------------------------- reads
@@ -742,6 +753,18 @@ object DeltaTable {
     (s.version, s.schemaJson, s.partitionColumns, s.configuration)
   }
 
+  /** The latest snapshot's full state for the CHECKPOINT writer:
+    * (version, metaData id, schemaString, partitionColumns,
+    * configuration, files with partition values + DV descriptors). */
+  private[graft] def snapshotState(spark: SparkSession, table: String)
+      : (Long, String, String, Seq[String], Map[String, String],
+        Seq[(String, Map[String, String],
+          Option[DeletionVector.Descriptor])]) = {
+    val s = replay(spark, table, None)._1
+    (s.version, s.metaId, s.schemaJson, s.partitionColumns,
+      s.configuration, s.files.map(f => (f.path, f.partitionValues, f.dv)))
+  }
+
   /** True when any commit in (fromExclusive, to] carries a dataChange
     * remove — a [[readChanges]] over such a range re-serves every row of
     * the REWRITTEN files (and drops the deletes), which a streaming
@@ -773,9 +796,18 @@ object DeltaTable {
     val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) throw UnsupportedDelta(
       s"$table: no _delta_log — not a Delta table")
-    fs.listStatus(dir).toSeq.flatMap(st => versionOf(st.getPath.getName))
-      .sorted.lastOption.getOrElse(
-        throw UnsupportedDelta(s"$table: no commit json in _delta_log"))
+    fs.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      // a checkpoint at the tip counts — every commit json below it may
+      // have been vacuumed
+      versionOf(n).orElse {
+        if (n.indexOf(".checkpoint") == 20 &&
+          (n.endsWith(".parquet") || n.endsWith(".json")))
+          n.take(20).toLongOption
+        else None
+      }
+    }.sorted.lastOption.getOrElse(
+      throw UnsupportedDelta(s"$table: no commit json in _delta_log"))
   }
 
   /** Commit history from the log's commitInfo actions: (version,

@@ -204,8 +204,13 @@ object DeltaWriter {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val logPath = new Path(s"$base/_delta_log")
     val fs = logPath.getFileSystem(conf)
+    // a vacuumed log may hold ONLY a checkpoint — that is still an
+    // existing table, not a create-from-scratch
     val exists = fs.exists(logPath) &&
-      fs.listStatus(logPath).exists(_.getPath.getName.endsWith(".json"))
+      fs.listStatus(logPath).exists { st =>
+        val n = st.getPath.getName
+        (n.endsWith(".json") && n.length == 25) || n.contains(".checkpoint")
+      }
     val (version, schema, partCols) =
       if (!exists) (0L, df.schema, partitionBy)
       else {
@@ -266,6 +271,90 @@ object DeltaWriter {
         s"$table: version $version was committed concurrently — " +
           "re-read the table and retry the append")
     }
+    version
+  }
+
+  /** Write a CLASSIC checkpoint at the table's latest version — the log
+    * compaction every long-followed Delta table needs (replay cost stays
+    * O(commits since last checkpoint), and cleaned-up commit json below
+    * the checkpoint stops mattering). One parquet of protocol + metaData
+    * + the active add set (partition values, re-statted sizes, DV
+    * descriptors preserved), plus the `_last_checkpoint` pointer.
+    * Idempotent: if the checkpoint for this version already exists, it
+    * is left in place. Returns the checkpointed version. */
+  def writeCheckpoint(spark: SparkSession, table: String): Long = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = table.stripSuffix("/")
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val logPath = new Path(s"$base/_delta_log")
+    val fs = logPath.getFileSystem(conf)
+    val (version, metaId, schemaJson, partCols, config, files) =
+      DeltaTable.snapshotState(spark, table)
+    def resolve(rel: String): String =
+      if (rel.contains("://") || rel.startsWith("/")) PathUris.pctDecode(rel)
+      else s"$base/${PathUris.pctDecode(rel)}"
+    val dvType = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
+    val ckptSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType)))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType))))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("deletionVector", dvType))))))
+    val anyDv = files.exists(_._3.isDefined)
+    // the protocol row mirrors what the features in use require: DVs
+    // force reader v3 + the feature lists, a plain table stays (1, 2)
+    val protoRow =
+      if (anyDv) Row(3, 7, Seq("deletionVectors"), Seq("deletionVectors"))
+      else Row(1, 2, null, null)
+    val metaRow = Row(
+      if (metaId.nonEmpty) metaId else java.util.UUID.randomUUID().toString,
+      Row("parquet"), schemaJson, partCols, config)
+    val addRows = files.map { case (path, pv, dv) =>
+      // re-stat for the protocol-required size (O(files) driver metadata)
+      val size = try fs.getFileStatus(new Path(resolve(path))).getLen
+        catch { case _: java.io.FileNotFoundException => 0L }
+      // dataChange=false in checkpoints per PROTOCOL.md (the rows
+      // describe state, not a change)
+      Row(null, null, Row(path, pv, size, 0L, false,
+        dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+          d.offset.orNull, d.sizeInBytes, d.cardinality)).orNull))
+    }
+    val rows = Seq(Row(protoRow, null, null), Row(null, metaRow, null)) ++
+      addRows
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), ckptSchema)
+    val tmpDir = s"$base/_delta_log/.ckpt-${java.util.UUID.randomUUID()}"
+    df.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+    val part = new Path(tmpDir + "/" +
+      fs.listStatus(new Path(tmpDir)).map(_.getPath.getName)
+        .find(_.endsWith(".parquet")).getOrElse(
+          throw UnsupportedWrite(s"$table: checkpoint parquet missing")))
+    val dest = new Path(logPath, f"$version%020d.checkpoint.parquet")
+    val placed = exclusivePut(fs, part, dest)
+    fs.delete(new Path(tmpDir), true)
+    if (placed) overwriteText(fs, conf,
+      new Path(logPath, "_last_checkpoint"),
+      s"""{"version":$version,"size":${rows.size}}""")
     version
   }
 }

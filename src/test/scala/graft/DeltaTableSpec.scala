@@ -581,6 +581,50 @@ class DeltaTableSpec extends SparkSpec {
     assert(e.getMessage.contains("rewrites deletion vectors"), e.getMessage)
   }
 
+  test("deletion vectors compose with column mapping (the Databricks shape)") {
+    // modern Databricks tables carry BOTH: physical column names in the
+    // parquet AND row-level deletes as DVs — the anti-join must run on
+    // the physical read before the logical relabel
+    val table = tmp()
+    def meta(phys: String, id: Int): Metadata = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id.toLong).build()
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta("col-aa", 1)),
+      StructField("text", StringType, nullable = true, meta("col-bb", 2))))
+    val physSchema = StructType(Seq(
+      StructField("col-aa", LongType),
+      StructField("col-bb", StringType)))
+    val rows = (1L to 5L).map(i => Row(i, s"t$i"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), physSchema)
+    df.coalesce(1).write.mode("overwrite").parquet(s"$table/tmp0")
+    val part = new java.io.File(s"$table/tmp0").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$table/part-000.parquet"))
+    val dv = DeletionVector.serialize(Array(1L, 3L)) // ids 2 and 4 dead
+    val (off, size) = DeletionVector.writeFile(s"$table/dv0.bin", dv,
+      spark.sparkContext.hadoopConfiguration)
+    val schemaStr = logical.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    writeCommit(table, 0, Seq(
+      commitInfo("WRITE", 0),
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["columnMapping","deletionVectors"],""" +
+        """"writerFeatures":["columnMapping","deletionVectors"]}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$schemaStr","partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name"},"createdTime":0}}""",
+      s"""{"add":{"path":"part-000.parquet","partitionValues":{},"size":10,""" +
+        s""""modificationTime":0,"dataChange":true,"deletionVector":""" +
+        s"""{"storageType":"p","pathOrInlineDv":"$table/dv0.bin",""" +
+        s""""offset":$off,"sizeInBytes":$size,"cardinality":2}}}"""))
+    val got = DeltaTable.read(spark, table).orderBy($"id")
+    assert(got.columns.toSeq == Seq("id", "text"))
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "t1"), (3L, "t3"), (5L, "t5")))
+  }
+
   test("cdf: a bare remove falls back to the replayed add's deletion vector") {
     // PROTOCOL.md only says remove fields "should" mirror the add — a
     // writer may emit a bare remove of a DV-carrying file. Trusting the

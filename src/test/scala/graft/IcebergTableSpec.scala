@@ -622,6 +622,51 @@ class IcebergTableSpec extends SparkSpec {
     assert(e.getMessage.contains("magic"), e.getMessage)
   }
 
+  test("changelog: v3 DV churn serves the newly-dead rows, not the file") {
+    import graft.sources.Puffin
+    // snapshot 1: f0 live, no deletes; snapshot 2: a Puffin DV kills two
+    // of f0's rows. The file-granular diff sees NO new files — the
+    // changelog must produce exactly the two delete rows.
+    val table = tmp()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f0 = dataFile(table, "p0.parquet", Seq(1L, 2L, 3L, 4L))
+    new java.io.File(s"$table/metadata").mkdirs()
+    val m0 = s"$table/metadata/m0.avro"
+    AvroOcf.write(m0, v3ManifestSchema, Seq(
+      Seq(1, null, Seq(0, f0, "PARQUET", 4L, null, null, null))))
+    val ml0 = s"$table/metadata/snap-1.avro"
+    AvroOcf.write(ml0, seqListSchema, Seq(Seq(m0, 100L, 0, 1L)))
+    val puffin = s"$table/metadata/dv-2.puffin"
+    val placed = Puffin.writeFile(puffin, Seq(
+      Puffin.Blob("deletion-vector-v1", Seq(2147483546), 2L, 2L,
+        Map("referenced-data-file" -> f0, "cardinality" -> "2"),
+        Puffin.dvBlob(Array(1L, 3L)))), Map.empty, conf)
+    val md = s"$table/metadata/md.avro"
+    AvroOcf.write(md, v3ManifestSchema, Seq(
+      Seq(1, null, Seq(1, puffin, "PUFFIN", 2L, f0,
+        placed(0)._1, placed(0)._2))))
+    val ml1 = s"$table/metadata/snap-2.avro"
+    AvroOcf.write(ml1, seqListSchema, Seq(
+      Seq(m0, 100L, 0, 1L), Seq(md, 100L, 1, 2L)))
+    writeMetadata(table, 2, s"""{
+      "format-version": 3, "table-uuid": "u", "location": "$table",
+      "current-snapshot-id": 2,
+      "schemas": [$schemaJson], "current-schema-id": 0,
+      "snapshots": [
+        {"snapshot-id": 1, "timestamp-ms": 1000,
+         "summary": {"operation": "append"}, "manifest-list": "$ml0"},
+        {"snapshot-id": 2, "timestamp-ms": 2000,
+         "summary": {"operation": "delete"}, "manifest-list": "$ml1"}]}""")
+    val got = IcebergTable.readChangelog(spark, table, 1L, Some(2L))
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((2L, "delete", 2L), (4L, "delete", 2L)),
+      got.toSeq.toString)
+    // and the end-state snapshot serves the survivors
+    assert(IcebergTable.read(spark, table).orderBy($"id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
   test("v3 deletion vectors: Puffin blobs anti-join their referenced files") {
     import graft.sources.Puffin
     val table = tmp()

@@ -120,6 +120,82 @@ class TableWritersSpec extends SparkSpec {
     assert(e.getMessage.contains("format-version 1"), e.getMessage)
   }
 
+  test("delta checkpoint writer: log compaction survives commit cleanup") {
+    val table = tmp()
+    DeltaWriter.writeAppend(spark,
+      Seq((1L, "a", "en"), (2L, "b", "de")).toDF("id", "text", "lang"),
+      table, partitionBy = Seq("lang"))
+    DeltaWriter.writeAppend(spark,
+      Seq((3L, "c", "en")).toDF("id", "text", "lang"), table)
+    val v = DeltaWriter.writeCheckpoint(spark, table)
+    assert(v == 1L)
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(
+      s"$table/_delta_log/00000000000000000001.checkpoint.parquet")))
+    assert(fs.exists(new Path(s"$table/_delta_log/_last_checkpoint")))
+    // the VACUUM shape: pre-checkpoint commit json disappears — the
+    // checkpoint alone must reconstruct the snapshot
+    fs.delete(new Path(s"$table/_delta_log/00000000000000000000.json"), false)
+    fs.delete(new Path(s"$table/_delta_log/00000000000000000001.json"), false)
+    val got = DeltaTable.read(spark, table).orderBy($"id")
+      .select($"id", $"lang").as[(Long, String)].collect()
+    assert(got.toSeq == Seq((1L, "en"), (2L, "de"), (3L, "en")))
+    // the log keeps working past the checkpoint: append + incremental
+    DeltaWriter.writeAppend(spark,
+      Seq((4L, "d", "fr")).toDF("id", "text", "lang"), table)
+    assert(DeltaTable.read(spark, table).count() == 4)
+    assert(DeltaTable.readChanges(spark, table, 1L)
+      .select($"id").as[Long].collect().toSeq == Seq(4L))
+    // idempotent: re-checkpointing version 2 then re-reading still works
+    assert(DeltaWriter.writeCheckpoint(spark, table) == 2L)
+    assert(DeltaTable.read(spark, table).count() == 4)
+  }
+
+  test("delta checkpoint writer: DV descriptors survive compaction") {
+    import graft.sources.DeletionVector
+    // a DV-carrying table (hand-authored add), checkpointed by the
+    // writer, then the commit json removed: survivors must still apply
+    val table = tmp()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val df = Seq(1L, 2L, 3L).toDF("id")
+      .select($"id", concat(lit("t"), $"id").as("text"))
+    df.coalesce(1).write.mode("overwrite").parquet(s"$table/tmp0")
+    val part = new java.io.File(s"$table/tmp0").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$table/part-000.parquet"))
+    val dv = DeletionVector.serialize(Array(1L)) // id 2 dead
+    val (off, size) = DeletionVector.writeFile(s"$table/dv0.bin", dv,
+      spark.sparkContext.hadoopConfiguration)
+    val schemaStr = schema.json.replace("\"", "\\\"")
+    new java.io.File(s"$table/_delta_log").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$table/_delta_log/" + "0" * 20 + ".json"),
+      (Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+        s"""{"metaData":{"id":"dvt","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":[],"configuration":{},"createdTime":0}}""",
+        s"""{"add":{"path":"part-000.parquet","partitionValues":{},"size":10,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"p","pathOrInlineDv":"$table/dv0.bin","offset":$off,"sizeInBytes":$size,"cardinality":1}}}""")
+        .mkString("\n")).getBytes("UTF-8"))
+    assert(DeltaWriter.writeCheckpoint(spark, table) == 0L)
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$table/_delta_log/" + "0" * 20 + ".json"), false)
+    // a tail commit keeps the latest-version pointer alive post-cleanup
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        s"$table/_delta_log/00000000000000000001.json"),
+      """{"commitInfo":{"timestamp":1,"operation":"OPTIMIZE"}}"""
+        .getBytes("UTF-8"))
+    assert(DeltaTable.read(spark, table).orderBy($"id")
+      .select($"id").as[Long].collect().toSeq == Seq(1L, 3L))
+  }
+
   test("exclusive commit: the loser of a version race fails directed") {
     val dir = tmp()
     val fs = new Path(dir).getFileSystem(
