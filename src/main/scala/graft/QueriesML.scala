@@ -1330,6 +1330,55 @@ object QueriesML {
           .select($"id", $"text", $"bucket").orderBy($"id")
       }),
 
+    // -------------------------------- Delta checkpoint writer + vacuumed log
+    // The log-compaction cycle end-to-end: two writer commits, a classic
+    // checkpoint written by the engine, BOTH commit jsons vacuumed (the
+    // checkpoint alone must reconstruct the snapshot), then a third
+    // commit past the checkpoint. The oracle recomputes all three
+    // batches; a checkpoint-content slip, a vacuumed-log replay slip, or
+    // a version-numbering slip loses a batch.
+    Q("q183_delta_checkpoint", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT o_orderkey AS id,
+             CASE WHEN o_orderkey % 4 = 0 THEN 'v2-' || CAST(rn0 AS VARCHAR)
+                  WHEN o_orderkey % 4 = 1 THEN 'v3-' || CAST(rn0 AS VARCHAR)
+                  ELSE 'doc-' || CAST(rn0 AS VARCHAR) END AS text,
+             o_orderkey % 3 AS bucket
+      FROM o ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{DeltaTable, DeltaWriter}
+        val table = Fixtures.dir("q183", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          DeltaWriter.writeAppend(s,
+            base.filter($"id" % 4 >= 2)
+              .select($"id", concat(lit("doc-"), $"rn0").as("text"),
+                ($"id" % 3).as("bucket")),
+            t, partitionBy = Seq("bucket"))
+          DeltaWriter.writeAppend(s,
+            base.filter($"id" % 4 === 0)
+              .select($"id", concat(lit("v2-"), $"rn0").as("text"),
+                ($"id" % 3).as("bucket")), t)
+          DeltaWriter.writeCheckpoint(s, t)
+          // vacuum: every commit json below-or-at the checkpoint goes
+          val fs = new org.apache.hadoop.fs.Path(t)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          Seq(0L, 1L).foreach { v =>
+            fs.delete(new org.apache.hadoop.fs.Path(
+              f"$t/_delta_log/$v%020d.json"), false)
+          }
+          DeltaWriter.writeAppend(s,
+            base.filter($"id" % 4 === 1)
+              .select($"id", concat(lit("v3-"), $"rn0").as("text"),
+                ($"id" % 3).as("bucket")), t)
+        }
+        DeltaTable.read(s, s"$table/table")
+          .select($"id", $"text", $"bucket").orderBy($"id")
+      }),
+
     // --------------------------------------- Iceberg writer: publish half
     // Two append snapshots written by the engine's own writer (manifest,
     // manifest list carrying the prior snapshot's manifests, metadata
