@@ -67,9 +67,17 @@ object DeltaTable {
       partitionValues: Map[String, String],
       dv: Option[DeletionVector.Descriptor])
 
+  /** The table protocol as last declared in the log — carried through
+    * replay so the checkpoint writer re-emits it VERBATIM (fabricating
+    * one would silently drop features). */
+  private[graft] final case class Protocol(minReaderVersion: Int,
+      minWriterVersion: Int, readerFeatures: Seq[String],
+      writerFeatures: Seq[String])
+
   private final case class Snapshot(version: Long, schemaJson: String,
       partitionColumns: Seq[String], files: Seq[AddFile],
-      configuration: Map[String, String], metaId: String = "")
+      configuration: Map[String, String], metaId: String = "",
+      protocol: Protocol = Protocol(1, 2, Nil, Nil))
 
   // ------------------------------------------------------------ log replay
 
@@ -79,6 +87,18 @@ object DeltaTable {
     val base = name.split('/').last
     if (base.endsWith(".json") && base.length == 25)
       base.stripSuffix(".json").toLongOption
+    else None
+  }
+
+  /** The version of a checkpoint FILE name: classic single-file,
+    * multi-part (`NNN.checkpoint.MMM.PPP.parquet`), or V2
+    * (`NNN.checkpoint.<uuid>.{parquet|json}`) — the ONE parser every
+    * checkpoint-discovery site shares. */
+  private[graft] def ckptVersionOf(name: String): Option[Long] = {
+    val base = name.split('/').last
+    if (base.indexOf(".checkpoint") == 20 &&
+      (base.endsWith(".parquet") || base.endsWith(".json")))
+      base.take(20).toLongOption
     else None
   }
 
@@ -105,13 +125,7 @@ object DeltaTable {
     // checkpoint versions: classic single-file, multi-part
     // (NNN.checkpoint.MMM.PPP.parquet), or V2
     // (NNN.checkpoint.<uuid>.{parquet|json} + sidecars in _sidecars/)
-    val allCkptVersions = entries.flatMap { n =>
-      val base = n.split('/').last
-      val i = base.indexOf(".checkpoint")
-      if (i == 20 && (base.endsWith(".parquet") || base.endsWith(".json")))
-        base.take(20).toLongOption
-      else None
-    }.distinct.sorted
+    val allCkptVersions = entries.flatMap(ckptVersionOf).distinct.sorted
     val latest = versionAsOf match {
       case Some(v) =>
         val ok = commitVersions.contains(v) ||
@@ -161,13 +175,16 @@ object DeltaTable {
     var partitionColumns: Seq[String] = Nil
     var configuration: Map[String, String] = Map.empty
     var metaId: String = ""
-    def applyProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
+    var protocol: Protocol = Protocol(1, 2, Nil, Nil)
+    def applyProtocol(minReader: Int, minWriter: Int,
+        readerFeatures: Seq[String], writerFeatures: Seq[String]): Unit = {
       val bad = readerFeatures.filterNot(HarmlessReaderFeatures)
       if (minReader > 3 || (minReader > 1 && minReader < 3))
         throw UnsupportedDelta(
           s"minReaderVersion $minReader (1, or 3 with harmless readerFeatures, only)")
       if (minReader == 3 && bad.nonEmpty) throw UnsupportedDelta(
         s"reader features ${bad.mkString(", ")} change data decoding")
+      protocol = Protocol(minReader, minWriter, readerFeatures, writerFeatures)
     }
     // one JSON action line (commit tail, or a V2 json checkpoint —
     // checkpoint removes are tombstones and never replay)
@@ -176,9 +193,13 @@ object DeltaTable {
         case JObject(_) =>
           val minReader = (j \ "protocol" \ "minReaderVersion")
             .extractOpt[Int].getOrElse(1)
-          val feats = (j \ "protocol" \ "readerFeatures")
+          val minWriter = (j \ "protocol" \ "minWriterVersion")
+            .extractOpt[Int].getOrElse(2)
+          val rfeats = (j \ "protocol" \ "readerFeatures")
             .extractOpt[Seq[String]].getOrElse(Nil)
-          applyProtocol(minReader, feats)
+          val wfeats = (j \ "protocol" \ "writerFeatures")
+            .extractOpt[Seq[String]].getOrElse(Nil)
+          applyProtocol(minReader, minWriter, rfeats, wfeats)
         case _ =>
       }
       (j \ "metaData") match {
@@ -230,12 +251,17 @@ object DeltaTable {
       val cp = spark.read.parquet(paths: _*)
       val colsPresent = cp.columns.toSet
       if (colsPresent.contains("protocol")) {
+        val pCols = cp.select(col("protocol.*")).columns.toSet
+        def pcol(n: String, d: org.apache.spark.sql.Column) =
+          if (pCols.contains(n)) col(s"protocol.$n") else d
         cp.select(col("protocol.minReaderVersion"),
-            if (cp.select(col("protocol.*")).columns.contains("readerFeatures"))
-              col("protocol.readerFeatures") else lit(null).cast("array<string>"))
+            pcol("minWriterVersion", lit(2)),
+            pcol("readerFeatures", lit(null).cast("array<string>")),
+            pcol("writerFeatures", lit(null).cast("array<string>")))
           .filter(col("minReaderVersion").isNotNull).collect()
-          .foreach(r => applyProtocol(r.getInt(0),
-            Option(r.getSeq[String](1)).getOrElse(Nil)))
+          .foreach(r => applyProtocol(r.getInt(0), r.getInt(1),
+            Option(r.getSeq[String](2)).getOrElse(Nil),
+            Option(r.getSeq[String](3)).getOrElse(Nil)))
       }
       if (colsPresent.contains("metaData")) {
         val metaCols = cp.select(col("metaData.*")).columns.toSet
@@ -328,7 +354,7 @@ object DeltaTable {
         s"$table: columnMapping mode '$other' is not implemented")
     }
     (Snapshot(latest, schemaJson, partitionColumns, files.values.toSeq,
-      configuration, metaId), captured, capturedConf)
+      configuration, metaId, protocol), captured, capturedConf)
   }
 
   // ---------------------------------------------------------------- reads
@@ -759,10 +785,11 @@ object DeltaTable {
   private[graft] def snapshotState(spark: SparkSession, table: String)
       : (Long, String, String, Seq[String], Map[String, String],
         Seq[(String, Map[String, String],
-          Option[DeletionVector.Descriptor])]) = {
+          Option[DeletionVector.Descriptor])], Protocol) = {
     val s = replay(spark, table, None)._1
     (s.version, s.metaId, s.schemaJson, s.partitionColumns,
-      s.configuration, s.files.map(f => (f.path, f.partitionValues, f.dv)))
+      s.configuration, s.files.map(f => (f.path, f.partitionValues, f.dv)),
+      s.protocol)
   }
 
   /** True when any commit in (fromExclusive, to] carries a dataChange
@@ -800,12 +827,7 @@ object DeltaTable {
       val n = st.getPath.getName
       // a checkpoint at the tip counts — every commit json below it may
       // have been vacuumed
-      versionOf(n).orElse {
-        if (n.indexOf(".checkpoint") == 20 &&
-          (n.endsWith(".parquet") || n.endsWith(".json")))
-          n.take(20).toLongOption
-        else None
-      }
+      versionOf(n).orElse(ckptVersionOf(n))
     }.sorted.lastOption.getOrElse(
       throw UnsupportedDelta(s"$table: no commit json in _delta_log"))
   }

@@ -101,6 +101,19 @@ object IcebergTable {
     case other => throw UnsupportedIceberg(s"malformed iceberg type: $other")
   }
 
+  /** The current schema node of a metadata json: v2 `schemas[current-
+    * schema-id]`, v1 inline `schema` — the ONE selector the read path,
+    * the streaming schema probe, and the writer compatibility check
+    * share. */
+  private[sources] def currentSchemaJson(meta: JValue): JValue =
+    (meta \ "schemas") match {
+      case JArray(ss) =>
+        val cur = (meta \ "current-schema-id").extractOpt[Int].getOrElse(0)
+        ss.find(s => (s \ "schema-id").extractOpt[Int].contains(cur))
+          .getOrElse(ss.head)
+      case _ => meta \ "schema"
+    }
+
   private[sources] def structOf(o: JValue): StructType = StructType(
     (o \ "fields").extract[Seq[JValue]].map { f =>
       StructField((f \ "name").extract[String], sparkType(f \ "type"),
@@ -295,14 +308,7 @@ object IcebergTable {
       s"format-version $fv (1, 2 and 3 only)")
     val location = (meta \ "location").extractOpt[String].getOrElse(table)
 
-    // table schema: v2 schemas[current-schema-id], v1 inline schema
-    val schemaJson: JValue = (meta \ "schemas") match {
-      case JArray(ss) =>
-        val cur = (meta \ "current-schema-id").extractOpt[Int].getOrElse(0)
-        ss.find(s => (s \ "schema-id").extractOpt[Int].contains(cur))
-          .getOrElse(ss.head)
-      case _ => meta \ "schema"
-    }
+    val schemaJson: JValue = currentSchemaJson(meta)
     val sparkSchema = structOf(schemaJson)
     // top-level field-id -> name (equality-delete column resolution)
     val fieldNames: Map[Int, String] =
@@ -622,20 +628,15 @@ object IcebergTable {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val fs = new Path(table).getFileSystem(conf)
     val meta = JsonMethods.parse(FsText.read(fs, latestMetadata(fs, table)))
-    val schemaJson: JValue = (meta \ "schemas") match {
-      case JArray(ss) =>
-        val cur = (meta \ "current-schema-id").extractOpt[Int].getOrElse(0)
-        ss.find(s => (s \ "schema-id").extractOpt[Int].contains(cur))
-          .getOrElse(ss.head)
-      case _ => meta \ "schema"
-    }
-    structOf(schemaJson)
+    structOf(currentSchemaJson(meta))
   }
 
   /** Summary operations of the snapshots STRICTLY AFTER `fromSnapshotId`
-    * up to and including `toSnapshotId`, by timestamp order — the
-    * streaming wrapper's probe for non-append churn in a range.
-    * Metadata-json only. */
+    * up to and including `toSnapshotId`, in SNAPSHOT-LOG ORDER (array
+    * position — timestamps can collide within a millisecond and expired
+    * ids would leave silent holes, so an unlocatable endpoint is a
+    * directed error instead). The streaming wrapper's probe for
+    * non-append churn in a range; metadata-json only. */
   private[graft] def rangeOperations(spark: SparkSession, table: String,
       fromSnapshotId: Long, toSnapshotId: Long): Seq[String] = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
@@ -643,16 +644,16 @@ object IcebergTable {
     val meta = JsonMethods.parse(FsText.read(fs, latestMetadata(fs, table)))
     val snaps = (meta \ "snapshots").extractOpt[Seq[JValue]].getOrElse(Nil)
       .flatMap { s =>
-        for (id <- (s \ "snapshot-id").extractOpt[Long];
-          ts <- (s \ "timestamp-ms").extractOpt[Long])
-          yield (id, ts,
-            (s \ "summary" \ "operation").extractOpt[String].getOrElse(""))
+        (s \ "snapshot-id").extractOpt[Long].map(id => (id,
+          (s \ "summary" \ "operation").extractOpt[String].getOrElse("")))
       }
-    val fromTs = snaps.collectFirst { case (id, ts, _)
-      if id == fromSnapshotId => ts }.getOrElse(Long.MinValue)
-    val toTs = snaps.collectFirst { case (id, ts, _)
-      if id == toSnapshotId => ts }.getOrElse(Long.MaxValue)
-    snaps.filter(s => s._2 > fromTs && s._2 <= toTs).sortBy(_._2).map(_._3)
+    val fromIdx = snaps.indexWhere(_._1 == fromSnapshotId)
+    val toIdx = snaps.indexWhere(_._1 == toSnapshotId)
+    if (fromIdx < 0 || toIdx < 0 || toIdx < fromIdx) throw UnsupportedIceberg(
+      s"$table: snapshot range $fromSnapshotId..$toSnapshotId cannot be " +
+        "located in the metadata (expired or reordered snapshots) — the " +
+        "range's operations are unknowable")
+    snaps.slice(fromIdx + 1, toIdx + 1).map(_._2)
   }
 
   /** The current snapshot id (None on a never-written table) — one

@@ -88,6 +88,13 @@ object TableCommit {
     }
     val out = writeFs.create(tmp, true)
     try out.write(text.getBytes("UTF-8")) finally out.close()
+    // drop a STALE checksum sidecar a previous checksummed writer may
+    // have left for dest — the rename carries no sidecar (raw tmp), and
+    // Hadoop's ChecksumFs.rename does not delete an orphaned dest .crc,
+    // so it would fail every later read. Deleting BEFORE the rename
+    // keeps every intermediate state readable.
+    if (writeFs ne fs)
+      writeFs.delete(new Path(dest.getParent, s".${dest.getName}.crc"), false)
     try {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
         fs.getUri, conf)
@@ -194,6 +201,8 @@ object TableCommit {
 object DeltaWriter {
   import TableCommit._
 
+  private implicit val formats: Formats = DefaultFormats
+
   /** Append `df` to (or create) the Delta table at `table`. Returns the
     * committed version. `partitionBy` applies on CREATE only — appends
     * inherit the table's existing partition layout and must present the
@@ -209,7 +218,8 @@ object DeltaWriter {
     val exists = fs.exists(logPath) &&
       fs.listStatus(logPath).exists { st =>
         val n = st.getPath.getName
-        (n.endsWith(".json") && n.length == 25) || n.contains(".checkpoint")
+        (n.endsWith(".json") && n.length == 25) ||
+          DeltaTable.ckptVersionOf(n).isDefined
       }
     val (version, schema, partCols) =
       if (!exists) (0L, df.schema, partitionBy)
@@ -277,11 +287,19 @@ object DeltaWriter {
   /** Write a CLASSIC checkpoint at the table's latest version — the log
     * compaction every long-followed Delta table needs (replay cost stays
     * O(commits since last checkpoint), and cleaned-up commit json below
-    * the checkpoint stops mattering). One parquet of protocol + metaData
-    * + the active add set (partition values, re-statted sizes, DV
-    * descriptors preserved), plus the `_last_checkpoint` pointer.
-    * Idempotent: if the checkpoint for this version already exists, it
-    * is left in place. Returns the checkpointed version. */
+    * the checkpoint stops mattering). One parquet of the REPLAYED
+    * protocol verbatim + metaData + the active add set (partition
+    * values, re-statted sizes, DV descriptors preserved) + the commit
+    * tail's remove TOMBSTONES (vacuum bookkeeping other engines read),
+    * plus the `_last_checkpoint` pointer. Idempotent: if the checkpoint
+    * for this version already exists, it is left in place. Returns the
+    * checkpointed version.
+    *
+    * Directed, never silent: a log carrying `txn` (SetTransaction)
+    * actions — an external streaming writer's idempotence watermark that
+    * this writer does not replay — and rowTracking tables (per-add
+    * baseRowId is not retained) refuse to checkpoint rather than drop
+    * state the compaction would make unrecoverable. */
   def writeCheckpoint(spark: SparkSession, table: String): Long = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -289,8 +307,45 @@ object DeltaWriter {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val logPath = new Path(s"$base/_delta_log")
     val fs = logPath.getFileSystem(conf)
-    val (version, metaId, schemaJson, partCols, config, files) =
+    val (version, metaId, schemaJson, partCols, config, files, proto) =
       DeltaTable.snapshotState(spark, table)
+    if (proto.writerFeatures.contains("rowTracking"))
+      throw UnsupportedWrite(
+        s"$table: checkpointing a rowTracking table is not implemented " +
+          "(per-add baseRowId is not retained through replay)")
+    // sweep the live commit json for actions the replay does not retain:
+    // txn watermarks are a directed error; remove tombstones carry over
+    val removeRows = Seq.newBuilder[Row]
+    fs.listStatus(logPath).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.endsWith(".json") && n.length == 25 &&
+        n.take(20).toLongOption.exists(_ <= version)) {
+        FsText.read(fs, p).split('\n').filter(_.trim.nonEmpty)
+          .foreach { line =>
+            if (line.contains("\"txn\"")) {
+              val j = JsonMethods.parse(line)
+              (j \ "txn") match {
+                case JObject(_) => throw UnsupportedWrite(
+                  s"$table: the log carries txn (SetTransaction) actions " +
+                    "— an external writer's idempotence watermark this " +
+                    "checkpoint writer does not retain")
+                case _ =>
+              }
+            }
+            if (line.contains("\"remove\"")) {
+              val j = JsonMethods.parse(line)
+              (j \ "remove") match {
+                case JObject(_) => removeRows += Row(null, null, null, Row(
+                  (j \ "remove" \ "path").extract[String],
+                  (j \ "remove" \ "deletionTimestamp")
+                    .extractOpt[Long].getOrElse(0L),
+                  false))
+                case _ =>
+              }
+            }
+          }
+      }
+    }
     def resolve(rel: String): String =
       if (rel.contains("://") || rel.startsWith("/")) PathUris.pctDecode(rel)
       else s"$base/${PathUris.pctDecode(rel)}"
@@ -319,13 +374,17 @@ object DeltaWriter {
         StructField("size", LongType),
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType),
-        StructField("deletionVector", dvType))))))
-    val anyDv = files.exists(_._3.isDefined)
-    // the protocol row mirrors what the features in use require: DVs
-    // force reader v3 + the feature lists, a plain table stays (1, 2)
-    val protoRow =
-      if (anyDv) Row(3, 7, Seq("deletionVectors"), Seq("deletionVectors"))
-      else Row(1, 2, null, null)
+        StructField("deletionVector", dvType)))),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType),
+        StructField("deletionTimestamp", LongType),
+        StructField("dataChange", BooleanType))))))
+    // the table's protocol VERBATIM — fabricating one would silently
+    // drop features (columnMapping, timestampNtz, appendOnly, ...) the
+    // moment the commit json below the checkpoint is vacuumed
+    val protoRow = Row(proto.minReaderVersion, proto.minWriterVersion,
+      if (proto.readerFeatures.isEmpty) null else proto.readerFeatures,
+      if (proto.writerFeatures.isEmpty) null else proto.writerFeatures)
     val metaRow = Row(
       if (metaId.nonEmpty) metaId else java.util.UUID.randomUUID().toString,
       Row("parquet"), schemaJson, partCols, config)
@@ -337,10 +396,19 @@ object DeltaWriter {
       // describe state, not a change)
       Row(null, null, Row(path, pv, size, 0L, false,
         dv.map(d => Row(d.storageType, d.pathOrInlineDv,
-          d.offset.orNull, d.sizeInBytes, d.cardinality)).orNull))
+          d.offset.orNull, d.sizeInBytes, d.cardinality)).orNull), null)
     }
-    val rows = Seq(Row(protoRow, null, null), Row(null, metaRow, null)) ++
-      addRows
+    // a checkpoint carries each path AT MOST once: a tombstone whose
+    // path was later re-added yields to the active add, and repeated
+    // removes of one path collapse to the newest timestamp
+    val activePaths = files.map(_._1).toSet
+    val tombstones = removeRows.result()
+      .map(r => (r.getStruct(3).getString(0), r))
+      .filterNot { case (p, _) => activePaths(p) }
+      .groupBy(_._1).values
+      .map(_.maxBy(_._2.getStruct(3).getLong(1))._2).toSeq
+    val rows = Seq(Row(protoRow, null, null, null),
+      Row(null, metaRow, null, null)) ++ addRows ++ tombstones
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), ckptSchema)
     val tmpDir = s"$base/_delta_log/.ckpt-${java.util.UUID.randomUUID()}"
@@ -451,13 +519,7 @@ object IcebergWriter {
           .exists(_.nonEmpty)))
         throw UnsupportedWrite(
           s"$table: appending to a PARTITIONED table is not implemented")
-      val schemas = (meta \ "schemas") match {
-        case JArray(ss) =>
-          val cur = (meta \ "current-schema-id").extractOpt[Int].getOrElse(0)
-          ss.find(x => (x \ "schema-id").extractOpt[Int].contains(cur))
-            .getOrElse(ss.head)
-        case _ => meta \ "schema"
-      }
+      val schemas = IcebergTable.currentSchemaJson(meta)
       val existing = IcebergTable.structOf(schemas)
       if (!sameSchema(existing, df.schema)) throw UnsupportedWrite(
         s"$table: append schema ${df.schema.simpleString} != table " +

@@ -177,7 +177,9 @@ class IcebergStreamSource extends StreamSourceProvider with DataSourceRegister {
           IcebergTable.read(spark, table, Some(end))
         case ("files", Some(s)) =>
           val ops = IcebergTable.rangeOperations(spark, table, s, end)
-          if (!ignoreChanges && ops.exists(o => o != "append" && o != ""))
+          // an ABSENT summary.operation is treated as unsafe too — a
+          // snapshot of unknown kind must not silently pass the guard
+          if (!ignoreChanges && ops.exists(_ != "append"))
             throw new IllegalStateException(
               s"$table: the range after snapshot $s contains " +
                 s"non-append snapshots (${ops.distinct.mkString(", ")}) — " +

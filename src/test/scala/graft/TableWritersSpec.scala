@@ -194,6 +194,64 @@ class TableWritersSpec extends SparkSpec {
         .getBytes("UTF-8"))
     assert(DeltaTable.read(spark, table).orderBy($"id")
       .select($"id").as[Long].collect().toSeq == Seq(1L, 3L))
+    // the checkpoint re-emits the table's protocol VERBATIM — fabricating
+    // one would drop the deletionVectors feature the table declares
+    val ckpt = spark.read.parquet(
+      s"$table/_delta_log/00000000000000000000.checkpoint.parquet")
+    val proto = ckpt.select($"protocol.*")
+      .filter($"minReaderVersion".isNotNull).collect().head
+    assert(proto.getInt(0) == 3 && proto.getInt(1) == 7)
+    assert(proto.getSeq[String](2) == Seq("deletionVectors"), proto.toString)
+  }
+
+  test("checkpoint: tombstones carry over, txn and rowTracking directed") {
+    val table = tmp()
+    DeltaWriter.writeAppend(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "text"), table)
+    // v1 rewrites: removes the v0 file(s), adds one new — the tombstones
+    // must survive into the checkpoint (vacuum bookkeeping other engines
+    // read), while the reader continues to NOT replay them
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val v0 = graft.sources.FsText.read(fs,
+      new Path(s"$table/_delta_log/00000000000000000000.json"))
+    val oldPaths = v0.split('\n').filter(_.contains("\"add\""))
+      .map(_.split("\"path\":\"")(1).split("\"")(0)).toSeq
+    val df = Seq((9L, "z")).toDF("id", "text")
+    df.coalesce(1).write.mode("overwrite").parquet(s"$table/rw.dir")
+    val part = new java.io.File(s"$table/rw.dir").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$table/rewrite-000.parquet"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$table/_delta_log/00000000000000000001.json"),
+      (Seq(s"""{"add":{"path":"rewrite-000.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""") ++
+        oldPaths.map(p =>
+          s"""{"remove":{"path":"$p","deletionTimestamp":7,"dataChange":true}}"""))
+        .mkString("\n").getBytes("UTF-8"))
+    assert(DeltaWriter.writeCheckpoint(spark, table) == 1L)
+    val ckpt = spark.read.parquet(
+      s"$table/_delta_log/00000000000000000001.checkpoint.parquet")
+    val removes = ckpt.select($"remove.path", $"remove.deletionTimestamp")
+      .filter($"path".isNotNull).collect()
+    assert(removes.map(_.getString(0)).sorted.toSeq == oldPaths.sorted,
+      removes.toSeq.toString)
+    assert(removes.forall(_.getLong(1) == 7L))
+    // post-vacuum read: tombstones do not resurrect, the live row serves
+    fs.delete(new Path(s"$table/_delta_log/00000000000000000000.json"), false)
+    fs.delete(new Path(s"$table/_delta_log/00000000000000000001.json"), false)
+    assert(DeltaTable.read(spark, table).select($"id").as[Long]
+      .collect().toSeq == Seq(9L))
+    // a txn (SetTransaction) watermark is state this writer cannot carry
+    // — checkpointing over it is directed
+    val t2 = tmp()
+    DeltaWriter.writeAppend(spark, Seq((1L, "a")).toDF("id", "text"), t2)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t2/_delta_log/00000000000000000001.json"),
+      """{"txn":{"appId":"stream-1","version":42}}"""
+        .getBytes("UTF-8"))
+    val e = intercept[Exception] { DeltaWriter.writeCheckpoint(spark, t2) }
+    assert(e.getMessage.contains("txn"), e.getMessage)
   }
 
   test("exclusive commit: the loser of a version race fails directed") {
