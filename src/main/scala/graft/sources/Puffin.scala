@@ -93,21 +93,30 @@ object Puffin {
     } finally in.close()
   }
 
-  /** Raw blob bytes for one footer entry (uncompressed blobs only —
-    * deletion vectors are stored uncompressed per the table spec). */
+  /** Blob bytes for one footer entry, decompressed when the footer
+    * declares a codec. Deletion vectors are stored uncompressed per the
+    * table spec; STATS blobs (the datasketches family) default to
+    * `zstd`, decoded through the in-repo RFC 8878 implementation. `lz4`
+    * stays a directed error. */
   def readBlob(path: String, meta: BlobMeta, conf: Configuration)
       : Array[Byte] = {
-    meta.compression.filter(_.nonEmpty).foreach { c =>
-      throw BadPuffin(s"$path: blob compression-codec '$c' is not implemented")
-    }
     require(meta.length <= Int.MaxValue, s"$path: ${meta.length}B blob")
     val p = new Path(path)
     val in = p.getFileSystem(conf).open(p)
-    try {
-      val out = new Array[Byte](meta.length.toInt)
-      in.readFully(meta.offset, out)
-      out
-    } finally in.close()
+    val raw =
+      try {
+        val out = new Array[Byte](meta.length.toInt)
+        in.readFully(meta.offset, out)
+        out
+      } finally in.close()
+    meta.compression.filter(_.nonEmpty) match {
+      case None => raw
+      case Some("zstd") =>
+        graft.sources.zarr.Zstd.decompress(raw, 0, raw.length)
+      case Some(other) => throw BadPuffin(
+        s"$path: blob compression-codec '$other' is not implemented " +
+          "(zstd or uncompressed only)")
+    }
   }
 
   // --------------------------------------------------------------- write
@@ -125,10 +134,12 @@ object Puffin {
   }
 
   /** A to-be-written blob: metadata (offset/length filled in by
-    * [[writeFile]]) plus its bytes. */
+    * [[writeFile]]) plus its bytes — ALREADY compressed when
+    * `compression` names a codec (the writer is byte-passthrough; the
+    * footer records the label). */
   final case class Blob(tpe: String, fields: Seq[Int], snapshotId: Long,
       sequenceNumber: Long, properties: Map[String, String],
-      bytes: Array[Byte])
+      bytes: Array[Byte], compression: Option[String] = None)
 
   /** Write a Puffin file; returns each blob's final (offset, length) in
     * input order — what a v3 manifest entry's `content_offset` /
@@ -152,10 +163,12 @@ object Puffin {
         val props = b.properties.map { case (k, v) =>
           s"${jstr(k)}: ${jstr(v)}"
         }.mkString(", ")
+        val codec = b.compression
+          .map(c => s""", "compression-codec": ${jstr(c)}""").getOrElse("")
         s"""{"type": ${jstr(b.tpe)}, "fields": [${b.fields.mkString(", ")}],
            | "snapshot-id": ${b.snapshotId},
            | "sequence-number": ${b.sequenceNumber},
-           | "offset": $at, "length": $len,
+           | "offset": $at, "length": $len$codec,
            | "properties": {$props}}""".stripMargin
       }.mkString(", ")
       val fileProps = fileProperties.map { case (k, v) =>

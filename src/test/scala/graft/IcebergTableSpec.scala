@@ -620,6 +620,88 @@ class IcebergTableSpec extends SparkSpec {
       Array.fill(64)(0x41.toByte))
     val e = intercept[Exception] { Puffin.footer(s"$dir/junk.puffin", conf) }
     assert(e.getMessage.contains("magic"), e.getMessage)
+    // a zstd-compressed blob (the stats-sketch default) decodes through
+    // the in-repo zstd; an unknown codec is directed
+    val payload = (0 until 500).map(i => (i % 251).toByte).toArray
+    Puffin.writeFile(s"$dir/z.puffin", Seq(
+      Puffin.Blob("apache-datasketches-theta-v1", Seq(1), 1L, 1L,
+        Map.empty, graft.sources.zarr.Zstd.compressStore(payload),
+        compression = Some("zstd")),
+      Puffin.Blob("some-blob", Seq(1), 1L, 1L, Map.empty,
+        Array[Byte](1, 2, 3), compression = Some("lz4"))),
+      Map.empty, conf)
+    val (zblobs, _) = Puffin.footer(s"$dir/z.puffin", conf)
+    assert(zblobs.head.compression.contains("zstd"))
+    assert(Puffin.readBlob(s"$dir/z.puffin", zblobs.head, conf).toSeq ==
+      payload.toSeq)
+    val e2 = intercept[Exception] {
+      Puffin.readBlob(s"$dir/z.puffin", zblobs(1), conf)
+    }
+    assert(e2.getMessage.contains("lz4"), e2.getMessage)
+  }
+
+  test("v3: deletion vectors and equality deletes compose in one snapshot") {
+    import graft.sources.Puffin
+    val table = tmp()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f0 = dataFile(table, "p0.parquet", Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    new java.io.File(s"$table/metadata").mkdirs()
+    val mixedSchema =
+      """{"type": "record", "name": "manifest_entry", "fields": [
+        |  {"name": "status", "type": "int"},
+        |  {"name": "sequence_number", "type": ["null", "long"],
+        |   "default": null},
+        |  {"name": "data_file", "type": {"type": "record", "name": "r2",
+        |    "fields": [
+        |      {"name": "content", "type": "int"},
+        |      {"name": "file_path", "type": "string"},
+        |      {"name": "file_format", "type": "string"},
+        |      {"name": "record_count", "type": "long"},
+        |      {"name": "equality_ids", "type": ["null",
+        |        {"type": "array", "items": "int"}], "default": null},
+        |      {"name": "referenced_data_file", "type": ["null", "string"],
+        |       "default": null},
+        |      {"name": "content_offset", "type": ["null", "long"],
+        |       "default": null},
+        |      {"name": "content_size_in_bytes", "type": ["null", "long"],
+        |       "default": null}
+        |    ]}}
+        |]}""".stripMargin
+    val m0 = s"$table/metadata/m0.avro"
+    AvroOcf.write(m0, mixedSchema, Seq(
+      Seq(1, 1L, Seq(0, f0, "PARQUET", 6L, null, null, null, null))))
+    // the DV kills positions 0 and 1 (ids 1, 2)
+    val puffin = s"$table/metadata/dv.puffin"
+    val placed = Puffin.writeFile(puffin, Seq(
+      Puffin.Blob("deletion-vector-v1", Seq(2147483546), 1L, 2L,
+        Map("referenced-data-file" -> f0, "cardinality" -> "2"),
+        Puffin.dvBlob(Array(0L, 1L)))), Map.empty, conf)
+    // the equality delete (field id 1 = "id") kills id 5 at sequence 2
+    val eqDf = Seq(5L).toDF("id")
+    eqDf.coalesce(1).write.mode("overwrite").parquet(s"$table/tmp-eq")
+    val eqPart = new java.io.File(s"$table/tmp-eq").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val eqPath = s"$table/data/eq0.parquet"
+    java.nio.file.Files.move(eqPart.toPath,
+      java.nio.file.Paths.get(eqPath))
+    val md = s"$table/metadata/md.avro"
+    AvroOcf.write(md, mixedSchema, Seq(
+      Seq(1, 2L, Seq(1, puffin, "PUFFIN", 2L, null, f0,
+        placed(0)._1, placed(0)._2)),
+      Seq(1, 2L, Seq(2, eqPath, "PARQUET", 1L, Seq(1), null, null, null))))
+    val ml = s"$table/metadata/snap-1.avro"
+    AvroOcf.write(ml, seqListSchema, Seq(
+      Seq(m0, 100L, 0, 1L), Seq(md, 100L, 1, 2L)))
+    writeMetadata(table, 1, s"""{
+      "format-version": 3, "table-uuid": "u", "location": "$table",
+      "current-snapshot-id": 1,
+      "schemas": [$schemaJson], "current-schema-id": 0,
+      "snapshots": [{"snapshot-id": 1, "timestamp-ms": 0,
+        "summary": {"operation": "delete"}, "manifest-list": "$ml"}]}""")
+    // DV kills 1,2; equality delete kills 5 (data seq 1 < delete seq 2)
+    val got = IcebergTable.read(spark, table).orderBy($"id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(3L, 4L, 6L),
+      got.map(_.getLong(0)).toSeq.toString)
   }
 
   test("changelog: v3 DV churn serves the newly-dead rows, not the file") {
