@@ -1408,6 +1408,41 @@ object QueriesML {
           .select($"id", $"text").orderBy($"id")
       }),
 
+    // --------------------------- Iceberg writer: identity-partitioned table
+    // Partitioned publish + manifest-level pruning end-to-end: two append
+    // commits partitioned by bucket (the spec INHERITED on the second),
+    // then readPartitions serves exactly one bucket — files of the other
+    // buckets are never touched (file-level pruning before any footer).
+    // The oracle recomputes the bucket's rows from both batches.
+    Q("q184_iceberg_part_write", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT o_orderkey AS id,
+             CASE WHEN o_orderkey % 4 = 0 THEN 'v2-' || CAST(rn0 AS VARCHAR)
+                  ELSE 'doc-' || CAST(rn0 AS VARCHAR) END AS text,
+             o_orderkey % 3 AS bucket
+      FROM o WHERE o_orderkey % 3 = 1 ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{IcebergTable, IcebergWriter}
+        val table = Fixtures.dir("q184", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          IcebergWriter.writeAppend(s,
+            base.filter($"id" % 4 =!= 0)
+              .select($"id", concat(lit("doc-"), $"rn0").as("text"),
+                ($"id" % 3).as("bucket")),
+            t, partitionBy = Seq("bucket"))
+          IcebergWriter.writeAppend(s,
+            base.filter($"id" % 4 === 0)
+              .select($"id", concat(lit("v2-"), $"rn0").as("text"),
+                ($"id" % 3).as("bucket")), t)
+        }
+        IcebergTable.readPartitions(s, s"$table/table", Map("bucket" -> "1"))
+          .select($"id", $"text", $"bucket").orderBy($"id")
+      }),
+
     // ------------------------------------------------------- HF tokenizer.json encode
     // A hand-authored tokenizer.json (the huggingface/tokenizers file
     // format, byte-level BPE) over planted "ab"*k words: greedy merge

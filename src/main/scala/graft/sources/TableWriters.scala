@@ -458,8 +458,35 @@ object IcebergWriter {
     s"""{"type": "struct", "schema-id": 0, "fields": [$fields]}"""
   }
 
-  private val manifestAvroSchema =
-    """{"type": "record", "name": "manifest_entry", "fields": [
+  /** Avro primitive for an identity-partition value column. */
+  private def partitionAvroType(dt: DataType): String = dt match {
+    case LongType => "long"
+    case IntegerType => "int"
+    case StringType => "string"
+    case BooleanType => "boolean"
+    case DoubleType => "double"
+    case FloatType => "float"
+    case other => throw UnsupportedWrite(
+      s"iceberg writer: partition column type ${other.simpleString} is " +
+        "not implemented (long/int/string/boolean/double/float)")
+  }
+
+  /** The manifest-entry Avro schema; partitioned tables add the spec's
+    * `partition` record to data_file. */
+  private def manifestAvroSchema(partFields: Seq[StructField]): String = {
+    val partDef =
+      if (partFields.isEmpty) ""
+      else {
+        val fs = partFields.map(f =>
+          s"""{"name": "${f.name}", "type": ["null",
+              "${partitionAvroType(f.dataType)}"], "default": null}""")
+          .mkString(", ")
+        s""",
+             {"name": "partition", "type": {"type": "record",
+               "name": "r102", "fields": [
+               $fs]}}"""
+      }
+    s"""{"type": "record", "name": "manifest_entry", "fields": [
          {"name": "status", "type": "int"},
          {"name": "sequence_number", "type": ["null", "long"],
           "default": null},
@@ -468,7 +495,8 @@ object IcebergWriter {
              {"name": "content", "type": "int"},
              {"name": "file_path", "type": "string"},
              {"name": "file_format", "type": "string"},
-             {"name": "record_count", "type": "long"}]}}]}"""
+             {"name": "record_count", "type": "long"}$partDef]}}]}"""
+  }
 
   private val listAvroSchema =
     """{"type": "record", "name": "manifest_file", "fields": [
@@ -479,9 +507,15 @@ object IcebergWriter {
          {"name": "partition_spec_id", "type": "int"}]}"""
 
   /** Append `df` to (or create) the Iceberg table at `table` as one new
-    * snapshot. Returns the snapshot id. Unpartitioned flat-schema tables
-    * only (directed otherwise). */
-  def writeAppend(spark: SparkSession, df: DataFrame, table: String): Long = {
+    * snapshot. Returns the snapshot id. `partitionBy` (CREATE only —
+    * appends inherit the table's spec) builds an IDENTITY partition
+    * spec: data files keep the partition columns (Iceberg's hidden-
+    * partitioning model), one file set per touched partition tuple, the
+    * manifest records each file's `partition` struct, and
+    * [[IcebergTable.readPartitions]] pruning works on the result.
+    * Flat primitive schemas; non-identity transforms directed. */
+  def writeAppend(spark: SparkSession, df: DataFrame, table: String,
+      partitionBy: Seq[String] = Nil): Long = {
     val base = table.stripSuffix("/")
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val fs = new Path(base).getFileSystem(conf)
@@ -496,6 +530,7 @@ object IcebergWriter {
     var snapshots: Seq[JValue] = Nil
     var priorManifests: Seq[(String, Long, Int, Long, Int)] = Nil
     var schemaJson: String = null
+    var partCols: Seq[String] = partitionBy
     // every metadata field this writer does not manage carries forward
     // VERBATIM (properties, refs, sort-orders, snapshot-log, …) — an
     // append must never silently erase table state it did not parse
@@ -514,11 +549,21 @@ object IcebergWriter {
         }
         case _ => Nil
       }
-      if ((meta \ "partition-specs").extractOpt[Seq[JValue]].getOrElse(Nil)
-        .exists(sp => (sp \ "fields").extractOpt[Seq[JValue]]
-          .exists(_.nonEmpty)))
-        throw UnsupportedWrite(
-          s"$table: appending to a PARTITIONED table is not implemented")
+      // appends INHERIT the table's default spec — identity-only
+      val defaultSpecId = (meta \ "default-spec-id").extractOpt[Int]
+        .getOrElse(0)
+      val spec = (meta \ "partition-specs").extractOpt[Seq[JValue]]
+        .getOrElse(Nil)
+        .find(sp => (sp \ "spec-id").extractOpt[Int].contains(defaultSpecId))
+      val specFields = spec.toSeq
+        .flatMap(sp => (sp \ "fields").extractOpt[Seq[JValue]].getOrElse(Nil))
+      specFields.foreach { f =>
+        val transform = (f \ "transform").extractOpt[String].getOrElse("")
+        if (transform != "identity") throw UnsupportedWrite(
+          s"$table: appending through a '$transform' partition transform " +
+            "is not implemented (identity only)")
+      }
+      partCols = specFields.flatMap(f => (f \ "name").extractOpt[String])
       val schemas = IcebergTable.currentSchemaJson(meta)
       val existing = IcebergTable.structOf(schemas)
       if (!sameSchema(existing, df.schema)) throw UnsupportedWrite(
@@ -556,7 +601,31 @@ object IcebergWriter {
       schemaJson = schemaJsonOf(df.schema)
     }
 
-    val files = writeData(df, base, Nil, "data", conf)
+    partCols.foreach { c =>
+      if (!df.schema.fieldNames.contains(c)) throw UnsupportedWrite(
+        s"$table: partition column '$c' is not in the schema")
+    }
+    val partFields = partCols.map(c => df.schema(c))
+    partFields.foreach(f => partitionAvroType(f.dataType)) // directed early
+    // one file set per TOUCHED partition tuple (data files keep the
+    // partition columns — Iceberg partitioning is metadata); the tuple
+    // set is driver-side but bounded by the partitions this batch
+    // touches, the same bound the manifest itself has
+    import org.apache.spark.sql.functions.{col => fcol, lit => flit}
+    val tuples: Seq[Seq[Any]] =
+      if (partCols.isEmpty) Seq(Nil)
+      else df.select(partCols.map(fcol): _*).distinct().collect()
+        .map(r => partCols.indices.map(i => r.get(i)).toSeq).toSeq
+    val filesWithTuple: Seq[((String, String, Long), Seq[Any])] =
+      tuples.flatMap { t =>
+        val slice =
+          if (partCols.isEmpty) df
+          else partCols.zip(t).foldLeft(df) { case (d, (c, v)) =>
+            d.filter(fcol(c) <=> flit(v))
+          }
+        writeData(slice, base, Nil, "data", conf).map(f => (f, t))
+      }
+    val files = filesWithTuple.map(_._1)
     val counts = rowCounts(files.map(_._2), conf)
     val newSeq = lastSeq + 1
     val snapIds = snapshots.flatMap(sn =>
@@ -570,9 +639,12 @@ object IcebergWriter {
     // overwrite, then clean up, files the winner's commit references.
     val attempt = java.util.UUID.randomUUID().toString
     val manifestPath = s"$base/metadata/m-$attempt.avro"
-    AvroOcf.write(manifestPath, manifestAvroSchema,
-      files.zip(counts).map { case ((_, abs, _), n) =>
-        Seq(1, newSeq, Seq(0, abs, "PARQUET", n))
+    AvroOcf.write(manifestPath, manifestAvroSchema(partFields),
+      filesWithTuple.zip(counts).map { case (((_, abs, _), t), n) =>
+        val dataFile: Seq[Any] =
+          if (partCols.isEmpty) Seq(0, abs, "PARQUET", n)
+          else Seq(0, abs, "PARQUET", n, t)
+        Seq(1, newSeq, dataFile)
       })
     val manifestLen = fs.getFileStatus(new Path(manifestPath)).getLen
     val listPath = s"$base/metadata/snap-$snapId-$attempt.avro"
@@ -600,7 +672,14 @@ object IcebergWriter {
         "location" -> s""""$base"""",
         "schemas" -> s"[$schemaJson]",
         "current-schema-id" -> "0",
-        "partition-specs" -> """[{"spec-id": 0, "fields": []}]""",
+        "partition-specs" -> {
+          val sf = partCols.zipWithIndex.map { case (c, i) =>
+            val srcId = df.schema.fieldNames.indexOf(c) + 1
+            s"""{"name": "$c", "transform": "identity",
+                 "source-id": $srcId, "field-id": ${1000 + i}}"""
+          }.mkString(", ")
+          s"""[{"spec-id": 0, "fields": [$sf]}]"""
+        },
         "default-spec-id" -> "0")
     val allFields = baseFields ++ Seq(
       "last-sequence-number" -> newSeq.toString,

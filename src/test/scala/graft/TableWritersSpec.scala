@@ -304,6 +304,54 @@ class TableWritersSpec extends SparkSpec {
     assert(IcebergTable.currentSnapshotId(spark, table).contains(s3))
   }
 
+  test("iceberg writer: identity-partitioned appends with manifest pruning") {
+    val table = tmp()
+    val b1 = Seq((1L, "a", "en"), (2L, "b", "de"), (3L, "c", "en"))
+      .toDF("id", "text", "lang")
+    IcebergWriter.writeAppend(spark, b1, table, partitionBy = Seq("lang"))
+    // data files CONTAIN the partition column (hidden partitioning)
+    val full = IcebergTable.read(spark, table).orderBy($"id")
+    assert(full.columns.toSeq == Seq("id", "text", "lang"))
+    assert(full.select($"id", $"lang").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "en"), (2L, "de"), (3L, "en")))
+    // manifest-level pruning touches only the matching partition's files
+    val pruned = IcebergTable.readPartitions(spark, table,
+      Map("lang" -> "en"))
+    assert(pruned.select($"id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L))
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"${pruned.inputFiles.length} vs ${full.inputFiles.length}")
+    // appends INHERIT the spec (no partitionBy passed)
+    val s2 = IcebergWriter.writeAppend(spark,
+      Seq((4L, "d", "fr")).toDF("id", "text", "lang"), table)
+    assert(IcebergTable.read(spark, table).count() == 4)
+    assert(IcebergTable.readPartitions(spark, table, Map("lang" -> "fr"))
+      .select($"id").as[Long].collect().toSeq == Seq(4L))
+    assert(IcebergTable.currentSnapshotId(spark, table).contains(s2))
+    // a non-identity transform stays directed
+    val t2 = tmp()
+    new java.io.File(s"$t2/metadata").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t2/metadata/v1.metadata.json"),
+      s"""{"format-version": 2, "table-uuid": "u", "location": "$t2",
+           "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+             {"id": 1, "name": "id", "required": false, "type": "long"},
+             {"id": 2, "name": "text", "required": false, "type": "string"}]}],
+           "current-schema-id": 0,
+           "partition-specs": [{"spec-id": 0, "fields": [
+             {"name": "id_bucket", "transform": "bucket[16]",
+              "source-id": 1, "field-id": 1000}]}],
+           "default-spec-id": 0, "snapshots": []}""".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t2/metadata/version-hint.text"),
+      "1".getBytes("UTF-8"))
+    val e = intercept[Exception] {
+      IcebergWriter.writeAppend(spark,
+        Seq((1L, "a")).toDF("id", "text"), t2)
+    }
+    assert(e.getMessage.contains("bucket[16]"), e.getMessage)
+  }
+
   test("iceberg writer: guards directed — schema, partitioned, nested") {
     val table = tmp()
     IcebergWriter.writeAppend(spark, Seq((1L, "a")).toDF("id", "text"), table)
@@ -318,7 +366,8 @@ class TableWritersSpec extends SparkSpec {
         Seq((1L, Seq("x"))).toDF("id", "tags"), tmp())
     }
     assert(e2.getMessage.contains("not implemented"), e2.getMessage)
-    // a partitioned table refuses appends
+    // an identity-partitioned table ACCEPTS appends (spec inherited) —
+    // even one authored by another writer
     val t2 = tmp()
     new java.io.File(s"$t2/metadata").mkdirs()
     java.nio.file.Files.write(
@@ -331,14 +380,13 @@ class TableWritersSpec extends SparkSpec {
            "partition-specs": [{"spec-id": 0, "fields": [
              {"name": "id", "transform": "identity",
               "source-id": 1, "field-id": 1000}]}],
-           "snapshots": []}""".getBytes("UTF-8"))
+           "default-spec-id": 0, "snapshots": []}""".getBytes("UTF-8"))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$t2/metadata/version-hint.text"),
       "1".getBytes("UTF-8"))
-    val e3 = intercept[Exception] {
-      IcebergWriter.writeAppend(spark,
-        Seq((1L, "a")).toDF("id", "text"), t2)
-    }
-    assert(e3.getMessage.contains("PARTITIONED"), e3.getMessage)
+    IcebergWriter.writeAppend(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "text"), t2)
+    assert(graft.sources.IcebergTable
+      .readPartitions(spark, t2, Map("id" -> "2")).count() == 1)
   }
 }
