@@ -5,6 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -313,38 +314,98 @@ object DeltaWriter {
       throw UnsupportedWrite(
         s"$table: checkpointing a rowTracking table is not implemented " +
           "(per-add baseRowId is not retained through replay)")
-    // sweep the live commit json for actions the replay does not retain:
-    // txn watermarks are a directed error; remove tombstones carry over
+    // sweep the LOG STATE the replay does not retain — txn watermarks
+    // (directed) and remove tombstones (carried) — from BOTH the live
+    // commit json and any PRIOR checkpoint (classic/multi-part parquet,
+    // V2 json top-level, sidecars): a txn or unexpired tombstone hidden
+    // inside an earlier checkpoint must not vanish through compaction.
+    // (This re-reads the commit tail the replay just read — O(tail)
+    // small text, paid once per checkpoint, kept separate so the replay
+    // fold stays tombstone-free.)
     val removeRows = Seq.newBuilder[Row]
-    fs.listStatus(logPath).map(_.getPath).foreach { p =>
-      val n = p.getName
-      if (n.endsWith(".json") && n.length == 25 &&
-        n.take(20).toLongOption.exists(_ <= version)) {
-        FsText.read(fs, p).split('\n').filter(_.trim.nonEmpty)
-          .foreach { line =>
-            if (line.contains("\"txn\"")) {
-              val j = JsonMethods.parse(line)
-              (j \ "txn") match {
-                case JObject(_) => throw UnsupportedWrite(
-                  s"$table: the log carries txn (SetTransaction) actions " +
-                    "— an external writer's idempotence watermark this " +
-                    "checkpoint writer does not retain")
-                case _ =>
-              }
-            }
-            if (line.contains("\"remove\"")) {
-              val j = JsonMethods.parse(line)
-              (j \ "remove") match {
-                case JObject(_) => removeRows += Row(null, null, null, Row(
-                  (j \ "remove" \ "path").extract[String],
-                  (j \ "remove" \ "deletionTimestamp")
-                    .extractOpt[Long].getOrElse(0L),
-                  false))
-                case _ =>
-              }
-            }
+    def directTxn(): Nothing = throw UnsupportedWrite(
+      s"$table: the log carries txn (SetTransaction) actions — an " +
+        "external writer's idempotence watermark this checkpoint writer " +
+        "does not retain")
+    def sweepJsonLines(text: String): Seq[String] = {
+      val sidecars = Seq.newBuilder[String]
+      text.split('\n').filter(_.trim.nonEmpty).foreach { line =>
+        if (line.contains("\"txn\"")) {
+          val j = JsonMethods.parse(line)
+          (j \ "txn") match {
+            case JObject(_) => directTxn()
+            case _ =>
+          }
+        }
+        if (line.contains("\"remove\"")) {
+          val j = JsonMethods.parse(line)
+          (j \ "remove") match {
+            case JObject(_) => removeRows += Row(null, null, null, Row(
+              (j \ "remove" \ "path").extract[String],
+              (j \ "remove" \ "deletionTimestamp")
+                .extractOpt[Long].getOrElse(0L),
+              false))
+            case _ =>
+          }
+        }
+        if (line.contains("\"sidecar\"")) {
+          val j = JsonMethods.parse(line)
+          (j \ "sidecar" \ "path").extractOpt[String].foreach(sidecars += _)
+        }
+      }
+      sidecars.result()
+    }
+    def sweepActionParquet(paths: Seq[String]): Unit = {
+      val cp = spark.read.parquet(paths: _*)
+      val cols = cp.columns.toSet
+      if (cols.contains("txn") &&
+        cp.filter(col("txn.appId").isNotNull).limit(1).count() > 0)
+        directTxn()
+      if (cols.contains("remove")) {
+        val rCols = cp.select(col("remove.*")).columns.toSet
+        val tsCol =
+          if (rCols.contains("deletionTimestamp"))
+            col("remove.deletionTimestamp")
+          else org.apache.spark.sql.functions.lit(0L)
+        cp.select(col("remove.path"), tsCol.cast("long"))
+          .filter(col("path").isNotNull).collect().foreach { r =>
+            removeRows += Row(null, null, null,
+              Row(r.getString(0), r.getLong(1), false))
           }
       }
+      if (cols.contains("sidecar")) {
+        val sc = cp.select(col("sidecar.path")).filter(col("path").isNotNull)
+          .collect().map { r =>
+            val dec = PathUris.pctDecode(r.getString(0))
+            if (dec.contains("://") || dec.startsWith("/")) dec
+            else s"$base/_delta_log/_sidecars/$dec"
+          }.toSeq
+        if (sc.nonEmpty) sweepActionParquet(sc)
+      }
+    }
+    val entries = fs.listStatus(logPath).map(_.getPath.getName).toSeq
+    entries.foreach { n =>
+      if (n.endsWith(".json") && n.length == 25 &&
+        n.take(20).toLongOption.exists(_ <= version))
+        sweepJsonLines(FsText.read(fs, new Path(logPath, n)))
+    }
+    val priorCkpt = entries.flatMap(DeltaTable.ckptVersionOf)
+      .distinct.filter(_ <= version).sorted.lastOption
+    priorCkpt.foreach { v =>
+      val ckptFiles = entries.filter(n =>
+        DeltaTable.ckptVersionOf(n).contains(v))
+      val (js, pq) = ckptFiles.partition(_.endsWith(".json"))
+      js.foreach { n =>
+        val sc = sweepJsonLines(FsText.read(fs, new Path(logPath, n)))
+          .map { raw =>
+            val dec = PathUris.pctDecode(raw)
+            if (dec.contains("://") || dec.startsWith("/")) dec
+            else s"$base/_delta_log/_sidecars/$dec"
+          }
+        if (sc.nonEmpty) sweepActionParquet(sc)
+      }
+      if (pq.nonEmpty)
+        sweepActionParquet(pq.map(n => s"$base/_delta_log/$n"))
     }
     def resolve(rel: String): String =
       if (rel.contains("://") || rel.startsWith("/")) PathUris.pctDecode(rel)
@@ -471,6 +532,18 @@ object IcebergWriter {
         "not implemented (long/int/string/boolean/double/float)")
   }
 
+  /** A partition value parsed back from its directory segment. */
+  private def castPartitionValue(raw: String, dt: DataType): Any = dt match {
+    case LongType => raw.toLong
+    case IntegerType => raw.toInt
+    case StringType => raw
+    case BooleanType => raw.toBoolean
+    case DoubleType => raw.toDouble
+    case FloatType => raw.toFloat
+    case other => throw UnsupportedWrite(
+      s"iceberg writer: partition column type ${other.simpleString}")
+  }
+
   /** The manifest-entry Avro schema; partitioned tables add the spec's
     * `partition` record to data_file. */
   private def manifestAvroSchema(partFields: Seq[StructField]): String = {
@@ -531,6 +604,7 @@ object IcebergWriter {
     var priorManifests: Seq[(String, Long, Int, Long, Int)] = Nil
     var schemaJson: String = null
     var partCols: Seq[String] = partitionBy
+    var specId: Int = 0
     // every metadata field this writer does not manage carries forward
     // VERBATIM (properties, refs, sort-orders, snapshot-log, …) — an
     // append must never silently erase table state it did not parse
@@ -549,12 +623,19 @@ object IcebergWriter {
         }
         case _ => Nil
       }
-      // appends INHERIT the table's default spec — identity-only
+      // appends INHERIT the table's default spec — identity-only; a
+      // default-spec-id that resolves to nothing is a directed error
+      // (falling through to an unpartitioned append would write files
+      // the partition-filtered reads silently drop)
       val defaultSpecId = (meta \ "default-spec-id").extractOpt[Int]
         .getOrElse(0)
-      val spec = (meta \ "partition-specs").extractOpt[Seq[JValue]]
+      val specs = (meta \ "partition-specs").extractOpt[Seq[JValue]]
         .getOrElse(Nil)
+      val spec = specs
         .find(sp => (sp \ "spec-id").extractOpt[Int].contains(defaultSpecId))
+      if (spec.isEmpty && specs.nonEmpty) throw UnsupportedWrite(
+        s"$table: default-spec-id $defaultSpecId is not in partition-specs")
+      specId = defaultSpecId
       val specFields = spec.toSeq
         .flatMap(sp => (sp \ "fields").extractOpt[Seq[JValue]].getOrElse(Nil))
       specFields.foreach { f =>
@@ -607,23 +688,34 @@ object IcebergWriter {
     }
     val partFields = partCols.map(c => df.schema(c))
     partFields.foreach(f => partitionAvroType(f.dataType)) // directed early
-    // one file set per TOUCHED partition tuple (data files keep the
-    // partition columns — Iceberg partitioning is metadata); the tuple
-    // set is driver-side but bounded by the partitions this batch
-    // touches, the same bound the manifest itself has
-    import org.apache.spark.sql.functions.{col => fcol, lit => flit}
-    val tuples: Seq[Seq[Any]] =
-      if (partCols.isEmpty) Seq(Nil)
-      else df.select(partCols.map(fcol): _*).distinct().collect()
-        .map(r => partCols.indices.map(i => r.get(i)).toSeq).toSeq
+    // ONE distributed write: partitionBy on DUPLICATED helper columns —
+    // Spark's partitionBy excludes only the helpers from the files, so
+    // the data files keep the real partition columns (Iceberg's hidden-
+    // partitioning model) while files still group one-tuple-per-dir;
+    // each file's tuple parses back from its k=v dirs. No per-tuple
+    // re-scan of the input, no double evaluation of a non-deterministic
+    // plan.
+    import org.apache.spark.sql.functions.{col => fcol}
+    val helperOf = partCols.map(c => c -> s"p__$c").toMap
     val filesWithTuple: Seq[((String, String, Long), Seq[Any])] =
-      tuples.flatMap { t =>
-        val slice =
-          if (partCols.isEmpty) df
-          else partCols.zip(t).foldLeft(df) { case (d, (c, v)) =>
-            d.filter(fcol(c) <=> flit(v))
+      if (partCols.isEmpty)
+        writeData(df, base, Nil, "data", conf).map(f => (f, Nil))
+      else {
+        val df2 = partCols.foldLeft(df)((d, c) =>
+          d.withColumn(helperOf(c), fcol(c)))
+        writeData(df2, base, partCols.map(helperOf), "data", conf).map { f =>
+          val dirs = f._1.split('/').dropRight(1)
+          val vals: Seq[Any] = partCols.map { c =>
+            val pre = s"${helperOf(c)}="
+            val seg = dirs.find(_.startsWith(pre)).getOrElse(
+              throw UnsupportedWrite(
+                s"$table: partition dir for '$c' missing in ${f._1}"))
+            val raw = PathUris.pctDecode(seg.drop(pre.length))
+            if (raw == "__HIVE_DEFAULT_PARTITION__") null
+            else castPartitionValue(raw, df.schema(c).dataType)
           }
-        writeData(slice, base, Nil, "data", conf).map(f => (f, t))
+          (f, vals)
+        }
       }
     val files = filesWithTuple.map(_._1)
     val counts = rowCounts(files.map(_._2), conf)
@@ -649,7 +741,7 @@ object IcebergWriter {
     val manifestLen = fs.getFileStatus(new Path(manifestPath)).getLen
     val listPath = s"$base/metadata/snap-$snapId-$attempt.avro"
     AvroOcf.write(listPath, listAvroSchema,
-      Seq(Seq(manifestPath, manifestLen, 0, newSeq, 0)) ++
+      Seq(Seq(manifestPath, manifestLen, 0, newSeq, specId)) ++
         priorManifests.map(m => Seq(m._1, m._2, m._3, m._4, m._5)))
 
     val snapJson =

@@ -242,8 +242,23 @@ class TableWritersSpec extends SparkSpec {
     fs.delete(new Path(s"$table/_delta_log/00000000000000000001.json"), false)
     assert(DeltaTable.read(spark, table).select($"id").as[Long]
       .collect().toSeq == Seq(9L))
+    // tombstones survive SUCCESSIVE compactions: after the vacuum, a new
+    // commit + re-checkpoint must carry them forward FROM THE PRIOR
+    // CHECKPOINT (the live json no longer has them)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$table/_delta_log/00000000000000000002.json"),
+      """{"commitInfo":{"timestamp":9,"operation":"OPTIMIZE"}}"""
+        .getBytes("UTF-8"))
+    assert(DeltaWriter.writeCheckpoint(spark, table) == 2L)
+    val ckpt2 = spark.read.parquet(
+      s"$table/_delta_log/00000000000000000002.checkpoint.parquet")
+    val removes2 = ckpt2.select($"remove.path")
+      .filter($"path".isNotNull).collect().map(_.getString(0))
+    assert(removes2.sorted.toSeq == oldPaths.sorted, removes2.toSeq.toString)
+
     // a txn (SetTransaction) watermark is state this writer cannot carry
-    // — checkpointing over it is directed
+    // — checkpointing over it is directed, whether it sits in live json
+    // OR inside a prior checkpoint
     val t2 = tmp()
     DeltaWriter.writeAppend(spark, Seq((1L, "a")).toDF("id", "text"), t2)
     java.nio.file.Files.write(
@@ -252,6 +267,37 @@ class TableWritersSpec extends SparkSpec {
         .getBytes("UTF-8"))
     val e = intercept[Exception] { DeltaWriter.writeCheckpoint(spark, t2) }
     assert(e.getMessage.contains("txn"), e.getMessage)
+    // plant the txn INSIDE a checkpoint parquet (what another engine's
+    // checkpoint would carry), vacuum the json — still directed
+    val t3 = tmp()
+    DeltaWriter.writeAppend(spark, Seq((1L, "a")).toDF("id", "text"), t3)
+    val txnDdl = "txn struct<appId:string,version:bigint>, " +
+      "protocol struct<minReaderVersion:int,minWriterVersion:int>, " +
+      "metaData struct<id:string,schemaString:string," +
+      "partitionColumns:array<string>>, " +
+      "add struct<path:string,partitionValues:map<string,string>," +
+      "size:bigint,modificationTime:bigint,dataChange:boolean>"
+    val v0t3 = graft.sources.FsText.read(
+      new Path(t3).getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new Path(s"$t3/_delta_log/00000000000000000000.json"))
+    val lines = v0t3.split('\n').filterNot(_.contains("commitInfo")).toSeq :+
+      """{"txn":{"appId":"stream-2","version":7}}"""
+    val cp = spark.read.schema(txnDdl).json(lines.toDS())
+    cp.coalesce(1).write.mode("overwrite").parquet(s"$t3/_delta_log/cp.dir")
+    val cpPart = new java.io.File(s"$t3/_delta_log/cp.dir").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(cpPart.toPath, java.nio.file.Paths.get(
+      s"$t3/_delta_log/00000000000000000000.checkpoint.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$t3/_delta_log/cp.dir"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      s"$t3/_delta_log/00000000000000000000.json"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t3/_delta_log/00000000000000000001.json"),
+      """{"commitInfo":{"timestamp":1,"operation":"OPTIMIZE"}}"""
+        .getBytes("UTF-8"))
+    val e2 = intercept[Exception] { DeltaWriter.writeCheckpoint(spark, t3) }
+    assert(e2.getMessage.contains("txn"), e2.getMessage)
   }
 
   test("exclusive commit: the loser of a version race fails directed") {
