@@ -1408,6 +1408,35 @@ object QueriesML {
           .select($"id", $"text").orderBy($"id")
       }),
 
+    // ------------------------------- Delta writer: DV-based row deletes
+    // The modern DELETE end-to-end: the gate writes the table, then two
+    // writeDelete commits kill rows by DELETION VECTOR (no data file
+    // rewritten — the second delete unions into the first's bitmaps),
+    // and the reader serves the survivors. The oracle recomputes both
+    // delete predicates.
+    Q("q185_delta_dv_delete", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT o_orderkey AS id, 'doc-' || CAST(rn0 AS VARCHAR) AS text
+      FROM o WHERE o_orderkey % 7 <> 0 AND rn0 % 11 <> 3
+      ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{DeltaTable, DeltaWriter}
+        val table = Fixtures.dir("q185", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          DeltaWriter.writeAppend(s,
+            base.select($"id", concat(lit("doc-"), $"rn0").as("text"),
+              $"rn0"), t)
+          DeltaWriter.writeDelete(s, t, $"id" % 7 === 0)
+          DeltaWriter.writeDelete(s, t, $"rn0" % 11 === 3)
+        }
+        DeltaTable.read(s, s"$table/table")
+          .select($"id", $"text").orderBy($"id")
+      }),
+
     // --------------------------- Iceberg writer: identity-partitioned table
     // Partitioned publish + manifest-level pruning end-to-end: two append
     // commits partitioned by bucket (the spec INHERITED on the second),

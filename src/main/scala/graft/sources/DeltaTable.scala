@@ -428,7 +428,7 @@ object DeltaTable {
   }
 
   private def assemble(spark: SparkSession, table: String,
-      snap: Snapshot): DataFrame = {
+      snap: Snapshot, keepRowKey: Boolean = false): DataFrame = {
     val full = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val partCols = snap.partitionColumns
     val mappingMode = snap.configuration
@@ -462,10 +462,15 @@ object DeltaTable {
     def resolve(rel: String): String =
       if (rel.contains("://") || rel.startsWith("/")) PathUris.pctDecode(rel)
       else s"$base/${PathUris.pctDecode(rel)}"
+    val outSchema =
+      if (!keepRowKey) full
+      else StructType(full.fields ++ Seq(
+        StructField("__row_path", org.apache.spark.sql.types.StringType),
+        StructField("__row_pos", org.apache.spark.sql.types.LongType)))
     if (snap.files.isEmpty) {
       // an empty snapshot still has the table's schema
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
     }
     // deletion vectors decode on executors: descriptors (driver metadata,
     // one row per DV'd file) flat-map into (file, deleted row index) rows
@@ -494,24 +499,29 @@ object DeltaTable {
     val parts = groups.toSeq.map { case (pv, fs) =>
       var df = spark.read.schema(readSchema)
         .parquet(fs.map(f => resolve(f.path)): _*)
-      if (fs.exists(_.dv.isDefined)) {
-        val dels = deletes.get
-        val withMeta = df
+      if (keepRowKey || fs.exists(_.dv.isDefined))
+        df = df
           .withColumn("__row_path",
             PathUris.canonMetaCol(col("_metadata.file_path")))
           .withColumn("__row_pos", col("_metadata.row_index"))
-        df = withMeta.join(dels,
-            withMeta("__row_path") === dels("__del_path") &&
-              withMeta("__row_pos") === dels("__del_pos"), "left_anti")
-          .drop("__row_path", "__row_pos")
+      if (fs.exists(_.dv.isDefined)) {
+        val dels = deletes.get
+        val joined = df.join(dels,
+          df("__row_path") === dels("__del_path") &&
+            df("__row_pos") === dels("__del_pos"), "left_anti")
+        df = if (keepRowKey) joined
+          else joined.drop("__row_path", "__row_pos")
       }
       if (mapped) {
-        // rebuild logical names (the DV metadata columns are gone by now)
+        // rebuild logical names (metadata key columns pass through)
+        val keyCols =
+          if (keepRowKey) Seq(col("__row_path"), col("__row_pos"))
+          else Nil
         df = df.select(readSchema.fields.zip(dataSchema.fields)
           .toIndexedSeq.map { case (pf, lf) =>
             toLogical(col(s"`${pf.name}`"), pf.dataType, lf.dataType)
               .as(lf.name)
-        }: _*)
+        } ++ keyCols: _*)
       }
       partCols.foreach { c =>
         val t = full(c).dataType
@@ -521,10 +531,17 @@ object DeltaTable {
           .filterNot(_ == "__HIVE_DEFAULT_PARTITION__").orNull
         df = df.withColumn(c, lit(raw).cast(t))
       }
-      df.select(full.fieldNames.toIndexedSeq.map(col): _*)
+      df.select(outSchema.fieldNames.toIndexedSeq.map(col): _*)
     }
     parts.reduce(_ unionByName _)
   }
+
+  /** The snapshot with each row's `(__row_path, __row_pos)` identity —
+    * what [[DeltaWriter.writeDelete]] filters to locate the rows a
+    * deletion vector must cover. Existing DVs are already applied. */
+  private[graft] def readWithRowKey(spark: SparkSession,
+      table: String): DataFrame =
+    assemble(spark, table, replay(spark, table, None)._1, keepRowKey = true)
 
   /** Incremental consumption: rows of the data files ACTIVE at
     * `toVersion` (default latest) but not at `fromVersion` — the

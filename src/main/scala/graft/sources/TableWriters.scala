@@ -285,6 +285,114 @@ object DeltaWriter {
     version
   }
 
+  /** Row-level DELETE via DELETION VECTORS — the modern (Databricks-
+    * default) delete shape: matching rows are killed by roaring bitmaps
+    * over their file positions, NO data file is rewritten. One commit of
+    * `remove(old state) + add(same file, new DV)` per touched file; a
+    * file whose every live row matches is plainly removed. The protocol
+    * upgrades to (3, 7) + the deletionVectors feature on first use,
+    * preserving existing features. Existing DVs union with the new
+    * positions. Returns the committed version (the current one when
+    * nothing matches — an empty DELETE is a no-op, not an empty commit).
+    *
+    * Deleted-row positions pass through the driver (grouped per file) —
+    * DVs are built for SMALL deletes; `maxDeletedRows` (default 10M)
+    * directs larger ones to a rewrite instead of materializing a
+    * data-scale bitmap driver-side. Note for CDF consumers: a cdc-less
+    * DV rewrite is not row-level reconstructible, and readCdf over such
+    * a commit fails directed by design. */
+  def writeDelete(spark: SparkSession, table: String,
+      condition: org.apache.spark.sql.Column,
+      maxDeletedRows: Long = 10000000L): Long = {
+    import org.apache.spark.sql.functions.collect_list
+    val base = table.stripSuffix("/")
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val logPath = new Path(s"$base/_delta_log")
+    val fs = logPath.getFileSystem(conf)
+    val (version, _, _, _, _, files, proto) =
+      DeltaTable.snapshotState(spark, table)
+    def resolve(rel: String): String =
+      if (rel.contains("://") || rel.startsWith("/")) PathUris.pctDecode(rel)
+      else s"$base/${PathUris.pctDecode(rel)}"
+    val fileByKey: Map[String, (String, Map[String, String],
+      Option[DeletionVector.Descriptor])] =
+      files.map(f => PathUris.canon(resolve(f._1)) -> f).toMap
+    val keyed = DeltaTable.readWithRowKey(spark, table).filter(condition)
+    val totalDeleted = keyed.count()
+    if (totalDeleted == 0) return version
+    if (totalDeleted > maxDeletedRows) throw UnsupportedWrite(
+      s"$table: DELETE matches $totalDeleted rows (> $maxDeletedRows) — " +
+        "deletion vectors are for small deletes; rewrite the table instead")
+    val matches = keyed.groupBy(col("__row_path"))
+      .agg(collect_list(col("__row_pos")).as("pos")).collect()
+    val ts = System.currentTimeMillis()
+    val dvLines = Seq.newBuilder[String]
+    val newDvFiles = Seq.newBuilder[String]
+    def pvJson(pv: Map[String, String]): String = pv.map { case (k, v) =>
+      if (v == null) s""""${k}":null"""
+      else s""""${k}":"${v.replace("\\", "\\\\").replace("\"", "\\\"")}""""
+    }.mkString(",")
+    def dvJson(d: DeletionVector.Descriptor): String =
+      s"""{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}",""" +
+        (d.offset.map(o => s""""offset":$o,""").getOrElse("")) +
+        s""""sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+    matches.foreach { m =>
+      val key = m.getString(0)
+      val (rawPath, pv, oldDv) = fileByKey.getOrElse(key,
+        throw UnsupportedWrite(
+          s"$table: matched row's file $key is not in the snapshot — " +
+            "path spelling drift"))
+      val newPos = m.getSeq[Long](1).toArray
+      val oldPos = oldDv.map(d =>
+        DeletionVector.positions(d, base, TaskConf(conf))).getOrElse(
+        Array.empty[Long])
+      val all = (oldPos ++ newPos).distinct.sorted
+      val abs = resolve(rawPath)
+      val fileRows = rowCounts(Seq(abs), conf).head
+      val pvs = pvJson(pv)
+      val oldDvJson = oldDv.map(d => s""","deletionVector":${dvJson(d)}""")
+        .getOrElse("")
+      dvLines += s"""{"remove":{"path":"$rawPath","deletionTimestamp":$ts,""" +
+        s""""dataChange":true,"partitionValues":{$pvs}$oldDvJson}}"""
+      if (all.length < fileRows) {
+        // some rows survive: same file re-added under the unioned DV
+        val dvPath = s"$base/deletion_vector_${java.util.UUID.randomUUID()}.bin"
+        val data = DeletionVector.serialize(all)
+        val (off, size) = DeletionVector.writeFile(dvPath, data, conf)
+        newDvFiles += dvPath
+        val size0 = fs.getFileStatus(new Path(abs)).getLen
+        val nd = DeletionVector.Descriptor("p", dvPath, Some(off), size,
+          all.length.toLong)
+        dvLines += s"""{"add":{"path":"$rawPath","partitionValues":{$pvs},""" +
+          s""""size":$size0,"modificationTime":$ts,"dataChange":true,""" +
+          s""""deletionVector":${dvJson(nd)}}}"""
+      } // else: every live row died — the remove alone retires the file
+    }
+    // first DV on this table upgrades the protocol, preserving features
+    val needsUpgrade = proto.minReaderVersion < 3 ||
+      !proto.readerFeatures.contains("deletionVectors")
+    val protoLine =
+      if (!needsUpgrade) Nil
+      else {
+        val rf = (proto.readerFeatures :+ "deletionVectors").distinct
+        val wf = (proto.writerFeatures :+ "deletionVectors").distinct
+        Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          s""""readerFeatures":[${rf.map(f => s""""$f"""").mkString(",")}],""" +
+          s""""writerFeatures":[${wf.map(f => s""""$f"""").mkString(",")}]}}""")
+      }
+    val lines =
+      Seq(s"""{"commitInfo":{"timestamp":$ts,"operation":"DELETE"}}""") ++
+        protoLine ++ dvLines.result()
+    val dest = new Path(logPath, f"${version + 1}%020d.json")
+    if (!putText(fs, dest, lines.mkString("\n"))) {
+      cleanup(fs, newDvFiles.result())
+      throw CommitConflict(
+        s"$table: version ${version + 1} was committed concurrently — " +
+          "re-read the table and retry the delete")
+    }
+    version + 1
+  }
+
   /** Write a CLASSIC checkpoint at the table's latest version — the log
     * compaction every long-followed Delta table needs (replay cost stays
     * O(commits since last checkpoint), and cleaned-up commit json below

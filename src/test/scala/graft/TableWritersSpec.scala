@@ -300,6 +300,54 @@ class TableWritersSpec extends SparkSpec {
     assert(e2.getMessage.contains("txn"), e2.getMessage)
   }
 
+  test("delta writeDelete: deletion vectors kill rows without rewrites") {
+    val table = tmp()
+    val df = (1L to 10L).map(i => (i, s"t$i")).toDF("id", "text")
+    DeltaWriter.writeAppend(spark, df, table)
+    val before = DeltaTable.read(spark, table)
+    val filesBefore = before.inputFiles.toSet
+    assert(before.count() == 10)
+
+    val v1 = DeltaWriter.writeDelete(spark, table, $"id" % 3 === 0)
+    assert(v1 == 1L)
+    val after = DeltaTable.read(spark, table)
+    assert(after.select($"id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 4L, 5L, 7L, 8L, 10L))
+    // NO rewrite: the same data files serve, rows die by bitmap
+    assert(after.inputFiles.toSet == filesBefore,
+      s"${after.inputFiles.toSet} vs $filesBefore")
+    // the commit upgraded the protocol to carry the feature
+    val log1 = graft.sources.FsText.read(
+      new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new Path(s"$table/_delta_log/00000000000000000001.json"))
+    assert(log1.contains("deletionVectors"), log1)
+
+    // a second delete UNIONS into the existing vectors
+    val v2 = DeltaWriter.writeDelete(spark, table, $"id" === 1L)
+    assert(v2 == 2L)
+    assert(DeltaTable.read(spark, table).select($"id").as[Long]
+      .collect().sorted.toSeq == Seq(2L, 4L, 5L, 7L, 8L, 10L))
+    // time travel reaches back across both deletes
+    assert(DeltaTable.read(spark, table, versionAsOf = Some(0L))
+      .count() == 10)
+    assert(DeltaTable.read(spark, table, versionAsOf = Some(1L))
+      .count() == 7)
+    // an empty DELETE is a no-op, not an empty commit
+    assert(DeltaWriter.writeDelete(spark, table, $"id" === 999L) == 2L)
+    // deleting every remaining row retires the files entirely
+    val v3 = DeltaWriter.writeDelete(spark, table, lit(true))
+    assert(v3 == 3L)
+    assert(DeltaTable.read(spark, table).count() == 0)
+    // the cap is directed, never a driver-side surprise
+    val t2 = tmp()
+    DeltaWriter.writeAppend(spark,
+      (1L to 5L).map(i => (i, "x")).toDF("id", "text"), t2)
+    val e = intercept[Exception] {
+      DeltaWriter.writeDelete(spark, t2, lit(true), maxDeletedRows = 2L)
+    }
+    assert(e.getMessage.contains("rewrite"), e.getMessage)
+  }
+
   test("exclusive commit: the loser of a version race fails directed") {
     val dir = tmp()
     val fs = new Path(dir).getFileSystem(
