@@ -1437,6 +1437,36 @@ object QueriesML {
           .select($"id", $"text").orderBy($"id")
       }),
 
+    // ---------------------------- Iceberg writer: positional row deletes
+    // The merge-on-read DELETE lifecycle through the gate: the writer
+    // appends, two writeDelete snapshots emit positional-delete files
+    // (rows located distributed, no data file rewritten), the reader
+    // serves the survivors. Same planted predicates as the Delta DV
+    // twin q185 — the two formats' delete paths cross-validate through
+    // one oracle shape.
+    Q("q186_iceberg_pos_delete", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT o_orderkey AS id, 'doc-' || CAST(rn0 AS VARCHAR) AS text
+      FROM o WHERE o_orderkey % 7 <> 0 AND rn0 % 11 <> 3
+      ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{IcebergTable, IcebergWriter}
+        val table = Fixtures.dir("q186", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          IcebergWriter.writeAppend(s,
+            base.select($"id", concat(lit("doc-"), $"rn0").as("text"),
+              $"rn0"), t)
+          IcebergWriter.writeDelete(s, t, $"id" % 7 === 0)
+          IcebergWriter.writeDelete(s, t, $"rn0" % 11 === 3)
+        }
+        IcebergTable.read(s, s"$table/table")
+          .select($"id", $"text").orderBy($"id")
+      }),
+
     // --------------------------- Iceberg writer: identity-partitioned table
     // Partitioned publish + manifest-level pruning end-to-end: two append
     // commits partitioned by bucket (the spec INHERITED on the second),

@@ -184,6 +184,15 @@ object IcebergTable {
     assemble(spark, a)
   }
 
+  /** The current snapshot with each row's `(__row_path, __row_pos)`
+    * identity (existing deletes already applied) — what
+    * [[IcebergWriter.writeDelete]] filters to build positional-delete
+    * rows. */
+  private[graft] def readWithRowKey(spark: SparkSession,
+      table: String): DataFrame =
+    assemble(spark, activeFiles(spark, table, None, Map.empty),
+      keepRowKey = true)
+
   /** A snapshot's active file sets: data files with their data sequence
     * numbers, positional-delete files, equality-delete files with their
     * sequence numbers + equality field ids, v3 deletion vectors
@@ -655,6 +664,14 @@ object IcebergTable {
         "range's operations are unknowable")
     snaps.slice(fromIdx + 1, toIdx + 1).map(_._2)
   }
+
+  /** The current snapshot's data-file paths (manifest-resolved, raw
+    * spelling) — [[IcebergWriter.writeDelete]] maps canonical row keys
+    * back to these before writing positional-delete rows, so foreign
+    * readers' raw-string path compares still match. */
+  private[graft] def activeDataPaths(spark: SparkSession,
+      table: String): Seq[String] =
+    activeFiles(spark, table, None, Map.empty).data.map(_._1)
 
   /** The current snapshot id (None on a never-written table) — one
     * metadata-json read, no manifest IO. The cheap "did anything change"

@@ -846,41 +846,57 @@ object IcebergWriter {
           else Seq(0, abs, "PARQUET", n, t)
         Seq(1, newSeq, dataFile)
       })
+    val createFields: Seq[(String, String)] = Seq(
+      "format-version" -> "2",
+      "table-uuid" -> s""""${java.util.UUID.randomUUID()}"""",
+      "location" -> s""""$base"""",
+      "schemas" -> s"[$schemaJson]",
+      "current-schema-id" -> "0",
+      "partition-specs" -> {
+        val sf = partCols.zipWithIndex.map { case (c, i) =>
+          val srcId = df.schema.fieldNames.indexOf(c) + 1
+          s"""{"name": "$c", "transform": "identity",
+               "source-id": $srcId, "field-id": ${1000 + i}}"""
+        }.mkString(", ")
+        s"""[{"spec-id": 0, "fields": [$sf]}]"""
+      },
+      "default-spec-id" -> "0")
+    commitSnapshot(fs, conf, base, table, snapId, newSeq, ts, "append",
+      manifestPath, attempt, specId,
+      if (exists) carried.map { case (k, v) =>
+        k -> JsonMethods.compact(JsonMethods.render(v))
+      } else createFields,
+      snapshots, priorManifests, metaVersion, files.map(_._2))
+    snapId
+  }
+
+  /** The shared commit tail: manifest list (new manifest + carried
+    * prior ones), the metadata json with managed keys replaced, the
+    * EXCLUSIVE vN+1 placement, and the version-hint swap. The loser of
+    * a commit race cleans up `cleanupFiles` + the manifest artifacts. */
+  private def commitSnapshot(fs: FileSystem, conf: Configuration,
+      base: String, table: String, snapId: Long, newSeq: Long, ts: Long,
+      operation: String, manifestPath: String, attempt: String,
+      manifestSpecId: Int, baseFields: Seq[(String, String)],
+      snapshots: Seq[JValue],
+      priorManifests: Seq[(String, Long, Int, Long, Int)],
+      metaVersion: Long, cleanupFiles: Seq[String]): Unit = {
+    val metaDir = new Path(s"$base/metadata")
+    val manifestContent = if (operation == "delete") 1 else 0
     val manifestLen = fs.getFileStatus(new Path(manifestPath)).getLen
     val listPath = s"$base/metadata/snap-$snapId-$attempt.avro"
     AvroOcf.write(listPath, listAvroSchema,
-      Seq(Seq(manifestPath, manifestLen, 0, newSeq, specId)) ++
+      Seq(Seq(manifestPath, manifestLen, manifestContent, newSeq,
+        manifestSpecId)) ++
         priorManifests.map(m => Seq(m._1, m._2, m._3, m._4, m._5)))
-
     val snapJson =
       s"""{"snapshot-id": $snapId, "timestamp-ms": $ts,
            "sequence-number": $newSeq,
-           "summary": {"operation": "append"},
+           "summary": {"operation": "$operation"},
            "manifest-list": "$listPath"}"""
     val allSnaps = (snapshots.map(sn =>
       JsonMethods.compact(JsonMethods.render(sn))) :+ snapJson)
       .mkString(", ")
-    // managed keys replaced; everything else (or the fresh-table
-    // defaults) verbatim
-    val baseFields: Seq[(String, String)] =
-      if (exists) carried.map { case (k, v) =>
-        k -> JsonMethods.compact(JsonMethods.render(v))
-      }
-      else Seq(
-        "format-version" -> "2",
-        "table-uuid" -> s""""${java.util.UUID.randomUUID()}"""",
-        "location" -> s""""$base"""",
-        "schemas" -> s"[$schemaJson]",
-        "current-schema-id" -> "0",
-        "partition-specs" -> {
-          val sf = partCols.zipWithIndex.map { case (c, i) =>
-            val srcId = df.schema.fieldNames.indexOf(c) + 1
-            s"""{"name": "$c", "transform": "identity",
-                 "source-id": $srcId, "field-id": ${1000 + i}}"""
-          }.mkString(", ")
-          s"""[{"spec-id": 0, "fields": [$sf]}]"""
-        },
-        "default-spec-id" -> "0")
     val allFields = baseFields ++ Seq(
       "last-sequence-number" -> newSeq.toString,
       "current-snapshot-id" -> snapId.toString,
@@ -891,15 +907,106 @@ object IcebergWriter {
     val newVersion = metaVersion + 1
     val dest = new Path(metaDir, s"v$newVersion.metadata.json")
     if (!putText(fs, dest, metaJson)) {
-      cleanup(fs, files.map(_._2) :+ manifestPath :+ listPath)
+      cleanup(fs, cleanupFiles :+ manifestPath :+ listPath)
       throw CommitConflict(
         s"$table: metadata version $newVersion was committed " +
-          "concurrently — re-read the table and retry the append")
+          "concurrently — re-read the table and retry")
     }
     // the version-hint swap is an OVERWRITING rename (the winner is
     // already durable in the numbered metadata file)
     overwriteText(fs, conf, new Path(metaDir, "version-hint.text"),
       newVersion.toString)
+  }
+
+  /** Row-level DELETE for Iceberg: matching rows become a POSITIONAL
+    * DELETE file (`file_path`, `pos` — the v2 merge-on-read shape) in
+    * one new `delete` snapshot; NO data file is rewritten. The delete
+    * rows are written DISTRIBUTED (data-scale deletes never pass
+    * through the driver — only the v2-positional shape makes that
+    * possible; Delta's DV bitmaps cannot). Unpartitioned flat-schema
+    * tables only; an empty DELETE is a no-op. Returns the snapshot id. */
+  def writeDelete(spark: SparkSession, table: String,
+      condition: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col => fcol}
+    val base = table.stripSuffix("/")
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(base).getFileSystem(conf)
+    val metaPath = IcebergTable.latestMetadata(fs, base)
+    val meta = JsonMethods.parse(FsText.read(fs, metaPath))
+    val fv = (meta \ "format-version").extract[Int]
+    if (fv != 2) throw UnsupportedWrite(
+      s"$table: positional deletes target format-version 2 (table is $fv)")
+    if ((meta \ "partition-specs").extractOpt[Seq[JValue]].getOrElse(Nil)
+      .exists(sp => (sp \ "fields").extractOpt[Seq[JValue]]
+        .exists(_.nonEmpty)))
+      throw UnsupportedWrite(
+        s"$table: row-level deletes on a PARTITIONED table are not " +
+          "implemented")
+    val carried = meta match {
+      case JObject(fields) => fields.filterNot { case (k, _) =>
+        Set("last-sequence-number", "current-snapshot-id", "snapshots")(k)
+      }.map { case (k, v) =>
+        k -> JsonMethods.compact(JsonMethods.render(v))
+      }
+      case _ => Nil
+    }
+    val lastSeq = (meta \ "last-sequence-number").extractOpt[Long]
+      .getOrElse(0L)
+    val snapshots = (meta \ "snapshots").extractOpt[Seq[JValue]]
+      .getOrElse(Nil)
+    val metaVersion = metaPath.getName.stripSuffix(".metadata.json")
+      .stripPrefix("v").toLongOption.getOrElse(0L)
+    val currentId = (meta \ "current-snapshot-id").extractOpt[Long]
+      .filter(_ != -1L).getOrElse(throw UnsupportedWrite(
+        s"$table: no current snapshot — nothing to delete from"))
+    var priorManifests: Seq[(String, Long, Int, Long, Int)] = Nil
+    snapshots.find(sn =>
+      (sn \ "snapshot-id").extractOpt[Long].contains(currentId))
+      .flatMap(sn => (sn \ "manifest-list").extractOpt[String])
+      .foreach { ml =>
+        val rows = AvroOcf.read(spark, ml)
+        val cols = rows.columns.toSet
+        def colOr(n: String, d: org.apache.spark.sql.Column) =
+          if (cols.contains(n)) fcol(n) else d
+        import org.apache.spark.sql.functions.lit
+        priorManifests = rows.select(fcol("manifest_path"),
+            colOr("manifest_length", lit(0L)).cast("long"),
+            colOr("content", lit(0)).cast("int"),
+            colOr("sequence_number", lit(0L)).cast("long"),
+            colOr("partition_spec_id", lit(0)).cast("int"))
+          .collect().toSeq.map(r => (r.getString(0), r.getLong(1),
+            r.getInt(2), r.getLong(3), r.getInt(4)))
+      }
+    // matching rows → (manifest-spelled file path, position), fully
+    // DISTRIBUTED: the canonical row key maps back to the raw manifest
+    // path through a broadcast dimension so foreign readers' raw-string
+    // compares still match; sorted within each delete file per spec
+    import spark.implicits._
+    val rawPaths = IcebergTable.activeDataPaths(spark, table)
+    val pathDim = rawPaths.map(p => (PathUris.canon(p), p))
+      .toDF("__ck", "file_path")
+    val delRows = IcebergTable.readWithRowKey(spark, table)
+      .filter(condition)
+      .select(fcol("__row_path").as("__ck"), fcol("__row_pos").as("pos"))
+      .join(broadcast(pathDim), "__ck")
+      .select(fcol("file_path"), fcol("pos").cast("long"))
+      .sortWithinPartitions(fcol("file_path"), fcol("pos"))
+    if (delRows.isEmpty) return currentId // empty DELETE: no-op
+    val files = writeData(delRows, base, Nil, "data", conf)
+    val counts = rowCounts(files.map(_._2), conf)
+    val newSeq = lastSeq + 1
+    val snapId = (snapshots.flatMap(sn =>
+      (sn \ "snapshot-id").extractOpt[Long]) :+ 0L).max + 1
+    val ts = System.currentTimeMillis()
+    val attempt = java.util.UUID.randomUUID().toString
+    val manifestPath = s"$base/metadata/m-$attempt.avro"
+    AvroOcf.write(manifestPath, manifestAvroSchema(Nil),
+      files.zip(counts).map { case ((_, abs, _), n) =>
+        Seq(1, newSeq, Seq(1, abs, "PARQUET", n)) // content 1: pos deletes
+      })
+    commitSnapshot(fs, conf, base, table, snapId, newSeq, ts, "delete",
+      manifestPath, attempt, 0, carried, snapshots, priorManifests,
+      metaVersion, files.map(_._2))
     snapId
   }
 }

@@ -446,6 +446,44 @@ class TableWritersSpec extends SparkSpec {
     assert(e.getMessage.contains("bucket[16]"), e.getMessage)
   }
 
+  test("iceberg writeDelete: positional deletes, no rewrites, distributed") {
+    val table = tmp()
+    IcebergWriter.writeAppend(spark,
+      (1L to 10L).map(i => (i, s"t$i")).toDF("id", "text"), table)
+    val before = IcebergTable.read(spark, table)
+    val filesBefore = before.inputFiles.toSet
+    val s2 = IcebergWriter.writeDelete(spark, table, $"id" % 3 === 0)
+    val after = IcebergTable.read(spark, table)
+    assert(after.select($"id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 4L, 5L, 7L, 8L, 10L))
+    // data files unchanged — rows die by positional-delete file (the
+    // plan's inputFiles additionally list the delete parquet itself)
+    assert(filesBefore.subsetOf(after.inputFiles.toSet),
+      s"${after.inputFiles.toSet} vs $filesBefore")
+    // the snapshot log shows the delete operation
+    val ops = IcebergTable.snapshots(spark, table)
+      .orderBy($"timestamp_ms").collect().map(_.getString(2))
+    assert(ops.toSeq == Seq("append", "delete"), ops.toSeq.toString)
+    // time travel reaches back before the delete
+    val first = IcebergTable.snapshots(spark, table)
+      .orderBy($"timestamp_ms").collect().head.getLong(0)
+    assert(IcebergTable.read(spark, table, Some(first)).count() == 10)
+    // a second delete stacks another delete file
+    IcebergWriter.writeDelete(spark, table, $"id" === 1L)
+    assert(IcebergTable.read(spark, table).select($"id").as[Long]
+      .collect().sorted.toSeq == Seq(2L, 4L, 5L, 7L, 8L, 10L))
+    // empty DELETE: no-op, cursor unchanged
+    val cur = IcebergTable.currentSnapshotId(spark, table)
+    assert(IcebergWriter.writeDelete(spark, table, $"id" === 999L) ==
+      cur.get)
+    // the changelog serves the deletes row-level
+    val chg = IcebergTable.readChangelog(spark, table, first)
+      .select($"id", $"_change_type").as[(Long, String)].collect().sorted
+    assert(chg.toSeq == Seq((1L, "delete"), (3L, "delete"), (6L, "delete"),
+      (9L, "delete")), chg.toSeq.toString)
+    assert(s2 != first)
+  }
+
   test("iceberg writer: guards directed — schema, partitioned, nested") {
     val table = tmp()
     IcebergWriter.writeAppend(spark, Seq((1L, "a")).toDF("id", "text"), table)
