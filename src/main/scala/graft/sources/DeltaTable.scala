@@ -90,6 +90,13 @@ object DeltaTable {
     else None
   }
 
+  /** Resolve an `add.path` (URL-encoded, relative-or-absolute) against
+    * the table root — the ONE resolver the read path, the checkpoint
+    * writer, and the delete writer share. */
+  private[graft] def resolveAdd(base: String, rel: String): String =
+    if (rel.contains("://") || rel.startsWith("/")) PathUris.pctDecode(rel)
+    else s"$base/${PathUris.pctDecode(rel)}"
+
   /** The version of a checkpoint FILE name: classic single-file,
     * multi-part (`NNN.checkpoint.MMM.PPP.parquet`), or V2
     * (`NNN.checkpoint.<uuid>.{parquet|json}`) — the ONE parser every
@@ -459,9 +466,7 @@ object DeltaTable {
     val base = table.stripSuffix("/")
     // add.path is percent-encoded whether relative OR absolute
     // (PROTOCOL.md); strict RFC 3986 decoding, '+' untouched
-    def resolve(rel: String): String =
-      if (rel.contains("://") || rel.startsWith("/")) PathUris.pctDecode(rel)
-      else s"$base/${PathUris.pctDecode(rel)}"
+    def resolve(rel: String): String = resolveAdd(base, rel)
     val outSchema =
       if (!keepRowKey) full
       else StructType(full.fields ++ Seq(

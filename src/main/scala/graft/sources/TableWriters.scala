@@ -190,6 +190,30 @@ object TableCommit {
     canon(a) == canon(b)
   }
 
+  /** JSON string escaping for log lines: quote, backslash, and control
+    * characters (an unescaped newline in a value would corrupt the
+    * one-action-per-line log). */
+  private[sources] def jsonEscape(v: String): String = {
+    val sb = new java.lang.StringBuilder(v.length + 8)
+    v.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < 0x20 => sb.append("\\u").append(f"${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** The partitionValues JSON body: null values as protocol JSON null,
+    * everything else escaped — shared by the append and delete commit
+    * builders. */
+  private[sources] def partitionValuesJson(pv: Map[String, String]): String =
+    pv.map { case (k, v) =>
+      if (v == null || v == "__HIVE_DEFAULT_PARTITION__")
+        s""""${jsonEscape(k)}":null"""
+      else s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
+    }.mkString(",")
+
   /** Segment-wise percent-encoding for a log-relative path (PROTOCOL.md:
     * `add.path` is a URL-encoded relative path). */
   private[sources] def pctEncodeRel(rel: String): String =
@@ -250,12 +274,9 @@ object DeltaWriter {
       }.toMap
     val ts = System.currentTimeMillis()
     val adds = files.map { case (rel, _, size) =>
-      val pv = partValues(rel).map { case (k, v) =>
-        // Spark's null-partition sentinel directory becomes the
-        // protocol's JSON null, not a literal string
-        if (v == "__HIVE_DEFAULT_PARTITION__") s""""${k}":null"""
-        else s""""${k}":"${v.replace("\\", "\\\\").replace("\"", "\\\"")}""""
-      }.mkString(",")
+      // Spark's null-partition sentinel directory becomes the protocol's
+      // JSON null inside the shared builder
+      val pv = partitionValuesJson(partValues(rel))
       s"""{"add":{"path":"${pctEncodeRel(rel)}","partitionValues":{$pv},""" +
         s""""size":$size,"modificationTime":$ts,"dataChange":true}}"""
     }
@@ -309,11 +330,20 @@ object DeltaWriter {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val logPath = new Path(s"$base/_delta_log")
     val fs = logPath.getFileSystem(conf)
-    val (version, _, _, _, _, files, proto) =
+    val (version, _, _, _, config, files, proto) =
       DeltaTable.snapshotState(spark, table)
-    def resolve(rel: String): String =
-      if (rel.contains("://") || rel.startsWith("/")) PathUris.pctDecode(rel)
-      else s"$base/${PathUris.pctDecode(rel)}"
+    // writer obligations this delete cannot honor are directed, never
+    // silently violated
+    if (proto.writerFeatures.contains("rowTracking")) throw UnsupportedWrite(
+      s"$table: DELETE on a rowTracking table is not implemented " +
+        "(re-added files would lose their baseRowId)")
+    // the appendOnly FEATURE being supported is not the same as being
+    // enabled — only the table property turns it on (PROTOCOL.md)
+    if (config.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
+      throw UnsupportedWrite(
+        s"$table: the table is append-only — DELETE is forbidden by its " +
+          "own contract")
+    def resolve(rel: String): String = DeltaTable.resolveAdd(base, rel)
     val fileByKey: Map[String, (String, Map[String, String],
       Option[DeletionVector.Descriptor])] =
       files.map(f => PathUris.canon(resolve(f._1)) -> f).toMap
@@ -328,10 +358,6 @@ object DeltaWriter {
     val ts = System.currentTimeMillis()
     val dvLines = Seq.newBuilder[String]
     val newDvFiles = Seq.newBuilder[String]
-    def pvJson(pv: Map[String, String]): String = pv.map { case (k, v) =>
-      if (v == null) s""""${k}":null"""
-      else s""""${k}":"${v.replace("\\", "\\\\").replace("\"", "\\\"")}""""
-    }.mkString(",")
     def dvJson(d: DeletionVector.Descriptor): String =
       s"""{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}",""" +
         (d.offset.map(o => s""""offset":$o,""").getOrElse("")) +
@@ -349,7 +375,7 @@ object DeltaWriter {
       val all = (oldPos ++ newPos).distinct.sorted
       val abs = resolve(rawPath)
       val fileRows = rowCounts(Seq(abs), conf).head
-      val pvs = pvJson(pv)
+      val pvs = partitionValuesJson(pv)
       val oldDvJson = oldDv.map(d => s""","deletionVector":${dvJson(d)}""")
         .getOrElse("")
       dvLines += s"""{"remove":{"path":"$rawPath","deletionTimestamp":$ts,""" +
@@ -368,14 +394,33 @@ object DeltaWriter {
           s""""deletionVector":${dvJson(nd)}}}"""
       } // else: every live row died — the remove alone retires the file
     }
-    // first DV on this table upgrades the protocol, preserving features
+    // first DV on this table upgrades the protocol. A LEGACY protocol's
+    // version numbers IMPLY features (PROTOCOL.md's upgrade rule) — the
+    // upgrade must enumerate them or contracts like changeDataFeed and
+    // invariants silently vanish for other writers.
     val needsUpgrade = proto.minReaderVersion < 3 ||
       !proto.readerFeatures.contains("deletionVectors")
     val protoLine =
       if (!needsUpgrade) Nil
       else {
-        val rf = (proto.readerFeatures :+ "deletionVectors").distinct
-        val wf = (proto.writerFeatures :+ "deletionVectors").distinct
+        val legacyReader =
+          if (proto.minReaderVersion >= 3) Nil
+          else if (proto.minReaderVersion >= 2) Seq("columnMapping")
+          else Nil
+        val legacyWriter =
+          if (proto.minWriterVersion >= 7) Nil
+          else Seq(
+            ((proto.minWriterVersion >= 2), Seq("appendOnly", "invariants")),
+            ((proto.minWriterVersion >= 3), Seq("checkConstraints")),
+            ((proto.minWriterVersion >= 4),
+              Seq("changeDataFeed", "generatedColumns")),
+            ((proto.minWriterVersion >= 5), Seq("columnMapping")),
+            ((proto.minWriterVersion >= 6), Seq("identityColumns")))
+            .collect { case (true, fsq) => fsq }.flatten
+        val rf = (proto.readerFeatures ++ legacyReader :+
+          "deletionVectors").distinct
+        val wf = (proto.writerFeatures ++ legacyWriter :+
+          "deletionVectors").distinct
         Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
           s""""readerFeatures":[${rf.map(f => s""""$f"""").mkString(",")}],""" +
           s""""writerFeatures":[${wf.map(f => s""""$f"""").mkString(",")}]}}""")
@@ -471,10 +516,11 @@ object DeltaWriter {
         directTxn()
       if (cols.contains("remove")) {
         val rCols = cp.select(col("remove.*")).columns.toSet
-        val tsCol =
+        val tsCol = org.apache.spark.sql.functions.coalesce(
           if (rCols.contains("deletionTimestamp"))
             col("remove.deletionTimestamp")
-          else org.apache.spark.sql.functions.lit(0L)
+          else org.apache.spark.sql.functions.lit(0L),
+          org.apache.spark.sql.functions.lit(0L)) // the field is optional
         cp.select(col("remove.path"), tsCol.cast("long"))
           .filter(col("path").isNotNull).collect().foreach { r =>
             removeRows += Row(null, null, null,
@@ -515,9 +561,7 @@ object DeltaWriter {
       if (pq.nonEmpty)
         sweepActionParquet(pq.map(n => s"$base/_delta_log/$n"))
     }
-    def resolve(rel: String): String =
-      if (rel.contains("://") || rel.startsWith("/")) PathUris.pctDecode(rel)
-      else s"$base/${PathUris.pctDecode(rel)}"
+    def resolve(rel: String): String = DeltaTable.resolveAdd(base, rel)
     val dvType = StructType(Seq(
       StructField("storageType", StringType),
       StructField("pathOrInlineDv", StringType),
@@ -687,6 +731,59 @@ object IcebergWriter {
          {"name": "sequence_number", "type": "long"},
          {"name": "partition_spec_id", "type": "int"}]}"""
 
+  /** The mutable-ish table state an Iceberg commit starts from. */
+  private final case class TableState(meta: JValue,
+      carried: Seq[(String, String)], lastSeq: Long,
+      snapshots: Seq[JValue], metaVersion: Long,
+      priorManifests: Seq[(String, Long, Int, Long, Int)])
+
+  /** Load the commit-relevant state from the latest metadata json: the
+    * carried-verbatim fields, sequence/snapshot bookkeeping, and the
+    * current snapshot's manifest-list rows — shared by append and
+    * delete. */
+  private def loadState(spark: SparkSession,
+      fs: FileSystem, base: String): TableState = {
+    val metaPath = IcebergTable.latestMetadata(fs, base)
+    val meta = JsonMethods.parse(FsText.read(fs, metaPath))
+    val carried = meta match {
+      case JObject(fields) => fields.filterNot { case (k, _) =>
+        Set("last-sequence-number", "current-snapshot-id", "snapshots")(k)
+      }.map { case (k, v) =>
+        k -> JsonMethods.compact(JsonMethods.render(v))
+      }
+      case _ => Nil
+    }
+    val snapshots = (meta \ "snapshots").extractOpt[Seq[JValue]]
+      .getOrElse(Nil)
+    var priorManifests: Seq[(String, Long, Int, Long, Int)] = Nil
+    (meta \ "current-snapshot-id").extractOpt[Long].filter(_ != -1L)
+      .foreach { cur =>
+        snapshots.find(sn =>
+          (sn \ "snapshot-id").extractOpt[Long].contains(cur))
+          .flatMap(sn => (sn \ "manifest-list").extractOpt[String])
+          .foreach { ml =>
+            val rows = AvroOcf.read(spark, ml)
+            val cols = rows.columns.toSet
+            def colOr(n: String, d: org.apache.spark.sql.Column) =
+              if (cols.contains(n)) col(n) else d
+            import org.apache.spark.sql.functions.lit
+            priorManifests = rows.select(col("manifest_path"),
+                colOr("manifest_length", lit(0L)).cast("long"),
+                colOr("content", lit(0)).cast("int"),
+                colOr("sequence_number", lit(0L)).cast("long"),
+                colOr("partition_spec_id", lit(0)).cast("int"))
+              .collect().toSeq.map(r => (r.getString(0), r.getLong(1),
+                r.getInt(2), r.getLong(3), r.getInt(4)))
+          }
+      }
+    TableState(meta, carried,
+      (meta \ "last-sequence-number").extractOpt[Long].getOrElse(0L),
+      snapshots,
+      metaPath.getName.stripSuffix(".metadata.json").stripPrefix("v")
+        .toLongOption.getOrElse(0L),
+      priorManifests)
+  }
+
   /** Append `df` to (or create) the Iceberg table at `table` as one new
     * snapshot. Returns the snapshot id. `partitionBy` (CREATE only —
     * appends inherit the table's spec) builds an IDENTITY partition
@@ -716,21 +813,19 @@ object IcebergWriter {
     // every metadata field this writer does not manage carries forward
     // VERBATIM (properties, refs, sort-orders, snapshot-log, …) — an
     // append must never silently erase table state it did not parse
-    var carried: Seq[JField] = Nil
+    var carried: Seq[(String, String)] = Nil
     if (exists) {
-      val metaPath = IcebergTable.latestMetadata(fs, base)
-      val meta = JsonMethods.parse(FsText.read(fs, metaPath))
+      val st = loadState(spark, fs, base)
+      val meta = st.meta
       val fv = (meta \ "format-version").extract[Int]
       if (fv != 2) throw UnsupportedWrite(
         s"$table: appending to a format-version $fv table is not " +
           "implemented (v2 only — a v1 target would be silently upgraded)")
-      carried = meta match {
-        case JObject(fields) => fields.filterNot { case (k, _) =>
-          Set("last-sequence-number", "current-snapshot-id",
-            "snapshots")(k)
-        }
-        case _ => Nil
-      }
+      carried = st.carried
+      lastSeq = st.lastSeq
+      snapshots = st.snapshots
+      metaVersion = st.metaVersion
+      priorManifests = st.priorManifests
       // appends INHERIT the table's default spec — identity-only; a
       // default-spec-id that resolves to nothing is a directed error
       // (falling through to an unpartitioned append would write files
@@ -759,33 +854,6 @@ object IcebergWriter {
         s"$table: append schema ${df.schema.simpleString} != table " +
           s"schema ${existing.simpleString}")
       schemaJson = JsonMethods.compact(JsonMethods.render(schemas))
-      lastSeq = (meta \ "last-sequence-number").extractOpt[Long].getOrElse(0L)
-      snapshots = (meta \ "snapshots").extractOpt[Seq[JValue]].getOrElse(Nil)
-      metaVersion = metaPath.getName.stripSuffix(".metadata.json")
-        .stripPrefix("v").toLongOption.getOrElse(0L)
-      // the CURRENT snapshot's manifest list carries forward
-      (meta \ "current-snapshot-id").extractOpt[Long].filter(_ != -1L)
-        .foreach { cur =>
-          snapshots.find(sn =>
-            (sn \ "snapshot-id").extractOpt[Long].contains(cur))
-            .flatMap(sn => (sn \ "manifest-list").extractOpt[String])
-            .foreach { ml =>
-              val rows = AvroOcf.read(spark, ml)
-              val cols = rows.columns.toSet
-              def colOr(n: String, d: org.apache.spark.sql.Column) =
-                if (cols.contains(n)) org.apache.spark.sql.functions.col(n)
-                else d
-              import org.apache.spark.sql.functions.lit
-              priorManifests = rows.select(
-                  org.apache.spark.sql.functions.col("manifest_path"),
-                  colOr("manifest_length", lit(0L)).cast("long"),
-                  colOr("content", lit(0)).cast("int"),
-                  colOr("sequence_number", lit(0L)).cast("long"),
-                  colOr("partition_spec_id", lit(0)).cast("int"))
-                .collect().toSeq.map(r => (r.getString(0), r.getLong(1),
-                  r.getInt(2), r.getLong(3), r.getInt(4)))
-            }
-        }
     } else {
       schemaJson = schemaJsonOf(df.schema)
     }
@@ -804,11 +872,31 @@ object IcebergWriter {
     // re-scan of the input, no double evaluation of a non-deterministic
     // plan.
     import org.apache.spark.sql.functions.{col => fcol}
-    val helperOf = partCols.map(c => c -> s"p__$c").toMap
+    // helper names must not shadow REAL columns (a collision would
+    // silently exclude the genuine column from the data files)
+    val helperOf = partCols.map { c =>
+      var h = s"p__$c"
+      while (df.schema.fieldNames.contains(h)) h += "_"
+      c -> h
+    }.toMap
     val filesWithTuple: Seq[((String, String, Long), Seq[Any])] =
       if (partCols.isEmpty)
         writeData(df, base, Nil, "data", conf).map(f => (f, Nil))
       else {
+        // Spark's partition-dir encoding folds "" and the literal
+        // sentinel into __HIVE_DEFAULT_PARTITION__ alongside null — the
+        // manifest tuple would silently record null for a real value
+        val strCols = partCols.filter(c =>
+          df.schema(c).dataType == StringType)
+        if (strCols.nonEmpty) {
+          val ambiguous = strCols.map(c =>
+            fcol(c) === "" || fcol(c) === "__HIVE_DEFAULT_PARTITION__")
+            .reduce(_ || _)
+          if (!df.filter(ambiguous).isEmpty) throw UnsupportedWrite(
+            s"$table: a string partition value is '' or the hive null " +
+              "sentinel — the directory encoding cannot represent it " +
+              "distinctly from null")
+        }
         val df2 = partCols.foldLeft(df)((d, c) =>
           d.withColumn(helperOf(c), fcol(c)))
         writeData(df2, base, partCols.map(helperOf), "data", conf).map { f =>
@@ -863,9 +951,7 @@ object IcebergWriter {
       "default-spec-id" -> "0")
     commitSnapshot(fs, conf, base, table, snapId, newSeq, ts, "append",
       manifestPath, attempt, specId,
-      if (exists) carried.map { case (k, v) =>
-        k -> JsonMethods.compact(JsonMethods.render(v))
-      } else createFields,
+      if (exists) carried else createFields,
       snapshots, priorManifests, metaVersion, files.map(_._2))
     snapId
   }
@@ -931,8 +1017,8 @@ object IcebergWriter {
     val base = table.stripSuffix("/")
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val fs = new Path(base).getFileSystem(conf)
-    val metaPath = IcebergTable.latestMetadata(fs, base)
-    val meta = JsonMethods.parse(FsText.read(fs, metaPath))
+    val st = loadState(spark, fs, base)
+    val meta = st.meta
     val fv = (meta \ "format-version").extract[Int]
     if (fv != 2) throw UnsupportedWrite(
       s"$table: positional deletes target format-version 2 (table is $fv)")
@@ -942,45 +1028,15 @@ object IcebergWriter {
       throw UnsupportedWrite(
         s"$table: row-level deletes on a PARTITIONED table are not " +
           "implemented")
-    val carried = meta match {
-      case JObject(fields) => fields.filterNot { case (k, _) =>
-        Set("last-sequence-number", "current-snapshot-id", "snapshots")(k)
-      }.map { case (k, v) =>
-        k -> JsonMethods.compact(JsonMethods.render(v))
-      }
-      case _ => Nil
-    }
-    val lastSeq = (meta \ "last-sequence-number").extractOpt[Long]
-      .getOrElse(0L)
-    val snapshots = (meta \ "snapshots").extractOpt[Seq[JValue]]
-      .getOrElse(Nil)
-    val metaVersion = metaPath.getName.stripSuffix(".metadata.json")
-      .stripPrefix("v").toLongOption.getOrElse(0L)
     val currentId = (meta \ "current-snapshot-id").extractOpt[Long]
       .filter(_ != -1L).getOrElse(throw UnsupportedWrite(
         s"$table: no current snapshot — nothing to delete from"))
-    var priorManifests: Seq[(String, Long, Int, Long, Int)] = Nil
-    snapshots.find(sn =>
-      (sn \ "snapshot-id").extractOpt[Long].contains(currentId))
-      .flatMap(sn => (sn \ "manifest-list").extractOpt[String])
-      .foreach { ml =>
-        val rows = AvroOcf.read(spark, ml)
-        val cols = rows.columns.toSet
-        def colOr(n: String, d: org.apache.spark.sql.Column) =
-          if (cols.contains(n)) fcol(n) else d
-        import org.apache.spark.sql.functions.lit
-        priorManifests = rows.select(fcol("manifest_path"),
-            colOr("manifest_length", lit(0L)).cast("long"),
-            colOr("content", lit(0)).cast("int"),
-            colOr("sequence_number", lit(0L)).cast("long"),
-            colOr("partition_spec_id", lit(0)).cast("int"))
-          .collect().toSeq.map(r => (r.getString(0), r.getLong(1),
-            r.getInt(2), r.getLong(3), r.getInt(4)))
-      }
     // matching rows → (manifest-spelled file path, position), fully
     // DISTRIBUTED: the canonical row key maps back to the raw manifest
     // path through a broadcast dimension so foreign readers' raw-string
-    // compares still match; sorted within each delete file per spec
+    // compares still match; sorted within each delete file per spec.
+    // ONE scan: the plan is written straight to parquet and "nothing
+    // matched" is detected from the written files' footer counts.
     import spark.implicits._
     val rawPaths = IcebergTable.activeDataPaths(spark, table)
     val pathDim = rawPaths.map(p => (PathUris.canon(p), p))
@@ -991,22 +1047,28 @@ object IcebergWriter {
       .join(broadcast(pathDim), "__ck")
       .select(fcol("file_path"), fcol("pos").cast("long"))
       .sortWithinPartitions(fcol("file_path"), fcol("pos"))
-    if (delRows.isEmpty) return currentId // empty DELETE: no-op
     val files = writeData(delRows, base, Nil, "data", conf)
     val counts = rowCounts(files.map(_._2), conf)
-    val newSeq = lastSeq + 1
-    val snapId = (snapshots.flatMap(sn =>
+    if (counts.sum == 0) { // empty DELETE: no-op, no empty snapshot
+      cleanup(fs, files.map(_._2))
+      return currentId
+    }
+    val newSeq = st.lastSeq + 1
+    val snapId = (st.snapshots.flatMap(sn =>
       (sn \ "snapshot-id").extractOpt[Long]) :+ 0L).max + 1
     val ts = System.currentTimeMillis()
     val attempt = java.util.UUID.randomUUID().toString
     val manifestPath = s"$base/metadata/m-$attempt.avro"
+    // files with zero delete rows add nothing but manifest noise
+    val nonEmpty = files.zip(counts).filter(_._2 > 0)
+    cleanup(fs, files.zip(counts).filter(_._2 == 0).map(_._1._2))
     AvroOcf.write(manifestPath, manifestAvroSchema(Nil),
-      files.zip(counts).map { case ((_, abs, _), n) =>
+      nonEmpty.map { case ((_, abs, _), n) =>
         Seq(1, newSeq, Seq(1, abs, "PARQUET", n)) // content 1: pos deletes
       })
     commitSnapshot(fs, conf, base, table, snapId, newSeq, ts, "delete",
-      manifestPath, attempt, 0, carried, snapshots, priorManifests,
-      metaVersion, files.map(_._2))
+      manifestPath, attempt, 0, st.carried, st.snapshots,
+      st.priorManifests, st.metaVersion, nonEmpty.map(_._1._2))
     snapId
   }
 }
