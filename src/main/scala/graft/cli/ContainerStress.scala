@@ -415,6 +415,31 @@ object ContainerStress {
       s"[stress] writer round trip lost rows: delta ${wdAgg.getLong(0)}, " +
         s"iceberg ${wiAgg.getLong(0)} of $n")
 
+    // ---- row-level DELETE through the writers: kill 10% of the rows
+    // just written, then read the survivors — no data file rewritten
+    val (vDel, tDdel) = time(
+      DeltaWriter.writeDelete(spark, wDelta, $"id" % 10 === 0))
+    val (wdAgg2, tWdRead2) = time(
+      graft.sources.DeltaTable.read(spark, wDelta)
+        .agg(count(lit(1)), sum($"id")).head())
+    println(f"[stress] delta-dv-delete: 10%% of $n rows deleted by " +
+      f"deletion vector in $tDdel%.2f s (commit $vDel), survivor scan " +
+      f"$tWdRead2%.2f s; rows ${wdAgg.getLong(0)} -> ${wdAgg2.getLong(0)}")
+    val (sDel, tIdel) = time(
+      IcebergWriter.writeDelete(spark, wIce, $"id" % 10 === 0))
+    val (wiAgg2, tWiRead2) = time(
+      graft.sources.IcebergTable.read(spark, wIce)
+        .agg(count(lit(1)), sum($"id")).head())
+    println(f"[stress] iceberg-pos-delete: same 10%% deleted as a " +
+      f"DISTRIBUTED positional-delete file in $tIdel%.2f s (snapshot " +
+      f"$sDel), survivor scan $tWiRead2%.2f s; rows ${wiAgg.getLong(0)} " +
+      s"-> ${wiAgg2.getLong(0)}")
+    require(wdAgg2.getLong(0) == wiAgg2.getLong(0) &&
+      wdAgg2.getLong(1) == wiAgg2.getLong(1),
+      s"[stress] the two formats' delete paths disagree: " +
+        s"${wdAgg2.getLong(0)}/${wdAgg2.getLong(1)} vs " +
+        s"${wiAgg2.getLong(0)}/${wiAgg2.getLong(1)}")
+
     spark.stop()
   }
 }
