@@ -209,8 +209,11 @@ object TableCommit {
     * builders. */
   private[sources] def partitionValuesJson(pv: Map[String, String]): String =
     pv.map { case (k, v) =>
-      if (v == null || v == "__HIVE_DEFAULT_PARTITION__")
-        s""""${jsonEscape(k)}":null"""
+      // only REAL nulls become JSON null — a foreign log may carry the
+      // hive sentinel as a literal value, which a re-emitting writer
+      // (writeDelete) must round-trip verbatim; DIRECTORY-parsed values
+      // convert the sentinel to null before reaching this builder
+      if (v == null) s""""${jsonEscape(k)}":null"""
       else s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
     }.mkString(",")
 
@@ -264,13 +267,37 @@ object DeltaWriter {
       if (!schema.fieldNames.contains(c)) throw UnsupportedWrite(
         s"$table: partition column '$c' is not in the schema")
     }
+    // Spark's partition-dir encoding folds "" and the literal sentinel
+    // into the null directory; Delta data files EXCLUDE partition
+    // columns, so the value would be unrecoverable — directed up front
+    // (one extra scan on partitioned string-column appends; best-effort
+    // for non-deterministic plans, which re-evaluate between scans)
+    locally {
+      import org.apache.spark.sql.functions.{col => fcol}
+      val strCols = partCols.filter(c =>
+        schema(c).dataType == org.apache.spark.sql.types.StringType)
+      if (strCols.nonEmpty) {
+        val ambiguous = strCols.map(c =>
+          fcol(c) === "" || fcol(c) === "__HIVE_DEFAULT_PARTITION__")
+          .reduce(_ || _)
+        if (!df.filter(ambiguous).isEmpty) throw UnsupportedWrite(
+          s"$table: a string partition value is '' or the hive null " +
+            "sentinel — the directory encoding cannot represent it " +
+            "distinctly from null, and delta data files do not retain " +
+            "partition columns")
+      }
+    }
     val files = writeData(df, base, partCols, "", conf)
     // partitionValues from the k=v dirs Spark built (its own escaping)
     def partValues(rel: String): Map[String, String] =
       rel.split('/').dropRight(1).flatMap { seg =>
         val i = seg.indexOf('=')
         if (i <= 0) None
-        else Some(seg.take(i) -> PathUris.pctDecode(seg.drop(i + 1)))
+        else {
+          val raw = PathUris.pctDecode(seg.drop(i + 1))
+          Some(seg.take(i) ->
+            (if (raw == "__HIVE_DEFAULT_PARTITION__") null else raw))
+        }
       }.toMap
     val ts = System.currentTimeMillis()
     val adds = files.map { case (rel, _, size) =>
@@ -284,8 +311,7 @@ object DeltaWriter {
       if (version > 0L)
         Seq(s"""{"commitInfo":{"timestamp":$ts,"operation":"WRITE"}}""")
       else {
-        val schemaStr = schema.json.replace("\\", "\\\\")
-          .replace("\"", "\\\"")
+        val schemaStr = jsonEscape(schema.json)
         Seq(
           s"""{"commitInfo":{"timestamp":$ts,"operation":"CREATE TABLE AS SELECT"}}""",
           """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
@@ -403,10 +429,9 @@ object DeltaWriter {
     val protoLine =
       if (!needsUpgrade) Nil
       else {
-        val legacyReader =
-          if (proto.minReaderVersion >= 3) Nil
-          else if (proto.minReaderVersion >= 2) Seq("columnMapping")
-          else Nil
+        // columnMapping is implied only by (reader 2, writer 5) BOTH —
+        // and the replay already rejects reader-2 tables, so it is
+        // never legacy-implied on a table that reaches this writer
         val legacyWriter =
           if (proto.minWriterVersion >= 7) Nil
           else Seq(
@@ -414,11 +439,9 @@ object DeltaWriter {
             ((proto.minWriterVersion >= 3), Seq("checkConstraints")),
             ((proto.minWriterVersion >= 4),
               Seq("changeDataFeed", "generatedColumns")),
-            ((proto.minWriterVersion >= 5), Seq("columnMapping")),
             ((proto.minWriterVersion >= 6), Seq("identityColumns")))
             .collect { case (true, fsq) => fsq }.flatten
-        val rf = (proto.readerFeatures ++ legacyReader :+
-          "deletionVectors").distinct
+        val rf = (proto.readerFeatures :+ "deletionVectors").distinct
         val wf = (proto.writerFeatures ++ legacyWriter :+
           "deletionVectors").distinct
         Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
@@ -873,30 +896,21 @@ object IcebergWriter {
     // plan.
     import org.apache.spark.sql.functions.{col => fcol}
     // helper names must not shadow REAL columns (a collision would
-    // silently exclude the genuine column from the data files)
+    // silently exclude the genuine column from the data files) — Spark
+    // resolves case-INSENSITIVELY by default, and helpers must not
+    // collide with each other either
+    val taken = scala.collection.mutable.Set(
+      df.schema.fieldNames.map(_.toLowerCase): _*)
     val helperOf = partCols.map { c =>
       var h = s"p__$c"
-      while (df.schema.fieldNames.contains(h)) h += "_"
+      while (taken.contains(h.toLowerCase)) h += "_"
+      taken += h.toLowerCase
       c -> h
     }.toMap
     val filesWithTuple: Seq[((String, String, Long), Seq[Any])] =
       if (partCols.isEmpty)
         writeData(df, base, Nil, "data", conf).map(f => (f, Nil))
       else {
-        // Spark's partition-dir encoding folds "" and the literal
-        // sentinel into __HIVE_DEFAULT_PARTITION__ alongside null — the
-        // manifest tuple would silently record null for a real value
-        val strCols = partCols.filter(c =>
-          df.schema(c).dataType == StringType)
-        if (strCols.nonEmpty) {
-          val ambiguous = strCols.map(c =>
-            fcol(c) === "" || fcol(c) === "__HIVE_DEFAULT_PARTITION__")
-            .reduce(_ || _)
-          if (!df.filter(ambiguous).isEmpty) throw UnsupportedWrite(
-            s"$table: a string partition value is '' or the hive null " +
-              "sentinel — the directory encoding cannot represent it " +
-              "distinctly from null")
-        }
         val df2 = partCols.foldLeft(df)((d, c) =>
           d.withColumn(helperOf(c), fcol(c)))
         writeData(df2, base, partCols.map(helperOf), "data", conf).map { f =>
@@ -914,6 +928,30 @@ object IcebergWriter {
         }
       }
     val files = filesWithTuple.map(_._1)
+    // Spark's partition-dir encoding folds "" and the literal sentinel
+    // into the null directory. Iceberg data files RETAIN the real
+    // columns, so the check is post-write and race-free: a file whose
+    // dir parsed as null must hold only nulls in that column — touched
+    // only for suspicious files, no extra scan of the input.
+    locally {
+      val strIdx = partCols.zipWithIndex.filter { case (c, _) =>
+        df.schema(c).dataType == StringType }
+      val suspicious = filesWithTuple.filter { case (_, t) =>
+        strIdx.exists { case (_, i) => t(i) == null } }
+      if (suspicious.nonEmpty) {
+        val bad = spark.read.parquet(suspicious.map(_._1._2): _*)
+          .select(strIdx.map { case (c, _) => fcol(c) }: _*)
+          .filter(strIdx.map { case (c, _) => fcol(c).isNotNull }
+            .reduce(_ || _))
+        if (!bad.isEmpty) {
+          cleanup(fs, files.map(_._2))
+          throw UnsupportedWrite(
+            s"$table: a string partition value is '' or the hive null " +
+              "sentinel — the directory encoding cannot represent it " +
+              "distinctly from null")
+        }
+      }
+    }
     val counts = rowCounts(files.map(_._2), conf)
     val newSeq = lastSeq + 1
     val snapIds = snapshots.flatMap(sn =>
@@ -1031,6 +1069,16 @@ object IcebergWriter {
     val currentId = (meta \ "current-snapshot-id").extractOpt[Long]
       .filter(_ != -1L).getOrElse(throw UnsupportedWrite(
         s"$table: no current snapshot — nothing to delete from"))
+    // the delete manifest is tagged with the table's DEFAULT spec id —
+    // a dangling spec-0 reference would break stock readers on tables
+    // whose empty spec evolved to a nonzero id
+    val delSpecs = (meta \ "partition-specs").extractOpt[Seq[JValue]]
+      .getOrElse(Nil)
+    val delSpecId = (meta \ "default-spec-id").extractOpt[Int].getOrElse(0)
+    if (delSpecs.nonEmpty && !delSpecs.exists(sp =>
+      (sp \ "spec-id").extractOpt[Int].contains(delSpecId)))
+      throw UnsupportedWrite(
+        s"$table: default-spec-id $delSpecId is not in partition-specs")
     // matching rows → (manifest-spelled file path, position), fully
     // DISTRIBUTED: the canonical row key maps back to the raw manifest
     // path through a broadcast dimension so foreign readers' raw-string
@@ -1067,7 +1115,7 @@ object IcebergWriter {
         Seq(1, newSeq, Seq(1, abs, "PARQUET", n)) // content 1: pos deletes
       })
     commitSnapshot(fs, conf, base, table, snapId, newSeq, ts, "delete",
-      manifestPath, attempt, 0, st.carried, st.snapshots,
+      manifestPath, attempt, delSpecId, st.carried, st.snapshots,
       st.priorManifests, st.metaVersion, nonEmpty.map(_._1._2))
     snapId
   }
