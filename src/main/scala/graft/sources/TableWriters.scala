@@ -10,30 +10,36 @@ import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-/** Minimal TRANSACTIONAL APPEND writers for the two open table formats —
-  * the publish half that lets a pipeline emit datasets the same engine
-  * (and any stock Delta/Iceberg reader) consumes, instead of bare parquet
+/** TRANSACTIONAL writers for the two open table formats — the publish
+  * half that lets a pipeline emit datasets the same engine (and any
+  * stock Delta/Iceberg reader) consumes, instead of bare parquet
   * directories. Both follow the formats' own commit protocols:
   *
-  *  - [[DeltaWriter]]: distributed parquet write (partitionBy-aware, data
-  *    files exclude partition columns per PROTOCOL.md), then ONE
-  *    `_delta_log/N.json` commit — protocol + metaData on create, add
-  *    actions with partitionValues and sizes, commitInfo — placed with an
-  *    EXCLUSIVE create (hard-link on local FS, fail-on-existing rename on
-  *    HDFS-class stores), so a concurrent commit of the same version is a
-  *    directed [[TableCommit.CommitConflict]], never a silent overwrite.
-  *  - [[IcebergWriter]]: data files under `data/`, a new Avro manifest
-  *    (ADDED entries with explicit data sequence numbers), a manifest
-  *    list carrying the previous snapshot's manifests plus the new one,
-  *    and a `v(N+1).metadata.json` committed exclusively before the
-  *    `version-hint.text` swap (the HadoopTableOperations protocol).
+  *  - [[DeltaWriter]]: `writeAppend` (distributed parquet write,
+  *    partitionBy-aware, data files exclude partition columns per
+  *    PROTOCOL.md; ONE `_delta_log/N.json` commit), `writeDelete`
+  *    (row-level deletes as DELETION VECTORS — no data file rewritten),
+  *    and `writeCheckpoint` (classic checkpoint + `_last_checkpoint`,
+  *    the log compaction a long-followed table needs). Commits are
+  *    placed with an EXCLUSIVE create (hard-link on local FS,
+  *    fail-on-existing rename on HDFS-class stores), so a concurrent
+  *    commit of the same version is a directed
+  *    [[TableCommit.CommitConflict]], never a silent overwrite.
+  *  - [[IcebergWriter]]: `writeAppend` (identity-partitioned or flat;
+  *    data files under `data/`, a uuid'd Avro manifest with explicit
+  *    data sequence numbers, a manifest list carrying the previous
+  *    snapshot's manifests, `v(N+1).metadata.json` committed exclusively
+  *    before the `version-hint.text` swap — the HadoopTableOperations
+  *    protocol) and `writeDelete` (row-level deletes as DISTRIBUTED
+  *    positional-delete files, the v2 merge-on-read shape).
   *
-  * Scale model: the DATA write is Spark's native distributed parquet
+  * Scale model: the DATA writes are Spark's native distributed parquet
   * sink; driver work is O(files) metadata (moves, footer row counts, log
   * lines) — the same bookkeeping every Delta/Iceberg writer performs.
   * Deliberately out of scope (directed errors, never silent): schema
-  * evolution on append, column-mapped Delta tables, partitioned Iceberg
-  * writes, nested types in new Iceberg schemas. */
+  * evolution on append, column-mapped Delta write targets, non-identity
+  * Iceberg partition transforms, nested types in new Iceberg schemas,
+  * txn/rowTracking state a checkpoint or delete cannot carry. */
 object TableCommit {
   final case class CommitConflict(msg: String) extends RuntimeException(msg)
   final case class UnsupportedWrite(msg: String) extends RuntimeException(msg)
