@@ -407,6 +407,83 @@ object DeltaTable {
     case o => o
   }
 
+  /** One file's parquet message type — an O(KB) footer read. */
+  private def footerSchema(path: String, conf: Configuration)
+      : org.apache.parquet.schema.GroupType = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(path), conf))
+    try reader.getFooter.getFileMetaData.getSchema finally reader.close()
+  }
+
+  /** The id-mode read schema for ONE file: `expected` (the physical
+    * schema, every field carrying `parquet.field.id` metadata) RENAMED to
+    * the file's actual column names by matching field ids, recursively
+    * through structs (including list elements and map values). A field id
+    * absent from the file reads as null under a collision-proof
+    * placeholder name — matching by the physical NAME there would be
+    * wrong, since a same-named column with a different id may exist (ids,
+    * not names, are authoritative in id mode). A duplicated id in the
+    * file is a directed error. */
+  private def resolveByFieldId(expected: StructType,
+      g: org.apache.parquet.schema.GroupType, where: String): StructType = {
+    import org.apache.parquet.schema.{GroupType => PGroup, Type => PType}
+    import scala.jdk.CollectionConverters._
+    val byId = scala.collection.mutable.Map.empty[Int, PType]
+    val dup = scala.collection.mutable.Set.empty[Int]
+    g.getFields.asScala.foreach { t =>
+      Option(t.getId).map(_.intValue).foreach { id =>
+        if (byId.contains(id)) dup += id else byId(id) = t
+      }
+    }
+    // the parquet ELEMENT type of a (3-level or legacy 2-level) LIST group
+    def listElement(lg: PGroup): PType = {
+      val rep = lg.getType(0)
+      if (rep.isPrimitive) rep
+      else {
+        val rg = rep.asGroupType
+        // 3-level: repeated wrapper group with exactly one field; a
+        // repeated group that IS the element (legacy) keeps itself
+        if (rg.getFieldCount == 1 &&
+          rep.getRepetition == PType.Repetition.REPEATED &&
+          rg.getLogicalTypeAnnotation == null) rg.getType(0)
+        else rep
+      }
+    }
+    def remapType(dt: DataType, t: PType): DataType = (dt, t) match {
+      case (st: StructType, gt: PGroup)
+        if gt.getLogicalTypeAnnotation == null =>
+        resolveByFieldId(st, gt, where)
+      case (ArrayType(et, n), gt: PGroup) =>
+        val elem = listElement(gt)
+        if (elem.isPrimitive) ArrayType(et, n)
+        else ArrayType(remapType(et, elem), n)
+      case (MapType(kt, vt, n), gt: PGroup) =>
+        val kv = gt.getType(0)
+        if (kv.isPrimitive || kv.asGroupType.getFieldCount < 2)
+          MapType(kt, vt, n)
+        else MapType(kt, remapType(vt, kv.asGroupType.getType(1)), n)
+      case _ => dt
+    }
+    StructType(expected.fields.map { f =>
+      // physType(withIds = true) guarantees the metadata key exists
+      val id = f.metadata.getLong("parquet.field.id").toInt
+      if (dup(id)) throw UnsupportedDelta(
+        s"$where: parquet field id $id appears on multiple columns — " +
+          "id-mode resolution is ambiguous")
+      byId.get(id) match {
+        case None =>
+          // not in this file: read as null under a name no real column
+          // can shadow
+          StructField(s"__graft_absent_$id", f.dataType, nullable = true,
+            f.metadata)
+        case Some(t) =>
+          StructField(t.getName, remapType(f.dataType, t), f.nullable,
+            f.metadata)
+      }
+    })
+  }
+
   private def hasStruct(dt: DataType): Boolean = dt match {
     case _: StructType => true
     case ArrayType(et, _) => hasStruct(et)
@@ -446,20 +523,13 @@ object DeltaTable {
     // column mapping: files store PHYSICAL names at every nesting level;
     // read with the physical schema, then rebuild logical names
     // column-by-column (nulls preserved via isNotNull guards). In ID mode
-    // the files' column names are not authoritative — the read schema
-    // carries parquet.field.id metadata and Spark's parquet reader
-    // resolves by FIELD ID (a session conf, sticky and harmless: schemas
-    // without ids keep resolving by name everywhere else).
-    if (idMode) {
-      val k = "spark.sql.parquet.fieldId.read.enabled"
-      // a user who EXPLICITLY pinned the flag off gets a directed error,
-      // not a silent override of their session (getAll lists set keys
-      // only — getOption would report the "false" default as set)
-      if (spark.conf.getAll.get(k).contains("false")) throw UnsupportedDelta(
-        s"$table: column mapping mode 'id' needs $k=true, but the " +
-          "session explicitly sets it false")
-      spark.conf.set(k, "true")
-    }
+    // the files' column names are not authoritative — each file's footer
+    // is read (O(files) driver metadata, the same footer pass the writers'
+    // stat collection performs) and the read schema is RENAMED to that
+    // file's actual column names by matching parquet FIELD IDS. No
+    // session or hadoop conf is touched — Spark's global
+    // `spark.sql.parquet.fieldId.read.enabled` flag would leak id
+    // semantics into every concurrent parquet read of the session.
     val readSchema =
       if (mapped) physType(dataSchema, idMode).asInstanceOf[StructType]
       else dataSchema
@@ -499,10 +569,24 @@ object DeltaTable {
         }.toDF("__del_path", "__del_pos"))
     }
     // one parquet relation per distinct partition tuple, partition values
-    // injected as typed literals
-    val groups = snap.files.groupBy(_.partitionValues)
-    val parts = groups.toSeq.map { case (pv, fs) =>
-      var df = spark.read.schema(readSchema)
+    // injected as typed literals; id mode further
+    // splits by RESOLVED read schema (files written by different engines
+    // may spell the same field id with different column names)
+    val groups: Seq[(Map[String, String], Seq[AddFile], StructType)] =
+      if (!idMode)
+        snap.files.groupBy(_.partitionValues).toSeq
+          .map { case (pv, fs) => (pv, fs, readSchema) }
+      else {
+        val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+        snap.files
+          .map(f => (f, resolveByFieldId(readSchema,
+            footerSchema(resolve(f.path), conf), f.path)))
+          .groupBy(x => (x._1.partitionValues, x._2.json)).toSeq
+          .map { case (_, xs) =>
+            (xs.head._1.partitionValues, xs.map(_._1), xs.head._2) }
+      }
+    val parts = groups.map { case (pv, fs, groupSchema) =>
+      var df = spark.read.schema(groupSchema)
         .parquet(fs.map(f => resolve(f.path)): _*)
       if (keepRowKey || fs.exists(_.dv.isDefined))
         df = df
@@ -522,7 +606,7 @@ object DeltaTable {
         val keyCols =
           if (keepRowKey) Seq(col("__row_path"), col("__row_pos"))
           else Nil
-        df = df.select(readSchema.fields.zip(dataSchema.fields)
+        df = df.select(groupSchema.fields.zip(dataSchema.fields)
           .toIndexedSeq.map { case (pf, lf) =>
             toLogical(col(s"`${pf.name}`"), pf.dataType, lf.dataType)
               .as(lf.name)
@@ -824,7 +908,14 @@ object DeltaTable {
     val fs = new Path(logDir(table)).getFileSystem(conf)
     ((fromExclusive + 1) to to).exists { v =>
       val p = new Path(f"${logDir(table)}/$v%020d.json")
-      fs.exists(p) && FsText.read(fs, p).split('\n').exists { line =>
+      // a vacuumed commit json inside the range is NOT remove-free — the
+      // guard cannot run, and skipping it would silently re-serve
+      // rewritten rows without the ignoreChanges opt-in
+      if (!fs.exists(p)) throw UnsupportedDelta(
+        s"$table: commit json for version $v is gone (log cleanup) — the " +
+          "range's rewrite guard cannot run; restart the stream from a " +
+          "fresh snapshot")
+      FsText.read(fs, p).split('\n').exists { line =>
         line.contains("\"remove\"") && {
           val j = JsonMethods.parse(line)
           (j \ "remove") match {

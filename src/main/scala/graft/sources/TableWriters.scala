@@ -380,13 +380,17 @@ object DeltaWriter {
       Option[DeletionVector.Descriptor])] =
       files.map(f => PathUris.canon(resolve(f._1)) -> f).toMap
     val keyed = DeltaTable.readWithRowKey(spark, table).filter(condition)
-    val totalDeleted = keyed.count()
+    // ONE Spark action: the cap is derived from the very row set the DV
+    // build consumes — a separate count() first would check a DIFFERENT
+    // evaluation of a non-deterministic condition and the guard could be
+    // bypassed
+    val matches = keyed.groupBy(col("__row_path"))
+      .agg(collect_list(col("__row_pos")).as("pos")).collect()
+    val totalDeleted = matches.map(_.getSeq[Long](1).size.toLong).sum
     if (totalDeleted == 0) return version
     if (totalDeleted > maxDeletedRows) throw UnsupportedWrite(
       s"$table: DELETE matches $totalDeleted rows (> $maxDeletedRows) — " +
         "deletion vectors are for small deletes; rewrite the table instead")
-    val matches = keyed.groupBy(col("__row_path"))
-      .agg(collect_list(col("__row_pos")).as("pos")).collect()
     val ts = System.currentTimeMillis()
     val dvLines = Seq.newBuilder[String]
     val newDvFiles = Seq.newBuilder[String]
