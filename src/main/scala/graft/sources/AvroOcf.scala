@@ -328,15 +328,18 @@ object AvroOcf {
   /** Fixture/export writer: one OCF from (schema JSON, row values aligned
     * with the schema's fields). `codec`: null, deflate, snappy, zstandard,
     * bzip2, xz. `syncInterval` shrinks block size so small fixtures still
-    * exercise multi-block splits. */
+    * exercise multi-block splits. `meta`: file-level key-value metadata
+    * (Iceberg manifests carry their table schema/spec there). */
   def write(path: String, schemaJson: String, rows: Seq[Seq[Any]],
       codec: String = "null", syncInterval: Int = 0,
-      conf: Configuration = new Configuration()): Unit = {
+      conf: Configuration = new Configuration(),
+      meta: Map[String, String] = Map.empty): Unit = {
     val schema = new Schema.Parser().parse(schemaJson)
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](schema))
     if (codec != "null") w.setCodec(CodecFactory.fromString(codec))
     if (syncInterval > 0) w.setSyncInterval(syncInterval)
+    meta.foreach { case (k, v) => w.setMeta(k, v) }
     val p = new Path(path)
     val out = p.getFileSystem(conf).create(p, true)
     w.create(schema, out)

@@ -11,9 +11,16 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods
 
 /** TRANSACTIONAL writers for the two open table formats — the publish
-  * half that lets a pipeline emit datasets the same engine (and any
-  * stock Delta/Iceberg reader) consumes, instead of bare parquet
-  * directories. Both follow the formats' own commit protocols:
+  * half that lets a pipeline emit datasets the same engine consumes,
+  * instead of bare parquet directories. The Delta log is the protocol's
+  * plain JSON surface; the Iceberg metadata/manifests emit every field
+  * the v2 spec marks REQUIRED (last-column-id, last-updated-ms,
+  * last-partition-id, sort orders, data_file sizes + partition structs,
+  * the manifest-list counts family + added_snapshot_id, Avro field-id
+  * annotations, and the manifest key-value metadata) so stock parsers
+  * accept them — round-trips are exercised through this engine's own
+  * reader (no stock Iceberg runtime exists in the build sandbox to
+  * verify against). Both follow the formats' own commit protocols:
   *
   *  - [[DeltaWriter]]: `writeAppend` (distributed parquet write,
   *    partitionBy-aware, data files exclude partition columns per
@@ -729,46 +736,70 @@ object IcebergWriter {
       s"iceberg writer: partition column type ${other.simpleString}")
   }
 
-  /** The manifest-entry Avro schema; partitioned tables add the spec's
-    * `partition` record to data_file. */
+  /** The manifest-entry Avro schema with the table spec's FIELD IDS
+    * annotated (stock Iceberg Avro readers resolve by them) and every
+    * v2-required data_file field: content, file_path, file_format,
+    * `partition` (an EMPTY record on unpartitioned specs — the field
+    * itself is required), record_count, file_size_in_bytes. */
   private def manifestAvroSchema(partFields: Seq[StructField]): String = {
-    val partDef =
-      if (partFields.isEmpty) ""
-      else {
-        val fs = partFields.map(f =>
-          s"""{"name": "${f.name}", "type": ["null",
-              "${partitionAvroType(f.dataType)}"], "default": null}""")
-          .mkString(", ")
-        s""",
-             {"name": "partition", "type": {"type": "record",
-               "name": "r102", "fields": [
-               $fs]}}"""
-      }
+    val pf = partFields.zipWithIndex.map { case (f, i) =>
+      s"""{"name": "${f.name}", "type": ["null",
+          "${partitionAvroType(f.dataType)}"], "default": null,
+          "field-id": ${1000 + i}}"""
+    }.mkString(", ")
     s"""{"type": "record", "name": "manifest_entry", "fields": [
-         {"name": "status", "type": "int"},
+         {"name": "status", "type": "int", "field-id": 0},
          {"name": "sequence_number", "type": ["null", "long"],
-          "default": null},
+          "default": null, "field-id": 3},
          {"name": "data_file", "type": {"type": "record", "name": "r2",
            "fields": [
-             {"name": "content", "type": "int"},
-             {"name": "file_path", "type": "string"},
-             {"name": "file_format", "type": "string"},
-             {"name": "record_count", "type": "long"}$partDef]}}]}"""
+             {"name": "content", "type": "int", "field-id": 134},
+             {"name": "file_path", "type": "string", "field-id": 100},
+             {"name": "file_format", "type": "string", "field-id": 101},
+             {"name": "partition", "type": {"type": "record",
+               "name": "r102", "fields": [$pf]}, "field-id": 102},
+             {"name": "record_count", "type": "long", "field-id": 103},
+             {"name": "file_size_in_bytes", "type": "long",
+              "field-id": 104}]}, "field-id": 2}]}"""
   }
 
+  /** The v2 manifest-list schema — every field the spec marks required
+    * (the counts family, added_snapshot_id, min_sequence_number), with
+    * spec field ids annotated. */
   private val listAvroSchema =
     """{"type": "record", "name": "manifest_file", "fields": [
-         {"name": "manifest_path", "type": "string"},
-         {"name": "manifest_length", "type": "long"},
-         {"name": "content", "type": "int"},
-         {"name": "sequence_number", "type": "long"},
-         {"name": "partition_spec_id", "type": "int"}]}"""
+         {"name": "manifest_path", "type": "string", "field-id": 500},
+         {"name": "manifest_length", "type": "long", "field-id": 501},
+         {"name": "partition_spec_id", "type": "int", "field-id": 502},
+         {"name": "content", "type": "int", "field-id": 517},
+         {"name": "sequence_number", "type": "long", "field-id": 515},
+         {"name": "min_sequence_number", "type": "long", "field-id": 516},
+         {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+         {"name": "added_files_count", "type": "int", "field-id": 504},
+         {"name": "existing_files_count", "type": "int", "field-id": 505},
+         {"name": "deleted_files_count", "type": "int", "field-id": 506},
+         {"name": "added_rows_count", "type": "long", "field-id": 512},
+         {"name": "existing_rows_count", "type": "long", "field-id": 513},
+         {"name": "deleted_rows_count", "type": "long", "field-id": 514}]}"""
+
+  /** One manifest-list row — new manifests fill every field; carried
+    * prior manifests re-emit what their list declared (spec-required
+    * fields default to 0 when a pre-upgrade list omitted them). */
+  private[sources] final case class ManifestFile(path: String, length: Long,
+      content: Int, seq: Long, minSeq: Long, specId: Int,
+      addedSnapshotId: Long, addedFiles: Int, existingFiles: Int,
+      deletedFiles: Int, addedRows: Long, existingRows: Long,
+      deletedRows: Long) {
+    def row: Seq[Any] = Seq(path, length, specId, content, seq, minSeq,
+      addedSnapshotId, addedFiles, existingFiles, deletedFiles,
+      addedRows, existingRows, deletedRows)
+  }
 
   /** The mutable-ish table state an Iceberg commit starts from. */
   private final case class TableState(meta: JValue,
       carried: Seq[(String, String)], lastSeq: Long,
       snapshots: Seq[JValue], metaVersion: Long,
-      priorManifests: Seq[(String, Long, Int, Long, Int)])
+      priorManifests: Seq[ManifestFile])
 
   /** Load the commit-relevant state from the latest metadata json: the
     * carried-verbatim fields, sequence/snapshot bookkeeping, and the
@@ -780,7 +811,8 @@ object IcebergWriter {
     val meta = JsonMethods.parse(FsText.read(fs, metaPath))
     val carried = meta match {
       case JObject(fields) => fields.filterNot { case (k, _) =>
-        Set("last-sequence-number", "current-snapshot-id", "snapshots")(k)
+        Set("last-sequence-number", "current-snapshot-id", "snapshots",
+          "last-updated-ms")(k)
       }.map { case (k, v) =>
         k -> JsonMethods.compact(JsonMethods.render(v))
       }
@@ -788,7 +820,7 @@ object IcebergWriter {
     }
     val snapshots = (meta \ "snapshots").extractOpt[Seq[JValue]]
       .getOrElse(Nil)
-    var priorManifests: Seq[(String, Long, Int, Long, Int)] = Nil
+    var priorManifests: Seq[ManifestFile] = Nil
     (meta \ "current-snapshot-id").extractOpt[Long].filter(_ != -1L)
       .foreach { cur =>
         snapshots.find(sn =>
@@ -804,9 +836,20 @@ object IcebergWriter {
                 colOr("manifest_length", lit(0L)).cast("long"),
                 colOr("content", lit(0)).cast("int"),
                 colOr("sequence_number", lit(0L)).cast("long"),
-                colOr("partition_spec_id", lit(0)).cast("int"))
-              .collect().toSeq.map(r => (r.getString(0), r.getLong(1),
-                r.getInt(2), r.getLong(3), r.getInt(4)))
+                colOr("partition_spec_id", lit(0)).cast("int"),
+                colOr("min_sequence_number",
+                  colOr("sequence_number", lit(0L))).cast("long"),
+                colOr("added_snapshot_id", lit(0L)).cast("long"),
+                colOr("added_files_count", lit(0)).cast("int"),
+                colOr("existing_files_count", lit(0)).cast("int"),
+                colOr("deleted_files_count", lit(0)).cast("int"),
+                colOr("added_rows_count", lit(0L)).cast("long"),
+                colOr("existing_rows_count", lit(0L)).cast("long"),
+                colOr("deleted_rows_count", lit(0L)).cast("long"))
+              .collect().toSeq.map(r => ManifestFile(r.getString(0),
+                r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(5),
+                r.getInt(4), r.getLong(6), r.getInt(7), r.getInt(8),
+                r.getInt(9), r.getLong(10), r.getLong(11), r.getLong(12)))
           }
       }
     TableState(meta, carried,
@@ -839,7 +882,7 @@ object IcebergWriter {
     var lastSeq = 0L
     var metaVersion = 0L
     var snapshots: Seq[JValue] = Nil
-    var priorManifests: Seq[(String, Long, Int, Long, Int)] = Nil
+    var priorManifests: Seq[ManifestFile] = Nil
     var schemaJson: String = null
     var partCols: Seq[String] = partitionBy
     var specId: Int = 0
@@ -975,54 +1018,83 @@ object IcebergWriter {
     // overwrite, then clean up, files the winner's commit references.
     val attempt = java.util.UUID.randomUUID().toString
     val manifestPath = s"$base/metadata/m-$attempt.avro"
+    val specFieldsJson = {
+      val sf = partCols.zipWithIndex.map { case (c, i) =>
+        val srcId = df.schema.fieldNames.indexOf(c) + 1
+        s"""{"name": "$c", "transform": "identity",
+             "source-id": $srcId, "field-id": ${1000 + i}}"""
+      }.mkString(", ")
+      s"[$sf]"
+    }
     AvroOcf.write(manifestPath, manifestAvroSchema(partFields),
-      filesWithTuple.zip(counts).map { case (((_, abs, _), t), n) =>
-        val dataFile: Seq[Any] =
-          if (partCols.isEmpty) Seq(0, abs, "PARQUET", n)
-          else Seq(0, abs, "PARQUET", n, t)
-        Seq(1, newSeq, dataFile)
-      })
+      filesWithTuple.zip(counts).map { case (((_, abs, size), t), n) =>
+        Seq(1, newSeq, Seq(0, abs, "PARQUET", t, n, size))
+      }, conf = conf,
+      meta = manifestMeta(schemaJson, specFieldsJson, specId, "data"))
     val createFields: Seq[(String, String)] = Seq(
       "format-version" -> "2",
       "table-uuid" -> s""""${java.util.UUID.randomUUID()}"""",
       "location" -> s""""$base"""",
+      // every field the v2 spec marks required, so stock metadata
+      // parsers accept the json: column/partition-id high-water marks,
+      // properties, and the default (empty) sort order
+      "last-column-id" -> df.schema.fields.length.toString,
+      "last-partition-id" -> (999 + partCols.size).toString,
+      "properties" -> "{}",
       "schemas" -> s"[$schemaJson]",
       "current-schema-id" -> "0",
-      "partition-specs" -> {
-        val sf = partCols.zipWithIndex.map { case (c, i) =>
-          val srcId = df.schema.fieldNames.indexOf(c) + 1
-          s"""{"name": "$c", "transform": "identity",
-               "source-id": $srcId, "field-id": ${1000 + i}}"""
-        }.mkString(", ")
-        s"""[{"spec-id": 0, "fields": [$sf]}]"""
-      },
-      "default-spec-id" -> "0")
+      "partition-specs" ->
+        s"""[{"spec-id": 0, "fields": $specFieldsJson}]""",
+      "default-spec-id" -> "0",
+      "sort-orders" -> """[{"order-id": 0, "fields": []}]""",
+      "default-sort-order-id" -> "0")
     commitSnapshot(fs, conf, base, table, snapId, newSeq, ts, "append",
-      manifestPath, attempt, specId,
+      Seq(NewManifest(manifestPath, 0, files.size, counts.sum)),
+      attempt, specId,
       if (exists) carried else createFields,
       snapshots, priorManifests, metaVersion, files.map(_._2))
     snapId
   }
 
-  /** The shared commit tail: manifest list (new manifest + carried
-    * prior ones), the metadata json with managed keys replaced, the
-    * EXCLUSIVE vN+1 placement, and the version-hint swap. The loser of
-    * a commit race cleans up `cleanupFiles` + the manifest artifacts. */
+  /** The key-value metadata stock manifest readers require in each
+    * manifest Avro file. */
+  private def manifestMeta(schemaJson: String, specFieldsJson: String,
+      specId: Int, content: String): Map[String, String] = Map(
+    "schema" -> schemaJson,
+    "partition-spec" -> specFieldsJson,
+    "partition-spec-id" -> specId.toString,
+    "format-version" -> "2",
+    "content" -> content)
+
+  /** A manifest this commit adds: path, content kind (0 data,
+    * 1 deletes), and its entry/row counts for the manifest list. */
+  private final case class NewManifest(path: String, content: Int,
+    files: Int, rows: Long)
+
+  /** The shared commit tail: manifest list (new manifests + carried
+    * prior ones, spec-required counts filled), the metadata json with
+    * managed keys replaced, the EXCLUSIVE vN+1 placement, and the
+    * version-hint swap. The loser of a commit race cleans up
+    * `cleanupFiles` + the manifest artifacts. */
   private def commitSnapshot(fs: FileSystem, conf: Configuration,
       base: String, table: String, snapId: Long, newSeq: Long, ts: Long,
-      operation: String, manifestPath: String, attempt: String,
+      operation: String, newManifests: Seq[NewManifest], attempt: String,
       manifestSpecId: Int, baseFields: Seq[(String, String)],
       snapshots: Seq[JValue],
-      priorManifests: Seq[(String, Long, Int, Long, Int)],
+      priorManifests: Seq[ManifestFile],
       metaVersion: Long, cleanupFiles: Seq[String]): Unit = {
     val metaDir = new Path(s"$base/metadata")
-    val manifestContent = if (operation == "delete") 1 else 0
-    val manifestLen = fs.getFileStatus(new Path(manifestPath)).getLen
     val listPath = s"$base/metadata/snap-$snapId-$attempt.avro"
+    val newRows = newManifests.map { m =>
+      ManifestFile(m.path, fs.getFileStatus(new Path(m.path)).getLen,
+        m.content, newSeq, newSeq, manifestSpecId, snapId,
+        m.files, 0, 0, m.rows, 0, 0)
+    }
     AvroOcf.write(listPath, listAvroSchema,
-      Seq(Seq(manifestPath, manifestLen, manifestContent, newSeq,
-        manifestSpecId)) ++
-        priorManifests.map(m => Seq(m._1, m._2, m._3, m._4, m._5)))
+      (newRows ++ priorManifests).map(_.row), conf = conf,
+      meta = Map("format-version" -> "2",
+        "snapshot-id" -> snapId.toString,
+        "sequence-number" -> newSeq.toString))
     val snapJson =
       s"""{"snapshot-id": $snapId, "timestamp-ms": $ts,
            "sequence-number": $newSeq,
@@ -1032,6 +1104,7 @@ object IcebergWriter {
       JsonMethods.compact(JsonMethods.render(sn))) :+ snapJson)
       .mkString(", ")
     val allFields = baseFields ++ Seq(
+      "last-updated-ms" -> ts.toString,
       "last-sequence-number" -> newSeq.toString,
       "current-snapshot-id" -> snapId.toString,
       "snapshots" -> s"[$allSnaps]")
@@ -1041,7 +1114,7 @@ object IcebergWriter {
     val newVersion = metaVersion + 1
     val dest = new Path(metaDir, s"v$newVersion.metadata.json")
     if (!putText(fs, dest, metaJson)) {
-      cleanup(fs, cleanupFiles :+ manifestPath :+ listPath)
+      cleanup(fs, cleanupFiles ++ newManifests.map(_.path) :+ listPath)
       throw CommitConflict(
         s"$table: metadata version $newVersion was committed " +
           "concurrently — re-read the table and retry")
@@ -1120,12 +1193,18 @@ object IcebergWriter {
     // files with zero delete rows add nothing but manifest noise
     val nonEmpty = files.zip(counts).filter(_._2 > 0)
     cleanup(fs, files.zip(counts).filter(_._2 == 0).map(_._1._2))
+    val schemaJson = JsonMethods.compact(JsonMethods.render(
+      IcebergTable.currentSchemaJson(meta)))
     AvroOcf.write(manifestPath, manifestAvroSchema(Nil),
-      nonEmpty.map { case ((_, abs, _), n) =>
-        Seq(1, newSeq, Seq(1, abs, "PARQUET", n)) // content 1: pos deletes
-      })
+      nonEmpty.map { case ((_, abs, size), n) =>
+        // content 1: positional deletes
+        Seq(1, newSeq, Seq(1, abs, "PARQUET", Seq(), n, size))
+      }, conf = conf,
+      meta = manifestMeta(schemaJson, "[]", delSpecId, "deletes"))
     commitSnapshot(fs, conf, base, table, snapId, newSeq, ts, "delete",
-      manifestPath, attempt, delSpecId, st.carried, st.snapshots,
+      Seq(NewManifest(manifestPath, 1, nonEmpty.size,
+        nonEmpty.map(_._2).sum)),
+      attempt, delSpecId, st.carried, st.snapshots,
       st.priorManifests, st.metaVersion, nonEmpty.map(_._1._2))
     snapId
   }
