@@ -1502,6 +1502,110 @@ object QueriesML {
           .select($"id", $"text", $"bucket").orderBy($"id")
       }),
 
+    // --------------------------------- Delta writer: row-level UPDATE
+    // The upsert half of the lifecycle: matched rows are DV-killed and
+    // their updated images appended in ONE commit. Two stacked updates —
+    // the second touches rows the first already rewrote (files the first
+    // update created get DVs of their own). The oracle recomputes the
+    // final state; update order matters (upd2 overrides upd).
+    Q("q187_delta_update", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT o_orderkey AS id,
+             CASE WHEN rn0 % 7 = 2 THEN 'upd2-' || CAST(rn0 AS VARCHAR)
+                  WHEN o_orderkey % 5 = 0 THEN 'upd-' || CAST(rn0 AS VARCHAR)
+                  ELSE 'doc-' || CAST(rn0 AS VARCHAR) END AS text
+      FROM o ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{DeltaTable, DeltaWriter}
+        val table = Fixtures.dir("q187", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          DeltaWriter.writeAppend(s,
+            base.select($"id", concat(lit("doc-"), $"rn0").as("text"),
+              $"rn0"), t)
+          DeltaWriter.writeUpdate(s, t, $"id" % 5 === 0,
+            Map("text" -> concat(lit("upd-"), $"rn0")))
+          DeltaWriter.writeUpdate(s, t, $"rn0" % 7 === 2,
+            Map("text" -> concat(lit("upd2-"), $"rn0")))
+        }
+        DeltaTable.read(s, s"$table/table")
+          .select($"id", $"text").orderBy($"id")
+      }),
+
+    // ------------------------------- Iceberg writer: row-level UPDATE
+    // The merge-on-read UPDATE twin: positional-delete kill + rewritten
+    // images in ONE overwrite snapshot. Same planted derivation as q187 —
+    // the two formats' update paths cross-validate through one oracle.
+    Q("q188_iceberg_update", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT o_orderkey AS id,
+             CASE WHEN rn0 % 7 = 2 THEN 'upd2-' || CAST(rn0 AS VARCHAR)
+                  WHEN o_orderkey % 5 = 0 THEN 'upd-' || CAST(rn0 AS VARCHAR)
+                  ELSE 'doc-' || CAST(rn0 AS VARCHAR) END AS text
+      FROM o ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{IcebergTable, IcebergWriter}
+        val table = Fixtures.dir("q188", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          IcebergWriter.writeAppend(s,
+            base.select($"id", concat(lit("doc-"), $"rn0").as("text"),
+              $"rn0"), t)
+          IcebergWriter.writeUpdate(s, t, $"id" % 5 === 0,
+            Map("text" -> concat(lit("upd-"), $"rn0")))
+          IcebergWriter.writeUpdate(s, t, $"rn0" % 7 === 2,
+            Map("text" -> concat(lit("upd2-"), $"rn0")))
+        }
+        IcebergTable.read(s, s"$table/table")
+          .select($"id", $"text").orderBy($"id")
+      }),
+
+    // ------------------------ Delta UPDATE through the change data feed
+    // The row-level CDC contract end-to-end: a table CREATED with
+    // delta.enableChangeDataFeed, one update commit, and readCdf serves
+    // the update as update_preimage/update_postimage pairs (never the
+    // delete+insert double-report a two-commit delete+append would
+    // produce). The oracle recomputes both images.
+    Q("q189_delta_update_cdf", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120),
+           m AS (SELECT * FROM o WHERE o_orderkey % 5 = 0)
+      SELECT o_orderkey AS id, 'doc-' || CAST(rn0 AS VARCHAR) AS text,
+             'update_preimage' AS change_type,
+             CAST(1 AS BIGINT) AS version
+      FROM m
+      UNION ALL
+      SELECT o_orderkey AS id, 'upd-' || CAST(rn0 AS VARCHAR) AS text,
+             'update_postimage' AS change_type,
+             CAST(1 AS BIGINT) AS version
+      FROM m
+      ORDER BY id, change_type"""))(
+      (s, d) => {
+        import graft.sources.{DeltaTable, DeltaWriter}
+        val table = Fixtures.dir("q189", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          DeltaWriter.writeAppend(s,
+            base.select($"id", concat(lit("doc-"), $"rn0").as("text"),
+              $"rn0"), t,
+            properties = Map("delta.enableChangeDataFeed" -> "true"))
+          DeltaWriter.writeUpdate(s, t, $"id" % 5 === 0,
+            Map("text" -> concat(lit("upd-"), $"rn0")))
+        }
+        DeltaTable.readCdf(s, s"$table/table", 1L)
+          .select($"id", $"text", $"_change_type".as("change_type"),
+            $"_commit_version".as("version"))
+          .orderBy($"id", $"change_type")
+      }),
+
     // ------------------------------------------------------- HF tokenizer.json encode
     // A hand-authored tokenizer.json (the huggingface/tokenizers file
     // format, byte-level BPE) over planted "ab"*k words: greedy merge

@@ -244,12 +244,111 @@ object DeltaWriter {
 
   private implicit val formats: Formats = DefaultFormats
 
+  /** partitionValues from the k=v dirs Spark built (its own escaping). */
+  private def partValues(rel: String): Map[String, String] =
+    rel.split('/').dropRight(1).flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) None
+      else {
+        val raw = PathUris.pctDecode(seg.drop(i + 1))
+        Some(seg.take(i) ->
+          (if (raw == "__HIVE_DEFAULT_PARTITION__") null else raw))
+      }
+    }.toMap
+
+  private def dvJson(d: DeletionVector.Descriptor): String =
+    s"""{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}",""" +
+      (d.offset.map(o => s""""offset":$o,""").getOrElse("")) +
+      s""""sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+
+  /** Kill row positions per data file by DELETION VECTOR: one
+    * `remove(old state) + add(same file, unioned DV)` pair per touched
+    * file — a file whose every live row died is plainly removed.
+    * `matches` rows are (canonical file key, positions); returns the
+    * action lines + the new DV files written (the loser of a commit
+    * race must clean those up). Shared by DELETE and UPDATE. */
+  private def dvKillActions(base: String, table: String,
+      fs: FileSystem, conf: Configuration,
+      fileByKey: Map[String, (String, Map[String, String],
+        Option[DeletionVector.Descriptor])],
+      matches: Seq[(String, Array[Long])], ts: Long)
+      : (Seq[String], Seq[String]) = {
+    def resolve(rel: String): String = DeltaTable.resolveAdd(base, rel)
+    val lines = Seq.newBuilder[String]
+    val newDvFiles = Seq.newBuilder[String]
+    matches.foreach { case (key, newPos) =>
+      val (rawPath, pv, oldDv) = fileByKey.getOrElse(key,
+        throw UnsupportedWrite(
+          s"$table: matched row's file $key is not in the snapshot — " +
+            "path spelling drift"))
+      val oldPos = oldDv.map(d =>
+        DeletionVector.positions(d, base, TaskConf(conf))).getOrElse(
+        Array.empty[Long])
+      val all = (oldPos ++ newPos).distinct.sorted
+      val abs = resolve(rawPath)
+      val fileRows = rowCounts(Seq(abs), conf).head
+      val pvs = partitionValuesJson(pv)
+      val oldDvJson = oldDv.map(d => s""","deletionVector":${dvJson(d)}""")
+        .getOrElse("")
+      lines += s"""{"remove":{"path":"$rawPath","deletionTimestamp":$ts,""" +
+        s""""dataChange":true,"partitionValues":{$pvs}$oldDvJson}}"""
+      if (all.length < fileRows) {
+        // some rows survive: same file re-added under the unioned DV
+        val dvPath = s"$base/deletion_vector_${java.util.UUID.randomUUID()}.bin"
+        val data = DeletionVector.serialize(all)
+        val (off, size) = DeletionVector.writeFile(dvPath, data, conf)
+        newDvFiles += dvPath
+        val size0 = fs.getFileStatus(new Path(abs)).getLen
+        val nd = DeletionVector.Descriptor("p", dvPath, Some(off), size,
+          all.length.toLong)
+        lines += s"""{"add":{"path":"$rawPath","partitionValues":{$pvs},""" +
+          s""""size":$size0,"modificationTime":$ts,"dataChange":true,""" +
+          s""""deletionVector":${dvJson(nd)}}}"""
+      } // else: every live row died — the remove alone retires the file
+    }
+    (lines.result(), newDvFiles.result())
+  }
+
+  /** The protocol line a first-DV commit needs: upgrade to (3, 7) +
+    * deletionVectors, enumerating the LEGACY version numbers' implied
+    * features (PROTOCOL.md's upgrade rule) so contracts like
+    * changeDataFeed and invariants never silently vanish. Empty when the
+    * table already declares the feature. */
+  private def dvProtocolUpgrade(proto: DeltaTable.Protocol): Seq[String] = {
+    val needsUpgrade = proto.minReaderVersion < 3 ||
+      !proto.readerFeatures.contains("deletionVectors")
+    if (!needsUpgrade) Nil
+    else {
+      // columnMapping is implied only by (reader 2, writer 5) BOTH —
+      // and the replay already rejects reader-2 tables, so it is
+      // never legacy-implied on a table that reaches this writer
+      val legacyWriter =
+        if (proto.minWriterVersion >= 7) Nil
+        else Seq(
+          ((proto.minWriterVersion >= 2), Seq("appendOnly", "invariants")),
+          ((proto.minWriterVersion >= 3), Seq("checkConstraints")),
+          ((proto.minWriterVersion >= 4),
+            Seq("changeDataFeed", "generatedColumns")),
+          ((proto.minWriterVersion >= 6), Seq("identityColumns")))
+          .collect { case (true, fsq) => fsq }.flatten
+      val rf = (proto.readerFeatures :+ "deletionVectors").distinct
+      val wf = (proto.writerFeatures ++ legacyWriter :+
+        "deletionVectors").distinct
+      Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        s""""readerFeatures":[${rf.map(f => s""""$f"""").mkString(",")}],""" +
+        s""""writerFeatures":[${wf.map(f => s""""$f"""").mkString(",")}]}}""")
+    }
+  }
+
   /** Append `df` to (or create) the Delta table at `table`. Returns the
-    * committed version. `partitionBy` applies on CREATE only — appends
-    * inherit the table's existing partition layout and must present the
-    * same schema (schema evolution is a directed error). */
+    * committed version. `partitionBy` and `properties` (the table
+    * configuration, e.g. `delta.enableChangeDataFeed`) apply on CREATE
+    * only — appends inherit the table's existing partition layout and
+    * must present the same schema (schema evolution is a directed
+    * error). */
   def writeAppend(spark: SparkSession, df: DataFrame, table: String,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty): Long = {
     val base = table.stripSuffix("/")
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val logPath = new Path(s"$base/_delta_log")
@@ -262,6 +361,9 @@ object DeltaWriter {
         (n.endsWith(".json") && n.length == 25) ||
           DeltaTable.ckptVersionOf(n).isDefined
       }
+    if (exists && properties.nonEmpty) throw UnsupportedWrite(
+      s"$table: properties apply on CREATE only — altering an existing " +
+        "table's configuration is not implemented")
     val (version, schema, partCols) =
       if (!exists) (0L, df.schema, partitionBy)
       else {
@@ -301,17 +403,6 @@ object DeltaWriter {
       }
     }
     val files = writeData(df, base, partCols, "", conf)
-    // partitionValues from the k=v dirs Spark built (its own escaping)
-    def partValues(rel: String): Map[String, String] =
-      rel.split('/').dropRight(1).flatMap { seg =>
-        val i = seg.indexOf('=')
-        if (i <= 0) None
-        else {
-          val raw = PathUris.pctDecode(seg.drop(i + 1))
-          Some(seg.take(i) ->
-            (if (raw == "__HIVE_DEFAULT_PARTITION__") null else raw))
-        }
-      }.toMap
     val ts = System.currentTimeMillis()
     val adds = files.map { case (rel, _, size) =>
       // Spark's null-partition sentinel directory becomes the protocol's
@@ -325,14 +416,23 @@ object DeltaWriter {
         Seq(s"""{"commitInfo":{"timestamp":$ts,"operation":"WRITE"}}""")
       else {
         val schemaStr = jsonEscape(schema.json)
+        // change data feed is a LEGACY writer-version-4 obligation — a
+        // table created with it enabled must declare a protocol every
+        // CDF-aware writer respects
+        val minWriter =
+          if (properties.get("delta.enableChangeDataFeed")
+            .exists(_.equalsIgnoreCase("true"))) 4 else 2
+        val cfg = properties.map { case (k, v) =>
+          s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
+        }.mkString(",")
         Seq(
           s"""{"commitInfo":{"timestamp":$ts,"operation":"CREATE TABLE AS SELECT"}}""",
-          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+          s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$minWriter}}""",
           s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}",""" +
             s""""format":{"provider":"parquet","options":{}},""" +
             s""""schemaString":"$schemaStr",""" +
             s""""partitionColumns":[${partCols.map(c => s""""$c"""").mkString(",")}],""" +
-            s""""configuration":{},"createdTime":$ts}}""")
+            s""""configuration":{$cfg},"createdTime":$ts}}""")
       }
     fs.mkdirs(logPath)
     val dest = new Path(logPath, f"$version%020d.json")
@@ -399,83 +499,151 @@ object DeltaWriter {
       s"$table: DELETE matches $totalDeleted rows (> $maxDeletedRows) — " +
         "deletion vectors are for small deletes; rewrite the table instead")
     val ts = System.currentTimeMillis()
-    val dvLines = Seq.newBuilder[String]
-    val newDvFiles = Seq.newBuilder[String]
-    def dvJson(d: DeletionVector.Descriptor): String =
-      s"""{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}",""" +
-        (d.offset.map(o => s""""offset":$o,""").getOrElse("")) +
-        s""""sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
-    matches.foreach { m =>
-      val key = m.getString(0)
-      val (rawPath, pv, oldDv) = fileByKey.getOrElse(key,
-        throw UnsupportedWrite(
-          s"$table: matched row's file $key is not in the snapshot — " +
-            "path spelling drift"))
-      val newPos = m.getSeq[Long](1).toArray
-      val oldPos = oldDv.map(d =>
-        DeletionVector.positions(d, base, TaskConf(conf))).getOrElse(
-        Array.empty[Long])
-      val all = (oldPos ++ newPos).distinct.sorted
-      val abs = resolve(rawPath)
-      val fileRows = rowCounts(Seq(abs), conf).head
-      val pvs = partitionValuesJson(pv)
-      val oldDvJson = oldDv.map(d => s""","deletionVector":${dvJson(d)}""")
-        .getOrElse("")
-      dvLines += s"""{"remove":{"path":"$rawPath","deletionTimestamp":$ts,""" +
-        s""""dataChange":true,"partitionValues":{$pvs}$oldDvJson}}"""
-      if (all.length < fileRows) {
-        // some rows survive: same file re-added under the unioned DV
-        val dvPath = s"$base/deletion_vector_${java.util.UUID.randomUUID()}.bin"
-        val data = DeletionVector.serialize(all)
-        val (off, size) = DeletionVector.writeFile(dvPath, data, conf)
-        newDvFiles += dvPath
-        val size0 = fs.getFileStatus(new Path(abs)).getLen
-        val nd = DeletionVector.Descriptor("p", dvPath, Some(off), size,
-          all.length.toLong)
-        dvLines += s"""{"add":{"path":"$rawPath","partitionValues":{$pvs},""" +
-          s""""size":$size0,"modificationTime":$ts,"dataChange":true,""" +
-          s""""deletionVector":${dvJson(nd)}}}"""
-      } // else: every live row died — the remove alone retires the file
-    }
-    // first DV on this table upgrades the protocol. A LEGACY protocol's
-    // version numbers IMPLY features (PROTOCOL.md's upgrade rule) — the
-    // upgrade must enumerate them or contracts like changeDataFeed and
-    // invariants silently vanish for other writers.
-    val needsUpgrade = proto.minReaderVersion < 3 ||
-      !proto.readerFeatures.contains("deletionVectors")
-    val protoLine =
-      if (!needsUpgrade) Nil
-      else {
-        // columnMapping is implied only by (reader 2, writer 5) BOTH —
-        // and the replay already rejects reader-2 tables, so it is
-        // never legacy-implied on a table that reaches this writer
-        val legacyWriter =
-          if (proto.minWriterVersion >= 7) Nil
-          else Seq(
-            ((proto.minWriterVersion >= 2), Seq("appendOnly", "invariants")),
-            ((proto.minWriterVersion >= 3), Seq("checkConstraints")),
-            ((proto.minWriterVersion >= 4),
-              Seq("changeDataFeed", "generatedColumns")),
-            ((proto.minWriterVersion >= 6), Seq("identityColumns")))
-            .collect { case (true, fsq) => fsq }.flatten
-        val rf = (proto.readerFeatures :+ "deletionVectors").distinct
-        val wf = (proto.writerFeatures ++ legacyWriter :+
-          "deletionVectors").distinct
-        Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-          s""""readerFeatures":[${rf.map(f => s""""$f"""").mkString(",")}],""" +
-          s""""writerFeatures":[${wf.map(f => s""""$f"""").mkString(",")}]}}""")
-      }
+    val (dvLines, newDvFiles) = dvKillActions(base, table, fs, conf,
+      fileByKey,
+      matches.toSeq.map(m => (m.getString(0), m.getSeq[Long](1).toArray)),
+      ts)
     val lines =
       Seq(s"""{"commitInfo":{"timestamp":$ts,"operation":"DELETE"}}""") ++
-        protoLine ++ dvLines.result()
+        dvProtocolUpgrade(proto) ++ dvLines
     val dest = new Path(logPath, f"${version + 1}%020d.json")
     if (!putText(fs, dest, lines.mkString("\n"))) {
-      cleanup(fs, newDvFiles.result())
+      cleanup(fs, newDvFiles)
       throw CommitConflict(
         s"$table: version ${version + 1} was committed concurrently — " +
           "re-read the table and retry the delete")
     }
     version + 1
+  }
+
+  /** Row-level UPDATE: rows matching `condition` take the `set` column
+    * expressions (every other column passes through); matched rows are
+    * killed in place by DELETION VECTORS and their updated images append
+    * as new data files in the SAME commit (operation UPDATE) — unmatched
+    * rows are never rewritten, and a delete+append pair never splits
+    * across two versions. When the table sets
+    * `delta.enableChangeDataFeed`, the commit also carries
+    * `_change_data/` cdc files with `update_preimage`/`update_postimage`
+    * rows, the row-level shapes [[DeltaTable.readCdf]] serves verbatim —
+    * an update is never double-reported as delete+insert.
+    *
+    * The matched set is materialized ONCE (a temp parquet under the
+    * table) so the DV kill, the rewritten images, and both cdc images
+    * all come from the SAME evaluation of a possibly non-deterministic
+    * condition. `maxUpdatedRows` caps the driver-side DV position pass,
+    * exactly like [[writeDelete]]. Updating a partition column is
+    * allowed — rewritten rows land in their new partitions. Returns the
+    * committed version (the current one when nothing matches). */
+  def writeUpdate(spark: SparkSession, table: String,
+      condition: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      maxUpdatedRows: Long = 10000000L): Long = {
+    import org.apache.spark.sql.functions.{collect_list, lit, col => fcol}
+    val base = table.stripSuffix("/")
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val logPath = new Path(s"$base/_delta_log")
+    val fs = logPath.getFileSystem(conf)
+    val (version, _, schemaJson, partCols, config, files, proto) =
+      DeltaTable.snapshotState(spark, table)
+    if (proto.writerFeatures.contains("rowTracking")) throw UnsupportedWrite(
+      s"$table: UPDATE on a rowTracking table is not implemented " +
+        "(re-added files would lose their baseRowId)")
+    if (config.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
+      throw UnsupportedWrite(
+        s"$table: the table is append-only — UPDATE is forbidden by its " +
+          "own contract")
+    if (config.get("delta.columnMapping.mode").exists(_ != "none"))
+      throw UnsupportedWrite(
+        s"$table: UPDATE on a column-mapped table is not implemented " +
+          "(rewritten files would need physical-name columns)")
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    set.keys.foreach { k =>
+      if (!schema.fieldNames.contains(k)) throw UnsupportedWrite(
+        s"$table: SET column '$k' is not in the table schema")
+    }
+    val cdfEnabled = config.get("delta.enableChangeDataFeed")
+      .exists(_.equalsIgnoreCase("true"))
+    def resolve(rel: String): String = DeltaTable.resolveAdd(base, rel)
+    val fileByKey: Map[String, (String, Map[String, String],
+      Option[DeletionVector.Descriptor])] =
+      files.map(f => PathUris.canon(resolve(f._1)) -> f).toMap
+    // ONE evaluation of the condition: matched rows land in a temp
+    // parquet (with their row identity), and everything downstream — the
+    // DV positions, the rewritten images, the cdc pre/post images —
+    // derives from that same materialized set
+    val tmpDir = s"$base/_tmp_update_${java.util.UUID.randomUUID()}"
+    val newFiles = Seq.newBuilder[String]
+    try {
+      DeltaTable.readWithRowKey(spark, table).filter(condition)
+        .write.mode("overwrite").parquet(tmpDir)
+      val matched = spark.read.parquet(tmpDir)
+      val posGroups = matched.groupBy(fcol("__row_path"))
+        .agg(collect_list(fcol("__row_pos")).as("pos")).collect()
+      val totalMatched = posGroups.map(_.getSeq[Long](1).size.toLong).sum
+      if (totalMatched == 0) return version
+      if (totalMatched > maxUpdatedRows) throw UnsupportedWrite(
+        s"$table: UPDATE matches $totalMatched rows (> $maxUpdatedRows) " +
+          "— deletion vectors are for small updates; rewrite the table " +
+          "instead")
+      val preimage = matched.drop("__row_path", "__row_pos")
+        .select(schema.fields.toIndexedSeq.map(f => fcol(s"`${f.name}`")): _*)
+      val rewritten = set.foldLeft(preimage) { case (d, (k, c)) =>
+        d.withColumn(k, c)
+      }.select(schema.fields.toIndexedSeq.map(f =>
+        fcol(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
+      // the partition-dir '' / hive-sentinel ambiguity check, on the
+      // POST-update images (a SET can move rows into the ambiguous value)
+      locally {
+        val strCols = partCols.filter(c => schema(c).dataType == StringType)
+        if (strCols.nonEmpty) {
+          val ambiguous = strCols.map(c =>
+            fcol(c) === "" || fcol(c) === "__HIVE_DEFAULT_PARTITION__")
+            .reduce(_ || _)
+          if (!rewritten.filter(ambiguous).isEmpty) throw UnsupportedWrite(
+            s"$table: an updated string partition value is '' or the hive " +
+              "null sentinel — the directory encoding cannot represent it")
+        }
+      }
+      val ts = System.currentTimeMillis()
+      val dataFiles = writeData(rewritten, base, partCols, "", conf)
+      newFiles ++= dataFiles.map(_._2)
+      val adds = dataFiles.map { case (rel, _, size) =>
+        val pv = partitionValuesJson(partValues(rel))
+        s"""{"add":{"path":"${pctEncodeRel(rel)}","partitionValues":{$pv},""" +
+          s""""size":$size,"modificationTime":$ts,"dataChange":true}}"""
+      }
+      val (dvLines, newDvFiles) = dvKillActions(base, table, fs, conf,
+        fileByKey,
+        posGroups.toSeq.map(m =>
+          (m.getString(0), m.getSeq[Long](1).toArray)), ts)
+      newFiles ++= newDvFiles
+      val cdcLines =
+        if (!cdfEnabled) Nil
+        else {
+          val cdc = preimage
+            .withColumn("_change_type", lit("update_preimage"))
+            .unionByName(rewritten
+              .withColumn("_change_type", lit("update_postimage")))
+          val cdcFiles = writeData(cdc, base, partCols, "_change_data", conf)
+          newFiles ++= cdcFiles.map(_._2)
+          cdcFiles.map { case (rel, _, size) =>
+            val pv = partitionValuesJson(partValues(rel))
+            s"""{"cdc":{"path":"${pctEncodeRel(rel)}","partitionValues":{$pv},""" +
+              s""""size":$size,"dataChange":false}}"""
+          }
+        }
+      val lines =
+        Seq(s"""{"commitInfo":{"timestamp":$ts,"operation":"UPDATE"}}""") ++
+          dvProtocolUpgrade(proto) ++ dvLines ++ adds ++ cdcLines
+      val dest = new Path(logPath, f"${version + 1}%020d.json")
+      if (!putText(fs, dest, lines.mkString("\n"))) {
+        cleanup(fs, newFiles.result())
+        throw CommitConflict(
+          s"$table: version ${version + 1} was committed concurrently — " +
+            "re-read the table and retry the update")
+      }
+      version + 1
+    } finally fs.delete(new Path(tmpDir), true)
   }
 
   /** Write a CLASSIC checkpoint at the table's latest version — the log
@@ -1207,5 +1375,116 @@ object IcebergWriter {
       attempt, delSpecId, st.carried, st.snapshots,
       st.priorManifests, st.metaVersion, nonEmpty.map(_._1._2))
     snapId
+  }
+
+  /** Row-level UPDATE for Iceberg: rows matching `condition` take the
+    * `set` column expressions; matched rows are killed by a DISTRIBUTED
+    * positional-delete file and their updated images append as new data
+    * files, BOTH manifests committing in ONE `overwrite` snapshot (the
+    * table spec's row-level-change operation) — a reader can never
+    * observe the kill without the rewrite, and the change never splits
+    * across two snapshots the way a writeDelete+writeAppend pair would.
+    * The matched set is materialized once (a temp parquet under the
+    * table) so the delete rows and the rewritten images come from the
+    * SAME evaluation of a possibly non-deterministic condition.
+    * Unpartitioned flat-schema v2 tables; an empty UPDATE is a no-op.
+    * Returns the new snapshot id. */
+  def writeUpdate(spark: SparkSession, table: String,
+      condition: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col => fcol}
+    val base = table.stripSuffix("/")
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(base).getFileSystem(conf)
+    val st = loadState(spark, fs, base)
+    val meta = st.meta
+    val fv = (meta \ "format-version").extract[Int]
+    if (fv != 2) throw UnsupportedWrite(
+      s"$table: positional-delete updates target format-version 2 " +
+        s"(table is $fv)")
+    if ((meta \ "partition-specs").extractOpt[Seq[JValue]].getOrElse(Nil)
+      .exists(sp => (sp \ "fields").extractOpt[Seq[JValue]]
+        .exists(_.nonEmpty)))
+      throw UnsupportedWrite(
+        s"$table: row-level updates on a PARTITIONED table are not " +
+          "implemented")
+    val currentId = (meta \ "current-snapshot-id").extractOpt[Long]
+      .filter(_ != -1L).getOrElse(throw UnsupportedWrite(
+        s"$table: no current snapshot — nothing to update"))
+    val delSpecs = (meta \ "partition-specs").extractOpt[Seq[JValue]]
+      .getOrElse(Nil)
+    val delSpecId = (meta \ "default-spec-id").extractOpt[Int].getOrElse(0)
+    if (delSpecs.nonEmpty && !delSpecs.exists(sp =>
+      (sp \ "spec-id").extractOpt[Int].contains(delSpecId)))
+      throw UnsupportedWrite(
+        s"$table: default-spec-id $delSpecId is not in partition-specs")
+    val schemaNode = IcebergTable.currentSchemaJson(meta)
+    val schema = IcebergTable.structOf(schemaNode)
+    set.keys.foreach { k =>
+      if (!schema.fieldNames.contains(k)) throw UnsupportedWrite(
+        s"$table: SET column '$k' is not in the table schema")
+    }
+    import spark.implicits._
+    val tmpDir = s"$base/_tmp_update_${java.util.UUID.randomUUID()}"
+    val newFiles = Seq.newBuilder[String]
+    try {
+      // ONE evaluation of the condition (see the Delta twin)
+      IcebergTable.readWithRowKey(spark, table).filter(condition)
+        .write.mode("overwrite").parquet(tmpDir)
+      val matched = spark.read.parquet(tmpDir)
+      if (matched.isEmpty) return currentId
+      // kill side: (manifest-spelled path, pos), distributed + sorted
+      val rawPaths = IcebergTable.activeDataPaths(spark, table)
+      val pathDim = rawPaths.map(p => (PathUris.canon(p), p))
+        .toDF("__ck", "file_path")
+      val delRows = matched
+        .select(fcol("__row_path").as("__ck"), fcol("__row_pos").as("pos"))
+        .join(broadcast(pathDim), "__ck")
+        .select(fcol("file_path"), fcol("pos").cast("long"))
+        .sortWithinPartitions(fcol("file_path"), fcol("pos"))
+      val delFiles = writeData(delRows, base, Nil, "data", conf)
+      val delCounts = rowCounts(delFiles.map(_._2), conf)
+      val delNonEmpty = delFiles.zip(delCounts).filter(_._2 > 0)
+      cleanup(fs, delFiles.zip(delCounts).filter(_._2 == 0).map(_._1._2))
+      newFiles ++= delNonEmpty.map(_._1._2)
+      // rewrite side: updated images under the table schema
+      val rewritten = set.foldLeft(
+        matched.drop("__row_path", "__row_pos")) { case (d, (k, c)) =>
+          d.withColumn(k, c)
+        }.select(schema.fields.toIndexedSeq.map(f =>
+          fcol(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
+      val dataFiles = writeData(rewritten, base, Nil, "data", conf)
+      val dataCounts = rowCounts(dataFiles.map(_._2), conf)
+      val dataNonEmpty = dataFiles.zip(dataCounts).filter(_._2 > 0)
+      cleanup(fs, dataFiles.zip(dataCounts).filter(_._2 == 0).map(_._1._2))
+      newFiles ++= dataNonEmpty.map(_._1._2)
+      val newSeq = st.lastSeq + 1
+      val snapId = (st.snapshots.flatMap(sn =>
+        (sn \ "snapshot-id").extractOpt[Long]) :+ 0L).max + 1
+      val ts = System.currentTimeMillis()
+      val attempt = java.util.UUID.randomUUID().toString
+      val schemaJson = JsonMethods.compact(JsonMethods.render(schemaNode))
+      val dataManifest = s"$base/metadata/m-$attempt-data.avro"
+      AvroOcf.write(dataManifest, manifestAvroSchema(Nil),
+        dataNonEmpty.map { case ((_, abs, size), n) =>
+          Seq(1, newSeq, Seq(0, abs, "PARQUET", Seq(), n, size))
+        }, conf = conf,
+        meta = manifestMeta(schemaJson, "[]", delSpecId, "data"))
+      val delManifest = s"$base/metadata/m-$attempt-deletes.avro"
+      AvroOcf.write(delManifest, manifestAvroSchema(Nil),
+        delNonEmpty.map { case ((_, abs, size), n) =>
+          Seq(1, newSeq, Seq(1, abs, "PARQUET", Seq(), n, size))
+        }, conf = conf,
+        meta = manifestMeta(schemaJson, "[]", delSpecId, "deletes"))
+      commitSnapshot(fs, conf, base, table, snapId, newSeq, ts,
+        "overwrite",
+        Seq(NewManifest(dataManifest, 0, dataNonEmpty.size,
+            dataNonEmpty.map(_._2).sum),
+          NewManifest(delManifest, 1, delNonEmpty.size,
+            delNonEmpty.map(_._2).sum)),
+        attempt, delSpecId, st.carried, st.snapshots,
+        st.priorManifests, st.metaVersion, newFiles.result())
+      snapId
+    } finally fs.delete(new Path(tmpDir), true)
   }
 }

@@ -521,4 +521,114 @@ class TableWritersSpec extends SparkSpec {
     assert(graft.sources.IcebergTable
       .readPartitions(spark, t2, Map("id" -> "2")).count() == 1)
   }
+
+  test("delta writeUpdate: DV kill + rewritten images in one commit") {
+    val table = tmp()
+    val df = (1L to 10L).map(i => (i, s"t$i")).toDF("id", "text")
+    DeltaWriter.writeAppend(spark, df, table)
+    val filesBefore = DeltaTable.read(spark, table).inputFiles.toSet
+
+    val v1 = DeltaWriter.writeUpdate(spark, table, $"id" % 3 === 0,
+      Map("text" -> concat(lit("u-"), $"id")))
+    assert(v1 == 1L)
+    val after = DeltaTable.read(spark, table).orderBy($"id")
+    assert(after.count() == 10)
+    assert(after.select($"text").as[String].collect().toSeq ==
+      (1L to 10L).map(i => if (i % 3 == 0) s"u-$i" else s"t$i"))
+    // the original files still serve their surviving rows (DV kill, no
+    // rewrite of unmatched rows); the updated images add NEW files
+    val filesAfter = DeltaTable.read(spark, table).inputFiles.toSet
+    assert(filesBefore.subsetOf(filesAfter),
+      s"$filesBefore vs $filesAfter")
+    assert(filesAfter.size > filesBefore.size)
+    // ONE commit: time travel to v0 shows the pre-update state
+    assert(DeltaTable.read(spark, table, versionAsOf = Some(0L))
+      .filter($"text".startsWith("u-")).count() == 0)
+    // a second update touching rows the first rewrote DV-kills the
+    // first update's own files
+    val v2 = DeltaWriter.writeUpdate(spark, table, $"id" === 6L,
+      Map("text" -> lit("z")))
+    assert(v2 == 2L)
+    assert(DeltaTable.read(spark, table).filter($"id" === 6L)
+      .select($"text").as[String].head() == "z")
+    // an empty UPDATE is a no-op, not an empty commit
+    assert(DeltaWriter.writeUpdate(spark, table, $"id" === 999L,
+      Map("text" -> lit("nope"))) == 2L)
+    // guards: unknown SET column, cap, append-only
+    val eCol = intercept[Exception] {
+      DeltaWriter.writeUpdate(spark, table, lit(true),
+        Map("nope" -> lit("x")))
+    }
+    assert(eCol.getMessage.contains("SET column"), eCol.getMessage)
+    val eCap = intercept[Exception] {
+      DeltaWriter.writeUpdate(spark, table, lit(true),
+        Map("text" -> lit("x")), maxUpdatedRows = 2L)
+    }
+    assert(eCap.getMessage.contains("rewrite"), eCap.getMessage)
+    // no temp litter from any of the updates
+    val litter = new java.io.File(table).listFiles()
+      .filter(_.getName.startsWith("_tmp_update"))
+    assert(litter.isEmpty, litter.toSeq)
+  }
+
+  test("delta writeUpdate: partition-column update moves rows across dirs") {
+    val table = tmp()
+    DeltaWriter.writeAppend(spark,
+      Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "de"))
+        .toDF("id", "text", "lang"),
+      table, partitionBy = Seq("lang"))
+    DeltaWriter.writeUpdate(spark, table, $"id" === 2L,
+      Map("lang" -> lit("fr")))
+    val got = DeltaTable.read(spark, table).orderBy($"id")
+      .select($"id", $"lang").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "en"), (2L, "fr"), (3L, "de")))
+    // the moved row's new file lives under its NEW partition dir
+    val frFiles = DeltaTable.read(spark, table).filter($"lang" === "fr")
+      .inputFiles
+    assert(frFiles.nonEmpty && frFiles.forall(_.contains("lang=fr")),
+      frFiles.toSeq)
+  }
+
+  test("iceberg writeUpdate: one overwrite snapshot, kill + rewrite") {
+    val table = tmp()
+    val df = (1L to 10L).map(i => (i, s"t$i")).toDF("id", "text")
+    IcebergWriter.writeAppend(spark, df, table)
+    val filesBefore = IcebergTable.read(spark, table).inputFiles.toSet
+
+    val snap1 = IcebergWriter.writeUpdate(spark, table, $"id" % 3 === 0,
+      Map("text" -> concat(lit("u-"), $"id")))
+    val after = IcebergTable.read(spark, table).orderBy($"id")
+    assert(after.count() == 10)
+    assert(after.select($"text").as[String].collect().toSeq ==
+      (1L to 10L).map(i => if (i % 3 == 0) s"u-$i" else s"t$i"))
+    // original files still serve survivors; updated images are new files
+    val filesAfter = IcebergTable.read(spark, table).inputFiles.toSet
+    assert(filesBefore.subsetOf(filesAfter))
+    assert(filesAfter.size > filesBefore.size)
+    // ONE snapshot, operation "overwrite"; time travel sees v0
+    val snaps = IcebergTable.snapshots(spark, table)
+      .orderBy($"snapshot_id").collect()
+    assert(snaps.length == 2)
+    assert(snaps(1).getString(2) == "overwrite", snaps.toSeq)
+    val first = snaps(0).getLong(0)
+    assert(IcebergTable.read(spark, table, Some(first))
+      .filter($"text".startsWith("u-")).count() == 0)
+    // the changelog over the update range reports the net row changes
+    val log = IcebergTable.readChangelog(spark, table, first, Some(snap1))
+    val byType = log.groupBy($"_change_type").count().as[(String, Long)]
+      .collect().toMap
+    assert(byType == Map("insert" -> 3L, "delete" -> 3L), byType)
+    // empty update: no-op, no new snapshot
+    assert(IcebergWriter.writeUpdate(spark, table, $"id" === 999L,
+      Map("text" -> lit("nope"))) == snap1)
+    // unknown SET column directed; temp litter cleaned
+    val eCol = intercept[Exception] {
+      IcebergWriter.writeUpdate(spark, table, lit(true),
+        Map("nope" -> lit("x")))
+    }
+    assert(eCol.getMessage.contains("SET column"), eCol.getMessage)
+    val litter = new java.io.File(table).listFiles()
+      .filter(_.getName.startsWith("_tmp_update"))
+    assert(litter.isEmpty, litter.toSeq)
+  }
 }
