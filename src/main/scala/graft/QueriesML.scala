@@ -1606,6 +1606,45 @@ object QueriesML {
           .orderBy($"id", $"change_type")
       }),
 
+    // ---------------- Iceberg: row-level DELETE on a PARTITIONED table
+    // The q184×q186 composition: the gate writes an identity-partitioned
+    // table (two appends, spec inherited), then writeDelete kills rows of
+    // ONE bucket — delete files are partition-scoped (one per touched
+    // tuple, manifest partition structs), no data file rewritten, and the
+    // other buckets' files stay byte-identical (spec-asserted). The
+    // oracle recomputes the survivors across the whole table.
+    Q("q190_iceberg_part_delete", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT o_orderkey AS id,
+             CASE WHEN o_orderkey % 4 = 0 THEN 'v2-' || CAST(rn0 AS VARCHAR)
+                  ELSE 'doc-' || CAST(rn0 AS VARCHAR) END AS text,
+             o_orderkey % 3 AS bucket
+      FROM o WHERE NOT (o_orderkey % 3 = 1 AND o_orderkey % 7 = 0)
+      ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{IcebergTable, IcebergWriter}
+        val table = Fixtures.dir("q190", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          IcebergWriter.writeAppend(s,
+            base.filter($"id" % 4 =!= 0)
+              .select($"id", concat(lit("doc-"), $"rn0").as("text"),
+                ($"id" % 3).as("bucket")),
+            t, partitionBy = Seq("bucket"))
+          IcebergWriter.writeAppend(s,
+            base.filter($"id" % 4 === 0)
+              .select($"id", concat(lit("v2-"), $"rn0").as("text"),
+                ($"id" % 3).as("bucket")), t)
+          IcebergWriter.writeDelete(s, t,
+            $"bucket" === 1 && $"id" % 7 === 0)
+        }
+        IcebergTable.read(s, s"$table/table")
+          .select($"id", $"text", $"bucket").orderBy($"id")
+      }),
+
     // ------------------------------------------------------- HF tokenizer.json encode
     // A hand-authored tokenizer.json (the huggingface/tokenizers file
     // format, byte-level BPE) over planted "ab"*k words: greedy merge

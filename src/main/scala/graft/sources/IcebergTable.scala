@@ -673,6 +673,16 @@ object IcebergTable {
       table: String): Seq[String] =
     activeFiles(spark, table, None, Map.empty).data.map(_._1)
 
+  /** Each active data file with its partition SCOPE string
+    * (`specId:partitionJson`, "" when the manifest carries no partition
+    * struct) — what the partitioned delete writer groups kill rows by,
+    * so each positional-delete file stays scoped to one partition
+    * tuple. */
+  private[graft] def activeDataScopes(spark: SparkSession,
+      table: String): Seq[(String, String)] =
+    activeFiles(spark, table, None, Map.empty).data
+      .map(f => (f._1, f._3))
+
   /** The current snapshot id (None on a never-written table) — one
     * metadata-json read, no manifest IO. The cheap "did anything change"
     * probe an incremental poller runs each tick. */

@@ -1293,13 +1293,32 @@ object IcebergWriter {
       newVersion.toString)
   }
 
-  /** Row-level DELETE for Iceberg: matching rows become a POSITIONAL
-    * DELETE file (`file_path`, `pos` — the v2 merge-on-read shape) in
+  /** A primitive JSON partition value back to its typed form. */
+  private def jvalueTo(dt: DataType, v: JValue): Any = v match {
+    case JNull | JNothing => null
+    case _ => dt match {
+      case LongType => v.extract[Long]
+      case IntegerType => v.extract[Int]
+      case StringType => v.extract[String]
+      case BooleanType => v.extract[Boolean]
+      case DoubleType => v.extract[Double]
+      case FloatType => v.extract[Float]
+      case other => throw UnsupportedWrite(
+        s"iceberg writer: partition value type ${other.simpleString}")
+    }
+  }
+
+  /** Row-level DELETE for Iceberg: matching rows become POSITIONAL
+    * DELETE files (`file_path`, `pos` — the v2 merge-on-read shape) in
     * one new `delete` snapshot; NO data file is rewritten. The delete
     * rows are written DISTRIBUTED (data-scale deletes never pass
     * through the driver — only the v2-positional shape makes that
-    * possible; Delta's DV bitmaps cannot). Unpartitioned flat-schema
-    * tables only; an empty DELETE is a no-op. Returns the snapshot id. */
+    * possible; Delta's DV bitmaps cannot). On an identity-PARTITIONED
+    * table the kill rows group by their target data file's partition
+    * tuple — one delete file per touched tuple, its manifest entry
+    * carrying the partition struct, so stock readers' partition-equality
+    * application rule and file-level pruning both hold. An empty DELETE
+    * is a no-op. Returns the snapshot id. */
   def writeDelete(spark: SparkSession, table: String,
       condition: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions.{broadcast, col => fcol}
@@ -1311,12 +1330,6 @@ object IcebergWriter {
     val fv = (meta \ "format-version").extract[Int]
     if (fv != 2) throw UnsupportedWrite(
       s"$table: positional deletes target format-version 2 (table is $fv)")
-    if ((meta \ "partition-specs").extractOpt[Seq[JValue]].getOrElse(Nil)
-      .exists(sp => (sp \ "fields").extractOpt[Seq[JValue]]
-        .exists(_.nonEmpty)))
-      throw UnsupportedWrite(
-        s"$table: row-level deletes on a PARTITIONED table are not " +
-          "implemented")
     val currentId = (meta \ "current-snapshot-id").extractOpt[Long]
       .filter(_ != -1L).getOrElse(throw UnsupportedWrite(
         s"$table: no current snapshot — nothing to delete from"))
@@ -1326,49 +1339,112 @@ object IcebergWriter {
     val delSpecs = (meta \ "partition-specs").extractOpt[Seq[JValue]]
       .getOrElse(Nil)
     val delSpecId = (meta \ "default-spec-id").extractOpt[Int].getOrElse(0)
-    if (delSpecs.nonEmpty && !delSpecs.exists(sp =>
-      (sp \ "spec-id").extractOpt[Int].contains(delSpecId)))
+    val spec = delSpecs.find(sp =>
+      (sp \ "spec-id").extractOpt[Int].contains(delSpecId))
+    if (delSpecs.nonEmpty && spec.isEmpty)
       throw UnsupportedWrite(
         s"$table: default-spec-id $delSpecId is not in partition-specs")
+    val specFields = spec.toSeq
+      .flatMap(sp => (sp \ "fields").extractOpt[Seq[JValue]].getOrElse(Nil))
+    specFields.foreach { f =>
+      val transform = (f \ "transform").extractOpt[String].getOrElse("")
+      if (transform != "identity") throw UnsupportedWrite(
+        s"$table: deleting through a '$transform' partition transform " +
+          "is not implemented (identity only)")
+    }
+    val schemaNode = IcebergTable.currentSchemaJson(meta)
+    val schema = IcebergTable.structOf(schemaNode)
+    val idToName: Map[Int, String] =
+      (schemaNode \ "fields").extractOpt[Seq[JValue]].getOrElse(Nil)
+        .flatMap { f =>
+          for (id <- (f \ "id").extractOpt[Int];
+            n <- (f \ "name").extractOpt[String]) yield id -> n
+        }.toMap
+    // the delete manifest's partition struct: spec field names, source
+    // column types
+    val partStructFields: Seq[StructField] = specFields.map { f =>
+      val name = (f \ "name").extract[String]
+      val srcId = (f \ "source-id").extract[Int]
+      val srcName = idToName.getOrElse(srcId, throw UnsupportedWrite(
+        s"$table: partition source-id $srcId is not in the schema"))
+      StructField(name, schema(srcName).dataType)
+    }
+    val partitioned = partStructFields.nonEmpty
     // matching rows → (manifest-spelled file path, position), fully
     // DISTRIBUTED: the canonical row key maps back to the raw manifest
-    // path through a broadcast dimension so foreign readers' raw-string
-    // compares still match; sorted within each delete file per spec.
-    // ONE scan: the plan is written straight to parquet and "nothing
-    // matched" is detected from the written files' footer counts.
+    // path (and its partition scope) through a broadcast dimension so
+    // foreign readers' raw-string compares still match; sorted within
+    // each delete file per spec. ONE scan: the plan is written straight
+    // to parquet and "nothing matched" is detected from the written
+    // files' footer counts.
     import spark.implicits._
-    val rawPaths = IcebergTable.activeDataPaths(spark, table)
-    val pathDim = rawPaths.map(p => (PathUris.canon(p), p))
-      .toDF("__ck", "file_path")
-    val delRows = IcebergTable.readWithRowKey(spark, table)
+    val scopes = IcebergTable.activeDataScopes(spark, table)
+    if (partitioned && scopes.exists(_._2.isEmpty)) throw UnsupportedWrite(
+      s"$table: the table is partitioned but a data manifest carries no " +
+        "partition struct — kill rows cannot be partition-scoped")
+    val pathDim = scopes.map { case (p, sc) =>
+      (PathUris.canon(p), p, sc)
+    }.toDF("__ck", "file_path", "__pt")
+    val keyedSel = IcebergTable.readWithRowKey(spark, table)
       .filter(condition)
       .select(fcol("__row_path").as("__ck"), fcol("__row_pos").as("pos"))
       .join(broadcast(pathDim), "__ck")
-      .select(fcol("file_path"), fcol("pos").cast("long"))
-      .sortWithinPartitions(fcol("file_path"), fcol("pos"))
-    val files = writeData(delRows, base, Nil, "data", conf)
+    val delRows =
+      if (!partitioned)
+        keyedSel.select(fcol("file_path"), fcol("pos").cast("long"))
+          .sortWithinPartitions(fcol("file_path"), fcol("pos"))
+      else
+        // leading __pt in the sort satisfies the dynamic-partition
+        // writer's required ordering, so (file_path, pos) order inside
+        // each delete file survives the write
+        keyedSel.select(fcol("file_path"), fcol("pos").cast("long"),
+            fcol("__pt"))
+          .sortWithinPartitions(fcol("__pt"), fcol("file_path"), fcol("pos"))
+    val files = writeData(delRows, base,
+      if (partitioned) Seq("__pt") else Nil, "data", conf)
     val counts = rowCounts(files.map(_._2), conf)
     if (counts.sum == 0) { // empty DELETE: no-op, no empty snapshot
       cleanup(fs, files.map(_._2))
       return currentId
     }
+    // files with zero delete rows add nothing but manifest noise
+    val nonEmpty = files.zip(counts).filter(_._2 > 0)
+    cleanup(fs, files.zip(counts).filter(_._2 == 0).map(_._1._2))
+    // each delete file's partition tuple parses back from its __pt=
+    // directory segment (`specId:partitionJson`); a touched data file
+    // under a NON-default spec cannot be partition-scoped by this
+    // delete's manifest and fails directed
+    def tupleOf(rel: String): Seq[Any] =
+      if (!partitioned) Nil
+      else {
+        val seg = rel.split('/').find(_.startsWith("__pt=")).getOrElse(
+          throw UnsupportedWrite(
+            s"$table: partition dir missing in delete file $rel"))
+        val raw = PathUris.pctDecode(seg.drop("__pt=".length))
+        val specPart = raw.takeWhile(_ != ':')
+        if (specPart.toIntOption != Some(delSpecId)) throw UnsupportedWrite(
+          s"$table: matched rows live under partition spec $specPart, " +
+            s"not the default spec $delSpecId — a spec-evolved table's " +
+            "old files cannot be scoped by this delete manifest")
+        val jm = JsonMethods.parse(raw.drop(specPart.length + 1))
+        partStructFields.map(sf => jvalueTo(sf.dataType, jm \ sf.name))
+      }
     val newSeq = st.lastSeq + 1
     val snapId = (st.snapshots.flatMap(sn =>
       (sn \ "snapshot-id").extractOpt[Long]) :+ 0L).max + 1
     val ts = System.currentTimeMillis()
     val attempt = java.util.UUID.randomUUID().toString
     val manifestPath = s"$base/metadata/m-$attempt.avro"
-    // files with zero delete rows add nothing but manifest noise
-    val nonEmpty = files.zip(counts).filter(_._2 > 0)
-    cleanup(fs, files.zip(counts).filter(_._2 == 0).map(_._1._2))
-    val schemaJson = JsonMethods.compact(JsonMethods.render(
-      IcebergTable.currentSchemaJson(meta)))
-    AvroOcf.write(manifestPath, manifestAvroSchema(Nil),
-      nonEmpty.map { case ((_, abs, size), n) =>
+    val schemaJson = JsonMethods.compact(JsonMethods.render(schemaNode))
+    val specFieldsJson = spec
+      .map(sp => JsonMethods.compact(JsonMethods.render(sp \ "fields")))
+      .getOrElse("[]")
+    AvroOcf.write(manifestPath, manifestAvroSchema(partStructFields),
+      nonEmpty.map { case ((rel, abs, size), n) =>
         // content 1: positional deletes
-        Seq(1, newSeq, Seq(1, abs, "PARQUET", Seq(), n, size))
+        Seq(1, newSeq, Seq(1, abs, "PARQUET", tupleOf(rel), n, size))
       }, conf = conf,
-      meta = manifestMeta(schemaJson, "[]", delSpecId, "deletes"))
+      meta = manifestMeta(schemaJson, specFieldsJson, delSpecId, "deletes"))
     commitSnapshot(fs, conf, base, table, snapId, newSeq, ts, "delete",
       Seq(NewManifest(manifestPath, 1, nonEmpty.size,
         nonEmpty.map(_._2).sum)),

@@ -589,6 +589,49 @@ class TableWritersSpec extends SparkSpec {
       frFiles.toSeq)
   }
 
+  test("iceberg writeDelete: partition-scoped kills on a partitioned table") {
+    val table = tmp()
+    val df = (1L to 12L).map(i => (i, s"t$i", i % 3)).toDF("id", "text", "b")
+    IcebergWriter.writeAppend(spark, df, table, partitionBy = Seq("b"))
+    val before = IcebergTable.read(spark, table)
+    val filesBefore = before.inputFiles.toSet
+    val untouched = IcebergTable.readPartitions(spark, table, Map("b" -> "2"))
+      .inputFiles.toSet
+
+    // kill rows of ONE bucket
+    IcebergWriter.writeDelete(spark, table, $"b" === 1L && $"id" > 5L)
+    val after = IcebergTable.read(spark, table)
+    assert(after.select($"id").as[Long].collect().sorted.toSeq ==
+      (1L to 12L).filterNot(i => i % 3 == 1 && i > 5), "survivors")
+    // NO data file rewritten anywhere (inputFiles also lists the
+    // delete-side scan — compare the DATA files only); the untouched
+    // bucket's file set is byte-identical
+    assert(after.inputFiles.filter(_.contains("p__b=")).toSet == filesBefore)
+    assert(IcebergTable.readPartitions(spark, table, Map("b" -> "2"))
+      .inputFiles.filter(_.contains("p__b=")).toSet == untouched)
+    // the delete manifest's entries carry the partition struct, scoped to
+    // the killed tuple only
+    val conf = spark.sparkContext.hadoopConfiguration
+    val metaDir = new java.io.File(s"$table/metadata")
+    val delManifest = metaDir.listFiles()
+      .filter(f => f.getName.startsWith("m-") && f.getName.endsWith(".avro"))
+      .sortBy(_.lastModified).last
+    val entries = graft.sources.AvroOcf.read(spark, delManifest.getPath)
+    assert(entries.select($"data_file.content").as[Int].collect()
+      .forall(_ == 1))
+    assert(entries.select($"data_file.partition.b").as[Long].collect()
+      .toSeq.distinct == Seq(1L), "delete files scoped to bucket 1")
+    // a delete SPANNING partitions writes one scoped file per tuple
+    IcebergWriter.writeDelete(spark, table, $"id" <= 2L)
+    assert(IcebergTable.read(spark, table)
+      .select($"id").as[Long].collect().sorted.toSeq ==
+      (3L to 12L).filterNot(i => i % 3 == 1 && i > 5))
+    // empty delete on the partitioned table stays a no-op
+    val snaps = IcebergTable.snapshots(spark, table).count()
+    IcebergWriter.writeDelete(spark, table, $"id" === 999L)
+    assert(IcebergTable.snapshots(spark, table).count() == snaps)
+  }
+
   test("iceberg writeUpdate: one overwrite snapshot, kill + rewrite") {
     val table = tmp()
     val df = (1L to 10L).map(i => (i, s"t$i")).toDF("id", "text")
