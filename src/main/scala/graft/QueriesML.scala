@@ -1645,6 +1645,39 @@ object QueriesML {
           .select($"id", $"text", $"bucket").orderBy($"id")
       }),
 
+    // ------------------- Delta: copy-on-write DELETE above the DV cap
+    // The data-scale delete shape: auto mode crosses a lowered
+    // maxDeletedRows and switches to the distributed rewrite — touched
+    // files' survivors rewritten, remove+add in one commit, no deletion
+    // vector and no driver-side positions. A trailing DV delete stacks on
+    // the rewritten files (the two shapes compose). The oracle recomputes
+    // the survivors of both predicates.
+    Q("q191_delta_rewrite_delete", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT o_orderkey AS id, 'doc-' || CAST(rn0 AS VARCHAR) AS text
+      FROM o WHERE o_orderkey % 2 <> 0 AND rn0 % 11 <> 3
+      ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{DeltaTable, DeltaWriter}
+        val table = Fixtures.dir("q191", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          DeltaWriter.writeAppend(s,
+            base.select($"id", concat(lit("doc-"), $"rn0").as("text"),
+              $"rn0"), t)
+          // ~60 matches > the lowered cap: auto takes the rewrite shape
+          DeltaWriter.writeDelete(s, t, $"id" % 2 === 0,
+            maxDeletedRows = 5L)
+          // a small DV delete stacks on the rewritten files
+          DeltaWriter.writeDelete(s, t, $"rn0" % 11 === 3)
+        }
+        DeltaTable.read(s, s"$table/table")
+          .select($"id", $"text").orderBy($"id")
+      }),
+
     // ------------------------------------------------------- HF tokenizer.json encode
     // A hand-authored tokenizer.json (the huggingface/tokenizers file
     // format, byte-level BPE) over planted "ab"*k words: greedy merge

@@ -632,6 +632,18 @@ object DeltaTable {
       table: String): DataFrame =
     assemble(spark, table, replay(spark, table, None)._1, keepRowKey = true)
 
+  /** The live rows of ONLY the named data files (canonical absolute
+    * paths), existing DVs applied — the copy-on-write rewrite's input:
+    * data IO scales with the TOUCHED files, never the table. */
+  private[graft] def readFilesSubset(spark: SparkSession, table: String,
+      canonPaths: Set[String]): DataFrame = {
+    val base = table.stripSuffix("/")
+    val snap = replay(spark, table, None)._1
+    val sel = snap.files.filter(f =>
+      canonPaths(PathUris.canon(resolveAdd(base, f.path))))
+    assemble(spark, table, snap.copy(files = sel))
+  }
+
   /** Incremental consumption: rows of the data files ACTIVE at
     * `toVersion` (default latest) but not at `fromVersion` — the
     * "process only the new shards" pattern an incremental corpus

@@ -455,21 +455,37 @@ object DeltaWriter {
     * positions. Returns the committed version (the current one when
     * nothing matches — an empty DELETE is a no-op, not an empty commit).
     *
-    * Deleted-row positions pass through the driver (grouped per file) —
-    * DVs are built for SMALL deletes; `maxDeletedRows` (default 10M)
-    * directs larger ones to a rewrite instead of materializing a
-    * data-scale bitmap driver-side. Note for CDF consumers: a cdc-less
-    * DV rewrite is not row-level reconstructible, and readCdf over such
-    * a commit fails directed by design. */
+    * `mode` picks the physical shape:
+    *
+    *  - `"dv"`: deletion vectors only. Deleted-row positions pass
+    *    through the driver (grouped per file, ONE action — the cap is
+    *    derived from the very row set the DV build consumes, so a
+    *    non-deterministic condition cannot slip past it); more than
+    *    `maxDeletedRows` (default 10M) fails directed.
+    *  - `"rewrite"`: COPY-ON-WRITE — the touched files' SURVIVORS are
+    *    rewritten distributed (data IO scales with the touched files,
+    *    nothing passes the driver but file names) and the commit is
+    *    remove(touched)+add(rewritten). The data-scale shape.
+    *  - `"auto"` (default): one O(files) per-file count pass picks —
+    *    at most `maxDeletedRows` matches take the DV shape, more take
+    *    the rewrite. Like delta-spark's own DELETE, auto and rewrite
+    *    locate touched files and evaluate survivors in separate passes,
+    *    so a non-deterministic condition should use `"dv"`.
+    *
+    * Note for CDF consumers: a cdc-less DV rewrite is not row-level
+    * reconstructible, and readCdf over such a commit fails directed by
+    * design. */
   def writeDelete(spark: SparkSession, table: String,
       condition: org.apache.spark.sql.Column,
-      maxDeletedRows: Long = 10000000L): Long = {
-    import org.apache.spark.sql.functions.collect_list
+      maxDeletedRows: Long = 10000000L, mode: String = "auto"): Long = {
+    import org.apache.spark.sql.functions.{coalesce, collect_list, lit, not}
+    if (!Set("auto", "dv", "rewrite")(mode)) throw UnsupportedWrite(
+      s"$table: DELETE mode '$mode' (auto, dv, or rewrite)")
     val base = table.stripSuffix("/")
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val logPath = new Path(s"$base/_delta_log")
     val fs = logPath.getFileSystem(conf)
-    val (version, _, _, _, config, files, proto) =
+    val (version, _, schemaJson, partCols, config, files, proto) =
       DeltaTable.snapshotState(spark, table)
     // writer obligations this delete cannot honor are directed, never
     // silently violated
@@ -487,33 +503,100 @@ object DeltaWriter {
       Option[DeletionVector.Descriptor])] =
       files.map(f => PathUris.canon(resolve(f._1)) -> f).toMap
     val keyed = DeltaTable.readWithRowKey(spark, table).filter(condition)
-    // ONE Spark action: the cap is derived from the very row set the DV
-    // build consumes — a separate count() first would check a DIFFERENT
-    // evaluation of a non-deterministic condition and the guard could be
-    // bypassed
-    val matches = keyed.groupBy(col("__row_path"))
-      .agg(collect_list(col("__row_pos")).as("pos")).collect()
-    val totalDeleted = matches.map(_.getSeq[Long](1).size.toLong).sum
-    if (totalDeleted == 0) return version
-    if (totalDeleted > maxDeletedRows) throw UnsupportedWrite(
-      s"$table: DELETE matches $totalDeleted rows (> $maxDeletedRows) — " +
-        "deletion vectors are for small deletes; rewrite the table instead")
-    val ts = System.currentTimeMillis()
-    val (dvLines, newDvFiles) = dvKillActions(base, table, fs, conf,
-      fileByKey,
-      matches.toSeq.map(m => (m.getString(0), m.getSeq[Long](1).toArray)),
-      ts)
-    val lines =
-      Seq(s"""{"commitInfo":{"timestamp":$ts,"operation":"DELETE"}}""") ++
-        dvProtocolUpgrade(proto) ++ dvLines
-    val dest = new Path(logPath, f"${version + 1}%020d.json")
-    if (!putText(fs, dest, lines.mkString("\n"))) {
-      cleanup(fs, newDvFiles)
-      throw CommitConflict(
-        s"$table: version ${version + 1} was committed concurrently — " +
-          "re-read the table and retry the delete")
+
+    def commit(lines: Seq[String], newFiles: Seq[String]): Long = {
+      val dest = new Path(logPath, f"${version + 1}%020d.json")
+      if (!putText(fs, dest, lines.mkString("\n"))) {
+        cleanup(fs, newFiles)
+        throw CommitConflict(
+          s"$table: version ${version + 1} was committed concurrently — " +
+            "re-read the table and retry the delete")
+      }
+      version + 1
     }
-    version + 1
+
+    def dvShape(): Long = {
+      val matches = keyed.groupBy(col("__row_path"))
+        .agg(collect_list(col("__row_pos")).as("pos")).collect()
+      val totalDeleted = matches.map(_.getSeq[Long](1).size.toLong).sum
+      if (totalDeleted == 0) return version
+      if (totalDeleted > maxDeletedRows) throw UnsupportedWrite(
+        s"$table: DELETE matches $totalDeleted rows (> $maxDeletedRows) " +
+          "— deletion vectors are for small deletes; use mode=rewrite " +
+          "(or auto)")
+      val ts = System.currentTimeMillis()
+      val (dvLines, newDvFiles) = dvKillActions(base, table, fs, conf,
+        fileByKey,
+        matches.toSeq.map(m =>
+          (m.getString(0), m.getSeq[Long](1).toArray)), ts)
+      commit(
+        Seq(s"""{"commitInfo":{"timestamp":$ts,"operation":"DELETE"}}""") ++
+          dvProtocolUpgrade(proto) ++ dvLines,
+        newDvFiles)
+    }
+
+    def rewriteShape(touchedCanon: Set[String]): Long = {
+      if (touchedCanon.isEmpty) return version
+      // survivors of the TOUCHED files only (existing DVs applied) —
+      // rows where the predicate is false OR NULL survive, delta's own
+      // DELETE semantics
+      val survivors = DeltaTable.readFilesSubset(spark, table, touchedCanon)
+        .filter(not(coalesce(condition, lit(false))))
+      // a foreign table may hold ''/sentinel string partition values the
+      // directory encoding cannot round-trip — directed before rewriting
+      locally {
+        import org.apache.spark.sql.functions.{col => fcol}
+        val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        val strCols = partCols.filter(c => schema(c).dataType == StringType)
+        if (strCols.nonEmpty) {
+          val ambiguous = strCols.map(c =>
+            fcol(c) === "" || fcol(c) === "__HIVE_DEFAULT_PARTITION__")
+            .reduce(_ || _)
+          if (!survivors.filter(ambiguous).isEmpty) throw UnsupportedWrite(
+            s"$table: a surviving string partition value is '' or the " +
+              "hive null sentinel — the rewrite cannot represent it")
+        }
+      }
+      val ts = System.currentTimeMillis()
+      val dataFiles = writeData(survivors, base, partCols, "", conf)
+      val counts = rowCounts(dataFiles.map(_._2), conf)
+      val nonEmpty = dataFiles.zip(counts).filter(_._2 > 0).map(_._1)
+      cleanup(fs, dataFiles.zip(counts).filter(_._2 == 0).map(_._1._2))
+      val adds = nonEmpty.map { case (rel, _, size) =>
+        val pv = partitionValuesJson(partValues(rel))
+        s"""{"add":{"path":"${pctEncodeRel(rel)}","partitionValues":{$pv},""" +
+          s""""size":$size,"modificationTime":$ts,"dataChange":true}}"""
+      }
+      val removes = touchedCanon.toSeq.sorted.map { key =>
+        val (rawPath, pv, oldDv) = fileByKey.getOrElse(key,
+          throw UnsupportedWrite(
+            s"$table: matched row's file $key is not in the snapshot — " +
+              "path spelling drift"))
+        val pvs = partitionValuesJson(pv)
+        val oldDvJson = oldDv.map(d => s""","deletionVector":${dvJson(d)}""")
+          .getOrElse("")
+        s"""{"remove":{"path":"$rawPath","deletionTimestamp":$ts,""" +
+          s""""dataChange":true,"partitionValues":{$pvs}$oldDvJson}}"""
+      }
+      commit(
+        Seq(s"""{"commitInfo":{"timestamp":$ts,"operation":"DELETE"}}""") ++
+          removes ++ adds,
+        nonEmpty.map(_._2))
+    }
+
+    mode match {
+      case "dv" => dvShape()
+      case "rewrite" =>
+        val touched = keyed.select(col("__row_path")).distinct()
+          .collect().map(_.getString(0)).toSet
+        rewriteShape(touched)
+      case _ => // auto: an O(files) count pass picks the shape
+        val groups = keyed.groupBy(col("__row_path")).count().collect()
+        val total = groups.map(_.getLong(1)).sum
+        if (total == 0) version
+        else if (total <= maxDeletedRows) dvShape()
+        else rewriteShape(groups.map(_.getString(0)).toSet)
+    }
   }
 
   /** Row-level UPDATE: rows matching `condition` take the `set` column

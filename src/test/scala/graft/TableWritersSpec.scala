@@ -338,14 +338,72 @@ class TableWritersSpec extends SparkSpec {
     val v3 = DeltaWriter.writeDelete(spark, table, lit(true))
     assert(v3 == 3L)
     assert(DeltaTable.read(spark, table).count() == 0)
-    // the cap is directed, never a driver-side surprise
+    // in mode=dv the cap is directed, never a driver-side surprise
     val t2 = tmp()
     DeltaWriter.writeAppend(spark,
       (1L to 5L).map(i => (i, "x")).toDF("id", "text"), t2)
     val e = intercept[Exception] {
-      DeltaWriter.writeDelete(spark, t2, lit(true), maxDeletedRows = 2L)
+      DeltaWriter.writeDelete(spark, t2, lit(true), maxDeletedRows = 2L,
+        mode = "dv")
     }
     assert(e.getMessage.contains("rewrite"), e.getMessage)
+  }
+
+  test("delta writeDelete rewrite: copy-on-write above the DV cap") {
+    val table = tmp()
+    // 4 files; deletes touch only some of them
+    val df = spark.sparkContext
+      .parallelize((1L to 20L).map(i => (i, s"t$i")), 4).toDF("id", "text")
+    DeltaWriter.writeAppend(spark, df, table)
+    val before = DeltaTable.read(spark, table)
+    val filesBefore = before.inputFiles.toSet
+    assert(filesBefore.size == 4)
+
+    // auto mode crosses the lowered cap -> copy-on-write, one commit
+    val v1 = DeltaWriter.writeDelete(spark, table, $"id" <= 9L,
+      maxDeletedRows = 3L)
+    assert(v1 == 1L)
+    val after = DeltaTable.read(spark, table)
+    assert(after.select($"id").as[Long].collect().sorted.toSeq ==
+      (10L to 20L))
+    // UNTOUCHED files keep their identity; touched ones are gone
+    val filesAfter = after.inputFiles.toSet
+    val untouched = filesBefore.intersect(filesAfter)
+    assert(untouched.nonEmpty, "some original file had no matches")
+    assert((filesAfter -- filesBefore).nonEmpty, "rewritten files exist")
+    // no deletion vector anywhere: the rewrite commit is remove+add only
+    val log1 = graft.sources.FsText.read(
+      new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new Path(s"$table/_delta_log/00000000000000000001.json"))
+    assert(!log1.contains("deletionVector"), log1)
+    // explicit rewrite over a table that already has DVs merges them:
+    // DV-dead rows stay dead through the rewrite
+    DeltaWriter.writeDelete(spark, table, $"id" === 12L, mode = "dv")
+    val v3 = DeltaWriter.writeDelete(spark, table, $"id" >= 18L,
+      mode = "rewrite")
+    assert(v3 == 3L)
+    assert(DeltaTable.read(spark, table).select($"id").as[Long]
+      .collect().sorted.toSeq ==
+      Seq(10L, 11L, 13L, 14L, 15L, 16L, 17L))
+    // survivors of the rewrite carry no DV (fresh files) — only the
+    // removes may reference the retired vector
+    val log3 = graft.sources.FsText.read(
+      new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new Path(s"$table/_delta_log/00000000000000000003.json"))
+    assert(log3.split('\n').filter(_.contains("\"add\""))
+      .forall(!_.contains("deletionVector")), log3)
+    // rewrite of a PARTITIONED table keeps rows in their partitions
+    val t2 = tmp()
+    DeltaWriter.writeAppend(spark,
+      Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "de"), (4L, "d", "de"))
+        .toDF("id", "text", "lang"),
+      t2, partitionBy = Seq("lang"))
+    DeltaWriter.writeDelete(spark, t2, $"id" === 3L, mode = "rewrite")
+    val got = DeltaTable.read(spark, t2).orderBy($"id")
+      .select($"id", $"lang").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "en"), (2L, "en"), (4L, "de")))
+    assert(DeltaTable.read(spark, t2).filter($"lang" === "de")
+      .inputFiles.forall(_.contains("lang=de")))
   }
 
   test("exclusive commit: the loser of a version race fails directed") {
