@@ -1678,6 +1678,72 @@ object QueriesML {
           .select($"id", $"text").orderBy($"id")
       }),
 
+    // --------------------------- Delta: additive schema evolution on append
+    // The most common real-world append variant: a second batch carries a
+    // new nullable trailing column, mergeSchema=true updates the metaData
+    // in the same commit, and the pre-evolution files read the column as
+    // NULL. The oracle recomputes both batches with the null fill.
+    Q("q192_delta_schema_evolution", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT o_orderkey AS id, 'doc-' || CAST(rn0 AS VARCHAR) AS text,
+             CASE WHEN o_orderkey % 4 = 0 THEN round(rn0 * 0.5, 6)
+                  ELSE NULL END AS score
+      FROM o ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{DeltaTable, DeltaWriter}
+        val table = Fixtures.dir("q192", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          DeltaWriter.writeAppend(s,
+            base.filter($"id" % 4 =!= 0)
+              .select($"id", concat(lit("doc-"), $"rn0").as("text")), t)
+          DeltaWriter.writeAppend(s,
+            base.filter($"id" % 4 === 0)
+              .select($"id", concat(lit("doc-"), $"rn0").as("text"),
+                round($"rn0" * 0.5, 6).as("score")),
+            t, mergeSchema = true)
+        }
+        DeltaTable.read(s, s"$table/table")
+          .select($"id", $"text", round($"score", 6).as("score"))
+          .orderBy($"id")
+      }),
+
+    // ------------------------- Iceberg: additive schema evolution on append
+    // The Iceberg twin of q192: the evolving append APPENDS a schema to
+    // the schemas list (new field ids continue from last-column-id,
+    // schema-id bumped), older files read the new column as null. Same
+    // planted derivation — the two formats cross-validate.
+    Q("q193_iceberg_schema_evolution", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT o_orderkey AS id, 'doc-' || CAST(rn0 AS VARCHAR) AS text,
+             CASE WHEN o_orderkey % 4 = 0 THEN round(rn0 * 0.5, 6)
+                  ELSE NULL END AS score
+      FROM o ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{IcebergTable, IcebergWriter}
+        val table = Fixtures.dir("q193", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          IcebergWriter.writeAppend(s,
+            base.filter($"id" % 4 =!= 0)
+              .select($"id", concat(lit("doc-"), $"rn0").as("text")), t)
+          IcebergWriter.writeAppend(s,
+            base.filter($"id" % 4 === 0)
+              .select($"id", concat(lit("doc-"), $"rn0").as("text"),
+                round($"rn0" * 0.5, 6).as("score")),
+            t, mergeSchema = true)
+        }
+        IcebergTable.read(s, s"$table/table")
+          .select($"id", $"text", round($"score", 6).as("score"))
+          .orderBy($"id")
+      }),
+
     // ------------------------------------------------------- HF tokenizer.json encode
     // A hand-authored tokenizer.json (the huggingface/tokenizers file
     // format, byte-level BPE) over planted "ab"*k words: greedy merge

@@ -43,10 +43,12 @@ import org.json4s.jackson.JsonMethods
   * Scale model: the DATA writes are Spark's native distributed parquet
   * sink; driver work is O(files) metadata (moves, footer row counts, log
   * lines) — the same bookkeeping every Delta/Iceberg writer performs.
-  * Deliberately out of scope (directed errors, never silent): schema
-  * evolution on append, column-mapped Delta write targets, non-identity
-  * Iceberg partition transforms, nested types in new Iceberg schemas,
-  * txn/rowTracking state a checkpoint or delete cannot carry. */
+  * Deliberately out of scope (directed errors, never silent):
+  * non-additive schema evolution (renames/type changes/drops — additive
+  * nullable trailing columns DO evolve via mergeSchema), column-mapped
+  * Delta write targets, non-identity Iceberg partition transforms,
+  * nested types in new Iceberg schemas, txn/rowTracking state a
+  * checkpoint or delete cannot carry. */
 object TableCommit {
   final case class CommitConflict(msg: String) extends RuntimeException(msg)
   final case class UnsupportedWrite(msg: String) extends RuntimeException(msg)
@@ -189,6 +191,22 @@ object TableCommit {
     * loser leaves no orphans behind. */
   private[sources] def cleanup(fs: FileSystem, files: Seq[String]): Unit =
     files.foreach(f => fs.delete(new Path(f), false))
+
+  /** The new fields `next` appends after `prior` — `next` must carry
+    * every prior field (names+types, in order) as a prefix and only ADD
+    * trailing columns. None when the change is anything else (renames,
+    * type changes, drops, reorders — not additive). The callers declare
+    * the new TABLE columns nullable regardless of the incoming frame's
+    * nullability (old files must read them as null). */
+  private[sources] def additiveTail(prior: StructType,
+      next: StructType): Option[Seq[StructField]] = {
+    if (next.fields.length <= prior.fields.length) None
+    else {
+      val (head, tail) = next.fields.splitAt(prior.fields.length)
+      if (!sameSchema(StructType(head), prior)) None
+      else Some(tail.toSeq)
+    }
+  }
 
   /** Structural schema equality: names and types, ignoring nullability
     * and metadata — the append-compatibility check. */
@@ -343,12 +361,16 @@ object DeltaWriter {
   /** Append `df` to (or create) the Delta table at `table`. Returns the
     * committed version. `partitionBy` and `properties` (the table
     * configuration, e.g. `delta.enableChangeDataFeed`) apply on CREATE
-    * only — appends inherit the table's existing partition layout and
-    * must present the same schema (schema evolution is a directed
-    * error). */
+    * only — appends inherit the table's existing partition layout.
+    * `mergeSchema = true` permits ADDITIVE schema evolution: new
+    * NULLABLE trailing columns update the table's metaData in the same
+    * commit, and files written before the evolution read the new columns
+    * as null; anything else (renames, type changes, drops, reorders) is
+    * a directed error either way. */
   def writeAppend(spark: SparkSession, df: DataFrame, table: String,
       partitionBy: Seq[String] = Nil,
-      properties: Map[String, String] = Map.empty): Long = {
+      properties: Map[String, String] = Map.empty,
+      mergeSchema: Boolean = false): Long = {
     val base = table.stripSuffix("/")
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val logPath = new Path(s"$base/_delta_log")
@@ -364,19 +386,37 @@ object DeltaWriter {
     if (exists && properties.nonEmpty) throw UnsupportedWrite(
       s"$table: properties apply on CREATE only — altering an existing " +
         "table's configuration is not implemented")
+    // `evolved`: Some((metaId, configuration, new schema)) when this
+    // append additively evolves the table schema — the commit then
+    // carries a fresh metaData action
+    var evolved: Option[(String, Map[String, String], StructType)] = None
     val (version, schema, partCols) =
       if (!exists) (0L, df.schema, partitionBy)
       else {
-        val (v, schemaJson, pc, cfg) = DeltaTable.snapshotInfo(spark, table)
+        val (v, metaId, schemaJson, pc, cfg, _, _) =
+          DeltaTable.snapshotState(spark, table)
         if (cfg.get("delta.columnMapping.mode").exists(_ != "none"))
           throw UnsupportedWrite(
             s"$table: appending to a column-mapped table is not implemented")
         val existing = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-        if (!sameSchema(existing, df.schema)) throw UnsupportedWrite(
-          s"$table: append schema ${df.schema.simpleString} != table " +
-            s"schema ${existing.simpleString} (schema evolution is not " +
-            "implemented)")
-        (v + 1, existing, pc)
+        if (sameSchema(existing, df.schema)) (v + 1, existing, pc)
+        else additiveTail(existing, df.schema) match {
+          case Some(tail) if mergeSchema =>
+            // old head fields verbatim (their nullability/metadata are
+            // the table's contract), new tail normalized to nullable
+            val next = StructType(existing.fields ++ tail.map(f =>
+              StructField(f.name, f.dataType, nullable = true)))
+            evolved = Some((metaId, cfg, next))
+            (v + 1, next, pc)
+          case Some(_) => throw UnsupportedWrite(
+            s"$table: append schema adds trailing columns — pass " +
+              "mergeSchema=true to evolve the table schema additively")
+          case None => throw UnsupportedWrite(
+            s"$table: append schema ${df.schema.simpleString} != table " +
+              s"schema ${existing.simpleString} (only ADDITIVE evolution " +
+              "— new nullable trailing columns with mergeSchema=true — " +
+              "is implemented)")
+        }
       }
     partCols.foreach { c =>
       if (!schema.fieldNames.contains(c)) throw UnsupportedWrite(
@@ -412,9 +452,24 @@ object DeltaWriter {
         s""""size":$size,"modificationTime":$ts,"dataChange":true}}"""
     }
     val head =
-      if (version > 0L)
-        Seq(s"""{"commitInfo":{"timestamp":$ts,"operation":"WRITE"}}""")
-      else {
+      if (version > 0L) {
+        // an evolving append re-declares the metaData under the SAME
+        // table id — the schema change and the new files land in one
+        // commit, so no reader observes one without the other
+        val metaLine = evolved.toSeq.map { case (metaId, cfg, next) =>
+          val cfgJson = cfg.map { case (k, v) =>
+            s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
+          }.mkString(",")
+          s"""{"metaData":{"id":"${if (metaId.nonEmpty) metaId
+            else java.util.UUID.randomUUID().toString}",""" +
+            s""""format":{"provider":"parquet","options":{}},""" +
+            s""""schemaString":"${jsonEscape(next.json)}",""" +
+            s""""partitionColumns":[${partCols.map(c => s""""$c"""").mkString(",")}],""" +
+            s""""configuration":{$cfgJson},"createdTime":$ts}}"""
+        }
+        Seq(s"""{"commitInfo":{"timestamp":$ts,"operation":"WRITE"}}""") ++
+          metaLine
+      } else {
         val schemaStr = jsonEscape(schema.json)
         // change data feed is a LEGACY writer-version-4 obligation — a
         // table created with it enabled must declare a protocol every
@@ -1118,9 +1173,12 @@ object IcebergWriter {
     * partitioning model), one file set per touched partition tuple, the
     * manifest records each file's `partition` struct, and
     * [[IcebergTable.readPartitions]] pruning works on the result.
-    * Flat primitive schemas; non-identity transforms directed. */
+    * `mergeSchema = true` permits ADDITIVE schema evolution: new
+    * NULLABLE trailing columns append a new schema (ids continuing from
+    * `last-column-id`, schema-id bumped) and older files read them as
+    * null. Flat primitive schemas; non-identity transforms directed. */
   def writeAppend(spark: SparkSession, df: DataFrame, table: String,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil, mergeSchema: Boolean = false): Long = {
     val base = table.stripSuffix("/")
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val fs = new Path(base).getFileSystem(conf)
@@ -1175,12 +1233,54 @@ object IcebergWriter {
             "is not implemented (identity only)")
       }
       partCols = specFields.flatMap(f => (f \ "name").extractOpt[String])
-      val schemas = IcebergTable.currentSchemaJson(meta)
-      val existing = IcebergTable.structOf(schemas)
-      if (!sameSchema(existing, df.schema)) throw UnsupportedWrite(
-        s"$table: append schema ${df.schema.simpleString} != table " +
-          s"schema ${existing.simpleString}")
-      schemaJson = JsonMethods.compact(JsonMethods.render(schemas))
+      val schemasNode = IcebergTable.currentSchemaJson(meta)
+      val existing = IcebergTable.structOf(schemasNode)
+      if (sameSchema(existing, df.schema))
+        schemaJson = JsonMethods.compact(JsonMethods.render(schemasNode))
+      else additiveTail(existing, df.schema) match {
+        case Some(tail) if mergeSchema =>
+          // ADDITIVE evolution: old fields verbatim (their ids are the
+          // table's contract), new field ids continue from the
+          // last-column-id high-water mark, schema-id bumps past every
+          // schema ever declared (spec rule — ids are never reused)
+          val allSchemas = (meta \ "schemas").extractOpt[Seq[JValue]]
+            .getOrElse(Seq(meta \ "schema"))
+          val lastCol = (meta \ "last-column-id").extractOpt[Int]
+            .getOrElse {
+              allSchemas.flatMap(s => (s \ "fields")
+                .extractOpt[Seq[JValue]].getOrElse(Nil)
+                .flatMap(f => (f \ "id").extractOpt[Int]))
+                .foldLeft(0)(math.max)
+            }
+          val newSchemaId = allSchemas.flatMap(s =>
+            (s \ "schema-id").extractOpt[Int]).foldLeft(0)(math.max) + 1
+          val oldFields = JsonMethods.compact(JsonMethods.render(
+            schemasNode \ "fields")).stripPrefix("[").stripSuffix("]")
+          val newFields = tail.zipWithIndex.map { case (f, i) =>
+            s"""{"id": ${lastCol + i + 1}, "name": "${f.name}", """ +
+              s""""required": false, "type": "${icebergType(f.dataType)}"}"""
+          }.mkString(", ")
+          schemaJson =
+            s"""{"type": "struct", "schema-id": $newSchemaId, """ +
+              s""""fields": [$oldFields, $newFields]}"""
+          val schemasListJson = (allSchemas.map(s =>
+            JsonMethods.compact(JsonMethods.render(s))) :+ schemaJson)
+            .mkString(", ")
+          carried = carried.filterNot { case (k, _) =>
+            Set("schemas", "current-schema-id", "last-column-id")(k)
+          } ++ Seq(
+            "schemas" -> s"[$schemasListJson]",
+            "current-schema-id" -> newSchemaId.toString,
+            "last-column-id" -> (lastCol + tail.size).toString)
+        case Some(_) => throw UnsupportedWrite(
+          s"$table: append schema adds trailing columns — pass " +
+            "mergeSchema=true to evolve the table schema additively")
+        case None => throw UnsupportedWrite(
+          s"$table: append schema ${df.schema.simpleString} != table " +
+            s"schema ${existing.simpleString} (only ADDITIVE evolution " +
+            "— new nullable trailing columns with mergeSchema=true — " +
+            "is implemented)")
+      }
     } else {
       schemaJson = schemaJsonOf(df.schema)
     }

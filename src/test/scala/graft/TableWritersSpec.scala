@@ -580,6 +580,72 @@ class TableWritersSpec extends SparkSpec {
       .readPartitions(spark, t2, Map("id" -> "2")).count() == 1)
   }
 
+  test("schema evolution: additive nullable trailing columns, both formats") {
+    // Delta: evolve, read old rows as null, evolve-read round trip
+    val dt = tmp()
+    DeltaWriter.writeAppend(spark, Seq((1L, "a"), (2L, "b"))
+      .toDF("id", "text"), dt)
+    // without mergeSchema the additive append stays directed
+    val e1 = intercept[Exception] {
+      DeltaWriter.writeAppend(spark,
+        Seq((3L, "c", 0.5)).toDF("id", "text", "score"), dt)
+    }
+    assert(e1.getMessage.contains("mergeSchema"), e1.getMessage)
+    DeltaWriter.writeAppend(spark,
+      Seq((3L, "c", 0.5)).toDF("id", "text", "score"), dt,
+      mergeSchema = true)
+    val dGot = DeltaTable.read(spark, dt).orderBy($"id")
+    assert(dGot.columns.toSeq == Seq("id", "text", "score"))
+    assert(dGot.select($"score").as[Option[Double]].collect().toSeq ==
+      Seq(None, None, Some(0.5)))
+    // post-evolution appends use the evolved schema plainly
+    DeltaWriter.writeAppend(spark,
+      Seq((4L, "d", 1.5)).toDF("id", "text", "score"), dt)
+    assert(DeltaTable.read(spark, dt).count() == 4)
+    // non-additive changes stay directed even with mergeSchema
+    val e2 = intercept[Exception] {
+      DeltaWriter.writeAppend(spark,
+        Seq((5L, 9L, 0.1)).toDF("id", "text", "score"), dt,
+        mergeSchema = true)
+    }
+    assert(e2.getMessage.contains("ADDITIVE"), e2.getMessage)
+
+    // Iceberg: schemas list grows, ids continue, old rows read null
+    val it = tmp()
+    IcebergWriter.writeAppend(spark, Seq((1L, "a"), (2L, "b"))
+      .toDF("id", "text"), it)
+    val e3 = intercept[Exception] {
+      IcebergWriter.writeAppend(spark,
+        Seq((3L, "c", 0.5)).toDF("id", "text", "score"), it)
+    }
+    assert(e3.getMessage.contains("mergeSchema"), e3.getMessage)
+    IcebergWriter.writeAppend(spark,
+      Seq((3L, "c", 0.5)).toDF("id", "text", "score"), it,
+      mergeSchema = true)
+    val iGot = IcebergTable.read(spark, it).orderBy($"id")
+    assert(iGot.columns.toSeq == Seq("id", "text", "score"))
+    assert(iGot.select($"score").as[Option[Double]].collect().toSeq ==
+      Seq(None, None, Some(0.5)))
+    // the metadata carries BOTH schemas; the new field id continues from
+    // the old high-water mark and last-column-id moved
+    val metaDir = new java.io.File(s"$it/metadata")
+    val latest = metaDir.listFiles()
+      .filter(_.getName.endsWith(".metadata.json"))
+      .maxBy(f => f.getName.stripPrefix("v")
+        .stripSuffix(".metadata.json").toLong)
+    val metaTxt = new String(
+      java.nio.file.Files.readAllBytes(latest.toPath), "UTF-8")
+    assert(metaTxt.contains(""""schema-id": 1"""), metaTxt)
+    assert(metaTxt.contains(""""current-schema-id": 1"""), metaTxt)
+    assert(metaTxt.contains(""""last-column-id": 3"""), metaTxt)
+    assert(metaTxt.contains(""""id": 3, "name": "score""""), metaTxt)
+    // row-level deletes still work across the evolution (schema parity
+    // between the reader's view and the delete plan)
+    IcebergWriter.writeDelete(spark, it, $"id" === 1L)
+    assert(IcebergTable.read(spark, it).select($"id").as[Long]
+      .collect().sorted.toSeq == Seq(2L, 3L))
+  }
+
   test("delta writeUpdate: DV kill + rewritten images in one commit") {
     val table = tmp()
     val df = (1L to 10L).map(i => (i, s"t$i")).toDF("id", "text")
