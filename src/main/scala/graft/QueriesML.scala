@@ -1744,6 +1744,48 @@ object QueriesML {
           .orderBy($"id")
       }),
 
+    // ----------------------- Iceberg v3: self-written table, Puffin DVs
+    // The q177 twin over a table the gate itself wrote: create at
+    // format-version 3 (next-row-id/first-row-id lineage bookkeeping),
+    // two append snapshots, then two DV deletes (disjoint file sets) —
+    // each emits deletion-vector-v1 blobs in a Puffin container that the
+    // reader decodes through the same framing as Delta's. The oracle
+    // recomputes the survivors of both predicates.
+    Q("q194_iceberg_v3_write", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT o_orderkey AS id,
+             CASE WHEN o_orderkey % 4 = 0 THEN 'v2-' || CAST(rn0 AS VARCHAR)
+                  ELSE 'doc-' || CAST(rn0 AS VARCHAR) END AS text
+      FROM o
+      WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 4 <> 0)
+        AND NOT (o_orderkey % 4 = 0 AND rn0 % 11 = 3)
+      ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{IcebergTable, IcebergWriter}
+        val table = Fixtures.dir("q194", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          IcebergWriter.writeAppend(s,
+            base.filter($"id" % 4 =!= 0)
+              .select($"id", concat(lit("doc-"), $"rn0").as("text"),
+                $"rn0"),
+            t, formatVersion = 3)
+          IcebergWriter.writeAppend(s,
+            base.filter($"id" % 4 === 0)
+              .select($"id", concat(lit("v2-"), $"rn0").as("text"),
+                $"rn0"), t)
+          IcebergWriter.writeDelete(s, t,
+            $"id" % 7 === 0 && $"id" % 4 =!= 0)
+          IcebergWriter.writeDelete(s, t,
+            $"id" % 4 === 0 && $"rn0" % 11 === 3)
+        }
+        IcebergTable.read(s, s"$table/table")
+          .select($"id", $"text").orderBy($"id")
+      }),
+
     // ------------------------------------------------------- HF tokenizer.json encode
     // A hand-authored tokenizer.json (the huggingface/tokenizers file
     // format, byte-level BPE) over planted "ab"*k words: greedy merge

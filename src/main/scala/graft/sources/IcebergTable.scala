@@ -673,6 +673,18 @@ object IcebergTable {
       table: String): Seq[String] =
     activeFiles(spark, table, None, Map.empty).data.map(_._1)
 
+  /** The current snapshot's delete shapes: (canonical data files already
+    * covered by a v3 deletion vector, whether any v2 positional-delete
+    * files are active). The v3 delete writer directs on both — one DV
+    * per file, and a new DV must merge prior positional deletes; either
+    * needs the manifest rewrite it does not implement. */
+  private[graft] def activeDeleteShapes(spark: SparkSession,
+      table: String): (Set[String], Boolean) = {
+    val a = activeFiles(spark, table, None, Map.empty)
+    (a.dvDeletes.map(d => PathUris.canon(d._2)).toSet,
+      a.posDeletes.nonEmpty)
+  }
+
   /** Each active data file with its partition SCOPE string
     * (`specId:partitionJson`, "" when the manifest carries no partition
     * struct) — what the partitioned delete writer groups kill rows by,

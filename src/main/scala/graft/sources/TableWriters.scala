@@ -1118,7 +1118,7 @@ object IcebergWriter {
     val carried = meta match {
       case JObject(fields) => fields.filterNot { case (k, _) =>
         Set("last-sequence-number", "current-snapshot-id", "snapshots",
-          "last-updated-ms")(k)
+          "last-updated-ms", "next-row-id")(k)
       }.map { case (k, v) =>
         k -> JsonMethods.compact(JsonMethods.render(v))
       }
@@ -1176,9 +1176,16 @@ object IcebergWriter {
     * `mergeSchema = true` permits ADDITIVE schema evolution: new
     * NULLABLE trailing columns append a new schema (ids continuing from
     * `last-column-id`, schema-id bumped) and older files read them as
-    * null. Flat primitive schemas; non-identity transforms directed. */
+    * null. `formatVersion` (CREATE only) may be 3: v3 tables maintain
+    * the metadata-level row-lineage bookkeeping (`next-row-id` advanced
+    * per commit, snapshot `first-row-id`) and their row-level deletes
+    * emit Puffin deletion vectors. Flat primitive schemas; non-identity
+    * transforms directed. */
   def writeAppend(spark: SparkSession, df: DataFrame, table: String,
-      partitionBy: Seq[String] = Nil, mergeSchema: Boolean = false): Long = {
+      partitionBy: Seq[String] = Nil, mergeSchema: Boolean = false,
+      formatVersion: Int = 2): Long = {
+    if (formatVersion != 2 && formatVersion != 3) throw UnsupportedWrite(
+      s"$table: format-version $formatVersion (2 or 3)")
     val base = table.stripSuffix("/")
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val fs = new Path(base).getFileSystem(conf)
@@ -1195,6 +1202,8 @@ object IcebergWriter {
     var schemaJson: String = null
     var partCols: Seq[String] = partitionBy
     var specId: Int = 0
+    var tableFv: Int = formatVersion
+    var priorNextRow: Long = 0L
     // every metadata field this writer does not manage carries forward
     // VERBATIM (properties, refs, sort-orders, snapshot-log, …) — an
     // append must never silently erase table state it did not parse
@@ -1203,9 +1212,12 @@ object IcebergWriter {
       val st = loadState(spark, fs, base)
       val meta = st.meta
       val fv = (meta \ "format-version").extract[Int]
-      if (fv != 2) throw UnsupportedWrite(
+      if (fv != 2 && fv != 3) throw UnsupportedWrite(
         s"$table: appending to a format-version $fv table is not " +
-          "implemented (v2 only — a v1 target would be silently upgraded)")
+          "implemented (v2/v3 only — a v1 target would be silently " +
+          "upgraded)")
+      tableFv = fv
+      priorNextRow = (meta \ "next-row-id").extractOpt[Long].getOrElse(0L)
       carried = st.carried
       lastSeq = st.lastSeq
       snapshots = st.snapshots
@@ -1381,9 +1393,10 @@ object IcebergWriter {
       filesWithTuple.zip(counts).map { case (((_, abs, size), t), n) =>
         Seq(1, newSeq, Seq(0, abs, "PARQUET", t, n, size))
       }, conf = conf,
-      meta = manifestMeta(schemaJson, specFieldsJson, specId, "data"))
+      meta = manifestMeta(schemaJson, specFieldsJson, specId, "data",
+        tableFv))
     val createFields: Seq[(String, String)] = Seq(
-      "format-version" -> "2",
+      "format-version" -> formatVersion.toString,
       "table-uuid" -> s""""${java.util.UUID.randomUUID()}"""",
       "location" -> s""""$base"""",
       // every field the v2 spec marks required, so stock metadata
@@ -1403,19 +1416,47 @@ object IcebergWriter {
       Seq(NewManifest(manifestPath, 0, files.size, counts.sum)),
       attempt, specId,
       if (exists) carried else createFields,
-      snapshots, priorManifests, metaVersion, files.map(_._2))
+      snapshots, priorManifests, metaVersion, files.map(_._2),
+      fv = tableFv,
+      rowLineage = if (tableFv == 3)
+        Some((priorNextRow, priorNextRow + counts.sum)) else None)
     snapId
   }
 
   /** The key-value metadata stock manifest readers require in each
     * manifest Avro file. */
   private def manifestMeta(schemaJson: String, specFieldsJson: String,
-      specId: Int, content: String): Map[String, String] = Map(
+      specId: Int, content: String, fv: Int = 2): Map[String, String] = Map(
     "schema" -> schemaJson,
     "partition-spec" -> specFieldsJson,
     "partition-spec-id" -> specId.toString,
-    "format-version" -> "2",
+    "format-version" -> fv.toString,
     "content" -> content)
+
+  /** The manifest-entry schema for v3 DELETION-VECTOR entries: the
+    * data_file record additionally locates one `deletion-vector-v1`
+    * blob inside a Puffin file (spec fields 143–145). */
+  private val dvManifestAvroSchema =
+    """{"type": "record", "name": "manifest_entry", "fields": [
+         {"name": "status", "type": "int", "field-id": 0},
+         {"name": "sequence_number", "type": ["null", "long"],
+          "default": null, "field-id": 3},
+         {"name": "data_file", "type": {"type": "record", "name": "r2",
+           "fields": [
+             {"name": "content", "type": "int", "field-id": 134},
+             {"name": "file_path", "type": "string", "field-id": 100},
+             {"name": "file_format", "type": "string", "field-id": 101},
+             {"name": "partition", "type": {"type": "record",
+               "name": "r102", "fields": []}, "field-id": 102},
+             {"name": "record_count", "type": "long", "field-id": 103},
+             {"name": "file_size_in_bytes", "type": "long",
+              "field-id": 104},
+             {"name": "referenced_data_file", "type": ["null", "string"],
+              "default": null, "field-id": 143},
+             {"name": "content_offset", "type": ["null", "long"],
+              "default": null, "field-id": 144},
+             {"name": "content_size_in_bytes", "type": ["null", "long"],
+              "default": null, "field-id": 145}]}, "field-id": 2}]}"""
 
   /** A manifest this commit adds: path, content kind (0 data,
     * 1 deletes), and its entry/row counts for the manifest list. */
@@ -1433,7 +1474,8 @@ object IcebergWriter {
       manifestSpecId: Int, baseFields: Seq[(String, String)],
       snapshots: Seq[JValue],
       priorManifests: Seq[ManifestFile],
-      metaVersion: Long, cleanupFiles: Seq[String]): Unit = {
+      metaVersion: Long, cleanupFiles: Seq[String],
+      fv: Int = 2, rowLineage: Option[(Long, Long)] = None): Unit = {
     val metaDir = new Path(s"$base/metadata")
     val listPath = s"$base/metadata/snap-$snapId-$attempt.avro"
     val newRows = newManifests.map { m =>
@@ -1443,12 +1485,17 @@ object IcebergWriter {
     }
     AvroOcf.write(listPath, listAvroSchema,
       (newRows ++ priorManifests).map(_.row), conf = conf,
-      meta = Map("format-version" -> "2",
+      meta = Map("format-version" -> fv.toString,
         "snapshot-id" -> snapId.toString,
         "sequence-number" -> newSeq.toString))
+    // v3 row lineage: the snapshot records its first-row-id and the
+    // metadata advances next-row-id by the rows this commit added
+    val lineageSnap = rowLineage
+      .map { case (first, _) => s""" "first-row-id": $first,""" }
+      .getOrElse("")
     val snapJson =
       s"""{"snapshot-id": $snapId, "timestamp-ms": $ts,
-           "sequence-number": $newSeq,
+           "sequence-number": $newSeq,$lineageSnap
            "summary": {"operation": "$operation"},
            "manifest-list": "$listPath"}"""
     val allSnaps = (snapshots.map(sn =>
@@ -1458,7 +1505,8 @@ object IcebergWriter {
       "last-updated-ms" -> ts.toString,
       "last-sequence-number" -> newSeq.toString,
       "current-snapshot-id" -> snapId.toString,
-      "snapshots" -> s"[$allSnaps]")
+      "snapshots" -> s"[$allSnaps]") ++
+      rowLineage.map { case (_, next) => "next-row-id" -> next.toString }
     val metaJson = allFields
       .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
     fs.mkdirs(metaDir)
@@ -1511,8 +1559,11 @@ object IcebergWriter {
     val st = loadState(spark, fs, base)
     val meta = st.meta
     val fv = (meta \ "format-version").extract[Int]
+    if (fv == 3) return writeDeleteV3(spark, table, base, fs, conf, st,
+      condition)
     if (fv != 2) throw UnsupportedWrite(
-      s"$table: positional deletes target format-version 2 (table is $fv)")
+      s"$table: row-level deletes target format-version 2 or 3 " +
+        s"(table is $fv)")
     val currentId = (meta \ "current-snapshot-id").extractOpt[Long]
       .filter(_ != -1L).getOrElse(throw UnsupportedWrite(
         s"$table: no current snapshot — nothing to delete from"))
@@ -1633,6 +1684,105 @@ object IcebergWriter {
         nonEmpty.map(_._2).sum)),
       attempt, delSpecId, st.carried, st.snapshots,
       st.priorManifests, st.metaVersion, nonEmpty.map(_._1._2))
+    snapId
+  }
+
+  /** v3 row-level DELETE: matching rows become Puffin DELETION VECTORS —
+    * the v3 replacement for positional-delete files (v3 writers must not
+    * emit positional files). One `deletion-vector-v1` blob per touched
+    * data file inside ONE Puffin container (the framing is byte-identical
+    * to Delta's, [[Puffin.dvBlob]]), each manifest entry carrying the
+    * spec's `referenced_data_file`/`content_offset`/
+    * `content_size_in_bytes` locator, committed as one `delete` snapshot.
+    * Like Delta DVs, positions pass the driver grouped per file (capped
+    * at 10M — DVs are the small-delete shape). Directed, never silent: a
+    * matched file that ALREADY carries a DV (v3 allows one per file;
+    * replacing means rewriting the prior delete manifest) and tables
+    * with live v2 positional-delete files (a new DV must merge them). */
+  private def writeDeleteV3(spark: SparkSession, table: String,
+      base: String, fs: FileSystem, conf: Configuration, st: TableState,
+      condition: org.apache.spark.sql.Column,
+      maxDeletedRows: Long = 10000000L): Long = {
+    import org.apache.spark.sql.functions.{collect_list, col => fcol}
+    val meta = st.meta
+    val currentId = (meta \ "current-snapshot-id").extractOpt[Long]
+      .filter(_ != -1L).getOrElse(throw UnsupportedWrite(
+        s"$table: no current snapshot — nothing to delete from"))
+    if ((meta \ "partition-specs").extractOpt[Seq[JValue]].getOrElse(Nil)
+      .exists(sp => (sp \ "fields").extractOpt[Seq[JValue]]
+        .exists(_.nonEmpty)))
+      throw UnsupportedWrite(
+        s"$table: v3 deletion-vector deletes on a PARTITIONED table are " +
+          "not implemented")
+    val delSpecs = (meta \ "partition-specs").extractOpt[Seq[JValue]]
+      .getOrElse(Nil)
+    val delSpecId = (meta \ "default-spec-id").extractOpt[Int].getOrElse(0)
+    if (delSpecs.nonEmpty && !delSpecs.exists(sp =>
+      (sp \ "spec-id").extractOpt[Int].contains(delSpecId)))
+      throw UnsupportedWrite(
+        s"$table: default-spec-id $delSpecId is not in partition-specs")
+    val (dvRefs, hasPosDeletes) =
+      IcebergTable.activeDeleteShapes(spark, table)
+    if (hasPosDeletes) throw UnsupportedWrite(
+      s"$table: the table carries v2 positional-delete files — a v3 DV " +
+        "must merge them, which needs a delete-manifest rewrite this " +
+        "writer does not implement")
+    val matches = IcebergTable.readWithRowKey(spark, table)
+      .filter(condition)
+      .groupBy(fcol("__row_path"))
+      .agg(collect_list(fcol("__row_pos")).as("pos")).collect()
+    val total = matches.map(_.getSeq[Long](1).size.toLong).sum
+    if (total == 0) return currentId
+    if (total > maxDeletedRows) throw UnsupportedWrite(
+      s"$table: DELETE matches $total rows (> $maxDeletedRows) — " +
+        "deletion vectors are for small deletes")
+    matches.foreach { m =>
+      if (dvRefs(m.getString(0))) throw UnsupportedWrite(
+        s"$table: ${m.getString(0)} already carries a deletion vector — " +
+          "v3 allows one DV per file, and replacing it requires the " +
+          "delete-manifest rewrite this writer does not implement")
+    }
+    val rawByCanon = IcebergTable.activeDataPaths(spark, table)
+      .map(p => PathUris.canon(p) -> p).toMap
+    val newSeq = st.lastSeq + 1
+    val snapId = (st.snapshots.flatMap(sn =>
+      (sn \ "snapshot-id").extractOpt[Long]) :+ 0L).max + 1
+    val ts = System.currentTimeMillis()
+    val attempt = java.util.UUID.randomUUID().toString
+    val ordered = matches.toSeq.sortBy(_.getString(0))
+    val blobs = ordered.map { m =>
+      val raw = rawByCanon.getOrElse(m.getString(0),
+        throw UnsupportedWrite(
+          s"$table: matched row's file ${m.getString(0)} is not in the " +
+            "snapshot — path spelling drift"))
+      val pos = m.getSeq[Long](1).toArray.distinct.sorted
+      Puffin.Blob("deletion-vector-v1", Nil, snapId, newSeq,
+        Map("referenced-data-file" -> raw,
+          "cardinality" -> pos.length.toString),
+        Puffin.dvBlob(pos))
+    }
+    val puffinPath = s"$base/data/dv-$attempt.puffin"
+    val placed = Puffin.writeFile(puffinPath, blobs,
+      Map("created-by" -> "graft"), conf)
+    val puffinLen = fs.getFileStatus(new Path(puffinPath)).getLen
+    val manifestPath = s"$base/metadata/m-$attempt.avro"
+    val schemaJson = JsonMethods.compact(JsonMethods.render(
+      IcebergTable.currentSchemaJson(meta)))
+    AvroOcf.write(manifestPath, dvManifestAvroSchema,
+      ordered.zip(placed).map { case (m, (off, len)) =>
+        val raw = rawByCanon(m.getString(0))
+        val card = m.getSeq[Long](1).toArray.distinct.length.toLong
+        Seq(1, newSeq,
+          Seq(1, puffinPath, "PUFFIN", Seq(), card, puffinLen, raw,
+            off, len))
+      }, conf = conf,
+      meta = manifestMeta(schemaJson, "[]", delSpecId, "deletes", 3))
+    val priorNext = (meta \ "next-row-id").extractOpt[Long].getOrElse(0L)
+    commitSnapshot(fs, conf, base, table, snapId, newSeq, ts, "delete",
+      Seq(NewManifest(manifestPath, 1, ordered.size, total)),
+      attempt, delSpecId, st.carried, st.snapshots,
+      st.priorManifests, st.metaVersion, Seq(puffinPath),
+      fv = 3, rowLineage = Some((priorNext, priorNext)))
     snapId
   }
 

@@ -646,6 +646,67 @@ class TableWritersSpec extends SparkSpec {
       .collect().sorted.toSeq == Seq(2L, 3L))
   }
 
+  test("iceberg v3: appends maintain lineage, deletes emit Puffin DVs") {
+    val table = tmp()
+    // one file per batch: the one-DV-per-file rule below needs a known
+    // file↔rows layout
+    IcebergWriter.writeAppend(spark,
+      (1L to 8L).map(i => (i, s"t$i")).toDF("id", "text").coalesce(1),
+      table, formatVersion = 3)
+    IcebergWriter.writeAppend(spark,
+      (9L to 12L).map(i => (i, s"t$i")).toDF("id", "text").coalesce(1),
+      table)
+    val metaDir = new java.io.File(s"$table/metadata")
+    def latestMeta(): String = new String(java.nio.file.Files.readAllBytes(
+      metaDir.listFiles().filter(_.getName.endsWith(".metadata.json"))
+        .maxBy(f => f.getName.stripPrefix("v")
+          .stripSuffix(".metadata.json").toLong).toPath), "UTF-8")
+    // v3 metadata with row-lineage bookkeeping: next-row-id advanced by
+    // both appends, snapshots carry their first-row-id
+    val m1 = latestMeta()
+    assert(m1.contains(""""format-version": 3"""), m1)
+    assert(m1.contains(""""next-row-id" -> "12"""")
+      || m1.contains(""""next-row-id": 12"""), m1)
+    assert(m1.contains(""""first-row-id": 8"""), m1)
+
+    // DV delete: survivors correct, NO data file rewritten, the delete
+    // artifact is a Puffin container referenced by a PUFFIN manifest entry
+    val filesBefore = IcebergTable.read(spark, table).inputFiles.toSet
+    IcebergWriter.writeDelete(spark, table, $"id" % 3 === 0 && $"id" <= 8L)
+    val after = IcebergTable.read(spark, table)
+    assert(after.select($"id").as[Long].collect().sorted.toSeq ==
+      (1L to 12L).filterNot(i => i % 3 == 0 && i <= 8))
+    assert(filesBefore.subsetOf(after.inputFiles.toSet ++ filesBefore))
+    val dvFiles = new java.io.File(s"$table/data").listFiles()
+      .filter(_.getName.endsWith(".puffin"))
+    assert(dvFiles.length == 1, dvFiles.toSeq)
+    val delManifest = metaDir.listFiles()
+      .filter(f => f.getName.startsWith("m-") && f.getName.endsWith(".avro"))
+      .maxBy(_.lastModified)
+    val entries = graft.sources.AvroOcf.read(spark, delManifest.getPath)
+    assert(entries.select($"data_file.file_format").as[String].collect()
+      .forall(_ == "PUFFIN"))
+    assert(entries.select($"data_file.referenced_data_file").as[String]
+      .collect().forall(_ != null))
+    // a second delete on a DIFFERENT file (the second batch's) stacks
+    IcebergWriter.writeDelete(spark, table, $"id" === 9L)
+    assert(IcebergTable.read(spark, table).count() == 9)
+    // ...but re-deleting from an already-DV'd file is directed (one DV
+    // per file in v3)
+    val e = intercept[Exception] {
+      IcebergWriter.writeDelete(spark, table, $"id" === 2L)
+    }
+    assert(e.getMessage.contains("deletion vector"), e.getMessage)
+    // the delete snapshot did not advance next-row-id
+    assert(latestMeta().contains(""""next-row-id": 12"""), latestMeta())
+    // v3 updates stay directed
+    val e2 = intercept[Exception] {
+      IcebergWriter.writeUpdate(spark, table, $"id" === 5L,
+        Map("text" -> lit("x")))
+    }
+    assert(e2.getMessage.contains("format-version"), e2.getMessage)
+  }
+
   test("delta writeUpdate: DV kill + rewritten images in one commit") {
     val table = tmp()
     val df = (1L to 10L).map(i => (i, s"t$i")).toDF("id", "text")
