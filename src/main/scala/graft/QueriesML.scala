@@ -921,6 +921,58 @@ object QueriesML {
           .orderBy($"id")
       }),
 
+    // ------------------------------------ fastText negative-sampling loss
+    // The last loss mode: an ns-trained classifier predicts through the
+    // SAME per-row sigmoid as ova (loss.cc's NegativeSamplingLoss
+    // inherits BinaryLogisticLoss::predict). Same planted scores as
+    // q173, independent sigmoid probabilities instead of the softmax.
+    Q("q195_fasttext_ns", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 200),
+           c AS (SELECT o_orderkey AS id, rn0 % 3 AS v FROM o),
+           s AS (SELECT id,
+                   CASE CAST(v AS INTEGER)
+                     WHEN 0 THEN (1.0 + 0.5) / 2
+                     WHEN 1 THEN (1.0 + 2.0 + 0.5) / 3
+                     ELSE (2.0 - 1.0 + 0.5) / 3 END AS sg,
+                   CASE CAST(v AS INTEGER)
+                     WHEN 0 THEN (0.25 - 0.125) / 2
+                     WHEN 1 THEN (0.25 - 0.25 - 0.125) / 3
+                     ELSE (-0.25 + 2.5 - 0.125) / 3 END AS sb
+                 FROM c)
+      SELECT id,
+             CASE WHEN sg >= sb THEN 'good' ELSE 'bad' END AS label,
+             round(CASE WHEN sg >= sb THEN 1 / (1 + exp(-sg))
+                        ELSE 1 / (1 + exp(-sb)) END, 6) AS prob
+      FROM s ORDER BY id"""))(
+      (s, d) => {
+        import graft.functions.FastText
+        val binPath = Fixtures.path("q195", d, "ns.bin") { p =>
+          def e(i: Int): Array[Float] = {
+            val a = new Array[Float](4); a(i) = 1.0f; a
+          }
+          val m = FastText.Model(dim = 4, minn = 0, maxn = 0, bucket = 0,
+            wordNgrams = 1, loss = "ns",
+            words = Map("alpha" -> 0, "beta" -> 1, "gamma" -> 2, "</s>" -> 3),
+            labels = Array("good", "bad"),
+            input = Array.tabulate(4)(e),
+            output = Array(
+              Array(1.0f, 2.0f, -1.0f, 0.5f),
+              Array(0.25f, -0.25f, 2.5f, -0.125f)))
+          FastText.write(p, m, s.sparkContext.hadoopConfiguration)
+        }
+        val model = FastText.load(binPath, s.sparkContext.hadoopConfiguration)
+        val in = orderedKeys(s, d, 200)
+          .select($"doc_id",
+            when($"rn0" % 3 === 0, lit("alpha"))
+              .when($"rn0" % 3 === 1, lit("alpha beta"))
+              .otherwise(concat(lit("beta gamma zz"), $"rn0")).as("text"))
+        FastText.predictTop(in, "doc_id", "text", model)
+          .select($"id", $"label", round($"prob", 6).as("prob"))
+          .orderBy($"id")
+      }),
+
     // ------------------------------------ fastText hierarchical softmax
     // The hs loss: a Huffman tree built from the planted label counts
     // (5,3,2 → internal node 0 splits c|b, root splits (that)|a), leaf

@@ -34,11 +34,13 @@ import org.apache.spark.sql.DataFrame
   * Execution model: the model is a DRIVER-side object broadcast once;
   * scoring is a compiled `Dataset.map` (the HfTokenizer pattern — no
   * UDF registration, no per-row interpretation). Losses: softmax,
-  * one-vs-all sigmoid, and HIERARCHICAL SOFTMAX — the hs Huffman tree
+  * one-vs-all sigmoid, negative sampling (prediction-side it IS the
+  * ova sigmoid — loss.cc's NegativeSamplingLoss inherits
+  * BinaryLogisticLoss::predict), and HIERARCHICAL SOFTMAX — the hs tree
   * rebuilds from the dictionary's label counts exactly as loss.cc
   * buildTree does (two-pointer merge, strict-< tie-breaks), and
   * prediction is the root-to-leaf sigmoid product. Guard rails
-  * (directed): negative-sampling loss, non-supervised models, bad
+  * (directed): non-supervised models, bad
   * magic/version. */
 object FastText {
   final case class UnsupportedFastText(msg: String)
@@ -240,7 +242,10 @@ object FastText {
         val ex = raw.map(s => math.exp(s - mx))
         val z = ex.sum
         ex.map(_ / z)
-      case "ova" => raw.map(s => 1.0 / (1.0 + math.exp(-s)))
+      // negative sampling trains differently but PREDICTS exactly like
+      // ova: an independent sigmoid per output row (fastText's
+      // NegativeSamplingLoss inherits BinaryLogisticLoss::predict)
+      case "ova" | "ns" => raw.map(s => 1.0 / (1.0 + math.exp(-s)))
       case "hs" =>
         // loss.cc dfs: each INTERNAL node's sigmoid splits probability
         // between its left (1−f) and right (f) subtrees; a leaf's
@@ -264,7 +269,8 @@ object FastText {
           out
         }
       case other => throw UnsupportedFastText(
-        s"loss '$other' prediction is not implemented (softmax/ova/hs only)")
+        s"loss '$other' prediction is not implemented " +
+          "(softmax/ova/hs/ns only)")
     }
     m.labels.zip(probs).sortBy(-_._2)
   }
@@ -349,9 +355,6 @@ object FastText {
     c.i32() // lrUpdateRate
     c.f64() // t
     if (version == 11) maxn = 0 // fasttext.cc back-compat rule for sup
-    if (loss == "ns") throw UnsupportedFastText(
-      s"$what: negative-sampling prediction is not implemented " +
-        "(softmax/ova/hs models only)")
     // Dictionary (dictionary.cc save order). Label COUNTS are kept: the
     // hs loss rebuilds its Huffman tree from them at load, exactly as
     // fastText's own loader does.

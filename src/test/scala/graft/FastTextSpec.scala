@@ -133,7 +133,7 @@ class FastTextSpec extends SparkSpec {
       FastText.scoreLine("alpha beta", m).head._2)
   }
 
-  test("guards are directed: ns loss, cbow model, magic, version") {
+  test("guards directed: cbow model, magic, version; ns predicts like ova") {
     val dir = tmp()
     FastText.write(s"$dir/m.bin", flatModel(), conf)
     val bytes = java.nio.file.Files.readAllBytes(
@@ -152,8 +152,14 @@ class FastTextSpec extends SparkSpec {
     }
     expect(patched(b => le32(b, 0, 42)), "magic")
     expect(patched(b => le32(b, 4, 99)), "version")
-    expect(patched(b => le32(b, 32, 2)), "negative-sampling") // loss = ns
     expect(patched(b => le32(b, 36, 1)), "supervised") // model = cbow
+    // ns loss LOADS and predicts exactly like ova (fastText's
+    // NegativeSamplingLoss inherits BinaryLogisticLoss::predict)
+    val nsModel = FastText.loadBytes(patched(b => le32(b, 32, 2)), "t")
+    assert(nsModel.loss == "ns")
+    val ovaModel = FastText.loadBytes(patched(b => le32(b, 32, 4)), "t")
+    assert(FastText.scoreLine("alpha beta", nsModel).toSeq ==
+      FastText.scoreLine("alpha beta", ovaModel).toSeq)
   }
 
   test("hierarchical softmax: Huffman tree from counts, sigmoid products") {
