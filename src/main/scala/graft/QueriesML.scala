@@ -1796,6 +1796,127 @@ object QueriesML {
           .orderBy($"id")
       }),
 
+    // ------------------------------------- Delta MERGE (upsert) in one commit
+    // The bread-and-butter "merge this batch into the table": source rows
+    // with matching keys REPLACE the target rows (DV kill + new images),
+    // the rest insert — one commit, never a delete+append pair. The
+    // oracle recomputes the post-merge state from both planted batches.
+    Q("q196_delta_merge", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT * FROM (
+        SELECT o_orderkey AS id,
+               CASE WHEN o_orderkey % 6 = 0 THEN 'm-' || CAST(rn0 AS VARCHAR)
+                    ELSE 'doc-' || CAST(rn0 AS VARCHAR) END AS text
+        FROM o
+        UNION ALL
+        SELECT o_orderkey + 100000 AS id,
+               'new-' || CAST(rn0 AS VARCHAR) AS text
+        FROM o WHERE rn0 % 10 = 0)
+      ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{DeltaTable, DeltaWriter}
+        val table = Fixtures.dir("q196", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          DeltaWriter.writeAppend(s,
+            base.select($"id", concat(lit("doc-"), $"rn0").as("text"),
+              $"rn0"), t)
+          val upd = base.filter($"id" % 6 === 0)
+            .select($"id", concat(lit("m-"), $"rn0").as("text"), $"rn0")
+          val ins = base.filter($"rn0" % 10 === 0)
+            .select(($"id" + 100000).as("id"),
+              concat(lit("new-"), $"rn0").as("text"), $"rn0")
+          DeltaWriter.writeMerge(s, t, upd.unionByName(ins), Seq("id"))
+        }
+        DeltaTable.read(s, s"$table/table")
+          .select($"id", $"text").orderBy($"id")
+      }),
+
+    // --------------------------------- Iceberg MERGE: one overwrite snapshot
+    // The merge-on-read twin of q196: positional-delete kill of matched
+    // keys + all source rows appended, in one overwrite snapshot.
+    Q("q197_iceberg_merge", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT * FROM (
+        SELECT o_orderkey AS id,
+               CASE WHEN o_orderkey % 6 = 0 THEN 'm-' || CAST(rn0 AS VARCHAR)
+                    ELSE 'doc-' || CAST(rn0 AS VARCHAR) END AS text
+        FROM o
+        UNION ALL
+        SELECT o_orderkey + 100000 AS id,
+               'new-' || CAST(rn0 AS VARCHAR) AS text
+        FROM o WHERE rn0 % 10 = 0)
+      ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{IcebergTable, IcebergWriter}
+        val table = Fixtures.dir("q197", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          IcebergWriter.writeAppend(s,
+            base.select($"id", concat(lit("doc-"), $"rn0").as("text"),
+              $"rn0"), t)
+          val upd = base.filter($"id" % 6 === 0)
+            .select($"id", concat(lit("m-"), $"rn0").as("text"), $"rn0")
+          val ins = base.filter($"rn0" % 10 === 0)
+            .select(($"id" + 100000).as("id"),
+              concat(lit("new-"), $"rn0").as("text"), $"rn0")
+          IcebergWriter.writeMerge(s, t, upd.unionByName(ins), Seq("id"))
+        }
+        IcebergTable.read(s, s"$table/table")
+          .select($"id", $"text").orderBy($"id")
+      }),
+
+    // ---------------------- Delta MERGE through the change data feed
+    // The MERGE cdc contract: matched keys serve update_preimage/
+    // update_postimage pairs, new keys serve insert rows — all from ONE
+    // commit's cdc files, never a double-reported delete+insert.
+    Q("q198_delta_merge_cdf", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120),
+           m AS (SELECT * FROM o WHERE o_orderkey % 6 = 0)
+      SELECT * FROM (
+        SELECT o_orderkey AS id, 'doc-' || CAST(rn0 AS VARCHAR) AS text,
+               'update_preimage' AS change_type
+        FROM m
+        UNION ALL
+        SELECT o_orderkey AS id, 'm-' || CAST(rn0 AS VARCHAR) AS text,
+               'update_postimage' AS change_type
+        FROM m
+        UNION ALL
+        SELECT o_orderkey + 100000 AS id,
+               'new-' || CAST(rn0 AS VARCHAR) AS text,
+               'insert' AS change_type
+        FROM o WHERE rn0 % 10 = 0)
+      ORDER BY id, change_type"""))(
+      (s, d) => {
+        import graft.sources.{DeltaTable, DeltaWriter}
+        val table = Fixtures.dir("q198", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          DeltaWriter.writeAppend(s,
+            base.select($"id", concat(lit("doc-"), $"rn0").as("text"),
+              $"rn0"), t,
+            properties = Map("delta.enableChangeDataFeed" -> "true"))
+          val upd = base.filter($"id" % 6 === 0)
+            .select($"id", concat(lit("m-"), $"rn0").as("text"), $"rn0")
+          val ins = base.filter($"rn0" % 10 === 0)
+            .select(($"id" + 100000).as("id"),
+              concat(lit("new-"), $"rn0").as("text"), $"rn0")
+          DeltaWriter.writeMerge(s, t, upd.unionByName(ins), Seq("id"))
+        }
+        DeltaTable.readCdf(s, s"$table/table", 1L)
+          .select($"id", $"text", $"_change_type".as("change_type"))
+          .orderBy($"id", $"change_type")
+      }),
+
     // ----------------------- Iceberg v3: self-written table, Puffin DVs
     // The q177 twin over a table the gate itself wrote: create at
     // format-version 3 (next-row-id/first-row-id lineage bookkeeping),

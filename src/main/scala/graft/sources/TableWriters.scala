@@ -784,6 +784,146 @@ object DeltaWriter {
     } finally fs.delete(new Path(tmpDir), true)
   }
 
+  /** MERGE (upsert) `source` into the table on `keys`: source rows whose
+    * key matches an existing row REPLACE it (the matched target rows are
+    * DV-killed), the rest INSERT — every source row lands in new data
+    * files, all in ONE commit (operation MERGE). With
+    * `delta.enableChangeDataFeed` the commit carries cdc files serving
+    * the row-level truth: `update_preimage`/`update_postimage` for
+    * matched keys, `insert` for new ones. The source is materialized
+    * once (temp parquet) so the kill join, the appended files, and the
+    * cdc images agree even for a non-deterministic source plan. Directed:
+    * duplicate keys in the source (one target row must not take two
+    * images — delta's own MERGE errors likewise), schema mismatch, and
+    * the writeUpdate guard set. Returns the committed version. */
+  def writeMerge(spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String], maxUpdatedRows: Long = 10000000L): Long = {
+    import org.apache.spark.sql.functions.{collect_list, lit, col => fcol}
+    if (keys.isEmpty) throw UnsupportedWrite(
+      s"$table: MERGE needs at least one key column")
+    val base = table.stripSuffix("/")
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val logPath = new Path(s"$base/_delta_log")
+    val fs = logPath.getFileSystem(conf)
+    val (version, _, schemaJson, partCols, config, files, proto) =
+      DeltaTable.snapshotState(spark, table)
+    if (proto.writerFeatures.contains("rowTracking")) throw UnsupportedWrite(
+      s"$table: MERGE on a rowTracking table is not implemented")
+    if (config.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
+      throw UnsupportedWrite(
+        s"$table: the table is append-only — MERGE is forbidden by its " +
+          "own contract")
+    if (config.get("delta.columnMapping.mode").exists(_ != "none"))
+      throw UnsupportedWrite(
+        s"$table: MERGE on a column-mapped table is not implemented")
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    keys.foreach { k =>
+      if (!schema.fieldNames.contains(k)) throw UnsupportedWrite(
+        s"$table: MERGE key '$k' is not in the table schema")
+    }
+    if (!sameSchema(schema, source.schema)) throw UnsupportedWrite(
+      s"$table: MERGE source schema ${source.schema.simpleString} != " +
+        s"table schema ${schema.simpleString}")
+    val cdfEnabled = config.get("delta.enableChangeDataFeed")
+      .exists(_.equalsIgnoreCase("true"))
+    def resolve(rel: String): String = DeltaTable.resolveAdd(base, rel)
+    val fileByKey: Map[String, (String, Map[String, String],
+      Option[DeletionVector.Descriptor])] =
+      files.map(f => PathUris.canon(resolve(f._1)) -> f).toMap
+    val tmpDir = s"$base/_tmp_merge_${java.util.UUID.randomUUID()}"
+    val newFiles = Seq.newBuilder[String]
+    try {
+      // ONE evaluation of the source plan
+      source.select(schema.fields.toIndexedSeq.map(f =>
+        fcol(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
+        .write.mode("overwrite").parquet(tmpDir)
+      val src = spark.read.parquet(tmpDir)
+      if (src.isEmpty) return version
+      val dup = src.groupBy(keys.map(fcol): _*)
+        .count().filter(fcol("count") > 1)
+      if (!dup.isEmpty) throw UnsupportedWrite(
+        s"$table: the MERGE source carries duplicate keys — one target " +
+          "row cannot take two images")
+      // matched TARGET rows (to kill): semi join on the keys
+      val target = DeltaTable.readWithRowKey(spark, table)
+      val srcKeys = src.select(keys.map(fcol): _*)
+      val matched = target.join(srcKeys,
+        keys.map(k => target(k) <=> srcKeys(k)).reduce(_ && _),
+        "left_semi")
+      val posGroups = matched.groupBy(fcol("__row_path"))
+        .agg(collect_list(fcol("__row_pos")).as("pos")).collect()
+      val totalMatched = posGroups.map(_.getSeq[Long](1).size.toLong).sum
+      if (totalMatched > maxUpdatedRows) throw UnsupportedWrite(
+        s"$table: MERGE matches $totalMatched rows (> $maxUpdatedRows) " +
+          "— deletion vectors are for small matched sets")
+      val ts = System.currentTimeMillis()
+      // every source row lands in new data files
+      locally {
+        val strCols = partCols.filter(c => schema(c).dataType == StringType)
+        if (strCols.nonEmpty) {
+          val ambiguous = strCols.map(c =>
+            fcol(c) === "" || fcol(c) === "__HIVE_DEFAULT_PARTITION__")
+            .reduce(_ || _)
+          if (!src.filter(ambiguous).isEmpty) throw UnsupportedWrite(
+            s"$table: a source string partition value is '' or the hive " +
+              "null sentinel — the directory encoding cannot represent it")
+        }
+      }
+      val dataFiles = writeData(src, base, partCols, "", conf)
+      newFiles ++= dataFiles.map(_._2)
+      val adds = dataFiles.map { case (rel, _, size) =>
+        val pv = partitionValuesJson(partValues(rel))
+        s"""{"add":{"path":"${pctEncodeRel(rel)}","partitionValues":{$pv},""" +
+          s""""size":$size,"modificationTime":$ts,"dataChange":true}}"""
+      }
+      val (dvLines, newDvFiles) = dvKillActions(base, table, fs, conf,
+        fileByKey,
+        posGroups.toSeq.map(m =>
+          (m.getString(0), m.getSeq[Long](1).toArray)), ts)
+      newFiles ++= newDvFiles
+      val cdcLines =
+        if (!cdfEnabled) Nil
+        else {
+          // matched source rows are postimages, unmatched are inserts;
+          // matched target rows are preimages
+          val tKeys = target.select(keys.map(k =>
+            target(k).as(s"__tk_$k")): _*).distinct()
+            .withColumn("__matched", lit(1))
+          val joined = src.join(tKeys,
+            keys.map(k => src(k) <=> tKeys(s"__tk_$k")).reduce(_ && _),
+            "left")
+          val tagged = joined.withColumn("_change_type",
+            org.apache.spark.sql.functions.when(
+              fcol("__matched").isNotNull,
+              lit("update_postimage")).otherwise(lit("insert")))
+            .drop(keys.map(k => s"__tk_$k") :+ "__matched": _*)
+          val pre = matched.drop("__row_path", "__row_pos")
+            .withColumn("_change_type", lit("update_preimage"))
+          val cdc = pre.unionByName(tagged)
+            .select((schema.fieldNames.toSeq :+ "_change_type")
+              .map(n => fcol(s"`$n`")): _*)
+          val cdcFiles = writeData(cdc, base, partCols, "_change_data", conf)
+          newFiles ++= cdcFiles.map(_._2)
+          cdcFiles.map { case (rel, _, size) =>
+            val pv = partitionValuesJson(partValues(rel))
+            s"""{"cdc":{"path":"${pctEncodeRel(rel)}","partitionValues":{$pv},""" +
+              s""""size":$size,"dataChange":false}}"""
+          }
+        }
+      val lines =
+        Seq(s"""{"commitInfo":{"timestamp":$ts,"operation":"MERGE"}}""") ++
+          dvProtocolUpgrade(proto) ++ dvLines ++ adds ++ cdcLines
+      val dest = new Path(logPath, f"${version + 1}%020d.json")
+      if (!putText(fs, dest, lines.mkString("\n"))) {
+        cleanup(fs, newFiles.result())
+        throw CommitConflict(
+          s"$table: version ${version + 1} was committed concurrently — " +
+            "re-read the table and retry the merge")
+      }
+      version + 1
+    } finally fs.delete(new Path(tmpDir), true)
+  }
+
   /** Write a CLASSIC checkpoint at the table's latest version — the log
     * compaction every long-followed Delta table needs (replay cost stays
     * O(commits since last checkpoint), and cleaned-up commit json below
@@ -1784,6 +1924,122 @@ object IcebergWriter {
       st.priorManifests, st.metaVersion, Seq(puffinPath),
       fv = 3, rowLineage = Some((priorNext, priorNext)))
     snapId
+  }
+
+  /** MERGE (upsert) `source` into the Iceberg table on `keys`: matched
+    * target rows are killed by a DISTRIBUTED positional-delete file,
+    * every source row appends as new data files, and both manifests
+    * commit in ONE `overwrite` snapshot. The source materializes once
+    * (temp parquet); duplicate source keys are directed (one target row
+    * must not take two images). Unpartitioned flat-schema v2 tables.
+    * Returns the new snapshot id. */
+  def writeMerge(spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col => fcol}
+    if (keys.isEmpty) throw UnsupportedWrite(
+      s"$table: MERGE needs at least one key column")
+    val base = table.stripSuffix("/")
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(base).getFileSystem(conf)
+    val st = loadState(spark, fs, base)
+    val meta = st.meta
+    val fv = (meta \ "format-version").extract[Int]
+    if (fv != 2) throw UnsupportedWrite(
+      s"$table: positional-delete merges target format-version 2 " +
+        s"(table is $fv)")
+    if ((meta \ "partition-specs").extractOpt[Seq[JValue]].getOrElse(Nil)
+      .exists(sp => (sp \ "fields").extractOpt[Seq[JValue]]
+        .exists(_.nonEmpty)))
+      throw UnsupportedWrite(
+        s"$table: MERGE on a PARTITIONED table is not implemented")
+    val currentId = (meta \ "current-snapshot-id").extractOpt[Long]
+      .filter(_ != -1L).getOrElse(throw UnsupportedWrite(
+        s"$table: no current snapshot — nothing to merge into"))
+    val delSpecs = (meta \ "partition-specs").extractOpt[Seq[JValue]]
+      .getOrElse(Nil)
+    val delSpecId = (meta \ "default-spec-id").extractOpt[Int].getOrElse(0)
+    if (delSpecs.nonEmpty && !delSpecs.exists(sp =>
+      (sp \ "spec-id").extractOpt[Int].contains(delSpecId)))
+      throw UnsupportedWrite(
+        s"$table: default-spec-id $delSpecId is not in partition-specs")
+    val schemaNode = IcebergTable.currentSchemaJson(meta)
+    val schema = IcebergTable.structOf(schemaNode)
+    keys.foreach { k =>
+      if (!schema.fieldNames.contains(k)) throw UnsupportedWrite(
+        s"$table: MERGE key '$k' is not in the table schema")
+    }
+    if (!sameSchema(schema, source.schema)) throw UnsupportedWrite(
+      s"$table: MERGE source schema ${source.schema.simpleString} != " +
+        s"table schema ${schema.simpleString}")
+    import spark.implicits._
+    val tmpDir = s"$base/_tmp_merge_${java.util.UUID.randomUUID()}"
+    val newFiles = Seq.newBuilder[String]
+    try {
+      source.select(schema.fields.toIndexedSeq.map(f =>
+        fcol(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
+        .write.mode("overwrite").parquet(tmpDir)
+      val src = spark.read.parquet(tmpDir)
+      if (src.isEmpty) return currentId
+      val dup = src.groupBy(keys.map(fcol): _*)
+        .count().filter(fcol("count") > 1)
+      if (!dup.isEmpty) throw UnsupportedWrite(
+        s"$table: the MERGE source carries duplicate keys — one target " +
+          "row cannot take two images")
+      // kill side: target rows whose keys match, fully distributed
+      val target = IcebergTable.readWithRowKey(spark, table)
+      val srcKeys = src.select(keys.map(fcol): _*)
+      val matched = target.join(srcKeys,
+        keys.map(k => target(k) <=> srcKeys(k)).reduce(_ && _),
+        "left_semi")
+      val rawPaths = IcebergTable.activeDataPaths(spark, table)
+      val pathDim = rawPaths.map(p => (PathUris.canon(p), p))
+        .toDF("__ck", "file_path")
+      val delRows = matched
+        .select(fcol("__row_path").as("__ck"), fcol("__row_pos").as("pos"))
+        .join(broadcast(pathDim), "__ck")
+        .select(fcol("file_path"), fcol("pos").cast("long"))
+        .sortWithinPartitions(fcol("file_path"), fcol("pos"))
+      val delFiles = writeData(delRows, base, Nil, "data", conf)
+      val delCounts = rowCounts(delFiles.map(_._2), conf)
+      val delNonEmpty = delFiles.zip(delCounts).filter(_._2 > 0)
+      cleanup(fs, delFiles.zip(delCounts).filter(_._2 == 0).map(_._1._2))
+      newFiles ++= delNonEmpty.map(_._1._2)
+      val dataFiles = writeData(src, base, Nil, "data", conf)
+      val dataCounts = rowCounts(dataFiles.map(_._2), conf)
+      val dataNonEmpty = dataFiles.zip(dataCounts).filter(_._2 > 0)
+      cleanup(fs, dataFiles.zip(dataCounts).filter(_._2 == 0).map(_._1._2))
+      newFiles ++= dataNonEmpty.map(_._1._2)
+      val newSeq = st.lastSeq + 1
+      val snapId = (st.snapshots.flatMap(sn =>
+        (sn \ "snapshot-id").extractOpt[Long]) :+ 0L).max + 1
+      val ts = System.currentTimeMillis()
+      val attempt = java.util.UUID.randomUUID().toString
+      val schemaJson = JsonMethods.compact(JsonMethods.render(schemaNode))
+      val dataManifest = s"$base/metadata/m-$attempt-data.avro"
+      AvroOcf.write(dataManifest, manifestAvroSchema(Nil),
+        dataNonEmpty.map { case ((_, abs, size), n) =>
+          Seq(1, newSeq, Seq(0, abs, "PARQUET", Seq(), n, size))
+        }, conf = conf,
+        meta = manifestMeta(schemaJson, "[]", delSpecId, "data"))
+      val manifests = Seq.newBuilder[NewManifest]
+      manifests += NewManifest(dataManifest, 0, dataNonEmpty.size,
+        dataNonEmpty.map(_._2).sum)
+      if (delNonEmpty.nonEmpty) {
+        val delManifest = s"$base/metadata/m-$attempt-deletes.avro"
+        AvroOcf.write(delManifest, manifestAvroSchema(Nil),
+          delNonEmpty.map { case ((_, abs, size), n) =>
+            Seq(1, newSeq, Seq(1, abs, "PARQUET", Seq(), n, size))
+          }, conf = conf,
+          meta = manifestMeta(schemaJson, "[]", delSpecId, "deletes"))
+        manifests += NewManifest(delManifest, 1, delNonEmpty.size,
+          delNonEmpty.map(_._2).sum)
+      }
+      commitSnapshot(fs, conf, base, table, snapId, newSeq, ts,
+        "overwrite", manifests.result(),
+        attempt, delSpecId, st.carried, st.snapshots,
+        st.priorManifests, st.metaVersion, newFiles.result())
+      snapId
+    } finally fs.delete(new Path(tmpDir), true)
   }
 
   /** Row-level UPDATE for Iceberg: rows matching `condition` take the

@@ -817,6 +817,63 @@ class TableWritersSpec extends SparkSpec {
     assert(IcebergTable.snapshots(spark, table).count() == snaps)
   }
 
+  test("writeMerge: upsert semantics, guards, and one-commit atomicity") {
+    // Delta
+    val dt = tmp()
+    DeltaWriter.writeAppend(spark,
+      (1L to 6L).map(i => (i, s"t$i")).toDF("id", "text"), dt)
+    val src = Seq((2L, "u2"), (4L, "u4"), (9L, "n9")).toDF("id", "text")
+    val v1 = DeltaWriter.writeMerge(spark, dt, src, Seq("id"))
+    assert(v1 == 1L)
+    val got = DeltaTable.read(spark, dt).orderBy($"id")
+      .select($"id", $"text").as[(Long, String)].collect().toSeq
+    assert(got == Seq(1L -> "t1", 2L -> "u2", 3L -> "t3", 4L -> "u4",
+      5L -> "t5", 6L -> "t6", 9L -> "n9"))
+    // one commit: v0 time travel shows the pre-merge state
+    assert(DeltaTable.read(spark, dt, versionAsOf = Some(0L)).count() == 6)
+    // duplicate source keys are directed, schema mismatch is directed
+    val eDup = intercept[Exception] {
+      DeltaWriter.writeMerge(spark, dt,
+        Seq((2L, "a"), (2L, "b")).toDF("id", "text"), Seq("id"))
+    }
+    assert(eDup.getMessage.contains("duplicate"), eDup.getMessage)
+    val eSchema = intercept[Exception] {
+      DeltaWriter.writeMerge(spark, dt,
+        Seq((2L, 1.0)).toDF("id", "score"), Seq("id"))
+    }
+    assert(eSchema.getMessage.contains("schema"), eSchema.getMessage)
+    // an empty source is a no-op
+    assert(DeltaWriter.writeMerge(spark, dt,
+      Seq.empty[(Long, String)].toDF("id", "text"), Seq("id")) == v1)
+    // no temp litter
+    assert(new java.io.File(dt).listFiles()
+      .forall(!_.getName.startsWith("_tmp_merge")))
+
+    // Iceberg twin
+    val it = tmp()
+    IcebergWriter.writeAppend(spark,
+      (1L to 6L).map(i => (i, s"t$i")).toDF("id", "text"), it)
+    val s1 = IcebergWriter.writeMerge(spark, it, src, Seq("id"))
+    val iGot = IcebergTable.read(spark, it).orderBy($"id")
+      .select($"id", $"text").as[(Long, String)].collect().toSeq
+    assert(iGot == got)
+    // ONE overwrite snapshot
+    val snaps = IcebergTable.snapshots(spark, it)
+      .orderBy($"timestamp_ms").collect()
+    assert(snaps.length == 2 && snaps(1).getString(2) == "overwrite")
+    assert(snaps(1).getLong(0) == s1)
+    // merge with NO matched keys still appends (insert-only source, no
+    // delete manifest)
+    IcebergWriter.writeMerge(spark, it,
+      Seq((20L, "n20")).toDF("id", "text"), Seq("id"))
+    assert(IcebergTable.read(spark, it).count() == 8)
+    val eIDup = intercept[Exception] {
+      IcebergWriter.writeMerge(spark, it,
+        Seq((2L, "a"), (2L, "b")).toDF("id", "text"), Seq("id"))
+    }
+    assert(eIDup.getMessage.contains("duplicate"), eIDup.getMessage)
+  }
+
   test("iceberg writeUpdate: one overwrite snapshot, kill + rewrite") {
     val table = tmp()
     val df = (1L to 10L).map(i => (i, s"t$i")).toDF("id", "text")
