@@ -443,10 +443,14 @@ object DeltaTable {
       else {
         val rg = rep.asGroupType
         // 3-level: repeated wrapper group with exactly one field; a
-        // repeated group that IS the element (legacy) keeps itself
+        // repeated group that IS the element keeps itself — including
+        // parquet-mr's legacy 2-level rule, where a single-field repeated
+        // group named "array" or "*_tuple" IS the element record
         if (rg.getFieldCount == 1 &&
           rep.getRepetition == PType.Repetition.REPEATED &&
-          rg.getLogicalTypeAnnotation == null) rg.getType(0)
+          rg.getLogicalTypeAnnotation == null &&
+          rg.getName != "array" && !rg.getName.endsWith("_tuple"))
+          rg.getType(0)
         else rep
       }
     }

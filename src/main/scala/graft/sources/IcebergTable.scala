@@ -677,12 +677,13 @@ object IcebergTable {
     * covered by a v3 deletion vector, whether any v2 positional-delete
     * files are active). The v3 delete writer directs on both — one DV
     * per file, and a new DV must merge prior positional deletes; either
-    * needs the manifest rewrite it does not implement. */
+    * needs the manifest rewrite it does not implement. The data paths
+    * ride along so the v3 delete writer replays the manifests ONCE. */
   private[graft] def activeDeleteShapes(spark: SparkSession,
-      table: String): (Set[String], Boolean) = {
+      table: String): (Set[String], Boolean, Seq[String]) = {
     val a = activeFiles(spark, table, None, Map.empty)
     (a.dvDeletes.map(d => PathUris.canon(d._2)).toSet,
-      a.posDeletes.nonEmpty)
+      a.posDeletes.nonEmpty, a.data.map(_._1))
   }
 
   /** Each active data file with its partition SCOPE string

@@ -327,6 +327,22 @@ object DeltaWriter {
     (lines.result(), newDvFiles.result())
   }
 
+  /** Image-writing paths (append/update/merge) direct on tables whose
+    * contract this writer cannot EVALUATE: `delta.constraints.*` CHECK
+    * constraints and column invariants. Committing unvalidated rows
+    * would silently violate the table's own rules — deletes are exempt
+    * (removing rows cannot break a row constraint). */
+  private def guardConstraints(table: String, config: Map[String, String],
+      schemaJson: String): Unit = {
+    if (config.keys.exists(_.startsWith("delta.constraints.")))
+      throw UnsupportedWrite(
+        s"$table: the table declares CHECK constraints " +
+          "(delta.constraints.*) this writer does not evaluate")
+    if (schemaJson.contains("delta.invariants")) throw UnsupportedWrite(
+      s"$table: the table schema declares column invariants this " +
+        "writer does not evaluate")
+  }
+
   /** The protocol line a first-DV commit needs: upgrade to (3, 7) +
     * deletionVectors, enumerating the LEGACY version numbers' implied
     * features (PROTOCOL.md's upgrade rule) so contracts like
@@ -398,6 +414,7 @@ object DeltaWriter {
         if (cfg.get("delta.columnMapping.mode").exists(_ != "none"))
           throw UnsupportedWrite(
             s"$table: appending to a column-mapped table is not implemented")
+        guardConstraints(table, cfg, schemaJson)
         val existing = DataType.fromJson(schemaJson).asInstanceOf[StructType]
         if (sameSchema(existing, df.schema)) (v + 1, existing, pc)
         else additiveTail(existing, df.schema) match {
@@ -465,7 +482,9 @@ object DeltaWriter {
             s""""format":{"provider":"parquet","options":{}},""" +
             s""""schemaString":"${jsonEscape(next.json)}",""" +
             s""""partitionColumns":[${partCols.map(c => s""""$c"""").mkString(",")}],""" +
-            s""""configuration":{$cfgJson},"createdTime":$ts}}"""
+            // createdTime is optional and means TABLE creation — omitted
+            // rather than reset to the evolution time
+            s""""configuration":{$cfgJson}}}"""
         }
         Seq(s"""{"commitInfo":{"timestamp":$ts,"operation":"WRITE"}}""") ++
           metaLine
@@ -527,9 +546,11 @@ object DeltaWriter {
     *    locate touched files and evaluate survivors in separate passes,
     *    so a non-deterministic condition should use `"dv"`.
     *
-    * Note for CDF consumers: a cdc-less DV rewrite is not row-level
-    * reconstructible, and readCdf over such a commit fails directed by
-    * design. */
+    * On a table with `delta.enableChangeDataFeed`, EVERY shape writes
+    * the killed rows as `_change_data/` cdc files (`_change_type =
+    * delete`) in the same commit — the row-level truth readCdf serves
+    * verbatim; without them the DV shape would be unreconstructible and
+    * the rewrite would misreport survivors as inserts. */
   def writeDelete(spark: SparkSession, table: String,
       condition: org.apache.spark.sql.Column,
       maxDeletedRows: Long = 10000000L, mode: String = "auto"): Long = {
@@ -557,6 +578,9 @@ object DeltaWriter {
     val fileByKey: Map[String, (String, Map[String, String],
       Option[DeletionVector.Descriptor])] =
       files.map(f => PathUris.canon(resolve(f._1)) -> f).toMap
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val cdfEnabled = config.get("delta.enableChangeDataFeed")
+      .exists(_.equalsIgnoreCase("true"))
     val keyed = DeltaTable.readWithRowKey(spark, table).filter(condition)
 
     def commit(lines: Seq[String], newFiles: Seq[String]): Long = {
@@ -569,6 +593,29 @@ object DeltaWriter {
       }
       version + 1
     }
+
+    // a CDF-enabled table's DELETE commit must carry its killed rows as
+    // cdc files — without them readCdf would either fail directed (DV
+    // shape) or misreport the rewrite's survivors as inserts. `killed` is
+    // re-evaluated for the cdc write; with a non-deterministic condition
+    // prefer a deterministic predicate (same caveat as every shape here).
+    def cdcDeleteLines(killed: DataFrame, ts: Long,
+        newFiles: scala.collection.mutable.Builder[String, Seq[String]])
+        : Seq[String] =
+      if (!cdfEnabled) Nil
+      else {
+        import org.apache.spark.sql.functions.{lit, col => fcol}
+        val cdc = killed
+          .select(schema.fields.toIndexedSeq.map(f => fcol(s"`${f.name}`")): _*)
+          .withColumn("_change_type", lit("delete"))
+        val cdcFiles = writeData(cdc, base, partCols, "_change_data", conf)
+        newFiles ++= cdcFiles.map(_._2)
+        cdcFiles.map { case (rel, _, size) =>
+          val pv = partitionValuesJson(partValues(rel))
+          s"""{"cdc":{"path":"${pctEncodeRel(rel)}","partitionValues":{$pv},""" +
+            s""""size":$size,"dataChange":false}}"""
+        }
+      }
 
     def dvShape(): Long = {
       val matches = keyed.groupBy(col("__row_path"))
@@ -584,10 +631,18 @@ object DeltaWriter {
         fileByKey,
         matches.toSeq.map(m =>
           (m.getString(0), m.getSeq[Long](1).toArray)), ts)
+      val allNew = Seq.newBuilder[String]
+      allNew ++= newDvFiles
+      val cdcLines = cdcDeleteLines(
+        keyed.drop("__row_path", "__row_pos"), ts, allNew)
+      // the protocol upgrade rides only on commits that actually WRITE a
+      // deletion vector — a commit whose every touched file fully died is
+      // plain remove actions and must not lock readers out
       commit(
         Seq(s"""{"commitInfo":{"timestamp":$ts,"operation":"DELETE"}}""") ++
-          dvProtocolUpgrade(proto) ++ dvLines,
-        newDvFiles)
+          (if (newDvFiles.nonEmpty) dvProtocolUpgrade(proto) else Nil) ++
+          dvLines ++ cdcLines,
+        allNew.result())
     }
 
     def rewriteShape(touchedCanon: Set[String]): Long = {
@@ -601,7 +656,6 @@ object DeltaWriter {
       // directory encoding cannot round-trip — directed before rewriting
       locally {
         import org.apache.spark.sql.functions.{col => fcol}
-        val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
         val strCols = partCols.filter(c => schema(c).dataType == StringType)
         if (strCols.nonEmpty) {
           val ambiguous = strCols.map(c =>
@@ -633,14 +687,27 @@ object DeltaWriter {
         s"""{"remove":{"path":"$rawPath","deletionTimestamp":$ts,""" +
           s""""dataChange":true,"partitionValues":{$pvs}$oldDvJson}}"""
       }
+      val allNew = Seq.newBuilder[String]
+      allNew ++= nonEmpty.map(_._2)
+      val cdcLines = cdcDeleteLines(
+        DeltaTable.readFilesSubset(spark, table, touchedCanon)
+          .filter(coalesce(condition, lit(false))), ts, allNew)
       commit(
         Seq(s"""{"commitInfo":{"timestamp":$ts,"operation":"DELETE"}}""") ++
-          removes ++ adds,
-        nonEmpty.map(_._2))
+          removes ++ adds ++ cdcLines,
+        allNew.result())
     }
 
     mode match {
-      case "dv" => dvShape()
+      case "dv" =>
+        // a distributed pre-count protects the driver from collecting a
+        // data-scale position set before the authoritative (collected)
+        // cap check can run — the collect-side check still governs
+        if (keyed.count() > maxDeletedRows) throw UnsupportedWrite(
+          s"$table: DELETE matches more than $maxDeletedRows rows — " +
+            "deletion vectors are for small deletes; use mode=rewrite " +
+            "(or auto)")
+        dvShape()
       case "rewrite" =>
         val touched = keyed.select(col("__row_path")).distinct()
           .collect().map(_.getString(0)).toSet
@@ -694,6 +761,7 @@ object DeltaWriter {
       throw UnsupportedWrite(
         s"$table: UPDATE on a column-mapped table is not implemented " +
           "(rewritten files would need physical-name columns)")
+    guardConstraints(table, config, schemaJson)
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     set.keys.foreach { k =>
       if (!schema.fieldNames.contains(k)) throw UnsupportedWrite(
@@ -715,20 +783,29 @@ object DeltaWriter {
       DeltaTable.readWithRowKey(spark, table).filter(condition)
         .write.mode("overwrite").parquet(tmpDir)
       val matched = spark.read.parquet(tmpDir)
-      val posGroups = matched.groupBy(fcol("__row_path"))
-        .agg(collect_list(fcol("__row_pos")).as("pos")).collect()
-      val totalMatched = posGroups.map(_.getSeq[Long](1).size.toLong).sum
+      // footer counts of the MATERIALIZED matched set guard the cap
+      // BEFORE any position collect — O(files) metadata, the same
+      // evaluation the kill consumes, so the driver never materializes a
+      // data-scale position set
+      val tmpFiles = fs.listStatus(new Path(tmpDir))
+        .map(_.getPath.toString).filter(_.endsWith(".parquet")).toSeq
+      val totalMatched = rowCounts(tmpFiles, conf).sum
       if (totalMatched == 0) return version
       if (totalMatched > maxUpdatedRows) throw UnsupportedWrite(
         s"$table: UPDATE matches $totalMatched rows (> $maxUpdatedRows) " +
           "— deletion vectors are for small updates; rewrite the table " +
           "instead")
+      val posGroups = matched.groupBy(fcol("__row_path"))
+        .agg(collect_list(fcol("__row_pos")).as("pos")).collect()
       val preimage = matched.drop("__row_path", "__row_pos")
         .select(schema.fields.toIndexedSeq.map(f => fcol(s"`${f.name}`")): _*)
-      val rewritten = set.foldLeft(preimage) { case (d, (k, c)) =>
-        d.withColumn(k, c)
-      }.select(schema.fields.toIndexedSeq.map(f =>
-        fcol(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
+      // every SET expression evaluates against the PRE-update row (SQL
+      // UPDATE semantics) — one select, so SET a=b, b=a swaps instead of
+      // seeing its own partial result, and Map ordering cannot matter
+      val rewritten = preimage.select(
+        schema.fields.toIndexedSeq.map(f =>
+          set.getOrElse(f.name, fcol(s"`${f.name}`"))
+            .cast(f.dataType).as(f.name)): _*)
       // the partition-dir '' / hive-sentinel ambiguity check, on the
       // POST-update images (a SET can move rows into the ambiguous value)
       locally {
@@ -772,7 +849,8 @@ object DeltaWriter {
         }
       val lines =
         Seq(s"""{"commitInfo":{"timestamp":$ts,"operation":"UPDATE"}}""") ++
-          dvProtocolUpgrade(proto) ++ dvLines ++ adds ++ cdcLines
+          (if (newDvFiles.nonEmpty) dvProtocolUpgrade(proto) else Nil) ++
+          dvLines ++ adds ++ cdcLines
       val dest = new Path(logPath, f"${version + 1}%020d.json")
       if (!putText(fs, dest, lines.mkString("\n"))) {
         cleanup(fs, newFiles.result())
@@ -816,6 +894,7 @@ object DeltaWriter {
     if (config.get("delta.columnMapping.mode").exists(_ != "none"))
       throw UnsupportedWrite(
         s"$table: MERGE on a column-mapped table is not implemented")
+    guardConstraints(table, config, schemaJson)
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     keys.foreach { k =>
       if (!schema.fieldNames.contains(k)) throw UnsupportedWrite(
@@ -850,12 +929,21 @@ object DeltaWriter {
       val matched = target.join(srcKeys,
         keys.map(k => target(k) <=> srcKeys(k)).reduce(_ && _),
         "left_semi")
+      // distributed pre-count: the driver must never collect a
+      // data-scale position set before the cap can trip
+      if (matched.count() > maxUpdatedRows) throw UnsupportedWrite(
+        s"$table: MERGE matches more than $maxUpdatedRows rows — " +
+          "deletion vectors are for small matched sets")
+      // duplicate keys on the TARGET side are directed too: killing two
+      // target rows and appending one image would silently shrink the
+      // table (and unbalance the cdc preimage/postimage pairs)
+      val tDup = matched.groupBy(keys.map(fcol): _*)
+        .count().filter(fcol("count") > 1)
+      if (!tDup.isEmpty) throw UnsupportedWrite(
+        s"$table: MERGE keys match multiple TARGET rows for one source " +
+          "row — per-key replacement would silently collapse them")
       val posGroups = matched.groupBy(fcol("__row_path"))
         .agg(collect_list(fcol("__row_pos")).as("pos")).collect()
-      val totalMatched = posGroups.map(_.getSeq[Long](1).size.toLong).sum
-      if (totalMatched > maxUpdatedRows) throw UnsupportedWrite(
-        s"$table: MERGE matches $totalMatched rows (> $maxUpdatedRows) " +
-          "— deletion vectors are for small matched sets")
       val ts = System.currentTimeMillis()
       // every source row lands in new data files
       locally {
@@ -912,7 +1000,8 @@ object DeltaWriter {
         }
       val lines =
         Seq(s"""{"commitInfo":{"timestamp":$ts,"operation":"MERGE"}}""") ++
-          dvProtocolUpgrade(proto) ++ dvLines ++ adds ++ cdcLines
+          (if (newDvFiles.nonEmpty) dvProtocolUpgrade(proto) else Nil) ++
+          dvLines ++ adds ++ cdcLines
       val dest = new Path(logPath, f"${version + 1}%020d.json")
       if (!putText(fs, dest, lines.mkString("\n"))) {
         cleanup(fs, newFiles.result())
@@ -1187,11 +1276,13 @@ object IcebergWriter {
     * v2-required data_file field: content, file_path, file_format,
     * `partition` (an EMPTY record on unpartitioned specs — the field
     * itself is required), record_count, file_size_in_bytes. */
-  private def manifestAvroSchema(partFields: Seq[StructField]): String = {
+  private def manifestAvroSchema(partFields: Seq[StructField],
+      partFieldIds: Seq[Int] = Nil): String = {
     val pf = partFields.zipWithIndex.map { case (f, i) =>
+      val fid = if (i < partFieldIds.length) partFieldIds(i) else 1000 + i
       s"""{"name": "${f.name}", "type": ["null",
           "${partitionAvroType(f.dataType)}"], "default": null,
-          "field-id": ${1000 + i}}"""
+          "field-id": $fid}"""
     }.mkString(", ")
     s"""{"type": "record", "name": "manifest_entry", "fields": [
          {"name": "status", "type": "int", "field-id": 0},
@@ -1344,6 +1435,12 @@ object IcebergWriter {
     var specId: Int = 0
     var tableFv: Int = formatVersion
     var priorNextRow: Long = 0L
+    // the INHERITED spec's own JSON + partition field ids — an append to
+    // an existing table must re-emit the table's actual spec, never a
+    // regenerated one (source-ids from df ordinals and 1000+i field ids
+    // would be wrong on schema-evolved or spec-evolved tables)
+    var inheritedSpecJson: Option[String] = None
+    var inheritedFieldIds: Seq[Int] = Nil
     // every metadata field this writer does not manage carries forward
     // VERBATIM (properties, refs, sort-orders, snapshot-log, …) — an
     // append must never silently erase table state it did not parse
@@ -1385,6 +1482,11 @@ object IcebergWriter {
             "is not implemented (identity only)")
       }
       partCols = specFields.flatMap(f => (f \ "name").extractOpt[String])
+      inheritedSpecJson = spec.map(sp =>
+        JsonMethods.compact(JsonMethods.render(sp \ "fields")))
+      inheritedFieldIds = specFields.zipWithIndex.map { case (f, i) =>
+        (f \ "field-id").extractOpt[Int].getOrElse(1000 + i)
+      }
       val schemasNode = IcebergTable.currentSchemaJson(meta)
       val existing = IcebergTable.structOf(schemasNode)
       if (sameSchema(existing, df.schema))
@@ -1521,7 +1623,7 @@ object IcebergWriter {
     // overwrite, then clean up, files the winner's commit references.
     val attempt = java.util.UUID.randomUUID().toString
     val manifestPath = s"$base/metadata/m-$attempt.avro"
-    val specFieldsJson = {
+    val createdSpecJson = {
       val sf = partCols.zipWithIndex.map { case (c, i) =>
         val srcId = df.schema.fieldNames.indexOf(c) + 1
         s"""{"name": "$c", "transform": "identity",
@@ -1529,7 +1631,9 @@ object IcebergWriter {
       }.mkString(", ")
       s"[$sf]"
     }
-    AvroOcf.write(manifestPath, manifestAvroSchema(partFields),
+    val specFieldsJson = inheritedSpecJson.getOrElse(createdSpecJson)
+    AvroOcf.write(manifestPath,
+      manifestAvroSchema(partFields, inheritedFieldIds),
       filesWithTuple.zip(counts).map { case (((_, abs, size), t), n) =>
         Seq(1, newSeq, Seq(0, abs, "PARQUET", t, n, size))
       }, conf = conf,
@@ -1548,7 +1652,7 @@ object IcebergWriter {
       "schemas" -> s"[$schemaJson]",
       "current-schema-id" -> "0",
       "partition-specs" ->
-        s"""[{"spec-id": 0, "fields": $specFieldsJson}]""",
+        s"""[{"spec-id": 0, "fields": $createdSpecJson}]""",
       "default-spec-id" -> "0",
       "sort-orders" -> """[{"order-id": 0, "fields": []}]""",
       "default-sort-order-id" -> "0")
@@ -1743,6 +1847,9 @@ object IcebergWriter {
         s"$table: partition source-id $srcId is not in the schema"))
       StructField(name, schema(srcName).dataType)
     }
+    val partFieldIds: Seq[Int] = specFields.zipWithIndex.map {
+      case (f, i) => (f \ "field-id").extractOpt[Int].getOrElse(1000 + i)
+    }
     val partitioned = partStructFields.nonEmpty
     // matching rows → (manifest-spelled file path, position), fully
     // DISTRIBUTED: the canonical row key maps back to the raw manifest
@@ -1813,7 +1920,8 @@ object IcebergWriter {
     val specFieldsJson = spec
       .map(sp => JsonMethods.compact(JsonMethods.render(sp \ "fields")))
       .getOrElse("[]")
-    AvroOcf.write(manifestPath, manifestAvroSchema(partStructFields),
+    AvroOcf.write(manifestPath,
+      manifestAvroSchema(partStructFields, partFieldIds),
       nonEmpty.map { case ((rel, abs, size), n) =>
         // content 1: positional deletes
         Seq(1, newSeq, Seq(1, abs, "PARQUET", tupleOf(rel), n, size))
@@ -1861,29 +1969,30 @@ object IcebergWriter {
       (sp \ "spec-id").extractOpt[Int].contains(delSpecId)))
       throw UnsupportedWrite(
         s"$table: default-spec-id $delSpecId is not in partition-specs")
-    val (dvRefs, hasPosDeletes) =
+    val (dvRefs, hasPosDeletes, dataPaths) =
       IcebergTable.activeDeleteShapes(spark, table)
     if (hasPosDeletes) throw UnsupportedWrite(
       s"$table: the table carries v2 positional-delete files — a v3 DV " +
         "must merge them, which needs a delete-manifest rewrite this " +
         "writer does not implement")
-    val matches = IcebergTable.readWithRowKey(spark, table)
-      .filter(condition)
+    val keyed = IcebergTable.readWithRowKey(spark, table).filter(condition)
+    // distributed pre-count: the driver must never collect a data-scale
+    // position set before the cap can trip
+    if (keyed.count() > maxDeletedRows) throw UnsupportedWrite(
+      s"$table: DELETE matches more than $maxDeletedRows rows — " +
+        "deletion vectors are for small deletes")
+    val matches = keyed
       .groupBy(fcol("__row_path"))
       .agg(collect_list(fcol("__row_pos")).as("pos")).collect()
     val total = matches.map(_.getSeq[Long](1).size.toLong).sum
     if (total == 0) return currentId
-    if (total > maxDeletedRows) throw UnsupportedWrite(
-      s"$table: DELETE matches $total rows (> $maxDeletedRows) — " +
-        "deletion vectors are for small deletes")
     matches.foreach { m =>
       if (dvRefs(m.getString(0))) throw UnsupportedWrite(
         s"$table: ${m.getString(0)} already carries a deletion vector — " +
           "v3 allows one DV per file, and replacing it requires the " +
           "delete-manifest rewrite this writer does not implement")
     }
-    val rawByCanon = IcebergTable.activeDataPaths(spark, table)
-      .map(p => PathUris.canon(p) -> p).toMap
+    val rawByCanon = dataPaths.map(p => PathUris.canon(p) -> p).toMap
     val newSeq = st.lastSeq + 1
     val snapId = (st.snapshots.flatMap(sn =>
       (sn \ "snapshot-id").extractOpt[Long]) :+ 0L).max + 1
@@ -1991,6 +2100,14 @@ object IcebergWriter {
       val matched = target.join(srcKeys,
         keys.map(k => target(k) <=> srcKeys(k)).reduce(_ && _),
         "left_semi")
+      // duplicate keys on the TARGET side are directed too: killing two
+      // target rows and appending one image would silently shrink the
+      // table
+      val tDup = matched.groupBy(keys.map(fcol): _*)
+        .count().filter(fcol("count") > 1)
+      if (!tDup.isEmpty) throw UnsupportedWrite(
+        s"$table: MERGE keys match multiple TARGET rows for one source " +
+          "row — per-key replacement would silently collapse them")
       val rawPaths = IcebergTable.activeDataPaths(spark, table)
       val pathDim = rawPaths.map(p => (PathUris.canon(p), p))
         .toDF("__ck", "file_path")
@@ -2112,12 +2229,13 @@ object IcebergWriter {
       val delNonEmpty = delFiles.zip(delCounts).filter(_._2 > 0)
       cleanup(fs, delFiles.zip(delCounts).filter(_._2 == 0).map(_._1._2))
       newFiles ++= delNonEmpty.map(_._1._2)
-      // rewrite side: updated images under the table schema
-      val rewritten = set.foldLeft(
-        matched.drop("__row_path", "__row_pos")) { case (d, (k, c)) =>
-          d.withColumn(k, c)
-        }.select(schema.fields.toIndexedSeq.map(f =>
-          fcol(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
+      // rewrite side: updated images under the table schema; every SET
+      // expression evaluates against the PRE-update row (SQL UPDATE
+      // semantics) — one select, never its own partial result
+      val rewritten = matched.drop("__row_path", "__row_pos").select(
+        schema.fields.toIndexedSeq.map(f =>
+          set.getOrElse(f.name, fcol(s"`${f.name}`"))
+            .cast(f.dataType).as(f.name)): _*)
       val dataFiles = writeData(rewritten, base, Nil, "data", conf)
       val dataCounts = rowCounts(dataFiles.map(_._2), conf)
       val dataNonEmpty = dataFiles.zip(dataCounts).filter(_._2 > 0)

@@ -874,6 +874,82 @@ class TableWritersSpec extends SparkSpec {
     assert(eIDup.getMessage.contains("duplicate"), eIDup.getMessage)
   }
 
+  test("review fixes: SET swap, insert-only merge protocol, target dups, " +
+    "constraints, CDF deletes") {
+    // SQL UPDATE semantics: every SET evaluates against the PRE-update
+    // row, so a=b, b=a swaps
+    val dt = tmp()
+    DeltaWriter.writeAppend(spark,
+      Seq((1L, "x", "y")).toDF("id", "a", "b"), dt)
+    DeltaWriter.writeUpdate(spark, dt, lit(true),
+      Map("a" -> col("b"), "b" -> col("a")))
+    val r = DeltaTable.read(spark, dt).select($"a", $"b")
+      .as[(String, String)].head()
+    assert(r == ("y", "x"), r)
+
+    // an insert-only MERGE must NOT upgrade the protocol to (3,7)
+    val mt = tmp()
+    DeltaWriter.writeAppend(spark, Seq((1L, "t")).toDF("id", "text"), mt)
+    DeltaWriter.writeMerge(spark, mt,
+      Seq((2L, "n")).toDF("id", "text"), Seq("id"))
+    val fsys = new Path(mt).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val mLog = graft.sources.FsText.read(fsys,
+      new Path(s"$mt/_delta_log/00000000000000000001.json"))
+    assert(!mLog.contains("deletionVectors"), mLog)
+    assert(DeltaTable.read(spark, mt).count() == 2)
+
+    // duplicate TARGET keys are directed (a per-key replacement would
+    // silently shrink the table)
+    val tt = tmp()
+    DeltaWriter.writeAppend(spark,
+      Seq((7L, "t7a"), (7L, "t7b")).toDF("id", "text"), tt)
+    val eT = intercept[Exception] {
+      DeltaWriter.writeMerge(spark, tt,
+        Seq((7L, "u")).toDF("id", "text"), Seq("id"))
+    }
+    assert(eT.getMessage.contains("TARGET"), eT.getMessage)
+
+    // CHECK constraints / invariants direct the image-writing paths
+    val ct = tmp()
+    val schemaStr = Seq((1L, "a")).toDF("id", "text").schema.json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    new java.io.File(s"$ct/_delta_log").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$ct/_delta_log/00000000000000000000.json"),
+      (s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""" +
+        "\n" +
+        s"""{"metaData":{"id":"c","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$schemaStr","partitionColumns":[],""" +
+        s""""configuration":{"delta.constraints.pos":"id > 0"},"createdTime":0}}""")
+        .getBytes("UTF-8"))
+    val eC = intercept[Exception] {
+      DeltaWriter.writeAppend(spark, Seq((1L, "a")).toDF("id", "text"), ct)
+    }
+    assert(eC.getMessage.contains("constraints"), eC.getMessage)
+
+    // a CDF-enabled table's DELETE serves row-level cdc in BOTH shapes
+    val ft = tmp()
+    DeltaWriter.writeAppend(spark,
+      spark.sparkContext.parallelize((1L to 12L).map(i => (i, s"t$i")), 3)
+        .toDF("id", "text"),
+      ft, properties = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaWriter.writeDelete(spark, ft, $"id" % 4 === 0) // DV shape
+    val cdf1 = DeltaTable.readCdf(spark, ft, 1L, Some(1L))
+    assert(cdf1.select($"_change_type").distinct().as[String]
+      .collect().toSeq == Seq("delete"))
+    assert(cdf1.select($"id").as[Long].collect().sorted.toSeq ==
+      Seq(4L, 8L, 12L))
+    DeltaWriter.writeDelete(spark, ft, $"id" <= 6L, maxDeletedRows = 2L)
+    val cdf2 = DeltaTable.readCdf(spark, ft, 2L, Some(2L)) // rewrite shape
+    assert(cdf2.select($"_change_type").distinct().as[String]
+      .collect().toSeq == Seq("delete"))
+    assert(cdf2.select($"id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 5L, 6L))
+    assert(DeltaTable.read(spark, ft).select($"id").as[Long]
+      .collect().sorted.toSeq == Seq(7L, 9L, 10L, 11L))
+  }
+
   test("iceberg writeUpdate: one overwrite snapshot, kill + rewrite") {
     val table = tmp()
     val df = (1L to 10L).map(i => (i, s"t$i")).toDF("id", "text")
