@@ -445,11 +445,11 @@ object DeltaTable {
         // 3-level: repeated wrapper group with exactly one field; a
         // repeated group that IS the element keeps itself — including
         // parquet-mr's legacy 2-level rule, where a single-field repeated
-        // group named "array" or "*_tuple" IS the element record
+        // group named "array" or "<list-name>_tuple" IS the element
         if (rg.getFieldCount == 1 &&
           rep.getRepetition == PType.Repetition.REPEATED &&
           rg.getLogicalTypeAnnotation == null &&
-          rg.getName != "array" && !rg.getName.endsWith("_tuple"))
+          rg.getName != "array" && rg.getName != s"${lg.getName}_tuple")
           rg.getType(0)
         else rep
       }

@@ -338,9 +338,21 @@ object DeltaWriter {
       throw UnsupportedWrite(
         s"$table: the table declares CHECK constraints " +
           "(delta.constraints.*) this writer does not evaluate")
-    if (schemaJson.contains("delta.invariants")) throw UnsupportedWrite(
-      s"$table: the table schema declares column invariants this " +
-        "writer does not evaluate")
+    if (schemaJson.contains("delta.invariants")) {
+      // substring first (cheap), then confirm a REAL metadata key — a
+      // column comment merely mentioning the string must not direct
+      def hasInvariant(dt: DataType): Boolean = dt match {
+        case st: StructType => st.fields.exists(f =>
+          f.metadata.contains("delta.invariants") || hasInvariant(f.dataType))
+        case ArrayType(et, _) => hasInvariant(et)
+        case MapType(k, v, _) => hasInvariant(k) || hasInvariant(v)
+        case _ => false
+      }
+      if (hasInvariant(DataType.fromJson(schemaJson)))
+        throw UnsupportedWrite(
+          s"$table: the table schema declares column invariants this " +
+            "writer does not evaluate")
+    }
   }
 
   /** The protocol line a first-DV commit needs: upgrade to (3, 7) +
@@ -402,6 +414,7 @@ object DeltaWriter {
     if (exists && properties.nonEmpty) throw UnsupportedWrite(
       s"$table: properties apply on CREATE only — altering an existing " +
         "table's configuration is not implemented")
+    if (!exists) guardConstraints(table, properties, df.schema.json)
     // `evolved`: Some((metaId, configuration, new schema)) when this
     // append additively evolves the table schema — the commit then
     // carries a fresh metaData action
@@ -596,15 +609,29 @@ object DeltaWriter {
 
     // a CDF-enabled table's DELETE commit must carry its killed rows as
     // cdc files — without them readCdf would either fail directed (DV
-    // shape) or misreport the rewrite's survivors as inserts. `killed` is
-    // re-evaluated for the cdc write; with a non-deterministic condition
-    // prefer a deterministic predicate (same caveat as every shape here).
+    // shape) or misreport the rewrite's survivors as inserts.
     def cdcDeleteLines(killed: DataFrame, ts: Long,
         newFiles: scala.collection.mutable.Builder[String, Seq[String]])
         : Seq[String] =
       if (!cdfEnabled) Nil
       else {
         import org.apache.spark.sql.functions.{lit, col => fcol}
+        // a FOREIGN table may hold ''/sentinel string partition values
+        // the directory encoding cannot round-trip — the cdc rows would
+        // misreport them as null (this engine's own appends direct the
+        // values at write time, but other writers do not)
+        locally {
+          val strCols = partCols.filter(c =>
+            schema(c).dataType == StringType)
+          if (strCols.nonEmpty) {
+            val ambiguous = strCols.map(c =>
+              fcol(c) === "" || fcol(c) === "__HIVE_DEFAULT_PARTITION__")
+              .reduce(_ || _)
+            if (!killed.filter(ambiguous).isEmpty) throw UnsupportedWrite(
+              s"$table: a killed row's string partition value is '' or " +
+                "the hive null sentinel — its cdc row cannot represent it")
+          }
+        }
         val cdc = killed
           .select(schema.fields.toIndexedSeq.map(f => fcol(s"`${f.name}`")): _*)
           .withColumn("_change_type", lit("delete"))
@@ -633,8 +660,24 @@ object DeltaWriter {
           (m.getString(0), m.getSeq[Long](1).toArray)), ts)
       val allNew = Seq.newBuilder[String]
       allNew ++= newDvFiles
-      val cdcLines = cdcDeleteLines(
-        keyed.drop("__row_path", "__row_pos"), ts, allNew)
+      // the cdc rows derive from the COLLECTED kill set (a semi-join on
+      // the exact row identities), never a re-evaluation of the
+      // condition — the feed always agrees with the rows the DVs killed
+      val cdcLines =
+        if (!cdfEnabled) Nil
+        else {
+          import spark.implicits._
+          val killedKeys = matches.toSeq.flatMap(m =>
+            m.getSeq[Long](1).map(p => (m.getString(0), p)))
+          val killedDf = spark.createDataset(killedKeys)
+            .toDF("__kp", "__kpos")
+          val whole = DeltaTable.readWithRowKey(spark, table)
+          val killed = whole.join(killedDf,
+            whole("__row_path") === killedDf("__kp") &&
+              whole("__row_pos") === killedDf("__kpos"), "left_semi")
+            .drop("__row_path", "__row_pos")
+          cdcDeleteLines(killed, ts, allNew)
+        }
       // the protocol upgrade rides only on commits that actually WRITE a
       // deletion vector — a commit whose every touched file fully died is
       // plain remove actions and must not lock readers out
@@ -689,6 +732,10 @@ object DeltaWriter {
       }
       val allNew = Seq.newBuilder[String]
       allNew ++= nonEmpty.map(_._2)
+      // a second pass over the touched files builds the killed-row cdc
+      // frame — CDF costs one extra scan of the touched files here, and
+      // the documented prefer-dv-for-non-deterministic caveat covers the
+      // two evaluations
       val cdcLines = cdcDeleteLines(
         DeltaTable.readFilesSubset(spark, table, touchedCanon)
           .filter(coalesce(condition, lit(false))), ts, allNew)
@@ -929,19 +976,21 @@ object DeltaWriter {
       val matched = target.join(srcKeys,
         keys.map(k => target(k) <=> srcKeys(k)).reduce(_ && _),
         "left_semi")
-      // distributed pre-count: the driver must never collect a
-      // data-scale position set before the cap can trip
-      if (matched.count() > maxUpdatedRows) throw UnsupportedWrite(
-        s"$table: MERGE matches more than $maxUpdatedRows rows — " +
-          "deletion vectors are for small matched sets")
-      // duplicate keys on the TARGET side are directed too: killing two
-      // target rows and appending one image would silently shrink the
-      // table (and unbalance the cdc preimage/postimage pairs)
-      val tDup = matched.groupBy(keys.map(fcol): _*)
-        .count().filter(fcol("count") > 1)
-      if (!tDup.isEmpty) throw UnsupportedWrite(
-        s"$table: MERGE keys match multiple TARGET rows for one source " +
-          "row — per-key replacement would silently collapse them")
+      // ONE aggregation serves both guards: the cap (the driver must
+      // never collect a data-scale position set) and target-side
+      // duplicates (killing two rows for one image would silently shrink
+      // the table and unbalance the cdc pairs)
+      val mStats = matched.groupBy(keys.map(fcol): _*).count()
+        .agg(org.apache.spark.sql.functions.sum("count"),
+          org.apache.spark.sql.functions.max("count")).head()
+      val totalMatched = if (mStats.isNullAt(0)) 0L else mStats.getLong(0)
+      if (totalMatched > maxUpdatedRows) throw UnsupportedWrite(
+        s"$table: MERGE matches $totalMatched rows (> $maxUpdatedRows) " +
+          "— deletion vectors are for small matched sets")
+      if (!mStats.isNullAt(1) && mStats.getLong(1) > 1)
+        throw UnsupportedWrite(
+          s"$table: MERGE keys match multiple TARGET rows for one source " +
+            "row — per-key replacement would silently collapse them")
       val posGroups = matched.groupBy(fcol("__row_path"))
         .agg(collect_list(fcol("__row_pos")).as("pos")).collect()
       val ts = System.currentTimeMillis()
@@ -1984,8 +2033,13 @@ object IcebergWriter {
     val matches = keyed
       .groupBy(fcol("__row_path"))
       .agg(collect_list(fcol("__row_pos")).as("pos")).collect()
+    // the collect-side cap still GOVERNS — a non-deterministic condition
+    // can pass the pre-count and still over-materialize here
     val total = matches.map(_.getSeq[Long](1).size.toLong).sum
     if (total == 0) return currentId
+    if (total > maxDeletedRows) throw UnsupportedWrite(
+      s"$table: DELETE matches $total rows (> $maxDeletedRows) — " +
+        "deletion vectors are for small deletes")
     matches.foreach { m =>
       if (dvRefs(m.getString(0))) throw UnsupportedWrite(
         s"$table: ${m.getString(0)} already carries a deletion vector — " +
