@@ -440,6 +440,88 @@ object ContainerStress {
         s"${wdAgg2.getLong(0)}/${wdAgg2.getLong(1)} vs " +
         s"${wiAgg2.getLong(0)}/${wiAgg2.getLong(1)}")
 
+    // ---- r15: row-level UPDATE through the writers — matched survivors
+    // take new images in ONE commit (Delta: DV kill + appended images;
+    // Iceberg: positional kill + appended images in one overwrite
+    // snapshot); both formats must agree on the post-update state
+    def stateOf(d: org.apache.spark.sql.DataFrame) =
+      d.agg(count(lit(1)), sum($"id"),
+        round(sum($"score"), 3).cast("double")).head()
+    val (vUpd, tDupd) = time(
+      DeltaWriter.writeUpdate(spark, wDelta, $"id" % 7 === 1,
+        Map("score" -> ($"score" + 1000.0))))
+    val (uD, tDuRead) = time(stateOf(
+      graft.sources.DeltaTable.read(spark, wDelta)))
+    val (sUpd, tIupd) = time(
+      IcebergWriter.writeUpdate(spark, wIce, $"id" % 7 === 1,
+        Map("score" -> ($"score" + 1000.0))))
+    val (uI, tIuRead) = time(stateOf(
+      graft.sources.IcebergTable.read(spark, wIce)))
+    println(f"[stress] delta-update: matched rows re-imaged in $tDupd%.2f s " +
+      f"(commit $vUpd), survivor scan $tDuRead%.2f s; iceberg-update " +
+      f"$tIupd%.2f s (snapshot $sUpd), scan $tIuRead%.2f s")
+    require(uD == uI, s"[stress] update paths disagree: $uD vs $uI")
+
+    // ---- r15: MERGE (upsert) — 20%% of the corpus as updated images
+    // plus 10k brand-new keys, one commit/snapshot per format
+    val mergeSrc = morData.filter($"id" % 5 === 2)
+      .select($"id", ($"score" * 2).cast("float").as("score"))
+      .unionByName(spark.range(n.toLong, n.toLong + 10000)
+        .select($"id", lit(1.5f).as("score")))
+    val (vMrg, tDmrg) = time(
+      DeltaWriter.writeMerge(spark, wDelta, mergeSrc, Seq("id")))
+    val (mD, _) = time(stateOf(
+      graft.sources.DeltaTable.read(spark, wDelta)))
+    val (sMrg, tImrg) = time(
+      IcebergWriter.writeMerge(spark, wIce, mergeSrc, Seq("id")))
+    val (mI, _) = time(stateOf(
+      graft.sources.IcebergTable.read(spark, wIce)))
+    println(f"[stress] delta-merge: upsert of ${n / 5 + 10000} source rows " +
+      f"in $tDmrg%.2f s (commit $vMrg); iceberg-merge $tImrg%.2f s " +
+      f"(snapshot $sMrg); post-merge rows ${mD.getLong(0)}")
+    require(mD == mI, s"[stress] merge paths disagree: $mD vs $mI")
+
+    // ---- r15: copy-on-write DELETE above the cap — auto switches to
+    // the distributed rewrite (no driver-side positions at data scale)
+    val (vRw, tRw) = time(
+      DeltaWriter.writeDelete(spark, wDelta, $"id" % 3 === 2,
+        maxDeletedRows = 1000L))
+    val (rwD, tRwRead) = time(stateOf(
+      graft.sources.DeltaTable.read(spark, wDelta)))
+    println(f"[stress] delta-rewrite-delete: data-scale delete above the " +
+      f"cap rewrote touched files' survivors in $tRw%.2f s (commit " +
+      f"$vRw), survivor scan $tRwRead%.2f s; rows ${mD.getLong(0)} -> " +
+      s"${rwD.getLong(0)}")
+    val (_, tIrw) = time(
+      IcebergWriter.writeDelete(spark, wIce, $"id" % 3 === 2))
+    val (rwI, _) = time(stateOf(
+      graft.sources.IcebergTable.read(spark, wIce)))
+    require(rwD == rwI,
+      s"[stress] rewrite-vs-positional delete disagree: $rwD vs $rwI")
+    println(f"[stress] iceberg-pos twin of the rewrite delete: $tIrw%.2f s " +
+      "(distributed positional file; survivors cross-validated)")
+
+    // ---- r15: Iceberg v3 through the WRITER — create at fv3, append,
+    // Puffin-DV delete, survivors must match the v2 twin's arithmetic
+    val wIce3 = s"$morRoot/wiceberg3"
+    val (_, tW3) = time {
+      (0 until 2).foreach { i =>
+        IcebergWriter.writeAppend(spark,
+          morData.filter($"id" >= i * (n / 2) && $"id" < (i + 1) * (n / 2)),
+          wIce3, formatVersion = 3)
+      }
+    }
+    val (s3Del, tDv3) = time(
+      IcebergWriter.writeDelete(spark, wIce3, $"id" % 10 === 0))
+    val (w3Agg, tV3Read) = time(stateOf(
+      graft.sources.IcebergTable.read(spark, wIce3)))
+    println(f"[stress] iceberg-v3-writer: 2 fv3 appends in $tW3%.2f s, " +
+      f"10%% Puffin-DV delete in $tDv3%.2f s (snapshot $s3Del), " +
+      f"survivor scan $tV3Read%.2f s; rows ${w3Agg.getLong(0)}")
+    require(w3Agg.getLong(0) == n - n / 10,
+      s"[stress] v3 DV delete survivor count ${w3Agg.getLong(0)} != " +
+        s"${n - n / 10}")
+
     spark.stop()
   }
 }
