@@ -1959,6 +1959,101 @@ object QueriesML {
           .select($"id", $"text").orderBy($"id")
       }),
 
+    // --------------------- Delta OPTIMIZE: compaction repays the DV debt
+    // The maintenance half of the lifecycle: a DV delete leaves bitmap
+    // debt on every touched file; compact() rewrites the survivors into
+    // fewer files in one dataChange=false commit — the row set is
+    // unchanged (the oracle recomputes it), change consumers skip the
+    // commit, and the vectors disappear (spec-asserted).
+    Q("q199_delta_optimize", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT o_orderkey AS id, 'doc-' || CAST(rn0 AS VARCHAR) AS text
+      FROM o WHERE o_orderkey % 7 <> 0 ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{DeltaTable, DeltaWriter}
+        val table = Fixtures.dir("q199", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          DeltaWriter.writeAppend(s,
+            base.select($"id", concat(lit("doc-"), $"rn0").as("text"),
+              $"rn0"), t)
+          DeltaWriter.writeDelete(s, t, $"id" % 7 === 0)
+          DeltaWriter.compact(s, t)
+        }
+        DeltaTable.read(s, s"$table/table")
+          .select($"id", $"text").orderBy($"id")
+      }),
+
+    // --------------------------- Delta VACUUM after a rewrite delete
+    // The physical-cleanup half: a copy-on-write delete retires every
+    // touched file by tombstone; vacuum(retention 0) deletes them from
+    // disk, and the snapshot still serves exactly the survivors (the
+    // oracle recomputes them) — state and storage decouple correctly.
+    Q("q200_delta_vacuum", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT o_orderkey AS id, 'doc-' || CAST(rn0 AS VARCHAR) AS text
+      FROM o WHERE o_orderkey % 2 <> 0 ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{DeltaTable, DeltaWriter}
+        val table = Fixtures.dir("q200", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          DeltaWriter.writeAppend(s,
+            base.select($"id", concat(lit("doc-"), $"rn0").as("text"),
+              $"rn0"), t)
+          DeltaWriter.writeDelete(s, t, $"id" % 2 === 0, mode = "rewrite")
+          DeltaWriter.vacuum(s, t, retentionMs = 0L)
+        }
+        DeltaTable.read(s, s"$table/table")
+          .select($"id", $"text").orderBy($"id")
+      }),
+
+    // ------------- Iceberg rewriteDataFiles + expireSnapshots composition
+    // The full maintenance cycle over a PARTITIONED table the gate wrote:
+    // two appends, a partition-scoped delete, a full compaction (ONE
+    // replace snapshot baking the delete into the data — the
+    // merge-on-read tax disappears), then snapshot expiration down to
+    // the compacted state. The oracle recomputes the survivors.
+    Q("q201_iceberg_rewrite", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT o_orderkey AS id,
+             CASE WHEN o_orderkey % 4 = 0 THEN 'v2-' || CAST(rn0 AS VARCHAR)
+                  ELSE 'doc-' || CAST(rn0 AS VARCHAR) END AS text,
+             o_orderkey % 3 AS bucket
+      FROM o WHERE NOT (o_orderkey % 3 = 1 AND o_orderkey % 7 = 0)
+      ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{IcebergTable, IcebergWriter}
+        val table = Fixtures.dir("q201", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          IcebergWriter.writeAppend(s,
+            base.filter($"id" % 4 =!= 0)
+              .select($"id", concat(lit("doc-"), $"rn0").as("text"),
+                ($"id" % 3).as("bucket")),
+            t, partitionBy = Seq("bucket"))
+          IcebergWriter.writeAppend(s,
+            base.filter($"id" % 4 === 0)
+              .select($"id", concat(lit("v2-"), $"rn0").as("text"),
+                ($"id" % 3).as("bucket")), t)
+          IcebergWriter.writeDelete(s, t,
+            $"bucket" === 1 && $"id" % 7 === 0)
+          IcebergWriter.rewriteDataFiles(s, t)
+          IcebergWriter.expireSnapshots(s, t, keepLast = 1)
+        }
+        IcebergTable.read(s, s"$table/table")
+          .select($"id", $"text", $"bucket").orderBy($"id")
+      }),
+
     // ------------------------------------------------------- HF tokenizer.json encode
     // A hand-authored tokenizer.json (the huggingface/tokenizers file
     // format, byte-level BPE) over planted "ab"*k words: greedy merge

@@ -63,9 +63,13 @@ object DeltaTable {
       "columnMapping", // mode-checked after replay (name ok, id directed)
       "v2Checkpoint")
 
+  /** `dataChange`: the add ACTION's flag from the commit json — false
+    * marks a rearrangement (compaction) whose rows were already served;
+    * checkpoint-sourced adds read as true (checkpoints stamp every row
+    * dataChange=false, which says nothing about the original commit). */
   private final case class AddFile(path: String,
       partitionValues: Map[String, String],
-      dv: Option[DeletionVector.Descriptor])
+      dv: Option[DeletionVector.Descriptor], dataChange: Boolean = true)
 
   /** The table protocol as last declared in the log — carried through
     * replay so the checkpoint writer re-emits it VERBATIM (fabricating
@@ -233,7 +237,9 @@ object DeltaTable {
               (o \ "cardinality").extract[Long]))
             case _ => None
           }
-          files += path -> AddFile(path, pv, dv)
+          val dc = (j \ "add" \ "dataChange").extractOpt[Boolean]
+            .getOrElse(true)
+          files += path -> AddFile(path, pv, dv, dc)
         case _ =>
       }
       if (applyRemoves) (j \ "remove") match {
@@ -651,11 +657,13 @@ object DeltaTable {
   /** Incremental consumption: rows of the data files ACTIVE at
     * `toVersion` (default latest) but not at `fromVersion` — the
     * "process only the new shards" pattern an incremental corpus
-    * pipeline runs between scheduled passes. File-granular by design:
-    * a compaction that rewrites old rows into new files surfaces those
-    * rows again (the same caveat every file-based incremental consumer
-    * documents); for row-level semantics on CDF-enabled tables use
-    * [[readCdf]]. */
+    * pipeline runs between scheduled passes. Files added with
+    * `dataChange = false` (a compaction's rearrangements — their rows
+    * were already served from the originals) are SKIPPED, matching
+    * delta-spark's streaming semantics; the one blind spot is a
+    * compaction commit consumed INSIDE a checkpoint in the range, whose
+    * adds read conservatively as data changes. File-granular otherwise;
+    * for row-level semantics on CDF-enabled tables use [[readCdf]]. */
   def readChanges(spark: SparkSession, table: String, fromVersion: Long,
       toVersion: Option[Long] = None): DataFrame = {
     // ONE replay when the checkpoint doesn't cover past fromVersion: the
@@ -670,6 +678,7 @@ object DeltaTable {
     val before = captured.map(_.keySet).getOrElse(
       replay(spark, table, Some(fromVersion))._1.files.map(_.path).toSet)
     val fresh = toSnap.files.filterNot(f => before(f.path))
+      .filter(_.dataChange)
     assemble(spark, table, toSnap.copy(files = fresh))
   }
 

@@ -1062,6 +1062,165 @@ object DeltaWriter {
     } finally fs.delete(new Path(tmpDir), true)
   }
 
+  /** OPTIMIZE (bin-packing compaction): partitions holding at least two
+    * data files smaller than `smallFileThreshold` get those files
+    * rewritten into ~`targetFileBytes` ones, in ONE commit of
+    * remove+add with `dataChange = false` — the table's ROW SET is
+    * unchanged, so change consumers skip the commit entirely
+    * ([[DeltaTable.readChanges]] and the files-mode stream ignore
+    * dataChange=false adds; readCdf serves nothing for it). Files
+    * carrying DELETION VECTORS materialize their survivors and the DV
+    * disappears — compaction is how DV debt is repaid. Allowed on
+    * append-only tables (a dataChange=false remove is not a data
+    * change); rowTracking and column-mapped tables directed. Returns
+    * the committed version (the current one when nothing qualifies). */
+  def compact(spark: SparkSession, table: String,
+      targetFileBytes: Long = 128L << 20,
+      smallFileThreshold: Long = Long.MaxValue): Long = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    val base = table.stripSuffix("/")
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val logPath = new Path(s"$base/_delta_log")
+    val fs = logPath.getFileSystem(conf)
+    val (version, _, schemaJson, partCols, config, files, proto) =
+      DeltaTable.snapshotState(spark, table)
+    if (proto.writerFeatures.contains("rowTracking")) throw UnsupportedWrite(
+      s"$table: compacting a rowTracking table is not implemented " +
+        "(rewritten files would lose their baseRowId)")
+    if (config.get("delta.columnMapping.mode").exists(_ != "none"))
+      throw UnsupportedWrite(
+        s"$table: compacting a column-mapped table is not implemented")
+    def resolve(rel: String): String = DeltaTable.resolveAdd(base, rel)
+    // O(files) driver stats pick the targets: per partition tuple, at
+    // least two qualifying files, DV'd files always qualify (their debt
+    // is the point)
+    val sized = files.map { f =>
+      (f, try fs.getFileStatus(new Path(resolve(f._1))).getLen
+        catch { case _: java.io.FileNotFoundException => 0L })
+    }
+    val targets = sized.groupBy(_._1._2).values.toSeq.flatMap { group =>
+      val qualifying = group.filter { case ((_, _, dv), size) =>
+        size < smallFileThreshold || dv.isDefined
+      }
+      if (qualifying.size >= 2) qualifying else Nil
+    }
+    if (targets.isEmpty) return version
+    val targetCanon = targets.map(t => PathUris.canon(resolve(t._1._1))).toSet
+    val rows = DeltaTable.readFilesSubset(spark, table, targetCanon)
+    val nOut = math.max(1,
+      math.ceil(targets.map(_._2).sum.toDouble / targetFileBytes).toInt)
+    // partitioned tables repartition BY the partition columns so the
+    // dynamic writer emits one file per (task, tuple) without a
+    // per-partition shuffle straggler; unpartitioned tables coalesce
+    val packed =
+      if (partCols.isEmpty) rows.coalesce(nOut)
+      else rows.repartition(nOut, partCols.map(fcol): _*)
+    val ts = System.currentTimeMillis()
+    val dataFiles = writeData(packed, base, partCols, "", conf)
+    val counts = rowCounts(dataFiles.map(_._2), conf)
+    val nonEmpty = dataFiles.zip(counts).filter(_._2 > 0).map(_._1)
+    cleanup(fs, dataFiles.zip(counts).filter(_._2 == 0).map(_._1._2))
+    val adds = nonEmpty.map { case (rel, _, size) =>
+      val pv = partitionValuesJson(partValues(rel))
+      s"""{"add":{"path":"${pctEncodeRel(rel)}","partitionValues":{$pv},""" +
+        s""""size":$size,"modificationTime":$ts,"dataChange":false}}"""
+    }
+    val removes = targets.map { case ((rawPath, pv, oldDv), _) =>
+      val pvs = partitionValuesJson(pv)
+      val oldDvJson = oldDv.map(d => s""","deletionVector":${dvJson(d)}""")
+        .getOrElse("")
+      s"""{"remove":{"path":"$rawPath","deletionTimestamp":$ts,""" +
+        s""""dataChange":false,"partitionValues":{$pvs}$oldDvJson}}"""
+    }
+    val lines =
+      Seq(s"""{"commitInfo":{"timestamp":$ts,"operation":"OPTIMIZE"}}""") ++
+        removes ++ adds
+    val dest = new Path(logPath, f"${version + 1}%020d.json")
+    if (!putText(fs, dest, lines.mkString("\n"))) {
+      cleanup(fs, nonEmpty.map(_._2))
+      throw CommitConflict(
+        s"$table: version ${version + 1} was committed concurrently — " +
+          "re-read the table and retry the compaction")
+    }
+    version + 1
+  }
+
+  /** VACUUM: physically delete files the table no longer needs — data
+    * files TOMBSTONED (removed) longer than `retentionMs` ago, plus
+    * deletion-vector sidecars no active add references whose mtime has
+    * aged past the retention. Tombstones come from the commit json AND
+    * any reachable checkpoint. Time travel to versions that referenced
+    * the deleted files stops working, and readCdf over their commits
+    * fails directed — vacuum's documented trade everywhere. Returns the
+    * number of files deleted. */
+  def vacuum(spark: SparkSession, table: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
+    val base = table.stripSuffix("/")
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val logPath = new Path(s"$base/_delta_log")
+    val fs = logPath.getFileSystem(conf)
+    val (_, _, _, _, _, files, _) = DeltaTable.snapshotState(spark, table)
+    def resolve(rel: String): String = DeltaTable.resolveAdd(base, rel)
+    val active = files.map(f => PathUris.canon(resolve(f._1))).toSet
+    val activeDvs = files.flatMap(_._3)
+      .filter(_.storageType == "p")
+      .map(d => PathUris.canon(
+        if (d.pathOrInlineDv.contains("://") ||
+          d.pathOrInlineDv.startsWith("/")) d.pathOrInlineDv
+        else s"$base/${d.pathOrInlineDv}")).toSet
+    val horizon = System.currentTimeMillis() - retentionMs
+    // tombstones from the live commit json + the newest checkpoint
+    val tombstones = scala.collection.mutable.Map.empty[String, Long]
+    val entries = fs.listStatus(logPath).map(_.getPath.getName).toSeq
+    entries.filter(n => n.endsWith(".json") && n.length == 25).foreach { n =>
+      FsText.read(fs, new Path(logPath, n)).split('\n')
+        .filter(_.contains("\"remove\"")).foreach { line =>
+          val j = JsonMethods.parse(line)
+          (j \ "remove") match {
+            case JObject(_) =>
+              val p = (j \ "remove" \ "path").extract[String]
+              val t = (j \ "remove" \ "deletionTimestamp")
+                .extractOpt[Long].getOrElse(0L)
+              tombstones(p) = math.max(tombstones.getOrElse(p, 0L), t)
+            case _ =>
+          }
+        }
+    }
+    entries.flatMap(DeltaTable.ckptVersionOf).sorted.lastOption.foreach { v =>
+      val pq = entries.filter(n =>
+        DeltaTable.ckptVersionOf(n).contains(v) && n.endsWith(".parquet"))
+      if (pq.nonEmpty) {
+        val cp = spark.read.parquet(pq.map(n => s"$base/_delta_log/$n"): _*)
+        if (cp.columns.contains("remove"))
+          cp.select(col("remove.path"),
+              col("remove.deletionTimestamp").cast("long"))
+            .filter(col("path").isNotNull).collect().foreach { r =>
+              val t = if (r.isNullAt(1)) 0L else r.getLong(1)
+              tombstones(r.getString(0)) =
+                math.max(tombstones.getOrElse(r.getString(0), 0L), t)
+            }
+      }
+    }
+    var deleted = 0
+    tombstones.foreach { case (rel, ts) =>
+      val abs = resolve(rel)
+      val key = PathUris.canon(abs)
+      if (!active(key) && ts < horizon) {
+        if (fs.delete(new Path(abs), false)) deleted += 1
+      }
+    }
+    // orphaned DV sidecars: written by a delete whose add was later
+    // removed/rewritten — never tombstoned by actions, aged by mtime
+    val dvGlob = fs.globStatus(new Path(s"$base/deletion_vector_*.bin"))
+    Option(dvGlob).getOrElse(Array.empty).foreach { st =>
+      val key = PathUris.canon(st.getPath.toString)
+      if (!activeDvs(key) && st.getModificationTime < horizon) {
+        if (fs.delete(st.getPath, false)) deleted += 1
+      }
+    }
+    deleted
+  }
+
   /** Write a CLASSIC checkpoint at the table's latest version — the log
     * compaction every long-followed Delta table needs (replay cost stays
     * O(commits since last checkpoint), and cleaned-up commit json below
@@ -1446,6 +1605,74 @@ object IcebergWriter {
       priorManifests)
   }
 
+  /** ONE distributed write of `df` grouped by its identity partition
+    * columns, via DUPLICATED helper columns — Spark's partitionBy
+    * excludes only the helpers from the files, so the data files keep
+    * the real partition columns (Iceberg's hidden-partitioning model)
+    * while files still group one-tuple-per-dir; each file's typed tuple
+    * parses back from its k=v dirs. No per-tuple re-scan of the input,
+    * no double evaluation of a non-deterministic plan. Post-write (and
+    * race-free, since data files RETAIN the real columns), files whose
+    * dir parsed as null are checked for the ''/hive-sentinel ambiguity.
+    * Shared by the append and compaction writers. */
+  private def writeIdentityPartitioned(spark: SparkSession, df: DataFrame,
+      base: String, partCols: Seq[String], table: String, fs: FileSystem,
+      conf: Configuration): Seq[((String, String, Long), Seq[Any])] = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    // helper names must not shadow REAL columns (a collision would
+    // silently exclude the genuine column from the data files) — Spark
+    // resolves case-INSENSITIVELY by default, and helpers must not
+    // collide with each other either
+    val taken = scala.collection.mutable.Set(
+      df.schema.fieldNames.map(_.toLowerCase): _*)
+    val helperOf = partCols.map { c =>
+      var h = s"p__$c"
+      while (taken.contains(h.toLowerCase)) h += "_"
+      taken += h.toLowerCase
+      c -> h
+    }.toMap
+    val filesWithTuple: Seq[((String, String, Long), Seq[Any])] =
+      if (partCols.isEmpty)
+        writeData(df, base, Nil, "data", conf).map(f => (f, Nil))
+      else {
+        val df2 = partCols.foldLeft(df)((d, c) =>
+          d.withColumn(helperOf(c), fcol(c)))
+        writeData(df2, base, partCols.map(helperOf), "data", conf).map { f =>
+          val dirs = f._1.split('/').dropRight(1)
+          val vals: Seq[Any] = partCols.map { c =>
+            val pre = s"${helperOf(c)}="
+            val seg = dirs.find(_.startsWith(pre)).getOrElse(
+              throw UnsupportedWrite(
+                s"$table: partition dir for '$c' missing in ${f._1}"))
+            val raw = PathUris.pctDecode(seg.drop(pre.length))
+            if (raw == "__HIVE_DEFAULT_PARTITION__") null
+            else castPartitionValue(raw, df.schema(c).dataType)
+          }
+          (f, vals)
+        }
+      }
+    locally {
+      val strIdx = partCols.zipWithIndex.filter { case (c, _) =>
+        df.schema(c).dataType == StringType }
+      val suspicious = filesWithTuple.filter { case (_, t) =>
+        strIdx.exists { case (_, i) => t(i) == null } }
+      if (suspicious.nonEmpty) {
+        val bad = spark.read.parquet(suspicious.map(_._1._2): _*)
+          .select(strIdx.map { case (c, _) => fcol(c) }: _*)
+          .filter(strIdx.map { case (c, _) => fcol(c).isNotNull }
+            .reduce(_ || _))
+        if (!bad.isEmpty) {
+          cleanup(fs, filesWithTuple.map(_._1._2))
+          throw UnsupportedWrite(
+            s"$table: a string partition value is '' or the hive null " +
+              "sentinel — the directory encoding cannot represent it " +
+              "distinctly from null")
+        }
+      }
+    }
+    filesWithTuple
+  }
+
   /** Append `df` to (or create) the Iceberg table at `table` as one new
     * snapshot. Returns the snapshot id. `partitionBy` (CREATE only —
     * appends inherit the table's spec) builds an IDENTITY partition
@@ -1594,71 +1821,9 @@ object IcebergWriter {
     }
     val partFields = partCols.map(c => df.schema(c))
     partFields.foreach(f => partitionAvroType(f.dataType)) // directed early
-    // ONE distributed write: partitionBy on DUPLICATED helper columns —
-    // Spark's partitionBy excludes only the helpers from the files, so
-    // the data files keep the real partition columns (Iceberg's hidden-
-    // partitioning model) while files still group one-tuple-per-dir;
-    // each file's tuple parses back from its k=v dirs. No per-tuple
-    // re-scan of the input, no double evaluation of a non-deterministic
-    // plan.
-    import org.apache.spark.sql.functions.{col => fcol}
-    // helper names must not shadow REAL columns (a collision would
-    // silently exclude the genuine column from the data files) — Spark
-    // resolves case-INSENSITIVELY by default, and helpers must not
-    // collide with each other either
-    val taken = scala.collection.mutable.Set(
-      df.schema.fieldNames.map(_.toLowerCase): _*)
-    val helperOf = partCols.map { c =>
-      var h = s"p__$c"
-      while (taken.contains(h.toLowerCase)) h += "_"
-      taken += h.toLowerCase
-      c -> h
-    }.toMap
-    val filesWithTuple: Seq[((String, String, Long), Seq[Any])] =
-      if (partCols.isEmpty)
-        writeData(df, base, Nil, "data", conf).map(f => (f, Nil))
-      else {
-        val df2 = partCols.foldLeft(df)((d, c) =>
-          d.withColumn(helperOf(c), fcol(c)))
-        writeData(df2, base, partCols.map(helperOf), "data", conf).map { f =>
-          val dirs = f._1.split('/').dropRight(1)
-          val vals: Seq[Any] = partCols.map { c =>
-            val pre = s"${helperOf(c)}="
-            val seg = dirs.find(_.startsWith(pre)).getOrElse(
-              throw UnsupportedWrite(
-                s"$table: partition dir for '$c' missing in ${f._1}"))
-            val raw = PathUris.pctDecode(seg.drop(pre.length))
-            if (raw == "__HIVE_DEFAULT_PARTITION__") null
-            else castPartitionValue(raw, df.schema(c).dataType)
-          }
-          (f, vals)
-        }
-      }
+    val filesWithTuple = writeIdentityPartitioned(spark, df, base,
+      partCols, table, fs, conf)
     val files = filesWithTuple.map(_._1)
-    // Spark's partition-dir encoding folds "" and the literal sentinel
-    // into the null directory. Iceberg data files RETAIN the real
-    // columns, so the check is post-write and race-free: a file whose
-    // dir parsed as null must hold only nulls in that column — touched
-    // only for suspicious files, no extra scan of the input.
-    locally {
-      val strIdx = partCols.zipWithIndex.filter { case (c, _) =>
-        df.schema(c).dataType == StringType }
-      val suspicious = filesWithTuple.filter { case (_, t) =>
-        strIdx.exists { case (_, i) => t(i) == null } }
-      if (suspicious.nonEmpty) {
-        val bad = spark.read.parquet(suspicious.map(_._1._2): _*)
-          .select(strIdx.map { case (c, _) => fcol(c) }: _*)
-          .filter(strIdx.map { case (c, _) => fcol(c).isNotNull }
-            .reduce(_ || _))
-        if (!bad.isEmpty) {
-          cleanup(fs, files.map(_._2))
-          throw UnsupportedWrite(
-            s"$table: a string partition value is '' or the hive null " +
-              "sentinel — the directory encoding cannot represent it " +
-              "distinctly from null")
-        }
-      }
-    }
     val counts = rowCounts(files.map(_._2), conf)
     val newSeq = lastSeq + 1
     val snapIds = snapshots.flatMap(sn =>
@@ -2323,5 +2488,188 @@ object IcebergWriter {
         st.priorManifests, st.metaVersion, newFiles.result())
       snapId
     } finally fs.delete(new Path(tmpDir), true)
+  }
+
+  /** Full-table compaction (the RewriteDataFiles maintenance action):
+    * the current snapshot's LIVE rows — merge-on-read deletes applied —
+    * rewrite into a fresh ~`targetFileBytes` file set committed as ONE
+    * `replace` snapshot whose manifest list carries ONLY the new data
+    * manifest. Every prior delete file's work is baked into the data,
+    * so the delete manifests drop out of the active set and the
+    * merge-on-read anti-join tax disappears; prior snapshots' manifest
+    * lists are untouched (time travel intact), and the files-mode
+    * stream directs on the replace (changelog mode serves the net
+    * diff). Identity-partitioned tables keep their spec; fv3 tables
+    * keep their lineage bookkeeping (no rows added — next-row-id is
+    * unchanged). Returns the snapshot id. */
+  def rewriteDataFiles(spark: SparkSession, table: String,
+      targetFileBytes: Long = 128L << 20): Long = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    val base = table.stripSuffix("/")
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(base).getFileSystem(conf)
+    val st = loadState(spark, fs, base)
+    val meta = st.meta
+    val fv = (meta \ "format-version").extract[Int]
+    if (fv != 2 && fv != 3) throw UnsupportedWrite(
+      s"$table: compaction targets format-version 2 or 3 (table is $fv)")
+    (meta \ "current-snapshot-id").extractOpt[Long]
+      .filter(_ != -1L).getOrElse(throw UnsupportedWrite(
+        s"$table: no current snapshot — nothing to compact"))
+    val specs = (meta \ "partition-specs").extractOpt[Seq[JValue]]
+      .getOrElse(Nil)
+    val specId = (meta \ "default-spec-id").extractOpt[Int].getOrElse(0)
+    val spec = specs.find(sp =>
+      (sp \ "spec-id").extractOpt[Int].contains(specId))
+    if (specs.nonEmpty && spec.isEmpty) throw UnsupportedWrite(
+      s"$table: default-spec-id $specId is not in partition-specs")
+    val specFields = spec.toSeq
+      .flatMap(sp => (sp \ "fields").extractOpt[Seq[JValue]].getOrElse(Nil))
+    specFields.foreach { f =>
+      val transform = (f \ "transform").extractOpt[String].getOrElse("")
+      if (transform != "identity") throw UnsupportedWrite(
+        s"$table: compacting through a '$transform' partition transform " +
+          "is not implemented (identity only)")
+    }
+    val partCols = specFields.flatMap(f => (f \ "name").extractOpt[String])
+    val partFieldIds: Seq[Int] = specFields.zipWithIndex.map {
+      case (f, i) => (f \ "field-id").extractOpt[Int].getOrElse(1000 + i)
+    }
+    val schemaNode = IcebergTable.currentSchemaJson(meta)
+    val schema = IcebergTable.structOf(schemaNode)
+    val partFields = partCols.map(c => schema(c))
+    // output sizing from the CURRENT data files' stats — O(files)
+    val dataPaths = IcebergTable.activeDataPaths(spark, table)
+    val totalBytes = dataPaths.map { p =>
+      try fs.getFileStatus(new Path(p)).getLen
+      catch { case _: java.io.FileNotFoundException => 0L }
+    }.sum
+    val nOut = math.max(1,
+      math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val rows = IcebergTable.read(spark, table)
+    val packed =
+      if (partCols.isEmpty) rows.coalesce(nOut)
+      else rows.repartition(nOut, partCols.map(fcol): _*)
+    val filesWithTuple = writeIdentityPartitioned(spark, packed, base,
+      partCols, table, fs, conf)
+    val counts = rowCounts(filesWithTuple.map(_._1._2), conf)
+    val newSeq = st.lastSeq + 1
+    val snapId = (st.snapshots.flatMap(sn =>
+      (sn \ "snapshot-id").extractOpt[Long]) :+ 0L).max + 1
+    val ts = System.currentTimeMillis()
+    val attempt = java.util.UUID.randomUUID().toString
+    val manifestPath = s"$base/metadata/m-$attempt.avro"
+    val schemaJson = JsonMethods.compact(JsonMethods.render(schemaNode))
+    val specFieldsJson = spec
+      .map(sp => JsonMethods.compact(JsonMethods.render(sp \ "fields")))
+      .getOrElse("[]")
+    AvroOcf.write(manifestPath, manifestAvroSchema(partFields, partFieldIds),
+      filesWithTuple.zip(counts).map { case (((_, abs, size), t), n) =>
+        Seq(1, newSeq, Seq(0, abs, "PARQUET", t, n, size))
+      }, conf = conf,
+      meta = manifestMeta(schemaJson, specFieldsJson, specId, "data", fv))
+    val priorNext = (meta \ "next-row-id").extractOpt[Long].getOrElse(0L)
+    // priorManifests = Nil: the replace snapshot's list names ONLY the
+    // compacted manifest — that IS the operation's semantics
+    commitSnapshot(fs, conf, base, table, snapId, newSeq, ts, "replace",
+      Seq(NewManifest(manifestPath, 0, filesWithTuple.size, counts.sum)),
+      attempt, specId, st.carried, st.snapshots,
+      Nil, st.metaVersion, filesWithTuple.map(_._1._2),
+      fv = fv,
+      rowLineage = if (fv == 3) Some((priorNext, priorNext)) else None)
+    snapId
+  }
+
+  /** Expire all but the newest `keepLast` snapshots: the metadata json
+    * drops them (trimming the snapshot-log alongside), and every
+    * artifact reachable ONLY from expired snapshots — manifest lists,
+    * manifests, data/delete files — is physically deleted. The current
+    * snapshot always survives (`keepLast` < 1 is directed). Time travel
+    * to expired snapshots stops working — expiration's documented trade
+    * everywhere. Returns the number of files deleted. */
+  def expireSnapshots(spark: SparkSession, table: String,
+      keepLast: Int = 1): Int = {
+    if (keepLast < 1) throw UnsupportedWrite(
+      s"$table: expireSnapshots must keep at least the current snapshot")
+    val base = table.stripSuffix("/")
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(base).getFileSystem(conf)
+    val metaPath = IcebergTable.latestMetadata(fs, base)
+    val meta = JsonMethods.parse(FsText.read(fs, metaPath))
+    val snaps = (meta \ "snapshots").extractOpt[Seq[JValue]].getOrElse(Nil)
+    if (snaps.size <= keepLast) return 0
+    val currentId = (meta \ "current-snapshot-id").extractOpt[Long]
+      .getOrElse(-1L)
+    // keep the newest N in SNAPSHOT-LOG order (array position — the
+    // same order rangeOperations trusts); the current snapshot must be
+    // among them
+    val (expired, kept) = snaps.splitAt(snaps.size - keepLast)
+    if (!kept.exists(sn =>
+      (sn \ "snapshot-id").extractOpt[Long].contains(currentId)))
+      throw UnsupportedWrite(
+        s"$table: expiring would drop the CURRENT snapshot — keepLast " +
+          s"$keepLast is too small or the log is reordered")
+    // per-snapshot reachable artifacts: manifest list + manifests +
+    // every file their entries name (O(snapshots x manifests)
+    // metadata). Set membership compares CANONICAL spellings (two
+    // snapshots may spell one file differently) while deletion uses a
+    // raw spelling.
+    val location = (meta \ "location").extractOpt[String].getOrElse(base)
+    def resolveRef(pth: String): String =
+      if (pth.contains("://") || pth.startsWith("/")) pth
+      else s"${location.stripSuffix("/")}/$pth"
+    def reachable(sn: JValue): Map[String, String] =
+      (sn \ "manifest-list").extractOpt[String].map { ml0 =>
+        val ml = resolveRef(ml0)
+        val manifests = AvroOcf.read(spark, ml)
+          .select(col("manifest_path")).collect()
+          .map(r => resolveRef(r.getString(0))).toSeq
+        val dataFiles =
+          if (manifests.isEmpty) Nil
+          else AvroOcf.readFiles(spark, manifests)
+            .select(col("data_file.file_path")).collect()
+            .map(r => resolveRef(r.getString(0))).toSeq
+        (Seq(ml) ++ manifests ++ dataFiles)
+          .map(p => PathUris.canon(p) -> p).toMap
+      }.getOrElse(Map.empty)
+    val keptRefs = kept.map(reachable).foldLeft(Set.empty[String])(_ ++ _.keySet)
+    val expiredRefs =
+      expired.map(reachable).foldLeft(Map.empty[String, String])(_ ++ _)
+    val doomed = (expiredRefs -- keptRefs).values.toSeq
+    // the metadata commit first (exclusive vN+1 + hint swap) — a reader
+    // landing mid-expiration must never see a kept snapshot whose files
+    // are already gone
+    val keptJson = kept.map(sn =>
+      JsonMethods.compact(JsonMethods.render(sn))).mkString(", ")
+    val keptIds = kept.flatMap(sn =>
+      (sn \ "snapshot-id").extractOpt[Long]).toSet
+    val fields = meta match {
+      case JObject(fs0) => fs0.map {
+        case ("snapshots", _) => "snapshots" -> s"[$keptJson]"
+        case ("snapshot-log", JArray(entries)) =>
+          // the log must not reference expired ids
+          val keptLog = entries.filter(e =>
+            (e \ "snapshot-id").extractOpt[Long].exists(keptIds))
+            .map(e => JsonMethods.compact(JsonMethods.render(e)))
+          "snapshot-log" -> s"[${keptLog.mkString(", ")}]"
+        case (k, v) => k -> JsonMethods.compact(JsonMethods.render(v))
+      }
+      case _ => throw UnsupportedWrite(s"$table: malformed metadata json")
+    }
+    val metaVersion = metaPath.getName.stripSuffix(".metadata.json")
+      .stripPrefix("v").toLongOption.getOrElse(0L)
+    val metaJson = fields
+      .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+    val dest = new Path(s"$base/metadata/v${metaVersion + 1}.metadata.json")
+    if (!putText(fs, dest, metaJson)) throw CommitConflict(
+      s"$table: metadata version ${metaVersion + 1} was committed " +
+        "concurrently — re-read the table and retry the expiration")
+    overwriteText(fs, conf, new Path(s"$base/metadata/version-hint.text"),
+      (metaVersion + 1).toString)
+    var deleted = 0
+    doomed.foreach { p =>
+      if (fs.delete(new Path(p), false)) deleted += 1
+    }
+    deleted
   }
 }

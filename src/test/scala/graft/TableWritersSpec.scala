@@ -950,6 +950,123 @@ class TableWritersSpec extends SparkSpec {
       .collect().sorted.toSeq == Seq(7L, 9L, 10L, 11L))
   }
 
+  test("delta compact: DV debt repaid, change consumers skip the commit") {
+    val table = tmp()
+    val df = spark.sparkContext
+      .parallelize((1L to 20L).map(i => (i, s"t$i")), 4).toDF("id", "text")
+    DeltaWriter.writeAppend(spark, df, table,
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaWriter.writeDelete(spark, table, $"id" % 5 === 0) // DVs on files
+    val before = DeltaTable.read(spark, table)
+    val nBefore = before.inputFiles.length
+    val v2 = DeltaWriter.compact(spark, table)
+    assert(v2 == 2L)
+    val after = DeltaTable.read(spark, table)
+    // same rows, fewer files, NO deletion vector left in the active set
+    assert(after.select($"id").as[Long].collect().sorted.toSeq ==
+      (1L to 20L).filter(_ % 5 != 0))
+    assert(after.inputFiles.length < nBefore,
+      s"${after.inputFiles.length} vs $nBefore")
+    val log2 = graft.sources.FsText.read(
+      new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new Path(s"$table/_delta_log/00000000000000000002.json"))
+    assert(log2.contains(""""dataChange":false"""), log2)
+    assert(log2.split('\n').filter(_.contains("\"add\""))
+      .forall(!_.contains("deletionVector")), log2)
+    // change consumers SKIP the compaction: readChanges over it is
+    // empty, readCdf over it is empty (dataChange=false everywhere)
+    assert(DeltaTable.readChanges(spark, table, 1L).isEmpty)
+    assert(DeltaTable.readCdf(spark, table, 2L, Some(2L)).isEmpty)
+    // time travel still reaches the pre-compaction layout
+    assert(DeltaTable.read(spark, table, versionAsOf = Some(1L))
+      .count() == 16)
+    // nothing to do -> no empty commit
+    assert(DeltaWriter.compact(spark, table) == 2L)
+  }
+
+  test("delta vacuum: tombstoned files deleted, active state intact") {
+    val table = tmp()
+    val df = spark.sparkContext
+      .parallelize((1L to 20L).map(i => (i, s"t$i")), 4).toDF("id", "text")
+    DeltaWriter.writeAppend(spark, df, table)
+    val originals = DeltaTable.read(spark, table).inputFiles.toSet
+    DeltaWriter.writeDelete(spark, table, $"id" % 2 === 0,
+      mode = "rewrite")
+    // inside the retention window nothing is deleted
+    assert(DeltaWriter.vacuum(spark, table) == 0)
+    assert(originals.forall(f =>
+      new java.io.File(new java.net.URI(f)).exists()))
+    // retention 0: the four retired originals go
+    val n = DeltaWriter.vacuum(spark, table, retentionMs = 0L)
+    assert(n == 4, s"deleted $n")
+    assert(originals.forall(f =>
+      !new java.io.File(new java.net.URI(f)).exists()))
+    // the snapshot still serves exactly the survivors
+    assert(DeltaTable.read(spark, table).select($"id").as[Long]
+      .collect().sorted.toSeq == (1L to 20L).filter(_ % 2 != 0))
+    // idempotent
+    assert(DeltaWriter.vacuum(spark, table, retentionMs = 0L) == 0)
+  }
+
+  test("iceberg rewriteDataFiles + expireSnapshots: the maintenance cycle") {
+    val table = tmp()
+    val df = spark.sparkContext
+      .parallelize((1L to 24L).map(i => (i, s"t$i", i % 3)), 4)
+      .toDF("id", "text", "b")
+    IcebergWriter.writeAppend(spark, df, table, partitionBy = Seq("b"))
+    IcebergWriter.writeDelete(spark, table, $"b" === 1L && $"id" > 9L)
+    val preRewrite = IcebergTable.snapshots(spark, table).count()
+    val survivors = (1L to 24L).filterNot(i => i % 3 == 1 && i > 9)
+
+    val snapR = IcebergWriter.rewriteDataFiles(spark, table)
+    val after = IcebergTable.read(spark, table)
+    assert(after.select($"id").as[Long].collect().sorted.toSeq == survivors)
+    // the merge-on-read tax is GONE: no delete-side scan in the plan
+    // (inputFiles lists data files only) and far fewer files
+    assert(after.inputFiles.forall(_.contains("p__b=")), after.inputFiles.toSeq)
+    assert(after.inputFiles.length <= 3, after.inputFiles.length)
+    // partition pruning still works on the compacted layout
+    assert(IcebergTable.readPartitions(spark, table, Map("b" -> "2"))
+      .select($"id").as[Long].collect().forall(_ % 3 == 2))
+    // one replace snapshot; time travel to the pre-rewrite state works
+    val snaps = IcebergTable.snapshots(spark, table)
+      .orderBy($"timestamp_ms").collect()
+    assert(snaps.length == preRewrite + 1)
+    assert(snaps.last.getString(2) == "replace")
+    val preId = snaps(preRewrite.toInt - 1).getLong(0)
+    assert(IcebergTable.read(spark, table, Some(preId))
+      .select($"id").as[Long].collect().sorted.toSeq == survivors)
+    // the files-mode stream guard directs on the replace range
+    val e = intercept[Exception] {
+      graft.sources.IcebergTable.rangeOperations(spark, table,
+        snaps.head.getLong(0), snapR) match {
+        case ops if ops.exists(_ != "append") =>
+          throw new IllegalStateException("non-append: " + ops.mkString(","))
+        case _ => ()
+      }
+    }
+    assert(e.getMessage.contains("non-append"), e.getMessage)
+
+    // expire everything but the compacted state: the old snapshots'
+    // exclusive artifacts (pre-rewrite data files, delete files, their
+    // manifests/lists) are deleted; the kept state is untouched
+    val deleted = IcebergWriter.expireSnapshots(spark, table, keepLast = 1)
+    assert(deleted > 0, s"deleted $deleted")
+    assert(IcebergTable.snapshots(spark, table).count() == 1)
+    assert(IcebergTable.read(spark, table).select($"id").as[Long]
+      .collect().sorted.toSeq == survivors)
+    // time travel to the expired snapshot now fails directed
+    val e2 = intercept[Exception] {
+      IcebergTable.read(spark, table, Some(preId)).count()
+    }
+    assert(e2.getMessage.contains("snapshot"), e2.getMessage)
+    // keepLast must cover the current snapshot
+    val e3 = intercept[Exception] {
+      IcebergWriter.expireSnapshots(spark, table, keepLast = 0)
+    }
+    assert(e3.getMessage.contains("at least"), e3.getMessage)
+  }
+
   test("iceberg writeUpdate: one overwrite snapshot, kill + rewrite") {
     val table = tmp()
     val df = (1L to 10L).map(i => (i, s"t$i")).toDF("id", "text")
