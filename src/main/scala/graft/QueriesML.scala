@@ -2054,6 +2054,74 @@ object QueriesML {
           .select($"id", $"text", $"bucket").orderBy($"id")
       }),
 
+    // ------------------------------- Delta data skipping (stats pruning)
+    // The scan-planning half of the format: four range-disjoint appends
+    // (one file each), then a readWhere whose add.stats bounds prove two
+    // of the four files empty — `n_files` carries the PHYSICALLY SCANNED
+    // file count into the oracle, so a pruning regression (4 files) or
+    // an over-prune (wrong rows) both break the hash. The oracle
+    // recomputes the surviving rows and pins n_files = 2.
+    Q("q202_delta_skipping", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 160)
+      SELECT o_orderkey AS id, 'doc-' || CAST(rn0 AS VARCHAR) AS text,
+             2 AS n_files
+      FROM o WHERE rn0 >= 40 AND rn0 < 120 ORDER BY id"""))(
+      (s, d) => {
+        import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+        import graft.sources.{DeltaTable, DeltaWriter}
+        val table = Fixtures.dir("q202", d) { dir =>
+          val base = orderedKeys(s, d, 160)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          for (k <- 0 until 4)
+            DeltaWriter.writeAppend(s,
+              base.filter($"rn0" >= k * 40 && $"rn0" < (k + 1) * 40)
+                .select($"id", concat(lit("doc-"), $"rn0").as("text"),
+                  $"rn0")
+                .coalesce(1), t)
+        }
+        val pruned = DeltaTable.readWhere(s, s"$table/table",
+          Seq(GreaterThanOrEqual("rn0", 40L), LessThan("rn0", 120L)))
+        pruned.select($"id", $"text",
+            lit(pruned.inputFiles.length).as("n_files"))
+          .orderBy($"id")
+      }),
+
+    // ----------------------------- Iceberg data skipping (manifest bounds)
+    // The twin through Iceberg scan planning: manifest entries carry
+    // lower/upper bounds (Appendix D), readWhere prunes by them. Same
+    // planted ranges and the same n_files = 2 pin as q202 — the two
+    // formats' skipping paths cross-validate through one oracle shape.
+    Q("q203_iceberg_skipping", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 160)
+      SELECT o_orderkey AS id, 'doc-' || CAST(rn0 AS VARCHAR) AS text,
+             2 AS n_files
+      FROM o WHERE rn0 >= 40 AND rn0 < 120 ORDER BY id"""))(
+      (s, d) => {
+        import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+        import graft.sources.{IcebergTable, IcebergWriter}
+        val table = Fixtures.dir("q203", d) { dir =>
+          val base = orderedKeys(s, d, 160)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          for (k <- 0 until 4)
+            IcebergWriter.writeAppend(s,
+              base.filter($"rn0" >= k * 40 && $"rn0" < (k + 1) * 40)
+                .select($"id", concat(lit("doc-"), $"rn0").as("text"),
+                  $"rn0")
+                .coalesce(1), t)
+        }
+        val pruned = IcebergTable.readWhere(s, s"$table/table",
+          Seq(GreaterThanOrEqual("rn0", 40L), LessThan("rn0", 120L)))
+        pruned.select($"id", $"text",
+            lit(pruned.inputFiles.length).as("n_files"))
+          .orderBy($"id")
+      }),
+
     // ------------------------------------------------------- HF tokenizer.json encode
     // A hand-authored tokenizer.json (the huggingface/tokenizers file
     // format, byte-level BPE) over planted "ab"*k words: greedy merge

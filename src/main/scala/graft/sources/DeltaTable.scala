@@ -67,9 +67,14 @@ object DeltaTable {
     * marks a rearrangement (compaction) whose rows were already served;
     * checkpoint-sourced adds read as true (checkpoints stamp every row
     * dataChange=false, which says nothing about the original commit). */
+  /** `stats`: the add action's per-file statistics JSON, carried
+    * VERBATIM (re-serialization could narrow a bound) — the scan
+    * planner's file-pruning input and the checkpoint writer's
+    * carry-through. */
   private final case class AddFile(path: String,
       partitionValues: Map[String, String],
-      dv: Option[DeletionVector.Descriptor], dataChange: Boolean = true)
+      dv: Option[DeletionVector.Descriptor], dataChange: Boolean = true,
+      stats: Option[String] = None)
 
   /** The table protocol as last declared in the log — carried through
     * replay so the checkpoint writer re-emits it VERBATIM (fabricating
@@ -239,7 +244,9 @@ object DeltaTable {
           }
           val dc = (j \ "add" \ "dataChange").extractOpt[Boolean]
             .getOrElse(true)
-          files += path -> AddFile(path, pv, dv, dc)
+          val stats = (j \ "add" \ "stats").extractOpt[String]
+            .filter(_.nonEmpty)
+          files += path -> AddFile(path, pv, dv, dc, stats)
         case _ =>
       }
       if (applyRemoves) (j \ "remove") match {
@@ -306,7 +313,11 @@ object DeltaTable {
           else Seq(lit(null).cast("string"), lit(null).cast("string"),
             lit(null).cast("int"), lit(null).cast("int"),
             lit(null).cast("long"))
-        cp.select(Seq(col("add.path"), col("add.partitionValues")) ++ dvSel: _*)
+        val statsCol =
+          if (addCols.contains("stats")) col("add.stats")
+          else lit(null).cast("string")
+        cp.select(Seq(col("add.path"), col("add.partitionValues")) ++
+            dvSel ++ Seq(statsCol): _*)
           .filter(col("path").isNotNull).collect().foreach { r =>
             val dv =
               if (r.isNullAt(2)) None
@@ -316,7 +327,8 @@ object DeltaTable {
                 r.getInt(5), r.getLong(6)))
             files += r.getString(0) -> AddFile(r.getString(0),
               Option(r.getAs[Map[String, String]](1)).getOrElse(Map.empty),
-              dv)
+              dv, dataChange = true,
+              stats = Option(r.getString(7)).filter(_.nonEmpty))
           }
       }
       if (colsPresent.contains("sidecar")) {
@@ -379,6 +391,57 @@ object DeltaTable {
   def read(spark: SparkSession, table: String,
       versionAsOf: Option[Long] = None): DataFrame =
     assemble(spark, table, replay(spark, table, versionAsOf)._1)
+
+  /** Read with DATA SKIPPING: files whose `add.stats`
+    * (numRecords/minValues/maxValues/nullCount) or partition values
+    * prove no row can satisfy `filters` never reach the scan — the
+    * O(files) driver-metadata pruning every Delta scan planner performs,
+    * and the reason a selective predicate over a 100 TB table reads MB.
+    * The FULL predicate is re-applied after the pruned scan, so the
+    * result equals `read(...).filter(...)` exactly: pruning decisions
+    * only ever drop provably-empty files (files without stats, foreign
+    * stats shapes, and unsupported predicate forms are all kept).
+    * Partition columns prune via their directory values (min = max =
+    * the value); data columns via the stats bounds. NaN-aware: `>`/`>=`
+    * never prune float/double columns. */
+  def readWhere(spark: SparkSession, table: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val snap = replay(spark, table, versionAsOf)._1
+    if (filters.isEmpty) return assemble(spark, table, snap)
+    val residual = filters.map(ColumnStats.filterColumn).reduce(_ && _)
+    val full = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val types = ColumnStats.statColumns(full)
+      .map(f => f.name -> f.dataType).toMap
+    val partTypes = snap.partitionColumns
+      .flatMap(c => full.fields.find(_.name == c)).map(f => f.name -> f)
+    val kept = snap.files.filter { f =>
+      val parsed = f.stats.map(ColumnStats.parseDeltaStats(_, full))
+        .getOrElse(ColumnStats.NoStats)
+      // partition values are point stats; a null partition value is an
+      // all-null column for the WHOLE file, so when the row count is
+      // unknown a synthetic one still lets the all-null rule fire
+      val pvCols = partTypes.map { case (name, field) =>
+        // keyed by PHYSICAL name under column mapping, exactly as
+        // `assemble` rebuilds the column — a missing key materializes
+        // as null there, so all-null pruning here stays consistent
+        val raw = f.partitionValues.get(physFieldName(field))
+          .orElse(f.partitionValues.get(name))
+          .flatMap(Option(_)) // a JSON-null partition value parses as null
+          .filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
+        name -> ColumnStats.partitionValueStats(raw, field.dataType,
+          parsed.numRecords)
+      }.toMap
+      val nr = parsed.numRecords.orElse {
+        if (pvCols.values.exists(c => c.min.isEmpty && c.nullCount.isDefined))
+          Some(Long.MaxValue)
+        else None
+      }
+      val st = ColumnStats.FileStats(nr, parsed.cols ++ pvCols)
+      filters.forall(ColumnStats.mayMatch(_, st, types))
+    }
+    assemble(spark, table, snap.copy(files = kept)).filter(residual)
+  }
 
   // ------------------------------------------------- column mapping (name)
 
@@ -912,14 +975,16 @@ object DeltaTable {
 
   /** The latest snapshot's full state for the CHECKPOINT writer:
     * (version, metaData id, schemaString, partitionColumns,
-    * configuration, files with partition values + DV descriptors). */
+    * configuration, files with partition values + DV descriptors +
+    * verbatim stats JSON). */
   private[graft] def snapshotState(spark: SparkSession, table: String)
       : (Long, String, String, Seq[String], Map[String, String],
         Seq[(String, Map[String, String],
-          Option[DeletionVector.Descriptor])], Protocol) = {
+          Option[DeletionVector.Descriptor], Option[String])], Protocol) = {
     val s = replay(spark, table, None)._1
     (s.version, s.metaId, s.schemaJson, s.partitionColumns,
-      s.configuration, s.files.map(f => (f.path, f.partitionValues, f.dv)),
+      s.configuration,
+      s.files.map(f => (f.path, f.partitionValues, f.dv, f.stats)),
       s.protocol)
   }
 

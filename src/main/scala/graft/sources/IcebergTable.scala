@@ -120,6 +120,13 @@ object IcebergTable {
         nullable = !(f \ "required").extractOpt[Boolean].getOrElse(false))
     })
 
+  /** One schema-json field node → Spark field; None when the type node
+    * doesn't parse (stats for it are skipped, never a failure). */
+  private[sources] def structFieldOf(f: JValue): Option[StructField] =
+    try Some(StructField((f \ "name").extract[String], sparkType(f \ "type"),
+      nullable = !(f \ "required").extractOpt[Boolean].getOrElse(false)))
+    catch { case _: Exception => None }
+
   // ----------------------------------------------------------- metadata
 
   private[sources] def latestMetadata(fs: org.apache.hadoop.fs.FileSystem,
@@ -178,6 +185,33 @@ object IcebergTable {
       snapshotId: Option[Long] = None): DataFrame =
     readImpl(spark, table, snapshotId, Map.empty)
 
+  /** Read with DATA SKIPPING: data files whose manifest stats
+    * (record_count, null_value_counts, lower_bounds, upper_bounds —
+    * Appendix D encoded) prove no row can satisfy `filters` never reach
+    * the scan — Iceberg's manifest-level scan planning, O(manifest
+    * entries) driver metadata. The FULL predicate is re-applied after
+    * the pruned scan, so the result equals `read(...).filter(...)`
+    * exactly; files without stats (pre-stats manifests, foreign
+    * writers) and unsupported predicate shapes are kept. Delete files
+    * are never pruned — they only remove rows, so the merge-on-read
+    * result over the kept data files is unchanged. NaN-aware: `>`/`>=`
+    * never prune float/double columns (footer stats exclude NaN; the
+    * rule Iceberg's own planner derives from nan_value_counts). */
+  def readWhere(spark: SparkSession, table: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      snapshotId: Option[Long] = None): DataFrame = {
+    val a = activeFiles(spark, table, snapshotId, Map.empty)
+    if (filters.isEmpty) return assemble(spark, a)
+    val residual = filters.map(ColumnStats.filterColumn).reduce(_ && _)
+    val types = ColumnStats.statColumns(a.schema)
+      .map(f => f.name -> f.dataType).toMap
+    val kept = a.data.filter { case (path, _, _) =>
+      val st = a.dataStats.getOrElse(path, ColumnStats.NoStats)
+      filters.forall(ColumnStats.mayMatch(_, st, types))
+    }
+    assemble(spark, a.copy(data = kept)).filter(residual)
+  }
+
   private def readImpl(spark: SparkSession, table: String,
       snapshotId: Option[Long], partitionFilter: Map[String, String]): DataFrame = {
     val a = activeFiles(spark, table, snapshotId, partitionFilter)
@@ -203,7 +237,11 @@ object IcebergTable {
       data: Seq[(String, Long, String)], // (path, seq, partition scope)
       posDeletes: Seq[String],
       eqDeletes: Seq[(String, Long, Seq[Int], Option[String])],
-      dvDeletes: Seq[(String, String, Long, Long)] = Nil) // (puffin, ref, off, size)
+      dvDeletes: Seq[(String, String, Long, Long)] = Nil, // (puffin, ref, off, size)
+      // per-DATA-file column stats decoded from the manifest's
+      // record_count/null_value_counts/lower_bounds/upper_bounds — the
+      // scan planner's pruning input; keyed by resolved path
+      dataStats: Map[String, ColumnStats.FileStats] = Map.empty)
 
   /** Merge-on-read assembly: positional deletes anti-join on
     * (file, `_metadata.row_index`); equality deletes anti-join on the
@@ -426,16 +464,60 @@ object IcebergTable {
       if (dfCols.contains("content_size_in_bytes"))
         col("data_file.content_size_in_bytes")
       else org.apache.spark.sql.functions.lit(null).cast("long")
+    // per-column stats (spec fields 103/110/125/128), read back from the
+    // k/v-record map encoding as array<struct<key,value>>; absent in
+    // manifests written before stats collection — those files keep
+    val rcCol =
+      if (dfCols.contains("record_count")) col("data_file.record_count")
+      else org.apache.spark.sql.functions.lit(null).cast("long")
+    def kvCol(n: String, vt: String) =
+      if (dfCols.contains(n)) col(s"data_file.$n")
+      else org.apache.spark.sql.functions.lit(null)
+        .cast(s"array<struct<key:int,value:$vt>>")
     final case class Entry(status: Int, content: Int, path: String,
       format: String, matches: Boolean, seq: Long, eqIds: Seq[Int],
       scope: Option[String], refFile: Option[String],
-      contentOffset: Option[Long], contentSize: Option[Long])
+      contentOffset: Option[Long], contentSize: Option[Long],
+      stats: ColumnStats.FileStats = ColumnStats.NoStats)
+    // field-id → Spark type, for Appendix D bound decoding
+    val fieldTypes: Map[Int, org.apache.spark.sql.types.DataType] =
+      (schemaJson \ "fields").extractOpt[Seq[JValue]].getOrElse(Nil)
+        .flatMap { f =>
+          for (id <- (f \ "id").extractOpt[Int]; fld <- structFieldOf(f))
+            yield id -> fld.dataType
+        }.toMap
+    def kvMap(r: org.apache.spark.sql.Row, i: Int)
+        : Map[Int, Any] =
+      if (r.isNullAt(i)) Map.empty
+      else r.getSeq[org.apache.spark.sql.Row](i)
+        .filter(kv => !kv.isNullAt(0) && !kv.isNullAt(1))
+        .map(kv => kv.getInt(0) -> kv.get(1)).toMap
+    def entryStats(r: org.apache.spark.sql.Row): ColumnStats.FileStats = {
+      val nulls = kvMap(r, 13).map { case (k, v) =>
+        k -> v.asInstanceOf[Long] }
+      val lowers = kvMap(r, 14)
+      val uppers = kvMap(r, 15)
+      val ids = nulls.keySet ++ lowers.keySet ++ uppers.keySet
+      val cols = ids.toSeq.flatMap { id =>
+        for (name <- fieldNames.get(id); dt <- fieldTypes.get(id)) yield {
+          def bound(m: Map[Int, Any]): Option[Any] = m.get(id).flatMap(b =>
+            ColumnStats.icebergBoundValue(dt, b.asInstanceOf[Array[Byte]]))
+          name -> ColumnStats.ColStats(bound(lowers), bound(uppers),
+            nulls.get(id))
+        }
+      }.toMap
+      ColumnStats.FileStats(
+        if (r.isNullAt(12)) None else Some(r.getLong(12)), cols)
+    }
     val allEntries = m.select(col("status"), contentCol.as("content"),
         col("data_file.file_path"), col("data_file.file_format"),
         matchCol.as("matches"), seqCol.as("seq"), eqIdsCol.as("eq_ids"),
         col("__manifest"), partJsonCol.as("part_json"),
         refFileCol.as("ref_file"), cOffCol.as("c_off"),
-        cSizeCol.as("c_size"))
+        cSizeCol.as("c_size"), rcCol.as("rc"),
+        kvCol("null_value_counts", "bigint").as("nvc"),
+        kvCol("lower_bounds", "binary").as("lb"),
+        kvCol("upper_bounds", "binary").as("ub"))
       .collect().map { r =>
         // a lookup miss here means the source-file column and the list's
         // resolvePath spell the same manifest differently — defaulting to
@@ -470,7 +552,8 @@ object IcebergTable {
           partJson.map(j => s"$mSpec:$j"),
           if (r.isNullAt(9)) None else Some(r.getString(9)),
           if (r.isNullAt(10)) None else Some(r.getLong(10)),
-          if (r.isNullAt(11)) None else Some(r.getLong(11)))
+          if (r.isNullAt(11)) None else Some(r.getLong(11)),
+          if (r.getInt(1) == 0) entryStats(r) else ColumnStats.NoStats)
       }.toSeq
     // content: 0 data, 1 position deletes (parquet files in v2, Puffin
     // deletion vectors in v3), 2 equality deletes
@@ -506,7 +589,9 @@ object IcebergTable {
       active.filter(isDv)
         .map(f => (resolvePath(table, location, f.path),
           resolvePath(table, location, f.refFile.get),
-          f.contentOffset.get, f.contentSize.get)))
+          f.contentOffset.get, f.contentSize.get)),
+      active.filter(e => e.content == 0 && !e.stats.isEmptyStats)
+        .map(f => resolvePath(table, location, f.path) -> f.stats).toMap)
   }
 
   /** Incremental consumption: rows of the data files ACTIVE in

@@ -187,6 +187,21 @@ object TableCommit {
       finally reader.close()
     }
 
+  /** Per-file `,"stats":"…"` add-action fields for freshly committed
+    * parquet files — one FOOTER read per file (O(KB) driver metadata,
+    * collected in the same pass family as [[rowCounts]]), serialized as
+    * the protocol's numRecords/minValues/maxValues/nullCount JSON.
+    * `dataSchema` is the table schema MINUS partition columns (what the
+    * files store). */
+  private[sources] def statsFields(absPaths: Seq[String],
+      dataSchema: org.apache.spark.sql.types.StructType,
+      conf: Configuration): Seq[String] =
+    absPaths.map { abs =>
+      val js = ColumnStats.deltaStatsJson(
+        ColumnStats.footerStats(abs, dataSchema, conf), dataSchema)
+      s""","stats":"${jsonEscape(js)}""""
+    }
+
   /** Delete already-placed data files after a lost commit race — the
     * loser leaves no orphans behind. */
   private[sources] def cleanup(fs: FileSystem, files: Seq[String]): Unit =
@@ -288,14 +303,14 @@ object DeltaWriter {
   private def dvKillActions(base: String, table: String,
       fs: FileSystem, conf: Configuration,
       fileByKey: Map[String, (String, Map[String, String],
-        Option[DeletionVector.Descriptor])],
+        Option[DeletionVector.Descriptor], Option[String])],
       matches: Seq[(String, Array[Long])], ts: Long)
       : (Seq[String], Seq[String]) = {
     def resolve(rel: String): String = DeltaTable.resolveAdd(base, rel)
     val lines = Seq.newBuilder[String]
     val newDvFiles = Seq.newBuilder[String]
     matches.foreach { case (key, newPos) =>
-      val (rawPath, pv, oldDv) = fileByKey.getOrElse(key,
+      val (rawPath, pv, oldDv, oldStats) = fileByKey.getOrElse(key,
         throw UnsupportedWrite(
           s"$table: matched row's file $key is not in the snapshot — " +
             "path spelling drift"))
@@ -319,9 +334,13 @@ object DeltaWriter {
         val size0 = fs.getFileStatus(new Path(abs)).getLen
         val nd = DeletionVector.Descriptor("p", dvPath, Some(off), size,
           all.length.toLong)
+        // the file's PHYSICAL stats carry verbatim: DV'd rows stay inside
+        // the bounds (a superset bound is always a valid bound)
+        val statsField = oldStats
+          .map(s => s""","stats":"${jsonEscape(s)}"""").getOrElse("")
         lines += s"""{"add":{"path":"$rawPath","partitionValues":{$pvs},""" +
           s""""size":$size0,"modificationTime":$ts,"dataChange":true,""" +
-          s""""deletionVector":${dvJson(nd)}}}"""
+          s""""deletionVector":${dvJson(nd)}$statsField}}"""
       } // else: every live row died — the remove alone retires the file
     }
     (lines.result(), newDvFiles.result())
@@ -474,12 +493,15 @@ object DeltaWriter {
     }
     val files = writeData(df, base, partCols, "", conf)
     val ts = System.currentTimeMillis()
-    val adds = files.map { case (rel, _, size) =>
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      schema.filterNot(f => partCols.contains(f.name)))
+    val stats = statsFields(files.map(_._2), dataSchema, conf)
+    val adds = files.zip(stats).map { case ((rel, _, size), st) =>
       // Spark's null-partition sentinel directory becomes the protocol's
       // JSON null inside the shared builder
       val pv = partitionValuesJson(partValues(rel))
       s"""{"add":{"path":"${pctEncodeRel(rel)}","partitionValues":{$pv},""" +
-        s""""size":$size,"modificationTime":$ts,"dataChange":true}}"""
+        s""""size":$size,"modificationTime":$ts,"dataChange":true$st}}"""
     }
     val head =
       if (version > 0L) {
@@ -589,7 +611,7 @@ object DeltaWriter {
           "own contract")
     def resolve(rel: String): String = DeltaTable.resolveAdd(base, rel)
     val fileByKey: Map[String, (String, Map[String, String],
-      Option[DeletionVector.Descriptor])] =
+      Option[DeletionVector.Descriptor], Option[String])] =
       files.map(f => PathUris.canon(resolve(f._1)) -> f).toMap
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val cdfEnabled = config.get("delta.enableChangeDataFeed")
@@ -714,13 +736,16 @@ object DeltaWriter {
       val counts = rowCounts(dataFiles.map(_._2), conf)
       val nonEmpty = dataFiles.zip(counts).filter(_._2 > 0).map(_._1)
       cleanup(fs, dataFiles.zip(counts).filter(_._2 == 0).map(_._1._2))
-      val adds = nonEmpty.map { case (rel, _, size) =>
+      val rwDataSchema = org.apache.spark.sql.types.StructType(
+        schema.filterNot(f => partCols.contains(f.name)))
+      val rwStats = statsFields(nonEmpty.map(_._2), rwDataSchema, conf)
+      val adds = nonEmpty.zip(rwStats).map { case ((rel, _, size), st) =>
         val pv = partitionValuesJson(partValues(rel))
         s"""{"add":{"path":"${pctEncodeRel(rel)}","partitionValues":{$pv},""" +
-          s""""size":$size,"modificationTime":$ts,"dataChange":true}}"""
+          s""""size":$size,"modificationTime":$ts,"dataChange":true$st}}"""
       }
       val removes = touchedCanon.toSeq.sorted.map { key =>
-        val (rawPath, pv, oldDv) = fileByKey.getOrElse(key,
+        val (rawPath, pv, oldDv, _) = fileByKey.getOrElse(key,
           throw UnsupportedWrite(
             s"$table: matched row's file $key is not in the snapshot — " +
               "path spelling drift"))
@@ -818,7 +843,7 @@ object DeltaWriter {
       .exists(_.equalsIgnoreCase("true"))
     def resolve(rel: String): String = DeltaTable.resolveAdd(base, rel)
     val fileByKey: Map[String, (String, Map[String, String],
-      Option[DeletionVector.Descriptor])] =
+      Option[DeletionVector.Descriptor], Option[String])] =
       files.map(f => PathUris.canon(resolve(f._1)) -> f).toMap
     // ONE evaluation of the condition: matched rows land in a temp
     // parquet (with their row identity), and everything downstream — the
@@ -869,10 +894,13 @@ object DeltaWriter {
       val ts = System.currentTimeMillis()
       val dataFiles = writeData(rewritten, base, partCols, "", conf)
       newFiles ++= dataFiles.map(_._2)
-      val adds = dataFiles.map { case (rel, _, size) =>
+      val updDataSchema = org.apache.spark.sql.types.StructType(
+        schema.filterNot(f => partCols.contains(f.name)))
+      val updStats = statsFields(dataFiles.map(_._2), updDataSchema, conf)
+      val adds = dataFiles.zip(updStats).map { case ((rel, _, size), st) =>
         val pv = partitionValuesJson(partValues(rel))
         s"""{"add":{"path":"${pctEncodeRel(rel)}","partitionValues":{$pv},""" +
-          s""""size":$size,"modificationTime":$ts,"dataChange":true}}"""
+          s""""size":$size,"modificationTime":$ts,"dataChange":true$st}}"""
       }
       val (dvLines, newDvFiles) = dvKillActions(base, table, fs, conf,
         fileByKey,
@@ -954,7 +982,7 @@ object DeltaWriter {
       .exists(_.equalsIgnoreCase("true"))
     def resolve(rel: String): String = DeltaTable.resolveAdd(base, rel)
     val fileByKey: Map[String, (String, Map[String, String],
-      Option[DeletionVector.Descriptor])] =
+      Option[DeletionVector.Descriptor], Option[String])] =
       files.map(f => PathUris.canon(resolve(f._1)) -> f).toMap
     val tmpDir = s"$base/_tmp_merge_${java.util.UUID.randomUUID()}"
     val newFiles = Seq.newBuilder[String]
@@ -1008,10 +1036,13 @@ object DeltaWriter {
       }
       val dataFiles = writeData(src, base, partCols, "", conf)
       newFiles ++= dataFiles.map(_._2)
-      val adds = dataFiles.map { case (rel, _, size) =>
+      val mrgDataSchema = org.apache.spark.sql.types.StructType(
+        schema.filterNot(f => partCols.contains(f.name)))
+      val mrgStats = statsFields(dataFiles.map(_._2), mrgDataSchema, conf)
+      val adds = dataFiles.zip(mrgStats).map { case ((rel, _, size), st) =>
         val pv = partitionValuesJson(partValues(rel))
         s"""{"add":{"path":"${pctEncodeRel(rel)}","partitionValues":{$pv},""" +
-          s""""size":$size,"modificationTime":$ts,"dataChange":true}}"""
+          s""""size":$size,"modificationTime":$ts,"dataChange":true$st}}"""
       }
       val (dvLines, newDvFiles) = dvKillActions(base, table, fs, conf,
         fileByKey,
@@ -1099,7 +1130,7 @@ object DeltaWriter {
         catch { case _: java.io.FileNotFoundException => 0L })
     }
     val targets = sized.groupBy(_._1._2).values.toSeq.flatMap { group =>
-      val qualifying = group.filter { case ((_, _, dv), size) =>
+      val qualifying = group.filter { case ((_, _, dv, _), size) =>
         size < smallFileThreshold || dv.isDefined
       }
       if (qualifying.size >= 2) qualifying else Nil
@@ -1120,12 +1151,17 @@ object DeltaWriter {
     val counts = rowCounts(dataFiles.map(_._2), conf)
     val nonEmpty = dataFiles.zip(counts).filter(_._2 > 0).map(_._1)
     cleanup(fs, dataFiles.zip(counts).filter(_._2 == 0).map(_._1._2))
-    val adds = nonEmpty.map { case (rel, _, size) =>
+    val cpDataSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .filterNot(f => partCols.contains(f.name)))
+    val cpStats = statsFields(nonEmpty.map(_._2), cpDataSchema, conf)
+    val adds = nonEmpty.zip(cpStats).map { case ((rel, _, size), st) =>
       val pv = partitionValuesJson(partValues(rel))
       s"""{"add":{"path":"${pctEncodeRel(rel)}","partitionValues":{$pv},""" +
-        s""""size":$size,"modificationTime":$ts,"dataChange":false}}"""
+        s""""size":$size,"modificationTime":$ts,"dataChange":false$st}}"""
     }
-    val removes = targets.map { case ((rawPath, pv, oldDv), _) =>
+    val removes = targets.map { case ((rawPath, pv, oldDv, _), _) =>
       val pvs = partitionValuesJson(pv)
       val oldDvJson = oldDv.map(d => s""","deletionVector":${dvJson(d)}""")
         .getOrElse("")
@@ -1370,7 +1406,8 @@ object DeltaWriter {
         StructField("size", LongType),
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType),
-        StructField("deletionVector", dvType)))),
+        StructField("deletionVector", dvType),
+        StructField("stats", StringType)))),
       StructField("remove", StructType(Seq(
         StructField("path", StringType),
         StructField("deletionTimestamp", LongType),
@@ -1384,15 +1421,17 @@ object DeltaWriter {
     val metaRow = Row(
       if (metaId.nonEmpty) metaId else java.util.UUID.randomUUID().toString,
       Row("parquet"), schemaJson, partCols, config)
-    val addRows = files.map { case (path, pv, dv) =>
+    val addRows = files.map { case (path, pv, dv, stats) =>
       // re-stat for the protocol-required size (O(files) driver metadata)
       val size = try fs.getFileStatus(new Path(resolve(path))).getLen
         catch { case _: java.io.FileNotFoundException => 0L }
       // dataChange=false in checkpoints per PROTOCOL.md (the rows
-      // describe state, not a change)
+      // describe state, not a change); stats carry VERBATIM — the
+      // checkpoint must not lose the scan planner's pruning input
       Row(null, null, Row(path, pv, size, 0L, false,
         dv.map(d => Row(d.storageType, d.pathOrInlineDv,
-          d.offset.orNull, d.sizeInBytes, d.cardinality)).orNull), null)
+          d.offset.orNull, d.sizeInBytes, d.cardinality)).orNull,
+        stats.orNull), null)
     }
     // a checkpoint carries each path AT MOST once: a tombstone whose
     // path was later re-added yields to the active add, and repeated
@@ -1492,6 +1531,18 @@ object IcebergWriter {
           "${partitionAvroType(f.dataType)}"], "default": null,
           "field-id": $fid}"""
     }.mkString(", ")
+    // the four per-column stats maps (value/null counts, lower/upper
+    // bounds) in the spec's Avro map encoding for int keys: an array of
+    // key/value records tagged logicalType map, with the spec's own
+    // field ids (109/119/120, 110/121/122, 125/126/127, 128/129/130)
+    def statsMap(name: String, fid: Int, kid: Int, vid: Int,
+        vtype: String): String =
+      s"""{"name": "$name", "type": ["null", {"type": "array",
+           "items": {"type": "record", "name": "k${kid}_v$vid",
+             "fields": [
+               {"name": "key", "type": "int", "field-id": $kid},
+               {"name": "value", "type": "$vtype", "field-id": $vid}]},
+           "logicalType": "map"}], "default": null, "field-id": $fid}"""
     s"""{"type": "record", "name": "manifest_entry", "fields": [
          {"name": "status", "type": "int", "field-id": 0},
          {"name": "sequence_number", "type": ["null", "long"],
@@ -1505,7 +1556,60 @@ object IcebergWriter {
                "name": "r102", "fields": [$pf]}, "field-id": 102},
              {"name": "record_count", "type": "long", "field-id": 103},
              {"name": "file_size_in_bytes", "type": "long",
-              "field-id": 104}]}, "field-id": 2}]}"""
+              "field-id": 104},
+             ${statsMap("value_counts", 109, 119, 120, "long")},
+             ${statsMap("null_value_counts", 110, 121, 122, "long")},
+             ${statsMap("lower_bounds", 125, 126, 127, "bytes")},
+             ${statsMap("upper_bounds", 128, 129, 130, "bytes")}]},
+          "field-id": 2}]}"""
+  }
+
+  /** No-stats tail for delete-manifest entries (the reader prunes DATA
+    * files only). */
+  private val noStatsCells: Seq[Any] = Seq(null, null, null, null)
+
+  /** The four stats cells (value_counts, null_value_counts,
+    * lower_bounds, upper_bounds) for one data file, in the k/v-record
+    * rows [[AvroOcf.write]] encodes — from the file's parquet FOOTER,
+    * keyed by the TABLE schema's field ids. Iceberg data files retain
+    * identity-partition columns, so stats cover the full schema. */
+  private def statsCells(absPath: String,
+      idFields: Seq[(Int, StructField)], conf: Configuration): Seq[Any] = {
+    val sparkSchema = StructType(idFields.map(_._2))
+    val st = ColumnStats.footerStats(absPath, sparkSchema, conf)
+    val byName = idFields.map { case (id, f) => f.name -> ((id, f.dataType)) }
+      .toMap
+    def cells(pick: ColumnStats.ColStats => Option[Any],
+        enc: (DataType, Any) => Option[Any]): Seq[Seq[Any]] =
+      st.cols.toSeq.sortBy(_._1).flatMap { case (name, c) =>
+        byName.get(name).flatMap { case (id, dt) =>
+          pick(c).flatMap(v => enc(dt, v)).map(v => Seq(id, v))
+        }
+      }
+    val valueCounts = st.numRecords.toSeq.flatMap(n =>
+      idFields.map { case (id, _) => Seq[Any](id, n) })
+    val nullCounts = cells(_.nullCount, (_, v) => Some(v))
+    val lowers = cells(_.min,
+      (dt, v) => ColumnStats.icebergBound(dt, v).map(identity[Any]))
+    val uppers = cells(_.max,
+      (dt, v) => ColumnStats.icebergBound(dt, v).map(identity[Any]))
+    Seq(
+      if (valueCounts.isEmpty) null else valueCounts,
+      if (nullCounts.isEmpty) null else nullCounts,
+      if (lowers.isEmpty) null else lowers,
+      if (uppers.isEmpty) null else uppers)
+  }
+
+  /** The table schema json's top-level (field-id, Spark field) pairs —
+    * what [[statsCells]] keys its maps by. */
+  private def idFieldsOf(schemaJson: String): Seq[(Int, StructField)] = {
+    val j = JsonMethods.parse(schemaJson)
+    (j \ "fields").extractOpt[Seq[JValue]].getOrElse(Nil).flatMap { f =>
+      for {
+        id <- (f \ "id").extractOpt[Int]
+        fld <- IcebergTable.structFieldOf(f)
+      } yield id -> fld
+    }
   }
 
   /** The v2 manifest-list schema — every field the spec marks required
@@ -1846,10 +1950,12 @@ object IcebergWriter {
       s"[$sf]"
     }
     val specFieldsJson = inheritedSpecJson.getOrElse(createdSpecJson)
+    val appendIdFields = idFieldsOf(schemaJson)
     AvroOcf.write(manifestPath,
       manifestAvroSchema(partFields, inheritedFieldIds),
       filesWithTuple.zip(counts).map { case (((_, abs, size), t), n) =>
-        Seq(1, newSeq, Seq(0, abs, "PARQUET", t, n, size))
+        Seq(1, newSeq, Seq(0, abs, "PARQUET", t, n, size) ++
+          statsCells(abs, appendIdFields, conf))
       }, conf = conf,
       meta = manifestMeta(schemaJson, specFieldsJson, specId, "data",
         tableFv))
@@ -2138,7 +2244,8 @@ object IcebergWriter {
       manifestAvroSchema(partStructFields, partFieldIds),
       nonEmpty.map { case ((rel, abs, size), n) =>
         // content 1: positional deletes
-        Seq(1, newSeq, Seq(1, abs, "PARQUET", tupleOf(rel), n, size))
+        Seq(1, newSeq, Seq(1, abs, "PARQUET", tupleOf(rel), n, size) ++
+          noStatsCells)
       }, conf = conf,
       meta = manifestMeta(schemaJson, specFieldsJson, delSpecId, "deletes"))
     commitSnapshot(fs, conf, base, table, snapId, newSeq, ts, "delete",
@@ -2352,9 +2459,11 @@ object IcebergWriter {
       val attempt = java.util.UUID.randomUUID().toString
       val schemaJson = JsonMethods.compact(JsonMethods.render(schemaNode))
       val dataManifest = s"$base/metadata/m-$attempt-data.avro"
+      val mrgIdFields = idFieldsOf(schemaJson)
       AvroOcf.write(dataManifest, manifestAvroSchema(Nil),
         dataNonEmpty.map { case ((_, abs, size), n) =>
-          Seq(1, newSeq, Seq(0, abs, "PARQUET", Seq(), n, size))
+          Seq(1, newSeq, Seq(0, abs, "PARQUET", Seq(), n, size) ++
+            statsCells(abs, mrgIdFields, conf))
         }, conf = conf,
         meta = manifestMeta(schemaJson, "[]", delSpecId, "data"))
       val manifests = Seq.newBuilder[NewManifest]
@@ -2364,7 +2473,8 @@ object IcebergWriter {
         val delManifest = s"$base/metadata/m-$attempt-deletes.avro"
         AvroOcf.write(delManifest, manifestAvroSchema(Nil),
           delNonEmpty.map { case ((_, abs, size), n) =>
-            Seq(1, newSeq, Seq(1, abs, "PARQUET", Seq(), n, size))
+            Seq(1, newSeq, Seq(1, abs, "PARQUET", Seq(), n, size) ++
+              noStatsCells)
           }, conf = conf,
           meta = manifestMeta(schemaJson, "[]", delSpecId, "deletes"))
         manifests += NewManifest(delManifest, 1, delNonEmpty.size,
@@ -2467,15 +2577,18 @@ object IcebergWriter {
       val attempt = java.util.UUID.randomUUID().toString
       val schemaJson = JsonMethods.compact(JsonMethods.render(schemaNode))
       val dataManifest = s"$base/metadata/m-$attempt-data.avro"
+      val updIdFields = idFieldsOf(schemaJson)
       AvroOcf.write(dataManifest, manifestAvroSchema(Nil),
         dataNonEmpty.map { case ((_, abs, size), n) =>
-          Seq(1, newSeq, Seq(0, abs, "PARQUET", Seq(), n, size))
+          Seq(1, newSeq, Seq(0, abs, "PARQUET", Seq(), n, size) ++
+            statsCells(abs, updIdFields, conf))
         }, conf = conf,
         meta = manifestMeta(schemaJson, "[]", delSpecId, "data"))
       val delManifest = s"$base/metadata/m-$attempt-deletes.avro"
       AvroOcf.write(delManifest, manifestAvroSchema(Nil),
         delNonEmpty.map { case ((_, abs, size), n) =>
-          Seq(1, newSeq, Seq(1, abs, "PARQUET", Seq(), n, size))
+          Seq(1, newSeq, Seq(1, abs, "PARQUET", Seq(), n, size) ++
+            noStatsCells)
         }, conf = conf,
         meta = manifestMeta(schemaJson, "[]", delSpecId, "deletes"))
       commitSnapshot(fs, conf, base, table, snapId, newSeq, ts,
@@ -2563,9 +2676,11 @@ object IcebergWriter {
     val specFieldsJson = spec
       .map(sp => JsonMethods.compact(JsonMethods.render(sp \ "fields")))
       .getOrElse("[]")
+    val rwIdFields = idFieldsOf(schemaJson)
     AvroOcf.write(manifestPath, manifestAvroSchema(partFields, partFieldIds),
       filesWithTuple.zip(counts).map { case (((_, abs, size), t), n) =>
-        Seq(1, newSeq, Seq(0, abs, "PARQUET", t, n, size))
+        Seq(1, newSeq, Seq(0, abs, "PARQUET", t, n, size) ++
+          statsCells(abs, rwIdFields, conf))
       }, conf = conf,
       meta = manifestMeta(schemaJson, specFieldsJson, specId, "data", fv))
     val priorNext = (meta \ "next-row-id").extractOpt[Long].getOrElse(0L)
