@@ -2122,6 +2122,81 @@ object QueriesML {
           .orderBy($"id")
       }),
 
+    // --------------------------------------- Delta OPTIMIZE ZORDER BY
+    // Multi-dimensional clustering: four appends sliced by `a` leave
+    // every file spanning all of `b` (nothing prunes on b); the ZORDER
+    // rewrite interleaves the two ranks, after which a b-predicate
+    // readWhere scans a strict subset. `pruned` carries that
+    // file-subset fact into the oracle (pinned true), and the rows pin
+    // that the clustering rewrite changed LAYOUT only.
+    Q("q204_delta_zorder", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 640)
+      SELECT o_orderkey AS id, rn0 % 16 AS a, rn0 // 16 AS b,
+             'doc-' || CAST(rn0 AS VARCHAR) AS text, TRUE AS pruned
+      FROM o WHERE rn0 // 16 >= 20 ORDER BY id"""))(
+      (s, d) => {
+        import org.apache.spark.sql.sources.GreaterThanOrEqual
+        import graft.sources.{DeltaTable, DeltaWriter}
+        val table = Fixtures.dir("q204", d) { dir =>
+          val base = orderedKeys(s, d, 640)
+            .select($"doc_id".as("id"), ($"rn0" % 16).as("a"),
+              ($"rn0" / 16).cast("long").as("b"),
+              concat(lit("doc-"), $"rn0").as("text"))
+          val t = s"$dir/table"
+          for (k <- 0 until 4)
+            DeltaWriter.writeAppend(s,
+              base.filter($"a" >= k * 4 && $"a" < (k + 1) * 4)
+                .coalesce(1), t)
+          DeltaWriter.compact(s, t, targetFileBytes = 2L << 10,
+            zorderBy = Seq("a", "b"))
+        }
+        val full = DeltaTable.read(s, s"$table/table")
+        val pruned = DeltaTable.readWhere(s, s"$table/table",
+          Seq(GreaterThanOrEqual("b", 20L)))
+        pruned.select($"id", $"a", $"b", $"text",
+            lit(pruned.inputFiles.length < full.inputFiles.length)
+              .as("pruned"))
+          .orderBy($"id")
+      }),
+
+    // ------------------------------- Iceberg rewriteDataFiles ZORDER
+    // The twin through Iceberg's maintenance action: same grid, same
+    // b-predicate, manifest bounds instead of add.stats — the two
+    // formats' clustering paths cross-validate through one oracle shape.
+    Q("q205_iceberg_zorder", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 640)
+      SELECT o_orderkey AS id, rn0 % 16 AS a, rn0 // 16 AS b,
+             'doc-' || CAST(rn0 AS VARCHAR) AS text, TRUE AS pruned
+      FROM o WHERE rn0 // 16 >= 20 ORDER BY id"""))(
+      (s, d) => {
+        import org.apache.spark.sql.sources.GreaterThanOrEqual
+        import graft.sources.{IcebergTable, IcebergWriter}
+        val table = Fixtures.dir("q205", d) { dir =>
+          val base = orderedKeys(s, d, 640)
+            .select($"doc_id".as("id"), ($"rn0" % 16).as("a"),
+              ($"rn0" / 16).cast("long").as("b"),
+              concat(lit("doc-"), $"rn0").as("text"))
+          val t = s"$dir/table"
+          for (k <- 0 until 4)
+            IcebergWriter.writeAppend(s,
+              base.filter($"a" >= k * 4 && $"a" < (k + 1) * 4)
+                .coalesce(1), t)
+          IcebergWriter.rewriteDataFiles(s, t,
+            targetFileBytes = 2L << 10, zorderBy = Seq("a", "b"))
+        }
+        val full = IcebergTable.read(s, s"$table/table")
+        val pruned = IcebergTable.readWhere(s, s"$table/table",
+          Seq(GreaterThanOrEqual("b", 20L)))
+        pruned.select($"id", $"a", $"b", $"text",
+            lit(pruned.inputFiles.length < full.inputFiles.length)
+              .as("pruned"))
+          .orderBy($"id")
+      }),
+
     // ------------------------------------------------------- HF tokenizer.json encode
     // A hand-authored tokenizer.json (the huggingface/tokenizers file
     // format, byte-level BPE) over planted "ab"*k words: greedy merge

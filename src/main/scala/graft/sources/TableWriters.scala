@@ -52,6 +52,10 @@ import org.json4s.jackson.JsonMethods
 object TableCommit {
   final case class CommitConflict(msg: String) extends RuntimeException(msg)
   final case class UnsupportedWrite(msg: String) extends RuntimeException(msg)
+  /** A write whose rows violate the table's own declared CHECK
+    * constraint or column invariant — the batch is rejected whole. */
+  final case class ConstraintViolation(msg: String)
+    extends RuntimeException(msg)
 
   /** Place `tmp` at `dest` EXCLUSIVELY: false (and tmp removed) when dest
     * already exists — the loser of a concurrent commit must see the
@@ -347,30 +351,71 @@ object DeltaWriter {
   }
 
   /** Image-writing paths (append/update/merge) direct on tables whose
-    * contract this writer cannot EVALUATE: `delta.constraints.*` CHECK
-    * constraints and column invariants. Committing unvalidated rows
-    * would silently violate the table's own rules — deletes are exempt
-    * (removing rows cannot break a row constraint). */
-  private def guardConstraints(table: String, config: Map[String, String],
-      schemaJson: String): Unit = {
-    if (config.keys.exists(_.startsWith("delta.constraints.")))
-      throw UnsupportedWrite(
-        s"$table: the table declares CHECK constraints " +
-          "(delta.constraints.*) this writer does not evaluate")
+    * contract is EVALUATED against the rows being committed:
+    * `delta.constraints.*` CHECK constraints (violation = the expression
+    * is FALSE; NULL passes, the SQL standard) and legacy column
+    * invariants (`delta.invariants` field metadata, the writer-v2
+    * obligation). A violating batch fails with [[ConstraintViolation]]
+    * naming the constraint and one offending row — never a silent
+    * commit of rows the table's own rules reject. Deletes are exempt
+    * (removing rows cannot break a row constraint); nested-field
+    * invariants stay directed. With `rows = None` only the contract is
+    * RESOLVED (expressions parse) — the caller evaluates the final
+    * written frame later in its flow. */
+  private def enforceConstraints(table: String, config: Map[String, String],
+      schemaJson: String, rows: Option[DataFrame]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    val checks: Seq[(String, String)] = config.toSeq.collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        s"CHECK constraint ${k.stripPrefix("delta.constraints.")}" -> v
+    }
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    // nested invariants stay directed: substring first (cheap), then a
+    // REAL metadata key — a comment mentioning the string must not direct
     if (schemaJson.contains("delta.invariants")) {
-      // substring first (cheap), then confirm a REAL metadata key — a
-      // column comment merely mentioning the string must not direct
-      def hasInvariant(dt: DataType): Boolean = dt match {
+      def nestedInvariant(dt: DataType): Boolean = dt match {
         case st: StructType => st.fields.exists(f =>
-          f.metadata.contains("delta.invariants") || hasInvariant(f.dataType))
-        case ArrayType(et, _) => hasInvariant(et)
-        case MapType(k, v, _) => hasInvariant(k) || hasInvariant(v)
+          f.metadata.contains("delta.invariants") || nestedInvariant(f.dataType))
+        case ArrayType(et, _) => nestedInvariant(et)
+        case MapType(k, v, _) => nestedInvariant(k) || nestedInvariant(v)
         case _ => false
       }
-      if (hasInvariant(DataType.fromJson(schemaJson)))
+      if (schema.fields.exists(f => nestedInvariant(f.dataType)))
         throw UnsupportedWrite(
-          s"$table: the table schema declares column invariants this " +
+          s"$table: a NESTED field declares a column invariant this " +
             "writer does not evaluate")
+    }
+    val invariants: Seq[(String, String)] = schema.fields.toSeq.flatMap { f =>
+      if (!f.metadata.contains("delta.invariants")) None
+      else {
+        val j = JsonMethods.parse(f.metadata.getString("delta.invariants"))
+        (j \ "expression" \ "expression").extractOpt[String] match {
+          case Some(sql) => Some(s"invariant on ${f.name}" -> sql)
+          case None => throw UnsupportedWrite(
+            s"$table: unparseable delta.invariants metadata on '${f.name}'")
+        }
+      }
+    }
+    (checks ++ invariants).foreach { case (name, sql) =>
+      // expr() parses lazily — syntax errors surface as
+      // AnalysisException at analysis, same as resolution failures
+      val cond = try expr(sql) catch { case e: Exception =>
+        throw UnsupportedWrite(
+          s"$table: $name expression '$sql' does not parse — " +
+            s"${e.getMessage}")
+      }
+      rows.foreach { df =>
+        val bad = try df.filter(coalesce(cond, lit(true)) === false)
+          .limit(1).collect()
+        catch { case e: org.apache.spark.sql.AnalysisException =>
+          throw UnsupportedWrite(
+            s"$table: $name '$sql' does not parse/resolve against the " +
+              s"write — ${e.getMessage}")
+        }
+        if (bad.nonEmpty) throw ConstraintViolation(
+          s"$table: $name violated by the write — '$sql' is false for " +
+            s"row ${bad.head}")
+      }
     }
   }
 
@@ -433,7 +478,8 @@ object DeltaWriter {
     if (exists && properties.nonEmpty) throw UnsupportedWrite(
       s"$table: properties apply on CREATE only — altering an existing " +
         "table's configuration is not implemented")
-    if (!exists) guardConstraints(table, properties, df.schema.json)
+    if (!exists)
+      enforceConstraints(table, properties, df.schema.json, Some(df))
     // `evolved`: Some((metaId, configuration, new schema)) when this
     // append additively evolves the table schema — the commit then
     // carries a fresh metaData action
@@ -446,7 +492,7 @@ object DeltaWriter {
         if (cfg.get("delta.columnMapping.mode").exists(_ != "none"))
           throw UnsupportedWrite(
             s"$table: appending to a column-mapped table is not implemented")
-        guardConstraints(table, cfg, schemaJson)
+        enforceConstraints(table, cfg, schemaJson, Some(df))
         val existing = DataType.fromJson(schemaJson).asInstanceOf[StructType]
         if (sameSchema(existing, df.schema)) (v + 1, existing, pc)
         else additiveTail(existing, df.schema) match {
@@ -833,7 +879,7 @@ object DeltaWriter {
       throw UnsupportedWrite(
         s"$table: UPDATE on a column-mapped table is not implemented " +
           "(rewritten files would need physical-name columns)")
-    guardConstraints(table, config, schemaJson)
+    enforceConstraints(table, config, schemaJson, None)
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     set.keys.foreach { k =>
       if (!schema.fieldNames.contains(k)) throw UnsupportedWrite(
@@ -878,6 +924,10 @@ object DeltaWriter {
         schema.fields.toIndexedSeq.map(f =>
           set.getOrElse(f.name, fcol(s"`${f.name}`"))
             .cast(f.dataType).as(f.name)): _*)
+      // the table's row contracts hold on the POST-update images (the
+      // rows this commit writes) — one pass over the materialized
+      // matched set, rejected whole on a violation
+      enforceConstraints(table, config, schemaJson, Some(rewritten))
       // the partition-dir '' / hive-sentinel ambiguity check, on the
       // POST-update images (a SET can move rows into the ambiguous value)
       locally {
@@ -969,7 +1019,7 @@ object DeltaWriter {
     if (config.get("delta.columnMapping.mode").exists(_ != "none"))
       throw UnsupportedWrite(
         s"$table: MERGE on a column-mapped table is not implemented")
-    guardConstraints(table, config, schemaJson)
+    enforceConstraints(table, config, schemaJson, None)
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     keys.foreach { k =>
       if (!schema.fieldNames.contains(k)) throw UnsupportedWrite(
@@ -993,6 +1043,9 @@ object DeltaWriter {
         .write.mode("overwrite").parquet(tmpDir)
       val src = spark.read.parquet(tmpDir)
       if (src.isEmpty) return version
+      // every source row lands in the table (update image or insert) —
+      // the row contracts hold on all of them
+      enforceConstraints(table, config, schemaJson, Some(src))
       val dup = src.groupBy(keys.map(fcol): _*)
         .count().filter(fcol("count") > 1)
       if (!dup.isEmpty) throw UnsupportedWrite(
@@ -1104,10 +1157,17 @@ object DeltaWriter {
     * disappears — compaction is how DV debt is repaid. Allowed on
     * append-only tables (a dataChange=false remove is not a data
     * change); rowTracking and column-mapped tables directed. Returns
-    * the committed version (the current one when nothing qualifies). */
+    * the committed version (the current one when nothing qualifies).
+    *
+    * `zorderBy` (OPTIMIZE ... ZORDER BY): rewrite EVERY active file
+    * with rows laid out along the [[graft.operators.ZOrder]] curve of
+    * the named columns, so the per-file stats this writer collects give
+    * tight bounds on ALL of them and `readWhere` prunes on any — the
+    * multi-dimensional data-skipping layout. One range shuffle. */
   def compact(spark: SparkSession, table: String,
       targetFileBytes: Long = 128L << 20,
-      smallFileThreshold: Long = Long.MaxValue): Long = {
+      smallFileThreshold: Long = Long.MaxValue,
+      zorderBy: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{col => fcol}
     val base = table.stripSuffix("/")
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
@@ -1129,11 +1189,21 @@ object DeltaWriter {
       (f, try fs.getFileStatus(new Path(resolve(f._1))).getLen
         catch { case _: java.io.FileNotFoundException => 0L })
     }
-    val targets = sized.groupBy(_._1._2).values.toSeq.flatMap { group =>
-      val qualifying = group.filter { case ((_, _, dv, _), size) =>
-        size < smallFileThreshold || dv.isDefined
+    // ZORDER is a clustering rewrite: EVERY active file is a target
+    // (locality is a whole-table property); plain bin-packing picks per
+    // partition tuple, at least two qualifying files
+    val targets =
+      if (zorderBy.nonEmpty) sized
+      else sized.groupBy(_._1._2).values.toSeq.flatMap { group =>
+        val qualifying = group.filter { case ((_, _, dv, _), size) =>
+          size < smallFileThreshold || dv.isDefined
+        }
+        if (qualifying.size >= 2) qualifying else Nil
       }
-      if (qualifying.size >= 2) qualifying else Nil
+    zorderBy.foreach { c =>
+      if (partCols.contains(c)) throw UnsupportedWrite(
+        s"$table: z-order column '$c' is a partition column — the " +
+          "directory layout already clusters it")
     }
     if (targets.isEmpty) return version
     val targetCanon = targets.map(t => PathUris.canon(resolve(t._1._1))).toSet
@@ -1144,7 +1214,9 @@ object DeltaWriter {
     // dynamic writer emits one file per (task, tuple) without a
     // per-partition shuffle straggler; unpartitioned tables coalesce
     val packed =
-      if (partCols.isEmpty) rows.coalesce(nOut)
+      if (zorderBy.nonEmpty)
+        graft.operators.ZOrder.cluster(rows, zorderBy, nOut, partCols)
+      else if (partCols.isEmpty) rows.coalesce(nOut)
       else rows.repartition(nOut, partCols.map(fcol): _*)
     val ts = System.currentTimeMillis()
     val dataFiles = writeData(packed, base, partCols, "", conf)
@@ -2614,9 +2686,15 @@ object IcebergWriter {
     * stream directs on the replace (changelog mode serves the net
     * diff). Identity-partitioned tables keep their spec; fv3 tables
     * keep their lineage bookkeeping (no rows added — next-row-id is
-    * unchanged). Returns the snapshot id. */
+    * unchanged). Returns the snapshot id.
+    *
+    * `zorderBy`: lay the rewritten rows along the
+    * [[graft.operators.ZOrder]] curve of the named columns so the
+    * manifest bounds give tight boxes on ALL of them — `readWhere`
+    * then prunes on any z-ordered column, not just a leading sort key. */
   def rewriteDataFiles(spark: SparkSession, table: String,
-      targetFileBytes: Long = 128L << 20): Long = {
+      targetFileBytes: Long = 128L << 20,
+      zorderBy: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{col => fcol}
     val base = table.stripSuffix("/")
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
@@ -2660,8 +2738,15 @@ object IcebergWriter {
     val nOut = math.max(1,
       math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val rows = IcebergTable.read(spark, table)
+    zorderBy.foreach { c =>
+      if (partCols.contains(c)) throw UnsupportedWrite(
+        s"$table: z-order column '$c' is a partition column — the " +
+          "directory layout already clusters it")
+    }
     val packed =
-      if (partCols.isEmpty) rows.coalesce(nOut)
+      if (zorderBy.nonEmpty)
+        graft.operators.ZOrder.cluster(rows, zorderBy, nOut, partCols)
+      else if (partCols.isEmpty) rows.coalesce(nOut)
       else rows.repartition(nOut, partCols.map(fcol): _*)
     val filesWithTuple = writeIdentityPartitioned(spark, packed, base,
       partCols, table, fs, conf)

@@ -910,7 +910,8 @@ class TableWritersSpec extends SparkSpec {
     }
     assert(eT.getMessage.contains("TARGET"), eT.getMessage)
 
-    // CHECK constraints / invariants direct the image-writing paths
+    // CHECK constraints are EVALUATED on the image-writing paths: a
+    // violating batch is rejected whole, a passing one commits
     val ct = tmp()
     val schemaStr = Seq((1L, "a")).toDF("id", "text").schema.json
       .replace("\\", "\\\\").replace("\"", "\\\"")
@@ -923,10 +924,15 @@ class TableWritersSpec extends SparkSpec {
         s""""schemaString":"$schemaStr","partitionColumns":[],""" +
         s""""configuration":{"delta.constraints.pos":"id > 0"},"createdTime":0}}""")
         .getBytes("UTF-8"))
-    val eC = intercept[Exception] {
-      DeltaWriter.writeAppend(spark, Seq((1L, "a")).toDF("id", "text"), ct)
+    val eC = intercept[graft.sources.TableCommit.ConstraintViolation] {
+      DeltaWriter.writeAppend(spark,
+        Seq((1L, "a"), (0L, "bad")).toDF("id", "text"), ct)
     }
-    assert(eC.getMessage.contains("constraints"), eC.getMessage)
+    assert(eC.getMessage.contains("CHECK constraint pos"), eC.getMessage)
+    assert(!new java.io.File(s"$ct/_delta_log/00000000000000000001.json")
+      .exists(), "a violating batch must not commit")
+    DeltaWriter.writeAppend(spark, Seq((1L, "a")).toDF("id", "text"), ct)
+    assert(DeltaTable.read(spark, ct).count() == 1)
 
     // a CDF-enabled table's DELETE serves row-level cdc in BOTH shapes
     val ft = tmp()
@@ -1108,5 +1114,80 @@ class TableWritersSpec extends SparkSpec {
     val litter = new java.io.File(table).listFiles()
       .filter(_.getName.startsWith("_tmp_update"))
     assert(litter.isEmpty, litter.toSeq)
+  }
+
+  test("delta constraints: CHECK and invariants evaluated on every " +
+    "image-writing path") {
+    import graft.sources.TableCommit.ConstraintViolation
+    // CREATE with a constraint: the first batch is already validated
+    val t = tmp()
+    val e0 = intercept[ConstraintViolation] {
+      DeltaWriter.writeAppend(spark,
+        Seq((0L, "bad")).toDF("id", "text"), t,
+        properties = Map("delta.constraints.pos" -> "id > 0"))
+    }
+    assert(e0.getMessage.contains("CHECK constraint pos"), e0.getMessage)
+    DeltaWriter.writeAppend(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "text"), t,
+      properties = Map("delta.constraints.pos" -> "id > 0"))
+    // NULL passes (the SQL standard for CHECK)
+    DeltaWriter.writeAppend(spark,
+      Seq((java.lang.Long.valueOf(3L), "c"),
+        (null.asInstanceOf[java.lang.Long], "n"))
+        .toDF("id", "text"), t)
+    assert(DeltaTable.read(spark, t).count() == 4)
+    // UPDATE validates the POST-update images
+    val eU = intercept[ConstraintViolation] {
+      DeltaWriter.writeUpdate(spark, t, $"id" === 1L,
+        Map("id" -> lit(-5L)))
+    }
+    assert(eU.getMessage.contains("pos"), eU.getMessage)
+    DeltaWriter.writeUpdate(spark, t, $"id" === 1L, Map("id" -> lit(10L)))
+    // MERGE validates every source row
+    val eM = intercept[ConstraintViolation] {
+      DeltaWriter.writeMerge(spark, t,
+        Seq((2L, "u"), (-1L, "bad")).toDF("id", "text"), Seq("id"))
+    }
+    assert(eM.getMessage.contains("pos"), eM.getMessage)
+    // DELETE is exempt — removing rows cannot violate a row constraint
+    DeltaWriter.writeDelete(spark, t, $"id" === 2L)
+    assert(DeltaTable.read(spark, t).select($"id").as[java.lang.Long]
+      .collect().toSet == Set[java.lang.Long](10L, 3L, null))
+    // an unparseable / unresolvable constraint is directed, not skipped
+    val bad = tmp()
+    val eP = intercept[Exception] {
+      DeltaWriter.writeAppend(spark, Seq((1L, "a")).toDF("id", "text"),
+        bad, properties = Map("delta.constraints.x" -> "SELECT WHERE ("))
+    }
+    assert(eP.getMessage.contains("does not parse"), eP.getMessage)
+    val eR = intercept[Exception] {
+      DeltaWriter.writeAppend(spark, Seq((1L, "a")).toDF("id", "text"),
+        tmp(), properties = Map("delta.constraints.x" -> "ghost > 0"))
+    }
+    assert(eR.getMessage.contains("does not parse/resolve"), eR.getMessage)
+
+    // legacy column invariants (field metadata) enforce on append
+    val it = tmp()
+    val inv = """{\"expression\":{\"expression\":\"id >= 0\"}}"""
+    val schemaStr = (s"""{"type":"struct","fields":[""" +
+      s"""{"name":"id","type":"long","nullable":true,""" +
+      s""""metadata":{"delta.invariants":"$inv"}},""" +
+      s"""{"name":"text","type":"string","nullable":true,"metadata":{}}]}""")
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    new java.io.File(s"$it/_delta_log").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$it/_delta_log/00000000000000000000.json"),
+      (s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +
+        "\n" +
+        s"""{"metaData":{"id":"i","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$schemaStr","partitionColumns":[],""" +
+        s""""configuration":{},"createdTime":0}}""").getBytes("UTF-8"))
+    val eI = intercept[ConstraintViolation] {
+      DeltaWriter.writeAppend(spark,
+        Seq((-1L, "bad")).toDF("id", "text"), it)
+    }
+    assert(eI.getMessage.contains("invariant on id"), eI.getMessage)
+    DeltaWriter.writeAppend(spark, Seq((5L, "ok")).toDF("id", "text"), it)
+    assert(DeltaTable.read(spark, it).count() == 1)
   }
 }
