@@ -2197,6 +2197,68 @@ object QueriesML {
           .orderBy($"id")
       }),
 
+    // ------------------------------- time travel by TIMESTAMP, Delta
+    // Two commits with a wall-clock point captured between them (stored
+    // in the fixture); readAsOf resolves the timestamp to version 0 and
+    // must serve ONLY the first batch — the oracle recomputes it.
+    Q("q206_delta_time_travel", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT o_orderkey AS id, 'doc-' || CAST(rn0 AS VARCHAR) AS text
+      FROM o WHERE rn0 < 60 ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{DeltaTable, DeltaWriter}
+        val table = Fixtures.dir("q206", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"),
+              concat(lit("doc-"), $"rn0").as("text"), $"rn0")
+          val t = s"$dir/table"
+          DeltaWriter.writeAppend(s, base.filter($"rn0" < 60), t)
+          Thread.sleep(20)
+          val between = System.currentTimeMillis()
+          Thread.sleep(20)
+          DeltaWriter.writeAppend(s, base.filter($"rn0" >= 60), t)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/ts.txt"),
+            between.toString.getBytes)
+        }
+        val ts = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$table/ts.txt"))).trim.toLong
+        DeltaTable.readAsOf(s, s"$table/table", ts)
+          .select($"id", $"text").orderBy($"id")
+      }),
+
+    // ------------------------------- time travel by TIMESTAMP, Iceberg
+    // The twin through the snapshots' spec-required timestamp-ms.
+    Q("q207_iceberg_time_travel", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT o_orderkey AS id, 'doc-' || CAST(rn0 AS VARCHAR) AS text
+      FROM o WHERE rn0 < 60 ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{IcebergTable, IcebergWriter}
+        val table = Fixtures.dir("q207", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"),
+              concat(lit("doc-"), $"rn0").as("text"), $"rn0")
+          val t = s"$dir/table"
+          IcebergWriter.writeAppend(s, base.filter($"rn0" < 60), t)
+          Thread.sleep(20)
+          val between = System.currentTimeMillis()
+          Thread.sleep(20)
+          IcebergWriter.writeAppend(s, base.filter($"rn0" >= 60), t)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/ts.txt"),
+            between.toString.getBytes)
+        }
+        val ts = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$table/ts.txt"))).trim.toLong
+        IcebergTable.readAsOf(s, s"$table/table", ts)
+          .select($"id", $"text").orderBy($"id")
+      }),
+
     // ------------------------------------------------------- HF tokenizer.json encode
     // A hand-authored tokenizer.json (the huggingface/tokenizers file
     // format, byte-level BPE) over planted "ab"*k words: greedy merge

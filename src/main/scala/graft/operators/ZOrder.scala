@@ -58,26 +58,30 @@ object ZOrder {
           "orderable numeric/date/timestamp columns only")
     }
     val probs = (1 until Buckets).map(_.toDouble / Buckets).toArray
-    val buckets: Seq[Column] = cols.map { c =>
-      val dt = df.schema(c).dataType
-      val d = df.select(asDouble(c, dt).as("__v")).na.drop()
-      val bounds = d.stat.approxQuantile("__v", probs, 0.01)
-        .distinct.sorted
-      if (bounds.isEmpty) lit(0)
+    // ONE distributed sketch pass for every column (approxQuantile's
+    // multi-column form; it ignores nulls itself)
+    val proj = df.select(cols.map(c =>
+      asDouble(c, df.schema(c).dataType).as(c)): _*)
+    val allBounds = proj.stat.approxQuantile(cols.toArray, probs, 0.01)
+    val buckets: Seq[Column] = cols.zip(allBounds).map { case (c, raw) =>
+      val bounds = raw.distinct.sorted
+      if (bounds.isEmpty) lit(0L)
       else {
-        val v = asDouble(c, dt)
-        // rank = #boundaries <= v, a codegen'd fold — 0..Buckets-1
+        val v = asDouble(c, df.schema(c).dataType)
+        // rank = #boundaries <= v, a codegen'd fold — 0..Buckets-1;
+        // LONG, so an interleaved bit can reach position 31 without
+        // wrapping into the int sign bit
         val rank = aggregate(lit(bounds), lit(0),
           (acc, b) => acc + when(v >= b, 1).otherwise(0))
-        when(col(c).isNull, 0).otherwise(rank)
+        when(col(c).isNull, lit(0L)).otherwise(rank.cast("long"))
       }
     }
     // interleave: bit i of column j lands at position i*ncols + j —
     // low-order bits of every column stay low-order in z
     val ncols = cols.size
     val terms = for (i <- 0 until 8; j <- 0 until ncols) yield
-      shiftleft(shiftright(buckets(j), i).bitwiseAND(lit(1)),
-        i * ncols + j).cast("long")
+      shiftleft(shiftright(buckets(j), i).bitwiseAND(lit(1L)),
+        i * ncols + j)
     terms.reduce(_ + _)
   }
 

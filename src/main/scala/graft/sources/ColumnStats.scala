@@ -269,10 +269,25 @@ object ColumnStats {
     }
   }
 
+  /** CODE-POINT string comparison — identical to the unsigned UTF-8
+    * byte order Spark's binary collation, parquet footers, and Iceberg
+    * bounds all use. `String.compareTo` (UTF-16 code units) would order
+    * supplementary characters BELOW U+E000..U+FFFF and mis-prune files
+    * holding non-BMP text. */
+  private[graft] def cmpUtf8(x: String, y: String): Int = {
+    var i = 0; var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i); val cy = y.codePointAt(j)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx); j += Character.charCount(cy)
+    }
+    Integer.compare(x.length - i, y.length - j)
+  }
+
   private[sources] def cmp(a: Any, b: Any, dt: DataType): Int = (a, b) match {
     case (x: Long, y: Long) => java.lang.Long.compare(x, y)
     case (x: Double, y: Double) => java.lang.Double.compare(x, y)
-    case (x: String, y: String) => x.compareTo(y)
+    case (x: String, y: String) => cmpUtf8(x, y)
     case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
     case (x: BigDecimal, y: BigDecimal) => x.compare(y)
     case _ => throw new IllegalArgumentException(
@@ -300,6 +315,10 @@ object ColumnStats {
       colStats(a) match {
         case _ if allNull(a) => false // value predicates never match null
         case Some((c, t)) => norm(v, t) match {
+          // a NaN literal: footer bounds EXCLUDE NaN, so they can never
+          // prove its absence — and Spark's NaN = NaN is TRUE, so an
+          // EqualTo(NaN) prune would lose real rows. Keep.
+          case Some(nv: Double) if nv.isNaN => true
           case Some(nv) =>
             val vsMin = c.min.map(m => cmp(nv, m, t))
             val vsMax = c.max.map(m => cmp(nv, m, t))
@@ -339,17 +358,18 @@ object ColumnStats {
       case StringStartsWith(a, p) => colStats(a) match {
         case _ if allNull(a) => false
         case Some((c, StringType)) if p != null =>
-          // compare on the shared prefix: a file may hold p-prefixed
-          // strings iff p's prefix sits inside [min,max]'s prefixes
+          // compare on the shared prefix (code-point order = UTF-8 byte
+          // order); char-truncation could split a surrogate pair, so any
+          // non-BMP text involved keeps the file instead
+          def bmp(s: String) = s.forall(ch => !Character.isSurrogate(ch))
+          def pfx(s: String) = s.substring(0, math.min(p.length, s.length))
           val okMin = c.min.forall { m =>
             val s = m.asInstanceOf[String]
-            val n = math.min(p.length, s.length)
-            p.substring(0, n) >= s.substring(0, n)
+            !bmp(s) || !bmp(p) || cmpUtf8(pfx(p), pfx(s)) >= 0
           }
           val okMax = c.max.forall { m =>
             val s = m.asInstanceOf[String]
-            val n = math.min(p.length, s.length)
-            p.substring(0, n) <= s.substring(0, n)
+            !bmp(s) || !bmp(p) || cmpUtf8(pfx(p), pfx(s)) <= 0
           }
           okMin && okMax
         case _ => true
@@ -458,8 +478,10 @@ object ColumnStats {
   def parseDeltaStats(json: String, schema: StructType): FileStats = {
     if (json == null || json.isEmpty) return NoStats
     val types = statColumns(schema).map(f => f.name -> f.dataType).toMap
-    val j = try JsonMethods.parse(json) catch { case _: Exception =>
-      return NoStats }
+    // useBigDecimalForDouble: a decimal(38,_) bound squeezed through a
+    // 53-bit double could round past the true min/max and mis-prune
+    val j = try JsonMethods.parse(json, useBigDecimalForDouble = true)
+    catch { case _: Exception => return NoStats }
     def parseVal(dt: DataType, v: JValue, upper: Boolean): Option[Any] =
       (dt, v) match {
         case (ByteType | ShortType | IntegerType | LongType, JInt(n)) =>
@@ -481,6 +503,7 @@ object ColumnStats {
             Some(if (upper && us % 1000L == 0L) us + 999L else us)
           } catch { case _: Exception => None }
         case (FloatType | DoubleType, JDouble(d)) => Some(d)
+        case (FloatType | DoubleType, JDecimal(d)) => Some(d.toDouble)
         case (FloatType | DoubleType, JInt(n)) => Some(n.toDouble)
         case (FloatType | DoubleType, JLong(n)) => Some(n.toDouble)
         case (FloatType | DoubleType, JString(s)) =>
@@ -537,8 +560,12 @@ object ColumnStats {
           Some(s.trim.toLong)
         case DateType => Some(java.time.LocalDate.parse(s).toEpochDay)
         case TimestampType | TimestampNTZType =>
-          val t = java.sql.Timestamp.valueOf(s).toInstant
-          Some(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+          // the directory value is a UTC wall-clock string (the session
+          // timezone is pinned UTC) — java.sql.Timestamp.valueOf would
+          // read it in the MACHINE's zone and mis-prune off-UTC hosts
+          val t = java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
+          Some(t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+            t.getNano / 1000L)
         case FloatType | DoubleType => Some(s.trim.toDouble)
         case StringType => Some(s)
         case BooleanType => Some(s.trim.toBoolean)

@@ -1037,6 +1037,46 @@ object DeltaTable {
 
   /** Commit history from the log's commitInfo actions: (version,
     * timestamp ms, operation) — the `DESCRIBE HISTORY` essentials. */
+  /** Resolve an epoch-ms timestamp to the newest version whose commit
+    * timestamp is at or before it — time travel by TIMESTAMP. Commit
+    * times come from commitInfo (0 when absent) and are MONOTONIZED by
+    * a running max (the rule engines apply to out-of-order clocks); a
+    * timestamp before the earliest retained commit is directed (the
+    * versions below may be vacuumed, so serving the oldest one could
+    * silently serve the wrong state). */
+  def versionAt(spark: SparkSession, table: String,
+      timestampMs: Long): Long = {
+    import org.json4s.JObject
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(logDir(table))
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) throw UnsupportedDelta(
+      s"$table: no _delta_log — not a Delta table")
+    val versions = fs.listStatus(dir).toSeq.map(_.getPath)
+      .flatMap(p => versionOf(p.getName).map(v => (v, p))).sortBy(_._1)
+    if (versions.isEmpty) throw UnsupportedDelta(
+      s"$table: no commit json in _delta_log — timestamps unavailable")
+    var running = 0L
+    val stamped = versions.map { case (v, p) =>
+      val ts = FsText.read(fs, p).split('\n').map(_.trim)
+        .filter(_.nonEmpty).map(JsonMethods.parse(_)).map(_ \ "commitInfo")
+        .collectFirst { case o: JObject =>
+          (o \ "timestamp").extractOpt[Long].getOrElse(0L) }
+        .getOrElse(0L)
+      running = math.max(running, ts)
+      (v, running)
+    }
+    stamped.filter(_._2 <= timestampMs).map(_._1).maxOption.getOrElse(
+      throw UnsupportedDelta(
+        s"$table: timestamp $timestampMs predates the earliest retained " +
+          s"commit (${stamped.head._2}) — earlier versions may be vacuumed"))
+  }
+
+  /** Time travel by TIMESTAMP: the snapshot as of epoch-ms `timestampMs`. */
+  def readAsOf(spark: SparkSession, table: String,
+      timestampMs: Long): DataFrame =
+    read(spark, table, Some(versionAt(spark, table, timestampMs)))
+
   def history(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)

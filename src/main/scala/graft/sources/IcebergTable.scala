@@ -793,6 +793,37 @@ object IcebergTable {
 
   /** Snapshot log from the metadata: (snapshot id, timestamp ms,
     * operation) — the time-travel picker. */
+  /** Resolve an epoch-ms timestamp to the newest snapshot at or before
+    * it — time travel by TIMESTAMP, from the snapshots' own spec-
+    * required `timestamp-ms` (the `snapshot-log` ledger can be stale on
+    * tables a log-unaware writer appended to, while the snapshots list
+    * is current by construction); a timestamp before the earliest
+    * retained snapshot is directed (earlier ones may be expired). */
+  def snapshotAt(spark: SparkSession, table: String,
+      timestampMs: Long): Long = {
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(table).getFileSystem(conf)
+    val meta = JsonMethods.parse(FsText.read(fs, latestMetadata(fs, table)))
+    val log: Seq[(Long, Long)] =
+      (meta \ "snapshots").extractOpt[Seq[JValue]].getOrElse(Nil)
+        .flatMap { s =>
+          for (ts <- (s \ "timestamp-ms").extractOpt[Long];
+            id <- (s \ "snapshot-id").extractOpt[Long]) yield (ts, id)
+        }
+    if (log.isEmpty) throw UnsupportedIceberg(
+      s"$table: no snapshot timestamps in the metadata")
+    val sorted = log.sortBy(_._1)
+    sorted.filter(_._1 <= timestampMs).lastOption.map(_._2).getOrElse(
+      throw UnsupportedIceberg(
+        s"$table: timestamp $timestampMs predates the earliest retained " +
+          s"snapshot (${sorted.head._1}) — earlier ones may be expired"))
+  }
+
+  /** Time travel by TIMESTAMP: the snapshot as of epoch-ms `timestampMs`. */
+  def readAsOf(spark: SparkSession, table: String,
+      timestampMs: Long): DataFrame =
+    read(spark, table, Some(snapshotAt(spark, table, timestampMs)))
+
   def snapshots(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)

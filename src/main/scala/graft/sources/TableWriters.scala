@@ -200,10 +200,18 @@ object TableCommit {
   private[sources] def statsFields(absPaths: Seq[String],
       dataSchema: org.apache.spark.sql.types.StructType,
       conf: Configuration): Seq[String] =
+    statsFieldsWithCounts(absPaths, dataSchema, conf).map(_._1)
+
+  /** ONE footer read per file: the add's `,"stats":"…"` field AND its
+    * row count — the commit paths that also filter empty files out
+    * never pay a second footer pass. */
+  private[sources] def statsFieldsWithCounts(absPaths: Seq[String],
+      dataSchema: org.apache.spark.sql.types.StructType,
+      conf: Configuration): Seq[(String, Long)] =
     absPaths.map { abs =>
-      val js = ColumnStats.deltaStatsJson(
-        ColumnStats.footerStats(abs, dataSchema, conf), dataSchema)
-      s""","stats":"${jsonEscape(js)}""""
+      val st = ColumnStats.footerStats(abs, dataSchema, conf)
+      val js = ColumnStats.deltaStatsJson(st, dataSchema)
+      (s""","stats":"${jsonEscape(js)}"""", st.numRecords.getOrElse(0L))
     }
 
   /** Delete already-placed data files after a lost commit race — the
@@ -338,10 +346,23 @@ object DeltaWriter {
         val size0 = fs.getFileStatus(new Path(abs)).getLen
         val nd = DeletionVector.Descriptor("p", dvPath, Some(off), size,
           all.length.toLong)
-        // the file's PHYSICAL stats carry verbatim: DV'd rows stay inside
-        // the bounds (a superset bound is always a valid bound)
+        // the file's PHYSICAL stats carry over (DV'd rows stay inside
+        // the bounds — a superset bound is always valid), but marked
+        // WIDE: tightBounds defaults to TRUE per PROTOCOL.md, and tight
+        // stats on a file whose DV hides rows would let a
+        // stats-answering reader return wrong counts/extremes
+        def widen(s: String): String = {
+          val t = s.trim
+          if (t.contains("\"tightBounds\":true"))
+            t.replace("\"tightBounds\":true", "\"tightBounds\":false")
+          else if (t.contains("\"tightBounds\"")) t
+          else if (t == "{}") """{"tightBounds":false}"""
+          else if (t.startsWith("{"))
+            s"""{"tightBounds":false,${t.drop(1)}"""
+          else t
+        }
         val statsField = oldStats
-          .map(s => s""","stats":"${jsonEscape(s)}"""").getOrElse("")
+          .map(s => s""","stats":"${jsonEscape(widen(s))}"""").getOrElse("")
         lines += s"""{"add":{"path":"$rawPath","partitionValues":{$pvs},""" +
           s""""size":$size0,"modificationTime":$ts,"dataChange":true,""" +
           s""""deletionVector":${dvJson(nd)}$statsField}}"""
@@ -353,8 +374,10 @@ object DeltaWriter {
   /** Image-writing paths (append/update/merge) direct on tables whose
     * contract is EVALUATED against the rows being committed:
     * `delta.constraints.*` CHECK constraints (violation = the expression
-    * is FALSE; NULL passes, the SQL standard) and legacy column
-    * invariants (`delta.invariants` field metadata, the writer-v2
+    * is FALSE; NULL passes, the SQL standard), legacy column invariants
+    * (`delta.invariants` field metadata, the writer-v2 obligation), and
+    * GENERATED columns (`delta.generationExpression` — the provided
+    * value must null-safely equal its expression, the protocol's writer
     * obligation). A violating batch fails with [[ConstraintViolation]]
     * naming the constraint and one offending row — never a silent
     * commit of rows the table's own rules reject. Deletes are exempt
@@ -396,25 +419,66 @@ object DeltaWriter {
         }
       }
     }
-    (checks ++ invariants).foreach { case (name, sql) =>
-      // expr() parses lazily — syntax errors surface as
-      // AnalysisException at analysis, same as resolution failures
-      val cond = try expr(sql) catch { case e: Exception =>
+    // generated columns: the provided value must EQUAL the generation
+    // expression (null-safe — a writer supplying the column must supply
+    // the generated value, the protocol's writer obligation)
+    val generated: Seq[(String, String)] = schema.fields.toSeq.flatMap { f =>
+      if (!f.metadata.contains("delta.generationExpression")) None
+      else Some(s"generated column ${f.name}" ->
+        f.metadata.getString("delta.generationExpression"))
+    }
+    if ((checks ++ invariants ++ generated).isEmpty) return
+    // violation = the expression is FALSE (NULL passes, the SQL
+    // standard); for a generated column, violation = the value differs
+    // null-safely from its expression. expr() parses lazily, so syntax
+    // errors surface as AnalysisException at analysis, same as
+    // resolution failures — analyzed per constraint (no action) so the
+    // directed error can NAME the offending contract
+    def parsed(name: String, sql: String) =
+      try expr(sql) catch { case e: Exception =>
         throw UnsupportedWrite(
           s"$table: $name expression '$sql' does not parse — " +
             s"${e.getMessage}")
       }
-      rows.foreach { df =>
-        val bad = try df.filter(coalesce(cond, lit(true)) === false)
-          .limit(1).collect()
+    val conds =
+      (checks ++ invariants).map { case (name, sql) =>
+        (name, sql, coalesce(parsed(name, sql), lit(true)) === false)
+      } ++ generated.map { case (name, sql) =>
+        val colName = name.stripPrefix("generated column ")
+        (name, sql,
+          org.apache.spark.sql.functions.not(
+            org.apache.spark.sql.functions.col(s"`$colName`") <=>
+              parsed(name, sql)))
+      }
+    rows.foreach { df =>
+      conds.foreach { case (name, sql, viol) =>
+        try df.select(viol).queryExecution.analyzed
         catch { case e: org.apache.spark.sql.AnalysisException =>
           throw UnsupportedWrite(
             s"$table: $name '$sql' does not parse/resolve against the " +
               s"write — ${e.getMessage}")
         }
-        if (bad.nonEmpty) throw ConstraintViolation(
+      }
+      // ONE pass over the input evaluates every contract: per-constraint
+      // violation flags ride beside the row, any-violation filters
+      val flagged = df.select(
+        org.apache.spark.sql.functions.struct(
+          df.columns.toIndexedSeq.map(c => org.apache.spark.sql.functions
+            .col(s"`$c`")): _*).as("__row") +:
+        conds.zipWithIndex.map { case ((_, _, viol), i) =>
+          viol.as(s"__viol_$i") }: _*)
+      val bad = flagged
+        .filter(conds.indices.map(i =>
+          org.apache.spark.sql.functions.col(s"__viol_$i"))
+          .reduce(_ || _))
+        .limit(1).collect()
+      if (bad.nonEmpty) {
+        val row = bad.head
+        val i = conds.indices.find(i => row.getBoolean(i + 1)).getOrElse(0)
+        val (name, sql, _) = conds(i)
+        throw ConstraintViolation(
           s"$table: $name violated by the write — '$sql' is false for " +
-            s"row ${bad.head}")
+            s"row ${row.getStruct(0)}")
       }
     }
   }
@@ -779,13 +843,12 @@ object DeltaWriter {
       }
       val ts = System.currentTimeMillis()
       val dataFiles = writeData(survivors, base, partCols, "", conf)
-      val counts = rowCounts(dataFiles.map(_._2), conf)
-      val nonEmpty = dataFiles.zip(counts).filter(_._2 > 0).map(_._1)
-      cleanup(fs, dataFiles.zip(counts).filter(_._2 == 0).map(_._1._2))
       val rwDataSchema = org.apache.spark.sql.types.StructType(
         schema.filterNot(f => partCols.contains(f.name)))
-      val rwStats = statsFields(nonEmpty.map(_._2), rwDataSchema, conf)
-      val adds = nonEmpty.zip(rwStats).map { case ((rel, _, size), st) =>
+      val sc = statsFieldsWithCounts(dataFiles.map(_._2), rwDataSchema, conf)
+      val nonEmpty = dataFiles.zip(sc).filter(_._2._2 > 0)
+      cleanup(fs, dataFiles.zip(sc).filter(_._2._2 == 0).map(_._1._2))
+      val adds = nonEmpty.map { case ((rel, _, size), (st, _)) =>
         val pv = partitionValuesJson(partValues(rel))
         s"""{"add":{"path":"${pctEncodeRel(rel)}","partitionValues":{$pv},""" +
           s""""size":$size,"modificationTime":$ts,"dataChange":true$st}}"""
@@ -802,7 +865,7 @@ object DeltaWriter {
           s""""dataChange":true,"partitionValues":{$pvs}$oldDvJson}}"""
       }
       val allNew = Seq.newBuilder[String]
-      allNew ++= nonEmpty.map(_._2)
+      allNew ++= nonEmpty.map(_._1._2)
       // a second pass over the touched files builds the killed-row cdc
       // frame — CDF costs one extra scan of the touched files here, and
       // the documented prefer-dv-for-non-deterministic caveat covers the
@@ -1220,15 +1283,14 @@ object DeltaWriter {
       else rows.repartition(nOut, partCols.map(fcol): _*)
     val ts = System.currentTimeMillis()
     val dataFiles = writeData(packed, base, partCols, "", conf)
-    val counts = rowCounts(dataFiles.map(_._2), conf)
-    val nonEmpty = dataFiles.zip(counts).filter(_._2 > 0).map(_._1)
-    cleanup(fs, dataFiles.zip(counts).filter(_._2 == 0).map(_._1._2))
     val cpDataSchema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.DataType.fromJson(schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
         .filterNot(f => partCols.contains(f.name)))
-    val cpStats = statsFields(nonEmpty.map(_._2), cpDataSchema, conf)
-    val adds = nonEmpty.zip(cpStats).map { case ((rel, _, size), st) =>
+    val sc = statsFieldsWithCounts(dataFiles.map(_._2), cpDataSchema, conf)
+    val nonEmpty = dataFiles.zip(sc).filter(_._2._2 > 0)
+    cleanup(fs, dataFiles.zip(sc).filter(_._2._2 == 0).map(_._1._2))
+    val adds = nonEmpty.map { case ((rel, _, size), (st, _)) =>
       val pv = partitionValuesJson(partValues(rel))
       s"""{"add":{"path":"${pctEncodeRel(rel)}","partitionValues":{$pv},""" +
         s""""size":$size,"modificationTime":$ts,"dataChange":false$st}}"""
@@ -1245,7 +1307,7 @@ object DeltaWriter {
         removes ++ adds
     val dest = new Path(logPath, f"${version + 1}%020d.json")
     if (!putText(fs, dest, lines.mkString("\n"))) {
-      cleanup(fs, nonEmpty.map(_._2))
+      cleanup(fs, nonEmpty.map(_._1._2))
       throw CommitConflict(
         s"$table: version ${version + 1} was committed concurrently — " +
           "re-read the table and retry the compaction")
@@ -1646,7 +1708,8 @@ object IcebergWriter {
     * keyed by the TABLE schema's field ids. Iceberg data files retain
     * identity-partition columns, so stats cover the full schema. */
   private def statsCells(absPath: String,
-      idFields: Seq[(Int, StructField)], conf: Configuration): Seq[Any] = {
+      idFields: Seq[(Int, StructField)], conf: Configuration)
+      : (Seq[Any], Long) = {
     val sparkSchema = StructType(idFields.map(_._2))
     val st = ColumnStats.footerStats(absPath, sparkSchema, conf)
     val byName = idFields.map { case (id, f) => f.name -> ((id, f.dataType)) }
@@ -1665,11 +1728,12 @@ object IcebergWriter {
       (dt, v) => ColumnStats.icebergBound(dt, v).map(identity[Any]))
     val uppers = cells(_.max,
       (dt, v) => ColumnStats.icebergBound(dt, v).map(identity[Any]))
-    Seq(
+    (Seq(
       if (valueCounts.isEmpty) null else valueCounts,
       if (nullCounts.isEmpty) null else nullCounts,
       if (lowers.isEmpty) null else lowers,
-      if (uppers.isEmpty) null else uppers)
+      if (uppers.isEmpty) null else uppers),
+      st.numRecords.getOrElse(0L))
   }
 
   /** The table schema json's top-level (field-id, Spark field) pairs —
@@ -2000,7 +2064,9 @@ object IcebergWriter {
     val filesWithTuple = writeIdentityPartitioned(spark, df, base,
       partCols, table, fs, conf)
     val files = filesWithTuple.map(_._1)
-    val counts = rowCounts(files.map(_._2), conf)
+    val appendIdFields = idFieldsOf(schemaJson)
+    val fileSC = files.map(f => statsCells(f._2, appendIdFields, conf))
+    val counts = fileSC.map(_._2)
     val newSeq = lastSeq + 1
     val snapIds = snapshots.flatMap(sn =>
       (sn \ "snapshot-id").extractOpt[Long])
@@ -2022,12 +2088,10 @@ object IcebergWriter {
       s"[$sf]"
     }
     val specFieldsJson = inheritedSpecJson.getOrElse(createdSpecJson)
-    val appendIdFields = idFieldsOf(schemaJson)
     AvroOcf.write(manifestPath,
       manifestAvroSchema(partFields, inheritedFieldIds),
-      filesWithTuple.zip(counts).map { case (((_, abs, size), t), n) =>
-        Seq(1, newSeq, Seq(0, abs, "PARQUET", t, n, size) ++
-          statsCells(abs, appendIdFields, conf))
+      filesWithTuple.zip(fileSC).map { case (((_, abs, size), t), (cells, n)) =>
+        Seq(1, newSeq, Seq(0, abs, "PARQUET", t, n, size) ++ cells)
       }, conf = conf,
       meta = manifestMeta(schemaJson, specFieldsJson, specId, "data",
         tableFv))
@@ -2520,27 +2584,26 @@ object IcebergWriter {
       cleanup(fs, delFiles.zip(delCounts).filter(_._2 == 0).map(_._1._2))
       newFiles ++= delNonEmpty.map(_._1._2)
       val dataFiles = writeData(src, base, Nil, "data", conf)
-      val dataCounts = rowCounts(dataFiles.map(_._2), conf)
-      val dataNonEmpty = dataFiles.zip(dataCounts).filter(_._2 > 0)
-      cleanup(fs, dataFiles.zip(dataCounts).filter(_._2 == 0).map(_._1._2))
+      val schemaJson = JsonMethods.compact(JsonMethods.render(schemaNode))
+      val mrgIdFields = idFieldsOf(schemaJson)
+      val dataSC = dataFiles.map(f => statsCells(f._2, mrgIdFields, conf))
+      val dataNonEmpty = dataFiles.zip(dataSC).filter(_._2._2 > 0)
+      cleanup(fs, dataFiles.zip(dataSC).filter(_._2._2 == 0).map(_._1._2))
       newFiles ++= dataNonEmpty.map(_._1._2)
       val newSeq = st.lastSeq + 1
       val snapId = (st.snapshots.flatMap(sn =>
         (sn \ "snapshot-id").extractOpt[Long]) :+ 0L).max + 1
       val ts = System.currentTimeMillis()
       val attempt = java.util.UUID.randomUUID().toString
-      val schemaJson = JsonMethods.compact(JsonMethods.render(schemaNode))
       val dataManifest = s"$base/metadata/m-$attempt-data.avro"
-      val mrgIdFields = idFieldsOf(schemaJson)
       AvroOcf.write(dataManifest, manifestAvroSchema(Nil),
-        dataNonEmpty.map { case ((_, abs, size), n) =>
-          Seq(1, newSeq, Seq(0, abs, "PARQUET", Seq(), n, size) ++
-            statsCells(abs, mrgIdFields, conf))
+        dataNonEmpty.map { case ((_, abs, size), (cells, n)) =>
+          Seq(1, newSeq, Seq(0, abs, "PARQUET", Seq(), n, size) ++ cells)
         }, conf = conf,
         meta = manifestMeta(schemaJson, "[]", delSpecId, "data"))
       val manifests = Seq.newBuilder[NewManifest]
       manifests += NewManifest(dataManifest, 0, dataNonEmpty.size,
-        dataNonEmpty.map(_._2).sum)
+        dataNonEmpty.map(_._2._2).sum)
       if (delNonEmpty.nonEmpty) {
         val delManifest = s"$base/metadata/m-$attempt-deletes.avro"
         AvroOcf.write(delManifest, manifestAvroSchema(Nil),
@@ -2638,22 +2701,21 @@ object IcebergWriter {
           set.getOrElse(f.name, fcol(s"`${f.name}`"))
             .cast(f.dataType).as(f.name)): _*)
       val dataFiles = writeData(rewritten, base, Nil, "data", conf)
-      val dataCounts = rowCounts(dataFiles.map(_._2), conf)
-      val dataNonEmpty = dataFiles.zip(dataCounts).filter(_._2 > 0)
-      cleanup(fs, dataFiles.zip(dataCounts).filter(_._2 == 0).map(_._1._2))
+      val schemaJson = JsonMethods.compact(JsonMethods.render(schemaNode))
+      val updIdFields = idFieldsOf(schemaJson)
+      val dataSC = dataFiles.map(f => statsCells(f._2, updIdFields, conf))
+      val dataNonEmpty = dataFiles.zip(dataSC).filter(_._2._2 > 0)
+      cleanup(fs, dataFiles.zip(dataSC).filter(_._2._2 == 0).map(_._1._2))
       newFiles ++= dataNonEmpty.map(_._1._2)
       val newSeq = st.lastSeq + 1
       val snapId = (st.snapshots.flatMap(sn =>
         (sn \ "snapshot-id").extractOpt[Long]) :+ 0L).max + 1
       val ts = System.currentTimeMillis()
       val attempt = java.util.UUID.randomUUID().toString
-      val schemaJson = JsonMethods.compact(JsonMethods.render(schemaNode))
       val dataManifest = s"$base/metadata/m-$attempt-data.avro"
-      val updIdFields = idFieldsOf(schemaJson)
       AvroOcf.write(dataManifest, manifestAvroSchema(Nil),
-        dataNonEmpty.map { case ((_, abs, size), n) =>
-          Seq(1, newSeq, Seq(0, abs, "PARQUET", Seq(), n, size) ++
-            statsCells(abs, updIdFields, conf))
+        dataNonEmpty.map { case ((_, abs, size), (cells, n)) =>
+          Seq(1, newSeq, Seq(0, abs, "PARQUET", Seq(), n, size) ++ cells)
         }, conf = conf,
         meta = manifestMeta(schemaJson, "[]", delSpecId, "data"))
       val delManifest = s"$base/metadata/m-$attempt-deletes.avro"
@@ -2666,7 +2728,7 @@ object IcebergWriter {
       commitSnapshot(fs, conf, base, table, snapId, newSeq, ts,
         "overwrite",
         Seq(NewManifest(dataManifest, 0, dataNonEmpty.size,
-            dataNonEmpty.map(_._2).sum),
+            dataNonEmpty.map(_._2._2).sum),
           NewManifest(delManifest, 1, delNonEmpty.size,
             delNonEmpty.map(_._2).sum)),
         attempt, delSpecId, st.carried, st.snapshots,
@@ -2750,7 +2812,11 @@ object IcebergWriter {
       else rows.repartition(nOut, partCols.map(fcol): _*)
     val filesWithTuple = writeIdentityPartitioned(spark, packed, base,
       partCols, table, fs, conf)
-    val counts = rowCounts(filesWithTuple.map(_._1._2), conf)
+    val rwIdFields = idFieldsOf(
+      JsonMethods.compact(JsonMethods.render(schemaNode)))
+    val fileSC = filesWithTuple.map(f =>
+      statsCells(f._1._2, rwIdFields, conf))
+    val counts = fileSC.map(_._2)
     val newSeq = st.lastSeq + 1
     val snapId = (st.snapshots.flatMap(sn =>
       (sn \ "snapshot-id").extractOpt[Long]) :+ 0L).max + 1
@@ -2761,11 +2827,9 @@ object IcebergWriter {
     val specFieldsJson = spec
       .map(sp => JsonMethods.compact(JsonMethods.render(sp \ "fields")))
       .getOrElse("[]")
-    val rwIdFields = idFieldsOf(schemaJson)
     AvroOcf.write(manifestPath, manifestAvroSchema(partFields, partFieldIds),
-      filesWithTuple.zip(counts).map { case (((_, abs, size), t), n) =>
-        Seq(1, newSeq, Seq(0, abs, "PARQUET", t, n, size) ++
-          statsCells(abs, rwIdFields, conf))
+      filesWithTuple.zip(fileSC).map { case (((_, abs, size), t), (cells, n)) =>
+        Seq(1, newSeq, Seq(0, abs, "PARQUET", t, n, size) ++ cells)
       }, conf = conf,
       meta = manifestMeta(schemaJson, specFieldsJson, specId, "data", fv))
     val priorNext = (meta \ "next-row-id").extractOpt[Long].getOrElse(0L)

@@ -280,6 +280,64 @@ class StatsPruningSpec extends SparkSpec {
     assert(r.count() == 0, "the residual filter still applies")
   }
 
+  test("review arms: NaN equality, UTF-8 order, decimal precision, " +
+    "timestamp partition zone") {
+    val types = Map[String, DataType]("d" -> DoubleType, "s" -> StringType)
+    // EqualTo/In with a NaN literal: bounds exclude NaN and NaN = NaN is
+    // TRUE in Spark — never prune
+    val d = fs("d" -> cs(1.0, 2.0))
+    assert(ColumnStats.mayMatch(EqualTo("d", Double.NaN), d, types))
+    assert(ColumnStats.mayMatch(
+      In("d", Array[Any](Double.NaN)), d, types))
+    // code-point (= UTF-8 byte) order: supplementary chars sort ABOVE
+    // the BMP, unlike String.compareTo's UTF-16 code units
+    val emoji = new String(Character.toChars(0x1F600))
+    assert("￿".compareTo(emoji) > 0, "UTF-16 order (the trap)")
+    assert(ColumnStats.cmpUtf8("￿", emoji) < 0, "code-point order")
+    val sf = fs("s" -> cs(emoji, emoji))
+    assert(ColumnStats.mayMatch(GreaterThanOrEqual("s", "￿"), sf,
+      types), "the emoji row matches >= \\uFFFF under Spark's collation")
+    // decimal bounds round-trip at full precision (no double squeeze)
+    val decSchema = StructType(Seq(StructField("x", DecimalType(38, 10))))
+    val big = BigDecimal("12345678901234567890.1234567890")
+    val st = ColumnStats.FileStats(Some(1L), Map("x" -> cs(big, big)))
+    val back = ColumnStats.parseDeltaStats(
+      ColumnStats.deltaStatsJson(st, decSchema), decSchema)
+    assert(back.cols("x").min.contains(big) &&
+      back.cols("x").max.contains(big))
+    // timestamp partition values parse as UTC wall clock regardless of
+    // the machine's default zone
+    val tz = java.util.TimeZone.getDefault
+    try {
+      java.util.TimeZone.setDefault(
+        java.util.TimeZone.getTimeZone("Asia/Tokyo"))
+      val c = ColumnStats.partitionValueStats(
+        Some("2024-01-01 00:00:00"), TimestampType, Some(10L))
+      val expect = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      assert(c.min.contains(
+        expect.getEpochSecond * 1000000L), c.min.toString)
+    } finally java.util.TimeZone.setDefault(tz)
+  }
+
+  test("delta: DV re-add widens carried stats to tightBounds=false") {
+    val table = tmp()
+    DeltaWriter.writeAppend(spark,
+      spark.range(0, 100).select($"id"), table)
+    DeltaWriter.writeDelete(spark, table, $"id" === 5L, mode = "dv")
+    val log = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        s"$table/_delta_log/00000000000000000001.json")))
+    val addLine = log.split('\n').find(_.contains("\"add\"")).get
+    assert(addLine.contains("tightBounds\\\":false"), addLine)
+    // stats still prune, DV still kills
+    assert(DeltaTable.readWhere(spark, table,
+      Seq(EqualTo("id", 5L))).count() == 0)
+    assert(DeltaTable.readWhere(spark, table,
+      Seq(EqualTo("id", 6L))).count() == 1)
+    assert(DeltaTable.readWhere(spark, table,
+      Seq(GreaterThan("id", 1000L))).inputFiles.isEmpty)
+  }
+
   test("delta: NaN rows survive > pruning on double columns") {
     val table = tmp()
     DeltaWriter.writeAppend(spark,

@@ -1189,5 +1189,57 @@ class TableWritersSpec extends SparkSpec {
     assert(eI.getMessage.contains("invariant on id"), eI.getMessage)
     DeltaWriter.writeAppend(spark, Seq((5L, "ok")).toDF("id", "text"), it)
     assert(DeltaTable.read(spark, it).count() == 1)
+
+    // generated columns: the provided value must equal its expression
+    val gt = tmp()
+    val gen = """{"delta.generationExpression":"id * 2"}"""
+    val gSchema = (s"""{"type":"struct","fields":[""" +
+      s"""{"name":"id","type":"long","nullable":true,"metadata":{}},""" +
+      s"""{"name":"twice","type":"long","nullable":true,""" +
+      s""""metadata":$gen}]}""")
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    new java.io.File(s"$gt/_delta_log").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$gt/_delta_log/00000000000000000000.json"),
+      (s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""" +
+        "\n" +
+        s"""{"metaData":{"id":"g","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$gSchema","partitionColumns":[],""" +
+        s""""configuration":{},"createdTime":0}}""").getBytes("UTF-8"))
+    val eG = intercept[ConstraintViolation] {
+      DeltaWriter.writeAppend(spark,
+        Seq((2L, 5L)).toDF("id", "twice"), gt)
+    }
+    assert(eG.getMessage.contains("generated column twice"), eG.getMessage)
+    DeltaWriter.writeAppend(spark, Seq((2L, 4L)).toDF("id", "twice"), gt)
+    assert(DeltaTable.read(spark, gt).count() == 1)
+  }
+
+  test("time travel by timestamp, both formats") {
+    import graft.sources.{TableCommit => _}
+    val dt = tmp()
+    DeltaWriter.writeAppend(spark, Seq((1L, "a")).toDF("id", "text"), dt)
+    Thread.sleep(15)
+    val between = System.currentTimeMillis()
+    Thread.sleep(15)
+    DeltaWriter.writeAppend(spark, Seq((2L, "b")).toDF("id", "text"), dt)
+    assert(DeltaTable.versionAt(spark, dt, between) == 0L)
+    assert(DeltaTable.readAsOf(spark, dt, between).count() == 1)
+    assert(DeltaTable.readAsOf(spark, dt,
+      System.currentTimeMillis() + 1000).count() == 2)
+    val eD = intercept[Exception](DeltaTable.readAsOf(spark, dt, 1L))
+    assert(eD.getMessage.contains("predates"), eD.getMessage)
+
+    val it = tmp()
+    IcebergWriter.writeAppend(spark, Seq((1L, "a")).toDF("id", "text"), it)
+    Thread.sleep(15)
+    val ibetween = System.currentTimeMillis()
+    Thread.sleep(15)
+    IcebergWriter.writeAppend(spark, Seq((2L, "b")).toDF("id", "text"), it)
+    assert(IcebergTable.readAsOf(spark, it, ibetween).count() == 1)
+    assert(IcebergTable.readAsOf(spark, it,
+      System.currentTimeMillis() + 1000).count() == 2)
+    val eI2 = intercept[Exception](IcebergTable.readAsOf(spark, it, 1L))
+    assert(eI2.getMessage.contains("predates"), eI2.getMessage)
   }
 }

@@ -46,6 +46,19 @@ class ZOrderSpec extends SparkSpec {
     intercept[IllegalArgumentException](ZOrder.zColumn(df, Seq("text")))
     intercept[IllegalArgumentException](
       ZOrder.zColumn(df, Seq("a", "b", "a", "b", "a")))
+    // 4 columns: bit positions reach 31 — the z value must stay
+    // non-negative (long arithmetic, no int sign-bit wrap) and keep the
+    // quadrant property on the leading pair
+    val df4 = spark.range(0, 4096).select(
+      ($"id" % 8).as("a"), (($"id" / 8) % 8).as("b"),
+      (($"id" / 64) % 8).as("c"), ($"id" / 512).cast("long").as("d"))
+    val z4 = df4.withColumn("__z", ZOrder.zColumn(df4, Seq("a", "b", "c", "d")))
+      .select($"d", $"__z").collect()
+    assert(z4.forall(_.getLong(1) >= 0L), "no sign-bit overflow")
+    val loD = z4.filter(_.getLong(0) < 4).map(_.getLong(1))
+    val hiD = z4.filter(_.getLong(0) >= 4).map(_.getLong(1))
+    assert(loD.min < hiD.min && loD.max < hiD.max,
+      "the 4th column's high bit still orders the curve")
   }
 
   test("delta: OPTIMIZE ZORDER makes skipping work on both columns") {
