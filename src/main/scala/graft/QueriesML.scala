@@ -2259,6 +2259,38 @@ object QueriesML {
           .select($"id", $"text").orderBy($"id")
       }),
 
+    // --------------------------- Iceberg bucket[N] partition transform
+    // Hidden partitioning through the spec's murmur3 bucket transform:
+    // CREATE with bucket(4, id), a second append INHERITS the spec, and
+    // the table reads back as the UNION of the four per-bucket
+    // partition-pruned reads — every row must land in exactly one
+    // readable bucket, or the union loses/duplicates it against the
+    // oracle. (The hash itself is pinned to the spec's Appendix B test
+    // vectors in TableWritersSpec.)
+    Q("q208_iceberg_bucket", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT o_orderkey AS id, 'doc-' || CAST(rn0 AS VARCHAR) AS text
+      FROM o ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{IcebergTable, IcebergWriter}
+        val table = Fixtures.dir("q208", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"),
+              concat(lit("doc-"), $"rn0").as("text"), $"rn0")
+          val t = s"$dir/table"
+          IcebergWriter.writeAppend(s, base.filter($"rn0" < 60), t,
+            partitionBy = Seq("bucket(4, id)"))
+          IcebergWriter.writeAppend(s, base.filter($"rn0" >= 60), t)
+        }
+        (0 until 4).map(b =>
+          IcebergTable.readPartitions(s, s"$table/table",
+            Map("id_bucket" -> b.toString)))
+          .reduce(_ unionByName _)
+          .select($"id", $"text").orderBy($"id")
+      }),
+
     // ------------------------------------------------------- HF tokenizer.json encode
     // A hand-authored tokenizer.json (the huggingface/tokenizers file
     // format, byte-level BPE) over planted "ab"*k words: greedy merge

@@ -93,6 +93,32 @@ object SkippingStress {
         f"${point.inputFiles.length} files $tPoint%.2f s; " +
         s"results identical (count+idSum)")
     }
+
+    // ---- Z-ORDER: pruning on the NON-append dimension, before vs after
+    // score is independent of the append ranges, so pre-zorder a score
+    // predicate prunes nothing; post-zorder it must shrink the scan
+    val zdir = s"$root/zorder"
+    for (k <- 0 until commits)
+      DeltaWriter.writeAppend(spark, batch(k), zdir)
+    // `<` — fractional UPPER bounds never prune >/>= (the NaN rule),
+    // lower bounds do
+    val scoreF = Seq(LessThan("score", 100.0))
+    val preZ = DeltaTable.readWhere(spark, zdir, scoreF)
+    val preFiles = preZ.inputFiles.length
+    val (preAgg, tPre) = time(preZ.agg(count(lit(1)), sum($"id")).head())
+    val (_, tOpt) = time(DeltaWriter.compact(spark, zdir,
+      targetFileBytes = 8L << 20, zorderBy = Seq("id", "score")))
+    val postZ = DeltaTable.readWhere(spark, zdir, scoreF)
+    val postFiles = postZ.inputFiles.length
+    val (postAgg, tPost) = time(postZ.agg(count(lit(1)), sum($"id")).head())
+    require(preAgg.getLong(0) == postAgg.getLong(0) &&
+      preAgg.getLong(1) == postAgg.getLong(1),
+      s"zorder changed the result: ${preAgg.toSeq} vs ${postAgg.toSeq}")
+    val totalPost = DeltaTable.read(spark, zdir).inputFiles.length
+    println(f"[stress] zorder: score predicate (~1/10 of rows) scanned " +
+      f"$preFiles files $tPre%.2f s pre-ZORDER, $postFiles of $totalPost " +
+      f"files $tPost%.2f s after OPTIMIZE ZORDER(id, score) " +
+      f"($tOpt%.2f s rewrite); results identical")
     spark.stop()
   }
 }

@@ -415,9 +415,22 @@ object DeltaTable {
       .map(f => f.name -> f.dataType).toMap
     val partTypes = snap.partitionColumns
       .flatMap(c => full.fields.find(_.name == c)).map(f => f.name -> f)
+    // column-mapped tables key their stats by PHYSICAL name — parse
+    // against the physically-named schema, then relabel to logical so
+    // the same filters prune
+    val mapped = snap.configuration
+      .get("delta.columnMapping.mode").exists(_ != "none")
+    val statsSchema = if (!mapped) full
+      else StructType(full.fields.map(f =>
+        StructField(physFieldName(f), f.dataType)))
+    val physToLogical = full.fields.map(f => physFieldName(f) -> f.name).toMap
     val kept = snap.files.filter { f =>
-      val parsed = f.stats.map(ColumnStats.parseDeltaStats(_, full))
+      val rawParsed = f.stats
+        .map(ColumnStats.parseDeltaStats(_, statsSchema))
         .getOrElse(ColumnStats.NoStats)
+      val parsed = if (!mapped) rawParsed
+        else rawParsed.copy(cols = rawParsed.cols.flatMap { case (k, v) =>
+          physToLogical.get(k).map(_ -> v) })
       // partition values are point stats; a null partition value is an
       // all-null column for the WHOLE file, so when the row count is
       // unknown a synthetic one still lets the all-null rule fire

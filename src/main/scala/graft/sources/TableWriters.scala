@@ -290,6 +290,22 @@ object DeltaWriter {
   private implicit val formats: Formats = DefaultFormats
 
   /** partitionValues from the k=v dirs Spark built (its own escaping). */
+  /** A field's physical name under column mapping (its own name
+    * otherwise). */
+  private[sources] def physNameOf(f: StructField): String =
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+
+  /** Any STRUCT below the top level — the rename a flat physical
+    * re-labeling cannot reach. */
+  private[sources] def hasNestedNames(dt: DataType): Boolean = dt match {
+    case _: StructType => true
+    case ArrayType(et, _) => hasNestedNames(et)
+    case MapType(k, v, _) => hasNestedNames(k) || hasNestedNames(v)
+    case _ => false
+  }
+
   private def partValues(rel: String): Map[String, String] =
     rel.split('/').dropRight(1).flatMap { seg =>
       val i = seg.indexOf('=')
@@ -548,17 +564,23 @@ object DeltaWriter {
     // append additively evolves the table schema — the commit then
     // carries a fresh metaData action
     var evolved: Option[(String, Map[String, String], StructType)] = None
+    var mapped = false
     val (version, schema, partCols) =
       if (!exists) (0L, df.schema, partitionBy)
       else {
         val (v, metaId, schemaJson, pc, cfg, _, _) =
           DeltaTable.snapshotState(spark, table)
-        if (cfg.get("delta.columnMapping.mode").exists(_ != "none"))
-          throw UnsupportedWrite(
-            s"$table: appending to a column-mapped table is not implemented")
+        mapped = cfg.get("delta.columnMapping.mode").exists(_ != "none")
         enforceConstraints(table, cfg, schemaJson, Some(df))
         val existing = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        if (mapped && existing.fields.exists(f => hasNestedNames(f.dataType)))
+          throw UnsupportedWrite(
+            s"$table: appending to a column-mapped table with NESTED " +
+              "fields is not implemented (flat physical renames only)")
         if (sameSchema(existing, df.schema)) (v + 1, existing, pc)
+        else if (mapped) throw UnsupportedWrite(
+          s"$table: schema evolution on a column-mapped table is not " +
+            "implemented (new columns need fresh ids + physical names)")
         else additiveTail(existing, df.schema) match {
           case Some(tail) if mergeSchema =>
             // old head fields verbatim (their nullability/metadata are
@@ -601,10 +623,30 @@ object DeltaWriter {
             "partition columns")
       }
     }
-    val files = writeData(df, base, partCols, "", conf)
+    // column-mapped tables store PHYSICAL column names (+ parquet field
+    // ids, the id-mode resolution key) in their data files; partition
+    // dirs and add.partitionValues are keyed physical too — exactly the
+    // shape the reader's assemble/readWhere expect
+    val (outDf, outPartCols, outSchema) =
+      if (!mapped) (df, partCols, schema)
+      else {
+        import org.apache.spark.sql.functions.{col => fcol}
+        val renamed = df.select(schema.fields.toIndexedSeq.map { f =>
+          val md =
+            if (!f.metadata.contains("delta.columnMapping.id"))
+              org.apache.spark.sql.types.Metadata.empty
+            else new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong("parquet.field.id",
+                f.metadata.getLong("delta.columnMapping.id")).build()
+          fcol(s"`${f.name}`").cast(f.dataType).as(physNameOf(f), md)
+        }: _*)
+        (renamed, partCols.map(c => physNameOf(schema(c))),
+          renamed.schema)
+      }
+    val files = writeData(outDf, base, outPartCols, "", conf)
     val ts = System.currentTimeMillis()
     val dataSchema = org.apache.spark.sql.types.StructType(
-      schema.filterNot(f => partCols.contains(f.name)))
+      outSchema.filterNot(f => outPartCols.contains(f.name)))
     val stats = statsFields(files.map(_._2), dataSchema, conf)
     val adds = files.zip(stats).map { case ((rel, _, size), st) =>
       // Spark's null-partition sentinel directory becomes the protocol's
@@ -1845,18 +1887,46 @@ object IcebergWriter {
       priorManifests)
   }
 
-  /** ONE distributed write of `df` grouped by its identity partition
-    * columns, via DUPLICATED helper columns — Spark's partitionBy
-    * excludes only the helpers from the files, so the data files keep
-    * the real partition columns (Iceberg's hidden-partitioning model)
-    * while files still group one-tuple-per-dir; each file's typed tuple
-    * parses back from its k=v dirs. No per-tuple re-scan of the input,
-    * no double evaluation of a non-deterministic plan. Post-write (and
-    * race-free, since data files RETAIN the real columns), files whose
-    * dir parsed as null are checked for the ''/hive-sentinel ambiguity.
-    * Shared by the append and compaction writers. */
+  /** One partition-spec field: `name` is the spec field (and dir)
+    * name, `source` the schema column it derives from, `transform`
+    * the spec string (`identity` or `bucket[N]`). */
+  private[sources] final case class PartField(name: String, source: String,
+      transform: String, bucketN: Option[Int]) {
+    def valueCol: org.apache.spark.sql.Column = bucketN match {
+      case Some(n) => graft.functions.IcebergBucketExpr(
+        org.apache.spark.sql.functions.col(s"`$source`"), n)
+      case None => org.apache.spark.sql.functions.col(s"`$source`")
+    }
+    def valueType(schema: StructType): DataType =
+      if (bucketN.isDefined) IntegerType else schema(source).dataType
+  }
+
+  private val BucketSpec = """bucket\((\d+)\s*,\s*([^)\s]+)\)""".r
+
+  /** `partitionBy` entries: a plain column name (identity) or
+    * `bucket(N, col)` (the spec's bucket[N] transform, Appendix B
+    * murmur3 — field named `<col>_bucket`, Iceberg's convention). */
+  private[sources] def parsePartitionBy(entries: Seq[String]): Seq[PartField] =
+    entries.map {
+      case BucketSpec(n, c) =>
+        PartField(s"${c}_bucket", c, s"bucket[$n]", Some(n.toInt))
+      case plain => PartField(plain, plain, "identity", None)
+    }
+
+  /** ONE distributed write of `df` grouped by its partition TRANSFORM
+    * values, via computed helper columns — Spark's partitionBy excludes
+    * only the helpers from the files, so the data files keep the real
+    * source columns (Iceberg's hidden-partitioning model) while files
+    * still group one-tuple-per-dir; each file's typed tuple parses back
+    * from its k=v dirs. Identity helpers are column copies; bucket
+    * helpers are the codegen'd murmur3 bucket expression. No per-tuple
+    * re-scan of the input, no double evaluation of a non-deterministic
+    * plan. Post-write (and race-free, since data files RETAIN the real
+    * columns), identity-string files whose dir parsed as null are
+    * checked for the ''/hive-sentinel ambiguity. Shared by the append
+    * and compaction writers. */
   private def writeIdentityPartitioned(spark: SparkSession, df: DataFrame,
-      base: String, partCols: Seq[String], table: String, fs: FileSystem,
+      base: String, parts: Seq[PartField], table: String, fs: FileSystem,
       conf: Configuration): Seq[((String, String, Long), Seq[Any])] = {
     import org.apache.spark.sql.functions.{col => fcol}
     // helper names must not shadow REAL columns (a collision would
@@ -1865,41 +1935,42 @@ object IcebergWriter {
     // collide with each other either
     val taken = scala.collection.mutable.Set(
       df.schema.fieldNames.map(_.toLowerCase): _*)
-    val helperOf = partCols.map { c =>
-      var h = s"p__$c"
+    val helperOf = parts.map { pf =>
+      var h = s"p__${pf.name}"
       while (taken.contains(h.toLowerCase)) h += "_"
       taken += h.toLowerCase
-      c -> h
+      pf.name -> h
     }.toMap
     val filesWithTuple: Seq[((String, String, Long), Seq[Any])] =
-      if (partCols.isEmpty)
+      if (parts.isEmpty)
         writeData(df, base, Nil, "data", conf).map(f => (f, Nil))
       else {
-        val df2 = partCols.foldLeft(df)((d, c) =>
-          d.withColumn(helperOf(c), fcol(c)))
-        writeData(df2, base, partCols.map(helperOf), "data", conf).map { f =>
+        val df2 = parts.foldLeft(df)((d, pf) =>
+          d.withColumn(helperOf(pf.name), pf.valueCol))
+        writeData(df2, base, parts.map(pf => helperOf(pf.name)), "data",
+          conf).map { f =>
           val dirs = f._1.split('/').dropRight(1)
-          val vals: Seq[Any] = partCols.map { c =>
-            val pre = s"${helperOf(c)}="
+          val vals: Seq[Any] = parts.map { pf =>
+            val pre = s"${helperOf(pf.name)}="
             val seg = dirs.find(_.startsWith(pre)).getOrElse(
               throw UnsupportedWrite(
-                s"$table: partition dir for '$c' missing in ${f._1}"))
+                s"$table: partition dir for '${pf.name}' missing in ${f._1}"))
             val raw = PathUris.pctDecode(seg.drop(pre.length))
             if (raw == "__HIVE_DEFAULT_PARTITION__") null
-            else castPartitionValue(raw, df.schema(c).dataType)
+            else castPartitionValue(raw, pf.valueType(df.schema))
           }
           (f, vals)
         }
       }
     locally {
-      val strIdx = partCols.zipWithIndex.filter { case (c, _) =>
-        df.schema(c).dataType == StringType }
+      val strIdx = parts.zipWithIndex.filter { case (pf, _) =>
+        pf.bucketN.isEmpty && df.schema(pf.source).dataType == StringType }
       val suspicious = filesWithTuple.filter { case (_, t) =>
         strIdx.exists { case (_, i) => t(i) == null } }
       if (suspicious.nonEmpty) {
         val bad = spark.read.parquet(suspicious.map(_._1._2): _*)
-          .select(strIdx.map { case (c, _) => fcol(c) }: _*)
-          .filter(strIdx.map { case (c, _) => fcol(c).isNotNull }
+          .select(strIdx.map { case (pf, _) => fcol(pf.source) }: _*)
+          .filter(strIdx.map { case (pf, _) => fcol(pf.source).isNotNull }
             .reduce(_ || _))
         if (!bad.isEmpty) {
           cleanup(fs, filesWithTuple.map(_._1._2))
@@ -1947,7 +2018,7 @@ object IcebergWriter {
     var snapshots: Seq[JValue] = Nil
     var priorManifests: Seq[ManifestFile] = Nil
     var schemaJson: String = null
-    var partCols: Seq[String] = partitionBy
+    var inheritedParts: Option[Seq[PartField]] = None
     var specId: Int = 0
     var tableFv: Int = formatVersion
     var priorNextRow: Long = 0L
@@ -1991,13 +2062,30 @@ object IcebergWriter {
       specId = defaultSpecId
       val specFields = spec.toSeq
         .flatMap(sp => (sp \ "fields").extractOpt[Seq[JValue]].getOrElse(Nil))
-      specFields.foreach { f =>
+      // the schema's id -> name map resolves each spec field's SOURCE
+      // column (a foreign spec may name the field differently)
+      val idToName: Map[Int, String] =
+        (IcebergTable.currentSchemaJson(meta) \ "fields")
+          .extractOpt[Seq[JValue]].getOrElse(Nil).flatMap { f =>
+            for (id <- (f \ "id").extractOpt[Int];
+              n <- (f \ "name").extractOpt[String]) yield id -> n
+          }.toMap
+      val BucketT = """bucket\[(\d+)\]""".r
+      inheritedParts = Some(specFields.map { f =>
         val transform = (f \ "transform").extractOpt[String].getOrElse("")
-        if (transform != "identity") throw UnsupportedWrite(
-          s"$table: appending through a '$transform' partition transform " +
-            "is not implemented (identity only)")
-      }
-      partCols = specFields.flatMap(f => (f \ "name").extractOpt[String])
+        val name = (f \ "name").extractOpt[String].getOrElse(
+          throw UnsupportedWrite(s"$table: a spec field has no name"))
+        val source = (f \ "source-id").extractOpt[Int]
+          .flatMap(idToName.get).getOrElse(name)
+        transform match {
+          case "identity" => PartField(name, source, "identity", None)
+          case BucketT(n) =>
+            PartField(name, source, transform, Some(n.toInt))
+          case other => throw UnsupportedWrite(
+            s"$table: appending through a '$other' partition transform " +
+              "is not implemented (identity and bucket[N] only)")
+        }
+      })
       inheritedSpecJson = spec.map(sp =>
         JsonMethods.compact(JsonMethods.render(sp \ "fields")))
       inheritedFieldIds = specFields.zipWithIndex.map { case (f, i) =>
@@ -2055,14 +2143,18 @@ object IcebergWriter {
       schemaJson = schemaJsonOf(df.schema)
     }
 
-    partCols.foreach { c =>
-      if (!df.schema.fieldNames.contains(c)) throw UnsupportedWrite(
-        s"$table: partition column '$c' is not in the schema")
+    val parts: Seq[PartField] =
+      inheritedParts.getOrElse(parsePartitionBy(partitionBy))
+    parts.foreach { pf =>
+      if (!df.schema.fieldNames.contains(pf.source)) throw UnsupportedWrite(
+        s"$table: partition source column '${pf.source}' is not in the " +
+          "schema")
     }
-    val partFields = partCols.map(c => df.schema(c))
+    val partFields = parts.map(pf =>
+      StructField(pf.name, pf.valueType(df.schema)))
     partFields.foreach(f => partitionAvroType(f.dataType)) // directed early
     val filesWithTuple = writeIdentityPartitioned(spark, df, base,
-      partCols, table, fs, conf)
+      parts, table, fs, conf)
     val files = filesWithTuple.map(_._1)
     val appendIdFields = idFieldsOf(schemaJson)
     val fileSC = files.map(f => statsCells(f._2, appendIdFields, conf))
@@ -2080,9 +2172,9 @@ object IcebergWriter {
     val attempt = java.util.UUID.randomUUID().toString
     val manifestPath = s"$base/metadata/m-$attempt.avro"
     val createdSpecJson = {
-      val sf = partCols.zipWithIndex.map { case (c, i) =>
-        val srcId = df.schema.fieldNames.indexOf(c) + 1
-        s"""{"name": "$c", "transform": "identity",
+      val sf = parts.zipWithIndex.map { case (pf, i) =>
+        val srcId = df.schema.fieldNames.indexOf(pf.source) + 1
+        s"""{"name": "${pf.name}", "transform": "${pf.transform}",
              "source-id": $srcId, "field-id": ${1000 + i}}"""
       }.mkString(", ")
       s"[$sf]"
@@ -2103,7 +2195,7 @@ object IcebergWriter {
       // parsers accept the json: column/partition-id high-water marks,
       // properties, and the default (empty) sort order
       "last-column-id" -> df.schema.fields.length.toString,
-      "last-partition-id" -> (999 + partCols.size).toString,
+      "last-partition-id" -> (999 + parts.size).toString,
       "properties" -> "{}",
       "schemas" -> s"[$schemaJson]",
       "current-schema-id" -> "0",
@@ -2811,7 +2903,7 @@ object IcebergWriter {
       else if (partCols.isEmpty) rows.coalesce(nOut)
       else rows.repartition(nOut, partCols.map(fcol): _*)
     val filesWithTuple = writeIdentityPartitioned(spark, packed, base,
-      partCols, table, fs, conf)
+      partCols.map(c => PartField(c, c, "identity", None)), table, fs, conf)
     val rwIdFields = idFieldsOf(
       JsonMethods.compact(JsonMethods.render(schemaNode)))
     val fileSC = filesWithTuple.map(f =>

@@ -480,7 +480,7 @@ class TableWritersSpec extends SparkSpec {
     assert(IcebergTable.readPartitions(spark, table, Map("lang" -> "fr"))
       .select($"id").as[Long].collect().toSeq == Seq(4L))
     assert(IcebergTable.currentSnapshotId(spark, table).contains(s2))
-    // a non-identity transform stays directed
+    // an unsupported transform stays directed (bucket now writes)
     val t2 = tmp()
     new java.io.File(s"$t2/metadata").mkdirs()
     java.nio.file.Files.write(
@@ -491,7 +491,7 @@ class TableWritersSpec extends SparkSpec {
              {"id": 2, "name": "text", "required": false, "type": "string"}]}],
            "current-schema-id": 0,
            "partition-specs": [{"spec-id": 0, "fields": [
-             {"name": "id_bucket", "transform": "bucket[16]",
+             {"name": "id_trunc", "transform": "truncate[4]",
               "source-id": 1, "field-id": 1000}]}],
            "default-spec-id": 0, "snapshots": []}""".getBytes("UTF-8"))
     java.nio.file.Files.write(
@@ -501,7 +501,52 @@ class TableWritersSpec extends SparkSpec {
       IcebergWriter.writeAppend(spark,
         Seq((1L, "a")).toDF("id", "text"), t2)
     }
-    assert(e.getMessage.contains("bucket[16]"), e.getMessage)
+    assert(e.getMessage.contains("truncate[4]"), e.getMessage)
+  }
+
+  test("iceberg bucket[N] partitioning: spec vectors, write, prune, " +
+    "inherit") {
+    import graft.functions.IcebergBucketExpr
+    // the table spec's own Appendix B test vectors pin the hash
+    assert(IcebergBucketExpr.hashLong(34L) == 2017239379, "int/long 34")
+    assert(IcebergBucketExpr.murmur3(
+      "iceberg".getBytes("UTF-8")) == 1210000089, "string")
+    assert(IcebergBucketExpr.hashLong(17486L) == -653330422,
+      "date 2017-11-16")
+    assert(IcebergBucketExpr.hashLong(1510871468000000L) == -2047944441,
+      "timestamp 2017-11-16T22:31:08")
+    assert(IcebergBucketExpr.murmur3(
+      java.math.BigDecimal.valueOf(1420, 2).unscaledValue.toByteArray)
+      == -500754589, "decimal 14.20")
+    assert(IcebergBucketExpr.murmur3(
+      Array[Byte](0, 1, 2, 3)) == -188683207, "binary 00 01 02 03")
+
+    // expression over a frame: matches the driver-side form, null-safe
+    val df = Seq(Some(34L), None).toDF("id")
+    val b = df.select(IcebergBucketExpr($"id", 16).as("b"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getInt(0))
+    assert(b(0) == ((2017239379 & Int.MaxValue) % 16) && b(1) == null)
+
+    // CREATE bucket-partitioned, append INHERITS, readPartitions prunes
+    val table = tmp()
+    val rows = (0L until 64L).map(i => (i, s"t$i")).toDF("id", "text")
+    IcebergWriter.writeAppend(spark, rows.filter($"id" < 32), table,
+      partitionBy = Seq("bucket(4, id)"))
+    IcebergWriter.writeAppend(spark, rows.filter($"id" >= 32), table)
+    val full = IcebergTable.read(spark, table)
+    assert(full.select($"id").as[Long].collect().sorted.toSeq ==
+      (0L until 64L), "bucket layout loses no rows")
+    // one bucket via the same hash the writer used
+    val targetBucket = (IcebergBucketExpr.hashLong(7L) & Int.MaxValue) % 4
+    val pruned = IcebergTable.readPartitions(spark, table,
+      Map("id_bucket" -> targetBucket.toString))
+    val expect = (0L until 64L).filter(i =>
+      (IcebergBucketExpr.hashLong(i) & Int.MaxValue) % 4 == targetBucket)
+    assert(pruned.select($"id").as[Long].collect().sorted.toSeq == expect)
+    assert(pruned.inputFiles.length < full.inputFiles.length)
+    assert(pruned.select($"id").as[Long].collect().contains(7L))
+    // data files RETAIN the source column (hidden partitioning)
+    assert(full.columns.toSeq == Seq("id", "text"))
   }
 
   test("iceberg writeDelete: positional deletes, no rewrites, distributed") {
@@ -1213,6 +1258,62 @@ class TableWritersSpec extends SparkSpec {
     assert(eG.getMessage.contains("generated column twice"), eG.getMessage)
     DeltaWriter.writeAppend(spark, Seq((2L, 4L)).toDF("id", "twice"), gt)
     assert(DeltaTable.read(spark, gt).count() == 1)
+  }
+
+  test("delta: append to a column-mapped (name-mode) table") {
+    val t = tmp()
+    // a flat name-mode table: logical (id, lang, text) stored as
+    // (col-a, col-b, col-c), partitioned by lang
+    def f(n: String, ty: String, phys: String, id: Int) =
+      s"""{"name":"$n","type":"$ty","nullable":true,""" +
+        s""""metadata":{"delta.columnMapping.physicalName":"col-$phys",""" +
+        s""""delta.columnMapping.id":$id}}"""
+    val schemaStr = (s"""{"type":"struct","fields":[${f("id", "long", "a", 1)},""" +
+      s"""${f("lang", "string", "b", 2)},${f("text", "string", "c", 3)}]}""")
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    new java.io.File(s"$t/_delta_log").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/_delta_log/00000000000000000000.json"),
+      (s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        s""""readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}""" +
+        "\n" +
+        s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$schemaStr","partitionColumns":["lang"],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"},""" +
+        s""""createdTime":0}}""").getBytes("UTF-8"))
+    val v = DeltaWriter.writeAppend(spark,
+      Seq((1L, "en", "t1"), (2L, "de", "t2")).toDF("id", "lang", "text"), t)
+    assert(v == 1L)
+    val got = DeltaTable.read(spark, t).orderBy($"id")
+    assert(got.columns.toSeq == Seq("id", "lang", "text"))
+    assert(got.select($"id", $"lang", $"text")
+      .as[(Long, String, String)].collect().toSeq ==
+      Seq((1L, "en", "t1"), (2L, "de", "t2")))
+    // the new files store PHYSICAL names and dirs; partitionValues are
+    // keyed physical in the commit
+    val log1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$t/_delta_log/00000000000000000001.json")))
+    assert(log1.contains("col-b%3Den") || log1.contains("col-b=en"), log1)
+    assert(log1.contains(""""partitionValues":{"col-b":"""), log1)
+    assert(log1.contains("col-a"), "stats keyed by physical name")
+    // readWhere prunes through the physical-keyed stats AND the
+    // physical partition values, by LOGICAL column names
+    val pruned = DeltaTable.readWhere(spark, t,
+      Seq(org.apache.spark.sql.sources.EqualTo("lang", "en")))
+    assert(pruned.select($"id").as[Long].collect().toSeq == Seq(1L))
+    assert(pruned.inputFiles.length <
+      DeltaTable.read(spark, t).inputFiles.length)
+    val byId = DeltaTable.readWhere(spark, t,
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 2L)))
+    assert(byId.select($"text").as[String].collect().toSeq == Seq("t2"))
+    assert(byId.inputFiles.length == 1)
+    // schema evolution on a mapped table stays directed
+    val eEv = intercept[Exception] {
+      DeltaWriter.writeAppend(spark,
+        Seq((3L, "fr", "t3", 1.0)).toDF("id", "lang", "text", "x"), t,
+        mergeSchema = true)
+    }
+    assert(eEv.getMessage.contains("column-mapped"), eEv.getMessage)
   }
 
   test("time travel by timestamp, both formats") {
