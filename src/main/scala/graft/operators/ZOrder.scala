@@ -49,6 +49,8 @@ object ZOrder {
   def zColumn(df: DataFrame, cols: Seq[String]): Column = {
     require(cols.nonEmpty && cols.size <= 4,
       s"z-order takes 1..4 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size,
+      s"z-order columns must be distinct, got ${cols.mkString(", ")}")
     cols.foreach { c =>
       val f = df.schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(s"z-order column '$c' is not " +

@@ -66,8 +66,8 @@ object DeltaTable {
   /** `dataChange`: the add ACTION's flag from the commit json — false
     * marks a rearrangement (compaction) whose rows were already served;
     * checkpoint-sourced adds read as true (checkpoints stamp every row
-    * dataChange=false, which says nothing about the original commit). */
-  /** `stats`: the add action's per-file statistics JSON, carried
+    * dataChange=false, which says nothing about the original commit).
+    * `stats`: the add action's per-file statistics JSON, carried
     * VERBATIM (re-serialization could narrow a bound) — the scan
     * planner's file-pruning input and the checkpoint writer's
     * carry-through. */
@@ -458,7 +458,7 @@ object DeltaTable {
 
   // ------------------------------------------------- column mapping (name)
 
-  private def physFieldName(f: StructField): String =
+  private[sources] def physFieldName(f: StructField): String =
     if (f.metadata.contains("delta.columnMapping.physicalName"))
       f.metadata.getString("delta.columnMapping.physicalName")
     else f.name
@@ -1065,24 +1065,34 @@ object DeltaTable {
     val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) throw UnsupportedDelta(
       s"$table: no _delta_log — not a Delta table")
-    val versions = fs.listStatus(dir).toSeq.map(_.getPath)
-      .flatMap(p => versionOf(p.getName).map(v => (v, p))).sortBy(_._1)
+    val versions = fs.listStatus(dir).toSeq
+      .flatMap(st => versionOf(st.getPath.getName).map(v => (v, st)))
+      .sortBy(_._1)
     if (versions.isEmpty) throw UnsupportedDelta(
       s"$table: no commit json in _delta_log — timestamps unavailable")
     var running = 0L
-    val stamped = versions.map { case (v, p) =>
-      val ts = FsText.read(fs, p).split('\n').map(_.trim)
+    var best: Option[Long] = None
+    var earliest = -1L
+    val it = versions.iterator
+    var continue = true
+    while (continue && it.hasNext) {
+      val (v, st) = it.next()
+      // commitInfo timestamp when present; the commit FILE's mtime
+      // otherwise (commitInfo is optional per the protocol — stamping
+      // an absent one as 0 would time-travel PAST that commit)
+      val ts = FsText.read(fs, st.getPath).split('\n').map(_.trim)
         .filter(_.nonEmpty).map(JsonMethods.parse(_)).map(_ \ "commitInfo")
         .collectFirst { case o: JObject =>
-          (o \ "timestamp").extractOpt[Long].getOrElse(0L) }
-        .getOrElse(0L)
+          (o \ "timestamp").extractOpt[Long] }
+        .flatten.getOrElse(st.getModificationTime)
       running = math.max(running, ts)
-      (v, running)
+      if (earliest < 0) earliest = running
+      if (running <= timestampMs) best = Some(v)
+      else continue = false // monotonized: later versions only grow
     }
-    stamped.filter(_._2 <= timestampMs).map(_._1).maxOption.getOrElse(
-      throw UnsupportedDelta(
-        s"$table: timestamp $timestampMs predates the earliest retained " +
-          s"commit (${stamped.head._2}) — earlier versions may be vacuumed"))
+    best.getOrElse(throw UnsupportedDelta(
+      s"$table: timestamp $timestampMs predates the earliest retained " +
+        s"commit ($earliest) — earlier versions may be vacuumed"))
   }
 
   /** Time travel by TIMESTAMP: the snapshot as of epoch-ms `timestampMs`. */

@@ -290,13 +290,6 @@ object DeltaWriter {
   private implicit val formats: Formats = DefaultFormats
 
   /** partitionValues from the k=v dirs Spark built (its own escaping). */
-  /** A field's physical name under column mapping (its own name
-    * otherwise). */
-  private[sources] def physNameOf(f: StructField): String =
-    if (f.metadata.contains("delta.columnMapping.physicalName"))
-      f.metadata.getString("delta.columnMapping.physicalName")
-    else f.name
-
   /** Any STRUCT below the top level — the rename a flat physical
     * re-labeling cannot reach. */
   private[sources] def hasNestedNames(dt: DataType): Boolean = dt match {
@@ -367,16 +360,18 @@ object DeltaWriter {
         // WIDE: tightBounds defaults to TRUE per PROTOCOL.md, and tight
         // stats on a file whose DV hides rows would let a
         // stats-answering reader return wrong counts/extremes
-        def widen(s: String): String = {
-          val t = s.trim
-          if (t.contains("\"tightBounds\":true"))
-            t.replace("\"tightBounds\":true", "\"tightBounds\":false")
-          else if (t.contains("\"tightBounds\"")) t
-          else if (t == "{}") """{"tightBounds":false}"""
-          else if (t.startsWith("{"))
-            s"""{"tightBounds":false,${t.drop(1)}"""
-          else t
-        }
+        def widen(s: String): String = try {
+          // parsed, not string surgery: the key could appear inside a
+          // string BOUND value, and foreign spellings carry whitespace.
+          // useBigDecimalForDouble keeps numeric bounds exact through
+          // the re-serialization.
+          JsonMethods.parse(s, useBigDecimalForDouble = true) match {
+            case JObject(fields) => JsonMethods.compact(JsonMethods.render(
+              JObject(("tightBounds" -> JBool(false)) ::
+                fields.filterNot(_._1 == "tightBounds"))))
+            case _ => s
+          }
+        } catch { case _: Exception => s } // unparseable: carry verbatim
         val statsField = oldStats
           .map(s => s""","stats":"${jsonEscape(widen(s))}"""").getOrElse("")
         lines += s"""{"add":{"path":"$rawPath","partitionValues":{$pvs},""" +
@@ -438,12 +433,14 @@ object DeltaWriter {
     // generated columns: the provided value must EQUAL the generation
     // expression (null-safe — a writer supplying the column must supply
     // the generated value, the protocol's writer obligation)
-    val generated: Seq[(String, String)] = schema.fields.toSeq.flatMap { f =>
-      if (!f.metadata.contains("delta.generationExpression")) None
-      else Some(s"generated column ${f.name}" ->
-        f.metadata.getString("delta.generationExpression"))
-    }
-    if ((checks ++ invariants ++ generated).isEmpty) return
+    // (display name, source column, expression)
+    val generated: Seq[(String, String, String)] =
+      schema.fields.toSeq.flatMap { f =>
+        if (!f.metadata.contains("delta.generationExpression")) None
+        else Some((s"generated column ${f.name}", f.name,
+          f.metadata.getString("delta.generationExpression")))
+      }
+    if ((checks ++ invariants).isEmpty && generated.isEmpty) return
     // violation = the expression is FALSE (NULL passes, the SQL
     // standard); for a generated column, violation = the value differs
     // null-safely from its expression. expr() parses lazily, so syntax
@@ -459,8 +456,7 @@ object DeltaWriter {
     val conds =
       (checks ++ invariants).map { case (name, sql) =>
         (name, sql, coalesce(parsed(name, sql), lit(true)) === false)
-      } ++ generated.map { case (name, sql) =>
-        val colName = name.stripPrefix("generated column ")
+      } ++ generated.map { case (name, colName, sql) =>
         (name, sql,
           org.apache.spark.sql.functions.not(
             org.apache.spark.sql.functions.col(s"`$colName`") <=>
@@ -638,9 +634,9 @@ object DeltaWriter {
             else new org.apache.spark.sql.types.MetadataBuilder()
               .putLong("parquet.field.id",
                 f.metadata.getLong("delta.columnMapping.id")).build()
-          fcol(s"`${f.name}`").cast(f.dataType).as(physNameOf(f), md)
+          fcol(s"`${f.name}`").cast(f.dataType).as(DeltaTable.physFieldName(f), md)
         }: _*)
-        (renamed, partCols.map(c => physNameOf(schema(c))),
+        (renamed, partCols.map(c => DeltaTable.physFieldName(schema(c))),
           renamed.schema)
       }
     val files = writeData(outDf, base, outPartCols, "", conf)
@@ -768,6 +764,16 @@ object DeltaWriter {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val cdfEnabled = config.get("delta.enableChangeDataFeed")
       .exists(_.equalsIgnoreCase("true"))
+    // on a column-mapped table only the pure-DV shape writes NO data
+    // file; a rewrite (or cdc) written with logical column names would
+    // read back all-NULL through the physical read schema — silent
+    // corruption, so anything that writes rows is directed
+    if (config.get("delta.columnMapping.mode").exists(_ != "none") &&
+      (mode != "dv" || cdfEnabled))
+      throw UnsupportedWrite(
+        s"$table: DELETE on a column-mapped table is implemented for " +
+          "mode=\"dv\" without change data feed only (a rewrite/cdc " +
+          "file would need physical-name columns)")
     val keyed = DeltaTable.readWithRowKey(spark, table).filter(condition)
 
     def commit(lines: Seq[String], newFiles: Seq[String]): Long = {

@@ -1314,6 +1314,19 @@ class TableWritersSpec extends SparkSpec {
         mergeSchema = true)
     }
     assert(eEv.getMessage.contains("column-mapped"), eEv.getMessage)
+    // DELETE: only the pure-DV shape writes no data file — a rewrite
+    // would store LOGICAL names the physical read schema cannot see
+    val eDel = intercept[Exception] {
+      DeltaWriter.writeDelete(spark, t, $"id" === 1L, mode = "rewrite")
+    }
+    assert(eDel.getMessage.contains("column-mapped"), eDel.getMessage)
+    val eAuto = intercept[Exception] {
+      DeltaWriter.writeDelete(spark, t, $"id" === 1L, mode = "auto")
+    }
+    assert(eAuto.getMessage.contains("column-mapped"), eAuto.getMessage)
+    DeltaWriter.writeDelete(spark, t, $"id" === 1L, mode = "dv")
+    assert(DeltaTable.read(spark, t).select($"id").as[Long]
+      .collect().toSeq == Seq(2L), "DV delete works on mapped tables")
   }
 
   test("time travel by timestamp, both formats") {
