@@ -2291,6 +2291,38 @@ object QueriesML {
           .select($"id", $"text").orderBy($"id")
       }),
 
+    // -------------------------- Iceberg temporal partition transforms
+    // month(d) hidden partitioning: the partition value is whole months
+    // since the unix epoch — SQL-recomputable, so the oracle pins BOTH
+    // the transform arithmetic and the partition-scoped read (the
+    // earliest month's rows, and only them, come back).
+    Q("q209_iceberg_month", Some("""
+      WITH o AS (SELECT o_orderkey, o_orderdate,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120),
+           m AS (SELECT MIN((year(o_orderdate) - 1970) * 12 +
+                            month(o_orderdate) - 1) AS mm FROM o)
+      SELECT o_orderkey AS id, o_orderdate AS d
+      FROM o WHERE (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1
+        = (SELECT mm FROM m)
+      ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{IcebergTable, IcebergWriter}
+        val table = Fixtures.dir("q209", d) { dir =>
+          val base = Tables.orders(s, d).orderBy($"o_orderkey").limit(120)
+            .select($"o_orderkey".cast("long").as("id"),
+              $"o_orderdate".as("d"))
+          IcebergWriter.writeAppend(s, base, s"$dir/table",
+            partitionBy = Seq("month(d)"))
+        }
+        val target = IcebergTable.read(s, s"$table/table")
+          .select((((year($"d") - 1970) * 12) + month($"d") - 1).as("m"))
+          .agg(org.apache.spark.sql.functions.min($"m")).head().getInt(0)
+        IcebergTable.readPartitions(s, s"$table/table",
+          Map("d_month" -> target.toString))
+          .select($"id", $"d").orderBy($"id")
+      }),
+
     // ------------------------------------------------------- HF tokenizer.json encode
     // A hand-authored tokenizer.json (the huggingface/tokenizers file
     // format, byte-level BPE) over planted "ab"*k words: greedy merge

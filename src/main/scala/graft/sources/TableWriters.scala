@@ -1893,30 +1893,85 @@ object IcebergWriter {
       priorManifests)
   }
 
+  private val BucketT = """bucket\[(\d+)\]""".r
+  private val TruncT = """truncate\[(\d+)\]""".r
+
   /** One partition-spec field: `name` is the spec field (and dir)
     * name, `source` the schema column it derives from, `transform`
-    * the spec string (`identity` or `bucket[N]`). */
+    * the spec string (`identity`, `bucket[N]`, `truncate[W]`, or the
+    * temporal family `year`/`month`/`day`/`hour`). */
   private[sources] final case class PartField(name: String, source: String,
-      transform: String, bucketN: Option[Int]) {
-    def valueCol: org.apache.spark.sql.Column = bucketN match {
-      case Some(n) => graft.functions.IcebergBucketExpr(
-        org.apache.spark.sql.functions.col(s"`$source`"), n)
-      case None => org.apache.spark.sql.functions.col(s"`$source`")
+      transform: String) {
+    import org.apache.spark.sql.functions.{col => fc, floor => _, _}
+    private def src = fc(s"`$source`")
+    /** floorDiv in exact long arithmetic: (a - pmod(a, d)) / d. */
+    private def floorDiv(a: org.apache.spark.sql.Column, d: Long) =
+      ((a - pmod(a, lit(d))) / lit(d)).cast("int")
+    def valueCol(schema: StructType): org.apache.spark.sql.Column =
+      transform match {
+        case "identity" => src
+        case BucketT(n) => graft.functions.IcebergBucketExpr(src, n.toInt)
+        case TruncT(w) => schema(source).dataType match {
+          // spec rule: v - (v mod W) with a POSITIVE remainder, so
+          // -1 truncate 10 = -10
+          case IntegerType => (src - pmod(src, lit(w.toInt))).cast("int")
+          case LongType => src - pmod(src, lit(w.toLong))
+          case other => throw UnsupportedWrite(
+            s"truncate[$w] over ${other.simpleString} is not implemented " +
+              "(int/long sources only)")
+        }
+        // temporal family: whole units SINCE THE UNIX EPOCH (ints);
+        // timestamps are UTC micros and the session timezone is pinned
+        // UTC, so year()/month() read the spec's calendar
+        case "year" => (year(tsOrDate(schema)) - 1970).cast("int")
+        case "month" => ((year(tsOrDate(schema)) - 1970) * 12 +
+          month(tsOrDate(schema)) - 1).cast("int")
+        // unix_micros, NOT cast("long") (which yields SECONDS); an ntz
+        // source casts through timestamp first — the session timezone
+        // is pinned UTC, so the wall clock IS the spec's UTC micros
+        case "day" => schema(source).dataType match {
+          case DateType => src.cast("int")
+          case _ =>
+            floorDiv(unix_micros(src.cast("timestamp")), 86400000000L)
+        }
+        case "hour" => schema(source).dataType match {
+          case TimestampType | TimestampNTZType =>
+            floorDiv(unix_micros(src.cast("timestamp")), 3600000000L)
+          case other => throw UnsupportedWrite(
+            s"hour over ${other.simpleString} is not implemented " +
+              "(timestamp sources only)")
+        }
+        case other => throw UnsupportedWrite(
+          s"partition transform '$other' is not implemented")
+      }
+    private def tsOrDate(schema: StructType): org.apache.spark.sql.Column =
+      schema(source).dataType match {
+        case DateType | TimestampType | TimestampNTZType => src
+        case other => throw UnsupportedWrite(
+          s"$transform over ${other.simpleString} is not implemented " +
+            "(date/timestamp sources only)")
+      }
+    def valueType(schema: StructType): DataType = transform match {
+      case "identity" => schema(source).dataType
+      case TruncT(_) => schema(source).dataType
+      case _ => IntegerType // bucket + the temporal family
     }
-    def valueType(schema: StructType): DataType =
-      if (bucketN.isDefined) IntegerType else schema(source).dataType
   }
 
   private val BucketSpec = """bucket\((\d+)\s*,\s*([^)\s]+)\)""".r
+  private val TruncSpec = """truncate\((\d+)\s*,\s*([^)\s]+)\)""".r
+  private val TemporalSpec = """(year|month|day|hour)\(([^)\s]+)\)""".r
 
-  /** `partitionBy` entries: a plain column name (identity) or
-    * `bucket(N, col)` (the spec's bucket[N] transform, Appendix B
-    * murmur3 — field named `<col>_bucket`, Iceberg's convention). */
+  /** `partitionBy` entries: a plain column name (identity),
+    * `bucket(N, col)` (Appendix B murmur3), `truncate(W, col)`, or
+    * `year|month|day|hour(col)` — fields named `<col>_<transform>`,
+    * Iceberg's convention. */
   private[sources] def parsePartitionBy(entries: Seq[String]): Seq[PartField] =
     entries.map {
-      case BucketSpec(n, c) =>
-        PartField(s"${c}_bucket", c, s"bucket[$n]", Some(n.toInt))
-      case plain => PartField(plain, plain, "identity", None)
+      case BucketSpec(n, c) => PartField(s"${c}_bucket", c, s"bucket[$n]")
+      case TruncSpec(w, c) => PartField(s"${c}_trunc", c, s"truncate[$w]")
+      case TemporalSpec(t, c) => PartField(s"${c}_$t", c, t)
+      case plain => PartField(plain, plain, "identity")
     }
 
   /** ONE distributed write of `df` grouped by its partition TRANSFORM
@@ -1952,7 +2007,7 @@ object IcebergWriter {
         writeData(df, base, Nil, "data", conf).map(f => (f, Nil))
       else {
         val df2 = parts.foldLeft(df)((d, pf) =>
-          d.withColumn(helperOf(pf.name), pf.valueCol))
+          d.withColumn(helperOf(pf.name), pf.valueCol(df.schema)))
         writeData(df2, base, parts.map(pf => helperOf(pf.name)), "data",
           conf).map { f =>
           val dirs = f._1.split('/').dropRight(1)
@@ -1970,7 +2025,8 @@ object IcebergWriter {
       }
     locally {
       val strIdx = parts.zipWithIndex.filter { case (pf, _) =>
-        pf.bucketN.isEmpty && df.schema(pf.source).dataType == StringType }
+        pf.transform == "identity" &&
+          df.schema(pf.source).dataType == StringType }
       val suspicious = filesWithTuple.filter { case (_, t) =>
         strIdx.exists { case (_, i) => t(i) == null } }
       if (suspicious.nonEmpty) {
@@ -2076,20 +2132,29 @@ object IcebergWriter {
             for (id <- (f \ "id").extractOpt[Int];
               n <- (f \ "name").extractOpt[String]) yield id -> n
           }.toMap
-      val BucketT = """bucket\[(\d+)\]""".r
       inheritedParts = Some(specFields.map { f =>
         val transform = (f \ "transform").extractOpt[String].getOrElse("")
         val name = (f \ "name").extractOpt[String].getOrElse(
           throw UnsupportedWrite(s"$table: a spec field has no name"))
         val source = (f \ "source-id").extractOpt[Int]
           .flatMap(idToName.get).getOrElse(name)
-        transform match {
-          case "identity" => PartField(name, source, "identity", None)
-          case BucketT(n) =>
-            PartField(name, source, transform, Some(n.toInt))
+        // accept both spec spellings (year) and the plural legacy form
+        // (years) some writers emit
+        val canon = transform match {
+          case "years" => "year"
+          case "months" => "month"
+          case "days" => "day"
+          case "hours" => "hour"
+          case other => other
+        }
+        canon match {
+          case "identity" | BucketT(_) | TruncT(_) |
+            "year" | "month" | "day" | "hour" =>
+            PartField(name, source, canon)
           case other => throw UnsupportedWrite(
             s"$table: appending through a '$other' partition transform " +
-              "is not implemented (identity and bucket[N] only)")
+              "is not implemented (identity, bucket[N], truncate[W], " +
+              "year/month/day/hour)")
         }
       })
       inheritedSpecJson = spec.map(sp =>
@@ -2909,7 +2974,7 @@ object IcebergWriter {
       else if (partCols.isEmpty) rows.coalesce(nOut)
       else rows.repartition(nOut, partCols.map(fcol): _*)
     val filesWithTuple = writeIdentityPartitioned(spark, packed, base,
-      partCols.map(c => PartField(c, c, "identity", None)), table, fs, conf)
+      partCols.map(c => PartField(c, c, "identity")), table, fs, conf)
     val rwIdFields = idFieldsOf(
       JsonMethods.compact(JsonMethods.render(schemaNode)))
     val fileSC = filesWithTuple.map(f =>

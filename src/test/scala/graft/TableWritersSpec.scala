@@ -480,7 +480,7 @@ class TableWritersSpec extends SparkSpec {
     assert(IcebergTable.readPartitions(spark, table, Map("lang" -> "fr"))
       .select($"id").as[Long].collect().toSeq == Seq(4L))
     assert(IcebergTable.currentSnapshotId(spark, table).contains(s2))
-    // an unsupported transform stays directed (bucket now writes)
+    // an unsupported transform stays directed (bucket/truncate write)
     val t2 = tmp()
     new java.io.File(s"$t2/metadata").mkdirs()
     java.nio.file.Files.write(
@@ -491,7 +491,7 @@ class TableWritersSpec extends SparkSpec {
              {"id": 2, "name": "text", "required": false, "type": "string"}]}],
            "current-schema-id": 0,
            "partition-specs": [{"spec-id": 0, "fields": [
-             {"name": "id_trunc", "transform": "truncate[4]",
+             {"name": "id_void", "transform": "void",
               "source-id": 1, "field-id": 1000}]}],
            "default-spec-id": 0, "snapshots": []}""".getBytes("UTF-8"))
     java.nio.file.Files.write(
@@ -501,7 +501,64 @@ class TableWritersSpec extends SparkSpec {
       IcebergWriter.writeAppend(spark,
         Seq((1L, "a")).toDF("id", "text"), t2)
     }
-    assert(e.getMessage.contains("truncate[4]"), e.getMessage)
+    assert(e.getMessage.contains("void"), e.getMessage)
+  }
+
+  test("iceberg truncate + temporal transforms: write, inherit, prune") {
+    // truncate(10, id): spec rule v - (v mod W) with POSITIVE remainder
+    val table = tmp()
+    val rows = Seq(-11L, -1L, 0L, 7L, 19L, 25L).zipWithIndex
+      .map { case (v, i) => (v, s"t$i") }.toDF("id", "text")
+    IcebergWriter.writeAppend(spark, rows, table,
+      partitionBy = Seq("truncate(10, id)"))
+    // -11 -> -20, -1 -> -10, 0/7 -> 0, 19 -> 10, 25 -> 20
+    val full = IcebergTable.read(spark, table)
+    assert(full.count() == 6)
+    val p0 = IcebergTable.readPartitions(spark, table,
+      Map("id_trunc" -> "0"))
+    assert(p0.select($"id").as[Long].collect().sorted.toSeq == Seq(0L, 7L))
+    val pNeg = IcebergTable.readPartitions(spark, table,
+      Map("id_trunc" -> "-10"))
+    assert(pNeg.select($"id").as[Long].collect().toSeq == Seq(-1L),
+      "negative values truncate DOWN (positive remainder)")
+    assert(p0.inputFiles.length < full.inputFiles.length)
+    // a second append INHERITS truncate
+    IcebergWriter.writeAppend(spark, Seq((8L, "t8")).toDF("id", "text"),
+      table)
+    assert(IcebergTable.readPartitions(spark, table, Map("id_trunc" -> "0"))
+      .count() == 3)
+
+    // temporal family: month(date) = whole months since the epoch
+    val tt = tmp()
+    val dates = Seq("1970-01-15", "1970-02-01", "2024-03-05").zipWithIndex
+      .map { case (d, i) => (java.sql.Date.valueOf(d), i.toLong) }
+      .toDF("d", "id")
+    IcebergWriter.writeAppend(spark, dates, tt,
+      partitionBy = Seq("month(d)"))
+    // months since epoch: 0, 1, (2024-1970)*12 + 2 = 650
+    val m0 = IcebergTable.readPartitions(spark, tt, Map("d_month" -> "0"))
+    assert(m0.select($"id").as[Long].collect().toSeq == Seq(0L))
+    assert(IcebergTable.readPartitions(spark, tt, Map("d_month" -> "650"))
+      .select($"id").as[Long].collect().toSeq == Seq(2L))
+
+    // day(timestamp) floor-divides micros (negative pre-epoch too)
+    val ht = tmp()
+    val tss = Seq("1969-12-31 23:00:00", "1970-01-01 01:00:00",
+      "1970-01-02 03:00:00").zipWithIndex
+      .map { case (t, i) => (java.sql.Timestamp.valueOf(t), i.toLong) }
+      .toDF("ts", "id")
+    IcebergWriter.writeAppend(spark, tss, ht, partitionBy = Seq("day(ts)"))
+    assert(IcebergTable.readPartitions(spark, ht, Map("ts_day" -> "-1"))
+      .select($"id").as[Long].collect().toSeq == Seq(0L),
+      "pre-epoch timestamps floor to day -1")
+    assert(IcebergTable.readPartitions(spark, ht, Map("ts_day" -> "0"))
+      .select($"id").as[Long].collect().toSeq == Seq(1L))
+    // truncate over a string source is directed
+    val eS = intercept[Exception] {
+      IcebergWriter.writeAppend(spark, rows, tmp(),
+        partitionBy = Seq("truncate(4, text)"))
+    }
+    assert(eS.getMessage.contains("int/long"), eS.getMessage)
   }
 
   test("iceberg bucket[N] partitioning: spec vectors, write, prune, " +
