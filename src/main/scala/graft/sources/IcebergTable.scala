@@ -205,9 +205,56 @@ object IcebergTable {
     val residual = filters.map(ColumnStats.filterColumn).reduce(_ && _)
     val types = ColumnStats.statColumns(a.schema)
       .map(f => f.name -> f.dataType).toMap
-    val kept = a.data.filter { case (path, _, _) =>
+    // transform-aware pruning: an EqualTo/In on a bucket SOURCE column
+    // admits only the literal's bucket(s) — the axis min/max bounds
+    // cannot serve on hash-scattered files. Conservative: any unknown
+    // (no scope, foreign spec, unsupported literal) keeps the file.
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    def literalBucket(src: String, n: Int, v: Any): Option[Int] = {
+      if (v == null) return None
+      val dt = types.getOrElse(src, return None)
+      dt match {
+        case org.apache.spark.sql.types.StringType => v match {
+          case str: String => Some(graft.functions.IcebergBucketExpr
+            .ofBytes(str.getBytes(java.nio.charset.StandardCharsets.UTF_8), n))
+          case _ => None
+        }
+        case _ => ColumnStats.norm(v, dt) match {
+          case Some(l: java.lang.Long) =>
+            Some(graft.functions.IcebergBucketExpr.ofLong(l, n))
+          case _ => None
+        }
+      }
+    }
+    def allowed(src: String, n: Int): Option[Set[Int]] = {
+      val sets = filters.flatMap {
+        case EqualTo(a2, v) if a2 == src =>
+          literalBucket(src, n, v).map(Set(_))
+        case In(a2, vs) if a2 == src && vs != null =>
+          val bs = vs.filter(_ != null).map(literalBucket(src, n, _))
+          if (bs.exists(_.isEmpty)) None else Some(bs.flatten.toSet)
+        case _ => None
+      }
+      if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+    }
+    def bucketOk(scope: String): Boolean = {
+      if (scope == null || scope.isEmpty || a.bucketBySpec.isEmpty)
+        return true
+      val sid = scope.takeWhile(_ != ':').toIntOption.getOrElse(return true)
+      val fields = a.bucketBySpec.getOrElse(sid, return true)
+      val jm = try JsonMethods.parse(scope.drop(scope.indexOf(':') + 1))
+        catch { case _: Exception => return true }
+      fields.forall { case (fname, src, n) =>
+        allowed(src, n) match {
+          case Some(set) =>
+            (jm \ fname).extractOpt[Int].forall(set.contains)
+          case None => true
+        }
+      }
+    }
+    val kept = a.data.filter { case (path, _, scope) =>
       val st = a.dataStats.getOrElse(path, ColumnStats.NoStats)
-      filters.forall(ColumnStats.mayMatch(_, st, types))
+      bucketOk(scope) && filters.forall(ColumnStats.mayMatch(_, st, types))
     }
     assemble(spark, a.copy(data = kept)).filter(residual)
   }
@@ -241,7 +288,11 @@ object IcebergTable {
       // per-DATA-file column stats decoded from the manifest's
       // record_count/null_value_counts/lower_bounds/upper_bounds — the
       // scan planner's pruning input; keyed by resolved path
-      dataStats: Map[String, ColumnStats.FileStats] = Map.empty)
+      dataStats: Map[String, ColumnStats.FileStats] = Map.empty,
+      // per-spec bucket transform fields (field name, source column,
+      // N) — the pruning axis min/max stats cannot serve (the hash
+      // scatters values across the whole domain per file)
+      bucketBySpec: Map[Int, Seq[(String, String, Int)]] = Map.empty)
 
   /** Merge-on-read assembly: positional deletes anti-join on
     * (file, `_metadata.row_index`); equality deletes anti-join on the
@@ -365,9 +416,29 @@ object IcebergTable {
             n <- (f \ "name").extractOpt[String]) yield id -> n
         }.toMap
 
+    // bucket[N] fields per partition spec — the transform-aware pruning
+    // input readWhere matches point predicates against
+    val BucketT = """bucket\[(\d+)\]""".r
+    val bucketBySpec: Map[Int, Seq[(String, String, Int)]] =
+      (meta \ "partition-specs").extractOpt[Seq[JValue]].getOrElse(Nil)
+        .flatMap { sp =>
+          (sp \ "spec-id").extractOpt[Int].map { sid =>
+            sid -> (sp \ "fields").extractOpt[Seq[JValue]].getOrElse(Nil)
+              .flatMap { f =>
+                for {
+                  name <- (f \ "name").extractOpt[String]
+                  BucketT(n) <- (f \ "transform").extractOpt[String]
+                  src <- (f \ "source-id").extractOpt[Int]
+                    .flatMap(fieldNames.get).orElse(Some(name))
+                } yield (name, src, n.toInt)
+              }
+          }
+        }.toMap.filter(_._2.nonEmpty)
+
     val snaps = (meta \ "snapshots").extractOpt[Seq[JValue]].getOrElse(Nil)
     if (snaps.isEmpty) // a created-but-never-written table: empty, typed
-      return ActiveSet(sparkSchema, fieldNames, Nil, Nil, Nil)
+      return ActiveSet(sparkSchema, fieldNames, Nil, Nil, Nil,
+        bucketBySpec = bucketBySpec)
     val targetId = snapshotId.getOrElse {
       (meta \ "current-snapshot-id").extractOpt[Long].getOrElse(
         throw UnsupportedIceberg(s"$table: no current-snapshot-id"))
@@ -591,7 +662,8 @@ object IcebergTable {
           resolvePath(table, location, f.refFile.get),
           f.contentOffset.get, f.contentSize.get)),
       active.filter(e => e.content == 0 && !e.stats.isEmptyStats)
-        .map(f => resolvePath(table, location, f.path) -> f.stats).toMap)
+        .map(f => resolvePath(table, location, f.path) -> f.stats).toMap,
+      bucketBySpec)
   }
 
   /** Incremental consumption: rows of the data files ACTIVE in

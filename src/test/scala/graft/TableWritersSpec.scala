@@ -604,6 +604,24 @@ class TableWritersSpec extends SparkSpec {
     assert(pruned.select($"id").as[Long].collect().contains(7L))
     // data files RETAIN the source column (hidden partitioning)
     assert(full.columns.toSeq == Seq("id", "text"))
+    // readWhere point lookups prune by the TRANSFORM (min/max bounds
+    // cannot — the hash scatters ids across every file's range)
+    val point = IcebergTable.readWhere(spark, table,
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 7L)))
+    assert(point.select($"text").as[String].collect().toSeq == Seq("t7"))
+    assert(point.inputFiles.length < full.inputFiles.length,
+      s"${point.inputFiles.length} of ${full.inputFiles.length}")
+    assert(point.inputFiles.forall(
+      _.contains(s"id_bucket=$targetBucket")), point.inputFiles.toSeq)
+    val inSet = IcebergTable.readWhere(spark, table,
+      Seq(org.apache.spark.sql.sources.In("id", Array[Any](7L, 8L))))
+    assert(inSet.select($"id").as[Long].collect().sorted.toSeq ==
+      Seq(7L, 8L))
+    assert(inSet.inputFiles.length < full.inputFiles.length)
+    // a filter on a NON-bucket column keeps every file (conservative)
+    assert(IcebergTable.readWhere(spark, table,
+      Seq(org.apache.spark.sql.sources.EqualTo("text", "t7")))
+      .select($"id").as[Long].collect().toSeq == Seq(7L))
   }
 
   test("iceberg writeDelete: positional deletes, no rewrites, distributed") {
