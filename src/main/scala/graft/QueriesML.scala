@@ -2297,8 +2297,7 @@ object QueriesML {
     // the transform arithmetic and the partition-scoped read (the
     // earliest month's rows, and only them, come back).
     Q("q209_iceberg_month", Some("""
-      WITH o AS (SELECT o_orderkey, o_orderdate,
-                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+      WITH o AS (SELECT o_orderkey, o_orderdate
                  FROM orders ORDER BY o_orderkey LIMIT 120),
            m AS (SELECT MIN((year(o_orderdate) - 1970) * 12 +
                             month(o_orderdate) - 1) AS mm FROM o)

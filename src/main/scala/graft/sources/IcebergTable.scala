@@ -237,19 +237,24 @@ object IcebergTable {
       }
       if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
     }
+    // ONE allowed-set computation per (spec, field) — not per file; a
+    // query whose filters touch no bucket source skips scope parsing
+    // entirely
+    val allowedBySpec: Map[Int, Seq[(String, Set[Int])]] =
+      a.bucketBySpec.map { case (sid, fields) =>
+        sid -> fields.flatMap { case (fname, src, n) =>
+          allowed(src, n).map(fname -> _)
+        }
+      }.filter(_._2.nonEmpty)
     def bucketOk(scope: String): Boolean = {
-      if (scope == null || scope.isEmpty || a.bucketBySpec.isEmpty)
+      if (scope == null || scope.isEmpty || allowedBySpec.isEmpty)
         return true
       val sid = scope.takeWhile(_ != ':').toIntOption.getOrElse(return true)
-      val fields = a.bucketBySpec.getOrElse(sid, return true)
+      val fields = allowedBySpec.getOrElse(sid, return true)
       val jm = try JsonMethods.parse(scope.drop(scope.indexOf(':') + 1))
         catch { case _: Exception => return true }
-      fields.forall { case (fname, src, n) =>
-        allowed(src, n) match {
-          case Some(set) =>
-            (jm \ fname).extractOpt[Int].forall(set.contains)
-          case None => true
-        }
+      fields.forall { case (fname, set) =>
+        (jm \ fname).extractOpt[Int].forall(set.contains)
       }
     }
     val kept = a.data.filter { case (path, _, scope) =>
@@ -425,11 +430,14 @@ object IcebergTable {
           (sp \ "spec-id").extractOpt[Int].map { sid =>
             sid -> (sp \ "fields").extractOpt[Seq[JValue]].getOrElse(Nil)
               .flatMap { f =>
+                // an unresolvable source-id DROPS the entry (keep-all):
+                // guessing the source by the FIELD name could bind the
+                // prune to an unrelated column and drop matching files
                 for {
                   name <- (f \ "name").extractOpt[String]
                   BucketT(n) <- (f \ "transform").extractOpt[String]
                   src <- (f \ "source-id").extractOpt[Int]
-                    .flatMap(fieldNames.get).orElse(Some(name))
+                    .flatMap(fieldNames.get)
                 } yield (name, src, n.toInt)
               }
           }

@@ -24,29 +24,42 @@ import org.json4s.jackson.JsonMethods
   *
   *  - [[DeltaWriter]]: `writeAppend` (distributed parquet write,
   *    partitionBy-aware, data files exclude partition columns per
-  *    PROTOCOL.md; ONE `_delta_log/N.json` commit), `writeDelete`
-  *    (row-level deletes as DELETION VECTORS — no data file rewritten),
-  *    and `writeCheckpoint` (classic checkpoint + `_last_checkpoint`,
-  *    the log compaction a long-followed table needs). Commits are
-  *    placed with an EXCLUSIVE create (hard-link on local FS,
-  *    fail-on-existing rename on HDFS-class stores), so a concurrent
-  *    commit of the same version is a directed
+  *    PROTOCOL.md, per-file stats JSON from footers; column-mapped
+  *    name/id-mode targets write physical names + parquet field ids;
+  *    ONE `_delta_log/N.json` commit), `writeDelete` (DELETION VECTORS,
+  *    copy-on-write rewrite above the cap, or auto), `writeUpdate` /
+  *    `writeMerge` (one-commit upsert lifecycle with CDF pre/post
+  *    images), `compact` (OPTIMIZE bin-packing, optionally ZORDER
+  *    clustering so stats prune on every named column), `vacuum`, and
+  *    `writeCheckpoint` (classic checkpoint + `_last_checkpoint`,
+  *    stats carried verbatim). CHECK constraints, column invariants,
+  *    and generated columns are EVALUATED against every image-writing
+  *    batch. Commits are placed with an EXCLUSIVE create (hard-link on
+  *    local FS, fail-on-existing rename on HDFS-class stores), so a
+  *    concurrent commit of the same version is a directed
   *    [[TableCommit.CommitConflict]], never a silent overwrite.
-  *  - [[IcebergWriter]]: `writeAppend` (identity-partitioned or flat;
-  *    data files under `data/`, a uuid'd Avro manifest with explicit
-  *    data sequence numbers, a manifest list carrying the previous
-  *    snapshot's manifests, `v(N+1).metadata.json` committed exclusively
-  *    before the `version-hint.text` swap — the HadoopTableOperations
-  *    protocol) and `writeDelete` (row-level deletes as DISTRIBUTED
-  *    positional-delete files, the v2 merge-on-read shape).
+  *  - [[IcebergWriter]]: `writeAppend` (flat, identity-, bucket[N]-,
+  *    truncate[W]-, or year/month/day/hour-partitioned — hidden
+  *    partitioning with Appendix B transforms; manifest entries carry
+  *    Appendix D lower/upper bounds + null counts; data files under
+  *    `data/`, a uuid'd Avro manifest with explicit data sequence
+  *    numbers, a manifest list carrying the previous snapshot's
+  *    manifests, `v(N+1).metadata.json` committed exclusively before
+  *    the `version-hint.text` swap — the HadoopTableOperations
+  *    protocol), `writeDelete` (DISTRIBUTED positional-delete files,
+  *    or Puffin deletion vectors on v3 targets), `writeUpdate` /
+  *    `writeMerge` (one `overwrite` snapshot), `rewriteDataFiles`
+  *    (optionally ZORDER), and `expireSnapshots`.
   *
   * Scale model: the DATA writes are Spark's native distributed parquet
-  * sink; driver work is O(files) metadata (moves, footer row counts, log
-  * lines) — the same bookkeeping every Delta/Iceberg writer performs.
-  * Deliberately out of scope (directed errors, never silent):
-  * non-additive schema evolution (renames/type changes/drops — additive
-  * nullable trailing columns DO evolve via mergeSchema), column-mapped
-  * Delta write targets, non-identity Iceberg partition transforms,
+  * sink; driver work is O(files) metadata (moves, one footer read per
+  * file for row counts + column stats, log lines) — the same
+  * bookkeeping every Delta/Iceberg writer performs. Deliberately out
+  * of scope (directed errors, never silent): non-additive schema
+  * evolution (renames/type changes/drops — additive nullable trailing
+  * columns DO evolve via mergeSchema; never under column mapping),
+  * rewriting/cdc writes on column-mapped targets (physical-name rows),
+  * unsupported Iceberg transforms (`void`, truncate-over-string),
   * nested types in new Iceberg schemas, txn/rowTracking state a
   * checkpoint or delete cannot carry. */
 object TableCommit {
@@ -1911,6 +1924,8 @@ object IcebergWriter {
       transform match {
         case "identity" => src
         case BucketT(n) => graft.functions.IcebergBucketExpr(src, n.toInt)
+        case TruncT(w) if w.toLong <= 0 => throw UnsupportedWrite(
+          s"truncate[$w]: the width must be positive (spec rule)")
         case TruncT(w) => schema(source).dataType match {
           // spec rule: v - (v mod W) with a POSITIVE remainder, so
           // -1 truncate 10 = -10
@@ -1928,11 +1943,17 @@ object IcebergWriter {
           month(tsOrDate(schema)) - 1).cast("int")
         // unix_micros, NOT cast("long") (which yields SECONDS); an ntz
         // source casts through timestamp first — the session timezone
-        // is pinned UTC, so the wall clock IS the spec's UTC micros
+        // is pinned UTC, so the wall clock IS the spec's UTC micros.
+        // Dates go through unix_date (cast date->int is an ANSI error);
+        // anything else is DIRECTED — cast(long as timestamp) would
+        // silently read the value as epoch seconds
         case "day" => schema(source).dataType match {
-          case DateType => src.cast("int")
-          case _ =>
+          case DateType => unix_date(src)
+          case TimestampType | TimestampNTZType =>
             floorDiv(unix_micros(src.cast("timestamp")), 86400000000L)
+          case other => throw UnsupportedWrite(
+            s"day over ${other.simpleString} is not implemented " +
+              "(date/timestamp sources only)")
         }
         case "hour" => schema(source).dataType match {
           case TimestampType | TimestampNTZType =>

@@ -541,6 +541,26 @@ class TableWritersSpec extends SparkSpec {
     assert(IcebergTable.readPartitions(spark, tt, Map("d_month" -> "650"))
       .select($"id").as[Long].collect().toSeq == Seq(2L))
 
+    // day(date) = days since epoch via unix_date (a date->int cast is
+    // an ANSI error), and day over a non-temporal source is directed
+    val ddt = tmp()
+    IcebergWriter.writeAppend(spark,
+      Seq(("1970-01-03", 0L), ("2024-03-05", 1L))
+        .map { case (d, i) => (java.sql.Date.valueOf(d), i) }
+        .toDF("d", "id"), ddt, partitionBy = Seq("day(d)"))
+    assert(IcebergTable.readPartitions(spark, ddt, Map("d_day" -> "2"))
+      .select($"id").as[Long].collect().toSeq == Seq(0L))
+    val eDay = intercept[Exception] {
+      IcebergWriter.writeAppend(spark, Seq((1L, 2L)).toDF("n", "id"),
+        tmp(), partitionBy = Seq("day(n)"))
+    }
+    assert(eDay.getMessage.contains("date/timestamp"), eDay.getMessage)
+    val eTr0 = intercept[Exception] {
+      IcebergWriter.writeAppend(spark, Seq((1L, 2L)).toDF("n", "id"),
+        tmp(), partitionBy = Seq("truncate(0, n)"))
+    }
+    assert(eTr0.getMessage.contains("positive"), eTr0.getMessage)
+
     // day(timestamp) floor-divides micros (negative pre-epoch too)
     val ht = tmp()
     val tss = Seq("1969-12-31 23:00:00", "1970-01-01 01:00:00",
