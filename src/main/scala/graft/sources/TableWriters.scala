@@ -3120,4 +3120,64 @@ object IcebergWriter {
     }
     deleted
   }
+
+  /** Remove ORPHAN files: anything under the table that NO snapshot in
+    * the current metadata references — the leftovers of crashed writers
+    * and lost commit races that [[expireSnapshots]] (which only follows
+    * snapshot references) can never reach. The referenced set is every
+    * snapshot's manifest list + manifests + named data/delete files,
+    * O(snapshots × manifests) metadata; candidates are the table's
+    * files EXCLUDING the metadata JSONs + the version hint (the
+    * table's own log). `olderThanMs` is the safety fence every orphan
+    * scan needs: an in-flight commit's files are not yet referenced,
+    * so only files whose mtime predates the cutoff (default: 3 days
+    * ago) are touched. Returns the number deleted. */
+  def removeOrphanFiles(spark: SparkSession, table: String,
+      olderThanMs: Long = -1L): Int = {
+    val base = table.stripSuffix("/")
+    val cutoff = if (olderThanMs >= 0) olderThanMs
+      else System.currentTimeMillis() - 3L * 24 * 3600 * 1000
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(base).getFileSystem(conf)
+    val metaPath = IcebergTable.latestMetadata(fs, base)
+    val meta = JsonMethods.parse(FsText.read(fs, metaPath))
+    val location = (meta \ "location").extractOpt[String].getOrElse(base)
+    def resolveRef(pth: String): String =
+      if (pth.contains("://") || pth.startsWith("/")) pth
+      else s"${location.stripSuffix("/")}/$pth"
+    val snaps = (meta \ "snapshots").extractOpt[Seq[JValue]].getOrElse(Nil)
+    val referenced: Set[String] = snaps.flatMap { sn =>
+      (sn \ "manifest-list").extractOpt[String].toSeq.flatMap { ml0 =>
+        val ml = resolveRef(ml0)
+        val manifests = AvroOcf.read(spark, ml)
+          .select(col("manifest_path")).collect()
+          .map(r => resolveRef(r.getString(0))).toSeq
+        val dataFiles =
+          if (manifests.isEmpty) Nil
+          else AvroOcf.readFiles(spark, manifests)
+            .select(col("data_file.file_path")).collect()
+            .map(r => resolveRef(r.getString(0))).toSeq
+        Seq(ml) ++ manifests ++ dataFiles
+      }
+    }.map(PathUris.canon).toSet
+    // DV sidecars referenced through content_offset entries share the
+    // puffin FILE path in data_file.file_path — already covered above
+    val it = fs.listFiles(new Path(base), true)
+    var deleted = 0
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      val name = p.getName
+      val inMetadataDir = p.getParent.getName == "metadata"
+      val isTableLog = inMetadataDir &&
+        (name.endsWith(".metadata.json") || name == "version-hint.text")
+      val isHidden = name.startsWith(".") || name.startsWith("_")
+      if (!isTableLog && !isHidden &&
+        st.getModificationTime < cutoff &&
+        !referenced.contains(PathUris.canon(p.toString))) {
+        if (fs.delete(p, false)) deleted += 1
+      }
+    }
+    deleted
+  }
 }

@@ -1424,6 +1424,42 @@ class TableWritersSpec extends SparkSpec {
       .collect().toSeq == Seq(2L), "DV delete works on mapped tables")
   }
 
+  test("iceberg removeOrphanFiles: unreferenced only, grace-fenced") {
+    val table = tmp()
+    IcebergWriter.writeAppend(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "text"), table)
+    IcebergWriter.writeDelete(spark, table, $"id" === 2L)
+    // plant two orphans (a crashed writer's leftovers): one OLD, one
+    // fresh within the grace period
+    val oldOrphan = new java.io.File(s"$table/data/orphan-old.parquet")
+    val newOrphan = new java.io.File(s"$table/data/orphan-new.parquet")
+    Seq((9L, "x")).toDF("id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$table/_tmp_orphan")
+    val src = new java.io.File(s"$table/_tmp_orphan").listFiles()
+      .find(_.getName.endsWith(".parquet")).get.toPath
+    java.nio.file.Files.copy(src, oldOrphan.toPath)
+    java.nio.file.Files.copy(src, newOrphan.toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$table/_tmp_orphan"))
+    assert(oldOrphan.setLastModified(
+      System.currentTimeMillis() - 10L * 24 * 3600 * 1000))
+    val before = IcebergTable.read(spark, table)
+      .select($"id").as[Long].collect().sorted.toSeq
+    val n = IcebergWriter.removeOrphanFiles(spark, table,
+      olderThanMs = System.currentTimeMillis() - 24 * 3600 * 1000)
+    assert(n == 1, s"exactly the old orphan: $n")
+    assert(!oldOrphan.exists() && newOrphan.exists(),
+      "grace period protects the fresh file")
+    // every referenced artifact intact: the table reads unchanged,
+    // including the positional-delete application
+    assert(IcebergTable.read(spark, table)
+      .select($"id").as[Long].collect().sorted.toSeq == before)
+    assert(before == Seq(1L))
+    // idempotent second pass finds nothing
+    assert(IcebergWriter.removeOrphanFiles(spark, table,
+      olderThanMs = System.currentTimeMillis() - 24 * 3600 * 1000) == 0)
+  }
+
   test("time travel by timestamp, both formats") {
     import graft.sources.{TableCommit => _}
     val dt = tmp()
