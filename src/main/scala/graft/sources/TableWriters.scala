@@ -3063,23 +3063,17 @@ object IcebergWriter {
     // snapshots may spell one file differently) while deletion uses a
     // raw spelling.
     val location = (meta \ "location").extractOpt[String].getOrElse(base)
-    def resolveRef(pth: String): String =
-      if (pth.contains("://") || pth.startsWith("/")) pth
-      else s"${location.stripSuffix("/")}/$pth"
-    def reachable(sn: JValue): Map[String, String] =
-      (sn \ "manifest-list").extractOpt[String].map { ml0 =>
-        val ml = resolveRef(ml0)
-        val manifests = AvroOcf.read(spark, ml)
-          .select(col("manifest_path")).collect()
+    val resolveRef = refResolver(location)
+    def reachable(sn: JValue): Map[String, String] = {
+      val (listFiles, manifests) = snapshotManifests(spark, sn, resolveRef)
+      val dataFiles =
+        if (manifests.isEmpty) Nil
+        else AvroOcf.readFiles(spark, manifests)
+          .select(col("data_file.file_path")).collect()
           .map(r => resolveRef(r.getString(0))).toSeq
-        val dataFiles =
-          if (manifests.isEmpty) Nil
-          else AvroOcf.readFiles(spark, manifests)
-            .select(col("data_file.file_path")).collect()
-            .map(r => resolveRef(r.getString(0))).toSeq
-        (Seq(ml) ++ manifests ++ dataFiles)
-          .map(p => PathUris.canon(p) -> p).toMap
-      }.getOrElse(Map.empty)
+      (listFiles ++ manifests ++ dataFiles)
+        .map(p => PathUris.canon(p) -> p).toMap
+    }
     val keptRefs = kept.map(reachable).foldLeft(Set.empty[String])(_ ++ _.keySet)
     val expiredRefs =
       expired.map(reachable).foldLeft(Map.empty[String, String])(_ ++ _)
@@ -3121,47 +3115,84 @@ object IcebergWriter {
     deleted
   }
 
+  /** A table-location-relative path resolver: absolute paths and
+    * SCHEME URIs pass through (including the single-slash `file:/x`
+    * spelling Hadoop's Path.toString and java Iceberg writers emit —
+    * misreading one as relative would corrupt a reachability set),
+    * everything else joins the table location. */
+  private def refResolver(location: String): String => String = { pth =>
+    val hasScheme = pth.takeWhile(c => c != '/' && c != '\\')
+      .contains(':')
+    if (hasScheme || pth.startsWith("/")) pth
+    else s"${location.stripSuffix("/")}/$pth"
+  }
+
+  /** One snapshot's manifest paths: the v2 `manifest-list` Avro (whose
+    * own path rides along as reachable) or a v1 inline `manifests`
+    * array — the SAME two shapes the reader accepts; ignoring the v1
+    * form here would classify a readable table's files as garbage. */
+  private def snapshotManifests(spark: SparkSession, sn: JValue,
+      resolveRef: String => String): (Seq[String], Seq[String]) =
+    (sn \ "manifest-list") match {
+      case JString(ml0) =>
+        val ml = resolveRef(ml0)
+        (Seq(ml), AvroOcf.read(spark, ml)
+          .select(col("manifest_path")).collect()
+          .map(r => resolveRef(r.getString(0))).toSeq)
+      case _ =>
+        (Nil, (sn \ "manifests").extractOpt[Seq[String]].getOrElse(Nil)
+          .map(resolveRef))
+    }
+
   /** Remove ORPHAN files: anything under the table that NO snapshot in
     * the current metadata references — the leftovers of crashed writers
     * and lost commit races that [[expireSnapshots]] (which only follows
     * snapshot references) can never reach. The referenced set is every
-    * snapshot's manifest list + manifests + named data/delete files,
-    * O(snapshots × manifests) metadata; candidates are the table's
-    * files EXCLUDING the metadata JSONs + the version hint (the
-    * table's own log). `olderThanMs` is the safety fence every orphan
-    * scan needs: an in-flight commit's files are not yet referenced,
-    * so only files whose mtime predates the cutoff (default: 3 days
-    * ago) are touched. Returns the number deleted. */
+    * snapshot's manifest list + manifests (deduped across snapshots —
+    * one manifest fan-out, not one per snapshot) + named data/delete
+    * files, plus metadata-declared STATISTICS files; candidates are the
+    * table's files excluding the metadata JSONs + the version hint (the
+    * table's own log) and any path with a hidden (`.`/`_`-prefixed)
+    * COMPONENT (staging dirs mid-commit). `olderThanTimestampMs` is an
+    * ABSOLUTE epoch cutoff, the safety fence every orphan scan needs:
+    * an in-flight commit's files are not yet referenced, so only files
+    * whose mtime predates it (default: 3 days ago) are touched.
+    * Returns the number deleted. */
   def removeOrphanFiles(spark: SparkSession, table: String,
-      olderThanMs: Long = -1L): Int = {
+      olderThanTimestampMs: Long = -1L): Int = {
     val base = table.stripSuffix("/")
-    val cutoff = if (olderThanMs >= 0) olderThanMs
+    val cutoff = if (olderThanTimestampMs >= 0) olderThanTimestampMs
       else System.currentTimeMillis() - 3L * 24 * 3600 * 1000
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val fs = new Path(base).getFileSystem(conf)
     val metaPath = IcebergTable.latestMetadata(fs, base)
     val meta = JsonMethods.parse(FsText.read(fs, metaPath))
     val location = (meta \ "location").extractOpt[String].getOrElse(base)
-    def resolveRef(pth: String): String =
-      if (pth.contains("://") || pth.startsWith("/")) pth
-      else s"${location.stripSuffix("/")}/$pth"
+    val resolveRef = refResolver(location)
     val snaps = (meta \ "snapshots").extractOpt[Seq[JValue]].getOrElse(Nil)
-    val referenced: Set[String] = snaps.flatMap { sn =>
-      (sn \ "manifest-list").extractOpt[String].toSeq.flatMap { ml0 =>
-        val ml = resolveRef(ml0)
-        val manifests = AvroOcf.read(spark, ml)
-          .select(col("manifest_path")).collect()
-          .map(r => resolveRef(r.getString(0))).toSeq
-        val dataFiles =
-          if (manifests.isEmpty) Nil
-          else AvroOcf.readFiles(spark, manifests)
-            .select(col("data_file.file_path")).collect()
-            .map(r => resolveRef(r.getString(0))).toSeq
-        Seq(ml) ++ manifests ++ dataFiles
+    val perSnap = snaps.map(sn => snapshotManifests(spark, sn, resolveRef))
+    val listFiles = perSnap.flatMap(_._1).distinct
+    val manifests = perSnap.flatMap(_._2).distinct
+    val dataFiles =
+      if (manifests.isEmpty) Nil
+      else AvroOcf.readFiles(spark, manifests)
+        .select(col("data_file.file_path")).collect()
+        .map(r => resolveRef(r.getString(0))).toSeq
+    // metadata-declared statistics files (Puffin stats /
+    // partition stats) are table state, not debris
+    val statsFiles = Seq("statistics", "partition-statistics").flatMap {
+      key => (meta \ key).extractOpt[Seq[JValue]].getOrElse(Nil).flatMap {
+        st => Seq("statistics-path", "path").flatMap(f =>
+          (st \ f).extractOpt[String]).map(resolveRef)
       }
-    }.map(PathUris.canon).toSet
+    }
+    val referenced: Set[String] =
+      (listFiles ++ manifests ++ dataFiles ++ statsFiles)
+        .map(PathUris.canon).toSet
     // DV sidecars referenced through content_offset entries share the
     // puffin FILE path in data_file.file_path — already covered above
+    val baseDepth = new Path(base).toUri.getPath
+      .split('/').count(_.nonEmpty)
     val it = fs.listFiles(new Path(base), true)
     var deleted = 0
     while (it.hasNext) {
@@ -3171,7 +3202,11 @@ object IcebergWriter {
       val inMetadataDir = p.getParent.getName == "metadata"
       val isTableLog = inMetadataDir &&
         (name.endsWith(".metadata.json") || name == "version-hint.text")
-      val isHidden = name.startsWith(".") || name.startsWith("_")
+      // hidden if ANY component UNDER the table root starts with . or _
+      // (a concurrent writer's staging dirs — Iceberg's HiddenPathFilter)
+      val comps = p.toUri.getPath.split('/').filter(_.nonEmpty)
+        .drop(baseDepth)
+      val isHidden = comps.exists(c => c.startsWith(".") || c.startsWith("_"))
       if (!isTableLog && !isHidden &&
         st.getModificationTime < cutoff &&
         !referenced.contains(PathUris.canon(p.toString))) {

@@ -1443,10 +1443,20 @@ class TableWritersSpec extends SparkSpec {
       new java.io.File(s"$table/_tmp_orphan"))
     assert(oldOrphan.setLastModified(
       System.currentTimeMillis() - 10L * 24 * 3600 * 1000))
+    // BACKDATE every real table artifact past the cutoff too — the
+    // referenced-set computation, not the mtime fence, must be what
+    // protects them (an empty referenced set would delete the table)
+    def backdateAll(d: java.io.File): Unit = {
+      if (d.isDirectory) d.listFiles().foreach(backdateAll)
+      else if (d.getPath != newOrphan.getPath)
+        assert(d.setLastModified(
+          System.currentTimeMillis() - 10L * 24 * 3600 * 1000))
+    }
+    backdateAll(new java.io.File(table))
     val before = IcebergTable.read(spark, table)
       .select($"id").as[Long].collect().sorted.toSeq
     val n = IcebergWriter.removeOrphanFiles(spark, table,
-      olderThanMs = System.currentTimeMillis() - 24 * 3600 * 1000)
+      olderThanTimestampMs = System.currentTimeMillis() - 24 * 3600 * 1000)
     assert(n == 1, s"exactly the old orphan: $n")
     assert(!oldOrphan.exists() && newOrphan.exists(),
       "grace period protects the fresh file")
@@ -1457,7 +1467,8 @@ class TableWritersSpec extends SparkSpec {
     assert(before == Seq(1L))
     // idempotent second pass finds nothing
     assert(IcebergWriter.removeOrphanFiles(spark, table,
-      olderThanMs = System.currentTimeMillis() - 24 * 3600 * 1000) == 0)
+      olderThanTimestampMs =
+        System.currentTimeMillis() - 24 * 3600 * 1000) == 0)
   }
 
   test("time travel by timestamp, both formats") {
