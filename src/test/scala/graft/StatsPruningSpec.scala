@@ -338,6 +338,29 @@ class StatsPruningSpec extends SparkSpec {
       Seq(GreaterThan("id", 1000L))).inputFiles.isEmpty)
   }
 
+  test("readWhere plans: the residual predicate reaches the parquet " +
+    "scan as PushedFilters") {
+    // file pruning is metadata-side; ROW-GROUP skipping inside kept
+    // files comes free only if the residual filter pushes down
+    val table = tmp()
+    for (k <- 0 until 2)
+      DeltaWriter.writeAppend(spark,
+        spark.range(k * 100, (k + 1) * 100).select($"id"), table)
+    val plan = DeltaTable.readWhere(spark, table,
+      Seq(GreaterThanOrEqual("id", 150L)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(id,150)"), plan.take(2000))
+    val it = tmp()
+    IcebergWriter.writeAppend(spark,
+      spark.range(0, 100).select($"id"), it)
+    val iplan = IcebergTable.readWhere(spark, it,
+      Seq(EqualTo("id", 5L)))
+      .queryExecution.executedPlan.toString
+    assert(iplan.contains("PushedFilters") &&
+      iplan.contains("EqualTo(id,5)"), iplan.take(2000))
+  }
+
   test("delta: NaN rows survive > pruning on double columns") {
     val table = tmp()
     DeltaWriter.writeAppend(spark,
