@@ -2322,6 +2322,336 @@ object QueriesML {
           .select($"id", $"d").orderBy($"id")
       }),
 
+    // -------------------- Iceberg MERGE on an identity-PARTITIONED table
+    // The production upsert: merge a batch into a partitioned table —
+    // partition-scoped kill files + partition-grouped source appends in
+    // ONE overwrite snapshot. `untouched` pins that the untouched
+    // partition's data-file set is BYTE-IDENTICAL after the merge (its
+    // file list is recorded before the merge and compared after), so a
+    // rewrite-where-none-was-needed breaks the hash, not just perf.
+    Q("q210_iceberg_part_merge", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT * FROM (
+        SELECT o_orderkey AS id,
+               CASE WHEN o_orderkey % 6 = 0 THEN 'm-' || CAST(rn0 AS VARCHAR)
+                    ELSE 'doc-' || CAST(rn0 AS VARCHAR) END AS text,
+               o_orderkey % 3 AS b, TRUE AS untouched
+        FROM o
+        UNION ALL
+        SELECT o_orderkey + 100000 AS id,
+               'new-' || CAST(rn0 AS VARCHAR) AS text,
+               CAST(1 AS BIGINT) AS b, TRUE AS untouched
+        FROM o WHERE rn0 % 10 = 0)
+      ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{IcebergTable, IcebergWriter}
+        val table = Fixtures.dir("q210", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          IcebergWriter.writeAppend(s,
+            base.select($"id", concat(lit("doc-"), $"rn0").as("text"),
+              ($"id" % 3).as("b")), t, partitionBy = Seq("b"))
+          val untouched = IcebergTable.readPartitions(s, t, Map("b" -> "2"))
+            .inputFiles.filter(_.contains("p__b=")).sorted
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/untouched.txt"),
+            untouched.mkString("\n").getBytes("UTF-8"))
+          // upd keys are all in partition 0 (id%6=0 => id%3=0); inserts
+          // land in partition 1 — partition 2 must stay byte-identical
+          val upd = base.filter($"id" % 6 === 0)
+            .select($"id", concat(lit("m-"), $"rn0").as("text"),
+              ($"id" % 3).as("b"))
+          val ins = base.filter($"rn0" % 10 === 0)
+            .select(($"id" + 100000).as("id"),
+              concat(lit("new-"), $"rn0").as("text"), lit(1L).as("b"))
+          IcebergWriter.writeMerge(s, t, upd.unionByName(ins), Seq("id"))
+        }
+        val before = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$table/untouched.txt")), "UTF-8")
+          .split("\n").toSeq.filter(_.nonEmpty)
+        val now = IcebergTable.readPartitions(s, s"$table/table",
+          Map("b" -> "2")).inputFiles.filter(_.contains("p__b="))
+          .sorted.toSeq
+        IcebergTable.read(s, s"$table/table")
+          .select($"id", $"text", $"b",
+            lit(before == now).as("untouched"))
+          .orderBy($"id")
+      }),
+
+    // -------------------- Iceberg UPDATE on an identity-PARTITIONED table
+    // Partition-scoped row-level update, including a PARTITION-COLUMN
+    // update that moves rows across partitions (kill in the old
+    // partition, image in the new). Same byte-identical pin on the
+    // partition neither update touches.
+    Q("q211_iceberg_part_update", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT o_orderkey AS id,
+             CASE WHEN o_orderkey % 3 = 1 THEN 'u-' || CAST(rn0 AS VARCHAR)
+                  ELSE 'doc-' || CAST(rn0 AS VARCHAR) END AS text,
+             CASE WHEN o_orderkey % 12 = 4 THEN CAST(0 AS BIGINT)
+                  ELSE o_orderkey % 3 END AS b,
+             TRUE AS untouched
+      FROM o ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{IcebergTable, IcebergWriter}
+        val table = Fixtures.dir("q211", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          IcebergWriter.writeAppend(s,
+            base.select($"id", concat(lit("doc-"), $"rn0").as("text"),
+              $"rn0", ($"id" % 3).as("b")), t, partitionBy = Seq("b"))
+          val untouched = IcebergTable.readPartitions(s, t, Map("b" -> "2"))
+            .inputFiles.filter(_.contains("p__b=")).sorted
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/untouched.txt"),
+            untouched.mkString("\n").getBytes("UTF-8"))
+          // text update inside partition 1, then a partition MOVE of the
+          // id%12=4 subset (still b=1 at that point) into partition 0 —
+          // partition 2 untouched by both
+          IcebergWriter.writeUpdate(s, t, $"b" === 1L,
+            Map("text" -> concat(lit("u-"), $"rn0")))
+          IcebergWriter.writeUpdate(s, t, $"b" === 1L && $"id" % 12 === 4,
+            Map("b" -> lit(0L)))
+        }
+        val before = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$table/untouched.txt")), "UTF-8")
+          .split("\n").toSeq.filter(_.nonEmpty)
+        val now = IcebergTable.readPartitions(s, s"$table/table",
+          Map("b" -> "2")).inputFiles.filter(_.contains("p__b="))
+          .sorted.toSeq
+        IcebergTable.read(s, s"$table/table")
+          .select($"id", $"text", $"b",
+            lit(before == now).as("untouched"))
+          .orderBy($"id")
+      }),
+
+    // ---------------------- Delta MERGE on a PARTITIONED table
+    // The Delta twin of q210: DV kill of matched rows + partition-
+    // grouped source appends in one commit; the untouched partition's
+    // data-file set stays byte-identical (kills are DV sidecars, never
+    // rewrites).
+    Q("q212_delta_part_merge", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT * FROM (
+        SELECT o_orderkey AS id,
+               CASE WHEN o_orderkey % 6 = 0 THEN 'm-' || CAST(rn0 AS VARCHAR)
+                    ELSE 'doc-' || CAST(rn0 AS VARCHAR) END AS text,
+               o_orderkey % 3 AS b, TRUE AS untouched
+        FROM o
+        UNION ALL
+        SELECT o_orderkey + 100000 AS id,
+               'new-' || CAST(rn0 AS VARCHAR) AS text,
+               CAST(1 AS BIGINT) AS b, TRUE AS untouched
+        FROM o WHERE rn0 % 10 = 0)
+      ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.DeltaTable
+        val table = q212Fixture(s, d)
+        val before = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$table/untouched.txt")), "UTF-8")
+          .split("\n").toSeq.filter(_.nonEmpty)
+        val now = DeltaTable.readWhere(s, s"$table/table",
+          Seq(org.apache.spark.sql.sources.EqualTo("b", 2L)))
+          .inputFiles.sorted.toSeq
+        DeltaTable.read(s, s"$table/table")
+          .select($"id", $"text", $"b",
+            lit(before == now).as("untouched"))
+          .orderBy($"id")
+      }),
+
+    // ------------- Delta partitioned MERGE through the change data feed
+    // The same commit's cdc files serve the row-level truth with their
+    // partition columns rebuilt from partitionValues: preimage/postimage
+    // pairs for matched keys, inserts for new ones.
+    Q("q213_delta_part_merge_cdf", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120),
+           m AS (SELECT * FROM o WHERE o_orderkey % 6 = 0)
+      SELECT * FROM (
+        SELECT o_orderkey AS id, 'doc-' || CAST(rn0 AS VARCHAR) AS text,
+               o_orderkey % 3 AS b, 'update_preimage' AS change_type
+        FROM m
+        UNION ALL
+        SELECT o_orderkey AS id, 'm-' || CAST(rn0 AS VARCHAR) AS text,
+               o_orderkey % 3 AS b, 'update_postimage' AS change_type
+        FROM m
+        UNION ALL
+        SELECT o_orderkey + 100000 AS id,
+               'new-' || CAST(rn0 AS VARCHAR) AS text,
+               CAST(1 AS BIGINT) AS b, 'insert' AS change_type
+        FROM o WHERE rn0 % 10 = 0)
+      ORDER BY id, change_type"""))(
+      (s, d) => {
+        import graft.sources.DeltaTable
+        val table = q212Fixture(s, d)
+        DeltaTable.readCdf(s, s"$table/table", 1L)
+          .select($"id", $"text", $"b",
+            $"_change_type".as("change_type"))
+          .orderBy($"id", $"change_type")
+      }),
+
+    // ----------------- Delta UPDATE on a COLUMN-MAPPED (name-mode) table
+    // The delta-spark default for newer tables: the log's schema maps
+    // logical (id, text, bucket) to physical (c1, c2, c3); the UPDATE's
+    // rewritten images (and partition dirs, add.partitionValues, stats)
+    // must all be keyed PHYSICAL or they read back null. The oracle
+    // recomputes every post-update value through the mapped read.
+    Q("q214_delta_cm_update", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT o_orderkey AS id,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'u-doc-' || CAST(rn0 AS VARCHAR)
+                  ELSE 'doc-' || CAST(rn0 AS VARCHAR) END AS text,
+             CAST(o_orderkey % 3 AS VARCHAR) AS bucket
+      FROM o ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{DeltaTable, DeltaWriter}
+        val table = Fixtures.dir("q214", d) { dir =>
+          val t = s"$dir/table"
+          cmLogV0(t)
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          DeltaWriter.writeAppend(s,
+            base.select($"id", concat(lit("doc-"), $"rn0").as("text"),
+              ($"id" % 3).cast("string").as("bucket")), t)
+          DeltaWriter.writeUpdate(s, t, $"id" % 5 === 0,
+            Map("text" -> concat(lit("u-"), $"text")))
+        }
+        DeltaTable.read(s, s"$table/table")
+          .select($"id", $"text", $"bucket").orderBy($"id")
+      }),
+
+    // --- Delta MERGE on a column-mapped table, through the change feed
+    // The mapped twin of q198: the merge's appended files AND its cdc
+    // files store physical names (partition dirs keyed c3), and readCdf
+    // rebuilds the logical view — pre/post images for matched keys,
+    // inserts for new ones, from the merge commit only.
+    Q("q215_delta_cm_merge_cdf", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120),
+           m AS (SELECT * FROM o WHERE o_orderkey % 6 = 0)
+      SELECT * FROM (
+        SELECT o_orderkey AS id, 'doc-' || CAST(rn0 AS VARCHAR) AS text,
+               CAST(o_orderkey % 3 AS VARCHAR) AS bucket,
+               'update_preimage' AS change_type
+        FROM m
+        UNION ALL
+        SELECT o_orderkey AS id, 'm-' || CAST(rn0 AS VARCHAR) AS text,
+               CAST(o_orderkey % 3 AS VARCHAR) AS bucket,
+               'update_postimage' AS change_type
+        FROM m
+        UNION ALL
+        SELECT o_orderkey + 100000 AS id,
+               'new-' || CAST(rn0 AS VARCHAR) AS text,
+               '1' AS bucket, 'insert' AS change_type
+        FROM o WHERE rn0 % 10 = 0)
+      ORDER BY id, change_type"""))(
+      (s, d) => {
+        import graft.sources.{DeltaTable, DeltaWriter}
+        val table = Fixtures.dir("q215", d) { dir =>
+          val t = s"$dir/table"
+          cmLogV0(t)
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          DeltaWriter.writeAppend(s,
+            base.select($"id", concat(lit("doc-"), $"rn0").as("text"),
+              ($"id" % 3).cast("string").as("bucket")), t)
+          val upd = base.filter($"id" % 6 === 0)
+            .select($"id", concat(lit("m-"), $"rn0").as("text"),
+              ($"id" % 3).cast("string").as("bucket"))
+          val ins = base.filter($"rn0" % 10 === 0)
+            .select(($"id" + 100000).as("id"),
+              concat(lit("new-"), $"rn0").as("text"),
+              lit("1").as("bucket"))
+          DeltaWriter.writeMerge(s, t, upd.unionByName(ins), Seq("id"))
+        }
+        DeltaTable.readCdf(s, s"$table/table", 2L)
+          .select($"id", $"text", $"bucket",
+            $"_change_type".as("change_type"))
+          .orderBy($"id", $"change_type")
+      }),
+
+    // ----------------- Delta RENAME COLUMN under column mapping
+    // The metaData-only migration: rows appended BEFORE the rename
+    // (files physically keyed c2) and rows appended AFTER it (same
+    // physical column, new logical name) serve one renamed column — a
+    // reader that resolved by logical name would lose the old half.
+    Q("q216_delta_cm_rename", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT o_orderkey AS id,
+             CASE WHEN rn0 < 60 THEN 'doc-' || CAST(rn0 AS VARCHAR)
+                  ELSE 'new-' || CAST(rn0 AS VARCHAR) END AS body,
+             CAST(o_orderkey % 3 AS VARCHAR) AS bucket
+      FROM o ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{DeltaTable, DeltaWriter}
+        val table = Fixtures.dir("q216", d) { dir =>
+          val t = s"$dir/table"
+          cmLogV0(t)
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          DeltaWriter.writeAppend(s,
+            base.filter($"rn0" < 60)
+              .select($"id", concat(lit("doc-"), $"rn0").as("text"),
+                ($"id" % 3).cast("string").as("bucket")), t)
+          DeltaWriter.renameColumn(s, t, "text", "body")
+          DeltaWriter.writeAppend(s,
+            base.filter($"rn0" >= 60)
+              .select($"id", concat(lit("new-"), $"rn0").as("body"),
+                ($"id" % 3).cast("string").as("bucket")), t)
+        }
+        DeltaTable.read(s, s"$table/table")
+          .select($"id", $"body", $"bucket").orderBy($"id")
+      }),
+
+    // ----------------- Iceberg RENAME COLUMN (metadata-only, field ids)
+    // The Iceberg twin of q216: data files carry parquet FIELD IDS, the
+    // rename appends a new schema (ids untouched), and the read path
+    // resolves pre-rename files by id — both generations serve one
+    // renamed column, partition pruning intact through the spec's
+    // source-id binding.
+    Q("q217_iceberg_rename", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT o_orderkey AS id,
+             CASE WHEN rn0 < 60 THEN 'doc-' || CAST(rn0 AS VARCHAR)
+                  ELSE 'new-' || CAST(rn0 AS VARCHAR) END AS body,
+             o_orderkey % 3 AS b
+      FROM o ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{IcebergTable, IcebergWriter}
+        val table = Fixtures.dir("q217", d) { dir =>
+          val t = s"$dir/table"
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          IcebergWriter.writeAppend(s,
+            base.filter($"rn0" < 60)
+              .select($"id", concat(lit("doc-"), $"rn0").as("text"),
+                ($"id" % 3).as("b")), t, partitionBy = Seq("b"))
+          IcebergWriter.renameColumn(s, t, "text", "body")
+          IcebergWriter.writeAppend(s,
+            base.filter($"rn0" >= 60)
+              .select($"id", concat(lit("new-"), $"rn0").as("body"),
+                ($"id" % 3).as("b")), t)
+        }
+        IcebergTable.read(s, s"$table/table")
+          .select($"id", $"body", $"b").orderBy($"id")
+      }),
+
     // ------------------------------------------------------- HF tokenizer.json encode
     // A hand-authored tokenizer.json (the huggingface/tokenizers file
     // format, byte-level BPE) over planted "ab"*k words: greedy merge
@@ -4285,6 +4615,62 @@ object QueriesML {
         .orderBy($"raw")
     })
 
+
+  /** Shared q212/q213 fixture: a CDF-enabled Delta table PARTITIONED by
+    * `b`, one partitioned MERGE (matched keys all in partition 0,
+    * inserts into partition 1), with partition 2's pre-merge file list
+    * recorded in `untouched.txt` for the byte-identical pin. */
+  private def q212Fixture(s: SparkSession, d: String): String =
+    Fixtures.dir("q212", d) { dir =>
+      import graft.sources.{DeltaTable, DeltaWriter}
+      val base = orderedKeys(s, d, 120).select($"doc_id".as("id"), $"rn0")
+      val t = s"$dir/table"
+      DeltaWriter.writeAppend(s,
+        base.select($"id", concat(lit("doc-"), $"rn0").as("text"),
+          ($"id" % 3).as("b")), t, partitionBy = Seq("b"),
+        properties = Map("delta.enableChangeDataFeed" -> "true"))
+      val untouched = DeltaTable.readWhere(s, t,
+        Seq(org.apache.spark.sql.sources.EqualTo("b", 2L)))
+        .inputFiles.sorted
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/untouched.txt"),
+        untouched.mkString("\n").getBytes("UTF-8"))
+      val upd = base.filter($"id" % 6 === 0)
+        .select($"id", concat(lit("m-"), $"rn0").as("text"),
+          ($"id" % 3).as("b"))
+      val ins = base.filter($"rn0" % 10 === 0)
+        .select(($"id" + 100000).as("id"),
+          concat(lit("new-"), $"rn0").as("text"), lit(1L).as("b"))
+      DeltaWriter.writeMerge(s, t, upd.unionByName(ins), Seq("id"))
+    }
+
+  /** Author the v0 commit of a COLUMN-MAPPED (name-mode) Delta table at
+    * `t`: flat logical (id, text, bucket) mapped to physical (c1, c2,
+    * c3), partitioned by `bucket`, change data feed on — the shape the
+    * q214/q215 mapped row-level writes then operate on. */
+  private def cmLogV0(t: String): Unit = {
+    def f(n: String, ty: String, phys: String, id: Int) =
+      s"""{"name":"$n","type":"$ty","nullable":true,""" +
+        s""""metadata":{"delta.columnMapping.physicalName":"$phys",""" +
+        s""""delta.columnMapping.id":$id}}"""
+    val schemaStr =
+      (s"""{"type":"struct","fields":[${f("id", "long", "c1", 1)},""" +
+        s"""${f("text", "string", "c2", 2)},${f("bucket", "string", "c3", 3)}]}""")
+        .replace("\\", "\\\\").replace("\"", "\\\"")
+    new java.io.File(s"$t/_delta_log").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/_delta_log/" + "0" * 20 + ".json"),
+      (s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        s""""readerFeatures":["columnMapping"],""" +
+        s""""writerFeatures":["columnMapping","changeDataFeed"]}}""" +
+        "\n" +
+        s"""{"metaData":{"id":"cm","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$schemaStr","partitionColumns":["bucket"],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name",""" +
+        s""""delta.columnMapping.maxColumnId":"3",""" +
+        s""""delta.enableChangeDataFeed":"true"},""" +
+        s""""createdTime":0}}""").getBytes("UTF-8"))
+  }
 
   /** (doc_id, rn0) fixture keys: the first `n` order keys with their rank,
     * built driver-side (a few hundred rows) so derived queries never need

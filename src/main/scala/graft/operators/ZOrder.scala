@@ -94,10 +94,17 @@ object ZOrder {
   def cluster(df: DataFrame, cols: Seq[String], numFiles: Int,
       within: Seq[String] = Nil): DataFrame = {
     val z = zColumn(df, cols)
-    val key = within.map(col) :+ col("__z")
-    df.withColumn("__z", z)
+    // the helper must not shadow a REAL column: withColumn REPLACES an
+    // existing name (case-insensitively under Spark's default resolver),
+    // and the trailing drop would then silently erase that column's data
+    // from every rewritten file
+    val taken = df.schema.fieldNames.map(_.toLowerCase).toSet
+    var zName = "__z"
+    while (taken.contains(zName.toLowerCase)) zName += "_"
+    val key = within.map(col) :+ col(zName)
+    df.withColumn(zName, z)
       .repartitionByRange(math.max(1, numFiles), key: _*)
       .sortWithinPartitions(key: _*)
-      .drop("__z")
+      .drop(zName)
   }
 }

@@ -286,7 +286,17 @@ object ColumnStats {
 
   private[sources] def cmp(a: Any, b: Any, dt: DataType): Int = (a, b) match {
     case (x: Long, y: Long) => java.lang.Long.compare(x, y)
-    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: Double, y: Double) =>
+      // Spark SQL compares -0.0 equal to +0.0 (UnsafeRow normalization),
+      // but Double.compare orders -0.0 below +0.0 — a foreign writer's
+      // bound carrying the other zero (min=+0.0 over -0.0 rows, or
+      // max=-0.0 vs an EqualTo(+0.0) literal) would mis-prune files
+      // whose rows DO match. Fold both zeros together before comparing
+      // (the float/double bound adjustment the parquet and Iceberg
+      // specs prescribe).
+      val xn = if (x == 0.0d) 0.0d else x
+      val yn = if (y == 0.0d) 0.0d else y
+      java.lang.Double.compare(xn, yn)
     case (x: String, y: String) => cmpUtf8(x, y)
     case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
     case (x: BigDecimal, y: BigDecimal) => x.compare(y)
@@ -430,6 +440,53 @@ object ColumnStats {
   private def jsonEscape(v: String): String =
     TableCommit.jsonEscape(v)
 
+  /** String bounds are TRUNCATED before serialization (delta-spark caps
+    * stats strings at 32 chars; Iceberg's default metrics mode is
+    * truncate(16)) — a wide text column would otherwise copy its full
+    * min/max into every add action and again into every checkpoint row.
+    * A truncated MIN prefix is already a valid lower bound. */
+  private[sources] val StatsStringLimit = 32
+
+  private[sources] def truncateMin(s: String,
+      limit: Int = StatsStringLimit): String =
+    if (s.length <= limit) s
+    else {
+      // never split a surrogate pair — the result must stay valid UTF-8
+      var cut = limit
+      if (Character.isHighSurrogate(s.charAt(cut - 1))) cut -= 1
+      s.substring(0, cut)
+    }
+
+  /** A truncated MAX must round UPWARD to stay a valid upper bound: the
+    * last code point with a successor increments (skipping the surrogate
+    * gap — those are not scalar values), and when none has one (all
+    * U+10FFFF) the bound is omitted entirely. */
+  private[sources] def truncateMax(s: String,
+      limit: Int = StatsStringLimit): Option[String] =
+    if (s.length <= limit) Some(s)
+    else {
+      var cut = limit
+      if (Character.isHighSurrogate(s.charAt(cut - 1))) cut -= 1
+      val cps = s.substring(0, cut).codePoints.toArray
+      var i = cps.length - 1
+      var out: Option[String] = None
+      while (i >= 0 && out.isEmpty) {
+        val next =
+          if (cps(i) + 1 == Character.MIN_SURROGATE.toInt)
+            Character.MAX_SURROGATE.toInt + 1
+          else cps(i) + 1
+        if (next <= Character.MAX_CODE_POINT) {
+          val sb = new java.lang.StringBuilder
+          var j = 0
+          while (j < i) { sb.appendCodePoint(cps(j)); j += 1 }
+          sb.appendCodePoint(next)
+          out = Some(sb.toString)
+        }
+        i -= 1
+      }
+      out
+    }
+
   /** Serialize [[FileStats]] as the Delta `add.stats` JSON. Timestamps
     * are ISO-8601 UTC with MICROSECOND precision (exact round-trip
     * through this reader; delta-spark's millis form parses too). */
@@ -457,16 +514,21 @@ object ColumnStats {
       case _: DecimalType => v.asInstanceOf[BigDecimal].toString
       case _ => "null"
     }
-    def obj(pick: ColStats => Option[Any]): String =
+    def obj(pick: ColStats => Option[Any], upper: Boolean): String =
       st.cols.toSeq.sortBy(_._1).flatMap { case (n, c) =>
-        pick(c).flatMap(render(n, _))
+        pick(c).flatMap {
+          case s: String if !upper => Some(truncateMin(s))
+          case s: String => truncateMax(s)
+          case v => Some(v)
+        }.flatMap(render(n, _))
           .map(s => s""""${jsonEscape(n)}":$s""")
       }.mkString(",")
     val nulls = st.cols.toSeq.sortBy(_._1).flatMap { case (n, c) =>
       c.nullCount.map(x => s""""${jsonEscape(n)}":$x""")
     }.mkString(",")
     s"""{"numRecords":${st.numRecords.getOrElse(-1L)},""" +
-      s""""minValues":{${obj(_.min)}},"maxValues":{${obj(_.max)}},""" +
+      s""""minValues":{${obj(_.min, upper = false)}},""" +
+      s""""maxValues":{${obj(_.max, upper = true)}},""" +
       s""""nullCount":{$nulls}}"""
   }
 

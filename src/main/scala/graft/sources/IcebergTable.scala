@@ -297,7 +297,11 @@ object IcebergTable {
       // per-spec bucket transform fields (field name, source column,
       // N) — the pruning axis min/max stats cannot serve (the hash
       // scatters values across the whole domain per file)
-      bucketBySpec: Map[Int, Seq[(String, String, Int)]] = Map.empty)
+      bucketBySpec: Map[Int, Seq[(String, String, Int)]] = Map.empty,
+      // ids whose logical name CHANGED across the schema history — the
+      // proof a rename happened; their prior names (newest first) feed
+      // the id-less-file fallback in the field-id read path
+      priorNames: Map[Int, Seq[String]] = Map.empty)
 
   /** Merge-on-read assembly: positional deletes anti-join on
     * (file, `_metadata.row_index`); equality deletes anti-join on the
@@ -318,14 +322,27 @@ object IcebergTable {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         if (keepRowKey) keySchema else a.schema)
-    val data = spark.read.schema(a.schema).parquet(a.data.map(_._1): _*)
-    if (!keepRowKey &&
-      a.posDeletes.isEmpty && a.eqDeletes.isEmpty && a.dvDeletes.isEmpty)
-      return data
+    val needKeys = keepRowKey || a.posDeletes.nonEmpty ||
+      a.eqDeletes.nonEmpty || a.dvDeletes.nonEmpty
+    // renamed-schema tables read through FIELD-ID resolution (a
+    // name-based read would silently null the renamed column); their
+    // old equality-delete files key matches by write-time names, which
+    // this reader cannot re-map — directed, never silent
+    if (a.priorNames.nonEmpty && a.eqDeletes.nonEmpty)
+      throw UnsupportedIceberg(
+        "equality deletes on a table with RENAMED columns are not " +
+          "implemented (delete files key matches by write-time names)")
+    val data =
+      if (a.priorNames.isEmpty) {
+        val d = spark.read.schema(a.schema).parquet(a.data.map(_._1): _*)
+        if (!needKeys) d
+        else d
+          .withColumn("__row_path",
+            PathUris.canonMetaCol(col("_metadata.file_path")))
+          .withColumn("__row_pos", col("_metadata.row_index"))
+      } else resolvedRead(spark, a, needKeys)
+    if (!needKeys) return data
     var withMeta = data
-      .withColumn("__row_path",
-        PathUris.canonMetaCol(col("_metadata.file_path")))
-      .withColumn("__row_pos", col("_metadata.row_index"))
     // positional delete parquet (v2) and Puffin deletion vectors (v3)
     // both key deleted rows by (data file, row position) — they feed ONE
     // anti-join. DV blobs decode on EXECUTORS: the driver holds only the
@@ -397,6 +414,70 @@ object IcebergTable {
     if (keepRowKey) withMeta else withMeta.drop("__row_path", "__row_pos")
   }
 
+  /** The table spec's column-resolution rule — columns are selected by
+    * FIELD ID — applied per data file. Runs only when the schema
+    * history proves a rename happened (some id maps to more than one
+    * name): one footer read per data file (O(files) driver metadata,
+    * the same pass the writers' stat collection performs), files then
+    * GROUPED by their resolved column spelling — one parquet relation
+    * per spelling, not per file. Resolution order per table column: the
+    * file column carrying the field id; else the current name; else the
+    * most recent PRIOR name present (an id-less file written before the
+    * rename); else the column reads as null (a file predating an
+    * additive evolution). Row-key columns attach per scan group (the
+    * `_metadata` pseudo-column does not survive a union). */
+  private def resolvedRead(spark: SparkSession, a: ActiveSet,
+      needKeys: Boolean): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val idOf: Map[String, Int] = a.fieldNames.map(_.swap)
+    val fields = a.schema.fields.toSeq
+    val fileCols: Seq[(String, Seq[Option[String]])] =
+      a.data.map(_._1).map { p =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(p), conf))
+        val g = try reader.getFooter.getFileMetaData.getSchema
+          finally reader.close()
+        val byId = scala.collection.mutable.Map.empty[Int, String]
+        val names = scala.collection.mutable.Set.empty[String]
+        g.getFields.asScala.foreach { t =>
+          names += t.getName
+          Option(t.getId).foreach { id =>
+            if (byId.contains(id.intValue)) throw UnsupportedIceberg(
+              s"$p: duplicate parquet field id ${id.intValue}")
+            byId(id.intValue) = t.getName
+          }
+        }
+        p -> fields.map { f =>
+          val id = idOf.get(f.name)
+          id.flatMap(byId.get)
+            .orElse(Some(f.name).filter(names))
+            .orElse(id.flatMap(i =>
+              a.priorNames.getOrElse(i, Nil).find(names)))
+        }
+      }
+    fileCols.groupBy(_._2).toSeq
+      .sortBy(_._1.map(_.getOrElse("")).mkString(","))
+      .map { case (colNames, ps) =>
+        val present = fields.zip(colNames).collect {
+          case (f, Some(n)) => StructField(n, f.dataType, nullable = true) }
+        var df = spark.read.schema(StructType(present))
+          .parquet(ps.map(_._1): _*)
+        if (needKeys) df = df
+          .withColumn("__row_path",
+            PathUris.canonMetaCol(col("_metadata.file_path")))
+          .withColumn("__row_pos", col("_metadata.row_index"))
+        val keyCols =
+          if (needKeys) Seq(col("__row_path"), col("__row_pos")) else Nil
+        df.select(fields.zip(colNames).map {
+          case (f, Some(n)) => col(s"`$n`").as(f.name)
+          case (f, None) => org.apache.spark.sql.functions.lit(null)
+            .cast(f.dataType).as(f.name)
+        } ++ keyCols: _*)
+      }.reduce(_ unionByName _)
+  }
+
   /** The snapshot's [[ActiveSet]] — pure metadata work: manifest-list +
     * manifest replay, no data IO. */
   private def activeFiles(spark: SparkSession, table: String,
@@ -443,10 +524,31 @@ object IcebergTable {
           }
         }.toMap.filter(_._2.nonEmpty)
 
+    // the schema HISTORY: ids that ever carried a different name mark a
+    // rename — the one case name-based parquet reads would silently
+    // null a column, switching assemble to field-id resolution
+    val priorNameMap: Map[Int, Seq[String]] = {
+      val byId = scala.collection.mutable.Map.empty[Int, Vector[String]]
+      (meta \ "schemas").extractOpt[Seq[JValue]].getOrElse(Nil)
+        .sortBy(s0 => (s0 \ "schema-id").extractOpt[Int].getOrElse(0))
+        .foreach { s0 =>
+          (s0 \ "fields").extractOpt[Seq[JValue]].getOrElse(Nil).foreach { f =>
+            for (id <- (f \ "id").extractOpt[Int];
+              n <- (f \ "name").extractOpt[String])
+              byId(id) = byId.getOrElse(id, Vector.empty) :+ n
+          }
+        }
+      byId.toMap.flatMap { case (id, names) =>
+        val prior = names.distinct.filterNot(fieldNames.get(id).contains)
+          .reverse
+        if (prior.isEmpty) None else Some(id -> prior.toSeq)
+      }
+    }
+
     val snaps = (meta \ "snapshots").extractOpt[Seq[JValue]].getOrElse(Nil)
     if (snaps.isEmpty) // a created-but-never-written table: empty, typed
       return ActiveSet(sparkSchema, fieldNames, Nil, Nil, Nil,
-        bucketBySpec = bucketBySpec)
+        bucketBySpec = bucketBySpec, priorNames = priorNameMap)
     val targetId = snapshotId.getOrElse {
       (meta \ "current-snapshot-id").extractOpt[Long].getOrElse(
         throw UnsupportedIceberg(s"$table: no current-snapshot-id"))
@@ -671,7 +773,7 @@ object IcebergTable {
           f.contentOffset.get, f.contentSize.get)),
       active.filter(e => e.content == 0 && !e.stats.isEmptyStats)
         .map(f => resolvePath(table, location, f.path) -> f.stats).toMap,
-      bucketBySpec)
+      bucketBySpec, priorNames = priorNameMap)
   }
 
   /** Incremental consumption: rows of the data files ACTIVE in

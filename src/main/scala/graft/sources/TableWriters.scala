@@ -152,9 +152,16 @@ object TableCommit {
 
   /** Distributed parquet write of `df` into a temp dir under `table`,
     * then O(files) driver moves into place. Returns one entry per data
-    * file: (relative path with partition dirs, absolute path, size). */
+    * file: (relative path with partition dirs, absolute path, size).
+    * `validate` runs over a READ-BACK of the written temp files before
+    * any file moves — the hook for row contracts that must hold on the
+    * exact rows being committed (validating the input plan instead
+    * would let a non-deterministic source commit rows that were never
+    * checked); a validation failure deletes the temp dir and rethrows,
+    * leaving nothing behind. */
   private[sources] def writeData(df: DataFrame, table: String,
-      partitionBy: Seq[String], targetSubdir: String, conf: Configuration)
+      partitionBy: Seq[String], targetSubdir: String, conf: Configuration,
+      validate: Option[DataFrame => Unit] = None)
       : Seq[(String, String, Long)] = {
     val base = table.stripSuffix("/")
     val uuid = java.util.UUID.randomUUID().toString
@@ -164,32 +171,63 @@ object TableCommit {
       .parquet(tmpDir)
     val fs = new Path(base).getFileSystem(conf)
     val tmpPath = new Path(tmpDir)
-    val files = Seq.newBuilder[(String, String, Long)]
-    val it = fs.listFiles(tmpPath, true)
-    var i = 0
-    while (it.hasNext) {
-      val st = it.next()
-      val name = st.getPath.getName
-      if (name.endsWith(".parquet") && !name.startsWith("_") &&
-        !name.startsWith(".")) {
-        // the path under tmpDir carries the partition dirs Spark built
-        val rel = st.getPath.toUri.getPath
-          .stripPrefix(new Path(tmpDir).toUri.getPath).stripPrefix("/")
-        val subdirs = rel.split('/').dropRight(1)
-        val fileName = f"part-$i%05d-$uuid.parquet"
-        val outRel = (subdirs :+ fileName).mkString("/")
-        val dest = new Path(s"$base/${if (targetSubdir.isEmpty) ""
-          else targetSubdir + "/"}$outRel")
-        fs.mkdirs(dest.getParent)
-        if (!fs.rename(st.getPath, dest))
-          throw UnsupportedWrite(s"could not place data file at $dest")
-        val relOut = s"${if (targetSubdir.isEmpty) "" else targetSubdir + "/"}$outRel"
-        files += ((relOut, dest.toString, st.getLen))
-        i += 1
+    val written = {
+      val b = Vector.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+      val it = fs.listFiles(tmpPath, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (name.endsWith(".parquet") && !name.startsWith("_") &&
+          !name.startsWith(".")) b += st
       }
+      b.result()
+    }
+    // validation reads the EXPLICIT file list (the underscore-named tmp
+    // dir as a read root would trip Spark's hidden-path WARN), with
+    // basePath so a partitioned write's dir-encoded columns resolve
+    validate.foreach { v =>
+      if (written.nonEmpty) {
+        val back = df.sparkSession.read.option("basePath", tmpDir)
+          .schema(df.schema).parquet(written.map(_.getPath.toString): _*)
+        try v(back)
+        catch { case e: Throwable => fs.delete(tmpPath, true); throw e }
+      }
+    }
+    val files = Seq.newBuilder[(String, String, Long)]
+    written.zipWithIndex.foreach { case (st, i) =>
+      // the path under tmpDir carries the partition dirs Spark built
+      val rel = st.getPath.toUri.getPath
+        .stripPrefix(new Path(tmpDir).toUri.getPath).stripPrefix("/")
+      val subdirs = rel.split('/').dropRight(1)
+      val fileName = f"part-$i%05d-$uuid.parquet"
+      val outRel = (subdirs :+ fileName).mkString("/")
+      val dest = new Path(s"$base/${if (targetSubdir.isEmpty) ""
+        else targetSubdir + "/"}$outRel")
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(st.getPath, dest))
+        throw UnsupportedWrite(s"could not place data file at $dest")
+      val relOut = s"${if (targetSubdir.isEmpty) "" else targetSubdir + "/"}$outRel"
+      files += ((relOut, dest.toString, st.getLen))
     }
     fs.delete(tmpPath, true)
     files.result()
+  }
+
+  /** Read back a temp-materialized parquet dir by EXPLICIT file list —
+    * passing the underscore-prefixed dir itself as a read root logs a
+    * spurious "All paths were ignored" WARN on every call (the root IS
+    * still read; the pattern check is cosmetic, but it pollutes every
+    * driver log). An empty materialization still reads: Spark's writer
+    * always leaves one schema-bearing file. */
+  private[sources] def readTmpFiles(spark: SparkSession, tmpDir: String,
+      conf: Configuration): DataFrame = {
+    val p = new Path(tmpDir)
+    val fsys = p.getFileSystem(conf)
+    val files = fsys.listStatus(p).map(_.getPath)
+      .filter(q => q.getName.endsWith(".parquet") &&
+        !q.getName.startsWith("_") && !q.getName.startsWith("."))
+      .map(_.toString).sorted.toIndexedSeq
+    spark.read.parquet(files: _*)
   }
 
   /** Per-file row counts from the parquet FOOTERS — O(KB) per file, the
@@ -408,9 +446,22 @@ object DeltaWriter {
     * (removing rows cannot break a row constraint); nested-field
     * invariants stay directed. With `rows = None` only the contract is
     * RESOLVED (expressions parse) — the caller evaluates the final
-    * written frame later in its flow. */
+    * written frame later in its flow. The caller MUST hand a
+    * MATERIALIZED frame (temp parquet / written files), never the raw
+    * input plan: a non-deterministic source would otherwise re-evaluate
+    * between validation and write and commit rows that were never
+    * checked. */
   private def enforceConstraints(table: String, config: Map[String, String],
-      schemaJson: String, rows: Option[DataFrame]): Unit = {
+      schemaJson: String, rows: Option[DataFrame]): Unit =
+    constraintValidator(table, config, schemaJson).foreach(v =>
+      rows.foreach(v))
+
+  /** [[enforceConstraints]]'s engine: None when the table declares no
+    * row contracts (the common case — zero overhead); otherwise a
+    * validator to run over the exact materialized frame whose rows will
+    * be committed. */
+  private def constraintValidator(table: String, config: Map[String, String],
+      schemaJson: String): Option[DataFrame => Unit] = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit}
     val checks: Seq[(String, String)] = config.toSeq.collect {
       case (k, v) if k.startsWith("delta.constraints.") =>
@@ -453,7 +504,7 @@ object DeltaWriter {
         else Some((s"generated column ${f.name}", f.name,
           f.metadata.getString("delta.generationExpression")))
       }
-    if ((checks ++ invariants).isEmpty && generated.isEmpty) return
+    if ((checks ++ invariants).isEmpty && generated.isEmpty) return None
     // violation = the expression is FALSE (NULL passes, the SQL
     // standard); for a generated column, violation = the value differs
     // null-safely from its expression. expr() parses lazily, so syntax
@@ -475,7 +526,7 @@ object DeltaWriter {
             org.apache.spark.sql.functions.col(s"`$colName`") <=>
               parsed(name, sql)))
       }
-    rows.foreach { df =>
+    Some { df =>
       conds.foreach { case (name, sql, viol) =>
         try df.select(viol).queryExecution.analyzed
         catch { case e: org.apache.spark.sql.AnalysisException =>
@@ -539,6 +590,28 @@ object DeltaWriter {
     }
   }
 
+  /** Rename a LOGICAL-schema frame to the table's PHYSICAL column names
+    * (tagging each with its parquet field id) — the shape every data,
+    * rewrite, and cdc file of a column-mapped table must store; a file
+    * written with logical names would read back all-NULL through the
+    * physical read schema. `extra` columns (e.g. `_change_type`) pass
+    * through verbatim: they are not schema columns and carry no
+    * mapping (delta-spark stores them unmapped too). */
+  private def toPhysical(df: DataFrame, schema: StructType,
+      extra: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    df.select(schema.fields.toIndexedSeq.map { f =>
+      val md =
+        if (!f.metadata.contains("delta.columnMapping.id"))
+          org.apache.spark.sql.types.Metadata.empty
+        else new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id",
+            f.metadata.getLong("delta.columnMapping.id")).build()
+      fcol(s"`${f.name}`").cast(f.dataType)
+        .as(DeltaTable.physFieldName(f), md)
+    } ++ extra.map(c => fcol(s"`$c`")): _*)
+  }
+
   /** Append `df` to (or create) the Delta table at `table`. Returns the
     * committed version. `partitionBy` and `properties` (the table
     * configuration, e.g. `delta.enableChangeDataFeed`) apply on CREATE
@@ -567,8 +640,13 @@ object DeltaWriter {
     if (exists && properties.nonEmpty) throw UnsupportedWrite(
       s"$table: properties apply on CREATE only — altering an existing " +
         "table's configuration is not implemented")
+    // the row-contract validator runs over the WRITTEN batch (inside
+    // writeData, before any file placement) — validating the input plan
+    // and then re-executing it for the write would let a
+    // non-deterministic source commit rows that were never checked
+    var validator: Option[DataFrame => Unit] = None
     if (!exists)
-      enforceConstraints(table, properties, df.schema.json, Some(df))
+      validator = constraintValidator(table, properties, df.schema.json)
     // `evolved`: Some((metaId, configuration, new schema)) when this
     // append additively evolves the table schema — the commit then
     // carries a fresh metaData action
@@ -580,7 +658,7 @@ object DeltaWriter {
         val (v, metaId, schemaJson, pc, cfg, _, _) =
           DeltaTable.snapshotState(spark, table)
         mapped = cfg.get("delta.columnMapping.mode").exists(_ != "none")
-        enforceConstraints(table, cfg, schemaJson, Some(df))
+        validator = constraintValidator(table, cfg, schemaJson)
         val existing = DataType.fromJson(schemaJson).asInstanceOf[StructType]
         if (mapped && existing.fields.exists(f => hasNestedNames(f.dataType)))
           throw UnsupportedWrite(
@@ -639,20 +717,18 @@ object DeltaWriter {
     val (outDf, outPartCols, outSchema) =
       if (!mapped) (df, partCols, schema)
       else {
-        import org.apache.spark.sql.functions.{col => fcol}
-        val renamed = df.select(schema.fields.toIndexedSeq.map { f =>
-          val md =
-            if (!f.metadata.contains("delta.columnMapping.id"))
-              org.apache.spark.sql.types.Metadata.empty
-            else new org.apache.spark.sql.types.MetadataBuilder()
-              .putLong("parquet.field.id",
-                f.metadata.getLong("delta.columnMapping.id")).build()
-          fcol(s"`${f.name}`").cast(f.dataType).as(DeltaTable.physFieldName(f), md)
-        }: _*)
+        val renamed = toPhysical(df, schema)
         (renamed, partCols.map(c => DeltaTable.physFieldName(schema(c))),
           renamed.schema)
       }
-    val files = writeData(outDf, base, outPartCols, "", conf)
+    val files = writeData(outDf, base, outPartCols, "", conf,
+      // the read-back of a mapped write carries PHYSICAL names — the
+      // contract expressions are written against logical ones
+      validate = validator.map(v => (back: DataFrame) =>
+        v(if (!mapped) back
+          else back.select(schema.fields.toIndexedSeq.map(f =>
+            org.apache.spark.sql.functions.col(
+              s"`${DeltaTable.physFieldName(f)}`").as(f.name)): _*))))
     val ts = System.currentTimeMillis()
     val dataSchema = org.apache.spark.sql.types.StructType(
       outSchema.filterNot(f => outPartCols.contains(f.name)))
@@ -777,16 +853,18 @@ object DeltaWriter {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val cdfEnabled = config.get("delta.enableChangeDataFeed")
       .exists(_.equalsIgnoreCase("true"))
-    // on a column-mapped table only the pure-DV shape writes NO data
-    // file; a rewrite (or cdc) written with logical column names would
-    // read back all-NULL through the physical read schema — silent
-    // corruption, so anything that writes rows is directed
-    if (config.get("delta.columnMapping.mode").exists(_ != "none") &&
-      (mode != "dv" || cdfEnabled))
+    // column-mapped targets: every row-writing shape (rewrite
+    // survivors, cdc) stores PHYSICAL names + field ids — a file
+    // written with logical names would read back all-NULL through the
+    // physical read schema; nested fields stay directed
+    val mapped = config.get("delta.columnMapping.mode").exists(_ != "none")
+    if (mapped && schema.fields.exists(f => hasNestedNames(f.dataType)))
       throw UnsupportedWrite(
-        s"$table: DELETE on a column-mapped table is implemented for " +
-          "mode=\"dv\" without change data feed only (a rewrite/cdc " +
-          "file would need physical-name columns)")
+        s"$table: DELETE on a column-mapped table with NESTED fields " +
+          "is not implemented (flat physical renames only)")
+    val outPartCols =
+      if (!mapped) partCols
+      else partCols.map(c => DeltaTable.physFieldName(schema(c)))
     val keyed = DeltaTable.readWithRowKey(spark, table).filter(condition)
 
     def commit(lines: Seq[String], newFiles: Seq[String]): Long = {
@@ -828,7 +906,10 @@ object DeltaWriter {
         val cdc = killed
           .select(schema.fields.toIndexedSeq.map(f => fcol(s"`${f.name}`")): _*)
           .withColumn("_change_type", lit("delete"))
-        val cdcFiles = writeData(cdc, base, partCols, "_change_data", conf)
+        val outCdc = if (!mapped) cdc
+          else toPhysical(cdc, schema, extra = Seq("_change_type"))
+        val cdcFiles = writeData(outCdc, base, outPartCols,
+          "_change_data", conf)
         newFiles ++= cdcFiles.map(_._2)
         cdcFiles.map { case (rel, _, size) =>
           val pv = partitionValuesJson(partValues(rel))
@@ -903,9 +984,11 @@ object DeltaWriter {
         }
       }
       val ts = System.currentTimeMillis()
-      val dataFiles = writeData(survivors, base, partCols, "", conf)
+      val outSurvivors =
+        if (!mapped) survivors else toPhysical(survivors, schema)
+      val dataFiles = writeData(outSurvivors, base, outPartCols, "", conf)
       val rwDataSchema = org.apache.spark.sql.types.StructType(
-        schema.filterNot(f => partCols.contains(f.name)))
+        outSurvivors.schema.filterNot(f => outPartCols.contains(f.name)))
       val sc = statsFieldsWithCounts(dataFiles.map(_._2), rwDataSchema, conf)
       val nonEmpty = dataFiles.zip(sc).filter(_._2._2 > 0)
       cleanup(fs, dataFiles.zip(sc).filter(_._2._2 == 0).map(_._1._2))
@@ -999,16 +1082,25 @@ object DeltaWriter {
       throw UnsupportedWrite(
         s"$table: the table is append-only — UPDATE is forbidden by its " +
           "own contract")
-    if (config.get("delta.columnMapping.mode").exists(_ != "none"))
-      throw UnsupportedWrite(
-        s"$table: UPDATE on a column-mapped table is not implemented " +
-          "(rewritten files would need physical-name columns)")
     enforceConstraints(table, config, schemaJson, None)
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    // column-mapped targets: the rewritten images and cdc files store
+    // PHYSICAL column names + field ids, partition dirs and
+    // add.partitionValues keyed physical — the same shape mapped
+    // appends write; nested fields under mapping stay directed (their
+    // physical renames are not flat selects)
+    val mapped = config.get("delta.columnMapping.mode").exists(_ != "none")
+    if (mapped && schema.fields.exists(f => hasNestedNames(f.dataType)))
+      throw UnsupportedWrite(
+        s"$table: UPDATE on a column-mapped table with NESTED fields " +
+          "is not implemented (flat physical renames only)")
     set.keys.foreach { k =>
       if (!schema.fieldNames.contains(k)) throw UnsupportedWrite(
         s"$table: SET column '$k' is not in the table schema")
     }
+    val outPartCols =
+      if (!mapped) partCols
+      else partCols.map(c => DeltaTable.physFieldName(schema(c)))
     val cdfEnabled = config.get("delta.enableChangeDataFeed")
       .exists(_.equalsIgnoreCase("true"))
     def resolve(rel: String): String = DeltaTable.resolveAdd(base, rel)
@@ -1024,7 +1116,7 @@ object DeltaWriter {
     try {
       DeltaTable.readWithRowKey(spark, table).filter(condition)
         .write.mode("overwrite").parquet(tmpDir)
-      val matched = spark.read.parquet(tmpDir)
+      val matched = readTmpFiles(spark, tmpDir, conf)
       // footer counts of the MATERIALIZED matched set guard the cap
       // BEFORE any position collect — O(files) metadata, the same
       // evaluation the kill consumes, so the driver never materializes a
@@ -1066,10 +1158,14 @@ object DeltaWriter {
         }
       }
       val ts = System.currentTimeMillis()
-      val dataFiles = writeData(rewritten, base, partCols, "", conf)
+      val outRewritten =
+        if (!mapped) rewritten else toPhysical(rewritten, schema)
+      val dataFiles = writeData(outRewritten, base, outPartCols, "", conf)
       newFiles ++= dataFiles.map(_._2)
+      // stats key by what the files STORE — physical names on a mapped
+      // table (readWhere parses them against the physical schema)
       val updDataSchema = org.apache.spark.sql.types.StructType(
-        schema.filterNot(f => partCols.contains(f.name)))
+        outRewritten.schema.filterNot(f => outPartCols.contains(f.name)))
       val updStats = statsFields(dataFiles.map(_._2), updDataSchema, conf)
       val adds = dataFiles.zip(updStats).map { case ((rel, _, size), st) =>
         val pv = partitionValuesJson(partValues(rel))
@@ -1088,7 +1184,10 @@ object DeltaWriter {
             .withColumn("_change_type", lit("update_preimage"))
             .unionByName(rewritten
               .withColumn("_change_type", lit("update_postimage")))
-          val cdcFiles = writeData(cdc, base, partCols, "_change_data", conf)
+          val outCdc = if (!mapped) cdc
+            else toPhysical(cdc, schema, extra = Seq("_change_type"))
+          val cdcFiles = writeData(outCdc, base, outPartCols,
+            "_change_data", conf)
           newFiles ++= cdcFiles.map(_._2)
           cdcFiles.map { case (rel, _, size) =>
             val pv = partitionValuesJson(partValues(rel))
@@ -1140,11 +1239,18 @@ object DeltaWriter {
       throw UnsupportedWrite(
         s"$table: the table is append-only — MERGE is forbidden by its " +
           "own contract")
-    if (config.get("delta.columnMapping.mode").exists(_ != "none"))
-      throw UnsupportedWrite(
-        s"$table: MERGE on a column-mapped table is not implemented")
     enforceConstraints(table, config, schemaJson, None)
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    // column-mapped targets: appended data and cdc files store PHYSICAL
+    // names + field ids (see writeUpdate); nested fields stay directed
+    val mapped = config.get("delta.columnMapping.mode").exists(_ != "none")
+    if (mapped && schema.fields.exists(f => hasNestedNames(f.dataType)))
+      throw UnsupportedWrite(
+        s"$table: MERGE on a column-mapped table with NESTED fields " +
+          "is not implemented (flat physical renames only)")
+    val outPartCols =
+      if (!mapped) partCols
+      else partCols.map(c => DeltaTable.physFieldName(schema(c)))
     keys.foreach { k =>
       if (!schema.fieldNames.contains(k)) throw UnsupportedWrite(
         s"$table: MERGE key '$k' is not in the table schema")
@@ -1165,7 +1271,7 @@ object DeltaWriter {
       source.select(schema.fields.toIndexedSeq.map(f =>
         fcol(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
         .write.mode("overwrite").parquet(tmpDir)
-      val src = spark.read.parquet(tmpDir)
+      val src = readTmpFiles(spark, tmpDir, conf)
       if (src.isEmpty) return version
       // every source row lands in the table (update image or insert) —
       // the row contracts hold on all of them
@@ -1211,10 +1317,11 @@ object DeltaWriter {
               "null sentinel — the directory encoding cannot represent it")
         }
       }
-      val dataFiles = writeData(src, base, partCols, "", conf)
+      val outSrc = if (!mapped) src else toPhysical(src, schema)
+      val dataFiles = writeData(outSrc, base, outPartCols, "", conf)
       newFiles ++= dataFiles.map(_._2)
       val mrgDataSchema = org.apache.spark.sql.types.StructType(
-        schema.filterNot(f => partCols.contains(f.name)))
+        outSrc.schema.filterNot(f => outPartCols.contains(f.name)))
       val mrgStats = statsFields(dataFiles.map(_._2), mrgDataSchema, conf)
       val adds = dataFiles.zip(mrgStats).map { case ((rel, _, size), st) =>
         val pv = partitionValuesJson(partValues(rel))
@@ -1247,7 +1354,10 @@ object DeltaWriter {
           val cdc = pre.unionByName(tagged)
             .select((schema.fieldNames.toSeq :+ "_change_type")
               .map(n => fcol(s"`$n`")): _*)
-          val cdcFiles = writeData(cdc, base, partCols, "_change_data", conf)
+          val outCdc = if (!mapped) cdc
+            else toPhysical(cdc, schema, extra = Seq("_change_type"))
+          val cdcFiles = writeData(outCdc, base, outPartCols,
+            "_change_data", conf)
           newFiles ++= cdcFiles.map(_._2)
           cdcFiles.map { case (rel, _, size) =>
             val pv = partitionValuesJson(partValues(rel))
@@ -1268,6 +1378,86 @@ object DeltaWriter {
       }
       version + 1
     } finally fs.delete(new Path(tmpDir), true)
+  }
+
+  /** ALTER TABLE ... RENAME COLUMN — the migration column mapping
+    * exists to serve: a metaData-ONLY commit rewrites the logical name
+    * while the physical name + field id (and therefore every data, DV,
+    * and cdc file, all partition dirs, partitionValues, and stats keys)
+    * stay untouched. Directed on unmapped tables (their files store
+    * logical names — the stored column would be orphaned), on fields
+    * without a physicalName (same orphaning through the fallback), on
+    * nested fields, on collisions (Spark resolves case-insensitively),
+    * and when a CHECK constraint / invariant / generated column mentions
+    * the old name (its expression would stop resolving — delta-spark
+    * blocks these too). Returns the committed version. */
+  def renameColumn(spark: SparkSession, table: String,
+      oldName: String, newName: String): Long = {
+    val base = table.stripSuffix("/")
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val logPath = new Path(s"$base/_delta_log")
+    val fs = logPath.getFileSystem(conf)
+    val (version, metaId, schemaJson, partCols, config, _, _) =
+      DeltaTable.snapshotState(spark, table)
+    if (!config.get("delta.columnMapping.mode").exists(_ != "none"))
+      throw UnsupportedWrite(
+        s"$table: RENAME COLUMN needs column mapping — an unmapped " +
+          "table's data files store logical names, and a rename would " +
+          "orphan the stored column")
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    if (schema.fields.exists(f => hasNestedNames(f.dataType)))
+      throw UnsupportedWrite(
+        s"$table: RENAME COLUMN on a table with NESTED fields is not " +
+          "implemented")
+    val field = schema.fields.find(_.name == oldName).getOrElse(
+      throw UnsupportedWrite(s"$table: column '$oldName' does not exist"))
+    if (!field.metadata.contains("delta.columnMapping.physicalName"))
+      throw UnsupportedWrite(
+        s"$table: column '$oldName' carries no physicalName — its files " +
+          "key by the logical name, and a rename would orphan them")
+    if (newName.isEmpty || newName == oldName) throw UnsupportedWrite(
+      s"$table: invalid rename '$oldName' -> '$newName'")
+    if (schema.fields.exists(f => f.name != oldName &&
+      f.name.equalsIgnoreCase(newName)))
+      throw UnsupportedWrite(
+        s"$table: column '$newName' already exists (names resolve " +
+          "case-insensitively)")
+    // a contract expression mentioning the old name would stop
+    // resolving after the rename — conservative substring check
+    val contractTexts =
+      config.collect { case (k, v) if k.startsWith("delta.constraints.") => v } ++
+        schema.fields.flatMap { f =>
+          Seq("delta.invariants", "delta.generationExpression")
+            .filter(f.metadata.contains).map(f.metadata.getString)
+        }
+    if (contractTexts.exists(_.contains(oldName)))
+      throw UnsupportedWrite(
+        s"$table: a CHECK constraint / invariant / generated column " +
+          s"mentions '$oldName' — rename the contract first")
+    val next = StructType(schema.fields.map(f =>
+      if (f.name == oldName)
+        StructField(newName, f.dataType, f.nullable, f.metadata)
+      else f))
+    val newPartCols = partCols.map(c => if (c == oldName) newName else c)
+    val ts = System.currentTimeMillis()
+    val cfgJson = config.map { case (k, v) =>
+      s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
+    }.mkString(",")
+    val lines = Seq(
+      s"""{"commitInfo":{"timestamp":$ts,"operation":"RENAME COLUMN"}}""",
+      s"""{"metaData":{"id":"${if (metaId.nonEmpty) metaId
+        else java.util.UUID.randomUUID().toString}",""" +
+        s""""format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"${jsonEscape(next.json)}",""" +
+        s""""partitionColumns":[${newPartCols.map(c =>
+          s""""${jsonEscape(c)}"""").mkString(",")}],""" +
+        s""""configuration":{$cfgJson}}}""")
+    val dest = new Path(logPath, f"${version + 1}%020d.json")
+    if (!putText(fs, dest, lines.mkString("\n")))
+      throw CommitConflict(
+        s"$table: version ${version + 1} was committed concurrently — " +
+          "re-read the table and retry the rename")
+    version + 1
   }
 
   /** OPTIMIZE (bin-packing compaction): partitions holding at least two
@@ -1302,9 +1492,14 @@ object DeltaWriter {
     if (proto.writerFeatures.contains("rowTracking")) throw UnsupportedWrite(
       s"$table: compacting a rowTracking table is not implemented " +
         "(rewritten files would lose their baseRowId)")
-    if (config.get("delta.columnMapping.mode").exists(_ != "none"))
+    // column-mapped targets: rewritten files store PHYSICAL names +
+    // field ids (nested fields directed, as everywhere under mapping)
+    val cpSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val mapped = config.get("delta.columnMapping.mode").exists(_ != "none")
+    if (mapped && cpSchema.fields.exists(f => hasNestedNames(f.dataType)))
       throw UnsupportedWrite(
-        s"$table: compacting a column-mapped table is not implemented")
+        s"$table: compacting a column-mapped table with NESTED fields " +
+          "is not implemented (flat physical renames only)")
     def resolve(rel: String): String = DeltaTable.resolveAdd(base, rel)
     // O(files) driver stats pick the targets: per partition tuple, at
     // least two qualifying files, DV'd files always qualify (their debt
@@ -1343,11 +1538,15 @@ object DeltaWriter {
       else if (partCols.isEmpty) rows.coalesce(nOut)
       else rows.repartition(nOut, partCols.map(fcol): _*)
     val ts = System.currentTimeMillis()
-    val dataFiles = writeData(packed, base, partCols, "", conf)
+    // physicalize AFTER packing: a select is narrow, so the coalesce/
+    // repartition/z-order layout (and in-partition order) is preserved
+    val outPacked = if (!mapped) packed else toPhysical(packed, cpSchema)
+    val outPartCols =
+      if (!mapped) partCols
+      else partCols.map(c => DeltaTable.physFieldName(cpSchema(c)))
+    val dataFiles = writeData(outPacked, base, outPartCols, "", conf)
     val cpDataSchema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.DataType.fromJson(schemaJson)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-        .filterNot(f => partCols.contains(f.name)))
+      outPacked.schema.filterNot(f => outPartCols.contains(f.name)))
     val sc = statsFieldsWithCounts(dataFiles.map(_._2), cpDataSchema, conf)
     val nonEmpty = dataFiles.zip(sc).filter(_._2._2 > 0)
     cleanup(fs, dataFiles.zip(sc).filter(_._2._2 == 0).map(_._1._2))
@@ -1785,10 +1984,20 @@ object IcebergWriter {
     val valueCounts = st.numRecords.toSeq.flatMap(n =>
       idFields.map { case (id, _) => Seq[Any](id, n) })
     val nullCounts = cells(_.nullCount, (_, v) => Some(v))
+    // string bounds truncate before encoding (Iceberg's own default
+    // metrics mode): the MIN prefix stays a valid lower bound, the MAX
+    // rounds upward or drops — a wide text column must not copy its
+    // full values into every manifest entry
     val lowers = cells(_.min,
-      (dt, v) => ColumnStats.icebergBound(dt, v).map(identity[Any]))
+      (dt, v) => ColumnStats.icebergBound(dt, v match {
+        case s: String => ColumnStats.truncateMin(s)
+        case o => o
+      }).map(identity[Any]))
     val uppers = cells(_.max,
-      (dt, v) => ColumnStats.icebergBound(dt, v).map(identity[Any]))
+      (dt, v) => (v match {
+        case s: String => ColumnStats.truncateMax(s).map(identity[Any])
+        case o => Some(o)
+      }).flatMap(x => ColumnStats.icebergBound(dt, x)).map(identity[Any]))
     (Seq(
       if (valueCounts.isEmpty) null else valueCounts,
       if (nullCounts.isEmpty) null else nullCounts,
@@ -1917,9 +2126,6 @@ object IcebergWriter {
       transform: String) {
     import org.apache.spark.sql.functions.{col => fc, floor => _, _}
     private def src = fc(s"`$source`")
-    /** floorDiv in exact long arithmetic: (a - pmod(a, d)) / d. */
-    private def floorDiv(a: org.apache.spark.sql.Column, d: Long) =
-      ((a - pmod(a, lit(d))) / lit(d)).cast("int")
     def valueCol(schema: StructType): org.apache.spark.sql.Column =
       transform match {
         case "identity" => src
@@ -1941,23 +2147,28 @@ object IcebergWriter {
         case "year" => (year(tsOrDate(schema)) - 1970).cast("int")
         case "month" => ((year(tsOrDate(schema)) - 1970) * 12 +
           month(tsOrDate(schema)) - 1).cast("int")
-        // unix_micros, NOT cast("long") (which yields SECONDS); an ntz
-        // source casts through timestamp first — the session timezone
-        // is pinned UTC, so the wall clock IS the spec's UTC micros.
-        // Dates go through unix_date (cast date->int is an ANSI error);
-        // anything else is DIRECTED — cast(long as timestamp) would
-        // silently read the value as epoch seconds
+        // whole days/hours since the epoch in EXACT integer arithmetic:
+        // cast(timestamp -> date) floors on the UTC calendar (the
+        // session timezone is pinned UTC) and unix_date/hour() are pure
+        // int ops — epoch-unit division through Spark's `/` would go
+        // via Double and can round to the WRONG partition beyond 2^53
+        // micros (before ~1685 / after ~2255). Dates go through
+        // unix_date (cast date->int is an ANSI error); anything else is
+        // DIRECTED — cast(long as timestamp) would silently read the
+        // value as epoch seconds
         case "day" => schema(source).dataType match {
           case DateType => unix_date(src)
           case TimestampType | TimestampNTZType =>
-            floorDiv(unix_micros(src.cast("timestamp")), 86400000000L)
+            unix_date(src.cast("timestamp").cast("date"))
           case other => throw UnsupportedWrite(
             s"day over ${other.simpleString} is not implemented " +
               "(date/timestamp sources only)")
         }
         case "hour" => schema(source).dataType match {
           case TimestampType | TimestampNTZType =>
-            floorDiv(unix_micros(src.cast("timestamp")), 3600000000L)
+            val ts = src.cast("timestamp")
+            (unix_date(ts.cast("date")).cast("long") * 24 +
+              hour(ts)).cast("int")
           case other => throw UnsupportedWrite(
             s"hour over ${other.simpleString} is not implemented " +
               "(timestamp sources only)")
@@ -2006,11 +2217,30 @@ object IcebergWriter {
     * plan. Post-write (and race-free, since data files RETAIN the real
     * columns), identity-string files whose dir parsed as null are
     * checked for the ''/hive-sentinel ambiguity. Shared by the append
-    * and compaction writers. */
-  private def writeIdentityPartitioned(spark: SparkSession, df: DataFrame,
+    * and compaction writers.
+    *
+    * `fieldIds` (schema column -> Iceberg field id) tags each table
+    * column with `parquet.field.id` metadata — Spark's parquet writer
+    * stores the ids (fieldId.write is on by default), giving every data
+    * file the spec's ID-KEYED column identity: the read path can then
+    * resolve columns by id, the rule that makes renames and foreign
+    * differently-spelled files safe. Helper columns stay untagged. */
+  private def writeIdentityPartitioned(spark: SparkSession, dfIn: DataFrame,
       base: String, parts: Seq[PartField], table: String, fs: FileSystem,
-      conf: Configuration): Seq[((String, String, Long), Seq[Any])] = {
+      conf: Configuration, fieldIds: Map[String, Int] = Map.empty)
+      : Seq[((String, String, Long), Seq[Any])] = {
     import org.apache.spark.sql.functions.{col => fcol}
+    val df =
+      if (fieldIds.isEmpty) dfIn
+      else dfIn.select(dfIn.schema.fields.toIndexedSeq.map { f =>
+        fieldIds.get(f.name) match {
+          case Some(id) =>
+            val md = new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong("parquet.field.id", id.toLong).build()
+            fcol(s"`${f.name}`").as(f.name, md)
+          case None => fcol(s"`${f.name}`")
+        }
+      }: _*)
     // helper names must not shadow REAL columns (a collision would
     // silently exclude the genuine column from the data files) — Spark
     // resolves case-INSENSITIVELY by default, and helpers must not
@@ -2245,10 +2475,11 @@ object IcebergWriter {
     val partFields = parts.map(pf =>
       StructField(pf.name, pf.valueType(df.schema)))
     partFields.foreach(f => partitionAvroType(f.dataType)) // directed early
-    val filesWithTuple = writeIdentityPartitioned(spark, df, base,
-      parts, table, fs, conf)
-    val files = filesWithTuple.map(_._1)
     val appendIdFields = idFieldsOf(schemaJson)
+    val filesWithTuple = writeIdentityPartitioned(spark, df, base,
+      parts, table, fs, conf,
+      fieldIds = appendIdFields.map { case (id, f) => f.name -> id }.toMap)
+    val files = filesWithTuple.map(_._1)
     val fileSC = files.map(f => statsCells(f._2, appendIdFields, conf))
     val counts = fileSC.map(_._2)
     val newSeq = lastSeq + 1
@@ -2305,6 +2536,92 @@ object IcebergWriter {
       rowLineage = if (tableFv == 3)
         Some((priorNextRow, priorNextRow + counts.sum)) else None)
     snapId
+  }
+
+  /** ALTER TABLE ... RENAME COLUMN: a METADATA-ONLY commit — Iceberg
+    * columns are identified by field id everywhere that matters
+    * (manifest bounds, partition-spec source-ids, the field-id read
+    * path), so the rename appends a new schema to `schemas` (schema-id
+    * bumped past every schema ever declared, ids untouched) and bumps
+    * `current-schema-id`; no snapshot, manifest, or data file moves.
+    * Files written before field-id tagging resolve through the schema
+    * HISTORY the reader keeps (prior names per id). Returns the new
+    * metadata version. */
+  def renameColumn(spark: SparkSession, table: String,
+      oldName: String, newName: String): Long = {
+    val base = table.stripSuffix("/")
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(base).getFileSystem(conf)
+    val st = loadState(spark, fs, base)
+    val meta = st.meta
+    val schemaNode = IcebergTable.currentSchemaJson(meta)
+    val fields = (schemaNode \ "fields").extractOpt[Seq[JValue]]
+      .getOrElse(Nil)
+    if (!fields.exists(f => (f \ "name").extractOpt[String]
+      .contains(oldName)))
+      throw UnsupportedWrite(s"$table: column '$oldName' does not exist")
+    if (newName.isEmpty || newName == oldName) throw UnsupportedWrite(
+      s"$table: invalid rename '$oldName' -> '$newName'")
+    if (fields.exists(f => (f \ "name").extractOpt[String]
+      .exists(n => n != oldName && n.equalsIgnoreCase(newName))))
+      throw UnsupportedWrite(
+        s"$table: column '$newName' already exists (names resolve " +
+          "case-insensitively)")
+    // a spec FIELD named after the column keeps its dir name (source-id
+    // binds it); nested fields stay directed like everywhere else
+    if (fields.exists(f => (f \ "type") match {
+      case JString(_) => false
+      case _ => true
+    })) throw UnsupportedWrite(
+      s"$table: RENAME COLUMN on a table with NESTED fields is not " +
+        "implemented")
+    val allSchemas = (meta \ "schemas").extractOpt[Seq[JValue]]
+      .getOrElse(Seq(meta \ "schema"))
+    val newSchemaId = allSchemas.flatMap(s0 =>
+      (s0 \ "schema-id").extractOpt[Int]).foldLeft(0)(math.max) + 1
+    val renamedFields = fields.map { f =>
+      if ((f \ "name").extractOpt[String].contains(oldName))
+        JObject(f.asInstanceOf[JObject].obj.map {
+          case ("name", _) => ("name", JString(newName))
+          case kv => kv
+        })
+      else f
+    }
+    val newSchemaJson = JsonMethods.compact(JsonMethods.render(JObject(
+      ("type", JString("struct")), ("schema-id", JInt(newSchemaId)),
+      ("fields", JArray(renamedFields.toList)))))
+    val schemasListJson = (allSchemas.map(s0 =>
+      JsonMethods.compact(JsonMethods.render(s0))) :+ newSchemaJson)
+      .mkString(", ")
+    val carried2 = st.carried.filterNot { case (k, _) =>
+      Set("schemas", "current-schema-id", "schema")(k)
+    } ++ Seq(
+      "schemas" -> s"[$schemasListJson]",
+      "current-schema-id" -> newSchemaId.toString)
+    val ts = System.currentTimeMillis()
+    val snapsJson = st.snapshots.map(sn =>
+      JsonMethods.compact(JsonMethods.render(sn))).mkString(", ")
+    val currentId = (meta \ "current-snapshot-id").extractOpt[Long]
+      .getOrElse(-1L)
+    val allFields = carried2 ++ Seq(
+      "last-updated-ms" -> ts.toString,
+      "last-sequence-number" -> st.lastSeq.toString,
+      "current-snapshot-id" -> currentId.toString,
+      "snapshots" -> s"[$snapsJson]") ++
+      (meta \ "next-row-id").extractOpt[Long]
+        .map(n => "next-row-id" -> n.toString)
+    val metaJson = allFields
+      .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+    val newVersion = st.metaVersion + 1
+    val metaDir = new Path(s"$base/metadata")
+    val dest = new Path(metaDir, s"v$newVersion.metadata.json")
+    if (!putText(fs, dest, metaJson))
+      throw CommitConflict(
+        s"$table: metadata version $newVersion was committed " +
+          "concurrently — re-read the table and retry the rename")
+    overwriteText(fs, conf, new Path(metaDir, "version-hint.text"),
+      newVersion.toString)
+    newVersion
   }
 
   /** The key-value metadata stock manifest readers require in each
@@ -2434,9 +2751,59 @@ object IcebergWriter {
     * carrying the partition struct, so stock readers' partition-equality
     * application rule and file-level pruning both hold. An empty DELETE
     * is a no-op. Returns the snapshot id. */
+  /** The default spec's partition shape for a row-level write:
+    * (spec id, partition-struct fields [spec field name, SOURCE column
+    * type], manifest field ids, identity PartFields for re-written
+    * images, the spec fields' json). IDENTITY transforms only — a
+    * non-identity transform directs with `opName` (the kill manifest's
+    * partition struct and the rewrite's dir encoding both assume the
+    * partition value IS the source value). */
+  private def identitySpecInfo(table: String, meta: JValue,
+      schema: StructType, opName: String)
+      : (Int, Seq[StructField], Seq[Int], Seq[PartField], String) = {
+    val specs = (meta \ "partition-specs").extractOpt[Seq[JValue]]
+      .getOrElse(Nil)
+    val specId = (meta \ "default-spec-id").extractOpt[Int].getOrElse(0)
+    val spec = specs.find(sp =>
+      (sp \ "spec-id").extractOpt[Int].contains(specId))
+    if (specs.nonEmpty && spec.isEmpty) throw UnsupportedWrite(
+      s"$table: default-spec-id $specId is not in partition-specs")
+    val specFields = spec.toSeq
+      .flatMap(sp => (sp \ "fields").extractOpt[Seq[JValue]].getOrElse(Nil))
+    specFields.foreach { f =>
+      val transform = (f \ "transform").extractOpt[String].getOrElse("")
+      if (transform != "identity") throw UnsupportedWrite(
+        s"$table: $opName through a '$transform' partition transform " +
+          "is not implemented (identity only)")
+    }
+    val idToName: Map[Int, String] =
+      (IcebergTable.currentSchemaJson(meta) \ "fields")
+        .extractOpt[Seq[JValue]].getOrElse(Nil).flatMap { f =>
+          for (id <- (f \ "id").extractOpt[Int];
+            n <- (f \ "name").extractOpt[String]) yield id -> n
+        }.toMap
+    val withSource = specFields.map { f =>
+      val name = (f \ "name").extract[String]
+      val srcId = (f \ "source-id").extract[Int]
+      val srcName = idToName.getOrElse(srcId, throw UnsupportedWrite(
+        s"$table: partition source-id $srcId is not in the schema"))
+      (name, srcName)
+    }
+    val structFields = withSource.map { case (name, srcName) =>
+      StructField(name, schema(srcName).dataType) }
+    val fieldIds: Seq[Int] = specFields.zipWithIndex.map {
+      case (f, i) => (f \ "field-id").extractOpt[Int].getOrElse(1000 + i)
+    }
+    val parts = withSource.map { case (name, srcName) =>
+      PartField(name, srcName, "identity") }
+    val fieldsJson = spec.map(sp =>
+      JsonMethods.compact(JsonMethods.render(sp \ "fields")))
+      .getOrElse("[]")
+    (specId, structFields, fieldIds, parts, fieldsJson)
+  }
+
   def writeDelete(spark: SparkSession, table: String,
       condition: org.apache.spark.sql.Column): Long = {
-    import org.apache.spark.sql.functions.{broadcast, col => fcol}
     val base = table.stripSuffix("/")
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val fs = new Path(base).getFileSystem(conf)
@@ -2451,46 +2818,14 @@ object IcebergWriter {
     val currentId = (meta \ "current-snapshot-id").extractOpt[Long]
       .filter(_ != -1L).getOrElse(throw UnsupportedWrite(
         s"$table: no current snapshot — nothing to delete from"))
-    // the delete manifest is tagged with the table's DEFAULT spec id —
-    // a dangling spec-0 reference would break stock readers on tables
-    // whose empty spec evolved to a nonzero id
-    val delSpecs = (meta \ "partition-specs").extractOpt[Seq[JValue]]
-      .getOrElse(Nil)
-    val delSpecId = (meta \ "default-spec-id").extractOpt[Int].getOrElse(0)
-    val spec = delSpecs.find(sp =>
-      (sp \ "spec-id").extractOpt[Int].contains(delSpecId))
-    if (delSpecs.nonEmpty && spec.isEmpty)
-      throw UnsupportedWrite(
-        s"$table: default-spec-id $delSpecId is not in partition-specs")
-    val specFields = spec.toSeq
-      .flatMap(sp => (sp \ "fields").extractOpt[Seq[JValue]].getOrElse(Nil))
-    specFields.foreach { f =>
-      val transform = (f \ "transform").extractOpt[String].getOrElse("")
-      if (transform != "identity") throw UnsupportedWrite(
-        s"$table: deleting through a '$transform' partition transform " +
-          "is not implemented (identity only)")
-    }
     val schemaNode = IcebergTable.currentSchemaJson(meta)
     val schema = IcebergTable.structOf(schemaNode)
-    val idToName: Map[Int, String] =
-      (schemaNode \ "fields").extractOpt[Seq[JValue]].getOrElse(Nil)
-        .flatMap { f =>
-          for (id <- (f \ "id").extractOpt[Int];
-            n <- (f \ "name").extractOpt[String]) yield id -> n
-        }.toMap
-    // the delete manifest's partition struct: spec field names, source
-    // column types
-    val partStructFields: Seq[StructField] = specFields.map { f =>
-      val name = (f \ "name").extract[String]
-      val srcId = (f \ "source-id").extract[Int]
-      val srcName = idToName.getOrElse(srcId, throw UnsupportedWrite(
-        s"$table: partition source-id $srcId is not in the schema"))
-      StructField(name, schema(srcName).dataType)
-    }
-    val partFieldIds: Seq[Int] = specFields.zipWithIndex.map {
-      case (f, i) => (f \ "field-id").extractOpt[Int].getOrElse(1000 + i)
-    }
-    val partitioned = partStructFields.nonEmpty
+    // the delete manifest is tagged with the table's DEFAULT spec id —
+    // a dangling spec-0 reference would break stock readers on tables
+    // whose empty spec evolved to a nonzero id; its partition struct
+    // carries spec field names with source column types
+    val (delSpecId, partStructFields, partFieldIds, _, delSpecJson) =
+      identitySpecInfo(table, meta, schema, "deleting")
     // matching rows → (manifest-spelled file path, position), fully
     // DISTRIBUTED: the canonical row key maps back to the raw manifest
     // path (and its partition scope) through a broadcast dimension so
@@ -2498,7 +2833,57 @@ object IcebergWriter {
     // each delete file per spec. ONE scan: the plan is written straight
     // to parquet and "nothing matched" is detected from the written
     // files' footer counts.
+    val kills = writeKillFiles(spark, table, base, fs, conf,
+      IcebergTable.readWithRowKey(spark, table).filter(condition),
+      partStructFields, delSpecId)
+    if (kills.isEmpty) return currentId // empty DELETE: no-op
+    val newSeq = st.lastSeq + 1
+    val snapId = (st.snapshots.flatMap(sn =>
+      (sn \ "snapshot-id").extractOpt[Long]) :+ 0L).max + 1
+    val ts = System.currentTimeMillis()
+    val attempt = java.util.UUID.randomUUID().toString
+    val manifestPath = s"$base/metadata/m-$attempt.avro"
+    val schemaJson = JsonMethods.compact(JsonMethods.render(schemaNode))
+    AvroOcf.write(manifestPath,
+      manifestAvroSchema(partStructFields, partFieldIds),
+      kills.map { case ((_, abs, size), n, t) =>
+        // content 1: positional deletes
+        Seq(1, newSeq, Seq(1, abs, "PARQUET", t, n, size) ++
+          noStatsCells)
+      }, conf = conf,
+      meta = manifestMeta(schemaJson, delSpecJson, delSpecId, "deletes"))
+    commitSnapshot(fs, conf, base, table, snapId, newSeq, ts, "delete",
+      Seq(NewManifest(manifestPath, 1, kills.size,
+        kills.map(_._2).sum)),
+      attempt, delSpecId, st.carried, st.snapshots,
+      st.priorManifests, st.metaVersion, kills.map(_._1._2))
+    snapId
+  }
+
+  /** The kill half of every Iceberg row-level write: matching rows
+    * (`keyed` must carry `__row_path`/`__row_pos`) become positional-
+    * delete parquet files under `data/`, fully DISTRIBUTED — the
+    * canonical row key maps back to the raw manifest path (and its
+    * partition scope) through a broadcast dimension so foreign readers'
+    * raw-string compares still match; rows sort (file_path, pos) within
+    * each delete file per spec. On a partitioned table each delete file
+    * is PARTITION-SCOPED: rows group by their data file's own scope
+    * string (`specId:partitionJson`, from the manifest entry) so the
+    * delete manifest's partition structs let scan planners skip the
+    * delete file everywhere outside its partition. ONE scan: the plan
+    * writes straight to parquet, "nothing matched" is detected from
+    * footer counts (empty result = no-op, zero-row files cleaned).
+    * Returns one entry per non-empty delete file:
+    * ((rel, abs, size), rowCount, partitionTuple). A touched data file
+    * under a NON-default spec cannot be scoped by this manifest and
+    * fails directed. */
+  private def writeKillFiles(spark: SparkSession, table: String,
+      base: String, fs: FileSystem, conf: Configuration, keyed: DataFrame,
+      partStructFields: Seq[StructField], delSpecId: Int)
+      : Seq[((String, String, Long), Long, Seq[Any])] = {
+    import org.apache.spark.sql.functions.{broadcast, col => fcol}
     import spark.implicits._
+    val partitioned = partStructFields.nonEmpty
     val scopes = IcebergTable.activeDataScopes(spark, table)
     if (partitioned && scopes.exists(_._2.isEmpty)) throw UnsupportedWrite(
       s"$table: the table is partitioned but a data manifest carries no " +
@@ -2506,8 +2891,7 @@ object IcebergWriter {
     val pathDim = scopes.map { case (p, sc) =>
       (PathUris.canon(p), p, sc)
     }.toDF("__ck", "file_path", "__pt")
-    val keyedSel = IcebergTable.readWithRowKey(spark, table)
-      .filter(condition)
+    val keyedSel = keyed
       .select(fcol("__row_path").as("__ck"), fcol("__row_pos").as("pos"))
       .join(broadcast(pathDim), "__ck")
     val delRows =
@@ -2524,17 +2908,15 @@ object IcebergWriter {
     val files = writeData(delRows, base,
       if (partitioned) Seq("__pt") else Nil, "data", conf)
     val counts = rowCounts(files.map(_._2), conf)
-    if (counts.sum == 0) { // empty DELETE: no-op, no empty snapshot
+    if (counts.sum == 0) { // nothing matched
       cleanup(fs, files.map(_._2))
-      return currentId
+      return Nil
     }
     // files with zero delete rows add nothing but manifest noise
     val nonEmpty = files.zip(counts).filter(_._2 > 0)
     cleanup(fs, files.zip(counts).filter(_._2 == 0).map(_._1._2))
     // each delete file's partition tuple parses back from its __pt=
-    // directory segment (`specId:partitionJson`); a touched data file
-    // under a NON-default spec cannot be partition-scoped by this
-    // delete's manifest and fails directed
+    // directory segment
     def tupleOf(rel: String): Seq[Any] =
       if (!partitioned) Nil
       else {
@@ -2550,30 +2932,7 @@ object IcebergWriter {
         val jm = JsonMethods.parse(raw.drop(specPart.length + 1))
         partStructFields.map(sf => jvalueTo(sf.dataType, jm \ sf.name))
       }
-    val newSeq = st.lastSeq + 1
-    val snapId = (st.snapshots.flatMap(sn =>
-      (sn \ "snapshot-id").extractOpt[Long]) :+ 0L).max + 1
-    val ts = System.currentTimeMillis()
-    val attempt = java.util.UUID.randomUUID().toString
-    val manifestPath = s"$base/metadata/m-$attempt.avro"
-    val schemaJson = JsonMethods.compact(JsonMethods.render(schemaNode))
-    val specFieldsJson = spec
-      .map(sp => JsonMethods.compact(JsonMethods.render(sp \ "fields")))
-      .getOrElse("[]")
-    AvroOcf.write(manifestPath,
-      manifestAvroSchema(partStructFields, partFieldIds),
-      nonEmpty.map { case ((rel, abs, size), n) =>
-        // content 1: positional deletes
-        Seq(1, newSeq, Seq(1, abs, "PARQUET", tupleOf(rel), n, size) ++
-          noStatsCells)
-      }, conf = conf,
-      meta = manifestMeta(schemaJson, specFieldsJson, delSpecId, "deletes"))
-    commitSnapshot(fs, conf, base, table, snapId, newSeq, ts, "delete",
-      Seq(NewManifest(manifestPath, 1, nonEmpty.size,
-        nonEmpty.map(_._2).sum)),
-      attempt, delSpecId, st.carried, st.snapshots,
-      st.priorManifests, st.metaVersion, nonEmpty.map(_._1._2))
-    snapId
+    nonEmpty.map { case (f, n) => (f, n, tupleOf(f._1)) }
   }
 
   /** v3 row-level DELETE: matching rows become Puffin DELETION VECTORS —
@@ -2686,11 +3045,16 @@ object IcebergWriter {
     * every source row appends as new data files, and both manifests
     * commit in ONE `overwrite` snapshot. The source materializes once
     * (temp parquet); duplicate source keys are directed (one target row
-    * must not take two images). Unpartitioned flat-schema v2 tables.
-    * Returns the new snapshot id. */
+    * must not take two images). On an identity-partitioned table both
+    * halves are partition-scoped: source rows land one file set per
+    * touched partition tuple (untouched partitions' files are carried
+    * verbatim — byte-identical), kill rows group by their data file's
+    * own partition scope, and both manifests carry the partition
+    * structs scan planners prune by. Flat-schema v2 tables; non-
+    * identity transforms directed. Returns the new snapshot id. */
   def writeMerge(spark: SparkSession, table: String, source: DataFrame,
       keys: Seq[String]): Long = {
-    import org.apache.spark.sql.functions.{broadcast, col => fcol}
+    import org.apache.spark.sql.functions.{col => fcol}
     if (keys.isEmpty) throw UnsupportedWrite(
       s"$table: MERGE needs at least one key column")
     val base = table.stripSuffix("/")
@@ -2702,23 +3066,13 @@ object IcebergWriter {
     if (fv != 2) throw UnsupportedWrite(
       s"$table: positional-delete merges target format-version 2 " +
         s"(table is $fv)")
-    if ((meta \ "partition-specs").extractOpt[Seq[JValue]].getOrElse(Nil)
-      .exists(sp => (sp \ "fields").extractOpt[Seq[JValue]]
-        .exists(_.nonEmpty)))
-      throw UnsupportedWrite(
-        s"$table: MERGE on a PARTITIONED table is not implemented")
     val currentId = (meta \ "current-snapshot-id").extractOpt[Long]
       .filter(_ != -1L).getOrElse(throw UnsupportedWrite(
         s"$table: no current snapshot — nothing to merge into"))
-    val delSpecs = (meta \ "partition-specs").extractOpt[Seq[JValue]]
-      .getOrElse(Nil)
-    val delSpecId = (meta \ "default-spec-id").extractOpt[Int].getOrElse(0)
-    if (delSpecs.nonEmpty && !delSpecs.exists(sp =>
-      (sp \ "spec-id").extractOpt[Int].contains(delSpecId)))
-      throw UnsupportedWrite(
-        s"$table: default-spec-id $delSpecId is not in partition-specs")
     val schemaNode = IcebergTable.currentSchemaJson(meta)
     val schema = IcebergTable.structOf(schemaNode)
+    val (delSpecId, partStructFields, partFieldIds, parts, specJson) =
+      identitySpecInfo(table, meta, schema, "MERGE")
     keys.foreach { k =>
       if (!schema.fieldNames.contains(k)) throw UnsupportedWrite(
         s"$table: MERGE key '$k' is not in the table schema")
@@ -2726,14 +3080,13 @@ object IcebergWriter {
     if (!sameSchema(schema, source.schema)) throw UnsupportedWrite(
       s"$table: MERGE source schema ${source.schema.simpleString} != " +
         s"table schema ${schema.simpleString}")
-    import spark.implicits._
     val tmpDir = s"$base/_tmp_merge_${java.util.UUID.randomUUID()}"
     val newFiles = Seq.newBuilder[String]
     try {
       source.select(schema.fields.toIndexedSeq.map(f =>
         fcol(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
         .write.mode("overwrite").parquet(tmpDir)
-      val src = spark.read.parquet(tmpDir)
+      val src = readTmpFiles(spark, tmpDir, conf)
       if (src.isEmpty) return currentId
       val dup = src.groupBy(keys.map(fcol): _*)
         .count().filter(fcol("count") > 1)
@@ -2754,50 +3107,46 @@ object IcebergWriter {
       if (!tDup.isEmpty) throw UnsupportedWrite(
         s"$table: MERGE keys match multiple TARGET rows for one source " +
           "row — per-key replacement would silently collapse them")
-      val rawPaths = IcebergTable.activeDataPaths(spark, table)
-      val pathDim = rawPaths.map(p => (PathUris.canon(p), p))
-        .toDF("__ck", "file_path")
-      val delRows = matched
-        .select(fcol("__row_path").as("__ck"), fcol("__row_pos").as("pos"))
-        .join(broadcast(pathDim), "__ck")
-        .select(fcol("file_path"), fcol("pos").cast("long"))
-        .sortWithinPartitions(fcol("file_path"), fcol("pos"))
-      val delFiles = writeData(delRows, base, Nil, "data", conf)
-      val delCounts = rowCounts(delFiles.map(_._2), conf)
-      val delNonEmpty = delFiles.zip(delCounts).filter(_._2 > 0)
-      cleanup(fs, delFiles.zip(delCounts).filter(_._2 == 0).map(_._1._2))
-      newFiles ++= delNonEmpty.map(_._1._2)
-      val dataFiles = writeData(src, base, Nil, "data", conf)
+      val kills = writeKillFiles(spark, table, base, fs, conf, matched,
+        partStructFields, delSpecId)
+      newFiles ++= kills.map(_._1._2)
       val schemaJson = JsonMethods.compact(JsonMethods.render(schemaNode))
       val mrgIdFields = idFieldsOf(schemaJson)
-      val dataSC = dataFiles.map(f => statsCells(f._2, mrgIdFields, conf))
-      val dataNonEmpty = dataFiles.zip(dataSC).filter(_._2._2 > 0)
-      cleanup(fs, dataFiles.zip(dataSC).filter(_._2._2 == 0).map(_._1._2))
-      newFiles ++= dataNonEmpty.map(_._1._2)
+      val filesWithTuple = writeIdentityPartitioned(spark, src, base,
+        parts, table, fs, conf,
+        fieldIds = mrgIdFields.map { case (id, f) => f.name -> id }.toMap)
+      val dataSC = filesWithTuple.map(f =>
+        statsCells(f._1._2, mrgIdFields, conf))
+      val dataNonEmpty = filesWithTuple.zip(dataSC).filter(_._2._2 > 0)
+      cleanup(fs,
+        filesWithTuple.zip(dataSC).filter(_._2._2 == 0).map(_._1._1._2))
+      newFiles ++= dataNonEmpty.map(_._1._1._2)
       val newSeq = st.lastSeq + 1
       val snapId = (st.snapshots.flatMap(sn =>
         (sn \ "snapshot-id").extractOpt[Long]) :+ 0L).max + 1
       val ts = System.currentTimeMillis()
       val attempt = java.util.UUID.randomUUID().toString
       val dataManifest = s"$base/metadata/m-$attempt-data.avro"
-      AvroOcf.write(dataManifest, manifestAvroSchema(Nil),
-        dataNonEmpty.map { case ((_, abs, size), (cells, n)) =>
-          Seq(1, newSeq, Seq(0, abs, "PARQUET", Seq(), n, size) ++ cells)
+      AvroOcf.write(dataManifest,
+        manifestAvroSchema(partStructFields, partFieldIds),
+        dataNonEmpty.map { case (((_, abs, size), t), (cells, n)) =>
+          Seq(1, newSeq, Seq(0, abs, "PARQUET", t, n, size) ++ cells)
         }, conf = conf,
-        meta = manifestMeta(schemaJson, "[]", delSpecId, "data"))
+        meta = manifestMeta(schemaJson, specJson, delSpecId, "data"))
       val manifests = Seq.newBuilder[NewManifest]
       manifests += NewManifest(dataManifest, 0, dataNonEmpty.size,
         dataNonEmpty.map(_._2._2).sum)
-      if (delNonEmpty.nonEmpty) {
+      if (kills.nonEmpty) {
         val delManifest = s"$base/metadata/m-$attempt-deletes.avro"
-        AvroOcf.write(delManifest, manifestAvroSchema(Nil),
-          delNonEmpty.map { case ((_, abs, size), n) =>
-            Seq(1, newSeq, Seq(1, abs, "PARQUET", Seq(), n, size) ++
+        AvroOcf.write(delManifest,
+          manifestAvroSchema(partStructFields, partFieldIds),
+          kills.map { case ((_, abs, size), n, t) =>
+            Seq(1, newSeq, Seq(1, abs, "PARQUET", t, n, size) ++
               noStatsCells)
           }, conf = conf,
-          meta = manifestMeta(schemaJson, "[]", delSpecId, "deletes"))
-        manifests += NewManifest(delManifest, 1, delNonEmpty.size,
-          delNonEmpty.map(_._2).sum)
+          meta = manifestMeta(schemaJson, specJson, delSpecId, "deletes"))
+        manifests += NewManifest(delManifest, 1, kills.size,
+          kills.map(_._2).sum)
       }
       commitSnapshot(fs, conf, base, table, snapId, newSeq, ts,
         "overwrite", manifests.result(),
@@ -2816,13 +3165,18 @@ object IcebergWriter {
     * across two snapshots the way a writeDelete+writeAppend pair would.
     * The matched set is materialized once (a temp parquet under the
     * table) so the delete rows and the rewritten images come from the
-    * SAME evaluation of a possibly non-deterministic condition.
-    * Unpartitioned flat-schema v2 tables; an empty UPDATE is a no-op.
-    * Returns the new snapshot id. */
+    * SAME evaluation of a possibly non-deterministic condition. On an
+    * identity-partitioned table both halves are partition-scoped (kill
+    * rows by their data file's own scope, rewritten images one file set
+    * per touched partition tuple — updating a partition column moves
+    * rows to their new partitions; untouched partitions' files are
+    * carried verbatim); non-identity transforms directed. Flat-schema
+    * v2 tables; an empty UPDATE is a no-op. Returns the new snapshot
+    * id. */
   def writeUpdate(spark: SparkSession, table: String,
       condition: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column]): Long = {
-    import org.apache.spark.sql.functions.{broadcast, col => fcol}
+    import org.apache.spark.sql.functions.{col => fcol}
     val base = table.stripSuffix("/")
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val fs = new Path(base).getFileSystem(conf)
@@ -2832,51 +3186,30 @@ object IcebergWriter {
     if (fv != 2) throw UnsupportedWrite(
       s"$table: positional-delete updates target format-version 2 " +
         s"(table is $fv)")
-    if ((meta \ "partition-specs").extractOpt[Seq[JValue]].getOrElse(Nil)
-      .exists(sp => (sp \ "fields").extractOpt[Seq[JValue]]
-        .exists(_.nonEmpty)))
-      throw UnsupportedWrite(
-        s"$table: row-level updates on a PARTITIONED table are not " +
-          "implemented")
     val currentId = (meta \ "current-snapshot-id").extractOpt[Long]
       .filter(_ != -1L).getOrElse(throw UnsupportedWrite(
         s"$table: no current snapshot — nothing to update"))
-    val delSpecs = (meta \ "partition-specs").extractOpt[Seq[JValue]]
-      .getOrElse(Nil)
-    val delSpecId = (meta \ "default-spec-id").extractOpt[Int].getOrElse(0)
-    if (delSpecs.nonEmpty && !delSpecs.exists(sp =>
-      (sp \ "spec-id").extractOpt[Int].contains(delSpecId)))
-      throw UnsupportedWrite(
-        s"$table: default-spec-id $delSpecId is not in partition-specs")
     val schemaNode = IcebergTable.currentSchemaJson(meta)
     val schema = IcebergTable.structOf(schemaNode)
+    val (delSpecId, partStructFields, partFieldIds, parts, specJson) =
+      identitySpecInfo(table, meta, schema, "row-level updates")
     set.keys.foreach { k =>
       if (!schema.fieldNames.contains(k)) throw UnsupportedWrite(
         s"$table: SET column '$k' is not in the table schema")
     }
-    import spark.implicits._
     val tmpDir = s"$base/_tmp_update_${java.util.UUID.randomUUID()}"
     val newFiles = Seq.newBuilder[String]
     try {
       // ONE evaluation of the condition (see the Delta twin)
       IcebergTable.readWithRowKey(spark, table).filter(condition)
         .write.mode("overwrite").parquet(tmpDir)
-      val matched = spark.read.parquet(tmpDir)
+      val matched = readTmpFiles(spark, tmpDir, conf)
       if (matched.isEmpty) return currentId
-      // kill side: (manifest-spelled path, pos), distributed + sorted
-      val rawPaths = IcebergTable.activeDataPaths(spark, table)
-      val pathDim = rawPaths.map(p => (PathUris.canon(p), p))
-        .toDF("__ck", "file_path")
-      val delRows = matched
-        .select(fcol("__row_path").as("__ck"), fcol("__row_pos").as("pos"))
-        .join(broadcast(pathDim), "__ck")
-        .select(fcol("file_path"), fcol("pos").cast("long"))
-        .sortWithinPartitions(fcol("file_path"), fcol("pos"))
-      val delFiles = writeData(delRows, base, Nil, "data", conf)
-      val delCounts = rowCounts(delFiles.map(_._2), conf)
-      val delNonEmpty = delFiles.zip(delCounts).filter(_._2 > 0)
-      cleanup(fs, delFiles.zip(delCounts).filter(_._2 == 0).map(_._1._2))
-      newFiles ++= delNonEmpty.map(_._1._2)
+      // kill side: (manifest-spelled path, pos), distributed + sorted,
+      // partition-scoped on a partitioned table
+      val kills = writeKillFiles(spark, table, base, fs, conf, matched,
+        partStructFields, delSpecId)
+      newFiles ++= kills.map(_._1._2)
       // rewrite side: updated images under the table schema; every SET
       // expression evaluates against the PRE-update row (SQL UPDATE
       // semantics) — one select, never its own partial result
@@ -2884,37 +3217,43 @@ object IcebergWriter {
         schema.fields.toIndexedSeq.map(f =>
           set.getOrElse(f.name, fcol(s"`${f.name}`"))
             .cast(f.dataType).as(f.name)): _*)
-      val dataFiles = writeData(rewritten, base, Nil, "data", conf)
       val schemaJson = JsonMethods.compact(JsonMethods.render(schemaNode))
       val updIdFields = idFieldsOf(schemaJson)
-      val dataSC = dataFiles.map(f => statsCells(f._2, updIdFields, conf))
-      val dataNonEmpty = dataFiles.zip(dataSC).filter(_._2._2 > 0)
-      cleanup(fs, dataFiles.zip(dataSC).filter(_._2._2 == 0).map(_._1._2))
-      newFiles ++= dataNonEmpty.map(_._1._2)
+      val filesWithTuple = writeIdentityPartitioned(spark, rewritten,
+        base, parts, table, fs, conf,
+        fieldIds = updIdFields.map { case (id, f) => f.name -> id }.toMap)
+      val dataSC = filesWithTuple.map(f =>
+        statsCells(f._1._2, updIdFields, conf))
+      val dataNonEmpty = filesWithTuple.zip(dataSC).filter(_._2._2 > 0)
+      cleanup(fs,
+        filesWithTuple.zip(dataSC).filter(_._2._2 == 0).map(_._1._1._2))
+      newFiles ++= dataNonEmpty.map(_._1._1._2)
       val newSeq = st.lastSeq + 1
       val snapId = (st.snapshots.flatMap(sn =>
         (sn \ "snapshot-id").extractOpt[Long]) :+ 0L).max + 1
       val ts = System.currentTimeMillis()
       val attempt = java.util.UUID.randomUUID().toString
       val dataManifest = s"$base/metadata/m-$attempt-data.avro"
-      AvroOcf.write(dataManifest, manifestAvroSchema(Nil),
-        dataNonEmpty.map { case ((_, abs, size), (cells, n)) =>
-          Seq(1, newSeq, Seq(0, abs, "PARQUET", Seq(), n, size) ++ cells)
+      AvroOcf.write(dataManifest,
+        manifestAvroSchema(partStructFields, partFieldIds),
+        dataNonEmpty.map { case (((_, abs, size), t), (cells, n)) =>
+          Seq(1, newSeq, Seq(0, abs, "PARQUET", t, n, size) ++ cells)
         }, conf = conf,
-        meta = manifestMeta(schemaJson, "[]", delSpecId, "data"))
+        meta = manifestMeta(schemaJson, specJson, delSpecId, "data"))
       val delManifest = s"$base/metadata/m-$attempt-deletes.avro"
-      AvroOcf.write(delManifest, manifestAvroSchema(Nil),
-        delNonEmpty.map { case ((_, abs, size), n) =>
-          Seq(1, newSeq, Seq(1, abs, "PARQUET", Seq(), n, size) ++
+      AvroOcf.write(delManifest,
+        manifestAvroSchema(partStructFields, partFieldIds),
+        kills.map { case ((_, abs, size), n, t) =>
+          Seq(1, newSeq, Seq(1, abs, "PARQUET", t, n, size) ++
             noStatsCells)
         }, conf = conf,
-        meta = manifestMeta(schemaJson, "[]", delSpecId, "deletes"))
+        meta = manifestMeta(schemaJson, specJson, delSpecId, "deletes"))
       commitSnapshot(fs, conf, base, table, snapId, newSeq, ts,
         "overwrite",
         Seq(NewManifest(dataManifest, 0, dataNonEmpty.size,
             dataNonEmpty.map(_._2._2).sum),
-          NewManifest(delManifest, 1, delNonEmpty.size,
-            delNonEmpty.map(_._2).sum)),
+          NewManifest(delManifest, 1, kills.size,
+            kills.map(_._2).sum)),
         attempt, delSpecId, st.carried, st.snapshots,
         st.priorManifests, st.metaVersion, newFiles.result())
       snapId
@@ -2994,10 +3333,11 @@ object IcebergWriter {
         graft.operators.ZOrder.cluster(rows, zorderBy, nOut, partCols)
       else if (partCols.isEmpty) rows.coalesce(nOut)
       else rows.repartition(nOut, partCols.map(fcol): _*)
-    val filesWithTuple = writeIdentityPartitioned(spark, packed, base,
-      partCols.map(c => PartField(c, c, "identity")), table, fs, conf)
     val rwIdFields = idFieldsOf(
       JsonMethods.compact(JsonMethods.render(schemaNode)))
+    val filesWithTuple = writeIdentityPartitioned(spark, packed, base,
+      partCols.map(c => PartField(c, c, "identity")), table, fs, conf,
+      fieldIds = rwIdFields.map { case (id, f) => f.name -> id }.toMap)
     val fileSC = filesWithTuple.map(f =>
       statsCells(f._1._2, rwIdFields, conf))
     val counts = fileSC.map(_._2)

@@ -28,6 +28,87 @@ class StatsPruningSpec extends SparkSpec {
   private def cs(min: Any, max: Any, nulls: Long = 0L): ColumnStats.ColStats =
     ColumnStats.ColStats(Option(min), Option(max), Some(nulls))
 
+  test("mayMatch: signed zeros compare equal (Spark SQL order)") {
+    val types = Map("d" -> (DoubleType: DataType))
+    // a foreign writer's bound may carry EITHER zero; Spark treats them
+    // equal — a prune on the sign bit would lose matching rows
+    assert(ColumnStats.mayMatch(EqualTo("d", 0.0),
+      fs("d" -> cs(-5.0, -0.0)), types), "max=-0.0 must keep =+0.0")
+    assert(ColumnStats.mayMatch(EqualTo("d", -0.0),
+      fs("d" -> cs(0.0, 5.0)), types), "min=+0.0 must keep =-0.0")
+    assert(ColumnStats.mayMatch(LessThanOrEqual("d", -0.0),
+      fs("d" -> cs(0.0, 5.0)), types), "min=+0.0 must keep <=-0.0")
+    assert(ColumnStats.mayMatch(GreaterThanOrEqual("d", 0.0),
+      fs("d" -> cs(-5.0, -0.0)), types) /* fractional never prunes > */)
+    // genuine pruning is untouched
+    assert(!ColumnStats.mayMatch(EqualTo("d", 0.1),
+      fs("d" -> cs(-5.0, -0.0)), types))
+    assert(!ColumnStats.mayMatch(EqualTo("d", -0.1),
+      fs("d" -> cs(0.0, 5.0)), types))
+  }
+
+  test("delta stats json: wide string bounds truncate, max rounds up") {
+    val schema = StructType(Seq(StructField("s", StringType)))
+    def roundTrip(min: String, max: String): ColumnStats.ColStats = {
+      val js = ColumnStats.deltaStatsJson(
+        fs("s" -> cs(min, max)), schema)
+      assert(js.length < 32 * 8 + 200,
+        s"stats json must not embed full wide strings: ${js.length}")
+      ColumnStats.parseDeltaStats(js, schema).cols("s")
+    }
+    val c1 = roundTrip("a" * 40, "b" * 39 + "z")
+    assert(c1.min.contains("a" * 32), "min is the 32-char prefix")
+    assert(c1.max.contains("b" * 31 + "c"),
+      s"max rounds its last kept char UP, got ${c1.max}")
+    assert(ColumnStats.cmpUtf8(
+      c1.max.get.asInstanceOf[String], "b" * 39 + "z") > 0,
+      "the truncated max must stay a valid upper bound")
+    // pruning with truncated bounds keeps every true row: a value
+    // between the real max and the rounded-up bound is KEPT, a value
+    // beyond the rounded bound still prunes
+    val st1 = ColumnStats.FileStats(Some(100L), Map("s" -> c1))
+    val types = Map("s" -> (StringType: DataType))
+    assert(ColumnStats.mayMatch(EqualTo("s", "b" * 40), st1, types))
+    assert(!ColumnStats.mayMatch(EqualTo("s", "zz"), st1, types))
+    assert(!ColumnStats.mayMatch(EqualTo("s", "A"), st1, types))
+    // surrogate pair straddling the cut: never split — min cuts short
+    val emoji = new String(Character.toChars(0x1F600))
+    val c2 = roundTrip("x" * 31 + emoji + "y" * 7, "x" * 31 + emoji + "z" * 7)
+    assert(c2.min.contains("x" * 31), "a split pair backs off one char")
+    // a max of all-U+10FFFF has no successor: the bound is OMITTED
+    val maxCp = new String(Character.toChars(Character.MAX_CODE_POINT))
+    val c3 = roundTrip("a", maxCp * 20)
+    assert(c3.max.isEmpty, "no valid successor → max omitted")
+    assert(ColumnStats.mayMatch(
+      EqualTo("s", maxCp * 25),
+      ColumnStats.FileStats(Some(100L), Map("s" -> c3)), types),
+      "an omitted max keeps the file")
+  }
+
+  test("iceberg bounds: wide strings truncate in manifest entries") {
+    val table = tmp()
+    val wide = ("k" * 60) + "tail"
+    IcebergWriter.writeAppend(spark,
+      Seq((1L, wide), (2L, "aa")).toDF("id", "s"), table)
+    // the manifest's own bytes must not embed the 64-char value…
+    val conf0 = new Configuration()
+    val fsys = new org.apache.hadoop.fs.Path(table).getFileSystem(conf0)
+    val manifests = fsys.listStatus(
+      new org.apache.hadoop.fs.Path(s"$table/metadata"))
+      .filter(_.getPath.getName.endsWith(".avro")).map(_.getPath)
+    val bytes = manifests.map { p =>
+      val in = fsys.open(p)
+      try { val b = new Array[Byte](fsys.getFileStatus(p).getLen.toInt)
+        in.readFully(b); new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+      } finally in.close()
+    }.mkString
+    assert(!bytes.contains("k" * 40),
+      "manifest bounds must carry truncated strings only")
+    // …and an exact-match read on the full value still finds the row
+    val hit = IcebergTable.readWhere(spark, table, Seq(EqualTo("s", wide)))
+    assert(hit.count() == 1L, "truncated bounds must stay conservative")
+  }
+
   test("mayMatch: comparison pruning across types") {
     val types = Map[String, DataType]("id" -> LongType, "s" -> StringType,
       "d" -> DoubleType, "b" -> BooleanType)

@@ -581,6 +581,88 @@ class TableWritersSpec extends SparkSpec {
     assert(eS.getMessage.contains("int/long"), eS.getMessage)
   }
 
+  test("temporal transforms stay exact beyond 2^53 micros") {
+    import java.time.Instant
+    // |micros| > 2^53: double-rounded division can land one partition
+    // off — day/hour must use exact integer/calendar arithmetic.
+    // (1650 predates -2^53 µs; 9999 exceeds +2^53. Both post-1582, so
+    // the java.sql.Timestamp hybrid-calendar rebase is a no-op.)
+    def micros(s: String): Long = {
+      val i = Instant.parse(s)
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    val far = "9999-12-31T11:30:00Z"
+    val old = "1650-06-15T03:00:00Z"
+    val df = Seq(far, old).zipWithIndex.map { case (s, i) =>
+      (java.sql.Timestamp.from(Instant.parse(s)), i.toLong)
+    }.toDF("ts", "id")
+    val t1 = tmp()
+    IcebergWriter.writeAppend(spark, df, t1, partitionBy = Seq("day(ts)"))
+    val dFar = Math.floorDiv(micros(far), 86400000000L)
+    val dOld = Math.floorDiv(micros(old), 86400000000L)
+    assert(IcebergTable.readPartitions(spark, t1,
+      Map("ts_day" -> dFar.toString))
+      .select($"id").as[Long].collect().toSeq == Seq(0L),
+      s"day($far) must be exactly $dFar")
+    assert(IcebergTable.readPartitions(spark, t1,
+      Map("ts_day" -> dOld.toString))
+      .select($"id").as[Long].collect().toSeq == Seq(1L),
+      s"day($old) must be exactly $dOld")
+    val t2 = tmp()
+    IcebergWriter.writeAppend(spark, df, t2, partitionBy = Seq("hour(ts)"))
+    val hFar = Math.floorDiv(micros(far), 3600000000L)
+    val hOld = Math.floorDiv(micros(old), 3600000000L)
+    assert(IcebergTable.readPartitions(spark, t2,
+      Map("ts_hour" -> hFar.toString))
+      .select($"id").as[Long].collect().toSeq == Seq(0L),
+      s"hour($far) must be exactly $hFar")
+    assert(IcebergTable.readPartitions(spark, t2,
+      Map("ts_hour" -> hOld.toString))
+      .select($"id").as[Long].collect().toSeq == Seq(1L),
+      s"hour($old) must be exactly $hOld")
+  }
+
+  test("constraints validate the WRITTEN batch and leave nothing behind") {
+    import graft.sources.TableCommit.ConstraintViolation
+    import org.apache.hadoop.conf.Configuration
+    val t = tmp()
+    val props = Map("delta.constraints.small" -> "v < 100")
+    def parquets(): Seq[String] = {
+      val fsys = new Path(t).getFileSystem(new Configuration())
+      if (!fsys.exists(new Path(t))) Nil
+      else {
+        val it = fsys.listFiles(new Path(t), true)
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val n = it.next().getPath.getName
+          if (n.endsWith(".parquet")) b += n
+        }
+        b.result()
+      }
+    }
+    // a violating CREATE batch is rejected whole — validation runs over
+    // the written temp files (never a re-execution of the input plan),
+    // and the reject deletes them: no log entry, no stray data files
+    val e = intercept[ConstraintViolation] {
+      DeltaWriter.writeAppend(spark,
+        Seq((1L, 50L), (2L, 150L)).toDF("id", "v"), t, properties = props)
+    }
+    assert(e.getMessage.contains("small"), e.getMessage)
+    assert(parquets().isEmpty, s"rejected create left files: ${parquets()}")
+    // a valid constrained batch commits
+    DeltaWriter.writeAppend(spark, Seq((1L, 50L)).toDF("id", "v"), t,
+      properties = props)
+    assert(DeltaTable.read(spark, t).count() == 1L)
+    val committed = parquets()
+    // a violating APPEND to the live table is rejected with no new files
+    intercept[ConstraintViolation] {
+      DeltaWriter.writeAppend(spark, Seq((3L, 500L)).toDF("id", "v"), t)
+    }
+    assert(parquets() == committed,
+      "a rejected append must add no data files")
+    assert(DeltaTable.read(spark, t).count() == 1L)
+  }
+
   test("iceberg bucket[N] partitioning: spec vectors, write, prune, " +
     "inherit") {
     import graft.functions.IcebergBucketExpr
@@ -955,6 +1037,94 @@ class TableWritersSpec extends SparkSpec {
     val snaps = IcebergTable.snapshots(spark, table).count()
     IcebergWriter.writeDelete(spark, table, $"id" === 999L)
     assert(IcebergTable.snapshots(spark, table).count() == snaps)
+  }
+
+  test("iceberg partitioned UPDATE/MERGE: scoped kills, partitioned " +
+    "images, cross-partition moves") {
+    // UPDATE on an identity-partitioned table
+    val t = tmp()
+    val df = (1L to 12L).map(i => (i, s"t$i", i % 3)).toDF("id", "text", "b")
+    IcebergWriter.writeAppend(spark, df, t, partitionBy = Seq("b"))
+    val untouched = IcebergTable.readPartitions(spark, t, Map("b" -> "2"))
+      .inputFiles.filter(_.contains("p__b=")).toSet
+    IcebergWriter.writeUpdate(spark, t, $"b" === 1L,
+      Map("text" -> concat(lit("u"), $"text")))
+    val after = IcebergTable.read(spark, t)
+    val want = (1L to 12L).map(i =>
+      (i, if (i % 3 == 1) s"ut$i" else s"t$i", i % 3))
+    assert(after.orderBy($"id").select($"id", $"text", $"b")
+      .as[(Long, String, Long)].collect().toSeq == want,
+      "updated images replace matched rows, others untouched")
+    // the untouched partition's file set is byte-identical
+    assert(IcebergTable.readPartitions(spark, t, Map("b" -> "2"))
+      .inputFiles.filter(_.contains("p__b=")).toSet == untouched)
+    // the rewritten partition prunes: a b=1 read scans fewer files than
+    // the whole table, and every row carries the update
+    val p1 = IcebergTable.readPartitions(spark, t, Map("b" -> "1"))
+    assert(p1.count() == 4 &&
+      p1.select($"text").as[String].collect().forall(_.startsWith("u")))
+    assert(p1.inputFiles.length < after.inputFiles.length)
+    // updating the PARTITION column moves the row to its new partition
+    IcebergWriter.writeUpdate(spark, t, $"id" === 2L, Map("b" -> lit(0L)))
+    assert(IcebergTable.readPartitions(spark, t, Map("b" -> "0"))
+      .select($"id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L, 6L, 9L, 12L), "row 2 moved into b=0")
+    assert(!IcebergTable.readPartitions(spark, t, Map("b" -> "2"))
+      .select($"id").as[Long].collect().contains(2L))
+    // empty partitioned update stays a no-op
+    val snaps = IcebergTable.snapshots(spark, t).count()
+    IcebergWriter.writeUpdate(spark, t, $"id" === 999L,
+      Map("text" -> lit("x")))
+    assert(IcebergTable.snapshots(spark, t).count() == snaps)
+
+    // MERGE on an identity-partitioned table: a matched key can move
+    // partitions (its source row's partition value wins), inserts land
+    // in their own partitions, untouched partitions stay byte-identical
+    val t2 = tmp()
+    IcebergWriter.writeAppend(spark, df, t2, partitionBy = Seq("b"))
+    val files0 = IcebergTable.read(spark, t2)
+      .inputFiles.filter(_.contains("p__b=")).toSet
+    val src = Seq((2L, "m2", 0L), (13L, "m13", 1L)).toDF("id", "text", "b")
+    IcebergWriter.writeMerge(spark, t2, src, Seq("id"))
+    val got2 = IcebergTable.read(spark, t2).orderBy($"id")
+      .select($"id", $"text", $"b").as[(Long, String, Long)].collect().toSeq
+    assert(got2 == ((1L to 12L).map(i =>
+      if (i == 2L) (i, "m2", 0L) else (i, s"t$i", i % 3)) :+
+      ((13L, "m13", 1L))).toSeq, s"merge upsert rows: $got2")
+    // no data file was rewritten: every original file survives (kills
+    // are positional-delete files beside them)
+    val filesAfter = IcebergTable.read(spark, t2)
+      .inputFiles.filter(_.contains("p__b=")).toSet
+    assert(files0.subsetOf(filesAfter),
+      "merge must never rewrite existing data files")
+    // partition pruning on the insert's partition sees the new row
+    assert(IcebergTable.readPartitions(spark, t2, Map("b" -> "1"))
+      .select($"id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 4L, 7L, 10L, 13L))
+
+    // spec-shape arm (no stock reader in the sandbox): the merge
+    // snapshot's own manifests carry everything the table spec requires
+    // a foreign scan planner to see — data entries content=0 and delete
+    // entries content=1, each with a typed partition STRUCT scoped to
+    // its file, and the manifest metadata carrying the spec fields json
+    val metaDir2 = new java.io.File(s"$t2/metadata")
+    val mergeManifests = metaDir2.listFiles()
+      .filter(f => f.getName.startsWith("m-") && f.getName.endsWith(".avro"))
+      .sortBy(_.lastModified).takeRight(2).sortBy(_.getName)
+    val allEntries = mergeManifests.map(m =>
+      graft.sources.AvroOcf.read(spark, m.getPath))
+    val dataEntries = allEntries.map(df =>
+      df.select($"status", $"data_file.content", $"data_file.partition.b")
+        .as[(Int, Int, Long)].collect().toSeq).reduce(_ ++ _)
+    assert(dataEntries.forall(_._1 == 1), "merge entries are ADDED")
+    // the one matched key (id 2) lived in partition b=2 — the kill is
+    // scoped there and nowhere else
+    val killTuples = dataEntries.filter(_._2 == 1).map(_._3).distinct.sorted
+    assert(killTuples == Seq(2L),
+      s"delete files scoped to the matched key's partition: $killTuples")
+    val addTuples = dataEntries.filter(_._2 == 0).map(_._3).distinct.sorted
+    assert(addTuples == Seq(0L, 1L),
+      s"appended source files scoped to their own partitions: $addTuples")
   }
 
   test("writeMerge: upsert semantics, guards, and one-commit atomicity") {
@@ -1409,19 +1579,235 @@ class TableWritersSpec extends SparkSpec {
         mergeSchema = true)
     }
     assert(eEv.getMessage.contains("column-mapped"), eEv.getMessage)
-    // DELETE: only the pure-DV shape writes no data file — a rewrite
-    // would store LOGICAL names the physical read schema cannot see
-    val eDel = intercept[Exception] {
-      DeltaWriter.writeDelete(spark, t, $"id" === 1L, mode = "rewrite")
-    }
-    assert(eDel.getMessage.contains("column-mapped"), eDel.getMessage)
-    val eAuto = intercept[Exception] {
-      DeltaWriter.writeDelete(spark, t, $"id" === 1L, mode = "auto")
-    }
-    assert(eAuto.getMessage.contains("column-mapped"), eAuto.getMessage)
+    // DELETE on the mapped table: the DV shape AND the copy-on-write
+    // rewrite both work — rewritten survivors store PHYSICAL names (a
+    // logical-named file would read back all-NULL)
+    DeltaWriter.writeAppend(spark,
+      Seq((3L, "de", "t3"), (4L, "de", "t4")).toDF("id", "lang", "text")
+        .coalesce(1), t)
     DeltaWriter.writeDelete(spark, t, $"id" === 1L, mode = "dv")
     assert(DeltaTable.read(spark, t).select($"id").as[Long]
-      .collect().toSeq == Seq(2L), "DV delete works on mapped tables")
+      .collect().sorted.toSeq == Seq(2L, 3L, 4L),
+      "DV delete works on mapped tables")
+    DeltaWriter.writeDelete(spark, t, $"id" === 3L, mode = "rewrite")
+    assert(DeltaTable.read(spark, t).select($"id", $"lang", $"text")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq ==
+      Seq((2L, "de", "t2"), (4L, "de", "t4")),
+      "rewrite survivors read back through the physical schema")
+  }
+
+  test("delta column-mapped UPDATE/MERGE/compact: physical images, " +
+    "physically-keyed cdc") {
+    val t = tmp()
+    def f(n: String, ty: String, phys: String, id: Int) =
+      s"""{"name":"$n","type":"$ty","nullable":true,""" +
+        s""""metadata":{"delta.columnMapping.physicalName":"col-$phys",""" +
+        s""""delta.columnMapping.id":$id}}"""
+    val schemaStr = (s"""{"type":"struct","fields":[${f("id", "long", "a", 1)},""" +
+      s"""${f("lang", "string", "b", 2)},${f("text", "string", "c", 3)}]}""")
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    new java.io.File(s"$t/_delta_log").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/_delta_log/00000000000000000000.json"),
+      (s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        s""""readerFeatures":["columnMapping"],""" +
+        s""""writerFeatures":["columnMapping","changeDataFeed"]}}""" +
+        "\n" +
+        s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$schemaStr","partitionColumns":["lang"],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name",""" +
+        s""""delta.columnMapping.maxColumnId":"3",""" +
+        s""""delta.enableChangeDataFeed":"true"},""" +
+        s""""createdTime":0}}""").getBytes("UTF-8"))
+    DeltaWriter.writeAppend(spark,
+      Seq((1L, "en", "t1"), (2L, "de", "t2"), (3L, "en", "t3"))
+        .toDF("id", "lang", "text"), t)
+    // UPDATE: new images + cdc pre/post, all physically named
+    DeltaWriter.writeUpdate(spark, t, $"lang" === "en",
+      Map("text" -> concat(lit("u-"), $"text")))
+    assert(DeltaTable.read(spark, t).select($"id", $"text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "u-t1"), (2L, "t2"), (3L, "u-t3")),
+      "mapped UPDATE rewrites matched rows")
+    val cdf = DeltaTable.readCdf(spark, t, 2L, Some(2L))
+      .select($"id", $"text", $"_change_type")
+      .as[(Long, String, String)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(cdf == Seq((1L, "u-t1", "update_postimage"),
+      (1L, "t1", "update_preimage"), (3L, "u-t3", "update_postimage"),
+      (3L, "t3", "update_preimage")),
+      s"mapped cdc serves logical pre/post images: $cdf")
+    // the cdc FILES themselves are physically keyed (the spec arm): raw
+    // parquet columns are col-a/col-b/col-c + _change_type, partition
+    // dirs keyed col-b
+    val cdcDir = new java.io.File(s"$t/_change_data")
+    assert(cdcDir.isDirectory, "_change_data exists")
+    def cdcParquets(d: java.io.File): Seq[java.io.File] =
+      d.listFiles().toSeq.flatMap(x =>
+        if (x.isDirectory) cdcParquets(x)
+        else if (x.getName.endsWith(".parquet")) Seq(x) else Nil)
+    val raw = spark.read.parquet(cdcParquets(cdcDir).head.getPath)
+    assert(raw.columns.toSet.subsetOf(
+      Set("col-a", "col-c", "_change_type")),
+      s"cdc files store physical names, got ${raw.columns.toSeq}")
+    assert(cdcParquets(cdcDir).exists(_.getPath.contains("col-b=")),
+      "cdc partition dirs keyed physical")
+    // MERGE: upsert (replace id 2, insert id 9), physical appends + cdc
+    DeltaWriter.writeMerge(spark, t,
+      Seq((2L, "de", "m2"), (9L, "fr", "n9")).toDF("id", "lang", "text"),
+      Seq("id"))
+    assert(DeltaTable.read(spark, t).select($"id", $"text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "u-t1"), (2L, "m2"), (3L, "u-t3"), (9L, "n9")),
+      "mapped MERGE upserts")
+    val mergeCdf = DeltaTable.readCdf(spark, t, 3L, Some(3L))
+      .select($"id", $"_change_type")
+      .as[(Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(mergeCdf == Seq((2L, "update_postimage"),
+      (2L, "update_preimage"), (9L, "insert")).sortBy(r => (r._1, r._2)),
+      s"mapped merge cdc: $mergeCdf")
+    // compact: DV debt repaid with physically-named rewrites
+    DeltaWriter.writeDelete(spark, t, $"id" === 3L, mode = "dv")
+    DeltaWriter.compact(spark, t, smallFileThreshold = Long.MaxValue)
+    assert(DeltaTable.read(spark, t).select($"id", $"lang", $"text")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "en", "u-t1"), (2L, "de", "m2"), (9L, "fr", "n9")),
+      "mapped compact preserves rows and repays DV debt")
+  }
+
+  test("delta RENAME COLUMN under column mapping: metaData-only commit") {
+    val t = tmp()
+    def f(n: String, ty: String, phys: String, id: Int) =
+      s"""{"name":"$n","type":"$ty","nullable":true,""" +
+        s""""metadata":{"delta.columnMapping.physicalName":"col-$phys",""" +
+        s""""delta.columnMapping.id":$id}}"""
+    val schemaStr = (s"""{"type":"struct","fields":[${f("id", "long", "a", 1)},""" +
+      s"""${f("lang", "string", "b", 2)},${f("text", "string", "c", 3)}]}""")
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    new java.io.File(s"$t/_delta_log").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/_delta_log/00000000000000000000.json"),
+      (s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        s""""readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}""" +
+        "\n" +
+        s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$schemaStr","partitionColumns":["lang"],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"},""" +
+        s""""createdTime":0}}""").getBytes("UTF-8"))
+    DeltaWriter.writeAppend(spark,
+      Seq((1L, "en", "t1"), (2L, "de", "t2")).toDF("id", "lang", "text"), t)
+    val filesBefore = DeltaTable.read(spark, t).inputFiles.sorted.toSeq
+    // rename a data column: metaData-only commit, old files serve the
+    // new logical name through their untouched physical one
+    assert(DeltaWriter.renameColumn(spark, t, "text", "body") == 2L)
+    val renamed = DeltaTable.read(spark, t)
+    assert(renamed.columns.toSeq == Seq("id", "lang", "body"))
+    assert(renamed.select($"id", $"body").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq == Seq((1L, "t1"), (2L, "t2")),
+      "pre-rename files serve the renamed column")
+    assert(DeltaTable.read(spark, t).inputFiles.sorted.toSeq == filesBefore,
+      "a rename never touches data files")
+    // time travel BEFORE the rename still shows the old name
+    assert(DeltaTable.read(spark, t, versionAsOf = Some(1L))
+      .columns.toSeq == Seq("id", "lang", "text"))
+    // appends under the NEW name land in the same physical column
+    DeltaWriter.writeAppend(spark,
+      Seq((3L, "fr", "t3")).toDF("id", "lang", "body"), t)
+    assert(DeltaTable.read(spark, t).select($"id", $"body")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "t1"), (2L, "t2"), (3L, "t3")))
+    // stats pruning works through the renamed logical name
+    val hit = DeltaTable.readWhere(spark, t,
+      Seq(org.apache.spark.sql.sources.EqualTo("body", "t2")))
+    assert(hit.select($"id").as[Long].collect().toSeq == Seq(2L))
+    // renaming a PARTITION column: partitionColumns follows, dirs and
+    // partitionValues stay keyed physical, pruning intact
+    DeltaWriter.renameColumn(spark, t, "lang", "locale")
+    val byLoc = DeltaTable.readWhere(spark, t,
+      Seq(org.apache.spark.sql.sources.EqualTo("locale", "en")))
+    assert(byLoc.select($"id").as[Long].collect().toSeq == Seq(1L))
+    assert(byLoc.inputFiles.length <
+      DeltaTable.read(spark, t).inputFiles.length, "partition pruning")
+    // UPDATE through the renamed names keeps working
+    DeltaWriter.writeUpdate(spark, t, $"locale" === "fr",
+      Map("body" -> lit("u3")))
+    assert(DeltaTable.read(spark, t).filter($"id" === 3L)
+      .select($"body").as[String].collect().toSeq == Seq("u3"))
+    // directed: unmapped table, collisions, unknown columns
+    val plain = tmp()
+    DeltaWriter.writeAppend(spark, Seq((1L, "x")).toDF("id", "text"), plain)
+    val e1 = intercept[Exception](
+      DeltaWriter.renameColumn(spark, plain, "text", "body"))
+    assert(e1.getMessage.contains("column mapping"), e1.getMessage)
+    val e2 = intercept[Exception](
+      DeltaWriter.renameColumn(spark, t, "body", "ID"))
+    assert(e2.getMessage.contains("already exists"), e2.getMessage)
+    val e3 = intercept[Exception](
+      DeltaWriter.renameColumn(spark, t, "nope", "x"))
+    assert(e3.getMessage.contains("does not exist"), e3.getMessage)
+  }
+
+  test("iceberg RENAME COLUMN: metadata-only commit, field-id reads, " +
+    "history fallback for id-less files") {
+    val t = tmp()
+    IcebergWriter.writeAppend(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "text"), t)
+    val filesBefore = IcebergTable.read(spark, t).inputFiles.sorted.toSeq
+    IcebergWriter.renameColumn(spark, t, "text", "body")
+    val r = IcebergTable.read(spark, t)
+    assert(r.columns.toSeq == Seq("id", "body"))
+    assert(r.select($"id", $"body").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq == Seq((1L, "a"), (2L, "b")),
+      "pre-rename files resolve by parquet FIELD ID")
+    assert(IcebergTable.read(spark, t).inputFiles.sorted.toSeq ==
+      filesBefore, "a rename never touches data files")
+    // appends under the NEW name join the same column
+    IcebergWriter.writeAppend(spark, Seq((3L, "c")).toDF("id", "body"), t)
+    assert(IcebergTable.read(spark, t).select($"id", $"body")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // manifest bounds are id-keyed — readWhere prunes on the new name
+    val hit = IcebergTable.readWhere(spark, t,
+      Seq(org.apache.spark.sql.sources.EqualTo("body", "c")))
+    assert(hit.select($"id").as[Long].collect().toSeq == Seq(3L))
+    assert(hit.inputFiles.length <
+      IcebergTable.read(spark, t).inputFiles.length)
+    // row-level deletes through the renamed name
+    IcebergWriter.writeDelete(spark, t, $"body" === "a")
+    assert(IcebergTable.read(spark, t).select($"id", $"body")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((2L, "b"), (3L, "c")))
+
+    // an ID-LESS pre-rename file (a foreign/older writer): resolution
+    // falls back to the schema HISTORY's prior name for the id
+    val t2 = tmp()
+    IcebergWriter.writeAppend(spark,
+      Seq((7L, "x"), (8L, "y")).toDF("id", "text"), t2)
+    val dataFile = IcebergTable.read(spark, t2).inputFiles.head
+    val plain = spark.read.parquet(dataFile)
+      .select($"id".cast("long").as("id"), $"text".cast("string").as("text"))
+    val stripDir = tmp()
+    plain.coalesce(1).write.mode("overwrite").parquet(stripDir)
+    val stripped = new java.io.File(stripDir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dataPath = java.nio.file.Paths.get(new java.net.URI(dataFile))
+    java.nio.file.Files.copy(stripped.toPath, dataPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // drop the local-FS checksum sidecar the out-of-band overwrite
+    // invalidated (test plumbing only)
+    java.nio.file.Files.deleteIfExists(dataPath.getParent.resolve(
+      "." + dataPath.getFileName.toString + ".crc"))
+    IcebergWriter.renameColumn(spark, t2, "text", "body")
+    assert(IcebergTable.read(spark, t2).select($"id", $"body")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((7L, "x"), (8L, "y")),
+      "id-less files resolve through the history's prior name")
+    // directed: unknown column, collision
+    val e1 = intercept[Exception](
+      IcebergWriter.renameColumn(spark, t2, "nope", "z"))
+    assert(e1.getMessage.contains("does not exist"), e1.getMessage)
+    val e2 = intercept[Exception](
+      IcebergWriter.renameColumn(spark, t2, "body", "ID"))
+    assert(e2.getMessage.contains("already exists"), e2.getMessage)
   }
 
   test("iceberg removeOrphanFiles: unreferenced only, grace-fenced") {

@@ -98,6 +98,25 @@ class ZOrderSpec extends SparkSpec {
     assert(e.getMessage.contains("partition column"), e.getMessage)
   }
 
+  test("cluster: a real __z column survives the rewrite intact") {
+    // the helper column must dodge existing names (case-insensitively):
+    // withColumn would otherwise REPLACE the user's __z and the trailing
+    // drop would erase its data from every rewritten file
+    val df = spark.range(0, 256).select(
+      ($"id" % 16).as("a"), ($"id" / 16).cast("long").as("b"),
+      ($"id" * 7).as("__z"), ($"id" * 11).as("__Z_"))
+    val out = ZOrder.cluster(df, Seq("a", "b"), 4)
+    assert(out.schema.fieldNames.toSeq == Seq("a", "b", "__z", "__Z_"),
+      s"schema must be unchanged, got ${out.schema.fieldNames.toSeq}")
+    val got = out.select($"a", $"b", $"__z", $"__Z_").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val want = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == want, "every __z/__Z_ value must survive clustering")
+  }
+
   test("iceberg: rewriteDataFiles(zorderBy) twin") {
     val table = tmp()
     for (k <- 0 until 8)
