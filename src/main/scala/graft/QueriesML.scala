@@ -2652,6 +2652,101 @@ object QueriesML {
           .select($"id", $"body", $"b").orderBy($"id")
       }),
 
+    // -------------------- Delta DROP COLUMN under column mapping
+    // The metaData-only drop: the stored physical column disappears
+    // from the logical schema while every data file keeps it; rows
+    // appended before AND after the drop read back through the narrowed
+    // schema.
+    Q("q218_delta_cm_drop", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT * FROM (
+        SELECT o_orderkey AS id, CAST(o_orderkey % 3 AS VARCHAR) AS bucket
+        FROM o
+        UNION ALL
+        SELECT o_orderkey + 200000 AS id, '1' AS bucket
+        FROM o WHERE rn0 % 10 = 0)
+      ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{DeltaTable, DeltaWriter}
+        val table = Fixtures.dir("q218", d) { dir =>
+          val t = s"$dir/table"
+          cmLogV0(t)
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          DeltaWriter.writeAppend(s,
+            base.select($"id", concat(lit("doc-"), $"rn0").as("text"),
+              ($"id" % 3).cast("string").as("bucket")), t)
+          DeltaWriter.dropColumn(s, t, "text")
+          DeltaWriter.writeAppend(s,
+            base.filter($"rn0" % 10 === 0)
+              .select(($"id" + 200000).as("id"), lit("1").as("bucket")), t)
+        }
+        DeltaTable.read(s, s"$table/table")
+          .select($"id", $"bucket").orderBy($"id")
+      }),
+
+    // -------------------- Iceberg DROP COLUMN (schema-only, id retired)
+    Q("q219_iceberg_drop", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT * FROM (
+        SELECT o_orderkey AS id, o_orderkey % 3 AS b FROM o
+        UNION ALL
+        SELECT o_orderkey + 200000 AS id, CAST(1 AS BIGINT) AS b
+        FROM o WHERE rn0 % 10 = 0)
+      ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{IcebergTable, IcebergWriter}
+        val table = Fixtures.dir("q219", d) { dir =>
+          val t = s"$dir/table"
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          IcebergWriter.writeAppend(s,
+            base.select($"id", concat(lit("doc-"), $"rn0").as("text"),
+              ($"id" % 3).as("b")), t, partitionBy = Seq("b"))
+          IcebergWriter.dropColumn(s, t, "text")
+          IcebergWriter.writeAppend(s,
+            base.filter($"rn0" % 10 === 0)
+              .select(($"id" + 200000).as("id"), lit(1L).as("b")), t)
+        }
+        IcebergTable.read(s, s"$table/table")
+          .select($"id", $"b").orderBy($"id")
+      }),
+
+    // -------------- Iceberg type PROMOTION (int -> long, schema-only)
+    // Rows written as INT and rows written as LONG (values above 2^31,
+    // unrepresentable pre-widen) read back through one widened column;
+    // old files' 4-byte manifest bounds promote so skipping still
+    // works.
+    Q("q220_iceberg_widen", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT o_orderkey AS id,
+             CAST(CASE WHEN rn0 < 60 THEN rn0
+                  ELSE rn0 + 3000000000 END AS BIGINT) AS v
+      FROM o ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{IcebergTable, IcebergWriter}
+        val table = Fixtures.dir("q220", d) { dir =>
+          val t = s"$dir/table"
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          IcebergWriter.writeAppend(s,
+            base.filter($"rn0" < 60)
+              .select($"id", $"rn0".cast("int").as("v")), t)
+          IcebergWriter.widenColumn(s, t, "v", "long")
+          IcebergWriter.writeAppend(s,
+            base.filter($"rn0" >= 60)
+              .select($"id", ($"rn0" + 3000000000L).as("v")), t)
+        }
+        IcebergTable.read(s, s"$table/table")
+          .select($"id", $"v").orderBy($"id")
+      }),
+
     // ------------------------------------------------------- HF tokenizer.json encode
     // A hand-authored tokenizer.json (the huggingface/tokenizers file
     // format, byte-level BPE) over planted "ab"*k words: greedy merge

@@ -522,6 +522,50 @@ object ContainerStress {
       s"[stress] v3 DV delete survivor count ${w3Agg.getLong(0)} != " +
         s"${n - n / 10}")
 
+    // ---- r16: PARTITIONED MERGE — the production upsert shape: the
+    // kill files and the appended images are partition-scoped, so the
+    // cost is O(touched partitions + source), and the untouched
+    // partitions' file sets must come back BYTE-IDENTICAL. Both formats
+    // must agree on the post-merge arithmetic.
+    val pDelta = s"$morRoot/pdelta"
+    val pIce = s"$morRoot/piceberg"
+    val pData = morData.withColumn("p", ($"id" % 16).cast("long"))
+    val (_, tPw) = time {
+      DeltaWriter.writeAppend(spark, pData, pDelta, partitionBy = Seq("p"))
+      IcebergWriter.writeAppend(spark, pData, pIce, partitionBy = Seq("p"))
+    }
+    def untouchedDelta() = graft.sources.DeltaTable.readWhere(spark,
+      pDelta, Seq(org.apache.spark.sql.sources.EqualTo("p", 15L)))
+      .inputFiles.sorted.toSeq
+    def untouchedIce() = graft.sources.IcebergTable.readPartitions(spark,
+      pIce, Map("p" -> "15"))
+      .inputFiles.filter(_.contains("p__p=")).sorted.toSeq
+    val (uD0, uI0) = (untouchedDelta(), untouchedIce())
+    // source touches partitions 0 and 1 only: updated images for every
+    // row there plus fresh keys inserted into the same partitions
+    val pUpd = pData.filter($"p" < 2)
+      .withColumn("score", ($"score" + 5).cast("float"))
+    val pIns = pData.filter($"p" < 2 && $"id" % 97 === 0)
+      .withColumn("id", $"id" + 10L * n)
+    val pSrc = pUpd.unionByName(pIns)
+    val srcRows = pSrc.count()
+    val (vPm, tPmD) = time(
+      DeltaWriter.writeMerge(spark, pDelta, pSrc, Seq("id")))
+    val (sPm, tPmI) = time(
+      IcebergWriter.writeMerge(spark, pIce, pSrc, Seq("id")))
+    val pd = stateOf(graft.sources.DeltaTable.read(spark, pDelta))
+    val pi = stateOf(graft.sources.IcebergTable.read(spark, pIce))
+    require(pd == pi,
+      s"[stress] partitioned merge paths disagree: $pd vs $pi")
+    require(untouchedDelta() == uD0,
+      "[stress] delta merge rewrote an untouched partition")
+    require(untouchedIce() == uI0,
+      "[stress] iceberg merge rewrote an untouched partition")
+    println(f"[stress] partitioned-merge: $srcRows source rows into 2 of " +
+      f"16 partitions (tables built in $tPw%.2f s) — delta $tPmD%.2f s " +
+      f"(commit $vPm), iceberg $tPmI%.2f s (snapshot $sPm); untouched " +
+      s"partitions byte-identical; post-merge rows ${pd.getLong(0)}")
+
     spark.stop()
   }
 }

@@ -676,12 +676,19 @@ object ColumnStats {
         if bytes.length == 4 => Some(le.getInt.toLong)
       case LongType | TimestampType | TimestampNTZType
         if bytes.length == 8 => Some(le.getLong)
+      // a 4-byte bound under a LONG/DOUBLE column is a file written
+      // before a spec type PROMOTION (int -> long, float -> double) —
+      // the spec's rule is to promote the bound on read
+      case LongType if bytes.length == 4 => Some(le.getInt.toLong)
       case FloatType if bytes.length == 4 =>
         val f = le.getFloat
         if (f.isNaN) None else Some(f.toDouble)
       case DoubleType if bytes.length == 8 =>
         val d = le.getDouble
         if (d.isNaN) None else Some(d)
+      case DoubleType if bytes.length == 4 =>
+        val f = le.getFloat
+        if (f.isNaN) None else Some(f.toDouble)
       case StringType => Some(new String(bytes, StandardCharsets.UTF_8))
       case BooleanType if bytes.length == 1 => Some(bytes(0) != 0)
       case d: DecimalType => Some(BigDecimal(

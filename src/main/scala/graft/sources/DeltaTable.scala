@@ -86,7 +86,11 @@ object DeltaTable {
   private final case class Snapshot(version: Long, schemaJson: String,
       partitionColumns: Seq[String], files: Seq[AddFile],
       configuration: Map[String, String], metaId: String = "",
-      protocol: Protocol = Protocol(1, 2, Nil, Nil))
+      protocol: Protocol = Protocol(1, 2, Nil, Nil),
+      // latest domainMetadata per domain (configuration string;
+      // removed=true drops the domain) — rowTracking's high-water mark
+      // lives here
+      domains: Map[String, String] = Map.empty)
 
   // ------------------------------------------------------------ log replay
 
@@ -192,6 +196,7 @@ object DeltaTable {
     var configuration: Map[String, String] = Map.empty
     var metaId: String = ""
     var protocol: Protocol = Protocol(1, 2, Nil, Nil)
+    var domains: Map[String, String] = Map.empty
     def applyProtocol(minReader: Int, minWriter: Int,
         readerFeatures: Seq[String], writerFeatures: Seq[String]): Unit = {
       val bad = readerFeatures.filterNot(HarmlessReaderFeatures)
@@ -226,6 +231,15 @@ object DeltaTable {
             .extractOpt[Seq[String]].getOrElse(Nil)
           configuration = (j \ "metaData" \ "configuration")
             .extractOpt[Map[String, String]].getOrElse(Map.empty)
+        case _ =>
+      }
+      (j \ "domainMetadata") match {
+        case JObject(_) =>
+          val dom = (j \ "domainMetadata" \ "domain").extract[String]
+          if ((j \ "domainMetadata" \ "removed")
+            .extractOpt[Boolean].getOrElse(false)) domains -= dom
+          else domains += dom -> (j \ "domainMetadata" \ "configuration")
+            .extractOpt[String].getOrElse("")
         case _ =>
       }
       (j \ "add") match {
@@ -331,6 +345,16 @@ object DeltaTable {
               stats = Option(r.getString(7)).filter(_.nonEmpty))
           }
       }
+      if (colsPresent.contains("domainMetadata")) {
+        cp.select(col("domainMetadata.domain"),
+            col("domainMetadata.configuration"),
+            col("domainMetadata.removed"))
+          .filter(col("domain").isNotNull).collect().foreach { r =>
+            if (!r.isNullAt(2) && r.getBoolean(2)) domains -= r.getString(0)
+            else domains += r.getString(0) ->
+              Option(r.getString(1)).getOrElse("")
+          }
+      }
       if (colsPresent.contains("sidecar")) {
         val sidecars = cp.select(col("sidecar.path"))
           .filter(col("path").isNotNull)
@@ -379,8 +403,16 @@ object DeltaTable {
         s"$table: columnMapping mode '$other' is not implemented")
     }
     (Snapshot(latest, schemaJson, partitionColumns, files.values.toSeq,
-      configuration, metaId, protocol), captured, capturedConf)
+      configuration, metaId, protocol, domains), captured, capturedConf)
   }
+
+  /** The snapshot's latest `domainMetadata` per domain (checkpointed
+    * state included — the checkpoint replay applies them like any json
+    * action). `delta.rowTracking` carries the row-id high-water mark
+    * the writers advance. */
+  private[graft] def snapshotDomains(spark: SparkSession,
+      table: String): Map[String, String] =
+    replay(spark, table, None)._1.domains
 
   // ---------------------------------------------------------------- reads
 

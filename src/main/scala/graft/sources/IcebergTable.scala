@@ -539,9 +539,15 @@ object IcebergTable {
           }
         }
       byId.toMap.flatMap { case (id, names) =>
-        val prior = names.distinct.filterNot(fieldNames.get(id).contains)
-          .reverse
-        if (prior.isEmpty) None else Some(id -> prior.toSeq)
+        fieldNames.get(id) match {
+          // a DROPPED id's history is irrelevant (nothing selects it) —
+          // including it would flip every later read onto the per-file
+          // resolution path for no reason
+          case None => None
+          case Some(cur) =>
+            val prior = names.distinct.filterNot(_ == cur).reverse
+            if (prior.isEmpty) None else Some(id -> prior.toSeq)
+        }
       }
     }
 

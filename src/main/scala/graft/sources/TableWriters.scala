@@ -590,6 +590,44 @@ object DeltaWriter {
     }
   }
 
+  /** rowTracking bookkeeping for a commit that ADDS data files: per-add
+    * `baseRowId`/`defaultRowCommitVersion` fields — fresh ids carved
+    * from the `delta.rowTracking` domain's high-water mark (a row's id
+    * is baseRowId + its position) — plus the updated domainMetadata
+    * line for the same commit. No-ops on tables without the feature;
+    * zero new files advance nothing. Fresh assignment is the protocol's
+    * baseline for data-changing commits (stable-id PRESERVATION across
+    * rewrites needs materialized row-id columns — compaction and
+    * checkpoints stay directed for that reason). */
+  private def rowTrackingFields(spark: SparkSession, table: String,
+      proto: DeltaTable.Protocol, counts: Seq[Long], commitVersion: Long)
+      : (Seq[String], Seq[String]) = {
+    if (!proto.writerFeatures.contains("rowTracking"))
+      return (counts.map(_ => ""), Nil)
+    if (!proto.writerFeatures.contains("domainMetadata"))
+      throw UnsupportedWrite(
+        s"$table: rowTracking without the domainMetadata feature — the " +
+          "row-id high-water mark has nowhere to live")
+    val hwm0 = DeltaTable.snapshotDomains(spark, table)
+      .get("delta.rowTracking").flatMap { cfg =>
+        try (JsonMethods.parse(cfg) \ "rowIdHighWaterMark")
+          .extractOpt[Long]
+        catch { case _: Exception => None }
+      }.getOrElse(-1L)
+    var hwm = hwm0
+    val fields = counts.map { n =>
+      val b = hwm + 1
+      hwm += n
+      s""","baseRowId":$b,"defaultRowCommitVersion":$commitVersion"""
+    }
+    val domain =
+      if (counts.isEmpty || hwm == hwm0) Nil
+      else Seq(s"""{"domainMetadata":{"domain":"delta.rowTracking",""" +
+        s""""configuration":"{\\"rowIdHighWaterMark\\":$hwm}",""" +
+        s""""removed":false}}""")
+    (fields, domain)
+  }
+
   /** Rename a LOGICAL-schema frame to the table's PHYSICAL column names
     * (tagging each with its parquet field id) — the shape every data,
     * rewrite, and cdc file of a column-mapped table must store; a file
@@ -652,11 +690,13 @@ object DeltaWriter {
     // carries a fresh metaData action
     var evolved: Option[(String, Map[String, String], StructType)] = None
     var mapped = false
+    var tableProto = DeltaTable.Protocol(1, 2, Nil, Nil)
     val (version, schema, partCols) =
       if (!exists) (0L, df.schema, partitionBy)
       else {
-        val (v, metaId, schemaJson, pc, cfg, _, _) =
+        val (v, metaId, schemaJson, pc, cfg, _, proto0) =
           DeltaTable.snapshotState(spark, table)
+        tableProto = proto0
         mapped = cfg.get("delta.columnMapping.mode").exists(_ != "none")
         validator = constraintValidator(table, cfg, schemaJson)
         val existing = DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -732,13 +772,19 @@ object DeltaWriter {
     val ts = System.currentTimeMillis()
     val dataSchema = org.apache.spark.sql.types.StructType(
       outSchema.filterNot(f => outPartCols.contains(f.name)))
-    val stats = statsFields(files.map(_._2), dataSchema, conf)
-    val adds = files.zip(stats).map { case ((rel, _, size), st) =>
-      // Spark's null-partition sentinel directory becomes the protocol's
-      // JSON null inside the shared builder
-      val pv = partitionValuesJson(partValues(rel))
-      s"""{"add":{"path":"${pctEncodeRel(rel)}","partitionValues":{$pv},""" +
-        s""""size":$size,"modificationTime":$ts,"dataChange":true$st}}"""
+    val sc = statsFieldsWithCounts(files.map(_._2), dataSchema, conf)
+    // a rowTracking table's appends must assign fresh row ids and
+    // advance the high-water mark (silently omitting them would break
+    // every id-aware reader)
+    val (ridFields, domainLines) = rowTrackingFields(spark, table,
+      tableProto, sc.map(_._2), version)
+    val adds = files.zip(sc).zip(ridFields).map {
+      case (((rel, _, size), (st, _)), rid) =>
+        // Spark's null-partition sentinel directory becomes the
+        // protocol's JSON null inside the shared builder
+        val pv = partitionValuesJson(partValues(rel))
+        s"""{"add":{"path":"${pctEncodeRel(rel)}","partitionValues":{$pv},""" +
+          s""""size":$size,"modificationTime":$ts,"dataChange":true$rid$st}}"""
     }
     val head =
       if (version > 0L) {
@@ -782,7 +828,7 @@ object DeltaWriter {
       }
     fs.mkdirs(logPath)
     val dest = new Path(logPath, f"$version%020d.json")
-    if (!putText(fs, dest, (head ++ adds).mkString("\n"))) {
+    if (!putText(fs, dest, (head ++ adds ++ domainLines).mkString("\n"))) {
       cleanup(fs, files.map(_._2))
       throw CommitConflict(
         s"$table: version $version was committed concurrently — " +
@@ -1439,24 +1485,85 @@ object DeltaWriter {
         StructField(newName, f.dataType, f.nullable, f.metadata)
       else f))
     val newPartCols = partCols.map(c => if (c == oldName) newName else c)
+    metaDataOnlyCommit(fs, logPath, table, version, metaId, next,
+      newPartCols, config, "RENAME COLUMN")
+  }
+
+  /** ALTER TABLE ... DROP COLUMN — the other metaData-only migration
+    * column mapping serves: the logical field leaves the schema while
+    * its PHYSICAL column stays in every data file, where readers simply
+    * never select it (the reason the protocol gates DROP behind
+    * mapping: an unmapped reader would re-surface the stored column
+    * under a later same-name add). Directed on unmapped tables, nested
+    * fields, PARTITION columns (their dirs and partitionValues would
+    * dangle), contract mentions, and dropping the last column. Returns
+    * the committed version. */
+  def dropColumn(spark: SparkSession, table: String,
+      name: String): Long = {
+    val base = table.stripSuffix("/")
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val logPath = new Path(s"$base/_delta_log")
+    val fs = logPath.getFileSystem(conf)
+    val (version, metaId, schemaJson, partCols, config, _, _) =
+      DeltaTable.snapshotState(spark, table)
+    if (!config.get("delta.columnMapping.mode").exists(_ != "none"))
+      throw UnsupportedWrite(
+        s"$table: DROP COLUMN needs column mapping — an unmapped " +
+          "reader would re-surface the stored column under a later " +
+          "same-name add")
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    if (schema.fields.exists(f => hasNestedNames(f.dataType)))
+      throw UnsupportedWrite(
+        s"$table: DROP COLUMN on a table with NESTED fields is not " +
+          "implemented")
+    if (!schema.fieldNames.contains(name))
+      throw UnsupportedWrite(s"$table: column '$name' does not exist")
+    if (partCols.contains(name)) throw UnsupportedWrite(
+      s"$table: '$name' is a PARTITION column — its directories and " +
+        "partitionValues cannot be dropped by a metadata commit")
+    if (schema.fields.length == 1) throw UnsupportedWrite(
+      s"$table: dropping the last column would leave an empty schema")
+    val contractTexts =
+      config.collect { case (k, v)
+        if k.startsWith("delta.constraints.") => v } ++
+        schema.fields.flatMap { f =>
+          Seq("delta.invariants", "delta.generationExpression")
+            .filter(f.metadata.contains).map(f.metadata.getString)
+        }
+    if (contractTexts.exists(_.contains(name)))
+      throw UnsupportedWrite(
+        s"$table: a CHECK constraint / invariant / generated column " +
+          s"mentions '$name' — drop the contract first")
+    val next = StructType(schema.fields.filterNot(_.name == name))
+    metaDataOnlyCommit(fs, logPath, table, version, metaId, next,
+      partCols, config, "DROP COLUMN")
+  }
+
+  /** The shared commit of a schema-only change (rename/drop): one
+    * commitInfo + metaData pair at `version + 1`, everything else
+    * carried verbatim. */
+  private def metaDataOnlyCommit(fs: FileSystem, logPath: Path,
+      table: String, version: Long, metaId: String, next: StructType,
+      partCols: Seq[String], config: Map[String, String],
+      operation: String): Long = {
     val ts = System.currentTimeMillis()
     val cfgJson = config.map { case (k, v) =>
       s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
     }.mkString(",")
     val lines = Seq(
-      s"""{"commitInfo":{"timestamp":$ts,"operation":"RENAME COLUMN"}}""",
+      s"""{"commitInfo":{"timestamp":$ts,"operation":"$operation"}}""",
       s"""{"metaData":{"id":"${if (metaId.nonEmpty) metaId
         else java.util.UUID.randomUUID().toString}",""" +
         s""""format":{"provider":"parquet","options":{}},""" +
         s""""schemaString":"${jsonEscape(next.json)}",""" +
-        s""""partitionColumns":[${newPartCols.map(c =>
+        s""""partitionColumns":[${partCols.map(c =>
           s""""${jsonEscape(c)}"""").mkString(",")}],""" +
         s""""configuration":{$cfgJson}}}""")
     val dest = new Path(logPath, f"${version + 1}%020d.json")
     if (!putText(fs, dest, lines.mkString("\n")))
       throw CommitConflict(
         s"$table: version ${version + 1} was committed concurrently — " +
-          "re-read the table and retry the rename")
+          s"re-read the table and retry the ${operation.toLowerCase}")
     version + 1
   }
 
@@ -2575,10 +2682,6 @@ object IcebergWriter {
     })) throw UnsupportedWrite(
       s"$table: RENAME COLUMN on a table with NESTED fields is not " +
         "implemented")
-    val allSchemas = (meta \ "schemas").extractOpt[Seq[JValue]]
-      .getOrElse(Seq(meta \ "schema"))
-    val newSchemaId = allSchemas.flatMap(s0 =>
-      (s0 \ "schema-id").extractOpt[Int]).foldLeft(0)(math.max) + 1
     val renamedFields = fields.map { f =>
       if ((f \ "name").extractOpt[String].contains(oldName))
         JObject(f.asInstanceOf[JObject].obj.map {
@@ -2587,9 +2690,116 @@ object IcebergWriter {
         })
       else f
     }
+    commitNewSchema(fs, conf, base, table, st, meta, renamedFields)
+  }
+
+  /** DROP COLUMN: the schema-only twin of [[renameColumn]] — the field
+    * leaves the schema (its id retired, never reused: `last-column-id`
+    * stays the high-water mark) and no file moves; readers simply stop
+    * selecting the column. Directed when any partition spec's
+    * `source-id` references the column (its dirs and tuples would
+    * dangle) and on dropping the last column. Returns the new metadata
+    * version. */
+  def dropColumn(spark: SparkSession, table: String, name: String): Long = {
+    val base = table.stripSuffix("/")
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(base).getFileSystem(conf)
+    val st = loadState(spark, fs, base)
+    val meta = st.meta
+    val schemaNode = IcebergTable.currentSchemaJson(meta)
+    val fields = (schemaNode \ "fields").extractOpt[Seq[JValue]]
+      .getOrElse(Nil)
+    val target = fields.find(f =>
+      (f \ "name").extractOpt[String].contains(name)).getOrElse(
+      throw UnsupportedWrite(s"$table: column '$name' does not exist"))
+    if (fields.size == 1) throw UnsupportedWrite(
+      s"$table: dropping the last column would leave an empty schema")
+    if (fields.exists(f => (f \ "type") match {
+      case JString(_) => false
+      case _ => true
+    })) throw UnsupportedWrite(
+      s"$table: DROP COLUMN on a table with NESTED fields is not " +
+        "implemented")
+    val targetId = (target \ "id").extractOpt[Int]
+    val specSources: Set[Int] =
+      (meta \ "partition-specs").extractOpt[Seq[JValue]].getOrElse(Nil)
+        .flatMap(sp => (sp \ "fields").extractOpt[Seq[JValue]]
+          .getOrElse(Nil)
+          .flatMap(f => (f \ "source-id").extractOpt[Int])).toSet
+    if (targetId.exists(specSources)) throw UnsupportedWrite(
+      s"$table: '$name' is a partition SOURCE column — its spec fields, " +
+        "directories and manifest tuples cannot be dropped by a " +
+        "metadata commit")
+    commitNewSchema(fs, conf, base, table, st, meta,
+      fields.filterNot(f => (f \ "name").extractOpt[String].contains(name)))
+  }
+
+  /** ALTER TABLE ... ALTER COLUMN TYPE — the table spec's safe
+    * PROMOTIONS only (`int` -> `long`, `float` -> `double`): a
+    * schema-only commit; old files keep their narrow physical type and
+    * the parquet reader widens values on scan, manifest bounds promote
+    * through the same width rule in the stats codec. Anything else
+    * (narrowing, string/temporal changes, decimal re-scale) is
+    * directed. Partition SOURCE columns are directed too — old
+    * manifests' typed partition tuples would no longer match the spec's
+    * result type. Returns the new metadata version. */
+  def widenColumn(spark: SparkSession, table: String, name: String,
+      toType: String): Long = {
+    val base = table.stripSuffix("/")
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(base).getFileSystem(conf)
+    val st = loadState(spark, fs, base)
+    val meta = st.meta
+    val schemaNode = IcebergTable.currentSchemaJson(meta)
+    val fields = (schemaNode \ "fields").extractOpt[Seq[JValue]]
+      .getOrElse(Nil)
+    val target = fields.find(f =>
+      (f \ "name").extractOpt[String].contains(name)).getOrElse(
+      throw UnsupportedWrite(s"$table: column '$name' does not exist"))
+    val cur = (target \ "type").extractOpt[String].getOrElse(
+      throw UnsupportedWrite(
+        s"$table: '$name' is not a primitive column"))
+    val ok = (cur, toType) match {
+      case ("int", "long") | ("float", "double") => true
+      case _ => false
+    }
+    if (!ok) throw UnsupportedWrite(
+      s"$table: type change '$cur' -> '$toType' is not a spec " +
+        "promotion (int -> long, float -> double only)")
+    val targetId = (target \ "id").extractOpt[Int]
+    val specSources: Set[Int] =
+      (meta \ "partition-specs").extractOpt[Seq[JValue]].getOrElse(Nil)
+        .flatMap(sp => (sp \ "fields").extractOpt[Seq[JValue]]
+          .getOrElse(Nil)
+          .flatMap(f => (f \ "source-id").extractOpt[Int])).toSet
+    if (targetId.exists(specSources)) throw UnsupportedWrite(
+      s"$table: '$name' is a partition SOURCE column — old manifests' " +
+        "typed partition tuples cannot be widened by a metadata commit")
+    val widened = fields.map { f =>
+      if ((f \ "name").extractOpt[String].contains(name))
+        JObject(f.asInstanceOf[JObject].obj.map {
+          case ("type", _) => ("type", JString(toType))
+          case kv => kv
+        })
+      else f
+    }
+    commitNewSchema(fs, conf, base, table, st, meta, widened)
+  }
+
+  /** Append a new schema (rename/drop result) to `schemas`, bump
+    * `current-schema-id` past every schema ever declared, and write the
+    * next metadata version — no snapshot, manifest, or data file moves.
+    * Everything this writer does not manage carries forward verbatim. */
+  private def commitNewSchema(fs: FileSystem, conf: Configuration,
+      base: String, table: String, st: TableState, meta: JValue,
+      newFields: Seq[JValue]): Long = {
+    val allSchemas = (meta \ "schemas").extractOpt[Seq[JValue]]
+      .getOrElse(Seq(meta \ "schema"))
+    val newSchemaId = allSchemas.flatMap(s0 =>
+      (s0 \ "schema-id").extractOpt[Int]).foldLeft(0)(math.max) + 1
     val newSchemaJson = JsonMethods.compact(JsonMethods.render(JObject(
       ("type", JString("struct")), ("schema-id", JInt(newSchemaId)),
-      ("fields", JArray(renamedFields.toList)))))
+      ("fields", JArray(newFields.toList)))))
     val schemasListJson = (allSchemas.map(s0 =>
       JsonMethods.compact(JsonMethods.render(s0))) :+ newSchemaJson)
       .mkString(", ")
@@ -2618,7 +2828,7 @@ object IcebergWriter {
     if (!putText(fs, dest, metaJson))
       throw CommitConflict(
         s"$table: metadata version $newVersion was committed " +
-          "concurrently — re-read the table and retry the rename")
+          "concurrently — re-read the table and retry the schema change")
     overwriteText(fs, conf, new Path(metaDir, "version-hint.text"),
       newVersion.toString)
     newVersion

@@ -1810,6 +1810,200 @@ class TableWritersSpec extends SparkSpec {
     assert(e2.getMessage.contains("already exists"), e2.getMessage)
   }
 
+  test("DROP COLUMN both formats: metadata-only, files untouched") {
+    // Delta (column mapping required)
+    val t = tmp()
+    def f(n: String, ty: String, phys: String, id: Int) =
+      s"""{"name":"$n","type":"$ty","nullable":true,""" +
+        s""""metadata":{"delta.columnMapping.physicalName":"col-$phys",""" +
+        s""""delta.columnMapping.id":$id}}"""
+    val schemaStr = (s"""{"type":"struct","fields":[${f("id", "long", "a", 1)},""" +
+      s"""${f("lang", "string", "b", 2)},${f("text", "string", "c", 3)}]}""")
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    new java.io.File(s"$t/_delta_log").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/_delta_log/00000000000000000000.json"),
+      (s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        s""""readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}""" +
+        "\n" +
+        s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$schemaStr","partitionColumns":["lang"],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"},""" +
+        s""""createdTime":0}}""").getBytes("UTF-8"))
+    DeltaWriter.writeAppend(spark,
+      Seq((1L, "en", "t1"), (2L, "de", "t2")).toDF("id", "lang", "text"), t)
+    val files0 = DeltaTable.read(spark, t).inputFiles.sorted.toSeq
+    DeltaWriter.dropColumn(spark, t, "text")
+    val after = DeltaTable.read(spark, t)
+    assert(after.columns.toSeq == Seq("id", "lang"))
+    assert(after.select($"id", $"lang").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq == Seq((1L, "en"), (2L, "de")))
+    assert(DeltaTable.read(spark, t).inputFiles.sorted.toSeq == files0,
+      "a drop never touches data files")
+    // appends under the narrowed schema work; the stored physical
+    // column in old files stays invisible
+    DeltaWriter.writeAppend(spark, Seq((3L, "fr")).toDF("id", "lang"), t)
+    assert(DeltaTable.read(spark, t).count() == 3)
+    // directed: partition column, unmapped table, unknown, last column
+    val eP = intercept[Exception](DeltaWriter.dropColumn(spark, t, "lang"))
+    assert(eP.getMessage.contains("PARTITION"), eP.getMessage)
+    val plain = tmp()
+    DeltaWriter.writeAppend(spark, Seq((1L, "x")).toDF("id", "text"), plain)
+    val eU = intercept[Exception](
+      DeltaWriter.dropColumn(spark, plain, "text"))
+    assert(eU.getMessage.contains("column mapping"), eU.getMessage)
+    val eN = intercept[Exception](DeltaWriter.dropColumn(spark, t, "nope"))
+    assert(eN.getMessage.contains("does not exist"), eN.getMessage)
+
+    // Iceberg: drop retires the field id, spec sources protected
+    val it = tmp()
+    IcebergWriter.writeAppend(spark,
+      (1L to 6L).map(i => (i, s"t$i", i % 2)).toDF("id", "text", "b"), it,
+      partitionBy = Seq("b"))
+    val ifiles0 = IcebergTable.read(spark, it).inputFiles.sorted.toSeq
+    IcebergWriter.dropColumn(spark, it, "text")
+    val iafter = IcebergTable.read(spark, it)
+    assert(iafter.columns.toSeq == Seq("id", "b"))
+    assert(iafter.select($"id").as[Long].collect().sorted.toSeq ==
+      (1L to 6L))
+    assert(IcebergTable.read(spark, it).inputFiles.sorted.toSeq == ifiles0)
+    // appends + row-level deletes under the narrowed schema
+    IcebergWriter.writeAppend(spark,
+      Seq((7L, 1L)).toDF("id", "b"), it)
+    IcebergWriter.writeDelete(spark, it, $"id" === 2L)
+    assert(IcebergTable.read(spark, it).select($"id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L, 4L, 5L, 6L, 7L))
+    // partition pruning intact
+    assert(IcebergTable.readPartitions(spark, it, Map("b" -> "0"))
+      .select($"id").as[Long].collect().sorted.toSeq == Seq(4L, 6L))
+    // directed: partition source, unknown
+    val eS = intercept[Exception](IcebergWriter.dropColumn(spark, it, "b"))
+    assert(eS.getMessage.contains("partition SOURCE"), eS.getMessage)
+    val eI = intercept[Exception](
+      IcebergWriter.dropColumn(spark, it, "nope"))
+    assert(eI.getMessage.contains("does not exist"), eI.getMessage)
+    // a one-column table refuses to drop its last column
+    val solo = tmp()
+    IcebergWriter.writeAppend(spark, Seq(Tuple1(1L)).toDF("id"), solo)
+    val eL = intercept[Exception](
+      IcebergWriter.dropColumn(spark, solo, "id"))
+    assert(eL.getMessage.contains("last column"), eL.getMessage)
+  }
+
+  test("delta rowTracking appends: fresh row ids + high-water mark") {
+    // a rowTracking table (another engine's): appends MUST assign
+    // baseRowId/defaultRowCommitVersion and advance the domain's
+    // high-water mark — omitting them silently breaks id-aware readers
+    val t = tmp()
+    new java.io.File(s"$t/_delta_log").mkdirs()
+    val schemaStr = ("""{"type":"struct","fields":[""" +
+      """{"name":"id","type":"long","nullable":true,"metadata":{}},""" +
+      """{"name":"text","type":"string","nullable":true,"metadata":{}}]}""")
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/_delta_log/00000000000000000000.json"),
+      (s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        s""""writerFeatures":["rowTracking","domainMetadata"]}}""" +
+        "\n" +
+        s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$schemaStr","partitionColumns":[],""" +
+        s""""configuration":{"delta.enableRowTracking":"true"},"createdTime":0}}""" +
+        "\n" +
+        s"""{"domainMetadata":{"domain":"delta.rowTracking",""" +
+        s""""configuration":"{\\"rowIdHighWaterMark\\":41}","removed":false}}""")
+        .getBytes("UTF-8"))
+    DeltaWriter.writeAppend(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text").coalesce(1), t)
+    val log1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$t/_delta_log/00000000000000000001.json")))
+    assert(log1.contains("\"baseRowId\":42"),
+      s"fresh ids start past the high-water mark: $log1")
+    assert(log1.contains("\"defaultRowCommitVersion\":1"), log1)
+    assert(log1.contains("rowIdHighWaterMark\\\":44") ||
+      log1.contains("rowIdHighWaterMark\":44"),
+      s"3 appended rows advance 41 -> 44: $log1")
+    assert(DeltaTable.read(spark, t).count() == 3)
+    // a second append continues from the NEW mark
+    DeltaWriter.writeAppend(spark,
+      Seq((4L, "d")).toDF("id", "text").coalesce(1), t)
+    val log2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$t/_delta_log/00000000000000000002.json")))
+    assert(log2.contains("\"baseRowId\":45"), log2)
+    // rowTracking WITHOUT domainMetadata has nowhere to keep the mark
+    val t2 = tmp()
+    new java.io.File(s"$t2/_delta_log").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t2/_delta_log/00000000000000000000.json"),
+      (s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        s""""writerFeatures":["rowTracking"]}}""" +
+        "\n" +
+        s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$schemaStr","partitionColumns":[],""" +
+        s""""configuration":{},"createdTime":0}}""").getBytes("UTF-8"))
+    val e = intercept[Exception] {
+      DeltaWriter.writeAppend(spark, Seq((1L, "a")).toDF("id", "text"), t2)
+    }
+    assert(e.getMessage.contains("domainMetadata"), e.getMessage)
+    // the preservation-requiring ops stay directed
+    val eU = intercept[Exception] {
+      DeltaWriter.writeUpdate(spark, t, $"id" === 1L,
+        Map("text" -> lit("x")))
+    }
+    assert(eU.getMessage.contains("rowTracking"), eU.getMessage)
+  }
+
+  test("iceberg widenColumn: int->long / float->double, schema-only") {
+    val t = tmp()
+    val df = (1 to 6).map(i => (i.toLong, i * 10, i * 0.5f))
+      .toDF("id", "v", "f")
+    IcebergWriter.writeAppend(spark, df, t)
+    val files0 = IcebergTable.read(spark, t).inputFiles.sorted.toSeq
+    IcebergWriter.widenColumn(spark, t, "v", "long")
+    IcebergWriter.widenColumn(spark, t, "f", "double")
+    val r = IcebergTable.read(spark, t)
+    assert(r.schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(r.schema("f").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(r.select($"id", $"v").as[(Long, Long)].collect().sortBy(_._1)
+      .toSeq == (1 to 6).map(i => (i.toLong, i * 10L)),
+      "narrow files widen on scan")
+    assert(IcebergTable.read(spark, t).inputFiles.sorted.toSeq == files0,
+      "a widen never touches data files")
+    // appends under the WIDE type join the same column; the old files'
+    // 4-byte manifest bounds PROMOTE, so pruning still works on v
+    IcebergWriter.writeAppend(spark,
+      Seq((7L, 5000000000L, 2.5)).toDF("id", "v", "f"), t)
+    val all = IcebergTable.read(spark, t)
+    assert(all.count() == 7)
+    val hit = IcebergTable.readWhere(spark, t,
+      Seq(org.apache.spark.sql.sources.EqualTo("v", 5000000000L)))
+    assert(hit.select($"id").as[Long].collect().toSeq == Seq(7L))
+    assert(hit.inputFiles.length < all.inputFiles.length,
+      "promoted int bounds prune the old files")
+    val hitOld = IcebergTable.readWhere(spark, t,
+      Seq(org.apache.spark.sql.sources.EqualTo("v", 30L)))
+    assert(hitOld.select($"id").as[Long].collect().toSeq == Seq(3L))
+    // directed: narrowing, non-promotions, unknown
+    val eN = intercept[Exception](
+      IcebergWriter.widenColumn(spark, t, "v", "int"))
+    assert(eN.getMessage.contains("promotion"), eN.getMessage)
+    val eS = intercept[Exception](
+      IcebergWriter.widenColumn(spark, t, "id", "string"))
+    assert(eS.getMessage.contains("promotion"), eS.getMessage)
+    val eU = intercept[Exception](
+      IcebergWriter.widenColumn(spark, t, "nope", "long"))
+    assert(eU.getMessage.contains("does not exist"), eU.getMessage)
+    // a partition SOURCE column stays directed
+    val pt = tmp()
+    IcebergWriter.writeAppend(spark,
+      Seq((1L, 2, "x")).toDF("id", "b", "text"), pt,
+      partitionBy = Seq("b"))
+    val eP = intercept[Exception](
+      IcebergWriter.widenColumn(spark, pt, "b", "long"))
+    assert(eP.getMessage.contains("partition SOURCE"), eP.getMessage)
+  }
+
   test("iceberg removeOrphanFiles: unreferenced only, grace-fenced") {
     val table = tmp()
     IcebergWriter.writeAppend(spark,
