@@ -90,7 +90,12 @@ object DeltaTable {
       // latest domainMetadata per domain (configuration string;
       // removed=true drops the domain) — rowTracking's high-water mark
       // lives here
-      domains: Map[String, String] = Map.empty)
+      domains: Map[String, String] = Map.empty,
+      // the latest metaData action VERBATIM (None when it was
+      // reconstructed from checkpoint columns) — metadata-only commits
+      // re-emit it so foreign fields (name, description, createdTime)
+      // survive
+      metaRaw: Option[JValue] = None)
 
   // ------------------------------------------------------------ log replay
 
@@ -197,6 +202,7 @@ object DeltaTable {
     var metaId: String = ""
     var protocol: Protocol = Protocol(1, 2, Nil, Nil)
     var domains: Map[String, String] = Map.empty
+    var metaRaw: Option[JValue] = None
     def applyProtocol(minReader: Int, minWriter: Int,
         readerFeatures: Seq[String], writerFeatures: Seq[String]): Unit = {
       val bad = readerFeatures.filterNot(HarmlessReaderFeatures)
@@ -231,6 +237,7 @@ object DeltaTable {
             .extractOpt[Seq[String]].getOrElse(Nil)
           configuration = (j \ "metaData" \ "configuration")
             .extractOpt[Map[String, String]].getOrElse(Map.empty)
+          metaRaw = Some(j \ "metaData")
         case _ =>
       }
       (j \ "domainMetadata") match {
@@ -313,6 +320,10 @@ object DeltaTable {
             configuration =
               Option(r.getAs[Map[String, String]](2)).getOrElse(Map.empty)
             metaId = Option(r.getString(3)).getOrElse("")
+            // checkpoint-sourced metaData loses fields this reader does
+            // not model (name/description) — metadata-only commits fall
+            // back to the managed set
+            metaRaw = None
           }
       }
       if (colsPresent.contains("add")) {
@@ -403,16 +414,9 @@ object DeltaTable {
         s"$table: columnMapping mode '$other' is not implemented")
     }
     (Snapshot(latest, schemaJson, partitionColumns, files.values.toSeq,
-      configuration, metaId, protocol, domains), captured, capturedConf)
+      configuration, metaId, protocol, domains, metaRaw),
+      captured, capturedConf)
   }
-
-  /** The snapshot's latest `domainMetadata` per domain (checkpointed
-    * state included — the checkpoint replay applies them like any json
-    * action). `delta.rowTracking` carries the row-id high-water mark
-    * the writers advance. */
-  private[graft] def snapshotDomains(spark: SparkSession,
-      table: String): Map[String, String] =
-    replay(spark, table, None)._1.domains
 
   // ---------------------------------------------------------------- reads
 
@@ -1018,19 +1022,27 @@ object DeltaTable {
     (s.version, s.schemaJson, s.partitionColumns, s.configuration)
   }
 
-  /** The latest snapshot's full state for the CHECKPOINT writer:
-    * (version, metaData id, schemaString, partitionColumns,
-    * configuration, files with partition values + DV descriptors +
-    * verbatim stats JSON). */
-  private[graft] def snapshotState(spark: SparkSession, table: String)
-      : (Long, String, String, Seq[String], Map[String, String],
-        Seq[(String, Map[String, String],
-          Option[DeletionVector.Descriptor], Option[String])], Protocol) = {
+  /** The latest snapshot's full state for the writers: one replay
+    * serving everything a commit needs — including the live
+    * `domainMetadata` map (rowTracking's high-water mark) and the RAW
+    * metaData action (so metadata-only commits can carry a foreign
+    * table's name/description/createdTime verbatim; None when the
+    * metaData was reconstructed from a checkpoint's columns). */
+  private[graft] final case class DeltaState(version: Long, metaId: String,
+      schemaJson: String, partitionColumns: Seq[String],
+      configuration: Map[String, String],
+      files: Seq[(String, Map[String, String],
+        Option[DeletionVector.Descriptor], Option[String])],
+      protocol: Protocol, domains: Map[String, String],
+      metaRaw: Option[JValue])
+
+  private[graft] def snapshotState(spark: SparkSession,
+      table: String): DeltaState = {
     val s = replay(spark, table, None)._1
-    (s.version, s.metaId, s.schemaJson, s.partitionColumns,
+    DeltaState(s.version, s.metaId, s.schemaJson, s.partitionColumns,
       s.configuration,
       s.files.map(f => (f.path, f.partitionValues, f.dv, f.stats)),
-      s.protocol)
+      s.protocol, s.domains, s.metaRaw)
   }
 
   /** True when any commit in (fromExclusive, to] carries a dataChange

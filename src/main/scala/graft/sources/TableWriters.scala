@@ -599,8 +599,9 @@ object DeltaWriter {
     * baseline for data-changing commits (stable-id PRESERVATION across
     * rewrites needs materialized row-id columns — compaction and
     * checkpoints stay directed for that reason). */
-  private def rowTrackingFields(spark: SparkSession, table: String,
-      proto: DeltaTable.Protocol, counts: Seq[Long], commitVersion: Long)
+  private def rowTrackingFields(table: String,
+      proto: DeltaTable.Protocol, domains: Map[String, String],
+      counts: Seq[Long], commitVersion: Long)
       : (Seq[String], Seq[String]) = {
     if (!proto.writerFeatures.contains("rowTracking"))
       return (counts.map(_ => ""), Nil)
@@ -608,12 +609,18 @@ object DeltaWriter {
       throw UnsupportedWrite(
         s"$table: rowTracking without the domainMetadata feature — the " +
           "row-id high-water mark has nowhere to live")
-    val hwm0 = DeltaTable.snapshotDomains(spark, table)
-      .get("delta.rowTracking").flatMap { cfg =>
-        try (JsonMethods.parse(cfg) \ "rowIdHighWaterMark")
+    // an unparseable domain configuration must DIRECT: a silent -1
+    // fallback would hand out row ids that collide with existing ones
+    val hwm0 = domains.get("delta.rowTracking") match {
+      case None => -1L
+      case Some(cfg) =>
+        (try (JsonMethods.parse(cfg) \ "rowIdHighWaterMark")
           .extractOpt[Long]
-        catch { case _: Exception => None }
-      }.getOrElse(-1L)
+        catch { case _: Exception => None }).getOrElse(
+          throw UnsupportedWrite(
+            s"$table: unparseable delta.rowTracking domain " +
+              s"configuration '$cfg' — fresh row ids could collide"))
+    }
     var hwm = hwm0
     val fields = counts.map { n =>
       val b = hwm + 1
@@ -691,12 +698,15 @@ object DeltaWriter {
     var evolved: Option[(String, Map[String, String], StructType)] = None
     var mapped = false
     var tableProto = DeltaTable.Protocol(1, 2, Nil, Nil)
+    var tableDomains: Map[String, String] = Map.empty
     val (version, schema, partCols) =
       if (!exists) (0L, df.schema, partitionBy)
       else {
-        val (v, metaId, schemaJson, pc, cfg, _, proto0) =
-          DeltaTable.snapshotState(spark, table)
-        tableProto = proto0
+        val dst = DeltaTable.snapshotState(spark, table)
+        val (v, metaId, schemaJson, pc, cfg) = (dst.version, dst.metaId,
+          dst.schemaJson, dst.partitionColumns, dst.configuration)
+        tableProto = dst.protocol
+        tableDomains = dst.domains
         mapped = cfg.get("delta.columnMapping.mode").exists(_ != "none")
         validator = constraintValidator(table, cfg, schemaJson)
         val existing = DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -776,8 +786,8 @@ object DeltaWriter {
     // a rowTracking table's appends must assign fresh row ids and
     // advance the high-water mark (silently omitting them would break
     // every id-aware reader)
-    val (ridFields, domainLines) = rowTrackingFields(spark, table,
-      tableProto, sc.map(_._2), version)
+    val (ridFields, domainLines) = rowTrackingFields(table,
+      tableProto, tableDomains, sc.map(_._2), version)
     val adds = files.zip(sc).zip(ridFields).map {
       case (((rel, _, size), (st, _)), rid) =>
         // Spark's null-partition sentinel directory becomes the
@@ -879,8 +889,10 @@ object DeltaWriter {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val logPath = new Path(s"$base/_delta_log")
     val fs = logPath.getFileSystem(conf)
-    val (version, _, schemaJson, partCols, config, files, proto) =
-      DeltaTable.snapshotState(spark, table)
+    val dst = DeltaTable.snapshotState(spark, table)
+    val (version, schemaJson, partCols, config, files, proto) =
+      (dst.version, dst.schemaJson, dst.partitionColumns,
+        dst.configuration, dst.files, dst.protocol)
     // writer obligations this delete cannot honor are directed, never
     // silently violated
     if (proto.writerFeatures.contains("rowTracking")) throw UnsupportedWrite(
@@ -1119,8 +1131,10 @@ object DeltaWriter {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val logPath = new Path(s"$base/_delta_log")
     val fs = logPath.getFileSystem(conf)
-    val (version, _, schemaJson, partCols, config, files, proto) =
-      DeltaTable.snapshotState(spark, table)
+    val dst = DeltaTable.snapshotState(spark, table)
+    val (version, schemaJson, partCols, config, files, proto) =
+      (dst.version, dst.schemaJson, dst.partitionColumns,
+        dst.configuration, dst.files, dst.protocol)
     if (proto.writerFeatures.contains("rowTracking")) throw UnsupportedWrite(
       s"$table: UPDATE on a rowTracking table is not implemented " +
         "(re-added files would lose their baseRowId)")
@@ -1277,8 +1291,10 @@ object DeltaWriter {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val logPath = new Path(s"$base/_delta_log")
     val fs = logPath.getFileSystem(conf)
-    val (version, _, schemaJson, partCols, config, files, proto) =
-      DeltaTable.snapshotState(spark, table)
+    val dst = DeltaTable.snapshotState(spark, table)
+    val (version, schemaJson, partCols, config, files, proto) =
+      (dst.version, dst.schemaJson, dst.partitionColumns,
+        dst.configuration, dst.files, dst.protocol)
     if (proto.writerFeatures.contains("rowTracking")) throw UnsupportedWrite(
       s"$table: MERGE on a rowTracking table is not implemented")
     if (config.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
@@ -1443,8 +1459,10 @@ object DeltaWriter {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val logPath = new Path(s"$base/_delta_log")
     val fs = logPath.getFileSystem(conf)
-    val (version, metaId, schemaJson, partCols, config, _, _) =
-      DeltaTable.snapshotState(spark, table)
+    val dst = DeltaTable.snapshotState(spark, table)
+    val (version, metaId, schemaJson, partCols, config) =
+      (dst.version, dst.metaId, dst.schemaJson, dst.partitionColumns,
+        dst.configuration)
     if (!config.get("delta.columnMapping.mode").exists(_ != "none"))
       throw UnsupportedWrite(
         s"$table: RENAME COLUMN needs column mapping — an unmapped " +
@@ -1470,13 +1488,7 @@ object DeltaWriter {
           "case-insensitively)")
     // a contract expression mentioning the old name would stop
     // resolving after the rename — conservative substring check
-    val contractTexts =
-      config.collect { case (k, v) if k.startsWith("delta.constraints.") => v } ++
-        schema.fields.flatMap { f =>
-          Seq("delta.invariants", "delta.generationExpression")
-            .filter(f.metadata.contains).map(f.metadata.getString)
-        }
-    if (contractTexts.exists(_.contains(oldName)))
+    if (contractMentions(config, schema, oldName))
       throw UnsupportedWrite(
         s"$table: a CHECK constraint / invariant / generated column " +
           s"mentions '$oldName' — rename the contract first")
@@ -1485,8 +1497,8 @@ object DeltaWriter {
         StructField(newName, f.dataType, f.nullable, f.metadata)
       else f))
     val newPartCols = partCols.map(c => if (c == oldName) newName else c)
-    metaDataOnlyCommit(fs, logPath, table, version, metaId, next,
-      newPartCols, config, "RENAME COLUMN")
+    metaDataOnlyCommit(fs, logPath, table, version, metaId,
+      dst.metaRaw, next, newPartCols, config, "RENAME COLUMN")
   }
 
   /** ALTER TABLE ... DROP COLUMN — the other metaData-only migration
@@ -1504,8 +1516,10 @@ object DeltaWriter {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val logPath = new Path(s"$base/_delta_log")
     val fs = logPath.getFileSystem(conf)
-    val (version, metaId, schemaJson, partCols, config, _, _) =
-      DeltaTable.snapshotState(spark, table)
+    val dst = DeltaTable.snapshotState(spark, table)
+    val (version, metaId, schemaJson, partCols, config) =
+      (dst.version, dst.metaId, dst.schemaJson, dst.partitionColumns,
+        dst.configuration)
     if (!config.get("delta.columnMapping.mode").exists(_ != "none"))
       throw UnsupportedWrite(
         s"$table: DROP COLUMN needs column mapping — an unmapped " +
@@ -1523,48 +1537,71 @@ object DeltaWriter {
         "partitionValues cannot be dropped by a metadata commit")
     if (schema.fields.length == 1) throw UnsupportedWrite(
       s"$table: dropping the last column would leave an empty schema")
-    val contractTexts =
-      config.collect { case (k, v)
-        if k.startsWith("delta.constraints.") => v } ++
-        schema.fields.flatMap { f =>
-          Seq("delta.invariants", "delta.generationExpression")
-            .filter(f.metadata.contains).map(f.metadata.getString)
-        }
-    if (contractTexts.exists(_.contains(name)))
+    if (contractMentions(config, schema, name))
       throw UnsupportedWrite(
         s"$table: a CHECK constraint / invariant / generated column " +
           s"mentions '$name' — drop the contract first")
     val next = StructType(schema.fields.filterNot(_.name == name))
-    metaDataOnlyCommit(fs, logPath, table, version, metaId, next,
-      partCols, config, "DROP COLUMN")
+    metaDataOnlyCommit(fs, logPath, table, version, metaId,
+      dst.metaRaw, next, partCols, config, "DROP COLUMN")
   }
 
   /** The shared commit of a schema-only change (rename/drop): one
-    * commitInfo + metaData pair at `version + 1`, everything else
-    * carried verbatim. */
+    * commitInfo + metaData pair at `version + 1`. The metaData starts
+    * from the table's RAW action when the replay has it, so a foreign
+    * table's unmanaged fields (name, description, createdTime, format
+    * options) survive the change verbatim — only schemaString and
+    * partitionColumns are replaced. */
   private def metaDataOnlyCommit(fs: FileSystem, logPath: Path,
-      table: String, version: Long, metaId: String, next: StructType,
+      table: String, version: Long, metaId: String,
+      metaRaw: Option[JValue], next: StructType,
       partCols: Seq[String], config: Map[String, String],
       operation: String): Long = {
     val ts = System.currentTimeMillis()
-    val cfgJson = config.map { case (k, v) =>
-      s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
-    }.mkString(",")
+    val baseObj: JObject = metaRaw.collect { case o: JObject => o }
+      .getOrElse {
+        val cfgFields = config.toList.map { case (k, v) =>
+          (k, JString(v): JValue) }
+        JObject(List(
+          "id" -> JString(if (metaId.nonEmpty) metaId
+            else java.util.UUID.randomUUID().toString),
+          "format" -> JObject(List(
+            "provider" -> JString("parquet"),
+            "options" -> JObject(Nil))),
+          "configuration" -> JObject(cfgFields)))
+      }
+    val updated = JObject(
+      baseObj.obj.filterNot { case (k, _) =>
+        k == "schemaString" || k == "partitionColumns"
+      } ++ List(
+        "schemaString" -> (JString(next.json): JValue),
+        "partitionColumns" ->
+          (JArray(partCols.toList.map(JString(_))): JValue)))
     val lines = Seq(
       s"""{"commitInfo":{"timestamp":$ts,"operation":"$operation"}}""",
-      s"""{"metaData":{"id":"${if (metaId.nonEmpty) metaId
-        else java.util.UUID.randomUUID().toString}",""" +
-        s""""format":{"provider":"parquet","options":{}},""" +
-        s""""schemaString":"${jsonEscape(next.json)}",""" +
-        s""""partitionColumns":[${partCols.map(c =>
-          s""""${jsonEscape(c)}"""").mkString(",")}],""" +
-        s""""configuration":{$cfgJson}}}""")
+      JsonMethods.compact(JsonMethods.render(
+        JObject(List("metaData" -> (updated: JValue))))))
     val dest = new Path(logPath, f"${version + 1}%020d.json")
     if (!putText(fs, dest, lines.mkString("\n")))
       throw CommitConflict(
         s"$table: version ${version + 1} was committed concurrently — " +
           s"re-read the table and retry the ${operation.toLowerCase}")
     version + 1
+  }
+
+  /** Does any declared contract (CHECK constraint, column invariant,
+    * generated column) mention `name`? Conservative substring check —
+    * the rename/drop guard both schema-change ops share. */
+  private def contractMentions(config: Map[String, String],
+      schema: StructType, name: String): Boolean = {
+    val texts =
+      config.collect { case (k, v)
+        if k.startsWith("delta.constraints.") => v } ++
+        schema.fields.flatMap { f =>
+          Seq("delta.invariants", "delta.generationExpression")
+            .filter(f.metadata.contains).map(f.metadata.getString)
+        }
+    texts.exists(_.contains(name))
   }
 
   /** OPTIMIZE (bin-packing compaction): partitions holding at least two
@@ -1594,8 +1631,10 @@ object DeltaWriter {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val logPath = new Path(s"$base/_delta_log")
     val fs = logPath.getFileSystem(conf)
-    val (version, _, schemaJson, partCols, config, files, proto) =
-      DeltaTable.snapshotState(spark, table)
+    val dst = DeltaTable.snapshotState(spark, table)
+    val (version, schemaJson, partCols, config, files, proto) =
+      (dst.version, dst.schemaJson, dst.partitionColumns,
+        dst.configuration, dst.files, dst.protocol)
     if (proto.writerFeatures.contains("rowTracking")) throw UnsupportedWrite(
       s"$table: compacting a rowTracking table is not implemented " +
         "(rewritten files would lose their baseRowId)")
@@ -1696,7 +1735,7 @@ object DeltaWriter {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val logPath = new Path(s"$base/_delta_log")
     val fs = logPath.getFileSystem(conf)
-    val (_, _, _, _, _, files, _) = DeltaTable.snapshotState(spark, table)
+    val files = DeltaTable.snapshotState(spark, table).files
     def resolve(rel: String): String = DeltaTable.resolveAdd(base, rel)
     val active = files.map(f => PathUris.canon(resolve(f._1))).toSet
     val activeDvs = files.flatMap(_._3)
@@ -1781,8 +1820,10 @@ object DeltaWriter {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val logPath = new Path(s"$base/_delta_log")
     val fs = logPath.getFileSystem(conf)
+    val dst = DeltaTable.snapshotState(spark, table)
     val (version, metaId, schemaJson, partCols, config, files, proto) =
-      DeltaTable.snapshotState(spark, table)
+      (dst.version, dst.metaId, dst.schemaJson, dst.partitionColumns,
+        dst.configuration, dst.files, dst.protocol)
     if (proto.writerFeatures.contains("rowTracking"))
       throw UnsupportedWrite(
         s"$table: checkpointing a rowTracking table is not implemented " +
@@ -1817,7 +1858,7 @@ object DeltaWriter {
               (j \ "remove" \ "path").extract[String],
               (j \ "remove" \ "deletionTimestamp")
                 .extractOpt[Long].getOrElse(0L),
-              false))
+              false), null)
             case _ =>
           }
         }
@@ -1844,7 +1885,7 @@ object DeltaWriter {
         cp.select(col("remove.path"), tsCol.cast("long"))
           .filter(col("path").isNotNull).collect().foreach { r =>
             removeRows += Row(null, null, null,
-              Row(r.getString(0), r.getLong(1), false))
+              Row(r.getString(0), r.getLong(1), false), null)
           }
       }
       if (cols.contains("sidecar")) {
@@ -1912,7 +1953,11 @@ object DeltaWriter {
       StructField("remove", StructType(Seq(
         StructField("path", StringType),
         StructField("deletionTimestamp", LongType),
-        StructField("dataChange", BooleanType))))))
+        StructField("dataChange", BooleanType)))),
+      StructField("domainMetadata", StructType(Seq(
+        StructField("domain", StringType),
+        StructField("configuration", StringType),
+        StructField("removed", BooleanType))))))
     // the table's protocol VERBATIM — fabricating one would silently
     // drop features (columnMapping, timestampNtz, appendOnly, ...) the
     // moment the commit json below the checkpoint is vacuumed
@@ -1932,7 +1977,7 @@ object DeltaWriter {
       Row(null, null, Row(path, pv, size, 0L, false,
         dv.map(d => Row(d.storageType, d.pathOrInlineDv,
           d.offset.orNull, d.sizeInBytes, d.cardinality)).orNull,
-        stats.orNull), null)
+        stats.orNull), null, null)
     }
     // a checkpoint carries each path AT MOST once: a tombstone whose
     // path was later re-added yields to the active add, and repeated
@@ -1943,8 +1988,12 @@ object DeltaWriter {
       .filterNot { case (p, _) => activePaths(p) }
       .groupBy(_._1).values
       .map(_.maxBy(_._2.getStruct(3).getLong(1))._2).toSeq
-    val rows = Seq(Row(protoRow, null, null, null),
-      Row(null, metaRow, null, null)) ++ addRows ++ tombstones
+    val domainRows = dst.domains.toSeq.sortBy(_._1).map {
+      case (dom, cfg) => Row(null, null, null, null, Row(dom, cfg, false))
+    }
+    val rows = Seq(Row(protoRow, null, null, null, null),
+      Row(null, metaRow, null, null, null)) ++
+      addRows ++ tombstones ++ domainRows
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), ckptSchema)
     val tmpDir = s"$base/_delta_log/.ckpt-${java.util.UUID.randomUUID()}"
@@ -2693,6 +2742,15 @@ object IcebergWriter {
     commitNewSchema(fs, conf, base, table, st, meta, renamedFields)
   }
 
+  /** Every partition spec's `source-id` set — the columns a schema
+    * change must not touch (their dirs and manifest tuples are bound to
+    * the source's identity and type). */
+  private def specSourceIds(meta: JValue): Set[Int] =
+    (meta \ "partition-specs").extractOpt[Seq[JValue]].getOrElse(Nil)
+      .flatMap(sp => (sp \ "fields").extractOpt[Seq[JValue]]
+        .getOrElse(Nil)
+        .flatMap(f => (f \ "source-id").extractOpt[Int])).toSet
+
   /** DROP COLUMN: the schema-only twin of [[renameColumn]] — the field
     * leaves the schema (its id retired, never reused: `last-column-id`
     * stays the high-water mark) and no file moves; readers simply stop
@@ -2721,12 +2779,7 @@ object IcebergWriter {
       s"$table: DROP COLUMN on a table with NESTED fields is not " +
         "implemented")
     val targetId = (target \ "id").extractOpt[Int]
-    val specSources: Set[Int] =
-      (meta \ "partition-specs").extractOpt[Seq[JValue]].getOrElse(Nil)
-        .flatMap(sp => (sp \ "fields").extractOpt[Seq[JValue]]
-          .getOrElse(Nil)
-          .flatMap(f => (f \ "source-id").extractOpt[Int])).toSet
-    if (targetId.exists(specSources)) throw UnsupportedWrite(
+    if (targetId.exists(specSourceIds(meta))) throw UnsupportedWrite(
       s"$table: '$name' is a partition SOURCE column — its spec fields, " +
         "directories and manifest tuples cannot be dropped by a " +
         "metadata commit")
@@ -2767,12 +2820,7 @@ object IcebergWriter {
       s"$table: type change '$cur' -> '$toType' is not a spec " +
         "promotion (int -> long, float -> double only)")
     val targetId = (target \ "id").extractOpt[Int]
-    val specSources: Set[Int] =
-      (meta \ "partition-specs").extractOpt[Seq[JValue]].getOrElse(Nil)
-        .flatMap(sp => (sp \ "fields").extractOpt[Seq[JValue]]
-          .getOrElse(Nil)
-          .flatMap(f => (f \ "source-id").extractOpt[Int])).toSet
-    if (targetId.exists(specSources)) throw UnsupportedWrite(
+    if (targetId.exists(specSourceIds(meta))) throw UnsupportedWrite(
       s"$table: '$name' is a partition SOURCE column — old manifests' " +
         "typed partition tuples cannot be widened by a metadata commit")
     val widened = fields.map { f =>
@@ -2793,6 +2841,12 @@ object IcebergWriter {
   private def commitNewSchema(fs: FileSystem, conf: Configuration,
       base: String, table: String, st: TableState, meta: JValue,
       newFields: Seq[JValue]): Long = {
+    // v1 metadata requires a top-level `schema` this commit does not
+    // re-emit — same v2/v3 floor as every other writer here
+    val fv = (meta \ "format-version").extract[Int]
+    if (fv != 2 && fv != 3) throw UnsupportedWrite(
+      s"$table: schema changes target format-version 2 or 3 " +
+        s"(table is $fv)")
     val allSchemas = (meta \ "schemas").extractOpt[Seq[JValue]]
       .getOrElse(Seq(meta \ "schema"))
     val newSchemaId = allSchemas.flatMap(s0 =>

@@ -2004,6 +2004,100 @@ class TableWritersSpec extends SparkSpec {
     assert(eP.getMessage.contains("partition SOURCE"), eP.getMessage)
   }
 
+  test("review arms: checkpointed domains, raw metaData carry, " +
+    "unparseable rowTracking config, v1 schema changes directed") {
+    // a non-rowTracking domainMetadata must SURVIVE checkpointing (it
+    // would otherwise vanish once the jsons below the checkpoint are
+    // vacuumed)
+    val t = tmp()
+    DeltaWriter.writeAppend(spark, Seq((1L, "a")).toDF("id", "text"), t)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/_delta_log/00000000000000000001.json"),
+      ("""{"domainMetadata":{"domain":"ext.clustering",""" +
+        """"configuration":"{\"cols\":[\"id\"]}","removed":false}}""")
+        .getBytes("UTF-8"))
+    DeltaWriter.writeCheckpoint(spark, t)
+    val fsys = new Path(t).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new Path(s"$t/_delta_log/00000000000000000000.json"), false)
+    fsys.delete(new Path(s"$t/_delta_log/00000000000000000001.json"), false)
+    val doms = DeltaTable.snapshotState(spark, t).domains
+    assert(doms.get("ext.clustering").exists(_.contains("cols")),
+      s"domain must survive the checkpoint + vacuum: $doms")
+    // raw metaData fields (name/description/createdTime) survive a
+    // metadata-only RENAME on a mapped table
+    val t2 = tmp()
+    def f2(n: String, phys: String, id: Int) =
+      s"""{"name":"$n","type":"string","nullable":true,""" +
+        s""""metadata":{"delta.columnMapping.physicalName":"$phys",""" +
+        s""""delta.columnMapping.id":$id}}"""
+    val sch2 = (s"""{"type":"struct","fields":[${f2("a", "c1", 1)},""" +
+      s"""${f2("b", "c2", 2)}]}""")
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    new java.io.File(s"$t2/_delta_log").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t2/_delta_log/00000000000000000000.json"),
+      (s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        s""""readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}""" +
+        "\n" +
+        s"""{"metaData":{"id":"m","name":"my_table","description":"docs",""" +
+        s""""format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$sch2","partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name"},""" +
+        s""""createdTime":12345}}""").getBytes("UTF-8"))
+    DeltaWriter.renameColumn(spark, t2, "b", "c")
+    val log1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$t2/_delta_log/00000000000000000001.json")))
+    assert(log1.contains("\"name\":\"my_table\"") &&
+      log1.contains("\"description\":\"docs\"") &&
+      log1.contains("\"createdTime\":12345),") ||
+      log1.contains("\"createdTime\":12345"),
+      s"unmanaged metaData fields must carry verbatim: $log1")
+    assert(DeltaTable.read(spark, t2).columns.toSeq == Seq("a", "c"))
+    // an unparseable rowTracking high-water mark DIRECTS (a silent -1
+    // would hand out colliding row ids)
+    val t3 = tmp()
+    new java.io.File(s"$t3/_delta_log").mkdirs()
+    val sch3 = ("""{"type":"struct","fields":[""" +
+      """{"name":"id","type":"long","nullable":true,"metadata":{}}]}""")
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t3/_delta_log/00000000000000000000.json"),
+      (s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        s""""writerFeatures":["rowTracking","domainMetadata"]}}""" +
+        "\n" +
+        s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$sch3","partitionColumns":[],""" +
+        s""""configuration":{},"createdTime":0}}""" +
+        "\n" +
+        s"""{"domainMetadata":{"domain":"delta.rowTracking",""" +
+        s""""configuration":"not json at all","removed":false}}""")
+        .getBytes("UTF-8"))
+    val eRt = intercept[Exception] {
+      DeltaWriter.writeAppend(spark, Seq(Tuple1(1L)).toDF("id"), t3)
+    }
+    assert(eRt.getMessage.contains("unparseable"), eRt.getMessage)
+    // Iceberg v1 tables: schema-only changes are directed (their
+    // metadata requires the top-level `schema` this writer drops)
+    val t4 = tmp()
+    new java.io.File(s"$t4/metadata").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t4/metadata/v1.metadata.json"),
+      s"""{"format-version": 1, "table-uuid": "u", "location": "$t4",
+           "schema": {"type": "struct", "schema-id": 0, "fields": [
+             {"id": 1, "name": "id", "required": false, "type": "long"},
+             {"id": 2, "name": "text", "required": false, "type": "string"}]},
+           "partition-specs": [{"spec-id": 0, "fields": []}],
+           "default-spec-id": 0, "snapshots": []}""".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t4/metadata/version-hint.text"),
+      "1".getBytes("UTF-8"))
+    val eV1 = intercept[Exception] {
+      IcebergWriter.renameColumn(spark, t4, "text", "body")
+    }
+    assert(eV1.getMessage.contains("format-version"), eV1.getMessage)
+  }
+
   test("iceberg removeOrphanFiles: unreferenced only, grace-fenced") {
     val table = tmp()
     IcebergWriter.writeAppend(spark,
