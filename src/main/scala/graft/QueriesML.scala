@@ -2747,6 +2747,41 @@ object QueriesML {
           .select($"id", $"v").orderBy($"id")
       }),
 
+    // ------------------ Iceberg NESTED schemas (struct + list columns)
+    // The writer assigns spec-unique field ids through nested positions
+    // and the reader rebuilds the Spark types; the oracle checks
+    // flattened projections (struct members, list length, first
+    // element) so every nested value is pinned by scalars.
+    Q("q221_iceberg_nested", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT o_orderkey AS id,
+             'doc-' || CAST(rn0 AS VARCHAR) AS title,
+             round(o_orderkey * CAST(0.25 AS DOUBLE), 6) AS w,
+             CAST(rn0 % 5 + 1 AS BIGINT) AS n_tags,
+             'tag-' || CAST(rn0 % 7 AS VARCHAR) AS tag0
+      FROM o ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{IcebergTable, IcebergWriter}
+        val table = Fixtures.dir("q221", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          val df = base.select($"id",
+            struct(concat(lit("doc-"), $"rn0").as("title"),
+              round($"id" * 0.25, 6).as("w")).as("info"),
+            transform(sequence(lit(0L), $"rn0" % 5),
+              i => concat(lit("tag-"), ($"rn0" % 7) + i)).as("tags"))
+          IcebergWriter.writeAppend(s, df, s"$dir/table")
+        }
+        IcebergTable.read(s, s"$table/table")
+          .select($"id", $"info.title".as("title"),
+            round($"info.w", 6).as("w"),
+            size($"tags").cast("long").as("n_tags"),
+            element_at($"tags", 1).as("tag0"))
+          .orderBy($"id")
+      }),
+
     // ------------------------------------------------------- HF tokenizer.json encode
     // A hand-authored tokenizer.json (the huggingface/tokenizers file
     // format, byte-level BPE) over planted "ab"*k words: greedy merge

@@ -2031,16 +2031,51 @@ object IcebergWriter {
     case BinaryType => "binary"
     case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
     case other => throw UnsupportedWrite(
-      s"iceberg writer: type ${other.simpleString} is not implemented " +
-        "(flat primitive schemas only)")
+      s"iceberg writer: type ${other.simpleString} is not implemented")
   }
 
-  private def schemaJsonOf(schema: StructType): String = {
+  /** The Iceberg type JSON for `dt`, assigning a FRESH field id to
+    * every nested field / list element / map key+value through
+    * `nextId` — the spec requires ids unique across the WHOLE schema,
+    * nested positions included (they key manifest stats and the
+    * field-id read path). Primitives render as plain strings. */
+  private def icebergTypeJson(dt: DataType, nextId: () => Int): String =
+    dt match {
+      case st: StructType =>
+        val fs = st.fields.map { f =>
+          val id = nextId()
+          s"""{"id": $id, "name": "${f.name}", """ +
+            s""""required": ${!f.nullable}, """ +
+            s""""type": ${icebergTypeJson(f.dataType, nextId)}}"""
+        }.mkString(", ")
+        s"""{"type": "struct", "fields": [$fs]}"""
+      case ArrayType(et, containsNull) =>
+        val eid = nextId()
+        s"""{"type": "list", "element-id": $eid, """ +
+          s""""element": ${icebergTypeJson(et, nextId)}, """ +
+          s""""element-required": ${!containsNull}}"""
+      case MapType(kt, vt, vNull) =>
+        val kid = nextId()
+        val vid = nextId()
+        s"""{"type": "map", "key-id": $kid, """ +
+          s""""key": ${icebergTypeJson(kt, nextId)}, """ +
+          s""""value-id": $vid, "value": ${icebergTypeJson(vt, nextId)}, """ +
+          s""""value-required": ${!vNull}}"""
+      case prim => "\"" + icebergType(prim) + "\""
+    }
+
+  /** (schema json, last assigned field id): top-level fields take ids
+    * 1..n first (the order stock writers use), nested ids continue
+    * past them. */
+  private def schemaJsonOf(schema: StructType): (String, Int) = {
+    var next = schema.fields.length
+    def nid(): Int = { next += 1; next }
     val fields = schema.fields.zipWithIndex.map { case (f, i) =>
       s"""{"id": ${i + 1}, "name": "${f.name}", """ +
-        s""""required": ${!f.nullable}, "type": "${icebergType(f.dataType)}"}"""
+        s""""required": ${!f.nullable}, """ +
+        s""""type": ${icebergTypeJson(f.dataType, nid)}}"""
     }.mkString(", ")
-    s"""{"type": "struct", "schema-id": 0, "fields": [$fields]}"""
+    (s"""{"type": "struct", "schema-id": 0, "fields": [$fields]}""", next)
   }
 
   /** Avro primitive for an identity-partition value column. */
@@ -2487,6 +2522,7 @@ object IcebergWriter {
     var snapshots: Seq[JValue] = Nil
     var priorManifests: Seq[ManifestFile] = Nil
     var schemaJson: String = null
+    var createLastColId: Int = 0
     var inheritedParts: Option[Seq[PartField]] = None
     var specId: Int = 0
     var tableFv: Int = formatVersion
@@ -2592,9 +2628,13 @@ object IcebergWriter {
             (s \ "schema-id").extractOpt[Int]).foldLeft(0)(math.max) + 1
           val oldFields = JsonMethods.compact(JsonMethods.render(
             schemasNode \ "fields")).stripPrefix("[").stripSuffix("]")
-          val newFields = tail.zipWithIndex.map { case (f, i) =>
-            s"""{"id": ${lastCol + i + 1}, "name": "${f.name}", """ +
-              s""""required": false, "type": "${icebergType(f.dataType)}"}"""
+          var nextEvolId = lastCol
+          def evolId(): Int = { nextEvolId += 1; nextEvolId }
+          val newFields = tail.map { f =>
+            val id = evolId()
+            s"""{"id": $id, "name": "${f.name}", """ +
+              s""""required": false, """ +
+              s""""type": ${icebergTypeJson(f.dataType, () => evolId())}}"""
           }.mkString(", ")
           schemaJson =
             s"""{"type": "struct", "schema-id": $newSchemaId, """ +
@@ -2607,7 +2647,7 @@ object IcebergWriter {
           } ++ Seq(
             "schemas" -> s"[$schemasListJson]",
             "current-schema-id" -> newSchemaId.toString,
-            "last-column-id" -> (lastCol + tail.size).toString)
+            "last-column-id" -> nextEvolId.toString)
         case Some(_) => throw UnsupportedWrite(
           s"$table: append schema adds trailing columns — pass " +
             "mergeSchema=true to evolve the table schema additively")
@@ -2618,7 +2658,9 @@ object IcebergWriter {
             "is implemented)")
       }
     } else {
-      schemaJson = schemaJsonOf(df.schema)
+      val (sj, lastId) = schemaJsonOf(df.schema)
+      schemaJson = sj
+      createLastColId = lastId
     }
 
     val parts: Seq[PartField] =
@@ -2673,7 +2715,7 @@ object IcebergWriter {
       // every field the v2 spec marks required, so stock metadata
       // parsers accept the json: column/partition-id high-water marks,
       // properties, and the default (empty) sort order
-      "last-column-id" -> df.schema.fields.length.toString,
+      "last-column-id" -> createLastColId.toString,
       "last-partition-id" -> (999 + parts.size).toString,
       "properties" -> "{}",
       "schemas" -> s"[$schemaJson]",

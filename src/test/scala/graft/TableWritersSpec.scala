@@ -772,10 +772,14 @@ class TableWritersSpec extends SparkSpec {
         Seq((1L, 2.0)).toDF("id", "score"), table)
     }
     assert(e1.getMessage.contains("schema"), e1.getMessage)
-    // nested types in a NEW table's schema are directed
+    // a type with no Iceberg form (CalendarInterval etc.) stays
+    // directed; nested struct/list/map schemas now WRITE (see the
+    // dedicated nested round-trip test)
     val e2 = intercept[Exception] {
       IcebergWriter.writeAppend(spark,
-        Seq((1L, Seq("x"))).toDF("id", "tags"), tmp())
+        Seq((1L, "x")).toDF("id", "v")
+          .select($"id", $"v", org.apache.spark.sql.functions
+            .expr("make_interval(0, 0, 0, 1, 0, 0, 0)").as("iv")), tmp())
     }
     assert(e2.getMessage.contains("not implemented"), e2.getMessage)
     // an identity-partitioned table ACCEPTS appends (spec inherited) —
@@ -2096,6 +2100,58 @@ class TableWritersSpec extends SparkSpec {
       IcebergWriter.renameColumn(spark, t4, "text", "body")
     }
     assert(eV1.getMessage.contains("format-version"), eV1.getMessage)
+  }
+
+  test("iceberg nested schemas: struct/list/map write, round trip, " +
+    "evolve, delete") {
+    val t = tmp()
+    val df = Seq(
+      (1L, ("a", 1.5), Seq("x", "y"), Map("k" -> 2L)),
+      (2L, ("b", 2.5), Seq("z"), Map("k" -> 3L))
+    ).toDF("id", "info", "tags", "attrs")
+    IcebergWriter.writeAppend(spark, df, t)
+    val r = IcebergTable.read(spark, t).orderBy($"id")
+    assert(r.select($"id", $"info._1", $"info._2",
+        element_at($"tags", 1), element_at($"attrs", "k"))
+      .as[(Long, String, Double, String, Long)].collect().toSeq ==
+      Seq((1L, "a", 1.5, "x", 2L), (2L, "b", 2.5, "z", 3L)),
+      "nested values round trip through the writer's schema json")
+    // the schema json carries UNIQUE ids through nested positions:
+    // last-column-id must cover them all (4 top-level + 2 struct
+    // fields + 1 list element + 2 map key/value = 9)
+    val metaTxt = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$t/metadata").listFiles()
+        .filter(_.getName.endsWith(".metadata.json"))
+        .maxBy(_.getName).toPath))
+    assert(metaTxt.contains("\"last-column-id\": 9"),
+      s"nested ids counted into last-column-id: $metaTxt")
+    // appends inherit, row-level delete works over the nested table
+    IcebergWriter.writeAppend(spark,
+      Seq((3L, ("c", 3.5), Seq.empty[String], Map.empty[String, Long]))
+        .toDF("id", "info", "tags", "attrs"), t)
+    IcebergWriter.writeDelete(spark, t, $"info._1" === "a")
+    assert(IcebergTable.read(spark, t).select($"id").as[Long]
+      .collect().sorted.toSeq == Seq(2L, 3L))
+    // additive evolution with a NESTED tail column: new ids continue
+    // past the high-water mark
+    IcebergWriter.writeAppend(spark,
+      Seq((4L, ("d", 4.5), Seq("w"), Map("k" -> 1L), Seq(0.25)))
+        .toDF("id", "info", "tags", "attrs", "emb"), t,
+      mergeSchema = true)
+    val evolved = IcebergTable.read(spark, t).orderBy($"id")
+    assert(evolved.filter($"id" === 4L)
+      .select(element_at($"emb", 1)).as[Double].collect().toSeq ==
+      Seq(0.25))
+    assert(evolved.filter($"id" === 2L).select($"emb").collect()
+      .head.isNullAt(0), "old rows read the nested tail as null")
+    val metaTxt2 = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$t/metadata").listFiles()
+        .filter(_.getName.endsWith(".metadata.json"))
+        .maxBy(f => f.getName.stripPrefix("v")
+          .stripSuffix(".metadata.json").toInt).toPath))
+    assert(metaTxt2.contains("\"last-column-id\" -> 11") ||
+      metaTxt2.contains("\"last-column-id\": 11"),
+      s"evolved nested ids advance the mark: ${metaTxt2.take(400)}")
   }
 
   test("iceberg removeOrphanFiles: unreferenced only, grace-fenced") {
