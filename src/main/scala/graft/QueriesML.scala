@@ -2782,6 +2782,45 @@ object QueriesML {
           .orderBy($"id")
       }),
 
+    // ------------- Iceberg MERGE through a bucket[3] partition transform
+    // Row-level writes through NON-identity transforms: kill files
+    // scope by each data file's own bucket tuple, source images
+    // re-derive their buckets through the same murmur3 expression
+    // appends use. The oracle recomputes the upsert.
+    Q("q222_iceberg_bucket_merge", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT * FROM (
+        SELECT o_orderkey AS id,
+               CASE WHEN o_orderkey % 6 = 0 THEN 'm-' || CAST(rn0 AS VARCHAR)
+                    ELSE 'doc-' || CAST(rn0 AS VARCHAR) END AS text
+        FROM o
+        UNION ALL
+        SELECT o_orderkey + 100000 AS id,
+               'new-' || CAST(rn0 AS VARCHAR) AS text
+        FROM o WHERE rn0 % 10 = 0)
+      ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{IcebergTable, IcebergWriter}
+        val table = Fixtures.dir("q222", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          IcebergWriter.writeAppend(s,
+            base.select($"id", concat(lit("doc-"), $"rn0").as("text")),
+            t, partitionBy = Seq("bucket(3, id)"))
+          val upd = base.filter($"id" % 6 === 0)
+            .select($"id", concat(lit("m-"), $"rn0").as("text"))
+          val ins = base.filter($"rn0" % 10 === 0)
+            .select(($"id" + 100000).as("id"),
+              concat(lit("new-"), $"rn0").as("text"))
+          IcebergWriter.writeMerge(s, t, upd.unionByName(ins), Seq("id"))
+        }
+        IcebergTable.read(s, s"$table/table")
+          .select($"id", $"text").orderBy($"id")
+      }),
+
     // ------------------------------------------------------- HF tokenizer.json encode
     // A hand-authored tokenizer.json (the huggingface/tokenizers file
     // format, byte-level BPE) over planted "ab"*k words: greedy merge

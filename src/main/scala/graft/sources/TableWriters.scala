@@ -2552,7 +2552,7 @@ object IcebergWriter {
       snapshots = st.snapshots
       metaVersion = st.metaVersion
       priorManifests = st.priorManifests
-      // appends INHERIT the table's default spec — identity-only; a
+      // appends INHERIT the table's default spec; a
       // default-spec-id that resolves to nothing is a directed error
       // (falling through to an unpartitioned append would write files
       // the partition-filtered reads silently drop)
@@ -3058,13 +3058,15 @@ object IcebergWriter {
     * application rule and file-level pruning both hold. An empty DELETE
     * is a no-op. Returns the snapshot id. */
   /** The default spec's partition shape for a row-level write:
-    * (spec id, partition-struct fields [spec field name, SOURCE column
-    * type], manifest field ids, identity PartFields for re-written
-    * images, the spec fields' json). IDENTITY transforms only — a
-    * non-identity transform directs with `opName` (the kill manifest's
-    * partition struct and the rewrite's dir encoding both assume the
-    * partition value IS the source value). */
-  private def identitySpecInfo(table: String, meta: JValue,
+    * (spec id, partition-struct fields [spec field name, transform
+    * RESULT type], manifest field ids, PartFields for re-written
+    * images, the spec fields' json). Every transform the append path
+    * writes through is supported — identity, bucket[N], truncate[W],
+    * year/month/day/hour: the kill files scope by each data file's own
+    * manifest tuple (transform-agnostic), and the rewrite re-derives
+    * tuples through the same PartField expressions appends use. An
+    * unknown transform directs with `opName`. */
+  private def partitionSpecInfo(table: String, meta: JValue,
       schema: StructType, opName: String)
       : (Int, Seq[StructField], Seq[Int], Seq[PartField], String) = {
     val specs = (meta \ "partition-specs").extractOpt[Seq[JValue]]
@@ -3076,32 +3078,40 @@ object IcebergWriter {
       s"$table: default-spec-id $specId is not in partition-specs")
     val specFields = spec.toSeq
       .flatMap(sp => (sp \ "fields").extractOpt[Seq[JValue]].getOrElse(Nil))
-    specFields.foreach { f =>
-      val transform = (f \ "transform").extractOpt[String].getOrElse("")
-      if (transform != "identity") throw UnsupportedWrite(
-        s"$table: $opName through a '$transform' partition transform " +
-          "is not implemented (identity only)")
-    }
     val idToName: Map[Int, String] =
       (IcebergTable.currentSchemaJson(meta) \ "fields")
         .extractOpt[Seq[JValue]].getOrElse(Nil).flatMap { f =>
           for (id <- (f \ "id").extractOpt[Int];
             n <- (f \ "name").extractOpt[String]) yield id -> n
         }.toMap
-    val withSource = specFields.map { f =>
+    val parts = specFields.map { f =>
       val name = (f \ "name").extract[String]
       val srcId = (f \ "source-id").extract[Int]
       val srcName = idToName.getOrElse(srcId, throw UnsupportedWrite(
         s"$table: partition source-id $srcId is not in the schema"))
-      (name, srcName)
+      val transform = (f \ "transform").extractOpt[String].getOrElse("")
+      // accept both spec spellings and the plural legacy forms
+      val canon = transform match {
+        case "years" => "year"
+        case "months" => "month"
+        case "days" => "day"
+        case "hours" => "hour"
+        case other => other
+      }
+      canon match {
+        case "identity" | BucketT(_) | TruncT(_) |
+          "year" | "month" | "day" | "hour" =>
+          PartField(name, srcName, canon)
+        case other => throw UnsupportedWrite(
+          s"$table: $opName through a '$other' partition transform " +
+            "is not implemented")
+      }
     }
-    val structFields = withSource.map { case (name, srcName) =>
-      StructField(name, schema(srcName).dataType) }
+    val structFields = parts.map(pf =>
+      StructField(pf.name, pf.valueType(schema)))
     val fieldIds: Seq[Int] = specFields.zipWithIndex.map {
       case (f, i) => (f \ "field-id").extractOpt[Int].getOrElse(1000 + i)
     }
-    val parts = withSource.map { case (name, srcName) =>
-      PartField(name, srcName, "identity") }
     val fieldsJson = spec.map(sp =>
       JsonMethods.compact(JsonMethods.render(sp \ "fields")))
       .getOrElse("[]")
@@ -3131,7 +3141,7 @@ object IcebergWriter {
     // whose empty spec evolved to a nonzero id; its partition struct
     // carries spec field names with source column types
     val (delSpecId, partStructFields, partFieldIds, _, delSpecJson) =
-      identitySpecInfo(table, meta, schema, "deleting")
+      partitionSpecInfo(table, meta, schema, "deleting")
     // matching rows → (manifest-spelled file path, position), fully
     // DISTRIBUTED: the canonical row key maps back to the raw manifest
     // path (and its partition scope) through a broadcast dimension so
@@ -3378,7 +3388,7 @@ object IcebergWriter {
     val schemaNode = IcebergTable.currentSchemaJson(meta)
     val schema = IcebergTable.structOf(schemaNode)
     val (delSpecId, partStructFields, partFieldIds, parts, specJson) =
-      identitySpecInfo(table, meta, schema, "MERGE")
+      partitionSpecInfo(table, meta, schema, "MERGE")
     keys.foreach { k =>
       if (!schema.fieldNames.contains(k)) throw UnsupportedWrite(
         s"$table: MERGE key '$k' is not in the table schema")
@@ -3498,7 +3508,7 @@ object IcebergWriter {
     val schemaNode = IcebergTable.currentSchemaJson(meta)
     val schema = IcebergTable.structOf(schemaNode)
     val (delSpecId, partStructFields, partFieldIds, parts, specJson) =
-      identitySpecInfo(table, meta, schema, "row-level updates")
+      partitionSpecInfo(table, meta, schema, "row-level updates")
     set.keys.foreach { k =>
       if (!schema.fieldNames.contains(k)) throw UnsupportedWrite(
         s"$table: SET column '$k' is not in the table schema")

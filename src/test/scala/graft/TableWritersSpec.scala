@@ -2154,6 +2154,53 @@ class TableWritersSpec extends SparkSpec {
       s"evolved nested ids advance the mark: ${metaTxt2.take(400)}")
   }
 
+  test("iceberg row-level writes through TRANSFORM partitions: " +
+    "bucket + month") {
+    // bucket[4]-partitioned: delete, update, and merge all work — the
+    // kill files scope by each data file's own manifest tuple and the
+    // rewritten images re-derive their buckets through the same
+    // murmur3 expression appends use
+    val t = tmp()
+    val df = (1L to 24L).map(i => (i, s"t$i")).toDF("id", "text")
+    IcebergWriter.writeAppend(spark, df, t,
+      partitionBy = Seq("bucket(4, id)"))
+    IcebergWriter.writeDelete(spark, t, $"id" === 7L)
+    assert(IcebergTable.read(spark, t).count() == 23)
+    IcebergWriter.writeUpdate(spark, t, $"id" % 6 === 0,
+      Map("text" -> concat(lit("u-"), $"text")))
+    val got = IcebergTable.read(spark, t).orderBy($"id")
+      .select($"id", $"text").as[(Long, String)].collect().toSeq
+    assert(got == (1L to 24L).filterNot(_ == 7L).map(i =>
+      (i, if (i % 6 == 0) s"u-t$i" else s"t$i")),
+      s"bucket-partitioned update: $got")
+    IcebergWriter.writeMerge(spark, t,
+      Seq((3L, "m3"), (30L, "n30")).toDF("id", "text"), Seq("id"))
+    val got2 = IcebergTable.read(spark, t)
+      .filter($"id".isin(3L, 30L)).orderBy($"id")
+      .select($"text").as[String].collect().toSeq
+    assert(got2 == Seq("m3", "n30"))
+    // the transform-aware point lookup still prunes after the writes
+    val hit = IcebergTable.readWhere(spark, t,
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 30L)))
+    assert(hit.select($"text").as[String].collect().toSeq == Seq("n30"))
+
+    // month(d)-partitioned UPDATE: images land in their month dirs
+    val t2 = tmp()
+    val dates = Seq("2024-01-05", "2024-01-20", "2024-02-10").zipWithIndex
+      .map { case (dt, i) => (i.toLong, java.sql.Date.valueOf(dt)) }
+      .toDF("id", "d")
+    IcebergWriter.writeAppend(spark, dates, t2,
+      partitionBy = Seq("month(d)"))
+    IcebergWriter.writeUpdate(spark, t2, $"id" === 0L,
+      Map("d" -> lit(java.sql.Date.valueOf("2024-03-15"))))
+    // months since epoch: 2024-03 = (2024-1970)*12 + 2 = 650
+    assert(IcebergTable.readPartitions(spark, t2, Map("d_month" -> "650"))
+      .select($"id").as[Long].collect().toSeq == Seq(0L),
+      "the updated row moved to its new month partition")
+    assert(IcebergTable.readPartitions(spark, t2, Map("d_month" -> "648"))
+      .select($"id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("iceberg removeOrphanFiles: unreferenced only, grace-fenced") {
     val table = tmp()
     IcebergWriter.writeAppend(spark,
