@@ -699,14 +699,19 @@ object DeltaWriter {
     var mapped = false
     var tableProto = DeltaTable.Protocol(1, 2, Nil, Nil)
     var tableDomains: Map[String, String] = Map.empty
+    var tableMetaRaw: Option[JValue] = None
     val (version, schema, partCols) =
       if (!exists) (0L, df.schema, partitionBy)
       else {
         val dst = DeltaTable.snapshotState(spark, table)
-        val (v, metaId, schemaJson, pc, cfg) = (dst.version, dst.metaId,
-          dst.schemaJson, dst.partitionColumns, dst.configuration)
+        val v = dst.version
+        val metaId = dst.metaId
+        val schemaJson = dst.schemaJson
+        val pc = dst.partitionColumns
+        val cfg = dst.configuration
         tableProto = dst.protocol
         tableDomains = dst.domains
+        tableMetaRaw = dst.metaRaw
         mapped = cfg.get("delta.columnMapping.mode").exists(_ != "none")
         validator = constraintValidator(table, cfg, schemaJson)
         val existing = DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -802,17 +807,9 @@ object DeltaWriter {
         // table id — the schema change and the new files land in one
         // commit, so no reader observes one without the other
         val metaLine = evolved.toSeq.map { case (metaId, cfg, next) =>
-          val cfgJson = cfg.map { case (k, v) =>
-            s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
-          }.mkString(",")
-          s"""{"metaData":{"id":"${if (metaId.nonEmpty) metaId
-            else java.util.UUID.randomUUID().toString}",""" +
-            s""""format":{"provider":"parquet","options":{}},""" +
-            s""""schemaString":"${jsonEscape(next.json)}",""" +
-            s""""partitionColumns":[${partCols.map(c => s""""$c"""").mkString(",")}],""" +
-            // createdTime is optional and means TABLE creation — omitted
-            // rather than reset to the evolution time
-            s""""configuration":{$cfgJson}}}"""
+          // the RAW action carries so foreign fields (name, description,
+          // createdTime) survive the evolution commit too
+          metaDataActionJson(tableMetaRaw, metaId, next, partCols, cfg)
         }
         Seq(s"""{"commitInfo":{"timestamp":$ts,"operation":"WRITE"}}""") ++
           metaLine
@@ -890,9 +887,12 @@ object DeltaWriter {
     val logPath = new Path(s"$base/_delta_log")
     val fs = logPath.getFileSystem(conf)
     val dst = DeltaTable.snapshotState(spark, table)
-    val (version, schemaJson, partCols, config, files, proto) =
-      (dst.version, dst.schemaJson, dst.partitionColumns,
-        dst.configuration, dst.files, dst.protocol)
+    val version = dst.version
+    val schemaJson = dst.schemaJson
+    val partCols = dst.partitionColumns
+    val config = dst.configuration
+    val files = dst.files
+    val proto = dst.protocol
     // writer obligations this delete cannot honor are directed, never
     // silently violated
     if (proto.writerFeatures.contains("rowTracking")) throw UnsupportedWrite(
@@ -1132,9 +1132,12 @@ object DeltaWriter {
     val logPath = new Path(s"$base/_delta_log")
     val fs = logPath.getFileSystem(conf)
     val dst = DeltaTable.snapshotState(spark, table)
-    val (version, schemaJson, partCols, config, files, proto) =
-      (dst.version, dst.schemaJson, dst.partitionColumns,
-        dst.configuration, dst.files, dst.protocol)
+    val version = dst.version
+    val schemaJson = dst.schemaJson
+    val partCols = dst.partitionColumns
+    val config = dst.configuration
+    val files = dst.files
+    val proto = dst.protocol
     if (proto.writerFeatures.contains("rowTracking")) throw UnsupportedWrite(
       s"$table: UPDATE on a rowTracking table is not implemented " +
         "(re-added files would lose their baseRowId)")
@@ -1292,9 +1295,12 @@ object DeltaWriter {
     val logPath = new Path(s"$base/_delta_log")
     val fs = logPath.getFileSystem(conf)
     val dst = DeltaTable.snapshotState(spark, table)
-    val (version, schemaJson, partCols, config, files, proto) =
-      (dst.version, dst.schemaJson, dst.partitionColumns,
-        dst.configuration, dst.files, dst.protocol)
+    val version = dst.version
+    val schemaJson = dst.schemaJson
+    val partCols = dst.partitionColumns
+    val config = dst.configuration
+    val files = dst.files
+    val proto = dst.protocol
     if (proto.writerFeatures.contains("rowTracking")) throw UnsupportedWrite(
       s"$table: MERGE on a rowTracking table is not implemented")
     if (config.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
@@ -1460,9 +1466,11 @@ object DeltaWriter {
     val logPath = new Path(s"$base/_delta_log")
     val fs = logPath.getFileSystem(conf)
     val dst = DeltaTable.snapshotState(spark, table)
-    val (version, metaId, schemaJson, partCols, config) =
-      (dst.version, dst.metaId, dst.schemaJson, dst.partitionColumns,
-        dst.configuration)
+    val version = dst.version
+    val metaId = dst.metaId
+    val schemaJson = dst.schemaJson
+    val partCols = dst.partitionColumns
+    val config = dst.configuration
     if (!config.get("delta.columnMapping.mode").exists(_ != "none"))
       throw UnsupportedWrite(
         s"$table: RENAME COLUMN needs column mapping — an unmapped " +
@@ -1517,9 +1525,11 @@ object DeltaWriter {
     val logPath = new Path(s"$base/_delta_log")
     val fs = logPath.getFileSystem(conf)
     val dst = DeltaTable.snapshotState(spark, table)
-    val (version, metaId, schemaJson, partCols, config) =
-      (dst.version, dst.metaId, dst.schemaJson, dst.partitionColumns,
-        dst.configuration)
+    val version = dst.version
+    val metaId = dst.metaId
+    val schemaJson = dst.schemaJson
+    val partCols = dst.partitionColumns
+    val config = dst.configuration
     if (!config.get("delta.columnMapping.mode").exists(_ != "none"))
       throw UnsupportedWrite(
         s"$table: DROP COLUMN needs column mapping — an unmapped " +
@@ -1552,35 +1562,46 @@ object DeltaWriter {
     * table's unmanaged fields (name, description, createdTime, format
     * options) survive the change verbatim — only schemaString and
     * partitionColumns are replaced. */
+  /** One metaData ACTION json: starts from the table's RAW action when
+    * the replay has it — foreign fields (name, description,
+    * createdTime, format options) carry verbatim — and replaces only
+    * schemaString, partitionColumns, and configuration with what this
+    * commit declares. Shared by the schema-only commits and the
+    * evolving append. */
+  private def metaDataActionJson(metaRaw: Option[JValue], metaId: String,
+      next: StructType, partCols: Seq[String],
+      config: Map[String, String]): String = {
+    val baseObj: JObject = metaRaw.collect { case o: JObject => o }
+      .getOrElse(JObject(List(
+        "id" -> JString(if (metaId.nonEmpty) metaId
+          else java.util.UUID.randomUUID().toString),
+        "format" -> JObject(List(
+          "provider" -> JString("parquet"),
+          "options" -> JObject(Nil))))))
+    val cfgFields = config.toList.sortBy(_._1).map { case (k, v) =>
+      (k, JString(v): JValue) }
+    val updated = JObject(
+      baseObj.obj.filterNot { case (k, _) =>
+        k == "schemaString" || k == "partitionColumns" ||
+          k == "configuration"
+      } ++ List(
+        "schemaString" -> (JString(next.json): JValue),
+        "partitionColumns" ->
+          (JArray(partCols.toList.map(JString(_))): JValue),
+        "configuration" -> (JObject(cfgFields): JValue)))
+    JsonMethods.compact(JsonMethods.render(
+      JObject(List("metaData" -> (updated: JValue)))))
+  }
+
   private def metaDataOnlyCommit(fs: FileSystem, logPath: Path,
       table: String, version: Long, metaId: String,
       metaRaw: Option[JValue], next: StructType,
       partCols: Seq[String], config: Map[String, String],
       operation: String): Long = {
     val ts = System.currentTimeMillis()
-    val baseObj: JObject = metaRaw.collect { case o: JObject => o }
-      .getOrElse {
-        val cfgFields = config.toList.map { case (k, v) =>
-          (k, JString(v): JValue) }
-        JObject(List(
-          "id" -> JString(if (metaId.nonEmpty) metaId
-            else java.util.UUID.randomUUID().toString),
-          "format" -> JObject(List(
-            "provider" -> JString("parquet"),
-            "options" -> JObject(Nil))),
-          "configuration" -> JObject(cfgFields)))
-      }
-    val updated = JObject(
-      baseObj.obj.filterNot { case (k, _) =>
-        k == "schemaString" || k == "partitionColumns"
-      } ++ List(
-        "schemaString" -> (JString(next.json): JValue),
-        "partitionColumns" ->
-          (JArray(partCols.toList.map(JString(_))): JValue)))
     val lines = Seq(
       s"""{"commitInfo":{"timestamp":$ts,"operation":"$operation"}}""",
-      JsonMethods.compact(JsonMethods.render(
-        JObject(List("metaData" -> (updated: JValue))))))
+      metaDataActionJson(metaRaw, metaId, next, partCols, config))
     val dest = new Path(logPath, f"${version + 1}%020d.json")
     if (!putText(fs, dest, lines.mkString("\n")))
       throw CommitConflict(
@@ -1632,9 +1653,12 @@ object DeltaWriter {
     val logPath = new Path(s"$base/_delta_log")
     val fs = logPath.getFileSystem(conf)
     val dst = DeltaTable.snapshotState(spark, table)
-    val (version, schemaJson, partCols, config, files, proto) =
-      (dst.version, dst.schemaJson, dst.partitionColumns,
-        dst.configuration, dst.files, dst.protocol)
+    val version = dst.version
+    val schemaJson = dst.schemaJson
+    val partCols = dst.partitionColumns
+    val config = dst.configuration
+    val files = dst.files
+    val proto = dst.protocol
     if (proto.writerFeatures.contains("rowTracking")) throw UnsupportedWrite(
       s"$table: compacting a rowTracking table is not implemented " +
         "(rewritten files would lose their baseRowId)")
@@ -1821,9 +1845,13 @@ object DeltaWriter {
     val logPath = new Path(s"$base/_delta_log")
     val fs = logPath.getFileSystem(conf)
     val dst = DeltaTable.snapshotState(spark, table)
-    val (version, metaId, schemaJson, partCols, config, files, proto) =
-      (dst.version, dst.metaId, dst.schemaJson, dst.partitionColumns,
-        dst.configuration, dst.files, dst.protocol)
+    val version = dst.version
+    val metaId = dst.metaId
+    val schemaJson = dst.schemaJson
+    val partCols = dst.partitionColumns
+    val config = dst.configuration
+    val files = dst.files
+    val proto = dst.protocol
     if (proto.writerFeatures.contains("rowTracking"))
       throw UnsupportedWrite(
         s"$table: checkpointing a rowTracking table is not implemented " +
@@ -2421,8 +2449,18 @@ object IcebergWriter {
       conf: Configuration, fieldIds: Map[String, Int] = Map.empty)
       : Seq[((String, String, Long), Seq[Any])] = {
     import org.apache.spark.sql.functions.{col => fcol}
+    // NESTED schemas write WITHOUT parquet field ids: Spark's writer can
+    // tag only top-level columns (list elements and map entries have no
+    // StructField to carry metadata), and a file with root ids but
+    // id-less nested members would read as id-annotated to a stock
+    // resolver, nulling every nested value — uniformly id-less files
+    // fall back to name resolution everywhere instead
+    val nested = dfIn.schema.fields.exists(f => f.dataType match {
+      case _: StructType | _: ArrayType | _: MapType => true
+      case _ => false
+    })
     val df =
-      if (fieldIds.isEmpty) dfIn
+      if (fieldIds.isEmpty || nested) dfIn
       else dfIn.select(dfIn.schema.fields.toIndexedSeq.map { f =>
         fieldIds.get(f.name) match {
           case Some(id) =>

@@ -2052,12 +2052,35 @@ class TableWritersSpec extends SparkSpec {
     DeltaWriter.renameColumn(spark, t2, "b", "c")
     val log1 = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$t2/_delta_log/00000000000000000001.json")))
-    assert(log1.contains("\"name\":\"my_table\"") &&
-      log1.contains("\"description\":\"docs\"") &&
-      log1.contains("\"createdTime\":12345),") ||
-      log1.contains("\"createdTime\":12345"),
-      s"unmanaged metaData fields must carry verbatim: $log1")
+    assert(log1.contains("\"name\":\"my_table\""), s"name lost: $log1")
+    assert(log1.contains("\"description\":\"docs\""),
+      s"description lost: $log1")
+    assert(log1.contains("\"createdTime\":12345"),
+      s"createdTime lost: $log1")
     assert(DeltaTable.read(spark, t2).columns.toSeq == Seq("a", "c"))
+    // …and through an EVOLVING append's re-declared metaData too
+    val t2b = tmp()
+    new java.io.File(s"$t2b/_delta_log").mkdirs()
+    val sch2b = ("""{"type":"struct","fields":[""" +
+      """{"name":"id","type":"long","nullable":true,"metadata":{}}]}""")
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t2b/_delta_log/00000000000000000000.json"),
+      (s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +
+        "\n" +
+        s"""{"metaData":{"id":"m","name":"evolved_table",""" +
+        s""""format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$sch2b","partitionColumns":[],""" +
+        s""""configuration":{},"createdTime":777}}""").getBytes("UTF-8"))
+    DeltaWriter.writeAppend(spark, Seq(Tuple1(1L)).toDF("id"), t2b)
+    DeltaWriter.writeAppend(spark,
+      Seq((2L, "x")).toDF("id", "text"), t2b, mergeSchema = true)
+    val log2b = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$t2b/_delta_log/00000000000000000002.json")))
+    assert(log2b.contains("\"name\":\"evolved_table\""),
+      s"name lost through evolution: $log2b")
+    assert(log2b.contains("\"createdTime\":777"),
+      s"createdTime lost through evolution: $log2b")
     // an unparseable rowTracking high-water mark DIRECTS (a silent -1
     // would hand out colliding row ids)
     val t3 = tmp()
