@@ -2821,6 +2821,42 @@ object QueriesML {
           .select($"id", $"text").orderBy($"id")
       }),
 
+    // --------------- Iceberg EQUALITY delete: O(keys), zero table scan
+    // Delete-by-key: the key frame lands as a content=2 equality-delete
+    // file and the match happens at READ time against files with a
+    // strictly smaller data sequence — a key re-inserted AFTER the
+    // delete survives it, which the oracle pins alongside the kill.
+    Q("q223_iceberg_eq_delete", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT * FROM (
+        SELECT o_orderkey AS id, 'doc-' || CAST(rn0 AS VARCHAR) AS text
+        FROM o WHERE o_orderkey % 7 <> 3
+        UNION ALL
+        SELECT o_orderkey AS id, 're-' || CAST(rn0 AS VARCHAR) AS text
+        FROM o WHERE o_orderkey % 7 = 3 AND rn0 % 2 = 0)
+      ORDER BY id, text"""))(
+      (s, d) => {
+        import graft.sources.{IcebergTable, IcebergWriter}
+        val table = Fixtures.dir("q223", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          IcebergWriter.writeAppend(s,
+            base.select($"id", concat(lit("doc-"), $"rn0").as("text")), t)
+          IcebergWriter.writeEqualityDelete(s, t,
+            base.filter($"id" % 7 === 3).select($"id"))
+          // re-insert HALF the deleted keys after the delete — the
+          // sequence rule keeps them alive
+          IcebergWriter.writeAppend(s,
+            base.filter($"id" % 7 === 3 && $"rn0" % 2 === 0)
+              .select($"id", concat(lit("re-"), $"rn0").as("text")), t)
+        }
+        IcebergTable.read(s, s"$table/table")
+          .select($"id", $"text").orderBy($"id", $"text")
+      }),
+
     // ------------------------------------------------------- HF tokenizer.json encode
     // A hand-authored tokenizer.json (the huggingface/tokenizers file
     // format, byte-level BPE) over planted "ab"*k words: greedy merge

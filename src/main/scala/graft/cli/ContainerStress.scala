@@ -566,6 +566,24 @@ object ContainerStress {
       f"(commit $vPm), iceberg $tPmI%.2f s (snapshot $sPm); untouched " +
       s"partitions byte-identical; post-merge rows ${pd.getLong(0)}")
 
+    // ---- r16: EQUALITY delete — the O(keys) kill: the commit writes
+    // only the key frame (no table scan at all; the match runs at read
+    // time, sequence-scoped). Compare against the positional arm above,
+    // whose cost includes locating every matching row.
+    val wIceEq = s"$morRoot/wiceberg-eq"
+    val (_, tEqW) = time(
+      IcebergWriter.writeAppend(spark, morData, wIceEq))
+    val (sEq, tEq) = time(
+      IcebergWriter.writeEqualityDelete(spark, wIceEq,
+        morData.filter($"id" % 10 === 4).select($"id")))
+    val (eqAgg, tEqRead) = time(stateOf(
+      graft.sources.IcebergTable.read(spark, wIceEq)))
+    require(eqAgg.getLong(0) == n - n / 10,
+      s"[stress] eq-delete survivors ${eqAgg.getLong(0)} != ${n - n / 10}")
+    println(f"[stress] iceberg-eq-delete: 10%% of $n rows deleted by KEY " +
+      f"in $tEq%.2f s (snapshot $sEq — zero data scan; table built " +
+      f"$tEqW%.2f s), read-side apply scan $tEqRead%.2f s")
+
     spark.stop()
   }
 }

@@ -2137,7 +2137,16 @@ object IcebergWriter {
     * `partition` (an EMPTY record on unpartitioned specs — the field
     * itself is required), record_count, file_size_in_bytes. */
   private def manifestAvroSchema(partFields: Seq[StructField],
-      partFieldIds: Seq[Int] = Nil): String = {
+      partFieldIds: Seq[Int] = Nil,
+      withEqualityIds: Boolean = false): String = {
+    // the spec's equality_ids list (field-id 135, element-id 136) —
+    // present only on equality-delete manifests (entries then carry one
+    // extra trailing cell)
+    val eqField =
+      if (!withEqualityIds) ""
+      else """, {"name": "equality_ids", "type": ["null",
+           {"type": "array", "items": "int", "element-id": 136}],
+           "default": null, "field-id": 135}"""
     val pf = partFields.zipWithIndex.map { case (f, i) =>
       val fid = if (i < partFieldIds.length) partFieldIds(i) else 1000 + i
       s"""{"name": "${f.name}", "type": ["null",
@@ -2173,7 +2182,7 @@ object IcebergWriter {
              ${statsMap("value_counts", 109, 119, 120, "long")},
              ${statsMap("null_value_counts", 110, 121, 122, "long")},
              ${statsMap("lower_bounds", 125, 126, 127, "bytes")},
-             ${statsMap("upper_bounds", 128, 129, 130, "bytes")}]},
+             ${statsMap("upper_bounds", 128, 129, 130, "bytes")}$eqField]},
           "field-id": 2}]}"""
   }
 
@@ -3211,6 +3220,88 @@ object IcebergWriter {
         kills.map(_._2).sum)),
       attempt, delSpecId, st.carried, st.snapshots,
       st.priorManifests, st.metaVersion, kills.map(_._1._2))
+    snapId
+  }
+
+  /** Row-level DELETE BY KEY — an EQUALITY delete (content=2): the key
+    * rows land as delete files whose `equality_ids` name the key
+    * columns, committed as one `delete` snapshot. ZERO table scan: the
+    * match happens at READ time against every data file with a
+    * strictly smaller data sequence (the table-spec rule the reader
+    * already applies), so the cost is O(keys) however large the table
+    * — the shape for "remove these ids from 100 TB", where the
+    * positional path would first have to locate every matching row.
+    * Null keys match null-safely (the spec's eq semantics), duplicate
+    * key rows deduplicate. Unpartitioned flat-schema v2 tables (a
+    * GLOBAL eq file on a partitioned table needs an unpartitioned spec
+    * this writer does not register); an empty key set is a no-op.
+    * Returns the new snapshot id. */
+  def writeEqualityDelete(spark: SparkSession, table: String,
+      keys: DataFrame): Long = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    val base = table.stripSuffix("/")
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(base).getFileSystem(conf)
+    val st = loadState(spark, fs, base)
+    val meta = st.meta
+    val fv = (meta \ "format-version").extract[Int]
+    if (fv != 2) throw UnsupportedWrite(
+      s"$table: equality deletes target format-version 2 (table is $fv)")
+    val currentId = (meta \ "current-snapshot-id").extractOpt[Long]
+      .filter(_ != -1L).getOrElse(throw UnsupportedWrite(
+        s"$table: no current snapshot — nothing to delete from"))
+    if ((meta \ "partition-specs").extractOpt[Seq[JValue]].getOrElse(Nil)
+      .exists(sp => (sp \ "fields").extractOpt[Seq[JValue]]
+        .exists(_.nonEmpty)))
+      throw UnsupportedWrite(
+        s"$table: equality deletes on a PARTITIONED table are not " +
+          "implemented (a global delete file needs an unpartitioned " +
+          "spec this writer does not register)")
+    val schemaNode = IcebergTable.currentSchemaJson(meta)
+    val schema = IcebergTable.structOf(schemaNode)
+    if (keys.columns.isEmpty) throw UnsupportedWrite(
+      s"$table: the equality-delete key frame has no columns")
+    val schemaJson = JsonMethods.compact(JsonMethods.render(schemaNode))
+    val idByName = idFieldsOf(schemaJson)
+      .map { case (id, f) => f.name -> id }.toMap
+    val eqIds: Seq[Int] = keys.columns.toSeq.map { c =>
+      if (!schema.fieldNames.contains(c)) throw UnsupportedWrite(
+        s"$table: equality key '$c' is not a top-level table column")
+      idByName.getOrElse(c, throw UnsupportedWrite(
+        s"$table: no field id for equality key '$c'"))
+    }
+    // typed to the table's own column types, deduplicated — two equal
+    // key rows must not double-count or bloat the delete file
+    val src = keys.select(keys.columns.toSeq.map(c =>
+      fcol(s"`$c`").cast(schema(c).dataType).as(c)): _*).distinct()
+    val delFiles = writeData(src, base, Nil, "data", conf)
+    val counts = rowCounts(delFiles.map(_._2), conf)
+    if (counts.sum == 0) { // empty key set: no-op, no empty snapshot
+      cleanup(fs, delFiles.map(_._2))
+      return currentId
+    }
+    val nonEmpty = delFiles.zip(counts).filter(_._2 > 0)
+    cleanup(fs, delFiles.zip(counts).filter(_._2 == 0).map(_._1._2))
+    val delSpecId = (meta \ "default-spec-id").extractOpt[Int].getOrElse(0)
+    val newSeq = st.lastSeq + 1
+    val snapId = (st.snapshots.flatMap(sn =>
+      (sn \ "snapshot-id").extractOpt[Long]) :+ 0L).max + 1
+    val ts = System.currentTimeMillis()
+    val attempt = java.util.UUID.randomUUID().toString
+    val manifestPath = s"$base/metadata/m-$attempt.avro"
+    AvroOcf.write(manifestPath,
+      manifestAvroSchema(Nil, withEqualityIds = true),
+      nonEmpty.map { case ((_, abs, size), n) =>
+        // content 2: equality deletes; the trailing cell is the ids list
+        Seq(1, newSeq, Seq(2, abs, "PARQUET", Seq(), n, size) ++
+          noStatsCells ++ Seq(eqIds))
+      }, conf = conf,
+      meta = manifestMeta(schemaJson, "[]", delSpecId, "deletes"))
+    commitSnapshot(fs, conf, base, table, snapId, newSeq, ts, "delete",
+      Seq(NewManifest(manifestPath, 1, nonEmpty.size,
+        nonEmpty.map(_._2).sum)),
+      attempt, delSpecId, st.carried, st.snapshots,
+      st.priorManifests, st.metaVersion, nonEmpty.map(_._1._2))
     snapId
   }
 

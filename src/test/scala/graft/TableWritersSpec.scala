@@ -2224,6 +2224,53 @@ class TableWritersSpec extends SparkSpec {
       .select($"id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("iceberg writeEqualityDelete: O(keys) delete, sequence-scoped, " +
+    "null-safe") {
+    val t = tmp()
+    IcebergWriter.writeAppend(spark,
+      (1L to 6L).map(i => (i, s"t$i")).toDF("id", "text"), t)
+    IcebergWriter.writeAppend(spark,
+      (7L to 12L).map(i => (i, s"t$i")).toDF("id", "text"), t)
+    val dataFiles0 = IcebergTable.read(spark, t)
+      .inputFiles.filter(!_.contains("part-")).toSet // sanity only
+    import spark.implicits._
+    IcebergWriter.writeEqualityDelete(spark, t,
+      Seq(3L, 7L, 99L, 7L).toDF("id")) // dup + missing keys are fine
+    assert(IcebergTable.read(spark, t).select($"id").as[Long]
+      .collect().sorted.toSeq ==
+      (1L to 12L).filterNot(Set(3L, 7L)),
+      "matching rows die, a missing key matches nothing")
+    // the strictly-smaller-sequence rule: a key RE-INSERTED after the
+    // delete survives it
+    IcebergWriter.writeAppend(spark, Seq((3L, "re")).toDF("id", "text"), t)
+    val re = IcebergTable.read(spark, t).filter($"id" === 3L)
+      .select($"text").as[String].collect().toSeq
+    assert(re == Seq("re"), s"re-insert after the delete survives: $re")
+    // composite keys, null-SAFE equality on a nullable column
+    val t2 = tmp()
+    IcebergWriter.writeAppend(spark,
+      Seq((1L, Some("en")), (2L, None), (2L, Some("de")))
+        .toDF("id", "lang"), t2)
+    IcebergWriter.writeEqualityDelete(spark, t2,
+      Seq((2L, Option.empty[String])).toDF("id", "lang"))
+    assert(IcebergTable.read(spark, t2).orderBy($"id")
+      .select($"id", $"lang").as[(Long, Option[String])].collect().toSeq ==
+      Seq((1L, Some("en")), (2L, Some("de"))),
+      "only the null-lang row for id 2 dies (null-safe match)")
+    // directed: partitioned table, unknown key column
+    val pt = tmp()
+    IcebergWriter.writeAppend(spark,
+      Seq((1L, "x", 0L)).toDF("id", "text", "b"), pt,
+      partitionBy = Seq("b"))
+    val eP = intercept[Exception](
+      IcebergWriter.writeEqualityDelete(spark, pt, Seq(1L).toDF("id")))
+    assert(eP.getMessage.contains("PARTITIONED"), eP.getMessage)
+    val eC = intercept[Exception](
+      IcebergWriter.writeEqualityDelete(spark, t,
+        Seq(1L).toDF("nope")))
+    assert(eC.getMessage.contains("not a top-level"), eC.getMessage)
+  }
+
   test("iceberg removeOrphanFiles: unreferenced only, grace-fenced") {
     val table = tmp()
     IcebergWriter.writeAppend(spark,
