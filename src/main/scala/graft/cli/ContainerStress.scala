@@ -578,8 +578,11 @@ object ContainerStress {
         morData.filter($"id" % 10 === 4).select($"id")))
     val (eqAgg, tEqRead) = time(stateOf(
       graft.sources.IcebergTable.read(spark, wIceEq)))
-    require(eqAgg.getLong(0) == n - n / 10,
-      s"[stress] eq-delete survivors ${eqAgg.getLong(0)} != ${n - n / 10}")
+    // expected survivors from the ACTUAL key count (ids with id%10==4 in
+    // [0,n) is not n/10 for every n)
+    val nEqKeys = morData.filter($"id" % 10 === 4).count()
+    require(eqAgg.getLong(0) == n - nEqKeys,
+      s"[stress] eq-delete survivors ${eqAgg.getLong(0)} != ${n - nEqKeys}")
     println(f"[stress] iceberg-eq-delete: 10%% of $n rows deleted by KEY " +
       f"in $tEq%.2f s (snapshot $sEq — zero data scan; table built " +
       f"$tEqW%.2f s), read-side apply scan $tEqRead%.2f s")

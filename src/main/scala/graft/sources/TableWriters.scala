@@ -3271,9 +3271,28 @@ object IcebergWriter {
         s"$table: no field id for equality key '$c'"))
     }
     // typed to the table's own column types, deduplicated — two equal
-    // key rows must not double-count or bloat the delete file
+    // key rows must not double-count or bloat the delete file. A cast
+    // that turns a non-null key into null must DIRECT: the nulled key
+    // would null-safely match (and delete) every null-valued row the
+    // caller never named. One extra pass over the KEY frame only.
+    locally {
+      import org.apache.spark.sql.functions.{sum, when}
+      // try_cast so the guard itself is ANSI-independent (a plain cast
+      // would throw under ANSI before this count could name the column)
+      val introduced = keys.select(keys.columns.toSeq.map(c =>
+        sum(when(fcol(s"`$c`").isNotNull &&
+          fcol(s"`$c`").try_cast(schema(c).dataType).isNull, 1)
+          .otherwise(0)).as(c)): _*).head()
+      keys.columns.toSeq.zipWithIndex.foreach { case (c, i) =>
+        if (!introduced.isNullAt(i) && introduced.getLong(i) > 0L)
+          throw UnsupportedWrite(
+            s"$table: ${introduced.getLong(i)} key value(s) in '$c' do " +
+              s"not cast to the table's ${schema(c).dataType.simpleString} " +
+              "— a silently nulled key would delete unrelated null rows")
+      }
+    }
     val src = keys.select(keys.columns.toSeq.map(c =>
-      fcol(s"`$c`").cast(schema(c).dataType).as(c)): _*).distinct()
+      fcol(s"`$c`").try_cast(schema(c).dataType).as(c)): _*).distinct()
     val delFiles = writeData(src, base, Nil, "data", conf)
     val counts = rowCounts(delFiles.map(_._2), conf)
     if (counts.sum == 0) { // empty key set: no-op, no empty snapshot

@@ -2231,9 +2231,6 @@ class TableWritersSpec extends SparkSpec {
       (1L to 6L).map(i => (i, s"t$i")).toDF("id", "text"), t)
     IcebergWriter.writeAppend(spark,
       (7L to 12L).map(i => (i, s"t$i")).toDF("id", "text"), t)
-    val dataFiles0 = IcebergTable.read(spark, t)
-      .inputFiles.filter(!_.contains("part-")).toSet // sanity only
-    import spark.implicits._
     IcebergWriter.writeEqualityDelete(spark, t,
       Seq(3L, 7L, 99L, 7L).toDF("id")) // dup + missing keys are fine
     assert(IcebergTable.read(spark, t).select($"id").as[Long]
@@ -2269,6 +2266,12 @@ class TableWritersSpec extends SparkSpec {
       IcebergWriter.writeEqualityDelete(spark, t,
         Seq(1L).toDF("nope")))
     assert(eC.getMessage.contains("not a top-level"), eC.getMessage)
+    // a key that does not CAST to the table's type is directed — a
+    // silently nulled key would match (and delete) unrelated null rows
+    val eCast = intercept[Exception](
+      IcebergWriter.writeEqualityDelete(spark, t,
+        Seq("34x").toDF("id")))
+    assert(eCast.getMessage.contains("cast"), eCast.getMessage)
   }
 
   test("iceberg removeOrphanFiles: unreferenced only, grace-fenced") {
