@@ -683,8 +683,8 @@ object DeltaWriter {
           DeltaTable.ckptVersionOf(n).isDefined
       }
     if (exists && properties.nonEmpty) throw UnsupportedWrite(
-      s"$table: properties apply on CREATE only — altering an existing " +
-        "table's configuration is not implemented")
+      s"$table: properties apply on CREATE only — alter an existing " +
+        "table's configuration with setProperties")
     // the row-contract validator runs over the WRITTEN batch (inside
     // writeData, before any file placement) — validating the input plan
     // and then re-executing it for the write would let a
@@ -1554,6 +1554,76 @@ object DeltaWriter {
     val next = StructType(schema.fields.filterNot(_.name == name))
     metaDataOnlyCommit(fs, logPath, table, version, metaId,
       dst.metaRaw, next, partCols, config, "DROP COLUMN")
+  }
+
+  /** ALTER TABLE SET/UNSET TBLPROPERTIES — a metaData-only commit
+    * updating the table configuration. Two property families carry
+    * semantics this writer enforces rather than just storing:
+    *
+    *  - `delta.constraints.*` (ADD CONSTRAINT): the EXISTING rows must
+    *    already satisfy the new expression (delta's own rule) — one
+    *    scan of the table, rejected whole on a violation;
+    *  - `delta.enableChangeDataFeed=true`: the commit also upgrades the
+    *    protocol to the legacy writer version the flag obligates, so
+    *    every CDF-aware writer sees the contract.
+    *
+    * Directed: column mapping mode changes (a real migration — existing
+    * files carry no physical names/ids) and rowTracking enablement
+    * (existing rows have no ids to materialize). Returns the committed
+    * version. */
+  def setProperties(spark: SparkSession, table: String,
+      set: Map[String, String], unset: Seq[String] = Nil): Long = {
+    val base = table.stripSuffix("/")
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val logPath = new Path(s"$base/_delta_log")
+    val fs = logPath.getFileSystem(conf)
+    val dst = DeltaTable.snapshotState(spark, table)
+    val schema = DataType.fromJson(dst.schemaJson).asInstanceOf[StructType]
+    (set.keys ++ unset).find(_.startsWith("delta.columnMapping"))
+      .foreach(k => throw UnsupportedWrite(
+        s"$table: changing '$k' is a column-mapping MIGRATION (existing " +
+          "files carry no physical names/ids) — not a property flip"))
+    if (set.get("delta.enableRowTracking").exists(_.equalsIgnoreCase("true")))
+      throw UnsupportedWrite(
+        s"$table: enabling rowTracking on an existing table needs row-id " +
+          "materialization for existing rows — not implemented")
+    val nextCfg = (dst.configuration ++ set) -- unset
+    // a NEW CHECK constraint must already hold on the table's rows
+    val newChecks = set.filter { case (k, _) =>
+      k.startsWith("delta.constraints.") &&
+        !dst.configuration.contains(k)
+    }
+    if (newChecks.nonEmpty)
+      constraintValidator(table, newChecks, dst.schemaJson)
+        .foreach(v => v(DeltaTable.read(spark, table)))
+    // enabling CDF obligates the legacy writer-version-4 protocol
+    val protoLines =
+      if (!set.get("delta.enableChangeDataFeed")
+        .exists(_.equalsIgnoreCase("true"))) Nil
+      else if (dst.protocol.minWriterVersion >= 4 ||
+        dst.protocol.writerFeatures.contains("changeDataFeed")) Nil
+      else if (dst.protocol.minWriterVersion >= 7)
+        Seq(s"""{"protocol":{"minReaderVersion":${dst.protocol.minReaderVersion},""" +
+          s""""minWriterVersion":7,""" +
+          s""""readerFeatures":[${dst.protocol.readerFeatures
+            .map(f => s""""$f"""").mkString(",")}],""" +
+          s""""writerFeatures":[${(dst.protocol.writerFeatures :+ "changeDataFeed")
+            .distinct.map(f => s""""$f"""").mkString(",")}]}}""")
+      else
+        Seq(s"""{"protocol":{"minReaderVersion":${dst.protocol.minReaderVersion},""" +
+          s""""minWriterVersion":4}}""")
+    val ts = System.currentTimeMillis()
+    val lines =
+      Seq(s"""{"commitInfo":{"timestamp":$ts,"operation":"SET TBLPROPERTIES"}}""") ++
+        protoLines ++
+        Seq(metaDataActionJson(dst.metaRaw, dst.metaId, schema,
+          dst.partitionColumns, nextCfg))
+    val dest = new Path(logPath, f"${dst.version + 1}%020d.json")
+    if (!putText(fs, dest, lines.mkString("\n")))
+      throw CommitConflict(
+        s"$table: version ${dst.version + 1} was committed concurrently " +
+          "— re-read the table and retry")
+    dst.version + 1
   }
 
   /** The shared commit of a schema-only change (rename/drop): one
@@ -2946,11 +3016,53 @@ object IcebergWriter {
     val schemasListJson = (allSchemas.map(s0 =>
       JsonMethods.compact(JsonMethods.render(s0))) :+ newSchemaJson)
       .mkString(", ")
+    commitCarriedChange(fs, conf, base, table, st, meta,
+      dropKeys = Set("schemas", "current-schema-id", "schema"),
+      replace = Seq(
+        "schemas" -> s"[$schemasListJson]",
+        "current-schema-id" -> newSchemaId.toString))
+  }
+
+  /** ALTER TABLE SET/UNSET TBLPROPERTIES for Iceberg: the `properties`
+    * map is free-form table metadata (the spec interprets none of it at
+    * read time) — a metadata-only commit replaces it, everything else
+    * carried verbatim. Returns the new metadata version. */
+  def setProperties(spark: SparkSession, table: String,
+      set: Map[String, String], unset: Seq[String] = Nil): Long = {
+    val base = table.stripSuffix("/")
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(base).getFileSystem(conf)
+    val st = loadState(spark, fs, base)
+    val meta = st.meta
+    val fv = (meta \ "format-version").extract[Int]
+    if (fv != 2 && fv != 3) throw UnsupportedWrite(
+      s"$table: property changes target format-version 2 or 3 " +
+        s"(table is $fv)")
+    // keep UNKNOWN value shapes verbatim (a foreign writer may store
+    // non-string json); set/unset operate by key
+    val prior: List[(String, JValue)] = (meta \ "properties") match {
+      case JObject(fields) => fields
+      case _ => Nil
+    }
+    val nextProps = JObject(
+      prior.filterNot { case (k, _) => set.contains(k) || unset.contains(k) } ++
+        set.toList.sortBy(_._1).map { case (k, v) => (k, JString(v): JValue) })
+    commitCarriedChange(fs, conf, base, table, st, meta,
+      dropKeys = Set("properties"),
+      replace = Seq("properties" ->
+        JsonMethods.compact(JsonMethods.render(nextProps))))
+  }
+
+  /** The shared metadata-only commit: `replace` swaps the named carried
+    * fields (after dropping `dropKeys`), the managed tail (timestamps,
+    * sequence, snapshots, lineage) re-emits verbatim, and the next
+    * metadata version lands with the version-hint swap. */
+  private def commitCarriedChange(fs: FileSystem, conf: Configuration,
+      base: String, table: String, st: TableState, meta: JValue,
+      dropKeys: Set[String], replace: Seq[(String, String)]): Long = {
     val carried2 = st.carried.filterNot { case (k, _) =>
-      Set("schemas", "current-schema-id", "schema")(k)
-    } ++ Seq(
-      "schemas" -> s"[$schemasListJson]",
-      "current-schema-id" -> newSchemaId.toString)
+      dropKeys(k) || replace.exists(_._1 == k)
+    } ++ replace
     val ts = System.currentTimeMillis()
     val snapsJson = st.snapshots.map(sn =>
       JsonMethods.compact(JsonMethods.render(sn))).mkString(", ")
@@ -2971,7 +3083,7 @@ object IcebergWriter {
     if (!putText(fs, dest, metaJson))
       throw CommitConflict(
         s"$table: metadata version $newVersion was committed " +
-          "concurrently — re-read the table and retry the schema change")
+          "concurrently — re-read the table and retry the change")
     overwriteText(fs, conf, new Path(metaDir, "version-hint.text"),
       newVersion.toString)
     newVersion

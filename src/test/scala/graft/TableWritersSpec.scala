@@ -2274,6 +2274,75 @@ class TableWritersSpec extends SparkSpec {
     assert(eCast.getMessage.contains("cast"), eCast.getMessage)
   }
 
+  test("setProperties both formats: ADD CONSTRAINT validates existing " +
+    "rows, CDF enables mid-life, unset works") {
+    import graft.sources.TableCommit.ConstraintViolation
+    val t = tmp()
+    DeltaWriter.writeAppend(spark, Seq((1L, 50L)).toDF("id", "v"), t)
+    // ADD CONSTRAINT the existing rows violate: rejected whole
+    val eBad = intercept[ConstraintViolation] {
+      DeltaWriter.setProperties(spark, t,
+        Map("delta.constraints.small" -> "v < 10"))
+    }
+    assert(eBad.getMessage.contains("small"), eBad.getMessage)
+    // a satisfiable constraint commits and binds future writes
+    DeltaWriter.setProperties(spark, t,
+      Map("delta.constraints.small" -> "v < 100"))
+    intercept[ConstraintViolation] {
+      DeltaWriter.writeAppend(spark, Seq((2L, 500L)).toDF("id", "v"), t)
+    }
+    DeltaWriter.writeAppend(spark, Seq((2L, 60L)).toDF("id", "v"), t)
+    // CDF enabled mid-life: the protocol upgrades and the feed serves
+    // row-level changes from the enable version onward
+    DeltaWriter.setProperties(spark, t,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    val log3 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$t/_delta_log/00000000000000000003.json")))
+    assert(log3.contains("\"minWriterVersion\":4"),
+      s"CDF enablement must carry its protocol obligation: $log3")
+    DeltaWriter.writeUpdate(spark, t, $"id" === 1L,
+      Map("v" -> ($"v" + 1L)))
+    val cdf = DeltaTable.readCdf(spark, t, 4L)
+      .select($"id", $"v", $"_change_type")
+      .as[(Long, Long, String)].collect().sortBy(_._3).toSeq
+    assert(cdf == Seq((1L, 51L, "update_postimage"),
+      (1L, 50L, "update_preimage")), s"mid-life CDF serves: $cdf")
+    // UNSET releases the constraint
+    DeltaWriter.setProperties(spark, t, Map.empty,
+      unset = Seq("delta.constraints.small"))
+    DeltaWriter.writeAppend(spark, Seq((3L, 500L)).toDF("id", "v"), t)
+    assert(DeltaTable.read(spark, t).count() == 3)
+    // a column-mapping flip is a migration, not a property
+    val eCm = intercept[Exception] {
+      DeltaWriter.setProperties(spark, t,
+        Map("delta.columnMapping.mode" -> "name"))
+    }
+    assert(eCm.getMessage.contains("MIGRATION"), eCm.getMessage)
+
+    // Iceberg: free-form properties round trip, unknown value shapes
+    // and the rest of the metadata carried verbatim
+    val it = tmp()
+    IcebergWriter.writeAppend(spark,
+      Seq((1L, "a")).toDF("id", "text"), it)
+    IcebergWriter.setProperties(spark, it,
+      Map("commit.retry.num-retries" -> "5", "owner" -> "corpus"))
+    def metaTxt(): String = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$it/metadata").listFiles()
+        .filter(_.getName.endsWith(".metadata.json"))
+        .maxBy(f => f.getName.stripPrefix("v")
+          .stripSuffix(".metadata.json").toInt).toPath))
+    assert(metaTxt().contains("\"commit.retry.num-retries\":\"5\""))
+    assert(IcebergTable.read(spark, it).count() == 1,
+      "reads keep working after the property commit")
+    IcebergWriter.setProperties(spark, it, Map.empty,
+      unset = Seq("owner"))
+    assert(!metaTxt().contains("\"owner\""))
+    // appends after the property commit keep the properties
+    IcebergWriter.writeAppend(spark, Seq((2L, "b")).toDF("id", "text"), it)
+    assert(metaTxt().contains("\"commit.retry.num-retries\":\"5\""),
+      "a later snapshot commit carries the properties forward")
+  }
+
   test("iceberg removeOrphanFiles: unreferenced only, grace-fenced") {
     val table = tmp()
     IcebergWriter.writeAppend(spark,
