@@ -2857,6 +2857,46 @@ object QueriesML {
           .select($"id", $"text").orderBy($"id", $"text")
       }),
 
+    // ------- ALTER TABLE: change data feed enabled MID-LIFE (Delta)
+    // setProperties flips delta.enableChangeDataFeed on an EXISTING
+    // table (carrying the writer-version-4 protocol obligation in the
+    // same commit); an update after the flip serves row-level pre/post
+    // images from the enable version onward.
+    Q("q224_delta_set_properties", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 60),
+           m AS (SELECT * FROM o WHERE o_orderkey % 5 = 0)
+      SELECT * FROM (
+        SELECT o_orderkey AS id, 'doc-' || CAST(rn0 AS VARCHAR) AS text,
+               'update_preimage' AS change_type
+        FROM m
+        UNION ALL
+        SELECT o_orderkey AS id, 'u-doc-' || CAST(rn0 AS VARCHAR) AS text,
+               'update_postimage' AS change_type
+        FROM m)
+      ORDER BY id, change_type"""))(
+      (s, d) => {
+        import graft.sources.{DeltaTable, DeltaWriter}
+        val table = Fixtures.dir("q224", d) { dir =>
+          val base = orderedKeys(s, d, 60)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          // v0: plain table, NO change data feed
+          DeltaWriter.writeAppend(s,
+            base.select($"id", concat(lit("doc-"), $"rn0").as("text")), t)
+          // v1: the property flip (+ protocol obligation)
+          DeltaWriter.setProperties(s, t,
+            Map("delta.enableChangeDataFeed" -> "true"))
+          // v2: an update the feed must serve row-level
+          DeltaWriter.writeUpdate(s, t, $"id" % 5 === 0,
+            Map("text" -> concat(lit("u-"), $"text")))
+        }
+        DeltaTable.readCdf(s, s"$table/table", 2L)
+          .select($"id", $"text", $"_change_type".as("change_type"))
+          .orderBy($"id", $"change_type")
+      }),
+
     // ------------------------------------------------------- HF tokenizer.json encode
     // A hand-authored tokenizer.json (the huggingface/tokenizers file
     // format, byte-level BPE) over planted "ab"*k words: greedy merge
