@@ -809,7 +809,7 @@ object DeltaWriter {
         val metaLine = evolved.toSeq.map { case (metaId, cfg, next) =>
           // the RAW action carries so foreign fields (name, description,
           // createdTime) survive the evolution commit too
-          metaDataActionJson(tableMetaRaw, metaId, next, partCols, cfg)
+          metaDataActionJson(tableMetaRaw, metaId, next.json, partCols, cfg)
         }
         Seq(s"""{"commitInfo":{"timestamp":$ts,"operation":"WRITE"}}""") ++
           metaLine
@@ -1506,7 +1506,7 @@ object DeltaWriter {
       else f))
     val newPartCols = partCols.map(c => if (c == oldName) newName else c)
     metaDataOnlyCommit(fs, logPath, table, version, metaId,
-      dst.metaRaw, next, newPartCols, config, "RENAME COLUMN")
+      dst.metaRaw, next.json, newPartCols, config, "RENAME COLUMN")
   }
 
   /** ALTER TABLE ... DROP COLUMN — the other metaData-only migration
@@ -1553,7 +1553,7 @@ object DeltaWriter {
           s"mentions '$name' — drop the contract first")
     val next = StructType(schema.fields.filterNot(_.name == name))
     metaDataOnlyCommit(fs, logPath, table, version, metaId,
-      dst.metaRaw, next, partCols, config, "DROP COLUMN")
+      dst.metaRaw, next.json, partCols, config, "DROP COLUMN")
   }
 
   /** ALTER TABLE SET/UNSET TBLPROPERTIES — a metaData-only commit
@@ -1579,6 +1579,10 @@ object DeltaWriter {
     val fs = logPath.getFileSystem(conf)
     val dst = DeltaTable.snapshotState(spark, table)
     val schema = DataType.fromJson(dst.schemaJson).asInstanceOf[StructType]
+    val overlap = set.keySet.intersect(unset.toSet)
+    if (overlap.nonEmpty) throw UnsupportedWrite(
+      s"$table: ${overlap.mkString(", ")} appear in BOTH set and unset " +
+        "— the intent is ambiguous")
     (set.keys ++ unset).find(_.startsWith("delta.columnMapping"))
       .foreach(k => throw UnsupportedWrite(
         s"$table: changing '$k' is a column-mapping MIGRATION (existing " +
@@ -1588,50 +1592,61 @@ object DeltaWriter {
         s"$table: enabling rowTracking on an existing table needs row-id " +
           "materialization for existing rows — not implemented")
     val nextCfg = (dst.configuration ++ set) -- unset
-    // a NEW CHECK constraint must already hold on the table's rows
-    val newChecks = set.filter { case (k, _) =>
+    // a NEW (or REPLACED — value compare, not key) CHECK constraint must
+    // already hold on the table's rows; validation runs the new
+    // expressions ONLY, against a metadata-BARE schema — the table's
+    // unrelated invariants/generated columns are not this commit's
+    // business and must not fail (or slow) it
+    val newChecks = set.filter { case (k, v) =>
       k.startsWith("delta.constraints.") &&
-        !dst.configuration.contains(k)
+        !dst.configuration.get(k).contains(v)
     }
-    if (newChecks.nonEmpty)
-      constraintValidator(table, newChecks, dst.schemaJson)
+    if (newChecks.nonEmpty) {
+      val bare = StructType(schema.fields.map(f =>
+        StructField(f.name, f.dataType, f.nullable))).json
+      constraintValidator(table, newChecks, bare)
         .foreach(v => v(DeltaTable.read(spark, table)))
-    // enabling CDF obligates the legacy writer-version-4 protocol
+    }
+    // the property families with PROTOCOL obligations: CDF is a legacy
+    // writer-version-4 contract, CHECK constraints writer-version-3;
+    // v7 tables list the features instead. ONE protocol line covers
+    // whatever this commit newly obligates.
+    val p = dst.protocol
+    val wantCdf = set.get("delta.enableChangeDataFeed")
+      .exists(_.equalsIgnoreCase("true"))
+    val needFeatures =
+      (if (wantCdf) Seq("changeDataFeed") else Nil) ++
+        (if (newChecks.nonEmpty) Seq("checkConstraints") else Nil)
     val protoLines =
-      if (!set.get("delta.enableChangeDataFeed")
-        .exists(_.equalsIgnoreCase("true"))) Nil
-      else if (dst.protocol.minWriterVersion >= 4 ||
-        dst.protocol.writerFeatures.contains("changeDataFeed")) Nil
-      else if (dst.protocol.minWriterVersion >= 7)
-        Seq(s"""{"protocol":{"minReaderVersion":${dst.protocol.minReaderVersion},""" +
-          s""""minWriterVersion":7,""" +
-          s""""readerFeatures":[${dst.protocol.readerFeatures
-            .map(f => s""""$f"""").mkString(",")}],""" +
-          s""""writerFeatures":[${(dst.protocol.writerFeatures :+ "changeDataFeed")
-            .distinct.map(f => s""""$f"""").mkString(",")}]}}""")
-      else
-        Seq(s"""{"protocol":{"minReaderVersion":${dst.protocol.minReaderVersion},""" +
-          s""""minWriterVersion":4}}""")
-    val ts = System.currentTimeMillis()
-    val lines =
-      Seq(s"""{"commitInfo":{"timestamp":$ts,"operation":"SET TBLPROPERTIES"}}""") ++
-        protoLines ++
-        Seq(metaDataActionJson(dst.metaRaw, dst.metaId, schema,
-          dst.partitionColumns, nextCfg))
-    val dest = new Path(logPath, f"${dst.version + 1}%020d.json")
-    if (!putText(fs, dest, lines.mkString("\n")))
-      throw CommitConflict(
-        s"$table: version ${dst.version + 1} was committed concurrently " +
-          "— re-read the table and retry")
-    dst.version + 1
+      if (needFeatures.isEmpty) Nil
+      else if (p.minWriterVersion >= 7) {
+        val missing = needFeatures.filterNot(p.writerFeatures.contains)
+        if (missing.isEmpty) Nil
+        else {
+          val wf = (p.writerFeatures ++ missing).distinct
+          val rf =
+            if (p.minReaderVersion < 3) ""
+            else s""""readerFeatures":[${p.readerFeatures
+              .map(f => s""""$f"""").mkString(",")}],"""
+          Seq(s"""{"protocol":{"minReaderVersion":${p.minReaderVersion},""" +
+            s""""minWriterVersion":7,$rf""" +
+            s""""writerFeatures":[${wf.map(f => s""""$f"""")
+              .mkString(",")}]}}""")
+        }
+      } else {
+        val target = Seq(p.minWriterVersion,
+          if (wantCdf) 4 else 0,
+          if (newChecks.nonEmpty) 3 else 0).max
+        if (target <= p.minWriterVersion) Nil
+        else Seq(
+          s"""{"protocol":{"minReaderVersion":${p.minReaderVersion},""" +
+            s""""minWriterVersion":$target}}""")
+      }
+    metaDataOnlyCommit(fs, logPath, table, dst.version, dst.metaId,
+      dst.metaRaw, dst.schemaJson, dst.partitionColumns, nextCfg,
+      "SET TBLPROPERTIES", extraLines = protoLines)
   }
 
-  /** The shared commit of a schema-only change (rename/drop): one
-    * commitInfo + metaData pair at `version + 1`. The metaData starts
-    * from the table's RAW action when the replay has it, so a foreign
-    * table's unmanaged fields (name, description, createdTime, format
-    * options) survive the change verbatim — only schemaString and
-    * partitionColumns are replaced. */
   /** One metaData ACTION json: starts from the table's RAW action when
     * the replay has it — foreign fields (name, description,
     * createdTime, format options) carry verbatim — and replaces only
@@ -1639,7 +1654,7 @@ object DeltaWriter {
     * commit declares. Shared by the schema-only commits and the
     * evolving append. */
   private def metaDataActionJson(metaRaw: Option[JValue], metaId: String,
-      next: StructType, partCols: Seq[String],
+      schemaJsonText: String, partCols: Seq[String],
       config: Map[String, String]): String = {
     val baseObj: JObject = metaRaw.collect { case o: JObject => o }
       .getOrElse(JObject(List(
@@ -1655,7 +1670,7 @@ object DeltaWriter {
         k == "schemaString" || k == "partitionColumns" ||
           k == "configuration"
       } ++ List(
-        "schemaString" -> (JString(next.json): JValue),
+        "schemaString" -> (JString(schemaJsonText): JValue),
         "partitionColumns" ->
           (JArray(partCols.toList.map(JString(_))): JValue),
         "configuration" -> (JObject(cfgFields): JValue)))
@@ -1665,13 +1680,15 @@ object DeltaWriter {
 
   private def metaDataOnlyCommit(fs: FileSystem, logPath: Path,
       table: String, version: Long, metaId: String,
-      metaRaw: Option[JValue], next: StructType,
+      metaRaw: Option[JValue], schemaJsonText: String,
       partCols: Seq[String], config: Map[String, String],
-      operation: String): Long = {
+      operation: String, extraLines: Seq[String] = Nil): Long = {
     val ts = System.currentTimeMillis()
     val lines = Seq(
-      s"""{"commitInfo":{"timestamp":$ts,"operation":"$operation"}}""",
-      metaDataActionJson(metaRaw, metaId, next, partCols, config))
+      s"""{"commitInfo":{"timestamp":$ts,"operation":"$operation"}}""") ++
+      extraLines ++ Seq(
+      metaDataActionJson(metaRaw, metaId, schemaJsonText, partCols,
+        config))
     val dest = new Path(logPath, f"${version + 1}%020d.json")
     if (!putText(fs, dest, lines.mkString("\n")))
       throw CommitConflict(
@@ -3038,6 +3055,10 @@ object IcebergWriter {
     if (fv != 2 && fv != 3) throw UnsupportedWrite(
       s"$table: property changes target format-version 2 or 3 " +
         s"(table is $fv)")
+    val overlap = set.keySet.intersect(unset.toSet)
+    if (overlap.nonEmpty) throw UnsupportedWrite(
+      s"$table: ${overlap.mkString(", ")} appear in BOTH set and unset " +
+        "— the intent is ambiguous")
     // keep UNKNOWN value shapes verbatim (a foreign writer may store
     // non-string json); set/unset operate by key
     val prior: List[(String, JValue)] = (meta \ "properties") match {

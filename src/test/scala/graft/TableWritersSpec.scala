@@ -2285,9 +2285,14 @@ class TableWritersSpec extends SparkSpec {
         Map("delta.constraints.small" -> "v < 10"))
     }
     assert(eBad.getMessage.contains("small"), eBad.getMessage)
-    // a satisfiable constraint commits and binds future writes
+    // a satisfiable constraint commits, carries its writer-version-3
+    // protocol obligation, and binds future writes
     DeltaWriter.setProperties(spark, t,
       Map("delta.constraints.small" -> "v < 100"))
+    val log1p = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$t/_delta_log/00000000000000000001.json")))
+    assert(log1p.contains("\"minWriterVersion\":3"),
+      s"ADD CONSTRAINT must obligate writer version 3: $log1p")
     intercept[ConstraintViolation] {
       DeltaWriter.writeAppend(spark, Seq((2L, 500L)).toDF("id", "v"), t)
     }
@@ -2318,6 +2323,21 @@ class TableWritersSpec extends SparkSpec {
         Map("delta.columnMapping.mode" -> "name"))
     }
     assert(eCm.getMessage.contains("MIGRATION"), eCm.getMessage)
+    // REPLACING a constraint's expression re-validates existing rows
+    // (value compare, not key presence)
+    DeltaWriter.setProperties(spark, t,
+      Map("delta.constraints.small" -> "v < 1000"))
+    val eRep = intercept[ConstraintViolation] {
+      DeltaWriter.setProperties(spark, t,
+        Map("delta.constraints.small" -> "v < 10"))
+    }
+    assert(eRep.getMessage.contains("small"), eRep.getMessage)
+    // a key in BOTH set and unset is ambiguous — both formats reject
+    val eOv = intercept[Exception] {
+      DeltaWriter.setProperties(spark, t, Map("x" -> "1"),
+        unset = Seq("x"))
+    }
+    assert(eOv.getMessage.contains("ambiguous"), eOv.getMessage)
 
     // Iceberg: free-form properties round trip, unknown value shapes
     // and the rest of the metadata carried verbatim
