@@ -393,11 +393,39 @@ object IcebergTable {
           val delSeq = group.map(g =>
               (PathUris.canon(g._1), g._2, g._4.orNull))
             .toDF("__dsp", "__eq_seq", "__eq_scope")
-          val delRows = spark.read.parquet(group.map(_._1): _*)
-            .withColumn("__dp",
-              PathUris.canonMetaCol(col("_metadata.file_path")))
+          // delete-file columns resolve like data files: by parquet
+          // FIELD ID when the file carries ids (a foreign writer's
+          // id-keyed file), by the current schema name otherwise — and
+          // a file with neither is DIRECTED, not an unplanned
+          // AnalysisException. One footer read per delete file
+          // (O(delete files) driver metadata — delete files are the
+          // small side by design), files grouped by resolved spelling
+          // so each spelling costs one parquet relation, not one per
+          // file.
+          val dconf = new Configuration(
+            spark.sparkContext.hadoopConfiguration)
+          val resolvedCols: Seq[(String, Seq[String])] =
+            group.map(_._1).map { p =>
+              val (byId, names) = footerTopColumns(p, dconf)
+              p -> ids.zip(cols).map { case (id, c) =>
+                byId.get(id).orElse(Some(c).filter(names)).getOrElse(
+                  throw UnsupportedIceberg(
+                    s"equality delete file $p stores no column for " +
+                      s"field id $id ('$c') — neither id-keyed nor " +
+                      "name-matched against the current schema"))
+              }
+            }
+          val delRows = resolvedCols.groupBy(_._2).toSeq
+            .sortBy(_._1.mkString(","))
+            .map { case (spelling, ps) =>
+              spark.read.parquet(ps.map(_._1): _*)
+                .withColumn("__dp",
+                  PathUris.canonMetaCol(col("_metadata.file_path")))
+                .select(spelling.zip(cols).map { case (rn, c) =>
+                  col(s"`$rn`").as(s"__eq_$c") } :+ col("__dp"): _*)
+            }.reduce(_ unionByName _)
             .join(broadcast(delSeq), col("__dp") === col("__dsp"))
-            .select(cols.map(c => col(c).as(s"__eq_$c")) :+
+            .select(cols.map(c => col(s"__eq_$c")) :+
               col("__eq_seq") :+ col("__eq_scope"): _*)
           // the table-spec application rule: strictly-smaller data
           // sequence AND (the delete is partition-UNSCOPED, or the data
@@ -426,29 +454,39 @@ object IcebergTable {
     * rename); else the column reads as null (a file predating an
     * additive evolution). Row-key columns attach per scan group (the
     * `_metadata` pseudo-column does not survive a union). */
+  /** One parquet FOOTER read: the file's top-level (field-id → column
+    * name) map and its column-name set — the two inputs every id-keyed
+    * resolution site (data files under renames, equality-delete files)
+    * shares. Duplicate ids in one footer are directed. */
+  private def footerTopColumns(p: String, conf: Configuration)
+      : (Map[Int, String], Set[String]) = {
+    import scala.jdk.CollectionConverters._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(p), conf))
+    val g = try reader.getFooter.getFileMetaData.getSchema
+      finally reader.close()
+    val byId = scala.collection.mutable.Map.empty[Int, String]
+    val names = scala.collection.mutable.Set.empty[String]
+    g.getFields.asScala.foreach { t =>
+      names += t.getName
+      Option(t.getId).foreach { id =>
+        if (byId.contains(id.intValue)) throw UnsupportedIceberg(
+          s"$p: duplicate parquet field id ${id.intValue}")
+        byId(id.intValue) = t.getName
+      }
+    }
+    (byId.toMap, names.toSet)
+  }
+
   private def resolvedRead(spark: SparkSession, a: ActiveSet,
       needKeys: Boolean): DataFrame = {
-    import scala.jdk.CollectionConverters._
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val idOf: Map[String, Int] = a.fieldNames.map(_.swap)
     val fields = a.schema.fields.toSeq
     val fileCols: Seq[(String, Seq[Option[String]])] =
       a.data.map(_._1).map { p =>
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new Path(p), conf))
-        val g = try reader.getFooter.getFileMetaData.getSchema
-          finally reader.close()
-        val byId = scala.collection.mutable.Map.empty[Int, String]
-        val names = scala.collection.mutable.Set.empty[String]
-        g.getFields.asScala.foreach { t =>
-          names += t.getName
-          Option(t.getId).foreach { id =>
-            if (byId.contains(id.intValue)) throw UnsupportedIceberg(
-              s"$p: duplicate parquet field id ${id.intValue}")
-            byId(id.intValue) = t.getName
-          }
-        }
+        val (byId, names) = footerTopColumns(p, conf)
         p -> fields.map { f =>
           val id = idOf.get(f.name)
           id.flatMap(byId.get)

@@ -1698,8 +1698,15 @@ object DeltaWriter {
   }
 
   /** Does any declared contract (CHECK constraint, column invariant,
-    * generated column) mention `name`? Conservative substring check —
-    * the rename/drop guard both schema-change ops share. */
+    * generated column) mention `name` as an IDENTIFIER? Matches on
+    * identifier boundaries (case-insensitive, like SQL resolution) —
+    * a bare-substring check would block renaming/dropping any
+    * short-named column (`v`, `id`) on a table whose contract text
+    * merely contains those letters. Backtick-quoted occurrences match
+    * too (a backtick is not an identifier character). Conservative in
+    * the remaining sense only: a match inside a string LITERAL still
+    * blocks — availability, never correctness. The rename/drop guard
+    * both schema-change ops share. */
   private def contractMentions(config: Map[String, String],
       schema: StructType, name: String): Boolean = {
     val texts =
@@ -1709,7 +1716,9 @@ object DeltaWriter {
           Seq("delta.invariants", "delta.generationExpression")
             .filter(f.metadata.contains).map(f.metadata.getString)
         }
-    texts.exists(_.contains(name))
+    val token = ("(?i)(?<![A-Za-z0-9_])" +
+      java.util.regex.Pattern.quote(name) + "(?![A-Za-z0-9_])").r
+    texts.exists(t => token.findFirstIn(t).isDefined)
   }
 
   /** OPTIMIZE (bin-packing compaction): partitions holding at least two
@@ -3403,31 +3412,59 @@ object IcebergWriter {
       idByName.getOrElse(c, throw UnsupportedWrite(
         s"$table: no field id for equality key '$c'"))
     }
-    // typed to the table's own column types, deduplicated — two equal
-    // key rows must not double-count or bloat the delete file. A cast
-    // that turns a non-null key into null must DIRECT: the nulled key
-    // would null-safely match (and delete) every null-valued row the
-    // caller never named. One extra pass over the KEY frame only.
-    locally {
-      import org.apache.spark.sql.functions.{sum, when}
-      // try_cast so the guard itself is ANSI-independent (a plain cast
-      // would throw under ANSI before this count could name the column)
-      val introduced = keys.select(keys.columns.toSeq.map(c =>
-        sum(when(fcol(s"`$c`").isNotNull &&
-          fcol(s"`$c`").try_cast(schema(c).dataType).isNull, 1)
-          .otherwise(0)).as(c)): _*).head()
-      keys.columns.toSeq.zipWithIndex.foreach { case (c, i) =>
-        if (!introduced.isNullAt(i) && introduced.getLong(i) > 0L)
-          throw UnsupportedWrite(
-            s"$table: ${introduced.getLong(i)} key value(s) in '$c' do " +
-              s"not cast to the table's ${schema(c).dataType.simpleString} " +
-              "— a silently nulled key would delete unrelated null rows")
+    // ONE materialization of the caller's key plan (tmp parquet under
+    // metadata/, outside any scan root): the null-cast guard and the
+    // committed delete file must see the SAME rows — a
+    // non-deterministic key source validated on one evaluation and
+    // written from another could pass the guard and still write a
+    // silently-nulled key, which would null-safely delete unrelated
+    // null rows. The key frame is O(keys) by design, so the extra
+    // write is small.
+    val tmpDir = s"$base/metadata/_tmp_eqdel_${java.util.UUID.randomUUID()}"
+    val (delFiles, counts) = try {
+      keys.write.mode("overwrite").parquet(tmpDir)
+      val matKeys = readTmpFiles(spark, tmpDir, conf)
+      // typed to the table's own column types, deduplicated — two equal
+      // key rows must not double-count or bloat the delete file. A cast
+      // that turns a non-null key into null must DIRECT.
+      locally {
+        import org.apache.spark.sql.functions.{sum, when}
+        // try_cast so the guard itself is ANSI-independent (a plain cast
+        // would throw under ANSI before this count could name the column)
+        val introduced = matKeys.select(keys.columns.toSeq.map(c =>
+          sum(when(fcol(s"`$c`").isNotNull &&
+            fcol(s"`$c`").try_cast(schema(c).dataType).isNull, 1)
+            .otherwise(0)).as(c)): _*).head()
+        keys.columns.toSeq.zipWithIndex.foreach { case (c, i) =>
+          if (!introduced.isNullAt(i) && introduced.getLong(i) > 0L)
+            throw UnsupportedWrite(
+              s"$table: ${introduced.getLong(i)} key value(s) in '$c' do " +
+                s"not cast to the table's ${schema(c).dataType.simpleString} " +
+                "— a silently nulled key would delete unrelated null rows")
+        }
       }
-    }
-    val src = keys.select(keys.columns.toSeq.map(c =>
-      fcol(s"`$c`").try_cast(schema(c).dataType).as(c)): _*).distinct()
-    val delFiles = writeData(src, base, Nil, "data", conf)
-    val counts = rowCounts(delFiles.map(_._2), conf)
+      // equality-delete files are data-file-spec files: their columns
+      // carry the spec's ID-KEYED identity (parquet.field.id), so a
+      // stock reader resolves them by id exactly like data files — the
+      // same MetadataBuilder tagging the append path applies. Nested
+      // key types would get root ids with id-less members (Spark tags
+      // only top-level StructFields), which reads WORSE than uniformly
+      // id-less — those stay untagged, resolving by name.
+      val nestedKey = keys.columns.toSeq.exists(c =>
+        schema(c).dataType match {
+          case _: StructType | _: ArrayType | _: MapType => true
+          case _ => false
+        })
+      val src = matKeys.select(keys.columns.toSeq.zip(eqIds).map {
+        case (c, id) =>
+          val casted = fcol(s"`$c`").try_cast(schema(c).dataType)
+          if (nestedKey) casted.as(c)
+          else casted.as(c, new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", id.toLong).build())
+      }: _*).distinct()
+      val df = writeData(src, base, Nil, "data", conf)
+      (df, rowCounts(df.map(_._2), conf))
+    } finally fs.delete(new Path(tmpDir), true)
     if (counts.sum == 0) { // empty key set: no-op, no empty snapshot
       cleanup(fs, delFiles.map(_._2))
       return currentId
@@ -3491,16 +3528,25 @@ object IcebergWriter {
     val keyedSel = keyed
       .select(fcol("__row_path").as("__ck"), fcol("__row_pos").as("pos"))
       .join(broadcast(pathDim), "__ck")
+    // positional-delete files are data-file-spec files: the spec keys
+    // their two columns by the RESERVED field ids (file_path 2147483546,
+    // pos 2147483545) so id-resolving readers find them regardless of
+    // spelling — tagged the same way the append path tags table columns
+    val fpCol = fcol("file_path").as("file_path",
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", 2147483546L).build())
+    val posCol = fcol("pos").cast("long").as("pos",
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", 2147483545L).build())
     val delRows =
       if (!partitioned)
-        keyedSel.select(fcol("file_path"), fcol("pos").cast("long"))
+        keyedSel.select(fpCol, posCol)
           .sortWithinPartitions(fcol("file_path"), fcol("pos"))
       else
         // leading __pt in the sort satisfies the dynamic-partition
         // writer's required ordering, so (file_path, pos) order inside
         // each delete file survives the write
-        keyedSel.select(fcol("file_path"), fcol("pos").cast("long"),
-            fcol("__pt"))
+        keyedSel.select(fpCol, posCol, fcol("__pt"))
           .sortWithinPartitions(fcol("__pt"), fcol("file_path"), fcol("pos"))
     val files = writeData(delRows, base,
       if (partitioned) Seq("__pt") else Nil, "data", conf)

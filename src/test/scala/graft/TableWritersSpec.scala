@@ -2274,6 +2274,117 @@ class TableWritersSpec extends SparkSpec {
     assert(eCast.getMessage.contains("cast"), eCast.getMessage)
   }
 
+  test("review arms r17: delete files are id-keyed, identifier-boundary " +
+    "contract guard, foreign eq-delete files resolve by field id") {
+    import scala.jdk.CollectionConverters._
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    def topIds(p: String): Map[String, Int] = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(p), conf))
+      val g = try r.getFooter.getFileMetaData.getSchema finally r.close()
+      g.getFields.asScala.flatMap(t =>
+        Option(t.getId).map(id => t.getName -> id.intValue)).toMap
+    }
+    def dataFiles(t: String): Set[String] =
+      new java.io.File(s"$t/data").listFiles
+        .filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).toSet
+    // (1) equality-delete key files carry the table's field ids — they
+    // are data-file-spec files a stock reader resolves BY ID
+    val t = tmp()
+    IcebergWriter.writeAppend(spark,
+      (1L to 8L).map(i => (i, s"t$i")).toDF("id", "text"), t)
+    val before = dataFiles(t)
+    IcebergWriter.writeEqualityDelete(spark, t, Seq(2L, 5L).toDF("id"))
+    val eqFile = (dataFiles(t) -- before).head
+    assert(topIds(eqFile) == Map("id" -> 1),
+      s"eq-delete file must be id-keyed: ${topIds(eqFile)}")
+    // (2) positional kill files carry the spec's RESERVED column ids
+    val t2 = tmp()
+    IcebergWriter.writeAppend(spark,
+      (1L to 8L).map(i => (i, s"t$i")).toDF("id", "text"), t2)
+    val before2 = dataFiles(t2)
+    IcebergWriter.writeDelete(spark, t2, $"id" === 3L)
+    val killFile = (dataFiles(t2) -- before2).head
+    assert(topIds(killFile) ==
+      Map("file_path" -> 2147483546, "pos" -> 2147483545),
+      s"kill file must use reserved ids: ${topIds(killFile)}")
+    // (3) the contract guard matches IDENTIFIERS: a short column name
+    // appearing inside another identifier no longer blocks its rename,
+    // while a real (even backtick-quoted) mention still does
+    def mappedTable(cols: Seq[(String, Int)],
+        constraints: Map[String, String]): String = {
+      val d = tmp()
+      val fields = cols.map { case (n, i) =>
+        s"""{"name":"$n","type":"long","nullable":true,""" +
+          s""""metadata":{"delta.columnMapping.physicalName":"col-$i",""" +
+          s""""delta.columnMapping.id":$i}}"""
+      }.mkString(",")
+      val schemaStr = s"""{"type":"struct","fields":[$fields]}"""
+        .replace("\\", "\\\\").replace("\"", "\\\"")
+      val cfg = (Map("delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" -> cols.map(_._2).max.toString) ++
+        constraints).map { case (k, v) =>
+          s""""$k":"${v.replace("\"", "\\\"")}"""" }.mkString(",")
+      new java.io.File(s"$d/_delta_log").mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$d/_delta_log/00000000000000000000.json"),
+        (s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          s""""readerFeatures":["columnMapping"],""" +
+          s""""writerFeatures":["columnMapping","checkConstraints"]}}""" +
+          "\n" +
+          s"""{"metaData":{"id":"m","format":{"provider":"parquet",""" +
+          s""""options":{}},"schemaString":"$schemaStr",""" +
+          s""""partitionColumns":[],"configuration":{$cfg},""" +
+          s""""createdTime":0}}""").getBytes("UTF-8"))
+      d
+    }
+    val tA = mappedTable(Seq(("id", 1), ("v", 2), ("level", 3)),
+      Map("delta.constraints.lvl" -> "level < 1000"))
+    // 'v' occurs in 'level' only as a substring — the rename proceeds
+    DeltaWriter.renameColumn(spark, tA, "v", "w")
+    val tB = mappedTable(Seq(("id", 1), ("v", 2)),
+      Map("delta.constraints.pos" -> "`v` > 0"))
+    val eMention = intercept[Exception](
+      DeltaWriter.renameColumn(spark, tB, "v", "w"))
+    assert(eMention.getMessage.contains("mentions"), eMention.getMessage)
+    // case-insensitive like SQL resolution: 'V > 0' mentions column v
+    val tC = mappedTable(Seq(("id", 1), ("v", 2)),
+      Map("delta.constraints.pos" -> "V > 0"))
+    val eCase = intercept[Exception](
+      DeltaWriter.renameColumn(spark, tC, "v", "w"))
+    assert(eCase.getMessage.contains("mentions"), eCase.getMessage)
+    // (4) a FOREIGN eq-delete file spelled differently but keyed by
+    // field id resolves; a file with neither id nor name is directed
+    def overwriteWith(df: org.apache.spark.sql.DataFrame,
+        target: String): Unit = {
+      val d = java.nio.file.Files.createTempDirectory("foreign").toString
+      df.repartition(1).write.mode("overwrite").parquet(d)
+      val part = new java.io.File(d).listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(target),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // the local FS keeps a checksum sidecar for the ORIGINAL bytes
+      val tf = new java.io.File(target)
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(tf.getParent, s".${tf.getName}.crc"))
+    }
+    val idMd = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", 1L).build()
+    overwriteWith(Seq(2L, 5L).toDF("x").select($"x".as("id_zz", idMd)),
+      eqFile)
+    assert(IcebergTable.read(spark, t).select($"id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L, 4L, 6L, 7L, 8L),
+      "id-keyed foreign delete file resolves by field id")
+    overwriteWith(Seq(2L, 5L).toDF("id_zz"), eqFile)
+    val eNone = intercept[Exception](
+      IcebergTable.read(spark, t).collect())
+    assert(eNone.getMessage.contains("field id"), eNone.getMessage)
+  }
+
   test("setProperties both formats: ADD CONSTRAINT validates existing " +
     "rows, CDF enables mid-life, unset works") {
     import graft.sources.TableCommit.ConstraintViolation
