@@ -2897,6 +2897,125 @@ object QueriesML {
           .orderBy($"id", $"change_type")
       }),
 
+    // -------- Iceberg EQUALITY delete on a PARTITIONED table (SCOPED)
+    // The 100 TB corpus-dedup kill on the layout corpora actually use:
+    // the keys carry the partition source column, so the key frame
+    // writes PARTITION-SCOPED delete files — one per touched tuple,
+    // prunable everywhere else. Pins: zero data files rewritten
+    // (`untouched` — the complete pre-delete data-file set survives
+    // byte-identical), every delete file lands in the ONE touched
+    // partition (`scoped`), and a key re-inserted after the delete
+    // survives it (the sequence rule).
+    Q("q225_iceberg_part_eq_delete", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT * FROM (
+        SELECT o_orderkey AS id, 'doc-' || CAST(rn0 AS VARCHAR) AS text,
+               o_orderkey % 3 AS b, TRUE AS untouched, TRUE AS scoped
+        FROM o WHERE o_orderkey % 6 <> 0
+        UNION ALL
+        SELECT o_orderkey AS id, 're-' || CAST(rn0 AS VARCHAR) AS text,
+               o_orderkey % 3 AS b, TRUE AS untouched, TRUE AS scoped
+        FROM o WHERE o_orderkey % 6 = 0 AND rn0 % 2 = 0)
+      ORDER BY id, text"""))(
+      (s, d) => {
+        import graft.sources.{IcebergTable, IcebergWriter}
+        def walkParquet(root: String): Seq[String] = {
+          val b = Seq.newBuilder[String]
+          def walk(f: java.io.File): Unit =
+            if (f.isDirectory) f.listFiles.foreach(walk)
+            else if (f.getName.endsWith(".parquet")) b += f.getAbsolutePath
+          walk(new java.io.File(root))
+          b.result()
+        }
+        val table = Fixtures.dir("q225", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          IcebergWriter.writeAppend(s,
+            base.select($"id", concat(lit("doc-"), $"rn0").as("text"),
+              ($"id" % 3).as("b")), t, partitionBy = Seq("b"))
+          val preDelete = walkParquet(s"$t/data")
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/dataset.txt"),
+            preDelete.sorted.mkString("\n").getBytes("UTF-8"))
+          // id%6=0 keys all live in partition 0 — keys carry b, so the
+          // delete scopes there and partitions 1/2 can prune it
+          IcebergWriter.writeEqualityDelete(s, t,
+            base.filter($"id" % 6 === 0)
+              .select($"id", ($"id" % 3).as("b")))
+          // the delete's file set = what the commit added under data/
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/delfiles.txt"),
+            (walkParquet(s"$t/data").toSet -- preDelete).toSeq.sorted
+              .mkString("\n").getBytes("UTF-8"))
+          // re-insert HALF the killed keys after the delete
+          IcebergWriter.writeAppend(s,
+            base.filter($"id" % 6 === 0 && $"rn0" % 2 === 0)
+              .select($"id", concat(lit("re-"), $"rn0").as("text"),
+                ($"id" % 3).as("b")), t)
+        }
+        def slurp(f: String): Seq[String] =
+          new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(f)), "UTF-8")
+            .split("\n").toSeq.filter(_.nonEmpty)
+        val before = slurp(s"$table/dataset.txt")
+        val delFiles = slurp(s"$table/delfiles.txt")
+        val untouched = before.toSet
+          .subsetOf(walkParquet(s"$table/table/data").toSet)
+        val scoped = delFiles.nonEmpty &&
+          delFiles.forall(_.contains("p__b=0"))
+        IcebergTable.read(s, s"$table/table")
+          .select($"id", $"text", $"b", lit(untouched).as("untouched"),
+            lit(scoped).as("scoped"))
+          .orderBy($"id", $"text")
+      }),
+
+    // -------- Iceberg EQUALITY delete on a PARTITIONED table (GLOBAL)
+    // The other spec-legal route: keys that DON'T derive the partition
+    // (delete by id on an identity(b) table) write one GLOBAL delete
+    // file under an UNPARTITIONED spec the commit registers alongside
+    // the default (default-spec-id untouched) — pinned via the
+    // metadata's spec list, with the kill applying in EVERY partition.
+    Q("q226_iceberg_global_eq_delete", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT o_orderkey AS id, 'doc-' || CAST(rn0 AS VARCHAR) AS text,
+             o_orderkey % 3 AS b, 2 AS n_specs, 0 AS default_spec
+      FROM o WHERE o_orderkey % 7 <> 2
+      ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{IcebergTable, IcebergWriter}
+        import org.json4s.jackson.{JsonMethods => JM}
+        val table = Fixtures.dir("q226", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          IcebergWriter.writeAppend(s,
+            base.select($"id", concat(lit("doc-"), $"rn0").as("text"),
+              ($"id" % 3).as("b")), t, partitionBy = Seq("b"))
+          IcebergWriter.writeEqualityDelete(s, t,
+            base.filter($"id" % 7 === 2).select($"id"))
+        }
+        implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+        val metaDir = new java.io.File(s"$table/table/metadata")
+        val latest = metaDir.listFiles.map(_.getName)
+          .filter(n => n.startsWith("v") && n.endsWith(".metadata.json"))
+          .maxBy(_.stripPrefix("v").stripSuffix(".metadata.json").toLong)
+        val mj = JM.parse(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$table/table/metadata/$latest")),
+          "UTF-8"))
+        val nSpecs = (mj \ "partition-specs")
+          .extract[Seq[org.json4s.JValue]].size
+        val defSpec = (mj \ "default-spec-id").extract[Int]
+        IcebergTable.read(s, s"$table/table")
+          .select($"id", $"text", $"b", lit(nSpecs).as("n_specs"),
+            lit(defSpec).as("default_spec"))
+          .orderBy($"id")
+      }),
+
     // ------------------------------------------------------- HF tokenizer.json encode
     // A hand-authored tokenizer.json (the huggingface/tokenizers file
     // format, byte-level BPE) over planted "ab"*k words: greedy merge

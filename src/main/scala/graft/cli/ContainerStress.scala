@@ -587,6 +587,48 @@ object ContainerStress {
       f"in $tEq%.2f s (snapshot $sEq — zero data scan; table built " +
       f"$tEqW%.2f s), read-side apply scan $tEqRead%.2f s")
 
+    // ---- r17: PARTITIONED equality delete — the same O(keys) kill on
+    // the layout 100 TB corpora actually use: the keys carry the
+    // partition source column, so the delete files land PARTITION-
+    // SCOPED (one per touched tuple, prunable everywhere else) and NO
+    // data file is touched anywhere. The arm FAILS if a delete file
+    // lands outside the touched partition or any data file changes.
+    val pIceEq = s"$morRoot/piceberg-eq"
+    val (_, tPeW) = time(
+      IcebergWriter.writeAppend(spark, pData, pIceEq,
+        partitionBy = Seq("p")))
+    def walkParquet(root: String): Set[String] = {
+      val b = Set.newBuilder[String]
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) f.listFiles.foreach(walk)
+        else if (f.getName.endsWith(".parquet")) b += f.getAbsolutePath
+      walk(new java.io.File(root))
+      b.result()
+    }
+    val preEq = walkParquet(s"$pIceEq/data")
+    // keys confined to partition p=3 (id % 160 == 3 implies id % 16 == 3)
+    val eqKeys = pData.filter($"id" % 160 === 3).select($"id", $"p")
+    val nScopedKeys = eqKeys.count()
+    val (sPeq, tPeq) = time(
+      IcebergWriter.writeEqualityDelete(spark, pIceEq, eqKeys))
+    val postEq = walkParquet(s"$pIceEq/data")
+    val newEqFiles = postEq -- preEq
+    require(newEqFiles.nonEmpty && newEqFiles.forall(_.contains("p__p=3")),
+      s"[stress] scoped eq-delete leaked outside its partition: " +
+        s"${newEqFiles.filterNot(_.contains("p__p=3")).take(3)}")
+    require(preEq.subsetOf(postEq),
+      "[stress] eq-delete rewrote a data file — the commit must be " +
+        "additive (delete files only)")
+    val (peAgg, tPeRead) = time(stateOf(
+      graft.sources.IcebergTable.read(spark, pIceEq)))
+    require(peAgg.getLong(0) == n - nScopedKeys,
+      s"[stress] partitioned eq-delete survivors ${peAgg.getLong(0)} != " +
+        s"${n - nScopedKeys}")
+    println(f"[stress] iceberg-part-eq-delete: $nScopedKeys keys killed in " +
+      f"1 of 16 partitions in $tPeq%.2f s (snapshot $sPeq; table built " +
+      f"$tPeW%.2f s) — delete files partition-scoped, zero data files " +
+      f"touched; survivor scan $tPeRead%.2f s")
+
     spark.stop()
   }
 }

@@ -562,6 +562,17 @@ object IcebergTable {
           }
         }.toMap.filter(_._2.nonEmpty)
 
+    // spec-ids whose field list is EMPTY (an unpartitioned spec
+    // registered alongside a partitioned default — the global
+    // equality-delete shape): entries under them are table-wide by
+    // definition, whatever their rendered struct says
+    val emptySpecs: Set[Int] =
+      (meta \ "partition-specs").extractOpt[Seq[JValue]].getOrElse(Nil)
+        .flatMap { sp =>
+          (sp \ "spec-id").extractOpt[Int].filter(_ =>
+            (sp \ "fields").extractOpt[Seq[JValue]].forall(_.isEmpty))
+        }.toSet
+
     // the schema HISTORY: ids that ever carried a different name mark a
     // rename — the one case name-based parquet reads would silently
     // null a column, switching assemble to field-id resolution
@@ -769,7 +780,14 @@ object IcebergTable {
                 "sequence_number — v2 requires explicit sequences on " +
                 "EXISTING entries")
           else mSeq
-        val partJson = if (r.isNullAt(8)) None
+        // whether an entry is table-wide is the entry's SPEC's call,
+        // not the rendered struct's: manifests with different writer
+        // schemas union for the one-fan-out read, so an entry written
+        // under an UNPARTITIONED spec picks up the other spec's fields
+        // as nulls and would render a spurious non-empty scope — a
+        // global equality delete would then silently match nothing
+        val partJson =
+          if (r.isNullAt(8) || emptySpecs(mSpec)) None
           else Some(r.getString(8)).filter(j => j.nonEmpty && j != "{}")
         Entry(status, r.getInt(1), r.getString(2), r.getString(3),
           r.getBoolean(4), inherited,

@@ -3374,9 +3374,25 @@ object IcebergWriter {
     * — the shape for "remove these ids from 100 TB", where the
     * positional path would first have to locate every matching row.
     * Null keys match null-safely (the spec's eq semantics), duplicate
-    * key rows deduplicate. Unpartitioned flat-schema v2 tables (a
-    * GLOBAL eq file on a partitioned table needs an unpartitioned spec
-    * this writer does not register); an empty key set is a no-op.
+    * key rows deduplicate; an empty key set is a no-op. Flat-schema v2
+    * tables. PARTITIONED tables take one of two spec-legal routes:
+    *
+    *  - when the key columns COVER every partition field's source
+    *    column (deleting by `id` on a bucket(id)-partitioned table, or
+    *    by (category, id) on an identity(category) one), the key frame
+    *    writes PARTITION-SCOPED: one delete file per touched partition
+    *    tuple, its manifest entry carrying the partition struct, so
+    *    scan planners skip the delete file everywhere outside its
+    *    partition — the pruning that matters when the corpus is 100 TB
+    *    and the kill list names three partitions;
+    *  - otherwise a GLOBAL delete file lands under an UNPARTITIONED
+    *    spec, registered alongside the default on first use (the
+    *    default-spec-id is untouched) — the spec's route for a delete
+    *    whose scope cannot be derived from the keys. Active data files
+    *    under a NON-default spec also force this route: a scoped
+    *    delete under the default spec would never match their scope
+    *    string (silent under-deletion).
+    *
     * Returns the new snapshot id. */
   def writeEqualityDelete(spark: SparkSession, table: String,
       keys: DataFrame): Long = {
@@ -3392,13 +3408,6 @@ object IcebergWriter {
     val currentId = (meta \ "current-snapshot-id").extractOpt[Long]
       .filter(_ != -1L).getOrElse(throw UnsupportedWrite(
         s"$table: no current snapshot — nothing to delete from"))
-    if ((meta \ "partition-specs").extractOpt[Seq[JValue]].getOrElse(Nil)
-      .exists(sp => (sp \ "fields").extractOpt[Seq[JValue]]
-        .exists(_.nonEmpty)))
-      throw UnsupportedWrite(
-        s"$table: equality deletes on a PARTITIONED table are not " +
-          "implemented (a global delete file needs an unpartitioned " +
-          "spec this writer does not register)")
     val schemaNode = IcebergTable.currentSchemaJson(meta)
     val schema = IcebergTable.structOf(schemaNode)
     if (keys.columns.isEmpty) throw UnsupportedWrite(
@@ -3412,6 +3421,47 @@ object IcebergWriter {
       idByName.getOrElse(c, throw UnsupportedWrite(
         s"$table: no field id for equality key '$c'"))
     }
+    // ------------------------------------------- partitioned-table routing
+    val specs = (meta \ "partition-specs").extractOpt[Seq[JValue]]
+      .getOrElse(Nil)
+    val defSpecId = (meta \ "default-spec-id").extractOpt[Int].getOrElse(0)
+    val defSpec = specs.find(sp =>
+      (sp \ "spec-id").extractOpt[Int].contains(defSpecId))
+    if (specs.nonEmpty && defSpec.isEmpty) throw UnsupportedWrite(
+      s"$table: default-spec-id $defSpecId is not in partition-specs")
+    val specFieldsJ = defSpec.toSeq.flatMap(sp =>
+      (sp \ "fields").extractOpt[Seq[JValue]].getOrElse(Nil))
+    val partitioned = specFieldsJ.nonEmpty
+    val nameById = idByName.map(_.swap)
+    // the scoped route needs every partition field DERIVABLE from the
+    // key columns: a resolvable source column that IS a key, through a
+    // transform this writer computes (the same PartField family the
+    // data-file writer uses — equal inputs produce equal dir tuples,
+    // so the delete scope string matches the data file's by
+    // construction)
+    val partsOpt: Option[Seq[PartField]] =
+      if (!partitioned) Some(Nil)
+      else {
+        val resolved = specFieldsJ.map { f =>
+          for {
+            n <- (f \ "name").extractOpt[String]
+            t <- (f \ "transform").extractOpt[String]
+            src <- (f \ "source-id").extractOpt[Int].flatMap(nameById.get)
+            if keys.columns.contains(src)
+            pf = PartField(n, src, t)
+            if scala.util.Try(pf.valueCol(schema)).isSuccess
+          } yield pf
+        }
+        if (resolved.forall(_.isDefined)) Some(resolved.flatten) else None
+      }
+    val scoped = partitioned && partsOpt.exists(_.nonEmpty) && {
+      // every active data file must sit under the DEFAULT spec — a
+      // scoped delete never matches a foreign spec's scope string
+      val scopes = IcebergTable.activeDataScopes(spark, table)
+      scopes.forall { case (_, sc) =>
+        sc.nonEmpty && sc.takeWhile(_ != ':') == defSpecId.toString }
+    }
+    val parts: Seq[PartField] = if (scoped) partsOpt.get else Nil
     // ONE materialization of the caller's key plan (tmp parquet under
     // metadata/, outside any scan root): the null-cast guard and the
     // committed delete file must see the SAME rows — a
@@ -3421,7 +3471,7 @@ object IcebergWriter {
     // null rows. The key frame is O(keys) by design, so the extra
     // write is small.
     val tmpDir = s"$base/metadata/_tmp_eqdel_${java.util.UUID.randomUUID()}"
-    val (delFiles, counts) = try {
+    val written: Seq[((String, String, Long), Long, Seq[Any])] = try {
       keys.write.mode("overwrite").parquet(tmpDir)
       val matKeys = readTmpFiles(spark, tmpDir, conf)
       // typed to the table's own column types, deduplicated — two equal
@@ -3462,16 +3512,58 @@ object IcebergWriter {
           else casted.as(c, new org.apache.spark.sql.types.MetadataBuilder()
             .putLong("parquet.field.id", id.toLong).build())
       }: _*).distinct()
-      val df = writeData(src, base, Nil, "data", conf)
-      (df, rowCounts(df.map(_._2), conf))
+      // scoped: grouped by the computed partition-transform values, one
+      // delete file per touched tuple (src already carries its field-id
+      // tags, so no second tagging pass); global/unpartitioned: one
+      // unscoped file set
+      val filesWithTuple: Seq[((String, String, Long), Seq[Any])] =
+        if (scoped)
+          writeIdentityPartitioned(spark, src, base, parts, table, fs, conf)
+        else writeData(src, base, Nil, "data", conf).map(f => (f, Nil))
+      val cts = rowCounts(filesWithTuple.map(_._1._2), conf)
+      filesWithTuple.zip(cts).map { case ((f, t), n) => (f, n, t) }
     } finally fs.delete(new Path(tmpDir), true)
-    if (counts.sum == 0) { // empty key set: no-op, no empty snapshot
-      cleanup(fs, delFiles.map(_._2))
+    if (written.map(_._2).sum == 0) { // empty key set: no-op
+      cleanup(fs, written.map(_._1._2))
       return currentId
     }
-    val nonEmpty = delFiles.zip(counts).filter(_._2 > 0)
-    cleanup(fs, delFiles.zip(counts).filter(_._2 == 0).map(_._1._2))
-    val delSpecId = (meta \ "default-spec-id").extractOpt[Int].getOrElse(0)
+    val nonEmpty = written.filter(_._2 > 0)
+    cleanup(fs, written.filter(_._2 == 0).map(_._1._2))
+    // the manifest's spec: the default spec (scoped / unpartitioned
+    // table), or an UNPARTITIONED spec for a global file on a
+    // partitioned table — reused when one is already registered,
+    // registered fresh (spec-id max+1, default-spec-id unchanged)
+    // otherwise, in the same commit as the delete snapshot
+    var carried = st.carried
+    val (manSpecId, manSpecJson, partStructFields, partFieldIds) =
+      if (!partitioned) (defSpecId, "[]", Nil, Nil)
+      else if (scoped) {
+        val sfJson = JsonMethods.compact(JsonMethods.render(
+          defSpec.get \ "fields"))
+        val psf = parts.map(pf =>
+          StructField(pf.name, pf.valueType(schema), nullable = true))
+        val pids = specFieldsJ.zipWithIndex.map { case (f, i) =>
+          (f \ "field-id").extractOpt[Int].getOrElse(1000 + i) }
+        (defSpecId, sfJson, psf, pids)
+      } else specs.find(sp =>
+        (sp \ "fields").extractOpt[Seq[JValue]].exists(_.isEmpty)) match {
+        case Some(sp) => ((sp \ "spec-id").extract[Int], "[]", Nil, Nil)
+        case None =>
+          val newId = specs.flatMap(sp =>
+            (sp \ "spec-id").extractOpt[Int]).max + 1
+          val specsJson = (specs.map(sp =>
+            JsonMethods.compact(JsonMethods.render(sp))) :+
+            s"""{"spec-id": $newId, "fields": []}""").mkString(", ")
+          carried =
+            (if (carried.exists(_._1 == "partition-specs"))
+              carried.map {
+                case ("partition-specs", _) =>
+                  "partition-specs" -> s"[$specsJson]"
+                case kv => kv
+              }
+            else carried :+ ("partition-specs" -> s"[$specsJson]"))
+          (newId, "[]", Nil, Nil)
+      }
     val newSeq = st.lastSeq + 1
     val snapId = (st.snapshots.flatMap(sn =>
       (sn \ "snapshot-id").extractOpt[Long]) :+ 0L).max + 1
@@ -3479,17 +3571,18 @@ object IcebergWriter {
     val attempt = java.util.UUID.randomUUID().toString
     val manifestPath = s"$base/metadata/m-$attempt.avro"
     AvroOcf.write(manifestPath,
-      manifestAvroSchema(Nil, withEqualityIds = true),
-      nonEmpty.map { case ((_, abs, size), n) =>
+      manifestAvroSchema(partStructFields, partFieldIds,
+        withEqualityIds = true),
+      nonEmpty.map { case ((_, abs, size), n, t) =>
         // content 2: equality deletes; the trailing cell is the ids list
-        Seq(1, newSeq, Seq(2, abs, "PARQUET", Seq(), n, size) ++
+        Seq(1, newSeq, Seq(2, abs, "PARQUET", t, n, size) ++
           noStatsCells ++ Seq(eqIds))
       }, conf = conf,
-      meta = manifestMeta(schemaJson, "[]", delSpecId, "deletes"))
+      meta = manifestMeta(schemaJson, manSpecJson, manSpecId, "deletes"))
     commitSnapshot(fs, conf, base, table, snapId, newSeq, ts, "delete",
       Seq(NewManifest(manifestPath, 1, nonEmpty.size,
         nonEmpty.map(_._2).sum)),
-      attempt, delSpecId, st.carried, st.snapshots,
+      attempt, manSpecId, carried, st.snapshots,
       st.priorManifests, st.metaVersion, nonEmpty.map(_._1._2))
     snapId
   }

@@ -2254,14 +2254,7 @@ class TableWritersSpec extends SparkSpec {
       .select($"id", $"lang").as[(Long, Option[String])].collect().toSeq ==
       Seq((1L, Some("en")), (2L, Some("de"))),
       "only the null-lang row for id 2 dies (null-safe match)")
-    // directed: partitioned table, unknown key column
-    val pt = tmp()
-    IcebergWriter.writeAppend(spark,
-      Seq((1L, "x", 0L)).toDF("id", "text", "b"), pt,
-      partitionBy = Seq("b"))
-    val eP = intercept[Exception](
-      IcebergWriter.writeEqualityDelete(spark, pt, Seq(1L).toDF("id")))
-    assert(eP.getMessage.contains("PARTITIONED"), eP.getMessage)
+    // directed: unknown key column
     val eC = intercept[Exception](
       IcebergWriter.writeEqualityDelete(spark, t,
         Seq(1L).toDF("nope")))
@@ -2272,6 +2265,95 @@ class TableWritersSpec extends SparkSpec {
       IcebergWriter.writeEqualityDelete(spark, t,
         Seq("34x").toDF("id")))
     assert(eCast.getMessage.contains("cast"), eCast.getMessage)
+  }
+
+  test("iceberg equality deletes on PARTITIONED tables: partition-scoped " +
+    "when the keys cover the spec, global under an unpartitioned spec " +
+    "otherwise") {
+    import org.json4s.jackson.JsonMethods
+    // ---- scoped route: identity(cat), keys (id, cat) cover the spec
+    val t = tmp()
+    IcebergWriter.writeAppend(spark,
+      Seq((1L, "a", "t1"), (2L, "a", "t2"), (3L, "b", "t3"),
+        (4L, "b", "t4"), (5L, "c", "t5")).toDF("id", "cat", "text"),
+      t, partitionBy = Seq("cat"))
+    def filesUnder(dir: String): Set[String] = {
+      val d = new java.io.File(dir)
+      if (!d.exists) Set.empty
+      else {
+        val b = Set.newBuilder[String]
+        def walk(f: java.io.File): Unit =
+          if (f.isDirectory) f.listFiles.foreach(walk)
+          else if (f.getName.endsWith(".parquet")) b += f.getAbsolutePath
+        walk(d); b.result()
+      }
+    }
+    val before = filesUnder(s"$t/data")
+    IcebergWriter.writeEqualityDelete(spark, t,
+      Seq((2L, "a"), (3L, "b")).toDF("id", "cat"))
+    assert(IcebergTable.read(spark, t).select($"id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 4L, 5L),
+      "scoped equality delete kills across two partitions")
+    // the delete files are PARTITION-SCOPED: they land one per touched
+    // tuple, and the untouched partition gets none
+    val delFiles = filesUnder(s"$t/data") -- before
+    assert(delFiles.size == 2 &&
+      delFiles.exists(_.contains("=a")) && delFiles.exists(_.contains("=b")) &&
+      !delFiles.exists(_.contains("=c")),
+      s"one scoped delete file per touched partition: $delFiles")
+    // re-insert after the delete survives (sequence rule, scoped case)
+    IcebergWriter.writeAppend(spark,
+      Seq((2L, "a", "re")).toDF("id", "cat", "text"), t)
+    assert(IcebergTable.read(spark, t).filter($"id" === 2L)
+      .select($"text").as[String].collect().toSeq == Seq("re"))
+    // ---- scoped route through a TRANSFORM: bucket(3, id), keys (id)
+    val tb = tmp()
+    IcebergWriter.writeAppend(spark,
+      (1L to 30L).map(i => (i, s"t$i")).toDF("id", "text"), tb,
+      partitionBy = Seq("bucket(3, id)"))
+    IcebergWriter.writeEqualityDelete(spark, tb,
+      (1L to 30L).filter(_ % 5 == 0).toDF("id"))
+    assert(IcebergTable.read(spark, tb).select($"id").as[Long]
+      .collect().sorted.toSeq == (1L to 30L).filterNot(_ % 5 == 0),
+      "keys derive the bucket tuple — the scoped route handles transforms")
+    // ---- global route: identity(cat) but keys (id) only
+    val tg = tmp()
+    IcebergWriter.writeAppend(spark,
+      Seq((1L, "a", "t1"), (2L, "a", "t2"), (3L, "b", "t3"),
+        (4L, "c", "t4")).toDF("id", "cat", "text"),
+      tg, partitionBy = Seq("cat"))
+    IcebergWriter.writeEqualityDelete(spark, tg, Seq(2L, 4L).toDF("id"))
+    assert(IcebergTable.read(spark, tg).select($"id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L),
+      "a global delete applies across every partition")
+    // the commit registered an UNPARTITIONED spec alongside the default
+    // — default-spec-id untouched
+    val metaDir = new java.io.File(s"$tg/metadata")
+    val latest = metaDir.listFiles.map(_.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".metadata.json"))
+      .maxBy(n => n.stripPrefix("v").stripSuffix(".metadata.json").toLong)
+    val mj = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tg/metadata/$latest"))))
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val specList = (mj \ "partition-specs").extract[Seq[org.json4s.JValue]]
+    assert(specList.size == 2, s"unpartitioned spec registered: $specList")
+    assert(specList.exists(sp =>
+      (sp \ "fields").extract[Seq[org.json4s.JValue]].isEmpty &&
+        (sp \ "spec-id").extract[Int] == 1),
+      s"the new spec is empty with id 1: $specList")
+    assert((mj \ "default-spec-id").extract[Int] == 0,
+      "default-spec-id stays on the partitioned spec")
+    // a SECOND global delete reuses the registered spec (no third spec)
+    IcebergWriter.writeEqualityDelete(spark, tg, Seq(3L).toDF("id"))
+    val latest2 = metaDir.listFiles.map(_.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".metadata.json"))
+      .maxBy(n => n.stripPrefix("v").stripSuffix(".metadata.json").toLong)
+    val mj2 = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tg/metadata/$latest2"))))
+    assert((mj2 \ "partition-specs").extract[Seq[org.json4s.JValue]]
+      .size == 2, "the unpartitioned spec is reused, not duplicated")
+    assert(IcebergTable.read(spark, tg).select($"id").as[Long]
+      .collect().toSeq == Seq(1L))
   }
 
   test("review arms r17: delete files are id-keyed, identifier-boundary " +
