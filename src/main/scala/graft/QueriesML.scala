@@ -3016,6 +3016,254 @@ object QueriesML {
           .orderBy($"id")
       }),
 
+    // ------ Iceberg compaction THROUGH a bucket transform, eq-delete
+    // debt repaid. The maintenance step a bucketed 100 TB corpus needs
+    // after O(keys) kills: rewriteDataFiles re-derives every tuple
+    // through the spec's transform, bakes the equality deletes into the
+    // data, and drops the delete manifests from the active set. Pins:
+    // survivor content, the compacted file count (one per live bucket),
+    // and that every active file is a bucket-dir data file (a live
+    // delete file would break `compacted`).
+    Q("q227_iceberg_bucket_compact", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT o_orderkey AS id, 'doc-' || CAST(rn0 AS VARCHAR) AS text,
+             3 AS n_files, TRUE AS compacted
+      FROM o WHERE o_orderkey % 5 <> 0
+      ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{IcebergTable, IcebergWriter}
+        val table = Fixtures.dir("q227", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          IcebergWriter.writeAppend(s,
+            base.select($"id", concat(lit("doc-"), $"rn0").as("text")), t,
+            partitionBy = Seq("bucket(3, id)"))
+          IcebergWriter.writeEqualityDelete(s, t,
+            base.filter($"id" % 5 === 0).select($"id"))
+          IcebergWriter.rewriteDataFiles(s, t)
+        }
+        val files = IcebergTable.read(s, s"$table/table").inputFiles.toSeq
+        val compacted = files.nonEmpty &&
+          files.forall(_.contains("p__id_bucket="))
+        IcebergTable.read(s, s"$table/table")
+          .select($"id", $"text", lit(files.length).as("n_files"),
+            lit(compacted).as("compacted"))
+          .orderBy($"id")
+      }),
+
+    // ------ Iceberg v3 DV delete on a PARTITIONED table
+    // The v3 twin of q225's layout: matched rows die by Puffin deletion
+    // vector, each DV manifest entry scoped to its referenced data
+    // file's partition tuple. Pins: survivors, zero parquet churn
+    // (`untouched` — a DV delete adds only the Puffin container), and
+    // every DV entry scoping to the ONE touched partition (`scoped`).
+    Q("q228_iceberg_v3_part_dv", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT o_orderkey AS id, 'doc-' || CAST(rn0 AS VARCHAR) AS text,
+             o_orderkey % 3 AS b, TRUE AS untouched, TRUE AS scoped
+      FROM o WHERE o_orderkey % 6 <> 0
+      ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{AvroOcf, IcebergTable, IcebergWriter}
+        def walkParquet(root: String): Set[String] = {
+          val b = Set.newBuilder[String]
+          def walk(f: java.io.File): Unit =
+            if (f.isDirectory) f.listFiles.foreach(walk)
+            else if (f.getName.endsWith(".parquet")) b += f.getAbsolutePath
+          walk(new java.io.File(root))
+          b.result()
+        }
+        val table = Fixtures.dir("q228", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          IcebergWriter.writeAppend(s,
+            base.select($"id", concat(lit("doc-"), $"rn0").as("text"),
+              ($"id" % 3).as("b")), t, partitionBy = Seq("b"),
+            formatVersion = 3)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/dataset.txt"),
+            walkParquet(s"$t/data").toSeq.sorted
+              .mkString("\n").getBytes("UTF-8"))
+          // id%6=0 rows all live in partition 0
+          IcebergWriter.writeDelete(s, t, col("id") % 6 === 0)
+        }
+        val before = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$table/dataset.txt")), "UTF-8")
+          .split("\n").toSet.filter(_.nonEmpty)
+        val untouched = walkParquet(s"$table/table/data") == before
+        val delManifest = new java.io.File(s"$table/table/metadata")
+          .listFiles.filter(f =>
+            f.getName.startsWith("m-") && f.getName.endsWith(".avro"))
+          .maxBy(_.lastModified)
+        val dvEntries = AvroOcf.read(s, delManifest.getPath)
+        val scoped = dvEntries
+          .select($"data_file.file_format", $"data_file.partition.b")
+          .collect().forall(r =>
+            r.getString(0) == "PUFFIN" && !r.isNullAt(1) && r.getLong(1) == 0L)
+        IcebergTable.read(s, s"$table/table")
+          .select($"id", $"text", $"b", lit(untouched).as("untouched"),
+            lit(scoped).as("scoped"))
+          .orderBy($"id")
+      }),
+
+    // ------ Delta rowTracking: enablement backfill + UPDATE round trip
+    // setProperties(delta.enableRowTracking) on an EXISTING two-file
+    // table re-commits every file with a contiguous baseRowId range
+    // (the backfill), then an UPDATE preserves the surviving file's
+    // ids verbatim and hands the post-update images the fresh range
+    // past the high-water mark. Pins: per-row stable ids (file
+    // position == rn0 by construction), per-row commit versions
+    // (backfill=2, update=3), and the fresh range's lo/hi/sum.
+    Q("q229_delta_row_tracking", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 60),
+           u AS (SELECT count(*) AS k FROM o
+                 WHERE o_orderkey % 5 = 0 AND rn0 >= 30)
+      SELECT o_orderkey AS id,
+             CASE WHEN o_orderkey % 5 = 0 AND rn0 >= 30
+                  THEN 'u-doc-' || CAST(rn0 AS VARCHAR)
+                  ELSE 'doc-' || CAST(rn0 AS VARCHAR) END AS text,
+             CASE WHEN o_orderkey % 5 = 0 AND rn0 >= 30
+                  THEN NULL ELSE rn0 END AS stable_row_id,
+             CASE WHEN o_orderkey % 5 = 0 AND rn0 >= 30
+                  THEN 3 ELSE 2 END AS rcv,
+             60 AS fresh_lo,
+             60 + (SELECT k FROM u) - 1 AS fresh_hi,
+             (SELECT k FROM u) * 60 +
+               ((SELECT k FROM u) * ((SELECT k FROM u) - 1)) // 2
+               AS fresh_sum
+      FROM o ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{DeltaTable, DeltaWriter}
+        val table = Fixtures.dir("q229", d) { dir =>
+          val base = orderedKeys(s, d, 60)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          // two sorted single-partition files: position == rn0
+          DeltaWriter.writeAppend(s,
+            base.filter($"rn0" < 30)
+              .select($"id", concat(lit("doc-"), $"rn0").as("text"), $"rn0")
+              .repartition(1).sortWithinPartitions("rn0"), t)
+          DeltaWriter.writeAppend(s,
+            base.filter($"rn0" >= 30)
+              .select($"id", concat(lit("doc-"), $"rn0").as("text"), $"rn0")
+              .repartition(1).sortWithinPartitions("rn0"), t)
+          DeltaWriter.setProperties(s, t,
+            Map("delta.enableRowTracking" -> "true"))
+          DeltaWriter.writeUpdate(s, t,
+            col("id") % 5 === 0 && col("rn0") >= 30,
+            Map("text" -> concat(lit("u-"), col("text"))))
+        }
+        val withIds = DeltaTable.readWithRowIds(s, s"$table/table")
+        val fresh = withIds.filter($"_row_commit_version" === 3L)
+          .agg(org.apache.spark.sql.functions.min($"_row_id"),
+            org.apache.spark.sql.functions.max($"_row_id"),
+            org.apache.spark.sql.functions.sum($"_row_id")).head()
+        withIds.select($"id", $"text",
+          when($"_row_commit_version" === 3L, lit(null).cast("long"))
+            .otherwise($"_row_id").as("stable_row_id"),
+          $"_row_commit_version".as("rcv"),
+          lit(fresh.getLong(0)).as("fresh_lo"),
+          lit(fresh.getLong(1)).as("fresh_hi"),
+          lit(fresh.getLong(2)).as("fresh_sum"))
+          .orderBy($"id")
+      }),
+
+    // ------ Delta NESTED columns under column mapping, full row-level
+    // lifecycle: append + UPDATE (struct rebuild) + MERGE + DELETE on a
+    // nested predicate, against a table whose schema maps every
+    // nesting level to physical names/ids. The physical rename is one
+    // CAST per column (struct casts rename positionally) — the data
+    // files store col-b{col-c,col-d} while the reader serves
+    // meta{author,score}.
+    Q("q230_delta_cm_nested", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 60),
+           base AS (SELECT o_orderkey AS id,
+                           'a' || CAST(rn0 % 7 AS VARCHAR) AS author,
+                           rn0 AS score, rn0 % 3 AS n_tags
+                    FROM o),
+           upd AS (SELECT id,
+                          CASE WHEN id % 4 = 0 THEN 'u-' || author
+                               ELSE author END AS author,
+                          CASE WHEN id % 4 = 0 THEN score + 100
+                               ELSE score END AS score,
+                          n_tags
+                   FROM base),
+           merged AS (SELECT * FROM upd
+                      UNION ALL
+                      SELECT o_orderkey + 100000, 'm', rn0, 1
+                      FROM o WHERE rn0 % 10 = 0)
+      SELECT id, author, score, n_tags FROM merged
+      WHERE score <= 140
+      ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{DeltaTable, DeltaWriter}
+        import org.apache.spark.sql.types.{ArrayType, LongType, Metadata,
+          MetadataBuilder, StringType, StructField, StructType}
+        val table = Fixtures.dir("q230", d) { dir =>
+          val t = s"$dir/table"
+          def m(phys: String, id: Int): Metadata = new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", phys)
+            .putLong("delta.columnMapping.id", id.toLong).build()
+          val logical = StructType(Seq(
+            StructField("id", LongType, nullable = true, m("col-a", 1)),
+            StructField("meta", StructType(Seq(
+              StructField("author", StringType, nullable = true,
+                m("col-c", 3)),
+              StructField("score", LongType, nullable = true,
+                m("col-d", 4)))),
+              nullable = true, m("col-b", 2)),
+            StructField("tags", ArrayType(StringType), nullable = true,
+              m("col-e", 5))))
+          val schemaStr = logical.json
+            .replace("\\", "\\\\").replace("\"", "\\\"")
+          new java.io.File(s"$t/_delta_log").mkdirs()
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(
+              s"$t/_delta_log/00000000000000000000.json"),
+            (s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+              s""""readerFeatures":["columnMapping"],""" +
+              s""""writerFeatures":["columnMapping"]}}""" + "\n" +
+              s"""{"metaData":{"id":"m","format":{"provider":"parquet",""" +
+              s""""options":{}},"schemaString":"$schemaStr",""" +
+              s""""partitionColumns":[],"configuration":""" +
+              s"""{"delta.columnMapping.mode":"name",""" +
+              s""""delta.columnMapping.maxColumnId":"5"},""" +
+              s""""createdTime":0}}""").getBytes("UTF-8"))
+          val base = orderedKeys(s, d, 60)
+            .select($"doc_id".as("id"), $"rn0")
+          DeltaWriter.writeAppend(s, base.select($"id",
+            struct(concat(lit("a"), ($"rn0" % 7).cast("string"))
+              .as("author"), $"rn0".as("score")).as("meta"),
+            when($"rn0" % 3 === 0, array().cast("array<string>"))
+              .when($"rn0" % 3 === 1, array(lit("x")))
+              .otherwise(array(lit("x"), lit("y"))).as("tags")), t)
+          DeltaWriter.writeUpdate(s, t, col("id") % 4 === 0,
+            Map("meta" -> struct(
+              concat(lit("u-"), col("meta.author")).as("author"),
+              (col("meta.score") + 100L).as("score"))))
+          DeltaWriter.writeMerge(s, t,
+            base.filter($"rn0" % 10 === 0).select(
+              ($"id" + 100000).as("id"),
+              struct(lit("m").as("author"), $"rn0".as("score")).as("meta"),
+              array(lit("z")).as("tags")), Seq("id"))
+          DeltaWriter.writeDelete(s, t, col("meta.score") > 140L)
+        }
+        DeltaTable.read(s, s"$table/table")
+          .select($"id", $"meta.author".as("author"),
+            $"meta.score".as("score"), size($"tags").as("n_tags"))
+          .orderBy($"id")
+      }),
+
     // ------------------------------------------------------- HF tokenizer.json encode
     // A hand-authored tokenizer.json (the huggingface/tokenizers file
     // format, byte-level BPE) over planted "ab"*k words: greedy merge

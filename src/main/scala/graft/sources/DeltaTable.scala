@@ -74,7 +74,13 @@ object DeltaTable {
   private final case class AddFile(path: String,
       partitionValues: Map[String, String],
       dv: Option[DeletionVector.Descriptor], dataChange: Boolean = true,
-      stats: Option[String] = None)
+      stats: Option[String] = None,
+      // rowTracking: the file's fresh-row-id base and default commit
+      // version (a row's id = baseRowId + its physical position) —
+      // REQUIRED on every re-add of an existing file, or the file's
+      // rows silently change identity
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
 
   /** The table protocol as last declared in the log — carried through
     * replay so the checkpoint writer re-emits it VERBATIM (fabricating
@@ -267,7 +273,9 @@ object DeltaTable {
             .getOrElse(true)
           val stats = (j \ "add" \ "stats").extractOpt[String]
             .filter(_.nonEmpty)
-          files += path -> AddFile(path, pv, dv, dc, stats)
+          files += path -> AddFile(path, pv, dv, dc, stats,
+            (j \ "add" \ "baseRowId").extractOpt[Long],
+            (j \ "add" \ "defaultRowCommitVersion").extractOpt[Long])
         case _ =>
       }
       if (applyRemoves) (j \ "remove") match {
@@ -341,8 +349,11 @@ object DeltaTable {
         val statsCol =
           if (addCols.contains("stats")) col("add.stats")
           else lit(null).cast("string")
+        def rtCol(n: String) =
+          if (addCols.contains(n)) col(s"add.$n") else lit(null).cast("long")
         cp.select(Seq(col("add.path"), col("add.partitionValues")) ++
-            dvSel ++ Seq(statsCol): _*)
+            dvSel ++ Seq(statsCol, rtCol("baseRowId"),
+              rtCol("defaultRowCommitVersion")): _*)
           .filter(col("path").isNotNull).collect().foreach { r =>
             val dv =
               if (r.isNullAt(2)) None
@@ -353,7 +364,10 @@ object DeltaTable {
             files += r.getString(0) -> AddFile(r.getString(0),
               Option(r.getAs[Map[String, String]](1)).getOrElse(Map.empty),
               dv, dataChange = true,
-              stats = Option(r.getString(7)).filter(_.nonEmpty))
+              stats = Option(r.getString(7)).filter(_.nonEmpty),
+              baseRowId = if (r.isNullAt(8)) None else Some(r.getLong(8)),
+              defaultRowCommitVersion =
+                if (r.isNullAt(9)) None else Some(r.getLong(9)))
           }
       }
       if (colsPresent.contains("domainMetadata")) {
@@ -525,6 +539,32 @@ object DeltaTable {
     case o => o
   }
 
+  /** One logical field's PHYSICAL shape for the writers: physical name
+    * at every nesting level, each field tagged with its
+    * `delta.columnMapping.id` as `parquet.field.id` where declared
+    * (lenient — name-mode tables resolve by name, so a missing id is
+    * not an error on the WRITE side). A cast to this type IS the
+    * logical→physical rename, nested levels included: struct casts
+    * rename positionally. */
+  private[sources] def physField(f: StructField): StructField = {
+    def walk(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map { nf =>
+        StructField(physFieldName(nf), walk(nf.dataType), nf.nullable,
+          idMeta(nf))
+      })
+      case ArrayType(et, n) => ArrayType(walk(et), n)
+      case MapType(k, v, n) => MapType(walk(k), walk(v), n)
+      case o => o
+    }
+    def idMeta(nf: StructField) =
+      if (!nf.metadata.contains("delta.columnMapping.id"))
+        org.apache.spark.sql.types.Metadata.empty
+      else new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id",
+          nf.metadata.getLong("delta.columnMapping.id")).build()
+    StructField(physFieldName(f), walk(f.dataType), f.nullable, idMeta(f))
+  }
+
   /** One file's parquet message type — an O(KB) footer read. */
   private def footerSchema(path: String, conf: Configuration)
       : org.apache.parquet.schema.GroupType = {
@@ -614,7 +654,7 @@ object DeltaTable {
   }
 
   /** A physical-named column value rebuilt under its logical names. */
-  private def toLogical(c: Column, phys: DataType,
+  private[sources] def toLogical(c: Column, phys: DataType,
       logical: DataType): Column = (phys, logical) match {
     case _ if !hasStruct(phys) => c
     case (ps: StructType, ls: StructType) =>
@@ -753,6 +793,43 @@ object DeltaTable {
   private[graft] def readWithRowKey(spark: SparkSession,
       table: String): DataFrame =
     assemble(spark, table, replay(spark, table, None)._1, keepRowKey = true)
+
+  /** Read with the protocol's ROW TRACKING identity: `_row_id` = the
+    * row's file's `baseRowId` + its physical position, and
+    * `_row_commit_version` = the file's `defaultRowCommitVersion` —
+    * the fresh/default route (this engine's writers never materialize
+    * row-id COLUMNS; rewritten rows take fresh ids, re-added files
+    * keep theirs). One broadcast (file → base) dimension joined
+    * map-side — O(files) driver metadata, no shuffle. Directed when
+    * the table lacks the feature or an active file misses the fields
+    * (a foreign enablement without backfill — serving ids would
+    * fabricate identity). */
+  def readWithRowIds(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    import spark.implicits._
+    val base = table.stripSuffix("/")
+    val snap = replay(spark, table, None)._1
+    if (!snap.protocol.writerFeatures.contains("rowTracking"))
+      throw UnsupportedDelta(
+        s"$table: the table does not declare the rowTracking feature — " +
+          "row ids do not exist")
+    val dim = snap.files.map { f =>
+      val b = f.baseRowId.getOrElse(throw UnsupportedDelta(
+        s"$table: active file ${f.path} carries no baseRowId — " +
+          "rowTracking was enabled without a backfill"))
+      val v = f.defaultRowCommitVersion.getOrElse(throw UnsupportedDelta(
+        s"$table: active file ${f.path} carries no " +
+          "defaultRowCommitVersion"))
+      (PathUris.canon(resolveAdd(base, f.path)), b, v)
+    }
+    val d = dim.toDF("__rid_path", "__rid_base", "__rid_ver")
+    assemble(spark, table, snap, keepRowKey = true)
+      .join(broadcast(d), col("__row_path") === col("__rid_path"), "left")
+      .withColumn("_row_id", col("__rid_base") + col("__row_pos"))
+      .withColumn("_row_commit_version", col("__rid_ver"))
+      .drop("__rid_path", "__rid_base", "__rid_ver",
+        "__row_path", "__row_pos")
+  }
 
   /** The live rows of ONLY the named data files (canonical absolute
     * paths), existing DVs applied — the copy-on-write rewrite's input:
@@ -1034,7 +1111,10 @@ object DeltaTable {
       files: Seq[(String, Map[String, String],
         Option[DeletionVector.Descriptor], Option[String])],
       protocol: Protocol, domains: Map[String, String],
-      metaRaw: Option[JValue])
+      metaRaw: Option[JValue],
+      // rowTracking fields per RAW add path — what a re-add of an
+      // existing file must carry verbatim
+      fileRowIds: Map[String, (Long, Long)] = Map.empty)
 
   private[graft] def snapshotState(spark: SparkSession,
       table: String): DeltaState = {
@@ -1042,7 +1122,10 @@ object DeltaTable {
     DeltaState(s.version, s.metaId, s.schemaJson, s.partitionColumns,
       s.configuration,
       s.files.map(f => (f.path, f.partitionValues, f.dv, f.stats)),
-      s.protocol, s.domains, s.metaRaw)
+      s.protocol, s.domains, s.metaRaw,
+      s.files.flatMap(f =>
+        for (b <- f.baseRowId; v <- f.defaultRowCommitVersion)
+          yield f.path -> ((b, v))).toMap)
   }
 
   /** True when any commit in (fromExclusive, to] carries a dataChange

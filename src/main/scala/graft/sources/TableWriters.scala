@@ -372,11 +372,17 @@ object DeltaWriter {
     * `matches` rows are (canonical file key, positions); returns the
     * action lines + the new DV files written (the loser of a commit
     * race must clean those up). Shared by DELETE and UPDATE. */
+  /** `rowIds`: None on tables without rowTracking; Some(raw path →
+    * (baseRowId, defaultRowCommitVersion)) when the feature is live —
+    * a re-add MUST then carry its file's fields verbatim (fresh ids on
+    * a surviving file would silently change every row's identity), and
+    * a tracked file missing them is directed. */
   private def dvKillActions(base: String, table: String,
       fs: FileSystem, conf: Configuration,
       fileByKey: Map[String, (String, Map[String, String],
         Option[DeletionVector.Descriptor], Option[String])],
-      matches: Seq[(String, Array[Long])], ts: Long)
+      matches: Seq[(String, Array[Long])], ts: Long,
+      rowIds: Option[Map[String, (Long, Long)]] = None)
       : (Seq[String], Seq[String]) = {
     def resolve(rel: String): String = DeltaTable.resolveAdd(base, rel)
     val lines = Seq.newBuilder[String]
@@ -386,6 +392,16 @@ object DeltaWriter {
         throw UnsupportedWrite(
           s"$table: matched row's file $key is not in the snapshot — " +
             "path spelling drift"))
+      val ridField = rowIds match {
+        case None => ""
+        case Some(m) => m.get(rawPath) match {
+          case Some((b, v)) =>
+            s""","baseRowId":$b,"defaultRowCommitVersion":$v"""
+          case None => throw UnsupportedWrite(
+            s"$table: $rawPath carries no baseRowId on a rowTracking " +
+              "table — re-adding it would change its rows' identity")
+        }
+      }
       val oldPos = oldDv.map(d =>
         DeletionVector.positions(d, base, TaskConf(conf))).getOrElse(
         Array.empty[Long])
@@ -427,7 +443,7 @@ object DeltaWriter {
           .map(s => s""","stats":"${jsonEscape(widen(s))}"""").getOrElse("")
         lines += s"""{"add":{"path":"$rawPath","partitionValues":{$pvs},""" +
           s""""size":$size0,"modificationTime":$ts,"dataChange":true,""" +
-          s""""deletionVector":${dvJson(nd)}$statsField}}"""
+          s""""deletionVector":${dvJson(nd)}$ridField$statsField}}"""
       } // else: every live row died — the remove alone retires the file
     }
     (lines.result(), newDvFiles.result())
@@ -636,24 +652,22 @@ object DeltaWriter {
   }
 
   /** Rename a LOGICAL-schema frame to the table's PHYSICAL column names
-    * (tagging each with its parquet field id) — the shape every data,
-    * rewrite, and cdc file of a column-mapped table must store; a file
-    * written with logical names would read back all-NULL through the
-    * physical read schema. `extra` columns (e.g. `_change_type`) pass
-    * through verbatim: they are not schema columns and carry no
-    * mapping (delta-spark stores them unmapped too). */
+    * (tagging each field with its parquet field id) — the shape every
+    * data, rewrite, and cdc file of a column-mapped table must store; a
+    * file written with logical names would read back all-NULL through
+    * the physical read schema. NESTED levels rename through ONE cast
+    * per column: a struct cast matches fields positionally, so casting
+    * to [[DeltaTable.physField]]'s type relabels every nesting level
+    * (arrays and maps included) without a hand-built nested select.
+    * `extra` columns (e.g. `_change_type`) pass through verbatim: they
+    * are not schema columns and carry no mapping (delta-spark stores
+    * them unmapped too). */
   private def toPhysical(df: DataFrame, schema: StructType,
       extra: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.{col => fcol}
     df.select(schema.fields.toIndexedSeq.map { f =>
-      val md =
-        if (!f.metadata.contains("delta.columnMapping.id"))
-          org.apache.spark.sql.types.Metadata.empty
-        else new org.apache.spark.sql.types.MetadataBuilder()
-          .putLong("parquet.field.id",
-            f.metadata.getLong("delta.columnMapping.id")).build()
-      fcol(s"`${f.name}`").cast(f.dataType)
-        .as(DeltaTable.physFieldName(f), md)
+      val pf = DeltaTable.physField(f)
+      fcol(s"`${f.name}`").cast(pf.dataType).as(pf.name, pf.metadata)
     } ++ extra.map(c => fcol(s"`$c`")): _*)
   }
 
@@ -715,10 +729,6 @@ object DeltaWriter {
         mapped = cfg.get("delta.columnMapping.mode").exists(_ != "none")
         validator = constraintValidator(table, cfg, schemaJson)
         val existing = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-        if (mapped && existing.fields.exists(f => hasNestedNames(f.dataType)))
-          throw UnsupportedWrite(
-            s"$table: appending to a column-mapped table with NESTED " +
-              "fields is not implemented (flat physical renames only)")
         if (sameSchema(existing, df.schema)) (v + 1, existing, pc)
         else if (mapped) throw UnsupportedWrite(
           s"$table: schema evolution on a column-mapped table is not " +
@@ -777,13 +787,17 @@ object DeltaWriter {
           renamed.schema)
       }
     val files = writeData(outDf, base, outPartCols, "", conf,
-      // the read-back of a mapped write carries PHYSICAL names — the
-      // contract expressions are written against logical ones
+      // the read-back of a mapped write carries PHYSICAL names (at
+      // every nesting level) — the contract expressions are written
+      // against logical ones, so rebuild them recursively
       validate = validator.map(v => (back: DataFrame) =>
         v(if (!mapped) back
-          else back.select(schema.fields.toIndexedSeq.map(f =>
-            org.apache.spark.sql.functions.col(
-              s"`${DeltaTable.physFieldName(f)}`").as(f.name)): _*))))
+          else back.select(schema.fields.toIndexedSeq.map { f =>
+            val pf = DeltaTable.physField(f)
+            DeltaTable.toLogical(
+              org.apache.spark.sql.functions.col(s"`${pf.name}`"),
+              pf.dataType, f.dataType).as(f.name)
+          }: _*))))
     val ts = System.currentTimeMillis()
     val dataSchema = org.apache.spark.sql.types.StructType(
       outSchema.filterNot(f => outPartCols.contains(f.name)))
@@ -893,11 +907,13 @@ object DeltaWriter {
     val config = dst.configuration
     val files = dst.files
     val proto = dst.protocol
-    // writer obligations this delete cannot honor are directed, never
-    // silently violated
-    if (proto.writerFeatures.contains("rowTracking")) throw UnsupportedWrite(
-      s"$table: DELETE on a rowTracking table is not implemented " +
-        "(re-added files would lose their baseRowId)")
+    // rowTracking: DV re-adds preserve their file's ids verbatim,
+    // rewritten survivor files take FRESH ids (the protocol's baseline
+    // for data-changing commits — stable-id preservation across
+    // rewrites needs materialized row-id columns)
+    val tracking = proto.writerFeatures.contains("rowTracking")
+    val trackIds: Option[Map[String, (Long, Long)]] =
+      if (tracking) Some(dst.fileRowIds) else None
     // the appendOnly FEATURE being supported is not the same as being
     // enabled — only the table property turns it on (PROTOCOL.md)
     if (config.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
@@ -912,14 +928,10 @@ object DeltaWriter {
     val cdfEnabled = config.get("delta.enableChangeDataFeed")
       .exists(_.equalsIgnoreCase("true"))
     // column-mapped targets: every row-writing shape (rewrite
-    // survivors, cdc) stores PHYSICAL names + field ids — a file
-    // written with logical names would read back all-NULL through the
-    // physical read schema; nested fields stay directed
+    // survivors, cdc) stores PHYSICAL names + field ids at every
+    // nesting level — a file written with logical names would read
+    // back all-NULL through the physical read schema
     val mapped = config.get("delta.columnMapping.mode").exists(_ != "none")
-    if (mapped && schema.fields.exists(f => hasNestedNames(f.dataType)))
-      throw UnsupportedWrite(
-        s"$table: DELETE on a column-mapped table with NESTED fields " +
-          "is not implemented (flat physical renames only)")
     val outPartCols =
       if (!mapped) partCols
       else partCols.map(c => DeltaTable.physFieldName(schema(c)))
@@ -989,7 +1001,7 @@ object DeltaWriter {
       val (dvLines, newDvFiles) = dvKillActions(base, table, fs, conf,
         fileByKey,
         matches.toSeq.map(m =>
-          (m.getString(0), m.getSeq[Long](1).toArray)), ts)
+          (m.getString(0), m.getSeq[Long](1).toArray)), ts, trackIds)
       val allNew = Seq.newBuilder[String]
       allNew ++= newDvFiles
       // the cdc rows derive from the COLLECTED kill set (a semi-join on
@@ -1050,10 +1062,15 @@ object DeltaWriter {
       val sc = statsFieldsWithCounts(dataFiles.map(_._2), rwDataSchema, conf)
       val nonEmpty = dataFiles.zip(sc).filter(_._2._2 > 0)
       cleanup(fs, dataFiles.zip(sc).filter(_._2._2 == 0).map(_._1._2))
-      val adds = nonEmpty.map { case ((rel, _, size), (st, _)) =>
-        val pv = partitionValuesJson(partValues(rel))
-        s"""{"add":{"path":"${pctEncodeRel(rel)}","partitionValues":{$pv},""" +
-          s""""size":$size,"modificationTime":$ts,"dataChange":true$st}}"""
+      // rewritten survivor files take FRESH row ids on a rowTracking
+      // table and the high-water mark advances in the same commit
+      val (rwRid, rwDomain) = rowTrackingFields(table, proto, dst.domains,
+        nonEmpty.map(_._2._2), version + 1)
+      val adds = nonEmpty.zip(rwRid).map {
+        case (((rel, _, size), (st, _)), rid) =>
+          val pv = partitionValuesJson(partValues(rel))
+          s"""{"add":{"path":"${pctEncodeRel(rel)}","partitionValues":{$pv},""" +
+            s""""size":$size,"modificationTime":$ts,"dataChange":true$rid$st}}"""
       }
       val removes = touchedCanon.toSeq.sorted.map { key =>
         val (rawPath, pv, oldDv, _) = fileByKey.getOrElse(key,
@@ -1077,7 +1094,7 @@ object DeltaWriter {
           .filter(coalesce(condition, lit(false))), ts, allNew)
       commit(
         Seq(s"""{"commitInfo":{"timestamp":$ts,"operation":"DELETE"}}""") ++
-          removes ++ adds ++ cdcLines,
+          removes ++ adds ++ cdcLines ++ rwDomain,
         allNew.result())
     }
 
@@ -1115,8 +1132,10 @@ object DeltaWriter {
     * rows, the row-level shapes [[DeltaTable.readCdf]] serves verbatim —
     * an update is never double-reported as delete+insert.
     *
-    * The matched set is materialized ONCE (a temp parquet under the
-    * table) so the DV kill, the rewritten images, and both cdc images
+    * The matched set is materialized ONCE (a temp parquet under
+    * `_delta_log/`, outside every scan root — a crash's droppings
+    * never read as data) so the DV kill, the rewritten images, and
+    * both cdc images
     * all come from the SAME evaluation of a possibly non-deterministic
     * condition. `maxUpdatedRows` caps the driver-side DV position pass,
     * exactly like [[writeDelete]]. Updating a partition column is
@@ -1138,9 +1157,14 @@ object DeltaWriter {
     val config = dst.configuration
     val files = dst.files
     val proto = dst.protocol
-    if (proto.writerFeatures.contains("rowTracking")) throw UnsupportedWrite(
-      s"$table: UPDATE on a rowTracking table is not implemented " +
-        "(re-added files would lose their baseRowId)")
+    // rowTracking: the DV re-adds of surviving files preserve their
+    // baseRowId verbatim, the appended post-update images take FRESH
+    // ids (the protocol's baseline — stable ids across an update need
+    // materialized row-id columns), and the high-water mark advances
+    // in the same commit
+    val tracking = proto.writerFeatures.contains("rowTracking")
+    val trackIds: Option[Map[String, (Long, Long)]] =
+      if (tracking) Some(dst.fileRowIds) else None
     if (config.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
       throw UnsupportedWrite(
         s"$table: the table is append-only — UPDATE is forbidden by its " +
@@ -1150,13 +1174,8 @@ object DeltaWriter {
     // column-mapped targets: the rewritten images and cdc files store
     // PHYSICAL column names + field ids, partition dirs and
     // add.partitionValues keyed physical — the same shape mapped
-    // appends write; nested fields under mapping stay directed (their
-    // physical renames are not flat selects)
+    // appends write, nested levels renamed through toPhysical's cast
     val mapped = config.get("delta.columnMapping.mode").exists(_ != "none")
-    if (mapped && schema.fields.exists(f => hasNestedNames(f.dataType)))
-      throw UnsupportedWrite(
-        s"$table: UPDATE on a column-mapped table with NESTED fields " +
-          "is not implemented (flat physical renames only)")
     set.keys.foreach { k =>
       if (!schema.fieldNames.contains(k)) throw UnsupportedWrite(
         s"$table: SET column '$k' is not in the table schema")
@@ -1174,7 +1193,7 @@ object DeltaWriter {
     // parquet (with their row identity), and everything downstream — the
     // DV positions, the rewritten images, the cdc pre/post images —
     // derives from that same materialized set
-    val tmpDir = s"$base/_tmp_update_${java.util.UUID.randomUUID()}"
+    val tmpDir = s"$base/_delta_log/_tmp_update_${java.util.UUID.randomUUID()}"
     val newFiles = Seq.newBuilder[String]
     try {
       DeltaTable.readWithRowKey(spark, table).filter(condition)
@@ -1229,16 +1248,20 @@ object DeltaWriter {
       // table (readWhere parses them against the physical schema)
       val updDataSchema = org.apache.spark.sql.types.StructType(
         outRewritten.schema.filterNot(f => outPartCols.contains(f.name)))
-      val updStats = statsFields(dataFiles.map(_._2), updDataSchema, conf)
-      val adds = dataFiles.zip(updStats).map { case ((rel, _, size), st) =>
-        val pv = partitionValuesJson(partValues(rel))
-        s"""{"add":{"path":"${pctEncodeRel(rel)}","partitionValues":{$pv},""" +
-          s""""size":$size,"modificationTime":$ts,"dataChange":true$st}}"""
+      val updSc = statsFieldsWithCounts(dataFiles.map(_._2), updDataSchema,
+        conf)
+      val (updRid, updDomain) = rowTrackingFields(table, proto,
+        dst.domains, updSc.map(_._2), version + 1)
+      val adds = dataFiles.zip(updSc).zip(updRid).map {
+        case (((rel, _, size), (st, _)), rid) =>
+          val pv = partitionValuesJson(partValues(rel))
+          s"""{"add":{"path":"${pctEncodeRel(rel)}","partitionValues":{$pv},""" +
+            s""""size":$size,"modificationTime":$ts,"dataChange":true$rid$st}}"""
       }
       val (dvLines, newDvFiles) = dvKillActions(base, table, fs, conf,
         fileByKey,
         posGroups.toSeq.map(m =>
-          (m.getString(0), m.getSeq[Long](1).toArray)), ts)
+          (m.getString(0), m.getSeq[Long](1).toArray)), ts, trackIds)
       newFiles ++= newDvFiles
       val cdcLines =
         if (!cdfEnabled) Nil
@@ -1261,7 +1284,7 @@ object DeltaWriter {
       val lines =
         Seq(s"""{"commitInfo":{"timestamp":$ts,"operation":"UPDATE"}}""") ++
           (if (newDvFiles.nonEmpty) dvProtocolUpgrade(proto) else Nil) ++
-          dvLines ++ adds ++ cdcLines
+          dvLines ++ adds ++ cdcLines ++ updDomain
       val dest = new Path(logPath, f"${version + 1}%020d.json")
       if (!putText(fs, dest, lines.mkString("\n"))) {
         cleanup(fs, newFiles.result())
@@ -1301,8 +1324,11 @@ object DeltaWriter {
     val config = dst.configuration
     val files = dst.files
     val proto = dst.protocol
-    if (proto.writerFeatures.contains("rowTracking")) throw UnsupportedWrite(
-      s"$table: MERGE on a rowTracking table is not implemented")
+    // rowTracking: like UPDATE — kill re-adds preserve, source images
+    // take fresh ids, one high-water-mark advance per commit
+    val tracking = proto.writerFeatures.contains("rowTracking")
+    val trackIds: Option[Map[String, (Long, Long)]] =
+      if (tracking) Some(dst.fileRowIds) else None
     if (config.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
       throw UnsupportedWrite(
         s"$table: the table is append-only — MERGE is forbidden by its " +
@@ -1310,12 +1336,8 @@ object DeltaWriter {
     enforceConstraints(table, config, schemaJson, None)
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     // column-mapped targets: appended data and cdc files store PHYSICAL
-    // names + field ids (see writeUpdate); nested fields stay directed
+    // names + field ids at every nesting level (see writeUpdate)
     val mapped = config.get("delta.columnMapping.mode").exists(_ != "none")
-    if (mapped && schema.fields.exists(f => hasNestedNames(f.dataType)))
-      throw UnsupportedWrite(
-        s"$table: MERGE on a column-mapped table with NESTED fields " +
-          "is not implemented (flat physical renames only)")
     val outPartCols =
       if (!mapped) partCols
       else partCols.map(c => DeltaTable.physFieldName(schema(c)))
@@ -1332,7 +1354,7 @@ object DeltaWriter {
     val fileByKey: Map[String, (String, Map[String, String],
       Option[DeletionVector.Descriptor], Option[String])] =
       files.map(f => PathUris.canon(resolve(f._1)) -> f).toMap
-    val tmpDir = s"$base/_tmp_merge_${java.util.UUID.randomUUID()}"
+    val tmpDir = s"$base/_delta_log/_tmp_merge_${java.util.UUID.randomUUID()}"
     val newFiles = Seq.newBuilder[String]
     try {
       // ONE evaluation of the source plan
@@ -1390,16 +1412,20 @@ object DeltaWriter {
       newFiles ++= dataFiles.map(_._2)
       val mrgDataSchema = org.apache.spark.sql.types.StructType(
         outSrc.schema.filterNot(f => outPartCols.contains(f.name)))
-      val mrgStats = statsFields(dataFiles.map(_._2), mrgDataSchema, conf)
-      val adds = dataFiles.zip(mrgStats).map { case ((rel, _, size), st) =>
-        val pv = partitionValuesJson(partValues(rel))
-        s"""{"add":{"path":"${pctEncodeRel(rel)}","partitionValues":{$pv},""" +
-          s""""size":$size,"modificationTime":$ts,"dataChange":true$st}}"""
+      val mrgSc = statsFieldsWithCounts(dataFiles.map(_._2), mrgDataSchema,
+        conf)
+      val (mrgRid, mrgDomain) = rowTrackingFields(table, proto,
+        dst.domains, mrgSc.map(_._2), version + 1)
+      val adds = dataFiles.zip(mrgSc).zip(mrgRid).map {
+        case (((rel, _, size), (st, _)), rid) =>
+          val pv = partitionValuesJson(partValues(rel))
+          s"""{"add":{"path":"${pctEncodeRel(rel)}","partitionValues":{$pv},""" +
+            s""""size":$size,"modificationTime":$ts,"dataChange":true$rid$st}}"""
       }
       val (dvLines, newDvFiles) = dvKillActions(base, table, fs, conf,
         fileByKey,
         posGroups.toSeq.map(m =>
-          (m.getString(0), m.getSeq[Long](1).toArray)), ts)
+          (m.getString(0), m.getSeq[Long](1).toArray)), ts, trackIds)
       newFiles ++= newDvFiles
       val cdcLines =
         if (!cdfEnabled) Nil
@@ -1436,7 +1462,7 @@ object DeltaWriter {
       val lines =
         Seq(s"""{"commitInfo":{"timestamp":$ts,"operation":"MERGE"}}""") ++
           (if (newDvFiles.nonEmpty) dvProtocolUpgrade(proto) else Nil) ++
-          dvLines ++ adds ++ cdcLines
+          dvLines ++ adds ++ cdcLines ++ mrgDomain
       val dest = new Path(logPath, f"${version + 1}%020d.json")
       if (!putText(fs, dest, lines.mkString("\n"))) {
         cleanup(fs, newFiles.result())
@@ -1477,10 +1503,6 @@ object DeltaWriter {
           "table's data files store logical names, and a rename would " +
           "orphan the stored column")
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    if (schema.fields.exists(f => hasNestedNames(f.dataType)))
-      throw UnsupportedWrite(
-        s"$table: RENAME COLUMN on a table with NESTED fields is not " +
-          "implemented")
     val field = schema.fields.find(_.name == oldName).getOrElse(
       throw UnsupportedWrite(s"$table: column '$oldName' does not exist"))
     if (!field.metadata.contains("delta.columnMapping.physicalName"))
@@ -1536,10 +1558,6 @@ object DeltaWriter {
           "reader would re-surface the stored column under a later " +
           "same-name add")
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    if (schema.fields.exists(f => hasNestedNames(f.dataType)))
-      throw UnsupportedWrite(
-        s"$table: DROP COLUMN on a table with NESTED fields is not " +
-          "implemented")
     if (!schema.fieldNames.contains(name))
       throw UnsupportedWrite(s"$table: column '$name' does not exist")
     if (partCols.contains(name)) throw UnsupportedWrite(
@@ -1587,10 +1605,12 @@ object DeltaWriter {
       .foreach(k => throw UnsupportedWrite(
         s"$table: changing '$k' is a column-mapping MIGRATION (existing " +
           "files carry no physical names/ids) — not a property flip"))
-    if (set.get("delta.enableRowTracking").exists(_.equalsIgnoreCase("true")))
-      throw UnsupportedWrite(
-        s"$table: enabling rowTracking on an existing table needs row-id " +
-          "materialization for existing rows — not implemented")
+    // delta.enableRowTracking=true on an existing table is the BACKFILL
+    // commit, handled below: every existing data file re-commits with a
+    // baseRowId carved from the new high-water mark
+    val wantRowTracking = set.get("delta.enableRowTracking")
+      .exists(_.equalsIgnoreCase("true")) &&
+      !dst.protocol.writerFeatures.contains("rowTracking")
     val nextCfg = (dst.configuration ++ set) -- unset
     // a NEW (or REPLACED — value compare, not key) CHECK constraint must
     // already hold on the table's rows; validation runs the new
@@ -1617,6 +1637,78 @@ object DeltaWriter {
     val needFeatures =
       (if (wantCdf) Seq("changeDataFeed") else Nil) ++
         (if (newChecks.nonEmpty) Seq("checkConstraints") else Nil)
+    if (wantRowTracking) {
+      // --- the rowTracking BACKFILL commit: protocol gains
+      // rowTracking + domainMetadata (writer v7, legacy obligations
+      // enumerated so no contract silently vanishes), EVERY existing
+      // data file re-commits dataChange=false with a fresh contiguous
+      // baseRowId range (a row's id = base + its physical position —
+      // DV'd positions still consume ids, so counts come from the
+      // parquet FOOTERS, not the stats' live-row view... numRecords is
+      // physical too, but a foreign add may omit stats entirely), and
+      // the domain records the new high-water mark. One commit: no
+      // reader ever sees the feature without the backfilled ids.
+      val ts = System.currentTimeMillis()
+      val version = dst.version
+      val p = dst.protocol
+      val legacyWriter =
+        if (p.minWriterVersion >= 7) Nil
+        else Seq(
+          ((p.minWriterVersion >= 2), Seq("appendOnly", "invariants")),
+          ((p.minWriterVersion >= 3), Seq("checkConstraints")),
+          ((p.minWriterVersion >= 4),
+            Seq("changeDataFeed", "generatedColumns")),
+          ((p.minWriterVersion >= 6), Seq("identityColumns")))
+          .collect { case (true, fsq) => fsq }.flatten
+      val wf = (p.writerFeatures ++ legacyWriter ++ needFeatures ++
+        Seq("rowTracking", "domainMetadata")).distinct
+      val rf =
+        if (p.minReaderVersion < 3) ""
+        else s""""readerFeatures":[${p.readerFeatures
+          .map(f => s""""$f"""").mkString(",")}],"""
+      val protoLine =
+        s"""{"protocol":{"minReaderVersion":${p.minReaderVersion},""" +
+          s""""minWriterVersion":7,$rf"writerFeatures":[${wf
+            .map(f => s""""$f"""").mkString(",")}]}}"""
+      def resolve(rel: String): String = DeltaTable.resolveAdd(base, rel)
+      val counts = rowCounts(dst.files.map(f => resolve(f._1)), conf)
+      var hwm = dst.domains.get("delta.rowTracking").flatMap { cfg =>
+        try (JsonMethods.parse(cfg) \ "rowIdHighWaterMark").extractOpt[Long]
+        catch { case _: Exception => None }
+      }.getOrElse(-1L)
+      val adds = dst.files.zip(counts).map {
+        case ((rel, pv, dvOpt, stats), n) =>
+          val b = hwm + 1
+          hwm += n
+          val pvs = partitionValuesJson(pv)
+          val dvJ = dvOpt.map(d2 =>
+            s""","deletionVector":${dvJson(d2)}""").getOrElse("")
+          val stJ = stats.map(s2 =>
+            s""","stats":"${jsonEscape(s2)}"""").getOrElse("")
+          val size = fs.getFileStatus(new Path(resolve(rel))).getLen
+          s"""{"add":{"path":"$rel","partitionValues":{$pvs},""" +
+            s""""size":$size,"modificationTime":$ts,"dataChange":false,""" +
+            s""""baseRowId":$b,"defaultRowCommitVersion":${version + 1}""" +
+            s"""$dvJ$stJ}}"""
+      }
+      val domainLine =
+        if (hwm < 0) Nil
+        else Seq(
+          s"""{"domainMetadata":{"domain":"delta.rowTracking",""" +
+            s""""configuration":"{\\"rowIdHighWaterMark\\":$hwm}",""" +
+            s""""removed":false}}""")
+      val lines = Seq(
+        s"""{"commitInfo":{"timestamp":$ts,"operation":"SET TBLPROPERTIES"}}""",
+        protoLine,
+        metaDataActionJson(dst.metaRaw, dst.metaId, dst.schemaJson,
+          dst.partitionColumns, nextCfg)) ++ adds ++ domainLine
+      val dest = new Path(logPath, f"${version + 1}%020d.json")
+      if (!putText(fs, dest, lines.mkString("\n")))
+        throw CommitConflict(
+          s"$table: version ${version + 1} was committed concurrently — " +
+            "re-read the table and retry the enablement")
+      return version + 1
+    }
     val protoLines =
       if (needFeatures.isEmpty) Nil
       else if (p.minWriterVersion >= 7) {
@@ -1759,13 +1851,9 @@ object DeltaWriter {
       s"$table: compacting a rowTracking table is not implemented " +
         "(rewritten files would lose their baseRowId)")
     // column-mapped targets: rewritten files store PHYSICAL names +
-    // field ids (nested fields directed, as everywhere under mapping)
+    // field ids at every nesting level
     val cpSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val mapped = config.get("delta.columnMapping.mode").exists(_ != "none")
-    if (mapped && cpSchema.fields.exists(f => hasNestedNames(f.dataType)))
-      throw UnsupportedWrite(
-        s"$table: compacting a column-mapped table with NESTED fields " +
-          "is not implemented (flat physical renames only)")
     def resolve(rel: String): String = DeltaTable.resolveAdd(base, rel)
     // O(files) driver stats pick the targets: per partition tuple, at
     // least two qualifying files, DV'd files always qualify (their debt
@@ -3131,9 +3219,19 @@ object IcebergWriter {
 
   /** The manifest-entry schema for v3 DELETION-VECTOR entries: the
     * data_file record additionally locates one `deletion-vector-v1`
-    * blob inside a Puffin file (spec fields 143–145). */
-  private val dvManifestAvroSchema =
-    """{"type": "record", "name": "manifest_entry", "fields": [
+    * blob inside a Puffin file (spec fields 143–145). `partFields`
+    * carry the table's partition struct so each DV entry scopes to its
+    * referenced data file's partition (scan planners prune it
+    * everywhere else). */
+  private def dvManifestAvroSchema(partFields: Seq[StructField] = Nil,
+      partFieldIds: Seq[Int] = Nil): String = {
+    val pf = partFields.zipWithIndex.map { case (f, i) =>
+      val fid = if (i < partFieldIds.length) partFieldIds(i) else 1000 + i
+      s"""{"name": "${f.name}", "type": ["null",
+          "${partitionAvroType(f.dataType)}"], "default": null,
+          "field-id": $fid}"""
+    }.mkString(", ")
+    s"""{"type": "record", "name": "manifest_entry", "fields": [
          {"name": "status", "type": "int", "field-id": 0},
          {"name": "sequence_number", "type": ["null", "long"],
           "default": null, "field-id": 3},
@@ -3143,7 +3241,7 @@ object IcebergWriter {
              {"name": "file_path", "type": "string", "field-id": 100},
              {"name": "file_format", "type": "string", "field-id": 101},
              {"name": "partition", "type": {"type": "record",
-               "name": "r102", "fields": []}, "field-id": 102},
+               "name": "r102", "fields": [$pf]}, "field-id": 102},
              {"name": "record_count", "type": "long", "field-id": 103},
              {"name": "file_size_in_bytes", "type": "long",
               "field-id": 104},
@@ -3153,6 +3251,7 @@ object IcebergWriter {
               "default": null, "field-id": 144},
              {"name": "content_size_in_bytes", "type": ["null", "long"],
               "default": null, "field-id": 145}]}, "field-id": 2}]}"""
+  }
 
   /** A manifest this commit adds: path, content kind (0 data,
     * 1 deletes), and its entry/row counts for the manifest list. */
@@ -3679,10 +3778,15 @@ object IcebergWriter {
     * spec's `referenced_data_file`/`content_offset`/
     * `content_size_in_bytes` locator, committed as one `delete` snapshot.
     * Like Delta DVs, positions pass the driver grouped per file (capped
-    * at 10M — DVs are the small-delete shape). Directed, never silent: a
-    * matched file that ALREADY carries a DV (v3 allows one per file;
-    * replacing means rewriting the prior delete manifest) and tables
-    * with live v2 positional-delete files (a new DV must merge them). */
+    * at 10M — DVs are the small-delete shape). On a PARTITIONED table
+    * each DV entry carries its referenced data file's own partition
+    * tuple (parsed back from the file's manifest scope), so scan
+    * planners prune the DV everywhere outside that partition; touched
+    * files under a non-default spec are directed. Directed, never
+    * silent: a matched file that ALREADY carries a DV (v3 allows one
+    * per file; replacing means rewriting the prior delete manifest)
+    * and tables with live v2 positional-delete files (a new DV must
+    * merge them). */
   private def writeDeleteV3(spark: SparkSession, table: String,
       base: String, fs: FileSystem, conf: Configuration, st: TableState,
       condition: org.apache.spark.sql.Column,
@@ -3692,19 +3796,32 @@ object IcebergWriter {
     val currentId = (meta \ "current-snapshot-id").extractOpt[Long]
       .filter(_ != -1L).getOrElse(throw UnsupportedWrite(
         s"$table: no current snapshot — nothing to delete from"))
-    if ((meta \ "partition-specs").extractOpt[Seq[JValue]].getOrElse(Nil)
-      .exists(sp => (sp \ "fields").extractOpt[Seq[JValue]]
-        .exists(_.nonEmpty)))
-      throw UnsupportedWrite(
-        s"$table: v3 deletion-vector deletes on a PARTITIONED table are " +
-          "not implemented")
-    val delSpecs = (meta \ "partition-specs").extractOpt[Seq[JValue]]
-      .getOrElse(Nil)
-    val delSpecId = (meta \ "default-spec-id").extractOpt[Int].getOrElse(0)
-    if (delSpecs.nonEmpty && !delSpecs.exists(sp =>
-      (sp \ "spec-id").extractOpt[Int].contains(delSpecId)))
-      throw UnsupportedWrite(
-        s"$table: default-spec-id $delSpecId is not in partition-specs")
+    val schema = IcebergTable.structOf(IcebergTable.currentSchemaJson(meta))
+    val (delSpecId, partStructFields, partFieldIds, _, specFieldsJson) =
+      partitionSpecInfo(table, meta, schema, "v3 DV delete")
+    val partitioned = partStructFields.nonEmpty
+    // each touched file's partition tuple comes from its own manifest
+    // scope string (`specId:partitionJson`) — transform-agnostic
+    val scopeByCanon: Map[String, String] =
+      if (!partitioned) Map.empty
+      else IcebergTable.activeDataScopes(spark, table)
+        .map { case (p, sc) => PathUris.canon(p) -> sc }.toMap
+    def tupleOf(canon: String): Seq[Any] =
+      if (!partitioned) Nil
+      else {
+        val sc = scopeByCanon.getOrElse(canon, "")
+        if (sc.isEmpty) throw UnsupportedWrite(
+          s"$table: touched file $canon carries no partition scope — " +
+            "its DV entry cannot be partition-scoped")
+        val specPart = sc.takeWhile(_ != ':')
+        if (specPart.toIntOption != Some(delSpecId)) throw UnsupportedWrite(
+          s"$table: touched file $canon lives under partition spec " +
+            s"$specPart, not the default spec $delSpecId — a " +
+            "spec-evolved table's old files cannot be scoped by this " +
+            "delete manifest")
+        val jm = JsonMethods.parse(sc.drop(specPart.length + 1))
+        partStructFields.map(sf => jvalueTo(sf.dataType, jm \ sf.name))
+      }
     val (dvRefs, hasPosDeletes, dataPaths) =
       IcebergTable.activeDeleteShapes(spark, table)
     if (hasPosDeletes) throw UnsupportedWrite(
@@ -3758,15 +3875,17 @@ object IcebergWriter {
     val manifestPath = s"$base/metadata/m-$attempt.avro"
     val schemaJson = JsonMethods.compact(JsonMethods.render(
       IcebergTable.currentSchemaJson(meta)))
-    AvroOcf.write(manifestPath, dvManifestAvroSchema,
+    AvroOcf.write(manifestPath,
+      dvManifestAvroSchema(partStructFields, partFieldIds),
       ordered.zip(placed).map { case (m, (off, len)) =>
         val raw = rawByCanon(m.getString(0))
         val card = m.getSeq[Long](1).toArray.distinct.length.toLong
         Seq(1, newSeq,
-          Seq(1, puffinPath, "PUFFIN", Seq(), card, puffinLen, raw,
-            off, len))
+          Seq(1, puffinPath, "PUFFIN", tupleOf(m.getString(0)), card,
+            puffinLen, raw, off, len))
       }, conf = conf,
-      meta = manifestMeta(schemaJson, "[]", delSpecId, "deletes", 3))
+      meta = manifestMeta(schemaJson, specFieldsJson, delSpecId,
+        "deletes", 3))
     val priorNext = (meta \ "next-row-id").extractOpt[Long].getOrElse(0L)
     commitSnapshot(fs, conf, base, table, snapId, newSeq, ts, "delete",
       Seq(NewManifest(manifestPath, 1, ordered.size, total)),
@@ -3816,7 +3935,7 @@ object IcebergWriter {
     if (!sameSchema(schema, source.schema)) throw UnsupportedWrite(
       s"$table: MERGE source schema ${source.schema.simpleString} != " +
         s"table schema ${schema.simpleString}")
-    val tmpDir = s"$base/_tmp_merge_${java.util.UUID.randomUUID()}"
+    val tmpDir = s"$base/metadata/_tmp_merge_${java.util.UUID.randomUUID()}"
     val newFiles = Seq.newBuilder[String]
     try {
       source.select(schema.fields.toIndexedSeq.map(f =>
@@ -3899,8 +4018,9 @@ object IcebergWriter {
     * table spec's row-level-change operation) — a reader can never
     * observe the kill without the rewrite, and the change never splits
     * across two snapshots the way a writeDelete+writeAppend pair would.
-    * The matched set is materialized once (a temp parquet under the
-    * table) so the delete rows and the rewritten images come from the
+    * The matched set is materialized once (a temp parquet under
+    * `metadata/`, outside every scan root) so the delete rows and the
+    * rewritten images come from the
     * SAME evaluation of a possibly non-deterministic condition. On an
     * identity-partitioned table both halves are partition-scoped (kill
     * rows by their data file's own scope, rewritten images one file set
@@ -3933,7 +4053,7 @@ object IcebergWriter {
       if (!schema.fieldNames.contains(k)) throw UnsupportedWrite(
         s"$table: SET column '$k' is not in the table schema")
     }
-    val tmpDir = s"$base/_tmp_update_${java.util.UUID.randomUUID()}"
+    val tmpDir = s"$base/metadata/_tmp_update_${java.util.UUID.randomUUID()}"
     val newFiles = Seq.newBuilder[String]
     try {
       // ONE evaluation of the condition (see the Delta twin)
@@ -4005,7 +4125,12 @@ object IcebergWriter {
     * merge-on-read anti-join tax disappears; prior snapshots' manifest
     * lists are untouched (time travel intact), and the files-mode
     * stream directs on the replace (changelog mode serves the net
-    * diff). Identity-partitioned tables keep their spec; fv3 tables
+    * diff). Partitioned tables keep their spec — through EVERY
+    * transform the append path writes (identity, bucket[N],
+    * truncate[W], year/month/day/hour): rewritten rows re-derive
+    * their tuples with the same PartField expressions, which is how
+    * the merge-on-read debt that equality deletes and bucket merges
+    * build on transform-partitioned tables gets repaid. fv3 tables
     * keep their lineage bookkeeping (no rows added — next-row-id is
     * unchanged). Returns the snapshot id.
     *
@@ -4028,28 +4153,10 @@ object IcebergWriter {
     (meta \ "current-snapshot-id").extractOpt[Long]
       .filter(_ != -1L).getOrElse(throw UnsupportedWrite(
         s"$table: no current snapshot — nothing to compact"))
-    val specs = (meta \ "partition-specs").extractOpt[Seq[JValue]]
-      .getOrElse(Nil)
-    val specId = (meta \ "default-spec-id").extractOpt[Int].getOrElse(0)
-    val spec = specs.find(sp =>
-      (sp \ "spec-id").extractOpt[Int].contains(specId))
-    if (specs.nonEmpty && spec.isEmpty) throw UnsupportedWrite(
-      s"$table: default-spec-id $specId is not in partition-specs")
-    val specFields = spec.toSeq
-      .flatMap(sp => (sp \ "fields").extractOpt[Seq[JValue]].getOrElse(Nil))
-    specFields.foreach { f =>
-      val transform = (f \ "transform").extractOpt[String].getOrElse("")
-      if (transform != "identity") throw UnsupportedWrite(
-        s"$table: compacting through a '$transform' partition transform " +
-          "is not implemented (identity only)")
-    }
-    val partCols = specFields.flatMap(f => (f \ "name").extractOpt[String])
-    val partFieldIds: Seq[Int] = specFields.zipWithIndex.map {
-      case (f, i) => (f \ "field-id").extractOpt[Int].getOrElse(1000 + i)
-    }
     val schemaNode = IcebergTable.currentSchemaJson(meta)
     val schema = IcebergTable.structOf(schemaNode)
-    val partFields = partCols.map(c => schema(c))
+    val (specId, partStructFields, partFieldIds, parts, specFieldsJson) =
+      partitionSpecInfo(table, meta, schema, "compaction")
     // output sizing from the CURRENT data files' stats — O(files)
     val dataPaths = IcebergTable.activeDataPaths(spark, table)
     val totalBytes = dataPaths.map { p =>
@@ -4060,19 +4167,31 @@ object IcebergWriter {
       math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val rows = IcebergTable.read(spark, table)
     zorderBy.foreach { c =>
-      if (partCols.contains(c)) throw UnsupportedWrite(
-        s"$table: z-order column '$c' is a partition column — the " +
-          "directory layout already clusters it")
+      if (parts.exists(pf => pf.transform == "identity" && pf.source == c))
+        throw UnsupportedWrite(
+          s"$table: z-order column '$c' is a partition column — the " +
+            "directory layout already clusters it")
     }
     val packed =
-      if (zorderBy.nonEmpty)
-        graft.operators.ZOrder.cluster(rows, zorderBy, nOut, partCols)
-      else if (partCols.isEmpty) rows.coalesce(nOut)
-      else rows.repartition(nOut, partCols.map(fcol): _*)
+      if (zorderBy.nonEmpty) {
+        // the z-order cluster groups by raw partition columns, which
+        // only identity specs expose as-is
+        if (parts.exists(_.transform != "identity")) throw UnsupportedWrite(
+          s"$table: z-ordered compaction through a non-identity " +
+            "partition transform is not implemented")
+        graft.operators.ZOrder.cluster(rows, zorderBy, nOut,
+          parts.map(_.source))
+      }
+      else if (parts.isEmpty) rows.coalesce(nOut)
+      // shuffle on the TRANSFORM values: rows of one partition tuple
+      // co-locate whatever the transform, so the dynamic-partition
+      // write emits ~one file per (task, tuple) instead of one per
+      // (task, tuple) x tasks
+      else rows.repartition(nOut, parts.map(_.valueCol(schema)): _*)
     val rwIdFields = idFieldsOf(
       JsonMethods.compact(JsonMethods.render(schemaNode)))
     val filesWithTuple = writeIdentityPartitioned(spark, packed, base,
-      partCols.map(c => PartField(c, c, "identity")), table, fs, conf,
+      parts, table, fs, conf,
       fieldIds = rwIdFields.map { case (id, f) => f.name -> id }.toMap)
     val fileSC = filesWithTuple.map(f =>
       statsCells(f._1._2, rwIdFields, conf))
@@ -4084,10 +4203,8 @@ object IcebergWriter {
     val attempt = java.util.UUID.randomUUID().toString
     val manifestPath = s"$base/metadata/m-$attempt.avro"
     val schemaJson = JsonMethods.compact(JsonMethods.render(schemaNode))
-    val specFieldsJson = spec
-      .map(sp => JsonMethods.compact(JsonMethods.render(sp \ "fields")))
-      .getOrElse("[]")
-    AvroOcf.write(manifestPath, manifestAvroSchema(partFields, partFieldIds),
+    AvroOcf.write(manifestPath,
+      manifestAvroSchema(partStructFields, partFieldIds),
       filesWithTuple.zip(fileSC).map { case (((_, abs, size), t), (cells, n)) =>
         Seq(1, newSeq, Seq(0, abs, "PARQUET", t, n, size) ++ cells)
       }, conf = conf,

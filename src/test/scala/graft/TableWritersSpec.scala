@@ -933,6 +933,49 @@ class TableWritersSpec extends SparkSpec {
     assert(e2.getMessage.contains("format-version"), e2.getMessage)
   }
 
+  test("iceberg v3 DV deletes on a PARTITIONED table: entries scoped to " +
+    "their referenced file's tuple, untouched partitions clean") {
+    val table = tmp()
+    IcebergWriter.writeAppend(spark,
+      (1L to 24L).map(i => (i, s"t$i", i % 3)).toDF("id", "text", "b")
+        .repartition(1),
+      table, partitionBy = Seq("b"), formatVersion = 3)
+    // the condition touches partitions 0 and 1 only
+    IcebergWriter.writeDelete(spark, table, $"id" % 6 === 0 || $"id" === 7L)
+    val after = IcebergTable.read(spark, table)
+    assert(after.select($"id").as[Long].collect().sorted.toSeq ==
+      (1L to 24L).filterNot(i => i % 6 == 0 || i == 7L),
+      "partitioned v3 DV delete serves survivors")
+    // the DV manifest's entries carry their referenced files' partition
+    // tuples — and only for the touched partitions
+    val metaDir = new java.io.File(s"$table/metadata")
+    val delManifest = metaDir.listFiles()
+      .filter(f => f.getName.startsWith("m-") && f.getName.endsWith(".avro"))
+      .maxBy(_.lastModified)
+    val entries = graft.sources.AvroOcf.read(spark, delManifest.getPath)
+    assert(entries.select($"data_file.file_format").as[String].collect()
+      .forall(_ == "PUFFIN"))
+    val tuples = entries.select($"data_file.partition.b").as[Long]
+      .collect().toSet
+    assert(tuples == Set(0L, 1L),
+      s"DV entries scope to touched partitions only: $tuples")
+    // partition pruning: the untouched partition's read carries no
+    // delete-side scan (data files only in the plan)
+    val p2 = IcebergTable.readPartitions(spark, table, Map("b" -> "2"))
+    assert(p2.select($"id").as[Long].collect().sorted.toSeq ==
+      (1L to 24L).filter(_ % 3 == 2),
+      "untouched partition serves every row")
+    // a bucket-transform v3 table round-trips the same way
+    val tb = tmp()
+    IcebergWriter.writeAppend(spark,
+      (1L to 30L).map(i => (i, s"t$i")).toDF("id", "text"), tb,
+      partitionBy = Seq("bucket(3, id)"), formatVersion = 3)
+    IcebergWriter.writeDelete(spark, tb, $"id" % 10 === 1L)
+    assert(IcebergTable.read(spark, tb).select($"id").as[Long]
+      .collect().sorted.toSeq == (1L to 30L).filterNot(_ % 10 == 1),
+      "v3 DV delete through a bucket spec")
+  }
+
   test("delta writeUpdate: DV kill + rewritten images in one commit") {
     val table = tmp()
     val df = (1L to 10L).map(i => (i, s"t$i")).toDF("id", "text")
@@ -1385,6 +1428,57 @@ class TableWritersSpec extends SparkSpec {
       IcebergWriter.expireSnapshots(spark, table, keepLast = 0)
     }
     assert(e3.getMessage.contains("at least"), e3.getMessage)
+  }
+
+  test("iceberg rewriteDataFiles through TRANSFORM partitions: bucket " +
+    "eq-delete debt repaid, temporal spec kept, z-order directed") {
+    // bucket(3, id) carrying an equality delete — the exact
+    // merge-on-read debt a corpus-dedup kill builds on the bucketed
+    // layout, repaid by compaction
+    val t = tmp()
+    IcebergWriter.writeAppend(spark,
+      (1L to 60L).map(i => (i, s"t$i")).toDF("id", "text"), t,
+      partitionBy = Seq("bucket(3, id)"))
+    IcebergWriter.writeEqualityDelete(spark, t,
+      (1L to 60L).filter(_ % 4 == 0).toDF("id"))
+    val preSnap = IcebergTable.snapshots(spark, t)
+      .orderBy($"timestamp_ms").collect().last.getLong(0)
+    val survivors = (1L to 60L).filterNot(_ % 4 == 0)
+    IcebergWriter.rewriteDataFiles(spark, t)
+    val after = IcebergTable.read(spark, t)
+    assert(after.select($"id").as[Long].collect().sorted.toSeq == survivors,
+      "live rows (delete applied) survive the rewrite")
+    // the spec is KEPT: compacted files group one per live bucket dir,
+    // and the anti-join tax is gone (data files only in the plan)
+    assert(after.inputFiles.forall(_.contains("p__id_bucket=")),
+      after.inputFiles.toSeq)
+    assert(after.inputFiles.length <= 3, after.inputFiles.toSeq)
+    // prior snapshots untouched: time travel to the pre-compaction
+    // state still serves the delete through its own manifests
+    assert(IcebergTable.read(spark, t, Some(preSnap))
+      .select($"id").as[Long].collect().sorted.toSeq == survivors)
+    // temporal twin: month(d) spec survives a positional-delete rewrite
+    val t2 = tmp()
+    val dates = (0 until 12).map(i =>
+      (i.toLong, java.sql.Date.valueOf(f"2024-${i % 4 + 1}%02d-07")))
+    IcebergWriter.writeAppend(spark, dates.toDF("id", "d"), t2,
+      partitionBy = Seq("month(d)"))
+    IcebergWriter.writeDelete(spark, t2, $"id" % 3 === 1L)
+    IcebergWriter.rewriteDataFiles(spark, t2)
+    val after2 = IcebergTable.read(spark, t2)
+    assert(after2.select($"id").as[Long].collect().sorted.toSeq ==
+      (0L until 12L).filterNot(_ % 3 == 1))
+    assert(after2.inputFiles.forall(_.contains("p__d_month=")),
+      after2.inputFiles.toSeq)
+    // month pruning still works on the compacted layout (2024-02 is
+    // epoch-month 649)
+    assert(IcebergTable.readPartitions(spark, t2,
+      Map("d_month" -> "649")).select($"d".cast("string")).as[String]
+      .collect().toSeq.forall(_.startsWith("2024-02")))
+    // z-order through a non-identity transform stays directed
+    val eZ = intercept[Exception](
+      IcebergWriter.rewriteDataFiles(spark, t, zorderBy = Seq("text")))
+    assert(eZ.getMessage.contains("z-order"), eZ.getMessage)
   }
 
   test("iceberg writeUpdate: one overwrite snapshot, kill + rewrite") {
@@ -1894,6 +1988,83 @@ class TableWritersSpec extends SparkSpec {
     assert(eL.getMessage.contains("last column"), eL.getMessage)
   }
 
+  test("delta row-level writes on a column-mapped table with NESTED " +
+    "fields: physical names + ids at every level") {
+    import org.apache.spark.sql.types.{ArrayType, LongType, Metadata,
+      MetadataBuilder, StringType, StructField, StructType}
+    val t = tmp()
+    def meta(phys: String, id: Int): Metadata = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id.toLong).build()
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta("col-a", 1)),
+      StructField("meta", StructType(Seq(
+        StructField("author", StringType, nullable = true, meta("col-c", 3)),
+        StructField("score", LongType, nullable = true, meta("col-d", 4)))),
+        nullable = true, meta("col-b", 2)),
+      StructField("tags", ArrayType(StringType), nullable = true,
+        meta("col-e", 5))))
+    val schemaStr = logical.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    new java.io.File(s"$t/_delta_log").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/_delta_log/00000000000000000000.json"),
+      (s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        s""""readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}""" +
+        "\n" +
+        s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$schemaStr","partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"5"},""" +
+        s""""createdTime":0}}""").getBytes("UTF-8"))
+    val data = Seq((1L, "ann", 10L, Seq("x", "y")),
+      (2L, "bob", 20L, Seq.empty[String]),
+      (3L, "cat", 200L, Seq("z")))
+      .toDF("id", "author", "score", "tags")
+      .select($"id", struct($"author", $"score").as("meta"), $"tags")
+    DeltaWriter.writeAppend(spark, data, t)
+    // the data file stores PHYSICAL names + ids at EVERY level
+    val dataFile = DeltaTable.read(spark, t).inputFiles.head
+      .stripPrefix("file:")
+    val g = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(dataFile), new org.apache.hadoop.conf.Configuration()))
+      try r.getFooter.getFileMetaData.getSchema finally r.close()
+    }
+    import scala.jdk.CollectionConverters._
+    val top = g.getFields.asScala.map(f =>
+      f.getName -> Option(f.getId).map(_.intValue)).toMap
+    assert(top == Map("col-a" -> Some(1), "col-b" -> Some(2),
+      "col-e" -> Some(5)), s"top-level physical names + ids: $top")
+    val nested = g.getType(g.getFieldIndex("col-b")).asGroupType
+      .getFields.asScala
+      .map(f => f.getName -> Option(f.getId).map(_.intValue)).toMap
+    assert(nested == Map("col-c" -> Some(3), "col-d" -> Some(4)),
+      s"NESTED physical names + ids: $nested")
+    // logical round trip
+    val got = DeltaTable.read(spark, t).orderBy($"id")
+    assert(got.columns.toSeq == Seq("id", "meta", "tags"))
+    assert(got.select($"meta.author").as[String].collect().toSeq ==
+      Seq("ann", "bob", "cat"))
+    // UPDATE rebuilding the nested struct
+    DeltaWriter.writeUpdate(spark, t, $"id" === 2L,
+      Map("meta" -> struct(lit("upd").as("author"),
+        ($"meta.score" + 10L).as("score"))))
+    assert(DeltaTable.read(spark, t).filter($"id" === 2L)
+      .select($"meta.author", $"meta.score").as[(String, Long)]
+      .collect().toSeq == Seq(("upd", 30L)))
+    // MERGE an insert + DELETE on a nested predicate
+    val src = Seq((9L, "mia", 9L, Seq("w")))
+      .toDF("id", "author", "score", "tags")
+      .select($"id", struct($"author", $"score").as("meta"), $"tags")
+    DeltaWriter.writeMerge(spark, t, src, Seq("id"))
+    DeltaWriter.writeDelete(spark, t, $"meta.score" > 100L)
+    assert(DeltaTable.read(spark, t).orderBy($"id")
+      .select($"id", $"meta.author", size($"tags"))
+      .as[(Long, String, Int)].collect().toSeq ==
+      Seq((1L, "ann", 2), (2L, "upd", 0), (9L, "mia", 1)),
+      "merge + nested-predicate delete round-trip")
+  }
+
   test("delta rowTracking appends: fresh row ids + high-water mark") {
     // a rowTracking table (another engine's): appends MUST assign
     // baseRowId/defaultRowCommitVersion and advance the domain's
@@ -1948,12 +2119,96 @@ class TableWritersSpec extends SparkSpec {
       DeltaWriter.writeAppend(spark, Seq((1L, "a")).toDF("id", "text"), t2)
     }
     assert(e.getMessage.contains("domainMetadata"), e.getMessage)
-    // the preservation-requiring ops stay directed
-    val eU = intercept[Exception] {
-      DeltaWriter.writeUpdate(spark, t, $"id" === 1L,
-        Map("text" -> lit("x")))
-    }
-    assert(eU.getMessage.contains("rowTracking"), eU.getMessage)
+    // UPDATE: the surviving file's DV re-add PRESERVES its baseRowId
+    // verbatim, the post-update image takes fresh ids past the mark
+    DeltaWriter.writeUpdate(spark, t, $"id" === 1L,
+      Map("text" -> lit("x")))
+    val log3 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$t/_delta_log/00000000000000000003.json")))
+    assert(log3.contains("\"baseRowId\":42"),
+      s"the re-add preserves the touched file's base: $log3")
+    assert(log3.contains("\"baseRowId\":46"),
+      s"the updated image takes a fresh base past the mark: $log3")
+    val ids = DeltaTable.readWithRowIds(spark, t)
+      .select($"id", $"_row_id").as[(Long, Long)].collect().toMap
+    assert(ids == Map(2L -> 43L, 3L -> 44L, 4L -> 45L, 1L -> 46L),
+      s"survivors keep their ids, the updated row moved: $ids")
+  }
+
+  test("delta rowTracking ENABLEMENT: the backfill commit, update " +
+    "round-trip, readWithRowIds") {
+    val t = tmp()
+    // two files BEFORE enablement — the backfill must cover both, in
+    // log order, with contiguous base ranges
+    DeltaWriter.writeAppend(spark,
+      (0L to 29L).map(i => (i, s"t$i")).toDF("id", "text")
+        .repartition(1).sortWithinPartitions("id"), t)
+    DeltaWriter.writeAppend(spark,
+      (30L to 59L).map(i => (i, s"t$i")).toDF("id", "text")
+        .repartition(1).sortWithinPartitions("id"), t)
+    DeltaWriter.setProperties(spark, t,
+      Map("delta.enableRowTracking" -> "true"))
+    val log2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$t/_delta_log/00000000000000000002.json")))
+    assert(log2.contains("\"minWriterVersion\":7") &&
+      log2.contains("\"rowTracking\"") &&
+      log2.contains("\"domainMetadata\""),
+      s"the enablement carries its protocol obligations: $log2")
+    assert(log2.contains("\"baseRowId\":0") &&
+      log2.contains("\"baseRowId\":30"),
+      s"both files backfill with contiguous ranges: $log2")
+    assert(log2.contains("rowIdHighWaterMark\\\":59") ||
+      log2.contains("rowIdHighWaterMark\":59"), log2)
+    assert(log2.contains("\"dataChange\":false"),
+      "a backfill is not a data change")
+    // files were written sorted single-partition, so id == position
+    val ids0 = DeltaTable.readWithRowIds(spark, t)
+      .select($"id", $"_row_id", $"_row_commit_version")
+      .as[(Long, Long, Long)].collect()
+    assert(ids0.forall(r => r._1 == r._2),
+      s"backfilled row ids match positions: ${ids0.take(5).toSeq}")
+    assert(ids0.forall(_._3 == 2L), "backfilled commit version")
+    // UPDATE after enablement: survivors keep their ids, the 6 updated
+    // rows take exactly the fresh range 60..65
+    DeltaWriter.writeUpdate(spark, t, $"id" % 5 === 0 && $"id" >= 30L,
+      Map("text" -> lit("u")))
+    val ids1 = DeltaTable.readWithRowIds(spark, t)
+      .select($"id", $"_row_id").as[(Long, Long)].collect().toMap
+    val updated = (30L to 59L).filter(_ % 5 == 0)
+    assert(updated.forall(i => ids1(i) >= 60L && ids1(i) <= 65L),
+      s"updated rows take the fresh range: ${updated.map(ids1)}")
+    assert(ids1.filterNot(kv => updated.contains(kv._1))
+      .forall(kv => kv._1 == kv._2),
+      "every survivor keeps its backfilled id")
+    assert(ids1.values.toSeq.distinct.size == 60, "ids stay unique")
+    // re-enabling is a plain property update — no second backfill
+    DeltaWriter.setProperties(spark, t,
+      Map("delta.enableRowTracking" -> "true"))
+    val log4 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$t/_delta_log/00000000000000000004.json")))
+    assert(!log4.contains("baseRowId"),
+      s"no second backfill on re-enable: $log4")
+    // row ids on a table without the feature are a directed error
+    val plain = tmp()
+    DeltaWriter.writeAppend(spark, Seq((1L, "x")).toDF("id", "text"), plain)
+    val eR = intercept[Exception](
+      DeltaTable.readWithRowIds(spark, plain).collect())
+    assert(eR.getMessage.contains("rowTracking"), eR.getMessage)
+    // DELETE: DV kill preserves the touched file's ids; MERGE appends
+    // fresh images — the whole row-level family now runs on tracked
+    // tables
+    DeltaWriter.writeDelete(spark, t, $"id" === 31L)
+    val ids2 = DeltaTable.readWithRowIds(spark, t)
+      .select($"id", $"_row_id").as[(Long, Long)].collect().toMap
+    assert(!ids2.contains(31L) && ids2(32L) == 32L,
+      s"DV delete keeps survivors' ids: ${ids2.get(32L)}")
+    DeltaWriter.writeMerge(spark, t,
+      Seq((100L, "new"), (0L, "merged")).toDF("id", "text"), Seq("id"))
+    val ids3 = DeltaTable.readWithRowIds(spark, t)
+      .select($"id", $"_row_id").as[(Long, Long)].collect().toMap
+    assert(ids3(1L) == 1L, "merge-untouched rows keep ids")
+    assert(ids3(100L) >= 66L && ids3(0L) >= 66L,
+      s"merged images take fresh ids: ${ids3.get(100L)}, ${ids3.get(0L)}")
   }
 
   test("iceberg widenColumn: int->long / float->double, schema-only") {
