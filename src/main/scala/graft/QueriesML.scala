@@ -3264,6 +3264,53 @@ object QueriesML {
           .orderBy($"id")
       }),
 
+    // ------ Iceberg MERGE BY KEY: the zero-scan upsert (v3 + bucket)
+    // Two stacked writeMergeByKey commits on a bucket-partitioned v3
+    // table: each commit writes ONLY the source (equality-delete kill
+    // + appended images at one sequence — O(source) at any table
+    // size); the spec's strictly-smaller-sequence rule makes the
+    // second merge's images kill the first's while surviving their own
+    // delete. The oracle recomputes the full replace-by-key cascade.
+    Q("q231_iceberg_merge_by_key", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT * FROM (
+        SELECT o_orderkey AS id,
+               CASE WHEN o_orderkey % 12 = 0 THEN 'mm-' || CAST(rn0 AS VARCHAR)
+                    WHEN o_orderkey % 6 = 0 THEN 'm-' || CAST(rn0 AS VARCHAR)
+                    ELSE 'doc-' || CAST(rn0 AS VARCHAR) END AS text
+        FROM o
+        UNION ALL
+        SELECT o_orderkey + 100000 AS id,
+               'n-' || CAST(rn0 AS VARCHAR) AS text
+        FROM o WHERE rn0 % 10 = 0)
+      ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{IcebergTable, IcebergWriter}
+        val table = Fixtures.dir("q231", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          IcebergWriter.writeAppend(s,
+            base.select($"id", concat(lit("doc-"), $"rn0").as("text")), t,
+            partitionBy = Seq("bucket(3, id)"), formatVersion = 3)
+          val upd = base.filter($"id" % 6 === 0)
+            .select($"id", concat(lit("m-"), $"rn0").as("text"))
+          val ins = base.filter($"rn0" % 10 === 0)
+            .select(($"id" + 100000).as("id"),
+              concat(lit("n-"), $"rn0").as("text"))
+          IcebergWriter.writeMergeByKey(s, t, upd.unionByName(ins),
+            Seq("id"))
+          IcebergWriter.writeMergeByKey(s, t,
+            base.filter($"id" % 12 === 0)
+              .select($"id", concat(lit("mm-"), $"rn0").as("text")),
+            Seq("id"))
+        }
+        IcebergTable.read(s, s"$table/table")
+          .select($"id", $"text").orderBy($"id")
+      }),
+
     // ------------------------------------------------------- HF tokenizer.json encode
     // A hand-authored tokenizer.json (the huggingface/tokenizers file
     // format, byte-level BPE) over planted "ab"*k words: greedy merge

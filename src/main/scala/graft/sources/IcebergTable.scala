@@ -1009,10 +1009,13 @@ object IcebergTable {
     * needs the manifest rewrite it does not implement. The data paths
     * ride along so the v3 delete writer replays the manifests ONCE. */
   private[graft] def activeDeleteShapes(spark: SparkSession,
-      table: String): (Set[String], Boolean, Seq[String]) = {
+      table: String): (Set[String], Boolean, Seq[(String, String)]) = {
     val a = activeFiles(spark, table, None, Map.empty)
+    // data files ride WITH their partition scope strings so the v3
+    // delete writer replays the manifests ONCE — a separate
+    // activeDataScopes call would pay the whole metadata pass twice
     (a.dvDeletes.map(d => PathUris.canon(d._2)).toSet,
-      a.posDeletes.nonEmpty, a.data.map(_._1))
+      a.posDeletes.nonEmpty, a.data.map(f => (f._1, f._3)))
   }
 
   /** Each active data file with its partition SCOPE string

@@ -341,15 +341,6 @@ object DeltaWriter {
   private implicit val formats: Formats = DefaultFormats
 
   /** partitionValues from the k=v dirs Spark built (its own escaping). */
-  /** Any STRUCT below the top level — the rename a flat physical
-    * re-labeling cannot reach. */
-  private[sources] def hasNestedNames(dt: DataType): Boolean = dt match {
-    case _: StructType => true
-    case ArrayType(et, _) => hasNestedNames(et)
-    case MapType(k, v, _) => hasNestedNames(k) || hasNestedNames(v)
-    case _ => false
-  }
-
   private def partValues(rel: String): Map[String, String] =
     rel.split('/').dropRight(1).flatMap { seg =>
       val i = seg.indexOf('=')
@@ -580,23 +571,29 @@ object DeltaWriter {
     * features (PROTOCOL.md's upgrade rule) so contracts like
     * changeDataFeed and invariants never silently vanish. Empty when the
     * table already declares the feature. */
+  /** PROTOCOL.md's legacy version→feature table: the writer features a
+    * pre-v7 minWriterVersion IMPLIES, which any upgrade to v7 must
+    * enumerate so contracts never silently vanish. columnMapping is
+    * implied only by (reader 2, writer 5) BOTH — and the replay
+    * already rejects reader-2 tables, so it is never legacy-implied on
+    * a table that reaches these writers. ONE table, shared by every
+    * v7-upgrading commit (DV enablement, rowTracking backfill). */
+  private def legacyWriterFeatures(minWriterVersion: Int): Seq[String] =
+    if (minWriterVersion >= 7) Nil
+    else Seq(
+      ((minWriterVersion >= 2), Seq("appendOnly", "invariants")),
+      ((minWriterVersion >= 3), Seq("checkConstraints")),
+      ((minWriterVersion >= 4),
+        Seq("changeDataFeed", "generatedColumns")),
+      ((minWriterVersion >= 6), Seq("identityColumns")))
+      .collect { case (true, fsq) => fsq }.flatten
+
   private def dvProtocolUpgrade(proto: DeltaTable.Protocol): Seq[String] = {
     val needsUpgrade = proto.minReaderVersion < 3 ||
       !proto.readerFeatures.contains("deletionVectors")
     if (!needsUpgrade) Nil
     else {
-      // columnMapping is implied only by (reader 2, writer 5) BOTH —
-      // and the replay already rejects reader-2 tables, so it is
-      // never legacy-implied on a table that reaches this writer
-      val legacyWriter =
-        if (proto.minWriterVersion >= 7) Nil
-        else Seq(
-          ((proto.minWriterVersion >= 2), Seq("appendOnly", "invariants")),
-          ((proto.minWriterVersion >= 3), Seq("checkConstraints")),
-          ((proto.minWriterVersion >= 4),
-            Seq("changeDataFeed", "generatedColumns")),
-          ((proto.minWriterVersion >= 6), Seq("identityColumns")))
-          .collect { case (true, fsq) => fsq }.flatten
+      val legacyWriter = legacyWriterFeatures(proto.minWriterVersion)
       val rf = (proto.readerFeatures :+ "deletionVectors").distinct
       val wf = (proto.writerFeatures ++ legacyWriter :+
         "deletionVectors").distinct
@@ -802,6 +799,19 @@ object DeltaWriter {
     val dataSchema = org.apache.spark.sql.types.StructType(
       outSchema.filterNot(f => outPartCols.contains(f.name)))
     val sc = statsFieldsWithCounts(files.map(_._2), dataSchema, conf)
+    // CREATE with delta.enableRowTracking=true: the table is BORN
+    // tracked — the commit declares writer v7 with rowTracking +
+    // domainMetadata (legacy obligations enumerated) and its adds carry
+    // ids from 0, so no backfill is ever needed and the config never
+    // contradicts the protocol
+    val createTracking = !exists && properties
+      .get("delta.enableRowTracking").exists(_.equalsIgnoreCase("true"))
+    if (createTracking)
+      tableProto = DeltaTable.Protocol(1, 7, Nil,
+        (legacyWriterFeatures(
+          if (properties.get("delta.enableChangeDataFeed")
+            .exists(_.equalsIgnoreCase("true"))) 4 else 2) ++
+          Seq("rowTracking", "domainMetadata")).distinct)
     // a rowTracking table's appends must assign fresh row ids and
     // advance the high-water mark (silently omitting them would break
     // every id-aware reader)
@@ -838,9 +848,15 @@ object DeltaWriter {
         val cfg = properties.map { case (k, v) =>
           s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
         }.mkString(",")
+        val protoLine =
+          if (!createTracking)
+            s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$minWriter}}"""
+          else s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+            s""""writerFeatures":[${tableProto.writerFeatures
+              .map(f => s""""$f"""").mkString(",")}]}}"""
         Seq(
           s"""{"commitInfo":{"timestamp":$ts,"operation":"CREATE TABLE AS SELECT"}}""",
-          s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$minWriter}}""",
+          protoLine,
           s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}",""" +
             s""""format":{"provider":"parquet","options":{}},""" +
             s""""schemaString":"$schemaStr",""" +
@@ -1651,16 +1667,8 @@ object DeltaWriter {
       val ts = System.currentTimeMillis()
       val version = dst.version
       val p = dst.protocol
-      val legacyWriter =
-        if (p.minWriterVersion >= 7) Nil
-        else Seq(
-          ((p.minWriterVersion >= 2), Seq("appendOnly", "invariants")),
-          ((p.minWriterVersion >= 3), Seq("checkConstraints")),
-          ((p.minWriterVersion >= 4),
-            Seq("changeDataFeed", "generatedColumns")),
-          ((p.minWriterVersion >= 6), Seq("identityColumns")))
-          .collect { case (true, fsq) => fsq }.flatten
-      val wf = (p.writerFeatures ++ legacyWriter ++ needFeatures ++
+      val wf = (p.writerFeatures ++
+        legacyWriterFeatures(p.minWriterVersion) ++ needFeatures ++
         Seq("rowTracking", "domainMetadata")).distinct
       val rf =
         if (p.minReaderVersion < 3) ""
@@ -1672,10 +1680,21 @@ object DeltaWriter {
             .map(f => s""""$f"""").mkString(",")}]}}"""
       def resolve(rel: String): String = DeltaTable.resolveAdd(base, rel)
       val counts = rowCounts(dst.files.map(f => resolve(f._1)), conf)
-      var hwm = dst.domains.get("delta.rowTracking").flatMap { cfg =>
-        try (JsonMethods.parse(cfg) \ "rowIdHighWaterMark").extractOpt[Long]
-        catch { case _: Exception => None }
-      }.getOrElse(-1L)
+      // a LEFTOVER domain from a prior enablement must parse or DIRECT
+      // — restarting the mark at -1 under an unreadable prior mark
+      // would reassign row ids that earlier versions gave other rows
+      // (the same rule rowTrackingFields applies)
+      var hwm = dst.domains.get("delta.rowTracking") match {
+        case None => -1L
+        case Some(cfg) =>
+          (try (JsonMethods.parse(cfg) \ "rowIdHighWaterMark")
+            .extractOpt[Long]
+          catch { case _: Exception => None }).getOrElse(
+            throw UnsupportedWrite(
+              s"$table: unparseable delta.rowTracking domain " +
+                s"configuration '$cfg' — backfilled row ids could " +
+                "collide with previously assigned ones"))
+      }
       val adds = dst.files.zip(counts).map {
         case ((rel, pv, dvOpt, stats), n) =>
           val b = hwm + 1
@@ -2530,6 +2549,19 @@ object IcebergWriter {
   private val BucketT = """bucket\[(\d+)\]""".r
   private val TruncT = """truncate\[(\d+)\]""".r
 
+  /** The spec's canonical transform spelling — plural legacy forms
+    * (years/months/days/hours) fold to the singular every PartField
+    * consumer matches on. Shared by partitionSpecInfo and the
+    * equality-delete routing, so a legacy-spelled spec never silently
+    * loses the scoped route. */
+  private def canonTransform(t: String): String = t match {
+    case "years" => "year"
+    case "months" => "month"
+    case "days" => "day"
+    case "hours" => "hour"
+    case other => other
+  }
+
   /** One partition-spec field: `name` is the spec field (and dir)
     * name, `source` the schema column it derives from, `transform`
     * the spec string (`identity`, `bucket[N]`, `truncate[W]`, or the
@@ -3254,9 +3286,13 @@ object IcebergWriter {
   }
 
   /** A manifest this commit adds: path, content kind (0 data,
-    * 1 deletes), and its entry/row counts for the manifest list. */
+    * 1 deletes), and its entry/row counts for the manifest list.
+    * `specId` overrides the commit-level manifest spec id for THIS
+    * manifest's list row — a merge whose global equality-delete
+    * manifest sits under the unpartitioned spec while its data
+    * manifest keeps the default needs both in one commit. */
   private final case class NewManifest(path: String, content: Int,
-    files: Int, rows: Long)
+    files: Int, rows: Long, specId: Option[Int] = None)
 
   /** The shared commit tail: manifest list (new manifests + carried
     * prior ones, spec-required counts filled), the metadata json with
@@ -3275,8 +3311,8 @@ object IcebergWriter {
     val listPath = s"$base/metadata/snap-$snapId-$attempt.avro"
     val newRows = newManifests.map { m =>
       ManifestFile(m.path, fs.getFileStatus(new Path(m.path)).getLen,
-        m.content, newSeq, newSeq, manifestSpecId, snapId,
-        m.files, 0, 0, m.rows, 0, 0)
+        m.content, newSeq, newSeq, m.specId.getOrElse(manifestSpecId),
+        snapId, m.files, 0, 0, m.rows, 0, 0)
     }
     AvroOcf.write(listPath, listAvroSchema,
       (newRows ++ priorManifests).map(_.row), conf = conf,
@@ -3377,15 +3413,8 @@ object IcebergWriter {
       val srcId = (f \ "source-id").extract[Int]
       val srcName = idToName.getOrElse(srcId, throw UnsupportedWrite(
         s"$table: partition source-id $srcId is not in the schema"))
-      val transform = (f \ "transform").extractOpt[String].getOrElse("")
-      // accept both spec spellings and the plural legacy forms
-      val canon = transform match {
-        case "years" => "year"
-        case "months" => "month"
-        case "days" => "day"
-        case "hours" => "hour"
-        case other => other
-      }
+      val canon = canonTransform(
+        (f \ "transform").extractOpt[String].getOrElse(""))
       canon match {
         case "identity" | BucketT(_) | TruncT(_) |
           "year" | "month" | "day" | "hour" =>
@@ -3474,7 +3503,11 @@ object IcebergWriter {
     * positional path would first have to locate every matching row.
     * Null keys match null-safely (the spec's eq semantics), duplicate
     * key rows deduplicate; an empty key set is a no-op. Flat-schema v2
-    * tables. PARTITIONED tables take one of two spec-legal routes:
+    * AND v3 tables — v3 deprecates POSITIONAL delete files in favor of
+    * deletion vectors, but equality deletes stay first-class (the v3
+    * commit carries the row-lineage bookkeeping; deleting adds no
+    * rows, so next-row-id is unchanged). PARTITIONED tables take one
+    * of two spec-legal routes:
     *
     *  - when the key columns COVER every partition field's source
     *    column (deleting by `id` on a bucket(id)-partitioned table, or
@@ -3495,18 +3528,168 @@ object IcebergWriter {
     * Returns the new snapshot id. */
   def writeEqualityDelete(spark: SparkSession, table: String,
       keys: DataFrame): Long = {
-    import org.apache.spark.sql.functions.{col => fcol}
     val base = table.stripSuffix("/")
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val fs = new Path(base).getFileSystem(conf)
     val st = loadState(spark, fs, base)
     val meta = st.meta
     val fv = (meta \ "format-version").extract[Int]
-    if (fv != 2) throw UnsupportedWrite(
-      s"$table: equality deletes target format-version 2 (table is $fv)")
+    if (fv != 2 && fv != 3) throw UnsupportedWrite(
+      s"$table: equality deletes target format-version 2 or 3 " +
+        s"(table is $fv)")
     val currentId = (meta \ "current-snapshot-id").extractOpt[Long]
       .filter(_ != -1L).getOrElse(throw UnsupportedWrite(
         s"$table: no current snapshot — nothing to delete from"))
+    val newSeq = st.lastSeq + 1
+    val attempt = java.util.UUID.randomUUID().toString
+    eqDeleteArtifacts(spark, table, base, fs, conf, st, keys, newSeq,
+      attempt, fv) match {
+      case None => currentId // empty key set: no-op, no empty snapshot
+      case Some((man, manSpec, carried, dataFiles)) =>
+        val snapId = (st.snapshots.flatMap(sn =>
+          (sn \ "snapshot-id").extractOpt[Long]) :+ 0L).max + 1
+        val ts = System.currentTimeMillis()
+        val priorNext = (meta \ "next-row-id").extractOpt[Long]
+          .getOrElse(0L)
+        commitSnapshot(fs, conf, base, table, snapId, newSeq, ts,
+          "delete", Seq(man), attempt, manSpec, carried, st.snapshots,
+          st.priorManifests, st.metaVersion, dataFiles,
+          fv = fv,
+          rowLineage = if (fv == 3) Some((priorNext, priorNext)) else None)
+        snapId
+    }
+  }
+
+  /** MERGE BY KEY — the Flink-CDC upsert, and the merge shape that
+    * stays O(source) at ANY table size: every target row carrying a
+    * source key dies by EQUALITY delete (content=2 — the match runs at
+    * READ time under the spec's strictly-smaller-sequence rule) and
+    * every source row appends as new data files, BOTH manifests in ONE
+    * `overwrite` snapshot. ZERO table scan at commit: where
+    * [[writeMerge]] must first locate every matched row (O(table)),
+    * this commit writes only the source — the "refresh these keys in
+    * 100 TB" shape. The appended images commit at the SAME sequence as
+    * the delete, so the strict inequality keeps them alive by
+    * construction. Semantics are replace-by-key: ALL target rows with
+    * a key are replaced by that key's single source image (a
+    * key-duplicated target cannot be detected without the scan this
+    * merge exists to avoid — use [[writeMerge]] when per-row pairing
+    * must be checked); duplicate SOURCE keys stay directed. The source
+    * materializes once (tmp parquet under metadata/). v2 and v3 tables
+    * (v3 lineage advances by the appended rows); partitioned tables
+    * route exactly like [[writeEqualityDelete]] — delete files
+    * partition-scoped when the keys cover the spec, global under an
+    * unpartitioned spec otherwise, with the appended images always
+    * partition-grouped. Returns the new snapshot id. */
+  def writeMergeByKey(spark: SparkSession, table: String,
+      source: DataFrame, keys: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    if (keys.isEmpty) throw UnsupportedWrite(
+      s"$table: MERGE needs at least one key column")
+    val base = table.stripSuffix("/")
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(base).getFileSystem(conf)
+    val st = loadState(spark, fs, base)
+    val meta = st.meta
+    val fv = (meta \ "format-version").extract[Int]
+    if (fv != 2 && fv != 3) throw UnsupportedWrite(
+      s"$table: equality-delete merges target format-version 2 or 3 " +
+        s"(table is $fv)")
+    val currentId = (meta \ "current-snapshot-id").extractOpt[Long]
+      .filter(_ != -1L).getOrElse(throw UnsupportedWrite(
+        s"$table: no current snapshot — nothing to merge into"))
+    val schemaNode = IcebergTable.currentSchemaJson(meta)
+    val schema = IcebergTable.structOf(schemaNode)
+    val (specId, partStructFields, partFieldIds, parts, specJson) =
+      partitionSpecInfo(table, meta, schema, "MERGE")
+    keys.foreach { k =>
+      if (!schema.fieldNames.contains(k)) throw UnsupportedWrite(
+        s"$table: MERGE key '$k' is not in the table schema")
+    }
+    if (!sameSchema(schema, source.schema)) throw UnsupportedWrite(
+      s"$table: MERGE source schema ${source.schema.simpleString} != " +
+        s"table schema ${schema.simpleString}")
+    val tmpDir = s"$base/metadata/_tmp_merge_${java.util.UUID.randomUUID()}"
+    val newFiles = Seq.newBuilder[String]
+    try {
+      // ONE evaluation of the source plan — the delete keys and the
+      // appended images must agree even for a non-deterministic source
+      source.select(schema.fields.toIndexedSeq.map(f =>
+        fcol(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
+        .write.mode("overwrite").parquet(tmpDir)
+      val src = readTmpFiles(spark, tmpDir, conf)
+      if (src.isEmpty) return currentId
+      val dup = src.groupBy(keys.map(fcol): _*)
+        .count().filter(fcol("count") > 1)
+      if (!dup.isEmpty) throw UnsupportedWrite(
+        s"$table: the MERGE source carries duplicate keys — one key " +
+          "cannot take two images")
+      val newSeq = st.lastSeq + 1
+      val attempt = java.util.UUID.randomUUID().toString
+      // kill half: one equality delete of the source keys — O(source)
+      val eq = eqDeleteArtifacts(spark, table, base, fs, conf, st,
+        src.select(keys.map(fcol): _*), newSeq, attempt, fv)
+      val (eqMan, carried) = eq match {
+        case Some((man, manSpec, c, files)) =>
+          newFiles ++= files
+          (Seq(man.copy(specId = Some(manSpec))), c)
+        case None => (Nil, st.carried)
+      }
+      // append half: every source row, partition-grouped
+      val schemaJson = JsonMethods.compact(JsonMethods.render(schemaNode))
+      val mrgIdFields = idFieldsOf(schemaJson)
+      val filesWithTuple = writeIdentityPartitioned(spark, src, base,
+        parts, table, fs, conf,
+        fieldIds = mrgIdFields.map { case (id, f) => f.name -> id }.toMap)
+      val dataSC = filesWithTuple.map(f =>
+        statsCells(f._1._2, mrgIdFields, conf))
+      val dataNonEmpty = filesWithTuple.zip(dataSC).filter(_._2._2 > 0)
+      cleanup(fs,
+        filesWithTuple.zip(dataSC).filter(_._2._2 == 0).map(_._1._1._2))
+      newFiles ++= dataNonEmpty.map(_._1._1._2)
+      val addedRows = dataNonEmpty.map(_._2._2).sum
+      val snapId = (st.snapshots.flatMap(sn =>
+        (sn \ "snapshot-id").extractOpt[Long]) :+ 0L).max + 1
+      val ts = System.currentTimeMillis()
+      val dataManifest = s"$base/metadata/m-$attempt-data.avro"
+      AvroOcf.write(dataManifest,
+        manifestAvroSchema(partStructFields, partFieldIds),
+        dataNonEmpty.map { case (((_, abs, size), t), (cells, n)) =>
+          Seq(1, newSeq, Seq(0, abs, "PARQUET", t, n, size) ++ cells)
+        }, conf = conf,
+        meta = manifestMeta(schemaJson, specJson, specId, "data", fv))
+      val priorNext = (meta \ "next-row-id").extractOpt[Long].getOrElse(0L)
+      commitSnapshot(fs, conf, base, table, snapId, newSeq, ts,
+        "overwrite",
+        NewManifest(dataManifest, 0, dataNonEmpty.size, addedRows) +:
+          eqMan,
+        attempt, specId, carried, st.snapshots,
+        st.priorManifests, st.metaVersion, newFiles.result(),
+        fv = fv,
+        rowLineage =
+          if (fv == 3) Some((priorNext, priorNext + addedRows)) else None)
+      snapId
+    } finally fs.delete(new Path(tmpDir), true)
+  }
+
+  /** [[writeEqualityDelete]]'s artifact half, shared with
+    * [[writeMergeByKey]]: validates the key columns (top-level, with
+    * field ids), routes scoped-vs-global on a partitioned table,
+    * materializes `keys` ONCE (tmp parquet under metadata/, outside
+    * any scan root — the null-cast guard and the committed delete file
+    * must see the SAME rows even for a non-deterministic key source),
+    * writes the (possibly partition-scoped) delete files, and writes
+    * their content=2 manifest at `newSeq`. Returns None for an empty
+    * key set; else (the delete manifest, the manifest-list spec id,
+    * the carried metadata fields — extended with a freshly registered
+    * unpartitioned spec on the global route — and the data files to
+    * clean on a lost commit race). */
+  private def eqDeleteArtifacts(spark: SparkSession, table: String,
+      base: String, fs: FileSystem, conf: Configuration, st: TableState,
+      keys: DataFrame, newSeq: Long, attempt: String, fv: Int)
+      : Option[(NewManifest, Int, Seq[(String, String)], Seq[String])] = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    val meta = st.meta
     val schemaNode = IcebergTable.currentSchemaJson(meta)
     val schema = IcebergTable.structOf(schemaNode)
     if (keys.columns.isEmpty) throw UnsupportedWrite(
@@ -3544,7 +3727,7 @@ object IcebergWriter {
         val resolved = specFieldsJ.map { f =>
           for {
             n <- (f \ "name").extractOpt[String]
-            t <- (f \ "transform").extractOpt[String]
+            t <- (f \ "transform").extractOpt[String].map(canonTransform)
             src <- (f \ "source-id").extractOpt[Int].flatMap(nameById.get)
             if keys.columns.contains(src)
             pf = PartField(n, src, t)
@@ -3622,9 +3805,9 @@ object IcebergWriter {
       val cts = rowCounts(filesWithTuple.map(_._1._2), conf)
       filesWithTuple.zip(cts).map { case ((f, t), n) => (f, n, t) }
     } finally fs.delete(new Path(tmpDir), true)
-    if (written.map(_._2).sum == 0) { // empty key set: no-op
+    if (written.map(_._2).sum == 0) { // empty key set: no artifacts
       cleanup(fs, written.map(_._1._2))
-      return currentId
+      return None
     }
     val nonEmpty = written.filter(_._2 > 0)
     cleanup(fs, written.filter(_._2 == 0).map(_._1._2))
@@ -3663,12 +3846,7 @@ object IcebergWriter {
             else carried :+ ("partition-specs" -> s"[$specsJson]"))
           (newId, "[]", Nil, Nil)
       }
-    val newSeq = st.lastSeq + 1
-    val snapId = (st.snapshots.flatMap(sn =>
-      (sn \ "snapshot-id").extractOpt[Long]) :+ 0L).max + 1
-    val ts = System.currentTimeMillis()
-    val attempt = java.util.UUID.randomUUID().toString
-    val manifestPath = s"$base/metadata/m-$attempt.avro"
+    val manifestPath = s"$base/metadata/m-$attempt-eqdel.avro"
     AvroOcf.write(manifestPath,
       manifestAvroSchema(partStructFields, partFieldIds,
         withEqualityIds = true),
@@ -3677,15 +3855,12 @@ object IcebergWriter {
         Seq(1, newSeq, Seq(2, abs, "PARQUET", t, n, size) ++
           noStatsCells ++ Seq(eqIds))
       }, conf = conf,
-      meta = manifestMeta(schemaJson, manSpecJson, manSpecId, "deletes"))
-    commitSnapshot(fs, conf, base, table, snapId, newSeq, ts, "delete",
-      Seq(NewManifest(manifestPath, 1, nonEmpty.size,
-        nonEmpty.map(_._2).sum)),
-      attempt, manSpecId, carried, st.snapshots,
-      st.priorManifests, st.metaVersion, nonEmpty.map(_._1._2))
-    snapId
+      meta = manifestMeta(schemaJson, manSpecJson, manSpecId, "deletes",
+        fv))
+    Some((NewManifest(manifestPath, 1, nonEmpty.size,
+      nonEmpty.map(_._2).sum), manSpecId, carried,
+      nonEmpty.map(_._1._2)))
   }
-
   /** The kill half of every Iceberg row-level write: matching rows
     * (`keyed` must carry `__row_path`/`__row_pos`) become positional-
     * delete parquet files under `data/`, fully DISTRIBUTED — the
@@ -3800,12 +3975,15 @@ object IcebergWriter {
     val (delSpecId, partStructFields, partFieldIds, _, specFieldsJson) =
       partitionSpecInfo(table, meta, schema, "v3 DV delete")
     val partitioned = partStructFields.nonEmpty
+    val (dvRefs, hasPosDeletes, dataScopes) =
+      IcebergTable.activeDeleteShapes(spark, table)
+    val dataPaths = dataScopes.map(_._1)
     // each touched file's partition tuple comes from its own manifest
-    // scope string (`specId:partitionJson`) — transform-agnostic
+    // scope string (`specId:partitionJson`, riding on the SAME replay
+    // as the delete shapes) — transform-agnostic
     val scopeByCanon: Map[String, String] =
       if (!partitioned) Map.empty
-      else IcebergTable.activeDataScopes(spark, table)
-        .map { case (p, sc) => PathUris.canon(p) -> sc }.toMap
+      else dataScopes.map { case (p, sc) => PathUris.canon(p) -> sc }.toMap
     def tupleOf(canon: String): Seq[Any] =
       if (!partitioned) Nil
       else {
@@ -3822,8 +4000,6 @@ object IcebergWriter {
         val jm = JsonMethods.parse(sc.drop(specPart.length + 1))
         partStructFields.map(sf => jvalueTo(sf.dataType, jm \ sf.name))
       }
-    val (dvRefs, hasPosDeletes, dataPaths) =
-      IcebergTable.activeDeleteShapes(spark, table)
     if (hasPosDeletes) throw UnsupportedWrite(
       s"$table: the table carries v2 positional-delete files — a v3 DV " +
         "must merge them, which needs a delete-manifest rewrite this " +

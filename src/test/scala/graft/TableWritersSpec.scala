@@ -2209,6 +2209,35 @@ class TableWritersSpec extends SparkSpec {
     assert(ids3(1L) == 1L, "merge-untouched rows keep ids")
     assert(ids3(100L) >= 66L && ids3(0L) >= 66L,
       s"merged images take fresh ids: ${ids3.get(100L)}, ${ids3.get(0L)}")
+    // CREATE with the property: the table is BORN tracked — writer v7
+    // with the features declared up front, ids assigned from 0
+    val tc = tmp()
+    DeltaWriter.writeAppend(spark,
+      (0L to 9L).map(i => (i, s"t$i")).toDF("id", "text")
+        .repartition(1).sortWithinPartitions("id"), tc,
+      properties = Map("delta.enableRowTracking" -> "true"))
+    val log0 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tc/_delta_log/00000000000000000000.json")))
+    assert(log0.contains("\"minWriterVersion\":7") &&
+      log0.contains("\"rowTracking\"") &&
+      log0.contains("\"domainMetadata\"") &&
+      log0.contains("\"baseRowId\":0"), s"born tracked: $log0")
+    val cids = DeltaTable.readWithRowIds(spark, tc)
+      .select($"id", $"_row_id").as[(Long, Long)].collect().toMap
+    assert((0L to 9L).forall(i => cids(i) == i), s"ids from 0: $cids")
+    // an UNPARSEABLE leftover rowTracking domain directs the backfill
+    // (a -1 restart would reassign ids earlier versions handed out)
+    val tBad = tmp()
+    DeltaWriter.writeAppend(spark, Seq((1L, "x")).toDF("id", "text"), tBad)
+    val domLine = """{"domainMetadata":{"domain":"delta.rowTracking",""" +
+      """"configuration":"not json","removed":false}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tBad/_delta_log/00000000000000000001.json"),
+      (s"""{"commitInfo":{"timestamp":0,"operation":"X"}}""" + "\n" +
+        domLine).getBytes("UTF-8"))
+    val eBad = intercept[Exception](DeltaWriter.setProperties(spark, tBad,
+      Map("delta.enableRowTracking" -> "true")))
+    assert(eBad.getMessage.contains("unparseable"), eBad.getMessage)
   }
 
   test("iceberg widenColumn: int->long / float->double, schema-only") {
@@ -2609,6 +2638,88 @@ class TableWritersSpec extends SparkSpec {
       .size == 2, "the unpartitioned spec is reused, not duplicated")
     assert(IcebergTable.read(spark, tg).select($"id").as[Long]
       .collect().toSeq == Seq(1L))
+  }
+
+  test("iceberg writeMergeByKey: zero-scan equality-delete upsert — " +
+    "v2 + v3 + partitioned routes, stacking, replace-by-key") {
+    // v2 flat: matched keys replaced, new keys inserted, no table scan
+    val t = tmp()
+    IcebergWriter.writeAppend(spark,
+      (1L to 10L).map(i => (i, s"t$i")).toDF("id", "text"), t)
+    val before = IcebergTable.read(spark, t).inputFiles.toSet
+    IcebergWriter.writeMergeByKey(spark, t,
+      Seq((2L, "m2"), (11L, "n11")).toDF("id", "text"), Seq("id"))
+    val got = IcebergTable.read(spark, t).orderBy($"id")
+      .select($"id", $"text").as[(Long, String)].collect().toSeq
+    assert(got == ((1L to 11L).map(i =>
+      (i, if (i == 2L) "m2" else if (i == 11L) "n11" else s"t$i"))),
+      s"upsert result: $got")
+    // the original data files were NOT rewritten (merge-on-read)
+    assert(before.subsetOf(IcebergTable.read(spark, t).inputFiles.toSet),
+      "zero-scan merge must not rewrite data files")
+    // STACKING: a second merge on an already-merged key — its images
+    // commit at a HIGHER sequence, so they survive its own delete and
+    // kill the first merge's image
+    IcebergWriter.writeMergeByKey(spark, t,
+      Seq((2L, "m2b")).toDF("id", "text"), Seq("id"))
+    assert(IcebergTable.read(spark, t).filter($"id" === 2L)
+      .select($"text").as[String].collect().toSeq == Seq("m2b"))
+    // replace-by-key: a key present TWICE in the target collapses to
+    // the single source image (the documented semantics)
+    IcebergWriter.writeAppend(spark, Seq((3L, "t3-dup")).toDF("id", "text"), t)
+    IcebergWriter.writeMergeByKey(spark, t,
+      Seq((3L, "m3")).toDF("id", "text"), Seq("id"))
+    assert(IcebergTable.read(spark, t).filter($"id" === 3L)
+      .select($"text").as[String].collect().toSeq == Seq("m3"))
+    // duplicate SOURCE keys stay directed
+    val eDup = intercept[Exception](IcebergWriter.writeMergeByKey(spark, t,
+      Seq((5L, "a"), (5L, "b")).toDF("id", "text"), Seq("id")))
+    assert(eDup.getMessage.contains("duplicate"), eDup.getMessage)
+    // v3 twin: eq deletes are first-class in v3, lineage advances by
+    // the INSERTED rows only at the metadata level
+    val t3 = tmp()
+    IcebergWriter.writeAppend(spark,
+      (1L to 6L).map(i => (i, s"t$i")).toDF("id", "text"), t3,
+      formatVersion = 3)
+    IcebergWriter.writeMergeByKey(spark, t3,
+      Seq((2L, "m2"), (7L, "n7")).toDF("id", "text"), Seq("id"))
+    assert(IcebergTable.read(spark, t3).orderBy($"id")
+      .select($"text").as[String].collect().toSeq ==
+      Seq("t1", "m2", "t3", "t4", "t5", "t6", "n7"))
+    val m3meta = new java.io.File(s"$t3/metadata").listFiles
+      .filter(_.getName.endsWith(".metadata.json"))
+      .maxBy(f => f.getName.stripPrefix("v")
+        .stripSuffix(".metadata.json").toLong)
+    val m3txt = new String(java.nio.file.Files.readAllBytes(m3meta.toPath))
+    assert(m3txt.contains("\"next-row-id\": 8"),
+      s"v3 lineage advances by the 2 source rows: $m3txt")
+    // plain v3 writeEqualityDelete works too (v3 deprecates positional
+    // FILES, not equality deletes)
+    IcebergWriter.writeEqualityDelete(spark, t3, Seq(4L).toDF("id"))
+    assert(IcebergTable.read(spark, t3).count() == 6)
+    // partitioned: keys cover a bucket spec -> SCOPED delete files in
+    // bucket dirs; identity(cat) with id-only keys -> GLOBAL route
+    val tb = tmp()
+    IcebergWriter.writeAppend(spark,
+      (1L to 30L).map(i => (i, s"t$i")).toDF("id", "text"), tb,
+      partitionBy = Seq("bucket(3, id)"))
+    IcebergWriter.writeMergeByKey(spark, tb,
+      Seq((6L, "m6"), (31L, "n31")).toDF("id", "text"), Seq("id"))
+    assert(IcebergTable.read(spark, tb).count() == 31)
+    assert(IcebergTable.read(spark, tb)
+      .filter($"id".isin(6L, 31L)).select($"text").as[String]
+      .collect().sorted.toSeq == Seq("m6", "n31"))
+    val tg = tmp()
+    IcebergWriter.writeAppend(spark,
+      Seq((1L, "a", "t1"), (2L, "b", "t2"), (3L, "c", "t3"))
+        .toDF("id", "cat", "text"), tg, partitionBy = Seq("cat"))
+    IcebergWriter.writeMergeByKey(spark, tg,
+      Seq((2L, "b", "m2"), (4L, "d", "n4")).toDF("id", "cat", "text"),
+      Seq("id"))
+    assert(IcebergTable.read(spark, tg).orderBy($"id")
+      .select($"text").as[String].collect().toSeq ==
+      Seq("t1", "m2", "t3", "n4"),
+      "global-route merge applies across partitions")
   }
 
   test("review arms r17: delete files are id-keyed, identifier-boundary " +
