@@ -3311,6 +3311,39 @@ object QueriesML {
           .select($"id", $"text").orderBy($"id")
       }),
 
+    // ------ Iceberg v3 UPDATE on a PARTITIONED table
+    // Row-level UPDATE on format-version 3: matched rows die by Puffin
+    // deletion vector (one per touched data file, scoped to its
+    // partition tuple) and the rewritten images append, both manifests
+    // in ONE overwrite snapshot with the lineage advanced by the
+    // images. The v3 twin of q187's lifecycle on the partitioned
+    // layout.
+    Q("q232_iceberg_v3_update", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT o_orderkey AS id,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'u-' || CAST(rn0 AS VARCHAR)
+                  ELSE 'doc-' || CAST(rn0 AS VARCHAR) END AS text,
+             o_orderkey % 3 AS b
+      FROM o ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{IcebergTable, IcebergWriter}
+        val table = Fixtures.dir("q232", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          IcebergWriter.writeAppend(s,
+            base.select($"id", concat(lit("doc-"), $"rn0").as("text"),
+              $"rn0", ($"id" % 3).as("b")), t, partitionBy = Seq("b"),
+            formatVersion = 3)
+          IcebergWriter.writeUpdate(s, t, col("id") % 5 === 0,
+            Map("text" -> concat(lit("u-"), col("rn0"))))
+        }
+        IcebergTable.read(s, s"$table/table")
+          .select($"id", $"text", $"b").orderBy($"id")
+      }),
+
     // ------------------------------------------------------- HF tokenizer.json encode
     // A hand-authored tokenizer.json (the huggingface/tokenizers file
     // format, byte-level BPE) over planted "ab"*k words: greedy merge

@@ -2035,11 +2035,17 @@ object DeltaWriter {
     * for this version already exists, it is left in place. Returns the
     * checkpointed version.
     *
+    * rowTracking tables checkpoint too: each add re-emits its
+    * baseRowId/defaultRowCommitVersion verbatim and the domainMetadata
+    * rows carry the high-water mark, so id-aware readers survive a
+    * vacuumed log (a TRACKED file missing its fields is directed — a
+    * checkpoint without them would change row identity the moment the
+    * json below is cleaned).
+    *
     * Directed, never silent: a log carrying `txn` (SetTransaction)
     * actions — an external streaming writer's idempotence watermark that
-    * this writer does not replay — and rowTracking tables (per-add
-    * baseRowId is not retained) refuse to checkpoint rather than drop
-    * state the compaction would make unrecoverable. */
+    * this writer does not replay — refuses to checkpoint rather than
+    * drop state the compaction would make unrecoverable. */
   def writeCheckpoint(spark: SparkSession, table: String): Long = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -2055,10 +2061,7 @@ object DeltaWriter {
     val config = dst.configuration
     val files = dst.files
     val proto = dst.protocol
-    if (proto.writerFeatures.contains("rowTracking"))
-      throw UnsupportedWrite(
-        s"$table: checkpointing a rowTracking table is not implemented " +
-          "(per-add baseRowId is not retained through replay)")
+    val tracking = proto.writerFeatures.contains("rowTracking")
     // sweep the LOG STATE the replay does not retain — txn watermarks
     // (directed) and remove tombstones (carried) — from BOTH the live
     // commit json and any PRIOR checkpoint (classic/multi-part parquet,
@@ -2180,7 +2183,9 @@ object DeltaWriter {
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType),
         StructField("deletionVector", dvType),
-        StructField("stats", StringType)))),
+        StructField("stats", StringType),
+        StructField("baseRowId", LongType),
+        StructField("defaultRowCommitVersion", LongType)))),
       StructField("remove", StructType(Seq(
         StructField("path", StringType),
         StructField("deletionTimestamp", LongType),
@@ -2205,10 +2210,20 @@ object DeltaWriter {
       // dataChange=false in checkpoints per PROTOCOL.md (the rows
       // describe state, not a change); stats carry VERBATIM — the
       // checkpoint must not lose the scan planner's pruning input
+      val (brid, dcv) =
+        if (!tracking) (null, null)
+        else dst.fileRowIds.get(path) match {
+          case Some((b, v)) =>
+            (java.lang.Long.valueOf(b), java.lang.Long.valueOf(v))
+          case None => throw UnsupportedWrite(
+            s"$table: $path carries no baseRowId on a rowTracking " +
+              "table — a checkpoint without it would change its rows' " +
+              "identity once the log below is cleaned")
+        }
       Row(null, null, Row(path, pv, size, 0L, false,
         dv.map(d => Row(d.storageType, d.pathOrInlineDv,
           d.offset.orNull, d.sizeInBytes, d.cardinality)).orNull,
-        stats.orNull), null, null)
+        stats.orNull, brid, dcv), null, null)
     }
     // a checkpoint carries each path AT MOST once: a tombstone whose
     // path was later re-added yields to the active add, and repeated
@@ -3971,6 +3986,54 @@ object IcebergWriter {
     val currentId = (meta \ "current-snapshot-id").extractOpt[Long]
       .filter(_ != -1L).getOrElse(throw UnsupportedWrite(
         s"$table: no current snapshot — nothing to delete from"))
+    val keyed = IcebergTable.readWithRowKey(spark, table).filter(condition)
+    // distributed pre-count: the driver must never collect a data-scale
+    // position set before the cap can trip
+    if (keyed.count() > maxDeletedRows) throw UnsupportedWrite(
+      s"$table: DELETE matches more than $maxDeletedRows rows — " +
+        "deletion vectors are for small deletes")
+    val matches = keyed
+      .groupBy(fcol("__row_path"))
+      .agg(collect_list(fcol("__row_pos")).as("pos")).collect()
+      .map(m => (m.getString(0), m.getSeq[Long](1).toArray)).toSeq
+    // the collect-side cap still GOVERNS — a non-deterministic condition
+    // can pass the pre-count and still over-materialize here
+    val total = matches.map(_._2.length.toLong).sum
+    if (total == 0) return currentId
+    if (total > maxDeletedRows) throw UnsupportedWrite(
+      s"$table: DELETE matches $total rows (> $maxDeletedRows) — " +
+        "deletion vectors are for small deletes")
+    val newSeq = st.lastSeq + 1
+    val snapId = (st.snapshots.flatMap(sn =>
+      (sn \ "snapshot-id").extractOpt[Long]) :+ 0L).max + 1
+    val ts = System.currentTimeMillis()
+    val attempt = java.util.UUID.randomUUID().toString
+    val (man, killFiles) = dvKillManifest(spark, table, base, fs, conf,
+      st, matches, newSeq, snapId, attempt)
+    val priorNext = (meta \ "next-row-id").extractOpt[Long].getOrElse(0L)
+    commitSnapshot(fs, conf, base, table, snapId, newSeq, ts, "delete",
+      Seq(man),
+      attempt, man.specId.getOrElse(0), st.carried, st.snapshots,
+      st.priorManifests, st.metaVersion, killFiles,
+      fv = 3, rowLineage = Some((priorNext, priorNext)))
+    snapId
+  }
+
+  /** The v3 DV KILL artifacts from a COLLECTED (canonical path →
+    * positions) match set — shared by the v3 DELETE and UPDATE: the
+    * one-DV-per-file and no-live-v2-positional guards, ONE Puffin
+    * container (a deletion-vector-v1 blob per touched file), and the
+    * content=1 delete manifest at `newSeq`, each entry scoped to its
+    * referenced data file's own partition tuple (parsed back from the
+    * file's manifest scope — transform-agnostic; non-default-spec
+    * files directed). Returns (the delete manifest — its `specId`
+    * carries the default spec for the manifest list — and the files
+    * to clean on a lost commit race). */
+  private def dvKillManifest(spark: SparkSession, table: String,
+      base: String, fs: FileSystem, conf: Configuration, st: TableState,
+      matches: Seq[(String, Array[Long])], newSeq: Long, snapId: Long,
+      attempt: String): (NewManifest, Seq[String]) = {
+    val meta = st.meta
     val schema = IcebergTable.structOf(IcebergTable.currentSchemaJson(meta))
     val (delSpecId, partStructFields, partFieldIds, _, specFieldsJson) =
       partitionSpecInfo(table, meta, schema, "v3 DV delete")
@@ -4004,41 +4067,20 @@ object IcebergWriter {
       s"$table: the table carries v2 positional-delete files — a v3 DV " +
         "must merge them, which needs a delete-manifest rewrite this " +
         "writer does not implement")
-    val keyed = IcebergTable.readWithRowKey(spark, table).filter(condition)
-    // distributed pre-count: the driver must never collect a data-scale
-    // position set before the cap can trip
-    if (keyed.count() > maxDeletedRows) throw UnsupportedWrite(
-      s"$table: DELETE matches more than $maxDeletedRows rows — " +
-        "deletion vectors are for small deletes")
-    val matches = keyed
-      .groupBy(fcol("__row_path"))
-      .agg(collect_list(fcol("__row_pos")).as("pos")).collect()
-    // the collect-side cap still GOVERNS — a non-deterministic condition
-    // can pass the pre-count and still over-materialize here
-    val total = matches.map(_.getSeq[Long](1).size.toLong).sum
-    if (total == 0) return currentId
-    if (total > maxDeletedRows) throw UnsupportedWrite(
-      s"$table: DELETE matches $total rows (> $maxDeletedRows) — " +
-        "deletion vectors are for small deletes")
-    matches.foreach { m =>
-      if (dvRefs(m.getString(0))) throw UnsupportedWrite(
-        s"$table: ${m.getString(0)} already carries a deletion vector — " +
+    matches.foreach { case (canon, _) =>
+      if (dvRefs(canon)) throw UnsupportedWrite(
+        s"$table: $canon already carries a deletion vector — " +
           "v3 allows one DV per file, and replacing it requires the " +
           "delete-manifest rewrite this writer does not implement")
     }
     val rawByCanon = dataPaths.map(p => PathUris.canon(p) -> p).toMap
-    val newSeq = st.lastSeq + 1
-    val snapId = (st.snapshots.flatMap(sn =>
-      (sn \ "snapshot-id").extractOpt[Long]) :+ 0L).max + 1
-    val ts = System.currentTimeMillis()
-    val attempt = java.util.UUID.randomUUID().toString
-    val ordered = matches.toSeq.sortBy(_.getString(0))
-    val blobs = ordered.map { m =>
-      val raw = rawByCanon.getOrElse(m.getString(0),
+    val ordered = matches.sortBy(_._1)
+    val blobs = ordered.map { case (canon, posArr) =>
+      val raw = rawByCanon.getOrElse(canon,
         throw UnsupportedWrite(
-          s"$table: matched row's file ${m.getString(0)} is not in the " +
+          s"$table: matched row's file $canon is not in the " +
             "snapshot — path spelling drift"))
-      val pos = m.getSeq[Long](1).toArray.distinct.sorted
+      val pos = posArr.distinct.sorted
       Puffin.Blob("deletion-vector-v1", Nil, snapId, newSeq,
         Map("referenced-data-file" -> raw,
           "cardinality" -> pos.length.toString),
@@ -4048,27 +4090,23 @@ object IcebergWriter {
     val placed = Puffin.writeFile(puffinPath, blobs,
       Map("created-by" -> "graft"), conf)
     val puffinLen = fs.getFileStatus(new Path(puffinPath)).getLen
-    val manifestPath = s"$base/metadata/m-$attempt.avro"
+    val manifestPath = s"$base/metadata/m-$attempt-dv.avro"
     val schemaJson = JsonMethods.compact(JsonMethods.render(
       IcebergTable.currentSchemaJson(meta)))
     AvroOcf.write(manifestPath,
       dvManifestAvroSchema(partStructFields, partFieldIds),
-      ordered.zip(placed).map { case (m, (off, len)) =>
-        val raw = rawByCanon(m.getString(0))
-        val card = m.getSeq[Long](1).toArray.distinct.length.toLong
+      ordered.zip(placed).map { case ((canon, posArr), (off, len)) =>
+        val raw = rawByCanon(canon)
+        val card = posArr.distinct.length.toLong
         Seq(1, newSeq,
-          Seq(1, puffinPath, "PUFFIN", tupleOf(m.getString(0)), card,
+          Seq(1, puffinPath, "PUFFIN", tupleOf(canon), card,
             puffinLen, raw, off, len))
       }, conf = conf,
       meta = manifestMeta(schemaJson, specFieldsJson, delSpecId,
         "deletes", 3))
-    val priorNext = (meta \ "next-row-id").extractOpt[Long].getOrElse(0L)
-    commitSnapshot(fs, conf, base, table, snapId, newSeq, ts, "delete",
-      Seq(NewManifest(manifestPath, 1, ordered.size, total)),
-      attempt, delSpecId, st.carried, st.snapshots,
-      st.priorManifests, st.metaVersion, Seq(puffinPath),
-      fv = 3, rowLineage = Some((priorNext, priorNext)))
-    snapId
+    val total = ordered.map(_._2.distinct.length.toLong).sum
+    (NewManifest(manifestPath, 1, ordered.size, total,
+      specId = Some(delSpecId)), Seq(puffinPath))
   }
 
   /** MERGE (upsert) `source` into the Iceberg table on `keys`: matched
@@ -4202,12 +4240,16 @@ object IcebergWriter {
     * rows by their data file's own scope, rewritten images one file set
     * per touched partition tuple — updating a partition column moves
     * rows to their new partitions; untouched partitions' files are
-    * carried verbatim); non-identity transforms directed. Flat-schema
-    * v2 tables; an empty UPDATE is a no-op. Returns the new snapshot
-    * id. */
+    * carried verbatim). Flat-schema v2 AND v3 tables — a v3 update
+    * kills its matched rows by Puffin DELETION VECTOR instead of a
+    * positional file (v3 deprecates positional files), capped like the
+    * Delta twin because DV position sets pass the driver; its lineage
+    * advances by the rewritten images. An empty UPDATE is a no-op.
+    * Returns the new snapshot id. */
   def writeUpdate(spark: SparkSession, table: String,
       condition: org.apache.spark.sql.Column,
-      set: Map[String, org.apache.spark.sql.Column]): Long = {
+      set: Map[String, org.apache.spark.sql.Column],
+      maxUpdatedRows: Long = 10000000L): Long = {
     import org.apache.spark.sql.functions.{col => fcol}
     val base = table.stripSuffix("/")
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
@@ -4215,8 +4257,8 @@ object IcebergWriter {
     val st = loadState(spark, fs, base)
     val meta = st.meta
     val fv = (meta \ "format-version").extract[Int]
-    if (fv != 2) throw UnsupportedWrite(
-      s"$table: positional-delete updates target format-version 2 " +
+    if (fv != 2 && fv != 3) throw UnsupportedWrite(
+      s"$table: row-level updates target format-version 2 or 3 " +
         s"(table is $fv)")
     val currentId = (meta \ "current-snapshot-id").extractOpt[Long]
       .filter(_ != -1L).getOrElse(throw UnsupportedWrite(
@@ -4237,11 +4279,45 @@ object IcebergWriter {
         .write.mode("overwrite").parquet(tmpDir)
       val matched = readTmpFiles(spark, tmpDir, conf)
       if (matched.isEmpty) return currentId
-      // kill side: (manifest-spelled path, pos), distributed + sorted,
-      // partition-scoped on a partitioned table
-      val kills = writeKillFiles(spark, table, base, fs, conf, matched,
-        partStructFields, delSpecId)
-      newFiles ++= kills.map(_._1._2)
+      val newSeq = st.lastSeq + 1
+      val snapId = (st.snapshots.flatMap(sn =>
+        (sn \ "snapshot-id").extractOpt[Long]) :+ 0L).max + 1
+      val ts = System.currentTimeMillis()
+      val attempt = java.util.UUID.randomUUID().toString
+      val schemaJson = JsonMethods.compact(JsonMethods.render(schemaNode))
+      // kill side — v2: (manifest-spelled path, pos) positional files,
+      // distributed + sorted, partition-scoped; v3: Puffin deletion
+      // vectors (collected, capped — the DV position set passes the
+      // driver, exactly the Delta twin's shape)
+      val (killMan, killFiles): (NewManifest, Seq[String]) =
+        if (fv == 2) {
+          val kills = writeKillFiles(spark, table, base, fs, conf,
+            matched, partStructFields, delSpecId)
+          val delManifest = s"$base/metadata/m-$attempt-deletes.avro"
+          AvroOcf.write(delManifest,
+            manifestAvroSchema(partStructFields, partFieldIds),
+            kills.map { case ((_, abs, size), n, t) =>
+              Seq(1, newSeq, Seq(1, abs, "PARQUET", t, n, size) ++
+                noStatsCells)
+            }, conf = conf,
+            meta = manifestMeta(schemaJson, specJson, delSpecId,
+              "deletes"))
+          (NewManifest(delManifest, 1, kills.size, kills.map(_._2).sum),
+            kills.map(_._1._2))
+        } else {
+          import org.apache.spark.sql.functions.collect_list
+          val totalMatched = matched.count()
+          if (totalMatched > maxUpdatedRows) throw UnsupportedWrite(
+            s"$table: UPDATE matches $totalMatched rows " +
+              s"(> $maxUpdatedRows) — v3 deletion vectors are for " +
+              "small updates")
+          val posGroups = matched.groupBy(fcol("__row_path"))
+            .agg(collect_list(fcol("__row_pos")).as("pos")).collect()
+            .map(m => (m.getString(0), m.getSeq[Long](1).toArray)).toSeq
+          dvKillManifest(spark, table, base, fs, conf, st, posGroups,
+            newSeq, snapId, attempt)
+        }
+      newFiles ++= killFiles
       // rewrite side: updated images under the table schema; every SET
       // expression evaluates against the PRE-update row (SQL UPDATE
       // semantics) — one select, never its own partial result
@@ -4249,7 +4325,6 @@ object IcebergWriter {
         schema.fields.toIndexedSeq.map(f =>
           set.getOrElse(f.name, fcol(s"`${f.name}`"))
             .cast(f.dataType).as(f.name)): _*)
-      val schemaJson = JsonMethods.compact(JsonMethods.render(schemaNode))
       val updIdFields = idFieldsOf(schemaJson)
       val filesWithTuple = writeIdentityPartitioned(spark, rewritten,
         base, parts, table, fs, conf,
@@ -4260,34 +4335,24 @@ object IcebergWriter {
       cleanup(fs,
         filesWithTuple.zip(dataSC).filter(_._2._2 == 0).map(_._1._1._2))
       newFiles ++= dataNonEmpty.map(_._1._1._2)
-      val newSeq = st.lastSeq + 1
-      val snapId = (st.snapshots.flatMap(sn =>
-        (sn \ "snapshot-id").extractOpt[Long]) :+ 0L).max + 1
-      val ts = System.currentTimeMillis()
-      val attempt = java.util.UUID.randomUUID().toString
+      val addedRows = dataNonEmpty.map(_._2._2).sum
       val dataManifest = s"$base/metadata/m-$attempt-data.avro"
       AvroOcf.write(dataManifest,
         manifestAvroSchema(partStructFields, partFieldIds),
         dataNonEmpty.map { case (((_, abs, size), t), (cells, n)) =>
           Seq(1, newSeq, Seq(0, abs, "PARQUET", t, n, size) ++ cells)
         }, conf = conf,
-        meta = manifestMeta(schemaJson, specJson, delSpecId, "data"))
-      val delManifest = s"$base/metadata/m-$attempt-deletes.avro"
-      AvroOcf.write(delManifest,
-        manifestAvroSchema(partStructFields, partFieldIds),
-        kills.map { case ((_, abs, size), n, t) =>
-          Seq(1, newSeq, Seq(1, abs, "PARQUET", t, n, size) ++
-            noStatsCells)
-        }, conf = conf,
-        meta = manifestMeta(schemaJson, specJson, delSpecId, "deletes"))
+        meta = manifestMeta(schemaJson, specJson, delSpecId, "data", fv))
+      val priorNext = (meta \ "next-row-id").extractOpt[Long].getOrElse(0L)
       commitSnapshot(fs, conf, base, table, snapId, newSeq, ts,
         "overwrite",
-        Seq(NewManifest(dataManifest, 0, dataNonEmpty.size,
-            dataNonEmpty.map(_._2._2).sum),
-          NewManifest(delManifest, 1, kills.size,
-            kills.map(_._2).sum)),
+        Seq(NewManifest(dataManifest, 0, dataNonEmpty.size, addedRows),
+          killMan),
         attempt, delSpecId, st.carried, st.snapshots,
-        st.priorManifests, st.metaVersion, newFiles.result())
+        st.priorManifests, st.metaVersion, newFiles.result(),
+        fv = fv,
+        rowLineage =
+          if (fv == 3) Some((priorNext, priorNext + addedRows)) else None)
       snapId
     } finally fs.delete(new Path(tmpDir), true)
   }

@@ -204,7 +204,7 @@ class TableWritersSpec extends SparkSpec {
     assert(proto.getSeq[String](2) == Seq("deletionVectors"), proto.toString)
   }
 
-  test("checkpoint: tombstones carry over, txn and rowTracking directed") {
+  test("checkpoint: tombstones carry over, txn directed, rowTracking ids carried") {
     val table = tmp()
     DeltaWriter.writeAppend(spark,
       Seq((1L, "a"), (2L, "b")).toDF("id", "text"), table)
@@ -298,6 +298,28 @@ class TableWritersSpec extends SparkSpec {
         .getBytes("UTF-8"))
     val e2 = intercept[Exception] { DeltaWriter.writeCheckpoint(spark, t3) }
     assert(e2.getMessage.contains("txn"), e2.getMessage)
+
+    // rowTracking tables checkpoint too: adds re-emit their ids
+    // verbatim and the domain's high-water mark survives a fully
+    // vacuumed log; appends past the checkpoint continue from the
+    // carried mark
+    val t4 = tmp()
+    DeltaWriter.writeAppend(spark,
+      (0L to 4L).map(i => (i, s"t$i")).toDF("id", "text")
+        .repartition(1).sortWithinPartitions("id"), t4,
+      properties = Map("delta.enableRowTracking" -> "true"))
+    assert(DeltaWriter.writeCheckpoint(spark, t4) == 0L)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      s"$t4/_delta_log/00000000000000000000.json"))
+    val rids = DeltaTable.readWithRowIds(spark, t4)
+      .select($"id", $"_row_id").as[(Long, Long)].collect().toMap
+    assert((0L to 4L).forall(i => rids(i) == i),
+      s"ids survive the vacuumed log: $rids")
+    DeltaWriter.writeAppend(spark, Seq((9L, "x")).toDF("id", "text"), t4)
+    val log1r = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$t4/_delta_log/00000000000000000001.json")))
+    assert(log1r.contains("\"baseRowId\":5"),
+      s"the carried mark feeds the next append: $log1r")
   }
 
   test("delta writeDelete: deletion vectors kill rows without rewrites") {
@@ -925,12 +947,38 @@ class TableWritersSpec extends SparkSpec {
     assert(e.getMessage.contains("deletion vector"), e.getMessage)
     // the delete snapshot did not advance next-row-id
     assert(latestMeta().contains(""""next-row-id": 12"""), latestMeta())
-    // v3 updates stay directed
+    // v3 UPDATE works now (DV kill + images) — but a file ALREADY
+    // carrying a DV stays directed (one DV per file in v3)
     val e2 = intercept[Exception] {
       IcebergWriter.writeUpdate(spark, table, $"id" === 5L,
         Map("text" -> lit("x")))
     }
-    assert(e2.getMessage.contains("format-version"), e2.getMessage)
+    assert(e2.getMessage.contains("deletion vector"), e2.getMessage)
+
+    // v3 UPDATE end to end on a fresh table: DV kill + rewritten
+    // images in ONE overwrite snapshot, lineage advanced by the images
+    val tu = tmp()
+    IcebergWriter.writeAppend(spark,
+      (1L to 12L).map(i => (i, s"t$i")).toDF("id", "text"), tu,
+      formatVersion = 3)
+    IcebergWriter.writeUpdate(spark, tu, $"id" % 4 === 0,
+      Map("text" -> concat(lit("u-"), $"id")))
+    assert(IcebergTable.read(spark, tu).orderBy($"id")
+      .select($"text").as[String].collect().toSeq ==
+      (1L to 12L).map(i => if (i % 4 == 0) s"u-$i" else s"t$i"),
+      "v3 update serves the post-update state")
+    val tuMeta = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$tu/metadata").listFiles
+        .filter(_.getName.endsWith(".metadata.json"))
+        .maxBy(f => f.getName.stripPrefix("v")
+          .stripSuffix(".metadata.json").toLong).toPath))
+    assert(tuMeta.contains("\"next-row-id\": 15"),
+      s"lineage advances by the 3 rewritten images: $tuMeta")
+    // a second update touching only the IMAGE file (no DV yet) stacks
+    IcebergWriter.writeUpdate(spark, tu, $"text" === "u-4",
+      Map("text" -> lit("uu-4")))
+    assert(IcebergTable.read(spark, tu).filter($"id" === 4L)
+      .select($"text").as[String].collect().toSeq == Seq("uu-4"))
   }
 
   test("iceberg v3 DV deletes on a PARTITIONED table: entries scoped to " +
