@@ -3986,6 +3986,17 @@ object IcebergWriter {
     val currentId = (meta \ "current-snapshot-id").extractOpt[Long]
       .filter(_ != -1L).getOrElse(throw UnsupportedWrite(
         s"$table: no current snapshot — nothing to delete from"))
+    // the structural guards run BEFORE any data work — a zero-match
+    // DELETE on an unsupported table must still direct, and the ONE
+    // metadata replay they need serves the scope lookup below too
+    val schema = IcebergTable.structOf(IcebergTable.currentSchemaJson(meta))
+    val specInfo0 = partitionSpecInfo(table, meta, schema, "DV delete")
+    val specInfo = (specInfo0._1, specInfo0._2, specInfo0._3, specInfo0._5)
+    val shapes = IcebergTable.activeDeleteShapes(spark, table)
+    if (shapes._2) throw UnsupportedWrite(
+      s"$table: the table carries v2 positional-delete files — a v3 " +
+        "DV delete must merge them, which needs a delete-manifest " +
+        "rewrite this writer does not implement")
     val keyed = IcebergTable.readWithRowKey(spark, table).filter(condition)
     // distributed pre-count: the driver must never collect a data-scale
     // position set before the cap can trip
@@ -4009,7 +4020,7 @@ object IcebergWriter {
     val ts = System.currentTimeMillis()
     val attempt = java.util.UUID.randomUUID().toString
     val (man, killFiles) = dvKillManifest(spark, table, base, fs, conf,
-      st, matches, newSeq, snapId, attempt)
+      st, matches, newSeq, snapId, attempt, "DV delete", shapes, specInfo)
     val priorNext = (meta \ "next-row-id").extractOpt[Long].getOrElse(0L)
     commitSnapshot(fs, conf, base, table, snapId, newSeq, ts, "delete",
       Seq(man),
@@ -4032,14 +4043,15 @@ object IcebergWriter {
   private def dvKillManifest(spark: SparkSession, table: String,
       base: String, fs: FileSystem, conf: Configuration, st: TableState,
       matches: Seq[(String, Array[Long])], newSeq: Long, snapId: Long,
-      attempt: String): (NewManifest, Seq[String]) = {
+      attempt: String, opName: String,
+      shapes: (Set[String], Boolean, Seq[(String, String)]),
+      specInfo: (Int, Seq[StructField], Seq[Int], String))
+      : (NewManifest, Seq[String]) = {
     val meta = st.meta
-    val schema = IcebergTable.structOf(IcebergTable.currentSchemaJson(meta))
-    val (delSpecId, partStructFields, partFieldIds, _, specFieldsJson) =
-      partitionSpecInfo(table, meta, schema, "v3 DV delete")
+    val (delSpecId, partStructFields, partFieldIds, specFieldsJson) =
+      specInfo
     val partitioned = partStructFields.nonEmpty
-    val (dvRefs, hasPosDeletes, dataScopes) =
-      IcebergTable.activeDeleteShapes(spark, table)
+    val (dvRefs, hasPosDeletes, dataScopes) = shapes
     val dataPaths = dataScopes.map(_._1)
     // each touched file's partition tuple comes from its own manifest
     // scope string (`specId:partitionJson`, riding on the SAME replay
@@ -4064,9 +4076,9 @@ object IcebergWriter {
         partStructFields.map(sf => jvalueTo(sf.dataType, jm \ sf.name))
       }
     if (hasPosDeletes) throw UnsupportedWrite(
-      s"$table: the table carries v2 positional-delete files — a v3 DV " +
-        "must merge them, which needs a delete-manifest rewrite this " +
-        "writer does not implement")
+      s"$table: the table carries v2 positional-delete files — a v3 " +
+        s"$opName must merge them, which needs a delete-manifest " +
+        "rewrite this writer does not implement")
     matches.foreach { case (canon, _) =>
       if (dvRefs(canon)) throw UnsupportedWrite(
         s"$table: $canon already carries a deletion vector — " +
@@ -4271,6 +4283,18 @@ object IcebergWriter {
       if (!schema.fieldNames.contains(k)) throw UnsupportedWrite(
         s"$table: SET column '$k' is not in the table schema")
     }
+    // v3 updates kill by deletion vector: a table carrying live v2
+    // positional-delete files directs BEFORE any data work
+    val v3Shapes: Option[(Set[String], Boolean, Seq[(String, String)])] =
+      if (fv != 3) None
+      else {
+        val sh = IcebergTable.activeDeleteShapes(spark, table)
+        if (sh._2) throw UnsupportedWrite(
+          s"$table: the table carries v2 positional-delete files — a " +
+            "v3 DV update must merge them, which needs a " +
+            "delete-manifest rewrite this writer does not implement")
+        Some(sh)
+      }
     val tmpDir = s"$base/metadata/_tmp_update_${java.util.UUID.randomUUID()}"
     val newFiles = Seq.newBuilder[String]
     try {
@@ -4315,45 +4339,58 @@ object IcebergWriter {
             .agg(collect_list(fcol("__row_pos")).as("pos")).collect()
             .map(m => (m.getString(0), m.getSeq[Long](1).toArray)).toSeq
           dvKillManifest(spark, table, base, fs, conf, st, posGroups,
-            newSeq, snapId, attempt)
+            newSeq, snapId, attempt, "DV update", v3Shapes.get,
+            (delSpecId, partStructFields, partFieldIds, specJson))
         }
       newFiles ++= killFiles
-      // rewrite side: updated images under the table schema; every SET
-      // expression evaluates against the PRE-update row (SQL UPDATE
-      // semantics) — one select, never its own partial result
-      val rewritten = matched.drop("__row_path", "__row_pos").select(
-        schema.fields.toIndexedSeq.map(f =>
-          set.getOrElse(f.name, fcol(s"`${f.name}`"))
-            .cast(f.dataType).as(f.name)): _*)
-      val updIdFields = idFieldsOf(schemaJson)
-      val filesWithTuple = writeIdentityPartitioned(spark, rewritten,
-        base, parts, table, fs, conf,
-        fieldIds = updIdFields.map { case (id, f) => f.name -> id }.toMap)
-      val dataSC = filesWithTuple.map(f =>
-        statsCells(f._1._2, updIdFields, conf))
-      val dataNonEmpty = filesWithTuple.zip(dataSC).filter(_._2._2 > 0)
-      cleanup(fs,
-        filesWithTuple.zip(dataSC).filter(_._2._2 == 0).map(_._1._1._2))
-      newFiles ++= dataNonEmpty.map(_._1._1._2)
-      val addedRows = dataNonEmpty.map(_._2._2).sum
-      val dataManifest = s"$base/metadata/m-$attempt-data.avro"
-      AvroOcf.write(dataManifest,
-        manifestAvroSchema(partStructFields, partFieldIds),
-        dataNonEmpty.map { case (((_, abs, size), t), (cells, n)) =>
-          Seq(1, newSeq, Seq(0, abs, "PARQUET", t, n, size) ++ cells)
-        }, conf = conf,
-        meta = manifestMeta(schemaJson, specJson, delSpecId, "data", fv))
-      val priorNext = (meta \ "next-row-id").extractOpt[Long].getOrElse(0L)
-      commitSnapshot(fs, conf, base, table, snapId, newSeq, ts,
-        "overwrite",
-        Seq(NewManifest(dataManifest, 0, dataNonEmpty.size, addedRows),
-          killMan),
-        attempt, delSpecId, st.carried, st.snapshots,
-        st.priorManifests, st.metaVersion, newFiles.result(),
-        fv = fv,
-        rowLineage =
-          if (fv == 3) Some((priorNext, priorNext + addedRows)) else None)
-      snapId
+      // a throw between the kill artifacts and the commit must not
+      // leave the Puffin/manifest orphaned — the commit race cleans
+      // its own litter inside commitSnapshot, everything else cleans
+      // here before rethrowing
+      try {
+        // rewrite side: updated images under the table schema; every
+        // SET expression evaluates against the PRE-update row (SQL
+        // UPDATE semantics) — one select, never its own partial result
+        val rewritten = matched.drop("__row_path", "__row_pos").select(
+          schema.fields.toIndexedSeq.map(f =>
+            set.getOrElse(f.name, fcol(s"`${f.name}`"))
+              .cast(f.dataType).as(f.name)): _*)
+        val updIdFields = idFieldsOf(schemaJson)
+        val filesWithTuple = writeIdentityPartitioned(spark, rewritten,
+          base, parts, table, fs, conf,
+          fieldIds = updIdFields.map { case (id, f) => f.name -> id }.toMap)
+        val dataSC = filesWithTuple.map(f =>
+          statsCells(f._1._2, updIdFields, conf))
+        val dataNonEmpty = filesWithTuple.zip(dataSC).filter(_._2._2 > 0)
+        cleanup(fs,
+          filesWithTuple.zip(dataSC).filter(_._2._2 == 0).map(_._1._1._2))
+        newFiles ++= dataNonEmpty.map(_._1._1._2)
+        val addedRows = dataNonEmpty.map(_._2._2).sum
+        val dataManifest = s"$base/metadata/m-$attempt-data.avro"
+        AvroOcf.write(dataManifest,
+          manifestAvroSchema(partStructFields, partFieldIds),
+          dataNonEmpty.map { case (((_, abs, size), t), (cells, n)) =>
+            Seq(1, newSeq, Seq(0, abs, "PARQUET", t, n, size) ++ cells)
+          }, conf = conf,
+          meta = manifestMeta(schemaJson, specJson, delSpecId, "data", fv))
+        val priorNext = (meta \ "next-row-id").extractOpt[Long]
+          .getOrElse(0L)
+        commitSnapshot(fs, conf, base, table, snapId, newSeq, ts,
+          "overwrite",
+          Seq(NewManifest(dataManifest, 0, dataNonEmpty.size, addedRows),
+            killMan),
+          attempt, delSpecId, st.carried, st.snapshots,
+          st.priorManifests, st.metaVersion, newFiles.result(),
+          fv = fv,
+          rowLineage =
+            if (fv == 3) Some((priorNext, priorNext + addedRows)) else None)
+        snapId
+      } catch {
+        case t: CommitConflict => throw t
+        case t: Throwable =>
+          cleanup(fs, newFiles.result() :+ killMan.path)
+          throw t
+      }
     } finally fs.delete(new Path(tmpDir), true)
   }
 
