@@ -673,8 +673,15 @@ object DeltaTable {
     case _ => c
   }
 
+  /** `extraCols`: PHYSICAL columns to read from the data files beyond
+    * the table schema (rowTracking's materialized row-id columns — they
+    * live in the parquet but not in the logical schema, delta-spark
+    * stores them unmapped like `_change_type`). Files lacking them read
+    * NULL (parquet missing-column semantics), which is exactly the
+    * coalesce-to-default the row-id read path needs. */
   private def assemble(spark: SparkSession, table: String,
-      snap: Snapshot, keepRowKey: Boolean = false): DataFrame = {
+      snap: Snapshot, keepRowKey: Boolean = false,
+      extraCols: Seq[StructField] = Nil): DataFrame = {
     val full = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val partCols = snap.partitionColumns
     val mappingMode = snap.configuration
@@ -699,11 +706,10 @@ object DeltaTable {
     // add.path is percent-encoded whether relative OR absolute
     // (PROTOCOL.md); strict RFC 3986 decoding, '+' untouched
     def resolve(rel: String): String = resolveAdd(base, rel)
-    val outSchema =
-      if (!keepRowKey) full
-      else StructType(full.fields ++ Seq(
+    val outSchema = StructType(full.fields ++ extraCols ++
+      (if (!keepRowKey) Nil else Seq(
         StructField("__row_path", org.apache.spark.sql.types.StringType),
-        StructField("__row_pos", org.apache.spark.sql.types.LongType)))
+        StructField("__row_pos", org.apache.spark.sql.types.LongType))))
     if (snap.files.isEmpty) {
       // an empty snapshot still has the table's schema
       return spark.createDataFrame(
@@ -748,7 +754,8 @@ object DeltaTable {
             (xs.head._1.partitionValues, xs.map(_._1), xs.head._2) }
       }
     val parts = groups.map { case (pv, fs, groupSchema) =>
-      var df = spark.read.schema(groupSchema)
+      var df = spark.read
+        .schema(StructType(groupSchema.fields ++ extraCols))
         .parquet(fs.map(f => resolve(f.path)): _*)
       if (keepRowKey || fs.exists(_.dv.isDefined))
         df = df
@@ -764,10 +771,11 @@ object DeltaTable {
           else joined.drop("__row_path", "__row_pos")
       }
       if (mapped) {
-        // rebuild logical names (metadata key columns pass through)
-        val keyCols =
-          if (keepRowKey) Seq(col("__row_path"), col("__row_pos"))
-          else Nil
+        // rebuild logical names (extra physical columns and metadata
+        // key columns pass through — they carry no mapping)
+        val keyCols = extraCols.map(f => col(s"`${f.name}`")) ++
+          (if (keepRowKey) Seq(col("__row_path"), col("__row_pos"))
+          else Nil)
         df = df.select(groupSchema.fields.zip(dataSchema.fields)
           .toIndexedSeq.map { case (pf, lf) =>
             toLogical(col(s"`${pf.name}`"), pf.dataType, lf.dataType)
@@ -794,18 +802,42 @@ object DeltaTable {
       table: String): DataFrame =
     assemble(spark, table, replay(spark, table, None)._1, keepRowKey = true)
 
-  /** Read with the protocol's ROW TRACKING identity: `_row_id` = the
-    * row's file's `baseRowId` + its physical position, and
-    * `_row_commit_version` = the file's `defaultRowCommitVersion` —
-    * the fresh/default route (this engine's writers never materialize
-    * row-id COLUMNS; rewritten rows take fresh ids, re-added files
-    * keep theirs). One broadcast (file → base) dimension joined
-    * map-side — O(files) driver metadata, no shuffle. Directed when
-    * the table lacks the feature or an active file misses the fields
-    * (a foreign enablement without backfill — serving ids would
-    * fabricate identity). */
+  /** The table's MATERIALIZED row-id column names, when configured
+    * (PROTOCOL.md rowTracking: `delta.rowTracking.
+    * materializedRowIdColumnName` / `...RowCommitVersionColumnName`) —
+    * the physical columns a rewriting commit (OPTIMIZE) stores stable
+    * ids in. A row's served id is COALESCE(materialized, baseRowId +
+    * position); same for the commit version. Exactly one of the two
+    * keys configured is a malformed table — directed. */
+  private[graft] def materializedRowIdCols(
+      table: String, config: Map[String, String]): Option[(String, String)] = {
+    val r = config.get("delta.rowTracking.materializedRowIdColumnName")
+    val c = config.get(
+      "delta.rowTracking.materializedRowCommitVersionColumnName")
+    (r, c) match {
+      case (Some(rc), Some(cc)) => Some((rc, cc))
+      case (None, None) => None
+      case _ => throw UnsupportedDelta(
+        s"$table: exactly one of the two materialized rowTracking " +
+          "column names is configured — the table's row-id state is " +
+          "malformed")
+    }
+  }
+
+  /** Read with the protocol's ROW TRACKING identity: `_row_id` =
+    * COALESCE(the materialized row-id column, the file's `baseRowId` +
+    * the row's physical position) and `_row_commit_version` =
+    * COALESCE(materialized, the file's `defaultRowCommitVersion`) —
+    * the protocol's two routes (fresh/default for appended files,
+    * materialized for files a compaction rewrote, where position no
+    * longer encodes identity). One broadcast (file → base) dimension
+    * joined map-side — O(files) driver metadata, no shuffle; the
+    * materialized columns ride the same scan. Directed when the table
+    * lacks the feature or an active file misses the fields (a foreign
+    * enablement without backfill — serving ids would fabricate
+    * identity). */
   def readWithRowIds(spark: SparkSession, table: String): DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
+    import org.apache.spark.sql.functions.{broadcast, coalesce}
     import spark.implicits._
     val base = table.stripSuffix("/")
     val snap = replay(spark, table, None)._1
@@ -813,6 +845,10 @@ object DeltaTable {
       throw UnsupportedDelta(
         s"$table: the table does not declare the rowTracking feature — " +
           "row ids do not exist")
+    val mat = materializedRowIdCols(table, snap.configuration)
+    val extras = mat.toSeq.flatMap { case (r, c) => Seq(
+      StructField(r, org.apache.spark.sql.types.LongType),
+      StructField(c, org.apache.spark.sql.types.LongType)) }
     val dim = snap.files.map { f =>
       val b = f.baseRowId.getOrElse(throw UnsupportedDelta(
         s"$table: active file ${f.path} carries no baseRowId — " +
@@ -823,10 +859,56 @@ object DeltaTable {
       (PathUris.canon(resolveAdd(base, f.path)), b, v)
     }
     val d = dim.toDF("__rid_path", "__rid_base", "__rid_ver")
-    assemble(spark, table, snap, keepRowKey = true)
+    val defaultRid = col("__rid_base") + col("__row_pos")
+    val (rid, rcv) = mat match {
+      case Some((r, c)) => (coalesce(col(s"`$r`"), defaultRid),
+        coalesce(col(s"`$c`"), col("__rid_ver")))
+      case None => (defaultRid, col("__rid_ver"))
+    }
+    assemble(spark, table, snap, keepRowKey = true, extraCols = extras)
       .join(broadcast(d), col("__row_path") === col("__rid_path"), "left")
-      .withColumn("_row_id", col("__rid_base") + col("__row_pos"))
-      .withColumn("_row_commit_version", col("__rid_ver"))
+      .withColumn("_row_id", rid)
+      .withColumn("_row_commit_version", rcv)
+      .drop(extras.map(_.name) ++ Seq("__rid_path", "__rid_base",
+        "__rid_ver", "__row_path", "__row_pos"): _*)
+  }
+
+  /** The live rows of ONLY the named data files with their rowTracking
+    * identity POPULATED into the two named materialized columns —
+    * the compaction rewrite's input: each survivor row carries
+    * `ridCol` = its stable row id and `rcvCol` = its current commit
+    * version (materialized value when its file already had one,
+    * baseRowId + position otherwise), ready to write physically into
+    * the rewritten files. Directed when a selected file misses the
+    * fields. */
+  private[graft] def readFilesSubsetWithRowIds(spark: SparkSession,
+      table: String, canonPaths: Set[String], ridCol: String,
+      rcvCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce}
+    import spark.implicits._
+    val base = table.stripSuffix("/")
+    val snap = replay(spark, table, None)._1
+    val sel = snap.files.filter(f =>
+      canonPaths(PathUris.canon(resolveAdd(base, f.path))))
+    val extras = Seq(
+      StructField(ridCol, org.apache.spark.sql.types.LongType),
+      StructField(rcvCol, org.apache.spark.sql.types.LongType))
+    val dim = sel.map { f =>
+      val b = f.baseRowId.getOrElse(throw UnsupportedDelta(
+        s"$table: active file ${f.path} carries no baseRowId — its " +
+          "rows' identity cannot survive a rewrite"))
+      val v = f.defaultRowCommitVersion.getOrElse(throw UnsupportedDelta(
+        s"$table: active file ${f.path} carries no " +
+          "defaultRowCommitVersion"))
+      (PathUris.canon(resolveAdd(base, f.path)), b, v)
+    }
+    val d = dim.toDF("__rid_path", "__rid_base", "__rid_ver")
+    assemble(spark, table, snap.copy(files = sel), keepRowKey = true,
+        extraCols = extras)
+      .join(broadcast(d), col("__row_path") === col("__rid_path"), "left")
+      .withColumn(ridCol,
+        coalesce(col(s"`$ridCol`"), col("__rid_base") + col("__row_pos")))
+      .withColumn(rcvCol, coalesce(col(s"`$rcvCol`"), col("__rid_ver")))
       .drop("__rid_path", "__rid_base", "__rid_ver",
         "__row_path", "__row_pos")
   }

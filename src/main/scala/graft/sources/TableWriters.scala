@@ -165,7 +165,12 @@ object TableCommit {
       : Seq[(String, String, Long)] = {
     val base = table.stripSuffix("/")
     val uuid = java.util.UUID.randomUUID().toString
-    val tmpDir = s"$base/_tmp_commit_$uuid"
+    // the temp dir lives under the format's own METADATA dir (Delta:
+    // `_delta_log/`, Iceberg: targetSubdir "data" → `metadata/`), not
+    // the table root: a crash mid-write must not leave droppings where
+    // a foreign VACUUM / orphan-file sweep never looks
+    val tmpDir = s"$base/${if (targetSubdir == "data") "metadata"
+      else "_delta_log"}/_tmp_commit_$uuid"
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tmpDir)
@@ -402,7 +407,8 @@ object DeltaWriter {
       val pvs = partitionValuesJson(pv)
       val oldDvJson = oldDv.map(d => s""","deletionVector":${dvJson(d)}""")
         .getOrElse("")
-      lines += s"""{"remove":{"path":"$rawPath","deletionTimestamp":$ts,""" +
+      lines += s"""{"remove":{"path":"${jsonEscape(rawPath)}",""" +
+        s""""deletionTimestamp":$ts,""" +
         s""""dataChange":true,"partitionValues":{$pvs}$oldDvJson}}"""
       if (all.length < fileRows) {
         // some rows survive: same file re-added under the unioned DV
@@ -432,7 +438,12 @@ object DeltaWriter {
         } catch { case _: Exception => s } // unparseable: carry verbatim
         val statsField = oldStats
           .map(s => s""","stats":"${jsonEscape(widen(s))}"""").getOrElse("")
-        lines += s"""{"add":{"path":"$rawPath","partitionValues":{$pvs},""" +
+        // re-emitted paths pass through jsonEscape: a foreign add whose
+        // path legally carried a quote/backslash (JSON-escaped in its
+        // own log, decoded by the replay) must re-encode, not corrupt
+        // the commit line
+        lines += s"""{"add":{"path":"${jsonEscape(rawPath)}",""" +
+          s""""partitionValues":{$pvs},""" +
           s""""size":$size0,"modificationTime":$ts,"dataChange":true,""" +
           s""""deletionVector":${dvJson(nd)}$ridField$statsField}}"""
       } // else: every live row died — the remove alone retires the file
@@ -638,6 +649,11 @@ object DeltaWriter {
     val fields = counts.map { n =>
       val b = hwm + 1
       hwm += n
+      // n == 0 leaves hwm in place, so the NEXT file shares this base —
+      // vacuously: a zero-count file's id range [b, b-1] is empty, so no
+      // two rows ever share an id. (This writer's commit paths filter
+      // empty files out before assignment anyway; the case only arises
+      // for foreign zero-row adds.)
       s""","baseRowId":$b,"defaultRowCommitVersion":$commitVersion"""
     }
     val domain =
@@ -1096,7 +1112,8 @@ object DeltaWriter {
         val pvs = partitionValuesJson(pv)
         val oldDvJson = oldDv.map(d => s""","deletionVector":${dvJson(d)}""")
           .getOrElse("")
-        s"""{"remove":{"path":"$rawPath","deletionTimestamp":$ts,""" +
+        s"""{"remove":{"path":"${jsonEscape(rawPath)}",""" +
+          s""""deletionTimestamp":$ts,""" +
           s""""dataChange":true,"partitionValues":{$pvs}$oldDvJson}}"""
       }
       val allNew = Seq.newBuilder[String]
@@ -1602,9 +1619,14 @@ object DeltaWriter {
     *    every CDF-aware writer sees the contract.
     *
     * Directed: column mapping mode changes (a real migration — existing
-    * files carry no physical names/ids) and rowTracking enablement
-    * (existing rows have no ids to materialize). Returns the committed
-    * version. */
+    * files carry no physical names/ids). `delta.enableRowTracking=true`
+    * on an existing table is the BACKFILL commit: the protocol upgrades
+    * to writer v7 with rowTracking+domainMetadata (legacy obligations
+    * enumerated), every existing data file re-commits dataChange=false
+    * with a contiguous baseRowId range carved from the domain's
+    * high-water mark, and the domain records the new mark — one commit,
+    * so no reader ever sees the feature without backfilled ids. Returns
+    * the committed version. */
   def setProperties(spark: SparkSession, table: String,
       set: Map[String, String], unset: Seq[String] = Nil): Long = {
     val base = table.stripSuffix("/")
@@ -1704,8 +1726,15 @@ object DeltaWriter {
             s""","deletionVector":${dvJson(d2)}""").getOrElse("")
           val stJ = stats.map(s2 =>
             s""","stats":"${jsonEscape(s2)}"""").getOrElse("")
-          val size = fs.getFileStatus(new Path(resolve(rel))).getLen
-          s"""{"add":{"path":"$rel","partitionValues":{$pvs},""" +
+          val size =
+            try fs.getFileStatus(new Path(resolve(rel))).getLen
+            catch {
+              case _: java.io.FileNotFoundException => throw UnsupportedWrite(
+                s"$table: active file $rel is missing on disk — the " +
+                  "backfill cannot re-commit a file it cannot stat " +
+                  "(vacuumed early, or the log references a lost file)")
+            }
+          s"""{"add":{"path":"${jsonEscape(rel)}","partitionValues":{$pvs},""" +
             s""""size":$size,"modificationTime":$ts,"dataChange":false,""" +
             s""""baseRowId":$b,"defaultRowCommitVersion":${version + 1}""" +
             s"""$dvJ$stJ}}"""
@@ -1842,8 +1871,20 @@ object DeltaWriter {
     * carrying DELETION VECTORS materialize their survivors and the DV
     * disappears — compaction is how DV debt is repaid. Allowed on
     * append-only tables (a dataChange=false remove is not a data
-    * change); rowTracking and column-mapped tables directed. Returns
-    * the committed version (the current one when nothing qualifies).
+    * change). Returns the committed version (the current one when
+    * nothing qualifies).
+    *
+    * rowTracking tables PRESERVE every row's stable identity through
+    * the rewrite (PROTOCOL.md's obligation for dataChange=false
+    * commits): each rewritten file stores the survivors' row ids and
+    * commit versions PHYSICALLY in the table's materialized row-id
+    * columns (position no longer encodes identity once files merge),
+    * named by the `delta.rowTracking.materialized*ColumnName`
+    * configuration — minted fresh (and committed via a metaData
+    * action in the same commit) on first use. The adds still carry
+    * fresh baseRowId/defaultRowCommitVersion as the protocol requires;
+    * readers serve COALESCE(materialized, base + position), so ids
+    * survive byte-for-byte.
     *
     * `zorderBy` (OPTIMIZE ... ZORDER BY): rewrite EVERY active file
     * with rows laid out along the [[graft.operators.ZOrder]] curve of
@@ -1866,12 +1907,28 @@ object DeltaWriter {
     val config = dst.configuration
     val files = dst.files
     val proto = dst.protocol
-    if (proto.writerFeatures.contains("rowTracking")) throw UnsupportedWrite(
-      s"$table: compacting a rowTracking table is not implemented " +
-        "(rewritten files would lose their baseRowId)")
+    val tracking = proto.writerFeatures.contains("rowTracking")
     // column-mapped targets: rewritten files store PHYSICAL names +
     // field ids at every nesting level
     val cpSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    // rowTracking: the materialized row-id column NAMES — configured,
+    // or minted on first compaction (a uuid cannot collide; a
+    // CONFIGURED name that shadows a schema column is a malformed
+    // table and directs before any data work)
+    val matCols: Option[(String, String, Boolean)] =
+      if (!tracking) None
+      else DeltaTable.materializedRowIdCols(table, config) match {
+        case Some((r, c)) =>
+          val names = cpSchema.fields.flatMap(f =>
+            Seq(f.name, DeltaTable.physFieldName(f))).toSet
+          Seq(r, c).find(names).foreach(n => throw UnsupportedWrite(
+            s"$table: materialized rowTracking column '$n' collides " +
+              "with a table column — the row-id state is malformed"))
+          Some((r, c, false))
+        case None =>
+          val u = java.util.UUID.randomUUID().toString
+          Some((s"_row-id-col-$u", s"_row-commit-version-col-$u", true))
+      }
     val mapped = config.get("delta.columnMapping.mode").exists(_ != "none")
     def resolve(rel: String): String = DeltaTable.resolveAdd(base, rel)
     // O(files) driver stats pick the targets: per partition tuple, at
@@ -1890,7 +1947,11 @@ object DeltaWriter {
         val qualifying = group.filter { case ((_, _, dv, _), size) =>
           size < smallFileThreshold || dv.isDefined
         }
-        if (qualifying.size >= 2) qualifying else Nil
+        // a LONE DV'd file still rewrites — bin-packing needs two, but
+        // DV debt is per-file and compaction is its only repayment
+        if (qualifying.size >= 2 ||
+          qualifying.exists(_._1._3.isDefined)) qualifying
+        else Nil
       }
     zorderBy.foreach { c =>
       if (partCols.contains(c)) throw UnsupportedWrite(
@@ -1899,7 +1960,17 @@ object DeltaWriter {
     }
     if (targets.isEmpty) return version
     val targetCanon = targets.map(t => PathUris.canon(resolve(t._1._1))).toSet
-    val rows = DeltaTable.readFilesSubset(spark, table, targetCanon)
+    // rowTracking: the rewrite input carries each survivor's stable id
+    // and commit version POPULATED into the materialized columns (its
+    // file's prior materialized value, or baseRowId + position) — the
+    // rewritten files store them physically, so merged positions stop
+    // mattering
+    val rows = matCols match {
+      case Some((ridCol, rcvCol, _)) => DeltaTable
+        .readFilesSubsetWithRowIds(spark, table, targetCanon,
+          ridCol, rcvCol)
+      case None => DeltaTable.readFilesSubset(spark, table, targetCanon)
+    }
     val nOut = math.max(1,
       math.ceil(targets.map(_._2).sum.toDouble / targetFileBytes).toInt)
     // partitioned tables repartition BY the partition columns so the
@@ -1913,31 +1984,55 @@ object DeltaWriter {
     val ts = System.currentTimeMillis()
     // physicalize AFTER packing: a select is narrow, so the coalesce/
     // repartition/z-order layout (and in-partition order) is preserved
-    val outPacked = if (!mapped) packed else toPhysical(packed, cpSchema)
+    val matNames = matCols.toSeq.flatMap(m => Seq(m._1, m._2)).toSet
+    val outPacked = if (!mapped) packed
+      else toPhysical(packed, cpSchema, extra = matNames.toSeq)
     val outPartCols =
       if (!mapped) partCols
       else partCols.map(c => DeltaTable.physFieldName(cpSchema(c)))
     val dataFiles = writeData(outPacked, base, outPartCols, "", conf)
+    // stats cover the TABLE's columns only — the materialized row-id
+    // columns are bookkeeping, not pruning input
     val cpDataSchema = org.apache.spark.sql.types.StructType(
-      outPacked.schema.filterNot(f => outPartCols.contains(f.name)))
+      outPacked.schema.filterNot(f =>
+        outPartCols.contains(f.name) || matNames(f.name)))
     val sc = statsFieldsWithCounts(dataFiles.map(_._2), cpDataSchema, conf)
     val nonEmpty = dataFiles.zip(sc).filter(_._2._2 > 0)
     cleanup(fs, dataFiles.zip(sc).filter(_._2._2 == 0).map(_._1._2))
-    val adds = nonEmpty.map { case ((rel, _, size), (st, _)) =>
-      val pv = partitionValuesJson(partValues(rel))
-      s"""{"add":{"path":"${pctEncodeRel(rel)}","partitionValues":{$pv},""" +
-        s""""size":$size,"modificationTime":$ts,"dataChange":false$st}}"""
+    // the adds still carry FRESH baseRowId ranges (the protocol's
+    // required fields on a rowTracking table); the materialized columns
+    // override them row-by-row at read time
+    val (ridFields, domainLines) = rowTrackingFields(table, proto,
+      dst.domains, nonEmpty.map(_._2._2), version + 1)
+    val adds = nonEmpty.zip(ridFields).map {
+      case (((rel, _, size), (st, _)), rid) =>
+        val pv = partitionValuesJson(partValues(rel))
+        s"""{"add":{"path":"${pctEncodeRel(rel)}","partitionValues":{$pv},""" +
+          s""""size":$size,"modificationTime":$ts,"dataChange":false""" +
+          s"""$rid$st}}"""
     }
     val removes = targets.map { case ((rawPath, pv, oldDv, _), _) =>
       val pvs = partitionValuesJson(pv)
       val oldDvJson = oldDv.map(d => s""","deletionVector":${dvJson(d)}""")
         .getOrElse("")
-      s"""{"remove":{"path":"$rawPath","deletionTimestamp":$ts,""" +
+      s"""{"remove":{"path":"${jsonEscape(rawPath)}",""" +
+        s""""deletionTimestamp":$ts,""" +
         s""""dataChange":false,"partitionValues":{$pvs}$oldDvJson}}"""
+    }
+    // first rowTracking compaction: the minted materialized column
+    // names commit via a metaData action in the SAME commit — no reader
+    // ever sees materialized files without the names that decode them
+    val metaLines = matCols match {
+      case Some((ridCol, rcvCol, true)) => Seq(metaDataActionJson(
+        dst.metaRaw, dst.metaId, schemaJson, partCols, config ++ Map(
+          "delta.rowTracking.materializedRowIdColumnName" -> ridCol,
+          "delta.rowTracking.materializedRowCommitVersionColumnName" ->
+            rcvCol)))
+      case _ => Nil
     }
     val lines =
       Seq(s"""{"commitInfo":{"timestamp":$ts,"operation":"OPTIMIZE"}}""") ++
-        removes ++ adds
+        metaLines ++ removes ++ adds ++ domainLines
     val dest = new Path(logPath, f"${version + 1}%020d.json")
     if (!putText(fs, dest, lines.mkString("\n"))) {
       cleanup(fs, nonEmpty.map(_._1._2))
@@ -3626,6 +3721,10 @@ object IcebergWriter {
         s"table schema ${schema.simpleString}")
     val tmpDir = s"$base/metadata/_tmp_merge_${java.util.UUID.randomUUID()}"
     val newFiles = Seq.newBuilder[String]
+    // manifests written before the commit — orphans to reclaim if any
+    // later step throws (a lost COMMIT race is commitSnapshot's own
+    // cleanup; everything else is ours, same as writeUpdate)
+    val newManifests = Seq.newBuilder[String]
     try {
       // ONE evaluation of the source plan — the delete keys and the
       // appended images must agree even for a non-deterministic source
@@ -3639,51 +3738,60 @@ object IcebergWriter {
       if (!dup.isEmpty) throw UnsupportedWrite(
         s"$table: the MERGE source carries duplicate keys — one key " +
           "cannot take two images")
-      val newSeq = st.lastSeq + 1
-      val attempt = java.util.UUID.randomUUID().toString
-      // kill half: one equality delete of the source keys — O(source)
-      val eq = eqDeleteArtifacts(spark, table, base, fs, conf, st,
-        src.select(keys.map(fcol): _*), newSeq, attempt, fv)
-      val (eqMan, carried) = eq match {
-        case Some((man, manSpec, c, files)) =>
-          newFiles ++= files
-          (Seq(man.copy(specId = Some(manSpec))), c)
-        case None => (Nil, st.carried)
+      try {
+        val newSeq = st.lastSeq + 1
+        val attempt = java.util.UUID.randomUUID().toString
+        // kill half: one equality delete of the source keys — O(source)
+        val eq = eqDeleteArtifacts(spark, table, base, fs, conf, st,
+          src.select(keys.map(fcol): _*), newSeq, attempt, fv)
+        val (eqMan, carried) = eq match {
+          case Some((man, manSpec, c, files)) =>
+            newFiles ++= files
+            newManifests += man.path
+            (Seq(man.copy(specId = Some(manSpec))), c)
+          case None => (Nil, st.carried)
+        }
+        // append half: every source row, partition-grouped
+        val schemaJson = JsonMethods.compact(JsonMethods.render(schemaNode))
+        val mrgIdFields = idFieldsOf(schemaJson)
+        val filesWithTuple = writeIdentityPartitioned(spark, src, base,
+          parts, table, fs, conf,
+          fieldIds = mrgIdFields.map { case (id, f) => f.name -> id }.toMap)
+        val dataSC = filesWithTuple.map(f =>
+          statsCells(f._1._2, mrgIdFields, conf))
+        val dataNonEmpty = filesWithTuple.zip(dataSC).filter(_._2._2 > 0)
+        cleanup(fs,
+          filesWithTuple.zip(dataSC).filter(_._2._2 == 0).map(_._1._1._2))
+        newFiles ++= dataNonEmpty.map(_._1._1._2)
+        val addedRows = dataNonEmpty.map(_._2._2).sum
+        val snapId = (st.snapshots.flatMap(sn =>
+          (sn \ "snapshot-id").extractOpt[Long]) :+ 0L).max + 1
+        val ts = System.currentTimeMillis()
+        val dataManifest = s"$base/metadata/m-$attempt-data.avro"
+        AvroOcf.write(dataManifest,
+          manifestAvroSchema(partStructFields, partFieldIds),
+          dataNonEmpty.map { case (((_, abs, size), t), (cells, n)) =>
+            Seq(1, newSeq, Seq(0, abs, "PARQUET", t, n, size) ++ cells)
+          }, conf = conf,
+          meta = manifestMeta(schemaJson, specJson, specId, "data", fv))
+        newManifests += dataManifest
+        val priorNext = (meta \ "next-row-id").extractOpt[Long].getOrElse(0L)
+        commitSnapshot(fs, conf, base, table, snapId, newSeq, ts,
+          "overwrite",
+          NewManifest(dataManifest, 0, dataNonEmpty.size, addedRows) +:
+            eqMan,
+          attempt, specId, carried, st.snapshots,
+          st.priorManifests, st.metaVersion, newFiles.result(),
+          fv = fv,
+          rowLineage =
+            if (fv == 3) Some((priorNext, priorNext + addedRows)) else None)
+        snapId
+      } catch {
+        case t: CommitConflict => throw t
+        case t: Throwable =>
+          cleanup(fs, newFiles.result() ++ newManifests.result())
+          throw t
       }
-      // append half: every source row, partition-grouped
-      val schemaJson = JsonMethods.compact(JsonMethods.render(schemaNode))
-      val mrgIdFields = idFieldsOf(schemaJson)
-      val filesWithTuple = writeIdentityPartitioned(spark, src, base,
-        parts, table, fs, conf,
-        fieldIds = mrgIdFields.map { case (id, f) => f.name -> id }.toMap)
-      val dataSC = filesWithTuple.map(f =>
-        statsCells(f._1._2, mrgIdFields, conf))
-      val dataNonEmpty = filesWithTuple.zip(dataSC).filter(_._2._2 > 0)
-      cleanup(fs,
-        filesWithTuple.zip(dataSC).filter(_._2._2 == 0).map(_._1._1._2))
-      newFiles ++= dataNonEmpty.map(_._1._1._2)
-      val addedRows = dataNonEmpty.map(_._2._2).sum
-      val snapId = (st.snapshots.flatMap(sn =>
-        (sn \ "snapshot-id").extractOpt[Long]) :+ 0L).max + 1
-      val ts = System.currentTimeMillis()
-      val dataManifest = s"$base/metadata/m-$attempt-data.avro"
-      AvroOcf.write(dataManifest,
-        manifestAvroSchema(partStructFields, partFieldIds),
-        dataNonEmpty.map { case (((_, abs, size), t), (cells, n)) =>
-          Seq(1, newSeq, Seq(0, abs, "PARQUET", t, n, size) ++ cells)
-        }, conf = conf,
-        meta = manifestMeta(schemaJson, specJson, specId, "data", fv))
-      val priorNext = (meta \ "next-row-id").extractOpt[Long].getOrElse(0L)
-      commitSnapshot(fs, conf, base, table, snapId, newSeq, ts,
-        "overwrite",
-        NewManifest(dataManifest, 0, dataNonEmpty.size, addedRows) +:
-          eqMan,
-        attempt, specId, carried, st.snapshots,
-        st.priorManifests, st.metaVersion, newFiles.result(),
-        fv = fv,
-        rowLineage =
-          if (fv == 3) Some((priorNext, priorNext + addedRows)) else None)
-      snapId
     } finally fs.delete(new Path(tmpDir), true)
   }
 

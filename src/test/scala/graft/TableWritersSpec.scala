@@ -2288,6 +2288,95 @@ class TableWritersSpec extends SparkSpec {
     assert(eBad.getMessage.contains("unparseable"), eBad.getMessage)
   }
 
+  test("delta OPTIMIZE on a rowTracking table: stable ids survive the " +
+    "rewrite byte-for-byte, DV debt repaid, names minted once") {
+    val t = tmp()
+    // born tracked, two sorted single-partition files: id == position
+    // == row id; commit versions 0 and 1
+    DeltaWriter.writeAppend(spark,
+      (0L to 29L).map(i => (i, s"t$i")).toDF("id", "text")
+        .repartition(1).sortWithinPartitions("id"), t,
+      properties = Map("delta.enableRowTracking" -> "true"))
+    DeltaWriter.writeAppend(spark,
+      (30L to 59L).map(i => (i, s"t$i")).toDF("id", "text")
+        .repartition(1).sortWithinPartitions("id"), t)
+    // DV debt on both files
+    DeltaWriter.writeDelete(spark, t, $"id" % 10 === 3L)
+    val before = DeltaTable.readWithRowIds(spark, t)
+      .select($"id", $"_row_id", $"_row_commit_version")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(before.size == 54 && before.forall(r => r._1 == r._2),
+      s"pre-compaction ids match positions: ${before.take(5)}")
+    val v = DeltaWriter.compact(spark, t)
+    assert(v == 3L, s"one OPTIMIZE commit, v=$v")
+    // identity is BYTE-FOR-BYTE stable across the rewrite — ids AND
+    // commit versions (0/1 from the original appends, not the
+    // compaction's own version)
+    val after = DeltaTable.readWithRowIds(spark, t)
+      .select($"id", $"_row_id", $"_row_commit_version")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(after == before, s"ids survive the rewrite: " +
+      s"${(after -- before).take(5)} vs ${(before -- after).take(5)}")
+    // the DV debt is repaid: no active file carries a DV, and the 54
+    // survivors merged into one file
+    val snap = DeltaTable.snapshotState(spark, t)
+    assert(snap.files.forall(_._3.isEmpty), "no DVs after OPTIMIZE")
+    assert(snap.files.size == 1, s"merged to one file: ${snap.files.size}")
+    // the minted materialized column names committed with the rewrite
+    val ridCol = snap.configuration(
+      "delta.rowTracking.materializedRowIdColumnName")
+    val rcvCol = snap.configuration(
+      "delta.rowTracking.materializedRowCommitVersionColumnName")
+    assert(ridCol.startsWith("_row-id-col-") &&
+      rcvCol.startsWith("_row-commit-version-col-"), s"$ridCol / $rcvCol")
+    // ... and the rewritten file PHYSICALLY stores them
+    val dataFile = s"$t/${snap.files.head._1}"
+    val raw = spark.read.parquet(dataFile)
+    assert(raw.columns.contains(ridCol) && raw.columns.contains(rcvCol),
+      s"materialized columns in the file: ${raw.columns.toSeq}")
+    // a plain read serves the TABLE schema only
+    assert(DeltaTable.read(spark, t).columns.toSeq == Seq("id", "text"))
+    // the add still carries a FRESH baseRowId range + the advanced mark
+    val log3 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$t/_delta_log/00000000000000000003.json")))
+    assert(log3.contains("\"baseRowId\":60"),
+      s"fresh base past the high-water mark: $log3")
+    assert(log3.contains("rowIdHighWaterMark\\\":113") ||
+      log3.contains("rowIdHighWaterMark\":113"),
+      s"mark advanced by the 54 rewritten rows: $log3")
+    assert(log3.contains("\"dataChange\":false"), "OPTIMIZE is not a change")
+    // row-level ops on the compacted table: a DV delete keeps the
+    // file's materialized ids verbatim
+    DeltaWriter.writeDelete(spark, t, $"id" === 40L)
+    val ids2 = DeltaTable.readWithRowIds(spark, t)
+      .select($"id", $"_row_id").as[(Long, Long)].collect().toMap
+    assert(!ids2.contains(40L) && ids2(41L) == 41L && ids2(0L) == 0L,
+      s"materialized ids survive a post-compaction DV delete")
+    // SECOND compaction (DV debt again): no second mint — the names
+    // are already configured — and identity still stable
+    val v2 = DeltaWriter.compact(spark, t)
+    val log6 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        f"$t/_delta_log/$v2%020d.json")))
+    assert(!log6.contains("materializedRowIdColumnName"),
+      s"no re-mint on the second compaction: $log6")
+    val ids3 = DeltaTable.readWithRowIds(spark, t)
+      .select($"id", $"_row_id", $"_row_commit_version")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(ids3 == after.filterNot(_._1 == 40L),
+      "second rewrite preserves the materialized ids it reads back")
+    // checkpoint + vacuumed log tail: ids survive log cleanup
+    DeltaWriter.writeCheckpoint(spark, t)
+    (0L until v2).foreach { i =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+        f"$t/_delta_log/$i%020d.json"))
+    }
+    val ids4 = DeltaTable.readWithRowIds(spark, t)
+      .select($"id", $"_row_id", $"_row_commit_version")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(ids4 == ids3, "ids survive checkpoint + json cleanup")
+  }
+
   test("iceberg widenColumn: int->long / float->double, schema-only") {
     val t = tmp()
     val df = (1 to 6).map(i => (i.toLong, i * 10, i * 0.5f))
