@@ -3344,6 +3344,224 @@ object QueriesML {
           .select($"id", $"text", $"b").orderBy($"id")
       }),
 
+    // ------ Delta OPTIMIZE on a rowTracking table
+    // Two born-tracked sorted files take DV debt from a DELETE, then
+    // compact: the rewrite stores each survivor's stable id and commit
+    // version PHYSICALLY in the materialized row-id columns (names
+    // minted in the same commit), so identity survives the merge
+    // byte-for-byte while the DVs disappear. Pins: per-row (id, rcv)
+    // across the compaction (position == rn0 by construction, rcv = the
+    // original append's version 0/1 — NOT the compaction's), the
+    // one-file result, and the zero-DV invariant.
+    Q("q233_delta_optimize_row_tracking", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 60)
+      SELECT o_orderkey AS id,
+             'doc-' || CAST(rn0 AS VARCHAR) AS text,
+             rn0 AS stable_row_id,
+             CASE WHEN rn0 < 30 THEN 0 ELSE 1 END AS rcv,
+             1 AS n_files, 0 AS n_dvs
+      FROM o WHERE rn0 % 10 <> 3 ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{DeltaTable, DeltaWriter}
+        val table = Fixtures.dir("q233", d) { dir =>
+          val base = orderedKeys(s, d, 60)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          // two sorted single-partition files: position == rn0
+          DeltaWriter.writeAppend(s,
+            base.filter($"rn0" < 30)
+              .select($"id", concat(lit("doc-"), $"rn0").as("text"), $"rn0")
+              .repartition(1).sortWithinPartitions("rn0"), t,
+            properties = Map("delta.enableRowTracking" -> "true"))
+          DeltaWriter.writeAppend(s,
+            base.filter($"rn0" >= 30)
+              .select($"id", concat(lit("doc-"), $"rn0").as("text"), $"rn0")
+              .repartition(1).sortWithinPartitions("rn0"), t)
+          DeltaWriter.writeDelete(s, t, col("rn0") % 10 === 3)
+          DeltaWriter.compact(s, t)
+        }
+        val snap = DeltaTable.snapshotState(s, s"$table/table")
+        val nFiles = snap.files.size
+        val nDvs = snap.files.count(_._3.isDefined)
+        DeltaTable.readWithRowIds(s, s"$table/table")
+          .select($"id", $"text", $"_row_id".as("stable_row_id"),
+            $"_row_commit_version".as("rcv"),
+            lit(nFiles).as("n_files"), lit(nDvs).as("n_dvs"))
+          .orderBy($"id")
+      }),
+
+    // ------ Iceberg v3 REPEATED row-level ops on one file (DV merge)
+    // Two stacked DELETEs and an UPDATE on a partitioned v3 table hit
+    // the same data files: each later op MERGES the prior deletion
+    // vector (union of positions, one replacement Puffin blob) and
+    // REWRITES the delete manifest so the superseded entry drops —
+    // v3's one-DV-per-file rule held across the whole lifecycle. Pins:
+    // the surviving rows + images, zero live positional entries, and
+    // the per-file DV-entry count across ALL active delete manifests.
+    Q("q234_iceberg_dv_merge", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT o_orderkey AS id,
+             CASE WHEN rn0 % 12 = 0 THEN 'u-' || CAST(rn0 AS VARCHAR)
+                  ELSE 'doc-' || CAST(rn0 AS VARCHAR) END AS text,
+             o_orderkey % 3 AS b,
+             0 AS n_pos, 1 AS max_dv_per_file
+      FROM o WHERE rn0 % 10 <> 3 AND rn0 % 15 <> 2
+      ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{AvroOcf, IcebergTable, IcebergWriter}
+        val table = Fixtures.dir("q234", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          IcebergWriter.writeAppend(s,
+            base.select($"id", concat(lit("doc-"), $"rn0").as("text"),
+              $"rn0", ($"id" % 3).as("b")), t, partitionBy = Seq("b"),
+            formatVersion = 3)
+          IcebergWriter.writeDelete(s, t, col("rn0") % 10 === 3)
+          IcebergWriter.writeDelete(s, t, col("rn0") % 15 === 2)
+          IcebergWriter.writeUpdate(s, t, col("rn0") % 12 === 0,
+            Map("text" -> concat(lit("u-"), col("rn0"))))
+        }
+        val t = s"$table/table"
+        val shapes = IcebergTable.deleteShapes(s, t)
+        // the invariant pin: DV entries per referenced data file across
+        // every ACTIVE delete manifest (O(manifests) driver metadata)
+        val metaTxt = new String(java.nio.file.Files.readAllBytes(
+          new java.io.File(s"$t/metadata").listFiles()
+            .filter(_.getName.endsWith(".metadata.json"))
+            .maxBy(f => f.getName.stripPrefix("v")
+              .stripSuffix(".metadata.json").toLong).toPath), "UTF-8")
+        val listPath = """"manifest-list": "([^"]+)"""".r
+          .findAllMatchIn(metaTxt).map(_.group(1)).toSeq.last
+        val delMans = AvroOcf.read(s, listPath)
+          .filter(col("content") === 1)
+          .select(col("manifest_path")).collect().map(_.getString(0)).toSeq
+        val maxDv = delMans.flatMap { mp =>
+          AvroOcf.read(s, mp).filter(col("status") =!= 2)
+            .select(col("data_file.referenced_data_file"))
+            .collect().map(_.getString(0))
+        }.groupBy(identity).values.map(_.size).max
+        IcebergTable.read(s, t)
+          .select($"id", $"text", $"b",
+            lit(shapes.posDeleteFiles.size).as("n_pos"),
+            lit(maxDv).as("max_dv_per_file"))
+          .orderBy($"id")
+      }),
+
+    // ------ Iceberg NESTED columns, full lifecycle (the q230 twin)
+    // A nested-struct Iceberg table takes a mid-life NESTED RENAME
+    // (meta.author -> meta.writer, metadata-only, field ids stable),
+    // then UPDATE + MERGE + DELETE on nested predicates. Files written
+    // BEFORE the rename resolve per file by name history and relabel
+    // through one positional cast; files written after spell the new
+    // name — both union under the current schema. The oracle recomputes
+    // the whole cascade.
+    Q("q235_iceberg_nested", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 60),
+           base AS (SELECT o_orderkey AS id,
+                           'a' || CAST(rn0 % 7 AS VARCHAR) AS author,
+                           rn0 AS score, rn0 % 3 AS n_tags
+                    FROM o),
+           upd AS (SELECT id,
+                          CASE WHEN id % 4 = 0 THEN 'u-' || author
+                               ELSE author END AS author,
+                          CASE WHEN id % 4 = 0 THEN score + 100
+                               ELSE score END AS score,
+                          n_tags
+                   FROM base),
+           merged AS (SELECT * FROM upd
+                      UNION ALL
+                      SELECT o_orderkey + 100000, 'm', rn0, 1
+                      FROM o WHERE rn0 % 10 = 0)
+      SELECT id, author, score, n_tags FROM merged
+      WHERE score <= 140
+      ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{IcebergTable, IcebergWriter}
+        val table = Fixtures.dir("q235", d) { dir =>
+          val t = s"$dir/table"
+          val base = orderedKeys(s, d, 60)
+            .select($"doc_id".as("id"), $"rn0")
+          def metaCol(author: Column) =
+            struct(author.as("author"), $"rn0".as("score"))
+          IcebergWriter.writeAppend(s, base.select($"id",
+            metaCol(concat(lit("a"), ($"rn0" % 7).cast("string")))
+              .as("meta"),
+            when($"rn0" % 3 === 0, array().cast("array<string>"))
+              .when($"rn0" % 3 === 1, array(lit("x")))
+              .otherwise(array(lit("x"), lit("y"))).as("tags")), t)
+          // mid-life NESTED RENAME: author -> writer, ids stable
+          IcebergWriter.renameColumn(s, t, "meta.author", "writer")
+          IcebergWriter.writeUpdate(s, t, col("id") % 4 === 0,
+            Map("meta" -> struct(
+              concat(lit("u-"), col("meta.writer")).as("writer"),
+              (col("meta.score") + 100L).as("score"))))
+          IcebergWriter.writeMerge(s, t,
+            base.filter($"rn0" % 10 === 0).select(
+              ($"id" + 100000).as("id"),
+              struct(lit("m").as("writer"), $"rn0".as("score")).as("meta"),
+              array(lit("z")).as("tags")), Seq("id"))
+          IcebergWriter.writeDelete(s, t, col("meta.score") > 140L)
+        }
+        IcebergTable.read(s, s"$table/table")
+          .select($"id", $"meta.writer".as("author"),
+            $"meta.score".as("score"), size($"tags").as("n_tags"))
+          .orderBy($"id")
+      }),
+
+    // ------ Iceberg Z-ORDERED compaction through a bucket transform
+    // rewriteDataFiles(zorderBy) on a bucket(3, id)-partitioned table:
+    // rows cluster by the z-value of `v` WITHIN each bucket value (the
+    // transform expressions group the range shuffle), so every bucket
+    // splits into several files with TIGHT disjoint v-bounds and the
+    // manifest-stats scan planner prunes on v inside every bucket.
+    // Pins: full row set byte-identical, >= 2 files per bucket
+    // (`multi`), a v-range readWhere scanning strictly fewer files
+    // (`pruned`), and the pruned scan's exact row count (`exact`).
+    Q("q236_iceberg_zorder_bucket", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 120)
+      SELECT o_orderkey AS id,
+             rpad('doc-' || CAST(rn0 AS VARCHAR), 200, 'x') AS text,
+             rn0 AS v,
+             TRUE AS multi, TRUE AS pruned, TRUE AS exact
+      FROM o ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{IcebergTable, IcebergWriter}
+        val table = Fixtures.dir("q236", d) { dir =>
+          val base = orderedKeys(s, d, 120)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          IcebergWriter.writeAppend(s, base.select($"id",
+            rpad(concat(lit("doc-"), $"rn0".cast("string")), 200, "x")
+              .as("text"), $"rn0".as("v")), t,
+            partitionBy = Seq("bucket(3, id)"))
+          IcebergWriter.rewriteDataFiles(s, t,
+            targetFileBytes = 1024, zorderBy = Seq("v"))
+        }
+        val t = s"$table/table"
+        val all = IcebergTable.read(s, t)
+        val files = all.inputFiles.toSeq
+        val byBucket = files.flatMap { f =>
+          f.split("p__id_bucket=").lift(1).map(_.split('/').head)
+        }.groupBy(identity)
+        val multi = byBucket.size == 3 && byBucket.values.forall(_.size >= 2)
+        val prunedDf = IcebergTable.readWhere(s, t,
+          Seq(org.apache.spark.sql.sources.LessThan("v", 20L)))
+        val prunedOk = prunedDf.inputFiles.length < files.size
+        val exact = prunedDf.count() == 20L
+        all.select($"id", $"text", $"v", lit(multi).as("multi"),
+          lit(prunedOk).as("pruned"), lit(exact).as("exact"))
+          .orderBy($"id")
+      }),
+
     // ------------------------------------------------------- HF tokenizer.json encode
     // A hand-authored tokenizer.json (the huggingface/tokenizers file
     // format, byte-level BPE) over planted "ab"*k words: greedy merge

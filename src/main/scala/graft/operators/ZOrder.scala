@@ -92,7 +92,17 @@ object ZOrder {
     * table-partition columns leading so a dynamic-partition writer still
     * emits one file run per directory. */
   def cluster(df: DataFrame, cols: Seq[String], numFiles: Int,
-      within: Seq[String] = Nil): DataFrame = {
+      within: Seq[String] = Nil): DataFrame =
+    clusterExpr(df, cols, numFiles, within.map(col))
+
+  /** [[cluster]] with EXPRESSION-valued grouping — what z-ordering
+    * WITHIN non-identity partition transforms needs: the caller passes
+    * the transform value expressions (bucket(N, col), truncate, the
+    * temporal family) and rows cluster by z INSIDE each transform
+    * value, so the dynamic-partition writer still emits one file run
+    * per directory while every file gets tight multi-column bounds. */
+  def clusterExpr(df: DataFrame, cols: Seq[String], numFiles: Int,
+      within: Seq[Column]): DataFrame = {
     val z = zColumn(df, cols)
     // the helper must not shadow a REAL column: withColumn REPLACES an
     // existing name (case-insensitively under Spark's default resolver),
@@ -101,7 +111,7 @@ object ZOrder {
     val taken = df.schema.fieldNames.map(_.toLowerCase).toSet
     var zName = "__z"
     while (taken.contains(zName.toLowerCase)) zName += "_"
-    val key = within.map(col) :+ col(zName)
+    val key = within :+ col(zName)
     df.withColumn(zName, z)
       .repartitionByRange(math.max(1, numFiles), key: _*)
       .sortWithinPartitions(key: _*)

@@ -873,6 +873,78 @@ object DeltaTable {
         "__rid_ver", "__row_path", "__row_pos"): _*)
   }
 
+  /** The table's SetTransaction watermarks: appId → newest `txn`
+    * version — the idempotence state an external streaming writer keeps
+    * (PROTOCOL.md "Transaction Identifiers"). Protocol replay order:
+    * the newest checkpoint's txn rows as the baseline (classic/
+    * multi-part parquet, V2 json + sidecars), then the commit json
+    * above it in version order. O(log tail) small text plus one
+    * checkpoint column scan — survives json cleanup because
+    * [[graft.sources.DeltaWriter.writeCheckpoint]] re-emits the
+    * watermarks. */
+  def txnVersions(spark: SparkSession, table: String): Map[String, Long] = {
+    val base = table.stripSuffix("/")
+    val conf = new Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    val lp = new Path(logDir(table))
+    val fs = lp.getFileSystem(conf)
+    val entries = fs.listStatus(lp).map(_.getPath.getName).toSeq
+    val jsonVers = entries.flatMap(versionOf)
+    val ckptV = entries.flatMap(ckptVersionOf).distinct.sorted.lastOption
+    val txns = scala.collection.mutable.Map.empty[String, Long]
+    def sweepParquet(paths: Seq[String]): Unit = {
+      val cp = spark.read.parquet(paths: _*)
+      val cols = cp.columns.toSet
+      if (cols.contains("txn"))
+        cp.select(col("txn.appId"), col("txn.version").cast("long"))
+          .filter(col("appId").isNotNull).collect().foreach { r =>
+            txns(r.getString(0)) = r.getLong(1)
+          }
+      if (cols.contains("sidecar")) {
+        val sc = cp.select(col("sidecar.path"))
+          .filter(col("path").isNotNull).collect().map { r =>
+            val dec = PathUris.pctDecode(r.getString(0))
+            if (dec.contains("://") || dec.startsWith("/")) dec
+            else s"$base/_delta_log/_sidecars/$dec"
+          }.toSeq
+        if (sc.nonEmpty) sweepParquet(sc)
+      }
+    }
+    def sweepJson(text: String): Unit =
+      text.split('\n').filter(_.contains("\"txn\"")).foreach { line =>
+        val j = JsonMethods.parse(line)
+        (j \ "txn") match {
+          case JObject(_) =>
+            txns((j \ "txn" \ "appId").extract[String]) =
+              (j \ "txn" \ "version").extract[Long]
+          case _ =>
+        }
+      }
+    ckptV.foreach { v =>
+      val ckptFiles = entries.filter(n => ckptVersionOf(n).contains(v))
+      val (js, pq) = ckptFiles.partition(_.endsWith(".json"))
+      js.foreach { n =>
+        val text = FsText.read(fs, new Path(lp, n))
+        sweepJson(text)
+        val sidecars = text.split('\n')
+          .filter(_.contains("\"sidecar\"")).flatMap { line =>
+            (JsonMethods.parse(line) \ "sidecar" \ "path")
+              .extractOpt[String]
+          }.map { raw =>
+            val dec = PathUris.pctDecode(raw)
+            if (dec.contains("://") || dec.startsWith("/")) dec
+            else s"$base/_delta_log/_sidecars/$dec"
+          }.toSeq
+        if (sidecars.nonEmpty) sweepParquet(sidecars)
+      }
+      if (pq.nonEmpty) sweepParquet(pq.map(n => s"$base/_delta_log/$n"))
+    }
+    jsonVers.filter(v => ckptV.forall(v > _)).sorted.foreach { v =>
+      sweepJson(FsText.read(fs, new Path(lp, f"$v%020d.json")))
+    }
+    txns.toMap
+  }
+
   /** The live rows of ONLY the named data files with their rowTracking
     * identity POPULATED into the two named materialized columns —
     * the compaction rewrite's input: each survivor row carries

@@ -300,8 +300,12 @@ object IcebergTable {
       bucketBySpec: Map[Int, Seq[(String, String, Int)]] = Map.empty,
       // ids whose logical name CHANGED across the schema history — the
       // proof a rename happened; their prior names (newest first) feed
-      // the id-less-file fallback in the field-id read path
-      priorNames: Map[Int, Seq[String]] = Map.empty)
+      // the id-less-file fallback in the field-id read path (nested
+      // struct members included)
+      priorNames: Map[Int, Seq[String]] = Map.empty,
+      // every struct-addressable member's CURRENT dotted path → id,
+      // all levels — the nested rename clipping's lookup key
+      memberIds: Map[String, Int] = Map.empty)
 
   /** Merge-on-read assembly: positional deletes anti-join on
     * (file, `_metadata.row_index`); equality deletes anti-join on the
@@ -406,7 +410,7 @@ object IcebergTable {
             spark.sparkContext.hadoopConfiguration)
           val resolvedCols: Seq[(String, Seq[String])] =
             group.map(_._1).map { p =>
-              val (byId, names) = footerTopColumns(p, dconf)
+              val (byId, names, _) = footerTopColumns(p, dconf)
               p -> ids.zip(cols).map { case (id, c) =>
                 byId.get(id).orElse(Some(c).filter(names)).getOrElse(
                   throw UnsupportedIceberg(
@@ -455,11 +459,13 @@ object IcebergTable {
     * additive evolution). Row-key columns attach per scan group (the
     * `_metadata` pseudo-column does not survive a union). */
   /** One parquet FOOTER read: the file's top-level (field-id → column
-    * name) map and its column-name set — the two inputs every id-keyed
-    * resolution site (data files under renames, equality-delete files)
-    * shares. Duplicate ids in one footer are directed. */
+    * name) map, its column-name set, and the message type itself (the
+    * nested clipping input) — what every id-keyed resolution site
+    * (data files under renames, equality-delete files) shares.
+    * Duplicate ids in one footer are directed. */
   private def footerTopColumns(p: String, conf: Configuration)
-      : (Map[Int, String], Set[String]) = {
+      : (Map[Int, String], Set[String],
+        org.apache.parquet.schema.GroupType) = {
     import scala.jdk.CollectionConverters._
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -476,7 +482,7 @@ object IcebergTable {
         byId(id.intValue) = t.getName
       }
     }
-    (byId.toMap, names.toSet)
+    (byId.toMap, names.toSet, g)
   }
 
   private def resolvedRead(spark: SparkSession, a: ActiveSet,
@@ -484,22 +490,69 @@ object IcebergTable {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val idOf: Map[String, Int] = a.fieldNames.map(_.swap)
     val fields = a.schema.fields.toSeq
-    val fileCols: Seq[(String, Seq[Option[String]])] =
+    // a renamed id that is not struct-addressable (it sits inside a
+    // list/map ELEMENT struct) cannot be clipped per file — directed,
+    // never a silent null read of the renamed member
+    val unscoped = a.priorNames.keySet -- a.memberIds.values.toSet
+    if (unscoped.nonEmpty) throw UnsupportedIceberg(
+      s"renamed field id(s) ${unscoped.toSeq.sorted.mkString(", ")} sit " +
+        "inside list/map elements — per-file name resolution cannot " +
+        "reach them")
+    // The per-file READ FIELD for one table column: the file's OWN
+    // member names in the CURRENT member order (a member the file lacks
+    // reads as null under its current name), recursively through struct
+    // levels — so ONE positional cast per column relabels every level
+    // back to the current schema. A non-renamed member spells the same
+    // in both, making the cast a no-op there.
+    def clip(path: String, dt: DataType,
+        fg: org.apache.parquet.schema.GroupType): DataType = dt match {
+      case st: StructType =>
+        StructType(st.fields.map { mf =>
+          val mPath = s"$path.${mf.name}"
+          val cands = mf.name +: a.memberIds.get(mPath)
+            .map(i => a.priorNames.getOrElse(i, Nil)).getOrElse(Nil)
+          cands.find(fg.containsField) match {
+            case None =>
+              StructField(mf.name, mf.dataType, nullable = true)
+            case Some(n) =>
+              val sub = fg.getType(n)
+              val subDt =
+                if (!sub.isPrimitive &&
+                  sub.asGroupType.getLogicalTypeAnnotation == null &&
+                  mf.dataType.isInstanceOf[StructType])
+                  clip(mPath, mf.dataType, sub.asGroupType)
+                else mf.dataType
+              StructField(n, subDt, nullable = true)
+          }
+        })
+      case other => other
+    }
+    val fileCols: Seq[(String, Seq[Option[StructField]])] =
       a.data.map(_._1).map { p =>
-        val (byId, names) = footerTopColumns(p, conf)
+        val (byId, names, grp) = footerTopColumns(p, conf)
         p -> fields.map { f =>
           val id = idOf.get(f.name)
-          id.flatMap(byId.get)
+          val resolved = id.flatMap(byId.get)
             .orElse(Some(f.name).filter(names))
             .orElse(id.flatMap(i =>
               a.priorNames.getOrElse(i, Nil).find(names)))
+          resolved.map { n =>
+            val t = grp.getType(n)
+            val dt =
+              if (!t.isPrimitive && f.dataType.isInstanceOf[StructType] &&
+                t.asGroupType.getLogicalTypeAnnotation == null)
+                clip(f.name, f.dataType, t.asGroupType)
+              else f.dataType
+            StructField(n, dt, nullable = true)
+          }
         }
       }
-    fileCols.groupBy(_._2).toSeq
+    fileCols.groupBy(_._2.map(_.map(rf => StructType(Seq(rf)).json)))
+      .toSeq
       .sortBy(_._1.map(_.getOrElse("")).mkString(","))
-      .map { case (colNames, ps) =>
-        val present = fields.zip(colNames).collect {
-          case (f, Some(n)) => StructField(n, f.dataType, nullable = true) }
+      .map { case (_, ps) =>
+        val colFields = ps.head._2
+        val present = colFields.flatten
         var df = spark.read.schema(StructType(present))
           .parquet(ps.map(_._1): _*)
         if (needKeys) df = df
@@ -508,8 +561,26 @@ object IcebergTable {
           .withColumn("__row_pos", col("_metadata.row_index"))
         val keyCols =
           if (needKeys) Seq(col("__row_path"), col("__row_pos")) else Nil
-        df.select(fields.zip(colNames).map {
-          case (f, Some(n)) => col(s"`$n`").as(f.name)
+        // the relabeling cast targets a deep-NULLABLE copy: the read
+        // schema's members are nullable by construction (absent ones
+        // read null), and Spark refuses a cast that would promise
+        // NOT NULL. Same-spelling fields skip the cast entirely.
+        def deepNullable(dt: DataType): DataType = dt match {
+          case st: StructType => StructType(st.fields.map(mf =>
+            StructField(mf.name, deepNullable(mf.dataType),
+              nullable = true)))
+          case ArrayType(et, _) =>
+            ArrayType(deepNullable(et), containsNull = true)
+          case MapType(k, v, _) =>
+            MapType(deepNullable(k), deepNullable(v),
+              valueContainsNull = true)
+          case o => o
+        }
+        df.select(fields.zip(colFields).map {
+          case (f, Some(rf)) if rf.dataType == f.dataType =>
+            col(s"`${rf.name}`").as(f.name)
+          case (f, Some(rf)) =>
+            col(s"`${rf.name}`").cast(deepNullable(f.dataType)).as(f.name)
           case (f, None) => org.apache.spark.sql.functions.lit(null)
             .cast(f.dataType).as(f.name)
         } ++ keyCols: _*)
@@ -575,20 +646,73 @@ object IcebergTable {
 
     // the schema HISTORY: ids that ever carried a different name mark a
     // rename — the one case name-based parquet reads would silently
-    // null a column, switching assemble to field-id resolution
+    // null a column, switching assemble to field-id resolution.
+    // Collection recurses through EVERY named level (struct members,
+    // and structs inside list/map elements — the latter only so an
+    // inner rename is DETECTED and directed, never silently nulled).
+    def walkNamed(fs2: Seq[JValue])(
+        visit: (Int, String, JValue) => Unit): Unit = {
+      def types(t: JValue): Unit = t match {
+        case o: JObject => (o \ "type").extractOpt[String] match {
+          case Some("struct") =>
+            (o \ "fields").extractOpt[Seq[JValue]].getOrElse(Nil)
+              .foreach { f =>
+                for (id <- (f \ "id").extractOpt[Int];
+                  n <- (f \ "name").extractOpt[String])
+                  visit(id, n, f)
+                types(f \ "type")
+              }
+          case Some("list") => types(o \ "element")
+          case Some("map") => types(o \ "key"); types(o \ "value")
+          case _ =>
+        }
+        case _ =>
+      }
+      fs2.foreach { f =>
+        for (id <- (f \ "id").extractOpt[Int];
+          n <- (f \ "name").extractOpt[String]) visit(id, n, f)
+        types(f \ "type")
+      }
+    }
+    val allCurrentNames: Map[Int, String] = {
+      val b = Map.newBuilder[Int, String]
+      walkNamed((schemaJson \ "fields").extractOpt[Seq[JValue]]
+        .getOrElse(Nil)) { (id, n, _) => b += id -> n }
+      b.result()
+    }
+    // struct-addressable CURRENT paths only (list/map elements are not
+    // name-addressable): the nested clipping's lookup key
+    val memberIdMap: Map[String, Int] = {
+      val b = Map.newBuilder[String, Int]
+      def walk(prefix: String, fs2: Seq[JValue]): Unit = fs2.foreach { f =>
+        for (id <- (f \ "id").extractOpt[Int];
+          n <- (f \ "name").extractOpt[String]) {
+          val p = if (prefix.isEmpty) n else s"$prefix.$n"
+          b += p -> id
+          (f \ "type") match {
+            case t: JObject
+              if (t \ "type").extractOpt[String].contains("struct") =>
+              walk(p, (t \ "fields").extractOpt[Seq[JValue]].getOrElse(Nil))
+            case _ =>
+          }
+        }
+      }
+      walk("", (schemaJson \ "fields").extractOpt[Seq[JValue]]
+        .getOrElse(Nil))
+      b.result()
+    }
     val priorNameMap: Map[Int, Seq[String]] = {
       val byId = scala.collection.mutable.Map.empty[Int, Vector[String]]
       (meta \ "schemas").extractOpt[Seq[JValue]].getOrElse(Nil)
         .sortBy(s0 => (s0 \ "schema-id").extractOpt[Int].getOrElse(0))
         .foreach { s0 =>
-          (s0 \ "fields").extractOpt[Seq[JValue]].getOrElse(Nil).foreach { f =>
-            for (id <- (f \ "id").extractOpt[Int];
-              n <- (f \ "name").extractOpt[String])
-              byId(id) = byId.getOrElse(id, Vector.empty) :+ n
+          walkNamed((s0 \ "fields").extractOpt[Seq[JValue]]
+            .getOrElse(Nil)) { (id, n, _) =>
+            byId(id) = byId.getOrElse(id, Vector.empty) :+ n
           }
         }
       byId.toMap.flatMap { case (id, names) =>
-        fieldNames.get(id) match {
+        allCurrentNames.get(id) match {
           // a DROPPED id's history is irrelevant (nothing selects it) —
           // including it would flip every later read onto the per-file
           // resolution path for no reason
@@ -603,7 +727,8 @@ object IcebergTable {
     val snaps = (meta \ "snapshots").extractOpt[Seq[JValue]].getOrElse(Nil)
     if (snaps.isEmpty) // a created-but-never-written table: empty, typed
       return ActiveSet(sparkSchema, fieldNames, Nil, Nil, Nil,
-        bucketBySpec = bucketBySpec, priorNames = priorNameMap)
+        bucketBySpec = bucketBySpec, priorNames = priorNameMap,
+        memberIds = memberIdMap)
     val targetId = snapshotId.getOrElse {
       (meta \ "current-snapshot-id").extractOpt[Long].getOrElse(
         throw UnsupportedIceberg(s"$table: no current-snapshot-id"))
@@ -835,7 +960,7 @@ object IcebergTable {
           f.contentOffset.get, f.contentSize.get)),
       active.filter(e => e.content == 0 && !e.stats.isEmptyStats)
         .map(f => resolvePath(table, location, f.path) -> f.stats).toMap,
-      bucketBySpec, priorNames = priorNameMap)
+      bucketBySpec, priorNames = priorNameMap, memberIds = memberIdMap)
   }
 
   /** Incremental consumption: rows of the data files ACTIVE in
@@ -1002,20 +1127,27 @@ object IcebergTable {
       table: String): Seq[String] =
     activeFiles(spark, table, None, Map.empty).data.map(_._1)
 
-  /** The current snapshot's delete shapes: (canonical data files already
-    * covered by a v3 deletion vector, whether any v2 positional-delete
-    * files are active). The v3 delete writer directs on both — one DV
-    * per file, and a new DV must merge prior positional deletes; either
-    * needs the manifest rewrite it does not implement. The data paths
-    * ride along so the v3 delete writer replays the manifests ONCE. */
-  private[graft] def activeDeleteShapes(spark: SparkSession,
-      table: String): (Set[String], Boolean, Seq[(String, String)]) = {
+  /** The current snapshot's delete shapes for the v3 DELETE/UPDATE
+    * writers: each data file's ACTIVE deletion vector (canonical data
+    * file → (puffin path, content offset, content size) — v3 allows at
+    * most one per file, so a second delete touching it must MERGE), the
+    * active v2 positional-delete files (a v3 delete migrates their
+    * positions into DVs), and every active data file with its partition
+    * scope string. ONE metadata replay serves all three — separate
+    * calls would pay the whole manifest pass repeatedly. */
+  private[graft] final case class DeleteShapes(
+      dvByFile: Map[String, (String, Long, Long)],
+      posDeleteFiles: Seq[String],
+      dataScopes: Seq[(String, String)])
+
+  private[graft] def deleteShapes(spark: SparkSession,
+      table: String): DeleteShapes = {
     val a = activeFiles(spark, table, None, Map.empty)
-    // data files ride WITH their partition scope strings so the v3
-    // delete writer replays the manifests ONCE — a separate
-    // activeDataScopes call would pay the whole metadata pass twice
-    (a.dvDeletes.map(d => PathUris.canon(d._2)).toSet,
-      a.posDeletes.nonEmpty, a.data.map(f => (f._1, f._3)))
+    DeleteShapes(
+      a.dvDeletes.map(d =>
+        PathUris.canon(d._2) -> ((d._1, d._3, d._4))).toMap,
+      a.posDeletes,
+      a.data.map(f => (f._1, f._3)))
   }
 
   /** Each active data file with its partition SCOPE string

@@ -272,6 +272,22 @@ object TableCommit {
 
   /** Delete already-placed data files after a lost commit race — the
     * loser leaves no orphans behind. */
+  /** A deep-NULLABLE copy of the type: struct/array/map casts in Spark
+    * validate member nullability as part of the TYPE, so a cast target
+    * derived from a required-marked Iceberg schema must relax it (the
+    * row values are unchanged; Iceberg's `required` is enforced by the
+    * writer's own null guard, not the cast). */
+  private[sources] def deepNullableType(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      StructField(f.name, deepNullableType(f.dataType), nullable = true)))
+    case ArrayType(et, _) =>
+      ArrayType(deepNullableType(et), containsNull = true)
+    case MapType(k, v, _) =>
+      MapType(deepNullableType(k), deepNullableType(v),
+        valueContainsNull = true)
+    case o => o
+  }
+
   private[sources] def cleanup(fs: FileSystem, files: Seq[String]): Unit =
     files.foreach(f => fs.delete(new Path(f), false))
 
@@ -1392,7 +1408,8 @@ object DeltaWriter {
     try {
       // ONE evaluation of the source plan
       source.select(schema.fields.toIndexedSeq.map(f =>
-        fcol(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
+        fcol(s"`${f.name}`").cast(deepNullableType(f.dataType))
+          .as(f.name)): _*)
         .write.mode("overwrite").parquet(tmpDir)
       val src = readTmpFiles(spark, tmpDir, conf)
       if (src.isEmpty) return version
@@ -2137,10 +2154,12 @@ object DeltaWriter {
     * checkpoint without them would change row identity the moment the
     * json below is cleaned).
     *
-    * Directed, never silent: a log carrying `txn` (SetTransaction)
-    * actions — an external streaming writer's idempotence watermark that
-    * this writer does not replay — refuses to checkpoint rather than
-    * drop state the compaction would make unrecoverable. */
+    * `txn` (SetTransaction) watermarks are RETAINED: the checkpoint
+    * carries one txn row per appId — the newest version per the
+    * protocol's replay rule (prior-checkpoint baseline, then commit
+    * json above it in version order) — so an external streaming
+    * writer's idempotence state survives json cleanup
+    * ([[DeltaTable.txnVersions]] recovers the same map). */
   def writeCheckpoint(spark: SparkSession, table: String): Long = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -2158,25 +2177,31 @@ object DeltaWriter {
     val proto = dst.protocol
     val tracking = proto.writerFeatures.contains("rowTracking")
     // sweep the LOG STATE the replay does not retain — txn watermarks
-    // (directed) and remove tombstones (carried) — from BOTH the live
-    // commit json and any PRIOR checkpoint (classic/multi-part parquet,
-    // V2 json top-level, sidecars): a txn or unexpired tombstone hidden
-    // inside an earlier checkpoint must not vanish through compaction.
-    // (This re-reads the commit tail the replay just read — O(tail)
-    // small text, paid once per checkpoint, kept separate so the replay
-    // fold stays tombstone-free.)
+    // (carried: newest per appId) and remove tombstones (carried) —
+    // from BOTH the live commit json and any PRIOR checkpoint
+    // (classic/multi-part parquet, V2 json top-level, sidecars): a txn
+    // or unexpired tombstone hidden inside an earlier checkpoint must
+    // not vanish through compaction. (This re-reads the commit tail the
+    // replay just read — O(tail) small text, paid once per checkpoint,
+    // kept separate so the replay fold stays tombstone-free.)
     val removeRows = Seq.newBuilder[Row]
-    def directTxn(): Nothing = throw UnsupportedWrite(
-      s"$table: the log carries txn (SetTransaction) actions — an " +
-        "external writer's idempotence watermark this checkpoint writer " +
-        "does not retain")
-    def sweepJsonLines(text: String): Seq[String] = {
+    // appId → (version, lastUpdated), protocol replay order: the
+    // prior-checkpoint baseline first, then commit json ABOVE it in
+    // version order (json at-or-below the checkpoint is already folded
+    // in, and replaying a partially cleaned tail would resurrect stale
+    // watermarks)
+    val txns = scala.collection.mutable.Map
+      .empty[String, (Long, Option[Long])]
+    def sweepJsonLines(text: String, collectTxn: Boolean): Seq[String] = {
       val sidecars = Seq.newBuilder[String]
       text.split('\n').filter(_.trim.nonEmpty).foreach { line =>
         if (line.contains("\"txn\"")) {
           val j = JsonMethods.parse(line)
           (j \ "txn") match {
-            case JObject(_) => directTxn()
+            case JObject(_) if collectTxn =>
+              val app = (j \ "txn" \ "appId").extract[String]
+              val v = (j \ "txn" \ "version").extract[Long]
+              txns(app) = (v, (j \ "txn" \ "lastUpdated").extractOpt[Long])
             case _ =>
           }
         }
@@ -2187,7 +2212,7 @@ object DeltaWriter {
               (j \ "remove" \ "path").extract[String],
               (j \ "remove" \ "deletionTimestamp")
                 .extractOpt[Long].getOrElse(0L),
-              false), null)
+              false), null, null)
             case _ =>
           }
         }
@@ -2201,9 +2226,18 @@ object DeltaWriter {
     def sweepActionParquet(paths: Seq[String]): Unit = {
       val cp = spark.read.parquet(paths: _*)
       val cols = cp.columns.toSet
-      if (cols.contains("txn") &&
-        cp.filter(col("txn.appId").isNotNull).limit(1).count() > 0)
-        directTxn()
+      if (cols.contains("txn")) {
+        val tCols = cp.select(col("txn.*")).columns.toSet
+        val luCol =
+          if (tCols.contains("lastUpdated")) col("txn.lastUpdated")
+          else org.apache.spark.sql.functions.lit(null)
+        cp.select(col("txn.appId"), col("txn.version").cast("long"),
+            luCol.cast("long"))
+          .filter(col("appId").isNotNull).collect().foreach { r =>
+            txns(r.getString(0)) = (r.getLong(1),
+              if (r.isNullAt(2)) None else Some(r.getLong(2)))
+          }
+      }
       if (cols.contains("remove")) {
         val rCols = cp.select(col("remove.*")).columns.toSet
         val tsCol = org.apache.spark.sql.functions.coalesce(
@@ -2214,7 +2248,7 @@ object DeltaWriter {
         cp.select(col("remove.path"), tsCol.cast("long"))
           .filter(col("path").isNotNull).collect().foreach { r =>
             removeRows += Row(null, null, null,
-              Row(r.getString(0), r.getLong(1), false), null)
+              Row(r.getString(0), r.getLong(1), false), null, null)
           }
       }
       if (cols.contains("sidecar")) {
@@ -2228,11 +2262,7 @@ object DeltaWriter {
       }
     }
     val entries = fs.listStatus(logPath).map(_.getPath.getName).toSeq
-    entries.foreach { n =>
-      if (n.endsWith(".json") && n.length == 25 &&
-        n.take(20).toLongOption.exists(_ <= version))
-        sweepJsonLines(FsText.read(fs, new Path(logPath, n)))
-    }
+    // prior-checkpoint BASELINE first (txn + tombstones) ...
     val priorCkpt = entries.flatMap(DeltaTable.ckptVersionOf)
       .distinct.filter(_ <= version).sorted.lastOption
     priorCkpt.foreach { v =>
@@ -2240,7 +2270,8 @@ object DeltaWriter {
         DeltaTable.ckptVersionOf(n).contains(v))
       val (js, pq) = ckptFiles.partition(_.endsWith(".json"))
       js.foreach { n =>
-        val sc = sweepJsonLines(FsText.read(fs, new Path(logPath, n)))
+        val sc = sweepJsonLines(FsText.read(fs, new Path(logPath, n)),
+          collectTxn = true)
           .map { raw =>
             val dec = PathUris.pctDecode(raw)
             if (dec.contains("://") || dec.startsWith("/")) dec
@@ -2250,6 +2281,16 @@ object DeltaWriter {
       }
       if (pq.nonEmpty)
         sweepActionParquet(pq.map(n => s"$base/_delta_log/$n"))
+    }
+    // ... then the commit json in VERSION ORDER: tombstones from every
+    // retained file, txn overrides only from json above the baseline
+    entries.flatMap { n =>
+      if (n.endsWith(".json") && n.length == 25)
+        n.take(20).toLongOption.filter(_ <= version).map((_, n))
+      else None
+    }.sortBy(_._1).foreach { case (v, n) =>
+      sweepJsonLines(FsText.read(fs, new Path(logPath, n)),
+        collectTxn = priorCkpt.forall(v > _))
     }
     def resolve(rel: String): String = DeltaTable.resolveAdd(base, rel)
     val dvType = StructType(Seq(
@@ -2288,7 +2329,11 @@ object DeltaWriter {
       StructField("domainMetadata", StructType(Seq(
         StructField("domain", StringType),
         StructField("configuration", StringType),
-        StructField("removed", BooleanType))))))
+        StructField("removed", BooleanType)))),
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType),
+        StructField("lastUpdated", LongType))))))
     // the table's protocol VERBATIM — fabricating one would silently
     // drop features (columnMapping, timestampNtz, appendOnly, ...) the
     // moment the commit json below the checkpoint is vacuumed
@@ -2318,7 +2363,7 @@ object DeltaWriter {
       Row(null, null, Row(path, pv, size, 0L, false,
         dv.map(d => Row(d.storageType, d.pathOrInlineDv,
           d.offset.orNull, d.sizeInBytes, d.cardinality)).orNull,
-        stats.orNull, brid, dcv), null, null)
+        stats.orNull, brid, dcv), null, null, null)
     }
     // a checkpoint carries each path AT MOST once: a tombstone whose
     // path was later re-added yields to the active add, and repeated
@@ -2330,11 +2375,16 @@ object DeltaWriter {
       .groupBy(_._1).values
       .map(_.maxBy(_._2.getStruct(3).getLong(1))._2).toSeq
     val domainRows = dst.domains.toSeq.sortBy(_._1).map {
-      case (dom, cfg) => Row(null, null, null, null, Row(dom, cfg, false))
+      case (dom, cfg) =>
+        Row(null, null, null, null, Row(dom, cfg, false), null)
     }
-    val rows = Seq(Row(protoRow, null, null, null, null),
-      Row(null, metaRow, null, null, null)) ++
-      addRows ++ tombstones ++ domainRows
+    val txnRows = txns.toSeq.sortBy(_._1).map { case (app, (v, lu)) =>
+      Row(null, null, null, null, null,
+        Row(app, v, lu.map(java.lang.Long.valueOf).orNull))
+    }
+    val rows = Seq(Row(protoRow, null, null, null, null, null),
+      Row(null, metaRow, null, null, null, null)) ++
+      addRows ++ tombstones ++ domainRows ++ txnRows
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), ckptSchema)
     val tmpDir = s"$base/_delta_log/.ckpt-${java.util.UUID.randomUUID()}"
@@ -2545,6 +2595,77 @@ object IcebergWriter {
       if (lowers.isEmpty) null else lowers,
       if (uppers.isEmpty) null else uppers),
       st.numRecords.getOrElse(0L))
+  }
+
+  /** The table schema json's (dotted path → field id) map through every
+    * STRUCT level — the nested-id tagging input for
+    * [[writeIdentityPartitioned]] and the equality-delete key writer.
+    * List/map element ids have no StructField to ride on and are not
+    * included (schemas carrying them write id-less). */
+  private def idPathsOf(schemaJson: String): Map[String, Int] = {
+    val j = JsonMethods.parse(schemaJson)
+    val b = Map.newBuilder[String, Int]
+    def walk(prefix: String, fs2: Seq[JValue]): Unit = fs2.foreach { f =>
+      for (id <- (f \ "id").extractOpt[Int];
+        n <- (f \ "name").extractOpt[String]) {
+        val p = if (prefix.isEmpty) n else s"$prefix.$n"
+        b += p -> id
+        (f \ "type") match {
+          case t: JObject
+            if (t \ "type").extractOpt[String].contains("struct") =>
+            walk(p, (t \ "fields").extractOpt[Seq[JValue]].getOrElse(Nil))
+          case _ =>
+        }
+      }
+    }
+    walk("", (j \ "fields").extractOpt[Seq[JValue]].getOrElse(Nil))
+    b.result()
+  }
+
+  /** Does the type tree contain a list or map anywhere? Such schemas
+    * cannot be FULLY id-tagged (element/entry ids have no StructField
+    * to carry metadata), and a partially tagged file reads
+    * id-annotated to a stock resolver — nulling every untagged member —
+    * so they write uniformly id-less instead. */
+  private def hasListOrMap(dt: DataType): Boolean = dt match {
+    case st: StructType => st.fields.exists(f => hasListOrMap(f.dataType))
+    case _: ArrayType | _: MapType => true
+    case _ => false
+  }
+
+  /** One TOP-LEVEL column expression carrying `parquet.field.id` at
+    * every struct level: the alias's explicitMetadata tags the root
+    * (it survives the optimizer — a metadata-only Project would not),
+    * and a CAST to a metadata-tagged deep-nullable struct type carries
+    * the nested ids in the attribute's own dataType (Cast returns its
+    * target type VERBATIM, nested metadata included; deep-nullable so
+    * a required-marked source member never fails the cast). Spark's
+    * parquet writer then stores ids at all depths. */
+  private def tagIdCol(f: StructField,
+      idPaths: Map[String, Int]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    def tagType(prefix: String, dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map { mf =>
+        val p = s"$prefix.${mf.name}"
+        val md = idPaths.get(p) match {
+          case Some(id) => new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", id.toLong).build()
+          case None => org.apache.spark.sql.types.Metadata.empty
+        }
+        StructField(mf.name, tagType(p, mf.dataType), nullable = true, md)
+      })
+      case other => deepNullableType(other)
+    }
+    val rootMd = idPaths.get(f.name).map(id =>
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", id.toLong).build())
+      .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+    val c0 = fcol(s"`${f.name}`")
+    val c = f.dataType match {
+      case st: StructType => c0.cast(tagType(f.name, st))
+      case _ => c0
+    }
+    c.as(f.name, rootMd)
   }
 
   /** The table schema json's top-level (field-id, Spark field) pairs —
@@ -2773,38 +2894,30 @@ object IcebergWriter {
     * checked for the ''/hive-sentinel ambiguity. Shared by the append
     * and compaction writers.
     *
-    * `fieldIds` (schema column -> Iceberg field id) tags each table
-    * column with `parquet.field.id` metadata — Spark's parquet writer
-    * stores the ids (fieldId.write is on by default), giving every data
-    * file the spec's ID-KEYED column identity: the read path can then
-    * resolve columns by id, the rule that makes renames and foreign
-    * differently-spelled files safe. Helper columns stay untagged. */
+    * `fieldIds` (DOTTED schema path -> Iceberg field id, every struct
+    * level) tags each table column with `parquet.field.id` metadata —
+    * Spark's parquet writer stores the ids recursively (fieldId.write
+    * is on by default), giving every data file the spec's ID-KEYED
+    * column identity: the read path can then resolve columns by id,
+    * the rule that makes renames and foreign differently-spelled files
+    * safe. Helper columns stay untagged. */
   private def writeIdentityPartitioned(spark: SparkSession, dfIn: DataFrame,
       base: String, parts: Seq[PartField], table: String, fs: FileSystem,
       conf: Configuration, fieldIds: Map[String, Int] = Map.empty)
       : Seq[((String, String, Long), Seq[Any])] = {
     import org.apache.spark.sql.functions.{col => fcol}
-    // NESTED schemas write WITHOUT parquet field ids: Spark's writer can
-    // tag only top-level columns (list elements and map entries have no
-    // StructField to carry metadata), and a file with root ids but
-    // id-less nested members would read as id-annotated to a stock
-    // resolver, nulling every nested value — uniformly id-less files
-    // fall back to name resolution everywhere instead
-    val nested = dfIn.schema.fields.exists(f => f.dataType match {
-      case _: StructType | _: ArrayType | _: MapType => true
-      case _ => false
-    })
+    // field-id tagging: flat AND pure-struct nested schemas tag
+    // `parquet.field.id` at every level (`fieldIds` keys are dotted
+    // paths); schemas carrying LIST/MAP types write uniformly id-less —
+    // element/entry ids have no StructField to ride on, and a partially
+    // tagged file reads id-annotated to a stock resolver, nulling every
+    // untagged member
+    val untaggable =
+      dfIn.schema.fields.exists(f => hasListOrMap(f.dataType))
     val df =
-      if (fieldIds.isEmpty || nested) dfIn
-      else dfIn.select(dfIn.schema.fields.toIndexedSeq.map { f =>
-        fieldIds.get(f.name) match {
-          case Some(id) =>
-            val md = new org.apache.spark.sql.types.MetadataBuilder()
-              .putLong("parquet.field.id", id.toLong).build()
-            fcol(s"`${f.name}`").as(f.name, md)
-          case None => fcol(s"`${f.name}`")
-        }
-      }: _*)
+      if (fieldIds.isEmpty || untaggable) dfIn
+      else dfIn.select(dfIn.schema.fields.toIndexedSeq
+        .map(f => tagIdCol(f, fieldIds)): _*)
     // helper names must not shadow REAL columns (a collision would
     // silently exclude the genuine column from the data files) — Spark
     // resolves case-INSENSITIVELY by default, and helpers must not
@@ -3049,7 +3162,7 @@ object IcebergWriter {
     val appendIdFields = idFieldsOf(schemaJson)
     val filesWithTuple = writeIdentityPartitioned(spark, df, base,
       parts, table, fs, conf,
-      fieldIds = appendIdFields.map { case (id, f) => f.name -> id }.toMap)
+      fieldIds = idPathsOf(schemaJson))
     val files = filesWithTuple.map(_._1)
     val fileSC = files.map(f => statsCells(f._2, appendIdFields, conf))
     val counts = fileSC.map(_._2)
@@ -3109,15 +3222,79 @@ object IcebergWriter {
     snapId
   }
 
+  /** Resolve a DOTTED column path through the struct levels of a
+    * field-json list down to its parent list + leaf index, apply `leaf`
+    * to the parent's field list, and re-emit every enclosing level
+    * verbatim (ids untouched at every depth — field-id STABILITY is the
+    * whole point of a metadata-only schema change). Directed on a
+    * missing segment and on paths crossing list/map types (their
+    * elements are not name-addressable). */
+  private def rewriteFieldPath(table: String, fields: Seq[JValue],
+      path: Seq[String], op: String)(
+      leaf: (Seq[JValue], Int) => Seq[JValue]): Seq[JValue] = {
+    val seg = path.head
+    val idx = fields.indexWhere(f =>
+      (f \ "name").extractOpt[String].contains(seg))
+    if (idx < 0) throw UnsupportedWrite(
+      s"$table: column path segment '$seg' does not exist")
+    if (path.size == 1) leaf(fields, idx)
+    else {
+      val f = fields(idx)
+      (f \ "type") match {
+        case t: JObject
+          if (t \ "type").extractOpt[String].contains("struct") =>
+          val subFields = (t \ "fields").extractOpt[Seq[JValue]]
+            .getOrElse(Nil)
+          val newSub =
+            rewriteFieldPath(table, subFields, path.tail, op)(leaf)
+          val newType = JObject(t.obj.map {
+            case ("fields", _) => ("fields", JArray(newSub.toList))
+            case kv => kv
+          })
+          fields.updated(idx, JObject(f.asInstanceOf[JObject].obj.map {
+            case ("type", _) => ("type", (newType: JValue))
+            case kv => kv
+          }))
+        case _ => throw UnsupportedWrite(
+          s"$table: $op through '$seg' — only struct levels are " +
+            "name-addressable (list/map elements are not)")
+      }
+    }
+  }
+
+  /** Every field id in a field-json subtree (the field itself plus all
+    * nested struct members / list elements / map keys+values) — what a
+    * DROP must check against the partition specs' source-ids. */
+  private def subtreeIds(f: JValue): Seq[Int] = {
+    def ofType(t: JValue): Seq[Int] = t match {
+      case o: JObject => (o \ "type").extractOpt[String] match {
+        case Some("struct") => (o \ "fields").extractOpt[Seq[JValue]]
+          .getOrElse(Nil).flatMap(subtreeIds)
+        case Some("list") => (o \ "element-id").extractOpt[Int].toSeq ++
+          ofType(o \ "element")
+        case Some("map") => (o \ "key-id").extractOpt[Int].toSeq ++
+          (o \ "value-id").extractOpt[Int].toSeq ++
+          ofType(o \ "key") ++ ofType(o \ "value")
+        case _ => Nil
+      }
+      case _ => Nil
+    }
+    (f \ "id").extractOpt[Int].toSeq ++ ofType(f \ "type")
+  }
+
   /** ALTER TABLE ... RENAME COLUMN: a METADATA-ONLY commit — Iceberg
     * columns are identified by field id everywhere that matters
     * (manifest bounds, partition-spec source-ids, the field-id read
     * path), so the rename appends a new schema to `schemas` (schema-id
     * bumped past every schema ever declared, ids untouched) and bumps
     * `current-schema-id`; no snapshot, manifest, or data file moves.
-    * Files written before field-id tagging resolve through the schema
-    * HISTORY the reader keeps (prior names per id). Returns the new
-    * metadata version. */
+    * Files written before the rename resolve through the schema
+    * HISTORY the reader keeps (prior names per id — nested levels
+    * included: old files' nested structs read under their written
+    * member names and relabel through one positional cast).
+    * `oldName` may be a DOTTED PATH through struct levels
+    * (`meta.author`); renaming below list/map elements is directed.
+    * Returns the new metadata version. */
   def renameColumn(spark: SparkSession, table: String,
       oldName: String, newName: String): Long = {
     val base = table.stripSuffix("/")
@@ -3128,32 +3305,31 @@ object IcebergWriter {
     val schemaNode = IcebergTable.currentSchemaJson(meta)
     val fields = (schemaNode \ "fields").extractOpt[Seq[JValue]]
       .getOrElse(Nil)
-    if (!fields.exists(f => (f \ "name").extractOpt[String]
-      .contains(oldName)))
-      throw UnsupportedWrite(s"$table: column '$oldName' does not exist")
-    if (newName.isEmpty || newName == oldName) throw UnsupportedWrite(
-      s"$table: invalid rename '$oldName' -> '$newName'")
-    if (fields.exists(f => (f \ "name").extractOpt[String]
-      .exists(n => n != oldName && n.equalsIgnoreCase(newName))))
-      throw UnsupportedWrite(
-        s"$table: column '$newName' already exists (names resolve " +
-          "case-insensitively)")
-    // a spec FIELD named after the column keeps its dir name (source-id
-    // binds it); nested fields stay directed like everywhere else
-    if (fields.exists(f => (f \ "type") match {
-      case JString(_) => false
-      case _ => true
-    })) throw UnsupportedWrite(
-      s"$table: RENAME COLUMN on a table with NESTED fields is not " +
-        "implemented")
-    val renamedFields = fields.map { f =>
-      if ((f \ "name").extractOpt[String].contains(oldName))
-        JObject(f.asInstanceOf[JObject].obj.map {
-          case ("name", _) => ("name", JString(newName))
-          case kv => kv
-        })
-      else f
-    }
+    val path = oldName.split('.').toSeq.filter(_.nonEmpty)
+    if (path.isEmpty) throw UnsupportedWrite(
+      s"$table: empty column path")
+    if (newName.isEmpty || newName.contains(".") ||
+      newName == path.last) throw UnsupportedWrite(
+      s"$table: invalid rename '$oldName' -> '$newName' (the new name " +
+        "is a single identifier)")
+    val renamedFields =
+      rewriteFieldPath(table, fields, path, "RENAME COLUMN") {
+        (siblings, idx) =>
+          // a spec FIELD named after the column keeps its dir name
+          // (source-id binds it); SIBLING collisions resolve
+          // case-insensitively like everywhere in SQL
+          if (siblings.zipWithIndex.exists { case (f, i) =>
+            i != idx && (f \ "name").extractOpt[String]
+              .exists(_.equalsIgnoreCase(newName))
+          }) throw UnsupportedWrite(
+            s"$table: column '$newName' already exists next to " +
+              s"'$oldName' (names resolve case-insensitively)")
+          siblings.updated(idx,
+            JObject(siblings(idx).asInstanceOf[JObject].obj.map {
+              case ("name", _) => ("name", JString(newName))
+              case kv => kv
+            }))
+      }
     commitNewSchema(fs, conf, base, table, st, meta, renamedFields)
   }
 
@@ -3169,9 +3345,12 @@ object IcebergWriter {
   /** DROP COLUMN: the schema-only twin of [[renameColumn]] — the field
     * leaves the schema (its id retired, never reused: `last-column-id`
     * stays the high-water mark) and no file moves; readers simply stop
-    * selecting the column. Directed when any partition spec's
-    * `source-id` references the column (its dirs and tuples would
-    * dangle) and on dropping the last column. Returns the new metadata
+    * selecting the column. `name` may be a DOTTED PATH through struct
+    * levels. Directed when any partition spec's `source-id` references
+    * the column OR any field nested under it (their dirs and tuples
+    * would dangle), on dropping the last column of the schema or of an
+    * enclosing struct (an empty struct type is not writable), and on
+    * paths crossing list/map elements. Returns the new metadata
     * version. */
   def dropColumn(spark: SparkSession, table: String, name: String): Long = {
     val base = table.stripSuffix("/")
@@ -3182,24 +3361,24 @@ object IcebergWriter {
     val schemaNode = IcebergTable.currentSchemaJson(meta)
     val fields = (schemaNode \ "fields").extractOpt[Seq[JValue]]
       .getOrElse(Nil)
-    val target = fields.find(f =>
-      (f \ "name").extractOpt[String].contains(name)).getOrElse(
-      throw UnsupportedWrite(s"$table: column '$name' does not exist"))
-    if (fields.size == 1) throw UnsupportedWrite(
-      s"$table: dropping the last column would leave an empty schema")
-    if (fields.exists(f => (f \ "type") match {
-      case JString(_) => false
-      case _ => true
-    })) throw UnsupportedWrite(
-      s"$table: DROP COLUMN on a table with NESTED fields is not " +
-        "implemented")
-    val targetId = (target \ "id").extractOpt[Int]
-    if (targetId.exists(specSourceIds(meta))) throw UnsupportedWrite(
-      s"$table: '$name' is a partition SOURCE column — its spec fields, " +
-        "directories and manifest tuples cannot be dropped by a " +
-        "metadata commit")
-    commitNewSchema(fs, conf, base, table, st, meta,
-      fields.filterNot(f => (f \ "name").extractOpt[String].contains(name)))
+    val path = name.split('.').toSeq.filter(_.nonEmpty)
+    if (path.isEmpty) throw UnsupportedWrite(s"$table: empty column path")
+    val dropped = rewriteFieldPath(table, fields, path, "DROP COLUMN") {
+      (siblings, idx) =>
+        if (siblings.size == 1) throw UnsupportedWrite(
+          if (path.size == 1)
+            s"$table: dropping the last column would leave an empty schema"
+          else s"$table: dropping '$name' would leave its enclosing " +
+            "struct empty")
+        val ids = subtreeIds(siblings(idx))
+        val specIds = specSourceIds(meta)
+        ids.find(specIds).foreach(id => throw UnsupportedWrite(
+          s"$table: '$name' covers partition SOURCE field id $id — its " +
+            "spec fields, directories and manifest tuples cannot be " +
+            "dropped by a metadata commit"))
+        siblings.patch(idx, Nil, 1)
+    }
+    commitNewSchema(fs, conf, base, table, st, meta, dropped)
   }
 
   /** ALTER TABLE ... ALTER COLUMN TYPE — the table spec's safe
@@ -3221,30 +3400,31 @@ object IcebergWriter {
     val schemaNode = IcebergTable.currentSchemaJson(meta)
     val fields = (schemaNode \ "fields").extractOpt[Seq[JValue]]
       .getOrElse(Nil)
-    val target = fields.find(f =>
-      (f \ "name").extractOpt[String].contains(name)).getOrElse(
-      throw UnsupportedWrite(s"$table: column '$name' does not exist"))
-    val cur = (target \ "type").extractOpt[String].getOrElse(
-      throw UnsupportedWrite(
-        s"$table: '$name' is not a primitive column"))
-    val ok = (cur, toType) match {
-      case ("int", "long") | ("float", "double") => true
-      case _ => false
-    }
-    if (!ok) throw UnsupportedWrite(
-      s"$table: type change '$cur' -> '$toType' is not a spec " +
-        "promotion (int -> long, float -> double only)")
-    val targetId = (target \ "id").extractOpt[Int]
-    if (targetId.exists(specSourceIds(meta))) throw UnsupportedWrite(
-      s"$table: '$name' is a partition SOURCE column — old manifests' " +
-        "typed partition tuples cannot be widened by a metadata commit")
-    val widened = fields.map { f =>
-      if ((f \ "name").extractOpt[String].contains(name))
-        JObject(f.asInstanceOf[JObject].obj.map {
-          case ("type", _) => ("type", JString(toType))
-          case kv => kv
-        })
-      else f
+    val path = name.split('.').toSeq.filter(_.nonEmpty)
+    if (path.isEmpty) throw UnsupportedWrite(s"$table: empty column path")
+    val widened = rewriteFieldPath(table, fields, path, "ALTER COLUMN") {
+      (siblings, idx) =>
+        val target = siblings(idx)
+        val cur = (target \ "type").extractOpt[String].getOrElse(
+          throw UnsupportedWrite(
+            s"$table: '$name' is not a primitive column"))
+        val ok = (cur, toType) match {
+          case ("int", "long") | ("float", "double") => true
+          case _ => false
+        }
+        if (!ok) throw UnsupportedWrite(
+          s"$table: type change '$cur' -> '$toType' is not a spec " +
+            "promotion (int -> long, float -> double only)")
+        val targetId = (target \ "id").extractOpt[Int]
+        if (targetId.exists(specSourceIds(meta))) throw UnsupportedWrite(
+          s"$table: '$name' is a partition SOURCE column — old " +
+            "manifests' typed partition tuples cannot be widened by a " +
+            "metadata commit")
+        siblings.updated(idx,
+          JObject(target.asInstanceOf[JObject].obj.map {
+            case ("type", _) => ("type", JString(toType))
+            case kv => kv
+          }))
     }
     commitNewSchema(fs, conf, base, table, st, meta, widened)
   }
@@ -3400,9 +3580,15 @@ object IcebergWriter {
     * `specId` overrides the commit-level manifest spec id for THIS
     * manifest's list row — a merge whose global equality-delete
     * manifest sits under the unpartitioned spec while its data
-    * manifest keeps the default needs both in one commit. */
+    * manifest keeps the default needs both in one commit.
+    * `minSeq`/`existingFiles`/`existingRows`: a manifest that CARRIES
+    * status-0 entries at older explicit sequences (the delete-manifest
+    * rewrite) must declare the true minimum sequence and the existing
+    * counts, or stock readers' sequence-based pruning goes wrong. */
   private final case class NewManifest(path: String, content: Int,
-    files: Int, rows: Long, specId: Option[Int] = None)
+    files: Int, rows: Long, specId: Option[Int] = None,
+    minSeq: Option[Long] = None, existingFiles: Int = 0,
+    existingRows: Long = 0L)
 
   /** The shared commit tail: manifest list (new manifests + carried
     * prior ones, spec-required counts filled), the metadata json with
@@ -3421,8 +3607,9 @@ object IcebergWriter {
     val listPath = s"$base/metadata/snap-$snapId-$attempt.avro"
     val newRows = newManifests.map { m =>
       ManifestFile(m.path, fs.getFileStatus(new Path(m.path)).getLen,
-        m.content, newSeq, newSeq, m.specId.getOrElse(manifestSpecId),
-        snapId, m.files, 0, 0, m.rows, 0, 0)
+        m.content, newSeq, m.minSeq.getOrElse(newSeq),
+        m.specId.getOrElse(manifestSpecId),
+        snapId, m.files, m.existingFiles, 0, m.rows, m.existingRows, 0)
     }
     AvroOcf.write(listPath, listAvroSchema,
       (newRows ++ priorManifests).map(_.row), conf = conf,
@@ -3729,7 +3916,8 @@ object IcebergWriter {
       // ONE evaluation of the source plan — the delete keys and the
       // appended images must agree even for a non-deterministic source
       source.select(schema.fields.toIndexedSeq.map(f =>
-        fcol(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
+        fcol(s"`${f.name}`").cast(deepNullableType(f.dataType))
+          .as(f.name)): _*)
         .write.mode("overwrite").parquet(tmpDir)
       val src = readTmpFiles(spark, tmpDir, conf)
       if (src.isEmpty) return currentId
@@ -3756,7 +3944,7 @@ object IcebergWriter {
         val mrgIdFields = idFieldsOf(schemaJson)
         val filesWithTuple = writeIdentityPartitioned(spark, src, base,
           parts, table, fs, conf,
-          fieldIds = mrgIdFields.map { case (id, f) => f.name -> id }.toMap)
+          fieldIds = idPathsOf(schemaJson))
         val dataSC = filesWithTuple.map(f =>
           statsCells(f._1._2, mrgIdFields, conf))
         val dataNonEmpty = filesWithTuple.zip(dataSC).filter(_._2._2 > 0)
@@ -3888,7 +4076,8 @@ object IcebergWriter {
         // would throw under ANSI before this count could name the column)
         val introduced = matKeys.select(keys.columns.toSeq.map(c =>
           sum(when(fcol(s"`$c`").isNotNull &&
-            fcol(s"`$c`").try_cast(schema(c).dataType).isNull, 1)
+            fcol(s"`$c`").try_cast(deepNullableType(schema(c).dataType))
+              .isNull, 1)
             .otherwise(0)).as(c)): _*).head()
         keys.columns.toSeq.zipWithIndex.foreach { case (c, i) =>
           if (!introduced.isNullAt(i) && introduced.getLong(i) > 0L)
@@ -3900,23 +4089,25 @@ object IcebergWriter {
       }
       // equality-delete files are data-file-spec files: their columns
       // carry the spec's ID-KEYED identity (parquet.field.id), so a
-      // stock reader resolves them by id exactly like data files — the
-      // same MetadataBuilder tagging the append path applies. Nested
-      // key types would get root ids with id-less members (Spark tags
-      // only top-level StructFields), which reads WORSE than uniformly
-      // id-less — those stay untagged, resolving by name.
-      val nestedKey = keys.columns.toSeq.exists(c =>
-        schema(c).dataType match {
-          case _: StructType | _: ArrayType | _: MapType => true
-          case _ => false
-        })
-      val src = matKeys.select(keys.columns.toSeq.zip(eqIds).map {
-        case (c, id) =>
-          val casted = fcol(s"`$c`").try_cast(schema(c).dataType)
-          if (nestedKey) casted.as(c)
-          else casted.as(c, new org.apache.spark.sql.types.MetadataBuilder()
-            .putLong("parquet.field.id", id.toLong).build())
-      }: _*).distinct()
+      // stock reader resolves them by id exactly like data files —
+      // recursively through STRUCT-typed keys (every member tagged with
+      // its own schema field id, the same tagFieldIds machinery the
+      // append path uses). Keys containing LIST/MAP types stay
+      // uniformly untagged (their element ids have no StructField to
+      // ride on; partial tagging reads worse than none), resolving by
+      // name.
+      val untaggableKey = keys.columns.toSeq.exists(c =>
+        hasListOrMap(schema(c).dataType))
+      val src0 = matKeys.select(keys.columns.toSeq.map(c =>
+        fcol(s"`$c`").try_cast(deepNullableType(schema(c).dataType))
+          .as(c)): _*).distinct()
+      val src =
+        if (untaggableKey) src0
+        else {
+          val idPaths = idPathsOf(schemaJson)
+          src0.select(src0.schema.fields.toIndexedSeq
+            .map(f => tagIdCol(f, idPaths)): _*)
+        }
       // scoped: grouped by the computed partition-transform values, one
       // delete file per touched tuple (src already carries its field-id
       // tags, so no second tagging pass); global/unpartitioned: one
@@ -4080,11 +4271,16 @@ object IcebergWriter {
     * each DV entry carries its referenced data file's own partition
     * tuple (parsed back from the file's manifest scope), so scan
     * planners prune the DV everywhere outside that partition; touched
-    * files under a non-default spec are directed. Directed, never
-    * silent: a matched file that ALREADY carries a DV (v3 allows one
-    * per file; replacing means rewriting the prior delete manifest)
-    * and tables with live v2 positional-delete files (a new DV must
-    * merge them). */
+    * files under a non-default spec are directed.
+    *
+    * A matched file that ALREADY carries a DV gets a MERGED one (the
+    * prior positions union the new — v3's one-DV-per-file rule), and
+    * live v2 positional-delete files MIGRATE: every positional row
+    * folds into its data file's DV. Both run through the
+    * delete-manifest REWRITE in [[dvKillManifest]]: superseded delete
+    * manifests drop from the new manifest list, their surviving DV
+    * entries carried forward as status-EXISTING rows at their original
+    * sequences. */
   private def writeDeleteV3(spark: SparkSession, table: String,
       base: String, fs: FileSystem, conf: Configuration, st: TableState,
       condition: org.apache.spark.sql.Column,
@@ -4100,11 +4296,7 @@ object IcebergWriter {
     val schema = IcebergTable.structOf(IcebergTable.currentSchemaJson(meta))
     val specInfo0 = partitionSpecInfo(table, meta, schema, "DV delete")
     val specInfo = (specInfo0._1, specInfo0._2, specInfo0._3, specInfo0._5)
-    val shapes = IcebergTable.activeDeleteShapes(spark, table)
-    if (shapes._2) throw UnsupportedWrite(
-      s"$table: the table carries v2 positional-delete files — a v3 " +
-        "DV delete must merge them, which needs a delete-manifest " +
-        "rewrite this writer does not implement")
+    val shapes = IcebergTable.deleteShapes(spark, table)
     val keyed = IcebergTable.readWithRowKey(spark, table).filter(condition)
     // distributed pre-count: the driver must never collect a data-scale
     // position set before the cap can trip
@@ -4127,39 +4319,56 @@ object IcebergWriter {
       (sn \ "snapshot-id").extractOpt[Long]) :+ 0L).max + 1
     val ts = System.currentTimeMillis()
     val attempt = java.util.UUID.randomUUID().toString
-    val (man, killFiles) = dvKillManifest(spark, table, base, fs, conf,
-      st, matches, newSeq, snapId, attempt, "DV delete", shapes, specInfo)
+    val (man, killFiles, keptPrior) = dvKillManifest(spark, table, base,
+      fs, conf, st, matches, newSeq, snapId, attempt, "DV delete",
+      shapes, specInfo, maxDeletedRows)
     val priorNext = (meta \ "next-row-id").extractOpt[Long].getOrElse(0L)
     commitSnapshot(fs, conf, base, table, snapId, newSeq, ts, "delete",
       Seq(man),
       attempt, man.specId.getOrElse(0), st.carried, st.snapshots,
-      st.priorManifests, st.metaVersion, killFiles,
+      keptPrior, st.metaVersion, killFiles,
       fv = 3, rowLineage = Some((priorNext, priorNext)))
     snapId
   }
 
   /** The v3 DV KILL artifacts from a COLLECTED (canonical path →
-    * positions) match set — shared by the v3 DELETE and UPDATE: the
-    * one-DV-per-file and no-live-v2-positional guards, ONE Puffin
-    * container (a deletion-vector-v1 blob per touched file), and the
-    * content=1 delete manifest at `newSeq`, each entry scoped to its
-    * referenced data file's own partition tuple (parsed back from the
-    * file's manifest scope — transform-agnostic; non-default-spec
-    * files directed). Returns (the delete manifest — its `specId`
-    * carries the default spec for the manifest list — and the files
-    * to clean on a lost commit race). */
+    * positions) match set — shared by the v3 DELETE and UPDATE: ONE
+    * Puffin container (a deletion-vector-v1 blob per touched file) and
+    * the content=1 delete manifest at `newSeq`, each entry scoped to
+    * its referenced data file's own partition tuple (parsed back from
+    * the file's manifest scope — transform-agnostic; non-default-spec
+    * files directed).
+    *
+    * When a matched file ALREADY carries a DV (v3 allows one per file)
+    * or live v2 positional-delete files exist, this runs the
+    * DELETE-MANIFEST REWRITE: prior positions (old DV blobs, every
+    * positional row) union into the new per-file blobs, each prior
+    * delete manifest holding a superseded entry drops from the new
+    * manifest list, and its surviving DV entries carry into the new
+    * manifest as status-EXISTING rows at their original explicit
+    * sequences (a foreign manifest mixing equality entries with
+    * superseded ones is directed — carrying its equality entries needs
+    * per-spec manifest surgery this writer does not attempt). After any
+    * such commit the table holds at most ONE DV per data file and ZERO
+    * live positional entries. Returns (the delete manifest — its
+    * `specId` carries the default spec for the manifest list — the
+    * files to clean on a lost commit race, and the prior manifests the
+    * new list should carry). */
   private def dvKillManifest(spark: SparkSession, table: String,
       base: String, fs: FileSystem, conf: Configuration, st: TableState,
       matches: Seq[(String, Array[Long])], newSeq: Long, snapId: Long,
       attempt: String, opName: String,
-      shapes: (Set[String], Boolean, Seq[(String, String)]),
-      specInfo: (Int, Seq[StructField], Seq[Int], String))
-      : (NewManifest, Seq[String]) = {
+      shapes: IcebergTable.DeleteShapes,
+      specInfo: (Int, Seq[StructField], Seq[Int], String),
+      maxKillRows: Long = 10000000L)
+      : (NewManifest, Seq[String], Seq[ManifestFile]) = {
+    import org.apache.spark.sql.functions.{col => fcol}
     val meta = st.meta
     val (delSpecId, partStructFields, partFieldIds, specFieldsJson) =
       specInfo
     val partitioned = partStructFields.nonEmpty
-    val (dvRefs, hasPosDeletes, dataScopes) = shapes
+    val dvByFile = shapes.dvByFile
+    val dataScopes = shapes.dataScopes
     val dataPaths = dataScopes.map(_._1)
     // each touched file's partition tuple comes from its own manifest
     // scope string (`specId:partitionJson`, riding on the SAME replay
@@ -4183,26 +4392,137 @@ object IcebergWriter {
         val jm = JsonMethods.parse(sc.drop(specPart.length + 1))
         partStructFields.map(sf => jvalueTo(sf.dataType, jm \ sf.name))
       }
-    if (hasPosDeletes) throw UnsupportedWrite(
-      s"$table: the table carries v2 positional-delete files — a v3 " +
-        s"$opName must merge them, which needs a delete-manifest " +
-        "rewrite this writer does not implement")
-    matches.foreach { case (canon, _) =>
-      if (dvRefs(canon)) throw UnsupportedWrite(
-        s"$table: $canon already carries a deletion vector — " +
-          "v3 allows one DV per file, and replacing it requires the " +
-          "delete-manifest rewrite this writer does not implement")
-    }
     val rawByCanon = dataPaths.map(p => PathUris.canon(p) -> p).toMap
-    val ordered = matches.sortBy(_._1)
-    val blobs = ordered.map { case (canon, posArr) =>
-      val raw = rawByCanon.getOrElse(canon,
-        throw UnsupportedWrite(
-          s"$table: matched row's file $canon is not in the " +
-            "snapshot — path spelling drift"))
-      val pos = posArr.distinct.sorted
+    // ---------------------------------------- prior-delete absorption
+    // v2 positional MIGRATION: every live positional row folds into its
+    // data file's DV (dead files' positions are no-ops and drop); the
+    // same driver-size cap as the new matches governs — migrated debt
+    // passes the driver exactly once, here
+    val posByFile: Map[String, Array[Long]] =
+      if (shapes.posDeleteFiles.isEmpty) Map.empty
+      else {
+        val pd = spark.read.parquet(shapes.posDeleteFiles: _*)
+          .select(PathUris.canonCol(fcol("file_path")).as("f"),
+            fcol("pos").cast("long").as("p"))
+        val n = pd.count()
+        if (n > maxKillRows) throw UnsupportedWrite(
+          s"$table: migrating the live v2 positional deletes would " +
+            s"pass $n rows (> $maxKillRows) through the driver — " +
+            "rewriteDataFiles first, then delete")
+        pd.collect().map(r => (r.getString(0), r.getLong(1)))
+          .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2) }
+          .filter(kv => rawByCanon.contains(kv._1))
+      }
+    val matchesMap = matches.toMap
+    // files whose DV this commit (re)writes: the matched set, plus
+    // every file the positional migration touches; a file already
+    // carrying a DV merges its old positions in
+    val affected: Seq[String] =
+      (matchesMap.keySet ++ posByFile.keySet).toSeq.sorted
+    val supersededDv = dvByFile.keySet.intersect(affected.toSet)
+    val rewriting = supersededDv.nonEmpty || shapes.posDeleteFiles.nonEmpty
+    val ordered: Seq[(String, Array[Long])] = affected.map { canon =>
+      if (!rawByCanon.contains(canon)) throw UnsupportedWrite(
+        s"$table: matched row's file $canon is not in the " +
+          "snapshot — path spelling drift")
+      val old = dvByFile.get(canon).map { case (pf, off, size) =>
+        DeletionVector.puffinDvPositions(pf, off, size, conf)
+      }.getOrElse(Array.empty[Long])
+      canon -> (matchesMap.getOrElse(canon, Array.empty[Long]) ++
+        posByFile.getOrElse(canon, Array.empty[Long]) ++ old)
+        .distinct.sorted
+    }
+    val total = ordered.map(_._2.length.toLong).sum
+    if (total > maxKillRows) throw UnsupportedWrite(
+      s"$table: the merged deletion vectors would hold $total " +
+        s"positions (> $maxKillRows) — rewriteDataFiles first")
+    // delete-manifest rewrite: prior delete manifests with a superseded
+    // entry DROP from the new list; their surviving DV entries carry
+    // into the new manifest as status-EXISTING rows at their original
+    // sequences. Prior manifests untouched by the merge carry verbatim.
+    // carried rows: (origSeq, puffin path, tuple, cardinality, puffin
+    // len, ref raw, off, len)
+    val carriedRows = Seq.newBuilder[Seq[Any]]
+    var carriedCount = 0
+    var carriedCards = 0L
+    var minCarriedSeq = newSeq
+    val keptPrior: Seq[ManifestFile] =
+      if (!rewriting) st.priorManifests
+      else st.priorManifests.flatMap { mf =>
+        if (mf.content != 1) Some(mf)
+        else {
+          val df = AvroOcf.read(spark, mf.path)
+          val cols = df.columns.toSet
+          val dfCols = df.select(fcol("data_file.*")).columns.toSet
+          def optC(n: String, t: String) =
+            if (dfCols.contains(n)) fcol(s"data_file.$n")
+            else org.apache.spark.sql.functions.lit(null).cast(t)
+          val seqC =
+            if (cols.contains("sequence_number")) fcol("sequence_number")
+            else org.apache.spark.sql.functions.lit(null).cast("long")
+          val rows = df.select(fcol("status"), seqC,
+            optC("content", "int"), fcol("data_file.file_path"),
+            fcol("data_file.file_format"),
+            optC("referenced_data_file", "string"),
+            optC("content_offset", "long"),
+            optC("content_size_in_bytes", "long"),
+            optC("record_count", "long"),
+            optC("file_size_in_bytes", "long")).collect().toSeq
+          val live = rows.filter(_.getInt(0) != 2)
+          def entryContent(r: org.apache.spark.sql.Row): Int =
+            if (r.isNullAt(2)) 0 else r.getInt(2)
+          def isDvRow(r: org.apache.spark.sql.Row): Boolean =
+            entryContent(r) == 1 && (!r.isNullAt(5) ||
+              r.getString(4).equalsIgnoreCase("PUFFIN"))
+          def refCanon(r: org.apache.spark.sql.Row): String = {
+            if (r.isNullAt(5)) throw UnsupportedWrite(
+              s"$table: DV entry ${r.getString(3)} in ${mf.path} is " +
+                "missing referenced_data_file — the manifest cannot " +
+                "be rewritten")
+            val p = r.getString(5)
+            PathUris.canon(
+              if (p.contains("://") || p.startsWith("/")) p
+              else s"$base/$p")
+          }
+          val affectedSet = affected.toSet
+          def isSuperseded(r: org.apache.spark.sql.Row): Boolean =
+            (isDvRow(r) && affectedSet(refCanon(r))) ||
+              (entryContent(r) == 1 && !isDvRow(r)) // positional: migrated
+          val (gone, kept) = live.partition(isSuperseded)
+          if (gone.isEmpty) Some(mf)
+          else {
+            if (kept.exists(r => entryContent(r) == 2))
+              throw UnsupportedWrite(
+                s"$table: delete manifest ${mf.path} mixes equality " +
+                  "entries with superseded DV/positional ones — " +
+                  "carrying them needs per-spec manifest surgery this " +
+                  s"$opName does not attempt")
+            kept.foreach { r =>
+              if (!isDvRow(r)) throw UnsupportedWrite(
+                s"$table: delete manifest ${mf.path} carries an entry " +
+                  "kind this rewrite cannot preserve")
+              if (r.isNullAt(6) || r.isNullAt(7)) throw UnsupportedWrite(
+                s"$table: DV entry ${r.getString(3)} in ${mf.path} is " +
+                  "missing content_offset/content_size_in_bytes")
+              val seq = if (!r.isNullAt(1)) r.getLong(1) else mf.seq
+              minCarriedSeq = math.min(minCarriedSeq, seq)
+              carriedCount += 1
+              val card = if (r.isNullAt(8)) 0L else r.getLong(8)
+              carriedCards += card
+              carriedRows += Seq(0, seq,
+                Seq(1, r.getString(3), "PUFFIN", tupleOf(refCanon(r)),
+                  card,
+                  if (r.isNullAt(9)) 0L else r.getLong(9),
+                  r.getString(5), r.getLong(6), r.getLong(7)))
+            }
+            None // the superseded manifest drops from the list
+          }
+        }
+      }
+    // ------------------------------------------------- new artifacts
+    val blobs = ordered.map { case (canon, pos) =>
       Puffin.Blob("deletion-vector-v1", Nil, snapId, newSeq,
-        Map("referenced-data-file" -> raw,
+        Map("referenced-data-file" -> rawByCanon(canon),
           "cardinality" -> pos.length.toString),
         Puffin.dvBlob(pos))
     }
@@ -4215,18 +4535,18 @@ object IcebergWriter {
       IcebergTable.currentSchemaJson(meta)))
     AvroOcf.write(manifestPath,
       dvManifestAvroSchema(partStructFields, partFieldIds),
-      ordered.zip(placed).map { case ((canon, posArr), (off, len)) =>
-        val raw = rawByCanon(canon)
-        val card = posArr.distinct.length.toLong
+      ordered.zip(placed).map { case ((canon, pos), (off, len)) =>
         Seq(1, newSeq,
-          Seq(1, puffinPath, "PUFFIN", tupleOf(canon), card,
-            puffinLen, raw, off, len))
-      }, conf = conf,
+          Seq(1, puffinPath, "PUFFIN", tupleOf(canon), pos.length.toLong,
+            puffinLen, rawByCanon(canon), off, len))
+      } ++ carriedRows.result(), conf = conf,
       meta = manifestMeta(schemaJson, specFieldsJson, delSpecId,
         "deletes", 3))
-    val total = ordered.map(_._2.distinct.length.toLong).sum
     (NewManifest(manifestPath, 1, ordered.size, total,
-      specId = Some(delSpecId)), Seq(puffinPath))
+      specId = Some(delSpecId),
+      minSeq = if (carriedCount > 0) Some(minCarriedSeq) else None,
+      existingFiles = carriedCount, existingRows = carriedCards),
+      Seq(puffinPath), keptPrior)
   }
 
   /** MERGE (upsert) `source` into the Iceberg table on `keys`: matched
@@ -4273,7 +4593,8 @@ object IcebergWriter {
     val newFiles = Seq.newBuilder[String]
     try {
       source.select(schema.fields.toIndexedSeq.map(f =>
-        fcol(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
+        fcol(s"`${f.name}`").cast(deepNullableType(f.dataType))
+          .as(f.name)): _*)
         .write.mode("overwrite").parquet(tmpDir)
       val src = readTmpFiles(spark, tmpDir, conf)
       if (src.isEmpty) return currentId
@@ -4303,7 +4624,7 @@ object IcebergWriter {
       val mrgIdFields = idFieldsOf(schemaJson)
       val filesWithTuple = writeIdentityPartitioned(spark, src, base,
         parts, table, fs, conf,
-        fieldIds = mrgIdFields.map { case (id, f) => f.name -> id }.toMap)
+        fieldIds = idPathsOf(schemaJson))
       val dataSC = filesWithTuple.map(f =>
         statsCells(f._1._2, mrgIdFields, conf))
       val dataNonEmpty = filesWithTuple.zip(dataSC).filter(_._2._2 > 0)
@@ -4391,20 +4712,17 @@ object IcebergWriter {
       if (!schema.fieldNames.contains(k)) throw UnsupportedWrite(
         s"$table: SET column '$k' is not in the table schema")
     }
-    // v3 updates kill by deletion vector: a table carrying live v2
-    // positional-delete files directs BEFORE any data work
-    val v3Shapes: Option[(Set[String], Boolean, Seq[(String, String)])] =
+    // v3 updates kill by deletion vector; prior DVs on the touched
+    // files (and any live v2 positional deletes) merge through the
+    // delete-manifest rewrite inside dvKillManifest
+    val v3Shapes: Option[IcebergTable.DeleteShapes] =
       if (fv != 3) None
-      else {
-        val sh = IcebergTable.activeDeleteShapes(spark, table)
-        if (sh._2) throw UnsupportedWrite(
-          s"$table: the table carries v2 positional-delete files — a " +
-            "v3 DV update must merge them, which needs a " +
-            "delete-manifest rewrite this writer does not implement")
-        Some(sh)
-      }
+      else Some(IcebergTable.deleteShapes(spark, table))
     val tmpDir = s"$base/metadata/_tmp_update_${java.util.UUID.randomUUID()}"
     val newFiles = Seq.newBuilder[String]
+    // the v3 kill side may rewrite the prior delete manifests — the
+    // commit then carries its filtered view instead of st.priorManifests
+    var keptPriorV3: Option[Seq[ManifestFile]] = None
     try {
       // ONE evaluation of the condition (see the Delta twin)
       IcebergTable.readWithRowKey(spark, table).filter(condition)
@@ -4446,9 +4764,13 @@ object IcebergWriter {
           val posGroups = matched.groupBy(fcol("__row_path"))
             .agg(collect_list(fcol("__row_pos")).as("pos")).collect()
             .map(m => (m.getString(0), m.getSeq[Long](1).toArray)).toSeq
-          dvKillManifest(spark, table, base, fs, conf, st, posGroups,
-            newSeq, snapId, attempt, "DV update", v3Shapes.get,
-            (delSpecId, partStructFields, partFieldIds, specJson))
+          val (man, files, kept) = dvKillManifest(spark, table, base, fs,
+            conf, st, posGroups, newSeq, snapId, attempt, "DV update",
+            v3Shapes.get,
+            (delSpecId, partStructFields, partFieldIds, specJson),
+            maxUpdatedRows)
+          keptPriorV3 = Some(kept)
+          (man, files)
         }
       newFiles ++= killFiles
       // a throw between the kill artifacts and the commit must not
@@ -4462,11 +4784,11 @@ object IcebergWriter {
         val rewritten = matched.drop("__row_path", "__row_pos").select(
           schema.fields.toIndexedSeq.map(f =>
             set.getOrElse(f.name, fcol(s"`${f.name}`"))
-              .cast(f.dataType).as(f.name)): _*)
+              .cast(deepNullableType(f.dataType)).as(f.name)): _*)
         val updIdFields = idFieldsOf(schemaJson)
         val filesWithTuple = writeIdentityPartitioned(spark, rewritten,
           base, parts, table, fs, conf,
-          fieldIds = updIdFields.map { case (id, f) => f.name -> id }.toMap)
+          fieldIds = idPathsOf(schemaJson))
         val dataSC = filesWithTuple.map(f =>
           statsCells(f._1._2, updIdFields, conf))
         val dataNonEmpty = filesWithTuple.zip(dataSC).filter(_._2._2 > 0)
@@ -4488,7 +4810,8 @@ object IcebergWriter {
           Seq(NewManifest(dataManifest, 0, dataNonEmpty.size, addedRows),
             killMan),
           attempt, delSpecId, st.carried, st.snapshots,
-          st.priorManifests, st.metaVersion, newFiles.result(),
+          keptPriorV3.getOrElse(st.priorManifests), st.metaVersion,
+          newFiles.result(),
           fv = fv,
           rowLineage =
             if (fv == 3) Some((priorNext, priorNext + addedRows)) else None)
@@ -4559,15 +4882,15 @@ object IcebergWriter {
             "directory layout already clusters it")
     }
     val packed =
-      if (zorderBy.nonEmpty) {
-        // the z-order cluster groups by raw partition columns, which
-        // only identity specs expose as-is
-        if (parts.exists(_.transform != "identity")) throw UnsupportedWrite(
-          s"$table: z-ordered compaction through a non-identity " +
-            "partition transform is not implemented")
-        graft.operators.ZOrder.cluster(rows, zorderBy, nOut,
-          parts.map(_.source))
-      }
+      if (zorderBy.nonEmpty)
+        // rows cluster by z WITHIN each transform VALUE (the PartField
+        // expressions compute the grouping — bucket/truncate/temporal
+        // included), so the dynamic-partition write still emits one
+        // file run per directory while every file gets tight bounds on
+        // the z columns; z-ordering a bucket/truncate SOURCE column is
+        // allowed (the transform's coarse buckets don't cluster it)
+        graft.operators.ZOrder.clusterExpr(rows, zorderBy, nOut,
+          parts.map(_.valueCol(schema)))
       else if (parts.isEmpty) rows.coalesce(nOut)
       // shuffle on the TRANSFORM values: rows of one partition tuple
       // co-locate whatever the transform, so the dynamic-partition
@@ -4578,7 +4901,8 @@ object IcebergWriter {
       JsonMethods.compact(JsonMethods.render(schemaNode)))
     val filesWithTuple = writeIdentityPartitioned(spark, packed, base,
       parts, table, fs, conf,
-      fieldIds = rwIdFields.map { case (id, f) => f.name -> id }.toMap)
+      fieldIds = idPathsOf(
+        JsonMethods.compact(JsonMethods.render(schemaNode))))
     val fileSC = filesWithTuple.map(f =>
       statsCells(f._1._2, rwIdFields, conf))
     val counts = fileSC.map(_._2)

@@ -204,7 +204,7 @@ class TableWritersSpec extends SparkSpec {
     assert(proto.getSeq[String](2) == Seq("deletionVectors"), proto.toString)
   }
 
-  test("checkpoint: tombstones carry over, txn directed, rowTracking ids carried") {
+  test("checkpoint: tombstones carry over, txn retained, rowTracking ids carried") {
     val table = tmp()
     DeltaWriter.writeAppend(spark,
       Seq((1L, "a"), (2L, "b")).toDF("id", "text"), table)
@@ -256,19 +256,51 @@ class TableWritersSpec extends SparkSpec {
       .filter($"path".isNotNull).collect().map(_.getString(0))
     assert(removes2.sorted.toSeq == oldPaths.sorted, removes2.toSeq.toString)
 
-    // a txn (SetTransaction) watermark is state this writer cannot carry
-    // — checkpointing over it is directed, whether it sits in live json
-    // OR inside a prior checkpoint
+    // txn (SetTransaction) watermarks are RETAINED: the checkpoint
+    // carries the newest version per appId, a later commit overrides,
+    // and the map survives json cleanup
     val t2 = tmp()
     DeltaWriter.writeAppend(spark, Seq((1L, "a")).toDF("id", "text"), t2)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$t2/_delta_log/00000000000000000001.json"),
-      """{"txn":{"appId":"stream-1","version":42}}"""
+      ("""{"txn":{"appId":"stream-1","version":42,"lastUpdated":5}}""" +
+        "\n" +
+        """{"txn":{"appId":"stream-2","version":7}}""")
         .getBytes("UTF-8"))
-    val e = intercept[Exception] { DeltaWriter.writeCheckpoint(spark, t2) }
-    assert(e.getMessage.contains("txn"), e.getMessage)
-    // plant the txn INSIDE a checkpoint parquet (what another engine's
-    // checkpoint would carry), vacuum the json — still directed
+    assert(DeltaWriter.writeCheckpoint(spark, t2) == 1L)
+    val ckptT2 = spark.read.parquet(
+      s"$t2/_delta_log/00000000000000000001.checkpoint.parquet")
+    val txnRows = ckptT2.select($"txn.appId", $"txn.version",
+        $"txn.lastUpdated")
+      .filter($"appId".isNotNull).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sortBy(_._1).toSeq
+    assert(txnRows == Seq(("stream-1", 42L, 5L), ("stream-2", 7L, -1L)),
+      s"the checkpoint carries the watermarks: $txnRows")
+    // the replay recovers the same map; json cleanup does not lose it
+    assert(DeltaTable.txnVersions(spark, t2) ==
+      Map("stream-1" -> 42L, "stream-2" -> 7L))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      s"$t2/_delta_log/00000000000000000000.json"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      s"$t2/_delta_log/00000000000000000001.json"))
+    assert(DeltaTable.txnVersions(spark, t2) ==
+      Map("stream-1" -> 42L, "stream-2" -> 7L),
+      "watermarks survive json cleanup")
+    // a NEWER txn above the checkpoint overrides at the next
+    // checkpoint; the untouched appId carries from the prior one
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t2/_delta_log/00000000000000000002.json"),
+      """{"txn":{"appId":"stream-1","version":43}}""".getBytes("UTF-8"))
+    assert(DeltaTable.txnVersions(spark, t2) ==
+      Map("stream-1" -> 43L, "stream-2" -> 7L))
+    assert(DeltaWriter.writeCheckpoint(spark, t2) == 2L)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      s"$t2/_delta_log/00000000000000000002.json"))
+    assert(DeltaTable.txnVersions(spark, t2) ==
+      Map("stream-1" -> 43L, "stream-2" -> 7L),
+      "the second checkpoint folds the override + the carried watermark")
+    // a FOREIGN checkpoint carrying txn rows seeds the baseline too
     val t3 = tmp()
     DeltaWriter.writeAppend(spark, Seq((1L, "a")).toDF("id", "text"), t3)
     val txnDdl = "txn struct<appId:string,version:bigint>, " +
@@ -296,8 +328,15 @@ class TableWritersSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$t3/_delta_log/00000000000000000001.json"),
       """{"commitInfo":{"timestamp":1,"operation":"OPTIMIZE"}}"""
         .getBytes("UTF-8"))
-    val e2 = intercept[Exception] { DeltaWriter.writeCheckpoint(spark, t3) }
-    assert(e2.getMessage.contains("txn"), e2.getMessage)
+    assert(DeltaTable.txnVersions(spark, t3) == Map("stream-2" -> 7L))
+    assert(DeltaWriter.writeCheckpoint(spark, t3) == 1L)
+    val ckptT3 = spark.read.parquet(
+      s"$t3/_delta_log/00000000000000000001.checkpoint.parquet")
+    assert(ckptT3.select($"txn.appId", $"txn.version")
+      .filter($"appId".isNotNull).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("stream-2", 7L)),
+      "a foreign checkpoint's txn rows carry through re-checkpointing")
 
     // rowTracking tables checkpoint too: adds re-emit their ids
     // verbatim and the domain's high-water mark survives a fully
@@ -939,21 +978,46 @@ class TableWritersSpec extends SparkSpec {
     // a second delete on a DIFFERENT file (the second batch's) stacks
     IcebergWriter.writeDelete(spark, table, $"id" === 9L)
     assert(IcebergTable.read(spark, table).count() == 9)
-    // ...but re-deleting from an already-DV'd file is directed (one DV
-    // per file in v3)
-    val e = intercept[Exception] {
-      IcebergWriter.writeDelete(spark, table, $"id" === 2L)
+    // re-deleting from an already-DV'd file MERGES: the old positions
+    // union the new into one replacement DV, the superseded delete
+    // manifest drops, the untouched one carries
+    IcebergWriter.writeDelete(spark, table, $"id" === 2L)
+    assert(IcebergTable.read(spark, table).select($"id").as[Long]
+      .collect().sorted.toSeq ==
+      Seq(1L, 4L, 5L, 7L, 8L, 10L, 11L, 12L),
+      "merged DV serves the union of both deletes")
+    // one-DV-per-file invariant across ALL active delete manifests
+    def dvEntriesPerFile(): Map[String, Int] = {
+      val meta = latestMeta()
+      val listPath = """"manifest-list": "([^"]+)"""".r
+        .findAllMatchIn(meta).map(_.group(1)).toSeq.last
+      val lst = graft.sources.AvroOcf.read(spark, listPath)
+      val delMans = lst.filter($"content" === 1)
+        .select($"manifest_path").as[String].collect().toSeq
+      delMans.flatMap { mp =>
+        graft.sources.AvroOcf.read(spark, mp)
+          .filter($"status" =!= 2)
+          .select($"data_file.referenced_data_file").as[String]
+          .collect().toSeq
+      }.groupBy(identity).map { case (k, v) => k -> v.size }
     }
-    assert(e.getMessage.contains("deletion vector"), e.getMessage)
-    // the delete snapshot did not advance next-row-id
+    val perFile = dvEntriesPerFile()
+    assert(perFile.nonEmpty && perFile.values.forall(_ == 1),
+      s"one DV per file after the merge: $perFile")
+    // the delete snapshots did not advance next-row-id
     assert(latestMeta().contains(""""next-row-id": 12"""), latestMeta())
-    // v3 UPDATE works now (DV kill + images) — but a file ALREADY
-    // carrying a DV stays directed (one DV per file in v3)
-    val e2 = intercept[Exception] {
-      IcebergWriter.writeUpdate(spark, table, $"id" === 5L,
-        Map("text" -> lit("x")))
-    }
-    assert(e2.getMessage.contains("deletion vector"), e2.getMessage)
+    // v3 UPDATE on a file ALREADY carrying a DV merges the same way:
+    // the kill position joins the existing DV, the image appends
+    IcebergWriter.writeUpdate(spark, table, $"id" === 5L,
+      Map("text" -> lit("x")))
+    val rows5 = IcebergTable.read(spark, table).orderBy($"id")
+      .select($"id", $"text").as[(Long, String)].collect().toSeq
+    assert(rows5 == Seq(1L -> "t1", 4L -> "t4", 5L -> "x", 7L -> "t7",
+      8L -> "t8", 10L -> "t10", 11L -> "t11", 12L -> "t12"),
+      s"update through the DV merge path: $rows5")
+    val perFile2 = dvEntriesPerFile()
+    assert(perFile2.values.forall(_ == 1),
+      s"still one DV per file after the update: $perFile2")
 
     // v3 UPDATE end to end on a fresh table: DV kill + rewritten
     // images in ONE overwrite snapshot, lineage advanced by the images
@@ -979,6 +1043,46 @@ class TableWritersSpec extends SparkSpec {
       Map("text" -> lit("uu-4")))
     assert(IcebergTable.read(spark, tu).filter($"id" === 4L)
       .select($"text").as[String].collect().toSeq == Seq("uu-4"))
+  }
+
+  test("iceberg v3 delete on a table carrying v2 positional deletes: " +
+    "the positions migrate into the DVs, zero live positional entries") {
+    val t = tmp()
+    IcebergWriter.writeAppend(spark,
+      (1L to 12L).map(i => (i, s"t$i")).toDF("id", "text").coalesce(1), t)
+    // v2 positional delete, then a FOREIGN upgrade to format-version 3
+    IcebergWriter.writeDelete(spark, t, $"id" === 3L || $"id" === 9L)
+    val metaDir = new java.io.File(s"$t/metadata")
+    def latestMetaFile(): java.io.File = metaDir.listFiles()
+      .filter(_.getName.endsWith(".metadata.json"))
+      .maxBy(f => f.getName.stripPrefix("v")
+        .stripSuffix(".metadata.json").toLong)
+    val mf = latestMetaFile()
+    val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath),
+      "UTF-8")
+    assert(txt.contains("\"format-version\": 2"), txt.take(200))
+    java.nio.file.Files.write(mf.toPath,
+      txt.replace("\"format-version\": 2", "\"format-version\": 3")
+        .getBytes("UTF-8"))
+    // the next v3 DELETE absorbs the live positional rows into the DV
+    IcebergWriter.writeDelete(spark, t, $"id" === 5L)
+    assert(IcebergTable.read(spark, t).select($"id").as[Long]
+      .collect().sorted.toSeq ==
+      (1L to 12L).filterNot(Set(3L, 5L, 9L)),
+      "survivors reflect both the migrated and the new positions")
+    // zero live positional files, exactly one DV on the one data file
+    val shapes = graft.sources.IcebergTable.deleteShapes(spark, t)
+    assert(shapes.posDeleteFiles.isEmpty,
+      s"positional entries all migrated: ${shapes.posDeleteFiles}")
+    assert(shapes.dvByFile.size == 1,
+      s"one merged DV on the single data file: ${shapes.dvByFile}")
+    // stacking another delete keeps merging through the DV route
+    IcebergWriter.writeDelete(spark, t, $"id" === 1L)
+    assert(IcebergTable.read(spark, t).select($"id").as[Long]
+      .collect().sorted.toSeq ==
+      (1L to 12L).filterNot(Set(1L, 3L, 5L, 9L)))
+    assert(graft.sources.IcebergTable.deleteShapes(spark, t)
+      .dvByFile.size == 1, "still one DV per file")
   }
 
   test("iceberg v3 DV deletes on a PARTITIONED table: entries scoped to " +
@@ -2375,6 +2479,113 @@ class TableWritersSpec extends SparkSpec {
       .select($"id", $"_row_id", $"_row_commit_version")
       .as[(Long, Long, Long)].collect().toSet
     assert(ids4 == ids3, "ids survive checkpoint + json cleanup")
+  }
+
+  test("iceberg NESTED struct columns: id-tagged files, nested " +
+    "rename/drop with old-file resolution, struct equality deletes") {
+    val t = tmp()
+    val mk = (lo: Long, hi: Long) => (lo to hi).toDF("id")
+      .withColumn("meta", struct(
+        concat(lit("a"), $"id" % 3).as("author"),
+        ($"id" * 10).as("score")))
+      .withColumn("text", concat(lit("t"), $"id"))
+    IcebergWriter.writeAppend(spark, mk(1L, 12L), t)
+    // the data file carries parquet field ids at EVERY struct level
+    val dataFile = IcebergTable.read(spark, t).inputFiles.head
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(dataFile),
+        spark.sparkContext.hadoopConfiguration))
+    val pSchema = try footer.getFooter.getFileMetaData.getSchema
+      finally footer.close()
+    val metaTy = pSchema.getType(pSchema.getFieldIndex("meta"))
+    val metaGrp = metaTy.asGroupType
+    assert(metaTy.getId != null &&
+      metaGrp.getType("author").getId != null &&
+      metaGrp.getType("score").getId != null,
+      s"nested members carry their own field ids: $pSchema")
+    // nested RENAME: a metadata-only commit; the OLD file's members
+    // resolve by name history and relabel through one positional cast
+    IcebergWriter.renameColumn(spark, t, "meta.author", "writer")
+    val r1 = IcebergTable.read(spark, t)
+    assert(r1.schema("meta").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType].fieldNames.toSeq ==
+      Seq("writer", "score"))
+    assert(r1.select($"id", $"meta.writer").as[(Long, String)]
+      .collect().sorted.toSeq ==
+      (1L to 12L).map(i => (i, s"a${i % 3}")),
+      "old files serve the renamed nested member")
+    // an append AFTER the rename spells the new name; both spellings
+    // union under the current schema
+    IcebergWriter.writeAppend(spark, (13L to 18L).toDF("id")
+      .withColumn("meta", struct(
+        concat(lit("a"), $"id" % 3).as("writer"),
+        ($"id" * 10).as("score")))
+      .withColumn("text", concat(lit("t"), $"id")), t)
+    assert(IcebergTable.read(spark, t)
+      .select($"id", $"meta.writer", $"meta.score")
+      .as[(Long, String, Long)].collect().sorted.toSeq ==
+      (1L to 18L).map(i => (i, s"a${i % 3}", i * 10)),
+      "old-name and new-name files union under the current schema")
+    // sibling collisions resolve case-insensitively
+    val eCol = intercept[Exception](
+      IcebergWriter.renameColumn(spark, t, "meta.score", "WRITER"))
+    assert(eCol.getMessage.contains("already exists"), eCol.getMessage)
+    // paths through non-struct levels are directed
+    val ePath = intercept[Exception](
+      IcebergWriter.renameColumn(spark, t, "text.sub", "x"))
+    assert(ePath.getMessage.contains("struct levels"), ePath.getMessage)
+    // nested DROP: the member leaves the schema; files keep their bytes
+    IcebergWriter.dropColumn(spark, t, "meta.score")
+    val r2 = IcebergTable.read(spark, t)
+    assert(r2.schema("meta").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType].fieldNames.toSeq ==
+      Seq("writer"))
+    assert(r2.select($"id", $"meta.writer").as[(Long, String)]
+      .collect().sorted.toSeq ==
+      (1L to 18L).map(i => (i, s"a${i % 3}")))
+    // dropping the last member of a struct is directed
+    val eLast = intercept[Exception](
+      IcebergWriter.dropColumn(spark, t, "meta.writer"))
+    assert(eLast.getMessage.contains("empty"), eLast.getMessage)
+
+    // struct-keyed EQUALITY DELETE on a fresh nested table: the delete
+    // file carries nested field ids, whole-struct equality applies
+    val t2 = tmp()
+    IcebergWriter.writeAppend(spark, mk(1L, 12L), t2)
+    IcebergWriter.writeEqualityDelete(spark, t2,
+      (1L to 1L).toDF("k").select(struct(
+        lit("a1").as("author"), lit(10L).as("score")).as("meta")))
+    assert(IcebergTable.read(spark, t2).select($"id").as[Long]
+      .collect().sorted.toSeq == (2L to 12L),
+      "whole-struct equality kills exactly the matching row")
+    val eqFile = new java.io.File(s"$t2/data").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .maxBy(_.lastModified)
+    val ef = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(eqFile.getPath),
+        spark.sparkContext.hadoopConfiguration))
+    val eqSchema = try ef.getFooter.getFileMetaData.getSchema
+      finally ef.close()
+    val eqMetaTy = eqSchema.getType(eqSchema.getFieldIndex("meta"))
+    assert(eqMetaTy.getId != null &&
+      eqMetaTy.asGroupType.getType("author").getId != null,
+      s"the equality-delete file carries nested ids: $eqSchema")
+    // MERGE BY KEY over the nested schema: images + eq kill in one
+    // commit, nested columns id-tagged throughout
+    IcebergWriter.writeMergeByKey(spark, t2,
+      Seq(2L, 100L).toDF("id")
+        .withColumn("meta", struct(lit("mm").as("author"),
+          ($"id" * 10).as("score")))
+        .withColumn("text", concat(lit("m"), $"id")), Seq("id"))
+    val merged = IcebergTable.read(spark, t2)
+      .select($"id", $"meta.author", $"text")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(merged.filter(r => r._1 == 2L || r._1 == 100L) ==
+      Seq((2L, "mm", "m2"), (100L, "mm", "m100")),
+      s"merge-by-key images over the nested schema: $merged")
+    assert(merged.size == 12, s"replace-by-key row count: ${merged.size}")
   }
 
   test("iceberg widenColumn: int->long / float->double, schema-only") {
