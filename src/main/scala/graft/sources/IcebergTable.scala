@@ -289,7 +289,8 @@ object IcebergTable {
       data: Seq[(String, Long, String)], // (path, seq, partition scope)
       posDeletes: Seq[String],
       eqDeletes: Seq[(String, Long, Seq[Int], Option[String])],
-      dvDeletes: Seq[(String, String, Long, Long)] = Nil, // (puffin, ref, off, size)
+      // (puffin, ref data file, offset, size, cardinality)
+      dvDeletes: Seq[(String, String, Long, Long, Option[Long])] = Nil,
       // per-DATA-file column stats decoded from the manifest's
       // record_count/null_value_counts/lower_bounds/upper_bounds — the
       // scan planner's pruning input; keyed by resolved path
@@ -364,7 +365,7 @@ object IcebergTable {
         import spark.implicits._
         val tconf = TaskConf(
           new Configuration(spark.sparkContext.hadoopConfiguration))
-        val descs = a.dvDeletes.map { case (pf, ref, off, size) =>
+        val descs = a.dvDeletes.map { case (pf, ref, off, size, _) =>
           (pf, PathUris.canon(ref), off, size)
         }
         Some(spark.createDataset(descs)
@@ -507,7 +508,7 @@ object IcebergTable {
     def clip(path: String, dt: DataType,
         fg: org.apache.parquet.schema.GroupType): DataType = dt match {
       case st: StructType =>
-        StructType(st.fields.map { mf =>
+        val members = st.fields.map { mf =>
           val mPath = s"$path.${mf.name}"
           val cands = mf.name +: a.memberIds.get(mPath)
             .map(i => a.priorNames.getOrElse(i, Nil)).getOrElse(Nil)
@@ -524,19 +525,30 @@ object IcebergTable {
                 else mf.dataType
               StructField(n, subDt, nullable = true)
           }
-        })
+        }
+        // two members resolving to ONE file column (a foreign schema
+        // history that reused a sibling's retired name — this engine's
+        // renameColumn refuses to create the shape) is ambiguous:
+        // directed, never a duplicate-column analysis crash
+        members.map(_.name.toLowerCase).groupBy(identity)
+          .collectFirst { case (n, xs) if xs.length > 1 => n }
+          .foreach(n => throw UnsupportedIceberg(
+            s"two members of '$path' both resolve to file column '$n' " +
+              "— the schema history reused a sibling's retired name, " +
+              "making old files ambiguous"))
+        StructType(members)
       case other => other
     }
     val fileCols: Seq[(String, Seq[Option[StructField]])] =
       a.data.map(_._1).map { p =>
         val (byId, names, grp) = footerTopColumns(p, conf)
-        p -> fields.map { f =>
+        val resolved = fields.map { f =>
           val id = idOf.get(f.name)
-          val resolved = id.flatMap(byId.get)
+          val rn = id.flatMap(byId.get)
             .orElse(Some(f.name).filter(names))
             .orElse(id.flatMap(i =>
               a.priorNames.getOrElse(i, Nil).find(names)))
-          resolved.map { n =>
+          rn.map { n =>
             val t = grp.getType(n)
             val dt =
               if (!t.isPrimitive && f.dataType.isInstanceOf[StructType] &&
@@ -546,6 +558,14 @@ object IcebergTable {
             StructField(n, dt, nullable = true)
           }
         }
+        // same ambiguity guard as clip, at the top level
+        resolved.flatten.map(_.name.toLowerCase).groupBy(identity)
+          .collectFirst { case (n, xs) if xs.length > 1 => n }
+          .foreach(n => throw UnsupportedIceberg(
+            s"two table columns both resolve to file column '$n' of $p " +
+              "— the schema history reused a retired name, making old " +
+              "files ambiguous"))
+        p -> resolved
       }
     fileCols.groupBy(_._2.map(_.map(rf => StructType(Seq(rf)).json)))
       .toSeq
@@ -565,22 +585,12 @@ object IcebergTable {
         // schema's members are nullable by construction (absent ones
         // read null), and Spark refuses a cast that would promise
         // NOT NULL. Same-spelling fields skip the cast entirely.
-        def deepNullable(dt: DataType): DataType = dt match {
-          case st: StructType => StructType(st.fields.map(mf =>
-            StructField(mf.name, deepNullable(mf.dataType),
-              nullable = true)))
-          case ArrayType(et, _) =>
-            ArrayType(deepNullable(et), containsNull = true)
-          case MapType(k, v, _) =>
-            MapType(deepNullable(k), deepNullable(v),
-              valueContainsNull = true)
-          case o => o
-        }
         df.select(fields.zip(colFields).map {
           case (f, Some(rf)) if rf.dataType == f.dataType =>
             col(s"`${rf.name}`").as(f.name)
           case (f, Some(rf)) =>
-            col(s"`${rf.name}`").cast(deepNullable(f.dataType)).as(f.name)
+            col(s"`${rf.name}`")
+              .cast(TableCommit.deepNullableType(f.dataType)).as(f.name)
           case (f, None) => org.apache.spark.sql.functions.lit(null)
             .cast(f.dataType).as(f.name)
         } ++ keyCols: _*)
@@ -839,7 +849,10 @@ object IcebergTable {
       format: String, matches: Boolean, seq: Long, eqIds: Seq[Int],
       scope: Option[String], refFile: Option[String],
       contentOffset: Option[Long], contentSize: Option[Long],
-      stats: ColumnStats.FileStats = ColumnStats.NoStats)
+      stats: ColumnStats.FileStats = ColumnStats.NoStats,
+      // the manifest row's record_count — a DV entry's CARDINALITY,
+      // the pre-decode size-cap input of the delete writers
+      recordCount: Option[Long] = None)
     // field-id → Spark type, for Appendix D bound decoding
     val fieldTypes: Map[Int, org.apache.spark.sql.types.DataType] =
       (schemaJson \ "fields").extractOpt[Seq[JValue]].getOrElse(Nil)
@@ -921,7 +934,8 @@ object IcebergTable {
           if (r.isNullAt(9)) None else Some(r.getString(9)),
           if (r.isNullAt(10)) None else Some(r.getLong(10)),
           if (r.isNullAt(11)) None else Some(r.getLong(11)),
-          if (r.getInt(1) == 0) entryStats(r) else ColumnStats.NoStats)
+          if (r.getInt(1) == 0) entryStats(r) else ColumnStats.NoStats,
+          if (r.isNullAt(12)) None else Some(r.getLong(12)))
       }.toSeq
     // content: 0 data, 1 position deletes (parquet files in v2, Puffin
     // deletion vectors in v3), 2 equality deletes
@@ -957,7 +971,7 @@ object IcebergTable {
       active.filter(isDv)
         .map(f => (resolvePath(table, location, f.path),
           resolvePath(table, location, f.refFile.get),
-          f.contentOffset.get, f.contentSize.get)),
+          f.contentOffset.get, f.contentSize.get, f.recordCount)),
       active.filter(e => e.content == 0 && !e.stats.isEmptyStats)
         .map(f => resolvePath(table, location, f.path) -> f.stats).toMap,
       bucketBySpec, priorNames = priorNameMap, memberIds = memberIdMap)
@@ -1136,7 +1150,12 @@ object IcebergTable {
     * scope string. ONE metadata replay serves all three — separate
     * calls would pay the whole manifest pass repeatedly. */
   private[graft] final case class DeleteShapes(
-      dvByFile: Map[String, (String, Long, Long)],
+      // canonical data file -> ALL its active DV entries (puffin path,
+      // offset, size, cardinality). The spec allows one per file, but a
+      // foreign table may carry several — the merge writer unions them
+      // all instead of silently keeping one (which would resurrect the
+      // dropped vector's rows through the manifest rewrite)
+      dvByFile: Map[String, Seq[(String, Long, Long, Option[Long])]],
       posDeleteFiles: Seq[String],
       dataScopes: Seq[(String, String)])
 
@@ -1144,8 +1163,8 @@ object IcebergTable {
       table: String): DeleteShapes = {
     val a = activeFiles(spark, table, None, Map.empty)
     DeleteShapes(
-      a.dvDeletes.map(d =>
-        PathUris.canon(d._2) -> ((d._1, d._3, d._4))).toMap,
+      a.dvDeletes.groupBy(d => PathUris.canon(d._2))
+        .map { case (k, ds) => k -> ds.map(d => (d._1, d._3, d._4, d._5)) },
       a.posDeletes,
       a.data.map(f => (f._1, f._3)))
   }

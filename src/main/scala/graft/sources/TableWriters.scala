@@ -270,8 +270,6 @@ object TableCommit {
       (s""","stats":"${jsonEscape(js)}"""", st.numRecords.getOrElse(0L))
     }
 
-  /** Delete already-placed data files after a lost commit race — the
-    * loser leaves no orphans behind. */
   /** A deep-NULLABLE copy of the type: struct/array/map casts in Spark
     * validate member nullability as part of the TYPE, so a cast target
     * derived from a required-marked Iceberg schema must relax it (the
@@ -288,6 +286,8 @@ object TableCommit {
     case o => o
   }
 
+  /** Delete already-placed data files after a lost commit race — the
+    * loser leaves no orphans behind. */
   private[sources] def cleanup(fs: FileSystem, files: Seq[String]): Unit =
     files.foreach(f => fs.delete(new Path(f), false))
 
@@ -3262,6 +3262,35 @@ object IcebergWriter {
     }
   }
 
+  /** Every name each field id EVER carried across the whole schema
+    * HISTORY (every nesting level) — the rename guard's input: a new
+    * name that a SIBLING id once carried would make the per-file name
+    * resolution ambiguous (an old file's column could belong to either
+    * member), permanently breaking reads of pre-rename files. */
+  private def historicalNames(meta: JValue): Map[Int, Set[String]] = {
+    val byId = scala.collection.mutable.Map.empty[Int, Set[String]]
+    def walk(fs2: Seq[JValue]): Unit = fs2.foreach { f =>
+      for (id <- (f \ "id").extractOpt[Int];
+        n <- (f \ "name").extractOpt[String])
+        byId(id) = byId.getOrElse(id, Set.empty) + n
+      def types(t: JValue): Unit = t match {
+        case o: JObject => (o \ "type").extractOpt[String] match {
+          case Some("struct") =>
+            walk((o \ "fields").extractOpt[Seq[JValue]].getOrElse(Nil))
+          case Some("list") => types(o \ "element")
+          case Some("map") => types(o \ "key"); types(o \ "value")
+          case _ =>
+        }
+        case _ =>
+      }
+      types(f \ "type")
+    }
+    ((meta \ "schemas").extractOpt[Seq[JValue]].getOrElse(Nil) :+
+      (meta \ "schema")).foreach(s0 =>
+      walk((s0 \ "fields").extractOpt[Seq[JValue]].getOrElse(Nil)))
+    byId.toMap
+  }
+
   /** Every field id in a field-json subtree (the field itself plus all
     * nested struct members / list elements / map keys+values) — what a
     * DROP must check against the partition specs' source-ids. */
@@ -3312,18 +3341,33 @@ object IcebergWriter {
       newName == path.last) throw UnsupportedWrite(
       s"$table: invalid rename '$oldName' -> '$newName' (the new name " +
         "is a single identifier)")
+    val history = historicalNames(meta)
     val renamedFields =
       rewriteFieldPath(table, fields, path, "RENAME COLUMN") {
         (siblings, idx) =>
           // a spec FIELD named after the column keeps its dir name
           // (source-id binds it); SIBLING collisions resolve
-          // case-insensitively like everywhere in SQL
-          if (siblings.zipWithIndex.exists { case (f, i) =>
-            i != idx && (f \ "name").extractOpt[String]
-              .exists(_.equalsIgnoreCase(newName))
-          }) throw UnsupportedWrite(
-            s"$table: column '$newName' already exists next to " +
-              s"'$oldName' (names resolve case-insensitively)")
+          // case-insensitively like everywhere in SQL — against the
+          // siblings' CURRENT names AND every name they EVER carried:
+          // reusing a sibling's retired name would make the per-file
+          // resolution of pre-rename files ambiguous (two members
+          // would claim the same old column), bricking reads
+          siblings.zipWithIndex.foreach { case (f, i) =>
+            if (i != idx) {
+              val cur = (f \ "name").extractOpt[String]
+              if (cur.exists(_.equalsIgnoreCase(newName)))
+                throw UnsupportedWrite(
+                  s"$table: column '$newName' already exists next to " +
+                    s"'$oldName' (names resolve case-insensitively)")
+              val hist = (f \ "id").extractOpt[Int]
+                .map(history.getOrElse(_, Set.empty)).getOrElse(Set.empty)
+              if (hist.exists(_.equalsIgnoreCase(newName)))
+                throw UnsupportedWrite(
+                  s"$table: '$newName' is a RETIRED name of the sibling " +
+                    s"'${cur.getOrElse("?")}' — reusing it would make " +
+                    "pre-rename files' column resolution ambiguous")
+            }
+          }
           siblings.updated(idx,
             JObject(siblings(idx).asInstanceOf[JObject].obj.map {
               case ("name", _) => ("name", JString(newName))
@@ -3945,12 +3989,14 @@ object IcebergWriter {
         val filesWithTuple = writeIdentityPartitioned(spark, src, base,
           parts, table, fs, conf,
           fieldIds = idPathsOf(schemaJson))
+        // registered BEFORE the footer-stats pass: a throw there must
+        // still reclaim the just-written files
+        newFiles ++= filesWithTuple.map(_._1._2)
         val dataSC = filesWithTuple.map(f =>
           statsCells(f._1._2, mrgIdFields, conf))
         val dataNonEmpty = filesWithTuple.zip(dataSC).filter(_._2._2 > 0)
         cleanup(fs,
           filesWithTuple.zip(dataSC).filter(_._2._2 == 0).map(_._1._1._2))
-        newFiles ++= dataNonEmpty.map(_._1._1._2)
         val addedRows = dataNonEmpty.map(_._2._2).sum
         val snapId = (st.snapshots.flatMap(sn =>
           (sn \ "snapshot-id").extractOpt[Long]) :+ 0L).max + 1
@@ -4416,18 +4462,32 @@ object IcebergWriter {
     val matchesMap = matches.toMap
     // files whose DV this commit (re)writes: the matched set, plus
     // every file the positional migration touches; a file already
-    // carrying a DV merges its old positions in
+    // carrying DVs merges ALL of them in (spec-legal tables have one
+    // per file; a foreign table's extras union rather than silently
+    // dropping — a dropped vector's rows would resurrect)
     val affected: Seq[String] =
       (matchesMap.keySet ++ posByFile.keySet).toSeq.sorted
     val supersededDv = dvByFile.keySet.intersect(affected.toSet)
     val rewriting = supersededDv.nonEmpty || shapes.posDeleteFiles.nonEmpty
+    // the size cap fires BEFORE any blob decodes: the manifests already
+    // carry each DV's cardinality (record_count), so a huge foreign DV
+    // directs without its positions ever touching driver memory. An
+    // entry missing the spec-required count estimates 0 here — the
+    // post-merge recount below still governs.
+    val estimate = matches.map(_._2.length.toLong).sum +
+      posByFile.valuesIterator.map(_.length.toLong).sum +
+      affected.flatMap(dvByFile.get).flatten.map(_._4.getOrElse(0L)).sum
+    if (estimate > maxKillRows) throw UnsupportedWrite(
+      s"$table: the merged deletion vectors would hold ~$estimate " +
+        s"positions (> $maxKillRows) — rewriteDataFiles first")
     val ordered: Seq[(String, Array[Long])] = affected.map { canon =>
       if (!rawByCanon.contains(canon)) throw UnsupportedWrite(
         s"$table: matched row's file $canon is not in the " +
           "snapshot — path spelling drift")
-      val old = dvByFile.get(canon).map { case (pf, off, size) =>
-        DeletionVector.puffinDvPositions(pf, off, size, conf)
-      }.getOrElse(Array.empty[Long])
+      val old = dvByFile.getOrElse(canon, Nil).toArray.flatMap {
+        case (pf, off, size, _) =>
+          DeletionVector.puffinDvPositions(pf, off, size, conf)
+      }
       canon -> (matchesMap.getOrElse(canon, Array.empty[Long]) ++
         posByFile.getOrElse(canon, Array.empty[Long]) ++ old)
         .distinct.sorted
@@ -4625,12 +4685,14 @@ object IcebergWriter {
       val filesWithTuple = writeIdentityPartitioned(spark, src, base,
         parts, table, fs, conf,
         fieldIds = idPathsOf(schemaJson))
+      // registered BEFORE the footer-stats pass: a throw there must
+      // still reclaim the just-written files
+      newFiles ++= filesWithTuple.map(_._1._2)
       val dataSC = filesWithTuple.map(f =>
         statsCells(f._1._2, mrgIdFields, conf))
       val dataNonEmpty = filesWithTuple.zip(dataSC).filter(_._2._2 > 0)
       cleanup(fs,
         filesWithTuple.zip(dataSC).filter(_._2._2 == 0).map(_._1._1._2))
-      newFiles ++= dataNonEmpty.map(_._1._1._2)
       val newSeq = st.lastSeq + 1
       val snapId = (st.snapshots.flatMap(sn =>
         (sn \ "snapshot-id").extractOpt[Long]) :+ 0L).max + 1
@@ -4789,12 +4851,14 @@ object IcebergWriter {
         val filesWithTuple = writeIdentityPartitioned(spark, rewritten,
           base, parts, table, fs, conf,
           fieldIds = idPathsOf(schemaJson))
+        // registered BEFORE the footer-stats pass: a throw there must
+        // still reclaim the just-written files
+        newFiles ++= filesWithTuple.map(_._1._2)
         val dataSC = filesWithTuple.map(f =>
           statsCells(f._1._2, updIdFields, conf))
         val dataNonEmpty = filesWithTuple.zip(dataSC).filter(_._2._2 > 0)
         cleanup(fs,
           filesWithTuple.zip(dataSC).filter(_._2._2 == 0).map(_._1._1._2))
-        newFiles ++= dataNonEmpty.map(_._1._1._2)
         val addedRows = dataNonEmpty.map(_._2._2).sum
         val dataManifest = s"$base/metadata/m-$attempt-data.avro"
         AvroOcf.write(dataManifest,
@@ -4897,12 +4961,11 @@ object IcebergWriter {
       // write emits ~one file per (task, tuple) instead of one per
       // (task, tuple) x tasks
       else rows.repartition(nOut, parts.map(_.valueCol(schema)): _*)
-    val rwIdFields = idFieldsOf(
-      JsonMethods.compact(JsonMethods.render(schemaNode)))
+    val schemaJson = JsonMethods.compact(JsonMethods.render(schemaNode))
+    val rwIdFields = idFieldsOf(schemaJson)
     val filesWithTuple = writeIdentityPartitioned(spark, packed, base,
       parts, table, fs, conf,
-      fieldIds = idPathsOf(
-        JsonMethods.compact(JsonMethods.render(schemaNode))))
+      fieldIds = idPathsOf(schemaJson))
     val fileSC = filesWithTuple.map(f =>
       statsCells(f._1._2, rwIdFields, conf))
     val counts = fileSC.map(_._2)
@@ -4912,7 +4975,6 @@ object IcebergWriter {
     val ts = System.currentTimeMillis()
     val attempt = java.util.UUID.randomUUID().toString
     val manifestPath = s"$base/metadata/m-$attempt.avro"
-    val schemaJson = JsonMethods.compact(JsonMethods.render(schemaNode))
     AvroOcf.write(manifestPath,
       manifestAvroSchema(partStructFields, partFieldIds),
       filesWithTuple.zip(fileSC).map { case (((_, abs, size), t), (cells, n)) =>

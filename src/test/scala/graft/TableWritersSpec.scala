@@ -2531,6 +2531,12 @@ class TableWritersSpec extends SparkSpec {
     val eCol = intercept[Exception](
       IcebergWriter.renameColumn(spark, t, "meta.score", "WRITER"))
     assert(eCol.getMessage.contains("already exists"), eCol.getMessage)
+    // ...and a sibling's RETIRED name is off-limits too: reusing
+    // 'author' for score would make old files' member resolution
+    // ambiguous (both members would claim the old 'author' column)
+    val eRet = intercept[Exception](
+      IcebergWriter.renameColumn(spark, t, "meta.score", "author"))
+    assert(eRet.getMessage.contains("RETIRED"), eRet.getMessage)
     // paths through non-struct levels are directed
     val ePath = intercept[Exception](
       IcebergWriter.renameColumn(spark, t, "text.sub", "x"))
