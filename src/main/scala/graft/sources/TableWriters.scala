@@ -636,9 +636,10 @@ object DeltaWriter {
     * is baseRowId + its position) — plus the updated domainMetadata
     * line for the same commit. No-ops on tables without the feature;
     * zero new files advance nothing. Fresh assignment is the protocol's
-    * baseline for data-changing commits (stable-id PRESERVATION across
-    * rewrites needs materialized row-id columns — compaction and
-    * checkpoints stay directed for that reason). */
+    * baseline for data-changing commits; rewrites that must PRESERVE
+    * identity (OPTIMIZE, copy-on-write delete survivors) additionally
+    * store each row's stable id in the materialized row-id columns,
+    * which override these defaults at read time. */
   private def rowTrackingFields(table: String,
       proto: DeltaTable.Protocol, domains: Map[String, String],
       counts: Seq[Long], commitVersion: Long)
@@ -955,10 +956,9 @@ object DeltaWriter {
     val config = dst.configuration
     val files = dst.files
     val proto = dst.protocol
-    // rowTracking: DV re-adds preserve their file's ids verbatim,
-    // rewritten survivor files take FRESH ids (the protocol's baseline
-    // for data-changing commits — stable-id preservation across
-    // rewrites needs materialized row-id columns)
+    // rowTracking: DV re-adds preserve their file's ids verbatim, and
+    // the copy-on-write rewrite preserves SURVIVORS' identity through
+    // the materialized row-id columns (only deleted rows' ids retire)
     val tracking = proto.writerFeatures.contains("rowTracking")
     val trackIds: Option[Map[String, (Long, Long)]] =
       if (tracking) Some(dst.fileRowIds) else None
@@ -1082,11 +1082,20 @@ object DeltaWriter {
 
     def rewriteShape(touchedCanon: Set[String]): Long = {
       if (touchedCanon.isEmpty) return version
+      // rowTracking: the SURVIVORS of a copy-on-write delete keep their
+      // identity — each rewritten row stores its stable id and commit
+      // version in the materialized columns (minted here on first use),
+      // exactly like OPTIMIZE; only the deleted rows' ids retire
+      val matCols = materializedColsFor(table, proto, config, schema)
       // survivors of the TOUCHED files only (existing DVs applied) —
       // rows where the predicate is false OR NULL survive, delta's own
       // DELETE semantics
-      val survivors = DeltaTable.readFilesSubset(spark, table, touchedCanon)
-        .filter(not(coalesce(condition, lit(false))))
+      val survivors = (matCols match {
+        case Some((ridCol, rcvCol, _)) => DeltaTable
+          .readFilesSubsetWithRowIds(spark, table, touchedCanon,
+            ridCol, rcvCol)
+        case None => DeltaTable.readFilesSubset(spark, table, touchedCanon)
+      }).filter(not(coalesce(condition, lit(false))))
       // a foreign table may hold ''/sentinel string partition values the
       // directory encoding cannot round-trip — directed before rewriting
       locally {
@@ -1102,18 +1111,33 @@ object DeltaWriter {
         }
       }
       val ts = System.currentTimeMillis()
+      val matNames = matCols.toSeq.flatMap(m => Seq(m._1, m._2)).toSet
       val outSurvivors =
-        if (!mapped) survivors else toPhysical(survivors, schema)
+        if (!mapped) survivors
+        else toPhysical(survivors, schema, extra = matNames.toSeq)
       val dataFiles = writeData(outSurvivors, base, outPartCols, "", conf)
+      // stats cover the TABLE's columns only — the materialized row-id
+      // columns are bookkeeping, not pruning input
       val rwDataSchema = org.apache.spark.sql.types.StructType(
-        outSurvivors.schema.filterNot(f => outPartCols.contains(f.name)))
+        outSurvivors.schema.filterNot(f =>
+          outPartCols.contains(f.name) || matNames(f.name)))
       val sc = statsFieldsWithCounts(dataFiles.map(_._2), rwDataSchema, conf)
       val nonEmpty = dataFiles.zip(sc).filter(_._2._2 > 0)
       cleanup(fs, dataFiles.zip(sc).filter(_._2._2 == 0).map(_._1._2))
-      // rewritten survivor files take FRESH row ids on a rowTracking
-      // table and the high-water mark advances in the same commit
+      // the adds still carry FRESH baseRowId ranges (the protocol's
+      // required fields); the materialized columns override per row
       val (rwRid, rwDomain) = rowTrackingFields(table, proto, dst.domains,
         nonEmpty.map(_._2._2), version + 1)
+      // first rewrite on the table: the minted names commit via a
+      // metaData action in the SAME commit
+      val metaLines = matCols match {
+        case Some((ridCol, rcvCol, true)) => Seq(metaDataActionJson(
+          dst.metaRaw, dst.metaId, schemaJson, partCols, config ++ Map(
+            "delta.rowTracking.materializedRowIdColumnName" -> ridCol,
+            "delta.rowTracking.materializedRowCommitVersionColumnName" ->
+              rcvCol)))
+        case _ => Nil
+      }
       val adds = nonEmpty.zip(rwRid).map {
         case (((rel, _, size), (st, _)), rid) =>
           val pv = partitionValuesJson(partValues(rel))
@@ -1143,7 +1167,7 @@ object DeltaWriter {
           .filter(coalesce(condition, lit(false))), ts, allNew)
       commit(
         Seq(s"""{"commitInfo":{"timestamp":$ts,"operation":"DELETE"}}""") ++
-          removes ++ adds ++ cdcLines ++ rwDomain,
+          metaLines ++ removes ++ adds ++ cdcLines ++ rwDomain,
         allNew.result())
     }
 
@@ -1878,6 +1902,30 @@ object DeltaWriter {
     texts.exists(t => token.findFirstIn(t).isDefined)
   }
 
+  /** The materialized row-id column names a REWRITING commit on a
+    * rowTracking table stores stable identity in: the configured pair,
+    * or a freshly minted one — `true` in the result marks a mint, and
+    * the commit must then carry a metaData action declaring the names
+    * (a uuid cannot collide; a CONFIGURED name that shadows a schema
+    * column is a malformed table and directs before any data work).
+    * None when the table does not track rows. */
+  private def materializedColsFor(table: String,
+      proto: DeltaTable.Protocol, config: Map[String, String],
+      cpSchema: StructType): Option[(String, String, Boolean)] =
+    if (!proto.writerFeatures.contains("rowTracking")) None
+    else DeltaTable.materializedRowIdCols(table, config) match {
+      case Some((r, c)) =>
+        val names = cpSchema.fields.flatMap(f =>
+          Seq(f.name, DeltaTable.physFieldName(f))).toSet
+        Seq(r, c).find(names).foreach(n => throw UnsupportedWrite(
+          s"$table: materialized rowTracking column '$n' collides " +
+            "with a table column — the row-id state is malformed"))
+        Some((r, c, false))
+      case None =>
+        val u = java.util.UUID.randomUUID().toString
+        Some((s"_row-id-col-$u", s"_row-commit-version-col-$u", true))
+    }
+
   /** OPTIMIZE (bin-packing compaction): partitions holding at least two
     * data files smaller than `smallFileThreshold` get those files
     * rewritten into ~`targetFileBytes` ones, in ONE commit of
@@ -1924,28 +1972,10 @@ object DeltaWriter {
     val config = dst.configuration
     val files = dst.files
     val proto = dst.protocol
-    val tracking = proto.writerFeatures.contains("rowTracking")
     // column-mapped targets: rewritten files store PHYSICAL names +
     // field ids at every nesting level
     val cpSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    // rowTracking: the materialized row-id column NAMES — configured,
-    // or minted on first compaction (a uuid cannot collide; a
-    // CONFIGURED name that shadows a schema column is a malformed
-    // table and directs before any data work)
-    val matCols: Option[(String, String, Boolean)] =
-      if (!tracking) None
-      else DeltaTable.materializedRowIdCols(table, config) match {
-        case Some((r, c)) =>
-          val names = cpSchema.fields.flatMap(f =>
-            Seq(f.name, DeltaTable.physFieldName(f))).toSet
-          Seq(r, c).find(names).foreach(n => throw UnsupportedWrite(
-            s"$table: materialized rowTracking column '$n' collides " +
-              "with a table column — the row-id state is malformed"))
-          Some((r, c, false))
-        case None =>
-          val u = java.util.UUID.randomUUID().toString
-          Some((s"_row-id-col-$u", s"_row-commit-version-col-$u", true))
-      }
+    val matCols = materializedColsFor(table, proto, config, cpSchema)
     val mapped = config.get("delta.columnMapping.mode").exists(_ != "none")
     def resolve(rel: String): String = DeltaTable.resolveAdd(base, rel)
     // O(files) driver stats pick the targets: per partition tuple, at

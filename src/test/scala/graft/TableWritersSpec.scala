@@ -2479,6 +2479,26 @@ class TableWritersSpec extends SparkSpec {
       .select($"id", $"_row_id", $"_row_commit_version")
       .as[(Long, Long, Long)].collect().toSet
     assert(ids4 == ids3, "ids survive checkpoint + json cleanup")
+    // COPY-ON-WRITE delete on a fresh tracked table: the rewrite
+    // preserves every SURVIVOR's identity through the same materialized
+    // columns; only the deleted rows' ids retire
+    val tc = tmp()
+    DeltaWriter.writeAppend(spark,
+      (0L to 19L).map(i => (i, s"t$i")).toDF("id", "text")
+        .repartition(1).sortWithinPartitions("id"), tc,
+      properties = Map("delta.enableRowTracking" -> "true"))
+    DeltaWriter.writeDelete(spark, tc, $"id" % 4 === 1L,
+      mode = "rewrite")
+    val cowIds = DeltaTable.readWithRowIds(spark, tc)
+      .select($"id", $"_row_id", $"_row_commit_version")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(cowIds == (0L to 19L).filter(_ % 4 != 1)
+      .map(i => (i, i, 0L)).toSet,
+      s"cow-delete survivors keep (id, rcv): ${cowIds.toSeq.sorted.take(6)}")
+    val cowCfg = DeltaTable.snapshotState(spark, tc).configuration
+    assert(cowCfg.contains(
+      "delta.rowTracking.materializedRowIdColumnName"),
+      "the cow rewrite minted and committed the materialized names")
   }
 
   test("iceberg NESTED struct columns: id-tagged files, nested " +
