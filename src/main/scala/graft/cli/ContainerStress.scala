@@ -629,6 +629,64 @@ object ContainerStress {
       f"$tPeW%.2f s) — delete files partition-scoped, zero data files " +
       f"touched; survivor scan $tPeRead%.2f s")
 
+    // ---- r18: REPEATED v3 DELETEs on the same files — the DV MERGE:
+    // the second delete unions the first's vectors (one replacement
+    // Puffin blob per file) through the delete-manifest rewrite. Cost
+    // must scale with the DELETE size + O(manifests) metadata, never
+    // the table; zero data files may be touched, and every data file
+    // must carry at most ONE DV entry afterwards.
+    val vMerge = s"$morRoot/v3-dv-merge"
+    val (_, tVmW) = time(IcebergWriter.writeAppend(spark, pData, vMerge,
+      partitionBy = Seq("p"), formatVersion = 3))
+    val preVm = walkParquet(s"$vMerge/data")
+    val (_, tVm1) = time(
+      IcebergWriter.writeDelete(spark, vMerge, $"id" % 1000 === 7))
+    val (_, tVm2) = time(
+      IcebergWriter.writeDelete(spark, vMerge, $"id" % 1000 === 13))
+    val postVm = walkParquet(s"$vMerge/data")
+    require(preVm.subsetOf(postVm) &&
+      (postVm -- preVm).forall(_.endsWith(".puffin") == false),
+      "[stress] a DV merge touched a data file")
+    val vmShapes = graft.sources.IcebergTable.deleteShapes(spark, vMerge)
+    require(vmShapes.dvByFile.values.forall(_.size == 1),
+      s"[stress] a data file carries ${vmShapes.dvByFile.values
+        .map(_.size).max} DV entries after the merge — one allowed")
+    val (vmAgg, tVmRead) = time(stateOf(
+      graft.sources.IcebergTable.read(spark, vMerge)))
+    val vmKilled = morData.filter(
+      $"id" % 1000 === 7 || $"id" % 1000 === 13).count()
+    require(vmAgg.getLong(0) == n - vmKilled,
+      s"[stress] merged-DV survivors ${vmAgg.getLong(0)} != ${n - vmKilled}")
+    println(f"[stress] iceberg-v3-dv-merge: two stacked deletes " +
+      f"(${vmKilled} rows total) on $n rows / 16 partitions — first " +
+      f"$tVm1%.2f s, MERGING second $tVm2%.2f s (table built $tVmW%.2f s); " +
+      f"zero data files touched, one DV per file; survivor scan " +
+      f"$tVmRead%.2f s")
+
+    // ---- r18: Delta OPTIMIZE on a rowTracking table — stable ids
+    // PRESERVED through the rewrite at scale: the id-sum over survivors
+    // must match before and after the compaction byte-for-byte, and
+    // the DV debt must be gone.
+    val rtDir = s"$morRoot/delta-rt-compact"
+    val (_, tRtW) = time(DeltaWriter.writeAppend(spark,
+      morData.repartition(16), rtDir,
+      properties = Map("delta.enableRowTracking" -> "true")))
+    val (_, tRtDel) = time(
+      DeltaWriter.writeDelete(spark, rtDir, $"id" % 100 === 5))
+    def rtState() = graft.sources.DeltaTable.readWithRowIds(spark, rtDir)
+      .agg(count(lit(1)), sum($"_row_id"), sum($"_row_commit_version"))
+      .head()
+    val beforeRt = rtState()
+    val (_, tRtC) = time(DeltaWriter.compact(spark, rtDir))
+    val afterRt = rtState()
+    require(beforeRt == afterRt,
+      s"[stress] OPTIMIZE changed row identity: $beforeRt -> $afterRt")
+    require(graft.sources.DeltaTable.snapshotState(spark, rtDir)
+      .files.forall(_._3.isEmpty), "[stress] OPTIMIZE left DV debt")
+    println(f"[stress] delta-rt-optimize: $n tracked rows, 1%% DV debt — " +
+      f"compacted in $tRtC%.2f s (build $tRtW%.2f s, delete $tRtDel%.2f s); " +
+      f"(count, idSum, rcvSum) identical across the rewrite, zero DVs left")
+
     spark.stop()
   }
 }

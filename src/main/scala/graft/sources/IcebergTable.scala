@@ -333,10 +333,18 @@ object IcebergTable {
     // name-based read would silently null the renamed column); their
     // old equality-delete files key matches by write-time names, which
     // this reader cannot re-map — directed, never silent
-    if (a.priorNames.nonEmpty && a.eqDeletes.nonEmpty)
+    // equality deletes on a RENAMED table serve when the delete files
+    // are ID-KEYED (this writer tags them; the per-file resolution below
+    // then runs by field id) — the name-matched fallback is disabled
+    // under renames, since a file's write-time name may have belonged
+    // to a different id. Renamed NESTED members stay directed: the
+    // delete files store write-time member names the top-level id
+    // resolution cannot re-map.
+    if (a.eqDeletes.nonEmpty &&
+      a.priorNames.keySet.exists(id => !a.fieldNames.contains(id)))
       throw UnsupportedIceberg(
-        "equality deletes on a table with RENAMED columns are not " +
-          "implemented (delete files key matches by write-time names)")
+        "equality deletes on a table with RENAMED nested members are " +
+          "not implemented (delete files store write-time member names)")
     val data =
       if (a.priorNames.isEmpty) {
         val d = spark.read.schema(a.schema).parquet(a.data.map(_._1): _*)
@@ -413,11 +421,19 @@ object IcebergTable {
             group.map(_._1).map { p =>
               val (byId, names, _) = footerTopColumns(p, dconf)
               p -> ids.zip(cols).map { case (id, c) =>
-                byId.get(id).orElse(Some(c).filter(names)).getOrElse(
-                  throw UnsupportedIceberg(
-                    s"equality delete file $p stores no column for " +
-                      s"field id $id ('$c') — neither id-keyed nor " +
-                      "name-matched against the current schema"))
+                byId.get(id)
+                  .orElse(Some(c).filter(names)
+                    .filterNot(_ => a.priorNames.nonEmpty))
+                  .getOrElse(throw UnsupportedIceberg(
+                    if (a.priorNames.nonEmpty)
+                      s"equality delete file $p is not id-keyed for " +
+                        s"field id $id ('$c') — on a RENAMED table only " +
+                        "id-keyed delete files resolve safely (the " +
+                        "write-time name may have belonged to another id)"
+                    else
+                      s"equality delete file $p stores no column for " +
+                        s"field id $id ('$c') — neither id-keyed nor " +
+                        "name-matched against the current schema"))
               }
             }
           val delRows = resolvedCols.groupBy(_._2).toSeq

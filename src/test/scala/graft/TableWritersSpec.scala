@@ -2058,6 +2058,52 @@ class TableWritersSpec extends SparkSpec {
     val e2 = intercept[Exception](
       IcebergWriter.renameColumn(spark, t2, "body", "ID"))
     assert(e2.getMessage.contains("already exists"), e2.getMessage)
+
+    // EQUALITY deletes survive a rename when the delete files are
+    // ID-KEYED (this writer's always are): the per-file resolution
+    // runs by field id, names notwithstanding
+    val t3 = tmp()
+    IcebergWriter.writeAppend(spark,
+      (1L to 10L).map(i => (i, s"t$i")).toDF("id", "text"), t3)
+    IcebergWriter.writeEqualityDelete(spark, t3, Seq(3L, 7L).toDF("id"))
+    IcebergWriter.renameColumn(spark, t3, "id", "key")
+    assert(IcebergTable.read(spark, t3).select($"key").as[Long]
+      .collect().sorted.toSeq == (1L to 10L).filterNot(Set(3L, 7L)),
+      "id-keyed equality deletes apply across the rename")
+    // ...and a new eq delete through the renamed KEY column works too
+    IcebergWriter.writeEqualityDelete(spark, t3, Seq(9L).toDF("key"))
+    assert(IcebergTable.read(spark, t3).select($"key").as[Long]
+      .collect().sorted.toSeq == (1L to 10L).filterNot(Set(3L, 7L, 9L)))
+    // an ID-LESS eq-delete file on a renamed table is directed (its
+    // write-time names cannot be trusted): strip the ids from the
+    // delete file out-of-band
+    val t4 = tmp()
+    IcebergWriter.writeAppend(spark,
+      (1L to 6L).map(i => (i, s"t$i")).toDF("id", "text"), t4)
+    val pre4 = new java.io.File(s"$t4/data").listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSet
+    IcebergWriter.writeEqualityDelete(spark, t4, Seq(2L).toDF("id"))
+    val eqF = (new java.io.File(s"$t4/data").listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSet
+      -- pre4).head
+    // the alias carries EXPLICIT empty metadata: a plain alias would
+    // propagate the imported parquet.field.id and the rewrite would
+    // keep the file id-keyed
+    val plainEq = spark.read.parquet(eqF)
+      .select($"id".cast("long").as("id",
+        org.apache.spark.sql.types.Metadata.empty))
+    val stripDir4 = tmp()
+    plainEq.coalesce(1).write.mode("overwrite").parquet(stripDir4)
+    val stripped4 = new java.io.File(stripDir4).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(stripped4.toPath,
+      java.nio.file.Paths.get(eqF),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(eqF)
+      .getParent.resolve("." + new java.io.File(eqF).getName + ".crc"))
+    IcebergWriter.renameColumn(spark, t4, "id", "key")
+    val e3 = intercept[Exception](IcebergTable.read(spark, t4).collect())
+    assert(e3.getMessage.contains("id-keyed"), e3.getMessage)
   }
 
   test("DROP COLUMN both formats: metadata-only, files untouched") {
