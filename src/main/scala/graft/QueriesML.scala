@@ -3562,6 +3562,102 @@ object QueriesML {
           .orderBy($"id")
       }),
 
+    // ------ Iceberg equality deletes ACROSS a rename (id-keyed files)
+    // An eq delete lands BEFORE the key column renames, a second one
+    // lands AFTER (keyed by the new name), and a writeMergeByKey stacks
+    // on top — all three resolve because the delete files are ID-KEYED
+    // (field ids survive renames; the name fallback is disabled under
+    // renames). The oracle recomputes the kill+replace cascade.
+    Q("q237_iceberg_eq_rename", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 100)
+      SELECT * FROM (
+        SELECT o_orderkey AS key, 'm-' || CAST(rn0 AS VARCHAR) AS text
+        FROM o WHERE o_orderkey % 6 = 0
+        UNION ALL
+        SELECT o_orderkey AS key, 'doc-' || CAST(rn0 AS VARCHAR) AS text
+        FROM o
+        WHERE o_orderkey % 6 <> 0
+          AND o_orderkey % 4 <> 1 AND o_orderkey % 10 <> 2
+        UNION ALL
+        SELECT o_orderkey + 100000 AS key, 'n-' || CAST(rn0 AS VARCHAR)
+        FROM o WHERE rn0 % 20 = 0)
+      ORDER BY key"""))(
+      (s, d) => {
+        import graft.sources.{IcebergTable, IcebergWriter}
+        val table = Fixtures.dir("q237", d) { dir =>
+          val base = orderedKeys(s, d, 100)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          IcebergWriter.writeAppend(s,
+            base.select($"id", concat(lit("doc-"), $"rn0").as("text")), t)
+          // eq delete BEFORE the rename, keyed by the old name
+          IcebergWriter.writeEqualityDelete(s, t,
+            base.filter($"id" % 4 === 1).select($"id"))
+          IcebergWriter.renameColumn(s, t, "id", "key")
+          // eq delete AFTER the rename, keyed by the new name
+          IcebergWriter.writeEqualityDelete(s, t,
+            base.filter($"id" % 10 === 2).select($"id".as("key")))
+          // and the zero-scan merge on top — kill+append, id-keyed too
+          IcebergWriter.writeMergeByKey(s, t,
+            base.filter($"id" % 6 === 0)
+              .select($"id".as("key"), concat(lit("m-"), $"rn0").as("text"))
+              .unionByName(base.filter($"rn0" % 20 === 0)
+                .select(($"id" + 100000).as("key"),
+                  concat(lit("n-"), $"rn0").as("text"))), Seq("key"))
+        }
+        IcebergTable.read(s, s"$table/table")
+          .select($"key", $"text").orderBy($"key")
+      }),
+
+    // ------ Iceberg snapshot REFS: a tag pins, the main branch follows
+    // A dataset release tag (`v1`) pins the pre-mutation snapshot while
+    // DELETE + append advance the table — the reproducible-training-run
+    // shape: `readRef(v1)` serves the frozen corpus byte-for-byte,
+    // `main` (advanced by every commit) serves the live one. The oracle
+    // recomputes both states side by side.
+    Q("q238_iceberg_refs", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 80)
+      SELECT * FROM (
+        SELECT 'tag' AS src, o_orderkey AS id,
+               'doc-' || CAST(rn0 AS VARCHAR) AS text
+        FROM o
+        UNION ALL
+        SELECT 'main' AS src, o_orderkey AS id,
+               'doc-' || CAST(rn0 AS VARCHAR) AS text
+        FROM o WHERE o_orderkey % 5 <> 0
+        UNION ALL
+        SELECT 'main' AS src, o_orderkey + 100000 AS id,
+               'n-' || CAST(rn0 AS VARCHAR) AS text
+        FROM o WHERE rn0 % 16 = 0)
+      ORDER BY src, id"""))(
+      (s, d) => {
+        import graft.sources.{IcebergTable, IcebergWriter}
+        val table = Fixtures.dir("q238", d) { dir =>
+          val base = orderedKeys(s, d, 80)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          IcebergWriter.writeAppend(s,
+            base.select($"id", concat(lit("doc-"), $"rn0").as("text")), t)
+          IcebergWriter.setRef(s, t, "v1",
+            IcebergTable.currentSnapshotId(s, t).get)
+          IcebergWriter.writeDelete(s, t, col("id") % 5 === 0)
+          IcebergWriter.writeAppend(s,
+            base.filter($"rn0" % 16 === 0)
+              .select(($"id" + 100000).as("id"),
+                concat(lit("n-"), $"rn0").as("text")), t)
+        }
+        val t = s"$table/table"
+        IcebergTable.readRef(s, t, "v1")
+          .select(lit("tag").as("src"), $"id", $"text")
+          .unionByName(IcebergTable.readRef(s, t, "main")
+            .select(lit("main").as("src"), $"id", $"text"))
+          .orderBy($"src", $"id")
+      }),
+
     // ------------------------------------------------------- HF tokenizer.json encode
     // A hand-authored tokenizer.json (the huggingface/tokenizers file
     // format, byte-level BPE) over planted "ab"*k words: greedy merge

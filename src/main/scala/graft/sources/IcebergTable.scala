@@ -1238,6 +1238,29 @@ object IcebergTable {
       timestampMs: Long): DataFrame =
     read(spark, table, Some(snapshotAt(spark, table, timestampMs)))
 
+  /** Resolve a named REF (branch or tag, the metadata's `refs` map) to
+    * its snapshot id — `main` falls back to the current snapshot when
+    * no explicit main ref exists (the spec's implied main branch).
+    * Unknown refs are directed. */
+  def refSnapshot(spark: SparkSession, table: String,
+      name: String): Long = {
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(table).getFileSystem(conf)
+    val meta = JsonMethods.parse(FsText.read(fs, latestMetadata(fs, table)))
+    (meta \ "refs" \ name \ "snapshot-id").extractOpt[Long]
+      .orElse(if (name == "main")
+        (meta \ "current-snapshot-id").extractOpt[Long].filter(_ != -1L)
+      else None)
+      .getOrElse(throw UnsupportedIceberg(
+        s"$table: ref '$name' does not exist"))
+  }
+
+  /** Read the table AS OF a named ref — `readRef(t, "v1-release")` is
+    * the tagged-snapshot pin a reproducible training run reads from
+    * while `main` advances. */
+  def readRef(spark: SparkSession, table: String, name: String): DataFrame =
+    read(spark, table, Some(refSnapshot(spark, table, name)))
+
   def snapshots(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)

@@ -3567,6 +3567,72 @@ object IcebergWriter {
         JsonMethods.compact(JsonMethods.render(nextProps))))
   }
 
+  /** Snapshot REFS — named BRANCHES and TAGS (the spec's `refs` map):
+    * point `name` at `snapshotId` as a `"tag"` or `"branch"` in one
+    * metadata-only commit. Refs PIN their snapshots ([[expireSnapshots]]
+    * keeps every ref'd snapshot alive), and a `main` BRANCH tracks the
+    * current snapshot on every commit (the spec's rule) — re-pointing
+    * `main` by hand is directed, as is a ref to a snapshot the metadata
+    * does not hold. Returns the new metadata version. */
+  def setRef(spark: SparkSession, table: String, name: String,
+      snapshotId: Long, refType: String = "tag"): Long = {
+    if (!Set("tag", "branch")(refType)) throw UnsupportedWrite(
+      s"$table: ref type '$refType' (tag or branch)")
+    if (name.isEmpty) throw UnsupportedWrite(s"$table: empty ref name")
+    if (name == "main" && refType == "tag") throw UnsupportedWrite(
+      s"$table: 'main' is the spec's branch name — a main TAG would " +
+        "shadow it")
+    val base = table.stripSuffix("/")
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(base).getFileSystem(conf)
+    val st = loadState(spark, fs, base)
+    val meta = st.meta
+    if (name == "main" &&
+      !(meta \ "current-snapshot-id").extractOpt[Long]
+        .contains(snapshotId)) throw UnsupportedWrite(
+      s"$table: the main branch tracks the CURRENT snapshot — it " +
+        "cannot be re-pointed by hand")
+    if (!st.snapshots.exists(sn =>
+      (sn \ "snapshot-id").extractOpt[Long].contains(snapshotId)))
+      throw UnsupportedWrite(
+        s"$table: snapshot $snapshotId is not in the metadata — a ref " +
+          "to it would dangle")
+    val prior: List[(String, JValue)] = (meta \ "refs") match {
+      case JObject(fields) => fields
+      case _ => Nil
+    }
+    val entry: JValue = JObject(List(
+      "snapshot-id" -> (JInt(snapshotId): JValue),
+      "type" -> (JString(refType): JValue)))
+    val next = JObject(prior.filterNot(_._1 == name) :+ (name -> entry))
+    commitCarriedChange(fs, conf, base, table, st, meta,
+      dropKeys = Set("refs"),
+      replace = Seq("refs" ->
+        JsonMethods.compact(JsonMethods.render(next))))
+  }
+
+  /** Remove a named ref — its snapshot becomes expirable again.
+    * Dropping `main` or a missing ref is directed. */
+  def dropRef(spark: SparkSession, table: String, name: String): Long = {
+    if (name == "main") throw UnsupportedWrite(
+      s"$table: the main branch cannot be dropped")
+    val base = table.stripSuffix("/")
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(base).getFileSystem(conf)
+    val st = loadState(spark, fs, base)
+    val meta = st.meta
+    val prior: List[(String, JValue)] = (meta \ "refs") match {
+      case JObject(fields) => fields
+      case _ => Nil
+    }
+    if (!prior.exists(_._1 == name)) throw UnsupportedWrite(
+      s"$table: ref '$name' does not exist")
+    commitCarriedChange(fs, conf, base, table, st, meta,
+      dropKeys = Set("refs"),
+      replace = Seq("refs" -> JsonMethods.compact(JsonMethods.render(
+        JObject(prior.filterNot(_._1 == name))))))
+  }
+
   /** The shared metadata-only commit: `replace` swaps the named carried
     * fields (after dropping `dropKeys`), the managed tail (timestamps,
     * sequence, snapshots, lineage) re-emits verbatim, and the next
@@ -3582,7 +3648,7 @@ object IcebergWriter {
       JsonMethods.compact(JsonMethods.render(sn))).mkString(", ")
     val currentId = (meta \ "current-snapshot-id").extractOpt[Long]
       .getOrElse(-1L)
-    val allFields = carried2 ++ Seq(
+    val allFields = advanceMetadataLog(carried2, fs, base) ++ Seq(
       "last-updated-ms" -> ts.toString,
       "last-sequence-number" -> st.lastSeq.toString,
       "current-snapshot-id" -> currentId.toString,
@@ -3664,6 +3730,47 @@ object IcebergWriter {
     minSeq: Option[Long] = None, existingFiles: Int = 0,
     existingRows: Long = 0L)
 
+  /** `fields` with the `metadata-log` entry list advanced by the
+    * metadata file this commit supersedes — the spec's breadcrumb trail
+    * (timestamp-ms + metadata-file per superseded version) time-travel
+    * tooling walks. Keeps the newest `write.metadata.
+    * previous-versions-max` entries (table property; default 100).
+    * No-op when no prior metadata file exists (the CREATE commit). */
+  private def advanceMetadataLog(fields: Seq[(String, String)],
+      fs: FileSystem, base: String): Seq[(String, String)] = {
+    val prev =
+      try Some(IcebergTable.latestMetadata(fs, base))
+      catch { case _: Exception => None }
+    prev match {
+      case None => fields
+      case Some(p) =>
+        val ts =
+          try fs.getFileStatus(p).getModificationTime
+          catch { case _: Exception => return fields }
+        val maxKeep = fields.collectFirst { case ("properties", v) =>
+          (try (JsonMethods.parse(v) \
+            "write.metadata.previous-versions-max")
+            .extractOpt[String]
+          catch { case _: Exception => None }).flatMap(_.toIntOption)
+        }.flatten.getOrElse(100)
+        val prior = fields.collectFirst { case ("metadata-log", v) =>
+          (try JsonMethods.parse(v).extractOpt[Seq[JValue]]
+          catch { case _: Exception => None }).getOrElse(Nil)
+            .map(e => JsonMethods.compact(JsonMethods.render(e)))
+        }.getOrElse(Nil)
+        val entry =
+          s"""{"timestamp-ms": $ts, "metadata-file": "$p"}"""
+        val all = (prior :+ entry).takeRight(math.max(1, maxKeep))
+        val logJson = s"[${all.mkString(", ")}]"
+        if (fields.exists(_._1 == "metadata-log"))
+          fields.map {
+            case ("metadata-log", _) => "metadata-log" -> logJson
+            case kv => kv
+          }
+        else fields :+ ("metadata-log" -> logJson)
+    }
+  }
+
   /** The shared commit tail: manifest list (new manifests + carried
     * prior ones, spec-required counts filled), the metadata json with
     * managed keys replaced, the EXCLUSIVE vN+1 placement, and the
@@ -3703,7 +3810,29 @@ object IcebergWriter {
     val allSnaps = (snapshots.map(sn =>
       JsonMethods.compact(JsonMethods.render(sn))) :+ snapJson)
       .mkString(", ")
-    val allFields = baseFields ++ Seq(
+    // a declared `main` BRANCH ref tracks the current snapshot (the
+    // spec's rule: the main branch and current-snapshot-id agree);
+    // every other ref carries verbatim
+    val withRefs = baseFields.map {
+      case ("refs", v) =>
+        val updated = try JsonMethods.parse(v) match {
+          case JObject(refFields) =>
+            JsonMethods.compact(JsonMethods.render(JObject(refFields.map {
+              case ("main", JObject(rf))
+                if rf.toMap.get("type").contains(JString("branch")) =>
+                ("main", (JObject(rf.map {
+                  case ("snapshot-id", _) =>
+                    ("snapshot-id", JInt(snapId): JValue)
+                  case kv => kv
+                }): JValue))
+              case kv => kv
+            })))
+          case _ => v
+        } catch { case _: Exception => v }
+        "refs" -> updated
+      case kv => kv
+    }
+    val allFields = advanceMetadataLog(withRefs, fs, base) ++ Seq(
       "last-updated-ms" -> ts.toString,
       "last-sequence-number" -> newSeq.toString,
       "current-snapshot-id" -> snapId.toString,
@@ -5045,10 +5174,23 @@ object IcebergWriter {
       .getOrElse(-1L)
     // keep the newest N in SNAPSHOT-LOG order (array position — the
     // same order rangeOperations trusts); the current snapshot must be
-    // among them
-    val (expired, kept) = snaps.splitAt(snaps.size - keepLast)
-    if (!kept.exists(sn =>
-      (sn \ "snapshot-id").extractOpt[Long].contains(currentId)))
+    // among them, and every REF'D snapshot is PINNED (a tag/branch
+    // pointing at an expired snapshot would dangle — drop the ref
+    // first if expiring it is the intent)
+    val refIds: Set[Long] = (meta \ "refs") match {
+      case JObject(fields) => fields.flatMap { case (_, v) =>
+        (v \ "snapshot-id").extractOpt[Long]
+      }.toSet
+      case _ => Set.empty
+    }
+    val (expired0, kept0) = snaps.splitAt(snaps.size - keepLast)
+    def idOf(sn: JValue): Option[Long] =
+      (sn \ "snapshot-id").extractOpt[Long]
+    val (pinned, expired) = expired0.partition(sn =>
+      idOf(sn).exists(refIds))
+    val kept = pinned ++ kept0
+    if (expired.isEmpty) return 0
+    if (!kept.exists(sn => idOf(sn).contains(currentId)))
       throw UnsupportedWrite(
         s"$table: expiring would drop the CURRENT snapshot — keepLast " +
           s"$keepLast is too small or the log is reordered")
@@ -5095,7 +5237,7 @@ object IcebergWriter {
     }
     val metaVersion = metaPath.getName.stripSuffix(".metadata.json")
       .stripPrefix("v").toLongOption.getOrElse(0L)
-    val metaJson = fields
+    val metaJson = advanceMetadataLog(fields, fs, base)
       .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
     val dest = new Path(s"$base/metadata/v${metaVersion + 1}.metadata.json")
     if (!putText(fs, dest, metaJson)) throw CommitConflict(

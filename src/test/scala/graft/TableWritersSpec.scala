@@ -1045,6 +1045,100 @@ class TableWritersSpec extends SparkSpec {
       .select($"text").as[String].collect().toSeq == Seq("uu-4"))
   }
 
+  test("iceberg refs: tags pin snapshots through expiration, main " +
+    "tracks commits, metadata-log advances per commit") {
+    val t = tmp()
+    IcebergWriter.writeAppend(spark,
+      (1L to 4L).map(i => (i, s"t$i")).toDF("id", "text"), t)
+    val snapA = IcebergTable.currentSnapshotId(spark, t).get
+    IcebergWriter.setRef(spark, t, "v1", snapA)
+    IcebergWriter.setRef(spark, t, "main", snapA, "branch")
+    IcebergWriter.writeAppend(spark,
+      (5L to 8L).map(i => (i, s"t$i")).toDF("id", "text"), t)
+    IcebergWriter.writeAppend(spark,
+      (9L to 12L).map(i => (i, s"t$i")).toDF("id", "text"), t)
+    // the main BRANCH advanced with each commit; the TAG stayed pinned
+    assert(IcebergTable.refSnapshot(spark, t, "main") ==
+      IcebergTable.currentSnapshotId(spark, t).get,
+      "main tracks the current snapshot")
+    assert(IcebergTable.readRef(spark, t, "v1").select($"id").as[Long]
+      .collect().sorted.toSeq == (1L to 4L),
+      "the tag reads the snapshot it pinned")
+    assert(IcebergTable.read(spark, t).count() == 12)
+    // expiration PINS the tagged snapshot (the middle one expires)
+    val del1 = IcebergWriter.expireSnapshots(spark, t, keepLast = 1)
+    assert(del1 > 0, "the untagged middle snapshot expired")
+    assert(IcebergTable.readRef(spark, t, "v1").select($"id").as[Long]
+      .collect().sorted.toSeq == (1L to 4L),
+      "the tagged snapshot survived the expiration")
+    // dropping the ref makes it expirable
+    IcebergWriter.dropRef(spark, t, "v1")
+    assert(IcebergWriter.expireSnapshots(spark, t, keepLast = 1) > 0)
+    val eRef = intercept[Exception](IcebergTable.readRef(spark, t, "v1"))
+    assert(eRef.getMessage.contains("does not exist"), eRef.getMessage)
+    // directed: dangling target, hand-re-pointing main, bad type
+    val eDangle = intercept[Exception](
+      IcebergWriter.setRef(spark, t, "x", 12345L))
+    assert(eDangle.getMessage.contains("not in the metadata"),
+      eDangle.getMessage)
+    val eMain = intercept[Exception](
+      IcebergWriter.setRef(spark, t, "main", snapA, "branch"))
+    assert(eMain.getMessage.contains("CURRENT"), eMain.getMessage)
+    val eType = intercept[Exception](
+      IcebergWriter.setRef(spark, t, "y", snapA, "nope"))
+    assert(eType.getMessage.contains("tag or branch"), eType.getMessage)
+    // metadata-log: every commit appended its superseded metadata file
+    val metaTxt = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$t/metadata").listFiles()
+        .filter(_.getName.endsWith(".metadata.json"))
+        .maxBy(f => f.getName.stripPrefix("v")
+          .stripSuffix(".metadata.json").toLong).toPath), "UTF-8")
+    assert(metaTxt.contains("\"metadata-log\""), metaTxt.take(300))
+    val nLog = "\"metadata-file\"".r.findAllIn(metaTxt).size
+    assert(nLog >= 5, s"one breadcrumb per superseded version: $nLog")
+  }
+
+  test("iceberg expireSnapshots after a DV merge: a carried DV entry " +
+    "keeps its (older) puffin alive; orphaned merge inputs expire") {
+    val t = tmp()
+    // two files: file A (ids 1-8), file B (ids 9-12)
+    IcebergWriter.writeAppend(spark,
+      (1L to 8L).map(i => (i, s"t$i")).toDF("id", "text").coalesce(1),
+      t, formatVersion = 3)
+    IcebergWriter.writeAppend(spark,
+      (9L to 12L).map(i => (i, s"t$i")).toDF("id", "text").coalesce(1), t)
+    // DV on file B (will be CARRIED through the later merge commit)
+    IcebergWriter.writeDelete(spark, t, $"id" === 9L)
+    // DV on file A, then a second delete on A forces the MERGE — the
+    // new manifest carries B's entry (status EXISTING, original seq)
+    // pointing into B's ORIGINAL puffin
+    IcebergWriter.writeDelete(spark, t, $"id" === 2L)
+    IcebergWriter.writeDelete(spark, t, $"id" === 4L)
+    val puffinsBefore = new java.io.File(s"$t/data").listFiles()
+      .filter(_.getName.endsWith(".puffin")).map(_.getName).toSet
+    assert(puffinsBefore.size == 3, s"three delete commits: $puffinsBefore")
+    // expire everything but the current snapshot: the carried entry's
+    // puffin (delete #1's) MUST survive — the current manifest names it
+    val deleted = IcebergWriter.expireSnapshots(spark, t, keepLast = 1)
+    assert(deleted > 0, "expiration reclaimed something")
+    val puffinsAfter = new java.io.File(s"$t/data").listFiles()
+      .filter(_.getName.endsWith(".puffin")).map(_.getName).toSet
+    val shapes = IcebergTable.deleteShapes(spark, t)
+    val livePuffins = shapes.dvByFile.values.flatten
+      .map(d => new java.io.File(d._1).getName).toSet
+    assert(livePuffins.subsetOf(puffinsAfter),
+      s"expiration deleted a puffin the current manifests reference: " +
+        s"live=$livePuffins after=$puffinsAfter")
+    // the superseded A-puffin (delete #2's) is no longer referenced and
+    // expired with its snapshots
+    assert(puffinsAfter.size < puffinsBefore.size,
+      s"the superseded puffin expired: $puffinsAfter")
+    assert(IcebergTable.read(spark, t).select($"id").as[Long]
+      .collect().sorted.toSeq ==
+      (1L to 12L).filterNot(Set(2L, 4L, 9L)),
+      "survivors intact after the expiration")
+  }
+
   test("iceberg v3 delete on a table carrying v2 positional deletes: " +
     "the positions migrate into the DVs, zero live positional entries") {
     val t = tmp()
