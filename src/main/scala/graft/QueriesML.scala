@@ -3658,6 +3658,69 @@ object QueriesML {
           .orderBy($"src", $"id")
       }),
 
+    // ------ Iceberg v3 ROW LINEAGE (the q229 twin)
+    // Two sorted appends stamp contiguous first_row_id ranges (a row's
+    // id = first + position == rn0 by construction), then an UPDATE
+    // kills matched rows by DV — data files untouched, so every
+    // survivor's id is stable — and hands the images the fresh range
+    // past the high-water mark. Pins: per-row stable ids, per-row
+    // last-updated sequence (append 1/2, update 3), and the fresh
+    // range's lo/hi/sum.
+    Q("q239_iceberg_row_lineage", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 60),
+           u AS (SELECT count(*) AS k FROM o
+                 WHERE o_orderkey % 5 = 0 AND rn0 >= 30)
+      SELECT o_orderkey AS id,
+             CASE WHEN o_orderkey % 5 = 0 AND rn0 >= 30
+                  THEN 'u-' || CAST(rn0 AS VARCHAR)
+                  ELSE 'doc-' || CAST(rn0 AS VARCHAR) END AS text,
+             CASE WHEN o_orderkey % 5 = 0 AND rn0 >= 30
+                  THEN NULL ELSE rn0 END AS stable_row_id,
+             CASE WHEN o_orderkey % 5 = 0 AND rn0 >= 30 THEN 3
+                  WHEN rn0 < 30 THEN 1 ELSE 2 END AS lus,
+             60 AS fresh_lo,
+             60 + (SELECT k FROM u) - 1 AS fresh_hi,
+             (SELECT k FROM u) * 60 +
+               ((SELECT k FROM u) * ((SELECT k FROM u) - 1)) // 2
+               AS fresh_sum
+      FROM o ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{IcebergTable, IcebergWriter}
+        val table = Fixtures.dir("q239", d) { dir =>
+          val base = orderedKeys(s, d, 60)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          IcebergWriter.writeAppend(s,
+            base.filter($"rn0" < 30)
+              .select($"id", concat(lit("doc-"), $"rn0").as("text"), $"rn0")
+              .repartition(1).sortWithinPartitions("rn0"), t,
+            formatVersion = 3)
+          IcebergWriter.writeAppend(s,
+            base.filter($"rn0" >= 30)
+              .select($"id", concat(lit("doc-"), $"rn0").as("text"), $"rn0")
+              .repartition(1).sortWithinPartitions("rn0"), t)
+          IcebergWriter.writeUpdate(s, t,
+            col("id") % 5 === 0 && col("rn0") >= 30,
+            Map("text" -> concat(lit("u-"), col("rn0"))))
+        }
+        val withIds = IcebergTable.readWithRowIds(s, s"$table/table")
+        val fresh = withIds.filter($"_last_updated_sequence_number" === 3L)
+          .agg(org.apache.spark.sql.functions.min($"_row_id"),
+            org.apache.spark.sql.functions.max($"_row_id"),
+            org.apache.spark.sql.functions.sum($"_row_id")).head()
+        withIds.select($"id", $"text",
+          when($"_last_updated_sequence_number" === 3L,
+            lit(null).cast("long"))
+            .otherwise($"_row_id").as("stable_row_id"),
+          $"_last_updated_sequence_number".as("lus"),
+          lit(fresh.getLong(0)).as("fresh_lo"),
+          lit(fresh.getLong(1)).as("fresh_hi"),
+          lit(fresh.getLong(2)).as("fresh_sum"))
+          .orderBy($"id")
+      }),
+
     // ------------------------------------------------------- HF tokenizer.json encode
     // A hand-authored tokenizer.json (the huggingface/tokenizers file
     // format, byte-level BPE) over planted "ab"*k words: greedy merge

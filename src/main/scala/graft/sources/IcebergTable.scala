@@ -51,8 +51,10 @@ import org.json4s.jackson.JsonMethods
   * [[Puffin]] file; blobs decode on EXECUTORS (the framed roaring layout
   * [[DeletionVector]] already speaks — it is byte-identical to Delta's)
   * and feed the same (file, `_metadata.row_index`) anti-join as
-  * positional deletes. v3 row-lineage fields are metadata-only and
-  * ignored.
+  * positional deletes. v3 ROW LINEAGE is served by [[readWithRowIds]]:
+  * `_row_id` = the file's manifest `first_row_id` + the row's position
+  * (DV deletes/updates leave data files untouched, so survivors' ids
+  * are stable by construction).
   *
   * Scale model: metadata is O(manifests + entries) driver work — the same
   * replay every Iceberg reader performs — and the data path is Spark's
@@ -306,7 +308,9 @@ object IcebergTable {
       priorNames: Map[Int, Seq[String]] = Map.empty,
       // every struct-addressable member's CURRENT dotted path → id,
       // all levels — the nested rename clipping's lookup key
-      memberIds: Map[String, Int] = Map.empty)
+      memberIds: Map[String, Int] = Map.empty,
+      // v3 row lineage: canonical data path → first_row_id
+      dataFirstRowIds: Map[String, Long] = Map.empty)
 
   /** Merge-on-read assembly: positional deletes anti-join on
     * (file, `_metadata.row_index`); equality deletes anti-join on the
@@ -837,6 +841,11 @@ object IcebergTable {
         org.apache.spark.sql.functions.to_json(col("data_file.partition"),
           java.util.Collections.singletonMap("ignoreNullFields", "false"))
       else org.apache.spark.sql.functions.lit(null).cast("string")
+    // v3 row-lineage column (manifest field 142): each data file's
+    // first_row_id — a row's id is first_row_id + its position
+    val fridCol =
+      if (dfCols.contains("first_row_id")) col("data_file.first_row_id")
+      else org.apache.spark.sql.functions.lit(null).cast("long")
     // v3 deletion-vector columns (manifest fields 143–145): present only
     // in v3-written manifests; a non-null referenced_data_file marks a
     // content=1 entry as a Puffin DV rather than a positional-delete file
@@ -868,7 +877,9 @@ object IcebergTable {
       stats: ColumnStats.FileStats = ColumnStats.NoStats,
       // the manifest row's record_count — a DV entry's CARDINALITY,
       // the pre-decode size-cap input of the delete writers
-      recordCount: Option[Long] = None)
+      recordCount: Option[Long] = None,
+      // v3 row lineage: the data file's first_row_id
+      firstRowId: Option[Long] = None)
     // field-id → Spark type, for Appendix D bound decoding
     val fieldTypes: Map[Int, org.apache.spark.sql.types.DataType] =
       (schemaJson \ "fields").extractOpt[Seq[JValue]].getOrElse(Nil)
@@ -907,7 +918,8 @@ object IcebergTable {
         cSizeCol.as("c_size"), rcCol.as("rc"),
         kvCol("null_value_counts", "bigint").as("nvc"),
         kvCol("lower_bounds", "binary").as("lb"),
-        kvCol("upper_bounds", "binary").as("ub"))
+        kvCol("upper_bounds", "binary").as("ub"),
+        fridCol.as("frid"))
       .collect().map { r =>
         // a lookup miss here means the source-file column and the list's
         // resolvePath spell the same manifest differently — defaulting to
@@ -951,7 +963,8 @@ object IcebergTable {
           if (r.isNullAt(10)) None else Some(r.getLong(10)),
           if (r.isNullAt(11)) None else Some(r.getLong(11)),
           if (r.getInt(1) == 0) entryStats(r) else ColumnStats.NoStats,
-          if (r.isNullAt(12)) None else Some(r.getLong(12)))
+          if (r.isNullAt(12)) None else Some(r.getLong(12)),
+          if (r.isNullAt(16)) None else Some(r.getLong(16)))
       }.toSeq
     // content: 0 data, 1 position deletes (parquet files in v2, Puffin
     // deletion vectors in v3), 2 equality deletes
@@ -990,7 +1003,11 @@ object IcebergTable {
           f.contentOffset.get, f.contentSize.get, f.recordCount)),
       active.filter(e => e.content == 0 && !e.stats.isEmptyStats)
         .map(f => resolvePath(table, location, f.path) -> f.stats).toMap,
-      bucketBySpec, priorNames = priorNameMap, memberIds = memberIdMap)
+      bucketBySpec, priorNames = priorNameMap, memberIds = memberIdMap,
+      dataFirstRowIds = active
+        .filter(e => e.content == 0 && e.firstRowId.isDefined)
+        .map(f => PathUris.canon(resolvePath(table, location, f.path)) ->
+          f.firstRowId.get).toMap)
   }
 
   /** Incremental consumption: rows of the data files ACTIVE in
@@ -1260,6 +1277,45 @@ object IcebergTable {
     * while `main` advances. */
   def readRef(spark: SparkSession, table: String, name: String): DataFrame =
     read(spark, table, Some(refSnapshot(spark, table, name)))
+
+  /** Read with v3 ROW LINEAGE identity: `_row_id` = the row's file's
+    * manifest `first_row_id` + its physical position, and
+    * `_last_updated_sequence_number` = the file's data sequence number
+    * — the spec's default (non-materialized) route. DV deletes and
+    * updates never touch data files, so SURVIVORS' ids are stable by
+    * construction; rewritten images and compacted files take fresh
+    * ranges. One broadcast (file → first) dimension joined map-side —
+    * O(files) driver metadata, no shuffle. Directed below v3 and when
+    * an active data file carries no `first_row_id` (written before
+    * lineage stamping — `rewriteDataFiles` re-stamps the whole
+    * table). */
+  def readWithRowIds(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    import spark.implicits._
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(table).getFileSystem(conf)
+    val meta = JsonMethods.parse(FsText.read(fs, latestMetadata(fs, table)))
+    val fv = (meta \ "format-version").extract[Int]
+    if (fv != 3) throw UnsupportedIceberg(
+      s"$table: row lineage is a format-version 3 feature (table is $fv)")
+    val a = activeFiles(spark, table, None, Map.empty)
+    val dim = a.data.map { case (p, sq, _) =>
+      val canon = PathUris.canon(p)
+      val frid = a.dataFirstRowIds.getOrElse(canon,
+        throw UnsupportedIceberg(
+          s"$table: data file $p carries no first_row_id — written " +
+            "before lineage stamping (rewriteDataFiles re-stamps the " +
+            "table with fresh ranges)"))
+      (canon, frid, sq)
+    }
+    val d = dim.toDF("__rid_path", "__rid_first", "__rid_seq")
+    assemble(spark, a, keepRowKey = true)
+      .join(broadcast(d), col("__row_path") === col("__rid_path"), "left")
+      .withColumn("_row_id", col("__rid_first") + col("__row_pos"))
+      .withColumn("_last_updated_sequence_number", col("__rid_seq"))
+      .drop("__rid_path", "__rid_first", "__rid_seq",
+        "__row_path", "__row_pos")
+  }
 
   def snapshots(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._

@@ -2531,7 +2531,8 @@ object IcebergWriter {
     * itself is required), record_count, file_size_in_bytes. */
   private def manifestAvroSchema(partFields: Seq[StructField],
       partFieldIds: Seq[Int] = Nil,
-      withEqualityIds: Boolean = false): String = {
+      withEqualityIds: Boolean = false,
+      withFirstRowId: Boolean = false): String = {
     // the spec's equality_ids list (field-id 135, element-id 136) —
     // present only on equality-delete manifests (entries then carry one
     // extra trailing cell)
@@ -2540,6 +2541,13 @@ object IcebergWriter {
       else """, {"name": "equality_ids", "type": ["null",
            {"type": "array", "items": "int", "element-id": 136}],
            "default": null, "field-id": 135}"""
+    // v3 ROW LINEAGE: each data file's first_row_id (spec field 142) —
+    // a row's id is first_row_id + its position; entries then carry one
+    // extra trailing cell
+    val fridField =
+      if (!withFirstRowId) ""
+      else """, {"name": "first_row_id", "type": ["null", "long"],
+           "default": null, "field-id": 142}"""
     val pf = partFields.zipWithIndex.map { case (f, i) =>
       val fid = if (i < partFieldIds.length) partFieldIds(i) else 1000 + i
       s"""{"name": "${f.name}", "type": ["null",
@@ -2575,13 +2583,24 @@ object IcebergWriter {
              ${statsMap("value_counts", 109, 119, 120, "long")},
              ${statsMap("null_value_counts", 110, 121, 122, "long")},
              ${statsMap("lower_bounds", 125, 126, 127, "bytes")},
-             ${statsMap("upper_bounds", 128, 129, 130, "bytes")}$eqField]},
+             ${statsMap("upper_bounds", 128, 129, 130, "bytes")}""" +
+      s"""$eqField$fridField]},
           "field-id": 2}]}"""
   }
 
   /** No-stats tail for delete-manifest entries (the reader prunes DATA
     * files only). */
   private val noStatsCells: Seq[Any] = Seq(null, null, null, null)
+
+  /** Per-file `first_row_id` manifest cells for a v3 ROW-LINEAGE data
+    * commit: file i's range starts at `start` plus the preceding
+    * files' row counts (a row's id = first_row_id + its position) —
+    * the same running carve-out [[commitSnapshot]]'s next-row-id
+    * advance accounts for. Empty cells (no column) below v3. */
+  private def firstRowIdCells(fv: Int, start: Long,
+      counts: Seq[Long]): Seq[Seq[Any]] =
+    if (fv != 3) counts.map(_ => Nil)
+    else counts.scanLeft(start)(_ + _).init.map(s0 => Seq(s0))
 
   /** The four stats cells (value_counts, null_value_counts,
     * lower_bounds, upper_bounds) for one data file, in the k/v-record
@@ -3217,10 +3236,17 @@ object IcebergWriter {
       s"[$sf]"
     }
     val specFieldsJson = inheritedSpecJson.getOrElse(createdSpecJson)
+    // v3 row lineage: each data file's first_row_id carves its range
+    // from the snapshot's first-row-id (a row's id = first + position)
+    val fridCells = firstRowIdCells(tableFv, priorNextRow,
+      fileSC.map(_._2))
     AvroOcf.write(manifestPath,
-      manifestAvroSchema(partFields, inheritedFieldIds),
-      filesWithTuple.zip(fileSC).map { case (((_, abs, size), t), (cells, n)) =>
-        Seq(1, newSeq, Seq(0, abs, "PARQUET", t, n, size) ++ cells)
+      manifestAvroSchema(partFields, inheritedFieldIds,
+        withFirstRowId = tableFv == 3),
+      filesWithTuple.zip(fileSC).zip(fridCells).map {
+        case ((((_, abs, size), t), (cells, n)), frid) =>
+          Seq(1, newSeq,
+            Seq(0, abs, "PARQUET", t, n, size) ++ cells ++ frid)
       }, conf = conf,
       meta = manifestMeta(schemaJson, specFieldsJson, specId, "data",
         tableFv))
@@ -4161,14 +4187,19 @@ object IcebergWriter {
           (sn \ "snapshot-id").extractOpt[Long]) :+ 0L).max + 1
         val ts = System.currentTimeMillis()
         val dataManifest = s"$base/metadata/m-$attempt-data.avro"
+        val priorNext = (meta \ "next-row-id").extractOpt[Long].getOrElse(0L)
+        val fridCells = firstRowIdCells(fv, priorNext,
+          dataNonEmpty.map(_._2._2))
         AvroOcf.write(dataManifest,
-          manifestAvroSchema(partStructFields, partFieldIds),
-          dataNonEmpty.map { case (((_, abs, size), t), (cells, n)) =>
-            Seq(1, newSeq, Seq(0, abs, "PARQUET", t, n, size) ++ cells)
+          manifestAvroSchema(partStructFields, partFieldIds,
+            withFirstRowId = fv == 3),
+          dataNonEmpty.zip(fridCells).map {
+            case ((((_, abs, size), t), (cells, n)), frid) =>
+              Seq(1, newSeq,
+                Seq(0, abs, "PARQUET", t, n, size) ++ cells ++ frid)
           }, conf = conf,
           meta = manifestMeta(schemaJson, specJson, specId, "data", fv))
         newManifests += dataManifest
-        val priorNext = (meta \ "next-row-id").extractOpt[Long].getOrElse(0L)
         commitSnapshot(fs, conf, base, table, snapId, newSeq, ts,
           "overwrite",
           NewManifest(dataManifest, 0, dataNonEmpty.size, addedRows) +:
@@ -5020,14 +5051,19 @@ object IcebergWriter {
           filesWithTuple.zip(dataSC).filter(_._2._2 == 0).map(_._1._1._2))
         val addedRows = dataNonEmpty.map(_._2._2).sum
         val dataManifest = s"$base/metadata/m-$attempt-data.avro"
-        AvroOcf.write(dataManifest,
-          manifestAvroSchema(partStructFields, partFieldIds),
-          dataNonEmpty.map { case (((_, abs, size), t), (cells, n)) =>
-            Seq(1, newSeq, Seq(0, abs, "PARQUET", t, n, size) ++ cells)
-          }, conf = conf,
-          meta = manifestMeta(schemaJson, specJson, delSpecId, "data", fv))
         val priorNext = (meta \ "next-row-id").extractOpt[Long]
           .getOrElse(0L)
+        val fridCells = firstRowIdCells(fv, priorNext,
+          dataNonEmpty.map(_._2._2))
+        AvroOcf.write(dataManifest,
+          manifestAvroSchema(partStructFields, partFieldIds,
+            withFirstRowId = fv == 3),
+          dataNonEmpty.zip(fridCells).map {
+            case ((((_, abs, size), t), (cells, n)), frid) =>
+              Seq(1, newSeq,
+                Seq(0, abs, "PARQUET", t, n, size) ++ cells ++ frid)
+          }, conf = conf,
+          meta = manifestMeta(schemaJson, specJson, delSpecId, "data", fv))
         commitSnapshot(fs, conf, base, table, snapId, newSeq, ts,
           "overwrite",
           Seq(NewManifest(dataManifest, 0, dataNonEmpty.size, addedRows),
@@ -5134,13 +5170,21 @@ object IcebergWriter {
     val ts = System.currentTimeMillis()
     val attempt = java.util.UUID.randomUUID().toString
     val manifestPath = s"$base/metadata/m-$attempt.avro"
+    val priorNext = (meta \ "next-row-id").extractOpt[Long].getOrElse(0L)
+    // v3 row lineage: the rewritten files take FRESH id ranges — this
+    // compaction does not materialize per-row ids, so identity does not
+    // survive it (readWithRowIds serves the fresh ranges); the Delta
+    // twin's materialized-column preservation is the OPTIMIZE path
+    val fridCells = firstRowIdCells(fv, priorNext, counts)
     AvroOcf.write(manifestPath,
-      manifestAvroSchema(partStructFields, partFieldIds),
-      filesWithTuple.zip(fileSC).map { case (((_, abs, size), t), (cells, n)) =>
-        Seq(1, newSeq, Seq(0, abs, "PARQUET", t, n, size) ++ cells)
+      manifestAvroSchema(partStructFields, partFieldIds,
+        withFirstRowId = fv == 3),
+      filesWithTuple.zip(fileSC).zip(fridCells).map {
+        case ((((_, abs, size), t), (cells, n)), frid) =>
+          Seq(1, newSeq,
+            Seq(0, abs, "PARQUET", t, n, size) ++ cells ++ frid)
       }, conf = conf,
       meta = manifestMeta(schemaJson, specFieldsJson, specId, "data", fv))
-    val priorNext = (meta \ "next-row-id").extractOpt[Long].getOrElse(0L)
     // priorManifests = Nil: the replace snapshot's list names ONLY the
     // compacted manifest — that IS the operation's semantics
     commitSnapshot(fs, conf, base, table, snapId, newSeq, ts, "replace",
@@ -5148,7 +5192,8 @@ object IcebergWriter {
       attempt, specId, st.carried, st.snapshots,
       Nil, st.metaVersion, filesWithTuple.map(_._1._2),
       fv = fv,
-      rowLineage = if (fv == 3) Some((priorNext, priorNext)) else None)
+      rowLineage =
+        if (fv == 3) Some((priorNext, priorNext + counts.sum)) else None)
     snapId
   }
 

@@ -1045,6 +1045,59 @@ class TableWritersSpec extends SparkSpec {
       .select($"text").as[String].collect().toSeq == Seq("uu-4"))
   }
 
+  test("iceberg v3 ROW LINEAGE: first_row_id stamped per file, ids " +
+    "stable through DV ops, rewrites take fresh ranges, v2 directed") {
+    val t = tmp()
+    // two sorted single-partition files: id == position == row id
+    IcebergWriter.writeAppend(spark,
+      (0L to 29L).map(i => (i, s"t$i")).toDF("id", "text")
+        .repartition(1).sortWithinPartitions("id"), t, formatVersion = 3)
+    IcebergWriter.writeAppend(spark,
+      (30L to 59L).map(i => (i, s"t$i")).toDF("id", "text")
+        .repartition(1).sortWithinPartitions("id"), t)
+    val ids0 = IcebergTable.readWithRowIds(spark, t)
+      .select($"id", $"_row_id").as[(Long, Long)].collect().toMap
+    assert(ids0.size == 60 && ids0.forall(kv => kv._1 == kv._2),
+      s"contiguous ranges: first file 0.., second 30..: ${ids0.take(4)}")
+    // DV delete: data files untouched, survivors' ids stable
+    IcebergWriter.writeDelete(spark, t, $"id" === 7L)
+    val ids1 = IcebergTable.readWithRowIds(spark, t)
+      .select($"id", $"_row_id").as[(Long, Long)].collect().toMap
+    assert(!ids1.contains(7L) && ids1.size == 59 &&
+      ids1.forall(kv => kv._1 == kv._2),
+      "DV delete keeps survivor identity")
+    // UPDATE: the image takes a fresh id past the high-water mark
+    IcebergWriter.writeUpdate(spark, t, $"id" === 40L,
+      Map("text" -> lit("x")))
+    val ids2 = IcebergTable.readWithRowIds(spark, t)
+      .select($"id", $"_row_id").as[(Long, Long)].collect().toMap
+    assert(ids2(40L) == 60L,
+      s"the updated image takes the fresh range: ${ids2(40L)}")
+    assert(ids2.filterNot(_._1 == 40L).forall(kv => kv._1 == kv._2),
+      "every survivor keeps its id through the update")
+    // the update's image carries the commit's sequence as its
+    // last-updated sequence; untouched rows keep their append's
+    val seqs = IcebergTable.readWithRowIds(spark, t)
+      .select($"id", $"_last_updated_sequence_number")
+      .as[(Long, Long)].collect().toMap
+    assert(seqs(40L) > seqs(0L) && seqs(0L) == 1L && seqs(30L) == 2L,
+      s"per-file data sequences serve the default route: " +
+        s"${seqs(0L)}, ${seqs(30L)}, ${seqs(40L)}")
+    // compaction re-stamps FRESH contiguous ranges from next-row-id
+    IcebergWriter.rewriteDataFiles(spark, t)
+    val ids3 = IcebergTable.readWithRowIds(spark, t)
+      .select($"_row_id").as[Long].collect().sorted.toSeq
+    assert(ids3 == (61L to 119L),
+      s"rewritten files carve 59 fresh ids from the mark: " +
+        s"${ids3.take(3)}..${ids3.takeRight(3)}")
+    // below v3, lineage is directed
+    val t2 = tmp()
+    IcebergWriter.writeAppend(spark, Seq((1L, "a")).toDF("id", "text"), t2)
+    val eV2 = intercept[Exception](
+      IcebergTable.readWithRowIds(spark, t2))
+    assert(eV2.getMessage.contains("format-version 3"), eV2.getMessage)
+  }
+
   test("iceberg refs: tags pin snapshots through expiration, main " +
     "tracks commits, metadata-log advances per commit") {
     val t = tmp()
