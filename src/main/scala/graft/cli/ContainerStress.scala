@@ -644,9 +644,11 @@ object ContainerStress {
     val (_, tVm2) = time(
       IcebergWriter.writeDelete(spark, vMerge, $"id" % 1000 === 13))
     val postVm = walkParquet(s"$vMerge/data")
-    require(preVm.subsetOf(postVm) &&
-      (postVm -- preVm).forall(_.endsWith(".puffin") == false),
-      "[stress] a DV merge touched a data file")
+    // walkParquet collects .parquet only (the DV puffins are expected
+    // additions) — the data-file set must be BYTE-IDENTICAL
+    require(postVm == preVm,
+      "[stress] a DV merge touched a data file: " +
+        s"${((postVm -- preVm) ++ (preVm -- postVm)).take(3)}")
     val vmShapes = graft.sources.IcebergTable.deleteShapes(spark, vMerge)
     require(vmShapes.dvByFile.values.forall(_.size == 1),
       s"[stress] a data file carries ${vmShapes.dvByFile.values

@@ -620,12 +620,15 @@ object IcebergTable {
   /** The snapshot's [[ActiveSet]] — pure metadata work: manifest-list +
     * manifest replay, no data IO. */
   private def activeFiles(spark: SparkSession, table: String,
-      snapshotId: Option[Long], partitionFilter: Map[String, String])
-      : ActiveSet = {
+      snapshotId: Option[Long], partitionFilter: Map[String, String],
+      metaPre: Option[JValue] = None): ActiveSet = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val fs = new Path(table).getFileSystem(conf)
-    val metaPath = latestMetadata(fs, table)
-    val meta = JsonMethods.parse(FsText.read(fs, metaPath))
+    // `metaPre`: a caller that already parsed the metadata json (for a
+    // guard of its own) hands it over instead of paying the read+parse
+    // twice
+    val meta = metaPre.getOrElse(
+      JsonMethods.parse(FsText.read(fs, latestMetadata(fs, table))))
     val fv = (meta \ "format-version").extract[Int]
     if (fv > 3) throw UnsupportedIceberg(
       s"format-version $fv (1, 2 and 3 only)")
@@ -1298,7 +1301,7 @@ object IcebergTable {
     val fv = (meta \ "format-version").extract[Int]
     if (fv != 3) throw UnsupportedIceberg(
       s"$table: row lineage is a format-version 3 feature (table is $fv)")
-    val a = activeFiles(spark, table, None, Map.empty)
+    val a = activeFiles(spark, table, None, Map.empty, Some(meta))
     val dim = a.data.map { case (p, sq, _) =>
       val canon = PathUris.canon(p)
       val frid = a.dataFirstRowIds.getOrElse(canon,

@@ -2602,6 +2602,27 @@ object IcebergWriter {
     if (fv != 3) counts.map(_ => Nil)
     else counts.scanLeft(start)(_ + _).init.map(s0 => Seq(s0))
 
+  /** ONE data manifest for freshly written files — status-ADDED entries
+    * at `newSeq` with their stats cells and, on v3, the per-file
+    * first_row_id lineage cells starting at `firstRowStart`. The shape
+    * every data-writing commit (append, update/merge images, rewrite)
+    * shares. */
+  private def writeDataManifest(path: String,
+      partStructFields: Seq[StructField], partFieldIds: Seq[Int],
+      files: Seq[((String, String, Long), Seq[Any])],
+      sc: Seq[(Seq[Any], Long)], newSeq: Long, firstRowStart: Long,
+      fv: Int, conf: Configuration, meta: Map[String, String]): Unit = {
+    val frid = firstRowIdCells(fv, firstRowStart, sc.map(_._2))
+    AvroOcf.write(path,
+      manifestAvroSchema(partStructFields, partFieldIds,
+        withFirstRowId = fv == 3),
+      files.zip(sc).zip(frid).map {
+        case ((((_, abs, size), t), (cells, n)), fr) =>
+          Seq(1, newSeq,
+            Seq(0, abs, "PARQUET", t, n, size) ++ cells ++ fr)
+      }, conf = conf, meta = meta)
+  }
+
   /** The four stats cells (value_counts, null_value_counts,
     * lower_bounds, upper_bounds) for one data file, in the k/v-record
     * rows [[AvroOcf.write]] encodes — from the file's parquet FOOTER,
@@ -3238,18 +3259,9 @@ object IcebergWriter {
     val specFieldsJson = inheritedSpecJson.getOrElse(createdSpecJson)
     // v3 row lineage: each data file's first_row_id carves its range
     // from the snapshot's first-row-id (a row's id = first + position)
-    val fridCells = firstRowIdCells(tableFv, priorNextRow,
-      fileSC.map(_._2))
-    AvroOcf.write(manifestPath,
-      manifestAvroSchema(partFields, inheritedFieldIds,
-        withFirstRowId = tableFv == 3),
-      filesWithTuple.zip(fileSC).zip(fridCells).map {
-        case ((((_, abs, size), t), (cells, n)), frid) =>
-          Seq(1, newSeq,
-            Seq(0, abs, "PARQUET", t, n, size) ++ cells ++ frid)
-      }, conf = conf,
-      meta = manifestMeta(schemaJson, specFieldsJson, specId, "data",
-        tableFv))
+    writeDataManifest(manifestPath, partFields, inheritedFieldIds,
+      filesWithTuple, fileSC, newSeq, priorNextRow, tableFv, conf,
+      manifestMeta(schemaJson, specFieldsJson, specId, "data", tableFv))
     val createFields: Seq[(String, String)] = Seq(
       "format-version" -> formatVersion.toString,
       "table-uuid" -> s""""${java.util.UUID.randomUUID()}"""",
@@ -3593,13 +3605,15 @@ object IcebergWriter {
         JsonMethods.compact(JsonMethods.render(nextProps))))
   }
 
-  /** Snapshot REFS — named BRANCHES and TAGS (the spec's `refs` map):
-    * point `name` at `snapshotId` as a `"tag"` or `"branch"` in one
-    * metadata-only commit. Refs PIN their snapshots ([[expireSnapshots]]
-    * keeps every ref'd snapshot alive), and a `main` BRANCH tracks the
-    * current snapshot on every commit (the spec's rule) — re-pointing
-    * `main` by hand is directed, as is a ref to a snapshot the metadata
-    * does not hold. Returns the new metadata version. */
+  /** Snapshot REFS — named TAGS and the `main` BRANCH (the spec's
+    * `refs` map): point `name` at `snapshotId` in one metadata-only
+    * commit. Refs PIN their snapshots ([[expireSnapshots]] keeps every
+    * ref'd snapshot alive); the `main` BRANCH tracks the current
+    * snapshot on every commit (the spec's rule) — re-pointing `main`
+    * by hand, a ref to a snapshot the metadata does not hold, and
+    * NON-main branches (they would silently freeze; this writer has no
+    * branch-write surface to advance them) are all directed. Returns
+    * the new metadata version. */
   def setRef(spark: SparkSession, table: String, name: String,
       snapshotId: Long, refType: String = "tag"): Long = {
     if (!Set("tag", "branch")(refType)) throw UnsupportedWrite(
@@ -3608,6 +3622,12 @@ object IcebergWriter {
     if (name == "main" && refType == "tag") throw UnsupportedWrite(
       s"$table: 'main' is the spec's branch name — a main TAG would " +
         "shadow it")
+    // only `main` advances with commits; any other branch would
+    // silently FREEZE (tag semantics under a branch name) — directed,
+    // never a silent degradation
+    if (name != "main" && refType == "branch") throw UnsupportedWrite(
+      s"$table: non-main branches are not implemented (only 'main' " +
+        s"advances with commits — use a TAG to pin '$name')")
     val base = table.stripSuffix("/")
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val fs = new Path(base).getFileSystem(conf)
@@ -4188,17 +4208,10 @@ object IcebergWriter {
         val ts = System.currentTimeMillis()
         val dataManifest = s"$base/metadata/m-$attempt-data.avro"
         val priorNext = (meta \ "next-row-id").extractOpt[Long].getOrElse(0L)
-        val fridCells = firstRowIdCells(fv, priorNext,
-          dataNonEmpty.map(_._2._2))
-        AvroOcf.write(dataManifest,
-          manifestAvroSchema(partStructFields, partFieldIds,
-            withFirstRowId = fv == 3),
-          dataNonEmpty.zip(fridCells).map {
-            case ((((_, abs, size), t), (cells, n)), frid) =>
-              Seq(1, newSeq,
-                Seq(0, abs, "PARQUET", t, n, size) ++ cells ++ frid)
-          }, conf = conf,
-          meta = manifestMeta(schemaJson, specJson, specId, "data", fv))
+        writeDataManifest(dataManifest, partStructFields, partFieldIds,
+          dataNonEmpty.map(_._1), dataNonEmpty.map(_._2), newSeq,
+          priorNext, fv, conf,
+          manifestMeta(schemaJson, specJson, specId, "data", fv))
         newManifests += dataManifest
         commitSnapshot(fs, conf, base, table, snapId, newSeq, ts,
           "overwrite",
@@ -5053,17 +5066,10 @@ object IcebergWriter {
         val dataManifest = s"$base/metadata/m-$attempt-data.avro"
         val priorNext = (meta \ "next-row-id").extractOpt[Long]
           .getOrElse(0L)
-        val fridCells = firstRowIdCells(fv, priorNext,
-          dataNonEmpty.map(_._2._2))
-        AvroOcf.write(dataManifest,
-          manifestAvroSchema(partStructFields, partFieldIds,
-            withFirstRowId = fv == 3),
-          dataNonEmpty.zip(fridCells).map {
-            case ((((_, abs, size), t), (cells, n)), frid) =>
-              Seq(1, newSeq,
-                Seq(0, abs, "PARQUET", t, n, size) ++ cells ++ frid)
-          }, conf = conf,
-          meta = manifestMeta(schemaJson, specJson, delSpecId, "data", fv))
+        writeDataManifest(dataManifest, partStructFields, partFieldIds,
+          dataNonEmpty.map(_._1), dataNonEmpty.map(_._2), newSeq,
+          priorNext, fv, conf,
+          manifestMeta(schemaJson, specJson, delSpecId, "data", fv))
         commitSnapshot(fs, conf, base, table, snapId, newSeq, ts,
           "overwrite",
           Seq(NewManifest(dataManifest, 0, dataNonEmpty.size, addedRows),
@@ -5099,8 +5105,11 @@ object IcebergWriter {
     * their tuples with the same PartField expressions, which is how
     * the merge-on-read debt that equality deletes and bucket merges
     * build on transform-partitioned tables gets repaid. fv3 tables
-    * keep their lineage bookkeeping (no rows added — next-row-id is
-    * unchanged). Returns the snapshot id.
+    * stamp the rewritten files with FRESH first_row_id ranges and
+    * advance next-row-id by the rewritten rows — this compaction does
+    * not materialize per-row ids, so row-lineage identity does not
+    * survive it (the Delta twin's materialized-column preservation is
+    * the OPTIMIZE path). Returns the snapshot id.
     *
     * `zorderBy`: lay the rewritten rows along the
     * [[graft.operators.ZOrder]] curve of the named columns so the
@@ -5175,16 +5184,9 @@ object IcebergWriter {
     // compaction does not materialize per-row ids, so identity does not
     // survive it (readWithRowIds serves the fresh ranges); the Delta
     // twin's materialized-column preservation is the OPTIMIZE path
-    val fridCells = firstRowIdCells(fv, priorNext, counts)
-    AvroOcf.write(manifestPath,
-      manifestAvroSchema(partStructFields, partFieldIds,
-        withFirstRowId = fv == 3),
-      filesWithTuple.zip(fileSC).zip(fridCells).map {
-        case ((((_, abs, size), t), (cells, n)), frid) =>
-          Seq(1, newSeq,
-            Seq(0, abs, "PARQUET", t, n, size) ++ cells ++ frid)
-      }, conf = conf,
-      meta = manifestMeta(schemaJson, specFieldsJson, specId, "data", fv))
+    writeDataManifest(manifestPath, partStructFields, partFieldIds,
+      filesWithTuple, fileSC, newSeq, priorNext, fv, conf,
+      manifestMeta(schemaJson, specFieldsJson, specId, "data", fv))
     // priorManifests = Nil: the replace snapshot's list names ONLY the
     // compacted manifest — that IS the operation's semantics
     commitSnapshot(fs, conf, base, table, snapId, newSeq, ts, "replace",
