@@ -2672,6 +2672,21 @@ class TableWritersSpec extends SparkSpec {
       .select($"id", $"_row_id", $"_row_commit_version")
       .as[(Long, Long, Long)].collect().toSet
     assert(ids4 == ids3, "ids survive checkpoint + json cleanup")
+    // UPDATE after the compactions: the DV kill re-adds the compacted
+    // file (materialized ids intact), the image takes a fresh id
+    DeltaWriter.writeUpdate(spark, t, $"id" === 8L,
+      Map("text" -> lit("u8")))
+    val ids5 = DeltaTable.readWithRowIds(spark, t)
+      .select($"id", $"_row_id").as[(Long, Long)].collect().toMap
+    assert(ids5(8L) >= 114L && ids5(0L) == 0L && ids5(59L) == 59L,
+      s"post-compaction update: image fresh, survivors materialized: " +
+        s"${ids5(8L)}, ${ids5(0L)}")
+    // ZORDER compaction preserves identity the same way
+    DeltaWriter.compact(spark, t, zorderBy = Seq("id"))
+    val ids6 = DeltaTable.readWithRowIds(spark, t)
+      .select($"id", $"_row_id").as[(Long, Long)].collect().toMap
+    assert(ids6 == ids5,
+      "a z-ordered rewrite preserves every row's materialized id")
     // COPY-ON-WRITE delete on a fresh tracked table: the rewrite
     // preserves every SURVIVOR's identity through the same materialized
     // columns; only the deleted rows' ids retire
