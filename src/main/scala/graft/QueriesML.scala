@@ -3721,6 +3721,49 @@ object QueriesML {
           .orderBy($"id")
       }),
 
+    // ------ Delta COPY-ON-WRITE delete on a rowTracking table
+    // A rewrite-mode DELETE (the above-the-DV-cap shape) on a tracked
+    // table: every SURVIVOR's stable id and commit version persist
+    // through the rewrite via the materialized row-id columns (minted
+    // in the same commit); only the deleted rows' ids retire, and no
+    // deletion vector is ever involved. Pins: per-row (id, rcv) across
+    // the rewrite and the zero-DV invariant.
+    Q("q240_delta_cow_row_tracking", Some("""
+      WITH o AS (SELECT o_orderkey,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+                 FROM orders ORDER BY o_orderkey LIMIT 60)
+      SELECT o_orderkey AS id,
+             'doc-' || CAST(rn0 AS VARCHAR) AS text,
+             rn0 AS stable_row_id,
+             CASE WHEN rn0 < 30 THEN 0 ELSE 1 END AS rcv,
+             0 AS n_dvs
+      FROM o WHERE rn0 % 7 <> 2 ORDER BY id"""))(
+      (s, d) => {
+        import graft.sources.{DeltaTable, DeltaWriter}
+        val table = Fixtures.dir("q240", d) { dir =>
+          val base = orderedKeys(s, d, 60)
+            .select($"doc_id".as("id"), $"rn0")
+          val t = s"$dir/table"
+          DeltaWriter.writeAppend(s,
+            base.filter($"rn0" < 30)
+              .select($"id", concat(lit("doc-"), $"rn0").as("text"), $"rn0")
+              .repartition(1).sortWithinPartitions("rn0"), t,
+            properties = Map("delta.enableRowTracking" -> "true"))
+          DeltaWriter.writeAppend(s,
+            base.filter($"rn0" >= 30)
+              .select($"id", concat(lit("doc-"), $"rn0").as("text"), $"rn0")
+              .repartition(1).sortWithinPartitions("rn0"), t)
+          DeltaWriter.writeDelete(s, t, col("rn0") % 7 === 2,
+            mode = "rewrite")
+        }
+        val snap = DeltaTable.snapshotState(s, s"$table/table")
+        val nDvs = snap.files.count(_._3.isDefined)
+        DeltaTable.readWithRowIds(s, s"$table/table")
+          .select($"id", $"text", $"_row_id".as("stable_row_id"),
+            $"_row_commit_version".as("rcv"), lit(nDvs).as("n_dvs"))
+          .orderBy($"id")
+      }),
+
     // ------------------------------------------------------- HF tokenizer.json encode
     // A hand-authored tokenizer.json (the huggingface/tokenizers file
     // format, byte-level BPE) over planted "ab"*k words: greedy merge
