@@ -5633,6 +5633,11 @@ object QueriesML {
       ORDER BY latitude, longitude"""))(
     (s, d) => {
       import graft.operators.Regrid
+      // r19 note: a broadcast semi-join prefilter of the source by the
+      // target's distinct cell set (guide §3.2) was measured here and
+      // REJECTED — identical results, but min-of-4 wall went 1.54 -> 2.40 s
+      // at sf0.1 (the extra broadcast/persist jobs cost more than the 20x
+      // smaller aggregation shuffle saves at this scale).
       val src = Queries.grid(s, d)
         .groupBy(Regrid.nearestIndex($"latitude", 0.05).as("la_i"),
           Regrid.nearestIndex($"longitude", 0.05).as("lo_i"))

@@ -247,12 +247,16 @@ object TextFunctions {
   def tfidfTopK(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = df.filter(length(trim(col(textCol))) > 0)
+    val nonEmpty = df.filter(length(trim(col(textCol))) > 0)
+    val tok = nonEmpty
       .select(col(idCol).as("id"),
         explode(graft.operators.Dedup.tokens(col(textCol))).as("term"))
     val tf = tok.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = tok.agg(countDistinct(col("id")).as("n"))
+    // distinct doc ids in `tok` == distinct ids with non-empty trimmed text
+    // (every such doc yields >= 1 token), so N comes from the corpus rows
+    // directly — no second token explode just to count documents
+    val nDocs = nonEmpty.agg(countDistinct(col(idCol)).as("n"))
     val scored = tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",

@@ -101,6 +101,46 @@ object Dedup {
       XXH64.hashInt(seed, 42L)).toString
   }
 
+  private def md5Hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexDigits((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexDigits(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** All-seeds batch form of a seeded hash: `apply(s)(k) == hashFn(k, s)`
+    * bit-for-bit, but the shingle's UTF-8 bytes are encoded ONCE and shared
+    * across every seed (the digest prefix `"k:"` is pre-encoded per seed).
+    * In the signature loop the hash runs `numHashes` times per distinct
+    * shingle, so the per-call String concat + re-encode of the old
+    * one-seed-at-a-time form was pure overhead. Unknown hash functions
+    * fall back to per-seed calls — behavior identical by construction. */
+  private[graft] def seededBatch(hashFn: (Int, String) => String,
+      numHashes: Int): String => Array[String] = {
+    val prefixes = Array.tabulate(numHashes)(k => s"$k:".getBytes("UTF-8"))
+    if (hashFn eq md5SeededHex) { s =>
+      val sb = s.getBytes("UTF-8")
+      val md = Md5Digest.get()
+      Array.tabulate(numHashes) { k =>
+        md.reset()
+        md.update(prefixes(k))
+        md.update(sb)
+        md5Hex(md.digest())
+      }
+    } else if (hashFn eq xxSeededStr) { s =>
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      import org.apache.spark.unsafe.Platform
+      val sb = s.getBytes("UTF-8")
+      Array.tabulate(numHashes)(k =>
+        XXH64.hashUnsafeBytes(sb, Platform.BYTE_ARRAY_OFFSET, sb.length,
+          XXH64.hashInt(k, 42L)).toString)
+    } else { s => Array.tabulate(numHashes)(k => hashFn(k, s)) }
+  }
+
   /** MinHash signature: `numHashes` permutations approximated by seeded
     * xxhash64; each signature slot is the min hash over the shingle set.
     * Pure per-row expression — scales embarrassingly. */
@@ -126,12 +166,17 @@ object Dedup {
     // id stays its ORIGINAL type (string UUIDs/URLs included) — a long cast
     // here would silently null non-numeric ids and the null equi-joins
     // downstream would drop every row
-    val in = df.select(col(idCol).as("doc_id"),
-      col(textCol).cast("string").as("text"))
+    // fanOut: the per-doc signature loop below costs numHashes hash calls per
+    // distinct shingle — orders of magnitude more CPU than the text bytes —
+    // so a narrow input (one unsplittable file) must spread first (no-op on
+    // an already-wide scan)
+    val in = ScaleToolkit.fanOut(df.select(col(idCol).as("doc_id"),
+      col(textCol).cast("string").as("text")))
     val outSchema = StructType(Seq(
       in.schema.fields(0),
       StructField("sh", ArrayType(StringType)),
       StructField("sig", ArrayType(StringType))))
+    val batch = seededBatch(hashFn, numHashes)
     in.flatMap { row =>
       val all = shingleStringsOf(row.getString(1), n)
       if (all.isEmpty) Iterator.empty
@@ -142,10 +187,10 @@ object Dedup {
         val sig = new Array[String](numHashes)
         val it = set.iterator()
         while (it.hasNext) {
-          val s = it.next()
+          val hs = batch(it.next())
           var k = 0
           while (k < numHashes) {
-            val h = hashFn(k, s)
+            val h = hs(k)
             if (sig(k) == null || h.compareTo(sig(k)) < 0) sig(k) = h
             k += 1
           }
@@ -417,23 +462,30 @@ object Dedup {
       // genuinely deep component, the pathological case) pays the extra
       // label-keyed join, and from there covered distance doubles per
       // round, so total rounds are O(log diameter) instead of diameter.
-      val next = if (it < 4) propagated.localCheckpoint(true)
+      //
+      // Checkpoints are LAZY (r19): the convergence count below is the
+      // round's ONLY action and materializes (caches + lineage-truncates)
+      // the generation as a side effect — one Spark job per round instead
+      // of separate checkpoint-materialize and count jobs. Correct because
+      // the parents are unpersisted only AFTER the count has run.
+      val (next, aux) = if (it < 4) (propagated.localCheckpoint(false), None)
         else {
-          // materialize the propagated table ONCE before the self-join —
-          // both join sides (and the jump output) read the checkpointed
-          // plan instead of recomputing the edge-join + min-aggregate
-          val p = propagated.localCheckpoint(true)
+          // checkpoint the propagated table so the self-join's two sides
+          // (and the jump output) share ONE computation of the edge-join +
+          // min-aggregate; blocks cache when the count job first reads them
+          val p = propagated.localCheckpoint(false)
           val jumped = p
             .join(p.select(col("id").as("cluster"), col("cluster").as("c2")),
               Seq("cluster"), "left")
             .select(col("id"),
               coalesce(col("c2"), col("cluster")).as("cluster"), col("prev"))
-            .localCheckpoint(true) // eager: caches AND truncates lineage
-          p.unpersist()
-          jumped
+            .localCheckpoint(false)
+          (jumped, Some(p))
         }
-      // join-free convergence test: prev rode through the round
+      // join-free convergence test: prev rode through the round; this one
+      // action materializes the lazy checkpoint chain above
       val changed = next.filter(col("cluster") =!= col("prev")).count()
+      aux.foreach(_.unpersist()) // p's blocks served the jump; next stands alone
       labels.unpersist()
       labels = next
       done = changed == 0
@@ -490,17 +542,21 @@ object Dedup {
 
   def crossDocDupShingleStats(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
-    val in = df.select(col(idCol).as("id"), col(textCol).cast("string").as("t"))
+    // fanOut: per-doc distinct shingling is CPU-dense relative to its bytes
+    val in = ScaleToolkit.fanOut(
+      df.select(col(idCol).as("id"), col(textCol).cast("string").as("t")))
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       in.schema.fields(0),
       org.apache.spark.sql.types.StructField("s",
         org.apache.spark.sql.types.StringType)))
+    // persisted: consumed by the document-frequency aggregate AND the join
+    // back — one run of the distinct-shingle flatMap instead of two
     val sh = in.flatMap { row =>
       val docId = row.get(0)
       val seen = new scala.collection.mutable.LinkedHashSet[String]
       shingleStringsOf(row.getString(1), n).foreach(seen += _)
       seen.iterator.map(s => org.apache.spark.sql.Row(docId, s))
-    }(org.apache.spark.sql.Encoders.row(outSchema))
+    }(org.apache.spark.sql.Encoders.row(outSchema)).persist()
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("nd"))
     sh.join(dfreq, Seq("s"))
       .groupBy(col("id"))
@@ -526,19 +582,24 @@ object Dedup {
     * array, no driver state, no quadratic stage. */
   def dupSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minCount: Long = 2): DataFrame = {
-    val in = df.select(col(idCol).as("id"), col(textCol).cast("string").as("t"))
+    // fanOut: the position-shingle explosion below is compute-dense per byte
+    val in = ScaleToolkit.fanOut(
+      df.select(col(idCol).as("id"), col(textCol).cast("string").as("t")))
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       in.schema.fields(0),
       org.apache.spark.sql.types.StructField("pos",
         org.apache.spark.sql.types.IntegerType, nullable = false),
       org.apache.spark.sql.types.StructField("s",
         org.apache.spark.sql.types.StringType)))
+    // persisted: consumed by the occurrence count AND the posting join — the
+    // compiled flatMap (and the corpus scan under it; a union of three
+    // document scans in the q86/q88 form) would otherwise run twice
     val sh = in.flatMap { row =>
       val docId = row.get(0)
       shingleStringsOf(row.getString(1), n).iterator.zipWithIndex.map {
         case (s, i) => org.apache.spark.sql.Row(docId, i + 1, s)
       }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
+    }(org.apache.spark.sql.Encoders.row(outSchema)).persist()
     val cnt = sh.groupBy(col("s")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
     val marked = sh.join(cnt, Seq("s")).select(col("id"), col("pos"))
@@ -585,11 +646,16 @@ object Dedup {
     * (id, n_kept, clean_text). */
   def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minCount: Long = 2): DataFrame = {
-    val spans = dupSpans(df, idCol, textCol, n, minCount)
+    // persisted: the normalized corpus feeds BOTH the span detection and the
+    // token re-explode below — one upstream scan (three document scans in
+    // the q88 union form) instead of two
+    val in = ScaleToolkit.fanOut(
+      df.select(col(idCol).as("id"), col(textCol).cast("string").as("t")))
+      .persist()
+    val spans = dupSpans(in, "id", "t", n, minCount)
       .select(col("id").as("sid"), col("start_tok"), col("end_tok"))
-    val toks = df
-      .select(col(idCol).as("id"),
-        posexplode(tokens(col(textCol).cast("string"))).as(Seq("p0", "w")))
+    val toks = in
+      .select(col("id"), posexplode(tokens(col("t"))).as(Seq("p0", "w")))
       .select(col("id"), (col("p0") + 1).cast("long").as("pos"), col("w"))
     toks
       .join(spans, toks("id") === spans("sid")

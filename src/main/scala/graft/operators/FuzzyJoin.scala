@@ -41,28 +41,42 @@ object FuzzyJoin {
     val spark = df.sparkSession
     import spark.implicits._
 
+    // persisted: the id/key frame is read FIVE times (gram build, short-string
+    // fallback probe+build, and both verify-join sides); without the persist
+    // every consumer re-runs the upstream scan/projection — and, when the
+    // caller feeds a `distinct()` (the corpus form), its full exchange too.
+    // Rows are (id, short key, len) — the lightweight-proxy shape §2.3 of the
+    // optimization guide says to cache, never the documents themselves.
     val docs = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .withColumn("len", length($"s"))
+      .persist()
     val prefixLen = maxDist * q + 1
 
     // q-gram bag as (gram, occurrence-rank) keys: equal grams within one
     // string get distinct ranks, so matches mean BAG intersection (the
     // form the mismatch-count bound needs). Built with hash aggregations
     // (partial-agg friendly): count per (id, gram), explode ranks 1..cnt.
+    // Persisted: consumed twice (the frequency aggregate and the prefix
+    // join probe) — ~q rows per string of (id, len, gram, occ).
     val grams = docs
       .select($"id", $"len", explode(gramsArray($"s", q)).as("gram"))
       .groupBy($"id", $"len", $"gram").agg(count(lit(1)).as("cnt"))
       .select($"id", $"len", $"gram",
         explode(sequence(lit(1), $"cnt")).as("occ"))
+      .persist()
 
     // global key frequencies order each string's grams rarest-first; ties
     // break on (gram, occ) so the order is one total order across strings
     val freq = grams.groupBy($"gram", $"occ").agg(count(lit(1)).as("posting"))
+    // persisted: both sides of the candidate self-join scan this frame; the
+    // pre-persist plan duplicated the ENTIRE scan→grams→freq-join→window
+    // chain once per side (36 Exchanges / 16 scans in the q112 physical plan)
     val prefix = grams.join(freq, Seq("gram", "occ"))
       .withColumn("r", row_number().over(Window.partitionBy($"id")
         .orderBy($"posting", $"gram", $"occ")))
       .filter($"r" <= prefixLen)
       .select($"id", $"len", $"gram", $"occ")
+      .persist()
 
     // candidate pairs: prefix keys intersect + the length bound
     val a = prefix.select($"id".as("id1"), $"len".as("l1"), $"gram", $"occ")

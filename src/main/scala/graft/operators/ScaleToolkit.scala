@@ -56,6 +56,24 @@ object ScaleToolkit {
     sorted.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Spread a narrow input across the cluster BEFORE compute-dense per-row
+    * work (hash signatures, shingle explosion, edit-distance verify) — the
+    * optimization-guide §2.5 "repartition immediately after the read" move
+    * for unsplittable/small inputs whose downstream CPU cost is many times
+    * their byte size.
+    *
+    * Conditional, so it is scale-adaptive rather than a local-mode tune: a
+    * source that already carries at least the cluster's default parallelism
+    * (every real 100 TB scan) passes through untouched — no added shuffle;
+    * only an input narrower than the cluster (one unsplittable file, a
+    * single-row-group parquet, a collapsed post-AQE stage) pays one
+    * round-robin shuffle of its (small by premise) bytes to unlock every
+    * core for the expensive map work that follows. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
+
   /** Count Exchange (shuffle) operators in a frame's executed plan — the
     * evidence hook the specs and PlanAudit use. */
   def shuffleCount(df: DataFrame): Int =

@@ -19,6 +19,22 @@ class DedupSpec extends SparkSpec {
     base.union(exactDup).union(nearDup)
   }
 
+  test("seededBatch is bit-identical to per-seed hash calls (both hashes)") {
+    // the r19 signature-loop fast path re-uses the shingle's UTF-8 bytes
+    // across seeds; any drift from the one-seed-at-a-time form would change
+    // minhash signatures (and the q31 oracle) silently
+    val samples = Seq("alpha beta gamma", "", "héllo wörld é", "x",
+      "a b c d e f g", "ümlaut\nnewline\ttab")
+    for (hashFn <- Seq(Dedup.md5SeededHex, Dedup.xxSeededStr)) {
+      val batch = Dedup.seededBatch(hashFn, 8)
+      for (s <- samples)
+        assert(batch(s).toSeq === (0 until 8).map(k => hashFn(k, s)))
+    }
+    // unknown functions take the generic fallback
+    val custom = (k: Int, s: String) => s"$k|$s"
+    assert(Dedup.seededBatch(custom, 3)("q").toSeq === Seq("0|q", "1|q", "2|q"))
+  }
+
   test("line-level dedup cuts corpus-frequent lines, keeps order and blanks") {
     val rows = Seq(
       (1L, "BANNER\nalpha text\n\nfooter x"),
