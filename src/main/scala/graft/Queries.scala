@@ -566,9 +566,13 @@ object Queries {
              min(time) OVER () AS data_first_step
       FROM g
       ORDER BY l_orderkey, l_linenumber, time, temperature, latitude, longitude"""))(
-      (s, d) => grid(s, d)
-        .filter($"latitude".between(-10, 10) && $"longitude".between(0, 40))
-        .select($"l_orderkey", $"l_linenumber",
+      (s, d) => {
+        // persisted (r19): the filtered window feeds the row projection AND
+        // the first-step aggregate — one grid scan instead of two
+        val g = grid(s, d)
+          .filter($"latitude".between(-10, 10) && $"longitude".between(0, 40))
+          .persist()
+        g.select($"l_orderkey", $"l_linenumber",
           $"time".cast("timestamp_ntz").as("time"), $"latitude", $"longitude",
           round($"temperature", 6).as("temperature"),
           G.geoPointJson($"latitude", $"longitude").as("geo_point"),
@@ -579,11 +583,10 @@ object Queries {
         // first-step as a broadcast 1-row aggregate, not `min() OVER ()`
         // (the empty-partition window funnels every row into one task)
         .crossJoin(broadcast(
-          grid(s, d)
-            .filter($"latitude".between(-10, 10) && $"longitude".between(0, 40))
-            .agg(min($"time".cast("timestamp_ntz")).as("data_first_step"))))
+          g.agg(min($"time".cast("timestamp_ntz")).as("data_first_step"))))
         .orderBy($"l_orderkey", $"l_linenumber", $"time", $"temperature",
-          $"latitude", $"longitude")),
+          $"latitude", $"longitude")
+      }),
 
     // ---------------------------------------------------------------- S1 S3 (GRIB1 codec end-to-end: pack -> file -> distributed decode)
     // Deterministic values from `orders` round-trip through a REAL GRIB

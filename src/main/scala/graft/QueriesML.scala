@@ -4752,8 +4752,10 @@ object QueriesML {
       ORDER BY dt0.d2 + dt1.d2, a0.vec_id LIMIT 10"""))(
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val cb = collectPlanes(emb, 5 to 8)
-      val query = collectPlanes(emb, 1 to 1).head
+      // one collect serves query + codebook (ids are contiguous, ordered)
+      val all8 = collectPlanes(emb, 1 to 8)
+      val cb = all8.slice(4, 8)
+      val query = all8.head
       Similarity.pqAdcTopK(emb.filter($"vec_id" =!= 1), "embedding", "vec_id",
           Seq(cb.map(_.slice(0, 32)), cb.map(_.slice(32, 64))), query, 10)
         .select($"vec_id", round($"adc", 6).as("adc"))
@@ -4887,9 +4889,11 @@ object QueriesML {
       ORDER BY dt0.d2 + dt1.d2, a.vec_id LIMIT 10"""))(
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val cents = collectPlanes(emb, 5 to 8)
-      val gbooks = collectPlanes(emb, 9 to 12)
-      val query = collectPlanes(emb, 1 to 1).head
+      // one collect serves query + centroids + codebooks (contiguous ids)
+      val all12 = collectPlanes(emb, 1 to 12)
+      val cents = all12.slice(4, 8)
+      val gbooks = all12.slice(8, 12)
+      val query = all12.head
       Similarity.pqAdcResidualTopK(emb.filter($"vec_id" =!= 1), "embedding",
           "vec_id", cents,
           Seq(gbooks.map(_.slice(0, 32)), gbooks.map(_.slice(32, 64))),
@@ -5350,7 +5354,11 @@ object QueriesML {
         .select($"o_orderkey".cast("long")).as[java.lang.Long](Encoders.LONG)
       // deterministic per-row PNG: structure from the group id, brightness
       // from the member id — members of a group are near-dups of each other
-      val media = orders.map { id =>
+      // fanOut (r19): the limit collapses to ONE partition, serializing the
+      // per-row PNG encode + decode + perceptual hash below; spreading 96
+      // ids first parallelizes the whole media pipeline (no-op at scale)
+      val media = graft.operators.ScaleToolkit.fanOut(orders.toDF())
+        .as[java.lang.Long](Encoders.LONG).map { id =>
         val grp = (id % 8L).toInt
         val shift = ((id / 8L) % 6L).toInt
         val img = new java.awt.image.BufferedImage(48, 32,
@@ -5677,9 +5685,12 @@ object QueriesML {
       ORDER BY tlat, tlon"""))(
     (s, d) => {
       import graft.operators.Regrid
+      // persisted (r19): src feeds BOTH the target-point derivation and the
+      // bilinear corner join — one grid scan + aggregation instead of two
       val src = Queries.grid(s, d)
         .groupBy(floor($"latitude").as("latitude"), floor($"longitude").as("longitude"))
         .agg(avg($"temperature").as("v"))
+        .persist()
       val tgt = src
         .filter($"latitude".cast("long") % 7 === 0 && $"longitude".cast("long") % 11 === 0)
         .select(($"latitude" + 0.3).as("latitude"), ($"longitude" + 0.7).as("longitude"))

@@ -697,7 +697,10 @@ object TextFunctions {
     import org.apache.spark.sql.types._
     val ranks: Map[(String, String), Int] =
       merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
-    val in = df.select(col(idCol).as("id"), col(textCol).cast("string").as("t"))
+    // fanOut: greedy merge encoding is O(word_len^2 x merges) per word —
+    // compute-dense per byte, so a narrow input must spread first (§2.5)
+    val in = graft.operators.ScaleToolkit.fanOut(
+      df.select(col(idCol).as("id"), col(textCol).cast("string").as("t")))
     val schema = StructType(Seq(
       in.schema.fields(0),
       StructField("n_subwords", LongType, nullable = false),

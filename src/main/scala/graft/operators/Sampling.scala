@@ -274,6 +274,10 @@ object Sampling {
       .select(explode(Dedup.tokens(col(text).cast("string"))).as("w"))
       .filter(col("w") =!= "")
       .select((md5Bucket16(col("w")) % buckets).as("b"))
+    // r19 note: a fanOut + persist of `db` was measured here and REJECTED —
+    // min-of-N interleaved A/B read 0.87 -> 1.41 s at sf0.1 (the token-level
+    // md5 bucket hash is too cheap to repay a repartition shuffle plus cache
+    // materialization of the (id, bucket, count) frame)
     val db = df
       .select(col(idCol).as("id"),
         explode(Dedup.tokens(col(textCol).cast("string"))).as("w"))
