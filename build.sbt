@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Throughput collector (r19): this is a batch workload — only aggregate
+  // throughput matters, never pause latency, and the hot operators allocate
+  // heavily (string shingles, hash signatures) across all cores. Full-suite
+  // interleaved A/B on one host: 78.8 s (G1 default) -> 73.5 s. Override or
+  // extend via SPARK_GRAFT_JAVA_OPTS (later flags win).
+  "-XX:+UseParallelGC",
 ) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

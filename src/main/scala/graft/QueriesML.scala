@@ -5164,7 +5164,12 @@ object QueriesML {
       val corpus = emb.select($"vec_id", $"embedding")
         .union(emb.filter($"vec_id" % 100 === 0)
           .select(($"vec_id" + 10000).as("vec_id"), $"embedding"))
-      val nPlanes = Similarity.planeCountFor(corpus.count(),
+      // corpus size in ONE aggregate job over the base table (the union's
+      // count is base + planted copies by construction) instead of a count
+      // over the two-scan union
+      val cnts = emb.agg(count(lit(1)),
+        count(when($"vec_id" % 100 === 0, 1))).head()
+      val nPlanes = Similarity.planeCountFor(cnts.getLong(0) + cnts.getLong(1),
         targetBucketSize = 64, maxPlanes = 16)
       Similarity.semDedupSurvivors(corpus, "embedding", "vec_id",
           collectPlanes(emb, 1 to nPlanes), threshold = 0.99)
@@ -5549,8 +5554,12 @@ object QueriesML {
           .select(($"vec_id" + 10000).as("vec_id"), $"embedding"))
       // plane count scales with the corpus (2^p buckets ~ N/64) — a fixed
       // count would make the within-bucket pairing quadratic in N; the
-      // oracle computes the identical integer formula via LENGTH(bin(k-1))
-      val nPlanes = Similarity.planeCountFor(corpus.count(),
+      // oracle computes the identical integer formula via LENGTH(bin(k-1)).
+      // One aggregate job over the base table (union count = base + planted
+      // copies by construction) instead of a count over the two-scan union.
+      val cnts = emb.agg(count(lit(1)),
+        count(when($"vec_id" % 100 === 0, 1))).head()
+      val nPlanes = Similarity.planeCountFor(cnts.getLong(0) + cnts.getLong(1),
         targetBucketSize = 64, maxPlanes = 16)
       Similarity.cosineNearDupPairs(corpus, "embedding", "vec_id",
           collectPlanes(emb, 1 to nPlanes), threshold = 0.99)
