@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The grading driver parses the forked bench's stdout tail for its one-line
+// JSON. sbt's default output strategy logs every forked line through the
+// sbt logger, which prefixes "[info] " / "[error] " framing — that framing
+// is why every BENCH_r*.json so far reads `parsed: null` even though the
+// JSON line is visibly complete in the tail. Pass the forked process's
+// stdout through unframed (stderr keeps going to stderr).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -33,4 +40,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // interleaved A/B on one host: 78.8 s (G1 default) -> 73.5 s. Override or
   // extend via SPARK_GRAFT_JAVA_OPTS (later flags win).
   "-XX:+UseParallelGC",
-) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)
+  // filter: "".split("\\s+") yields one empty element, which a forked JVM
+  // would parse as the main-class name and fail to launch
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").toSeq).filter(_.nonEmpty)

@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
   * puts minutes between one query's two timings, so a single load spike
   * can no longer contaminate BOTH reps of the same query (the r5 window's
   * 12x q46 artifact). The full per-query map is also written to
-  * `BENCH_DETAIL.json` (all reps + min, schema unchanged) so a truncated
+  * `BENCH_DETAIL_c<cpus>.json` (all reps + min, schema unchanged) so a truncated
   * stdout capture can never lose the per-query data. A query that throws
   * records an `"error"` marker in its detail entry, is excluded from
   * `total_min` and the stdout `queries` map, and prints a `BENCH ERROR`
@@ -30,8 +30,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // cpu-qualified default: the driver benches the SAME tree at two core
+    // counts, and in r19 the 8-core arm overwrote the 32-core per-query
+    // record because both defaulted to one filename
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-      "BENCH_DETAIL.json")
+      s"BENCH_DETAIL_c$cpus.json")
     // Default 3: r8 ran an identical binary and min-of-2 still showed phantom
     // per-query swings up to 4x; a third interleaved pass collapses that noise
     // for ~60s of extra wall time.
@@ -90,7 +93,8 @@ object Bench {
     val detail = inventory.map { case (name, _) =>
       name -> passes.map(_(name))
     }
-    val s = summarize(detail, sfDir, reps)
+    val s = summarize(detail, sfDir, reps,
+      java.nio.file.Paths.get(detailPath).getFileName.toString)
     s.errors.foreach { case (name, e) => System.err.println(s"BENCH ERROR $name: $e") }
     // full per-query record to a file FIRST — stdout tails can truncate
     java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), s.detailJson)
@@ -118,7 +122,8 @@ object Bench {
     * query in BenchSummarySpec. */
   private[graft] def summarize(
       detail: Seq[(String, Seq[Either[String, Double]])],
-      sfDir: String, reps: Int): Summary = {
+      sfDir: String, reps: Int,
+      detailName: String = "BENCH_DETAIL.json"): Summary = {
     val errors = detail.collect { case (name, reps) if reps.exists(_.isLeft) =>
       name -> reps.collectFirst { case Left(e) => e }.get
     }.toMap
@@ -152,7 +157,7 @@ object Bench {
       ",", "}}")
     val stdoutJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmtQ(headline)},""" +
-        s""""query_count":${results.size},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+        s""""query_count":${results.size},"detail":"$detailName","sf":"$sfDir"}"""
     Summary(errors, results, detailJson, stdoutJson)
   }
 
