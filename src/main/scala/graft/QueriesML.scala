@@ -3101,7 +3101,7 @@ object QueriesML {
           .listFiles.filter(f =>
             f.getName.startsWith("m-") && f.getName.endsWith(".avro"))
           .maxBy(_.lastModified)
-        val dvEntries = AvroOcf.read(s, delManifest.getPath)
+        val dvEntries = AvroOcf.readFilesLocal(s, Seq(delManifest.getPath))
         val scoped = dvEntries
           .select($"data_file.file_format", $"data_file.partition.b")
           .collect().forall(r =>
@@ -3437,11 +3437,11 @@ object QueriesML {
               .stripSuffix(".metadata.json").toLong).toPath), "UTF-8")
         val listPath = """"manifest-list": "([^"]+)"""".r
           .findAllMatchIn(metaTxt).map(_.group(1)).toSeq.last
-        val delMans = AvroOcf.read(s, listPath)
+        val delMans = AvroOcf.readFilesLocal(s, Seq(listPath))
           .filter(col("content") === 1)
           .select(col("manifest_path")).collect().map(_.getString(0)).toSeq
         val maxDv = delMans.flatMap { mp =>
-          AvroOcf.read(s, mp).filter(col("status") =!= 2)
+          AvroOcf.readFilesLocal(s, Seq(mp)).filter(col("status") =!= 2)
             .select(col("data_file.referenced_data_file"))
             .collect().map(_.getString(0))
         }.groupBy(identity).values.map(_.size).max

@@ -251,6 +251,151 @@ object AvroOcf {
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** [[readFiles]] evaluated wholly on the DRIVER into a LOCAL DataFrame
+    * (a LocalRelation) — the metadata-read fast path. Iceberg manifest
+    * lists and manifests are KB-sized and their rows are collected back
+    * to the driver anyway, so the parallelize→tasks→collect round-trip
+    * of the distributed read is pure Spark-job overhead (one job per
+    * writer schema ≈ 2 jobs per snapshot replay). Over a LocalRelation
+    * the optimizer folds Projects/Filters eagerly
+    * (ConvertToLocalRelation), so the caller's select+collect launches
+    * NO job while evaluating the exact same Catalyst expressions
+    * (to_json partition tuples, casts) as before. Semantics match
+    * [[readFiles]]: records decode against their own writer schema,
+    * schema groups merge union-by-name with null padding for absent
+    * columns; a same-named column with CONFLICTING types across writer
+    * schemas is directed (unionByName would throw there too). Above
+    * `maxLocalBytes` total — or when any file cannot be stat-ed — this
+    * falls back to the distributed [[readFiles]]: at that size the
+    * decode work is worth distributing even though the collect cost
+    * stays. */
+  def readFilesLocal(spark: SparkSession, files: Seq[String],
+      sourceFileCol: Option[String] = None,
+      maxLocalBytes: Long = 64L << 20): DataFrame = {
+    require(files.nonEmpty, "readFilesLocal: empty file list")
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val total = try files.map { f =>
+      val p = new Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum catch { case _: java.io.IOException => Long.MaxValue }
+    if (total > maxLocalBytes)
+      return readFiles(spark, files, sourceFileCol = sourceFileCol)
+    // decode: groups keyed by the EXACT writer-schema json, insertion
+    // order kept so the merged column order matches readFiles' unions
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[String, (StructType, scala.collection.mutable.ArrayBuffer[Row])]
+    files.foreach { uri =>
+      val in = new FsInput(new Path(uri), conf)
+      val reader = DataFileReader.openReader(in,
+        new GenericDatumReader[GenericRecord]())
+      try {
+        val schema = reader.getSchema
+        val (_, buf) = groups.getOrElseUpdate(schema.toString, {
+          val base = sparkSchema(schema)
+          val ss = sourceFileCol match {
+            case Some(n) => StructType(
+              StructField(n, StringType, nullable = false) +:
+                base.fields.toSeq)
+            case None => base
+          }
+          (ss, scala.collection.mutable.ArrayBuffer.empty[Row])
+        })
+        while (reader.hasNext) {
+          val r = toRow(reader.next(), schema)
+          buf += (if (sourceFileCol.isDefined) Row.fromSeq(uri +: r.toSeq)
+            else r)
+        }
+      } finally reader.close()
+    }
+    val gs = groups.values.toSeq
+    // merged schema: first group's columns, then unseen names appended,
+    // STRUCTS MERGED RECURSIVELY — unionByName(allowMissingColumns =
+    // true) semantics, which the distributed readFiles relies on for
+    // mixed-version manifest sets (a v3 manifest's data_file struct
+    // carries fields a v2 one lacks)
+    def mergeType(a: DataType, b: DataType, at: String): DataType =
+      (a, b) match {
+        case (x, y) if x == y => x
+        case (sa: StructType, sb: StructType) =>
+          val fs = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+          sa.fields.foreach(f => fs += f.name -> f)
+          sb.fields.foreach { f =>
+            fs.get(f.name) match {
+              case None => fs += f.name -> f.copy(nullable = true)
+              case Some(p) => fs += f.name -> StructField(f.name,
+                mergeType(p.dataType, f.dataType, s"$at.${f.name}"),
+                nullable = p.nullable || f.nullable)
+            }
+          }
+          // a field of sa absent from sb reads null in sb's rows
+          StructType(fs.values.toSeq.map(f =>
+            if (sa.fieldNames.contains(f.name) &&
+              sb.fieldNames.contains(f.name)) f
+            else f.copy(nullable = true)))
+        case (ArrayType(ea, na), ArrayType(eb, nb)) =>
+          ArrayType(mergeType(ea, eb, s"$at[]"), na || nb)
+        case (MapType(ka, va, na), MapType(kb, vb, nb)) if ka == kb =>
+          MapType(ka, mergeType(va, vb, s"$at{}"), na || nb)
+        case _ => throw UnsupportedAvro(
+          s"readFilesLocal: column '$at' has conflicting types " +
+            s"${a.simpleString} vs ${b.simpleString} across writer schemas")
+      }
+    val fields = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+    gs.foreach { case (ss, _) =>
+      ss.fields.foreach { f =>
+        fields.get(f.name) match {
+          case None => fields += f.name -> f
+          case Some(prev) => fields += f.name -> StructField(f.name,
+            mergeType(prev.dataType, f.dataType, f.name),
+            nullable = prev.nullable || f.nullable)
+        }
+      }
+    }
+    val merged = StructType(fields.values.toSeq.map(f =>
+      if (gs.forall(_._1.fieldNames.contains(f.name))) f
+      else f.copy(nullable = true)))
+    // value coercion group-type → merged-type: identity when equal;
+    // structs re-shape by name with null padding, containers map through
+    def pad(v: Any, from: DataType, to: DataType): Any =
+      if (v == null || from == to) v
+      else (from, to) match {
+        case (sf: StructType, st: StructType) =>
+          val r = v.asInstanceOf[Row]
+          val idx = sf.fieldNames.zipWithIndex.toMap
+          Row.fromSeq(st.fields.toSeq.map { tf =>
+            idx.get(tf.name) match {
+              case Some(i) => pad(r.get(i),
+                sf.fields(i).dataType, tf.dataType)
+              case None => null
+            }
+          })
+        case (ArrayType(ef, _), ArrayType(et, _)) =>
+          v.asInstanceOf[Seq[Any]].map(pad(_, ef, et))
+        case (MapType(_, vf, _), MapType(_, vt, _)) =>
+          v.asInstanceOf[Map[Any, Any]].map { case (k, mv) =>
+            k -> pad(mv, vf, vt)
+          }
+        case _ => v
+      }
+    val rows = new java.util.ArrayList[Row](gs.iterator.map(_._2.size).sum)
+    gs.foreach { case (ss, buf) =>
+      if (ss == merged) buf.foreach(rows.add)
+      else {
+        val idx = ss.fieldNames.zipWithIndex.toMap
+        buf.foreach { r =>
+          rows.add(Row.fromSeq(merged.fields.toSeq.map { mf =>
+            idx.get(mf.name) match {
+              case Some(i) => pad(r.get(i),
+                ss.fields(i).dataType, mf.dataType)
+              case None => null
+            }
+          }))
+        }
+      }
+    }
+    spark.createDataFrame(rows, merged)
+  }
+
   /** One row per record from whole-file BYTES columns — the streaming
     * surface: `readStream.format("binaryFile")` delivers newly-landed
     * OCFs as (path, content) rows and this stateless flatMap decodes

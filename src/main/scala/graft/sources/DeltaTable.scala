@@ -299,93 +299,128 @@ object DeltaTable {
     def processActionParquet(paths: Seq[String]): Unit = {
       val cp = spark.read.parquet(paths: _*)
       val colsPresent = cp.columns.toSet
-      if (colsPresent.contains("protocol")) {
-        val pCols = cp.select(col("protocol.*")).columns.toSet
-        def pcol(n: String, d: org.apache.spark.sql.Column) =
-          if (pCols.contains(n)) col(s"protocol.$n") else d
-        cp.select(col("protocol.minReaderVersion"),
-            pcol("minWriterVersion", lit(2)),
-            pcol("readerFeatures", lit(null).cast("array<string>")),
-            pcol("writerFeatures", lit(null).cast("array<string>")))
-          .filter(col("minReaderVersion").isNotNull).collect()
-          .foreach(r => applyProtocol(r.getInt(0), r.getInt(1),
-            Option(r.getSeq[String](2)).getOrElse(Nil),
-            Option(r.getSeq[String](3)).getOrElse(Nil)))
+      // ONE collect serves every action kind (was one filter+collect job
+      // per kind — five scans of the checkpoint). A checkpoint row
+      // carries exactly one action; the kinds mutate disjoint state, so
+      // dispatching row-by-row in scan order applies each kind in the
+      // same relative order the per-kind passes did.
+      val sel = Seq.newBuilder[org.apache.spark.sql.Column]
+      var next = 0
+      def put(c: org.apache.spark.sql.Column): Int = {
+        sel += c; next += 1; next - 1
       }
-      if (colsPresent.contains("metaData")) {
-        val metaCols = cp.select(col("metaData.*")).columns.toSet
-        val confCol =
-          if (metaCols.contains("configuration")) col("metaData.configuration")
-          else lit(null).cast("map<string,string>")
-        val idCol =
-          if (metaCols.contains("id")) col("metaData.id")
-          else lit(null).cast("string")
-        cp.select(col("metaData.schemaString"),
-            col("metaData.partitionColumns"), confCol, idCol)
-          .filter(col("schemaString").isNotNull).collect().foreach { r =>
-            schemaJson = r.getString(0)
-            partitionColumns = Option(r.getSeq[String](1)).getOrElse(Nil)
-            configuration =
-              Option(r.getAs[Map[String, String]](2)).getOrElse(Map.empty)
-            metaId = Option(r.getString(3)).getOrElse("")
-            // checkpoint-sourced metaData loses fields this reader does
-            // not model (name/description) — metadata-only commits fall
-            // back to the managed set
-            metaRaw = None
-          }
+      val protoAt =
+        if (!colsPresent.contains("protocol")) -1
+        else {
+          val pCols = cp.select(col("protocol.*")).columns.toSet
+          def pcol(n: String, d: org.apache.spark.sql.Column) =
+            if (pCols.contains(n)) col(s"protocol.$n") else d
+          val at = put(col("protocol.minReaderVersion"))
+          put(pcol("minWriterVersion", lit(2)))
+          put(pcol("readerFeatures", lit(null).cast("array<string>")))
+          put(pcol("writerFeatures", lit(null).cast("array<string>")))
+          at
+        }
+      val metaAt =
+        if (!colsPresent.contains("metaData")) -1
+        else {
+          val metaCols = cp.select(col("metaData.*")).columns.toSet
+          val confCol =
+            if (metaCols.contains("configuration"))
+              col("metaData.configuration")
+            else lit(null).cast("map<string,string>")
+          val idCol =
+            if (metaCols.contains("id")) col("metaData.id")
+            else lit(null).cast("string")
+          val at = put(col("metaData.schemaString"))
+          put(col("metaData.partitionColumns")); put(confCol); put(idCol)
+          at
+        }
+      val addAt =
+        if (!colsPresent.contains("add")) -1
+        else {
+          val addCols = cp.select(col("add.*")).columns.toSet
+          val dvSel: Seq[org.apache.spark.sql.Column] =
+            if (addCols.contains("deletionVector"))
+              Seq(col("add.deletionVector.storageType"),
+                col("add.deletionVector.pathOrInlineDv"),
+                col("add.deletionVector.offset"),
+                col("add.deletionVector.sizeInBytes"),
+                col("add.deletionVector.cardinality"))
+            else Seq(lit(null).cast("string"), lit(null).cast("string"),
+              lit(null).cast("int"), lit(null).cast("int"),
+              lit(null).cast("long"))
+          val statsCol =
+            if (addCols.contains("stats")) col("add.stats")
+            else lit(null).cast("string")
+          def rtCol(n: String) =
+            if (addCols.contains(n)) col(s"add.$n")
+            else lit(null).cast("long")
+          val at = put(col("add.path"))
+          (Seq(col("add.partitionValues")) ++ dvSel ++ Seq(statsCol,
+            rtCol("baseRowId"), rtCol("defaultRowCommitVersion")))
+            .foreach(put)
+          at
+        }
+      val domAt =
+        if (!colsPresent.contains("domainMetadata")) -1
+        else {
+          val at = put(col("domainMetadata.domain"))
+          put(col("domainMetadata.configuration"))
+          put(col("domainMetadata.removed"))
+          at
+        }
+      val sideAt =
+        if (!colsPresent.contains("sidecar")) -1
+        else put(col("sidecar.path"))
+      val sidecars = Seq.newBuilder[String]
+      cp.select(sel.result(): _*).collect().foreach { r =>
+        if (protoAt >= 0 && !r.isNullAt(protoAt))
+          applyProtocol(r.getInt(protoAt), r.getInt(protoAt + 1),
+            Option(r.getSeq[String](protoAt + 2)).getOrElse(Nil),
+            Option(r.getSeq[String](protoAt + 3)).getOrElse(Nil))
+        if (metaAt >= 0 && !r.isNullAt(metaAt)) {
+          schemaJson = r.getString(metaAt)
+          partitionColumns =
+            Option(r.getSeq[String](metaAt + 1)).getOrElse(Nil)
+          configuration =
+            Option(r.getAs[Map[String, String]](metaAt + 2))
+              .getOrElse(Map.empty)
+          metaId = Option(r.getString(metaAt + 3)).getOrElse("")
+          // checkpoint-sourced metaData loses fields this reader does
+          // not model (name/description) — metadata-only commits fall
+          // back to the managed set
+          metaRaw = None
+        }
+        if (addAt >= 0 && !r.isNullAt(addAt)) {
+          val dv =
+            if (r.isNullAt(addAt + 2)) None
+            else Some(DeletionVector.Descriptor(r.getString(addAt + 2),
+              r.getString(addAt + 3),
+              if (r.isNullAt(addAt + 4)) None else Some(r.getInt(addAt + 4)),
+              r.getInt(addAt + 5), r.getLong(addAt + 6)))
+          files += r.getString(addAt) -> AddFile(r.getString(addAt),
+            Option(r.getAs[Map[String, String]](addAt + 1))
+              .getOrElse(Map.empty),
+            dv, dataChange = true,
+            stats = Option(r.getString(addAt + 7)).filter(_.nonEmpty),
+            baseRowId =
+              if (r.isNullAt(addAt + 8)) None else Some(r.getLong(addAt + 8)),
+            defaultRowCommitVersion =
+              if (r.isNullAt(addAt + 9)) None
+              else Some(r.getLong(addAt + 9)))
+        }
+        if (domAt >= 0 && !r.isNullAt(domAt)) {
+          if (!r.isNullAt(domAt + 2) && r.getBoolean(domAt + 2))
+            domains -= r.getString(domAt)
+          else domains += r.getString(domAt) ->
+            Option(r.getString(domAt + 1)).getOrElse("")
+        }
+        if (sideAt >= 0 && !r.isNullAt(sideAt))
+          sidecars += resolveSidecar(r.getString(sideAt))
       }
-      if (colsPresent.contains("add")) {
-        val addCols = cp.select(col("add.*")).columns.toSet
-        val dvSel: Seq[org.apache.spark.sql.Column] =
-          if (addCols.contains("deletionVector"))
-            Seq(col("add.deletionVector.storageType"),
-              col("add.deletionVector.pathOrInlineDv"),
-              col("add.deletionVector.offset"),
-              col("add.deletionVector.sizeInBytes"),
-              col("add.deletionVector.cardinality"))
-          else Seq(lit(null).cast("string"), lit(null).cast("string"),
-            lit(null).cast("int"), lit(null).cast("int"),
-            lit(null).cast("long"))
-        val statsCol =
-          if (addCols.contains("stats")) col("add.stats")
-          else lit(null).cast("string")
-        def rtCol(n: String) =
-          if (addCols.contains(n)) col(s"add.$n") else lit(null).cast("long")
-        cp.select(Seq(col("add.path"), col("add.partitionValues")) ++
-            dvSel ++ Seq(statsCol, rtCol("baseRowId"),
-              rtCol("defaultRowCommitVersion")): _*)
-          .filter(col("path").isNotNull).collect().foreach { r =>
-            val dv =
-              if (r.isNullAt(2)) None
-              else Some(DeletionVector.Descriptor(r.getString(2),
-                r.getString(3),
-                if (r.isNullAt(4)) None else Some(r.getInt(4)),
-                r.getInt(5), r.getLong(6)))
-            files += r.getString(0) -> AddFile(r.getString(0),
-              Option(r.getAs[Map[String, String]](1)).getOrElse(Map.empty),
-              dv, dataChange = true,
-              stats = Option(r.getString(7)).filter(_.nonEmpty),
-              baseRowId = if (r.isNullAt(8)) None else Some(r.getLong(8)),
-              defaultRowCommitVersion =
-                if (r.isNullAt(9)) None else Some(r.getLong(9)))
-          }
-      }
-      if (colsPresent.contains("domainMetadata")) {
-        cp.select(col("domainMetadata.domain"),
-            col("domainMetadata.configuration"),
-            col("domainMetadata.removed"))
-          .filter(col("domain").isNotNull).collect().foreach { r =>
-            if (!r.isNullAt(2) && r.getBoolean(2)) domains -= r.getString(0)
-            else domains += r.getString(0) ->
-              Option(r.getString(1)).getOrElse("")
-          }
-      }
-      if (colsPresent.contains("sidecar")) {
-        val sidecars = cp.select(col("sidecar.path"))
-          .filter(col("path").isNotNull)
-          .collect().map(r => resolveSidecar(r.getString(0))).toSeq
-        if (sidecars.nonEmpty) processActionParquet(sidecars)
-      }
+      val sc = sidecars.result()
+      if (sc.nonEmpty) processActionParquet(sc)
     }
     if (ckptFiles.nonEmpty) processActionParquet(ckptFiles)
     // a V2 top-level may also be JSON: action-per-line, same semantics
@@ -895,20 +930,26 @@ object DeltaTable {
     def sweepParquet(paths: Seq[String]): Unit = {
       val cp = spark.read.parquet(paths: _*)
       val cols = cp.columns.toSet
-      if (cols.contains("txn"))
-        cp.select(col("txn.appId"), col("txn.version").cast("long"))
-          .filter(col("appId").isNotNull).collect().foreach { r =>
-            txns(r.getString(0)) = r.getLong(1)
-          }
-      if (cols.contains("sidecar")) {
-        val sc = cp.select(col("sidecar.path"))
-          .filter(col("path").isNotNull).collect().map { r =>
-            val dec = PathUris.pctDecode(r.getString(0))
-            if (dec.contains("://") || dec.startsWith("/")) dec
-            else s"$base/_delta_log/_sidecars/$dec"
-          }.toSeq
-        if (sc.nonEmpty) sweepParquet(sc)
+      val hasTxn = cols.contains("txn")
+      val hasSide = cols.contains("sidecar")
+      if (!hasTxn && !hasSide) return
+      // one collect for both kinds (was one job each)
+      val txnSel =
+        if (hasTxn) Seq(col("txn.appId"), col("txn.version").cast("long"))
+        else Seq(lit(null).cast("string"), lit(null).cast("long"))
+      val sideSel =
+        if (hasSide) col("sidecar.path") else lit(null).cast("string")
+      val sc = Seq.newBuilder[String]
+      cp.select(txnSel :+ sideSel: _*).collect().foreach { r =>
+        if (!r.isNullAt(0)) txns(r.getString(0)) = r.getLong(1)
+        if (!r.isNullAt(2)) {
+          val dec = PathUris.pctDecode(r.getString(2))
+          sc += (if (dec.contains("://") || dec.startsWith("/")) dec
+            else s"$base/_delta_log/_sidecars/$dec")
+        }
       }
+      val scr = sc.result()
+      if (scr.nonEmpty) sweepParquet(scr)
     }
     def sweepJson(text: String): Unit =
       text.split('\n').filter(_.contains("\"txn\"")).foreach { line =>

@@ -777,7 +777,10 @@ object IcebergTable {
     val manifestPaths: Seq[(String, Int, Long, Int)] = (snap \ "manifest-list") match {
       case JString(ml) =>
         val mlPath = resolvePath(table, location, ml)
-        val rows = AvroOcf.read(spark, mlPath)
+        // driver-local decode: the manifest list is KB-scale metadata and
+        // is collected below anyway — a LocalRelation makes the
+        // select+collect job-free (§5 driver-work fusion)
+        val rows = AvroOcf.readFilesLocal(spark, Seq(mlPath))
         val mlCols = rows.columns.toSet
         val contentC =
           if (mlCols.contains("content")) col("content")
@@ -799,15 +802,16 @@ object IcebergTable {
             s"$table: snapshot $targetId has neither manifest-list nor manifests"))
           .map(p => (p, 0, 0L, 0))
     }
-    // ALL manifests in one fan-out (grouped by writer schema inside
-    // readFiles) — a snapshot with hundreds of manifests costs O(1) jobs.
+    // ALL manifests decoded driver-local (grouped by writer schema inside
+    // readFilesLocal) — a snapshot replay costs ZERO Spark jobs; huge
+    // manifest sets fall back to the distributed one-fan-out read.
     // DELETE manifests (list content = 1) replay exactly like data
     // manifests: their entries' data_file.content distinguishes the kind;
     // the source-file column keys sequence-number inheritance.
     val manifestSeq: Map[String, (Long, Int)] = manifestPaths.map { p =>
       PathUris.canon(resolvePath(table, location, p._1)) -> ((p._3, p._4))
     }.toMap
-    val m = AvroOcf.readFiles(spark,
+    val m = AvroOcf.readFilesLocal(spark,
       manifestPaths.map(p => resolvePath(table, location, p._1)),
       sourceFileCol = Some("__manifest"))
     val mCols = m.columns.toSet

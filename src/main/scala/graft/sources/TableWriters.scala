@@ -2814,7 +2814,7 @@ object IcebergWriter {
           (sn \ "snapshot-id").extractOpt[Long].contains(cur))
           .flatMap(sn => (sn \ "manifest-list").extractOpt[String])
           .foreach { ml =>
-            val rows = AvroOcf.read(spark, ml)
+            val rows = AvroOcf.readFilesLocal(spark, Seq(ml))
             val cols = rows.columns.toSet
             def colOr(n: String, d: org.apache.spark.sql.Column) =
               if (cols.contains(n)) col(n) else d
@@ -4714,7 +4714,7 @@ object IcebergWriter {
       else st.priorManifests.flatMap { mf =>
         if (mf.content != 1) Some(mf)
         else {
-          val df = AvroOcf.read(spark, mf.path)
+          val df = AvroOcf.readFilesLocal(spark, Seq(mf.path))
           val cols = df.columns.toSet
           val dfCols = df.select(fcol("data_file.*")).columns.toSet
           def optC(n: String, t: String) =
@@ -5252,7 +5252,7 @@ object IcebergWriter {
       val (listFiles, manifests) = snapshotManifests(spark, sn, resolveRef)
       val dataFiles =
         if (manifests.isEmpty) Nil
-        else AvroOcf.readFiles(spark, manifests)
+        else AvroOcf.readFilesLocal(spark, manifests)
           .select(col("data_file.file_path")).collect()
           .map(r => resolveRef(r.getString(0))).toSeq
       (listFiles ++ manifests ++ dataFiles)
@@ -5320,7 +5320,7 @@ object IcebergWriter {
     (sn \ "manifest-list") match {
       case JString(ml0) =>
         val ml = resolveRef(ml0)
-        (Seq(ml), AvroOcf.read(spark, ml)
+        (Seq(ml), AvroOcf.readFilesLocal(spark, Seq(ml))
           .select(col("manifest_path")).collect()
           .map(r => resolveRef(r.getString(0))).toSeq)
       case _ =>
@@ -5359,7 +5359,7 @@ object IcebergWriter {
     val manifests = perSnap.flatMap(_._2).distinct
     val dataFiles =
       if (manifests.isEmpty) Nil
-      else AvroOcf.readFiles(spark, manifests)
+      else AvroOcf.readFilesLocal(spark, manifests)
         .select(col("data_file.file_path")).collect()
         .map(r => resolveRef(r.getString(0))).toSeq
     // metadata-declared statistics files (Puffin stats /

@@ -260,4 +260,75 @@ class AvroOcfSpec extends SparkSpec {
     val e = intercept[Exception] { AvroOcf.read(spark, s"$dir/u.avro") }
     assert(e.getMessage.contains("union"), e.getMessage)
   }
+
+  // the Iceberg manifest shape readFilesLocal exists for: a later writer
+  // schema's nested data_file struct GAINS members and the top level
+  // gains a column (a v2/v3 manifest mix under one snapshot)
+  private val manifestV2 =
+    """{"type": "record", "name": "E", "fields": [
+      |  {"name": "status", "type": "int"},
+      |  {"name": "data_file", "type": {"type": "record", "name": "D",
+      |    "fields": [
+      |      {"name": "file_path", "type": "string"},
+      |      {"name": "record_count", "type": "long"}
+      |  ]}}
+      |]}""".stripMargin
+  private val manifestV3 =
+    """{"type": "record", "name": "E", "fields": [
+      |  {"name": "status", "type": "int"},
+      |  {"name": "data_file", "type": {"type": "record", "name": "D",
+      |    "fields": [
+      |      {"name": "file_path", "type": "string"},
+      |      {"name": "record_count", "type": "long"},
+      |      {"name": "referenced_data_file", "type": ["null", "string"],
+      |        "default": null}
+      |  ]}},
+      |  {"name": "sequence_number", "type": "long"}
+      |]}""".stripMargin
+
+  private def writeManifestMix(dir: String): Seq[String] = {
+    AvroOcf.write(s"$dir/m1.avro", manifestV2,
+      Seq(Seq(1, Seq("f1", 10L)), Seq(0, Seq("f2", 20L))))
+    AvroOcf.write(s"$dir/m2.avro", manifestV3,
+      Seq(Seq(1, Seq("f3", 30L, "ref-a"), 7L),
+        Seq(2, Seq("f4", 40L, null), 8L)))
+    Seq(s"$dir/m1.avro", s"$dir/m2.avro")
+  }
+
+  test("readFilesLocal equals readFiles across writer schemas (nested merge)") {
+    val files = writeManifestMix(tmp())
+    def snap(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = df.columns.sorted.toSeq
+      df.selectExpr("__src", "status", "sequence_number",
+        "data_file.file_path", "data_file.record_count",
+        "data_file.referenced_data_file")
+        .collect().map(_.toString).sorted.toSeq ++ cols
+    }
+    val dist = AvroOcf.readFiles(spark, files, sourceFileCol = Some("__src"))
+    val local = AvroOcf.readFilesLocal(spark, files,
+      sourceFileCol = Some("__src"))
+    assert(snap(local) == snap(dist))
+  }
+
+  test("readFilesLocal select+collect folds to a LocalRelation (no job)") {
+    val files = writeManifestMix(tmp())
+    val local = AvroOcf.readFilesLocal(spark, files)
+    // ConvertToLocalRelation must fold the manifest-replay projection so
+    // the driver's collect launches zero Spark jobs — the property the
+    // Iceberg snapshot replay's job count rests on
+    val proj = local.select(col("status"),
+      col("data_file.file_path").as("p"),
+      coalesce(col("sequence_number"), lit(0L)).as("seq"))
+    assert(proj.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    assert(proj.collect().length == 4)
+  }
+
+  test("readFilesLocal falls back to the distributed read above the byte cap") {
+    val files = writeManifestMix(tmp())
+    val df = AvroOcf.readFilesLocal(spark, files, maxLocalBytes = 1L)
+    assert(!df.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    assert(df.count() == 4)
+  }
 }
