@@ -101,8 +101,15 @@ object QueriesML {
           .select(lower(substring(
             regexp_replace($"text", "[^a-zA-Z ]", ""), 1, 12)).as("s"))
           .distinct()
+        // q = 3 (r20): with 2-grams over the ~27-char key alphabet every
+        // gram is corpus-frequent, so the rarest-prefix posting lists are
+        // large and the candidate self-join explodes quadratically in them;
+        // 3-grams (~20k distinct) are selective and cut the operator's task
+        // time ~30% at sf0.1. Result-identical for ANY q: candidates stay a
+        // complete superset (prefix-filter lemma) and the levenshtein
+        // verify keeps exactly the true pairs.
         graft.operators.FuzzyJoin.editSelfJoin(
-          keys.select($"s".as("id"), $"s"), "id", "s", maxDist = 1)
+          keys.select($"s".as("id"), $"s"), "id", "s", maxDist = 1, q = 3)
           .select($"id_a", $"id_b", $"dist")
           .orderBy($"id_a", $"id_b")
       }),
@@ -5841,11 +5848,19 @@ object QueriesML {
 
   /** Collect small plane/centroid vectors driver-side (they become literals
     * in the per-row expressions — broadcast-free). */
-  private def collectPlanes(emb: DataFrame, ids: Range): Seq[Seq[Float]] = {
+  private[graft] def collectPlanes(emb: DataFrame, ids: Range): Seq[Seq[Float]] = {
     import emb.sparkSession.implicits._
-    emb.filter(col("vec_id").between(ids.head, ids.last))
+    val rows = emb.filter(col("vec_id").between(ids.head, ids.last))
       .orderBy(col("vec_id"))
-      .select(col("embedding")).as[Seq[Float]].collect().toSeq
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    // callers slice the result positionally (q81/q94 split one collect into
+    // query + codebooks), which silently mis-slices if an id is missing or
+    // duplicated — fail loudly instead
+    require(rows.iterator.map(_._1).sameElements(ids.iterator.map(_.toLong)),
+      s"collectPlanes: vec_ids ${ids.head}..${ids.last} must be present " +
+        s"exactly once each; got [${rows.map(_._1).mkString(",")}]")
+    rows.map(_._2).toSeq
   }
 
   private implicit class ColInterp(val sc: StringContext) {

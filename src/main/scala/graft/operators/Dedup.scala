@@ -416,24 +416,43 @@ object Dedup {
     * label is a node id inside v's component, so the fixpoint (component
     * min) is unchanged. Convergence is one count per round (same
     * driver-loop discipline as [[Similarity.kmeansCentroids]]); each
-    * generation is EAGERLY local-checkpointed, which both caches the rows
-    * and TRUNCATES the logical plan — persist alone keeps the full
-    * lineage tree, which grows a join per round (and DOUBLES per round
-    * once the jump's self-join kicks in; the accumulated plan alone OOMs
-    * the driver near round 9). Executor loss mid-loop re-runs the query —
-    * the standard trade iterative Spark algorithms make (GraphFrames'
-    * connected components checkpoints the same way).
+    * generation is checkpointed (lazily from r19 on: the round's count
+    * materializes it), which both caches the rows and TRUNCATES the
+    * logical plan — persist alone keeps the full lineage tree, which grows
+    * a join per round (and DOUBLES per round once the jump's self-join
+    * kicks in; the accumulated plan alone OOMs the driver near round 9).
+    * Checkpoints are LOCAL by default — executor loss mid-loop re-runs the
+    * query, the standard trade iterative Spark algorithms make (GraphFrames'
+    * connected components checkpoints the same way); configuring a
+    * SparkContext checkpoint directory upgrades every generation to a
+    * RELIABLE checkpoint for fault-tolerant runs at scale.
     * Returns (id, cluster) with cluster = min id in the component. */
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b",
       maxIters: Int = 20): DataFrame = {
     // ids keep their original type (min-label works on any orderable type;
     // a long cast would silently null string ids and collapse components)
+    //
+    // persisted: the edge list joins against EVERY round's labels — without
+    // the persist each round re-runs the whole upstream pair pipeline (a
+    // MinHash candidate generation, a semi-join derivation, ...), a full
+    // per-round corpus pass at real scale. Lazy: round 1's convergence
+    // count materializes the blocks; unpersisted after the loop (the
+    // returned labels frame is checkpointed, so it owns no edge lineage).
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-    var labels = nodes
-      .select(col(idCol).as("id"), col(idCol).as("cluster"))
-      .localCheckpoint(true)
+      .persist() // raw persist, not cached(): paired with unpersist below
+    // Lineage truncation: localCheckpoint by default (fast, caching-based —
+    // the standard iterative-Spark trade: executor loss re-runs the query).
+    // When the session has a RELIABLE checkpoint directory configured
+    // (spark.sparkContext.setCheckpointDir), generations checkpoint there
+    // instead, so at real scale a lost executor replays from durable
+    // storage rather than killing the job.
+    val reliable = nodes.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def ckpt(df: DataFrame, eager: Boolean): DataFrame =
+      if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
+    var labels = ckpt(nodes
+      .select(col(idCol).as("id"), col(idCol).as("cluster")), eager = true)
     val clusterType = labels.schema("cluster").dataType
     var it = 0
     var done = false
@@ -468,18 +487,18 @@ object Dedup {
       // the generation as a side effect — one Spark job per round instead
       // of separate checkpoint-materialize and count jobs. Correct because
       // the parents are unpersisted only AFTER the count has run.
-      val (next, aux) = if (it < 4) (propagated.localCheckpoint(false), None)
+      val (next, aux) = if (it < 4) (ckpt(propagated, eager = false), None)
         else {
           // checkpoint the propagated table so the self-join's two sides
           // (and the jump output) share ONE computation of the edge-join +
           // min-aggregate; blocks cache when the count job first reads them
-          val p = propagated.localCheckpoint(false)
-          val jumped = p
+          val p = ckpt(propagated, eager = false)
+          val jumped = ckpt(p
             .join(p.select(col("id").as("cluster"), col("cluster").as("c2")),
               Seq("cluster"), "left")
             .select(col("id"),
-              coalesce(col("c2"), col("cluster")).as("cluster"), col("prev"))
-            .localCheckpoint(false)
+              coalesce(col("c2"), col("cluster")).as("cluster"), col("prev")),
+            eager = false)
           (jumped, Some(p))
         }
       // join-free convergence test: prev rode through the round; this one
@@ -491,6 +510,9 @@ object Dedup {
       done = changed == 0
       it += 1
     }
+    // the final labels generation is checkpointed (no lineage into edges),
+    // so the edge cache can be released before returning
+    edges.unpersist()
     labels.select(col("id"), col("cluster"))
   }
 
@@ -550,15 +572,21 @@ object Dedup {
       org.apache.spark.sql.types.StructField("s",
         org.apache.spark.sql.types.StringType)))
     // persisted: consumed by the document-frequency aggregate AND the join
-    // back — one run of the distinct-shingle flatMap instead of two
+    // back — one run of the distinct-shingle flatMap instead of two.
+    // The shingle STRING is hashed to an xxhash64 long before the persist
+    // (§2.2 narrow keys): the document-frequency aggregate and the join
+    // back then group/shuffle 8-byte longs instead of ~20-byte shingle
+    // strings (collision odds over ~1e6 distinct shingles are ~1e-7 at
+    // 64 bits; a collision could only merge two shingles' counts).
     val sh = in.flatMap { row =>
       val docId = row.get(0)
       val seen = new scala.collection.mutable.LinkedHashSet[String]
       shingleStringsOf(row.getString(1), n).foreach(seen += _)
       seen.iterator.map(s => org.apache.spark.sql.Row(docId, s))
-    }(org.apache.spark.sql.Encoders.row(outSchema)).persist()
-    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("nd"))
-    sh.join(dfreq, Seq("s"))
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+      .select(col("id"), xxhash64(col("s")).as("h")).persist()
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+    sh.join(dfreq, Seq("h"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"))
@@ -593,16 +621,22 @@ object Dedup {
         org.apache.spark.sql.types.StringType)))
     // persisted: consumed by the occurrence count AND the posting join — the
     // compiled flatMap (and the corpus scan under it; a union of three
-    // document scans in the q86/q88 form) would otherwise run twice
+    // document scans in the q86/q88 form) would otherwise run twice.
+    // The position-shingle STRING is hashed to an xxhash64 long before the
+    // persist (§2.2 narrow keys): the corpus-wide occurrence count and the
+    // posting join then group/shuffle 8-byte longs instead of raw n-token
+    // shingle strings (collision odds over ~1e6 distinct shingles are
+    // ~1e-7 at 64 bits; a collision could only merge two shingles' counts).
     val sh = in.flatMap { row =>
       val docId = row.get(0)
       shingleStringsOf(row.getString(1), n).iterator.zipWithIndex.map {
         case (s, i) => org.apache.spark.sql.Row(docId, i + 1, s)
       }
-    }(org.apache.spark.sql.Encoders.row(outSchema)).persist()
-    val cnt = sh.groupBy(col("s")).agg(count(lit(1)).as("c"))
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+      .select(col("id"), col("pos"), xxhash64(col("s")).as("h")).persist()
+    val cnt = sh.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
-    val marked = sh.join(cnt, Seq("s")).select(col("id"), col("pos"))
+    val marked = sh.join(cnt, Seq("h")).select(col("id"), col("pos"))
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     val prev = lag(col("pos"), 1).over(w)
     marked

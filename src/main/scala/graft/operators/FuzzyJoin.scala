@@ -52,36 +52,47 @@ object FuzzyJoin {
       .persist()
     val prefixLen = maxDist * q + 1
 
-    // q-gram bag as (gram, occurrence-rank) keys: equal grams within one
+    // q-gram bag as (gram-key, occurrence-rank) keys: equal grams within one
     // string get distinct ranks, so matches mean BAG intersection (the
     // form the mismatch-count bound needs). Built with hash aggregations
-    // (partial-agg friendly): count per (id, gram), explode ranks 1..cnt.
+    // (partial-agg friendly): count per (id, gram key), explode ranks 1..cnt.
     // Persisted: consumed twice (the frequency aggregate and the prefix
-    // join probe) — ~q rows per string of (id, len, gram, occ).
+    // join probe) — ~q rows per string of (id, len, gk, occ).
+    //
+    // Gram keys are xxhash64 LONGS, not the gram strings (§2.2/§2.3 narrow
+    // keys): every downstream aggregate, window and self-join then hashes /
+    // shuffles 8-byte longs instead of q-char strings. This is EXACT, not
+    // approximate: the prefix-filter lemma only needs ONE consistent total
+    // order over bag elements shared by all strings (posting, gk, occ is
+    // one), and a hash collision can only MERGE two grams' bag elements —
+    // shared grams stay shared, so the candidate set remains a superset of
+    // the true pairs under any key mapping; the codegen'd levenshtein verify
+    // below then keeps exactly the true pairs either way.
     val grams = docs
       .select($"id", $"len", explode(gramsArray($"s", q)).as("gram"))
-      .groupBy($"id", $"len", $"gram").agg(count(lit(1)).as("cnt"))
-      .select($"id", $"len", $"gram",
+      .select($"id", $"len", xxhash64($"gram").as("gk"))
+      .groupBy($"id", $"len", $"gk").agg(count(lit(1)).as("cnt"))
+      .select($"id", $"len", $"gk",
         explode(sequence(lit(1), $"cnt")).as("occ"))
       .persist()
 
     // global key frequencies order each string's grams rarest-first; ties
-    // break on (gram, occ) so the order is one total order across strings
-    val freq = grams.groupBy($"gram", $"occ").agg(count(lit(1)).as("posting"))
+    // break on (gk, occ) so the order is one total order across strings
+    val freq = grams.groupBy($"gk", $"occ").agg(count(lit(1)).as("posting"))
     // persisted: both sides of the candidate self-join scan this frame; the
     // pre-persist plan duplicated the ENTIRE scan→grams→freq-join→window
     // chain once per side (36 Exchanges / 16 scans in the q112 physical plan)
-    val prefix = grams.join(freq, Seq("gram", "occ"))
+    val prefix = grams.join(freq, Seq("gk", "occ"))
       .withColumn("r", row_number().over(Window.partitionBy($"id")
-        .orderBy($"posting", $"gram", $"occ")))
+        .orderBy($"posting", $"gk", $"occ")))
       .filter($"r" <= prefixLen)
-      .select($"id", $"len", $"gram", $"occ")
+      .select($"id", $"len", $"gk", $"occ")
       .persist()
 
     // candidate pairs: prefix keys intersect + the length bound
-    val a = prefix.select($"id".as("id1"), $"len".as("l1"), $"gram", $"occ")
-    val b = prefix.select($"id".as("id2"), $"len".as("l2"), $"gram", $"occ")
-    val prefixPairs = a.join(b, Seq("gram", "occ"))
+    val a = prefix.select($"id".as("id1"), $"len".as("l1"), $"gk", $"occ")
+    val b = prefix.select($"id".as("id2"), $"len".as("l2"), $"gk", $"occ")
+    val prefixPairs = a.join(b, Seq("gk", "occ"))
       .filter($"id1" < $"id2" && abs($"l1" - $"l2") <= maxDist)
       .select($"id1", $"id2")
 

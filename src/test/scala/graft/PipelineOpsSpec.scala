@@ -337,6 +337,32 @@ class DedupSpec extends SparkSpec {
       s"chain must collapse to cluster 0 within 9 rounds: ${got.toSeq.sorted}")
   }
 
+  test("connectedComponents labels match under reliable and local checkpoints") {
+    // with a SparkContext checkpoint directory configured the loop upgrades
+    // every generation from localCheckpoint to a reliable checkpoint — the
+    // fault-tolerant mode for real-scale runs; labels must be identical
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(nodes, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      val reliable = Dedup.connectedComponents(nodes, "doc_id", pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(reliable == local,
+        s"reliable-checkpoint labels diverged: $reliable vs $local")
+      assert(local == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+        4L -> 4L, 5L -> 4L, 9L -> 9L))
+    } finally {
+      // SparkContext has no public unset; clear the shared session's dir so
+      // later suites keep exercising the localCheckpoint path
+      sc.getClass.getMethods.find(_.getName == "checkpointDir_$eq")
+        .foreach(_.invoke(sc, None))
+    }
+  }
+
   test("relational minhash and connectedComponents accept STRING doc ids") {
     // string UUID-ish ids: a silent long cast would null them all out and
     // the null equi-joins would return empty — assert real results instead
@@ -847,6 +873,19 @@ class SimilaritySpec extends SparkSpec {
   private lazy val emb = Tables.embeddings(spark, sfDir)
   private lazy val queryVec: Seq[Float] =
     emb.filter($"vec_id" === 0).select($"embedding").as[Seq[Float]].head()
+
+  test("collectPlanes guards the positional slicing against id gaps") {
+    // q81/q94 slice ONE collect into query + codebooks positionally; a
+    // missing or duplicated vec_id would silently shift every slice — the
+    // guard must fail loudly instead
+    val ok = QueriesML.collectPlanes(emb, 1 to 4)
+    assert(ok.length == 4 && ok.forall(_.nonEmpty))
+    val gapped = emb.filter($"vec_id" =!= 2)
+    val e = intercept[IllegalArgumentException] {
+      QueriesML.collectPlanes(gapped, 1 to 4)
+    }
+    assert(e.getMessage.contains("must be present"), e.getMessage)
+  }
 
   test("brute force: self similarity tops at 1.0") {
     val top = Similarity.bruteForceTopK(emb, "embedding", "vec_id", queryVec, 5).collect()
