@@ -571,7 +571,7 @@ object Queries {
         // the first-step aggregate — one grid scan instead of two
         val g = grid(s, d)
           .filter($"latitude".between(-10, 10) && $"longitude".between(0, 40))
-          .persist()
+          .transform(graft.operators.ScaleToolkit.cached)
         g.select($"l_orderkey", $"l_linenumber",
           $"time".cast("timestamp_ntz").as("time"), $"latitude", $"longitude",
           round($"temperature", 6).as("temperature"),

@@ -5706,7 +5706,7 @@ object QueriesML {
       val src = Queries.grid(s, d)
         .groupBy(floor($"latitude").as("latitude"), floor($"longitude").as("longitude"))
         .agg(avg($"temperature").as("v"))
-        .persist()
+        .transform(graft.operators.ScaleToolkit.cached)
       val tgt = src
         .filter($"latitude".cast("long") % 7 === 0 && $"longitude".cast("long") % 11 === 0)
         .select(($"latitude" + 0.3).as("latitude"), ($"longitude" + 0.7).as("longitude"))

@@ -283,7 +283,7 @@ object Dedup {
     // both verify-join sides. The raw shingle rows of the old relational
     // form no longer exist at all.
     val sets = docShingleSigs(df, idCol, textCol, shingleSize, numHashes, hashFn)
-      .persist()
+      .transform(ScaleToolkit.cached)
     val bandStructs = (0 until bands).map { b =>
       val slots = (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r))
       struct(lit(b).as("band"),
@@ -309,7 +309,7 @@ object Dedup {
     val ranked = bandsDf
       .withColumn("rn", row_number().over(bw))
       .withColumn("first_id", first(col("doc_id")).over(bw))
-      .persist()
+      .transform(ScaleToolkit.cached)
     val inCap = ranked.filter(col("rn") <= maxBucketSize)
     val inCapPairs = inCap
       .select(col("band"), col("bucket"), col("doc_id").as("id_a"))
@@ -584,7 +584,7 @@ object Dedup {
       shingleStringsOf(row.getString(1), n).foreach(seen += _)
       seen.iterator.map(s => org.apache.spark.sql.Row(docId, s))
     }(org.apache.spark.sql.Encoders.row(outSchema))
-      .select(col("id"), xxhash64(col("s")).as("h")).persist()
+      .select(col("id"), xxhash64(col("s")).as("h")).transform(ScaleToolkit.cached)
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("nd"))
     sh.join(dfreq, Seq("h"))
       .groupBy(col("id"))
@@ -633,7 +633,7 @@ object Dedup {
         case (s, i) => org.apache.spark.sql.Row(docId, i + 1, s)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
-      .select(col("id"), col("pos"), xxhash64(col("s")).as("h")).persist()
+      .select(col("id"), col("pos"), xxhash64(col("s")).as("h")).transform(ScaleToolkit.cached)
     val cnt = sh.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
     val marked = sh.join(cnt, Seq("h")).select(col("id"), col("pos"))
@@ -685,7 +685,7 @@ object Dedup {
     // the q88 union form) instead of two
     val in = ScaleToolkit.fanOut(
       df.select(col(idCol).as("id"), col(textCol).cast("string").as("t")))
-      .persist()
+      .transform(ScaleToolkit.cached)
     val spans = dupSpans(in, "id", "t", n, minCount)
       .select(col("id").as("sid"), col("start_tok"), col("end_tok"))
     val toks = in

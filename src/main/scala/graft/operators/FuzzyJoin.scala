@@ -49,7 +49,7 @@ object FuzzyJoin {
     // optimization guide says to cache, never the documents themselves.
     val docs = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .withColumn("len", length($"s"))
-      .persist()
+      .transform(ScaleToolkit.cached)
     val prefixLen = maxDist * q + 1
 
     // q-gram bag as (gram-key, occurrence-rank) keys: equal grams within one
@@ -74,7 +74,7 @@ object FuzzyJoin {
       .groupBy($"id", $"len", $"gk").agg(count(lit(1)).as("cnt"))
       .select($"id", $"len", $"gk",
         explode(sequence(lit(1), $"cnt")).as("occ"))
-      .persist()
+      .transform(ScaleToolkit.cached)
 
     // global key frequencies order each string's grams rarest-first; ties
     // break on (gk, occ) so the order is one total order across strings
@@ -87,7 +87,7 @@ object FuzzyJoin {
         .orderBy($"posting", $"gk", $"occ")))
       .filter($"r" <= prefixLen)
       .select($"id", $"len", $"gk", $"occ")
-      .persist()
+      .transform(ScaleToolkit.cached)
 
     // candidate pairs: prefix keys intersect + the length bound
     val a = prefix.select($"id".as("id1"), $"len".as("l1"), $"gk", $"occ")

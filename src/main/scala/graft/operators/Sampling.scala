@@ -142,7 +142,7 @@ object Sampling {
     // persisted: scanned by the bloom build (an eager .head job) and again
     // by the exact verify join — benchmark suites are the small side
     val benchSh = shingled(bench, benchIdCol, benchTextCol, n)
-      .select(col("s")).distinct().persist()
+      .select(col("s")).distinct().transform(ScaleToolkit.cached)
     val numBits = math.max(64L,
       math.ceil(-expectedShingles * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
     // bloom_filter_agg lives in the INTERNAL function registry (it exists

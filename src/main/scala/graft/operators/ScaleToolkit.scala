@@ -74,6 +74,28 @@ object ScaleToolkit {
     if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
   }
 
+  /** Idempotent persist for operator-internal shared subtrees.
+    *
+    * Operators persist frames their returned (lazy) DataFrame reads more
+    * than once (a self-join's two sides, an aggregate plus a join back).
+    * Because the result is lazy, the operator cannot unpersist after "its"
+    * action — the caller owns the terminal action. The caching contract is
+    * therefore SESSION-scoped:
+    *  - cache entries are keyed by canonicalized plan, so re-running an
+    *    operator on the same input reuses the existing entry instead of
+    *    stacking duplicates (this helper makes that reuse silent; a raw
+    *    `.persist()` logs a CacheManager "already cached" WARN per call);
+    *  - blocks are MEMORY_AND_DISK and LRU-evicted under pressure, so a
+    *    long-lived session degrades to recompute, never OOM;
+    *  - batch drivers that run many pipelines (the bench, the oracle
+    *    verifier) call `spark.sharedState.cacheManager.clearCache()`
+    *    between units of work — the documented way to release operator
+    *    caches eagerly. Operators that DO run their own terminal action
+    *    (connectedComponents' convergence loop) unpersist internally. */
+  def cached(df: DataFrame): DataFrame =
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
+    else df.persist()
+
   /** Count Exchange (shuffle) operators in a frame's executed plan — the
     * evidence hook the specs and PlanAudit use. */
   def shuffleCount(df: DataFrame): Int =

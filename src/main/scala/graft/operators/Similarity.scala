@@ -216,7 +216,7 @@ object Similarity {
     // would otherwise each re-run the sort + window and re-shuffle every
     // row's full vector — the sibling minhashNearDupsRelational persists
     // its ranked frame for the same reason
-    val ranked = bucketed.withColumn("rn", row_number().over(bw)).persist()
+    val ranked = bucketed.withColumn("rn", row_number().over(bw)).transform(ScaleToolkit.cached)
     val inCap = ranked.filter(col("rn") <= maxBucketSize)
     val inCapPairs = inCap
       .select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"),
